@@ -1,0 +1,774 @@
+"""Core relational queries: scan/filter/project, joins, aggregation,
+set ops, reshape, string/date/math functions (SURVEY.md §2.1-2.4,
+§2.6-2.9).
+
+Each query is written Spark-first (declarative DataFrame ops so
+Catalyst gets pushdown/pruning/broadcast) with a DuckDB oracle that is
+value-identical thanks to the deterministic decimal aggregation in
+pandrs_spark.functions.deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from pandrs_spark.operators.joins import anti_join, merge, semi_join
+from pandrs_spark.queries import query
+
+
+# --- q01: TPC-H Q1 shape — filter → groupBy → sum/avg/count → sort ----------
+# Reference: groupby sugar src/dataframe/groupby.rs:327-397; filter
+# src/optimized/split_dataframe/row_ops.rs:26.
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- q02: TPC-H Q6 shape — tight filter, pushdown-friendly single agg -------
+@query(
+    "q02_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q02(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- q03: TPC-H Q3 shape — 3-way join, agg, deterministic top-k -------------
+@query(
+    "q03_unshipped_revenue_topk",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01 00:00:00")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30 00:00:00")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- q04: semi join (EXISTS) — free in Spark, absent in reference (§2.3) ----
+@query(
+    "q04_priority_with_heavy_items",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q04(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    heavy = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        semi_join(orders, heavy, orders.o_orderkey == heavy.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q05: TPC-H Q5 shape — star join with broadcast dims --------------------
+@query(
+    "q05_region_nation_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def q05(spark, sf_dir):
+    region = T(spark, sf_dir, "region")
+    nation = T(spark, sf_dir, "nation")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --- q06: anti join (NOT EXISTS) -------------------------------------------
+@query(
+    "q06_customers_without_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q06(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    urgent = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        anti_join(cust, urgent, cust.c_custkey == urgent.o_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --- q07: distinct over derived columns ------------------------------------
+@query(
+    "q07_distinct_priority_year",
+    oracle="""
+    SELECT DISTINCT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS order_year
+    FROM orders
+    ORDER BY o_orderpriority, order_year
+    """,
+)
+def q07(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority", F.year("o_orderdate").alias("order_year")
+        )
+        .distinct()
+        .orderBy("o_orderpriority", "order_year")
+    )
+
+
+# --- q08: deterministic top-k (nlargest — compat :159) ----------------------
+@query(
+    "q08_top_customers_by_balance",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q08(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- q09: set operations — union / intersect / except (§2.7) ----------------
+@query(
+    "q09_customer_activity_setops",
+    oracle="""
+    SELECT 'both_years' AS op, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    ) t
+    UNION ALL
+    SELECT 'only_1996', COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    ) t
+    UNION ALL
+    SELECT 'either_year', COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        UNION
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    ) t
+    ORDER BY op
+    """,
+)
+def q09(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both_years").alias("op"), "n"
+    )
+    only96 = y96.subtract(y97).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("only_1996").alias("op"), "n")
+    either = y96.union(y97).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("either_year").alias("op"), "n"
+    )
+    return both.unionByName(only96).unionByName(either).orderBy("op")
+
+
+# --- q10: ranking window functions (§2.5b) ----------------------------------
+@query(
+    "q10_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) t
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q10(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --- q11: lag/lead, diff, pct_change (§2.5c) --------------------------------
+@query(
+    "q11_order_price_deltas",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           o_totalprice - LAG(o_totalprice) OVER w AS price_diff,
+           ROUND((o_totalprice - LAG(o_totalprice) OVER w) / LAG(o_totalprice) OVER w, 6) AS pct_change
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q11(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - prev).alias("price_diff"),
+        F.round((F.col("o_totalprice") - prev) / prev, 6).alias("pct_change"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q12: rolling mean over row frame (§2.5a) — deterministic decimal sum ---
+@query(
+    "q12_rolling_avg_price",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(32, 2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(o_totalprice)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_avg_7
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q12(spark, sf_dir):
+    from pyspark.sql.types import DecimalType
+
+    orders = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    rolling_sum = F.sum(
+        F.round(F.col("o_totalprice"), 2).cast(DecimalType(32, 2))
+    ).over(w).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (rolling_sum / F.count("o_totalprice").over(w)).alias("rolling_avg_7"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q13: cumulative sum + cumcount (§2.5c) ---------------------------------
+@query(
+    "q13_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(32, 2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q13(spark, sf_dir):
+    from pyspark.sql.types import DecimalType
+
+    orders = T(spark, sf_dir, "orders")
+    ord_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = ord_w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice"), 2).cast(DecimalType(32, 2)))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+        F.row_number().over(ord_w).alias("order_seq"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q14: pivot table (§2.4 pivot/mod.rs:234) -------------------------------
+@query(
+    "q14_pivot_qty_by_flag_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q14(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q15: melt / unpivot (§2.8, compat :1317) -------------------------------
+@query(
+    "q15_melt_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    ORDER BY p_partkey, variable
+    """,
+)
+def q15(spark, sf_dir):
+    part = T(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot(["p_partkey"], ["p_retailprice", "p_size"], "variable", "value")
+        .orderBy("p_partkey", "variable")
+    )
+
+
+# --- q16: value_counts with share (§2.4 compat :359) ------------------------
+@query(
+    "q16_event_type_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    """,
+)
+def q16(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    total_w = Window.partitionBy()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("share", F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(total_w), 6))
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+# --- q17: string function surface (§2.9 string accessor) --------------------
+@query(
+    "q17_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS uname,
+           LOWER(p_brand) AS lbrand,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           SUBSTR(p_name, 1, 4) AS prefix4,
+           REPLACE(p_name, ' ', '_') AS snake,
+           CASE WHEN strpos(p_name, 'red') > 0 THEN TRUE ELSE FALSE END AS has_red,
+           p_name LIKE 'small%' AS is_small,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           LPAD(p_brand, 10, '*') AS padded,
+           CAST(LENGTH(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           TRIM(CONCAT('  ', p_name, '  ')) AS trimmed
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def q17(spark, sf_dir):
+    part = T(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        (F.instr(F.col("p_name"), "red") > 0).alias("has_red"),
+        F.col("p_name").startswith("small").alias("is_small"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.lpad("p_brand", 10, "*").alias("padded"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+    ).orderBy("p_partkey")
+
+
+# --- q18: datetime function surface (§2.9 datetime accessor) ----------------
+@query(
+    "q18_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def q18(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("wk"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+# --- q19: null handling — isna/fillna/dropna/coalesce (§2.2) ----------------
+@query(
+    "q19_null_handling",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_returnflag,
+               CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_discount END AS disc
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(disc) AS n_valid,
+           COUNT(*) - COUNT(disc) AS n_null,
+           {sql_dsum('COALESCE(disc, 0.05)', 4)} AS sum_filled,
+           {sql_dsum('disc', 4)} AS sum_dropna
+    FROM d
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q19(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 10 == 0, None)
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    return (
+        d.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("disc").alias("n_valid"),
+            (F.count(F.lit(1)) - F.count("disc")).alias("n_null"),
+            dsum(F.coalesce(F.col("disc"), F.lit(0.05)), 4).alias("sum_filled"),
+            dsum("disc", 4).alias("sum_dropna"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q20: case/when buckets, isin, between, clip (§2.2, §2.9) ---------------
+@query(
+    "q20_quantity_buckets",
+    oracle=f"""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS cnt,
+           {sql_dsum('LEAST(GREATEST(l_discount, 0.02), 0.08)', 4)} AS sum_clipped_disc,
+           COUNT(CASE WHEN l_returnflag IN ('A', 'R') THEN 1 END) AS n_returned,
+           COUNT(CASE WHEN l_quantity BETWEEN 20 AND 40 THEN 1 END) AS n_mid_qty
+    FROM lineitem
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q20(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+    )
+    clipped = F.least(F.greatest(F.col("l_discount"), F.lit(0.02)), F.lit(0.08))
+    return (
+        li.select(
+            bucket.alias("bucket"),
+            clipped.alias("clipped"),
+            F.col("l_returnflag").isin("A", "R").alias("is_returned"),
+            F.col("l_quantity").between(20, 40).alias("is_mid"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("clipped", 4).alias("sum_clipped_disc"),
+            F.count(F.when(F.col("is_returned"), 1)).alias("n_returned"),
+            F.count(F.when(F.col("is_mid"), 1)).alias("n_mid_qty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- q21: explode/split words (§2.8 compat :1411) ---------------------------
+@query(
+    "q21_part_name_words",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    """,
+)
+def q21(spark, sf_dir):
+    part = T(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+    )
+
+
+# --- q22: JSON extraction (beyond reference — §2.9 'absent' note) -----------
+@query(
+    "q22_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q22(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q23: pandas-style merge with suffixes (§2.3 merge.rs:34) ---------------
+@query(
+    "q23_merge_suffixes",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           o.o_totalprice, c.c_acctbal,
+           c.c_name, c.c_mktsegment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 5000
+    ORDER BY o.o_orderkey
+    """,
+)
+def q23(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    m = merge(
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        how="inner",
+        broadcast_right=True,
+    )
+    return m.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_acctbal", "c_name", "c_mktsegment"
+    ).orderBy("o_orderkey")
+
+
+# --- q24: grouping sets / rollup (§2.4 'absent' — free in Spark) ------------
+@query(
+    "q24_rollup_qty",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+)
+def q24(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "cnt",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+# --- q25: crosstab-style contingency counts (§2.4 compat :2138) -------------
+@query(
+    "q25_crosstab_flag_status",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS status_f,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS status_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q25(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("F", "status_f")
+        .withColumnRenamed("O", "status_o")
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,62 @@
+"""SparkSession bootstrap tuned for the pandrs_spark engine.
+
+The reference (cool-japan/pandrs) hand-rolls its execution engine
+(SIMD kernels, Rayon thread pools, JIT — see SURVEY.md §4.2). Here the
+entire physical layer is delegated to Spark: we only set the knobs that
+matter at scale — AQE (runtime re-planning + skew-join handling),
+adaptive partition coalescing, Arrow for any pandas interchange, and a
+shuffle-partition default sized to the local core count. On a real
+cluster the same builder works with ``master`` unset (picked up from
+spark-submit) and ``shuffle_partitions`` sized to ~2-3× total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "pandrs_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale posture: every conf below is something we'd keep on a
+    1000-executor cluster — AQE handles skew and small-partition
+    coalescing at runtime, so a static ``shuffle.partitions`` only needs
+    to be an upper bound, not a per-query tuning exercise.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

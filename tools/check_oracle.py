@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, canonicalizes both results (columns sorted
+by name, rows sorted, doubles rounded to 1e-9), and reports
+row-count / schema / value-hash agreement per query.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            # normalize lists/arrays to tuples for sorting
+            s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        if s.dtype.kind == "f":
+            s = s.round(9)
+        if str(s.dtype).startswith("datetime64"):
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        out[c] = s
+    df = pd.DataFrame(out)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(df.to_csv(index=False, float_format="%.9f").encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pandrs_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("oracle-check")
+    qs, oracles = E.queries(), E.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        cs, co = canon(sdf), canon(odf)
+        problems = []
+        if len(cs) != len(co):
+            problems.append(f"rows {len(cs)} vs {len(co)}")
+        if list(cs.columns) != list(co.columns):
+            problems.append(f"cols {list(cs.columns)} vs {list(co.columns)}")
+        elif len(cs) == len(co) and value_hash(cs) != value_hash(co):
+            diff_cols = []
+            for c in cs.columns:
+                a, b = cs[c], co[c]
+                try:
+                    eq = (a.values == b.values) | (a.isna().values & b.isna().values)
+                except Exception:  # noqa: BLE001
+                    eq = np.array([x == y or (pd.isna(x) and pd.isna(y)) for x, y in zip(a, b)])
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    diff_cols.append(f"{c}[row{i}]: {a.iloc[i]!r} vs {b.iloc[i]!r}")
+            problems.append("values: " + "; ".join(diff_cols[:4]))
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(cs)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(qs)} queries total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
