@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+First-class LLM-pipeline components (BASELINE.json north star; absent
+from the reference, which has only row-level drop_duplicates —
+/root/reference/src/dataframe/pandas_compat/functions.rs:1141).
+
+Scale design:
+- Exact dedup is a hash-groupBy — one shuffle on the 32-hex md5 key,
+  uniformly distributed, no skew.
+- MinHash signatures are computed per-row with array HOFs (no shuffle,
+  no UDF). Hashes are md5 hex strings: lexicographic MIN over them is a
+  valid min-hash and is engine-portable (same answer in the DuckDB
+  oracle).
+- LSH banding turns all-pairs O(n²) into a self-join on band keys —
+  the only shuffle is on band hash, and candidate pairs per band are
+  bounded by actual near-duplicate density, which is what makes this
+  run on 10^10 documents where brute force cannot.
+- Verification (exact Jaccard) runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandrs_spark.operators.text import doc_fingerprint, shingles, tokens
+
+__all__ = [
+    "exact_dedup_clusters",
+    "minhash_signature_cols",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+]
+
+
+def exact_dedup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by content fingerprint; one row per duplicate cluster
+    with the kept (minimum) id and cluster size."""
+    return (
+        df.select(doc_fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_signature_cols(text: Column, num_hashes: int = 4, k: int = 3) -> list[Column]:
+    """MinHash signature columns mh0..mh{n-1} over word k-gram shingles.
+
+    Hash family: md5 of ``"<seed>|" + shingle`` — independent-enough
+    permutations, portable across engines, no numeric conversion needed
+    because lexicographic min over fixed-width hex is order-isomorphic
+    to numeric min.
+    """
+    sh = shingles(tokens(text), k)
+
+    def _hasher(prefix: str):
+        # Single-arg lambda is required: a two-parameter function would
+        # make F.transform pass (element, index) and corrupt the seed.
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+    out = []
+    for s in range(num_hashes):
+        hashed = F.transform(sh, _hasher(f"{s}|"))
+        out.append(F.array_min(hashed).alias(f"mh{s}"))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, k: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), *minhash_signature_cols(F.col(text_col), num_hashes, k)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 4,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing at least one LSH band
+    (band = md5 of ``band_size`` consecutive minhashes). Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    bands = None
+    for b in range(num_hashes // band_size):
+        cols = [f"mh{b * band_size + j}" for j in range(band_size)]
+        band = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band_no"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_no") == F.col("r.band_no"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for the given candidate
+    pairs (columns id_a < id_b). Explode → join is one shuffle on the
+    shingle key; only candidate docs are exploded."""
+    doc_ids = pairs.select(F.col("id_a").alias("did")).unionByName(
+        pairs.select(F.col("id_b").alias("did"))
+    ).distinct()
+    sh = (
+        df.join(doc_ids, df[id_col] == doc_ids.did, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_HIGH_NIBBLES = "89abcdef"
+
+
+def simhash_fingerprint(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash-style fingerprint: for each of ``bits`` positions, take
+    the j-th hex nibble of md5(token); tokens vote +1 if the nibble's
+    high bit is set else -1; the fingerprint bit is the majority.
+
+    Nibble-based (instead of real 64-bit arithmetic) keeps it exactly
+    reproducible in ANSI SQL while preserving the similarity property:
+    near-identical token multisets → small Hamming distance.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
+    ).withColumn("h", F.md5("tk"))
+    agg_cols = []
+    for j in range(1, bits + 1):
+        vote = F.when(
+            F.instr(F.lit(_HIGH_NIBBLES), F.substring(F.col("h"), j, 1)) > 0, 1
+        ).otherwise(-1)
+        agg_cols.append(
+            F.when(F.sum(vote) > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{j}")
+        )
+    per_doc = tok.groupBy(id_col).agg(*agg_cols)
+    return per_doc.select(
+        F.col(id_col),
+        F.concat_ws("", *[F.col(f"b{j}") for j in range(1, bits + 1)]).alias(
+            "simhash"
+        ),
+    )

