@@ -1,0 +1,188 @@
+"""Moving-window and row-offset operators (SURVEY.md §2.5).
+
+pandas-style rolling/expanding/EWM plus shift/diff/pct_change/cum* and
+rank methods, expressed as Spark window functions so they distribute:
+partitioned by group keys, ordered by an explicit order column
+(pandas' implicit row order does not exist at scale — callers must
+say what "previous row" means).
+
+Reference parity: src/series/window.rs (Rolling :12, Expanding :25,
+EWM :35), src/dataframe/enhanced_window.rs, compat shift/diff/
+pct_change/cumsum (functions.rs:328,531,514,280).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+__all__ = [
+    "ordered_window",
+    "rolling",
+    "rolling_sum_exact",
+    "expanding",
+    "shift",
+    "diff",
+    "pct_change",
+    "cumsum",
+    "cumcount",
+    "rank_method",
+    "ewm_mean",
+]
+
+
+def ordered_window(
+    order_by: str | Sequence[str],
+    partition_by: str | Sequence[str] | None = None,
+) -> WindowSpec:
+    ob = [order_by] if isinstance(order_by, str) else list(order_by)
+    if partition_by:
+        pb = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        return Window.partitionBy(*pb).orderBy(*ob)
+    return Window.orderBy(*ob)
+
+
+def rolling(
+    col: Column | str,
+    window: int,
+    w: WindowSpec,
+    agg: str = "avg",
+    min_periods: int | None = None,
+) -> Column:
+    """Rolling aggregate over the trailing ``window`` rows.
+
+    min_periods semantics (pandas): result is NULL until at least
+    ``min_periods`` non-null observations are in the frame.
+    """
+    frame = w.rowsBetween(-(window - 1), 0)
+    c = F.col(col) if isinstance(col, str) else col
+    fn = {
+        "avg": F.avg,
+        "mean": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "stddev": F.stddev_samp,
+        "var": F.var_samp,
+    }[agg]
+    out = fn(c).over(frame)
+    mp = window if min_periods is None else min_periods
+    if mp > 1:
+        out = F.when(F.count(c).over(frame) >= mp, out)
+    return out
+
+
+def rolling_sum_exact(col: Column | str, window: int, w: WindowSpec, scale: int = 2) -> Column:
+    """Order-independent rolling sum (decimal-quantized, see
+    functions/deterministic.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    frame = w.rowsBetween(-(window - 1), 0)
+    return F.sum(F.round(c, scale).cast(DecimalType(32, scale))).over(frame).cast("double")
+
+
+def expanding(col: Column | str, w: WindowSpec, agg: str = "avg", min_periods: int = 1) -> Column:
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col(col) if isinstance(col, str) else col
+    fn = {
+        "avg": F.avg,
+        "mean": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "stddev": F.stddev_samp,
+        "var": F.var_samp,
+    }[agg]
+    out = fn(c).over(frame)
+    if min_periods > 1:
+        out = F.when(F.count(c).over(frame) >= min_periods, out)
+    return out
+
+
+def shift(col: Column | str, n: int, w: WindowSpec) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lag(c, n).over(w) if n >= 0 else F.lead(c, -n).over(w)
+
+
+def diff(col: Column | str, w: WindowSpec, n: int = 1) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c - F.lag(c, n).over(w)
+
+
+def pct_change(col: Column | str, w: WindowSpec, n: int = 1) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    prev = F.lag(c, n).over(w)
+    return (c - prev) / prev
+
+
+def cumsum(col: Column | str, w: WindowSpec) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def cumcount(w: WindowSpec) -> Column:
+    return F.row_number().over(w) - 1
+
+
+def rank_method(col: Column | str, w_part: Sequence[str] | None, method: str = "average", ascending: bool = True) -> Column:
+    """pandas rank() with method=average|min|max|first|dense.
+
+    average/min/max derive from min-rank plus the per-value duplicate
+    count — no extra shuffle beyond the ranking window itself.
+    Reference: RankMethod, compat functions.rs:193.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ordered = c.asc() if ascending else c.desc()
+    base = Window.partitionBy(*w_part) if w_part else Window.partitionBy()
+    w = base.orderBy(ordered)
+    if method == "first":
+        return F.row_number().over(w)
+    if method == "dense":
+        return F.dense_rank().over(w)
+    min_r = F.rank().over(w)
+    if method == "min":
+        return min_r
+    cnt = F.count(F.lit(1)).over(
+        Window.partitionBy(*(list(w_part) if w_part else []), c)
+    )
+    if method == "max":
+        return min_r + cnt - 1
+    # average
+    return (min_r + (min_r + cnt - 1)) / 2
+
+
+def ewm_mean(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float,
+    adjust: bool = True,
+    out_col: str = "ewm",
+) -> DataFrame:
+    """Exponentially-weighted mean per group (pandas semantics,
+    src/series/window.rs:555-640 is the spec).
+
+    Inherently recursive → no closed-form window expression, so this is
+    the documented Pandas-UDF path: ``applyInPandas`` per group, Arrow
+    batch transfer, pandas' own ewm for exact parity. Groups are
+    independent → scales horizontally; within-group is sequential, as
+    the definition requires.
+    """
+    import pandas as pd  # noqa: F401
+
+    schema_fields = df.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
+    out_schema += f", {out_col} double"
+    order_cols = list(order_by)
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=adjust).mean()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_ewm, schema=out_schema)

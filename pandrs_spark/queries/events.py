@@ -1,1 +1,414 @@
-"""Placeholder — populated in later batches."""
+"""Event-stream-shaped queries over the events table: tumbling/sliding
+windows, sessionization (gaps-and-islands), as-of join, resample /
+upsample+ffill, gap stats, z-score outliers (SURVEY.md §2.10, §2.11).
+
+These are the batch twins of the streaming operators in
+pandrs_spark/streaming/ — same window semantics, verifiable against
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import dsum, sql_dsum
+from pandrs_spark.operators.joins import asof_join
+from pandrs_spark.operators.timeseries import date_range, ffill, resample, upsample_grid
+from pandrs_spark.queries import query
+
+
+# --- q36: tumbling window aggregation (streaming §2.10 tumbling) ------------
+@query(
+    "q36_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q36(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        resample(
+            ev,
+            "ts",
+            "hour",
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", 4).alias("sum_value"),
+            ],
+            group_by=["event_type"],
+        )
+        .select(
+            F.col("bucket").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --- q37: sliding windows via native window() (streaming §2.10 sliding) -----
+@query(
+    "q37_sliding_2h_windows",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT date_trunc('hour', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value', 4)} AS sum_value
+    FROM assigned
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def q37(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# --- q38: sessionization — gaps-and-islands (streaming §2.10 session) -------
+@query(
+    "q38_user_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(dur_us) AS BIGINT) AS total_session_us
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q38(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1800000000), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    cum_w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(cum_w))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("dur_us").alias("total_session_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- q39: as-of join — purchase → latest prior view (absent in ref §2.3) ----
+@query(
+    "q39_asof_purchase_view",
+    oracle="""
+    WITH u AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    ),
+    f AS (
+        SELECT event_id, user_id, ts, value, is_p,
+               LAST_VALUE(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts,
+               LAST_VALUE(CASE WHEN is_p = 0 THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+        FROM u
+    )
+    SELECT event_id, user_id, ts, view_ts, ROUND(view_value, 4) AS view_value
+    FROM f
+    WHERE is_p = 1
+    ORDER BY event_id
+    """,
+)
+def q39(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        value_cols=["view_ts", "view_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "view_ts", F.round("view_value", 4).alias("view_value")
+    ).orderBy("event_id")
+
+
+# --- q40: daily resample (downsample §2.11) ---------------------------------
+@query(
+    "q40_daily_resample",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 4)} AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q40(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        resample(
+            ev,
+            "ts",
+            "day",
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", 4).alias("sum_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            ],
+        )
+        .select(F.col("bucket").alias("day"), "n_events", "sum_value", "n_users")
+        .orderBy("day")
+    )
+
+
+# --- q41: upsample to a daily grid + forward fill (§2.11 resample up) -------
+@query(
+    "q41_upsample_ffill",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               {sql_dsum('value', 4)} / COUNT(value) AS avg_value
+        FROM events
+        WHERE user_id < 5
+        GROUP BY user_id, day
+    ),
+    grid AS (
+        SELECT u.user_id, g.day
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u,
+             (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                            TIMESTAMP '2024-01-30 00:00:00',
+                                            INTERVAL 1 DAY)) AS day) g
+    )
+    SELECT g.user_id, g.day,
+           LAST_VALUE(d.avg_value IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    ORDER BY g.user_id, g.day
+    """,
+)
+def q41(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    daily = resample(
+        ev,
+        "ts",
+        "day",
+        [(dsum("value", 4) / F.count("value")).alias("avg_value")],
+        group_by=["user_id"],
+    ).withColumnRenamed("bucket", "day")
+    grid = date_range(spark, "2024-01-01 00:00:00", "2024-01-30 00:00:00").select(
+        F.col("ts").alias("day")
+    )
+    keys = ev.select("user_id").distinct()
+    full = upsample_grid(daily, "day", keys, grid)
+    w = Window.partitionBy("user_id").orderBy("day")
+    return full.select(
+        "user_id", "day", ffill("avg_value", w).alias("filled_value")
+    ).orderBy("user_id", "day")
+
+
+# --- q42: inter-event gap statistics (lag arithmetic, §2.5c) ----------------
+@query(
+    "q42_event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           (CAST(SUM(gap_us) AS BIGINT) * 1.0 / COUNT(gap_us)) AS avg_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q42(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            (F.sum("gap_us") * 1.0 / F.count("gap_us")).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- q43: hour-of-day share per event type ----------------------------------
+@query(
+    "q43_hourly_type_share",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(hour(ts) AS INTEGER) AS hr, event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY hr, event_type
+    )
+    SELECT hr, event_type, cnt,
+           ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY hr), 6) AS share
+    FROM counts
+    ORDER BY hr, event_type
+    """,
+)
+def q43(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.hour("ts").alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("hr")
+    return counts.withColumn(
+        "share", F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(w), 6)
+    ).orderBy("hr", "event_type")
+
+
+# --- q44: first/last per group via min_by/max_by (§2.4 idxmin/idxmax) -------
+@query(
+    "q44_user_first_last",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           ROUND(arg_max(value, ts), 4) AS last_value,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q44(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "ts").alias("first_type"),
+            F.max_by("event_type", "ts").alias("last_type"),
+            F.round(F.max_by("value", "ts"), 4).alias("last_value"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- q45: z-score outlier detection from exact sufficient stats (§2.12) -----
+_ZCOND = (
+    "ABS((value - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1))) > 2"
+)
+
+
+@query(
+    "q45_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(value) AS n,
+               {sql_dsum('value', 4)} AS sx,
+               {sql_dsum('value * value', 4)} AS sxx
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(s.n AS BIGINT) AS n,
+           ROUND(s.sx / s.n, 6) AS mean_value,
+           ROUND(SQRT((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS std_value,
+           COUNT(CASE WHEN {_ZCOND} THEN 1 END) AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type, s.n, s.sx, s.sxx
+    ORDER BY e.event_type
+    """,
+)
+def q45(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum("value", 4).alias("sx"),
+        dsum(F.col("value") * F.col("value"), 4).alias("sxx"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return (
+        joined.groupBy("event_type", "n", "sx", "sxx")
+        .agg(F.count(F.when(F.expr(_ZCOND), 1)).alias("n_outliers"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.expr("sx / n"), 6).alias("mean_value"),
+            F.round(F.expr("SQRT((sxx - sx * sx / n) / (n - 1))"), 6).alias(
+                "std_value"
+            ),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
