@@ -128,17 +128,25 @@ def cumcount(w: WindowSpec) -> Column:
     return F.row_number().over(w) - 1
 
 
-def rank_method(col: Column | str, w_part: Sequence[str] | None, method: str = "average", ascending: bool = True) -> Column:
+def rank_method(
+    col: Column | str,
+    w_part: Sequence[str] | None,
+    method: str = "average",
+    ascending: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> Column:
     """pandas rank() with method=average|min|max|first|dense.
 
     average/min/max derive from min-rank plus the per-value duplicate
     count — no extra shuffle beyond the ranking window itself.
+    ``tiebreak`` columns make method='first' deterministic (pandas uses
+    physical row order, which doesn't exist distributed).
     Reference: RankMethod, compat functions.rs:193.
     """
     c = F.col(col) if isinstance(col, str) else col
     ordered = c.asc() if ascending else c.desc()
     base = Window.partitionBy(*w_part) if w_part else Window.partitionBy()
-    w = base.orderBy(ordered)
+    w = base.orderBy(ordered, *tiebreak)
     if method == "first":
         return F.row_number().over(w)
     if method == "dense":

@@ -1,1 +1,407 @@
-"""Placeholder — populated in later batches."""
+"""Statistics queries (SURVEY.md §2.12): describe, Welch t-test,
+correlation/covariance matrix, chi-square independence + Cramér's V,
+histograms, quantiles, mode/nunique, higher moments (skew/kurtosis).
+
+Design for 100 TB: every test statistic is computed from *distributed
+exact sufficient statistics* (decimal-quantized sums — see
+functions/deterministic.py); only the final scalar formula runs on the
+aggregated row. The reference computes these single-node
+(src/stats/mod.rs, src/stats/hypothesis.rs); here the heavy pass is a
+plain groupBy that scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandrs_spark.catalog import load_table as T, register_views
+from pandrs_spark.functions.deterministic import dsum, sql_dsum
+from pandrs_spark.queries import query
+
+
+# --- q56: describe() per group (§2.12 describe :157) ------------------------
+@query(
+    "q56_describe_acctbal",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(c_acctbal) AS n,
+           ROUND({sql_dsum('c_acctbal')} / COUNT(c_acctbal), 6) AS mean,
+           ROUND(SQRT(({sql_dsum('c_acctbal * c_acctbal', 4)}
+                 - {sql_dsum('c_acctbal')} * {sql_dsum('c_acctbal')} / COUNT(c_acctbal))
+                 / (COUNT(c_acctbal) - 1)), 6) AS std,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q56(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.count("c_acctbal").alias("n"),
+        dsum("c_acctbal").alias("sx"),
+        dsum(F.col("c_acctbal") * F.col("c_acctbal"), 4).alias("sxx"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.percentile("c_acctbal", F.lit(0.5)).alias("med"),
+    )
+    return stats.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.expr("sx / n"), 6).alias("mean"),
+        F.round(F.expr("SQRT((sxx - sx * sx / n) / (n - 1))"), 6).alias("std"),
+        "min_bal",
+        "max_bal",
+        F.round("med", 6).alias("median"),
+    ).orderBy("c_mktsegment")
+
+
+# --- q57: Welch two-sample t-test from sufficient stats (§2.12 ttest :255) --
+_WELCH_T = (
+    "((sx1 / n1) - (sx2 / n2)) / "
+    "SQRT(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 "
+    "   + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)"
+)
+
+
+@query(
+    "q57_welch_ttest_segments",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT COUNT(c_acctbal) AS n1, {sql_dsum('c_acctbal')} AS sx1,
+               {sql_dsum('c_acctbal * c_acctbal', 4)} AS sxx1
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    s2 AS (
+        SELECT COUNT(c_acctbal) AS n2, {sql_dsum('c_acctbal')} AS sx2,
+               {sql_dsum('c_acctbal * c_acctbal', 4)} AS sxx2
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND((sx1 / n1) - (sx2 / n2), 6) AS mean_diff,
+           ROUND({_WELCH_T}, 6) AS t_stat
+    FROM s1, s2
+    """,
+)
+def q57(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+
+    def stats(seg, i):
+        return (
+            cust.filter(F.col("c_mktsegment") == seg)
+            .agg(
+                F.count("c_acctbal").alias(f"n{i}"),
+                dsum("c_acctbal").alias(f"sx{i}"),
+                dsum(F.col("c_acctbal") * F.col("c_acctbal"), 4).alias(f"sxx{i}"),
+            )
+        )
+
+    joined = stats("BUILDING", 1).crossJoin(stats("MACHINERY", 2))
+    return joined.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.expr("(sx1 / n1) - (sx2 / n2)"), 6).alias("mean_diff"),
+        F.round(F.expr(_WELCH_T), 6).alias("t_stat"),
+    )
+
+
+# --- q58: pairwise correlation/covariance matrix (§2.12 :188,207) -----------
+_PAIR_CORR = (
+    "(n * sxy - sx * sy) / "
+    "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+)
+_PAIR_COV = "(sxy - sx * sy / n) / (n - 1)"
+
+
+def _pair_sql(x: str, y: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS pair,
+           ROUND({_PAIR_CORR}, 6) AS corr,
+           ROUND({_PAIR_COV}, 6) AS cov
+    FROM (
+        SELECT COUNT(*) AS n,
+               {sql_dsum(x, 4)} AS sx, {sql_dsum(y, 4)} AS sy,
+               {sql_dsum(f'{x} * {x}', 4)} AS sxx,
+               {sql_dsum(f'{y} * {y}', 4)} AS syy,
+               {sql_dsum(f'{x} * {y}', 4)} AS sxy
+        FROM lineitem
+    ) t
+    """
+
+
+@query(
+    "q58_corr_cov_matrix",
+    oracle=" UNION ALL ".join(
+        [
+            _pair_sql("l_quantity", "l_extendedprice", "qty_price"),
+            _pair_sql("l_quantity", "l_discount", "qty_disc"),
+            _pair_sql("l_extendedprice", "l_discount", "price_disc"),
+        ]
+    )
+    + " ORDER BY pair",
+)
+def q58(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+
+    def pair(x, y, label):
+        cx, cy = F.col(x), F.col(y)
+        st = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(cx, 4).alias("sx"),
+            dsum(cy, 4).alias("sy"),
+            dsum(cx * cx, 4).alias("sxx"),
+            dsum(cy * cy, 4).alias("syy"),
+            dsum(cx * cy, 4).alias("sxy"),
+        )
+        return st.select(
+            F.lit(label).alias("pair"),
+            F.round(F.expr(_PAIR_CORR), 6).alias("corr"),
+            F.round(F.expr(_PAIR_COV), 6).alias("cov"),
+        )
+
+    return (
+        pair("l_quantity", "l_extendedprice", "qty_price")
+        .unionByName(pair("l_quantity", "l_discount", "qty_disc"))
+        .unionByName(pair("l_extendedprice", "l_discount", "price_disc"))
+        .orderBy("pair")
+    )
+
+
+# --- q59: chi-square independence + Cramér's V (§2.12 :464,488) -------------
+@query(
+    "q59_chi_square_flag_status",
+    oracle="""
+    WITH obs AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
+        FROM lineitem GROUP BY rf, ls
+    ),
+    tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+    margins AS (
+        SELECT o.rf, o.ls, o.o,
+               SUM(o.o) OVER (PARTITION BY o.rf) AS row_tot,
+               SUM(o.o) OVER (PARTITION BY o.ls) AS col_tot
+        FROM obs o
+    ),
+    cells AS (
+        SELECT rf, ls, o,
+               CAST(row_tot AS DOUBLE) * col_tot / (SELECT n FROM tot) AS e
+        FROM margins
+    )
+    SELECT ROUND(CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(32, 6))) AS DOUBLE), 4) AS chi2,
+           ROUND(SQRT(CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(32, 6))) AS DOUBLE)
+                 / ((SELECT n FROM tot) * LEAST(3 - 1, 2 - 1))), 6) AS cramers_v,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+)
+def q59(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
+
+    li = T(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.withColumn("row_tot", F.sum("o").over(Window.partitionBy("rf")))
+    obs = obs.withColumn("col_tot", F.sum("o").over(Window.partitionBy("ls")))
+    obs = obs.withColumn("n", F.sum("o").over(Window.partitionBy()).cast("double"))
+    cells = obs.withColumn(
+        "e", F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    )
+    contrib = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6
+    ).cast(DecimalType(32, 6))
+    return cells.groupBy().agg(
+        F.round(F.sum(contrib).cast("double"), 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(contrib).cast("double")
+                / (F.first("n") * F.least(F.lit(3 - 1), F.lit(2 - 1)))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+# --- q60: histogram via fixed-width binning (§2.9 cut :2339) ----------------
+@query(
+    "q60_totalprice_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS INTEGER) AS bin,
+           COUNT(*) AS cnt,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q60(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("int").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "share",
+            F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(Window.partitionBy()), 6),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- q61: quartiles per group (exact interpolated percentile) ---------------
+@query(
+    "q61_quantity_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q61(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("q50"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q62: mode / nunique (§2.4 value_counts/mode/nunique) -------------------
+@query(
+    "q62_mode_nunique",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+        SELECT l_returnflag, l_quantity, c,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity) AS rn
+        FROM counts
+    )
+    SELECT r.l_returnflag,
+           r.l_quantity AS mode_qty,
+           r.c AS mode_count,
+           u.n_qty,
+           u.n_parts
+    FROM ranked r
+    JOIN (
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_qty,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    ) u ON u.l_returnflag = r.l_returnflag
+    WHERE r.rn = 1
+    ORDER BY r.l_returnflag
+    """,
+)
+def q62(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), "l_quantity")
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    uniq = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_quantity").alias("n_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return mode.join(uniq, "l_returnflag").orderBy("l_returnflag")
+
+
+# --- q63: skewness/kurtosis from exact power sums (§2.4 skew/kurt) ----------
+_SKEW = (
+    "((sxxx / n) - 3 * (sx / n) * (sxx / n) + 2 * POWER(sx / n, 3)) / "
+    "POWER((sxx / n) - POWER(sx / n, 2), 1.5)"
+)
+_KURT = (
+    "((sxxxx / n) - 4 * (sx / n) * (sxxx / n) + 6 * POWER(sx / n, 2) * (sxx / n) "
+    "- 3 * POWER(sx / n, 4)) / POWER((sxx / n) - POWER(sx / n, 2), 2) - 3"
+)
+
+
+@query(
+    "q63_quantity_moments",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n,
+               {sql_dsum('l_quantity', 6)} AS sx,
+               {sql_dsum('l_quantity * l_quantity', 6)} AS sxx,
+               {sql_dsum('l_quantity * l_quantity * l_quantity', 6)} AS sxxx,
+               {sql_dsum('l_quantity * l_quantity * l_quantity * l_quantity', 6)} AS sxxxx
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND(sx / n, 6) AS mean_qty,
+           ROUND({_SKEW}, 6) AS skewness,
+           ROUND({_KURT}, 6) AS excess_kurtosis
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def q63(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        dsum(q, 6).alias("sx"),
+        dsum(q * q, 6).alias("sxx"),
+        dsum(q * q * q, 6).alias("sxxx"),
+        dsum(q * q * q * q, 6).alias("sxxxx"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.round(F.expr("sx / n"), 6).alias("mean_qty"),
+        F.round(F.expr(_SKEW), 6).alias("skewness"),
+        F.round(F.expr(_KURT), 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
+
+
+# --- q64: SQL entry point — identical SQL text on both engines (§3.3) -------
+_SHARED_SQL = f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("q64_sql_passthrough", oracle=_SHARED_SQL)
+def q64(spark, sf_dir):
+    """spark.sql() over registered temp views — the same SQL string runs
+    on Spark and on the DuckDB oracle (ANSI subset + deterministic
+    decimal aggregation)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)

@@ -1,1 +1,284 @@
-"""Placeholder — populated in later batches."""
+"""Batch time-series queries (SURVEY.md §2.11): monthly trends, rolling
+stats, autocorrelation, gap-filling (ffill/bfill/linear interpolation),
+calendar generation — all deterministic window/sequence algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import dsum, sql_dsum
+from pandrs_spark.operators.timeseries import bfill, ffill, interpolate_linear_cols
+from pandrs_spark.operators.windows import diff, pct_change, shift
+from pandrs_spark.queries import query
+
+# Shared monthly revenue CTE (DuckDB side).
+_MONTHLY = f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               {sql_dsum('o_totalprice')} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY month
+    )
+"""
+
+
+# --- q46: monthly resample + MoM diff / pct change (shift/diff §2.5c) -------
+@query(
+    "q46_monthly_trend",
+    oracle=_MONTHLY
+    + """
+    SELECT month, revenue, n_orders,
+           LAG(revenue) OVER w AS prev_revenue,
+           revenue - LAG(revenue) OVER w AS mom_diff,
+           ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w, 6) AS mom_pct
+    FROM monthly
+    WINDOW w AS (ORDER BY month)
+    ORDER BY month
+    """,
+)
+def q46(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        shift("revenue", 1, w).alias("prev_revenue"),
+        diff("revenue", w).alias("mom_diff"),
+        F.round(pct_change("revenue", w), 6).alias("mom_pct"),
+    ).orderBy("month")
+
+
+# --- q47: rolling min/max/std over daily revenue (rolling §2.5a) ------------
+_DAILY = f"""
+    WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               {sql_dsum('l_extendedprice')} AS rev
+        FROM lineitem
+        GROUP BY day
+    )
+"""
+
+_ROLL_FRAME = "ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW"
+
+
+@query(
+    "q47_rolling_daily_stats",
+    oracle=_DAILY
+    + f"""
+    SELECT day, rev,
+           MIN(rev) OVER ({_ROLL_FRAME}) AS roll_min,
+           MAX(rev) OVER ({_ROLL_FRAME}) AS roll_max,
+           CAST(SUM(CAST(ROUND(rev, 2) AS DECIMAL(32, 2))) OVER ({_ROLL_FRAME}) AS DOUBLE) AS roll_sum,
+           COUNT(rev) OVER ({_ROLL_FRAME}) AS roll_n,
+           CAST(SUM(CAST(ROUND(rev * rev, 0) AS DECIMAL(32, 0))) OVER ({_ROLL_FRAME}) AS DOUBLE) AS roll_sumsq
+    FROM daily
+    ORDER BY day
+    """,
+)
+def q47(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    def dec(c, scale):
+        return (
+            F.sum(F.round(c, scale).cast(DecimalType(32, scale)))
+            .over(w)
+            .cast("double")
+        )
+
+    return daily.select(
+        "day",
+        "rev",
+        F.min("rev").over(w).alias("roll_min"),
+        F.max("rev").over(w).alias("roll_max"),
+        dec(F.col("rev"), 2).alias("roll_sum"),
+        F.count("rev").over(w).alias("roll_n"),
+        dec(F.col("rev") * F.col("rev"), 0).alias("roll_sumsq"),
+    ).orderBy("day")
+
+
+# --- q48: autocorrelation (ACF) of daily revenue at lags 1-3 (§2.11) --------
+_CORR = (
+    "CASE WHEN n > 1 THEN "
+    "(n * sxy - sx * sy) / "
+    "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) "
+    "ELSE NULL END"
+)
+
+
+@query(
+    "q48_daily_revenue_acf",
+    oracle=_DAILY
+    + f"""
+    , daily_i AS (
+        SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+    ),
+    pairs AS (
+        SELECT k.lag_k, a.rev AS x, b.rev AS y
+        FROM daily_i a
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag_k) k
+        LEFT JOIN daily_i b ON a.i - k.lag_k = b.i
+    ),
+    stats AS (
+        SELECT lag_k,
+               COUNT(y) AS n,
+               {sql_dsum('CASE WHEN y IS NOT NULL THEN x END', 2)} AS sx,
+               {sql_dsum('y', 2)} AS sy,
+               {sql_dsum('CASE WHEN y IS NOT NULL THEN x * x END', 2)} AS sxx,
+               {sql_dsum('y * y', 2)} AS syy,
+               {sql_dsum('x * y', 2)} AS sxy
+        FROM pairs
+        GROUP BY lag_k
+    )
+    SELECT CAST(lag_k AS INTEGER) AS lag_k, ROUND({_CORR}, 6) AS acf
+    FROM stats
+    ORDER BY lag_k
+    """,
+)
+def q48(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag_k"))
+    # lag by a *column* amount isn't supported by F.lag; join on a
+    # shifted row index instead (scales identically, one sort).
+    daily_i = daily.withColumn("i", F.row_number().over(Window.orderBy("day")))
+    a = daily_i.select(F.col("i"), F.col("rev").alias("x"))
+    b = daily_i.select(F.col("i").alias("i_b"), F.col("rev").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("i") - F.col("lag_k") == F.col("i_b"), "left")
+    )
+    stats = pairs.groupBy("lag_k").agg(
+        F.count("y").alias("n"),
+        dsum(F.when(F.col("y").isNotNull(), F.col("x")), 2).alias("sx"),
+        dsum("y", 2).alias("sy"),
+        dsum(F.when(F.col("y").isNotNull(), F.col("x") * F.col("x")), 2).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 2).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 2).alias("sxy"),
+    )
+    return stats.select(
+        "lag_k", F.round(F.expr(_CORR), 6).alias("acf")
+    ).orderBy("lag_k")
+
+
+# --- q49: ffill / bfill / linear interpolation over gappy series (§2.2) -----
+@query(
+    "q49_gap_fill_methods",
+    oracle=_DAILY
+    + """
+    , gappy AS (
+        SELECT day,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               CASE WHEN dayofmonth(day) % 5 = 0 THEN NULL ELSE rev END AS v
+        FROM daily
+    )
+    SELECT day, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NULL
+                   THEN FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               WHEN FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) IS NULL
+                   THEN LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ELSE LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    + (FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       - LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                      * (rn - LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                      / (FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                             OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                         - LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           END, 6) AS v_interp
+    FROM gappy
+    ORDER BY day
+    """,
+)
+def q49(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    gappy = daily.select(
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.dayofmonth("day") % 5 == 0, None).otherwise(F.col("rev")).alias("v"),
+    )
+    return gappy.select(
+        "day",
+        "v",
+        ffill("v", w).alias("v_ffill"),
+        bfill("v", w).alias("v_bfill"),
+        F.round(interpolate_linear_cols("v", F.col("rn"), w), 6).alias("v_interp"),
+    ).orderBy("day")
+
+
+# --- q50: calendar/date_range generation + join (§2.11 date_range) ----------
+@query(
+    "q50_calendar_order_counts",
+    oracle="""
+    WITH cal AS (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01 00:00:00',
+                                      TIMESTAMP '1995-06-30 00:00:00',
+                                      INTERVAL 1 DAY)) AS day
+    ),
+    daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY day
+    )
+    SELECT c.day,
+           CAST(dayofweek(c.day) + 1 AS INTEGER) AS dow,
+           (dayofweek(c.day) IN (0, 6)) AS is_weekend,
+           COALESCE(d.n_orders, 0) AS n_orders
+    FROM cal c LEFT JOIN daily d ON d.day = c.day
+    ORDER BY c.day
+    """,
+)
+def q50(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import date_range
+
+    orders = T(spark, sf_dir, "orders")
+    cal = date_range(spark, "1995-01-01 00:00:00", "1995-06-30 00:00:00").select(
+        F.col("ts").alias("day")
+    )
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .select(
+            "day",
+            F.dayofweek("day").alias("dow"),
+            F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("day")
+    )

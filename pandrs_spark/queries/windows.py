@@ -1,1 +1,171 @@
-"""Placeholder — populated in later batches."""
+"""Window-function surface queries (SURVEY.md §2.5): pandas rank
+methods, expanding windows, ntile/percent_rank/cume_dist,
+first/last/nth_value frames, time-range (interval) rolling windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import dsum, sql_dsum
+from pandrs_spark.operators.windows import expanding, rank_method
+from pandrs_spark.queries import query
+
+
+# --- q51: pandas rank() methods (RankMethod parity, compat :193) ------------
+@query(
+    "q51_rank_methods",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER wt AS rank_first,
+           DENSE_RANK() OVER w AS rank_dense,
+           RANK() OVER w AS rank_min,
+           RANK() OVER w + COUNT(*) OVER wp - 1 AS rank_max,
+           (RANK() OVER w + (RANK() OVER w + COUNT(*) OVER wp - 1)) / 2 AS rank_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice),
+           wt AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           wp AS (PARTITION BY o_custkey, o_totalprice)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q51(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        rank_method(
+            "o_totalprice", ["o_custkey"], "first", tiebreak=["o_orderkey"]
+        ).alias("rank_first"),
+        rank_method("o_totalprice", ["o_custkey"], "dense").alias("rank_dense"),
+        rank_method("o_totalprice", ["o_custkey"], "min").alias("rank_min"),
+        rank_method("o_totalprice", ["o_custkey"], "max").alias("rank_max"),
+        rank_method("o_totalprice", ["o_custkey"], "average").alias("rank_avg"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q52: expanding windows (§2.5a Expanding) -------------------------------
+@query(
+    "q52_expanding_stats",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(o_totalprice) OVER w AS exp_n,
+           MIN(o_totalprice) OVER w AS exp_min,
+           MAX(o_totalprice) OVER w AS exp_max,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(32, 2))) OVER w AS DOUBLE)
+               / COUNT(o_totalprice) OVER w AS exp_mean
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q52(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    exact_sum = (
+        F.sum(F.round(F.col("o_totalprice"), 2).cast(DecimalType(32, 2)))
+        .over(frame)
+        .cast("double")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        expanding("o_totalprice", w, "count").alias("exp_n"),
+        expanding("o_totalprice", w, "min").alias("exp_min"),
+        expanding("o_totalprice", w, "max").alias("exp_max"),
+        (exact_sum / F.count("o_totalprice").over(frame)).alias("exp_mean"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q53: ntile / percent_rank / cume_dist (§2.5b) --------------------------
+@query(
+    "q53_customer_balance_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q53(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+# --- q54: first/last/nth value frames (§2.5b) -------------------------------
+@query(
+    "q54_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER wfull AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER wfull AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q54(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q55: time-range rolling window (RANGE frame, §2.5a time rolling) -------
+@query(
+    "q55_weekly_range_rolling",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               {sql_dsum('l_extendedprice')} AS rev
+        FROM lineitem
+        GROUP BY day
+    )
+    SELECT day, rev,
+           COUNT(rev) OVER w AS n_days_7d,
+           CAST(SUM(CAST(ROUND(rev, 2) AS DECIMAL(32, 2))) OVER w AS DOUBLE) AS rev_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q55(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    # Spark RANGE frames need a numeric order key: seconds since epoch.
+    secs = F.unix_timestamp("day")
+    w = Window.orderBy(secs.cast("long")).rangeBetween(-6 * 86400, 0)
+    return daily.select(
+        "day",
+        "rev",
+        F.count("rev").over(w).alias("n_days_7d"),
+        F.sum(F.round(F.col("rev"), 2).cast(DecimalType(32, 2)))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
+    ).orderBy("day")
