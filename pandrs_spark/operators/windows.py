@@ -146,9 +146,11 @@ def rank_method(
     c = F.col(col) if isinstance(col, str) else col
     ordered = c.asc() if ascending else c.desc()
     base = Window.partitionBy(*w_part) if w_part else Window.partitionBy()
-    w = base.orderBy(ordered, *tiebreak)
     if method == "first":
-        return F.row_number().over(w)
+        # Tie-break applies only here: it emulates pandas' physical row
+        # order; for the tie-aware methods it would split tied groups.
+        return F.row_number().over(base.orderBy(ordered, *tiebreak))
+    w = base.orderBy(ordered)
     if method == "dense":
         return F.dense_rank().over(w)
     min_r = F.rank().over(w)

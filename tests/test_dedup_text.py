@@ -1,0 +1,88 @@
+"""Dedup + text operator tests: exact clusters, MinHash/LSH behavior on
+near-duplicates, SimHash Hamming locality, Jaccard exactness,
+fingerprint normalization, quality score bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandrs_spark.operators.dedup import (
+    exact_dedup_clusters,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from pandrs_spark.operators.text import doc_fingerprint, quality_score, shingles, tokens
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = "the quick brown fox jumps over the lazy dog and runs far away house"
+    other = "completely different words about spark engines and column pruning"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_clusters(spark):
+    out = exact_dedup_clusters(_docs(spark), "text", "doc_id").collect()
+    sizes = sorted(r.cluster_size for r in out)
+    assert sizes == [1, 1, 2]
+    dup = [r for r in out if r.cluster_size == 2][0]
+    assert dup.keep_id == 1
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world ")], "id long, t string"
+    )
+    fps = [r.fp for r in df.select(doc_fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = {r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3)
+            for r in minhash_signatures(_docs(spark), "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_exact_and_near_duplicates(spark):
+    pairs = {(r.id_a, r.id_b)
+             for r in lsh_candidate_pairs(_docs(spark), "text", "doc_id").collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = ngram_jaccard_pairs(df, "text", "doc_id", pairs).collect()
+    # shingles(3): doc1 {abc, bcd, cde}, doc2 {abc, bcd, cdf} -> 2/4
+    assert out[0].jaccard == 0.5
+
+
+def test_simhash_locality(spark):
+    out = {r.doc_id: r.simhash
+           for r in simhash_fingerprint(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    ham_near = sum(a != b for a, b in zip(out[1], out[3]))
+    ham_far = sum(a != b for a, b in zip(out[1], out[4]))
+    assert ham_near <= ham_far
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b")], "id long, t string")
+    row = df.select(shingles(tokens(F.col("t"))).alias("s")).collect()[0]
+    assert row.s == []
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0

@@ -1,0 +1,105 @@
+"""Join operator tests — mirrors reference tests/optimized_join_test.rs
+(inner/left/right/outer, multi-match fan-out, suffixes) and adds as-of
+join cases (absent in the reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandrs_spark.operators.joins import anti_join, asof_join, merge, semi_join
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, value double"
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [(2, 200.0), (3, 300.0), (3, 301.0), (4, 400.0)], "id long, value double"
+    )
+
+
+def test_merge_inner_multi_match_and_suffixes(spark):
+    out = merge(_left(spark), _right(spark), on="id", how="inner")
+    rows = sorted((r.id, r.value_x, r.value_y) for r in out.collect())
+    assert rows == [(2, 20.0, 200.0), (3, 30.0, 300.0), (3, 30.0, 301.0)]
+
+
+def test_merge_left_keeps_unmatched(spark):
+    out = merge(_left(spark), _right(spark), on="id", how="left")
+    rows = {(r.id, r.value_y) for r in out.collect()}
+    assert (1, None) in rows and len(out.collect()) == 4
+
+
+def test_merge_outer(spark):
+    out = merge(_left(spark), _right(spark), on="id", how="outer")
+    ids = sorted(r.id for r in out.collect())
+    assert ids == [1, 2, 3, 3, 4]
+
+
+def test_merge_custom_suffixes_and_keys(spark):
+    left = _left(spark).withColumnRenamed("id", "lid")
+    out = merge(
+        left, _right(spark), left_on="lid", right_on="id",
+        how="inner", suffixes=("_l", "_r"),
+    )
+    assert "value_l" in out.columns and "value_r" in out.columns
+
+
+def test_semi_anti(spark):
+    l, r = _left(spark), _right(spark)
+    assert sorted(
+        x.id for x in semi_join(l, r, l.id == r.id).collect()
+    ) == [2, 3]
+    assert [x.id for x in anti_join(l, r, l.id == r.id).collect()] == [1]
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [("A", 3, "t1"), ("A", 7, "t2"), ("B", 5, "t3"), ("B", 1, "t4")],
+        "sym string, t long, trade string",
+    )
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 4, 20.0)],
+        "sym string, t long, px double",
+    )
+
+
+def test_asof_backward(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on="t", by="sym", value_cols=["px"]
+    )
+    got = {(r.trade, r.px) for r in out.collect()}
+    # t1@3 -> quote@1; t2@7 -> quote@5; t3@5 -> quote@4; t4@1 -> none
+    assert got == {("t1", 10.0), ("t2", 11.0), ("t3", 20.0), ("t4", None)}
+
+
+def test_asof_backward_inclusive_same_ts(spark):
+    trades = spark.createDataFrame([("A", 5, "x")], "sym string, t long, trade string")
+    out = asof_join(trades, _quotes(spark), on="t", by="sym", value_cols=["px"])
+    assert out.collect()[0].px == 11.0
+
+
+def test_asof_forward(spark):
+    out = asof_join(
+        _trades(spark),
+        _quotes(spark),
+        on="t",
+        by="sym",
+        value_cols=["px"],
+        direction="forward",
+    )
+    got = {(r.trade, r.px) for r in out.collect()}
+    # t1@3 -> quote@5; t2@7 -> none; t3@5 -> none (B quote@4 is past); t4@1 -> quote@4
+    assert got == {("t1", 11.0), ("t2", None), ("t3", None), ("t4", 20.0)}
+
+
+def test_broadcast_merge_same_result(spark):
+    plain = merge(_left(spark), _right(spark), on="id", how="inner")
+    bcast = merge(_left(spark), _right(spark), on="id", how="inner", broadcast_right=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bcast.collect()))

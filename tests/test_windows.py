@@ -1,0 +1,117 @@
+"""Window operator tests — mirrors reference tests/window_test.rs
+(rolling/expanding/ewm with NA, min_periods, edge cases) with pandas as
+the semantics oracle for EWM and rank methods."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandrs_spark.operators.windows import (
+    diff,
+    ewm_mean,
+    expanding,
+    ordered_window,
+    pct_change,
+    rank_method,
+    rolling,
+    shift,
+)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    data = [
+        ("g1", 1, 1.0), ("g1", 2, None), ("g1", 3, 3.0), ("g1", 4, 4.0), ("g1", 5, 5.0),
+        ("g2", 1, 10.0), ("g2", 2, 20.0),
+    ]
+    return spark.createDataFrame(data, "grp string, i long, v double")
+
+
+def _by_key(df, *cols):
+    return {(r.grp, r.i): tuple(getattr(r, c) for c in cols) for r in df.collect()}
+
+
+def test_rolling_mean_skips_nulls(series_df):
+    w = ordered_window("i", "grp")
+    out = series_df.withColumn("r", rolling("v", 3, w, "avg", min_periods=1))
+    got = _by_key(out, "r")
+    assert got[("g1", 2)][0] == 1.0          # only the non-null 1.0
+    assert got[("g1", 4)][0] == 3.5          # (3+4)/2, null skipped
+    assert got[("g1", 5)][0] == 4.0          # (3+4+5)/3
+
+
+def test_rolling_min_periods_null_until_reached(series_df):
+    w = ordered_window("i", "grp")
+    out = series_df.withColumn("r", rolling("v", 3, w, "sum", min_periods=3))
+    got = _by_key(out, "r")
+    assert got[("g1", 2)][0] is None
+    assert got[("g1", 5)][0] == 12.0
+
+
+def test_rolling_window_larger_than_group(series_df):
+    w = ordered_window("i", "grp")
+    out = series_df.withColumn("r", rolling("v", 10, w, "sum", min_periods=1))
+    assert _by_key(out, "r")[("g2", 2)][0] == 30.0
+
+
+def test_expanding(series_df):
+    w = ordered_window("i", "grp")
+    out = series_df.withColumn("e", expanding("v", w, "max"))
+    got = _by_key(out, "e")
+    assert got[("g1", 5)][0] == 5.0
+    assert got[("g2", 1)][0] == 10.0
+
+
+def test_shift_diff_pct_change(series_df):
+    w = ordered_window("i", "grp")
+    out = series_df.select(
+        "grp", "i",
+        shift("v", 1, w).alias("s"),
+        diff("v", w).alias("d"),
+        pct_change("v", w).alias("p"),
+    )
+    got = {(r.grp, r.i): (r.s, r.d, r.p) for r in out.collect()}
+    assert got[("g1", 1)] == (None, None, None)
+    assert got[("g2", 2)] == (10.0, 10.0, 1.0)
+    # diff over a null predecessor propagates null (pandas semantics)
+    assert got[("g1", 3)] == (None, None, None)
+
+
+def test_shift_negative_is_lead(series_df):
+    w = ordered_window("i", "grp")
+    out = series_df.withColumn("s", shift("v", -1, w))
+    assert _by_key(out, "s")[("g1", 4)][0] == 5.0
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "first", "dense"])
+def test_rank_methods_match_pandas(spark, method):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    pdf = pd.DataFrame({"i": range(len(vals)), "v": vals})
+    expected = pdf["v"].rank(method=method).tolist()
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.withColumn("r", rank_method("v", None, method, tiebreak=["i"]))
+        .orderBy("i")
+        .collect()
+    )
+    got = [float(r.r) for r in out]
+    assert got == [float(e) for e in expected]
+
+
+@pytest.mark.parametrize("adjust", [True, False])
+def test_ewm_mean_matches_pandas(spark, adjust):
+    vals = [1.0, 2.0, None, 4.0, 8.0, 3.0]
+    pdf = pd.DataFrame({"grp": ["a"] * len(vals), "i": range(len(vals)), "v": vals})
+    expected = pdf["v"].ewm(alpha=0.5, adjust=adjust).mean().tolist()
+    df = spark.createDataFrame(pdf)
+    out = ewm_mean(df, "v", ["i"], ["grp"], alpha=0.5, adjust=adjust)
+    got = [r.ewm for r in out.orderBy("i").collect()]
+    for g, e in zip(got, expected):
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert g is None or math.isnan(g)
+        else:
+            assert abs(g - e) < 1e-12
