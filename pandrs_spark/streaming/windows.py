@@ -1,0 +1,113 @@
+"""Structured Streaming operators (SURVEY.md §2.10).
+
+The reference hand-rolls a streaming engine (DataStream, window
+aggregators, watermark bookkeeping — /root/reference/src/streaming/
+mod.rs:136, window.rs:25-51,200,391,453; backpressure.rs). On Spark,
+all of that is Structured Streaming itself: micro-batch execution,
+state store, watermark-driven window eviction, and source-side rate
+control (``maxFilesPerTrigger``/``maxOffsetsPerTrigger``) replace
+the reference's custom channel/backpressure machinery.
+
+This module provides the window builders shared by streaming and batch
+(same F.window/session_window expressions), so every streaming
+aggregation has a batch twin that the DuckDB oracle can verify.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling",
+    "sliding",
+    "session",
+    "windowed_agg",
+    "stream_from_directory",
+    "stream_to_memory",
+    "count_window_foreach_batch",
+]
+
+
+def tumbling(ts_col: str, size: str) -> Column:
+    """Tumbling window (reference WindowType::Tumbling, window.rs:25)."""
+    return F.window(ts_col, size)
+
+
+def sliding(ts_col: str, size: str, slide: str) -> Column:
+    """Sliding window (WindowType::Sliding, window.rs:30)."""
+    return F.window(ts_col, size, slide)
+
+
+def session(ts_col: str, gap: str) -> Column:
+    """Session window with inactivity gap (WindowType::Session, :37)."""
+    return F.session_window(ts_col, gap)
+
+
+def windowed_agg(
+    df: DataFrame,
+    window_col: Column,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Windowed aggregation, batch or streaming.
+
+    On a streaming DataFrame pass ``watermark=(ts_col, delay)`` so the
+    state store can evict closed windows (reference: watermark_delay
+    window.rs:74, update_watermark :453 — here it's one line).
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(*watermark)
+    return df.groupBy(*keys, window_col.alias("w")).agg(*aggs)
+
+
+def stream_from_directory(
+    spark, path: str, schema: str, fmt: str = "parquet", max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source (reference read_from_csv :171 — the
+    file source is the scalable equivalent; rate control via
+    maxFilesPerTrigger is the backpressure knob)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def stream_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
+    """Run a streaming query into an in-memory sink (test harness;
+    reference's collector sinks, io/streaming.rs:258)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def count_window_foreach_batch(
+    df: DataFrame, n: int, keys: Sequence[str], order_col: str, agg_fn
+):
+    """Count-based windows (WindowType::Count, window.rs:44) have no
+    Structured Streaming builtin; process each micro-batch with a
+    row_number() % n bucketing inside foreachBatch.
+
+    ``agg_fn(bucketed_batch_df) -> DataFrame`` receives the batch with a
+    ``__count_window`` column appended.
+    """
+    from pyspark.sql import Window
+
+    def _handle(batch_df: DataFrame, batch_id: int):
+        w = Window.partitionBy(*keys).orderBy(order_col)
+        bucketed = batch_df.withColumn(
+            "__count_window",
+            F.floor((F.row_number().over(w) - 1) / n),
+        )
+        agg_fn(bucketed)
+
+    return df.writeStream.foreachBatch(_handle)

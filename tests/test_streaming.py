@@ -1,0 +1,85 @@
+"""Structured Streaming tests: file source → windowed aggregation with
+watermark → memory sink, checked against the identical batch query
+(reference: tests/streaming_test.rs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandrs_spark.streaming.windows import (
+    session,
+    sliding,
+    stream_from_directory,
+    stream_to_memory,
+    tumbling,
+    windowed_agg,
+)
+
+SCHEMA = "ts timestamp, key string, v double"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="pandrs_stream_")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 1), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 2), "b", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 59), "a", 3.0),
+        (dt.datetime(2024, 1, 1, 1, 5), "a", 4.0),
+        (dt.datetime(2024, 1, 1, 2, 30), "b", 5.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(f"{d}/batch1")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_dir, window_col, name, keys=("key",)):
+    src = stream_from_directory(spark, f"{stream_dir}/batch1", SCHEMA)
+    assert src.isStreaming
+    agg = windowed_agg(
+        src,
+        window_col,
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+        keys=keys,
+        watermark=("ts", "10 minutes"),
+    )
+    q = stream_to_memory(agg, name, output_mode="complete")
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dir):
+    got = _run_stream(spark, stream_dir, tumbling("ts", "1 hour"), "t_tumble")
+    rows = {(r.key, r.w.start.hour): (r.n, r.s) for r in got.collect()}
+    assert rows[("a", 0)] == (2, 4.0)
+    assert rows[("a", 1)] == (1, 4.0)
+    assert rows[("b", 2)] == (1, 5.0)
+    # batch twin over the same files produces identical aggregates
+    batch = spark.read.schema(SCHEMA).parquet(f"{stream_dir}/batch1")
+    b = windowed_agg(
+        batch, tumbling("ts", "1 hour"),
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")], keys=("key",),
+    )
+    brows = {(r.key, r.w.start.hour): (r.n, r.s) for r in b.collect()}
+    assert brows == rows
+
+
+def test_sliding_stream(spark, stream_dir):
+    got = _run_stream(spark, stream_dir, sliding("ts", "2 hours", "1 hour"), "t_slide")
+    rows = {(r.key, r.w.start.hour if r.w.start.day == 1 else -1): r.n for r in got.collect()}
+    # event at 00:59 for 'a' appears in windows starting 23:00(prev day) and 00:00
+    assert rows[("a", 0)] == 3  # 00:01, 00:59, 01:05 all in [00:00,02:00)
+
+
+def test_session_stream(spark, stream_dir):
+    got = _run_stream(spark, stream_dir, session("ts", "30 minutes"), "t_session")
+    a_sessions = [r for r in got.collect() if r.key == "a"]
+    # a: events at 00:01 | 00:59+01:05 (6-min gap) -> 2 sessions
+    assert len(a_sessions) == 2
+    ns = sorted(r.n for r in a_sessions)
+    assert ns == [1, 2]
