@@ -1,0 +1,553 @@
+"""Frame — the pandas-flavored API surface over a Spark DataFrame.
+
+This is the user-facing replacement for the reference's three DataFrame
+generations (legacy `DataFrame` src/dataframe/base.rs:54,
+`OptimizedDataFrame` src/optimized/split_dataframe/core.rs:14,
+`DistributedDataFrame` src/distributed/core/dataframe.rs:43): ONE lazy
+engine — every method compiles to Spark expressions, nothing executes
+until an action (`collect`, `to_pandas`, `write_*`).
+
+Ordering discipline (SURVEY §7.1): pandas semantics that depend on row
+order (head, shift, dedup keep='first'/'last', ffill, iloc) require an
+explicit order. `Frame` threads a `__row_order__` column captured at
+ingest (`monotonically_increasing_id`) — stable within a source file
+scan, and any sort updates it. At 100 TB you never *globally* ordered
+data by accident; this makes the dependency explicit and cheap (no
+global sort unless the user asks for one).
+
+NULL/NaN policy (SURVEY §7.1): NULL is missing; NaN is a float value;
+`fillna`/`dropna`/`isna` treat BOTH as missing (pandas semantics),
+implemented with `isnull() | isnan()` guards on double columns only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
+
+ORDER_COL = "__row_order__"
+
+__all__ = ["Frame", "read_parquet", "read_csv", "read_json", "concat", "from_spark"]
+
+
+def _is_float(df: DataFrame, name: str) -> bool:
+    return isinstance(df.schema[name].dataType, (DoubleType, FloatType))
+
+
+def _missing(df: DataFrame, name: str) -> Column:
+    c = F.col(name)
+    if _is_float(df, name):
+        return c.isNull() | F.isnan(c)
+    return c.isNull()
+
+
+class Frame:
+    """Lazy pandas-like frame. Wraps (never copies) a Spark DataFrame."""
+
+    def __init__(self, df: DataFrame, order_col: str | None = None):
+        if order_col is None:
+            if ORDER_COL not in df.columns:
+                df = df.withColumn(ORDER_COL, F.monotonically_increasing_id())
+            order_col = ORDER_COL
+        self._df = df
+        self._order = order_col
+
+    # -- plumbing ------------------------------------------------------------
+    @property
+    def spark(self) -> DataFrame:
+        """Underlying Spark DataFrame without the order column."""
+        return self._df.drop(self._order)
+
+    def _wrap(self, df: DataFrame) -> "Frame":
+        return Frame(df, self._order if self._order in df.columns else None)
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._df.columns if c != self._order]
+
+    @property
+    def dtypes(self) -> list[tuple[str, str]]:
+        return [(n, t) for n, t in self._df.dtypes if n != self._order]
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return F.col(key)
+        if isinstance(key, Column):  # boolean mask frame[f.col(...) > 3]
+            return self.filter(key)
+        if isinstance(key, (list, tuple)):
+            return self.select(*key)
+        raise TypeError(f"unsupported key: {key!r}")
+
+    def __repr__(self) -> str:
+        return f"Frame({', '.join(self.columns)})"
+
+    # -- projections (§2.2) --------------------------------------------------
+    def select(self, *cols: str | Column) -> "Frame":
+        return self._wrap(self._df.select(F.col(self._order), *cols))
+
+    def select_columns(self, cols: Sequence[str]) -> "Frame":
+        return self.select(*cols)
+
+    def drop(self, *cols: str) -> "Frame":
+        return self._wrap(self._df.drop(*cols))
+
+    def rename(self, mapping: Mapping[str, str]) -> "Frame":
+        df = self._df
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        return self._wrap(df)
+
+    def add_prefix(self, prefix: str) -> "Frame":
+        return self.rename({c: prefix + c for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "Frame":
+        return self.rename({c: c + suffix for c in self.columns})
+
+    def assign(self, **kwargs: Column) -> "Frame":
+        df = self._df
+        for name, col in kwargs.items():
+            df = df.withColumn(name, col)
+        return self._wrap(df)
+
+    def with_column(self, name: str, col: Column) -> "Frame":
+        return self.assign(**{name: col})
+
+    def astype(self, mapping: Mapping[str, str]) -> "Frame":
+        return self.assign(
+            **{c: F.col(c).cast(t) for c, t in mapping.items()}
+        )
+
+    def select_dtypes(self, include: Sequence[str]) -> "Frame":
+        keep = [n for n, t in self.dtypes if t in include]
+        return self.select(*keep)
+
+    # -- filtering (§2.2) ----------------------------------------------------
+    def filter(self, cond: Column | str) -> "Frame":
+        return self._wrap(self._df.filter(cond))
+
+    def query(self, expr: str) -> "Frame":
+        """String-expression filter — the reference's whole query DSL
+        (src/dataframe/query/engine.rs:32, ~1700 LoC of lexer/parser/
+        JIT) is Catalyst's SQL parser here."""
+        return self.filter(expr)
+
+    def isin(self, col: str, values: Sequence[Any]) -> "Frame":
+        return self.filter(F.col(col).isin(*values))
+
+    def between(self, col: str, lo: Any, hi: Any) -> "Frame":
+        return self.filter(F.col(col).between(lo, hi))
+
+    def where_cond(self, cond: Column, col: str, other: Any = None) -> "Frame":
+        """pandas where: keep value where cond else `other` (compat :1079)."""
+        return self.assign(**{col: F.when(cond, F.col(col)).otherwise(F.lit(other))})
+
+    def mask(self, cond: Column, col: str, other: Any = None) -> "Frame":
+        """pandas mask: replace value where cond (compat :1110)."""
+        return self.assign(**{col: F.when(cond, F.lit(other)).otherwise(F.col(col))})
+
+    def clip(self, col: str, lower: float | None = None, upper: float | None = None) -> "Frame":
+        c = F.col(col)
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return self.assign(**{col: c})
+
+    # -- missing data (§2.2) -------------------------------------------------
+    def isna_count(self) -> dict[str, int]:
+        row = self._df.agg(
+            *[
+                F.count(F.when(_missing(self._df, c), 1)).alias(c)
+                for c in self.columns
+            ]
+        ).collect()[0]
+        return row.asDict()
+
+    def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "Frame":
+        cols = list(subset or self.columns)
+        missing = [_missing(self._df, c) for c in cols]
+        if how == "any":
+            cond = missing[0]
+            for m in missing[1:]:
+                cond = cond | m
+        else:
+            cond = missing[0]
+            for m in missing[1:]:
+                cond = cond & m
+        return self._wrap(self._df.filter(~cond))
+
+    def fillna(self, value: Any | Mapping[str, Any]) -> "Frame":
+        items = value.items() if isinstance(value, Mapping) else [
+            (c, value) for c in self.columns
+        ]
+        df = self._df
+        for c, v in items:
+            if isinstance(v, str) != (dict(self.dtypes)[c] == "string"):
+                continue
+            df = df.withColumn(
+                c, F.when(_missing(df, c), F.lit(v)).otherwise(F.col(c))
+            )
+        return self._wrap(df)
+
+    def ffill(self, cols: Sequence[str], partition_by: Sequence[str] = ()) -> "Frame":
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(self._order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return self.assign(
+            **{c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
+        )
+
+    def bfill(self, cols: Sequence[str], partition_by: Sequence[str] = ()) -> "Frame":
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(self._order)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        return self.assign(
+            **{c: F.first(F.col(c), ignorenulls=True).over(w) for c in cols}
+        )
+
+    def replace(self, col: str, mapping: Mapping[Any, Any]) -> "Frame":
+        c: Column = F.col(col)
+        out = None
+        for old, new in mapping.items():
+            cond = c == F.lit(old)
+            out = F.when(cond, F.lit(new)) if out is None else out.when(cond, F.lit(new))
+        return self.assign(**{col: out.otherwise(c)})
+
+    def coalesce_cols(self, out: str, *cols: str) -> "Frame":
+        return self.assign(**{out: F.coalesce(*[F.col(c) for c in cols])})
+
+    # -- ordering / slicing (§2.2, §2.6) -------------------------------------
+    def sort_values(self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True) -> "Frame":
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
+        # Re-derive the order column so downstream order-dependent ops
+        # (head/shift/dedup) follow the new ordering.
+        w = Window.orderBy(*order, F.col(self._order))
+        df = self._df.withColumn(self._order, F.row_number().over(w))
+        return self._wrap(df)
+
+    def head(self, n: int = 5) -> "Frame":
+        w = Window.orderBy(self._order)
+        return self._wrap(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
+    def limit(self, n: int) -> "Frame":
+        return self.head(n)
+
+    def tail(self, n: int = 5) -> "Frame":
+        w = Window.orderBy(F.col(self._order).desc())
+        return self._wrap(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
+    def sample(self, frac: float, seed: int = 42) -> "Frame":
+        return self._wrap(self._df.sample(fraction=frac, seed=seed))
+
+    def nlargest(self, n: int, col: str) -> "Frame":
+        return self.sort_values(col, ascending=False).head(n)
+
+    def nsmallest(self, n: int, col: str) -> "Frame":
+        return self.sort_values(col).head(n)
+
+    # -- dedup (§2.2) --------------------------------------------------------
+    def drop_duplicates(
+        self, subset: Sequence[str] | None = None, keep: str = "first"
+    ) -> "Frame":
+        """pandas semantics incl. keep='last'/'first'/False, made
+        deterministic by the order column (reference test
+        test_drop_duplicates_keep_last, functions.rs:5301)."""
+        cols = list(subset or self.columns)
+        if keep == "first":
+            order = F.col(self._order).asc()
+        elif keep == "last":
+            order = F.col(self._order).desc()
+        elif keep is False:
+            w = Window.partitionBy(*cols)
+            return self._wrap(
+                self._df.withColumn("__cnt", F.count(F.lit(1)).over(w))
+                .filter(F.col("__cnt") == 1)
+                .drop("__cnt")
+            )
+        else:
+            raise ValueError("keep must be 'first', 'last', or False")
+        w = Window.partitionBy(*cols).orderBy(order)
+        return self._wrap(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def duplicated(self, subset: Sequence[str] | None = None, out: str = "is_dup") -> "Frame":
+        cols = list(subset or self.columns)
+        w = Window.partitionBy(*cols).orderBy(self._order)
+        return self.assign(**{out: F.row_number().over(w) > 1})
+
+    def distinct(self) -> "Frame":
+        return Frame(self.spark.distinct())
+
+    # -- joins (§2.3) --------------------------------------------------------
+    def merge(self, right: "Frame | DataFrame", **kw) -> "Frame":
+        from pandrs_spark.operators.joins import merge as _merge
+
+        rdf = right.spark if isinstance(right, Frame) else right
+        return Frame(_merge(self.spark, rdf, **kw))
+
+    # -- groupby (§2.4) ------------------------------------------------------
+    def groupby(self, *cols: str) -> "FrameGroupBy":
+        return FrameGroupBy(self, list(cols))
+
+    def value_counts(self, col: str) -> "Frame":
+        return Frame(
+            self.spark.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), col)
+        )
+
+    def nunique(self) -> dict[str, int]:
+        row = self.spark.agg(
+            *[F.countDistinct(c).alias(c) for c in self.columns]
+        ).collect()[0]
+        return row.asDict()
+
+    def describe(self) -> DataFrame:
+        return self.spark.describe()
+
+    # -- reshape (§2.8) ------------------------------------------------------
+    def pivot_table(
+        self,
+        index: str | Sequence[str],
+        columns: str,
+        values: str,
+        aggfunc: str = "sum",
+        pivot_values: Sequence[str] | None = None,
+    ) -> "Frame":
+        index = [index] if isinstance(index, str) else list(index)
+        fn = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max, "count": F.count}[aggfunc]
+        g = self.spark.groupBy(*index)
+        p = g.pivot(columns, list(pivot_values) if pivot_values else None)
+        return Frame(p.agg(fn(values)))
+
+    def melt(
+        self,
+        id_vars: Sequence[str],
+        value_vars: Sequence[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Frame":
+        return Frame(
+            self.spark.unpivot(list(id_vars), list(value_vars), var_name, value_name)
+        )
+
+    def explode(self, col: str, sep: str | None = None) -> "Frame":
+        c = F.split(F.col(col), sep) if sep is not None else F.col(col)
+        others = [x for x in self.columns if x != col]
+        return Frame(self.spark.select(*others, F.explode(c).alias(col)))
+
+    def crosstab(self, c1: str, c2: str) -> DataFrame:
+        return self.spark.stat.crosstab(c1, c2)
+
+    # -- ordered column ops (§2.5c) ------------------------------------------
+    def shift(self, col: str, n: int = 1, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        fn = F.lag(F.col(col), n) if n >= 0 else F.lead(F.col(col), -n)
+        return self.assign(**{out or f"{col}_shift": fn.over(w)})
+
+    def diff(self, col: str, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        return self.assign(
+            **{out or f"{col}_diff": F.col(col) - F.lag(F.col(col)).over(w)}
+        )
+
+    def pct_change(self, col: str, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        prev = F.lag(F.col(col)).over(w)
+        return self.assign(**{out or f"{col}_pct": (F.col(col) - prev) / prev})
+
+    def cumsum(self, col: str, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(self._order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return self.assign(**{out or f"{col}_cumsum": F.sum(col).over(w)})
+
+    def rank(self, col: str, method: str = "average", ascending: bool = True, out: str | None = None) -> "Frame":
+        from pandrs_spark.operators.windows import rank_method
+
+        return self.assign(
+            **{
+                out or f"{col}_rank": rank_method(
+                    col, None, method, ascending, tiebreak=[self._order]
+                )
+            }
+        )
+
+    def rolling(self, col: str, window: int, agg: str = "avg", partition_by: Sequence[str] = (), min_periods: int | None = None, out: str | None = None) -> "Frame":
+        from pandrs_spark.operators.windows import rolling as _rolling
+
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        return self.assign(
+            **{out or f"{col}_roll": _rolling(col, window, w, agg, min_periods)}
+        )
+
+    # -- SQL (§3.3) ----------------------------------------------------------
+    def register(self, name: str) -> "Frame":
+        self.spark.createOrReplaceTempView(name)
+        return self
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    # -- actions -------------------------------------------------------------
+    def collect(self):
+        w = Window.orderBy(self._order)
+        return self._df.withColumn("__rn", F.row_number().over(w)).orderBy(
+            "__rn"
+        ).drop("__rn", self._order).collect()
+
+    def to_pandas(self):
+        return self.spark.toPandas()
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def to_parquet(self, path: str, mode: str = "overwrite", **opts) -> None:
+        self.spark.write.mode(mode).options(**opts).parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True, **opts) -> None:
+        self.spark.write.mode(mode).option("header", header).options(**opts).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite", **opts) -> None:
+        self.spark.write.mode(mode).options(**opts).json(path)
+
+    def cache(self) -> "Frame":
+        self._df.cache()
+        return self
+
+
+class FrameGroupBy:
+    """GroupBy facade (reference DataFrameGroupBy, groupby.rs:197)."""
+
+    _AGGS = {
+        "sum": F.sum,
+        "mean": F.avg,
+        "avg": F.avg,
+        "count": F.count,
+        "min": F.min,
+        "max": F.max,
+        "std": F.stddev_samp,
+        "var": F.var_samp,
+        "first": F.first,
+        "last": F.last,
+        "nunique": F.countDistinct,
+        "median": lambda c: F.percentile(c, F.lit(0.5)),
+    }
+
+    def __init__(self, frame: Frame, keys: list[str]):
+        self._frame = frame
+        self._keys = keys
+
+    def agg(self, **named: tuple[str, str] | Column) -> Frame:
+        """agg(out_name=("col", "fn") | Column) — NamedAgg style
+        (reference groupby.rs:258)."""
+        cols = []
+        for out, spec in named.items():
+            if isinstance(spec, Column):
+                cols.append(spec.alias(out))
+            else:
+                col, fn = spec
+                cols.append(self._AGGS[fn](col).alias(out))
+        return Frame(self._frame.spark.groupBy(*self._keys).agg(*cols))
+
+    def _sugar(self, fn: str, cols: Sequence[str] | None) -> Frame:
+        cols = list(cols or [c for c in self._frame.columns if c not in self._keys])
+        return self.agg(**{f"{c}_{fn}": (c, fn) for c in cols})
+
+    def sum(self, cols=None):
+        return self._sugar("sum", cols)
+
+    def mean(self, cols=None):
+        return self._sugar("mean", cols)
+
+    def count(self) -> Frame:
+        return Frame(
+            self._frame.spark.groupBy(*self._keys).agg(
+                F.count(F.lit(1)).alias("count")
+            )
+        )
+
+    def min(self, cols=None):
+        return self._sugar("min", cols)
+
+    def max(self, cols=None):
+        return self._sugar("max", cols)
+
+    def std(self, cols=None):
+        return self._sugar("std", cols)
+
+    def nunique(self, cols=None):
+        return self._sugar("nunique", cols)
+
+    def transform(self, col: str, fn: str, out: str | None = None) -> Frame:
+        """Group-broadcast aggregate (reference groupby.rs:427) — a
+        window aggregate, no join-back needed."""
+        w = Window.partitionBy(*self._keys)
+        return self._frame.assign(
+            **{out or f"{col}_{fn}": self._AGGS[fn](col).over(w)}
+        )
+
+    def filter_groups(self, cond_fn: str, col: str, threshold: float) -> Frame:
+        """Keep rows of groups whose aggregate passes (groupby.rs:406)."""
+        w = Window.partitionBy(*self._keys)
+        agg = self._AGGS[cond_fn](col).over(w)
+        return self._frame._wrap(self._frame._df.withColumn("__g", agg).filter(
+            F.col("__g") > threshold
+        ).drop("__g"))
+
+    def apply_in_pandas(self, fn: Callable, schema: str) -> Frame:
+        """Arbitrary frame→frame group apply (groupby_apply compat
+        :3503) via Arrow-batched applyInPandas."""
+        return Frame(self._frame.spark.groupBy(*self._keys).applyInPandas(fn, schema))
+
+
+def read_parquet(spark, path: str, **opts) -> Frame:
+    return Frame(spark.read.options(**opts).parquet(path))
+
+
+def read_csv(spark, path: str, header: bool = True, infer_schema: bool = True, **opts) -> Frame:
+    return Frame(
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .options(**opts)
+        .csv(path)
+    )
+
+
+def read_json(spark, path: str, **opts) -> Frame:
+    return Frame(spark.read.options(**opts).json(path))
+
+
+def from_spark(df: DataFrame) -> Frame:
+    return Frame(df)
+
+
+def concat(frames: Sequence[Frame], ignore_index: bool = True) -> Frame:
+    """Row concat, pandas concat(axis=0) (compat concat.rs:36)."""
+    out = frames[0].spark
+    for f in frames[1:]:
+        out = out.unionByName(f.spark, allowMissingColumns=True)
+    return Frame(out)

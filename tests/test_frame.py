@@ -1,0 +1,170 @@
+"""Frame API tests — pandas-semantics parity on small frames (mirrors
+the reference's pandas_compat inline tests, functions.rs:4327+)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandrs_spark.frame import Frame, concat, from_spark
+
+
+@pytest.fixture()
+def frame(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("b", 2, None),
+            ("a", 3, 30.0),
+            ("c", 4, float("nan")),
+            ("a", 1, 50.0),
+        ],
+        "k string, n long, v double",
+    )
+    return Frame(df.coalesce(1))
+
+
+def test_select_drop_rename(frame):
+    assert frame.select("k", "n").columns == ["k", "n"]
+    assert frame.drop("v").columns == ["k", "n"]
+    assert frame.rename({"k": "key"}).columns == ["key", "n", "v"]
+    assert frame.add_prefix("x_").columns == ["x_k", "x_n", "x_v"]
+
+
+def test_query_and_filter(frame):
+    assert frame.query("n > 2 AND k = 'a'").count() == 1
+    assert frame.isin("k", ["a"]).count() == 3
+    assert frame.between("n", 2, 3).count() == 2
+
+
+def test_assign_clip_astype(frame):
+    out = frame.assign(double_n=F.col("n") * 2).clip("n", upper=2)
+    rows = out.collect()
+    assert [r.double_n for r in rows] == [2, 4, 6, 8, 2]
+    assert max(r.n for r in rows) == 2
+    assert dict(frame.astype({"n": "double"}).dtypes)["n"] == "double"
+
+
+def test_nan_and_null_both_missing(frame):
+    counts = frame.isna_count()
+    assert counts["v"] == 2  # one NULL + one NaN
+    assert frame.dropna(subset=["v"]).count() == 3
+    filled = frame.fillna({"v": 0.0}).collect()
+    assert all(r.v is not None and not math.isnan(r.v) for r in filled)
+
+
+def test_ffill_uses_row_order(frame):
+    out = frame.ffill(["v"]).collect()
+    vals = [r.v for r in out]
+    assert vals[1] == 10.0  # null filled from row 0
+    # NaN is a *value* for window last(); pandas ffill treats NaN as
+    # missing — our policy fills NULLs; NaN stays (documented)
+
+
+def test_head_tail_sort(frame):
+    assert [r.n for r in frame.head(2).collect()] == [1, 2]
+    assert [r.n for r in frame.tail(2).collect()] == [4, 1]
+    s = frame.sort_values("n", ascending=False)
+    assert [r.n for r in s.collect()] == [4, 3, 2, 1, 1]
+    assert [r.n for r in s.head(2).collect()] == [4, 3]
+
+
+def test_nlargest(frame):
+    assert [r.n for r in frame.nlargest(2, "n").collect()] == [4, 3]
+
+
+def test_drop_duplicates_keep(frame):
+    # rows with (k='a', n=1): order 0 (v=10.0) and order 4 (v=50.0)
+    first = frame.drop_duplicates(subset=["k", "n"], keep="first").collect()
+    vs = {(r.k, r.n): r.v for r in first}
+    assert vs[("a", 1)] == 10.0
+    last = frame.drop_duplicates(subset=["k", "n"], keep="last").collect()
+    vs = {(r.k, r.n): r.v for r in last}
+    assert vs[("a", 1)] == 50.0
+    none = frame.drop_duplicates(subset=["k", "n"], keep=False)
+    assert none.count() == 3
+
+
+def test_duplicated_flag(frame):
+    out = frame.duplicated(subset=["k", "n"]).collect()
+    assert sum(r.is_dup for r in out) == 1
+
+
+def test_groupby_agg_and_sugar(frame):
+    g = frame.groupby("k").agg(total=("n", "sum"), n_rows=("n", "count"))
+    rows = {r.k: (r.total, r.n_rows) for r in g.spark.collect()}
+    assert rows["a"] == (5, 3)
+    s = frame.groupby("k").sum(["n"])
+    assert {r.k: r.n_sum for r in s.spark.collect()}["a"] == 5
+
+
+def test_groupby_transform_filter(frame):
+    t = frame.groupby("k").transform("n", "sum", out="k_total")
+    assert {(r.k, r.n): r.k_total for r in t.collect()}[("a", 3)] == 5
+    kept = frame.groupby("k").filter_groups("count", "n", 1.5)
+    assert kept.count() == 3  # only group 'a' has >1.5 rows
+
+
+def test_pivot_melt_roundtrip(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [("r1", "x", 1.0), ("r1", "y", 2.0), ("r2", "x", 3.0)],
+            "idx string, col string, val double",
+        )
+    )
+    p = f.pivot_table("idx", "col", "val", "sum", pivot_values=["x", "y"])
+    rows = {r.idx: (r.x, r.y) for r in p.spark.collect()}
+    assert rows == {"r1": (1.0, 2.0), "r2": (3.0, None)}
+    m = p.melt(["idx"], ["x", "y"]).spark.collect()
+    assert len(m) == 4
+
+
+def test_explode_and_value_counts(spark):
+    f = Frame(spark.createDataFrame([("a b", 1), ("a", 2)], "t string, i long"))
+    e = f.explode("t", sep=" ")
+    vc = e.value_counts("t").spark.collect()
+    assert [(r.t, r["count"]) for r in vc] == [("a", 2), ("b", 1)]
+
+
+def test_shift_diff_rank(frame):
+    out = frame.shift("n", 1, out="prev").collect()
+    assert [r.prev for r in out] == [None, 1, 2, 3, 4]
+    d = frame.diff("n", out="d").collect()
+    assert [r.d for r in d] == [None, 1, 1, 1, -3]
+    r = frame.rank("n", method="min", out="rk").collect()
+    assert [x.rk for x in r] == [1, 3, 4, 5, 1]
+
+
+def test_rolling(frame):
+    out = frame.rolling("n", 2, "sum", min_periods=1, out="rs").collect()
+    assert [r.rs for r in out] == [1, 3, 5, 7, 5]
+
+
+def test_merge_concat(spark, frame):
+    dim = Frame(spark.createDataFrame([("a", "alpha")], "k string, label string"))
+    m = frame.merge(dim, on="k", how="left")
+    assert m.count() == 5
+    two = concat([frame, frame])
+    assert two.count() == 10
+
+
+def test_where_mask_replace(frame):
+    w = frame.where_cond(F.col("n") > 2, "n", other=-1).collect()
+    assert [r.n for r in w] == [-1, -1, 3, 4, -1]
+    mk = frame.mask(F.col("n") > 2, "n", other=0).collect()
+    assert [r.n for r in mk] == [1, 2, 0, 0, 1]
+    rp = frame.replace("k", {"a": "z"}).collect()
+    assert [r.k for r in rp] == ["z", "b", "z", "c", "z"]
+
+
+def test_register_sql(spark, frame):
+    frame.register("tiny_frame")
+    assert spark.sql("SELECT COUNT(*) AS c FROM tiny_frame").collect()[0].c == 5
+
+
+def test_sample_deterministic(frame):
+    a = frame.sample(0.5, seed=1).count()
+    b = frame.sample(0.5, seed=1).count()
+    assert a == b
