@@ -1,0 +1,314 @@
+"""Sources & sinks (SURVEY.md §2.1) — Spark-first IO surface.
+
+Covers the reference's IO inventory with idiomatic Spark readers/writers:
+
+- CSV read/write            (/root/reference src/io/csv.rs:11,74;
+                             src/optimized/split_dataframe/io.rs:82,222)
+- Parquet read/write        (src/io/parquet.rs:175,369) incl. compression,
+  metadata/row-group/column stats (:582,:622,:666), chunked reading
+  (:1350), schema evolution (:1440), predicate pushdown (:1502)
+- JSON read/write, records/columns orient (src/io/json.rs:13,103)
+- SQL/JDBC read/write       (src/io/sql/operations.rs:118,224)
+- Cloud object storage      (src/connectors/cloud.rs:198,380,492) — in
+  Spark this is just a path scheme (``s3a://``, ``gs://``, ``abfss://``)
+  plus Hadoop connector config; no connector classes needed.
+
+Scale posture: every reader returns a lazy DataFrame whose scan
+participates in Catalyst pushdown — filters and column pruning reach the
+parquet footer (row-group skipping) automatically. The reference's
+"chunked reader" and "advanced" variants exist because it is a
+single-process engine; on Spark, chunking IS partitioning
+(``spark.sql.files.maxPartitionBytes``), exposed here as an option.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "read_csv",
+    "write_csv",
+    "read_json",
+    "write_json",
+    "read_parquet",
+    "write_parquet",
+    "parquet_metadata",
+    "parquet_row_groups",
+    "parquet_column_stats",
+    "read_parquet_chunked",
+    "read_jdbc",
+    "write_jdbc",
+]
+
+
+# --- CSV ---------------------------------------------------------------------
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    schema: Any | None = None,
+    sep: str = ",",
+    null_value: str | None = None,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """``read_csv(path, has_header)`` parity (src/io/csv.rs:11).
+
+    Prefer an explicit ``schema`` at scale: ``inferSchema`` triggers an
+    extra full pass over the data.
+    """
+    reader = spark.read.option("header", header).option("sep", sep)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """``write_csv`` parity (src/io/csv.rs:74). ``single_file`` mimics the
+    reference's one-file output (coalesce(1) — driver-scale only; leave
+    False for cluster-scale multi-part output)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+# --- JSON --------------------------------------------------------------------
+def read_json(
+    spark: SparkSession, path: str, orient: str = "records", multiline: bool = False
+) -> DataFrame:
+    """``read_json`` parity (src/io/json.rs:13).
+
+    ``records`` orient = JSON-lines, Spark-native and distributed.
+    ``columns`` orient ({col: {row_label: value}}) is a driver-side
+    format by construction (one object spanning the whole dataset) — we
+    transpose it on the driver and parallelize, matching the reference's
+    single-node behavior.
+    """
+    if orient == "records":
+        return spark.read.option("multiLine", multiline).json(path)
+    if orient == "columns":
+        with open(path) as fh:
+            payload = json.load(fh)
+        cols = list(payload)
+        labels: list[str] = sorted({k for col in payload.values() for k in col})
+        rows = [
+            {"__index__": lbl, **{c: payload[c].get(lbl) for c in cols}}
+            for lbl in labels
+        ]
+        return spark.createDataFrame(rows)  # type: ignore[arg-type]
+    raise ValueError(f"unsupported orient: {orient!r}")
+
+
+def write_json(
+    df: DataFrame, path: str, orient: str = "records", mode: str = "overwrite"
+) -> None:
+    """``write_json`` with records/columns orient (src/io/json.rs:103)."""
+    if orient == "records":
+        df.write.mode(mode).json(path)
+        return
+    if orient == "columns":
+        # Whole-frame transpose is inherently driver-side; guarded use only.
+        pdf = df.toPandas()
+        payload = {c: {str(i): v for i, v in pdf[c].items()} for c in pdf.columns}
+        with open(path, "w") as fh:
+            json.dump(payload, fh, default=str)
+        return
+    raise ValueError(f"unsupported orient: {orient!r}")
+
+
+# --- Parquet -----------------------------------------------------------------
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+    merge_schema: bool = False,
+    max_partition_bytes: int | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Parquet scan with explicit pushdown hooks.
+
+    ``predicate``/``columns`` compile into the scan (check
+    ``plans.pushed_filters`` / ``ReadSchema``) — the reference needs
+    bespoke ``read_parquet_with_predicates`` (src/io/parquet.rs:1502) and
+    schema-evolution (:1440) entry points; here they are reader options.
+    """
+    if max_partition_bytes is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+    df = (
+        spark.read.option("mergeSchema", merge_schema)
+        .option("recursiveFileLookup", recursive)
+        .parquet(path)
+    )
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """``write_parquet(df, path, compression)`` parity (src/io/parquet.rs:369).
+
+    ``partition_by`` adds hive-style partitioning — the scale feature the
+    single-node reference lacks; downstream reads get partition pruning.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def parquet_metadata(path: str) -> dict[str, Any]:
+    """Footer metadata (src/io/parquet.rs:582): rows, row groups, schema."""
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(path)
+    metas = [pq.ParquetFile(f).metadata for f in files]
+    return {
+        "num_files": len(files),
+        "num_rows": sum(m.num_rows for m in metas),
+        "num_row_groups": sum(m.num_row_groups for m in metas),
+        "num_columns": metas[0].num_columns if metas else 0,
+        "columns": list(pq.read_schema(files[0]).names) if files else [],
+        "created_by": metas[0].created_by if metas else None,
+    }
+
+
+def parquet_row_groups(path: str) -> list[dict[str, Any]]:
+    """Per-row-group info (src/io/parquet.rs:622)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in _parquet_files(path):
+        meta = pq.ParquetFile(f).metadata
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            out.append(
+                {
+                    "file": os.path.basename(f),
+                    "row_group": i,
+                    "num_rows": rg.num_rows,
+                    "total_byte_size": rg.total_byte_size,
+                }
+            )
+    return out
+
+
+def parquet_column_stats(path: str, column: str) -> dict[str, Any]:
+    """Footer column statistics (src/io/parquet.rs:666) — min/max/nulls
+    straight from row-group stats, no data scan (this is exactly what
+    Spark's row-group skipping consults when a filter is pushed down)."""
+    import pyarrow.parquet as pq
+
+    mins: list[Any] = []
+    maxs: list[Any] = []
+    nulls = 0
+    for f in _parquet_files(path):
+        meta = pq.ParquetFile(f).metadata
+        idx = list(pq.read_schema(f).names).index(column)
+        for i in range(meta.num_row_groups):
+            st = meta.row_group(i).column(idx).statistics
+            if st is not None:
+                if st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                nulls += st.null_count or 0
+    return {
+        "column": column,
+        "min": min(mins) if mins else None,
+        "max": max(maxs) if maxs else None,
+        "null_count": nulls,
+    }
+
+
+def read_parquet_chunked(path: str, chunk_size: int = 65536) -> Iterator[Any]:
+    """``ParquetChunkedReader`` parity (src/io/parquet.rs:1350) — yields
+    pandas chunks. Single-node convenience only: the distributed
+    equivalent is ordinary partitioned reading (``maxPartitionBytes``)."""
+    import pyarrow.parquet as pq
+
+    for f in _parquet_files(path):
+        for batch in pq.ParquetFile(f).iter_batches(batch_size=chunk_size):
+            yield batch.to_pandas()
+
+
+# --- JDBC --------------------------------------------------------------------
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """``read_sql`` parity (src/io/sql/operations.rs:118) over JDBC.
+
+    ``partition_column`` + bounds split the read into ``num_partitions``
+    parallel range queries — the distributed upgrade over the
+    reference's single-connection reader. No JDBC driver jar ships in
+    this container; callers on a real cluster add
+    ``spark.jars.packages``.
+    """
+    reader = spark.read.format("jdbc").option("url", url)
+    q = table_or_query.strip()
+    if q.lower().startswith("select"):
+        reader = reader.option("query", q)
+    else:
+        reader = reader.option("dbtable", q)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """``write_to_sql`` parity (src/io/sql/operations.rs:224)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

@@ -1,0 +1,66 @@
+"""Plan-shape tests (SURVEY.md §4): these pin the *scale* properties —
+pushdown reaching the scan, broadcast joins for small dims, bounded
+shuffle counts — not just row values. A regression here means a query
+that still passes correctness but would fall over at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pandrs_spark import plans
+from pandrs_spark.catalog import load_table
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    pushed = plans.pushed_filters(q)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    cols = plans.read_schema_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    q = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert plans.has_broadcast_join(q)
+    # broadcast join must not shuffle either side
+    assert plans.num_shuffles(q) <= 1  # at most the broadcast exchange
+
+
+def test_partial_aggregation_single_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    # map-side partial agg means exactly one Exchange for the final agg
+    assert plans.num_shuffles(q) == 1
+
+
+def test_wholestage_codegen_present(spark, sf_dir):
+    # AQE wraps the plan and defers codegen; disable it at plan time so
+    # the codegen subtrees are statically visible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        q = li.filter("l_discount > 0.05").groupBy("l_returnflag").count()
+        assert plans.wholestage_codegen_spans(q) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_flagship_query_plan_shape(spark):
+    """q01 at sf0.001: filter pushed down, one shuffle for the agg."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    text = plans.plan_text(df)
+    assert "PushedFilters" in text
+    # group-by (1 shuffle) + global sort (1 shuffle) is the expected shape
+    assert plans.num_shuffles(df) <= 2

@@ -1,0 +1,109 @@
+"""Sources/sinks (SURVEY.md §2.1): CSV/JSON/Parquet roundtrips, orient
+variants, schema evolution, footer metadata, chunked reads."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandrs_spark.sources import io as pio
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 3.0)],
+        "id bigint, name string, score double",
+    )
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("id").collect()]
+
+
+def test_csv_roundtrip(spark, small_df, tmp_path):
+    path = str(tmp_path / "csv_out")
+    pio.write_csv(small_df, path)
+    back = pio.read_csv(spark, path, schema="id bigint, name string, score double")
+    assert _sorted_rows(back) == _sorted_rows(small_df)
+
+
+def test_csv_options(spark, small_df, tmp_path):
+    path = str(tmp_path / "csv_opts")
+    pio.write_csv(small_df, path, sep=";", single_file=True)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1  # single_file coalesces
+    back = pio.read_csv(spark, path, sep=";")
+    assert back.count() == 3
+
+
+def test_json_records_roundtrip(spark, small_df, tmp_path):
+    path = str(tmp_path / "json_out")
+    pio.write_json(small_df, path)
+    back = pio.read_json(spark, path).select("id", "name", "score")
+    assert _sorted_rows(back) == _sorted_rows(small_df)
+
+
+def test_json_columns_orient(spark, small_df, tmp_path):
+    path = str(tmp_path / "cols.json")
+    pio.write_json(small_df, path, orient="columns")
+    back = pio.read_json(spark, path, orient="columns")
+    assert back.count() == 3
+    assert set(back.columns) == {"__index__", "id", "name", "score"}
+    assert {r["name"] for r in back.collect()} == {"a", "b", None}
+
+
+def test_parquet_roundtrip_compression(spark, small_df, tmp_path):
+    for comp in ("snappy", "zstd", "gzip"):
+        path = str(tmp_path / f"pq_{comp}")
+        pio.write_parquet(small_df, path, compression=comp)
+        assert _sorted_rows(pio.read_parquet(spark, path)) == _sorted_rows(small_df)
+
+
+def test_parquet_partition_by_prunes(spark, small_df, tmp_path):
+    path = str(tmp_path / "pq_part")
+    pio.write_parquet(small_df.withColumn("part", F.col("id") % 2), path, partition_by=["part"])
+    back = pio.read_parquet(spark, path, predicate="part = 1")
+    assert sorted(r["id"] for r in back.collect()) == [1, 3]
+
+
+def test_parquet_schema_evolution(spark, small_df, tmp_path):
+    path = str(tmp_path / "pq_evo")
+    pio.write_parquet(small_df, path + "/v1")
+    pio.write_parquet(small_df.withColumn("extra", F.lit("x")), path + "/v2")
+    back = pio.read_parquet(spark, path, merge_schema=True, recursive=True)
+    assert "extra" in back.columns
+    assert back.count() == 6
+
+
+def test_parquet_metadata_and_stats(small_df, tmp_path, spark):
+    path = str(tmp_path / "pq_meta")
+    pio.write_parquet(small_df.coalesce(1), path)
+    meta = pio.parquet_metadata(path)
+    assert meta["num_rows"] == 3
+    assert set(meta["columns"]) == {"id", "name", "score"}
+    rgs = pio.parquet_row_groups(path)
+    assert sum(rg["num_rows"] for rg in rgs) == 3
+    stats = pio.parquet_column_stats(path, "id")
+    assert (stats["min"], stats["max"]) == (1, 3)
+    sstats = pio.parquet_column_stats(path, "score")
+    assert sstats["null_count"] == 1
+
+
+def test_parquet_chunked(small_df, tmp_path, spark):
+    path = str(tmp_path / "pq_chunk")
+    pio.write_parquet(small_df.coalesce(1), path)
+    chunks = list(pio.read_parquet_chunked(path, chunk_size=2))
+    assert sum(len(c) for c in chunks) == 3
+    assert len(chunks) >= 2
+
+
+def test_read_testdata_csv_like(spark, sf_dir, tmp_path):
+    # full loop against driver testdata: parquet -> csv -> parquet
+    nation = pio.read_parquet(spark, os.path.join(sf_dir, "nation.parquet"))
+    csv_path = str(tmp_path / "nation_csv")
+    pio.write_csv(nation, csv_path)
+    back = pio.read_csv(spark, csv_path)
+    assert back.count() == nation.count()
