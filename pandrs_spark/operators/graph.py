@@ -1,0 +1,226 @@
+"""Graph operators (SURVEY.md §2.14) as iterative DataFrame programs.
+
+The reference builds an adjacency-list graph in memory
+(/root/reference src/graph/mod.rs:168, src/graph/core.rs) and walks it
+single-threaded: centrality (src/graph/centrality.rs:33,55,77,250),
+components (src/graph/components.rs:70,250), paths (src/graph/path.rs).
+
+Spark-first re-expression: a graph IS two DataFrames (vertices, edges).
+Degree-style centrality is one aggregation; traversal algorithms
+(connected components, PageRank, BFS) are loops of joins where each
+iteration is one shuffle. Scale posture:
+
+- edges are repartitioned ONCE on the join key and persisted, so every
+  iteration reuses the same partitioning (no repeated exchange of the
+  big side);
+- per-iteration state (ranks/labels/frontier) is small relative to
+  edges and is what moves;
+- lineage is cut with ``localCheckpoint`` every few iterations so plans
+  don't grow unboundedly (the classic iterative-Spark failure mode);
+- convergence checks (``count`` on changed rows) are cheap aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "degrees",
+    "symmetrize",
+    "connected_components",
+    "pagerank",
+    "bfs_hops",
+    "triangle_count",
+]
+
+_CHECKPOINT_EVERY = 5
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Out/in/total degree per vertex (centrality.rs:33,55,77).
+
+    One aggregation per direction + an outer merge; no iteration.
+    """
+    out_d = edges.groupBy(F.col(src).alias("id")).agg(F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("id")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_d.join(in_d, "id", "outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected closure: both directions, self-loops dropped, distinct."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components via min-label propagation (components.rs:70).
+
+    Each vertex starts with its own id as label; every round each vertex
+    takes the min label among itself and its neighbors. Converges in
+    O(graph diameter) rounds — each round is one join + one aggregation.
+    Returns (id, component) with component = min vertex id reachable.
+    """
+    und = symmetrize(edges, src, dst).persist()
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for i in range(max_iter):
+        # neighbor labels: for each dst, min label of its srcs
+        neighbor = (
+            und.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.persist()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter("u.component < l.component")
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank, fixed-iteration power method (centrality.rs:250).
+
+    rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v} rank_t(u)/outdeg(u).
+    Dangling nodes' mass is redistributed uniformly each round (the
+    standard formulation the reference uses). Edges are pre-partitioned
+    on ``src`` and persisted; each iteration shuffles only the rank
+    vector (|V| rows), not the edge set.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contribs = (
+            e.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        # mass sitting on dangling vertices (no out-edges) this round
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    start_ids: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Minimum hop count from a start set (path.rs BFS / unweighted
+    shortest path). Frontier-based: each round expands the frontier one
+    hop and keeps newly discovered vertices only — the frontier (small)
+    moves to the edges (big, partitioned once)."""
+    und = symmetrize(edges, src, dst).repartition("src").persist()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(i), 0) for i in start_ids], "id bigint, hops int"
+    ).persist()
+    frontier = visited
+    for hop in range(1, max_iter + 1):
+        neighbors = (
+            und.join(frontier.withColumnRenamed("id", "src").select("src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = (
+            neighbors.join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .persist()
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier)
+        if hop % _CHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = new_frontier
+    und.unpersist()
+    return visited
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count (graph clustering primitive).
+
+    Canonical-orientation join-join-join: orient every undirected edge
+    small→large id, then count paths a<b<c with (a,b),(b,c),(a,c) all
+    present. Each join shuffles on one endpoint; AQE broadcasts when a
+    side is small. Returns a 1-row DataFrame (n_triangles).
+    """
+    und = symmetrize(edges, src, dst)
+    canon = und.filter(F.col("src") < F.col("dst")).distinct().persist()
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return tri.agg(F.count("*").alias("n_triangles"))

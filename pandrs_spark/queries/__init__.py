@@ -33,3 +33,4 @@ def load_all() -> None:
     from pandrs_spark.queries import events  # noqa: F401
     from pandrs_spark.queries import timeseries  # noqa: F401
     from pandrs_spark.queries import stats  # noqa: F401
+    from pandrs_spark.queries import graph  # noqa: F401

@@ -1,0 +1,85 @@
+"""Graph operators (SURVEY.md §2.14) on hand-checked synthetic graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandrs_spark.operators.graph import (
+    bfs_hops,
+    connected_components,
+    degrees,
+    pagerank,
+    symmetrize,
+    triangle_count,
+)
+
+
+@pytest.fixture()
+def two_component_graph(spark):
+    # component A: 1-2-3 triangle; component B: 4-5 edge; 6 isolated via self-loop
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (6, 6)], "src bigint, dst bigint"
+    )
+
+
+def test_degrees(spark):
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src bigint, dst bigint")
+    rows = {r["id"]: r for r in degrees(e).collect()}
+    assert rows[1]["out_degree"] == 2 and rows[1]["in_degree"] == 0
+    assert rows[3]["in_degree"] == 2 and rows[3]["degree"] == 2
+    assert rows[2]["degree"] == 2
+
+
+def test_symmetrize_drops_self_loops(two_component_graph):
+    und = symmetrize(two_component_graph)
+    pairs = {(r["src"], r["dst"]) for r in und.collect()}
+    assert (6, 6) not in pairs
+    assert (2, 1) in pairs and (1, 2) in pairs
+
+
+def test_connected_components(two_component_graph):
+    comp = {r["id"]: r["component"] for r in connected_components(two_component_graph).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert 6 not in comp  # self-loop-only vertex has no edges after closure
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # symmetric triangle: stationary distribution is uniform
+    e = symmetrize(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint")
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    for v in (1, 2, 3):
+        assert ranks[v] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_pagerank_mass_conserved(two_component_graph):
+    ranks = pagerank(symmetrize(two_component_graph), iterations=4).collect()
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_bfs_hops_chain(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint")
+    hops = {r["id"]: r["hops"] for r in bfs_hops(e, [1]).collect()}
+    assert hops == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_unreachable_absent(two_component_graph):
+    hops = {r["id"]: r["hops"] for r in bfs_hops(two_component_graph, [1]).collect()}
+    assert set(hops) == {1, 2, 3}  # component B never reached
+
+
+def test_triangle_count(spark):
+    # one triangle + one dangling edge
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src bigint, dst bigint"
+    )
+    assert triangle_count(e).first()["n_triangles"] == 1
+
+
+def test_triangle_count_k4(spark):
+    # K4 has 4 triangles
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    assert triangle_count(e).first()["n_triangles"] == 4
