@@ -1,0 +1,164 @@
+"""Nonparametric & parametric hypothesis tests (SURVEY.md §2.12).
+
+Reference: /root/reference src/stats/nonparametric.rs (Mann-Whitney
+:14, Kruskal-Wallis :201, KS two-sample :375), src/stats/mod.rs (anova
+:354), src/stats/hypothesis.rs. The reference ranks arrays in process
+memory; at scale that's the wrong shape. Every test here is computed
+from a **distinct-value histogram**: group by value, count per class,
+then one ordered pass over the histogram (≤ metric cardinality rows,
+not data rows) yields rank sums / CDFs. The heavy lifting — collapsing
+100 TB of rows into the histogram — is a single partial-aggregated
+shuffle; the test statistic itself is a handful of exact sums.
+
+Determinism: average ranks are exact multiples of 0.5 → summed as
+DECIMAL(32,1); counts/tie terms are BIGINT; the final statistic is a
+fixed double-arithmetic formula over those exact inputs, shared verbatim
+with the DuckDB oracle (functions/deterministic.py pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from pandrs_spark.functions.deterministic import dsum
+
+__all__ = [
+    "rank_histogram",
+    "mann_whitney_u",
+    "ks_2samp",
+    "kruskal_wallis",
+    "anova_oneway",
+]
+
+_DEC1 = DecimalType(32, 1)
+
+
+def rank_histogram(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Distinct-value histogram with average ranks.
+
+    Output: (value, grp, cnt_g, cnt, avg_rank) — ``avg_rank`` is the
+    pandas/scipy midrank shared by all rows with that value. The ordered
+    cumulative runs over distinct values only.
+    """
+    per_vg = df.groupBy(
+        F.col(value_col).alias("value"), F.col(group_col).alias("grp")
+    ).agg(F.count("*").alias("cnt_g"))
+    per_v = per_vg.groupBy("value").agg(F.sum("cnt_g").alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "avg_rank", (F.col("cum") - (F.col("cnt") - 1) / 2.0).cast(_DEC1)
+    )
+    return per_vg.join(ranked, "value")
+
+
+def _tie_term() -> F.Column:
+    """Σ (t³ − t) over tie groups, exact BIGINT."""
+    return F.sum(
+        F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+    ).alias("ties")
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, group_col: str, g1, g2
+) -> DataFrame:
+    """Mann-Whitney U with midranks and tie-corrected normal approx
+    (nonparametric.rs:14). Returns 1 row: n1, n2, u1, u2, z."""
+    two = df.filter(F.col(group_col).isin([g1, g2]))
+    hist = rank_histogram(two, value_col, group_col).persist()
+    stats = hist.agg(
+        F.sum(F.when(F.col("grp") == g1, F.col("cnt_g")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == g2, F.col("cnt_g")).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(
+                F.col("grp") == g1, F.col("avg_rank") * F.col("cnt_g")
+            ).otherwise(F.lit(0).cast(_DEC1))
+        )
+        .cast("double")
+        .alias("r1"),
+    )
+    ties = (
+        hist.groupBy("value")
+        .agg(F.first("cnt").alias("cnt"))
+        .agg(_tie_term())
+    )
+    return stats.crossJoin(ties).selectExpr(
+        "n1",
+        "n2",
+        "r1 - n1 * (n1 + 1) / 2 AS u1",
+        "n1 * n2 - (r1 - n1 * (n1 + 1) / 2) AS u2",
+        """(r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2) /
+           SQRT(n1 * n2 / 12.0 *
+                ((n1 + n2 + 1) - ties / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+           AS z""",
+    )
+
+
+def ks_2samp(df: DataFrame, value_col: str, group_col: str, g1, g2) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D (nonparametric.rs:375):
+    max |F1(x) − F2(x)| over the pooled support."""
+    two = df.filter(F.col(group_col).isin([g1, g2]))
+    per_v = two.groupBy(F.col(value_col).alias("value")).agg(
+        F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_v.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    totals = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return cdf.crossJoin(totals).agg(
+        F.max(
+            F.abs(
+                F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2")
+            )
+        ).alias("ks_d")
+    )
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Kruskal-Wallis H with tie correction (nonparametric.rs:201).
+    Returns 1 row: n, k, h (tie-corrected)."""
+    hist = rank_histogram(df, value_col, group_col).persist()
+    per_g = hist.groupBy("grp").agg(
+        F.sum("cnt_g").alias("n_g"),
+        F.sum(F.col("avg_rank") * F.col("cnt_g")).cast("double").alias("r_g"),
+    )
+    gstats = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("rr"),
+    )
+    ties = (
+        hist.groupBy("value").agg(F.first("cnt").alias("cnt")).agg(_tie_term())
+    )
+    return gstats.crossJoin(ties).selectExpr(
+        "n",
+        "k",
+        """(12.0 / (n * (n + 1.0)) * rr - 3.0 * (n + 1)) /
+           (1.0 - ties / (CAST(n AS DOUBLE) * n * n - n)) AS h""",
+    )
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F from exact per-group sufficient statistics
+    (src/stats/mod.rs:354). Returns 1 row: n, k, f_stat."""
+    per_g = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n_g"),
+        dsum(value_col, 2).alias("s_g"),
+        dsum(F.col(value_col) * F.col(value_col), 4).alias("ss_g"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sgg"),
+    )
+    return tot.selectExpr(
+        "n",
+        "k",
+        """((sgg - s * s / n) / (k - 1)) /
+           ((ss - sgg) / (n - k)) AS f_stat""",
+    )

@@ -34,3 +34,4 @@ def load_all() -> None:
     from pandrs_spark.queries import timeseries  # noqa: F401
     from pandrs_spark.queries import stats  # noqa: F401
     from pandrs_spark.queries import graph  # noqa: F401
+    from pandrs_spark.queries import hypothesis  # noqa: F401

@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from pandrs_spark.catalog import load_table as T
-from pandrs_spark.functions.deterministic import dsum, sql_dsum
-from pandrs_spark.operators.windows import expanding, rank_method
+from pandrs_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from pandrs_spark.operators.windows import ewm_mean, expanding, rank_method
 from pandrs_spark.queries import query
 
 
@@ -169,3 +169,50 @@ def q55(spark, sf_dir):
         .cast("double")
         .alias("rev_7d"),
     ).orderBy("day")
+
+
+# --- q70: exponentially-weighted mean (§2.5a EWM, window.rs:555-640) --------
+# EWM is recursive — the one §2.5 operator with no closed-form window
+# expression — so the Spark side is the documented applyInPandas path
+# (operators/windows.ewm_mean) and the oracle expands the adjust=True
+# definition y_t = Σ w_i x_{t-i} / Σ w_i as a bounded self-join over the
+# monthly aggregate (84 points/flag), identical math at histogram scale.
+@query(
+    "q70_ewm_monthly_qty",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag AS flag, date_trunc('month', l_shipdate) AS month,
+               {sql_davg('l_quantity')} AS qty
+        FROM lineitem GROUP BY flag, month
+    ),
+    idx AS (
+        SELECT flag, month, qty,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY month) AS i
+        FROM m
+    )
+    SELECT a.flag, a.month,
+           ROUND(SUM(b.qty * POWER(0.7, a.i - b.i)) /
+                 SUM(POWER(0.7, a.i - b.i)), 6) AS ewm_qty
+    FROM idx a JOIN idx b ON b.flag = a.flag AND b.i <= a.i
+    GROUP BY a.flag, a.month
+    ORDER BY a.flag, a.month
+    """,
+)
+def q70(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.date_trunc("month", "l_shipdate").alias("month"),
+    ).agg(davg("l_quantity").alias("qty"))
+    out = ewm_mean(
+        monthly,
+        value_col="qty",
+        order_by=["month"],
+        partition_by=["flag"],
+        alpha=0.3,
+        adjust=True,
+        out_col="ewm_raw",
+    )
+    return out.select(
+        "flag", "month", F.round("ewm_raw", 6).alias("ewm_qty")
+    ).orderBy("flag", "month")

@@ -1,0 +1,76 @@
+"""Hypothesis-test operators vs hand-computed (scipy-checkable) values."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandrs_spark.operators.hypothesis import (
+    anova_oneway,
+    kruskal_wallis,
+    ks_2samp,
+    mann_whitney_u,
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "value double, grp string")
+
+
+def test_mann_whitney_separated(spark):
+    df = _df(spark, [(1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "b"), (5.0, "b"), (6.0, "b")])
+    r = mann_whitney_u(df, "value", "grp", "a", "b").first()
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert r["u1"] == 0.0  # every a < every b
+    assert r["u2"] == 9.0
+
+
+def test_mann_whitney_with_ties(spark):
+    # scipy.stats.mannwhitneyu([1,1,2],[1,2,2]): U1 = 3.0
+    df = _df(spark, [(1.0, "a"), (1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"), (2.0, "b")])
+    r = mann_whitney_u(df, "value", "grp", "a", "b").first()
+    assert r["u1"] == pytest.approx(3.0)
+    assert r["u2"] == pytest.approx(6.0)
+
+
+def test_ks_identical_is_zero(spark):
+    df = _df(spark, [(v, g) for g in ("a", "b") for v in (1.0, 2.0, 3.0)])
+    assert ks_2samp(df, "value", "grp", "a", "b").first()["ks_d"] == 0.0
+
+
+def test_ks_disjoint_is_one(spark):
+    df = _df(spark, [(1.0, "a"), (2.0, "a"), (10.0, "b"), (11.0, "b")])
+    assert ks_2samp(df, "value", "grp", "a", "b").first()["ks_d"] == 1.0
+
+
+def test_kruskal_no_ties(spark):
+    # scipy.stats.kruskal([1,2,3],[4,5,6]) -> H = 3.857142857...
+    df = _df(spark, [(1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "b"), (5.0, "b"), (6.0, "b")])
+    r = kruskal_wallis(df, "value", "grp").first()
+    assert (r["n"], r["k"]) == (6, 2)
+    assert r["h"] == pytest.approx(3.857142857, abs=1e-6)
+
+
+def test_anova_known_f(spark):
+    # scipy.stats.f_oneway([1,2,3],[2,3,4]) -> F = 1.5
+    df = _df(spark, [(1.0, "a"), (2.0, "a"), (3.0, "a"), (2.0, "b"), (3.0, "b"), (4.0, "b")])
+    r = anova_oneway(df, "value", "grp").first()
+    assert r["f_stat"] == pytest.approx(1.5, abs=1e-9)
+
+
+def test_scipy_cross_check_if_available(spark):
+    scipy_stats = pytest.importorskip("scipy.stats")
+    vals_a = [1.2, 3.4, 2.2, 5.1, 4.4, 2.9]
+    vals_b = [2.1, 6.3, 4.9, 5.5, 7.2]
+    df = _df(spark, [(v, "a") for v in vals_a] + [(v, "b") for v in vals_b])
+    u = mann_whitney_u(df, "value", "grp", "a", "b").first()
+    ref = scipy_stats.mannwhitneyu(vals_a, vals_b, alternative="two-sided")
+    assert u["u1"] == pytest.approx(ref.statistic)
+    k = kruskal_wallis(df, "value", "grp").first()
+    refk = scipy_stats.kruskal(vals_a, vals_b)
+    assert k["h"] == pytest.approx(refk.statistic, abs=1e-9)
+    a = anova_oneway(df, "value", "grp").first()
+    refa = scipy_stats.f_oneway(vals_a, vals_b)
+    assert a["f_stat"] == pytest.approx(refa.statistic, abs=1e-6)
+    ks = ks_2samp(df, "value", "grp", "a", "b").first()
+    refks = scipy_stats.ks_2samp(vals_a, vals_b)
+    assert ks["ks_d"] == pytest.approx(refks.statistic, abs=1e-9)
