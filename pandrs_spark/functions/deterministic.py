@@ -6,12 +6,23 @@ that differ in the last ulps. The reference engine is single-threaded
 per aggregation and never faces this; a distributed engine must make
 determinism a design property, not an accident.
 
-Strategy: quantize each value to a fixed decimal scale, aggregate in
-exact decimal arithmetic (order-independent), and convert the exact
-decimal result to double at the end. The result is bit-identical
-across partitionings, engines (Spark vs DuckDB oracle), and cluster
-sizes — which is also exactly what you want for a 100 TB pipeline
-whose nightly output feeds a diff-based regression gate.
+Strategy: quantize each value to a fixed decimal scale as a scaled
+BIGINT — ``sign(x) * floor(abs(x) * 10^s + 0.5)`` (round half away
+from zero), pure IEEE-754 double ops that evaluate bit-identically on
+any engine — then aggregate the integers exactly (order-independent)
+and divide back at the end. The result is bit-identical across
+partitionings, engines (Spark vs DuckDB oracle), and cluster sizes —
+which is also exactly what you want for a 100 TB pipeline whose
+nightly output feeds a diff-based regression gate.
+
+Why not DECIMAL sums: Spark's decimal aggregation falls off the fast
+codegen path (measured ~6× slower than double sums on a cached 600k-row
+groupBy); scaled-long sums stay inside whole-stage codegen at native
+speed. Overflow envelope: the scaled sum must fit int64, i.e.
+Σ|x|·10^s < 9.2e18 — ~1e9 rows of 1e7-magnitude values at scale 2.
+Beyond that (full 100 TB global sums of large products), aggregate
+per-partition-key first (the normal shape) or raise to the decimal
+variant consciously.
 
 Derived statistics (variance, correlation, t-stats) are computed from
 these exact sums with a *shared formula string* evaluated by both
@@ -26,7 +37,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
 
 __all__ = [
     "dsum",
@@ -38,34 +48,32 @@ __all__ = [
     "CORR_FORMULA",
 ]
 
-# Precision 32 leaves >= 14 integral digits headroom over any test sum
-# while staying under Spark's decimal-38 cap after sum widening.
-_PRECISION = 32
-
-
 def _c(col: Column | str) -> Column:
     return col if isinstance(col, Column) else F.col(col)
 
 
+def _quantize(c: Column, scale: int) -> Column:
+    m = float(10**scale)
+    return (F.signum(c) * F.floor(F.abs(c) * m + F.lit(0.5))).cast("bigint")
+
+
 def dsum(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent SUM: round→decimal→exact sum→double."""
-    return (
-        F.sum(F.round(_c(col), scale).cast(DecimalType(_PRECISION, scale)))
-        .cast("double")
-    )
+    """Order-independent SUM: quantize→exact long sum→double."""
+    c = _c(col)
+    return (F.sum(_quantize(c, scale)) / float(10**scale)).cast("double")
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent mean: exact decimal sum / non-null count."""
+    """Order-independent mean: exact scaled sum / non-null count."""
     c = _c(col)
     return dsum(c, scale) / F.count(c)
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB/ANSI mirror of :func:`dsum` (same quantization)."""
-    return (
-        f"CAST(SUM(CAST(ROUND({expr}, {scale}) AS DECIMAL({_PRECISION}, {scale}))) AS DOUBLE)"
-    )
+    m = float(10**scale)
+    q = f"CAST(SIGN({expr}) * FLOOR(ABS({expr}) * {m} + 0.5) AS BIGINT)"
+    return f"(CAST(SUM({q}) AS DOUBLE) / {m})"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
