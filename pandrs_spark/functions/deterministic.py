@@ -41,8 +41,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "dsum",
     "davg",
+    "dsum_over",
     "sql_dsum",
     "sql_davg",
+    "sql_dsum_over",
+    "quantize",
+    "sql_quantize",
     "VAR_FORMULA",
     "STD_FORMULA",
     "CORR_FORMULA",
@@ -52,9 +56,36 @@ def _c(col: Column | str) -> Column:
     return col if isinstance(col, Column) else F.col(col)
 
 
-def _quantize(c: Column, scale: int) -> Column:
+def quantize(col: Column | str, scale: int = 2) -> Column:
+    """x → scaled BIGINT (round half away from zero), the exact unit of
+    every deterministic aggregate here."""
+    c = _c(col)
     m = float(10**scale)
     return (F.signum(c) * F.floor(F.abs(c) * m + F.lit(0.5))).cast("bigint")
+
+
+_quantize = quantize
+
+
+def sql_quantize(expr: str, scale: int = 2) -> str:
+    m = float(10**scale)
+    return f"CAST(SIGN({expr}) * FLOOR(ABS({expr}) * {m} + 0.5) AS BIGINT)"
+
+
+def dsum_over(col: Column | str, window, scale: int = 2) -> Column:
+    """Order-independent windowed SUM (same quantization as dsum)."""
+    return (F.sum(quantize(col, scale)).over(window) / float(10**scale)).cast(
+        "double"
+    )
+
+
+def sql_dsum_over(expr: str, window_sql: str, scale: int = 2) -> str:
+    """DuckDB mirror of :func:`dsum_over`; ``window_sql`` is the full
+    ``OVER (...)`` clause body or a named window reference."""
+    m = float(10**scale)
+    return (
+        f"(CAST(SUM({sql_quantize(expr, scale)}) OVER {window_sql} AS DOUBLE) / {m})"
+    )
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:

@@ -14,7 +14,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T
-from pandrs_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from pandrs_spark.functions.deterministic import (
+    davg,
+    dsum,
+    dsum_over,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_over,
+)
 from pandrs_spark.operators.joins import anti_join, merge, semi_join
 from pandrs_spark.queries import query
 
@@ -344,66 +351,56 @@ def q11(spark, sf_dir):
     ).orderBy("o_custkey", "o_orderkey")
 
 
-# --- q12: rolling mean over row frame (§2.5a) — deterministic decimal sum ---
+# --- q12: rolling mean over row frame (§2.5a) — deterministic scaled sum ----
 @query(
     "q12_rolling_avg_price",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(32, 2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-           / COUNT(o_totalprice)
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_avg_7
+           {sql_dsum_over('o_totalprice', 'w7')}
+           / COUNT(o_totalprice) OVER w7 AS rolling_avg_7
     FROM orders
+    WINDOW w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
     """,
 )
 def q12(spark, sf_dir):
-    from pyspark.sql.types import DecimalType
-
     orders = T(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-6, 0)
     )
-    rolling_sum = F.sum(
-        F.round(F.col("o_totalprice"), 2).cast(DecimalType(32, 2))
-    ).over(w).cast("double")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        (rolling_sum / F.count("o_totalprice").over(w)).alias("rolling_avg_7"),
+        (dsum_over("o_totalprice", w) / F.count("o_totalprice").over(w)).alias(
+            "rolling_avg_7"
+        ),
     ).orderBy("o_custkey", "o_orderkey")
 
 
 # --- q13: cumulative sum + cumcount (§2.5c) ---------------------------------
 @query(
     "q13_running_customer_spend",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(32, 2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+           {sql_dsum_over('o_totalprice', 'wc')} AS cum_spend,
            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
     FROM orders
+    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
     """,
 )
 def q13(spark, sf_dir):
-    from pyspark.sql.types import DecimalType
-
     orders = T(spark, sf_dir, "orders")
     ord_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w = ord_w.rowsBetween(Window.unboundedPreceding, 0)
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.round(F.col("o_totalprice"), 2).cast(DecimalType(32, 2)))
-        .over(w)
-        .cast("double")
-        .alias("cum_spend"),
+        dsum_over("o_totalprice", w).alias("cum_spend"),
         F.row_number().over(ord_w).alias("order_seq"),
     ).orderBy("o_custkey", "o_orderkey")
 
