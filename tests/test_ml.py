@@ -1,0 +1,98 @@
+"""ML preprocessing/modeling operators (SURVEY.md §2.13)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandrs_spark.operators.ml import (
+    equal_width_bins,
+    impute_mean,
+    kmeans_fit_predict,
+    minmax_scale,
+    one_hot,
+    pca_project,
+    polynomial_features,
+    quantile_bins,
+    simple_ols,
+    standard_scale,
+    train_test_split,
+)
+
+
+@pytest.fixture()
+def xy(spark):
+    rows = [(float(i), 2.0 * i + 1.0, "a" if i % 2 == 0 else "b") for i in range(10)]
+    return spark.createDataFrame(rows, "x double, y double, g string")
+
+
+def test_standard_scale_zero_mean_unit_var(spark, xy):
+    out = standard_scale(xy, ["x"]).agg(
+        F.round(F.avg("x_z"), 9).alias("mu"), F.round(F.stddev_samp("x_z"), 9).alias("sd")
+    ).first()
+    assert out["mu"] == 0.0 and out["sd"] == 1.0
+
+
+def test_minmax_scale_bounds(spark, xy):
+    out = minmax_scale(xy, ["x"]).agg(F.min("x_mm"), F.max("x_mm")).first()
+    assert (out[0], out[1]) == (0.0, 1.0)
+
+
+def test_impute_mean_fills_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
+    vals = sorted(r["v"] for r in impute_mean(df, ["v"]).collect())
+    assert vals == [1.0, 2.0, 3.0]
+
+
+def test_one_hot(spark, xy):
+    out = one_hot(xy, "g")
+    row = out.filter("g = 'a'").first()
+    assert row["g_a"] == 1 and row["g_b"] == 0
+    assert out.agg(F.sum("g_a") + F.sum("g_b")).first()[0] == 10
+
+
+def test_polynomial_features(spark, xy):
+    row = polynomial_features(xy, ["x", "y"], degree=2).filter("x = 2.0").first()
+    assert row["x_pow2"] == 4.0
+    assert row["x_x_y"] == 2.0 * row["y"]
+
+
+def test_equal_width_bins(spark, xy):
+    out = equal_width_bins(xy, "x", 3)
+    bins = {r["x"]: r["bin"] for r in out.collect()}
+    assert bins[0.0] == 0 and bins[9.0] == 2  # max folds into last bin
+    assert set(bins.values()) == {0, 1, 2}
+
+
+def test_quantile_bins_balanced(spark, xy):
+    out = quantile_bins(xy, "x", 5, tiebreak=["y"])
+    counts = out.groupBy("bin").count().collect()
+    assert all(r["count"] == 2 for r in counts) and len(counts) == 5
+
+
+def test_simple_ols_exact_line(spark, xy):
+    r = simple_ols(xy, y="y", x="x").first()
+    assert r["slope"] == pytest.approx(2.0, abs=1e-9)
+    assert r["intercept"] == pytest.approx(1.0, abs=1e-9)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_train_test_split_partitions_all_rows(spark, xy):
+    train, test = train_test_split(xy, test_frac=0.3, seed=7)
+    assert train.count() + test.count() == 10
+
+
+def test_kmeans_separated_clusters(spark):
+    pts = [([0.0, 0.0],), ([0.1, 0.0],), ([10.0, 10.0],), ([10.1, 10.0],)]
+    df = spark.createDataFrame(pts, "embedding array<float>")
+    out = kmeans_fit_predict(df, "embedding", k=2, seed=1)
+    groups = out.groupBy("cluster").count().collect()
+    assert sorted(r["count"] for r in groups) == [2, 2]
+
+
+def test_pca_projects_to_k_dims(spark):
+    pts = [([float(i), float(2 * i), 0.0],) for i in range(6)]
+    df = spark.createDataFrame(pts, "embedding array<float>")
+    out = pca_project(df, "embedding", k=2)
+    first = out.first()["pca"]
+    assert len(first) == 2
