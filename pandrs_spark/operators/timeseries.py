@@ -22,6 +22,9 @@ __all__ = [
     "ffill",
     "bfill",
     "interpolate_linear_cols",
+    "seasonal_decompose_additive",
+    "ses_fitted",
+    "holt_forecast",
 ]
 
 
@@ -110,3 +113,115 @@ def interpolate_linear_cols(
         .when(next_v.isNull(), prev_v)
         .otherwise(interp)
     )
+
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Additive seasonal decomposition (src/time_series/decomposition.rs:91):
+    value = trend + seasonal + resid.
+
+    Pure expressions — trend is a centered length-``period`` rolling
+    mean; seasonal is the phase-mean of the detrended series, centered
+    to sum ~0; resid is the leftover. Each step is a window/groupBy over
+    the (already small) series table, so a million independent series
+    (``partition_by`` = series id) decompose in parallel with no UDF.
+    Phase means use quantized sums so the result is engine-deterministic.
+    """
+    from pandrs_spark.functions.deterministic import davg, dsum_over
+
+    keys = list(partition_by)
+    half = period // 2
+    w_ord = Window.partitionBy(*keys).orderBy(ts_col)
+    w_center = w_ord.rowsBetween(-half, period - 1 - half)
+    # Quantized window sum: sliding-frame float aggregation differs
+    # between engines (add/retract vs recompute); integer sums don't.
+    out = df.withColumn("__n_win__", F.count(value_col).over(w_center)).withColumn(
+        "trend",
+        F.when(
+            F.col("__n_win__") == period,
+            dsum_over(value_col, w_center, 4) / period,
+        ),
+    )
+    out = out.withColumn(
+        "__phase__", (F.row_number().over(w_ord) - 1) % period
+    ).withColumn("__detr__", F.col(value_col) - F.col("trend"))
+    phase_means = out.groupBy(*keys, "__phase__").agg(
+        davg("__detr__", 6).alias("__phase_mean__")
+    )
+    grand = phase_means.groupBy(*keys).agg(
+        davg("__phase_mean__", 6).alias("__grand__")
+    )
+    out = out.join(phase_means, keys + ["__phase__"]).join(
+        grand, keys if keys else None, "cross" if not keys else "inner"
+    )
+    return (
+        out.withColumn("seasonal", F.col("__phase_mean__") - F.col("__grand__"))
+        .withColumn("resid", F.col(value_col) - F.col("trend") - F.col("seasonal"))
+        .drop("__n_win__", "__detr__", "__phase_mean__", "__grand__")
+        .withColumnRenamed("__phase__", "phase")
+    )
+
+
+def ses_fitted(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float,
+    out_col: str = "ses",
+) -> DataFrame:
+    """Simple exponential smoothing fitted values
+    (src/time_series/forecasting.rs:437): s_t = α·x_t + (1−α)·s_{t−1},
+    s_1 = x_1 — exactly pandas ``ewm(alpha, adjust=False).mean()``.
+    Recursive ⇒ applyInPandas per series (groups scale horizontally)."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", {out_col} double"
+    order_cols = list(order_by)
+
+    def _ses(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_ses, schema=schema)
+
+
+def holt_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float,
+    beta: float,
+    horizon: int = 1,
+    out_col: str = "holt_fc",
+) -> DataFrame:
+    """Holt's linear trend forecast (src/time_series/forecasting.rs:453):
+    level l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}); trend b_t =
+    β(l_t−l_{t−1}) + (1−β)b_{t−1}; forecast x̂_{t+h} = l_t + h·b_t.
+    Returns the input plus the h-step-ahead forecast made at each row."""
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", {out_col} double"
+    order_cols = list(order_by)
+
+    def _holt(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        fc = [float("nan")] * len(vals)
+        if len(vals) >= 2:
+            level, trend = vals[0], vals[1] - vals[0]
+            fc[0] = level + horizon * trend
+            for t in range(1, len(vals)):
+                prev_level = level
+                level = alpha * vals[t] + (1 - alpha) * (level + trend)
+                trend = beta * (level - prev_level) + (1 - beta) * trend
+                fc[t] = level + horizon * trend
+        pdf[out_col] = fc
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_holt, schema=schema)

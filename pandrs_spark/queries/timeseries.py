@@ -10,8 +10,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from pandrs_spark.catalog import load_table as T
-from pandrs_spark.functions.deterministic import dsum, sql_dsum
-from pandrs_spark.operators.timeseries import bfill, ffill, interpolate_linear_cols
+from pandrs_spark.functions.deterministic import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_over,
+)
+from pandrs_spark.operators.timeseries import (
+    bfill,
+    ffill,
+    holt_forecast,
+    interpolate_linear_cols,
+    seasonal_decompose_additive,
+    ses_fitted,
+)
 from pandrs_spark.operators.windows import diff, pct_change, shift
 from pandrs_spark.queries import query
 
@@ -282,3 +295,103 @@ def q50(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --- q80: additive seasonal decomposition, weekly period (§2.11,
+# src/time_series/decomposition.rs:91) ---------------------------------------
+@query(
+    "q80_weekly_decomposition",
+    oracle=_DAILY
+    + f"""
+    , trended AS (
+        SELECT day, rev,
+               CASE WHEN COUNT(rev) OVER wc = 7
+                    THEN {sql_dsum_over('rev', 'wc', 4)} / 7 END AS trend,
+               (ROW_NUMBER() OVER (ORDER BY day) - 1) % 7 AS phase
+        FROM daily
+        WINDOW wc AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    phase_means AS (
+        SELECT phase, {sql_davg('rev - trend', 6)} AS pm
+        FROM trended GROUP BY phase
+    ),
+    grand AS (SELECT {sql_davg('pm', 6)} AS g FROM phase_means)
+    SELECT t.day, t.rev,
+           ROUND(t.trend, 6) AS trend,
+           ROUND(p.pm - g.g, 6) AS seasonal,
+           ROUND(t.rev - t.trend - (p.pm - g.g), 6) AS resid
+    FROM trended t JOIN phase_means p USING (phase) CROSS JOIN grand g
+    ORDER BY t.day
+    """,
+)
+def q80(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    dec = seasonal_decompose_additive(daily, "day", "rev", period=7)
+    return dec.select(
+        "day",
+        "rev",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+    ).orderBy("day")
+
+
+# --- q81: simple exponential smoothing fitted values (§2.11,
+# src/time_series/forecasting.rs:437) ----------------------------------------
+# SES recursion s_t = a*x_t + (1-a)*s_{t-1}, s_1 = x_1 has the closed
+# form s_t = (1-a)^(t-1)*x_1 + a*sum_{i=2..t}(1-a)^(t-i)*x_i, which the
+# oracle evaluates as a bounded self-join over the monthly aggregate.
+@query(
+    "q81_ses_monthly_revenue",
+    oracle=_MONTHLY
+    + """
+    , idx AS (
+        SELECT month, revenue,
+               ROW_NUMBER() OVER (ORDER BY month) AS i
+        FROM monthly
+    )
+    SELECT a.month, a.revenue,
+           ROUND(SUM(CASE WHEN b.i = 1 THEN POWER(0.8, a.i - 1) * b.revenue
+                          ELSE 0.2 * POWER(0.8, a.i - b.i) * b.revenue END), 6) AS ses
+    FROM idx a JOIN idx b ON b.i <= a.i
+    GROUP BY a.month, a.revenue
+    ORDER BY a.month
+    """,
+)
+def q81(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    out = ses_fitted(
+        monthly, "revenue", order_by=["month"], partition_by=[], alpha=0.2
+    )
+    return out.select(
+        "month", "revenue", F.round("ses", 6).alias("ses")
+    ).orderBy("month")
+
+
+# --- q82: Holt linear-trend one-step forecast (§2.11,
+# src/time_series/forecasting.rs:453) — recursive in two states, no SQL
+# closed form ⇒ rows-only check; parity pinned by tests/test_timeseries. -----
+@query("q82_holt_forecast_monthly")
+def q82(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    out = holt_forecast(
+        monthly,
+        "revenue",
+        order_by=["month"],
+        partition_by=[],
+        alpha=0.5,
+        beta=0.3,
+        horizon=1,
+    )
+    return out.select(
+        "month", "revenue", F.round("holt_fc", 4).alias("holt_fc")
+    ).orderBy("month")

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -68,3 +70,83 @@ def test_interpolate_linear(spark):
     )
     # leading null -> bfill(10); interior 3,4 -> 20, 30; trailing -> ffill(40)
     assert [r.x for r in out] == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
+
+
+# --- decomposition / forecasting (§2.11) ------------------------------------
+def test_seasonal_decompose_reconstructs(spark):
+    from pandrs_spark.operators.timeseries import seasonal_decompose_additive
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # value = 10*phase + linear trend: clean weekly seasonality
+    rows = [
+        (base + datetime.timedelta(days=i), float(10 * (i % 7) + i))
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    dec = seasonal_decompose_additive(df, "ts", "v", period=7).orderBy("ts").collect()
+    mid = [r for r in dec if r["trend"] is not None]
+    assert len(mid) == 28 - 6  # centered window drops 3 rows each end
+    for r in mid:
+        assert r["v"] == pytest.approx(r["trend"] + r["seasonal"] + r["resid"], abs=1e-6)
+    # seasonal should be (close to) identical across weeks for same phase
+    by_phase = {}
+    for r in mid:
+        by_phase.setdefault(r["phase"], set()).add(round(r["seasonal"], 6))
+    assert all(len(v) == 1 for v in by_phase.values())
+
+
+def test_ses_matches_pandas(spark):
+    import pandas as pd
+    from pandrs_spark.operators.timeseries import ses_fitted
+
+    vals = [3.0, 5.0, 4.0, 8.0, 6.0, 7.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i bigint, v double"
+    )
+    out = (
+        ses_fitted(df, "v", order_by=["i"], partition_by=[], alpha=0.4)
+        .orderBy("i")
+        .collect()
+    )
+    ref = pd.Series(vals).ewm(alpha=0.4, adjust=False).mean().tolist()
+    for r, e in zip(out, ref):
+        assert r["ses"] == pytest.approx(e, abs=1e-12)
+
+
+def test_holt_forecast_hand_recursion(spark):
+    from pandrs_spark.operators.timeseries import holt_forecast
+
+    vals = [10.0, 12.0, 13.0, 17.0]
+    alpha, beta = 0.5, 0.3
+    level, trend = vals[0], vals[1] - vals[0]
+    expect = [level + trend]
+    for t in range(1, len(vals)):
+        prev = level
+        level = alpha * vals[t] + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1 - beta) * trend
+        expect.append(level + trend)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i bigint, v double"
+    )
+    out = (
+        holt_forecast(df, "v", order_by=["i"], partition_by=[], alpha=alpha, beta=beta)
+        .orderBy("i")
+        .collect()
+    )
+    for r, e in zip(out, expect):
+        assert r["holt_fc"] == pytest.approx(e, abs=1e-12)
+
+
+def test_holt_per_group_independent(spark):
+    from pandrs_spark.operators.timeseries import holt_forecast
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0), ("b", 0, 10.0), ("b", 1, 8.0), ("b", 2, 6.0)],
+        "g string, i bigint, v double",
+    )
+    out = holt_forecast(df, "v", order_by=["i"], partition_by=["g"], alpha=0.5, beta=0.5)
+    rows = {(r["g"], r["i"]): r["holt_fc"] for r in out.collect()}
+    # linear series forecast exactly continues the line
+    assert rows[("a", 2)] == pytest.approx(4.0, abs=1e-9)
+    assert rows[("b", 2)] == pytest.approx(4.0, abs=1e-9)
