@@ -395,3 +395,207 @@ def q82(spark, sf_dir):
     return out.select(
         "month", "revenue", F.round("holt_fc", 4).alias("holt_fc")
     ).orderBy("month")
+
+
+# --- q83: ADF stationarity test, no-constant variant (§2.11,
+# src/time_series/analysis.rs:597) -------------------------------------------
+# Regress Δy_t on y_{t-1}; the t-statistic of the slope is the ADF stat.
+# Everything reduces to three exact sums over the lagged daily series.
+_ADF_LAGGED = _DAILY + """
+    , lagged AS (
+        SELECT rev - LAG(rev) OVER (ORDER BY day) AS dy,
+               LAG(rev) OVER (ORDER BY day) AS ylag
+        FROM daily
+    ),
+    pairs AS (SELECT dy, ylag FROM lagged WHERE ylag IS NOT NULL)
+"""
+
+
+@query(
+    "q83_adf_stationarity",
+    oracle=_ADF_LAGGED
+    + """
+    , sums AS (
+        SELECT COUNT(*) AS n,
+               (CAST(SUM(CAST(SIGN(ylag * dy) * FLOOR(ABS(ylag * dy) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS sxy,
+               (CAST(SUM(CAST(SIGN(ylag * ylag) * FLOOR(ABS(ylag * ylag) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS sxx,
+               (CAST(SUM(CAST(SIGN(dy * dy) * FLOOR(ABS(dy * dy) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS syy
+        FROM pairs
+    )
+    SELECT n,
+           ROUND(sxy / sxx, 8) AS phi,
+           ROUND((sxy / sxx) / SQRT(((syy - sxy * sxy / sxx) / (n - 1)) / sxx), 6) AS adf_t
+    FROM sums
+    """,
+)
+def q83(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        (F.col("rev") - F.lag("rev").over(w)).alias("dy"),
+        F.lag("rev").over(w).alias("ylag"),
+    ).filter(F.col("ylag").isNotNull())
+    sums = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("ylag") * F.col("dy"), 0).alias("sxy"),
+        dsum(F.col("ylag") * F.col("ylag"), 0).alias("sxx"),
+        dsum(F.col("dy") * F.col("dy"), 0).alias("syy"),
+    )
+    return sums.selectExpr(
+        "n",
+        "ROUND(sxy / sxx, 8) AS phi",
+        "ROUND((sxy / sxx) / SQRT(((syy - sxy * sxy / sxx) / (n - 1)) / sxx), 6) AS adf_t",
+    )
+
+
+# --- q84: CUSUM change-point scan (§2.11, analysis.rs:986) ------------------
+@query(
+    "q84_cusum_changepoint",
+    oracle=_DAILY
+    + f"""
+    , stats AS (SELECT {sql_davg('rev')} AS mu FROM daily),
+    cusum AS (
+        SELECT day,
+               {sql_dsum_over('rev - (SELECT mu FROM stats)', '(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 4)} AS s
+        FROM daily
+    )
+    SELECT day AS changepoint_day, ROUND(ABS(s), 4) AS max_abs_cusum
+    FROM cusum
+    ORDER BY ABS(s) DESC, day
+    LIMIT 1
+    """,
+)
+def q84(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum_over
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    mu = daily.agg(davg("rev").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(mu)).select(
+        "day", dsum_over(F.col("rev") - F.col("mu"), w, 4).alias("s")
+    )
+    return (
+        cusum.select(
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs("s"), 4).alias("max_abs_cusum"),
+        )
+        .orderBy(F.desc(F.abs("s")), "changepoint_day")
+        .limit(1)
+    )
+
+
+# --- q85: runs test around the mean (§2.12, nonparametric.rs:459) -----------
+@query(
+    "q85_runs_test",
+    oracle=_DAILY
+    + f"""
+    , stats AS (SELECT {sql_davg('rev')} AS mu FROM daily),
+    signed AS (
+        SELECT day, CASE WHEN rev >= (SELECT mu FROM stats) THEN 1 ELSE 0 END AS above
+        FROM daily
+    ),
+    runs AS (
+        SELECT above,
+               CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                         OR above <> LAG(above) OVER (ORDER BY day)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signed
+    ),
+    agg AS (
+        SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+               CAST(SUM(above) AS BIGINT) AS n1,
+               CAST(SUM(1 - above) AS BIGINT) AS n2
+        FROM runs
+    )
+    SELECT n_runs, n1, n2,
+           ROUND((n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1)) /
+                 SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+                      (POWER(CAST(n1 + n2 AS DOUBLE), 2) * (n1 + n2 - 1))), 6) AS z
+    FROM agg
+    """,
+)
+def q85(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    mu = daily.agg(davg("rev").alias("mu"))
+    w = Window.orderBy("day")
+    signed = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") >= F.col("mu")).cast("int").alias("above")
+    )
+    runs = signed.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.col("above") != F.lag("above").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("n_runs"),
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+    )
+    return agg.selectExpr(
+        "n_runs",
+        "n1",
+        "n2",
+        """ROUND((n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1)) /
+           SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+                (POWER(CAST(n1 + n2 AS DOUBLE), 2) * (n1 + n2 - 1))), 6) AS z""",
+    )
+
+
+# --- q86: business-day calendar arithmetic (§2.9,
+# src/series/datetime_accessor.rs:367,518) -----------------------------------
+@query(
+    "q86_business_days_by_month",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS month FROM orders
+    ),
+    days AS (
+        SELECT month, UNNEST(generate_series(month, month + INTERVAL 1 MONTH - INTERVAL 1 DAY, INTERVAL 1 DAY)) AS d
+        FROM months
+    )
+    SELECT month,
+           CAST(COUNT(CASE WHEN dayofweek(d) NOT IN (0, 6) THEN 1 END) AS BIGINT) AS business_days,
+           CAST(COUNT(*) AS BIGINT) AS calendar_days
+    FROM days GROUP BY month ORDER BY month
+    """,
+)
+def q86(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    months = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).distinct()
+    days = months.select(
+        "month",
+        F.explode(
+            F.sequence(
+                F.col("month").cast("date"),
+                F.last_day(F.col("month")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d"),
+    )
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6=Saturday
+    return (
+        days.groupBy("month")
+        .agg(
+            F.sum(
+                (~F.dayofweek("d").isin([1, 7])).cast("int")
+            ).alias("business_days"),
+            F.count(F.lit(1)).alias("calendar_days"),
+        )
+        .orderBy("month")
+    )

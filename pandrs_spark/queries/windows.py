@@ -216,3 +216,51 @@ def q70(spark, sf_dir):
     return out.select(
         "flag", "month", F.round("ewm_raw", 6).alias("ewm_qty")
     ).orderBy("flag", "month")
+
+
+# --- q87: rolling_apply with a custom Python function (§2.5a rolling_apply
+# compat :2068, §2.15 pandas-UDF surface) ------------------------------------
+# Custom rolling geometric mean via applyInPandas; the oracle expresses
+# the same math as EXP(AVG(LN(x))) over the window frame. Demonstrates
+# the escape hatch for window functions Spark lacks, while the oracle
+# proves the chosen example is exactly recoverable in SQL.
+@query(
+    "q87_rolling_apply_geomean",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS day, AVG(l_quantity) AS qty
+        FROM lineitem GROUP BY day
+    )
+    SELECT day,
+           ROUND(CASE WHEN COUNT(qty) OVER w = 7 THEN EXP(AVG(LN(qty)) OVER w) END, 6) AS geo7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q87(spark, sf_dir):
+    import numpy as np
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        F.avg("l_quantity").alias("qty")
+    )
+
+    def _roll(pdf):
+        pdf = pdf.sort_values("day", kind="mergesort")
+        pdf["geo7"] = (
+            pdf["qty"]
+            .rolling(7, min_periods=7)
+            .apply(lambda a: float(np.exp(np.mean(np.log(a)))), raw=True)
+            .round(6)
+        )
+        return pdf
+
+    out = (
+        daily.withColumn("__g__", F.lit(1))
+        .groupBy("__g__")
+        .applyInPandas(
+            _roll, schema="day timestamp, qty double, geo7 double, __g__ int"
+        )
+    )
+    return out.select("day", "geo7").orderBy("day")
