@@ -373,3 +373,54 @@ def q35(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --- q88: LSH-bucketed approximate NN + recall vs brute force ---------------
+# The scale path for §beyond similarity search: multi-table hyperplane
+# LSH turns the O(n·m) cross join into n_tables bucket equi-joins.
+# Rows-only (seeded random planes are not practical to mirror in SQL);
+# the query itself measures recall@5 against the exact answer so the
+# approximation quality is part of the checked output surface.
+@query("q88_ann_lsh_recall")
+def q88(spark, sf_dir):
+    from pandrs_spark.operators.similarity import ann_lsh_topk, cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    # (n_tables, n_planes) trades candidate-set size against recall:
+    # 4 planes = 16 coarse buckets/table suits this 500-vector corpus
+    # (recall@5 ≈ 0.9); a 1B-vector corpus would raise n_planes so each
+    # bucket stays task-sized and recall is bought with n_tables.
+    approx = ann_lsh_topk(emb, queries, k=5, n_tables=16, n_planes=4, dim=64)
+    # exact top-5 for the same query set (small side broadcast)
+    q = queries.select(
+        F.col("vec_id").alias("id_q"), F.col("embedding").cast("array<double>").alias("vq")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id_c"), F.col("embedding").cast("array<double>").alias("vc")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("id_q") != F.col("id_c"))
+        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("sim"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc(F.round("sim", 6)), "id_c")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("id_q", F.col("id_c").alias("nn_id"))
+    )
+    hits = exact.join(
+        approx.select("id_q", "nn_id").withColumn("hit", F.lit(1)),
+        ["id_q", "nn_id"],
+        "left",
+    )
+    per_query = hits.groupBy("id_q").agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("recall5")
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall5"), 4).alias("mean_recall_at_5"),
+    )

@@ -40,3 +40,33 @@ def test_nearest_neighbors_labels(spark):
     assert nn[0] == 1 and nn[1] == 0
     assert nn[3] in (0, 1, 2)  # 45 degrees from both axes; tie broken by id -> 0
     assert nn[3] == 0
+
+
+# --- LSH-bucketed ANN (scale path) ------------------------------------------
+def test_ann_lsh_finds_exact_duplicates(spark):
+    from pandrs_spark.operators.similarity import ann_lsh_topk
+
+    # corpus with a planted near-duplicate pair: LSH must surface it
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8).astype(float)
+    vecs[7] = vecs[3] + 1e-6  # near-identical to vec 3
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = ann_lsh_topk(
+        df, df.filter("vec_id = 7"), k=1, n_tables=8, n_planes=3, dim=8
+    ).collect()
+    assert out[0]["nn_id"] == 3
+    assert out[0]["sim"] >= 0.999
+
+
+def test_ann_lsh_deterministic_across_runs(spark):
+    from pandrs_spark.operators.similarity import ann_lsh_topk
+    from pandrs_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 5")
+    a = ann_lsh_topk(emb, q, k=3, n_tables=6, n_planes=4, dim=64).collect()
+    b = ann_lsh_topk(emb, q, k=3, n_tables=6, n_planes=4, dim=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
