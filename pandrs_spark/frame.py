@@ -404,6 +404,72 @@ class Frame:
             **{out or f"{col}_roll": _rolling(col, window, w, agg, min_periods)}
         )
 
+    # -- combine/update/align (§2.2 compat :3110,:3160,:2216) ----------------
+    def update(self, other: "Frame | DataFrame", on: Sequence[str]) -> "Frame":
+        """pandas ``update``: non-NULL values from ``other`` overwrite
+        matching rows/columns of self (left join on ``on``)."""
+        odf = other.spark if isinstance(other, Frame) else other
+        keys = list(on)
+        overlap = [c for c in self.columns if c in odf.columns and c not in keys]
+        renamed = odf.select(
+            *keys, *[F.col(c).alias(f"__upd_{c}") for c in overlap]
+        )
+        out = self.spark.join(renamed, keys, "left")
+        for c in overlap:
+            out = out.withColumn(c, F.coalesce(F.col(f"__upd_{c}"), F.col(c)))
+        return self._wrap(out.drop(*[f"__upd_{c}" for c in overlap]))
+
+    def combine_first(self, other: "Frame | DataFrame", on: Sequence[str]) -> "Frame":
+        """pandas ``combine_first``: self's values win, other fills the
+        gaps (NULL cells and missing rows) — full outer join + coalesce."""
+        odf = other.spark if isinstance(other, Frame) else other
+        keys = list(on)
+        overlap = [c for c in self.columns if c in odf.columns and c not in keys]
+        extra = [c for c in odf.columns if c not in self.columns]
+        renamed = odf.select(
+            *keys, *[F.col(c).alias(f"__oth_{c}") for c in overlap], *extra
+        )
+        out = self.spark.join(renamed, keys, "outer")
+        for c in overlap:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__oth_{c}")))
+        keep = [c for c in self.columns] + extra
+        return Frame(out.select(*[c for c in keep if c != self._order]))
+
+    # -- reshape extras (§2.8) -----------------------------------------------
+    def transpose(self) -> "Frame":
+        """Whole-frame transpose — inherently driver-side (compat :258);
+        guard with a small-frame expectation, as the reference does."""
+        pdf = self._df.drop(self._order).toPandas().T.reset_index()
+        pdf.columns = ["column"] + [f"row_{i}" for i in range(len(pdf.columns) - 1)]
+        spark = self._df.sparkSession
+        return Frame(spark.createDataFrame(pdf.astype(str)))
+
+    def interpolate(
+        self, cols: Sequence[str], partition_by: Sequence[str] = ()
+    ) -> "Frame":
+        """Linear interpolation of interior NULL runs (compat :870)."""
+        from pandrs_spark.operators.timeseries import interpolate_linear_cols
+
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        out = self._df.withColumn("__rn__", F.row_number().over(w))
+        for c in cols:
+            out = out.withColumn(
+                c, interpolate_linear_cols(c, F.col("__rn__"), w)
+            )
+        return self._wrap(out.drop("__rn__"))
+
+    def cut(self, col: str, n_bins: int, out: str = "bin") -> "Frame":
+        from pandrs_spark.operators.ml import equal_width_bins
+
+        return self._wrap(equal_width_bins(self._df, col, n_bins, out))
+
+    def qcut(self, col: str, n_bins: int, out: str = "bin") -> "Frame":
+        from pandrs_spark.operators.ml import quantile_bins
+
+        return self._wrap(
+            quantile_bins(self._df, col, n_bins, out, tiebreak=[self._order])
+        )
+
     # -- SQL (§3.3) ----------------------------------------------------------
     def register(self, name: str) -> "Frame":
         self.spark.createOrReplaceTempView(name)
@@ -551,3 +617,16 @@ def concat(frames: Sequence[Frame], ignore_index: bool = True) -> Frame:
     for f in frames[1:]:
         out = out.unionByName(f.spark, allowMissingColumns=True)
     return Frame(out)
+
+
+def concat_columns(frames: Sequence[Frame]) -> Frame:
+    """Column concat, pandas concat(axis=1) (compat concat.rs:11):
+    positional alignment via each frame's row order. Positional
+    alignment requires a total order — an anti-pattern for huge frames
+    (prefer a real key join); provided for API parity."""
+    out = None
+    for i, f in enumerate(frames):
+        w = Window.orderBy(f._order)
+        numbered = f._df.withColumn("__pos__", F.row_number().over(w)).drop(f._order)
+        out = numbered if out is None else out.join(numbered, "__pos__", "outer")
+    return Frame(out.drop("__pos__"))

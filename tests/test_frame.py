@@ -168,3 +168,66 @@ def test_sample_deterministic(frame):
     a = frame.sample(0.5, seed=1).count()
     b = frame.sample(0.5, seed=1).count()
     assert a == b
+
+
+# --- update/combine/align, transpose, concat axis=1, cut/qcut ---------------
+def test_update_overwrites_non_null(spark):
+    from pandrs_spark.frame import Frame
+
+    base = Frame(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id bigint, s string, v double"
+    ))
+    upd = spark.createDataFrame([(2, None, 99.0), (3, "C", None)], "id bigint, s string, v double")
+    out = {r["id"]: r for r in base.update(upd, on=["id"]).spark.collect()}
+    assert out[2]["v"] == 99.0 and out[2]["s"] == "b"  # NULL does not overwrite
+    assert out[3]["s"] == "C" and out[3]["v"] == 30.0
+    assert out[1]["v"] == 10.0
+
+
+def test_combine_first_fills_and_extends(spark):
+    from pandrs_spark.frame import Frame
+
+    a = Frame(spark.createDataFrame([(1, None), (2, 20.0)], "id bigint, v double"))
+    b = spark.createDataFrame([(1, 11.0), (3, 33.0)], "id bigint, v double")
+    rows = {r["id"]: r["v"] for r in a.combine_first(b, on=["id"]).spark.collect()}
+    assert rows == {1: 11.0, 2: 20.0, 3: 33.0}
+
+
+def test_transpose_small(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(spark.createDataFrame([(1, 2)], "a bigint, b bigint"))
+    t = f.transpose().spark.collect()
+    assert {r["column"] for r in t} == {"a", "b"}
+
+
+def test_concat_columns_positional(spark):
+    from pandrs_spark.frame import Frame, concat_columns
+
+    a = Frame(spark.createDataFrame([(1,), (2,)], "x bigint"))
+    b = Frame(spark.createDataFrame([(10,), (20,)], "y bigint"))
+    rows = sorted(
+        (r["x"], r["y"]) for r in concat_columns([a, b]).spark.collect()
+    )
+    assert rows == [(1, 10), (2, 20)]
+
+
+def test_cut_qcut_accessors(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(spark.createDataFrame([(float(i),) for i in range(8)], "v double"))
+    cut = f.cut("v", 4, out="b").spark
+    assert cut.agg(F.countDistinct("b")).first()[0] == 4
+    q = f.qcut("v", 2, out="b").spark
+    counts = sorted(r["count"] for r in q.groupBy("b").count().collect())
+    assert counts == [4, 4]
+
+
+def test_interpolate_accessor(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "i bigint, v double"
+    ))
+    vals = {r["i"]: r["v"] for r in f.interpolate(["v"]).spark.collect()}
+    assert vals[2] == pytest.approx(2.0)
