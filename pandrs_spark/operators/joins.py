@@ -157,3 +157,32 @@ def asof_join(
         )
     )
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the big (left) side, replicate the
+    small (right) side.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; this is the explicit fallback for the pathological key that
+    AQE can't split finer (one key >> one task) or for non-AQE engines.
+    ``salt_from`` is a left-side column whose hash spreads the hot key's
+    rows across ``n_salts`` sub-partitions; the right side is replicated
+    ``n_salts`` times, so every (key, salt) pair still finds its match.
+    Join output is row-identical to the unsalted join.
+    """
+    keys = _as_list(on)
+    salted_left = left.withColumn(
+        "__salt__", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salts))
+    )
+    salted_right = right.withColumn(
+        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_left.join(salted_right, keys + ["__salt__"], how).drop("__salt__")

@@ -111,3 +111,74 @@ def count_window_foreach_batch(
         agg_fn(bucketed)
 
     return df.writeStream.foreachBatch(_handle)
+
+
+def count_window_stateful(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    size: int,
+    out_schema: str | None = None,
+):
+    """Count-based windows via arbitrary stateful processing
+    (reference WindowType::Count, src/streaming/window.rs:44).
+
+    Spark has no built-in count window; this is the
+    ``applyInPandasWithState`` path (SURVEY §2.10): per key, buffer
+    values in state and emit one row per completed window of ``size``
+    elements. State is the (possibly partial) trailing buffer — O(size)
+    per key, so a million keys stream in bounded memory; contrast with
+    the foreachBatch variant (:func:`count_window_foreach_batch`) which
+    re-windows whole micro-batches and cannot carry partial windows
+    across batches.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    output_type = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("window_id", LongType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("emitted", LongType()),
+            StructField("buffer", StringType()),  # csv of pending values
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            emitted, buffer = state.get
+            pending = [float(x) for x in buffer.split(",") if x]
+        else:
+            emitted, pending = 0, []
+        for pdf in pdfs:
+            pending.extend(float(v) for v in pdf[value_col])
+        out = []
+        while len(pending) >= size:
+            chunk, pending = pending[:size], pending[size:]
+            out.append((key[0], emitted, size, sum(chunk)))
+            emitted += 1
+        state.update((emitted, ",".join(str(v) for v in pending)))
+        if out:
+            yield pd.DataFrame(out, columns=["key", "window_id", "n", "total"])
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=output_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

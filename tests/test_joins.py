@@ -103,3 +103,29 @@ def test_broadcast_merge_same_result(spark):
     plain = merge(_left(spark), _right(spark), on="id", how="inner")
     bcast = merge(_left(spark), _right(spark), on="id", how="inner", broadcast_right=True)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bcast.collect()))
+
+
+# --- salted skew join (§2.3 scale path) -------------------------------------
+def test_salted_join_matches_plain_join(spark):
+    from pandrs_spark.operators.joins import salted_join
+
+    # skewed left: 90% of rows share key 1
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(200)], "k bigint, row_id bigint"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], "k bigint, label string")
+    plain = {(r["row_id"], r["label"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["row_id"], r["label"])
+        for r in salted_join(left, right, "k", salt_from="row_id", n_salts=4).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_left_outer(spark):
+    from pandrs_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, 10), (9, 90)], "k bigint, v bigint")
+    right = spark.createDataFrame([(1, "x")], "k bigint, s string")
+    rows = {r["k"]: r["s"] for r in salted_join(left, right, "k", salt_from="v", how="left").collect()}
+    assert rows == {1: "x", 9: None}

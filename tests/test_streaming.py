@@ -83,3 +83,22 @@ def test_session_stream(spark, stream_dir):
     assert len(a_sessions) == 2
     ns = sorted(r.n for r in a_sessions)
     assert ns == [1, 2]
+
+
+# --- stateful count windows (applyInPandasWithState, §2.10) -----------------
+def test_count_window_stateful(spark, stream_dir):
+    from pandrs_spark.streaming.windows import count_window_stateful, stream_to_memory
+
+    src = stream_from_directory(spark, f"{stream_dir}/batch1", SCHEMA)
+    out = count_window_stateful(src, "key", "v", size=2)
+    q = stream_to_memory(out, "t_count_state", output_mode="append")
+    q.awaitTermination(120)
+    rows = {
+        (r["key"], r["window_id"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM t_count_state").collect()
+    }
+    # key a has values 1,3,4 -> one full window of 2 (1+3); 4 stays buffered
+    assert rows[("a", 0)] == (2, 4.0)
+    # key b has 2,5 -> one full window
+    assert rows[("b", 0)] == (2, 7.0)
+    assert len(rows) == 2
