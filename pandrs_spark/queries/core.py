@@ -769,3 +769,80 @@ def q25(spark, sf_dir):
         .withColumnRenamed("O", "status_o")
         .orderBy("l_returnflag")
     )
+
+
+# --- q89: idxmax/idxmin — key of the extreme row per group (§2.4,
+# compat :175,:184,:3721) ----------------------------------------------------
+# Ties broken by smallest key so both engines agree deterministically.
+@query(
+    "q89_idxmax_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(CASE WHEN l_extendedprice = mx THEN l_orderkey END) AS idxmax_key,
+           MIN(CASE WHEN l_extendedprice = mn THEN l_orderkey END) AS idxmin_key,
+           MAX(mx) AS max_price, MAX(mn) AS min_price
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_extendedprice,
+               MAX(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx,
+               MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn
+        FROM lineitem
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q89(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    annotated = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_extendedprice",
+        F.max("l_extendedprice").over(w).alias("mx"),
+        F.min("l_extendedprice").over(w).alias("mn"),
+    )
+    return (
+        annotated.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("l_extendedprice") == F.col("mx"), F.col("l_orderkey"))
+            ).alias("idxmax_key"),
+            F.min(
+                F.when(F.col("l_extendedprice") == F.col("mn"), F.col("l_orderkey"))
+            ).alias("idxmin_key"),
+            F.max("mx").alias("max_price"),
+            F.max("mn").alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q90: cube with grouping ids — the §2.4 "absent in reference, free in
+# Spark" multi-level aggregation (hierarchical_groupby.rs re-expressed) ------
+@query(
+    "q90_cube_qty",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def q90(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
