@@ -51,13 +51,32 @@ def rolling(
     w: WindowSpec,
     agg: str = "avg",
     min_periods: int | None = None,
+    center: bool = False,
+    closed: str = "right",
 ) -> Column:
-    """Rolling aggregate over the trailing ``window`` rows.
+    """Rolling aggregate over ``window`` rows (pandas Rolling parity,
+    src/series/window.rs:12,111-140).
 
-    min_periods semantics (pandas): result is NULL until at least
-    ``min_periods`` non-null observations are in the frame.
+    min_periods (pandas): NULL until at least that many non-null
+    observations are in the frame. ``center=True`` shifts the frame so
+    the label row sits in the middle. ``closed`` ('right'|'left'|
+    'both'|'neither') trims the frame boundary rows the way pandas'
+    WindowClosed does (src/series/window.rs:49).
     """
-    frame = w.rowsBetween(-(window - 1), 0)
+    if center:
+        # pandas: label at the window center; offset = (n-1)//2, so the
+        # frame is [i-n+1+offset, i+offset] (even windows lean left).
+        offset = (window - 1) // 2
+        lo, hi = -(window - 1) + offset, offset
+    else:
+        lo, hi = -(window - 1), 0
+    if closed == "left":
+        lo, hi = lo - 1, hi - 1
+    elif closed == "both":
+        lo = lo - 1
+    elif closed == "neither":
+        hi = hi - 1
+    frame = w.rowsBetween(lo, hi)
     c = F.col(col) if isinstance(col, str) else col
     fn = {
         "avg": F.avg,

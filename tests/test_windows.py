@@ -115,3 +115,43 @@ def test_ewm_mean_matches_pandas(spark, adjust):
             assert g is None or math.isnan(g)
         else:
             assert abs(g - e) < 1e-12
+
+
+# --- rolling center/closed options (§2.5a WindowClosed parity) --------------
+def test_rolling_center_matches_pandas(spark):
+    import pandas as pd
+    from pandrs_spark.operators.windows import ordered_window, rolling
+
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i bigint, v double")
+    for n in (3, 4):
+        w = ordered_window("i")
+        got = [
+            r["m"]
+            for r in df.select(
+                "i", rolling("v", n, w, "mean", center=True).alias("m")
+            ).orderBy("i").collect()
+        ]
+        exp = pd.Series(vals).rolling(n, center=True).mean().tolist()
+        for g, e in zip(got, exp):
+            if e != e:  # NaN
+                assert g is None
+            else:
+                assert g == pytest.approx(e)
+
+
+def test_rolling_closed_left(spark):
+    from pandrs_spark.operators.windows import ordered_window, rolling
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)], "i bigint, v double")
+    w = ordered_window("i")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", rolling("v", 2, w, "sum", min_periods=1, closed="left").alias("s")
+        ).collect()
+    }
+    # closed='left': frame excludes current row -> sum of previous 2 values
+    assert got[0] is None
+    assert got[2] == 1.0  # rows 0,1
+    assert got[4] == 5.0  # rows 2,3
