@@ -404,6 +404,31 @@ class Frame:
             **{out or f"{col}_roll": _rolling(col, window, w, agg, min_periods)}
         )
 
+    # -- positional access (§2.2 iloc/take/nth — anti-pattern at scale,
+    # provided for API parity; compat :1787,:3411,:2096) ----------------------
+    def iloc_range(self, start: int, stop: int) -> "Frame":
+        """Rows [start, stop) in frame order."""
+        w = Window.orderBy(self._order)
+        return self._wrap(
+            self._df.withColumn("__pos__", F.row_number().over(w) - 1)
+            .filter((F.col("__pos__") >= start) & (F.col("__pos__") < stop))
+            .drop("__pos__")
+        )
+
+    def take(self, indices: Sequence[int]) -> "Frame":
+        """Rows at the given positions (order preserved by row order)."""
+        w = Window.orderBy(self._order)
+        return self._wrap(
+            self._df.withColumn("__pos__", F.row_number().over(w) - 1)
+            .filter(F.col("__pos__").isin([int(i) for i in indices]))
+            .drop("__pos__")
+        )
+
+    def nth(self, n: int):
+        """Single row at position n (collects one row to the driver)."""
+        rows = self.iloc_range(n, n + 1)._df.drop(self._order).collect()
+        return rows[0] if rows else None
+
     # -- combine/update/align (§2.2 compat :3110,:3160,:2216) ----------------
     def update(self, other: "Frame | DataFrame", on: Sequence[str]) -> "Frame":
         """pandas ``update``: non-NULL values from ``other`` overwrite

@@ -846,3 +846,38 @@ def q90(spark, sf_dir):
         )
         .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
     )
+
+
+# --- q91: array/higher-order functions over embeddings (§2.9 "absent in
+# reference, free in Spark": array_*, aggregate/transform/zip_with) ----------
+@query(
+    "q91_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vec_max,
+           ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS vec_min,
+           ROUND(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 4) AS l2,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def q91(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    zero = F.lit(0.0)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(v, zero, lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max(v), 4).alias("vec_max"),
+        F.round(F.array_min(v), 4).alias("vec_min"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), zero, lambda a, x: a + x)),
+            4,
+        ).alias("l2"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    ).orderBy("vec_id")

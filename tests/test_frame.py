@@ -231,3 +231,13 @@ def test_interpolate_accessor(spark):
     ))
     vals = {r["i"]: r["v"] for r in f.interpolate(["v"]).spark.collect()}
     assert vals[2] == pytest.approx(2.0)
+
+
+def test_iloc_take_nth(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(spark.createDataFrame([(i, i * 10) for i in range(6)], "i bigint, v bigint"))
+    assert [r["i"] for r in f.iloc_range(1, 4).spark.collect()] == [1, 2, 3]
+    assert sorted(r["i"] for r in f.take([0, 5]).spark.collect()) == [0, 5]
+    assert f.nth(2)["v"] == 20
+    assert f.nth(99) is None
