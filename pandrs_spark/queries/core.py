@@ -10,6 +10,7 @@ pandrs_spark.functions.deterministic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -881,3 +882,82 @@ def q91(spark, sf_dir):
         ).alias("l2"),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
     ).orderBy("vec_id")
+
+
+# --- q92: categorical encode — dictionary codes as a broadcast dim (§1.2,
+# src/series/categorical.rs:29) ----------------------------------------------
+@query(
+    "q92_categorical_encode",
+    oracle="""
+    WITH dim AS (
+        SELECT l_returnflag AS label,
+               ROW_NUMBER() OVER (ORDER BY l_returnflag) - 1 AS code
+        FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    )
+    SELECT d.code, d.label, COUNT(*) AS n
+    FROM lineitem l JOIN dim d ON d.label = l.l_returnflag
+    GROUP BY d.code, d.label
+    ORDER BY d.code
+    """,
+)
+def q92(spark, sf_dir):
+    from pandrs_spark.operators.categorical import encode
+
+    li = T(spark, sf_dir, "lineitem")
+    encoded, dim = encode(li, "l_returnflag", code_col="code")
+    return (
+        encoded.groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(dim), "code")
+        .select("code", "label", "n")
+        .orderBy("code")
+    )
+
+
+# --- q93: custom grouped UDAF via pandas (§2.15 NamedAgg::custom,
+# src/dataframe/groupby.rs:108) ----------------------------------------------
+# Rank-trimmed mean: drop the k=floor(n/10) smallest and largest values
+# per group, average the rest. The pandas GROUPED_AGG UDF and the SQL
+# row_number-filtered mean compute the identical set, so values match.
+@query(
+    "q93_custom_udaf_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           ROUND(AVG(c_acctbal), 6) AS trimmed_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q93(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values(kind="mergesort").reset_index(drop=True)
+        k = len(s) // 10
+        kept = s.iloc[k : len(s) - k]
+        return float(kept.mean())
+
+    @pandas_udf("long")
+    def trimmed_count(v: pd.Series) -> int:
+        k = len(v) // 10
+        return int(len(v) - 2 * k)
+
+    cust = T(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(trimmed_mean("c_acctbal"), 6).alias("trimmed_mean"),
+            trimmed_count("c_acctbal").alias("n_kept"),
+        )
+        .orderBy("c_mktsegment")
+    )
