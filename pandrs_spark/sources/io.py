@@ -312,3 +312,41 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+# --- Excel (src/io/excel.rs:185,378 — 1.3k LoC in the reference) -------------
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | int = 0,
+    header: int | None = 0,
+) -> DataFrame:
+    """Excel ingest via pandas on the driver → ``createDataFrame``.
+
+    Excel files are driver-scale by nature (xlsx is a zipped XML DOM —
+    no splittable columnar layout), so driver-side parsing + parallelize
+    is the honest distributed story; the cluster path is "convert to
+    parquet upstream". Requires ``openpyxl``; raises a clear error when
+    the engine is missing (not shipped in this container).
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name, header=header)
+    except ImportError as e:  # openpyxl/xlrd missing
+        raise ImportError(
+            "read_excel needs an excel engine (openpyxl); install it or "
+            "convert the workbook to parquet/csv upstream"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
+    """Excel export via toPandas on the driver (small frames only)."""
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, sheet_name=sheet_name, index=False)
+    except ImportError as e:
+        raise ImportError(
+            "write_excel needs an excel engine (openpyxl)"
+        ) from e

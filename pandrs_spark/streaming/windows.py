@@ -182,3 +182,39 @@ def count_window_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def with_observed_metrics(df: DataFrame, name: str, **metrics):
+    """Attach observable metrics to a (streaming or batch) DataFrame
+    (reference RealTimeAnalytics, src/streaming/mod.rs:719).
+
+    Spark evaluates the aggregate expressions on every micro-batch and
+    reports them in each StreamingQueryProgress under
+    ``observedMetrics[name]`` — executor-side accumulation, no extra
+    pass over the data, which is the 100 TB-safe way to watch a stream
+    (contrast with the reference's in-process metric maps).
+    """
+    from pyspark.sql import functions as F
+
+    cols = [expr.alias(alias) for alias, expr in metrics.items()]
+    return df.observe(name, *cols) if cols else df
+
+
+def query_progress(query) -> dict:
+    """Condensed last-progress snapshot of a StreamingQuery: input rate,
+    processing rate, batch duration, state-store rows and any observed
+    metrics — the surface the reference exposes as RealTimeAnalytics."""
+    p = query.lastProgress
+    if p is None:
+        return {}
+    return {
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "processed_rows_per_second": p.get("processedRowsPerSecond"),
+        "duration_ms": p.get("durationMs", {}),
+        "state_rows": sum(
+            op.get("numRowsTotal", 0) for op in p.get("stateOperators", [])
+        ),
+        "observed": p.get("observedMetrics", {}),
+    }

@@ -107,3 +107,16 @@ def test_read_testdata_csv_like(spark, sf_dir, tmp_path):
     pio.write_csv(nation, csv_path)
     back = pio.read_csv(spark, csv_path)
     assert back.count() == nation.count()
+
+
+def test_excel_roundtrip_or_clear_error(spark, small_df, tmp_path):
+    """Excel IO is gated on an engine lib; either it round-trips or it
+    raises the documented ImportError (container has no openpyxl)."""
+    path = str(tmp_path / "t.xlsx")
+    try:
+        pio.write_excel(small_df, path)
+    except ImportError as e:
+        assert "excel engine" in str(e)
+        return
+    back = pio.read_excel(spark, path)
+    assert back.count() == 3

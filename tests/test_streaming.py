@@ -102,3 +102,24 @@ def test_count_window_stateful(spark, stream_dir):
     # key b has 2,5 -> one full window
     assert rows[("b", 0)] == (2, 7.0)
     assert len(rows) == 2
+
+
+# --- observable metrics (§2.10 RealTimeAnalytics) ---------------------------
+def test_observed_metrics_and_progress(spark, stream_dir):
+    from pandrs_spark.streaming.windows import (
+        query_progress,
+        stream_to_memory,
+        with_observed_metrics,
+    )
+
+    src = stream_from_directory(spark, f"{stream_dir}/batch1", SCHEMA)
+    observed = with_observed_metrics(
+        src, "ingest", n_rows=F.count(F.lit(1)), total_v=F.sum("v")
+    )
+    agg = observed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    q = stream_to_memory(agg, "t_observe", output_mode="complete")
+    q.awaitTermination(120)
+    prog = query_progress(q)
+    assert prog["num_input_rows"] == 5
+    obs = prog["observed"].get("ingest")
+    assert obs is not None and obs["n_rows"] == 5 and obs["total_v"] == 15.0
