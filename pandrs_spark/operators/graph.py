@@ -141,7 +141,16 @@ def pagerank(
         .persist()
     )
     n = verts.count()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    # Dangling handling costs one extra driver action per iteration;
+    # detect up front whether any vertex lacks out-edges (never true for
+    # symmetrized graphs) and skip the per-round reduction when possible.
+    has_dangling = (
+        verts.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (
@@ -152,11 +161,14 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_mass"))
         )
         # mass sitting on dangling vertices (no out-edges) this round
-        dangling = (
-            ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
+        if has_dangling:
+            dangling = (
+                ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+        else:
+            dangling = 0.0
         ranks = verts.join(contribs, "id", "left").select(
             "id",
             (
