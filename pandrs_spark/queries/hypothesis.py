@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import davg, sql_davg
 from pandrs_spark.operators.hypothesis import (
     anova_oneway,
     kruskal_wallis,
@@ -157,3 +158,166 @@ def q74(spark, sf_dir):
     cust = T(spark, sf_dir, "customer")
     res = anova_oneway(cust, "c_acctbal", "c_mktsegment")
     return res.select("n", "k", F.round("f_stat", 6).alias("f_stat"))
+
+
+# --- q94: bootstrap CI of the mean with a shared LCG (§2.12,
+# src/stats/mod.rs:328, nonparametric.rs:570) --------------------------------
+# Randomness is the usual blocker for cross-engine bootstrap parity;
+# both engines draw identical resamples from an explicit Lehmer LCG
+# (idx = 48271*s mod (2^31-1) mod n, s = replicate*n + draw + 1) —
+# integer arithmetic, bit-identical anywhere. 50 replicates of n draws
+# materialize as one generated table joined to row-numbered data: two
+# shuffles total, no driver loop.
+_B = 50
+
+
+@query(
+    "q94_bootstrap_ci_mean",
+    oracle=f"""
+    WITH data AS (
+        SELECT c_acctbal, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn,
+               COUNT(*) OVER () AS n
+        FROM customer
+    ),
+    draws AS (
+        SELECT k.k, ((48271 * (k.k * d.n + t.t + 1)) % 2147483647) % d.n AS rn
+        FROM (SELECT UNNEST(generate_series(0, {_B - 1})) AS k) k
+        CROSS JOIN (SELECT DISTINCT n FROM data) d
+        CROSS JOIN (SELECT UNNEST(generate_series(0, (SELECT MAX(n) FROM data) - 1)) AS t) t
+    ),
+    rep_means AS (
+        SELECT k, {sql_davg('c_acctbal')} AS m
+        FROM draws JOIN data USING (rn)
+        GROUP BY k
+    ),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM rep_means
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS b,
+           ROUND(AVG(m), 6) AS boot_mean,
+           ROUND(MIN(CASE WHEN r = 3 THEN m END), 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN r = {_B - 2} THEN m END), 6) AS ci_hi
+    FROM ranked
+    """,
+)
+def q94(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = T(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    data = cust.select(
+        "c_acctbal", (F.row_number().over(w) - 1).alias("rn")
+    ).persist()
+    n = data.count()
+    draws = (
+        spark.range(_B)
+        .withColumnRenamed("id", "k")
+        .select(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("t")
+        )
+        .select(
+            "k",
+            (
+                (F.lit(48271) * (F.col("k") * n + F.col("t") + 1))
+                % 2147483647
+                % n
+            ).alias("rn"),
+        )
+    )
+    rep_means = (
+        draws.join(data, "rn")
+        .groupBy("k")
+        .agg(davg("c_acctbal").alias("m"))
+    )
+    ranked = rep_means.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("r")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.min(F.when(F.col("r") == 3, F.col("m"))), 6).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("r") == _B - 2, F.col("m"))), 6).alias("ci_hi"),
+    )
+
+
+# --- q95: Wilcoxon signed-rank on paired yearly spend (§2.12,
+# nonparametric.rs:108) ------------------------------------------------------
+# Pairs: customers' average order value in 1996 vs 1997 (both present).
+# W+ = sum of midranks of |diff| where diff > 0; z uses the normal
+# approximation. Midranks come from the distinct-|diff| histogram, same
+# scale shape as operators/hypothesis.rank_histogram.
+@query(
+    "q95_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT o_custkey, year(o_orderdate) AS yr, {sql_davg('o_totalprice')} AS av
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_custkey, yr
+    ),
+    pairs AS (
+        SELECT a.o_custkey, ROUND(b.av - a.av, 2) AS d
+        FROM yearly a JOIN yearly b
+          ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+        WHERE ROUND(b.av - a.av, 2) <> 0
+    ),
+    per_v AS (
+        SELECT ABS(d) AS ad, COUNT(*) AS cnt,
+               SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cnt_pos
+        FROM pairs GROUP BY ad
+    ),
+    ranked AS (
+        SELECT ad, cnt, cnt_pos,
+               CAST(SUM(cnt) OVER (ORDER BY ad) - (cnt - 1) / 2.0 AS DECIMAL(32, 1)) AS avg_rank
+        FROM per_v
+    ),
+    agg AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(avg_rank * cnt_pos) AS DOUBLE) AS w_plus
+        FROM ranked
+    )
+    SELECT n, w_plus,
+           ROUND((w_plus - n * (n + 1) / 4.0) /
+                 SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0), 6) AS z
+    FROM agg
+    """,
+)
+def q95(spark, sf_dir):
+    from pyspark.sql.types import DecimalType
+
+    orders = T(spark, sf_dir, "orders")
+    yearly = (
+        orders.filter(F.year("o_orderdate").isin([1996, 1997]))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(davg("o_totalprice").alias("av"))
+    )
+    a = yearly.filter("yr = 1996").select("o_custkey", F.col("av").alias("av96"))
+    b = yearly.filter("yr = 1997").select("o_custkey", F.col("av").alias("av97"))
+    pairs = (
+        a.join(b, "o_custkey")
+        .select(F.round(F.col("av97") - F.col("av96"), 2).alias("d"))
+        .filter("d <> 0")
+    )
+    per_v = pairs.groupBy(F.abs("d").alias("ad")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cnt_pos"),
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.withColumn(
+        "avg_rank",
+        (F.sum("cnt").over(wcum) - (F.col("cnt") - 1) / 2.0).cast(
+            DecimalType(32, 1)
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("avg_rank") * F.col("cnt_pos")).cast("double").alias("w_plus"),
+    )
+    return agg.selectExpr(
+        "n",
+        "w_plus",
+        """ROUND((w_plus - n * (n + 1) / 4.0) /
+           SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0), 6) AS z""",
+    )
