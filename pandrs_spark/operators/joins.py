@@ -95,22 +95,24 @@ def asof_join(
     right_by: str | Sequence[str] | None = None,
     value_cols: Sequence[str] | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (backward) within the same key group.
+    """As-of join (pandas ``merge_asof`` parity): for each left row,
+    the latest right row with ``right.ts <= left.ts`` (backward), the
+    earliest with ``right.ts >= left.ts`` (forward), or whichever is
+    closer (nearest; backward wins ties, as pandas does) within the
+    same key group. ``tolerance`` drops matches farther than the given
+    gap (seconds for timestamps, plain delta for numerics).
 
     Scalable formulation: tag and union both sides, sort within each
     key partition by (ts, side), and carry the right side's values
-    forward with ``last(..., ignorenulls=True)`` — exactly one shuffle
-    on the key, no per-row range scan, no broadcast of either side.
-    This survives 100 TB because cost is O(n log n) within partitions
-    and skew is handled by AQE.
-
-    direction="forward" mirrors with ``first(...)`` over the following
-    frame.
+    across with ``last/first(..., ignorenulls=True)`` — exactly one
+    shuffle on the key, no per-row range scan, no broadcast of either
+    side. This survives 100 TB because cost is O(n log n) within
+    partitions and skew is handled by AQE.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
     by = _as_list(by)
     rby = _as_list(right_by) if right_by is not None else by
     r_on = right_on or on
@@ -122,6 +124,7 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[r_on].dataType).alias("__v___rts"),
     )
     rhs = right.select(
         *[F.col(b).alias(f"__k{i}") for i, b in enumerate(rby)],
@@ -129,34 +132,67 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(r_on).alias("__v___rts"),
     )
     keys = [f"__k{i}" for i in range(len(by))]
     unioned = lhs.unionByName(rhs)
-    if direction == "backward":
-        # Right rows sort before left rows at equal ts → inclusive match.
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = [F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols]
-    else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        filled = [F.first(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols]
+    fill_cols = value_cols + ["__rts"]
 
-    out = (
-        unioned.select("__is_left", "__l", *filled)
-        .filter(F.col("__is_left") == 1)
-        .select(
-            *[F.col("__l")[c].alias(c) for c in left.columns],
-            *[F.col(f"__f_{c}").alias(c) for c in value_cols],
-        )
+    # Right rows sort before left rows at equal ts → inclusive match.
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return out
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    proj = ["__is_left", "__l", "__ts"]
+    if direction in ("backward", "nearest"):
+        proj += [
+            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in fill_cols
+        ]
+    if direction in ("forward", "nearest"):
+        proj += [
+            F.first(f"__v_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in fill_cols
+        ]
+    annotated = unioned.select(*proj).filter(F.col("__is_left") == 1)
+
+    def _gap(ts_a, ts_b):
+        if "timestamp" in str(left.schema[on].dataType).lower():
+            return F.abs(ts_a.cast("double") - ts_b.cast("double"))
+        return F.abs(ts_a - ts_b)
+
+    if direction == "nearest":
+        b_gap = _gap(F.col("__ts"), F.col("__b___rts"))
+        f_gap = _gap(F.col("__ts"), F.col("__f___rts"))
+        use_backward = F.col("__f___rts").isNull() | (
+            F.col("__b___rts").isNotNull() & (b_gap <= f_gap)
+        )
+        picked = [
+            F.when(use_backward, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"__p_{c}")
+            for c in fill_cols
+        ]
+        annotated = annotated.select("__l", "__ts", *picked)
+        prefix = "__p_"
+    else:
+        prefix = "__b_" if direction == "backward" else "__f_"
+    if tolerance is not None:
+        in_tol = _gap(F.col("__ts"), F.col(f"{prefix}__rts")) <= F.lit(tolerance)
+        values = [
+            F.when(in_tol, F.col(f"{prefix}{c}")).alias(c) for c in value_cols
+        ]
+    else:
+        values = [F.col(f"{prefix}{c}").alias(c) for c in value_cols]
+    return annotated.select(
+        *[F.col("__l")[c].alias(c) for c in left.columns], *values
+    )
 
 
 def salted_join(

@@ -129,3 +129,45 @@ def test_salted_join_left_outer(spark):
     right = spark.createDataFrame([(1, "x")], "k bigint, s string")
     rows = {r["k"]: r["s"] for r in salted_join(left, right, "k", salt_from="v", how="left").collect()}
     assert rows == {1: "x", 9: None}
+
+
+# --- merge_asof direction/tolerance parity ----------------------------------
+def test_asof_nearest_matches_pandas(spark):
+    import pandas as pd
+    from pandrs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 1.0), ("k", 5.0), ("k", 10.0)], "g string, t double"
+    )
+    right = spark.createDataFrame(
+        [("k", 2.0, "a"), ("k", 7.0, "b")], "g string, t double, lab string"
+    )
+    got = {
+        r["t"]: r["lab"]
+        for r in asof_join(
+            left, right, on="t", by="g", direction="nearest"
+        ).collect()
+    }
+    ref = pd.merge_asof(
+        left.toPandas().sort_values("t"),
+        right.toPandas().sort_values("t"),
+        on="t",
+        by="g",
+        direction="nearest",
+    )
+    exp = dict(zip(ref["t"], ref["lab"]))
+    assert got == exp
+
+
+def test_asof_tolerance_drops_far_matches(spark):
+    from pandrs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 10.0), ("k", 100.0)], "g string, t double")
+    right = spark.createDataFrame([("k", 8.0, "x")], "g string, t double, lab string")
+    got = {
+        r["t"]: r["lab"]
+        for r in asof_join(
+            left, right, on="t", by="g", direction="backward", tolerance=5.0
+        ).collect()
+    }
+    assert got == {10.0: "x", 100.0: None}
