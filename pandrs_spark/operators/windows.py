@@ -31,6 +31,7 @@ __all__ = [
     "cumcount",
     "rank_method",
     "ewm_mean",
+    "ewm_stat",
 ]
 
 
@@ -215,3 +216,40 @@ def ewm_mean(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_ewm, schema=out_schema)
+
+
+def ewm_stat(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float,
+    stat: str = "mean",
+    adjust: bool = True,
+    bias: bool = False,
+    out_col: str = "ewm",
+) -> DataFrame:
+    """EWM mean/std/var per group (src/series/window.rs:640,:673,:715).
+
+    Same applyInPandas shape as :func:`ewm_mean`; pandas provides exact
+    parity for the debiasing weights (``bias=False`` matches the
+    reference's sample-weighted variance).
+    """
+    if stat not in ("mean", "std", "var"):
+        raise ValueError("stat must be mean|std|var")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", {out_col} double"
+    order_cols = list(order_by)
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        e = pdf[value_col].ewm(alpha=alpha, adjust=adjust)
+        if stat == "mean":
+            pdf[out_col] = e.mean()
+        elif stat == "std":
+            pdf[out_col] = e.std(bias=bias)
+        else:
+            pdf[out_col] = e.var(bias=bias)
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_ewm, schema=schema)

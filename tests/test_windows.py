@@ -155,3 +155,25 @@ def test_rolling_closed_left(spark):
     assert got[0] is None
     assert got[2] == 1.0  # rows 0,1
     assert got[4] == 5.0  # rows 2,3
+
+
+def test_ewm_std_var_match_pandas(spark):
+    import pandas as pd
+    from pandrs_spark.operators.windows import ewm_stat
+
+    vals = [2.0, 4.0, 3.0, 9.0, 1.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i bigint, v double")
+    for stat, ref in (
+        ("var", pd.Series(vals).ewm(alpha=0.4).var()),
+        ("std", pd.Series(vals).ewm(alpha=0.4).std()),
+    ):
+        out = (
+            ewm_stat(df, "v", ["i"], [], alpha=0.4, stat=stat)
+            .orderBy("i")
+            .collect()
+        )
+        for r, e in zip(out, ref.tolist()):
+            if e != e:
+                assert r["ewm"] is None or r["ewm"] != r["ewm"]
+            else:
+                assert r["ewm"] == pytest.approx(e, abs=1e-12)
