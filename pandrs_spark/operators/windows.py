@@ -17,7 +17,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
 
 __all__ = [
     "ordered_window",
@@ -97,11 +96,11 @@ def rolling(
 
 
 def rolling_sum_exact(col: Column | str, window: int, w: WindowSpec, scale: int = 2) -> Column:
-    """Order-independent rolling sum (decimal-quantized, see
+    """Order-independent rolling sum (scaled-BIGINT quantized, see
     functions/deterministic.py)."""
-    c = F.col(col) if isinstance(col, str) else col
-    frame = w.rowsBetween(-(window - 1), 0)
-    return F.sum(F.round(c, scale).cast(DecimalType(32, scale))).over(frame).cast("double")
+    from pandrs_spark.functions.deterministic import dsum_over
+
+    return dsum_over(col, w.rowsBetween(-(window - 1), 0), scale)
 
 
 def expanding(col: Column | str, w: WindowSpec, agg: str = "avg", min_periods: int = 1) -> Column:
