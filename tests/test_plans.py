@@ -64,3 +64,22 @@ def test_flagship_query_plan_shape(spark):
     assert "PushedFilters" in text
     # group-by (1 shuffle) + global sort (1 shuffle) is the expected shape
     assert plans.num_shuffles(df) <= 2
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Sweep every registered query's physical plan: a CartesianProduct
+    (non-broadcast cross join) would melt down at scale. Intentional
+    cross joins here always pair with a broadcast/1-row side, which
+    plans as BroadcastNestedLoopJoin instead."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, "/root/testdata/sf0.001")
+        except Exception as e:  # noqa: BLE001 — plan-only sweep
+            offenders.append(f"{name}: build error {e}")
+            continue
+        if "CartesianProduct" in plans.plan_text(df, "simple"):
+            offenders.append(name)
+    assert not offenders, offenders
