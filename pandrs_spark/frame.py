@@ -31,7 +31,7 @@ from pyspark.sql.types import DoubleType, FloatType
 
 ORDER_COL = "__row_order__"
 
-__all__ = ["Frame", "read_parquet", "read_csv", "read_json", "concat", "from_spark"]
+__all__ = ["Frame", "StrAccessor", "DtAccessor", "str_", "dt", "read_parquet", "read_csv", "read_json", "concat", "concat_columns", "from_spark"]
 
 
 def _is_float(df: DataFrame, name: str) -> bool:
@@ -655,3 +655,166 @@ def concat_columns(frames: Sequence[Frame]) -> Frame:
         numbered = f._df.withColumn("__pos__", F.row_number().over(w)).drop(f._order)
         out = numbered if out is None else out.join(numbered, "__pos__", "outer")
     return Frame(out.drop("__pos__"))
+
+
+class StrAccessor:
+    """pandas ``Series.str`` parity (src/series/string_accessor.rs:52):
+    each method returns a Column expression over builtin JVM functions —
+    no UDFs, so string ops stay inside whole-stage codegen."""
+
+    def __init__(self, col: str | Column):
+        self._c = F.col(col) if isinstance(col, str) else col
+
+    def upper(self):
+        return F.upper(self._c)
+
+    def lower(self):
+        return F.lower(self._c)
+
+    def title(self):
+        return F.initcap(self._c)
+
+    def capitalize(self):
+        return F.concat(
+            F.upper(self._c.substr(1, 1)),
+            F.lower(self._c.substr(F.lit(2), F.length(self._c))),
+        )
+
+    def contains(self, pat: str, regex: bool = True):
+        return self._c.rlike(pat) if regex else self._c.contains(pat)
+
+    def startswith(self, s: str):
+        return self._c.startswith(s)
+
+    def endswith(self, s: str):
+        return self._c.endswith(s)
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        return F.regexp_replace(self._c, pat if regex else F.lit(pat), repl)
+
+    def split(self, sep: str):
+        return F.split(self._c, sep)
+
+    def len(self):
+        return F.length(self._c)
+
+    def strip(self):
+        return F.trim(self._c)
+
+    def lstrip(self):
+        return F.ltrim(self._c)
+
+    def rstrip(self):
+        return F.rtrim(self._c)
+
+    def extract(self, pat: str, group: int = 1):
+        return F.regexp_extract(self._c, pat, group)
+
+    def count(self, pat: str):
+        return F.size(F.split(self._c, pat)) - 1
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        return (
+            F.lpad(self._c, width, fillchar)
+            if side == "left"
+            else F.rpad(self._c, width, fillchar)
+        )
+
+    def zfill(self, width: int):
+        return F.lpad(self._c, width, "0")
+
+    def slice(self, start: int, length: int):
+        return self._c.substr(start + 1, length)
+
+    def isalpha(self):
+        return self._c.rlike(r"^[A-Za-z]+$")
+
+    def isdigit(self):
+        return self._c.rlike(r"^[0-9]+$")
+
+    def isalnum(self):
+        return self._c.rlike(r"^[A-Za-z0-9]+$")
+
+    def isspace(self):
+        return self._c.rlike(r"^\s+$")
+
+
+class DtAccessor:
+    """pandas ``Series.dt`` parity (src/series/datetime_accessor.rs):
+    builtin datetime functions only."""
+
+    def __init__(self, col: str | Column):
+        self._c = F.col(col) if isinstance(col, str) else col
+
+    def year(self):
+        return F.year(self._c)
+
+    def month(self):
+        return F.month(self._c)
+
+    def day(self):
+        return F.dayofmonth(self._c)
+
+    def hour(self):
+        return F.hour(self._c)
+
+    def minute(self):
+        return F.minute(self._c)
+
+    def second(self):
+        return F.second(self._c)
+
+    def weekday(self):
+        # pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        return (F.dayofweek(self._c) + 5) % 7
+
+    def dayofyear(self):
+        return F.dayofyear(self._c)
+
+    def quarter(self):
+        return F.quarter(self._c)
+
+    def week(self):
+        return F.weekofyear(self._c)
+
+    def is_weekend(self):
+        return F.dayofweek(self._c).isin([1, 7])
+
+    def date(self):
+        return F.to_date(self._c)
+
+    def strftime(self, fmt: str):
+        return F.date_format(self._c, fmt)
+
+    def timestamp(self):
+        return F.unix_timestamp(self._c)
+
+    def add_days(self, n: int):
+        return F.timestamp_seconds(F.unix_timestamp(self._c) + n * 86400)
+
+    def add_months(self, n: int):
+        return F.add_months(self._c, n)
+
+    def normalize(self):
+        return F.date_trunc("day", self._c)
+
+    def round(self, freq: str):
+        return F.date_trunc(freq, self._c)
+
+    def days_in_month(self):
+        return F.dayofmonth(F.last_day(self._c))
+
+    def is_leap_year(self):
+        y = F.year(self._c)
+        return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+    def is_business_day(self):
+        return ~F.dayofweek(self._c).isin([1, 7])
+
+
+def str_(col: str | Column) -> StrAccessor:
+    return StrAccessor(col)
+
+
+def dt(col: str | Column) -> DtAccessor:
+    return DtAccessor(col)

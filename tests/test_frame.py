@@ -241,3 +241,65 @@ def test_iloc_take_nth(spark):
     assert sorted(r["i"] for r in f.take([0, 5]).spark.collect()) == [0, 5]
     assert f.nth(2)["v"] == 20
     assert f.nth(99) is None
+
+
+# --- str/dt accessors (§2.9) -------------------------------------------------
+def test_str_accessor(spark):
+    from pandrs_spark.frame import str_
+
+    df = spark.createDataFrame(
+        [("Hello World",), ("spark",), ("  pad  ",), ("abc123",)], "s string"
+    )
+    s = str_("s")
+    row = df.select(
+        s.upper().alias("u"),
+        s.lower().alias("l"),
+        s.title().alias("t"),
+        s.capitalize().alias("c"),
+        s.len().alias("n"),
+        s.contains("World", regex=False).alias("has"),
+        s.replace("o", "0").alias("rep"),
+        s.strip().alias("st"),
+        s.extract(r"([a-z]+)(\d+)", 2).alias("ex"),
+        s.isalnum().alias("an"),
+        s.zfill(8).alias("z"),
+    ).collect()
+    assert row[0]["u"] == "HELLO WORLD" and row[0]["t"] == "Hello World"
+    assert row[0]["c"] == "Hello world"
+    assert row[0]["has"] is True and row[1]["has"] is False
+    assert row[0]["rep"] == "Hell0 W0rld"
+    assert row[2]["st"] == "pad"
+    assert row[3]["ex"] == "123" and row[3]["an"] is True
+    assert row[1]["z"] == "000spark"
+
+
+def test_dt_accessor(spark):
+    import datetime
+    from pandrs_spark.frame import dt as dt_
+
+    # 2024-03-09 is a Saturday; 2024 is a leap year
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 9, 15, 30, 45),)], "ts timestamp"
+    )
+    d = dt_("ts")
+    row = df.select(
+        d.year().alias("y"),
+        d.month().alias("m"),
+        d.day().alias("dd"),
+        d.weekday().alias("wd"),
+        d.is_weekend().alias("we"),
+        d.quarter().alias("q"),
+        d.days_in_month().alias("dim"),
+        d.is_leap_year().alias("leap"),
+        d.is_business_day().alias("biz"),
+        d.strftime("yyyy/MM/dd").alias("fmt"),
+        d.normalize().alias("norm"),
+        d.add_months(2).alias("am"),
+    ).collect()[0]
+    assert (row["y"], row["m"], row["dd"]) == (2024, 3, 9)
+    assert row["wd"] == 5  # Saturday, pandas Monday=0 convention
+    assert row["we"] is True and row["biz"] is False
+    assert row["q"] == 1 and row["dim"] == 31 and row["leap"] is True
+    assert row["fmt"] == "2024/03/09"
+    assert row["norm"].hour == 0
+    assert row["am"].month == 5
