@@ -321,3 +321,102 @@ def q95(spark, sf_dir):
         """ROUND((w_plus - n * (n + 1) / 4.0) /
            SQRT(n * (n + 1.0) * (2 * n + 1) / 24.0), 6) AS z""",
     )
+
+
+# --- q96: permutation test for mean difference (§2.12,
+# nonparametric.rs:625) ------------------------------------------------------
+# Label shuffles come from the same Lehmer LCG as q94: replicate k ranks
+# rows by the LCG key and hands the first n1 ranks the 'BUILDING' label.
+# The p-value is the fraction of permuted mean-differences at least as
+# extreme as the observed one — every step exact-sum deterministic.
+_P = 40
+
+
+@query(
+    "q96_permutation_test",
+    oracle=f"""
+    WITH two AS (
+        SELECT c_acctbal, c_mktsegment,
+               ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    sizes AS (
+        SELECT CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM two
+    ),
+    observed AS (
+        SELECT {sql_davg("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END")}
+             - {sql_davg("CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END")} AS d_obs
+        FROM two
+    ),
+    keyed AS (
+        SELECT k.k, t.rn, t.c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY k.k
+                   ORDER BY (48271 * (k.k * s.n + t.rn + 1)) % 2147483647, t.rn
+               ) AS pr
+        FROM (SELECT UNNEST(generate_series(0, {_P - 1})) AS k) k
+        CROSS JOIN two t CROSS JOIN sizes s
+    ),
+    perm_stats AS (
+        SELECT k,
+               {sql_davg("CASE WHEN pr <= (SELECT n1 FROM sizes) THEN c_acctbal END")}
+             - {sql_davg("CASE WHEN pr > (SELECT n1 FROM sizes) THEN c_acctbal END")} AS d
+        FROM keyed GROUP BY k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_perms,
+           ROUND((SELECT d_obs FROM observed), 6) AS d_obs,
+           ROUND(AVG(CASE WHEN ABS(d) >= ABS((SELECT d_obs FROM observed)) THEN 1.0 ELSE 0.0 END), 6) AS p_value
+    FROM perm_stats
+    """,
+)
+def q96(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(["BUILDING", "MACHINERY"])
+    )
+    w = Window.orderBy("c_custkey")
+    two = cust.select(
+        "c_acctbal", "c_mktsegment", (F.row_number().over(w) - 1).alias("rn")
+    ).persist()
+    n = two.count()
+    n1 = two.filter("c_mktsegment = 'BUILDING'").count()
+    observed = two.agg(
+        (
+            davg(F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal")))
+            - davg(F.when(F.col("c_mktsegment") == "MACHINERY", F.col("c_acctbal")))
+        ).alias("d_obs")
+    )
+    keyed = (
+        spark.range(_P)
+        .withColumnRenamed("id", "k")
+        .crossJoin(two)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(
+                    (F.lit(48271) * (F.col("k") * n + F.col("rn") + 1))
+                    % 2147483647,
+                    "rn",
+                )
+            ),
+        )
+    )
+    perm_stats = keyed.groupBy("k").agg(
+        (
+            davg(F.when(F.col("pr") <= n1, F.col("c_acctbal")))
+            - davg(F.when(F.col("pr") > n1, F.col("c_acctbal")))
+        ).alias("d")
+    )
+    return perm_stats.crossJoin(F.broadcast(observed)).agg(
+        F.count(F.lit(1)).alias("n_perms"),
+        F.round(F.min("d_obs"), 6).alias("d_obs"),
+        F.round(
+            F.avg(
+                F.when(F.abs("d") >= F.abs(F.col("d_obs")), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("p_value"),
+    )
