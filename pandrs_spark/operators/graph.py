@@ -31,6 +31,7 @@ __all__ = [
     "pagerank",
     "bfs_hops",
     "triangle_count",
+    "clustering_coefficient",
 ]
 
 _CHECKPOINT_EVERY = 5
@@ -236,3 +237,44 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient:
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) = triangles through
+    v (graph clustering parity for src/graph/ metrics).
+
+    Triangles enumerate once over the canonical (a<b<c) orientation —
+    three bucket-joins — then each triangle credits its three corners;
+    degrees come from one aggregation. All shuffles key on vertex ids.
+    """
+    und = symmetrize(edges, src, dst)
+    canon = und.filter(F.col("src") < F.col("dst")).distinct().persist()
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    tri_counts = (
+        tri.select(F.col("a").alias("id"))
+        .union(tri.select(F.col("b").alias("id")))
+        .union(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    return (
+        deg.join(tri_counts, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") > 1,
+                2.0 * F.coalesce("n_tri", F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

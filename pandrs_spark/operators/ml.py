@@ -36,6 +36,7 @@ __all__ = [
     "train_test_split",
     "kmeans_fit_predict",
     "pca_project",
+    "logistic_fit_metrics",
 ]
 
 
@@ -188,4 +189,49 @@ def pca_project(df: DataFrame, features_col: str, k: int) -> DataFrame:
         model.transform(feat)
         .withColumn("pca", vector_to_array(F.col("__pca__")))
         .drop("__features__", "__pca__")
+    )
+
+
+def logistic_fit_metrics(
+    df: DataFrame,
+    features_col: str,
+    label_col: str,
+    seed: int = 42,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Binary logistic regression over an array<float> feature column
+    (src/ml LogisticRegression re-export, src/lib.rs:219-244) as an
+    MLlib Pipeline: vector assembly → standard scaling → LBFGS fit.
+    Returns a 1-row DataFrame of training metrics (n, accuracy, auc).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__raw__", array_to_vector(F.col(features_col)))
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(inputCol="__raw__", outputCol="__features__"),
+            LogisticRegression(
+                featuresCol="__features__",
+                labelCol=label_col,
+                maxIter=max_iter,
+            ),
+        ]
+    )
+    model = pipe.fit(feat)
+    scored = model.transform(feat)
+    auc = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction"
+    ).evaluate(scored)
+    spark = df.sparkSession
+    acc_row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("prediction") == F.col(label_col)).cast("double")).alias("acc"),
+    ).first()
+    return spark.createDataFrame(
+        [(acc_row["n"], round(acc_row["acc"], 4), round(auc, 4))],
+        "n bigint, accuracy double, auc double",
     )

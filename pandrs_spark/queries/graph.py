@@ -209,3 +209,40 @@ def q69(spark, sf_dir):
     edges = _strong_edges(spark, sf_dir).persist()
     seed = edges.agg(F.least(F.min("src"), F.min("dst"))).first()[0]
     return bfs_hops(edges, [seed]).orderBy("id")
+
+
+# --- q97: per-vertex clustering coefficient on the strong trade graph -------
+@query(
+    "q97_trade_clustering_coefficient",
+    oracle=f"""
+    WITH {_STRONG},
+    canon AS (SELECT DISTINCT src, dst FROM und WHERE src < dst),
+    tri AS (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM canon ab
+        JOIN canon bc ON bc.src = ab.dst
+        JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    tri_counts AS (
+        SELECT id, COUNT(*) AS n_tri FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY id
+    ),
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src)
+    SELECT d.id, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+           ROUND(CASE WHEN d.deg > 1
+                      THEN 2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1))
+                      ELSE 0.0 END, 6) AS lcc
+    FROM deg d LEFT JOIN tri_counts t USING (id)
+    ORDER BY d.id
+    """,
+)
+def q97(spark, sf_dir):
+    from pandrs_spark.operators.graph import clustering_coefficient
+
+    lcc = clustering_coefficient(_strong_edges(spark, sf_dir))
+    return lcc.select(
+        "id", "deg", "n_tri", F.round("lcc", 6).alias("lcc")
+    ).orderBy("id")

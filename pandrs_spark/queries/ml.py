@@ -140,3 +140,15 @@ def q79(spark, sf_dir):
     return proj.select(
         [F.round(F.stddev_samp(F.col("pca")[i]), 4).alias(f"pc{i}_sd") for i in range(4)]
     )
+
+
+# --- q98: logistic regression pipeline over embeddings (MLlib tier,
+# rows-only — LBFGS has no SQL equivalent; metrics pinned by test) ----------
+@query("q98_logistic_embedding_classifier")
+def q98(spark, sf_dir):
+    from pandrs_spark.operators.ml import logistic_fit_metrics
+
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") % 2).cast("double")
+    )
+    return logistic_fit_metrics(emb, "embedding", "y")

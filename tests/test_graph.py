@@ -83,3 +83,16 @@ def test_triangle_count_k4(spark):
     edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
     e = spark.createDataFrame(edges, "src bigint, dst bigint")
     assert triangle_count(e).first()["n_triangles"] == 4
+
+
+def test_clustering_coefficient(spark):
+    from pandrs_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 attached to 3
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src bigint, dst bigint"
+    )
+    rows = {r["id"]: r for r in clustering_coefficient(e).collect()}
+    assert rows[1]["lcc"] == 1.0 and rows[2]["lcc"] == 1.0
+    assert rows[3]["deg"] == 3 and rows[3]["lcc"] == pytest.approx(1 / 3)
+    assert rows[4]["lcc"] == 0.0

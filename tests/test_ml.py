@@ -96,3 +96,14 @@ def test_pca_projects_to_k_dims(spark):
     out = pca_project(df, "embedding", k=2)
     first = out.first()["pca"]
     assert len(first) == 2
+
+
+def test_logistic_separable(spark):
+    from pandrs_spark.operators.ml import logistic_fit_metrics
+
+    rows = [([float(i), 1.0], 0.0) for i in range(10)] + [
+        ([float(i) + 100.0, 1.0], 1.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<float>, y double")
+    m = logistic_fit_metrics(df, "embedding", "y").first()
+    assert m["n"] == 20 and m["accuracy"] == 1.0 and m["auc"] == 1.0
