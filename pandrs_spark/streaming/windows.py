@@ -218,3 +218,88 @@ def query_progress(query) -> dict:
         ),
         "observed": p.get("observedMetrics", {}),
     }
+
+
+def tumbling_with_lateness(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_seconds: int,
+    lateness_seconds: int,
+):
+    """Tumbling-window aggregation with allowed lateness BEYOND the
+    watermark (reference allowed_lateness, src/streaming/window.rs:67,
+    :133) — the one lateness policy plain watermarked aggregation can't
+    express, via ``applyInPandasWithState``.
+
+    Spark drops watermark-late rows before a built-in windowed
+    aggregation; an arbitrary stateful operator receives them and
+    decides. Here a row is merged into its window as long as
+    ``ts >= watermark − lateness``; windows older than that horizon are
+    finalized and pruned from state. Each trigger emits the updated
+    (key, window_start, n, total) rows it touched — update-mode
+    semantics, O(open windows per key) state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    output_type = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("window_start", LongType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    state_type = StructType([StructField("windows", StringType())])
+    win_ms = window_seconds * 1000
+    late_ms = lateness_seconds * 1000
+
+    def _update(key, pdfs, state: GroupState):
+        import json as _json
+
+        import pandas as pd
+
+        wins = _json.loads(state.get[0]) if state.exists else {}
+        horizon = state.getCurrentWatermarkMs() - late_ms
+        touched = set()
+        for pdf in pdfs:
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+            vals = pdf[value_col].tolist()
+            for t, v in zip(ts_ms, vals):
+                if t < horizon:
+                    continue  # beyond allowed lateness: dropped
+                start = (t // win_ms) * win_ms
+                slot = wins.setdefault(str(start), [0, 0.0])
+                slot[0] += 1
+                slot[1] += float(v)
+                touched.add(str(start))
+        # prune fully-closed windows (their end is past the horizon)
+        wins = {
+            s: agg for s, agg in wins.items() if int(s) + win_ms >= horizon
+        }
+        state.update((_json.dumps(wins),))
+        out = [
+            (key[0], int(s) // 1000, wins[s][0], wins[s][1])
+            for s in sorted(touched)
+            if s in wins
+        ]
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "window_start", "n", "total"]
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=output_type,
+        stateStructType=state_type,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -123,3 +123,72 @@ def test_observed_metrics_and_progress(spark, stream_dir):
     assert prog["num_input_rows"] == 5
     obs = prog["observed"].get("ingest")
     assert obs is not None and obs["n_rows"] == 5 and obs["total_v"] == 15.0
+
+
+# --- allowed lateness beyond watermark (§2.10, window.rs:67,:133) -----------
+def _write_flat_parquet(spark, rows, schema, dest_file):
+    """Write one flat parquet FILE (the file-stream source does not
+    recurse into the nested dirs df.write.parquet creates)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(os.path.dirname(dest_file), exist_ok=True)
+    shutil.copy(part, dest_file)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_tumbling_with_lateness_merges_late_rows(spark, tmp_path):
+    import datetime as dtm
+
+    from pandrs_spark.streaming.windows import (
+        stream_to_memory,
+        tumbling_with_lateness,
+    )
+
+    d = str(tmp_path / "late_stream")
+    base = dtm.datetime(2024, 1, 1, 0, 0)
+    # batch1: two rows in the 00:00 window, one at 01:01 (advances watermark)
+    _write_flat_parquet(
+        spark,
+        [(base + dtm.timedelta(minutes=1), "a", 1.0),
+         (base + dtm.timedelta(minutes=2), "a", 2.0),
+         (base + dtm.timedelta(hours=1, minutes=1), "a", 10.0)],
+        SCHEMA,
+        f"{d}/f1.parquet",
+    )
+    # batch2: a late row for the 00:00 window — behind the watermark
+    # (01:01 − 10min delay) but inside the 2h allowed lateness
+    _write_flat_parquet(
+        spark,
+        [(base + dtm.timedelta(minutes=30), "a", 5.0),
+         (base + dtm.timedelta(hours=2, minutes=1), "a", 20.0)],
+        SCHEMA,
+        f"{d}/f2.parquet",
+    )
+
+    src = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = tumbling_with_lateness(
+        src, "ts", "key", "v", window_seconds=3600, lateness_seconds=7200
+    )
+    q = stream_to_memory(out, "t_lateness", output_mode="update")
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT window_start, MAX(n) AS n, MAX(total) AS total "
+        "FROM t_lateness GROUP BY window_start ORDER BY window_start"
+    ).collect()
+    by_win = {r["window_start"]: (r["n"], r["total"]) for r in rows}
+    w0 = int(base.timestamp())
+    # late 00:30 row merged into the 00:00 window -> n=3, total=8
+    assert by_win[w0] == (3, 8.0)
+    assert by_win[w0 + 3600] == (1, 10.0)
+    assert by_win[w0 + 7200] == (1, 20.0)
