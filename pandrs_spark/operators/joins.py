@@ -19,7 +19,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge", "semi_join", "anti_join", "asof_join", "broadcast_merge"]
+__all__ = [
+    "merge",
+    "semi_join",
+    "anti_join",
+    "asof_join",
+    "broadcast_merge",
+    "range_join",
+]
 
 
 def _as_list(x) -> list[str]:
@@ -193,6 +200,46 @@ def asof_join(
     return annotated.select(
         *[F.col("__l")[c].alias(c) for c in left.columns], *values
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    bucket_width: float,
+    extra_on: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Interval/range join: match each left row to every right interval
+    with ``lower <= point < upper`` (absent in the reference —
+    SURVEY §2.3; pandas has no scalable equivalent either).
+
+    A naive inequality join has no equi-key, so Spark would plan a
+    broadcast-nested-loop (or worse, a cartesian product) — O(n*m) and
+    a non-starter at 100 TB. The scale path here is the standard
+    bucketing rewrite: quantize the domain into ``bucket_width`` cells,
+    explode each right interval into the cells it overlaps, map each
+    left point to its single cell, equi-join on the cell id (plus any
+    ``extra_on`` keys), then re-check the exact predicate. Each point
+    lands in exactly one cell and each (interval, cell) pair is unique,
+    so no dedup pass is needed. Catalyst plans a plain shuffled/broadcast
+    hash join; cost is O(n + m * cells_per_interval).
+
+    Pick ``bucket_width`` near the typical interval length: wider
+    buckets explode fewer cells but refine-filter more candidates.
+    """
+    extra = _as_list(extra_on)
+    cell = lambda c: F.floor(F.col(c) / F.lit(bucket_width)).cast("long")  # noqa: E731
+    r_cells = right.withColumn(
+        "__cell__",
+        F.explode(F.sequence(cell(lower), cell(upper))),
+    )
+    l_cells = left.withColumn("__cell__", cell(point))
+    joined = l_cells.join(r_cells, ["__cell__", *extra], "inner").filter(
+        (F.col(point) >= F.col(lower)) & (F.col(point) < F.col(upper))
+    )
+    return joined.drop("__cell__")
 
 
 def salted_join(

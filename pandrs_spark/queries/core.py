@@ -961,3 +961,68 @@ def q93(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- q99: interval/range join — absent in the reference (SURVEY §2.3) -------
+# Overlapping price bands (width 3000, stride 2000 → every price matches
+# 1-2 bands) joined via the bucketed rewrite in operators/joins.range_join:
+# an equi-join on quantized cells instead of a cartesian inequality join.
+@query(
+    "q99_interval_join",
+    oracle=f"""
+    WITH bands AS (
+        SELECT i AS band_id, i * 2000.0 AS lo, i * 2000.0 + 3000.0 AS hi
+        FROM range(0, 55) t(i)
+    )
+    SELECT band_id, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+)
+def q99(spark, sf_dir):
+    from pandrs_spark.operators.joins import range_join
+
+    bands = spark.range(0, 55).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 2000.0).alias("lo"),
+        (F.col("id") * 2000.0 + 3000.0).alias("hi"),
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return (
+        range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=2000.0)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --- q100: approximate distinct (HLL) — §2.4 'absent in reference, free in
+# Spark'. approx_count_distinct is deterministic for a fixed input, and at
+# rsd=0.01 the sketch is far inside the 2%% assertion band, so the
+# within-tolerance flag is a stable value the oracle can pin to TRUE.
+@query(
+    "q100_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_ndv,
+           TRUE AS approx_within_2pct
+    FROM orders
+    """,
+)
+def q100(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("exact_ndv"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.02 * F.countDistinct("o_custkey")
+        ).alias("approx_within_2pct"),
+    )

@@ -171,3 +171,39 @@ def test_asof_tolerance_drops_far_matches(spark):
         ).collect()
     }
     assert got == {10.0: "x", 100.0: None}
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    # Points 0..199 against overlapping intervals; the bucketed rewrite
+    # must reproduce the naive cartesian+filter result exactly.
+    from pandrs_spark.operators.joins import range_join
+
+    pts = spark.range(0, 200).select((F.col("id") * 1.5).alias("x"))
+    iv = spark.createDataFrame(
+        [(0, 10.0, 40.0), (1, 35.0, 36.0), (2, 250.0, 260.0), (3, 0.0, 300.0)],
+        "iv_id long, lo double, hi double",
+    )
+    got = sorted(
+        (r.iv_id, r.x)
+        for r in range_join(pts, iv, "x", "lo", "hi", bucket_width=25.0).collect()
+    )
+    want = sorted(
+        (r.iv_id, r.x)
+        for r in pts.crossJoin(iv)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_join_extra_keys(spark):
+    from pandrs_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "grp string, x double"
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 6.0, 10.0)], "grp string, lo double, hi double"
+    )
+    out = range_join(pts, iv, "x", "lo", "hi", bucket_width=4.0, extra_on="grp")
+    assert [(r.grp, r.x) for r in out.collect()] == [("a", 5.0)]
