@@ -45,8 +45,24 @@ def enable_cache(warm: bool = False, spark: SparkSession | None = None, sf_dir: 
     global _CACHE_ENABLED
     _CACHE_ENABLED = True
     if warm and spark is not None and sf_dir is not None:
+        # Small parquet files arrive as 1-3 scan partitions (one per
+        # ~128MB split), which would cap every downstream stage at that
+        # parallelism. Repartition the cache by row volume so warm-cache
+        # scans use the whole machine — the in-memory analogue of tuning
+        # spark.sql.files.maxPartitionBytes for the cluster.
+        target_rows_per_partition = 20_000
+        max_parts = spark.sparkContext.defaultParallelism
         for t in TABLES:
-            load_table(spark, sf_dir, t).count()
+            key = (sf_dir, t)
+            if key in _CACHE:
+                _CACHE[key].count()
+                continue
+            df = _load_table_uncached(spark, sf_dir, t)
+            parts = max(1, min(max_parts, df.count() // target_rows_per_partition))
+            if parts > df.rdd.getNumPartitions():
+                df = df.repartition(parts)
+            _CACHE[key] = df.cache()
+            _CACHE[key].count()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

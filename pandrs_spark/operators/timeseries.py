@@ -225,3 +225,51 @@ def holt_forecast(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_holt, schema=schema)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    horizon: int = 1,
+    out_col: str = "hw_fc",
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing,
+    src/time_series/forecasting.rs:469): level, trend and a length-
+    ``period`` seasonal cycle updated recursively; forecast at each row
+    is x̂_{t+h} = l_t + h·b_t + s_{t+h−period}. Initialization mirrors
+    the textbook scheme: level = mean of the first cycle, trend = mean
+    first-cycle-to-second-cycle step, seasonals = first-cycle deviations
+    from its mean. Recursive ⇒ applyInPandas per series; each series
+    must fit one worker, series count scales horizontally.
+    """
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", {out_col} double"
+    order_cols = list(order_by)
+
+    def _hw(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        n = len(x)
+        fc = [float("nan")] * n
+        if n >= 2 * period:
+            level = x[:period].mean()
+            trend = (x[period : 2 * period].mean() - x[:period].mean()) / period
+            season = list(x[:period] - x[:period].mean())
+            for t in range(n):
+                s_idx = t % period
+                if t >= period:
+                    prev_level = level
+                    level = alpha * (x[t] - season[s_idx]) + (1 - alpha) * (level + trend)
+                    trend = beta * (level - prev_level) + (1 - beta) * trend
+                    season[s_idx] = gamma * (x[t] - level) + (1 - gamma) * season[s_idx]
+                fc[t] = level + horizon * trend + season[(t + horizon) % period]
+        pdf[out_col] = fc
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_hw, schema=schema)

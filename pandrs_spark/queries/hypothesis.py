@@ -10,10 +10,11 @@ formula over the same exact sums, so values hash-match.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T
-from pandrs_spark.functions.deterministic import davg, sql_davg
+from pandrs_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from pandrs_spark.operators.hypothesis import (
     anova_oneway,
     kruskal_wallis,
@@ -419,4 +420,163 @@ def q96(spark, sf_dir):
             ),
             6,
         ).alias("p_value"),
+    )
+
+
+# --- q101: multiple-testing p-value corrections (hypothesis.rs:787) ---------
+# All pairwise Welch tests across the 5 market segments (10 pairs) from
+# distributed sufficient stats; p-values via the logistic approximation
+# of the normal CDF p = 2/(1+exp(1.702*|t|)) (identical IEEE ops on both
+# engines), then Bonferroni / Holm step-down / Benjamini-Hochberg
+# step-up as window expressions over the tiny per-pair frame. The 100 TB
+# path: one partial-aggregated shuffle for the stats; corrections run
+# over #tests rows, not data rows.
+_WELCH_PAIR_T = (
+    "((sx1 / n1) - (sx2 / n2)) / "
+    "SQRT(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 "
+    "   + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2)"
+)
+_P_APPROX = "2.0 / (1.0 + EXP(1.702 * ABS(t_stat)))"
+
+
+@query(
+    "q101_pvalue_corrections",
+    oracle=f"""
+    WITH seg AS (
+        SELECT c_mktsegment AS seg, COUNT(c_acctbal) AS n,
+               {{sx}} AS sx, {{sxx}} AS sxx
+        FROM customer GROUP BY c_mktsegment
+    ),
+    pairs AS (
+        SELECT a.seg || '|' || b.seg AS pair,
+               a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+               b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
+        FROM seg a JOIN seg b ON a.seg < b.seg
+    ),
+    tested AS (
+        SELECT pair, {_WELCH_PAIR_T} AS t_stat FROM pairs
+    ),
+    pvals AS (
+        SELECT pair, t_stat, {_P_APPROX} AS p,
+               COUNT(*) OVER () AS m,
+               ROW_NUMBER() OVER (ORDER BY {_P_APPROX}, pair) AS r
+        FROM tested
+    )
+    SELECT pair, ROUND(t_stat, 6) AS t_stat, ROUND(p, 6) AS p_raw,
+           ROUND(LEAST(1.0, m * p), 6) AS p_bonferroni,
+           ROUND(LEAST(1.0, MAX((m - r + 1) * p) OVER (
+               ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_holm,
+           ROUND(LEAST(1.0, MIN(m * p / r) OVER (
+               ORDER BY r ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS p_bh
+    FROM pvals
+    ORDER BY pair
+    """.format(sx=sql_dsum("c_acctbal"), sxx=sql_dsum("c_acctbal * c_acctbal", 4)),
+)
+def q101(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    seg = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("c_acctbal").alias("n"),
+        dsum("c_acctbal").alias("sx"),
+        dsum(F.col("c_acctbal") * F.col("c_acctbal"), 4).alias("sxx"),
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg")).select(
+        F.concat_ws("|", "a.seg", "b.seg").alias("pair"),
+        F.col("a.n").alias("n1"), F.col("a.sx").alias("sx1"), F.col("a.sxx").alias("sxx1"),
+        F.col("b.n").alias("n2"), F.col("b.sx").alias("sx2"), F.col("b.sxx").alias("sxx2"),
+    )
+    tested = pairs.select("pair", F.expr(_WELCH_PAIR_T).alias("t_stat"))
+    w_all = Window.partitionBy()
+    pvals = tested.select(
+        "pair",
+        "t_stat",
+        F.expr(_P_APPROX).alias("p"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+        F.row_number().over(Window.orderBy(F.expr(_P_APPROX), F.col("pair"))).alias("r"),
+    )
+    w_holm = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    w_bh = Window.orderBy("r").rowsBetween(0, Window.unboundedFollowing)
+    return pvals.select(
+        "pair",
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("p", 6).alias("p_raw"),
+        F.round(F.least(F.lit(1.0), F.col("m") * F.col("p")), 6).alias("p_bonferroni"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.max((F.col("m") - F.col("r") + 1) * F.col("p")).over(w_holm),
+            ),
+            6,
+        ).alias("p_holm"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.min(F.col("m") * F.col("p") / F.col("r")).over(w_bh),
+            ),
+            6,
+        ).alias("p_bh"),
+    ).orderBy("pair")
+
+
+# --- q102: normalized mutual information (stats/mod.rs:533) -----------------
+# NMI(l_returnflag, l_linestatus) from exact joint/marginal counts:
+# I = sum p_ij*ln(p_ij/(p_i*p_j)); NMI = I/sqrt(H_x*H_y). One shuffle
+# for the joint histogram; entropies are sums over the (tiny) category
+# cardinalities, never over rows.
+@query(
+    "q102_mutual_info",
+    oracle="""
+    WITH joint AS (
+        SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM joint),
+    mx AS (SELECT x, CAST(SUM(c) AS DOUBLE) AS cx FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(c) AS DOUBLE) AS cy FROM joint GROUP BY y),
+    mi AS (
+        SELECT SUM((c / t) * LN(c * t / (cx * cy))) AS mi
+        FROM joint JOIN mx USING (x) JOIN my USING (y), tot
+    ),
+    hx AS (SELECT -SUM((cx / t) * LN(cx / t)) AS hx FROM mx, tot),
+    hy AS (SELECT -SUM((cy / t) * LN(cy / t)) AS hy FROM my, tot)
+    SELECT ROUND(mi, 6) AS mutual_info,
+           ROUND(hx, 6) AS h_x, ROUND(hy, 6) AS h_y,
+           ROUND(mi / SQRT(hx * hy), 6) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def q102(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    joint = li.groupBy(
+        F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = joint.groupBy("x").agg(F.sum("c").cast("double").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("c").cast("double").alias("cy"))
+    tot = joint.agg(F.sum("c").cast("double").alias("t"))
+    mi = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("t"))
+                * F.log(F.col("c") * F.col("t") / (F.col("cx") * F.col("cy")))
+            ).alias("mi")
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("cx") / F.col("t")) * F.log(F.col("cx") / F.col("t")))).alias("hx")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("cy") / F.col("t")) * F.log(F.col("cy") / F.col("t")))).alias("hy")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round("mi", 6).alias("mutual_info"),
+            F.round("hx", 6).alias("h_x"),
+            F.round("hy", 6).alias("h_y"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+        )
     )

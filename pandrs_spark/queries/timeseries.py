@@ -599,3 +599,31 @@ def q86(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# --- q103: additive Holt-Winters forecast (§2.11,
+# src/time_series/forecasting.rs:469) — recursive in level/trend/seasonal
+# states, no SQL closed form ⇒ rows-only check; parity pinned by
+# tests/test_timeseries.py against a hand-rolled reference loop. -------------
+@query("q103_holt_winters_daily")
+def q103(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import holt_winters_forecast
+
+    orders = T(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    out = holt_winters_forecast(
+        daily,
+        "revenue",
+        order_by=["day"],
+        partition_by=[],
+        alpha=0.3,
+        beta=0.1,
+        gamma=0.2,
+        period=7,
+        horizon=1,
+    )
+    return out.select(
+        "day", "revenue", F.round("hw_fc", 4).alias("hw_fc")
+    ).orderBy("day").limit(100)

@@ -150,3 +150,49 @@ def test_holt_per_group_independent(spark):
     # linear series forecast exactly continues the line
     assert rows[("a", 2)] == pytest.approx(4.0, abs=1e-9)
     assert rows[("b", 2)] == pytest.approx(4.0, abs=1e-9)
+
+
+def test_holt_winters_hand_recursion(spark):
+    from pandrs_spark.operators.timeseries import holt_winters_forecast
+
+    period, alpha, beta, gamma, h = 3, 0.3, 0.1, 0.2, 1
+    vals = [10.0, 14.0, 9.0, 12.0, 16.0, 11.0, 13.0, 18.0, 12.0, 15.0]
+    level = sum(vals[:period]) / period
+    trend = (sum(vals[period : 2 * period]) / period - level) / period
+    season = [v - level for v in vals[:period]]
+    expect = []
+    for t, x in enumerate(vals):
+        s = t % period
+        if t >= period:
+            prev = level
+            level = alpha * (x - season[s]) + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1 - beta) * trend
+            season[s] = gamma * (x - level) + (1 - gamma) * season[s]
+        expect.append(level + h * trend + season[(t + h) % period])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i bigint, v double"
+    )
+    out = (
+        holt_winters_forecast(
+            df, "v", order_by=["i"], partition_by=[],
+            alpha=alpha, beta=beta, gamma=gamma, period=period, horizon=h,
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for r, e in zip(out, expect):
+        assert r["hw_fc"] == pytest.approx(e, abs=1e-12)
+
+
+def test_holt_winters_short_series_is_nan(spark):
+    from pandrs_spark.operators.timeseries import holt_winters_forecast
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "i bigint, v double"
+    )
+    out = holt_winters_forecast(
+        df, "v", order_by=["i"], partition_by=[],
+        alpha=0.5, beta=0.5, gamma=0.5, period=3,
+    ).collect()
+    # n < 2*period ⇒ no forecast: null (or NaN, depending on Arrow path)
+    assert all(r["hw_fc"] is None or r["hw_fc"] != r["hw_fc"] for r in out)
