@@ -22,7 +22,7 @@ iteration is one shuffle. Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "degrees",
@@ -32,6 +32,8 @@ __all__ = [
     "bfs_hops",
     "triangle_count",
     "clustering_coefficient",
+    "label_propagation",
+    "modularity",
 ]
 
 _CHECKPOINT_EVERY = 5
@@ -276,5 +278,90 @@ def clustering_coefficient(
             )
             .otherwise(F.lit(0.0))
             .alias("lcc"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iterations: int = 4
+) -> DataFrame:
+    """Synchronous label propagation (components.rs:250) with a
+    deterministic tie-break: every round each vertex adopts the most
+    frequent label among its neighbors, smallest label winning ties.
+    Labels start as vertex ids; all updates in a round read the previous
+    round's labels (synchronous), so the result is partitioning- and
+    engine-independent — unlike the usual async LPA. Each round is one
+    join + one aggregation + one per-vertex top-1 window.
+    """
+    und = symmetrize(edges, src, dst).persist()
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    top1 = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
+    for i in range(iterations):
+        nbr = (
+            und.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        updated = (
+            nbr.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.persist()
+        labels.unpersist()
+        labels = updated
+    und.unpersist()
+    return labels
+
+
+def modularity(
+    und_edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a vertex partition (components.rs:310):
+    Q = sum_c [ E_c/(2m) − (D_c/(2m))² ] with E_c the directed-pair
+    count inside community c, D_c its degree sum, and 2m the count of
+    directed pairs in the symmetric edge set ``und_edges``. Returns one
+    row per community with its contribution — three joins and two
+    aggregations, all on the (small) vertex/community side after the
+    edge table is reduced once.
+    """
+    comm = communities.select(F.col("id"), F.col(community_col).alias("__c__"))
+    m2 = und_edges.count()  # 2m: symmetric edges count each pair twice
+    intra = (
+        und_edges.join(comm.withColumnRenamed("id", src), src)
+        .withColumnRenamed("__c__", "__cs__")
+        .join(comm.withColumnRenamed("id", dst), dst)
+        .filter(F.col("__cs__") == F.col("__c__"))
+        .groupBy(F.col("__cs__").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = und_edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    dsum_c = (
+        deg.join(comm, "id")
+        .groupBy(F.col("__c__").alias("community"))
+        .agg(F.sum("d").alias("degree_sum"))
+    )
+    return (
+        dsum_c.join(intra, "community", "left")
+        .select(
+            "community",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            (
+                F.coalesce("intra_edges", F.lit(0)) / F.lit(float(m2))
+                - (F.col("degree_sum") / F.lit(float(m2))) ** 2
+            ).alias("contribution"),
         )
     )

@@ -132,6 +132,32 @@ def seasonal_decompose_additive(
     (``partition_by`` = series id) decompose in parallel with no UDF.
     Phase means use quantized sums so the result is engine-deterministic.
     """
+    return _seasonal_decompose(df, ts_col, value_col, period, partition_by, "additive")
+
+
+def seasonal_decompose_multiplicative(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Multiplicative decomposition (decomposition.rs:91, model variant):
+    value = trend * seasonal * resid. Seasonal indices are phase means
+    of the value/trend ratio, normalized so their mean is 1."""
+    return _seasonal_decompose(
+        df, ts_col, value_col, period, partition_by, "multiplicative"
+    )
+
+
+def _seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    partition_by: Sequence[str],
+    model: str,
+) -> DataFrame:
     from pandrs_spark.functions.deterministic import davg, dsum_over
 
     keys = list(partition_by)
@@ -147,9 +173,14 @@ def seasonal_decompose_additive(
             dsum_over(value_col, w_center, 4) / period,
         ),
     )
+    detr = (
+        F.col(value_col) - F.col("trend")
+        if model == "additive"
+        else F.col(value_col) / F.col("trend")
+    )
     out = out.withColumn(
         "__phase__", (F.row_number().over(w_ord) - 1) % period
-    ).withColumn("__detr__", F.col(value_col) - F.col("trend"))
+    ).withColumn("__detr__", detr)
     phase_means = out.groupBy(*keys, "__phase__").agg(
         davg("__detr__", 6).alias("__phase_mean__")
     )
@@ -159,9 +190,15 @@ def seasonal_decompose_additive(
     out = out.join(phase_means, keys + ["__phase__"]).join(
         grand, keys if keys else None, "cross" if not keys else "inner"
     )
+    if model == "additive":
+        seasonal = F.col("__phase_mean__") - F.col("__grand__")
+        resid = F.col(value_col) - F.col("trend") - F.col("seasonal")
+    else:
+        seasonal = F.col("__phase_mean__") / F.col("__grand__")
+        resid = F.col(value_col) / (F.col("trend") * F.col("seasonal"))
     return (
-        out.withColumn("seasonal", F.col("__phase_mean__") - F.col("__grand__"))
-        .withColumn("resid", F.col(value_col) - F.col("trend") - F.col("seasonal"))
+        out.withColumn("seasonal", seasonal)
+        .withColumn("resid", resid)
         .drop("__n_win__", "__detr__", "__phase_mean__", "__grand__")
         .withColumnRenamed("__phase__", "phase")
     )

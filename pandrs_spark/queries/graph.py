@@ -49,9 +49,14 @@ strong AS (
     SELECT src, dst FROM trade WHERE cnt > (SELECT AVG(cnt) FROM trade)
 ),
 und AS (
-    SELECT src, dst FROM strong
-    UNION
-    SELECT dst, src FROM strong
+    -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE,
+    -- DuckDB 1.0 stops deduplicating UNION in non-recursive CTEs, which
+    -- silently doubles reciprocal edges.
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM strong
+        UNION ALL
+        SELECT dst, src FROM strong
+    ) t
 )
 """
 
@@ -246,3 +251,99 @@ def q97(spark, sf_dir):
     return lcc.select(
         "id", "deg", "n_tri", F.round("lcc", 6).alias("lcc")
     ).orderBy("id")
+
+
+# --- q106: label propagation communities, 4 synchronous rounds
+# (components.rs:250) ---------------------------------------------------------
+# Deterministic variant: most-frequent neighbor label, smallest label on
+# ties, all vertices updated from the previous round's labels. The
+# oracle unrolls the 4 rounds as chained CTEs with the identical
+# count-then-top-1 window.
+def _lpa_oracle(iterations: int = 4) -> str:
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""lp{k} AS (
+        SELECT id, label FROM (
+            SELECT u.src AS id, l.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.src
+                       ORDER BY COUNT(*) DESC, l.label
+                   ) AS rn
+            FROM und u JOIN lp{k - 1} l ON l.id = u.dst
+            GROUP BY u.src, l.label
+        ) t WHERE rn = 1
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_STRONG},
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    lp0 AS (SELECT id, id AS label FROM verts),
+    {chained}
+    SELECT id, label FROM lp{iterations} ORDER BY id
+    """
+
+
+@query("q106_label_propagation", oracle=_lpa_oracle())
+def q106(spark, sf_dir):
+    from pandrs_spark.operators.graph import label_propagation
+
+    out = label_propagation(_strong_edges(spark, sf_dir), iterations=4)
+    return out.orderBy("id")
+
+
+# --- q108: Newman modularity of the connected-components partition
+# (components.rs:310) ---------------------------------------------------------
+@query(
+    "q108_trade_modularity",
+    oracle=f"""
+    WITH RECURSIVE {_STRONG},
+    reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    comp AS (
+        SELECT v.id, LEAST(v.id, MIN(r.b)) AS c
+        FROM verts v LEFT JOIN reach r ON r.a = v.id
+        GROUP BY v.id
+    ),
+    m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM und),
+    intra AS (
+        SELECT cs.c, COUNT(*) AS e_c
+        FROM und u
+        JOIN comp cs ON cs.id = u.src
+        JOIN comp cd ON cd.id = u.dst
+        WHERE cs.c = cd.c
+        GROUP BY cs.c
+    ),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+    dsums AS (
+        SELECT comp.c, SUM(deg.d) AS d_c
+        FROM deg JOIN comp ON comp.id = deg.id
+        GROUP BY comp.c
+    )
+    SELECT d.c AS community,
+           CAST(COALESCE(i.e_c, 0) AS BIGINT) AS intra_edges,
+           CAST(d.d_c AS BIGINT) AS degree_sum,
+           ROUND(COALESCE(i.e_c, 0) / m2.m2 - (d.d_c / m2.m2) * (d.d_c / m2.m2), 6)
+               AS contribution
+    FROM dsums d LEFT JOIN intra i ON i.c = d.c CROSS JOIN m2
+    ORDER BY community
+    """,
+)
+def q108(spark, sf_dir):
+    from pandrs_spark.operators.graph import modularity
+
+    edges = _strong_edges(spark, sf_dir)
+    und = symmetrize(edges)
+    comps = connected_components(edges).withColumnRenamed("component", "community")
+    out = modularity(und, comps)
+    return out.select(
+        "community",
+        "intra_edges",
+        "degree_sum",
+        F.round("contribution", 6).alias("contribution"),
+    ).orderBy("community")

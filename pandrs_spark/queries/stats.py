@@ -405,3 +405,51 @@ def q64(spark, sf_dir):
     decimal aggregation)."""
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+# --- q104: correlation significance test (§2.12,
+# src/stats/hypothesis.rs:556) -----------------------------------------------
+# Pearson r from exact quantized sums, then t = r*sqrt((n-2)/(1-r^2)) —
+# the full test reduces to one partial-aggregated pass over lineitem.
+_CORR_R = (
+    "(n * sxy - sx * sy) / "
+    "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+)
+
+
+@query(
+    "q104_correlation_test",
+    oracle=f"""
+    WITH sums AS (
+        SELECT COUNT(*) AS n,
+               {sql_dsum('l_quantity')} AS sx,
+               {sql_dsum('l_extendedprice')} AS sy,
+               {sql_dsum('l_quantity * l_quantity', 4)} AS sxx,
+               {sql_dsum('l_extendedprice * l_extendedprice', 0)} AS syy,
+               {sql_dsum('l_quantity * l_extendedprice', 2)} AS sxy
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND({_CORR_R}, 6) AS r,
+           ROUND(({_CORR_R}) * SQRT((n - 2) / (1 - ({_CORR_R}) * ({_CORR_R}))), 6) AS t_stat
+    FROM sums
+    """,
+)
+def q104(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 0).alias("syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(_CORR_R), 6).alias("r"),
+        F.round(
+            F.expr(f"({_CORR_R}) * SQRT((n - 2) / (1 - ({_CORR_R}) * ({_CORR_R})))"),
+            6,
+        ).alias("t_stat"),
+    )

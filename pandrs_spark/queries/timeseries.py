@@ -627,3 +627,101 @@ def q103(spark, sf_dir):
     return out.select(
         "day", "revenue", F.round("hw_fc", 4).alias("hw_fc")
     ).orderBy("day").limit(100)
+
+
+# --- q105: KPSS level-stationarity statistic (§2.11,
+# src/time_series/analysis.rs:659) -------------------------------------------
+# eta = sum_t S_t^2 / (n^2 * sigma^2) with S_t the running sum of
+# demeaned daily revenue and sigma^2 the series variance (lag-0 long-run
+# variance). The cumulative sum is quantized to scaled BIGINT so the
+# running pass is engine-exact; the final reduction is O(days), not rows.
+@query(
+    "q105_kpss_stationarity",
+    oracle=_DAILY
+    + f"""
+    , m AS (
+        SELECT COUNT(*) AS n, {sql_davg('rev')} AS mu,
+               {sql_dsum('rev * rev', 0)} AS srr
+        FROM daily
+    ),
+    s AS (
+        SELECT (CAST(SUM(CAST(SIGN(rev - mu) * FLOOR(ABS(rev - mu) * 100.0 + 0.5) AS BIGINT))
+                     OVER (ORDER BY day) AS DOUBLE) / 100.0) AS st,
+               n, mu, srr
+        FROM daily CROSS JOIN m
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           ROUND((MAX(srr) - MAX(n) * MAX(mu) * MAX(mu)) / MAX(n), 4) AS sigma2,
+           ROUND(SUM(st * st) / (MAX(n) * MAX(n) *
+                 ((MAX(srr) - MAX(n) * MAX(mu) * MAX(mu)) / MAX(n))), 6) AS kpss_stat
+    FROM s
+    """,
+)
+def q105(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum_over
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        davg("rev").alias("mu"),
+        dsum(F.col("rev") * F.col("rev"), 0).alias("srr"),
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.crossJoin(F.broadcast(m)).select(
+        dsum_over(F.col("rev") - F.col("mu"), w_run, 2).alias("st"), "n", "mu", "srr"
+    )
+    sigma2 = (F.max("srr") - F.max("n") * F.max("mu") * F.max("mu")) / F.max("n")
+    return s.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(sigma2, 4).alias("sigma2"),
+        F.round(
+            F.sum(F.col("st") * F.col("st")) / (F.max("n") * F.max("n") * sigma2), 6
+        ).alias("kpss_stat"),
+    )
+
+
+# --- q107: multiplicative seasonal decomposition, weekly period (§2.11,
+# decomposition.rs:91 model variant) ------------------------------------------
+@query(
+    "q107_weekly_decomposition_mult",
+    oracle=_DAILY
+    + f"""
+    , trended AS (
+        SELECT day, rev,
+               CASE WHEN COUNT(rev) OVER wc = 7
+                    THEN {sql_dsum_over('rev', 'wc', 4)} / 7 END AS trend,
+               (ROW_NUMBER() OVER (ORDER BY day) - 1) % 7 AS phase
+        FROM daily
+        WINDOW wc AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    phase_means AS (
+        SELECT phase, {sql_davg('rev / trend', 6)} AS pm
+        FROM trended GROUP BY phase
+    ),
+    grand AS (SELECT {sql_davg('pm', 6)} AS g FROM phase_means)
+    SELECT t.day, t.rev,
+           ROUND(t.trend, 6) AS trend,
+           ROUND(p.pm / g.g, 6) AS seasonal,
+           ROUND(t.rev / (t.trend * (p.pm / g.g)), 6) AS resid
+    FROM trended t JOIN phase_means p USING (phase) CROSS JOIN grand g
+    ORDER BY t.day
+    """,
+)
+def q107(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import seasonal_decompose_multiplicative
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    dec = seasonal_decompose_multiplicative(daily, "day", "rev", period=7)
+    return dec.select(
+        "day",
+        "rev",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+    ).orderBy("day")

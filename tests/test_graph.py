@@ -96,3 +96,45 @@ def test_clustering_coefficient(spark):
     assert rows[1]["lcc"] == 1.0 and rows[2]["lcc"] == 1.0
     assert rows[3]["deg"] == 3 and rows[3]["lcc"] == pytest.approx(1 / 3)
     assert rows[4]["lcc"] == 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    from pandrs_spark.operators.graph import label_propagation
+
+    # two disjoint triangles: each converges to its min vertex id
+    # (synchronous rounds; min tie-break makes the result deterministic)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        "src bigint, dst bigint",
+    )
+    rows = {r["id"]: r["label"] for r in label_propagation(e, iterations=4).collect()}
+    assert rows[1] == rows[2] == rows[3] == 1
+    assert rows[10] == rows[11] == rows[12] == 10
+
+
+def test_modularity_two_components(spark):
+    from pandrs_spark.operators.graph import modularity, symmetrize
+
+    # two disjoint triangles; perfect partition: Q = sum_c 1/2 - 1/4 = 1/2
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        "src bigint, dst bigint",
+    )
+    und = symmetrize(e)
+    comm = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)], "id bigint, community bigint"
+    )
+    rows = {r["community"]: r for r in modularity(und, comm).collect()}
+    assert rows[1]["intra_edges"] == 6 and rows[1]["degree_sum"] == 6
+    assert rows[1]["contribution"] == pytest.approx(0.25)
+    assert rows[10]["contribution"] == pytest.approx(0.25)
+
+
+def test_modularity_single_community_is_zero(spark):
+    from pandrs_spark.operators.graph import modularity, symmetrize
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    und = symmetrize(e)
+    comm = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "id bigint, community bigint")
+    row = modularity(und, comm).first()
+    assert row["contribution"] == pytest.approx(0.0)

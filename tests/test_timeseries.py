@@ -196,3 +196,21 @@ def test_holt_winters_short_series_is_nan(spark):
     ).collect()
     # n < 2*period ⇒ no forecast: null (or NaN, depending on Arrow path)
     assert all(r["hw_fc"] is None or r["hw_fc"] != r["hw_fc"] for r in out)
+
+
+def test_multiplicative_decompose_reconstructs(spark):
+    from pandrs_spark.operators.timeseries import seasonal_decompose_multiplicative
+
+    # value = trend(linear) * season(period 4); resid should be ~1 and
+    # value == trend * seasonal * resid wherever trend is defined
+    period = 4
+    season = [1.2, 0.8, 1.1, 0.9]
+    vals = [(i, (10.0 + i) * season[i % period]) for i in range(24)]
+    df = spark.createDataFrame(vals, "i bigint, v double")
+    out = seasonal_decompose_multiplicative(df, "i", "v", period=period).collect()
+    for r in out:
+        if r["trend"] is not None:
+            assert r["v"] == pytest.approx(
+                r["trend"] * r["seasonal"] * r["resid"], rel=1e-9
+            )
+            assert r["resid"] == pytest.approx(1.0, rel=0.05)
