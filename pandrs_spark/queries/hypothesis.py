@@ -580,3 +580,183 @@ def q102(spark, sf_dir):
             F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
         )
     )
+
+
+# --- q110: Friedman test (nonparametric.rs:294) -----------------------------
+# Blocks = order months, treatments = the 5 order priorities, response =
+# deterministic mean order price per (block, treatment). Ranks within
+# each complete block use the average-rank convention; the statistic is
+# Q = 12/(nk(k+1)) * sum_j R_j^2 - 3n(k+1). Everything after the
+# (partial-aggregated) block/treatment means is O(blocks*k).
+@query(
+    "q110_friedman_test",
+    oracle=f"""
+    WITH cells AS (
+        SELECT date_trunc('month', o_orderdate) AS block,
+               o_orderpriority AS treatment,
+               {sql_davg('o_totalprice')} AS v
+        FROM orders
+        GROUP BY block, treatment
+    ),
+    complete AS (
+        SELECT block FROM cells GROUP BY block HAVING COUNT(*) = 5
+    ),
+    ranked AS (
+        SELECT c.block, c.treatment,
+               RANK() OVER (PARTITION BY c.block ORDER BY c.v)
+                   + (COUNT(*) OVER (PARTITION BY c.block, c.v) - 1) / 2.0 AS r
+        FROM cells c JOIN complete USING (block)
+    ),
+    rsums AS (
+        SELECT treatment, CAST(SUM(r) AS DOUBLE) AS rj,
+               COUNT(*) AS n
+        FROM ranked GROUP BY treatment
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS k_treatments,
+           ROUND(12.0 / (MAX(n) * COUNT(*) * (COUNT(*) + 1)) * SUM(rj * rj)
+                 - 3 * MAX(n) * (COUNT(*) + 1), 6) AS friedman_stat
+    FROM rsums
+    """,
+)
+def q110(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("block"),
+        F.col("o_orderpriority").alias("treatment"),
+    ).agg(davg("o_totalprice").alias("v"))
+    complete = cells.groupBy("block").agg(F.count(F.lit(1)).alias("kk")).filter(
+        F.col("kk") == 5
+    ).select("block")
+    w_rank = Window.partitionBy("block").orderBy("v")
+    w_tie = Window.partitionBy("block", "v")
+    ranked = cells.join(complete, "block").select(
+        "treatment",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("r"),
+    )
+    rsums = ranked.groupBy("treatment").agg(
+        F.sum("r").cast("double").alias("rj"), F.count(F.lit(1)).alias("n")
+    )
+    return rsums.agg(
+        F.max("n").cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.round(
+            12.0
+            / (F.max("n") * F.count(F.lit(1)) * (F.count(F.lit(1)) + 1))
+            * F.sum(F.col("rj") * F.col("rj"))
+            - 3 * F.max("n") * (F.count(F.lit(1)) + 1),
+            6,
+        ).alias("friedman_stat"),
+    )
+
+
+# --- q111: Shapiro-Francia normality W' (hypothesis.rs:693's
+# Shapiro-Wilk, in its large-n Shapiro-Francia form) -------------------------
+# W' = corr(x_(i), m_i)^2 between the order statistics and the expected
+# normal quantiles m_i = probit((i - 0.375)/(n + 0.25)) (Blom scores).
+# probit uses Acklam's rational approximation — pure arithmetic, so both
+# engines evaluate bit-identical scores. The ordered pass runs over the
+# distinct-value histogram; tied values expand to their individual ranks
+# via sequence/unnest (O(n) rows, no per-row Python).
+def _probit_sql(p: str) -> str:
+    """Acklam's inverse normal CDF as a portable SQL expression."""
+    a = "(((((-3.969683028665376e+01*r+2.209460984245205e+02)*r-2.759285104469687e+02)*r+1.383577518672690e+02)*r-3.066479806614716e+01)*r+2.506628277459239e+00)"
+    b = "((((( -5.447609879822406e+01*r+1.615858368580409e+02)*r-1.556989798598866e+02)*r+6.680131188771972e+01)*r-1.328068155288572e+01)*r+1.0)"
+    c = "(((((-7.784894002430293e-03*q-3.223964580411365e-01)*q-2.400758277161838e+00)*q-2.549732539343734e+00)*q+4.374664141464968e+00)*q+2.938163982698783e+00)"
+    d = "((((7.784695709041462e-03*q+3.224671290700398e-01)*q+2.445134137142996e+00)*q+3.754408661907416e+00)*q+1.0)"
+    lo, hi = "0.02425", "0.97575"
+    return f"""CASE
+        WHEN ({p}) < {lo} THEN
+            (SELECT {c} / {d} FROM (SELECT SQRT(-2.0 * LN(({p}))) AS q) _t1)
+        WHEN ({p}) > {hi} THEN
+            (SELECT -({c}) / {d} FROM (SELECT SQRT(-2.0 * LN(1.0 - ({p}))) AS q) _t2)
+        ELSE
+            (SELECT ({a} * q) / {b}
+             FROM (SELECT ({p}) - 0.5 AS q, (({p}) - 0.5) * (({p}) - 0.5) AS r) _t3)
+    END"""
+
+
+_SF_CORR = (
+    "(n * sxy - sx * sy) / "
+    "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+)
+
+
+@query(
+    "q111_shapiro_francia",
+    oracle=f"""
+    WITH per_v AS (
+        SELECT c_acctbal AS v, COUNT(*) AS cnt FROM customer GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM per_v
+    ),
+    expanded AS (
+        SELECT v, n,
+               UNNEST(generate_series(CAST(cum - cnt + 1 AS BIGINT),
+                                      CAST(cum AS BIGINT))) AS i
+        FROM ranked
+    ),
+    scored AS (
+        SELECT v, {_probit_sql('(i - 0.375) / (n + 0.25)')} AS m
+        FROM expanded
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n, SUM(v) AS sx, SUM(m) AS sy,
+               SUM(v * v) AS sxx, SUM(m * m) AS syy, SUM(v * m) AS sxy
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(({_SF_CORR}) * ({_SF_CORR}), 6) AS w_stat
+    FROM sums
+    """,
+)
+def q111(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    per_v = cust.groupBy(F.col("c_acctbal").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = per_v.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    expanded = ranked.select(
+        "v", "n", F.explode(F.sequence(F.col("cum") - F.col("cnt") + 1, F.col("cum"))).alias("i")
+    )
+    # Spark has no scalar subquery-in-expression; inline q/r via nested CASE
+    p = "((i - 0.375) / (n + 0.25))"
+    a_num = "(((((-3.969683028665376e+01*r+2.209460984245205e+02)*r-2.759285104469687e+02)*r+1.383577518672690e+02)*r-3.066479806614716e+01)*r+2.506628277459239e+00)"
+    b_den = "((((( -5.447609879822406e+01*r+1.615858368580409e+02)*r-1.556989798598866e+02)*r+6.680131188771972e+01)*r-1.328068155288572e+01)*r+1.0)"
+    c_num = "(((((-7.784894002430293e-03*q-3.223964580411365e-01)*q-2.400758277161838e+00)*q-2.549732539343734e+00)*q+4.374664141464968e+00)*q+2.938163982698783e+00)"
+    d_den = "((((7.784695709041462e-03*q+3.224671290700398e-01)*q+2.445134137142996e+00)*q+3.754408661907416e+00)*q+1.0)"
+    lo_q = f"SQRT(-2.0 * LN({p}))"
+    hi_q = f"SQRT(-2.0 * LN(1.0 - {p}))"
+    mid_q = f"({p} - 0.5)"
+    mid_r = f"({mid_q} * {mid_q})"
+    probit = f"""CASE
+        WHEN {p} < 0.02425 THEN {c_num.replace('q', f'({lo_q})')} / {d_den.replace('q', f'({lo_q})')}
+        WHEN {p} > 0.97575 THEN -({c_num.replace('q', f'({hi_q})')}) / {d_den.replace('q', f'({hi_q})')}
+        ELSE ({a_num.replace('r', mid_r)} * {mid_q}) / {b_den.replace('r', mid_r)}
+    END"""
+    scored = expanded.select("v", F.expr(probit).alias("m"))
+    sums = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum("m").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).alias("syy"),
+        F.sum(F.col("v") * F.col("m")).alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(f"({_SF_CORR}) * ({_SF_CORR})"), 6).alias("w_stat"),
+    )

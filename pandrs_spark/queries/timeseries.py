@@ -725,3 +725,112 @@ def q107(spark, sf_dir):
         F.round("seasonal", 6).alias("seasonal"),
         F.round("resid", 6).alias("resid"),
     ).orderBy("day")
+
+
+# --- q109: partial autocorrelation (PACF) at lags 1-3 (§2.11,
+# src/time_series/stats.rs:1040) ----------------------------------------------
+# Durbin-Levinson recursion over the lag-k pair correlations (the same
+# estimator family as q48's ACF): phi_11 = r1; phi_22 = (r2-r1^2)/(1-r1^2);
+# phi_33 from the order-2 prediction coefficients. All inputs are exact
+# quantized sums, the recursion is closed-form arithmetic shared by both
+# engines, and the ordered pass is over days, not rows.
+_PACF_PHIS = """
+    phis AS (
+        SELECT r1 AS phi1,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS phi2,
+               (r3 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r2
+                   - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1)
+               / (1 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r1
+                    - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2) AS phi3
+        FROM rs
+    )
+"""
+
+
+@query(
+    "q109_pacf",
+    oracle=_DAILY
+    + f"""
+    , daily_i AS (
+        SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+    ),
+    pairs AS (
+        SELECT k.lag_k, a.rev AS x, b.rev AS y
+        FROM daily_i a
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag_k) k
+        LEFT JOIN daily_i b ON a.i - k.lag_k = b.i
+    ),
+    stats AS (
+        SELECT lag_k,
+               COUNT(y) AS n,
+               {sql_dsum('CASE WHEN y IS NOT NULL THEN x END', 0)} AS sx,
+               {sql_dsum('y', 0)} AS sy,
+               {sql_dsum('CASE WHEN y IS NOT NULL THEN x * x END', 0)} AS sxx,
+               {sql_dsum('y * y', 0)} AS syy,
+               {sql_dsum('x * y', 0)} AS sxy
+        FROM pairs
+        GROUP BY lag_k
+    ),
+    acfs AS (
+        SELECT lag_k,
+               (n * sxy - sx * sy) /
+               (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS r
+        FROM stats
+    ),
+    rs AS (
+        SELECT MAX(CASE WHEN lag_k = 1 THEN r END) AS r1,
+               MAX(CASE WHEN lag_k = 2 THEN r END) AS r2,
+               MAX(CASE WHEN lag_k = 3 THEN r END) AS r3
+        FROM acfs
+    ),
+    {_PACF_PHIS}
+    SELECT 1 AS lag_k, ROUND(phi1, 6) AS pacf FROM phis
+    UNION ALL SELECT 2, ROUND(phi2, 6) FROM phis
+    UNION ALL SELECT 3, ROUND(phi3, 6) FROM phis
+    ORDER BY lag_k
+    """,
+)
+def q109(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag_k"))
+    daily_i = daily.withColumn("i", F.row_number().over(Window.orderBy("day")))
+    a = daily_i.select(F.col("i"), F.col("rev").alias("x"))
+    b = daily_i.select(F.col("i").alias("i_b"), F.col("rev").alias("y"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("i") - F.col("lag_k") == F.col("i_b"), "left"
+    )
+    stats = pairs.groupBy("lag_k").agg(
+        F.count("y").alias("n"),
+        dsum(F.when(F.col("y").isNotNull(), F.col("x")), 0).alias("sx"),
+        dsum("y", 0).alias("sy"),
+        dsum(F.when(F.col("y").isNotNull(), F.col("x") * F.col("x")), 0).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 0).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 0).alias("sxy"),
+    )
+    acfs = stats.select(
+        "lag_k",
+        F.expr(
+            "(n * sxy - sx * sy) / "
+            "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+        ).alias("r"),
+    )
+    rs = acfs.agg(
+        F.max(F.when(F.col("lag_k") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag_k") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("lag_k") == 3, F.col("r"))).alias("r3"),
+    )
+    phis = rs.selectExpr(
+        "r1 AS phi1",
+        "(r2 - r1 * r1) / (1 - r1 * r1) AS phi2",
+        """(r3 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r2
+               - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1)
+           / (1 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r1
+                - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2) AS phi3""",
+    )
+    return phis.selectExpr(
+        "stack(3, 1, ROUND(phi1, 6), 2, ROUND(phi2, 6), 3, ROUND(phi3, 6))"
+        " AS (lag_k, pacf)"
+    ).orderBy("lag_k")
