@@ -104,6 +104,97 @@ class Frame:
     def add_prefix(self, prefix: str) -> "Frame":
         return self.rename({c: prefix + c for c in self.columns})
 
+    def insert_column(self, pos: int, name: str, col: Column) -> "Frame":
+        """Insert a computed column at position ``pos`` (compat
+        insert_column, functions.rs:1962) — column order is metadata in
+        Spark, so this is a pure projection."""
+        cols = self.columns
+        new = cols[:pos] + [name] + cols[pos:]
+        return self._wrap(
+            self._df.withColumn(name, col).select(F.col(self._order), *new)
+        )
+
+    def pop_column(self, name: str) -> "tuple[Column, Frame]":
+        """Remove a column, returning (its expression, remaining frame)
+        (compat pop_column, functions.rs:1956)."""
+        return F.col(name), self.drop(name)
+
+    def swap_columns(self, a: str, b: str) -> "Frame":
+        """Swap two column positions (functions.rs:3296)."""
+        cols = self.columns
+        ia, ib = cols.index(a), cols.index(b)
+        cols[ia], cols[ib] = cols[ib], cols[ia]
+        return self.select(*cols)
+
+    def reindex_columns(self, order: Sequence[str]) -> "Frame":
+        """Project to ``order``; names not present become NULL columns
+        (compat reindex_columns, functions.rs:2249 / pandas reindex)."""
+        exprs = [
+            F.col(c) if c in self.columns else F.lit(None).alias(c) for c in order
+        ]
+        return self._wrap(self._df.select(F.col(self._order), *exprs))
+
+    def align(self, other: "Frame | DataFrame", on: Sequence[str]) -> "tuple[Frame, Frame]":
+        """pandas ``align`` (join='outer', axis=0) on key columns
+        (functions.rs:2216): both frames reindexed to the union of keys;
+        rows missing on one side appear as NULLs. One outer join on the
+        key union each — no row-order dependence."""
+        odf = other.spark if isinstance(other, Frame) else other
+        keys = list(on)
+        all_keys = (
+            self.spark.select(*keys).union(odf.select(*keys)).distinct()
+        )
+        left = Frame(all_keys.join(self.spark, keys, "left"))
+        right = Frame(all_keys.join(odf, keys, "left"))
+        return left, right
+
+    def lookup(self, key_col: str, pairs: Sequence[tuple]) -> "Frame":
+        """Row/column label lookup (compat lookup, functions.rs:3226):
+        for each (key_value, column_name) pair, the value of that column
+        in the row where ``key_col`` equals the key. The pair list
+        broadcasts; values resolve via a CASE over the (static) column
+        names, so the big side is scanned once."""
+        spark = self._df.sparkSession
+        spec = spark.createDataFrame(
+            [(k, c) for k, c in pairs], f"__key__ {self._df.schema[key_col].dataType.simpleString()}, __col__ string"
+        )
+        value = None
+        for c in self.columns:
+            if c == key_col:
+                continue
+            branch = F.when(F.col("__col__") == c, F.col(c).cast("string"))
+            value = branch if value is None else value.when(
+                F.col("__col__") == c, F.col(c).cast("string")
+            )
+        out = (
+            self.spark.join(
+                F.broadcast(spec), F.col(key_col) == F.col("__key__"), "inner"
+            )
+            .select(
+                F.col("__key__").alias("key"),
+                F.col("__col__").alias("column"),
+                value.alias("value"),
+            )
+        )
+        return Frame(out)
+
+    def replace_inf(self, cols: Sequence[str] | None = None, value=None) -> "Frame":
+        """Replace ±Infinity with ``value`` (None → NULL) — compat
+        replace_inf (functions.rs:4026); NaN is left alone (explicit
+        NULL/NaN policy, SURVEY §7.1)."""
+        targets = list(cols) if cols else [
+            n for n, t in self.dtypes if t in ("double", "float")
+        ]
+        df = self._df
+        for c in targets:
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.col(c).isin(float("inf"), float("-inf")), F.lit(value)
+                ).otherwise(F.col(c)),
+            )
+        return self._wrap(df)
+
     def add_suffix(self, suffix: str) -> "Frame":
         return self.rename({c: c + suffix for c in self.columns})
 

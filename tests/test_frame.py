@@ -303,3 +303,53 @@ def test_dt_accessor(spark):
     assert row["fmt"] == "2024/03/09"
     assert row["norm"].hour == 0
     assert row["am"].month == 5
+
+
+# -- §2.2 column-surgery extras ----------------------------------------------
+def test_insert_pop_swap_reindex(frame):
+    ins = frame.insert_column(1, "x", F.col("n") * 2)
+    assert ins.columns == ["k", "x", "n", "v"]
+    assert [r.x for r in ins.sort_values("n").collect()][:2] == [2, 2]
+
+    col, rest = frame.pop_column("v")
+    assert rest.columns == ["k", "n"]
+
+    assert frame.swap_columns("k", "v").columns == ["v", "n", "k"]
+
+    re = frame.reindex_columns(["n", "missing", "k"])
+    assert re.columns == ["n", "missing", "k"]
+    assert all(r.missing is None for r in re.collect())
+
+
+def test_align_outer_on_keys(spark):
+    a = Frame(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, x double"))
+    b = Frame(spark.createDataFrame([(2, 200.0), (3, 300.0)], "id long, y double"))
+    la, lb = a.align(b, on=["id"])
+    ra = {r.id: r.x for r in la.collect()}
+    rb = {r.id: r.y for r in lb.collect()}
+    assert set(ra) == set(rb) == {1, 2, 3}
+    assert ra[3] is None and rb[1] is None and ra[1] == 10.0 and rb[3] == 300.0
+
+
+def test_lookup(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, s string, v double"
+        )
+    )
+    out = {
+        (r.key, r.column): r.value
+        for r in f.lookup("id", [(1, "s"), (2, "v")]).collect()
+    }
+    assert out == {(1, "s"): "a", (2, "v"): "20.0"}
+
+
+def test_replace_inf(spark):
+    f = Frame(
+        spark.createDataFrame(
+            [(1.0,), (float("inf"),), (float("-inf"),), (float("nan"),)], "v double"
+        )
+    )
+    vals = [r.v for r in f.replace_inf().collect()]
+    assert vals[0] == 1.0 and vals[1] is None and vals[2] is None
+    assert math.isnan(vals[3])  # NaN untouched: explicit NULL/NaN policy
