@@ -34,6 +34,11 @@ __all__ = [
     "clustering_coefficient",
     "label_propagation",
     "modularity",
+    "closeness_centrality",
+    "eigenvector_centrality",
+    "katz_centrality",
+    "hits",
+    "shortest_paths",
 ]
 
 _CHECKPOINT_EVERY = 5
@@ -365,3 +370,267 @@ def modularity(
             ).alias("contribution"),
         )
     )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    roots: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Closeness centrality (centrality.rs:109):
+    closeness(v) = (reached(v) − 1) / Σ_u dist(v, u) over the vertices
+    reachable from v, unweighted hops on the symmetric closure.
+
+    Multi-source BFS: the state is (root, id, hops) pairs; every round
+    the whole frontier (all roots at once) expands one hop through the
+    edge table — one join + one anti-join per round, NOT one BFS per
+    root. Exact closeness is inherently all-pairs (O(V·E) state); at
+    scale pass ``roots`` (a DataFrame of ``id``) to compute landmark/
+    pivot closeness over a sample of sources — the standard
+    approximation — while the per-round dataflow stays identical.
+    """
+    und = symmetrize(edges, src, dst).repartition("src").persist()
+    verts = und.select(F.col("src").alias("id")).distinct()
+    start = (roots if roots is not None else verts).select("id")
+    visited = start.select(
+        F.col("id").alias("root"), F.col("id"), F.lit(0).alias("hops")
+    ).persist()
+    frontier = visited
+    for hop in range(1, max_iter + 1):
+        neighbors = (
+            und.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = (
+            neighbors.join(visited, ["root", "id"], "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .persist()
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier)
+        if hop % _CHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = new_frontier
+    und.unpersist()
+    return visited.groupBy(F.col("root").alias("id")).agg(
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
+        F.when(
+            F.sum("hops") > 0, (F.count(F.lit(1)) - 1) / F.sum("hops")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
+
+
+def _l2_normalize(scores: DataFrame, col: str) -> DataFrame:
+    """Divide ``col`` by its L2 norm via a broadcast scalar join (keeps
+    the whole round inside one plan — no driver round-trip).
+
+    The input is eagerly checkpointed first: the norm subplan references
+    ``scores`` a second time, so without materialization each iteration
+    would DOUBLE the lineage (2^k plan growth over k rounds) — the
+    classic iterative-Spark blowup. The score vector is |V| rows, so the
+    checkpoint is cheap at any scale.
+    """
+    scores = scores.localCheckpoint(eager=True)
+    norm = scores.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm__"))
+    return scores.crossJoin(F.broadcast(norm)).select(
+        *[c for c in scores.columns if c != col],
+        (F.col(col) / F.col("__norm__")).alias(col),
+    )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration (centrality.rs:344):
+    x ← A·x / ‖A·x‖₂ on the symmetric closure, fixed iteration count
+    for engine-independent results. Edges partition once on the join
+    key; each round moves only the |V|-row score vector.
+    """
+    und = symmetrize(edges, src, dst).repartition("dst").persist()
+    verts = und.select(F.col("src").alias("id")).distinct().persist()
+    scores = verts.withColumn("score", F.lit(1.0))
+    scores = _l2_normalize(scores, "score")
+    for i in range(iterations):
+        nbr_sum = (
+            und.join(scores.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("score").alias("score"))
+        )
+        scores = verts.join(nbr_sum, "id", "left").select(
+            "id", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+        scores = _l2_normalize(scores, "score")
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            scores = scores.localCheckpoint(eager=True)
+    und.unpersist()
+    return scores
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    iterations: int = 10,
+) -> DataFrame:
+    """Katz centrality (centrality.rs:424), fixed-point iteration
+    x ← α·Aᵀ·x + β over in-neighbors of the directed graph. α must be
+    below 1/λ_max for convergence; fixed iterations keep it
+    deterministic. Same one-small-shuffle-per-round shape as PageRank.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    scores = verts.withColumn("score", F.lit(float(beta)))
+    for i in range(iterations):
+        in_sum = (
+            e.join(scores.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("score").alias("in_score"))
+        )
+        scores = verts.join(in_sum, "id", "left").select(
+            "id",
+            (
+                F.lit(float(alpha)) * F.coalesce("in_score", F.lit(0.0))
+                + F.lit(float(beta))
+            ).alias("score"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            scores = scores.localCheckpoint(eager=True)
+    e.unpersist()
+    return scores
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+) -> DataFrame:
+    """HITS hubs & authorities (centrality.rs:501) on the directed
+    graph, L2-normalized each half-step:
+    auth(v) ← Σ_{u→v} hub(u);  hub(u) ← Σ_{u→v} auth(v).
+    Two small shuffles per round (the |V|-row score vectors move; edges
+    stay partitioned). Returns (id, authority, hub).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    hubs = verts.withColumn("hub", F.lit(1.0))
+    auths = verts.withColumn("authority", F.lit(1.0))
+    for i in range(iterations):
+        auth_sum = (
+            e.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auths = verts.join(auth_sum, "id", "left").select(
+            "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
+        )
+        auths = _l2_normalize(auths, "authority")
+        hub_sum = (
+            e.join(auths.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hubs = verts.join(hub_sum, "id", "left").select(
+            "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        )
+        hubs = _l2_normalize(hubs, "hub")
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            auths = auths.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+    e.unpersist()
+    return auths.join(hubs, "id")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    iterations: int = 10,
+) -> DataFrame:
+    """Single-source weighted shortest paths (path.rs Dijkstra parity)
+    by synchronous Bellman-Ford relaxation — the distributed-friendly
+    formulation (Dijkstra's priority queue is inherently sequential):
+
+        d_{k+1}(v) = min(d_k(v), min_{u→v}(d_k(u) + cost(u,v)))
+
+    ``iterations`` bounds path length (≥ graph diameter for exactness).
+    Integer costs keep results bit-identical across engines. Each round
+    joins the |V|-row distance vector against the once-partitioned edge
+    table. Unreachable vertices return NULL dist.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(cost).cast("long").alias("cost"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    dist = verts.withColumn(
+        "dist",
+        F.when(F.col("id") == F.lit(source), F.lit(0).cast("long")).otherwise(
+            F.lit(None).cast("long")
+        ),
+    )
+    for i in range(iterations):
+        cand = (
+            e.join(
+                dist.filter(F.col("dist").isNotNull()).withColumnRenamed(
+                    "id", "src"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("cost")).alias("cand"))
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = dist.join(cand, "id", "left").select(
+            "id",
+            F.when(F.col("dist").isNull(), F.col("cand"))
+            .when(F.col("cand").isNull(), F.col("dist"))
+            .otherwise(F.least("dist", "cand"))
+            .alias("dist"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            dist = dist.localCheckpoint(eager=True)
+    e.unpersist()
+    return dist

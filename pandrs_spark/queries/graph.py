@@ -347,3 +347,207 @@ def q108(spark, sf_dir):
         "degree_sum",
         F.round("contribution", 6).alias("contribution"),
     ).orderBy("community")
+
+
+# --- q112: closeness centrality via multi-source BFS (centrality.rs:109) -----
+@query(
+    "q112_closeness_centrality",
+    oracle=f"""
+    WITH RECURSIVE {_STRONG},
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    reach(root, id, hops) AS (
+        SELECT id, id, 0 FROM verts
+        UNION
+        SELECT r.root, u.dst, r.hops + 1
+        FROM reach r JOIN und u ON u.src = r.id
+        WHERE r.hops < 20
+    ),
+    mind AS (SELECT root, id, MIN(hops) AS d FROM reach GROUP BY root, id)
+    SELECT root AS id,
+           COUNT(*) - 1 AS n_reached,
+           ROUND(CASE WHEN SUM(d) > 0
+                      THEN (COUNT(*) - 1) / CAST(SUM(d) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS closeness
+    FROM mind GROUP BY root ORDER BY id
+    """,
+)
+def q112(spark, sf_dir):
+    from pandrs_spark.operators.graph import closeness_centrality
+
+    out = closeness_centrality(_strong_edges(spark, sf_dir))
+    return out.select(
+        "id", "n_reached", F.round("closeness", 6).alias("closeness")
+    ).orderBy("id")
+
+
+# --- q113: eigenvector centrality, 10 power iterations (centrality.rs:344) ---
+def _eigenvector_oracle(iterations: int = 10) -> str:
+    steps = ["evn0 AS MATERIALIZED (SELECT id, 1.0 / SQRT((SELECT COUNT(*) FROM verts)) AS s FROM verts)"]
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""ev{k} AS MATERIALIZED (
+        SELECT v.id, COALESCE(m.t, 0) AS s
+        FROM verts v LEFT JOIN (
+            SELECT u.src AS id, SUM(p.s) AS t
+            FROM evn{k - 1} p JOIN und u ON u.dst = p.id
+            GROUP BY u.src
+        ) m ON m.id = v.id
+    ),
+    evn{k} AS MATERIALIZED (
+        SELECT id, s / SQRT((SELECT SUM(s * s) FROM ev{k})) AS s FROM ev{k}
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_STRONG},
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    {chained}
+    SELECT id, ROUND(s, 6) AS score FROM evn{iterations} ORDER BY id
+    """
+
+
+@query("q113_eigenvector_centrality", oracle=_eigenvector_oracle())
+def q113(spark, sf_dir):
+    from pandrs_spark.operators.graph import eigenvector_centrality
+
+    out = eigenvector_centrality(_strong_edges(spark, sf_dir), iterations=10)
+    return out.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+# --- q114: HITS hubs & authorities, 10 iterations (centrality.rs:501) --------
+def _hits_oracle(iterations: int = 10) -> str:
+    steps = ["hn0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM verts)"]
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""a{k} AS MATERIALIZED (
+        SELECT v.id, COALESCE(m.t, 0) AS a
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS id, SUM(h.h) AS t
+            FROM hn{k - 1} h JOIN strong e ON e.src = h.id
+            GROUP BY e.dst
+        ) m ON m.id = v.id
+    ),
+    an{k} AS MATERIALIZED (SELECT id, a / SQRT((SELECT SUM(a * a) FROM a{k})) AS a FROM a{k}),
+    h{k} AS MATERIALIZED (
+        SELECT v.id, COALESCE(m.t, 0) AS h
+        FROM verts v LEFT JOIN (
+            SELECT e.src AS id, SUM(a.a) AS t
+            FROM an{k} a JOIN strong e ON e.dst = a.id
+            GROUP BY e.src
+        ) m ON m.id = v.id
+    ),
+    hn{k} AS MATERIALIZED (SELECT id, h / SQRT((SELECT SUM(h * h) FROM h{k})) AS h FROM h{k})"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_TRADE},
+    strong AS MATERIALIZED (
+        SELECT src, dst FROM trade WHERE cnt > (SELECT AVG(cnt) FROM trade)
+    ),
+    verts AS MATERIALIZED (
+        SELECT src AS id FROM strong UNION SELECT dst FROM strong
+    ),
+    {chained}
+    SELECT v.id, ROUND(a.a, 6) AS authority, ROUND(h.h, 6) AS hub
+    FROM verts v
+    JOIN an{iterations} a ON a.id = v.id
+    JOIN hn{iterations} h ON h.id = v.id
+    ORDER BY v.id
+    """
+
+
+@query("q114_hits", oracle=_hits_oracle())
+def q114(spark, sf_dir):
+    from pandrs_spark.operators.graph import hits
+
+    out = hits(_strong_edges(spark, sf_dir), iterations=10)
+    return out.select(
+        "id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    ).orderBy("id")
+
+
+# --- q115: weighted single-source shortest paths, Bellman-Ford
+# (path.rs Dijkstra parity; integer costs for engine-exact minima) ------------
+def _sssp_oracle(iterations: int = 10) -> str:
+    steps = [
+        """d0 AS MATERIALIZED (
+        SELECT id, CASE WHEN id = (SELECT m FROM seed)
+                        THEN CAST(0 AS BIGINT) END AS dist
+        FROM verts
+    )"""
+    ]
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""d{k} AS MATERIALIZED (
+        SELECT v.id,
+               CASE WHEN v.dist IS NULL THEN c.cand
+                    WHEN c.cand IS NULL THEN v.dist
+                    ELSE LEAST(v.dist, c.cand) END AS dist
+        FROM d{k - 1} v LEFT JOIN (
+            SELECT w.dst AS id, MIN(p.dist + w.cost) AS cand
+            FROM d{k - 1} p JOIN w ON w.src = p.id
+            WHERE p.dist IS NOT NULL
+            GROUP BY w.dst
+        ) c ON c.id = v.id
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_TRADE},
+    w AS MATERIALIZED (
+        SELECT src, dst, CAST(FLOOR(1000000.0 / cnt) AS BIGINT) AS cost
+        FROM trade
+    ),
+    verts AS (SELECT src AS id FROM w UNION SELECT dst FROM w),
+    seed AS (SELECT MIN(id) AS m FROM verts),
+    {chained}
+    SELECT id, dist FROM d{iterations} ORDER BY id
+    """
+
+
+@query("q115_weighted_shortest_paths", oracle=_sssp_oracle())
+def q115(spark, sf_dir):
+    from pandrs_spark.operators.graph import shortest_paths
+
+    trade = _trade_edges(spark, sf_dir)
+    w = trade.select(
+        "src", "dst", F.floor(F.lit(1000000.0) / F.col("cnt")).alias("cost")
+    ).persist()
+    seed = w.agg(F.least(F.min("src"), F.min("dst"))).first()[0]
+    return shortest_paths(w, seed, iterations=10).orderBy("id")
+
+
+# --- q116: Katz centrality, 10 fixed-point iterations (centrality.rs:424) ----
+def _katz_oracle(iterations: int = 10, alpha: float = 0.1, beta: float = 1.0) -> str:
+    steps = [f"kz0 AS MATERIALIZED (SELECT id, {beta!r} AS s FROM verts)"]
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""kz{k} AS MATERIALIZED (
+        SELECT v.id, {alpha!r} * COALESCE(m.t, 0) + {beta!r} AS s
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS id, SUM(p.s) AS t
+            FROM kz{k - 1} p JOIN strong e ON e.src = p.id
+            GROUP BY e.dst
+        ) m ON m.id = v.id
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_TRADE},
+    strong AS MATERIALIZED (
+        SELECT src, dst FROM trade WHERE cnt > (SELECT AVG(cnt) FROM trade)
+    ),
+    verts AS MATERIALIZED (SELECT src AS id FROM strong UNION SELECT dst FROM strong),
+    {chained}
+    SELECT id, ROUND(s, 6) AS score FROM kz{iterations} ORDER BY id
+    """
+
+
+@query("q116_katz_centrality", oracle=_katz_oracle())
+def q116(spark, sf_dir):
+    from pandrs_spark.operators.graph import katz_centrality
+
+    out = katz_centrality(_strong_edges(spark, sf_dir), iterations=10)
+    return out.select("id", F.round("score", 6).alias("score")).orderBy("id")

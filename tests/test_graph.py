@@ -138,3 +138,73 @@ def test_modularity_single_community_is_zero(spark):
     comm = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "id bigint, community bigint")
     row = modularity(und, comm).first()
     assert row["contribution"] == pytest.approx(0.0)
+
+
+# -- closeness / eigenvector / Katz / HITS / weighted SSSP --------------------
+def test_closeness_path_graph(spark):
+    # path 1-2-3: center is closer to everyone
+    from pandrs_spark.operators.graph import closeness_centrality
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    rows = {r["id"]: r for r in closeness_centrality(e).collect()}
+    assert rows[2]["closeness"] == pytest.approx(1.0)       # 2/(1+1)
+    assert rows[1]["closeness"] == pytest.approx(2 / 3)     # 2/(1+2)
+    assert rows[1]["n_reached"] == 2
+
+
+def test_closeness_landmark_roots(spark):
+    from pandrs_spark.operators.graph import closeness_centrality
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    roots = spark.createDataFrame([(2,)], "id bigint")
+    rows = closeness_centrality(e, roots=roots).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 2
+
+
+def test_eigenvector_star_center_dominates(spark):
+    from pandrs_spark.operators.graph import eigenvector_centrality
+
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src bigint, dst bigint")
+    s = {r["id"]: r["score"] for r in eigenvector_centrality(e, iterations=8).collect()}
+    assert s[0] > s[1] and s[1] == pytest.approx(s[2]) == pytest.approx(s[3])
+    # L2 norm 1
+    assert sum(v * v for v in s.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_katz_in_degree_ordering(spark):
+    from pandrs_spark.operators.graph import katz_centrality
+
+    # 1->3, 2->3, 3->4: vertex 4 inherits 3's mass, 3 has two in-edges
+    e = spark.createDataFrame([(1, 3), (2, 3), (3, 4)], "src bigint, dst bigint")
+    s = {r["id"]: r["score"] for r in katz_centrality(e, iterations=8).collect()}
+    assert s[3] > s[1] == pytest.approx(s[2]) == pytest.approx(1.0)
+    assert s[4] > s[1]
+
+
+def test_hits_bipartite_hubs_vs_authorities(spark):
+    from pandrs_spark.operators.graph import hits
+
+    # 1,2 point at 3,4: 1,2 are pure hubs; 3,4 pure authorities
+    e = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4)], "src bigint, dst bigint"
+    )
+    rows = {r["id"]: r for r in hits(e, iterations=5).collect()}
+    assert rows[1]["hub"] == pytest.approx(rows[2]["hub"])
+    assert rows[1]["hub"] > 0.5
+    assert rows[3]["authority"] == pytest.approx(rows[4]["authority"])
+    assert rows[3]["authority"] > 0.5
+    assert rows[1]["authority"] == pytest.approx(0.0)
+    assert rows[3]["hub"] == pytest.approx(0.0)
+
+
+def test_shortest_paths_weighted(spark):
+    from pandrs_spark.operators.graph import shortest_paths
+
+    # direct 1->3 costs 10; detour 1->2->3 costs 3; 4 unreachable
+    e = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 1), (2, 3, 2), (4, 1, 5)],
+        "src bigint, dst bigint, cost bigint",
+    )
+    d = {r["id"]: r["dist"] for r in shortest_paths(e, 1, iterations=5).collect()}
+    assert d[1] == 0 and d[2] == 1 and d[3] == 3
+    assert d[4] is None
