@@ -25,6 +25,8 @@ __all__ = [
     "seasonal_decompose_additive",
     "ses_fitted",
     "holt_forecast",
+    "periodogram",
+    "ar2_fit",
 ]
 
 
@@ -310,3 +312,134 @@ def holt_winters_forecast(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_hw, schema=schema)
+
+
+def periodogram(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    periods: Sequence[int],
+) -> DataFrame:
+    """Seasonality detection via a discrete periodogram at candidate
+    periods (src/time_series/analysis.rs:310 seasonality detection).
+
+    For each candidate period p the spectral power is
+
+        power(p) = [Σ_t c_t·cos(2πt/p)]² + [Σ_t c_t·sin(2πt/p)]²) / n
+
+    with c_t the mean-centered series indexed by dense position t.
+    One window pass assigns positions, a broadcast cross join fans the
+    series out to the (tiny) period list, and one aggregation per
+    period computes the sums — a single shuffle keyed on period, scale-
+    independent of series length. Sums quantize to scaled BIGINT
+    (functions/deterministic) so power is engine-reproducible.
+    """
+    from pandrs_spark.functions.deterministic import dsum, quantize
+
+    spark = series.sparkSession
+    n_mean = series.agg(
+        F.count(F.lit(1)).alias("n"), dsum(value_col).alias("s")
+    )
+    pos = series.select(
+        (F.row_number().over(Window.orderBy(ts_col)) - 1).alias("t"),
+        F.col(value_col).alias("x"),
+    )
+    plist = spark.createDataFrame([(int(p),) for p in periods], "period int")
+    two_pi = 6.283185307179586  # 2*pi, same literal in the SQL oracle
+    fanned = (
+        pos.crossJoin(F.broadcast(n_mean))
+        .crossJoin(F.broadcast(plist))
+        .select(
+            "period",
+            "n",
+            (
+                (F.col("x") - F.col("s") / F.col("n"))
+                * F.cos(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("xc"),
+            (
+                (F.col("x") - F.col("s") / F.col("n"))
+                * F.sin(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("xs"),
+        )
+    )
+    return (
+        fanned.groupBy("period")
+        .agg(
+            (F.sum(quantize("xc", 0)).cast("double")).alias("sc"),
+            (F.sum(quantize("xs", 0)).cast("double")).alias("ss"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "period",
+            ((F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) / F.col("n")).alias(
+                "power"
+            ),
+        )
+    )
+
+
+def ar2_fit(series: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """AR(2) fit on the mean-centered series by least squares — the
+    expression-tier counterpart of the reference's ARIMA fit
+    (src/time_series/forecasting.rs:788; AR coefficients via the
+    normal equations, no intercept after centering):
+
+        [s11 s12][φ1]   [r1]
+        [s12 s22][φ2] = [r2]
+
+    Sufficient statistics (Σy·y₁, Σy·y₂, Σy₁², Σy₂², Σy₁y₂) come from
+    one lag-window pass + one exact quantized aggregation, so the fit
+    is a constant-size reduction no matter the series length; the 2×2
+    solve happens in the projection. Returns one row: n_obs, phi1,
+    phi2, rss, next_forecast (one-step-ahead).
+    """
+    from pandrs_spark.functions.deterministic import dsum, quantize
+
+    n_mean = series.agg(
+        F.count(F.lit(1)).alias("n"), dsum(value_col).alias("s")
+    )
+    w = Window.orderBy(ts_col)
+    centered = (
+        series.crossJoin(F.broadcast(n_mean))
+        .select(
+            (F.col(value_col) - F.col("s") / F.col("n")).alias("y"),
+            F.lag(F.col(value_col), 1).over(w).alias("x1"),
+            F.lag(F.col(value_col), 2).over(w).alias("x2"),
+            (F.col("s") / F.col("n")).alias("mu"),
+            F.row_number().over(Window.orderBy(F.desc(ts_col))).alias("rn_desc"),
+        )
+        .withColumn("y1", F.col("x1") - F.col("mu"))
+        .withColumn("y2", F.col("x2") - F.col("mu"))
+    )
+    obs = centered.filter(F.col("x2").isNotNull())
+    stats = obs.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(quantize(F.col("y") * F.col("y1"), 0)).cast("double").alias("r1"),
+        F.sum(quantize(F.col("y") * F.col("y2"), 0)).cast("double").alias("r2"),
+        F.sum(quantize(F.col("y1") * F.col("y1"), 0)).cast("double").alias("s11"),
+        F.sum(quantize(F.col("y2") * F.col("y2"), 0)).cast("double").alias("s22"),
+        F.sum(quantize(F.col("y1") * F.col("y2"), 0)).cast("double").alias("s12"),
+        F.sum(quantize(F.col("y") * F.col("y"), 0)).cast("double").alias("syy"),
+    )
+    # last two centered values feed the one-step forecast
+    tail = (
+        centered.filter(F.col("rn_desc") <= 2)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rn_desc") == 1, F.col("y"))).alias("ylast"),
+            F.max(F.when(F.col("rn_desc") == 2, F.col("y"))).alias("yprev"),
+            F.max("mu").alias("mu"),
+        )
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    phi1 = (F.col("r1") * F.col("s22") - F.col("r2") * F.col("s12")) / det
+    phi2 = (F.col("r2") * F.col("s11") - F.col("r1") * F.col("s12")) / det
+    return stats.crossJoin(F.broadcast(tail)).select(
+        "n_obs",
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        (F.col("syy") - phi1 * F.col("r1") - phi2 * F.col("r2")).alias("rss"),
+        (F.col("mu") + phi1 * F.col("ylast") + phi2 * F.col("yprev")).alias(
+            "next_forecast"
+        ),
+    )

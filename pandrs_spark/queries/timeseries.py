@@ -16,6 +16,7 @@ from pandrs_spark.functions.deterministic import (
     sql_davg,
     sql_dsum,
     sql_dsum_over,
+    sql_quantize,
 )
 from pandrs_spark.operators.timeseries import (
     bfill,
@@ -834,3 +835,119 @@ def q109(spark, sf_dir):
         "stack(3, 1, ROUND(phi1, 6), 2, ROUND(phi2, 6), 3, ROUND(phi3, 6))"
         " AS (lag_k, pacf)"
     ).orderBy("lag_k")
+
+
+# --- q117: seasonality detection — discrete periodogram over daily order
+# revenue (analysis.rs:310) ---------------------------------------------------
+# The series is daily revenue in thousands (keeps quantized products well
+# inside the int64 envelope through sf100); candidate periods cover
+# weekly through annual cycles. 2π is the same literal on both sides so
+# the trig arguments are bit-identical.
+_PG_PERIODS = [2, 3, 7, 14, 30, 91, 182, 365]
+_TWO_PI = "6.283185307179586"
+
+
+@query(
+    "q117_seasonality_periodogram",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               {sql_dsum('o_totalprice')} AS rev
+        FROM orders GROUP BY day
+    ),
+    pos AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t, rev / 1000 AS x
+        FROM daily
+    ),
+    nm AS (SELECT COUNT(*) AS n, {sql_dsum('x')} AS s FROM pos),
+    periods AS (
+        SELECT UNNEST([{', '.join(str(p) for p in _PG_PERIODS)}]) AS period
+    ),
+    terms AS (
+        SELECT p.period, nm.n,
+               (x - s / n) * COS({_TWO_PI} * t / p.period) AS xc,
+               (x - s / n) * SIN({_TWO_PI} * t / p.period) AS xs
+        FROM pos CROSS JOIN nm CROSS JOIN periods p
+    )
+    SELECT period,
+           (sc * sc + ss * ss) / n AS power
+    FROM (
+        SELECT period,
+               CAST(SUM({sql_quantize('xc', 0)}) AS DOUBLE) AS sc,
+               CAST(SUM({sql_quantize('xs', 0)}) AS DOUBLE) AS ss,
+               FIRST(n) AS n
+        FROM terms GROUP BY period
+    )
+    ORDER BY period
+    """,
+)
+def q117(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import periodogram
+
+    orders = T(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    series = daily.select("day", (F.col("rev") / 1000).alias("x"))
+    return periodogram(series, "day", "x", _PG_PERIODS).orderBy("period")
+
+
+# --- q118: AR(2) fit + one-step forecast on daily revenue
+# (forecasting.rs:788 ARIMA's AR stage, expression tier) ----------------------
+@query(
+    "q118_ar2_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               {sql_dsum('o_totalprice')} AS rev
+        FROM orders GROUP BY day
+    ),
+    pos AS (SELECT day, rev / 1000 AS x FROM daily),
+    nm AS (SELECT COUNT(*) AS n, {sql_dsum('x')} AS s FROM pos),
+    lagged AS (
+        SELECT x - s / n AS y,
+               LAG(x, 1) OVER (ORDER BY day) AS x1,
+               LAG(x, 2) OVER (ORDER BY day) AS x2,
+               s / n AS mu,
+               ROW_NUMBER() OVER (ORDER BY day DESC) AS rn_desc
+        FROM pos CROSS JOIN nm
+    ),
+    c2 AS (
+        SELECT y, x1 - mu AS y1, x2 - mu AS y2, mu, rn_desc, x2 FROM lagged
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_obs,
+               CAST(SUM({sql_quantize('y * y1', 0)}) AS DOUBLE) AS r1,
+               CAST(SUM({sql_quantize('y * y2', 0)}) AS DOUBLE) AS r2,
+               CAST(SUM({sql_quantize('y1 * y1', 0)}) AS DOUBLE) AS s11,
+               CAST(SUM({sql_quantize('y2 * y2', 0)}) AS DOUBLE) AS s22,
+               CAST(SUM({sql_quantize('y1 * y2', 0)}) AS DOUBLE) AS s12,
+               CAST(SUM({sql_quantize('y * y', 0)}) AS DOUBLE) AS syy
+        FROM c2 WHERE x2 IS NOT NULL
+    ),
+    tail AS (
+        SELECT MAX(CASE WHEN rn_desc = 1 THEN y END) AS ylast,
+               MAX(CASE WHEN rn_desc = 2 THEN y END) AS yprev,
+               MAX(mu) AS mu
+        FROM c2
+    )
+    SELECT n_obs,
+           (r1 * s22 - r2 * s12) / (s11 * s22 - s12 * s12) AS phi1,
+           (r2 * s11 - r1 * s12) / (s11 * s22 - s12 * s12) AS phi2,
+           syy - (r1 * s22 - r2 * s12) / (s11 * s22 - s12 * s12) * r1
+               - (r2 * s11 - r1 * s12) / (s11 * s22 - s12 * s12) * r2 AS rss,
+           mu + (r1 * s22 - r2 * s12) / (s11 * s22 - s12 * s12) * ylast
+              + (r2 * s11 - r1 * s12) / (s11 * s22 - s12 * s12) * yprev
+               AS next_forecast
+    FROM stats CROSS JOIN tail
+    """,
+)
+def q118(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import ar2_fit
+
+    orders = T(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    series = daily.select("day", (F.col("rev") / 1000).alias("x"))
+    return ar2_fit(series, "day", "x")

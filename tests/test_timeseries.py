@@ -214,3 +214,44 @@ def test_multiplicative_decompose_reconstructs(spark):
                 r["trend"] * r["seasonal"] * r["resid"], rel=1e-9
             )
             assert r["resid"] == pytest.approx(1.0, rel=0.05)
+
+
+# -- periodogram + AR(2) fit (§2.11 seasonality / forecasting tier) -----------
+def test_periodogram_detects_period(spark):
+    import math
+
+    from pandrs_spark.operators.timeseries import periodogram
+
+    rows = [(t, 100.0 * math.cos(2 * math.pi * t / 8)) for t in range(32)]
+    df = spark.createDataFrame(rows, "t int, x double")
+    p = {r["period"]: r["power"] for r in periodogram(df, "t", "x", [4, 8, 16]).collect()}
+    assert p[8] > 100 * p[4]
+    assert p[8] > 10 * p[16]
+    assert p[8] == pytest.approx((100 * 16) ** 2 / 32, rel=1e-3)
+
+
+def test_ar2_fit_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from pandrs_spark.operators.timeseries import ar2_fit
+
+    xs = [5000 + 1000 * math.sin(t / 2) + 50 * ((t * 37) % 11) for t in range(60)]
+    df = spark.createDataFrame(
+        [(t, float(v)) for t, v in enumerate(xs)], "t int, x double"
+    )
+    out = ar2_fit(df, "t", "x").first()
+    a = np.asarray(xs)
+    y = a - a.mean()
+    yy, y1, y2 = y[2:], y[1:-1], y[:-2]
+    A = np.array([[y1 @ y1, y1 @ y2], [y1 @ y2, y2 @ y2]])
+    b = np.array([yy @ y1, yy @ y2])
+    phi = np.linalg.solve(A, b)
+    assert out["n_obs"] == 58
+    assert out["phi1"] == pytest.approx(phi[0], rel=1e-3)
+    assert out["phi2"] == pytest.approx(phi[1], rel=1e-3)
+    rss = yy @ yy - phi[0] * b[0] - phi[1] * b[1]
+    assert out["rss"] == pytest.approx(rss, rel=1e-2)
+    fc = a.mean() + phi[0] * y[-1] + phi[1] * y[-2]
+    assert out["next_forecast"] == pytest.approx(fc, rel=1e-3)
