@@ -37,6 +37,8 @@ __all__ = [
     "kmeans_fit_predict",
     "pca_project",
     "logistic_fit_metrics",
+    "feature_scores",
+    "random_forest_metrics",
 ]
 
 
@@ -234,4 +236,88 @@ def logistic_fit_metrics(
     return spark.createDataFrame(
         [(acc_row["n"], round(acc_row["acc"], 4), round(auc, 4))],
         "n bigint, accuracy double, auc double",
+    )
+
+
+def feature_scores(long: DataFrame, top_k: int = 2) -> DataFrame:
+    """Univariate feature selection (src/ml/preprocessing/mod.rs:484
+    FeatureSelector): per-feature variance + Pearson correlation with
+    the target, ranked by |corr|, top-k flagged selected.
+
+    Input is long-form ``(feature, x, y)`` — melt wide frames with
+    ``stack`` so scoring is ONE aggregation keyed on feature regardless
+    of feature count (no per-feature scan). Sufficient statistics use
+    the deterministic quantized sums; variance/correlation come from the
+    shared formula strings so Spark and the SQL oracle evaluate the
+    identical double arithmetic tree.
+    """
+    from pandrs_spark.functions.deterministic import (
+        CORR_FORMULA,
+        VAR_FORMULA,
+        dsum,
+    )
+
+    agg = long.groupBy("feature").agg(
+        F.count("x").alias("n"),
+        dsum("x", 2).alias("sx"),
+        dsum("y", 2).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 0).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 0).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 0).alias("sxy"),
+    )
+    var = VAR_FORMULA.format(n="n", sx="sx", sxx="sxx")
+    corr = CORR_FORMULA.format(
+        n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy"
+    )
+    scored = agg.selectExpr(
+        "feature",
+        "n",
+        f"{var} AS variance",
+        f"{corr} AS corr",
+        f"ABS({corr}) AS abs_corr",
+    )
+    w = Window.orderBy(F.desc("abs_corr"), F.asc("feature"))
+    return scored.withColumn(
+        "selected", (F.row_number().over(w) <= top_k).cast("boolean")
+    )
+
+
+def random_forest_metrics(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    n_trees: int = 20,
+    max_depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Random forest classifier over numeric columns (src/ml
+    RandomForest re-export, src/lib.rs:219-244) via MLlib: assemble →
+    fit → score. Seeded for reproducibility; tree induction has no SQL
+    equivalent, so queries built on this are rows-only checks. Returns
+    one row: n, accuracy, and per-feature importances.
+    """
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = list(feature_cols)
+    feat = VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    model = RandomForestClassifier(
+        featuresCol="__features__",
+        labelCol=label_col,
+        numTrees=n_trees,
+        maxDepth=max_depth,
+        seed=seed,
+    ).fit(feat)
+    scored = model.transform(feat)
+    imp = model.featureImportances.toArray().tolist()
+    acc = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(
+            (F.col("prediction") == F.col(label_col).cast("double")).cast("double")
+        ).alias("accuracy"),
+    )
+    return acc.select(
+        "n",
+        F.round("accuracy", 4).alias("accuracy"),
+        *[F.lit(round(imp[i], 4)).alias(f"imp_{c}") for i, c in enumerate(cols)],
     )

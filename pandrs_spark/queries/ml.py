@@ -152,3 +152,93 @@ def q98(spark, sf_dir):
         "y", (F.col("label") % 2).cast("double")
     )
     return logistic_fit_metrics(emb, "embedding", "y")
+
+
+# --- q119: univariate feature selection (FeatureSelector :484) ---------------
+# Long-form melt via stack -> ONE aggregation for all features; variance
+# and |corr| from shared exact-sum formulas; top-2 by |corr| selected.
+_FS_FEATURES = [
+    ("quantity", "CAST(l_quantity AS DOUBLE)"),
+    ("discount_pct", "l_discount * 100"),
+    ("tax_pct", "l_tax * 100"),
+    ("price_k", "l_extendedprice / 1000"),
+]
+_FS_Y = "l_extendedprice * (1 - l_discount) / 1000"
+
+
+def _fs_oracle() -> str:
+    from pandrs_spark.functions.deterministic import (
+        CORR_FORMULA,
+        VAR_FORMULA,
+        sql_dsum,
+    )
+
+    arms = "\n        UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS x, {_FS_Y} AS y FROM lineitem"
+        for name, expr in _FS_FEATURES
+    )
+    var = VAR_FORMULA.format(n="n", sx="sx", sxx="sxx")
+    corr = CORR_FORMULA.format(
+        n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy"
+    )
+    return f"""
+    WITH longf AS (
+        {arms}
+    ),
+    agg AS (
+        SELECT feature, COUNT(x) AS n,
+               {sql_dsum('x', 2)} AS sx,
+               {sql_dsum('y', 2)} AS sy,
+               {sql_dsum('x * x', 0)} AS sxx,
+               {sql_dsum('y * y', 0)} AS syy,
+               {sql_dsum('x * y', 0)} AS sxy
+        FROM longf GROUP BY feature
+    ),
+    scored AS (
+        SELECT feature, n, {var} AS variance, {corr} AS corr,
+               ABS({corr}) AS abs_corr
+        FROM agg
+    )
+    SELECT feature, n, ROUND(variance, 6) AS variance, ROUND(corr, 6) AS corr,
+           (ROW_NUMBER() OVER (ORDER BY abs_corr DESC, feature) <= 2) AS selected
+    FROM scored
+    ORDER BY feature
+    """
+
+
+@query("q119_feature_selection", oracle=_fs_oracle())
+def q119(spark, sf_dir):
+    from pandrs_spark.operators.ml import feature_scores
+
+    li = T(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(f"'{n}', {e}" for n, e in _FS_FEATURES)
+    long = li.selectExpr(
+        f"stack({len(_FS_FEATURES)}, {stack_args}) AS (feature, x)",
+        f"{_FS_Y} AS y",
+    )
+    out = feature_scores(long, top_k=2)
+    return out.select(
+        "feature",
+        "n",
+        F.round("variance", 6).alias("variance"),
+        F.round("corr", 6).alias("corr"),
+        "selected",
+    ).orderBy("feature")
+
+
+# --- q120: random forest on line items (MLlib tier, rows-only — tree
+# induction has no SQL equivalent; metrics pinned by test) -------------------
+@query("q120_random_forest_returns")
+def q120(spark, sf_dir):
+    from pandrs_spark.operators.ml import random_forest_metrics
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        (F.col("l_discount") * 100).alias("discount_pct"),
+        (F.col("l_tax") * 100).alias("tax_pct"),
+        (F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_returnflag") == "R").cast("double").alias("is_return"),
+    )
+    return random_forest_metrics(
+        li, ["quantity", "discount_pct", "tax_pct", "price_k"], "is_return"
+    )

@@ -107,3 +107,35 @@ def test_logistic_separable(spark):
     df = spark.createDataFrame(rows, "embedding array<float>, y double")
     m = logistic_fit_metrics(df, "embedding", "y").first()
     assert m["n"] == 20 and m["accuracy"] == 1.0 and m["auc"] == 1.0
+
+
+# -- feature selection + tree tier -------------------------------------------
+def test_feature_scores_ranks_by_corr(spark):
+    from pandrs_spark.operators.ml import feature_scores
+
+    rows = []
+    for t in range(200):
+        y = float(100 + 3 * t)
+        rows += [("lin", float(t * 100), y), ("noise", float((t * 37) % 11) * 100, y)]
+    long = spark.createDataFrame(rows, "feature string, x double, y double")
+    out = {r["feature"]: r for r in feature_scores(long, top_k=1).collect()}
+    assert out["lin"]["selected"] and not out["noise"]["selected"]
+    assert out["lin"]["corr"] == pytest.approx(1.0, abs=1e-6)
+    import numpy as np
+
+    xs = np.array([(t * 37) % 11 for t in range(200)], dtype=float) * 100
+    assert out["noise"]["variance"] == pytest.approx(xs.var(ddof=1), rel=1e-4)
+
+
+def test_random_forest_separable(spark):
+    from pandrs_spark.operators.ml import random_forest_metrics
+
+    rows = [
+        (float(i % 50), float((i * 13) % 7), 1.0 if i % 50 >= 25 else 0.0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, label double")
+    m = random_forest_metrics(df, ["a", "b"], "label", n_trees=10).first()
+    assert m["n"] == 500
+    assert m["accuracy"] > 0.95          # label is a function of feature a
+    assert m["imp_a"] > m["imp_b"]       # importance follows the signal
