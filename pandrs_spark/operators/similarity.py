@@ -14,10 +14,10 @@ broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -179,4 +179,83 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("id_q", "rank", F.col("id_c").alias("nn_id"), F.round("__sim", 4).alias("sim"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the second
+    scale path for §beyond similarity search, complementing the LSH
+    variant (ann_lsh_topk):
+
+    1. coarse quantizer: ``n_centroids`` centroid vectors (here the
+       lowest-id corpus vectors, a deterministic choice so the whole
+       pipeline is SQL-mirrorable; production would plug in seeded
+       kmeans_fit_predict centers without changing the dataflow);
+    2. build: every corpus vector joins its nearest centroid → inverted
+       lists, ONE |corpus|×|centroids| broadcast cross join;
+    3. probe: each query scores only the lists of its ``n_probe``
+       nearest centroids — a bucket equi-join on centroid id replaces
+       the O(|corpus|·|queries|) cross join; raising n_centroids keeps
+       each list task-sized as the corpus grows, n_probe buys recall.
+
+    Returns (id_q, nn_id, sim) — top-k per query, self-matches
+    excluded, ties broken on round(sim, 6) then id.
+    """
+    cent = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id_c"), _as_double(F.col(vec_col)).alias("vc")
+    )
+    q = queries.select(
+        F.col(id_col).alias("id_q"), _as_double(F.col(vec_col)).alias("vq")
+    )
+    w_assign = Window.partitionBy("id_c").orderBy(
+        F.desc(F.round("__sim", 6)), "cid"
+    )
+    assign = (
+        c.crossJoin(cent)
+        .select("id_c", "cid", cosine(F.col("vc"), F.col("cv")).alias("__sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id_c", "cid")
+    )
+    w_probe = Window.partitionBy("id_q").orderBy(
+        F.desc(F.round("__sim", 6)), "cid"
+    )
+    probe = (
+        q.crossJoin(cent)
+        .select("id_q", "cid", cosine(F.col("vq"), F.col("cv")).alias("__sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("id_q", "cid")
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("id_q") != F.col("id_c"))
+        .select("id_q", "id_c")
+        .distinct()
+    )
+    scored = (
+        cand.join(q, "id_q")
+        .join(c, "id_c")
+        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("__sim"))
+    )
+    w_top = Window.partitionBy("id_q").orderBy(F.desc(F.round("__sim", 6)), "id_c")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("id_q", F.col("id_c").alias("nn_id"), F.round("__sim", 4).alias("sim"))
     )

@@ -424,3 +424,69 @@ def q88(spark, sf_dir):
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall5"), 4).alias("mean_recall_at_5"),
     )
+
+
+# --- q121: IVF approximate nearest neighbors (§beyond similarity scale
+# path #2; deterministic coarse quantizer keeps it fully SQL-mirrorable) ------
+@query(
+    "q121_ivf_ann_topk",
+    oracle="""
+    WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    corpus AS (
+        SELECT vec_id AS id_c, CAST(embedding AS DOUBLE[]) AS vc FROM embeddings
+    ),
+    assign AS (
+        SELECT id_c, cid FROM (
+            SELECT id_c, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_c
+                       ORDER BY ROUND(list_cosine_similarity(vc, cv), 6) DESC, cid
+                   ) AS rn
+            FROM corpus CROSS JOIN cent
+        ) t WHERE rn = 1
+    ),
+    qset AS (SELECT id_c AS id_q, vc AS vq FROM corpus WHERE id_c < 20),
+    probe AS (
+        SELECT id_q, cid FROM (
+            SELECT id_q, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_q
+                       ORDER BY ROUND(list_cosine_similarity(vq, cv), 6) DESC, cid
+                   ) AS rn
+            FROM qset CROSS JOIN cent
+        ) t WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT id_q, id_c
+        FROM probe JOIN assign USING (cid)
+        WHERE id_q <> id_c
+    ),
+    scored AS (
+        SELECT c.id_q, c.id_c,
+               list_cosine_similarity(q.vq, s.vc) AS sim
+        FROM cand c
+        JOIN qset q ON q.id_q = c.id_q
+        JOIN corpus s ON s.id_c = c.id_c
+    )
+    SELECT id_q, id_c AS nn_id, ROUND(sim, 4) AS sim
+    FROM (
+        SELECT id_q, id_c, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_q
+                   ORDER BY ROUND(sim, 6) DESC, id_c
+               ) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    ORDER BY id_q, nn_id
+    """,
+)
+def q121(spark, sf_dir):
+    from pandrs_spark.operators.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+    return out.orderBy("id_q", "nn_id")

@@ -70,3 +70,37 @@ def test_ann_lsh_deterministic_across_runs(spark):
     a = ann_lsh_topk(emb, q, k=3, n_tables=6, n_planes=4, dim=64).collect()
     b = ann_lsh_topk(emb, q, k=3, n_tables=6, n_planes=4, dim=64).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -- IVF scale path -----------------------------------------------------------
+def test_ivf_topk_finds_planted_neighbor(spark):
+    from pandrs_spark.operators.similarity import ivf_topk
+
+    # two well-separated directions; vec 100 is a near-copy of vec 1
+    def vec(base, eps):
+        v = [0.0] * 8
+        v[base] = 1.0
+        v[(base + 1) % 8] = eps
+        return v
+
+    rows = [(i, vec(i % 4, 0.1 * (i % 3))) for i in range(40)]
+    rows.append((100, vec(1, 0.09)))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 100)
+    out = ivf_topk(df, q, k=3, n_centroids=4, n_probe=2).collect()
+    assert len(out) == 3
+    assert all(r["id_q"] == 100 for r in out)
+    # all reported neighbors share the planted direction (base 1 mod 4)
+    assert {r["nn_id"] % 4 for r in out} == {1}
+    assert out[0]["sim"] > 0.95
+
+
+def test_ivf_probe_widens_candidates(spark):
+    from pandrs_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float(i % 5 == j) for j in range(5)]) for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 24)
+    narrow = ivf_topk(df, q, k=10, n_centroids=5, n_probe=1).count()
+    wide = ivf_topk(df, q, k=10, n_centroids=5, n_probe=5).count()
+    assert wide >= narrow
