@@ -39,6 +39,8 @@ __all__ = [
     "katz_centrality",
     "hits",
     "shortest_paths",
+    "strongly_connected_components",
+    "betweenness_centrality",
 ]
 
 _CHECKPOINT_EVERY = 5
@@ -634,3 +636,155 @@ def shortest_paths(
             dist = dist.localCheckpoint(eager=True)
     e.unpersist()
     return dist
+
+
+def _directed_reach(edges: DataFrame, max_iter: int) -> DataFrame:
+    """All-pairs directed reachability (root, id) via multi-source
+    frontier expansion — every vertex's frontier advances together, one
+    join + one anti-join per round."""
+    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    visited = verts.select(F.col("id").alias("root"), "id").persist()
+    frontier = visited
+    for hop in range(1, max_iter + 1):
+        neighbors = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = neighbors.join(visited, ["root", "id"], "left_anti").persist()
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier)
+        if hop % _CHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = new_frontier
+    e.unpersist()
+    return visited
+
+
+def strongly_connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Strongly connected components (components.rs:118): vertices u, v
+    share an SCC iff each reaches the other. Forward reachability and
+    backward reachability (forward on the reversed edges) come from the
+    same multi-source BFS; their intersection per root is the SCC, and
+    the component label is its minimum vertex id.
+
+    All-pairs state is O(V²) worst case — right for the analytic-graph
+    sizes the reference targets; web-scale SCC would move to the
+    coloring algorithm, same join-per-round dataflow.
+    """
+    fwd = _directed_reach(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), max_iter
+    )
+    bwd = _directed_reach(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")), max_iter
+    )
+    mutual = fwd.join(bwd, ["root", "id"])  # reaches AND is reached
+    return mutual.groupBy(F.col("root").alias("id")).agg(
+        F.min("id").alias("component")
+    )
+
+
+def betweenness_centrality(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Betweenness centrality, Brandes' algorithm (centrality.rs:152)
+    re-expressed as layered DataFrame passes on the symmetric closure:
+
+    forward: multi-source BFS records, per (root, v), the hop distance
+    and σ(root, v) = number of shortest root→v paths (σ sums over
+    predecessor frontier rows instead of counting distinct vertices);
+    backward: dependencies accumulate layer by layer from the deepest
+    hop toward the root,
+        δ(root, v) = Σ_{w: succ on a shortest path} σ_v/σ_w · (1 + δ_w),
+    and betweenness(v) = ½ Σ_root δ(root, v) (halved for the
+    undirected double count).
+
+    Every pass is a join keyed on vertex ids over the once-partitioned
+    edge set; per-layer state is (root, vertex) rows. Exact betweenness
+    is inherently all-pairs — at 100 TB scale feed a sampled root set
+    (same dataflow, unbiased estimator) the way closeness does.
+    """
+    und = symmetrize(edges, src, dst).repartition("src").persist()
+    verts = und.select(F.col("src").alias("id")).distinct()
+    # forward phase: (root, id, hops, sigma)
+    visited = verts.select(
+        F.col("id").alias("root"), "id", F.lit(0).alias("hops"),
+        F.lit(1.0).alias("sigma"),
+    ).persist()
+    frontier = visited
+    layers = [visited]
+    max_hop = 0
+    for hop in range(1, max_iter + 1):
+        expanded = (
+            und.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"), "sigma")
+        )
+        new_frontier = (
+            expanded.join(visited.select("root", "id"), ["root", "id"], "left_anti")
+            .groupBy("root", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("hops", F.lit(hop))
+            .select("root", "id", "hops", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier).localCheckpoint(eager=True)
+        layers.append(new_frontier)
+        frontier = new_frontier
+        max_hop = hop
+    # backward phase: delta per (root, id), deepest layer first
+    delta = layers[max_hop].select(
+        "root", "id", F.lit(0.0).alias("delta")
+    ) if max_hop > 0 else None
+    acc = None
+    for hop in range(max_hop, 0, -1):
+        cur = layers[hop].join(
+            delta.select("root", "id", "delta"), ["root", "id"], "left"
+        ).select("root", "id", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+        acc = cur if acc is None else acc.union(cur)
+        # push dependency to hop-1 predecessors: pred p of w iff
+        # hops(p) = hops(w) - 1 and (p, w) is an edge
+        contrib = (
+            cur.withColumnRenamed("id", "dst")
+            .join(und, "dst")
+            .select(
+                "root",
+                F.col("src").alias("id"),
+                F.col("sigma").alias("w_sigma"),
+                F.col("delta").alias("w_delta"),
+            )
+            .join(
+                layers[hop - 1].select("root", "id", F.col("sigma").alias("p_sigma")),
+                ["root", "id"],
+            )
+            .groupBy("root", "id", "p_sigma")
+            .agg(
+                F.sum(
+                    F.col("p_sigma") / F.col("w_sigma") * (1.0 + F.col("w_delta"))
+                ).alias("delta")
+            )
+            .select("root", "id", "delta")
+            .localCheckpoint(eager=True)
+        )
+        delta = contrib
+    und.unpersist()
+    if acc is None:
+        return verts.withColumn("betweenness", F.lit(0.0))
+    # root layer (hop 0) gets no credit; sum deltas of non-root rows
+    per_vertex = (
+        acc.filter(F.col("id") != F.col("root"))
+        .groupBy("id")
+        .agg((F.sum("delta") / 2.0).alias("betweenness"))
+    )
+    return verts.join(per_vertex, "id", "left").select(
+        "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )

@@ -551,3 +551,52 @@ def q116(spark, sf_dir):
 
     out = katz_centrality(_strong_edges(spark, sf_dir), iterations=10)
     return out.select("id", F.round("score", 6).alias("score")).orderBy("id")
+
+
+# --- q122: strongly connected components of the directed strong trade
+# graph (components.rs:118) ---------------------------------------------------
+@query(
+    "q122_strongly_connected",
+    oracle=f"""
+    WITH RECURSIVE {_TRADE},
+    strong AS MATERIALIZED (
+        SELECT src, dst FROM trade WHERE cnt > (SELECT AVG(cnt) FROM trade)
+    ),
+    verts AS MATERIALIZED (
+        SELECT src AS id FROM strong UNION SELECT dst FROM strong
+    ),
+    fwd(root, id) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT f.root, e.dst FROM fwd f JOIN strong e ON e.src = f.id
+    ),
+    bwd(root, id) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT b.root, e.src FROM bwd b JOIN strong e ON e.dst = b.id
+    )
+    SELECT f.root AS id, MIN(f.id) AS component
+    FROM fwd f JOIN bwd b ON b.root = f.root AND b.id = f.id
+    GROUP BY f.root
+    ORDER BY id
+    """,
+)
+def q122(spark, sf_dir):
+    from pandrs_spark.operators.graph import strongly_connected_components
+
+    out = strongly_connected_components(_strong_edges(spark, sf_dir))
+    return out.orderBy("id")
+
+
+# --- q123: betweenness centrality, Brandes' algorithm (centrality.rs:152).
+# Rows-only: the forward σ-counting + layered backward δ-accumulation has
+# no tractable SQL mirror; exactness is pinned by hand-computed unit
+# tests on path/star/bridge graphs (tests/test_graph.py) ----------------------
+@query("q123_betweenness_centrality")
+def q123(spark, sf_dir):
+    from pandrs_spark.operators.graph import betweenness_centrality
+
+    out = betweenness_centrality(_strong_edges(spark, sf_dir))
+    return out.select(
+        "id", F.round("betweenness", 4).alias("betweenness")
+    ).orderBy("id")

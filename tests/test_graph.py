@@ -208,3 +208,48 @@ def test_shortest_paths_weighted(spark):
     d = {r["id"]: r["dist"] for r in shortest_paths(e, 1, iterations=5).collect()}
     assert d[1] == 0 and d[2] == 1 and d[3] == 3
     assert d[4] is None
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    from pandrs_spark.operators.graph import strongly_connected_components
+
+    # cycle {1,2,3}, cycle {4,5}, one-way bridge 3->4
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    comp = {r["id"]: r["component"] for r in strongly_connected_components(e).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert comp[1] != comp[4]  # the bridge is one-way: separate SCCs
+
+
+def test_betweenness_path_and_star(spark):
+    from pandrs_spark.operators.graph import betweenness_centrality
+
+    # path 1-2-3: only the middle vertex lies between others
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    b = {r["id"]: r["betweenness"] for r in betweenness_centrality(path).collect()}
+    assert b[2] == pytest.approx(1.0)
+    assert b[1] == pytest.approx(0.0) and b[3] == pytest.approx(0.0)
+
+    # star with center 0 and 3 leaves: center carries all 3 leaf pairs
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src bigint, dst bigint")
+    b = {r["id"]: r["betweenness"] for r in betweenness_centrality(star).collect()}
+    assert b[0] == pytest.approx(3.0)
+    assert b[1] == pytest.approx(0.0)
+
+
+def test_betweenness_bridge_graph(spark):
+    from pandrs_spark.operators.graph import betweenness_centrality
+
+    # two triangles joined by bridge 3-4: bridge endpoints score highest
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    b = {r["id"]: r["betweenness"] for r in betweenness_centrality(e).collect()}
+    # vertex 3: all paths from {1,2} to {4,5,6} (6 ordered pairs / 2 = 3... )
+    # pairs through 3: (1,4),(1,5),(1,6),(2,4),(2,5),(2,6) -> 6; plus none inside
+    assert b[3] == pytest.approx(b[4])
+    assert b[3] > b[1] and b[3] > b[5]
