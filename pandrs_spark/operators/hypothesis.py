@@ -30,7 +30,16 @@ __all__ = [
     "ks_2samp",
     "kruskal_wallis",
     "anova_oneway",
+    "one_sample_ttest",
+    "paired_ttest",
 ]
+
+# t = (x̄ − μ0) / (s/√n), evaluated from exact sums (n, sx, sxx) so the
+# double-arithmetic tree is shared verbatim with the oracle SQL.
+ONE_SAMPLE_T = (
+    "(sx / n - {mu0}) / "
+    "SQRT(((sxx - sx * sx / n) / (n - 1)) / n)"
+)
 
 _DEC1 = DecimalType(32, 1)
 
@@ -162,3 +171,38 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         """((sgg - s * s / n) / (k - 1)) /
            ((ss - sgg) / (n - k)) AS f_stat""",
     )
+
+
+def one_sample_ttest(
+    df: DataFrame, value_col: str, mu0: float, scale: int = 2
+) -> DataFrame:
+    """One-sample t-test against a hypothesized mean
+    (src/stats/hypothesis.rs:143). The reference loops an in-memory
+    slice; here the sufficient statistics (n, Σx, Σx²) come from one
+    partial-aggregated pass — the only all-reduce a 100 TB input needs —
+    and the statistic is a fixed formula over those exact sums. Returns
+    1 row: n, mean, t_stat."""
+    stats = df.agg(
+        F.count(value_col).alias("n"),
+        dsum(value_col, scale).alias("sx"),
+        dsum(F.col(value_col) * F.col(value_col), scale * 2).alias("sxx"),
+    )
+    return stats.selectExpr(
+        "n",
+        "sx / n AS mean",
+        ONE_SAMPLE_T.format(mu0=repr(float(mu0))) + " AS t_stat",
+    )
+
+
+def paired_ttest(
+    df: DataFrame, col1: str, col2: str, scale: int = 2
+) -> DataFrame:
+    """Paired t-test (src/stats/hypothesis.rs:309): a one-sample t-test
+    on the per-row differences d = col1 − col2 against μ0 = 0. Rows
+    where either side is NULL drop out (pandas pairwise behavior).
+    Returns 1 row: n, mean_diff, t_stat."""
+    d = df.filter(F.col(col1).isNotNull() & F.col(col2).isNotNull()).select(
+        (F.col(col1) - F.col(col2)).alias("__d__")
+    )
+    out = one_sample_ttest(d, "__d__", 0.0, scale)
+    return out.select("n", F.col("mean").alias("mean_diff"), "t_stat")

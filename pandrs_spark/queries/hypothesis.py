@@ -760,3 +760,73 @@ def q111(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.round(F.expr(f"({_SF_CORR}) * ({_SF_CORR})"), 6).alias("w_stat"),
     )
+
+
+# --- q124: one-sample t-test of acctbal mean vs 4500 (hypothesis.rs:143) ----
+from pandrs_spark.operators.hypothesis import ONE_SAMPLE_T, one_sample_ttest, paired_ttest  # noqa: E402
+
+_T1 = ONE_SAMPLE_T.format(mu0="4500.0")
+
+
+@query(
+    "q124_one_sample_ttest",
+    oracle=f"""
+    WITH stats AS (
+        SELECT COUNT(c_acctbal) AS n, {sql_dsum('c_acctbal')} AS sx,
+               {sql_dsum('c_acctbal * c_acctbal', 4)} AS sxx
+        FROM customer
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(sx / n, 6) AS mean,
+           ROUND({_T1}, 6) AS t_stat
+    FROM stats
+    """,
+)
+def q124(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    out = one_sample_ttest(cust, "c_acctbal", 4500.0)
+    return out.select(
+        "n", F.round("mean", 6).alias("mean"), F.round("t_stat", 6).alias("t_stat")
+    )
+
+
+# --- q125: paired t-test, discount of line 1 vs line 2 within an order
+# (hypothesis.rs:309) — the pairing unit is the order itself ------------------
+_T0 = ONE_SAMPLE_T.format(mu0="0.0")
+
+
+@query(
+    "q125_paired_ttest",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_discount - b.l_discount AS d
+        FROM lineitem a JOIN lineitem b
+          ON b.l_orderkey = a.l_orderkey
+         AND a.l_linenumber = 1 AND b.l_linenumber = 2
+    ),
+    stats AS (
+        SELECT COUNT(d) AS n, {sql_dsum('d')} AS sx,
+               {sql_dsum('d * d', 4)} AS sxx
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(sx / n, 6) AS mean_diff,
+           ROUND({_T0}, 6) AS t_stat
+    FROM stats
+    """,
+)
+def q125(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", F.col("l_discount").alias("d1")
+    )
+    l2 = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", F.col("l_discount").alias("d2")
+    )
+    pairs = l1.join(l2, "l_orderkey")
+    out = paired_ttest(pairs, "d1", "d2")
+    return out.select(
+        "n",
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round("t_stat", 6).alias("t_stat"),
+    )

@@ -453,3 +453,75 @@ def q104(spark, sf_dir):
             6,
         ).alias("t_stat"),
     )
+
+
+# --- q126: robust dispersion tier (compat iqr :4269, cv :4273, sem :3618,
+# mad :1617, harmonic_mean :4265). Medians/quartiles use exact linear-
+# interpolation percentile (identical definition in Spark `percentile`
+# and DuckDB `quantile_cont`); MAD is a two-pass median of absolute
+# deviations from the group median; the harmonic mean sums reciprocals
+# at scale 12 (values ≥ ~1e-4 ⇒ well inside the int64 envelope) --------------
+@query(
+    "q126_robust_dispersion",
+    oracle=f"""
+    WITH med AS (
+        SELECT c_mktsegment,
+               COUNT(c_acctbal) AS n,
+               {sql_dsum('c_acctbal')} AS sx,
+               {sql_dsum('c_acctbal * c_acctbal', 4)} AS sxx,
+               quantile_cont(c_acctbal, 0.25) AS q25,
+               quantile_cont(c_acctbal, 0.5) AS q50,
+               quantile_cont(c_acctbal, 0.75) AS q75,
+               COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS n_pos,
+               {sql_dsum('CASE WHEN c_acctbal > 0 THEN 1.0 / c_acctbal END', 12)} AS s_inv
+        FROM customer GROUP BY c_mktsegment
+    ),
+    mad AS (
+        SELECT c.c_mktsegment,
+               quantile_cont(ABS(c.c_acctbal - m.q50), 0.5) AS mad
+        FROM customer c JOIN med m USING (c_mktsegment)
+        GROUP BY c.c_mktsegment
+    )
+    SELECT m.c_mktsegment,
+           ROUND(m.q75 - m.q25, 6) AS iqr,
+           ROUND(d.mad, 6) AS mad,
+           ROUND(SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)) / (m.sx / m.n), 6) AS cv,
+           ROUND(SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)) / SQRT(m.n), 6) AS sem,
+           ROUND(m.n_pos / m.s_inv, 6) AS harmonic_mean
+    FROM med m JOIN mad d USING (c_mktsegment)
+    ORDER BY c_mktsegment
+    """,
+)
+def q126(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.count("c_acctbal").alias("n"),
+        dsum("c_acctbal").alias("sx"),
+        dsum(F.col("c_acctbal") * F.col("c_acctbal"), 4).alias("sxx"),
+        F.expr("percentile(c_acctbal, 0.25)").alias("q25"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("q50"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q75"),
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_pos"),
+        dsum(
+            F.when(F.col("c_acctbal") > 0, 1.0 / F.col("c_acctbal")), 12
+        ).alias("s_inv"),
+    )
+    mad = (
+        cust.join(F.broadcast(med.select("c_mktsegment", "q50")), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile(abs(c_acctbal - q50), 0.5)").alias("mad")
+        )
+    )
+    return (
+        med.join(mad, "c_mktsegment")
+        .selectExpr(
+            "c_mktsegment",
+            "ROUND(q75 - q25, 6) AS iqr",
+            "ROUND(mad, 6) AS mad",
+            "ROUND(SQRT((sxx - sx * sx / n) / (n - 1)) / (sx / n), 6) AS cv",
+            "ROUND(SQRT((sxx - sx * sx / n) / (n - 1)) / SQRT(n), 6) AS sem",
+            "ROUND(n_pos / s_inv, 6) AS harmonic_mean",
+        )
+        .orderBy("c_mktsegment")
+    )

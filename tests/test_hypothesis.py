@@ -74,3 +74,40 @@ def test_scipy_cross_check_if_available(spark):
     ks = ks_2samp(df, "value", "grp", "a", "b").first()
     refks = scipy_stats.ks_2samp(vals_a, vals_b)
     assert ks["ks_d"] == pytest.approx(refks.statistic, abs=1e-9)
+
+
+def test_one_sample_ttest(spark):
+    # scipy.stats.ttest_1samp([2,4,4,4,5,5,7,9], 4): t = 1.3228757
+    df = spark.createDataFrame(
+        [(v,) for v in [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]], "x double"
+    )
+    from pandrs_spark.operators.hypothesis import one_sample_ttest
+
+    r = one_sample_ttest(df, "x", 4.0).first()
+    assert r["n"] == 8
+    assert r["mean"] == pytest.approx(5.0)
+    assert r["t_stat"] == pytest.approx(1.3228756555322954, rel=1e-6)
+
+
+def test_paired_ttest(spark):
+    # scipy.stats.ttest_rel([3,3,4,5],[1,2,4,4]): diffs [2,1,0,1], t = 2.44949
+    df = spark.createDataFrame(
+        [(3.0, 1.0), (3.0, 2.0), (4.0, 4.0), (5.0, 4.0)], "a double, b double"
+    )
+    from pandrs_spark.operators.hypothesis import paired_ttest
+
+    r = paired_ttest(df, "a", "b").first()
+    assert r["n"] == 4
+    assert r["mean_diff"] == pytest.approx(1.0)
+    assert r["t_stat"] == pytest.approx(2.449489742783178, rel=1e-6)
+
+
+def test_paired_ttest_drops_null_pairs(spark):
+    from pandrs_spark.operators.hypothesis import paired_ttest
+
+    df = spark.createDataFrame(
+        [(3.0, 1.0), (None, 2.0), (4.0, None), (5.0, 4.0), (4.0, 2.0)],
+        "a double, b double",
+    )
+    r = paired_ttest(df, "a", "b").first()
+    assert r["n"] == 3  # only complete pairs
