@@ -27,6 +27,8 @@ __all__ = [
     "holt_forecast",
     "periodogram",
     "ar2_fit",
+    "linear_trend",
+    "moving_average_forecast",
 ]
 
 
@@ -442,4 +444,65 @@ def ar2_fit(series: DataFrame, ts_col: str, value_col: str) -> DataFrame:
         (F.col("mu") + phi1 * F.col("ylast") + phi2 * F.col("yprev")).alias(
             "next_forecast"
         ),
+    )
+
+
+TREND_FORMULAS = {
+    "slope": "(n * sty - st * sy) / (n * stt - st * st)",
+    "intercept": "(sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n",
+    "r2": "((n * sty - st * sy) * (n * sty - st * sy)) / "
+    "((n * stt - st * st) * (n * syy - sy * sy))",
+}
+TREND_FORMULAS["forecast_next"] = (
+    f"({TREND_FORMULAS['intercept']}) + ({TREND_FORMULAS['slope']}) * n"
+)
+
+
+def linear_trend(
+    series: DataFrame, ts_col: str, value_col: str, scale: int = 6
+) -> DataFrame:
+    """Linear trend fit over an ordered series (src/time_series/
+    analysis.rs:108; linear-trend forecast forecasting.rs:241): OLS of
+    value on the 0-based time index t, trend strength as R², and the
+    one-step-ahead forecast intercept + slope·n.
+
+    Shape for scale: the input is already an *aggregated* series (one
+    row per bucket), so the ordered row_number window runs over bucket
+    cardinality, not raw rows; the five sufficient sums are quantized
+    (deterministic.py) and the closed-form fit is a fixed double formula
+    over them, shared with the oracle. Returns 1 row:
+    n, slope, intercept, r2, forecast_next."""
+    w = Window.orderBy(ts_col)
+    idx = series.select(
+        (F.row_number().over(w) - 1).cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    q = lambda c, s: (F.signum(c) * F.floor(F.abs(c) * float(10**s) + F.lit(0.5))).cast("bigint")  # noqa: E731
+    sums = idx.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        (F.sum(q(F.col("y"), scale)) / float(10**scale)).alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        (F.sum(q(F.col("y") * F.col("y"), scale)) / float(10**scale)).alias("syy"),
+        (F.sum(q(F.col("t") * F.col("y"), scale)) / float(10**scale)).alias("sty"),
+    )
+    return sums.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"{TREND_FORMULAS['slope']} AS slope",
+        f"{TREND_FORMULAS['intercept']} AS intercept",
+        f"{TREND_FORMULAS['r2']} AS r2",
+        f"{TREND_FORMULAS['forecast_next']} AS forecast_next",
+    )
+
+
+def moving_average_forecast(
+    series: DataFrame, ts_col: str, value_col: str, k: int = 3
+) -> DataFrame:
+    """Moving-average forecast (src/time_series/forecasting.rs:82): the
+    next value is the mean of the last ``k`` observations. One ordered
+    top-k over the bucketed series. Returns 1 row: k_used, forecast."""
+    last_k = series.orderBy(F.col(ts_col).desc()).limit(k)
+    return last_k.agg(
+        F.count("*").alias("k_used"),
+        F.avg(F.col(value_col)).alias("forecast"),
     )

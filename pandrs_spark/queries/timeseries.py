@@ -951,3 +951,64 @@ def q118(spark, sf_dir):
     )
     series = daily.select("day", (F.col("rev") / 1000).alias("x"))
     return ar2_fit(series, "day", "x")
+
+
+# --- q127: linear trend fit + strength + forecasts (analysis.rs:108,
+# forecasting.rs:82,241) over monthly revenue, in millions so the
+# quantized y² sums stay inside the int64 envelope at any SF ----------------
+from pandrs_spark.functions.deterministic import sql_quantize  # noqa: E402
+from pandrs_spark.operators.timeseries import (  # noqa: E402
+    TREND_FORMULAS,
+    linear_trend,
+    moving_average_forecast,
+)
+
+_Q6 = lambda e: f"(CAST(SUM({sql_quantize(e, 6)}) AS DOUBLE) / 1e6)"  # noqa: E731
+
+
+@query(
+    "q127_linear_trend_forecast",
+    oracle=_MONTHLY
+    + f""",
+    idx AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) - 1 AS DOUBLE) AS t,
+               revenue / 1000000.0 AS y
+        FROM monthly
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(t) AS st, {_Q6('y')} AS sy,
+               SUM(t * t) AS stt, {_Q6('y * y')} AS syy,
+               {_Q6('t * y')} AS sty
+        FROM idx
+    ),
+    ma AS (
+        SELECT AVG(y) AS ma3 FROM (
+            SELECT revenue / 1000000.0 AS y FROM monthly
+            ORDER BY month DESC LIMIT 3
+        )
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND({TREND_FORMULAS['slope']}, 6) AS slope,
+           ROUND({TREND_FORMULAS['intercept']}, 6) AS intercept,
+           ROUND({TREND_FORMULAS['r2']}, 6) AS r2,
+           ROUND({TREND_FORMULAS['forecast_next']}, 6) AS forecast_next,
+           ROUND(ma3, 6) AS ma3_forecast
+    FROM sums, ma
+    """,
+)
+def q127(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg((dsum("o_totalprice") / 1000000.0).alias("y"))
+    fit = linear_trend(monthly, "month", "y")
+    ma = moving_average_forecast(monthly, "month", "y", 3)
+    return fit.crossJoin(ma).select(
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.round("forecast_next", 6).alias("forecast_next"),
+        F.round("forecast", 6).alias("ma3_forecast"),
+    )

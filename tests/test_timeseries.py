@@ -255,3 +255,50 @@ def test_ar2_fit_matches_numpy(spark):
     assert out["rss"] == pytest.approx(rss, rel=1e-2)
     fc = a.mean() + phi[0] * y[-1] + phi[1] * y[-2]
     assert out["next_forecast"] == pytest.approx(fc, rel=1e-3)
+
+
+def test_linear_trend_exact_line(spark):
+    from pandrs_spark.operators.timeseries import linear_trend
+
+    # y = 2t + 1 exactly: slope 2, intercept 1, r2 1, next = 2*4+1 = 9
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-02-01", 3.0), ("2024-03-01", 5.0),
+         ("2024-04-01", 7.0)],
+        "ts string, y double",
+    )
+    r = linear_trend(df, "ts", "y").first()
+    assert r["n"] == 4
+    assert r["slope"] == pytest.approx(2.0)
+    assert r["intercept"] == pytest.approx(1.0)
+    assert r["r2"] == pytest.approx(1.0)
+    assert r["forecast_next"] == pytest.approx(9.0)
+
+
+def test_linear_trend_r2_partial(spark):
+    from pandrs_spark.operators.timeseries import linear_trend
+
+    # numpy lstsq on t=[0..3], y=[1,2,2,3]: slope .6, intercept .1... no:
+    # slope = cov/var = (sum ty - n tbar ybar)/(sum tt - n tbar^2)
+    # t=[0,1,2,3] y=[1,2,2,3]: sty=0+2+4+9=15, st=6, sy=8, stt=14, n=4
+    # slope=(4*15-6*8)/(4*14-36)=12/20=0.6, intercept=(8-0.6*6)/4=1.1
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 2.0), ("d", 3.0)], "ts string, y double"
+    )
+    r = linear_trend(df, "ts", "y").first()
+    assert r["slope"] == pytest.approx(0.6)
+    assert r["intercept"] == pytest.approx(1.1)
+    # r2 = corr^2; syy=18, num=12^2=144, den=20*(4*18-64)=20*8=160
+    assert r["r2"] == pytest.approx(0.9)
+
+
+def test_moving_average_forecast(spark):
+    from pandrs_spark.operators.timeseries import moving_average_forecast
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 10.0), ("2024-02-01", 20.0), ("2024-03-01", 30.0),
+         ("2024-04-01", 40.0)],
+        "ts string, y double",
+    )
+    r = moving_average_forecast(df, "ts", "y", 3).first()
+    assert r["k_used"] == 3
+    assert r["forecast"] == pytest.approx(30.0)  # mean of last 3
