@@ -41,6 +41,7 @@ __all__ = [
     "shortest_paths",
     "strongly_connected_components",
     "betweenness_centrality",
+    "louvain",
 ]
 
 _CHECKPOINT_EVERY = 5
@@ -788,3 +789,87 @@ def betweenness_centrality(
     return verts.join(per_vertex, "id", "left").select(
         "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+
+
+def louvain(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iterations: int = 6
+) -> DataFrame:
+    """Louvain community detection, level-1 local-moving phase
+    (components.rs:356), as synchronous DataFrame rounds.
+
+    Every vertex starts in its own community. Each round scores, for
+    every vertex v with degree k_v and every candidate community c
+    (its neighbors' communities plus its own),
+
+        score(v→c) = k_{v,c} − k_v · tot'_c / 2m,
+
+    the standard modularity-gain numerator with tot'_c the candidate
+    community's degree total excluding v itself. The argmax wins with a
+    smallest-community-id tie-break, and only vertices with
+    id % 2 == round % 2 may move in a given round — the alternation
+    breaks the two-cycle oscillation synchronous updates are prone to
+    while keeping the result partitioning- and engine-independent.
+
+    Each round is two joins + two aggregations + a per-vertex top-1
+    window over (vertex, neighbor-community) rows — the same bounded
+    dataflow as label_propagation, so it scales to edge sets that only
+    fit shuffled. Returns (id, community).
+    """
+    und = symmetrize(edges, src, dst).repartition("src").persist()
+    m2 = float(und.count())  # 2m: each undirected pair counted twice
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("k_v")
+    ).persist()
+    labels = deg.select("id", F.col("id").alias("community")).persist()
+    top1 = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("community"))
+    for r in range(iterations):
+        tot = (
+            labels.join(deg, "id")
+            .groupBy("community")
+            .agg(F.sum("k_v").alias("tot_c"))
+        )
+        k_vc = (
+            und.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "community")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        stay = labels.select("id", "community", F.lit(0).alias("k"))
+        cand = (
+            k_vc.unionByName(stay)
+            .groupBy("id", "community")
+            .agg(F.max("k").alias("k_vc"))
+            .join(deg, "id")
+            .join(labels.withColumnRenamed("community", "own"), "id")
+            .join(tot, "community")
+            .withColumn(
+                "score",
+                F.col("k_vc")
+                - F.col("k_v")
+                * (
+                    F.col("tot_c")
+                    - F.when(F.col("community") == F.col("own"), F.col("k_v"))
+                    .otherwise(F.lit(0))
+                )
+                / F.lit(m2),
+            )
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("community").alias("best"), "own")
+        )
+        updated = best.select(
+            "id",
+            F.when(F.col("id") % 2 == r % 2, F.col("best"))
+            .otherwise(F.col("own"))
+            .alias("community"),
+        )
+        # Each round stacks ~5 joins; truncate lineage every round or
+        # Catalyst replans the whole history (plan depth, not data,
+        # dominates wall-clock on small graphs and heap on big ones).
+        updated = updated.localCheckpoint(eager=True)
+        labels.unpersist()
+        labels = updated
+    und.unpersist()
+    deg.unpersist()
+    return labels

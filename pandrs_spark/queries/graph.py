@@ -600,3 +600,15 @@ def q123(spark, sf_dir):
     return out.select(
         "id", F.round("betweenness", 4).alias("betweenness")
     ).orderBy("id")
+
+
+# --- q128: Louvain community detection, level-1 local moving
+# (components.rs:356). Rows-only: the alternating synchronous move
+# schedule has no tractable SQL mirror; correctness is pinned by
+# modularity-improvement and known-partition unit tests (test_graph.py) ------
+@query("q128_louvain_communities")
+def q128(spark, sf_dir):
+    from pandrs_spark.operators.graph import louvain
+
+    out = louvain(_strong_edges(spark, sf_dir), iterations=4)
+    return out.orderBy("id")

@@ -253,3 +253,33 @@ def test_betweenness_bridge_graph(spark):
     # pairs through 3: (1,4),(1,5),(1,6),(2,4),(2,5),(2,6) -> 6; plus none inside
     assert b[3] == pytest.approx(b[4])
     assert b[3] > b[1] and b[3] > b[5]
+
+
+def test_louvain_two_triangles(spark):
+    from pandrs_spark.operators.graph import louvain
+
+    # two triangles joined by one bridge: Louvain splits at the bridge
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    comm = {r["id"]: r["community"] for r in louvain(e).collect()}
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]
+    assert comm[1] != comm[4]
+
+
+def test_louvain_improves_modularity(spark):
+    from pandrs_spark.operators.graph import louvain, modularity, symmetrize
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (1, 4), (2, 5)],
+        "src bigint, dst bigint",
+    )
+    und = symmetrize(e)
+    comm = louvain(e)
+    from pyspark.sql import functions as F
+
+    q = modularity(und, comm).agg(F.sum("contribution")).first()[0]
+    # singleton partition has Q < 0; any sane clustering is positive
+    assert q > 0.2
