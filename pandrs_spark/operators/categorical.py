@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["encode", "decode", "category_union", "category_intersection"]
+__all__ = [
+    "encode",
+    "decode",
+    "category_union",
+    "category_intersection",
+    "category_difference",
+]
 
 
 def encode(df: DataFrame, col: str, code_col: str | None = None):
@@ -64,6 +70,15 @@ def category_union(dim_a: DataFrame, dim_b: DataFrame) -> DataFrame:
 
 def category_intersection(dim_a: DataFrame, dim_b: DataFrame) -> DataFrame:
     labels = dim_a.select("label").intersect(dim_b.select("label"))
+    return labels.withColumn(
+        "code", F.row_number().over(Window.orderBy("label")) - 1
+    ).select("code", "label")
+
+
+def category_difference(dim_a: DataFrame, dim_b: DataFrame) -> DataFrame:
+    """A \\ B over category label sets (categorical.rs:372) — recoded
+    densely like the other set ops."""
+    labels = dim_a.select("label").exceptAll(dim_b.select("label")).distinct()
     return labels.withColumn(
         "code", F.row_number().over(Window.orderBy("label")) - 1
     ).select("code", "label")

@@ -321,3 +321,106 @@ def random_forest_metrics(
         F.round("accuracy", 4).alias("accuracy"),
         *[F.lit(round(imp[i], 4)).alias(f"imp_{c}") for i, c in enumerate(cols)],
     )
+
+
+def gbt_regression_metrics(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    max_iter: int = 20,
+    max_depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Gradient-boosted tree regressor (src/ml GradientBoosting
+    re-export, src/lib.rs:219-244) via MLlib GBTRegressor: assemble →
+    fit → score. Boosting is inherently sequential over trees but each
+    tree induction is a distributed pass — MLlib's scaling model, not
+    the reference's single-threaded one. Rows-only (tree paths have no
+    SQL mirror). Returns one row: n, rmse, r2, per-feature importances.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    cols = list(feature_cols)
+    feat = VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    model = GBTRegressor(
+        featuresCol="__features__",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        seed=seed,
+    ).fit(feat)
+    scored = model.transform(feat)
+    imp = model.featureImportances.toArray().tolist()
+    err = scored.select(
+        (F.col("prediction") - F.col(label_col)).alias("e"),
+        F.col(label_col).alias("y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return err.selectExpr(
+        "n",
+        "ROUND(SQRT(sse / n), 4) AS rmse",
+        "ROUND(1.0 - sse / (syy - sy * sy / n), 4) AS r2",
+    ).select(
+        "*",
+        *[F.lit(round(imp[i], 4)).alias(f"imp_{c}") for i, c in enumerate(cols)],
+    )
+
+
+def kfold_cv_metrics(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    id_col: str,
+    k: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """K-fold cross-validation (src/ml CrossValidation re-export,
+    src/lib.rs:219-244; sklearn_compat) for a logistic classifier.
+    Folds are assigned by crc32(id) % k — deterministic across engines,
+    partitionings and runs, unlike randomSplit. Each fold fits on k−1
+    folds and scores the held-out one; fitting is MLlib-distributed,
+    the k-loop is a driver loop over k models (k is small by design).
+    Returns one row per fold plus the mean accuracy row (fold = -1).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = list(feature_cols)
+    feat = (
+        VectorAssembler(inputCols=cols, outputCol="__features__")
+        .transform(df)
+        .withColumn("__fold__", F.crc32(F.col(id_col).cast("string")) % k)
+        .persist()
+    )
+    rows = []
+    for fold in range(k):
+        train = feat.filter(F.col("__fold__") != fold)
+        test = feat.filter(F.col("__fold__") == fold)
+        model = LogisticRegression(
+            featuresCol="__features__", labelCol=label_col, maxIter=max_iter
+        ).fit(train)
+        r = (
+            model.transform(test)
+            .agg(
+                F.count(F.lit(1)).alias("n_test"),
+                F.avg(
+                    (F.col("prediction") == F.col(label_col).cast("double")).cast(
+                        "double"
+                    )
+                ).alias("accuracy"),
+            )
+            .first()
+        )
+        rows.append((fold, r["n_test"], round(r["accuracy"], 4)))
+    feat.unpersist()
+    mean_acc = round(sum(r[2] for r in rows) / k, 4)
+    rows.append((-1, sum(r[1] for r in rows), mean_acc))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "fold int, n_test bigint, accuracy double"
+    ).orderBy("fold")

@@ -1026,3 +1026,54 @@ def q100(spark, sf_dir):
             <= 0.02 * F.countDistinct("o_custkey")
         ).alias("approx_within_2pct"),
     )
+
+
+# --- q129: categorical set ops over part-type category sets
+# (src/series/categorical.rs union :333, intersection :349,
+# difference :372): the type vocabularies of small vs large parts,
+# recoded densely after each set op ------------------------------------------
+@query(
+    "q129_categorical_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT p_type AS label FROM part WHERE p_size < 15),
+         b AS (SELECT DISTINCT p_type AS label FROM part WHERE p_size >= 15),
+    u AS (SELECT label FROM a UNION SELECT label FROM b),
+    i AS (SELECT label FROM a INTERSECT SELECT label FROM b),
+    d AS (SELECT label FROM a EXCEPT SELECT label FROM b)
+    SELECT (SELECT COUNT(*) FROM a) AS n_a,
+           (SELECT COUNT(*) FROM b) AS n_b,
+           (SELECT COUNT(*) FROM u) AS n_union,
+           (SELECT COUNT(*) FROM i) AS n_intersect,
+           (SELECT COUNT(*) FROM d) AS n_only_a,
+           (SELECT MIN(label) FROM d) AS first_only_a
+    """,
+)
+def q129(spark, sf_dir):
+    from pandrs_spark.operators.categorical import (
+        category_difference,
+        category_intersection,
+        category_union,
+    )
+
+    part = T(spark, sf_dir, "part")
+    dim_a = part.filter(F.col("p_size") < 15).select(
+        F.col("p_type").alias("label")
+    ).distinct()
+    dim_b = part.filter(F.col("p_size") >= 15).select(
+        F.col("p_type").alias("label")
+    ).distinct()
+    u = category_union(dim_a, dim_b)
+    i = category_intersection(dim_a, dim_b)
+    d = category_difference(dim_a, dim_b)
+    return (
+        dim_a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(dim_b.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(u.agg(F.count(F.lit(1)).alias("n_union")))
+        .crossJoin(i.agg(F.count(F.lit(1)).alias("n_intersect")))
+        .crossJoin(
+            d.agg(
+                F.count(F.lit(1)).alias("n_only_a"),
+                F.min("label").alias("first_only_a"),
+            )
+        )
+    )

@@ -242,3 +242,36 @@ def q120(spark, sf_dir):
     return random_forest_metrics(
         li, ["quantity", "discount_pct", "tax_pct", "price_k"], "is_return"
     )
+
+
+# --- q130: gradient-boosted tree regression (MLlib tier, rows-only —
+# boosted tree paths have no SQL equivalent; metrics pinned by test) ---------
+@query("q130_gbt_price_regression")
+def q130(spark, sf_dir):
+    from pandrs_spark.operators.ml import gbt_regression_metrics
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        (F.col("l_discount") * 100).alias("discount_pct"),
+        (F.col("l_tax") * 100).alias("tax_pct"),
+        (F.col("l_extendedprice") / 1000).alias("price_k"),
+    )
+    return gbt_regression_metrics(
+        li, ["quantity", "discount_pct", "tax_pct"], "price_k", max_iter=10
+    )
+
+
+# --- q131: deterministic k-fold cross-validation of the embedding
+# classifier (CrossValidation re-export, src/lib.rs:219-244; rows-only) ------
+@query("q131_kfold_cv_logistic")
+def q131(spark, sf_dir):
+    from pandrs_spark.operators.ml import kfold_cv_metrics
+
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") % 2).cast("double")
+    )
+    dims = [F.col("embedding")[i].alias(f"e{i}") for i in range(8)]
+    flat = emb.select("vec_id", "y", *dims)
+    return kfold_cv_metrics(
+        flat, [f"e{i}" for i in range(8)], "y", id_col="vec_id", k=3
+    )

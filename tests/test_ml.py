@@ -139,3 +139,34 @@ def test_random_forest_separable(spark):
     assert m["n"] == 500
     assert m["accuracy"] > 0.95          # label is a function of feature a
     assert m["imp_a"] > m["imp_b"]       # importance follows the signal
+
+
+def test_gbt_regression_learns_linear_signal(spark):
+    from pandrs_spark.operators.ml import gbt_regression_metrics
+
+    # y = 3x + noise-free: GBT should fit near-perfectly (r2 ~ 1)
+    df = spark.createDataFrame(
+        [(float(i), 3.0 * i) for i in range(100)], "x double, y double"
+    )
+    r = gbt_regression_metrics(df, ["x"], "y", max_iter=10).first()
+    assert r["n"] == 100
+    assert r["r2"] > 0.95
+    assert r["imp_x"] == pytest.approx(1.0)
+
+
+def test_kfold_cv_deterministic_folds(spark):
+    from pandrs_spark.operators.ml import kfold_cv_metrics
+
+    # linearly separable: every fold should classify held-out perfectly
+    rows = [(i, float(i % 7), 1.0 if i % 7 >= 4 else 0.0) for i in range(140)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    out = kfold_cv_metrics(df, ["x"], "y", id_col="id", k=3)
+    rows_out = out.collect()
+    assert [r["fold"] for r in rows_out] == [-1, 0, 1, 2]
+    mean_row = rows_out[0]
+    assert mean_row["n_test"] == 140  # folds partition the data
+    assert mean_row["accuracy"] == pytest.approx(1.0)
+    # determinism: a second run yields identical fold sizes
+    again = {r["fold"]: r["n_test"] for r in kfold_cv_metrics(
+        df, ["x"], "y", id_col="id", k=3).collect()}
+    assert all(again[r["fold"]] == r["n_test"] for r in rows_out)
