@@ -29,6 +29,7 @@ __all__ = [
     "ar2_fit",
     "linear_trend",
     "moving_average_forecast",
+    "split_mean_changepoints",
 ]
 
 
@@ -505,4 +506,58 @@ def moving_average_forecast(
     return last_k.agg(
         F.count("*").alias("k_used"),
         F.avg(F.col(value_col)).alias("forecast"),
+    )
+
+
+def split_mean_changepoints(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    prior_scale: float = 0.01,
+    scale: int = 6,
+) -> DataFrame:
+    """Change-point scores à la the reference's "Bayesian" detector
+    (src/time_series/analysis.rs:1035): at every split index
+    i ∈ [2, n−2), score = |mean(values[..i]) − mean(values[i..])|, a
+    change point where score > 10·prior_scale, significance =
+    score / threshold.
+
+    One ordered cumulative-sum window over the (already bucketed)
+    series: prefix sums give both means at every split simultaneously —
+    O(n) total, vs the reference's O(n²) re-summing loop. Values are
+    quantized (deterministic.py) so prefix sums are exact integers.
+    Returns (idx, ts, score, is_change, significance) for valid splits.
+    """
+    w = Window.orderBy(ts_col)
+    q = (F.signum(F.col(value_col)) * F.floor(
+        F.abs(F.col(value_col)) * float(10**scale) + F.lit(0.5)
+    )).cast("bigint")
+    cum = series.select(
+        F.col(ts_col).alias("ts"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(q).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum(q).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("tot"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
+    )
+    thr = 10.0 * prior_scale
+    m = float(10**scale)
+    # split index i = rn (1-based row is the first of the "after" side
+    # when we split before it): before = rows 1..i, after = i+1..n ⇒
+    # the reference's i (0-based count of "before" rows) equals rn here.
+    scored = cum.filter((F.col("rn") >= 2) & (F.col("rn") < F.col("n") - 2)).select(
+        F.col("rn").alias("idx"),
+        "ts",
+        (
+            F.abs(
+                (F.col("cum") / m) / F.col("rn")
+                - ((F.col("tot") - F.col("cum")) / m) / (F.col("n") - F.col("rn"))
+            )
+        ).alias("score"),
+    )
+    return scored.select(
+        "idx",
+        "ts",
+        "score",
+        (F.col("score") > thr).alias("is_change"),
+        F.when(F.col("score") > thr, F.col("score") / thr).alias("significance"),
     )

@@ -1012,3 +1012,99 @@ def q127(spark, sf_dir):
         F.round("forecast_next", 6).alias("forecast_next"),
         F.round("forecast", 6).alias("ma3_forecast"),
     )
+
+
+# --- q132: series smoothing + outlier clipping (src/time_series/
+# preprocessing.rs, 1,360 LoC tier): centered rolling-median(5) smoother
+# and winsorized clip at the global p05/p95 — windowed exact percentile
+# in both engines (identical linear-interpolation definition); global
+# cutoffs via a broadcastable one-row cross join --------------------------
+@query(
+    "q132_smoothing_winsorize",
+    oracle=_DAILY
+    + """,
+    cuts AS (
+        SELECT quantile_cont(rev, 0.05) AS lo, quantile_cont(rev, 0.95) AS hi
+        FROM daily
+    ),
+    sm AS (
+        SELECT day, rev,
+               quantile_cont(rev, 0.5) OVER
+                   (ORDER BY day ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                   AS med5
+        FROM daily
+    )
+    SELECT s.day, ROUND(s.rev, 2) AS rev,
+           ROUND(s.med5, 6) AS smoothed,
+           ROUND(LEAST(GREATEST(s.rev, c.lo), c.hi), 6) AS winsorized,
+           CAST(s.rev < c.lo OR s.rev > c.hi AS BOOLEAN) AS clipped
+    FROM sm s, cuts c
+    ORDER BY s.day
+    LIMIT 60
+    """,
+)
+def q132(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    cuts = daily.agg(
+        F.expr("percentile(rev, 0.05)").alias("lo"),
+        F.expr("percentile(rev, 0.95)").alias("hi"),
+    )
+    w5 = Window.orderBy("day").rowsBetween(-2, 2)
+    sm = daily.withColumn("med5", F.expr("percentile(rev, 0.5)").over(w5))
+    return (
+        sm.crossJoin(F.broadcast(cuts))
+        .select(
+            "day",
+            F.round("rev", 2).alias("rev"),
+            F.round("med5", 6).alias("smoothed"),
+            F.round(
+                F.least(F.greatest(F.col("rev"), F.col("lo")), F.col("hi")), 6
+            ).alias("winsorized"),
+            ((F.col("rev") < F.col("lo")) | (F.col("rev") > F.col("hi"))).alias(
+                "clipped"
+            ),
+        )
+        .orderBy("day")
+        .limit(60)
+    )
+
+
+# --- q133: split-mean change-point scores, the reference's "Bayesian"
+# detector (analysis.rs:1035), O(n) via one cumulative window instead of
+# the reference's O(n²) re-summing ------------------------------------------
+@query(
+    "q133_split_mean_changepoints",
+    oracle=_MONTHLY
+    + f""",
+    cum AS (
+        SELECT month,
+               ROW_NUMBER() OVER w AS rn,
+               SUM({sql_quantize('revenue / 1000000.0', 6)}) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM({sql_quantize('revenue / 1000000.0', 6)}) OVER () AS tot,
+               COUNT(*) OVER () AS n
+        FROM monthly
+        WINDOW w AS (ORDER BY month)
+    )
+    SELECT rn AS idx, month AS ts,
+           ROUND(ABS((cum / 1e6) / rn - ((tot - cum) / 1e6) / (n - rn)), 6) AS score,
+           ABS((cum / 1e6) / rn - ((tot - cum) / 1e6) / (n - rn)) > 0.1 AS is_change
+    FROM cum
+    WHERE rn >= 2 AND rn < n - 2
+    ORDER BY idx
+    """,
+)
+def q133(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import split_mean_changepoints
+
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg((dsum("o_totalprice") / 1000000.0).alias("y"))
+    out = split_mean_changepoints(monthly, "month", "y", prior_scale=0.01)
+    return out.select(
+        "idx", "ts", F.round("score", 6).alias("score"), "is_change"
+    ).orderBy("idx")

@@ -302,3 +302,18 @@ def test_moving_average_forecast(spark):
     r = moving_average_forecast(df, "ts", "y", 3).first()
     assert r["k_used"] == 3
     assert r["forecast"] == pytest.approx(30.0)  # mean of last 3
+
+
+def test_split_mean_changepoint_step(spark):
+    from pandrs_spark.operators.timeseries import split_mean_changepoints
+
+    # step series: 10×1.0 then 10×5.0 — max score at the step boundary
+    rows = [(f"2024-01-{d:02d}", 1.0 if d <= 10 else 5.0) for d in range(1, 21)]
+    df = spark.createDataFrame(rows, "ts string, y double")
+    out = split_mean_changepoints(df, "ts", "y", prior_scale=0.01).collect()
+    best = max(out, key=lambda r: r["score"])
+    assert best["idx"] == 10  # split right at the jump
+    assert best["score"] == pytest.approx(4.0)  # |1 - 5|
+    assert best["is_change"] and best["significance"] == pytest.approx(40.0)
+    # flat prefix split scores are strictly smaller
+    assert all(r["score"] < 4.0 for r in out if r["idx"] != 10)
