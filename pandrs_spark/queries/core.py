@@ -1077,3 +1077,65 @@ def q129(spark, sf_dir):
             )
         )
     )
+
+
+# --- q134: hierarchical group-by with per-level totals
+# (src/dataframe/hierarchical_groupby.rs:21,258 — the reference builds an
+# explicit group tree; GROUPING SETS computes every level in ONE pass
+# with partial aggregation, and grouping_id() is the level navigator) --------
+@query(
+    "q134_hierarchical_groupby",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation, c_mktsegment AS segment,
+           GROUPING(r_name) * 4 + GROUPING(n_name) * 2 + GROUPING(c_mktsegment)
+               AS level_id,
+           COUNT(*) AS n_cust,
+           {sql_dsum('c_acctbal')} AS balance
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name, c_mktsegment), (r_name, n_name),
+                            (r_name), ())
+    ORDER BY level_id, region NULLS FIRST, nation NULLS FIRST,
+             segment NULLS FIRST
+    """,
+)
+def q134(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")
+    ).join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    out = (
+        joined.groupingSets(
+            [
+                ["r_name", "n_name", "c_mktsegment"],
+                ["r_name", "n_name"],
+                ["r_name"],
+                [],
+            ],
+            "r_name",
+            "n_name",
+            "c_mktsegment",
+        )
+        .agg(
+            F.grouping_id().alias("level_id"),
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("balance"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "level_id",
+            "n_cust",
+            "balance",
+        )
+    )
+    return out.orderBy(
+        "level_id",
+        F.col("region").asc_nulls_first(),
+        F.col("nation").asc_nulls_first(),
+        F.col("segment").asc_nulls_first(),
+    )

@@ -1108,3 +1108,88 @@ def q133(spark, sf_dir):
     return out.select(
         "idx", "ts", F.round("score", 6).alias("score"), "is_change"
     ).orderBy("idx")
+
+
+# --- q135: ARIMA(2,1,0) — difference once, AR(2) on the diffs, then
+# integrate the one-step forecast back to the level (forecasting.rs:788
+# with d=1; the reference's ARIMA differences in a driver loop, here the
+# diff is a lag window and the fit a constant-size exact reduction) ----------
+@query(
+    "q135_arima_210_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('month', o_orderdate) AS day,
+               {sql_dsum('o_totalprice')} AS rev
+        FROM orders GROUP BY day
+    ),
+    lvl AS (SELECT day, rev / 1000 AS level FROM daily),
+    pos AS (
+        SELECT day, level - LAG(level) OVER (ORDER BY day) AS x
+        FROM lvl QUALIFY x IS NOT NULL
+    ),
+    nm AS (SELECT COUNT(*) AS n, {sql_dsum('x')} AS s FROM pos),
+    lagged AS (
+        SELECT x - s / n AS y,
+               LAG(x, 1) OVER (ORDER BY day) AS x1,
+               LAG(x, 2) OVER (ORDER BY day) AS x2,
+               s / n AS mu,
+               ROW_NUMBER() OVER (ORDER BY day DESC) AS rn_desc
+        FROM pos CROSS JOIN nm
+    ),
+    c2 AS (
+        SELECT y, x1 - mu AS y1, x2 - mu AS y2, mu, rn_desc, x2 FROM lagged
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_obs,
+               CAST(SUM({sql_quantize('y * y1', 0)}) AS DOUBLE) AS r1,
+               CAST(SUM({sql_quantize('y * y2', 0)}) AS DOUBLE) AS r2,
+               CAST(SUM({sql_quantize('y1 * y1', 0)}) AS DOUBLE) AS s11,
+               CAST(SUM({sql_quantize('y2 * y2', 0)}) AS DOUBLE) AS s22,
+               CAST(SUM({sql_quantize('y1 * y2', 0)}) AS DOUBLE) AS s12
+        FROM c2 WHERE x2 IS NOT NULL
+    ),
+    tail AS (
+        SELECT MAX(CASE WHEN rn_desc = 1 THEN y END) AS ylast,
+               MAX(CASE WHEN rn_desc = 2 THEN y END) AS yprev,
+               MAX(mu) AS mu
+        FROM c2
+    ),
+    last_level AS (
+        SELECT level AS last_lvl FROM lvl ORDER BY day DESC LIMIT 1
+    )
+    SELECT n_obs,
+           ROUND((r1 * s22 - r2 * s12) / (s11 * s22 - s12 * s12), 6) AS phi1,
+           ROUND((r2 * s11 - r1 * s12) / (s11 * s22 - s12 * s12), 6) AS phi2,
+           ROUND(last_lvl +
+                 mu + (r1 * s22 - r2 * s12) / (s11 * s22 - s12 * s12) * ylast
+                    + (r2 * s11 - r1 * s12) / (s11 * s22 - s12 * s12) * yprev,
+                 6) AS forecast_level
+    FROM stats CROSS JOIN tail CROSS JOIN last_level
+    """,
+)
+def q135(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import ar2_fit
+
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("day")
+    ).agg((dsum("o_totalprice") / 1000).alias("level"))
+    w = Window.orderBy("day")
+    diffs = (
+        monthly.select(
+            "day", (F.col("level") - F.lag("level").over(w)).alias("x")
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    fit = ar2_fit(diffs, "day", "x")
+    last_lvl = monthly.orderBy(F.desc("day")).limit(1).select(
+        F.col("level").alias("last_lvl")
+    )
+    return fit.crossJoin(last_lvl).select(
+        "n_obs",
+        F.round("phi1", 6).alias("phi1"),
+        F.round("phi2", 6).alias("phi2"),
+        F.round(F.col("last_lvl") + F.col("next_forecast"), 6).alias(
+            "forecast_level"
+        ),
+    )
