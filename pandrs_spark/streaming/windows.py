@@ -28,6 +28,7 @@ __all__ = [
     "stream_from_directory",
     "stream_to_memory",
     "count_window_foreach_batch",
+    "global_agg",
 ]
 
 
@@ -303,3 +304,13 @@ def tumbling_with_lateness(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def global_agg(df: DataFrame, aggs: Sequence[Column], keys: Sequence[str] = ()) -> DataFrame:
+    """Global (unwindowed) streaming aggregation
+    (WindowType::Global, src/streaming/window.rs:51): a plain grouped
+    aggregate run in complete output mode — state is one row per key,
+    updated every micro-batch, no watermark needed because nothing ever
+    closes. Use ``stream_to_memory(out, name, "complete")`` as the sink.
+    """
+    return df.groupBy(*keys).agg(*aggs)

@@ -192,3 +192,24 @@ def test_tumbling_with_lateness_merges_late_rows(spark, tmp_path):
     assert by_win[w0] == (3, 8.0)
     assert by_win[w0 + 3600] == (1, 10.0)
     assert by_win[w0 + 7200] == (1, 20.0)
+
+
+def test_global_window_complete_mode(spark, stream_dir):
+    from pandrs_spark.streaming.windows import global_agg
+
+    src = stream_from_directory(spark, f"{stream_dir}/batch1", SCHEMA)
+    agg = global_agg(
+        src, [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")], keys=["key"]
+    )
+    q = stream_to_memory(agg, "t_global", output_mode="complete")
+    q.awaitTermination(120)
+    got = {r.key: (r.n, r.s) for r in spark.sql("SELECT * FROM t_global").collect()}
+    batch = {
+        r.key: (r.n, r.s)
+        for r in spark.read.schema(SCHEMA)
+        .parquet(f"{stream_dir}/batch1")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == batch  # stream global agg == batch global agg
