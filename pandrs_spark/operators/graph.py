@@ -42,6 +42,7 @@ __all__ = [
     "strongly_connected_components",
     "betweenness_centrality",
     "louvain",
+    "from_adjacency",
 ]
 
 _CHECKPOINT_EVERY = 5
@@ -873,3 +874,39 @@ def louvain(
     und.unpersist()
     deg.unpersist()
     return labels
+
+
+def from_adjacency(
+    matrix: DataFrame,
+    row_col: str = "row",
+    col_col: str = "col",
+    weight_col: str | None = "w",
+    directed: bool = True,
+) -> DataFrame:
+    """Build an edge DataFrame from a (sparse, long-form) adjacency
+    matrix (src/graph/mod.rs:289 — the reference takes a dense Vec<Vec>;
+    long-form triplets are the only shape that survives 100 TB). Zero /
+    NULL weights are non-edges; for undirected input only the upper
+    triangle needs to be present and the symmetric closure is applied
+    by the consuming algorithm. Returns (src, dst[, weight]).
+    """
+    out = matrix.filter(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    )
+    if weight_col is not None:
+        out = out.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) != 0))
+        cols = [
+            F.col(row_col).alias("src"),
+            F.col(col_col).alias("dst"),
+            F.col(weight_col).alias("weight"),
+        ]
+    else:
+        cols = [F.col(row_col).alias("src"), F.col(col_col).alias("dst")]
+    edges = out.select(*cols)
+    if not directed:
+        back = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *([F.col("weight")] if weight_col is not None else []),
+        )
+        edges = edges.union(back).filter(F.col("src") != F.col("dst")).distinct()
+    return edges

@@ -191,10 +191,12 @@ def ewm_mean(
     partition_by: Sequence[str],
     alpha: float,
     adjust: bool = True,
+    ignore_na: bool = False,
     out_col: str = "ewm",
 ) -> DataFrame:
     """Exponentially-weighted mean per group (pandas semantics,
-    src/series/window.rs:555-640 is the spec).
+    src/series/window.rs:555-640 is the spec; ignore_na :602 — when
+    False, intervening NAs still decay the weights of older points).
 
     Inherently recursive → no closed-form window expression, so this is
     the documented Pandas-UDF path: ``applyInPandas`` per group, Arrow
@@ -211,7 +213,9 @@ def ewm_mean(
 
     def _ewm(pdf):
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=adjust).mean()
+        pdf[out_col] = pdf[value_col].ewm(
+            alpha=alpha, adjust=adjust, ignore_na=ignore_na
+        ).mean()
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_ewm, schema=out_schema)
@@ -225,6 +229,7 @@ def ewm_stat(
     alpha: float,
     stat: str = "mean",
     adjust: bool = True,
+    ignore_na: bool = False,
     bias: bool = False,
     out_col: str = "ewm",
 ) -> DataFrame:
@@ -242,7 +247,7 @@ def ewm_stat(
 
     def _ewm(pdf):
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        e = pdf[value_col].ewm(alpha=alpha, adjust=adjust)
+        e = pdf[value_col].ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
         if stat == "mean":
             pdf[out_col] = e.mean()
         elif stat == "std":

@@ -525,3 +525,62 @@ def q126(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- q136: IQR-rule outlier detection (src/stats/mod.rs detect_outliers
+# :721, IQR arm; the z-score arm is q45). Quartiles per priority class
+# via exact interpolated percentile; the 1.5×IQR fences are broadcast
+# back — two passes over the fact table, no sort of raw rows -----------------
+@query(
+    "q136_iqr_outliers",
+    oracle="""
+    WITH fences AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                           OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(CASE WHEN o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                          THEN o.o_totalprice END), 2) AS max_outlier,
+           ROUND(f.q3 + 1.5 * (f.q3 - f.q1), 6) AS upper_fence
+    FROM orders o JOIN fences f USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, f.q1, f.q3
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q136(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                ((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi)).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+            F.round(
+                F.max(F.when(F.col("o_totalprice") > hi, F.col("o_totalprice"))), 2
+            ).alias("max_outlier"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "n_outliers",
+            "max_outlier",
+            F.round(hi, 6).alias("upper_fence"),
+        )
+        .orderBy("o_orderpriority")
+    )

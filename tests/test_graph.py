@@ -283,3 +283,20 @@ def test_louvain_improves_modularity(spark):
     q = modularity(und, comm).agg(F.sum("contribution")).first()[0]
     # singleton partition has Q < 0; any sane clustering is positive
     assert q > 0.2
+
+
+def test_from_adjacency(spark):
+    from pandrs_spark.operators.graph import connected_components, from_adjacency
+
+    m = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 3, 9.0), (4, 5, 0.0), (5, 6, 3.0)],
+        "row bigint, col bigint, w double",
+    )
+    e = from_adjacency(m, directed=False)
+    got = {(r["src"], r["dst"], r["weight"]) for r in e.collect()}
+    assert (1, 2, 1.0) in got and (2, 1, 1.0) in got  # symmetric closure
+    assert not any(s == d for s, d, _ in got)  # self-loop dropped
+    assert not any((s, d) == (4, 5) for s, d, _ in got)  # zero weight dropped
+    comp = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[5] == comp[6] != comp[1]

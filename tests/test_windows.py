@@ -177,3 +177,30 @@ def test_ewm_std_var_match_pandas(spark):
                 assert r["ewm"] is None or r["ewm"] != r["ewm"]
             else:
                 assert r["ewm"] == pytest.approx(e, abs=1e-12)
+
+
+def test_ewm_ignore_na_parity(spark):
+    import pandas as pd
+
+    from pandrs_spark.operators.windows import ewm_mean
+
+    rows = [("g", i, v) for i, v in enumerate([1.0, None, 3.0, None, 5.0, 2.0])]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    for ignore_na in (False, True):
+        got = {
+            r["i"]: r["ewm"]
+            for r in ewm_mean(
+                df, "v", ["i"], ["g"], alpha=0.5, ignore_na=ignore_na
+            ).collect()
+        }
+        exp = (
+            pd.Series([1.0, None, 3.0, None, 5.0, 2.0])
+            .ewm(alpha=0.5, ignore_na=ignore_na)
+            .mean()
+        )
+        for i, e in exp.items():
+            assert got[i] == pytest.approx(e, rel=1e-12), (ignore_na, i)
+    # the two policies genuinely differ on this input
+    a = ewm_mean(df, "v", ["i"], ["g"], alpha=0.5, ignore_na=False).collect()
+    b = ewm_mean(df, "v", ["i"], ["g"], alpha=0.5, ignore_na=True).collect()
+    assert {r["i"]: r["ewm"] for r in a} != {r["i"]: r["ewm"] for r in b}
