@@ -829,6 +829,45 @@ class StrAccessor:
     def isspace(self):
         return self._c.rlike(r"^\s+$")
 
+    def islower(self):
+        # string_accessor.rs:506-622: has a cased char, none uppercase
+        return self._c.rlike("[a-z]") & ~self._c.rlike("[A-Z]")
+
+    def isupper(self):
+        return self._c.rlike("[A-Z]") & ~self._c.rlike("[a-z]")
+
+    def findall(self, pattern: str):
+        """All regex matches as an array (string_accessor.rs:444)."""
+        return F.regexp_extract_all(self._c, F.lit(pattern), 0)
+
+    def swapcase(self):
+        """Per-character case flip (string_accessor.rs:650) — a
+        character-class transform over the exploded codepoints would
+        shuffle; a single filter-free expression keeps it in codegen."""
+        ch = F.split(self._c, "")
+        return F.array_join(
+            F.transform(
+                ch,
+                lambda c: F.when(c.rlike("[a-z]"), F.upper(c))
+                .when(c.rlike("[A-Z]"), F.lower(c))
+                .otherwise(c),
+            ),
+            "",
+        )
+
+    def repeat(self, n: int):
+        """String repetition (compat :4167)."""
+        return F.repeat(self._c, n)
+
+    def center(self, width: int, fillchar: str = " "):
+        """Center-pad (compat :4169): left gets the floor of the pad,
+        right the ceil — Python/pandas semantics; never truncates."""
+        pad = F.lit(width) - F.length(self._c)
+        left_len = (F.length(self._c) + F.floor(pad / 2)).cast("int")
+        return F.when(pad <= 0, self._c).otherwise(
+            F.rpad(F.lpad(self._c, left_len, fillchar), width, fillchar)
+        )
+
 
 class DtAccessor:
     """pandas ``Series.dt`` parity (src/series/datetime_accessor.rs):
@@ -885,6 +924,23 @@ class DtAccessor:
 
     def add_months(self, n: int):
         return F.add_months(self._c, n)
+
+    def add_years(self, n: int):
+        """datetime_accessor.rs:468 — calendar-aware (Feb 29 clamps)."""
+        return F.add_months(self._c, 12 * n)
+
+    def tz_convert(self, tz: str):
+        """Wall-clock in another zone (DateTimeAccessorTz tz_convert,
+        datetime_accessor.rs:578): timestamps are UTC instants here."""
+        return F.from_utc_timestamp(self._c, tz)
+
+    def utc_offset(self, tz: str):
+        """Offset minutes of ``tz`` at each instant
+        (datetime_accessor.rs:608), from the wall-clock delta."""
+        return (
+            F.unix_timestamp(F.from_utc_timestamp(self._c, tz))
+            - F.unix_timestamp(self._c)
+        ) / 60
 
     def normalize(self):
         return F.date_trunc("day", self._c)

@@ -353,3 +353,58 @@ def test_replace_inf(spark):
     vals = [r.v for r in f.replace_inf().collect()]
     assert vals[0] == 1.0 and vals[1] is None and vals[2] is None
     assert math.isnan(vals[3])  # NaN untouched: explicit NULL/NaN policy
+
+
+def test_str_accessor_extensions(spark):
+    from pandrs_spark.frame import StrAccessor
+
+    df = spark.createDataFrame(
+        [("Hello World",), ("abc",), ("ABC",), ("aXbY",)], "s string"
+    )
+    a = StrAccessor("s")
+    got = df.select(
+        a.swapcase().alias("sw"),
+        a.islower().alias("lo"),
+        a.isupper().alias("up"),
+        a.findall("[A-Z]").alias("caps"),
+        a.repeat(2).alias("rep"),
+        a.center(7, "*").alias("ctr"),
+    ).collect()
+    by = {r["rep"][: len(r["rep"]) // 2]: r for r in got}
+    assert by["Hello World"]["sw"] == "hELLO wORLD"
+    assert by["abc"]["lo"] and not by["abc"]["up"]
+    assert by["ABC"]["up"] and not by["ABC"]["lo"]
+    assert by["aXbY"]["caps"] == ["X", "Y"]
+    assert by["abc"]["ctr"] == "**abc**"
+    assert by["aXbY"]["ctr"] == "*aXbY**"  # left floor, right ceil
+    assert by["Hello World"]["ctr"] == "Hello World"  # never truncates
+
+
+def test_dt_accessor_tz(spark):
+    from pandrs_spark.frame import DtAccessor
+
+    df = spark.createDataFrame(
+        [("2024-01-15 12:00:00",), ("2024-07-15 12:00:00",)], "s string"
+    ).select(F.to_timestamp("s").alias("ts"))
+    a = DtAccessor("ts")
+    got = df.select(
+        F.date_format(a.tz_convert("Asia/Tokyo"), "yyyy-MM-dd HH:mm").alias("tokyo"),
+        a.utc_offset("America/New_York").alias("ny_off"),
+        F.date_format(a.add_years(1), "yyyy-MM-dd").alias("plus1y"),
+    ).orderBy("plus1y").collect()
+    assert got[0]["tokyo"] == "2024-01-15 21:00"  # UTC+9
+    assert got[0]["ny_off"] == -300.0  # EST
+    assert got[1]["ny_off"] == -240.0  # EDT (DST-aware)
+    assert got[0]["plus1y"] == "2025-01-15"
+
+
+def test_dt_add_years_leap_clamp(spark):
+    from pandrs_spark.frame import DtAccessor
+
+    df = spark.createDataFrame([("2024-02-29",)], "s string").select(
+        F.to_date("s").alias("d")
+    )
+    got = df.select(
+        F.date_format(DtAccessor("d").add_years(1), "yyyy-MM-dd").alias("y")
+    ).first()
+    assert got["y"] == "2025-02-28"  # clamps, no overflow into March
