@@ -248,6 +248,41 @@ class Frame:
             c = F.least(c, F.lit(upper))
         return self.assign(**{col: c})
 
+    # -- whole-frame boolean reductions (compat any :1248, all :1259,
+    # count_valid :1270) — one partial-aggregated pass, no collect loop -----
+    def any(self, cols: Sequence[str] | None = None) -> dict[str, bool]:
+        """Per column: does any row evaluate truthy (non-zero/True)?"""
+        cols = list(cols or self.columns)
+        row = self._df.agg(
+            *[
+                (F.max(F.col(c).cast("boolean").cast("int")) == 1).alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        return {c: bool(row[c]) for c in cols}
+
+    def all(self, cols: Sequence[str] | None = None) -> dict[str, bool]:
+        """Per column: do all non-null rows evaluate truthy?"""
+        cols = list(cols or self.columns)
+        row = self._df.agg(
+            *[
+                (F.min(F.col(c).cast("boolean").cast("int")) == 1).alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        return {c: bool(row[c]) for c in cols}
+
+    def count_valid(self, cols: Sequence[str] | None = None) -> dict[str, int]:
+        """Per column non-missing count (NaN counts as missing)."""
+        cols = list(cols or self.columns)
+        row = self._df.agg(
+            *[
+                F.count(F.when(~_missing(self._df, c), 1)).alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        return {c: int(row[c]) for c in cols}
+
     # -- missing data (§2.2) -------------------------------------------------
     def isna_count(self) -> dict[str, int]:
         row = self._df.agg(
@@ -637,6 +672,7 @@ class FrameGroupBy:
         "last": F.last,
         "nunique": F.countDistinct,
         "median": lambda c: F.percentile(c, F.lit(0.5)),
+        "product": F.product,
     }
 
     def __init__(self, frame: Frame, keys: list[str]):
@@ -683,6 +719,22 @@ class FrameGroupBy:
 
     def nunique(self, cols=None):
         return self._sugar("nunique", cols)
+
+    def var(self, cols=None):
+        return self._sugar("var", cols)
+
+    def median(self, cols=None):
+        return self._sugar("median", cols)
+
+    def first(self, cols=None):
+        return self._sugar("first", cols)
+
+    def last(self, cols=None):
+        return self._sugar("last", cols)
+
+    def product(self, cols=None):
+        """AggFunc product (compat product_all :1006 family)."""
+        return self._sugar("product", cols)
 
     def transform(self, col: str, fn: str, out: str | None = None) -> Frame:
         """Group-broadcast aggregate (reference groupby.rs:427) — a

@@ -1139,3 +1139,33 @@ def q134(spark, sf_dir):
         F.col("nation").asc_nulls_first(),
         F.col("segment").asc_nulls_first(),
     )
+
+
+# --- q137: product aggregation (AggFunc product family, compat
+# product_all :934-1006): compounded per-order discount factor
+# Π(1 − l_discount). Bounded group size (≤7 lines/order) keeps the
+# float product well-conditioned; ROUND(6) absorbs the one-ulp
+# combine-order slack between engines ----------------------------------------
+@query(
+    "q137_product_discount_factor",
+    oracle="""
+    WITH factors AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               ROUND(product(1.0 - l_discount), 6) AS keep_factor
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, n_lines, keep_factor
+    FROM factors
+    ORDER BY keep_factor, l_orderkey
+    LIMIT 10
+    """,
+)
+def q137(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    factors = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.product(1.0 - F.col("l_discount")), 6).alias("keep_factor"),
+    )
+    return factors.orderBy("keep_factor", "l_orderkey").limit(10)

@@ -408,3 +408,34 @@ def test_dt_add_years_leap_clamp(spark):
         F.date_format(DtAccessor("d").add_years(1), "yyyy-MM-dd").alias("y")
     ).first()
     assert got["y"] == "2025-02-28"  # clamps, no overflow into March
+
+
+def test_groupby_sugar_extended(spark):
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    f = Frame(df)
+    med = {r["g"]: r["v_median"] for r in f.groupby("g").median(["v"]).collect()}
+    assert med == {"a": 2.0, "b": 5.0}
+    var = {r["g"]: r["v_var"] for r in f.groupby("g").var(["v"]).collect()}
+    assert var["a"] == pytest.approx(1.0) and var["b"] == pytest.approx(2.0)
+    prod = {r["g"]: r["v_product"] for r in f.groupby("g").product(["v"]).collect()}
+    assert prod == {"a": 6.0, "b": 24.0}
+    first = {r["g"]: r["v_first"] for r in f.groupby("g").first(["v"]).collect()}
+    assert first["a"] in (1.0, 2.0, 3.0)  # first over unordered groups
+
+
+def test_frame_any_all_count_valid(spark):
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame(
+        [(1, 0, float("nan")), (0, 0, 2.0), (1, 0, None)],
+        "a int, b int, c double",
+    )
+    f = Frame(df)
+    assert f.any(["a", "b"]) == {"a": True, "b": False}
+    assert f.all(["a", "b"]) == {"a": False, "b": False}
+    assert f.count_valid(["a", "c"]) == {"a": 3, "c": 1}  # NaN is missing
