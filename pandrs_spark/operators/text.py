@@ -21,6 +21,7 @@ __all__ = [
     "stopword_hits",
     "quality_score",
     "doc_fingerprint",
+    "word_shingle_udtf",
     "STOPWORDS",
 ]
 
@@ -90,3 +91,26 @@ def doc_fingerprint(col: Column | str) -> Column:
     lowercased text (exact-dedup key)."""
     c = col if isinstance(col, Column) else F.col(col)
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), "\\s+", " "))
+
+
+def word_shingle_udtf():
+    """Python UDTF (SURVEY §2.15 — the reference has no table functions;
+    Spark's UDTF closes the gap) that explodes a document into k-word
+    shingles with positions. Arrow-optimized; one output row per
+    shingle. Returned class is registered by the caller:
+
+        spark.udtf.register("shingles", word_shingle_udtf())
+        spark.sql("SELECT s.* FROM documents, LATERAL shingles(text, 3) s")
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, shingle string")
+    class WordShingles:
+        def eval(self, text: str, k: int):  # noqa: D401
+            if text is None:
+                return
+            words = text.split()
+            for i in range(len(words) - k + 1):
+                yield i, " ".join(words[i : i + k])
+
+    return WordShingles

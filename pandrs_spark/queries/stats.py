@@ -584,3 +584,39 @@ def q136(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- q139: engine-reproducible sampling (src/stats/mod.rs sample :310).
+# rand(seed) is engine-specific, so the sample predicate is an md5
+# prefix on the key — identical rows selected on any engine, any
+# partitioning, any cluster size; per-stratum rates concentrate around
+# the nominal 1/16 -----------------------------------------------------------
+@query(
+    "q139_deterministic_sample",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)
+                              <= '0f' THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+           ROUND(SUM(CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)
+                               <= '0f' THEN 1 ELSE 0 END) / COUNT(*), 4)
+               AS sample_rate
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q139(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    picked = (
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) <= "0f"
+    ).cast("long")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(picked).alias("n_sample"),
+            F.round(F.sum(picked) / F.count(F.lit(1)), 4).alias("sample_rate"),
+        )
+        .orderBy("c_mktsegment")
+    )

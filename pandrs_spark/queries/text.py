@@ -490,3 +490,42 @@ def q121(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 20)
     out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
     return out.orderBy("id_q", "nn_id")
+
+
+# --- q138: Python UDTF table function (§2.15 — beyond the reference,
+# which has no UDTFs): k-word shingle expansion as a LATERAL join,
+# the Spark-native shape for one-row→many-rows text operators ----------------
+@query(
+    "q138_udtf_word_shingles",
+    oracle=r"""
+    WITH arr AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i FROM arr
+    ),
+    tri AS (
+        SELECT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle FROM idx
+    )
+    SELECT shingle, COUNT(*) AS n
+    FROM tri GROUP BY shingle
+    ORDER BY n DESC, shingle LIMIT 15
+    """,
+)
+def q138(spark, sf_dir):
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.operators.text import word_shingle_udtf
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    spark.udtf.register("word_shingles", word_shingle_udtf())
+    return spark.sql(
+        """
+        SELECT s.shingle, COUNT(*) AS n
+        FROM __docs_udtf, LATERAL word_shingles(text, 3) s
+        GROUP BY s.shingle
+        ORDER BY n DESC, s.shingle LIMIT 15
+        """
+    )
