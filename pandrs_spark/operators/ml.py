@@ -424,3 +424,44 @@ def kfold_cv_metrics(
     return spark.createDataFrame(
         rows, "fold int, n_test bigint, accuracy double"
     ).orderBy("fold")
+
+
+def mlp_classifier_metrics(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    hidden=(8,),
+    max_iter: int = 60,
+    seed: int = 42,
+) -> DataFrame:
+    """Multilayer perceptron classifier (src/ml MLP re-export,
+    src/lib.rs:219-244) via MLlib MultilayerPerceptronClassifier.
+    Layer spec is [n_features, *hidden, n_classes]; training is MLlib's
+    distributed LBFGS. Rows-only. Returns one row: n, accuracy.
+    """
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = list(feature_cols)
+    feat = VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    n_classes = feat.agg(
+        (F.max(F.col(label_col).cast("long")) + 1).alias("k")
+    ).first()["k"]
+    model = MultilayerPerceptronClassifier(
+        featuresCol="__features__",
+        labelCol=label_col,
+        layers=[len(cols), *hidden, int(n_classes)],
+        maxIter=max_iter,
+        seed=seed,
+    ).fit(feat)
+    return model.transform(feat).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(
+                (F.col("prediction") == F.col(label_col).cast("double")).cast(
+                    "double"
+                )
+            ),
+            4,
+        ).alias("accuracy"),
+    )

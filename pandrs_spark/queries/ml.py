@@ -275,3 +275,20 @@ def q131(spark, sf_dir):
     return kfold_cv_metrics(
         flat, [f"e{i}" for i in range(8)], "y", id_col="vec_id", k=3
     )
+
+
+# --- q140: multilayer perceptron on line-item features (MLlib tier,
+# rows-only — LBFGS-trained network has no SQL mirror; XOR test pins it) -----
+@query("q140_mlp_returns_classifier")
+def q140(spark, sf_dir):
+    from pandrs_spark.operators.ml import mlp_classifier_metrics
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        (F.col("l_discount") * 100).alias("discount_pct"),
+        (F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_returnflag") == "R").cast("double").alias("is_return"),
+    )
+    return mlp_classifier_metrics(
+        li, ["quantity", "discount_pct", "price_k"], "is_return", hidden=(6,)
+    )

@@ -170,3 +170,17 @@ def test_kfold_cv_deterministic_folds(spark):
     again = {r["fold"]: r["n_test"] for r in kfold_cv_metrics(
         df, ["x"], "y", id_col="id", k=3).collect()}
     assert all(again[r["fold"]] == r["n_test"] for r in rows_out)
+
+
+def test_mlp_learns_xor(spark):
+    from pandrs_spark.operators.ml import mlp_classifier_metrics
+
+    # XOR — not linearly separable, so accuracy ~1 proves the hidden layer
+    rows = [
+        (float(a), float(b), float(a ^ b))
+        for a in (0, 1) for b in (0, 1) for _ in range(25)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = mlp_classifier_metrics(df, ["x1", "x2"], "y", hidden=(4,)).first()
+    assert r["n"] == 100
+    assert r["accuracy"] >= 0.99
