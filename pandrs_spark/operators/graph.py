@@ -106,10 +106,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            updated = updated.localCheckpoint(eager=True)
-        else:
-            updated = updated.persist()
+        # Truncate lineage every round: the convergence check already
+        # materializes, and re-planning the join history each round
+        # costs more than the (tiny) label snapshot it saves.
+        updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")

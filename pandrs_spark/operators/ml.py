@@ -39,6 +39,7 @@ __all__ = [
     "logistic_fit_metrics",
     "feature_scores",
     "random_forest_metrics",
+    "local_outlier_factor",
 ]
 
 
@@ -464,4 +465,162 @@ def mlp_classifier_metrics(
             ),
             4,
         ).alias("accuracy"),
+    )
+
+
+def dbscan_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """DBSCAN over 2-D points as pure DataFrame ops (src/ml DBSCAN
+    re-export, src/lib.rs:219-244 — no MLlib equivalent, so this is the
+    composition path SURVEY §2.13 prescribes):
+
+    1. grid-bucket each point into eps-sized cells; candidate pairs come
+       from a self-join on the 3×3 neighboring cells (the classic grid
+       trick — candidate count is bounded by local density, never n²);
+    2. exact Euclidean filter ≤ eps, neighbor counts per point;
+    3. core points (≥ min_pts neighbors incl. self) form an adjacency
+       graph; clusters are its connected components (min-label
+       propagation — same scalable loop as the graph module);
+    4. border points adopt the smallest cluster label among their core
+       neighbors (deterministic); everything else is noise (NULL).
+
+    Returns (id, cluster, is_core). Cluster labels are min core-point
+    ids — engine- and partitioning-independent.
+    """
+    from pandrs_spark.operators.graph import connected_components
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    cell = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = cell.select(
+        F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                )
+                for dx, dy in offsets
+            ])
+        ).alias("nc"),
+    ).select("a_id", "ax", "ay", F.col("nc.cx").alias("cx"), F.col("nc.cy").alias("cy"))
+    pairs = (
+        probe.join(cell.select(F.col("id").alias("b_id"),
+                               F.col("x").alias("bx"), F.col("y").alias("by"),
+                               "cx", "cy"),
+                   ["cx", "cy"])
+        .filter(
+            (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+            <= eps * eps
+        )
+        .select("a_id", "b_id")
+        .persist()
+    )
+    counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nbr"))
+    core = counts.filter(F.col("n_nbr") >= min_pts).select(
+        F.col("a_id").alias("id")
+    ).persist()
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "a_id"), "a_id")
+        .join(core.withColumnRenamed("id", "b_id"), "b_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    comp = connected_components(core_edges)
+    # isolated core points (no core neighbor) are their own cluster
+    core_clusters = core.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    ).persist()
+    border = (
+        pairs.join(core_clusters.withColumnRenamed("id", "b_id"), "b_id")
+        .join(core.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
+        .groupBy(F.col("a_id").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        pts.select("id")
+        .join(core_clusters.withColumn("is_core", F.lit(True)), "id", "left")
+        .join(border.withColumnRenamed("cluster", "b_cluster"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster", "b_cluster").alias("cluster"),
+            F.coalesce("is_core", F.lit(False)).alias("is_core"),
+        )
+    )
+    pairs.unpersist()
+    return out
+
+
+def local_outlier_factor(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Local Outlier Factor over 2-D points (src/ml LOF re-export,
+    src/lib.rs:219-244 — no MLlib builtin; SURVEY §2.13 composition
+    path). Classic Breunig et al. formulation:
+
+    - exact kNN per point (distance ties broken by neighbor id),
+    - k-distance = distance to the k-th neighbor,
+    - reach-dist(a,b) = max(k-distance(b), d(a,b)),
+    - lrd(a) = k / Σ_b reach-dist(a,b),
+    - LOF(a) = mean_b lrd(b)/lrd(a) = sum_reach(a)/k · Σ_b 1/sum_reach(b).
+
+    The kNN baseline is a self-join Catalyst executes as a
+    broadcast-nested-loop; at the 1B-point regime swap in the eps-grid
+    candidate join (see ``dbscan_2d``) with an expanding-radius bound —
+    downstream ranking and the LOF algebra are unchanged. Both reach
+    sums are quantized (``dsum``) so the score is bit-identical across
+    partitionings and engines. Returns (id, lof) with lof rounded to 4.
+    """
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    a = pts.select(F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = pts.select(F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    d = F.sqrt(
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    pairs = a.join(b, F.col("a_id") != F.col("b_id")).select("a_id", "b_id", d.alias("d"))
+    w = Window.partitionBy("a_id").orderBy(F.round(F.col("d"), 6), "b_id")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .persist()
+    )
+    kdist = knn.filter(F.col("rn") == k).select(F.col("a_id").alias("id"), F.col("d").alias("kd"))
+    reach = knn.join(kdist, knn["b_id"] == kdist["id"]).select(
+        "a_id", "b_id", F.greatest("kd", "d").alias("r")
+    )
+    sr = reach.groupBy("a_id").agg(dsum("r", 6).alias("sum_reach"))
+    srb = sr.select(F.col("a_id").alias("b_id"), F.col("sum_reach").alias("sr_b"))
+    inv = (
+        knn.join(srb, "b_id")
+        .groupBy("a_id")
+        .agg(dsum(F.lit(1.0) / F.col("sr_b"), 9).alias("sum_inv"))
+    )
+    return (
+        sr.join(inv, "a_id")
+        .select(
+            F.col("a_id").alias(id_col),
+            F.round(F.col("sum_reach") / k * F.col("sum_inv"), 4).alias("lof"),
+        )
     )

@@ -292,3 +292,92 @@ def q140(spark, sf_dir):
     return mlp_classifier_metrics(
         li, ["quantity", "discount_pct", "price_k"], "is_return", hidden=(6,)
     )
+
+
+# --- q141: DBSCAN over the 2-D PCA projection of embeddings (DBSCAN
+# re-export; no MLlib builtin — grid-bucketed self-join + connected
+# components, rows-only; blob/noise semantics pinned by test) ----------------
+@query("q141_dbscan_embedding_clusters")
+def q141(spark, sf_dir):
+    from pandrs_spark.operators.ml import dbscan_2d, pca_project
+
+    emb = T(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, "embedding", 2).select(
+        "vec_id",
+        F.col("pca")[0].alias("x"),
+        F.col("pca")[1].alias("y"),
+    )
+    out = dbscan_2d(proj, "vec_id", "x", "y", eps=0.35, min_pts=4)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("is_core").cast("long")).alias("n_core"),
+        )
+        .orderBy(F.col("n_points").desc(), "cluster")
+        .limit(10)
+    )
+
+
+# --- q142: Local Outlier Factor over the first two embedding
+# coordinates (LOF re-export, src/lib.rs:219-244 — no MLlib builtin;
+# exact kNN self-join + quantized reach-sums keep it fully
+# SQL-mirrorable, unlike the sign-indeterminate PCA projection) --------------
+_LOF_SQL_DSUM_R = (
+    "(CAST(SUM(CAST(SIGN(r) * FLOOR(ABS(r) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1000000.0)"
+)
+_LOF_SQL_DSUM_INV = (
+    "(CAST(SUM(CAST(SIGN(1.0 / sr_b) * FLOOR(ABS(1.0 / sr_b) * 1000000000.0 + 0.5)"
+    " AS BIGINT)) AS DOUBLE) / 1000000000.0)"
+)
+
+
+@query(
+    "q142_lof_embedding_outliers",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id AS id,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+        FROM pts a JOIN pts b ON a.id <> b.id
+    ),
+    ranked AS (
+        SELECT a_id, b_id, d,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY ROUND(d, 6), b_id) AS rn
+        FROM pairs
+    ),
+    knn AS (SELECT a_id, b_id, d FROM ranked WHERE rn <= 5),
+    kd AS (SELECT a_id AS id, d AS kd FROM ranked WHERE rn = 5),
+    reach AS (
+        SELECT knn.a_id, knn.b_id, GREATEST(kd.kd, knn.d) AS r
+        FROM knn JOIN kd ON knn.b_id = kd.id
+    ),
+    sr AS (SELECT a_id, {_LOF_SQL_DSUM_R} AS sum_reach FROM reach GROUP BY a_id),
+    inv AS (
+        SELECT knn.a_id, {_LOF_SQL_DSUM_INV} AS sum_inv
+        FROM knn JOIN (SELECT a_id AS b_id, sum_reach AS sr_b FROM sr) srb USING (b_id)
+        GROUP BY knn.a_id
+    )
+    SELECT sr.a_id AS vec_id, ROUND(sr.sum_reach / 5 * inv.sum_inv, 4) AS lof
+    FROM sr JOIN inv ON sr.a_id = inv.a_id
+    ORDER BY lof DESC, vec_id
+    LIMIT 15
+    """,
+)
+def q142(spark, sf_dir):
+    from pandrs_spark.operators.ml import local_outlier_factor
+
+    emb = T(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    out = local_outlier_factor(pts, "vec_id", "x", "y", k=5)
+    return out.orderBy(F.col("lof").desc(), "vec_id").limit(15)

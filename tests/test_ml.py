@@ -184,3 +184,36 @@ def test_mlp_learns_xor(spark):
     r = mlp_classifier_metrics(df, ["x1", "x2"], "y", hidden=(4,)).first()
     assert r["n"] == 100
     assert r["accuracy"] >= 0.99
+
+
+def test_dbscan_blobs_and_noise(spark):
+    from pandrs_spark.operators.ml import dbscan_2d
+
+    blob_a = [(i, 0.0 + 0.1 * (i % 3), 0.0 + 0.1 * (i // 3)) for i in range(9)]
+    blob_b = [(100 + i, 5.0 + 0.1 * (i % 3), 5.0 + 0.1 * (i // 3)) for i in range(9)]
+    noise = [(200, 2.5, 2.5), (201, 8.0, 0.0)]
+    df = spark.createDataFrame(
+        blob_a + blob_b + noise, "id bigint, x double, y double"
+    )
+    out = {r["id"]: r for r in dbscan_2d(df, "id", "x", "y", eps=0.25, min_pts=4).collect()}
+    a_clusters = {out[i]["cluster"] for i in range(9)}
+    b_clusters = {out[100 + i]["cluster"] for i in range(9)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    assert out[200]["cluster"] is None and not out[200]["is_core"]
+    assert out[201]["cluster"] is None
+    # interior points are core; blob corner may be border but stays labeled
+    assert out[4]["is_core"]
+
+
+def test_dbscan_isolated_core_pair(spark):
+    from pandrs_spark.operators.ml import dbscan_2d
+
+    # two points within eps, min_pts=2: both core, one cluster
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.1, 0.0), (3, 9.0, 9.0)],
+        "id bigint, x double, y double",
+    )
+    out = {r["id"]: r for r in dbscan_2d(df, "id", "x", "y", 0.5, 2).collect()}
+    assert out[1]["cluster"] == out[2]["cluster"] == 1
+    assert out[3]["cluster"] is None  # singleton below min_pts is noise
