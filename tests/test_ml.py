@@ -217,3 +217,18 @@ def test_dbscan_isolated_core_pair(spark):
     out = {r["id"]: r for r in dbscan_2d(df, "id", "x", "y", 0.5, 2).collect()}
     assert out[1]["cluster"] == out[2]["cluster"] == 1
     assert out[3]["cluster"] is None  # singleton below min_pts is noise
+
+
+def test_lof_flags_outlier(spark):
+    from pandrs_spark.operators.ml import local_outlier_factor
+
+    # 3x3 grid of tightly packed points + one far-away point
+    grid = [(i, 0.1 * (i % 3), 0.1 * (i // 3)) for i in range(9)]
+    df = spark.createDataFrame(
+        grid + [(99, 5.0, 5.0)], "id bigint, x double, y double"
+    )
+    out = {r["id"]: r["lof"] for r in local_outlier_factor(df, "id", "x", "y", k=3).collect()}
+    # grid points sit in uniform density: LOF ~ 1
+    assert all(out[i] < 1.5 for i in range(9))
+    # the isolated point's density is tiny vs its (grid) neighbors'
+    assert out[99] > 10
