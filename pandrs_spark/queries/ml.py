@@ -381,3 +381,47 @@ def q142(spark, sf_dir):
     )
     out = local_outlier_factor(pts, "vec_id", "x", "y", k=5)
     return out.orderBy(F.col("lof").desc(), "vec_id").limit(15)
+
+
+# --- q143: agglomerative single-linkage flat clustering at a distance
+# threshold (Agglomerative re-export, src/lib.rs:219-244). Clusters =
+# connected components of the <=t neighborhood graph; the oracle takes
+# the transitive closure with a recursive CTE --------------------------------
+@query(
+    "q143_single_linkage_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS (
+        SELECT vec_id AS id,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    und AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM pts a JOIN pts b ON a.id <> b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= CAST(0.015 AS DOUBLE) * CAST(0.015 AS DOUBLE)
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+    )
+    SELECT p.id AS vec_id, COALESCE(LEAST(p.id, MIN(r.b)), p.id) AS cluster
+    FROM pts p LEFT JOIN reach r ON r.a = p.id
+    GROUP BY p.id
+    ORDER BY p.id
+    """,
+)
+def q143(spark, sf_dir):
+    from pandrs_spark.operators.ml import single_linkage_clusters
+
+    emb = T(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    return single_linkage_clusters(pts, "vec_id", "x", "y", threshold=0.015).orderBy(
+        "vec_id"
+    )

@@ -232,3 +232,19 @@ def test_lof_flags_outlier(spark):
     assert all(out[i] < 1.5 for i in range(9))
     # the isolated point's density is tiny vs its (grid) neighbors'
     assert out[99] > 10
+
+
+def test_single_linkage_threshold_cut(spark):
+    from pandrs_spark.operators.ml import single_linkage_clusters
+
+    # chain a-b-c linked pairwise at 0.9 < t, d isolated, e-f a far pair
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.9, 0.0), (3, 1.8, 0.0),
+         (4, 5.0, 5.0), (5, 9.0, 0.0), (6, 9.5, 0.0)],
+        "id bigint, x double, y double",
+    )
+    out = {r["id"]: r["cluster"] for r in
+           single_linkage_clusters(df, "id", "x", "y", threshold=1.0).collect()}
+    assert out[1] == out[2] == out[3] == 1   # chained through b
+    assert out[4] == 4                        # singleton keeps own id
+    assert out[5] == out[6] == 5
