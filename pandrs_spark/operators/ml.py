@@ -40,6 +40,10 @@ __all__ = [
     "feature_scores",
     "random_forest_metrics",
     "local_outlier_factor",
+    "dbscan_2d",
+    "single_linkage_clusters",
+    "decision_tree_metrics",
+    "isolation_forest_scores",
 ]
 
 
@@ -672,3 +676,163 @@ def single_linkage_clusters(
         F.col("id").alias(id_col),
         F.coalesce("component", F.col("id")).alias("cluster"),
     )
+
+
+def decision_tree_metrics(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    max_depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Single decision-tree classifier (src/ml DecisionTree re-export,
+    src/lib.rs:219-244) via MLlib. Returns one row: n, accuracy, tree
+    depth and node count — the structural stats the reference surfaces.
+    """
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = list(feature_cols)
+    feat = VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    model = DecisionTreeClassifier(
+        featuresCol="__features__", labelCol=label_col, maxDepth=max_depth, seed=seed
+    ).fit(feat)
+    scored = model.transform(feat)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(
+                (F.col("prediction") == F.col(label_col).cast("double")).cast("double")
+            ),
+            4,
+        ).alias("accuracy"),
+        F.lit(model.depth).alias("depth"),
+        F.lit(model.numNodes).alias("num_nodes"),
+    )
+
+
+def _lcg(seed: int):
+    """Tiny deterministic LCG (numerical recipes constants) — the same
+    generator other seeded operators in this repo use, so results never
+    depend on Python/numpy RNG version."""
+    state = seed & 0xFFFFFFFF
+    while True:
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        yield state / 4294967296.0
+
+
+def isolation_forest_scores(
+    df: DataFrame,
+    feature_cols,
+    id_col: str,
+    n_trees: int = 20,
+    psi: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Isolation forest anomaly scores (src/ml IsolationForest
+    re-export, src/lib.rs:219-244). No MLlib builtin.
+
+    Spark-first split: iForest *by design* fits each tree on a tiny
+    subsample (psi=256, Liu et al. 2008), so the fit is a bounded
+    driver-side step at any data scale — the deterministic md5-ordered
+    sample comes back small, trees are built with an LCG (engine- and
+    platform-stable), and only SCORING touches all rows: trees are
+    broadcast and applied via mapInPandas with vectorized numpy index
+    chasing (no per-row Python loop), one embarrassingly parallel pass.
+
+    Returns (id, score) where score = 2^(−E[h]/c(psi)); ~0.5 is normal,
+    → 1 is anomalous.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cols = list(feature_cols)
+
+    def c_factor(n: int) -> float:
+        if n <= 1:
+            return 0.0
+        h = math.log(n - 1) + 0.5772156649
+        return 2.0 * h - 2.0 * (n - 1) / n
+
+    # deterministic bounded sample: md5 order is data-content-defined,
+    # independent of partitioning (same trick as the sampling queries)
+    samp = (
+        df.select(F.md5(F.col(id_col).cast("string")).alias("__h"), *cols)
+        .orderBy("__h")
+        .limit(n_trees * psi)
+        .drop("__h")
+        .collect()
+    )
+    data = np.array([[float(r[c]) for c in cols] for r in samp])
+    rng = _lcg(seed)
+    trees = []  # each: arrays (feat, thr, left, right, sz, depth)
+    max_depth = math.ceil(math.log2(max(psi, 2)))
+    for t in range(n_trees):
+        rows = data[(t * psi) % len(data) : (t * psi) % len(data) + psi]
+        if len(rows) == 0:
+            rows = data[:psi]
+        nodes = []  # (feat, thr, left, right, size, depth)
+
+        def build(idx: np.ndarray, depth: int) -> int:
+            me = len(nodes)
+            nodes.append([-1, 0.0, -1, -1, len(idx), depth])
+            if depth >= max_depth or len(idx) <= 1:
+                return me
+            f = int(next(rng) * len(cols))
+            vals = rows[idx, f]
+            lo, hi = float(vals.min()), float(vals.max())
+            if hi <= lo:
+                return me
+            thr = lo + next(rng) * (hi - lo)
+            lmask = vals < thr
+            if not lmask.any() or lmask.all():
+                return me
+            nodes[me][0] = f
+            nodes[me][1] = thr
+            nodes[me][2] = build(idx[lmask], depth + 1)
+            nodes[me][3] = build(idx[~lmask], depth + 1)
+            return me
+
+        build(np.arange(len(rows)), 0)
+        trees.append(
+            (
+                np.array([n[0] for n in nodes], dtype=np.int64),
+                np.array([n[1] for n in nodes], dtype=np.float64),
+                np.array([n[2] for n in nodes], dtype=np.int64),
+                np.array([n[3] for n in nodes], dtype=np.int64),
+                np.array([n[4] for n in nodes], dtype=np.int64),
+                np.array([n[5] for n in nodes], dtype=np.int64),
+            )
+        )
+    cpsi = c_factor(psi)
+    csz = {n: c_factor(n) for n in range(0, psi + 1)}
+    csz_arr = np.array([csz[n] for n in range(psi + 1)])
+    spark_cols = [id_col] + cols
+    out_schema = f"{id_col} long, score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            n = len(pdf)
+            total = np.zeros(n)
+            for feat, thr, left, right, sz, dep in trees:
+                cur = np.zeros(n, dtype=np.int64)
+                for _ in range(max_depth + 1):
+                    internal = feat[cur] >= 0
+                    if not internal.any():
+                        break
+                    go_left = np.zeros(n, dtype=bool)
+                    idx = np.where(internal)[0]
+                    go_left[idx] = (
+                        x[idx, feat[cur[idx]]] < thr[cur[idx]]
+                    )
+                    nxt = np.where(go_left, left[cur], right[cur])
+                    cur = np.where(internal, nxt, cur)
+                total += dep[cur] + csz_arr[np.clip(sz[cur], 0, psi)]
+            eh = total / len(trees)
+            score = np.power(2.0, -eh / cpsi)
+            yield pd.DataFrame({id_col: pdf[id_col], "score": np.round(score, 4)})
+
+    return df.select(*spark_cols).mapInPandas(score_batches, out_schema)

@@ -425,3 +425,42 @@ def q143(spark, sf_dir):
     return single_linkage_clusters(pts, "vec_id", "x", "y", threshold=0.015).orderBy(
         "vec_id"
     )
+
+
+# --- q144: single decision tree on line-item features (DecisionTree
+# re-export; MLlib tier, rows-only — greedy induction has no SQL mirror,
+# separable-data test pins it) -----------------------------------------------
+@query("q144_decision_tree_returns")
+def q144(spark, sf_dir):
+    from pandrs_spark.operators.ml import decision_tree_metrics
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        (F.col("l_discount") * 100).alias("discount_pct"),
+        (F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_return"),
+    )
+    return decision_tree_metrics(
+        li, ["quantity", "discount_pct", "price_k"], "is_return"
+    )
+
+
+# --- q145: isolation-forest anomaly sweep over order totals
+# (IsolationForest re-export; deterministic LCG trees on an md5-ordered
+# psi-subsample, scoring via vectorized mapInPandas; rows-only —
+# planted-outlier test pins the semantics) -----------------------------------
+@query("q145_iforest_order_anomalies")
+def q145(spark, sf_dir):
+    from pandrs_spark.operators.ml import isolation_forest_scores
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") / 1000).alias("price_k"),
+        F.dayofmonth("o_orderdate").cast("double").alias("order_dom"),
+    )
+    scores = isolation_forest_scores(orders, ["price_k", "order_dom"], "id")
+    return (
+        scores.orderBy(F.col("score").desc(), "id")
+        .limit(20)
+        .select("id", "score")
+    )

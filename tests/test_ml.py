@@ -248,3 +248,30 @@ def test_single_linkage_threshold_cut(spark):
     assert out[1] == out[2] == out[3] == 1   # chained through b
     assert out[4] == 4                        # singleton keeps own id
     assert out[5] == out[6] == 5
+
+
+def test_decision_tree_separable(spark):
+    from pandrs_spark.operators.ml import decision_tree_metrics
+
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y bigint")
+    r = decision_tree_metrics(df, ["x"], "y", max_depth=3).first()
+    assert r["n"] == 100 and r["accuracy"] == 1.0
+    assert r["depth"] >= 1 and r["num_nodes"] >= 3
+
+
+def test_isolation_forest_flags_planted_outlier(spark):
+    from pandrs_spark.operators.ml import isolation_forest_scores
+
+    pts = [(i, (i % 13) * 0.1, (i % 7) * 0.1) for i in range(300)]
+    pts.append((999, 50.0, 50.0))
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    out = {r["id"]: r["score"] for r in
+           isolation_forest_scores(df, ["x", "y"], "id", n_trees=10, psi=64).collect()}
+    normal = [out[i] for i in range(300)]
+    assert out[999] > max(normal)
+    assert out[999] > 0.6
+    # determinism: second run bit-identical
+    out2 = {r["id"]: r["score"] for r in
+            isolation_forest_scores(df, ["x", "y"], "id", n_trees=10, psi=64).collect()}
+    assert out == out2
