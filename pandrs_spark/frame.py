@@ -595,6 +595,41 @@ class Frame:
         spark = self._df.sparkSession
         return Frame(spark.createDataFrame(pdf.astype(str)))
 
+    # -- driver-side materialization (compat :1551,:3087,:3091,:2965) -------
+    def to_dict(self, orient: str = "dict") -> dict | list:
+        """pandas ``to_dict`` (compat :1551): 'dict' (col→{order→val}),
+        'list' (col→[vals]), 'records' ([{col: val}, ...])."""
+        rows = self._df.orderBy(self._order).drop(self._order).collect()
+        cols = [c for c in self.columns]
+        if orient == "records":
+            return [r.asDict() for r in rows]
+        if orient == "list":
+            return {c: [r[c] for r in rows] for c in cols}
+        if orient == "dict":
+            return {c: {i: r[c] for i, r in enumerate(rows)} for c in cols}
+        raise ValueError(f"unsupported orient: {orient}")
+
+    def to_records(self) -> list[tuple]:
+        """Row tuples in frame order (compat :3087)."""
+        rows = self._df.orderBy(self._order).drop(self._order).collect()
+        return [tuple(r) for r in rows]
+
+    def items(self):
+        """Iterate (column_name, values_list) like pandas (compat :3091).
+        One collect, then per-column views — column count is small."""
+        data = self.to_dict(orient="list")
+        for c in self.columns:
+            yield c, data[c]
+
+    def iterrows(self):
+        """Iterate (position, row_dict) in frame order (compat :2965).
+        Streams partitions to the driver (``toLocalIterator``) instead
+        of materializing everything — row-at-a-time driver iteration is
+        an anti-pattern at scale, but when you need it, it shouldn't OOM."""
+        it = self._df.orderBy(self._order).drop(self._order).toLocalIterator()
+        for i, r in enumerate(it):
+            yield i, r.asDict()
+
     def interpolate(
         self, cols: Sequence[str], partition_by: Sequence[str] = ()
     ) -> "Frame":

@@ -43,6 +43,7 @@ __all__ = [
     "betweenness_centrality",
     "louvain",
     "from_adjacency",
+    "dfs_preorder",
 ]
 
 _CHECKPOINT_EVERY = 5
@@ -910,3 +911,54 @@ def from_adjacency(
         )
         edges = edges.union(back).filter(F.col("src") != F.col("dst")).distinct()
     return edges
+
+
+def dfs_preorder(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Deterministic depth-first preorder (src/graph/traversal.rs DFS).
+
+    A DFS order is sequential *within* a component by definition, so the
+    distributed shape is: label components with the scalable min-label
+    loop, then run the stack walk per component in parallel via
+    ``applyInPandas`` — each group ships only its own component's edges,
+    components process concurrently across executors. Start vertex =
+    component min id; neighbors are visited in ascending id order, so
+    the order is engine- and partitioning-independent. Undirected view
+    of the edges (matching the reference's default traversal).
+    Returns (id, component, dfs_order).
+    """
+    import pandas as pd
+
+    und = symmetrize(edges, src, dst)
+    comp = connected_components(edges, src, dst, max_iter=max_iter)
+    e = und.join(comp.withColumnRenamed("id", "src"), "src").select(
+        "src", "dst", "component"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            adj.setdefault(int(s), []).append(int(d))
+        # push descending so the smallest id pops (is visited) first
+        for v in adj:
+            adj[v].sort(reverse=True)
+        root = min(adj)
+        component = int(pdf["component"].iloc[0])
+        seen: set = set()
+        out = []
+        stack = [root]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            out.append((v, component, len(out)))
+            for n in adj.get(v, []):
+                if n not in seen:
+                    stack.append(n)
+        return pd.DataFrame(out, columns=["id", "component", "dfs_order"])
+
+    return e.groupBy("component").applyInPandas(
+        walk, "id long, component long, dfs_order long"
+    )

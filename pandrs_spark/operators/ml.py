@@ -44,6 +44,7 @@ __all__ = [
     "single_linkage_clusters",
     "decision_tree_metrics",
     "isolation_forest_scores",
+    "auto_model_select",
 ]
 
 
@@ -836,3 +837,68 @@ def isolation_forest_scores(
             yield pd.DataFrame({id_col: pdf[id_col], "score": np.round(score, 4)})
 
     return df.select(*spark_cols).mapInPandas(score_batches, out_schema)
+
+
+def auto_model_select(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    id_col: str,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """AutoML-style model selection (src/ml/automl.rs, 942 LoC in the
+    reference): race a fixed candidate grid — logistic regression,
+    decision tree, random forests, GBT — under the same deterministic
+    crc32 k-fold split and rank by mean held-out accuracy.
+
+    The grid is a driver loop over a handful of MLlib fits (each fit is
+    distributed); fold assignment is content-hashed so the leaderboard
+    is reproducible across engines and partitionings. Returns one row
+    per candidate: model, mean_accuracy, rank.
+    """
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        GBTClassifier,
+        LogisticRegression,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = list(feature_cols)
+    feat = (
+        VectorAssembler(inputCols=cols, outputCol="__features__")
+        .transform(df)
+        .withColumn("__fold__", F.crc32(F.col(id_col).cast("string")) % k)
+        .persist()
+    )
+    candidates = [
+        ("logistic", LogisticRegression(featuresCol="__features__", labelCol=label_col, maxIter=30)),
+        ("decision_tree_d5", DecisionTreeClassifier(featuresCol="__features__", labelCol=label_col, maxDepth=5, seed=seed)),
+        ("random_forest_d3", RandomForestClassifier(featuresCol="__features__", labelCol=label_col, numTrees=10, maxDepth=3, seed=seed)),
+        ("random_forest_d7", RandomForestClassifier(featuresCol="__features__", labelCol=label_col, numTrees=10, maxDepth=7, seed=seed)),
+        ("gbt_d3", GBTClassifier(featuresCol="__features__", labelCol=label_col, maxIter=10, maxDepth=3, seed=seed)),
+    ]
+    results = []
+    for name, est in candidates:
+        accs = []
+        for fold in range(k):
+            model = est.fit(feat.filter(F.col("__fold__") != fold))
+            r = (
+                model.transform(feat.filter(F.col("__fold__") == fold))
+                .agg(
+                    F.avg(
+                        (F.col("prediction") == F.col(label_col).cast("double")).cast("double")
+                    )
+                )
+                .first()[0]
+            )
+            accs.append(r)
+        results.append((name, round(sum(accs) / k, 4)))
+    feat.unpersist()
+    results.sort(key=lambda t: (-t[1], t[0]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, a, i + 1) for i, (n, a) in enumerate(results)],
+        "model string, mean_accuracy double, rank int",
+    )

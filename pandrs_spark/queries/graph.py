@@ -612,3 +612,13 @@ def q128(spark, sf_dir):
 
     out = louvain(_strong_edges(spark, sf_dir), iterations=4)
     return out.orderBy("id")
+
+
+# --- q146: DFS preorder over the strong trade graph (traversal.rs DFS;
+# rows-only — stack semantics have no SQL mirror; preorder pinned by
+# test on a known tree) ------------------------------------------------------
+@query("q146_trade_dfs_preorder")
+def q146(spark, sf_dir):
+    from pandrs_spark.operators.graph import dfs_preorder
+
+    return dfs_preorder(_strong_edges(spark, sf_dir)).orderBy("component", "dfs_order")

@@ -464,3 +464,22 @@ def q145(spark, sf_dir):
         .limit(20)
         .select("id", "score")
     )
+
+
+# --- q147: AutoML leaderboard (src/ml/automl.rs): fixed candidate grid
+# raced under the deterministic crc32 k-fold split (rows-only — MLlib
+# estimator internals; leaderboard determinism pinned by test) ---------------
+@query("q147_automl_leaderboard")
+def q147(spark, sf_dir):
+    from pandrs_spark.operators.ml import auto_model_select
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("id"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+        (F.col("l_discount") * 100).alias("discount_pct"),
+        (F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_returnflag") == "R").cast("long").alias("is_return"),
+    )
+    return auto_model_select(
+        li, ["quantity", "discount_pct", "price_k"], "is_return", "id", k=3
+    )

@@ -439,3 +439,15 @@ def test_frame_any_all_count_valid(spark):
     assert f.any(["a", "b"]) == {"a": True, "b": False}
     assert f.all(["a", "b"]) == {"a": False, "b": False}
     assert f.count_valid(["a", "c"]) == {"a": 3, "c": 1}  # NaN is missing
+
+
+def test_driver_side_materialization(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(spark.createDataFrame([(1, "a"), (2, "b")], "x bigint, s string"))
+    assert f.to_dict("records") == [{"x": 1, "s": "a"}, {"x": 2, "s": "b"}]
+    assert f.to_dict("list") == {"x": [1, 2], "s": ["a", "b"]}
+    assert f.to_dict() == {"x": {0: 1, 1: 2}, "s": {0: "a", 1: "b"}}
+    assert f.to_records() == [(1, "a"), (2, "b")]
+    assert dict(f.items()) == {"x": [1, 2], "s": ["a", "b"]}
+    assert [(i, d["s"]) for i, d in f.iterrows()] == [(0, "a"), (1, "b")]

@@ -300,3 +300,17 @@ def test_from_adjacency(spark):
     comp = {r["id"]: r["component"] for r in connected_components(e).collect()}
     assert comp[1] == comp[2] == comp[3]
     assert comp[5] == comp[6] != comp[1]
+
+
+def test_dfs_preorder_deterministic(spark):
+    from pandrs_spark.operators.graph import dfs_preorder
+
+    # component A: 1-2, 1-3, 2-4 (tree); component B: 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (10, 11)], "src long, dst long"
+    )
+    rows = {r["id"]: r for r in dfs_preorder(edges).collect()}
+    # preorder from 1, ascending neighbors: 1, 2, 4 (deep first), 3
+    assert [rows[i]["dfs_order"] for i in (1, 2, 4, 3)] == [0, 1, 2, 3]
+    assert rows[10]["dfs_order"] == 0 and rows[11]["dfs_order"] == 1
+    assert rows[10]["component"] == 10 and rows[4]["component"] == 1

@@ -275,3 +275,22 @@ def test_isolation_forest_flags_planted_outlier(spark):
     out2 = {r["id"]: r["score"] for r in
             isolation_forest_scores(df, ["x", "y"], "id", n_trees=10, psi=64).collect()}
     assert out == out2
+
+
+def test_auto_model_select_leaderboard(spark):
+    from pandrs_spark.operators.ml import auto_model_select
+
+    # 8 distinct x values (< MLlib's default maxBins=32, so tree splits
+    # can land exactly between classes)
+    rows = [(i, float(i % 8), 1 if (i % 8) >= 4 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y bigint")
+    out = auto_model_select(df, ["x"], "y", "id", k=2).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # threshold data is separable: the winner should be near-perfect
+    assert out[0]["mean_accuracy"] >= 0.95
+    # determinism
+    out2 = auto_model_select(df, ["x"], "y", "id", k=2).collect()
+    assert [(r["model"], r["mean_accuracy"]) for r in out] == [
+        (r["model"], r["mean_accuracy"]) for r in out2
+    ]
