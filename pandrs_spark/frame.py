@@ -486,6 +486,20 @@ class Frame:
     def crosstab(self, c1: str, c2: str) -> DataFrame:
         return self.spark.stat.crosstab(c1, c2)
 
+    def get_dummies(
+        self, col: str, prefix: str | None = None, drop_original: bool = True
+    ) -> "Frame":
+        """pandas ``get_dummies``: replace a categorical column with 0/1
+        indicator columns (OneHotEncoder preprocessing/mod.rs:302).
+        Vocabulary comes from the data (one distinct scan); each dummy is
+        a map-side ``when`` expression."""
+        from pandrs_spark.operators.ml import one_hot
+
+        out = one_hot(self.spark, col, prefix=prefix)
+        if drop_original:
+            out = out.drop(col)
+        return self._wrap(out)
+
     # -- ordered column ops (§2.5c) ------------------------------------------
     def shift(self, col: str, n: int = 1, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
         w = Window.partitionBy(*partition_by).orderBy(self._order)
@@ -903,6 +917,14 @@ class StrAccessor:
 
     def slice(self, start: int, length: int):
         return self._c.substr(start + 1, length)
+
+    def slice_replace(self, start: int, stop: int, repl: str):
+        """Replace [start, stop) with ``repl`` (pandas str.slice_replace)."""
+        return F.concat(
+            F.substring(self._c, 1, start),
+            F.lit(repl),
+            F.substr(self._c, F.lit(stop + 1)),
+        )
 
     def isalpha(self):
         return self._c.rlike(r"^[A-Za-z]+$")

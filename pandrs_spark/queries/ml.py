@@ -483,3 +483,49 @@ def q147(spark, sf_dir):
     return auto_model_select(
         li, ["quantity", "discount_pct", "price_k"], "is_return", "id", k=3
     )
+
+
+# --- q148: sklearn-compat Pipeline — scaler + binner + one-hot chained
+# through frozen fit state (src/ml/pipeline/, sklearn_compat.rs).  Fit
+# stats are three one-row aggs; the transform is a single map-side
+# projection DuckDB can replicate with CTE cross joins -----------------------
+@query(
+    "q148_pipeline_features",
+    oracle="""
+    WITH s AS (
+        SELECT AVG(c_acctbal) AS mu, STDDEV_SAMP(c_acctbal) AS sd,
+               MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        FROM customer
+    )
+    SELECT c_custkey,
+           ROUND((c_acctbal - mu) / sd, 6) AS bal_z,
+           CAST(GREATEST(LEAST(FLOOR((c_acctbal - lo) / ((hi - lo) / 8)), 7), 0) AS INT) AS bal_bin,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_BUILDING,
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_MACHINERY
+    FROM customer, s
+    ORDER BY c_custkey
+    """,
+)
+def q148(spark, sf_dir):
+    from pandrs_spark.operators.pipeline import (
+        BinnerEst,
+        OneHotEncoderEst,
+        Pipeline,
+        StandardScalerEst,
+    )
+
+    cust = T(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        [
+            ("scale", StandardScalerEst(["c_acctbal"], suffix="_z")),
+            ("bin", BinnerEst("c_acctbal", 8, out="bal_bin")),
+            ("onehot", OneHotEncoderEst("c_mktsegment", prefix="seg")),
+        ]
+    ).fit(cust)
+    return pipe.transform(cust).select(
+        "c_custkey",
+        F.round("c_acctbal_z", 6).alias("bal_z"),
+        "bal_bin",
+        "seg_BUILDING",
+        "seg_MACHINERY",
+    ).orderBy("c_custkey")
