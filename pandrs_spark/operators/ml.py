@@ -45,6 +45,8 @@ __all__ = [
     "decision_tree_metrics",
     "isolation_forest_scores",
     "auto_model_select",
+    "one_class_svm_flags",
+    "tsne_project",
 ]
 
 
@@ -901,4 +903,201 @@ def auto_model_select(
     return spark.createDataFrame(
         [(n, a, i + 1) for i, (n, a) in enumerate(results)],
         "model string, mean_accuracy double, rank int",
+    )
+
+
+def _dot_lit(col, w):
+    """w·x for a literal weight vector — per-row left-to-right fold, so
+    the result is order-independent across partitionings."""
+    arr = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        F.zip_with(col, arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def one_class_svm_flags(
+    df: DataFrame,
+    features_col: str,
+    id_col: str,
+    nu: float = 0.1,
+    epochs: int = 25,
+    lr: float = 0.1,
+) -> DataFrame:
+    """One-class SVM (OneClassSVM re-export src/lib.rs:219-244) in the
+    SVDD formulation (Tax & Duin) — equivalent to the nu-OCSVM under
+    translation-invariant kernels, and well-posed in input space where
+    the through-origin linear variant is not: learn the smallest sphere
+    (center c, radius R) that excludes at most a nu fraction.
+
+    Full-batch subgradient descent on
+    ``R^2 + (1/(nu*n)) * sum(max(0, |x-c|^2 - R^2))``. Each epoch is
+    ONE distributed aggregation: violator rows posexplode to
+    (dim, value) and hash-aggregate into d partial sums (map-side
+    combine into d groups, so the shuffle is d rows regardless of data
+    size); the driver holds only (c, R^2). Deterministic: full-batch
+    (no sampling), dsum-quantized violator sums, fixed epoch count.
+    Input vectors are L2-normalized first so distances are unit-scale.
+    """
+    from pandrs_spark.functions.deterministic import dsum
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(features_col), lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(features_col), lambda v: v / norm).alias("x"),
+    ).persist()
+
+    n = pts.count()
+    d = pts.select(F.size("x")).first()[0]
+    m = nu * n
+
+    def dist_sq(c):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("x"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # init: c = mean, R^2 = mean squared distance to the mean
+    mean_row = (
+        pts.select(F.posexplode("x").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(dsum("v", 7).alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    c = [r["s"] / n for r in mean_row]
+    from pandrs_spark.functions.deterministic import davg
+
+    r2 = pts.agg(davg(dist_sq(c), 7).alias("m")).first()["m"]
+
+    for _ in range(epochs):
+        viol = pts.filter(dist_sq(c) > r2).persist()
+        agg = (
+            viol.select(F.posexplode("x").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(dsum("v", 7).alias("s"))
+            .orderBy("pos")
+            .collect()
+        )
+        cnt = viol.count()
+        viol.unpersist()
+        sums = {r["pos"]: r["s"] for r in agg}
+        # grad_c = (2/m) * (cnt*c - sum_viol x); grad_{R^2} = 1 - cnt/m
+        c = [
+            c[i] + lr * (2.0 / m) * (sums.get(i, 0.0) - cnt * c[i])
+            for i in range(d)
+        ]
+        r2 = max(r2 - lr * (1.0 - cnt / m), 0.0)
+
+    dec = F.lit(r2) - dist_sq(c)
+    out = pts.select(
+        "id",
+        (F.round(dec * 1e6) / 1e6).alias("decision"),
+        (dec < 0).cast("int").alias("is_outlier"),
+    )
+    pts.unpersist()
+    return out
+
+
+def tsne_project(
+    df: DataFrame,
+    features_col: str,
+    id_col: str,
+    sample_n: int = 300,
+    perplexity: float = 20.0,
+    iters: int = 250,
+) -> DataFrame:
+    """t-SNE 2-D projection (TSNE re-export src/lib.rs:219-244).
+
+    t-SNE is inherently O(n^2) and iterative — not a distributed
+    operator at full cardinality in ANY engine (the reference runs it
+    single-node too). Spark's role is the deterministic downsample
+    (md5-ordered, content-addressed — same rows at any partitioning /
+    cluster size) and the join-back; the O(sample_n^2) core runs exact
+    on the driver with PCA init, fixed early exaggeration and momentum,
+    zero randomness. At 100 TB the sample stays sample_n rows; nothing
+    else leaves the executors.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(features_col).alias("x"))
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(sample_n)
+        .collect()
+    )
+    ids = [r["id"] for r in rows]
+    X = np.array([r["x"] for r in rows], dtype=np.float64)
+    n = len(ids)
+
+    # pairwise squared distances -> conditional P with per-point sigma
+    # binary-searched to the target perplexity
+    sq = np.sum(X * X, axis=1)
+    D = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
+    P = np.zeros((n, n))
+    target = np.log(perplexity)
+    for i in range(n):
+        lo, hi, beta = 1e-20, 1e20, 1.0
+        Di = np.delete(D[i], i)
+        for _ in range(50):
+            p = np.exp(-Di * beta)
+            s = p.sum()
+            if s <= 0:
+                beta, hi = (lo + beta) / 2.0, beta
+                continue
+            H = np.log(s) + beta * (Di * p).sum() / s
+            if abs(H - target) < 1e-5:
+                break
+            if H > target:
+                lo, beta = beta, beta * 2 if hi >= 1e20 else (beta + hi) / 2
+            else:
+                hi, beta = beta, (lo + beta) / 2
+        p = np.exp(-np.delete(D[i], i) * beta)
+        p /= max(p.sum(), 1e-12)
+        P[i, np.arange(n) != i] = p
+    P = (P + P.T) / (2.0 * n)
+    P = np.maximum(P, 1e-12)
+
+    # PCA init, sign-fixed for determinism
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    comp = vecs[:, np.argsort(vals)[::-1][:2]]
+    for j in range(2):
+        k = np.argmax(np.abs(comp[:, j]))
+        if comp[k, j] < 0:
+            comp[:, j] = -comp[:, j]
+    Y = (Xc @ comp) * 1e-4 / max(np.abs(Xc @ comp).max(), 1e-12)
+
+    gains, inc = np.ones_like(Y), np.zeros_like(Y)
+    for it in range(iters):
+        mult = 12.0 if it < 50 else 1.0
+        momentum = 0.5 if it < 100 else 0.8
+        sqy = np.sum(Y * Y, axis=1)
+        num = 1.0 / (1.0 + np.maximum(sqy[:, None] + sqy[None, :] - 2.0 * (Y @ Y.T), 0.0))
+        np.fill_diagonal(num, 0.0)
+        Q = np.maximum(num / num.sum(), 1e-12)
+        W = (mult * P - Q) * num
+        grad = 4.0 * ((np.diag(W.sum(axis=1)) - W) @ Y)
+        gains = np.where(np.sign(grad) != np.sign(inc), gains + 0.2, gains * 0.8)
+        gains = np.maximum(gains, 0.01)
+        inc = momentum * inc - 200.0 * gains * grad
+        Y = Y + inc
+        Y = Y - Y.mean(axis=0)
+
+    out = [
+        (ids[i], round(float(Y[i, 0]), 6), round(float(Y[i, 1]), 6))
+        for i in range(n)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, f"{id_col} long, ts_x double, ts_y double"
     )

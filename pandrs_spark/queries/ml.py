@@ -529,3 +529,32 @@ def q148(spark, sf_dir):
         "seg_BUILDING",
         "seg_MACHINERY",
     ).orderBy("c_custkey")
+
+
+# --- q149: linear one-class SVM over document embeddings (OneClassSVM
+# re-export src/lib.rs:219-244; rows-only — iterative subgradient
+# descent, planted-outlier test pins semantics) -------------------------------
+@query("q149_ocsvm_embedding_outliers")
+def q149(spark, sf_dir):
+    from pandrs_spark.operators.ml import one_class_svm_flags
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = one_class_svm_flags(emb, "embedding", "vec_id", nu=0.1, epochs=15)
+    return (
+        out.filter(F.col("is_outlier") == 1)
+        .orderBy("decision", "id")
+        .limit(25)
+        .select("id", "decision")
+    )
+
+
+# --- q150: t-SNE 2-D projection of the embedding table (TSNE re-export
+# src/lib.rs:219-244; rows-only — O(n^2) iterative, deterministic
+# md5-sampled + PCA-init, pinned by blob-separation test) --------------------
+@query("q150_tsne_embedding_map")
+def q150(spark, sf_dir):
+    from pandrs_spark.operators.ml import tsne_project
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = tsne_project(emb, "embedding", "vec_id", sample_n=200, iters=150)
+    return out.orderBy("vec_id")

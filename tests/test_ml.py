@@ -294,3 +294,67 @@ def test_auto_model_select_leaderboard(spark):
     assert [(r["model"], r["mean_accuracy"]) for r in out] == [
         (r["model"], r["mean_accuracy"]) for r in out2
     ]
+
+
+def test_ocsvm_flags_planted_outliers(spark):
+    from pandrs_spark.operators.ml import one_class_svm_flags
+
+    # 40 points along +e1 (jittered deterministically), 4 along -e1
+    rows = []
+    for i in range(40):
+        v = [1.0, 0.01 * (i % 5), 0.02 * (i % 3)]
+        rows.append((i, v))
+    for i in range(40, 44):
+        rows.append((i, [-1.0, 0.0, 0.1]))
+    df = spark.createDataFrame(rows, "id long, x array<double>")
+    out = one_class_svm_flags(df, "x", "id", nu=0.15, epochs=20)
+    flagged = {r["id"] for r in out.filter("is_outlier = 1").collect()}
+    assert {40, 41, 42, 43} <= flagged
+    assert len(flagged) <= 10  # inlier mass stays unflagged
+
+
+def test_ocsvm_deterministic_across_partitionings(spark):
+    from pandrs_spark.operators.ml import one_class_svm_flags
+
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(30)]
+    a = spark.createDataFrame(rows, "id long, x array<double>").repartition(1)
+    b = spark.createDataFrame(rows, "id long, x array<double>").repartition(17)
+    ra = sorted(one_class_svm_flags(a, "x", "id", epochs=8).collect())
+    rb = sorted(one_class_svm_flags(b, "x", "id", epochs=8).collect())
+    assert ra == rb
+
+
+def test_tsne_separates_blobs(spark):
+    from pandrs_spark.operators.ml import tsne_project
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [10.0 + 0.1 * (i % 5), 10.0 + 0.1 * (i % 3), 0.0]))
+    for i in range(30, 60):
+        rows.append((i, [-10.0 + 0.1 * (i % 5), -10.0 - 0.1 * (i % 3), 0.0]))
+    df = spark.createDataFrame(rows, "id long, x array<double>")
+    out = tsne_project(df, "x", "id", sample_n=60, perplexity=10.0, iters=120)
+    pts = {r["id"]: (r["ts_x"], r["ts_y"]) for r in out.collect()}
+    import math
+
+    def centroid(ids):
+        xs = [pts[i][0] for i in ids]
+        ys = [pts[i][1] for i in ids]
+        return sum(xs) / len(xs), sum(ys) / len(ys)
+
+    c1, c2 = centroid(range(30)), centroid(range(30, 60))
+    assert math.dist(c1, c2) > 1.0  # blobs land apart
+    # every point's nearest neighbor comes from its own blob
+    for i in range(60):
+        nn = min((j for j in range(60) if j != i), key=lambda j: math.dist(pts[i], pts[j]))
+        assert (i < 30) == (nn < 30)
+
+
+def test_tsne_deterministic(spark):
+    from pandrs_spark.operators.ml import tsne_project
+
+    rows = [(i, [float((i * 13) % 7), float((i * 5) % 11)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x array<double>")
+    r1 = sorted(tsne_project(df, "x", "id", sample_n=25, iters=60).collect())
+    r2 = sorted(tsne_project(df, "x", "id", sample_n=25, iters=60).collect())
+    assert r1 == r2
