@@ -906,24 +906,12 @@ def auto_model_select(
     )
 
 
-def _dot_lit(col, w):
-    """w·x for a literal weight vector — per-row left-to-right fold, so
-    the result is order-independent across partitionings."""
-    arr = F.array(*[F.lit(float(v)) for v in w])
-    return F.aggregate(
-        F.zip_with(col, arr, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def one_class_svm_flags(
     df: DataFrame,
     features_col: str,
     id_col: str,
     nu: float = 0.1,
     epochs: int = 25,
-    lr: float = 0.1,
 ) -> DataFrame:
     """One-class SVM (OneClassSVM re-export src/lib.rs:219-244) in the
     SVDD formulation (Tax & Duin) — equivalent to the nu-OCSVM under
@@ -931,14 +919,17 @@ def one_class_svm_flags(
     the through-origin linear variant is not: learn the smallest sphere
     (center c, radius R) that excludes at most a nu fraction.
 
-    Full-batch subgradient descent on
-    ``R^2 + (1/(nu*n)) * sum(max(0, |x-c|^2 - R^2))``. Each epoch is
-    ONE distributed aggregation: violator rows posexplode to
-    (dim, value) and hash-aggregate into d partial sums (map-side
-    combine into d groups, so the shuffle is d rows regardless of data
-    size); the driver holds only (c, R^2). Deterministic: full-batch
-    (no sampling), dsum-quantized violator sums, fixed epoch count.
-    Input vectors are L2-normalized first so distances are unit-scale.
+    Alternating exact minimization (fixed-step subgradients oscillate
+    here: high-dim distances concentrate into a band narrower than any
+    workable step size). Per epoch: (1) R^2 <- exact (1-nu)-quantile of
+    |x-c|^2, found from a distinct-value histogram of the quantized
+    distances — bounded cardinality, so the rank pass scales with value
+    diversity, not rows; (2) c <- trimmed mean of the inliers inside R
+    (posexplode hash-agg into d partial sums; the shuffle is d rows
+    regardless of data size). The driver holds only (c, R^2).
+    Deterministic: full-batch, dsum-quantized sums, integer-bucket
+    quantile, fixed epoch count. Input vectors are L2-normalized first
+    so distances are unit-scale.
     """
     from pandrs_spark.functions.deterministic import dsum
 
@@ -966,7 +957,7 @@ def one_class_svm_flags(
             lambda acc, v: acc + v,
         )
 
-    # init: c = mean, R^2 = mean squared distance to the mean
+    # init: c = global mean
     mean_row = (
         pts.select(F.posexplode("x").alias("pos", "v"))
         .groupBy("pos")
@@ -975,28 +966,39 @@ def one_class_svm_flags(
         .collect()
     )
     c = [r["s"] / n for r in mean_row]
-    from pandrs_spark.functions.deterministic import davg
-
-    r2 = pts.agg(davg(dist_sq(c), 7).alias("m")).first()["m"]
+    r2 = 0.0
 
     for _ in range(epochs):
-        viol = pts.filter(dist_sq(c) > r2).persist()
+        # exact (1-nu)-quantile of quantized |x-c|^2 from a
+        # distinct-value histogram (tiny: distances quantized to 1e-6)
+        hist = (
+            pts.select(
+                F.floor(dist_sq(c) * 1e6 + 0.5).cast("bigint").alias("q")
+            )
+            .groupBy("q")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("q")
+            .collect()
+        )
+        need = n - int(m)  # keep this many inside the sphere
+        acc = 0
+        r2 = hist[-1]["q"] / 1e6
+        for row in hist:
+            acc += row["cnt"]
+            if acc >= need:
+                r2 = row["q"] / 1e6
+                break
+        # c <- trimmed mean of inliers
+        inl = pts.filter(F.floor(dist_sq(c) * 1e6 + 0.5) <= F.lit(int(round(r2 * 1e6))))
         agg = (
-            viol.select(F.posexplode("x").alias("pos", "v"))
+            inl.select(F.posexplode("x").alias("pos", "v"))
             .groupBy("pos")
-            .agg(dsum("v", 7).alias("s"))
+            .agg(dsum("v", 7).alias("s"), F.count(F.lit(1)).alias("k"))
             .orderBy("pos")
             .collect()
         )
-        cnt = viol.count()
-        viol.unpersist()
-        sums = {r["pos"]: r["s"] for r in agg}
-        # grad_c = (2/m) * (cnt*c - sum_viol x); grad_{R^2} = 1 - cnt/m
-        c = [
-            c[i] + lr * (2.0 / m) * (sums.get(i, 0.0) - cnt * c[i])
-            for i in range(d)
-        ]
-        r2 = max(r2 - lr * (1.0 - cnt / m), 0.0)
+        k = agg[0]["k"] if agg else n
+        c = [r["s"] / k for r in agg] if agg else c
 
     dec = F.lit(r2) - dist_sq(c)
     out = pts.select(
