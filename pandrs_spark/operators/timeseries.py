@@ -30,6 +30,7 @@ __all__ = [
     "linear_trend",
     "moving_average_forecast",
     "split_mean_changepoints",
+    "ts_feature_matrix",
 ]
 
 
@@ -560,4 +561,48 @@ def split_mean_changepoints(
         "score",
         (F.col("score") > thr).alias("is_change"),
         F.when(F.col("score") > thr, F.col("score") / thr).alias("significance"),
+    )
+
+
+def ts_feature_matrix(
+    df,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    lags=(1, 7),
+    window: int = 7,
+):
+    """Per-series ML feature extraction (src/time_series/features.rs,
+    1,307 LoC in the reference): lag features, first difference,
+    percent change, and rolling mean/std/min/max — all from ONE window
+    partitioning (partitionBy series, orderBy ts), so the whole matrix
+    costs a single shuffle + per-partition sort at any scale. Rolling
+    mean/std use dsum_over quantized sums so results are
+    order-independent and oracle-exact.
+    """
+    from pandrs_spark.functions.deterministic import dsum_over
+
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    wr = w.rowsBetween(-(window - 1), 0)
+    v = F.col(value_col)
+    out = df
+    for k in lags:
+        out = out.withColumn(f"lag_{k}", F.lag(v, k).over(w))
+    prev = F.lag(v, 1).over(w)
+    out = out.withColumn("diff_1", v - prev).withColumn(
+        "pct_change_1", (v - prev) / prev
+    )
+    n = F.count(value_col).over(wr)
+    s = dsum_over(value_col, wr, 4)
+    ss = dsum_over(v * v, wr, 2)
+    var = (ss - s * s / n) / (n - 1)
+    return (
+        out.withColumn("roll_n", n)
+        .withColumn("roll_mean", s / n)
+        .withColumn(
+            "roll_std",
+            F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))),
+        )
+        .withColumn("roll_min", F.min(v).over(wr))
+        .withColumn("roll_max", F.max(v).over(wr))
     )

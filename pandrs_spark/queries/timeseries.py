@@ -1193,3 +1193,60 @@ def q135(spark, sf_dir):
             "forecast_level"
         ),
     )
+
+
+# --- q151: per-series ML feature matrix (src/time_series/features.rs):
+# lags, diffs, pct-change, rolling mean/std/min/max — one window pass,
+# quantized rolling sums mirror exactly in DuckDB ----------------------------
+@query(
+    "q151_ts_feature_matrix",
+    oracle=f"""
+    SELECT user_id, ts, value,
+           lag_1, lag_7, diff_1,
+           ROUND(pct_change_1, 6) AS pct_1,
+           roll_n,
+           ROUND(roll_mean, 6) AS roll_mean,
+           ROUND(roll_std, 6) AS roll_std,
+           roll_min, roll_max
+    FROM (
+        SELECT user_id, ts, value,
+               LAG(value, 1) OVER w AS lag_1,
+               LAG(value, 7) OVER w AS lag_7,
+               value - LAG(value, 1) OVER w AS diff_1,
+               (value - LAG(value, 1) OVER w) / LAG(value, 1) OVER w AS pct_change_1,
+               CAST(COUNT(value) OVER wr AS BIGINT) AS roll_n,
+               {sql_dsum_over('value', 'wr', 4)} / COUNT(value) OVER wr AS roll_mean,
+               CASE WHEN COUNT(value) OVER wr > 1 THEN SQRT(GREATEST(
+                   ({sql_dsum_over('value * value', 'wr', 2)}
+                    - POWER({sql_dsum_over('value', 'wr', 4)}, 2) / COUNT(value) OVER wr)
+                   / (COUNT(value) OVER wr - 1), 0.0)) END AS roll_std,
+               MIN(value) OVER wr AS roll_min,
+               MAX(value) OVER wr AS roll_max
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+               wr AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    ORDER BY user_id, ts
+    """,
+)
+def q151(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import ts_feature_matrix
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    feat = ts_feature_matrix(ev, "user_id", "ts", "value", lags=(1, 7), window=7)
+    return feat.select(
+        "user_id",
+        "ts",
+        "value",
+        "lag_1",
+        "lag_7",
+        "diff_1",
+        F.round("pct_change_1", 6).alias("pct_1"),
+        "roll_n",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.round("roll_std", 6).alias("roll_std"),
+        "roll_min",
+        "roll_max",
+    ).orderBy("user_id", "ts")

@@ -317,3 +317,28 @@ def test_split_mean_changepoint_step(spark):
     assert best["is_change"] and best["significance"] == pytest.approx(40.0)
     # flat prefix split scores are strictly smaller
     assert all(r["score"] < 4.0 for r in out if r["idx"] != 10)
+
+
+def test_ts_feature_matrix_values(spark):
+    from pandrs_spark.operators.timeseries import ts_feature_matrix
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "sid int, t int, v double")
+    out = {
+        r["t"]: r
+        for r in ts_feature_matrix(df, "sid", "t", "v", lags=(1,), window=3).collect()
+    }
+    assert out[0]["lag_1"] is None and out[1]["lag_1"] == 10.0
+    assert out[3]["diff_1"] == 10.0
+    assert out[1]["pct_change_1"] == 1.0
+    assert out[3]["roll_n"] == 3 and out[3]["roll_mean"] == 30.0
+    assert out[3]["roll_min"] == 20.0 and out[3]["roll_max"] == 40.0
+    assert abs(out[3]["roll_std"] - 10.0) < 1e-9
+
+
+def test_ts_feature_matrix_single_shuffle(spark):
+    from pandrs_spark.operators.timeseries import ts_feature_matrix
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "sid int, t int, v double")
+    plan = ts_feature_matrix(df, "sid", "t", "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one partitioning serves every feature
