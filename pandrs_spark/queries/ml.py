@@ -558,3 +558,111 @@ def q150(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     out = tsne_project(emb, "embedding", "vec_id", sample_n=200, iters=150)
     return out.orderBy("vec_id")
+
+
+# --- q152: per-class precision/recall/F1 for a rule classifier
+# (reference ml metrics re-exports src/lib.rs:219-244) — one broadcast
+# class-expansion + one grouped aggregation ----------------------------------
+@query(
+    "q152_classification_metrics",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag AS label,
+               CASE WHEN l_discount >= 0.05 THEN 'R' ELSE 'N' END AS pred
+        FROM lineitem
+    ),
+    cls AS (
+        SELECT DISTINCT label AS cls FROM d
+        UNION
+        SELECT DISTINCT pred FROM d
+    ),
+    per AS (
+        SELECT cls,
+               COUNT(CASE WHEN label = cls AND pred = cls THEN 1 END) AS tp,
+               COUNT(CASE WHEN label <> cls AND pred = cls THEN 1 END) AS fp,
+               COUNT(CASE WHEN label = cls AND pred <> cls THEN 1 END) AS fn
+        FROM d CROSS JOIN cls
+        GROUP BY cls
+    )
+    SELECT cls,
+           CAST(tp + fn AS BIGINT) AS support,
+           ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+           ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
+           ROUND(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                         + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END) > 0
+                 THEN 2 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                        * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END)
+                      / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                         + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END))
+                 ELSE 0.0 END, 6) AS f1
+    FROM per
+    ORDER BY cls
+    """,
+)
+def q152(spark, sf_dir):
+    from pandrs_spark.operators.metrics import classification_metrics
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("label"),
+        F.when(F.col("l_discount") >= 0.05, "R").otherwise("N").alias("pred"),
+    )
+    m = classification_metrics(li, "label", "pred")
+    return m.select(
+        "cls",
+        "support",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+# --- q153: regression metrics for a per-segment mean predictor
+# (mse/rmse/mae/r2 from one aggregation of quantized residual sums) ----------
+@query(
+    "q153_regression_metrics",
+    oracle="""
+    WITH d AS (
+        SELECT c_acctbal / 1000 AS y,
+               (CAST(SUM(CAST(SIGN(c_acctbal / 1000) * FLOOR(ABS(c_acctbal / 1000) * 10000.0 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY c_mktsegment) AS DOUBLE) / 10000.0)
+               / COUNT(c_acctbal) OVER (PARTITION BY c_mktsegment) AS yhat
+        FROM customer
+    ),
+    s AS (
+        SELECT COUNT(y) AS n,
+               (CAST(SUM(CAST(SIGN((y - yhat) * (y - yhat)) * FLOOR(ABS((y - yhat) * (y - yhat)) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS sse,
+               (CAST(SUM(CAST(FLOOR(ABS(y - yhat) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS sae,
+               (CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS sy,
+               (CAST(SUM(CAST(FLOOR(y * y * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS syy
+        FROM d
+    )
+    SELECT n,
+           ROUND(sse / n, 6) AS mse,
+           ROUND(SQRT(sse / n), 6) AS rmse,
+           ROUND(sae / n, 6) AS mae,
+           ROUND(1.0 - sse / (syy - sy * sy / n), 6) AS r2
+    FROM s
+    """,
+)
+def q153(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum_over
+    from pandrs_spark.operators.metrics import regression_metrics
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment")
+    cust = T(spark, sf_dir, "customer").select(
+        (F.col("c_acctbal") / 1000).alias("y"), "c_mktsegment"
+    )
+    d = cust.select(
+        "y",
+        (dsum_over("y", w, 4) / F.count("y").over(w)).alias("yhat"),
+    )
+    m = regression_metrics(d, "y", "yhat", scale=4)
+    return m.select(
+        "n",
+        F.round("mse", 6).alias("mse"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mae", 6).alias("mae"),
+        F.round("r2", 6).alias("r2"),
+    )

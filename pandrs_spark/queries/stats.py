@@ -620,3 +620,30 @@ def q139(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- q154: geometric + harmonic means per return flag (compat
+# geometric_mean :4265, harmonic_mean :4273) — exp(mean(ln x)) /
+# n/sum(1/x) over quantized sums, one grouped aggregation --------------------
+@query(
+    "q154_geometric_harmonic_means",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(EXP({sql_dsum('LN(l_extendedprice)', 9)} / COUNT(*)), 4) AS geo_mean,
+           ROUND(COUNT(*) / {sql_dsum('1.0 / l_extendedprice', 12)}, 4) AS harm_mean
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q154(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.exp(dsum(F.log("l_extendedprice"), 9) / n), 4).alias("geo_mean"),
+            F.round(n / dsum(F.lit(1.0) / F.col("l_extendedprice"), 12), 4).alias("harm_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
