@@ -31,6 +31,7 @@ __all__ = [
     "moving_average_forecast",
     "split_mean_changepoints",
     "ts_feature_matrix",
+    "bocpd_changepoints",
 ]
 
 
@@ -606,3 +607,99 @@ def ts_feature_matrix(
         .withColumn("roll_min", F.min(v).over(wr))
         .withColumn("roll_max", F.max(v).over(wr))
     )
+
+
+def bocpd_changepoints(
+    df,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    hazard: float = 1.0 / 50.0,
+    max_run: int = 200,
+):
+    """Bayesian online change-point detection (Adams & MacKay 2007;
+    reference analysis.rs:1035 "Bayesian" change-point). Student-t
+    predictive under a Normal-Gamma conjugate prior; the run-length
+    posterior is carried forward per observation and truncated at
+    ``max_run`` so the per-row cost is bounded.
+
+    Strictly sequential per series ⇒ ``applyInPandas`` partitioned by
+    series id: each group is one bounded recursion, series scale
+    horizontally across executors, and nothing is collected to the
+    driver. Deterministic: fixed-order float recursion, no sampling.
+
+    Returns one row per observation: (series, ts, value, p_change =
+    posterior mass on run length 0, map_run = argmax run length).
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{series_col} long, {ts_col} timestamp, value double, "
+        "p_change double, map_run int"
+    )
+
+    def _bocpd(pdf):
+        from math import lgamma
+
+        import pandas as pd
+
+        lg = np.vectorize(lgamma)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        n = len(x)
+        # Normal-Gamma prior
+        mu0, kappa0, alpha0, beta0 = 0.0, 1.0, 1.0, 1.0
+        R = np.zeros(max_run + 1)
+        R[0] = 1.0
+        mu = np.array([mu0])
+        kappa = np.array([kappa0])
+        alpha = np.array([alpha0])
+        beta = np.array([beta0])
+        p_change = np.zeros(n)
+        map_run = np.zeros(n, dtype=int)
+        for t in range(n):
+            k = len(mu)
+            # Student-t predictive for each active run length
+            df_t = 2.0 * alpha
+            scale2 = beta * (kappa + 1.0) / (alpha * kappa)
+            z2 = (x[t] - mu) ** 2 / scale2
+            logpred = (
+                lg(alpha + 0.5)
+                - lg(alpha)
+                - 0.5 * np.log(np.pi * df_t * scale2 / 2.0 * 2.0)
+                - (alpha + 0.5) * np.log1p(z2 / df_t)
+            )
+            pred = np.exp(logpred)
+            growth = R[:k] * pred * (1.0 - hazard)
+            cp = float(np.sum(R[:k] * pred * hazard))
+            newR = np.zeros(min(k + 1, max_run + 1))
+            newR[0] = cp
+            upto = min(k, max_run)
+            newR[1 : upto + 1] = growth[:upto]
+            s = newR.sum()
+            newR = newR / s if s > 0 else newR
+            R = np.zeros(max_run + 1)
+            R[: len(newR)] = newR
+            p_change[t] = R[0]
+            map_run[t] = int(np.argmax(R[: len(newR)]))
+            # posterior updates, truncated to max_run entries
+            mu_new = np.concatenate(
+                ([mu0], (kappa * mu + x[t]) / (kappa + 1.0))
+            )[: max_run + 1]
+            kappa_new = np.concatenate(([kappa0], kappa + 1.0))[: max_run + 1]
+            alpha_new = np.concatenate(([alpha0], alpha + 0.5))[: max_run + 1]
+            beta_new = np.concatenate(
+                ([beta0], beta + kappa * (x[t] - mu) ** 2 / (2.0 * (kappa + 1.0)))
+            )[: max_run + 1]
+            mu, kappa, alpha, beta = mu_new, kappa_new, alpha_new, beta_new
+        return pd.DataFrame(
+            {
+                series_col: pdf[series_col].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                "value": x,
+                "p_change": np.round(p_change, 9),
+                "map_run": map_run,
+            }
+        )
+
+    return df.groupBy(series_col).applyInPandas(_bocpd, schema=out_schema)

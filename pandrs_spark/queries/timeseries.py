@@ -1250,3 +1250,20 @@ def q151(spark, sf_dir):
         "roll_min",
         "roll_max",
     ).orderBy("user_id", "ts")
+
+
+# --- q155: Bayesian online change-point detection per user purchase
+# stream (Adams & MacKay; reference analysis.rs:1035). Rows-only —
+# sequential posterior recursion per series via applyInPandas;
+# mean-shift detection pinned by tests/test_timeseries.py ---------------------
+@query("q155_bocpd_purchase_streams")
+def q155(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import bocpd_changepoints
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = bocpd_changepoints(ev, "user_id", "ts", "value", hazard=0.02)
+    return (
+        out.filter(F.col("map_run") <= 2)
+        .orderBy("user_id", "ts")
+        .select("user_id", "ts", "value", "p_change", "map_run")
+    )

@@ -342,3 +342,40 @@ def test_ts_feature_matrix_single_shuffle(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "sid int, t int, v double")
     plan = ts_feature_matrix(df, "sid", "t", "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # one partitioning serves every feature
+
+
+def test_bocpd_detects_mean_shift(spark):
+    from pandrs_spark.operators.timeseries import bocpd_changepoints
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [0.0, 0.1, -0.1, 0.05, -0.05] * 8 + [5.0, 5.1, 4.9, 5.05, 4.95] * 8
+    rows = [
+        (1, base + datetime.timedelta(days=i), float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "sid long, ts timestamp, v double")
+    out = bocpd_changepoints(df, "sid", "ts", "v", hazard=0.02).collect()
+    out.sort(key=lambda r: r["ts"])
+    shift_idx = 40
+    # before the shift the MAP run length tracks the actual run...
+    assert out[shift_idx - 1]["map_run"] >= 30
+    # ...and collapses right after the planted change
+    assert out[shift_idx + 2]["map_run"] <= 4
+    # then grows again in the new regime
+    assert out[shift_idx + 10]["map_run"] >= 6
+
+
+def test_bocpd_deterministic(spark):
+    from pandrs_spark.operators.timeseries import bocpd_changepoints
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (s, base + datetime.timedelta(hours=i), float((i * 7 + s) % 5))
+        for s in (1, 2)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "sid long, ts timestamp, v double")
+    a = sorted(bocpd_changepoints(df.repartition(1), "sid", "ts", "v").collect())
+    b = sorted(bocpd_changepoints(df.repartition(13), "sid", "ts", "v").collect())
+    assert a == b
