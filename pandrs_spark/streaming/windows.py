@@ -29,6 +29,8 @@ __all__ = [
     "stream_to_memory",
     "count_window_foreach_batch",
     "global_agg",
+    "dedup_within_watermark",
+    "stream_static_enrich",
 ]
 
 
@@ -314,3 +316,28 @@ def global_agg(df: DataFrame, aggs: Sequence[Column], keys: Sequence[str] = ()) 
     closes. Use ``stream_to_memory(out, name, "complete")`` as the sink.
     """
     return df.groupBy(*keys).agg(*aggs)
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: Sequence[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: keep the first arrival
+    per key, expiring per-key state once the watermark passes ``delay``
+    (the training-data-pipeline dedup shape — the reference's batch
+    drop_duplicates compat :1141 has no streaming analogue; Spark's
+    dropDuplicatesWithinWatermark gives it with O(active keys) state
+    instead of O(all keys ever seen))."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, delay)
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def stream_static_enrich(
+    stream_df: DataFrame, dim_df: DataFrame, on: Sequence[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension join: the static side is broadcast to
+    every task, so enrichment adds NO shuffle and no streaming state
+    (each micro-batch re-reads the dim — at 100 TB/day stream scale the
+    dim stays a map-side hash lookup)."""
+    return stream_df.join(F.broadcast(dim_df), on=list(on), how=how)

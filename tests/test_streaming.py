@@ -213,3 +213,54 @@ def test_global_window_complete_mode(spark, stream_dir):
         .collect()
     }
     assert got == batch  # stream global agg == batch global agg
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from pandrs_spark.streaming.windows import dedup_within_watermark
+
+    d = str(tmp_path / "dedup_src")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 1), "k1", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 2), "k1", 99.0),  # duplicate key
+        (dt.datetime(2024, 1, 1, 0, 3), "k2", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 4), "k2", 98.0),  # duplicate key
+        (dt.datetime(2024, 1, 1, 0, 5), "k3", 3.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(d)
+    src = stream_from_directory(spark, d, SCHEMA)
+    deduped = dedup_within_watermark(src, ["key"], "ts", "10 minutes")
+    q = stream_to_memory(deduped, "dedup_sink", output_mode="append")
+    q.awaitTermination(60)
+    got = spark.sql("SELECT key FROM dedup_sink ORDER BY key").collect()
+    assert [r["key"] for r in got] == ["k1", "k2", "k3"]
+
+
+def test_stream_dedup_batch_fallback(spark):
+    from pandrs_spark.streaming.windows import dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "a", 1.0), (dt.datetime(2024, 1, 2), "a", 2.0)],
+        SCHEMA,
+    )
+    assert dedup_within_watermark(df, ["key"], "ts", "1 hour").count() == 1
+
+
+def test_stream_static_enrich_broadcast(spark, tmp_path):
+    from pandrs_spark.streaming.windows import stream_static_enrich
+
+    d = str(tmp_path / "enrich_src")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 1), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 2), "b", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 3), "zzz", 3.0),  # no dim match
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(d)
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "key string, label string"
+    )
+    src = stream_from_directory(spark, d, SCHEMA)
+    joined = stream_static_enrich(src, dim, on=["key"])
+    q = stream_to_memory(joined, "enrich_sink", output_mode="append")
+    q.awaitTermination(60)
+    got = {r["key"]: r["label"] for r in spark.sql("SELECT * FROM enrich_sink").collect()}
+    assert got == {"a": "alpha", "b": "beta", "zzz": None}
