@@ -478,6 +478,31 @@ class Frame:
             self.spark.unpivot(list(id_vars), list(value_vars), var_name, value_name)
         )
 
+    def stack(
+        self,
+        id_vars: Sequence[str],
+        value_vars: Sequence[str] | None = None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "Frame":
+        """pandas ``stack``: wide → long (compat concat.rs region; same
+        lowering as melt — Spark ``unpivot`` is a narrow projection)."""
+        vv = list(value_vars) if value_vars else [
+            c for c in self.columns if c not in id_vars
+        ]
+        return self.melt(id_vars, vv, var_name, value_name)
+
+    def unstack(
+        self,
+        index: Sequence[str],
+        var_col: str = "variable",
+        value_col: str = "value",
+        aggfunc: str = "sum",
+    ) -> "Frame":
+        """pandas ``unstack``: long → wide (inverse of :meth:`stack`)
+        via groupBy().pivot() — one shuffle on the index keys."""
+        return self.pivot_table(list(index), var_col, value_col, aggfunc)
+
     def explode(self, col: str, sep: str | None = None) -> "Frame":
         c = F.split(F.col(col), sep) if sep is not None else F.col(col)
         others = [x for x in self.columns if x != col]

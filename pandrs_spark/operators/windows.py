@@ -28,6 +28,9 @@ __all__ = [
     "pct_change",
     "cumsum",
     "cumcount",
+    "cumprod",
+    "cummax",
+    "cummin",
     "rank_method",
     "ewm_mean",
     "ewm_stat",
@@ -145,6 +148,24 @@ def cumsum(col: Column | str, w: WindowSpec) -> Column:
 
 def cumcount(w: WindowSpec) -> Column:
     return F.row_number().over(w) - 1
+
+
+def cumprod(col: Column | str, w: WindowSpec) -> Column:
+    """Running product (compat :280-327) via the PRODUCT aggregate over
+    an expanding frame — stays in codegen, handles zeros/negatives
+    exactly (unlike exp-sum-log)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.product(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def cummax(col: Column | str, w: WindowSpec) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.max(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def cummin(col: Column | str, w: WindowSpec) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.min(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
 
 
 def rank_method(

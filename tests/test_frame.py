@@ -451,3 +451,16 @@ def test_driver_side_materialization(spark):
     assert f.to_records() == [(1, "a"), (2, "b")]
     assert dict(f.items()) == {"x": [1, 2], "s": ["a", "b"]}
     assert [(i, d["s"]) for i, d in f.iterrows()] == [(0, "a"), (1, "b")]
+
+
+def test_stack_unstack_roundtrip(spark):
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame(
+        [("x", 1.0, 10.0), ("y", 2.0, 20.0)], "k string, a double, b double"
+    )
+    long = Frame(df).stack(["k"])
+    assert long.spark.count() == 4
+    wide = long.unstack(["k"]).sort_values("k")
+    rows = {r["k"]: r for r in wide.spark.collect()}
+    assert rows["x"]["a"] == 1.0 and rows["y"]["b"] == 20.0

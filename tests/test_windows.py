@@ -204,3 +204,23 @@ def test_ewm_ignore_na_parity(spark):
     a = ewm_mean(df, "v", ["i"], ["g"], alpha=0.5, ignore_na=False).collect()
     b = ewm_mean(df, "v", ["i"], ["g"], alpha=0.5, ignore_na=True).collect()
     assert {r["i"]: r["ewm"] for r in a} != {r["i"]: r["ewm"] for r in b}
+
+
+def test_cumprod_cummax_cummin(spark):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.windows import cummax, cummin, cumprod
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, -3.0), (3, 0.5), (4, 0.0), (5, 4.0)], "t int, v double"
+    )
+    w = Window.orderBy("t")
+    out = df.select(
+        "t",
+        cumprod("v", w).alias("cp"),
+        cummax("v", w).alias("cx"),
+        cummin("v", w).alias("cn"),
+    ).orderBy("t").collect()
+    assert [r["cp"] for r in out] == [2.0, -6.0, -3.0, 0.0, 0.0]
+    assert [r["cx"] for r in out] == [2.0, 2.0, 2.0, 2.0, 4.0]
+    assert [r["cn"] for r in out] == [2.0, -3.0, -3.0, -3.0, -3.0]
