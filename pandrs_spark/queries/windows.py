@@ -264,3 +264,44 @@ def q87(spark, sf_dir):
         )
     )
     return out.select("day", "geo7").orderBy("day")
+
+
+# --- q156: cumulative-op family per customer order history (compat
+# cumsum/cumprod/cummax/cummin :280-327, cumcount :2081) — one ordered
+# window serves every running statistic ---------------------------------------
+@query(
+    "q156_cumulative_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS cum_n,
+           (CAST(SUM(CAST(FLOOR(o_totalprice / 1000 * 10000.0 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0)
+             AS cum_spend_k,
+           MAX(o_totalprice) OVER wr AS cum_max,
+           MIN(o_totalprice) OVER wr AS cum_min
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q156(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum_over
+    from pandrs_spark.operators.windows import cumcount, cummax, cummin
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = T(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        cumcount(w).cast("long").alias("cum_n"),
+        dsum_over(
+            F.col("o_totalprice") / 1000,
+            w.rowsBetween(Window.unboundedPreceding, 0),
+            4,
+        ).alias("cum_spend_k"),
+        cummax("o_totalprice", w).alias("cum_max"),
+        cummin("o_totalprice", w).alias("cum_min"),
+    ).orderBy("o_custkey", "o_orderkey")
