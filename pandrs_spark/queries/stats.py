@@ -647,3 +647,45 @@ def q154(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q157: stratified class-rebalancing sample (sampleBy semantics,
+# engine-reproducible md5 buckets; reference sample :310 + the
+# training-pipeline downsample/upweight primitive) ---------------------------
+@query(
+    "q157_stratified_rebalance",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE
+               WHEN l_returnflag = 'A'
+                    AND substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4) <= '3332' THEN 1
+               WHEN l_returnflag = 'N'
+                    AND substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4) <= '0ccc' THEN 1
+               WHEN l_returnflag = 'R'
+                    AND substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 4) <= '7fff' THEN 1
+               ELSE 0 END) AS BIGINT) AS n_sample
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q157(spark, sf_dir):
+    from pandrs_spark.operators.sampling import stratified_sample
+
+    li = T(spark, sf_dir, "lineitem")
+    picked = stratified_sample(
+        li, "l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.5},
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
+    totals = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = picked.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_sample"))
+    return (
+        totals.join(sampled, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_total",
+            F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
+        )
+        .orderBy("l_returnflag")
+    )
