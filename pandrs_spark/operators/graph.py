@@ -190,8 +190,10 @@ def pagerank(
                 * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n))
             ).alias("rank"),
         )
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        # 3 joins stack per round — truncate lineage every iteration or
+        # Catalyst re-analyzes a plan that doubles each round (the
+        # |V|-row rank vector is tiny; the checkpoint is cheap)
+        ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
     return ranks
 

@@ -33,7 +33,7 @@ from pandrs_spark.queries import query
 
 # Shared SQL fragments for the oracle side -----------------------------------
 _TRADE = """
-trade AS (
+trade AS MATERIALIZED (
     SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS cnt
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -45,10 +45,10 @@ trade AS (
 """
 
 _STRONG = _TRADE + """,
-strong AS (
+strong AS MATERIALIZED (
     SELECT src, dst FROM trade WHERE cnt > (SELECT AVG(cnt) FROM trade)
 ),
-und AS (
+und AS MATERIALIZED (
     -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE,
     -- DuckDB 1.0 stops deduplicating UNION in non-recursive CTEs, which
     -- silently doubles reciprocal edges.
