@@ -14,6 +14,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "char_entropy",
     "tokens",
     "token_count",
     "shingles",
@@ -114,3 +115,27 @@ def word_shingle_udtf():
                 yield i, " ".join(words[i : i + k])
 
     return WordShingles
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    gibberish/corruption filter for training-text pipelines (natural
+    text sits ~3.5-4.5 bits; constant-char spam near 0, random base64
+    near 6). Pure higher-order-function expression: per-row, map-side,
+    NO shuffle — O(len x distinct_chars) per row inside codegen.
+    Distinct chars are sorted before the fold so the float summation
+    order (and therefore the result) is engine-independent.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cs = F.split(c, "")
+    n = F.size(cs)
+    uniq = F.array_sort(F.array_distinct(cs))
+
+    def term(ch):
+        cnt = F.size(F.filter(cs, lambda x: x == ch))
+        p = cnt / n
+        return -p * F.log2(p)
+
+    return F.aggregate(
+        F.transform(uniq, term), F.lit(0.0), lambda acc, v: acc + v
+    )

@@ -529,3 +529,39 @@ def q138(spark, sf_dir):
         ORDER BY n DESC, s.shingle LIMIT 15
         """
     )
+
+
+# --- q158: character-entropy quality filter over documents (training-
+# pipeline gibberish detector; extends quality_score q27). Map-side
+# HOF expression — no shuffle before the final ordering ----------------------
+@query(
+    "q158_char_entropy_quality",
+    oracle="""
+    WITH e AS (
+        SELECT doc_id, lang,
+               list_sum(list_transform(
+                   list_sort(list_distinct(split(text, ''))),
+                   c -> -1.0 * (len(list_filter(split(text, ''), x -> x = c))
+                                / len(split(text, '')))
+                        * log2(len(list_filter(split(text, ''), x -> x = c))
+                               / len(split(text, '')))
+               )) AS ent
+        FROM documents
+    )
+    SELECT doc_id, lang, ROUND(ent, 6) AS entropy_bits,
+           CASE WHEN ent < 2.0 THEN 1 ELSE 0 END AS low_quality
+    FROM e
+    ORDER BY doc_id
+    """,
+)
+def q158(spark, sf_dir):
+    from pandrs_spark.operators.text import char_entropy
+
+    docs = T(spark, sf_dir, "documents")
+    ent = char_entropy("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ent, 6).alias("entropy_bits"),
+        F.when(ent < 2.0, 1).otherwise(0).alias("low_quality"),
+    ).orderBy("doc_id")

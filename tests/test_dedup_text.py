@@ -86,3 +86,28 @@ def test_quality_score_bounds(spark, sf_dir):
         F.min("q").alias("lo"), F.max("q").alias("hi")
     ).collect()[0]
     assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_char_entropy_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("aabb",), ("abcdefgh",)], "t string"
+    )
+    got = [r[0] for r in df.select(F.round(char_entropy("t"), 9)).collect()]
+    assert got == [0.0, 1.0, 3.0]
+
+
+def test_char_entropy_flags_gibberish_below_text(spark):
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",), ("zzzzzzzzzzzz zz",)],
+        "t string",
+    )
+    a, b = [r[0] for r in df.select(char_entropy("t")).collect()]
+    assert a > 3.5 and b < 1.0
