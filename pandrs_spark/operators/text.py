@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "char_entropy",
+    "gopher_quality_flags",
     "tokens",
     "token_count",
     "shingles",
@@ -138,4 +139,31 @@ def char_entropy(col: Column | str) -> Column:
 
     return F.aggregate(
         F.transform(uniq, term), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def gopher_quality_flags(col: Column | str, k: int = 3) -> Column:
+    """Gopher/RefinedWeb-style repetition + shape signals as one struct
+    (mean_word_len, frac_alpha_words, dup_ngram_frac). All per-row HOF
+    expressions — the whole rule pack is a map-side projection, so at
+    corpus scale it composes with pushdown and costs one scan.
+    """
+    tok = tokens(col)
+    n = F.size(tok)
+    mean_word_len = (
+        F.aggregate(
+            F.transform(tok, F.length), F.lit(0), lambda acc, v: acc + v
+        )
+        / n
+    )
+    frac_alpha = F.size(F.filter(tok, lambda t: t.rlike("^[a-z]+$"))) / n
+    sh = shingles(tok, k)
+    dup_frac = F.when(
+        F.size(sh) > 0,
+        1.0 - F.size(F.array_distinct(sh)) / F.size(sh),
+    ).otherwise(0.0)
+    return F.struct(
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        dup_frac.alias("dup_ngram_frac"),
     )

@@ -565,3 +565,57 @@ def q158(spark, sf_dir):
         F.round(ent, 6).alias("entropy_bits"),
         F.when(ent < 2.0, 1).otherwise(0).alias("low_quality"),
     ).orderBy("doc_id")
+
+
+# --- q159: Gopher-style repetition/shape quality rules (mean word
+# length, alpha-word fraction, duplicate-trigram fraction) — one
+# map-side projection per document, aggregated per (lang, source) ------------
+@query(
+    "q159_gopher_quality_rules",
+    oracle=f"""
+    WITH sig AS (
+        SELECT lang, source,
+               list_sum(list_transform({_WS}, t -> length(t))) * 1.0 / len({_WS}) AS mwl,
+               len(list_filter({_WS}, t -> regexp_full_match(t, '[a-z]+'))) * 1.0 / len({_WS}) AS fa,
+               CASE WHEN len({_WS}) >= 3 THEN
+                   1.0 - len(list_distinct(list_transform(
+                       generate_series(1, len({_WS}) - 2),
+                       i -> list_aggregate(list_slice({_WS}, i, i + 2), 'string_agg', ' ')
+                   ))) * 1.0 / (len({_WS}) - 2)
+               ELSE 0.0 END AS dup3
+        FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(((CAST(SUM(CAST(SIGN(ROUND(mwl, 6)) * FLOOR(ABS(ROUND(mwl, 6)) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(ROUND(mwl, 6))), 6) AS avg_word_len,
+           ROUND(((CAST(SUM(CAST(SIGN(ROUND(fa, 6)) * FLOOR(ABS(ROUND(fa, 6)) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(ROUND(fa, 6))), 6) AS avg_frac_alpha,
+           ROUND(((CAST(SUM(CAST(SIGN(ROUND(dup3, 6)) * FLOOR(ABS(ROUND(dup3, 6)) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(ROUND(dup3, 6))), 6) AS avg_dup_trigram
+    FROM sig
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q159(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import davg
+    from pandrs_spark.operators.text import gopher_quality_flags
+
+    docs = T(spark, sf_dir, "documents")
+    g = docs.select(
+        "lang", "source", gopher_quality_flags("text").alias("q")
+    ).select(
+        "lang",
+        "source",
+        F.round("q.mean_word_len", 6).alias("mwl"),
+        F.round("q.frac_alpha_words", 6).alias("fa"),
+        F.round("q.dup_ngram_frac", 6).alias("dup3"),
+    )
+    return (
+        g.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(davg("mwl", 9), 6).alias("avg_word_len"),
+            F.round(davg("fa", 9), 6).alias("avg_frac_alpha"),
+            F.round(davg("dup3", 9), 6).alias("avg_dup_trigram"),
+        )
+        .orderBy("lang", "source")
+    )

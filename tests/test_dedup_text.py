@@ -111,3 +111,25 @@ def test_char_entropy_flags_gibberish_below_text(spark):
     )
     a, b = [r[0] for r in df.select(char_entropy("t")).collect()]
     assert a > 3.5 and b < 1.0
+
+
+def test_gopher_flags_repetitive_doc(spark):
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [
+            ("clean", "the quick brown fox jumps over the lazy dog today"),
+            ("looped", "buy now buy now buy now buy now buy now buy now"),
+        ],
+        "name string, t string",
+    )
+    got = {
+        r["name"]: r["q"]
+        for r in df.select("name", gopher_quality_flags("t").alias("q")).collect()
+    }
+    assert got["looped"]["dup_ngram_frac"] > 0.7
+    assert got["clean"]["dup_ngram_frac"] == 0.0
+    assert got["clean"]["frac_alpha_words"] == 1.0
+    assert 3.0 < got["clean"]["mean_word_len"] < 5.0
