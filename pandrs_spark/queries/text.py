@@ -619,3 +619,88 @@ def q159(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+# --- q160: end-to-end near-dup resolution — LSH candidates → exact
+# Jaccard verify → connected components over dup pairs → keep the
+# longest member per cluster (ties → lowest doc_id). The full
+# training-corpus dedup pipeline in one lineage; the iterative CC step
+# reuses operators/graph.py and the oracle closes reachability with a
+# recursive CTE --------------------------------------------------------------
+@query(
+    "q160_dedup_resolution",
+    oracle=_SQL_BANDS.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+    dsh AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s
+        FROM shg
+        WHERE doc_id IN (SELECT id_a FROM pairs UNION SELECT id_b FROM pairs)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_int
+        FROM pairs p
+        JOIN dsh a ON a.doc_id = p.id_a
+        JOIN dsh b ON b.doc_id = p.id_b AND b.s = a.s
+        GROUP BY p.id_a, p.id_b
+    ),
+    dup AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_int * 1.0 / (sa.n_sh + sb.n_sh - i.n_int) >= 0.2
+    ),
+    und2 AS (
+        SELECT id_a AS src, id_b AS dst FROM dup
+        UNION
+        SELECT id_b, id_a FROM dup
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM und2
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und2 u ON r.b = u.src
+    ),
+    comp AS (
+        SELECT v.id, LEAST(v.id, MIN(r.b)) AS component
+        FROM (SELECT DISTINCT src AS id FROM und2) v
+        LEFT JOIN reach r ON r.a = v.id
+        GROUP BY v.id
+    ),
+    members AS (
+        SELECT c.component, c.id, d.n_chars,
+               MAX(d.n_chars) OVER (PARTITION BY c.component) AS mx
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT component AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN n_chars = mx THEN id END) AS keep_doc
+    FROM members
+    GROUP BY component
+    ORDER BY cluster_id
+    """,
+)
+def q160(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", num_hashes=4, band_size=2)
+    dup = ngram_jaccard_pairs(docs, "text", "doc_id", pairs, threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(dup, src="id_a", dst="id_b")
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    ).withColumn("mx", F.max("n_chars").over(Window.partitionBy("component")))
+    return (
+        members.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("n_chars") == F.col("mx"), F.col("id"))).alias(
+                "keep_doc"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
