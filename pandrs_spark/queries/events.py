@@ -412,3 +412,122 @@ def q45(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- q161: event funnel — signup → first view after it → first
+# purchase after that, per user; step timestamps from one grouped
+# aggregation over conditional minimums (no self-joins, no shuffle
+# beyond the per-user agg) ----------------------------------------------------
+@query(
+    "q161_signup_view_purchase_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, MIN(e.ts) AS t_view
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t_signup
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(s.user_id) AS BIGINT) AS n_signup,
+           CAST(COUNT(v.user_id) AS BIGINT) AS n_view_after,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase_after,
+           ROUND(COUNT(p.user_id) * 1.0 / COUNT(s.user_id), 6) AS conversion
+    FROM s LEFT JOIN v ON v.user_id = s.user_id
+            LEFT JOIN p ON p.user_id = s.user_id
+    WHERE s.t_signup IS NOT NULL
+    """,
+)
+def q161(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    # step 1: first signup per user (conditional min — single agg pass)
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    ).filter(F.col("t_signup").isNotNull())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = s.join(v, "user_id", "left").join(p, "user_id", "left")
+    return funnel.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_view").alias("n_view_after"),
+        F.count("t_purchase").alias("n_purchase_after"),
+        F.round(F.count("t_purchase") / F.count("t_signup"), 6).alias("conversion"),
+    )
+
+
+# --- q162: weekly cohort retention — cohort = week of first event;
+# retention(k) = distinct users active k weeks later / cohort size ------------
+@query(
+    "q162_weekly_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(DATEDIFF('week', f.cohort_week, DATE_TRUNC('week', e.ts)) AS INT) AS week_k
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_n FROM first_seen GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_k,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           ROUND(COUNT(*) * 1.0 / MIN(s.cohort_n), 6) AS retention
+    FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+    WHERE a.week_k <= 8
+    GROUP BY a.cohort_week, a.week_k
+    ORDER BY a.cohort_week, a.week_k
+    """,
+)
+def q162(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                )
+            ).cast("int").alias("week_k"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (
+        activity.join(sizes, "cohort_week")
+        .filter(F.col("week_k") <= 8)
+        .groupBy("cohort_week", "week_k")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.round(F.count(F.lit(1)) / F.min("cohort_n"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
