@@ -1173,3 +1173,122 @@ def q137(spark, sf_dir):
         F.round(F.product(1.0 - F.col("l_discount")), 6).alias("keep_factor"),
     )
     return factors.orderBy("keep_factor", "l_orderkey").limit(10)
+
+
+# --- q163: market-basket co-occurrence over order baskets: support /
+# confidence / lift for part-brand pairs. The self-join is bounded by
+# first shrinking each basket to its distinct brands (orders average a
+# handful of lines), so pair expansion is quadratic in basket size,
+# not table size --------------------------------------------------------------
+@query(
+    "q163_brand_basket_lift",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM basket),
+    brand_n AS (SELECT b, COUNT(*) AS nb FROM basket GROUP BY b),
+    pair_n AS (
+        SELECT a.b AS b1, c.b AS b2, COUNT(*) AS np
+        FROM basket a JOIN basket c ON a.ok = c.ok AND a.b < c.b
+        GROUP BY a.b, c.b
+    )
+    SELECT b1, b2, CAST(np AS BIGINT) AS n_pair,
+           ROUND(np * 1.0 / n, 6) AS support,
+           ROUND(np * 1.0 / n1.nb, 6) AS confidence,
+           ROUND((np * 1.0 / n) / ((n1.nb * 1.0 / n) * (n2.nb * 1.0 / n)), 6) AS lift
+    FROM pair_n
+    JOIN brand_n n1 ON n1.b = b1
+    JOIN brand_n n2 ON n2.b = b2
+    CROSS JOIN n_orders
+    WHERE np >= 5
+    ORDER BY b1, b2
+    """,
+)
+def q163(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = basket.select("ok").distinct().count()
+    brand_n = basket.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a, c = basket.alias("a"), basket.alias("c")
+    pair_n = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("b1"), F.col("c.b").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") >= 5)
+    )
+    n1 = brand_n.select(F.col("b").alias("b1"), F.col("nb").alias("nb1"))
+    n2 = brand_n.select(F.col("b").alias("b2"), F.col("nb").alias("nb2"))
+    return (
+        pair_n.join(F.broadcast(n1), "b1")
+        .join(F.broadcast(n2), "b2")
+        .select(
+            "b1",
+            "b2",
+            F.col("np").alias("n_pair"),
+            F.round(F.col("np") / n, 6).alias("support"),
+            F.round(F.col("np") / F.col("nb1"), 6).alias("confidence"),
+            F.round(
+                (F.col("np") / F.lit(n))
+                / ((F.col("nb1") / F.lit(n)) * (F.col("nb2") / F.lit(n))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("b1", "b2")
+    )
+
+
+# --- q164: referential-integrity audit — orphan counts via left-anti
+# joins across the star schema (data-quality gate a pipeline runs
+# before training; anti joins broadcast the small side) -----------------------
+@query(
+    "q164_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST((
+        SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ) AS BIGINT) AS orphans
+    UNION ALL
+    SELECT 'orders->customer', CAST((
+        SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part', CAST((
+        SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST((
+        SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    ) AS BIGINT)
+    ORDER BY fk
+    """,
+)
+def q164(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    part = T(spark, sf_dir, "part")
+    supp = T(spark, sf_dir, "supplier")
+
+    def orphans(child, parent, lk, rk, name):
+        n = child.join(
+            parent.select(rk), child[lk] == parent[rk], "left_anti"
+        ).count()
+        return (name, n)
+
+    rows = [
+        orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        orphans(orders, cust, "o_custkey", "c_custkey", "orders->customer"),
+        orphans(li, part, "l_partkey", "p_partkey", "lineitem->part"),
+        orphans(li, supp, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+    ]
+    return spark.createDataFrame(rows, "fk string, orphans long").orderBy("fk")
