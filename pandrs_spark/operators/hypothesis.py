@@ -30,6 +30,7 @@ __all__ = [
     "ks_2samp",
     "kruskal_wallis",
     "anova_oneway",
+    "levene_test",
     "one_sample_ttest",
     "paired_ttest",
 ]
@@ -206,3 +207,22 @@ def paired_ttest(
     )
     out = one_sample_ttest(d, "__d__", 0.0, scale)
     return out.select("n", F.col("mean").alias("mean_diff"), "t_stat")
+
+
+def levene_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Levene's test for variance homogeneity, Brown-Forsythe variant
+    (center = median — robust to non-normality). Complements
+    anova_oneway (src/stats/mod.rs:354): W is the one-way ANOVA F
+    computed on z = |x - median(group)|.
+
+    Two aggregation passes: exact per-group medians (small k, broadcast
+    back), then the ANOVA sufficient statistics over z — both partial-
+    aggregated, so the pattern scales like any grouped agg. Returns
+    1 row: n, k, w_stat.
+    """
+    meds = df.groupBy(group_col).agg(F.median(value_col).alias("__med__"))
+    z = df.join(F.broadcast(meds), group_col).select(
+        group_col, F.abs(F.col(value_col) - F.col("__med__")).alias("__z__")
+    )
+    out = anova_oneway(z, "__z__", group_col)
+    return out.selectExpr("n", "k", "f_stat AS w_stat")

@@ -830,3 +830,43 @@ def q125(spark, sf_dir):
         F.round("mean_diff", 6).alias("mean_diff"),
         F.round("t_stat", 6).alias("t_stat"),
     )
+
+
+# --- q165: Levene/Brown-Forsythe variance homogeneity across market
+# segments (robust complement to q74 ANOVA): W = ANOVA F over
+# |x - group median| ----------------------------------------------------------
+@query(
+    "q165_levene_variance_homogeneity",
+    oracle="""
+    WITH meds AS (
+        SELECT c_mktsegment, MEDIAN(c_acctbal) AS med
+        FROM customer GROUP BY c_mktsegment
+    ),
+    z AS (
+        SELECT c.c_mktsegment, ABS(c.c_acctbal - m.med) AS z
+        FROM customer c JOIN meds m ON m.c_mktsegment = c.c_mktsegment
+    ),
+    per_g AS (
+        SELECT c_mktsegment,
+               COUNT(z) AS n_g,
+               CAST(SUM(CAST(ROUND(z, 2) AS DECIMAL(32, 2))) AS DOUBLE) AS s_g,
+               CAST(SUM(CAST(ROUND(z * z, 4) AS DECIMAL(32, 4))) AS DOUBLE) AS ss_g
+        FROM z GROUP BY c_mktsegment
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k,
+               SUM(s_g) AS s, SUM(ss_g) AS ss,
+               SUM(s_g * s_g / n_g) AS sgg
+        FROM per_g
+    )
+    SELECT n, k,
+           ROUND(((sgg - s * s / n) / (k - 1)) / ((ss - sgg) / (n - k)), 6) AS w_stat
+    FROM tot
+    """,
+)
+def q165(spark, sf_dir):
+    from pandrs_spark.operators.hypothesis import levene_test
+
+    cust = T(spark, sf_dir, "customer")
+    res = levene_test(cust, "c_acctbal", "c_mktsegment")
+    return res.select("n", "k", F.round("w_stat", 6).alias("w_stat"))

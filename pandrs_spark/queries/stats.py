@@ -689,3 +689,71 @@ def q157(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q166: Benford first-digit audit over order totals (data-quality
+# forensics: fabricated numerics drift from log-uniform digits). First
+# significant digit via decimal rendering (engine-stable, no log10
+# boundary risk); chi-square vs the Benford expectation ----------------------
+@query(
+    "q166_benford_digit_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') AS INT) AS d
+        FROM orders
+    ),
+    obs AS (SELECT d, COUNT(*) AS o FROM digits GROUP BY d),
+    n_tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    filled AS (
+        SELECT g.d,
+               COALESCE(obs.o, 0) AS o,
+               n_tot.n * LOG10(1.0 + 1.0 / g.d) AS e
+        FROM generate_series(1, 9) AS g(d)
+        LEFT JOIN obs ON obs.d = g.d
+        CROSS JOIN n_tot
+    )
+    SELECT CAST(d AS INT) AS digit,
+           CAST(o AS BIGINT) AS observed,
+           ROUND(e, 4) AS expected,
+           ROUND(SUM((o - e) * (o - e) / e) OVER (), 4) AS chi2
+    FROM filled
+    ORDER BY digit
+    """,
+)
+def q166(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("o"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    n = digits.count()
+    full = (
+        grid.join(obs.withColumnRenamed("d", "digit"), "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("o", F.lit(0)).alias("observed"),
+            (F.lit(float(n)) * F.log10(1.0 + 1.0 / F.col("digit"))).alias("e"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        full.select(
+            "digit",
+            "observed",
+            F.round("e", 4).alias("expected"),
+            F.round(
+                F.sum(
+                    (F.col("observed") - F.col("e"))
+                    * (F.col("observed") - F.col("e"))
+                    / F.col("e")
+                ).over(w),
+                4,
+            ).alias("chi2"),
+        )
+        .orderBy("digit")
+    )

@@ -111,3 +111,25 @@ def test_paired_ttest_drops_null_pairs(spark):
     )
     r = paired_ttest(df, "a", "b").first()
     assert r["n"] == 3  # only complete pairs
+
+
+def test_levene_equal_variances_near_one(spark):
+    from pandrs_spark.operators.hypothesis import levene_test
+
+    # two groups drawn from the same deterministic pattern -> W ~ small
+    rows = [(g, float((i * 7) % 11)) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    w = levene_test(df, "x", "g").first()
+    assert w["k"] == 2 and w["n"] == 100
+    assert abs(w["w_stat"]) < 0.2  # identical dispersion -> no signal
+
+
+def test_levene_detects_unequal_spread(spark):
+    from pandrs_spark.operators.hypothesis import levene_test
+
+    rows = [("tight", float(i % 3)) for i in range(60)] + [
+        ("wide", float((i * 13) % 100)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    w = levene_test(df, "x", "g").first()
+    assert w["w_stat"] > 50
