@@ -26,6 +26,7 @@ __all__ = [
     "asof_join",
     "broadcast_merge",
     "range_join",
+    "upsert_latest",
 ]
 
 
@@ -269,3 +270,32 @@ def salted_join(
         "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_left.join(salted_right, keys + ["__salt__"], how).drop("__salt__")
+
+
+def upsert_latest(
+    base: DataFrame, updates: DataFrame, keys, version_col: str
+) -> DataFrame:
+    """MERGE-style upsert without a table format: union base and
+    updates, keep the highest-``version_col`` row per key (ties break
+    toward the updates side). The SCD-1 maintenance shape — one
+    shuffle on the keys; at warehouse scale you would bucket both
+    sides on ``keys`` to make the window co-located.
+
+    Reference analogue: pandas_compat ``update`` (:3110) and
+    ``combine`` (:3160) only patch matching rows; upsert also APPENDS
+    unmatched update rows, which those can't express.
+    """
+    from pyspark.sql import Window
+
+    kb = list(keys)
+    tagged = base.withColumn("__side__", F.lit(0)).unionByName(
+        updates.withColumn("__side__", F.lit(1))
+    )
+    w = Window.partitionBy(*kb).orderBy(
+        F.col(version_col).desc(), F.col("__side__").desc()
+    )
+    return (
+        tagged.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__side__")
+    )

@@ -1292,3 +1292,100 @@ def q164(spark, sf_dir):
         orphans(li, supp, "l_suppkey", "s_suppkey", "lineitem->supplier"),
     ]
     return spark.createDataFrame(rows, "fk string, orphans long").orderBy("fk")
+
+
+# --- q167: fuzzy name matching by edit distance — broadcast probe set
+# against the part names, keep the best match per probe (entity-
+# resolution primitive; levenshtein is builtin in both engines) --------------
+@query(
+    "q167_fuzzy_part_match",
+    oracle="""
+    WITH probes(probe) AS (VALUES ('steal blanched tomatoe'),
+                                  ('forrest green chocolat'),
+                                  ('miidnight lnen corn')),
+    scored AS (
+        SELECT pr.probe, p.p_name,
+               levenshtein(pr.probe, p.p_name) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY pr.probe
+                                  ORDER BY levenshtein(pr.probe, p.p_name), p.p_name) AS rn
+        FROM probes pr CROSS JOIN part p
+    )
+    SELECT probe, p_name AS best_match, CAST(dist AS INT) AS edit_distance
+    FROM scored WHERE rn = 1
+    ORDER BY probe
+    """,
+)
+def q167(spark, sf_dir):
+    part = T(spark, sf_dir, "part")
+    probes = spark.createDataFrame(
+        [("steal blanched tomatoe",), ("forrest green chocolat",), ("miidnight lnen corn",)],
+        "probe string",
+    )
+    scored = part.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        "p_name",
+        F.levenshtein("probe", "p_name").alias("dist"),
+    )
+    w = Window.partitionBy("probe").orderBy("dist", "p_name")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe",
+            F.col("p_name").alias("best_match"),
+            F.col("dist").cast("int").alias("edit_distance"),
+        )
+        .orderBy("probe")
+    )
+
+
+# --- q168: MERGE-style upsert — "orders" base patched by a derived
+# updates set (price bump on urgent orders) plus appended synthetic
+# rows; latest version per key wins ------------------------------------------
+@query(
+    "q168_upsert_latest_orders",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+               2 AS version
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, 1 AS version FROM orders
+    ),
+    unioned AS (
+        SELECT *, 0 AS side FROM base
+        UNION ALL
+        SELECT *, 1 AS side FROM updates
+    ),
+    ranked AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, version,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY version DESC, side DESC) AS rn
+        FROM unioned
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           ROUND((CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0), 2) AS total_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q168(spark, sf_dir):
+    from pandrs_spark.operators.joins import upsert_latest
+
+    orders = T(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    merged = upsert_latest(base, updates, ["o_orderkey"], "version")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("version") == 2).cast("long")).alias("n_updated"),
+        F.round(dsum("o_totalprice", 2), 2).alias("total_value"),
+    )

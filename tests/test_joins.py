@@ -207,3 +207,28 @@ def test_range_join_extra_keys(spark):
     )
     out = range_join(pts, iv, "x", "lo", "hi", bucket_width=4.0, extra_on="grp")
     assert [(r.grp, r.x) for r in out.collect()] == [("a", 5.0)]
+
+
+def test_upsert_latest_patches_and_appends(spark):
+    from pandrs_spark.operators.joins import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, version int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (3, "c", 2)], "k long, v string, version int"
+    )
+    out = {r["k"]: r for r in upsert_latest(base, updates, ["k"], "version").collect()}
+    assert len(out) == 3
+    assert out[1]["v"] == "a"      # untouched base row survives
+    assert out[2]["v"] == "B"      # matched row patched
+    assert out[3]["v"] == "c"      # unmatched update appended
+
+
+def test_upsert_latest_tie_prefers_updates(spark):
+    from pandrs_spark.operators.joins import upsert_latest
+
+    base = spark.createDataFrame([(1, "old", 5)], "k long, v string, version int")
+    updates = spark.createDataFrame([(1, "new", 5)], "k long, v string, version int")
+    out = upsert_latest(base, updates, ["k"], "version").first()
+    assert out["v"] == "new"
