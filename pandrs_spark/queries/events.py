@@ -531,3 +531,100 @@ def q162(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_k")
     )
+
+
+# --- q169: time-to-convert distribution — hours from first signup to
+# the first purchase after it, summarized with exact interpolated
+# quantiles -------------------------------------------------------------------
+@query(
+    "q169_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(e.ts) AS t1
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT date_diff('second', s.t0, p.t1) / 3600.0 AS hours
+        FROM s JOIN p ON p.user_id = s.user_id
+        WHERE s.t0 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(hours, 0.5), 4) AS median_hours,
+           ROUND(quantile_cont(hours, 0.9), 4) AS p90_hours,
+           ROUND(MIN(hours), 4) AS min_hours,
+           ROUND(MAX(hours), 4) AS max_hours
+    FROM d
+    """,
+)
+def q169(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    d = s.join(p, "user_id").select(
+        (
+            (F.unix_timestamp("t1") - F.unix_timestamp("t0")) / 3600.0
+        ).alias("hours")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.5)), 4).alias("median_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 4).alias("p90_hours"),
+        F.round(F.min("hours"), 4).alias("min_hours"),
+        F.round(F.max("hours"), 4).alias("max_hours"),
+    )
+
+
+# --- q170: event-type transition matrix (first-order Markov): counts
+# and P(next | prev) from one lag window per user -----------------------------
+@query(
+    "q170_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p_next
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+)
+def q170(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
