@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "char_entropy",
     "gopher_quality_flags",
+    "tf_idf_top_terms",
     "tokens",
     "token_count",
     "shingles",
@@ -166,4 +167,35 @@ def gopher_quality_flags(col: Column | str, k: int = 3) -> Column:
         mean_word_len.alias("mean_word_len"),
         frac_alpha.alias("frac_alpha_words"),
         dup_frac.alias("dup_ngram_frac"),
+    )
+
+
+def tf_idf_top_terms(
+    df, text_col: str, id_col: str, top_k: int = 3
+):
+    """TF-IDF with the raw-count/ln(N/df) formulation, returning the
+    ``top_k`` highest-scoring terms per document (ties break
+    lexicographically). Three aggregations — term counts per doc,
+    document frequency per term, corpus size — all partial-aggregated;
+    the per-doc ranking is one window over the (doc, term) table.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "rank", "term", "tf", "tfidf")
     )

@@ -704,3 +704,47 @@ def q160(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# --- q171: TF-IDF top terms per document (raw-count tf, ln(N/df) idf;
+# the bag-of-words feature extractor for retrieval/clustering) ---------------
+@query(
+    "q171_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest({_WS}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT id, term, COUNT(*) AS tf FROM tok WHERE term <> ''
+        GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.id, tf.term, tf.tf,
+               tf.tf * LN(n.n_docs * 1.0 / dfreq.df) AS tfidf
+        FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT id, term, tf, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(tfidf, 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    ORDER BY id, rank
+    """,
+)
+def q171(spark, sf_dir):
+    from pandrs_spark.operators.text import tf_idf_top_terms
+
+    docs = T(spark, sf_dir, "documents")
+    out = tf_idf_top_terms(docs, "text", "doc_id", top_k=3)
+    return out.select(
+        "id",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        "tf",
+        F.round("tfidf", 6).alias("tfidf"),
+    ).orderBy("id", "rank")

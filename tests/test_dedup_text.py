@@ -133,3 +133,22 @@ def test_gopher_flags_repetitive_doc(spark):
     assert got["clean"]["dup_ngram_frac"] == 0.0
     assert got["clean"]["frac_alpha_words"] == 1.0
     assert 3.0 < got["clean"]["mean_word_len"] < 5.0
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from pandrs_spark.operators.text import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words here also"),
+            (3, "common stuff again too"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tf_idf_top_terms(df, "text", "doc_id", top_k=1).collect()
+    top = {r["id"]: r["term"] for r in out}
+    # 'common' appears in every doc (idf=0); the rare term wins despite tf=3
+    assert top[1] == "zebra"
+    doc1 = [r for r in out if r["id"] == 1][0]
+    assert doc1["tfidf"] > 0
