@@ -17,6 +17,7 @@ __all__ = [
     "char_entropy",
     "gopher_quality_flags",
     "tf_idf_top_terms",
+    "bm25_search",
     "tokens",
     "token_count",
     "shingles",
@@ -198,4 +199,64 @@ def tf_idf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("id", "rank", "term", "tf", "tfidf")
+    )
+
+
+def _dsum9(col):
+    # per-doc term-score sums are tiny but float-order-dependent across
+    # partitionings; quantize so ranking is engine-deterministic
+    from pandrs_spark.functions.deterministic import dsum
+
+    return dsum(col, 9)
+
+
+def bm25_search(
+    df, text_col: str, id_col: str, query_terms, k1: float = 1.2, b: float = 0.75, top_k: int = 10
+):
+    """BM25 ranking of documents against a bag of query terms (the
+    lexical-retrieval standard; pairs with the embedding ANN operators
+    for hybrid search). Same tf/df aggregations as TF-IDF plus a
+    per-doc length normalization; the query term set is a broadcast
+    filter so scoring touches only postings of the query terms.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    doclen = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.select(id_col).distinct().count()
+    avg_dl = doclen.agg((F.sum("dl") / F.count(F.lit(1))).alias("a")).first()["a"]
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        tok.filter(F.col("term").isin(qt))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "id")
+        .select(
+            "id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(float(avg_dl)))
+                )
+            ).alias("s"),
+        )
+        .groupBy("id")
+        .agg(_dsum9("s").alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "id", "bm25")
     )

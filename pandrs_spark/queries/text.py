@@ -748,3 +748,59 @@ def q171(spark, sf_dir):
         "tf",
         F.round("tfidf", 6).alias("tfidf"),
     ).orderBy("id", "rank")
+
+
+# --- q172: BM25 lexical retrieval for a fixed query-term bag (k1=1.2,
+# b=0.75) — pairs with q34/q88/q121 vector ANN for hybrid search -------------
+_BM25_TERMS = ("window", "hash", "stream")
+_Q172_SCORE = (
+    "LN(((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * 2.2)"
+    " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (SELECT a FROM avg_dl)))"
+)
+
+
+@query(
+    "q172_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest({_WS}) AS term FROM documents
+    ),
+    clean AS (SELECT id, term FROM tok WHERE term <> ''),
+    doclen AS (SELECT id, COUNT(*) AS dl FROM clean GROUP BY id),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    avg_dl AS (SELECT SUM(dl) * 1.0 / COUNT(*) AS a FROM doclen),
+    tf AS (
+        SELECT id, term, COUNT(*) AS tf FROM clean
+        WHERE term IN ('window', 'hash', 'stream')
+        GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.id,
+               (CAST(SUM(CAST(SIGN({_Q172_SCORE}) * FLOOR(ABS({_Q172_SCORE}) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) AS bm25
+        FROM tf
+        JOIN dfreq ON dfreq.term = tf.term
+        JOIN doclen ON doclen.id = tf.id
+        GROUP BY tf.id
+    ),
+    ranked AS (
+        SELECT id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS rank
+        FROM scored
+    )
+    SELECT CAST(rank AS INT) AS rank, id, ROUND(bm25, 6) AS bm25
+    FROM ranked WHERE rank <= 10
+    ORDER BY rank
+    """,
+)
+def q172(spark, sf_dir):
+    from pandrs_spark.operators.text import bm25_search
+
+    docs = T(spark, sf_dir, "documents")
+    out = bm25_search(docs, "text", "doc_id", _BM25_TERMS, top_k=10)
+    return out.select(
+        F.col("rank").cast("int").alias("rank"),
+        "id",
+        F.round("bm25", 6).alias("bm25"),
+    ).orderBy("rank")

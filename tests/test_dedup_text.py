@@ -152,3 +152,24 @@ def test_tfidf_prefers_rare_terms(spark):
     assert top[1] == "zebra"
     doc1 = [r for r in out if r["id"] == 1][0]
     assert doc1["tfidf"] > 0
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from pandrs_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join window"),
+            (2, "window window window window window padding"),
+            (3, "no relevant terms at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(df, "text", "doc_id", ["window"], top_k=5).collect()
+    ids = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 3 not in ids              # zero-match docs don't score
+    assert set(ids) == {1, 2}
+    # saturation: 5x repetition beats 1x but not by 5x
+    scores = {r["id"]: r["bm25"] for r in out}
+    assert scores[2] > scores[1]
+    assert scores[2] < 3 * scores[1]
