@@ -804,3 +804,113 @@ def q172(spark, sf_dir):
         "id",
         F.round("bm25", 6).alias("bm25"),
     ).orderBy("rank")
+
+
+# --- q173: hybrid retrieval — reciprocal-rank fusion of the BM25
+# lexical ranking (q172) and the embedding-cosine ranking (q34 shape):
+# rrf = sum over systems of 1/(60 + rank). The standard hybrid-search
+# combiner; both legs reuse their ranking CTEs unchanged ---------------------
+@query(
+    "q173_hybrid_rrf_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest({_WS}) AS term FROM documents
+    ),
+    clean AS (SELECT id, term FROM tok WHERE term <> ''),
+    doclen AS (SELECT id, COUNT(*) AS dl FROM clean GROUP BY id),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    avg_dl AS (SELECT SUM(dl) * 1.0 / COUNT(*) AS a FROM doclen),
+    tf AS (
+        SELECT id, term, COUNT(*) AS tf FROM clean
+        WHERE term IN ('window', 'hash', 'stream')
+        GROUP BY id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lex AS (
+        SELECT tf.id,
+               (CAST(SUM(CAST(SIGN({_Q172_SCORE}) * FLOOR(ABS({_Q172_SCORE}) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) AS bm25
+        FROM tf
+        JOIN dfreq ON dfreq.term = tf.term
+        JOIN doclen ON doclen.id = tf.id
+        GROUP BY tf.id
+    ),
+    lex_rank AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS rl
+        FROM lex QUALIFY rl <= 50
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    vec_rank AS (
+        SELECT vec_id AS id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v), 6) DESC,
+                            vec_id
+               ) AS rv
+        FROM embeddings, qv
+        WHERE vec_id <> 0
+        QUALIFY rv <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(l.id, v.id) AS id,
+               COALESCE(1.0 / (60 + l.rl), 0.0) + COALESCE(1.0 / (60 + v.rv), 0.0) AS rrf,
+               l.rl AS lex_rank, v.rv AS vec_rank
+        FROM lex_rank l FULL OUTER JOIN vec_rank v ON v.id = l.id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS INT) AS rank,
+           id, ROUND(rrf, 6) AS rrf,
+           CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+    FROM fused
+    QUALIFY rank <= 10
+    ORDER BY rank
+    """,
+)
+def q173(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.similarity import cosine
+    from pandrs_spark.operators.text import bm25_search
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+
+    lex = bm25_search(docs, "text", "doc_id", _BM25_TERMS, top_k=50).select(
+        "id", F.col("rank").alias("rl")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine(F.col("embedding").cast("array<double>"), F.col("v")).alias("sim"),
+        )
+    )
+    wv = Window.orderBy(F.round(F.col("sim"), 6).desc(), "id")
+    vec = (
+        sims.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= 50)
+        .select("id", "rv")
+    )
+    fused = lex.join(vec, "id", "outer").select(
+        "id",
+        (
+            F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rv")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("rl").alias("lex_rank"),
+        F.col("rv").alias("vec_rank"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), "id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "id",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+        )
+        .orderBy("rank")
+    )
