@@ -108,3 +108,48 @@ def test_ffill_matches_pandas(spark, vals):
             assert g is None
         else:
             assert g == e
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.text("ab", min_size=1, max_size=3), st.integers(1, 5)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_upsert_latest_is_idempotent(spark, rows):
+    from pandrs_spark.operators.joins import upsert_latest
+
+    df = spark.createDataFrame(rows, "k int, v string, version int")
+    updates = df.limit(0)
+    once = upsert_latest(df, updates, ["k"], "version")
+    twice = upsert_latest(once, updates, ["k"], "version")
+    assert sorted(once.collect()) == sorted(twice.collect())
+    # exactly one row per key
+    keys = [r["k"] for r in once.collect()]
+    assert len(keys) == len(set(keys))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(1, 400), st.integers(1, 16))
+def test_deterministic_sample_partition_invariant(spark, n, parts):
+    from pandrs_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    a = {r["id"] for r in deterministic_sample(df.repartition(1), ["id"], 0.5).collect()}
+    b = {r["id"] for r in deterministic_sample(df.repartition(parts), ["id"], 0.5).collect()}
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(min_size=0, max_size=12), st.integers(0, 6), st.integers(0, 8))
+def test_slice_replace_matches_pandas(spark, s, start, stop):
+    from pandrs_spark.frame import str_
+
+    if stop < start:
+        stop = start
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(str_("t").slice_replace(start, stop, "XY").alias("r")).first()["r"]
+    expected = pd.Series([s]).str.slice_replace(start, stop, "XY").iloc[0]
+    assert got == expected
