@@ -1389,3 +1389,56 @@ def q168(spark, sf_dir):
         F.sum((F.col("version") == 2).cast("long")).alias("n_updated"),
         F.round(dsum("o_totalprice", 2), 2).alias("total_value"),
     )
+
+
+# --- q174: CSV + JSON round-trip through sources/io.py — write a
+# projected slice, read it back through both formats, and aggregate;
+# the oracle aggregates the original table, so any loss or mangling in
+# the sink/source path hash-mismatches. Exact-valued columns only
+# (integers/strings) so text formats are lossless ----------------------------
+@query(
+    "q174_io_roundtrip_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q174(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pandrs_spark.sources.io import read_csv, read_json, write_csv, write_json
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        "l_orderkey",
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"pandrs_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    write_csv(li, f"{base}_csv")
+    write_json(li, f"{base}_json")
+    from_csv = read_csv(spark, f"{base}_csv").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("l_quantity"), "l_orderkey"
+    )
+    from_json = read_json(spark, f"{base}_json").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("l_quantity"), "l_orderkey"
+    )
+
+    def agg(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+
+    a, b = agg(from_csv), agg(from_json)
+    # both paths must agree — the intersection collapses to one copy
+    # only when CSV and JSON round-trips are value-identical
+    return a.intersect(b).orderBy("l_returnflag")
