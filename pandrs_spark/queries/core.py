@@ -1424,7 +1424,8 @@ def q174(spark, sf_dir):
     )
     write_csv(li, f"{base}_csv")
     write_json(li, f"{base}_json")
-    from_csv = read_csv(spark, f"{base}_csv").select(
+    schema = "l_returnflag string, l_quantity long, l_orderkey long"
+    from_csv = read_csv(spark, f"{base}_csv", schema=schema).select(
         "l_returnflag", F.col("l_quantity").cast("long").alias("l_quantity"), "l_orderkey"
     )
     from_json = read_json(spark, f"{base}_json").select(
