@@ -220,11 +220,40 @@ class Frame:
     def filter(self, cond: Column | str) -> "Frame":
         return self._wrap(self._df.filter(cond))
 
-    def query(self, expr: str) -> "Frame":
+    def query(self, expr: str, **params: Any) -> "Frame":
         """String-expression filter — the reference's whole query DSL
         (src/dataframe/query/engine.rs:32, ~1700 LoC of lexer/parser/
-        JIT) is Catalyst's SQL parser here."""
+        JIT) is Catalyst's SQL parser here.
+
+        pandas ``@variable`` references bind from keyword arguments:
+        ``f.query("bal > @lo and seg == @seg", lo=100, seg="AUTO")`` —
+        values are spliced as SQL literals (numbers/strings/bools/lists).
+        """
+        if params:
+            for name, val in params.items():
+                expr = expr.replace(f"@{name}", self._sql_literal(val))
         return self.filter(expr)
+
+    @staticmethod
+    def _sql_literal(val: Any) -> str:
+        if isinstance(val, bool):
+            return "TRUE" if val else "FALSE"
+        if isinstance(val, (int, float)):
+            return repr(val)
+        if isinstance(val, str):
+            escaped = val.replace("'", "''")
+            return f"'{escaped}'"
+        if isinstance(val, (list, tuple, set)):
+            return "(" + ", ".join(Frame._sql_literal(v) for v in sorted(val) if True) + ")"
+        raise TypeError(f"unsupported @param type: {type(val).__name__}")
+
+    def eval(self, assignment: str) -> "Frame":
+        """pandas ``df.eval("out = expr")``: evaluate a column expression
+        and assign it (Catalyst parses the right-hand side)."""
+        name, _, rhs = assignment.partition("=")
+        if not rhs:
+            raise ValueError("eval expects 'name = expression'")
+        return self.assign(**{name.strip(): F.expr(rhs.strip())})
 
     def isin(self, col: str, values: Sequence[Any]) -> "Frame":
         return self.filter(F.col(col).isin(*values))

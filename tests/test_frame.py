@@ -464,3 +464,32 @@ def test_stack_unstack_roundtrip(spark):
     wide = long.unstack(["k"]).sort_values("k")
     rows = {r["k"]: r for r in wide.spark.collect()}
     assert rows["x"]["a"] == 1.0 and rows["y"]["b"] == 20.0
+
+
+def test_query_at_params(spark):
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame(
+        [(1, 50.0, "AUTO"), (2, 150.0, "AUTO"), (3, 200.0, "HOUSE")],
+        "id long, bal double, seg string",
+    )
+    out = Frame(df).query("bal > @lo and seg == @seg", lo=100, seg="AUTO")
+    assert [r["id"] for r in out.spark.collect()] == [2]
+    out2 = Frame(df).query("seg in @segs", segs=["AUTO", "HOUSE"])
+    assert out2.spark.count() == 3
+
+
+def test_query_param_escapes_quotes(spark):
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame([("o'brien",), ("smith",)], "name string")
+    out = Frame(df).query("name == @n", n="o'brien")
+    assert out.spark.count() == 1
+
+
+def test_eval_assignment(spark):
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame([(2.0, 3.0)], "a double, b double")
+    out = Frame(df).eval("c = a * b + 1")
+    assert out.spark.first()["c"] == 7.0
