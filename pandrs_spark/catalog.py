@@ -77,16 +77,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read it as raw nanos and rebuild a (truncating)
-        # microsecond timestamp — same value DuckDB produces.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects unless nanosAsLong is set) and
+        # plain timestamp[us] (read natively). Dispatch on the arriving
+        # dtype: only rebuild a (truncating) microsecond timestamp — the
+        # same value DuckDB produces — when the column comes back as raw
+        # nanos (bigint); pass native timestamp columns through unchanged.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # Session timezone is pinned to UTC (session.py), so this cast
+            # is wall-clock-preserving and matches DuckDB's naive read.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

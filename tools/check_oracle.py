@@ -66,6 +66,24 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # Preflight the loader itself so one bad table reports as ONE failure
+    # (the loader as a component), not as twenty query failures.
+    from pandrs_spark.catalog import load_table
+
+    broken_tables: dict[str, str] = {}
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).schema
+        except Exception as e:  # noqa: BLE001
+            broken_tables[t] = str(e).splitlines()[0][:200]
+    if broken_tables:
+        for t, err in broken_tables.items():
+            print(f"LOADER FAIL {t}: {err}")
+        print(
+            "component failure: table loader — fix pandrs_spark/catalog.py "
+            "before reading per-query results"
+        )
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -111,7 +129,9 @@ def main() -> int:
             print(f"PASS {name} ({len(cs)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(qs)} queries total")
-    return 1 if n_fail else 0
+    if broken_tables:
+        print(f"loader broken for: {sorted(broken_tables)}")
+    return 1 if n_fail or broken_tables else 0
 
 
 if __name__ == "__main__":
