@@ -48,13 +48,19 @@ def _missing(df: DataFrame, name: str) -> Column:
 class Frame:
     """Lazy pandas-like frame. Wraps (never copies) a Spark DataFrame."""
 
-    def __init__(self, df: DataFrame, order_col: str | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        order_col: str | None = None,
+        index: Sequence[str] = (),
+    ):
         if order_col is None:
             if ORDER_COL not in df.columns:
                 df = df.withColumn(ORDER_COL, F.monotonically_increasing_id())
             order_col = ORDER_COL
         self._df = df
         self._order = order_col
+        self._index = tuple(c for c in index if c in df.columns)
 
     # -- plumbing ------------------------------------------------------------
     @property
@@ -63,15 +69,27 @@ class Frame:
         return self._df.drop(self._order)
 
     def _wrap(self, df: DataFrame) -> "Frame":
-        return Frame(df, self._order if self._order in df.columns else None)
+        return Frame(
+            df,
+            self._order if self._order in df.columns else None,
+            self._index,
+        )
 
     @property
     def columns(self) -> list[str]:
-        return [c for c in self._df.columns if c != self._order]
+        """Data columns — the order column and index levels are hidden,
+        mirroring pandas (index is not in ``df.columns``)."""
+        return [
+            c for c in self._df.columns if c != self._order and c not in self._index
+        ]
 
     @property
     def dtypes(self) -> list[tuple[str, str]]:
-        return [(n, t) for n, t in self._df.dtypes if n != self._order]
+        return [
+            (n, t)
+            for n, t in self._df.dtypes
+            if n != self._order and n not in self._index
+        ]
 
     def __getitem__(self, key):
         if isinstance(key, str):
@@ -87,7 +105,10 @@ class Frame:
 
     # -- projections (§2.2) --------------------------------------------------
     def select(self, *cols: str | Column) -> "Frame":
-        return self._wrap(self._df.select(F.col(self._order), *cols))
+        carry = [F.col(self._order)] + [
+            F.col(c) for c in self._index if c not in cols
+        ]
+        return self._wrap(self._df.select(*carry, *cols))
 
     def select_columns(self, cols: Sequence[str]) -> "Frame":
         return self.select(*cols)
@@ -155,16 +176,29 @@ class Frame:
         broadcasts; values resolve via a CASE over the (static) column
         names, so the big side is scanned once."""
         spark = self._df.sparkSession
+        value_cols = [c for c in self.columns if c != key_col]
+        if not value_cols:
+            raise ValueError(
+                f"lookup: frame has no columns besides key column {key_col!r}"
+            )
+        unknown = {c for _, c in pairs} - set(value_cols)
+        if unknown:
+            raise KeyError(f"lookup: unknown column(s) {sorted(unknown)}")
         spec = spark.createDataFrame(
             [(k, c) for k, c in pairs], f"__key__ {self._df.schema[key_col].dataType.simpleString()}, __col__ string"
         )
+        # The CASE branches must share one type; keep the native type when
+        # all requested columns agree, otherwise fall back to string.
+        dtypes = dict(self.dtypes)
+        requested = {dtypes[c] for _, c in pairs} or {dtypes[value_cols[0]]}
+        cast_to = requested.pop() if len(requested) == 1 else "string"
         value = None
-        for c in self.columns:
-            if c == key_col:
-                continue
-            branch = F.when(F.col("__col__") == c, F.col(c).cast("string"))
-            value = branch if value is None else value.when(
-                F.col("__col__") == c, F.col(c).cast("string")
+        for c in value_cols:
+            value_expr = F.col(c).cast(cast_to)
+            value = (
+                F.when(F.col("__col__") == c, value_expr)
+                if value is None
+                else value.when(F.col("__col__") == c, value_expr)
             )
         out = (
             self.spark.join(
@@ -216,6 +250,92 @@ class Frame:
         keep = [n for n, t in self.dtypes if t in include]
         return self.select(*keep)
 
+    # -- index emulation (§2.2; reference src/index/multi_index.rs:12,
+    # src/dataframe/advanced_indexing.rs:127). The "index" is a tuple of
+    # ordinary key columns hidden from ``columns`` — exactly how an index
+    # should exist on a distributed engine: grouping/joining on it is a
+    # plain shuffle key, never a driver-side label structure. Multiple
+    # levels = MultiIndex. ------------------------------------------------
+    @property
+    def index_names(self) -> tuple[str, ...]:
+        return self._index
+
+    def set_index(
+        self,
+        keys: str | Sequence[str],
+        drop: bool = True,
+        append: bool = False,
+    ) -> "Frame":
+        """pandas ``set_index``: promote column(s) to index levels.
+        ``drop=False`` keeps a visible copy of the column alongside the
+        index level; ``append=True`` adds to the existing levels."""
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        missing = [k for k in keys if k not in self._df.columns]
+        if missing:
+            raise KeyError(f"set_index: unknown column(s) {missing}")
+        df = self._df
+        index = list(self._index) if append else []
+        for k in keys:
+            if k in index:
+                raise ValueError(f"set_index: duplicate level {k!r}")
+            if not drop:
+                # index level lives under a shadow name; the original
+                # column stays visible.
+                shadow = f"__index_{k}__"
+                df = df.withColumn(shadow, F.col(k))
+                index.append(shadow)
+            else:
+                index.append(k)
+        return Frame(df, self._order, index)
+
+    def reset_index(self, drop: bool = False) -> "Frame":
+        """pandas ``reset_index``: demote all index levels back to data
+        columns (``drop=True`` discards them)."""
+        df = self._df
+        if drop:
+            df = df.drop(*self._index)
+        else:
+            for lv in self._index:
+                if lv.startswith("__index_") and lv.endswith("__"):
+                    public = lv[len("__index_"):-2]
+                    if public in df.columns:
+                        df = df.drop(lv)  # drop=False kept the original
+                    else:
+                        df = df.withColumnRenamed(lv, public)
+        return Frame(df, self._order, ())
+
+    def droplevel(self, level: int | str) -> "Frame":
+        lv = self._index[level] if isinstance(level, int) else level
+        if lv not in self._index:
+            raise KeyError(f"droplevel: no index level {level!r}")
+        return Frame(
+            self._df.drop(lv), self._order, [c for c in self._index if c != lv]
+        )
+
+    def swaplevel(self, i: int = 0, j: int = 1) -> "Frame":
+        index = list(self._index)
+        index[i], index[j] = index[j], index[i]
+        return Frame(self._df, self._order, index)
+
+    def sort_index(self, ascending: bool = True) -> "Frame":
+        if not self._index:
+            raise ValueError("sort_index: frame has no index")
+        out = self.sort_values(list(self._index), ascending=ascending)
+        return Frame(out._df, out._order, self._index)
+
+    def groupby_level(self, *levels: int | str) -> "FrameGroupBy":
+        """GroupBy on index level(s) (pandas ``groupby(level=...)``);
+        no levels → all of them."""
+        if not self._index:
+            raise ValueError("groupby_level: frame has no index")
+        if levels:
+            cols = [
+                self._index[lv] if isinstance(lv, int) else lv for lv in levels
+            ]
+        else:
+            cols = list(self._index)
+        return FrameGroupBy(self, cols)
+
     # -- filtering (§2.2) ----------------------------------------------------
     def filter(self, cond: Column | str) -> "Frame":
         return self._wrap(self._df.filter(cond))
@@ -230,21 +350,35 @@ class Frame:
         values are spliced as SQL literals (numbers/strings/bools/lists).
         """
         if params:
-            for name, val in params.items():
-                expr = expr.replace(f"@{name}", self._sql_literal(val))
+            import re
+
+            def _sub(m: "re.Match[str]") -> str:
+                name = m.group(1)
+                if name not in params:
+                    raise KeyError(f"query(): no value supplied for @{name}")
+                return self._sql_literal(params[name])
+
+            expr = re.sub(r"@([A-Za-z_]\w*)", _sub, expr)
         return self.filter(expr)
 
     @staticmethod
     def _sql_literal(val: Any) -> str:
+        import math
+
         if isinstance(val, bool):
             return "TRUE" if val else "FALSE"
+        if isinstance(val, float) and not math.isfinite(val):
+            if math.isnan(val):
+                return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('{'-' if val < 0 else ''}Infinity' AS DOUBLE)"
         if isinstance(val, (int, float)):
             return repr(val)
         if isinstance(val, str):
             escaped = val.replace("'", "''")
             return f"'{escaped}'"
         if isinstance(val, (list, tuple, set)):
-            return "(" + ", ".join(Frame._sql_literal(v) for v in sorted(val) if True) + ")"
+            items = sorted(val, key=repr) if isinstance(val, set) else list(val)
+            return "(" + ", ".join(Frame._sql_literal(v) for v in items) + ")"
         raise TypeError(f"unsupported @param type: {type(val).__name__}")
 
     def eval(self, assignment: str) -> "Frame":
@@ -335,7 +469,16 @@ class Frame:
                 cond = cond & m
         return self._wrap(self._df.filter(~cond))
 
-    def fillna(self, value: Any | Mapping[str, Any]) -> "Frame":
+    def fillna(
+        self,
+        value: Any | Mapping[str, Any],
+        limit: int | None = None,
+        partition_by: Sequence[str] = (),
+    ) -> "Frame":
+        """Fill missing cells. ``limit=N`` fills only the first N missing
+        cells per column in frame order (pandas fillna limit semantics);
+        the running miss-count window is per ``partition_by`` group when
+        given (global limit is a head-of-frame convenience)."""
         items = value.items() if isinstance(value, Mapping) else [
             (c, value) for c in self.columns
         ]
@@ -343,30 +486,76 @@ class Frame:
         for c, v in items:
             if isinstance(v, str) != (dict(self.dtypes)[c] == "string"):
                 continue
+            miss = _missing(df, c)
+            if limit is not None:
+                w = (
+                    Window.partitionBy(*partition_by)
+                    .orderBy(self._order)
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                miss = miss & (F.sum(miss.cast("int")).over(w) <= limit)
             df = df.withColumn(
-                c, F.when(_missing(df, c), F.lit(v)).otherwise(F.col(c))
+                c, F.when(miss, F.lit(v)).otherwise(F.col(c))
             )
         return self._wrap(df)
 
-    def ffill(self, cols: Sequence[str], partition_by: Sequence[str] = ()) -> "Frame":
-        w = (
-            Window.partitionBy(*partition_by)
-            .orderBy(self._order)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        return self.assign(
-            **{c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
-        )
+    def ffill(
+        self,
+        cols: Sequence[str],
+        partition_by: Sequence[str] = (),
+        limit: int | None = None,
+    ) -> "Frame":
+        """Forward-fill; ``limit=N`` stops propagating N rows past the
+        last observation (pandas ffill limit)."""
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        back = w.rowsBetween(Window.unboundedPreceding, 0)
+        if limit is None:
+            return self.assign(
+                **{c: F.last(F.col(c), ignorenulls=True).over(back) for c in cols}
+            )
+        rn = F.row_number().over(w)
+        out = self._df.withColumn("__rn__", rn)
+        for c in cols:
+            v = F.col(c)
+            prev_i = F.last(
+                F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True
+            ).over(back)
+            filled = F.last(v, ignorenulls=True).over(back)
+            out = out.withColumn(
+                c,
+                F.when(v.isNotNull(), v).when(
+                    F.col("__rn__") - prev_i <= limit, filled
+                ),
+            )
+        return self._wrap(out.drop("__rn__"))
 
-    def bfill(self, cols: Sequence[str], partition_by: Sequence[str] = ()) -> "Frame":
-        w = (
-            Window.partitionBy(*partition_by)
-            .orderBy(self._order)
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        return self.assign(
-            **{c: F.first(F.col(c), ignorenulls=True).over(w) for c in cols}
-        )
+    def bfill(
+        self,
+        cols: Sequence[str],
+        partition_by: Sequence[str] = (),
+        limit: int | None = None,
+    ) -> "Frame":
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        fwd = w.rowsBetween(0, Window.unboundedFollowing)
+        if limit is None:
+            return self.assign(
+                **{c: F.first(F.col(c), ignorenulls=True).over(fwd) for c in cols}
+            )
+        rn = F.row_number().over(w)
+        out = self._df.withColumn("__rn__", rn)
+        for c in cols:
+            v = F.col(c)
+            next_i = F.first(
+                F.when(v.isNotNull(), F.col("__rn__")), ignorenulls=True
+            ).over(fwd)
+            filled = F.first(v, ignorenulls=True).over(fwd)
+            out = out.withColumn(
+                c,
+                F.when(v.isNotNull(), v).when(
+                    next_i - F.col("__rn__") <= limit, filled
+                ),
+            )
+        return self._wrap(out.drop("__rn__"))
 
     def replace(self, col: str, mapping: Mapping[Any, Any]) -> "Frame":
         c: Column = F.col(col)
@@ -385,29 +574,50 @@ class Frame:
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
         order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
         # Re-derive the order column so downstream order-dependent ops
-        # (head/shift/dedup) follow the new ordering.
-        w = Window.orderBy(*order, F.col(self._order))
-        df = self._df.withColumn(self._order, F.row_number().over(w))
+        # (head/shift/dedup) follow the new ordering. Partition-offset
+        # scheme (the DataFrame analogue of RDD.zipWithIndex): range-sort
+        # keeps every core busy, per-partition row_number stays parallel,
+        # and a tiny collected count-per-partition map supplies the global
+        # offsets — no single-partition Window.orderBy at any point.
+        sdf = (
+            self._df.orderBy(*order, F.col(self._order))
+            .withColumn("__pid__", F.spark_partition_id())
+        )
+        from pyspark import StorageLevel
+
+        # Persist so the offset job and the downstream plan see the SAME
+        # partition layout (spark_partition_id is only stable on a
+        # materialized partitioning).
+        sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = sdf.groupBy("__pid__").count().collect()
+        pairs: list = []
+        acc = 0
+        for row in sorted(counts, key=lambda r: r["__pid__"]):
+            pairs += [F.lit(row["__pid__"]), F.lit(acc)]
+            acc += row["count"]
+        if not pairs:
+            return self._wrap(sdf.drop("__pid__"))
+        offset = F.create_map(*pairs)[F.col("__pid__")]
+        w = Window.partitionBy("__pid__").orderBy(*order, F.col(self._order))
+        df = (
+            sdf.withColumn(
+                self._order, (offset + F.row_number().over(w)).cast("long")
+            )
+            .drop("__pid__")
+        )
         return self._wrap(df)
 
     def head(self, n: int = 5) -> "Frame":
-        w = Window.orderBy(self._order)
-        return self._wrap(
-            self._df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n)
-            .drop("__rn")
-        )
+        # orderBy+limit compiles to TakeOrderedAndProject — a parallel
+        # per-partition top-n plus a driver merge of n rows, not a
+        # single-partition global sort.
+        return self._wrap(self._df.orderBy(self._order).limit(n))
 
     def limit(self, n: int) -> "Frame":
         return self.head(n)
 
     def tail(self, n: int = 5) -> "Frame":
-        w = Window.orderBy(F.col(self._order).desc())
-        return self._wrap(
-            self._df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n)
-            .drop("__rn")
-        )
+        return self._wrap(self._df.orderBy(F.col(self._order).desc()).limit(n))
 
     def sample(self, frac: float, seed: int = 42) -> "Frame":
         return self._wrap(self._df.sample(fraction=frac, seed=seed))
@@ -601,20 +811,32 @@ class Frame:
     # -- positional access (§2.2 iloc/take/nth — anti-pattern at scale,
     # provided for API parity; compat :1787,:3411,:2096) ----------------------
     def iloc_range(self, start: int, stop: int) -> "Frame":
-        """Rows [start, stop) in frame order."""
-        w = Window.orderBy(self._order)
-        return self._wrap(
-            self._df.withColumn("__pos__", F.row_number().over(w) - 1)
-            .filter((F.col("__pos__") >= start) & (F.col("__pos__") < stop))
+        """Rows [start, stop) in frame order. head(stop) bounds the data
+        to ``stop`` rows via a parallel TakeOrdered merge first; the
+        position window then only ever sees that bounded set, never the
+        full frame."""
+        if stop <= start:
+            return self._wrap(self._df.limit(0))
+        bounded = self.head(stop)
+        w = Window.orderBy(bounded._order)
+        return bounded._wrap(
+            bounded._df.withColumn("__pos__", F.row_number().over(w) - 1)
+            .filter(F.col("__pos__") >= start)
             .drop("__pos__")
         )
 
     def take(self, indices: Sequence[int]) -> "Frame":
-        """Rows at the given positions (order preserved by row order)."""
-        w = Window.orderBy(self._order)
-        return self._wrap(
-            self._df.withColumn("__pos__", F.row_number().over(w) - 1)
-            .filter(F.col("__pos__").isin([int(i) for i in indices]))
+        """Rows at the given positions (order preserved by row order).
+        The window only ever sees max(indices)+1 rows (TakeOrdered
+        pre-bound), so the global orderBy is driver-bounded by design."""
+        idx = [int(i) for i in indices]
+        if not idx:
+            return self._wrap(self._df.limit(0))
+        bounded = self.head(max(idx) + 1)
+        w = Window.orderBy(bounded._order)
+        return bounded._wrap(
+            bounded._df.withColumn("__pos__", F.row_number().over(w) - 1)
+            .filter(F.col("__pos__").isin(idx))
             .drop("__pos__")
         )
 
@@ -699,16 +921,20 @@ class Frame:
             yield i, r.asDict()
 
     def interpolate(
-        self, cols: Sequence[str], partition_by: Sequence[str] = ()
+        self,
+        cols: Sequence[str],
+        partition_by: Sequence[str] = (),
+        method: str = "linear",
     ) -> "Frame":
-        """Linear interpolation of interior NULL runs (compat :870)."""
+        """Interpolate interior NULL runs (compat :870); ``method`` in
+        'linear' | 'nearest' | 'pad'/'ffill' | 'bfill' | 'zero'."""
         from pandrs_spark.operators.timeseries import interpolate_linear_cols
 
         w = Window.partitionBy(*partition_by).orderBy(self._order)
         out = self._df.withColumn("__rn__", F.row_number().over(w))
         for c in cols:
             out = out.withColumn(
-                c, interpolate_linear_cols(c, F.col("__rn__"), w)
+                c, interpolate_linear_cols(c, F.col("__rn__"), w, method)
             )
         return self._wrap(out.drop("__rn__"))
 
@@ -734,10 +960,9 @@ class Frame:
 
     # -- actions -------------------------------------------------------------
     def collect(self):
-        w = Window.orderBy(self._order)
-        return self._df.withColumn("__rn", F.row_number().over(w)).orderBy(
-            "__rn"
-        ).drop("__rn", self._order).collect()
+        # Plain global sort (parallel range-shuffle merged at the driver)
+        # — collecting is already a driver action, no window needed.
+        return self._df.orderBy(self._order).drop(self._order).collect()
 
     def to_pandas(self):
         return self.spark.toPandas()
@@ -1023,10 +1248,13 @@ class StrAccessor:
         return F.repeat(self._c, n)
 
     def center(self, width: int, fillchar: str = " "):
-        """Center-pad (compat :4169): left gets the floor of the pad,
-        right the ceil — Python/pandas semantics; never truncates."""
+        """Center-pad (compat :4169) with CPython/pandas tie-breaking:
+        ``left = pad // 2 + (pad & width & 1)`` — the odd extra char goes
+        left when the target width is odd, right when even. Never
+        truncates."""
         pad = F.lit(width) - F.length(self._c)
-        left_len = (F.length(self._c) + F.floor(pad / 2)).cast("int")
+        extra = pad.bitwiseAND(F.lit(width)).bitwiseAND(F.lit(1))
+        left_len = (F.length(self._c) + F.floor(pad / 2) + extra).cast("int")
         return F.when(pad <= 0, self._c).otherwise(
             F.rpad(F.lpad(self._c, left_len, fillchar), width, fillchar)
         )

@@ -474,7 +474,11 @@ def q147(spark, sf_dir):
     from pandrs_spark.operators.ml import auto_model_select
 
     li = T(spark, sf_dir, "lineitem").select(
-        F.col("l_linenumber").alias("id"),
+        # Unique per-row key (l_linenumber alone has 7 distinct values,
+        # which collapses the crc32 fold hash into feature-correlated
+        # groups): orderkey*10 + linenumber is injective since
+        # l_linenumber ∈ 1..7.
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
         F.col("l_quantity").cast("double").alias("quantity"),
         (F.col("l_discount") * 100).alias("discount_pct"),
         (F.col("l_extendedprice") / 1000).alias("price_k"),

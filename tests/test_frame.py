@@ -375,9 +375,20 @@ def test_str_accessor_extensions(spark):
     assert by["abc"]["lo"] and not by["abc"]["up"]
     assert by["ABC"]["up"] and not by["ABC"]["lo"]
     assert by["aXbY"]["caps"] == ["X", "Y"]
-    assert by["abc"]["ctr"] == "**abc**"
-    assert by["aXbY"]["ctr"] == "*aXbY**"  # left floor, right ceil
+    assert by["abc"]["ctr"] == "abc".center(7, "*")
+    assert by["aXbY"]["ctr"] == "aXbY".center(7, "*")  # '**aXbY*' — odd width puts extra char left
     assert by["Hello World"]["ctr"] == "Hello World"  # never truncates
+
+
+def test_center_matches_cpython(spark):
+    from pandrs_spark.frame import StrAccessor
+
+    cases = [("a", 4), ("ab", 4), ("ab", 5), ("abc", 6), ("aXbY", 7), ("aXbY", 3)]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string").coalesce(1)
+    a = StrAccessor("s")
+    for (s, w) in cases:
+        got = df.filter(F.col("s") == s).select(a.center(w, "*").alias("c")).first()["c"]
+        assert got == s.center(w, "*"), (s, w, got)
 
 
 def test_dt_accessor_tz(spark):
@@ -487,9 +498,140 @@ def test_query_param_escapes_quotes(spark):
     assert out.spark.count() == 1
 
 
+def test_query_param_prefix_names(spark):
+    # @p must not corrupt @p2 (word-boundary splice, not str.replace)
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0)], "a long, b double"
+    )
+    out = Frame(df).query("a > @p and b > @p2", p=1, p2=20)
+    assert [r["a"] for r in out.spark.collect()] == [3]
+    with pytest.raises(KeyError):
+        Frame(df).query("a > @missing", p=1)
+
+
+def test_query_param_nonfinite_and_mixed_list(spark):
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("inf",),), (float("-inf"),)], "v double"
+    )
+    assert Frame(df).query("v > @lo", lo=float("-inf")).spark.count() == 2
+    assert Frame(df).query("v == @x", x=float("inf")).spark.count() == 1
+    nan_lit = Frame._sql_literal(float("nan"))
+    assert "NaN" in nan_lit and "nan" not in nan_lit.replace("NaN", "")
+    # mixed-type list literal must not raise (old sorted() did)
+    df2 = spark.createDataFrame([("a",), ("1",)], "s string")
+    assert Frame._sql_literal(["a", 1]) == "('a', 1)"
+
+
+def test_lookup_guards_and_native_type(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(
+        spark.createDataFrame(
+            [(1, 10.0, 100.0), (2, 20.0, 200.0)], "id long, x double, y double"
+        )
+    )
+    # uniform requested dtype → native double, not string
+    out = {
+        (r.key, r.column): r.value
+        for r in f.lookup("id", [(1, "x"), (2, "y")]).collect()
+    }
+    assert out == {(1, "x"): 10.0, (2, "y"): 200.0}
+    with pytest.raises(KeyError):
+        f.lookup("id", [(1, "nope")])
+    key_only = Frame(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError):
+        key_only.lookup("id", [(1, "id")])
+
+
 def test_eval_assignment(spark):
     from pandrs_spark.frame import Frame
 
     df = spark.createDataFrame([(2.0, 3.0)], "a double, b double")
     out = Frame(df).eval("c = a * b + 1")
     assert out.spark.first()["c"] == 7.0
+
+
+def test_set_index_reset_index_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0), ("a", 3, 30.0)], "k string, n long, v double"
+    )
+    f = Frame(df.coalesce(1)).set_index("k")
+    assert f.index_names == ("k",)
+    assert f.columns == ["n", "v"]  # index hidden from columns, like pandas
+    # groupby on the emulated index
+    agg = {r["k"]: r["v_sum"] for r in
+           f.groupby_level().agg(v_sum=("v", "sum")).spark.collect()}
+    assert agg == {"a": 40.0, "b": 20.0}
+    back = f.reset_index()
+    assert back.index_names == () and set(back.columns) == {"k", "n", "v"}
+
+
+def test_multiindex_levels(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        "k1 string, k2 string, v double",
+    )
+    f = Frame(df.coalesce(1)).set_index(["k1", "k2"])
+    assert f.index_names == ("k1", "k2")
+    assert f.swaplevel().index_names == ("k2", "k1")
+    assert f.droplevel("k2").index_names == ("k1",)
+    assert f.droplevel(0).index_names == ("k2",)
+    by_k2 = {r["k2"]: r["n"] for r in
+             f.groupby_level(1).agg(n=("v", "count")).spark.collect()}
+    assert by_k2 == {"x": 2, "y": 1}
+    # sort_index orders by all levels
+    rows = f.sort_index().reset_index().collect()
+    assert [(r["k1"], r["k2"]) for r in rows] == [("a", "x"), ("a", "y"), ("b", "x")]
+
+
+def test_set_index_drop_false_and_append(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long")
+    f = Frame(df.coalesce(1)).set_index("k", drop=False)
+    assert "k" in f.columns and f.index_names == ("__index_k__",)
+    f2 = f.set_index("n", append=True)
+    assert f2.index_names == ("__index_k__", "n")
+    back = f2.reset_index()
+    assert set(back.columns) == {"k", "n"}
+    with pytest.raises(KeyError):
+        Frame(df).set_index("missing")
+
+
+def test_ffill_bfill_limit(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, None), (4, None), (5, 5.0)], "i long, v double"
+    )
+    f = Frame(df.coalesce(1))
+    ff = [r.v for r in f.ffill(["v"], limit=2).collect()]
+    assert ff == [1.0, 1.0, 1.0, None, 5.0]
+    bf = [r.v for r in f.bfill(["v"], limit=1).collect()]
+    assert bf == [1.0, None, None, 5.0, 5.0]
+
+
+def test_fillna_limit(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 3.0), (4, None)], "i long, v double"
+    )
+    f = Frame(df.coalesce(1))
+    got = [r.v for r in f.fillna(0.0, limit=2).collect()]
+    assert got == [0.0, 0.0, 3.0, None]  # only the first 2 missing filled
+
+
+def test_interpolate_methods(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, 40.0)], "i long, v double"
+    )
+    f = Frame(df.coalesce(1))
+    lin = [r.v for r in f.interpolate(["v"]).collect()]
+    assert lin == [10.0, 20.0, 30.0, 40.0]
+    near = [r.v for r in f.interpolate(["v"], method="nearest").collect()]
+    assert near == [10.0, 10.0, 40.0, 40.0]  # tie at i=2 goes to previous
+    pad = [r.v for r in f.interpolate(["v"], method="pad").collect()]
+    assert pad == [10.0, 10.0, 10.0, 40.0]
+    bf = [r.v for r in f.interpolate(["v"], method="bfill").collect()]
+    assert bf == [10.0, 40.0, 40.0, 40.0]
+    with pytest.raises(ValueError):
+        f.interpolate(["v"], method="cubic").collect()
