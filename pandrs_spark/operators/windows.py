@@ -56,15 +56,19 @@ def rolling(
     min_periods: int | None = None,
     center: bool = False,
     closed: str = "right",
+    q: float | None = None,
 ) -> Column:
     """Rolling aggregate over ``window`` rows (pandas Rolling parity,
-    src/series/window.rs:12,111-140).
+    src/series/window.rs:12,111-140; median/quantile per
+    src/dataframe/enhanced_window.rs:249-294).
 
     min_periods (pandas): NULL until at least that many non-null
     observations are in the frame. ``center=True`` shifts the frame so
     the label row sits in the middle. ``closed`` ('right'|'left'|
     'both'|'neither') trims the frame boundary rows the way pandas'
-    WindowClosed does (src/series/window.rs:49).
+    WindowClosed does (src/series/window.rs:49). ``agg='quantile'``
+    takes the quantile in ``q`` (linear interpolation — matches
+    pandas/DuckDB quantile_cont).
     """
     if center:
         # pandas: label at the window center; offset = (n-1)//2, so the
@@ -81,17 +85,26 @@ def rolling(
         hi = hi - 1
     frame = w.rowsBetween(lo, hi)
     c = F.col(col) if isinstance(col, str) else col
-    fn = {
-        "avg": F.avg,
-        "mean": F.avg,
-        "sum": F.sum,
-        "min": F.min,
-        "max": F.max,
-        "count": F.count,
-        "stddev": F.stddev_samp,
-        "var": F.var_samp,
-    }[agg]
-    out = fn(c).over(frame)
+    if agg in ("median", "quantile"):
+        # F.median rejects window frames; exact interpolated percentile
+        # accepts them and percentile(0.5) == median.
+        if agg == "median":
+            q = 0.5
+        elif q is None:
+            raise ValueError("rolling(agg='quantile') requires q=")
+        out = F.percentile(c, F.lit(float(q))).over(frame)
+    else:
+        fn = {
+            "avg": F.avg,
+            "mean": F.avg,
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "count": F.count,
+            "stddev": F.stddev_samp,
+            "var": F.var_samp,
+        }[agg]
+        out = fn(c).over(frame)
     mp = window if min_periods is None else min_periods
     if mp > 1:
         out = F.when(F.count(c).over(frame) >= mp, out)

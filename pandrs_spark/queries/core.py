@@ -1443,3 +1443,33 @@ def q174(spark, sf_dir):
     # both paths must agree — the intersection collapses to one copy
     # only when CSV and JSON round-trips are value-identical
     return a.intersect(b).orderBy("l_returnflag")
+
+
+# --- q176: index emulation — set_index → groupby(level) → reset_index
+# (reference src/index/multi_index.rs:12, advanced_indexing.rs:127).
+# The MultiIndex is two hidden key columns; grouping on a level is a
+# plain shuffle key, which is the only index design that scales --------------
+@query(
+    "q176_multiindex_groupby_level",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(32, 2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q176(spark, sf_dir):
+    from pandrs_spark.frame import Frame
+    from pandrs_spark.functions.deterministic import dsum
+
+    f = Frame(T(spark, sf_dir, "orders")).set_index(
+        ["o_orderpriority", "o_orderstatus"]
+    )
+    agg = f.groupby_level(0).agg(
+        n_orders=F.count(F.lit(1)),
+        total_price=dsum("o_totalprice"),
+    )
+    return agg.spark.orderBy("o_orderpriority")

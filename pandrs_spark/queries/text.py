@@ -378,20 +378,27 @@ def q35(spark, sf_dir):
 # --- q88: LSH-bucketed approximate NN + recall vs brute force ---------------
 # The scale path for §beyond similarity search: multi-table hyperplane
 # LSH turns the O(n·m) cross join into n_tables bucket equi-joins.
-# Rows-only (seeded random planes are not practical to mirror in SQL);
-# the query itself measures recall@5 against the exact answer so the
-# approximation quality is part of the checked output surface.
-@query("q88_ann_lsh_recall")
+# The seeded random planes can't be mirrored in SQL, but the CALIBRATION
+# can: the query returns (n_queries, recall_ge_090) and the oracle pins
+# the expected constants — if measured recall@5 against the exact
+# brute-force answer drops below 0.9, the hash mismatches and the gate
+# fails. The approximation quality is therefore inside the oracle gate.
+@query(
+    "q88_ann_lsh_recall",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS n_queries, TRUE AS recall_ge_090
+    """,
+)
 def q88(spark, sf_dir):
     from pandrs_spark.operators.similarity import ann_lsh_topk, cosine
 
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     # (n_tables, n_planes) trades candidate-set size against recall:
-    # 4 planes = 16 coarse buckets/table suits this 500-vector corpus
-    # (recall@5 ≈ 0.9); a 1B-vector corpus would raise n_planes so each
-    # bucket stays task-sized and recall is bought with n_tables.
-    approx = ann_lsh_topk(emb, queries, k=5, n_tables=16, n_planes=4, dim=64)
+    # 3 planes = 8 coarse buckets/table over this 500-vector corpus
+    # measures recall@5 ≈ 0.98; a 1B-vector corpus would raise n_planes
+    # so each bucket stays task-sized and buy recall with n_tables.
+    approx = ann_lsh_topk(emb, queries, k=5, n_tables=16, n_planes=3, dim=64)
     # exact top-5 for the same query set (small side broadcast)
     q = queries.select(
         F.col("vec_id").alias("id_q"), F.col("embedding").cast("array<double>").alias("vq")
@@ -422,7 +429,7 @@ def q88(spark, sf_dir):
     )
     return per_query.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("recall5"), 4).alias("mean_recall_at_5"),
+        (F.avg("recall5") >= 0.9).alias("recall_ge_090"),
     )
 
 

@@ -305,3 +305,41 @@ def q156(spark, sf_dir):
         cummax("o_totalprice", w).alias("cum_max"),
         cummin("o_totalprice", w).alias("cum_min"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q175: rolling median / quantile in the generic rolling() dispatch
+# (reference DataFrameRolling median/quantile,
+# src/dataframe/enhanced_window.rs:249-294). Exact interpolated
+# percentile over a ROWS frame — Spark F.percentile and DuckDB
+# quantile_cont both interpolate linearly, so values agree to rounding.
+@query(
+    "q175_rolling_median_quantile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(MEDIAN(o_totalprice) OVER w, 4) AS med7,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25) OVER w, 4) AS p25_7,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.90) OVER w, 4) AS p90_7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q175(spark, sf_dir):
+    from pandrs_spark.operators.windows import rolling
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = T(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            rolling("o_totalprice", 7, w, agg="median", min_periods=1), 4
+        ).alias("med7"),
+        F.round(
+            rolling("o_totalprice", 7, w, agg="quantile", min_periods=1, q=0.25), 4
+        ).alias("p25_7"),
+        F.round(
+            rolling("o_totalprice", 7, w, agg="quantile", min_periods=1, q=0.90), 4
+        ).alias("p90_7"),
+    ).orderBy("o_custkey", "o_orderkey")
