@@ -55,10 +55,17 @@ def main() -> None:
         # plan-construction overhead — matching how the reference's
         # criterion benches time operators over an already-loaded frame.
         df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # criterion-style: 2 warmups (Catalyst analysis + codegen + JIT
+        # tiering, which the reference's criterion harness likewise
+        # excludes), then the median of 3 timed runs.
+        for _ in range(2):
+            df.write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -818,7 +818,10 @@ class Frame:
         if stop <= start:
             return self._wrap(self._df.limit(0))
         bounded = self.head(stop)
-        w = Window.orderBy(bounded._order)
+        # constant partition key: the window really is one bounded group
+        # (≤ stop rows) — declaring it avoids the misleading
+        # "No Partition Defined" full-scan warning.
+        w = Window.partitionBy(F.lit(0)).orderBy(bounded._order)
         return bounded._wrap(
             bounded._df.withColumn("__pos__", F.row_number().over(w) - 1)
             .filter(F.col("__pos__") >= start)
@@ -833,7 +836,7 @@ class Frame:
         if not idx:
             return self._wrap(self._df.limit(0))
         bounded = self.head(max(idx) + 1)
-        w = Window.orderBy(bounded._order)
+        w = Window.partitionBy(F.lit(0)).orderBy(bounded._order)
         return bounded._wrap(
             bounded._df.withColumn("__pos__", F.row_number().over(w) - 1)
             .filter(F.col("__pos__").isin(idx))

@@ -95,15 +95,18 @@ def bfill(col: Column | str, w: WindowSpec) -> Column:
 
 
 def interpolate_linear_cols(
-    value_col: str, rn_col: Column, w: WindowSpec
+    value_col: str, rn_col: Column, w: WindowSpec, method: str = "linear"
 ) -> Column:
-    """Linear interpolation between surrounding non-null observations
-    (pandas interpolate(method='linear'); compat functions.rs:870).
+    """Interpolation between surrounding non-null observations (pandas
+    interpolate; compat functions.rs:870 exposes the method enum).
 
     Pure window algebra: carry forward/backward both the last/next
-    non-null value and its row index, then interpolate by row distance.
-    Ends fall back to ffill then bfill (pandas default keeps leading
-    NaNs; we mirror 'interpolate then ffill/bfill edges' = limit_direction='both').
+    non-null value and its row index, then combine per ``method``:
+    'linear' (by row distance), 'nearest' (closer neighbor, ties to the
+    previous like pandas), 'pad'/'ffill' (previous value), 'bfill'
+    (next value), 'zero' (zero-order hold — previous value inside gaps,
+    like scipy's kind='zero'). Ends fall back to the available neighbor
+    (limit_direction='both').
     """
     v = F.col(value_col)
     back = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -112,13 +115,24 @@ def interpolate_linear_cols(
     next_v = F.first(v, ignorenulls=True).over(fwd)
     prev_i = F.last(F.when(v.isNotNull(), rn_col), ignorenulls=True).over(back)
     next_i = F.first(F.when(v.isNotNull(), rn_col), ignorenulls=True).over(fwd)
-    frac = (rn_col - prev_i) / (next_i - prev_i)
-    interp = prev_v + (next_v - prev_v) * frac
+    if method == "linear":
+        frac = (rn_col - prev_i) / (next_i - prev_i)
+        interior = prev_v + (next_v - prev_v) * frac
+    elif method == "nearest":
+        interior = F.when(
+            (rn_col - prev_i) <= (next_i - rn_col), prev_v
+        ).otherwise(next_v)
+    elif method in ("pad", "ffill", "zero"):
+        interior = prev_v
+    elif method in ("bfill", "backfill"):
+        interior = next_v
+    else:
+        raise ValueError(f"interpolate: unknown method {method!r}")
     return (
         F.when(v.isNotNull(), v)
         .when(prev_v.isNull(), next_v)
         .when(next_v.isNull(), prev_v)
-        .otherwise(interp)
+        .otherwise(interior)
     )
 
 

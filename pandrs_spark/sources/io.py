@@ -333,11 +333,15 @@ def read_excel(
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet_name, header=header)
-    except ImportError as e:  # openpyxl/xlrd missing
-        raise ImportError(
-            "read_excel needs an excel engine (openpyxl); install it or "
-            "convert the workbook to parquet/csv upstream"
-        ) from e
+    except ImportError:  # openpyxl/xlrd missing → stdlib fallback engine
+        from pandrs_spark.sources.xlsx_lite import read_xlsx
+
+        cols, rows = read_xlsx(
+            path,
+            sheet=sheet_name if isinstance(sheet_name, int) else 0,
+            header=header is not None,
+        )
+        pdf = pd.DataFrame(rows, columns=cols)
     return spark.createDataFrame(pdf)
 
 
@@ -346,7 +350,12 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
     pdf = df.toPandas()
     try:
         pdf.to_excel(path, sheet_name=sheet_name, index=False)
-    except ImportError as e:
-        raise ImportError(
-            "write_excel needs an excel engine (openpyxl)"
-        ) from e
+    except ImportError:  # openpyxl missing → stdlib fallback engine
+        from pandrs_spark.sources.xlsx_lite import write_xlsx
+
+        write_xlsx(
+            path,
+            [str(c) for c in pdf.columns],
+            list(pdf.itertuples(index=False, name=None)),
+            sheet_name=sheet_name,
+        )

@@ -1,0 +1,158 @@
+"""Minimal pure-stdlib XLSX reader/writer — the engine fallback that
+un-gates Excel IO in environments without openpyxl.
+
+Covers the reference's Excel surface (read/write a sheet of scalars —
+/root/reference src/io/excel.rs:185,378) for the driver-scale workbooks
+Excel files actually are: xlsx is a ZIP of XML parts with no splittable
+layout, so parsing on the driver and parallelizing the rows is the
+honest distributed story (the cluster path is "convert to parquet
+upstream").
+
+Writer emits inline strings (no sharedStrings part) — always valid,
+no string-table bookkeeping. Reader handles both inline strings and
+the sharedStrings table so files produced by real Excel/openpyxl load
+too. Formulas/styles/dates-as-serials are out of scope (same stance as
+the reference, which round-trips values, not formatting).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+
+def _workbook_xml(sheet_name: str) -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index → A1 letters."""
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _col_index(ref: str) -> int:
+    """A1 cell ref → 0-based column index."""
+    letters = re.match(r"([A-Z]+)", ref).group(1)
+    i = 0
+    for ch in letters:
+        i = i * 26 + (ord(ch) - ord("A") + 1)
+    return i - 1
+
+
+def _cell_xml(ref: str, value) -> str:
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        if isinstance(value, float) and value != value:  # NaN → blank
+            return ""
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+
+
+def write_xlsx(path: str, columns: list[str], rows: list[tuple], sheet_name: str = "Sheet1") -> None:
+    """Write one sheet of scalar rows as a valid xlsx workbook."""
+    body = []
+    header_cells = "".join(
+        _cell_xml(f"{_col_letter(c)}1", name) for c, name in enumerate(columns)
+    )
+    body.append(f'<row r="1">{header_cells}</row>')
+    for r, row in enumerate(rows, start=2):
+        cells = "".join(
+            _cell_xml(f"{_col_letter(c)}{r}", v) for c, v in enumerate(row)
+        )
+        body.append(f'<row r="{r}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def _cell_value(cell, shared: list[str]):
+    t = cell.get("t", "n")
+    if t == "inlineStr":
+        node = cell.find(f"{_NS}is/{_NS}t")
+        return node.text or "" if node is not None else ""
+    v = cell.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "b":
+        return bool(int(v.text))
+    if t == "str":
+        return v.text
+    num = float(v.text)
+    return int(num) if num.is_integer() and "." not in v.text and "e" not in v.text.lower() else num
+
+
+def read_xlsx(path: str, sheet: int = 0, header: bool = True) -> tuple[list[str], list[list]]:
+    """Read one sheet → (column_names, rows). Ragged rows are padded
+    with None to the widest row."""
+    with zipfile.ZipFile(path) as z:
+        names = sorted(
+            n for n in z.namelist() if re.match(r"xl/worksheets/sheet\d+\.xml$", n)
+        )
+        tree = ET.fromstring(z.read(names[sheet]))
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sroot.findall(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    raw_rows: list[dict[int, object]] = []
+    for row in tree.find(f"{_NS}sheetData").findall(f"{_NS}row"):
+        cells = {}
+        for pos, cell in enumerate(row.findall(f"{_NS}c")):
+            ref = cell.get("r")
+            ci = _col_index(ref) if ref else pos
+            cells[ci] = _cell_value(cell, shared)
+        raw_rows.append(cells)
+    if not raw_rows:
+        return [], []
+    width = max(max(r) + 1 for r in raw_rows if r) if any(raw_rows) else 0
+    grid = [[r.get(i) for i in range(width)] for r in raw_rows]
+    if header:
+        cols = [str(c) if c is not None else f"col{i}" for i, c in enumerate(grid[0])]
+        return cols, grid[1:]
+    return [f"col{i}" for i in range(width)], grid

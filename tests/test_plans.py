@@ -83,3 +83,24 @@ def test_no_accidental_cartesian_products(spark):
         if "CartesianProduct" in plans.plan_text(df, "simple"):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_sort_values_no_single_partition_exchange(spark, sf_dir):
+    """Frame.sort_values derives the global order via range-sort +
+    per-partition window + offset map — the physical plan must not
+    contain a SinglePartition exchange (the old unpartitioned
+    Window.orderBy collapsed everything onto one task)."""
+    from pandrs_spark.frame import Frame
+
+    f = Frame(load_table(spark, sf_dir, "orders")).sort_values("o_totalprice")
+    text = plans.plan_text(f._df, "extended")
+    assert "SinglePartition" not in text, text[-2000:]
+
+
+def test_head_is_take_ordered(spark, sf_dir):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(load_table(spark, sf_dir, "orders")).head(7)
+    text = plans.plan_text(f._df, "extended")
+    assert "TakeOrdered" in text or "GlobalLimit" in text
+    assert "SinglePartition" not in text, text[-2000:]

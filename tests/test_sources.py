@@ -110,13 +110,25 @@ def test_read_testdata_csv_like(spark, sf_dir, tmp_path):
 
 
 def test_excel_roundtrip_or_clear_error(spark, small_df, tmp_path):
-    """Excel IO is gated on an engine lib; either it round-trips or it
-    raises the documented ImportError (container has no openpyxl)."""
+    """Excel IO round-trips on any engine: pandas+openpyxl when present,
+    else the stdlib xlsx_lite fallback (sources/xlsx_lite.py)."""
     path = str(tmp_path / "t.xlsx")
-    try:
-        pio.write_excel(small_df, path)
-    except ImportError as e:
-        assert "excel engine" in str(e)
-        return
+    pio.write_excel(small_df, path)
     back = pio.read_excel(spark, path)
     assert back.count() == 3
+    assert set(back.columns) == set(small_df.columns)
+
+
+def test_xlsx_lite_types_and_escaping(tmp_path):
+    from pandrs_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "lite.xlsx")
+    write_xlsx(
+        path,
+        ["s", "i", "f", "b"],
+        [("a<>&'\"", 1, 2.5, True), (None, -3, float("nan"), False)],
+    )
+    cols, rows = read_xlsx(path)
+    assert cols == ["s", "i", "f", "b"]
+    assert rows[0] == ["a<>&'\"", 1, 2.5, True]
+    assert rows[1] == [None, -3, None, False]  # NaN written as blank
