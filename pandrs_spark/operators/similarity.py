@@ -259,3 +259,60 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("id_q", F.col("id_c").alias("nn_id"), F.round("__sim", 4).alias("sim"))
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 32,
+    n_planes: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the semantic member
+    of the dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard
+    live in operators/dedup.py; reference dedup surface
+    src/dataframe/functions.rs drop_duplicates + the LLM-pipeline
+    north star in BASELINE.json).
+
+    Shape is LSH-bucket-join, NOT all-pairs: each vector hashes to one
+    bucket per table; candidate pairs share a bucket in ANY table
+    (union+distinct over n_tables equi-joins); exact cosine then
+    verifies candidates against ``threshold``. High-similarity pairs
+    collide with probability 1-(1-p^planes)^tables where
+    p = 1 - angle/pi, so recall at the threshold is tuned by
+    (n_tables, n_planes) while each task only compares within-bucket —
+    the shape that survives a 1B-vector corpus. Returns
+    (id_a, id_b, sim) with id_a < id_b.
+    """
+    banks = _hyperplanes(n_tables, n_planes, dim, seed)
+    v = corpus.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    w = corpus.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    cand = None
+    for planes in banks:
+        ab = v.select("id_a", lsh_bucket_ids(F.col("va"), planes).alias("bucket"))
+        bb = w.select("id_b", lsh_bucket_ids(F.col("vb"), planes).alias("bucket"))
+        pairs_t = ab.join(bb, "bucket").filter(
+            F.col("id_a") < F.col("id_b")
+        ).select("id_a", "id_b")
+        cand = pairs_t if cand is None else cand.union(pairs_t)
+    cand = cand.distinct()
+    return (
+        cand.join(v, "id_a")
+        .join(w, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # threshold applies to the 4-decimal rounding so the
+            # accept/reject decision is engine-reproducible at the
+            # boundary (same policy as the oracle SQL)
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

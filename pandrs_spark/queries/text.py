@@ -921,3 +921,34 @@ def q173(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+# --- q177: embedding-cosine near-duplicate pairs (semantic dedup — the
+# fifth member of the dedup family next to exact/MinHash/SimHash/
+# Jaccard). LSH-bucketed candidate generation + exact cosine verify; at
+# 32 tables x 3 planes the collision probability for pairs at the 0.40
+# threshold is >0.9999, so the bucketed result equals the oracle's
+# exact all-pairs scan on this corpus — deterministically (seeded
+# planes), which keeps the hash gate stable. --------------------------------
+@query(
+    "q177_embedding_near_dup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (SQRT(list_dot_product(a.e, a.e))
+                    * SQRT(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.e, b.e)
+                / (SQRT(list_dot_product(a.e, a.e))
+                   * SQRT(list_dot_product(b.e, b.e))), 4) >= 0.40
+    ORDER BY id_a, id_b
+    """,
+)
+def q177(spark, sf_dir):
+    from pandrs_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = T(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.40).orderBy("id_a", "id_b")
