@@ -75,29 +75,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
-        # Spark's vectorized reader rejects unless nanosAsLong is set) and
-        # plain timestamp[us] (read natively). Dispatch on the arriving
-        # dtype: only rebuild a (truncating) microsecond timestamp — the
-        # same value DuckDB produces — when the column comes back as raw
-        # nanos (bigint); pass native timestamp columns through unchanged.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
+    """Read one table and normalize dtype drift.
 
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
+    The driver has regenerated the testdata with different physical
+    types between rounds (events.ts shipped as TIMESTAMP(NANOS) in one
+    round and timestamp[us] the next), so the loader dispatches on the
+    ARRIVING dtype instead of assuming a layout:
+
+    - raw nanos (bigint under ``nanosAsLong``) → rebuild a truncating
+      microsecond timestamp (the value DuckDB produces);
+    - TIMESTAMP_NTZ (Spark 4's native read of timestamp[us]) → cast to
+      session-TZ TIMESTAMP. The session timezone is pinned to UTC
+      (session.py), so the cast is wall-clock-preserving and matches
+      DuckDB's naive read, while restoring the full timestamp function
+      surface (unix_micros etc. reject NTZ inputs);
+    - anything else passes through unchanged.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Harmless when no nanos columns exist; required before the read
+    # when they do.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dtype == "bigint" and col in _NANOS_TS_COLS:
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+                col, F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS BIGINT)"))
             )
-        elif ts_type == "timestamp_ntz":
-            # Session timezone is pinned to UTC (session.py), so this cast
-            # is wall-clock-preserving and matches DuckDB's naive read.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    return df
+
+
+# Columns known to carry timestamps; if one arrives as raw int64 it is
+# the legacy TIMESTAMP(NANOS) layout surfaced by nanosAsLong.
+_NANOS_TS_COLS = {"ts", "o_orderdate", "l_shipdate", "l_commitdate", "l_receiptdate"}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

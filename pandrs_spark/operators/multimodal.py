@@ -73,11 +73,13 @@ def attach_media_struct(
     )
 
 
-def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+def media_stats(df: DataFrame, media_col: str = "media", keep: tuple = ()) -> DataFrame:
     """Byte-level stats without decoding: size, checksum, mime — pure
-    column expressions over the binary payload."""
+    column expressions over the binary payload. ``keep`` carries id/key
+    columns through for downstream joins/groupBys."""
     m = F.col(media_col)
     return df.select(
+        *[F.col(c) for c in keep],
         F.length(m["content"]).alias("n_bytes"),
         F.md5(m["content"]).alias("checksum"),
         m["mime"].alias("mime"),

@@ -952,3 +952,133 @@ def q177(spark, sf_dir):
 
     emb = T(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.40).orderBy("id_a", "id_b")
+
+
+def _sql_hexbyte(hex_expr: str, pos: int) -> str:
+    """DuckDB: byte at 1-based hex position pair -> 0..255."""
+    d = "'0123456789abcdef'"
+    return (
+        f"(16 * (strpos({d}, substr({hex_expr}, {2 * pos - 1}, 1)) - 1)"
+        f" + (strpos({d}, substr({hex_expr}, {2 * pos}, 1)) - 1))"
+    )
+
+
+# --- q178: multimodal pipeline through the driver gate — documents'
+# bytes packed into the canonical media struct, byte-stats column
+# expressions, and the Arrow-batched mapInPandas decode stage. The stub
+# decoder derives (width, height) deterministically from sha256 of the
+# payload (operators/multimodal.py:_decode_image_bytes), which DuckDB
+# mirrors with hex-digit arithmetic — so the mapInPandas plumbing
+# (schema, batching, binary transport) sits INSIDE the hash-match gate
+# even though real codecs are stubbed. -----------------------------------
+@query(
+    "q178_multimodal_pipeline",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, text,
+               octet_length(CAST(text AS BLOB)) AS n_bytes,
+               md5(text) AS checksum,
+               sha256(text) AS hex
+        FROM documents
+    ),
+    dec AS (
+        SELECT doc_id, source, n_bytes, checksum,
+               1 + ({_sql_hexbyte('hex', 1)} % 64) AS width,
+               1 + ({_sql_hexbyte('hex', 2)} % 64) AS height
+        FROM h
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT checksum) AS BIGINT) AS n_unique_payloads,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height
+    FROM dec
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q178(spark, sf_dir):
+    from pandrs_spark.operators.multimodal import (
+        attach_media_struct,
+        decode_image_features,
+        media_stats,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("content")
+    )
+    media = attach_media_struct(docs, "content", "application/octet-stream")
+    stats = media_stats(media, keep=("doc_id", "source")).select(
+        "doc_id", "source", "n_bytes", "checksum"
+    )
+    decoded = decode_image_features(media, media_col="media", id_col="doc_id")
+    joined = stats.join(decoded.select("doc_id", "width", "height"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("checksum").alias("n_unique_payloads"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q179: video frame-sampling plan — (id, n_frames) expands to one
+# row per sampled frame via sequence+explode (pure column ops; each
+# sampled frame would then flow through the q178 decode stage). Mirrors
+# DuckDB generate_series+unnest exactly. -----------------------------------
+@query(
+    "q179_video_frame_sampling",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, source,
+               1 + (n_chars % 240) AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, source,
+               unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+        FROM v
+    )
+    SELECT source,
+           COUNT(*) AS n_sampled_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+           CAST(MAX(frame_idx) AS BIGINT) AS max_frame_idx
+    FROM frames
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q179(spark, sf_dir):
+    from pandrs_spark.operators.multimodal import (
+        attach_media_struct,
+        sample_video_frames,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("content"),
+        (1 + F.col("n_chars") % 240).cast("int").alias("n_frames"),
+    )
+    media = attach_media_struct(
+        docs, "content", "video/mp4", n_frames=F.col("n_frames")
+    )
+    frames = sample_video_frames(
+        media.select("doc_id", "source", "media"), every_n=10, id_col="doc_id"
+    )
+    # sample_video_frames keeps (id, frame_idx, mime); re-attach source
+    joined = frames.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.countDistinct("doc_id").alias("n_videos"),
+            F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+        )
+        .orderBy("source")
+    )
