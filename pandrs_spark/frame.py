@@ -45,6 +45,37 @@ def _missing(df: DataFrame, name: str) -> Column:
     return c.isNull()
 
 
+def _attach_global_positions(df: DataFrame, order_exprs: list, out_col: str) -> DataFrame:
+    """Dense 1..n global position under ``order_exprs`` — the DataFrame
+    analogue of RDD.zipWithIndex: range-sort keeps every core busy,
+    per-partition row_number stays parallel, and a tiny collected
+    count-per-partition map supplies the global offsets. No
+    single-partition Window.orderBy at any point.
+
+    Persists the sorted frame so the offset job and the downstream plan
+    see the SAME partition layout (spark_partition_id is only stable on
+    a materialized partitioning).
+    """
+    from pyspark import StorageLevel
+
+    sdf = df.orderBy(*order_exprs).withColumn("__pid__", F.spark_partition_id())
+    sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = sdf.groupBy("__pid__").count().collect()
+    pairs: list = []
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid__"]):
+        pairs += [F.lit(row["__pid__"]), F.lit(acc)]
+        acc += row["count"]
+    if not pairs:
+        return sdf.drop("__pid__").withColumn(out_col, F.lit(None).cast("long"))
+    offset = F.create_map(*pairs)[F.col("__pid__")]
+    w = Window.partitionBy("__pid__").orderBy(*order_exprs)
+    return (
+        sdf.withColumn(out_col, (offset + F.row_number().over(w)).cast("long"))
+        .drop("__pid__")
+    )
+
+
 class Frame:
     """Lazy pandas-like frame. Wraps (never copies) a Spark DataFrame."""
 
@@ -574,36 +605,10 @@ class Frame:
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
         order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
         # Re-derive the order column so downstream order-dependent ops
-        # (head/shift/dedup) follow the new ordering. Partition-offset
-        # scheme (the DataFrame analogue of RDD.zipWithIndex): range-sort
-        # keeps every core busy, per-partition row_number stays parallel,
-        # and a tiny collected count-per-partition map supplies the global
-        # offsets — no single-partition Window.orderBy at any point.
-        sdf = (
-            self._df.orderBy(*order, F.col(self._order))
-            .withColumn("__pid__", F.spark_partition_id())
-        )
-        from pyspark import StorageLevel
-
-        # Persist so the offset job and the downstream plan see the SAME
-        # partition layout (spark_partition_id is only stable on a
-        # materialized partitioning).
-        sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
-        counts = sdf.groupBy("__pid__").count().collect()
-        pairs: list = []
-        acc = 0
-        for row in sorted(counts, key=lambda r: r["__pid__"]):
-            pairs += [F.lit(row["__pid__"]), F.lit(acc)]
-            acc += row["count"]
-        if not pairs:
-            return self._wrap(sdf.drop("__pid__"))
-        offset = F.create_map(*pairs)[F.col("__pid__")]
-        w = Window.partitionBy("__pid__").orderBy(*order, F.col(self._order))
-        df = (
-            sdf.withColumn(
-                self._order, (offset + F.row_number().over(w)).cast("long")
-            )
-            .drop("__pid__")
+        # (head/shift/dedup) follow the new ordering — partition-offset
+        # scheme, never a single-partition Window.orderBy.
+        df = _attach_global_positions(
+            self._df, [*order, F.col(self._order)], self._order
         )
         return self._wrap(df)
 
@@ -1120,13 +1125,15 @@ def concat(frames: Sequence[Frame], ignore_index: bool = True) -> Frame:
 
 def concat_columns(frames: Sequence[Frame]) -> Frame:
     """Column concat, pandas concat(axis=1) (compat concat.rs:11):
-    positional alignment via each frame's row order. Positional
-    alignment requires a total order — an anti-pattern for huge frames
-    (prefer a real key join); provided for API parity."""
+    positional alignment via each frame's row order. Positions come
+    from the partition-offset scheme (parallel, no single-partition
+    window); the position join itself still moves every row — prefer a
+    real key join for huge frames; provided for API parity."""
     out = None
-    for i, f in enumerate(frames):
-        w = Window.orderBy(f._order)
-        numbered = f._df.withColumn("__pos__", F.row_number().over(w)).drop(f._order)
+    for f in frames:
+        numbered = _attach_global_positions(
+            f._df, [F.col(f._order)], "__pos__"
+        ).drop(f._order)
         out = numbered if out is None else out.join(numbered, "__pos__", "outer")
     return Frame(out.drop("__pos__"))
 

@@ -153,3 +153,23 @@ def test_slice_replace_matches_pandas(spark, s, start, stop):
     got = df.select(str_("t").slice_replace(start, stop, "XY").alias("r")).first()["r"]
     expected = pd.Series([s]).str.slice_replace(start, stop, "XY").iloc[0]
     assert got == expected
+
+
+@given(
+    vals=st.lists(floats, min_size=1, max_size=60),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=8, deadline=None)
+def test_sort_values_partition_invariant_dense_order(spark, vals, nparts):
+    """sort_values' partition-offset order derivation must produce a
+    dense 1..n permutation in sorted order regardless of the input
+    partitioning (it replaced a single-partition Window.orderBy)."""
+    from pandrs_spark.frame import Frame
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    f = Frame(df.repartition(nparts)).sort_values("v")
+    rows = f._df.select("v", f._order).collect()
+    orders = sorted(r[f._order] for r in rows)
+    assert orders == list(range(1, len(vals) + 1))  # dense total order
+    by_order = [r["v"] for r in sorted(rows, key=lambda r: r[f._order])]
+    assert by_order == sorted(vals)
