@@ -142,16 +142,32 @@ def q79(spark, sf_dir):
     )
 
 
-# --- q98: logistic regression pipeline over embeddings (MLlib tier,
-# rows-only — LBFGS has no SQL equivalent; metrics pinned by test) ----------
-@query("q98_logistic_embedding_classifier")
+# --- q98: logistic regression pipeline over embeddings (MLlib tier —
+# LBFGS internals have no SQL equivalent, but the LEARNED QUALITY does:
+# the query emits n plus accuracy/AUC threshold booleans and the oracle
+# computes n from the same table and pins the thresholds TRUE, so "the
+# model actually learns the label signal" sits inside the hash gate) --------
+@query(
+    "q98_logistic_embedding_classifier",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS acc_ge_055,
+           TRUE AS auc_ge_060
+    FROM embeddings
+    """,
+)
 def q98(spark, sf_dir):
     from pandrs_spark.operators.ml import logistic_fit_metrics
 
     emb = T(spark, sf_dir, "embeddings").withColumn(
         "y", (F.col("label") % 2).cast("double")
     )
-    return logistic_fit_metrics(emb, "embedding", "y")
+    m = logistic_fit_metrics(emb, "embedding", "y")
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("accuracy") >= 0.55).alias("acc_ge_055"),
+        (F.col("auc") >= 0.60).alias("auc_ge_060"),
+    )
 
 
 # --- q119: univariate feature selection (FeatureSelector :484) ---------------
@@ -244,9 +260,18 @@ def q120(spark, sf_dir):
     )
 
 
-# --- q130: gradient-boosted tree regression (MLlib tier, rows-only —
-# boosted tree paths have no SQL equivalent; metrics pinned by test) ---------
-@query("q130_gbt_price_regression")
+# --- q130: gradient-boosted tree regression (MLlib tier — boosted tree
+# paths have no SQL equivalent; the oracle pins n from the same scan
+# plus an RMSE ceiling and importances-sum sanity, q98-style) ----------------
+@query(
+    "q130_gbt_price_regression",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS rmse_le_40,
+           TRUE AS importances_sum_to_1
+    FROM lineitem
+    """,
+)
 def q130(spark, sf_dir):
     from pandrs_spark.operators.ml import gbt_regression_metrics
 
@@ -256,8 +281,16 @@ def q130(spark, sf_dir):
         (F.col("l_tax") * 100).alias("tax_pct"),
         (F.col("l_extendedprice") / 1000).alias("price_k"),
     )
-    return gbt_regression_metrics(
+    m = gbt_regression_metrics(
         li, ["quantity", "discount_pct", "tax_pct"], "price_k", max_iter=10
+    )
+    imp_sum = (
+        F.col("imp_quantity") + F.col("imp_discount_pct") + F.col("imp_tax_pct")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("rmse") <= 40.0).alias("rmse_le_40"),
+        (F.abs(imp_sum - 1.0) < 0.01).alias("importances_sum_to_1"),
     )
 
 
@@ -277,9 +310,16 @@ def q131(spark, sf_dir):
     )
 
 
-# --- q140: multilayer perceptron on line-item features (MLlib tier,
-# rows-only — LBFGS-trained network has no SQL mirror; XOR test pins it) -----
-@query("q140_mlp_returns_classifier")
+# --- q140: multilayer perceptron on line-item features (MLlib tier —
+# LBFGS-trained network has no SQL mirror; oracle pins n from the same
+# scan plus a majority-class accuracy floor, q98-style) ----------------------
+@query(
+    "q140_mlp_returns_classifier",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, TRUE AS acc_ge_060
+    FROM lineitem
+    """,
+)
 def q140(spark, sf_dir):
     from pandrs_spark.operators.ml import mlp_classifier_metrics
 
@@ -289,8 +329,12 @@ def q140(spark, sf_dir):
         (F.col("l_extendedprice") / 1000).alias("price_k"),
         (F.col("l_returnflag") == "R").cast("double").alias("is_return"),
     )
-    return mlp_classifier_metrics(
+    m = mlp_classifier_metrics(
         li, ["quantity", "discount_pct", "price_k"], "is_return", hidden=(6,)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("accuracy") >= 0.60).alias("acc_ge_060"),
     )
 
 
@@ -467,9 +511,18 @@ def q145(spark, sf_dir):
 
 
 # --- q147: AutoML leaderboard (src/ml/automl.rs): fixed candidate grid
-# raced under the deterministic crc32 k-fold split (rows-only — MLlib
-# estimator internals; leaderboard determinism pinned by test) ---------------
-@query("q147_automl_leaderboard")
+# raced under the deterministic crc32 k-fold split. MLlib estimator
+# internals keep exact accuracies out of SQL reach, so the oracle pins
+# the leaderboard SHAPE: 5 named candidates, dense ranks 1..5, every
+# mean accuracy above the majority-class floor. -----------------------------
+@query(
+    "q147_automl_leaderboard",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_candidates,
+           CAST(15 AS BIGINT) AS rank_checksum,
+           TRUE AS all_acc_ge_060
+    """,
+)
 def q147(spark, sf_dir):
     from pandrs_spark.operators.ml import auto_model_select
 
@@ -484,8 +537,13 @@ def q147(spark, sf_dir):
         (F.col("l_extendedprice") / 1000).alias("price_k"),
         (F.col("l_returnflag") == "R").cast("long").alias("is_return"),
     )
-    return auto_model_select(
+    board = auto_model_select(
         li, ["quantity", "discount_pct", "price_k"], "is_return", "id", k=3
+    )
+    return board.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("rank").cast("bigint").alias("rank_checksum"),
+        F.min(F.col("mean_accuracy") >= 0.60).alias("all_acc_ge_060"),
     )
 
 
