@@ -376,9 +376,43 @@ def q81(spark, sf_dir):
 
 
 # --- q82: Holt linear-trend one-step forecast (§2.11,
-# src/time_series/forecasting.rs:453) — recursive in two states, no SQL
-# closed form ⇒ rows-only check; parity pinned by tests/test_timeseries. -----
-@query("q82_holt_forecast_monthly")
+# src/time_series/forecasting.rs:453). The two-state recursion has no
+# window-function closed form, but DuckDB's list_reduce folds the exact
+# same update equations over each row's prefix list (state encoded as
+# [level, trend]) — so the recursion itself is inside the hash gate,
+# not just rows-only. ---------------------------------------------------------
+@query(
+    "q82_holt_forecast_monthly",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY month
+    ),
+    ser AS (
+      SELECT month, revenue,
+             ROW_NUMBER() OVER (ORDER BY month) AS t,
+             list(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             LEAD(revenue) OVER (ORDER BY month) AS nxt
+      FROM monthly
+    )
+    SELECT month, revenue,
+      ROUND(CASE WHEN t = 1 THEN revenue + (nxt - revenue)
+           ELSE (
+             SELECT s[1] + s[2] FROM (
+               SELECT list_reduce(
+                 list_prepend([prefix[1], prefix[2] - prefix[1]],
+                              list_transform(prefix[2:], x -> [x])),
+                 (acc, x) -> [
+                   0.5 * x[1] + (1 - 0.5) * (acc[1] + acc[2]),
+                   0.3 * ((0.5 * x[1] + (1 - 0.5) * (acc[1] + acc[2])) - acc[1])
+                       + (1 - 0.3) * acc[2]
+                 ]) AS s)
+           ) END, 4) AS holt_fc
+    FROM ser ORDER BY month
+    """,
+)
 def q82(spark, sf_dir):
     orders = T(spark, sf_dir, "orders")
     monthly = orders.groupBy(
@@ -603,10 +637,66 @@ def q86(spark, sf_dir):
 
 
 # --- q103: additive Holt-Winters forecast (§2.11,
-# src/time_series/forecasting.rs:469) — recursive in level/trend/seasonal
-# states, no SQL closed form ⇒ rows-only check; parity pinned by
-# tests/test_timeseries.py against a hand-rolled reference loop. -------------
-@query("q103_holt_winters_daily")
+# src/time_series/forecasting.rs:469). Triple recursion (level/trend/
+# length-7 seasonal cycle) folded in DuckDB list_reduce with the state
+# encoded as [level, trend, s0..s6] and elements as [x_t, t] pairs —
+# the same update equations as the applyInPandas loop, so the recursion
+# is hash-gated exactly (rows beyond the LIMIT skip the fold to keep
+# the oracle O(limit²) instead of O(n²)). ------------------------------------
+@query(
+    "q103_holt_winters_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY day
+    ),
+    ser AS (
+      SELECT day, revenue,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             COUNT(*) OVER () AS n,
+             list(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             list(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fullv
+      FROM daily
+    ),
+    init AS (
+      SELECT *,
+        list_avg(fullv[1:7]) AS l0,
+        (list_avg(fullv[8:14]) - list_avg(fullv[1:7])) / 7 AS b0,
+        list_transform(fullv[1:7], x -> x - list_avg(fullv[1:7])) AS s0
+      FROM ser
+      WHERE t <= 100
+    ),
+    st AS (
+      SELECT *,
+        CASE WHEN t <= 7 THEN list_concat([l0, b0], s0)
+        ELSE list_reduce(
+          list_prepend(list_concat([l0, b0], s0),
+            list_transform(generate_series(8, CAST(t AS INT)),
+                           i -> [prefix[i], CAST(i AS DOUBLE)])),
+          (acc, e) ->
+            list_concat(
+              [
+                0.3 * (e[1] - acc[3 + CAST(e[2] - 1 AS INT) % 7]) + 0.7 * (acc[1] + acc[2]),
+                0.1 * ((0.3 * (e[1] - acc[3 + CAST(e[2] - 1 AS INT) % 7]) + 0.7 * (acc[1] + acc[2])) - acc[1]) + 0.9 * acc[2]
+              ],
+              list_transform(acc[3:], (s, i) ->
+                CASE WHEN (i - 1) = CAST(e[2] - 1 AS INT) % 7
+                     THEN 0.2 * (e[1] - (0.3 * (e[1] - acc[3 + CAST(e[2] - 1 AS INT) % 7]) + 0.7 * (acc[1] + acc[2]))) + 0.8 * s
+                     ELSE s END))
+          )
+        END AS state
+      FROM init
+    )
+    SELECT day, revenue,
+      ROUND(CASE WHEN n >= 14
+            THEN state[1] + state[2] + state[3 + (CAST(t AS INT) % 7)]
+            ELSE NULL END, 4) AS hw_fc
+    FROM st ORDER BY day LIMIT 100
+    """,
+)
 def q103(spark, sf_dir):
     from pandrs_spark.operators.timeseries import holt_winters_forecast
 
