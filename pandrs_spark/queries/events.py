@@ -628,3 +628,117 @@ def q170(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p_next"),
     ).orderBy("prev_type", "next_type")
+
+
+# --- q180: REAL Structured Streaming execution inside the oracle gate.
+# events.parquet replayed through a FileStreamSource (availableNow
+# trigger -> processes the full backlog as micro-batches, then stops),
+# watermarked tumbling-window counts into a complete-mode memory sink;
+# the collected sink table hash-matches DuckDB's batch date_trunc
+# aggregation. Streams and batch agree by construction in Spark's
+# model — this pins it. The glob-wrapped path ([t]) makes the file
+# source treat the single parquet FILE as a one-file directory listing.
+@query(
+    "q180_streaming_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def q180(spark, sf_dir):
+    import os
+
+    from pandrs_spark.streaming.windows import (
+        stream_to_memory,
+        tumbling,
+        windowed_agg,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    glob_path = path[:-1] + f"[{path[-1]}]"
+    sdf = spark.readStream.schema(static.schema).parquet(glob_path)
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_type == "bigint":
+        sdf = sdf.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    agg = windowed_agg(
+        sdf,
+        tumbling("ts", "1 hour"),
+        [F.count(F.lit(1)).alias("n")],
+        keys=["event_type"],
+        watermark=("ts", "2 hours"),
+    )
+    sink = "q180_stream_sink"
+    q = stream_to_memory(agg, sink, output_mode="complete")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q180 streaming query did not finish in 300s")
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# --- q181: streaming dedup through the gate. The stream drops
+# duplicate (user_id, event_type) arrivals with watermark-bounded state
+# (dropDuplicatesWithinWatermark — O(active keys), the 100 TB dedup
+# shape); the per-type distinct-user counts hash-match DuckDB's batch
+# COUNT(DISTINCT). Every micro-batch runs the same dedup state machine
+# the cluster would run. ------------------------------------------------------
+@query(
+    "q181_streaming_dedup_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q181(spark, sf_dir):
+    import os
+
+    from pandrs_spark.streaming.windows import (
+        dedup_within_watermark,
+        stream_to_memory,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    glob_path = path[:-1] + f"[{path[-1]}]"
+    sdf = spark.readStream.schema(static.schema).parquet(glob_path)
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_type == "bigint":
+        sdf = sdf.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    deduped = dedup_within_watermark(
+        sdf, ["user_id", "event_type"], "ts", "1 day"
+    )
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sink = "q181_stream_sink"
+    q = stream_to_memory(counts, sink, output_mode="complete")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q181 streaming query did not finish in 300s")
+    return (
+        spark.table(sink)
+        .select("event_type", F.col("n_users").cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
