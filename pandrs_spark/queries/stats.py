@@ -757,3 +757,53 @@ def q166(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# --- q182: sketch-based approximate quantiles with the accuracy bound
+# INSIDE the gate. approx_percentile is Spark's KLL-style mergeable
+# sketch — the only quantile that scales to 100 TB (exact percentile
+# needs a global sort). The query computes both the sketch estimate and
+# the exact per-group percentile, and emits booleans asserting the
+# sketch landed within the rank-error tolerance; the oracle recomputes
+# the group count and pins the bounds TRUE. -----------------------------------
+@query(
+    "q182_approx_quantile_accuracy",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_within_tolerance,
+           TRUE AS p95_within_tolerance
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q182(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    acc = 1000  # rank error <= 1/acc of the group size
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("ap50"),
+        F.expr(f"approx_percentile(o_totalprice, 0.95, {acc})").alias("ap95"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("ex50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("ex95"),
+        # rank tolerance translated to value space: the sketch must land
+        # within one percentile point of exact (10x looser than the
+        # sketch's 1/acc guarantee, tight enough to catch a broken
+        # sketch, and wide enough for interpolation effects on the
+        # smallest SF's ~300-row groups)
+        F.expr("percentile(o_totalprice, 0.49)").alias("lo50"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("hi50"),
+        F.expr("percentile(o_totalprice, 0.94)").alias("lo95"),
+        F.expr("percentile(o_totalprice, 0.96)").alias("hi95"),
+    )
+    return per.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50"))).alias(
+            "p50_within_tolerance"
+        ),
+        ((F.col("ap95") >= F.col("lo95")) & (F.col("ap95") <= F.col("hi95"))).alias(
+            "p95_within_tolerance"
+        ),
+    ).orderBy("o_orderpriority")

@@ -43,6 +43,8 @@ __all__ = [
     "read_parquet_chunked",
     "read_jdbc",
     "write_jdbc",
+    "write_bucketed_table",
+    "read_table",
 ]
 
 
@@ -359,3 +361,31 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
             list(pdf.itertuples(index=False, name=None)),
             sheet_name=sheet_name,
         )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (Hive bucketing): rows are hash-split on
+    ``bucket_cols`` into ``n_buckets`` files per partition at WRITE
+    time, so a later equi-join or aggregation on those columns reads
+    co-located data and skips its shuffle entirely — the pre-shuffle
+    half of the scale playbook (broadcast covers small dims; bucketing
+    covers fact-to-fact joins the reference's single-node engine never
+    needs). ``sort_cols`` additionally sorts within each bucket, which
+    upgrades the shuffle-free join to a shuffle-AND-sort-free merge
+    join."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a managed (possibly bucketed) table back."""
+    return spark.table(table)

@@ -104,3 +104,38 @@ def test_head_is_take_ordered(spark, sf_dir):
     text = plans.plan_text(f._df, "extended")
     assert "TakeOrdered" in text or "GlobalLimit" in text
     assert "SinglePartition" not in text, text[-2000:]
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must join with ZERO shuffle
+    exchanges — the write-time pre-shuffle is the whole point of
+    bucketing at 100 TB (fact-to-fact joins where neither side
+    broadcasts)."""
+    from pandrs_spark.sources import io as pio
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pio.write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"),
+        "t_orders_b", ["o_orderkey"], n_buckets=8,
+    )
+    pio.write_bucketed_table(
+        li.select("l_orderkey", "l_quantity"),
+        "t_lineitem_b", ["l_orderkey"], n_buckets=8,
+    )
+    a = pio.read_table(spark, "t_orders_b")
+    b = pio.read_table(spark, "t_lineitem_b")
+    joined = a.join(b, a.o_orderkey == b.l_orderkey).groupBy("o_orderkey").count()
+    # AQE may still add the agg exchange; the JOIN itself must not
+    # shuffle either side. Disable broadcast to force the sort-merge path.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        n = plans.num_shuffles(j)
+        assert n == 0, plans.plan_text(j)[-1500:]
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
