@@ -1473,3 +1473,47 @@ def q176(spark, sf_dir):
         total_price=dsum("o_totalprice"),
     )
     return agg.spark.orderBy("o_orderpriority")
+
+
+# --- q183: salted skew join through the gate. lineitem's hottest
+# l_orderkey-free skew axis is l_suppkey (a few suppliers carry far
+# more lines); the salted join spreads each hot key across 8 salt
+# sub-partitions and replicates the supplier dim 8x, and its output is
+# row-identical to the plain join by construction — which the plain-SQL
+# oracle verifies. This pins the skew path's CORRECTNESS; the plan-side
+# guarantee (no single hot task) is the operator's docstring contract.
+@query(
+    "q183_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(32, 2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def q183(spark, sf_dir):
+    from pandrs_spark.operators.joins import salted_join
+    from pyspark.sql.types import DecimalType
+
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"),
+        supp,
+        on="s_suppkey",
+        salt_from="l_extendedprice",
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice"), 2).cast(DecimalType(32, 2)))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("s_nationkey")
+    )
