@@ -139,3 +139,23 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on a hive-partition column must appear as a
+    PartitionFilter on the scan (pruned at planning, files never
+    listed), not as a post-scan Filter."""
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.sources import io as pio
+
+    path = str(tmp_path / "orders_by_prio")
+    orders = load_table(spark, sf_dir, "orders")
+    pio.write_parquet(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        path,
+        partition_by=["o_orderpriority"],
+    )
+    q = pio.read_parquet(spark, path, predicate="o_orderpriority = '1-URGENT'")
+    text = plans.plan_text(q, "formatted")
+    assert "PartitionFilters" in text and "1-URGENT" in text, text[-1500:]
