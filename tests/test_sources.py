@@ -132,3 +132,34 @@ def test_xlsx_lite_types_and_escaping(tmp_path):
     assert cols == ["s", "i", "f", "b"]
     assert rows[0] == ["a<>&'\"", 1, 2.5, True]
     assert rows[1] == [None, -3, None, False]  # NaN written as blank
+
+
+def test_events_loader_handles_both_ts_layouts(spark, tmp_path):
+    """The driver has shipped events.ts as parquet TIMESTAMP(NANOS) and
+    as timestamp[us] in different rounds; the loader must produce the
+    same session-TZ TIMESTAMP values from either layout."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandrs_spark.catalog import _load_table_uncached
+
+    ts = [
+        datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        datetime.datetime(2024, 1, 2, 13, 30, 0, 654321),
+    ]
+    for unit in ("ns", "us"):
+        d = tmp_path / f"layout_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp(unit)),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        df = _load_table_uncached(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (unit, df.dtypes)
+        got = sorted(r["ts"] for r in df.collect())
+        assert got == ts, (unit, got)
