@@ -66,6 +66,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        # Release any frames pinned by global-position sorts so cached
+        # partitions don't accumulate across queries.
+        from pandrs_spark.frame import release_persisted
+
+        release_persisted()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -96,25 +96,56 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     - anything else passes through unchanged.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # Harmless when no nanos columns exist; required before the read
-    # when they do.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # TIMESTAMP(NANOS) only surfaces as a readable type under
+        # nanosAsLong. Scope the conf to this read: the hadoop conf is
+        # captured when the DataFrame is created, so restoring right
+        # after spark.read.parquet does not disturb the (lazy) scan,
+        # and unrelated reads in the session are unaffected.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    else:
+        df = spark.read.parquet(path)
     from pyspark.sql import functions as F
 
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-        elif dtype == "bigint" and col in _NANOS_TS_COLS:
+        elif dtype == "bigint" and col in nanos_cols:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"CAST({col} DIV 1000 AS BIGINT)"))
             )
     return df
 
 
-# Columns known to carry timestamps; if one arrives as raw int64 it is
-# the legacy TIMESTAMP(NANOS) layout surfaced by nanosAsLong.
-_NANOS_TS_COLS = {"ts", "o_orderdate", "l_shipdate", "l_commitdate", "l_receiptdate"}
+def _nanos_timestamp_cols(path: str) -> set[str]:
+    """Columns whose parquet footer logical type is TIMESTAMP(NANOS).
+
+    Dispatching on the footer (via pyarrow) instead of column NAME means
+    a genuine bigint column — even one named ``ts`` carrying epoch
+    millis/seconds — passes through untouched rather than being silently
+    divided into 1970 dates. Footer-only, so cost is O(files), not
+    O(rows)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return {
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if pa.types.is_timestamp(typ) and typ.unit == "ns"
+        }
+    except Exception:
+        return set()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -31,7 +31,30 @@ from pyspark.sql.types import DoubleType, FloatType
 
 ORDER_COL = "__row_order__"
 
-__all__ = ["Frame", "StrAccessor", "DtAccessor", "str_", "dt", "read_parquet", "read_csv", "read_json", "concat", "concat_columns", "from_spark"]
+__all__ = ["Frame", "StrAccessor", "DtAccessor", "str_", "dt", "read_parquet", "read_csv", "read_json", "concat", "concat_columns", "from_spark", "release_persisted"]
+
+# DataFrames persisted by _attach_global_positions. The persist must
+# outlive the call (the downstream lazy plan depends on the pinned
+# partition layout), so the handles are registered here and released in
+# bulk once the caller has materialized its results — bench.py calls
+# this between queries and the test session releases on teardown.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every frame cached by global-position sorts.
+
+    Call after the plans built from sort_values()/concat_columns()
+    results have been materialized; returns the number released.
+    """
+    n = len(_PERSISTED)
+    for cached in _PERSISTED:
+        try:
+            cached.unpersist(False)
+        except Exception:
+            pass
+    _PERSISTED.clear()
+    return n
 
 
 def _is_float(df: DataFrame, name: str) -> bool:
@@ -60,6 +83,7 @@ def _attach_global_positions(df: DataFrame, order_exprs: list, out_col: str) -> 
 
     sdf = df.orderBy(*order_exprs).withColumn("__pid__", F.spark_partition_id())
     sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sdf)
     counts = sdf.groupBy("__pid__").count().collect()
     pairs: list = []
     acc = 0
@@ -136,8 +160,12 @@ class Frame:
 
     # -- projections (§2.2) --------------------------------------------------
     def select(self, *cols: str | Column) -> "Frame":
+        # Membership must only consider string names: `c in cols` with a
+        # pyspark Column in cols would invoke Column.__eq__ and then
+        # bool() on the resulting Column, which raises.
+        named = {c for c in cols if isinstance(c, str)}
         carry = [F.col(self._order)] + [
-            F.col(c) for c in self._index if c not in cols
+            F.col(c) for c in self._index if c not in named
         ]
         return self._wrap(self._df.select(*carry, *cols))
 
@@ -381,16 +409,56 @@ class Frame:
         values are spliced as SQL literals (numbers/strings/bools/lists).
         """
         if params:
-            import re
-
-            def _sub(m: "re.Match[str]") -> str:
-                name = m.group(1)
-                if name not in params:
-                    raise KeyError(f"query(): no value supplied for @{name}")
-                return self._sql_literal(params[name])
-
-            expr = re.sub(r"@([A-Za-z_]\w*)", _sub, expr)
+            expr = self._substitute_params(expr, params)
         return self.filter(expr)
+
+    @staticmethod
+    def _substitute_params(expr: str, params: Mapping[str, Any]) -> str:
+        """Splice ``@name`` parameter references as SQL literals.
+
+        Quote-aware: ``@`` inside single- or double-quoted string
+        literals (e.g. ``email == 'a@b.com'``) is left alone. An
+        unquoted ``@name`` with no supplied value raises KeyError (typo
+        guard); a bare ``@`` not followed by an identifier passes
+        through.
+        """
+        import re
+
+        out: list[str] = []
+        i, n = 0, len(expr)
+        quote: str | None = None
+        while i < n:
+            ch = expr[i]
+            if quote is not None:
+                out.append(ch)
+                if ch == quote:
+                    # SQL escapes a quote by doubling it ('' / "")
+                    if i + 1 < n and expr[i + 1] == quote:
+                        out.append(expr[i + 1])
+                        i += 2
+                        continue
+                    quote = None
+                i += 1
+            elif ch in ("'", '"'):
+                quote = ch
+                out.append(ch)
+                i += 1
+            elif ch == "@":
+                m = re.match(r"@([A-Za-z_]\w*)", expr[i:])
+                if m is None:
+                    out.append(ch)
+                    i += 1
+                elif m.group(1) in params:
+                    out.append(Frame._sql_literal(params[m.group(1)]))
+                    i += m.end()
+                else:
+                    raise KeyError(
+                        f"query(): no value supplied for @{m.group(1)}"
+                    )
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
 
     @staticmethod
     def _sql_literal(val: Any) -> str:

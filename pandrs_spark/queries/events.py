@@ -726,8 +726,25 @@ def q181(spark, sf_dir):
         sdf = sdf.withColumn(
             "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
         )
+    # dropDuplicatesWithinWatermark only guarantees dedup for
+    # duplicates arriving within the delay window. If availableNow ever
+    # splits the backlog into several micro-batches, a pair of
+    # duplicate keys spanning more event time than the delay could
+    # survive — so size the delay past the table's FULL event-time span
+    # (+2 days margin); the oracle equality then holds regardless of
+    # micro-batch boundaries. At 100 TB you'd keep a short delay and
+    # accept watermark-bounded (streaming) semantics instead.
+    ts_norm = F.col("ts")
+    if ts_type == "timestamp_ntz":
+        ts_norm = F.col("ts").cast("timestamp")
+    elif ts_type == "bigint":
+        ts_norm = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    span = static.select(
+        (F.unix_timestamp(F.max(ts_norm)) - F.unix_timestamp(F.min(ts_norm)))
+    ).first()[0]
+    delay_days = int((span or 0) // 86_400) + 2
     deduped = dedup_within_watermark(
-        sdf, ["user_id", "event_type"], "ts", "1 day"
+        sdf, ["user_id", "event_type"], "ts", f"{delay_days} days"
     )
     counts = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users")

@@ -17,6 +17,9 @@ def spark():
     s = get_spark("pandrs-tests", shuffle_partitions=8)
     s.sparkContext.setLogLevel("ERROR")
     yield s
+    from pandrs_spark.frame import release_persisted
+
+    release_persisted()
 
 
 @pytest.fixture(scope="session")

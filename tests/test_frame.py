@@ -635,3 +635,46 @@ def test_interpolate_methods(spark):
     assert bf == [10.0, 40.0, 40.0, 40.0]
     with pytest.raises(ValueError):
         f.interpolate(["v"], method="cubic").collect()
+
+
+def test_select_column_expr_on_indexed_frame(spark):
+    # ADVICE r3: `c not in cols` with a pyspark Column in cols invoked
+    # Column.__eq__ then bool() -> "Cannot convert column into bool".
+    df = spark.createDataFrame([("a", 1, 10.0), ("b", 2, 20.0)], "k string, n long, v double")
+    f = Frame(df.coalesce(1)).set_index("k")
+    out = f.select(F.col("v") * 2)
+    assert sorted(r[0] for r in out.spark.select("`(v * 2)`").collect()) == [20.0, 40.0]
+    # mixed string + Column, index column still carried
+    out2 = f.select("n", (F.col("v") + 1).alias("v1")).reset_index()
+    assert sorted((r["k"], r["n"], r["v1"]) for r in out2.collect()) == [
+        ("a", 1, 11.0),
+        ("b", 2, 21.0),
+    ]
+
+
+def test_query_at_inside_string_literal(spark):
+    # ADVICE r3: '@' inside quoted literals must not be treated as a
+    # parameter reference.
+    df = spark.createDataFrame(
+        [("a@b.com", 1), ("c@d.org", 2)], "email string, n long"
+    )
+    out = Frame(df).query("email == 'a@b.com'")
+    assert out.spark.count() == 1
+    # params present AND a quoted '@' in the same expression
+    out2 = Frame(df).query("email == 'c@d.org' and n >= @lo", lo=2)
+    assert [r["n"] for r in out2.spark.collect()] == [2]
+    # doubled-quote escape keeps the scanner in quote state
+    df2 = spark.createDataFrame([("it's@x", 5)], "s string, n long")
+    assert Frame(df2).query("s == 'it''s@x' and n > @lo", lo=1).spark.count() == 1
+
+
+def test_release_persisted_unpins_sort_cache(spark):
+    from pandrs_spark import frame as frame_mod
+
+    frame_mod.release_persisted()  # start clean
+    df = spark.createDataFrame([(3,), (1,), (2,)], "n long")
+    out = Frame(df).sort_values("n")
+    assert [r["n"] for r in out.collect()] == [1, 2, 3]
+    assert len(frame_mod._PERSISTED) >= 1
+    released = frame_mod.release_persisted()
+    assert released >= 1 and frame_mod._PERSISTED == []

@@ -163,3 +163,41 @@ def test_events_loader_handles_both_ts_layouts(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", (unit, df.dtypes)
         got = sorted(r["ts"] for r in df.collect())
         assert got == ts, (unit, got)
+
+
+def test_loader_footer_dispatch_leaves_real_bigint_ts_alone(spark, tmp_path):
+    """ADVICE r3: dispatch on the parquet footer's logical type, not
+    column NAME — a genuine bigint column named ``ts`` (e.g. epoch
+    millis) must pass through untouched, and the nanosAsLong conf must
+    not be left set on the session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandrs_spark.catalog import _load_table_uncached
+
+    d = tmp_path / "real_bigint"
+    d.mkdir()
+    millis = [1_704_110_400_000, 1_704_196_800_000]  # genuine epoch millis
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array(millis, pa.int64())}),
+        str(d / "events.parquet"),
+    )
+    df = _load_table_uncached(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "bigint", df.dtypes
+    assert sorted(r["ts"] for r in df.collect()) == millis
+    # conf must not linger after a nanos read either
+    import datetime
+
+    d2 = tmp_path / "nanos2"
+    d2.mkdir()
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)]
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("ns"))}),
+        str(d2 / "events.parquet"),
+    )
+    df2 = _load_table_uncached(spark, str(d2), "events")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
+    assert dict(df2.dtypes)["ts"] == "timestamp"
+    assert [r["ts"] for r in df2.collect()] == ts
