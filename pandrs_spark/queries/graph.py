@@ -647,11 +647,67 @@ def q128(spark, sf_dir):
     )
 
 
-# --- q146: DFS preorder over the strong trade graph (traversal.rs DFS;
-# rows-only — stack semantics have no SQL mirror; preorder pinned by
-# test on a known tree) ------------------------------------------------------
-@query("q146_trade_dfs_preorder")
+# --- q146: DFS preorder (traversal.rs DFS) over the top-12 trade
+# pairs. The DFS itself (operators/graph.py dfs_preorder) runs on any
+# graph; the GATE runs it on a bounded subgraph so the oracle is a
+# value hash, not rows-only: with ascending-neighbor order, DFS
+# discovery order equals ordering nodes by their lexicographically
+# minimal simple path from the component root, which DuckDB enumerates
+# with a recursive CTE. The 12-edge cap bounds path enumeration
+# structurally (worst case ~a few hundred path prefixes) at ANY scale
+# factor — the fix for the full strong graph's exponential CTE. -------------
+@query(
+    "q146_trade_dfs_preorder",
+    oracle=f"""
+    WITH RECURSIVE {_TRADE},
+    pairs AS MATERIALIZED (
+        SELECT LEAST(src,dst) AS a, GREATEST(src,dst) AS b, SUM(cnt) AS w
+        FROM trade GROUP BY a, b
+    ),
+    topk AS MATERIALIZED (
+        SELECT a, b FROM pairs ORDER BY w DESC, a, b LIMIT 12
+    ),
+    edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM topk UNION SELECT b, a FROM topk
+    ),
+    labels(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, l.lbl FROM labels l JOIN edges e ON e.src = l.node
+    ),
+    comp AS MATERIALIZED (
+        SELECT node AS id, MIN(lbl) AS component FROM labels GROUP BY node
+    ),
+    walk(node, path) AS (
+        SELECT DISTINCT component, [component] FROM comp
+        UNION ALL
+        SELECT e.dst, w.path || [e.dst]
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE NOT list_contains(w.path, e.dst)
+    ),
+    minp AS (
+        SELECT node AS id, MIN(path) AS p FROM walk GROUP BY node
+    )
+    SELECT m.id, c.component,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY m.p) - 1
+                AS BIGINT) AS dfs_order
+    FROM minp m JOIN comp c ON c.id = m.id
+    ORDER BY component, dfs_order
+    """,
+)
 def q146(spark, sf_dir):
     from pandrs_spark.operators.graph import dfs_preorder
 
-    return dfs_preorder(_strong_edges(spark, sf_dir)).orderBy("component", "dfs_order")
+    t = _trade_edges(spark, sf_dir)
+    pairs = (
+        t.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "cnt",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("w"))
+    )
+    top = pairs.orderBy(F.desc("w"), "a", "b").limit(12)
+    edges = top.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return dfs_preorder(edges).orderBy("component", "dfs_order")

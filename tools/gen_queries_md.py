@@ -12,8 +12,7 @@ lines = [
     "# Query inventory — driver contract surface",
     "",
     f"{len(qs)} queries; {len(oracles)} oracle-paired (DuckDB hash-match at sf0.01), "
-    f"{len(qs) - len(oracles)} rows-only (MLlib estimators, seeded recursions — see",
-    "tools/check_oracle.py SKIP lines). Generated from the registry; regenerate",
+    f"{len(qs) - len(oracles)} rows-only. Generated from the registry; regenerate",
     "with `python tools/gen_queries_md.py`.",
     "",
     "| query | gate |",
