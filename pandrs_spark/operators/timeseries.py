@@ -333,6 +333,103 @@ def holt_winters_forecast(
     return df.groupBy(*partition_by).applyInPandas(_hw, schema=schema)
 
 
+def arima_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    p: int = 1,
+    d: int = 1,
+    q: int = 1,
+    ar: Sequence[float] | None = None,
+    ma: Sequence[float] | None = None,
+) -> DataFrame:
+    """ARIMA(p,d,q) with MA terms, reference-faithful
+    (src/time_series/forecasting.rs:788): the reference's "simplified"
+    ARIMA uses FIXED coefficients (AR φ_j = 0.5, MA θ_j = 0.3 unless
+    supplied), differences d times, then runs the innovations
+    recursion over the differenced series::
+
+        fitted_i = Σ_{j<p, i>j} φ_{j+1}·y_{i−1−j}
+                 + Σ_{j<q, i>j} θ_{j+1}·e_{i−1−j}
+        e_i      = y_i − fitted_i
+
+    (missing early lags contribute 0 — equivalently a zero-initialized
+    fixed-length state, which is what the DuckDB ``list_reduce`` oracle
+    folds). The one-step forecast on the differenced scale is the same
+    expression at i = n, integrated back through the d last values of
+    each differencing level.
+
+    The recursion is sequential per series BY DEFINITION, so the
+    distributed shape is ``applyInPandas`` per series: each series must
+    fit one worker; series count scales horizontally (same stance as
+    holt_forecast/BOCPD above).
+
+    Returns the rows that survive differencing (i ≥ d) with columns:
+    partition cols, order cols, ``value_col``, dy, fitted, resid, and
+    the constant-per-series next_fc (one-step forecast on the ORIGINAL
+    scale).
+    """
+    ar_coef = list(ar) if ar is not None else [0.5] * p
+    ma_coef = list(ma) if ma is not None else [0.3] * q
+    if len(ar_coef) != p or len(ma_coef) != q:
+        raise ValueError("len(ar) must equal p and len(ma) must equal q")
+    keep = [*partition_by, *order_by, value_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keep
+    )
+    schema += ", dy double, fitted double, resid double, next_fc double"
+    order_cols = list(order_by)
+
+    def _arima(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        # difference d times, remembering the last value at each level
+        # for the final integration step
+        last_at_level = []
+        y = x
+        for _ in range(d):
+            last_at_level.append(y[-1] if len(y) else float("nan"))
+            y = np.diff(y)
+        n = len(y)
+        fitted = np.zeros(n)
+        resid = np.zeros(n)
+        for i in range(n):
+            f = 0.0
+            for j in range(p):
+                if i > j:
+                    f += ar_coef[j] * y[i - 1 - j]
+            for j in range(q):
+                if i > j:
+                    f += ma_coef[j] * resid[i - 1 - j]
+            fitted[i] = f
+            resid[i] = y[i] - f
+        # one-step ahead on the differenced scale
+        fc = 0.0
+        for j in range(p):
+            if n - 1 - j >= 0:
+                fc += ar_coef[j] * y[n - 1 - j]
+        for j in range(q):
+            if n - 1 - j >= 0:
+                fc += ma_coef[j] * resid[n - 1 - j]
+        # integrate back through the differencing chain
+        for last in reversed(last_at_level):
+            fc = last + fc
+        out = pdf.iloc[d:].copy() if d else pdf.copy()
+        out = out[[c for c in pdf.columns if c in keep]]
+        out["dy"] = y
+        out["fitted"] = fitted
+        out["resid"] = resid
+        out["next_fc"] = fc
+        return out
+
+    return df.groupBy(*partition_by).applyInPandas(_arima, schema=schema)
+
+
 def periodogram(
     series: DataFrame,
     ts_col: str,

@@ -1381,3 +1381,68 @@ def q155(spark, sf_dir):
             ).otherwise(True)
         ).alias("first_obs_posterior_is_hazard"),
     )
+
+
+# --- q184: ARIMA(1,1,1) — MA terms through the gate. The reference's
+# ARIMA (forecasting.rs:788) is a fixed-coefficient (phi=0.5, theta=0.3)
+# innovations recursion over the once-differenced series; the recursion
+# state [y_lag, e_lag] folds exactly in DuckDB list_reduce (same
+# technique as the Holt q82 oracle), so fitted values, residuals AND
+# the integrated one-step forecast are all value-hashed. ---------------------
+@query(
+    "q184_arima_111_forecast",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY month
+    ),
+    dser AS (
+        SELECT month, revenue,
+               revenue - LAG(revenue) OVER (ORDER BY month) AS dy
+        FROM monthly QUALIFY dy IS NOT NULL
+    ),
+    folded AS (
+        SELECT month, dy,
+               list_reduce(
+                   list_prepend([0.0, 0.0],
+                       list_transform(
+                           list(dy) OVER (ORDER BY month
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+                           x -> [x])),
+                   (acc, x) -> [x[1], x[1] - (0.5 * acc[1] + 0.3 * acc[2])]
+               ) AS state
+        FROM dser
+    ),
+    last_state AS (
+        SELECT 0.5 * state[1] + 0.3 * state[2] AS fc_diff
+        FROM folded ORDER BY month DESC LIMIT 1
+    ),
+    last_rev AS (SELECT revenue FROM monthly ORDER BY month DESC LIMIT 1)
+    SELECT f.month,
+           ROUND(f.dy, 6) AS dy,
+           ROUND(f.dy - f.state[2], 6) AS fitted,
+           ROUND(f.state[2], 6) AS resid,
+           ROUND(lr.revenue + ls.fc_diff, 6) AS next_fc
+    FROM folded f CROSS JOIN last_state ls CROSS JOIN last_rev lr
+    ORDER BY month
+    """,
+)
+def q184(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import arima_forecast
+
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    out = arima_forecast(
+        monthly, "revenue", order_by=["month"], partition_by=[], p=1, d=1, q=1
+    )
+    return out.select(
+        "month",
+        F.round("dy", 6).alias("dy"),
+        F.round("fitted", 6).alias("fitted"),
+        F.round("resid", 6).alias("resid"),
+        F.round("next_fc", 6).alias("next_fc"),
+    ).orderBy("month")

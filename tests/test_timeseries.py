@@ -379,3 +379,59 @@ def test_bocpd_deterministic(spark):
     a = sorted(bocpd_changepoints(df.repartition(1), "sid", "ts", "v").collect())
     b = sorted(bocpd_changepoints(df.repartition(13), "sid", "ts", "v").collect())
     assert a == b
+
+
+def test_arima_pdq_matches_reference_recursion(spark):
+    """arima_forecast reproduces the reference's simplified ARIMA
+    (forecasting.rs:788): fixed coefficients, guarded innovations
+    recursion, d-fold differencing + integration — checked against a
+    direct Python transcription for (p,d,q)=(2,1,2), per series."""
+    import datetime
+
+    from pandrs_spark.operators.timeseries import arima_forecast
+
+    base = datetime.datetime(2024, 1, 1)
+    series = {
+        1: [10.0, 12.5, 11.0, 14.0, 13.5, 16.0, 15.0, 18.5, 17.0, 20.0],
+        2: [5.0, 4.0, 6.5, 6.0, 8.0, 7.5, 9.0, 10.5, 10.0, 12.0],
+    }
+    rows = [
+        (sid, base + datetime.timedelta(days=i), v)
+        for sid, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "sid long, ts timestamp, v double")
+    p, d, q = 2, 1, 2
+    ar, ma = [0.5, 0.5], [0.3, 0.3]
+    out = arima_forecast(
+        df.repartition(7), "v", ["ts"], ["sid"], p=p, d=d, q=q
+    )
+    got = {
+        sid: sorted(
+            ((r["ts"], r["dy"], r["fitted"], r["resid"], r["next_fc"])
+             for r in rws)
+        )
+        for sid, rws in (
+            (s, [r for r in out.collect() if r["sid"] == s]) for s in series
+        )
+    }
+    for sid, vals in series.items():
+        y = [b - a for a, b in zip(vals, vals[1:])]
+        fitted, resid = [], []
+        for i in range(len(y)):
+            f = sum(ar[j] * y[i - 1 - j] for j in range(p) if i > j)
+            f += sum(ma[j] * resid[i - 1 - j] for j in range(q) if i > j)
+            fitted.append(f)
+            resid.append(y[i] - f)
+        n = len(y)
+        fc = sum(ar[j] * y[n - 1 - j] for j in range(p) if n - 1 - j >= 0)
+        fc += sum(ma[j] * resid[n - 1 - j] for j in range(q) if n - 1 - j >= 0)
+        fc += vals[-1]  # integrate (d=1)
+        exp = sorted(
+            (base + datetime.timedelta(days=i + 1), y[i], fitted[i], resid[i], fc)
+            for i in range(n)
+        )
+        for g, e in zip(got[sid], exp):
+            assert g[0] == e[0]
+            for gv, ev in zip(g[1:], e[1:]):
+                assert abs(gv - ev) < 1e-9, (sid, g, e)
