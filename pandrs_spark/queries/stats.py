@@ -407,6 +407,43 @@ def q64(spark, sf_dir):
     return spark.sql(_SHARED_SQL)
 
 
+# --- q185: named SQL function registration (reference
+# QueryContext::add_function, src/dataframe/query/evaluator.rs:146).
+# A vectorized (pandas) UDF registered under a NAME and called inside a
+# spark.sql string — the SQL text uses quantize100() where the DuckDB
+# oracle inlines the identical formula, so the registered-function path
+# itself is value-hashed. --------------------------------------------------
+@query(
+    "q185_registered_udf_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           (CAST(SUM(CAST(SIGN(l_extendedprice) *
+                FLOOR(ABS(l_extendedprice) * 100.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / 100.0) AS sum_price,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q185(spark, sf_dir):
+    from pandrs_spark.functions.registry import register_builtin_functions
+
+    register_builtin_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(quantize100(l_extendedprice) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
 # --- q104: correlation significance test (§2.12,
 # src/stats/hypothesis.rs:556) -----------------------------------------------
 # Pearson r from exact quantized sums, then t = r*sqrt((n-2)/(1-r^2)) —

@@ -678,3 +678,31 @@ def test_release_persisted_unpins_sort_cache(spark):
     assert len(frame_mod._PERSISTED) >= 1
     released = frame_mod.release_persisted()
     assert released >= 1 and frame_mod._PERSISTED == []
+
+
+def test_register_named_sql_function(spark):
+    """Named SQL function registration (reference
+    QueryContext::add_function, query/evaluator.rs:146): registered
+    names are callable in spark.sql strings and F.expr fragments."""
+    import pandas as pd
+
+    from pandrs_spark.functions.registry import register_function
+
+    def _double_it(x: pd.Series) -> pd.Series:
+        return x * 2.0
+
+    register_function(spark, "double_it", _double_it, "double")
+    df = spark.createDataFrame([(1.5,), (2.0,)], "v double")
+    df.createOrReplaceTempView("t_reg")
+    got = spark.sql("SELECT double_it(v) AS d FROM t_reg ORDER BY d").collect()
+    assert [r["d"] for r in got] == [3.0, 4.0]
+    # F.expr path
+    got2 = df.select(F.expr("double_it(v)").alias("d")).orderBy("d").collect()
+    assert [r["d"] for r in got2] == [3.0, 4.0]
+    # row-at-a-time fallback for non-Series functions
+    register_function(
+        spark, "shout", lambda s: (s or "") + "!", "string", vectorized=False
+    )
+    sdf = spark.createDataFrame([("hi",)], "s string")
+    assert spark.sql("SELECT shout('hi') AS x").collect()[0]["x"] == "hi!"
+    del sdf
