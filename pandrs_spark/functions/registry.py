@@ -39,12 +39,39 @@ def register_function(
     ``pd.Series`` arguments and must return a ``pd.Series`` (Arrow
     batch transfer, stays off the per-row Python path). Returns the
     registered function object (also usable as a Column expression).
+
+    Annotations on ``fn`` are normalized before registration: under
+    ``from __future__ import annotations`` (PEP 563) hints arrive as
+    strings that pandas_udf cannot resolve unless the caller's module
+    happens to import pandas at top level — so the Series hints are
+    re-stamped as real classes from ``fn``'s signature.
     """
-    udf = (
-        F.pandas_udf(fn, return_type)
-        if vectorized
-        else F.udf(fn, return_type)
-    )
+    if vectorized:
+        import inspect
+
+        def _series_fn(*cols):
+            return fn(*cols)
+
+        params = list(inspect.signature(fn).parameters)
+        # no functools.wraps: it would set __wrapped__ and make
+        # inspect.signature resurface fn's (possibly string) hints
+        _series_fn.__name__ = getattr(fn, "__name__", name)
+        _series_fn.__signature__ = inspect.Signature(
+            [
+                inspect.Parameter(
+                    p,
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                    annotation=pd.Series,
+                )
+                for p in params
+            ],
+            return_annotation=pd.Series,
+        )
+        _series_fn.__annotations__ = {p: pd.Series for p in params}
+        _series_fn.__annotations__["return"] = pd.Series
+        udf = F.pandas_udf(_series_fn, return_type)
+    else:
+        udf = F.udf(fn, return_type)
     return spark.udf.register(name, udf)
 
 
