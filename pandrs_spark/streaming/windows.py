@@ -121,20 +121,28 @@ def count_window_stateful(
     key_col: str,
     value_col: str,
     size: int,
+    slide: int | None = None,
     out_schema: str | None = None,
 ):
     """Count-based windows via arbitrary stateful processing
-    (reference WindowType::Count, src/streaming/window.rs:44).
+    (reference WindowType::Count {size, slide}, src/streaming/window.rs:44).
 
     Spark has no built-in count window; this is the
     ``applyInPandasWithState`` path (SURVEY §2.10): per key, buffer
     values in state and emit one row per completed window of ``size``
-    elements. State is the (possibly partial) trailing buffer — O(size)
-    per key, so a million keys stream in bounded memory; contrast with
-    the foreachBatch variant (:func:`count_window_foreach_batch`) which
-    re-windows whole micro-batches and cannot carry partial windows
-    across batches.
+    elements. ``slide`` (default ``size`` = tumbling) emits overlapping
+    windows: window k covers elements [k·slide, k·slide + size) in each
+    key's arrival order, exactly the reference's sliding count window.
+    State is the (possibly partial) trailing buffer — O(max(size,
+    slide)) per key, so a million keys stream in bounded memory;
+    contrast with the foreachBatch variant
+    (:func:`count_window_foreach_batch`) which re-windows whole
+    micro-batches and cannot carry partial windows across batches.
     """
+    if slide is None:
+        slide = size
+    if slide <= 0 or size <= 0:
+        raise ValueError("size and slide must be positive")
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
         DoubleType,
@@ -155,6 +163,7 @@ def count_window_stateful(
     state_type = StructType(
         [
             StructField("emitted", LongType()),
+            StructField("buf_start", LongType()),  # absolute idx of buffer[0]
             StructField("buffer", StringType()),  # csv of pending values
         ]
     )
@@ -163,18 +172,29 @@ def count_window_stateful(
         import pandas as pd
 
         if state.exists:
-            emitted, buffer = state.get
+            emitted, buf_start, buffer = state.get
             pending = [float(x) for x in buffer.split(",") if x]
         else:
-            emitted, pending = 0, []
+            emitted, buf_start, pending = 0, 0, []
         for pdf in pdfs:
             pending.extend(float(v) for v in pdf[value_col])
         out = []
-        while len(pending) >= size:
-            chunk, pending = pending[:size], pending[size:]
+        # window k covers absolute element indexes [k*slide, k*slide+size)
+        while emitted * slide + size <= buf_start + len(pending):
+            off = emitted * slide - buf_start
+            chunk = pending[off : off + size]
             out.append((key[0], emitted, size, sum(chunk)))
             emitted += 1
-        state.update((emitted, ",".join(str(v) for v in pending)))
+            # cap: with slide > size the next window's start may not
+            # have arrived yet — only drop what's actually buffered so
+            # buf_start stays equal to (total seen − len(pending))
+            drop = min(emitted * slide - buf_start, len(pending))
+            if drop > 0:
+                pending = pending[drop:]
+                buf_start += drop
+        state.update(
+            (emitted, buf_start, ",".join(str(v) for v in pending))
+        )
         if out:
             yield pd.DataFrame(out, columns=["key", "window_id", "n", "total"])
 

@@ -264,3 +264,80 @@ def test_stream_static_enrich_broadcast(spark, tmp_path):
     q.awaitTermination(60)
     got = {r["key"]: r["label"] for r in spark.sql("SELECT * FROM enrich_sink").collect()}
     assert got == {"a": "alpha", "b": "beta", "zzz": None}
+
+
+# --- sliding count windows (WindowType::Count{size, slide}, window.rs:44) ---
+@pytest.fixture(scope="module")
+def count_stream_dir(spark):
+    import os
+    import time
+
+    d = tempfile.mkdtemp(prefix="pandrs_cstream_")
+    os.makedirs(f"{d}/files")
+    f1 = [(dt.datetime(2024, 1, 1, 0, i), "x", float(i + 1)) for i in range(4)]
+    f2 = [(dt.datetime(2024, 1, 1, 1, i), "x", float(i + 5)) for i in range(3)]
+    _write_flat_parquet(spark, f1, SCHEMA, f"{d}/files/a_first.parquet")
+    time.sleep(1.1)  # distinct mtimes: the file source orders batches by mtime
+    _write_flat_parquet(spark, f2, SCHEMA, f"{d}/files/b_second.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_count_window_slide_overlapping(spark, count_stream_dir):
+    from pandrs_spark.streaming.windows import count_window_stateful, stream_to_memory
+
+    src = stream_from_directory(spark, f"{count_stream_dir}/files", SCHEMA)
+    out = count_window_stateful(src, "key", "v", size=3, slide=1)
+    q = stream_to_memory(out, "t_count_slide", output_mode="append")
+    q.awaitTermination(120)
+    rows = {
+        r["window_id"]: r["total"]
+        for r in spark.sql("SELECT * FROM t_count_slide").collect()
+    }
+    # x arrives as 1..7 across two micro-batches; overlapping windows of
+    # 3 sliding by 1: [1,2,3] [2,3,4] [3,4,5] [4,5,6] [5,6,7]
+    assert rows == {0: 6.0, 1: 9.0, 2: 12.0, 3: 15.0, 4: 18.0}
+
+    # batch twin: the same overlapping windows from a plain batch plan —
+    # explode each row into the count-windows it belongs to
+    from pyspark.sql import Window
+
+    size, slide = 3, 1
+    batch = spark.read.schema(SCHEMA).parquet(f"{count_stream_dir}/files")
+    w = Window.partitionBy("key").orderBy("ts")
+    idx = batch.withColumn("rn", F.row_number().over(w) - 1)
+    wins = (
+        idx.withColumn(
+            "k",
+            F.explode(
+                F.sequence(
+                    F.greatest(
+                        F.lit(0), F.ceil((F.col("rn") - size + 1) / slide)
+                    ),
+                    F.floor(F.col("rn") / slide),
+                )
+            ),
+        )
+        .groupBy("key", "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .filter(F.col("n") == size)
+    )
+    brows = {r["k"]: r["total"] for r in wins.collect()}
+    assert brows == rows
+
+
+def test_count_window_slide_gap(spark, count_stream_dir):
+    """slide > size: sample every slide-th window start; the dropped-gap
+    bookkeeping must survive a micro-batch boundary mid-gap."""
+    from pandrs_spark.streaming.windows import count_window_stateful, stream_to_memory
+
+    src = stream_from_directory(spark, f"{count_stream_dir}/files", SCHEMA)
+    out = count_window_stateful(src, "key", "v", size=1, slide=2)
+    q = stream_to_memory(out, "t_count_gap", output_mode="append")
+    q.awaitTermination(120)
+    rows = {
+        r["window_id"]: r["total"]
+        for r in spark.sql("SELECT * FROM t_count_gap").collect()
+    }
+    # windows at absolute indexes 0,2,4,6 -> values 1,3,5,7
+    assert rows == {0: 1.0, 1: 3.0, 2: 5.0, 3: 7.0}
