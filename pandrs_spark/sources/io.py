@@ -43,6 +43,11 @@ __all__ = [
     "read_parquet_chunked",
     "read_jdbc",
     "write_jdbc",
+    "read_excel",
+    "write_excel",
+    "list_excel_sheets",
+    "excel_sheet_info",
+    "write_excel_multi",
     "write_bucketed_table",
     "read_table",
 ]
@@ -339,12 +344,40 @@ def read_excel(
         from pandrs_spark.sources.xlsx_lite import read_xlsx
 
         cols, rows = read_xlsx(
-            path,
-            sheet=sheet_name if isinstance(sheet_name, int) else 0,
-            header=header is not None,
+            path, sheet=sheet_name, header=header is not None
         )
         pdf = pd.DataFrame(rows, columns=cols)
     return spark.createDataFrame(pdf)
+
+
+def list_excel_sheets(path: str) -> list[str]:
+    """Sheet names in workbook order (reference src/io/excel.rs:480)."""
+    from pandrs_spark.sources.xlsx_lite import list_sheets
+
+    return list_sheets(path)
+
+
+def excel_sheet_info(path: str) -> list[dict]:
+    """Per-sheet name/row/column metadata (reference
+    src/io/excel.rs:823 workbook analysis)."""
+    from pandrs_spark.sources.xlsx_lite import sheet_info
+
+    return sheet_info(path)
+
+
+def write_excel_multi(dfs: "dict[str, DataFrame]", path: str) -> None:
+    """Write several DataFrames as one multi-sheet workbook
+    (driver-scale, like all Excel IO here)."""
+    from pandrs_spark.sources.xlsx_lite import write_xlsx_multi
+
+    sheets = {}
+    for name, df in dfs.items():
+        pdf = df.toPandas()
+        sheets[name] = (
+            [str(c) for c in pdf.columns],
+            list(pdf.itertuples(index=False, name=None)),
+        )
+    write_xlsx_multi(path, sheets)
 
 
 def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:

@@ -24,32 +24,53 @@ from xml.sax.saxutils import escape
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
-_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-<Default Extension="xml" ContentType="application/xml"/>
-<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-</Types>"""
+def _content_types(n_sheets: int) -> str:
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(1, n_sheets + 1)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        f"{overrides}</Types>"
+    )
+
 
 _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
 </Relationships>"""
 
-_WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-</Relationships>"""
+
+def _workbook_rels(n_sheets: int) -> str:
+    rels = "".join(
+        f'<Relationship Id="rId{i}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, n_sheets + 1)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f"{rels}</Relationships>"
+    )
 
 
-def _workbook_xml(sheet_name: str) -> str:
+def _workbook_xml(sheet_names: list[str]) -> str:
+    sheets = "".join(
+        f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, name in enumerate(sheet_names, start=1)
+    )
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
-        "</workbook>"
+        f"<sheets>{sheets}</sheets></workbook>"
     )
 
 
@@ -84,8 +105,7 @@ def _cell_xml(ref: str, value) -> str:
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
 
 
-def write_xlsx(path: str, columns: list[str], rows: list[tuple], sheet_name: str = "Sheet1") -> None:
-    """Write one sheet of scalar rows as a valid xlsx workbook."""
+def _sheet_xml(columns: list[str], rows: list[tuple]) -> str:
     body = []
     header_cells = "".join(
         _cell_xml(f"{_col_letter(c)}1", name) for c, name in enumerate(columns)
@@ -96,17 +116,35 @@ def write_xlsx(path: str, columns: list[str], rows: list[tuple], sheet_name: str
             _cell_xml(f"{_col_letter(c)}{r}", v) for c, v in enumerate(row)
         )
         body.append(f'<row r="{r}">{cells}</row>')
-    sheet = (
+    return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         f'<sheetData>{"".join(body)}</sheetData></worksheet>'
     )
+
+
+def write_xlsx_multi(
+    path: str, sheets: "dict[str, tuple[list[str], list[tuple]]]"
+) -> None:
+    """Write a multi-sheet workbook: ``{sheet_name: (columns, rows)}``
+    in dict order (reference multi-sheet Excel surface,
+    src/io/excel.rs:480)."""
+    if not sheets:
+        raise ValueError("write_xlsx_multi: at least one sheet required")
+    names = list(sheets)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("[Content_Types].xml", _content_types(len(names)))
         z.writestr("_rels/.rels", _ROOT_RELS)
-        z.writestr("xl/workbook.xml", _workbook_xml(sheet_name))
-        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/workbook.xml", _workbook_xml(names))
+        z.writestr("xl/_rels/workbook.xml.rels", _workbook_rels(len(names)))
+        for i, name in enumerate(names, start=1):
+            cols, rows = sheets[name]
+            z.writestr(f"xl/worksheets/sheet{i}.xml", _sheet_xml(cols, rows))
+
+
+def write_xlsx(path: str, columns: list[str], rows: list[tuple], sheet_name: str = "Sheet1") -> None:
+    """Write one sheet of scalar rows as a valid xlsx workbook."""
+    write_xlsx_multi(path, {sheet_name: (columns, rows)})
 
 
 def _cell_value(cell, shared: list[str]):
@@ -127,14 +165,83 @@ def _cell_value(cell, shared: list[str]):
     return int(num) if num.is_integer() and "." not in v.text and "e" not in v.text.lower() else num
 
 
-def read_xlsx(path: str, sheet: int = 0, header: bool = True) -> tuple[list[str], list[list]]:
-    """Read one sheet → (column_names, rows). Ragged rows are padded
-    with None to the widest row."""
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _sheet_targets(z: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """Ordered (sheet_name, zip_part_path) from workbook.xml + its rels
+    — workbook order, NOT filename sort (sheet10 would sort before
+    sheet2). Falls back to numeric filename order for workbooks missing
+    the parts."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        target_by_id = {
+            rel.get("Id"): rel.get("Target") for rel in rels.iter(f"{rel_ns}Relationship")
+        }
+        out = []
+        for sheet in wb.iter(f"{_NS}sheet"):
+            rid = sheet.get(f"{_R_NS}id")
+            target = target_by_id.get(rid)
+            if target is None:
+                continue
+            part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+            out.append((sheet.get("name"), part))
+        if out:
+            return out
+    except (KeyError, ET.ParseError):
+        pass
+    parts = [
+        n for n in z.namelist() if re.match(r"xl/worksheets/sheet\d+\.xml$", n)
+    ]
+    parts.sort(key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)))
+    return [(f"Sheet{i}", p) for i, p in enumerate(parts, start=1)]
+
+
+def list_sheets(path: str) -> list[str]:
+    """Sheet names in workbook order (reference sheet listing,
+    src/io/excel.rs:480)."""
     with zipfile.ZipFile(path) as z:
-        names = sorted(
-            n for n in z.namelist() if re.match(r"xl/worksheets/sheet\d+\.xml$", n)
-        )
-        tree = ET.fromstring(z.read(names[sheet]))
+        return [name for name, _ in _sheet_targets(z)]
+
+
+def sheet_info(path: str) -> list[dict]:
+    """Per-sheet metadata: name, n_rows (excluding nothing — raw row
+    count), n_cols (widest row) — the reference's workbook-info surface
+    (src/io/excel.rs:823)."""
+    out = []
+    with zipfile.ZipFile(path) as z:
+        for name, part in _sheet_targets(z):
+            tree = ET.fromstring(z.read(part))
+            rows = tree.find(f"{_NS}sheetData").findall(f"{_NS}row")
+            width = 0
+            for row in rows:
+                for pos, cell in enumerate(row.findall(f"{_NS}c")):
+                    ref = cell.get("r")
+                    ci = _col_index(ref) if ref else pos
+                    width = max(width, ci + 1)
+            out.append({"name": name, "n_rows": len(rows), "n_cols": width})
+    return out
+
+
+def read_xlsx(
+    path: str, sheet: int | str = 0, header: bool = True
+) -> tuple[list[str], list[list]]:
+    """Read one sheet (by 0-based index or by NAME) → (column_names,
+    rows). Ragged rows are padded with None to the widest row."""
+    with zipfile.ZipFile(path) as z:
+        targets = _sheet_targets(z)
+        if isinstance(sheet, str):
+            by_name = {name: part for name, part in targets}
+            if sheet not in by_name:
+                raise KeyError(
+                    f"sheet {sheet!r} not found; workbook has {list(by_name)}"
+                )
+            part = by_name[sheet]
+        else:
+            part = targets[sheet][1]
+        tree = ET.fromstring(z.read(part))
         shared: list[str] = []
         if "xl/sharedStrings.xml" in z.namelist():
             sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))

@@ -201,3 +201,59 @@ def test_loader_footer_dispatch_leaves_real_bigint_ts_alone(spark, tmp_path):
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
     assert dict(df2.dtypes)["ts"] == "timestamp"
     assert [r["ts"] for r in df2.collect()] == ts
+
+
+def test_xlsx_multi_sheet_roundtrip(spark, tmp_path):
+    """Multi-sheet workbook surface (reference src/io/excel.rs:480,823):
+    list sheets in workbook order, read by name and by index, per-sheet
+    info."""
+    from pandrs_spark.sources.xlsx_lite import (
+        list_sheets,
+        read_xlsx,
+        sheet_info,
+        write_xlsx_multi,
+    )
+
+    path = str(tmp_path / "multi.xlsx")
+    write_xlsx_multi(
+        path,
+        {
+            "orders": (["id", "amount"], [(1, 10.5), (2, 20.0), (3, 7.25)]),
+            "refs": (["code", "label"], [("a", "Alpha <&>"), ("b", "Beta")]),
+        },
+    )
+    assert list_sheets(path) == ["orders", "refs"]
+    info = sheet_info(path)
+    assert info[0] == {"name": "orders", "n_rows": 4, "n_cols": 2}
+    assert info[1] == {"name": "refs", "n_rows": 3, "n_cols": 2}
+    cols, rows = read_xlsx(path, sheet="refs")
+    assert cols == ["code", "label"]
+    assert rows[0] == ["a", "Alpha <&>"]
+    # by index still works and matches by-name
+    assert read_xlsx(path, sheet=1) == (cols, rows)
+    with pytest.raises(KeyError):
+        read_xlsx(path, sheet="missing")
+
+    # io-level wrappers: write several frames, read one back by name
+    import pandrs_spark.sources.io as pio
+
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    df2 = spark.createDataFrame([(9.5,)], "v double")
+    path2 = str(tmp_path / "multi2.xlsx")
+    pio.write_excel_multi({"first": df1, "second": df2}, path2)
+    assert pio.list_excel_sheets(path2) == ["first", "second"]
+    back = pio.read_excel(spark, path2, sheet_name="second")
+    assert [r["v"] for r in back.collect()] == [9.5]
+
+
+def test_xlsx_many_sheets_order_not_filename_sort(tmp_path):
+    # 11 sheets: filename sort would put sheet10 before sheet2
+    from pandrs_spark.sources.xlsx_lite import list_sheets, read_xlsx, write_xlsx_multi
+
+    path = str(tmp_path / "many.xlsx")
+    sheets = {f"s{i:02d}": (["n"], [(i,)]) for i in range(11)}
+    write_xlsx_multi(path, sheets)
+    assert list_sheets(path) == [f"s{i:02d}" for i in range(11)]
+    for i in (0, 1, 9, 10):
+        cols, rows = read_xlsx(path, sheet=f"s{i:02d}")
+        assert rows == [[i]]
