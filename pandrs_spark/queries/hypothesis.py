@@ -372,12 +372,32 @@ _P = 40
     FROM perm_stats
     """,
 )
-def q96(spark, sf_dir):
+def q96(spark, sf_dir, sample_frac: float | None = None):
+    """Permutation test for mean difference.
+
+    Scale note: the permutation replicates the frame ×{_P} (bounded and
+    fine at gate SF). At 100 TB you permute a deterministic STRATIFIED
+    SAMPLE instead — the permutation null only needs enough rows for a
+    stable tail estimate, not the full population. Pass ``sample_frac``
+    to do exactly that: each segment is thinned by content hash
+    (operators/sampling.deterministic_sample, engine-portable), so the
+    ×{_P} blow-up applies to n·frac rows. Default None keeps the
+    full-frame behavior the oracle mirrors.
+    """
     from pyspark.sql import Window
 
     cust = T(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin(["BUILDING", "MACHINERY"])
     )
+    if sample_frac is not None:
+        from pandrs_spark.operators.sampling import stratified_sample
+
+        cust = stratified_sample(
+            cust,
+            "c_mktsegment",
+            {"BUILDING": sample_frac, "MACHINERY": sample_frac},
+            ["c_custkey"],
+        )
     w = Window.orderBy("c_custkey")
     two = cust.select(
         "c_acctbal", "c_mktsegment", (F.row_number().over(w) - 1).alias("rn")
