@@ -27,6 +27,9 @@ __all__ = [
     "doc_fingerprint",
     "word_shingle_udtf",
     "STOPWORDS",
+    "PII_PATTERNS",
+    "redact_pii",
+    "corpus_ngram_duplication",
 ]
 
 # Tiny per-language stopword lists used by the n-gram/stopword language
@@ -66,6 +69,51 @@ def shingles(tok: Column, k: int = 3) -> Column:
 def distinct_token_ratio(tok: Column) -> Column:
     """Type-token ratio — vocabulary diversity quality signal."""
     return F.size(F.array_distinct(tok)) / F.size(tok)
+
+
+# PII scrub patterns (training-data hygiene). Plain RE2-safe regexes —
+# no lookarounds — so the identical pattern runs on Spark (Java regex)
+# and DuckDB/RE2 oracles.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact emails, URLs and long digit runs with typed placeholders
+    (<EMAIL>/<URL>/<NUM>) — the standard scrub pass before training-data
+    release. Pure ``regexp_replace`` chain: JVM-side, codegen'd,
+    map-only — no shuffle, scales linearly at 100 TB. Order matters:
+    emails before digit runs (an email's numeric local part must become
+    part of <EMAIL>, not <NUM>); URLs before digit runs for the same
+    reason."""
+    c = col if isinstance(col, Column) else F.col(col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def corpus_ngram_duplication(
+    docs, text_col: str = "text", k: int = 8
+):
+    """Corpus-level duplicate k-gram fraction (C4/Gopher-style corpus
+    hygiene metric): 1 − distinct/total over all word k-grams. One
+    explode + one aggregate; at 100 TB swap the exact COUNT(DISTINCT)
+    for ``approx_count_distinct`` (same plan shape, no exact-distinct
+    shuffle) — the exact form here is the oracle-matched baseline.
+    Returns one row: n_grams, n_distinct, dup_fraction."""
+    grams = docs.select(
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("g")
+    )
+    return grams.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("g") / F.count(F.lit(1)), 6
+        ).alias("dup_fraction"),
+    )
 
 
 def stopword_hits(tok: Column, words: tuple[str, ...]) -> Column:

@@ -1082,3 +1082,92 @@ def q179(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q186: corpus-level duplicate 8-gram fraction (C4/Gopher corpus
+# hygiene; one explode + one aggregate, approx_count_distinct is the
+# stated 100 TB swap — operators/text.py corpus_ngram_duplication) -----------
+@query(
+    "q186_corpus_ngram_duplication",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    grams AS (
+        SELECT array_to_string(w[i:i+7], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*), 6) AS dup_fraction
+    FROM grams
+    """,
+)
+def q186(spark, sf_dir):
+    from pandrs_spark.operators.text import corpus_ngram_duplication
+
+    return corpus_ngram_duplication(T(spark, sf_dir, "documents"), "text", k=8)
+
+
+# --- q187: PII redaction pass (emails/URLs/long digit runs →
+# <EMAIL>/<URL>/<NUM>; operators/text.py redact_pii). The corpus is
+# synthetic word soup, so deterministic PII-bearing suffixes are
+# synthesized per doc and the SAME RE2-safe regex chain runs on both
+# engines; redaction counts per lang are value-hashed. ----------------------
+@query(
+    "q187_pii_redaction",
+    oracle="""
+    WITH synth AS (
+        SELECT lang,
+               text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or https://s' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.org ref ' || lpad(CAST(doc_id * 987654 AS VARCHAR), 9, '0')
+                    AS t
+        FROM documents
+    ),
+    red AS (
+        SELECT lang,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\\s]+', '<URL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g') AS r
+        FROM synth
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(r, '<EMAIL>')) - 1) AS BIGINT) AS emails,
+           CAST(SUM(len(string_split(r, '<URL>')) - 1) AS BIGINT) AS urls,
+           CAST(SUM(len(string_split(r, '<NUM>')) - 1) AS BIGINT) AS nums
+    FROM red GROUP BY lang ORDER BY lang
+    """,
+)
+def q187(spark, sf_dir):
+    from pandrs_spark.operators.text import redact_pii
+
+    docs = T(spark, sf_dir, "documents")
+    synth = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://s"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org ref "),
+            F.lpad((F.col("doc_id") * 987654).cast("string"), 9, "0"),
+        ).alias("t"),
+    )
+    red = synth.select("lang", redact_pii("t").alias("r"))
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("r", "<EMAIL>")) - 1).cast("bigint").alias("emails"),
+            F.sum(F.size(F.split("r", "<URL>")) - 1).cast("bigint").alias("urls"),
+            F.sum(F.size(F.split("r", "<NUM>")) - 1).cast("bigint").alias("nums"),
+        )
+        .orderBy("lang")
+    )

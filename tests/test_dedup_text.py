@@ -173,3 +173,33 @@ def test_bm25_ranks_matching_docs_first(spark):
     scores = {r["id"]: r["bm25"] for r in out}
     assert scores[2] > scores[1]
     assert scores[2] < 3 * scores[1]
+
+
+def test_redact_pii_patterns(spark):
+    from pandrs_spark.operators.text import redact_pii
+
+    rows = [
+        ("mail me at jo.smith+x@corp.io now",),
+        ("see https://a.example.com/p?q=1 and http://b.org",),
+        ("card 1234567890 pin 12345",),  # only the 6+ digit run redacts
+        ("plain text stays",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r["r"] for r in df.select(redact_pii("t").alias("r")).collect()]
+    assert got[0] == "mail me at <EMAIL> now"
+    assert got[1] == "see <URL> and <URL>"
+    assert got[2] == "card <NUM> pin 12345"
+    assert got[3] == "plain text stays"
+
+
+def test_corpus_ngram_duplication_counts(spark):
+    from pandrs_spark.operators.text import corpus_ngram_duplication
+
+    # two docs sharing one 3-gram ("a b c"), plus a unique one each
+    df = spark.createDataFrame(
+        [("a b c d",), ("x a b c",), ("short",)], "text string"
+    )
+    row = corpus_ngram_duplication(df, "text", k=3).collect()[0]
+    # grams: (a b c),(b c d) + (x a b),(a b c) -> 4 total, 3 distinct
+    assert row["n_grams"] == 4 and row["n_distinct"] == 3
+    assert abs(row["dup_fraction"] - 0.25) < 1e-9
