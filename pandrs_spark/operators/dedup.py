@@ -32,6 +32,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprint",
+    "incremental_dedup",
 ]
 
 
@@ -45,6 +46,36 @@ def exact_dedup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame
             F.count(F.lit(1)).alias("cluster_size"),
             F.min(id_col).alias("keep_id"),
         )
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Delta dedup: keep only new rows whose content fingerprint is not
+    already in the existing corpus, and not duplicated within the batch
+    (min id wins). The shape every multi-snapshot training-data
+    pipeline needs: fingerprint both sides, LEFT ANTI join on the
+    fingerprint (hash-partitioned on an md5 key → uniform, no skew),
+    then an in-batch keep-first. No row of either corpus is ever
+    widened — only (fp, id) pairs move. At 100 TB the existing side is
+    a fingerprint-only table you maintain incrementally; this takes any
+    DataFrame and projects the fingerprint itself for convenience.
+    """
+    new_fp = new_batch.withColumn("__fp__", doc_fingerprint(text_col))
+    old_fp = existing.select(doc_fingerprint(text_col).alias("__fp__"))
+    survivors = new_fp.join(old_fp, "__fp__", "left_anti")
+    w_min = (
+        survivors.groupBy("__fp__")
+        .agg(F.min(id_col).alias("__keep__"))
+    )
+    return (
+        survivors.join(w_min, "__fp__")
+        .filter(F.col(id_col) == F.col("__keep__"))
+        .drop("__fp__", "__keep__")
     )
 
 

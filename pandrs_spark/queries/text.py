@@ -1171,3 +1171,116 @@ def q187(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- q188: incremental (delta) dedup — new sources deduped against the
+# src0 "existing corpus" by content fingerprint: LEFT ANTI on the md5
+# key, then in-batch keep-min-id (operators/dedup.py incremental_dedup).
+# The multi-snapshot pipeline shape: only (fp, id) pairs shuffle. ------------
+@query(
+    "q188_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    old AS (SELECT DISTINCT fp FROM fp WHERE source = 'src0'),
+    newb AS (SELECT * FROM fp WHERE source <> 'src0'),
+    surv AS (
+        SELECT n.* FROM newb n LEFT JOIN old o ON n.fp = o.fp
+        WHERE o.fp IS NULL
+    ),
+    kept AS (
+        SELECT * FROM surv
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_kept_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_kept_id
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def q188(spark, sf_dir):
+    from pandrs_spark.operators.dedup import incremental_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("source") == "src0")
+    new_batch = docs.filter(F.col("source") != "src0")
+    kept = incremental_dedup(new_batch, existing, "text", "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").cast("bigint").alias("min_kept_id"),
+            F.max("doc_id").cast("bigint").alias("max_kept_id"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q189: int8 embedding quantization (vector-store compression;
+# operators/similarity.py quantize_embeddings_int8). Per-label exact
+# int checksum of the quantized codes plus order-independent (davg)
+# scale and reconstruction-RMS means; the DuckDB oracle folds the same
+# left-to-right error sum with list_reduce. ---------------------------------
+def _q189_oracle():
+    from pandrs_spark.functions.deterministic import sql_davg
+
+    return f"""
+    WITH e AS (
+        SELECT label, vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT label, vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM e
+    ),
+    qv AS (
+        SELECT label, vec_id, v, scale,
+               list_transform(v, x -> CAST(round(x * 127.0 / scale) AS INTEGER)) AS q
+        FROM s
+    ),
+    r AS (
+        SELECT label, scale,
+               list_sum(q) AS qsum,
+               sqrt(list_reduce(
+                   list_prepend(0.0,
+                       list_transform(generate_series(1, len(v)),
+                           i -> (v[i] - q[i] * scale / 127.0)
+                              * (v[i] - q[i] * scale / 127.0))),
+                   (a, b) -> a + b) / len(v)) AS rms_err
+        FROM qv
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(qsum) AS BIGINT) AS q_checksum,
+           ROUND({sql_davg('scale', 8)}, 6) AS avg_scale,
+           ROUND({sql_davg('rms_err', 8)}, 6) AS avg_rms
+    FROM r GROUP BY label ORDER BY label
+    """
+
+
+@query("q189_embedding_int8_quant", oracle=_q189_oracle())
+def q189(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import davg
+    from pandrs_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = T(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings_int8(emb, "embedding", "vec_id")
+    joined = qd.join(emb.select("vec_id", "label"), "vec_id")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x))
+            .cast("bigint")
+            .alias("q_checksum"),
+            F.round(davg("scale", 8), 6).alias("avg_scale"),
+            F.round(davg("rms_err", 8), 6).alias("avg_rms"),
+        )
+        .orderBy("label")
+    )

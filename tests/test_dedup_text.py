@@ -203,3 +203,25 @@ def test_corpus_ngram_duplication_counts(spark):
     # grams: (a b c),(b c d) + (x a b),(a b c) -> 4 total, 3 distinct
     assert row["n_grams"] == 4 and row["n_distinct"] == 3
     assert abs(row["dup_fraction"] - 0.25) < 1e-9
+
+
+def test_incremental_dedup(spark):
+    from pandrs_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "old news here")], "doc_id long, text string"
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (10, "The  cat   sat"),   # dup of existing (normalized)
+            (11, "fresh content one"),
+            (12, "fresh content one"),  # in-batch dup, keep min id 11
+            (13, "fresh content two"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(new_batch, existing, "text", "doc_id").collect()
+    )
+    assert kept == [11, 13]

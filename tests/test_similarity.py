@@ -104,3 +104,21 @@ def test_ivf_probe_widens_candidates(spark):
     narrow = ivf_topk(df, q, k=10, n_centroids=5, n_probe=1).count()
     wide = ivf_topk(df, q, k=10, n_centroids=5, n_probe=5).count()
     assert wide >= narrow
+
+
+def test_quantize_embeddings_int8(spark):
+    from pandrs_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.1, 0.1, 0.1, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    r1 = rows[1]
+    assert abs(r1["scale"] - 1.0) < 1e-9
+    assert r1["q"] == [127, -64, 32, 0]  # round(-63.5) away from zero
+    assert 0.0 <= r1["rms_err"] < 0.01
+    r2 = rows[2]
+    # uniform vector: every element quantizes to exactly 127, zero error
+    assert r2["q"] == [127, 127, 127, 127]
+    assert r2["rms_err"] < 1e-7
