@@ -1080,6 +1080,12 @@ def tsne_project(
             comp[:, j] = -comp[:, j]
     Y = (Xc @ comp) * 1e-4 / max(np.abs(Xc @ comp).max(), 1e-12)
 
+    # "auto" learning rate (sklearn/openTSNE heuristic): n / early
+    # exaggeration, floored at 50. A fixed lr=200 is tuned for n in the
+    # thousands and DIVERGES on small samples (updates overshoot, blobs
+    # shatter and interleave); n/12 keeps step size proportional to the
+    # gradient normalization so the layout converges at any sample_n.
+    lr = max(n / 12.0, 50.0)
     gains, inc = np.ones_like(Y), np.zeros_like(Y)
     for it in range(iters):
         mult = 12.0 if it < 50 else 1.0
@@ -1092,7 +1098,7 @@ def tsne_project(
         grad = 4.0 * ((np.diag(W.sum(axis=1)) - W) @ Y)
         gains = np.where(np.sign(grad) != np.sign(inc), gains + 0.2, gains * 0.8)
         gains = np.maximum(gains, 0.01)
-        inc = momentum * inc - 200.0 * gains * grad
+        inc = momentum * inc - lr * gains * grad
         Y = Y + inc
         Y = Y - Y.mean(axis=0)
 
