@@ -159,3 +159,35 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     q = pio.read_parquet(spark, path, predicate="o_orderpriority = '1-URGENT'")
     text = plans.plan_text(q, "formatted")
     assert "PartitionFilters" in text and "1-URGENT" in text, text[-1500:]
+
+
+def test_pii_redaction_is_map_only(spark, sf_dir):
+    """redact_pii + the int8 quantizer are regexp/HOF projections — a
+    shuffle in either would be a 100 TB regression."""
+    from pandrs_spark.operators.similarity import quantize_embeddings_int8
+    from pandrs_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", redact_pii("text").alias("r"))
+    assert plans.num_shuffles(q) == 0, plans.plan_text(q)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q2 = quantize_embeddings_int8(emb, "embedding", "vec_id")
+    assert plans.num_shuffles(q2) == 0, plans.plan_text(q2)
+
+
+def test_incremental_dedup_anti_join_shape(spark, sf_dir):
+    """Delta dedup must plan as an anti join on the fingerprint — never
+    a cartesian — and the in-batch keep-first adds one agg shuffle."""
+    from pandrs_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = incremental_dedup(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+    )
+    txt = plans.plan_text(kept)
+    assert "CartesianProduct" not in txt
+    assert "LeftAnti" in txt or "left_anti" in txt.lower(), txt
