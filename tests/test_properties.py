@@ -173,3 +173,32 @@ def test_sort_values_partition_invariant_dense_order(spark, vals, nparts):
     assert orders == list(range(1, len(vals) + 1))  # dense total order
     by_order = [r["v"] for r in sorted(rows, key=lambda r: r[f._order])]
     assert by_order == sorted(vals)
+
+
+# --- query() @param substitution: quote-state machine ----------------------
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" @'\"_."
+        ),
+        max_size=25,
+    ),
+    st.integers(-1000, 1000),
+)
+def test_query_param_substitution_properties(literal, val):
+    """Pure-function properties of Frame._substitute_params:
+    1. text inside quotes is NEVER altered;
+    2. a supplied @name outside quotes always becomes its literal;
+    3. unknown @name outside quotes raises KeyError."""
+    from pandrs_spark.frame import Frame
+
+    # property 1: any content inside a quoted literal survives verbatim
+    quoted = literal.replace("'", "''")
+    expr = f"col == '{quoted}' and x > @p"
+    out = Frame._substitute_params(expr, {"p": val})
+    assert f"'{quoted}'" in out
+    assert out.endswith(f"x > {val}")
+    # property 3
+    with pytest.raises(KeyError):
+        Frame._substitute_params("x > @unknown", {"p": 1})
