@@ -961,6 +961,30 @@ class Frame:
         spark = self._df.sparkSession
         return Frame(spark.createDataFrame(pdf.astype(str)))
 
+    # -- shape / introspection (compat shape/size/empty) --------------------
+    @property
+    def shape(self) -> tuple[int, int]:
+        """(n_rows, n_cols) like pandas — the row count RUNS A JOB
+        (Spark frames are lazy); cache upstream if called repeatedly."""
+        return (self._df.count(), len(self.columns))
+
+    @property
+    def size(self) -> int:
+        """rows × cols (runs a job, see ``shape``)."""
+        r, c = self.shape
+        return r * c
+
+    @property
+    def empty(self) -> bool:
+        """True when the frame has no rows (cheap: LIMIT 1 probe, not a
+        full count)."""
+        return self._df.limit(1).count() == 0
+
+    def pipe(self, fn, *args, **kwargs):
+        """pandas ``pipe``: ``f.pipe(g, x) == g(f, x)`` — keeps method
+        chains linear through user functions."""
+        return fn(self, *args, **kwargs)
+
     # -- driver-side materialization (compat :1551,:3087,:3091,:2965) -------
     def to_dict(self, orient: str = "dict") -> dict | list:
         """pandas ``to_dict`` (compat :1551): 'dict' (col→{order→val}),

@@ -706,3 +706,14 @@ def test_register_named_sql_function(spark):
     sdf = spark.createDataFrame([("hi",)], "s string")
     assert spark.sql("SELECT shout('hi') AS x").collect()[0]["x"] == "hi!"
     del sdf
+
+
+def test_shape_size_empty_pipe(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "n long, s string")
+    f = Frame(df)
+    assert f.shape == (3, 2)
+    assert f.size == 6
+    assert not f.empty
+    assert Frame(df.filter("n > 99")).empty
+    doubled = f.pipe(lambda fr, k: fr.assign(m=F.col("n") * k), 10)
+    assert sorted(r["m"] for r in doubled.spark.collect()) == [10, 20, 30]
