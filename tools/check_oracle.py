@@ -84,6 +84,8 @@ def main() -> int:
             "before reading per-query results"
         )
 
+    from pandrs_spark.frame import release_persisted
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -95,6 +97,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # drop frames pinned by global-position sorts so cached
+            # partitions don't accumulate across the 189-query run
+            release_persisted()
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
