@@ -89,9 +89,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[2], 3)
-        # Release any frames pinned by global-position sorts so cached
-        # partitions don't accumulate across queries.
-        release_persisted()
+    # Release frames pinned by global-position sorts ONCE, after all
+    # timings: plans were pre-built above, and a pinned layout released
+    # mid-loop would silently invalidate a later pre-built plan's
+    # collected partition offsets.
+    release_persisted()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

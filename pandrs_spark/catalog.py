@@ -13,7 +13,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "default_sf_dir",
+    "ensure_nanos_readable",
+]
 
 TABLES = (
     "region",
@@ -97,7 +104,15 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_timestamp_cols(path)
-    if nanos_cols:
+    if nanos_cols is None:
+        # Footer inspection unavailable (no pyarrow / unreadable
+        # footer): fall back to the name-based heuristic — set the conf
+        # (harmless when no nanos columns exist) and convert known
+        # timestamp-named bigints.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        nanos_cols = _NANOS_TS_COLS
+    elif nanos_cols:
         # TIMESTAMP(NANOS) only surfaces as a readable type under
         # nanosAsLong. Scope the conf to this read: the hadoop conf is
         # captured when the DataFrame is created, so restoring right
@@ -126,8 +141,14 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
-def _nanos_timestamp_cols(path: str) -> set[str]:
-    """Columns whose parquet footer logical type is TIMESTAMP(NANOS).
+# Name-based fallback when the parquet footer can't be inspected:
+# bigint columns with these names are assumed TIMESTAMP(NANOS).
+_NANOS_TS_COLS = {"ts", "o_orderdate", "l_shipdate", "l_commitdate", "l_receiptdate"}
+
+
+def _nanos_timestamp_cols(path: str) -> set[str] | None:
+    """Columns whose parquet footer logical type is TIMESTAMP(NANOS),
+    or None when the footer can't be inspected.
 
     Dispatching on the footer (via pyarrow) instead of column NAME means
     a genuine bigint column — even one named ``ts`` carrying epoch
@@ -145,7 +166,23 @@ def _nanos_timestamp_cols(path: str) -> set[str]:
             if pa.types.is_timestamp(typ) and typ.unit == "ns"
         }
     except Exception:
-        return set()
+        return None
+
+
+def ensure_nanos_readable(spark: SparkSession, path: str) -> bool:
+    """For RAW or STREAMING parquet reads outside :func:`load_table`
+    (which cannot scope the conf — a streaming query plans and executes
+    asynchronously): if the footer carries TIMESTAMP(NANOS) columns (or
+    can't be inspected), set ``nanosAsLong`` for the session and return
+    True. Leaving it set is safe for this engine — the loader dispatches
+    on the footer, not the conf — and is required for the stream's whole
+    lifetime. No-op (returns False) for non-nanos layouts, so the common
+    case never touches session state."""
+    nanos = _nanos_timestamp_cols(path)
+    if nanos is None or nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return True
+    return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -430,6 +430,14 @@ class Frame:
         while i < n:
             ch = expr[i]
             if quote is not None:
+                if ch == "\\" and i + 1 < n:
+                    # Spark SQL string literals support backslash
+                    # escapes by default (escapedStringLiterals=false):
+                    # \' must not close the quote
+                    out.append(ch)
+                    out.append(expr[i + 1])
+                    i += 2
+                    continue
                 out.append(ch)
                 if ch == quote:
                     # SQL escapes a quote by doubling it ('' / "")

@@ -57,14 +57,18 @@ def quantize_embeddings_int8(
     """
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
-    q = F.transform(emb, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    # zero-vector guard: scale=0 would make x*127/scale = 0/0 = NaN
+    # (and diverge from the SQL oracle's NULL). Dividing by 1 instead
+    # quantizes the all-zero vector to all-zero codes with zero error.
+    safe = F.when(scale > 0.0, scale).otherwise(F.lit(1.0))
+    q = F.transform(emb, lambda x: F.round(x * 127.0 / safe).cast("int"))
     rms = F.sqrt(
         F.aggregate(
             F.zip_with(
                 emb,
                 q,
-                lambda x, qq: (x - qq * scale / 127.0)
-                * (x - qq * scale / 127.0),
+                lambda x, qq: (x - qq * safe / 127.0)
+                * (x - qq * safe / 127.0),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,

@@ -638,6 +638,40 @@ def q170(spark, sf_dir):
 # aggregation. Streams and batch agree by construction in Spark's
 # model — this pins it. The glob-wrapped path ([t]) makes the file
 # source treat the single parquet FILE as a one-file directory listing.
+def _normalize_ts(df):
+    """Session-TZ TIMESTAMP ``ts`` from any driver layout (timestamp_ntz
+    → cast; nanos-as-bigint → truncate to micros) — the single shared
+    normalization for raw/streaming events reads that bypass
+    catalog.load_table (a streaming source can't scope session confs)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return df
+
+
+def _events_static_and_stream(spark, sf_dir):
+    """(static_df, stream_df) over events.parquet, both with normalized
+    ``ts``. ensure_nanos_readable handles the TIMESTAMP(NANOS) layout:
+    raw and streaming reads plan/execute outside load_table's scoped
+    conf, so the conf must cover the stream's whole lifetime."""
+    import os
+
+    from pandrs_spark.catalog import ensure_nanos_readable
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ensure_nanos_readable(spark, path)
+    static = spark.read.parquet(path)
+    # the glob-wrapped path ([t]) makes the file source treat the
+    # single parquet FILE as a one-file directory listing
+    glob_path = path[:-1] + f"[{path[-1]}]"
+    sdf = spark.readStream.schema(static.schema).parquet(glob_path)
+    return _normalize_ts(static), _normalize_ts(sdf)
+
+
 @query(
     "q180_streaming_tumbling_counts",
     oracle="""
@@ -649,25 +683,13 @@ def q170(spark, sf_dir):
     """,
 )
 def q180(spark, sf_dir):
-    import os
-
     from pandrs_spark.streaming.windows import (
         stream_to_memory,
         tumbling,
         windowed_agg,
     )
 
-    path = os.path.join(sf_dir, "events.parquet")
-    static = spark.read.parquet(path)
-    glob_path = path[:-1] + f"[{path[-1]}]"
-    sdf = spark.readStream.schema(static.schema).parquet(glob_path)
-    ts_type = dict(sdf.dtypes).get("ts")
-    if ts_type == "timestamp_ntz":
-        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
-    elif ts_type == "bigint":
-        sdf = sdf.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        )
+    _, sdf = _events_static_and_stream(spark, sf_dir)
     agg = windowed_agg(
         sdf,
         tumbling("ts", "1 hour"),
@@ -708,24 +730,12 @@ def q180(spark, sf_dir):
     """,
 )
 def q181(spark, sf_dir):
-    import os
-
     from pandrs_spark.streaming.windows import (
         dedup_within_watermark,
         stream_to_memory,
     )
 
-    path = os.path.join(sf_dir, "events.parquet")
-    static = spark.read.parquet(path)
-    glob_path = path[:-1] + f"[{path[-1]}]"
-    sdf = spark.readStream.schema(static.schema).parquet(glob_path)
-    ts_type = dict(sdf.dtypes).get("ts")
-    if ts_type == "timestamp_ntz":
-        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
-    elif ts_type == "bigint":
-        sdf = sdf.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        )
+    static, sdf = _events_static_and_stream(spark, sf_dir)
     # dropDuplicatesWithinWatermark only guarantees dedup for
     # duplicates arriving within the delay window. If availableNow ever
     # splits the backlog into several micro-batches, a pair of
@@ -734,13 +744,8 @@ def q181(spark, sf_dir):
     # (+2 days margin); the oracle equality then holds regardless of
     # micro-batch boundaries. At 100 TB you'd keep a short delay and
     # accept watermark-bounded (streaming) semantics instead.
-    ts_norm = F.col("ts")
-    if ts_type == "timestamp_ntz":
-        ts_norm = F.col("ts").cast("timestamp")
-    elif ts_type == "bigint":
-        ts_norm = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
     span = static.select(
-        (F.unix_timestamp(F.max(ts_norm)) - F.unix_timestamp(F.min(ts_norm)))
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
     ).first()[0]
     delay_days = int((span or 0) // 86_400) + 2
     deduped = dedup_within_watermark(

@@ -1236,12 +1236,15 @@ def _q189_oracle():
     ),
     s AS (
         SELECT label, vec_id, v,
-               list_max(list_transform(v, x -> abs(x))) AS scale
+               list_max(list_transform(v, x -> abs(x))) AS scale,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS safe
         FROM e
     ),
     qv AS (
-        SELECT label, vec_id, v, scale,
-               list_transform(v, x -> CAST(round(x * 127.0 / scale) AS INTEGER)) AS q
+        SELECT label, vec_id, v, scale, safe,
+               list_transform(v, x -> CAST(round(x * 127.0 / safe) AS INTEGER)) AS q
         FROM s
     ),
     r AS (
@@ -1250,8 +1253,8 @@ def _q189_oracle():
                sqrt(list_reduce(
                    list_prepend(0.0,
                        list_transform(generate_series(1, len(v)),
-                           i -> (v[i] - q[i] * scale / 127.0)
-                              * (v[i] - q[i] * scale / 127.0))),
+                           i -> (v[i] - q[i] * safe / 127.0)
+                              * (v[i] - q[i] * safe / 127.0))),
                    (a, b) -> a + b) / len(v)) AS rms_err
         FROM qv
     )

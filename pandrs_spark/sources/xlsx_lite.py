@@ -63,7 +63,9 @@ def _workbook_rels(n_sheets: int) -> str:
 
 def _workbook_xml(sheet_names: list[str]) -> str:
     sheets = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+        # attribute context: double quotes must be escaped too (sax
+        # escape() alone leaves them, corrupting name="...")
+        f'<sheet name="{escape(name, {chr(34): "&quot;"})}" sheetId="{i}" r:id="rId{i}"/>'
         for i, name in enumerate(sheet_names, start=1)
     )
     return (
@@ -186,7 +188,14 @@ def _sheet_targets(z: zipfile.ZipFile) -> list[tuple[str, str]]:
             target = target_by_id.get(rid)
             if target is None:
                 continue
-            part = target if target.startswith("xl/") else f"xl/{target.lstrip('/')}"
+            # OPC target resolution: absolute targets ('/xl/...') are
+            # package-rooted; relative ones resolve against xl/
+            if target.startswith("/"):
+                part = target.lstrip("/")
+            elif target.startswith("xl/"):
+                part = target
+            else:
+                part = f"xl/{target}"
             out.append((sheet.get("name"), part))
         if out:
             return out

@@ -717,3 +717,11 @@ def test_shape_size_empty_pipe(spark):
     assert Frame(df.filter("n > 99")).empty
     doubled = f.pipe(lambda fr, k: fr.assign(m=F.col("n") * k), 10)
     assert sorted(r["m"] for r in doubled.spark.collect()) == [10, 20, 30]
+
+
+def test_query_backslash_escaped_quote(spark):
+    # review fix: \' inside a Spark string literal must not close the
+    # quote state in @param substitution
+    df = spark.createDataFrame([("O'Brien @x", 1), ("Smith", 2)], "name string, n long")
+    out = Frame(df).query("name == 'O\\'Brien @x' and n >= @lo", lo=1)
+    assert [r["n"] for r in out.spark.collect()] == [1]

@@ -122,3 +122,16 @@ def test_quantize_embeddings_int8(spark):
     # uniform vector: every element quantizes to exactly 127, zero error
     assert r2["q"] == [127, 127, 127, 127]
     assert r2["rms_err"] < 1e-7
+
+
+def test_quantize_embeddings_int8_zero_vector(spark):
+    # review fix: all-zero vector must not divide by scale=0
+    from pandrs_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings_int8(df).collect()[0]
+    assert r["scale"] == 0.0
+    assert r["q"] == [0, 0, 0]
+    assert r["rms_err"] == 0.0

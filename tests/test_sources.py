@@ -197,8 +197,14 @@ def test_loader_footer_dispatch_leaves_real_bigint_ts_alone(spark, tmp_path):
                   "ts": pa.array(ts, pa.timestamp("ns"))}),
         str(d2 / "events.parquet"),
     )
+    # the loader must RESTORE the conf to whatever it was before the
+    # read (ensure_nanos_readable may legitimately have set it for a
+    # streaming query elsewhere in the session — scoped means
+    # "unchanged", not "unset")
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     df2 = _load_table_uncached(spark, str(d2), "events")
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
+    after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    assert after == before
     assert dict(df2.dtypes)["ts"] == "timestamp"
     assert [r["ts"] for r in df2.collect()] == ts
 
@@ -257,3 +263,34 @@ def test_xlsx_many_sheets_order_not_filename_sort(tmp_path):
     for i in (0, 1, 9, 10):
         cols, rows = read_xlsx(path, sheet=f"s{i:02d}")
         assert rows == [[i]]
+
+
+def test_xlsx_absolute_rel_targets_and_quoted_sheet_names(tmp_path):
+    """Review fixes: OPC-valid absolute relationship targets
+    ('/xl/worksheets/sheetN.xml') must resolve, and double quotes in
+    sheet names must be escaped in the workbook attribute."""
+    import re
+    import zipfile
+
+    from pandrs_spark.sources.xlsx_lite import list_sheets, read_xlsx, write_xlsx_multi
+
+    path = str(tmp_path / "quoted.xlsx")
+    write_xlsx_multi(path, {'say "hi"': (["n"], [(1,)])})
+    assert list_sheets(path) == ['say "hi"']
+    cols, rows = read_xlsx(path, sheet='say "hi"')
+    assert rows == [[1]]
+
+    # rewrite the rels with absolute targets; reader must still resolve
+    src = str(tmp_path / "abs_src.xlsx")
+    write_xlsx_multi(src, {"one": (["a"], [(1,)]), "two": (["b"], [(2,)])})
+    dst = str(tmp_path / "abs.xlsx")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/_rels/workbook.xml.rels":
+                data = re.sub(
+                    rb'Target="worksheets/', rb'Target="/xl/worksheets/', data
+                )
+            zout.writestr(item, data)
+    assert list_sheets(dst) == ["one", "two"]
+    assert read_xlsx(dst, sheet="two")[1] == [[2]]

@@ -341,3 +341,44 @@ def test_count_window_slide_gap(spark, count_stream_dir):
     }
     # windows at absolute indexes 0,2,4,6 -> values 1,3,5,7
     assert rows == {0: 1.0, 1: 3.0, 2: 5.0, 3: 7.0}
+
+
+def test_q180_q181_survive_nanos_events_layout(spark, tmp_path):
+    """Review fix: the scoped-conf loader must not strand q180/q181's
+    RAW + STREAMING reads when the driver ships events.ts as
+    TIMESTAMP(NANOS) — ensure_nanos_readable covers the stream's whole
+    lifetime."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandrs_spark.queries.events import q180, q181
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10:00", "2024-01-01 00:40:00",
+         "2024-01-01 01:10:00", "2024-01-02 05:00:00"]
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([7, 7, 8, 7], pa.int64()),
+            "event_type": pa.array(["view", "view", "buy", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    d = tmp_path / "nanos_sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+
+    out180 = {(r["hour_start"].isoformat(), r["event_type"]): r["n"]
+              for r in q180(spark, str(d)).collect()}
+    assert out180[("2024-01-01T00:00:00", "view")] == 2
+    assert out180[("2024-01-01T01:00:00", "buy")] == 1
+    assert out180[("2024-01-02T05:00:00", "view")] == 1
+
+    out181 = {r["event_type"]: r["n_users"] for r in q181(spark, str(d)).collect()}
+    # user 7 'view' appears 3x spanning >1 day -> span-sized delay must
+    # still dedup it to one
+    assert out181 == {"view": 1, "buy": 1}
