@@ -30,6 +30,7 @@ __all__ = [
     "PII_PATTERNS",
     "redact_pii",
     "corpus_ngram_duplication",
+    "chunk_documents",
 ]
 
 # Tiny per-language stopword lists used by the n-gram/stopword language
@@ -93,6 +94,51 @@ def redact_pii(col: Column | str) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def chunk_documents(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-tokenization chunking step of a training/RAG pipeline.
+
+    Chunk k of a doc covers tokens [k·stride, k·stride + chunk_tokens)
+    with stride = chunk_tokens − overlap; the final partial window is
+    kept iff it adds tokens beyond the previous chunk. Pure array HOFs
+    (split → sequence → transform → explode): one map-side explode, no
+    shuffle, no UDF — output rows ≈ rows × (len/stride), exactly linear
+    at 100 TB. Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = tokens(F.col(text_col))
+    # number of chunks: ceil(max(len - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(tok) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda k: F.struct(
+            k.alias("k"),
+            F.slice(tok, k * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("c.k").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+        F.size("c.toks").cast("long").alias("n_tokens"),
+    )
 
 
 def corpus_ngram_duplication(

@@ -1287,3 +1287,53 @@ def q189(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --- q190: document chunking (fixed token windows with overlap; the
+# pre-tokenization step of a training/RAG pipeline —
+# operators/text.py chunk_documents). Map-side explode only; per-source
+# chunk accounting is value-hashed against DuckDB's slice arithmetic. ------
+@query(
+    "q190_document_chunking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(text), '\\s+') AS w
+        FROM documents
+    ),
+    nc AS (
+        SELECT doc_id, source, w,
+               GREATEST(1, CAST(CEIL((len(w) - 4) / 12.0) AS INTEGER)) AS n_chunks
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, source, k,
+               len(w[(k*12+1):(k*12+16)]) AS n_tokens
+        FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS t(k)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(k) AS BIGINT) AS max_chunk_idx,
+           CAST(SUM(CASE WHEN n_tokens = 16 THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+)
+def q190(spark, sf_dir):
+    from pandrs_spark.operators.text import chunk_documents
+
+    docs = T(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "text", "doc_id", chunk_tokens=16, overlap=4)
+    joined = ch.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("chunk_idx").cast("bigint").alias("max_chunk_idx"),
+            F.sum((F.col("n_tokens") == 16).cast("int"))
+            .cast("bigint")
+            .alias("full_chunks"),
+        )
+        .orderBy("source")
+    )

@@ -225,3 +225,30 @@ def test_incremental_dedup(spark):
         for r in incremental_dedup(new_batch, existing, "text", "doc_id").collect()
     )
     assert kept == [11, 13]
+
+
+def test_chunk_documents_windows(spark):
+    from pandrs_spark.operators.text import chunk_documents
+
+    # 10 tokens, chunk 4, overlap 1 -> stride 3 -> ceil(9/3)=3 chunks:
+    # [t0..t3], [t3..t6], [t6..t9]
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id long, text string")
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    )
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "a b", 2),
+    ]
+    # exact cover, no overlap
+    rows2 = sorted(
+        (r["chunk_idx"], r["n_tokens"])
+        for r in chunk_documents(
+            df.filter("doc_id = 1"), chunk_tokens=5, overlap=0
+        ).collect()
+    )
+    assert rows2 == [(0, 5), (1, 5)]
