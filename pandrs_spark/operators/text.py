@@ -31,6 +31,7 @@ __all__ = [
     "redact_pii",
     "corpus_ngram_duplication",
     "chunk_documents",
+    "pack_sequences",
 ]
 
 # Tiny per-language stopword lists used by the n-gram/stopword language
@@ -138,6 +139,40 @@ def chunk_documents(
         F.col("c.k").cast("long").alias("chunk_idx"),
         F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
         F.size("c.toks").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df,
+    token_col: str,
+    budget: int,
+    partition_by,
+    order_by,
+):
+    """Concat-and-slice sequence packing: assign each doc the training
+    bin where its tokens START when documents are concatenated in
+    ``order_by`` order and sliced into ``budget``-token contexts — the
+    standard LM-pretraining batch-shaping step (docs straddle bin
+    boundaries; accounting is by start bin, the concat-slice
+    convention).
+
+    bin_id = floor((running_total − n_tokens) / budget), one window
+    cumsum per shard. ``partition_by`` shards the packing (each shard
+    packs independently) — that is both what real pipelines do and what
+    keeps the window off the single-partition global-sort path at
+    100 TB. Returns the input plus ``bin_id``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(token_col).over(w)
+    return df.withColumn(
+        "bin_id",
+        F.floor((running - F.col(token_col)) / budget).cast("long"),
     )
 
 

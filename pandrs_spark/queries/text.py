@@ -1337,3 +1337,55 @@ def q190(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q191: sequence packing (concat-and-slice batch shaping;
+# operators/text.py pack_sequences). Packing is sharded by source —
+# real pipelines pack per shard, and it keeps the cumsum window off the
+# single-partition global-sort path. Per-source bin utilization is
+# value-hashed against DuckDB's window cumsum. -------------------------------
+@query(
+    "q191_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                    / 512.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tok) * 1.0 / (COUNT(DISTINCT bin_id) * 512.0), 6)
+               AS utilization
+    FROM binned GROUP BY source ORDER BY source
+    """,
+)
+def q191(spark, sf_dir):
+    from pandrs_spark.operators.text import pack_sequences, token_count
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(
+        docs, "n_tok", 512, partition_by=["source"], order_by=["doc_id"]
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_tok") / (F.countDistinct("bin_id") * 512.0), 6
+            ).alias("utilization"),
+        )
+        .orderBy("source")
+    )

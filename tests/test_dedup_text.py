@@ -252,3 +252,15 @@ def test_chunk_documents_windows(spark):
         ).collect()
     )
     assert rows2 == [(0, 5), (1, 5)]
+
+
+def test_pack_sequences_bins(spark):
+    from pandrs_spark.operators.text import pack_sequences
+
+    rows = [(i, "s", 40) for i in range(10)]  # 400 tokens, budget 100
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    out = {r["doc_id"]: r["bin_id"] for r in pack_sequences(
+        df.repartition(5), "n_tok", 100, ["shard"], ["doc_id"]
+    ).collect()}
+    # running starts: 0,40,80,120,... -> bins 0,0,0,1,1,2,2,2,3,3
+    assert [out[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
