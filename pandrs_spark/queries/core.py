@@ -1517,3 +1517,41 @@ def q183(spark, sf_dir):
         )
         .orderBy("s_nationkey")
     )
+
+
+# --- q192: skyline query — Pareto-optimal parts (high shipped volume,
+# low avg price; operators/skyline.py after the EDBT'23 Spark-SQL
+# skyline integration pattern: local per-partition skylines, final
+# skyline over their union). Oracle is the textbook NOT EXISTS strict-
+# dominance definition. ------------------------------------------------------
+@query(
+    "q192_skyline_parts",
+    oracle=f"""
+    WITH agg AS (
+        SELECT l_partkey,
+               {sql_dsum('l_quantity')} AS volume,
+               {sql_davg('l_extendedprice')} AS avg_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT a.l_partkey, a.volume, ROUND(a.avg_price, 6) AS avg_price
+    FROM agg a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM agg b
+        WHERE b.volume >= a.volume AND b.avg_price <= a.avg_price
+          AND (b.volume > a.volume OR b.avg_price < a.avg_price)
+    )
+    ORDER BY a.l_partkey
+    """,
+)
+def q192(spark, sf_dir):
+    from pandrs_spark.operators.skyline import skyline
+
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        dsum("l_quantity").alias("volume"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+    sky = skyline(agg, maximize=["volume"], minimize=["avg_price"])
+    return sky.select(
+        "l_partkey", "volume", F.round("avg_price", 6).alias("avg_price")
+    ).orderBy("l_partkey")

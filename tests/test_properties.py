@@ -202,3 +202,31 @@ def test_query_param_substitution_properties(literal, val):
     # property 3
     with pytest.raises(KeyError):
         Frame._substitute_params("x > @unknown", {"p": 1})
+
+
+# --- skyline: partition invariance + brute-force parity --------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 5),
+)
+def test_skyline_matches_bruteforce_any_partitioning(spark, pts, nparts):
+    from pandrs_spark.operators.skyline import skyline
+
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(nparts)
+    got = sorted(
+        r["id"] for r in skyline(df, maximize=["x"], minimize=["y"]).collect()
+    )
+    expect = sorted(
+        i
+        for i, (a, b) in enumerate(pts)
+        if not any(
+            (c >= a and d <= b and (c > a or d < b)) for c, d in pts
+        )
+    )
+    assert got == expect, (pts, nparts)
