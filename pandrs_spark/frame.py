@@ -709,6 +709,18 @@ class Frame:
     def nsmallest(self, n: int, col: str) -> "Frame":
         return self.sort_values(col).head(n)
 
+    def skyline(
+        self,
+        maximize: Sequence[str] = (),
+        minimize: Sequence[str] = (),
+    ) -> "Frame":
+        """Pareto-optimal rows under the given objectives — the
+        multi-objective companion to nlargest/nsmallest (see
+        operators/skyline.py for the distributed local→final shape)."""
+        from pandrs_spark.operators.skyline import skyline as _sky
+
+        return Frame(_sky(self.spark, maximize, minimize))
+
     # -- dedup (§2.2) --------------------------------------------------------
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str = "first"

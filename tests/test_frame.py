@@ -725,3 +725,12 @@ def test_query_backslash_escaped_quote(spark):
     df = spark.createDataFrame([("O'Brien @x", 1), ("Smith", 2)], "name string, n long")
     out = Frame(df).query("name == 'O\\'Brien @x' and n >= @lo", lo=1)
     assert [r["n"] for r in out.spark.collect()] == [1]
+
+
+def test_frame_skyline(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, 10.0, 4.0), (3, 9.0, 1.0), (4, 8.0, 2.0)],
+        "id long, gain double, cost double",
+    )
+    out = Frame(df).skyline(maximize=["gain"], minimize=["cost"])
+    assert sorted(r["id"] for r in out.spark.collect()) == [2, 3]
