@@ -764,3 +764,70 @@ def q181(spark, sf_dir):
         .select("event_type", F.col("n_users").cast("long").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# --- q193: user entry-path cohorting — each user's first 5 events
+# (ordered by ts, event_id tie-break) joined into an entry-path string,
+# users cohorted by identical path. Path extraction is one
+# collect_list + array_sort + slice per user (single shuffle); the
+# cohort group-by rides the dedup machinery's hash-groupBy shape. Top
+# cohorts by size are value-hashed. ------------------------------------------
+@query(
+    "q193_user_journey_cohorts",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ordered AS (
+        SELECT user_id, event_type FROM ranked
+        WHERE rn <= 5 ORDER BY user_id, rn
+    ),
+    journeys AS (
+        SELECT user_id, string_agg(event_type, ' ') AS entry_path
+        FROM ordered GROUP BY user_id
+    )
+    SELECT entry_path,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM journeys
+    GROUP BY entry_path
+    HAVING COUNT(*) >= 2
+    ORDER BY n_users DESC, entry_path
+    LIMIT 20
+    """,
+)
+def q193(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    journeys = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("entry_path")
+        )
+    )
+    return (
+        journeys.groupBy("entry_path")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("bigint").alias("sample_user"),
+        )
+        .filter(F.col("n_users") >= 2)
+        .orderBy(F.desc("n_users"), "entry_path")
+        .limit(20)
+    )
