@@ -230,3 +230,49 @@ def test_skyline_matches_bruteforce_any_partitioning(spark, pts, nparts):
         )
     )
     assert got == expect, (pts, nparts)
+
+
+# --- EWM mean: pandas parity on arbitrary series ----------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(floats, min_size=2, max_size=25),
+    st.floats(min_value=0.05, max_value=0.95),
+    st.booleans(),
+)
+def test_ewm_mean_matches_pandas(spark, vals, alpha, adjust):
+    from pandrs_spark.operators.windows import ewm_mean
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double").repartition(3)
+    out = ewm_mean(df, "v", ["i"], [], alpha=alpha, adjust=adjust)
+    got = {r["i"]: r["ewm"] for r in out.collect()}
+    exp = pd.Series(vals).ewm(alpha=alpha, adjust=adjust).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - exp.iloc[i]) < 1e-9, (i, alpha, adjust)
+
+
+# --- rolling quantile: pandas parity ----------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(floats, min_size=3, max_size=25),
+    st.integers(2, 6),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_rolling_quantile_matches_pandas(spark, vals, window, q):
+    from pandrs_spark.operators.windows import ordered_window, rolling
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double").repartition(3)
+    w = ordered_window(order_by=["i"])
+    out = df.withColumn(
+        "rq", rolling("v", window, w, agg="quantile", q=q)
+    )
+    got = {r["i"]: r["rq"] for r in out.collect()}
+    exp = pd.Series(vals).rolling(window).quantile(q, interpolation="linear")
+    for i in range(len(vals)):
+        e = exp.iloc[i]
+        g = got[i]
+        if pd.isna(e):
+            assert g is None, (i, g)
+        else:
+            assert g is not None and abs(g - e) < 1e-9, (i, window, q)
