@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -355,4 +355,68 @@ def embedding_near_dup_pairs(
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    grid_dims: int = 2,
+    grid_scale: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple = (),
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space coarsely, then inside each cluster keep one representative
+    per near-duplicate group (drop every vector that has a LOWER-id
+    neighbor with cosine >= threshold in its cluster — a deterministic,
+    engine-reproducible pruning rule, unlike "keep closest to
+    centroid", which ties on float noise).
+
+    The coarse quantizer here is a fixed grid over the first
+    ``grid_dims`` embedding dimensions (floor(v[i] * grid_scale)) —
+    deterministic so the DuckDB oracle can replay it exactly. At 100 TB
+    the grid swaps for MLlib KMeans centroids (ivf_topk's coarse
+    quantizer, operators/similarity.py:225) with the SAME downstream
+    shape: map-side cluster assignment, within-cluster self-join (cost
+    bounded by cluster size, never all-pairs), one distinct + one left
+    anti-style join. Returns (id_col, *carry, cluster, kept).
+    """
+    v = corpus.select(
+        F.col(id_col), *carry, _as_double(F.col(vec_col)).alias("__v__")
+    )
+    bucket = F.concat_ws(
+        "|",
+        *[
+            F.floor(F.element_at(F.col("__v__"), i + 1) * grid_scale)
+            .cast("long")
+            .cast("string")
+            for i in range(grid_dims)
+        ],
+    )
+    vb = v.withColumn("__bucket__", bucket)
+    a = vb.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__bucket__").alias("__b__"),
+        F.col("__v__").alias("va"),
+    )
+    b = vb.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__bucket__").alias("__b__"),
+        F.col("__v__").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "__b__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__drop__", F.lit(1))
+    )
+    return vb.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        *carry,
+        F.col("__bucket__").alias("cluster"),
+        F.col("__drop__").isNull().alias("kept"),
     )

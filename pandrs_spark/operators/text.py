@@ -30,6 +30,7 @@ __all__ = [
     "PII_PATTERNS",
     "redact_pii",
     "corpus_ngram_duplication",
+    "decontaminate",
     "chunk_documents",
     "pack_sequences",
 ]
@@ -194,6 +195,58 @@ def corpus_ngram_duplication(
         F.round(
             1.0 - F.countDistinct("g") / F.count(F.lit(1)), 6
         ).alias("dup_fraction"),
+    )
+
+
+def decontaminate(
+    docs,
+    bench,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_overlap_frac: float = 0.0,
+    carry: tuple[str, ...] = (),
+):
+    """Benchmark decontamination — the word-k-gram overlap rule used to
+    scrub eval-set contamination from web-scale training corpora: a
+    candidate document is contaminated when the fraction of its k-grams
+    that also appear anywhere in the benchmark corpus exceeds
+    ``max_overlap_frac`` (0.0 = any shared k-gram flags the doc).
+
+    Shape for 100 TB: the benchmark's grams reduce to one DISTINCT
+    gram table — orders of magnitude smaller than the corpus — which
+    is broadcast into a map-side join against the exploded candidate
+    grams; the only shuffle is the per-doc hit aggregation on
+    ``id_col``. ``explode_outer`` keeps docs shorter than k tokens in
+    the output (n_grams = 0, never contaminated).
+
+    Returns one row per candidate doc:
+    (id_col, *carry, n_grams, n_hits, overlap_frac, contaminated).
+    """
+    bench_grams = (
+        bench.select(F.explode(shingles(tokens(F.col(text_col)), k)).alias("g"))
+        .distinct()
+        .withColumn("__hit__", F.lit(1))
+    )
+    doc_grams = docs.select(
+        id_col,
+        *carry,
+        F.explode_outer(shingles(tokens(F.col(text_col)), k)).alias("g"),
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy(id_col, *carry)
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.count("__hit__").alias("n_hits"),
+        )
+    )
+    overlap = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_hits") / F.col("n_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.withColumn("overlap_frac", overlap).withColumn(
+        "contaminated", F.col("overlap_frac") > F.lit(max_overlap_frac)
     )
 
 

@@ -1389,3 +1389,120 @@ def q191(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q194: benchmark decontamination (eval-set n-gram overlap scrub).
+# The "benchmark" is a deterministic slice of the corpus (doc_id % 97
+# == 0); every other doc is a candidate, flagged when ANY of its word
+# 8-grams appears in the benchmark. Broadcast distinct-bench-grams
+# join, per-source rollup — the GPT-3/C4-style decontamination pass.
+# Reference scope: corpus hygiene tier (src/text analysis ops). --------------
+@query(
+    "q194_benchmark_decontamination",
+    oracle="""
+    WITH cand AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    btoks AS (SELECT string_split_regex(lower(text), '\\s+') AS w FROM bench),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        FROM btoks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    ctoks AS (
+        SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS w
+        FROM cand
+    ),
+    cgrams AS (
+        SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS g
+        FROM ctoks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    per_doc AS (
+        SELECT c.doc_id,
+               any_value(c.source) AS source,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM cgrams c LEFT JOIN bgrams b USING (g)
+        GROUP BY c.doc_id
+    ),
+    alldocs AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_hits, 0) AS n_hits
+        FROM cand d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           ROUND(SUM(n_hits) * 1.0 / SUM(n_grams), 6) AS corpus_overlap_frac
+    FROM alldocs GROUP BY source ORDER BY source
+    """,
+)
+def q194(spark, sf_dir):
+    from pandrs_spark.operators.text import decontaminate
+
+    docs = T(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    per_doc = decontaminate(cand, bench, carry=("source",))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(F.sum("n_hits") / F.sum("n_grams"), 6).alias(
+                "corpus_overlap_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q195: SemDeDup-style semantic dedup — coarse-cluster the
+# embedding space (deterministic grid quantizer standing in for KMeans
+# centroids; same join shape), then drop every vector with a lower-id
+# near-duplicate (cosine >= 0.9) inside its cluster. Per-label
+# kept/dropped rollup. operators/similarity.py:semantic_dedup. -----------
+@query(
+    "q195_semantic_dedup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               CAST(CAST(floor(CAST(embedding[1] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(floor(CAST(embedding[2] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR) AS b
+        FROM embeddings
+    ),
+    dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM v x JOIN v y ON x.b = y.b AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.e, y.e)
+                    / (SQRT(list_dot_product(x.e, x.e))
+                       * SQRT(list_dot_product(y.e, y.e))), 4) >= 0.9
+    )
+    SELECT v.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(COUNT(DISTINCT v.b) AS BIGINT) AS n_clusters
+    FROM v LEFT JOIN dropped d USING (vec_id)
+    GROUP BY v.label ORDER BY v.label
+    """,
+)
+def q195(spark, sf_dir):
+    from pandrs_spark.operators.similarity import semantic_dedup
+
+    emb = T(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(emb, threshold=0.9, carry=("label",))
+    return (
+        flags.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("label")
+    )

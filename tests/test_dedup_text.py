@@ -264,3 +264,31 @@ def test_pack_sequences_bins(spark):
     ).collect()}
     # running starts: 0,40,80,120,... -> bins 0,0,0,1,1,2,2,2,3,3
     assert [out[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_decontaminate_flags_overlap_and_keeps_short_docs(spark):
+    from pandrs_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            # shares the 3-gram "beta gamma delta" with the benchmark
+            (1, "zero beta gamma delta nine ten"),
+            # no shared 3-gram
+            (2, "one two three four five six"),
+            # shorter than k tokens: zero grams, never contaminated
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(cand, bench, k=3).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert abs(out[1]["overlap_frac"] - 1 / 4) < 1e-6

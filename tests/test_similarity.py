@@ -135,3 +135,22 @@ def test_quantize_embeddings_int8_zero_vector(spark):
     assert r["scale"] == 0.0
     assert r["q"] == [0, 0, 0]
     assert r["rms_err"] == 0.0
+
+
+def test_semantic_dedup_drops_lower_id_near_dups_within_cluster(spark):
+    from pandrs_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.9, 0.0, 0.0]),   # representative (lowest id in its group)
+            (2, [0.9, 0.001, 0.0]),  # near-dup of 1, same grid cell -> dropped
+            (3, [-1.0, 0.0, 0.0]),  # different grid cell -> kept
+            (4, [0.0, 1.0, 0.0]),   # different cell, orthogonal -> kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.99).collect()}
+    assert out[1]["kept"] and not out[2]["kept"]
+    assert out[3]["kept"] and out[4]["kept"]
+    # near-dups share the quantizer cell; the orthogonal vector does not
+    assert out[1]["cluster"] == out[2]["cluster"] != out[4]["cluster"]
