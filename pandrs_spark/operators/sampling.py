@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -22,6 +22,8 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "train_test_split_hash",
+    "weighted_sample",
+    "resample_to_mixture",
 ]
 
 _BUCKETS = 65536  # 4 hex chars of md5
@@ -81,3 +83,92 @@ def train_test_split_hash(
     test = df.filter(bucket <= thr) if thr else df.limit(0)
     train = df.filter(bucket > thr) if thr else df
     return train, test
+
+
+def _uniform01(*key_cols: str | Column) -> Column:
+    """Deterministic uniform draw in (0, 1) from a content hash: first
+    6 md5 hex chars -> integer x in [0, 16^6), u = (x + 0.5) / 16^6.
+    Same value on any engine/partitioning; never exactly 0 or 1."""
+    cols = [
+        F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+        for c in key_cols
+    ]
+    x = F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 6), 16, 10).cast(
+        "double"
+    )
+    return (x + 0.5) / F.lit(float(16**6))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key_cols: Sequence[str],
+    k: int,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row draws a deterministic uniform u from its content
+    hash and competes on the key u^(1/w); the k largest keys win —
+    inclusion probability proportional to weight, reproducible across
+    engines and cluster sizes.
+
+    Distributed shape: the key is a map-side expression; global top-k
+    compiles to TakeOrdered (per-partition heap + driver merge of k
+    rows, no full sort) and the per-group form is one window shuffle.
+    Keys are rounded to 12 decimals with an id tie-break so ranking
+    never depends on sub-ULP libm differences between engines.
+    Non-positive weights are excluded (pandas sample(weights<=0)
+    semantics).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = _uniform01(*key_cols)
+    key = F.round(F.pow(u, 1.0 / w.cast("double")), 12)
+    scored = df.withColumn("__es_key__", key).filter(
+        w.cast("double") > 0
+    )
+    order = [F.col("__es_key__").desc()] + [F.col(c).asc() for c in key_cols]
+    if group_by:
+        win = Window.partitionBy(*group_by).orderBy(*order)
+        return (
+            scored.withColumn("__rn__", F.row_number().over(win))
+            .filter(F.col("__rn__") <= k)
+            .drop("__rn__", "__es_key__")
+        )
+    return scored.orderBy(*order).limit(k).drop("__es_key__")
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    domain_col: str,
+    shares: Mapping[str, float],
+    budget: int,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Resample a corpus toward a target domain mixture (the
+    data-mixing step of training-data pipelines: e.g. 40% web, 30%
+    code, 30% books out of a fixed token/doc budget).
+
+    Per-domain keep rate = budget * share / n_domain, capped at 1, and
+    quantized to an integer md5-bucket threshold with FLOOR so the
+    exact same predicate replays on any engine. The domain counts join
+    back as a broadcast dimension — no collect, the whole thing is one
+    plan: count-aggregate, broadcast-join, map-side hash filter.
+    Domains not in ``shares`` are dropped.
+    """
+    buckets = F.conv(hash_bucket(*key_cols), 16, 10).cast("long")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n__"))
+    share_map = F.create_map(
+        *[F.lit(v) for kv in shares.items() for v in kv]
+    )
+    thr = F.least(
+        F.lit(_BUCKETS),
+        F.floor(
+            F.lit(float(budget)) * share_map[F.col(domain_col)] / F.col("__n__") * _BUCKETS
+        ),
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .filter(share_map[F.col(domain_col)].isNotNull())
+        .filter(buckets < thr)
+        .drop("__n__")
+    )

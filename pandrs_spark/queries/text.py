@@ -1506,3 +1506,90 @@ def q195(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def _sql_hex_int(h: str, m: int) -> str:
+    """DuckDB: integer value of the first ``m`` lowercase hex chars."""
+    d = "'0123456789abcdef'"
+    terms = [
+        f"{16 ** (m - 1 - j)} * (strpos({d}, substr({h}, {j + 1}, 1)) - 1)"
+        for j in range(m)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# --- q196: weighted sampling without replacement (Efraimidis–Spirakis
+# A-ES): every doc draws u from a content hash and competes on
+# u^(1/weight); top-50 by key wins, inclusion probability ~ n_chars.
+# Map-side key + TakeOrdered — reproducible on any engine/cluster.
+# operators/sampling.py:weighted_sample. ---------------------------------
+@query(
+    "q196_weighted_doc_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(POW(
+                   ({_sql_hex_int("substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)", 6)} + 0.5)
+                       / 16777216.0,
+                   1.0 / n_chars), 12) AS k
+        FROM documents
+        WHERE n_chars > 0
+    ),
+    top AS (
+        SELECT doc_id, source, n_chars
+        FROM scored ORDER BY k DESC, doc_id LIMIT 50
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM top ORDER BY doc_id
+    """,
+)
+def q196(spark, sf_dir):
+    from pandrs_spark.operators.sampling import weighted_sample
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "n_chars", ["doc_id"], k=50).orderBy("doc_id")
+
+
+# --- q197: domain-mixture resampling — re-draw the corpus toward a
+# target language mixture out of a 200-doc budget (the data-mixing
+# step of a training pipeline); per-domain keep rates quantized to
+# md5-bucket thresholds with FLOOR so the predicate replays exactly.
+# zh is not in the target mixture and drops out entirely.
+# operators/sampling.py:resample_to_mixture. -----------------------------
+@query(
+    "q197_mixture_resample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    rated AS (
+        SELECT d.doc_id, d.lang,
+               {_sql_hex_int("substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)", 4)} AS b,
+               LEAST(65536, FLOOR(200.0 * CASE d.lang
+                   WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                   WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 END
+                   / c.n * 65536)) AS thr
+        FROM documents d JOIN counts c USING (lang)
+        WHERE d.lang IN ('en', 'de', 'es', 'fr')
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM rated WHERE b < thr
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q197(spark, sf_dir):
+    from pandrs_spark.operators.sampling import resample_to_mixture
+
+    docs = T(spark, sf_dir, "documents")
+    kept = resample_to_mixture(
+        docs,
+        "lang",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2},
+        budget=200,
+        key_cols=["doc_id"],
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )

@@ -41,3 +41,56 @@ def test_train_test_split_hash_partition(spark):
     # disjoint and entity-stable
     both = train.select("id").intersect(test.select("id")).count()
     assert both == 0
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from pandrs_spark.operators.sampling import weighted_sample
+
+    # 100 light rows (w=1) + 10 heavy rows (w=1000): a 20-row sample
+    # should be dominated by heavy rows, and zero-weight rows excluded.
+    rows = [(i, 1.0) for i in range(100)]
+    rows += [(100 + i, 1000.0) for i in range(10)]
+    rows += [(200, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "w", ["id"], k=20).collect()
+    assert len(got) == 20
+    ids = {r["id"] for r in got}
+    assert 200 not in ids
+    assert len([i for i in ids if i >= 100]) == 10  # all heavy rows in
+
+    # deterministic: same sample on re-run
+    again = {r["id"] for r in weighted_sample(df, "w", ["id"], k=20).collect()}
+    assert ids == again
+
+
+def test_weighted_sample_per_group(spark):
+    from pandrs_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(g, i, float(i + 1)) for g in ("a", "b") for i in range(10)],
+        "g string, id long, w double",
+    )
+    got = weighted_sample(df, "w", ["g", "id"], k=3, group_by=["g"]).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["g"], []).append(r["id"])
+    assert sorted(per) == ["a", "b"] and all(len(v) == 3 for v in per.values())
+
+
+def test_resample_to_mixture_rates_and_drop(spark):
+    from pandrs_spark.operators.sampling import resample_to_mixture
+
+    rows = [(i, "big") for i in range(1000)] + [
+        (10000 + i, "small") for i in range(20)
+    ] + [(20000, "unlisted")]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    kept = resample_to_mixture(
+        df, "dom", {"big": 0.5, "small": 0.5}, budget=100, key_cols=["id"]
+    )
+    counts = {r["dom"]: r["n"] for r in kept.groupBy("dom").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("id").alias("n")
+    ).collect()}
+    assert "unlisted" not in counts
+    # big: rate 50/1000 -> ~50 kept; small: rate 50/20 capped at 1 -> all 20
+    assert counts["small"] == 20
+    assert 30 <= counts["big"] <= 70
