@@ -299,3 +299,54 @@ def upsert_latest(
         .filter(F.col("__rn__") == 1)
         .drop("__rn__", "__side__")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys,
+    attr_col: str,
+    ts_col: str,
+    order_cols=(),
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build: collapse each
+    key's timeline into versioned validity intervals — one row per run
+    of consecutive identical ``attr_col`` values, with
+    (valid_from, valid_to, is_current, version, n_rows). valid_to is
+    the next version's valid_from (half-open intervals), NULL on the
+    current version.
+
+    The warehouse dimension-maintenance primitive the reference's
+    update/combine surface can't express (SCD-1 sibling:
+    upsert_latest above). Two window passes partitioned by the key —
+    change detection (null-safe lag compare) and interval close
+    (lead) — plus one run-collapse aggregate: all three shuffle on the
+    SAME key columns, so AQE/bucketing co-locates them into one
+    exchange at scale. ``order_cols`` breaks ts ties deterministically
+    (pass the row's unique id).
+    """
+    from pyspark.sql import Window
+
+    kb = list(keys)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*kb).orderBy(*order)
+    chg = F.when(
+        F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)), 0
+    ).otherwise(1)
+    ver = (
+        df.withColumn("__chg__", chg)
+        .withColumn(
+            "version",
+            F.sum("__chg__").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    runs = ver.groupBy(*kb, "version").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wv = Window.partitionBy(*kb).orderBy("version")
+    return runs.withColumn(
+        "valid_to", F.lead("valid_from").over(wv)
+    ).withColumn("is_current", F.col("valid_to").isNull())

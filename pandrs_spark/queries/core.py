@@ -1555,3 +1555,69 @@ def q192(spark, sf_dir):
     return sky.select(
         "l_partkey", "volume", F.round("avg_price", 6).alias("avg_price")
     ).orderBy("l_partkey")
+
+
+# --- q198: SCD Type-2 history build — each customer's order-priority
+# timeline collapsed into versioned validity intervals (valid_from /
+# valid_to half-open, is_current on the last). Ties on order date break
+# by o_orderkey so the run segmentation is deterministic. Restricted to
+# custkey % 101 == 0 for a compact result. operators/joins.py:scd2_history.
+@query(
+    "q198_scd2_priority_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey AS custkey, o_orderkey, o_orderdate AS ts,
+               o_orderpriority AS priority,
+               CASE WHEN lag(o_orderpriority) OVER w IS NOT DISTINCT FROM
+                         o_orderpriority THEN 0 ELSE 1 END AS chg
+        FROM orders
+        WHERE o_custkey % 101 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    ver AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY custkey
+                                 ORDER BY ts, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ),
+    runs AS (
+        SELECT custkey, version, any_value(priority) AS priority,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM ver GROUP BY custkey, version
+    )
+    SELECT custkey, CAST(version AS BIGINT) AS version, priority,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+               AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+               IS NULL AS is_current,
+           n_rows
+    FROM runs ORDER BY custkey, version
+    """,
+)
+def q198(spark, sf_dir):
+    from pandrs_spark.operators.joins import scd2_history
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") % 101 == 0)
+    hist = scd2_history(
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("priority"),
+        ),
+        keys=["custkey"],
+        attr_col="priority",
+        ts_col="ts",
+        order_cols=["o_orderkey"],
+    )
+    return hist.select(
+        "custkey",
+        F.col("version").cast("bigint").alias("version"),
+        "priority",
+        F.col("valid_from"),
+        "valid_to",
+        "is_current",
+        "n_rows",
+    ).orderBy("custkey", "version")

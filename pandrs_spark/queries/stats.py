@@ -844,3 +844,51 @@ def q182(spark, sf_dir):
             "p95_within_tolerance"
         ),
     ).orderBy("o_orderpriority")
+
+
+# --- q199: mergeable HLL sketch rollup — distinct customers per order
+# year answered by UNIONING the 12 monthly sketches (one data pass;
+# the quarter/year/all-time rollup pattern at 100 TB). The gate is an
+# in-query accuracy certificate: the sketch estimate must land within
+# 3% of the exact count, and the hashed output carries the exact count
+# plus the boolean — same invariant-gating as q182.
+# operators/sketches.py:hll_rollup. ---------------------------------------
+@query(
+    "q199_hll_distinct_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           CAST(COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS BIGINT)
+               AS n_fine_buckets,
+           TRUE AS within_tolerance
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q199(spark, sf_dir):
+    from pandrs_spark.operators.sketches import hll_rollup
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        "o_custkey",
+    )
+    approx = hll_rollup(
+        orders, ["year", "month"], ["year"], "o_custkey", lg_k=14
+    )
+    exact = orders.groupBy("year").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        approx.join(exact, "year")
+        .select(
+            "year",
+            "exact_distinct",
+            "n_fine_buckets",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                < 0.03
+            ).alias("within_tolerance"),
+        )
+        .orderBy("year")
+    )

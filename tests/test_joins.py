@@ -232,3 +232,29 @@ def test_upsert_latest_tie_prefers_updates(spark):
     updates = spark.createDataFrame([(1, "new", 5)], "k long, v string, version int")
     out = upsert_latest(base, updates, ["k"], "version").first()
     assert out["v"] == "new"
+
+
+def test_scd2_history_intervals(spark):
+    from pandrs_spark.operators.joins import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01", "A"),
+            (1, 2, "2024-02-01", "A"),   # same run
+            (1, 3, "2024-03-01", "B"),   # change -> v2
+            (1, 4, "2024-04-01", "A"),   # change back -> v3 (not merged with v1)
+            (2, 5, "2024-01-15", "X"),
+        ],
+        "k long, id long, ts string, attr string",
+    )
+    rows = sorted(
+        scd2_history(df, ["k"], "attr", "ts", order_cols=["id"]).collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    k1 = [r for r in rows if r["k"] == 1]
+    assert [r["attr"] for r in k1] == ["A", "B", "A"]
+    assert [r["n_rows"] for r in k1] == [2, 1, 1]
+    assert k1[0]["valid_to"] == "2024-03-01" and k1[2]["valid_to"] is None
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    k2 = [r for r in rows if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"]

@@ -48,3 +48,17 @@ def test_regression_metrics_perfect_fit(spark):
     df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "y double, yhat double")
     m = regression_metrics(df, "y", "yhat").first()
     assert m["mse"] == 0.0 and m["r2"] == 1.0
+def test_hll_rollup_accuracy_and_merge(spark):
+    from pandrs_spark.operators.sketches import hll_rollup
+
+    df = spark.createDataFrame(
+        [(i % 4, i % 12, i % 499) for i in range(5000)],
+        "coarse int, fine int, v int",
+    )
+    out = {r["coarse"]: r for r in hll_rollup(
+        df, ["coarse", "fine"], ["coarse"], "v", lg_k=14
+    ).collect()}
+    # 499 coprime to 4: every coarse bucket sees all 499 distinct values
+    for c in range(4):
+        assert out[c]["n_fine_buckets"] == 3  # fine = coarse + 4k pattern -> 3 each
+        assert abs(out[c]["approx_distinct"] - 499) / 499 < 0.03
