@@ -1621,3 +1621,121 @@ def q198(spark, sf_dir):
         "is_current",
         "n_rows",
     ).orderBy("custkey", "version")
+
+
+# --- q200: Z-order (Morton) bucketing — interleave l_partkey/l_suppkey
+# bits and roll up curve segments. The z-value drives the multi-dim
+# clustering layout (operators/layout.py:zorder_layout); here the
+# oracle replays the exact interleave arithmetic so the curve itself
+# is value-hashed. ----------------------------------------------------------
+@query(
+    "q200_zorder_buckets",
+    oracle=f"""
+    WITH z AS (
+        SELECT ({" + ".join(
+            f"(((l_partkey % 1024) >> {i}) & 1) * {1 << (2 * i)}"
+            f" + (((l_suppkey % 1024) >> {i}) & 1) * {1 << (2 * i + 1)}"
+            for i in range(10)
+        )}) AS zval
+        FROM lineitem
+    )
+    SELECT CAST(zval >> 12 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q200(spark, sf_dir):
+    from pandrs_spark.operators.layout import zvalue
+
+    li = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("px"),
+        (F.col("l_suppkey") % 1024).alias("sy"),
+    )
+    z = li.select(zvalue(["px", "sy"], bits=10).alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", 12).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+# --- q201: one-pass column profiling report — per-column nulls /
+# cardinality / range over customer in a single aggregate + stack
+# unpivot. Doubles surface via Spark's string cast; the DuckDB twin
+# formats c_acctbal identically because the synthetic values are
+# 2-decimal fixed-point. operators/profile.py:profile_columns. -----------
+@query(
+    "q201_column_profile",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM customer)
+    SELECT p.column, n.n_rows, p.n_nulls, p.n_distinct,
+           p.min_value, p.max_value
+    FROM n, (
+        SELECT 'c_custkey' AS column,
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+               CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment',
+               CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+               CAST(MIN(c_mktsegment) AS VARCHAR),
+               CAST(MAX(c_mktsegment) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_acctbal',
+               CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+               CAST(MIN(c_acctbal) AS VARCHAR),
+               CAST(MAX(c_acctbal) AS VARCHAR)
+        FROM customer
+    ) p
+    ORDER BY p.column
+    """,
+)
+def q201(spark, sf_dir):
+    from pandrs_spark.operators.profile import profile_columns
+
+    cust = T(spark, sf_dir, "customer")
+    return profile_columns(
+        cust, ["c_custkey", "c_mktsegment", "c_acctbal"]
+    ).orderBy("column")
+
+
+# --- q202: market-basket co-occurrence — part pairs bought together in
+# the same order. Pair expansion is a self-equi-join on l_orderkey, so
+# cost is sum(per-order items choose 2) — bounded by basket size, never
+# corpus-quadratic; counts then shuffle once on the pair key. Top pairs
+# by support with a deterministic tie-break. -------------------------------
+@query(
+    "q202_part_pair_cooccurrence",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q202(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
