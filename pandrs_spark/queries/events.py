@@ -831,3 +831,77 @@ def q193(spark, sf_dir):
         .orderBy(F.desc("n_users"), "entry_path")
         .limit(20)
     )
+
+
+# --- q203: stream-stream interval join through the gate — view events
+# joined to same-user purchase events within 1 hour, both sides
+# watermarked so join state is evicted as event time advances (the
+# conversion-attribution join that runs forever at production rates).
+# The joined pairs land in the sink via REAL micro-batch execution;
+# the per-hour rollup then hash-matches DuckDB's batch interval join.
+# Watermark delay is sized past the table's event-time span so oracle
+# equality cannot depend on micro-batch boundaries (q181 policy).
+# streaming/windows.py:stream_stream_interval_join. -----------------------
+@query(
+    "q203_stream_stream_conversions",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts AS purchase_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT v.user_id, v.view_ts, p.purchase_ts
+        FROM v JOIN p ON v.user_id = p.user_id
+         AND p.purchase_ts >= v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    )
+    SELECT date_trunc('hour', view_ts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q203(spark, sf_dir):
+    from pandrs_spark.streaming.windows import (
+        stream_stream_interval_join,
+        stream_to_memory,
+    )
+
+    static, sdf1 = _events_static_and_stream(spark, sf_dir)
+    _, sdf2 = _events_static_and_stream(spark, sf_dir)
+    span = static.select(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+    ).first()[0]
+    delay_days = int((span or 0) // 86_400) + 2
+    views = sdf1.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = sdf2.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = stream_stream_interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        within="1 hour",
+        watermark_delay=f"{delay_days} days",
+    )
+    sink = "q203_stream_sink"
+    q = stream_to_memory(joined, sink, output_mode="append")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q203 streaming query did not finish in 300s")
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("hour", "view_ts").alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_start")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "stream_stream_interval_join",
     "tumbling",
     "sliding",
     "session",
@@ -361,3 +362,38 @@ def stream_static_enrich(
     (each micro-batch re-reads the dim — at 100 TB/day stream scale the
     dim stays a map-side hash lookup)."""
     return stream_df.join(F.broadcast(dim_df), on=list(on), how=how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    watermark_delay: str,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval: match
+    right rows whose timestamp lands in [left_ts, left_ts + within]
+    for the same key — the view→purchase conversion-attribution shape.
+
+    Both sides carry a watermark so the join state is BOUNDED: Spark
+    buffers each side only until watermark + interval passes, then
+    evicts — the property that makes a stream-stream join runnable
+    forever at 100 TB/day (an unwatermarked join would buffer both
+    streams in state indefinitely). The interval condition must
+    reference the two event-time columns directly for the state-
+    cleanup analysis to prove the bound.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        lw[key].alias(key),
+        lw[left_ts].alias(left_ts),
+        rw[right_ts].alias(right_ts),
+    )

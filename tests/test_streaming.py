@@ -382,3 +382,47 @@ def test_q180_q181_survive_nanos_events_layout(spark, tmp_path):
     # user 7 'view' appears 3x spanning >1 day -> span-sized delay must
     # still dedup it to one
     assert out181 == {"view": 1, "buy": 1}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from pandrs_spark.streaming.windows import (
+        stream_from_directory,
+        stream_stream_interval_join,
+        stream_to_memory,
+    )
+
+    vs = "ts timestamp, user_id long"
+    views = [
+        (dt.datetime(2024, 1, 1, 10, 0), 1),
+        (dt.datetime(2024, 1, 1, 12, 0), 1),
+        (dt.datetime(2024, 1, 1, 10, 0), 2),
+    ]
+    buys = [
+        (dt.datetime(2024, 1, 1, 10, 30), 1),   # within 1h of view 10:00
+        (dt.datetime(2024, 1, 1, 12, 45), 1),   # within 1h of view 12:00 only
+        (dt.datetime(2024, 1, 1, 15, 0), 2),    # outside any window
+    ]
+    spark.createDataFrame(views, vs).coalesce(1).write.parquet(
+        str(tmp_path / "views")
+    )
+    spark.createDataFrame(buys, vs).coalesce(1).write.parquet(
+        str(tmp_path / "buys")
+    )
+    sv = stream_from_directory(spark, str(tmp_path / "views"), vs).select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    sb = stream_from_directory(spark, str(tmp_path / "buys"), vs).select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = stream_stream_interval_join(
+        sv, sb, "user_id", "view_ts", "purchase_ts", "1 hour", "7 days"
+    )
+    q = stream_to_memory(joined, "ssj_sink", output_mode="append")
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["view_ts"].hour, r["purchase_ts"].hour)
+        for r in spark.table("ssj_sink").collect()
+    )
+    assert got == [(1, 10, 10), (1, 12, 12)]
