@@ -50,6 +50,7 @@ __all__ = [
     "write_excel_multi",
     "write_bucketed_table",
     "read_table",
+    "schema_drift",
 ]
 
 
@@ -422,3 +423,33 @@ def write_bucketed_table(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a managed (possibly bucketed) table back."""
     return spark.table(table)
+
+
+def schema_drift(path_a: str, path_b: str) -> list[dict[str, Any]]:
+    """Detect schema drift between two parquet datasets (the
+    pipeline-evolution guard: a producer silently adding, dropping, or
+    retyping a column should fail loudly BEFORE a 100 TB backfill, not
+    as a midnight cast error). Footer-only comparison via pyarrow — no
+    data is read.
+
+    Returns one dict per drifted column:
+    {column, change: added|removed|type_changed, type_a, type_b}.
+    Empty list = schemas compatible (column order is ignored; parquet
+    is name-addressed).
+    """
+    import pyarrow.parquet as pq
+
+    sa = pq.read_schema(_parquet_files(path_a)[0])
+    sb = pq.read_schema(_parquet_files(path_b)[0])
+    fa = {f.name: str(f.type) for f in sa}
+    fb = {f.name: str(f.type) for f in sb}
+    out: list[dict[str, Any]] = []
+    for name in sorted(fa.keys() | fb.keys()):
+        ta, tb = fa.get(name), fb.get(name)
+        if ta is None:
+            out.append({"column": name, "change": "added", "type_a": None, "type_b": tb})
+        elif tb is None:
+            out.append({"column": name, "change": "removed", "type_a": ta, "type_b": None})
+        elif ta != tb:
+            out.append({"column": name, "change": "type_changed", "type_a": ta, "type_b": tb})
+    return out

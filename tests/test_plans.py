@@ -191,3 +191,45 @@ def test_incremental_dedup_anti_join_shape(spark, sf_dir):
     txt = plans.plan_text(kept)
     assert "CartesianProduct" not in txt
     assert "LeftAnti" in txt or "left_anti" in txt.lower(), txt
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram table must reach the candidate side as a
+    broadcast — a shuffled gram join would move the full exploded
+    corpus at 100 TB."""
+    from pandrs_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+    assert plans.has_broadcast_join(q)
+
+
+def test_zorder_layout_is_range_exchange(spark, sf_dir):
+    """Z-order clustering must compile to ONE range exchange (Spark's
+    native sampled range partitioner), not a global sort."""
+    from pandrs_spark.operators.layout import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    q = zorder_layout(li, ["l_partkey", "l_suppkey"], bits=10, num_partitions=8)
+    txt = plans.plan_text(q)
+    assert "rangepartitioning" in txt.lower()
+    assert plans.num_shuffles(q) == 1
+
+
+def test_profile_columns_single_aggregate_pass(spark, sf_dir):
+    """The whole profile must be ONE aggregate over ONE scan (one
+    shuffle), not a scan per column."""
+    from pandrs_spark.operators.profile import profile_columns
+
+    cust = load_table(spark, sf_dir, "customer")
+    q = profile_columns(cust, ["c_custkey", "c_mktsegment"], exact_distinct=False)
+    txt = plans.plan_text(q)
+    # the formatted plan prints each scan once in the tree and once in
+    # the detail section — one physical scan == one Location line
+    assert txt.count("Location: InMemoryFileIndex") == 1
+    assert plans.num_shuffles(q) <= 1

@@ -294,3 +294,23 @@ def test_xlsx_absolute_rel_targets_and_quoted_sheet_names(tmp_path):
             zout.writestr(item, data)
     assert list_sheets(dst) == ["one", "two"]
     assert read_xlsx(dst, sheet="two")[1] == [[2]]
+
+
+def test_schema_drift_detects_add_remove_retype(spark, tmp_path):
+    from pandrs_spark.sources.io import schema_drift
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.createDataFrame(
+        [(1, "x", 1.0)], "id long, s string, v double"
+    ).coalesce(1).write.parquet(a)
+    spark.createDataFrame(
+        [(1, 2.5, True)], "id long, v float, flag boolean"
+    ).coalesce(1).write.parquet(b)
+    drift = {d["column"]: d for d in schema_drift(a, b)}
+    assert drift["s"]["change"] == "removed"
+    assert drift["flag"]["change"] == "added"
+    assert drift["v"]["change"] == "type_changed"
+    assert "id" not in drift
+    # no drift against itself
+    assert schema_drift(a, a) == []
