@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_rollup"]
+__all__ = ["hll_rollup", "cms_build", "cms_estimate"]
 
 
 def hll_rollup(
@@ -41,4 +41,80 @@ def hll_rollup(
             "approx_distinct"
         ),
         F.count(F.lit(1)).alias("n_fine_buckets"),
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch over ``key_col``: a ``depth x width`` counter
+    grid, each row hashing into one bucket per depth row
+    (deterministic md5-derived hashes, so any engine rebuilds the
+    identical sketch). The sketch is ~depth*width longs REGARDLESS of
+    key cardinality — the fixed-memory frequency summary for
+    billion-key streams. One explode(depth) + one groupBy: map-side
+    partial counts do the heavy lifting.
+    """
+    rows = df.select(F.col(key_col).cast("string").alias("__k__"))
+    idx = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__")
+    hashed = rows.select("__k__", idx).select(
+        "__i__",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("cms"), F.col("__i__").cast("string"), F.col("__k__")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("__b__"),
+    )
+    return hashed.groupBy("__i__", "__b__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a count-min
+    sketch: min over the depth counters each key hashes to. The
+    classic one-sided guarantee holds exactly: estimate >= true count,
+    and exceeds it by at most eps*N with probability 1-delta
+    (eps=e/width, delta=e^-depth). Broadcast the sketch (depth*width
+    rows) into the key probe — no shuffle of the key set."""
+    probes = keys.select(F.col(key_col).cast("string").alias("__k__")).distinct()
+    idx = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__")
+    probe = probes.select("__k__", idx).select(
+        "__k__",
+        "__i__",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("cms"), F.col("__i__").cast("string"), F.col("__k__")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("__b__"),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["__i__", "__b__"], "left")
+        .groupBy("__k__")
+        .agg(F.min(F.coalesce(F.col("__c__"), F.lit(0))).alias("est_count"))
+        .select(F.col("__k__").alias(key_col), "est_count")
     )

@@ -892,3 +892,64 @@ def q199(spark, sf_dir):
         )
         .orderBy("year")
     )
+
+
+# --- q212: count-min-sketch heavy hitters — a 4x1024 counter grid
+# summarizes part frequencies in fixed memory; the top-10 parts by
+# sketch estimate carry their exact counts and the CMS one-sided
+# guarantee (est >= exact) through the hash gate. The md5-derived
+# bucket hashing replays bit-for-bit in DuckDB, so the sketch itself
+# is oracle-verified, not just the invariant.
+# operators/sketches.py:cms_build/cms_estimate. ---------------------------
+@query(
+    "q212_cms_heavy_hitters",
+    oracle="""
+    WITH d AS (SELECT i FROM UNNEST(generate_series(0, 3)) AS t(i)),
+    keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS exact_count
+             FROM lineitem GROUP BY 1),
+    hashed AS (
+        SELECT d.i,
+               ((268435456 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 1, 1)) - 1) + 16777216 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 2, 1)) - 1) + 1048576 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 3, 1)) - 1) + 65536 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 4, 1)) - 1) + 4096 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 5, 1)) - 1) + 256 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 6, 1)) - 1) + 16 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 7, 1)) - 1) + 1 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 8, 1)) - 1)) % 1024) AS b,
+               k, exact_count
+        FROM keys, d
+    ),
+    sketch AS (
+        SELECT i, ((268435456 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 1, 1)) - 1) + 16777216 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 2, 1)) - 1) + 1048576 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 3, 1)) - 1) + 65536 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 4, 1)) - 1) + 4096 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 5, 1)) - 1) + 256 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 6, 1)) - 1) + 16 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 7, 1)) - 1) + 1 * (strpos('0123456789abcdef', substr(substr(md5('cms|' || d.i || '|' || k), 1, 8), 8, 1)) - 1)) % 1024) AS b, COUNT(*) AS c
+        FROM (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem), d
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT h.k, h.exact_count, MIN(COALESCE(s.c, 0)) AS est_count
+        FROM hashed h LEFT JOIN sketch s ON h.i = s.i AND h.b = s.b
+        GROUP BY h.k, h.exact_count
+    )
+    SELECT CAST(k AS BIGINT) AS l_partkey,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           est_count >= exact_count AS never_undercounts
+    FROM est
+    ORDER BY est_count DESC, l_partkey LIMIT 10
+    """,
+)
+def q212(spark, sf_dir):
+    from pandrs_spark.operators.sketches import cms_build, cms_estimate
+
+    li = T(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = cms_build(li, "l_partkey", depth=4, width=1024)
+    est = cms_estimate(sketch, li, "l_partkey", depth=4, width=1024)
+    exact = li.groupBy(F.col("l_partkey").cast("string").alias("l_partkey")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "l_partkey")
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy(F.desc("est_count"), "l_partkey")
+        .limit(10)
+    )

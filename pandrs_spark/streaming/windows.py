@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "stream_stream_interval_join",
+    "incremental_aggregate_sink",
     "tumbling",
     "sliding",
     "session",
@@ -396,4 +397,62 @@ def stream_stream_interval_join(
         lw[key].alias(key),
         lw[left_ts].alias(left_ts),
         rw[right_ts].alias(right_ts),
+    )
+
+
+def incremental_aggregate_sink(
+    df: DataFrame,
+    keys: Sequence[str],
+    count_col: str = "n",
+    sum_cols: Sequence[str] = (),
+    table: str = "incremental_agg",
+):
+    """Incremental materialized-aggregate maintenance: each micro-batch
+    folds its partial counts/sums into a running per-key aggregate via
+    foreachBatch — the pattern for keeping a rollup table fresh against
+    an unbounded stream WITHOUT 'complete' output mode (whose state and
+    re-emit cost grow with total key cardinality; here state lives in
+    the sink table and each batch touches only its own keys).
+
+    The merge is sum-of-partials (count and sum are decomposable), so
+    the maintained table equals the batch aggregate over everything
+    seen — exactly-once per availableNow run. Registers the running
+    aggregate as global temp view ``table``; returns the streaming
+    query handle.
+    """
+    sums = list(sum_cols)
+    cached: list[DataFrame] = []  # previous batch's materialized agg
+
+    def _merge(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
+            F.sum(c).alias(f"sum_{c}") for c in sums
+        ]
+        part = batch_df.groupBy(*keys).agg(*aggs)
+        full_name = f"global_temp.{table}"
+        try:
+            prev = spark.table(full_name)
+            merged = (
+                prev.unionByName(part)
+                .groupBy(*keys)
+                .agg(
+                    F.sum(count_col).cast("long").alias(count_col),
+                    *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums],
+                )
+            )
+        except Exception:
+            merged = part
+        # materialize before replacing the view the plan reads from,
+        # then release the PREVIOUS batch's cache (its rows are folded
+        # into the new aggregate) so state stays O(distinct keys)
+        merged.cache().count()
+        merged.createOrReplaceGlobalTempView(table)
+        while cached:
+            cached.pop().unpersist(False)
+        cached.append(merged)
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -62,3 +62,21 @@ def test_hll_rollup_accuracy_and_merge(spark):
     for c in range(4):
         assert out[c]["n_fine_buckets"] == 3  # fine = coarse + 4k pattern -> 3 each
         assert abs(out[c]["approx_distinct"] - 499) / 499 < 0.03
+
+
+def test_cms_never_undercounts_and_is_fixed_size(spark):
+    from pandrs_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(f"k{i % 37}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string")
+    sketch = cms_build(df, "k", depth=4, width=64)
+    assert sketch.count() <= 4 * 64  # grid-bounded regardless of keys
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(sketch, df, "k", depth=4, width=64).collect()
+    }
+    exact = {f"k{j}": len([i for i in range(2000) if i % 37 == j]) for j in range(37)}
+    for k, e in exact.items():
+        assert est[k] >= e  # CMS one-sided guarantee
+    # with only 37 keys in 64 buckets, estimates stay near exact
+    assert sum(est[k] - exact[k] for k in exact) / len(exact) < 200

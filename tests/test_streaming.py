@@ -426,3 +426,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.table("ssj_sink").collect()
     )
     assert got == [(1, 10, 10), (1, 12, 12)]
+
+
+def test_incremental_aggregate_sink_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from pandrs_spark.streaming.windows import (
+        incremental_aggregate_sink,
+        stream_from_directory,
+    )
+
+    sch = "ts timestamp, key string, v double"
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, i % 50, i % 60 if i % 60 != i % 50 else (i + 1) % 60), ["a", "b", "c"][i % 3], float(i))
+        for i in range(90)
+    ]
+    spark.createDataFrame(rows, sch).repartition(4).write.parquet(
+        str(tmp_path / "src")
+    )
+    src = stream_from_directory(
+        spark, str(tmp_path / "src"), sch, max_files_per_trigger=1
+    )
+    q = incremental_aggregate_sink(
+        src, ["key"], sum_cols=["v"], table="inc_agg_test"
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["key"]: (r["n"], r["sum_v"])
+        for r in spark.table("global_temp.inc_agg_test").collect()
+    }
+    # matches the batch aggregate over all files, across micro-batches
+    assert got["a"] == (30, float(sum(i for i in range(90) if i % 3 == 0)))
+    assert got["b"] == (30, float(sum(i for i in range(90) if i % 3 == 1)))
+    assert got["c"] == (30, float(sum(i for i in range(90) if i % 3 == 2)))
