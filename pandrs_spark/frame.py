@@ -721,6 +721,28 @@ class Frame:
 
         return Frame(_sky(self.spark, maximize, minimize))
 
+    def profile(self, cols: Sequence[str] | None = None, exact_distinct: bool = True) -> "Frame":
+        """Long-format per-column quality report (nulls / cardinality /
+        range) in one pass — see operators/profile.py."""
+        from pandrs_spark.operators.profile import profile_columns
+
+        return Frame(
+            profile_columns(
+                self.spark, cols if cols is not None else self.columns, exact_distinct
+            )
+        )
+
+    def sample_weighted(
+        self, weight_col: str, key_cols: Sequence[str], k: int,
+        group_by: Sequence[str] = (),
+    ) -> "Frame":
+        """pandas ``sample(n=k, weights=...)`` with engine-reproducible
+        draws (Efraimidis–Spirakis over content hashes) — see
+        operators/sampling.py:weighted_sample."""
+        from pandrs_spark.operators.sampling import weighted_sample
+
+        return Frame(weighted_sample(self.spark, weight_col, key_cols, k, group_by))
+
     # -- dedup (§2.2) --------------------------------------------------------
     def drop_duplicates(
         self, subset: Sequence[str] | None = None, keep: str = "first"

@@ -734,3 +734,18 @@ def test_frame_skyline(spark):
     )
     out = Frame(df).skyline(maximize=["gain"], minimize=["cost"])
     assert sorted(r["id"] for r in out.spark.collect()) == [2, 3]
+
+
+def test_frame_profile_and_weighted_sample(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(
+        spark.createDataFrame(
+            [(1, "a", 2.0), (2, "b", 8.0), (3, None, 100.0)],
+            "id long, s string, w double",
+        )
+    )
+    prof = {r["column"]: r for r in f.profile().spark.collect()}
+    assert prof["s"]["n_nulls"] == 1 and prof["id"]["n_distinct"] == 3
+    samp = f.sample_weighted("w", ["id"], k=2).spark.collect()
+    assert len(samp) == 2
