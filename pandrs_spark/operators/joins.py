@@ -350,3 +350,36 @@ def scd2_history(
     return runs.withColumn(
         "valid_to", F.lead("valid_from").over(wv)
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys, compare_cols=None
+) -> DataFrame:
+    """Snapshot changelog: classify every key as inserted / deleted /
+    changed / unchanged between two table versions — the CDC-style
+    diff that seeds an incremental downstream refresh (ship only
+    inserted+changed+deleted instead of re-processing the snapshot).
+
+    One full outer join on the keys; change detection compares an md5
+    over the compared columns (computed map-side on each side, so the
+    join carries two hash columns instead of 2x the row width).
+    Returns (keys..., change) with change in
+    {inserted, deleted, changed, unchanged}.
+    """
+    kb = list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in kb]
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]
+        )
+    )
+    o = old.select(*kb, fp.alias("__h_old__"))
+    n = new.select(*kb, fp.alias("__h_new__"))
+    change = (
+        F.when(F.col("__h_old__").isNull(), F.lit("inserted"))
+        .when(F.col("__h_new__").isNull(), F.lit("deleted"))
+        .when(F.col("__h_old__") != F.col("__h_new__"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, kb, "full_outer").select(*kb, change.alias("change"))

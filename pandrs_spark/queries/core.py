@@ -2135,3 +2135,181 @@ def q211(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# --- q213: snapshot changelog (CDC diff) — "old" = orders as shipped,
+# "new" = a deterministic evolution (every 7th order's priority
+# flipped, every 13th order dropped, synthetic 5 new orders). One full
+# outer join on the key, md5 row fingerprints computed map-side.
+# operators/joins.py:table_diff. ---------------------------------------------
+@query(
+    "q213_order_changelog",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'RECLASSIFIED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT -i, 'N', 'NEW', 0.0
+        FROM UNNEST(generate_series(1, 5)) AS t(i)
+    ),
+    tagged AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    WHEN o.o_orderpriority <> n.o_orderpriority
+                      OR o.o_orderstatus <> n.o_orderstatus
+                      OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tagged GROUP BY change ORDER BY change
+    """,
+)
+def q213(spark, sf_dir):
+    from pandrs_spark.operators.joins import table_diff
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    evolved = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit("RECLASSIFIED")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .unionByName(
+            spark.range(1, 6).select(
+                (-F.col("id")).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit("NEW").alias("o_orderpriority"),
+                F.lit(0.0).alias("o_totalprice"),
+            )
+        )
+    )
+    diff = table_diff(orders, evolved, keys=["o_orderkey"])
+    return (
+        diff.groupBy("change").agg(F.count(F.lit(1)).alias("n")).orderBy("change")
+    )
+
+
+# --- q214: re-aggregation hierarchy — the continuous-aggregate
+# correctness property: MONTHLY revenue is computed FROM the daily
+# aggregate and YEARLY from the monthly (decomposable sums re-fold
+# without touching raw rows — at 100 TB each rollup level reads the
+# previous level's tiny table, not the fact table). -----------------------
+@query(
+    "q214_reaggregation_hierarchy",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               {sql_dsum("o_totalprice", 2)} AS rev,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    monthly AS (
+        SELECT date_trunc('month', d) AS m,
+               {sql_dsum("rev", 2)} AS rev, CAST(SUM(n) AS BIGINT) AS n
+        FROM daily GROUP BY 1
+    )
+    SELECT date_trunc('year', m) AS year,
+           {sql_dsum("rev", 2)} AS revenue,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM monthly GROUP BY 1 ORDER BY 1
+    """,
+)
+def q214(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        dsum("o_totalprice", 2).alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "d").alias("m")).agg(
+        dsum("rev", 2).alias("rev"), F.sum("n").cast("bigint").alias("n")
+    )
+    return (
+        monthly.groupBy(F.date_trunc("year", "m").alias("year"))
+        .agg(
+            dsum("rev", 2).alias("revenue"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("year")
+    )
+
+
+# --- q215: blocked record linkage — match a "dirty" snapshot (every
+# 3rd customer's name has one character corrupted) back to the clean
+# registry. Blocking on the name's LAST two digits (untouched by the
+# corruption) turns the quadratic all-pairs compare into ~100 small
+# within-block joins; Levenshtein <= 1 verifies candidates. The
+# blocking-then-verify shape is the standard entity-resolution plan at
+# scale; both engines share the same edit-distance builtin. ---------------
+@query(
+    "q215_blocked_record_linkage",
+    oracle="""
+    WITH clean AS (SELECT c_custkey, c_name FROM customer),
+    dirty AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN substr(c_name, 1, 10) || 'X' || substr(c_name, 12)
+                    ELSE c_name END AS d_name
+        FROM customer
+    ),
+    cand AS (
+        SELECT d.c_custkey AS dirty_key, c.c_custkey AS clean_key,
+               levenshtein(d.d_name, c.c_name) AS dist
+        FROM dirty d JOIN clean c
+          ON substr(d.d_name, 17, 2) = substr(c.c_name, 17, 2)
+        WHERE levenshtein(d.d_name, c.c_name) <= 1
+    )
+    SELECT CAST(dist AS INTEGER) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN dirty_key = clean_key THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same_entity
+    FROM cand GROUP BY dist ORDER BY dist
+    """,
+)
+def q215(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    clean = cust.select("c_custkey", "c_name")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 10),
+                F.lit("X"),
+                F.substring("c_name", 12, 100),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+    )
+    cand = (
+        dirty.join(
+            clean,
+            F.substring("d_name", 17, 2) == F.substring("c_name", 17, 2),
+        )
+        .withColumn("dist", F.levenshtein("d_name", "c_name"))
+        .filter(F.col("dist") <= 1)
+    )
+    return (
+        cand.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("dirty_key") == F.col("c_custkey")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_same_entity"),
+        )
+        .orderBy("dist")
+    )

@@ -258,3 +258,27 @@ def test_scd2_history_intervals(spark):
     assert [r["is_current"] for r in k1] == [False, False, True]
     k2 = [r for r in rows if r["k"] == 2]
     assert len(k2) == 1 and k2[0]["is_current"]
+
+
+def test_table_diff_classifies_changes(spark):
+    from pandrs_spark.operators.joins import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "deleted", 4: "inserted"}
+
+
+def test_table_diff_null_vs_empty_not_equal(spark):
+    from pandrs_spark.operators.joins import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    got = table_diff(old, new, ["k"]).collect()[0]["change"]
+    assert got == "changed"  # NULL sentinel distinguishes null from ''
