@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "ordered_window",
+    "global_prefix_sum",
     "rolling",
     "rolling_sum_exact",
     "expanding",
@@ -291,3 +292,61 @@ def ewm_stat(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_ewm, schema=schema)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    value_col: str | Column,
+    out_col: str = "running_total",
+    scale: int = 2,
+) -> DataFrame:
+    """Distributed GLOBAL running total under a total order — without
+    the single-partition ``Window.orderBy`` collapse: range-sort keeps
+    every core busy, each partition computes its own quantized prefix
+    sum, and a tiny per-partition total map (collected, one row per
+    partition) supplies the additive offsets. Same partition-offset
+    scheme as Frame.sort_values' global positions (frame.py:71).
+
+    Values are quantized to scaled BIGINT for the cross-partition
+    fold, so the running total is EXACT and order-independent within a
+    partition — the float sum never leaves one task. Returns the frame
+    sorted by ``order_exprs`` with ``out_col`` (double) appended.
+    """
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    m = 10**scale
+    q = (v * m + F.when(v < 0, -0.5).otherwise(0.5)).cast("long")
+    sdf = (
+        df.orderBy(*order_exprs)
+        .withColumn("__pid__", F.spark_partition_id())
+        .withColumn("__q__", q)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(sdf)
+    totals = sdf.groupBy("__pid__").agg(F.sum("__q__").alias("t")).collect()
+    pairs: list = []
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        pairs += [F.lit(row["__pid__"]), F.lit(acc)]
+        acc += row["t"] or 0
+    if not pairs:
+        return sdf.drop("__pid__", "__q__").withColumn(
+            out_col, F.lit(None).cast("double")
+        )
+    offset = F.create_map(*pairs)[F.col("__pid__")]
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        sdf.withColumn(
+            out_col,
+            ((offset + F.sum("__q__").over(w)) / float(m)).cast("double"),
+        )
+        .drop("__pid__", "__q__")
+    )

@@ -2313,3 +2313,99 @@ def q215(spark, sf_dir):
         )
         .orderBy("dist")
     )
+
+
+# --- q216: ABC (Pareto) analysis — parts classed by cumulative share
+# of revenue (A: first 80%, B: to 95%, C: tail). The global running
+# total uses the distributed partition-offset prefix sum
+# (operators/windows.py:global_prefix_sum) — range-sort + per-
+# partition quantized cumsum + offset map, NO single-partition window
+# — and the oracle replays the identical quantized fold. -----------------
+@query(
+    "q216_abc_part_classes",
+    oracle=f"""
+    WITH prev AS (
+        SELECT l_partkey, {sql_dsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT {sql_dsum("revenue", 2)} AS total FROM prev),
+    run AS (
+        SELECT l_partkey, revenue,
+               SUM(CAST(revenue * 100 + CASE WHEN revenue < 0 THEN -0.5 ELSE 0.5 END AS BIGINT))
+                   OVER (ORDER BY revenue DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS running
+        FROM prev
+    ),
+    classed AS (
+        SELECT CASE WHEN running / (SELECT total FROM tot) <= 0.80 THEN 'A'
+                    WHEN running / (SELECT total FROM tot) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               revenue
+        FROM run
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_dsum("revenue", 2)} AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q216(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    prev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+    total = prev.agg(dsum("revenue", 2).alias("__total__"))
+    run = global_prefix_sum(
+        prev,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        "revenue",
+        out_col="running",
+        scale=2,
+    )
+    classed = run.join(F.broadcast(total)).select(
+        "revenue",
+        F.when(F.col("running") / F.col("__total__") <= 0.80, "A")
+        .when(F.col("running") / F.col("__total__") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("revenue", 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# --- q217: latency percentile bands — exact p50/p90/p99 of event value
+# per type (Spark percentile == DuckDB quantile_cont, both exact
+# linear interpolation). The SLA-report staple. ---------------------------
+@query(
+    "q217_event_percentile_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.90), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q217(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

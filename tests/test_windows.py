@@ -224,3 +224,35 @@ def test_cumprod_cummax_cummin(spark):
     assert [r["cp"] for r in out] == [2.0, -6.0, -3.0, 0.0, 0.0]
     assert [r["cx"] for r in out] == [2.0, 2.0, 2.0, 2.0, 4.0]
     assert [r["cn"] for r in out] == [2.0, -3.0, -3.0, -3.0, -3.0]
+
+
+def test_global_prefix_sum_matches_serial(spark):
+    from pandrs_spark.operators.windows import global_prefix_sum
+    from pandrs_spark.frame import release_persisted
+
+    import pyspark.sql.functions as F
+
+    rows = [(i, float((i * 37) % 100) - 50.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    out = global_prefix_sum(df, [F.asc("id")], "v", "rt").orderBy("id").collect()
+    acc = 0.0
+    for r in out:
+        acc += r["v"]
+        assert abs(r["rt"] - acc) < 1e-6, (r["id"], r["rt"], acc)
+    release_persisted()
+
+
+def test_global_prefix_sum_no_single_partition_exchange(spark):
+    from pandrs_spark.operators.windows import global_prefix_sum
+    from pandrs_spark.frame import release_persisted
+    from pandrs_spark import plans
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    out = global_prefix_sum(df, [F.asc("id")], "v", "rt")
+    txt = plans.plan_text(out).lower()
+    assert "singlepartition" not in txt
+    release_persisted()
