@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "key_skew"]
 
 
 def profile_columns(
@@ -48,3 +48,26 @@ def profile_columns(
         f"stack({len(cols)}, {stack_args})"
         " as (column, n_nulls, n_distinct, min_value, max_value)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def key_skew(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: distribution statistics of
+    per-key row counts (the thing that decides whether a shuffle on
+    this key stalls on one straggler task at 100 TB). Returns one row:
+    (key_col, n_rows, n_keys, max_cnt, avg_cnt, p99_cnt, skew_ratio) —
+    skew_ratio = max/avg; ratios over ~10 call for salting
+    (operators/joins.py:salted skew join) or AQE skew handling.
+    Two aggregates: per-key counts, then count-distribution stats.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__cnt__"))
+    return counts.agg(
+        F.lit(key_col).alias("key_col"),
+        F.sum("__cnt__").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__cnt__").alias("max_cnt"),
+        F.round(F.sum("__cnt__") / F.count(F.lit(1)), 6).alias("avg_cnt"),
+        F.round(F.percentile("__cnt__", F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(
+            F.max("__cnt__") / (F.sum("__cnt__") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )

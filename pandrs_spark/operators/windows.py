@@ -23,6 +23,7 @@ __all__ = [
     "global_prefix_sum",
     "rolling",
     "rolling_sum_exact",
+    "rolling_corr",
     "expanding",
     "shift",
     "diff",
@@ -350,3 +351,36 @@ def global_prefix_sum(
         )
         .drop("__pid__", "__q__")
     )
+
+
+def rolling_corr(
+    x: Column | str,
+    y: Column | str,
+    window: int,
+    w: WindowSpec,
+    scale: int = 4,
+    min_periods: int | None = None,
+) -> Column:
+    """Rolling Pearson correlation of two columns (pandas
+    Rolling.corr parity; reference enhanced window surface,
+    src/dataframe/enhanced_window.rs). Computed from five quantized
+    rolling sufficient statistics over the SAME frame — exact,
+    order-independent, one window pass, no self-join — so the result
+    is engine-reproducible and the plan stays a single window node.
+    """
+    from pandrs_spark.functions.deterministic import dsum_over
+
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    frame = w.rowsBetween(-(window - 1), 0)
+    n = F.count(F.when(cx.isNotNull() & cy.isNotNull(), 1)).over(frame)
+    sx = dsum_over(cx, frame, scale)
+    sy = dsum_over(cy, frame, scale)
+    sxx = dsum_over(cx * cx, frame, scale)
+    syy = dsum_over(cy * cy, frame, scale)
+    sxy = dsum_over(cx * cy, frame, scale)
+    mp = window if min_periods is None else min_periods
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return F.when(
+        (n >= mp) & (denom > 0), (n * sxy - sx * sy) / denom
+    ).otherwise(F.lit(None).cast("double"))

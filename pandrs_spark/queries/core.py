@@ -2409,3 +2409,40 @@ def q217(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- q220: shuffle-key skew report — per-key count distribution stats
+# for the three lineitem join keys (the pre-flight check before
+# shuffling 100 TB on a key; skew_ratio = max/avg count governs
+# salting / AQE skew-join decisions). operators/profile.py:key_skew. ------
+@query(
+    "q220_join_key_skew_report",
+    oracle="""
+    WITH stats AS (
+        SELECT 'l_orderkey' AS key_col, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'l_partkey', COUNT(*) FROM lineitem GROUP BY l_partkey
+        UNION ALL
+        SELECT 'l_suppkey', COUNT(*) FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT key_col,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(SUM(cnt) * 1.0 / COUNT(*), 6) AS avg_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           ROUND(MAX(cnt) / (SUM(cnt) * 1.0 / COUNT(*)), 6) AS skew_ratio
+    FROM stats GROUP BY key_col ORDER BY key_col
+    """,
+)
+def q220(spark, sf_dir):
+    from pandrs_spark.operators.profile import key_skew
+
+    li = T(spark, sf_dir, "lineitem")
+    rep = (
+        key_skew(li, "l_orderkey")
+        .unionByName(key_skew(li, "l_partkey"))
+        .unionByName(key_skew(li, "l_suppkey"))
+    )
+    return rep.orderBy("key_col")

@@ -885,3 +885,69 @@ def q153(spark, sf_dir):
         F.round("mae", 6).alias("mae"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+# --- q221: nearest-centroid classification — per-label centroids from
+# quantized per-dimension means (explode + one agg), every vector
+# assigned to its closest centroid via quantized squared distances
+# (exact long arithmetic end-to-end, so argmin is engine-exact even at
+# equal distances: the (distance, label) sort key breaks ties).
+# Confusion matrix of true vs assigned label through the hash gate.
+# The per-dim explode shape is bounded by labels x dims, never
+# vectors². -----------------------------------------------------------------
+@query(
+    "q221_nearest_centroid_confusion",
+    oracle="""
+    WITH vd AS (
+        SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS clabel, dim, ((CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(x)) AS c
+        FROM vd GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT v.vec_id, v.label, c.clabel,
+               SUM(CAST(SIGN((v.x - c.c) * (v.x - c.c)) * FLOOR(ABS((v.x - c.c) * (v.x - c.c)) * 1000000000.0 + 0.5) AS BIGINT)) AS qdist
+        FROM vd v JOIN cent c USING (dim)
+        GROUP BY v.vec_id, v.label, c.clabel
+    ),
+    assigned AS (
+        SELECT vec_id, label,
+               min_by(clabel, printf('%020d|%05d', CAST(qdist AS BIGINT), clabel)) AS assigned
+        FROM dist GROUP BY vec_id, label
+    )
+    SELECT label, assigned, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY label, assigned ORDER BY label, assigned
+    """,
+)
+def q221(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import davg, quantize
+
+    emb = T(spark, sf_dir, "embeddings")
+    vd = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    cent = vd.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        davg("x", 6).alias("c")
+    )
+    term = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    dist = (
+        vd.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(quantize(term, 9)).alias("qdist"))
+    )
+    assigned = dist.groupBy("vec_id", "label").agg(
+        F.min_by(
+            "clabel", F.format_string("%020d|%05d", "qdist", "clabel")
+        ).alias("assigned")
+    )
+    return (
+        assigned.groupBy("label", "assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned")
+    )

@@ -1446,3 +1446,39 @@ def q184(spark, sf_dir):
         F.round("resid", 6).alias("resid"),
         F.round("next_fc", 6).alias("next_fc"),
     ).orderBy("month")
+
+
+# --- q219: OHLC resample (pandas resample().ohlc() parity) — daily
+# open/high/low/close of the event value stream. Open/close pick the
+# value at the min/max event time via min_by/max_by over a zero-padded
+# (epoch_us, event_id) sort key — identical lexicographic order on
+# both engines, deterministic under timestamp ties. One aggregate, no
+# window, no sort of the raw stream. --------------------------------------
+@query(
+    "q219_daily_ohlc",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           ROUND(min_by(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(max_by(value, printf('%020d|%020d', epoch_us(ts), event_id)), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q219(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d|%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )

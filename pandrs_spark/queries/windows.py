@@ -10,7 +10,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 from pandrs_spark.catalog import load_table as T
-from pandrs_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from pandrs_spark.functions.deterministic import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_over,
+)
 from pandrs_spark.operators.windows import ewm_mean, expanding, rank_method
 from pandrs_spark.queries import query
 
@@ -343,3 +349,59 @@ def q175(spark, sf_dir):
             rolling("o_totalprice", 7, w, agg="quantile", min_periods=1, q=0.90), 4
         ).alias("p90_7"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- q218: rolling Pearson correlation (pandas Rolling.corr parity)
+# of quantity vs extended price per supplier over a 10-item frame —
+# five quantized rolling sufficient statistics in ONE window pass
+# (operators/windows.py:rolling_corr); the oracle refolds the same
+# stats in a named DuckDB window. -----------------------------------------
+@query(
+    "q218_rolling_corr_qty_price",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               COUNT(CASE WHEN l_quantity IS NOT NULL
+                           AND l_extendedprice IS NOT NULL THEN 1 END)
+                   OVER w10 AS n,
+               {sql_dsum_over('l_quantity', 'w10', 4)} AS sx,
+               {sql_dsum_over('l_extendedprice', 'w10', 4)} AS sy,
+               {sql_dsum_over('l_quantity * l_quantity', 'w10', 4)} AS sxx,
+               {sql_dsum_over('l_extendedprice * l_extendedprice', 'w10', 4)} AS syy,
+               {sql_dsum_over('l_quantity * l_extendedprice', 'w10', 4)} AS sxy
+        FROM lineitem
+        WINDOW w10 AS (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(CASE WHEN n >= 10
+                       AND SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)
+                           / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                      END, 6) AS roll_corr
+    FROM r
+    WHERE l_suppkey % 20 = 0
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+)
+def q218(spark, sf_dir):
+    from pandrs_spark.operators.windows import rolling_corr
+
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                rolling_corr("l_quantity", "l_extendedprice", 10, w, scale=4),
+                6,
+            ).alias("roll_corr"),
+        )
+        .filter(F.col("l_suppkey") % 20 == 0)
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )

@@ -256,3 +256,27 @@ def test_global_prefix_sum_no_single_partition_exchange(spark):
     txt = plans.plan_text(out).lower()
     assert "singlepartition" not in txt
     release_persisted()
+
+
+def test_rolling_corr_matches_pandas(spark):
+    import pandas as pd
+
+    from pandrs_spark.operators.windows import rolling_corr
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    rows = [(i, float(i % 7), float((i * 3) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    w = Window.partitionBy().orderBy("id")
+    got = (
+        df.select("id", rolling_corr("x", "y", 5, w).alias("rc"))
+        .orderBy("id")
+        .collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["id", "x", "y"]).sort_values("id")
+    want = pdf["x"].rolling(5).corr(pdf["y"]).tolist()
+    for r, expect in zip(got, want):
+        if expect != expect:  # NaN
+            assert r["rc"] is None
+        else:
+            assert abs(r["rc"] - expect) < 1e-4, (r["id"], r["rc"], expect)
