@@ -361,7 +361,7 @@ def embedding_near_dup_pairs(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    grid_dims: int = 2,
+    grid_dims: int = 4,
     grid_scale: float = 4.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -378,7 +378,9 @@ def semantic_dedup(
     ``grid_dims`` embedding dimensions (floor(v[i] * grid_scale)) —
     deterministic so the DuckDB oracle can replay it exactly. At 100 TB
     the grid swaps for MLlib KMeans centroids (ivf_topk's coarse
-    quantizer, operators/similarity.py:225) with the SAME downstream
+    quantizer, operators/similarity.py:225; k grown with n so cluster
+    size — and with it the quadratic within-cluster term — stays
+    bounded) with the SAME downstream
     shape: map-side cluster assignment, within-cluster self-join (cost
     bounded by cluster size, never all-pairs), one distinct + one left
     anti-style join. Returns (id_col, *carry, cluster, kept).
@@ -389,7 +391,7 @@ def semantic_dedup(
     bucket = F.concat_ws(
         "|",
         *[
-            F.floor(F.element_at(F.col("__v__"), i + 1) * grid_scale)
+            F.floor(F.try_element_at(F.col("__v__"), F.lit(i + 1)) * grid_scale)
             .cast("long")
             .cast("string")
             for i in range(grid_dims)

@@ -1473,7 +1473,11 @@ def q194(spark, sf_dir):
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
                CAST(CAST(floor(CAST(embedding[1] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR)
                || '|' ||
-               CAST(CAST(floor(CAST(embedding[2] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR) AS b
+               CAST(CAST(floor(CAST(embedding[2] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(floor(CAST(embedding[3] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(floor(CAST(embedding[4] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR) AS b
         FROM embeddings
     ),
     dropped AS (
