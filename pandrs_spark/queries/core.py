@@ -2446,3 +2446,112 @@ def q220(spark, sf_dir):
         .unionByName(key_skew(li, "l_suppkey"))
     )
     return rep.orderBy("key_col")
+
+
+# --- q222: RFM segmentation — per-customer recency/frequency/monetary
+# terciles composed into a 27-cell segment code. Tercile thresholds
+# are exact global percentiles computed once and broadcast back (no
+# per-row rank window over the full customer table — the 100 TB shape
+# is agg → tiny threshold row → broadcast bucket). ------------------------
+@query(
+    "q222_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders)) AS recency,
+               COUNT(*) AS frequency,
+               {sql_dsum("o_totalprice", 2)} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    thr AS (
+        SELECT quantile_cont(recency, 1.0/3) AS r1, quantile_cont(recency, 2.0/3) AS r2,
+               quantile_cont(frequency, 1.0/3) AS f1, quantile_cont(frequency, 2.0/3) AS f2,
+               quantile_cont(monetary, 1.0/3) AS m1, quantile_cont(monetary, 2.0/3) AS m2
+        FROM cust
+    )
+    SELECT CAST(1 + (recency > r1)::INT + (recency > r2)::INT AS INTEGER) AS r_score,
+           CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT AS INTEGER) AS f_score,
+           CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT AS INTEGER) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM cust, thr
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q222(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max("o_orderdate").alias("__gmax__"))
+    cust = (
+        orders.join(F.broadcast(gmax))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("__gmax__"), F.max("o_orderdate")).alias(
+                "recency"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", 2).alias("monetary"),
+        )
+    )
+    thr = cust.agg(
+        F.percentile("recency", F.lit(1.0 / 3)).alias("r1"),
+        F.percentile("recency", F.lit(2.0 / 3)).alias("r2"),
+        F.percentile("frequency", F.lit(1.0 / 3)).alias("f1"),
+        F.percentile("frequency", F.lit(2.0 / 3)).alias("f2"),
+        F.percentile("monetary", F.lit(1.0 / 3)).alias("m1"),
+        F.percentile("monetary", F.lit(2.0 / 3)).alias("m2"),
+    )
+
+    def score(v, t1, t2):
+        return (
+            1
+            + (F.col(v) > F.col(t1)).cast("int")
+            + (F.col(v) > F.col(t2)).cast("int")
+        )
+
+    return (
+        cust.join(F.broadcast(thr))
+        .groupBy(
+            score("recency", "r1", "r2").alias("r_score"),
+            score("frequency", "f1", "f2").alias("f_score"),
+            score("monetary", "m1", "m2").alias("m_score"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --- q223: crosstab with margins (pandas crosstab(margins=True)
+# parity) — CUBE over the two categoricals, NULL grouping cells
+# relabeled 'All' (row totals, column totals, grand total in one
+# pass; grouping() disambiguates real NULL values from subtotal
+# rows). ---------------------------------------------------------------------
+@query(
+    "q223_crosstab_margins",
+    oracle="""
+    SELECT COALESCE(CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'All'
+                         ELSE o_orderpriority END, o_orderpriority) AS priority,
+           COALESCE(CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'All'
+                         ELSE o_orderstatus END, o_orderstatus) AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+)
+def q223(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    cube = orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        # grouping() must be evaluated inside the cube aggregate
+        F.grouping("o_orderpriority").alias("__gp__"),
+        F.grouping("o_orderstatus").alias("__gs__"),
+    )
+    return cube.select(
+        F.when(F.col("__gp__") == 1, "All")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(F.col("__gs__") == 1, "All")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        "n",
+    ).orderBy("priority", "status")
