@@ -383,3 +383,44 @@ def table_diff(
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, kb, "full_outer").select(*kb, change.alias("change"))
+
+
+def auto_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt_from: str,
+    skew_threshold: int = 100_000,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Differentiated salting: measure the left side's key histogram
+    first, salt ONLY the keys whose row count exceeds
+    ``skew_threshold``, and join the long tail un-salted. Full salting
+    (salted_join above) replicates the entire right side n_salts
+    times; at 100 TB that multiplies shuffle volume by n_salts to fix
+    a handful of hot keys. Here the right side is replicated only for
+    the hot-key subset (usually a few rows), so the cost of the fix is
+    proportional to the skew, not to the table.
+
+    The hot-key list is collected to the driver (bounded: keys above a
+    row-count threshold are few by definition) and broadcast back as a
+    literal filter. Output is row-identical to the plain join.
+    """
+    keys = _as_list(on)
+    hot = [
+        r[0]
+        for r in left.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") > skew_threshold)
+        .select(keys[0])
+        .collect()
+    ]
+    if not hot:
+        return left.join(right, keys, how)
+    is_hot = F.col(keys[0]).isin(hot)
+    cold = left.filter(~is_hot).join(right.filter(~is_hot), keys, how)
+    hot_join = salted_join(
+        left.filter(is_hot), right.filter(is_hot), keys, salt_from, n_salts, how
+    )
+    return cold.unionByName(hot_join)

@@ -1597,3 +1597,67 @@ def q197(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+# --- q224: vocabulary coverage — token frequency table with global
+# cumulative coverage share (what fraction of all token occurrences
+# the most frequent vocabulary prefix captures — the tokenizer-budget
+# curve). The running total over the frequency-sorted vocab reuses the
+# distributed partition-offset prefix sum, so the curve never funnels
+# through one task. Output: coverage at vocab sizes 10/100/1000. ---------
+@query(
+    "q224_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM freq),
+    run AS (
+        SELECT t, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank,
+               SUM(c) OVER (ORDER BY c DESC, t ROWS UNBOUNDED PRECEDING) AS cum
+        FROM freq
+    )
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           ROUND(MAX(CASE WHEN rank <= v THEN cum END) * 1.0
+                 / (SELECT n FROM tot), 6) AS coverage
+    FROM run, UNNEST([10, 100, 1000]) AS s(v)
+    WHERE rank <= v
+    GROUP BY v ORDER BY v
+    """,
+)
+def q224(spark, sf_dir):
+    from pandrs_spark.operators.text import tokens
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    docs = T(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = freq.agg(F.sum("c").alias("__n__"))
+    run = global_prefix_sum(
+        freq, [F.desc("c"), F.asc("t")], F.col("c").cast("double"), "cum", scale=0
+    )
+    from pyspark.sql import Window as W
+
+    # rank within the already-sorted partitions: reuse the same
+    # partition-offset trick via the cum of a constant-1 column
+    ranked = global_prefix_sum(
+        run, [F.desc("c"), F.asc("t")], F.lit(1.0), "rank", scale=0
+    )
+    sizes = spark.createDataFrame([(10,), (100,), (1000,)], "vocab_size long")
+    return (
+        ranked.join(F.broadcast(sizes), F.col("rank") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.max("cum").alias("__cov__"))
+        .join(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.round(F.col("__cov__") / F.col("__n__"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -282,3 +282,34 @@ def test_table_diff_null_vs_empty_not_equal(spark):
     new = spark.createDataFrame([(1, "")], "k long, s string")
     got = table_diff(old, new, ["k"]).collect()[0]["change"]
     assert got == "changed"  # NULL sentinel distinguishes null from ''
+
+
+def test_auto_salted_join_row_identical_to_plain(spark):
+    from pandrs_spark.operators.joins import auto_salted_join
+
+    # one pathological key (0: 5000 rows), long tail of small keys
+    left = spark.createDataFrame(
+        [(0, i) for i in range(5000)] + [(k, k) for k in range(1, 40)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(40)], "k long, rv string"
+    )
+    plain = left.join(right, ["k"]).groupBy("k").count()
+    auto = (
+        auto_salted_join(left, right, "k", salt_from="payload", skew_threshold=1000)
+        .groupBy("k")
+        .count()
+    )
+    got = {r["k"]: r["count"] for r in auto.collect()}
+    want = {r["k"]: r["count"] for r in plain.collect()}
+    assert got == want and got[0] == 5000
+
+
+def test_auto_salted_join_no_hot_keys_is_plain_join(spark):
+    from pandrs_spark.operators.joins import auto_salted_join
+
+    left = spark.createDataFrame([(k, k) for k in range(20)], "k long, p long")
+    right = spark.createDataFrame([(k, k * 2) for k in range(20)], "k long, v long")
+    out = auto_salted_join(left, right, "k", salt_from="p", skew_threshold=5)
+    assert out.count() == 20
