@@ -2555,3 +2555,122 @@ def q223(spark, sf_dir):
         .alias("status"),
         "n",
     ).orderBy("priority", "status")
+
+
+# --- q226: daily trending parts — top-3 parts by quantity per ship
+# day (window rank PARTITIONED by day: thousands of independent small
+# ranks, never a global sort). Ties break on partkey. --------------------
+@query(
+    "q226_daily_trending_parts",
+    oracle=f"""
+    WITH day_part AS (
+        SELECT date_trunc('day', l_shipdate) AS day, l_partkey,
+               {sql_dsum("l_quantity", 2)} AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT day, l_partkey, qty,
+               ROW_NUMBER() OVER (PARTITION BY day
+                                  ORDER BY qty DESC, l_partkey) AS rnk
+        FROM day_part
+    )
+    SELECT day, CAST(rnk AS INTEGER) AS rnk, l_partkey, qty
+    FROM ranked WHERE rnk <= 3 AND day < TIMESTAMP '1995-04-01'
+    ORDER BY day, rnk
+    """,
+)
+def q226(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = T(spark, sf_dir, "lineitem")
+    day_part = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day"), "l_partkey"
+    ).agg(dsum("l_quantity", 2).alias("qty"))
+    w = W.partitionBy("day").orderBy(F.desc("qty"), F.asc("l_partkey"))
+    return (
+        day_part.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("day") < "1995-04-01"))
+        .select("day", F.col("rnk").cast("int").alias("rnk"), "l_partkey", "qty")
+        .orderBy("day", "rnk")
+    )
+
+
+# --- q227: point-in-time (temporal) join — each order joined to the
+# customer's priority-history version valid AT the order date (SCD2
+# from q198 + half-open interval lookup). The bitemporal-correctness
+# primitive: joining facts to TODAY's dimension silently rewrites
+# history; this join reproduces what was true then. Interval condition
+# on the SAME key the history shuffles on — co-located, no cartesian.
+@query(
+    "q227_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey AS custkey, o_orderkey, o_orderdate AS ts,
+               o_orderpriority AS priority,
+               CASE WHEN lag(o_orderpriority) OVER w IS NOT DISTINCT FROM
+                         o_orderpriority THEN 0 ELSE 1 END AS chg
+        FROM orders WHERE o_custkey % 101 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    ver AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY custkey ORDER BY ts, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ),
+    runs AS (
+        SELECT custkey, version, any_value(priority) AS priority,
+               MIN(ts) AS valid_from
+        FROM ver GROUP BY custkey, version
+    ),
+    hist AS (
+        SELECT custkey, version, priority, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+                   AS valid_to
+        FROM runs
+    )
+    SELECT o.o_custkey AS custkey, o.o_orderkey,
+           h.priority AS pit_priority,
+           CAST(h.version AS BIGINT) AS version,
+           h.priority = o.o_orderpriority AS matches_fact
+    FROM orders o JOIN hist h
+      ON o.o_custkey = h.custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    WHERE o.o_custkey % 101 = 0
+    ORDER BY custkey, o_orderkey
+    """,
+)
+def q227(spark, sf_dir):
+    from pandrs_spark.operators.joins import scd2_history
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") % 101 == 0)
+    hist = scd2_history(
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("priority"),
+        ),
+        keys=["custkey"],
+        attr_col="priority",
+        ts_col="ts",
+        order_cols=["o_orderkey"],
+    ).select("custkey", "version", "priority", "valid_from", "valid_to")
+    cond = (
+        (orders.o_custkey == hist.custkey)
+        & (orders.o_orderdate >= hist.valid_from)
+        & (hist.valid_to.isNull() | (orders.o_orderdate < hist.valid_to))
+    )
+    return (
+        orders.join(hist, cond)
+        .select(
+            F.col("custkey"),
+            "o_orderkey",
+            F.col("priority").alias("pit_priority"),
+            F.col("version").cast("bigint").alias("version"),
+            (F.col("priority") == F.col("o_orderpriority")).alias(
+                "matches_fact"
+            ),
+        )
+        .orderBy("custkey", "o_orderkey")
+    )

@@ -953,3 +953,50 @@ def q212(spark, sf_dir):
         .orderBy(F.desc("est_count"), "l_partkey")
         .limit(10)
     )
+
+
+# --- q225: grouped OLS — an independent simple regression per group
+# (the "millions of models" pattern: one aggregate computes every
+# group's sufficient statistics; the closed-form solve is a scalar
+# projection — no per-group iteration, no Python). price ~ quantity
+# per return flag. ------------------------------------------------------------
+@query(
+    "q225_grouped_ols",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {sql_dsum("l_quantity", 4)} AS sx,
+               {sql_dsum("l_extendedprice", 4)} AS sy,
+               {sql_dsum("l_quantity * l_quantity", 4)} AS sxx,
+               {sql_dsum("l_quantity * l_extendedprice", 4)} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q225(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", 4).alias("sx"),
+        dsum("l_extendedprice", 4).alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sxx"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), 4).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("l_returnflag")
