@@ -905,3 +905,116 @@ def q203(spark, sf_dir):
         )
         .orderBy("hour_start")
     )
+
+
+# --- q228: streaming sliding-window counts in-gate — 2h windows
+# sliding 1h over the event stream (each event lands in two windows),
+# REAL availableNow micro-batches, complete-mode sink hash-matched
+# against DuckDB's two-window unroll. -------------------------------------
+@query(
+    "q228_streaming_sliding_counts",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('hour', ts) - INTERVAL (h) HOUR AS win_start,
+               event_type
+        FROM events, UNNEST([0, 1]) AS t(h)
+    )
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q228(spark, sf_dir):
+    from pandrs_spark.streaming.windows import (
+        sliding,
+        stream_to_memory,
+        windowed_agg,
+    )
+
+    _, sdf = _events_static_and_stream(spark, sf_dir)
+    agg = windowed_agg(
+        sdf,
+        sliding("ts", "2 hours", "1 hour"),
+        [F.count(F.lit(1)).alias("n")],
+        keys=["event_type"],
+        watermark=("ts", "4 hours"),
+    )
+    sink = "q228_stream_sink"
+    q = stream_to_memory(agg, sink, output_mode="complete")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q228 streaming query did not finish in 300s")
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# --- q229: streaming session windows in-gate — 30-min-gap session
+# windows per user computed by the REAL streaming session_window
+# state machine (merge-on-overlap), availableNow micro-batches,
+# complete mode; per-user session counts hash-match the batch
+# lag-gap sessionization (q38's oracle). ----------------------------------
+@query(
+    "q229_streaming_user_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_session
+    WHERE user_id % 5 = 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q229(spark, sf_dir):
+    from pandrs_spark.streaming.windows import (
+        session,
+        stream_to_memory,
+        windowed_agg,
+    )
+
+    _, sdf = _events_static_and_stream(spark, sf_dir)
+    agg = windowed_agg(
+        sdf.filter(F.col("user_id") % 5 == 0),
+        session("ts", "30 minutes"),
+        [F.count(F.lit(1)).alias("n_events")],
+        keys=["user_id"],
+        watermark=("ts", "2 hours"),
+    )
+    sink = "q229_stream_sink"
+    q = stream_to_memory(agg, sink, output_mode="complete")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q229 streaming query did not finish in 300s")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
