@@ -964,3 +964,80 @@ def dfs_preorder(
     return e.groupBy("component").applyInPandas(
         walk, "id long, component long, dfs_order long"
     )
+
+
+def kcore(
+    edges: DataFrame, k: int, n_iter: int = 12, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: drop every vertex
+    whose degree in the surviving subgraph is < k, repeat ``n_iter``
+    rounds (fixed-iteration form so a SQL oracle can unroll the exact
+    same rounds; n_iter >= the peel depth reaches the fixpoint — each
+    round either removes a vertex or is already stable). Works on the
+    undirected closure. Returns (id, core_degree) for the k-core
+    members.
+
+    Each round is one degree aggregate + two broadcast semi-filters on
+    the shrinking edge set — the standard distributed peeling shape
+    (vertex-centric k-core, e.g. Quick et al.); no driver-side graph.
+    Reference scope: graph algorithms tier (src/graph/).
+    """
+    cur = symmetrize(edges, src, dst)
+    for i in range(n_iter):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__d__"))
+        keep = deg.filter(F.col("__d__") >= k).select("src")
+        cur = (
+            cur.join(F.broadcast(keep), "src")
+            .join(
+                F.broadcast(keep.withColumnRenamed("src", "dst")), "dst"
+            )
+            .select("src", "dst")
+        )
+        if (i + 1) % 4 == 0:
+            # cut lineage: 3 joins per round compound into an
+            # exponentially nested plan without a checkpoint
+            cur = cur.localCheckpoint(eager=True)
+    return (
+        cur.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def neighborhood_jaccard(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Jaccard similarity of vertex neighborhoods — the classic
+    link-prediction feature: |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for every
+    pair sharing at least one neighbor. The common-neighbor join is
+    an equi-join THROUGH the shared neighbor (wedge enumeration, cost
+    = Σ deg(v)² — bounded by degree, never all vertex pairs).
+    Returns (id_a, id_b, common, jaccard) with id_a < id_b.
+    """
+    und = symmetrize(edges, src, dst)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a = und.select(F.col("dst").alias("via"), F.col("src").alias("id_a"))
+    b = und.select(F.col("dst").alias("via"), F.col("src").alias("id_b"))
+    common = (
+        a.join(b, "via")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("id").alias("id_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("deg").alias("db"))
+    return (
+        common.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

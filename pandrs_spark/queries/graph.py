@@ -711,3 +711,74 @@ def q146(spark, sf_dir):
     top = pairs.orderBy(F.desc("w"), "a", "b").limit(12)
     edges = top.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     return dfs_preorder(edges).orderBy("component", "dfs_order")
+
+
+# --- q230: k-core decomposition (k=4) — synchronous peeling on the
+# strong trade graph, 8 fixed rounds (>= peel depth; see
+# operators/graph.py:kcore). The oracle unrolls the identical rounds
+# as chained MATERIALIZED CTEs (materialization stops DuckDB from
+# re-inlining the chain exponentially) — same fixpoint, hash-matched
+# core degrees. ---------------------------------------------------------------
+@query(
+    "q230_kcore_membership",
+    oracle="WITH " + _STRONG + """,
+    e0 AS MATERIALIZED (SELECT src, dst FROM und),
+    d0 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e0 GROUP BY src),
+    k0 AS MATERIALIZED (SELECT src FROM d0 WHERE c >= 4),
+    e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e JOIN k0 a ON e.src = a.src JOIN k0 b ON e.dst = b.src),
+    d1 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e1 GROUP BY src),
+    k1 AS MATERIALIZED (SELECT src FROM d1 WHERE c >= 4),
+    e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+    d2 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e2 GROUP BY src),
+    k2 AS MATERIALIZED (SELECT src FROM d2 WHERE c >= 4),
+    e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+    d3 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e3 GROUP BY src),
+    k3 AS MATERIALIZED (SELECT src FROM d3 WHERE c >= 4),
+    e4 AS MATERIALIZED (SELECT e.src, e.dst FROM e3 e JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src),
+    d4 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e4 GROUP BY src),
+    k4 AS MATERIALIZED (SELECT src FROM d4 WHERE c >= 4),
+    e5 AS MATERIALIZED (SELECT e.src, e.dst FROM e4 e JOIN k4 a ON e.src = a.src JOIN k4 b ON e.dst = b.src),
+    d5 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e5 GROUP BY src),
+    k5 AS MATERIALIZED (SELECT src FROM d5 WHERE c >= 4),
+    e6 AS MATERIALIZED (SELECT e.src, e.dst FROM e5 e JOIN k5 a ON e.src = a.src JOIN k5 b ON e.dst = b.src),
+    d6 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e6 GROUP BY src),
+    k6 AS MATERIALIZED (SELECT src FROM d6 WHERE c >= 4),
+    e7 AS MATERIALIZED (SELECT e.src, e.dst FROM e6 e JOIN k6 a ON e.src = a.src JOIN k6 b ON e.dst = b.src),
+    d7 AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM e7 GROUP BY src),
+    k7 AS MATERIALIZED (SELECT src FROM d7 WHERE c >= 4),
+    e8 AS MATERIALIZED (SELECT e.src, e.dst FROM e7 e JOIN k7 a ON e.src = a.src JOIN k7 b ON e.dst = b.src)
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e8 GROUP BY src ORDER BY id
+    """,
+)
+def q230(spark, sf_dir):
+    from pandrs_spark.operators.graph import kcore
+
+    edges = _strong_edges(spark, sf_dir)
+    return kcore(edges, k=4, n_iter=8).orderBy("id")
+
+
+# --- q231: neighborhood Jaccard (link-prediction feature) — wedge
+# enumeration through shared neighbors on the strong trade graph;
+# |N(a) ∩ N(b)| / |N(a) ∪ N(b)| per candidate pair.
+# operators/graph.py:neighborhood_jaccard. --------------------------------
+@query(
+    "q231_neighborhood_jaccard",
+    oracle="WITH " + _STRONG + """,
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+    common AS (
+        SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS common
+        FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY id_a, id_b
+    )
+    SELECT c.id_a, c.id_b, CAST(c.common AS BIGINT) AS common,
+           ROUND(c.common * 1.0 / (x.d + y.d - c.common), 6) AS jaccard
+    FROM common c JOIN deg x ON c.id_a = x.id JOIN deg y ON c.id_b = y.id
+    ORDER BY id_a, id_b
+    """,
+)
+def q231(spark, sf_dir):
+    from pandrs_spark.operators.graph import neighborhood_jaccard
+
+    edges = _strong_edges(spark, sf_dir)
+    return neighborhood_jaccard(edges).orderBy("id_a", "id_b")

@@ -314,3 +314,32 @@ def test_dfs_preorder_deterministic(spark):
     assert [rows[i]["dfs_order"] for i in (1, 2, 4, 3)] == [0, 1, 2, 3]
     assert rows[10]["dfs_order"] == 0 and rows[11]["dfs_order"] == 1
     assert rows[10]["component"] == 10 and rows[4]["component"] == 1
+
+
+def test_kcore_peels_below_k(spark):
+    from pandrs_spark.operators.graph import kcore
+
+    # clique {1,2,3,4} (deg 3 each) + pendant chain 4-5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    core = {r["id"]: r["core_degree"] for r in kcore(edges, k=3, n_iter=6).collect()}
+    assert set(core) == {1, 2, 3, 4}
+    assert all(v == 3 for v in core.values())
+    assert kcore(edges, k=4, n_iter=6).count() == 0
+
+
+def test_neighborhood_jaccard_exact(spark):
+    from pandrs_spark.operators.graph import neighborhood_jaccard
+
+    # 1 and 2 share both neighbors {3,4}; union = {3,4,(each other? no)}
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4), (5, 3)], "src long, dst long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+        for r in neighborhood_jaccard(edges).collect()
+    }
+    assert got[(1, 2)] == (2, 1.0)  # N(1)=N(2)={3,4}
+    assert got[(1, 5)][0] == 1 and abs(got[(1, 5)][1] - 1 / 2) < 1e-6
