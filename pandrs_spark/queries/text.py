@@ -1661,3 +1661,43 @@ def q224(spark, sf_dir):
         )
         .orderBy("vocab_size")
     )
+
+
+# --- q232: BPE merge candidates — frequency of ADJACENT token pairs
+# across the corpus (the statistic one BPE training iteration
+# maximizes). zip_with over the token array and its shifted self keeps
+# pair construction inside codegen; one explode + one count. Top-20
+# with deterministic tie-break. -------------------------------------------
+@query(
+    "q232_bpe_merge_candidates",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    pairs AS (
+        SELECT w[i] || ' ' || w[i + 1] AS pair
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q232(spark, sf_dir):
+    from pandrs_spark.operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
