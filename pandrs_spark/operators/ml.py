@@ -1109,3 +1109,113 @@ def tsne_project(
     return df.sparkSession.createDataFrame(
         out, f"{id_col} long, ts_x double, ts_y double"
     )
+
+
+def feature_hashing(
+    df, text_col: str, id_col: str, n_buckets: int = 64
+):
+    """Hashing-trick vectorizer: tokens hash (md5, engine-portable)
+    into a fixed bucket space — the unbounded-vocabulary featurizer
+    that needs NO fitted dictionary, so feature extraction is a pure
+    map over any corpus size and train/serve can never skew on vocab
+    drift. Returns long-form (id_col, bucket, cnt); pivot to a vector
+    downstream if a dense shape is needed."""
+    from pandrs_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return tok.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def target_encode(
+    df,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    scale: int = 4,
+):
+    """Smoothed target (mean) encoding of a categorical: per-category
+    encoded value = (sum_target + global_mean * m) / (n + m) — the
+    high-cardinality categorical featurizer. Exact quantized sums for
+    both the global mean and the per-category fold, so the encoding is
+    bit-reproducible on any engine (a must: train/serve encoders have
+    to agree exactly). One aggregate + one broadcast of the scalar
+    prior. Returns (cat_col, n, encoded)."""
+    from pandrs_spark.functions.deterministic import dsum
+
+    prior = df.agg(
+        (dsum(target_col, scale) / F.count(target_col)).alias("__prior__")
+    )
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(target_col).alias("n"),
+        dsum(target_col, scale).alias("__sum__"),
+    )
+    return per_cat.join(F.broadcast(prior)).select(
+        cat_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("__sum__") + F.col("__prior__") * smoothing)
+            / (F.col("n") + smoothing),
+            6,
+        ).alias("encoded"),
+    )
+
+
+def psi(
+    expected,
+    actual,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+):
+    """Population stability index between two samples of a feature
+    over fixed equal-width bins on [lo, hi] (fixed bins, not sample
+    quantiles, so the metric is reproducible and mergeable across
+    engines/periods). PSI = Σ (p_a - p_e) * ln(p_a / p_e); > 0.2 is
+    the conventional retrain alarm. Two count aggregates + a
+    broadcast-joined bin spine that keeps empty bins (epsilon-floored
+    so the log never sees zero). Returns one row per bin plus the
+    summable term — callers SUM(term) for the index."""
+    width = (hi - lo) / n_bins
+    bin_of = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")
+        ),
+    )
+
+    def counts(d, name):
+        return d.groupBy(bin_of.alias("bin")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    spine = expected.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    e = counts(expected, "n_e")
+    a = counts(actual, "n_a")
+    te = expected.count()
+    ta = actual.count()
+    eps = 1e-6
+    joined = (
+        spine.join(F.broadcast(e), "bin", "left")
+        .join(F.broadcast(a), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_e", F.lit(0)).alias("n_e"),
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        )
+    )
+    p_e = F.greatest(F.col("n_e") / te, F.lit(eps))
+    p_a = F.greatest(F.col("n_a") / ta, F.lit(eps))
+    return joined.withColumn(
+        "term", F.round((p_a - p_e) * F.log(p_a / p_e), 9)
+    )

@@ -951,3 +951,131 @@ def q221(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "assigned")
     )
+
+
+# --- q233: hashing-trick featurizer — tokens md5-hash into 64 fixed
+# buckets (no fitted vocabulary; pure map at any corpus size);
+# long-form (doc, bucket, count) rows for a deterministic doc slice.
+# operators/ml.py:feature_hashing. -----------------------------------------
+@query(
+    "q233_feature_hashing",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id,
+           CAST((268435456 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 1, 1)) - 1) + 16777216 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 2, 1)) - 1) + 1048576 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 3, 1)) - 1) + 65536 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 4, 1)) - 1) + 4096 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 5, 1)) - 1) + 256 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 6, 1)) - 1) + 16 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 7, 1)) - 1) + 1 * (strpos('0123456789abcdef', substr(substr(md5(t), 1, 8), 8, 1)) - 1)) % 64 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+    """,
+)
+def q233(spark, sf_dir):
+    from pandrs_spark.operators.ml import feature_hashing
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    return (
+        feature_hashing(docs, "text", "doc_id", n_buckets=64)
+        .select("doc_id", F.col("bucket").cast("bigint").alias("bucket"), "cnt")
+        .orderBy("doc_id", "bucket")
+    )
+
+
+# --- q234: smoothed target encoding — market segment encoded by
+# order value with an m=20 prior pull toward the global mean (exact
+# quantized sums end-to-end: train/serve encoders must agree
+# bit-for-bit). operators/ml.py:target_encode. -----------------------------
+@query(
+    "q234_target_encoding",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_mktsegment, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    prior AS (
+        SELECT (CAST(SUM(CAST(SIGN(o_totalprice) * FLOOR(ABS(o_totalprice) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)
+               / COUNT(o_totalprice) AS p
+        FROM joined
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(((CAST(SUM(CAST(SIGN(o_totalprice) * FLOOR(ABS(o_totalprice) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)
+                  + (SELECT p FROM prior) * 20.0) / (COUNT(*) + 20.0), 6)
+               AS encoded
+    FROM joined GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q234(spark, sf_dir):
+    from pandrs_spark.operators.ml import target_encode
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return target_encode(
+        joined, "c_mktsegment", "o_totalprice", smoothing=20.0
+    ).orderBy("c_mktsegment")
+
+
+# --- q235: PSI feature-drift audit — population stability index of
+# order value, first half of 1996 vs 1998, over 10 fixed equal-width
+# bins (fixed bins: reproducible + mergeable across periods, unlike
+# sample quantiles). Per-bin terms and populations hash-gated; the
+# index is the sum of terms. operators/ml.py:psi. --------------------------
+@query(
+    "q235_psi_drift",
+    oracle="""
+    WITH e AS (
+        SELECT LEAST(9, GREATEST(0,
+            CAST(FLOOR((o_totalprice - 0.0) / 8000.0) AS INTEGER))) AS bin
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+    ),
+    a AS (
+        SELECT LEAST(9, GREATEST(0,
+            CAST(FLOOR((o_totalprice - 0.0) / 8000.0) AS INTEGER))) AS bin
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+    ),
+    te AS (SELECT COUNT(*) AS t FROM e),
+    ta AS (SELECT COUNT(*) AS t FROM a),
+    spine AS (SELECT i AS bin FROM UNNEST(generate_series(0, 9)) AS s(i)),
+    ec AS (SELECT bin, COUNT(*) AS n_e FROM e GROUP BY bin),
+    ac AS (SELECT bin, COUNT(*) AS n_a FROM a GROUP BY bin),
+    terms AS (
+        SELECT s.bin,
+               COALESCE(ec.n_e, 0) AS n_e, COALESCE(ac.n_a, 0) AS n_a,
+               ROUND((GREATEST(COALESCE(ac.n_a, 0) * 1.0 / (SELECT t FROM ta), 1e-6)
+                      - GREATEST(COALESCE(ec.n_e, 0) * 1.0 / (SELECT t FROM te), 1e-6))
+                     * LN(GREATEST(COALESCE(ac.n_a, 0) * 1.0 / (SELECT t FROM ta), 1e-6)
+                          / GREATEST(COALESCE(ec.n_e, 0) * 1.0 / (SELECT t FROM te), 1e-6)), 9)
+                   AS term
+        FROM spine s LEFT JOIN ec ON s.bin = ec.bin LEFT JOIN ac ON s.bin = ac.bin
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, CAST(n_e AS BIGINT) AS n_e,
+           CAST(n_a AS BIGINT) AS n_a, term
+    FROM terms ORDER BY bin
+    """,
+)
+def q235(spark, sf_dir):
+    from pandrs_spark.operators.ml import psi
+
+    orders = T(spark, sf_dir, "orders")
+    e = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_totalprice")
+    a = orders.filter(
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1998-07-01")
+    ).select("o_totalprice")
+    out = psi(e, a, "o_totalprice", lo=0.0, hi=80000.0, n_bins=10)
+    return out.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_e").cast("bigint").alias("n_e"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        "term",
+    ).orderBy("bin")
