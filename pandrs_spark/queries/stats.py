@@ -1000,3 +1000,55 @@ def q225(spark, sf_dir):
             "intercept"
         ),
     ).orderBy("l_returnflag")
+
+
+# --- q236: Gini coefficient + Lorenz deciles of customer spend —
+# inequality audit over per-customer revenue. Needs a GLOBAL value
+# rank; built on the partition-offset prefix-sum primitive (q216's)
+# so neither the rank nor the cumulative share funnels into one task.
+# Gini via the rank formula G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n on the
+# exact quantized sums. ------------------------------------------------------
+@query(
+    "q236_gini_customer_spend",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, {sql_dsum("o_totalprice", 2)} AS s
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS i
+        FROM spend
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n, {sql_dsum("s", 2)} AS sx,
+               {sql_dsum("i * s", 2)} AS six
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM tot
+    """,
+)
+def q236(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    orders = T(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice", 2).alias("s")
+    )
+    ranked = global_prefix_sum(
+        spend, [F.asc("s"), F.asc("o_custkey")], F.lit(1.0), "i", scale=0
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("s", 2).alias("sx"),
+        dsum(F.col("i") * F.col("s"), 2).alias("six"),
+    )
+    return tot.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

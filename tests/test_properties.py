@@ -276,3 +276,40 @@ def test_rolling_quantile_matches_pandas(spark, vals, window, q):
             assert g is None, (i, g)
         else:
             assert g is not None and abs(g - e) < 1e-9, (i, window, q)
+
+
+def test_global_prefix_sum_partition_invariant(spark):
+    """The running total must not depend on the physical partitioning
+    — the property that makes the partition-offset scheme safe on a
+    cluster of any size."""
+    from pandrs_spark.frame import release_persisted
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    import pyspark.sql.functions as F
+
+    rows = [(i, float((i * 13) % 29)) for i in range(300)]
+    outs = []
+    for parts in (1, 3, 17):
+        df = spark.createDataFrame(rows, "id long, v double").repartition(parts)
+        out = (
+            global_prefix_sum(df, [F.asc("id")], "v", "rt")
+            .orderBy("id")
+            .select("id", "rt")
+            .collect()
+        )
+        outs.append([(r["id"], r["rt"]) for r in out])
+    assert outs[0] == outs[1] == outs[2]
+    release_persisted()
+
+
+def test_weighted_sample_partition_invariant(spark):
+    from pandrs_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 9)) for i in range(200)]
+    picks = []
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "id long, w double").repartition(parts)
+        picks.append(
+            sorted(r["id"] for r in weighted_sample(df, "w", ["id"], 25).collect())
+        )
+    assert picks[0] == picks[1]
