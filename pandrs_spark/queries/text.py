@@ -1701,3 +1701,111 @@ def q232(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# --- q237: end-to-end corpus curation pipeline — the full
+# training-data path composed from the operator family in ONE
+# oracle-paired plan: quality gate (token count) → exact dedup
+# (keep lowest doc_id per content fingerprint) → benchmark
+# decontamination (8-gram overlap vs the doc_id%97 eval slice) →
+# language-mixture resample (150-doc budget) → per-lang corpus stats.
+# Every stage is the exact operator other queries verify in
+# isolation; this pins that they COMPOSE. ---------------------------------
+@query(
+    "q237_corpus_curation_pipeline",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               len(string_split_regex(lower(text), '\\s+')) AS n_tok
+        FROM documents WHERE doc_id % 97 <> 0
+    ),
+    quality AS (SELECT * FROM base WHERE n_tok >= 10),
+    fp AS (
+        SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        FROM quality
+    ),
+    dedup AS (
+        SELECT * FROM fp
+        WHERE doc_id = (SELECT MIN(doc_id) FROM fp f2 WHERE f2.f = fp.f)
+    ),
+    btoks AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        FROM btoks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    cgrams AS (
+        SELECT d.doc_id, array_to_string(
+            string_split_regex(lower(d.text), '\\s+')[i:i+7], ' ') AS g
+        FROM dedup d, UNNEST(generate_series(1,
+            len(string_split_regex(lower(d.text), '\\s+')) - 7)) AS t(i)
+        WHERE len(string_split_regex(lower(d.text), '\\s+')) >= 8
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)
+    ),
+    clean AS (
+        SELECT d.* FROM dedup d LEFT JOIN contaminated x USING (doc_id)
+        WHERE x.doc_id IS NULL
+    ),
+    counts AS (SELECT lang, COUNT(*) AS n FROM clean GROUP BY lang),
+    kept AS (
+        SELECT c.doc_id, c.lang, c.n_tok
+        FROM clean c JOIN counts k USING (lang)
+        WHERE c.lang IN ('en', 'de', 'es', 'fr')
+          AND (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 4, 1)) - 1)
+             < LEAST(65536, FLOOR(150.0 * CASE c.lang
+                   WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                   WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 END / k.n * 65536))
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q237(spark, sf_dir):
+    from pandrs_spark.operators.dedup import exact_dedup_clusters
+    from pandrs_spark.operators.sampling import resample_to_mixture
+    from pandrs_spark.operators.text import decontaminate, token_count
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    quality = corpus.withColumn("n_tok", token_count(F.col("text"))).filter(
+        F.col("n_tok") >= 10
+    )
+    # exact dedup: keep the lowest doc_id per normalized-content hash
+    from pandrs_spark.operators.text import doc_fingerprint
+    from pyspark.sql import Window as W
+
+    fp = quality.withColumn("__f__", doc_fingerprint(F.col("text")))
+    keep = fp.withColumn(
+        "__rn__",
+        F.row_number().over(W.partitionBy("__f__").orderBy("doc_id")),
+    ).filter(F.col("__rn__") == 1)
+    flags = decontaminate(keep, bench, carry=("lang", "n_tok"))
+    clean = flags.filter(~F.col("contaminated")).select(
+        "doc_id", "lang", "n_tok"
+    )
+    kept = resample_to_mixture(
+        clean,
+        "lang",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2},
+        budget=150,
+        key_cols=["doc_id"],
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
