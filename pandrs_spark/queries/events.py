@@ -1018,3 +1018,54 @@ def q229(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- q238: custom stateful streaming operator in-gate — per-user
+# maximum drawdown (largest peak-to-trough drop), the order-dependent
+# per-entity fold no built-in windowed aggregate expresses. O(1)
+# state per key via applyInPandasWithState; update-mode sink, final
+# state per user hash-matches the batch running-max formulation.
+# streaming/windows.py:stateful_drawdown. ----------------------------------
+@query(
+    "q238_streaming_user_drawdown",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS peak
+        FROM events WHERE user_id % 10 = 0
+    )
+    SELECT user_id,
+           ROUND(MAX(peak), 6) AS peak,
+           ROUND(MAX(peak - value), 6) AS max_drawdown
+    FROM ordered GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q238(spark, sf_dir):
+    from pandrs_spark.streaming.windows import (
+        stateful_drawdown,
+        stream_to_memory,
+    )
+
+    _, sdf = _events_static_and_stream(spark, sf_dir)
+    dd = stateful_drawdown(
+        sdf.filter(F.col("user_id") % 10 == 0),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_col="event_id",
+    )
+    sink = "q238_stream_sink"
+    q = stream_to_memory(dd, sink, output_mode="update")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q238 streaming query did not finish in 300s")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("peak"), 6).alias("peak"),
+            F.round(F.max("max_drawdown"), 6).alias("max_drawdown"),
+        )
+        .orderBy("user_id")
+    )

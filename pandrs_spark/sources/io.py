@@ -63,13 +63,18 @@ def read_csv(
     sep: str = ",",
     null_value: str | None = None,
     infer_schema: bool = True,
+    **options: str | bool,
 ) -> DataFrame:
     """``read_csv(path, has_header)`` parity (src/io/csv.rs:11).
 
     Prefer an explicit ``schema`` at scale: ``inferSchema`` triggers an
-    extra full pass over the data.
+    extra full pass over the data. Extra dialect options (multiLine,
+    escape, quote, comment, ...) pass straight through to the Spark
+    CSV reader.
     """
     reader = spark.read.option("header", header).option("sep", sep)
+    for k, v in options.items():
+        reader = reader.option(k, v)
     if null_value is not None:
         reader = reader.option("nullValue", null_value)
     if schema is not None:

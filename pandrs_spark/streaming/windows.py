@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stream_stream_interval_join",
     "incremental_aggregate_sink",
+    "stateful_drawdown",
     "tumbling",
     "sliding",
     "session",
@@ -455,4 +456,51 @@ def incremental_aggregate_sink(
         df.writeStream.foreachBatch(_merge)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_drawdown(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+):
+    """Per-key maximum drawdown (largest peak-to-trough drop of a
+    cumulative series) as a CUSTOM stateful streaming operator — the
+    class of order-dependent per-entity computations Spark's built-in
+    windowed aggregates can't express (SURVEY §2.10 custom state).
+
+    State per key = (running_peak, max_drawdown, last_emitted) as
+    three doubles — O(1) per key regardless of stream length. Each
+    micro-batch sorts its slice by (ts, order_col) before folding, so
+    results are deterministic for in-order sources; out-of-order
+    ACROSS micro-batches follows arrival order, the documented
+    streaming semantics of any order-dependent fold.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            peak, dd = state.get
+        else:
+            peak, dd = float("-inf"), 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, order_col])
+            for v in pdf[value_col].astype(float):
+                peak = max(peak, v)
+                dd = max(dd, peak - v)
+        state.update((float(peak), float(dd)))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "peak": [peak], "max_drawdown": [dd]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=f"{key_col} long, peak double, max_drawdown double",
+        stateStructType="peak double, dd double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

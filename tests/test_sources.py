@@ -314,3 +314,18 @@ def test_schema_drift_detects_add_remove_retype(spark, tmp_path):
     assert "id" not in drift
     # no drift against itself
     assert schema_drift(a, a) == []
+
+
+def test_read_csv_quoted_multiline_and_escapes(spark, tmp_path):
+    from pandrs_spark.sources.io import read_csv, write_csv
+
+    p = str(tmp_path / "dialect.csv")
+    with open(p, "w") as f:
+        f.write('id,name,notes\n')
+        f.write('1,"Smith, Jo","line one\nline two"\n')
+        f.write('2,"Quote "" inside",plain\n')
+    df = read_csv(spark, p, header=True, multiLine=True, escape='"')
+    rows = {int(r["id"]): r for r in df.collect()}
+    assert rows[1]["name"] == "Smith, Jo"
+    assert rows[1]["notes"] == "line one\nline two"
+    assert rows[2]["name"] == 'Quote " inside'
