@@ -1069,3 +1069,40 @@ def q238(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- q239: trailing 7-day active users per day — windowed DISTINCT
+# (which no window frame supports directly) via (day, user) dedup +
+# day-spine range join: dedup collapses the fact table to at most
+# days x users rows, the spine join fans each pair into <= 7 window
+# days, and the final exact distinct shuffles once per window day.
+# The rolling-MAU/WAU staple. ----------------------------------------------
+@query(
+    "q239_trailing_7d_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT w.d AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS active_users_7d
+    FROM days w JOIN du
+      ON du.d <= w.d AND du.d > w.d - INTERVAL 7 DAY
+    GROUP BY w.d ORDER BY w.d
+    """,
+)
+def q239(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "day")
+    cond = (du.d <= days.day) & (
+        du.d > days.day - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        days.join(du, cond)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .orderBy("day")
+    )
