@@ -131,7 +131,13 @@ def quantile_bins(
     df: DataFrame, col: str, n_bins: int, out: str = "bin", tiebreak=None
 ) -> DataFrame:
     """pandas ``qcut`` via NTILE (compat :2370). ``tiebreak`` columns
-    make the ordering total so the assignment is deterministic."""
+    make the ordering total so the assignment is deterministic.
+
+    Scale note: NTILE needs a global order (one-task window). Exact
+    pandas-parity demands it; at 100 TB swap for percentile-threshold
+    binning (compute n_bins-1 exact/approx quantile edges in one
+    aggregate, broadcast, bucket by comparison — q222's RFM shape),
+    which matches qcut semantics up to tie placement at bin edges."""
     order = [F.col(col)] + [F.col(t) for t in (tiebreak or [])]
     w = Window.orderBy(*order)
     return df.withColumn(out, (F.ntile(n_bins).over(w) - 1).cast("int"))

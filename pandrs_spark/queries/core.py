@@ -2674,3 +2674,41 @@ def q227(spark, sf_dir):
         )
         .orderBy("custkey", "o_orderkey")
     )
+
+
+# --- q241: pivot_table with MULTIPLE value aggregations — pandas
+# pivot_table(values=[qty, price], aggfunc={sum, mean}) parity: one
+# groupBy().pivot() pass computing all measures (column explosion is
+# metadata; the data pass is still one partial+final agg). ----------------
+@query(
+    "q241_multi_value_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END", 2)} AS F_qty,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END", 2)} AS O_qty,
+           ROUND({sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END", 2)}
+                 / COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END), 6) AS F_avg_price,
+           ROUND({sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END", 2)}
+                 / COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END), 6) AS O_avg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q241(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity", 2).alias("qty"),
+            F.round(
+                dsum("l_extendedprice", 2) / F.count("l_extendedprice"), 6
+            ).alias("avg_price"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty"),
+        F.col("O_qty"),
+        F.col("F_avg_price"),
+        F.col("O_avg_price"),
+    ).orderBy("l_returnflag")

@@ -1106,3 +1106,60 @@ def q239(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_users_7d"))
         .orderBy("day")
     )
+
+
+# --- q240: first/last-touch attribution — each purchase joined to the
+# user's click history within a 7-day lookback; MIN/MAX click time per
+# purchase (one join on the user key + bounded time predicate, then a
+# per-purchase aggregate — the marketing-attribution staple). ------------
+@query(
+    "q240_click_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+    ),
+    c AS (
+        SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id,
+           MIN(c.cts) AS first_touch,
+           MAX(c.cts) AS last_touch,
+           CAST(COUNT(c.cts) AS BIGINT) AS n_touches,
+           ROUND(MAX(p.value), 6) AS revenue
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 7 DAY
+    GROUP BY p.purchase_id, p.user_id
+    ORDER BY p.purchase_id
+    """,
+)
+def q240(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts")
+    )
+    cond = (
+        (p.user_id == c.cuser)
+        & (c.cts <= p.pts)
+        & (c.cts > p.pts - F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.min("cts").alias("first_touch"),
+            F.max("cts").alias("last_touch"),
+            F.count("cts").alias("n_touches"),
+            F.round(F.max("value"), 6).alias("revenue"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -329,3 +329,24 @@ def test_read_csv_quoted_multiline_and_escapes(spark, tmp_path):
     assert rows[1]["name"] == "Smith, Jo"
     assert rows[1]["notes"] == "line one\nline two"
     assert rows[2]["name"] == 'Quote " inside'
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE mode with a corrupt-record column: malformed lines
+    land in _corrupt_record instead of failing the 100 TB job."""
+    p = str(tmp_path / "mixed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "v": "ok"}\n')
+        f.write('{"id": 2, "v": BROKEN\n')
+        f.write('{"id": 3, "v": "fine"}\n')
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id long, v string, _corrupt_record string")
+        .json(p)
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and "BROKEN" in bad[0]["_corrupt_record"]
