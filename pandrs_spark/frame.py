@@ -904,6 +904,55 @@ class Frame:
         )
         return self.assign(**{out or f"{col}_cumsum": F.sum(col).over(w)})
 
+    def _cum(self, fn, col: str, partition_by: Sequence[str], out: str) -> "Frame":
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(self._order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return self.assign(**{out: fn(col).over(w)})
+
+    def cummax(self, col: str, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
+        return self._cum(F.max, col, partition_by, out or f"{col}_cummax")
+
+    def cummin(self, col: str, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
+        return self._cum(F.min, col, partition_by, out or f"{col}_cummin")
+
+    def cumprod(self, col: str, partition_by: Sequence[str] = (), out: str | None = None) -> "Frame":
+        """Running product via exp(Σ log|x|) with sign/zero carried
+        exactly (operators/windows.py cumprod is the shared impl)."""
+        from pandrs_spark.operators.windows import cumprod as _cp
+
+        w = Window.partitionBy(*partition_by).orderBy(self._order)
+        return self.assign(**{out or f"{col}_cumprod": _cp(col, w)})
+
+    def abs(self, col: str, out: str | None = None) -> "Frame":
+        return self.assign(**{out or f"{col}_abs": F.abs(F.col(col))})
+
+    def mode(self, col: str) -> "Frame":
+        """Most frequent value(s) of a column — all ties, like
+        pandas Series.mode (one count agg + a max-count semi filter,
+        no global sort)."""
+        counts = self.spark.groupBy(col).agg(F.count(F.lit(1)).alias("__n__"))
+        top = counts.agg(F.max("__n__").alias("__m__"))
+        return Frame(
+            counts.join(F.broadcast(top))
+            .filter(F.col("__n__") == F.col("__m__"))
+            .select(col, F.col("__n__").alias("n"))
+        )
+
+    def idxmax(self, value_col: str, id_col: str) -> "Frame":
+        """Row identifier holding the column maximum (ties -> lowest
+        id, pandas idxmax determinism) — broadcast max-join, no sort."""
+        top = self.spark.agg(F.max(F.col(value_col)).alias("__m__"))
+        return Frame(
+            self.spark.join(F.broadcast(top))
+            .filter(F.col(value_col) == F.col("__m__"))
+            .groupBy(value_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, value_col)
+        )
+
     def rank(self, col: str, method: str = "average", ascending: bool = True, out: str | None = None) -> "Frame":
         from pandrs_spark.operators.windows import rank_method
 

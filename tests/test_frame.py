@@ -749,3 +749,47 @@ def test_frame_profile_and_weighted_sample(spark):
     assert prof["s"]["n_nulls"] == 1 and prof["id"]["n_distinct"] == 3
     samp = f.sample_weighted("w", ["id"], k=2).spark.collect()
     assert len(samp) == 2
+
+
+def test_frame_cum_family_and_abs(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(
+        spark.createDataFrame(
+            [(1, 2.0), (2, -3.0), (3, 1.5)], "id long, v double"
+        )
+    )
+    out = (
+        f.cummax("v")
+        .cummin("v")
+        .cumprod("v")
+        .abs("v")
+        .spark.orderBy("id")
+        .collect()
+    )
+    assert [r["v_cummax"] for r in out] == [2.0, 2.0, 2.0]
+    assert [r["v_cummin"] for r in out] == [2.0, -3.0, -3.0]
+    got_prod = [round(r["v_cumprod"], 9) for r in out]
+    assert got_prod == [2.0, -6.0, -9.0]
+    assert [r["v_abs"] for r in out] == [2.0, 3.0, 1.5]
+
+
+def test_frame_mode_and_idxmax(spark):
+    from pandrs_spark.frame import Frame
+
+    f = Frame(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "c")],
+            "id long, s string",
+        )
+    )
+    modes = sorted(r["s"] for r in f.mode("s").spark.collect())
+    assert modes == ["a", "b"]  # tie -> both, like pandas
+
+    g = Frame(
+        spark.createDataFrame(
+            [(10, 5.0), (11, 9.0), (12, 9.0)], "id long, v double"
+        )
+    )
+    top = g.idxmax("v", "id").spark.collect()
+    assert len(top) == 1 and top[0]["id"] == 11 and top[0]["v"] == 9.0
