@@ -2712,3 +2712,44 @@ def q241(spark, sf_dir):
         F.col("F_avg_price"),
         F.col("O_avg_price"),
     ).orderBy("l_returnflag")
+
+
+# --- q243: shuffle-free bucketed fact-fact join IN-GATE — lineitem
+# and orders saved as bucketed managed tables on the join key, then
+# joined and aggregated. With matching bucketing both scans arrive
+# pre-co-located, so the join plans with ZERO exchanges (pinned in
+# tests/test_plans.py:109); here the RESULT goes through the value
+# hash so the warehouse path is correctness-gated too, not just
+# plan-gated. Idempotent: tables are rewritten per run. -------------------
+@query(
+    "q243_bucketed_join_revenue",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q243(spark, sf_dir):
+    from pandrs_spark.sources.io import read_table, write_bucketed_table
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed_table(li, "q243_li_b", ["l_orderkey"], n_buckets=8)
+    write_bucketed_table(orders, "q243_o_b", ["o_orderkey"], n_buckets=8)
+    lb = read_table(spark, "q243_li_b")
+    ob = read_table(spark, "q243_o_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

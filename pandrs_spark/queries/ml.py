@@ -11,6 +11,8 @@ inside the hash gate; exact parity stays pinned by tests/test_ml.py.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T
@@ -1079,3 +1081,43 @@ def q235(spark, sf_dir):
         F.col("n_a").cast("bigint").alias("n_a"),
         "term",
     ).orderBy("bin")
+
+
+# --- q242: SCALAR Arrow-vectorized pandas UDF in-gate — the §2.15
+# surface member not yet oracle-exercised (GROUPED_AGG is q93, UDTF
+# q138, group-apply q70/q81/q87). A numpy-vectorized logistic score
+# over account balance, batch-transferred via Arrow; DuckDB mirrors
+# with EXP, both rounded to 6 before hashing. ----------------------------
+@query(
+    "q242_scalar_pandas_udf",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(ROUND(1.0 / (1.0 + EXP(-c_acctbal / 1000.0)), 6)
+                          AS DECIMAL(18, 6))), 6) AS score_sum
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q242(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def logistic(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (1.0 / (1.0 + np.exp(-v / 1000.0))).round(6)
+
+    cust = T(spark, sf_dir, "customer")
+    scored = cust.select(
+        "c_mktsegment", logistic(F.col("c_acctbal")).alias("s")
+    )
+    return (
+        scored.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("score_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
