@@ -2732,12 +2732,18 @@ def q241(spark, sf_dir):
     """,
 )
 def q243(spark, sf_dir):
-    from pandrs_spark.sources.io import read_table, write_bucketed_table
+    from pandrs_spark.sources.io import (
+        drop_managed_table,
+        read_table,
+        write_bucketed_table,
+    )
 
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    drop_managed_table(spark, "q243_li_b")
+    drop_managed_table(spark, "q243_o_b")
     write_bucketed_table(li, "q243_li_b", ["l_orderkey"], n_buckets=8)
     write_bucketed_table(orders, "q243_o_b", ["o_orderkey"], n_buckets=8)
     lb = read_table(spark, "q243_li_b")

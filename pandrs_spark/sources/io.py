@@ -51,6 +51,7 @@ __all__ = [
     "write_bucketed_table",
     "read_table",
     "schema_drift",
+    "drop_managed_table",
 ]
 
 
@@ -458,3 +459,17 @@ def schema_drift(path_a: str, path_b: str) -> list[dict[str, Any]]:
         elif ta != tb:
             out.append({"column": name, "change": "type_changed", "type_a": ta, "type_b": tb})
     return out
+
+
+def drop_managed_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse directory. A fresh
+    session's in-memory catalog does not know about a previous run's
+    table, so ``saveAsTable`` hits LOCATION_ALREADY_EXISTS on the
+    leftover directory — this clears both sides idempotently."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    path = os.path.join(wh.path or wh.geturl(), table.lower())
+    shutil.rmtree(path, ignore_errors=True)
