@@ -104,6 +104,7 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     direction: str = "backward",
     tolerance: float | None = None,
+    keep_match_ts: bool = False,
 ) -> DataFrame:
     """As-of join (pandas ``merge_asof`` parity): for each left row,
     the latest right row with ``right.ts <= left.ts`` (backward), the
@@ -191,13 +192,26 @@ def asof_join(
         prefix = "__p_"
     else:
         prefix = "__b_" if direction == "backward" else "__f_"
+    out_cols = list(value_cols)
+    if keep_match_ts:
+        # the matched right-side timestamp, pandas merge_asof's
+        # right-on column; tolerance-filtered like the values
+        out_cols.append("__rts")
     if tolerance is not None:
         in_tol = _gap(F.col("__ts"), F.col(f"{prefix}__rts")) <= F.lit(tolerance)
         values = [
-            F.when(in_tol, F.col(f"{prefix}{c}")).alias(c) for c in value_cols
+            F.when(in_tol, F.col(f"{prefix}{c}")).alias(
+                f"{r_on}_matched" if c == "__rts" else c
+            )
+            for c in out_cols
         ]
     else:
-        values = [F.col(f"{prefix}{c}").alias(c) for c in value_cols]
+        values = [
+            F.col(f"{prefix}{c}").alias(
+                f"{r_on}_matched" if c == "__rts" else c
+            )
+            for c in out_cols
+        ]
     return annotated.select(
         *[F.col("__l")[c].alias(c) for c in left.columns], *values
     )

@@ -1163,3 +1163,65 @@ def q240(spark, sf_dir):
         )
         .orderBy("purchase_id")
     )
+
+
+# --- q244: as-of join, NEAREST direction with tolerance in-gate —
+# each purchase matched to the user's closest 'view' event, NULLed
+# when the nearest is farther than 30 minutes (pandas merge_asof
+# nearest+tolerance semantics: pick closest — backward wins ties —
+# THEN tolerance-filter; q39 gates the backward direction).
+# operators/joins.py:asof_join. ---------------------------------------------
+@query(
+    "q244_asof_nearest_view",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+    ),
+    v AS (
+        SELECT user_id, ts AS vts, value AS vval
+        FROM events WHERE event_type = 'view'
+    ),
+    cand AS (
+        SELECT p.pid, p.pts, v.vts, v.vval,
+               ABS(epoch_us(p.pts) - epoch_us(v.vts)) AS gap,
+               ROW_NUMBER() OVER (PARTITION BY p.pid
+                   ORDER BY ABS(epoch_us(p.pts) - epoch_us(v.vts)),
+                            CASE WHEN v.vts <= p.pts THEN 0 ELSE 1 END) AS rn
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT p.pid, p.user_id,
+           CASE WHEN c.gap <= 1800000000 THEN c.vts END AS nearest_view_ts,
+           CASE WHEN c.gap <= 1800000000 THEN ROUND(c.vval, 6) END
+               AS nearest_view_value
+    FROM p LEFT JOIN cand c ON p.pid = c.pid AND c.rn = 1
+    ORDER BY p.pid
+    """,
+)
+def q244(spark, sf_dir):
+    from pandrs_spark.operators.joins import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0)
+    ).select(F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("vval")
+    )
+    out = asof_join(
+        p,
+        v,
+        on="pts",
+        by="user_id",
+        right_on="vts",
+        value_cols=["vval"],
+        direction="nearest",
+        tolerance=1800.0,
+        keep_match_ts=True,
+    )
+    return out.select(
+        "pid",
+        "user_id",
+        F.col("vts_matched").alias("nearest_view_ts"),
+        F.round("vval", 6).alias("nearest_view_value"),
+    ).orderBy("pid")
