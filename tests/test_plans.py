@@ -233,3 +233,28 @@ def test_profile_columns_single_aggregate_pass(spark, sf_dir):
     # the detail section — one physical scan == one Location line
     assert txt.count("Location: InMemoryFileIndex") == 1
     assert plans.num_shuffles(q) <= 1
+
+
+def test_headline_queries_shuffle_budget(spark):
+    """Regression fence: every headline bench query must stay within a
+    small shuffle budget (agg/join/window + final sort only). A new
+    Exchange here means a plan regression that multiplies at 100 TB."""
+    import __spark_entry__ as entry
+
+    budgets = {
+        "q01_pricing_summary": 2,
+        "q02_forecast_revenue": 2,
+        "q03_unshipped_revenue_topk": 3,
+        "q05_region_nation_revenue": 3,
+        "q10_top3_orders_per_customer": 2,
+        "q12_rolling_avg_price": 2,
+        "q16_event_type_counts": 2,
+        "q21_part_name_words": 2,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        df = entry.queries()[name](spark, "/root/testdata/sf0.001")
+        n = plans.num_shuffles(df)
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, over
