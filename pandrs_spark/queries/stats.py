@@ -1052,3 +1052,31 @@ def q236(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# --- q245: 2-D histogram (hexbin-style density grid) — joint
+# quantity x discount distribution of lineitem on a fixed 10x11 grid;
+# one groupBy over two binned dims (the scatter-at-scale primitive:
+# ship bin counts, not points). --------------------------------------------
+@query(
+    "q245_hist2d_qty_discount",
+    oracle="""
+    SELECT LEAST(9, GREATEST(0, CAST(FLOOR(l_quantity / 5.0) AS INTEGER)))
+               AS qty_bin,
+           CAST(ROUND(l_discount * 100) AS INTEGER) AS disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY qty_bin, disc_pct ORDER BY qty_bin, disc_pct
+    """,
+)
+def q245(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    qty_bin = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("l_quantity") / 5.0).cast("int"))
+    )
+    disc = F.round(F.col("l_discount") * 100).cast("int")
+    return (
+        li.groupBy(qty_bin.alias("qty_bin"), disc.alias("disc_pct"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("qty_bin", "disc_pct")
+    )
