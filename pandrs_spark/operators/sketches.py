@@ -54,6 +54,11 @@ def cms_build(
     key cardinality — the fixed-memory frequency summary for
     billion-key streams. One explode(depth) + one groupBy: map-side
     partial counts do the heavy lifting.
+
+    The hash is md5 so any engine (the DuckDB oracle included) can
+    rebuild the identical grid; in production swap the hash expression
+    for ``F.xxhash64(seed, key)`` — ~10x cheaper per row with the same
+    plan shape — when cross-engine replay is not required.
     """
     rows = df.select(F.col(key_col).cast("string").alias("__k__"))
     idx = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__")
