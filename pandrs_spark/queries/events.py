@@ -1225,3 +1225,107 @@ def q244(spark, sf_dir):
         F.col("vts_matched").alias("nearest_view_ts"),
         F.round("vval", 6).alias("nearest_view_value"),
     ).orderBy("pid")
+
+
+# --- q246: count-based windows, batch twin in the gate — per user,
+# tumbling 5-element windows in (ts, event_id) arrival order; sum of
+# values per window. Gates the SEMANTICS of the streaming count
+# window (streaming/windows.py:count_window_stateful is the stateful
+# twin, unit-tested against this shape); the window id is a plain
+# row_number derivation both engines share. -------------------------------
+@query(
+    "q246_count_window_batch_twin",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS idx
+        FROM events WHERE user_id % 20 = 0
+    )
+    SELECT user_id,
+           CAST(FLOOR(idx / 5) AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(ROUND(value, 6) AS DECIMAL(18, 6))), 6) AS total
+    FROM seq GROUP BY user_id, window_id
+    ORDER BY user_id, window_id
+    """,
+)
+def q246(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.row_number().over(w) - 1).alias("idx"),
+    )
+    return (
+        seq.groupBy(
+            "user_id", F.floor(F.col("idx") / 5).alias("window_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total"),
+        )
+        .orderBy("user_id", "window_id")
+    )
+
+
+# --- q247: audience overlap — Jaccard similarity between event-type
+# audiences (distinct user sets): dedup to (type, user) pairs, wedge
+# join through the user, |A∩B| / |A∪B| per type pair. The
+# campaign-audience overlap staple; never materializes user sets. ---------
+@query(
+    "q247_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS common
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT i.type_a, i.type_b, CAST(i.common AS BIGINT) AS common,
+           ROUND(i.common * 1.0 / (x.n + y.n - i.common), 6) AS jaccard
+    FROM inter i
+    JOIN sz x ON i.type_a = x.event_type
+    JOIN sz y ON i.type_b = y.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q247(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sx = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sy = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sx), "type_a")
+        .join(F.broadcast(sy), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
