@@ -2759,3 +2759,61 @@ def q243(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- q248: declarative data-quality constraint suite — Deequ/dbt-test
+# style checks compiled into ONE aggregate pass over orders (auditing
+# any number of constraints costs one scan). Long-format report
+# (constraint, violations, passed) through the hash gate; one
+# constraint is seeded to FAIL so the report provably detects
+# violations. operators/quality.py. ---------------------------------------
+@query(
+    "q248_constraint_report",
+    oracle="""
+    WITH agg AS (
+        SELECT
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nn,
+            COUNT(*) - COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)) AS c_uq,
+            SUM(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS c_av,
+            SUM(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                     THEN 1 ELSE 0 END) AS c_rng,
+            SUM(CASE WHEN NOT (o_orderdate < TIMESTAMP '1996-01-01')
+                     THEN 1 ELSE 0 END) AS c_sat
+        FROM orders
+    )
+    SELECT check_name, CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS passed
+    FROM (
+        SELECT 'accepted_values(o_orderstatus)' AS check_name, c_av AS violations FROM agg
+        UNION ALL SELECT 'in_range(o_totalprice)', c_rng FROM agg
+        UNION ALL SELECT 'not_null(o_custkey)', c_nn FROM agg
+        UNION ALL SELECT 'orders_before_1996', c_sat FROM agg
+        UNION ALL SELECT 'unique(o_orderkey)', c_uq FROM agg
+    ) r ORDER BY check_name
+    """,
+)
+def q248(spark, sf_dir):
+    from pandrs_spark.operators.quality import (
+        accepted_values,
+        check_constraints,
+        in_range,
+        not_null,
+        satisfies,
+        unique,
+    )
+
+    orders = T(spark, sf_dir, "orders")
+    suite = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        accepted_values("o_orderstatus", ["F", "O", "P"]),
+        in_range("o_totalprice", 0, 1_000_000),
+        # deliberately failing freshness check: orders exist past 1995
+        satisfies(
+            "orders_before_1996", F.col("o_orderdate") < "1996-01-01"
+        ),
+    ]
+    return check_constraints(orders, suite)

@@ -793,3 +793,38 @@ def test_frame_mode_and_idxmax(spark):
     )
     top = g.idxmax("v", "id").spark.collect()
     assert len(top) == 1 and top[0]["id"] == 11 and top[0]["v"] == 9.0
+
+
+def test_check_constraints_one_pass_report(spark):
+    from pandrs_spark.operators.quality import (
+        accepted_values,
+        check_constraints,
+        in_range,
+        not_null,
+        satisfies,
+        unique,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, "z", 50.0), (None, "a", 10.0)],
+        "k long, s string, v double",
+    )
+    rep = {
+        r["check_name"]: (r["violations"], r["passed"])
+        for r in check_constraints(
+            df,
+            [
+                not_null("k"),
+                unique("k"),
+                accepted_values("s", ["a", "b"]),
+                in_range("v", 0, 100),
+                satisfies("v_under_40", F.col("v") < 40),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, False)
+    assert rep["unique(k)"] == (1, False)        # duplicate k=2
+    assert rep["accepted_values(s)"] == (1, False)  # 'z'
+    assert rep["in_range(v)"] == (1, False)      # -1.0
+    assert rep["v_under_40"] == (1, False)       # 50.0
