@@ -2817,3 +2817,49 @@ def q248(spark, sf_dir):
         ),
     ]
     return check_constraints(orders, suite)
+
+
+# --- q249: partition completeness / freshness audit — detect calendar
+# days with NO orders between the table's min and max date (a silent
+# upstream-ingestion gap detector): date spine via sequence() against
+# the observed distinct days, anti-join semantics through a left join.
+# At 100 TB the spine is thousands of rows — broadcast — and the
+# observed days come from a partial-agg distinct. ------------------------
+@query(
+    "q249_missing_days_audit",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    observed AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+    )
+    SELECT s.day AS missing_day
+    FROM spine s LEFT JOIN observed o ON s.day = o.day
+    WHERE o.day IS NULL
+    ORDER BY missing_day
+    """,
+)
+def q249(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    observed = orders.select(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).distinct()
+    return (
+        spine.join(observed, "day", "left_anti")
+        .select(F.col("day").alias("missing_day"))
+        .orderBy("missing_day")
+    )
