@@ -2863,3 +2863,89 @@ def q249(spark, sf_dir):
         .select(F.col("day").alias("missing_day"))
         .orderBy("missing_day")
     )
+
+
+# --- q250: right-to-be-forgotten propagation — purge a deletion list
+# (customers with custkey % 211 == 0) through the FK chain
+# (customer → orders → lineitem) with anti joins, and emit the audit
+# report proving zero remaining references. The GDPR/CCPA erasure
+# pass: anti joins are shuffle-pruned semi-join plans, the deletion
+# list broadcasts, and the verification is the same one-pass count
+# shape the pipeline would gate deploys on. --------------------------------
+@query(
+    "q250_forget_propagation",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 211 = 0),
+    cust_after AS (
+        SELECT c.* FROM customer c LEFT JOIN del d USING (c_custkey)
+        WHERE d.c_custkey IS NULL
+    ),
+    ord_after AS (
+        SELECT o.* FROM orders o LEFT JOIN del d ON o.o_custkey = d.c_custkey
+        WHERE d.c_custkey IS NULL
+    ),
+    li_after AS (
+        SELECT l.* FROM lineitem l JOIN ord_after o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT COUNT(*) FROM customer) AS rows_before,
+           (SELECT COUNT(*) FROM cust_after) AS rows_after,
+           (SELECT COUNT(*) FROM cust_after c JOIN del d USING (c_custkey))
+               AS remaining_refs
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM li_after),
+           (SELECT COUNT(*) FROM li_after l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN del d ON o.o_custkey = d.c_custkey)
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM ord_after),
+           (SELECT COUNT(*) FROM ord_after o JOIN del d ON o.o_custkey = d.c_custkey)
+    ORDER BY tbl
+    """,
+)
+def q250(spark, sf_dir):
+    from pandrs_spark.operators.joins import anti_join
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    deletions = cust.filter(F.col("c_custkey") % 211 == 0).select("c_custkey")
+    cust_after = anti_join(cust, F.broadcast(deletions), "c_custkey")
+    ord_after = anti_join(
+        orders,
+        F.broadcast(deletions.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+    )
+    li_after = li.join(
+        ord_after.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+    ).drop("o_orderkey")
+
+    def audit(tbl, before, after, refs):
+        return before.agg(F.count(F.lit(1)).alias("rows_before")).join(
+            after.agg(F.count(F.lit(1)).alias("rows_after"))
+        ).join(refs.agg(F.count(F.lit(1)).alias("remaining_refs"))).select(
+            F.lit(tbl).alias("tbl"), "rows_before", "rows_after", "remaining_refs"
+        )
+
+    cust_refs = cust_after.join(F.broadcast(deletions), "c_custkey")
+    ord_refs = ord_after.join(
+        F.broadcast(deletions.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+    )
+    li_refs = (
+        li_after.join(orders, li_after.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(deletions.withColumnRenamed("c_custkey", "del_key")),
+            F.col("o_custkey") == F.col("del_key"),
+        )
+    )
+    return (
+        audit("customer", cust, cust_after, cust_refs)
+        .unionByName(audit("lineitem", li, li_after, li_refs))
+        .unionByName(audit("orders", orders, ord_after, ord_refs))
+        .orderBy("tbl")
+    )
