@@ -1121,3 +1121,70 @@ def q242(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- q251: embedding mean-pooling — per-label centroid vectors
+# REBUILT as arrays (posexplode → exact quantized per-dim mean →
+# array_sort(collect_list(struct)) reassembly), the chunk→document
+# pooling step of an embedding pipeline. Output: label, first four
+# centroid dims, L2 norm — all from the quantized means so the values
+# hash identically on both engines. ----------------------------------------
+@query(
+    "q251_embedding_mean_pool",
+    oracle="""
+    WITH vd AS (
+        SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               ((CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0) / COUNT(x)) AS c
+        FROM vd GROUP BY label, dim
+    )
+    SELECT label,
+           ROUND(MAX(CASE WHEN dim = 0 THEN c END), 6) AS d0,
+           ROUND(MAX(CASE WHEN dim = 1 THEN c END), 6) AS d1,
+           ROUND(MAX(CASE WHEN dim = 2 THEN c END), 6) AS d2,
+           ROUND(MAX(CASE WHEN dim = 3 THEN c END), 6) AS d3,
+           ROUND(SQRT(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(28, 9)))), 6) AS norm
+    FROM cent GROUP BY label ORDER BY label
+    """,
+)
+def q251(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import davg
+
+    emb = T(spark, sf_dir, "embeddings")
+    vd = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    cent = vd.groupBy("label", "dim").agg(davg("x", 6).alias("c"))
+    pooled = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("vec")
+    )
+    return pooled.select(
+        "label",
+        F.round(F.col("vec")[0], 6).alias("d0"),
+        F.round(F.col("vec")[1], 6).alias("d1"),
+        F.round(F.col("vec")[2], 6).alias("d2"),
+        F.round(F.col("vec")[3], 6).alias("d3"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "vec",
+                        lambda x: F.round(x * x, 9).cast("decimal(28,9)"),
+                    ),
+                    F.lit(0).cast("decimal(28,9)"),
+                    lambda acc, v: (acc + v).cast("decimal(28,9)"),
+                ).cast("double")
+            ),
+            6,
+        ).alias("norm"),
+    ).orderBy("label")
