@@ -1080,3 +1080,74 @@ def q245(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("qty_bin", "disc_pct")
     )
+
+
+# --- q252: sketch-based audience overlap — HLL inclusion-exclusion
+# (|A∩B| ≈ |A| + |B| − |A∪B| with mergeable sketches) against the
+# exact wedge-join overlap (q247's). At 100 TB the sketches replace
+# the user-level self-join with kilobyte merges; the gate carries the
+# exact intersection plus a certificate that the sketch estimate
+# lands within 5 percentage points of it (relative to the union).
+# -----------------------------------------------------------------------------
+@query(
+    "q252_hll_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS exact_common
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(i.exact_common AS BIGINT) AS exact_common,
+           TRUE AS within_tolerance
+    FROM inter i ORDER BY type_a, type_b
+    """,
+)
+def q252(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("na"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_union = F.hll_sketch_estimate(
+        F.hll_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    est_common = F.col("na") + F.col("nb") - est_union
+    tu = ev.select("event_type", "user_id").distinct()
+    xa = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    xb = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        xa.join(xb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_common",
+            (
+                F.abs(est_common - F.col("exact_common"))
+                / (F.col("na") + F.col("nb") - F.col("exact_common"))
+                < 0.05
+            ).alias("within_tolerance"),
+        )
+        .orderBy("type_a", "type_b")
+    )
