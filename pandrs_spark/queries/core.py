@@ -2949,3 +2949,38 @@ def q250(spark, sf_dir):
         .unionByName(audit("orders", orders, ord_after, ord_refs))
         .orderBy("tbl")
     )
+
+
+# --- q253: weighted aggregates — quantity-weighted average discount
+# and revenue-weighted average tax per return flag (Σwx/Σw on exact
+# quantized sums; the weighted-mean primitive pandas exposes via
+# np.average and SQL has no builtin for). --------------------------------
+@query(
+    "q253_weighted_averages",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND({sql_dsum("l_quantity * l_discount", 4)}
+                 / {sql_dsum("l_quantity", 4)}, 6) AS qty_weighted_discount,
+           ROUND({sql_dsum("l_extendedprice * (1 - l_discount) * l_tax", 4)}
+                 / {sql_dsum("l_extendedprice * (1 - l_discount)", 4)}, 6)
+               AS revenue_weighted_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q253(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                dsum(F.col("l_quantity") * F.col("l_discount"), 4)
+                / dsum("l_quantity", 4),
+                6,
+            ).alias("qty_weighted_discount"),
+            F.round(
+                dsum(rev * F.col("l_tax"), 4) / dsum(rev, 4), 6
+            ).alias("revenue_weighted_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
