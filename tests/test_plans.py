@@ -77,9 +77,15 @@ def test_no_accidental_cartesian_products(spark):
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, "/root/testdata/sf0.001")
-        except Exception as e:  # noqa: BLE001 — plan-only sweep
-            offenders.append(f"{name}: build error {e}")
-            continue
+        except Exception:  # noqa: BLE001 — plan-only sweep
+            # one retry: stateful queries (bucketed-table writes,
+            # streaming sinks) can transiently collide with a
+            # concurrent session sharing the warehouse dir
+            try:
+                df = fn(spark, "/root/testdata/sf0.001")
+            except Exception as e:  # noqa: BLE001
+                offenders.append(f"{name}: build error {e}")
+                continue
         if "CartesianProduct" in plans.plan_text(df, "simple"):
             offenders.append(name)
     assert not offenders, offenders
