@@ -2984,3 +2984,67 @@ def q253(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- q254: ratio-to-report — each nation's revenue share within its
+# region and each region's share of total (two window ratios over the
+# AGGREGATED rollup, so the windows run on nation-cardinality rows,
+# never on the fact table). ------------------------------------------------
+@query(
+    "q254_revenue_share_of_parent",
+    oracle=f"""
+    WITH nation_rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY region, nation
+    )
+    SELECT region, nation,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(SUM(rev) OVER (PARTITION BY region) / SUM(rev) OVER (), 6)
+               AS region_share_of_total
+    FROM nation_rev ORDER BY region, nation
+    """,
+)
+def q254(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+    nation_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("region", "nation")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "rev"
+            )
+        )
+    )
+    wr = W.partitionBy("region")
+    wt = W.partitionBy()
+    return nation_rev.select(
+        "region",
+        "nation",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.sum("rev").over(wr) / F.sum("rev").over(wt), 6).alias(
+            "region_share_of_total"
+        ),
+    ).orderBy("region", "nation")

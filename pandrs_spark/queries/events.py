@@ -1329,3 +1329,47 @@ def q247(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- q255: debounce — drop repeat (user, type) events arriving within
+# 5 minutes of the LAST KEPT event of that key (not merely the
+# previous row: a burst chain must collapse to its first event).
+# Chain-aware debounce = session_window with a 5-minute gap, keep each
+# session's first arrival — the state machine Spark already has, so
+# no iterative logic. Per-type kept/dropped counts through the gate. ------
+@query(
+    "q255_event_debounce",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 300000000
+                    THEN 1 ELSE 0 END AS new_burst
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(new_burst) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(new_burst) AS BIGINT) AS n_debounced
+    FROM marked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q255(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id",
+        "event_type",
+        F.session_window("ts", "5 minutes").alias("w"),
+    ).agg(F.count(F.lit(1)).alias("burst_size"))
+    return (
+        sessions.groupBy("event_type")
+        .agg(
+            F.sum("burst_size").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.sum("burst_size") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_debounced"),
+        )
+        .orderBy("event_type")
+    )
