@@ -3048,3 +3048,75 @@ def q254(spark, sf_dir):
             "region_share_of_total"
         ),
     ).orderBy("region", "nation")
+
+
+# --- q256: customer-lifetime-value cohort curve — customers cohorted
+# by first-order year; cumulative revenue per cohort over months since
+# first order. Windows run over the (cohort, month) rollup (tiny), the
+# heavy pass is one groupBy; the LTV curve every subscription/commerce
+# warehouse maintains. -------------------------------------------------------
+@query(
+    "q256_clv_cohort_curve",
+    oracle=f"""
+    WITH first_order AS (
+        SELECT o_custkey, MIN(o_orderdate) AS first_dt
+        FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+        SELECT CAST(EXTRACT(year FROM f.first_dt) AS INTEGER) AS cohort,
+               CAST(date_diff('month', date_trunc('month', f.first_dt),
+                              date_trunc('month', o.o_orderdate)) AS INTEGER)
+                   AS months_since,
+               o.o_totalprice
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    ),
+    rolled AS (
+        SELECT cohort, months_since,
+               {sql_dsum("o_totalprice", 2)} AS rev
+        FROM facts GROUP BY cohort, months_since
+    )
+    SELECT cohort, months_since,
+           ROUND(SUM(CAST(FLOOR(rev * 100 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY cohort ORDER BY months_since
+                       ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS cum_revenue
+    FROM rolled
+    WHERE cohort <= 1996 AND months_since <= 12
+    ORDER BY cohort, months_since
+    """,
+)
+def q256(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = T(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    facts = orders.join(first, "o_custkey").select(
+        F.year("first_dt").alias("cohort"),
+        (
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"),
+                F.date_trunc("month", "first_dt"),
+            )
+        )
+        .cast("int")
+        .alias("months_since"),
+        "o_totalprice",
+    )
+    rolled = facts.groupBy("cohort", "months_since").agg(
+        dsum("o_totalprice", 2).alias("rev")
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    q = (F.col("rev") * 100 + 0.5).cast("long")
+    return (
+        rolled.withColumn(
+            "cum_revenue", F.round(F.sum(q).over(w) / 100.0, 2)
+        )
+        .filter((F.col("cohort") <= 1996) & (F.col("months_since") <= 12))
+        .select("cohort", "months_since", "cum_revenue")
+        .orderBy("cohort", "months_since")
+    )
