@@ -1373,3 +1373,65 @@ def q255(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- q257: bounce rate — share of 30-minute user sessions containing
+# exactly one event, per the session's FIRST event type (entry page
+# analog). session_window does the sessionization; min_by picks the
+# deterministic first event through the zero-padded arrival key. ----------
+@query(
+    "q257_session_bounce_rate",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               min_by(event_type, printf('%020d|%020d', epoch_us(ts), event_id))
+                   AS entry_type,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS bounce_rate
+    FROM per_session GROUP BY entry_type ORDER BY entry_type
+    """,
+)
+def q257(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d|%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).cast("bigint").alias("n_bounces"),
+            F.round(F.sum(bounce) / F.count(F.lit(1)), 6).alias(
+                "bounce_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )
