@@ -1,0 +1,509 @@
+"""Warehouse tier II: the remaining classic TPC-H query shapes adapted
+to the driver's schema (no partsupp table; lineitem serves as the
+part-supplier link).
+
+Completes the adapted suite started with q204-q211 (queries/core.py) so
+every TPC-H query shape — correlated min-subquery, EXISTS/NOT EXISTS,
+HAVING-over-global-share, disjunctive predicate pushdown, multi-way
+anti-correlation — has a Spark-first implementation and a DuckDB value
+oracle.
+
+Reference parity: the reference's query DSL + join/groupby surface
+(src/dataframe/query/evaluator.rs, src/dataframe/join.rs,
+src/dataframe/groupby.rs) exercised through the same relational
+shapes.
+
+Scale notes (100 TB): every query here aggregates the fact table once
+on its natural key, broadcasts every dim, and keeps correlated
+"subqueries" as either broadcast scalar-carries (q260, q266) or
+aggregate-then-self-join on the grouping key (q258, q264) — no
+re-scan of the fact table per outer row, which is what a naive
+correlated-subquery translation would do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_quantize,
+)
+from pandrs_spark.operators.joins import anti_join
+from pandrs_spark.queries import query
+
+
+# --- q258: TPC-H Q2 shape — min-cost supplier per part. The correlated
+# MIN subquery becomes aggregate-per-(part,supp) → min-per-part →
+# equi-join back on (part, quantized cost): two shuffles on high-
+# cardinality keys, no correlated re-scan. Unit cost is the quantized
+# ratio of exact scaled sums, so the equality join key is a BIGINT that
+# both engines derive bit-identically. ---------------------------------------
+@query(
+    "q258_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(FLOOR(
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   * 10000.0 + 0.5) AS BIGINT) AS ucost_q
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, MIN(ucost_q) AS min_cost_q
+        FROM ps GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+           ROUND(ps.ucost_q / 10000.0, 4) AS unit_cost,
+           ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM ps
+    JOIN best ON ps.l_partkey = best.l_partkey AND ps.ucost_q = best.min_cost_q
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'PROMO' AND p.p_size <= 10
+    ORDER BY s_acctbal DESC, nation, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q258(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    price_q = (F.floor(F.col("l_extendedprice") * 100.0 + 0.5)).cast("bigint")
+    qty_q = (F.floor(F.col("l_quantity") * 100.0 + 0.5)).cast("bigint")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.floor(
+            (F.sum(price_q).cast("double") / F.sum(qty_q).cast("double"))
+            * 10000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("ucost_q")
+    )
+    best = (
+        ps.groupBy("l_partkey")
+        .agg(F.min("ucost_q").alias("min_cost_q"))
+        .select(F.col("l_partkey").alias("bk"), "min_cost_q")
+    )
+    pdim = part.filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    sdim = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "nation", "s_acctbal")
+    return (
+        ps.join(
+            best,
+            (ps.l_partkey == best.bk) & (ps.ucost_q == best.min_cost_q),
+        )
+        .drop("bk")
+        .join(F.broadcast(pdim), ps.l_partkey == pdim.p_partkey)
+        .join(F.broadcast(sdim), ps.l_suppkey == sdim.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "nation",
+            F.round(F.col("ucost_q") / 10000.0, 4).alias("unit_cost"),
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- q259: TPC-H Q4 shape — order priority checking. EXISTS becomes a
+# left-semi join with a compound condition (key equality + cross-table
+# date predicate); Spark plans it as one shuffled semi join, never a
+# per-order probe. -----------------------------------------------------------
+@query(
+    "q259_late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q259(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        slow.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q260: TPC-H Q11 shape — parts whose revenue exceeds a fraction of
+# GLOBAL revenue. The scalar subquery is a 1-row aggregate broadcast
+# into the HAVING filter (BroadcastNestedLoopJoin over one row, not a
+# cartesian); the share threshold compares exact scaled BIGINTs. -------------
+@query(
+    "q260_important_parts",
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               SUM({sql_quantize("l_extendedprice * (1 - l_discount)", 4)}) AS rev_q
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT SUM(rev_q) AS total_q FROM part_rev)
+    SELECT l_partkey,
+           ROUND(rev_q / 10000.0, 2) AS revenue,
+           ROUND(CAST(rev_q AS DOUBLE) / CAST(total_q AS DOUBLE), 6) AS share
+    FROM part_rev, total
+    WHERE rev_q * 2000 > total_q
+    ORDER BY revenue DESC, l_partkey
+    LIMIT 50
+    """,
+)
+def q260(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(quantize(rev, 4)).alias("rev_q")
+    )
+    total = part_rev.agg(F.sum("rev_q").alias("total_q"))
+    return (
+        part_rev.join(F.broadcast(total))
+        .filter(F.col("rev_q") * 2000 > F.col("total_q"))
+        .select(
+            "l_partkey",
+            F.round(F.col("rev_q") / 10000.0, 2).alias("revenue"),
+            F.round(
+                F.col("rev_q").cast("double") / F.col("total_q").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("revenue"), "l_partkey")
+        .limit(50)
+    )
+
+
+# --- q261: TPC-H Q12 shape — shipping-quarter priority mix: one
+# fact-fact join, conditional sums by priority class. -------------------------
+@query(
+    "q261_ship_quarter_priority_mix",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(EXTRACT(quarter FROM l.l_shipdate) AS INTEGER) AS ship_quarter,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q261(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.quarter("l_shipdate").alias("ship_quarter"),
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year", "ship_quarter")
+    )
+
+
+# --- q262: TPC-H Q16 shape — supplier breadth per (brand, size) with a
+# NOT IN supplier blacklist. NOT IN becomes a broadcast anti join
+# applied BEFORE the distinct-count aggregation. ------------------------------
+@query(
+    "q262_supplier_breadth",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size <= 15
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 40
+    """,
+)
+def q262(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = T(spark, sf_dir, "part")
+    supp = T(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    pdim = part.filter(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    clean = li.join(
+        F.broadcast(bad), li.l_suppkey == F.col("bad_suppkey"), "left_anti"
+    )
+    return (
+        clean.join(F.broadcast(pdim), clean.l_partkey == pdim.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(40)
+    )
+
+
+# --- q263: TPC-H Q19 shape — disjunctive predicate (OR-of-ANDs across
+# both join sides). The part side of each disjunct prunes the broadcast
+# dim; the lineitem-side quantity bands stay in the join filter. One
+# broadcast join, one scalar aggregate. ---------------------------------------
+@query(
+    "q263_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q263(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & qty.between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & qty.between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & qty.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- q264: TPC-H Q20 shape — suppliers shipping an outsized share of a
+# part's volume. The correlated "50% of availqty" threshold becomes
+# aggregate-per-(supp,part) vs aggregate-per-part, compared as exact
+# scaled BIGINTs (5 * supp_qty_q > part_qty_q ⇔ share > 20%). ----------------
+@query(
+    "q264_excess_share_suppliers",
+    oracle=f"""
+    WITH sel AS (
+        SELECT l.l_suppkey, l.l_partkey,
+               SUM({sql_quantize("l.l_quantity")}) AS sq
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    tot AS (SELECT l_partkey, SUM(sq) AS tq FROM sel GROUP BY l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sel JOIN tot ON sel.l_partkey = tot.l_partkey
+    JOIN supplier s ON sel.l_suppkey = s.s_suppkey
+    WHERE sel.sq * 5 > tot.tq
+    ORDER BY s.s_suppkey
+    """,
+)
+def q264(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sel = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(quantize("l_quantity")).alias("sq"))
+    )
+    tot = sel.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    return (
+        sel.join(tot.withColumnRenamed("l_partkey", "tk"), sel.l_partkey == F.col("tk"))
+        .filter(F.col("sq") * 5 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- q265: TPC-H Q21 shape — suppliers who were the SOLE late supplier
+# on a multi-supplier order. The EXISTS/NOT-EXISTS pair becomes one
+# aggregate per (order, supplier) plus order-level window counts — the
+# fact table is scanned once; the window partitions on the
+# high-cardinality order key. --------------------------------------------------
+@query(
+    "q265_sole_late_supplier",
+    oracle="""
+    WITH per_os AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    flagged AS (
+        SELECT l_suppkey, is_late,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+        FROM per_os
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM flagged f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE f.is_late = 1 AND f.n_supp > 1 AND f.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q265(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    return (
+        flagged.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --- q266: TPC-H Q22 shape — well-funded customers with no recent
+# orders (dormant accounts).
+# The scalar AVG subquery is a broadcast 1-row carry; NOT EXISTS is a
+# broadcast-key anti join; final rollup per nation. ---------------------------
+@query(
+    "q266_dormant_rich_customers",
+    oracle=f"""
+    WITH threshold AS (
+        SELECT {sql_davg("c_acctbal")} AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           {sql_dsum("c.c_acctbal")} AS total_bal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """,
+)
+def q266(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    threshold = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = anti_join(
+        rich, orders, on=rich.c_custkey == orders.o_custkey
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
