@@ -18,7 +18,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_rollup", "cms_build", "cms_estimate"]
+__all__ = ["hll_rollup", "cms_build", "cms_estimate", "bitmap_distinct_rollup"]
+
+
+def bitmap_distinct_rollup(
+    df: DataFrame,
+    fine_keys,
+    coarse_keys,
+    value_col: str,
+) -> DataFrame:
+    """EXACT mergeable distinct-count rollup over an integer key —
+    the roaring-bitmap-style complement to :func:`hll_rollup`. Each
+    (fine_keys, bucket) group aggregates a fixed 4KB bitmap of the
+    key's bit positions (``bitmap_construct_agg``); coarser levels OR
+    the stored bitmaps (``bitmap_or_agg``) and count bits — exact, no
+    re-scan of the raw data, and the merge is associative so any rollup
+    lattice (day→month→quarter→year) folds from the level below.
+
+    vs exact COUNT(DISTINCT): that reshuffles all raw keys per rollup
+    level; this shuffles raw rows ONCE to build fine bitmaps, then each
+    level moves only (n_fine_groups x n_touched_buckets) 4KB blobs.
+    vs HLL (hll_rollup): bitmaps are exact but sized by key-space
+    density; HLL is fixed-size but approximate. Use bitmaps for dense
+    integer ids (user ids), HLL for strings/sparse ids.
+
+    Returns one row per coarse key: (coarse_keys..., exact_distinct).
+    """
+    v = F.col(value_col)
+    fine = df.groupBy(
+        *fine_keys, F.bitmap_bucket_number(v).alias("__bucket__")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(v)).alias("__bm__"))
+    merged = fine.groupBy(*coarse_keys, "__bucket__").agg(
+        F.bitmap_or_agg(F.col("__bm__")).alias("__bm__")
+    )
+    return merged.groupBy(*coarse_keys).agg(
+        F.sum(F.bitmap_count(F.col("__bm__"))).alias("exact_distinct")
+    )
 
 
 def hll_rollup(

@@ -32,7 +32,73 @@ __all__ = [
     "split_mean_changepoints",
     "ts_feature_matrix",
     "bocpd_changepoints",
+    "clamped_cumsum",
 ]
+
+
+def clamped_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    lower: float = 0.0,
+    scale: int = 2,
+    out_col: str = "balance",
+    final_only: bool = False,
+) -> DataFrame:
+    """Running total clamped at ``lower`` after every step — the
+    inventory/credit-balance recurrence b_t = max(lower, b_{t-1} + x_t),
+    b_0 = lower. The clamp makes the fold NON-associative, so no
+    window-sum rewrite exists; like the smoothing recursions above it
+    runs as applyInPandas per key (a billion independent keys scale
+    horizontally; each series folds locally in one task).
+
+    Values are quantized to scaled BIGINT before folding, so the
+    recurrence is integer-exact and engine-reproducible (a DuckDB
+    ``list_reduce`` over the same quantized ints replays it
+    bit-for-bit — the q267 oracle does exactly that).
+
+    ``final_only=True`` returns one row per key (partition_by...,
+    out_col) — the shape a 100 TB balance snapshot job wants; otherwise
+    the full frame gains the per-row running balance.
+    """
+    order_cols = list(order_by)
+    keys = list(partition_by)
+    m = 10**scale
+    lo = int(round(lower * m))
+
+    if final_only:
+        key_fields = [f for f in df.schema.fields if f.name in keys]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in key_fields
+        )
+        schema += f", {out_col} double"
+    else:
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        schema += f", {out_col} double"
+
+    def _fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        q = (np.sign(vals) * np.floor(np.abs(vals) * m + 0.5)).astype("int64")
+        bal = lo
+        out = np.empty(len(q), dtype="int64")
+        for i, d in enumerate(q):
+            bal = max(lo, bal + int(d))
+            out[i] = bal
+        if final_only:
+            row = {k: [pdf[k].iloc[0]] for k in keys}
+            row[out_col] = [bal / m]
+            return pd.DataFrame(row)
+        pdf[out_col] = out / m
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_fold, schema=schema)
 
 
 def resample(

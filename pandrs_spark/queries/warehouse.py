@@ -507,3 +507,219 @@ def q266(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+# ===== Operational-analytics tier ==========================================
+
+
+# --- q267: EXACT mergeable distinct rollup via bitmaps — monthly user
+# bitmaps OR-merged to quarters (operators/sketches.py:
+# bitmap_distinct_rollup). The exact counterpart of the HLL rollup
+# (q199): one shuffle of raw rows builds the monthly bitmaps, every
+# coarser level folds 4KB blobs. Oracle recomputes COUNT(DISTINCT)
+# from raw rows per quarter. --------------------------------------------------
+@query(
+    "q267_bitmap_distinct_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS year,
+           CAST(EXTRACT(week FROM ts) AS INTEGER) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q267(spark, sf_dir):
+    from pandrs_spark.operators.sketches import bitmap_distinct_rollup
+
+    ev = T(spark, sf_dir, "events").select(
+        F.year("ts").alias("year"),
+        F.weekofyear("ts").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    return (
+        bitmap_distinct_rollup(
+            ev,
+            fine_keys=["year", "week", "day"],
+            coarse_keys=["year", "week"],
+            value_col="user_id",
+        )
+        .select("year", "week", F.col("exact_distinct").cast("long").alias("exact_distinct"))
+        .orderBy("year", "week")
+    )
+
+
+# --- q268: clamped running balance (inventory recurrence) — returns
+# add stock, sales draw it down, balance floors at zero. The clamp is
+# non-associative, so this is the canonical applyInPandas-per-key fold
+# (operators/timeseries.py:clamped_cumsum); the DuckDB oracle replays
+# the identical quantized-integer fold with list_reduce. ----------------------
+@query(
+    "q268_clamped_inventory_balance",
+    oracle="""
+    WITH d AS (
+        SELECT l_partkey,
+               CAST(SIGN(delta) * FLOOR(ABS(delta) * 100.0 + 0.5) AS BIGINT) AS dq,
+               l_shipdate, l_orderkey, l_linenumber
+        FROM (
+            SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'R' THEN l_quantity
+                        ELSE -l_quantity END AS delta
+            FROM lineitem
+        )
+    ),
+    seq AS (
+        SELECT l_partkey,
+               LIST(dq ORDER BY l_shipdate, l_orderkey, l_linenumber) AS ds
+        FROM d GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), ds),
+                       (acc, x) -> GREATEST(CAST(0 AS BIGINT), acc + x))
+               / 100.0 AS balance
+    FROM seq ORDER BY l_partkey
+    """,
+)
+def q268(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import clamped_cumsum
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .alias("delta"),
+    )
+    return clamped_cumsum(
+        li,
+        value_col="delta",
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        partition_by=["l_partkey"],
+        lower=0.0,
+        scale=2,
+        out_col="balance",
+        final_only=True,
+    ).orderBy("l_partkey")
+
+
+# --- q269: exact weighted median — l_quantity weighted by revenue.
+# The fact table rolls up to (flag, quantity-value) with exact scaled
+# weight sums; the cumulative-weight windows then run over the tiny
+# rollup (value cardinality), never the fact table — the rank-histogram
+# pattern this repo uses for all distributed order statistics. ----------------
+@query(
+    "q269_weighted_median_quantity",
+    oracle="""
+    WITH rolled AS (
+        SELECT l_returnflag, l_quantity,
+               SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS wq
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    cum AS (
+        SELECT l_returnflag, l_quantity, wq,
+               SUM(wq) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                             ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(wq) OVER (PARTITION BY l_returnflag) AS tot
+        FROM rolled
+    )
+    SELECT l_returnflag,
+           MIN(l_quantity) AS weighted_median_qty,
+           ROUND(CAST(MIN(tot) AS BIGINT) / 100.0, 2) AS total_weight
+    FROM cum WHERE 2 * cumw >= tot
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q269(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    wq = (F.floor(F.col("l_extendedprice") * 100.0 + 0.5)).cast("bigint")
+    rolled = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(wq).alias("wq")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = rolled.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("wq").over(wcum).alias("cumw"),
+        F.sum("wq").over(wtot).alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            F.round(F.min("tot") / 100.0, 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q270: open-order concurrency curve — the interval-overlap sweep:
+# +1 at each order's open day, -1 the day after its last shipment,
+# rolled up per day, then a GLOBAL running sum via the distributed
+# partition-offset prefix sum (operators/windows.py:global_prefix_sum
+# — no single-partition window even though the day spine is small),
+# and a per-month peak. -------------------------------------------------------
+@query(
+    "q270_open_order_concurrency",
+    oracle="""
+    WITH closed AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+               CAST(COALESCE(c.close_ts, o.o_orderdate) AS DATE) AS close_day
+        FROM orders o LEFT JOIN closed c ON o.o_orderkey = c.l_orderkey
+    ),
+    deltas AS (
+        SELECT open_day AS day, 1 AS d FROM iv
+        UNION ALL
+        SELECT close_day + 1, -1 FROM iv
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY day
+    ),
+    cur AS (
+        SELECT day,
+               CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS open_orders
+        FROM daily
+    )
+    SELECT CAST(EXTRACT(year FROM day) AS INTEGER) AS year,
+           CAST(EXTRACT(month FROM day) AS INTEGER) AS month,
+           MAX(open_orders) AS peak_open
+    FROM cur GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q270(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    closed = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    iv = orders.join(
+        closed, orders.o_orderkey == closed.l_orderkey, "left"
+    ).select(
+        F.to_date("o_orderdate").alias("open_day"),
+        F.to_date(F.coalesce("close_ts", "o_orderdate")).alias("close_day"),
+    )
+    deltas = iv.select(F.col("open_day").alias("day"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    cur = global_prefix_sum(
+        daily, [F.col("day")], "d", out_col="open_orders", scale=0
+    )
+    return (
+        cur.groupBy(
+            F.year("day").alias("year"), F.month("day").alias("month")
+        )
+        .agg(F.max(F.col("open_orders").cast("long")).alias("peak_open"))
+        .orderBy("year", "month")
+    )

@@ -1,0 +1,90 @@
+"""Unit tests for the exact bitmap distinct rollup and the clamped
+cumulative-sum fold (operators/sketches.py, operators/timeseries.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bitmap_distinct_rollup_matches_exact(spark):
+    # Keys deliberately span multiple bitmap buckets (bucket = 1<<12
+    # positions) and repeat across fine groups so the OR-merge matters.
+    rows = [
+        (g, d, uid)
+        for g in ("a", "b")
+        for d in (1, 2, 3)
+        for uid in range(d * 3000, d * 3000 + 500)
+    ]
+    df = spark.createDataFrame(rows, "g string, d int, uid long")
+    got = {
+        r["g"]: r["exact_distinct"]
+        for r in __import__(
+            "pandrs_spark.operators.sketches", fromlist=["bitmap_distinct_rollup"]
+        )
+        .bitmap_distinct_rollup(df, ["g", "d"], ["g"], "uid")
+        .collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("uid").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bitmap_rollup_dedups_across_fine_groups(spark):
+    # Same users appear every day: distinct-over-merge must not sum.
+    rows = [(d, uid) for d in range(5) for uid in range(100)]
+    df = spark.createDataFrame(rows, "d int, uid long").withColumn(
+        "all", F.lit(1)
+    )
+    from pandrs_spark.operators.sketches import bitmap_distinct_rollup
+
+    out = bitmap_distinct_rollup(df, ["all", "d"], ["all"], "uid").collect()
+    assert len(out) == 1 and out[0]["exact_distinct"] == 100
+
+
+def test_clamped_cumsum_floors_at_lower(spark):
+    from pandrs_spark.operators.timeseries import clamped_cumsum
+
+    rows = [
+        ("k1", 1, 5.0),
+        ("k1", 2, -8.0),  # would go to -3 → clamps to 0
+        ("k1", 3, 2.5),
+        ("k2", 1, -4.0),  # clamps immediately
+        ("k2", 2, 1.25),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    full = {
+        (r["k"], r["t"]): r["balance"]
+        for r in clamped_cumsum(
+            df, "x", ["t"], ["k"], lower=0.0, scale=2
+        ).collect()
+    }
+    assert full[("k1", 1)] == 5.0
+    assert full[("k1", 2)] == 0.0
+    assert full[("k1", 3)] == 2.5
+    assert full[("k2", 1)] == 0.0
+    assert full[("k2", 2)] == 1.25
+
+    final = {
+        r["k"]: r["balance"]
+        for r in clamped_cumsum(
+            df, "x", ["t"], ["k"], lower=0.0, scale=2, final_only=True
+        ).collect()
+    }
+    assert final == {"k1": 2.5, "k2": 1.25}
+
+
+def test_clamped_cumsum_nonzero_floor(spark):
+    from pandrs_spark.operators.timeseries import clamped_cumsum
+
+    df = spark.createDataFrame(
+        [("k", 1, -100.0), ("k", 2, 3.0)], "k string, t int, x double"
+    )
+    out = {
+        r["t"]: r["balance"]
+        for r in clamped_cumsum(df, "x", ["t"], ["k"], lower=10.0).collect()
+    }
+    assert out == {1: 10.0, 2: 13.0}
