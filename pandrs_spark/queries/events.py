@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T
-from pandrs_spark.functions.deterministic import dsum, sql_dsum
+from pandrs_spark.functions.deterministic import dsum, sql_dsum, sql_dsum_over
 from pandrs_spark.operators.joins import asof_join
 from pandrs_spark.operators.timeseries import date_range, ffill, resample, upsample_grid
 from pandrs_spark.queries import query
@@ -1434,4 +1434,69 @@ def q257(spark, sf_dir):
             ),
         )
         .orderBy("entry_type")
+    )
+
+
+# --- q271: trailing-window anomaly detection — per-user rolling
+# z-score of event values against the PREVIOUS 10 events (current row
+# excluded, so the anomaly doesn't contaminate its own baseline).
+# Rolling mean/std come from exact quantized sufficient-stat window
+# sums (dsum_over) with the variance formula shared verbatim with the
+# oracle; windows partition on user_id (cardinality grows with data —
+# no low-cardinality skew at 100 TB). Rollup per event_type. ----------------
+_Q271_FRAME = "ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING"
+_Q271_Z = "(value - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1))"
+
+
+@query(
+    "q271_rolling_zscore_anomalies",
+    oracle=f"""
+    WITH st AS (
+        SELECT event_type, value,
+               COUNT(value) OVER w AS n,
+               {sql_dsum_over('value', 'w', 4)} AS sx,
+               {sql_dsum_over('value * value', 'w', 2)} AS sxx
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     {_Q271_FRAME})
+    ),
+    scored AS (
+        SELECT event_type, {_Q271_Z} AS z
+        FROM st WHERE n >= 5
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(COUNT(CASE WHEN ABS(z) > 2 THEN 1 END) AS BIGINT)
+               AS n_anomalies,
+           ROUND(MAX(ABS(z)), 6) AS max_abs_z
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q271(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum_over
+
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    st = ev.select(
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n"),
+        dsum_over("value", w, 4).alias("sx"),
+        dsum_over(F.col("value") * F.col("value"), w, 2).alias("sxx"),
+    )
+    scored = st.filter(F.col("n") >= 5).select(
+        "event_type", F.expr(_Q271_Z).alias("z")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.count(F.when(F.abs("z") > 2, 1)).alias("n_anomalies"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
     )

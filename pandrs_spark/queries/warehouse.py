@@ -723,3 +723,89 @@ def q270(spark, sf_dir):
         .agg(F.max(F.col("open_orders").cast("long")).alias("peak_open"))
         .orderBy("year", "month")
     )
+
+
+# --- q272: bag-semantics set difference (EXCEPT ALL / exceptAll) —
+# the multiset of 1996 order priorities minus the 1997 multiset:
+# survivors per priority = max(0, n_1996 - n_1997). Spark's exceptAll
+# is a hash-aggregated counted difference (one shuffle per side) —
+# never a row-pairing join. Covers the §2.7 bag-variant the distinct
+# set ops (q07/q09) don't. ---------------------------------------------------
+@query(
+    "q272_priority_multiset_delta",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS surplus
+    FROM delta GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q272(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderpriority")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderpriority")
+    return (
+        y96.exceptAll(y97)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("surplus"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q273: grouped top-k WITH ties — dense_rank over exact quantized
+# revenue keeps every part that ties into the top 3 of its brand
+# (row_number top-k, q10, silently drops tied rows). Rank windows run
+# over the (brand, part) rollup, not the fact table. -------------------------
+@query(
+    "q273_brand_top3_parts_with_ties",
+    oracle=f"""
+    WITH rolled AS (
+        SELECT p.p_brand, l.l_partkey,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_partkey
+    ),
+    ranked AS (
+        SELECT p_brand, l_partkey, revenue,
+               DENSE_RANK() OVER (PARTITION BY p_brand
+                                  ORDER BY revenue DESC) AS rnk
+        FROM rolled
+    )
+    SELECT p_brand, CAST(rnk AS INTEGER) AS rnk, l_partkey,
+           ROUND(revenue, 2) AS revenue
+    FROM ranked WHERE rnk <= 3
+    ORDER BY p_brand, rnk, l_partkey
+    """,
+)
+def q273(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rolled = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"))
+    return (
+        rolled.withColumn("rnk", F.dense_rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "rnk", "l_partkey", F.round("revenue", 2).alias("revenue"))
+        .orderBy("p_brand", "rnk", "l_partkey")
+    )
