@@ -809,3 +809,35 @@ def q273(spark, sf_dir):
         .select("p_brand", "rnk", "l_partkey", F.round("revenue", 2).alias("revenue"))
         .orderBy("p_brand", "rnk", "l_partkey")
     )
+
+
+# --- q274: GROUPING SETS with GROUPING() markers — the mixed-lattice
+# aggregation (finer than CUBE, not a chain like ROLLUP) through the
+# SQL surface: the IDENTICAL SQL text runs on Spark (temp views) and
+# the DuckDB oracle, q64-style. One shuffle computes all four
+# granularities (Spark expands grouping sets in a single Expand+Agg,
+# not one scan per set). -----------------------------------------------------
+_Q274_SQL = """
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               o_totalprice
+        FROM orders
+    )
+    SELECT priority, o_year,
+           CAST(GROUPING(priority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_year) AS INTEGER) AS g_year,
+           COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(SIGN(o_totalprice) * FLOOR(ABS(o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
+    FROM base
+    GROUP BY GROUPING SETS ((priority, o_year), (priority), (o_year), ())
+    ORDER BY g_priority, g_year, priority, o_year
+"""
+
+
+@query("q274_grouping_sets", oracle=_Q274_SQL)
+def q274(spark, sf_dir):
+    from pandrs_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q274_SQL)
