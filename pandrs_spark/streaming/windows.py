@@ -374,10 +374,11 @@ def stream_stream_interval_join(
     right_ts: str,
     within: str,
     watermark_delay: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval: match
-    right rows whose timestamp lands in [left_ts, left_ts + within]
-    for the same key — the view→purchase conversion-attribution shape.
+    """Stream-stream join with an event-time interval: match right
+    rows whose timestamp lands in [left_ts, left_ts + within] for the
+    same key — the view→purchase conversion-attribution shape.
 
     Both sides carry a watermark so the join state is BOUNDED: Spark
     buffers each side only until watermark + interval passes, then
@@ -386,6 +387,13 @@ def stream_stream_interval_join(
     streams in state indefinitely). The interval condition must
     reference the two event-time columns directly for the state-
     cleanup analysis to prove the bound.
+
+    ``how="leftOuter"`` additionally emits unmatched left rows (with a
+    NULL right timestamp) — but only once the watermark passes the
+    row's join window, because until then a match could still arrive.
+    Consequence for finite backlogs: rows inside the final watermark
+    window stay unemitted unless later events advance the watermark
+    past them (tests append a sentinel event for exactly this).
     """
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
@@ -394,7 +402,7 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
     )
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         lw[key].alias(key),
         lw[left_ts].alias(left_ts),
         rw[right_ts].alias(right_ts),

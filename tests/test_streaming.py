@@ -459,3 +459,58 @@ def test_incremental_aggregate_sink_matches_batch(spark, tmp_path):
     assert got["a"] == (30, float(sum(i for i in range(90) if i % 3 == 0)))
     assert got["b"] == (30, float(sum(i for i in range(90) if i % 3 == 1)))
     assert got["c"] == (30, float(sum(i for i in range(90) if i % 3 == 2)))
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    import datetime as dt
+
+    from pandrs_spark.streaming.windows import (
+        stream_from_directory,
+        stream_stream_interval_join,
+        stream_to_memory,
+    )
+
+    vs = "ts timestamp, user_id long"
+    views = [
+        (dt.datetime(2024, 1, 1, 10, 0), 1),   # matched by 10:30 buy
+        (dt.datetime(2024, 1, 1, 10, 0), 2),   # NO buy within 1h → null
+    ]
+    buys = [
+        (dt.datetime(2024, 1, 1, 10, 30), 1),
+        (dt.datetime(2024, 1, 1, 15, 0), 2),   # outside the 1h window
+    ]
+    # Sentinel events far past the data push the watermark beyond every
+    # real row's join window so the outer side flushes before the
+    # availableNow query terminates (see stream_stream_interval_join
+    # docstring). maxFilesPerTrigger=1 makes them a LATER micro-batch.
+    sentinel = [(dt.datetime(2024, 1, 5, 0, 0), 99)]
+    for side, batch1 in (("views", views), ("buys", buys)):
+        spark.createDataFrame(batch1, vs).coalesce(1).write.parquet(
+            str(tmp_path / side / "b1")
+        )
+        spark.createDataFrame(sentinel, vs).coalesce(1).write.parquet(
+            str(tmp_path / side / "b2")
+        )
+    sv = stream_from_directory(spark, str(tmp_path / "views/*"), vs).select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    sb = stream_from_directory(spark, str(tmp_path / "buys/*"), vs).select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = stream_stream_interval_join(
+        sv, sb, "user_id", "view_ts", "purchase_ts", "1 hour", "1 hour",
+        how="leftOuter",
+    )
+    q = stream_to_memory(joined, "ssj_outer_sink", output_mode="append")
+    assert q.awaitTermination(120)
+    got = sorted(
+        (
+            r["user_id"],
+            r["view_ts"].hour,
+            r["purchase_ts"].hour if r["purchase_ts"] else None,
+        )
+        for r in spark.table("ssj_outer_sink").collect()
+        if r["user_id"] != 99
+    )
+    # user 1 matched; user 2 emitted with NULL purchase after watermark
+    assert got == [(1, 10, 10), (2, 10, None)]
