@@ -1809,3 +1809,46 @@ def q237(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- q275: corpus card — the one-pass per-source governance summary a
+# dataset release ships with (docs, exact token counts, language
+# spread, exact-duplicate ratio, mean length). Everything folds in a
+# single groupBy over the documents scan; the duplicate ratio comes
+# from COUNT(DISTINCT md5(text)) so no second dedup pass is needed.
+# Map-side partial aggregation does the heavy lifting at 100 TB. -----------
+@query(
+    "q275_corpus_card",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dup_docs,
+           ROUND((CAST(SUM(CAST(FLOOR(n_chars * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)
+                 / COUNT(*), 4) AS avg_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q275(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum
+
+    docs = T(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split("text", "\\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+                "n_exact_dup_docs"
+            ),
+            F.round(dsum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
