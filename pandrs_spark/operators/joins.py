@@ -26,6 +26,7 @@ __all__ = [
     "asof_join",
     "broadcast_merge",
     "range_join",
+    "interval_overlap_join",
     "upsert_latest",
 ]
 
@@ -253,6 +254,55 @@ def range_join(
     l_cells = left.withColumn("__cell__", cell(point))
     joined = l_cells.join(r_cells, ["__cell__", *extra], "inner").filter(
         (F.col(point) >= F.col(lower)) & (F.col(point) < F.col(upper))
+    )
+    return joined.drop("__cell__")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: float,
+    extra_on: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Interval x interval overlap join: pair every left interval
+    [l_start, l_end] with every right interval [r_start, r_end] they
+    overlap (closed-interval predicate l_start <= r_end AND
+    r_start <= l_end). The interval-interval sibling of
+    :func:`range_join` (point-in-interval).
+
+    Scale shape: both sides explode onto a ``bucket_width`` grid and
+    equi-join on the cell id — never an inequality-only join (which
+    Catalyst would plan as a nested loop). A pair overlapping several
+    shared cells would duplicate, so instead of a dedup shuffle the
+    join keeps ONLY the pair's canonical first shared cell:
+    cell == greatest(floor(l_start/w), floor(r_start/w)). Each
+    overlapping pair survives exactly once, no distinct needed.
+
+    Cost: O(n * cells_per_left + m * cells_per_right) exploded rows;
+    pick ``bucket_width`` near the typical interval length.
+    """
+    extra = _as_list(extra_on)
+    cell = lambda c: F.floor(F.col(c) / F.lit(bucket_width)).cast("long")  # noqa: E731
+    l_cells = left.withColumn(
+        "__cell__", F.explode(F.sequence(cell(l_start), cell(l_end)))
+    )
+    r_cells = right.withColumn(
+        "__cell__", F.explode(F.sequence(cell(r_start), cell(r_end)))
+    )
+    joined = (
+        l_cells.join(r_cells, ["__cell__", *extra], "inner")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+        )
+        .filter(
+            F.col("__cell__")
+            == F.greatest(cell(l_start), cell(r_start))
+        )
     )
     return joined.drop("__cell__")
 

@@ -1500,3 +1500,55 @@ def q271(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- q277: time-weighted average — each event's value holds until the
+# user's next event; TWA = Σ(value·duration)/Σ(duration). The sensor/
+# finance aggregate a plain AVG silently gets wrong under irregular
+# sampling. One lead() window per user + one exact quantized
+# aggregation; durations derive from exact epoch-microsecond longs, so
+# both engines fold identical integers. -------------------------------------
+@query(
+    "q277_time_weighted_average",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vq,
+               CAST(FLOOR((LEAD(epoch_us(ts)) OVER w - epoch_us(ts)) / 1000.0)
+                    AS BIGINT) AS dur_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(dur_ms) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+           ROUND(CAST(SUM(vq * dur_ms) AS DOUBLE)
+                 / (100.0 * CAST(SUM(dur_ms) AS DOUBLE)), 6) AS twa_value
+    FROM seq WHERE dur_ms IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q277(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vq"),
+        F.floor((F.lead(us).over(w) - us) / 1000.0)
+        .cast("long")
+        .alias("dur_ms"),
+    ).filter(F.col("dur_ms").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("dur_ms").alias("n_intervals"),
+            F.sum("dur_ms").alias("total_dur_ms"),
+            F.round(
+                F.sum(F.col("vq") * F.col("dur_ms")).cast("double")
+                / (100.0 * F.sum("dur_ms").cast("double")),
+                6,
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )

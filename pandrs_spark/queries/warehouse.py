@@ -841,3 +841,78 @@ def q274(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_Q274_SQL)
+
+
+# --- q276: interval x interval overlap join — order open-intervals
+# (orderdate → last shipment, as in q270) against 45-day quarterly
+# promo windows. Grid-bucketed equi-join with canonical-cell dedup
+# (operators/joins.py:interval_overlap_join) — never an
+# inequality-only nested loop. -----------------------------------------------
+@query(
+    "q276_promo_overlap_orders",
+    oracle="""
+    WITH closed AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    iv AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS open_day,
+               CAST(COALESCE(c.close_ts, o.o_orderdate) AS DATE) AS close_day
+        FROM orders o LEFT JOIN closed c ON o.o_orderkey = c.l_orderkey
+    ),
+    promos AS (
+        SELECT CAST(gs AS DATE) AS promo_start,
+               CAST(gs AS DATE) + 44 AS promo_end
+        FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-07-01',
+                             INTERVAL 3 MONTH) t(gs)
+    )
+    SELECT p.promo_start, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM promos p JOIN iv
+      ON iv.open_day <= p.promo_end AND p.promo_start <= iv.close_day
+    GROUP BY p.promo_start ORDER BY p.promo_start
+    """,
+)
+def q276(spark, sf_dir):
+    from pandrs_spark.operators.joins import interval_overlap_join
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    closed = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    epoch = F.lit("1970-01-01")
+    iv = orders.join(
+        closed, orders.o_orderkey == closed.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("open_d"),
+        F.datediff(
+            F.to_date(F.coalesce("close_ts", "o_orderdate")), epoch
+        ).alias("close_d"),
+    )
+    promos = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-07-01").cast("date"),
+                F.expr("interval 3 months"),
+            )
+        ).alias("promo_start")
+    ).select(
+        "promo_start",
+        F.datediff("promo_start", epoch).alias("pstart_d"),
+        (F.datediff("promo_start", epoch) + 44).alias("pend_d"),
+    )
+    overlaps = interval_overlap_join(
+        iv,
+        F.broadcast(promos),
+        l_start="open_d",
+        l_end="close_d",
+        r_start="pstart_d",
+        r_end="pend_d",
+        bucket_width=90,
+    )
+    return (
+        overlaps.groupBy("promo_start")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("promo_start")
+    )
