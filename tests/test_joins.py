@@ -313,3 +313,36 @@ def test_auto_salted_join_no_hot_keys_is_plain_join(spark):
     right = spark.createDataFrame([(k, k * 2) for k in range(20)], "k long, v long")
     out = auto_salted_join(left, right, "k", salt_from="p", skew_threshold=5)
     assert out.count() == 20
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    from pandrs_spark.operators.joins import interval_overlap_join
+
+    # Deterministic intervals with varied lengths spanning many cells.
+    left = [(i, (i * 7) % 50, (i * 7) % 50 + (i % 13)) for i in range(60)]
+    right = [(j, (j * 11) % 45, (j * 11) % 45 + (j % 9) + 1) for j in range(40)]
+    ldf = spark.createDataFrame(left, "lid int, ls int, le int")
+    rdf = spark.createDataFrame(right, "rid int, rs int, re int")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bucket_width=8
+        ).collect()
+    )
+    expect = sorted(
+        (li_, rj)
+        for (li_, ls, le) in left
+        for (rj, rs, re) in right
+        if ls <= re and rs <= le
+    )
+    assert got == expect  # exactly once per overlapping pair — no dups
+
+
+def test_interval_overlap_join_no_cartesian(spark):
+    from pandrs_spark import plans
+    from pandrs_spark.operators.joins import interval_overlap_join
+
+    ldf = spark.createDataFrame([(1, 0, 10)], "lid int, ls int, le int")
+    rdf = spark.createDataFrame([(1, 5, 15)], "rid int, rs int, re int")
+    j = interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", bucket_width=4)
+    assert "CartesianProduct" not in plans.plan_text(j, "simple")

@@ -264,3 +264,47 @@ def test_headline_queries_shuffle_budget(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, over
+
+
+def test_bucketed_sorted_join_skips_shuffle_and_sort(spark, sf_dir):
+    """Bucketed AND bucket-sorted tables (one file per bucket) must
+    merge-join with zero exchanges and zero Sort nodes — the write-time
+    pre-shuffle + pre-sort that makes repeated fact-fact merge joins
+    O(read) at 100 TB. Spark only trusts the on-disk sort order when
+    each bucket holds exactly one file, hence the repartition before
+    the write."""
+    from pandrs_spark.sources import io as pio
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pio.write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice").repartition(4, "o_orderkey"),
+        "t_orders_bs", ["o_orderkey"], n_buckets=4, sort_cols=["o_orderkey"],
+    )
+    pio.write_bucketed_table(
+        li.select("l_orderkey", "l_quantity").repartition(4, "l_orderkey"),
+        "t_lineitem_bs", ["l_orderkey"], n_buckets=4, sort_cols=["l_orderkey"],
+    )
+    a = pio.read_table(spark, "t_orders_bs")
+    b = pio.read_table(spark, "t_lineitem_bs")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Spark 3+ ignores on-disk bucket sort order unless this is on
+        # (SPARK-28632; it requires the one-file-per-bucket layout the
+        # repartition above guarantees).
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        assert plans.num_shuffles(j) == 0, plans.plan_text(j)[-1500:]
+        txt = plans.plan_text(j, "simple")
+        assert "- Sort " not in txt, txt[-1500:]  # Sort NODES (not SortMergeJoin)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        spark.sql("DROP TABLE IF EXISTS t_orders_bs")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bs")
