@@ -1552,3 +1552,46 @@ def q277(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- q280: cumulative distinct users per day — COUNT(DISTINCT) under a
+# running window is non-decomposable, so the scalable rewrite is the
+# FIRST-TOUCH trick: a user contributes to the cumulative count only on
+# their first-ever day, turning the running distinct into a plain
+# prefix sum of first-touch counts per day — computed here with the
+# distributed partition-offset prefix sum (operators/windows.py:
+# global_prefix_sum), never a single-partition window. ----------------------
+@query(
+    "q280_cumulative_distinct_users",
+    oracle="""
+    WITH first_touch AS (
+        SELECT user_id, MIN(date_trunc('hour', ts)) AS d
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_touch GROUP BY d
+    )
+    SELECT d,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM daily ORDER BY d
+    """,
+)
+def q280(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    ev = T(spark, sf_dir, "events")
+    first_touch = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("d")
+    )
+    daily = first_touch.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    cur = global_prefix_sum(
+        daily, [F.col("d")], "new_users", out_col="cum_users", scale=0
+    )
+    return cur.select(
+        "d", "new_users", F.col("cum_users").cast("long").alias("cum_users")
+    ).orderBy("d")

@@ -916,3 +916,176 @@ def q276(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("promo_start")
     )
+
+
+# --- q278: order-to-cash cycle-time percentiles — exact p50/p90/p99 of
+# days-from-order-to-last-shipment per priority, via the rank-histogram
+# pattern: roll the facts up to (priority, cycle_days) counts (the day
+# domain is bounded), then ONE cumulative window over the tiny rollup
+# picks all three percentiles with integer-exact thresholds. ---------------
+@query(
+    "q278_cycle_time_percentiles",
+    oracle="""
+    WITH cyc AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', o.o_orderdate, MAX(l.l_shipdate)) AS INTEGER)
+                   AS cycle_days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ),
+    hist AS (
+        SELECT priority, cycle_days, COUNT(*) AS c
+        FROM cyc GROUP BY priority, cycle_days
+    ),
+    cum AS (
+        SELECT priority, cycle_days,
+               SUM(c) OVER (PARTITION BY priority ORDER BY cycle_days
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(c) OVER (PARTITION BY priority) AS n
+        FROM hist
+    )
+    SELECT priority,
+           MIN(CASE WHEN 2 * cw >= n THEN cycle_days END) AS p50_days,
+           MIN(CASE WHEN 10 * cw >= 9 * n THEN cycle_days END) AS p90_days,
+           MIN(CASE WHEN 100 * cw >= 99 * n THEN cycle_days END) AS p99_days
+    FROM cum GROUP BY priority ORDER BY priority
+    """,
+)
+def q278(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cyc = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("close_ts"), F.to_date("o_orderdate"))
+            .cast("int")
+            .alias("cycle_days"),
+        )
+    )
+    hist = cyc.groupBy("priority", "cycle_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("cycle_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "cycle_days",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("cycle_days")))  # noqa: E731
+    return (
+        cum.groupBy("priority")
+        .agg(
+            pick(2 * F.col("cw") >= F.col("n")).alias("p50_days"),
+            pick(10 * F.col("cw") >= 9 * F.col("n")).alias("p90_days"),
+            pick(100 * F.col("cw") >= 99 * F.col("n")).alias("p99_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- q279: CDC apply with deletes — a deterministic changelog
+# (D wins over U; synthetic inserts) applied to the orders snapshot:
+# deletes = broadcast anti join, upserts = union + keep-latest. The
+# result is certified by row COUNT per final status plus an
+# order-independent table fingerprint (SUM of per-row md5-derived
+# bigints — the cheap whole-table checksum a nightly CDC pipeline
+# diffs against the source). -------------------------------------------------
+@query(
+    "q279_cdc_apply_with_deletes",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_q
+        FROM orders
+    ),
+    dels AS (SELECT o_orderkey FROM base WHERE o_orderkey % 17 = 0),
+    upds AS (
+        SELECT o_orderkey, o_orderstatus,
+               'CDC-U' AS o_orderpriority, price_q + 100 AS price_q
+        FROM base WHERE o_orderkey % 17 <> 0 AND o_orderkey % 10 = 0
+    ),
+    ins AS (
+        SELECT -i AS o_orderkey, 'N' AS o_orderstatus,
+               'CDC-I' AS o_orderpriority, CAST(0 AS BIGINT) AS price_q
+        FROM UNNEST(generate_series(1, 3)) AS t(i)
+    ),
+    kept AS (
+        SELECT b.* FROM base b
+        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+          AND b.o_orderkey NOT IN (SELECT o_orderkey FROM upds)
+    ),
+    final AS (
+        SELECT * FROM kept UNION ALL SELECT * FROM upds
+        UNION ALL SELECT * FROM ins
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substring(md5(
+                   o_orderkey || '|' || o_orderpriority || '|' || price_q
+               ), 1, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS fingerprint
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q279(spark, sf_dir):
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("price_q"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 17 == 0).select("o_orderkey")
+    upds = base.filter(
+        (F.col("o_orderkey") % 17 != 0) & (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit("CDC-U").alias("o_orderpriority"),
+        (F.col("price_q") + 100).alias("price_q"),
+    )
+    ins = spark.range(1, 4).select(
+        (-F.col("id")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("CDC-I").alias("o_orderpriority"),
+        F.lit(0).cast("bigint").alias("price_q"),
+    )
+    touched = dels.unionByName(upds.select("o_orderkey"))
+    kept = base.join(
+        F.broadcast(touched.withColumnRenamed("o_orderkey", "tk")),
+        base.o_orderkey == F.col("tk"),
+        "left_anti",
+    )
+    final = kept.unionByName(upds).unionByName(ins)
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "o_orderkey", "o_orderpriority", "price_q"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_hash).alias("fingerprint"),
+        )
+        .orderBy("o_orderstatus")
+    )
