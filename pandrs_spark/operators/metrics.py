@@ -19,6 +19,7 @@ __all__ = [
     "confusion_matrix",
     "classification_metrics",
     "regression_metrics",
+    "ranking_metrics",
 ]
 
 
@@ -88,4 +89,62 @@ def regression_metrics(
         F.sqrt(F.col("sse") / F.col("n")).alias("rmse"),
         (F.col("sae") / F.col("n")).alias("mae"),
         (F.lit(1.0) - F.col("sse") / sst).alias("r2"),
+    )
+
+
+def ranking_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    query_col: str = "id_q",
+    item_col: str = "nn_id",
+    rank_col: str = "rank",
+    k: int = 5,
+) -> DataFrame:
+    """Retrieval-quality metrics of a predicted ranking against a
+    ground-truth top-k: recall@k, MRR@k, and binary-relevance nDCG@k,
+    averaged over queries. The in-gate certificate for every ANN path
+    (LSH / IVF): q88 measures recall alone, this adds rank-position
+    quality.
+
+    Shape: one equi-join of (query, item) pairs — both inputs are
+    already tiny top-k tables, k rows per query — then a per-query
+    aggregate and a global mean. Queries with NO predicted hits still
+    count (truth is the base of the left join), which is what makes
+    the mean honest. Per-query metrics are quantized (scale 9) before
+    the global mean so the average is order-independent and
+    engine-exact.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    idcg = sum(1.0 / __import__("math").log2(i + 1) for i in range(1, k + 1))
+    p = pred.select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__r"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("__q"), F.col(item_col).alias("__i")
+    )
+    n_truth = truth.groupBy(F.col(query_col).alias("__q")).agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    hits = p.join(t, ["__q", "__i"]).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__nh"),
+        (1.0 / F.min("__r")).alias("__rr"),
+        F.sum(1.0 / F.log2(F.col("__r") + 1.0)).alias("__dcg"),
+    )
+    perq = n_truth.join(hits, "__q", "left").select(
+        (F.coalesce(F.col("__nh"), F.lit(0)) / F.col("__nt")).alias("recall"),
+        F.coalesce(F.col("__rr"), F.lit(0.0)).alias("rr"),
+        (F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.lit(idcg)).alias("ndcg"),
+    )
+    n = F.count(F.lit(1))
+    mean9 = lambda c: F.round(  # noqa: E731
+        F.sum(quantize(c, 9)) / 1e9 / n, 6
+    )
+    return perq.agg(
+        n.alias("n_queries"),
+        mean9(F.col("recall")).alias(f"recall_at_{k}"),
+        mean9(F.col("rr")).alias(f"mrr_at_{k}"),
+        mean9(F.col("ndcg")).alias(f"ndcg_at_{k}"),
     )

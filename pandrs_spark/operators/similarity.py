@@ -230,6 +230,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_rank: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors — the second
     scale path for §beyond similarity search, complementing the LSH
@@ -294,11 +295,13 @@ def ivf_topk(
         .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("__sim"))
     )
     w_top = Window.partitionBy("id_q").orderBy(F.desc(F.round("__sim", 6)), "id_c")
-    return (
-        scored.withColumn("rank", F.row_number().over(w_top))
-        .filter(F.col("rank") <= k)
-        .select("id_q", F.col("id_c").alias("nn_id"), F.round("__sim", 4).alias("sim"))
+    ranked = scored.withColumn("rank", F.row_number().over(w_top)).filter(
+        F.col("rank") <= k
     )
+    cols = ["id_q", F.col("id_c").alias("nn_id"), F.round("__sim", 4).alias("sim")]
+    if with_rank:
+        cols.insert(1, "rank")
+    return ranked.select(*cols)
 
 
 def embedding_near_dup_pairs(

@@ -1852,3 +1852,122 @@ def q275(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q281: ANN quality certificate — recall@5, MRR@5 and nDCG@5 of
+# the IVF ANN ranking (q121) against the exact brute-force top-5,
+# averaged over the 20 query vectors (operators/metrics.py:
+# ranking_metrics). q88 certifies LSH recall; this adds rank-position
+# quality for the IVF path, the metric a vector-store SLA actually
+# quotes. Per-query metrics quantize at 1e-9 before the mean, so the
+# average is order-independent and engine-exact. -----------------------------
+_Q281_IDCG = (
+    "(1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0)"
+    " + 1.0/log2(5.0) + 1.0/log2(6.0))"
+)
+
+
+@query(
+    "q281_ann_ranking_quality",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    corpus AS (
+        SELECT vec_id AS id_c, CAST(embedding AS DOUBLE[]) AS vc FROM embeddings
+    ),
+    qset AS (SELECT id_c AS id_q, vc AS vq FROM corpus WHERE id_c < 20),
+    exact_all AS (
+        SELECT id_q, id_c, list_cosine_similarity(vq, vc) AS sim
+        FROM qset CROSS JOIN corpus WHERE id_q <> id_c
+    ),
+    truth AS (
+        SELECT id_q, id_c FROM (
+            SELECT id_q, id_c,
+                   ROW_NUMBER() OVER (PARTITION BY id_q
+                       ORDER BY ROUND(sim, 6) DESC, id_c) AS rnk
+            FROM exact_all
+        ) t WHERE rnk <= 5
+    ),
+    assign AS (
+        SELECT id_c, cid FROM (
+            SELECT id_c, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id_c
+                       ORDER BY ROUND(list_cosine_similarity(vc, cv), 6) DESC, cid) AS rn
+            FROM corpus CROSS JOIN cent
+        ) t WHERE rn = 1
+    ),
+    probe AS (
+        SELECT id_q, cid FROM (
+            SELECT id_q, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id_q
+                       ORDER BY ROUND(list_cosine_similarity(vq, cv), 6) DESC, cid) AS rn
+            FROM qset CROSS JOIN cent
+        ) t WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT id_q, id_c
+        FROM probe JOIN assign USING (cid) WHERE id_q <> id_c
+    ),
+    pred AS (
+        SELECT id_q, id_c, rank FROM (
+            SELECT c.id_q, c.id_c,
+                   ROW_NUMBER() OVER (PARTITION BY c.id_q
+                       ORDER BY ROUND(list_cosine_similarity(q.vq, s.vc), 6) DESC, c.id_c) AS rank
+            FROM cand c
+            JOIN qset q ON q.id_q = c.id_q
+            JOIN corpus s ON s.id_c = c.id_c
+        ) t WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT p.id_q, COUNT(*) AS nh,
+               1.0 / MIN(p.rank) AS rr,
+               SUM(1.0 / log2(p.rank + 1.0)) AS dcg
+        FROM pred p JOIN truth t ON p.id_q = t.id_q AND p.id_c = t.id_c
+        GROUP BY p.id_q
+    ),
+    perq AS (
+        SELECT COALESCE(h.nh, 0) / CAST(b.nt AS DOUBLE) AS recall,
+               COALESCE(h.rr, 0.0) AS rr,
+               COALESCE(h.dcg, 0.0) / {_Q281_IDCG} AS ndcg
+        FROM (SELECT id_q, COUNT(*) AS nt FROM truth GROUP BY id_q) b
+        LEFT JOIN hits h ON b.id_q = h.id_q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(CAST(SIGN(recall) * FLOOR(ABS(recall) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*), 6) AS recall_at_5,
+           ROUND(CAST(SUM(CAST(SIGN(rr) * FLOOR(ABS(rr) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*), 6) AS mrr_at_5,
+           ROUND(CAST(SUM(CAST(SIGN(ndcg) * FLOOR(ABS(ndcg) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*), 6) AS ndcg_at_5
+    FROM perq
+    """,
+)
+def q281(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.metrics import ranking_metrics
+    from pandrs_spark.operators.similarity import _as_double, cosine, ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    pred = ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2, with_rank=True
+    )
+    q = queries.select(
+        F.col("vec_id").alias("id_q"), _as_double(F.col("embedding")).alias("vq")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id_c"), _as_double(F.col("embedding")).alias("vc")
+    )
+    exact_all = (
+        c.join(F.broadcast(q), F.col("id_q") != F.col("id_c"))
+        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("__sim"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc(F.round("__sim", 6)), "id_c")
+    truth = (
+        exact_all.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("id_q", F.col("id_c").alias("nn_id"))
+    )
+    return ranking_metrics(
+        pred, truth, query_col="id_q", item_col="nn_id", rank_col="rank", k=5
+    )
