@@ -1971,3 +1971,86 @@ def q281(spark, sf_dir):
     return ranking_metrics(
         pred, truth, query_col="id_q", item_col="nn_id", rank_col="rank", k=5
     )
+
+
+# --- q282: character-trigram KL divergence per source — how far each
+# source's character distribution drifts from the corpus LM (the
+# cheap proxy for "this crawl slice looks different" in corpus
+# triage). Trigram explode is a codegen'd HOF; counts are exact ints;
+# each KL term quantizes at 1e-9 before the sum so the divergence is
+# order-independent. Every join key is either the source (tiny) or the
+# gram (bounded vocabulary) — no pairwise work. ------------------------------
+_Q282_TERM = (
+    "(CAST(c_sg AS DOUBLE) / CAST(ns AS DOUBLE))"
+    " * LN((CAST(c_sg AS DOUBLE) / CAST(ns AS DOUBLE))"
+    " / (CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)))"
+)
+
+
+@query(
+    "q282_source_char_kl",
+    oracle=f"""
+    WITH tri AS (
+        SELECT source, unnest(
+            CASE WHEN length(lower(text)) >= 3 THEN
+                list_transform(generate_series(1, length(lower(text)) - 2),
+                               i -> substr(lower(text), i, 3))
+            ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM documents
+    ),
+    csg AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c_sg
+            FROM tri GROUP BY source, g),
+    ns AS (SELECT source, CAST(SUM(c_sg) AS BIGINT) AS ns
+           FROM csg GROUP BY source),
+    cg AS (SELECT g, CAST(SUM(c_sg) AS BIGINT) AS cg FROM csg GROUP BY g),
+    ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM cg),
+    terms AS (
+        SELECT csg.source,
+               CAST(SIGN({_Q282_TERM}) * FLOOR(ABS({_Q282_TERM}) * 1000000000.0 + 0.5) AS BIGINT) AS tq
+        FROM csg
+        JOIN ns ON csg.source = ns.source
+        JOIN cg ON csg.g = cg.g
+        CROSS JOIN ng
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 1000000000.0, 6) AS kl_divergence
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q282(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    tri = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(lower(text)) >= 3 THEN "
+                "transform(sequence(1, length(lower(text)) - 2), "
+                "i -> substr(lower(text), i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    csg = tri.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c_sg"))
+    ns = csg.groupBy("source").agg(F.sum("c_sg").alias("ns"))
+    cg = csg.groupBy("g").agg(F.sum("c_sg").alias("cg"))
+    ng = cg.agg(F.sum("cg").alias("ng"))
+    term_q = F.expr(
+        f"CAST(SIGN({_Q282_TERM}) * FLOOR(ABS({_Q282_TERM}) * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    terms = (
+        csg.join(F.broadcast(ns), "source")
+        .join(cg, "g")
+        .join(F.broadcast(ng))
+        .select("source", term_q.alias("tq"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("tq").cast("double") / 1e9, 6).alias(
+                "kl_divergence"
+            ),
+        )
+        .orderBy("source")
+    )
