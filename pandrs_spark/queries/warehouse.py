@@ -1089,3 +1089,107 @@ def q279(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- q283: decile gains table (lift chart) — customers decile'd by
+# account balance, each decile's share of order revenue, cumulative.
+# Scale-safe decile assignment: NO global ntile window over the
+# customer table — the quantized-balance histogram gets a distributed
+# prefix sum (partition-offset scheme), deciles derive from the
+# cumulative count with integer-exact ceil, and the (balance → decile)
+# map joins back on the quantized key. Downstream windows run on the
+# 10-row decile rollup. -------------------------------------------------------
+@query(
+    "q283_balance_decile_gains",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               CAST(SIGN(c_acctbal) * FLOOR(ABS(c_acctbal) * 100.0 + 0.5) AS BIGINT) AS balq
+        FROM customer
+    ),
+    hist AS (SELECT balq, CAST(COUNT(*) AS BIGINT) AS c FROM cust GROUP BY balq),
+    cum AS (
+        SELECT balq,
+               CAST(SUM(c) OVER (ORDER BY balq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    dec AS (
+        SELECT balq,
+               CAST(FLOOR((cw * 10.0 + n - 1) / n) AS INTEGER) AS decile
+        FROM cum
+    ),
+    crev AS (
+        SELECT o_custkey, {sql_dsum("o_totalprice")} AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    per_dec AS (
+        SELECT d.decile,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               SUM(CAST(FLOOR(COALESCE(r.rev, 0) * 100.0 + 0.5) AS BIGINT)) AS revq
+        FROM cust c
+        JOIN dec d ON c.balq = d.balq
+        LEFT JOIN crev r ON c.c_custkey = r.o_custkey
+        GROUP BY d.decile
+    )
+    SELECT decile, n_custs,
+           ROUND(revq / 100.0, 2) AS revenue,
+           ROUND(CAST(revq AS DOUBLE) / CAST(SUM(revq) OVER () AS DOUBLE), 6)
+               AS rev_share,
+           ROUND(CAST(SUM(revq) OVER (ORDER BY decile DESC
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(revq) OVER () AS DOUBLE), 6) AS cum_share_from_top
+    FROM per_dec ORDER BY decile
+    """,
+)
+def q283(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", quantize("c_acctbal").alias("balq")
+    )
+    orders = T(spark, sf_dir, "orders")
+    hist = cust.groupBy("balq").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_prefix_sum(hist, [F.col("balq")], "c", out_col="cw", scale=0)
+    n_total = cum.agg(F.sum("c").alias("n"))
+    dec = cum.join(F.broadcast(n_total)).select(
+        "balq",
+        F.floor((F.col("cw") * 10.0 + F.col("n") - 1) / F.col("n"))
+        .cast("int")
+        .alias("decile"),
+    )
+    crev = orders.groupBy("o_custkey").agg(dsum("o_totalprice").alias("rev"))
+    per_dec = (
+        cust.join(dec, "balq")
+        .join(crev, cust.c_custkey == crev.o_custkey, "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(
+                F.floor(F.coalesce(F.col("rev"), F.lit(0.0)) * 100.0 + 0.5).cast(
+                    "bigint"
+                )
+            ).alias("revq"),
+        )
+    )
+    wt = Window.partitionBy()
+    wtop = (
+        Window.partitionBy()
+        .orderBy(F.desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_dec.select(
+        "decile",
+        "n_custs",
+        F.round(F.col("revq") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("revq").cast("double") / F.sum("revq").over(wt).cast("double"),
+            6,
+        ).alias("rev_share"),
+        F.round(
+            F.sum("revq").over(wtop).cast("double")
+            / F.sum("revq").over(wt).cast("double"),
+            6,
+        ).alias("cum_share_from_top"),
+    ).orderBy("decile")
