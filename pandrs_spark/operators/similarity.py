@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -425,3 +425,82 @@ def semantic_dedup(
         F.col("__bucket__").alias("cluster"),
         F.col("__drop__").isNull().alias("kept"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 3,
+    top_n: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: greedily pick ``k`` docs
+    maximizing lam*sim(query,d) - (1-lam)*max_{s in S} sim(d,s) — the
+    standard diversity re-rank between retrieval and a RAG context
+    window.
+
+    Scale shape: the EXPENSIVE part (scoring the corpus against the
+    query and taking top_n) is fully distributed; the greedy itself is
+    inherently sequential but only ever touches the top_n candidate
+    set (top_n^2 pairwise sims), so it runs driver-side on a bounded
+    collect — the same bounded-sample pattern as the AutoML
+    leaderboard. All sims round to 6 decimals BEFORE the greedy so any
+    engine (the q284 DuckDB oracle unrolls the same k steps as CTEs)
+    picks identical docs.
+
+    Returns (rank, doc id, mmr score rounded to 6).
+    """
+    import pandas as pd
+
+    def _r6(x: float) -> float:
+        # ROUND half away from zero, mirroring SQL ROUND (Python's
+        # built-in round is banker's and would diverge on .5 ties).
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    qv = query.select(_as_double(F.col(vec_col)).alias("__qv"))
+    sim_q = cosine(_as_double(F.col(vec_col)), F.col("__qv"))
+    cand = (
+        corpus.crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(sim_q, 6).alias("s"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .orderBy(F.desc("s"), "id")
+        .limit(top_n)
+    )
+    a = cand.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    pair = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("ps"),
+        )
+    )
+    cand_rows = {r["id"]: r["s"] for r in cand.select("id", "s").collect()}
+    psim = {(r["ia"], r["ib"]): r["ps"] for r in pair.collect()}
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    remaining = dict(cand_rows)
+    for rank in range(1, k + 1):
+        best = None
+        for d in sorted(remaining):
+            div = max((psim[(d, s)] for s in chosen), default=0.0)
+            score = _r6(lam * remaining[d] - (1 - lam) * div)
+            if best is None or score > best[2] or (
+                score == best[2] and d < best[1]
+            ):
+                best = (rank, d, score)
+        if best is None:
+            break
+        selected.append(best)
+        chosen.append(best[1])
+        del remaining[best[1]]
+    spark = corpus.sparkSession
+    pdf = pd.DataFrame(selected, columns=["rank", "doc_id", "mmr_score"])
+    return spark.createDataFrame(pdf, "rank int, doc_id long, mmr_score double")

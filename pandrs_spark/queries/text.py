@@ -2054,3 +2054,64 @@ def q282(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q284: MMR diversity re-ranking — top-8 cosine candidates for the
+# query vector greedily re-ranked with maximal marginal relevance
+# (lambda=0.7, k=3): the retrieval->context-window step of a RAG
+# pipeline. The distributed part (corpus scoring + top-n) is the
+# expensive part; the greedy runs on the bounded candidate set
+# (operators/similarity.py:mmr_rerank). The oracle unrolls the same
+# three greedy steps as chained CTEs over identical rounded sims. -----------
+@query(
+    "q284_mmr_rerank",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qv AS (SELECT v AS vq FROM base WHERE id = 0),
+    simq AS (
+        SELECT id, ROUND(list_cosine_similarity(v, vq), 6) AS s
+        FROM base CROSS JOIN qv WHERE id <> 0
+    ),
+    cand AS (SELECT id, s FROM simq ORDER BY s DESC, id LIMIT 8),
+    cv AS (SELECT c.id, c.s, b.v FROM cand c JOIN base b USING (id)),
+    pair AS (
+        SELECT a.id AS ia, b.id AS ib,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS ps
+        FROM cv a JOIN cv b ON a.id <> b.id
+    ),
+    s1 AS (SELECT id, ROUND(0.7 * s, 6) AS score FROM cand
+           ORDER BY ROUND(0.7 * s, 6) DESC, id LIMIT 1),
+    r2 AS (
+        SELECT c.id, ROUND(0.7 * c.s - 0.3 * p.ps, 6) AS score
+        FROM cand c JOIN pair p
+          ON p.ia = c.id AND p.ib = (SELECT id FROM s1)
+        WHERE c.id <> (SELECT id FROM s1)
+    ),
+    s2 AS (SELECT id, score FROM r2 ORDER BY score DESC, id LIMIT 1),
+    r3 AS (
+        SELECT c.id,
+               ROUND(0.7 * c.s - 0.3 * GREATEST(p1.ps, p2.ps), 6) AS score
+        FROM cand c
+        JOIN pair p1 ON p1.ia = c.id AND p1.ib = (SELECT id FROM s1)
+        JOIN pair p2 ON p2.ia = c.id AND p2.ib = (SELECT id FROM s2)
+        WHERE c.id NOT IN (SELECT id FROM s1 UNION SELECT id FROM s2)
+    ),
+    s3 AS (SELECT id, score FROM r3 ORDER BY score DESC, id LIMIT 1)
+    SELECT CAST(1 AS INTEGER) AS rank, CAST(id AS BIGINT) AS doc_id,
+           score AS mmr_score FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), CAST(id AS BIGINT), score FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), CAST(id AS BIGINT), score FROM s3
+    ORDER BY rank
+    """,
+)
+def q284(spark, sf_dir):
+    from pandrs_spark.operators.similarity import mmr_rerank
+
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0)
+    return mmr_rerank(corpus, qv, k=3, top_n=8, lam=0.7).orderBy("rank")
