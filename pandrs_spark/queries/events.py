@@ -1595,3 +1595,40 @@ def q280(spark, sf_dir):
     return cur.select(
         "d", "new_users", F.col("cum_users").cast("long").alias("cum_users")
     ).orderBy("d")
+
+
+# --- q285: second-order sequence mining — the 10 most frequent
+# event-type TRIGRAMS in per-user journeys (q170 covers first-order
+# bigram transitions). Two leads over one (user, ts) sort; counting is
+# a plain groupBy with map-side partials. -----------------------------------
+@query(
+    "q285_event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type, 1) OVER w AS b,
+               LEAD(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a, b, c
+    LIMIT 10
+    """,
+)
+def q285(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b", "c")
+        .limit(10)
+    )

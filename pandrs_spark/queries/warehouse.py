@@ -1193,3 +1193,117 @@ def q283(spark, sf_dir):
             6,
         ).alias("cum_share_from_top"),
     ).orderBy("decile")
+
+
+# --- q286: two-path revenue reconciliation — monthly revenue computed
+# TWO independent ways (sum of line extended prices with discount,
+# vs sum of order total prices attributed to the order month) with
+# absolute deltas. The classic warehouse consistency report: the two
+# paths measure different things (line-level discounts vs order
+# totals), and the reconciliation quantifies the gap instead of
+# letting two dashboards silently disagree. Both paths are one
+# aggregate each; the join is month-cardinality. -----------------------------
+@query(
+    "q286_revenue_reconciliation",
+    oracle=f"""
+    WITH line_path AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS y,
+               CAST(EXTRACT(month FROM o.o_orderdate) AS INTEGER) AS m,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS line_rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    order_path AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+               {sql_dsum("o_totalprice", 4)} AS order_rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT l.y, l.m,
+           ROUND(l.line_rev, 2) AS line_rev,
+           ROUND(o.order_rev, 2) AS order_rev,
+           ROUND(o.order_rev - l.line_rev, 2) AS delta
+    FROM line_path l JOIN order_path o ON l.y = o.y AND l.m = o.m
+    ORDER BY l.y, l.m
+    """,
+)
+def q286(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    line_path = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "line_rev"
+            )
+        )
+    )
+    order_path = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(dsum("o_totalprice", 4).alias("order_rev"))
+    return (
+        line_path.join(order_path, ["y", "m"])
+        .select(
+            "y",
+            "m",
+            F.round("line_rev", 2).alias("line_rev"),
+            F.round("order_rev", 2).alias("order_rev"),
+            F.round(F.col("order_rev") - F.col("line_rev"), 2).alias("delta"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+# --- q287: null-safe join semantics — customers with a deterministic
+# subset of UNKNOWN (NULL) nation keys joined to nation with <=>
+# (IS NOT DISTINCT FROM): the NULL keys match a NULL-keyed bucket row
+# instead of silently dropping, and the counts prove the difference
+# from a plain equi-join. The semantic every warehouse hits the first
+# time a dimension key goes nullable. ----------------------------------------
+@query(
+    "q287_null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 50 = 0 THEN NULL
+                    ELSE c_nationkey END AS nk
+        FROM customer
+    ),
+    dim AS (
+        SELECT n_nationkey AS nk, n_name FROM nation
+        UNION ALL
+        SELECT NULL, 'UNKNOWN'
+    )
+    SELECT d.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM c JOIN dim d ON c.nk IS NOT DISTINCT FROM d.nk
+    GROUP BY d.n_name ORDER BY d.n_name
+    """,
+)
+def q287(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    nation = T(spark, sf_dir, "nation")
+    dim = nation.select(
+        F.col("n_nationkey").alias("dnk"), "n_name"
+    ).unionByName(
+        nation.sparkSession.range(1).select(
+            F.lit(None).cast("int").alias("dnk"), F.lit("UNKNOWN").alias("n_name")
+        )
+    )
+    return (
+        cust.join(F.broadcast(dim), cust.nk.eqNullSafe(F.col("dnk")))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy("n_name")
+    )
