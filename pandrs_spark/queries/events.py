@@ -1632,3 +1632,89 @@ def q285(spark, sf_dir):
         .orderBy(F.desc("n"), "a", "b", "c")
         .limit(10)
     )
+
+
+# --- q288: in-session funnel — sessionize (30-min gap, as q38), then
+# within each session ask whether a purchase follows a view; report
+# conversion per session-entry event type. Composes gaps-and-islands
+# with conditional-min funnel logic — all window + groupBy, the
+# fact table is sorted once per user. ----------------------------------------
+@query(
+    "q288_in_session_funnel",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase,
+               MIN_BY(event_type, ts) AS entry_type
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN first_view IS NOT NULL
+                            AND last_purchase > first_view THEN 1 END) AS BIGINT)
+               AS n_converting,
+           ROUND(COUNT(CASE WHEN first_view IS NOT NULL
+                             AND last_purchase > first_view THEN 1 END)
+                 * 1.0 / COUNT(*), 6) AS conversion_rate
+    FROM per_session GROUP BY entry_type ORDER BY entry_type
+    """,
+)
+def q288(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > 1800000000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("sid", F.sum("new_session").over(cum_w))
+    per_session = sessions.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+        # (user_id, ts) is unique in the testdata, so ts alone is a
+        # deterministic arg-min key within a session.
+        F.min_by("event_type", "ts").alias("entry_type"),
+    )
+    converting = F.col("first_view").isNotNull() & (
+        F.col("last_purchase") > F.col("first_view")
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(converting, 1)).alias("n_converting"),
+            F.round(
+                F.count(F.when(converting, 1)) / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+        .orderBy("entry_type")
+    )

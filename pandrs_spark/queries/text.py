@@ -2115,3 +2115,57 @@ def q284(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") != 0)
     qv = emb.filter(F.col("vec_id") == 0)
     return mmr_rerank(corpus, qv, k=3, top_n=8, lam=0.7).orderBy("rank")
+
+
+# --- q289: per-dimension embedding statistics — column-wise mean/std
+# over the vector corpus via posexplode (dimension index carried by
+# position) and exact quantized sufficient stats. The feature-drift
+# baseline every embedding store monitors per dimension; one explode +
+# one groupBy on the bounded dimension key. ----------------------------------
+_Q289_STD = "SQRT((sxx - sx * sx / n) / (n - 1))"
+
+
+@query(
+    "q289_embedding_dim_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT s.d AS dim, s.x
+        FROM (
+            SELECT unnest(list_transform(generate_series(1, len(emb)),
+                          i -> struct_pack(d := i - 1, x := emb[i]))) AS s
+            FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        )
+    ),
+    st AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) AS sx,
+               (CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) AS sxx
+        FROM dims GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           ROUND(sx / n, 6) AS mean_x,
+           ROUND({_Q289_STD}, 6) AS std_x
+    FROM st ORDER BY dim
+    """,
+)
+def q289(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    emb = T(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    st = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("x", 9)) / 1e9).alias("sx"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 9)) / 1e9).alias("sxx"),
+    )
+    return st.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(F.expr("sx / n"), 6).alias("mean_x"),
+        F.round(F.expr(_Q289_STD), 6).alias("std_x"),
+    ).orderBy("dim")
