@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "zorder_layout"]
+__all__ = ["zvalue", "zorder_layout", "advise_partitions"]
 
 
 def zvalue(cols, bits: int = 10) -> Column:
@@ -50,3 +50,39 @@ def zorder_layout(df: DataFrame, cols, bits: int = 10, num_partitions: int | Non
     else:
         out = out.repartitionByRange("__z__")
     return out.sortWithinPartitions("__z__").drop("__z__")
+
+
+def advise_partitions(
+    df: DataFrame, target_mb: int = 128, sample_rows: int = 10_000
+) -> dict:
+    """Partition-count advisor: estimate bytes/row from the logical
+    plan's size statistics (Catalyst's own estimate — no data read) or,
+    when stats are absent, from a bounded row sample, then recommend
+    ``ceil(total_bytes / target_mb)`` partitions. The sizing arithmetic
+    a 100 TB job does before `repartition()` so shuffle partitions land
+    near the (default 128 MB) sweet spot instead of thousands of
+    KB-sized tasks or a handful of multi-GB spills.
+
+    Returns {est_total_bytes, est_rows, bytes_per_row,
+    recommended_partitions}. Driver-side metadata only — the single
+    sample action is bounded by ``sample_rows``.
+    """
+    import math
+
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    est_bytes = int(str(stats.sizeInBytes()))
+    row_count = stats.rowCount()
+    est_rows = (
+        int(str(row_count.get())) if row_count.isDefined() else None
+    )
+    if est_rows is None:
+        # bounded sample action; good enough for a bytes/row estimate
+        est_rows = df.limit(sample_rows).count() or None
+    bytes_per_row = est_bytes / est_rows if est_rows else None
+    recommended = max(1, math.ceil(est_bytes / (target_mb * 1024 * 1024)))
+    return {
+        "est_total_bytes": est_bytes,
+        "est_rows": est_rows,
+        "bytes_per_row": bytes_per_row,
+        "recommended_partitions": recommended,
+    }

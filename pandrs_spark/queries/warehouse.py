@@ -1307,3 +1307,84 @@ def q287(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_custs"))
         .orderBy("n_name")
     )
+
+
+# --- q290: join-health report — the pre-join profile a 100 TB
+# pipeline runs BEFORE a fact-fact join: per side, null rate of the
+# key, distinct keys, hottest-key share (the skew indicator that
+# decides salting), and the worst-case fanout of the hottest key pair.
+# One aggregate per side over key rollups; no join of the fact tables
+# themselves. -----------------------------------------------------------------
+@query(
+    "q290_join_health_report",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey AS k FROM lineitem
+    ),
+    r AS (
+        SELECT o_orderkey AS k FROM orders
+    ),
+    lk AS (SELECT k, COUNT(*) AS c FROM l WHERE k IS NOT NULL GROUP BY k),
+    rk AS (SELECT k, COUNT(*) AS c FROM r WHERE k IS NOT NULL GROUP BY k),
+    lstat AS (
+        SELECT (SELECT COUNT(*) FROM l) AS n_rows,
+               (SELECT COUNT(*) FROM l WHERE k IS NULL) AS n_null,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows
+        FROM lk
+    ),
+    rstat AS (
+        SELECT (SELECT COUNT(*) FROM r) AS n_rows,
+               (SELECT COUNT(*) FROM r WHERE k IS NULL) AS n_null,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows
+        FROM rk
+    )
+    SELECT 'lineitem' AS side, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_null AS BIGINT) AS n_null_keys, n_distinct,
+           max_key_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS hot_key_share
+    FROM lstat
+    UNION ALL
+    SELECT 'orders', CAST(n_rows AS BIGINT), CAST(n_null AS BIGINT),
+           n_distinct, max_key_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) / n_rows, 6)
+    FROM rstat
+    ORDER BY side
+    """,
+)
+def q290(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    orders = T(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+
+    def side_stats(df, name):
+        rollup = df.filter(F.col("k").isNotNull()).groupBy("k").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        totals = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_keys"),
+        )
+        agg = rollup.agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_key_rows"),
+        )
+        return (
+            totals.join(F.broadcast(agg))
+            .select(
+                F.lit(name).alias("side"),
+                "n_rows",
+                "n_null_keys",
+                "n_distinct",
+                "max_key_rows",
+                F.round(
+                    F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+                ).alias("hot_key_share"),
+            )
+        )
+
+    return (
+        side_stats(li, "lineitem")
+        .unionByName(side_stats(orders, "orders"))
+        .orderBy("side")
+    )

@@ -58,3 +58,17 @@ def test_profile_columns_long_report(spark):
     assert out["k"]["n_distinct"] == 3 and out["k"]["min_value"] == "1"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
     assert out["v"]["n_nulls"] == 2 and out["v"]["max_value"] == "7.5"
+
+
+def test_advise_partitions_reasonable(spark, sf_dir):
+    from pandrs_spark.operators.layout import advise_partitions
+
+    from pandrs_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = advise_partitions(li, target_mb=1)
+    assert out["est_total_bytes"] > 0
+    assert out["recommended_partitions"] >= 1
+    # a tighter target can never recommend fewer partitions
+    wide = advise_partitions(li, target_mb=1024)
+    assert out["recommended_partitions"] >= wide["recommended_partitions"]
