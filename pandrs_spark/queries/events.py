@@ -1718,3 +1718,58 @@ def q288(spark, sf_dir):
         )
         .orderBy("entry_type")
     )
+
+
+# --- q291: DAU/WAU stickiness — the growth metric: mean daily active
+# users over weekly active users, per ISO week (the testdata spans one
+# month, so weeks give the rollup real cardinality; swap week for
+# month at production spans). Both levels are plain distinct-count
+# aggregates (day rollup + week rollup) joined on the week key; at
+# 100 TB each level is one shuffle of (key, user) pairs, and the
+# coarse level could reuse the q267 bitmap rollup. ---------------------------
+@query(
+    "q291_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+        SELECT date_trunc('week', ts) AS m, CAST(ts AS DATE) AS d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT date_trunc('week', ts) AS m,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1
+    ),
+    davg AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_days,
+               (CAST(SUM(dau) AS DOUBLE) / COUNT(*)) AS avg_dau
+        FROM dau GROUP BY m
+    )
+    SELECT d.m AS week, d.n_days, ROUND(d.avg_dau, 6) AS avg_dau,
+           u.mau AS wau, ROUND(d.avg_dau / u.mau, 6) AS stickiness
+    FROM davg d JOIN mau u ON d.m = u.m ORDER BY week
+    """,
+)
+def q291(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("week", "ts").alias("m"), F.to_date("ts").alias("d")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(F.date_trunc("week", "ts").alias("m")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    davg_ = dau.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("dau").cast("double") / F.count(F.lit(1))).alias("avg_dau"),
+    )
+    return (
+        davg_.join(mau, "m")
+        .select(
+            F.col("m").alias("week"),
+            "n_days",
+            F.round("avg_dau", 6).alias("avg_dau"),
+            "wau",
+            F.round(F.col("avg_dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("week")
+    )

@@ -1388,3 +1388,84 @@ def q290(spark, sf_dir):
         .unionByName(side_stats(orders, "orders"))
         .orderBy("side")
     )
+
+
+# --- q292: YoY rank movers — nation revenue rank in 1997 vs 1996 with
+# the rank delta (the "movers & shakers" report). Ranks come from
+# dense_rank over the 25-row nation rollup on exact quantized revenue;
+# the fact table is scanned once with a conditional split. -------------------
+@query(
+    "q292_yoy_rank_movers",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS y,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nation, y, rev,
+               CAST(DENSE_RANK() OVER (PARTITION BY y ORDER BY rev DESC)
+                    AS INTEGER) AS rnk
+        FROM rev
+    )
+    SELECT a.nation,
+           ROUND(a.rev, 2) AS rev_1997, a.rnk AS rank_1997,
+           ROUND(b.rev, 2) AS rev_1996, b.rnk AS rank_1996,
+           CAST(b.rnk - a.rnk AS INTEGER) AS rank_gain
+    FROM ranked a JOIN ranked b
+      ON a.nation = b.nation AND a.y = 1997 AND b.y = 1996
+    ORDER BY rank_gain DESC, a.nation
+    """,
+)
+def q292(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    dims = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("nation", F.year("o_orderdate").alias("y"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy("y").orderBy(F.desc("rev"))
+    ranked = rev.withColumn("rnk", F.dense_rank().over(w).cast("int"))
+    a = ranked.filter(F.col("y") == 1997).select(
+        "nation", F.col("rev").alias("rev_a"), F.col("rnk").alias("rank_1997")
+    )
+    b = ranked.filter(F.col("y") == 1996).select(
+        F.col("nation").alias("nation_b"),
+        F.col("rev").alias("rev_b"),
+        F.col("rnk").alias("rank_1996"),
+    )
+    return (
+        a.join(b, a.nation == b.nation_b)
+        .select(
+            "nation",
+            F.round("rev_a", 2).alias("rev_1997"),
+            "rank_1997",
+            F.round("rev_b", 2).alias("rev_1996"),
+            "rank_1996",
+            (F.col("rank_1996") - F.col("rank_1997"))
+            .cast("int")
+            .alias("rank_gain"),
+        )
+        .orderBy(F.desc("rank_gain"), "nation")
+    )
