@@ -1151,3 +1151,85 @@ def q252(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- q293: Spearman rank correlation between customer spend and
+# account balance — Pearson over GLOBAL ranks, both rank passes built
+# on the partition-offset prefix-sum primitive (no single-task rank
+# funnel, same machinery as q236's Gini). Ties take row-number order
+# with the customer key as the deterministic tie-break (documented
+# variant; classic average-tie Spearman replaces the rank pass with a
+# per-value mean rank rollup). Rank sums are exact BIGINTs, so the
+# correlation is engine-exact via the shared formula. ------------------------
+@query(
+    "q293_spearman_spend_balance",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, {sql_dsum("o_totalprice", 2)} AS s
+        FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT c.c_custkey, sp.s, c.c_acctbal
+        FROM customer c JOIN spend sp ON c.c_custkey = sp.o_custkey
+    ),
+    ranked AS (
+        SELECT c_custkey,
+               CAST(ROW_NUMBER() OVER (ORDER BY s, c_custkey) AS BIGINT) AS rx,
+               CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS ry
+        FROM base
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND((1.0 * n * sxy - 1.0 * sx * sy)
+                 / (SQRT(1.0 * n * sxx - 1.0 * sx * sx)
+                    * SQRT(1.0 * n * syy - 1.0 * sy * sy)), 6) AS spearman_rho
+    FROM tot
+    """,
+)
+def q293(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", 2).alias("s"))
+    base = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        "c_custkey", "s", "c_acctbal"
+    )
+    r1 = global_prefix_sum(
+        base, [F.asc("s"), F.asc("c_custkey")], F.lit(1.0), "rx", scale=0
+    ).withColumn("rx", F.col("rx").cast("long"))
+    r2 = global_prefix_sum(
+        r1, [F.asc("c_acctbal"), F.asc("c_custkey")], F.lit(1.0), "ry", scale=0
+    ).withColumn("ry", F.col("ry").cast("long"))
+    tot = r2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    return tot.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (1.0 * F.col("n") * F.col("sxy") - 1.0 * F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(
+                    1.0 * F.col("n") * F.col("sxx")
+                    - 1.0 * F.col("sx") * F.col("sx")
+                )
+                * F.sqrt(
+                    1.0 * F.col("n") * F.col("syy")
+                    - 1.0 * F.col("sy") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
