@@ -1773,3 +1773,125 @@ def q291(spark, sf_dir):
         )
         .orderBy("week")
     )
+
+
+# --- q294: retention half-life — per cohort, fit ln(retention_k) ~ k
+# (weeks since cohort) with closed-form OLS on the tiny retention
+# matrix (q162's shape), and report the exponential-decay half-life
+# -ln(2)/slope. The regression runs over <=8 points per cohort from
+# exact count ratios; ln terms quantize at 1e-9 before the sums so the
+# fit is engine-exact. The heavy work is the same two aggregates as
+# q162 — the fit itself touches only cohort-cardinality rows. ----------------
+# Explicit DOUBLE casts: a bare 1.0 literal is DECIMAL in DuckDB and
+# would route the whole fit through decimal arithmetic.
+_Q294_SLOPE = (
+    "(((CAST(n AS DOUBLE) * CAST(sky AS DOUBLE)"
+    " - CAST(sk AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)"
+    " - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))) / 1000000000.0)"
+)
+
+
+@query(
+    "q294_retention_half_life",
+    oracle=f"""
+    WITH first_seen AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(DATEDIFF('week', f.cohort_week, DATE_TRUNC('week', e.ts)) AS INT) AS week_k
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_n
+        FROM first_seen GROUP BY cohort_week
+    ),
+    ret AS (
+        SELECT a.cohort_week, a.week_k,
+               COUNT(*) * 1.0 / MIN(s.cohort_n) AS r
+        FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+        WHERE a.week_k >= 1
+        GROUP BY a.cohort_week, a.week_k
+    ),
+    pts AS (
+        SELECT cohort_week, week_k,
+               CAST(SIGN(LN(r)) * FLOOR(ABS(LN(r)) * 1000000000.0 + 0.5) AS BIGINT) AS yq
+        FROM ret WHERE r > 0
+    ),
+    fit AS (
+        SELECT cohort_week,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(week_k) AS BIGINT) AS sk,
+               CAST(SUM(CAST(week_k AS BIGINT) * week_k) AS BIGINT) AS skk,
+               CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(week_k * yq) AS BIGINT) AS sky
+        FROM pts GROUP BY cohort_week HAVING COUNT(*) >= 2
+    )
+    SELECT cohort_week, n AS n_points,
+           ROUND({_Q294_SLOPE}, 6) AS decay_slope,
+           ROUND(CASE WHEN {_Q294_SLOPE} < 0
+                      THEN LN(2.0) / (-({_Q294_SLOPE})) END, 4)
+               AS half_life_weeks
+    FROM fit ORDER BY cohort_week
+    """,
+)
+def q294(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                    )
+                    / 7
+                )
+            )
+            .cast("int")
+            .alias("week_k"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    ret = (
+        activity.join(sizes, "cohort_week")
+        .filter(F.col("week_k") >= 1)
+        .groupBy("cohort_week", "week_k")
+        .agg((F.count(F.lit(1)) * 1.0 / F.min("cohort_n")).alias("r"))
+    )
+    yq = F.expr(
+        "CAST(SIGN(LN(r)) * FLOOR(ABS(LN(r)) * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    pts = ret.filter(F.col("r") > 0).select(
+        "cohort_week", "week_k", yq.alias("yq")
+    )
+    fit = (
+        pts.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("week_k").alias("sk"),
+            F.sum(F.col("week_k").cast("long") * F.col("week_k")).alias("skk"),
+            F.sum("yq").alias("sy"),
+            F.sum(F.col("week_k") * F.col("yq")).alias("sky"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    slope = F.expr(_Q294_SLOPE)
+    return fit.select(
+        "cohort_week",
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("decay_slope"),
+        F.round(
+            F.when(slope < 0, F.expr(f"LN(2.0) / (-({_Q294_SLOPE}))")), 4
+        ).alias("half_life_weeks"),
+    ).orderBy("cohort_week")
