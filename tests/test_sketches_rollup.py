@@ -88,3 +88,35 @@ def test_clamped_cumsum_nonzero_floor(spark):
         for r in clamped_cumsum(df, "x", ["t"], ["k"], lower=10.0).collect()
     }
     assert out == {1: 10.0, 2: 13.0}
+
+
+def test_clamped_cumsum_matches_reference_fold(spark):
+    """The window-algebra CUSUM identity must reproduce the naive
+    sequential fold bit-for-bit on pseudo-random mixed-sign series."""
+    from pandrs_spark.operators.timeseries import clamped_cumsum
+
+    # deterministic LCG so the test is reproducible without RNG seeds
+    x = 1234567
+    rows = []
+    for key in range(10):
+        for t in range(40):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            val = ((x % 2001) - 1000) / 10.0  # [-100.0, 100.0]
+            rows.append((f"k{key}", t, val))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["bal"]
+        for r in clamped_cumsum(
+            df, "v", ["t"], ["k"], lower=0.0, scale=2, out_col="bal"
+        ).collect()
+    }
+    # reference: integer fold of the quantized recurrence
+    series: dict[str, list[tuple[int, float]]] = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append((t, v))
+    for k, pts in series.items():
+        bal = 0
+        for t, v in sorted(pts):
+            q = int(round(abs(v) * 100)) * (1 if v >= 0 else -1)
+            bal = max(0, bal + q)
+            assert got[(k, t)] == bal / 100.0, (k, t)
