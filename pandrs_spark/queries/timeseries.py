@@ -1482,3 +1482,99 @@ def q219(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --- q295: naive-forecast error benchmark (MASE-style) — per nation,
+# daily revenue evaluated against the naive-1 (yesterday) and seasonal
+# naive-7 (last week) forecasts, joined CALENDAR-safe (self-join on
+# date-1 / date-7, not positional lag, so date gaps can't misalign a
+# series). mase = MAE(naive-1)/MAE(naive-7): < 1 means yesterday beats
+# last-week — the sanity floor every forecast model must clear. Errors
+# fold as exact quantized sums over the (nation, day) rollup. ---------------
+@query(
+    "q295_naive_forecast_mase",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name AS nation, CAST(l.l_shipdate AS DATE) AS d,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS revq
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT a.nation,
+               ABS(a.revq - b1.revq) AS e1,
+               ABS(a.revq - b7.revq) AS e7
+        FROM daily a
+        JOIN daily b1 ON a.nation = b1.nation AND b1.d = a.d - 1
+        JOIN daily b7 ON a.nation = b7.nation AND b7.d = a.d - 7
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           (CAST(FLOOR(CAST(SUM(e1) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) / 100.0) AS mae_naive1,
+           (CAST(FLOOR(CAST(SUM(e7) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) / 100.0) AS mae_naive7,
+           ROUND(CAST(SUM(e1) AS DOUBLE) / CAST(SUM(e7) AS DOUBLE), 6) AS mase
+    FROM joined GROUP BY nation ORDER BY nation
+    """,
+)
+def q295(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    sdim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    revq = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("bigint")
+    daily = (
+        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy("nation", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum(revq).alias("revq"))
+    )
+    b1 = daily.select(
+        F.col("nation").alias("n1"), F.col("d").alias("d1"), F.col("revq").alias("r1")
+    )
+    b7 = daily.select(
+        F.col("nation").alias("n7"), F.col("d").alias("d7"), F.col("revq").alias("r7")
+    )
+    joined = (
+        daily.join(
+            b1,
+            (daily.nation == b1.n1) & (b1.d1 == F.date_sub(daily.d, 1)),
+        )
+        .join(
+            b7,
+            (daily.nation == b7.n7) & (b7.d7 == F.date_sub(daily.d, 7)),
+        )
+        .select(
+            "nation",
+            F.abs(F.col("revq") - F.col("r1")).alias("e1"),
+            F.abs(F.col("revq") - F.col("r7")).alias("e7"),
+        )
+    )
+    return (
+        joined.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            # floor-quantized (not ROUND): engines disagree on round()
+            # ties of non-representable hundredths
+            (
+                F.floor(
+                    F.sum("e1").cast("double") / F.count(F.lit(1)) + 0.5
+                ).cast("bigint")
+                / 100.0
+            ).alias("mae_naive1"),
+            (
+                F.floor(
+                    F.sum("e7").cast("double") / F.count(F.lit(1)) + 0.5
+                ).cast("bigint")
+                / 100.0
+            ).alias("mae_naive7"),
+            F.round(
+                F.sum("e1").cast("double") / F.sum("e7").cast("double"), 6
+            ).alias("mase"),
+        )
+        .orderBy("nation")
+    )

@@ -1469,3 +1469,115 @@ def q292(spark, sf_dir):
         )
         .orderBy(F.desc("rank_gain"), "nation")
     )
+
+
+# --- q296: ABC x XYZ inventory matrix — the classic planning grid:
+# revenue class (A/B/C by cumulative share, q216's distributed
+# prefix-sum machinery) crossed with demand-variability class (X/Y/Z
+# by coefficient of variation of monthly quantity, exact sufficient
+# stats). Both classifications run on part-cardinality rollups; the
+# output is the 9-cell matrix with per-cell revenue share. -------------------
+_Q296_CV = "SQRT((sxx - sx * sx / n) / (n - 1)) / (sx / n)"
+
+
+@query(
+    "q296_abc_xyz_matrix",
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               SUM({sql_quantize("l_extendedprice * (1 - l_discount)", 2)}) AS revq
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, revq,
+               SUM(revq) OVER (ORDER BY revq DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS cumq,
+               SUM(revq) OVER () AS totq
+        FROM part_rev
+    ),
+    abc AS (
+        SELECT l_partkey, revq,
+               CASE WHEN cumq * 100 <= totq * 80 THEN 'A'
+                    WHEN cumq * 100 <= totq * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    ),
+    monthly AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+               SUM({sql_quantize("l_quantity")}) AS qq
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(qq) AS DOUBLE) / 100.0) AS sx,
+               (CAST(SUM(CAST(qq AS DOUBLE) * qq) AS DOUBLE) / 10000.0) AS sxx
+        FROM monthly GROUP BY l_partkey
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN n < 2 THEN 'Z'
+                    WHEN {_Q296_CV} < 0.5 THEN 'X'
+                    WHEN {_Q296_CV} < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM cv
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(a.revq) / 100.0, 2) AS revenue
+    FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+)
+def q296(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_rev = li.groupBy("l_partkey").agg(F.sum(quantize(rev, 2)).alias("revq"))
+    ranked = global_prefix_sum(
+        part_rev,
+        [F.desc("revq"), F.asc("l_partkey")],
+        F.col("revq") / 100.0,
+        out_col="cum",
+        scale=2,
+    ).withColumn("cumq", (F.col("cum") * 100).cast("long"))
+    tot = part_rev.agg(F.sum("revq").alias("totq"))
+    abc = ranked.join(F.broadcast(tot)).select(
+        "l_partkey",
+        "revq",
+        F.when(F.col("cumq") * 100 <= F.col("totq") * 80, "A")
+        .when(F.col("cumq") * 100 <= F.col("totq") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.sum(quantize("l_quantity")).alias("qq"))
+    cv = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("qq").cast("double") / 100.0).alias("sx"),
+        (F.sum(F.col("qq").cast("double") * F.col("qq")) / 10000.0).alias(
+            "sxx"
+        ),
+    )
+    cv_expr = F.expr(_Q296_CV)
+    xyz = cv.select(
+        F.col("l_partkey").alias("xk"),
+        F.when(F.col("n") < 2, "Z")
+        .when(cv_expr < 0.5, "X")
+        .when(cv_expr < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, abc.l_partkey == xyz.xk)
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("revq") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
