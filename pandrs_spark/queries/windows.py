@@ -405,3 +405,101 @@ def q218(spark, sf_dir):
         .filter(F.col("l_suppkey") % 20 == 0)
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     )
+
+
+# --- q297: EWMA control chart — per event_type daily means smoothed
+# with the classical z_t = λx_t + (1-λ)z_{t-1} (adjust=False), checked
+# against asymptotic control limits μ ± 3σ√(λ/(2-λ)) from exact
+# quantized series stats. The process-monitoring composition on top of
+# q70's EWM machinery; the oracle expands the recursion as the same
+# bounded weighted self-join. ------------------------------------------------
+_Q297_SIG = "SQRT((sxx - sx * sx / n) / (n - 1))"
+
+
+@query(
+    "q297_ewma_control_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               {sql_davg('value', 4)} AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, d, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ),
+    z AS (
+        SELECT a.event_type, a.d,
+               SUM(b.x * CASE WHEN b.i = 1 THEN POWER(0.8, a.i - 1)
+                              ELSE 0.2 * POWER(0.8, a.i - b.i) END) AS z
+        FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.i <= a.i
+        GROUP BY a.event_type, a.d
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS sx,
+               (CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS sxx
+        FROM daily GROUP BY event_type
+    ),
+    lim AS (
+        SELECT event_type, n,
+               sx / n AS mu,
+               3.0 * {_Q297_SIG} * SQRT(0.2 / 1.8) AS halfw
+        FROM stats
+    )
+    SELECT z.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(MIN(l.mu - l.halfw), 4) AS lcl,
+           ROUND(MIN(l.mu + l.halfw), 4) AS ucl,
+           CAST(COUNT(CASE WHEN z.z > l.mu + l.halfw
+                            OR z.z < l.mu - l.halfw THEN 1 END) AS BIGINT)
+               AS n_out_of_control
+    FROM z JOIN lim l ON z.event_type = l.event_type
+    GROUP BY z.event_type ORDER BY z.event_type
+    """,
+)
+def q297(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import ewm_mean
+
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(davg("value", 4).alias("x"))
+    z = ewm_mean(
+        daily,
+        value_col="x",
+        order_by=["d"],
+        partition_by=["event_type"],
+        alpha=0.2,
+        adjust=False,
+        out_col="z",
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("x", 4)) / 1e4).alias("sx"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 4)) / 1e4).alias("sxx"),
+    )
+    lim = stats.select(
+        F.col("event_type").alias("et"),
+        (F.col("sx") / F.col("n")).alias("mu"),
+        (
+            3.0 * F.expr(_Q297_SIG) * F.sqrt(F.lit(0.2 / 1.8))
+        ).alias("halfw"),
+    )
+    ooc = (F.col("z") > F.col("mu") + F.col("halfw")) | (
+        F.col("z") < F.col("mu") - F.col("halfw")
+    )
+    return (
+        z.join(F.broadcast(lim), z.event_type == lim.et)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.min(F.col("mu") - F.col("halfw")), 4).alias("lcl"),
+            F.round(F.min(F.col("mu") + F.col("halfw")), 4).alias("ucl"),
+            F.count(F.when(ooc, 1)).alias("n_out_of_control"),
+        )
+        .orderBy("event_type")
+    )
