@@ -1581,3 +1581,113 @@ def q296(spark, sf_dir):
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+# --- q298: top-down target allocation with LARGEST-REMAINDER rounding
+# — each nation's next-year revenue target (110% of 1996 actuals) is
+# spread across its customers proportionally, in cents, such that the
+# allocations SUM EXACTLY to the nation target (the property naive
+# per-row rounding violates). All integer arithmetic: 1.1·x in cents
+# is (11x div 10, remainder 11x mod 10 tenths), the leftover cents go
+# to the largest remainders (customer key tie-break). The remainder
+# rank runs per nation — at extreme per-nation customer counts swap
+# it for a bucketed remainder histogram (remainder is one of 10
+# values, so counts per (nation, remainder) + a threshold pick give
+# the same result with no wide window). --------------------------------------
+@query(
+    "q298_largest_remainder_allocation",
+    oracle="""
+    WITH prior AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revq
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    nat AS (
+        SELECT nk,
+               CAST((11 * CAST(SUM(revq) AS BIGINT)) // 10 AS BIGINT) AS target_c
+        FROM prior GROUP BY nk
+    ),
+    alloc AS (
+        SELECT p.nk, p.ck,
+               CAST((11 * p.revq) // 10 AS BIGINT) AS base_c,
+               CAST((11 * p.revq) % 10 AS BIGINT) AS rem_tenths,
+               ROW_NUMBER() OVER (PARTITION BY p.nk
+                                  ORDER BY (11 * p.revq) % 10 DESC, p.ck)
+                   AS rrank
+        FROM prior p
+    ),
+    leftover AS (
+        SELECT a.nk, n.target_c,
+               n.target_c - SUM(a.base_c) AS extra
+        FROM alloc a JOIN nat n ON a.nk = n.nk
+        GROUP BY a.nk, n.target_c
+    ),
+    final AS (
+        SELECT a.nk,
+               a.base_c + CASE WHEN a.rrank <= l.extra THEN 1 ELSE 0 END
+                   AS alloc_c
+        FROM alloc a JOIN leftover l ON a.nk = l.nk
+    )
+    SELECT f.nk AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(MIN(l.target_c) AS BIGINT) AS target_cents,
+           CAST(SUM(f.alloc_c) AS BIGINT) AS allocated_cents,
+           CAST(MIN(l.extra) AS BIGINT) AS n_bumped
+    FROM final f JOIN leftover l ON f.nk = l.nk
+    GROUP BY f.nk ORDER BY f.nk
+    """,
+)
+def q298(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    revq = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    prior = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("ck")
+        )
+        .agg(F.sum(revq).alias("revq"))
+    )
+    nat = prior.groupBy("nk").agg(
+        F.expr("CAST((11 * SUM(revq)) DIV 10 AS BIGINT)").alias("target_c")
+    )
+    w = Window.partitionBy("nk").orderBy(
+        F.desc((11 * F.col("revq")) % 10), "ck"
+    )
+    alloc = prior.select(
+        "nk",
+        "ck",
+        F.expr("CAST((11 * revq) DIV 10 AS BIGINT)").alias("base_c"),
+        F.row_number().over(w).alias("rrank"),
+    )
+    leftover = (
+        alloc.groupBy("nk")
+        .agg(F.sum("base_c").alias("sum_base"))
+        .join(nat, "nk")
+        .select("nk", "target_c", (F.col("target_c") - F.col("sum_base")).alias("extra"))
+    )
+    final = alloc.join(F.broadcast(leftover), "nk").select(
+        "nk",
+        "target_c",
+        "extra",
+        (
+            F.col("base_c")
+            + F.when(F.col("rrank") <= F.col("extra"), 1).otherwise(0)
+        ).alias("alloc_c"),
+    )
+    return (
+        final.groupBy(F.col("nk").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.min("target_c").alias("target_cents"),
+            F.sum("alloc_c").alias("allocated_cents"),
+            F.min("extra").alias("n_bumped"),
+        )
+        .orderBy("nationkey")
+    )
