@@ -1895,3 +1895,46 @@ def q294(spark, sf_dir):
             F.when(slope < 0, F.expr(f"LN(2.0) / (-({_Q294_SLOPE}))")), 4
         ).alias("half_life_weeks"),
     ).orderBy("cohort_week")
+
+
+# --- q299: incremental materialized-aggregate maintenance IN-GATE —
+# the events backlog replays as real micro-batches through the
+# foreachBatch sum-of-partials sink (streaming/windows.py:
+# incremental_aggregate_sink, O(keys) sink state, no complete-mode
+# re-emit), and the final maintained rollup must hash-match DuckDB's
+# one-shot batch aggregate. Sums fold as quantized BIGINTs, so the
+# merge across micro-batches is exact regardless of batch boundaries. -------
+@query(
+    "q299_streaming_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(SIGN(value) * FLOOR(ABS(value) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_vq
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q299(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.streaming.windows import incremental_aggregate_sink
+
+    _static, sdf = _events_static_and_stream(spark, sf_dir)
+    enriched = sdf.select("event_type", quantize("value", 4).alias("vq"))
+    q = incremental_aggregate_sink(
+        enriched,
+        keys=["event_type"],
+        count_col="n",
+        sum_cols=["vq"],
+        table="q299_inc_agg",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q299 streaming query did not finish in 300s")
+    return (
+        spark.table("global_temp.q299_inc_agg")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_vq").cast("long").alias("sum_vq"),
+        )
+        .orderBy("event_type")
+    )

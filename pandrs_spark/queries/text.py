@@ -2169,3 +2169,61 @@ def q289(spark, sf_dir):
         F.round(F.expr("sx / n"), 6).alias("mean_x"),
         F.round(F.expr(_Q289_STD), 6).alias("std_x"),
     ).orderBy("dim")
+
+
+# --- q300: cross-source mirror detection — shared document OPENINGS
+# (40-char prefix fingerprint; boilerplate/syndication detector — this
+# corpus has no full-text cross-source dups, which exact md5 q29/q275
+# already measure) appearing under DIFFERENT sources. Fingerprint
+# clusters with >1 distinct source expand into source PAIRS by a
+# fingerprint-key self-join (bounded by duplicate clusters, never
+# all-pairs of documents); output is the co-duplication matrix. -------------
+@query(
+    "q300_cross_source_mirrors",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(substr(text, 1, 40)) AS f, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.f, a.source AS source_a, b.source AS source_b,
+               a.n_docs AS docs_a, b.n_docs AS docs_b
+        FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints,
+           CAST(SUM(docs_a + docs_b) AS BIGINT) AS docs_involved
+    FROM pairs
+    GROUP BY source_a, source_b
+    ORDER BY shared_fingerprints DESC, source_a, source_b
+    LIMIT 10
+    """,
+)
+def q300(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    fp = docs.groupBy(
+        F.md5(F.substring("text", 1, 40)).alias("f"), "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    a = fp.select(
+        "f", F.col("source").alias("source_a"), F.col("n_docs").alias("docs_a")
+    )
+    b = fp.select(
+        F.col("f").alias("fb"),
+        F.col("source").alias("source_b"),
+        F.col("n_docs").alias("docs_b"),
+    )
+    pairs = a.join(
+        b, (a.f == b.fb) & (F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_fingerprints"),
+            F.sum(F.col("docs_a") + F.col("docs_b")).alias("docs_involved"),
+        )
+        .orderBy(F.desc("shared_fingerprints"), "source_a", "source_b")
+        .limit(10)
+    )
