@@ -1938,3 +1938,100 @@ def q299(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- q301: growth accounting — every active (user, week) labeled
+# new / retained / resurrected, plus churn events for users active the
+# prior week but absent this one. The canonical weekly growth ledger:
+# one distinct-activity rollup, one first-touch aggregate, and
+# calendar-safe self-joins on (user, week-7d) — no positional lags, so
+# gap weeks can't mislabel. Counts per week pivot from labeled rows. --------
+@query(
+    "q301_growth_accounting",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ),
+    first_w AS (
+        SELECT user_id, MIN(w) AS fw FROM act GROUP BY user_id
+    ),
+    labeled AS (
+        SELECT a.w,
+               CASE WHEN a.w = f.fw THEN 'new'
+                    WHEN p.user_id IS NOT NULL THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM act a
+        JOIN first_w f ON a.user_id = f.user_id
+        LEFT JOIN act p ON p.user_id = a.user_id
+                       AND p.w = a.w - INTERVAL 7 DAY
+    ),
+    churn AS (
+        SELECT p.w + INTERVAL 7 DAY AS w, 'churned' AS status
+        FROM act p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM act c
+            WHERE c.user_id = p.user_id AND c.w = p.w + INTERVAL 7 DAY
+        )
+          AND p.w + INTERVAL 7 DAY <= (SELECT MAX(w) FROM act)
+    ),
+    all_rows AS (
+        SELECT w, status FROM labeled UNION ALL SELECT w, status FROM churn
+    )
+    SELECT w AS week,
+           CAST(COUNT(CASE WHEN status = 'new' THEN 1 END) AS BIGINT) AS n_new,
+           CAST(COUNT(CASE WHEN status = 'retained' THEN 1 END) AS BIGINT) AS n_retained,
+           CAST(COUNT(CASE WHEN status = 'resurrected' THEN 1 END) AS BIGINT) AS n_resurrected,
+           CAST(COUNT(CASE WHEN status = 'churned' THEN 1 END) AS BIGINT) AS n_churned
+    FROM all_rows GROUP BY w ORDER BY w
+    """,
+)
+def q301(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    first_w = act.groupBy("user_id").agg(F.min("w").alias("fw"))
+    prev = act.select(
+        F.col("user_id").alias("pu"), F.col("w").alias("pw")
+    )
+    labeled = (
+        act.join(first_w, "user_id")
+        .join(
+            prev,
+            (act.user_id == prev.pu)
+            & (prev.pw == act.w - F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .select(
+            "w",
+            F.when(F.col("w") == F.col("fw"), "new")
+            .when(F.col("pu").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    max_w = act.agg(F.max("w").alias("mw"))
+    nxt = act.select(
+        F.col("user_id").alias("nu"), F.col("w").alias("nw")
+    )
+    churn = (
+        act.join(
+            nxt,
+            (act.user_id == nxt.nu)
+            & (nxt.nw == act.w + F.expr("INTERVAL 7 DAYS")),
+            "left_anti",
+        )
+        .join(F.broadcast(max_w))
+        .filter(act.w + F.expr("INTERVAL 7 DAYS") <= F.col("mw"))
+        .select(
+            (F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("w"),
+            F.lit("churned").alias("status"),
+        )
+    )
+    all_rows = labeled.unionByName(churn)
+    cnt = lambda s: F.count(F.when(F.col("status") == s, 1)).alias(f"n_{s}")  # noqa: E731
+    return (
+        all_rows.groupBy(F.col("w").alias("week"))
+        .agg(cnt("new"), cnt("retained"), cnt("resurrected"), cnt("churned"))
+        .orderBy("week")
+    )
