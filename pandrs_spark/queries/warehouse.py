@@ -1691,3 +1691,57 @@ def q298(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+# --- q302: sequence-completeness audit — are each order's line
+# numbers exactly 1..n with no gaps or duplicates? For consecutive-
+# from-1 sequences the full check folds into one aggregate per order:
+# count = max AND min = 1 AND count = distinct-count. The integrity
+# audit q164 (foreign keys) doesn't cover; a broken writer or lost
+# partition shows up here first. One groupBy + one tiny rollup. -------------
+@query(
+    "q302_linenumber_gap_audit",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n,
+               COUNT(DISTINCT l_linenumber) AS nd,
+               MIN(l_linenumber) AS mn,
+               MAX(l_linenumber) AS mx
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    flagged AS (
+        SELECT CASE WHEN mn = 1 AND mx = n AND nd = n THEN 'complete'
+                    ELSE 'broken' END AS status,
+               n
+        FROM per_order
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n) AS BIGINT) AS n_lines
+    FROM flagged GROUP BY status ORDER BY status
+    """,
+)
+def q302(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_linenumber").alias("nd"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+    )
+    complete = (
+        (F.col("mn") == 1) & (F.col("mx") == F.col("n")) & (F.col("nd") == F.col("n"))
+    )
+    return (
+        per_order.select(
+            F.when(complete, "complete").otherwise("broken").alias("status"),
+            "n",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n").alias("n_lines"),
+        )
+        .orderBy("status")
+    )
