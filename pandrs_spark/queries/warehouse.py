@@ -1745,3 +1745,123 @@ def q302(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+# --- q303: market concentration (HHI) — Herfindahl index of supplier
+# revenue shares within each region: Σ share², share from exact
+# quantized revenue sums. Rollup to (region, supplier) first (one
+# fact-table shuffle); the share arithmetic runs on supplier-
+# cardinality rows. HHI > 0.25 flags concentrated markets. --------------------
+@query(
+    "q303_supplier_hhi_by_region",
+    oracle=f"""
+    WITH sr AS (
+        SELECT r.r_name AS region, l.l_suppkey,
+               SUM({sql_quantize("l.l_extendedprice * (1 - l.l_discount)", 2)}) AS revq
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT region, SUM(revq) AS totq FROM sr GROUP BY region)
+    SELECT sr.region,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POWER(CAST(sr.revq AS DOUBLE) / CAST(t.totq AS DOUBLE), 2)), 6) AS hhi
+    FROM sr JOIN tot t ON sr.region = t.region
+    GROUP BY sr.region ORDER BY sr.region
+    """,
+)
+def q303(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    sdim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("region"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sr = (
+        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy("region", "l_suppkey")
+        .agg(F.sum(quantize(rev, 2)).alias("revq"))
+    )
+    tot = sr.groupBy(F.col("region").alias("tr")).agg(
+        F.sum("revq").alias("totq")
+    )
+    return (
+        sr.join(F.broadcast(tot), sr.region == tot.tr)
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.col("revq").cast("double")
+                        / F.col("totq").cast("double"),
+                        2,
+                    )
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("region")
+    )
+
+
+# --- q304: discount elasticity proxy — Pearson correlation of
+# discount and quantity per brand from exact quantized sufficient
+# statistics (the grouped application of the shared CORR formula that
+# q58 computes globally). One fact shuffle to (brand) rollups; a
+# positive corr says deeper discounts move bigger quantities. ---------------
+_Q304_CORR = (
+    "CASE WHEN n > 1 THEN "
+    "(n * sxy - sx * sy) / "
+    "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) "
+    "ELSE NULL END"
+)
+
+
+@query(
+    "q304_discount_qty_corr_by_brand",
+    oracle=f"""
+    WITH st AS (
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM({sql_quantize("l.l_discount", 4)}) AS DOUBLE) / 10000.0) AS sx,
+               (CAST(SUM({sql_quantize("l.l_quantity", 2)}) AS DOUBLE) / 100.0) AS sy,
+               (CAST(SUM({sql_quantize("l.l_discount * l.l_discount", 6)}) AS DOUBLE) / 1000000.0) AS sxx,
+               (CAST(SUM({sql_quantize("l.l_quantity * l.l_quantity", 2)}) AS DOUBLE) / 100.0) AS syy,
+               (CAST(SUM({sql_quantize("l.l_discount * l.l_quantity", 4)}) AS DOUBLE) / 10000.0) AS sxy
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, ROUND({_Q304_CORR}, 6) AS corr_discount_qty
+    FROM st ORDER BY p_brand
+    """,
+)
+def q304(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d, q = F.col("l_discount"), F.col("l_quantity")
+    st = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(quantize(d, 4)) / 1e4).alias("sx"),
+            (F.sum(quantize(q, 2)) / 1e2).alias("sy"),
+            (F.sum(quantize(d * d, 6)) / 1e6).alias("sxx"),
+            (F.sum(quantize(q * q, 2)) / 1e2).alias("syy"),
+            (F.sum(quantize(d * q, 4)) / 1e4).alias("sxy"),
+        )
+    )
+    return st.select(
+        "p_brand", "n", F.round(F.expr(_Q304_CORR), 6).alias("corr_discount_qty")
+    ).orderBy("p_brand")
