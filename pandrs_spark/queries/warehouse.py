@@ -1865,3 +1865,54 @@ def q304(spark, sf_dir):
     return st.select(
         "p_brand", "n", F.round(F.expr(_Q304_CORR), 6).alias("corr_discount_qty")
     ).orderBy("p_brand")
+
+
+# --- q305: weekday seasonality with a chi-square uniformity test —
+# order counts per ISO weekday plus the chi-square statistic against
+# the uniform null (q59's machinery applied to temporal seasonality).
+# Counts are exact; the statistic folds on the 7-row rollup. The
+# square-and-sum runs in the outer query so both engines evaluate the
+# identical expression tree. ------------------------------------------------
+@query(
+    "q305_weekday_uniformity_chi2",
+    oracle="""
+    WITH dow AS (
+        SELECT isodow(o_orderdate) AS weekday,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k FROM dow)
+    SELECT d.weekday, d.n,
+           ROUND(POWER(d.n - CAST(t.total AS DOUBLE) / t.k, 2)
+                 / (CAST(t.total AS DOUBLE) / t.k), 6) AS chi2_term
+    FROM dow d CROSS JOIN tot t
+    ORDER BY d.weekday
+    """,
+)
+def q305(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    dow = orders.groupBy(
+        F.dayofweek("o_orderdate").alias("dw_sun1")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Spark dayofweek is 1=Sunday; convert to ISO 1=Monday..7=Sunday
+    dow = dow.select(
+        (((F.col("dw_sun1") + 5) % 7) + 1).alias("weekday"), "n"
+    )
+    tot = dow.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        dow.join(F.broadcast(tot))
+        .select(
+            "weekday",
+            "n",
+            F.round(
+                F.pow(
+                    F.col("n") - F.col("total").cast("double") / F.col("k"), 2
+                )
+                / (F.col("total").cast("double") / F.col("k")),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("weekday")
+    )
