@@ -1916,3 +1916,76 @@ def q305(spark, sf_dir):
         )
         .orderBy("weekday")
     )
+
+
+# --- q306: order-cadence regularity — coefficient of variation of
+# each customer's inter-order gaps (days), the subscription-likeness
+# signal: CV << 1 means metronome-like ordering. Gaps via one lag
+# window per customer; CV from exact quantized sufficient stats;
+# output is the cadence-class rollup so the result stays bounded at
+# any customer count. ---------------------------------------------------------
+_Q306_CV = "SQRT((sxx - sx * sx / n) / (n - 1)) / (sx / n)"
+
+
+@query(
+    "q306_order_cadence_regularity",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
+                    AS BIGINT) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    st AS (
+        SELECT o_custkey,
+               CAST(COUNT(gap_days) AS BIGINT) AS n,
+               CAST(SUM(gap_days) AS DOUBLE) AS sx,
+               CAST(SUM(gap_days * gap_days) AS DOUBLE) AS sxx
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey HAVING COUNT(gap_days) >= 3 AND SUM(gap_days) > 0
+    ),
+    classed AS (
+        SELECT CASE WHEN {_Q306_CV} < 0.5 THEN 'regular'
+                    WHEN {_Q306_CV} < 1.0 THEN 'mixed'
+                    ELSE 'bursty' END AS cadence
+        FROM st
+    )
+    SELECT cadence, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM classed GROUP BY cadence ORDER BY cadence
+    """,
+)
+def q306(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        )
+        .cast("long")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    st = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n"),
+            F.sum("gap_days").cast("double").alias("sx"),
+            F.sum(F.col("gap_days") * F.col("gap_days"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .filter((F.col("n") >= 3) & (F.col("sx") > 0))
+    )
+    cv = F.expr(_Q306_CV)
+    return (
+        st.select(
+            F.when(cv < 0.5, "regular")
+            .when(cv < 1.0, "mixed")
+            .otherwise("bursty")
+            .alias("cadence")
+        )
+        .groupBy("cadence")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("cadence")
+    )
