@@ -1989,3 +1989,150 @@ def q306(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("cadence")
     )
+
+
+# --- q307: revenue bridge (price-volume decomposition) — YoY revenue
+# change per nation split into volume effect (Δqty x prior avg price)
+# and price effect (current qty x Δavg price); the two effects sum to
+# the total change EXACTLY because both derive from the same quantized
+# sums (volume + price = q1*p1 - q0*p0 identically). The FP&A
+# waterfall, computed on nation-year rollups. --------------------------------
+@query(
+    "q307_revenue_bridge_yoy",
+    oracle=f"""
+    WITH base AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS y,
+               CAST(SUM({sql_quantize("l.l_quantity")}) AS BIGINT) AS qq,
+               CAST(SUM({sql_quantize("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revq
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT a.nation,
+               CAST(a.qq AS DOUBLE) / 100.0 AS q1,
+               CAST(a.revq AS DOUBLE) / 100.0 AS r1,
+               CAST(b.qq AS DOUBLE) / 100.0 AS q0,
+               CAST(b.revq AS DOUBLE) / 100.0 AS r0
+        FROM base a JOIN base b
+          ON a.nation = b.nation AND a.y = 1997 AND b.y = 1996
+    )
+    SELECT nation,
+           ROUND(r1 - r0, 2) AS total_change,
+           ROUND((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+           ROUND(q1 * (r1 / q1 - r0 / q0), 2) AS price_effect
+    FROM wide ORDER BY nation
+    """,
+)
+def q307(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    dims = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("nation", F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum(quantize("l_quantity")).alias("qq"),
+            F.sum(quantize(rev)).alias("revq"),
+        )
+    )
+    a = base.filter(F.col("y") == 1997).select(
+        "nation",
+        (F.col("qq").cast("double") / 100.0).alias("q1"),
+        (F.col("revq").cast("double") / 100.0).alias("r1"),
+    )
+    b = base.filter(F.col("y") == 1996).select(
+        F.col("nation").alias("nb"),
+        (F.col("qq").cast("double") / 100.0).alias("q0"),
+        (F.col("revq").cast("double") / 100.0).alias("r0"),
+    )
+    return (
+        a.join(b, a.nation == b.nb)
+        .select(
+            "nation",
+            F.round(F.col("r1") - F.col("r0"), 2).alias("total_change"),
+            F.round(
+                (F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0")), 2
+            ).alias("volume_effect"),
+            F.round(
+                F.col("q1")
+                * (F.col("r1") / F.col("q1") - F.col("r0") / F.col("q0")),
+                2,
+            ).alias("price_effect"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- q308: keyset pagination — page 3 (rows 41-60) of the order book
+# sorted by (totalprice DESC, orderkey), fetched with a WHERE-clause
+# keyset instead of OFFSET: the previous page's last key bounds the
+# scan, so page N costs the same as page 1 (OFFSET re-sorts and skips
+# N*page rows — quadratic over a paging session; at 100 TB the keyset
+# is the only viable cursor). The page-2 boundary key is itself
+# computed with a deterministic top-k, keeping the whole query
+# self-contained and oracle-checkable. ---------------------------------------
+@query(
+    "q308_keyset_pagination",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pq
+        FROM orders
+    ),
+    boundary AS (
+        SELECT pq, o_orderkey FROM ranked
+        ORDER BY pq DESC, o_orderkey ASC LIMIT 40
+    ),
+    last_key AS (
+        SELECT pq, o_orderkey FROM boundary
+        ORDER BY pq ASC, o_orderkey DESC LIMIT 1
+    )
+    SELECT r.o_orderkey, ROUND(r.o_totalprice, 2) AS o_totalprice
+    FROM ranked r CROSS JOIN last_key k
+    WHERE r.pq < k.pq OR (r.pq = k.pq AND r.o_orderkey > k.o_orderkey)
+    ORDER BY r.pq DESC, r.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q308(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    ranked = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("pq"),
+    )
+    boundary = ranked.orderBy(F.desc("pq"), F.asc("o_orderkey")).limit(40)
+    last_key = (
+        boundary.orderBy(F.asc("pq"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(F.col("pq").alias("kpq"), F.col("o_orderkey").alias("kok"))
+    )
+    page = (
+        ranked.join(F.broadcast(last_key))
+        .filter(
+            (F.col("pq") < F.col("kpq"))
+            | ((F.col("pq") == F.col("kpq")) & (F.col("o_orderkey") > F.col("kok")))
+        )
+        .orderBy(F.desc("pq"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+    return page.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
