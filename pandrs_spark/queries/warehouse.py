@@ -1417,7 +1417,7 @@ def q290(spark, sf_dir):
     )
     SELECT a.nation,
            ROUND(a.rev, 2) AS rev_1997, a.rnk AS rank_1997,
-           ROUND(b.rev, 2) AS rev_1996, b.rnk AS rank_1996,
+           ROUND(b.rev, 2) AS rev_to_2000, b.rnk AS rank_1996,
            CAST(b.rnk - a.rnk AS INTEGER) AS rank_gain
     FROM ranked a JOIN ranked b
       ON a.nation = b.nation AND a.y = 1997 AND b.y = 1996
@@ -1461,7 +1461,7 @@ def q292(spark, sf_dir):
             "nation",
             F.round("rev_a", 2).alias("rev_1997"),
             "rank_1997",
-            F.round("rev_b", 2).alias("rev_1996"),
+            F.round("rev_b", 2).alias("rev_to_2000"),
             "rank_1996",
             (F.col("rank_1996") - F.col("rank_1997"))
             .cast("int")
@@ -2135,4 +2135,114 @@ def q308(spark, sf_dir):
     )
     return page.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+# --- q309: new-vs-repeat revenue split — each month's revenue divided
+# between first-time and returning customers (the acquisition-vs-
+# retention lens every commerce dashboard leads with). First-order
+# month per customer is one aggregate; the split is a conditional sum
+# on the fact rollup — no windows on the fact table. ------------------------
+@query(
+    "q309_new_vs_repeat_revenue",
+    oracle=f"""
+    WITH first_order AS (
+        SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS fm
+        FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+        SELECT date_trunc('month', o.o_orderdate) AS m,
+               CASE WHEN date_trunc('month', o.o_orderdate) = f.fm
+                    THEN 'new' ELSE 'repeat' END AS segment,
+               o.o_totalprice
+        FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    )
+    SELECT m AS month, segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice")} AS revenue
+    FROM tagged
+    WHERE m < TIMESTAMP '1996-01-01'
+    GROUP BY m, segment ORDER BY m, segment
+    """,
+)
+def q309(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("fm")
+    )
+    tagged = orders.join(first_order, "o_custkey").select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.when(
+            F.date_trunc("month", "o_orderdate") == F.col("fm"), "new"
+        )
+        .otherwise("repeat")
+        .alias("segment"),
+        "o_totalprice",
+    )
+    return (
+        tagged.filter(F.col("m") < "1996-01-01")
+        .groupBy(F.col("m").alias("month"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("month", "segment")
+    )
+
+
+# --- q310: dead-stock report — parts with sales history but nothing
+# shipped in 2001 (discontinued/dead inventory): time-windowed
+# anti join on the part key, with the trailing revenue that is now
+# stranded. Both sides are part-key rollups of one fact scan each. -----------
+@query(
+    "q310_dead_stock_parts",
+    oracle=f"""
+    WITH sold_96 AS (
+        SELECT l_partkey,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", 2)} AS rev_to_2000,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '2001-01-01'
+        GROUP BY l_partkey
+    ),
+    sold_later AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    )
+    SELECT s.l_partkey, p.p_name, ROUND(s.rev_to_2000, 2) AS rev_to_2000, s.n_lines
+    FROM sold_96 s
+    JOIN part p ON s.l_partkey = p.p_partkey
+    WHERE s.l_partkey NOT IN (SELECT l_partkey FROM sold_later)
+    ORDER BY s.rev_to_2000 DESC, s.l_partkey
+    LIMIT 25
+    """,
+)
+def q310(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sold_96 = (
+        li.filter(F.col("l_shipdate") < "2001-01-01")
+        .groupBy("l_partkey")
+        .agg(
+            dsum(rev, 2).alias("rev_to_2000"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    sold_later = (
+        li.filter(F.col("l_shipdate") >= "2001-01-01")
+        .select(F.col("l_partkey").alias("lk"))
+        .distinct()
+    )
+    return (
+        sold_96.join(sold_later, sold_96.l_partkey == sold_later.lk, "left_anti")
+        .join(F.broadcast(part), sold_96.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey",
+            "p_name",
+            F.round("rev_to_2000", 2).alias("rev_to_2000"),
+            "n_lines",
+        )
+        .orderBy(F.desc("rev_to_2000"), "l_partkey")
+        .limit(25)
     )
