@@ -2227,3 +2227,122 @@ def q300(spark, sf_dir):
         .orderBy(F.desc("shared_fingerprints"), "source_a", "source_b")
         .limit(10)
     )
+
+
+# --- q311: embedding class-separation report — per label: cohesion
+# (mean cosine of members to their own centroid) vs the nearest OTHER
+# centroid (max inter-class centroid cosine) — the silhouette-style
+# health check for labeled embedding spaces. Centroids are exact
+# quantized per-dim means reassembled into arrays (q251's pattern);
+# the centroid-pair matrix is label² (tiny); per-vector cosines
+# quantize at 1e-9 before the mean so the report is engine-exact. -----------
+@query(
+    "q311_label_separation_report",
+    oracle="""
+    WITH dims AS (
+        SELECT label, s.d AS dim, s.x
+        FROM (
+            SELECT label,
+                   unnest(list_transform(generate_series(1, len(emb)),
+                          i -> struct_pack(d := i - 1, x := emb[i]))) AS s
+            FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings)
+        )
+    ),
+    cent AS (
+        SELECT label, dim,
+               (CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000000.0) / COUNT(*) AS c
+        FROM dims GROUP BY label, dim
+    ),
+    carr AS (
+        SELECT label, LIST(c ORDER BY dim) AS cv FROM cent GROUP BY label
+    ),
+    intra AS (
+        SELECT e.label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(SIGN(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.cv))
+                        * FLOOR(ABS(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.cv)) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 1000000000.0 / COUNT(*), 6) AS intra_cos
+        FROM embeddings e JOIN carr a ON e.label = a.label
+        GROUP BY e.label
+    ),
+    inter AS (
+        SELECT a.label, b.label AS other_label,
+               ROUND(list_cosine_similarity(a.cv, b.cv), 6) AS cos_ab,
+               ROW_NUMBER() OVER (PARTITION BY a.label
+                   ORDER BY ROUND(list_cosine_similarity(a.cv, b.cv), 6) DESC,
+                            b.label) AS rn
+        FROM carr a JOIN carr b ON a.label <> b.label
+    )
+    SELECT i.label, i.n, i.intra_cos,
+           x.other_label AS nearest_other, x.cos_ab AS nearest_other_cos,
+           ROUND(i.intra_cos - x.cos_ab, 6) AS separation_margin
+    FROM intra i JOIN inter x ON i.label = x.label AND x.rn = 1
+    ORDER BY i.label
+    """,
+)
+def q311(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.similarity import _as_double, cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        ((F.sum(quantize("x", 9)) / 1e9) / F.count(F.lit(1))).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    own = carr.select(F.col("label").alias("cl"), "cv")
+    cos_own = cosine(_as_double(F.col("embedding")), F.col("cv"))
+    intra = (
+        emb.join(F.broadcast(own), emb.label == own.cl)
+        .select("label", quantize(cos_own, 9).alias("cq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("cq") / 1e9 / F.count(F.lit(1)), 6).alias(
+                "intra_cos"
+            ),
+        )
+    )
+    a = carr.select(F.col("label").alias("la"), F.col("cv").alias("va"))
+    b = carr.select(F.col("label").alias("lb"), F.col("cv").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("la") != F.col("lb")).select(
+        "la",
+        "lb",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_ab"),
+    )
+    w = Window.partitionBy("la").orderBy(F.desc("cos_ab"), "lb")
+    nearest = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("la"),
+            F.col("lb").alias("nearest_other"),
+            F.col("cos_ab").alias("nearest_other_cos"),
+        )
+    )
+    return (
+        intra.join(F.broadcast(nearest), intra.label == nearest.la)
+        .select(
+            "label",
+            "n",
+            "intra_cos",
+            "nearest_other",
+            "nearest_other_cos",
+            F.round(
+                F.col("intra_cos") - F.col("nearest_other_cos"), 6
+            ).alias("separation_margin"),
+        )
+        .orderBy("label")
+    )
