@@ -2246,3 +2246,79 @@ def q310(spark, sf_dir):
         .orderBy(F.desc("rev_to_2000"), "l_partkey")
         .limit(25)
     )
+
+
+# --- q312: Zipf fit of part popularity — is demand power-law
+# distributed? Rank parts by order-line count (distributed
+# partition-offset rank, no single-task window), fit
+# ln(count) ~ ln(rank) by closed-form OLS; slope near -1 is classic
+# Zipf. The same shape checks token frequencies in corpus work. Log
+# terms quantize at 1e-9 before the exact sums. ------------------------------
+_Q312_SLOPE = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+
+
+@query(
+    "q312_part_popularity_zipf",
+    oracle=f"""
+    WITH pop AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS BIGINT) AS rnk
+        FROM pop
+    ),
+    terms AS (
+        SELECT CAST(SIGN(LN(rnk)) * FLOOR(ABS(LN(rnk)) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+               CAST(SIGN(LN(cnt)) * FLOOR(ABS(LN(cnt)) * 1000000.0 + 0.5) AS BIGINT) AS yq
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(xq) AS DOUBLE) / 1000000.0) AS sx,
+               (CAST(SUM(yq) AS DOUBLE) / 1000000.0) AS sy,
+               (CAST(CAST(SUM(xq * xq) AS BIGINT) AS DOUBLE) / 1000000000000.0) AS sxx,
+               (CAST(CAST(SUM(xq * yq) AS BIGINT) AS DOUBLE) / 1000000000000.0) AS sxy
+        FROM terms
+    )
+    SELECT n AS n_parts,
+           ROUND({_Q312_SLOPE}, 6) AS zipf_slope,
+           ROUND((sy - {_Q312_SLOPE} * sx) / n, 6) AS intercept
+    FROM sums
+    """,
+)
+def q312(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    pop = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = global_prefix_sum(
+        pop, [F.desc("cnt"), F.asc("l_partkey")], F.lit(1.0), "rnk", scale=0
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+    # logs quantize at 1e6 so the cross-products stay inside int64 and
+    # every sum is an exact integer fold (order-independent)
+    qln = lambda c: F.expr(  # noqa: E731
+        f"CAST(SIGN(LN({c})) * FLOOR(ABS(LN({c})) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    terms = ranked.select(qln("rnk").alias("xq"), qln("cnt").alias("yq"))
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("xq").cast("double") / 1e6).alias("sx"),
+        (F.sum("yq").cast("double") / 1e6).alias("sy"),
+        (F.sum(F.col("xq") * F.col("xq")).cast("double") / 1e12).alias("sxx"),
+        (F.sum(F.col("xq") * F.col("yq")).cast("double") / 1e12).alias("sxy"),
+    )
+    slope = F.expr(_Q312_SLOPE)
+    return sums.select(
+        F.col("n").alias("n_parts"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
