@@ -2322,3 +2322,47 @@ def q312(spark, sf_dir):
             "intercept"
         ),
     )
+
+
+# --- q313: round-number bias audit — share of order totals landing on
+# whole dollars / whole hundreds, per order status (the fraud/manual-
+# entry heuristic that complements the Benford digit audit, q166).
+# Pure integer predicates on quantized cents; one aggregate pass. ------------
+@query(
+    "q313_round_number_bias",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pq
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN pq % 100 = 0 THEN 1 END) AS BIGINT)
+               AS n_whole_dollar,
+           CAST(COUNT(CASE WHEN pq % 10000 = 0 THEN 1 END) AS BIGINT)
+               AS n_whole_hundred,
+           ROUND(COUNT(CASE WHEN pq % 100 = 0 THEN 1 END) * 1.0 / COUNT(*), 6)
+               AS whole_dollar_share
+    FROM q GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q313(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    pq = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    q = orders.select("o_orderstatus", pq.alias("pq"))
+    return (
+        q.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("pq") % 100 == 0, 1)).alias("n_whole_dollar"),
+            F.count(F.when(F.col("pq") % 10000 == 0, 1)).alias(
+                "n_whole_hundred"
+            ),
+            F.round(
+                F.count(F.when(F.col("pq") % 100 == 0, 1)) / F.count(F.lit(1)),
+                6,
+            ).alias("whole_dollar_share"),
+        )
+        .orderBy("o_orderstatus")
+    )
