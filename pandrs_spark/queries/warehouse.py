@@ -2366,3 +2366,110 @@ def q313(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- q314: supplier OTIF scorecard — share of a supplier's lines
+# shipped within 30 days of the order date ("on time"); bottom 10
+# suppliers by on-time share (minimum volume floor so tiny suppliers
+# don't dominate the tail). One fact-fact join + one conditional
+# aggregate per supplier. -----------------------------------------------------
+@query(
+    "q314_supplier_otif_laggards",
+    oracle="""
+    WITH lines AS (
+        SELECT l.l_suppkey,
+               CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END AS on_time
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_supp AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(on_time) AS BIGINT) AS n_on_time
+        FROM lines GROUP BY l_suppkey HAVING COUNT(*) >= 20
+    )
+    SELECT p.l_suppkey, s.s_name, p.n_lines, p.n_on_time,
+           ROUND(p.n_on_time * 1.0 / p.n_lines, 6) AS on_time_share
+    FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    ORDER BY on_time_share ASC, p.l_suppkey
+    LIMIT 10
+    """,
+)
+def q314(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    on_time = F.when(
+        F.col("l_shipdate")
+        <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        1,
+    ).otherwise(0)
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_suppkey", on_time.alias("on_time"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("on_time").alias("n_on_time"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
+    return (
+        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select(
+            "l_suppkey",
+            "s_name",
+            "n_lines",
+            F.col("n_on_time").cast("long").alias("n_on_time"),
+            F.round(F.col("n_on_time") / F.col("n_lines"), 6).alias(
+                "on_time_share"
+            ),
+        )
+        .orderBy(F.asc("on_time_share"), "l_suppkey")
+        .limit(10)
+    )
+
+
+# --- q315: discount-policy compliance — lines discounted beyond 8%
+# on non-PROMO parts are policy violations; per part type: violation
+# count, violation rate, and the revenue given away beyond the 8% cap
+# (exact quantized). The contract-leakage audit. ------------------------------
+@query(
+    "q315_discount_policy_violations",
+    oracle=f"""
+    SELECT p.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN l.l_discount > 0.08 THEN 1 END) AS BIGINT)
+               AS n_violations,
+           ROUND(COUNT(CASE WHEN l.l_discount > 0.08 THEN 1 END) * 1.0
+                 / COUNT(*), 6) AS violation_rate,
+           {sql_dsum("CASE WHEN l.l_discount > 0.08 THEN l.l_extendedprice * (l.l_discount - 0.08) ELSE 0 END", 4)}
+               AS excess_discount_value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO'
+    GROUP BY p.p_type ORDER BY p.p_type
+    """,
+)
+def q315(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    viol = F.col("l_discount") > 0.08
+    excess = F.when(
+        viol, F.col("l_extendedprice") * (F.col("l_discount") - 0.08)
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_type") != "PROMO")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(viol, 1)).alias("n_violations"),
+            F.round(F.count(F.when(viol, 1)) / F.count(F.lit(1)), 6).alias(
+                "violation_rate"
+            ),
+            dsum(excess, 4).alias("excess_discount_value"),
+        )
+        .orderBy("p_type")
+    )
