@@ -2035,3 +2035,34 @@ def q301(spark, sf_dir):
         .agg(cnt("new"), cnt("retained"), cnt("resurrected"), cnt("churned"))
         .orderBy("week")
     )
+
+
+# --- q316: burst detection — the most intense user-minutes (events
+# per user per tumbling minute): the rate-limit/bot heuristic. One
+# two-key rollup then a deterministic top-k; at 100 TB the rollup
+# pre-aggregates map-side and the top-k is a TakeOrdered, no global
+# sort. -----------------------------------------------------------------------
+@query(
+    "q316_user_minute_bursts",
+    oracle="""
+    WITH per_min AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, minute_start, n_events
+    FROM per_min
+    ORDER BY n_events DESC, user_id, minute_start
+    LIMIT 15
+    """,
+)
+def q316(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("minute", "ts").alias("minute_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id", "minute_start")
+        .limit(15)
+    )

@@ -2473,3 +2473,63 @@ def q315(spark, sf_dir):
         )
         .orderBy("p_type")
     )
+
+
+# --- q317: price-dispersion audit — parts sold at wildly different
+# unit prices (max/min quantized unit-price ratio): the pricing-
+# consistency check. Unit prices quantize to BIGINT cents-per-unit so
+# min/max/ratio are engine-exact; top 15 dispersed parts. --------------------
+@query(
+    "q317_unit_price_dispersion",
+    oracle="""
+    WITH up AS (
+        SELECT l_partkey,
+               CAST(FLOOR((l_extendedprice / l_quantity) * 100.0 + 0.5) AS BIGINT) AS upq
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    agg AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_sales,
+               MIN(upq) AS min_q, MAX(upq) AS max_q
+        FROM up GROUP BY l_partkey HAVING COUNT(*) >= 5
+    )
+    SELECT a.l_partkey, p.p_name, a.n_sales,
+           ROUND(a.min_q / 100.0, 2) AS min_unit_price,
+           ROUND(a.max_q / 100.0, 2) AS max_unit_price,
+           ROUND(CAST(a.max_q AS DOUBLE) / a.min_q, 6) AS dispersion_ratio
+    FROM agg a JOIN part p ON a.l_partkey = p.p_partkey
+    ORDER BY dispersion_ratio DESC, a.l_partkey
+    LIMIT 15
+    """,
+)
+def q317(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    upq = F.floor(
+        (F.col("l_extendedprice") / F.col("l_quantity")) * 100.0 + 0.5
+    ).cast("bigint")
+    agg = (
+        li.select("l_partkey", upq.alias("upq"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.min("upq").alias("min_q"),
+            F.max("upq").alias("max_q"),
+        )
+        .filter(F.col("n_sales") >= 5)
+    )
+    return (
+        agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey",
+            "p_name",
+            "n_sales",
+            F.round(F.col("min_q") / 100.0, 2).alias("min_unit_price"),
+            F.round(F.col("max_q") / 100.0, 2).alias("max_unit_price"),
+            F.round(
+                F.col("max_q").cast("double") / F.col("min_q"), 6
+            ).alias("dispersion_ratio"),
+        )
+        .orderBy(F.desc("dispersion_ratio"), "l_partkey")
+        .limit(15)
+    )
