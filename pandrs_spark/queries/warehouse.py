@@ -2533,3 +2533,93 @@ def q317(spark, sf_dir):
         .orderBy(F.desc("dispersion_ratio"), "l_partkey")
         .limit(15)
     )
+
+
+# --- q318: multi-metric anomaly scoring — each nation-month's
+# (revenue, order count) z-scored against that nation's OWN monthly
+# history; composite score = max(|z_rev|, |z_orders|); the months a
+# metrics-observability stack would page on (top 10). Sufficient
+# stats per nation from exact quantized sums; the z arithmetic runs
+# on nation-month rollups. Shared formula text on both engines. --------------
+_Q318_Z = "ABS(({v} - {s} / n) / SQRT((({ss}) - ({s}) * ({s}) / n) / (n - 1)))"
+_Q318_ZREV = _Q318_Z.format(v="rev", s="srev", ss="srev2")
+_Q318_ZORD = _Q318_Z.format(v="cnt", s="scnt", ss="scnt2")
+
+
+@query(
+    "q318_nation_month_anomalies",
+    oracle=f"""
+    WITH nm AS (
+        SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS m,
+               (CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(CAST(FLOOR(rev * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS srev,
+               (CAST(SUM(CAST(FLOOR(rev * rev / 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) * 1000000.0) AS srev2,
+               (CAST(SUM(cnt) AS DOUBLE)) AS scnt,
+               (CAST(SUM(cnt * cnt) AS DOUBLE)) AS scnt2
+        FROM nm GROUP BY nation
+    )
+    SELECT nm.nation, nm.m AS month,
+           ROUND({_Q318_ZREV}, 4) AS z_revenue,
+           ROUND({_Q318_ZORD}, 4) AS z_orders,
+           ROUND(GREATEST({_Q318_ZREV}, {_Q318_ZORD}), 4) AS anomaly_score
+    FROM nm JOIN st ON nm.nation = st.nation
+    ORDER BY anomaly_score DESC, nm.nation, month
+    LIMIT 10
+    """,
+)
+def q318(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    dims = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    pq = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    nm = (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("nation", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            (F.sum(pq).cast("double") / 100.0).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    st = nm.groupBy(F.col("nation").alias("sn")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("rev") * 100.0 + 0.5).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("srev"),
+        (
+            F.sum(
+                F.floor(F.col("rev") * F.col("rev") / 1e6 + 0.5).cast("bigint")
+            ).cast("double")
+            * 1e6
+        ).alias("srev2"),
+        F.sum("cnt").cast("double").alias("scnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("scnt2"),
+    )
+    joined = nm.join(F.broadcast(st), nm.nation == st.sn)
+    zrev = F.expr(_Q318_ZREV)
+    zord = F.expr(_Q318_ZORD)
+    return (
+        joined.select(
+            "nation",
+            F.col("m").alias("month"),
+            F.round(zrev, 4).alias("z_revenue"),
+            F.round(zord, 4).alias("z_orders"),
+            F.round(F.greatest(zrev, zord), 4).alias("anomaly_score"),
+        )
+        .orderBy(F.desc("anomaly_score"), "nation", "month")
+        .limit(10)
+    )
