@@ -2066,3 +2066,83 @@ def q316(spark, sf_dir):
         .orderBy(F.desc("n_events"), "user_id", "minute_start")
         .limit(15)
     )
+
+
+# --- q319: exponential PPCC goodness-of-fit — are inter-event gaps
+# exponential (memoryless arrivals)? The probability-plot correlation
+# coefficient: pooled per-user gaps, globally ranked with the
+# partition-offset prefix sum (no single-task sort), plotted against
+# exponential quantiles -ln(1 - (i-0.5)/n); PPCC near 1 accepts the
+# exponential model. Gaps are exact integer seconds; quantile terms
+# quantize at 1e-6 so every correlation sum folds as exact BIGINTs. ----------
+_Q319_CORR = (
+    "(CAST(n AS DOUBLE) * sxy - sx * sy) / "
+    "(SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)"
+    " * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))"
+)
+
+
+@query(
+    "q319_exponential_gap_ppcc",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0)
+                    AS BIGINT) AS g
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    valid AS (SELECT g FROM gaps WHERE g IS NOT NULL),
+    ranked AS (
+        SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY g, g) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM valid
+    ),
+    terms AS (
+        SELECT g AS x,
+               CAST(FLOOR(-LN(1.0 - (i - 0.5) / n) * 1000000.0 + 0.5) AS BIGINT) AS tq
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+               (CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1000000.0) AS sy,
+               CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+               (CAST(CAST(SUM(tq * tq) AS BIGINT) AS DOUBLE) / 1000000000000.0) AS syy,
+               (CAST(CAST(SUM(x * tq) AS BIGINT) AS DOUBLE) / 1000000.0) AS sxy
+        FROM terms
+    )
+    SELECT n AS n_gaps, ROUND({_Q319_CORR}, 6) AS ppcc
+    FROM sums
+    """,
+)
+def q319(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        F.floor((us - F.lag(us).over(w)) / 1e6).cast("long").alias("g")
+    ).filter(F.col("g").isNotNull())
+    ranked = global_prefix_sum(
+        gaps, [F.asc("g")], F.lit(1.0), "i", scale=0
+    ).withColumn("i", F.col("i").cast("long"))
+    n_tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    terms = ranked.join(F.broadcast(n_tot)).select(
+        F.col("g").alias("x"),
+        F.expr(
+            "CAST(FLOOR(-LN(1.0 - (i - 0.5) / n) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("tq"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        (F.sum("tq").cast("double") / 1e6).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        (F.sum(F.col("tq") * F.col("tq")).cast("double") / 1e12).alias("syy"),
+        (F.sum(F.col("x") * F.col("tq")).cast("double") / 1e6).alias("sxy"),
+    )
+    return sums.select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.expr(_Q319_CORR), 6).alias("ppcc"),
+    )
