@@ -2623,3 +2623,99 @@ def q318(spark, sf_dir):
         .orderBy(F.desc("anomaly_score"), "nation", "month")
         .limit(10)
     )
+
+
+# --- q320: top-k stability — how much does the monthly top-20 parts
+# leaderboard churn? Jaccard overlap of consecutive months' top sets:
+# rank windows run per month over the (month, part) rollup; the
+# overlap join is top-k-sized. Falling stability is the early signal
+# of assortment drift that invalidates caches and forecasts keyed on
+# "the usual heads". ----------------------------------------------------------
+@query(
+    "q320_monthly_topk_stability",
+    oracle=f"""
+    WITH mp AS (
+        SELECT date_trunc('month', l_shipdate) AS m, l_partkey,
+               SUM({sql_quantize("l_extendedprice * (1 - l_discount)", 2)}) AS revq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT m, l_partkey FROM (
+            SELECT m, l_partkey,
+                   ROW_NUMBER() OVER (PARTITION BY m
+                       ORDER BY revq DESC, l_partkey) AS rn
+            FROM mp
+        ) t WHERE rn <= 20
+    ),
+    months AS (SELECT DISTINCT m FROM topk),
+    spine AS (
+        SELECT a.m AS month_a, b.m AS month_b
+        FROM months a JOIN months b ON b.m = a.m + INTERVAL 1 MONTH
+    ),
+    common AS (
+        SELECT a.m AS month_a, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM topk a JOIN topk b
+          ON b.m = a.m + INTERVAL 1 MONTH AND a.l_partkey = b.l_partkey
+        GROUP BY a.m
+    )
+    SELECT s.month_a, s.month_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                 / (40 - COALESCE(c.n_common, 0)), 6) AS jaccard
+    FROM spine s LEFT JOIN common c ON s.month_a = c.month_a
+    ORDER BY s.month_a
+    """,
+)
+def q320(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    mp = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("m"), "l_partkey"
+    ).agg(F.sum(quantize(rev, 2)).alias("revq"))
+    w = W.partitionBy("m").orderBy(F.desc("revq"), "l_partkey")
+    topk = (
+        mp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("m", "l_partkey")
+    )
+    nxt = topk.select(
+        F.col("m").alias("mb"), F.col("l_partkey").alias("pb")
+    )
+    months = topk.select("m").distinct()
+    spine = months.join(
+        months.select(F.col("m").alias("m2")),
+        F.col("m2") == F.col("m") + F.expr("INTERVAL 1 MONTH"),
+    ).select(F.col("m").alias("month_a"), F.col("m2").alias("month_b"))
+    common = (
+        topk.join(
+            nxt,
+            (F.col("mb") == F.col("m") + F.expr("INTERVAL 1 MONTH"))
+            & (F.col("l_partkey") == F.col("pb")),
+        )
+        .groupBy(F.col("m").alias("ca"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return (
+        spine.join(common, spine.month_a == common.ca, "left")
+        .select(
+            "month_a",
+            "month_b",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("nc"), F.lit(0)).cast("double")
+                / (40 - F.coalesce(F.col("nc"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("month_a")
+    )
