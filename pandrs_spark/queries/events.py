@@ -2146,3 +2146,31 @@ def q319(spark, sf_dir):
         F.col("n").alias("n_gaps"),
         F.round(F.expr(_Q319_CORR), 6).alias("ppcc"),
     )
+
+
+# --- q321: calendar heatmap grid — ISO-weekday x hour event density,
+# the standard activity-rhythm dashboard tile: one two-key rollup with
+# map-side partials, engine-exact by construction. ---------------------------
+@query(
+    "q321_weekday_hour_heatmap",
+    oracle=f"""
+    SELECT CAST(isodow(ts) AS INTEGER) AS weekday,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q321(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (((F.dayofweek("ts") + 5) % 7) + 1).alias("weekday"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .orderBy("weekday", "hour")
+    )
