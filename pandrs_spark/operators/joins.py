@@ -471,18 +471,37 @@ def auto_salted_join(
     row-count threshold are few by definition) and broadcast back as a
     literal filter. Output is row-identical to the plain join.
     """
+    from functools import reduce as _reduce
+    import operator as _op
+
     keys = _as_list(on)
     hot = [
-        r[0]
+        tuple(r[k] for k in keys)
         for r in left.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__c__"))
         .filter(F.col("__c__") > skew_threshold)
-        .select(keys[0])
+        .select(*keys)
         .collect()
     ]
+    # Null-key rows can never equi-match, so salting them is pointless;
+    # keep them in the cold branch (where outer joins preserve them).
+    hot = [t for t in hot if all(v is not None for v in t)]
     if not hot:
         return left.join(right, keys, how)
-    is_hot = F.col(keys[0]).isin(hot)
+    # eqNullSafe yields False (never NULL) on null inputs, so both the
+    # is_hot and ~is_hot branches are total: null-key rows land cold
+    # and outer-join semantics stay row-identical to the plain join.
+    # Hotness is matched on the FULL key tuple, not keys[0] alone.
+    is_hot = _reduce(
+        _op.or_,
+        (
+            _reduce(
+                _op.and_,
+                (F.col(k).eqNullSafe(F.lit(v)) for k, v in zip(keys, t)),
+            )
+            for t in hot
+        ),
+    )
     cold = left.filter(~is_hot).join(right.filter(~is_hot), keys, how)
     hot_join = salted_join(
         left.filter(is_hot), right.filter(is_hot), keys, salt_from, n_salts, how

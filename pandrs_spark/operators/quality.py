@@ -24,8 +24,14 @@ def not_null(col: str) -> tuple[str, Column]:
 
 def unique(*cols: str) -> tuple[str, Column]:
     """Violations = duplicate rows beyond the first per key
-    (count − distinct count; exact)."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    (count − distinct count; exact). Nulls are encoded positionally
+    (coalesce to a sentinel per column) so ('a', NULL) and (NULL, 'a')
+    serialize to DIFFERENT keys — concat_ws alone would silently skip
+    the null element and conflate them."""
+    key = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+    )
     return (
         f"unique({', '.join(cols)})",
         F.count(F.lit(1)) - F.countDistinct(key),

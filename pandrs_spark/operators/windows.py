@@ -373,14 +373,23 @@ def rolling_corr(
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
     frame = w.rowsBetween(-(window - 1), 0)
-    n = F.count(F.when(cx.isNotNull() & cy.isNotNull(), 1)).over(frame)
-    sx = dsum_over(cx, frame, scale)
-    sy = dsum_over(cy, frame, scale)
-    sxx = dsum_over(cx * cx, frame, scale)
-    syy = dsum_over(cy * cy, frame, scale)
-    sxy = dsum_over(cx * cy, frame, scale)
+    # All five sums must come from the SAME (pairwise-complete) row
+    # set as n, else a row where exactly one of x/y is null skews the
+    # statistics (pandas Rolling.corr drops the pair entirely).
+    both = cx.isNotNull() & cy.isNotNull()
+    cxm = F.when(both, cx)
+    cym = F.when(both, cy)
+    n = F.count(cxm).over(frame)
+    sx = dsum_over(cxm, frame, scale)
+    sy = dsum_over(cym, frame, scale)
+    sxx = dsum_over(cxm * cxm, frame, scale)
+    syy = dsum_over(cym * cym, frame, scale)
+    sxy = dsum_over(cxm * cym, frame, scale)
     mp = window if min_periods is None else min_periods
     denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / denom
+    # Spark orders NaN above all doubles, so `denom > 0` alone lets
+    # NaN through — gate both the denominator and the result on it.
     return F.when(
-        (n >= mp) & (denom > 0), (n * sxy - sx * sy) / denom
+        (n >= mp) & ~F.isnan(denom) & (denom > 0) & ~F.isnan(r), r
     ).otherwise(F.lit(None).cast("double"))

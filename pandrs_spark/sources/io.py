@@ -445,10 +445,22 @@ def schema_drift(path_a: str, path_b: str) -> list[dict[str, Any]]:
     """
     import pyarrow.parquet as pq
 
-    sa = pq.read_schema(_parquet_files(path_a)[0])
-    sb = pq.read_schema(_parquet_files(path_b)[0])
-    fa = {f.name: str(f.type) for f in sa}
-    fb = {f.name: str(f.type) for f in sb}
+    def _merged_fields(path: str) -> dict[str, str]:
+        # Union field/type maps across ALL footer schemas in the path:
+        # producer evolution typically drifts BETWEEN files of one
+        # dataset, and relying on a single "first" file would make the
+        # result depend on directory listing order. A column seen with
+        # conflicting types within one path is reported as the sorted
+        # "|"-join of those types (which then compares unequal to any
+        # single type on the other side — drift surfaces, not hides).
+        types: dict[str, set[str]] = {}
+        for f in _parquet_files(path):
+            for field in pq.read_schema(f):
+                types.setdefault(field.name, set()).add(str(field.type))
+        return {name: "|".join(sorted(ts)) for name, ts in types.items()}
+
+    fa = _merged_fields(path_a)
+    fb = _merged_fields(path_b)
     out: list[dict[str, Any]] = []
     for name in sorted(fa.keys() | fb.keys()):
         ta, tb = fa.get(name), fb.get(name)
@@ -466,10 +478,27 @@ def drop_managed_table(spark: SparkSession, table: str) -> None:
     session's in-memory catalog does not know about a previous run's
     table, so ``saveAsTable`` hits LOCATION_ALREADY_EXISTS on the
     leftover directory — this clears both sides idempotently."""
+    import re
     import shutil
     from urllib.parse import urlparse
 
+    # Validate BEFORE interpolating into SQL / rmtree: the table name
+    # is the only user input that reaches a destructive filesystem op.
+    parts = table.split(".")
+    if len(parts) > 2 or not all(
+        re.fullmatch(r"[A-Za-z0-9_]+", p) for p in parts
+    ):
+        raise ValueError(
+            f"drop_managed_table: invalid table name {table!r} "
+            "(expected [db.]table with [A-Za-z0-9_]+ parts)"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    path = os.path.join(wh.path or wh.geturl(), table.lower())
+    root = wh.path or wh.geturl()
+    # Warehouse layout: default-db tables live at <wh>/<tbl>; qualified
+    # names at <wh>/<db>.db/<tbl> ('db.tbl' does NOT map to <wh>/db.tbl).
+    if len(parts) == 2:
+        path = os.path.join(root, f"{parts[0].lower()}.db", parts[1].lower())
+    else:
+        path = os.path.join(root, parts[0].lower())
     shutil.rmtree(path, ignore_errors=True)

@@ -828,3 +828,21 @@ def test_check_constraints_one_pass_report(spark):
     assert rep["accepted_values(s)"] == (1, False)  # 'z'
     assert rep["in_range(v)"] == (1, False)      # -1.0
     assert rep["v_under_40"] == (1, False)       # 50.0
+
+
+def test_unique_constraint_null_positional_encoding(spark):
+    # ADVICE r4: ('a', NULL) and (NULL, 'a') are DISTINCT keys; the
+    # old concat_ws key skipped null elements and conflated them.
+    from pandrs_spark.operators.quality import check_constraints, unique
+
+    df = spark.createDataFrame(
+        [("a", None), (None, "a")], "x string, y string"
+    )
+    rep = check_constraints(df, [unique("x", "y")]).collect()
+    assert rep[0]["violations"] == 0 and rep[0]["passed"]
+    # and true duplicates (with nulls) are still caught
+    df2 = spark.createDataFrame(
+        [("a", None), ("a", None)], "x string, y string"
+    )
+    rep2 = check_constraints(df2, [unique("x", "y")]).collect()
+    assert rep2[0]["violations"] == 1 and not rep2[0]["passed"]

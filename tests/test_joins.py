@@ -346,3 +346,44 @@ def test_interval_overlap_join_no_cartesian(spark):
     rdf = spark.createDataFrame([(1, 5, 15)], "rid int, rs int, re int")
     j = interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", bucket_width=4)
     assert "CartesianProduct" not in plans.plan_text(j, "simple")
+
+
+def test_auto_salted_join_preserves_null_keys_outer(spark):
+    # ADVICE r4: isin(hot) is NULL on null keys, which used to drop
+    # the row from BOTH branches; left join must keep all 3 rows.
+    from pandrs_spark.operators.joins import auto_salted_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(50)] + [(7, 1), (None, 99)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame([(0, "a"), (7, "b")], "k long, rv string")
+    plain = left.join(right, ["k"], "left")
+    auto = auto_salted_join(
+        left, right, "k", salt_from="payload", skew_threshold=10, how="left"
+    )
+    assert auto.count() == plain.count() == 52
+    nulls = [r for r in auto.collect() if r["k"] is None]
+    assert len(nulls) == 1 and nulls[0]["rv"] is None
+
+
+def test_auto_salted_join_multicol_key_hotness(spark):
+    # ADVICE r4: with multi-column `on`, hotness is detected per FULL
+    # key tuple and must be applied on the full tuple too — (0, 1) is
+    # hot but (0, 2) shares keys[0]=0 and must stay cold/unsalted.
+    from pandrs_spark.operators.joins import auto_salted_join
+
+    left = spark.createDataFrame(
+        [(0, 1, i) for i in range(100)] + [(0, 2, 1), (3, 4, 2)],
+        "a long, b long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(0, 1, "hot"), (0, 2, "cold"), (3, 4, "tail")],
+        "a long, b long, rv string",
+    )
+    auto = auto_salted_join(
+        left, right, ["a", "b"], salt_from="payload", skew_threshold=10
+    )
+    got = {(r["a"], r["b"]): r["rv"] for r in auto.collect()}
+    assert auto.count() == 102
+    assert got == {(0, 1): "hot", (0, 2): "cold", (3, 4): "tail"}

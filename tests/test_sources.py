@@ -350,3 +350,44 @@ def test_json_corrupt_record_capture(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["id"] for r in good} == {1, 3}
     assert len(bad) == 1 and "BROKEN" in bad[0]["_corrupt_record"]
+
+
+def test_schema_drift_within_path_across_files(spark, tmp_path):
+    # ADVICE r4: drift BETWEEN files of one dataset (producer
+    # evolution) must be visible — footer union, not first-file-only.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pandrs_spark.sources.io import schema_drift
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    import os
+
+    os.makedirs(a)
+    os.makedirs(b)
+    t1 = pa.table({"id": pa.array([1, 2], pa.int64())})
+    t2 = pa.table(
+        {"id": pa.array([3], pa.int64()), "extra": pa.array(["x"])}
+    )
+    pq.write_table(t1, os.path.join(a, "part-0.parquet"))
+    pq.write_table(t2, os.path.join(a, "part-1.parquet"))
+    pq.write_table(t1, os.path.join(b, "part-0.parquet"))
+    drift = {d["column"]: d for d in schema_drift(a, b)}
+    # 'extra' exists only in a's SECOND file — invisible to a
+    # first-file-only comparison
+    assert drift["extra"]["change"] == "removed"
+    assert schema_drift(a, a) == []
+
+
+def test_drop_managed_table_rejects_bad_names(spark):
+    import pytest
+
+    from pandrs_spark.sources.io import drop_managed_table
+
+    for bad in ("../../etc", "a;b", "a.b.c", "t name", ""):
+        with pytest.raises(ValueError):
+            drop_managed_table(spark, bad)
+    # valid names (qualified or not) don't raise even when absent
+    drop_managed_table(spark, "no_such_table_xyz")
+    drop_managed_table(spark, "default.no_such_table_xyz")

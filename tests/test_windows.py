@@ -280,3 +280,42 @@ def test_rolling_corr_matches_pandas(spark):
             assert r["rc"] is None
         else:
             assert abs(r["rc"] - expect) < 1e-4, (r["id"], r["rc"], expect)
+
+
+def test_rolling_corr_one_sided_nulls_matches_pandas(spark):
+    # ADVICE r4: a row where exactly ONE of x/y is null must be
+    # dropped from ALL five sufficient statistics, not just n —
+    # and NaN must never leak through the denom>0 guard.
+    import math
+
+    import pandas as pd
+
+    from pandrs_spark.operators.windows import rolling_corr
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(30):
+        x = None if i % 5 == 2 else float(i % 7)
+        y = None if i % 7 == 3 else float((i * 3) % 11)
+        rows.append((i, x, y))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    w = Window.partitionBy().orderBy("id")
+    got = (
+        df.select(
+            "id", rolling_corr("x", "y", 6, w, min_periods=3).alias("rc")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["id", "x", "y"]).sort_values("id")
+    want = pdf["x"].rolling(6, min_periods=3).corr(pdf["y"]).tolist()
+    for r, expect in zip(got, want):
+        assert r["rc"] is None or not math.isnan(r["rc"])  # no NaN leak
+        if expect != expect:  # NaN in pandas -> null here
+            assert r["rc"] is None, (r["id"], r["rc"])
+        else:
+            assert r["rc"] is not None and abs(r["rc"] - expect) < 1e-4, (
+                r["id"],
+                r["rc"],
+                expect,
+            )
