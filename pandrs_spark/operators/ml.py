@@ -128,19 +128,52 @@ def equal_width_bins(df: DataFrame, col: str, n_bins: int, out: str = "bin") -> 
 
 
 def quantile_bins(
-    df: DataFrame, col: str, n_bins: int, out: str = "bin", tiebreak=None
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out: str = "bin",
+    tiebreak=None,
+    exact_parity: bool = False,
+    approx_edges: bool = False,
 ) -> DataFrame:
-    """pandas ``qcut`` via NTILE (compat :2370). ``tiebreak`` columns
-    make the ordering total so the assignment is deterministic.
+    """pandas ``qcut`` (compat :2370).
 
-    Scale note: NTILE needs a global order (one-task window). Exact
-    pandas-parity demands it; at 100 TB swap for percentile-threshold
-    binning (compute n_bins-1 exact/approx quantile edges in one
-    aggregate, broadcast, bucket by comparison — q222's RFM shape),
-    which matches qcut semantics up to tie placement at bin edges."""
-    order = [F.col(col)] + [F.col(t) for t in (tiebreak or [])]
-    w = Window.orderBy(*order)
-    return df.withColumn(out, (F.ntile(n_bins).over(w) - 1).cast("int"))
+    Default path (scale-safe, and actually CLOSER to pandas qcut than
+    NTILE): compute the n_bins−1 interpolated quantile edges in ONE
+    aggregate, broadcast them as literals, and bucket each row by
+    comparison — a map-only pass, no global sort, no one-task window.
+    Ties share a bin (qcut semantics). ``approx_edges=True`` swaps the
+    exact ``percentile`` aggregate for the fully-mergeable
+    ``approx_percentile`` sketch — the 100 TB path (the exact aggregate
+    buffers the column's values; the sketch is O(1/accuracy) state).
+
+    ``exact_parity=True`` restores the legacy NTILE assignment
+    (equal-count buckets split by global rank, ``tiebreak`` making the
+    order total). NTILE needs a partitionless window — every row in one
+    task — so it is ONLY for bounded inputs where rank-split parity
+    matters more than scale."""
+    if exact_parity:
+        order = [F.col(col)] + [F.col(t) for t in (tiebreak or [])]
+        w = Window.orderBy(*order)
+        return df.withColumn(out, (F.ntile(n_bins).over(w) - 1).cast("int"))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    if approx_edges:
+        edge_expr = F.expr(
+            f"approx_percentile({col}, array({','.join(str(q) for q in qs)}), 10000)"
+        )
+    else:
+        edge_expr = F.expr(
+            f"percentile({col}, array({','.join(str(q) for q in qs)}))"
+        )
+    edges = df.agg(edge_expr.alias("e")).first()["e"]
+    # bin = number of edges strictly below the value; edges that land
+    # exactly ON a data value keep that value in the lower bin (both
+    # engines return the exact value when the quantile position is
+    # integral, so the comparison is reproducible cross-engine).
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(F.col(col) > F.lit(float(e)), 1).otherwise(0)
+    return df.withColumn(out, b.cast("int"))
 
 
 def simple_ols(df: DataFrame, y: str, x: str, by=None) -> DataFrame:

@@ -436,9 +436,14 @@ def bm25_search(
         .groupBy("id")
         .agg(_dsum9("s").alias("bm25"))
     )
+    # Global top-k via orderBy().limit(k) — Spark plans TakeOrdered
+    # (per-partition heaps, k rows to the driver-side merge), NOT the
+    # old partitionless row_number window that funneled EVERY scored
+    # document into one task. Ranks are then attached by a window over
+    # only the k survivors (bounded: k rows).
+    topk = scored.orderBy(F.col("bm25").desc(), "id").limit(top_k)
     w = Window.orderBy(F.col("bm25").desc(), "id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "id", "bm25")
     )

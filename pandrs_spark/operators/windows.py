@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "ordered_window",
     "global_prefix_sum",
+    "global_row_number",
+    "ntile_from_rank",
     "rolling",
     "rolling_sum_exact",
     "rolling_corr",
@@ -350,6 +352,67 @@ def global_prefix_sum(
             ((offset + F.sum("__q__").over(w)) / float(m)).cast("double"),
         )
         .drop("__pid__", "__q__")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    out_col: str = "rn",
+) -> DataFrame:
+    """Distributed GLOBAL 1-based row number under a total order —
+    without the single-partition ``Window.orderBy`` collapse:
+    range-sort keeps every core busy, each partition numbers its own
+    rows, and a tiny per-partition count map (collected, one row per
+    partition) supplies the additive offsets. Same partition-offset
+    scheme as global_prefix_sum above / Frame.sort_values.
+
+    With a TOTAL order (include a unique tiebreak column) the result
+    equals ``row_number() OVER (ORDER BY ...)`` exactly, and global
+    rank statistics follow arithmetically: percent_rank =
+    (rn−1)/(n−1), cume_dist = rn/n, ntile(k) from (rn, n, k) — see
+    queries/windows.py q53 for the derivation.
+    """
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+
+    sdf = (
+        df.orderBy(*order_exprs)
+        .withColumn("__pid__", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(sdf)
+    counts = sdf.groupBy("__pid__").agg(F.count(F.lit(1)).alias("c")).collect()
+    pairs: list = []
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid__"]):
+        pairs += [F.lit(row["__pid__"]), F.lit(acc)]
+        acc += row["c"]
+    if not pairs:
+        return sdf.drop("__pid__").withColumn(out_col, F.lit(None).cast("long"))
+    offset = F.create_map(*pairs)[F.col("__pid__")]
+    w = Window.partitionBy("__pid__").orderBy(*order_exprs)
+    return (
+        sdf.withColumn(
+            out_col, (offset + F.row_number().over(w)).cast("long")
+        )
+        .drop("__pid__")
+    )
+
+
+def ntile_from_rank(rn: Column, n: int, k: int) -> Column:
+    """SQL NTILE(k) bucket (1-based) from a global 1-based rank and the
+    total row count — pure arithmetic, no window: the first ``n % k``
+    buckets hold ``n//k + 1`` rows, the rest ``n//k``."""
+    base, rem = divmod(n, k)
+    big = rem * (base + 1)
+    return (
+        F.when(rn <= big, ((rn - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(rem + ((rn - big - 1) / base).cast("long") + 1)
+        .cast("int")
+        if base
+        else rn.cast("int")
     )
 
 

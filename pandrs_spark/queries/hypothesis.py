@@ -398,10 +398,20 @@ def q96(spark, sf_dir, sample_frac: float | None = None):
             {"BUILDING": sample_frac, "MACHINERY": sample_frac},
             ["c_custkey"],
         )
-    w = Window.orderBy("c_custkey")
-    two = cust.select(
-        "c_acctbal", "c_mktsegment", (F.row_number().over(w) - 1).alias("rn")
-    ).persist()
+    # Row indices 0..n−1 for the permutation come from the distributed
+    # global row number (range-sort + partition offsets) — the old
+    # partitionless Window.orderBy funneled every row into one task.
+    from pandrs_spark.operators.windows import global_row_number
+
+    two = (
+        global_row_number(cust, [F.asc("c_custkey")], "__rn1__")
+        .select(
+            "c_acctbal",
+            "c_mktsegment",
+            (F.col("__rn1__") - 1).alias("rn"),
+        )
+        .persist()
+    )
     n = two.count()
     n1 = two.filter("c_mktsegment = 'BUILDING'").count()
     observed = two.agg(

@@ -61,10 +61,15 @@ def q75(spark, sf_dir):
     WITH stats AS (
         SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
     ),
+    edges AS (
+        SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS e FROM orders
+    ),
     binned AS (
         SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin_w,
-               CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS INT) AS bin_q
-        FROM orders, stats
+               CAST((CASE WHEN o_totalprice > e[1] THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > e[2] THEN 1 ELSE 0 END
+                   + CASE WHEN o_totalprice > e[3] THEN 1 ELSE 0 END) AS INT) AS bin_q
+        FROM orders, stats, edges
     )
     SELECT bin_w, bin_q, COUNT(*) AS n
     FROM binned GROUP BY bin_w, bin_q
@@ -72,9 +77,12 @@ def q75(spark, sf_dir):
     """,
 )
 def q76(spark, sf_dir):
+    # qcut via the scale-safe default: interpolated quantile edges from
+    # one aggregate + map-only comparison binning (DuckDB quantile_cont
+    # and Spark percentile share the pos = q·(n−1) interpolation).
     orders = T(spark, sf_dir, "orders")
     b = equal_width_bins(orders, "o_totalprice", 10, out="bin_w")
-    b = quantile_bins(b, "o_totalprice", 4, out="bin_q", tiebreak=["o_orderkey"])
+    b = quantile_bins(b, "o_totalprice", 4, out="bin_q")
     return (
         b.groupBy("bin_w", "bin_q")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -102,13 +102,23 @@ def q52(spark, sf_dir):
     """,
 )
 def q53(spark, sf_dir):
+    # Global rank statistics WITHOUT the partitionless-window collapse:
+    # distributed row number (range-sort + partition offsets), then
+    # ntile/percent_rank/cume_dist follow arithmetically because the
+    # (c_acctbal, c_custkey) order is total (custkey unique → no ties).
+    from pandrs_spark.operators.windows import global_row_number, ntile_from_rank
+
     cust = T(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    n = cust.count()
+    ranked = global_row_number(
+        cust, [F.asc("c_acctbal"), F.asc("c_custkey")], "rn"
+    )
+    rn = F.col("rn")
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(rn, n, 4).alias("quartile"),
+        F.round((rn - 1) / float(max(n - 1, 1)), 6).alias("pct_rank"),
+        F.round(rn / float(n), 6).alias("cume"),
     ).orderBy("c_custkey")
 
 

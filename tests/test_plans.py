@@ -308,3 +308,92 @@ def test_bucketed_sorted_join_skips_shuffle_and_sort(spark, sf_dir):
         )
         spark.sql("DROP TABLE IF EXISTS t_orders_bs")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bs")
+
+
+# Partitionless windows that remain by design: each operates on a
+# POST-AGGREGATION series whose cardinality is bounded by the domain,
+# not the row count — calendar days/weeks/months (~10^3 at any SF),
+# histogram/contingency cells, distinct category labels, bootstrap
+# replicates, p-value families, feature lists, deciles — or on the
+# distributed-ranks design where the window runs over per-distinct-
+# value counts (orders below row count for quantized measures).
+_BOUNDED_WINDOW_WHITELIST = {
+    # fixed-size distributions / cells / shares
+    "q16_event_type_counts",       # running share over ~6 event types
+    "q59_chi_square_flag_status",  # contingency cells (flags × status)
+    "q60_totalprice_histogram",    # fixed histogram bins
+    "q166_benford_digit_audit",    # 9 leading digits
+    "q254_revenue_share_of_parent",  # share-of-total over region groups
+    "q92_categorical_encode",      # distinct category labels
+    "q119_feature_selection",      # ranked feature list (#features)
+    "q283_balance_decile_gains",   # 10 deciles
+    "q101_pvalue_corrections",     # p-value family (#hypotheses)
+    "q94_bootstrap_ci_mean",       # bootstrap replicate means (fixed B)
+    # calendar-bounded daily/weekly/monthly series
+    "q46_monthly_trend", "q47_rolling_daily_stats", "q48_daily_revenue_acf",
+    "q49_gap_fill_methods", "q55_weekly_range_rolling",
+    "q80_weekly_decomposition", "q83_adf_stationarity",
+    "q84_cusum_changepoint", "q85_runs_test", "q105_kpss_stationarity",
+    "q107_weekly_decomposition_mult", "q109_pacf",
+    "q117_seasonality_periodogram", "q118_ar2_forecast",
+    "q127_linear_trend_forecast", "q132_smoothing_winsorize",
+    "q133_split_mean_changepoints", "q135_arima_210_forecast",
+    # distributed-ranks ECDF over per-distinct-value counts
+    "q71_mann_whitney_segments", "q72_ks_two_sample",
+    "q73_kruskal_wallis_segments", "q95_wilcoxon_signed_rank",
+    "q111_shapiro_francia",
+}
+
+
+def test_no_unbounded_partitionless_windows(spark):
+    """Registry-wide fence: NO query plan may contain a partitionless
+    Window over unbounded input (Spark's 'No Partition Defined' one-task
+    collapse) outside the bounded whitelist above. This is the permanent
+    regression gate for the bm25_topk / quantile_bins / q53 / q96 class
+    of scale-killer fixed in round 5 — a new query that sneaks in a
+    global row_number over a raw table fails here."""
+    import __spark_entry__ as entry
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    offenders = []
+    for name, fn in entry.queries().items():
+        if name in _BOUNDED_WINDOW_WHITELIST:
+            continue
+        try:
+            df = fn(spark, "/root/testdata/sf0.001")
+        except Exception:  # noqa: BLE001 — one retry, as the cartesian sweep
+            try:
+                df = fn(spark, "/root/testdata/sf0.001")
+            except Exception as e:  # noqa: BLE001
+                offenders.append(f"{name}: build error {e}")
+                continue
+        offs = plans.unbounded_partitionless_windows(df)
+        if offs:
+            offenders.append(f"{name}: {offs[0][:120]}")
+    assert not offenders, offenders
+
+
+def test_global_row_number_matches_window_and_plan(spark):
+    """global_row_number == row_number() OVER (ORDER BY ...) exactly,
+    with zero SinglePartition exchange in the plan."""
+    from pandrs_spark.frame import release_persisted
+    from pandrs_spark.operators.windows import global_row_number, ntile_from_rank
+    from pyspark.sql import Window
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 2654435761 % 1000).alias("v"), F.col("id").alias("id")
+    ).repartition(8)
+    got = global_row_number(df, [F.asc("v"), F.asc("id")], "rn")
+    assert "SinglePartition" not in plans.plan_text(got, "extended")
+    w = Window.orderBy("v", "id")
+    want = df.withColumn("rn_w", F.row_number().over(w))
+    joined = got.join(want, ["v", "id"])
+    assert joined.filter(F.col("rn") != F.col("rn_w")).count() == 0
+    # ntile_from_rank parity for a k that does not divide n
+    k = 7
+    nt = joined.select(
+        "v", "id", ntile_from_rank(F.col("rn"), 997, k).alias("nt"),
+        F.ntile(k).over(w).alias("nt_w"),
+    )
+    assert nt.filter(F.col("nt") != F.col("nt_w")).count() == 0
+    release_persisted()
