@@ -52,12 +52,17 @@ def rank_histogram(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     pandas/scipy midrank shared by all rows with that value. The ordered
     cumulative runs over distinct values only.
     """
+    from pandrs_spark.operators.windows import global_prefix_counts
+
     per_vg = df.groupBy(
         F.col(value_col).alias("value"), F.col(group_col).alias("grp")
     ).agg(F.count("*").alias("cnt_g"))
     per_v = per_vg.groupBy("value").agg(F.sum("cnt_g").alias("cnt"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_v.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+    # Distinct-value cardinality approaches the row count for
+    # continuous measures, so the cumulative runs on the distributed
+    # partition-offset prefix sum, never a partitionless window.
+    ranked = global_prefix_counts(per_v, [F.asc("value")], {"cum": "cnt"})
+    ranked = ranked.withColumn(
         "avg_rank", (F.col("cum") - (F.col("cnt") - 1) / 2.0).cast(_DEC1)
     )
     return per_vg.join(ranked, "value")
@@ -108,15 +113,17 @@ def mann_whitney_u(
 def ks_2samp(df: DataFrame, value_col: str, group_col: str, g1, g2) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D (nonparametric.rs:375):
     max |F1(x) − F2(x)| over the pooled support."""
+    from pandrs_spark.operators.windows import global_prefix_counts
+
     two = df.filter(F.col(group_col).isin([g1, g2]))
     per_v = two.groupBy(F.col(value_col).alias("value")).agg(
         F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("c2"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = per_v.select(
-        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
-    )
+    # both CDFs in one distributed pass (one sort, one offset collect)
+    cdf = global_prefix_counts(
+        per_v, [F.asc("value")], {"cum1": "c1", "cum2": "c2"}
+    ).select("cum1", "cum2")
     totals = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     return cdf.crossJoin(totals).agg(
         F.max(

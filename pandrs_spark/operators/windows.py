@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "ordered_window",
     "global_prefix_sum",
+    "global_prefix_counts",
     "global_row_number",
     "ntile_from_rank",
     "rolling",
@@ -353,6 +354,60 @@ def global_prefix_sum(
         )
         .drop("__pid__", "__q__")
     )
+
+
+def global_prefix_counts(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    counts: dict[str, str],
+) -> DataFrame:
+    """EXACT global running sums of integer columns under a total
+    order — the distributed-ECDF primitive (rank histograms, CDF
+    differences). Same partition-offset scheme as global_prefix_sum,
+    but (a) BIGINT-exact with no quantization (inputs are counts) and
+    (b) several columns in ONE sort + ONE offset collect:
+    ``counts={"cum1": "c1", "cum2": "c2"}`` appends both running
+    totals. This replaces the partitionless
+    ``Window.orderBy(value)`` over a distinct-value histogram, whose
+    cardinality for continuous measures approaches the ROW count — the
+    one-task collapse the registry plan fence forbids.
+    """
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+
+    sdf = (
+        df.orderBy(*order_exprs)
+        .withColumn("__pid__", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(sdf)
+    totals = sdf.groupBy("__pid__").agg(
+        *[F.sum(src).alias(out) for out, src in counts.items()]
+    ).collect()
+    if not totals:
+        out_df = sdf.drop("__pid__")
+        for out in counts:
+            out_df = out_df.withColumn(out, F.lit(None).cast("long"))
+        return out_df
+    pairs: dict[str, list] = {out: [] for out in counts}
+    acc = {out: 0 for out in counts}
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        for out in counts:
+            pairs[out] += [F.lit(row["__pid__"]), F.lit(acc[out])]
+            acc[out] += row[out] or 0
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_df = sdf
+    for out, src in counts.items():
+        offset = F.create_map(*pairs[out])[F.col("__pid__")]
+        out_df = out_df.withColumn(
+            out, (offset + F.sum(src).over(w)).cast("long")
+        )
+    return out_df.drop("__pid__")
 
 
 def global_row_number(

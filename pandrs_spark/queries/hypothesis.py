@@ -303,14 +303,13 @@ def q95(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cnt_pos"),
     )
-    from pyspark.sql import Window
+    from pandrs_spark.operators.windows import global_prefix_counts
 
-    wcum = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_v.withColumn(
+    ranked = global_prefix_counts(
+        per_v, [F.asc("ad")], {"__cum__": "cnt"}
+    ).withColumn(
         "avg_rank",
-        (F.sum("cnt").over(wcum) - (F.col("cnt") - 1) / 2.0).cast(
-            DecimalType(32, 1)
-        ),
+        (F.col("__cum__") - (F.col("cnt") - 1) / 2.0).cast(DecimalType(32, 1)),
     )
     agg = ranked.agg(
         F.sum("cnt").alias("n"),
@@ -747,17 +746,17 @@ _SF_CORR = (
     """,
 )
 def q111(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_counts
+
     cust = T(spark, sf_dir, "customer")
     per_v = cust.groupBy(F.col("c_acctbal").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    ranked = per_v.select(
-        "v",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
+    total = per_v.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        global_prefix_counts(per_v, [F.asc("v")], {"cum": "cnt"})
+        .crossJoin(F.broadcast(total))
+        .select("v", "cnt", "cum", "n")
     )
     expanded = ranked.select(
         "v", "n", F.explode(F.sequence(F.col("cum") - F.col("cnt") + 1, F.col("cum"))).alias("i")

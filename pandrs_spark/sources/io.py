@@ -292,9 +292,10 @@ def read_jdbc(
 
     ``partition_column`` + bounds split the read into ``num_partitions``
     parallel range queries — the distributed upgrade over the
-    reference's single-connection reader. No JDBC driver jar ships in
-    this container; callers on a real cluster add
-    ``spark.jars.packages``.
+    reference's single-connection reader. Integration-tested end-to-end
+    against embedded Derby (on Spark's classpath; see
+    tests/test_sources.py::test_jdbc_roundtrip_embedded_derby); for
+    external engines callers add the driver via ``spark.jars.packages``.
     """
     reader = spark.read.format("jdbc").option("url", url)
     q = table_or_query.strip()

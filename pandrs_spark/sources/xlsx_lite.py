@@ -272,3 +272,50 @@ def read_xlsx(
         cols = [str(c) if c is not None else f"col{i}" for i, c in enumerate(grid[0])]
         return cols, grid[1:]
     return [f"col{i}" for i in range(width)], grid
+
+
+def analyze_sheet(path: str, sheet: int | str = 0, header: bool = True) -> list[dict]:
+    """Per-column analysis of one sheet (reference per-sheet analysis
+    tier, src/io/excel.rs:1094): inferred type, non-null/null counts,
+    distinct count, and min/max for numeric columns. Driver-side by
+    design — xlsx is a zipped XML DOM, inherently driver-scale; ingest
+    to parquet for anything distributed."""
+    cols, rows = read_xlsx(path, sheet, header)
+    out = []
+    for i, name in enumerate(cols):
+        values = [r[i] for r in rows]
+        present = [v for v in values if v is not None]
+        types = {type(v).__name__ for v in present}
+        if not present:
+            inferred = "empty"
+        elif types <= {"int"}:
+            inferred = "int"
+        elif types <= {"int", "float"}:
+            inferred = "float"
+        elif types == {"bool"}:
+            inferred = "bool"
+        elif types == {"str"}:
+            inferred = "str"
+        else:
+            inferred = "mixed"
+        info = {
+            "column": name,
+            "dtype": inferred,
+            "n_rows": len(values),
+            "n_valid": len(present),
+            "n_null": len(values) - len(present),
+            "n_distinct": len(set(present)),
+        }
+        if inferred in ("int", "float"):
+            info["min"] = min(present)
+            info["max"] = max(present)
+        out.append(info)
+    return out
+
+
+def analyze_workbook(path: str, header: bool = True) -> dict[str, list[dict]]:
+    """Workbook-wide analysis: {sheet_name: analyze_sheet(...)} over
+    every sheet in workbook order (src/io/excel.rs:823,1094)."""
+    return {
+        name: analyze_sheet(path, name, header) for name in list_sheets(path)
+    }

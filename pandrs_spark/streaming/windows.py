@@ -29,6 +29,10 @@ __all__ = [
     "session",
     "windowed_agg",
     "stream_from_directory",
+    "stream_from_rate",
+    "stream_from_kafka",
+    "parse_kafka_json",
+    "KAFKA_WIRE_SCHEMA",
     "stream_to_memory",
     "count_window_foreach_batch",
     "global_agg",
@@ -82,6 +86,99 @@ def stream_from_directory(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
+
+
+def stream_from_rate(
+    spark,
+    rows_per_second: int = 100,
+    num_partitions: int | None = None,
+    micro_batch: bool = False,
+    rows_per_batch: int | None = None,
+) -> DataFrame:
+    """Generator streaming source (reference iterator/channel ingestion,
+    src/streaming/mod.rs:171,218 — a driver-side generator feeding the
+    stream). Spark's built-in ``rate`` source is the distributed
+    equivalent: each partition synthesizes ``(timestamp, value)`` rows
+    at a controlled rate, so ingestion scales with partitions instead of
+    a single driver channel.
+
+    ``micro_batch=True`` switches to ``rate-micro-batch``: exactly
+    ``rows_per_batch`` rows per trigger regardless of wall time —
+    deterministic batch sizes for tests and backpressure experiments
+    (the knob the reference exposes as channel capacity,
+    backpressure.rs).
+    """
+    if micro_batch:
+        reader = spark.readStream.format("rate-micro-batch").option(
+            "rowsPerBatch", rows_per_batch or rows_per_second
+        )
+    else:
+        reader = spark.readStream.format("rate").option(
+            "rowsPerSecond", rows_per_second
+        )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    return reader.load()
+
+
+# Kafka's fixed wire schema — every Kafka source batch/stream has
+# exactly these columns (Spark kafka integration docs).
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def stream_from_kafka(
+    spark,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Kafka streaming source (reference channel ingestion,
+    src/streaming/mod.rs:218 — a message-bus feed). Requires the
+    ``spark-sql-kafka`` package on the classpath; the wire schema the
+    source emits is :data:`KAFKA_WIRE_SCHEMA`, decode it with
+    :func:`parse_kafka_json`. ``max_offsets_per_trigger`` is the
+    backpressure knob (caps rows per micro-batch, the analogue of
+    maxFilesPerTrigger on the file source)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader.load()
+
+
+def parse_kafka_json(
+    df: DataFrame,
+    value_schema: str,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Decode Kafka wire rows: cast the binary value to string, parse it
+    as JSON with ``value_schema``, keep the source coordinates
+    (topic/partition/offset/timestamp) for exactly-once bookkeeping and
+    optionally apply a watermark on the broker timestamp. Pure column
+    expressions, so the SAME function works on a batch DataFrame with
+    :data:`KAFKA_WIRE_SCHEMA` — which is how the contract is tested
+    without a broker."""
+    out = df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("__j__"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    ).select("key", "__j__.*", "topic", "partition", "offset", "timestamp")
+    if watermark is not None:
+        out = out.withWatermark(*watermark)
+    return out
 
 
 def stream_to_memory(df: DataFrame, name: str, output_mode: str = "update"):

@@ -338,11 +338,11 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q117_seasonality_periodogram", "q118_ar2_forecast",
     "q127_linear_trend_forecast", "q132_smoothing_winsorize",
     "q133_split_mean_changepoints", "q135_arima_210_forecast",
-    # distributed-ranks ECDF over per-distinct-value counts
-    "q71_mann_whitney_segments", "q72_ks_two_sample",
-    "q73_kruskal_wallis_segments", "q95_wilcoxon_signed_rank",
-    "q111_shapiro_francia",
 }
+# (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
+# migrated off partitionless windows onto global_prefix_counts in
+# round 5: distinct-value cardinality of a continuous measure is NOT
+# bounded, so it does not belong on this whitelist.)
 
 
 def test_no_unbounded_partitionless_windows(spark):

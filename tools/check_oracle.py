@@ -50,8 +50,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pandrs_spark.session import get_spark
 
@@ -87,6 +93,7 @@ def main() -> int:
     from pandrs_spark.frame import release_persisted
 
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,6 +102,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"pass": False, "err": f"spark: {e}"[:200]}
             n_fail += 1
             continue
         finally:
@@ -103,11 +111,13 @@ def main() -> int:
             release_persisted()
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"pass": None, "rows_only": True, "rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"pass": False, "err": f"duckdb: {e}"[:200]}
             n_fail += 1
             continue
         cs, co = canon(sdf), canon(odf)
@@ -130,13 +140,35 @@ def main() -> int:
             problems.append("values: " + "; ".join(diff_cols[:4]))
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
+            results[name] = {"pass": False, "err": " | ".join(problems)[:200]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(cs)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "pass": True,
+                "rows": len(cs),
+                "sec": round(time.time() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(qs)} queries total")
     if broken_tables:
         print(f"loader broken for: {sorted(broken_tables)}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_registered": len(qs),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail or broken_tables else 0
 
 
