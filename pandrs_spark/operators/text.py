@@ -290,7 +290,10 @@ def word_shingle_udtf():
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, shingle string")
+    # useArrow: plans as ArrowEvalPythonUDTF (vectorized batch
+    # transfer) instead of row-pickled BatchEvalPythonUDTF — the
+    # registry-wide UDF plan fence pins this.
+    @udtf(returnType="pos int, shingle string", useArrow=True)
     class WordShingles:
         def eval(self, text: str, k: int):  # noqa: D401
             if text is None:

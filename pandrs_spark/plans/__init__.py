@@ -24,6 +24,7 @@ __all__ = [
     "has_broadcast_join",
     "wholestage_codegen_spans",
     "unbounded_partitionless_windows",
+    "unbounded_partitionless_windows_text",
 ]
 
 
@@ -127,7 +128,12 @@ def unbounded_partitionless_windows(df: DataFrame) -> list[str]:
     k survivors of a TakeOrdered top-k is bounded by construction.
     Returns the offending plan lines (empty list = clean).
     """
-    text = plan_text(df, "simple")
+    return unbounded_partitionless_windows_text(plan_text(df, "simple"))
+
+
+def unbounded_partitionless_windows_text(text: str) -> list[str]:
+    """Text-mode variant of :func:`unbounded_partitionless_windows` for
+    sweeps that cache one ``simple`` plan per query."""
     lines = text.splitlines()
 
     def _depth(line: str) -> int:

@@ -66,14 +66,20 @@ def test_flagship_query_plan_shape(spark):
     assert plans.num_shuffles(df) <= 2
 
 
-def test_no_accidental_cartesian_products(spark):
-    """Sweep every registered query's physical plan: a CartesianProduct
-    (non-broadcast cross join) would melt down at scale. Intentional
-    cross joins here always pair with a broadcast/1-row side, which
-    plans as BroadcastNestedLoopJoin instead."""
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registry_plan_texts(spark):
+    """Build every registered query ONCE and cache its simple-mode
+    physical plan text — shared by all registry-wide hygiene sweeps
+    (cartesian products, partitionless windows, row-at-a-time UDFs) so
+    the suite pays the 321-plan build cost a single time."""
     import __spark_entry__ as entry
 
-    offenders = []
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    texts: dict[str, str] = {}
+    errors: dict[str, str] = {}
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, "/root/testdata/sf0.001")
@@ -84,10 +90,37 @@ def test_no_accidental_cartesian_products(spark):
             try:
                 df = fn(spark, "/root/testdata/sf0.001")
             except Exception as e:  # noqa: BLE001
-                offenders.append(f"{name}: build error {e}")
+                errors[name] = f"build error {e}"
                 continue
-        if "CartesianProduct" in plans.plan_text(df, "simple"):
-            offenders.append(name)
+        texts[name] = plans.plan_text(df, "simple")
+    assert not errors, errors
+    return texts
+
+
+def test_no_accidental_cartesian_products(spark, registry_plan_texts):
+    """Sweep every registered query's physical plan: a CartesianProduct
+    (non-broadcast cross join) would melt down at scale. Intentional
+    cross joins here always pair with a broadcast/1-row side, which
+    plans as BroadcastNestedLoopJoin instead."""
+    offenders = [
+        name
+        for name, text in registry_plan_texts.items()
+        if "CartesianProduct" in text
+    ]
+    assert not offenders, offenders
+
+
+def test_no_row_at_a_time_python_udfs(spark, registry_plan_texts):
+    """Registry-wide fence: no plan may contain BatchEvalPython — the
+    row-at-a-time (pickled, non-Arrow) Python UDF executor, 10-100×
+    slower than vectorized ArrowEvalPython / pandas UDFs. The UDF
+    registry's vectorized=False escape hatch exists for API parity but
+    must never appear in a registered query's hot path."""
+    offenders = [
+        name
+        for name, text in registry_plan_texts.items()
+        if "BatchEvalPython" in text
+    ]
     assert not offenders, offenders
 
 
@@ -345,29 +378,18 @@ _BOUNDED_WINDOW_WHITELIST = {
 # bounded, so it does not belong on this whitelist.)
 
 
-def test_no_unbounded_partitionless_windows(spark):
+def test_no_unbounded_partitionless_windows(spark, registry_plan_texts):
     """Registry-wide fence: NO query plan may contain a partitionless
     Window over unbounded input (Spark's 'No Partition Defined' one-task
     collapse) outside the bounded whitelist above. This is the permanent
     regression gate for the bm25_topk / quantile_bins / q53 / q96 class
     of scale-killer fixed in round 5 — a new query that sneaks in a
     global row_number over a raw table fails here."""
-    import __spark_entry__ as entry
-
-    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     offenders = []
-    for name, fn in entry.queries().items():
+    for name, text in registry_plan_texts.items():
         if name in _BOUNDED_WINDOW_WHITELIST:
             continue
-        try:
-            df = fn(spark, "/root/testdata/sf0.001")
-        except Exception:  # noqa: BLE001 — one retry, as the cartesian sweep
-            try:
-                df = fn(spark, "/root/testdata/sf0.001")
-            except Exception as e:  # noqa: BLE001
-                offenders.append(f"{name}: build error {e}")
-                continue
-        offs = plans.unbounded_partitionless_windows(df)
+        offs = plans.unbounded_partitionless_windows_text(text)
         if offs:
             offenders.append(f"{name}: {offs[0][:120]}")
     assert not offenders, offenders

@@ -313,3 +313,70 @@ def test_weighted_sample_partition_invariant(spark):
             sorted(r["id"] for r in weighted_sample(df, "w", ["id"], 25).collect())
         )
     assert picks[0] == picks[1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=40),
+    st.integers(1, 7),
+)
+def test_global_prefix_counts_partition_invariant(spark, keys, nparts):
+    """global_prefix_counts == the driver-side cumulative fold under
+    the same total order, for ANY input partitioning (the partition-
+    offset scheme must be invisible)."""
+    from pandrs_spark.frame import release_persisted
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    rows = [(i, k, 1, k % 3) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(
+        rows, "id long, v long, one long, w long"
+    ).repartition(nparts)
+    out = global_prefix_counts(
+        df, [F.asc("v"), F.asc("id")], {"cum1": "one", "cumw": "w"}
+    )
+    got = {
+        r["id"]: (r["cum1"], r["cumw"])
+        for r in out.collect()
+    }
+    release_persisted()
+    acc1 = accw = 0
+    for i, k in sorted(enumerate(keys), key=lambda t: (t[1], t[0])):
+        acc1 += 1
+        accw += k % 3
+        assert got[i] == (acc1, accw), (i, got[i], (acc1, accw))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(-20, 20), min_size=2, max_size=40),
+    st.integers(1, 7),
+    st.integers(2, 6),
+)
+def test_global_row_number_and_ntile_partition_invariant(
+    spark, vals, nparts, k
+):
+    from pandrs_spark.frame import release_persisted
+    from pandrs_spark.operators.windows import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(nparts)
+    n = len(vals)
+    out = global_row_number(df, [F.asc("v"), F.asc("id")], "rn").select(
+        "id", "rn", ntile_from_rank(F.col("rn"), n, k).alias("nt")
+    )
+    got = {r["id"]: (r["rn"], r["nt"]) for r in out.collect()}
+    release_persisted()
+    order = sorted(range(n), key=lambda i: (vals[i], i))
+    base, rem = divmod(n, k)
+    # model NTILE: first `rem` buckets get base+1 rows
+    expect_bucket = []
+    for b in range(k):
+        expect_bucket += [b + 1] * ((base + 1) if b < rem else base)
+    for rank0, i in enumerate(order):
+        assert got[i][0] == rank0 + 1
+        assert got[i][1] == expect_bucket[rank0], (
+            n, k, rank0, got[i][1], expect_bucket[rank0],
+        )
