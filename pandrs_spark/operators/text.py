@@ -33,6 +33,8 @@ __all__ = [
     "decontaminate",
     "chunk_documents",
     "pack_sequences",
+    "remove_boilerplate_segments",
+    "unigram_logprob_score",
 ]
 
 # Tiny per-language stopword lists used by the n-gram/stopword language
@@ -247,6 +249,133 @@ def decontaminate(
     ).otherwise(F.lit(0.0))
     return per_doc.withColumn("overlap_frac", overlap).withColumn(
         "contaminated", F.col("overlap_frac") > F.lit(max_overlap_frac)
+    )
+
+
+def remove_boilerplate_segments(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+    min_doc_count: int = 3,
+    carry: tuple[str, ...] = (),
+):
+    """CCNet-style boilerplate removal: split every document into
+    consecutive non-overlapping ``seg_words``-word segments, measure
+    each segment's DOCUMENT frequency across the corpus, drop segments
+    that occur in ``min_doc_count`` or more distinct documents
+    (navigation chrome, legal footers, syndication banners — text that
+    repeats across documents carries no training signal), and
+    reconstruct the cleaned text in original segment order.
+
+    Shape for 100 TB: segment document-frequency is ONE
+    partial-aggregated shuffle keyed by the segment string; the
+    re-join is a segment-keyed equi-join (broadcast when the frequent-
+    segment table is small — it is by definition a tail of the segment
+    distribution); reconstruction sorts WITHIN each document group
+    (array_sort over (pos, seg) structs), never globally.
+
+    Returns one row per input document:
+    (id_col, *carry, n_segs, n_kept, n_removed, clean_text).
+    """
+    tok = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(tok) / F.lit(seg_words)).cast("int")
+    seg_list = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(tok, i * seg_words + 1, seg_words)
+        ),
+    )
+    segs = docs.select(
+        id_col,
+        *carry,
+        F.posexplode(
+            F.when(n_segs > 0, seg_list).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "seg"),
+    )
+    seg_df = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("__df__")
+    )
+    kept = (
+        segs.join(seg_df, "seg")
+        .filter(F.col("__df__") < min_doc_count)
+        .groupBy(id_col, *carry)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    per_doc = segs.groupBy(id_col, *carry).agg(
+        F.count(F.lit(1)).alias("n_segs")
+    )
+    return per_doc.join(kept, [id_col, *carry], "left").select(
+        id_col,
+        *carry,
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def unigram_logprob_score(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+    scale: int = 9,
+):
+    """Corpus-unigram language-model quality score (the CCNet/Wikipedia-
+    LM perplexity-filter shape, computed against the corpus's OWN
+    unigram distribution): per document, the mean negative log
+    probability of its tokens, ``ln(total) − mean(ln(count_w))``.
+    Low scores = made of common words; high scores = rare/garbled
+    vocabulary — the standard cheap quality-filter signal.
+
+    Shape for 100 TB: the LM is one partial-aggregated groupBy on the
+    token (vocabulary-bounded output, broadcastable); scoring is a
+    map-side broadcast join + one per-doc aggregate. The per-doc mean
+    folds quantized ``ln(count)`` values exactly (scaled-BIGINT sums),
+    so the result is partition-order independent.
+
+    Returns (id_col, *carry, n_tokens, neg_logprob).
+    """
+    from pandrs_spark.functions.deterministic import dsum
+
+    tok = docs.select(
+        id_col, *carry, F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("__cnt__"))
+    total = lm.agg(F.sum("__cnt__").alias("__total__"))
+    scored = (
+        tok.join(F.broadcast(lm), "w")
+        .groupBy(id_col, *carry)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum(F.log(F.col("__cnt__")), scale).alias("__slog__"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.select(
+        id_col,
+        *carry,
+        "n_tokens",
+        (
+            F.log(F.col("__total__").cast("double"))
+            - F.col("__slog__") / F.col("n_tokens")
+        ).alias("neg_logprob"),
     )
 
 

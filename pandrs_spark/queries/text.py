@@ -2346,3 +2346,102 @@ def q311(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --- q322: CCNet-style boilerplate segment removal — segments that
+# repeat across >= 3 distinct documents are corpus chrome, not content;
+# drop them and reconstruct the cleaned text in original order. DF is
+# one partial-aggregated shuffle on the segment; reconstruction sorts
+# only WITHIN each document group. ------------------------------------------
+@query(
+    "q322_boilerplate_segment_removal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[(i*3+1):(i*3+3)], ' ') AS seg
+        FROM tok,
+             UNNEST(generate_series(0, CAST(CEIL(len(w)/3.0) AS INT) - 1)) t(i)
+    ),
+    seg_df AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS d FROM segs GROUP BY seg
+    ),
+    kept AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text
+        FROM segs s JOIN seg_df f USING (seg)
+        WHERE f.d < 3
+        GROUP BY s.doc_id
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+        FROM segs GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_segs,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           p.n_segs - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM per_doc p LEFT JOIN kept k USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def q322(spark, sf_dir):
+    from pandrs_spark.operators.text import remove_boilerplate_segments
+
+    docs = T(spark, sf_dir, "documents")
+    out = remove_boilerplate_segments(
+        docs, seg_words=3, min_doc_count=3
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_segs").cast("bigint").alias("n_segs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+# --- q323: corpus-unigram LM quality score (CCNet perplexity-filter
+# shape): per doc, mean −ln p(w) under the corpus's own unigram LM.
+# LM = one vocabulary-bounded groupBy (broadcast); scoring = map-side
+# join + per-doc exact quantized log-sum. --------------------------------
+@query(
+    "q323_unigram_lm_quality",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.w
+        FROM (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+            FROM documents
+        ), UNNEST(ws) AS u(w)
+        WHERE u.w <> ''
+    ),
+    lm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM lm),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               (CAST(SUM(CAST(SIGN(LN(l.cnt)) * FLOOR(ABS(LN(l.cnt)) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) AS slog
+        FROM tok t JOIN lm l USING (w)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(LN(CAST(tot AS DOUBLE)) - slog / n_tokens, 6) AS neg_logprob
+    FROM per_doc, total
+    ORDER BY doc_id
+    """,
+)
+def q323(spark, sf_dir):
+    from pandrs_spark.operators.text import unigram_logprob_score
+
+    docs = T(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("neg_logprob", 6).alias("neg_logprob"),
+    ).orderBy("doc_id")

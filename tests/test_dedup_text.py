@@ -292,3 +292,60 @@ def test_decontaminate_flags_overlap_and_keeps_short_docs(spark):
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
     assert abs(out[1]["overlap_frac"] - 1 / 4) < 1e-6
+
+
+def test_remove_boilerplate_segments(spark):
+    from pandrs_spark.operators.text import remove_boilerplate_segments
+
+    # "the footer text" appears in 3 docs -> removed at min_doc_count=3;
+    # unique bodies survive in original order.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma the footer text"),
+            (2, "delta epsilon zeta the footer text"),
+            (3, "eta theta iota the footer text"),
+            (4, "kappa lambda mu nu xi omicron"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_segments(
+            docs, seg_words=3, min_doc_count=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_segs"] == 2 and out[1]["n_removed"] == 1
+    assert out[4]["clean_text"] == "kappa lambda mu nu xi omicron"
+    assert out[4]["n_removed"] == 0
+    # a doc that is ALL boilerplate keeps its row with empty text
+    docs2 = docs.union(
+        spark.createDataFrame([(5, "the footer text")], "doc_id long, text string")
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_segments(
+            docs2, seg_words=3, min_doc_count=3
+        ).collect()
+    }
+    assert out2[5]["clean_text"] == "" and out2[5]["n_kept"] == 0
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from pandrs_spark.operators.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_score(docs).collect()}
+    # corpus: common x4, rare x1, total 5
+    nl1 = math.log(5) - math.log(4)          # doc1: only 'common'
+    nl2 = math.log(5) - (math.log(4) + math.log(1)) / 2
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["neg_logprob"] - nl1) < 1e-6
+    assert abs(got[2]["neg_logprob"] - nl2) < 1e-6
+    # rarer vocabulary scores strictly higher (lower quality)
+    assert got[2]["neg_logprob"] > got[1]["neg_logprob"]
