@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from pandrs_spark.operators.text import doc_fingerprint, shingles, tokens
 
+from pandrs_spark.operators.util import fan_out
+
 __all__ = [
     "exact_dedup_clusters",
     "minhash_signature_cols",
@@ -104,7 +106,9 @@ def minhash_signature_cols(text: Column, num_hashes: int = 4, k: int = 3) -> lis
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, k: int = 3
 ) -> DataFrame:
-    return df.select(
+    # per-row minhash over shingles is compute-dense map work —
+    # widen under-partitioned scans first (operators/util.fan_out)
+    return fan_out(df).select(
         F.col(id_col), *minhash_signature_cols(F.col(text_col), num_hashes, k)
     )
 
@@ -207,7 +211,7 @@ def simhash_fingerprint(
     reproducible in ANSI SQL while preserving the similarity property:
     near-identical token multisets → small Hamming distance.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
     ).withColumn("h", F.md5("tk"))
     agg_cols = []

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandrs_spark.operators.util import fan_out
+
 __all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank"]
 
 
@@ -93,6 +95,7 @@ def cosine_topk(
     """Brute-force cosine top-k of each corpus vector against a single
     broadcast query vector. Returns (vec_id, sim) with sim rounded to 4
     decimals; ordering ties broken by id for determinism."""
+    corpus = fan_out(corpus)
     q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("__qv")))
     sim = cosine(_as_double(F.col(vec_col)), F.col("__qv"))
     # Rank on the 6-decimal rounding with an id tie-break: engines may
@@ -120,6 +123,7 @@ def nearest_neighbors(
     from pyspark.sql import Window
 
     extra = [label_col] if label_col else []
+    corpus = fan_out(corpus)
     a = corpus.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"), *extra
     )

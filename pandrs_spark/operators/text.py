@@ -14,6 +14,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "fan_out",
     "char_entropy",
     "gopher_quality_flags",
     "tf_idf_top_terms",
@@ -45,6 +46,9 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "de", "y", "un"),
     "fr": ("le", "la", "de", "et", "un"),
 }
+
+
+from pandrs_spark.operators.util import fan_out  # noqa: E402 — re-export
 
 
 def tokens(col: Column | str) -> Column:
@@ -188,6 +192,7 @@ def corpus_ngram_duplication(
     for ``approx_count_distinct`` (same plan shape, no exact-distinct
     shuffle) — the exact form here is the oracle-matched baseline.
     Returns one row: n_grams, n_distinct, dup_fraction."""
+    docs = fan_out(docs)
     grams = docs.select(
         F.explode(shingles(tokens(F.col(text_col)), k)).alias("g")
     )
@@ -208,6 +213,7 @@ def decontaminate(
     k: int = 8,
     max_overlap_frac: float = 0.0,
     carry: tuple[str, ...] = (),
+    hashed: bool = False,
 ):
     """Benchmark decontamination — the word-k-gram overlap rule used to
     scrub eval-set contamination from web-scale training corpora: a
@@ -222,19 +228,40 @@ def decontaminate(
     ``id_col``. ``explode_outer`` keeps docs shorter than k tokens in
     the output (n_grams = 0, never contaminated).
 
+    ``hashed=True`` joins on ``xxhash64(gram)`` instead of the gram
+    string: the broadcast table shrinks to 8 bytes/entry and the join
+    compares longs, which measurably cuts the explode-dominated wall
+    time at corpus scale. Collision risk is ~m²/2⁶⁵ for m distinct
+    benchmark grams (negligible below billions of grams, and any
+    collision only over-flags contamination — the safe direction).
+    The exact string form is the oracle-matched default.
+
     Returns one row per candidate doc:
     (id_col, *carry, n_grams, n_hits, overlap_frac, contaminated).
     """
     bench_grams = (
-        bench.select(F.explode(shingles(tokens(F.col(text_col)), k)).alias("g"))
+        fan_out(bench)
+        .select(F.explode(shingles(tokens(F.col(text_col)), k)).alias("g"))
         .distinct()
         .withColumn("__hit__", F.lit(1))
     )
-    doc_grams = docs.select(
+    doc_grams = fan_out(docs).select(
         id_col,
         *carry,
         F.explode_outer(shingles(tokens(F.col(text_col)), k)).alias("g"),
     )
+    if hashed:
+        # xxhash64(NULL) is the (non-null) seed value, so the
+        # explode_outer null that marks a too-short doc must be
+        # preserved explicitly or n_grams would over-count.
+        bench_grams = bench_grams.select(
+            F.xxhash64("g").alias("g"), "__hit__"
+        )
+        doc_grams = doc_grams.select(
+            id_col,
+            *carry,
+            F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("g"),
+        )
     per_doc = (
         doc_grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy(id_col, *carry)
@@ -278,6 +305,7 @@ def remove_boilerplate_segments(
     Returns one row per input document:
     (id_col, *carry, n_segs, n_kept, n_removed, clean_text).
     """
+    docs = fan_out(docs)
     tok = tokens(F.col(text_col))
     n_segs = F.ceil(F.size(tok) / F.lit(seg_words)).cast("int")
     seg_list = F.transform(
@@ -354,7 +382,7 @@ def unigram_logprob_score(
     """
     from pandrs_spark.functions.deterministic import dsum
 
-    tok = docs.select(
+    tok = fan_out(docs).select(
         id_col, *carry, F.explode(tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
     lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("__cnt__"))
@@ -496,7 +524,7 @@ def tf_idf_top_terms(
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -535,7 +563,7 @@ def bm25_search(
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     doclen = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))

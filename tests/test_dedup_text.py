@@ -349,3 +349,33 @@ def test_unigram_logprob_score(spark):
     assert abs(got[2]["neg_logprob"] - nl2) < 1e-6
     # rarer vocabulary scores strictly higher (lower quality)
     assert got[2]["neg_logprob"] > got[1]["neg_logprob"]
+
+
+def test_decontaminate_hashed_matches_exact(spark):
+    """hashed=True (xxhash64 gram join) must agree with the exact
+    string-join default on collision-free data, including the
+    explode_outer null path for too-short docs."""
+    from pandrs_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "k l m n o p q r s t"),
+            (3, "short doc"),  # < k tokens -> n_grams 0
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h plus tail words")], "doc_id long, text string"
+    )
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, hashed=True).collect()
+    }
+    assert exact == hashed
+    assert exact[1] == (3, 1, True)   # shares the 'a..h' 8-gram
+    assert exact[3] == (0, 0, False)  # short doc: no grams, kept
