@@ -79,8 +79,43 @@ def hll_rollup(
     )
 
 
+def _cms_bucket(width: int, fast_hash: bool):
+    """Bucket expression for one (depth-index, key) pair. md5-derived by
+    default so any engine (the DuckDB oracle included) rebuilds the
+    identical grid; ``fast_hash=True`` swaps in xxhash64 — one 64-bit
+    JVM hash instead of a full md5 + hex-decode per (row, depth), ~an
+    order of magnitude cheaper in the hot explode — for production
+    sketches that never need cross-engine replay. pmod keeps the bucket
+    non-negative (xxhash64 is signed)."""
+    if fast_hash:
+        return F.pmod(
+            F.xxhash64(F.lit("cms"), F.col("__i__"), F.col("__k__")),
+            F.lit(width),
+        ).alias("__b__")
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("cms"), F.col("__i__").cast("string"), F.col("__k__")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).alias("__b__")
+
+
 def cms_build(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Count-min sketch over ``key_col``: a ``depth x width`` counter
     grid, each row hashing into one bucket per depth row
@@ -98,23 +133,7 @@ def cms_build(
     rows = df.select(F.col(key_col).cast("string").alias("__k__"))
     idx = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__")
     hashed = rows.select("__k__", idx).select(
-        "__i__",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.lit("cms"), F.col("__i__").cast("string"), F.col("__k__")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        ).alias("__b__"),
+        "__i__", _cms_bucket(width, fast_hash)
     )
     return hashed.groupBy("__i__", "__b__").agg(
         F.count(F.lit(1)).alias("__c__")
@@ -122,7 +141,12 @@ def cms_build(
 
 
 def cms_estimate(
-    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Point-estimate frequencies for ``keys`` from a count-min
     sketch: min over the depth counters each key hashes to. The
@@ -133,24 +157,7 @@ def cms_estimate(
     probes = keys.select(F.col(key_col).cast("string").alias("__k__")).distinct()
     idx = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__")
     probe = probes.select("__k__", idx).select(
-        "__k__",
-        "__i__",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.lit("cms"), F.col("__i__").cast("string"), F.col("__k__")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-        ).alias("__b__"),
+        "__k__", "__i__", _cms_bucket(width, fast_hash)
     )
     return (
         probe.join(F.broadcast(sketch), ["__i__", "__b__"], "left")

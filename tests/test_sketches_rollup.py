@@ -120,3 +120,26 @@ def test_clamped_cumsum_matches_reference_fold(spark):
             q = int(round(abs(v) * 100)) * (1 if v >= 0 else -1)
             bal = max(0, bal + q)
             assert got[(k, t)] == bal / 100.0, (k, t)
+
+
+def test_cms_fast_hash_guarantee_and_agreement(spark):
+    """fast_hash=True (xxhash64 grid) preserves the CMS one-sided
+    guarantee (estimate >= exact, always) and agrees with the exact
+    counts on a sparse sketch; buckets are non-negative despite
+    xxhash64 being signed."""
+    from pandrs_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [(k,) for k in (["hot"] * 50 + [f"k{i}" for i in range(40)])],
+        "key string",
+    )
+    sketch = cms_build(df, "key", depth=4, width=512, fast_hash=True)
+    assert sketch.filter("__b__ < 0 OR __b__ >= 512").count() == 0
+    est = cms_estimate(sketch, df, "key", depth=4, width=512, fast_hash=True)
+    exact = df.groupBy("key").count()
+    j = est.join(exact, "key").collect()
+    assert len(j) == 41
+    for r in j:
+        assert r["est_count"] >= r["count"]  # never undercounts
+    hot = [r for r in j if r["key"] == "hot"][0]
+    assert hot["est_count"] == 50  # sparse sketch: exact for the heavy key
