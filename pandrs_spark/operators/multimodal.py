@@ -154,7 +154,13 @@ def repartition_for_payload(
     df: DataFrame, avg_payload_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024
 ) -> DataFrame:
     """Size partitions by byte budget, not row count — with multimodal
-    payloads a 128 MB partition may be only a few thousand rows."""
+    payloads a 128 MB partition may be only a few thousand rows. The
+    byte budget is an UPPER bound on partition size, so the count is
+    floored at the cluster's default parallelism: a corpus small enough
+    to fit one 128 MB partition must still decode on every core, not
+    serialize through one task (same starvation as util.fan_out fixes
+    for explode-heavy text work)."""
     rows = df.count()
     parts = max(1, (rows * avg_payload_bytes) // target_partition_bytes)
+    parts = max(parts, df.sparkSession.sparkContext.defaultParallelism)
     return df.repartition(int(parts))

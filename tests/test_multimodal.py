@@ -61,3 +61,24 @@ def test_sample_video_frames(spark):
     )
     out = sample_video_frames(media, every_n=3).collect()
     assert [r.frame_idx for r in out] == [0, 3, 6, 9]
+
+
+def test_repartition_for_payload_parallelism_floor(spark):
+    """A corpus that fits one byte-budget partition must still fan out
+    to every core — the byte budget is an upper bound on partition
+    SIZE, not a license to serialize the decode."""
+    from pandrs_spark.operators.multimodal import repartition_for_payload
+
+    df = spark.createDataFrame(
+        [(i, b"x" * 100) for i in range(200)], "id long, content binary"
+    ).coalesce(1)
+    out = repartition_for_payload(df, avg_payload_bytes=100)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # and the byte budget still dominates for large corpora
+    big = repartition_for_payload(
+        df, avg_payload_bytes=512 * 1024 * 1024
+    )  # 200 rows x 512MB >> 128MB target
+    assert big.rdd.getNumPartitions() > spark.sparkContext.defaultParallelism

@@ -63,7 +63,12 @@ def main() -> int:
 
     import __spark_entry__ as E
 
-    spark = get_spark("oracle-check")
+    # PANDRS_ORACLE_SHUFFLE: override shuffle partitions for
+    # determinism audits — a full sweep under an adversarial partition
+    # count (e.g. 7) must hash-match the committed artifact, or some
+    # query's float fold is partition-order dependent.
+    shuf = int(os.environ.get("PANDRS_ORACLE_SHUFFLE", "0")) or None
+    spark = get_spark("oracle-check", shuffle_partitions=shuf)
     qs, oracles = E.queries(), E.oracle_sql()
 
     con = duckdb.connect()
