@@ -200,7 +200,7 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("id_c"), _as_double(F.col(vec_col)).alias("vc")
     )
     q = queries.select(
@@ -261,7 +261,7 @@ def ivf_topk(
             F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
         )
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("id_c"), _as_double(F.col(vec_col)).alias("vc")
     )
     q = queries.select(
@@ -335,6 +335,7 @@ def embedding_near_dup_pairs(
     (id_a, id_b, sim) with id_a < id_b.
     """
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
+    corpus = fan_out(corpus)
     v = corpus.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     )
@@ -392,7 +393,7 @@ def semantic_dedup(
     bounded by cluster size, never all-pairs), one distinct + one left
     anti-style join. Returns (id_col, *carry, cluster, kept).
     """
-    v = corpus.select(
+    v = fan_out(corpus).select(
         F.col(id_col), *carry, _as_double(F.col(vec_col)).alias("__v__")
     )
     bucket = F.concat_ws(

@@ -7,25 +7,36 @@ from pyspark.sql import DataFrame
 __all__ = ["fan_out"]
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:
     """Widen under-partitioned inputs before compute-heavy map work.
 
     Scan partition counts are sized from FILE BYTES
     (``spark.sql.files.maxPartitionBytes``), which underestimates the
     parallelism needed when per-row work amplifies past the scan:
     explode/shingle text operators (10-100× row blow-up), per-row
-    minhash/simhash signatures, embedding dot products over
-    array columns. Measured at the synthesized sf1: documents scans
-    into 2 partitions and embeddings into ONE, leaving 30+ of 32 cores
-    idle through a 30 s shingle explode (2.5 s after widening).
+    minhash/simhash signatures, embedding dot products over array
+    columns. Measured at the synthesized sf1: documents scans into 2
+    partitions and embeddings into ONE, leaving 30+ of 32 cores idle
+    through a 30 s shingle explode (2.5 s after widening).
 
-    When the input has fewer partitions than the cluster has slots,
-    one cheap narrow-input round-robin shuffle buys full-width codegen
-    for everything downstream. No-op when the input is already wide —
-    at 100 TB scans are thousands of partitions and this never fires.
+    The target is scaled to the input's optimizer-estimated size —
+    one task per ``bytes_per_task`` of input, clamped to the cluster's
+    default parallelism — so tiny inputs are NOT shattered into 32
+    near-empty partitions (A/B-measured: unconditional widening cost
+    +50% on a 200 KB embedding join whose branches re-read the
+    exchange, while skipping sub-task-sized inputs keeps the 12×
+    sf1 win). No-op when the input is already at least that wide — at
+    100 TB scans are thousands of partitions and this never fires.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        target = max(1, min(target, size // bytes_per_task))
+    except Exception:  # noqa: BLE001 — stats unavailable: widen fully
+        pass
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(int(target))
     return df
