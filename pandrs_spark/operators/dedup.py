@@ -28,6 +28,7 @@ from pandrs_spark.operators.text import doc_fingerprint, shingles, tokens
 from pandrs_spark.operators.util import fan_out
 
 __all__ = [
+    "select_cluster_representatives",
     "exact_dedup_clusters",
     "minhash_signature_cols",
     "minhash_signatures",
@@ -228,4 +229,47 @@ def simhash_fingerprint(
         F.concat_ws("", *[F.col(f"b{j}") for j in range(1, bits + 1)]).alias(
             "simhash"
         ),
+    )
+
+
+def select_cluster_representatives(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Pick ONE representative per exact-duplicate cluster — the step
+    after dedup detection in a real corpus pipeline: of N byte-identical
+    (by content fingerprint) copies, keep the highest-``quality_col``
+    member (ties broken by lowest id, fully deterministic) and record
+    how many copies it speaks for (needed to preserve corpus weighting
+    downstream).
+
+    One window partitioned BY CLUSTER (never global) over the
+    fingerprint groups: the plan is one shuffle on the fingerprint,
+    each task ranks only its own clusters. Returns
+    (fp, n_docs, rep_id, rep_quality).
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        doc_fingerprint(text_col).alias("fp"),
+        F.col(id_col),
+        F.col(quality_col),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("__rn__", F.row_number().over(w))
+        .withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "fp",
+            "n_docs",
+            F.col(id_col).alias("rep_id"),
+            F.col(quality_col).alias("rep_quality"),
+        )
     )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "temperature_mixture_shares",
     "hash_bucket",
     "deterministic_sample",
     "stratified_sample",
@@ -171,4 +172,33 @@ def resample_to_mixture(
         .filter(share_map[F.col(domain_col)].isNotNull())
         .filter(buckets < thr)
         .drop("__n__")
+    )
+
+
+def temperature_mixture_shares(
+    df: DataFrame, domain_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based mixture shares (the T5/mT5 sampling rule):
+    share_d ∝ n_d^alpha. alpha=1 keeps natural proportions, alpha→0
+    approaches uniform — the standard knob for up-weighting low-resource
+    domains/languages in a training mixture. One tiny aggregate
+    (domain-bounded output); feed the result into
+    :func:`resample_to_mixture` to materialize the sample.
+
+    Returns (domain, n_docs, share) with Σ share = 1.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powed = counts.withColumn(
+        "__w__", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    total = powed.agg(F.sum("__w__").alias("__t__"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            (F.col("__w__") / F.col("__t__")).alias("share"),
+        )
     )

@@ -2445,3 +2445,68 @@ def q323(spark, sf_dir):
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round("neg_logprob", 6).alias("neg_logprob"),
     ).orderBy("doc_id")
+
+
+# --- q324: duplicate-cluster representative selection — after dedup
+# detection, keep the best-quality member of each exact-content cluster
+# (ties → lowest id) and carry the cluster multiplicity for downstream
+# weighting. One shuffle on the fingerprint; ranking windows are
+# partitioned BY CLUSTER, never global. -------------------------------------
+@query(
+    "q324_dedup_representatives",
+    oracle="""
+    WITH keyed AS (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+               doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               ) AS BIGINT) AS n_docs
+        FROM documents
+    )
+    SELECT fp, n_docs, doc_id AS rep_id,
+           CAST(n_chars AS BIGINT) AS rep_quality
+    FROM keyed WHERE rn = 1
+    ORDER BY fp
+    """,
+)
+def q324(spark, sf_dir):
+    from pandrs_spark.operators.dedup import select_cluster_representatives
+
+    docs = T(spark, sf_dir, "documents")
+    out = select_cluster_representatives(docs, "text", "doc_id", "n_chars")
+    return out.select(
+        "fp",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "rep_id",
+        F.col("rep_quality").cast("bigint").alias("rep_quality"),
+    ).orderBy("fp")
+
+
+# --- q325: temperature-based mixture shares (T5/mT5 sampling rule,
+# share ∝ n^alpha) — the knob for up-weighting low-resource domains in
+# a training mixture. Domain-bounded aggregate output. ----------------------
+@query(
+    "q325_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    powed AS (SELECT domain, n_docs, POWER(n_docs, 0.5) AS w FROM counts)
+    SELECT domain, n_docs,
+           ROUND(w / (SELECT SUM(w) FROM powed), 6) AS share
+    FROM powed ORDER BY domain
+    """,
+)
+def q325(spark, sf_dir):
+    from pandrs_spark.operators.sampling import temperature_mixture_shares
+
+    docs = T(spark, sf_dir, "documents")
+    out = temperature_mixture_shares(docs, "source", alpha=0.5)
+    return out.select(
+        "domain", "n_docs", F.round("share", 6).alias("share")
+    ).orderBy("domain")

@@ -379,3 +379,41 @@ def test_decontaminate_hashed_matches_exact(spark):
     assert exact == hashed
     assert exact[1] == (3, 1, True)   # shares the 'a..h' 8-gram
     assert exact[3] == (0, 0, False)  # short doc: no grams, kept
+
+
+def test_select_cluster_representatives(spark):
+    from pandrs_spark.operators.dedup import select_cluster_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same   text here", 10),
+            (2, "same text here", 25),   # same normalized content, best quality
+            (3, "Same Text Here", 25),   # tie on quality -> lower id wins (2)
+            (4, "unique document", 7),
+        ],
+        "doc_id long, text string, q long",
+    )
+    out = select_cluster_representatives(docs, "text", "doc_id", "q").collect()
+    by_rep = {r["rep_id"]: r for r in out}
+    assert len(out) == 2
+    assert by_rep[2]["n_docs"] == 3 and by_rep[2]["rep_quality"] == 25
+    assert by_rep[4]["n_docs"] == 1
+
+
+def test_temperature_mixture_shares(spark):
+    import math
+
+    from pandrs_spark.operators.sampling import temperature_mixture_shares
+
+    df = spark.createDataFrame(
+        [("web",)] * 90 + [("code",)] * 9 + [("books",)] * 1, "d string"
+    )
+    out = {r["domain"]: r for r in temperature_mixture_shares(df, "d", 0.5).collect()}
+    tot = math.sqrt(90) + math.sqrt(9) + math.sqrt(1)
+    assert abs(out["web"]["share"] - math.sqrt(90) / tot) < 1e-9
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-9
+    # alpha=0.5 compresses: books gets far MORE than its 1% natural share
+    assert out["books"]["share"] > 0.05
+    # alpha=1 recovers natural proportions
+    nat = {r["domain"]: r["share"] for r in temperature_mixture_shares(df, "d", 1.0).collect()}
+    assert abs(nat["web"] - 0.9) < 1e-9
