@@ -324,16 +324,67 @@ def salted_join(
     ``salt_from`` is a left-side column whose hash spreads the hot key's
     rows across ``n_salts`` sub-partitions; the right side is replicated
     ``n_salts`` times, so every (key, salt) pair still finds its match.
-    Join output is row-identical to the unsalted join.
+    Join output is row-identical to the unsalted join — including
+    right/full outer, which naive salting breaks: a right-row salt copy
+    that finds no left row with that exact salt value would surface as
+    a spurious unmatched row (even when ANOTHER copy of the same row
+    matched). Those join types therefore decompose into the skew-safe
+    salted INNER join unioned with anti-join unmatched parts, where
+    each anti join runs against the other side's DISTINCT key set — an
+    aggregation that collapses the hot key to one row, so no piece of
+    the decomposition re-creates the skew.
     """
     keys = _as_list(on)
-    salted_left = left.withColumn(
-        "__salt__", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salts))
+    hn = how.replace("_", "").lower()
+    if hn in ("inner", "left", "leftouter"):
+        # left carries one salt per row → every left row appears with
+        # exactly its plain-join multiplicity; correct as-is.
+        salted_left = left.withColumn(
+            "__salt__", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salts))
+        )
+        salted_right = right.withColumn(
+            "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        return salted_left.join(
+            salted_right, keys + ["__salt__"], how
+        ).drop("__salt__")
+    if hn not in ("right", "rightouter", "full", "outer", "fullouter"):
+        raise ValueError(f"salted_join: unsupported how={how!r}")
+    inner = salted_join(left, right, keys, salt_from, n_salts, "inner")
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    parts = [inner.select(*keys, *lcols, *rcols)]
+    # No broadcast hints: the distinct key sets may themselves be huge
+    # (every key of a 100 TB fact table); the distinct() has already
+    # collapsed the hot keys, so the anti joins are skew-safe either
+    # way and AQE picks broadcast when a side is actually small.
+    if hn in ("full", "outer", "fullouter"):
+        lk = right.select(*keys).distinct()
+        parts.append(
+            left.join(lk, keys, "left_anti").select(
+                *keys,
+                *lcols,
+                *[
+                    F.lit(None).cast(right.schema[c].dataType).alias(c)
+                    for c in rcols
+                ],
+            )
+        )
+    rk = left.select(*keys).distinct()
+    parts.append(
+        right.join(rk, keys, "left_anti").select(
+            *keys,
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+            ],
+            *rcols,
+        )
     )
-    salted_right = right.withColumn(
-        "__salt__", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
-    )
-    return salted_left.join(salted_right, keys + ["__salt__"], how).drop("__salt__")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def upsert_latest(
@@ -471,9 +522,6 @@ def auto_salted_join(
     row-count threshold are few by definition) and broadcast back as a
     literal filter. Output is row-identical to the plain join.
     """
-    from functools import reduce as _reduce
-    import operator as _op
-
     keys = _as_list(on)
     hot = [
         tuple(r[k] for k in keys)
@@ -488,22 +536,26 @@ def auto_salted_join(
     hot = [t for t in hot if all(v is not None for v in t)]
     if not hot:
         return left.join(right, keys, how)
-    # eqNullSafe yields False (never NULL) on null inputs, so both the
-    # is_hot and ~is_hot branches are total: null-key rows land cold
-    # and outer-join semantics stay row-identical to the plain join.
-    # Hotness is matched on the FULL key tuple, not keys[0] alone.
-    is_hot = _reduce(
-        _op.or_,
-        (
-            _reduce(
-                _op.and_,
-                (F.col(k).eqNullSafe(F.lit(v)) for k, v in zip(keys, t)),
-            )
-            for t in hot
-        ),
+    # Route via broadcast semi/anti joins against the (bounded, by
+    # definition of skew_threshold) hot-key table: one hash-set probe
+    # per row regardless of hot count — a literal OR-chain predicate
+    # would grow the Catalyst expression tree linearly in the number of
+    # hot keys. Hotness matches on the FULL key tuple; null-key rows
+    # never equi-match the hot table, so anti-join routing lands them
+    # cold, where outer joins preserve them — row-identical to the
+    # plain join.
+    hot_df = F.broadcast(
+        left.sparkSession.createDataFrame(hot, left.select(*keys).schema)
     )
-    cold = left.filter(~is_hot).join(right.filter(~is_hot), keys, how)
+    cold = left.join(hot_df, keys, "left_anti").join(
+        right.join(hot_df, keys, "left_anti"), keys, how
+    )
     hot_join = salted_join(
-        left.filter(is_hot), right.filter(is_hot), keys, salt_from, n_salts, how
+        left.join(hot_df, keys, "left_semi"),
+        right.join(hot_df, keys, "left_semi"),
+        keys,
+        salt_from,
+        n_salts,
+        how,
     )
     return cold.unionByName(hot_join)

@@ -157,6 +157,14 @@ def quantile_bins(
         w = Window.orderBy(*order)
         return df.withColumn(out, (F.ntile(n_bins).over(w) - 1).cast("int"))
     qs = [i / n_bins for i in range(1, n_bins)]
+    if not qs:
+        # n_bins=1: everything non-null is bin 0 (ntile(1) parity)
+        return df.withColumn(
+            out,
+            F.when(F.col(col).isNotNull(), F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("int"),
+        )
     if approx_edges:
         edge_expr = F.expr(
             f"approx_percentile({col}, array({','.join(str(q) for q in qs)}), 10000)"
@@ -166,6 +174,15 @@ def quantile_bins(
             f"percentile({col}, array({','.join(str(q) for q in qs)}))"
         )
     edges = df.agg(edge_expr.alias("e")).first()["e"]
+    if edges is None:
+        # empty frame or all-null column: no edges exist; null in →
+        # null bin, any (impossible) non-null row → bin 0
+        return df.withColumn(
+            out,
+            F.when(F.col(col).isNotNull(), F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("int"),
+        )
     # bin = number of edges strictly below the value; edges that land
     # exactly ON a data value keep that value in the lower bin (both
     # engines return the exact value when the quantile position is
@@ -173,7 +190,10 @@ def quantile_bins(
     b = F.lit(0)
     for e in edges:
         b = b + F.when(F.col(col) > F.lit(float(e)), 1).otherwise(0)
-    return df.withColumn(out, b.cast("int"))
+    # null in → null bin (pandas qcut NaN parity), not bin 0
+    return df.withColumn(
+        out, F.when(F.col(col).isNotNull(), b).cast("int")
+    )
 
 
 def simple_ols(df: DataFrame, y: str, x: str, by=None) -> DataFrame:

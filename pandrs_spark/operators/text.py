@@ -314,6 +314,15 @@ def remove_boilerplate_segments(
             " ", F.slice(tok, i * seg_words + 1, seg_words)
         ),
     )
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+
+    # The exploded segment table feeds both the DF aggregate and the
+    # per-doc reconstruction; persist it so the corpus-wide tokenize +
+    # posexplode (the dominant cost) runs ONCE, not once per consumer
+    # (MEMORY_AND_DISK: at corpus scale the explosion spills, it never
+    # recomputes).
     segs = docs.select(
         id_col,
         *carry,
@@ -322,39 +331,42 @@ def remove_boilerplate_segments(
                 F.array().cast("array<string>")
             )
         ).alias("pos", "seg"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(segs)
     seg_df = segs.groupBy("seg").agg(
         F.countDistinct(id_col).alias("__df__")
     )
-    kept = (
+    # One aggregate computes totals, kept counts AND the ordered
+    # reconstruction (collect_list drops the nulls that when() leaves
+    # for boilerplate segments) — the inner DF join always matches, so
+    # no second per-doc aggregate or re-join is needed.
+    keep = F.col("__df__") < min_doc_count
+    return (
         segs.join(seg_df, "seg")
-        .filter(F.col("__df__") < min_doc_count)
         .groupBy(id_col, *carry)
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
             F.concat_ws(
                 " ",
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", "seg"))
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "seg"))
+                        )
                     ),
                     lambda s: s["seg"],
                 ),
             ).alias("clean_text"),
         )
-    )
-    per_doc = segs.groupBy(id_col, *carry).agg(
-        F.count(F.lit(1)).alias("n_segs")
-    )
-    return per_doc.join(kept, [id_col, *carry], "left").select(
-        id_col,
-        *carry,
-        "n_segs",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        .select(
+            id_col,
+            *carry,
+            "n_segs",
+            "n_kept",
+            (F.col("n_segs") - F.col("n_kept")).alias("n_removed"),
+            "clean_text",
+        )
     )
 
 
@@ -382,9 +394,22 @@ def unigram_logprob_score(
     """
     from pandrs_spark.functions.deterministic import dsum
 
-    tok = fan_out(docs).select(
-        id_col, *carry, F.explode(tokens(F.col(text_col))).alias("w")
-    ).filter(F.col("w") != "")
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+
+    # tok feeds both the LM build and the scoring join — persist so the
+    # corpus-wide explode runs once (MEMORY_AND_DISK spills at scale,
+    # it never recomputes).
+    tok = (
+        fan_out(docs)
+        .select(
+            id_col, *carry, F.explode(tokens(F.col(text_col))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(tok)
     lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("__cnt__"))
     total = lm.agg(F.sum("__cnt__").alias("__total__"))
     scored = (

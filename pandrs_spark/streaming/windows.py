@@ -159,25 +159,36 @@ def stream_from_kafka(
 def parse_kafka_json(
     df: DataFrame,
     value_schema: str,
-    watermark: tuple[str, str] | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Decode Kafka wire rows: cast the binary value to string, parse it
-    as JSON with ``value_schema``, keep the source coordinates
-    (topic/partition/offset/timestamp) for exactly-once bookkeeping and
-    optionally apply a watermark on the broker timestamp. Pure column
+    as JSON with ``value_schema``, keep the source coordinates for
+    exactly-once bookkeeping, and optionally apply a watermark (a delay
+    string like ``"10 minutes"``) on the broker timestamp. The wire
+    columns are exposed with a ``kafka_`` prefix (kafka_key,
+    kafka_topic, kafka_partition, kafka_offset, kafka_timestamp) so
+    payload fields named ``key``/``timestamp``/... — extremely common
+    in real event streams — never collide with them. Pure column
     expressions, so the SAME function works on a batch DataFrame with
     :data:`KAFKA_WIRE_SCHEMA` — which is how the contract is tested
     without a broker."""
     out = df.select(
-        F.col("key").cast("string").alias("key"),
+        F.col("key").cast("string").alias("kafka_key"),
         F.from_json(F.col("value").cast("string"), value_schema).alias("__j__"),
-        "topic",
-        "partition",
-        "offset",
-        "timestamp",
-    ).select("key", "__j__.*", "topic", "partition", "offset", "timestamp")
+        F.col("topic").alias("kafka_topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        F.col("timestamp").alias("kafka_timestamp"),
+    ).select(
+        "kafka_key",
+        "__j__.*",
+        "kafka_topic",
+        "kafka_partition",
+        "kafka_offset",
+        "kafka_timestamp",
+    )
     if watermark is not None:
-        out = out.withWatermark(*watermark)
+        out = out.withWatermark("kafka_timestamp", watermark)
     return out
 
 

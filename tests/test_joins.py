@@ -387,3 +387,49 @@ def test_auto_salted_join_multicol_key_hotness(spark):
     got = {(r["a"], r["b"]): r["rv"] for r in auto.collect()}
     assert auto.count() == 102
     assert got == {(0, 1): "hot", (0, 2): "cold", (3, 4): "tail"}
+
+
+def test_salted_join_right_and_full_outer_row_identical(spark):
+    """Naive salting emits one spurious unmatched row per unmatched
+    SALT COPY on right/full outer; the decomposed form must be
+    row-identical to the plain join, including partially-matched hot
+    keys and null keys."""
+    from pandrs_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(200)] + [(1, 7)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(0, "hot"), (2, "right_only"), (None, "null_key")],
+        "k long, rv string",
+    )
+    for how in ("right", "full"):
+        plain = left.join(right, ["k"], how)
+        salted = salted_join(left, right, "k", "payload", 8, how)
+        pc = plain.groupBy("k", "rv").count().collect()
+        sc = salted.groupBy("k", "rv").count().collect()
+        assert {tuple(r) for r in pc} == {tuple(r) for r in sc}, how
+        assert salted.count() == plain.count(), how
+
+
+def test_auto_salted_join_many_hot_keys_and_outer(spark):
+    """Hot-key routing must go through a broadcast key-table probe (not
+    a per-key OR chain) and stay row-identical for full outer."""
+    from pandrs_spark.operators.joins import auto_salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in range(30) for i in range(20)] + [(None, 1)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(0, 40, 2)], "k long, rv string"
+    )
+    plain = left.join(right, ["k"], "full")
+    auto = auto_salted_join(
+        left, right, "k", salt_from="payload", skew_threshold=10, how="full"
+    )
+    assert auto.count() == plain.count()
+    pg = {tuple(r) for r in plain.groupBy("k", "rv").count().collect()}
+    ag = {tuple(r) for r in auto.groupBy("k", "rv").count().collect()}
+    assert pg == ag

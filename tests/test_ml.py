@@ -358,3 +358,27 @@ def test_tsne_deterministic(spark):
     r1 = sorted(tsne_project(df, "x", "id", sample_n=25, iters=60).collect())
     r2 = sorted(tsne_project(df, "x", "id", sample_n=25, iters=60).collect())
     assert r1 == r2
+
+
+def test_quantile_bins_edge_cases(spark):
+    """Review r5: empty frame, all-null column, n_bins=1 and null
+    values must not crash the threshold path and nulls bin to null
+    (pandas qcut NaN parity)."""
+    from pandrs_spark.operators.ml import quantile_bins
+
+    empty = spark.createDataFrame([], "x double")
+    assert quantile_bins(empty, "x", 4).count() == 0
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = quantile_bins(allnull, "x", 4).collect()
+    assert [r["bin"] for r in rows] == [None, None]
+    one = quantile_bins(
+        spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double"), "x", 1
+    ).collect()
+    assert sorted([r["bin"] for r in one], key=lambda v: (v is None, v)) == [0, 0, None]
+    mixed = quantile_bins(
+        spark.createDataFrame([(float(i),) for i in range(8)] + [(None,)], "x double"),
+        "x",
+        2,
+    ).collect()
+    assert {r["bin"] for r in mixed if r["bin"] is not None} == {0, 1}
+    assert any(r["bin"] is None for r in mixed)

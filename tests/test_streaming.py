@@ -598,10 +598,17 @@ def test_kafka_contract(spark):
         KAFKA_WIRE_SCHEMA,
     )
     got = parse_kafka_json(
-        mimic, "user string, amount double", watermark=("timestamp", "10 minutes")
+        mimic, "user string, amount double", watermark="10 minutes"
     ).collect()[0]
-    assert got["key"] == "k1" and got["user"] == "u1"
-    assert got["amount"] == 12.5 and got["offset"] == 7
+    assert got["kafka_key"] == "k1" and got["user"] == "u1"
+    assert got["amount"] == 12.5 and got["kafka_offset"] == 7
+    # payload fields that shadow wire names must NOT collide
+    clash = parse_kafka_json(
+        mimic, "key string, timestamp string", watermark="10 minutes"
+    )
+    assert clash.columns.count("kafka_timestamp") == 1
+    assert set(clash.columns) >= {"key", "timestamp", "kafka_key", "kafka_timestamp"}
+    clash.collect()  # analyzes without AMBIGUOUS_REFERENCE
     if not have_kafka:
         pytest.skip("kafka package not on classpath — contract checked on mimic")
 
