@@ -350,9 +350,21 @@ def salted_join(
         ).drop("__salt__")
     if hn not in ("right", "rightouter", "full", "outer", "fullouter"):
         raise ValueError(f"salted_join: unsupported how={how!r}")
-    inner = salted_join(left, right, keys, salt_from, n_salts, "inner")
     lcols = [c for c in left.columns if c not in keys]
     rcols = [c for c in right.columns if c not in keys]
+    # The decomposition below reassembles columns by NAME, so a non-key
+    # column present on both sides would make inner.select ambiguous at
+    # runtime (plain join returns both copies; a union-by-name
+    # decomposition can't). Fail fast with an actionable message.
+    overlap = sorted(set(lcols) & set(rcols))
+    if overlap:
+        raise ValueError(
+            "salted_join: right/full outer decomposition cannot carry "
+            f"non-key columns present on BOTH sides: {overlap}. Rename "
+            "or drop the duplicates (e.g. withColumnRenamed) before the "
+            "join, or add them to the join keys."
+        )
+    inner = salted_join(left, right, keys, salt_from, n_salts, "inner")
     parts = [inner.select(*keys, *lcols, *rcols)]
     # No broadcast hints: the distinct key sets may themselves be huge
     # (every key of a 100 TB fact table); the distinct() has already

@@ -135,6 +135,7 @@ def quantile_bins(
     tiebreak=None,
     exact_parity: bool = False,
     approx_edges: bool = False,
+    duplicates: str = "drop",
 ) -> DataFrame:
     """pandas ``qcut`` (compat :2370).
 
@@ -151,7 +152,20 @@ def quantile_bins(
     (equal-count buckets split by global rank, ``tiebreak`` making the
     order total). NTILE needs a partitionless window — every row in one
     task — so it is ONLY for bounded inputs where rank-split parity
-    matters more than scale."""
+    matters more than scale.
+
+    ``duplicates``: heavily-tied/constant columns can produce IDENTICAL
+    quantile edges, which would silently skip bin numbers (bucket-by-
+    edge-count jumps by 2 past a doubled edge). ``"drop"`` (default)
+    deduplicates the edges first, so bin labels stay contiguous — the
+    pandas ``qcut(duplicates="drop")`` behavior, and the scale-friendly
+    default here (pandas itself defaults to raising). ``"raise"``
+    restores pandas-default strictness: a ValueError when any edges
+    collide, so callers get a signal instead of fewer bins."""
+    if duplicates not in ("drop", "raise"):
+        raise ValueError(
+            f"quantile_bins: duplicates must be 'drop' or 'raise', got {duplicates!r}"
+        )
     if exact_parity:
         order = [F.col(col)] + [F.col(t) for t in (tiebreak or [])]
         w = Window.orderBy(*order)
@@ -183,6 +197,16 @@ def quantile_bins(
             .otherwise(F.lit(None))
             .cast("int"),
         )
+    uniq = sorted({float(e) for e in edges if e is not None})
+    if len(uniq) < len([e for e in edges if e is not None]):
+        if duplicates == "raise":
+            raise ValueError(
+                f"quantile_bins: bin edges are not unique for column "
+                f"{col!r} (n_bins={n_bins}); the column is too tied to "
+                "support that many quantile bins. Pass "
+                "duplicates='drop' to merge the colliding bins."
+            )
+        edges = uniq
     # bin = number of edges strictly below the value; edges that land
     # exactly ON a data value keep that value in the lower bin (both
     # engines return the exact value when the quantile position is

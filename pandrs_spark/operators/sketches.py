@@ -135,8 +135,25 @@ def cms_build(
     hashed = rows.select("__k__", idx).select(
         "__i__", _cms_bucket(width, fast_hash)
     )
-    return hashed.groupBy("__i__", "__b__").agg(
+    grid = hashed.groupBy("__i__", "__b__").agg(
         F.count(F.lit(1)).alias("__c__")
+    )
+    # Record the hash mode (and grid geometry) in the count column's
+    # schema metadata so cms_estimate can refuse a mismatched probe: a
+    # probe hashed with the OTHER function lands in unrelated buckets
+    # and the left join silently returns zero/garbage estimates.
+    # Metadata rides the schema — no extra rows, no extra job, and the
+    # DuckDB oracle (which compares values/dtypes) never sees it.
+    return grid.withColumn(
+        "__c__",
+        F.col("__c__").alias(
+            "__c__",
+            metadata={
+                "cms_fast_hash": bool(fast_hash),
+                "cms_depth": depth,
+                "cms_width": width,
+            },
+        ),
     )
 
 
@@ -153,7 +170,28 @@ def cms_estimate(
     classic one-sided guarantee holds exactly: estimate >= true count,
     and exceeds it by at most eps*N with probability 1-delta
     (eps=e/width, delta=e^-depth). Broadcast the sketch (depth*width
-    rows) into the key probe — no shuffle of the key set."""
+    rows) into the key probe — no shuffle of the key set.
+
+    ``fast_hash``/``depth``/``width`` MUST match the values the sketch
+    was built with; the probe re-derives buckets from them. Sketches
+    built by :func:`cms_build` carry all three in the ``__c__`` column's
+    schema metadata, and a mismatch raises here instead of silently
+    returning zero/garbage estimates (a mismatched probe hashes into
+    unrelated buckets, so the left join simply misses)."""
+    if "__c__" in sketch.columns:
+        md = sketch.schema["__c__"].metadata or {}
+        for name, got in (
+            ("cms_fast_hash", bool(fast_hash)),
+            ("cms_depth", depth),
+            ("cms_width", width),
+        ):
+            if name in md and md[name] != got:
+                raise ValueError(
+                    f"cms_estimate: probe {name.removeprefix('cms_')}="
+                    f"{got!r} does not match the sketch's recorded "
+                    f"{md[name]!r}; estimates would be garbage. Pass "
+                    "the same parameters cms_build used."
+                )
     probes = keys.select(F.col(key_col).cast("string").alias("__k__")).distinct()
     idx = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__")
     probe = probes.select("__k__", idx).select(

@@ -302,7 +302,10 @@ def remove_boilerplate_segments(
     distribution); reconstruction sorts WITHIN each document group
     (array_sort over (pos, seg) structs), never globally.
 
-    Returns one row per input document:
+    Returns one row per input document — including documents with NULL
+    text (n_segs=0, clean_text=''), which posexplode would otherwise
+    silently drop (posexplode_outer keeps them as a null-segment row
+    that the frequency join carries through unmatched).
     (id_col, *carry, n_segs, n_kept, n_removed, clean_text).
     """
     docs = fan_out(docs)
@@ -326,26 +329,28 @@ def remove_boilerplate_segments(
     segs = docs.select(
         id_col,
         *carry,
-        F.posexplode(
+        F.posexplode_outer(
             F.when(n_segs > 0, seg_list).otherwise(
                 F.array().cast("array<string>")
             )
         ).alias("pos", "seg"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(segs)
-    seg_df = segs.groupBy("seg").agg(
+    seg_df = segs.filter(F.col("seg").isNotNull()).groupBy("seg").agg(
         F.countDistinct(id_col).alias("__df__")
     )
     # One aggregate computes totals, kept counts AND the ordered
     # reconstruction (collect_list drops the nulls that when() leaves
-    # for boilerplate segments) — the inner DF join always matches, so
-    # no second per-doc aggregate or re-join is needed.
+    # for boilerplate segments). The frequency join is LEFT so the
+    # null-segment rows posexplode_outer emits for tokenless docs
+    # survive (count("seg")/count(when) both ignore them, yielding
+    # n_segs=0); for real segments it always matches, same cost.
     keep = F.col("__df__") < min_doc_count
     return (
-        segs.join(seg_df, "seg")
+        segs.join(seg_df, "seg", "left")
         .groupBy(id_col, *carry)
         .agg(
-            F.count(F.lit(1)).alias("n_segs"),
+            F.count(F.col("seg")).alias("n_segs"),
             F.count(F.when(keep, 1)).alias("n_kept"),
             F.concat_ws(
                 " ",

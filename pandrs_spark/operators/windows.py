@@ -456,15 +456,29 @@ def global_row_number(
     )
 
 
+def _long_div(a: Column, b: int) -> Column:
+    """Exact floor division of a non-negative long column by a positive
+    int literal. ``/`` on Columns is DOUBLE division — exact only while
+    the operands stay within 2^53, so at extreme row counts a boundary
+    rank could truncate into the adjacent bucket. Subtracting the
+    remainder first (long arithmetic, exact at any magnitude) makes the
+    numerator an exact multiple of ``b``; the decimal(38,0) division of
+    that multiple is then exact for the full long range."""
+    a = a.cast("long")
+    exact = (a - F.pmod(a, F.lit(b))).cast("decimal(38,0)")
+    return (exact / F.lit(b)).cast("long")
+
+
 def ntile_from_rank(rn: Column, n: int, k: int) -> Column:
     """SQL NTILE(k) bucket (1-based) from a global 1-based rank and the
-    total row count — pure arithmetic, no window: the first ``n % k``
-    buckets hold ``n//k + 1`` rows, the rest ``n//k``."""
+    total row count — pure arithmetic (exact long/decimal division, no
+    double rounding), no window: the first ``n % k`` buckets hold
+    ``n//k + 1`` rows, the rest ``n//k``."""
     base, rem = divmod(n, k)
     big = rem * (base + 1)
     return (
-        F.when(rn <= big, ((rn - 1) / (base + 1)).cast("long") + 1)
-        .otherwise(rem + ((rn - big - 1) / base).cast("long") + 1)
+        F.when(rn <= big, _long_div(rn - 1, base + 1) + 1)
+        .otherwise(rem + _long_div(rn - F.lit(big) - 1, base) + 1)
         .cast("int")
         if base
         else rn.cast("int")

@@ -2378,8 +2378,12 @@ def q311(spark, sf_dir):
         GROUP BY s.doc_id
     ),
     per_doc AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
-        FROM segs GROUP BY doc_id
+        -- start from documents so a NULL-text doc (zero segments) still
+        -- yields a row with n_segs=0 — the operator's posexplode_outer
+        -- contract (sf* testdata has none; this keeps the oracle honest)
+        SELECT d.doc_id, CAST(COUNT(s.seg) AS BIGINT) AS n_segs
+        FROM documents d LEFT JOIN segs s USING (doc_id)
+        GROUP BY d.doc_id
     )
     SELECT p.doc_id, p.n_segs,
            COALESCE(k.n_kept, 0) AS n_kept,

@@ -417,3 +417,28 @@ def test_temperature_mixture_shares(spark):
     # alpha=1 recovers natural proportions
     nat = {r["domain"]: r["share"] for r in temperature_mixture_shares(df, "d", 1.0).collect()}
     assert abs(nat["web"] - 0.9) < 1e-9
+
+
+def test_remove_boilerplate_segments_keeps_null_text_docs(spark):
+    """ADVICE r5: posexplode dropped NULL-text docs, contradicting the
+    'one row per input document' contract; posexplode_outer + left
+    frequency join must keep them with n_segs=0 and empty clean_text."""
+    from pandrs_spark.operators.text import remove_boilerplate_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_segments(
+            docs, seg_words=3, min_doc_count=3
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2]["n_segs"] == 0 and out[2]["n_kept"] == 0
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == ""
+    assert out[1]["clean_text"] == "alpha beta gamma"

@@ -433,3 +433,22 @@ def test_auto_salted_join_many_hot_keys_and_outer(spark):
     pg = {tuple(r) for r in plain.groupBy("k", "rv").count().collect()}
     ag = {tuple(r) for r in auto.groupBy("k", "rv").count().collect()}
     assert pg == ag
+
+
+def test_salted_join_outer_rejects_overlapping_noncol(spark):
+    """ADVICE r5: the right/full outer decomposition reassembles columns
+    by name, so a non-key column on BOTH sides must fail fast with an
+    actionable error instead of an ambiguous-reference crash at
+    runtime (inner/left keep plain-join duplicate-column behavior)."""
+    import pytest
+
+    from pandrs_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, 10.0)], "k long, value double")
+    right = spark.createDataFrame([(1, 20.0)], "k long, value double")
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="value"):
+            salted_join(left, right, "k", "value", 4, how)
+    # inner/left still work (both copies returned, like plain join)
+    out = salted_join(left, right, "k", "value", 4, "inner")
+    assert out.count() == 1 and out.columns.count("value") == 2

@@ -382,3 +382,30 @@ def test_quantile_bins_edge_cases(spark):
     ).collect()
     assert {r["bin"] for r in mixed if r["bin"] is not None} == {0, 1}
     assert any(r["bin"] is None for r in mixed)
+
+
+def test_quantile_bins_duplicate_edges(spark):
+    """ADVICE r5: heavily-tied columns produce duplicate quantile
+    edges. Default duplicates='drop' must dedupe them so bin labels
+    stay CONTIGUOUS (no silently-skipped empty bins); 'raise' restores
+    pandas-default strictness."""
+    import pytest
+
+    from pandrs_spark.operators.ml import quantile_bins
+
+    # 90% zeros, a few distinct tails: edges for n_bins=4 are
+    # [0, 0, ...] — duplicated.
+    df = spark.createDataFrame(
+        [(0.0,)] * 18 + [(5.0,), (9.0,)], "x double"
+    )
+    bins = sorted(
+        {r["bin"] for r in quantile_bins(df, "x", 4).collect()}
+    )
+    assert bins == list(range(len(bins))), f"non-contiguous bins {bins}"
+    with pytest.raises(ValueError, match="not unique"):
+        quantile_bins(df, "x", 4, duplicates="raise")
+    # untied data is unaffected by 'raise'
+    ok = spark.createDataFrame([(float(i),) for i in range(20)], "x double")
+    assert quantile_bins(ok, "x", 4, duplicates="raise").count() == 20
+    with pytest.raises(ValueError, match="drop"):
+        quantile_bins(df, "x", 4, duplicates="nonsense")

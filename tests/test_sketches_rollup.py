@@ -143,3 +143,27 @@ def test_cms_fast_hash_guarantee_and_agreement(spark):
         assert r["est_count"] >= r["count"]  # never undercounts
     hot = [r for r in j if r["key"] == "hot"][0]
     assert hot["est_count"] == 50  # sparse sketch: exact for the heavy key
+
+
+def test_cms_estimate_rejects_hash_mode_mismatch(spark):
+    """ADVICE r5: a probe hashed with the OTHER hash function lands in
+    unrelated buckets and silently returns garbage; the sketch records
+    its hash mode + geometry in schema metadata and cms_estimate must
+    refuse a mismatch."""
+    import pytest
+
+    from pandrs_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"k{i % 5}",) for i in range(50)], "key string")
+    sketch = cms_build(df, "key", depth=4, width=64, fast_hash=True)
+    with pytest.raises(ValueError, match="fast_hash"):
+        cms_estimate(sketch, df, "key", depth=4, width=64, fast_hash=False)
+    with pytest.raises(ValueError, match="width"):
+        cms_estimate(sketch, df, "key", depth=4, width=128, fast_hash=True)
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(
+            sketch, df, "key", depth=4, width=64, fast_hash=True
+        ).collect()
+    }
+    assert all(v >= 10 for v in est.values())

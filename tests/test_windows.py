@@ -319,3 +319,52 @@ def test_rolling_corr_one_sided_nulls_matches_pandas(spark):
                 r["rc"],
                 expect,
             )
+
+
+def test_ntile_from_rank_exact_beyond_double_range(spark):
+    """ADVICE r5: the old double-division truncation was exact only
+    within 2^53; boundary ranks at extreme row counts could land in the
+    adjacent bucket. The long/decimal arithmetic must match exact
+    Python-int NTILE at any magnitude."""
+    from pandrs_spark.operators.windows import ntile_from_rank
+    from pyspark.sql import functions as F
+
+    def py_ntile(rn, n, k):
+        base, rem = divmod(n, k)
+        big = rem * (base + 1)
+        if base == 0:
+            return rn
+        if rn <= big:
+            return (rn - 1) // (base + 1) + 1
+        return rem + (rn - big - 1) // base + 1
+
+    n, k = (1 << 60) + 7, 7  # far beyond double's 2^53 integer range
+    base, rem = divmod(n, k)
+    big = rem * (base + 1)
+    # every bucket boundary (last of bucket b, first of bucket b+1)
+    probes = [1, n]
+    for b in range(1, k):
+        edge = b * (base + 1) if b <= rem else big + (b - rem) * base
+        probes += [edge, edge + 1]
+    df = spark.createDataFrame([(r,) for r in probes], "rn long")
+    out = {
+        r["rn"]: r["b"]
+        for r in df.select(
+            "rn", ntile_from_rank(F.col("rn"), n, k).alias("b")
+        ).collect()
+    }
+    for rn in probes:
+        assert out[rn] == py_ntile(rn, n, k), (rn, out[rn], py_ntile(rn, n, k))
+    # small-n parity against real NTILE
+    small = spark.range(1, 11).withColumnRenamed("id", "rn")
+    from pyspark.sql import Window
+
+    got = {
+        r["rn"]: (r["mine"], r["ref"])
+        for r in small.select(
+            "rn",
+            ntile_from_rank(F.col("rn"), 10, 3).alias("mine"),
+            F.ntile(3).over(Window.orderBy("rn")).alias("ref"),
+        ).collect()
+    }
+    assert all(m == ref for m, ref in got.values()), got
