@@ -653,48 +653,210 @@ def _directed_reach(edges: DataFrame, max_iter: int) -> DataFrame:
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    visited = verts.select(F.col("id").alias("root"), "id").persist()
+    visited = verts.select(F.col("id").alias("root"), "id").localCheckpoint(
+        eager=True
+    )
     frontier = visited
-    for hop in range(1, max_iter + 1):
+    for _hop in range(1, max_iter + 1):
         neighbors = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
             .select("root", F.col("dst").alias("id"))
             .distinct()
         )
-        new_frontier = neighbors.join(visited, ["root", "id"], "left_anti").persist()
+        # Truncate lineage EVERY hop, on the frontier as well as the
+        # visited set: new_frontier's plan references frontier AND
+        # visited, so without per-hop cuts the logical plan triples per
+        # round and the driver OOMs building plan strings long before
+        # the data is large (seen at 15 vertices).
+        new_frontier = neighbors.join(
+            visited, ["root", "id"], "left_anti"
+        ).localCheckpoint(eager=True)
         if new_frontier.limit(1).count() == 0:
             break
-        visited = visited.union(new_frontier)
-        if hop % _CHECKPOINT_EVERY == 0:
-            visited = visited.localCheckpoint(eager=True)
+        visited = visited.union(new_frontier).localCheckpoint(eager=True)
         frontier = new_frontier
     e.unpersist()
     return visited
 
 
 def strongly_connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    exact_small_graph: bool = False,
 ) -> DataFrame:
-    """Strongly connected components (components.rs:118): vertices u, v
-    share an SCC iff each reaches the other. Forward reachability and
-    backward reachability (forward on the reversed edges) come from the
-    same multi-source BFS; their intersection per root is the SCC, and
-    the component label is its minimum vertex id.
+    """Strongly connected components (components.rs:118).
 
-    All-pairs state is O(V²) worst case — right for the analytic-graph
-    sizes the reference targets; web-scale SCC would move to the
-    coloring algorithm, same join-per-round dataflow.
+    Default path: the **coloring/trim peeling algorithm** (Orzan-style
+    FW-BW coloring) — O(V+E) state per round, the web-scale design:
+
+    1. *Trim*: vertices with no remaining in-edges or no remaining
+       out-edges are singleton SCCs; peel them.
+    2. *Color*: propagate ``min(ancestor id)`` forward along edges to a
+       fixpoint (same join-per-round dataflow as
+       :func:`connected_components`, O(diameter) rounds).
+    3. *Collect*: every vertex whose color equals its own id is a root
+       — the minimum id OF its SCC (the min forward-ancestor of an SCC
+       that lies inside the SCC is also its min member). A backward BFS
+       from each root restricted to same-color edges collects exactly
+       that root's SCC; every vertex joins at most one search, so the
+       frontier state is O(V) total, never per-pair.
+    4. Remove collected vertices and repeat. Each outer round retires
+       at least the SCC holding the globally smallest remaining id, so
+       the outer loop is bounded by the condensation's chain length
+       (and in practice by a few rounds); ``max_iter`` caps the outer
+       loop and every inner propagation, like every iterative operator
+       in this module.
+
+    ``exact_small_graph=True`` keeps the previous all-pairs mutual-
+    reachability formulation: forward × backward multi-source BFS
+    intersection. Its visited set is O(V²) worst case — only for
+    analytic-scale graphs where the quadratic state is affordable and
+    a single-pass (no outer peeling) plan is preferred.
+
+    Returns (id, component) with component = min vertex id of the SCC,
+    one row per vertex appearing in ``edges``.
     """
-    fwd = _directed_reach(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), max_iter
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if exact_small_graph:
+        fwd = _directed_reach(e0, max_iter)
+        bwd = _directed_reach(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            max_iter,
+        )
+        mutual = fwd.join(bwd, ["root", "id"])  # reaches AND is reached
+        return mutual.groupBy(F.col("root").alias("id")).agg(
+            F.min("id").alias("component")
+        )
+
+    rem_e = e0.repartition("src").localCheckpoint(eager=True)
+    rem_v = (
+        rem_e.select(F.col("src").alias("id"))
+        .union(rem_e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    bwd = _directed_reach(
-        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")), max_iter
-    )
-    mutual = fwd.join(bwd, ["root", "id"])  # reaches AND is reached
-    return mutual.groupBy(F.col("root").alias("id")).agg(
-        F.min("id").alias("component")
-    )
+    done: list[DataFrame] = []
+    for _outer in range(max_iter):
+        if rem_v.limit(1).count() == 0:
+            break
+        # --- 1. trim: no in-edge or no out-edge => singleton SCC ---
+        core = rem_e.select(F.col("src").alias("id")).distinct().join(
+            rem_e.select(F.col("dst").alias("id")).distinct(), "id"
+        )
+        trimmed = rem_v.join(core, "id", "left_anti").withColumn(
+            "component", F.col("id")
+        )
+        trimmed = trimmed.localCheckpoint(eager=True)
+        if trimmed.limit(1).count() > 0:
+            done.append(trimmed)
+            rem_v = rem_v.join(trimmed, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            rem_e = (
+                rem_e.join(
+                    rem_v.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+                .join(rem_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            if rem_v.limit(1).count() == 0:
+                break
+        # --- 2. forward coloring: min ancestor id to fixpoint ---
+        colors = rem_v.withColumn("color", F.col("id")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(max_iter):
+            nbr = (
+                rem_e.join(colors.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("nc"))
+            )
+            upd = (
+                colors.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "color", F.coalesce("nc", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                upd.alias("u")
+                .join(colors.alias("c"), "id")
+                .filter("u.color < c.color")
+                .limit(1)
+                .count()
+            )
+            colors = upd
+            if changed == 0:
+                break
+        # --- 3. backward collect within color, from the color roots ---
+        ce = (
+            rem_e.join(
+                colors.select(
+                    F.col("id").alias("src"), F.col("color").alias("c_src")
+                ),
+                "src",
+            )
+            .join(
+                colors.select(
+                    F.col("id").alias("dst"), F.col("color").alias("c_dst")
+                ),
+                "dst",
+            )
+            .filter(F.col("c_src") == F.col("c_dst"))
+            # reversed edge, tagged with the color's root
+            .select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("c_src").alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = colors.filter(F.col("color") == F.col("id")).select(
+            F.col("id").alias("root"), "id"
+        ).localCheckpoint(eager=True)
+        frontier = visited
+        for _ in range(max_iter):
+            nxt = (
+                ce.join(
+                    frontier.select("root", F.col("id").alias("src")),
+                    ["root", "src"],
+                )
+                .select("root", F.col("dst").alias("id"))
+                .distinct()
+            )
+            new_f = nxt.join(visited, ["root", "id"], "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new_f.limit(1).count() == 0:
+                break
+            visited = visited.union(new_f).localCheckpoint(eager=True)
+            frontier = new_f
+        scc = visited.select("id", F.col("root").alias("component"))
+        scc = scc.localCheckpoint(eager=True)
+        done.append(scc)
+        rem_v = rem_v.join(scc, "id", "left_anti").localCheckpoint(eager=True)
+        rem_e = (
+            rem_e.join(rem_v.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(rem_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    # max_iter exhausted with vertices still unpeeled: label the
+    # leftovers by their own id (same truncation convention as every
+    # bounded iterative operator here — raise max_iter for deeper
+    # condensation chains)
+    if rem_v.limit(1).count() > 0:
+        done.append(rem_v.withColumn("component", F.col("id")))
+    out = done[0]
+    for part in done[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def betweenness_centrality(
