@@ -34,6 +34,15 @@ def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        if size >= (1 << 62):
+            # Long.MaxValue sentinel: the optimizer does NOT know the
+            # size (e.g. behind a coalesce/RDD-backed plan). No
+            # evidence of under-partitioning beats an unconditional
+            # shuffle — production scan plans (parquet/csv/json)
+            # always carry real stats, which is where the measured
+            # starvation lived; a user's explicit coalesce(1) is
+            # deliberate and must not be silently undone.
+            return df
         target = max(1, min(target, size // bytes_per_task))
     except Exception:  # noqa: BLE001 — stats unavailable: widen fully
         pass
