@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from pandrs_spark.operators.util import tracked_persist
+
 __all__ = [
     "degrees",
     "symmetrize",
@@ -147,14 +149,15 @@ def pagerank(
         .repartition("src")
         .persist()
     )
-    verts = (
+    verts = tracked_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
     n = verts.count()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    )
     # Dangling handling costs one extra driver action per iteration;
     # detect up front whether any vertex lacks out-edges (never true for
     # symmetrized graphs) and skip the per-round reduction when possible.
@@ -211,9 +214,11 @@ def bfs_hops(
     moves to the edges (big, partitioned once)."""
     und = symmetrize(edges, src, dst).repartition("src").persist()
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
-        [(int(i), 0) for i in start_ids], "id bigint, hops int"
-    ).persist()
+    visited = tracked_persist(
+        spark.createDataFrame(
+            [(int(i), 0) for i in start_ids], "id bigint, hops int"
+        )
+    )
     frontier = visited
     for hop in range(1, max_iter + 1):
         neighbors = (
@@ -221,10 +226,9 @@ def bfs_hops(
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        new_frontier = (
+        new_frontier = tracked_persist(
             neighbors.join(visited, "id", "left_anti")
             .withColumn("hops", F.lit(hop))
-            .persist()
         )
         if new_frontier.limit(1).count() == 0:
             break
@@ -245,7 +249,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     side is small. Returns a 1-row DataFrame (n_triangles).
     """
     und = symmetrize(edges, src, dst)
-    canon = und.filter(F.col("src") < F.col("dst")).distinct().persist()
+    canon = tracked_persist(
+        und.filter(F.col("src") < F.col("dst")).distinct()
+    )
     ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -265,7 +271,9 @@ def clustering_coefficient(
     degrees come from one aggregation. All shuffles key on vertex ids.
     """
     und = symmetrize(edges, src, dst)
-    canon = und.filter(F.col("src") < F.col("dst")).distinct().persist()
+    canon = tracked_persist(
+        und.filter(F.col("src") < F.col("dst")).distinct()
+    )
     ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -306,11 +314,10 @@ def label_propagation(
     join + one aggregation + one per-vertex top-1 window.
     """
     und = symmetrize(edges, src, dst).persist()
-    labels = (
+    labels = tracked_persist(
         und.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
     )
     top1 = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
     for i in range(iterations):
@@ -327,7 +334,7 @@ def label_propagation(
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             updated = updated.localCheckpoint(eager=True)
         else:
-            updated = updated.persist()
+            updated = tracked_persist(updated)
         labels.unpersist()
         labels = updated
     und.unpersist()
@@ -401,9 +408,11 @@ def closeness_centrality(
     und = symmetrize(edges, src, dst).repartition("src").persist()
     verts = und.select(F.col("src").alias("id")).distinct()
     start = (roots if roots is not None else verts).select("id")
-    visited = start.select(
-        F.col("id").alias("root"), F.col("id"), F.lit(0).alias("hops")
-    ).persist()
+    visited = tracked_persist(
+        start.select(
+            F.col("id").alias("root"), F.col("id"), F.lit(0).alias("hops")
+        )
+    )
     frontier = visited
     for hop in range(1, max_iter + 1):
         neighbors = (
@@ -411,10 +420,9 @@ def closeness_centrality(
             .select("root", F.col("dst").alias("id"))
             .distinct()
         )
-        new_frontier = (
+        new_frontier = tracked_persist(
             neighbors.join(visited, ["root", "id"], "left_anti")
             .withColumn("hops", F.lit(hop))
-            .persist()
         )
         if new_frontier.limit(1).count() == 0:
             break
@@ -463,7 +471,9 @@ def eigenvector_centrality(
     key; each round moves only the |V|-row score vector.
     """
     und = symmetrize(edges, src, dst).repartition("dst").persist()
-    verts = und.select(F.col("src").alias("id")).distinct().persist()
+    verts = tracked_persist(
+        und.select(F.col("src").alias("id")).distinct()
+    )
     scores = verts.withColumn("score", F.lit(1.0))
     scores = _l2_normalize(scores, "score")
     for i in range(iterations):
@@ -501,11 +511,10 @@ def katz_centrality(
         .repartition("src")
         .persist()
     )
-    verts = (
+    verts = tracked_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
     scores = verts.withColumn("score", F.lit(float(beta)))
     for i in range(iterations):
@@ -544,11 +553,10 @@ def hits(
         .distinct()
         .persist()
     )
-    verts = (
+    verts = tracked_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
     hubs = verts.withColumn("hub", F.lit(1.0))
     auths = verts.withColumn("authority", F.lit(1.0))
@@ -606,11 +614,10 @@ def shortest_paths(
         .repartition("src")
         .persist()
     )
-    verts = (
+    verts = tracked_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
     dist = verts.withColumn(
         "dist",
@@ -882,10 +889,12 @@ def betweenness_centrality(
     und = symmetrize(edges, src, dst).repartition("src").persist()
     verts = und.select(F.col("src").alias("id")).distinct()
     # forward phase: (root, id, hops, sigma)
-    visited = verts.select(
-        F.col("id").alias("root"), "id", F.lit(0).alias("hops"),
-        F.lit(1.0).alias("sigma"),
-    ).persist()
+    visited = tracked_persist(
+        verts.select(
+            F.col("id").alias("root"), "id", F.lit(0).alias("hops"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
     frontier = visited
     layers = [visited]
     max_hop = 0

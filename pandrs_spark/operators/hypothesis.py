@@ -19,6 +19,7 @@ with the DuckDB oracle (functions/deterministic.py pattern).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from pandrs_spark.operators.util import tracked_persist
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
@@ -81,7 +82,7 @@ def mann_whitney_u(
     """Mann-Whitney U with midranks and tie-corrected normal approx
     (nonparametric.rs:14). Returns 1 row: n1, n2, u1, u2, z."""
     two = df.filter(F.col(group_col).isin([g1, g2]))
-    hist = rank_histogram(two, value_col, group_col).persist()
+    hist = tracked_persist(rank_histogram(two, value_col, group_col))
     stats = hist.agg(
         F.sum(F.when(F.col("grp") == g1, F.col("cnt_g")).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("grp") == g2, F.col("cnt_g")).otherwise(0)).alias("n2"),
@@ -137,7 +138,7 @@ def ks_2samp(df: DataFrame, value_col: str, group_col: str, g1, g2) -> DataFrame
 def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     """Kruskal-Wallis H with tie correction (nonparametric.rs:201).
     Returns 1 row: n, k, h (tie-corrected)."""
-    hist = rank_histogram(df, value_col, group_col).persist()
+    hist = tracked_persist(rank_histogram(df, value_col, group_col))
     per_g = hist.groupBy("grp").agg(
         F.sum("cnt_g").alias("n_g"),
         F.sum(F.col("avg_rank") * F.col("cnt_g")).cast("double").alias("r_g"),

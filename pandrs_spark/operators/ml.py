@@ -20,6 +20,7 @@ Two tiers, chosen by what determinism allows:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from pandrs_spark.operators.util import tracked_persist
 from pyspark.sql import functions as F
 
 from pandrs_spark.functions.deterministic import dsum
@@ -627,11 +628,13 @@ def dbscan_2d(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    pairs = _eps_pairs(pts, eps).persist()
+    pairs = tracked_persist(_eps_pairs(pts, eps))
     counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nbr"))
-    core = counts.filter(F.col("n_nbr") >= min_pts).select(
-        F.col("a_id").alias("id")
-    ).persist()
+    core = tracked_persist(
+        counts.filter(F.col("n_nbr") >= min_pts).select(
+            F.col("a_id").alias("id")
+        )
+    )
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "a_id"), "a_id")
         .join(core.withColumnRenamed("id", "b_id"), "b_id")
@@ -640,9 +643,11 @@ def dbscan_2d(
     )
     comp = connected_components(core_edges)
     # isolated core points (no core neighbor) are their own cluster
-    core_clusters = core.join(comp, "id", "left").select(
-        "id", F.coalesce("component", F.col("id")).alias("cluster")
-    ).persist()
+    core_clusters = tracked_persist(
+        core.join(comp, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("cluster")
+        )
+    )
     border = (
         pairs.join(core_clusters.withColumnRenamed("id", "b_id"), "b_id")
         .join(core.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
@@ -659,7 +664,6 @@ def dbscan_2d(
             F.coalesce("is_core", F.lit(False)).alias("is_core"),
         )
     )
-    pairs.unpersist()
     return out
 
 
@@ -700,10 +704,10 @@ def local_outlier_factor(
     )
     pairs = a.join(b, F.col("a_id") != F.col("b_id")).select("a_id", "b_id", d.alias("d"))
     w = Window.partitionBy("a_id").orderBy(F.round(F.col("d"), 6), "b_id")
-    knn = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .persist()
+    knn = tracked_persist(
+        pairs.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
     )
     kdist = knn.filter(F.col("rn") == k).select(F.col("a_id").alias("id"), F.col("d").alias("kd"))
     reach = knn.join(kdist, knn["b_id"] == kdist["id"]).select(

@@ -4,7 +4,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["fan_out"]
+__all__ = ["fan_out", "tracked_persist"]
+
+
+def tracked_persist(df: DataFrame, level=None) -> DataFrame:
+    """Persist ``df`` and register it for ``release_persisted()``.
+
+    For intermediates that the RETURNED DataFrame's lineage still
+    references: unpersisting before return would force a recompute on
+    the caller's first action, while a bare ``.persist()`` leaks cache
+    entries across queries. Registering in the global ``_PERSISTED``
+    list defers the unpersist to after materialization — check_oracle,
+    bench.py, and the leak fence all call ``release_persisted()`` per
+    query, so the cache-manager count returns to zero between queries.
+    """
+    from pandrs_spark.frame import _PERSISTED
+
+    df = df.persist(level) if level is not None else df.persist()
+    _PERSISTED.append(df)
+    return df
 
 
 def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:

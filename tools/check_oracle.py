@@ -100,12 +100,20 @@ def main() -> int:
 
     from pandrs_spark.frame import release_persisted
 
+    def cache_is_clean() -> bool:
+        return bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+
+    spark.catalog.clearCache()
     n_pass = n_fail = 0
+    leaks: list[str] = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        leaked = False
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -115,8 +123,22 @@ def main() -> int:
             continue
         finally:
             # drop frames pinned by global-position sorts so cached
-            # partitions don't accumulate across the 189-query run
+            # partitions don't accumulate across the 189-query run —
+            # and ASSERT the cache manager actually returns to empty:
+            # an operator persisting outside _PERSISTED/unpersist
+            # discipline would accumulate cache across a long-running
+            # session (tests/test_persist_leaks.py pins the same
+            # invariant per-operator)
             release_persisted()
+            if not cache_is_clean():
+                leaked = True
+                leaks.append(name)
+                spark.catalog.clearCache()
+        if leaked:
+            print(f"FAIL {name}: persisted-cache leak after release_persisted()")
+            results[name] = {"pass": False, "err": "persisted-cache leak"}
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             results[name] = {"pass": None, "rows_only": True, "rows": len(sdf)}
@@ -159,6 +181,8 @@ def main() -> int:
             }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(qs)} queries total")
+    if leaks:
+        print(f"persisted-cache leaks: {leaks}")
     if broken_tables:
         print(f"loader broken for: {sorted(broken_tables)}")
     if json_out:
