@@ -130,7 +130,16 @@ def write_xlsx_multi(
 ) -> None:
     """Write a multi-sheet workbook: ``{sheet_name: (columns, rows)}``
     in dict order (reference multi-sheet Excel surface,
-    src/io/excel.rs:480)."""
+    src/io/excel.rs:480).
+
+    Scope note: the reference's presentation-layer write options
+    (column-width hints, cell style/type hints — src/io/excel.rs:378)
+    are deliberately out of scope. They are cosmetic workbook styling
+    with no effect on round-tripped VALUES, and carrying a style engine
+    in a pure-stdlib writer isn't warranted for an analytics sink;
+    every reader (including ours) infers types from cell content. Data
+    fidelity — multi-sheet, header row, string/number/bool/null cells —
+    is fully covered and round-trip-tested."""
     if not sheets:
         raise ValueError("write_xlsx_multi: at least one sheet required")
     names = list(sheets)

@@ -30,6 +30,7 @@ __all__ = [
     "windowed_agg",
     "stream_from_directory",
     "stream_from_rate",
+    "kafka_reader_options",
     "stream_from_kafka",
     "parse_kafka_json",
     "KAFKA_WIRE_SCHEMA",
@@ -129,6 +130,44 @@ KAFKA_WIRE_SCHEMA = (
 )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Build the exact option map :func:`stream_from_kafka` hands to the
+    Kafka reader. Pure (no SparkSession), so the option contract —
+    names, value rendering, validation — is testable without the
+    spark-sql-kafka package on the classpath.
+
+    ``starting_offsets`` accepts the three documented forms:
+    ``"earliest"``, ``"latest"``, or a per-partition JSON offset map
+    (``{"topic":{"0":23}}``); anything else is rejected here rather
+    than at stream start. ``max_offsets_per_trigger`` must be a
+    positive int when given."""
+    so = starting_offsets.strip()
+    if so not in ("earliest", "latest") and not so.startswith("{"):
+        raise ValueError(
+            "starting_offsets must be 'earliest', 'latest', or a JSON "
+            f"per-partition offset map; got {starting_offsets!r}"
+        )
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": so,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        if int(max_offsets_per_trigger) <= 0:
+            raise ValueError(
+                f"max_offsets_per_trigger must be positive; got {max_offsets_per_trigger}"
+            )
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    return opts
+
+
 def stream_from_kafka(
     spark,
     bootstrap_servers: str,
@@ -144,15 +183,15 @@ def stream_from_kafka(
     :func:`parse_kafka_json`. ``max_offsets_per_trigger`` is the
     backpressure knob (caps rows per micro-batch, the analogue of
     maxFilesPerTrigger on the file source)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topics,
+        starting_offsets,
+        max_offsets_per_trigger,
+        fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

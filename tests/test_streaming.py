@@ -613,6 +613,45 @@ def test_kafka_contract(spark):
         pytest.skip("kafka package not on classpath — contract checked on mimic")
 
 
+def test_kafka_reader_option_matrix():
+    """The full option contract of the Kafka source, testable without a
+    broker or the spark-sql-kafka package: kafka_reader_options is the
+    exact map stream_from_kafka hands to the reader (it iterates this
+    function's output), so pinning it here pins the wire-level options.
+    Covers the startingOffsets forms (earliest/latest/JSON offset map),
+    the maxOffsetsPerTrigger backpressure knob (present only when set,
+    rendered as a string, positive-validated), and failOnDataLoss
+    lowercase rendering."""
+    import pytest
+
+    from pandrs_spark.streaming.windows import kafka_reader_options
+
+    base = kafka_reader_options("b1:9092,b2:9092", "t1,t2")
+    assert base == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "t1,t2",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    # startingOffsets matrix: both keywords + per-partition JSON map
+    for so in ("earliest", "latest", '{"t1":{"0":23,"1":-1}}'):
+        got = kafka_reader_options("b:9092", "t1", starting_offsets=so)
+        assert got["startingOffsets"] == so
+    # backpressure knob: only present when set, always a string
+    capped = kafka_reader_options("b:9092", "t1", max_offsets_per_trigger=1000)
+    assert capped["maxOffsetsPerTrigger"] == "1000"
+    assert "maxOffsetsPerTrigger" not in base
+    # failOnDataLoss renders lowercase (Spark option values are strings)
+    assert kafka_reader_options("b:9092", "t1", fail_on_data_loss=True)[
+        "failOnDataLoss"
+    ] == "true"
+    # invalid values rejected at construction, not at stream start
+    with pytest.raises(ValueError, match="starting_offsets"):
+        kafka_reader_options("b:9092", "t1", starting_offsets="beginning")
+    with pytest.raises(ValueError, match="positive"):
+        kafka_reader_options("b:9092", "t1", max_offsets_per_trigger=0)
+
+
 # --- state-size audits (§2.10): state is O(keys), not O(rows) ---------------
 def test_count_window_state_bounded_by_keys(spark, tmp_path):
     """Adversarial key count: 200 keys × 25 values through the stateful
