@@ -28,6 +28,7 @@ from pandrs_spark.operators.text import doc_fingerprint, shingles, tokens
 from pandrs_spark.operators.util import fan_out
 
 __all__ = [
+    "source_overlap_matrix",
     "select_cluster_representatives",
     "exact_dedup_clusters",
     "minhash_signature_cols",
@@ -271,5 +272,71 @@ def select_cluster_representatives(
             "n_docs",
             F.col(id_col).alias("rep_id"),
             F.col(quality_col).alias("rep_quality"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-content overlap matrix — for every pair of
+    corpus sources, how many distinct content fingerprints they share
+    and the fingerprint-level Jaccard. The standard provenance audit
+    before mixing crawls/dumps into one training corpus: two "different"
+    sources with high Jaccard are the same upstream crawl and would
+    silently double-weight their documents.
+
+    Shape for 100 TB: distinct (fingerprint, source) pairs via one
+    hash-groupBy shuffle on the uniformly-distributed md5 key; the
+    pair table is a self equi-join ON THE FINGERPRINT (bounded by true
+    duplicate density, never all-pairs); per-source distinct counts are
+    a tiny source-bounded aggregate broadcast back over the
+    source-pair grid so zero-overlap pairs still appear. Output rows =
+    C(n_sources, 2) — a handful.
+
+    Returns (source_a, source_b, n_a, n_b, n_shared, jaccard) with
+    source_a < source_b.
+    """
+    d = (
+        docs.select(
+            doc_fingerprint(F.col(text_col)).alias("fp"),
+            F.col(source_col).alias("src"),
+        )
+        .distinct()
+    )
+    per_source = d.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        F.broadcast(per_source.select(F.col("src").alias("source_a"), F.col("n").alias("n_a")))
+        .crossJoin(
+            F.broadcast(
+                per_source.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    shared = (
+        d.alias("x")
+        .join(d.alias("y"), "fp")
+        .filter(F.col("x.src") < F.col("y.src"))
+        .groupBy(
+            F.col("x.src").alias("source_a"), F.col("y.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        grid.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_shared"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
         )
     )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "dsir_importance_weights",
     "temperature_mixture_shares",
     "hash_bucket",
     "deterministic_sample",
@@ -200,5 +201,90 @@ def temperature_mixture_shares(
             "domain",
             "n_docs",
             (F.col("__w__") / F.col("__t__")).alias("share"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    docs,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 9,
+):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how target-like its
+    hashed-unigram feature distribution is,
+
+        log w(x) = sum_tokens [ ln p_target(b(w)) - ln p_raw(b(w)) ]
+
+    where b(w) is an md5-derived feature bucket (engine-portable, so
+    the DuckDB oracle replays it bit-for-bit) and both distributions
+    are Laplace-smoothed bucket frequencies: p(b) = (c_b + 1)/(N + B).
+    ``is_target`` marks the in-domain exemplar docs (e.g. a quality
+    source or language); raw = the whole corpus. High log-weight docs
+    are the ones importance resampling keeps.
+
+    Shape for 100 TB: the feature table is FIXED-size (B buckets —
+    the whole point of hashed DSIR), built by one partial-aggregated
+    groupBy and broadcast; scoring is a map-side join + one per-doc
+    aggregate of quantized log-ratios (scaled-BIGINT fold, partition-
+    order independent). Returns (id_col, n_tokens, log_weight).
+    """
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+    from pandrs_spark.functions.deterministic import dsum
+    from pandrs_spark.operators.text import fan_out, tokens
+
+    b = int(n_buckets)
+    tok = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            is_target.alias("__t__"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            id_col,
+            "__t__",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("w")), 1, 6), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(b),
+            ).alias("__b__"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(tok)
+    feat = tok.groupBy("__b__").agg(
+        F.sum(F.when(F.col("__t__"), 1).otherwise(0)).alias("__ct__"),
+        F.count(F.lit(1)).alias("__cr__"),
+    )
+    totals = tok.agg(
+        F.sum(F.when(F.col("__t__"), 1).otherwise(0)).alias("__nt__"),
+        F.count(F.lit(1)).alias("__nr__"),
+    )
+    # ln((ct+1)/(nt+B)) - ln((cr+1)/(nr+B)), spelled as ln(ct+1) -
+    # ln(nt+B) - ln(cr+1) + ln(nr+B): each term is ln of an INTEGER, the
+    # same engine-stable form q323 relies on, rather than ln of a ratio
+    # whose division could round differently before the log.
+    lr = (
+        F.log(F.col("__ct__").cast("double") + 1.0)
+        - F.log(F.col("__nt__").cast("double") + float(b))
+        - F.log(F.col("__cr__").cast("double") + 1.0)
+        + F.log(F.col("__nr__").cast("double") + float(b))
+    )
+    return (
+        tok.join(F.broadcast(feat), "__b__")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum(lr, scale).alias("log_weight"),
         )
     )

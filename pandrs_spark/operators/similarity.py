@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pandrs_spark.operators.util import fan_out
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -509,3 +509,51 @@ def mmr_rerank(
     spark = corpus.sparkSession
     pdf = pd.DataFrame(selected, columns=["rank", "doc_id", "mmr_score"])
     return spark.createDataFrame(pdf, "rank int, doc_id long, mmr_score double")
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — flag every training
+    vector whose cosine similarity to ANY held-out evaluation vector
+    reaches ``threshold`` (the semantic-leakage sibling of the n-gram
+    :func:`~pandrs_spark.operators.text.decontaminate`: paraphrased or
+    reformatted benchmark items that share no 8-gram still land next to
+    the original in embedding space).
+
+    Shape for 100 TB: the TEST side is the benchmark suite — thousands
+    of vectors against billions of training rows — so it is broadcast
+    whole and the scan stays map-only: per training row, one fused
+    max-over-test-vectors expression (broadcast nested-loop, no
+    shuffle, no candidate blow-up; the train side never moves). This is
+    the exact-answer design, not an ANN shortcut: decontamination is a
+    recall-critical gate where a missed near-dup poisons an eval, so
+    the full test sweep per row is the point. The comparison runs on
+    round(sim, 6) — engines can disagree on the last ulp of a float
+    fold, never on the 6th decimal — so the flag is engine-portable.
+
+    Returns (id_col, max_sim, contaminated) — one row per training
+    vector, max_sim rounded to 6.
+    """
+    tv = test.agg(
+        F.collect_list(F.struct(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))).alias(
+            "__tests__"
+        )
+    )
+    train = fan_out(train)
+    sims = F.transform(
+        F.col("__tests__"),
+        lambda t: F.round(cosine(_as_double(F.col(vec_col)), t["v"]), 6),
+    )
+    return (
+        train.crossJoin(F.broadcast(tv))
+        .select(
+            id_col,
+            F.array_max(sims).alias("max_sim"),
+        )
+        .withColumn("contaminated", F.col("max_sim") >= F.lit(float(threshold)))
+    )

@@ -36,6 +36,8 @@ __all__ = [
     "pack_sequences",
     "remove_boilerplate_segments",
     "unigram_logprob_score",
+    "bigram_lm_score",
+    "c4_line_filter",
 ]
 
 # Tiny per-language stopword lists used by the n-gram/stopword language
@@ -636,4 +638,163 @@ def bm25_search(
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "id", "bm25")
+    )
+
+
+def bigram_lm_score(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    scale: int = 9,
+):
+    """Interpolated bigram language-model score against the corpus's
+    OWN distribution — the stronger sibling of
+    :func:`unigram_logprob_score` (the CCNet/KenLM perplexity-filter
+    shape, one order up): per document with >=2 tokens, the mean
+    negative log probability of each transition under
+
+        p(cur | prev) = lam * c(prev,cur)/c(prev)
+                        + (1-lam) * c(cur)/N
+
+    (fixed-weight Jelinek-Mercer interpolation). Low = fluent,
+    repetitive-common text; high = rare or scrambled transitions — a
+    cheap fluency signal that unigram models can't see (word-salad
+    permutations keep their unigram score but blow up here).
+
+    Shape for 100 TB: the unigram and bigram tables are single
+    partial-aggregated groupBys (vocabulary- / observed-bigram-bounded,
+    broadcast when they fit, plain shuffle equi-joins when not);
+    scoring is three map-side lookups + one per-doc aggregate. Per-doc
+    sums fold quantized ln p exactly (scaled-BIGINT), so results are
+    partition-order independent. Docs with <2 tokens have no
+    transitions and are omitted (the caller unions them back with a
+    default score if needed).
+
+    Returns (id_col, n_bigrams, neg_logprob). Reference parity: the
+    quality-scoring surface of src/text/quality.rs is unigram-only;
+    this extends it along the published CCNet direction.
+    """
+    from pandrs_spark.functions.deterministic import dsum
+
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+
+    ws = F.filter(tokens(F.col(text_col)), lambda w: w != "")
+    base = fan_out(docs).select(id_col, ws.alias("__ws__"))
+
+    # token instances feed the unigram LM AND the per-position scoring
+    # join; bigram instances feed the bigram LM AND scoring. Persist
+    # both so each corpus-wide explode runs once.
+    tok = base.select(
+        id_col, F.explode("__ws__").alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(tok)
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("__cu__"))
+    total = tok.agg(F.count(F.lit(1)).alias("__n__"))
+
+    bg = (
+        base.filter(F.size("__ws__") >= 2)
+        .select(
+            id_col,
+            F.explode(shingles(F.col("__ws__"), 2)).alias("bg"),
+        )
+        .select(
+            id_col,
+            F.split("bg", " ").getItem(0).alias("prev"),
+            F.split("bg", " ").getItem(1).alias("cur"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(bg)
+    bgc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__cb__"))
+
+    up = uni.select(F.col("w").alias("prev"), F.col("__cu__").alias("__cup__"))
+    uc = uni.select(F.col("w").alias("cur"), F.col("__cu__").alias("__cuc__"))
+    # (lam*cb)/c_prev + ((1-lam)*c_cur)/N with explicit left-assoc
+    # double arithmetic — the DuckDB oracle spells the identical
+    # expression, so both engines produce the same IEEE doubles.
+    p = (
+        F.lit(float(lam)) * F.col("__cb__").cast("double") / F.col("__cup__").cast("double")
+        + F.lit(round(1.0 - lam, 12)) * F.col("__cuc__").cast("double") / F.col("__n__").cast("double")
+    )
+    scored = (
+        bg.join(F.broadcast(bgc), ["prev", "cur"])
+        .join(F.broadcast(up), "prev")
+        .join(F.broadcast(uc), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dsum(F.log(p), scale).alias("__slp__"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        (-(F.col("__slp__") / F.col("n_bigrams"))).alias("neg_logprob"),
+    )
+
+
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning", §2.2) — the line-level filter battery applied to
+# Common Crawl before T5 training. Shared verbatim with the DuckDB
+# oracle: terminal-punctuation set, min words per line, line blacklist,
+# document blacklist.
+C4_MIN_WORDS_PER_LINE = 5
+C4_LINE_BLACKLIST = ("javascript",)
+C4_DOC_BLACKLIST = ("lorem ipsum", "{")
+
+
+def c4_line_filter(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+):
+    """C4-style line-level cleaning (the other canonical rule battery
+    next to :func:`gopher_quality_flags`, which is document-level):
+
+    - keep only lines that end in terminal punctuation (. ! ? ")
+      after trimming;
+    - keep only lines with >= ``min_words`` whitespace words;
+    - drop lines containing "javascript" (case-insensitive);
+    - drop the WHOLE document if it contains "lorem ipsum"
+      (case-insensitive) or a curly brace (code leakage).
+
+    Entirely array higher-order functions + regexes over the split
+    lines: map-only, zero shuffle, whole-stage codegen — the filter
+    battery runs at scan speed on 100 TB. Returns one row per input
+    doc: (id_col, n_lines, n_kept, doc_dropped, clean_text) where
+    clean_text is the kept lines re-joined with newline ('' when the
+    doc-level blacklist fires).
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    t = lambda l: F.trim(l)  # noqa: E731
+    kept = F.filter(
+        lines,
+        lambda l: t(l).rlike('[.!?"]$')
+        & (
+            F.size(F.filter(F.split(t(l), "\\s+"), lambda w: w != ""))
+            >= F.lit(int(min_words))
+        )
+        & ~F.contains(F.lower(l), F.lit(C4_LINE_BLACKLIST[0])),
+    )
+    doc_dropped = (
+        F.contains(F.lower(c), F.lit(C4_DOC_BLACKLIST[0]))
+        | F.contains(c, F.lit(C4_DOC_BLACKLIST[1]))
+    )
+    return docs.select(
+        id_col,
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.when(doc_dropped, F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("bigint")
+        .alias("n_kept"),
+        doc_dropped.alias("doc_dropped"),
+        F.when(doc_dropped, F.lit(""))
+        .otherwise(F.array_join(kept, "\n"))
+        .alias("clean_text"),
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pandrs_spark.operators.util import tracked_persist
+
 from pandrs_spark.catalog import load_table as T
 from pandrs_spark.operators.graph import (
     bfs_hops,
@@ -106,7 +108,7 @@ def _strong_edges(spark, sf_dir):
     """,
 )
 def q65(spark, sf_dir):
-    trade = _trade_edges(spark, sf_dir).persist()
+    trade = tracked_persist(_trade_edges(spark, sf_dir))
     deg = degrees(trade, "src", "dst")
     strength = (
         trade.select(F.col("src").alias("id"), "cnt")
@@ -211,7 +213,7 @@ def q68(spark, sf_dir):
     """,
 )
 def q69(spark, sf_dir):
-    edges = _strong_edges(spark, sf_dir).persist()
+    edges = tracked_persist(_strong_edges(spark, sf_dir))
     seed = edges.agg(F.least(F.min("src"), F.min("dst"))).first()[0]
     return bfs_hops(edges, [seed]).orderBy("id")
 
@@ -512,9 +514,11 @@ def q115(spark, sf_dir):
     from pandrs_spark.operators.graph import shortest_paths
 
     trade = _trade_edges(spark, sf_dir)
-    w = trade.select(
-        "src", "dst", F.floor(F.lit(1000000.0) / F.col("cnt")).alias("cost")
-    ).persist()
+    w = tracked_persist(
+        trade.select(
+            "src", "dst", F.floor(F.lit(1000000.0) / F.col("cnt")).alias("cost")
+        )
+    )
     seed = w.agg(F.least(F.min("src"), F.min("dst"))).first()[0]
     return shortest_paths(w, seed, iterations=10).orderBy("id")
 

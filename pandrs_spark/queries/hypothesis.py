@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from pandrs_spark.operators.util import tracked_persist
+
 from pandrs_spark.catalog import load_table as T
 from pandrs_spark.functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from pandrs_spark.operators.hypothesis import (
@@ -206,9 +208,9 @@ def q94(spark, sf_dir):
 
     cust = T(spark, sf_dir, "customer")
     w = Window.orderBy("c_custkey")
-    data = cust.select(
-        "c_acctbal", (F.row_number().over(w) - 1).alias("rn")
-    ).persist()
+    data = tracked_persist(
+        cust.select("c_acctbal", (F.row_number().over(w) - 1).alias("rn"))
+    )
     n = data.count()
     draws = (
         spark.range(_B)
@@ -409,8 +411,8 @@ def q96(spark, sf_dir, sample_frac: float | None = None):
             "c_mktsegment",
             (F.col("__rn1__") - 1).alias("rn"),
         )
-        .persist()
     )
+    two = tracked_persist(two)
     n = two.count()
     n1 = two.filter("c_mktsegment = 'BUILDING'").count()
     observed = two.agg(

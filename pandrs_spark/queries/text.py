@@ -2514,3 +2514,212 @@ def q325(spark, sf_dir):
     return out.select(
         "domain", "n_docs", F.round("share", 6).alias("share")
     ).orderBy("domain")
+
+
+# --- q326: DSIR-style importance weights (Xie et al. 2023) — hashed-
+# unigram log importance of every doc against an in-domain target
+# (lang='en' here). Fixed-B feature table broadcast; per-doc quantized
+# log-ratio fold. ------------------------------------------------------------
+@query(
+    "q326_dsir_importance",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t,
+               (('0x' || substring(md5(u.w), 1, 6))::UBIGINT % 1024) AS b
+        FROM (
+            SELECT doc_id, (lang = 'en') AS t,
+                   string_split_regex(lower(text), '\\s+') AS ws
+            FROM documents
+        ), UNNEST(ws) AS u(w)
+        WHERE u.w <> ''
+    ),
+    feat AS (
+        SELECT b, CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS cr
+        FROM tok GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS nr
+        FROM tok
+    ),
+    lrs AS (
+        SELECT tok.doc_id,
+               LN(CAST(f.ct AS DOUBLE) + 1.0) - LN(CAST(t.nt AS DOUBLE) + 1024.0)
+               - LN(CAST(f.cr AS DOUBLE) + 1.0) + LN(CAST(t.nr AS DOUBLE) + 1024.0) AS lr
+        FROM tok JOIN feat f USING (b), tot t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(SIGN(lr) * FLOOR(ABS(lr) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0, 6) AS log_weight
+    FROM lrs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q326(spark, sf_dir):
+    from pandrs_spark.operators.sampling import dsir_importance_weights
+
+    docs = T(spark, sf_dir, "documents")
+    out = dsir_importance_weights(docs, F.col("lang") == "en", n_buckets=1024)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("log_weight", 6).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
+# --- q327: interpolated bigram-LM fluency score — the KenLM/CCNet
+# perplexity-filter shape one order above q323's unigram. -------------------
+@query(
+    "q327_bigram_lm_quality",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, u.w AS w FROM base, UNNEST(ws) AS u(w)),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    bg AS (
+        SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+        FROM base, UNNEST(range(1, len(ws))) AS r(i)
+    ),
+    bgc AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY prev, cur),
+    lp AS (
+        SELECT b.doc_id,
+               LN((0.7 * CAST(bc.cb AS DOUBLE)) / CAST(up.cu AS DOUBLE)
+                  + (0.3 * CAST(uc.cu AS DOUBLE)) / CAST(t.n AS DOUBLE)) AS l
+        FROM bg b
+        JOIN bgc bc USING (prev, cur)
+        JOIN uni up ON up.w = b.prev
+        JOIN uni uc ON uc.w = b.cur, tot t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-(CAST(SUM(CAST(SIGN(l) * FLOOR(ABS(l) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0) / COUNT(*), 6) AS neg_logprob
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q327(spark, sf_dir):
+    from pandrs_spark.operators.text import bigram_lm_score
+
+    docs = T(spark, sf_dir, "documents")
+    out = bigram_lm_score(docs, lam=0.7)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("neg_logprob", 6).alias("neg_logprob"),
+    ).orderBy("doc_id")
+
+
+# --- q328: embedding-space benchmark decontamination — semantic
+# near-dup flag of every training vector against a broadcast held-out
+# set (vec_id % 10 = 0 plays the benchmark). --------------------------------
+@query(
+    "q328_embedding_decontamination",
+    oracle="""
+    WITH test AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS tv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    train AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    sims AS (
+        SELECT t.vec_id,
+               MAX(ROUND(list_cosine_similarity(t.v, s.tv), 6)) AS max_sim
+        FROM train t, test s
+        GROUP BY t.vec_id
+    )
+    SELECT vec_id, max_sim, (max_sim >= 0.8) AS contaminated
+    FROM sims ORDER BY vec_id
+    """,
+)
+def q328(spark, sf_dir):
+    from pandrs_spark.operators.similarity import embedding_decontaminate
+
+    emb = T(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 10 == 0)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    out = embedding_decontaminate(train, test, threshold=0.8)
+    return out.select("vec_id", "max_sim", "contaminated").orderBy("vec_id")
+
+
+# --- q329: C4-style line-level cleaning (Raffel et al. 2020 §2.2) —
+# terminal punctuation, min words/line, line+doc blacklists. Map-only. -------
+@query(
+    "q329_c4_line_filter",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, chr(10)) AS lines,
+               (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS dropped
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, lines, dropped,
+               list_filter(
+                   lines,
+                   l -> regexp_matches(trim(l), '[.!?"]$')
+                        AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript')
+               ) AS kept
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN dropped THEN 0 ELSE len(kept) END AS BIGINT) AS n_kept,
+           dropped AS doc_dropped,
+           CASE WHEN dropped THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
+    FROM k ORDER BY doc_id
+    """,
+)
+def q329(spark, sf_dir):
+    from pandrs_spark.operators.text import c4_line_filter
+
+    docs = T(spark, sf_dir, "documents")
+    return c4_line_filter(docs).orderBy("doc_id")
+
+
+# --- q330: cross-source exact-content overlap matrix — the provenance
+# audit before mixing sources into one training corpus. ---------------------
+@query(
+    "q330_source_overlap_matrix",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+               source AS src
+        FROM documents
+    ),
+    ps AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY src),
+    grid AS (
+        SELECT a.src AS source_a, b.src AS source_b, a.n AS n_a, b.n AS n_b
+        FROM ps a, ps b WHERE a.src < b.src
+    ),
+    sh AS (
+        SELECT x.src AS source_a, y.src AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM d x JOIN d y USING (fp)
+        WHERE x.src < y.src
+        GROUP BY x.src, y.src
+    )
+    SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                 / (g.n_a + g.n_b - COALESCE(s.n_shared, 0)), 6) AS jaccard
+    FROM grid g LEFT JOIN sh s USING (source_a, source_b)
+    ORDER BY source_a, source_b
+    """,
+)
+def q330(spark, sf_dir):
+    from pandrs_spark.operators.dedup import source_overlap_matrix
+
+    docs = T(spark, sf_dir, "documents")
+    out = source_overlap_matrix(docs)
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        "jaccard",
+    ).orderBy("source_a", "source_b")

@@ -603,9 +603,21 @@ def incremental_aggregate_sink(
         # into the new aggregate) so state stays O(distinct keys)
         merged.cache().count()
         merged.createOrReplaceGlobalTempView(table)
+        # track in the global release registry too: the FINAL batch's
+        # cache intentionally outlives the stream (it backs the live
+        # rollup view), so release_persisted() must be able to reclaim
+        # it once the caller is done with the table
+        from pandrs_spark.frame import _PERSISTED
+
         while cached:
-            cached.pop().unpersist(False)
+            old = cached.pop()
+            old.unpersist(False)
+            try:
+                _PERSISTED.remove(old)
+            except ValueError:
+                pass
         cached.append(merged)
+        _PERSISTED.append(merged)
 
     return (
         df.writeStream.foreachBatch(_merge)

@@ -442,3 +442,98 @@ def test_remove_boilerplate_segments_keeps_null_text_docs(spark):
     assert out[2]["n_segs"] == 0 and out[2]["n_kept"] == 0
     assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == ""
     assert out[1]["clean_text"] == "alpha beta gamma"
+
+
+def test_bigram_lm_scores_word_salad_higher(spark):
+    """The point of the bigram LM over the unigram one: a permuted
+    (word-salad) doc keeps its unigram distribution but its transitions
+    become rare, so its bigram neg_logprob must exceed the fluent docs
+    that share the corpus-dominant transition pattern."""
+    from pandrs_spark.operators.text import bigram_lm_score
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(1, 9)] + [(9, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n_bigrams"] == 5
+    fluent_score = out[1]["neg_logprob"]
+    assert all(
+        abs(out[i]["neg_logprob"] - fluent_score) < 1e-9 for i in range(2, 9)
+    )
+    assert out[9]["neg_logprob"] > fluent_score + 0.1
+
+
+def test_bigram_lm_skips_short_docs(spark):
+    from pandrs_spark.operators.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two tokens here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert set(out) == {3}
+    assert out[3]["n_bigrams"] == 2
+
+
+def test_c4_line_filter_rule_battery(spark):
+    """Every C4 rule on one fixture: terminal punctuation, min words per
+    line, the javascript line blacklist, and both doc-level blacklists
+    (lorem ipsum, curly brace) zeroing the whole doc."""
+    from pandrs_spark.operators.text import c4_line_filter
+
+    good = "this line has enough words and ends well."
+    docs = spark.createDataFrame(
+        [
+            (1, good + "\nno terminal punctuation here at all\nshort line."),
+            (2, good + "\nplease Enable JavaScript to view the full page."),
+            (3, good + "\nsome Lorem Ipsum filler text follows here."),
+            (4, good + "\nvar x = { a: 1 }; window.load();"),
+            (5, 'quoted dialogue should also count as terminal!"'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    # doc 1: good kept; no-punct line dropped; <5-word line dropped
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    assert out[1]["clean_text"] == good
+    assert not out[1]["doc_dropped"]
+    # doc 2: javascript line dropped case-insensitively, good kept
+    assert (out[2]["n_kept"], out[2]["doc_dropped"]) == (1, False)
+    # doc 3: lorem ipsum (case-insensitive) kills the DOC
+    assert out[3]["doc_dropped"] and out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == ""
+    # doc 4: curly brace kills the doc
+    assert out[4]["doc_dropped"] and out[4]["clean_text"] == ""
+    # doc 5: closing quote counts as terminal punctuation
+    assert out[5]["n_kept"] == 1
+
+
+def test_source_overlap_matrix_counts_and_zero_pairs(spark):
+    """Shared fingerprints counted once per pair (whitespace/case
+    normalized), zero-overlap pairs still present with jaccard 0."""
+    from pandrs_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha  beta", "a"),
+            (2, "alpha beta", "b"),     # same fp as 1 after normalize
+            (3, "gamma delta", "a"),
+            (4, "gamma delta", "b"),
+            (5, "unique to b", "b"),
+            (6, "nothing shared", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_shared"]) == (2, 3, 2)
+    assert abs(ab["jaccard"] - 2 / 3) < 1e-6
+    assert out[("a", "c")]["n_shared"] == 0
+    assert out[("a", "c")]["jaccard"] == 0.0

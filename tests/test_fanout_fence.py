@@ -147,6 +147,22 @@ def _(docs, spark):
     return unigram_logprob_score(docs)
 
 
+@_doc_op("bigram_lm_score")
+def _(docs, spark):
+    from pandrs_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(docs)
+
+
+@_doc_op("dsir_importance_weights")
+def _(docs, spark):
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.sampling import dsir_importance_weights
+
+    return dsir_importance_weights(docs, F.col("doc_id") % 2 == 0)
+
+
 @_doc_op("tf_idf_top_terms")
 def _(docs, spark):
     from pandrs_spark.operators.text import tf_idf_top_terms
@@ -194,6 +210,13 @@ def _(embs, spark):
     from pandrs_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(embs)
+
+
+@_emb_op("embedding_decontaminate")
+def _(embs, spark):
+    from pandrs_spark.operators.similarity import embedding_decontaminate
+
+    return embedding_decontaminate(embs, _embs(spark, 2))
 
 
 @_emb_op("semantic_dedup")

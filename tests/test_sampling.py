@@ -94,3 +94,30 @@ def test_resample_to_mixture_rates_and_drop(spark):
     # big: rate 50/1000 -> ~50 kept; small: rate 50/20 capped at 1 -> all 20
     assert counts["small"] == 20
     assert 30 <= counts["big"] <= 70
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """A doc written in the target's vocabulary must out-score a doc in
+    the off-target vocabulary; log-weights are finite and per-token
+    counts exact."""
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.sampling import dsir_importance_weights
+
+    target_text = "alpha beta gamma alpha beta"
+    off_text = "zork quux blarg zork quux"
+    rows = [(i, target_text, True) for i in range(10)]
+    rows += [(100 + i, off_text, False) for i in range(10)]
+    rows += [(200, target_text, False), (201, off_text, False)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, F.col("t"), n_buckets=64
+        ).collect()
+    }
+    assert out[200]["n_tokens"] == 5
+    # the target-like raw doc scores strictly above the off-target one
+    assert out[200]["log_weight"] > out[201]["log_weight"] + 0.5
+    # exemplar docs score like their raw twins (same text, same buckets)
+    assert abs(out[0]["log_weight"] - out[200]["log_weight"]) < 1e-9

@@ -154,3 +154,30 @@ def test_semantic_dedup_drops_lower_id_near_dups_within_cluster(spark):
     assert out[3]["kept"] and out[4]["kept"]
     # near-dups share the quantizer cell; the orthogonal vector does not
     assert out[1]["cluster"] == out[2]["cluster"] != out[4]["cluster"]
+
+
+def test_embedding_decontaminate_flags_near_dups(spark):
+    """Exact duplicates of a test vector are flagged; orthogonal
+    vectors are not; max_sim is the max over ALL test vectors."""
+    from pandrs_spark.operators.similarity import embedding_decontaminate
+
+    test = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0]), (901, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),     # parallel to test 900 -> sim 1.0
+            (2, [0.0, 0.0, 5.0]),     # orthogonal to both -> sim 0.0
+            (3, [1.0, 1.0, 0.0]),     # 45 deg to both -> ~0.7071
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_decontaminate(train, test, threshold=0.95).collect()
+    }
+    assert out[1]["contaminated"] and abs(out[1]["max_sim"] - 1.0) < 1e-6
+    assert not out[2]["contaminated"] and abs(out[2]["max_sim"]) < 1e-6
+    assert not out[3]["contaminated"]
+    assert abs(out[3]["max_sim"] - 0.707107) < 1e-5
