@@ -28,6 +28,8 @@ from pandrs_spark.operators.text import doc_fingerprint, shingles, tokens
 from pandrs_spark.operators.util import fan_out
 
 __all__ = [
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "source_overlap_matrix",
     "select_cluster_representatives",
     "exact_dedup_clusters",
@@ -338,5 +340,132 @@ def source_overlap_matrix(
                 / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_shared"), F.lit(0))),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-fingerprinting algorithm): hash every
+    word k-gram, slide a window of ``window`` consecutive hashes, and
+    select the minimum hash of each window (rightmost occurrence on
+    ties). The guarantee: any shared run of at least k+window-1 words
+    between two documents shares at least one selected fingerprint —
+    LOCAL duplication detection, which whole-document MinHash cannot
+    see (a 95%-new doc with one plagiarized paragraph).
+
+    Shape for 100 TB: one map-side posexplode (one md5 per gram — NOT
+    the array-HOF formulation, whose per-window lambda re-inlines the
+    whole gram array and goes O(n²·w) per document), then the
+    per-window rightmost-argmin as ``min(struct(hash, -pos))`` over a
+    ``window``-row frame PARTITIONED BY DOCUMENT — bounded frames,
+    never a global window. Fingerprint density is ~2/(window+1) of
+    grams, the paper's bound. Hashes are md5 hex so lexicographic MIN
+    is engine-portable and the DuckDB oracle replays bit-for-bit.
+
+    Returns exploded (id_col, pos, fp): the distinct selected
+    positions with their fingerprint hash. Docs with fewer than k
+    words yield no rows; docs with fewer than window grams yield one
+    fingerprint (min over all their grams).
+    """
+    from pyspark.sql import Window as W
+
+    if k < 1 or window < 1:
+        raise ValueError("winnow_fingerprints: k and window must be >= 1")
+    ws = F.filter(tokens(F.col(text_col)), lambda w: w != "")
+    grams = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.transform(shingles(ws, k), F.md5)).alias(
+                "__p0__", "__h__"
+            ),
+        )
+        .select(id_col, (F.col("__p0__") + 1).alias("__gp__"), "__h__")
+    )
+    frame = W.partitionBy(id_col).orderBy("__gp__").rowsBetween(0, window - 1)
+    whole = W.partitionBy(id_col)
+    picked = (
+        grams.withColumn("__n__", F.count(F.lit(1)).over(whole))
+        .withColumn(
+            "__sel__",
+            F.min(
+                F.struct(F.col("__h__"), (-F.col("__gp__")).alias("np"))
+            ).over(frame),
+        )
+        # window starts: 1..max(1, n-window+1); later starts are the
+        # clipped suffix frames the algorithm does not evaluate
+        .filter(
+            F.col("__gp__")
+            <= F.greatest(F.lit(1), F.col("__n__") - (window - 1))
+        )
+    )
+    return picked.select(
+        F.col(id_col),
+        (-F.col("__sel__.np")).cast("long").alias("pos"),
+        F.col("__sel__.__h__").alias("fp"),
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 3,
+    max_df: int = 10,
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints: pairs
+    of documents sharing >= ``min_shared`` distinct selected
+    fingerprints, with a containment score n_shared / min(n_a, n_b) —
+    the partial-duplication detector (one stolen paragraph) that
+    whole-doc MinHash misses.
+
+    Scale shape: the pair search is an equi-join ON THE FINGERPRINT
+    (never all-pairs), and fingerprints appearing in more than
+    ``max_df`` documents are dropped first — the stop-fingerprint rule
+    every production winnowing deployment applies, which is also what
+    bounds each join group to max_df² pairs. One distinct + one
+    bounded self-join + one pair aggregate.
+
+    Returns (doc_a, doc_b, n_shared, containment), doc_a < doc_b.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct()
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df__"))
+    kept = fps.join(
+        F.broadcast(df_counts.filter(F.col("__df__") <= max_df)), "fp"
+    ).select("id", "fp")
+    per_doc = kept.groupBy("id").agg(F.count(F.lit(1)).alias("__n__"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    na = per_doc.select(F.col("id").alias("doc_a"), F.col("__n__").alias("__na__"))
+    nb = per_doc.select(F.col("id").alias("doc_b"), F.col("__n__").alias("__nb__"))
+    return (
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("__na__", "__nb__"),
+                6,
+            ).alias("containment"),
         )
     )

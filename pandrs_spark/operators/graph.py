@@ -31,6 +31,7 @@ __all__ = [
     "symmetrize",
     "connected_components",
     "pagerank",
+    "personalized_pagerank",
     "bfs_hops",
     "triangle_count",
     "clustering_coefficient",
@@ -198,6 +199,82 @@ def pagerank(
         # |V|-row rank vector is tiny; the checkpoint is cheap)
         ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
+    return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed,
+    src: str = "src",
+    dst: str = "dst",
+    restart: float = 0.15,
+    iterations: int = 10,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a single
+    seed vertex): rank_{t+1}(v) = restart·1{v=seed} +
+    (1-restart)·(Σ_{u→v} rank_t(u)/outdeg(u) + dangling·1{v=seed}) —
+    the topic-sensitive variant of :func:`pagerank` (same power-method
+    dataflow, centrality.rs:250 is the behavioral spec for the global
+    walk), with dangling mass teleported back to the seed. The
+    standard relevance/recommendation primitive: rank = probability a
+    restarted random walker stands at v.
+
+    Same scale shape as pagerank: edges deduped, partitioned once on
+    src and persisted; each round shuffles only the |V|-row rank
+    vector; lineage cut per iteration with localCheckpoint.
+    """
+    e = tracked_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+    )
+    verts = tracked_persist(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    )
+    has_dangling = (
+        verts.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+    is_seed = F.col("id") == F.lit(seed)
+    ranks = verts.withColumn(
+        "rank", F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        if has_dangling:
+            dangling = (
+                ranks.join(
+                    outdeg.withColumnRenamed("src", "id"), "id", "left_anti"
+                )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+        else:
+            dangling = 0.0
+        ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.when(
+                    is_seed,
+                    F.lit(restart) + F.lit((1.0 - restart) * dangling),
+                ).otherwise(F.lit(0.0))
+                + F.lit(1.0 - restart) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

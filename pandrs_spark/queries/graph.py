@@ -786,3 +786,49 @@ def q231(spark, sf_dir):
 
     edges = _strong_edges(spark, sf_dir)
     return neighborhood_jaccard(edges).orderBy("id_a", "id_b")
+
+
+# --- q333: personalized PageRank (random walk with restart) from the
+# minimum-id vertex — the topic-sensitive relevance primitive. ---------------
+def _ppr_oracle(iterations: int = 10, restart: float = 0.15) -> str:
+    d = 1.0 - restart
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""ppr{k} AS (
+        SELECT v.id,
+               CASE WHEN v.id = (SELECT sd FROM seed) THEN {restart!r} ELSE 0.0 END
+               + {d!r} * COALESCE(m.mass, 0) AS rank
+        FROM verts v LEFT JOIN (
+            SELECT u.dst AS id, SUM(p.rank / o.d) AS mass
+            FROM ppr{k - 1} p
+            JOIN und u ON u.src = p.id
+            JOIN outdeg o ON o.src = p.id
+            GROUP BY u.dst
+        ) m ON m.id = v.id
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_STRONG},
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    seed AS (SELECT MIN(src) AS sd FROM und),
+    outdeg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+    ppr0 AS (
+        SELECT id,
+               CASE WHEN id = (SELECT sd FROM seed) THEN 1.0 ELSE 0.0 END AS rank
+        FROM verts
+    ),
+    {chained}
+    SELECT id, ROUND(rank, 6) AS rank FROM ppr{iterations} ORDER BY id
+    """
+
+
+@query("q333_personalized_pagerank", oracle=_ppr_oracle())
+def q333(spark, sf_dir):
+    from pandrs_spark.operators.graph import personalized_pagerank
+
+    und = symmetrize(_strong_edges(spark, sf_dir))
+    seed = und.agg(F.min("src")).first()[0]
+    ranks = personalized_pagerank(und, seed, restart=0.15, iterations=10)
+    return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")

@@ -2723,3 +2723,101 @@ def q330(spark, sf_dir):
         F.col("n_shared").cast("bigint").alias("n_shared"),
         "jaccard",
     ).orderBy("source_a", "source_b")
+
+
+# Shared oracle fragment for winnowing (k=4-gram hashes, window=5):
+# grams -> md5 -> per-window rightmost argmin, as DISTINCT (pos, fp).
+_WINNOW_SEL = """
+    base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, CASE WHEN len(ws) >= 4 THEN len(ws) - 2 ELSE 1 END),
+                   i -> md5(array_to_string(list_slice(ws, i, i + 3), ' '))
+               ) AS hs
+        FROM base
+    ),
+    wins AS (
+        SELECT doc_id, hs, i
+        FROM g, UNNEST(range(1, (CASE WHEN len(hs) = 0 THEN 0 ELSE GREATEST(1, len(hs) - 4) END) + 1)) AS r(i)
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               CAST(i + len(list_slice(hs, i, i + 4))
+                    - list_position(list_reverse(list_slice(hs, i, i + 4)),
+                                    list_aggregate(list_slice(hs, i, i + 4), 'min')) AS BIGINT) AS pos,
+               list_aggregate(list_slice(hs, i, i + 4), 'min') AS fp
+        FROM wins
+    )
+"""
+
+
+# --- q331: winnowing document fingerprints (Schleimer et al., SIGMOD
+# 2003 / MOSS) — per-doc selected-fingerprint summary. ----------------------
+@query(
+    "q331_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_SEL}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           MIN(fp) AS min_fp
+    FROM sel GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q331(spark, sf_dir):
+    from pandrs_spark.operators.dedup import winnow_fingerprints
+
+    docs = T(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=4, window=5)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.countDistinct("fp").cast("bigint").alias("n_unique"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q332: winnowing local-overlap pairs — partial-duplication
+# detection (shared paragraph) that whole-doc MinHash misses. ---------------
+@query(
+    "q332_winnow_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_SEL},
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(x.n, y.n), 6) AS containment
+    FROM pairs p
+    JOIN pd x ON x.doc_id = p.doc_a
+    JOIN pd y ON y.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q332(spark, sf_dir):
+    from pandrs_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    out = winnow_overlap_pairs(docs, k=4, window=5, min_shared=3, max_df=10)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        "containment",
+    ).orderBy("doc_a", "doc_b")

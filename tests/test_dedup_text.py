@@ -537,3 +537,54 @@ def test_source_overlap_matrix_counts_and_zero_pairs(spark):
     assert abs(ab["jaccard"] - 2 / 3) < 1e-6
     assert out[("a", "c")]["n_shared"] == 0
     assert out[("a", "c")]["jaccard"] == 0.0
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """The winnowing guarantee: two docs sharing a run of >= k+window-1
+    words share at least one fingerprint; short docs degrade cleanly
+    (< k words: none; < window grams: exactly one, the global min)."""
+    from pandrs_spark.operators.dedup import winnow_fingerprints
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "zork quux " + shared + " blarg wibble"),
+            (3, "too short"),                      # < k=4 words
+            (4, "exactly four word gram"),          # 1 gram < window
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, window=5).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: the shared 10-word run (>= 4+5-1=8) forces overlap
+    assert by_doc[1] & by_doc[2]
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    # density: selected fingerprints are a strict subset of grams
+    n_grams_doc1 = len("alpha beta ".split() + shared.split() + " gamma delta".split()) - 3
+    assert 0 < len(by_doc[1]) < n_grams_doc1
+
+
+def test_winnow_overlap_pairs_finds_partial_dup(spark):
+    """A doc pair sharing one long run is found; unrelated docs are
+    not; containment uses the smaller doc's fingerprint count."""
+    from pandrs_spark.operators.dedup import winnow_overlap_pairs
+
+    run = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, run + " unique tail one here now"),
+            (2, "other head words go here " + run),
+            (3, " ".join(f"zzz{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_overlap_pairs(docs, k=4, window=5, min_shared=3, max_df=10).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    r = pairs[(1, 2)]
+    assert 0 < r["containment"] <= 1.0

@@ -392,3 +392,35 @@ def test_scc_coloring_scales_past_allpairs(spark):
     assert all(comp[i] == 10000 for i in range(10000, 15000))
     for v in (20000, 20001, 20002):
         assert comp[v] == v  # chain vertices are singleton SCCs
+
+
+def test_personalized_pagerank_localizes_to_seed(spark):
+    """Mass concentrates near the seed: on a path graph 1-2-3-4-5
+    seeded at 1, rank decays monotonically with distance beyond the
+    seed's neighborhood (the degree-1 seed itself can be out-ranked by
+    its hub neighbor at low restart — that IS the stationary walk), and
+    ranks sum to ~1 (no dangling on the symmetric closure)."""
+    from pandrs_spark.operators.graph import personalized_pagerank, symmetrize
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    und = symmetrize(edges)
+    out = {r["id"]: r["rank"] for r in personalized_pagerank(und, 1, iterations=20).collect()}
+    assert out[2] > out[3] > out[4] > out[5]
+    assert out[1] > out[3]  # seed beats everything outside its 1-hop
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # at a high restart probability the seed itself dominates
+    hi = {r["id"]: r["rank"] for r in personalized_pagerank(und, 1, restart=0.5, iterations=20).collect()}
+    assert hi[1] > hi[2] > hi[3] > hi[4] > hi[5]
+
+
+def test_personalized_pagerank_dangling_returns_to_seed(spark):
+    """On a directed edge 1->2 (2 dangling), mass teleports back to the
+    seed instead of leaking: ranks still sum to ~1."""
+    from pandrs_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["id"]: r["rank"] for r in personalized_pagerank(edges, 1, iterations=15).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-3
+    assert out[1] > out[2]
