@@ -324,39 +324,65 @@ def embedding_near_dup_pairs(
     src/dataframe/functions.rs drop_duplicates + the LLM-pipeline
     north star in BASELINE.json).
 
-    Shape is LSH-bucket-join, NOT all-pairs: each vector hashes to one
-    bucket per table; candidate pairs share a bucket in ANY table
-    (union+distinct over n_tables equi-joins); exact cosine then
-    verifies candidates against ``threshold``. High-similarity pairs
-    collide with probability 1-(1-p^planes)^tables where
-    p = 1 - angle/pi, so recall at the threshold is tuned by
-    (n_tables, n_planes) while each task only compares within-bucket —
-    the shape that survives a 1B-vector corpus. Returns
-    (id_a, id_b, sim) with id_a < id_b.
+    Shape is LSH-bucket-join, NOT all-pairs, in three stages:
+
+    1. **Exact-identical collapse.** Vectors are fingerprinted and
+       deduplicated BEFORE hashing: LSH runs on distinct vectors only,
+       and member pairs are expanded back afterwards. Identical copies
+       hash to identical buckets, so this changes nothing about recall
+       — it only removes the quadratic in-bucket blow-up that exact
+       duplicates cause (measured: a 10×-duplicated corpus paid ~100×
+       in candidate pairs; real crawl corpora are exactly that shape).
+    2. **Bucketed candidate generation.** Each distinct vector emits
+       one (table, bucket) key per table (posexplode), candidates come
+       from ONE equi-join on that composite key. High-similarity pairs
+       collide with probability 1-(1-p^planes)^tables, p = 1-angle/pi;
+       ``n_planes`` is the corpus-size knob — buckets per table is
+       2^planes, so planes must grow ~log2(n_distinct) to keep
+       per-bucket occupancy (and the n²/2^planes candidate volume)
+       bounded, with ``n_tables`` buying recall back.
+    3. **Exact verify.** One cosine per distinct candidate pair,
+       against ``threshold`` on the 4-decimal rounding (engine-
+       reproducible accept/reject).
+
+    Returns (id_a, id_b, sim) with id_a < id_b, including the
+    within-cluster pairs of exact duplicates (cosine 1).
     """
+    from pandrs_spark.operators.util import tracked_persist
+
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
     corpus = fan_out(corpus)
-    v = corpus.select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    keyed = tracked_persist(
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        ).withColumn("__fp__", F.md5(F.col("v").cast("string")))
     )
-    w = corpus.select(
-        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    reps = tracked_persist(
+        keyed.groupBy("__fp__").agg(F.first("v").alias("v"))
     )
-    cand = None
-    for planes in banks:
-        ab = v.select("id_a", lsh_bucket_ids(F.col("va"), planes).alias("bucket"))
-        bb = w.select("id_b", lsh_bucket_ids(F.col("vb"), planes).alias("bucket"))
-        pairs_t = ab.join(bb, "bucket").filter(
-            F.col("id_a") < F.col("id_b")
-        ).select("id_a", "id_b")
-        cand = pairs_t if cand is None else cand.union(pairs_t)
-    cand = cand.distinct()
-    return (
-        cand.join(v, "id_a")
-        .join(w, "id_b")
+    rb = reps.select(
+        "__fp__",
+        F.posexplode(
+            F.array(*[lsh_bucket_ids(F.col("v"), p) for p in banks])
+        ).alias("t", "bucket"),
+    )
+    cand = (
+        rb.alias("a")
+        .join(rb.alias("b"), ["t", "bucket"])
+        .filter(F.col("a.__fp__") < F.col("b.__fp__"))
         .select(
-            "id_a",
-            "id_b",
+            F.col("a.__fp__").alias("fa"), F.col("b.__fp__").alias("fb")
+        )
+        .distinct()
+    )
+    va = reps.select(F.col("__fp__").alias("fa"), F.col("v").alias("va"))
+    vb = reps.select(F.col("__fp__").alias("fb"), F.col("v").alias("vb"))
+    verified = (
+        cand.join(va, "fa")
+        .join(vb, "fb")
+        .select(
+            "fa",
+            "fb",
             # threshold applies to the 4-decimal rounding so the
             # accept/reject decision is engine-reproducible at the
             # boundary (same policy as the oracle SQL)
@@ -364,6 +390,39 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+    membership = keyed.select("__fp__", "id")
+    cross = (
+        verified.join(
+            membership.select(
+                F.col("__fp__").alias("fa"), F.col("id").alias("ia")
+            ),
+            "fa",
+        )
+        .join(
+            membership.select(
+                F.col("__fp__").alias("fb"), F.col("id").alias("ib")
+            ),
+            "fb",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "sim",
+        )
+    )
+    within = (
+        membership.alias("x")
+        .join(membership.alias("y"), "__fp__")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .join(reps, "__fp__")
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine(F.col("v"), F.col("v")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return cross.union(within)
 
 
 def semantic_dedup(
