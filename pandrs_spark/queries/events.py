@@ -2174,3 +2174,332 @@ def q321(spark, sf_dir):
         )
         .orderBy("weekday", "hour")
     )
+
+
+# --- q334: Kaplan-Meier time-to-convert survival curve. Subject =
+# user with a signup; event = first purchase AFTER the first signup
+# (duration in days); users who never purchase after signing up are
+# right-CENSORED at the corpus end. Product-limit estimator over the
+# grouped duration table: at-risk counts from a prefix sum, the
+# survival product as exp(Σ ln(1 - d/n)) so both engines evaluate the
+# identical double tree in the identical (duration-ascending) order.
+# Scale shape: two shuffles (per-user conditional-min agg, per-duration
+# agg); the final window runs over DISTINCT day-valued durations —
+# bounded by the observation calendar span, not the row count
+# (whitelisted in tests/test_plans.py). Reference: survival analysis
+# surface of src/stats/mod.rs (KM estimator).
+@query(
+    "q334_kaplan_meier_engagement",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+               MAX(ts) AS l
+        FROM events GROUP BY user_id
+    ),
+    cut AS (SELECT MAX(ts) AS mx FROM events),
+    conv AS (
+        SELECT s.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN spans s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY s.user_id
+    ),
+    obs AS (
+        SELECT CASE WHEN c.tp IS NOT NULL THEN DATEDIFF('day', s.t0, c.tp)
+                    ELSE DATEDIFF('day', s.t0, k.mx) END AS t,
+               CASE WHEN c.tp IS NOT NULL THEN 0 ELSE 1 END AS cens
+        FROM spans s LEFT JOIN conv c ON c.user_id = s.user_id, cut k
+        WHERE s.t0 IS NOT NULL
+    ),
+    grp AS (
+        SELECT t,
+               CAST(SUM(1 - cens) AS BIGINT) AS d,
+               CAST(SUM(cens) AS BIGINT) AS c
+        FROM obs GROUP BY t
+    ),
+    risked AS (
+        SELECT t, d,
+               (SELECT COUNT(*) FROM obs)
+                 - COALESCE(SUM(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM grp
+    ),
+    km AS (
+        SELECT t, d, n_risk,
+               CASE WHEN SUM(CASE WHEN d * 1.0 >= n_risk THEN 1 ELSE 0 END)
+                        OVER (ORDER BY t) > 0
+                    THEN 0.0
+                    ELSE EXP(SUM(LN(CASE WHEN d * 1.0 < n_risk
+                                        THEN 1 - d * 1.0 / n_risk
+                                        ELSE 1 END)) OVER (ORDER BY t))
+               END AS surv
+        FROM risked
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           ROUND(surv, 6) AS survival
+    FROM km WHERE d > 0 ORDER BY duration_days
+    """,
+)
+def q334(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    cut = ev.agg(F.max("ts").alias("mx"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(spans, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    obs = (
+        spans.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(), F.datediff("tp", "t0")
+            ).otherwise(F.datediff("mx", "t0")).alias("t"),
+            F.when(F.col("tp").isNotNull(), 0).otherwise(1).alias("cens"),
+        )
+    )
+    grp = obs.groupBy("t").agg(
+        F.sum(1 - F.col("cens")).alias("d"),
+        F.sum("cens").alias("c"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    # prefix windows over the DISTINCT-duration table (calendar-bounded)
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        grp.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)),
+        )
+        .withColumn(
+            "surv",
+            F.when(
+                F.sum(
+                    F.when(F.col("d") * 1.0 >= F.col("n_risk"), 1).otherwise(0)
+                ).over(w_run)
+                > 0,
+                F.lit(0.0),
+            ).otherwise(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.when(
+                                F.col("d") * 1.0 < F.col("n_risk"),
+                                1 - F.col("d") * 1.0 / F.col("n_risk"),
+                            ).otherwise(F.lit(1.0))
+                        )
+                    ).over(w_run)
+                )
+            ),
+        )
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("duration_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.round("surv", 6).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+# --- q335: CUPED variance reduction for an A/B readout. Arms are a
+# deterministic md5 coin on user_id; the pre/post split is the midpoint
+# of the observation window (day granularity). Per-user pre-metric X
+# and post-metric Y are quantized sums; theta = cov(X,Y)/var(X) from
+# pooled exact sufficient statistics, and the adjusted per-arm mean is
+# mean_y_arm - theta * (mean_x_arm - mean_x_global) — CUPED's linear
+# form means arm aggregates suffice, no per-row adjusted column shuffle.
+# Scale shape: one per-user agg, one 2-row arm agg, broadcast scalars.
+# (Deng et al. 2013, "Improving the Sensitivity of Online Controlled
+# Experiments by Utilizing Pre-Experiment Data", WSDM.)
+@query(
+    "q335_cuped_adjusted_lift",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(ts) AS mn,
+               CAST(FLOOR(DATEDIFF('day', MIN(ts), MAX(ts)) / 2) AS INT) AS half
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN DATEDIFF('day', mn, ts) < half THEN
+                 CAST(SIGN(value) * FLOOR(ABS(value) * 10000 + 0.5) AS BIGINT)
+                 END), 0) / 10000.0 AS x,
+               COALESCE(SUM(CASE WHEN DATEDIFF('day', mn, ts) >= half THEN
+                 CAST(SIGN(value) * FLOOR(ABS(value) * 10000 + 0.5) AS BIGINT)
+                 END), 0) / 10000.0 AS y
+        FROM events, bounds GROUP BY user_id
+    ),
+    armed AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'treatment' ELSE 'control' END AS arm, x, y
+        FROM per_user
+    ),
+    arm_stats AS (
+        SELECT arm, COUNT(*) AS n,
+               SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sx,
+               SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sy,
+               SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sxx,
+               SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sxy
+        FROM armed GROUP BY arm
+    ),
+    pooled AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy
+        FROM arm_stats
+    )
+    SELECT a.arm, CAST(a.n AS BIGINT) AS n_users,
+           ROUND(a.sy / a.n, 6) AS mean_y,
+           ROUND(a.sy / a.n
+                 - ((p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx))
+                   * (a.sx / a.n - p.sx / p.n), 6) AS mean_y_adjusted,
+           ROUND((p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx), 6) AS theta
+    FROM arm_stats a, pooled p ORDER BY a.arm
+    """,
+)
+def q335(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("mn"),
+        F.floor(F.datediff(F.max("ts"), F.min("ts")) / 2).cast("int").alias("half"),
+    )
+    pre = F.datediff("ts", "mn") < F.col("half")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(dsum(F.when(pre, F.col("value")), 4), F.lit(0.0)).alias("x"),
+            F.coalesce(dsum(F.when(~pre, F.col("value")), 4), F.lit(0.0)).alias("y"),
+        )
+    )
+    armed = per_user.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit("treatment"),
+        )
+        .otherwise(F.lit("control"))
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    arm_stats = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x", 4).alias("sx"),
+        dsum("y", 4).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 4).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 4).alias("sxy"),
+    )
+    pooled = arm_stats.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+    )
+    theta = "((pn * psxy - psx * psy) / (pn * psxx - psx * psx))"
+    return (
+        arm_stats.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            F.col("n").cast("long").alias("n_users"),
+            F.round(F.expr("sy / n"), 6).alias("mean_y"),
+            F.round(
+                F.expr(f"sy / n - {theta} * (sx / n - psx / pn)"), 6
+            ).alias("mean_y_adjusted"),
+            F.round(F.expr(theta), 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --- q339: marketing-touch attribution. Conversions = purchase
+# events; each is attributed to (a) the user's most recent prior
+# non-purchase touch (LAST-touch) and (b) the user's earliest prior
+# touch (FIRST-touch), "prior" under the total per-user order
+# (ts, event_id). One pass: a per-user window carries the running
+# first/last touch type with an UNBOUNDED-PRECEDING..-1 frame (no
+# self-join against the touch log), then a channel rollup with
+# quantized purchase value. Windows are partitioned BY USER — scale-
+# safe. Reference: attribution-funnel surface of src/temporal/mod.rs.
+@query(
+    "q339_touch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT e.event_id, e.value,
+            (SELECT t.event_type FROM events t
+             WHERE t.user_id = e.user_id AND t.event_type <> 'purchase'
+               AND (t.ts < e.ts OR (t.ts = e.ts AND t.event_id < e.event_id))
+             ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS last_touch,
+            (SELECT t.event_type FROM events t
+             WHERE t.user_id = e.user_id AND t.event_type <> 'purchase'
+               AND (t.ts < e.ts OR (t.ts = e.ts AND t.event_id < e.event_id))
+             ORDER BY t.ts ASC, t.event_id ASC LIMIT 1) AS first_touch
+        FROM events e WHERE e.event_type = 'purchase'
+    ),
+    l AS (
+        SELECT last_touch AS channel, COUNT(*) AS n_last,
+               SUM(CAST(SIGN(value) * FLOOR(ABS(value) * 10000 + 0.5) AS BIGINT))
+                 / 10000.0 AS value_last
+        FROM p WHERE last_touch IS NOT NULL GROUP BY last_touch
+    ),
+    f AS (
+        SELECT first_touch AS channel, COUNT(*) AS n_first FROM p
+        WHERE first_touch IS NOT NULL GROUP BY first_touch
+    )
+    SELECT COALESCE(l.channel, f.channel) AS channel,
+           CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last_touch,
+           CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first_touch,
+           COALESCE(value_last, 0.0) AS value_last_touch
+    FROM l FULL OUTER JOIN f ON f.channel = l.channel
+    ORDER BY channel
+    """,
+)
+def q339(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = (
+        ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    l = (
+        attributed.filter(F.col("last_touch").isNotNull())
+        .groupBy(F.col("last_touch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_last"),
+            dsum("value", 4).alias("value_last"),
+        )
+    )
+    f = (
+        attributed.filter(F.col("first_touch").isNotNull())
+        .groupBy(F.col("first_touch").alias("channel_f"))
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    return (
+        l.join(f, l.channel == f.channel_f, "full")
+        .select(
+            F.coalesce("channel", "channel_f").alias("channel"),
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last_touch"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first_touch"),
+            F.coalesce("value_last", F.lit(0.0)).alias("value_last_touch"),
+        )
+        .orderBy("channel")
+    )

@@ -30,6 +30,7 @@ from pandrs_spark.catalog import load_table as T
 from pandrs_spark.functions.deterministic import (
     davg,
     dsum,
+    quantize,
     sql_davg,
     sql_dsum,
     sql_quantize,
@@ -2719,3 +2720,352 @@ def q320(spark, sf_dir):
         )
         .orderBy("month_a")
     )
+
+
+# --- q336: market-basket association rules over order baskets. Basket
+# = order, item = part; pair counts from a self-equi-join of the
+# DISTINCT (order, part) table on the order key with pa < pb — k² pairs
+# per basket with small k, never a cartesian across baskets. Support /
+# confidence / lift from integer counts (exact, order-independent);
+# top-20 by lift with a total (lift, pa, pb) ordering. At 100 TB the
+# shape holds: one dedup shuffle, one equi-join on the basket key, the
+# min-support filter prunes the rule table before ranking. Reference:
+# association-mining surface of src/ml/mod.rs.
+@query(
+    "q336_market_basket_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+    cnt AS (SELECT pk, COUNT(*) AS n FROM items GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+    )
+    SELECT p.pa AS part_a, p.pb AS part_b,
+           CAST(p.n_ab AS BIGINT) AS n_both,
+           ROUND(p.n_ab * 1.0 / nb.n_baskets, 6) AS support,
+           ROUND(p.n_ab * 1.0 / ca.n, 6) AS confidence,
+           ROUND(p.n_ab * 1.0 * nb.n_baskets / (ca.n * cb.n), 6) AS lift
+    FROM pairs p
+    JOIN cnt ca ON ca.pk = p.pa
+    JOIN cnt cb ON cb.pk = p.pb, nb
+    WHERE p.n_ab >= 3
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q336(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    nb = items.agg(F.countDistinct("ok").alias("n_baskets"))
+    cnt = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = items.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = cnt.select(F.col("pk").alias("pa"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("pk").alias("pb"), F.col("n").alias("nb_"))
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_ab").cast("long").alias("n_both"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_ab") * 1.0 / F.col("na"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_baskets") / (F.col("na") * F.col("nb_")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --- q337: RFM customer segmentation. Recency (days from a customer's
+# last order to the corpus max order date), Frequency (order count),
+# Monetary (quantized total spend); each scored 1-4 by comparison
+# against the three exact interpolated quartile edges, computed in ONE
+# global aggregate and broadcast — a map-only assignment, no global
+# sort / NTILE (the percentile aggregate swaps to the mergeable
+# approx_percentile sketch at 100 TB, cf. quantile_bins). Ties at an
+# edge share the lower score in both engines. Output is the segment
+# rollup: count + mean spend per (r, f, m) cell. Reference: qcut-based
+# segmentation surface of src/dataframe/transform.rs.
+@query(
+    "q337_rfm_segmentation",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               DATEDIFF('day', MAX(o_orderdate), mxd) AS recency,
+               COUNT(*) AS freq,
+               {sql_dsum('o_totalprice', 2)} AS monetary
+        FROM orders, mx GROUP BY o_custkey, mxd
+    ),
+    edges AS (
+        SELECT quantile_cont(recency * 1.0, 0.25) AS r1,
+               quantile_cont(recency * 1.0, 0.50) AS r2,
+               quantile_cont(recency * 1.0, 0.75) AS r3,
+               quantile_cont(freq * 1.0, 0.25) AS f1,
+               quantile_cont(freq * 1.0, 0.50) AS f2,
+               quantile_cont(freq * 1.0, 0.75) AS f3,
+               quantile_cont(monetary, 0.25) AS m1,
+               quantile_cont(monetary, 0.50) AS m2,
+               quantile_cont(monetary, 0.75) AS m3
+        FROM rfm
+    ),
+    scored AS (
+        SELECT 1 + CASE WHEN recency > r1 THEN 1 ELSE 0 END
+                 + CASE WHEN recency > r2 THEN 1 ELSE 0 END
+                 + CASE WHEN recency > r3 THEN 1 ELSE 0 END AS r_score,
+               1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+                 + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+                 + CASE WHEN freq > f3 THEN 1 ELSE 0 END AS f_score,
+               1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS m_score,
+               monetary
+        FROM rfm, edges
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_quantize(f"({sql_dsum('monetary', 2)} / COUNT(*))", 6)} / 1000000.0
+             AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q337(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    mx = od.agg(F.max("o_orderdate").alias("mxd"))
+    rfm = (
+        od.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mxd")
+        .agg(
+            F.datediff(F.first("mxd"), F.max("o_orderdate")).alias("recency"),
+            F.count(F.lit(1)).alias("freq"),
+            dsum("o_totalprice", 2).alias("monetary"),
+        )
+        .drop("mxd")
+    )
+    edges = rfm.agg(
+        *[
+            F.expr(f"percentile({c} * 1.0, {q})").alias(f"{c[0]}{i}")
+            for c in ("recency", "freq", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(col, pfx):
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = s + F.when(F.col(col) > F.col(f"{pfx}{i}"), 1).otherwise(0)
+        return s
+
+    scored = rfm.crossJoin(F.broadcast(edges)).select(
+        score("recency", "r").cast("int").alias("r_score"),
+        score("freq", "f").cast("int").alias("f_score"),
+        score("monetary", "m").cast("int").alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (quantize(dsum("monetary", 2) / F.count(F.lit(1)), 6) / 1000000.0).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --- q338: Pareto revenue-concentration cuts. How many top customers
+# cover 50/80/90/95% of revenue? Per-customer revenue is an exact
+# scaled-long sum; the running total under (revenue DESC, custkey)
+# comes from global_prefix_counts — the partition-offset prefix-sum
+# primitive (range-sort keeps every core busy; NO partitionless
+# window). Threshold crossings are pure integer comparisons
+# (cum·den < num·total), so the answer is exact and partition-
+# invariant. Reference: concentration/top-k share analysis of
+# src/dataframe/groupby.rs.
+@query(
+    "q338_pareto_revenue_cuts",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_custkey,
+               SUM({sql_quantize('o_totalprice', 2)}) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(rev) AS t, COUNT(*) AS nc FROM per),
+    pre AS (
+        SELECT rev, SUM(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum FROM per
+    ),
+    agg AS (
+        SELECT
+            1 + SUM(CASE WHEN cum * 2 < 1 * t THEN 1 ELSE 0 END) AS n50,
+            1 + SUM(CASE WHEN cum * 5 < 4 * t THEN 1 ELSE 0 END) AS n80,
+            1 + SUM(CASE WHEN cum * 10 < 9 * t THEN 1 ELSE 0 END) AS n90,
+            1 + SUM(CASE WHEN cum * 20 < 19 * t THEN 1 ELSE 0 END) AS n95,
+            MIN(nc) AS nc
+        FROM pre, tot
+    )
+    SELECT * FROM (
+        SELECT 50 AS threshold_pct, CAST(n50 AS BIGINT) AS n_customers,
+               ROUND(n50 * 1.0 / nc, 6) AS pct_customers FROM agg
+        UNION ALL
+        SELECT 80, CAST(n80 AS BIGINT), ROUND(n80 * 1.0 / nc, 6) FROM agg
+        UNION ALL
+        SELECT 90, CAST(n90 AS BIGINT), ROUND(n90 * 1.0 / nc, 6) FROM agg
+        UNION ALL
+        SELECT 95, CAST(n95 AS BIGINT), ROUND(n95 * 1.0 / nc, 6) FROM agg
+    ) ORDER BY threshold_pct
+    """,
+)
+def q338(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    od = T(spark, sf_dir, "orders")
+    per = od.groupBy("o_custkey").agg(
+        F.sum(quantize("o_totalprice", 2)).alias("rev")
+    )
+    tot = per.agg(F.sum("rev").alias("t"), F.count(F.lit(1)).alias("nc"))
+    pre = global_prefix_counts(
+        per, [F.col("rev").desc(), F.col("o_custkey")], {"cum": "rev"}
+    )
+    agg = pre.crossJoin(F.broadcast(tot)).agg(
+        *[
+            (
+                1
+                + F.sum(
+                    F.when(F.col("cum") * den < num * F.col("t"), 1).otherwise(0)
+                )
+            ).alias(f"n{pct}")
+            for pct, num, den in ((50, 1, 2), (80, 4, 5), (90, 9, 10), (95, 19, 20))
+        ],
+        F.min("nc").alias("nc"),
+    )
+    return agg.selectExpr(
+        "stack(4, 50, n50, 80, n80, 90, n90, 95, n95) AS (threshold_pct, n_customers)",
+        "nc",
+    ).select(
+        "threshold_pct",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(F.col("n_customers") * 1.0 / F.col("nc"), 6).alias("pct_customers"),
+    ).orderBy("threshold_pct")
+
+
+# --- q340: new-vs-returning monthly revenue split. A customer's first
+# order month tags every order as 'new' (first month) or 'returning';
+# monthly rollup of order counts + quantized revenue per cohort flag.
+# Two shuffles (per-customer min, per-month agg); the first-month table
+# joins back on the customer key. Reference: cohort rollups of
+# src/temporal/resample.rs.
+@query(
+    "q340_new_vs_returning_monthly",
+    oracle=f"""
+    WITH first_m AS (
+        SELECT o_custkey, DATE_TRUNC('month', MIN(o_orderdate)) AS fm
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT DATE_TRUNC('month', o.o_orderdate) AS month,
+           CASE WHEN DATE_TRUNC('month', o.o_orderdate) = f.fm
+                THEN 'new' ELSE 'returning' END AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           {sql_dsum('o.o_totalprice', 2)} AS revenue
+    FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q340(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    first_m = od.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("fm")
+    )
+    return (
+        od.join(first_m, "o_custkey")
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.when(
+                F.date_trunc("month", "o_orderdate") == F.col("fm"), "new"
+            ).otherwise("returning").alias("cohort"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        .groupBy("month", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+        .orderBy("month", "cohort")
+    )
+
+
+# --- q341: calibration curve + expected calibration error (ECE) +
+# Brier score for a probability-like score. Score = l_discount scaled
+# to [0,1] (10 fixed bins), outcome = returned line (l_returnflag='R').
+# Reliability diagram cells are integer counts + quantized score sums;
+# ECE is the count-weighted |observed − mean score| folded from the
+# same exact cell table both engines compute. Map-only binning, one
+# shuffle. Reference: model-evaluation metrics of src/ml/metrics.rs.
+@query(
+    "q341_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+        SELECT LEAST(CAST(FLOOR(l_discount * 10.0 / 0.11) AS INT), 9) AS bin,
+               l_discount * 1.0 / 0.11 AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               {sql_dsum('score', 6)} AS sum_score
+        FROM scored GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           ROUND(sum_score / n, 6) AS mean_score,
+           ROUND(n_pos * 1.0 / n, 6) AS observed_rate,
+           ROUND(ABS(sum_score / n - n_pos * 1.0 / n), 6) AS gap
+    FROM cells ORDER BY bin
+    """,
+)
+def q341(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.least(F.floor(F.col("l_discount") * 10.0 / 0.11).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        (F.col("l_discount") * 1.0 / 0.11).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cells = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        dsum("score", 6).alias("sum_score"),
+    )
+    return cells.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        "n_pos",
+        F.round(F.col("sum_score") / F.col("n"), 6).alias("mean_score"),
+        F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias("observed_rate"),
+        F.round(
+            F.abs(F.col("sum_score") / F.col("n") - F.col("n_pos") * 1.0 / F.col("n")),
+            6,
+        ).alias("gap"),
+    ).orderBy("bin")

@@ -371,6 +371,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q117_seasonality_periodogram", "q118_ar2_forecast",
     "q127_linear_trend_forecast", "q132_smoothing_winsorize",
     "q133_split_mean_changepoints", "q135_arima_210_forecast",
+    "q334_kaplan_meier_engagement",  # KM prefix windows over DISTINCT
+    # day-valued durations — bounded by the observation calendar span
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
