@@ -1333,3 +1333,58 @@ def psi(
     return joined.withColumn(
         "term", F.round((p_a - p_e) * F.log(p_a / p_e), 9)
     )
+
+
+def isotonic_fit_metrics(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    increasing: bool = True,
+) -> DataFrame:
+    """Isotonic (monotone) regression y ~ x via MLlib's distributed
+    pool-adjacent-violators (parallel PAV per partition + merge), the
+    scale path for monotone calibration curves (src/ml re-export,
+    src/lib.rs:219-244). Returns a 1-row metrics DataFrame:
+
+    - ``n`` rows fitted
+    - ``n_boundaries`` — piecewise-constant segment boundaries learned
+    - ``monotone`` — predictions over the sorted boundary grid are
+      nondecreasing (the PAV contract; pinned TRUE by callers)
+    - ``mse`` / ``mse_const`` — fit MSE vs the constant-mean baseline
+      (PAV minimizes squared error within the monotone class, so
+      mse <= mse_const always holds)
+    """
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import IsotonicRegression
+
+    feat = df.select(
+        F.col(x_col).cast("double").alias("__x__"),
+        F.col(y_col).cast("double").alias("__y__"),
+    ).withColumn("__features__", array_to_vector(F.array(F.col("__x__"))))
+    model = IsotonicRegression(
+        featuresCol="__features__", labelCol="__y__", isotonic=increasing
+    ).fit(feat)
+    bounds = list(model.boundaries)
+    preds = list(model.predictions)
+    monotone = all(b <= a for a, b in zip(preds[1:], preds)) if increasing else all(
+        a <= b for a, b in zip(preds[1:], preds)
+    )
+    scored = model.transform(feat)
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("prediction") - F.col("__y__")) ** 2).alias("mse"),
+        (F.avg(F.col("__y__") ** 2) - F.avg("__y__") ** 2).alias("mse_const"),
+    ).first()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n"]),
+                len(bounds),
+                bool(monotone),
+                float(row["mse"]),
+                float(row["mse_const"]),
+            )
+        ],
+        "n long, n_boundaries long, monotone boolean, mse double, mse_const double",
+    )

@@ -1196,3 +1196,37 @@ def q251(spark, sf_dir):
             6,
         ).alias("norm"),
     ).orderBy("label")
+
+
+# --- q343: isotonic regression of return probability on discount
+# (MLlib tier — distributed parallel-PAV internals have no SQL twin,
+# but the LEARNED SHAPE does: the oracle pins row count plus the PAV
+# contract — monotone piecewise-constant predictions, squared error no
+# worse than the constant baseline, boundary count within the distinct-
+# x bound — inside the hash gate, same pattern as q98/q120) ------------------
+@query(
+    "q343_isotonic_return_rate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS monotone,
+           TRUE AS mse_le_const,
+           TRUE AS boundaries_ok
+    FROM lineitem
+    """,
+)
+def q343(spark, sf_dir):
+    from pandrs_spark.operators.ml import isotonic_fit_metrics
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_discount",
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("ret"),
+    )
+    m = isotonic_fit_metrics(li, "l_discount", "ret", increasing=True)
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("monotone").alias("monotone"),
+        (F.col("mse") <= F.col("mse_const") + 1e-12).alias("mse_le_const"),
+        ((F.col("n_boundaries") >= 1) & (F.col("n_boundaries") <= 22)).alias(
+            "boundaries_ok"
+        ),
+    )

@@ -1233,3 +1233,98 @@ def q293(spark, sf_dir):
             6,
         ).alias("spearman_rho"),
     )
+
+
+# --- q344: two-proportion z-test + minimum detectable effect. Arms
+# from the md5 coin on user_id (engine-reproducible, same split as
+# q335); conversion = a purchase within 7 days after the user's first
+# signup (a time-bound conversion — every user eventually purchases,
+# so the raw any-purchase rate is degenerate). The z statistic,
+# pooled SE, and the 80%-power/α=.05 MDE are closed-form doubles
+# derived from four integers through formula strings shared verbatim
+# with the oracle (z-quantiles inlined as literals), so the whole
+# readout sits inside the hash gate. One per-user aggregate + one
+# 2-row rollup. Reference: proportion-test surface of
+# src/stats/inference.rs.
+_RT = "(CAST(xt AS DOUBLE) / nt)"
+_RC = "(CAST(xc AS DOUBLE) / nc)"
+_PZ = f"({_RT} - {_RC})"
+_POOL = "(CAST(xt + xc AS DOUBLE) / (nt + nc))"
+_INV = "(CAST(1 AS DOUBLE) / nt + CAST(1 AS DOUBLE) / nc)"
+_SE = f"SQRT({_POOL} * (1 - {_POOL}) * {_INV})"
+_MDE = (
+    "((1.959963984540054 + 0.8416212335729143) * "
+    f"SQRT({_RC} * (1 - {_RC}) * {_INV}))"
+)
+
+
+@query(
+    "q344_two_proportion_ab_power",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               CASE WHEN substr(md5(CAST(e.user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS arm,
+               MAX(CASE WHEN e.event_type = 'purchase' AND e.ts > s.t0
+                             AND e.ts <= s.t0 + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events e JOIN s0 s ON s.user_id = e.user_id
+        WHERE s.t0 IS NOT NULL
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT CAST(SUM(arm) AS BIGINT) AS nt,
+               CAST(SUM(arm * conv) AS BIGINT) AS xt,
+               CAST(SUM(1 - arm) AS BIGINT) AS nc,
+               CAST(SUM((1 - arm) * conv) AS BIGINT) AS xc
+        FROM per_user
+    )
+    SELECT nt AS n_treatment, xt AS conv_treatment,
+           nc AS n_control, xc AS conv_control,
+           ROUND((CAST(xt AS DOUBLE) / nt), 6) AS rate_treatment,
+           ROUND((CAST(xc AS DOUBLE) / nc), 6) AS rate_control,
+           ROUND({_PZ} / {_SE}, 6) AS z_stat,
+           ROUND({_MDE}, 6) AS mde_abs
+    FROM counts
+    """,
+)
+def q344(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    s0 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    per_user = ev.join(s0, "user_id").groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t0"))
+                & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 7 DAY")),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", 1
+        ).otherwise(0).alias("arm"),
+        "conv",
+    )
+    counts = per_user.agg(
+        F.sum("arm").cast("long").alias("nt"),
+        F.sum(F.col("arm") * F.col("conv")).cast("long").alias("xt"),
+        F.sum(1 - F.col("arm")).cast("long").alias("nc"),
+        F.sum((1 - F.col("arm")) * F.col("conv")).cast("long").alias("xc"),
+    )
+    return counts.select(
+        F.col("nt").alias("n_treatment"),
+        F.col("xt").alias("conv_treatment"),
+        F.col("nc").alias("n_control"),
+        F.col("xc").alias("conv_control"),
+        F.round(F.expr(_RT), 6).alias("rate_treatment"),
+        F.round(F.expr(_RC), 6).alias("rate_control"),
+        F.round(F.expr(f"{_PZ} / {_SE}"), 6).alias("z_stat"),
+        F.round(F.expr(_MDE), 6).alias("mde_abs"),
+    )

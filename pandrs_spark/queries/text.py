@@ -2821,3 +2821,84 @@ def q332(spark, sf_dir):
         F.col("n_shared").cast("bigint").alias("n_shared"),
         "containment",
     ).orderBy("doc_a", "doc_b")
+
+
+# --- q345: entity-resolution candidate pairs over part names. The
+# classic blocked-ER shape: tokenize p_name, block by brand, generate
+# candidates ONLY for parts sharing (brand, token) — an equi-join, no
+# all-pairs — then score token-set Jaccard and keep pairs ≥ 0.5.
+# Counts are integers; Jaccard is an integer ratio; (jaccard, pa, pb)
+# is a total order so the top-50 cut is deterministic. At 100 TB the
+# blocking key bounds candidate growth exactly like LSH banding in
+# q31. Reference: record-linkage surface of src/dataframe/join.rs +
+# text similarity of src/text/mod.rs.
+@query(
+    "q345_part_name_er_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT p.p_partkey AS pk, p.p_brand AS brand, t.tok
+        FROM part p, UNNEST(string_split(p.p_name, ' ')) AS t(tok)
+    ),
+    sizes AS (SELECT pk, COUNT(*) AS n FROM toks GROUP BY pk),
+    cand AS (
+        SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_common
+        FROM toks a JOIN toks b
+          ON a.brand = b.brand AND a.tok = b.tok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+    )
+    SELECT c.pa AS part_a, c.pb AS part_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           ROUND(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 6) AS jaccard
+    FROM cand c JOIN sizes sa ON sa.pk = c.pa JOIN sizes sb ON sb.pk = c.pb
+    WHERE c.n_common * 2.0 >= (sa.n + sb.n - c.n_common)
+    ORDER BY jaccard DESC, part_a, part_b LIMIT 50
+    """,
+)
+def q345(spark, sf_dir):
+    pt = T(spark, sf_dir, "part")
+    toks = (
+        pt.select(
+            F.col("p_partkey").alias("pk"),
+            F.col("p_brand").alias("brand"),
+            F.explode(F.split("p_name", " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("pk").alias("pa"), "brand", "tok")
+    b = toks.select(
+        F.col("pk").alias("pb"), F.col("brand").alias("brand_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("brand") == F.col("brand_b"))
+            & (F.col("tok") == F.col("tok_b"))
+            & (F.col("pa") < F.col("pb")),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("pk").alias("pa"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("pk").alias("pb"), F.col("n").alias("nb"))
+    return (
+        cand.join(sa, "pa")
+        .join(sb, "pb")
+        .filter(
+            F.col("n_common") * 2.0 >= F.col("na") + F.col("nb") - F.col("n_common")
+        )
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(50)
+    )

@@ -13,6 +13,7 @@ from pandrs_spark.catalog import load_table as T
 from pandrs_spark.functions.deterministic import (
     davg,
     dsum,
+    quantize,
     sql_davg,
     sql_dsum,
     sql_dsum_over,
@@ -1577,4 +1578,108 @@ def q295(spark, sf_dir):
             ).alias("mase"),
         )
         .orderBy("nation")
+    )
+
+
+# --- q342: Mann-Kendall trend test + Sen's slope on monthly revenue.
+# The series is the month-aggregated revenue (exact scaled-long sums),
+# so the pairwise i<j self-join is CALENDAR-bounded (~80 months² ≈ 3k
+# pairs at any SF, not rows²) — the classic O(n²) test is safe because
+# aggregation happens first. S and the tie term are pure integer folds; z applies the
+# continuity correction through a formula string shared with the
+# oracle; Sen's slope is the exact interpolated median of pairwise
+# slopes (identical doubles both engines). Reference: trend-test
+# surface of src/stats/mod.rs (Mann-Kendall).
+_MK_Z = (
+    "CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s) "
+    "WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s) ELSE 0.0 END"
+)
+
+
+@query(
+    "q342_mann_kendall_sen_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DATEDIFF('month', (SELECT MIN(o_orderdate) FROM orders), o_orderdate)
+                 AS d,
+               SUM({sql_quantize('o_totalprice', 2)}) AS rev
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.d AS di, b.d AS dj, a.rev AS ri, b.rev AS rj
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    sfold AS (
+        SELECT CAST(SUM(CASE WHEN rj > ri THEN 1 WHEN rj < ri THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat,
+               {sql_quantize("quantile_cont((rj - ri) * 1.0 / (dj - di), 0.5)", 6)}
+                 / 1000000.0 AS sen_slope
+        FROM pairs
+    ),
+    ties AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev)
+    ),
+    vs AS (
+        SELECT s_stat, sen_slope,
+               (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS var_s, n
+        FROM sfold, ties
+    )
+    SELECT CAST(n AS BIGINT) AS n_months, s_stat,
+           ROUND(var_s, 6) AS var_s,
+           ROUND({_MK_Z}, 6) AS z_stat,
+           sen_slope
+    FROM vs
+    """,
+)
+def q342(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    mn = od.agg(F.min("o_orderdate").alias("mn"))
+    daily = (
+        od.crossJoin(F.broadcast(mn))
+        .groupBy(
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.date_trunc("month", "mn")
+            ).cast("int").alias("d")
+        )
+        .agg(F.sum(quantize("o_totalprice", 2)).alias("rev"))
+    )
+    a = daily.select(F.col("d").alias("di"), F.col("rev").alias("ri"))
+    b = daily.select(F.col("d").alias("dj"), F.col("rev").alias("rj"))
+    pairs = a.join(b, F.col("dj") > F.col("di"))
+    sfold = pairs.agg(
+        F.sum(
+            F.when(F.col("rj") > F.col("ri"), 1)
+            .when(F.col("rj") < F.col("ri"), -1)
+            .otherwise(0)
+        ).cast("long").alias("s_stat"),
+        (
+            quantize(
+                F.expr("percentile((rj - ri) * 1.0 / (dj - di), 0.5)"), 6
+            )
+            / 1000000.0
+        ).alias("sen_slope"),
+    )
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).cast("long").alias("tie_term"),
+        )
+    )
+    vs = sfold.crossJoin(F.broadcast(ties)).withColumn(
+        "var_s",
+        (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term"))
+        / 18.0,
+    )
+    return vs.select(
+        F.col("n").cast("long").alias("n_months"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(F.expr(_MK_Z), 6).alias("z_stat"),
+        "sen_slope",
     )

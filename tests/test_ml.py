@@ -409,3 +409,25 @@ def test_quantile_bins_duplicate_edges(spark):
     assert quantile_bins(ok, "x", 4, duplicates="raise").count() == 20
     with pytest.raises(ValueError, match="drop"):
         quantile_bins(df, "x", 4, duplicates="nonsense")
+
+
+def test_isotonic_fit_metrics_recovers_monotone_signal(spark):
+    """Perfectly monotone data → PAV reproduces it exactly (mse ~ 0,
+    monotone predictions); noisy anti-monotone pooling still satisfies
+    mse <= constant-baseline mse."""
+    from pandrs_spark.operators.ml import isotonic_fit_metrics
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i // 10)) for i in range(100)], "x double, y double"
+    )
+    m = isotonic_fit_metrics(mono, "x", "y").first()
+    assert m["n"] == 100 and m["monotone"]
+    assert m["mse"] < 1e-12
+    # y decreasing in x but fitted increasing: PAV pools everything
+    # toward the mean; still never worse than the constant baseline
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(50)], "x double, y double"
+    )
+    a = isotonic_fit_metrics(anti, "x", "y").first()
+    assert a["monotone"] and a["mse"] <= a["mse_const"] + 1e-9
+    assert a["n_boundaries"] <= 2
