@@ -2503,3 +2503,90 @@ def q339(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# --- q346: most-common 3-step event paths. Per-user lead windows under
+# the total (ts, event_id) order make each row its own trigram — no
+# per-user collect_list, no session-long arrays — then a global count
+# + deterministic top-10. Windows partition BY USER (scale-safe); the
+# top-k is TakeOrdered-shaped. Reference: sequence/path mining of
+# src/temporal/mod.rs.
+@query(
+    "q346_top_event_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type, 1) OVER w AS b,
+               LEAD(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q346(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+# --- q347: first-order Markov transition matrix between event types.
+# cur→next pairs from a per-user lead window; P(next|cur) is an exact
+# integer ratio per (cur, next) cell — ~k² rows for k event types.
+# One window pass + one cell aggregate. Reference: transition-model
+# surface of src/temporal/mod.rs.
+@query(
+    "q347_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    cells AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    rows_ AS (SELECT cur, SUM(n) AS row_n FROM cells GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / r.row_n, 6) AS p
+    FROM cells c JOIN rows_ r ON r.cur = c.cur
+    ORDER BY c.cur, c.nxt
+    """,
+)
+def q347(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cells = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    rows_ = cells.groupBy(F.col("cur").alias("cur_r")).agg(
+        F.sum("n").alias("row_n")
+    )
+    return (
+        cells.join(F.broadcast(rows_), cells.cur == rows_.cur_r)
+        .select(
+            "cur",
+            "nxt",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )

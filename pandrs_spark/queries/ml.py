@@ -1230,3 +1230,81 @@ def q343(spark, sf_dir):
             "boundaries_ok"
         ),
     )
+
+
+# --- q349: log-log price elasticity of demand per brand. Per part:
+# x = ln(retail price), y = ln(total quantity sold) (the quantity sum
+# is quantized so both engines take ln of the identical double). Per
+# brand: closed-form OLS slope = elasticity from scale-6 exact
+# sufficient statistics — same shared-formula design as q77 but at
+# fine scale because ln values are O(10). Two shuffles (per-part agg,
+# per-brand agg); the part dimension joins broadcast. Reference:
+# elasticity/regression surface of src/stats/regression.rs.
+def _q349_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize
+
+    return f"""
+    WITH per_part AS (
+        SELECT p.p_brand AS brand,
+               LN(p.p_retailprice) AS x,
+               LN({sql_dsum('l.l_quantity', 2)}) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_partkey, p.p_brand, p.p_retailprice
+    ),
+    agg AS (
+        SELECT brand, COUNT(*) AS n,
+               {sql_dsum('x', 6)} AS sx, {sql_dsum('y', 6)} AS sy,
+               {sql_dsum('x * x', 6)} AS sxx, {sql_dsum('y * y', 6)} AS syy,
+               {sql_dsum('x * y', 6)} AS sxy
+        FROM per_part GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_parts,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+           ROUND(POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM agg WHERE n > 2 ORDER BY brand
+    """
+
+
+@query("q349_price_elasticity_by_brand", oracle=_q349_oracle())
+def q349(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum
+
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part")
+    per_part = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_partkey", "p_brand", "p_retailprice")
+        .agg(dsum("l_quantity", 2).alias("qty"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log("p_retailprice").alias("x"),
+            F.log("qty").alias("y"),
+        )
+    )
+    agg = per_part.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x", 6).alias("sx"),
+        dsum("y", 6).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+    )
+    return (
+        agg.filter(F.col("n") > 2)
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_parts"),
+            F.round(
+                F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 6
+            ).alias("elasticity"),
+            F.round(
+                F.expr(
+                    "POWER(n * sxy - sx * sy, 2)"
+                    " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+                ),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy("brand")
+    )

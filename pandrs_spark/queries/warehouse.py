@@ -2815,12 +2815,12 @@ def q336(spark, sf_dir):
         FROM orders, mx GROUP BY o_custkey, mxd
     ),
     edges AS (
-        SELECT quantile_cont(recency * 1.0, 0.25) AS r1,
-               quantile_cont(recency * 1.0, 0.50) AS r2,
-               quantile_cont(recency * 1.0, 0.75) AS r3,
-               quantile_cont(freq * 1.0, 0.25) AS f1,
-               quantile_cont(freq * 1.0, 0.50) AS f2,
-               quantile_cont(freq * 1.0, 0.75) AS f3,
+        SELECT quantile_cont(CAST(recency AS DOUBLE), 0.25) AS r1,
+               quantile_cont(CAST(recency AS DOUBLE), 0.50) AS r2,
+               quantile_cont(CAST(recency AS DOUBLE), 0.75) AS r3,
+               quantile_cont(CAST(freq AS DOUBLE), 0.25) AS f1,
+               quantile_cont(CAST(freq AS DOUBLE), 0.50) AS f2,
+               quantile_cont(CAST(freq AS DOUBLE), 0.75) AS f3,
                quantile_cont(monetary, 0.25) AS m1,
                quantile_cont(monetary, 0.50) AS m2,
                quantile_cont(monetary, 0.75) AS m3
@@ -2862,7 +2862,7 @@ def q337(spark, sf_dir):
     )
     edges = rfm.agg(
         *[
-            F.expr(f"percentile({c} * 1.0, {q})").alias(f"{c[0]}{i}")
+            F.expr(f"percentile(CAST({c} AS DOUBLE), {q})").alias(f"{c[0]}{i}")
             for c in ("recency", "freq", "monetary")
             for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
         ]
@@ -3069,3 +3069,63 @@ def q341(spark, sf_dir):
             6,
         ).alias("gap"),
     ).orderBy("bin")
+
+
+# --- q348: order-to-ship SLA distribution by priority. Delay in days
+# joins the lineitem fact to its order header on the order key; per
+# priority the rollup reports exact mean (integer day sums), exact
+# interpolated p50/p90/p99 (the percentile aggregate swaps to
+# approx_percentile at 100 TB), and the share shipped within 30 days.
+# Reference: latency-SLA rollups of src/dataframe/groupby.rs.
+@query(
+    "q348_ship_delay_sla",
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               DATEDIFF('day', o.o_orderdate, l.l_shipdate) AS delay
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(delay) AS DOUBLE) / COUNT(*), 6) AS mean_delay,
+           ROUND(quantile_cont(CAST(delay AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(delay AS DOUBLE), 0.9), 6) AS p90,
+           ROUND(quantile_cont(CAST(delay AS DOUBLE), 0.99), 6) AS p99,
+           ROUND(CAST(SUM(CASE WHEN delay <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pct_within_30d
+    FROM d GROUP BY priority ORDER BY priority
+    """,
+)
+def q348(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    d = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay"),
+    )
+    return (
+        d.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("delay").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_delay"),
+            F.round(F.expr("percentile(CAST(delay AS DOUBLE), 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(CAST(delay AS DOUBLE), 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(CAST(delay AS DOUBLE), 0.99)"), 6).alias("p99"),
+            F.round(
+                F.sum(F.when(F.col("delay") <= 30, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pct_within_30d"),
+        )
+        .select(
+            "priority",
+            F.col("n").cast("long").alias("n"),
+            "mean_delay",
+            "p50",
+            "p90",
+            "p99",
+            "pct_within_30d",
+        )
+        .orderBy("priority")
+    )
