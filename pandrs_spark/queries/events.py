@@ -2590,3 +2590,63 @@ def q347(spark, sf_dir):
         )
         .orderBy("cur", "nxt")
     )
+
+
+# --- q351: rolling DAU / MAU / stickiness. DAU from the distinct
+# (user, day) table; MAU joins that table to the CALENDAR-bounded day
+# spine on a 30-day trailing range — each user-day lands in ≤30 spine
+# rows, so the join output is 30× the user-day table, never rows² —
+# then one distinct-count per spine day. Stickiness = DAU/MAU as an
+# exact integer ratio. Reference: activity rollups of
+# src/temporal/resample.rs.
+@query(
+    "q351_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS d FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    mau AS (
+        SELECT s.d, COUNT(DISTINCT u.user_id) AS mau
+        FROM spine s JOIN ud u
+          ON u.d <= s.d AND u.d > s.d - INTERVAL 30 DAY
+        GROUP BY s.d
+    )
+    SELECT s.d AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM spine s JOIN dau ON dau.d = s.d JOIN mau ON mau.d = s.d
+    ORDER BY day
+    """,
+)
+def q351(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    spine = ud.select(F.col("d").alias("sd")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    mau = (
+        F.broadcast(spine)
+        .join(
+            ud,
+            (F.col("d") <= F.col("sd"))
+            & (F.col("d") > F.col("sd") - F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.d == mau.sd)
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -832,3 +832,70 @@ def q333(spark, sf_dir):
     seed = und.agg(F.min("src")).first()[0]
     ranks = personalized_pagerank(und, seed, restart=0.15, iterations=10)
     return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+# --- q353: degree assortativity of the strong-trade graph. The Newman
+# assortativity coefficient = Pearson correlation of the endpoint
+# degrees over the (symmetrized) edge list. Degrees are one aggregate
+# over the edges; the edge-endpoint join is two broadcast hash joins on
+# the vertex key; the correlation folds exact integer sums through the
+# shared CORR formula — no adjacency matrix, no all-pairs. Reference:
+# src/graph/metrics.rs (assortativity surface).
+def _q353_oracle() -> str:
+    from pandrs_spark.functions.deterministic import CORR_FORMULA
+
+    corr = CORR_FORMULA.format(
+        n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy"
+    )
+    return f"""
+    WITH {_STRONG},
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+    pairs AS (
+        SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+        FROM und e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM pairs
+    )
+    SELECT n AS n_directed_edges, ROUND({corr}, 6) AS assortativity
+    FROM agg
+    """
+
+
+@query("q353_degree_assortativity", oracle=_q353_oracle())
+def q353(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import CORR_FORMULA
+
+    edges = symmetrize(_strong_edges(spark, sf_dir))
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("v").alias("va"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("vb"), F.col("d").alias("dy"))
+    pairs = (
+        edges.join(F.broadcast(da), edges.src == da.va)
+        .join(F.broadcast(db), edges.dst == db.vb)
+        .select(
+            F.col("dx").cast("double").alias("x"),
+            F.col("dy").cast("double").alias("y"),
+        )
+    )
+    # degree products are exact integers in doubles — SUM order-safe
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    corr = CORR_FORMULA.format(
+        n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy"
+    )
+    return agg.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(F.expr(corr), 6).alias("assortativity"),
+    )

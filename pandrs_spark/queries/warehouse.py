@@ -3129,3 +3129,116 @@ def q348(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# --- q350: monthly open-order backlog via boundary deltas. An order is
+# OPEN from its order month until the month its last line ships. Rather
+# than joining every order to every month it overlaps (months × orders
+# blowup), each order contributes +1 at its start month and −1 at its
+# close month; the backlog is the running sum over the CALENDAR-bounded
+# month spine (whitelisted prefix window — ~80 rows at any SF). The
+# interval-counting shape for 100 TB overlap rollups. Reference:
+# interval aggregation of src/temporal/mod.rs.
+@query(
+    "q350_order_backlog_monthly",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               DATE_TRUNC('month', o.o_orderdate) AS m_open,
+               DATE_TRUNC('month', MAX(l.l_shipdate)) AS m_close
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT m_open AS m, 1 AS delta FROM spans
+        UNION ALL
+        SELECT m_close AS m, -1 AS delta FROM spans
+    ),
+    monthly AS (
+        SELECT m, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY m
+    )
+    SELECT m AS month,
+           CAST(SUM(net) OVER (ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM monthly ORDER BY month
+    """,
+)
+def q350(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    spans = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m_close"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("m_open"), "m_close"
+        )
+    )
+    deltas = spans.select(F.col("m_open").alias("m"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.col("m_close").alias("m"), F.lit(-1).alias("delta"))
+    )
+    monthly = deltas.groupBy("m").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        F.col("m").alias("month"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    ).orderBy("month")
+
+
+# --- q352: supplier revenue concentration (Herfindahl-Hirschman index)
+# per part type. Supplier revenue shares from exact scaled-long sums;
+# HHI = Σ share² computed through the identical double tree both
+# engines evaluate (shares are ratios of exact longs). Two shuffles
+# (supplier×type agg, type rollup). Flags concentration risk per
+# category — the sourcing-risk rollup shape. Reference: share-of-total
+# analytics of src/dataframe/groupby.rs.
+@query(
+    "q352_supplier_hhi",
+    oracle=f"""
+    WITH st AS (
+        SELECT p.p_type AS ptype, l.l_suppkey AS sk,
+               SUM({sql_quantize('l.l_extendedprice * (1 - l.l_discount)', 2)})
+                 AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT ptype, SUM(rev) AS t, COUNT(*) AS n_supp FROM st GROUP BY ptype)
+    SELECT s.ptype AS part_type,
+           CAST(MIN(t.n_supp) AS BIGINT) AS n_suppliers,
+           ROUND((CAST(SUM(CAST(SIGN(POWER(CAST(s.rev AS DOUBLE) / t.t, 2))
+                 * FLOOR(ABS(POWER(CAST(s.rev AS DOUBLE) / t.t, 2)) * 1000000000.0
+                         + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0), 6) AS hhi
+    FROM st s JOIN tot t ON t.ptype = s.ptype
+    GROUP BY s.ptype ORDER BY hhi DESC, part_type
+    """,
+)
+def q352(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part")
+    st = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+            ).alias("rev")
+        )
+    )
+    tot = st.groupBy(F.col("ptype").alias("ptype_t")).agg(
+        F.sum("rev").alias("t"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        st.join(tot, st.ptype == tot.ptype_t)
+        .groupBy("ptype")
+        .agg(
+            F.min("n_supp").cast("long").alias("n_suppliers"),
+            F.round(
+                dsum(F.pow(F.col("rev").cast("double") / F.col("t"), 2), 9), 6
+            ).alias("hhi"),
+        )
+        .select(
+            F.col("ptype").alias("part_type"), "n_suppliers", "hhi"
+        )
+        .orderBy(F.desc("hhi"), "part_type")
+    )
