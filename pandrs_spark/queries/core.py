@@ -3120,3 +3120,50 @@ def q256(spark, sf_dir):
         .select("cohort", "months_since", "cum_revenue")
         .orderBy("cohort", "months_since")
     )
+
+
+# --- q354: ORC round-trip through sources/io.py — write a slice with
+# hive partitioning, read back through the ORC scan (with its own
+# predicate/column pushdown), aggregate; the oracle aggregates the
+# original parquet table, so any loss in the ORC sink/source path
+# hash-mismatches. Floats stay exact because ORC is binary columnar.
+# Companion of q174 (CSV/JSON) for the columnar format tier ------------------
+@query(
+    "q354_orc_roundtrip_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q354(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pandrs_spark.sources.io import read_orc, write_orc
+
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"pandrs_orc_{os.path.basename(sf_dir)}"
+    )
+    write_orc(od, base, partition_by=["o_orderpriority"])
+    back = read_orc(
+        spark,
+        base,
+        columns=["o_orderpriority", "o_orderkey"],
+        predicate="o_totalprice > 1000",
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )

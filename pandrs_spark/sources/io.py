@@ -503,3 +503,63 @@ def drop_managed_table(spark: SparkSession, table: str) -> None:
     else:
         path = os.path.join(root, parts[0].lower())
     shutil.rmtree(path, ignore_errors=True)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """ORC scan (beyond the reference's format registry,
+    src/io/format_traits.rs:438 — its enum carries only streaming wire
+    formats; ORC is the other columnar format a Spark warehouse will
+    actually hold). Same pushdown contract as :func:`read_parquet`:
+    ``predicate``/``columns`` compile into the scan (ORC supports
+    predicate pushdown + column pruning natively in Spark)."""
+    df = spark.read.option("mergeSchema", merge_schema).orc(path)
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer with hive-style partitioning (parity twin of
+    :func:`write_parquet`)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_feather(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC / Feather ingest (src/io/format_traits.rs:444 lists
+    Arrow as a wire format). Spark has no native Feather source, so the
+    file is read DRIVER-SIDE via pyarrow and distributed with
+    createDataFrame — the same driver-hop contract as :func:`read_excel`,
+    for interchange files, not 100 TB fact tables (those are
+    parquet/ORC). Arrow-backed createDataFrame keeps the hop zero-copy
+    per batch."""
+    import pyarrow.feather as feather
+
+    table = feather.read_table(path)
+    return spark.createDataFrame(table.to_pandas())
+
+
+def write_feather(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Arrow IPC / Feather export via the driver (collect → Arrow
+    table). Same small-file contract as :func:`read_feather`."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    table = pa.Table.from_pandas(df.toPandas())
+    feather.write_feather(table, path, compression=compression)

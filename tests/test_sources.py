@@ -472,3 +472,40 @@ def test_excel_analyze_workbook(tmp_path):
     assert s["dtype"] == "str" and s["n_distinct"] == 2 and s["n_rows"] == 3
     assert wb["empty"] == analyze_sheet(p, "empty")
     assert wb["empty"][0]["dtype"] == "empty" if wb["empty"] else True
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC write → read round-trips values; predicate + column pruning
+    reach the ORC scan (PushedFilters / ReadSchema), same contract as
+    parquet."""
+    from pandrs_spark import plans
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.sources.io import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["o_orderpriority"])
+    back = read_orc(spark, path, columns=["o_orderkey", "o_totalprice"],
+                    predicate="o_totalprice > 100000")
+    expect = orders.filter("o_totalprice > 100000").count()
+    assert back.count() == expect
+    assert set(back.columns) == {"o_orderkey", "o_totalprice"}
+    text = plans.plan_text(back)
+    assert "PushedFilters: [" in text and "o_totalprice" in text.split(
+        "PushedFilters"
+    )[1][:200]
+
+
+def test_feather_round_trip(spark, sf_dir, tmp_path):
+    """Feather (Arrow IPC) driver-side round trip preserves values and
+    dtypes for an interchange-sized frame."""
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.sources.io import read_feather, write_feather
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation.feather")
+    write_feather(nation, path)
+    back = read_feather(spark, path)
+    assert sorted(back.collect()) == sorted(nation.collect())
