@@ -2650,3 +2650,60 @@ def q351(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --- q355: weekly conversion-rate trend. Cohort = week of first
+# signup; conversion = first purchase within 7 days of that signup
+# (the q344 outcome, trended by cohort week). One conditional-min agg,
+# one filtered join, one weekly rollup — integer ratios only.
+# Reference: funnel trend rollups of src/temporal/mod.rs.
+@query(
+    "q355_weekly_conversion_trend",
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN s0 s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+          AND e.ts <= s.t0 + INTERVAL 7 DAY
+        GROUP BY s.user_id
+    )
+    SELECT DATE_TRUNC('week', s.t0) AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(c.tp) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(c.tp) AS DOUBLE) / COUNT(*), 6) AS conversion
+    FROM s0 s LEFT JOIN conv c ON c.user_id = s.user_id
+    WHERE s.t0 IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q355(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    s0 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s0, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t0"))
+            & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        s0.join(conv, "user_id", "left")
+        .groupBy(F.date_trunc("week", "t0").alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("tp").alias("n_converted"),
+            F.round(F.count("tp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "conversion"
+            ),
+        )
+        .orderBy("cohort_week")
+    )

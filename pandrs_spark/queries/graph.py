@@ -899,3 +899,56 @@ def q353(spark, sf_dir):
         F.col("n").alias("n_directed_edges"),
         F.round(F.expr(corr), 6).alias("assortativity"),
     )
+
+
+# --- q358: reciprocity of the directed trade graph. Count + weight
+# share of edges whose reverse edge also exists — one self-join of the
+# edge list on the swapped key (equi-join on both endpoints, no
+# all-pairs), weighted overlap via LEAST(cnt, cnt_rev) per Squartini
+# et al.'s weighted reciprocity. Integer counts only. Reference:
+# src/graph/metrics.rs (reciprocity surface).
+@query(
+    "q358_trade_reciprocity",
+    oracle=f"""
+    WITH {_TRADE},
+    paired AS (
+        SELECT t.src, t.dst, t.cnt, r.cnt AS cnt_rev
+        FROM trade t LEFT JOIN trade r ON r.src = t.dst AND r.dst = t.src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN cnt_rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reciprocated,
+           ROUND(CAST(SUM(CASE WHEN cnt_rev IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS reciprocity,
+           ROUND(CAST(SUM(LEAST(cnt, COALESCE(cnt_rev, 0))) AS DOUBLE)
+                 / SUM(cnt), 6) AS weighted_reciprocity
+    FROM paired
+    """,
+)
+def q358(spark, sf_dir):
+    trade = _trade_edges(spark, sf_dir)
+    rev = trade.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src"),
+        F.col("cnt").alias("cnt_rev"),
+    )
+    paired = trade.join(
+        rev,
+        (trade.src == rev.r_src) & (trade.dst == rev.r_dst),
+        "left",
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("cnt_rev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocated"),
+        F.round(
+            F.sum(F.when(F.col("cnt_rev").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("reciprocity"),
+        F.round(
+            F.sum(F.least("cnt", F.coalesce("cnt_rev", F.lit(0)))).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("weighted_reciprocity"),
+    )

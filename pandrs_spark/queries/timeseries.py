@@ -1683,3 +1683,53 @@ def q342(spark, sf_dir):
         F.round(F.expr(_MK_Z), 6).alias("z_stat"),
         "sen_slope",
     )
+
+
+# --- q356: seasonal-naive backtest on monthly revenue. Forecast(m) =
+# actual(m − 12 months) via a 12-step lag over the CALENDAR-bounded
+# monthly series (grouped first — the window never sees raw rows);
+# absolute-percentage errors fold into MAPE/MdAPE through exact
+# quantized revenue. The baseline every fancier forecaster (q81–q135)
+# must beat. Reference: src/temporal/forecast.rs baseline surface.
+@query(
+    "q356_seasonal_naive_backtest",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+               SUM({sql_quantize('o_totalprice', 2)}) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT m, rev,
+               LAG(rev, 12) OVER (ORDER BY m) AS rev_ly
+        FROM monthly
+    ),
+    scored AS (
+        SELECT m, rev, rev_ly,
+               ABS(CAST(rev - rev_ly AS DOUBLE)) / rev AS ape
+        FROM lagged WHERE rev_ly IS NOT NULL AND rev > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND({sql_dsum('ape', 9)} / COUNT(*), 6) AS mape,
+           ROUND(quantile_cont(ape, 0.5), 6) AS mdape
+    FROM scored
+    """,
+)
+def q356(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    monthly = od.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(quantize("o_totalprice", 2)).alias("rev")
+    )
+    w = Window.orderBy("m")
+    scored = (
+        monthly.withColumn("rev_ly", F.lag("rev", 12).over(w))
+        .filter(F.col("rev_ly").isNotNull() & (F.col("rev") > 0))
+        .withColumn(
+            "ape", F.abs((F.col("rev") - F.col("rev_ly")).cast("double")) / F.col("rev")
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.round(dsum("ape", 9) / F.count(F.lit(1)), 6).alias("mape"),
+        F.round(F.expr("percentile(ape, 0.5)"), 6).alias("mdape"),
+    )

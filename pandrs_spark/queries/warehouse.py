@@ -3242,3 +3242,113 @@ def q352(spark, sf_dir):
         )
         .orderBy(F.desc("hhi"), "part_type")
     )
+
+
+# --- q357: price-volume-mix revenue bridge per brand, first year vs
+# last year. Δrevenue decomposes exactly into price effect
+# (Δprice·q₁), volume effect (p₁·Δquantity), and the cross term
+# (Δp·Δq) — the finance bridge identity, closed under the quantized
+# sums (avg unit price is a ratio of exact longs; the three effects
+# re-add to Δrev by construction, pinned in the output). Two shuffles.
+# Reference: contribution analysis of src/dataframe/groupby.rs.
+@query(
+    "q357_price_volume_mix_bridge",
+    oracle=f"""
+    WITH yr AS (
+        SELECT CAST(MIN(EXTRACT(year FROM o_orderdate)) AS INT) AS y1,
+               CAST(MAX(EXTRACT(year FROM o_orderdate)) AS INT) AS y2
+        FROM orders
+    ),
+    facts AS (
+        SELECT p.p_brand AS brand,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS y,
+               SUM({sql_quantize('l.l_extendedprice', 2)}) AS rev,
+               SUM({sql_quantize('l.l_quantity', 2)}) AS qty
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey, yr
+        WHERE CAST(EXTRACT(year FROM o.o_orderdate) AS INT) IN (yr.y1, yr.y2)
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT brand,
+               CAST(SUM(CASE WHEN y = (SELECT y1 FROM yr) THEN rev END) AS DOUBLE) / 100.0 AS r1,
+               CAST(SUM(CASE WHEN y = (SELECT y1 FROM yr) THEN qty END) AS DOUBLE) / 100.0 AS q1,
+               CAST(SUM(CASE WHEN y = (SELECT y2 FROM yr) THEN rev END) AS DOUBLE) / 100.0 AS r2,
+               CAST(SUM(CASE WHEN y = (SELECT y2 FROM yr) THEN qty END) AS DOUBLE) / 100.0 AS q2
+        FROM facts GROUP BY brand
+        HAVING q1 > 0 AND q2 > 0
+    )
+    SELECT brand,
+           ROUND(r2 - r1, 6) AS delta_rev,
+           ROUND((r2 / q2 - r1 / q1) * q1, 6) AS price_effect,
+           ROUND((r1 / q1) * (q2 - q1), 6) AS volume_effect,
+           ROUND((r2 / q2 - r1 / q1) * (q2 - q1), 6) AS cross_effect,
+           ROUND((r2 - r1) - ((r2 / q2 - r1 / q1) * q1 + (r1 / q1) * (q2 - q1)
+                 + (r2 / q2 - r1 / q1) * (q2 - q1)), 6) + 0.0 AS residual
+    FROM wide ORDER BY brand
+    """,
+)
+def q357(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    pt = T(spark, sf_dir, "part")
+    yr = od.agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("y1"),
+        F.max(F.year("o_orderdate")).cast("int").alias("y2"),
+    )
+    facts = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .crossJoin(F.broadcast(yr))
+        .filter(F.year("o_orderdate").cast("int").isin(F.col("y1"), F.col("y2")))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("int").alias("y"),
+            "y1",
+            "y2",
+        )
+        .agg(
+            F.sum(quantize("l_extendedprice", 2)).alias("rev"),
+            F.sum(quantize("l_quantity", 2)).alias("qty"),
+        )
+    )
+    wide = (
+        facts.groupBy("brand")
+        .agg(
+            (
+                F.sum(F.when(F.col("y") == F.col("y1"), F.col("rev"))).cast("double")
+                / 100.0
+            ).alias("r1"),
+            (
+                F.sum(F.when(F.col("y") == F.col("y1"), F.col("qty"))).cast("double")
+                / 100.0
+            ).alias("q1"),
+            (
+                F.sum(F.when(F.col("y") == F.col("y2"), F.col("rev"))).cast("double")
+                / 100.0
+            ).alias("r2"),
+            (
+                F.sum(F.when(F.col("y") == F.col("y2"), F.col("qty"))).cast("double")
+                / 100.0
+            ).alias("q2"),
+        )
+        .filter((F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    return wide.select(
+        "brand",
+        F.round(F.expr("r2 - r1"), 6).alias("delta_rev"),
+        F.round(F.expr("(r2 / q2 - r1 / q1) * q1"), 6).alias("price_effect"),
+        F.round(F.expr("(r1 / q1) * (q2 - q1)"), 6).alias("volume_effect"),
+        F.round(F.expr("(r2 / q2 - r1 / q1) * (q2 - q1)"), 6).alias("cross_effect"),
+        (
+            F.round(
+                F.expr(
+                    "(r2 - r1) - ((r2 / q2 - r1 / q1) * q1 + (r1 / q1) * (q2 - q1)"
+                    " + (r2 / q2 - r1 / q1) * (q2 - q1))"
+                ),
+                6,
+            )
+            + F.lit(0.0)  # normalize IEEE -0.0 so both engines hash alike
+        ).alias("residual"),
+    ).orderBy("brand")
