@@ -3352,3 +3352,241 @@ def q357(spark, sf_dir):
             + F.lit(0.0)  # normalize IEEE -0.0 so both engines hash alike
         ).alias("residual"),
     ).orderBy("brand")
+
+
+# --- q359: duplicate-billing audit. Candidate duplicate orders = same
+# customer, totals in the same $5000 band, order dates within 30 days —
+# the finance-controls double-charge check. The self-join blocks on
+# (custkey, price-band), an equi-key that bounds candidates to true
+# collision groups (never all-pairs-per-customer); the date predicate
+# prunes inside the block. Keyed by the earlier-later order pair for a
+# deterministic row set. Reference: data-quality audit surface of
+# src/dataframe/validation.rs.
+@query(
+    "q359_duplicate_order_audit",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS band,
+               {sql_quantize('o_totalprice', 2)} AS cents, o_orderdate
+        FROM orders
+    ),
+    pairs AS (
+        SELECT a.o_custkey AS custkey,
+               a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+               CAST(a.cents AS DOUBLE) / 100.0 AS amount_a,
+               CAST(b.cents AS DOUBLE) / 100.0 AS amount_b,
+               CAST(ABS(DATEDIFF('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+                 AS days_apart
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey AND a.band = b.band
+         AND a.o_orderkey < b.o_orderkey
+        WHERE ABS(DATEDIFF('day', a.o_orderdate, b.o_orderdate)) <= 30
+    )
+    SELECT * FROM pairs ORDER BY custkey, order_a, order_b
+    """,
+)
+def q359(spark, sf_dir):
+    od = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("band"),
+        quantize("o_totalprice", 2).alias("cents"),
+        "o_orderdate",
+    )
+    a = od.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("band"),
+        F.col("cents").alias("cents_a"),
+        F.col("o_orderdate").alias("d_a"),
+    )
+    b = od.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("band").alias("band_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("o_orderdate").alias("d_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("custkey") == F.col("ck_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("order_a") < F.col("order_b")),
+        )
+        .filter(F.abs(F.datediff("d_a", "d_b")) <= 30)
+        .select(
+            "custkey",
+            "order_a",
+            "order_b",
+            (F.col("cents_a").cast("double") / 100.0).alias("amount_a"),
+            (F.col("cents_b").cast("double") / 100.0).alias("amount_b"),
+            F.abs(F.datediff("d_a", "d_b")).cast("long").alias("days_apart"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )
+
+
+# --- q360: p-chart (SPC) for weekly late-shipment fraction. "Late" =
+# line ships > 90 days after its order; weekly fraction p_w against
+# 3-sigma binomial control limits around the pooled rate
+# (p̄ ± 3·sqrt(p̄(1−p̄)/n_w)) — limits are per-week because n varies.
+# Everything from integer counts through a shared formula string.
+# Complements the EWMA chart (q297). Reference: SPC surface of
+# src/stats/quality.rs.
+@query(
+    "q360_late_shipment_p_chart",
+    oracle="""
+    WITH d AS (
+        SELECT DATE_TRUNC('week', o.o_orderdate) AS w,
+               CASE WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    weekly AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(late) AS BIGINT) AS n_late
+        FROM d GROUP BY w
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n_late) AS DOUBLE) / SUM(n) AS pbar FROM weekly
+    )
+    SELECT w AS week, n, n_late,
+           ROUND(CAST(n_late AS DOUBLE) / n, 6) AS p,
+           ROUND(pbar + 3 * SQRT(pbar * (1 - pbar) / n), 6) AS ucl,
+           ROUND(GREATEST(pbar - 3 * SQRT(pbar * (1 - pbar) / n), 0.0), 6) AS lcl,
+           CAST(CAST(n_late AS DOUBLE) / n
+                > pbar + 3 * SQRT(pbar * (1 - pbar) / n) AS BOOLEAN)
+             AS out_of_control
+    FROM weekly, pooled ORDER BY week
+    """,
+)
+def q360(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    d = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.date_trunc("week", "o_orderdate").alias("w"),
+        F.when(F.datediff("l_shipdate", "o_orderdate") > 90, 1)
+        .otherwise(0)
+        .alias("late"),
+    )
+    weekly = d.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("late").alias("n_late")
+    )
+    pooled = weekly.agg(
+        (F.sum("n_late").cast("double") / F.sum("n")).alias("pbar")
+    )
+    return (
+        weekly.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("w").alias("week"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.round(F.expr("CAST(n_late AS DOUBLE) / n"), 6).alias("p"),
+            F.round(F.expr("pbar + 3 * SQRT(pbar * (1 - pbar) / n)"), 6).alias("ucl"),
+            F.round(
+                F.expr("GREATEST(pbar - 3 * SQRT(pbar * (1 - pbar) / n), 0.0)"), 6
+            ).alias("lcl"),
+            F.expr(
+                "CAST(CAST(n_late AS DOUBLE) / n"
+                " > pbar + 3 * SQRT(pbar * (1 - pbar) / n) AS BOOLEAN)"
+            ).alias("out_of_control"),
+        )
+        .orderBy("week")
+    )
+
+
+# --- q361: ABC-XYZ inventory matrix. ABC from each part's revenue
+# share thresholds (A ≥ 1%, B ≥ 0.1% of total — threshold-based, one
+# broadcast scalar, no global rank needed at this granularity); XYZ
+# from the coefficient of variation of the part's monthly demand
+# (X < 0.5 steady, Y < 1.0, else Z), with exact quantized sums feeding
+# the shared CV formula. Output = the 9-cell planning matrix with part
+# counts + revenue share per cell. Complements the rank-based ABC
+# classes of q216. Reference: inventory-classification surface of
+# src/dataframe/groupby.rs.
+@query(
+    "q361_abc_xyz_matrix",
+    oracle=f"""
+    WITH pm AS (
+        SELECT l_partkey AS pk, DATE_TRUNC('month', l_shipdate) AS m,
+               SUM({sql_quantize('l_quantity', 2)}) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT p.pk,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(p.q) AS DOUBLE) / 100.0 AS sq,
+               CAST(SUM(p.q * p.q) AS DOUBLE) / 10000.0 AS sqq,
+               MIN(r.rev) AS rev
+        FROM pm p JOIN (
+            SELECT l_partkey AS pk, SUM({sql_quantize('l_extendedprice', 2)}) AS rev
+            FROM lineitem GROUP BY 1
+        ) r ON r.pk = p.pk
+        GROUP BY p.pk
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS DOUBLE) AS trev FROM per_part),
+    classed AS (
+        SELECT CASE WHEN rev >= 0.01 * trev THEN 'A'
+                    WHEN rev >= 0.001 * trev THEN 'B' ELSE 'C' END AS abc,
+               CASE WHEN n_months < 2 THEN 'Z'
+                    WHEN SQRT((sqq - sq * sq / n_months)
+                              / (n_months - 1)) / (sq / n_months) < 0.5 THEN 'X'
+                    WHEN SQRT((sqq - sq * sq / n_months)
+                              / (n_months - 1)) / (sq / n_months) < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               rev
+        FROM per_part, tot
+    )
+    SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / MIN(trev), 6) AS revenue_share
+    FROM classed, tot GROUP BY abc, xyz ORDER BY abc, xyz
+    """,
+)
+def q361(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", "l_shipdate").alias("m"),
+    ).agg(F.sum(quantize("l_quantity", 2)).alias("q"))
+    rev = li.groupBy(F.col("l_partkey").alias("pk_r")).agg(
+        F.sum(quantize("l_extendedprice", 2)).alias("rev")
+    )
+    per_part = (
+        pm.join(rev, pm.pk == rev.pk_r)
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            (F.sum("q").cast("double") / 100.0).alias("sq"),
+            (F.sum(F.col("q") * F.col("q")).cast("double") / 10000.0).alias("sqq"),
+            F.min("rev").alias("rev"),
+        )
+    )
+    tot = per_part.agg(F.sum("rev").cast("double").alias("trev"))
+    cv = (
+        "SQRT((sqq - sq * sq / n_months) / (n_months - 1)) / (sq / n_months)"
+    )
+    classed = per_part.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN rev >= 0.01 * trev THEN 'A'"
+            " WHEN rev >= 0.001 * trev THEN 'B' ELSE 'C' END"
+        ).alias("abc"),
+        F.expr(
+            f"CASE WHEN n_months < 2 THEN 'Z'"
+            f" WHEN {cv} < 0.5 THEN 'X'"
+            f" WHEN {cv} < 1.0 THEN 'Y' ELSE 'Z' END"
+        ).alias("xyz"),
+        "rev",
+        "trev",
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double") / F.min("trev"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc", "xyz")
+    )
