@@ -1308,3 +1308,156 @@ def q349(spark, sf_dir):
         )
         .orderBy("brand")
     )
+
+
+# --- q362: AFT (accelerated failure time) survival regression on the
+# q334 time-to-convert data (MLlib tier — the Weibull AFT likelihood
+# has no SQL twin, but the FITTED CONTRACT does: positive scale,
+# finite coefficients, strictly positive predicted survival times, and
+# the cohort size — all pinned inside the hash gate, q98 pattern).
+# Features: the user's pre-signup activity count. Reference: survival
+# regression surface of src/stats/mod.rs.
+@query(
+    "q362_aft_survival_regression",
+    oracle="""
+    WITH s AS (
+        SELECT user_id FROM events
+        GROUP BY user_id
+        HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS scale_positive,
+           TRUE AS coef_finite,
+           TRUE AS preds_positive
+    FROM s
+    """,
+)
+def q362(spark, sf_dir):
+    import math
+
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import AFTSurvivalRegression
+
+    ev = T(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).filter(F.col("t0").isNotNull())
+    cut = ev.agg(F.max("ts").alias("mx"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(spans.select("user_id", "t0"), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    obs = (
+        spans.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            (
+                F.when(
+                    F.col("tp").isNotNull(),
+                    F.unix_timestamp("tp") - F.unix_timestamp("t0"),
+                ).otherwise(F.unix_timestamp("mx") - F.unix_timestamp("t0"))
+                / 3600.0
+                + 1.0
+            ).alias("label"),
+            F.when(F.col("tp").isNotNull(), 1.0).otherwise(0.0).alias("censor"),
+            F.array(F.col("n_events").cast("double")).alias("feat"),
+        )
+        .withColumn("features", array_to_vector("feat"))
+    )
+    model = AFTSurvivalRegression(censorCol="censor").fit(obs)
+    preds = model.transform(obs)
+    n_nonpos = preds.filter(F.col("prediction") <= 0).count()
+    n = preds.count()
+    coefs = [float(c) for c in model.coefficients] + [float(model.intercept)]
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                bool(model.scale > 0),
+                bool(all(math.isfinite(c) for c in coefs)),
+                bool(n_nonpos == 0),
+            )
+        ],
+        "n long, scale_positive boolean, coef_finite boolean, preds_positive boolean",
+    )
+
+
+# --- q363: standardized embedding outliers. Per-dimension mean and
+# population variance from ONE posexplode + quantized sums (64 dims ×
+# exact longs); each vector's outlier score = Σ_d (v_d − μ_d)²/σ²_d —
+# the diagonal-covariance Mahalanobis distance — folded as exact
+# scale-6 quantized terms so the 64-term sum is order-independent.
+# Top-20 under the total (score DESC, vec_id) order. The per-dim stats
+# broadcast; the score pass is map-side + one groupBy(vec_id). The
+# full-covariance variant is q150's t-SNE/LOF territory; the diagonal
+# form is the 100 TB screening pass. Reference: outlier detection
+# surface of src/stats/mod.rs:721 on array features.
+def _q363_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_quantize
+
+    term = (
+        "POWER(CAST(u.v AS DOUBLE) - d.mu, 2) / d.var"
+    )
+    return f"""
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT pos, COUNT(*) AS n,
+               (CAST(SUM({sql_quantize('v', 6)}) AS DOUBLE) / 1000000.0) AS sx,
+               (CAST(SUM({sql_quantize('v * v', 6)}) AS DOUBLE) / 1000000.0) AS sxx
+        FROM dims GROUP BY pos
+    ),
+    ds AS (
+        SELECT pos, sx / n AS mu, (sxx - sx * sx / n) / n AS var FROM stats
+    ),
+    scored AS (
+        SELECT u.vec_id,
+               CAST(SUM({sql_quantize(term, 6)}) AS DOUBLE) / 1000000.0 AS score
+        FROM dims u
+        JOIN ds d ON d.pos = u.pos
+        GROUP BY u.vec_id
+    )
+    SELECT vec_id, ROUND(score, 6) AS outlier_score
+    FROM scored ORDER BY score DESC, vec_id LIMIT 20
+    """
+
+
+@query("q363_embedding_outliers", oracle=_q363_oracle())
+def q363(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import fan_out
+
+    emb = T(spark, sf_dir, "embeddings")
+    dims = fan_out(emb).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", (F.col("pos") + 1).alias("pos"), F.col("vf").cast("double").alias("v"))
+    stats = dims.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("v", 6)).cast("double") / 1000000.0).alias("sx"),
+        (
+            F.sum(quantize(F.col("v") * F.col("v"), 6)).cast("double") / 1000000.0
+        ).alias("sxx"),
+    )
+    ds = stats.select(
+        "pos",
+        F.expr("sx / n").alias("mu"),
+        F.expr("(sxx - sx * sx / n) / n").alias("var"),
+    )
+    term = F.pow(F.col("v") - F.col("mu"), 2) / F.col("var")
+    scored = (
+        dims.join(F.broadcast(ds), "pos")
+        .groupBy("vec_id")
+        .agg((F.sum(quantize(term, 6)).cast("double") / 1000000.0).alias("score"))
+    )
+    return (
+        scored.select("vec_id", F.round("score", 6).alias("outlier_score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(20)
+    )
