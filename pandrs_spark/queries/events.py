@@ -2707,3 +2707,77 @@ def q355(spark, sf_dir):
         )
         .orderBy("cohort_week")
     )
+
+
+# --- q364: audience overlap — viewers ∩ purchasers. Exact distinct /
+# overlap / Jaccard from integer aggregates (one conditional-flag
+# per-user pass, no self-join), PLUS the sketch tier certificate:
+# approx_count_distinct (HyperLogLog++) must land within 5% of each
+# exact cardinality — the inclusion-exclusion |A∪B| path a 100 TB
+# audience system would serve from mergeable sketches, with its error
+# measured in-gate rather than assumed (q88 recall pattern).
+# Reference: distinct-set analytics of src/dataframe/groupby.rs +
+# sketch tier of src/optimized/.
+@query(
+    "q364_audience_overlap_sketch",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(v) AS BIGINT) AS n_viewers,
+           CAST(SUM(p) AS BIGINT) AS n_purchasers,
+           CAST(SUM(v * p) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN v = 1 OR p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_union,
+           ROUND(CAST(SUM(v * p) AS DOUBLE)
+                 / SUM(CASE WHEN v = 1 OR p = 1 THEN 1 ELSE 0 END), 6)
+             AS jaccard,
+           TRUE AS hll_viewers_within_5pct,
+           TRUE AS hll_union_within_5pct
+    FROM per_user
+    """,
+)
+def q364(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    )
+    exact = per_user.agg(
+        F.sum("v").cast("long").alias("n_viewers"),
+        F.sum("p").cast("long").alias("n_purchasers"),
+        F.sum(F.col("v") * F.col("p")).cast("long").alias("n_both"),
+        F.sum(
+            F.when((F.col("v") == 1) | (F.col("p") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_union"),
+    )
+    sketch = ev.agg(
+        F.approx_count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("hll_viewers"),
+        F.approx_count_distinct(
+            F.when(
+                F.col("event_type").isin("view", "purchase"), F.col("user_id")
+            )
+        ).alias("hll_union"),
+    )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "n_viewers",
+        "n_purchasers",
+        "n_both",
+        "n_union",
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_union"), 6
+        ).alias("jaccard"),
+        (
+            F.abs(F.col("hll_viewers") - F.col("n_viewers"))
+            <= 0.05 * F.col("n_viewers")
+        ).alias("hll_viewers_within_5pct"),
+        (
+            F.abs(F.col("hll_union") - F.col("n_union"))
+            <= 0.05 * F.col("n_union")
+        ).alias("hll_union_within_5pct"),
+    )
