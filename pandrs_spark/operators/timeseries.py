@@ -876,3 +876,66 @@ def bocpd_changepoints(
         )
 
     return df.groupBy(series_col).applyInPandas(_bocpd, schema=out_schema)
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (survival surface
+    of src/stats/mod.rs). ``duration_col``: non-negative time to event
+    or censoring; ``event_col``: 1 = event observed, 0 = right-censored.
+
+    Distributed shape: one groupBy(duration) shuffle collapses subjects
+    to per-time (deaths d, censored c) counts; the at-risk series n_t
+    and the survival product exp(Σ ln(1 − d/n)) run in prefix windows
+    over the DISTINCT duration table — bounded by the time domain's
+    resolution (days/weeks), not subject count, the same contract as
+    the calendar-bounded whitelist in tests/test_plans.py. The ln term
+    is guarded at d = n (survival hits exact 0) because engines differ on
+    ln(0); the when-fence zeroes every later row too. Returns rows
+    only at event times: (duration, n_risk, n_events, survival).
+    """
+    grp = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col)).alias("d"),
+        F.sum(1 - F.col(event_col)).alias("c"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        grp.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)),
+        )
+        .withColumn(
+            "survival",
+            F.when(
+                F.sum(
+                    F.when(F.col("d") * 1.0 >= F.col("n_risk"), 1).otherwise(0)
+                ).over(w_run)
+                > 0,
+                F.lit(0.0),
+            ).otherwise(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.when(
+                                F.col("d") * 1.0 < F.col("n_risk"),
+                                1 - F.col("d") * 1.0 / F.col("n_risk"),
+                            ).otherwise(F.lit(1.0))
+                        )
+                    ).over(w_run)
+                )
+            ),
+        )
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("duration"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        "survival",
+    )

@@ -2263,56 +2263,17 @@ def q334(spark, sf_dir):
             F.when(
                 F.col("tp").isNotNull(), F.datediff("tp", "t0")
             ).otherwise(F.datediff("mx", "t0")).alias("t"),
-            F.when(F.col("tp").isNotNull(), 0).otherwise(1).alias("cens"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"),
         )
     )
-    grp = obs.groupBy("t").agg(
-        F.sum(1 - F.col("cens")).alias("d"),
-        F.sum("cens").alias("c"),
-    )
-    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
-    # prefix windows over the DISTINCT-duration table (calendar-bounded)
-    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    km = (
-        grp.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_risk",
-            F.col("n_total")
-            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)),
-        )
-        .withColumn(
-            "surv",
-            F.when(
-                F.sum(
-                    F.when(F.col("d") * 1.0 >= F.col("n_risk"), 1).otherwise(0)
-                ).over(w_run)
-                > 0,
-                F.lit(0.0),
-            ).otherwise(
-                F.exp(
-                    F.sum(
-                        F.log(
-                            F.when(
-                                F.col("d") * 1.0 < F.col("n_risk"),
-                                1 - F.col("d") * 1.0 / F.col("n_risk"),
-                            ).otherwise(F.lit(1.0))
-                        )
-                    ).over(w_run)
-                )
-            ),
-        )
-    )
-    return (
-        km.filter(F.col("d") > 0)
-        .select(
-            F.col("t").cast("long").alias("duration_days"),
-            F.col("n_risk").cast("long").alias("n_risk"),
-            F.col("d").cast("long").alias("n_events"),
-            F.round("surv", 6).alias("survival"),
-        )
-        .orderBy("duration_days")
-    )
+    from pandrs_spark.operators.timeseries import kaplan_meier
+
+    return kaplan_meier(obs, "t", "event").select(
+        F.col("duration").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("duration_days")
 
 
 # --- q335: CUPED variance reduction for an A/B readout. Arms are a

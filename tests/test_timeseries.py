@@ -435,3 +435,37 @@ def test_arima_pdq_matches_reference_recursion(spark):
             assert g[0] == e[0]
             for gv, ev in zip(g[1:], e[1:]):
                 assert abs(gv - ev) < 1e-9, (sid, g, e)
+
+
+def test_kaplan_meier_textbook_example(spark):
+    """Classic worked example: durations 1,2+,3,4+,5 (+ = censored).
+    S(1) = 4/5 = 0.8; S(3) = 0.8 * (1 - 1/3) = 0.5333...; S(5) = 0
+    (last subject dies, d = n_risk). Censored times emit no row."""
+    from pandrs_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)], "t int, e int"
+    )
+    rows = {r["duration"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert set(rows) == {1, 3, 5}
+    assert rows[1]["n_risk"] == 5 and rows[1]["n_events"] == 1
+    assert abs(rows[1]["survival"] - 0.8) < 1e-12
+    assert rows[3]["n_risk"] == 3
+    assert abs(rows[3]["survival"] - 0.8 * (2 / 3)) < 1e-12
+    assert rows[5]["n_risk"] == 1 and rows[5]["survival"] == 0.0
+
+
+def test_kaplan_meier_no_censoring_matches_ecdf(spark):
+    """With zero censoring, KM reduces to 1 - ECDF at event times."""
+    from pandrs_spark.operators.timeseries import kaplan_meier
+
+    data = [(d, 1) for d in [2, 2, 3, 5, 5, 5, 8, 13]]
+    df = spark.createDataFrame(data, "t int, e int")
+    rows = {r["duration"]: r["survival"] for r in kaplan_meier(df, "t", "e").collect()}
+    n = len(data)
+    seen = 0
+    import collections
+    cnt = collections.Counter(d for d, _ in data)
+    for t in sorted(cnt):
+        seen += cnt[t]
+        assert abs(rows[t] - (1 - seen / n)) < 1e-12, (t, rows[t])
