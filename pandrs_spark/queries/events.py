@@ -2742,3 +2742,79 @@ def q364(spark, sf_dir):
             <= 0.05 * F.col("n_union")
         ).alias("hll_union_within_5pct"),
     )
+
+
+# --- q365: cohort LTV (lifetime value) curve. Cohort = week of first
+# event; age k = weeks since cohort start; the curve is each cohort's
+# CUMULATIVE per-user revenue through age k. The cumsum window is
+# partitioned BY COHORT (scale-safe — never a global window); weekly
+# cell revenue is an exact quantized sum, so the running total is
+# order-independent. Reference: cohort-value rollups of
+# src/temporal/resample.rs.
+@query(
+    "q365_cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw FROM events
+        GROUP BY user_id
+    ),
+    sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM first_seen GROUP BY cw),
+    cells AS (
+        SELECT f.cw,
+               CAST(FLOOR(DATEDIFF('day', f.cw, DATE_TRUNC('week', e.ts)) / 7)
+                    AS INT) AS k,
+               SUM(CAST(SIGN(e.value) * FLOOR(ABS(e.value) * 10000 + 0.5)
+                        AS BIGINT)) AS rev
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT c.cw AS cohort_week, c.k AS week_k, s.n_users,
+           ROUND(CAST(SUM(c.rev) OVER (PARTITION BY c.cw ORDER BY c.k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 10000.0 / s.n_users, 6) AS cum_ltv_per_user
+    FROM cells c JOIN sizes s ON s.cw = c.cw
+    ORDER BY cohort_week, week_k
+    """,
+)
+def q365(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    sizes = first_seen.groupBy(F.col("cw").alias("cw_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cw",
+            F.floor(
+                F.datediff(F.date_trunc("week", "ts"), F.col("cw")) / 7
+            ).cast("int").alias("k"),
+        )
+        .agg(F.sum(quantize("value", 4)).alias("rev"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), cells.cw == sizes.cw_s)
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("k").alias("week_k"),
+            "n_users",
+            F.round(
+                F.sum("rev").over(
+                    Window.partitionBy("cw")
+                    .orderBy("k")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ).cast("double")
+                / 10000.0
+                / F.col("n_users"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_k")
+    )

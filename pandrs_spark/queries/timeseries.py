@@ -1733,3 +1733,104 @@ def q356(spark, sf_dir):
         F.round(dsum("ape", 9) / F.count(F.lit(1)), 6).alias("mape"),
         F.round(F.expr("percentile(ape, 0.5)"), 6).alias("mdape"),
     )
+
+
+# --- q366: Weibull fit of the ship-delay distribution by median-rank
+# regression. ECDF of the ~2400 distinct day delays comes from
+# global_prefix_counts (partition-offset prefix sums — the distinct
+# count of a day-granular measure over 6.5 years is NOT calendar-tiny,
+# so no whitelisted window); median-rank plotting positions
+# F = (cum − 0.3)/(n + 0.4) keep ln(−ln(1−F)) finite at the tail; the
+# Weibull shape/scale drop out of the closed-form OLS of
+# ln(−ln(1−F)) on ln(t) with scale-6 quantized sufficient statistics.
+# Reference: distribution-fitting surface of src/stats/mod.rs
+# (PPCC q319's sibling, on the regression path).
+def _q366_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum
+
+    return f"""
+    WITH delays AS (
+        SELECT DATEDIFF('day', o.o_orderdate, l.l_shipdate) AS t
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE DATEDIFF('day', o.o_orderdate, l.l_shipdate) > 0
+    ),
+    grp AS (SELECT t, COUNT(*) AS c FROM delays GROUP BY t),
+    cum AS (
+        SELECT t,
+               SUM(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+               (SELECT SUM(c) FROM grp) AS n
+        FROM grp
+    ),
+    pts AS (
+        SELECT LN(CAST(t AS DOUBLE)) AS x,
+               LN(-LN(1 - (CAST(cumc AS DOUBLE) - 0.3)
+                          / (CAST(n AS DOUBLE) + 0.4))) AS y
+        FROM cum
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x', 6)} AS sx, {sql_dsum('y', 6)} AS sy,
+               {sql_dsum('x * x', 6)} AS sxx, {sql_dsum('y * y', 6)} AS syy,
+               {sql_dsum('x * y', 6)} AS sxy
+        FROM pts
+    )
+    SELECT n AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS shape_k,
+           ROUND(EXP(-((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                       / n)
+                     / ((n * sxy - sx * sy) / (n * sxx - sx * sx))), 6)
+             AS scale_lambda,
+           ROUND(POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM agg
+    """
+
+
+@query("q366_weibull_leadtime_fit", oracle=_q366_oracle())
+def q366(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    li = T(spark, sf_dir, "lineitem")
+    od = T(spark, sf_dir, "orders")
+    delays = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.datediff("l_shipdate", "o_orderdate").alias("t"))
+        .filter(F.col("t") > 0)
+    )
+    grp = delays.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = grp.agg(F.sum("c").alias("n"))
+    cum = global_prefix_counts(grp, [F.col("t")], {"cumc": "c"})
+    pts = cum.crossJoin(F.broadcast(n_tot)).select(
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(
+            -F.log(
+                1
+                - (F.col("cumc").cast("double") - 0.3)
+                / (F.col("n").cast("double") + 0.4)
+            )
+        ).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("x", 6).alias("sx"),
+        dsum("y", 6).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+    )
+    slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    return agg.select(
+        F.col("n").alias("n_points"),
+        F.round(F.expr(slope), 6).alias("shape_k"),
+        F.round(
+            F.expr(f"EXP(-((sy - {slope} * sx) / n) / {slope})"), 6
+        ).alias("scale_lambda"),
+        F.round(
+            F.expr(
+                "POWER(n * sxy - sx * sy, 2)"
+                " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+            6,
+        ).alias("r2"),
+    )
