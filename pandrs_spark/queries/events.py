@@ -2818,3 +2818,102 @@ def q365(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_k")
     )
+
+
+def _cms_sql_bucket(key_expr: str, width: int) -> str:
+    """DuckDB replay of operators/sketches._cms_bucket's md5-derived
+    bucket: decode the first 8 hex chars of md5('cms|i|key') to a long,
+    mod width. Generated positionally (16^7..16^0) exactly like the
+    q212/q233 oracle idiom."""
+    h = f"substr(md5('cms|' || d.i || '|' || {key_expr}), 1, 8)"
+    terms = " + ".join(
+        f"{16 ** (7 - j)} * (strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+        for j in range(8)
+    )
+    return f"(({terms}) % {width})"
+
+
+# --- q367: STREAMING count-min sketch maintenance IN-GATE. The events
+# backlog replays as real availableNow micro-batches; each batch's
+# rows hash into the 4x256 grid map-side and the foreachBatch sink
+# merges per-batch partial counts into the maintained grid (integer
+# adds — CMS grids are exactly mergeable, so batch boundaries cannot
+# change the result). The final maintained grid must equal the grid
+# DuckDB rebuilds from the full table in one shot: the estimates for
+# every event type, their exact counts, and the one-sided guarantee
+# all sit inside the hash gate. The mergeable-sketch pattern is THE
+# 100 TB streaming frequency design (fixed memory, no per-key state).
+# streaming/windows.py:incremental_aggregate_sink +
+# operators/sketches.py:_cms_bucket. ----------------------------------------
+@query(
+    "q367_streaming_cms_maintenance",
+    oracle=f"""
+    WITH d AS (SELECT i FROM UNNEST(generate_series(0, 3)) AS t(i)),
+    keys AS (SELECT event_type AS k, COUNT(*) AS exact_count
+             FROM events GROUP BY 1),
+    hashed AS (
+        SELECT d.i, {_cms_sql_bucket('k', 256)} AS b, k, exact_count
+        FROM keys, d
+    ),
+    sketch AS (
+        SELECT d.i, {_cms_sql_bucket('k', 256)} AS b, COUNT(*) AS c
+        FROM (SELECT event_type AS k FROM events), d
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT h.k, h.exact_count, MIN(COALESCE(s.c, 0)) AS est_count
+        FROM hashed h LEFT JOIN sketch s ON h.i = s.i AND h.b = s.b
+        GROUP BY h.k, h.exact_count
+    )
+    SELECT k AS event_type,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           est_count >= exact_count AS never_undercounts
+    FROM est ORDER BY event_type
+    """,
+)
+def q367(spark, sf_dir):
+    from pandrs_spark.operators.sketches import _cms_bucket
+    from pandrs_spark.streaming.windows import incremental_aggregate_sink
+
+    _static, sdf = _events_static_and_stream(spark, sf_dir)
+    depth, width = 4, 256
+    hashed = (
+        sdf.select(F.col("event_type").cast("string").alias("__k__"))
+        .select(
+            "__k__",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__"),
+        )
+        .select("__i__", _cms_bucket(width, fast_hash=False))
+    )
+    q = incremental_aggregate_sink(
+        hashed,
+        keys=["__i__", "__b__"],
+        count_col="__c__",
+        sum_cols=[],
+        table="q367_cms_grid",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q367 streaming query did not finish in 300s")
+    grid = spark.table("global_temp.q367_cms_grid")
+    ev = T(spark, sf_dir, "events")
+    keys = ev.groupBy(F.col("event_type").cast("string").alias("__k__")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probe = keys.select(
+        "__k__",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__i__"),
+    ).select("__k__", "exact_count", "__i__", _cms_bucket(width, fast_hash=False))
+    est = (
+        probe.join(F.broadcast(grid), ["__i__", "__b__"], "left")
+        .groupBy("__k__", "exact_count")
+        .agg(F.min(F.coalesce(F.col("__c__"), F.lit(0))).alias("est_count"))
+    )
+    return est.select(
+        F.col("__k__").alias("event_type"),
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (F.col("est_count") >= F.col("exact_count")).alias("never_undercounts"),
+    ).orderBy("event_type")
