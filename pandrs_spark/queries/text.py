@@ -2902,3 +2902,213 @@ def q345(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(50)
     )
+
+
+# --- q368: top-n-gram repetition audit — the OTHER Gopher repetition
+# rule. q159's dup_ngram_frac is a distinct-ratio (how much of the doc
+# is any repeat); this measures dominance (how much of the doc is ONE
+# n-gram), the rule that catches boilerplate headers and SEO keyword
+# stuffing that mild-repeat ratios miss. Per-doc mode counts are pure
+# higher-order-function folds (operators/text.top_ngram_fraction) —
+# zero shuffle before the per-source rollup, so the rule costs one
+# map-side scan at corpus scale. Fractions are integer ratios (exact
+# in IEEE double on both engines); means use quantized sums.
+# Reference: quality-filter surface of src/text/mod.rs.
+def _q368_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_davg
+
+    return r"""
+    WITH ws0 AS (
+        SELECT source, string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT source,
+               CASE WHEN len(ws) >= 2 THEN
+                   list_transform(generate_series(1, len(ws) - 1),
+                                  i -> array_to_string(ws[i:i+1], ' '))
+               ELSE CAST([] AS VARCHAR[]) END AS s2,
+               CASE WHEN len(ws) >= 3 THEN
+                   list_transform(generate_series(1, len(ws) - 2),
+                                  i -> array_to_string(ws[i:i+2], ' '))
+               ELSE CAST([] AS VARCHAR[]) END AS s3
+        FROM ws0
+    ),
+    fr AS (
+        SELECT source,
+               CASE WHEN len(s2) > 0 THEN
+                   CAST(list_max(list_transform(list_distinct(s2),
+                        d -> len(list_filter(s2, x -> x = d)))) AS DOUBLE)
+                   / len(s2)
+               ELSE 0.0 END AS t2,
+               CASE WHEN len(s3) > 0 THEN
+                   CAST(list_max(list_transform(list_distinct(s3),
+                        d -> len(list_filter(s3, x -> x = d)))) AS DOUBLE)
+                   / len(s3)
+               ELSE 0.0 END AS t3
+        FROM sh
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {avg_t2} AS avg_top2,
+           {avg_t3} AS avg_top3,
+           CAST(SUM(CASE WHEN t2 >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_top2,
+           CAST(SUM(CASE WHEN t3 >= 0.04 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_top3
+    FROM fr
+    GROUP BY source
+    ORDER BY source
+    """.format(
+        avg_t2=sql_davg("t2", 6), avg_t3=sql_davg("t3", 6)
+    )
+
+
+@query("q368_top_ngram_repetition", oracle=_q368_oracle())
+def q368(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import davg
+    from pandrs_spark.operators.text import top_ngram_fraction
+
+    docs = T(spark, sf_dir, "documents")
+    fr = docs.select(
+        "source",
+        top_ngram_fraction("text", 2).alias("t2"),
+        top_ngram_fraction("text", 3).alias("t3"),
+    )
+    return (
+        fr.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            davg("t2", 6).alias("avg_top2"),
+            davg("t3", 6).alias("avg_top3"),
+            F.sum(F.when(F.col("t2") >= 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flag_top2"),
+            F.sum(F.when(F.col("t3") >= 0.04, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flag_top3"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q369: Fellegi–Sunter-style scored record linkage. q345 generates
+# blocked candidates; this is the SCORING stage a real ER pipeline
+# runs next: per-pair field comparisons (full-name edit similarity via
+# Levenshtein, type agreement, size proximity) combined into a linear
+# match weight, then tiered into match/possible/reject. Blocking key
+# (brand, first name token) keeps candidates an equi-join — no
+# all-pairs — and every comparison is a JVM built-in (levenshtein is
+# codegen'd), so the stage is shuffle-bounded by the block sizes at
+# 100 TB. Weights are CAST-to-DOUBLE on both engines (DuckDB numeric
+# literals are DECIMAL); name_sim is an integer ratio, exact in
+# double. Reference: record-linkage surface of src/dataframe/join.rs.
+def _q369_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_davg
+
+    return """
+    WITH cand AS (
+        SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+               a.p_name AS name_a, b.p_name AS name_b,
+               a.p_type AS type_a, b.p_type AS type_b,
+               a.p_size AS size_a, b.p_size AS size_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand
+         AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+        SELECT pa, pb,
+               CAST(1.0 AS DOUBLE)
+                 - CAST(levenshtein(name_a, name_b) AS DOUBLE)
+                   / GREATEST(LENGTH(name_a), LENGTH(name_b)) AS name_sim,
+               CASE WHEN type_a = type_b THEN 1 ELSE 0 END AS type_agree,
+               CASE WHEN ABS(size_a - size_b) <= 2 THEN 1 ELSE 0 END
+                 AS size_close
+        FROM cand
+    ),
+    weighted AS (
+        SELECT pa, pb, name_sim,
+               CAST(2.2 AS DOUBLE) * name_sim
+                 + CAST(1.1 AS DOUBLE) * type_agree
+                 + CAST(0.7 AS DOUBLE) * size_close AS w
+        FROM scored
+    )
+    SELECT CASE WHEN w >= 3.0 THEN 'match'
+                WHEN w >= 2.0 THEN 'possible'
+                ELSE 'reject' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {avg_sim} AS avg_name_sim
+    FROM weighted
+    GROUP BY tier
+    ORDER BY tier
+    """.format(avg_sim=sql_davg("name_sim", 6))
+
+
+@query("q369_er_match_scoring", oracle=_q369_oracle())
+def q369(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import davg
+
+    pt = T(spark, sf_dir, "part")
+    a = pt.select(
+        F.col("p_partkey").alias("pa"),
+        F.col("p_brand").alias("brand"),
+        F.element_at(F.split("p_name", " "), 1).alias("blk"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+    )
+    b = pt.select(
+        F.col("p_partkey").alias("pb"),
+        F.col("p_brand").alias("brand_b"),
+        F.element_at(F.split("p_name", " "), 1).alias("blk_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("brand") == F.col("brand_b"))
+        & (F.col("blk") == F.col("blk_b"))
+        & (F.col("pa") < F.col("pb")),
+    )
+    scored = cand.select(
+        "pa",
+        "pb",
+        (
+            F.lit(1.0)
+            - F.levenshtein("name_a", "name_b").cast("double")
+            / F.greatest(F.length("name_a"), F.length("name_b"))
+        ).alias("name_sim"),
+        F.when(F.col("type_a") == F.col("type_b"), 1).otherwise(0).alias(
+            "type_agree"
+        ),
+        F.when(F.abs(F.col("size_a") - F.col("size_b")) <= 2, 1)
+        .otherwise(0)
+        .alias("size_close"),
+    )
+    weighted = scored.select(
+        "pa",
+        "pb",
+        "name_sim",
+        (
+            F.lit(2.2) * F.col("name_sim")
+            + F.lit(1.1) * F.col("type_agree")
+            + F.lit(0.7) * F.col("size_close")
+        ).alias("w"),
+    )
+    return (
+        weighted.select(
+            F.when(F.col("w") >= 3.0, "match")
+            .when(F.col("w") >= 2.0, "possible")
+            .otherwise("reject")
+            .alias("tier"),
+            "name_sim",
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            davg("name_sim", 6).alias("avg_name_sim"),
+        )
+        .orderBy("tier")
+    )

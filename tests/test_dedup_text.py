@@ -588,3 +588,29 @@ def test_winnow_overlap_pairs_finds_partial_dup(spark):
     assert all(3 not in p for p in pairs)
     r = pairs[(1, 2)]
     assert 0 < r["containment"] <= 1.0
+
+
+def test_top_ngram_fraction_known_values(spark):
+    from pandrs_spark.operators.text import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            # bigrams: "buy now" x3, "now buy" x2 -> top = 3/5
+            ("stuffed", "buy now buy now buy now"),
+            # 4 distinct bigrams out of 4 -> top = 1/4
+            ("clean", "the quick brown fox jumps"),
+            ("one_word", "hello"),
+            ("empty", ""),
+        ],
+        "name string, t string",
+    )
+    got = {
+        r["name"]: r["f"]
+        for r in df.select(
+            "name", top_ngram_fraction("t", 2).alias("f")
+        ).collect()
+    }
+    assert got["stuffed"] == 3.0 / 5.0
+    assert got["clean"] == 1.0 / 4.0
+    assert got["one_word"] == 0.0
+    assert got["empty"] == 0.0
