@@ -34,6 +34,7 @@ __all__ = [
     "levene_test",
     "one_sample_ttest",
     "paired_ttest",
+    "jackknife_ratio",
 ]
 
 # t = (x̄ − μ0) / (s/√n), evaluated from exact sums (n, sx, sxx) so the
@@ -234,3 +235,65 @@ def levene_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     )
     out = anova_oneway(z, "__z__", group_col)
     return out.selectExpr("n", "k", "f_stat AS w_stat")
+
+
+# Jackknife variance of a ratio estimator from per-group sufficient
+# statistics: R_i are the g leave-one-group-out ratios, (sr, srr) their
+# quantized sums. Shared verbatim with the oracle SQL.
+JACKKNIFE_SE = "SQRT((g - 1.0) / g * (srr - sr * sr / g))"
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Delete-one-**group** jackknife SE of the ratio estimator
+    R = Σnum / Σden (the survey-sampling workhorse for nonlinear
+    estimators whose variance has no closed form).
+
+    Distributed shape: one partial-aggregated shuffle collapses the
+    fact table into per-group quantized sums (exact BIGINTs, order-
+    independent); the g leave-one-out replicates are then
+    total-minus-group arithmetic on that g-row frame — no second scan,
+    no per-replicate pass, so the cost is one aggregation regardless
+    of g. Reference: resampling surface of src/stats/sampling.rs
+    (bootstrap :118) — the jackknife is its deterministic sibling.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    # internal aliases are __jk_-prefixed so a user group column named
+    # e.g. "g" can't collide across the scalar-carry crossJoin
+    grp = df.groupBy(group_col).agg(
+        F.sum(quantize(num_col, scale)).alias("__jk_gnum"),
+        F.sum(quantize(den_col, scale)).alias("__jk_gden"),
+    )
+    tot = grp.agg(
+        F.sum("__jk_gnum").alias("tnum"),
+        F.sum("__jk_gden").alias("tden"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    loo = grp.select("__jk_gnum", "__jk_gden").crossJoin(
+        F.broadcast(tot)
+    ).select(
+        "g",
+        "tnum",
+        "tden",
+        (
+            (F.col("tnum") - F.col("__jk_gnum")).cast("double")
+            / (F.col("tden") - F.col("__jk_gden")).cast("double")
+        ).alias("r_i"),
+    )
+    agg = loo.groupBy("g", "tnum", "tden").agg(
+        dsum("r_i", 6).alias("sr"),
+        dsum(F.col("r_i") * F.col("r_i"), 6).alias("srr"),
+    )
+    return agg.select(
+        F.round(
+            F.col("tnum").cast("double") / F.col("tden").cast("double"), 6
+        ).alias("estimate"),
+        F.round(F.expr(JACKKNIFE_SE), 6).alias("jack_se"),
+        F.col("g").alias("n_groups"),
+    )

@@ -1328,3 +1328,63 @@ def q344(spark, sf_dir):
         F.round(F.expr(f"{_PZ} / {_SE}"), 6).alias("z_stat"),
         F.round(F.expr(_MDE), 6).alias("mde_abs"),
     )
+
+
+# --- q371: delete-one-supplier jackknife of the revenue-per-unit
+# ratio. The ratio estimator R = Σ(price·(1−disc)) / Σ(qty) has no
+# closed-form variance; the grouped jackknife is the survey-sampling
+# answer, and its distributed shape is ONE partial-aggregated shuffle
+# into per-supplier quantized sums followed by total-minus-group
+# arithmetic on the 100-row group frame (operators/hypothesis.
+# jackknife_ratio) — no per-replicate rescan at any scale. Scaled-
+# BIGINT group sums make every replicate exact; the replicate moments
+# fold through dsum. Reference: resampling surface of
+# src/stats/sampling.rs (bootstrap :118).
+def _q371_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize
+
+    qn = sql_quantize("l_extendedprice * (1 - l_discount)", 2)
+    qd = sql_quantize("CAST(l_quantity AS DOUBLE)", 2)
+    return f"""
+    WITH grp AS (
+        SELECT l_suppkey,
+               CAST(SUM({qn}) AS BIGINT) AS gnum,
+               CAST(SUM({qd}) AS BIGINT) AS gden
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(gnum) AS BIGINT) AS tnum,
+               CAST(SUM(gden) AS BIGINT) AS tden,
+               CAST(COUNT(*) AS BIGINT) AS g
+        FROM grp
+    ),
+    loo AS (
+        SELECT t.g, t.tnum, t.tden,
+               CAST(t.tnum - grp.gnum AS DOUBLE)
+                 / CAST(t.tden - grp.gden AS DOUBLE) AS r_i
+        FROM grp CROSS JOIN tot t
+    ),
+    agg AS (
+        SELECT g, tnum, tden,
+               {sql_dsum('r_i', 6)} AS sr,
+               {sql_dsum('r_i * r_i', 6)} AS srr
+        FROM loo GROUP BY g, tnum, tden
+    )
+    SELECT ROUND(CAST(tnum AS DOUBLE) / CAST(tden AS DOUBLE), 6)
+               AS estimate,
+           ROUND(SQRT((g - 1.0) / g * (srr - sr * sr / g)), 6) AS jack_se,
+           g AS n_groups
+    FROM agg
+    """
+
+
+@query("q371_jackknife_revenue_per_unit", oracle=_q371_oracle())
+def q371(spark, sf_dir):
+    from pandrs_spark.operators.hypothesis import jackknife_ratio
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("num"),
+        F.col("l_quantity").cast("double").alias("den"),
+    )
+    return jackknife_ratio(li, "num", "den", "l_suppkey", scale=2)

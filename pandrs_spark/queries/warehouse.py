@@ -3590,3 +3590,101 @@ def q361(spark, sf_dir):
         )
         .orderBy("abc", "xyz")
     )
+
+
+# --- q370: Benford first-digit conformity audit of order totals — the
+# classic forensic-accounting screen (fraud/fabrication detection).
+# First digit comes from the BIGINT string head, NOT floor(log10):
+# log10(1000) rounds differently across libm implementations, while
+# bigint-to-string is exact on both engines. Chi-square and MAD fold
+# the 9 digit deviations through quantized sums so the digit-order of
+# the final reduction can't perturb the hash. One scan, one 9-row
+# aggregate — map-side at any scale. Reference: distributional-audit
+# surface of src/stats/mod.rs (behavioral spec only).
+def _q370_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum
+
+    return """
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM digits GROUP BY d
+    ),
+    cmp AS (
+        SELECT d, n, total,
+               CAST(n AS DOUBLE) / total AS obs_share,
+               LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / d)
+                   AS exp_share
+        FROM obs
+    ),
+    summary AS (
+        SELECT {chi2} AS chi2_part, {mad} AS mad_part
+        FROM cmp
+    )
+    SELECT c.d AS digit, c.n AS n_orders,
+           ROUND(c.obs_share, 6) AS obs_share,
+           ROUND(c.exp_share, 6) AS exp_share,
+           ROUND(s.chi2_part, 6) AS chi2,
+           ROUND(s.mad_part / 9, 6) AS mad
+    FROM cmp c CROSS JOIN summary s
+    ORDER BY digit
+    """.format(
+        chi2=sql_dsum(
+            "total * (obs_share - exp_share) * (obs_share - exp_share)"
+            " / exp_share",
+            6,
+        ),
+        mad=sql_dsum("ABS(obs_share - exp_share)", 6),
+    )
+
+
+@query("q370_benford_first_digit", oracle=_q370_oracle())
+def q370(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum
+
+    od = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = od.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    cmp_ = obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        "total",
+        (F.col("n").cast("double") / F.col("total")).alias("obs_share"),
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")).alias("exp_share"),
+    )
+    summary = cmp_.agg(
+        dsum(
+            F.col("total")
+            * (F.col("obs_share") - F.col("exp_share"))
+            * (F.col("obs_share") - F.col("exp_share"))
+            / F.col("exp_share"),
+            6,
+        ).alias("chi2_part"),
+        dsum(F.abs(F.col("obs_share") - F.col("exp_share")), 6).alias(
+            "mad_part"
+        ),
+    )
+    return (
+        cmp_.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("n").alias("n_orders"),
+            F.round("obs_share", 6).alias("obs_share"),
+            F.round("exp_share", 6).alias("exp_share"),
+            F.round("chi2_part", 6).alias("chi2"),
+            F.round(F.col("mad_part") / 9, 6).alias("mad"),
+        )
+        .orderBy("digit")
+    )

@@ -133,3 +133,34 @@ def test_levene_detects_unequal_spread(spark):
     df = spark.createDataFrame(rows, "g string, x double")
     w = levene_test(df, "x", "g").first()
     assert w["w_stat"] > 50
+
+
+def test_jackknife_ratio_matches_direct_computation(spark):
+    import math
+
+    from pandrs_spark.operators.hypothesis import jackknife_ratio
+
+    # 4 groups with integer-valued sums so quantization is exact
+    data = {
+        "a": [(10.0, 2.0), (20.0, 3.0)],
+        "b": [(5.0, 1.0), (15.0, 4.0)],
+        "c": [(8.0, 2.0)],
+        "d": [(12.0, 3.0), (4.0, 1.0)],
+    }
+    rows = [(g, n, d) for g, pairs in data.items() for n, d in pairs]
+    df = spark.createDataFrame(rows, "g string, num double, den double")
+    got = jackknife_ratio(df, "num", "den", "g").first()
+
+    sums = {
+        g: (sum(n for n, _ in p), sum(d for _, d in p))
+        for g, p in data.items()
+    }
+    tn = sum(s[0] for s in sums.values())
+    td = sum(s[1] for s in sums.values())
+    g = len(sums)
+    loo = [(tn - sn) / (td - sd) for sn, sd in sums.values()]
+    rbar = sum(loo) / g
+    se = math.sqrt((g - 1) / g * sum((r - rbar) ** 2 for r in loo))
+    assert got["n_groups"] == g
+    assert abs(got["estimate"] - tn / td) < 1e-6
+    assert abs(got["jack_se"] - se) < 1e-4
