@@ -1388,3 +1388,31 @@ def isotonic_fit_metrics(
         ],
         "n long, n_boundaries long, monotone boolean, mse double, mse_const double",
     )
+
+
+def fpgrowth_frequent_itemsets(
+    df: DataFrame, items_col: str, min_support: float = 0.04
+) -> DataFrame:
+    """Frequent itemsets via MLlib FP-Growth (the distributed FP-tree
+    algorithm: one pass for item counts, one conditional-tree pass per
+    frequent suffix — no candidate-generation blowup, unlike Apriori).
+
+    Returns ``items array, freq long, n_baskets long`` so callers can
+    apply EXACT integer support thresholds (``freq * k >= n``) instead
+    of MLlib's ceil(minSupport·n) double product, whose last-ulp
+    behavior is not portable across engines. Pass a slightly lower
+    ``min_support`` than the target threshold and post-filter.
+    Reference: pattern-mining surface of src/ml/mod.rs (behavioral
+    spec only).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    n = df.count()
+    model = FPGrowth(
+        itemsCol=items_col, minSupport=min_support, minConfidence=0.1
+    ).fit(df)
+    return model.freqItemsets.select(
+        F.col("items"),
+        F.col("freq").cast("long").alias("freq"),
+        F.lit(n).cast("long").alias("n_baskets"),
+    )

@@ -2917,3 +2917,79 @@ def q367(spark, sf_dir):
         F.col("exact_count").cast("long").alias("exact_count"),
         (F.col("est_count") >= F.col("exact_count")).alias("never_undercounts"),
     ).orderBy("event_type")
+
+
+# --- q372: STREAM-STATIC broadcast enrichment through the gate. The
+# canonical streaming-ETL join shape: a micro-batched event stream
+# inner-joined to a small static dimension (user→tier, broadcast — no
+# shuffle, no stream-state, because the static side is a plain batch
+# relation re-planned per micro-batch) before a watermarked tumbling
+# daily rollup. availableNow replays the whole backlog through real
+# micro-batches; the complete-mode sink hash-matches DuckDB's batch
+# join+aggregate — pinning that enrichment-then-aggregate streams and
+# batch agree. At 100 TB the dimension stays broadcast and the only
+# shuffle is the windowed aggregation's. Reference: streaming
+# enrichment surface of src/streaming/mod.rs:218.
+def _q372_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum
+
+    return f"""
+    WITH dim AS (
+        SELECT DISTINCT user_id,
+               CASE user_id % 3 WHEN 0 THEN 'gold'
+                                WHEN 1 THEN 'silver'
+                                ELSE 'bronze' END AS tier
+        FROM events
+    )
+    SELECT date_trunc('day', e.ts) AS day_start, d.tier,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 4)} AS sum_value
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    GROUP BY day_start, d.tier
+    ORDER BY day_start, d.tier
+    """
+
+
+@query("q372_streaming_static_enrichment", oracle=_q372_oracle())
+def q372(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum
+    from pandrs_spark.streaming.windows import (
+        stream_to_memory,
+        tumbling,
+        windowed_agg,
+    )
+
+    static, sdf = _events_static_and_stream(spark, sf_dir)
+    dim = static.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, "gold")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    enriched = sdf.join(F.broadcast(dim), "user_id")
+    agg = windowed_agg(
+        enriched,
+        tumbling("ts", "1 day"),
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 4).alias("sum_value"),
+        ],
+        keys=["tier"],
+        watermark=("ts", "2 days"),
+    )
+    sink = "q372_stream_sink"
+    q = stream_to_memory(agg, sink, output_mode="complete")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q372 streaming query did not finish in 300s")
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").alias("day_start"),
+            "tier",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+        .orderBy("day_start", "tier")
+    )

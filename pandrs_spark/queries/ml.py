@@ -1461,3 +1461,73 @@ def q363(spark, sf_dir):
         .orderBy(F.desc("score"), "vec_id")
         .limit(20)
     )
+
+
+# --- q373: FP-Growth market baskets with an EXACT support oracle. The
+# MLlib tier usually gets invariant-pinned oracles (estimator internals
+# are not SQL-reachable), but FP-Growth's output IS exact counting —
+# so the gate can verify it value-for-value: every frequent 1- and
+# 2-itemset of order→brand baskets must match DuckDB's brute-force
+# counts. The support threshold is pure integer arithmetic
+# (freq * 50 >= n, i.e. 2%) applied as a post-filter on a
+# lower-minSupport FP-Growth run, because MLlib's internal
+# ceil(minSupport·n) double product is not portable at the last ulp.
+# Sizes ≥ 3 exist in the operator output; the query scopes to ≤ 2
+# where the SQL mirror is a bounded self-join (the same blocking
+# argument as q345 — at 100 TB the pair join is bounded by per-basket
+# width, not corpus size). Reference: pattern-mining surface of
+# src/ml/mod.rs; association lift q336 is the downstream consumer.
+@query(
+    "q373_fpgrowth_brand_baskets",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b),
+    singles AS (
+        SELECT item AS itemset, 1 AS set_size,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM b GROUP BY item
+    ),
+    pairs AS (
+        SELECT x.item || ',' || y.item AS itemset, 2 AS set_size,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM b x JOIN b y ON x.ok = y.ok AND x.item < y.item
+        GROUP BY x.item, y.item
+    ),
+    u AS (
+        SELECT * FROM singles UNION ALL SELECT * FROM pairs
+    )
+    SELECT u.itemset, u.set_size, u.freq,
+           ROUND(CAST(u.freq AS DOUBLE) / n.n, 6) AS support
+    FROM u CROSS JOIN n
+    WHERE u.freq * 50 >= n.n
+    ORDER BY set_size, itemset
+    """,
+)
+def q373(spark, sf_dir):
+    from pandrs_spark.operators.ml import fpgrowth_frequent_itemsets
+
+    li = T(spark, sf_dir, "lineitem")
+    pt = T(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .groupBy("ok")
+        .agg(F.collect_set("item").alias("items"))
+    )
+    freq = fpgrowth_frequent_itemsets(baskets, "items", min_support=0.015)
+    return (
+        freq.filter(F.size("items") <= 2)
+        .filter(F.col("freq") * 50 >= F.col("n_baskets"))
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").alias("set_size"),
+            "freq",
+            F.round(
+                F.col("freq").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+        )
+        .orderBy("set_size", "itemset")
+    )
