@@ -1388,3 +1388,54 @@ def q371(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("den"),
     )
     return jackknife_ratio(li, "num", "den", "l_suppkey", scale=2)
+
+
+# --- q374: Theil-T and Atkinson(ε=1) inequality of per-customer
+# revenue — the decomposable complements to q236's Gini. Both indices
+# are pure functions of three quantized sums (Σx, Σx·ln x, Σln x) over
+# the per-customer revenue frame, so the whole measurement is two
+# partial-aggregated shuffles (customer rollup, then scalar sums) at
+# any scale — no sorting, unlike Gini. Formula trees are shared
+# verbatim with the oracle. Reference: inequality/dispersion surface
+# of src/stats/mod.rs (behavioral spec only).
+_THEIL = "(sxlx / sx - LN(sx / n))"
+_ATKINSON = "(1.0 - EXP(slx / n) / (sx / n))"
+
+
+def _q374_oracle() -> str:
+    return f"""
+    WITH cust AS (
+        SELECT o_custkey, {sql_dsum('o_totalprice', 2)} AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x', 2)} AS sx,
+               {sql_dsum('x * LN(x)', 2)} AS sxlx,
+               {sql_dsum('LN(x)', 6)} AS slx
+        FROM cust WHERE x > 0
+    )
+    SELECT n AS n_customers,
+           ROUND(sx / n, 6) AS mean_revenue,
+           ROUND({_THEIL}, 6) AS theil_t,
+           ROUND({_ATKINSON}, 6) AS atkinson_1
+    FROM agg
+    """
+
+
+@query("q374_revenue_inequality_indices", oracle=_q374_oracle())
+def q374(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(dsum("o_totalprice", 2).alias("x"))
+    agg = cust.filter(F.col("x") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("x", 2).alias("sx"),
+        dsum(F.col("x") * F.log("x"), 2).alias("sxlx"),
+        dsum(F.log("x"), 6).alias("slx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.expr("sx / n"), 6).alias("mean_revenue"),
+        F.round(F.expr(_THEIL), 6).alias("theil_t"),
+        F.round(F.expr(_ATKINSON), 6).alias("atkinson_1"),
+    )

@@ -3112,3 +3112,114 @@ def q369(spark, sf_dir):
         )
         .orderBy("tier")
     )
+
+
+# --- q375: PMI collocation mining — corpus-level association strength
+# of adjacent word pairs (the classic collocation-extraction shape;
+# q368 measures within-doc dominance, this measures cross-corpus
+# lexical affinity). Counting is two aggregations (bigram counts,
+# unigram counts); PMI's ln is display-only — the RANKING key is the
+# exact lift ratio r = c_ab·N_tok² / (N_bi·c_a·c_b) computed with one
+# fixed operand order, so the top-20 cut never depends on cross-libm
+# ln behavior. min-count floor (≥ 30) is the standard sparse-PMI
+# guard. At 100 TB both aggregations partial-combine map-side; the
+# unigram join is a broadcast (vocabulary-bounded). Reference:
+# collocation surface of src/text/mod.rs (behavioral spec only).
+@query(
+    "q375_pmi_collocations",
+    oracle=r"""
+    WITH ws0 AS (
+        SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ws0, UNNEST(ws) AS t(tok)
+        GROUP BY t.tok
+    ),
+    n_tok AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT b.bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM ws0, UNNEST(
+            CASE WHEN len(ws) >= 2 THEN
+                list_transform(generate_series(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+1], ' '))
+            ELSE CAST([] AS VARCHAR[]) END
+        ) AS b(bg)
+        GROUP BY b.bg
+    ),
+    n_bi AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bi),
+    scored AS (
+        SELECT bi.bg AS bigram, bi.c_ab,
+               CAST(bi.c_ab AS DOUBLE)
+                 * (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+                 / (CAST(nb.n AS DOUBLE)
+                    * (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)))
+                 AS lift
+        FROM bi
+        JOIN uni ua ON ua.tok = split_part(bi.bg, ' ', 1)
+        JOIN uni ub ON ub.tok = split_part(bi.bg, ' ', 2)
+        CROSS JOIN n_tok t CROSS JOIN n_bi nb
+        WHERE bi.c_ab >= 30
+    )
+    SELECT bigram, c_ab AS n_occurrences,
+           ROUND(lift, 6) AS lift,
+           ROUND(LN(lift), 6) AS pmi
+    FROM scored
+    ORDER BY lift DESC, bigram
+    LIMIT 20
+    """,
+)
+def q375(spark, sf_dir):
+    from pandrs_spark.operators.text import shingles, tokens
+    from pandrs_spark.operators.util import fan_out
+
+    docs = fan_out(T(spark, sf_dir, "documents").select("text"))
+    toks = docs.select(tokens("text").alias("ws"))
+    uni = toks.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n"))
+    bi = (
+        toks.select(F.explode(shingles(F.col("ws"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 30)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    n_bi_total = (
+        toks.select(
+            F.greatest(F.size("ws") - 1, F.lit(0)).alias("nb")
+        )
+        .agg(F.sum("nb").cast("long").alias("nb"))
+    )
+    scored = (
+        bi.withColumn("tok_a", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("tok_b", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi_total))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_ab",
+            (
+                F.col("c_ab").cast("double")
+                * (F.col("n").cast("double") * F.col("n").cast("double"))
+                / (
+                    F.col("nb").cast("double")
+                    * (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                )
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.select(
+            "bigram",
+            F.col("c_ab").alias("n_occurrences"),
+            F.round("lift", 6).alias("lift"),
+            F.round(F.log("lift"), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(20)
+    )

@@ -1834,3 +1834,79 @@ def q366(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+# --- q376: adstock (geometric-decay carryover) transform of monthly
+# revenue — the marketing-mix-model preprocessing step. The exact
+# recursion a_t = r_t + λ·a_{t-1} is equivalent to a geometric
+# convolution; with λ=0.7 the 12-lag truncation error is λ^13 < 1% of
+# a month's own weight, and the truncated form is a BOUNDED range
+# self-join on the month spine (13 pairs per month, calendar-bounded
+# at any data scale — same argument as q350's month spine) instead of
+# an unparallelizable sequential fold. Each λ^lag·r term is quantized
+# before the sum so the per-month reduction is an exact integer add on
+# both engines. Reference: src/timeseries/smoothing.rs (SES :34 is the
+# same recursion shape, fitted; adstock is the fixed-λ transform).
+def _q376_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize
+
+    term = sql_quantize(
+        "s.rev * POWER(CAST(0.7 AS DOUBLE), DATEDIFF('month', s.m, t.m))", 4
+    )
+    return f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               {sql_dsum('o_totalprice', 2)} AS rev
+        FROM orders GROUP BY m
+    ),
+    conv AS (
+        SELECT t.m,
+               CAST(SUM({term}) AS BIGINT) AS aq
+        FROM monthly t JOIN monthly s
+          ON s.m <= t.m AND DATEDIFF('month', s.m, t.m) <= 12
+        GROUP BY t.m
+    )
+    SELECT c.m AS month_start,
+           ROUND(mo.rev, 2) AS revenue,
+           ROUND(CAST(c.aq AS DOUBLE) / 10000.0, 4) AS adstock
+    FROM conv c JOIN monthly mo ON mo.m = c.m
+    ORDER BY month_start
+    """
+
+
+@query("q376_adstock_monthly_revenue", oracle=_q376_oracle())
+def q376(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum, quantize
+
+    od = T(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(dsum("o_totalprice", 2).alias("rev"))
+    t = monthly.select(F.col("m").alias("mt"))
+    s = monthly.select(F.col("m").alias("ms"), F.col("rev").alias("rev_s"))
+    lag = F.months_between(F.col("mt"), F.col("ms")).cast("int")
+    conv = (
+        t.join(
+            s,
+            (F.col("ms") <= F.col("mt")) & (lag <= 12),
+        )
+        .groupBy("mt")
+        .agg(
+            F.sum(
+                quantize(
+                    F.col("rev_s")
+                    * F.pow(F.lit(0.7).cast("double"), lag.cast("double")),
+                    4,
+                )
+            ).alias("aq")
+        )
+    )
+    return (
+        conv.join(monthly, conv.mt == monthly.m)
+        .select(
+            F.col("mt").alias("month_start"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("aq").cast("double") / 10000.0, 4).alias("adstock"),
+        )
+        .orderBy("month_start")
+    )
