@@ -1416,3 +1416,65 @@ def fpgrowth_frequent_itemsets(
         F.col("freq").cast("long").alias("freq"),
         F.lit(n).cast("long").alias("n_baskets"),
     )
+
+
+# Huber IRLS formula fragments — shared VERBATIM with oracle SQL so
+# both engines walk the same double-arithmetic tree.
+HUBER_K = "CAST(1.345 AS DOUBLE)"
+HUBER_B0 = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+HUBER_A0 = "((sy - b0 * sx) / n)"
+HUBER_SIG2 = (
+    "((syy - 2 * a0 * sy - 2 * b0 * sxy + 2 * a0 * b0 * sx"
+    " + n * a0 * a0 + b0 * b0 * sxx) / n)"
+)
+HUBER_R = "(y - a0 - b0 * x)"
+HUBER_W = (
+    f"CASE WHEN ABS({HUBER_R}) <= {HUBER_K} * s0 THEN CAST(1.0 AS DOUBLE) "
+    f"ELSE {HUBER_K} * s0 / ABS({HUBER_R}) END"
+)
+HUBER_B1 = "((sw * swxy - swx * swy) / (sw * swxx - swx * swx))"
+HUBER_A1 = "((swy - b1 * swx) / sw)"
+
+
+def huber_ols(df: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Huber-weighted simple regression: OLS start, residual scale from
+    the SAME sufficient statistics (no extra scan), then one exact IRLS
+    reweighting pass. Two full aggregations total — each map-side
+    partial-combined — regardless of data size; repeated application
+    gives further IRLS iterations. Weights w=min(1, k·s/|r|) with
+    k=1.345 (95% Gaussian efficiency). All sums quantized
+    (scale 0 for squares/cross-terms per the int64 envelope), every
+    double formula shared verbatim with the oracle SQL via the
+    HUBER_* fragments. Returns one row:
+    n, b0/a0/s0 (OLS + scale), b1/a1 (Huber), n_down (rows with w<1).
+    Reference: robust-regression surface of src/stats/regression.rs
+    (behavioral spec only).
+    """
+    fact = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    agg1 = fact.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("x", 2).alias("sx"),
+        dsum("y", 2).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 0).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 0).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 0).alias("sxy"),
+    )
+    p = (
+        agg1.withColumn("b0", F.expr(HUBER_B0))
+        .withColumn("a0", F.expr(HUBER_A0))
+        .withColumn("s0", F.expr(f"SQRT({HUBER_SIG2})"))
+    )
+    w = fact.crossJoin(F.broadcast(p)).withColumn("w", F.expr(HUBER_W))
+    agg2 = w.groupBy("n", "b0", "a0", "s0").agg(
+        dsum("w", 6).alias("sw"),
+        dsum(F.expr("w * x"), 2).alias("swx"),
+        dsum(F.expr("w * y"), 2).alias("swy"),
+        dsum(F.expr("w * x * x"), 0).alias("swxx"),
+        dsum(F.expr("w * x * y"), 0).alias("swxy"),
+        F.sum(F.expr("CASE WHEN w < 1.0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_down"),
+    )
+    return agg2.withColumn("b1", F.expr(HUBER_B1)).withColumn(
+        "a1", F.expr(HUBER_A1)
+    )

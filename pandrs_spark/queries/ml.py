@@ -1531,3 +1531,182 @@ def q373(spark, sf_dir):
         )
         .orderBy("set_size", "itemset")
     )
+
+
+# --- q377: PrefixSpan sequential-pattern mining over early user
+# journeys (first 5 events per user) — the funnel-discovery shape.
+# Like q373, this MLlib estimator's output is exact counting, so the
+# gate verifies it value-for-value: every frequent length-≤2 pattern's
+# support must equal DuckDB's brute-force ordered-pair distinct-user
+# count under the SAME total event order (ts, event_id). The head-5
+# truncation is what makes pattern supports discriminating (full
+# ~70-event histories contain every type pair for every user) and is
+# itself the production shape — session-head mining. Support threshold
+# is exact integer arithmetic (freq*5 >= n, 20%) post-filtered on a
+# lower-minSupport run, as in q373. Sequences build via
+# collect_list→array_sort→slice (bounded per-user state, no
+# partitionless window). Reference: pattern-mining surface of
+# src/ml/mod.rs; src/streaming event sequencing.
+@query(
+    "q377_prefixspan_early_journeys",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    head5 AS (SELECT * FROM ranked WHERE rn <= 5),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM head5),
+    singles AS (
+        SELECT event_type AS pattern, 1 AS pat_len,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS freq
+        FROM head5 GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type || ',' || b.event_type AS pattern, 2 AS pat_len,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS freq
+        FROM head5 a JOIN head5 b
+          ON a.user_id = b.user_id AND a.rn < b.rn
+        GROUP BY 1
+    ),
+    u AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    SELECT u.pattern, u.pat_len, u.freq,
+           ROUND(CAST(u.freq AS DOUBLE) / n.n, 6) AS support
+    FROM u CROSS JOIN n
+    WHERE u.freq * 5 >= n.n
+    ORDER BY pat_len, pattern
+    """,
+)
+def q377(spark, sf_dir):
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = T(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                1,
+                5,
+            ).alias("head5")
+        )
+        .select(
+            F.transform(
+                F.col("head5"), lambda x: F.array(x["event_type"])
+            ).alias("sequence")
+        )
+    )
+    n = seqs.count()
+    pat = PrefixSpan(
+        minSupport=0.1, maxPatternLength=2, sequenceCol="sequence"
+    ).findFrequentSequentialPatterns(seqs)
+    return (
+        pat.select(
+            F.array_join(F.flatten("sequence"), ",").alias("pattern"),
+            F.size(F.flatten("sequence")).alias("pat_len"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .filter(F.col("freq") * 5 >= F.lit(n))
+        .select(
+            "pattern",
+            "pat_len",
+            "freq",
+            F.round(F.col("freq").cast("double") / F.lit(n), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy("pat_len", "pattern")
+    )
+
+
+# --- q378: Huber robust regression of order value on customer balance
+# — q77's OLS made outlier-resistant. One IRLS step, computed as two
+# full aggregations (sufficient stats → scale + start from the SAME
+# stats, no extra scan → one reweighted pass); the operator
+# (operators/ml.huber_ols) shares every double formula verbatim with
+# this oracle via the HUBER_* fragments, so the gate verifies the
+# whole reweighting arithmetic value-for-value, not just shape.
+# Reference: robust-regression surface of src/stats/regression.rs.
+def _q378_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum
+    from pandrs_spark.operators.ml import (
+        HUBER_A0,
+        HUBER_A1,
+        HUBER_B0,
+        HUBER_B1,
+        HUBER_SIG2,
+        HUBER_W,
+    )
+
+    return f"""
+    WITH fact AS (
+        SELECT CAST(c.c_acctbal AS DOUBLE) AS x,
+               CAST(o.o_totalprice AS DOUBLE) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    agg1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x', 2)} AS sx, {sql_dsum('y', 2)} AS sy,
+               {sql_dsum('x * x', 0)} AS sxx,
+               {sql_dsum('y * y', 0)} AS syy,
+               {sql_dsum('x * y', 0)} AS sxy
+        FROM fact
+    ),
+    p0 AS (SELECT *, {HUBER_B0} AS b0 FROM agg1),
+    p1 AS (SELECT *, {HUBER_A0} AS a0 FROM p0),
+    p AS (SELECT *, SQRT({HUBER_SIG2}) AS s0 FROM p1),
+    wtab AS (
+        SELECT f.x, f.y, p.n, p.b0, p.a0, p.s0, {HUBER_W} AS w
+        FROM fact f CROSS JOIN p
+    ),
+    agg2 AS (
+        SELECT n, b0, a0, s0,
+               {sql_dsum('w', 6)} AS sw,
+               {sql_dsum('w * x', 2)} AS swx,
+               {sql_dsum('w * y', 2)} AS swy,
+               {sql_dsum('w * x * x', 0)} AS swxx,
+               {sql_dsum('w * x * y', 0)} AS swxy,
+               CAST(SUM(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down
+        FROM wtab GROUP BY n, b0, a0, s0
+    ),
+    q0 AS (SELECT *, {HUBER_B1} AS b1 FROM agg2),
+    q AS (SELECT *, {HUBER_A1} AS a1 FROM q0)
+    SELECT n,
+           ROUND(b0, 6) AS slope_ols,
+           ROUND(b1, 6) AS slope_huber,
+           ROUND(a1, 6) AS intercept_huber,
+           ROUND(s0, 6) AS resid_scale,
+           ROUND(CAST(n_down AS DOUBLE) / n, 6) AS frac_downweighted
+    FROM q
+    """
+
+
+@query("q378_huber_robust_regression", oracle=_q378_oracle())
+def q378(spark, sf_dir):
+    from pandrs_spark.operators.ml import huber_ols
+
+    od = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    fact = od.join(
+        F.broadcast(cust), od.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_acctbal").cast("double").alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    res = huber_ols(fact, "x", "y")
+    return res.select(
+        "n",
+        F.round("b0", 6).alias("slope_ols"),
+        F.round("b1", 6).alias("slope_huber"),
+        F.round("a1", 6).alias("intercept_huber"),
+        F.round("s0", 6).alias("resid_scale"),
+        F.round(F.col("n_down").cast("double") / F.col("n"), 6).alias(
+            "frac_downweighted"
+        ),
+    )

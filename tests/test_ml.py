@@ -431,3 +431,18 @@ def test_isotonic_fit_metrics_recovers_monotone_signal(spark):
     a = isotonic_fit_metrics(anti, "x", "y").first()
     assert a["monotone"] and a["mse"] <= a["mse_const"] + 1e-9
     assert a["n_boundaries"] <= 2
+
+
+def test_huber_ols_downweights_outliers(spark):
+    from pandrs_spark.operators.ml import huber_ols
+
+    # y = 2x on a clean grid, plus one gross outlier
+    rows = [(float(i), 2.0 * i) for i in range(1, 40)] + [(40.0, 500.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = huber_ols(df, "x", "y").first()
+    assert r["n_down"] >= 1  # the outlier got a weight < 1
+    # huber slope strictly closer to the true slope 2 than OLS slope
+    # one IRLS step with RMS scale (inflated by the outlier itself)
+    # recovers part of the bias; full convergence takes repeated steps
+    assert abs(r["b1"] - 2.0) < abs(r["b0"] - 2.0)
+    assert abs(r["b1"] - 2.0) < 0.5
