@@ -203,3 +203,67 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("__c__"), F.lit(0))).alias("est_count"))
         .select(F.col("__k__").alias(key_col), "est_count")
     )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 16, k: int = 3
+) -> list[int]:
+    """Build a Bloom filter over ``key_col`` and return it as a dense
+    ``num_bits/64``-word Python bitmap — Spark's own runtime-filter
+    shape (bloom_filter_agg is Catalyst-internal, not SQL-exposed, so
+    this is the user-level equivalent).
+
+    Build cost: one partial-combined aggregation — each key explodes to
+    k (slot, mask) pairs, bit_or-reduced per slot, at most
+    ``num_bits/64`` rows ever shuffle. The collect is bounded by the
+    filter size (8 KB at the default 2^16 bits), NOT by data size —
+    the same scalar-class carry as a broadcast threshold. Size
+    ``num_bits`` ≈ 10–15 bits/key for ~1% FP at the classic k=3–5.
+    Reference: membership-sketch surface of src/sketches/mod.rs
+    (behavioral spec only).
+    """
+    assert num_bits % 64 == 0
+    m = F.lit(num_bits).cast("long")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), m)
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    ).select(
+        F.expr("CAST(pos DIV 64 AS BIGINT)").alias("slot"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+        ).alias("mask"),
+    )
+    rows = (
+        pairs.groupBy("slot")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[int(r["slot"])] = int(r["bits"])
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key_col: str, num_bits: int, k: int = 3
+):
+    """Membership predicate Column against a :func:`bloom_build`
+    bitmap. Pure map-side codegen — the bitmap rides into the plan as
+    a literal array (element_at + bitwise AND per hash), so
+    prefiltering a 100 TB probe side costs zero shuffle and no join.
+    No false negatives by construction; false positives are removed by
+    the real join that follows (the runtime-filter contract)."""
+    arr_sql = "ARRAY(" + ",".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    conds = []
+    for i in range(k):
+        pos = f"pmod(xxhash64({key_col}, {i}), CAST({num_bits} AS BIGINT))"
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))"
+        word = f"element_at({arr_sql}, CAST({pos} DIV 64 AS INT) + 1)"
+        conds.append(f"(({word} & {mask}) = {mask})")
+    return F.expr(" AND ".join(conds))

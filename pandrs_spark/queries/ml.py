@@ -1710,3 +1710,142 @@ def q378(spark, sf_dir):
             "frac_downweighted"
         ),
     )
+
+
+# --- q380: split conformal prediction intervals — the
+# distribution-free uncertainty wrapper (Vovk; the modern ML-serving
+# staple). Deterministic md5 3-way split (train 50% / calibration 25%
+# / test 25%); OLS fit from train sufficient statistics; the conformal
+# radius is the ceil((n_cal+1)·0.9)-th smallest CALIBRATION absolute
+# residual — an exact order statistic, selected distributively from a
+# quantized-residual histogram + global_prefix_counts (no
+# partitionless window, no single-task sort); finite-sample coverage
+# then audited on the held-out test split with pure integer
+# comparisons. At 100 TB: two aggregations, one bounded histogram
+# prefix-sum, one map-side coverage scan. Reference: interval surface
+# of src/stats/regression.rs + src/ml/mod.rs (behavioral spec only).
+def _q380_oracle() -> str:
+    from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize
+
+    rq = sql_quantize("ABS(y - a - b * x)", 6)
+    return f"""
+    WITH fact AS (
+        SELECT SUBSTR(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 1) AS tag,
+               CAST(c.c_acctbal AS DOUBLE) AS x,
+               CAST(o.o_totalprice AS DOUBLE) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    tr AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x', 2)} AS sx, {sql_dsum('y', 2)} AS sy,
+               {sql_dsum('x * x', 0)} AS sxx,
+               {sql_dsum('x * y', 0)} AS sxy
+        FROM fact WHERE tag < '8'
+    ),
+    p0 AS (SELECT *, ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS b
+           FROM tr),
+    p AS (SELECT *, ((sy - b * sx) / n) AS a FROM p0),
+    cal AS (
+        SELECT {rq} AS rq
+        FROM fact f CROSS JOIN p
+        WHERE f.tag >= '8' AND f.tag < 'c'
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    kth AS (
+        SELECT CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT) AS k
+        FROM ncal
+    ),
+    ranked AS (
+        SELECT rq, ROW_NUMBER() OVER (ORDER BY rq) AS rn FROM cal
+    ),
+    qh AS (
+        SELECT MIN(rq) AS rqh FROM ranked CROSS JOIN kth WHERE rn >= k
+    ),
+    test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN {rq} <= qh.rqh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM fact f CROSS JOIN p CROSS JOIN qh
+        WHERE f.tag >= 'c'
+        GROUP BY qh.rqh
+    )
+    SELECT p.n AS n_train, ncal.n_cal, test.n_test,
+           ROUND(p.b, 6) AS slope,
+           ROUND(CAST(qh.rqh AS DOUBLE) / 1000000.0, 6) AS q_hat,
+           ROUND(CAST(test.n_covered AS DOUBLE) / test.n_test, 6)
+               AS coverage
+    FROM p CROSS JOIN ncal CROSS JOIN qh CROSS JOIN test
+    """
+
+
+@query("q380_split_conformal_intervals", oracle=_q380_oracle())
+def q380(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum, quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    od = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    fact = od.join(
+        F.broadcast(cust), od.o_custkey == cust.c_custkey
+    ).select(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias(
+            "tag"
+        ),
+        F.col("c_acctbal").cast("double").alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    tr = fact.filter(F.col("tag") < "8").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("x", 2).alias("sx"),
+        dsum("y", 2).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 0).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 0).alias("sxy"),
+    )
+    p = tr.withColumn(
+        "b", F.expr("((n * sxy - sx * sy) / (n * sxx - sx * sx))")
+    ).withColumn("a", F.expr("((sy - b * sx) / n)"))
+    rq_col = quantize(F.expr("ABS(y - a - b * x)"), 6)
+    cal = (
+        fact.filter((F.col("tag") >= "8") & (F.col("tag") < "c"))
+        .crossJoin(F.broadcast(p))
+        .select(rq_col.alias("rq"))
+    )
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    hist = cal.groupBy("rq").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_prefix_counts(hist, [F.col("rq")], {"cum": "c"})
+    qh = (
+        cum.crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("cum")
+            >= F.expr("CAST((9 * (n_cal + 1) + 9) DIV 10 AS BIGINT)")
+        )
+        .agg(F.min("rq").alias("rqh"))
+    )
+    test = (
+        fact.filter(F.col("tag") >= "c")
+        .crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(qh))
+        .groupBy("rqh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(rq_col <= F.col("rqh"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        p.crossJoin(F.broadcast(ncal))
+        .crossJoin(F.broadcast(test))
+        .select(
+            F.col("n").alias("n_train"),
+            "n_cal",
+            "n_test",
+            F.round("b", 6).alias("slope"),
+            F.round(F.col("rqh").cast("double") / 1000000.0, 6).alias(
+                "q_hat"
+            ),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )

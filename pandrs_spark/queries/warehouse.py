@@ -3688,3 +3688,64 @@ def q370(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# --- q379: Bloom-prefiltered dimension join — the runtime-filter
+# pattern made explicit. The ASIA customer keys build an 8 KB Bloom
+# bitmap (operators/sketches.bloom_build — one bounded aggregation,
+# scalar-class collect); the orders fact side is prefiltered by a pure
+# map-side membership predicate BEFORE the join, so at 100 TB the
+# shuffle/broadcast-probe volume drops to the selectivity of the dim
+# filter (+ FP rate ~1%) with zero extra shuffle. Bloom filters have
+# no false negatives and the join removes false positives, so the
+# result is bit-identical to the plain join — which is exactly what
+# the oracle checks. Catalyst's own InjectRuntimeFilter does this
+# automatically only for shuffle-heavy plans; the operator gives the
+# user the knob. Reference: membership-sketch surface of
+# src/sketches/mod.rs + join pruning in src/dataframe/join.rs.
+@query(
+    "q379_bloom_prefiltered_join",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {{rev}} AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """.format(rev=sql_dsum("o_totalprice", 2)),
+)
+def q379(spark, sf_dir):
+    from pandrs_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    dim = (
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    num_bits = 1 << 16
+    words = bloom_build(dim, "c_custkey", num_bits=num_bits, k=3)
+    od = T(spark, sf_dir, "orders").filter(
+        bloom_might_contain(words, "o_custkey", num_bits, k=3)
+    )
+    return (
+        od.join(F.broadcast(dim), od.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )

@@ -167,3 +167,23 @@ def test_cms_estimate_rejects_hash_mode_mismatch(spark):
         ).collect()
     }
     assert all(v >= 10 for v in est.values())
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(1000).select(F.col("id").alias("k"))
+    words = bloom_build(keys, "k", num_bits=1 << 16, k=3)
+    probe = spark.range(10000).select(F.col("id").alias("k"))
+    hits = probe.filter(
+        bloom_might_contain(words, "k", 1 << 16, k=3)
+    ).select("k")
+    got = {r["k"] for r in hits.collect()}
+    assert set(range(1000)) <= got  # no false negatives, ever
+    fp = len(got - set(range(1000))) / 9000
+    assert fp < 0.01  # ~9e-5 expected at 65536 bits / 1000 keys / k=3
