@@ -358,16 +358,22 @@ def holt_winters_forecast(
     period: int,
     horizon: int = 1,
     out_col: str = "hw_fc",
+    seasonal: str = "add",
 ) -> DataFrame:
-    """Additive Holt-Winters (triple exponential smoothing,
+    """Holt-Winters (triple exponential smoothing,
     src/time_series/forecasting.rs:469): level, trend and a length-
     ``period`` seasonal cycle updated recursively; forecast at each row
-    is x̂_{t+h} = l_t + h·b_t + s_{t+h−period}. Initialization mirrors
-    the textbook scheme: level = mean of the first cycle, trend = mean
-    first-cycle-to-second-cycle step, seasonals = first-cycle deviations
-    from its mean. Recursive ⇒ applyInPandas per series; each series
-    must fit one worker, series count scales horizontally.
+    is x̂_{t+h} = l_t + h·b_t + s_{t+h−period} (``seasonal="add"``) or
+    (l_t + h·b_t)·s_{t+h−period} (``seasonal="mul"``, for series whose
+    seasonal swing scales with the level — requires positive values).
+    Initialization mirrors the textbook scheme: level = mean of the
+    first cycle, trend = mean first-cycle-to-second-cycle step,
+    seasonals = first-cycle deviations from (ratios to) its mean.
+    Recursive ⇒ applyInPandas per series; each series must fit one
+    worker, series count scales horizontally.
     """
+    if seasonal not in ("add", "mul"):
+        raise ValueError(f"seasonal must be 'add' or 'mul', got {seasonal!r}")
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} double"
     order_cols = list(order_by)
@@ -380,15 +386,27 @@ def holt_winters_forecast(
         if n >= 2 * period:
             level = x[:period].mean()
             trend = (x[period : 2 * period].mean() - x[:period].mean()) / period
-            season = list(x[:period] - x[:period].mean())
+            if seasonal == "add":
+                season = list(x[:period] - x[:period].mean())
+            else:
+                season = list(x[:period] / x[:period].mean())
             for t in range(n):
                 s_idx = t % period
                 if t >= period:
                     prev_level = level
-                    level = alpha * (x[t] - season[s_idx]) + (1 - alpha) * (level + trend)
+                    if seasonal == "add":
+                        level = alpha * (x[t] - season[s_idx]) + (1 - alpha) * (level + trend)
+                    else:
+                        level = alpha * (x[t] / season[s_idx]) + (1 - alpha) * (level + trend)
                     trend = beta * (level - prev_level) + (1 - beta) * trend
-                    season[s_idx] = gamma * (x[t] - level) + (1 - gamma) * season[s_idx]
-                fc[t] = level + horizon * trend + season[(t + horizon) % period]
+                    if seasonal == "add":
+                        season[s_idx] = gamma * (x[t] - level) + (1 - gamma) * season[s_idx]
+                    else:
+                        season[s_idx] = gamma * (x[t] / level) + (1 - gamma) * season[s_idx]
+                if seasonal == "add":
+                    fc[t] = level + horizon * trend + season[(t + horizon) % period]
+                else:
+                    fc[t] = (level + horizon * trend) * season[(t + horizon) % period]
         pdf[out_col] = fc
         return pdf
 

@@ -3167,3 +3167,53 @@ def q354(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- q383: small-file compaction maintenance — the Delta OPTIMIZE /
+# Iceberg rewrite_data_files shape as an explicit operator
+# (sources/io.compact_files). In-gate: orders is deliberately
+# shattered into 40 undersized files, compacted back through the
+# Hadoop-FS-listed, ceil(bytes/target)-sized rewrite, and the gate
+# verifies rows survived bit-exactly while the file count collapsed.
+# File counts themselves are environment-sized (compression ratios),
+# so the oracle pins the INVARIANTS (row parity, reduction happened,
+# exact target-count match) rather than a magic number — the q78-style
+# contract for non-SQL-reachable internals. Reference: file
+# maintenance around src/io/parquet.rs:369.
+@query(
+    "q383_small_file_compaction",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS files_reduced,
+           TRUE AS files_match_target
+    FROM orders
+    """,
+)
+def q383(spark, sf_dir):
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from pandrs_spark.sources.io import compact_files
+
+    od = T(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(), f"pandrs_compact_{os.path.basename(sf_dir)}"
+    )
+    src, dest = os.path.join(base, "src"), os.path.join(base, "dest")
+    shutil.rmtree(base, ignore_errors=True)
+    od.repartition(40).write.mode("overwrite").parquet(src)
+    # target sized so the shattered table collapses to a handful of files
+    stats = compact_files(spark, src, dest, target_bytes=1 << 20)
+    back = spark.read.parquet(dest)
+    expected_after = max(1, math.ceil(stats["bytes_before"] / (1 << 20)))
+    return back.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+        "n_rows",
+        F.lit(stats["files_after"] < stats["files_before"]).alias(
+            "files_reduced"
+        ),
+        F.lit(stats["files_after"] == expected_after).alias(
+            "files_match_target"
+        ),
+    )

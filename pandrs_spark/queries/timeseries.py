@@ -1910,3 +1910,89 @@ def q376(spark, sf_dir):
         )
         .orderBy("month_start")
     )
+
+
+# --- q382: MULTIPLICATIVE Holt-Winters — q103's sibling for series
+# whose seasonal swing scales with the level (the retail-revenue
+# norm). Same state encoding and list_reduce fold as q103's oracle,
+# with level/season updates switched to the ratio form
+# (l = α·x/s + (1−α)(l+b); s = γ·x/l + (1−γ)s; x̂ = (l+b)·s) and
+# seasonal init as first-cycle RATIOS to its mean. Same LIMIT-100 gate
+# keeps the fold O(limit²). Reference:
+# src/time_series/forecasting.rs:469 (seasonal variants).
+@query(
+    "q382_holt_winters_multiplicative",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY day
+    ),
+    ser AS (
+      SELECT day, revenue,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             COUNT(*) OVER () AS n,
+             list(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             list(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fullv
+      FROM daily
+    ),
+    init AS (
+      SELECT *,
+        list_avg(fullv[1:7]) AS l0,
+        (list_avg(fullv[8:14]) - list_avg(fullv[1:7])) / 7 AS b0,
+        list_transform(fullv[1:7], x -> x / list_avg(fullv[1:7])) AS s0
+      FROM ser
+      WHERE t <= 100
+    ),
+    st AS (
+      SELECT *,
+        CASE WHEN t <= 7 THEN list_concat([l0, b0], s0)
+        ELSE list_reduce(
+          list_prepend(list_concat([l0, b0], s0),
+            list_transform(generate_series(8, CAST(t AS INT)),
+                           i -> [prefix[i], CAST(i AS DOUBLE)])),
+          (acc, e) ->
+            list_concat(
+              [
+                0.3 * (e[1] / acc[3 + CAST(e[2] - 1 AS INT) % 7]) + 0.7 * (acc[1] + acc[2]),
+                0.1 * ((0.3 * (e[1] / acc[3 + CAST(e[2] - 1 AS INT) % 7]) + 0.7 * (acc[1] + acc[2])) - acc[1]) + 0.9 * acc[2]
+              ],
+              list_transform(acc[3:], (s, i) ->
+                CASE WHEN (i - 1) = CAST(e[2] - 1 AS INT) % 7
+                     THEN 0.2 * (e[1] / (0.3 * (e[1] / acc[3 + CAST(e[2] - 1 AS INT) % 7]) + 0.7 * (acc[1] + acc[2]))) + 0.8 * s
+                     ELSE s END))
+          )
+        END AS state
+      FROM init
+    )
+    SELECT day, revenue,
+      ROUND(CASE WHEN n >= 14
+            THEN (state[1] + state[2]) * state[3 + (CAST(t AS INT) % 7)]
+            ELSE NULL END, 4) AS hw_fc
+    FROM st ORDER BY day LIMIT 100
+    """,
+)
+def q382(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import holt_winters_forecast
+
+    orders = T(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    out = holt_winters_forecast(
+        daily,
+        "revenue",
+        order_by=["day"],
+        partition_by=[],
+        alpha=0.3,
+        beta=0.1,
+        gamma=0.2,
+        period=7,
+        horizon=1,
+        seasonal="mul",
+    )
+    return out.select(
+        "day", "revenue", F.round("hw_fc", 4).alias("hw_fc")
+    ).orderBy("day").limit(100)

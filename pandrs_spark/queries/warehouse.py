@@ -3749,3 +3749,72 @@ def q379(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+# --- q381: k-anonymity / l-diversity audit — the data-governance
+# pre-release check (complements q249 RTBF and the PII scrub): treat
+# (nation, market segment, balance band) as the quasi-identifier, the
+# exact balance as the sensitive attribute, and measure how many
+# equivalence classes fall below k=5 and how many customers those
+# classes expose, plus worst-case class size and l-diversity. One
+# groupBy on the QI tuple + one scalar rollup — partial-combined at
+# any scale. Reference: governance/quality surface of
+# src/dataframe/quality.rs (behavioral spec only).
+@query(
+    "q381_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT n.n_name, c.c_mktsegment,
+               CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS band,
+               COUNT(*) AS sz,
+               COUNT(DISTINCT c.c_acctbal) AS l_div
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, c.c_mktsegment, band
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS customers_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+           ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS risk_share
+    FROM qi
+    """,
+)
+def q381(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    qi = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            "n_name",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("c_acctbal").alias("l_div"),
+        )
+    )
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("customers_at_risk"),
+        F.min("sz").cast("long").alias("min_class_size"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.round(
+            F.sum(
+                F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)
+            ).cast("double")
+            / F.sum("sz"),
+            6,
+        ).alias("risk_share"),
+    )

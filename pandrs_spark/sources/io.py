@@ -563,3 +563,62 @@ def write_feather(df: DataFrame, path: str, compression: str = "zstd") -> None:
 
     table = pa.Table.from_pandas(df.toPandas())
     feather.write_feather(table, path, compression=compression)
+
+
+def list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """Recursive (path, bytes) listing of a table directory through the
+    Hadoop FileSystem API — scheme-agnostic (file://, s3a://, …), the
+    same listing the scan planner uses. Metadata sidecars (_SUCCESS,
+    checksums, hidden files) are excluded."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append((status.getPath().toString(), int(status.getLen())))
+    return sorted(out)
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Small-file compaction — the lakehouse table-maintenance job
+    (Delta OPTIMIZE / Iceberg rewrite_data_files shape). Small files
+    are the classic scan-planning killer at scale: per-file open cost
+    and per-file listing dominate once files ≪
+    spark.sql.files.maxPartitionBytes.
+
+    One pass: list via the Hadoop FS API, size the output file count
+    as ceil(total_bytes / target_bytes), rewrite through a round-robin
+    ``repartition(n)`` (even output sizes; ``coalesce`` would skip the
+    shuffle but inherits input skew). Returns
+    {files_before, bytes_before, files_after} — ``files_after`` equals
+    the computed target exactly because repartition(n) writes one file
+    per partition. Reference: file-maintenance surface of
+    src/io/parquet.rs (behavioral spec only).
+    """
+    import math
+
+    before = list_data_files(spark, src_path)
+    total = sum(b for _, b in before)
+    n_target = max(1, math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(src_path)
+    df.repartition(n_target).write.format(fmt).mode("overwrite").save(
+        dest_path
+    )
+    after = list_data_files(spark, dest_path)
+    return {
+        "files_before": len(before),
+        "bytes_before": total,
+        "files_after": len(after),
+    }

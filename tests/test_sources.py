@@ -509,3 +509,21 @@ def test_feather_round_trip(spark, sf_dir, tmp_path):
     write_feather(nation, path)
     back = read_feather(spark, path)
     assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.sources.io import compact_files, list_data_files
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    spark.range(10000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(25).write.parquet(src)
+    assert len(list_data_files(spark, src)) == 25
+    stats = compact_files(spark, src, dest, target_bytes=1 << 30)
+    assert stats["files_before"] == 25
+    assert stats["files_after"] == 1  # everything fits one target file
+    back = spark.read.parquet(dest)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10000))
