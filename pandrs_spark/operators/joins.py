@@ -571,3 +571,47 @@ def auto_salted_join(
         how,
     )
     return cold.unionByName(hot_join)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    ref_parallelism: int = 32,
+) -> DataFrame:
+    """Pre-join skew diagnosis — the measurement step in front of
+    :func:`salted_join`'s AUTO mode. One partial-combined aggregation
+    collapses the table to per-key counts; the report ranks the
+    ``top_k`` hottest keys with their row share and an integer
+    recommended salt fan-out ``ceil(share · ref_parallelism)`` (how
+    many buckets spread that key across so no task exceeds the average
+    share at the reference parallelism). All counts and the fan-out
+    are exact integer arithmetic; ordering is total
+    (count desc, key). Reference: skew handling around
+    src/dataframe/join.rs (behavioral spec only).
+    """
+    keys = df.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = keys.agg(
+        F.sum("n_rows").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        keys.crossJoin(F.broadcast(tot))
+        .select(
+            "key_value",
+            "n_rows",
+            "n_total",
+            "n_keys",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total"), 6
+            ).alias("share"),
+            F.expr(
+                f"CAST((n_rows * {int(ref_parallelism)} + n_total - 1)"
+                " DIV n_total AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.desc("n_rows"), "key_value")
+        .limit(top_k)
+    )

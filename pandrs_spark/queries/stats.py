@@ -1439,3 +1439,63 @@ def q374(spark, sf_dir):
         F.round(F.expr(_THEIL), 6).alias("theil_t"),
         F.round(F.expr(_ATKINSON), 6).alias("atkinson_1"),
     )
+
+
+# --- q384: overdispersion diagnosis + negative-binomial
+# method-of-moments fit of daily order counts — the count-model
+# selection step (Poisson assumes var=mean; real arrival processes
+# rarely comply). Everything is a function of (n, Σc, Σc²) over the
+# bounded day spine, computed with exact integer sums — counts need no
+# quantization at all. NB MoM: r = μ²/(σ²−μ), p = μ/σ². Reference:
+# count-model surface of src/stats/mod.rs (behavioral spec only).
+_DISP_MU = "(CAST(sc AS DOUBLE) / n)"
+_DISP_VAR = "((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))"
+
+
+def _q384_oracle() -> str:
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_orderdate
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(c * c) AS BIGINT) AS scc
+        FROM daily
+    )
+    SELECT n AS n_days,
+           ROUND({_DISP_MU}, 6) AS mean_daily,
+           ROUND({_DISP_VAR}, 6) AS var_daily,
+           ROUND({_DISP_VAR} / {_DISP_MU}, 6) AS dispersion_index,
+           ROUND({_DISP_MU} * {_DISP_MU} / ({_DISP_VAR} - {_DISP_MU}), 6)
+               AS nb_r,
+           ROUND({_DISP_MU} / {_DISP_VAR}, 6) AS nb_p
+    FROM agg
+    """
+
+
+@query("q384_overdispersion_nb_fit", oracle=_q384_oracle())
+def q384(spark, sf_dir):
+    od = T(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round(F.expr(_DISP_MU), 6).alias("mean_daily"),
+        F.round(F.expr(_DISP_VAR), 6).alias("var_daily"),
+        F.round(F.expr(f"{_DISP_VAR} / {_DISP_MU}"), 6).alias(
+            "dispersion_index"
+        ),
+        F.round(
+            F.expr(f"{_DISP_MU} * {_DISP_MU} / ({_DISP_VAR} - {_DISP_MU})"),
+            6,
+        ).alias("nb_r"),
+        F.round(F.expr(f"{_DISP_MU} / {_DISP_VAR}"), 6).alias("nb_p"),
+    )

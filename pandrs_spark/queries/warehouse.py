@@ -3818,3 +3818,40 @@ def q381(spark, sf_dir):
             6,
         ).alias("risk_share"),
     )
+
+
+# --- q385: join-skew advisor — the measurement step a 100 TB operator
+# runs BEFORE choosing broadcast/salt/AQE strategy (the q183 salted
+# join's front end, operators/joins.skew_report). Order priorities are
+# the deliberately-hot key here: the report ranks keys by exact row
+# share and recommends an integer salt fan-out
+# ceil(share · 32) per key — all integer arithmetic, so the oracle
+# verifies the advisory values exactly, not just shape. Reference:
+# skew handling around src/dataframe/join.rs.
+@query(
+    "q385_join_skew_advisor",
+    oracle="""
+    WITH keys AS (
+        SELECT CAST(o_orderpriority AS VARCHAR) AS key_value,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM keys
+    )
+    SELECT k.key_value, k.n_rows, t.n_total, t.n_keys,
+           ROUND(CAST(k.n_rows AS DOUBLE) / t.n_total, 6) AS share,
+           CAST((k.n_rows * 32 + t.n_total - 1) // t.n_total AS BIGINT)
+               AS salt_factor
+    FROM keys k CROSS JOIN tot t
+    ORDER BY k.n_rows DESC, k.key_value
+    LIMIT 10
+    """,
+)
+def q385(spark, sf_dir):
+    from pandrs_spark.operators.joins import skew_report
+
+    od = T(spark, sf_dir, "orders")
+    return skew_report(od, "o_orderpriority", top_k=10, ref_parallelism=32)
