@@ -671,3 +671,30 @@ def stateful_drawdown(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_files(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+):
+    """Run a streaming query into a fault-tolerant FILE sink with a
+    write-ahead checkpoint (offset log + sink commit log) — the
+    production durability shape (reference file sinks,
+    io/streaming.rs:258). Restarting with the SAME checkpoint_dir
+    resumes from the recorded offsets: already-committed batches are
+    never re-emitted (the file sink's exactly-once contract), newly
+    arrived source data is processed exactly once. availableNow drains
+    the current backlog then stops, so batch-style reruns compose with
+    the checkpoint for incremental pipelines.
+    """
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -708,3 +708,44 @@ def test_stateful_drawdown_state_bounded_by_keys(spark, tmp_path):
     q.awaitTermination(180)
     prog = query_progress(q)
     assert prog["state_rows"] == 150, prog
+
+
+def test_checkpoint_restart_exactly_once_file_sink(spark, tmp_path):
+    """Restarting a checkpointed stream must process ONLY newly arrived
+    source files (no reprocessing, no loss) — the exactly-once file-sink
+    contract that production recovery relies on."""
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.streaming.windows import stream_to_files
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(100).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).coalesce(1).write.parquet(str(src / "batch_a"))
+
+    schema = "id bigint, v bigint"
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_to_files(sdf.filter(F.col("v") % 2 == 0), sink, ckpt)
+        assert q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 50  # even v = even id -> half of 100
+
+    spark.range(100, 160).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).coalesce(1).write.parquet(str(src / "batch_b"))
+
+    run_once()  # SAME checkpoint: resumes, processes only batch_b
+    both = spark.read.parquet(sink)
+    assert both.count() == 50 + 30
+    # no duplicates: every id exactly once
+    assert both.select("id").distinct().count() == 80
