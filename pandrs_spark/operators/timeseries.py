@@ -33,6 +33,8 @@ __all__ = [
     "ts_feature_matrix",
     "bocpd_changepoints",
     "clamped_cumsum",
+    "croston_forecast",
+    "sbc_demand_classification",
 ]
 
 
@@ -956,4 +958,128 @@ def kaplan_meier(
         F.col("n_risk").cast("long").alias("n_risk"),
         F.col("d").cast("long").alias("n_events"),
         "survival",
+    )
+
+
+def croston_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Croston's method for intermittent demand (behavioral spec:
+    src/time_series/forecasting.rs:437 family — the reference ships the
+    SES recursion this method composes; Croston 1972 / Syntetos-Boylan
+    2005 define the composition). Per series, fold over the complete
+    (gap-filled, zeros included) demand sequence:
+
+    - first non-zero demand x at elapsed-period count q initialises
+      size ``z = x`` and interval ``p = q``;
+    - each later non-zero demand updates ``z = a*x + (1-a)*z`` and
+      ``p = a*q + (1-a)*p`` where q is the number of periods since the
+      previous demand, then resets q; zero periods only grow q.
+
+    Forecast per period = z/p; the SBA variant multiplies by
+    ``(1 - a/2)`` to correct Croston's inversion bias.
+
+    One row out per series: the final state. The fold is a per-series
+    ``applyInPandas`` — series are independent, so a billion series
+    scale horizontally; each series' history is bounded by the calendar
+    spine, not the data volume.
+    """
+    order_cols = list(order_by)
+    part_cols = list(partition_by)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in part_cols
+    )
+    schema = (
+        key_fields + ", n_periods long, n_nonzero long, "
+        "croston_size double, croston_interval double, "
+        "croston_fc double, sba_fc double"
+    )
+
+    def _croston(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = pdf[value_col].to_numpy(dtype=float)
+        z = p = None
+        q = 1.0
+        n_nonzero = 0
+        for x in xs:
+            if x > 0:
+                n_nonzero += 1
+                if z is None:
+                    z, p = float(x), q
+                else:
+                    z = alpha * x + (1 - alpha) * z
+                    p = alpha * q + (1 - alpha) * p
+                q = 1.0
+            else:
+                q += 1.0
+        row = {c: [pdf[c].iloc[0]] for c in part_cols}
+        row.update(
+            {
+                "n_periods": [len(xs)],
+                "n_nonzero": [n_nonzero],
+                "croston_size": [z],
+                "croston_interval": [p],
+                "croston_fc": [None if z is None else z / p],
+                "sba_fc": [None if z is None else (1 - alpha / 2) * z / p],
+            }
+        )
+        return pd.DataFrame(row)
+
+    return df.groupBy(*part_cols).applyInPandas(_croston, schema=schema)
+
+
+def sbc_demand_classification(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str],
+    n_periods_col: str = "n_periods",
+    adi_cut: float = 1.32,
+    cv2_cut: float = 0.49,
+) -> DataFrame:
+    """Syntetos-Boylan-Croston demand-pattern quadrants over a
+    gap-filled series (zeros included): ADI = periods per non-zero
+    demand, CV² = squared coefficient of variation of the NON-ZERO
+    demand sizes (sample std). smooth / intermittent / erratic / lumpy
+    by the published 1.32 / 0.49 cutoffs. Pure grouped aggregation —
+    one shuffle on the series key. Moments come from quantized exact
+    long sums (functions/deterministic.py) so the result is
+    partition-order invariant."""
+    from pandrs_spark.functions.deterministic import dsum
+
+    x = F.col(value_col).cast("double")
+    nz = F.when(x > 0, x)
+    agg = df.groupBy(*partition_by).agg(
+        F.count(F.lit(1)).alias(n_periods_col),
+        F.count(nz).alias("n_nonzero"),
+        dsum(nz, 6).alias("__sx__"),
+        dsum(nz * nz, 6).alias("__sxx__"),
+    )
+    n = F.col("n_nonzero").cast("double")
+    mean = F.col("__sx__") / n
+    var = F.when(
+        F.col("n_nonzero") > 1,
+        (F.col("__sxx__") - n * mean * mean) / (n - 1),
+    )
+    agg = agg.withColumn("__mean_nz__", mean).withColumn("__var_nz__", var)
+    adi = F.col(n_periods_col) / F.col("n_nonzero")
+    cv2 = F.col("__var_nz__") / (F.col("__mean_nz__") * F.col("__mean_nz__"))
+    return (
+        agg.withColumn("adi", adi)
+        .withColumn("cv2", cv2)
+        .withColumn(
+            "demand_class",
+            F.when((F.col("adi") < adi_cut) & (F.col("cv2") < cv2_cut), "smooth")
+            .when((F.col("adi") >= adi_cut) & (F.col("cv2") < cv2_cut), "intermittent")
+            .when((F.col("adi") < adi_cut) & (F.col("cv2") >= cv2_cut), "erratic")
+            .otherwise("lumpy"),
+        )
+        .drop("__mean_nz__", "__var_nz__")
     )

@@ -21,6 +21,8 @@ from pandrs_spark.functions.deterministic import (
 )
 from pandrs_spark.operators.timeseries import (
     bfill,
+    croston_forecast,
+    sbc_demand_classification,
     ffill,
     holt_forecast,
     interpolate_linear_cols,
@@ -1996,3 +1998,178 @@ def q382(spark, sf_dir):
     return out.select(
         "day", "revenue", F.round("hw_fc", 4).alias("hw_fc")
     ).orderBy("day").limit(100)
+
+
+# --- q386: Croston intermittent-demand forecast (§2.11 forecasting
+# family, src/time_series/forecasting.rs:437 — the reference's SES
+# recursion composed per Croston 1972 / Syntetos-Boylan 2005). The
+# demand series is gap-filled onto the full monthly calendar spine so
+# zero-demand months drive the interval state. The oracle folds the
+# identical [size, interval, gap, started] state machine with DuckDB
+# list_reduce, so the recursion itself is inside the hash gate. -------------
+@query(
+    "q386_croston_intermittent_demand",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+               {sql_dsum('l_quantity', 6)} AS qty
+        FROM lineitem WHERE l_partkey % 131 = 7 GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(month) AS mn, MAX(month) AS mx FROM d),
+    spine AS (
+        SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+        FROM b
+    ),
+    parts AS (SELECT DISTINCT l_partkey FROM d),
+    grid AS (
+        SELECT p.l_partkey, s.month,
+               COALESCE(d.qty, 0.0) AS qty
+        FROM parts p CROSS JOIN spine s
+        LEFT JOIN d ON d.l_partkey = p.l_partkey AND d.month = s.month
+    ),
+    ser AS (
+        SELECT l_partkey, list(CAST(qty AS DOUBLE) ORDER BY month) AS xs
+        FROM grid GROUP BY 1
+    ),
+    folded AS (
+        SELECT l_partkey,
+               len(xs) AS n_periods,
+               len(list_filter(xs, x -> x > 0)) AS n_nonzero,
+               list_reduce(
+                   list_prepend([0.0, 0.0, 1.0, 0.0],
+                                list_transform(xs, x -> [x])),
+                   (acc, e) -> CASE
+                       WHEN e[1] > 0 AND acc[4] = 0
+                           THEN [e[1], acc[3], 1.0, 1.0]
+                       WHEN e[1] > 0
+                           THEN [0.3 * e[1] + (1.0 - 0.3) * acc[1],
+                                 0.3 * acc[3] + (1.0 - 0.3) * acc[2],
+                                 1.0, 1.0]
+                       ELSE [acc[1], acc[2], acc[3] + 1.0, acc[4]]
+                   END
+               ) AS st
+        FROM ser
+    )
+    SELECT l_partkey AS partkey, n_periods, n_nonzero,
+           {sql_quantize('st[1]', 6)} / 1000000.0 AS croston_size,
+           {sql_quantize('st[2]', 6)} / 1000000.0 AS croston_interval,
+           {sql_quantize('st[1] / st[2]', 6)} / 1000000.0 AS croston_fc,
+           {sql_quantize('(1.0 - 0.3 / 2) * st[1] / st[2]', 6)} / 1000000.0
+               AS sba_fc
+    FROM folded
+    ORDER BY partkey
+    """,
+)
+def q386(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 131 == 7)
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(dsum("l_quantity", 6).alias("qty"))
+    bounds = monthly.agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("month")
+    )
+    parts = monthly.select("l_partkey").distinct()
+    # calendar spine is bounded (~83 months) — broadcast scalar-carry
+    grid = (
+        parts.join(F.broadcast(spine))
+        .join(monthly, ["l_partkey", "month"], "left")
+        .withColumn("qty", F.coalesce(F.col("qty").cast("double"), F.lit(0.0)))
+    )
+    out = croston_forecast(
+        grid, "qty", order_by=["month"], partition_by=["l_partkey"], alpha=0.3
+    )
+    return out.select(
+        F.col("l_partkey").alias("partkey"),
+        "n_periods",
+        "n_nonzero",
+        (quantize("croston_size", 6) / 1e6).alias("croston_size"),
+        (quantize("croston_interval", 6) / 1e6).alias("croston_interval"),
+        (quantize("croston_fc", 6) / 1e6).alias("croston_fc"),
+        (quantize("sba_fc", 6) / 1e6).alias("sba_fc"),
+    ).orderBy("partkey")
+
+
+# --- q387: SBC demand-pattern classification (§2.11/§2.4 — ADI × CV²
+# quadrants per Syntetos-Boylan-Croston; pairs with q386 to pick the
+# forecaster per series). Gap-filled spine as q386; moments via
+# quantized exact sums so the class is partition-order invariant. -----------
+@query(
+    "q387_sbc_demand_classification",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+               {sql_dsum('l_quantity', 6)} AS qty
+        FROM lineitem WHERE l_partkey % 13 = 7 GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(month) AS mn, MAX(month) AS mx FROM d),
+    spine AS (
+        SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+        FROM b
+    ),
+    parts AS (SELECT DISTINCT l_partkey FROM d),
+    grid AS (
+        SELECT p.l_partkey, s.month, COALESCE(d.qty, 0.0) AS qty
+        FROM parts p CROSS JOIN spine s
+        LEFT JOIN d ON d.l_partkey = p.l_partkey AND d.month = s.month
+    ),
+    agg AS (
+        SELECT l_partkey,
+               COUNT(*) AS n_periods,
+               COUNT(CASE WHEN qty > 0 THEN 1 END) AS n_nonzero,
+               {sql_dsum('CASE WHEN qty > 0 THEN CAST(qty AS DOUBLE) END', 6)}
+                   AS sx,
+               {sql_dsum('CASE WHEN qty > 0 THEN CAST(qty AS DOUBLE) * CAST(qty AS DOUBLE) END', 6)}
+                   AS sxx
+        FROM grid GROUP BY 1
+    ),
+    m AS (
+        SELECT l_partkey, n_periods, n_nonzero,
+               CAST(n_nonzero AS DOUBLE) AS n,
+               sx / CAST(n_nonzero AS DOUBLE) AS mean
+        , sxx
+        FROM agg
+    ),
+    v AS (
+        SELECT l_partkey, n_periods, n_nonzero,
+               CAST(n_periods AS DOUBLE) / CAST(n_nonzero AS DOUBLE) AS adi,
+               CASE WHEN n_nonzero > 1
+                    THEN ((sxx - n * mean * mean) / (n - 1)) / (mean * mean)
+               END AS cv2
+        FROM m
+    )
+    SELECT l_partkey AS partkey, n_periods, n_nonzero,
+           {sql_quantize('adi', 6)} / 1000000.0 AS adi,
+           {sql_quantize('cv2', 6)} / 1000000.0 AS cv2,
+           CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+                WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+                ELSE 'lumpy' END AS demand_class
+    FROM v
+    ORDER BY partkey
+    """,
+)
+def q387(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 13 == 7)
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(dsum("l_quantity", 6).alias("qty"))
+    bounds = monthly.agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("month")
+    )
+    parts = monthly.select("l_partkey").distinct()
+    grid = (
+        parts.join(F.broadcast(spine))
+        .join(monthly, ["l_partkey", "month"], "left")
+        .withColumn("qty", F.coalesce(F.col("qty").cast("double"), F.lit(0.0)))
+    )
+    out = sbc_demand_classification(grid, "qty", partition_by=["l_partkey"])
+    return out.select(
+        F.col("l_partkey").alias("partkey"),
+        "n_periods",
+        "n_nonzero",
+        (quantize("adi", 6) / 1e6).alias("adi"),
+        (quantize("cv2", 6) / 1e6).alias("cv2"),
+        "demand_class",
+    ).orderBy("partkey")

@@ -1,0 +1,86 @@
+"""Croston / SBC intermittent-demand tests (operators/timeseries.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandrs_spark.operators.timeseries import (
+    croston_forecast,
+    sbc_demand_classification,
+)
+
+
+def _series_df(spark, xs, key="a"):
+    rows = [(key, i, float(x)) for i, x in enumerate(xs)]
+    return spark.createDataFrame(rows, "k string, t int, qty double")
+
+
+def _croston_ref(xs, alpha=0.3):
+    """Independent textbook reference: Croston 1972 update equations."""
+    z = p = None
+    q = 1.0
+    for x in xs:
+        if x > 0:
+            if z is None:
+                z, p = float(x), q
+            else:
+                z = alpha * x + (1 - alpha) * z
+                p = alpha * q + (1 - alpha) * p
+            q = 1.0
+        else:
+            q += 1.0
+    return z, p
+
+
+def test_croston_matches_reference_recursion(spark):
+    xs = [0, 0, 5, 0, 0, 0, 3, 0, 8, 0, 0, 2]
+    out = croston_forecast(
+        _series_df(spark, xs), "qty", order_by=["t"], partition_by=["k"], alpha=0.3
+    ).collect()[0]
+    z, p = _croston_ref(xs)
+    assert out["n_periods"] == len(xs)
+    assert out["n_nonzero"] == 4
+    assert out["croston_size"] == pytest.approx(z, abs=1e-12)
+    assert out["croston_interval"] == pytest.approx(p, abs=1e-12)
+    assert out["croston_fc"] == pytest.approx(z / p, abs=1e-12)
+    assert out["sba_fc"] == pytest.approx(0.85 * z / p, abs=1e-12)
+
+
+def test_croston_all_zero_series_yields_nulls(spark):
+    out = croston_forecast(
+        _series_df(spark, [0.0, 0.0, 0.0]),
+        "qty",
+        order_by=["t"],
+        partition_by=["k"],
+    ).collect()[0]
+    assert out["n_nonzero"] == 0
+    assert out["croston_fc"] is None and out["sba_fc"] is None
+
+
+def test_croston_interval_counts_leading_gap(spark):
+    # first demand at t=3 (0-indexed 2) => initial interval = 3
+    out = croston_forecast(
+        _series_df(spark, [0, 0, 4.0]), "qty", order_by=["t"], partition_by=["k"]
+    ).collect()[0]
+    assert out["croston_interval"] == pytest.approx(3.0)
+    assert out["croston_size"] == pytest.approx(4.0)
+
+
+def test_sbc_quadrants(spark):
+    # smooth: demand every period, constant size (adi=1, cv2=0)
+    # lumpy: sparse + wildly varying sizes
+    rows = []
+    for t in range(8):
+        rows.append(("smooth", t, 5.0))
+    for t, x in enumerate([0, 0, 1.0, 0, 0, 0, 40.0, 0]):
+        rows.append(("lumpy", t, float(x)))
+    df = spark.createDataFrame(rows, "k string, t int, qty double")
+    got = {
+        r["k"]: r
+        for r in sbc_demand_classification(df, "qty", partition_by=["k"]).collect()
+    }
+    assert got["smooth"]["demand_class"] == "smooth"
+    assert got["smooth"]["adi"] == pytest.approx(1.0)
+    assert got["smooth"]["cv2"] == pytest.approx(0.0)
+    assert got["lumpy"]["demand_class"] == "lumpy"
+    assert got["lumpy"]["adi"] == pytest.approx(4.0)
