@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pandrs_spark.operators.util import fan_out
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate", "dimension_energy"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -615,4 +615,55 @@ def embedding_decontaminate(
             F.array_max(sims).alias("max_sim"),
         )
         .withColumn("contaminated", F.col("max_sim") >= F.lit(float(threshold)))
+    )
+
+
+def dimension_energy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_scale: int = 12,
+) -> DataFrame:
+    """Per-dimension variance ("energy") profile of an embedding
+    column — the certificate behind Matryoshka-style truncation and
+    PCA-free dimensionality budgeting (behavioral spec: the reference's
+    embedding stats tier, src/ml/feature/mod.rs; truncation analysis
+    per Kusupati et al. 2022, public). One output row per dimension:
+
+    - ``var_pop`` — population variance from quantized exact long sums
+      (partition-order invariant);
+    - ``energy_share`` / ``cum_share`` — this dim's share of total
+      variance and the running share when dims are ranked by variance
+      (exact integer prefix sums over the quantized variances, so the
+      ranking and ratios are deterministic);
+    - ``var_rank`` — 1 = highest-variance dimension.
+
+    Scale: one explode (fan_out-widened) + one groupBy(dim) shuffle;
+    the per-dim frame is bounded by the embedding dimensionality, so
+    the ranking window is fixed-cardinality — never data-sized.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    dims = fan_out(df).select(F.posexplode(vec_col).alias("pos", "vf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    )
+    stats = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("v", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize(F.col("v") * F.col("v"), 6)).cast("double") / 1e6).alias(
+            "sxx"
+        ),
+    )
+    stats = stats.withColumn(
+        "var_pop", F.expr("(sxx - sx * sx / n) / n")
+    ).withColumn("qv", quantize("var_pop", q_scale))
+    w_rank = Window.orderBy(F.desc("qv"), "dim")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return stats.select(
+        "dim",
+        "n",
+        "var_pop",
+        (F.col("qv") / F.sum("qv").over(w_all)).alias("energy_share"),
+        (F.sum("qv").over(w_cum) / F.sum("qv").over(w_all)).alias("cum_share"),
+        F.row_number().over(w_rank).alias("var_rank"),
     )

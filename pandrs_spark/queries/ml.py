@@ -1849,3 +1849,57 @@ def q380(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# --- q388: embedding dimension-energy / truncation certificate
+# (similarity tier; Matryoshka-style budgeting, Kusupati et al. 2022).
+# Per-dim population variance from quantized exact sums; energy shares
+# and the variance-ranked cumulative share are exact integer ratios
+# over the quantized variances, so the ranking window (bounded by the
+# fixed embedding dimensionality, never data-sized) is deterministic.
+# Answers: "how many dimensions carry 90% of the variance?" ------------------
+@query(
+    "q388_embedding_dimension_energy",
+    oracle="""
+    WITH dims AS (
+        SELECT UNNEST(range(1, len(embedding) + 1)) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(v) * FLOOR(ABS(v) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+               CAST(SUM(CAST(SIGN(v * v) * FLOOR(ABS(v * v) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx
+        FROM dims GROUP BY dim
+    ),
+    en AS (
+        SELECT dim, n, (sxx - sx * sx / n) / n AS var_pop,
+               CAST(SIGN((sxx - sx * sx / n) / n)
+                    * FLOOR(ABS((sxx - sx * sx / n) / n) * 1e12 + 0.5) AS BIGINT)
+                   AS qv
+        FROM stats
+    )
+    SELECT dim, n,
+           ROUND(var_pop, 9) AS var_pop,
+           CAST(qv AS DOUBLE) / SUM(qv) OVER () AS energy_share,
+           CAST(SUM(qv) OVER (ORDER BY qv DESC, dim
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / SUM(qv) OVER () AS cum_share,
+           CAST(ROW_NUMBER() OVER (ORDER BY qv DESC, dim) AS INT) AS var_rank
+    FROM en
+    ORDER BY dim
+    """,
+)
+def q388(spark, sf_dir):
+    from pandrs_spark.operators.similarity import dimension_energy
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = dimension_energy(emb, "embedding")
+    return out.select(
+        "dim",
+        "n",
+        F.round("var_pop", 9).alias("var_pop"),
+        "energy_share",
+        "cum_share",
+        F.col("var_rank").cast("int").alias("var_rank"),
+    ).orderBy("dim")

@@ -375,6 +375,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     # day-valued durations — bounded by the observation calendar span
     "q350_order_backlog_monthly",  # running sum over the ~80-month spine
     "q356_seasonal_naive_backtest",  # 12-month lag over the month spine
+    "q388_embedding_dimension_energy",  # ranked cum-share over the fixed
+    # embedding dimensionality (64 dims) — never data-sized
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
