@@ -27,6 +27,7 @@ from pandrs_spark.functions.deterministic import dsum
 
 __all__ = [
     "rank_histogram",
+    "gesd_outlier_peel",
     "mann_whitney_u",
     "ks_2samp",
     "kruskal_wallis",
@@ -297,3 +298,67 @@ def jackknife_ratio(
         F.round(F.expr(JACKKNIFE_SE), 6).alias("jack_se"),
         F.col("g").alias("n_groups"),
     )
+
+
+def gesd_outlier_peel(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """Generalized-ESD-style iterative outlier peeling (Rosner 1983;
+    composes the reference's outlier tier src/stats/mod.rs z-score
+    detection into the masked multi-outlier form). Round r computes
+    mean/sd of the REMAINING points from quantized exact sums, emits
+    the point with the largest studentized deviation R_r =
+    |x − mean|/sd, removes it, and repeats — so a cluster of outliers
+    can't mask each other the way a single-pass z-score allows. The
+    caller compares R_r against the ESD critical values (a pure
+    driver-side t-quantile formula) or uses the R_r ranking directly.
+
+    Output: one row per peeled point — key columns, the value, its
+    ``r_stat``, and 1-based ``peel_round``.
+
+    Scale: each round is one scalar aggregate (map-side combined) + a
+    broadcast scalar-carry + a TakeOrdered(1); k is a small constant,
+    so the whole peel is k linear passes with no data-sized state.
+    Ties break on the quantized statistic then the key columns, so the
+    peel order is deterministic under any partitioning.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    x = F.col(value_col).cast("double")
+    remaining = df.select(*key_cols, x.alias(value_col))
+    out = None
+    for r in range(1, k + 1):
+        st = remaining.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            (F.sum(quantize(x, 6)).cast("double") / 1e6).alias("__sx__"),
+            (F.sum(quantize(x * x, 6)).cast("double") / 1e6).alias("__sxx__"),
+        )
+        scored = remaining.crossJoin(F.broadcast(st)).withColumn(
+            "r_stat",
+            F.abs(x - F.col("__sx__") / F.col("__n__"))
+            / F.sqrt(
+                (
+                    F.col("__sxx__")
+                    - F.col("__sx__") * F.col("__sx__") / F.col("__n__")
+                )
+                / (F.col("__n__") - 1)
+            ),
+        )
+        pick = (
+            scored.orderBy(F.desc(quantize("r_stat", 9)), *key_cols)
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("peel_round"),
+                *key_cols,
+                value_col,
+                "r_stat",
+            )
+        )
+        out = pick if out is None else out.unionByName(pick)
+        remaining = remaining.join(
+            pick.select(*key_cols), key_cols, "left_anti"
+        )
+    return out

@@ -1499,3 +1499,134 @@ def q384(spark, sf_dir):
         ).alias("nb_r"),
         F.round(F.expr(f"{_DISP_MU} / {_DISP_VAR}"), 6).alias("nb_p"),
     )
+
+
+# --- q389: Neyman optimal stratified-sample allocation (§2.12 sampling
+# design; composes the reference's stratified sampler src/ml/sampling
+# with the textbook n_h ∝ N_h·S_h rule). Stratum weights come from
+# exact quantized sums (c_acctbal has 2 decimals, so scale-2/scale-4
+# sums are EXACT); the 1000-unit budget is split by pure integer
+# largest-remainder arithmetic on the quantized weights (the q298
+# idiom), so the allocation is partition-order invariant. The ranking
+# window is bounded by the 25-nation stratum cardinality. ------------------
+@query(
+    "q389_neyman_allocation",
+    oracle="""
+    WITH agg AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(SIGN(c_acctbal) * FLOOR(ABS(c_acctbal) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsx,
+               CAST(SUM(CAST(SIGN(c_acctbal * c_acctbal) * FLOOR(ABS(c_acctbal * c_acctbal) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsxx
+        FROM customer GROUP BY 1
+    ),
+    w AS (
+        SELECT c_nationkey, n_cust,
+               SQRT(((CAST(qsxx AS DOUBLE) / 10000.0)
+                     - (CAST(qsx AS DOUBLE) / 100.0) * (CAST(qsx AS DOUBLE) / 100.0) / n_cust)
+                    / (n_cust - 1)) AS s_h
+        FROM agg
+    ),
+    q AS (
+        SELECT c_nationkey, n_cust, s_h,
+               CAST(SIGN(n_cust * s_h) * FLOOR(ABS(n_cust * s_h) * 1000000.0 + 0.5) AS BIGINT) AS qw
+        FROM w
+    ),
+    t AS (
+        SELECT c_nationkey, n_cust, s_h, qw,
+               CAST(SUM(qw) OVER () AS BIGINT) AS total_qw,
+               CAST(SUM(n_cust) OVER () AS BIGINT) AS total_n
+        FROM q
+    ),
+    alloc AS (
+        SELECT c_nationkey, n_cust, s_h,
+               (1000 * qw) // total_qw AS ney_base,
+               (1000 * qw) % total_qw AS ney_rem,
+               (1000 * n_cust) // total_n AS prop_base,
+               (1000 * n_cust) % total_n AS prop_rem
+        FROM t
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY ney_rem DESC, c_nationkey) AS ney_rank,
+               ROW_NUMBER() OVER (ORDER BY prop_rem DESC, c_nationkey) AS prop_rank,
+               CAST(1000 - SUM(ney_base) OVER () AS BIGINT) AS ney_extra,
+               CAST(1000 - SUM(prop_base) OVER () AS BIGINT) AS prop_extra
+        FROM alloc
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(SIGN(s_h) * FLOOR(ABS(s_h) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s_acctbal,
+           CAST(ney_base + CASE WHEN ney_rank <= ney_extra THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_neyman,
+           CAST(prop_base + CASE WHEN prop_rank <= prop_extra THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_proportional
+    FROM ranked
+    ORDER BY nationkey
+    """,
+)
+def q389(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    x = F.col("c_acctbal").cast("double")
+    agg = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(quantize(x, 2)).alias("qsx"),
+        F.sum(quantize(x * x, 4)).alias("qsxx"),
+    )
+    w = agg.withColumn(
+        "s_h",
+        F.sqrt(
+            (
+                F.col("qsxx").cast("double") / 1e4
+                - (F.col("qsx").cast("double") / 1e2)
+                * (F.col("qsx").cast("double") / 1e2)
+                / F.col("n_cust")
+            )
+            / (F.col("n_cust") - 1)
+        ),
+    ).withColumn("qw", quantize(F.col("n_cust") * F.col("s_h"), 6))
+    w_all = Window.partitionBy()
+    t = w.withColumn("total_qw", F.sum("qw").over(w_all)).withColumn(
+        "total_n", F.sum("n_cust").over(w_all)
+    )
+    alloc = t.select(
+        "c_nationkey",
+        "n_cust",
+        "s_h",
+        F.expr("(1000 * qw) div total_qw").alias("ney_base"),
+        F.expr("(1000 * qw) % total_qw").alias("ney_rem"),
+        F.expr("(1000 * n_cust) div total_n").alias("prop_base"),
+        F.expr("(1000 * n_cust) % total_n").alias("prop_rem"),
+    )
+    ranked = (
+        alloc.withColumn(
+            "ney_rank",
+            F.row_number().over(Window.orderBy(F.desc("ney_rem"), "c_nationkey")),
+        )
+        .withColumn(
+            "prop_rank",
+            F.row_number().over(Window.orderBy(F.desc("prop_rem"), "c_nationkey")),
+        )
+        .withColumn("ney_extra", F.lit(1000) - F.sum("ney_base").over(w_all))
+        .withColumn("prop_extra", F.lit(1000) - F.sum("prop_base").over(w_all))
+    )
+    return ranked.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("n_cust").cast("long").alias("n_cust"),
+        (quantize("s_h", 6) / 1e6).alias("s_acctbal"),
+        (
+            F.col("ney_base")
+            + F.when(F.col("ney_rank") <= F.col("ney_extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_neyman"),
+        (
+            F.col("prop_base")
+            + F.when(F.col("prop_rank") <= F.col("prop_extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_proportional"),
+    ).orderBy("nationkey")

@@ -2173,3 +2173,99 @@ def q387(spark, sf_dir):
         (quantize("cv2", 6) / 1e6).alias("cv2"),
         "demand_class",
     ).orderBy("partkey")
+
+
+# --- q390: masked multi-outlier detection on deseasonalized monthly
+# revenue via generalized-ESD peeling (Rosner 1983; §2.12 outlier tier,
+# src/stats/mod.rs). Seasonality is removed with month-of-year means
+# (bounded 12-group join-back, no window); residuals are rescaled to
+# millions so the quantized second moments stay far inside the int64
+# envelope at any SF (R is scale-invariant). Each peel round recomputes
+# mean/sd over the REMAINING months — the masking-proof property a
+# single-pass z-score lacks. The oracle unrolls the identical three
+# rounds as chained CTEs. -----------------------------------------------------
+def _q390_round(r: int, rem: str) -> str:
+    """One GESD round: stats over `rem`, pick the max-|R| month."""
+    return f"""
+    s{r} AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx
+        FROM {rem}
+    ),
+    d{r} AS (
+        SELECT month, resid, x,
+               ABS(x - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1)) AS r_stat
+        FROM {rem}, s{r}
+    ),
+    p{r} AS (
+        SELECT CAST({r} AS INT) AS peel_round, month, resid, x, r_stat
+        FROM d{r}
+        ORDER BY CAST(SIGN(r_stat) * FLOOR(ABS(r_stat) * 1e9 + 0.5) AS BIGINT) DESC,
+                 month
+        LIMIT 1
+    ),
+    r{r} AS (
+        SELECT * FROM {rem}
+        WHERE month NOT IN (SELECT month FROM p{r})
+    )"""
+
+
+@query(
+    "q390_monthly_gesd_anomalies",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    ),
+    moy AS (
+        SELECT EXTRACT(month FROM month) AS moy,
+               {sql_dsum('revenue')} / COUNT(*) AS moy_mean
+        FROM monthly GROUP BY 1
+    ),
+    r0 AS (
+        SELECT m.month, m.revenue - y.moy_mean AS resid,
+               (m.revenue - y.moy_mean) / 1000000.0 AS x
+        FROM monthly m JOIN moy y ON EXTRACT(month FROM m.month) = y.moy
+    ),
+    {_q390_round(1, 'r0')},
+    {_q390_round(2, 'r1')},
+    {_q390_round(3, 'r2')}
+    SELECT peel_round, month,
+           {sql_quantize('resid', 2)} / 100.0 AS resid,
+           {sql_quantize('r_stat', 6)} / 1000000.0 AS r_stat
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+          UNION ALL SELECT * FROM p3)
+    ORDER BY peel_round
+    """,
+)
+def q390(spark, sf_dir):
+    from pandrs_spark.operators.hypothesis import gesd_outlier_peel
+
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    moy = monthly.groupBy(F.month("month").alias("moy")).agg(
+        (dsum("revenue") / F.count(F.lit(1))).alias("moy_mean")
+    )
+    resid = (
+        monthly.withColumn("moy", F.month("month"))
+        .join(F.broadcast(moy), "moy")
+        .select(
+            "month",
+            (F.col("revenue") - F.col("moy_mean")).alias("resid"),
+            ((F.col("revenue") - F.col("moy_mean")) / 1e6).alias("x"),
+        )
+    )
+    peeled = gesd_outlier_peel(
+        resid.select("month", "resid", F.col("x")), "x", key_cols=["month"], k=3
+    )
+    resid_back = peeled.join(resid.select("month", "resid"), "month")
+    return resid_back.select(
+        "peel_round",
+        "month",
+        (quantize("resid", 2) / 100.0).alias("resid"),
+        (quantize("r_stat", 6) / 1e6).alias("r_stat"),
+    ).orderBy("peel_round")

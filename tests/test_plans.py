@@ -377,6 +377,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q356_seasonal_naive_backtest",  # 12-month lag over the month spine
     "q388_embedding_dimension_energy",  # ranked cum-share over the fixed
     # embedding dimensionality (64 dims) — never data-sized
+    "q389_neyman_allocation",  # largest-remainder ranking over the fixed
+    # 25-nation stratum set
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
