@@ -952,3 +952,53 @@ def q358(spark, sf_dir):
             6,
         ).alias("weighted_reciprocity"),
     )
+
+
+# --- q392: k-truss decomposition (k=4) of the strong trade graph —
+# the edge-support analogue of q230's k-core (operators/graph.py:
+# k_truss; Cohen 2008). 4 synchronous peel rounds (>= peel depth), the
+# oracle unrolls the identical rounds as MATERIALIZED CTEs, and BOTH
+# sides emit an in-gate convergence certificate (last round removed no
+# edge), so the fixed-round form is verified to be the fixpoint, not
+# assumed. ------------------------------------------------------------------
+def _truss_oracle(k: int = 4, rounds: int = 8) -> str:
+    parts = [
+        "e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM und WHERE src < dst)"
+    ]
+    for r in range(rounds + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT u, v FROM e{r} "
+            f"UNION ALL SELECT v AS u, u AS v FROM e{r})"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT e.u, e.v, COUNT(*) AS sup "
+            f"FROM e{r} e JOIN a{r} n1 ON n1.u = e.u "
+            f"JOIN a{r} n2 ON n2.u = e.v AND n2.v = n1.v "
+            f"GROUP BY e.u, e.v)"
+        )
+        if r < rounds:
+            parts.append(
+                f"e{r + 1} AS MATERIALIZED "
+                f"(SELECT u, v FROM s{r} WHERE sup >= {k - 2})"
+            )
+    return (
+        f"WITH {_STRONG},\n"
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT u, v, CAST(sup AS BIGINT) AS support,
+           (SELECT COUNT(*) FROM e{rounds - 1}) = (SELECT COUNT(*) FROM e{rounds})
+               AS converged
+    FROM s{rounds} WHERE sup >= {k - 2} ORDER BY u, v
+    """
+    )
+
+
+@query("q392_ktruss_strong_trade", oracle=_truss_oracle(4, 4))
+def q392(spark, sf_dir):
+    from pandrs_spark.operators.graph import k_truss
+
+    edges = _strong_edges(spark, sf_dir)
+    out = k_truss(edges, k=4, n_iter=4, emit_convergence=True)
+    return out.select(
+        "u", "v", F.col("support").cast("long").alias("support"), "converged"
+    ).orderBy("u", "v")

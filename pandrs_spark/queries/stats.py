@@ -1630,3 +1630,122 @@ def q389(spark, sf_dir):
         .cast("long")
         .alias("alloc_proportional"),
     ).orderBy("nationkey")
+
+
+# --- q391: approx-quantile sketch ERROR CERTIFICATE (§2.4 quantile
+# family; reference computes exact quantiles in memory,
+# src/stats/mod.rs — at 100 TB the production path is a mergeable
+# sketch, so what must be verified is the sketch's rank-error bound).
+# Spark's percentile_approx (Greenwald-Khanna, accuracy A=10000
+# ⇒ rank error ≤ n/A) is checked IN-GATE against exact type-1
+# quantiles computed from the distinct-value histogram with
+# global_prefix_counts (no partitionless window): the sketch value at
+# level p must lie between the exact order statistics at ranks
+# k_p ∓ (n//A + 1). The oracle pins the invariant (within_bound=TRUE)
+# and independently recomputes the exact quantiles — the
+# MLlib-tier "invariant-pinned oracle" pattern, because GK internals
+# are not SQL-reachable. All rank arithmetic is integer-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q391_quantile_sketch_certificate",
+    oracle="""
+    WITH hist AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v, COUNT(*) AS c
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    cumh AS (
+        SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM hist
+    ),
+    ranks AS (
+        SELECT g.i, w.which,
+               CASE w.which
+                   WHEN 'exact' THEN (g.i * t.n + 9) // 10
+                   WHEN 'lo' THEN GREATEST(
+                       (g.i * t.n + 9) // 10 - (t.n // 10000 + 1), 1)
+                   ELSE LEAST(
+                       (g.i * t.n + 9) // 10 + (t.n // 10000 + 1), t.n)
+               END AS k
+        FROM generate_series(1, 9) g(i), tot t,
+             (VALUES ('exact'), ('lo'), ('hi')) w(which)
+    ),
+    matched AS (
+        SELECT r.i, r.which, MIN(h.v) AS qv
+        FROM ranks r JOIN cumh h
+          ON h.cum - h.c < r.k AND r.k <= h.cum
+        GROUP BY r.i, r.which
+    )
+    SELECT i / 10.0 AS level,
+           MIN(CASE WHEN which = 'exact' THEN qv END) AS exact_q,
+           TRUE AS within_bound
+    FROM matched
+    GROUP BY i
+    ORDER BY level
+    """,
+)
+def q391(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    hist = orders.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cumh = global_prefix_counts(hist, [F.col("v")], {"cum": "c"})
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    levels = spark.range(1, 10).select(F.col("id").cast("int").alias("i"))
+    k = F.expr("(i * n + 9) div 10")
+    t = F.expr("n div 10000 + 1")
+    ranks = (
+        levels.crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("exact").alias("which"), k.alias("k")),
+                    F.struct(
+                        F.lit("lo").alias("which"),
+                        F.greatest(k - t, F.lit(1).cast("long")).alias("k"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("which"),
+                        F.least(k + t, F.col("n")).alias("k"),
+                    ),
+                )
+            ).alias("wk"),
+        )
+        .select("i", F.col("wk.which").alias("which"), F.col("wk.k").alias("k"))
+    )
+    matched = (
+        cumh.join(
+            F.broadcast(ranks),
+            (F.col("cum") - F.col("c") < F.col("k")) & (F.col("k") <= F.col("cum")),
+        )
+        .groupBy("i")
+        .agg(
+            F.min(F.when(F.col("which") == "exact", F.col("v"))).alias("exact_q"),
+            F.min(F.when(F.col("which") == "lo", F.col("v"))).alias("lo_v"),
+            F.min(F.when(F.col("which") == "hi", F.col("v"))).alias("hi_v"),
+        )
+    )
+    approx = (
+        T(spark, sf_dir, "orders")
+        .agg(
+            F.percentile_approx(
+                F.col("o_totalprice").cast("double"),
+                F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+                F.lit(10000),
+            ).alias("apx")
+        )
+        .select(F.posexplode("apx").alias("pos", "approx_v"))
+        .select((F.col("pos") + 1).alias("i"), "approx_v")
+    )
+    out = matched.join(F.broadcast(approx), "i").select(
+        (F.col("i") / 10.0).alias("level"),
+        "exact_q",
+        (
+            (F.col("approx_v") >= F.col("lo_v"))
+            & (F.col("approx_v") <= F.col("hi_v"))
+        ).alias("within_bound"),
+    )
+    return out.orderBy("level")
