@@ -2993,3 +2993,86 @@ def q372(spark, sf_dir):
         )
         .orderBy("day_start", "tier")
     )
+
+
+# --- q393: streaming per-user EWMA control-chart anomalies — a REAL
+# availableNow micro-batch run through applyInPandasWithState
+# (streaming/windows.py:stateful_ewma_anomaly). The oracle folds the
+# IDENTICAL [mean, var, n, anomalies] state machine per user with
+# DuckDB list_reduce over the (ts, event_id)-ordered value list, so
+# the O(1)-state recursion itself is inside the hash gate (the q82 /
+# q386 pattern applied to streaming state). ----------------------------------
+@query(
+    "q393_streaming_ewma_anomalies",
+    oracle="""
+    WITH ser AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+        FROM events WHERE user_id % 10 = 3
+        GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id, len(xs) AS n_events,
+               list_reduce(
+                   list_prepend([0.0, 0.0, 0.0, 0.0],
+                                list_transform(xs, x -> [x])),
+                   (acc, e) -> CASE
+                       WHEN acc[3] = 0 THEN [e[1], 0.0, 1.0, 0.0]
+                       ELSE [
+                           0.2 * e[1] + (1.0 - 0.2) * acc[1],
+                           (1.0 - 0.2) * (acc[2]
+                               + 0.2 * (e[1] - acc[1]) * (e[1] - acc[1])),
+                           acc[3] + 1.0,
+                           acc[4] + CASE WHEN acc[3] >= 5
+                                          AND ABS(e[1] - acc[1])
+                                              > 3.0 * SQRT(acc[2])
+                                         THEN 1.0 ELSE 0.0 END
+                       ]
+                   END
+               ) AS st
+        FROM ser
+    )
+    SELECT user_id, n_events,
+           CAST(SIGN(st[1]) * FLOOR(ABS(st[1]) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ewma,
+           CAST(SIGN(SQRT(st[2])) * FLOOR(ABS(SQRT(st[2])) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ew_std,
+           CAST(st[4] AS BIGINT) AS n_anomalies
+    FROM folded
+    ORDER BY user_id
+    """,
+)
+def q393(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.streaming.windows import (
+        stateful_ewma_anomaly,
+        stream_to_memory,
+    )
+
+    _, sdf = _events_static_and_stream(spark, sf_dir)
+    det = stateful_ewma_anomaly(
+        sdf.filter(F.col("user_id") % 10 == 3),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_col="event_id",
+        alpha=0.2,
+        z_thresh=3.0,
+        warmup=5,
+    )
+    sink = "q393_stream_sink"
+    q = stream_to_memory(det, sink, output_mode="update")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q393 streaming query did not finish in 300s")
+    final = spark.table(sink).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(ewma, n_events)").alias("__ewma__"),
+        F.expr("max_by(ew_std, n_events)").alias("__ew_std__"),
+        F.expr("max_by(n_anomalies, n_events)").alias("n_anomalies"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        (quantize("__ewma__", 6) / 1e6).alias("ewma"),
+        (quantize("__ew_std__", 6) / 1e6).alias("ew_std"),
+        "n_anomalies",
+    ).orderBy("user_id")

@@ -24,6 +24,7 @@ __all__ = [
     "stream_stream_interval_join",
     "incremental_aggregate_sink",
     "stateful_drawdown",
+    "stateful_ewma_anomaly",
     "tumbling",
     "sliding",
     "session",
@@ -697,4 +698,79 @@ def stream_to_files(
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_ewma_anomaly(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    alpha: float = 0.2,
+    z_thresh: float = 3.0,
+    warmup: int = 5,
+):
+    """Per-key streaming EWMA anomaly detector as a custom stateful
+    operator (SURVEY §2.10 custom state; composes the reference's EWM
+    recursion src/series/window.rs:35 with streaming control-chart
+    monitoring). State per key is O(1): the exponentially-weighted
+    mean/variance (adjust=False West form)
+
+        m_t = a*x_t + (1-a)*m_{t-1}            (m_1 = x_1)
+        v_t = (1-a) * (v_{t-1} + a*(x_t - m_{t-1})^2)   (v_1 = 0)
+
+    and an observation counter. A point is anomalous when its
+    deviation from the PRIOR state exceeds ``z_thresh`` prior EW
+    standard deviations, after ``warmup`` observations — the
+    prior-state form keeps a genuine outlier from masking itself by
+    inflating the variance it is judged against.
+
+    Emits (key, n_events, ewma, ew_std, n_anomalies) per micro-batch
+    in update mode; ``n_events`` is monotone, so the final state per
+    key is the max_by(n_events) row. Each batch slice is sorted by
+    (ts, order) before folding — deterministic for in-order sources,
+    arrival-order across batches (standard streaming fold semantics).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            m, v, n, anom = state.get
+        else:
+            m, v, n, anom = 0.0, 0.0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, order_col])
+            for x in pdf[value_col].astype(float):
+                if n == 0:
+                    m, v = x, 0.0
+                else:
+                    dev = x - m
+                    if n >= warmup and abs(dev) > z_thresh * (v**0.5):
+                        anom += 1
+                    m = alpha * x + (1.0 - alpha) * m
+                    v = (1.0 - alpha) * (v + alpha * dev * dev)
+                n += 1
+        state.update((float(m), float(v), int(n), int(anom)))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "ewma": [m],
+                "ew_std": [v**0.5],
+                "n_anomalies": [anom],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=(
+            f"{key_col} long, n_events long, ewma double, "
+            "ew_std double, n_anomalies long"
+        ),
+        stateStructType="m double, v double, n long, anom long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

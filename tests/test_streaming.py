@@ -749,3 +749,55 @@ def test_checkpoint_restart_exactly_once_file_sink(spark, tmp_path):
     assert both.count() == 50 + 30
     # no duplicates: every id exactly once
     assert both.select("id").distinct().count() == 80
+
+
+def test_stateful_ewma_anomaly_matches_batch_fold(spark, tmp_path):
+    """Pin the EWMA-anomaly state machine against an independent
+    Python fold: a constant series with one injected spike must flag
+    exactly that spike, and the final (ewma, ew_std) must equal the
+    adjust=False West recursion."""
+    import datetime as dt
+
+    from pandrs_spark.streaming.windows import (
+        stateful_ewma_anomaly,
+        stream_from_directory,
+        stream_to_memory,
+    )
+
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.1, 50.0, 10.0, 9.9]
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, i), 1, i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    schema = "ts timestamp, key long, ord long, v double"
+    d = str(tmp_path / "ewma_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    src = stream_from_directory(spark, d, schema)
+    out = stateful_ewma_anomaly(
+        src, "key", "ts", "v", "ord", alpha=0.2, z_thresh=3.0, warmup=5
+    )
+    q = stream_to_memory(out, "t_ewma_anom", output_mode="update")
+    q.awaitTermination(180)
+    got = (
+        spark.table("t_ewma_anom")
+        .orderBy("n_events", ascending=False)
+        .limit(1)
+        .collect()[0]
+    )
+
+    m = v = None
+    n = anom = 0
+    for x in vals:
+        if n == 0:
+            m, v = x, 0.0
+        else:
+            dev = x - m
+            if n >= 5 and abs(dev) > 3.0 * v**0.5:
+                anom += 1
+            m = 0.2 * x + 0.8 * m
+            v = 0.8 * (v + 0.2 * dev * dev)
+        n += 1
+    assert got["n_events"] == len(vals)
+    assert got["n_anomalies"] == 1 == anom
+    assert abs(got["ewma"] - m) < 1e-12
+    assert abs(got["ew_std"] - v**0.5) < 1e-12
