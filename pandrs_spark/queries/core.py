@@ -3217,3 +3217,75 @@ def q383(spark, sf_dir):
             "files_match_target"
         ),
     )
+
+
+# --- q394: manifest-based snapshot TIME TRAVEL in-gate — three commits
+# (append, append, overwrite) against a scratch versioned table, then
+# every historical version read back THROUGH ITS MANIFEST and
+# aggregated. The oracle recomputes each snapshot's expected rows and
+# revenue straight from orders with the same predicates, so snapshot
+# isolation (v1 unchanged after later commits, overwrite replacing the
+# live set) is value-verified, not just invariant-pinned.
+# sources/io.py:commit_table_version/read_table_version. ---------------------
+@query(
+    "q394_snapshot_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT 1 AS version, COUNT(*) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+    ),
+    v2 AS (
+        SELECT 2 AS version, COUNT(*) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    ),
+    v3 AS (
+        SELECT 3 AS version, COUNT(*) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT version, CAST(n_rows AS BIGINT) AS n_rows, revenue
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+          UNION ALL SELECT * FROM v3)
+    ORDER BY version
+    """,
+)
+def q394(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pandrs_spark.sources.io import (
+        commit_table_version,
+        read_table_version,
+    )
+
+    od = T(spark, sf_dir, "orders")
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"pandrs_tt_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    commit_table_version(
+        spark, od.filter(F.col("o_orderdate") < "1995-01-01"), tdir, "append"
+    )
+    commit_table_version(
+        spark, od.filter(F.col("o_orderdate") >= "1995-01-01"), tdir, "append"
+    )
+    commit_table_version(
+        spark, od.filter(F.col("o_orderstatus") == "F"), tdir, "overwrite"
+    )
+    snaps = []
+    for v in (1, 2, 3):
+        snap = read_table_version(spark, tdir, v)
+        snaps.append(
+            snap.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")

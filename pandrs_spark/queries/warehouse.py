@@ -3855,3 +3855,68 @@ def q385(spark, sf_dir):
 
     od = T(spark, sf_dir, "orders")
     return skew_report(od, "o_orderpriority", top_k=10, ref_parallelism=32)
+
+
+# --- q395: differentially-private noisy counts via the Laplace
+# mechanism with a SEEDED inverse-CDF draw (privacy tier beside q381's
+# k-anonymity audit; Dwork et al. 2006). Counting queries have L1
+# sensitivity 1, so noise ~ Laplace(1/eps). The "randomness" is the
+# md5-hash-derived uniform u = int(md5(key)[:8]) / 2^32 — the same
+# deterministic-salt idiom the repo uses for splits/arms — pushed
+# through the exact Laplace inverse CDF, so BOTH engines draw the
+# identical noise and the mechanism's full plumbing (sensitivity,
+# scale, inverse CDF) sits inside the hash gate. A production run
+# swaps the seed-hash for a CSPRNG; everything else is unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "q395_dp_noisy_priority_counts",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority AS priority, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    seeded AS (
+        SELECT priority, n,
+               CAST(('0x' || substr(md5(priority), 1, 8)) AS BIGINT)
+                   / 4294967296.0 - 0.5 AS c
+        FROM counts
+    ),
+    noised AS (
+        SELECT priority, n,
+               CAST(n AS DOUBLE)
+               - 1.0 * SIGN(c) * LN(1.0 - 2.0 * ABS(c)) AS noisy_n
+        FROM seeded
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n,
+           CAST(SIGN(noisy_n) * FLOOR(ABS(noisy_n) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS noisy_n,
+           1.0 AS epsilon
+    FROM noised
+    ORDER BY priority
+    """,
+)
+def q395(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = (
+        F.expr("cast(conv(substr(md5(priority), 1, 8), 16, 10) as bigint)")
+        / F.lit(4294967296.0)
+        - 0.5
+    )
+    noisy = counts.withColumn("__c__", c).withColumn(
+        "noisy_n",
+        F.col("n").cast("double")
+        - F.lit(1.0)
+        * F.signum("__c__")
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("__c__"))),
+    )
+    return noisy.select(
+        "priority",
+        F.col("n").cast("long").alias("n"),
+        (quantize("noisy_n", 6) / 1e6).alias("noisy_n"),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("priority")

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "read_csv",
+    "commit_table_version",
+    "read_table_version",
     "write_csv",
     "read_json",
     "write_json",
@@ -622,3 +624,74 @@ def compact_files(
         "bytes_before": total,
         "files_after": len(after),
     }
+
+
+def commit_table_version(
+    spark,
+    df,
+    table_dir: str,
+    mode: str = "append",
+    fmt: str = "parquet",
+) -> int:
+    """Manifest-based snapshot commit — the minimal lakehouse
+    time-travel shape (Delta/Iceberg transaction-log semantics;
+    reference's versioned-write surface around src/io/parquet.rs is
+    the behavioral spec). Each commit writes its data files into a
+    PRIVATE subdirectory ``data/commit-N/`` and then records the full
+    LIVE file list in ``_versions/vN.json``:
+
+    - ``append``  — previous version's live files + this commit's
+    - ``overwrite`` — this commit's files only
+
+    Readers resolve a manifest, never a directory listing, so commits
+    are atomic-by-last-write and old snapshots stay readable (data
+    files are immutable; nothing is deleted). Returns the new version
+    number. Scale: the manifest holds file paths only — O(files), not
+    O(rows) — and the data write is an ordinary distributed write.
+    """
+    import json
+    import os
+
+    vdir = os.path.join(table_dir, "_versions")
+    os.makedirs(vdir, exist_ok=True)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    new_v = (versions[-1] + 1) if versions else 1
+    commit_dir = os.path.join(table_dir, "data", f"commit-{new_v}")
+    df.write.format(fmt).mode("errorifexists").save(commit_dir)
+    new_files = [p for p, _ in list_data_files(spark, commit_dir)]
+    if mode == "append" and versions:
+        with open(os.path.join(vdir, f"v{versions[-1]}.json")) as fh:
+            prev = json.load(fh)["files"]
+    elif mode in ("append", "overwrite"):
+        prev = []
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    live = (prev + new_files) if mode == "append" else new_files
+    with open(os.path.join(vdir, f"v{new_v}.json"), "w") as fh:
+        json.dump({"version": new_v, "mode": mode, "files": live}, fh)
+    return new_v
+
+
+def read_table_version(spark, table_dir: str, version: int | None = None, fmt: str = "parquet"):
+    """Snapshot read of a :func:`commit_table_version` table: resolve
+    the requested (or latest) manifest and scan exactly its live file
+    set. Time travel = pass an older version number."""
+    import json
+    import os
+
+    vdir = os.path.join(table_dir, "_versions")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if not versions:
+        raise FileNotFoundError(f"no versions committed under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    with open(os.path.join(vdir, f"v{v}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.format(fmt).load(manifest["files"])
