@@ -3076,3 +3076,74 @@ def q393(spark, sf_dir):
         (quantize("__ew_std__", 6) / 1e6).alias("ew_std"),
         "n_anomalies",
     ).orderBy("user_id")
+
+
+# --- q396: gaps-and-islands — per-user consecutive purchase-day
+# streaks via the anchor-date trick (day − per-user row_number is
+# constant within an island). Windows are PARTITIONED BY user, so the
+# pattern holds at any user cardinality; a 100 TB events table
+# shuffles once on user_id and every streak computation stays local.
+# (§2.5 window family; the sessionization cousin of q288.) -------------------
+@query(
+    "q396_purchase_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS dday
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT user_id, dday,
+               CAST(dday AS DATE)
+               - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dday)
+                      AS INT) AS anchor
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, anchor, COUNT(*) AS len, MIN(dday) AS streak_start
+        FROM g GROUP BY 1, 2
+    ),
+    m AS (SELECT user_id, MAX(len) AS longest FROM s GROUP BY 1)
+    SELECT s.user_id,
+           CAST(SUM(s.len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MIN(m.longest) AS BIGINT) AS longest_streak,
+           CAST(MIN(CASE WHEN s.len = m.longest THEN s.streak_start END)
+                AS TIMESTAMP) AS longest_streak_start
+    FROM s JOIN m ON s.user_id = m.user_id
+    GROUP BY s.user_id
+    ORDER BY s.user_id
+    """,
+)
+def q396(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("dday"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dday")
+    g = d.withColumn(
+        "anchor",
+        F.date_sub(F.col("dday").cast("date"), F.row_number().over(w)),
+    )
+    s = g.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("dday").alias("streak_start")
+    )
+    m = s.groupBy("user_id").agg(F.max("len").alias("longest"))
+    return (
+        s.join(m, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.min("longest").cast("long").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("longest"), F.col("streak_start"))
+            )
+            .cast("timestamp")
+            .alias("longest_streak_start"),
+        )
+        .orderBy("user_id")
+    )
