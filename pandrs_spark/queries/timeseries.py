@@ -2061,17 +2061,26 @@ def q382(spark, sf_dir):
     """,
 )
 def q386(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 131 == 7)
-    monthly = li.groupBy(
-        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
-    ).agg(dsum("l_quantity", 6).alias("qty"))
+    # monthly feeds three consumers (bounds, the part list, the left
+    # join) — persist the tiny aggregate so lineitem scans ONCE
+    monthly = tracked_persist(
+        li.groupBy(
+            "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+        ).agg(dsum("l_quantity", 6).alias("qty"))
+    )
     bounds = monthly.agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
     spine = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("month")
     )
     parts = monthly.select("l_partkey").distinct()
     # calendar spine is bounded (~83 months) — broadcast scalar-carry
-    grid = (
+    # the gap-filled grid is series-count x spine-months — small — and
+    # feeds a per-series shuffle + fold; persisting it keeps the
+    # broadcast-subquery lineage from re-running inside the fold job
+    grid = tracked_persist(
         parts.join(F.broadcast(spine))
         .join(monthly, ["l_partkey", "month"], "left")
         .withColumn("qty", F.coalesce(F.col("qty").cast("double"), F.lit(0.0)))
@@ -2150,16 +2159,20 @@ def q386(spark, sf_dir):
     """,
 )
 def q387(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 13 == 7)
-    monthly = li.groupBy(
-        "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
-    ).agg(dsum("l_quantity", 6).alias("qty"))
+    monthly = tracked_persist(
+        li.groupBy(
+            "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+        ).agg(dsum("l_quantity", 6).alias("qty"))
+    )
     bounds = monthly.agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
     spine = bounds.select(
         F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("month")
     )
     parts = monthly.select("l_partkey").distinct()
-    grid = (
+    grid = tracked_persist(
         parts.join(F.broadcast(spine))
         .join(monthly, ["l_partkey", "month"], "left")
         .withColumn("qty", F.coalesce(F.col("qty").cast("double"), F.lit(0.0)))
