@@ -34,6 +34,7 @@ __all__ = [
     "bocpd_changepoints",
     "clamped_cumsum",
     "croston_forecast",
+    "tsb_forecast",
     "sbc_demand_classification",
 ]
 
@@ -1083,3 +1084,73 @@ def sbc_demand_classification(
         )
         .drop("__mean_nz__", "__var_nz__")
     )
+
+
+def tsb_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Teunter-Syntetos-Babai intermittent-demand forecast (TSB 2011;
+    composes the reference's SES recursion like :func:`croston_forecast`).
+    Unlike Croston, the demand PROBABILITY updates EVERY period — so the
+    forecast decays toward zero through dead periods, handling
+    obsolescence Croston structurally cannot:
+
+        p_t = b*1{x_t>0} + (1-b)*p_{t-1}      (every period)
+        z_t = a*x_t + (1-a)*z_{t-1}           (demand periods only)
+        forecast_t = p_t * z_t
+
+    Initialisation at the first demand x at period i: z = x,
+    p = 1/i; earlier periods carry no state. One row out per series
+    (final state); per-series applyInPandas fold, horizontally
+    scalable exactly like Croston."""
+    order_cols = list(order_by)
+    part_cols = list(partition_by)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in part_cols
+    )
+    schema = (
+        key_fields + ", n_periods long, n_nonzero long, "
+        "tsb_prob double, tsb_size double, tsb_fc double"
+    )
+
+    def _tsb(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = pdf[value_col].to_numpy(dtype=float)
+        z = p = None
+        i = 0.0
+        n_nonzero = 0
+        for x in xs:
+            i += 1.0
+            if z is None:
+                if x > 0:
+                    n_nonzero += 1
+                    z, p = float(x), 1.0 / i
+            else:
+                if x > 0:
+                    n_nonzero += 1
+                    p = beta * 1.0 + (1.0 - beta) * p
+                    z = alpha * x + (1.0 - alpha) * z
+                else:
+                    p = beta * 0.0 + (1.0 - beta) * p
+        row = {c: [pdf[c].iloc[0]] for c in part_cols}
+        row.update(
+            {
+                "n_periods": [len(xs)],
+                "n_nonzero": [n_nonzero],
+                "tsb_prob": [p],
+                "tsb_size": [z],
+                "tsb_fc": [None if z is None else p * z],
+            }
+        )
+        return pd.DataFrame(row)
+
+    return df.groupBy(*part_cols).applyInPandas(_tsb, schema=schema)

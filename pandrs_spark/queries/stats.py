@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T, register_views
-from pandrs_spark.functions.deterministic import dsum, sql_dsum
+from pandrs_spark.functions.deterministic import dsum, sql_dsum, sql_quantize
 from pandrs_spark.queries import query
 
 
@@ -1749,3 +1749,88 @@ def q391(spark, sf_dir):
         ).alias("within_bound"),
     )
     return out.orderBy("level")
+
+
+# --- q398: post-stratification estimator (survey-sampling tier beside
+# q389 Neyman). A deterministic md5-split "sample" (25% of customers)
+# estimates mean account balance two ways: the naive sample mean, and
+# the post-stratified mean Σ (N_h/N)·x̄_h with POPULATION stratum
+# weights from the full table — the standard correction when the
+# sample's stratum mix drifts from the population's. All moments from
+# quantized exact sums; the stratum fold is a 5-segment aggregate. ----------
+@query(
+    "q398_poststratified_mean",
+    oracle=f"""
+    WITH pop AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS n_pop
+        FROM customer GROUP BY 1
+    ),
+    samp AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS n_samp,
+               {sql_dsum('c_acctbal')} AS s_bal
+        FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'
+        GROUP BY 1
+    ),
+    strata AS (
+        SELECT p.seg, p.n_pop, s.n_samp,
+               CAST(p.n_pop AS DOUBLE) * (s.s_bal / s.n_samp) AS contrib
+        FROM pop p JOIN samp s ON p.seg = s.seg
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pop) AS BIGINT) AS n_pop_total,
+               CAST(SUM(n_samp) AS BIGINT) AS n_samp_total,
+               CAST(SUM({sql_quantize('contrib', 2)}) AS BIGINT) / 100.0
+                   AS contrib_total
+        FROM strata
+    ),
+    naive AS (
+        SELECT {sql_dsum('c_acctbal')} / COUNT(*) AS naive_mean
+        FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'
+    )
+    SELECT t.n_pop_total AS n_pop, t.n_samp_total AS n_sample,
+           {sql_quantize('n.naive_mean', 6)} / 1000000.0 AS naive_mean,
+           {sql_quantize('t.contrib_total / t.n_pop_total', 6)} / 1000000.0
+               AS poststrat_mean
+    FROM tot t, naive n
+    """,
+)
+def q398(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    in_sample = F.expr("substr(md5(cast(c_custkey as string)), 1, 1) < '4'")
+    pop = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n_pop")
+    )
+    samp = (
+        cust.filter(in_sample)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samp"),
+            dsum("c_acctbal").alias("s_bal"),
+        )
+    )
+    strata = pop.join(samp, "seg").withColumn(
+        "contrib",
+        F.col("n_pop").cast("double") * (F.col("s_bal") / F.col("n_samp")),
+    )
+    tot = strata.agg(
+        F.sum("n_pop").cast("long").alias("n_pop_total"),
+        F.sum("n_samp").cast("long").alias("n_samp_total"),
+        (F.sum(quantize("contrib", 2)).cast("long") / 100.0).alias(
+            "contrib_total"
+        ),
+    )
+    naive = cust.filter(in_sample).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("naive_mean")
+    )
+    return tot.crossJoin(F.broadcast(naive)).select(
+        F.col("n_pop_total").alias("n_pop"),
+        F.col("n_samp_total").alias("n_sample"),
+        (quantize("naive_mean", 6) / 1e6).alias("naive_mean"),
+        (quantize(F.col("contrib_total") / F.col("n_pop_total"), 6) / 1e6).alias(
+            "poststrat_mean"
+        ),
+    )

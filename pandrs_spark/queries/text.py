@@ -3223,3 +3223,73 @@ def q375(spark, sf_dir):
         .orderBy(F.desc("lift"), "bigram")
         .limit(20)
     )
+
+
+# --- q399: capture-recapture (Lincoln-Petersen / Chapman) corpus-size
+# estimation — the dedup-pipeline trick for estimating TRUE distinct
+# documents without a full global dedup: two deterministic md5-salted
+# "capture passes" over content fingerprints; the overlap rate
+# calibrates the estimate. At 100 TB each pass is a map-only filter on
+# the fingerprint (no shuffle beyond the distinct), so the estimate
+# costs two cheap scans instead of one giant groupBy. The gate also
+# carries the exact distinct count, so the estimator's plumbing AND
+# its ground truth sit in one row. -------------------------------------------
+@query(
+    "q399_capture_recapture_corpus",
+    oracle="""
+    WITH fp AS (SELECT DISTINCT md5(text) AS f FROM documents),
+    marks AS (
+        SELECT f,
+               substr(md5(f || 'A'), 1, 1) < '8' AS in_a,
+               substr(md5(f || 'B'), 1, 1) < '8' AS in_b
+        FROM fp
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_distinct,
+               CAST(COUNT(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN in_b THEN 1 END) AS BIGINT) AS n_b,
+               CAST(COUNT(CASE WHEN in_a AND in_b THEN 1 END) AS BIGINT)
+                   AS n_both
+        FROM marks
+    )
+    SELECT n_a, n_b, n_both, true_distinct,
+           CAST(SIGN(CAST(n_a AS DOUBLE) * n_b / n_both)
+                * FLOOR(ABS(CAST(n_a AS DOUBLE) * n_b / n_both) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS lp_estimate,
+           CAST(SIGN((CAST(n_a AS DOUBLE) + 1) * (n_b + 1) / (n_both + 1) - 1)
+                * FLOOR(ABS((CAST(n_a AS DOUBLE) + 1) * (n_b + 1) / (n_both + 1) - 1)
+                        * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS chapman_estimate
+    FROM agg
+    """,
+)
+def q399(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("f")).distinct()
+    marks = fp.select(
+        "f",
+        (F.expr("substr(md5(f || 'A'), 1, 1)") < "8").alias("in_a"),
+        (F.expr("substr(md5(f || 'B'), 1, 1)") < "8").alias("in_b"),
+    )
+    agg = marks.agg(
+        F.count(F.lit(1)).cast("long").alias("true_distinct"),
+        F.count(F.when(F.col("in_a"), 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("in_b"), 1)).cast("long").alias("n_b"),
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1))
+        .cast("long")
+        .alias("n_both"),
+    )
+    lp = F.col("n_a").cast("double") * F.col("n_b") / F.col("n_both")
+    chapman = (F.col("n_a").cast("double") + 1) * (F.col("n_b") + 1) / (
+        F.col("n_both") + 1
+    ) - 1
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "true_distinct",
+        (quantize(lp, 6) / 1e6).alias("lp_estimate"),
+        (quantize(chapman, 6) / 1e6).alias("chapman_estimate"),
+    )

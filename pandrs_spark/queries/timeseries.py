@@ -2282,3 +2282,102 @@ def q390(spark, sf_dir):
         (quantize("resid", 2) / 100.0).alias("resid"),
         (quantize("r_stat", 6) / 1e6).alias("r_stat"),
     ).orderBy("peel_round")
+
+
+# --- q397: TSB intermittent-demand forecast (Teunter-Syntetos-Babai
+# 2011) on the same gap-filled spine as q386 — the obsolescence-aware
+# complement to Croston: the demand probability decays through EVERY
+# zero period, so a part that stops selling sees its forecast go to
+# zero (Croston's freezes). Oracle folds the identical
+# [size, prob, period, started] state machine in list_reduce. ----------------
+@query(
+    "q397_tsb_intermittent_demand",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+               {sql_dsum('l_quantity', 6)} AS qty
+        FROM lineitem WHERE l_partkey % 131 = 7 GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(month) AS mn, MAX(month) AS mx FROM d),
+    spine AS (
+        SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+        FROM b
+    ),
+    parts AS (SELECT DISTINCT l_partkey FROM d),
+    grid AS (
+        SELECT p.l_partkey, s.month, COALESCE(d.qty, 0.0) AS qty
+        FROM parts p CROSS JOIN spine s
+        LEFT JOIN d ON d.l_partkey = p.l_partkey AND d.month = s.month
+    ),
+    ser AS (
+        SELECT l_partkey, list(CAST(qty AS DOUBLE) ORDER BY month) AS xs
+        FROM grid GROUP BY 1
+    ),
+    folded AS (
+        SELECT l_partkey,
+               len(xs) AS n_periods,
+               len(list_filter(xs, x -> x > 0)) AS n_nonzero,
+               list_reduce(
+                   list_prepend([0.0, 0.0, 0.0, 0.0],
+                                list_transform(xs, x -> [x])),
+                   (acc, e) -> CASE
+                       WHEN acc[4] = 0 AND e[1] > 0
+                           THEN [e[1], 1.0 / (acc[3] + 1.0),
+                                 acc[3] + 1.0, 1.0]
+                       WHEN acc[4] = 0
+                           THEN [acc[1], acc[2], acc[3] + 1.0, 0.0]
+                       WHEN e[1] > 0
+                           THEN [0.3 * e[1] + (1.0 - 0.3) * acc[1],
+                                 0.1 * 1.0 + (1.0 - 0.1) * acc[2],
+                                 acc[3] + 1.0, 1.0]
+                       ELSE [acc[1],
+                             0.1 * 0.0 + (1.0 - 0.1) * acc[2],
+                             acc[3] + 1.0, 1.0]
+                   END
+               ) AS st
+        FROM ser
+    )
+    SELECT l_partkey AS partkey, n_periods, n_nonzero,
+           {sql_quantize('st[2]', 6)} / 1000000.0 AS tsb_prob,
+           {sql_quantize('st[1]', 6)} / 1000000.0 AS tsb_size,
+           {sql_quantize('st[2] * st[1]', 6)} / 1000000.0 AS tsb_fc
+    FROM folded
+    ORDER BY partkey
+    """,
+)
+def q397(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import tsb_forecast
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 131 == 7)
+    monthly = tracked_persist(
+        li.groupBy(
+            "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+        ).agg(dsum("l_quantity", 6).alias("qty"))
+    )
+    bounds = monthly.agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("month")
+    )
+    parts = monthly.select("l_partkey").distinct()
+    grid = tracked_persist(
+        parts.join(F.broadcast(spine))
+        .join(monthly, ["l_partkey", "month"], "left")
+        .withColumn("qty", F.coalesce(F.col("qty").cast("double"), F.lit(0.0)))
+    )
+    out = tsb_forecast(
+        grid,
+        "qty",
+        order_by=["month"],
+        partition_by=["l_partkey"],
+        alpha=0.3,
+        beta=0.1,
+    )
+    return out.select(
+        F.col("l_partkey").alias("partkey"),
+        "n_periods",
+        "n_nonzero",
+        (quantize("tsb_prob", 6) / 1e6).alias("tsb_prob"),
+        (quantize("tsb_size", 6) / 1e6).alias("tsb_size"),
+        (quantize("tsb_fc", 6) / 1e6).alias("tsb_fc"),
+    ).orderBy("partkey")

@@ -84,3 +84,50 @@ def test_sbc_quadrants(spark):
     assert got["smooth"]["cv2"] == pytest.approx(0.0)
     assert got["lumpy"]["demand_class"] == "lumpy"
     assert got["lumpy"]["adi"] == pytest.approx(4.0)
+
+
+def test_tsb_decays_through_dead_tail(spark):
+    """TSB's obsolescence property: after a long dead tail, TSB's
+    forecast is far below Croston's frozen one."""
+    from pandrs_spark.operators.timeseries import (
+        croston_forecast,
+        tsb_forecast,
+    )
+
+    xs = [5.0, 5.0, 5.0, 5.0] + [0.0] * 20
+    df = _series_df(spark, xs)
+    tsb = tsb_forecast(
+        df, "qty", order_by=["t"], partition_by=["k"], alpha=0.3, beta=0.1
+    ).collect()[0]
+    cro = croston_forecast(
+        df, "qty", order_by=["t"], partition_by=["k"], alpha=0.3
+    ).collect()[0]
+    assert cro["croston_fc"] == pytest.approx(5.0)  # frozen at last state
+    assert tsb["tsb_fc"] < 0.8  # probability decayed ~0.9^20
+    assert tsb["tsb_prob"] == pytest.approx(1.0 * 0.9**20, rel=1e-9)
+
+
+def test_tsb_reference_recursion(spark):
+    xs = [0.0, 4.0, 0.0, 0.0, 6.0, 0.0]
+    out = tsb = None
+    from pandrs_spark.operators.timeseries import tsb_forecast
+
+    out = tsb_forecast(
+        _series_df(spark, xs), "qty", order_by=["t"], partition_by=["k"],
+        alpha=0.3, beta=0.1,
+    ).collect()[0]
+    z = p = None
+    i = 0.0
+    for x in xs:
+        i += 1.0
+        if z is None:
+            if x > 0:
+                z, p = x, 1.0 / i
+        elif x > 0:
+            p = 0.1 + 0.9 * p
+            z = 0.3 * x + 0.7 * z
+        else:
+            p = 0.9 * p
+    assert out["tsb_size"] == pytest.approx(z, abs=1e-12)
+    assert out["tsb_prob"] == pytest.approx(p, abs=1e-12)
+    assert out["tsb_fc"] == pytest.approx(p * z, abs=1e-12)
