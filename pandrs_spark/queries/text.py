@@ -3293,3 +3293,151 @@ def q399(spark, sf_dir):
         (quantize(lp, 6) / 1e6).alias("lp_estimate"),
         (quantize(chapman, 6) / 1e6).alias("chapman_estimate"),
     )
+
+
+# --- q400: END-TO-END training-data pipeline funnel — the composite
+# "user story" query: raw corpus → quality gate → exact dedup (min-id
+# per md5) → simhash near-dup collapse → benchmark decontamination,
+# emitting (n_docs, n_tokens) survivors per stage. Every stage reuses
+# the production operator (operators/text.tokens/decontaminate,
+# operators/dedup.simhash_fingerprint) and the oracle recomputes the
+# identical funnel as one CTE chain, so the STAGE COMPOSITION — not
+# just each operator alone — is value-verified. Scale shape: each
+# stage is the already-audited operator (broadcast gram join, grouped
+# fingerprint min, map-side gates); survivor sets are persisted
+# because each feeds both its own funnel row and the next stage. ------------
+def _q400_simhash_cases(bits: int = 16) -> str:
+    pieces = []
+    for j in range(1, bits + 1):
+        pieces.append(
+            "CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(h, "
+            f"{j}, 1)) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        )
+    return ", ".join(pieces)
+
+
+@query(
+    "q400_training_pipeline_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(len({_WS}) AS BIGINT) AS wc
+        FROM documents
+    ),
+    s1 AS (
+        SELECT * FROM base
+        WHERE wc >= 30 AND length(text) * 1.0 / wc <= 5.5
+    ),
+    s2 AS (
+        SELECT doc_id, text, wc FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM s1
+        ) WHERE rn = 1
+    ),
+    tok AS (SELECT doc_id, unnest({_WS}) AS tk FROM s2),
+    hs AS (SELECT doc_id, md5(tk) AS h FROM tok),
+    sh AS (
+        SELECT doc_id, concat({_q400_simhash_cases(16)}) AS simhash
+        FROM hs GROUP BY doc_id
+    ),
+    keep3 AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY simhash
+                                              ORDER BY doc_id) AS rn
+            FROM sh
+        ) WHERE rn = 1
+    ),
+    s3 AS (SELECT s2.* FROM s2 JOIN keep3 USING (doc_id)),
+    btoks AS (
+        SELECT {_WS} AS w FROM documents WHERE doc_id % 97 = 0
+    ),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        FROM btoks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    cand AS (SELECT * FROM s3 WHERE doc_id % 97 <> 0),
+    ctoks AS (SELECT doc_id, {_WS} AS w FROM cand),
+    cgrams AS (
+        SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+        FROM ctoks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    hits AS (
+        SELECT c.doc_id,
+               SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM cgrams c LEFT JOIN bgrams b USING (g)
+        GROUP BY c.doc_id
+    ),
+    s4 AS (
+        SELECT cand.* FROM cand LEFT JOIN hits USING (doc_id)
+        WHERE COALESCE(hits.n_hits, 0) = 0
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage, 'raw' AS name,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(wc) AS BIGINT) AS n_tokens FROM base
+        UNION ALL
+        SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(wc) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(wc) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'simhash_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(wc) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(wc) AS BIGINT) FROM s4
+    ) ORDER BY stage
+    """,
+)
+def q400(spark, sf_dir):
+    from pandrs_spark.operators.dedup import simhash_fingerprint
+    from pandrs_spark.operators.text import decontaminate, token_count
+    from pandrs_spark.operators.util import tracked_persist
+
+    docs = T(spark, sf_dir, "documents")
+    base = tracked_persist(
+        docs.select(
+            "doc_id", "text", token_count("text").cast("long").alias("wc")
+        )
+    )
+    s1 = tracked_persist(
+        base.filter(
+            (F.col("wc") >= 30)
+            & (F.length("text") * 1.0 / F.col("wc") <= 5.5)
+        )
+    )
+    keep2 = s1.groupBy(F.md5("text").alias("__fp__")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2 = tracked_persist(s1.join(keep2.select("doc_id"), "doc_id"))
+    sh = simhash_fingerprint(s2, "text", "doc_id", bits=16)
+    keep3 = sh.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    s3 = tracked_persist(s2.join(keep3.select("doc_id"), "doc_id"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = tracked_persist(s3.filter(F.col("doc_id") % 97 != 0))
+    flags = decontaminate(cand, bench, k=8)
+    s4 = cand.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+
+    def stage(df, i, name):
+        return df.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("wc").cast("long").alias("n_tokens"),
+        )
+
+    out = stage(base, 0, "raw")
+    for df, i, name in [
+        (s1, 1, "quality"),
+        (s2, 2, "exact_dedup"),
+        (s3, 3, "simhash_dedup"),
+        (s4, 4, "decontaminated"),
+    ]:
+        out = out.unionByName(stage(df, i, name))
+    return out.orderBy("stage")
