@@ -36,6 +36,7 @@ __all__ = [
     "croston_forecast",
     "tsb_forecast",
     "sbc_demand_classification",
+    "logrank_test",
 ]
 
 
@@ -1154,3 +1155,82 @@ def tsb_forecast(
         return pd.DataFrame(row)
 
     return df.groupBy(*part_cols).applyInPandas(_tsb, schema=schema)
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox; survival tier beside
+    :func:`kaplan_meier`, behavioral spec src/stats/hypothesis.rs
+    family): at each distinct event time the observed group-1 events
+    are compared with the hypergeometric expectation given the risk
+    sets; O−E sums to the test statistic, V to its variance, and
+    chi2 = (O−E)²/V is 1-df chi-square under H0 (equal hazards).
+
+    ``group_col`` must be 0/1; ``event_col`` 1 = event, 0 = censored.
+    One row out: (n1, n0, o1, e1, v, chi2).
+
+    Scale: one groupBy(duration) shuffle; the risk-set cumulative runs
+    over DISTINCT durations (bounded by the observation calendar, not
+    data volume — the q334 whitelist argument); expectation/variance
+    terms are summed as quantized exact longs, so the statistic is
+    partition-order invariant.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    g = F.col(group_col)
+    e = F.col(event_col)
+    grp = df.groupBy(duration_col).agg(
+        F.sum(F.when((g == 1) & (e == 1), 1).otherwise(0)).alias("d1"),
+        F.sum(F.when((g == 0) & (e == 1), 1).otherwise(0)).alias("d0"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(g == 0, 1).otherwise(0)).alias("a0"),
+    )
+    tot = df.agg(
+        F.sum(F.when(g == 1, 1).otherwise(0)).cast("long").alias("n1_total"),
+        F.sum(F.when(g == 0, 1).otherwise(0)).cast("long").alias("n0_total"),
+    )
+    w_prev = (
+        Window.orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risked = grp.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (
+            F.col("n1_total")
+            - F.coalesce(F.sum(F.col("a1")).over(w_prev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("n0_total")
+            - F.coalesce(F.sum(F.col("a0")).over(w_prev), F.lit(0))
+        ).alias("n0"),
+    )
+    dt = (F.col("d1") + F.col("d0")).cast("double")
+    nt = (F.col("n1") + F.col("n0")).cast("double")
+    n1d = F.col("n1").cast("double")
+    e1_term = dt * n1d / nt
+    v_term = F.when(
+        nt > 1,
+        dt
+        * (n1d / nt)
+        * (1 - n1d / nt)
+        * (nt - dt)
+        / (nt - 1),
+    ).otherwise(F.lit(0.0))
+    terms = risked.filter(F.col("d1") + F.col("d0") > 0)
+    out = terms.agg(
+        F.min("n1_total").alias("n1"),
+        F.min("n0_total").alias("n0"),
+        F.sum("d1").cast("long").alias("o1"),
+        (F.sum(quantize(e1_term, 9)).cast("double") / 1e9).alias("e1"),
+        (F.sum(quantize(v_term, 9)).cast("double") / 1e9).alias("v"),
+    )
+    return out.withColumn(
+        "chi2",
+        (F.col("o1") - F.col("e1"))
+        * (F.col("o1") - F.col("e1"))
+        / F.col("v"),
+    )

@@ -3147,3 +3147,138 @@ def q396(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- q402: two-sample log-rank test (Mantel-Cox) — do the md5-split
+# arms convert at the same hazard? Reuses q334's time-to-convert
+# construction with a deterministic arm assignment; the hypergeometric
+# O/E/V sums run per distinct day duration (calendar-bounded risk-set
+# window, the q334 whitelist argument) from quantized exact terms.
+# operators/timeseries.py:logrank_test. --------------------------------------
+@query(
+    "q402_logrank_conversion_arms",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    ),
+    cut AS (SELECT MAX(ts) AS mx FROM events),
+    conv AS (
+        SELECT s.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN spans s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY s.user_id
+    ),
+    obs AS (
+        SELECT CASE WHEN c.tp IS NOT NULL THEN DATEDIFF('day', s.t0, c.tp)
+                    ELSE DATEDIFF('day', s.t0, k.mx) END AS t,
+               CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+               CASE WHEN substr(md5(CAST(s.user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS grp
+        FROM spans s LEFT JOIN conv c ON c.user_id = s.user_id, cut k
+        WHERE s.t0 IS NOT NULL
+    ),
+    bytime AS (
+        SELECT t,
+               SUM(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END) AS d1,
+               SUM(CASE WHEN grp = 0 AND ev = 1 THEN 1 ELSE 0 END) AS d0,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS a1,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS a0
+        FROM obs GROUP BY t
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1_total,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0_total
+        FROM obs
+    ),
+    risked AS (
+        SELECT b.*, t2.n1_total, t2.n0_total,
+               t2.n1_total - COALESCE(SUM(a1) OVER w, 0) AS n1,
+               t2.n0_total - COALESCE(SUM(a0) OVER w, 0) AS n0
+        FROM bytime b, tot t2
+        WINDOW w AS (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT n1_total, n0_total, d1,
+               CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + n0) AS e1_term,
+               CASE WHEN CAST(n1 AS DOUBLE) + n0 > 1
+                    THEN CAST(d1 + d0 AS DOUBLE)
+                         * (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n0))
+                         * (1 - CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n0))
+                         * ((CAST(n1 AS DOUBLE) + n0) - (d1 + d0))
+                         / ((CAST(n1 AS DOUBLE) + n0) - 1)
+                    ELSE 0.0 END AS v_term
+        FROM risked WHERE d1 + d0 > 0
+    ),
+    agg AS (
+        SELECT CAST(MIN(n1_total) AS BIGINT) AS n1,
+               CAST(MIN(n0_total) AS BIGINT) AS n0,
+               CAST(SUM(d1) AS BIGINT) AS o1,
+               CAST(SUM(CAST(SIGN(e1_term) * FLOOR(ABS(e1_term) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS e1,
+               CAST(SUM(CAST(SIGN(v_term) * FLOOR(ABS(v_term) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS v
+        FROM terms
+    )
+    SELECT n1, n0, o1,
+           CAST(SIGN(e1) * FLOOR(ABS(e1) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS e1,
+           CAST(SIGN(v) * FLOOR(ABS(v) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS v,
+           CAST(SIGN((o1 - e1) * (o1 - e1) / v)
+                * FLOOR(ABS((o1 - e1) * (o1 - e1) / v) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS chi2
+    FROM agg
+    """,
+)
+def q402(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.timeseries import logrank_test
+
+    ev = T(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t0")
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    cut = ev.agg(F.max("ts").alias("mx"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(spans, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    obs = (
+        spans.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.col("tp").isNotNull(), F.datediff("tp", "t0"))
+            .otherwise(F.datediff("mx", "t0"))
+            .alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.when(
+                F.expr("substr(md5(cast(user_id as string)), 1, 1) < '8'"), 1
+            )
+            .otherwise(0)
+            .alias("grp"),
+        )
+    )
+    out = logrank_test(obs, "t", "ev", "grp")
+    return out.select(
+        "n1",
+        "n0",
+        "o1",
+        (quantize("e1", 6) / 1e6).alias("e1"),
+        (quantize("v", 6) / 1e6).alias("v"),
+        (quantize("chi2", 6) / 1e6).alias("chi2"),
+    )

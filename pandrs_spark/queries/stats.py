@@ -1834,3 +1834,102 @@ def q398(spark, sf_dir):
             "poststrat_mean"
         ),
     )
+
+
+# --- q401: Wasserstein-1 (earth-mover) distribution drift between two
+# customer segments' account-balance distributions — the
+# magnitude-aware complement to PSI (q235) and KS (q72):
+# W1 = ∫|F_A − F_B| dv over the merged value axis. Scale shape: one
+# distinct-value histogram shuffle, then cumulatives via
+# global_prefix_counts (the distributed-ECDF primitive — NO
+# partitionless window) with the "next value" fetched by an EQUI-JOIN
+# on the exact global row number instead of a lead(). The last value's
+# interval is dropped exactly (both CDFs are 1 there). ----------------------
+@query(
+    "q401_wasserstein_segment_drift",
+    oracle="""
+    WITH sub AS (
+        SELECT CAST(c_acctbal AS DOUBLE) AS v,
+               CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS a,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS b
+        FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    hist AS (
+        SELECT v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+        FROM sub GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS n_values
+        FROM hist
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+               CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+               LEAD(v) OVER (ORDER BY v) AS v_next
+        FROM hist
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    terms AS (
+        SELECT ABS(CAST(cum_a AS DOUBLE) / t.na
+                   - CAST(cum_b AS DOUBLE) / t.nb) * (v_next - v) AS term
+        FROM cum, tot t WHERE v_next IS NOT NULL
+    )
+    SELECT t.na AS n_a, t.nb AS n_b, t.n_values,
+           CAST(SIGN(w.s) * FLOOR(ABS(w.s) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS w1_distance
+    FROM tot t, (
+        SELECT CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS s
+        FROM terms
+    ) w
+    """,
+)
+def q401(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    cust = T(spark, sf_dir, "customer")
+    sub = cust.filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    ).select(
+        F.col("c_acctbal").cast("double").alias("v"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0).alias("a"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("b"),
+    )
+    hist = (
+        sub.groupBy("v")
+        .agg(
+            F.sum("a").cast("long").alias("ca"),
+            F.sum("b").cast("long").alias("cb"),
+        )
+        .withColumn("__one__", F.lit(1))
+    )
+    cum = global_prefix_counts(
+        hist, [F.col("v")], {"cum_a": "ca", "cum_b": "cb", "rn": "__one__"}
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    nxt = cum.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next"))
+    pairs = cum.join(nxt, "rn").crossJoin(F.broadcast(tot))
+    term = (
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na")
+            - F.col("cum_b").cast("double") / F.col("nb")
+        )
+        * (F.col("v_next") - F.col("v"))
+    )
+    w1 = pairs.agg(
+        (F.sum(quantize(term, 9)).cast("double") / 1e9).alias("s")
+    )
+    return tot.crossJoin(F.broadcast(w1)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_values",
+        (quantize("s", 6) / 1e6).alias("w1_distance"),
+    )

@@ -379,6 +379,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     # embedding dimensionality (64 dims) — never data-sized
     "q389_neyman_allocation",  # largest-remainder ranking over the fixed
     # 25-nation stratum set
+    "q402_logrank_conversion_arms",  # risk-set cumulative over DISTINCT
+    # day durations — bounded by the observation calendar (q334 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
