@@ -37,6 +37,7 @@ __all__ = [
     "tsb_forecast",
     "sbc_demand_classification",
     "logrank_test",
+    "reorder_policy_sim",
 ]
 
 
@@ -1234,3 +1235,67 @@ def logrank_test(
         * (F.col("o1") - F.col("e1"))
         / F.col("v"),
     )
+
+
+def reorder_policy_sim(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    reorder_point: float,
+    order_up_to: float,
+) -> DataFrame:
+    """(s, S) inventory replenishment simulation per series (ops tier
+    beside :func:`clamped_cumsum`; the reorder-policy fold is the
+    state machine behind safety-stock planning). Starting full at S,
+    each period serves what it can, counts a stockout when demand
+    exceeds on-hand, and reorders up to S whenever the post-demand
+    position falls below s (zero lead time — the textbook base case):
+
+        served    = min(x, on_hand)
+        on_hand  := max(on_hand - x, 0)
+        stockout += 1{x > on_hand_before}
+        if on_hand < s: orders += 1; on_hand := S
+
+    One row per series: (n_periods, n_stockouts, n_orders,
+    final_on_hand, fill_rate = 1 - stockouts/periods). Per-series
+    applyInPandas fold — horizontally scalable like Croston/TSB."""
+    order_cols = list(order_by)
+    part_cols = list(partition_by)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in part_cols
+    )
+    schema = (
+        key_fields + ", n_periods long, n_stockouts long, n_orders long, "
+        "final_on_hand double, fill_rate double"
+    )
+    s_pt, s_up = float(reorder_point), float(order_up_to)
+
+    def _sim(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = pdf[value_col].to_numpy(dtype=float)
+        oh, orders, so = s_up, 0, 0
+        for x in xs:
+            if x > oh:
+                so += 1
+            oh = max(oh - x, 0.0)
+            if oh < s_pt:
+                orders += 1
+                oh = s_up
+        row = {c: [pdf[c].iloc[0]] for c in part_cols}
+        row.update(
+            {
+                "n_periods": [len(xs)],
+                "n_stockouts": [so],
+                "n_orders": [orders],
+                "final_on_hand": [oh],
+                "fill_rate": [1.0 - so / len(xs) if len(xs) else None],
+            }
+        )
+        return pd.DataFrame(row)
+
+    return df.groupBy(*part_cols).applyInPandas(_sim, schema=schema)

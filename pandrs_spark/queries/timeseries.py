@@ -2381,3 +2381,96 @@ def q397(spark, sf_dir):
         (quantize("tsb_size", 6) / 1e6).alias("tsb_size"),
         (quantize("tsb_fc", 6) / 1e6).alias("tsb_fc"),
     ).orderBy("partkey")
+
+
+# --- q404: (s, S) reorder-policy simulation on the q386 demand spine —
+# the inventory state machine (serve → clamp → reorder-up-to) folded
+# per part; the oracle replays the identical
+# [on_hand, orders, stockouts] recursion in list_reduce. Policy
+# s=100, S=500, zero lead time. operators/timeseries.py:
+# reorder_policy_sim. ----------------------------------------------------------
+@query(
+    "q404_reorder_policy_simulation",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS month,
+               {sql_dsum('l_quantity', 6)} AS qty
+        FROM lineitem WHERE l_partkey % 131 = 7 GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(month) AS mn, MAX(month) AS mx FROM d),
+    spine AS (
+        SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+        FROM b
+    ),
+    parts AS (SELECT DISTINCT l_partkey FROM d),
+    grid AS (
+        SELECT p.l_partkey, s.month, COALESCE(d.qty, 0.0) AS qty
+        FROM parts p CROSS JOIN spine s
+        LEFT JOIN d ON d.l_partkey = p.l_partkey AND d.month = s.month
+    ),
+    ser AS (
+        SELECT l_partkey, list(CAST(qty AS DOUBLE) ORDER BY month) AS xs
+        FROM grid GROUP BY 1
+    ),
+    folded AS (
+        SELECT l_partkey, len(xs) AS n_periods,
+               list_reduce(
+                   list_prepend([500.0, 0.0, 0.0],
+                                list_transform(xs, x -> [x])),
+                   (acc, e) -> [
+                       CASE WHEN GREATEST(acc[1] - e[1], 0.0) < 100.0
+                            THEN 500.0
+                            ELSE GREATEST(acc[1] - e[1], 0.0) END,
+                       acc[2] + CASE WHEN GREATEST(acc[1] - e[1], 0.0) < 100.0
+                                     THEN 1.0 ELSE 0.0 END,
+                       acc[3] + CASE WHEN e[1] > acc[1] THEN 1.0 ELSE 0.0 END
+                   ]
+               ) AS st
+        FROM ser
+    )
+    SELECT l_partkey AS partkey, n_periods,
+           CAST(st[3] AS BIGINT) AS n_stockouts,
+           CAST(st[2] AS BIGINT) AS n_orders,
+           {sql_quantize('st[1]', 6)} / 1000000.0 AS final_on_hand,
+           {sql_quantize('1.0 - st[3] / n_periods', 6)} / 1000000.0
+               AS fill_rate
+    FROM folded
+    ORDER BY partkey
+    """,
+)
+def q404(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import reorder_policy_sim
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 131 == 7)
+    monthly = tracked_persist(
+        li.groupBy(
+            "l_partkey", F.date_trunc("month", "l_shipdate").alias("month")
+        ).agg(dsum("l_quantity", 6).alias("qty"))
+    )
+    bounds = monthly.agg(F.min("month").alias("mn"), F.max("month").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 month"))).alias("month")
+    )
+    parts = monthly.select("l_partkey").distinct()
+    grid = tracked_persist(
+        parts.join(F.broadcast(spine))
+        .join(monthly, ["l_partkey", "month"], "left")
+        .withColumn("qty", F.coalesce(F.col("qty").cast("double"), F.lit(0.0)))
+    )
+    out = reorder_policy_sim(
+        grid,
+        "qty",
+        order_by=["month"],
+        partition_by=["l_partkey"],
+        reorder_point=100.0,
+        order_up_to=500.0,
+    )
+    return out.select(
+        F.col("l_partkey").alias("partkey"),
+        "n_periods",
+        "n_stockouts",
+        "n_orders",
+        (quantize("final_on_hand", 6) / 1e6).alias("final_on_hand"),
+        (quantize("fill_rate", 6) / 1e6).alias("fill_rate"),
+    ).orderBy("partkey")

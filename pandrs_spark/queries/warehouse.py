@@ -3920,3 +3920,116 @@ def q395(spark, sf_dir):
         (quantize("noisy_n", 6) / 1e6).alias("noisy_n"),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("priority")
+
+
+# --- q403: always-valid A/B inference via mSPRT (mixture sequential
+# probability ratio test, Johari et al. 2017) — the modern "peeking-
+# safe" replacement for the fixed-horizon z-test (q344): the mixture
+# likelihood ratio Λ = sqrt(V/(V+τ²))·exp(θ̂²τ²/(2V(V+τ²))) is a
+# supermartingale under H0, so p = min(1, 1/Λ) stays valid at ANY
+# stopping time. Pure double formula over exact pooled counts (md5
+# arms on custkey; "conversion" = order fulfilled), shared verbatim
+# with the oracle. ------------------------------------------------------------
+@query(
+    "q403_msprt_always_valid",
+    oracle="""
+    WITH arms AS (
+        SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS arm,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+        FROM orders
+    ),
+    agg AS (
+        SELECT CAST(SUM(arm) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c1,
+               CAST(SUM(1 - arm) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c0
+        FROM arms
+    ),
+    stat AS (
+        SELECT n1, c1, n0, c0,
+               CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS theta,
+               (CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                   * (1 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                   * (1.0 / n1 + 1.0 / n0) AS v
+        FROM agg
+    ),
+    lam AS (
+        SELECT n1, c1, n0, c0, theta, v,
+               SQRT(v / (v + 0.0001))
+                   * EXP(theta * theta * 0.0001 / (2.0 * v * (v + 0.0001)))
+                   AS lambda_stat
+        FROM stat
+    )
+    SELECT n1, c1, n0, c0,
+           CAST(SIGN(theta) * FLOOR(ABS(theta) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS theta,
+           CAST(SIGN(lambda_stat) * FLOOR(ABS(lambda_stat) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS lambda_stat,
+           CAST(SIGN(LEAST(1.0, 1.0 / lambda_stat))
+                * FLOOR(ABS(LEAST(1.0, 1.0 / lambda_stat)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS p_always_valid
+    FROM lam
+    """,
+)
+def q403(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    arms = orders.select(
+        F.when(
+            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
+        )
+        .otherwise(0)
+        .alias("arm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
+    )
+    agg = arms.agg(
+        F.sum("arm").cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.lit(1) - F.col("arm")).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    )
+    tau2 = 0.0001
+    stat = agg.withColumn(
+        "theta",
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c0").cast("double") / F.col("n0"),
+    ).withColumn(
+        "v",
+        (F.col("c1") + F.col("c0")).cast("double")
+        / (F.col("n1") + F.col("n0"))
+        * (
+            1
+            - (F.col("c1") + F.col("c0")).cast("double")
+            / (F.col("n1") + F.col("n0"))
+        )
+        * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
+    )
+    lam = stat.withColumn(
+        "lambda_stat",
+        F.sqrt(F.col("v") / (F.col("v") + tau2))
+        * F.exp(
+            F.col("theta")
+            * F.col("theta")
+            * tau2
+            / (2.0 * F.col("v") * (F.col("v") + tau2))
+        ),
+    )
+    return lam.select(
+        "n1",
+        "c1",
+        "n0",
+        "c0",
+        (quantize("theta", 6) / 1e6).alias("theta"),
+        (quantize("lambda_stat", 6) / 1e6).alias("lambda_stat"),
+        (
+            quantize(F.least(F.lit(1.0), 1.0 / F.col("lambda_stat")), 6) / 1e6
+        ).alias("p_always_valid"),
+    )

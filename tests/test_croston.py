@@ -131,3 +131,22 @@ def test_tsb_reference_recursion(spark):
     assert out["tsb_size"] == pytest.approx(z, abs=1e-12)
     assert out["tsb_prob"] == pytest.approx(p, abs=1e-12)
     assert out["tsb_fc"] == pytest.approx(p * z, abs=1e-12)
+
+
+def test_reorder_policy_sim_reference(spark):
+    from pandrs_spark.operators.timeseries import reorder_policy_sim
+
+    # s=10, S=50: demands force one stockout and two reorders
+    xs = [20.0, 20.0, 15.0, 60.0, 5.0]
+    out = reorder_policy_sim(
+        _series_df(spark, xs), "qty", order_by=["t"], partition_by=["k"],
+        reorder_point=10.0, order_up_to=50.0,
+    ).collect()[0]
+    # trace: oh=50 →30 →10 →(reorder? 10>=10 no... oh=10 >= s? s=10: 10<10 false) stays 10
+    #   t=3: x=15 > 10 → stockout, oh=0 → reorder → 50
+    #   t=4: x=60 > 50 → stockout, oh=0 → reorder → 50
+    #   t=5: x=5 → oh=45
+    assert out["n_stockouts"] == 2
+    assert out["n_orders"] == 2
+    assert out["final_on_hand"] == 45.0
+    assert out["fill_rate"] == pytest.approx(1 - 2 / 5)
