@@ -3282,3 +3282,127 @@ def q402(spark, sf_dir):
         (quantize("v", 6) / 1e6).alias("v"),
         (quantize("chi2", 6) / 1e6).alias("chi2"),
     )
+
+
+# --- q405: EXACT Shapley-value channel attribution (cooperative-game
+# credit assignment, Shapley 1953; the principled alternative to
+# q339's first/last-touch). Characteristic function v(S) = conversions
+# among users whose pre-purchase touchset ⊆ S — so
+# φ_c = Σ_S w(|S|)·[v(S∪c) − v(S)] sums exactly to
+# v(all) − v(∅). The channel universe is FIXED (4 types → 16
+# coalitions), so the subset lattice is a bounded 16×16 bitmask join,
+# never data-sized; the only data-scale pass is the per-user touchset
+# aggregation. Shapley weights enter as 12·w ∈ {3,1,1,3} so the whole
+# computation is INTEGER-exact until one final division by 12. -------------
+@query(
+    "q405_shapley_channel_attribution",
+    oracle="""
+    WITH firstp AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS tp
+        FROM events GROUP BY user_id
+    ),
+    touched AS (
+        SELECT e.user_id,
+               CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS bit,
+               f.tp
+        FROM events e JOIN firstp f ON f.user_id = e.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (f.tp IS NULL OR e.ts < f.tp)
+    ),
+    users AS (
+        SELECT f.user_id,
+               COALESCE((SELECT CAST(SUM(DISTINCT t.bit) AS BIGINT)
+                         FROM touched t WHERE t.user_id = f.user_id), 0)
+                   AS mask,
+               CASE WHEN f.tp IS NOT NULL THEN 1 ELSE 0 END AS conv
+        FROM firstp f
+    ),
+    bymask AS (
+        SELECT mask, CAST(SUM(conv) AS BIGINT) AS conv_n
+        FROM users GROUP BY mask
+    ),
+    coalitions AS (SELECT UNNEST(generate_series(0, 15)) AS s),
+    v AS (
+        SELECT c.s, COALESCE(CAST(SUM(b.conv_n) AS BIGINT), 0) AS val
+        FROM coalitions c LEFT JOIN bymask b ON (b.mask & c.s) = b.mask
+        GROUP BY c.s
+    ),
+    channels AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                              ('signup', 4), ('view', 8)) ch(channel, cbit)
+    ),
+    contribs AS (
+        SELECT ch.channel,
+               CASE bit_count(CAST(v0.s AS BIGINT))
+                    WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 3 END
+                   * (v1.val - v0.val) AS w12
+        FROM channels ch
+        JOIN v v0 ON (v0.s & ch.cbit) = 0
+        JOIN v v1 ON v1.s = (v0.s | ch.cbit)
+    )
+    SELECT channel,
+           CAST(SUM(w12) AS BIGINT) / 12.0 AS shapley_conversions
+    FROM contribs GROUP BY channel ORDER BY channel
+    """,
+)
+def q405(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    firstp = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp")
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    touched = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(firstp, "user_id")
+        .filter(F.col("tp").isNull() | (F.col("ts") < F.col("tp")))
+        .select("user_id", bit.alias("bit"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sum("bit").cast("long").alias("mask"))
+    )
+    users = firstp.join(touched, "user_id", "left").select(
+        F.coalesce(F.col("mask"), F.lit(0)).alias("mask"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("conv"),
+    )
+    bymask = users.groupBy("mask").agg(F.sum("conv").cast("long").alias("conv_n"))
+    coalitions = spark.range(0, 16).select(F.col("id").alias("s"))
+    v = (
+        coalitions.join(
+            F.broadcast(bymask),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).cast("long").alias("val"))
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, cbit int",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("val").alias("val0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("val").alias("val1"))
+    w12 = (
+        F.when(F.expr("bit_count(s0)") == 0, 3)
+        .when(F.expr("bit_count(s0)") == 1, 1)
+        .when(F.expr("bit_count(s0)") == 2, 1)
+        .otherwise(3)
+    )
+    contribs = (
+        channels.join(F.broadcast(v0), F.expr("(s0 & cbit) = 0"))
+        .join(F.broadcast(v1), F.expr("s1 = (s0 | cbit)"))
+        .select("channel", (w12 * (F.col("val1") - F.col("val0"))).alias("w12"))
+    )
+    return (
+        contribs.groupBy("channel")
+        .agg((F.sum("w12").cast("long") / 12.0).alias("shapley_conversions"))
+        .orderBy("channel")
+    )
