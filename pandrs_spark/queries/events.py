@@ -3406,3 +3406,64 @@ def q405(spark, sf_dir):
         .agg((F.sum("w12").cast("long") / 12.0).alias("shapley_conversions"))
         .orderBy("channel")
     )
+
+
+# --- q408: peak concurrency via the ±1 sweep-line — "how many 30-min
+# sessions were open at once, and when did the maximum occur?" The
+# classic interval-overlap reduction: every session contributes
+# (+1, start) and (−1, end); the running delta sum under the
+# (time, delta) total order IS the concurrency curve (half-open
+# intervals: at equal timestamps the −1 sorts first, so abutting
+# sessions don't overlap). The cumulative runs on global_prefix_counts
+# — the distributed partition-offset prefix sum, NO partitionless
+# window — so the sweep scales to any event volume. Peak and its
+# earliest time are order-invariant (within a timestamp tie all
+# deltas are equal, so the prefix multiset is permutation-proof). -----------
+@query(
+    "q408_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+    ),
+    swept AS (
+        SELECT t, delta,
+               CAST(SUM(delta) OVER (ORDER BY t, delta
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS conc
+        FROM deltas
+    ),
+    peak AS (SELECT MAX(conc) AS peak_concurrency FROM swept)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_sessions,
+           p.peak_concurrency,
+           (SELECT MIN(t) FROM swept, peak
+            WHERE conc = peak.peak_concurrency) AS peak_time
+    FROM peak p
+    """,
+)
+def q408(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    ev = T(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    swept = global_prefix_counts(
+        deltas, [F.col("t"), F.col("delta")], {"conc": "delta"}
+    )
+    peak = swept.agg(F.max("conc").alias("peak_concurrency"))
+    peak_time = (
+        swept.crossJoin(F.broadcast(peak))
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .agg(F.min("t").alias("peak_time"))
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        n.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(peak_time))
+        .select("n_sessions", "peak_concurrency", "peak_time")
+    )

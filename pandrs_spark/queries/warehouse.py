@@ -4033,3 +4033,160 @@ def q403(spark, sf_dir):
             quantize(F.least(F.lit(1.0), 1.0 / F.col("lambda_stat")), 6) / 1e6
         ).alias("p_always_valid"),
     )
+
+
+# --- q406: Laspeyres / Paasche / Fisher price indices between two
+# years of lineitem trade (index-number economics; aggregation tier).
+# Per part: base-year (1994) and current-year (1997) quantity and
+# mean price; indices over parts traded in BOTH years:
+# L = Σp1q0/Σp0q0, P = Σp1q1/Σp0q1, F = √(LP). All sums quantized
+# exact; prices are extended-price/quantity ratios of exact sums. ------------
+@query(
+    "q406_fisher_price_index",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_partkey,
+               {sql_dsum('l_quantity', 6)} AS q0,
+               {sql_dsum('l_extendedprice')} AS v0
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+        GROUP BY 1
+    ),
+    cur AS (
+        SELECT l_partkey,
+               {sql_dsum('l_quantity', 6)} AS q1,
+               {sql_dsum('l_extendedprice')} AS v1
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    joined AS (
+        SELECT b.l_partkey,
+               b.q0, b.v0 / b.q0 AS p0,
+               c.q1, c.v1 / c.q1 AS p1
+        FROM base b JOIN cur c ON b.l_partkey = c.l_partkey
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM({sql_quantize('p1 * q0', 2)}) AS BIGINT) / 100.0
+                   AS s_p1q0,
+               CAST(SUM({sql_quantize('p0 * q0', 2)}) AS BIGINT) / 100.0
+                   AS s_p0q0,
+               CAST(SUM({sql_quantize('p1 * q1', 2)}) AS BIGINT) / 100.0
+                   AS s_p1q1,
+               CAST(SUM({sql_quantize('p0 * q1', 2)}) AS BIGINT) / 100.0
+                   AS s_p0q1
+        FROM joined
+    )
+    SELECT n_parts,
+           {sql_quantize('s_p1q0 / s_p0q0', 6)} / 1000000.0 AS laspeyres,
+           {sql_quantize('s_p1q1 / s_p0q1', 6)} / 1000000.0 AS paasche,
+           {sql_quantize('SQRT((s_p1q0 / s_p0q0) * (s_p1q1 / s_p0q1))', 6)}
+               / 1000000.0 AS fisher
+    FROM sums
+    """,
+)
+def q406(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+
+    def year(y):
+        return li.filter(
+            (F.col("l_shipdate") >= f"{y}-01-01")
+            & (F.col("l_shipdate") < f"{y + 1}-01-01")
+        ).groupBy("l_partkey").agg(
+            dsum("l_quantity", 6).alias("q"),
+            dsum("l_extendedprice").alias("v"),
+        )
+
+    base = year(1994).select(
+        "l_partkey", F.col("q").alias("q0"), (F.col("v") / F.col("q")).alias("p0")
+    )
+    cur = year(1997).select(
+        "l_partkey", F.col("q").alias("q1"), (F.col("v") / F.col("q")).alias("p1")
+    )
+    joined = base.join(cur, "l_partkey")
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.sum(quantize(F.col("p1") * F.col("q0"), 2)).cast("long") / 100.0).alias("s_p1q0"),
+        (F.sum(quantize(F.col("p0") * F.col("q0"), 2)).cast("long") / 100.0).alias("s_p0q0"),
+        (F.sum(quantize(F.col("p1") * F.col("q1"), 2)).cast("long") / 100.0).alias("s_p1q1"),
+        (F.sum(quantize(F.col("p0") * F.col("q1"), 2)).cast("long") / 100.0).alias("s_p0q1"),
+    )
+    lasp = F.col("s_p1q0") / F.col("s_p0q0")
+    paas = F.col("s_p1q1") / F.col("s_p0q1")
+    return sums.select(
+        "n_parts",
+        (quantize(lasp, 6) / 1e6).alias("laspeyres"),
+        (quantize(paas, 6) / 1e6).alias("paasche"),
+        (quantize(F.sqrt(lasp * paas), 6) / 1e6).alias("fisher"),
+    )
+
+
+# --- q407: newsvendor critical-fractile stocking levels — per part,
+# the profit-optimal order quantity is the demand quantile at
+# cu/(cu+co) (underage 3 : overage 1 ⇒ 0.75). EXACT type-1 quantile
+# per part via a cumulative count over the per-part value histogram —
+# windows PARTITIONED BY part, so a billion parts scale horizontally;
+# rank arithmetic is integer-exact (k = ceil(3n/4) = (3n+3) div 4). --------
+@query(
+    "q407_newsvendor_stocking",
+    oracle="""
+    WITH d AS (
+        SELECT l_partkey, CAST(l_quantity AS DOUBLE) AS x
+        FROM lineitem WHERE l_partkey % 199 = 3
+    ),
+    hist AS (
+        SELECT l_partkey, x, COUNT(*) AS c
+        FROM d GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_partkey, x,
+               CAST(SUM(c) OVER (PARTITION BY l_partkey ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY l_partkey) AS BIGINT) AS n
+        FROM hist
+    )
+    SELECT l_partkey AS partkey,
+           CAST(MIN(n) AS BIGINT) AS n_obs,
+           MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN x END)
+               AS optimal_order_qty
+    FROM cum
+    GROUP BY l_partkey
+    ORDER BY partkey
+    """,
+)
+def q407(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 199 == 3)
+    hist = li.groupBy(
+        "l_partkey", F.col("l_quantity").cast("double").alias("x")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("l_partkey")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_partkey")
+    cum = hist.select(
+        "l_partkey",
+        "x",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    return (
+        cum.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.min("n").cast("long").alias("n_obs"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("x")
+                )
+            ).alias("optimal_order_qty"),
+        )
+        .orderBy("partkey")
+    )
