@@ -1903,3 +1903,108 @@ def q388(spark, sf_dir):
         "cum_share",
         F.col("var_rank").cast("int").alias("var_rank"),
     ).orderBy("dim")
+
+
+# --- q410: simplified silhouette score per cluster label — the
+# clustering-quality staple in its SCALE-SAFE form: point-to-CENTROID
+# distances (O(n·k)) instead of the textbook all-pairs O(n²)
+# (the same trade MLlib's ClusteringEvaluator makes). Centroids come
+# from quantized per-dim means (deterministic), distances from the
+# ordered left-fold over the fixed 64 dims (identical fold order in
+# Spark's aggregate() and DuckDB's list_reduce), and
+# s = (b−a)/max(a,b) with a = own-centroid distance, b = nearest
+# other centroid. One explode for centroids + one broadcast(k)
+# distance pass. -------------------------------------------------------------
+@query(
+    "q410_simplified_silhouette",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               UNNEST(range(1, len(embedding) + 1)) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cstats AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(SIGN(v) * FLOOR(ABS(v) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS mu
+        FROM dims GROUP BY label, dim
+    ),
+    cents AS (
+        SELECT label AS clabel, list(mu ORDER BY dim) AS cent
+        FROM cstats GROUP BY label
+    ),
+    pd AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               SQRT(list_reduce(
+                   list_prepend(0.0,
+                       list_transform(range(1, len(e.embedding) + 1),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                                * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i]))),
+                   (acc, x) -> acc + x)) AS dist
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel = label THEN dist END) AS a,
+               MIN(CASE WHEN clabel <> label THEN dist END) AS b
+        FROM pd GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label, (b - a) / GREATEST(a, b) AS sil FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(SIGN(sil) * FLOOR(ABS(sil) * 1e9 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e9 / COUNT(*) AS mean_silhouette
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def q410(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import fan_out
+
+    emb = T(spark, sf_dir, "embeddings")
+    dims = fan_out(emb).select(
+        "label", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "label", (F.col("pos") + 1).alias("dim"), F.col("vf").cast("double").alias("v")
+    )
+    cstats = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(quantize("v", 6)).cast("double") / 1e6 / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    cents = cstats.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, mu))), x -> x.mu)")
+        .alias("cent")
+    )
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("x", "cent", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    pd_ = fan_out(e).crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    ab = pd_.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        ab.select("label", sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(quantize("sil", 9)).cast("double") / 1e9 / F.count(F.lit(1))
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

@@ -2474,3 +2474,129 @@ def q404(spark, sf_dir):
         (quantize("final_on_hand", 6) / 1e6).alias("final_on_hand"),
         (quantize("fill_rate", 6) / 1e6).alias("fill_rate"),
     ).orderBy("partkey")
+
+
+# --- q409: hierarchical forecast reconciliation (nation → region) —
+# bottom-up vs proportional top-down, the planning-tier staple: BU
+# sums per-nation SES one-step forecasts to the region; TD forecasts
+# the REGION series and splits by historical revenue shares. Both
+# sides use the same SES(α=0.2) recursion (closed-form bounded
+# self-join in the oracle, q81's pattern, applied per nation / per
+# region); shares and forecasts come from quantized exact sums. The
+# reconciliation gap BU−TD is the diagnostic planners read. ----------------
+@query(
+    "q409_forecast_reconciliation",
+    oracle=f"""
+    WITH nm AS (
+        SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+               date_trunc('month', o.o_orderdate) AS month,
+               {sql_dsum('o.o_totalprice')} AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    nidx AS (
+        SELECT region, nation, month, revenue,
+               ROW_NUMBER() OVER (PARTITION BY nation ORDER BY month) AS i,
+               COUNT(*) OVER (PARTITION BY nation) AS m
+        FROM nm
+    ),
+    nses AS (
+        SELECT a.region, a.nation,
+               SUM(CASE WHEN b.i = 1 THEN POWER(0.8, a.m - 1) * b.revenue
+                        ELSE 0.2 * POWER(0.8, a.m - b.i) * b.revenue END)
+                   AS bu_fc
+        FROM nidx a JOIN nidx b ON b.nation = a.nation AND b.i <= a.i
+        WHERE a.i = a.m
+        GROUP BY a.region, a.nation
+    ),
+    rm AS (
+        SELECT region, month, {sql_dsum('revenue')} AS revenue
+        FROM nm GROUP BY 1, 2
+    ),
+    ridx AS (
+        SELECT region, month, revenue,
+               ROW_NUMBER() OVER (PARTITION BY region ORDER BY month) AS i,
+               COUNT(*) OVER (PARTITION BY region) AS m
+        FROM rm
+    ),
+    rses AS (
+        SELECT a.region,
+               SUM(CASE WHEN b.i = 1 THEN POWER(0.8, a.m - 1) * b.revenue
+                        ELSE 0.2 * POWER(0.8, a.m - b.i) * b.revenue END)
+                   AS region_fc
+        FROM ridx a JOIN ridx b ON b.region = a.region AND b.i <= a.i
+        WHERE a.i = a.m
+        GROUP BY a.region
+    ),
+    shares AS (
+        SELECT region, nation, {sql_dsum('revenue')} AS nat_total
+        FROM nm GROUP BY 1, 2
+    ),
+    rtot AS (
+        SELECT region, {sql_dsum('nat_total')} AS reg_total
+        FROM shares GROUP BY 1
+    )
+    SELECT s.region, s.nation,
+           {sql_quantize('n.bu_fc', 2)} / 100.0 AS bu_fc,
+           {sql_quantize('r.region_fc * (s.nat_total / t.reg_total)', 2)}
+               / 100.0 AS td_fc,
+           {sql_quantize('n.bu_fc - r.region_fc * (s.nat_total / t.reg_total)', 2)}
+               / 100.0 AS gap
+    FROM shares s
+    JOIN (SELECT nation AS nn, bu_fc FROM nses) n ON n.nn = s.nation
+    JOIN (SELECT region AS rr, region_fc FROM rses) r ON r.rr = s.region
+    JOIN (SELECT region AS tr, reg_total FROM rtot) t ON t.tr = s.region
+    ORDER BY region, nation
+    """,
+)
+def q409(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    nm = tracked_persist(
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    nses = (
+        ses_fitted(
+            nm, "revenue", order_by=["month"], partition_by=["nation"], alpha=0.2
+        )
+        .groupBy("region", "nation")
+        .agg(F.expr("max_by(ses, month)").alias("bu_fc"))
+    )
+    rm = nm.groupBy("region", "month").agg(dsum("revenue").alias("revenue"))
+    rses = (
+        ses_fitted(
+            rm, "revenue", order_by=["month"], partition_by=["region"], alpha=0.2
+        )
+        .groupBy("region")
+        .agg(F.expr("max_by(ses, month)").alias("region_fc"))
+    )
+    shares = nm.groupBy("region", "nation").agg(
+        dsum("revenue").alias("nat_total")
+    )
+    rtot = shares.groupBy("region").agg(dsum("nat_total").alias("reg_total"))
+    td = F.col("region_fc") * (F.col("nat_total") / F.col("reg_total"))
+    return (
+        shares.join(nses.select("nation", "bu_fc"), "nation")
+        .join(F.broadcast(rses), "region")
+        .join(F.broadcast(rtot), "region")
+        .select(
+            "region",
+            "nation",
+            (quantize("bu_fc", 2) / 100.0).alias("bu_fc"),
+            (quantize(td, 2) / 100.0).alias("td_fc"),
+            (quantize(F.col("bu_fc") - td, 2) / 100.0).alias("gap"),
+        )
+        .orderBy("region", "nation")
+    )
