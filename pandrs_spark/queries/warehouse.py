@@ -4190,3 +4190,196 @@ def q407(spark, sf_dir):
         )
         .orderBy("partkey")
     )
+
+
+# --- q411: difference-in-differences estimator — the quasi-
+# experimental workhorse: md5-split "treated" customers, pre/post
+# periods around 1996-01-01, outcome = order value. DiD = (T_post −
+# T_pre) − (C_post − C_pre), with the large-sample SE from per-cell
+# variances (Welch form): SE² = Σ s²_cell/n_cell. All four cell
+# moments from quantized exact sums — one grouped aggregate total. ----------
+@query(
+    "q411_difference_in_differences",
+    oracle="""
+    WITH obs AS (
+        SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(o_totalprice AS DOUBLE) AS y
+        FROM orders
+    ),
+    cells AS (
+        SELECT treated, post,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sy,
+               CAST(SUM(CAST(SIGN(y * y) * FLOOR(ABS(y * y) + 0.5) AS BIGINT))
+                    AS DOUBLE) AS syy
+        FROM obs GROUP BY treated, post
+    ),
+    m AS (
+        SELECT treated, post, n, sy / n AS mean,
+               (syy - sy * sy / n) / (n - 1) AS var
+        FROM cells
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS t1,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS t0,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS c1,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS c0,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN var / n END) AS v11,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN var / n END) AS v10,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN var / n END) AS v01,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN var / n END) AS v00,
+            CAST(SUM(n) AS BIGINT) AS n_total
+        FROM m
+    )
+    SELECT n_total,
+           CAST(SIGN((t1 - t0) - (c1 - c0))
+                * FLOOR(ABS((t1 - t0) - (c1 - c0)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS did,
+           CAST(SIGN(SQRT(v11 + v10 + v01 + v00))
+                * FLOOR(ABS(SQRT(v11 + v10 + v01 + v00)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS se,
+           CAST(SIGN(((t1 - t0) - (c1 - c0)) / SQRT(v11 + v10 + v01 + v00))
+                * FLOOR(ABS(((t1 - t0) - (c1 - c0))
+                            / SQRT(v11 + v10 + v01 + v00)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS z
+    FROM wide
+    """,
+)
+def q411(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    obs = orders.select(
+        F.when(
+            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("o_orderdate") >= "1996-01-01", 1).otherwise(0).alias("post"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    cells = obs.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("y", 2)).cast("double") / 100.0).alias("sy"),
+        F.sum(quantize(F.col("y") * F.col("y"), 0)).cast("double").alias("syy"),
+    )
+    m = cells.withColumn("mean", F.col("sy") / F.col("n")).withColumn(
+        "var",
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        / (F.col("n") - 1),
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    wide = m.agg(
+        cell(1, 1, "mean").alias("t1"),
+        cell(1, 0, "mean").alias("t0"),
+        cell(0, 1, "mean").alias("c1"),
+        cell(0, 0, "mean").alias("c0"),
+        F.max(
+            F.when(
+                (F.col("treated") == 1) & (F.col("post") == 1),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v11"),
+        F.max(
+            F.when(
+                (F.col("treated") == 1) & (F.col("post") == 0),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v10"),
+        F.max(
+            F.when(
+                (F.col("treated") == 0) & (F.col("post") == 1),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v01"),
+        F.max(
+            F.when(
+                (F.col("treated") == 0) & (F.col("post") == 0),
+                F.col("var") / F.col("n"),
+            )
+        ).alias("v00"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    se = F.sqrt(F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00"))
+    return wide.select(
+        "n_total",
+        (quantize(did, 6) / 1e6).alias("did"),
+        (quantize(se, 6) / 1e6).alias("se"),
+        (quantize(did / se, 6) / 1e6).alias("z"),
+    )
+
+
+# --- q412: exponentially time-decayed trending score — the "what's
+# hot NOW" ranking: every sale of a part contributes
+# exp(−λ·age_days) with λ = ln2/30 (30-day half-life), so a part's
+# score is its demand convolved with recency. Map-only expression +
+# one groupBy; the decayed contributions are quantized before summing
+# (exp() of exact integer day ages is bit-reproducible across
+# engines). Top 15 by (score, partkey) total order. -------------------------
+@query(
+    "q412_decayed_trending_parts",
+    oracle="""
+    WITH mx AS (SELECT MAX(l_shipdate) AS mxd FROM lineitem),
+    scored AS (
+        SELECT l_partkey,
+               CAST(SIGN(CAST(l_quantity AS DOUBLE)
+                         * EXP(-(LN(2.0) / 30.0)
+                               * DATEDIFF('day', l_shipdate, mx.mxd)))
+                    * FLOOR(ABS(CAST(l_quantity AS DOUBLE)
+                                * EXP(-(LN(2.0) / 30.0)
+                                      * DATEDIFF('day', l_shipdate, mx.mxd)))
+                            * 1e9 + 0.5) AS BIGINT) AS q9
+        FROM lineitem, mx
+    ),
+    agg AS (
+        SELECT l_partkey, COUNT(*) AS n_sales,
+               CAST(SUM(q9) AS BIGINT) AS sq9
+        FROM scored GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(n_sales AS BIGINT) AS n_sales,
+           CAST(SIGN(CAST(sq9 AS DOUBLE) / 1e9)
+                * FLOOR(ABS(CAST(sq9 AS DOUBLE) / 1e9) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS trend_score
+    FROM agg
+    ORDER BY sq9 DESC, partkey
+    LIMIT 15
+    """,
+)
+def q412(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_shipdate").alias("mxd"))
+    lam = F.log(F.lit(2.0)) / 30.0
+    contrib = F.col("l_quantity").cast("double") * F.exp(
+        -lam * F.datediff("mxd", "l_shipdate")
+    )
+    scored = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey", quantize(contrib, 9).alias("q9")
+    )
+    agg = scored.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sales"),
+        F.sum("q9").cast("long").alias("sq9"),
+    )
+    return (
+        agg.orderBy(F.desc("sq9"), "l_partkey")
+        .limit(15)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "n_sales",
+            (quantize(F.col("sq9").cast("double") / 1e9, 6) / 1e6).alias(
+                "trend_score"
+            ),
+        )
+    )
