@@ -1933,3 +1933,87 @@ def q401(spark, sf_dir):
         "n_values",
         (quantize("s", 6) / 1e6).alias("w1_distance"),
     )
+
+
+# --- q413: quantile normalization across groups (the batch-effect
+# correction from genomics, applied to segment balance distributions):
+# each value is replaced by the POOLED distribution's order statistic
+# at its within-group quantile — after which every group has the same
+# marginal distribution. Scale shape: within-group ranks are windows
+# PARTITIONED by segment; the pooled k-th order statistics come from
+# global_row_number (partition-offset scheme, no partitionless
+# window); the rank→position lookup is a plain EQUI-join on
+# k = ceil(r·N/n_g), integer-exact. Output: per-segment moments before
+# and after (the after-means converge — that's the point). ------------------
+@query(
+    "q413_quantile_normalization",
+    oracle="""
+    WITH vals AS (
+        SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS v
+        FROM customer
+    ),
+    ranked AS (
+        SELECT seg, v,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v, v) AS r,
+               COUNT(*) OVER (PARTITION BY seg) AS ng
+        FROM vals
+    ),
+    pooled AS (
+        SELECT v AS pv,
+               ROW_NUMBER() OVER (ORDER BY v) AS pos
+        FROM vals
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+    mapped AS (
+        SELECT rk.seg, rk.v, p.pv
+        FROM ranked rk, tot t
+        JOIN pooled p
+          ON p.pos = (rk.r * t.n + rk.ng - 1) // rk.ng
+    )
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(SIGN(v) * FLOOR(ABS(v) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 / COUNT(*) AS mean_raw,
+           CAST(SUM(CAST(SIGN(pv) * FLOOR(ABS(pv) * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 / COUNT(*) AS mean_normalized
+    FROM mapped
+    GROUP BY seg ORDER BY seg
+    """,
+)
+def q413(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_row_number
+
+    cust = T(spark, sf_dir, "customer")
+    vals = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("v"),
+    )
+    w = Window.partitionBy("seg").orderBy("v", "v")
+    ranked = vals.select(
+        "seg",
+        "v",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("ng"),
+    )
+    pooled = global_row_number(vals.select(F.col("v").alias("pv")), [F.col("pv")], "pos")
+    tot = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mapped = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.expr("(r * n + ng - 1) div ng"))
+        .join(pooled, F.col("k") == F.col("pos"))
+    )
+    return (
+        mapped.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(quantize("v", 2)).cast("long") / 100.0 / F.count(F.lit(1))).alias(
+                "mean_raw"
+            ),
+            (
+                F.sum(quantize("pv", 2)).cast("long") / 100.0 / F.count(F.lit(1))
+            ).alias("mean_normalized"),
+        )
+        .orderBy("seg")
+    )
