@@ -2008,3 +2008,144 @@ def q410(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --- q414: EM for a 1-D two-component Gaussian mixture, THREE exact
+# EM iterations unrolled (ML tier; the reference's clustering family
+# src/ml/clustering — EM is the soft-assignment cousin of its k-means).
+# Scale shape: each E-step is one map-only responsibility expression +
+# one quantized-sum aggregate over the data (3 linear scans total, no
+# iteration-count × data-size state); the M-step is a 1-row parameter
+# update carried by broadcast. Determinism: every weighted sum is
+# quantized to exact longs BEFORE the parameter division, and the
+# normal pdf formula (with a literal √2π) is shared verbatim with the
+# oracle's identical 3-round CTE chain — so the full EM trajectory,
+# not just the final fit, is inside the hash gate. Balances are scaled
+# to thousands so exp() stays in range. ---------------------------------------
+_Q414_SQRT2PI = "2.5066282746310002"
+
+
+def _q414_estep_sql(prev: str, it: int) -> str:
+    pdf1 = (
+        f"EXP(-((v.x - {prev}.mu1) * (v.x - {prev}.mu1))"
+        f" / (2.0 * {prev}.s1 * {prev}.s1)) / ({prev}.s1 * {_Q414_SQRT2PI})"
+    )
+    pdf2 = (
+        f"EXP(-((v.x - {prev}.mu2) * (v.x - {prev}.mu2))"
+        f" / (2.0 * {prev}.s2 * {prev}.s2)) / ({prev}.s2 * {_Q414_SQRT2PI})"
+    )
+    q = lambda e: f"CAST(SIGN({e}) * FLOOR(ABS({e}) * 1e9 + 0.5) AS BIGINT)"
+    return f"""
+    e{it} AS (
+        SELECT v.x,
+               ({prev}.pi * {pdf1})
+                   / ({prev}.pi * {pdf1} + (1.0 - {prev}.pi) * {pdf2}) AS r
+        FROM vals v, p{it - 1} {prev}
+    ),
+    s{it} AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM({q('r')}) AS DOUBLE) / 1e9 AS a,
+               CAST(SUM({q('r * x')}) AS DOUBLE) / 1e9 AS b,
+               CAST(SUM({q('r * x * x')}) AS DOUBLE) / 1e9 AS c,
+               CAST(SUM({q('(1.0 - r) * x')}) AS DOUBLE) / 1e9 AS d,
+               CAST(SUM({q('(1.0 - r) * x * x')}) AS DOUBLE) / 1e9 AS e
+        FROM e{it}
+    ),
+    p{it} AS (
+        SELECT b / a AS mu1,
+               SQRT(c / a - (b / a) * (b / a)) AS s1,
+               d / (n - a) AS mu2,
+               SQRT(e / (n - a) - (d / (n - a)) * (d / (n - a))) AS s2,
+               a / n AS pi, n
+        FROM s{it}
+    )"""
+
+
+@query(
+    "q414_em_gaussian_mixture",
+    oracle=f"""
+    WITH vals AS (
+        SELECT CAST(c_acctbal AS DOUBLE) / 1000.0 AS x FROM customer
+    ),
+    p0 AS (SELECT 1.0 AS mu1, 2.0 AS s1, 8.0 AS mu2, 2.0 AS s2,
+                  0.5 AS pi),
+    {_q414_estep_sql('p0', 1)},
+    {_q414_estep_sql('p1', 2)},
+    {_q414_estep_sql('p2', 3)}
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(SIGN(mu1) * FLOOR(ABS(mu1) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mu1,
+           CAST(SIGN(s1) * FLOOR(ABS(s1) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s1,
+           CAST(SIGN(mu2) * FLOOR(ABS(mu2) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mu2,
+           CAST(SIGN(s2) * FLOOR(ABS(s2) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS s2,
+           CAST(SIGN(pi) * FLOOR(ABS(pi) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS pi
+    FROM p3
+    """,
+)
+def q414(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    vals = tracked_persist(
+        cust.select((F.col("c_acctbal").cast("double") / 1000.0).alias("x"))
+    )
+    sqrt2pi = 2.5066282746310002
+    params = spark.createDataFrame(
+        [(1.0, 2.0, 8.0, 2.0, 0.5)], "mu1 double, s1 double, mu2 double, s2 double, pi double"
+    )
+    for _ in range(3):
+        j = vals.crossJoin(F.broadcast(params))
+        pdf1 = F.exp(
+            -((F.col("x") - F.col("mu1")) * (F.col("x") - F.col("mu1")))
+            / (2.0 * F.col("s1") * F.col("s1"))
+        ) / (F.col("s1") * sqrt2pi)
+        pdf2 = F.exp(
+            -((F.col("x") - F.col("mu2")) * (F.col("x") - F.col("mu2")))
+            / (2.0 * F.col("s2") * F.col("s2"))
+        ) / (F.col("s2") * sqrt2pi)
+        r = (F.col("pi") * pdf1) / (
+            F.col("pi") * pdf1 + (1.0 - F.col("pi")) * pdf2
+        )
+        e = j.select(F.col("x"), r.alias("r"))
+        s = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("a"),
+            (F.sum(quantize(F.col("r") * F.col("x"), 9)).cast("double") / 1e9).alias("b"),
+            (
+                F.sum(quantize(F.col("r") * F.col("x") * F.col("x"), 9)).cast("double")
+                / 1e9
+            ).alias("c"),
+            (
+                F.sum(quantize((1.0 - F.col("r")) * F.col("x"), 9)).cast("double")
+                / 1e9
+            ).alias("d"),
+            (
+                F.sum(
+                    quantize((1.0 - F.col("r")) * F.col("x") * F.col("x"), 9)
+                ).cast("double")
+                / 1e9
+            ).alias("e"),
+        )
+        params = s.select(
+            (F.col("b") / F.col("a")).alias("mu1"),
+            F.sqrt(
+                F.col("c") / F.col("a")
+                - (F.col("b") / F.col("a")) * (F.col("b") / F.col("a"))
+            ).alias("s1"),
+            (F.col("d") / (F.col("n") - F.col("a"))).alias("mu2"),
+            F.sqrt(
+                F.col("e") / (F.col("n") - F.col("a"))
+                - (F.col("d") / (F.col("n") - F.col("a")))
+                * (F.col("d") / (F.col("n") - F.col("a")))
+            ).alias("s2"),
+            (F.col("a") / F.col("n")).alias("pi"),
+            F.col("n"),
+        )
+    return params.select(
+        F.col("n").cast("long").alias("n"),
+        (quantize("mu1", 6) / 1e6).alias("mu1"),
+        (quantize("s1", 6) / 1e6).alias("s1"),
+        (quantize("mu2", 6) / 1e6).alias("mu2"),
+        (quantize("s2", 6) / 1e6).alias("s2"),
+        (quantize("pi", 6) / 1e6).alias("pi"),
+    )

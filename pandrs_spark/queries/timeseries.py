@@ -2600,3 +2600,104 @@ def q409(spark, sf_dir):
         )
         .orderBy("region", "nation")
     )
+
+
+# --- q415: Ljung-Box portmanteau test on monthly revenue — "is the
+# series white noise?" LB = n(n+2)·Σ_{k≤12} ρ̂²_k/(n−k), with the
+# textbook autocovariance ACF (global mean, denominator Σdev²).
+# The monthly index window is calendar-bounded (q48's whitelist
+# argument); lag pairing is an equi-join on the shifted row index; all
+# sums quantized exact. One row out: (n, df, lb_stat). ----------------------
+@query(
+    "q415_ljung_box_whiteness",
+    oracle=_MONTHLY
+    + f"""
+    , mstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('revenue')} / COUNT(*) AS xbar
+        FROM monthly
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY month) AS i,
+               revenue FROM monthly
+    ),
+    dev AS (
+        SELECT i, revenue - m.xbar AS d FROM idx, mstats m
+    ),
+    denom AS (
+        SELECT {sql_dsum('d * d', 2)} AS s0 FROM dev
+    ),
+    nums AS (
+        SELECT k.lag_k,
+               {sql_dsum('a.d * b.d', 2)} AS sk
+        FROM dev a
+        CROSS JOIN (SELECT UNNEST(generate_series(1, 12)) AS lag_k) k
+        JOIN dev b ON a.i - k.lag_k = b.i
+        GROUP BY k.lag_k
+    ),
+    terms AS (
+        SELECT {sql_quantize('(n.sk / d.s0) * (n.sk / d.s0) / (m.n - n.lag_k)', 9)}
+                   AS q9
+        FROM nums n, denom d, mstats m
+    )
+    SELECT m.n, CAST(12 AS INT) AS df,
+           {sql_quantize('m.n * (m.n + 2.0) * (CAST(t.sq AS DOUBLE) / 1e9)', 6)}
+               / 1000000.0 AS lb_stat
+    FROM mstats m,
+         (SELECT CAST(SUM(q9) AS BIGINT) AS sq FROM terms) t
+    """,
+)
+def q415(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    mstats = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (dsum("revenue") / F.count(F.lit(1))).alias("xbar"),
+    )
+    idx = monthly.withColumn(
+        "i", F.row_number().over(Window.orderBy("month"))
+    )
+    dev = tracked_persist(
+        idx.crossJoin(F.broadcast(mstats)).select(
+            "i", (F.col("revenue") - F.col("xbar")).alias("d"), "n"
+        )
+    )
+    denom = dev.agg(dsum(F.col("d") * F.col("d"), 2).alias("s0"))
+    lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag_k"))
+    b = dev.select(F.col("i").alias("i_b"), F.col("d").alias("d_b"))
+    nums = (
+        dev.crossJoin(F.broadcast(lags))
+        .join(b, F.col("i") - F.col("lag_k") == F.col("i_b"))
+        .groupBy("lag_k")
+        .agg(dsum(F.col("d") * F.col("d_b"), 2).alias("sk"))
+    )
+    term = (
+        (F.col("sk") / F.col("s0"))
+        * (F.col("sk") / F.col("s0"))
+        / (F.col("n") - F.col("lag_k"))
+    )
+    terms = nums.crossJoin(F.broadcast(denom)).crossJoin(
+        F.broadcast(mstats.select("n"))
+    )
+    sq = terms.agg(F.sum(quantize(term, 9)).cast("long").alias("sq"))
+    return (
+        mstats.select("n")
+        .crossJoin(F.broadcast(sq))
+        .select(
+            "n",
+            F.lit(12).cast("int").alias("df"),
+            (
+                quantize(
+                    F.col("n") * (F.col("n") + 2.0) * (F.col("sq").cast("double") / 1e9),
+                    6,
+                )
+                / 1e6
+            ).alias("lb_stat"),
+        )
+    )
