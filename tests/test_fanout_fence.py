@@ -226,6 +226,13 @@ def _(embs, spark):
     return semantic_dedup(embs)
 
 
+@_emb_op("dimension_energy")
+def _(embs, spark):
+    from pandrs_spark.operators.similarity import dimension_energy
+
+    return dimension_energy(embs)
+
+
 @pytest.mark.parametrize("name", sorted(DOC_OPS))
 def test_doc_operator_widens_big_narrow_scan(spark, name):
     # ~600 docs x ~1.3 KB: optimizer size well past 2 tasks' budget
