@@ -34,6 +34,7 @@ __all__ = [
     "read_csv",
     "commit_table_version",
     "read_table_version",
+    "expire_table_versions",
     "write_csv",
     "read_json",
     "write_json",
@@ -695,3 +696,49 @@ def read_table_version(spark, table_dir: str, version: int | None = None, fmt: s
     with open(os.path.join(vdir, f"v{v}.json")) as fh:
         manifest = json.load(fh)
     return spark.read.format(fmt).load(manifest["files"])
+
+
+def expire_table_versions(table_dir: str, keep_last: int = 1) -> dict[str, int]:
+    """Snapshot expiry for :func:`commit_table_version` tables — the
+    Delta VACUUM / Iceberg expire_snapshots shape: drop all but the
+    newest ``keep_last`` manifests, then delete data files no surviving
+    manifest references. Metadata-only bookkeeping plus file deletes —
+    O(files), never O(rows). Returns
+    {versions_removed, files_deleted, versions_kept}.
+
+    Readers of an expired version get a clean FileNotFoundError from
+    :func:`read_table_version` (its manifest is gone) rather than a
+    partial scan: manifests are removed BEFORE their now-orphaned data
+    files."""
+    import json
+    import os
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vdir = os.path.join(table_dir, "_versions")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    live: set[str] = set()
+    for v in keep:
+        with open(os.path.join(vdir, f"v{v}.json")) as fh:
+            live.update(json.load(fh)["files"])
+    doomed: set[str] = set()
+    for v in drop:
+        p = os.path.join(vdir, f"v{v}.json")
+        with open(p) as fh:
+            doomed.update(json.load(fh)["files"])
+        os.remove(p)
+    n_deleted = 0
+    for f in sorted(doomed - live):
+        path = f[len("file:"):] if f.startswith("file:") else f
+        if os.path.exists(path):
+            os.remove(path)
+            n_deleted += 1
+    return {
+        "versions_removed": len(drop),
+        "files_deleted": n_deleted,
+        "versions_kept": len(keep),
+    }

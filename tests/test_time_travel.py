@@ -41,3 +41,51 @@ def test_first_commit_may_be_overwrite(spark, tmp_path):
         == 1
     )
     assert read_table_version(spark, t).count() == 4
+
+
+def test_expire_versions_keeps_latest_and_deletes_orphans(spark, tmp_path):
+    import os
+
+    from pandrs_spark.sources.io import expire_table_versions
+
+    t = str(tmp_path / "vt4")
+    commit_table_version(
+        spark, spark.range(5).withColumnRenamed("id", "k"), t, "append"
+    )
+    commit_table_version(
+        spark, spark.range(5, 8).withColumnRenamed("id", "k"), t, "append"
+    )
+    commit_table_version(
+        spark, spark.range(100, 101).withColumnRenamed("id", "k"), t, "overwrite"
+    )
+    stats = expire_table_versions(t, keep_last=1)
+    assert stats["versions_removed"] == 2
+    assert stats["versions_kept"] == 1
+    # latest still reads; expired versions raise cleanly
+    assert read_table_version(spark, t).count() == 1
+    with pytest.raises(FileNotFoundError):
+        read_table_version(spark, t, 1)
+    # commit-1/2 data files (orphaned by the overwrite) are gone
+    assert not os.path.exists(os.path.join(t, "data", "commit-1")) or not any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(t, "data", "commit-1"))
+    )
+    assert stats["files_deleted"] >= 2
+
+
+def test_expire_versions_preserves_shared_files(spark, tmp_path):
+    from pandrs_spark.sources.io import expire_table_versions
+
+    t = str(tmp_path / "vt5")
+    commit_table_version(
+        spark, spark.range(4).withColumnRenamed("id", "k"), t, "append"
+    )
+    commit_table_version(
+        spark, spark.range(4, 6).withColumnRenamed("id", "k"), t, "append"
+    )
+    # v2 (APPEND) still references v1's files — expiry of v1 must NOT
+    # delete them
+    stats = expire_table_versions(t, keep_last=1)
+    assert stats["versions_removed"] == 1
+    assert stats["files_deleted"] == 0
+    assert read_table_version(spark, t).count() == 6
