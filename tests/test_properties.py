@@ -380,3 +380,79 @@ def test_global_row_number_and_ntile_partition_invariant(
         assert got[i][1] == expect_bucket[rank0], (
             n, k, rank0, got[i][1], expect_bucket[rank0],
         )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(2, 8),
+)
+def test_croston_partition_invariant_and_matches_pure_fold(spark, xs, parts):
+    """croston_forecast must equal the pure-Python Croston fold
+    regardless of how the input rows are partitioned (the fold happens
+    after a per-series shuffle + in-group sort)."""
+    from pandrs_spark.operators.timeseries import croston_forecast
+
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "k string, t int, qty double",
+    ).repartition(parts)
+    got = croston_forecast(
+        df, "qty", order_by=["t"], partition_by=["k"], alpha=0.3
+    ).collect()[0]
+
+    z = p = None
+    q = 1.0
+    for x in xs:
+        if x > 0:
+            if z is None:
+                z, p = float(x), q
+            else:
+                z = 0.3 * x + 0.7 * z
+                p = 0.3 * q + 0.7 * p
+            q = 1.0
+        else:
+            q += 1.0
+    if z is None:
+        assert got["croston_fc"] is None
+    else:
+        assert abs(got["croston_size"] - z) < 1e-12
+        assert abs(got["croston_interval"] - p) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(2, 8),
+)
+def test_reorder_sim_partition_invariant(spark, xs, parts):
+    from pandrs_spark.operators.timeseries import reorder_policy_sim
+
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "k string, t int, qty double",
+    ).repartition(parts)
+    got = reorder_policy_sim(
+        df, "qty", order_by=["t"], partition_by=["k"],
+        reorder_point=20.0, order_up_to=80.0,
+    ).collect()[0]
+
+    oh, orders, so = 80.0, 0, 0
+    for x in xs:
+        if x > oh:
+            so += 1
+        oh = max(oh - x, 0.0)
+        if oh < 20.0:
+            orders += 1
+            oh = 80.0
+    assert got["n_stockouts"] == so
+    assert got["n_orders"] == orders
+    assert abs(got["final_on_hand"] - oh) < 1e-12
