@@ -4383,3 +4383,91 @@ def q412(spark, sf_dir):
             ),
         )
     )
+
+
+# --- q416: materialized-rollup reuse — the summary-table pattern: ONE
+# persisted (nation, month) revenue rollup answers three coarser
+# grains (per nation, per month, global) by RE-AGGREGATION, never
+# rescanning the fact table. Exact because dsum's quantized longs are
+# associative: re-aggregating partial sums equals aggregating raw rows
+# (the map-side-combine identity, verified here value-for-value — the
+# oracle computes every grain DIRECTLY from orders). At 100 TB the
+# rollup is the only fact-table scan; each grain is then
+# rollup-sized. --------------------------------------------------------------
+@query(
+    "q416_materialized_rollup_reuse",
+    oracle="""
+    WITH direct_nation AS (
+        SELECT 'nation' AS grain, CAST(c.c_nationkey AS VARCHAR) AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    ),
+    direct_month AS (
+        SELECT 'month' AS grain,
+               strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM orders o
+        GROUP BY 2
+    ),
+    direct_global AS (
+        SELECT 'global' AS grain, 'all' AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM orders o
+    )
+    SELECT grain, key, n_orders, CAST(revq AS DOUBLE) / 100.0 AS revenue
+    FROM (SELECT * FROM direct_nation UNION ALL
+          SELECT * FROM direct_month UNION ALL
+          SELECT * FROM direct_global)
+    ORDER BY grain, key
+    """,
+)
+def q416(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    # the ONE fact scan: quantized partial sums at (nation, month) grain
+    rollup = tracked_persist(
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(quantize("o_totalprice", 2)).alias("revq"),
+        )
+    )
+
+    def regrain(keys, grain, key_expr):
+        return (
+            rollup.groupBy(*keys)
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("revq").cast("long").alias("revq"),
+            )
+            .select(
+                F.lit(grain).alias("grain"),
+                key_expr.alias("key"),
+                "n_orders",
+                (F.col("revq").cast("double") / 100.0).alias("revenue"),
+            )
+        )
+
+    out = regrain(["nation"], "nation", F.col("nation").cast("string"))
+    out = out.unionByName(regrain(["month"], "month", F.col("month")))
+    out = out.unionByName(regrain([], "global", F.lit("all")))
+    return out.orderBy("grain", "key")
