@@ -2017,3 +2017,95 @@ def q413(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+# --- q417: Kendall's tau-b between monthly revenue and order count —
+# completing the correlation triad (Pearson q58, Spearman q293). All
+# concordant/discordant/tie counts come from ONE bounded self-join
+# over the ~80-month series (calendar-bounded — the pair count is
+# months², never data-sized; the data-sized work is the monthly
+# aggregate). Integer-exact until the final ratio. ----------------------------
+@query(
+    "q417_kendall_tau_monthly",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(SIGN(o_totalprice)
+                             * FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.revq AS xa, a.n_orders AS ya, b.revq AS xb, b.n_orders AS yb
+        FROM monthly a JOIN monthly b ON a.month < b.month
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS disc,
+               CAST(SUM(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ty
+        FROM pairs
+    )
+    SELECT n_pairs, conc, disc,
+           CAST(SIGN((conc - disc)
+                     / SQRT(CAST(n_pairs - tx AS DOUBLE) * (n_pairs - ty)))
+                * FLOOR(ABS((conc - disc)
+                            / SQRT(CAST(n_pairs - tx AS DOUBLE) * (n_pairs - ty)))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS tau_b
+    FROM counts
+    """,
+)
+def q417(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(quantize("o_totalprice", 2)).alias("revq"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    a = monthly.select(
+        F.col("month").alias("ma"),
+        F.col("revq").alias("xa"),
+        F.col("n_orders").alias("ya"),
+    )
+    b = monthly.select(
+        F.col("month").alias("mb"),
+        F.col("revq").alias("xb"),
+        F.col("n_orders").alias("yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ma") < F.col("mb"))
+    s = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    counts = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(s > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(s < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum(
+            F.when(
+                (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tx"),
+        F.sum(
+            F.when(
+                (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ty"),
+    )
+    tau = (F.col("conc") - F.col("disc")) / F.sqrt(
+        (F.col("n_pairs") - F.col("tx")).cast("double")
+        * (F.col("n_pairs") - F.col("ty"))
+    )
+    return counts.select(
+        "n_pairs", "conc", "disc", (quantize(tau, 6) / 1e6).alias("tau_b")
+    )

@@ -2701,3 +2701,103 @@ def q415(spark, sf_dir):
             ).alias("lb_stat"),
         )
     )
+
+
+# --- q418: seasonal / trend strength indices (Hyndman FPP "STL
+# features"): F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+# F_trend = max(0, 1 − Var(R)/Var(T+R)) over the q80 weekly additive
+# decomposition. The forecasting-pipeline triage stat: decides whether
+# a series needs a seasonal model at all. All variances from quantized
+# exact sums over the interior rows (edges where the centered MA is
+# undefined are dropped on BOTH sides). ---------------------------------------
+def _q418_var(col: str) -> str:
+    """Population variance from scale-4 quantized sums (oracle side)."""
+    q = f"CAST(SIGN({col}) * FLOOR(ABS({col}) * 10000.0 + 0.5) AS BIGINT)"
+    q2 = (
+        f"CAST(SIGN({col} * {col}) * FLOOR(ABS({col} * {col}) * 10000.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    return (
+        f"(CAST(SUM({q2}) AS DOUBLE) / 10000.0 / COUNT(*)"
+        f" - (CAST(SUM({q}) AS DOUBLE) / 10000.0 / COUNT(*))"
+        f" * (CAST(SUM({q}) AS DOUBLE) / 10000.0 / COUNT(*)))"
+    )
+
+
+@query(
+    "q418_decomposition_strength",
+    oracle=_DAILY
+    + f"""
+    , trended AS (
+        SELECT day, rev,
+               CASE WHEN COUNT(rev) OVER wc = 7
+                    THEN {sql_dsum_over('rev', 'wc', 4)} / 7 END AS trend,
+               (ROW_NUMBER() OVER (ORDER BY day) - 1) % 7 AS phase
+        FROM daily
+        WINDOW wc AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    phase_means AS (
+        SELECT phase, {sql_davg('rev - trend', 6)} AS pm
+        FROM trended GROUP BY phase
+    ),
+    grand AS (SELECT {sql_davg('pm', 6)} AS g FROM phase_means),
+    comp AS (
+        SELECT t.rev / 1000000.0 AS rev,
+               t.trend / 1000000.0 AS trend,
+               (p.pm - g.g) / 1000000.0 AS seasonal,
+               (t.rev - t.trend - (p.pm - g.g)) / 1000000.0 AS resid
+        FROM trended t JOIN phase_means p USING (phase) CROSS JOIN grand g
+        WHERE t.trend IS NOT NULL
+    ),
+    vars_ AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_interior,
+               {_q418_var('resid')} AS vr,
+               {_q418_var('(seasonal + resid)')} AS vsr,
+               {_q418_var('(trend + resid)')} AS vtr
+        FROM comp
+    )
+    SELECT n_interior,
+           CAST(SIGN(GREATEST(0.0, 1.0 - vr / vsr))
+                * FLOOR(ABS(GREATEST(0.0, 1.0 - vr / vsr)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS seasonal_strength,
+           CAST(SIGN(GREATEST(0.0, 1.0 - vr / vtr))
+                * FLOOR(ABS(GREATEST(0.0, 1.0 - vr / vtr)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS trend_strength
+    FROM vars_
+    """,
+)
+def q418(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    dec = seasonal_decompose_additive(daily, "day", "rev", period=7).filter(
+        F.col("trend").isNotNull()
+    )
+    comp = dec.select(
+        (F.col("resid") / 1e6).alias("resid"),
+        ((F.col("seasonal") + F.col("resid")) / 1e6).alias("sr"),
+        ((F.col("trend") + F.col("resid")) / 1e6).alias("tr"),
+    )
+
+    def var_of(col):
+        n = F.count(F.lit(1))
+        sx = F.sum(quantize(col, 4)).cast("double") / 1e4
+        sxx = F.sum(quantize(F.col(col) * F.col(col), 4)).cast("double") / 1e4
+        return sxx / n - (sx / n) * (sx / n)
+
+    vars_ = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_interior"),
+        var_of("resid").alias("vr"),
+        var_of("sr").alias("vsr"),
+        var_of("tr").alias("vtr"),
+    )
+    fs = F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr"))
+    ft = F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr"))
+    return vars_.select(
+        "n_interior",
+        (quantize(fs, 6) / 1e6).alias("seasonal_strength"),
+        (quantize(ft, 6) / 1e6).alias("trend_strength"),
+    )
