@@ -3467,3 +3467,242 @@ def q408(spark, sf_dir):
         .crossJoin(F.broadcast(peak_time))
         .select("n_sessions", "peak_concurrency", "peak_time")
     )
+
+
+# --- q419: Markov-chain removal-effect attribution (Anderl et al.
+# 2016) — the data-driven complement to q405's Shapley: journeys are
+# start → (collapsed, first-8) channel touches → conversion/null; the
+# chain's absorption probability into 'conv' is computed by a FIXED
+# 20-step power iteration whose per-state sums are quantized to exact
+# longs each round, so the whole trajectory is bitwise-reproducible
+# and the oracle unrolls the identical 20 rounds per variant. A
+# channel's removal effect = relative drop in absorption when its
+# inbound edges are redirected to 'null' (outgoing rows dropped) — no
+# renormalization needed since only targets are remapped. States are
+# the FIXED 4-channel universe + 3 specials: every iteration is a
+# bounded ≤49-row join, never data-sized; the data-scale pass is the
+# one journey aggregation. -----------------------------------------------------
+_Q419_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _q419_iter_sql(var: str, it: int) -> str:
+    """One quantized power-iteration round for variant `var`."""
+    return f"""
+    v_{var}_{it} AS (
+        SELECT s AS state,
+               CAST(SUM(CAST(SIGN(p * v) * FLOOR(ABS(p * v) * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS v
+        FROM t_{var} JOIN v_{var}_{it - 1} ON t = state
+        GROUP BY s
+        UNION ALL SELECT 'conv', 1.0
+        UNION ALL SELECT 'null', 0.0
+    )"""
+
+
+def _q419_variant_sql(var: str, removed: str | None, rounds: int = 20) -> str:
+    if removed is None:
+        t = "SELECT s, t, p FROM trans"
+    else:
+        t = f"""SELECT s, CASE WHEN t = '{removed}' THEN 'null' ELSE t END AS t, p
+               FROM trans WHERE s <> '{removed}'"""
+    chain = [f"t_{var} AS MATERIALIZED ({t})"]
+    chain.append(
+        f"v_{var}_0 AS (SELECT 'conv' AS state, 1.0 AS v "
+        f"UNION ALL SELECT 'null', 0.0)"
+    )
+    for i in range(1, rounds + 1):
+        chain.append(_q419_iter_sql(var, i))
+    chain.append(
+        f"cv_{var} AS (SELECT v AS cvr FROM v_{var}_{rounds} "
+        f"WHERE state = 'start')"
+    )
+    return ",\n    ".join(chain)
+
+
+def _q419_oracle() -> str:
+    variants = [_q419_variant_sql("base", None)]
+    for ch in _Q419_CHANNELS:
+        variants.append(_q419_variant_sql(f"no_{ch}", ch))
+    effects = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel, (SELECT cvr FROM cv_no_{ch}) AS removed_cvr"
+        for ch in _Q419_CHANNELS
+    )
+    return f"""
+    WITH firstp AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.ts, e.event_id, e.event_type AS ch, f.tp
+        FROM events e JOIN firstp f ON f.user_id = e.user_id
+        WHERE e.event_type <> 'purchase'
+          AND (f.tp IS NULL OR e.ts < f.tp)
+    ),
+    collapsed AS (
+        SELECT user_id, ts, event_id, ch, tp
+        FROM (
+            SELECT *, LAG(ch) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+            FROM touches
+        ) WHERE prev IS NULL OR prev <> ch
+    ),
+    capped AS (
+        SELECT user_id, ch, tp,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM collapsed
+        QUALIFY rn <= 8
+    ),
+    maxrn AS (
+        SELECT user_id, MAX(rn) AS mx FROM capped GROUP BY user_id
+    ),
+    pairs AS (
+        SELECT 'start' AS s, ch AS t FROM capped WHERE rn = 1
+        UNION ALL
+        SELECT LAG(ch) OVER (PARTITION BY user_id ORDER BY rn) AS s, ch AS t
+        FROM capped QUALIFY s IS NOT NULL
+        UNION ALL
+        SELECT c.ch AS s,
+               CASE WHEN c.tp IS NOT NULL THEN 'conv' ELSE 'null' END AS t
+        FROM capped c JOIN maxrn m
+          ON m.user_id = c.user_id AND c.rn = m.mx
+        UNION ALL
+        SELECT 'start' AS s,
+               CASE WHEN f.tp IS NOT NULL THEN 'conv' ELSE 'null' END AS t
+        FROM firstp f
+        WHERE NOT EXISTS (SELECT 1 FROM capped c WHERE c.user_id = f.user_id)
+    ),
+    trans AS (
+        SELECT s, t,
+               CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY s) AS p
+        FROM pairs GROUP BY s, t
+    ),
+    {",".join(variants)},
+    eff AS ({effects})
+    SELECT e.channel,
+           CAST(SIGN(b.cvr) * FLOOR(ABS(b.cvr) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS base_cvr,
+           CAST(SIGN(e.removed_cvr) * FLOOR(ABS(e.removed_cvr) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS removed_cvr,
+           CAST(SIGN((b.cvr - e.removed_cvr) / b.cvr)
+                * FLOOR(ABS((b.cvr - e.removed_cvr) / b.cvr) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS removal_effect
+    FROM eff e, cv_base b
+    ORDER BY channel
+    """
+
+
+@query("q419_markov_removal_attribution", oracle=_q419_oracle())
+def q419(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    ev = T(spark, sf_dir, "events")
+    firstp = tracked_persist(
+        ev.groupBy("user_id").agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("tp")
+        )
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(firstp, "user_id")
+        .filter(F.col("tp").isNull() | (F.col("ts") < F.col("tp")))
+        .select("user_id", "ts", "event_id", F.col("event_type").alias("ch"), "tp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    collapsed = (
+        touches.withColumn("prev", F.lag("ch").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("ch")))
+        .drop("prev")
+    )
+    capped = tracked_persist(
+        collapsed.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 8
+        )
+    )
+    maxrn = capped.groupBy("user_id").agg(F.max("rn").alias("mx"))
+    w_rn = Window.partitionBy("user_id").orderBy("rn")
+    starts = capped.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("s"), F.col("ch").alias("t")
+    )
+    internal = (
+        capped.withColumn("s", F.lag("ch").over(w_rn))
+        .filter(F.col("s").isNotNull())
+        .select("s", F.col("ch").alias("t"))
+    )
+    terminal = capped.join(
+        maxrn, (capped.user_id == maxrn.user_id) & (capped.rn == maxrn.mx)
+    ).select(
+        F.col("ch").alias("s"),
+        F.when(F.col("tp").isNotNull(), "conv").otherwise("null").alias("t"),
+    )
+    untouched = firstp.join(
+        capped.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(
+        F.lit("start").alias("s"),
+        F.when(F.col("tp").isNotNull(), "conv").otherwise("null").alias("t"),
+    )
+    pairs = starts.unionByName(internal).unionByName(terminal).unionByName(
+        untouched
+    )
+    w_s = Window.partitionBy("s")
+    trans = tracked_persist(
+        pairs.groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "p", F.col("c").cast("double") / F.sum("c").over(w_s)
+        )
+        .drop("c")
+    )
+
+    # The transition matrix is BOUNDED (≤ (4+1)·(4+3) cells — channel
+    # universe squared, never data-sized), so it is collected once and
+    # the 20-round quantized power iteration runs driver-side in exact
+    # mirror of the oracle's CTE chain (the "bounded category set"
+    # collect pattern; the data-sized journey aggregation above is the
+    # only distributed pass). Lazy per-round DataFrame joins would
+    # re-analyze an exponentially deepening plan instead.
+    import math
+
+    rows = trans.collect()
+
+    def absorb(removed_ch):
+        edges = []
+        for r in rows:
+            if removed_ch is not None and r["s"] == removed_ch:
+                continue
+            t = "null" if removed_ch is not None and r["t"] == removed_ch else r["t"]
+            edges.append((r["s"], t, r["p"]))
+        v = {"conv": 1.0, "null": 0.0}
+        for _ in range(20):
+            acc: dict[str, int] = {}
+            for s_, t_, p_ in edges:
+                pv = p_ * v.get(t_, 0.0)
+                q = int(math.copysign(math.floor(abs(pv) * 1e12 + 0.5), pv))
+                acc[s_] = acc.get(s_, 0) + q
+            v = {s_: q / 1e12 for s_, q in acc.items()}
+            v["conv"], v["null"] = 1.0, 0.0
+        return v.get("start", 0.0)
+
+    base_cvr = absorb(None)
+    out_rows = []
+    for ch in _Q419_CHANNELS:
+        rc = absorb(ch)
+        out_rows.append((ch, base_cvr, rc, (base_cvr - rc) / base_cvr))
+    out = spark.createDataFrame(
+        out_rows,
+        "channel string, base_cvr double, removed_cvr double, "
+        "removal_effect double",
+    )
+    return out.select(
+        "channel",
+        (quantize("base_cvr", 6) / 1e6).alias("base_cvr"),
+        (quantize("removed_cvr", 6) / 1e6).alias("removed_cvr"),
+        (quantize("removal_effect", 6) / 1e6).alias("removal_effect"),
+    ).orderBy("channel")
