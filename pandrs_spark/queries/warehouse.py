@@ -4471,3 +4471,127 @@ def q416(spark, sf_dir):
     out = out.unionByName(regrain(["month"], "month", F.col("month")))
     out = out.unionByName(regrain([], "global", F.lit("all")))
     return out.orderBy("grain", "key")
+
+
+# --- q420: stratified average-treatment-effect estimator — completes
+# the causal kit (CUPED q335, DiD q411, mSPRT q403): md5-arm
+# "treatment" on orders, outcomes stratified into five fixed
+# account-balance bands; ATE = Σ_h (n_h/N)·(ȳ_Th − ȳ_Ch) with the
+# stratified SE from within-cell variances. One grouped aggregate over
+# (band, arm) cells — all moments quantized exact. --------------------------
+@query(
+    "q420_stratified_ate",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(FLOOR((c.c_acctbal + 1000.0) / 2200.0) AS BIGINT) AS band,
+               CASE WHEN substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS arm,
+               CAST(o.o_totalprice AS DOUBLE) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT band, arm, COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sy,
+               CAST(SUM(CAST(SIGN(y * y) * FLOOR(ABS(y * y) + 0.5) AS BIGINT))
+                    AS DOUBLE) AS syy
+        FROM obs GROUP BY band, arm
+    ),
+    m AS (
+        SELECT band, arm, n, sy / n AS mean,
+               (syy - sy * sy / n) / (n - 1) AS var
+        FROM cells
+    ),
+    strata AS (
+        SELECT band,
+               CAST(SUM(n) AS BIGINT) AS n_h,
+               MAX(CASE WHEN arm = 1 THEN mean END)
+                   - MAX(CASE WHEN arm = 0 THEN mean END) AS diff,
+               MAX(CASE WHEN arm = 1 THEN var / n END)
+                   + MAX(CASE WHEN arm = 0 THEN var / n END) AS v_h
+        FROM m GROUP BY band
+    ),
+    tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n FROM strata),
+    agg AS (
+        SELECT t.n,
+               CAST(SUM(CAST(SIGN((CAST(s.n_h AS DOUBLE) / t.n) * s.diff)
+                             * FLOOR(ABS((CAST(s.n_h AS DOUBLE) / t.n) * s.diff)
+                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+                   AS ate,
+               CAST(SUM(CAST(SIGN((CAST(s.n_h AS DOUBLE) / t.n)
+                                  * (CAST(s.n_h AS DOUBLE) / t.n) * s.v_h)
+                             * FLOOR(ABS((CAST(s.n_h AS DOUBLE) / t.n)
+                                         * (CAST(s.n_h AS DOUBLE) / t.n) * s.v_h)
+                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+                   AS var_ate
+        FROM strata s, tot t
+        GROUP BY t.n
+    )
+    SELECT n,
+           CAST(SIGN(ate) * FLOOR(ABS(ate) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS ate,
+           CAST(SIGN(SQRT(var_ate)) * FLOOR(ABS(SQRT(var_ate)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS se,
+           CAST(SIGN(ate / SQRT(var_ate))
+                * FLOOR(ABS(ate / SQRT(var_ate)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS z
+    FROM agg
+    """,
+)
+def q420(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    obs = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.floor((F.col("c_acctbal") + 1000.0) / 2200.0)
+        .cast("long")
+        .alias("band"),
+        F.when(
+            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
+        )
+        .otherwise(0)
+        .alias("arm"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    cells = obs.groupBy("band", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("y", 2)).cast("double") / 100.0).alias("sy"),
+        F.sum(quantize(F.col("y") * F.col("y"), 0)).cast("double").alias("syy"),
+    )
+    m = cells.withColumn("mean", F.col("sy") / F.col("n")).withColumn(
+        "var",
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        / (F.col("n") - 1),
+    )
+    strata = m.groupBy("band").agg(
+        F.sum("n").cast("long").alias("n_h"),
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("mean")))
+            - F.max(F.when(F.col("arm") == 0, F.col("mean")))
+        ).alias("diff"),
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("var") / F.col("n")))
+            + F.max(F.when(F.col("arm") == 0, F.col("var") / F.col("n")))
+        ).alias("v_h"),
+    )
+    tot = strata.agg(F.sum("n_h").cast("long").alias("n"))
+    w = F.col("n_h").cast("double") / F.col("n")
+    agg = (
+        strata.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("n").alias("n"),
+            (F.sum(quantize(w * F.col("diff"), 9)).cast("double") / 1e9).alias(
+                "ate"
+            ),
+            (
+                F.sum(quantize(w * w * F.col("v_h"), 9)).cast("double") / 1e9
+            ).alias("var_ate"),
+        )
+    )
+    return agg.select(
+        "n",
+        (quantize("ate", 6) / 1e6).alias("ate"),
+        (quantize(F.sqrt("var_ate"), 6) / 1e6).alias("se"),
+        (quantize(F.col("ate") / F.sqrt("var_ate"), 6) / 1e6).alias("z"),
+    )
