@@ -22,6 +22,7 @@ __all__ = [
     "ordered_window",
     "global_prefix_sum",
     "global_prefix_counts",
+    "global_prefix_max",
     "global_row_number",
     "ntile_from_rank",
     "rolling",
@@ -525,3 +526,53 @@ def rolling_corr(
     return F.when(
         (n >= mp) & ~F.isnan(denom) & (denom > 0) & ~F.isnan(r), r
     ).otherwise(F.lit(None).cast("double"))
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    src_col: str,
+    out_col: str = "cummax",
+) -> DataFrame:
+    """EXACT global running MAX of an integer/orderable column under a
+    total order — the skyline/frontier primitive, completing the
+    partition-offset family (global_prefix_counts sums,
+    global_row_number numbers; this one folds max). Same scheme: one
+    range sort keeps every core busy, each partition computes its local
+    running max, and a collected one-row-per-partition max map supplies
+    each partition's prefix offset (max is associative+commutative, so
+    the per-partition prefix combine is order-safe). NO partitionless
+    window anywhere. NULLs are ignored (like SQL MAX); rows before the
+    first non-null get a NULL running max."""
+    from pyspark import StorageLevel
+
+    from pandrs_spark.frame import _PERSISTED
+
+    sdf = (
+        df.orderBy(*order_exprs)
+        .withColumn("__pid__", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(sdf)
+    totals = sdf.groupBy("__pid__").agg(F.max(src_col).alias("__m__")).collect()
+    pairs: list = []
+    running = None
+    for row in sorted(totals, key=lambda r: r["__pid__"]):
+        # absent map key ⇒ NULL offset ⇒ local-only max (first partitions)
+        if running is not None:
+            pairs += [F.lit(row["__pid__"]), F.lit(running)]
+        m = row["__m__"]
+        if m is not None:
+            running = m if running is None or m > running else running
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = F.max(src_col).over(w)
+    if pairs:
+        offset = F.create_map(*pairs)[F.col("__pid__")]
+        out = F.greatest(offset, local)
+    else:
+        out = local
+    return sdf.withColumn(out_col, out).drop("__pid__")

@@ -4595,3 +4595,76 @@ def q420(spark, sf_dir):
         (quantize(F.sqrt("var_ate"), 6) / 1e6).alias("se"),
         (quantize(F.col("ate") / F.sqrt("var_ate"), 6) / 1e6).alias("z"),
     )
+
+
+# --- q421: Pareto-frontier (skyline) query — parts not dominated on
+# (cheaper retail price, larger size): the multi-objective shortlist
+# primitive. Distributed 2-D sweep: collapse to per-price groups
+# (max size per price), run the NEW global_prefix_max partition-offset
+# primitive over the price order (running max of size over strictly
+# cheaper prices via a 1-group shift), and keep points that top their
+# price group AND beat every cheaper price's best size. NO
+# partitionless window, no pairwise dominance join. --------------------------
+@query(
+    "q421_pareto_frontier_parts",
+    oracle="""
+    WITH sub AS (
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+               CAST(p_size AS BIGINT) AS sz
+        FROM part WHERE p_partkey % 7 = 3
+    ),
+    grp AS (
+        SELECT price, MAX(sz) AS smax FROM sub GROUP BY price
+    ),
+    pfx AS (
+        SELECT price, smax,
+               MAX(smax) OVER (ORDER BY price
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS before_max
+        FROM grp
+    )
+    SELECT s.p_partkey AS partkey, s.price, s.sz AS size
+    FROM sub s JOIN pfx g ON s.price = g.price
+    WHERE s.sz = g.smax
+      AND (g.before_max IS NULL OR s.sz > g.before_max)
+    ORDER BY s.price, s.p_partkey
+    """,
+)
+def q421(spark, sf_dir):
+    from pandrs_spark.operators.windows import global_prefix_max
+
+    part = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 3)
+    sub = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    grp = sub.groupBy("price").agg(F.max("sz").alias("smax"))
+    cum = global_prefix_max(grp, [F.col("price")], "smax", "run_max")
+    # the strictly-cheaper max is the PREVIOUS group's running max; grp
+    # is price-distinct (data-sized), so a lag over it would be a
+    # partitionless window — join on the global row number instead
+    # (same sorted pass, plain equi-join).
+    from pandrs_spark.operators.windows import global_row_number
+
+    numbered = global_row_number(
+        cum.select("price", "smax", "run_max"), [F.col("price")], "rn"
+    )
+    prev = numbered.select(
+        (F.col("rn") + 1).alias("rn"), F.col("run_max").alias("before_max")
+    )
+    pfx = numbered.join(prev, "rn", "left")
+    out = (
+        sub.join(pfx.select("price", "smax", "before_max"), "price")
+        .filter(
+            (F.col("sz") == F.col("smax"))
+            & (F.col("before_max").isNull() | (F.col("sz") > F.col("before_max")))
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "price",
+            F.col("sz").alias("size"),
+        )
+        .orderBy("price", "partkey")
+    )
+    return out

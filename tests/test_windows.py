@@ -368,3 +368,29 @@ def test_ntile_from_rank_exact_beyond_double_range(spark):
         ).collect()
     }
     assert all(m == ref for m, ref in got.values()), got
+
+
+def test_global_prefix_max_matches_window_cummax(spark):
+    """global_prefix_max == max().over(Window.orderBy(...)) under any
+    partitioning, including leading NULLs and multi-partition inputs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.frame import release_persisted
+    from pandrs_spark.operators.windows import global_prefix_max
+
+    rows = [(i, None if i < 3 else (i * 37) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v int").repartition(7)
+    got = {
+        r["k"]: r["cm"]
+        for r in global_prefix_max(df, [F.col("k")], "v", "cm").collect()
+    }
+    expect = {}
+    run = None
+    for k, v in rows:
+        if v is not None:
+            run = v if run is None or v > run else run
+        expect[k] = run
+    assert got == expect
+    release_persisted()
