@@ -3441,3 +3441,106 @@ def q400(spark, sf_dir):
     ]:
         out = out.unionByName(stage(df, i, name))
     return out.orderBy("stage")
+
+
+# --- q422: Good-Turing unseen-probability mass + Chao1 vocabulary
+# richness — "how much of the language have we NOT crawled yet?" The
+# corpus-planning estimators: Turing coverage C = 1 − N₁/N (mass of
+# unseen types), Good-Turing smoothed counts r* = (r+1)·S(r+1)/S(r)
+# for low r, and Chao1 total-vocabulary estimate D + N₁²/(2N₂). All
+# from the frequency-of-frequencies profile over word TRIGRAMS (the
+# unigram vocabulary here is saturated — no hapaxes — so the estimator
+# runs where it actually operates in corpus planning, on n-gram types):
+# tokens → per-type counts
+# → counts-of-counts (three cheap shuffles, each smaller than the
+# last). Pairs with q224 vocabulary coverage / q312 Zipf. ---------------------
+@query(
+    "q422_good_turing_chao1",
+    oracle=f"""
+    WITH w AS (SELECT {_WS} AS w FROM documents),
+    tok AS (
+        SELECT array_to_string(w[i:i+2], ' ') AS tk
+        FROM w, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    types AS (SELECT tk, COUNT(*) AS r FROM tok GROUP BY tk),
+    fof AS (SELECT r, COUNT(*) AS s FROM types GROUP BY r),
+    base AS (
+        SELECT CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS n_tokens,
+               CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS n_types,
+               CAST(COALESCE((SELECT s FROM fof WHERE r = 1), 0) AS BIGINT) AS n1,
+               CAST(COALESCE((SELECT s FROM fof WHERE r = 2), 0) AS BIGINT) AS n2,
+               CAST(COALESCE((SELECT s FROM fof WHERE r = 3), 0) AS BIGINT) AS n3
+    )
+    SELECT n_tokens, n_types, n1, n2,
+           CAST(SIGN(CAST(n1 AS DOUBLE) / n_tokens)
+                * FLOOR(ABS(CAST(n1 AS DOUBLE) / n_tokens) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS unseen_mass,
+           CAST(SIGN(1.0 - CAST(n1 AS DOUBLE) / n_tokens)
+                * FLOOR(ABS(1.0 - CAST(n1 AS DOUBLE) / n_tokens) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS turing_coverage,
+           CAST(SIGN(2.0 * n2 / n1) * FLOOR(ABS(2.0 * n2 / n1) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS gt_rstar_1,
+           CAST(SIGN(3.0 * n3 / n2) * FLOOR(ABS(3.0 * n3 / n2) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS gt_rstar_2,
+           CAST(SIGN(n_types + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2))
+                * FLOOR(ABS(n_types + CAST(n1 AS DOUBLE) * n1 / (2.0 * n2))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS chao1_richness
+    FROM base
+    """,
+)
+def q422(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+
+    from pandrs_spark.operators.text import shingles
+
+    docs = T(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        F.explode(shingles(tokens(F.col("text")), 3)).alias("tk")
+    )
+    types = tracked_persist(tok.groupBy("tk").agg(F.count(F.lit(1)).alias("r")))
+    fof = types.groupBy("r").agg(F.count(F.lit(1)).alias("s"))
+    base = (
+        types.agg(
+            F.sum("r").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+        .crossJoin(
+            F.broadcast(
+                fof.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("r") == 1, F.col("s"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("n1"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("r") == 2, F.col("s"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("n2"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("r") == 3, F.col("s"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("n3"),
+                )
+            )
+        )
+    )
+    unseen = F.col("n1").cast("double") / F.col("n_tokens")
+    chao1 = F.col("n_types") + F.col("n1").cast("double") * F.col("n1") / (
+        2.0 * F.col("n2")
+    )
+    return base.select(
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        (quantize(unseen, 6) / 1e6).alias("unseen_mass"),
+        (quantize(1.0 - unseen, 6) / 1e6).alias("turing_coverage"),
+        (quantize(2.0 * F.col("n2") / F.col("n1"), 6) / 1e6).alias("gt_rstar_1"),
+        (quantize(3.0 * F.col("n3") / F.col("n2"), 6) / 1e6).alias("gt_rstar_2"),
+        (quantize(chao1, 6) / 1e6).alias("chao1_richness"),
+    )
