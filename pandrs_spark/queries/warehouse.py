@@ -4668,3 +4668,185 @@ def q421(spark, sf_dir):
         .orderBy("price", "partkey")
     )
     return out
+
+
+# --- q423: quantile treatment effects — the distributional view the
+# mean-ATE (q420) hides: QTE(p) = Q_T(p) − Q_C(p) at the deciles,
+# exact type-1 quantiles per arm from one cumulative histogram pass
+# (the q391 rank machinery: k = ceil(p·n) in pure integers, the
+# decile set is fixed so the rank lookup is a bounded broadcast
+# join). -----------------------------------------------------------------------
+@query(
+    "q423_quantile_treatment_effects",
+    oracle="""
+    WITH obs AS (
+        SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS arm,
+               CAST(o_totalprice AS DOUBLE) AS y
+        FROM orders
+    ),
+    hist AS (
+        SELECT arm, y, COUNT(*) AS c FROM obs GROUP BY arm, y
+    ),
+    cum AS (
+        SELECT arm, y,
+               CAST(SUM(c) OVER (PARTITION BY arm ORDER BY y
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+        FROM hist
+    ),
+    qs AS (
+        SELECT g.i, c.arm, MIN(c.y) AS q
+        FROM generate_series(1, 9) g(i)
+        JOIN cum c ON c.cum >= (g.i * c.n + 9) // 10
+        GROUP BY g.i, c.arm
+    )
+    SELECT i / 10.0 AS level,
+           MIN(CASE WHEN arm = 1 THEN q END) AS q_treat,
+           MIN(CASE WHEN arm = 0 THEN q END) AS q_control,
+           CAST(SIGN(MIN(CASE WHEN arm = 1 THEN q END)
+                     - MIN(CASE WHEN arm = 0 THEN q END))
+                * FLOOR(ABS(MIN(CASE WHEN arm = 1 THEN q END)
+                            - MIN(CASE WHEN arm = 0 THEN q END))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS qte
+    FROM qs GROUP BY i ORDER BY level
+    """,
+)
+def q423(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    obs = orders.select(
+        F.when(
+            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
+        )
+        .otherwise(0)
+        .alias("arm"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    # NOT Window.partitionBy(arm).orderBy(y): two arms = two tasks for
+    # the whole table. One distributed sorted pass over (arm, y) with
+    # per-arm count columns — arms are contiguous under that order, so
+    # each row's own-arm running count is exact.
+    hist = obs.groupBy("arm", "y").agg(F.count(F.lit(1)).alias("c"))
+    hist2 = hist.select(
+        "arm",
+        "y",
+        F.when(F.col("arm") == 1, F.col("c")).otherwise(0).alias("ct"),
+        F.when(F.col("arm") == 0, F.col("c")).otherwise(0).alias("cc"),
+    )
+    cumd = global_prefix_counts(
+        hist2, [F.col("arm"), F.col("y")], {"cum_t": "ct", "cum_c": "cc"}
+    )
+    tot = hist.groupBy("arm").agg(F.sum("c").cast("long").alias("n"))
+    cum = cumd.join(F.broadcast(tot), "arm").select(
+        "arm",
+        "y",
+        F.when(F.col("arm") == 1, F.col("cum_t"))
+        .otherwise(F.col("cum_c"))
+        .cast("long")
+        .alias("cum"),
+        "n",
+    )
+    levels = spark.range(1, 10).select(F.col("id").cast("int").alias("i"))
+    qs = (
+        cum.join(F.broadcast(levels), F.col("cum") >= F.expr("(i * n + 9) div 10"))
+        .groupBy("i", "arm")
+        .agg(F.min("y").alias("q"))
+    )
+    qt = F.min(F.when(F.col("arm") == 1, F.col("q")))
+    qc = F.min(F.when(F.col("arm") == 0, F.col("q")))
+    return (
+        qs.groupBy("i")
+        .agg(
+            qt.alias("q_treat"),
+            qc.alias("q_control"),
+            (quantize(qt - qc, 6) / 1e6).alias("qte"),
+        )
+        .select(
+            (F.col("i") / 10.0).alias("level"), "q_treat", "q_control", "qte"
+        )
+        .orderBy("level")
+    )
+
+
+# --- q424: Wilson lower-bound ranking — the cold-start-safe way to
+# rank brands by fulfilled-order rate: the naive rate p̂ overranks
+# tiny-n items; the Wilson score interval's LOWER bound
+# (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), z = 1.96,
+# penalizes uncertainty exactly. Pure grouped aggregate + shared
+# closed-form; top 10 by (wilson_lb, brand) total order. ----------------------
+@query(
+    "q424_wilson_lb_brand_ranking",
+    oracle="""
+    WITH rates AS (
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS good
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    scored AS (
+        SELECT brand, n, good,
+               CAST(good AS DOUBLE) / n AS p_hat,
+               ((CAST(good AS DOUBLE) / n) + 1.96 * 1.96 / (2.0 * n)
+                - 1.96 * SQRT((CAST(good AS DOUBLE) / n)
+                              * (1.0 - CAST(good AS DOUBLE) / n) / n
+                              + 1.96 * 1.96 / (4.0 * n * n)))
+               / (1.0 + 1.96 * 1.96 / n) AS wilson_lb
+        FROM rates
+    )
+    SELECT brand, n, good,
+           CAST(SIGN(p_hat) * FLOOR(ABS(p_hat) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS p_hat,
+           CAST(SIGN(wilson_lb) * FLOOR(ABS(wilson_lb) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS wilson_lb
+    FROM scored
+    ORDER BY CAST(SIGN(wilson_lb) * FLOOR(ABS(wilson_lb) * 1e9 + 0.5) AS BIGINT)
+             DESC, brand
+    LIMIT 10
+    """,
+)
+def q424(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    rates = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("long")
+            .alias("good"),
+        )
+    )
+    p_hat = F.col("good").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    wilson = (
+        p_hat
+        + F.lit(z2) / (2.0 * F.col("n"))
+        - 1.96
+        * F.sqrt(
+            p_hat * (1.0 - p_hat) / F.col("n")
+            + F.lit(z2) / (4.0 * F.col("n") * F.col("n"))
+        )
+    ) / (1.0 + F.lit(z2) / F.col("n"))
+    scored = rates.withColumn("p_hat_raw", p_hat).withColumn(
+        "wilson_raw", wilson
+    )
+    return (
+        scored.orderBy(F.desc(quantize("wilson_raw", 9)), "brand")
+        .limit(10)
+        .select(
+            "brand",
+            "n",
+            "good",
+            (quantize("p_hat_raw", 6) / 1e6).alias("p_hat"),
+            (quantize("wilson_raw", 6) / 1e6).alias("wilson_lb"),
+        )
+    )
