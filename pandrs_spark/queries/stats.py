@@ -1990,12 +1990,24 @@ def q413(spark, sf_dir):
         F.col("c_mktsegment").alias("seg"),
         F.col("c_acctbal").cast("double").alias("v"),
     )
-    w = Window.partitionBy("seg").orderBy("v", "v")
-    ranked = vals.select(
+    # NOT Window.partitionBy(seg): five segments = five tasks for the
+    # whole table at scale. Segments are contiguous under the global
+    # (seg, v) order, so the within-segment rank is the global row
+    # number minus a broadcast per-segment offset (count of rows in
+    # earlier segments).
+    gnum = global_row_number(vals, [F.col("seg"), F.col("v")], "grn")
+    seg_counts = vals.groupBy("seg").agg(F.count(F.lit(1)).alias("ng"))
+    w_off = Window.orderBy("seg").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # 5 fixed segments — the offset table itself is bounded
+    seg_off = seg_counts.select(
         "seg",
-        "v",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("ng"),
+        "ng",
+        F.coalesce(F.sum("ng").over(w_off), F.lit(0)).alias("off"),
+    )
+    ranked = gnum.join(F.broadcast(seg_off), "seg").select(
+        "seg", "v", (F.col("grn") - F.col("off")).alias("r"), "ng"
     )
     pooled = global_row_number(vals.select(F.col("v").alias("pv")), [F.col("pv")], "pos")
     tot = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))

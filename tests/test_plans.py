@@ -381,11 +381,12 @@ _BOUNDED_WINDOW_WHITELIST = {
     # 25-nation stratum set
     "q402_logrank_conversion_arms",  # risk-set cumulative over DISTINCT
     # day durations — bounded by the observation calendar (q334 argument)
-    "q413_quantile_normalization",  # within-SEGMENT ranks are partitioned;
-    # flagged only if the pooled path regresses (global_row_number is the
-    # pooled-order primitive, not a window)
+    "q413_quantile_normalization",  # per-segment offset cumsum over the
+    # FIXED 5-segment table (ranks themselves ride global_row_number)
     "q415_ljung_box_whiteness",  # monthly row index — calendar-bounded
     # (q48 argument)
+    "q418_decomposition_strength",  # centered 7-day MA over the daily
+    # calendar series (q80 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
