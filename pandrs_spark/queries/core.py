@@ -797,26 +797,23 @@ def q25(spark, sf_dir):
     """,
 )
 def q89(spark, sf_dir):
+    # ONE map-side-combined aggregate — no window: the previous
+    # PARTITION BY l_returnflag (3 values) window funneled the whole
+    # fact table through 3 tasks at scale. max_by/min_by on a
+    # (price, key) struct gets the extreme row's key with the same
+    # smallest-key tie-break (negate the key under max_by).
     li = T(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag")
-    annotated = li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_extendedprice",
-        F.max("l_extendedprice").over(w).alias("mx"),
-        F.min("l_extendedprice").over(w).alias("mn"),
-    )
     return (
-        annotated.groupBy("l_returnflag")
+        li.groupBy("l_returnflag")
         .agg(
-            F.min(
-                F.when(F.col("l_extendedprice") == F.col("mx"), F.col("l_orderkey"))
+            F.expr(
+                "max_by(l_orderkey, struct(l_extendedprice, -l_orderkey))"
             ).alias("idxmax_key"),
-            F.min(
-                F.when(F.col("l_extendedprice") == F.col("mn"), F.col("l_orderkey"))
+            F.expr(
+                "min_by(l_orderkey, struct(l_extendedprice, l_orderkey))"
             ).alias("idxmin_key"),
-            F.max("mx").alias("max_price"),
-            F.max("mn").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_extendedprice").alias("min_price"),
         )
         .orderBy("l_returnflag")
     )
