@@ -4850,3 +4850,104 @@ def q424(spark, sf_dir):
             (quantize("wilson_raw", 6) / 1e6).alias("wilson_lb"),
         )
     )
+
+
+# --- q425: deterministic Monte-Carlo revenue scenarios — hash-seeded
+# simulation at scale: each 1996 order takes K=100 multiplicative
+# shocks u ∈ [0.9, 1.1) drawn from md5(orderkey, k) (the repo's
+# seeded-randomness idiom, so BOTH engines draw identical scenarios),
+# scenario totals come from quantized exact sums, and the P5/P50/P95
+# of the 100-scenario distribution are exact order statistics over the
+# FIXED scenario axis. Scale shape: the explode is a bounded ×100
+# map-only multiplier (fan_out-style width is inherited from the
+# scan); the shuffle is one groupBy over 100 keys of partial sums.
+# The shape behind revenue-at-risk / capacity planning. -----------------------
+@query(
+    "q425_mc_revenue_scenarios",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS y
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    shocked AS (
+        SELECT g.k,
+               y * (0.9 + 0.2 * (CAST(('0x' || substr(
+                       md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                           CAST(g.k AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0)) AS shocked_y
+        FROM base, generate_series(1, 100) g(k)
+    ),
+    scen AS (
+        SELECT k,
+               CAST(SUM(CAST(SIGN(shocked_y) * FLOOR(ABS(shocked_y) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS totq
+        FROM shocked GROUP BY k
+    ),
+    ranked AS (
+        SELECT totq, ROW_NUMBER() OVER (ORDER BY totq) AS rn FROM scen
+    )
+    SELECT CAST(100 AS BIGINT) AS n_scenarios,
+           (SELECT CAST(totq AS DOUBLE) / 100.0 FROM ranked WHERE rn = 5)
+               AS var_p5,
+           (SELECT CAST(totq AS DOUBLE) / 100.0 FROM ranked WHERE rn = 50)
+               AS median_scenario,
+           (SELECT CAST(totq AS DOUBLE) / 100.0 FROM ranked WHERE rn = 95)
+               AS var_p95
+    """,
+)
+def q425(spark, sf_dir):
+    from pandrs_spark.operators.util import fan_out
+
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    base = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("y")
+    )
+    ks = spark.range(1, 101).select(F.col("id").cast("int").alias("k"))
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(cast(o_orderkey as string) || ':' || "
+            "cast(k as string)), 1, 8), 16, 10) as bigint)"
+        )
+        / F.lit(4294967296.0)
+    )
+    shocked = fan_out(base).crossJoin(F.broadcast(ks)).select(
+        "k",
+        (F.col("y") * (0.9 + 0.2 * u)).alias("shocked_y"),
+    )
+    from pandrs_spark.functions.deterministic import quantize
+
+    scen = shocked.groupBy("k").agg(
+        F.sum(quantize("shocked_y", 2)).cast("long").alias("totq")
+    )
+    # 100 scenarios — a FIXED axis; rank deterministically via a
+    # broadcast self-count (rank = #scenarios below under the (totq, k)
+    # total order) instead of any window
+    a = scen.select(F.col("totq").alias("ta"), F.col("k").alias("ka"))
+    rnk = (
+        scen.crossJoin(F.broadcast(a))
+        .groupBy("totq", "k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ta") < F.col("totq"))
+                    | ((F.col("ta") == F.col("totq")) & (F.col("ka") < F.col("k"))),
+                    1,
+                ).otherwise(0)
+            ).alias("below")
+        )
+        .withColumn("rn", F.col("below") + 1)
+    )
+    def at(r):
+        return F.min(F.when(F.col("rn") == r, F.col("totq").cast("double") / 100.0))
+
+    return rnk.agg(
+        F.lit(100).cast("long").alias("n_scenarios"),
+        at(5).alias("var_p5"),
+        at(50).alias("median_scenario"),
+        at(95).alias("var_p95"),
+    )
