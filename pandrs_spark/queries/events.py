@@ -3706,3 +3706,141 @@ def q419(spark, sf_dir):
         (quantize("removed_cvr", 6) / 1e6).alias("removed_cvr"),
         (quantize("removal_effect", 6) / 1e6).alias("removal_effect"),
     ).orderBy("channel")
+
+
+# --- q427: funnel-rate WATERFALL via LMDI log-mean decomposition —
+# "conversion moved 2 points: how much came from view→click vs
+# click→purchase?" CVR = Π stage rates, so the log-mean index
+# contribution_i = (ΔCVR / ln(CVR_B/CVR_A)) · ln(r_iB/r_iA)
+# decomposes the change EXACTLY (contributions sum to ΔCVR by
+# construction — the multiplicative analogue of q357's additive PVM
+# bridge). Periods are the first/second halves of the event window;
+# stage reach is exact distinct users per period. -----------------------------
+@query(
+    "q427_funnel_lmdi_waterfall",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', MIN(ts)) + INTERVAL 15 DAY AS mid
+        FROM events
+    ),
+    reach AS (
+        SELECT CASE WHEN e.ts < b.mid THEN 'A' ELSE 'B' END AS period,
+               CAST(COUNT(DISTINCT CASE WHEN e.event_type = 'view'
+                                        THEN e.user_id END) AS BIGINT) AS u_view,
+               CAST(COUNT(DISTINCT CASE WHEN e.event_type = 'click'
+                                        THEN e.user_id END) AS BIGINT) AS u_click,
+               CAST(COUNT(DISTINCT CASE WHEN e.event_type = 'purchase'
+                                        THEN e.user_id END) AS BIGINT) AS u_buy
+        FROM events e, bounds b
+        GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN period = 'A' THEN CAST(u_click AS DOUBLE) / u_view END) AS r1a,
+            MAX(CASE WHEN period = 'B' THEN CAST(u_click AS DOUBLE) / u_view END) AS r1b,
+            MAX(CASE WHEN period = 'A' THEN CAST(u_buy AS DOUBLE) / u_click END) AS r2a,
+            MAX(CASE WHEN period = 'B' THEN CAST(u_buy AS DOUBLE) / u_click END) AS r2b,
+            MAX(CASE WHEN period = 'A' THEN CAST(u_buy AS DOUBLE) / u_view END) AS cvra,
+            MAX(CASE WHEN period = 'B' THEN CAST(u_buy AS DOUBLE) / u_view END) AS cvrb
+        FROM reach
+    ),
+    stages AS (
+        SELECT 'view_to_click' AS stage, r1a AS rate_a, r1b AS rate_b,
+               cvra, cvrb FROM wide
+        UNION ALL
+        SELECT 'click_to_purchase', r2a, r2b, cvra, cvrb FROM wide
+    )
+    SELECT stage,
+           CAST(SIGN(rate_a) * FLOOR(ABS(rate_a) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS rate_a,
+           CAST(SIGN(rate_b) * FLOOR(ABS(rate_b) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS rate_b,
+           CAST(SIGN(CASE WHEN cvrb = cvra
+                          THEN (rate_b - rate_a) * 0.0
+                          ELSE (cvrb - cvra) / LN(cvrb / cvra)
+                               * LN(rate_b / rate_a) END)
+                * FLOOR(ABS(CASE WHEN cvrb = cvra
+                                 THEN (rate_b - rate_a) * 0.0
+                                 ELSE (cvrb - cvra) / LN(cvrb / cvra)
+                                      * LN(rate_b / rate_a) END)
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               AS contribution
+    FROM stages
+    ORDER BY stage
+    """,
+)
+def q427(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 15 DAYS")).alias(
+            "mid"
+        )
+    )
+    reach = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.when(F.col("ts") < F.col("mid"), "A").otherwise("B").alias("period")
+        )
+        .agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == "view", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("u_view"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "click", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("u_click"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("u_buy"),
+        )
+    )
+
+    def g(p, col):
+        return F.max(
+            F.when(F.col("period") == p, F.col(col).cast("double"))
+        )
+
+    wide = reach.agg(
+        (g("A", "u_click") / g("A", "u_view")).alias("r1a"),
+        (g("B", "u_click") / g("B", "u_view")).alias("r1b"),
+        (g("A", "u_buy") / g("A", "u_click")).alias("r2a"),
+        (g("B", "u_buy") / g("B", "u_click")).alias("r2b"),
+        (g("A", "u_buy") / g("A", "u_view")).alias("cvra"),
+        (g("B", "u_buy") / g("B", "u_view")).alias("cvrb"),
+    )
+    s1 = wide.select(
+        F.lit("view_to_click").alias("stage"),
+        F.col("r1a").alias("rate_a"),
+        F.col("r1b").alias("rate_b"),
+        "cvra",
+        "cvrb",
+    )
+    s2 = wide.select(
+        F.lit("click_to_purchase").alias("stage"),
+        F.col("r2a").alias("rate_a"),
+        F.col("r2b").alias("rate_b"),
+        "cvra",
+        "cvrb",
+    )
+    stages = s1.unionByName(s2)
+    contrib = F.when(
+        F.col("cvrb") == F.col("cvra"),
+        (F.col("rate_b") - F.col("rate_a")) * 0.0,
+    ).otherwise(
+        (F.col("cvrb") - F.col("cvra"))
+        / F.log(F.col("cvrb") / F.col("cvra"))
+        * F.log(F.col("rate_b") / F.col("rate_a"))
+    )
+    return stages.select(
+        "stage",
+        (quantize("rate_a", 6) / 1e6).alias("rate_a"),
+        (quantize("rate_b", 6) / 1e6).alias("rate_b"),
+        (quantize(contrib, 6) / 1e6).alias("contribution"),
+    ).orderBy("stage")

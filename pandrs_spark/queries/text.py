@@ -3544,3 +3544,71 @@ def q422(spark, sf_dir):
         (quantize(3.0 * F.col("n3") / F.col("n2"), 6) / 1e6).alias("gt_rstar_2"),
         (quantize(chao1, 6) / 1e6).alias("chao1_richness"),
     )
+
+
+# --- q429: term burstiness (Church-Gale 1995) — does a term cluster in
+# few documents (bursty/topical) or spread Poisson-like (function
+# word)? For each of the top-20 corpus terms: observed document
+# frequency vs the Poisson expectation N_docs·(1 − e^{−tf/N_docs});
+# burstiness = expected_df / observed_df (> 1 ⇒ clustered). The
+# retrieval/quality-weighting companion to q312 Zipf and q375 PMI.
+# Two cheap aggregates: per-(term, doc) then per-term. ------------------------
+@query(
+    "q429_term_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WS}) AS tk FROM documents
+    ),
+    td AS (
+        SELECT tk, doc_id, COUNT(*) AS c FROM tok GROUP BY tk, doc_id
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents),
+    stats AS (
+        SELECT tk,
+               CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM td GROUP BY tk
+    )
+    SELECT tk AS term, tf, df,
+           CAST(SIGN(n.n_docs * (1.0 - EXP(-(CAST(tf AS DOUBLE) / n.n_docs))))
+                * FLOOR(ABS(n.n_docs * (1.0 - EXP(-(CAST(tf AS DOUBLE) / n.n_docs))))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS expected_df,
+           CAST(SIGN(n.n_docs * (1.0 - EXP(-(CAST(tf AS DOUBLE) / n.n_docs))) / df)
+                * FLOOR(ABS(n.n_docs * (1.0 - EXP(-(CAST(tf AS DOUBLE) / n.n_docs))) / df)
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS burstiness
+    FROM stats, nd n
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def q429(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+    from pandrs_spark.operators.util import fan_out
+
+    docs = T(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    td = tok.groupBy("tk", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = docs.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    stats = td.groupBy("tk").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    exp_df = F.col("n_docs") * (
+        1.0 - F.exp(-(F.col("tf").cast("double") / F.col("n_docs")))
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .orderBy(F.desc("tf"), "tk")
+        .limit(20)
+        .select(
+            F.col("tk").alias("term"),
+            "tf",
+            "df",
+            (quantize(exp_df, 6) / 1e6).alias("expected_df"),
+            (quantize(exp_df / F.col("df"), 6) / 1e6).alias("burstiness"),
+        )
+    )

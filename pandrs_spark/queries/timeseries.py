@@ -2801,3 +2801,102 @@ def q418(spark, sf_dir):
         (quantize(fs, 6) / 1e6).alias("seasonal_strength"),
         (quantize(ft, 6) / 1e6).alias("trend_strength"),
     )
+
+
+# --- q426: RANSAC-lite consensus line fit of the daily revenue trend —
+# the third robust-regression paradigm beside Huber (q378) and
+# Theil-Sen (q342): candidate models from all pairs of a DETERMINISTIC
+# md5-selected 8-day sample (28 bounded candidates, broadcast), each
+# scored by its inlier consensus (|y − ŷ| ≤ 10% of ŷ) over every day
+# in ONE map-only ×28 pass; the max-consensus model wins (ties by
+# sample-day keys). No data-sized pair join anywhere. ------------------------
+@query(
+    "q426_ransac_trend_consensus",
+    oracle=_DAILY
+    + """
+    , pts AS (
+        SELECT DATEDIFF('day', (SELECT MIN(day) FROM daily), day) AS t,
+               CAST(rev AS DOUBLE) AS y
+        FROM daily
+    ),
+    sample_ AS (
+        SELECT t, y FROM pts ORDER BY md5(CAST(t AS VARCHAR)), t LIMIT 8
+    ),
+    models AS (
+        SELECT a.t AS t1, b.t AS t2,
+               (b.y - a.y) / (b.t - a.t) AS slope,
+               a.y - (b.y - a.y) / (b.t - a.t) * a.t AS icept
+        FROM sample_ a JOIN sample_ b ON a.t < b.t
+    ),
+    scored AS (
+        SELECT m.t1, m.t2, m.slope, m.icept,
+               CAST(SUM(CASE WHEN ABS(p.y - (m.slope * p.t + m.icept))
+                                  <= 0.1 * ABS(m.slope * p.t + m.icept)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM models m CROSS JOIN pts p
+        GROUP BY m.t1, m.t2, m.slope, m.icept
+    )
+    SELECT CAST(SIGN(slope) * FLOOR(ABS(slope) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS slope,
+           CAST(SIGN(icept) * FLOOR(ABS(icept) * 100.0 + 0.5) AS BIGINT)
+               / 100.0 AS intercept,
+           n_inliers, n_total
+    FROM scored
+    ORDER BY n_inliers DESC, t1, t2
+    LIMIT 1
+    """,
+)
+def q426(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    mn = daily.agg(F.min("day").alias("mn"))
+    pts = tracked_persist(
+        daily.crossJoin(F.broadcast(mn)).select(
+            F.datediff("day", "mn").alias("t"),
+            F.col("rev").cast("double").alias("y"),
+        )
+    )
+    sample = pts.orderBy(
+        F.expr("md5(cast(t as string))"), "t"
+    ).limit(8)
+    a = sample.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = sample.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    models = (
+        a.join(b, F.col("t1") < F.col("t2"))
+        .withColumn(
+            "slope", (F.col("y2") - F.col("y1")) / (F.col("t2") - F.col("t1"))
+        )
+        .withColumn("icept", F.col("y1") - F.col("slope") * F.col("t1"))
+        .select("t1", "t2", "slope", "icept")
+    )
+    pred = F.col("slope") * F.col("t") + F.col("icept")
+    scored = (
+        pts.crossJoin(F.broadcast(models))
+        .groupBy("t1", "t2", "slope", "icept")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("y") - pred) <= 0.1 * F.abs(pred), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_inliers"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("n_inliers"), "t1", "t2")
+        .limit(1)
+        .select(
+            (quantize("slope", 6) / 1e6).alias("slope"),
+            (quantize("icept", 2) / 100.0).alias("intercept"),
+            "n_inliers",
+            "n_total",
+        )
+    )

@@ -4951,3 +4951,162 @@ def q425(spark, sf_dir):
         at(50).alias("median_scenario"),
         at(95).alias("var_p95"),
     )
+
+
+# --- q428: inverse-propensity-weighted ATE (Hájek estimator) — the
+# third causal-adjustment paradigm beside stratification (q420) and
+# DiD (q411): a closed-form linear-probability propensity
+# p̂(x) = β₀ + β₁·acctbal (OLS from quantized exact sums), clipped to
+# [0.05, 0.95], reweights each customer's total spend by 1/p̂ (treated)
+# or 1/(1−p̂) (control). Every weighted sum is quantized before the
+# final ratios, and the whole β → p̂ → weight chain is shared verbatim
+# with the oracle. One fact-table rollup + two scalar aggregates. ------------
+@query(
+    "q428_ipw_ate",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey AS k, CAST(c.c_acctbal AS DOUBLE) AS x,
+               CASE WHEN substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8'
+                    THEN 1.0 ELSE 0.0 END AS tr,
+               COALESCE(CAST(SUM(CAST(SIGN(o.o_totalprice)
+                        * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0, 0.0) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    ols AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sx,
+               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) + 0.5) AS BIGINT))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(tr) AS DOUBLE) AS st,
+               CAST(SUM(CAST(SIGN(tr * x) * FLOOR(ABS(tr * x) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS stx
+        FROM spend
+    ),
+    beta AS (
+        SELECT n,
+               (n * stx - sx * st) / (n * sxx - sx * sx) AS b1,
+               (st - (n * stx - sx * st) / (n * sxx - sx * sx) * sx) / n AS b0
+        FROM ols
+    ),
+    wtd AS (
+        SELECT s.k, s.tr, s.y,
+               LEAST(0.95, GREATEST(0.05, b.b0 + b.b1 * s.x)) AS p
+        FROM spend s, beta b
+    ),
+    sums AS (
+        SELECT
+            CAST(SUM(CAST(SIGN(tr * y / p) * FLOOR(ABS(tr * y / p) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS syt,
+            CAST(SUM(CAST(SIGN(tr / p) * FLOOR(ABS(tr / p) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS swt,
+            CAST(SUM(CAST(SIGN((1.0 - tr) * y / (1.0 - p)) * FLOOR(ABS((1.0 - tr) * y / (1.0 - p)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS syc,
+            CAST(SUM(CAST(SIGN((1.0 - tr) / (1.0 - p)) * FLOOR(ABS((1.0 - tr) / (1.0 - p)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS swc,
+            CAST(SUM(CAST(SIGN(tr * y) * FLOOR(ABS(tr * y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS nyt,
+            CAST(SUM(tr) AS DOUBLE) AS nt,
+            CAST(SUM(CAST(SIGN((1.0 - tr) * y) * FLOOR(ABS((1.0 - tr) * y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS nyc,
+            CAST(SUM(1.0 - tr) AS DOUBLE) AS nc
+        FROM wtd
+    )
+    SELECT b.n,
+           CAST(SIGN(b.b1) * FLOOR(ABS(b.b1) * 1e9 + 0.5) AS BIGINT) / 1e9 AS beta1,
+           CAST(SIGN(s.syt / s.swt - s.syc / s.swc)
+                * FLOOR(ABS(s.syt / s.swt - s.syc / s.swc) * 100.0 + 0.5)
+                AS BIGINT) / 100.0 AS ate_ipw,
+           CAST(SIGN(s.nyt / s.nt - s.nyc / s.nc)
+                * FLOOR(ABS(s.nyt / s.nt - s.nyc / s.nc) * 100.0 + 0.5)
+                AS BIGINT) / 100.0 AS naive_diff
+    FROM sums s, beta b
+    """,
+)
+def q428(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    spend = tracked_persist(
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").cast("double").alias("x"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(quantize("o_totalprice", 2)).cast("double") / 100.0,
+                F.lit(0.0),
+            ).alias("y")
+        )
+        .withColumn(
+            "tr",
+            F.when(
+                F.expr("substr(md5(cast(k as string)), 1, 1) < '8'"), 1.0
+            ).otherwise(0.0),
+        )
+    )
+    ols = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("x", 2)).cast("double") / 100.0).alias("sx"),
+        F.sum(quantize(F.col("x") * F.col("x"), 0)).cast("double").alias("sxx"),
+        F.sum("tr").cast("double").alias("st"),
+        (F.sum(quantize(F.col("tr") * F.col("x"), 2)).cast("double") / 100.0).alias(
+            "stx"
+        ),
+    )
+    b1 = (F.col("n") * F.col("stx") - F.col("sx") * F.col("st")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    beta = ols.select(
+        "n",
+        b1.alias("b1"),
+        ((F.col("st") - b1 * F.col("sx")) / F.col("n")).alias("b0"),
+    )
+    wtd = spend.crossJoin(F.broadcast(beta)).withColumn(
+        "p",
+        F.least(
+            F.lit(0.95),
+            F.greatest(F.lit(0.05), F.col("b0") + F.col("b1") * F.col("x")),
+        ),
+    )
+    sums = wtd.agg(
+        (
+            F.sum(quantize(F.col("tr") * F.col("y") / F.col("p"), 2)).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("syt"),
+        (
+            F.sum(quantize(F.col("tr") / F.col("p"), 6)).cast("double") / 1e6
+        ).alias("swt"),
+        (
+            F.sum(
+                quantize(
+                    (1.0 - F.col("tr")) * F.col("y") / (1.0 - F.col("p")), 2
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("syc"),
+        (
+            F.sum(quantize((1.0 - F.col("tr")) / (1.0 - F.col("p")), 6)).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("swc"),
+        (
+            F.sum(quantize(F.col("tr") * F.col("y"), 2)).cast("double") / 100.0
+        ).alias("nyt"),
+        F.sum("tr").cast("double").alias("nt"),
+        (
+            F.sum(quantize((1.0 - F.col("tr")) * F.col("y"), 2)).cast("double")
+            / 100.0
+        ).alias("nyc"),
+        F.sum(1.0 - F.col("tr")).cast("double").alias("nc"),
+    )
+    ate = F.col("syt") / F.col("swt") - F.col("syc") / F.col("swc")
+    naive = F.col("nyt") / F.col("nt") - F.col("nyc") / F.col("nc")
+    return sums.crossJoin(F.broadcast(beta.select("n", "b1"))).select(
+        "n",
+        (quantize("b1", 9) / 1e9).alias("beta1"),
+        (quantize(ate, 2) / 100.0).alias("ate_ipw"),
+        (quantize(naive, 2) / 100.0).alias("naive_diff"),
+    )
