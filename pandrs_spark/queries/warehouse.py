@@ -5110,3 +5110,99 @@ def q428(spark, sf_dir):
         (quantize(ate, 2) / 100.0).alias("ate_ipw"),
         (quantize(naive, 2) / 100.0).alias("naive_diff"),
     )
+
+
+# --- q430: empirical-Bayes shrinkage of brand fulfilled-rates — the
+# James-Stein companion to q424's Wilson bound: a Beta prior is
+# moment-matched to the observed cross-brand rate distribution
+# (α = m(m(1−m)/v − 1), β = (1−m)(·)), then each brand's rate shrinks to
+# (good + α)/(n + α + β) — small-n brands move toward the corpus mean,
+# big-n brands barely move. Prior moments come from quantized exact
+# sums over the bounded brand rollup; the whole chain is shared
+# verbatim with the oracle. Top 10 by shrunk rate. ---------------------------
+@query(
+    "q430_empirical_bayes_brand_rates",
+    oracle="""
+    WITH rates AS (
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS good
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    ),
+    mom AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(CAST(SIGN(CAST(good AS DOUBLE) / n)
+                             * FLOOR(ABS(CAST(good AS DOUBLE) / n) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sr,
+               CAST(SUM(CAST(SIGN((CAST(good AS DOUBLE) / n) * (CAST(good AS DOUBLE) / n))
+                             * FLOOR(ABS((CAST(good AS DOUBLE) / n) * (CAST(good AS DOUBLE) / n)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS srr
+        FROM rates
+    ),
+    prior AS (
+        SELECT (sr / k) * ((sr / k) * (1.0 - sr / k)
+                           / ((srr - sr * sr / k) / (k - 1)) - 1.0) AS alpha,
+               (1.0 - sr / k) * ((sr / k) * (1.0 - sr / k)
+                                 / ((srr - sr * sr / k) / (k - 1)) - 1.0) AS beta
+        FROM mom
+    )
+    SELECT r.brand, r.n, r.good,
+           CAST(SIGN(CAST(r.good AS DOUBLE) / r.n)
+                * FLOOR(ABS(CAST(r.good AS DOUBLE) / r.n) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS raw_rate,
+           CAST(SIGN((r.good + p.alpha) / (r.n + p.alpha + p.beta))
+                * FLOOR(ABS((r.good + p.alpha) / (r.n + p.alpha + p.beta))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS eb_rate
+    FROM rates r, prior p
+    ORDER BY CAST(SIGN((r.good + p.alpha) / (r.n + p.alpha + p.beta))
+                  * FLOOR(ABS((r.good + p.alpha) / (r.n + p.alpha + p.beta))
+                          * 1e9 + 0.5) AS BIGINT) DESC, r.brand
+    LIMIT 10
+    """,
+)
+def q430(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    rates = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("long")
+            .alias("good"),
+        )
+    )
+    r = F.col("good").cast("double") / F.col("n")
+    mom = rates.agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(quantize(r, 9)).cast("double") / 1e9).alias("sr"),
+        (F.sum(quantize(r * r, 9)).cast("double") / 1e9).alias("srr"),
+    )
+    m = F.col("sr") / F.col("k")
+    v = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    scale = m * (1.0 - m) / v - 1.0
+    prior = mom.select(
+        (m * scale).alias("alpha"), ((1.0 - m) * scale).alias("beta")
+    )
+    eb = (F.col("good") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        rates.crossJoin(F.broadcast(prior))
+        .orderBy(F.desc(quantize(eb, 9)), "brand")
+        .limit(10)
+        .select(
+            "brand",
+            "n",
+            "good",
+            (quantize(r, 6) / 1e6).alias("raw_rate"),
+            (quantize(eb, 6) / 1e6).alias("eb_rate"),
+        )
+    )
