@@ -80,7 +80,13 @@ def main() -> None:
         for df in dfs.values():
             df.write.format("noop").mode("overwrite").save()
 
+    # Median-of-5 per query, with min/max spread in the artifact: the
+    # bench machine swings ±25% day-to-day, so a single draw can fake
+    # a 2× "regression" out of pure noise — the median is the reported
+    # number and the spread lets a reader judge whether two rounds'
+    # artifacts even differ beyond the noise floor.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, df in dfs.items():
         df.write.format("noop").mode("overwrite").save()  # per-plan warm
         runs = []
@@ -89,6 +95,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[2], 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
     # Release frames pinned by global-position sorts ONCE, after all
     # timings: plans were pre-built above, and a pinned layout released
     # mid-loop would silently invalidate a later pre-built plan's
@@ -103,6 +110,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "method": "median-of-5",
+                "spread_min_max": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

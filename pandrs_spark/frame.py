@@ -1310,17 +1310,26 @@ def concat(frames: Sequence[Frame], ignore_index: bool = True) -> Frame:
 
 def concat_columns(frames: Sequence[Frame]) -> Frame:
     """Column concat, pandas concat(axis=1) (compat concat.rs:11):
-    positional alignment via each frame's row order. Positions come
-    from the partition-offset scheme (parallel, no single-partition
-    window); the position join itself still moves every row — prefer a
-    real key join for huge frames; provided for API parity."""
+    positional alignment via each frame's row order.
+
+    Scale shape: each side gets a dense 1..n global position from the
+    partition-offset scheme (``_attach_global_positions`` — range-sort
+    + per-partition row_number + a tiny collected offset map; the same
+    primitive as ``global_row_number``, no single-partition window or
+    zipWithIndex anywhere). The equi-join on ``__pos__`` is then the
+    minimal data movement positional alignment admits — rows with the
+    same position MUST be co-located once, and Spark hashes both sides
+    by the join key in one shuffle each. Frames of unequal length
+    outer-join to NULLs, as pandas aligns missing labels to NaN. The
+    result keeps ``__pos__`` as its hidden order column, so downstream
+    sorts/exports preserve positional row order."""
     out = None
     for f in frames:
         numbered = _attach_global_positions(
             f._df, [F.col(f._order)], "__pos__"
         ).drop(f._order)
         out = numbered if out is None else out.join(numbered, "__pos__", "outer")
-    return Frame(out.drop("__pos__"))
+    return Frame(out, order_col="__pos__")
 
 
 class StrAccessor:

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pandrs_spark.operators.util import tracked_persist
 
 __all__ = [
+    "ConvergenceError",
     "degrees",
     "k_truss",
     "symmetrize",
@@ -51,6 +52,17 @@ __all__ = [
 ]
 
 _CHECKPOINT_EVERY = 5
+
+
+class ConvergenceError(RuntimeError):
+    """Raised by iterative graph operators when ``check_convergence=True``
+    and the iteration budget (``max_iter`` / ``iterations``) was
+    exhausted before the fixpoint — the k-truss certificate pattern
+    (q392) generalized family-wide. Without the flag the operators keep
+    their documented truncation conventions (label leftovers by own id,
+    return the last iterate), which is what the fixed-round SQL oracles
+    mirror; WITH it a truncated answer can never be mistaken for a
+    converged one."""
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -79,7 +91,11 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """Connected components via min-label propagation (components.rs:70).
 
@@ -87,8 +103,15 @@ def connected_components(
     takes the min label among itself and its neighbors. Converges in
     O(graph diameter) rounds — each round is one join + one aggregation.
     Returns (id, component) with component = min vertex id reachable.
+
+    ``check_convergence=True`` raises :class:`ConvergenceError` if
+    ``max_iter`` rounds end with labels still changing (graph diameter
+    exceeds the budget); the default keeps the documented truncation
+    convention (return the last iterate) that the fixed-round oracles
+    mirror.
     """
     und = symmetrize(edges, src, dst).persist()
+    converged = False
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -125,8 +148,15 @@ def connected_components(
         labels.unpersist()
         labels = updated
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if check_convergence and not converged:
+        raise ConvergenceError(
+            f"connected_components: labels still changing after "
+            f"{max_iter} rounds — raise max_iter (diameter exceeds "
+            "the iteration budget)"
+        )
     return labels
 
 
@@ -136,6 +166,8 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    check_convergence: bool = False,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """PageRank, fixed-iteration power method (centrality.rs:250).
 
@@ -144,6 +176,11 @@ def pagerank(
     standard formulation the reference uses). Edges are pre-partitioned
     on ``src`` and persisted; each iteration shuffles only the rank
     vector (|V| rows), not the edge set.
+
+    ``check_convergence=True`` certifies the fixed-round answer: after
+    the last round it compares against the previous iterate and raises
+    :class:`ConvergenceError` if max |Δrank| > ``tol`` (one extra
+    |V|-row join + aggregate, only when the flag is set).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -170,6 +207,7 @@ def pagerank(
         > 0
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    prev_ranks = ranks
     for i in range(iterations):
         contribs = (
             e.join(outdeg, "src")
@@ -199,6 +237,24 @@ def pagerank(
         # Catalyst re-analyzes a plan that doubles each round (the
         # |V|-row rank vector is tiny; the checkpoint is cheap)
         ranks = ranks.localCheckpoint(eager=True)
+        if check_convergence and i == iterations - 1:
+            delta = (
+                ranks.alias("cur")
+                .join(prev_ranks.alias("p"), "id")
+                .agg(
+                    F.max(
+                        F.abs(F.col("cur.rank") - F.col("p.rank"))
+                    ).alias("d")
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta > tol:
+                e.unpersist()
+                raise ConvergenceError(
+                    f"pagerank: max |Δrank| = {delta:.3e} > tol={tol} "
+                    f"after {iterations} iterations — raise iterations"
+                )
+        prev_ranks = ranks
     e.unpersist()
     return ranks
 
@@ -381,7 +437,11 @@ def clustering_coefficient(
 
 
 def label_propagation(
-    edges: DataFrame, src: str = "src", dst: str = "dst", iterations: int = 4
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (components.rs:250) with a
     deterministic tie-break: every round each vertex adopts the most
@@ -390,6 +450,11 @@ def label_propagation(
     round's labels (synchronous), so the result is partitioning- and
     engine-independent — unlike the usual async LPA. Each round is one
     join + one aggregation + one per-vertex top-1 window.
+
+    ``check_convergence=True`` raises :class:`ConvergenceError` if the
+    final round still changed any label (sync LPA can also 2-cycle on
+    bipartite structures — the check surfaces that too; the check costs
+    one extra join + count, only when the flag is set).
     """
     und = symmetrize(edges, src, dst).persist()
     labels = tracked_persist(
@@ -413,6 +478,22 @@ def label_propagation(
             updated = updated.localCheckpoint(eager=True)
         else:
             updated = tracked_persist(updated)
+        if check_convergence and i == iterations - 1:
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "id")
+                .filter("u.label <> l.label")
+                .limit(1)
+                .count()
+            )
+            if changed > 0:
+                und.unpersist()
+                labels.unpersist()
+                raise ConvergenceError(
+                    f"label_propagation: labels still changing after "
+                    f"{iterations} rounds — raise iterations (or the "
+                    "graph oscillates under synchronous updates)"
+                )
         labels.unpersist()
         labels = updated
     und.unpersist()
@@ -770,6 +851,7 @@ def strongly_connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     exact_small_graph: bool = False,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """Strongly connected components (components.rs:118).
 
@@ -802,6 +884,15 @@ def strongly_connected_components(
 
     Returns (id, component) with component = min vertex id of the SCC,
     one row per vertex appearing in ``edges``.
+
+    ``check_convergence=True`` raises :class:`ConvergenceError` whenever
+    ANY bounded loop hit its budget before the fixpoint — the outer
+    peel with vertices left over, an inner coloring pass still
+    changing, or a backward collect with a live frontier. A truncated
+    coloring does not merely leave leftovers: it can split an SCC into
+    several colors, so the certificate covers the inner loops too. The
+    default keeps the documented truncation convention (leftovers
+    labeled as singletons) that bounded oracles mirror.
     """
     e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if exact_small_graph:
@@ -823,6 +914,7 @@ def strongly_connected_components(
         .localCheckpoint(eager=True)
     )
     done: list[DataFrame] = []
+    truncated: list[str] = []
     for _outer in range(max_iter):
         if rem_v.limit(1).count() == 0:
             break
@@ -853,6 +945,7 @@ def strongly_connected_components(
         colors = rem_v.withColumn("color", F.col("id")).localCheckpoint(
             eager=True
         )
+        color_fixpoint = False
         for _ in range(max_iter):
             nbr = (
                 rem_e.join(colors.withColumnRenamed("id", "src"), "src")
@@ -878,7 +971,10 @@ def strongly_connected_components(
             )
             colors = upd
             if changed == 0:
+                color_fixpoint = True
                 break
+        if not color_fixpoint:
+            truncated.append(f"coloring (outer round {_outer + 1})")
         # --- 3. backward collect within color, from the color roots ---
         ce = (
             rem_e.join(
@@ -906,6 +1002,7 @@ def strongly_connected_components(
             F.col("id").alias("root"), "id"
         ).localCheckpoint(eager=True)
         frontier = visited
+        collect_fixpoint = False
         for _ in range(max_iter):
             nxt = (
                 ce.join(
@@ -919,9 +1016,12 @@ def strongly_connected_components(
                 eager=True
             )
             if new_f.limit(1).count() == 0:
+                collect_fixpoint = True
                 break
             visited = visited.union(new_f).localCheckpoint(eager=True)
             frontier = new_f
+        if not collect_fixpoint:
+            truncated.append(f"backward collect (outer round {_outer + 1})")
         scc = visited.select("id", F.col("root").alias("component"))
         scc = scc.localCheckpoint(eager=True)
         done.append(scc)
@@ -935,9 +1035,17 @@ def strongly_connected_components(
     # max_iter exhausted with vertices still unpeeled: label the
     # leftovers by their own id (same truncation convention as every
     # bounded iterative operator here — raise max_iter for deeper
-    # condensation chains)
+    # condensation chains); check_convergence turns silent truncation
+    # into a raise instead.
     if rem_v.limit(1).count() > 0:
+        truncated.append("outer peel (vertices left unpeeled)")
         done.append(rem_v.withColumn("component", F.col("id")))
+    if check_convergence and truncated:
+        raise ConvergenceError(
+            "strongly_connected_components: iteration budget "
+            f"max_iter={max_iter} exhausted before fixpoint in: "
+            + "; ".join(truncated)
+        )
     out = done[0]
     for part in done[1:]:
         out = out.unionByName(part)
@@ -1325,19 +1433,29 @@ def k_truss(
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .distinct()
     )
-    prev = None
+    # prev starts at cur (not None): with n_iter=0 the convergence
+    # certificate compares the edge set against itself instead of
+    # dereferencing an unset round.
+    prev = cur
 
     def _support(e: DataFrame) -> DataFrame:
+        # Support is LEFT-joined back onto the edge set (coalesce 0):
+        # a triangle-free edge must surface with support 0 so the
+        # k=2 threshold (k-2=0) correctly keeps every edge — an
+        # inner-join shape would silently drop it.
         adj = e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         a = adj.select(F.col("u"), F.col("v").alias("w"))
         b = adj.select(F.col("u").alias("v"), F.col("v").alias("w"))
-        return (
+        sup = (
             e.join(a, "u")
             .join(b, ["v", "w"])
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("support"))
+        )
+        return e.join(sup, ["u", "v"], "left").select(
+            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
         )
 
     for i in range(n_iter):

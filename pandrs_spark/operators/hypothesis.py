@@ -323,12 +323,22 @@ def gesd_outlier_peel(
     broadcast scalar-carry + a TakeOrdered(1); k is a small constant,
     so the whole peel is k linear passes with no data-sized state.
     Ties break on the quantized statistic then the key columns, so the
-    peel order is deterministic under any partitioning.
+    peel order is deterministic under any partitioning. Rounds remove
+    exactly ONE physical row each (a synthetic row id drives the
+    anti-join), so duplicate key tuples never drop extra rows and bias
+    the remaining mean/sd; among rows identical in (r_stat, keys,
+    value) the choice is arbitrary but value-equivalent.
     """
     from pandrs_spark.functions.deterministic import quantize
 
     x = F.col(value_col).cast("double")
-    remaining = df.select(*key_cols, x.alias(value_col))
+    # Synthetic row id, frozen by an eager checkpoint so the ids the
+    # pick sees and the ids the anti-join removes are the same.
+    remaining = (
+        df.select(*key_cols, x.alias(value_col))
+        .withColumn("__rid__", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
     out = None
     for r in range(1, k + 1):
         st = remaining.agg(
@@ -355,10 +365,12 @@ def gesd_outlier_peel(
                 *key_cols,
                 value_col,
                 "r_stat",
+                "__rid__",
             )
+            .localCheckpoint(eager=True)
         )
         out = pick if out is None else out.unionByName(pick)
         remaining = remaining.join(
-            pick.select(*key_cols), key_cols, "left_anti"
+            pick.select("__rid__"), "__rid__", "left_anti"
         )
-    return out
+    return out.drop("__rid__")

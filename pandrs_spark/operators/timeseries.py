@@ -1172,7 +1172,9 @@ def logrank_test(
     chi2 = (O−E)²/V is 1-df chi-square under H0 (equal hazards).
 
     ``group_col`` must be 0/1; ``event_col`` 1 = event, 0 = censored.
-    One row out: (n1, n0, o1, e1, v, chi2).
+    One row out: (n1, n0, o1, e1, v, chi2). ``chi2`` is NULL when
+    v = 0 (degenerate risk sets or an empty arm — the test carries no
+    information), never Infinity/NaN.
 
     Scale: one groupBy(duration) shuffle; the risk-set cumulative runs
     over DISTINCT durations (bounded by the observation calendar, not
@@ -1229,11 +1231,17 @@ def logrank_test(
         (F.sum(quantize(e1_term, 9)).cast("double") / 1e9).alias("e1"),
         (F.sum(quantize(v_term, 9)).cast("double") / 1e9).alias("v"),
     )
+    # v = 0 (every distinct event time has n1+n0 <= 1, or one arm is
+    # empty) means the test carries no information: chi2 is NULL by
+    # contract rather than Infinity/NaN from a raw divide.
     return out.withColumn(
         "chi2",
-        (F.col("o1") - F.col("e1"))
-        * (F.col("o1") - F.col("e1"))
-        / F.col("v"),
+        F.when(
+            F.col("v") > 0,
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("v"),
+        ),
     )
 
 

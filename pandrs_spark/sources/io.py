@@ -627,6 +627,25 @@ def compact_files(
     }
 
 
+def _require_local_table_dir(table_dir: str, op: str) -> None:
+    """Manifest IO for the versioned-table trio goes through the local
+    filesystem (os.listdir/open/os.remove) while the DATA files go
+    through Spark's scheme-agnostic writers — so on a remote scheme
+    (s3a://, hdfs://, gs://, abfss://) manifests would silently land
+    in the wrong place or expiry would delete nothing while reporting
+    success. Fail fast instead of corrupting: the contract is
+    local-filesystem table dirs only (a production port would route
+    manifest IO through the Hadoop FileSystem API like
+    :func:`list_data_files` does)."""
+    if "://" in table_dir and not table_dir.startswith("file://"):
+        raise ValueError(
+            f"{op} manages manifests via local-filesystem IO; "
+            f"got non-local table_dir {table_dir!r}. Use a local path "
+            "(or file://) — remote schemes are not supported by the "
+            "manifest layer."
+        )
+
+
 def commit_table_version(
     spark,
     df,
@@ -637,7 +656,9 @@ def commit_table_version(
     """Manifest-based snapshot commit — the minimal lakehouse
     time-travel shape (Delta/Iceberg transaction-log semantics;
     reference's versioned-write surface around src/io/parquet.rs is
-    the behavioral spec). Each commit writes its data files into a
+    the behavioral spec). LOCAL-FILESYSTEM table dirs only (manifests
+    are managed with local IO — see :func:`_require_local_table_dir`).
+    Each commit writes its data files into a
     PRIVATE subdirectory ``data/commit-N/`` and then records the full
     LIVE file list in ``_versions/vN.json``:
 
@@ -653,6 +674,7 @@ def commit_table_version(
     import json
     import os
 
+    _require_local_table_dir(table_dir, "commit_table_version")
     vdir = os.path.join(table_dir, "_versions")
     os.makedirs(vdir, exist_ok=True)
     versions = sorted(
@@ -679,10 +701,12 @@ def commit_table_version(
 def read_table_version(spark, table_dir: str, version: int | None = None, fmt: str = "parquet"):
     """Snapshot read of a :func:`commit_table_version` table: resolve
     the requested (or latest) manifest and scan exactly its live file
-    set. Time travel = pass an older version number."""
+    set. Time travel = pass an older version number. Local-filesystem
+    table dirs only (see :func:`_require_local_table_dir`)."""
     import json
     import os
 
+    _require_local_table_dir(table_dir, "read_table_version")
     vdir = os.path.join(table_dir, "_versions")
     versions = sorted(
         int(f[1:-5]) for f in os.listdir(vdir)
@@ -709,10 +733,13 @@ def expire_table_versions(table_dir: str, keep_last: int = 1) -> dict[str, int]:
     Readers of an expired version get a clean FileNotFoundError from
     :func:`read_table_version` (its manifest is gone) rather than a
     partial scan: manifests are removed BEFORE their now-orphaned data
-    files."""
+    files. Local-filesystem table dirs only (see
+    :func:`_require_local_table_dir` — on a remote scheme expiry would
+    delete nothing while still removing manifests)."""
     import json
     import os
 
+    _require_local_table_dir(table_dir, "expire_table_versions")
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vdir = os.path.join(table_dir, "_versions")

@@ -764,10 +764,13 @@ def stateful_ewma_anomaly(
             }
         )
 
+    # The key field's type follows the input schema (a hardcoded
+    # `long` would fail at runtime for string or other key types).
+    key_type = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).applyInPandasWithState(
         _update,
         outputStructType=(
-            f"{key_col} long, n_events long, ewma double, "
+            f"{key_col} {key_type}, n_events long, ewma double, "
             "ew_std double, n_anomalies long"
         ),
         stateStructType="m double, v double, n long, anom long",

@@ -846,3 +846,28 @@ def test_unique_constraint_null_positional_encoding(spark):
     )
     rep2 = check_constraints(df2, [unique("x", "y")]).collect()
     assert rep2[0]["violations"] == 1 and not rep2[0]["passed"]
+
+
+def test_concat_columns_pandas_parity_unequal_lengths(spark):
+    # pandas.concat(axis=1) with default RangeIndexes aligns
+    # positionally and pads the shorter frame with NaN; the Spark
+    # concat must agree value-for-value including the NULL tail.
+    import pandas as pd
+
+    from pandrs_spark.frame import Frame, concat_columns
+
+    pa = pd.DataFrame({"x": [3.0, 1.0, 2.0, 9.0]})
+    pb = pd.DataFrame({"y": [30.0, 10.0]})
+    expected = pd.concat([pa, pb], axis=1)
+
+    a = Frame(spark.createDataFrame(pa))
+    b = Frame(spark.createDataFrame(pb))
+    out = concat_columns([a, b])
+    got = (
+        out._df.orderBy(out._order)
+        .drop(out._order)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expected.reset_index(drop=True)
+    )

@@ -53,3 +53,25 @@ def test_gesd_deterministic_tie_breaks_on_key(spark):
     # |10| and |-10| tie exactly; key order must break the tie: k=2 first
     assert rows[0]["k"] == 2
     assert rows[1]["k"] == 3
+
+
+def test_gesd_duplicate_keys_drop_one_row_per_round(spark):
+    # key_cols that do NOT uniquely identify rows (ADVICE r6): three
+    # rows share k=7; each peel round must remove exactly ONE physical
+    # row (synthetic row-id anti-join), not the whole key group —
+    # otherwise the remaining mean/sd is computed over a biased set.
+    df = spark.createDataFrame(
+        [(7, 100.0), (7, 100.0), (7, 10.0), (1, 0.0), (2, 1.0),
+         (3, -1.0), (4, 0.5), (5, -0.5), (6, 0.2)],
+        "k int, x double",
+    )
+    rows = (
+        gesd_outlier_peel(df, "x", key_cols=["k"], k=3)
+        .orderBy("peel_round")
+        .collect()
+    )
+    # both duplicate 100.0 rows surface as separate peel rounds
+    assert rows[0]["x"] == 100.0 and rows[0]["k"] == 7
+    assert rows[1]["x"] == 100.0 and rows[1]["k"] == 7
+    # the third k=7 row (10.0) is still present to be peeled in round 3
+    assert rows[2]["x"] == 10.0 and rows[2]["k"] == 7

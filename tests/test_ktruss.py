@@ -33,3 +33,23 @@ def test_ktruss_convergence_certificate(spark):
     out = k_truss(_edges(spark, k4), k=4, n_iter=2, emit_convergence=True)
     rows = out.collect()
     assert rows and all(r["converged"] for r in rows)
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    # k=2 threshold is support >= 0: a path with no triangles must be
+    # kept whole, each edge surfacing with support 0 (the inner-join
+    # shape silently dropped zero-support edges — ADVICE r6 fix).
+    g = [(1, 2), (2, 3), (3, 4)]
+    out = k_truss(_edges(spark, g), k=2, n_iter=2).collect()
+    assert sorted((r["u"], r["v"]) for r in out) == g
+    assert all(r["support"] == 0 for r in out)
+
+
+def test_ktruss_n_iter_zero_certificate(spark):
+    # n_iter=0 with emit_convergence must not dereference an unset
+    # previous round (ADVICE r6 fix: prev initializes to cur).
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    rows = k_truss(
+        _edges(spark, k4), k=4, n_iter=0, emit_convergence=True
+    ).collect()
+    assert rows and all(r["converged"] for r in rows)

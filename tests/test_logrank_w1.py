@@ -70,3 +70,17 @@ def test_wasserstein_matches_scipy_formula(spark):
     )
     got = pairs.agg((F.sum(quantize(term, 9)).cast("double") / 1e9).alias("s")).collect()[0]["s"]
     assert got == pytest.approx(w1_ref(a, b), abs=1e-8)
+
+
+def test_logrank_degenerate_risk_sets_null_chi2(spark):
+    # one arm empty: v = 0, chi2 must be NULL by contract (ADVICE r6),
+    # never Infinity/NaN from a raw divide.
+    from pandrs_spark.operators.timeseries import logrank_test
+
+    df = spark.createDataFrame(
+        [(5.0, 1, 1), (7.0, 1, 1), (9.0, 0, 1)],
+        "duration double, event int, grp int",
+    )
+    row = logrank_test(df, "duration", "event", "grp").first()
+    assert row["v"] == 0.0
+    assert row["chi2"] is None

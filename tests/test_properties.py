@@ -456,3 +456,39 @@ def test_reorder_sim_partition_invariant(spark, xs, parts):
     assert got["n_stockouts"] == so
     assert got["n_orders"] == orders
     assert abs(got["final_on_hand"] - oh) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(floats, min_size=1, max_size=25),
+    st.integers(1, 6),
+    st.integers(1, 6),
+)
+def test_concat_columns_partition_invariant(spark, vals, pa, pb):
+    # concat(axis=1) pairs the i-th row (under each frame's ORDER
+    # column) with the i-th row regardless of how either side is
+    # physically partitioned: positions come from the partition-offset
+    # scheme over a deterministic order column, so any repartitioning
+    # must yield the identical pairing. (A fresh Frame with no order
+    # column falls back to physical arrival order — Spark DataFrames
+    # carry no inherent row order — so the invariance contract is
+    # stated over explicit order columns.)
+    from pandrs_spark.frame import Frame, concat_columns
+
+    left = Frame(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "i bigint, x double"
+        ).repartition(pa),
+        order_col="i",
+    )
+    right = Frame(
+        spark.createDataFrame(
+            [(i, v * 2) for i, v in enumerate(vals)], "j bigint, y double"
+        ).repartition(pb),
+        order_col="j",
+    )
+    out = concat_columns([left, right])
+    rows = out._df.orderBy(out._order).drop(out._order).collect()
+    assert [r["x"] for r in rows] == vals
+    for r in rows:
+        assert r["y"] == pytest.approx(r["x"] * 2)

@@ -801,3 +801,40 @@ def test_stateful_ewma_anomaly_matches_batch_fold(spark, tmp_path):
     assert got["n_anomalies"] == 1 == anom
     assert abs(got["ewma"] - m) < 1e-12
     assert abs(got["ew_std"] - v**0.5) < 1e-12
+
+
+def test_stateful_ewma_anomaly_string_key(spark, tmp_path):
+    """The output key field's type follows the input schema (ADVICE
+    r6: a hardcoded `long` key type failed at runtime for string
+    keys). Two string keys fold independently."""
+    import datetime as dt
+
+    from pandrs_spark.streaming.windows import (
+        stateful_ewma_anomaly,
+        stream_from_directory,
+        stream_to_memory,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((dt.datetime(2024, 1, 1, 0, 0, i), "sensor-a", i, 10.0))
+        rows.append((dt.datetime(2024, 1, 1, 0, 0, i), "sensor-b", i, 5.0))
+    schema = "ts timestamp, key string, ord long, v double"
+    d = str(tmp_path / "ewma_str_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    src = stream_from_directory(spark, d, schema)
+    out = stateful_ewma_anomaly(
+        src, "key", "ts", "v", "ord", alpha=0.2, z_thresh=3.0, warmup=3
+    )
+    q = stream_to_memory(out, "t_ewma_str", output_mode="update")
+    q.awaitTermination(180)
+    final = {
+        r["key"]: r
+        for r in spark.table("t_ewma_str")
+        .orderBy("n_events", ascending=False)
+        .collect()
+    }
+    assert final["sensor-a"]["n_events"] == 6
+    assert final["sensor-a"]["ewma"] == 10.0
+    assert final["sensor-b"]["ewma"] == 5.0
+    assert final["sensor-a"]["n_anomalies"] == 0

@@ -89,3 +89,24 @@ def test_expire_versions_preserves_shared_files(spark, tmp_path):
     assert stats["versions_removed"] == 1
     assert stats["files_deleted"] == 0
     assert read_table_version(spark, t).count() == 6
+
+
+def test_versioned_table_rejects_remote_schemes(spark, tmp_path):
+    """Manifest IO is local-filesystem-only (ADVICE r6): a remote
+    scheme must fail fast instead of writing manifests to the wrong
+    place or expiring nothing while reporting success."""
+    import pytest
+
+    from pandrs_spark.sources.io import (
+        commit_table_version,
+        expire_table_versions,
+        read_table_version,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="local"):
+        commit_table_version(spark, df, "s3a://bucket/tbl")
+    with pytest.raises(ValueError, match="local"):
+        read_table_version(spark, "hdfs://nn/tbl")
+    with pytest.raises(ValueError, match="local"):
+        expire_table_versions("gs://bucket/tbl")
