@@ -28,6 +28,8 @@ from pandrs_spark.functions.deterministic import dsum
 __all__ = [
     "rank_histogram",
     "gesd_outlier_peel",
+    "msprt_two_proportion",
+    "lmdi_contribution",
     "mann_whitney_u",
     "ks_2samp",
     "kruskal_wallis",
@@ -374,3 +376,84 @@ def gesd_outlier_peel(
             pick.select("__rid__"), "__rid__", "left_anti"
         )
     return out.drop("__rid__")
+
+
+def msprt_two_proportion(
+    df: DataFrame,
+    arm_col: str,
+    conv_col: str,
+    tau2: float = 0.0001,
+) -> DataFrame:
+    """Always-valid two-proportion inference via mSPRT (mixture
+    sequential probability ratio test, Johari et al. 2017; inferential
+    tier beside the fixed-horizon z-test) — the q403 core extracted as
+    a reusable operator. ``arm_col`` is 0/1 treatment assignment,
+    ``conv_col`` 0/1 outcome. The mixture likelihood ratio
+
+        Λ = sqrt(V/(V+τ²)) · exp(θ̂²τ²/(2V(V+τ²)))
+
+    is a supermartingale under H0, so p = min(1, 1/Λ) stays valid at
+    ANY stopping time ("peeking-safe"). One row out: (n1, c1, n0, c0,
+    theta, v, lambda_stat), unquantized — callers round for oracles.
+
+    Scale: ONE map-side-combinable aggregate of four exact integer
+    sums; the statistic is a pure double formula over them, so the
+    result is trivially partition-order invariant.
+    """
+    arm = F.col(arm_col)
+    conv = F.col(conv_col)
+    agg = df.agg(
+        F.sum(arm).cast("long").alias("n1"),
+        F.sum(F.when(arm == 1, conv).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.lit(1) - arm).cast("long").alias("n0"),
+        F.sum(F.when(arm == 0, conv).otherwise(0)).cast("long").alias("c0"),
+    )
+    stat = agg.withColumn(
+        "theta",
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c0").cast("double") / F.col("n0"),
+    ).withColumn(
+        "v",
+        (F.col("c1") + F.col("c0")).cast("double")
+        / (F.col("n1") + F.col("n0"))
+        * (
+            1
+            - (F.col("c1") + F.col("c0")).cast("double")
+            / (F.col("n1") + F.col("n0"))
+        )
+        * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
+    )
+    return stat.withColumn(
+        "lambda_stat",
+        F.sqrt(F.col("v") / (F.col("v") + tau2))
+        * F.exp(
+            F.col("theta")
+            * F.col("theta")
+            * tau2
+            / (2.0 * F.col("v") * (F.col("v") + tau2))
+        ),
+    )
+
+
+def lmdi_contribution(
+    rate_a, rate_b, cvr_a, cvr_b
+) -> F.Column:
+    """LMDI (log-mean Divisia index) contribution of one multiplicative
+    factor to a total's change (Ang 2005 is the public spec; q427's
+    funnel waterfall) — extracted as a reusable column expression:
+
+        contribution = (ΔCVR / ln(CVR_B/CVR_A)) · ln(rate_B/rate_A)
+
+    with the CVR_B = CVR_A limit taken as 0 (the log-mean L(a,a) = a
+    convention applied to a zero total change). Contributions across
+    factors sum to ΔCVR exactly by construction. Pure expression —
+    composes into any aggregate; partition invariance follows from the
+    exactness of the inputs it is applied to.
+    """
+    ra = rate_a if not isinstance(rate_a, str) else F.col(rate_a)
+    rb = rate_b if not isinstance(rate_b, str) else F.col(rate_b)
+    ca = cvr_a if not isinstance(cvr_a, str) else F.col(cvr_a)
+    cb = cvr_b if not isinstance(cvr_b, str) else F.col(cvr_b)
+    return F.when(cb == ca, (rb - ra) * 0.0).otherwise(
+        (cb - ca) / F.log(cb / ca) * F.log(rb / ra)
+    )

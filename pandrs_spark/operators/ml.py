@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pandrs_spark.functions.deterministic import dsum
 
 __all__ = [
+    "em_gmm_1d",
+    "ransac_line_consensus",
     "standard_scale",
     "minmax_scale",
     "impute_mean",
@@ -1478,3 +1480,165 @@ def huber_ols(df: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
     return agg2.withColumn("b1", F.expr(HUBER_B1)).withColumn(
         "a1", F.expr(HUBER_A1)
     )
+
+
+def em_gmm_1d(
+    df: DataFrame,
+    value_col: str,
+    init: tuple[float, float, float, float, float] = (1.0, 2.0, 8.0, 2.0, 0.5),
+    n_iter: int = 3,
+) -> DataFrame:
+    """EM for a 1-D two-component Gaussian mixture (ML tier beside
+    :func:`kmeans_fit_predict`; behavioral spec src/ml/ clustering
+    family) — the q414 trajectory extracted as a reusable operator so
+    its partition-order invariance is property-testable directly.
+
+    Each round: E-step responsibilities r_i = π·N(x|μ1,σ1) /
+    (π·N(x|μ1,σ1) + (1−π)·N(x|μ2,σ2)) as a map-only broadcast carry of
+    the 1-row parameter frame, then an M-step of SIX quantized exact
+    sums (scale 9) so every round's parameters — hence the whole
+    trajectory — are bitwise partition-order invariant. Returns one row
+    (n, mu1, s1, mu2, s2, pi), unquantized (callers round for oracles).
+
+    Scale: n_iter linear passes; no data-sized state, parameters are a
+    broadcast scalar carry.
+
+    Degenerate inputs (a component's variance collapsing to 0, or all
+    responsibility on one side) yield NULL parameters instead of an
+    ANSI divide-by-zero: every division is guarded by a ``F.when`` that
+    is mathematically inert on non-degenerate data, so the healthy-path
+    double-arithmetic tree (and the oracle hash) is unchanged.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    sqrt2pi = 2.5066282746310002
+    spark = df.sparkSession
+    params = spark.createDataFrame(
+        [init], "mu1 double, s1 double, mu2 double, s2 double, pi double"
+    )
+    vals = df.select(F.col(value_col).cast("double").alias("x"))
+    for _ in range(n_iter):
+        j = vals.crossJoin(F.broadcast(params))
+        pdf1 = F.when(
+            F.col("s1") > 0,
+            F.exp(
+                -((F.col("x") - F.col("mu1")) * (F.col("x") - F.col("mu1")))
+                / (2.0 * F.col("s1") * F.col("s1"))
+            ) / (F.col("s1") * sqrt2pi),
+        )
+        pdf2 = F.when(
+            F.col("s2") > 0,
+            F.exp(
+                -((F.col("x") - F.col("mu2")) * (F.col("x") - F.col("mu2")))
+                / (2.0 * F.col("s2") * F.col("s2"))
+            ) / (F.col("s2") * sqrt2pi),
+        )
+        denom = F.col("pi") * pdf1 + (1.0 - F.col("pi")) * pdf2
+        # nanvl: a collapsed-variance component can drive pdf -> inf
+        # and r -> inf/inf = NaN; map NaN to NULL (inert on healthy
+        # data) so the quantized BIGINT cast can never overflow.
+        r = F.nanvl(
+            F.when(denom != 0, (F.col("pi") * pdf1) / denom),
+            F.lit(None).cast("double"),
+        )
+        e = j.select(F.col("x"), r.alias("r"))
+        s = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("a"),
+            (F.sum(quantize(F.col("r") * F.col("x"), 9)).cast("double") / 1e9).alias("b"),
+            (
+                F.sum(quantize(F.col("r") * F.col("x") * F.col("x"), 9)).cast("double")
+                / 1e9
+            ).alias("c"),
+            (
+                F.sum(quantize((1.0 - F.col("r")) * F.col("x"), 9)).cast("double")
+                / 1e9
+            ).alias("d"),
+            (
+                F.sum(
+                    quantize((1.0 - F.col("r")) * F.col("x") * F.col("x"), 9)
+                ).cast("double")
+                / 1e9
+            ).alias("e"),
+        )
+        a_ok = F.col("a") != 0
+        na = F.col("n") - F.col("a")
+        na_ok = na != 0
+        params = s.select(
+            F.when(a_ok, F.col("b") / F.col("a")).alias("mu1"),
+            F.when(
+                a_ok,
+                F.sqrt(
+                    F.col("c") / F.col("a")
+                    - (F.col("b") / F.col("a")) * (F.col("b") / F.col("a"))
+                ),
+            ).alias("s1"),
+            F.when(na_ok, F.col("d") / na).alias("mu2"),
+            F.when(
+                na_ok,
+                F.sqrt(
+                    F.col("e") / na - (F.col("d") / na) * (F.col("d") / na)
+                ),
+            ).alias("s2"),
+            F.when(F.col("n") > 0, F.col("a") / F.col("n")).alias("pi"),
+            F.col("n"),
+        )
+    return params.select(
+        F.col("n").cast("long").alias("n"),
+        "mu1", "s1", "mu2", "s2", "pi",
+    )
+
+
+def ransac_line_consensus(
+    pts: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    sample_n: int = 8,
+    rel_tol: float = 0.1,
+) -> DataFrame:
+    """RANSAC-lite consensus line fit (robust-regression tier beside
+    :func:`huber_ols`; Fischler-Bolles 1981 is the public spec) — the
+    q426 core extracted as a reusable operator. Candidate models come
+    from all pairs of a DETERMINISTIC md5-ordered ``sample_n``-point
+    sample (bounded ~n²/2 candidates, broadcast); each is scored by
+    its inlier consensus |y − ŷ| ≤ rel_tol·|ŷ| over ALL points in one
+    map-only ×candidates pass; the max-consensus model wins, ties
+    broken by sample-point keys. Returns ONE row (t1, t2, slope,
+    icept, n_inliers, n_total), unquantized.
+
+    Scale: no data-sized pair join — the candidate set is O(sample_n²)
+    and broadcast; the scoring pass is linear. Partition-order
+    invariant because the sample is md5-keyed (not physical-order) and
+    inlier counts are exact integers.
+    """
+    p = pts.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    sample = p.orderBy(F.expr("md5(cast(t as string))"), "t").limit(sample_n)
+    a = sample.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = sample.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    models = (
+        a.join(b, F.col("t1") < F.col("t2"))
+        .withColumn(
+            "slope", (F.col("y2") - F.col("y1")) / (F.col("t2") - F.col("t1"))
+        )
+        .withColumn("icept", F.col("y1") - F.col("slope") * F.col("t1"))
+        .select("t1", "t2", "slope", "icept")
+    )
+    pred = F.col("slope") * F.col("t") + F.col("icept")
+    scored = (
+        p.crossJoin(F.broadcast(models))
+        .groupBy("t1", "t2", "slope", "icept")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - pred) <= rel_tol * F.abs(pred), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_inliers"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+    return scored.orderBy(F.desc("n_inliers"), "t1", "t2").limit(1)

@@ -3486,9 +3486,15 @@ _Q419_CHANNELS = ["click", "error", "signup", "view"]
 
 
 def _q419_iter_sql(var: str, it: int) -> str:
-    """One quantized power-iteration round for variant `var`."""
+    """One quantized power-iteration round for variant `var`.
+
+    MATERIALIZED: each round is a ≤9-row table, but left to inlining
+    DuckDB folds the whole 20-round chain into one 20-deep nested
+    plan whose optimization dominates the oracle (~8 s per variant,
+    measured at sf0.01); materializing keeps planning linear in
+    rounds (full 5-variant oracle 67 s -> ~2 s)."""
     return f"""
-    v_{var}_{it} AS (
+    v_{var}_{it} AS MATERIALIZED (
         SELECT s AS state,
                CAST(SUM(CAST(SIGN(p * v) * FLOOR(ABS(p * v) * 1e12 + 0.5)
                              AS BIGINT)) AS DOUBLE) / 1e12 AS v
@@ -3527,8 +3533,13 @@ def _q419_oracle() -> str:
         f"SELECT '{ch}' AS channel, (SELECT cvr FROM cv_no_{ch}) AS removed_cvr"
         for ch in _Q419_CHANNELS
     )
+    # The journey CTEs are shared by all 5 variant chains; without
+    # MATERIALIZED DuckDB inlines them into every reference and
+    # re-derives the events-scale journey aggregation per variant.
+    # Together with per-round materialization in _q419_iter_sql the
+    # full oracle went 67 s -> 0.7 s at sf0.01, hash unchanged.
     return f"""
-    WITH firstp AS (
+    WITH firstp AS MATERIALIZED (
         SELECT user_id,
                MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
         FROM events GROUP BY user_id
@@ -3547,7 +3558,7 @@ def _q419_oracle() -> str:
             FROM touches
         ) WHERE prev IS NULL OR prev <> ch
     ),
-    capped AS (
+    capped AS MATERIALIZED (
         SELECT user_id, ch, tp,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
@@ -3573,7 +3584,7 @@ def _q419_oracle() -> str:
         FROM firstp f
         WHERE NOT EXISTS (SELECT 1 FROM capped c WHERE c.user_id = f.user_id)
     ),
-    trans AS (
+    trans AS MATERIALIZED (
         SELECT s, t,
                CAST(COUNT(*) AS DOUBLE)
                    / SUM(COUNT(*)) OVER (PARTITION BY s) AS p
@@ -3830,14 +3841,9 @@ def q427(spark, sf_dir):
         "cvrb",
     )
     stages = s1.unionByName(s2)
-    contrib = F.when(
-        F.col("cvrb") == F.col("cvra"),
-        (F.col("rate_b") - F.col("rate_a")) * 0.0,
-    ).otherwise(
-        (F.col("cvrb") - F.col("cvra"))
-        / F.log(F.col("cvrb") / F.col("cvra"))
-        * F.log(F.col("rate_b") / F.col("rate_a"))
-    )
+    from pandrs_spark.operators.hypothesis import lmdi_contribution
+
+    contrib = lmdi_contribution("rate_a", "rate_b", "cvra", "cvrb")
     return stages.select(
         "stage",
         (quantize("rate_a", 6) / 1e6).alias("rate_a"),

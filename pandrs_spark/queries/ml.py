@@ -2083,66 +2083,18 @@ def _q414_estep_sql(prev: str, it: int) -> str:
 )
 def q414(spark, sf_dir):
     from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.ml import em_gmm_1d
     from pandrs_spark.operators.util import tracked_persist
 
     cust = T(spark, sf_dir, "customer")
     vals = tracked_persist(
         cust.select((F.col("c_acctbal").cast("double") / 1000.0).alias("x"))
     )
-    sqrt2pi = 2.5066282746310002
-    params = spark.createDataFrame(
-        [(1.0, 2.0, 8.0, 2.0, 0.5)], "mu1 double, s1 double, mu2 double, s2 double, pi double"
+    params = em_gmm_1d(
+        vals, "x", init=(1.0, 2.0, 8.0, 2.0, 0.5), n_iter=3
     )
-    for _ in range(3):
-        j = vals.crossJoin(F.broadcast(params))
-        pdf1 = F.exp(
-            -((F.col("x") - F.col("mu1")) * (F.col("x") - F.col("mu1")))
-            / (2.0 * F.col("s1") * F.col("s1"))
-        ) / (F.col("s1") * sqrt2pi)
-        pdf2 = F.exp(
-            -((F.col("x") - F.col("mu2")) * (F.col("x") - F.col("mu2")))
-            / (2.0 * F.col("s2") * F.col("s2"))
-        ) / (F.col("s2") * sqrt2pi)
-        r = (F.col("pi") * pdf1) / (
-            F.col("pi") * pdf1 + (1.0 - F.col("pi")) * pdf2
-        )
-        e = j.select(F.col("x"), r.alias("r"))
-        s = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("a"),
-            (F.sum(quantize(F.col("r") * F.col("x"), 9)).cast("double") / 1e9).alias("b"),
-            (
-                F.sum(quantize(F.col("r") * F.col("x") * F.col("x"), 9)).cast("double")
-                / 1e9
-            ).alias("c"),
-            (
-                F.sum(quantize((1.0 - F.col("r")) * F.col("x"), 9)).cast("double")
-                / 1e9
-            ).alias("d"),
-            (
-                F.sum(
-                    quantize((1.0 - F.col("r")) * F.col("x") * F.col("x"), 9)
-                ).cast("double")
-                / 1e9
-            ).alias("e"),
-        )
-        params = s.select(
-            (F.col("b") / F.col("a")).alias("mu1"),
-            F.sqrt(
-                F.col("c") / F.col("a")
-                - (F.col("b") / F.col("a")) * (F.col("b") / F.col("a"))
-            ).alias("s1"),
-            (F.col("d") / (F.col("n") - F.col("a"))).alias("mu2"),
-            F.sqrt(
-                F.col("e") / (F.col("n") - F.col("a"))
-                - (F.col("d") / (F.col("n") - F.col("a")))
-                * (F.col("d") / (F.col("n") - F.col("a")))
-            ).alias("s2"),
-            (F.col("a") / F.col("n")).alias("pi"),
-            F.col("n"),
-        )
     return params.select(
-        F.col("n").cast("long").alias("n"),
+        "n",
         (quantize("mu1", 6) / 1e6).alias("mu1"),
         (quantize("s1", 6) / 1e6).alias("s1"),
         (quantize("mu2", 6) / 1e6).alias("mu2"),

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import sql_quantize
 from pandrs_spark.operators.dedup import (
     exact_dedup_clusters,
     lsh_candidate_pairs,
@@ -1079,6 +1080,189 @@ def q179(spark, sf_dir):
             F.count(F.lit(1)).alias("n_sampled_frames"),
             F.countDistinct("doc_id").alias("n_videos"),
             F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q431_mean_sql(first_byte: int) -> str:
+    """DuckDB mirror of one BMP channel mean: pixel bytes are md5
+    bytes 1..12 (BGR scanline order), channel c = bytes c, c+3, c+6,
+    c+9 (1-based). Mirrors the decoder's (sum/4)/255 double order."""
+    terms = " + ".join(
+        _sql_hexbyte("hex", first_byte + 3 * k) for k in range(4)
+    )
+    return f"((({terms}) / 4.0) / 255.0)"
+
+
+# --- q431: REAL distributed image decode through the driver gate —
+# each document's md5 bytes become a genuine 2×2 24-bpp BMP file
+# (fixture encode stage), and the pure-stdlib BMP PARSER
+# (operators/multimodal.py:_decode_bmp_bytes) runs distributed inside
+# Arrow-batched mapInPandas: header parse → (width, height), scanline
+# walk → per-channel pixel means. The oracle re-derives the channel
+# means from md5 hex arithmetic (channel means are scanline-order
+# invariant, so no bottom-up flip to replay) — if the parser
+# misreads the header or strides wrong, widths or means mismatch.
+# Compressed codecs (PNG/JPEG) remain honestly gated; this closes the
+# decode path end-to-end for uncompressed containers. -----------------------
+@query(
+    "q431_bmp_decode_pixel_stats",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS hex FROM documents
+    ),
+    px AS (
+        SELECT doc_id, source,
+               {_q431_mean_sql(1)} AS mean_b,
+               {_q431_mean_sql(2)} AS mean_g,
+               {_q431_mean_sql(3)} AS mean_r
+        FROM h
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) * 2 AS BIGINT) AS sum_width,
+           CAST(COUNT(*) * 2 AS BIGINT) AS sum_height,
+           CAST(SUM({sql_quantize('mean_b', 9)}) AS DOUBLE) / 1e9 AS sum_mean_b,
+           CAST(SUM({sql_quantize('mean_g', 9)}) AS DOUBLE) / 1e9 AS sum_mean_g,
+           CAST(SUM({sql_quantize('mean_r', 9)}) AS DOUBLE) / 1e9 AS sum_mean_r
+    FROM px
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q431(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.multimodal import (
+        attach_media_struct,
+        decode_image_features,
+        encode_bmp_rgb24,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("hex")
+    )
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["hex"].map(
+                lambda h: encode_bmp_rgb24(2, 2, bytes.fromhex(h)[:12])
+            )
+            yield pdf[["doc_id", "source", "content"]]
+
+    enc = docs.mapInPandas(
+        _enc, schema="doc_id long, source string, content binary"
+    )
+    media = attach_media_struct(enc, "content", "image/bmp")
+    dec = decode_image_features(media, media_col="media", id_col="doc_id")
+    joined = dec.join(enc.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+            (F.sum(quantize(F.col("features")[0], 9)).cast("double") / 1e9).alias(
+                "sum_mean_b"
+            ),
+            (F.sum(quantize(F.col("features")[1], 9)).cast("double") / 1e9).alias(
+                "sum_mean_g"
+            ),
+            (F.sum(quantize(F.col("features")[2], 9)).cast("double") / 1e9).alias(
+                "sum_mean_r"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _q432_sample_sql(k: int) -> str:
+    """DuckDB mirror of PCM16 little-endian sample k (0-based): md5
+    bytes 2k+1 (lo) and 2k+2 (hi), two's complement."""
+    lo = _sql_hexbyte("hex", 2 * k + 1)
+    hi = _sql_hexbyte("hex", 2 * k + 2)
+    v = f"({lo} + 256 * {hi})"
+    return f"(CASE WHEN {v} >= 32768 THEN {v} - 65536 ELSE {v} END)"
+
+
+# --- q432: REAL distributed audio decode — each document's 16 md5
+# bytes become a genuine PCM16 WAV (8 mono samples @ 8 kHz, `wave`
+# module writer), and the pure-stdlib WAV decoder
+# (operators/multimodal.py:_decode_wav_bytes) runs distributed in
+# mapInPandas: container parse → (rate, channels, frames), sample
+# unpack → RMS and peak. The oracle re-derives RMS/peak from md5 hex
+# as little-endian two's-complement int16 arithmetic — a wrong
+# endianness, sign handling, or frame count mismatches immediately.
+# Compressed/float WAV stays gated (NotImplementedError). --------------------
+@query(
+    "q432_wav_decode_audio_stats",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS hex FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source,
+               SQRT(({" + ".join(
+                   f"CAST({_q432_sample_sql(k)} AS DOUBLE) * {_q432_sample_sql(k)}"
+                   for k in range(8)
+               )}) / 8.0) AS rms,
+               GREATEST({", ".join(
+                   f"ABS({_q432_sample_sql(k)})" for k in range(8)
+               )}) AS peak
+        FROM h
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) * 8 AS BIGINT) AS total_frames,
+           CAST(SUM({sql_quantize('rms', 6)}) AS BIGINT) AS sum_rms_q6,
+           CAST(MAX(peak) AS BIGINT) AS max_peak
+    FROM s
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q432(spark, sf_dir):
+    import struct as _struct
+
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.multimodal import (
+        attach_media_struct,
+        decode_audio_features,
+        encode_wav_pcm16,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("hex")
+    )
+
+    def _enc(batches):
+        import pandas as pd
+
+        def _wav(h):
+            samples = list(_struct.unpack("<8h", bytes.fromhex(h)))
+            return encode_wav_pcm16(8000, samples)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["hex"].map(_wav)
+            yield pdf[["doc_id", "source", "content"]]
+
+    enc = docs.mapInPandas(
+        _enc, schema="doc_id long, source string, content binary"
+    )
+    media = attach_media_struct(enc, "content", "audio/wav")
+    dec = decode_audio_features(media, media_col="media", id_col="doc_id")
+    joined = dec.join(enc.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.sum(quantize("rms", 6)).cast("bigint").alias("sum_rms_q6"),
+            F.max("peak").cast("bigint").alias("max_peak"),
         )
         .orderBy("source")
     )

@@ -2862,41 +2862,12 @@ def q426(spark, sf_dir):
             F.col("rev").cast("double").alias("y"),
         )
     )
-    sample = pts.orderBy(
-        F.expr("md5(cast(t as string))"), "t"
-    ).limit(8)
-    a = sample.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
-    b = sample.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
-    models = (
-        a.join(b, F.col("t1") < F.col("t2"))
-        .withColumn(
-            "slope", (F.col("y2") - F.col("y1")) / (F.col("t2") - F.col("t1"))
-        )
-        .withColumn("icept", F.col("y1") - F.col("slope") * F.col("t1"))
-        .select("t1", "t2", "slope", "icept")
-    )
-    pred = F.col("slope") * F.col("t") + F.col("icept")
-    scored = (
-        pts.crossJoin(F.broadcast(models))
-        .groupBy("t1", "t2", "slope", "icept")
-        .agg(
-            F.sum(
-                F.when(F.abs(F.col("y") - pred) <= 0.1 * F.abs(pred), 1).otherwise(
-                    0
-                )
-            )
-            .cast("long")
-            .alias("n_inliers"),
-            F.count(F.lit(1)).cast("long").alias("n_total"),
-        )
-    )
-    return (
-        scored.orderBy(F.desc("n_inliers"), "t1", "t2")
-        .limit(1)
-        .select(
-            (quantize("slope", 6) / 1e6).alias("slope"),
-            (quantize("icept", 2) / 100.0).alias("intercept"),
-            "n_inliers",
-            "n_total",
-        )
+    from pandrs_spark.operators.ml import ransac_line_consensus
+
+    winner = ransac_line_consensus(pts, "t", "y", sample_n=8, rel_tol=0.1)
+    return winner.select(
+        (quantize("slope", 6) / 1e6).alias("slope"),
+        (quantize("icept", 2) / 100.0).alias("intercept"),
+        "n_inliers",
+        "n_total",
     )

@@ -3976,6 +3976,7 @@ def q395(spark, sf_dir):
 )
 def q403(spark, sf_dir):
     from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import msprt_two_proportion
 
     orders = T(spark, sf_dir, "orders")
     arms = orders.select(
@@ -3986,42 +3987,7 @@ def q403(spark, sf_dir):
         .alias("arm"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
     )
-    agg = arms.agg(
-        F.sum("arm").cast("long").alias("n1"),
-        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-        F.sum(F.lit(1) - F.col("arm")).cast("long").alias("n0"),
-        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
-        .cast("long")
-        .alias("c0"),
-    )
-    tau2 = 0.0001
-    stat = agg.withColumn(
-        "theta",
-        F.col("c1").cast("double") / F.col("n1")
-        - F.col("c0").cast("double") / F.col("n0"),
-    ).withColumn(
-        "v",
-        (F.col("c1") + F.col("c0")).cast("double")
-        / (F.col("n1") + F.col("n0"))
-        * (
-            1
-            - (F.col("c1") + F.col("c0")).cast("double")
-            / (F.col("n1") + F.col("n0"))
-        )
-        * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
-    )
-    lam = stat.withColumn(
-        "lambda_stat",
-        F.sqrt(F.col("v") / (F.col("v") + tau2))
-        * F.exp(
-            F.col("theta")
-            * F.col("theta")
-            * tau2
-            / (2.0 * F.col("v") * (F.col("v") + tau2))
-        ),
-    )
+    lam = msprt_two_proportion(arms, "arm", "conv", tau2=0.0001)
     return lam.select(
         "n1",
         "c1",

@@ -82,3 +82,96 @@ def test_repartition_for_payload_parallelism_floor(spark):
         df, avg_payload_bytes=512 * 1024 * 1024
     )  # 200 rows x 512MB >> 128MB target
     assert big.rdd.getNumPartitions() > spark.sparkContext.defaultParallelism
+
+
+def test_bmp_roundtrip_and_stride_padding():
+    """3-px-wide rows need 4-byte stride padding — the decoder must
+    step over it; channel means match an independent computation."""
+    from pandrs_spark.operators.multimodal import (
+        _decode_bmp_bytes,
+        encode_bmp_rgb24,
+    )
+
+    px = bytes(range(3 * 3 * 3))  # 3x3, values 0..26
+    blob = encode_bmp_rgb24(3, 3, px)
+    w, h, (mb, mg, mr) = _decode_bmp_bytes(blob)
+    assert (w, h) == (3, 3)
+    assert mb == sum(px[0::3]) / 9 / 255.0
+    assert mg == sum(px[1::3]) / 9 / 255.0
+    assert mr == sum(px[2::3]) / 9 / 255.0
+
+
+def test_bmp_decoder_rejects_compressed_and_wrong_bpp():
+    import struct
+
+    import pytest
+
+    from pandrs_spark.operators.multimodal import _decode_bmp_bytes
+
+    # craft an 8-bpp header
+    hdr = (
+        struct.pack("<2sIHHI", b"BM", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 2835, 2835, 0, 0)
+        + b"\x00" * 46
+    )
+    with pytest.raises(NotImplementedError, match="24-bpp"):
+        _decode_bmp_bytes(hdr)
+
+
+def test_image_dispatch_bmp_vs_png_vs_fake():
+    import pytest
+
+    from pandrs_spark.operators.multimodal import (
+        _decode_image_bytes,
+        encode_bmp_rgb24,
+    )
+
+    # BMP: real decode
+    w, h, feats = _decode_image_bytes(encode_bmp_rgb24(2, 2, bytes(12)))
+    assert (w, h) == (2, 2) and feats == [0.0, 0.0, 0.0]
+    # PNG magic: still honestly gated
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 16)
+    # arbitrary bytes: deterministic fake (plumbing-testable)
+    w2, h2, f2 = _decode_image_bytes(b"not an image")
+    assert 1 <= w2 <= 64 and 1 <= h2 <= 64 and len(f2) == 8
+
+
+def test_wav_roundtrip_and_gates():
+    import pytest
+
+    from pandrs_spark.operators.multimodal import (
+        _decode_wav_bytes,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5, 100]
+    rate, nch, nfr, rms, peak = _decode_wav_bytes(
+        encode_wav_pcm16(16000, samples)
+    )
+    assert (rate, nch, nfr) == (16000, 1, 8)
+    assert peak == 32768
+    assert rms == (sum(s * s for s in samples) / 8) ** 0.5
+    with pytest.raises((NotImplementedError, ValueError)):
+        _decode_wav_bytes(b"RIFFxxxxWAVEfmt garbage")
+
+
+def test_decode_audio_features_distributed(spark):
+    """The mapInPandas audio stage decodes real PCM16 WAVs partition-
+    parallel and returns the narrow feature schema."""
+    from pandrs_spark.operators.multimodal import (
+        attach_media_struct,
+        decode_audio_features,
+        encode_wav_pcm16,
+    )
+
+    rows = [
+        (1, encode_wav_pcm16(8000, [100, -100, 200, -200])),
+        (2, encode_wav_pcm16(44100, [0, 0, 0, 0, 0, 0])),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary").repartition(2)
+    media = attach_media_struct(df, "content", "audio/wav")
+    got = {r["id"]: r for r in decode_audio_features(media).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == 4
+    assert got[1]["peak"] == 200
+    assert got[2]["sample_rate"] == 44100 and got[2]["rms"] == 0.0
