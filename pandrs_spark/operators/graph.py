@@ -29,6 +29,8 @@ from pandrs_spark.operators.util import tracked_persist
 __all__ = [
     "ConvergenceError",
     "degrees",
+    "rich_club_coefficient",
+    "edge_embeddedness",
     "k_truss",
     "symmetrize",
     "connected_components",
@@ -1474,3 +1476,100 @@ def k_truss(
             .drop("__n_prev__", "__n_cur__")
         )
     return out
+
+
+def rich_club_coefficient(
+    edges: DataFrame,
+    ks: tuple = (2, 4, 8),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient φ(k) (Colizza et al. 2006 is the public
+    spec; degree-correlation tier beside :func:`degrees` /
+    assortativity): for each degree threshold k, restrict the
+    undirected graph to vertices with degree > k and measure how
+    densely they interconnect:
+
+        φ(k) = 2·E_k / (N_k·(N_k − 1))
+
+    Returns one row per k: (k, n_rich, e_rich, phi); phi NULL when
+    N_k < 2.
+
+    Scale: degrees are one aggregation; each threshold is two
+    semi-joins of the edge list against the rich vertex set plus exact
+    counts — k thresholds are a bounded explode, no pairwise work.
+    """
+    und = symmetrize(edges, src, dst)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    spark = edges.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    rich = F.broadcast(kdf).join(
+        deg, deg.deg > F.col("k")
+    ).select("k", "id")
+    n_rich = rich.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    # undirected edge canonical form, then require both endpoints rich
+    canon = und.filter(F.col("src") < F.col("dst"))
+    e_rich = (
+        canon.join(rich.withColumnRenamed("id", "src"), "src")
+        .join(
+            rich.withColumnRenamed("id", "dst").withColumnRenamed("k", "k2"),
+            "dst",
+        )
+        .filter(F.col("k") == F.col("k2"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    out = (
+        kdf.join(n_rich, "k", "left")
+        .join(e_rich, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+            F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+        )
+    )
+    return out.withColumn(
+        "phi",
+        F.when(
+            F.col("n_rich") >= 2,
+            2.0
+            * F.col("e_rich")
+            / (F.col("n_rich").cast("double") * (F.col("n_rich") - 1)),
+        ),
+    ).orderBy("k")
+
+
+def edge_embeddedness(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-edge embeddedness = number of common neighbors of the two
+    endpoints in the undirected graph (Granovetter tie-strength
+    proxy; the edge-level analogue of :func:`clustering_coefficient`,
+    same two-join distributed triangle enumeration as :func:`k_truss`
+    support). Returns (u, v, embeddedness) for each canonical edge
+    u < v, zero-support edges included.
+
+    Scale: two adjacency equi-joins + one groupBy — never all-pairs.
+    """
+    und = symmetrize(edges, src, dst)
+    e = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    adj = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    a = adj.select(F.col("u"), F.col("v").alias("w"))
+    b = adj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    sup = (
+        e.join(a, "u")
+        .join(b, ["v", "w"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("embeddedness"))
+    )
+    return e.join(sup, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce("embeddedness", F.lit(0)).cast("long").alias("embeddedness"),
+    )

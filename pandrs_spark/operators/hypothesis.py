@@ -30,6 +30,11 @@ __all__ = [
     "gesd_outlier_peel",
     "msprt_two_proportion",
     "lmdi_contribution",
+    "mcnemar_test",
+    "cohens_kappa",
+    "cochran_armitage_trend",
+    "mood_median_test",
+    "cramer_von_mises_2samp",
     "mann_whitney_u",
     "ks_2samp",
     "kruskal_wallis",
@@ -456,4 +461,216 @@ def lmdi_contribution(
     cb = cvr_b if not isinstance(cvr_b, str) else F.col(cvr_b)
     return F.when(cb == ca, (rb - ra) * 0.0).otherwise(
         (cb - ca) / F.log(cb / ca) * F.log(rb / ra)
+    )
+
+
+def mcnemar_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes (hypothesis tier
+    beside :func:`paired_ttest`; src/stats/hypothesis.rs family is the
+    behavioral spec). ``x_col``/``y_col`` are 0/1 per subject; only
+    the discordant cells inform the test:
+
+        b = #(1,0),  c = #(0,1),
+        chi2 = (|b − c| − 1)² / (b + c)     (continuity-corrected)
+
+    One row out: (n_pairs, b, c, chi2); chi2 is NULL when b + c = 0
+    (no discordant pairs — the test carries no information).
+
+    Scale: ONE map-side-combinable aggregate of exact integer counts;
+    trivially partition-order invariant.
+    """
+    x = F.col(x_col)
+    y = F.col(y_col)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when((x == 1) & (y == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((x == 0) & (y == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    num = F.abs(F.col("b") - F.col("c")) - 1
+    return agg.withColumn(
+        "chi2",
+        F.when(bc > 0, (num * num).cast("double") / bc),
+    )
+
+
+def cohens_kappa(df: DataFrame, r1_col: str, r2_col: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement for two binary raters
+    (agreement tier beside :func:`mcnemar_test`): kappa =
+    (p_o − p_e) / (1 − p_e) with observed agreement p_o and chance
+    agreement p_e from the raters' marginals. One row out:
+    (n, n00, n01, n10, n11, po, pe, kappa); kappa is NULL when
+    p_e = 1 (both raters constant — agreement is undefined).
+
+    Scale: one exact-count aggregate; the statistic is a pure double
+    formula over the four cells.
+    """
+    a = F.col(r1_col)
+    b = F.col(r2_col)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((a == 0) & (b == 0), 1).otherwise(0)).cast("long").alias("n00"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when((a == 1) & (b == 1), 1).otherwise(0)).cast("long").alias("n11"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n00") + F.col("n11")) / n
+    pe = (
+        ((F.col("n11") + F.col("n10")) / n) * ((F.col("n11") + F.col("n01")) / n)
+        + ((F.col("n00") + F.col("n01")) / n) * ((F.col("n00") + F.col("n10")) / n)
+    )
+    out = agg.withColumn("po", po).withColumn("pe", pe)
+    return out.withColumn(
+        "kappa",
+        F.when(
+            F.col("pe") != 1.0,
+            (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")),
+        ),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame, event_col: str, score_col: str
+) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in proportions across
+    ORDERED groups (dose-response shape; trend complement to the q59
+    chi-square independence test). ``event_col`` is 0/1,
+    ``score_col`` a numeric group score t_i. With per-group (n_i, r_i)
+    and pooled p̄ = R/N:
+
+        Z = Σ t_i (r_i − n_i p̄) /
+            sqrt( p̄(1−p̄) · [Σ t_i² n_i − (Σ t_i n_i)²/N] )
+
+    One row out: (n, k, z_trend); NULL when the variance term is 0
+    (constant scores or degenerate p̄).
+
+    Scale: one groupBy(score) shuffle over exact integer counts, then
+    a ≤k-row aggregate — the statistic is a double formula over exact
+    sums, partition-order invariant.
+    """
+    e = F.col(event_col)
+    per_g = df.groupBy(F.col(score_col).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(e).cast("long").alias("r_g"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("r_g").cast("long").alias("r"),
+        F.sum(F.col("t") * F.col("n_g")).cast("double").alias("tn"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_g")).cast("double").alias("ttn"),
+        F.sum(F.col("t") * F.col("r_g")).cast("double").alias("tr"),
+    )
+    p = F.col("r").cast("double") / F.col("n")
+    num = F.col("tr") - F.col("tn") * p
+    var = p * (1.0 - p) * (F.col("ttn") - F.col("tn") * F.col("tn") / F.col("n"))
+    return tot.select(
+        "n",
+        "k",
+        F.when(var > 0, num / F.sqrt(var)).alias("z_trend"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Mood's median test: chi-square on the k×2 table of counts above
+    vs not-above the POOLED median per group (robust location test
+    beside :func:`kruskal_wallis`). Returns one row per group with
+    (grp, n_above, n_below, e_above) plus the pooled chi2 repeated —
+    callers aggregate or read any row's chi2.
+
+    Scale: the pooled median comes from one exact percentile
+    aggregate; the table is one groupBy of exact counts; expected
+    counts and chi2 are double formulas over them.
+    """
+    med = df.agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    flagged = df.crossJoin(F.broadcast(med)).select(
+        F.col(group_col).alias("grp"),
+        F.when(F.col(value_col) > F.col("med"), 1).otherwise(0).alias("above"),
+    )
+    per_g = flagged.groupBy("grp").agg(
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("above")).cast("long").alias("n_below"),
+    )
+    tot = per_g.agg(
+        F.sum("n_above").cast("double").alias("ta"),
+        F.sum(F.col("n_above") + F.col("n_below")).cast("double").alias("tn"),
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    e_above = (F.col("n_above") + F.col("n_below")) * F.col("ta") / F.col("tn")
+    e_below = (F.col("n_above") + F.col("n_below")) * (
+        F.col("tn") - F.col("ta")
+    ) / F.col("tn")
+    cells = j.select(
+        "grp",
+        "n_above",
+        "n_below",
+        e_above.alias("e_above"),
+        (
+            (F.col("n_above") - e_above) * (F.col("n_above") - e_above) / e_above
+            + (F.col("n_below") - e_below) * (F.col("n_below") - e_below) / e_below
+        ).alias("cell_chi2"),
+    )
+    chi2 = cells.agg(F.sum("cell_chi2").alias("chi2"))
+    return cells.crossJoin(F.broadcast(chi2))
+
+
+def cramer_von_mises_2samp(
+    df: DataFrame, value_col: str, group_col: str, g1, g2
+) -> DataFrame:
+    """Two-sample Cramér-von-Mises criterion (EDF tier beside
+    :func:`ks_2samp`, which takes the max where CvM integrates):
+
+        ω² = (n·m / (n+m)²) · Σ_z (F1(z) − F2(z))²
+
+    summed over every pooled observation z with multiplicity. Computed
+    from the distinct-value histogram + one distributed prefix sum
+    (``global_prefix_counts``) — identical scale shape to ks_2samp:
+    one groupBy shuffle, never a data-sized sort. One row out:
+    (n1, n2, cvm).
+    """
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    two = df.filter(F.col(group_col).isin([g1, g2]))
+    per_v = two.groupBy(F.col(value_col).alias("value")).agg(
+        F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("c2"),
+    )
+    cdf = global_prefix_counts(
+        per_v, [F.asc("value")], {"cum1": "c1", "cum2": "c2"}
+    ).select("c1", "c2", "cum1", "cum2")
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    from pandrs_spark.functions.deterministic import quantize
+
+    d2 = (
+        F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2")
+    ) * (F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))
+    t = cdf.crossJoin(F.broadcast(totals)).agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        (
+            F.sum(quantize((F.col("c1") + F.col("c2")) * d2, 9)).cast("double")
+            / 1e9
+        ).alias("t_sum"),
+    )
+    return t.select(
+        "n1",
+        "n2",
+        (
+            F.col("n1").cast("double")
+            * F.col("n2")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2")))
+            * F.col("t_sum")
+        ).alias("cvm"),
     )

@@ -3850,3 +3850,156 @@ def q427(spark, sf_dir):
         (quantize("rate_b", 6) / 1e6).alias("rate_b"),
         (quantize(contrib, 6) / 1e6).alias("contribution"),
     ).orderBy("stage")
+
+
+# --- q438: Markov entropy rate of the event-type chain — how
+# predictable is the next event given the current one? Builds on
+# q347's transition cells: H = Σ_s p(s) Σ_t P(t|s) log2(1/P(t|s))
+# with p(s) the empirical transition-source frequency. One window
+# pass + a ≤k² cell aggregate; the per-cell terms are exact-ratio
+# doubles summed quantized, so the statistic is partition-order
+# invariant. Reference: transition-model surface of
+# src/temporal/mod.rs. --------------------------------------------------------
+@query(
+    "q438_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    cells AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    rows_ AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY cur),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells),
+    terms AS (
+        SELECT c.n, r.row_n, t.total,
+               (CAST(c.n AS DOUBLE) / t.total)
+                   * (LN(CAST(r.row_n AS DOUBLE) / c.n) / LN(2.0)) AS term
+        FROM cells c JOIN rows_ r ON r.cur = c.cur, tot t
+    )
+    SELECT MIN(total) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e9 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e9 AS entropy_rate_bits
+    FROM terms
+    """,
+)
+def q438(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows_ = cells.groupBy(F.col("cur").alias("cur_r")).agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    term = (F.col("n").cast("double") / F.col("total")) * (
+        F.log(F.col("row_n").cast("double") / F.col("n")) / F.log(F.lit(2.0))
+    )
+    terms = (
+        cells.join(F.broadcast(rows_), cells.cur == rows_.cur_r)
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("n"), F.col("row_n"), F.col("total"), term.alias("term"))
+    )
+    return terms.agg(
+        F.min("total").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.sum(quantize("term", 9)).cast("double") / 1e9).alias(
+            "entropy_rate_bits"
+        ),
+    )
+
+
+# --- q439: inter-event burstiness per user, B = (σ−μ)/(σ+μ) of the
+# gap distribution (Goh-Barabási 2008 is the public spec; B→−1
+# periodic, 0 Poisson, →1 bursty) — the event-time twin of q429's
+# term burstiness. Exact microsecond gaps from one window pass;
+# per-user moments from quantized sums (per-user groups bound the
+# int64 envelope); one final quantized aggregate across users. ---------------
+@query(
+    "q439_event_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                          ORDER BY ts, event_id))
+                    AS DOUBLE) / 1e6 AS gap_s
+        FROM events
+    ),
+    per_u AS (
+        SELECT user_id,
+               CAST(COUNT(gap_s) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(gap_s) * FLOOR(ABS(gap_s) * 1e6 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e6 AS sg,
+               CAST(SUM(CAST(SIGN(gap_s * gap_s)
+                             * FLOOR(ABS(gap_s * gap_s) + 0.5)
+                             AS BIGINT)) AS DOUBLE) AS sgg
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+    ),
+    b AS (
+        SELECT user_id, n,
+               (SQRT(sgg / n - (sg / n) * (sg / n)) - sg / n)
+               / (SQRT(sgg / n - (sg / n) * (sg / n)) + sg / n) AS burst
+        FROM per_u
+        WHERE n >= 5 AND sgg / n - (sg / n) * (sg / n) > 0 AND sg > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SIGN(CAST(SUM(CAST(SIGN(burst) * FLOOR(ABS(burst) * 1e9 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*))
+                * FLOOR(ABS(CAST(SUM(CAST(SIGN(burst)
+                                          * FLOOR(ABS(burst) * 1e9 + 0.5)
+                                          AS BIGINT)) AS DOUBLE) / 1e9
+                            / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS mean_burstiness
+    FROM b
+    """,
+)
+def q439(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per_u = gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n"),
+        (F.sum(quantize("gap_s", 6)).cast("double") / 1e6).alias("sg"),
+        F.sum(quantize(F.col("gap_s") * F.col("gap_s"), 0))
+        .cast("double")
+        .alias("sgg"),
+    )
+    mean = F.col("sg") / F.col("n")
+    varp = F.col("sgg") / F.col("n") - mean * mean
+    sigma = F.sqrt(varp)
+    b = per_u.filter(
+        (F.col("n") >= 5) & (varp > 0) & (F.col("sg") > 0)
+    ).select(((sigma - mean) / (sigma + mean)).alias("burst"))
+    agg = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum(quantize("burst", 9)).cast("double") / 1e9).alias("sb"),
+    )
+    return agg.select(
+        "n_users",
+        (quantize(F.col("sb") / F.col("n_users"), 6) / 1e6).alias(
+            "mean_burstiness"
+        ),
+    )

@@ -1002,3 +1002,98 @@ def q392(spark, sf_dir):
     return out.select(
         "u", "v", F.col("support").cast("long").alias("support"), "converged"
     ).orderBy("u", "v")
+
+
+# --- q440: rich-club coefficient of the trade graph — do high-degree
+# nations preferentially trade with each other? φ(k) = 2E_k/(N_k(N_k−1))
+# over the subgraph of degree>k vertices, k ∈ {2,4,8} (Colizza 2006;
+# operators/graph.py:rich_club_coefficient). Degrees are one
+# aggregation; each threshold is two semi-join-shaped probes — no
+# pairwise work. ---------------------------------------------------------------
+@query(
+    "q440_trade_rich_club",
+    oracle=f"""
+    WITH {_TRADE},
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM trade
+            UNION ALL
+            SELECT dst, src FROM trade
+        ) t WHERE src <> dst
+    ),
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+    ks AS (SELECT UNNEST([2, 4, 8]) AS k),
+    rich AS (
+        SELECT ks.k, d.id FROM ks JOIN deg d ON d.deg > ks.k
+    ),
+    n_rich AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich GROUP BY k),
+    canon AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
+    e_rich AS (
+        SELECT r1.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+        FROM canon c
+        JOIN rich r1 ON r1.id = c.u
+        JOIN rich r2 ON r2.id = c.v AND r2.k = r1.k
+        GROUP BY r1.k
+    )
+    SELECT ks.k,
+           COALESCE(n.n_rich, 0) AS n_rich,
+           COALESCE(e.e_rich, 0) AS e_rich,
+           CASE WHEN COALESCE(n.n_rich, 0) >= 2
+                THEN 2.0 * COALESCE(e.e_rich, 0)
+                     / (CAST(n.n_rich AS DOUBLE) * (n.n_rich - 1))
+           END AS phi
+    FROM ks LEFT JOIN n_rich n ON n.k = ks.k
+    LEFT JOIN e_rich e ON e.k = ks.k
+    ORDER BY ks.k
+    """,
+)
+def q440(spark, sf_dir):
+    from pandrs_spark.operators.graph import rich_club_coefficient
+
+    trade = _trade_edges(spark, sf_dir)
+    return rich_club_coefficient(trade, ks=(2, 4, 8))
+
+
+# --- q441: edge embeddedness distribution of the strong trade graph —
+# per-edge common-neighbor counts (Granovetter tie strength), rolled
+# into a histogram. Two adjacency equi-joins + two aggregates
+# (operators/graph.py:edge_embeddedness) — the k-truss support shape,
+# zero-support edges included (round-7 left-join fix). -----------------------
+@query(
+    "q441_trade_edge_embeddedness",
+    oracle=f"""
+    WITH {_STRONG},
+    canon AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
+    adj AS (
+        SELECT u, v FROM canon
+        UNION ALL
+        SELECT v AS u, u AS v FROM canon
+    ),
+    sup AS (
+        SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS embeddedness
+        FROM canon c
+        JOIN adj a ON a.u = c.u
+        JOIN adj b ON b.u = c.v AND b.v = a.v
+        GROUP BY c.u, c.v
+    ),
+    edges_s AS (
+        SELECT c.u, c.v, COALESCE(s.embeddedness, 0) AS embeddedness
+        FROM canon c LEFT JOIN sup s ON s.u = c.u AND s.v = c.v
+    )
+    SELECT embeddedness,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM edges_s
+    GROUP BY embeddedness
+    ORDER BY embeddedness
+    """,
+)
+def q441(spark, sf_dir):
+    from pandrs_spark.operators.graph import edge_embeddedness
+
+    strong = _strong_edges(spark, sf_dir)
+    emb = edge_embeddedness(strong)
+    return (
+        emb.groupBy("embeddedness")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .orderBy("embeddedness")
+    )

@@ -901,3 +901,300 @@ def q165(spark, sf_dir):
     cust = T(spark, sf_dir, "customer")
     res = levene_test(cust, "c_acctbal", "c_mktsegment")
     return res.select("n", "k", F.round("w_stat", 6).alias("w_stat"))
+
+
+# --- q433: McNemar's paired-binary test — did the 1996→1997 customer
+# activity flip rate exceed chance? Per customer the paired outcome is
+# (ordered in 1996, ordered in 1997); only discordant cells inform the
+# continuity-corrected statistic. One groupBy + one scalar aggregate
+# of exact counts (operators/hypothesis.py:mcnemar_test). -------------------
+@query(
+    "q433_mcnemar_activity_flip",
+    oracle="""
+    WITH peryear AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                        THEN 1 ELSE 0 END) AS x,
+               MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                        THEN 1 ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM peryear
+    )
+    SELECT n_pairs, b, c,
+           CASE WHEN b + c > 0
+                THEN CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+                     / (b + c)
+           END AS chi2
+    FROM agg
+    """,
+)
+def q433(spark, sf_dir):
+    from pandrs_spark.operators.hypothesis import mcnemar_test
+
+    orders = T(spark, sf_dir, "orders")
+    peryear = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)
+        ).alias("x"),
+        F.max(
+            F.when(F.year("o_orderdate") == 1997, 1).otherwise(0)
+        ).alias("y"),
+    )
+    return mcnemar_test(peryear, "x", "y")
+
+
+# --- q434: Cohen's kappa agreement between two deterministic document
+# "raters" (long-by-chars vs long-by-tokens) — the inter-annotator
+# agreement primitive of labeling pipelines. Exact 2×2 cell counts,
+# then the kappa double formula (operators/hypothesis.py:cohens_kappa).
+# -----------------------------------------------------------------------------
+@query(
+    "q434_cohens_kappa_raters",
+    oracle="""
+    WITH rated AS (
+        SELECT CASE WHEN n_chars > 350 THEN 1 ELSE 0 END AS r1,
+               CASE WHEN len(string_split_regex(lower(text), '\\s+')) > 60
+                    THEN 1 ELSE 0 END AS r2
+        FROM documents
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+               CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        FROM rated
+    ),
+    stat AS (
+        SELECT n, n00, n01, n10, n11,
+               (n00 + n11) / CAST(n AS DOUBLE) AS po,
+               ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+               + ((n00 + n01) / CAST(n AS DOUBLE)) * ((n00 + n10) / CAST(n AS DOUBLE))
+                   AS pe
+        FROM agg
+    )
+    SELECT n, n00, n01, n10, n11,
+           CAST(SIGN(po) * FLOOR(ABS(po) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS po,
+           CAST(SIGN(pe) * FLOOR(ABS(pe) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS pe,
+           CASE WHEN pe <> 1.0 THEN
+               CAST(SIGN((po - pe) / (1.0 - pe))
+                    * FLOOR(ABS((po - pe) / (1.0 - pe)) * 1000000.0 + 0.5)
+                    AS BIGINT) / 1000000.0
+           END AS kappa
+    FROM stat
+    """,
+)
+def q434(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import cohens_kappa
+    from pandrs_spark.operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.col("n_chars") > 350, 1).otherwise(0).alias("r1"),
+        F.when(F.size(tokens(F.col("text"))) > 60, 1).otherwise(0).alias("r2"),
+    )
+    out = cohens_kappa(rated, "r1", "r2")
+    return out.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        (quantize("po", 6) / 1e6).alias("po"),
+        (quantize("pe", 6) / 1e6).alias("pe"),
+        (quantize("kappa", 6) / 1e6).alias("kappa"),
+    )
+
+
+# --- q435: Cochran-Armitage trend test — does the late-shipment rate
+# trend monotonically with order priority (ordered scores 1..5)?
+# One join + one groupBy(score) of exact counts, then the trend Z
+# formula (operators/hypothesis.py:cochran_armitage_trend). ------------------
+@query(
+    "q435_cochran_armitage_late_trend",
+    oracle="""
+    WITH flags AS (
+        SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS t,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_g AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(late) AS BIGINT) AS r_g
+        FROM flags GROUP BY t
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(r_g) AS BIGINT) AS r,
+               CAST(SUM(t * n_g) AS DOUBLE) AS tn,
+               CAST(SUM(t * t * n_g) AS DOUBLE) AS ttn,
+               CAST(SUM(t * r_g) AS DOUBLE) AS tr
+        FROM per_g
+    )
+    SELECT n, k,
+           CASE WHEN (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                     * (ttn - tn * tn / n) > 0
+                THEN CAST(SIGN((tr - tn * (CAST(r AS DOUBLE) / n))
+                          / SQRT((CAST(r AS DOUBLE) / n)
+                                 * (1.0 - CAST(r AS DOUBLE) / n)
+                                 * (ttn - tn * tn / n)))
+                     * FLOOR(ABS((tr - tn * (CAST(r AS DOUBLE) / n))
+                          / SQRT((CAST(r AS DOUBLE) / n)
+                                 * (1.0 - CAST(r AS DOUBLE) / n)
+                                 * (ttn - tn * tn / n))) * 1000000.0 + 0.5)
+                     AS BIGINT) / 1000000.0
+           END AS z_trend
+    FROM tot
+    """,
+)
+def q435(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import cochran_armitage_trend
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    flags = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("t"),
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    out = cochran_armitage_trend(flags, "late", "t")
+    return out.select(
+        "n", "k", (quantize("z_trend", 6) / 1e6).alias("z_trend")
+    )
+
+
+# --- q436: Mood's median test — do market segments share a location?
+# Counts above/below the POOLED exact median per segment, then the
+# k×2 chi-square (operators/hypothesis.py:mood_median_test). Pooled
+# median = one exact percentile aggregate; the table is exact counts.
+# -----------------------------------------------------------------------------
+@query(
+    "q436_mood_median_segments",
+    oracle="""
+    WITH med AS (SELECT MEDIAN(c_acctbal) AS med FROM customer),
+    flagged AS (
+        SELECT c.c_mktsegment AS grp,
+               CASE WHEN c.c_acctbal > m.med THEN 1 ELSE 0 END AS above
+        FROM customer c, med m
+    ),
+    per_g AS (
+        SELECT grp, CAST(SUM(above) AS BIGINT) AS n_above,
+               CAST(SUM(1 - above) AS BIGINT) AS n_below
+        FROM flagged GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_above) AS DOUBLE) AS ta,
+               CAST(SUM(n_above + n_below) AS DOUBLE) AS tn
+        FROM per_g
+    ),
+    cells AS (
+        SELECT g.grp, g.n_above, g.n_below,
+               (g.n_above + g.n_below) * t.ta / t.tn AS e_above,
+               POWER(g.n_above - (g.n_above + g.n_below) * t.ta / t.tn, 2)
+                   / ((g.n_above + g.n_below) * t.ta / t.tn)
+               + POWER(g.n_below - (g.n_above + g.n_below) * (t.tn - t.ta) / t.tn, 2)
+                   / ((g.n_above + g.n_below) * (t.tn - t.ta) / t.tn) AS cell_chi2
+        FROM per_g g, tot t
+    )
+    SELECT grp,
+           n_above,
+           n_below,
+           CAST(SIGN(e_above) * FLOOR(ABS(e_above) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS e_above,
+           (SELECT CAST(SIGN(SUM(cell_chi2))
+                        * FLOOR(ABS(SUM(cell_chi2)) * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0
+            FROM cells) AS chi2
+    FROM cells
+    ORDER BY grp
+    """,
+)
+def q436(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import mood_median_test
+
+    cust = T(spark, sf_dir, "customer")
+    out = mood_median_test(cust, "c_acctbal", "c_mktsegment")
+    return out.select(
+        "grp",
+        "n_above",
+        "n_below",
+        (quantize("e_above", 6) / 1e6).alias("e_above"),
+        (quantize("chi2", 6) / 1e6).alias("chi2"),
+    ).orderBy("grp")
+
+
+# --- q437: two-sample Cramér-von-Mises criterion between customer
+# segments — the integrated-EDF complement to q72's KS max. Same scale
+# shape: one distinct-value histogram shuffle + one distributed prefix
+# sum (operators/hypothesis.py:cramer_von_mises_2samp). ----------------------
+@query(
+    "q437_cramer_von_mises_segments",
+    oracle="""
+    WITH two AS (
+        SELECT c_acctbal, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    per_v AS (
+        SELECT c_acctbal AS value,
+               SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+        FROM two GROUP BY value
+    ),
+    cdf AS (
+        SELECT c1, c2,
+               SUM(c1) OVER (ORDER BY value) AS cum1,
+               SUM(c2) OVER (ORDER BY value) AS cum2
+        FROM per_v
+    ),
+    totals AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM per_v
+    ),
+    t AS (
+        SELECT t.n1, t.n2,
+               CAST(SUM(CAST(SIGN((c.c1 + c.c2)
+                                  * (c.cum1 / t.n1 - c.cum2 / t.n2)
+                                  * (c.cum1 / t.n1 - c.cum2 / t.n2))
+                             * FLOOR(ABS((c.c1 + c.c2)
+                                  * (c.cum1 / t.n1 - c.cum2 / t.n2)
+                                  * (c.cum1 / t.n1 - c.cum2 / t.n2)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS t_sum
+        FROM cdf c, totals t
+        GROUP BY t.n1, t.n2
+    )
+    SELECT n1, n2,
+           CAST(SIGN(CAST(n1 AS DOUBLE) * n2 / ((n1 + n2) * (n1 + n2)) * t_sum)
+                * FLOOR(ABS(CAST(n1 AS DOUBLE) * n2 / ((n1 + n2) * (n1 + n2))
+                            * t_sum) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS cvm
+    FROM t
+    """,
+)
+def q437(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import cramer_von_mises_2samp
+
+    cust = T(spark, sf_dir, "customer")
+    out = cramer_von_mises_2samp(
+        cust, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+    return out.select("n1", "n2", (quantize("cvm", 6) / 1e6).alias("cvm"))

@@ -424,3 +424,31 @@ def test_personalized_pagerank_dangling_returns_to_seed(spark):
     out = {r["id"]: r["rank"] for r in personalized_pagerank(edges, 1, iterations=15).collect()}
     assert abs(sum(out.values()) - 1.0) < 1e-3
     assert out[1] > out[2]
+
+
+def test_rich_club_star_vs_clique(spark):
+    from pandrs_spark.operators.graph import rich_club_coefficient
+
+    # K5 clique (everyone degree 4) + pendant chain: at k=2 the rich
+    # set is the clique, fully connected -> phi = 1
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    g = k5 + [(5, 6), (6, 7)]
+    e = spark.createDataFrame(g, "src long, dst long")
+    rows = {r["k"]: r for r in rich_club_coefficient(e, ks=(2, 4)).collect()}
+    assert rows[2]["n_rich"] == 5 and rows[2]["e_rich"] == 10
+    assert rows[2]["phi"] == 1.0
+    # k=4: nobody has degree > 4 except vertex 5 (degree 5) -> n_rich=1 -> NULL
+    assert rows[4]["n_rich"] == 1 and rows[4]["phi"] is None
+
+
+def test_edge_embeddedness_triangle_and_bridge(spark):
+    from pandrs_spark.operators.graph import edge_embeddedness
+
+    # triangle 1-2-3 plus bridge 3-4: triangle edges have 1 common
+    # neighbor, the bridge has 0 (and must still appear)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    got = {(r["u"], r["v"]): r["embeddedness"] for r in edge_embeddedness(e).collect()}
+    assert got[(1, 2)] == 1 and got[(2, 3)] == 1 and got[(1, 3)] == 1
+    assert got[(3, 4)] == 0

@@ -164,3 +164,83 @@ def test_jackknife_ratio_matches_direct_computation(spark):
     assert got["n_groups"] == g
     assert abs(got["estimate"] - tn / td) < 1e-6
     assert abs(got["jack_se"] - se) < 1e-4
+
+
+def test_mcnemar_hand_computed(spark):
+    from pandrs_spark.operators.hypothesis import mcnemar_test
+
+    # b=3 (1,0), c=1 (0,1), concordant ignored
+    rows = [(1, 0)] * 3 + [(0, 1)] * 1 + [(1, 1)] * 4 + [(0, 0)] * 2
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = mcnemar_test(df, "x", "y").first()
+    assert (r["n_pairs"], r["b"], r["c"]) == (10, 3, 1)
+    assert r["chi2"] == (abs(3 - 1) - 1) ** 2 / 4  # = 0.25
+
+
+def test_mcnemar_no_discordant_is_null(spark):
+    from pandrs_spark.operators.hypothesis import mcnemar_test
+
+    df = spark.createDataFrame([(1, 1), (0, 0)], "x int, y int")
+    assert mcnemar_test(df, "x", "y").first()["chi2"] is None
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from pandrs_spark.operators.hypothesis import cohens_kappa
+
+    # perfect agreement -> kappa = 1
+    df = spark.createDataFrame([(1, 1)] * 3 + [(0, 0)] * 3, "a int, b int")
+    assert cohens_kappa(df, "a", "b").first()["kappa"] == 1.0
+    # independent raters with balanced marginals -> kappa = 0
+    rows = [(1, 1), (1, 0), (0, 1), (0, 0)]
+    r = cohens_kappa(spark.createDataFrame(rows, "a int, b int"), "a", "b").first()
+    assert r["kappa"] == 0.0
+    # constant raters -> pe=1 -> NULL
+    const = spark.createDataFrame([(1, 1)] * 4, "a int, b int")
+    assert cohens_kappa(const, "a", "b").first()["kappa"] is None
+
+
+def test_cochran_armitage_direction(spark):
+    from pandrs_spark.operators.hypothesis import cochran_armitage_trend
+
+    # rate rises with score -> positive z; scipy-checkable formula
+    rows = (
+        [(1, 0)] * 9 + [(1, 1)] * 1
+        + [(2, 0)] * 5 + [(2, 1)] * 5
+        + [(3, 0)] * 1 + [(3, 1)] * 9
+    )
+    df = spark.createDataFrame(rows, "t int, e int")
+    r = cochran_armitage_trend(df, "e", "t").first()
+    assert r["n"] == 30 and r["k"] == 3
+    assert r["z_trend"] > 3.0
+    # constant score -> variance 0 -> NULL
+    const = spark.createDataFrame([(1, 0), (1, 1)], "t int, e int")
+    assert cochran_armitage_trend(const, "e", "t").first()["z_trend"] is None
+
+
+def test_mood_median_balanced_groups(spark):
+    from pandrs_spark.operators.hypothesis import mood_median_test
+
+    # two groups straddling the pooled median identically -> chi2 = 0
+    rows = [("a", 1.0), ("a", 10.0), ("b", 2.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mood_median_test(df, "v", "g").collect()
+    assert all(abs(r["chi2"]) < 1e-12 for r in out)
+
+
+def test_cvm_identical_samples_zero(spark):
+    from pandrs_spark.operators.hypothesis import cramer_von_mises_2samp
+
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cramer_von_mises_2samp(df, "v", "g", "a", "b").first()
+    assert r["cvm"] == 0.0
+    # disjoint samples -> large cvm
+    rows2 = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v + 100)) for v in range(10)
+    ]
+    r2 = cramer_von_mises_2samp(
+        spark.createDataFrame(rows2, "g string, v double"), "v", "g", "a", "b"
+    ).first()
+    assert r2["cvm"] > 1.0
