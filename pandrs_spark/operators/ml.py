@@ -28,6 +28,7 @@ from pandrs_spark.functions.deterministic import dsum
 __all__ = [
     "em_gmm_1d",
     "ransac_line_consensus",
+    "poisson_irls_1d",
     "standard_scale",
     "minmax_scale",
     "impute_mean",
@@ -1642,3 +1643,69 @@ def ransac_line_consensus(
         )
     )
     return scored.orderBy(F.desc("n_inliers"), "t1", "t2").limit(1)
+
+
+def poisson_irls_1d(
+    df: DataFrame, y_col: str, x_col: str, n_iter: int = 3
+) -> DataFrame:
+    """Poisson regression with log link, one feature + intercept, by
+    ``n_iter`` unrolled IRLS rounds (GLM tier beside :func:`simple_ols`
+    and :func:`huber_ols`; McCullagh-Nelder is the public spec).
+
+    Initialize b0 = ln(ȳ), b1 = 0; each round recomputes the working
+    response z = η + (y−μ)/μ and weight w = μ = exp(η), then solves
+    the 2×2 weighted normal equations in closed form:
+
+        b1 = (Sw·Swxz − Swx·Swz) / (Sw·Swxx − Swx²)
+        b0 = (Swz − b1·Swx) / Sw
+
+    The five weighted sums are quantized exact longs (scale 6), so the
+    whole trajectory is partition-order invariant and a SQL oracle can
+    unroll the identical rounds. Returns one row
+    (n, b0, b1, mean_y), unquantized.
+
+    Scale: n_iter linear passes, each one map + one aggregate with a
+    broadcast scalar parameter carry — the em_gmm_1d shape.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    d = df.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x_col).cast("double").alias("x"),
+    )
+    spark = df.sparkSession
+    init = d.agg(
+        (F.sum("y").cast("long") / F.count(F.lit(1))).alias("ybar")
+    ).select(
+        F.log("ybar").alias("b0"), F.lit(0.0).alias("b1")
+    )
+    params = init
+    for _ in range(n_iter):
+        j = d.crossJoin(F.broadcast(params))
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        mu = F.exp(eta)
+        z = eta + (F.col("y") - mu) / mu
+        s = j.select(
+            F.col("x"), mu.alias("w"), z.alias("z")
+        ).agg(
+            (F.sum(quantize("w", 6)).cast("double") / 1e6).alias("sw"),
+            (F.sum(quantize(F.col("w") * F.col("x"), 6)).cast("double") / 1e6).alias("swx"),
+            (F.sum(quantize(F.col("w") * F.col("x") * F.col("x"), 6)).cast("double") / 1e6).alias("swxx"),
+            (F.sum(quantize(F.col("w") * F.col("z"), 6)).cast("double") / 1e6).alias("swz"),
+            (F.sum(quantize(F.col("w") * F.col("x") * F.col("z"), 6)).cast("double") / 1e6).alias("swxz"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        b1 = (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det
+        params = s.select(
+            F.when(
+                det != 0, (F.col("swz") - b1 * F.col("swx")) / F.col("sw")
+            ).alias("b0"),
+            F.when(det != 0, b1).alias("b1"),
+        )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y").cast("long") / F.count(F.lit(1))).alias("mean_y"),
+    )
+    return F.broadcast(stats).crossJoin(F.broadcast(params)).select(
+        "n", "b0", "b1", "mean_y"
+    )

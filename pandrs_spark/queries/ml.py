@@ -2101,3 +2101,507 @@ def q414(spark, sf_dir):
         (quantize("s2", 6) / 1e6).alias("s2"),
         (quantize("pi", 6) / 1e6).alias("pi"),
     )
+
+
+# --- q442: label-centroid cosine matrix — the corpus-geometry summary
+# ANN bucketing and semantic-dedup grids are tuned against: per-label
+# centroids from ONE posexplode + quantized per-dim means, then the
+# 10×10 bounded label-pair cosine from a 64-dim aggregate (never a
+# data-sized pair join). Cosine is computed term-by-term over the
+# SHARED per-dim means so both engines walk the same double tree
+# (list_cosine_similarity would reorder the reduction). ----------------------
+@query(
+    "q442_label_centroid_cosine",
+    oracle="""
+    WITH pos AS (
+        SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 / COUNT(*) AS m
+        FROM pos GROUP BY label, dim
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(CAST(SIGN(a.m * b.m)
+                             * FLOOR(ABS(a.m * b.m) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS dot,
+               CAST(SUM(CAST(SIGN(a.m * a.m)
+                             * FLOOR(ABS(a.m * a.m) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sa,
+               CAST(SUM(CAST(SIGN(b.m * b.m)
+                             * FLOOR(ABS(b.m * b.m) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           CAST(SIGN(dot / (SQRT(sa) * SQRT(sb)))
+                * FLOOR(ABS(dot / (SQRT(sa) * SQRT(sb))) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS cosine
+    FROM pairs
+    ORDER BY label_a, label_b
+    """,
+)
+def q442(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    emb = T(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    cent = tracked_persist(
+        pos.groupBy("label", "dim").agg(
+            (
+                F.sum(quantize("x", 9)).cast("double") / 1e9 / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, ["dim"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            (
+                F.sum(quantize(F.col("ma") * F.col("mb"), 9)).cast("double")
+                / 1e9
+            ).alias("dot"),
+            (
+                F.sum(quantize(F.col("ma") * F.col("ma"), 9)).cast("double")
+                / 1e9
+            ).alias("sa"),
+            (
+                F.sum(quantize(F.col("mb") * F.col("mb"), 9)).cast("double")
+                / 1e9
+            ).alias("sb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        (
+            quantize(
+                F.col("dot") / (F.sqrt("sa") * F.sqrt("sb")), 6
+            )
+            / 1e6
+        ).alias("cosine"),
+    ).orderBy("label_a", "label_b")
+
+
+# --- q443: sign-bit binarization + majority-vector Hamming distances —
+# the 64-bit binary-code ANN sketch (binarize once, Hamming-bucket at
+# scale): per (label, dim) the majority sign bit comes from exact
+# positive counts; label-pair Hamming distance = count of differing
+# bits over a bounded 64-dim join. Exact integers end-to-end. ----------------
+@query(
+    "q443_signbit_hamming_matrix",
+    oracle="""
+    WITH pos AS (
+        SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    bits AS (
+        SELECT label, dim,
+               CASE WHEN 2 * SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END)
+                         > COUNT(*) THEN 1 ELSE 0 END AS bit
+        FROM pos GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+    FROM bits a JOIN bits b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def q443(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    emb = T(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    bits = tracked_persist(
+        pos.groupBy("label", "dim").agg(
+            F.when(
+                2 * F.sum(F.when(F.col("x") > 0, 1).otherwise(0))
+                > F.count(F.lit(1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("bit")
+        )
+    )
+    a = bits.select(
+        F.col("label").alias("label_a"), "dim", F.col("bit").alias("ba")
+    )
+    b = bits.select(
+        F.col("label").alias("label_b"), "dim", F.col("bit").alias("bb")
+    )
+    return (
+        a.join(b, ["dim"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.when(F.col("ba") != F.col("bb"), 1).otherwise(0))
+            .cast("long")
+            .alias("hamming")
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# --- q444: ridge regularization path — the q77 OLS with an L2 penalty
+# swept over λ ∈ {0, 0.1, 1.0} (regularization tier beside Huber q378;
+# src/ml/ linear-model family is the behavioral spec). Centered-form
+# closed solution slope_λ = Sxy_c / (Sxx_c + λn); ONE exact-sum
+# aggregate feeds every λ via a bounded 3-row explode (the grid is a
+# broadcast literal, never a re-scan). ---------------------------------------
+@query(
+    "q444_ridge_path_spend_balance",
+    oracle="""
+    WITH joined AS (
+        SELECT c_acctbal AS x, o_totalprice AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    agg AS (
+        SELECT COUNT(x) AS n,
+               (CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sx,
+               (CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sy,
+               (CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS sxx,
+               (CAST(SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0) AS sxy
+        FROM joined
+    ),
+    lams AS (SELECT UNNEST([0.0, 0.1, 1.0]) AS lambda),
+    sol AS (
+        SELECT l.lambda, a.n,
+               (a.sxy - a.sx * a.sy / a.n)
+                   / ((a.sxx - a.sx * a.sx / a.n) + l.lambda * a.n) AS slope,
+               a.sy / a.n AS ybar, a.sx / a.n AS xbar
+        FROM lams l, agg a
+    )
+    SELECT lambda, n,
+           CAST(SIGN(slope) * FLOOR(ABS(slope) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS slope,
+           CAST(SIGN(ybar - slope * xbar)
+                * FLOOR(ABS(ybar - slope * xbar) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS intercept
+    FROM sol
+    ORDER BY lambda
+    """,
+)
+def q444(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum, quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(F.col("c_acctbal").alias("x"), F.col("o_totalprice").alias("y"))
+    agg = joined.agg(
+        F.count("x").alias("n"),
+        dsum("x", 2).alias("sx"),
+        dsum("y", 2).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 0).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 0).alias("sxy"),
+    )
+    lams = joined.sparkSession.createDataFrame(
+        [(0.0,), (0.1,), (1.0,)], "lambda double"
+    )
+    sol = F.broadcast(lams).crossJoin(F.broadcast(agg))
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        + F.col("lambda") * F.col("n")
+    )
+    ybar = F.col("sy") / F.col("n")
+    xbar = F.col("sx") / F.col("n")
+    return sol.select(
+        "lambda",
+        "n",
+        (quantize(slope, 6) / 1e6).alias("slope"),
+        (quantize(ybar - slope * xbar, 6) / 1e6).alias("intercept"),
+    ).orderBy("lambda")
+
+
+def _q445_round(i: int, prev: str) -> str:
+    """One unrolled IRLS round: quantized weighted sums given the
+    previous round's (b0, b1), then the closed-form 2×2 solve.
+    MATERIALIZED so DuckDB's planner stays linear in rounds (the q419
+    lesson)."""
+    q6 = lambda e: (
+        f"CAST(SIGN({e}) * FLOOR(ABS({e}) * 1e6 + 0.5) AS BIGINT)"
+    )
+    eta = f"(p.b0 + p.b1 * d.x)"
+    mu = f"EXP({eta})"
+    z = f"({eta} + (d.y - {mu}) / {mu})"
+    return f"""
+    s{i} AS MATERIALIZED (
+        SELECT CAST(SUM({q6(mu)}) AS DOUBLE) / 1e6 AS sw,
+               CAST(SUM({q6(f"{mu} * d.x")}) AS DOUBLE) / 1e6 AS swx,
+               CAST(SUM({q6(f"{mu} * d.x * d.x")}) AS DOUBLE) / 1e6 AS swxx,
+               CAST(SUM({q6(f"{mu} * {z}")}) AS DOUBLE) / 1e6 AS swz,
+               CAST(SUM({q6(f"{mu} * d.x * {z}")}) AS DOUBLE) / 1e6 AS swxz
+        FROM d, {prev} p
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT (swz - ((sw * swxz - swx * swz) / (sw * swxx - swx * swx))
+                * swx) / sw AS b0,
+               (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+        FROM s{i}
+    )"""
+
+
+# --- q445: Poisson GLM of per-customer order counts on account
+# balance — log link, 3 unrolled IRLS rounds
+# (operators/ml.py:poisson_irls_1d); the oracle replays the identical
+# quantized trajectory round by round. The whole fit is 3 linear
+# passes with a broadcast parameter carry — no data-sized state. -------------
+@query(
+    "q445_poisson_irls_orders",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(COUNT(o.o_orderkey) AS BIGINT) AS y,
+               CAST(c.c_acctbal AS DOUBLE) / 1000.0 AS x
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+        HAVING COUNT(o.o_orderkey) > 0
+    ),
+    p0 AS (
+        SELECT LN(CAST(SUM(y) AS BIGINT) / COUNT(*)) AS b0, 0.0 AS b1
+        FROM d
+    ),
+    {_q445_round(1, 'p0')},
+    {_q445_round(2, 'p1')},
+    {_q445_round(3, 'p2')}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n,
+           CAST(SIGN(b0) * FLOOR(ABS(b0) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS b0,
+           CAST(SIGN(b1) * FLOOR(ABS(b1) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS b1,
+           (SELECT CAST(SIGN(CAST(SUM(y) AS BIGINT) / COUNT(*))
+                        * FLOOR(ABS(CAST(SUM(y) AS BIGINT) / COUNT(*))
+                                * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+            FROM d) AS mean_y
+    FROM p3
+    """,
+)
+def q445(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.ml import poisson_irls_1d
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_c = tracked_persist(
+        cust.join(
+            orders.select("o_custkey", "o_orderkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("y"))
+        .filter(F.col("y") > 0)
+        .select("y", (F.col("c_acctbal").cast("double") / 1000.0).alias("x"))
+    )
+    out = poisson_irls_1d(per_c, "y", "x", n_iter=3)
+    return out.select(
+        "n",
+        (quantize("b0", 6) / 1e6).alias("b0"),
+        (quantize("b1", 6) / 1e6).alias("b1"),
+        (quantize("mean_y", 6) / 1e6).alias("mean_y"),
+    )
+
+
+# --- q446: multinomial naive Bayes source classifier over documents —
+# the classic bag-of-words text classifier, end to end IN the gate:
+# deterministic md5 75/25 train/test split, Laplace-smoothed per-class
+# unigram log-likelihoods over the (bounded, lorem-saturated) train
+# vocabulary, per-test-doc class scores from ONE quantized aggregate,
+# argmax with a deterministic tie-break, per-source accuracy out.
+# Scale: the model is a (V×C) broadcast-sized table; scoring is a
+# map-side join + one groupBy(doc, class) — no driver-side loops.
+# OOV test tokens back off to the smoothed-zero likelihood
+# ln(1/(tot_c+V)). -------------------------------------------------------------
+@query(
+    "q446_naive_bayes_source_classifier",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train,
+               UNNEST(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    toks_f AS (SELECT * FROM toks WHERE w <> ''),
+    classes AS (
+        SELECT source AS c, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM toks_f WHERE is_train GROUP BY source
+    ),
+    n_train AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt FROM classes),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        FROM toks_f WHERE is_train
+    ),
+    wc AS (
+        SELECT source AS c, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks_f WHERE is_train GROUP BY source, w
+    ),
+    tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot_c FROM wc GROUP BY c),
+    logp AS (
+        SELECT w.c, w.w,
+               LN(CAST(w.cnt + 1 AS DOUBLE) / (t.tot_c + v.v)) AS lp
+        FROM wc w JOIN tot t ON t.c = w.c, vocab v
+    ),
+    test_cnt AS (
+        SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks_f WHERE NOT is_train GROUP BY doc_id, source, w
+    ),
+    scored AS (
+        SELECT tc.doc_id, tc.source, cl.c,
+               CAST(SUM(CAST(SIGN(tc.cnt * COALESCE(l.lp,
+                        LN(1.0 / (t.tot_c + v.v))))
+                    * FLOOR(ABS(tc.cnt * COALESCE(l.lp,
+                        LN(1.0 / (t.tot_c + v.v)))) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9
+               + LN(CAST(cl.n_docs AS DOUBLE) / nt.nt) AS score
+        FROM test_cnt tc
+        CROSS JOIN classes cl
+        JOIN tot t ON t.c = cl.c
+        LEFT JOIN logp l ON l.c = cl.c AND l.w = tc.w,
+        vocab v, n_train nt
+        GROUP BY tc.doc_id, tc.source, cl.c, cl.n_docs, nt.nt
+    ),
+    pred AS (
+        SELECT doc_id, source, c AS predicted,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY CAST(SIGN(score) * FLOOR(ABS(score) * 1e9 + 0.5)
+                                 AS BIGINT) DESC, c
+               ) AS rn
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN predicted = source THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(SIGN(CAST(SUM(CASE WHEN predicted = source THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*))
+                * FLOOR(ABS(CAST(SUM(CASE WHEN predicted = source
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                            / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS accuracy
+    FROM pred WHERE rn = 1
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q446(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window as W
+
+    docs = T(spark, sf_dir, "documents")
+    toks = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr("substr(md5(cast(doc_id as string)), 1, 1) < 'c'").alias(
+                "is_train"
+            ),
+            F.explode(tokens(F.col("text"))).alias("w"),
+        ).filter(F.col("w") != "")
+    )
+    train = toks.filter("is_train")
+    classes = train.groupBy(F.col("source").alias("c")).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    n_train = classes.agg(F.sum("n_docs").cast("long").alias("nt"))
+    vocab = train.agg(F.countDistinct("w").cast("long").alias("v"))
+    wc = train.groupBy(F.col("source").alias("c"), "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = wc.groupBy("c").agg(F.sum("cnt").cast("long").alias("tot_c"))
+    logp = wc.join(tot, "c").crossJoin(F.broadcast(vocab)).select(
+        "c",
+        "w",
+        F.log(
+            (F.col("cnt") + 1).cast("double") / (F.col("tot_c") + F.col("v"))
+        ).alias("lp"),
+    )
+    test_cnt = (
+        toks.filter(~F.col("is_train"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    scored = (
+        test_cnt.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(tot), "c")
+        .join(F.broadcast(logp), ["c", "w"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            "source",
+            "c",
+            "n_docs",
+            "nt",
+            (
+                F.col("cnt")
+                * F.coalesce(
+                    "lp",
+                    F.log(1.0 / (F.col("tot_c") + F.col("v"))),
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "source", "c", "n_docs", "nt")
+        .agg(
+            (
+                F.sum(quantize("term", 9)).cast("double") / 1e9
+                + F.log(F.col("n_docs").cast("double") / F.col("nt"))
+            ).alias("score")
+        )
+    )
+    w_doc = W.partitionBy("doc_id").orderBy(
+        F.desc(quantize("score", 9)), F.asc("c")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("c").alias("predicted"))
+    )
+    return (
+        pred.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("predicted") == F.col("source"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "source",
+            "n_test",
+            "n_correct",
+            (
+                quantize(
+                    F.col("n_correct").cast("double") / F.col("n_test"), 6
+                )
+                / 1e6
+            ).alias("accuracy"),
+        )
+        .orderBy("source")
+    )

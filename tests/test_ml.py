@@ -446,3 +446,37 @@ def test_huber_ols_downweights_outliers(spark):
     # recovers part of the bias; full convergence takes repeated steps
     assert abs(r["b1"] - 2.0) < abs(r["b0"] - 2.0)
     assert abs(r["b1"] - 2.0) < 0.5
+
+
+def test_poisson_irls_recovers_known_coefficients(spark):
+    """Noiseless y = round(exp(b0 + b1 x)) data: three IRLS rounds must
+    land near the generating coefficients (exactness is impossible with
+    integer y, but the fit must be close and n/mean_y exact)."""
+    import math
+
+    from pandrs_spark.operators.ml import poisson_irls_1d
+
+    b0_true, b1_true = 1.0, 0.5
+    rows = [
+        (round(math.exp(b0_true + b1_true * (i / 10.0))), i / 10.0)
+        for i in range(-20, 21)
+    ]
+    df = spark.createDataFrame(rows, "y long, x double")
+    r = poisson_irls_1d(df, "y", "x", n_iter=3).first()
+    assert r["n"] == 41
+    assert abs(r["b0"] - b0_true) < 0.1
+    assert abs(r["b1"] - b1_true) < 0.1
+
+
+def test_poisson_irls_partition_invariant(spark):
+    import math
+
+    from pandrs_spark.operators.ml import poisson_irls_1d
+
+    rows = [(1 + (i * 7) % 5, (i % 13) / 3.0) for i in range(50)]
+    outs = []
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, "y long, x double").repartition(parts)
+        r = poisson_irls_1d(df, "y", "x", n_iter=3).first()
+        outs.append((r["n"], r["b0"], r["b1"], r["mean_y"]))
+    assert outs[0] == outs[1]
