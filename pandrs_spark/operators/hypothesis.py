@@ -619,7 +619,14 @@ def mood_median_test(
             + (F.col("n_below") - e_below) * (F.col("n_below") - e_below) / e_below
         ).alias("cell_chi2"),
     )
-    chi2 = cells.agg(F.sum("cell_chi2").alias("chi2"))
+    from pandrs_spark.functions.deterministic import quantize
+
+    # chi2 totals a handful of per-group double cells — summed via the
+    # quantized exact-long path so the statistic is partition-order
+    # invariant like every other fold in this module.
+    chi2 = cells.agg(
+        (F.sum(quantize("cell_chi2", 9)).cast("double") / 1e9).alias("chi2")
+    )
     return cells.crossJoin(F.broadcast(chi2))
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 __all__ = [
+    "nelson_aalen",
     "resample",
     "date_range",
     "upsample_grid",
@@ -1307,3 +1308,51 @@ def reorder_policy_sim(
         return pd.DataFrame(row)
 
     return df.groupBy(*part_cols).applyInPandas(_sim, schema=schema)
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the integrated-hazard
+    twin of :func:`kaplan_meier` (survival surface of
+    src/stats/mod.rs): H(t) = Σ_{t_i ≤ t} d_i/n_i with the Aalen
+    variance Σ d_i/n_i². Identical distributed shape to KM: one
+    groupBy(duration) shuffle to (d, c) counts, then prefix windows
+    over the DISTINCT duration table (bounded by the calendar, not the
+    subject count). Returns rows at event times:
+    (duration, n_risk, n_events, cum_hazard, hazard_var).
+    """
+    grp = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col)).alias("d"),
+        F.sum(1 - F.col(event_col)).alias("c"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    na = (
+        grp.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)),
+        )
+        .withColumn(
+            "cum_hazard",
+            F.sum(F.col("d") * 1.0 / F.col("n_risk")).over(w_run),
+        )
+        .withColumn(
+            "hazard_var",
+            F.sum(
+                F.col("d") * 1.0 / (F.col("n_risk") * F.col("n_risk"))
+            ).over(w_run),
+        )
+    )
+    return na.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        "cum_hazard",
+        "hazard_var",
+    )

@@ -4003,3 +4003,183 @@ def q439(spark, sf_dir):
             "mean_burstiness"
         ),
     )
+
+
+# --- q450: Nelson-Aalen cumulative hazard of time-to-convert — the
+# integrated-hazard twin of q334's KM curve, same subject/duration
+# definition (first signup → first later purchase, censored at corpus
+# end) so the two estimators are directly comparable in-gate. Prefix
+# sums over DISTINCT day durations, Aalen variance alongside
+# (operators/timeseries.py:nelson_aalen). --------------------------------------
+@query(
+    "q450_nelson_aalen_hazard",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    ),
+    cut AS (SELECT MAX(ts) AS mx FROM events),
+    conv AS (
+        SELECT s.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN spans s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY s.user_id
+    ),
+    obs AS (
+        SELECT CASE WHEN c.tp IS NOT NULL THEN DATEDIFF('day', s.t0, c.tp)
+                    ELSE DATEDIFF('day', s.t0, k.mx) END AS t,
+               CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM spans s LEFT JOIN conv c ON c.user_id = s.user_id, cut k
+        WHERE s.t0 IS NOT NULL
+    ),
+    grp AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM obs GROUP BY t
+    ),
+    risked AS (
+        SELECT t, d,
+               (SELECT COUNT(*) FROM obs)
+                 - COALESCE(SUM(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM grp
+    ),
+    na AS (
+        SELECT t, d, n_risk,
+               SUM(d * 1.0 / n_risk) OVER (ORDER BY t) AS cum_hazard,
+               SUM(d * 1.0 / (n_risk * n_risk)) OVER (ORDER BY t)
+                   AS hazard_var
+        FROM risked
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           ROUND(cum_hazard, 6) AS cum_hazard,
+           ROUND(hazard_var, 9) AS hazard_var
+    FROM na WHERE d > 0 ORDER BY duration_days
+    """,
+)
+def q450(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import nelson_aalen
+
+    ev = T(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    cut = ev.agg(F.max("ts").alias("mx"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(spans, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    obs = (
+        spans.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(), F.datediff("tp", "t0")
+            ).otherwise(F.datediff("mx", "t0")).alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    return nelson_aalen(obs, "t", "event").select(
+        F.col("duration").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        F.round("cum_hazard", 6).alias("cum_hazard"),
+        F.round("hazard_var", 9).alias("hazard_var"),
+    ).orderBy("duration_days")
+
+
+# --- q453: strict-order window funnel within 7-day hops — the
+# ClickHouse windowFunnel shape: view → click (≤7 d later) → purchase
+# (≤7 d after the click), earliest-chain semantics via three chained
+# conditional-min aggregates (greedy-min is the earliest chain when
+# every hop is constrained forward). No window functions at all —
+# three per-user aggregates + joins, all partial-aggregated. -------------------
+@query(
+    "q453_window_funnel_7d",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_step1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_step2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_step3,
+           CAST(SIGN((SELECT COUNT(*) FROM p) * 1.0
+                     / (SELECT COUNT(*) FROM v))
+                * FLOOR(ABS((SELECT COUNT(*) FROM p) * 1.0
+                            / (SELECT COUNT(*) FROM v)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS full_conversion
+    """,
+)
+def q453(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    ev = tracked_persist(
+        T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    )
+    v = tracked_persist(
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = tracked_persist(
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).cast("long").alias("n_step1"))
+    n2 = c.agg(F.count(F.lit(1)).cast("long").alias("n_step2"))
+    n3 = p.agg(F.count(F.lit(1)).cast("long").alias("n_step3"))
+    out = (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            (
+                quantize(
+                    F.col("n_step3") * 1.0 / F.col("n_step1"), 6
+                )
+                / 1e6
+            ).alias("full_conversion"),
+        )
+    )
+    return out

@@ -1119,8 +1119,12 @@ def q435(spark, sf_dir):
            n_below,
            CAST(SIGN(e_above) * FLOOR(ABS(e_above) * 1000000.0 + 0.5) AS BIGINT)
                / 1000000.0 AS e_above,
-           (SELECT CAST(SIGN(SUM(cell_chi2))
-                        * FLOOR(ABS(SUM(cell_chi2)) * 1000000.0 + 0.5) AS BIGINT)
+           (SELECT CAST(SIGN(CAST(SUM(CAST(SIGN(cell_chi2)
+                                 * FLOOR(ABS(cell_chi2) * 1e9 + 0.5) AS BIGINT))
+                                 AS DOUBLE) / 1e9)
+                        * FLOOR(ABS(CAST(SUM(CAST(SIGN(cell_chi2)
+                                 * FLOOR(ABS(cell_chi2) * 1e9 + 0.5) AS BIGINT))
+                                 AS DOUBLE) / 1e9) * 1000000.0 + 0.5) AS BIGINT)
                    / 1000000.0
             FROM cells) AS chi2
     FROM cells

@@ -3796,3 +3796,212 @@ def q429(spark, sf_dir):
             (quantize(exp_df / F.col("df"), 6) / 1e6).alias("burstiness"),
         )
     )
+
+
+# --- q447: Flesch reading-ease per source — the classic readability
+# quality signal of corpus filters (Flesch 1948; quality tier beside
+# q27/q159). Words from the shared whitespace tokenizer, sentences and
+# syllable proxies from regexp run counts ('[.!?]+' runs; '[aeiouy]+'
+# vowel groups — the standard stdlib-free syllable approximation).
+# Map-only per-doc formula + one quantized per-source aggregate. --------------
+@query(
+    "q447_flesch_readability",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len({{ws}}) AS DOUBLE) AS w,
+               GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS DOUBLE) AS syl
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               206.835 - 1.015 * (w / s) - 84.6 * (syl / w) AS flesch
+        FROM per_doc WHERE w > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SIGN(CAST(SUM({sql_quantize('flesch', 9)}) AS DOUBLE) / 1e9
+                     / COUNT(*))
+                * FLOOR(ABS(CAST(SUM({sql_quantize('flesch', 9)}) AS DOUBLE)
+                            / 1e9 / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS mean_flesch
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """.replace("{ws}", "string_split_regex(lower(text), '\\s+')"),
+)
+def q447(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("double").alias("w"),
+        F.greatest(
+            F.lit(1), F.regexp_count("text", F.lit("[.!?]+"))
+        ).alias("s"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("double")
+        .alias("syl"),
+    ).filter(F.col("w") > 0)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("w") / F.col("s"))
+        - 84.6 * (F.col("syl") / F.col("w"))
+    )
+    scored = per_doc.select("source", flesch.alias("flesch"))
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum(quantize("flesch", 9)).cast("double") / 1e9).alias("sf"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        (quantize(F.col("sf") / F.col("n_docs"), 6) / 1e6).alias(
+            "mean_flesch"
+        ),
+    ).orderBy("source")
+
+
+# --- q448: charset/mojibake audit per source — byte-hygiene signals a
+# crawl-corpus intake runs before tokenization: non-printable-ASCII
+# density, digit and uppercase ratios, U+FFFD replacement-char count
+# (the tell of a bad transcode). Pure regexp/length expressions —
+# map-only, whole-stage-codegen friendly. --------------------------------------
+@query(
+    "q448_charset_audit",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g'))
+                    AS BIGINT) AS n_nonascii,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+                   AS n_digits,
+               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+                   AS n_upper,
+               CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+                   AS n_replacement
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_nonascii) AS BIGINT) AS nonascii_chars,
+           CAST(SUM(n_digits) AS BIGINT) AS digit_chars,
+           CAST(SUM(n_upper) AS BIGINT) AS upper_chars,
+           CAST(SUM(n_replacement) AS BIGINT) AS replacement_chars,
+           CAST(SIGN(CAST(SUM(n_upper) AS DOUBLE) / SUM(n_chars))
+                * FLOOR(ABS(CAST(SUM(n_upper) AS DOUBLE) / SUM(n_chars))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               AS upper_ratio
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q448(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[ -~]", ""))
+        )
+        .cast("long")
+        .alias("n_nonascii"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("long")
+        .alias("n_digits"),
+        F.length(F.regexp_replace("text", "[^A-Z]", ""))
+        .cast("long")
+        .alias("n_upper"),
+        F.regexp_count("text", F.lit("�")).cast("long").alias(
+            "n_replacement"
+        ),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_nonascii").cast("long").alias("nonascii_chars"),
+        F.sum("n_digits").cast("long").alias("digit_chars"),
+        F.sum("n_upper").cast("long").alias("upper_chars"),
+        F.sum("n_replacement").cast("long").alias("replacement_chars"),
+    )
+    return agg.select(
+        "source",
+        "total_chars",
+        "nonascii_chars",
+        "digit_chars",
+        "upper_chars",
+        "replacement_chars",
+        (
+            quantize(
+                F.col("upper_chars").cast("double") / F.col("total_chars"), 6
+            )
+            / 1e6
+        ).alias("upper_ratio"),
+    ).orderBy("source")
+
+
+# --- q449: dedup threshold sensitivity — "how much of the corpus would
+# each Jaccard cutoff remove?" The operational tuning sweep run before
+# committing a near-dup policy: the LSH candidate pairs + verified
+# Jaccard scores are computed ONCE (q31/q32 machinery), then a bounded
+# 3-threshold explode counts surviving pairs and flagged docs
+# (remove-the-higher-id convention) per cutoff. -------------------------------
+@query(
+    "q449_dedup_threshold_sensitivity",
+    oracle=_SQL_BANDS
+    + """,
+    dsh AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS s
+        FROM shg
+        WHERE doc_id IN (SELECT id_a FROM pairs UNION SELECT id_b FROM pairs)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, COUNT(*) AS n_int
+        FROM pairs p
+        JOIN dsh a ON a.doc_id = p.id_a
+        JOIN dsh b ON b.doc_id = p.id_b AND b.s = a.s
+        GROUP BY p.id_a, p.id_b
+    ),
+    jac AS (
+        SELECT i.id_a, i.id_b,
+               i.n_int * 1.0 / (sa.n_sh + sb.n_sh - i.n_int) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+    ),
+    ths AS (SELECT UNNEST([0.5, 0.7, 0.9]) AS threshold)
+    SELECT t.threshold,
+           CAST(COUNT(j.id_a) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT j.id_b) AS BIGINT) AS n_docs_flagged
+    FROM ths t LEFT JOIN jac j ON j.j >= t.threshold
+    GROUP BY t.threshold
+    ORDER BY t.threshold
+    """,
+)
+def q449(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, "text", "doc_id", num_hashes=4, band_size=2)
+    scored = ngram_jaccard_pairs(docs, "text", "doc_id", cand, threshold=0.0)
+    ths = docs.sparkSession.createDataFrame(
+        [(0.5,), (0.7,), (0.9,)], "threshold double"
+    )
+    j = F.broadcast(ths).join(
+        scored, scored.jaccard >= F.col("threshold"), "left"
+    )
+    return (
+        j.groupBy("threshold")
+        .agg(
+            F.count("id_a").cast("long").alias("n_pairs"),
+            F.countDistinct("id_b").cast("long").alias("n_docs_flagged"),
+        )
+        .orderBy("threshold")
+    )

@@ -2871,3 +2871,261 @@ def q426(spark, sf_dir):
         "n_inliers",
         "n_total",
     )
+
+
+# --- q451: Hurst exponent of daily revenue by rescaled-range (R/S)
+# analysis (Hurst 1951; long-memory diagnostic beside ACF q48 and ADF
+# q83): for block sizes s ∈ {8,16,32}, partition the t-indexed series
+# into complete s-blocks, compute per-block R/S = (max−min of the
+# within-block cumulative deviation) / population σ, average per size,
+# then H = OLS slope of ln(mean R/S) on ln(s) over the 3 sizes.
+# Scale shape: within-block windows partition on (size, block) — high
+# cardinality, bounded ≤32-row partitions; everything else is exact
+# quantized sums + a 3-point closed-form OLS. ---------------------------------
+@query(
+    "q451_hurst_rescaled_range",
+    oracle=_DAILY
+    + """,
+    pts AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t,
+               CAST(rev AS DOUBLE) AS x
+        FROM daily
+    ),
+    sizes AS (SELECT UNNEST([8, 16, 32]) AS s),
+    blocks AS (
+        SELECT z.s, p.t // z.s AS blk, p.t, p.x
+        FROM pts p, sizes z
+    ),
+    full_blocks AS (
+        SELECT s, blk FROM blocks GROUP BY s, blk HAVING COUNT(*) = s
+    ),
+    b AS (
+        SELECT bl.s, bl.blk, bl.t, bl.x,
+               CAST(SUM(CAST(SIGN(bl.x) * FLOOR(ABS(bl.x) * 100.0 + 0.5)
+                             AS BIGINT))
+                        OVER (PARTITION BY bl.s, bl.blk) AS DOUBLE)
+                   / 100.0 / bl.s AS mean_x,
+               CAST(SUM(CAST(SIGN(bl.x * bl.x) * FLOOR(ABS(bl.x * bl.x) + 0.5)
+                             AS BIGINT))
+                        OVER (PARTITION BY bl.s, bl.blk) AS DOUBLE)
+                   / bl.s AS mean_xx
+        FROM blocks bl JOIN full_blocks f ON f.s = bl.s AND f.blk = bl.blk
+    ),
+    cum AS (
+        SELECT s, blk, mean_x, mean_xx,
+               SUM(x - mean_x) OVER (PARTITION BY s, blk ORDER BY t) AS z
+        FROM b
+    ),
+    rs AS (
+        SELECT s, blk,
+               (MAX(z) - MIN(z))
+                   / SQRT(MAX(mean_xx) - MAX(mean_x) * MAX(mean_x)) AS rs
+        FROM cum
+        GROUP BY s, blk
+        HAVING MAX(mean_xx) - MAX(mean_x) * MAX(mean_x) > 0
+    ),
+    per_s AS (
+        SELECT s,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST(SIGN(rs) * FLOOR(ABS(rs) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 / COUNT(*) AS mean_rs
+        FROM rs GROUP BY s
+    ),
+    fit AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(CAST(SIGN(LN(CAST(s AS DOUBLE))) * FLOOR(ABS(LN(CAST(s AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
+               CAST(SUM(CAST(SIGN(LN(mean_rs)) * FLOOR(ABS(LN(mean_rs)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM(CAST(SIGN(LN(CAST(s AS DOUBLE)) * LN(CAST(s AS DOUBLE))) * FLOOR(ABS(LN(CAST(s AS DOUBLE)) * LN(CAST(s AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM(CAST(SIGN(LN(CAST(s AS DOUBLE)) * LN(mean_rs)) * FLOOR(ABS(LN(CAST(s AS DOUBLE)) * LN(mean_rs)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sxy
+        FROM per_s
+    )
+    SELECT (SELECT CAST(SUM(n_blocks) AS BIGINT) FROM per_s) AS n_blocks,
+           CAST(SIGN((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                * FLOOR(ABS((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS hurst
+    FROM fit
+    """,
+)
+def q451(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum, quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_row_number
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        dsum("l_extendedprice").alias("rev")
+    )
+    pts = tracked_persist(
+        global_row_number(daily, [F.asc("day")], "rn").select(
+            (F.col("rn") - 1).alias("t"), F.col("rev").cast("double").alias("x")
+        )
+    )
+    sizes = spark.createDataFrame([(8,), (16,), (32,)], "s int")
+    blocks = pts.crossJoin(F.broadcast(sizes)).select(
+        "s", (F.col("t") / F.col("s")).cast("long").alias("blk"), "t", "x"
+    )
+    full_blocks = blocks.groupBy("s", "blk").agg(
+        F.count(F.lit(1)).alias("nb")
+    ).filter(F.col("nb") == F.col("s")).select("s", "blk")
+    wb = Window.partitionBy("s", "blk")
+    b = blocks.join(full_blocks, ["s", "blk"]).select(
+        "s",
+        "blk",
+        "t",
+        "x",
+        (
+            F.sum(quantize("x", 2)).over(wb).cast("double") / 100.0 / F.col("s")
+        ).alias("mean_x"),
+        (
+            F.sum(quantize(F.col("x") * F.col("x"), 0)).over(wb).cast("double")
+            / F.col("s")
+        ).alias("mean_xx"),
+    )
+    wc = Window.partitionBy("s", "blk").orderBy("t")
+    cum = b.withColumn("z", F.sum(F.col("x") - F.col("mean_x")).over(wc))
+    varp = F.max("mean_xx") - F.max("mean_x") * F.max("mean_x")
+    rs = (
+        cum.groupBy("s", "blk")
+        .agg(
+            ((F.max("z") - F.min("z"))).alias("r"),
+            varp.alias("varp"),
+        )
+        .filter(F.col("varp") > 0)
+        .select("s", (F.col("r") / F.sqrt("varp")).alias("rs"))
+    )
+    per_s = rs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (
+            F.sum(quantize("rs", 9)).cast("double") / 1e9 / F.count(F.lit(1))
+        ).alias("mean_rs"),
+    )
+    lns = F.log(F.col("s").cast("double"))
+    fit = per_s.agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(quantize(lns, 9)).cast("double") / 1e9).alias("sx"),
+        (F.sum(quantize(F.log("mean_rs"), 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(lns * lns, 9)).cast("double") / 1e9).alias("sxx"),
+        (F.sum(quantize(lns * F.log("mean_rs"), 9)).cast("double") / 1e9).alias("sxy"),
+    )
+    tot = per_s.agg(F.sum("n_blocks").cast("long").alias("n_blocks"))
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return F.broadcast(tot).crossJoin(F.broadcast(fit)).select(
+        "n_blocks", (quantize(slope, 6) / 1e6).alias("hurst")
+    )
+
+
+# --- q452: cross-price elasticity matrix — for the top-3 revenue
+# brands, OLS of ln(monthly qty of a) on ln(monthly unit price of b)
+# over the shared month spine gives own-price (a=b) and cross-price
+# (a≠b) elasticities in one bounded 3×3 pair aggregate (micro-
+# econometrics tier beside q349's own-price fit and q406's Fisher
+# index). Unit price = exact revenue sum / exact qty sum per month.
+# Scale: one lineitem join + monthly rollup; the pair matrix joins two
+# ~79-month-per-brand rollups — bounded, broadcastable. -----------------------
+@query(
+    "q452_cross_price_elasticity",
+    oracle="""
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM(CAST(SIGN(l.l_quantity)
+                             * FLOOR(ABS(l.l_quantity) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS qty,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, mth
+    ),
+    top3 AS (
+        SELECT brand FROM (
+            SELECT brand,
+                   CAST(SUM(CAST(SIGN(rev) * FLOOR(ABS(rev) * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS trev
+            FROM li GROUP BY brand
+        ) ORDER BY trev DESC, brand LIMIT 3
+    ),
+    series AS (
+        SELECT l.brand, l.mth, l.qty, l.rev / l.qty AS price
+        FROM li l JOIN top3 t ON t.brand = l.brand
+        WHERE l.qty > 0
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_q, b.brand AS brand_p,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(LN(b.price)) * FLOOR(ABS(LN(b.price)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
+               CAST(SUM(CAST(SIGN(LN(a.qty)) * FLOOR(ABS(LN(a.qty)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM(CAST(SIGN(LN(b.price) * LN(b.price)) * FLOOR(ABS(LN(b.price) * LN(b.price)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM(CAST(SIGN(LN(b.price) * LN(a.qty)) * FLOOR(ABS(LN(b.price) * LN(a.qty)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sxy
+        FROM series a JOIN series b ON a.mth = b.mth
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_q, brand_p, CAST(n AS BIGINT) AS n_months,
+           CAST(SIGN((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                * FLOOR(ABS((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               AS elasticity
+    FROM pairs
+    ORDER BY brand_q, brand_p
+    """,
+)
+def q452(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum, quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    monthly = tracked_persist(
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+        )
+        .agg(
+            dsum("l_quantity", 2).alias("qty"),
+            dsum("l_extendedprice", 2).alias("rev"),
+        )
+    )
+    top3 = (
+        monthly.groupBy("brand")
+        .agg(F.sum(quantize("rev", 2)).cast("long").alias("trev"))
+        .orderBy(F.desc("trev"), "brand")
+        .limit(3)
+        .select("brand")
+    )
+    series = tracked_persist(
+        monthly.join(F.broadcast(top3), "brand")
+        .filter(F.col("qty") > 0)
+        .select("brand", "mth", "qty", (F.col("rev") / F.col("qty")).alias("price"))
+    )
+    a = series.select(
+        F.col("brand").alias("brand_q"), "mth", F.col("qty").alias("qa")
+    )
+    b = series.select(
+        F.col("brand").alias("brand_p"),
+        F.col("mth").alias("mth_b"),
+        F.col("price").alias("pb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), a.mth == b.mth_b)
+        .groupBy("brand_q", "brand_p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(quantize(F.log("pb"), 9)).cast("double") / 1e9).alias("sx"),
+            (F.sum(quantize(F.log("qa"), 9)).cast("double") / 1e9).alias("sy"),
+            (F.sum(quantize(F.log("pb") * F.log("pb"), 9)).cast("double") / 1e9).alias("sxx"),
+            (F.sum(quantize(F.log("pb") * F.log("qa"), 9)).cast("double") / 1e9).alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return pairs.select(
+        "brand_q",
+        "brand_p",
+        F.col("n").cast("long").alias("n_months"),
+        (quantize(slope, 6) / 1e6).alias("elasticity"),
+    ).orderBy("brand_q", "brand_p")
