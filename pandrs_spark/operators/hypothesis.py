@@ -35,6 +35,7 @@ __all__ = [
     "cochran_armitage_trend",
     "mood_median_test",
     "cramer_von_mises_2samp",
+    "brunner_munzel",
     "mann_whitney_u",
     "ks_2samp",
     "kruskal_wallis",
@@ -680,4 +681,81 @@ def cramer_von_mises_2samp(
             / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2")))
             * F.col("t_sum")
         ).alias("cvm"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame, value_col: str, group_col: str, g1, g2
+) -> DataFrame:
+    """Brunner-Munzel generalized Wilcoxon test (nonparametric tier
+    beside :func:`mann_whitney_u`, which it replaces when the two
+    groups' variances/shapes differ — the Behrens-Fisher situation).
+    scipy.stats.brunnermunzel's statistic form:
+
+        p̂  = (R̄₂ − (n₂+1)/2) / n₁          (P(X<Y) + ½P(X=Y))
+        Sᵢ² = 1/(nᵢ−1) Σ (R_ij − R̄ᵢ − Rᵢⱼ⁽ⁱ⁾ + (nᵢ+1)/2)²
+        W  = n₁n₂ (R̄₂ − R̄₁) / ((n₁+n₂)·sqrt(n₁S₁² + n₂S₂²))
+
+    with pooled midranks R and within-group midranks R⁽ⁱ⁾, all exact
+    multiples of 0.5 computed from ONE distinct-value histogram + one
+    distributed prefix pass (cum1/cum2 together, the ks_2samp shape).
+    Squared-deviation sums are quantized exact longs, so the statistic
+    is partition-order invariant. One row out:
+    (n1, n2, p_hat, w_stat).
+    """
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    two = df.filter(F.col(group_col).isin([g1, g2]))
+    per_v = two.groupBy(F.col(value_col).alias("value")).agg(
+        F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("c2"),
+    )
+    cdf = tracked_persist(
+        global_prefix_counts(
+            per_v, [F.asc("value")], {"cum1": "c1", "cum2": "c2"}
+        )
+    )
+    # pooled and within-group midranks at each distinct value
+    r = (F.col("cum1") + F.col("cum2")) - (F.col("c1") + F.col("c2") - 1) / 2.0
+    r1 = F.col("cum1") - (F.col("c1") - 1) / 2.0
+    r2 = F.col("cum2") - (F.col("c2") - 1) / 2.0
+    stats = cdf.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        # c*r is an exact multiple of 0.5 — scale-1 quantization exact
+        (F.sum(quantize(F.col("c1") * r, 1)).cast("double") / 10.0).alias("sr1"),
+        (F.sum(quantize(F.col("c2") * r, 1)).cast("double") / 10.0).alias("sr2"),
+    )
+    j = cdf.crossJoin(F.broadcast(stats))
+    rbar1 = F.col("sr1") / F.col("n1")
+    rbar2 = F.col("sr2") / F.col("n2")
+    dev1 = r - r1 - rbar1 + (F.col("n1") + 1) / 2.0
+    dev2 = r - r2 - rbar2 + (F.col("n2") + 1) / 2.0
+    var = j.agg(
+        F.min("n1").alias("n1"),
+        F.min("n2").alias("n2"),
+        F.min("sr1").alias("sr1"),
+        F.min("sr2").alias("sr2"),
+        (
+            F.sum(quantize(F.col("c1") * dev1 * dev1, 6)).cast("double") / 1e6
+        ).alias("ss1"),
+        (
+            F.sum(quantize(F.col("c2") * dev2 * dev2, 6)).cast("double") / 1e6
+        ).alias("ss2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1sq = F.col("ss1") / (n1 - 1)
+    s2sq = F.col("ss2") / (n2 - 1)
+    denom = (n1 + n2) * F.sqrt(n1 * s1sq + n2 * s2sq)
+    return var.select(
+        F.col("n1"),
+        F.col("n2"),
+        ((F.col("sr2") / n2 - (n2 + 1) / 2.0) / n1).alias("p_hat"),
+        F.when(
+            denom > 0,
+            n1 * n2 * (F.col("sr2") / n2 - F.col("sr1") / n1) / denom,
+        ).alias("w_stat"),
     )

@@ -4183,3 +4183,175 @@ def q453(spark, sf_dir):
         )
     )
     return out
+
+
+# --- q457: competing-risks cumulative incidence (Aalen-Johansen form
+# for two competing events): after first signup, does a user FIRST
+# purchase (risk 1) or FIRST hit an error (risk 2)? CIF_k(t) =
+# Σ_{t_i≤t} S(t_{i-1})·d_ki/n_i with S the all-cause KM — naively
+# treating the other risk as censoring overestimates; this is the
+# correct decomposition (survival tier beside q334/q450). Same
+# bounded-duration prefix-window shape as KM. ---------------------------------
+@query(
+    "q457_competing_risks_cif",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    ),
+    cut AS (SELECT MAX(ts) AS mx FROM events),
+    firsts AS (
+        SELECT s.user_id, s.t0,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s.t0
+                        THEN e.ts END) AS tp,
+               MIN(CASE WHEN e.event_type = 'error' AND e.ts > s.t0
+                        THEN e.ts END) AS te
+        FROM events e JOIN spans s ON s.user_id = e.user_id
+        WHERE s.t0 IS NOT NULL
+        GROUP BY s.user_id, s.t0
+    ),
+    obs AS (
+        SELECT CASE
+                 WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+                   THEN DATEDIFF('day', t0, tp)
+                 WHEN te IS NOT NULL THEN DATEDIFF('day', t0, te)
+                 ELSE DATEDIFF('day', t0, k.mx)
+               END AS t,
+               CASE
+                 WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+                 WHEN te IS NOT NULL THEN 2
+                 ELSE 0
+               END AS ev
+        FROM firsts, cut k
+    ),
+    grp AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN ev = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+               CAST(SUM(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM obs GROUP BY t
+    ),
+    risked AS (
+        SELECT t, d1, d2,
+               (SELECT COUNT(*) FROM obs)
+                 - COALESCE(SUM(d1 + d2 + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n
+        FROM grp
+    ),
+    surv AS (
+        SELECT t, d1, d2, n,
+               EXP(COALESCE(SUM(LN(CASE WHEN (d1 + d2) * 1.0 < n
+                                        THEN 1 - (d1 + d2) * 1.0 / n
+                                        ELSE 1 END))
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0)) AS s_prev
+        FROM risked
+    ),
+    cif AS (
+        SELECT t, d1, d2, n,
+               SUM(s_prev * d1 / n) OVER (ORDER BY t) AS cif_purchase,
+               SUM(s_prev * d2 / n) OVER (ORDER BY t) AS cif_error
+        FROM surv
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(n AS BIGINT) AS n_risk,
+           d1 AS n_purchase,
+           d2 AS n_error,
+           ROUND(cif_purchase, 6) AS cif_purchase,
+           ROUND(cif_error, 6) AS cif_error
+    FROM cif WHERE d1 + d2 > 0 ORDER BY duration_days
+    """,
+)
+def q457(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    cut = ev.agg(F.max("ts").alias("mx"))
+    firsts = (
+        ev.join(spans, "user_id")
+        .groupBy("user_id", "t0")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tp"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("te"),
+        )
+    )
+    p_first = F.col("tp").isNotNull() & (
+        F.col("te").isNull() | (F.col("tp") <= F.col("te"))
+    )
+    obs = firsts.crossJoin(F.broadcast(cut)).select(
+        F.when(p_first, F.datediff("tp", "t0"))
+        .when(F.col("te").isNotNull(), F.datediff("te", "t0"))
+        .otherwise(F.datediff("mx", "t0"))
+        .alias("t"),
+        F.when(p_first, 1)
+        .when(F.col("te").isNotNull(), 2)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    grp = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("ev") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("ev") == 2, 1).otherwise(0)).cast("long").alias("d2"),
+        F.sum(F.when(F.col("ev") == 0, 1).otherwise(0)).cast("long").alias("c"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risked = grp.crossJoin(F.broadcast(total)).withColumn(
+        "n",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("d1") + F.col("d2") + F.col("c")).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    surv = risked.withColumn(
+        "s_prev",
+        F.exp(
+            F.coalesce(
+                F.sum(
+                    F.log(
+                        F.when(
+                            (F.col("d1") + F.col("d2")) * 1.0 < F.col("n"),
+                            1 - (F.col("d1") + F.col("d2")) * 1.0 / F.col("n"),
+                        ).otherwise(F.lit(1.0))
+                    )
+                ).over(w_prior),
+                F.lit(0.0),
+            )
+        ),
+    )
+    cif = surv.withColumn(
+        "cif_purchase",
+        F.sum(F.col("s_prev") * F.col("d1") / F.col("n")).over(w_run),
+    ).withColumn(
+        "cif_error",
+        F.sum(F.col("s_prev") * F.col("d2") / F.col("n")).over(w_run),
+    )
+    return (
+        cif.filter(F.col("d1") + F.col("d2") > 0)
+        .select(
+            F.col("t").cast("long").alias("duration_days"),
+            F.col("n").cast("long").alias("n_risk"),
+            F.col("d1").alias("n_purchase"),
+            F.col("d2").alias("n_error"),
+            F.round("cif_purchase", 6).alias("cif_purchase"),
+            F.round("cif_error", 6).alias("cif_error"),
+        )
+        .orderBy("duration_days")
+    )

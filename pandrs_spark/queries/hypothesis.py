@@ -1202,3 +1202,87 @@ def q437(spark, sf_dir):
         cust, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
     )
     return out.select("n1", "n2", (quantize("cvm", 6) / 1e6).alias("cvm"))
+
+
+# --- q458: Brunner-Munzel generalized Wilcoxon between customer
+# segments — the Behrens-Fisher-robust replacement for q71's
+# Mann-Whitney (scipy.stats.brunnermunzel statistic form). One
+# distinct-value histogram + one prefix pass; squared-deviation sums
+# quantized (operators/hypothesis.py:brunner_munzel). ------------------------
+@query(
+    "q458_brunner_munzel_segments",
+    oracle="""
+    WITH two AS (
+        SELECT c_acctbal, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    per_v AS (
+        SELECT c_acctbal AS value,
+               SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+        FROM two GROUP BY value
+    ),
+    cdf AS (
+        SELECT c1, c2,
+               SUM(c1) OVER (ORDER BY value) AS cum1,
+               SUM(c2) OVER (ORDER BY value) AS cum2
+        FROM per_v
+    ),
+    stats AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(CAST(SIGN(c1 * ((cum1 + cum2) - (c1 + c2 - 1) / 2.0))
+                    * FLOOR(ABS(c1 * ((cum1 + cum2) - (c1 + c2 - 1) / 2.0))
+                            * 10.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10.0 AS sr1,
+               CAST(SUM(CAST(SIGN(c2 * ((cum1 + cum2) - (c1 + c2 - 1) / 2.0))
+                    * FLOOR(ABS(c2 * ((cum1 + cum2) - (c1 + c2 - 1) / 2.0))
+                            * 10.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10.0 AS sr2
+        FROM cdf
+    ),
+    var_ AS (
+        SELECT s.n1, s.n2, s.sr1, s.sr2,
+               CAST(SUM(CAST(SIGN(c.c1 * POWER(((c.cum1 + c.cum2) - (c.c1 + c.c2 - 1) / 2.0)
+                        - (c.cum1 - (c.c1 - 1) / 2.0)
+                        - s.sr1 / s.n1 + (s.n1 + 1) / 2.0, 2))
+                    * FLOOR(ABS(c.c1 * POWER(((c.cum1 + c.cum2) - (c.c1 + c.c2 - 1) / 2.0)
+                        - (c.cum1 - (c.c1 - 1) / 2.0)
+                        - s.sr1 / s.n1 + (s.n1 + 1) / 2.0, 2)) * 1e6 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1e6 AS ss1,
+               CAST(SUM(CAST(SIGN(c.c2 * POWER(((c.cum1 + c.cum2) - (c.c1 + c.c2 - 1) / 2.0)
+                        - (c.cum2 - (c.c2 - 1) / 2.0)
+                        - s.sr2 / s.n2 + (s.n2 + 1) / 2.0, 2))
+                    * FLOOR(ABS(c.c2 * POWER(((c.cum1 + c.cum2) - (c.c1 + c.c2 - 1) / 2.0)
+                        - (c.cum2 - (c.c2 - 1) / 2.0)
+                        - s.sr2 / s.n2 + (s.n2 + 1) / 2.0, 2)) * 1e6 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1e6 AS ss2
+        FROM cdf c, stats s
+        GROUP BY s.n1, s.n2, s.sr1, s.sr2
+    )
+    SELECT n1, n2,
+           CAST(SIGN((sr2 / n2 - (n2 + 1) / 2.0) / n1)
+                * FLOOR(ABS((sr2 / n2 - (n2 + 1) / 2.0) / n1)
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS p_hat,
+           CAST(SIGN(n1 * CAST(n2 AS DOUBLE) * (sr2 / n2 - sr1 / n1)
+                     / ((n1 + n2)
+                        * SQRT(n1 * (ss1 / (n1 - 1)) + n2 * (ss2 / (n2 - 1)))))
+                * FLOOR(ABS(n1 * CAST(n2 AS DOUBLE) * (sr2 / n2 - sr1 / n1)
+                     / ((n1 + n2)
+                        * SQRT(n1 * (ss1 / (n1 - 1)) + n2 * (ss2 / (n2 - 1)))))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS w_stat
+    FROM var_
+    """,
+)
+def q458(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import brunner_munzel
+
+    cust = T(spark, sf_dir, "customer")
+    out = brunner_munzel(
+        cust, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+    return out.select(
+        "n1",
+        "n2",
+        (quantize("p_hat", 6) / 1e6).alias("p_hat"),
+        (quantize("w_stat", 6) / 1e6).alias("w_stat"),
+    )

@@ -2605,3 +2605,174 @@ def q446(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q456: Johnson-Lindenstrauss random-projection certificate —
+# project 64-d embeddings to 16-d with a DETERMINISTIC md5-seeded
+# Rademacher matrix (sign(j,d) = ±1 from the md5 hex of 'j_d'), then
+# certify distance preservation on the fixed pair sample
+# (i, i + 250): ratio = ||y_a − y_b||² / ||x_a − x_b||² should
+# concentrate near 1 (JL lemma; the dimension-reduction step ANN
+# indexes run before bucketing at scale). The projection matrix is a
+# 16×64 broadcast literal; projection is one exploded quantized
+# aggregate; the certificate is a bounded 250-pair join. ----------------------
+@query(
+    "q456_jl_projection_certificate",
+    oracle="""
+    WITH signs AS (
+        SELECT j.j, d.d,
+               CASE WHEN substr(md5(CAST(j.j AS VARCHAR) || '_'
+                                  || CAST(d.d AS VARCHAR)), 1, 1) >= '8'
+                    THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (SELECT UNNEST(generate_series(0, 15)) AS j) j,
+             (SELECT UNNEST(generate_series(0, 63)) AS d) d
+    ),
+    pos AS (
+        SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    proj AS (
+        SELECT p.vec_id, s.j,
+               CAST(SUM(CAST(SIGN(s.sgn * p.x)
+                             * FLOOR(ABS(s.sgn * p.x) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 / 4.0 AS y
+        FROM pos p JOIN signs s ON s.d = p.d
+        GROUP BY p.vec_id, s.j
+    ),
+    d_orig AS (
+        SELECT a.vec_id AS pa,
+               CAST(SUM(CAST(SIGN((a.x - b.x) * (a.x - b.x))
+                             * FLOOR(ABS((a.x - b.x) * (a.x - b.x)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS d2
+        FROM pos a JOIN pos b ON b.vec_id = a.vec_id + 250 AND b.d = a.d
+        WHERE a.vec_id < 250
+        GROUP BY a.vec_id
+    ),
+    d_proj AS (
+        SELECT a.vec_id AS pa,
+               CAST(SUM(CAST(SIGN((a.y - b.y) * (a.y - b.y))
+                             * FLOOR(ABS((a.y - b.y) * (a.y - b.y)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS d2
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 250 AND b.j = a.j
+        WHERE a.vec_id < 250
+        GROUP BY a.vec_id
+    ),
+    ratios AS (
+        SELECT o.pa, p.d2 / o.d2 AS ratio
+        FROM d_orig o JOIN d_proj p ON p.pa = o.pa
+        WHERE o.d2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SIGN(CAST(SUM(CAST(SIGN(ratio) * FLOOR(ABS(ratio) * 1e9 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*))
+                * FLOOR(ABS(CAST(SUM(CAST(SIGN(ratio)
+                                          * FLOOR(ABS(ratio) * 1e9 + 0.5)
+                                          AS BIGINT)) AS DOUBLE) / 1e9
+                            / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS mean_ratio,
+           CAST(SIGN(MIN(ratio)) * FLOOR(ABS(MIN(ratio)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS min_ratio,
+           CAST(SIGN(MAX(ratio)) * FLOOR(ABS(MAX(ratio)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS max_ratio
+    FROM ratios
+    """,
+)
+def q456(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    emb = T(spark, sf_dir, "embeddings")
+    signs = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                F.expr(
+                    "substr(md5(concat(cast(j as string), '_', "
+                    "cast(d as string))), 1, 1) >= '8'"
+                ),
+                1.0,
+            )
+            .otherwise(-1.0)
+            .alias("sgn"),
+        )
+    )
+    pos = tracked_persist(
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d", "x"
+            ),
+        )
+    )
+    proj = tracked_persist(
+        pos.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(
+            (
+                F.sum(quantize(F.col("sgn") * F.col("x"), 9)).cast("double")
+                / 1e9
+                / 4.0
+            ).alias("y")
+        )
+    )
+    pa = pos.filter(F.col("vec_id") < 250)
+    pb = pos.select(
+        (F.col("vec_id") - 250).alias("vec_id"), "d", F.col("x").alias("xb")
+    ).filter(F.col("vec_id") >= 0)
+    d_orig = (
+        pa.join(pb, ["vec_id", "d"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("d2o")
+        )
+    )
+    qa = proj.filter(F.col("vec_id") < 250)
+    qb = proj.select(
+        (F.col("vec_id") - 250).alias("vec_id"), "j", F.col("y").alias("yb")
+    ).filter(F.col("vec_id") >= 0)
+    d_proj = (
+        qa.join(qb, ["vec_id", "j"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        (F.col("y") - F.col("yb")) * (F.col("y") - F.col("yb")),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("d2p")
+        )
+    )
+    ratios = (
+        d_orig.join(d_proj, "vec_id")
+        .filter(F.col("d2o") > 0)
+        .select((F.col("d2p") / F.col("d2o")).alias("ratio"))
+    )
+    agg = ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.sum(quantize("ratio", 9)).cast("double") / 1e9).alias("sr"),
+        F.min("ratio").alias("mn"),
+        F.max("ratio").alias("mx"),
+    )
+    return agg.select(
+        "n_pairs",
+        (quantize(F.col("sr") / F.col("n_pairs"), 6) / 1e6).alias(
+            "mean_ratio"
+        ),
+        (quantize("mn", 6) / 1e6).alias("min_ratio"),
+        (quantize("mx", 6) / 1e6).alias("max_ratio"),
+    )

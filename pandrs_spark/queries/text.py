@@ -4005,3 +4005,114 @@ def q449(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+# --- q454: tokenizer fertility per source — pieces-per-word for a
+# GPT-2-shaped pretokenizer regex vs whitespace words (the standard
+# "how many subwords does this corpus cost" intake metric; tokenizer
+# tier beside q26/q232). ASCII pretoken classes ( ?letters | ?digits |
+# ?punct-run) keep the regex semantics identical across Java regex and
+# RE2. Map-only regexp counts + one quantized aggregate. ----------------------
+@query(
+    "q454_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                   AS words,
+               CAST(len(regexp_extract_all(text,
+                    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+                   AS pieces
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(pieces) AS BIGINT) AS total_pieces,
+           CAST(SIGN(CAST(SUM(pieces) AS DOUBLE) / SUM(words))
+                * FLOOR(ABS(CAST(SUM(pieces) AS DOUBLE) / SUM(words))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               AS fertility
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q454(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("words"),
+        F.regexp_count(
+            "text", F.lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")
+        )
+        .cast("long")
+        .alias("pieces"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("pieces").cast("long").alias("total_pieces"),
+    )
+    return agg.select(
+        "source",
+        "total_words",
+        "total_pieces",
+        (
+            quantize(
+                F.col("total_pieces").cast("double") / F.col("total_words"), 6
+            )
+            / 1e6
+        ).alias("fertility"),
+    ).orderBy("source")
+
+
+# --- q455: canary-string contamination scan — count documents and
+# total occurrences of known marker strings (the eval-leakage canary
+# check run before training; decontamination tier beside q194/q328).
+# The canary list is a bounded broadcast literal crossed against the
+# corpus — one map-only regexp_count pass per doc×canary, no shuffle
+# beyond the final rollup. ------------------------------------------------------
+@query(
+    "q455_canary_contamination_scan",
+    oracle="""
+    WITH canaries AS (
+        SELECT UNNEST(['lorem', 'ipsum', 'nonexistent-canary-xyzzy']) AS canary
+    ),
+    hits AS (
+        SELECT c.canary,
+               CASE WHEN len(regexp_extract_all(lower(d.text), c.canary)) > 0
+                    THEN 1 ELSE 0 END AS has_hit,
+               CAST(len(regexp_extract_all(lower(d.text), c.canary)) AS BIGINT)
+                   AS n_occ
+        FROM documents d CROSS JOIN canaries c
+    )
+    SELECT canary,
+           CAST(SUM(has_hit) AS BIGINT) AS n_docs_containing,
+           CAST(SUM(n_occ) AS BIGINT) AS total_occurrences
+    FROM hits
+    GROUP BY canary
+    ORDER BY canary
+    """,
+)
+def q455(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    canaries = docs.sparkSession.createDataFrame(
+        [("lorem",), ("ipsum",), ("nonexistent-canary-xyzzy",)],
+        "canary string",
+    )
+    hits = docs.crossJoin(F.broadcast(canaries)).select(
+        "canary",
+        F.regexp_count(F.lower("text"), F.col("canary")).alias("n_occ"),
+    )
+    return (
+        hits.groupBy("canary")
+        .agg(
+            F.sum(F.when(F.col("n_occ") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_containing"),
+            F.sum("n_occ").cast("long").alias("total_occurrences"),
+        )
+        .orderBy("canary")
+    )

@@ -3129,3 +3129,148 @@ def q452(spark, sf_dir):
         F.col("n").cast("long").alias("n_months"),
         (quantize(slope, 6) / 1e6).alias("elasticity"),
     ).orderBy("brand_q", "brand_p")
+
+
+# --- q459: forecast-combination backtest with MASE — naive, seasonal-
+# naive (lag 12), drift, and their equal-weight ensemble, evaluated on
+# the last-6-month holdout of monthly revenue (Hyndman-Koehler MASE:
+# scaled by the in-train one-step naive MAE; forecasting tier beside
+# q295/q356). Every window runs over the calendar-bounded monthly
+# rollup (~80 rows); errors fold as quantized exact longs. --------------------
+@query(
+    "q459_forecast_ensemble_mase",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS y
+        FROM lineitem GROUP BY mth
+    ),
+    idx AS (
+        SELECT mth, y, ROW_NUMBER() OVER (ORDER BY mth) AS i,
+               (SELECT COUNT(*) FROM monthly) AS n
+        FROM monthly
+    ),
+    train AS (SELECT * FROM idx WHERE i <= n - 6),
+    denom AS (
+        SELECT CAST(SUM(CAST(SIGN(ABS(y - prev)) * FLOOR(ABS(y - prev)
+                             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / COUNT(prev) AS d
+        FROM (SELECT y, LAG(y) OVER (ORDER BY i) AS prev FROM train)
+        WHERE prev IS NOT NULL
+    ),
+    anchors AS (
+        SELECT MAX(CASE WHEN train.i = train.n - 6 THEN train.y END) AS y_last,
+               MAX(CASE WHEN train.i = 1 THEN train.y END) AS y_first,
+               MAX(train.n) - 6 AS n_train
+        FROM train
+    ),
+    holdout AS (
+        SELECT h.i, h.y,
+               a.y_last AS f_naive,
+               s.y AS f_snaive,
+               a.y_last + (h.i - a.n_train)
+                   * (a.y_last - a.y_first) / (a.n_train - 1) AS f_drift
+        FROM idx h
+        JOIN idx s ON s.i = h.i - 12, anchors a
+        WHERE h.i > h.n - 6
+    ),
+    errs AS (
+        SELECT
+            CAST(SUM(CAST(SIGN(ABS(y - f_naive)) * FLOOR(ABS(ABS(y - f_naive)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS mae_naive,
+            CAST(SUM(CAST(SIGN(ABS(y - f_snaive)) * FLOOR(ABS(ABS(y - f_snaive)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS mae_snaive,
+            CAST(SUM(CAST(SIGN(ABS(y - f_drift)) * FLOOR(ABS(ABS(y - f_drift)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS mae_drift,
+            CAST(SUM(CAST(SIGN(ABS(y - (f_naive + f_snaive + f_drift) / 3.0)) * FLOOR(ABS(ABS(y - (f_naive + f_snaive + f_drift) / 3.0)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS mae_ens
+        FROM holdout
+    )
+    SELECT m.method,
+           CAST(SIGN(m.mae / d.d) * FLOOR(ABS(m.mae / d.d) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS mase
+    FROM (
+        SELECT 'drift' AS method, mae_drift AS mae FROM errs
+        UNION ALL SELECT 'ensemble', mae_ens FROM errs
+        UNION ALL SELECT 'naive', mae_naive FROM errs
+        UNION ALL SELECT 'seasonal_naive', mae_snaive FROM errs
+    ) m, denom d
+    ORDER BY m.method
+    """,
+)
+def q459(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum, quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("mth")
+    ).agg(dsum("l_extendedprice").alias("y"))
+    # calendar-bounded monthly rollup: the partitionless index window
+    # runs over ~80 rows (whitelist pattern)
+    w_m = Window.orderBy("mth")
+    n_tot = monthly.count()
+    idx = tracked_persist(
+        monthly.withColumn("i", F.row_number().over(w_m))
+    )
+    train = idx.filter(F.col("i") <= n_tot - 6)
+    denom = (
+        train.withColumn("prev", F.lag("y").over(Window.orderBy("i")))
+        .filter(F.col("prev").isNotNull())
+        .agg(
+            (
+                F.sum(quantize(F.abs(F.col("y") - F.col("prev")), 2)).cast(
+                    "double"
+                )
+                / 100.0
+                / F.count("prev")
+            ).alias("d")
+        )
+    )
+    anchors = train.agg(
+        F.max(F.when(F.col("i") == n_tot - 6, F.col("y"))).alias("y_last"),
+        F.max(F.when(F.col("i") == 1, F.col("y"))).alias("y_first"),
+        F.lit(n_tot - 6).alias("n_train"),
+    )
+    s = idx.select((F.col("i") + 12).alias("i"), F.col("y").alias("f_snaive"))
+    holdout = (
+        idx.filter(F.col("i") > n_tot - 6)
+        .join(s, "i")
+        .crossJoin(F.broadcast(anchors))
+        .select(
+            "y",
+            F.col("y_last").alias("f_naive"),
+            "f_snaive",
+            (
+                F.col("y_last")
+                + (F.col("i") - F.col("n_train"))
+                * (F.col("y_last") - F.col("y_first"))
+                / (F.col("n_train") - 1)
+            ).alias("f_drift"),
+        )
+    )
+    ens = (F.col("f_naive") + F.col("f_snaive") + F.col("f_drift")) / 3.0
+
+    def mae(fc):
+        return (
+            F.sum(quantize(F.abs(F.col("y") - fc), 2)).cast("double")
+            / 100.0
+            / F.count(F.lit(1))
+        )
+
+    errs = holdout.agg(
+        mae(F.col("f_naive")).alias("mae_naive"),
+        mae(F.col("f_snaive")).alias("mae_snaive"),
+        mae(F.col("f_drift")).alias("mae_drift"),
+        mae(ens).alias("mae_ens"),
+    )
+    methods = errs.selectExpr(
+        "stack(4, 'drift', mae_drift, 'ensemble', mae_ens, "
+        "'naive', mae_naive, 'seasonal_naive', mae_snaive) AS (method, mae)"
+    )
+    return (
+        methods.crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            (quantize(F.col("mae") / F.col("d"), 6) / 1e6).alias("mase"),
+        )
+        .orderBy("method")
+    )

@@ -244,3 +244,42 @@ def test_cvm_identical_samples_zero(spark):
         spark.createDataFrame(rows2, "g string, v double"), "v", "g", "a", "b"
     ).first()
     assert r2["cvm"] > 1.0
+
+
+def test_brunner_munzel_matches_pure_python(spark):
+    """Pin the BM statistic against an independent rank-based Python
+    implementation (scipy.stats.brunnermunzel statistic form) on data
+    with ties and unequal spreads."""
+    from pandrs_spark.operators.hypothesis import brunner_munzel
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 9.0]          # group a
+    ys = [2.0, 4.0, 4.0, 4.0, 6.0, 7.0, 8.0]     # group b
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brunner_munzel(df, "v", "g", "a", "b").first()
+
+    # independent computation: pooled + within-group midranks
+    def midranks(vals, pool):
+        s = sorted(pool)
+        out = []
+        for v in vals:
+            lo = sum(1 for u in s if u < v)
+            eq = sum(1 for u in s if u == v)
+            out.append(lo + (eq + 1) / 2.0)
+        return out
+
+    n1, n2 = len(xs), len(ys)
+    rp1 = midranks(xs, xs + ys)
+    rp2 = midranks(ys, xs + ys)
+    rw1 = midranks(xs, xs)
+    rw2 = midranks(ys, ys)
+    rb1 = sum(rp1) / n1
+    rb2 = sum(rp2) / n2
+    s1 = sum((rp - rw - rb1 + (n1 + 1) / 2) ** 2 for rp, rw in zip(rp1, rw1)) / (n1 - 1)
+    s2 = sum((rp - rw - rb2 + (n2 + 1) / 2) ** 2 for rp, rw in zip(rp2, rw2)) / (n2 - 1)
+    w = n1 * n2 * (rb2 - rb1) / ((n1 + n2) * (n1 * s1 + n2 * s2) ** 0.5)
+    p_hat = (rb2 - (n2 + 1) / 2) / n1
+
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["p_hat"] == pytest.approx(p_hat, abs=1e-9)
+    assert r["w_stat"] == pytest.approx(w, abs=1e-6)

@@ -387,6 +387,12 @@ _BOUNDED_WINDOW_WHITELIST = {
     # (q48 argument)
     "q418_decomposition_strength",  # centered 7-day MA over the daily
     # calendar series (q80 argument)
+    "q450_nelson_aalen_hazard",  # NA prefix windows over DISTINCT
+    # day durations — bounded by the observation calendar (q334 argument)
+    "q457_competing_risks_cif",  # CIF prefix windows over DISTINCT
+    # day durations (q334 argument)
+    "q459_forecast_ensemble_mase",  # month index + lag over the
+    # ~80-month calendar spine (q350/q356 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
