@@ -4355,3 +4355,167 @@ def q457(spark, sf_dir):
         )
         .orderBy("duration_days")
     )
+
+
+# --- q463: restricted mean survival time (RMST, τ = 20 days) and
+# median survival of time-to-convert — the two scalar summaries
+# clinicians/growth teams quote from a KM curve (area under S(t) up to
+# τ; first t with S ≤ 0.5). Stepwise integral over the same bounded
+# duration table as q334, one prefix pass. ------------------------------------
+@query(
+    "q463_rmst_median_survival",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    ),
+    cut AS (SELECT MAX(ts) AS mx FROM events),
+    conv AS (
+        SELECT s.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN spans s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY s.user_id
+    ),
+    obs AS (
+        SELECT CASE WHEN c.tp IS NOT NULL THEN DATEDIFF('day', s.t0, c.tp)
+                    ELSE DATEDIFF('day', s.t0, k.mx) END AS t,
+               CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM spans s LEFT JOIN conv c ON c.user_id = s.user_id, cut k
+        WHERE s.t0 IS NOT NULL
+    ),
+    grp AS (
+        SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM obs GROUP BY t
+    ),
+    risked AS (
+        SELECT t, d,
+               (SELECT COUNT(*) FROM obs)
+                 - COALESCE(SUM(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n
+        FROM grp
+    ),
+    km AS (
+        -- zero-fence (q334 convention): once d = n the survival is
+        -- exactly 0 and stays 0 — EXP(SUM(LN ...)) alone would treat
+        -- the d = n factor as 1 and leave a phantom tail
+        SELECT t, d,
+               CASE WHEN SUM(CASE WHEN d * 1.0 >= n THEN 1 ELSE 0 END)
+                        OVER (ORDER BY t) > 0
+                    THEN 0.0
+                    ELSE EXP(SUM(LN(CASE WHEN d * 1.0 < n
+                                         THEN 1 - d * 1.0 / n ELSE 1 END))
+                             OVER (ORDER BY t)) END AS surv,
+               CASE WHEN COALESCE(SUM(CASE WHEN d * 1.0 >= n THEN 1 ELSE 0 END)
+                        OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) > 0
+                    THEN 0.0
+                    ELSE COALESCE(EXP(SUM(LN(CASE WHEN d * 1.0 < n
+                                         THEN 1 - d * 1.0 / n ELSE 1 END))
+                        OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+                        1.0) END AS s_prev,
+               COALESCE(LAG(t) OVER (ORDER BY t), 0) AS t_prev
+        FROM risked WHERE d > 0
+    ),
+    rmst_terms AS (
+        SELECT s_prev * (LEAST(t, 20) - LEAST(t_prev, 20)) AS seg,
+               surv, t
+        FROM km
+    ),
+    tail AS (
+        SELECT CASE WHEN MAX(t) < 20
+                    THEN MIN(CASE WHEN t = mt THEN surv END) * (20 - MAX(t))
+                    ELSE 0.0 END AS tail_seg
+        FROM rmst_terms, (SELECT MAX(t) AS mt FROM rmst_terms) x
+    )
+    SELECT
+        CAST(SIGN(s.rmst + tl.tail_seg)
+             * FLOOR(ABS(s.rmst + tl.tail_seg) * 1000000.0 + 0.5) AS BIGINT)
+            / 1000000.0 AS rmst_20d,
+        CAST(md.med AS BIGINT) AS median_survival_days
+    FROM (SELECT CAST(SUM(CAST(SIGN(seg) * FLOOR(ABS(seg) * 1e9 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e9 AS rmst
+          FROM rmst_terms) s,
+         tail tl,
+         (SELECT MIN(CASE WHEN surv <= 0.5 THEN t END) AS med FROM km) md
+    """,
+)
+def q463(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.timeseries import kaplan_meier
+    from pandrs_spark.operators.util import tracked_persist
+
+    ev = T(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    cut = ev.agg(F.max("ts").alias("mx"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(spans, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    obs = (
+        spans.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(
+                F.col("tp").isNotNull(), F.datediff("tp", "t0")
+            ).otherwise(F.datediff("mx", "t0")).alias("t"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    km = tracked_persist(
+        kaplan_meier(obs, "t", "event").select(
+            F.col("duration").alias("t"), F.col("survival").alias("surv")
+        )
+    )
+    w_ord = Window.orderBy("t")
+    stepped = km.select(
+        "t",
+        "surv",
+        F.coalesce(F.lag("surv").over(w_ord), F.lit(1.0)).alias("s_prev"),
+        F.coalesce(F.lag("t").over(w_ord), F.lit(0)).alias("t_prev"),
+    )
+    seg = F.col("s_prev") * (
+        F.least(F.col("t"), F.lit(20)) - F.least(F.col("t_prev"), F.lit(20))
+    )
+    terms = stepped.select(seg.alias("seg"), "surv", "t")
+    mt = terms.agg(F.max("t").alias("mt"))
+    tail = (
+        terms.crossJoin(F.broadcast(mt))
+        .agg(
+            F.when(
+                F.max("t") < 20,
+                F.min(
+                    F.when(F.col("t") == F.col("mt"), F.col("surv"))
+                ) * (20 - F.max("t")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tail_seg")
+        )
+    )
+    rmst = terms.agg(
+        (F.sum(quantize("seg", 9)).cast("double") / 1e9).alias("rmst")
+    )
+    med = km.agg(
+        F.min(F.when(F.col("surv") <= 0.5, F.col("t")))
+        .cast("long")
+        .alias("median_survival_days")
+    )
+    return (
+        rmst.crossJoin(F.broadcast(tail))
+        .crossJoin(F.broadcast(med))
+        .select(
+            (quantize(F.col("rmst") + F.col("tail_seg"), 6) / 1e6).alias(
+                "rmst_20d"
+            ),
+            "median_survival_days",
+        )
+    )

@@ -3274,3 +3274,342 @@ def q459(spark, sf_dir):
         )
         .orderBy("method")
     )
+
+
+# --- q460: Engle-Granger cointegration test between two regions'
+# monthly order revenue — step 1: OLS of y on x from exact sums;
+# step 2: ADF regression (Δe on e_lag, no intercept — the q83 shape)
+# on the cointegrating residuals. A stationary residual (large
+# negative adf_t) means the two series share a long-run equilibrium.
+# Residual windows run over the ~80-month calendar spine. ---------------------
+@query(
+    "q460_engle_granger_cointegration",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region,
+               date_trunc('month', o.o_orderdate) AS mth,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name IN ('AMERICA', 'ASIA')
+        GROUP BY region, mth
+    ),
+    wide AS (
+        SELECT mth,
+               MAX(CASE WHEN region = 'AMERICA' THEN rev END) AS y,
+               MAX(CASE WHEN region = 'ASIA' THEN rev END) AS x
+        FROM rev GROUP BY mth
+        HAVING MAX(CASE WHEN region = 'AMERICA' THEN rev END) IS NOT NULL
+           AND MAX(CASE WHEN region = 'ASIA' THEN rev END) IS NOT NULL
+    ),
+    ols AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxx,
+               CAST(SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy
+        FROM wide
+    ),
+    fit AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS alpha
+        FROM ols
+    ),
+    resid AS (
+        SELECT w.mth, w.y - (f.alpha + f.beta * w.x) AS e
+        FROM wide w, fit f
+    ),
+    pairs AS (
+        SELECT e - LAG(e) OVER (ORDER BY mth) AS de,
+               LAG(e) OVER (ORDER BY mth) AS elag
+        FROM resid
+        QUALIFY elag IS NOT NULL
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(elag * de) * FLOOR(ABS(elag * de) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy,
+               CAST(SUM(CAST(SIGN(elag * elag) * FLOOR(ABS(elag * elag) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxx,
+               CAST(SUM(CAST(SIGN(de * de) * FLOOR(ABS(de * de) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS syy
+        FROM pairs
+    )
+    SELECT (SELECT n FROM ols) AS n_months,
+           (SELECT CAST(SIGN(beta) * FLOOR(ABS(beta) * 1000000.0 + 0.5)
+                        AS BIGINT) / 1000000.0 FROM fit) AS beta,
+           CAST(SIGN(sxy / sxx) * FLOOR(ABS(sxy / sxx) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS phi,
+           CAST(SIGN((sxy / sxx) / SQRT(((syy - sxy * sxy / sxx) / (n - 1)) / sxx))
+                * FLOOR(ABS((sxy / sxx)
+                            / SQRT(((syy - sxy * sxy / sxx) / (n - 1)) / sxx))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS adf_t
+    FROM sums
+    """,
+)
+def q460(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", "o_orderdate").alias("mth"),
+        )
+        .agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 100.0 / 1e6).alias(
+                "rev"
+            )
+        )
+    )
+    wide = tracked_persist(
+        rev.groupBy("mth")
+        .agg(
+            F.max(F.when(F.col("region") == "AMERICA", F.col("rev"))).alias("y"),
+            F.max(F.when(F.col("region") == "ASIA", F.col("rev"))).alias("x"),
+        )
+        .filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+    )
+    ols = wide.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 6)).cast("double") / 1e6).alias("sxx"),
+        (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = ols.select(
+        "n",
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sx")) / F.col("n")).alias("alpha"),
+    )
+    resid = wide.crossJoin(F.broadcast(fit)).select(
+        "mth",
+        (F.col("y") - (F.col("alpha") + F.col("beta") * F.col("x"))).alias("e"),
+    )
+    w_m = Window.orderBy("mth")
+    pairs = resid.select(
+        (F.col("e") - F.lag("e").over(w_m)).alias("de"),
+        F.lag("e").over(w_m).alias("elag"),
+    ).filter(F.col("elag").isNotNull())
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n2"),
+        (F.sum(quantize(F.col("elag") * F.col("de"), 6)).cast("double") / 1e6).alias("sxy2"),
+        (F.sum(quantize(F.col("elag") * F.col("elag"), 6)).cast("double") / 1e6).alias("sxx2"),
+        (F.sum(quantize(F.col("de") * F.col("de"), 6)).cast("double") / 1e6).alias("syy2"),
+    )
+    phi = F.col("sxy2") / F.col("sxx2")
+    adf_t = phi / F.sqrt(
+        ((F.col("syy2") - F.col("sxy2") * F.col("sxy2") / F.col("sxx2"))
+         / (F.col("n2") - 1))
+        / F.col("sxx2")
+    )
+    return (
+        fit.crossJoin(F.broadcast(sums))
+        .select(
+            F.col("n").alias("n_months"),
+            (quantize("beta", 6) / 1e6).alias("beta"),
+            (quantize(phi, 6) / 1e6).alias("phi"),
+            (quantize(adf_t, 6) / 1e6).alias("adf_t"),
+        )
+    )
+
+
+# --- q461: Page-Hinkley change detection on daily revenue (Page 1954;
+# sequential-monitoring tier beside q84's CUSUM, which scans mean
+# SHIFTS offline — PH is the streaming-style drift alarm): cum_t =
+# Σ_{i≤t}(x_i − x̄_i − δ) with x̄_i the running mean, PH_t = cum_t −
+# min_{s≤t} cum_s, alarm when PH_t > λ. The running mean linearizes
+# into prefix sums, so the whole fold is window algebra over the
+# calendar-bounded daily spine — no recursion. --------------------------------
+@query(
+    "q461_page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS x
+        FROM lineitem GROUP BY day
+    ),
+    pref AS (
+        SELECT day, x,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e6 + 0.5) AS BIGINT))
+                    OVER (ORDER BY day) AS DOUBLE) / 1e6 AS sx
+        FROM daily
+    ),
+    terms AS (
+        SELECT day, i, x - sx / i - 0.005 AS term FROM pref
+    ),
+    cum AS (
+        SELECT day, i,
+               CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e6 + 0.5)
+                             AS BIGINT)) OVER (ORDER BY day) AS DOUBLE)
+                   / 1e6 AS c
+        FROM terms
+    ),
+    ph AS (
+        SELECT day, i, c,
+               c - MIN(c) OVER (ORDER BY day) AS ph_t
+        FROM cum
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SIGN(MAX(ph_t)) * FLOOR(ABS(MAX(ph_t)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS ph_max,
+           CAST(SUM(CASE WHEN ph_t > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days,
+           CAST(MIN(CASE WHEN ph_t > 1.0 THEN i END) AS BIGINT)
+               AS first_alarm_idx
+    FROM ph
+    """,
+)
+def q461(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import dsum, quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "x"
+        )
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_ord = Window.orderBy("day")
+    pref = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w_ord).alias("i"),
+        (F.sum(quantize("x", 6)).over(w_run).cast("double") / 1e6).alias("sx"),
+    )
+    terms = pref.select(
+        "day",
+        "i",
+        (F.col("x") - F.col("sx") / F.col("i") - 0.005).alias("term"),
+    )
+    cum = terms.select(
+        "day",
+        "i",
+        (F.sum(quantize("term", 6)).over(w_run).cast("double") / 1e6).alias("c"),
+    )
+    ph = cum.select(
+        "day", "i", "c", (F.col("c") - F.min("c").over(w_run)).alias("ph_t")
+    )
+    return ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (quantize(F.max("ph_t"), 6) / 1e6).alias("ph_max"),
+        F.sum(F.when(F.col("ph_t") > 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.min(F.when(F.col("ph_t") > 1.0, F.col("i")))
+        .cast("long")
+        .alias("first_alarm_idx"),
+    )
+
+
+# --- q462: Bass diffusion grid fit of weekly customer adoption
+# (Bass 1969): with observed cumulative-adoption share F_{t-1}, the
+# one-step-ahead prediction n̂_t = (p + q·F_{t-1})(1 − F_{t-1})·M is
+# CLOSED FORM per (p, q) — so the fit is a bounded 5×5 literal grid
+# broadcast against the weekly spine, SSE per cell from quantized
+# sums, argmin with a deterministic tie-break. No recursion, no
+# nonlinear solver — the grid-search-consensus pattern (q426's RANSAC
+# sibling for parametric curves). ----------------------------------------------
+@query(
+    "q462_bass_diffusion_grid_fit",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(date_trunc('week', o_orderdate)) AS wk
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM firsts),
+    weekly AS (
+        SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY wk
+    ),
+    spine AS (
+        SELECT wk, n_new,
+               CAST(COALESCE(SUM(n_new) OVER (ORDER BY wk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS DOUBLE) / m.m AS f_prev
+        FROM weekly, m
+    ),
+    grid AS (
+        SELECT p.p, q.q
+        FROM (SELECT UNNEST([0.001, 0.003, 0.01, 0.03, 0.1]) AS p) p,
+             (SELECT UNNEST([0.1, 0.2, 0.3, 0.4, 0.5]) AS q) q
+    ),
+    sse AS (
+        SELECT g.p, g.q,
+               CAST(SUM(CAST(SIGN(POWER(s.n_new - (g.p + g.q * s.f_prev)
+                                  * (1 - s.f_prev) * m.m, 2))
+                    * FLOOR(ABS(POWER(s.n_new - (g.p + g.q * s.f_prev)
+                                  * (1 - s.f_prev) * m.m, 2)) * 100.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS sse,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks
+        FROM spine s, grid g, m
+        GROUP BY g.p, g.q
+    )
+    SELECT p, q,
+           CAST(SIGN(sse) * FLOOR(ABS(sse) * 100.0 + 0.5) AS BIGINT) / 100.0
+               AS sse,
+           n_weeks
+    FROM sse
+    ORDER BY sse, p, q
+    LIMIT 1
+    """,
+)
+def q462(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("week", "o_orderdate")).alias("wk")
+    )
+    weekly = tracked_persist(
+        firsts.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    m = weekly.agg(F.sum("n_new").cast("long").alias("m"))
+    w_prior = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    spine = weekly.crossJoin(F.broadcast(m)).select(
+        "wk",
+        "n_new",
+        (
+            F.coalesce(F.sum("n_new").over(w_prior), F.lit(0)).cast("double")
+            / F.col("m")
+        ).alias("f_prev"),
+        "m",
+    )
+    grid = spark.createDataFrame(
+        [(p, q) for p in (0.001, 0.003, 0.01, 0.03, 0.1)
+         for q in (0.1, 0.2, 0.3, 0.4, 0.5)],
+        "p double, q double",
+    )
+    pred = (F.col("p") + F.col("q") * F.col("f_prev")) * (
+        1 - F.col("f_prev")
+    ) * F.col("m")
+    err2 = (F.col("n_new") - pred) * (F.col("n_new") - pred)
+    sse = (
+        spine.crossJoin(F.broadcast(grid))
+        .groupBy("p", "q")
+        .agg(
+            (F.sum(quantize(err2, 2)).cast("double") / 100.0).alias("sse"),
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        )
+    )
+    return (
+        sse.orderBy(quantize("sse", 2), "p", "q")
+        .limit(1)
+        .select("p", "q", (quantize("sse", 2) / 100.0).alias("sse"), "n_weeks")
+    )

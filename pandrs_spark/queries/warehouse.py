@@ -5172,3 +5172,186 @@ def q430(spark, sf_dir):
             (quantize(eb, 6) / 1e6).alias("eb_rate"),
         )
     )
+
+
+# --- q464: entropy-weighted TOPSIS supplier ranking — the classic
+# multi-criteria decision matrix (Hwang-Yoon 1981; entropy weights per
+# Shannon): criteria per supplier are revenue (benefit), mean discount
+# (cost) and part breadth (benefit); columns are vector-normalized,
+# entropy-weighted, and each supplier scored by closeness
+# d⁻/(d⁺+d⁻) to the ideal/anti-ideal. Top-10 out. Everything is
+# column-bounded (3 criteria): two aggregates over the supplier
+# rollup + broadcast scalar carries — no pairwise work. -----------------------
+@query(
+    "q464_topsis_supplier_ranking",
+    oracle="""
+    WITH crit AS (
+        SELECT l_suppkey AS supp,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS rev,
+               CAST(SUM(CAST(SIGN(l_discount) * FLOOR(ABS(l_discount)
+                             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                   / COUNT(*) AS disc,
+               CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS breadth
+        FROM lineitem GROUP BY supp
+    ),
+    norms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SQRT(CAST(SUM(CAST(SIGN(rev * rev) * FLOOR(ABS(rev * rev) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS nr,
+               SQRT(CAST(SUM(CAST(SIGN(disc * disc) * FLOOR(ABS(disc * disc) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) AS nd,
+               SQRT(CAST(SUM(CAST(SIGN(breadth * breadth) * FLOOR(ABS(breadth * breadth) + 0.5) AS BIGINT)) AS DOUBLE)) AS nb,
+               CAST(SUM(CAST(SIGN(rev) * FLOOR(ABS(rev) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sr,
+               CAST(SUM(CAST(SIGN(disc) * FLOOR(ABS(disc) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sd,
+               CAST(SUM(CAST(SIGN(breadth) * FLOOR(ABS(breadth) + 0.5) AS BIGINT)) AS DOUBLE) AS sb
+        FROM crit
+    ),
+    ent AS (
+        SELECT
+            -CAST(SUM(CAST(SIGN((rev / n2.sr) * LN(rev / n2.sr)) * FLOOR(ABS((rev / n2.sr) * LN(rev / n2.sr)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / LN(n2.n) AS er,
+            -CAST(SUM(CAST(SIGN((disc / n2.sd) * LN(disc / n2.sd)) * FLOOR(ABS((disc / n2.sd) * LN(disc / n2.sd)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / LN(n2.n) AS ed,
+            -CAST(SUM(CAST(SIGN((breadth / n2.sb) * LN(breadth / n2.sb)) * FLOOR(ABS((breadth / n2.sb) * LN(breadth / n2.sb)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / LN(n2.n) AS eb
+        FROM crit, norms n2
+        GROUP BY n2.n, n2.sr, n2.sd, n2.sb
+    ),
+    wts AS (
+        SELECT (1 - er) / ((1 - er) + (1 - ed) + (1 - eb)) AS wr,
+               (1 - ed) / ((1 - er) + (1 - ed) + (1 - eb)) AS wd,
+               (1 - eb) / ((1 - er) + (1 - ed) + (1 - eb)) AS wb
+        FROM ent
+    ),
+    v AS (
+        SELECT c.supp,
+               w.wr * (c.rev / n2.nr) AS vr,
+               w.wd * (c.disc / n2.nd) AS vd,
+               w.wb * (c.breadth / n2.nb) AS vb
+        FROM crit c, norms n2, wts w
+    ),
+    ideal AS (
+        SELECT MAX(vr) AS vr_best, MIN(vr) AS vr_worst,
+               MIN(vd) AS vd_best, MAX(vd) AS vd_worst,
+               MAX(vb) AS vb_best, MIN(vb) AS vb_worst
+        FROM v
+    ),
+    scored AS (
+        SELECT v.supp,
+               SQRT(POWER(v.vr - i.vr_best, 2) + POWER(v.vd - i.vd_best, 2)
+                    + POWER(v.vb - i.vb_best, 2)) AS d_plus,
+               SQRT(POWER(v.vr - i.vr_worst, 2) + POWER(v.vd - i.vd_worst, 2)
+                    + POWER(v.vb - i.vb_worst, 2)) AS d_minus
+        FROM v, ideal i
+    )
+    SELECT CAST(supp AS BIGINT) AS supp,
+           CAST(SIGN(d_minus / (d_plus + d_minus))
+                * FLOOR(ABS(d_minus / (d_plus + d_minus)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS closeness
+    FROM scored
+    ORDER BY CAST(SIGN(d_minus / (d_plus + d_minus))
+                * FLOOR(ABS(d_minus / (d_plus + d_minus)) * 1000000.0 + 0.5)
+                AS BIGINT) DESC, supp
+    LIMIT 10
+    """,
+)
+def q464(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    crit = tracked_persist(
+        li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+            (
+                F.sum(quantize("l_extendedprice", 2)).cast("double")
+                / 100.0
+                / 1e6
+            ).alias("rev"),
+            (
+                F.sum(quantize("l_discount", 2)).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("disc"),
+            F.countDistinct("l_partkey").cast("double").alias("breadth"),
+        )
+    )
+    norms = crit.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sqrt(
+            F.sum(quantize(F.col("rev") * F.col("rev"), 6)).cast("double") / 1e6
+        ).alias("nr"),
+        F.sqrt(
+            F.sum(quantize(F.col("disc") * F.col("disc"), 9)).cast("double")
+            / 1e9
+        ).alias("nd"),
+        F.sqrt(
+            F.sum(quantize(F.col("breadth") * F.col("breadth"), 0)).cast(
+                "double"
+            )
+        ).alias("nb"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6).alias("sr"),
+        (F.sum(quantize("disc", 9)).cast("double") / 1e9).alias("sd"),
+        F.sum(quantize("breadth", 0)).cast("double").alias("sb"),
+    )
+    j = crit.crossJoin(F.broadcast(norms))
+
+    def ent_term(col, tot):
+        p = F.col(col) / F.col(tot)
+        return p * F.log(p)
+
+    ent = j.groupBy("n", "sr", "sd", "sb").agg(
+        (
+            -(F.sum(quantize(ent_term("rev", "sr"), 9)).cast("double") / 1e9)
+        ).alias("ser"),
+        (
+            -(F.sum(quantize(ent_term("disc", "sd"), 9)).cast("double") / 1e9)
+        ).alias("sed"),
+        (
+            -(F.sum(quantize(ent_term("breadth", "sb"), 9)).cast("double") / 1e9)
+        ).alias("seb"),
+    ).select(
+        (F.col("ser") / F.log(F.col("n").cast("double"))).alias("er"),
+        (F.col("sed") / F.log(F.col("n").cast("double"))).alias("ed"),
+        (F.col("seb") / F.log(F.col("n").cast("double"))).alias("eb"),
+    )
+    wsum = (1 - F.col("er")) + (1 - F.col("ed")) + (1 - F.col("eb"))
+    wts = ent.select(
+        ((1 - F.col("er")) / wsum).alias("wr"),
+        ((1 - F.col("ed")) / wsum).alias("wd"),
+        ((1 - F.col("eb")) / wsum).alias("wb"),
+    )
+    v = tracked_persist(
+        crit.crossJoin(F.broadcast(norms))
+        .crossJoin(F.broadcast(wts))
+        .select(
+            "supp",
+            (F.col("wr") * (F.col("rev") / F.col("nr"))).alias("vr"),
+            (F.col("wd") * (F.col("disc") / F.col("nd"))).alias("vd"),
+            (F.col("wb") * (F.col("breadth") / F.col("nb"))).alias("vb"),
+        )
+    )
+    ideal = v.agg(
+        F.max("vr").alias("vr_best"),
+        F.min("vr").alias("vr_worst"),
+        F.min("vd").alias("vd_best"),
+        F.max("vd").alias("vd_worst"),
+        F.max("vb").alias("vb_best"),
+        F.min("vb").alias("vb_worst"),
+    )
+    s = v.crossJoin(F.broadcast(ideal))
+    d_plus = F.sqrt(
+        (F.col("vr") - F.col("vr_best")) ** 2
+        + (F.col("vd") - F.col("vd_best")) ** 2
+        + (F.col("vb") - F.col("vb_best")) ** 2
+    )
+    d_minus = F.sqrt(
+        (F.col("vr") - F.col("vr_worst")) ** 2
+        + (F.col("vd") - F.col("vd_worst")) ** 2
+        + (F.col("vb") - F.col("vb_worst")) ** 2
+    )
+    closeness = d_minus / (d_plus + d_minus)
+    return (
+        s.select(
+            F.col("supp").cast("long").alias("supp"),
+            (quantize(closeness, 6) / 1e6).alias("closeness"),
+        )
+        .orderBy(F.desc(quantize("closeness", 6)), "supp")
+        .limit(10)
+    )

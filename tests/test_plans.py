@@ -393,6 +393,14 @@ _BOUNDED_WINDOW_WHITELIST = {
     # day durations (q334 argument)
     "q459_forecast_ensemble_mase",  # month index + lag over the
     # ~80-month calendar spine (q350/q356 argument)
+    "q460_engle_granger_cointegration",  # residual lag over the
+    # ~80-month calendar spine (q83 argument)
+    "q461_page_hinkley_drift",  # prefix sums over the daily calendar
+    # spine (q84 argument)
+    "q462_bass_diffusion_grid_fit",  # cumulative adopters over the
+    # weekly calendar spine
+    "q463_rmst_median_survival",  # KM prefix windows over DISTINCT
+    # day durations (q334 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
