@@ -26,6 +26,7 @@ __all__ = [
     "seasonal_decompose_additive",
     "ses_fitted",
     "holt_forecast",
+    "holt_damped_forecast",
     "periodogram",
     "ar2_fit",
     "linear_trend",
@@ -1356,3 +1357,54 @@ def nelson_aalen(
         "cum_hazard",
         "hazard_var",
     )
+
+
+def holt_damped_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    alpha: float,
+    beta: float,
+    phi: float = 0.9,
+    horizon: int = 1,
+    out_col: str = "holt_damped_fc",
+) -> DataFrame:
+    """Damped-trend Holt forecast (Gardner-McKenzie 1985; the damped
+    member of the exponential family beside :func:`holt_forecast` —
+    src/time_series/forecasting.rs:453 is the behavioral spec for the
+    undamped recursion):
+
+        l_t = α·x_t + (1−α)(l_{t−1} + φ·b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
+        x̂_{t+h} = l_t + (Σ_{i=1..h} φ^i)·b_t
+
+    φ < 1 flattens the trend extrapolation — the production default
+    for long horizons. Same per-series applyInPandas fold shape as
+    Holt; the oracle replays the identical recursion via list_reduce.
+    """
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema += f", {out_col} double"
+    order_cols = list(order_by)
+    phi_h = sum(phi**i for i in range(1, horizon + 1))
+
+    def _fold(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        vals = pdf[value_col].to_numpy(dtype=float)
+        fc = [float("nan")] * len(vals)
+        if len(vals) >= 2:
+            level, trend = vals[0], vals[1] - vals[0]
+            fc[0] = level + phi_h * trend
+            for t in range(1, len(vals)):
+                prev_level = level
+                level = alpha * vals[t] + (1 - alpha) * (level + phi * trend)
+                trend = beta * (level - prev_level) + (1 - beta) * phi * trend
+                fc[t] = level + phi_h * trend
+        pdf[out_col] = fc
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_fold, schema=schema)

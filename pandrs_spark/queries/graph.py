@@ -1097,3 +1097,93 @@ def q441(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         .orderBy("embeddedness")
     )
+
+
+# --- q467: targeted-attack robustness of the strong trade graph —
+# remove the top-2 degree hubs (deterministic tie-break: degree DESC,
+# id ASC) and compare component structure before vs after (Albert-
+# Barabási attack-tolerance shape; resilience tier beside q65/q67).
+# Two CC runs + one degree aggregate; the removal set is bounded (2)
+# and broadcast. ----------------------------------------------------------------
+@query(
+    "q467_trade_attack_robustness",
+    oracle=f"""
+    WITH RECURSIVE {_STRONG},
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+    hubs AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 2),
+    und2 AS (
+        SELECT src, dst FROM und
+        WHERE src NOT IN (SELECT id FROM hubs)
+          AND dst NOT IN (SELECT id FROM hubs)
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+    ),
+    comp_before AS (
+        SELECT v.id, LEAST(v.id, MIN(r.b)) AS component
+        FROM (SELECT DISTINCT src AS id FROM und) v
+        LEFT JOIN reach r ON r.a = v.id
+        GROUP BY v.id
+    ),
+    reach2(a, b) AS (
+        SELECT src, dst FROM und2
+        UNION
+        SELECT r.a, u.dst FROM reach2 r JOIN und2 u ON r.b = u.src
+    ),
+    comp_after AS (
+        SELECT v.id, LEAST(v.id, MIN(r.b)) AS component
+        FROM (SELECT DISTINCT src AS id FROM und2) v
+        LEFT JOIN reach2 r ON r.a = v.id
+        GROUP BY v.id
+    ),
+    b AS (
+        SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+               CAST(MAX(sz) AS BIGINT) AS largest
+        FROM (SELECT component, COUNT(*) AS sz FROM comp_before
+              GROUP BY component)
+    ),
+    a AS (
+        SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+               CAST(MAX(sz) AS BIGINT) AS largest
+        FROM (SELECT component, COUNT(*) AS sz FROM comp_after
+              GROUP BY component)
+    )
+    SELECT b.n_components AS components_before,
+           b.largest AS largest_before,
+           a.n_components AS components_after,
+           a.largest AS largest_after
+    FROM b, a
+    """,
+)
+def q467(spark, sf_dir):
+    from pandrs_spark.operators.graph import symmetrize
+
+    strong = _strong_edges(spark, sf_dir)
+    und = tracked_persist(symmetrize(strong))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hubs = deg.orderBy(F.desc("d"), "id").limit(2).select("id")
+    und2 = (
+        und.join(hubs.withColumnRenamed("id", "src"), "src", "left_anti")
+        .join(hubs.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        .select("src", "dst")
+    )
+
+    def summarize(comp, b_name, l_name):
+        return comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz")
+        ).agg(
+            F.countDistinct("component").cast("long").alias(b_name),
+            F.max("sz").cast("long").alias(l_name),
+        )
+
+    before = summarize(
+        connected_components(und), "components_before", "largest_before"
+    )
+    after = summarize(
+        connected_components(und2), "components_after", "largest_after"
+    )
+    return F.broadcast(before).crossJoin(F.broadcast(after))

@@ -1286,3 +1286,145 @@ def q458(spark, sf_dir):
         (quantize("p_hat", 6) / 1e6).alias("p_hat"),
         (quantize("w_stat", 6) / 1e6).alias("w_stat"),
     )
+
+
+def _q466_pair_terms_sql() -> str:
+    """Σ_{i<j} [c_i·(n_j − cum_j) + ½·c_i·c_j] at each distinct value,
+    unrolled over the 10 ordered priority pairs (scale-1 quantized:
+    terms are exact multiples of 0.5)."""
+    terms = []
+    for i in range(1, 6):
+        for jj in range(i + 1, 6):
+            terms.append(
+                f"(c{i} * (n{jj} - cum{jj}) + 0.5 * c{i} * c{jj})"
+            )
+    expr = " + ".join(terms)
+    return (
+        f"CAST(SUM(CAST(SIGN({expr}) * FLOOR(ABS({expr}) * 10.0 + 0.5) "
+        f"AS BIGINT)) AS DOUBLE) / 10.0"
+    )
+
+
+# --- q466: Jonckheere-Terpstra ordered-alternative test — does
+# lineitem discount shift monotonically across the FIVE ordered order
+# priorities? The rank-based ordered-trend test (complement to q435's
+# binary Cochran-Armitage): JT = Σ_{i<j} U_ij from ONE distinct-value
+# histogram with all five groups' prefix sums in ONE distributed pass;
+# z against the tie-uncorrected null moments (documented). ---------------------
+@query(
+    "q466_jonckheere_terpstra_discount",
+    oracle=f"""
+    WITH flags AS (
+        SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS t,
+               l.l_discount AS v
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_v AS (
+        SELECT v,
+               SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS c2,
+               SUM(CASE WHEN t = 3 THEN 1 ELSE 0 END) AS c3,
+               SUM(CASE WHEN t = 4 THEN 1 ELSE 0 END) AS c4,
+               SUM(CASE WHEN t = 5 THEN 1 ELSE 0 END) AS c5
+        FROM flags GROUP BY v
+    ),
+    cdf AS (
+        SELECT c1, c2, c3, c4, c5,
+               SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2,
+               SUM(c3) OVER (ORDER BY v) AS cum3,
+               SUM(c4) OVER (ORDER BY v) AS cum4,
+               SUM(c5) OVER (ORDER BY v) AS cum5
+        FROM per_v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c3) AS BIGINT) AS n3, CAST(SUM(c4) AS BIGINT) AS n4,
+               CAST(SUM(c5) AS BIGINT) AS n5
+        FROM per_v
+    ),
+    jt AS (
+        SELECT t.n1, t.n2, t.n3, t.n4, t.n5,
+               {_q466_pair_terms_sql()} AS jt_stat
+        FROM cdf c, tot t
+        GROUP BY t.n1, t.n2, t.n3, t.n4, t.n5
+    )
+    SELECT CAST(n1 + n2 + n3 + n4 + n5 AS BIGINT) AS n,
+           CAST(SIGN(jt_stat) * FLOOR(ABS(jt_stat) * 10.0 + 0.5) AS BIGINT)
+               / 10.0 AS jt_stat,
+           CAST(SIGN((jt_stat - (POWER(n1 + n2 + n3 + n4 + n5, 2)
+                      - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)) / 4.0)
+                / SQRT((POWER(CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE), 2)
+                        * (2 * (n1 + n2 + n3 + n4 + n5) + 3)
+                        - (n1*n1*(2*n1+3) + n2*n2*(2*n2+3) + n3*n3*(2*n3+3)
+                           + n4*n4*(2*n4+3) + n5*n5*(2*n5+3))) / 72.0))
+                * FLOOR(ABS((jt_stat - (POWER(n1 + n2 + n3 + n4 + n5, 2)
+                      - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5)) / 4.0)
+                / SQRT((POWER(CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE), 2)
+                        * (2 * (n1 + n2 + n3 + n4 + n5) + 3)
+                        - (n1*n1*(2*n1+3) + n2*n2*(2*n2+3) + n3*n3*(2*n3+3)
+                           + n4*n4*(2*n4+3) + n5*n5*(2*n5+3))) / 72.0))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS z_jt
+    FROM jt
+    """,
+)
+def q466(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    flags = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("t"),
+        F.col("l_discount").alias("v"),
+    )
+    per_v = flags.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("t") == i, 1).otherwise(0)).alias(f"c{i}")
+            for i in range(1, 6)
+        ]
+    )
+    cdf = global_prefix_counts(
+        per_v,
+        [F.asc("v")],
+        {f"cum{i}": f"c{i}" for i in range(1, 6)},
+    )
+    tot = per_v.agg(
+        *[F.sum(f"c{i}").cast("long").alias(f"n{i}") for i in range(1, 6)]
+    )
+    pair_sum = None
+    for i in range(1, 6):
+        for jj in range(i + 1, 6):
+            term = F.col(f"c{i}") * (
+                F.col(f"n{jj}") - F.col(f"cum{jj}")
+            ) + 0.5 * F.col(f"c{i}") * F.col(f"c{jj}")
+            pair_sum = term if pair_sum is None else pair_sum + term
+    jt = (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy(*[f"n{i}" for i in range(1, 6)])
+        .agg(
+            (F.sum(quantize(pair_sum, 1)).cast("double") / 10.0).alias(
+                "jt_stat"
+            )
+        )
+    )
+    n = sum(F.col(f"n{i}") for i in range(1, 6))
+    sq = sum(F.col(f"n{i}") * F.col(f"n{i}") for i in range(1, 6))
+    cube = sum(
+        F.col(f"n{i}") * F.col(f"n{i}") * (2 * F.col(f"n{i}") + 3)
+        for i in range(1, 6)
+    )
+    mu = (n * n - sq) / 4.0
+    var = (
+        F.pow(n.cast("double"), F.lit(2.0)) * (2 * n + 3) - cube
+    ) / 72.0
+    return jt.select(
+        n.cast("long").alias("n"),
+        (quantize("jt_stat", 1) / 10.0).alias("jt_stat"),
+        (quantize((F.col("jt_stat") - mu) / F.sqrt(var), 6) / 1e6).alias(
+            "z_jt"
+        ),
+    )

@@ -2776,3 +2776,188 @@ def q456(spark, sf_dir):
         (quantize("mn", 6) / 1e6).alias("min_ratio"),
         (quantize("mx", 6) / 1e6).alias("max_ratio"),
     )
+
+
+_Q468_BASE = """
+    WITH per_c AS (
+        SELECT c.c_custkey AS cust,
+               CAST(c.c_acctbal AS DOUBLE) / 1000.0 AS x,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS y
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxx,
+               CAST(SUM(CAST(SIGN(y * y) * FLOOR(ABS(y * y) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS syy,
+               CAST(SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy
+        FROM per_c
+    ),
+    cov AS (
+        SELECT n,
+               sx / n AS mx, sy / n AS my,
+               sxx / n - (sx / n) * (sx / n) AS a,
+               syy / n - (sy / n) * (sy / n) AS c,
+               sxy / n - (sx / n) * (sy / n) AS b
+        FROM m
+    )
+"""
+
+
+# --- q468: Mahalanobis outliers in (balance, spend) space — the
+# covariance-aware distance that catches points ordinary z-scores miss
+# (outlier tier beside q45/q136): 2×2 population covariance from ONE
+# exact-sum aggregate, closed-form inverse, top-10 d² via TakeOrdered.
+# -----------------------------------------------------------------------------
+@query(
+    "q468_mahalanobis_outliers",
+    oracle=_Q468_BASE
+    + """
+    SELECT CAST(p.cust AS BIGINT) AS cust,
+           CAST(SIGN(((p.x - v.mx) * (v.c * (p.x - v.mx) - v.b * (p.y - v.my))
+                 + (p.y - v.my) * (v.a * (p.y - v.my) - v.b * (p.x - v.mx)))
+                / (v.a * v.c - v.b * v.b))
+                * FLOOR(ABS(((p.x - v.mx) * (v.c * (p.x - v.mx) - v.b * (p.y - v.my))
+                 + (p.y - v.my) * (v.a * (p.y - v.my) - v.b * (p.x - v.mx)))
+                / (v.a * v.c - v.b * v.b)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS d2
+    FROM per_c p, cov v
+    ORDER BY CAST(SIGN(((p.x - v.mx) * (v.c * (p.x - v.mx) - v.b * (p.y - v.my))
+                 + (p.y - v.my) * (v.a * (p.y - v.my) - v.b * (p.x - v.mx)))
+                / (v.a * v.c - v.b * v.b))
+                * FLOOR(ABS(((p.x - v.mx) * (v.c * (p.x - v.mx) - v.b * (p.y - v.my))
+                 + (p.y - v.my) * (v.a * (p.y - v.my) - v.b * (p.x - v.mx)))
+                / (v.a * v.c - v.b * v.b)) * 1000000.0 + 0.5) AS BIGINT) DESC,
+             p.cust
+    LIMIT 10
+    """,
+)
+def q468(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_c = tracked_persist(
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_custkey").alias("cust"), "c_acctbal")
+        .agg(
+            (
+                F.sum(quantize("o_totalprice", 2)).cast("double")
+                / 100.0
+                / 1e6
+            ).alias("y")
+        )
+        .select(
+            "cust",
+            (F.col("c_acctbal").cast("double") / 1000.0).alias("x"),
+            "y",
+        )
+    )
+    m = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 6)).cast("double") / 1e6).alias("sxx"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias("syy"),
+        (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias("sxy"),
+    )
+    cov = m.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))).alias("a"),
+        (F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("c"),
+        (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("b"),
+    )
+    j = per_c.crossJoin(F.broadcast(cov))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("a") * F.col("c") - F.col("b") * F.col("b")
+    d2 = (
+        dx * (F.col("c") * dx - F.col("b") * dy)
+        + dy * (F.col("a") * dy - F.col("b") * dx)
+    ) / det
+    return (
+        j.select(
+            F.col("cust").cast("long").alias("cust"),
+            (quantize(d2, 6) / 1e6).alias("d2"),
+        )
+        .orderBy(F.desc(quantize("d2", 6)), "cust")
+        .limit(10)
+    )
+
+
+# --- q469: closed-form 2-D PCA of (balance, spend) — exact eigenvalues
+# of the 2×2 population covariance, λ = (a+c)/2 ± sqrt(((a−c)/2)² + b²),
+# PC1 explained-variance share (exact-arithmetic complement to q79's
+# MLlib PCA): one exact-sum aggregate, pure double formula. -------------------
+@query(
+    "q469_pca2_closed_form",
+    oracle=_Q468_BASE
+    + """
+    SELECT n,
+           CAST(SIGN(a) * FLOOR(ABS(a) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS var_x,
+           CAST(SIGN(c) * FLOOR(ABS(c) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS var_y,
+           CAST(SIGN(b) * FLOOR(ABS(b) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cov_xy,
+           CAST(SIGN((a + c) / 2 + SQRT(POWER((a - c) / 2, 2) + b * b))
+                * FLOOR(ABS((a + c) / 2 + SQRT(POWER((a - c) / 2, 2) + b * b))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS lambda1,
+           CAST(SIGN((a + c) / 2 - SQRT(POWER((a - c) / 2, 2) + b * b))
+                * FLOOR(ABS((a + c) / 2 - SQRT(POWER((a - c) / 2, 2) + b * b))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS lambda2,
+           CAST(SIGN(((a + c) / 2 + SQRT(POWER((a - c) / 2, 2) + b * b)) / (a + c))
+                * FLOOR(ABS(((a + c) / 2 + SQRT(POWER((a - c) / 2, 2) + b * b))
+                            / (a + c)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS pc1_share
+    FROM cov
+    """,
+)
+def q469(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_c = cust.join(orders, cust.c_custkey == orders.o_custkey).groupBy(
+        F.col("c_custkey").alias("cust"), "c_acctbal"
+    ).agg(
+        (
+            F.sum(quantize("o_totalprice", 2)).cast("double") / 100.0 / 1e6
+        ).alias("y")
+    ).select(
+        (F.col("c_acctbal").cast("double") / 1000.0).alias("x"), "y"
+    )
+    m = per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 6)).cast("double") / 1e6).alias("sxx"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias("syy"),
+        (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias("sxy"),
+    )
+    a = F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+    c = F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    b = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    cov = m.select("n", a.alias("a"), c.alias("c"), b.alias("b"))
+    disc = F.sqrt(
+        F.pow((F.col("a") - F.col("c")) / 2, F.lit(2.0))
+        + F.col("b") * F.col("b")
+    )
+    lam1 = (F.col("a") + F.col("c")) / 2 + disc
+    lam2 = (F.col("a") + F.col("c")) / 2 - disc
+    return cov.select(
+        "n",
+        (quantize("a", 6) / 1e6).alias("var_x"),
+        (quantize("c", 6) / 1e6).alias("var_y"),
+        (quantize("b", 6) / 1e6).alias("cov_xy"),
+        (quantize(lam1, 6) / 1e6).alias("lambda1"),
+        (quantize(lam2, 6) / 1e6).alias("lambda2"),
+        (quantize(lam1 / (F.col("a") + F.col("c")), 6) / 1e6).alias(
+            "pc1_share"
+        ),
+    )

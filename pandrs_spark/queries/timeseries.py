@@ -3613,3 +3613,62 @@ def q462(spark, sf_dir):
         .limit(1)
         .select("p", "q", (quantize("sse", 2) / 100.0).alias("sse"), "n_weeks")
     )
+
+
+# --- q465: damped-trend Holt forecast of monthly revenue (Gardner-
+# McKenzie; q82's undamped sibling, φ = 0.9): the oracle folds the
+# IDENTICAL recursion with list_reduce over ordered month prefixes —
+# the recursion-in-gate pattern. (1 - alpha)/(phi) written literally
+# on both sides; α = 0.5, β = 0.3. --------------------------------------------
+@query(
+    "q465_holt_damped_forecast",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             {{dsum}} AS revenue
+      FROM orders GROUP BY month
+    ),
+    ser AS (
+      SELECT month, revenue,
+             ROW_NUMBER() OVER (ORDER BY month) AS t,
+             list(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             LEAD(revenue) OVER (ORDER BY month) AS nxt
+      FROM monthly
+    )
+    SELECT month, revenue,
+      ROUND(CASE WHEN t = 1 THEN revenue + 0.9 * (nxt - revenue)
+           ELSE (
+             SELECT s[1] + 0.9 * s[2] FROM (
+               SELECT list_reduce(
+                 list_prepend([prefix[1], prefix[2] - prefix[1]],
+                              list_transform(prefix[2:], x -> [x])),
+                 (acc, x) -> [
+                   0.5 * x[1] + (1 - 0.5) * (acc[1] + 0.9 * acc[2]),
+                   0.3 * ((0.5 * x[1] + (1 - 0.5) * (acc[1] + 0.9 * acc[2])) - acc[1])
+                       + (1 - 0.3) * 0.9 * acc[2]
+                 ]) AS s)
+           ) END, 4) AS holt_damped_fc
+    FROM ser ORDER BY month
+    """.replace("{dsum}", sql_dsum("o_totalprice")),
+)
+def q465(spark, sf_dir):
+    from pandrs_spark.operators.timeseries import holt_damped_forecast
+
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    out = holt_damped_forecast(
+        monthly,
+        "revenue",
+        order_by=["month"],
+        partition_by=[],
+        alpha=0.5,
+        beta=0.3,
+        phi=0.9,
+        horizon=1,
+    )
+    return out.select(
+        "month", "revenue", F.round("holt_damped_fc", 4).alias("holt_damped_fc")
+    ).orderBy("month")
