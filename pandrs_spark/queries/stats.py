@@ -2121,3 +2121,127 @@ def q417(spark, sf_dir):
     return counts.select(
         "n_pairs", "conc", "disc", (quantize(tau, 6) / 1e6).alias("tau_b")
     )
+
+
+# --- q470: Spearman PARTIAL rank correlation — does spend correlate
+# with balance after controlling for order count?
+# ρ_xy·z = (ρxy − ρxz·ρyz)/√((1−ρxz²)(1−ρyz²)) over three exact rank
+# vectors, each from one global_prefix_sum pass (q293's machinery,
+# threefold). All rank sums are exact BIGINTs; only the final formula
+# is double. -------------------------------------------------------------------
+@query(
+    "q470_spearman_partial_corr",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(SIGN(o_totalprice) * FLOOR(ABS(o_totalprice)
+                             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT c.c_custkey, sp.s, c.c_acctbal AS b, sp.k
+        FROM customer c JOIN spend sp ON c.c_custkey = sp.o_custkey
+    ),
+    ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY s, c_custkey) AS BIGINT) AS rx,
+               CAST(ROW_NUMBER() OVER (ORDER BY b, c_custkey) AS BIGINT) AS ry,
+               CAST(ROW_NUMBER() OVER (ORDER BY k, c_custkey) AS BIGINT) AS rz
+        FROM base
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rz) AS BIGINT) AS sz,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy,
+               CAST(SUM(rz * rz) AS BIGINT) AS szz,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+               CAST(SUM(rx * rz) AS BIGINT) AS sxz,
+               CAST(SUM(ry * rz) AS BIGINT) AS syz
+        FROM ranked
+    ),
+    rhos AS (
+        SELECT n,
+               (1.0 * n * sxy - 1.0 * sx * sy)
+                   / (SQRT(1.0 * n * sxx - 1.0 * sx * sx)
+                      * SQRT(1.0 * n * syy - 1.0 * sy * sy)) AS rxy,
+               (1.0 * n * sxz - 1.0 * sx * sz)
+                   / (SQRT(1.0 * n * sxx - 1.0 * sx * sx)
+                      * SQRT(1.0 * n * szz - 1.0 * sz * sz)) AS rxz,
+               (1.0 * n * syz - 1.0 * sy * sz)
+                   / (SQRT(1.0 * n * syy - 1.0 * sy * sy)
+                      * SQRT(1.0 * n * szz - 1.0 * sz * sz)) AS ryz
+        FROM tot
+    )
+    SELECT n AS n_customers,
+           CAST(SIGN(rxy) * FLOOR(ABS(rxy) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS rho_xy,
+           CAST(SIGN(rxz) * FLOOR(ABS(rxz) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS rho_xz,
+           CAST(SIGN(ryz) * FLOOR(ABS(ryz) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS rho_yz,
+           CAST(SIGN((rxy - rxz * ryz) / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)))
+                * FLOOR(ABS((rxy - rxz * ryz)
+                            / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               AS rho_xy_given_z
+    FROM rhos
+    """,
+)
+def q470(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice", 2).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    base = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        "c_custkey", "s", F.col("c_acctbal").alias("b"), "k"
+    )
+    r = global_prefix_sum(
+        base, [F.asc("s"), F.asc("c_custkey")], F.lit(1.0), "rx", scale=0
+    ).withColumn("rx", F.col("rx").cast("long"))
+    r = global_prefix_sum(
+        r, [F.asc("b"), F.asc("c_custkey")], F.lit(1.0), "ry", scale=0
+    ).withColumn("ry", F.col("ry").cast("long"))
+    r = global_prefix_sum(
+        r, [F.asc("k"), F.asc("c_custkey")], F.lit(1.0), "rz", scale=0
+    ).withColumn("rz", F.col("rz").cast("long"))
+    tot = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum("rz").alias("sz"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rz") * F.col("rz")).alias("szz"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rz")).alias("sxz"),
+        F.sum(F.col("ry") * F.col("rz")).alias("syz"),
+    )
+
+    def rho(sab, sa, sb, saa, sbb):
+        return (
+            1.0 * F.col("n") * F.col(sab) - 1.0 * F.col(sa) * F.col(sb)
+        ) / (
+            F.sqrt(1.0 * F.col("n") * F.col(saa) - 1.0 * F.col(sa) * F.col(sa))
+            * F.sqrt(1.0 * F.col("n") * F.col(sbb) - 1.0 * F.col(sb) * F.col(sb))
+        )
+
+    rhos = tot.select(
+        "n",
+        rho("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        rho("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        rho("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    partial = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (1 - F.col("rxz") * F.col("rxz")) * (1 - F.col("ryz") * F.col("ryz"))
+    )
+    return rhos.select(
+        F.col("n").alias("n_customers"),
+        (quantize("rxy", 6) / 1e6).alias("rho_xy"),
+        (quantize("rxz", 6) / 1e6).alias("rho_xz"),
+        (quantize("ryz", 6) / 1e6).alias("rho_yz"),
+        (quantize(partial, 6) / 1e6).alias("rho_xy_given_z"),
+    )

@@ -5355,3 +5355,162 @@ def q464(spark, sf_dir):
         .orderBy(F.desc(quantize("closeness", 6)), "supp")
         .limit(10)
     )
+
+
+def _q471_abc_sql(alias: str, lo: str, hi: str) -> str:
+    """ABC classes for one period: parts ranked by revenue DESC, class
+    from the running revenue share (A ≤ 0.8, B ≤ 0.95, C rest)."""
+    return f"""
+    rev_{alias} AS (
+        SELECT l_partkey AS part,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+        GROUP BY part
+    ),
+    cls_{alias} AS (
+        SELECT part,
+               CASE WHEN CAST(SUM(revq) OVER (ORDER BY revq DESC, part)
+                         AS DOUBLE) / (SELECT SUM(revq) FROM rev_{alias})
+                         <= 0.8 THEN 'A'
+                    WHEN CAST(SUM(revq) OVER (ORDER BY revq DESC, part)
+                         AS DOUBLE) / (SELECT SUM(revq) FROM rev_{alias})
+                         <= 0.95 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM rev_{alias}
+    )"""
+
+
+# --- q471: ABC class migration matrix — which parts moved between
+# revenue classes from the 1995-1997 window to 1998-2000? Each
+# period's classes come from a revenue-ranked running share (the q216
+# shape; exact scaled-long revenue so rank ties are deterministic);
+# the migration matrix is one join + one count rollup, parts absent
+# from a period labeled '-'. The inventory-management lifecycle view
+# (growing A's, dying C's). ------------------------------------------------------
+@query(
+    "q471_abc_migration_matrix",
+    oracle="WITH "
+    + _q471_abc_sql("a", "1995-01-01", "1998-01-01")
+    + ","
+    + _q471_abc_sql("b", "1998-01-01", "2001-01-01")
+    + """
+    SELECT COALESCE(a.cls, '-') AS class_from,
+           COALESCE(b.cls, '-') AS class_to,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM cls_a a FULL OUTER JOIN cls_b b ON b.part = a.part
+    GROUP BY class_from, class_to
+    ORDER BY class_from, class_to
+    """,
+)
+def q471(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    li = T(spark, sf_dir, "lineitem")
+
+    def classes(lo, hi):
+        rev = li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        ).groupBy(F.col("l_partkey").alias("part")).agg(
+            F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq")
+        )
+        tot = rev.agg(F.sum("revq").alias("tot"))
+        ranked = global_prefix_counts(
+            rev, [F.desc("revq"), F.asc("part")], {"cum": "revq"}
+        )
+        share = F.col("cum").cast("double") / F.col("tot")
+        return ranked.crossJoin(F.broadcast(tot)).select(
+            "part",
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+
+    a = tracked_persist(classes("1995-01-01", "1998-01-01"))
+    b = tracked_persist(
+        classes("1998-01-01", "2001-01-01").withColumnRenamed("cls", "cls_b")
+    )
+    return (
+        a.join(b, "part", "outer")
+        .groupBy(
+            F.coalesce("cls", F.lit("-")).alias("class_from"),
+            F.coalesce("cls_b", F.lit("-")).alias("class_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("class_from", "class_to")
+    )
+
+
+# --- q472: supplier dependency concentration per brand — single-source
+# risk: for each part, the top supplier's revenue share; per brand the
+# count of single-sourced parts and the mean top-supplier share. Two
+# rollups + one max_by-shaped aggregate, no windows over raw facts. -----------
+@query(
+    "q472_supplier_dependency",
+    oracle="""
+    WITH ps AS (
+        SELECT l.l_partkey AS part, l.l_suppkey AS supp,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM lineitem l GROUP BY part, supp
+    ),
+    per_part AS (
+        SELECT part,
+               CAST(MAX(revq) AS DOUBLE) / SUM(revq) AS top_share,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM ps GROUP BY part
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN pp.n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_sourced,
+           CAST(SIGN(CAST(SUM(CAST(SIGN(pp.top_share)
+                    * FLOOR(ABS(pp.top_share) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 / COUNT(*))
+                * FLOOR(ABS(CAST(SUM(CAST(SIGN(pp.top_share)
+                    * FLOOR(ABS(pp.top_share) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS mean_top_share
+    FROM per_part pp JOIN part p ON p.p_partkey = pp.part
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def q472(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"))
+    per_part = ps.groupBy("part").agg(
+        (F.max("revq").cast("double") / F.sum("revq")).alias("top_share"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    j = per_part.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("part"), "p_brand")),
+        "part",
+    )
+    agg = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single_sourced"),
+        (F.sum(quantize("top_share", 9)).cast("double") / 1e9).alias("ss"),
+    )
+    return agg.select(
+        "brand",
+        "n_parts",
+        "n_single_sourced",
+        (quantize(F.col("ss") / F.col("n_parts"), 6) / 1e6).alias(
+            "mean_top_share"
+        ),
+    ).orderBy("brand")

@@ -469,3 +469,67 @@ def test_kaplan_meier_no_censoring_matches_ecdf(spark):
     for t in sorted(cnt):
         seen += cnt[t]
         assert abs(rows[t] - (1 - seen / n)) < 1e-12, (t, rows[t])
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """NA cumulative hazard on a textbook mini-cohort: H(t) = sum d/n,
+    variance sum d/n^2; censored subjects leave the risk set without
+    contributing hazard."""
+    from pandrs_spark.operators.timeseries import nelson_aalen
+
+    # durations: events at 1 (d=2, n=6), censor at 2 (n=4 after),
+    # event at 3 (d=1, n=3), censor at 4
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "t int, e int")
+    out = {r["duration"]: r for r in nelson_aalen(df, "t", "e").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_risk"] == 6 and out[1]["n_events"] == 2
+    assert out[1]["cum_hazard"] == 2 / 6
+    assert out[1]["hazard_var"] == 2 / 36
+    assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 1
+    assert out[3]["cum_hazard"] == 2 / 6 + 1 / 3
+    assert out[3]["hazard_var"] == 2 / 36 + 1 / 9
+
+
+def test_holt_damped_matches_pure_fold_and_flattens(spark):
+    """Damped recursion equals an independent Python fold; phi=1
+    reduces to plain Holt; phi<1 forecasts a flatter extrapolation on
+    a trending series."""
+    from pandrs_spark.operators.timeseries import (
+        holt_damped_forecast,
+        holt_forecast,
+    )
+
+    xs = [10.0, 12.0, 15.0, 16.0, 20.0, 23.0, 25.0, 30.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(xs)], "k string, t int, v double"
+    )
+    damped = holt_damped_forecast(
+        df, "v", order_by=["t"], partition_by=["k"], alpha=0.5, beta=0.3,
+        phi=0.9,
+    ).orderBy("t").collect()
+
+    # independent fold
+    level, trend = xs[0], xs[1] - xs[0]
+    expect = [level + 0.9 * trend]
+    for t in range(1, len(xs)):
+        prev = level
+        level = 0.5 * xs[t] + 0.5 * (level + 0.9 * trend)
+        trend = 0.3 * (level - prev) + 0.7 * 0.9 * trend
+        expect.append(level + 0.9 * trend)
+    for row, e in zip(damped, expect):
+        assert row["holt_damped_fc"] == pytest.approx(e, abs=1e-12)
+
+    # phi = 1 degenerates to plain Holt
+    plain = holt_forecast(
+        df, "v", order_by=["t"], partition_by=["k"], alpha=0.5, beta=0.3
+    ).orderBy("t").collect()
+    phi1 = holt_damped_forecast(
+        df, "v", order_by=["t"], partition_by=["k"], alpha=0.5, beta=0.3,
+        phi=1.0,
+    ).orderBy("t").collect()
+    for a, b in zip(plain, phi1):
+        assert a["holt_fc"] == pytest.approx(b["holt_damped_fc"], abs=1e-12)
+
+    # damping flattens the (positive-trend) forecast
+    assert damped[-1]["holt_damped_fc"] < plain[-1]["holt_fc"]
