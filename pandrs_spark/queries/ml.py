@@ -2961,3 +2961,112 @@ def q469(spark, sf_dir):
             "pc1_share"
         ),
     )
+
+
+# --- q474: Poisson GLM calibration table — deciles of predicted μ
+# from the q445 fit vs observed order counts (the GLM diagnostic every
+# model review asks for): the 1-row fitted (b0, b1) broadcasts, μ is a
+# map-only expression, deciles come from integer-exact global ranks
+# (ceil(10·rank/n) — no percentile approximation), and the oracle
+# replays the identical 3-round IRLS trajectory before binning. ---------------
+@query(
+    "q474_poisson_calibration_deciles",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT c.c_custkey AS cust,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS y,
+               CAST(c.c_acctbal AS DOUBLE) / 1000.0 AS x
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+        HAVING COUNT(o.o_orderkey) > 0
+    ),
+    p0 AS (
+        SELECT LN(CAST(SUM(y) AS BIGINT) / COUNT(*)) AS b0, 0.0 AS b1
+        FROM d
+    ),
+    {_q445_round(1, 'p0')},
+    {_q445_round(2, 'p1')},
+    {_q445_round(3, 'p2')},
+    scored AS (
+        SELECT d.cust, d.y, EXP(p.b0 + p.b1 * d.x) AS mu
+        FROM d, p3 p
+    ),
+    ranked AS (
+        SELECT y, mu,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(SIGN(mu) * FLOOR(ABS(mu) * 1e9 + 0.5)
+                                 AS BIGINT), cust) AS rnk,
+               (SELECT COUNT(*) FROM scored) AS n
+        FROM scored
+    )
+    SELECT CAST((rnk * 10 + n - 1) // n AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SIGN(CAST(SUM(CAST(SIGN(mu) * FLOOR(ABS(mu) * 1e6 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*))
+                * FLOOR(ABS(CAST(SUM(CAST(SIGN(mu) * FLOOR(ABS(mu) * 1e6 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               AS mean_predicted,
+           CAST(SIGN(CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                * FLOOR(ABS(CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+               AS mean_observed
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q474(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.ml import poisson_irls_1d
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_row_number
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_c = tracked_persist(
+        cust.join(
+            orders.select("o_custkey", "o_orderkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy(F.col("c_custkey").alias("cust"), "c_acctbal")
+        .agg(F.count("o_orderkey").alias("y"))
+        .filter(F.col("y") > 0)
+        .select(
+            "cust",
+            "y",
+            (F.col("c_acctbal").cast("double") / 1000.0).alias("x"),
+        )
+    )
+    fit = poisson_irls_1d(per_c, "y", "x", n_iter=3).select("b0", "b1")
+    scored = per_c.crossJoin(F.broadcast(fit)).select(
+        "cust",
+        "y",
+        F.exp(F.col("b0") + F.col("b1") * F.col("x")).alias("mu"),
+    )
+    n_tot = scored.count()
+    ranked = global_row_number(
+        scored, [F.asc(quantize("mu", 9)), F.asc("cust")], "rnk"
+    )
+    # true integer division (`div`), mirroring DuckDB's `//` — a double
+    # `/` + floor-cast can land an ulp below the integer at boundaries
+    decile = F.expr(f"CAST((rnk * 10 + {n_tot} - 1) DIV {n_tot} AS INT)")
+    agg = ranked.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum(quantize("mu", 6)).cast("double") / 1e6).alias("sm"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        (quantize(F.col("sm") / F.col("n_customers"), 6) / 1e6).alias(
+            "mean_predicted"
+        ),
+        (
+            quantize(
+                F.col("sy").cast("double") / F.col("n_customers"), 6
+            )
+            / 1e6
+        ).alias("mean_observed"),
+    ).orderBy("decile")

@@ -4116,3 +4116,58 @@ def q455(spark, sf_dir):
         )
         .orderBy("canary")
     )
+
+
+# --- q473: exact phrase search — find documents containing the
+# adjacent-token phrase "table hash" (positional-index IR shape
+# beside q172's BM25 bag-of-words): posexplode token positions, then a
+# (doc, pos)×(doc, pos+1) equi-join on the two broadcast term rows —
+# the standard positional-postings intersection, never a string scan
+# of full text per candidate. Per-source doc counts + total phrase
+# occurrences out. ----------------------------------------------------------------
+@query(
+    "q473_phrase_search_positional",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w,
+               generate_subscripts(string_split_regex(lower(text), '\\s+'), 1)
+                   AS pos
+        FROM documents
+    ),
+    a AS (SELECT doc_id, source, pos FROM toks WHERE w = 'table'),
+    b AS (SELECT doc_id, pos FROM toks WHERE w = 'hash'),
+    hits AS (
+        SELECT a.doc_id, a.source
+        FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM hits
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q473(spark, sf_dir):
+    from pandrs_spark.operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "w"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "w")
+    a = toks.filter(F.col("w") == "table").select("doc_id", "source", "pos")
+    b = toks.filter(F.col("w") == "hash").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    hits = a.join(b, ["doc_id", "pos"])
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs_with_phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .orderBy("source")
+    )
