@@ -1428,3 +1428,181 @@ def q466(spark, sf_dir):
             "z_jt"
         ),
     )
+
+
+def _q476_group_sql(g: str, cg: str, cum: str) -> str:
+    """Per-group Yuen pieces from the shared histogram CTE: n, k
+    (20% trim), interior winsorized sums, and the trim-boundary
+    values, all from cum counts."""
+    return f"""
+    st_{g} AS (
+        SELECT CAST(SUM({cg}) AS BIGINT) AS n,
+               CAST(FLOOR(0.2 * SUM({cg})) AS BIGINT) AS k
+        FROM hist
+    ),
+    pieces_{g} AS (
+        SELECT s.n, s.k,
+               CAST(SUM(CAST(SIGN(h.value * GREATEST(0,
+                        LEAST(h.{cum}, s.n - s.k)
+                        - GREATEST(h.{cum} - h.{cg}, s.k)))
+                    * FLOOR(ABS(h.value * GREATEST(0,
+                        LEAST(h.{cum}, s.n - s.k)
+                        - GREATEST(h.{cum} - h.{cg}, s.k))) * 100.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100.0 AS int_sum,
+               CAST(SUM(CAST(SIGN(h.value * h.value * GREATEST(0,
+                        LEAST(h.{cum}, s.n - s.k)
+                        - GREATEST(h.{cum} - h.{cg}, s.k)))
+                    * FLOOR(ABS(h.value * h.value * GREATEST(0,
+                        LEAST(h.{cum}, s.n - s.k)
+                        - GREATEST(h.{cum} - h.{cg}, s.k))) + 0.5)
+                    AS BIGINT)) AS DOUBLE) AS int_ss,
+               MIN(CASE WHEN h.{cum} >= s.k + 1 THEN h.value END) AS x_low,
+               MIN(CASE WHEN h.{cum} >= s.n - s.k THEN h.value END) AS x_high
+        FROM hist h, st_{g} s
+        GROUP BY s.n, s.k
+    )"""
+
+
+# --- q476: Yuen's trimmed-mean t-test (20% trim) between customer
+# segments — the robust Welch replacement when tails are heavy (Yuen
+# 1974): trimmed means compare, winsorized variances scale. Everything
+# derives from ONE distinct-value histogram + one prefix pass: the
+# interior/winsorized masses are clamped-rank count expressions, the
+# trim boundaries conditional MINs — no per-row trimming pass, no
+# low-cardinality window over raw facts. ---------------------------------------
+@query(
+    "q476_yuen_trimmed_ttest",
+    oracle=f"""
+    WITH two AS (
+        SELECT c_acctbal, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    per_v AS (
+        SELECT c_acctbal AS value,
+               SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+        FROM two GROUP BY value
+    ),
+    hist AS (
+        SELECT value, c1, c2,
+               SUM(c1) OVER (ORDER BY value) AS cum1,
+               SUM(c2) OVER (ORDER BY value) AS cum2
+        FROM per_v
+    ),
+    {_q476_group_sql('a', 'c1', 'cum1').lstrip()},
+    {_q476_group_sql('b', 'c2', 'cum2').lstrip()},
+    yuen AS (
+        SELECT a.n AS n1, b.n AS n2,
+               a.n - 2 * a.k AS h1, b.n - 2 * b.k AS h2,
+               a.int_sum / (a.n - 2 * a.k) AS tm1,
+               b.int_sum / (b.n - 2 * b.k) AS tm2,
+               ((a.int_ss + a.k * (a.x_low * a.x_low + a.x_high * a.x_high))
+                - a.n * POWER((a.int_sum + a.k * (a.x_low + a.x_high)) / a.n, 2))
+                   / (a.n - 1) AS swv1,
+               ((b.int_ss + b.k * (b.x_low * b.x_low + b.x_high * b.x_high))
+                - b.n * POWER((b.int_sum + b.k * (b.x_low + b.x_high)) / b.n, 2))
+                   / (b.n - 1) AS swv2
+        FROM pieces_a a, pieces_b b
+    )
+    SELECT n1, n2, CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+           CAST(SIGN(tm1) * FLOOR(ABS(tm1) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS trimmed_mean_1,
+           CAST(SIGN(tm2) * FLOOR(ABS(tm2) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS trimmed_mean_2,
+           CAST(SIGN((tm1 - tm2) / SQRT((n1 - 1) * swv1 / (h1 * (h1 - 1))
+                                        + (n2 - 1) * swv2 / (h2 * (h2 - 1))))
+                * FLOOR(ABS((tm1 - tm2)
+                        / SQRT((n1 - 1) * swv1 / (h1 * (h1 - 1))
+                               + (n2 - 1) * swv2 / (h2 * (h2 - 1))))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS t_yuen
+    FROM yuen
+    """,
+)
+def q476(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    cust = T(spark, sf_dir, "customer")
+    two = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    per_v = two.groupBy(F.col("c_acctbal").alias("value")).agg(
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)
+        ).alias("c2"),
+    )
+    hist = tracked_persist(
+        global_prefix_counts(
+            per_v, [F.asc("value")], {"cum1": "c1", "cum2": "c2"}
+        )
+    )
+
+    def pieces(cg, cum):
+        st = hist.agg(
+            F.sum(cg).cast("long").alias("n"),
+            F.floor(0.2 * F.sum(cg)).cast("long").alias("k"),
+        )
+        j = hist.crossJoin(F.broadcast(st))
+        interior = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col(cum), F.col("n") - F.col("k"))
+            - F.greatest(F.col(cum) - F.col(cg), F.col("k")),
+        )
+        return j.groupBy("n", "k").agg(
+            (
+                F.sum(quantize(F.col("value") * interior, 2)).cast("double")
+                / 100.0
+            ).alias("int_sum"),
+            F.sum(
+                quantize(F.col("value") * F.col("value") * interior, 0)
+            )
+            .cast("double")
+            .alias("int_ss"),
+            F.min(
+                F.when(F.col(cum) >= F.col("k") + 1, F.col("value"))
+            ).alias("x_low"),
+            F.min(
+                F.when(F.col(cum) >= F.col("n") - F.col("k"), F.col("value"))
+            ).alias("x_high"),
+        )
+
+    a = pieces("c1", "cum1").select(
+        F.col("n").alias("n1"), F.col("k").alias("k1"),
+        F.col("int_sum").alias("is1"), F.col("int_ss").alias("iss1"),
+        F.col("x_low").alias("xl1"), F.col("x_high").alias("xh1"),
+    )
+    b = pieces("c2", "cum2").select(
+        F.col("n").alias("n2"), F.col("k").alias("k2"),
+        F.col("int_sum").alias("is2"), F.col("int_ss").alias("iss2"),
+        F.col("x_low").alias("xl2"), F.col("x_high").alias("xh2"),
+    )
+    y = F.broadcast(a).crossJoin(F.broadcast(b))
+    h1 = F.col("n1") - 2 * F.col("k1")
+    h2 = F.col("n2") - 2 * F.col("k2")
+    tm1 = F.col("is1") / h1
+    tm2 = F.col("is2") / h2
+    wmean1 = (F.col("is1") + F.col("k1") * (F.col("xl1") + F.col("xh1"))) / F.col("n1")
+    wmean2 = (F.col("is2") + F.col("k2") * (F.col("xl2") + F.col("xh2"))) / F.col("n2")
+    swv1 = (
+        (F.col("iss1") + F.col("k1") * (F.col("xl1") * F.col("xl1") + F.col("xh1") * F.col("xh1")))
+        - F.col("n1") * F.pow(wmean1, F.lit(2.0))
+    ) / (F.col("n1") - 1)
+    swv2 = (
+        (F.col("iss2") + F.col("k2") * (F.col("xl2") * F.col("xl2") + F.col("xh2") * F.col("xh2")))
+        - F.col("n2") * F.pow(wmean2, F.lit(2.0))
+    ) / (F.col("n2") - 1)
+    t = (tm1 - tm2) / F.sqrt(
+        (F.col("n1") - 1) * swv1 / (h1 * (h1 - 1))
+        + (F.col("n2") - 1) * swv2 / (h2 * (h2 - 1))
+    )
+    return y.select(
+        "n1",
+        "n2",
+        h1.cast("long").alias("h1"),
+        h2.cast("long").alias("h2"),
+        (quantize(tm1, 6) / 1e6).alias("trimmed_mean_1"),
+        (quantize(tm2, 6) / 1e6).alias("trimmed_mean_2"),
+        (quantize(t, 6) / 1e6).alias("t_yuen"),
+    )

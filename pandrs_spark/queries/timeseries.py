@@ -3672,3 +3672,107 @@ def q465(spark, sf_dir):
     return out.select(
         "month", "revenue", F.round("holt_damped_fc", 4).alias("holt_damped_fc")
     ).orderBy("month")
+
+
+# --- q478: chained monthly Laspeyres price index — the q406 bilateral
+# index generalized to a drifting basket: each month's link
+# L_m = Σ p_m·q_{m−1} / Σ p_{m−1}·q_{m−1} over parts traded in BOTH
+# consecutive months; the chained index is the running product,
+# computed as exp(Σ ln L) over the month spine so both engines walk
+# one deterministic ordered reduction. One (part, month) rollup + a
+# self-join shifted one month — never month×month. ----------------------------
+@query(
+    "q478_chained_laspeyres_index",
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey AS part, date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM(CAST(SIGN(l_quantity) * FLOOR(ABS(l_quantity)
+                             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS q,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS v
+        FROM lineitem GROUP BY part, mth
+    ),
+    priced AS (SELECT part, mth, q, v / q AS p FROM pm WHERE q > 0),
+    links AS (
+        SELECT cur.mth,
+               CAST(SUM(CAST(SIGN(cur.p * prev.q)
+                             * FLOOR(ABS(cur.p * prev.q) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS num,
+               CAST(SUM(CAST(SIGN(prev.p * prev.q)
+                             * FLOOR(ABS(prev.p * prev.q) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS den
+        FROM priced cur
+        JOIN priced prev ON prev.part = cur.part
+                        AND prev.mth = cur.mth - INTERVAL 1 MONTH
+        GROUP BY cur.mth
+    ),
+    chained AS (
+        -- log index: a 79-link chain can overflow any fixed quantized
+        -- scale; ln(index) is bounded and is the standard presentation
+        SELECT mth, num / den AS link,
+               SUM(LN(num / den)) OVER (ORDER BY mth) AS log_idx
+        FROM links
+    )
+    SELECT mth,
+           CAST(SIGN(link) * FLOOR(ABS(link) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS link,
+           CAST(SIGN(log_idx) * FLOOR(ABS(log_idx) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS chained_log_index
+    FROM chained
+    ORDER BY mth
+    """,
+)
+def q478(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", "l_shipdate").alias("mth"),
+    ).agg(
+        (F.sum(quantize("l_quantity", 2)).cast("double") / 100.0).alias("q"),
+        (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0).alias(
+            "v"
+        ),
+    )
+    priced = tracked_persist(
+        pm.filter(F.col("q") > 0).select(
+            "part", "mth", "q", (F.col("v") / F.col("q")).alias("p")
+        )
+    )
+    prev = priced.select(
+        "part",
+        (F.col("mth") + F.expr("INTERVAL 1 MONTH")).alias("mth"),
+        F.col("q").alias("q_prev"),
+        F.col("p").alias("p_prev"),
+    )
+    links = (
+        priced.join(prev, ["part", "mth"])
+        .groupBy("mth")
+        .agg(
+            (
+                F.sum(quantize(F.col("p") * F.col("q_prev"), 2)).cast("double")
+                / 100.0
+            ).alias("num"),
+            (
+                F.sum(
+                    quantize(F.col("p_prev") * F.col("q_prev"), 2)
+                ).cast("double")
+                / 100.0
+            ).alias("den"),
+        )
+    )
+    w_run = Window.orderBy("mth").rowsBetween(Window.unboundedPreceding, 0)
+    link = F.col("num") / F.col("den")
+    chained = links.select(
+        "mth",
+        link.alias("link"),
+        F.sum(F.log(link)).over(w_run).alias("log_idx"),
+    )
+    return chained.select(
+        "mth",
+        (quantize("link", 6) / 1e6).alias("link"),
+        (quantize("log_idx", 6) / 1e6).alias("chained_log_index"),
+    ).orderBy("mth")

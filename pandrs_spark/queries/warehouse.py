@@ -5514,3 +5514,251 @@ def q472(spark, sf_dir):
             "mean_top_share"
         ),
     ).orderBy("brand")
+
+
+def _q475_round(i: int, prev: str) -> str:
+    """One IPF round: scale to segment margins, then region margins.
+    MATERIALIZED keeps DuckDB's planner linear in rounds."""
+    return f"""
+    r{i}a AS MATERIALIZED (
+        SELECT c.seg, c.reg, c.n,
+               w.w * (t.target / s.tot) AS w
+        FROM {prev} w
+        JOIN cells c ON c.seg = w.seg AND c.reg = w.reg
+        JOIN (SELECT w2.seg, CAST(SUM(CAST(SIGN(c2.n * w2.w)
+                  * FLOOR(ABS(c2.n * w2.w) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1e9 AS tot
+              FROM {prev} w2 JOIN cells c2
+                ON c2.seg = w2.seg AND c2.reg = w2.reg
+              GROUP BY w2.seg) s ON s.seg = w.seg
+        JOIN seg_targets t ON t.seg = w.seg
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT a.seg, a.reg,
+               a.w * (t.target / s.tot) AS w
+        FROM r{i}a a
+        JOIN (SELECT a2.reg, CAST(SUM(CAST(SIGN(a2.n * a2.w)
+                  * FLOOR(ABS(a2.n * a2.w) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1e9 AS tot
+              FROM r{i}a a2 GROUP BY a2.reg) s ON s.reg = a.reg
+        JOIN reg_targets t ON t.reg = a.reg
+    )"""
+
+
+# --- q475: iterative proportional fitting (IPF / raking) of the
+# (market segment × region) customer table to uniform target margins —
+# the survey-weighting primitive (Deming-Stephan 1940). Three unrolled
+# rounds over the bounded 25-cell table, margin totals as quantized
+# exact sums; the oracle replays the identical trajectory with
+# per-round MATERIALIZED CTEs. One data-scale pass (the cell rollup);
+# everything after is cell-bounded. --------------------------------------------
+@query(
+    "q475_ipf_raking_weights",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT c.c_mktsegment AS seg, n.n_regionkey AS reg,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY seg, reg
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cells),
+    seg_targets AS (
+        SELECT seg, (SELECT total FROM tot)
+                    / (SELECT COUNT(DISTINCT seg) FROM cells) AS target
+        FROM (SELECT DISTINCT seg FROM cells)
+    ),
+    reg_targets AS (
+        SELECT reg, (SELECT total FROM tot)
+                    / (SELECT COUNT(DISTINCT reg) FROM cells) AS target
+        FROM (SELECT DISTINCT reg FROM cells)
+    ),
+    r0 AS (SELECT seg, reg, 1.0 AS w FROM cells),
+    {_q475_round(1, 'r0')},
+    {_q475_round(2, 'r1')},
+    {_q475_round(3, 'r2')}
+    SELECT c.seg, CAST(c.reg AS BIGINT) AS reg, c.n,
+           CAST(SIGN(r.w) * FLOOR(ABS(r.w) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS weight,
+           CAST(SIGN(c.n * r.w) * FLOOR(ABS(c.n * r.w) * 100.0 + 0.5)
+                AS BIGINT) / 100.0 AS weighted_n
+    FROM cells c JOIN r3 r ON r.seg = c.seg AND r.reg = c.reg
+    ORDER BY c.seg, c.reg
+    """,
+)
+def q475(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    cells = tracked_persist(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("n_regionkey").alias("reg"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").cast("double").alias("total"))
+    n_seg = cells.select("seg").distinct().count()
+    n_reg = cells.select("reg").distinct().count()
+    seg_targets = (
+        cells.select("seg")
+        .distinct()
+        .crossJoin(F.broadcast(tot))
+        .select("seg", (F.col("total") / n_seg).alias("target_s"))
+    )
+    reg_targets = (
+        cells.select("reg")
+        .distinct()
+        .crossJoin(F.broadcast(tot))
+        .select("reg", (F.col("total") / n_reg).alias("target_r"))
+    )
+    w = cells.select("seg", "reg", "n", F.lit(1.0).alias("w"))
+    for _ in range(3):
+        seg_tot = w.groupBy("seg").agg(
+            (
+                F.sum(quantize(F.col("n") * F.col("w"), 9)).cast("double")
+                / 1e9
+            ).alias("tot_s")
+        )
+        w = (
+            w.join(F.broadcast(seg_tot), "seg")
+            .join(F.broadcast(seg_targets), "seg")
+            .select(
+                "seg",
+                "reg",
+                "n",
+                (F.col("w") * (F.col("target_s") / F.col("tot_s"))).alias("w"),
+            )
+        )
+        reg_tot = w.groupBy("reg").agg(
+            (
+                F.sum(quantize(F.col("n") * F.col("w"), 9)).cast("double")
+                / 1e9
+            ).alias("tot_r")
+        )
+        w = (
+            w.join(F.broadcast(reg_tot), "reg")
+            .join(F.broadcast(reg_targets), "reg")
+            .select(
+                "seg",
+                "reg",
+                "n",
+                (F.col("w") * (F.col("target_r") / F.col("tot_r"))).alias("w"),
+            )
+        ).localCheckpoint(eager=True)
+    return w.select(
+        "seg",
+        F.col("reg").cast("long").alias("reg"),
+        "n",
+        (quantize("w", 6) / 1e6).alias("weight"),
+        (quantize(F.col("n") * F.col("w"), 2) / 100.0).alias("weighted_n"),
+    ).orderBy("seg", "reg")
+
+
+def _q477_side_sql(alias: str, cond: str) -> str:
+    """Per-side local OLS of spend on balance from exact sums."""
+    return f"""
+    {alias} AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sx,
+               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
+               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sxy
+        FROM pts WHERE {cond}
+    )"""
+
+
+# --- q477: sharp regression discontinuity at the zero-balance cutoff —
+# does per-customer spend JUMP as the account balance crosses 0?
+# Local linear fits on each side of the cutoff within a ±2000
+# bandwidth (Imbens-Lemieux form); the RD effect is the difference of
+# the two intercepts AT the cutoff. Two exact-sum aggregates + the
+# closed-form OLS — the causal kit's sixth member (DiD q411,
+# ATE q420/q428, QTE q423, mSPRT q403). -----------------------------------------
+@query(
+    "q477_regression_discontinuity",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c.c_acctbal AS x,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e3 AS y
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal >= -2000 AND c.c_acctbal <= 2000
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    {_q477_side_sql('l', 'x < 0').lstrip()},
+    {_q477_side_sql('r', 'x >= 0').lstrip()}
+    SELECT l.n AS n_left, r.n AS n_right,
+           CAST(SIGN((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n)
+                * FLOOR(ABS((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n)
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS icept_left,
+           CAST(SIGN((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
+                * FLOOR(ABS((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS icept_right,
+           CAST(SIGN(((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
+                     - ((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n))
+                * FLOOR(ABS(((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
+                     - ((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS rd_effect
+    FROM l, r
+    """,
+)
+def q477(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    pts = tracked_persist(
+        cust.filter(
+            (F.col("c_acctbal") >= -2000) & (F.col("c_acctbal") <= 2000)
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            (
+                F.sum(quantize("o_totalprice", 2)).cast("double")
+                / 100.0
+                / 1e3
+            ).alias("y")
+        )
+        .select(F.col("c_acctbal").alias("x"), "y")
+    )
+
+    def side(cond, pre):
+        agg = pts.filter(cond).agg(
+            F.count(F.lit(1)).alias(f"n_{pre}"),
+            (F.sum(quantize("x", 2)).cast("double") / 100.0).alias(f"sx_{pre}"),
+            (F.sum(quantize("y", 2)).cast("double") / 100.0).alias(f"sy_{pre}"),
+            F.sum(quantize(F.col("x") * F.col("x"), 0))
+            .cast("double")
+            .alias(f"sxx_{pre}"),
+            F.sum(quantize(F.col("x") * F.col("y"), 0))
+            .cast("double")
+            .alias(f"sxy_{pre}"),
+        )
+        return agg
+
+    l = side(F.col("x") < 0, "l")
+    r = side(F.col("x") >= 0, "r")
+
+    def icept(pre):
+        n = F.col(f"n_{pre}")
+        sx = F.col(f"sx_{pre}")
+        sy = F.col(f"sy_{pre}")
+        sxx = F.col(f"sxx_{pre}")
+        sxy = F.col(f"sxy_{pre}")
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return (sy - slope * sx) / n
+
+    j = F.broadcast(l).crossJoin(F.broadcast(r))
+    return j.select(
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        (quantize(icept("l"), 6) / 1e6).alias("icept_left"),
+        (quantize(icept("r"), 6) / 1e6).alias("icept_right"),
+        (quantize(icept("r") - icept("l"), 6) / 1e6).alias("rd_effect"),
+    )

@@ -401,6 +401,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     # weekly calendar spine
     "q463_rmst_median_survival",  # KM prefix windows over DISTINCT
     # day durations (q334 argument)
+    "q478_chained_laspeyres_index",  # chained log-index over the
+    # ~80-month calendar spine (q350/q356 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
