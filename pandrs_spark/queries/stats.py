@@ -2245,3 +2245,152 @@ def q470(spark, sf_dir):
         (quantize("ryz", 6) / 1e6).alias("rho_yz"),
         (quantize(partial, 6) / 1e6).alias("rho_xy_given_z"),
     )
+
+
+# --- q479: index of dispersion (variance-to-mean ratio) of per-
+# customer order counts by market segment — the quick Poissonness
+# check run before committing to a Poisson GLM (q445): D = s²/x̄ per
+# segment with (n−1)·D ~ χ²(n−1) under H0. Exact integer count sums
+# throughout. --------------------------------------------------------------------
+@query(
+    "q479_order_count_dispersion",
+    oracle="""
+    WITH per_c AS (
+        SELECT c.c_mktsegment AS seg, c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS k
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY seg, c.c_custkey
+    ),
+    agg AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sk,
+               CAST(SUM(k * k) AS BIGINT) AS skk
+        FROM per_c GROUP BY seg
+    )
+    SELECT seg, n,
+           CAST(SIGN(CAST(sk AS DOUBLE) / n)
+                * FLOOR(ABS(CAST(sk AS DOUBLE) / n) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS mean_orders,
+           CAST(SIGN(((skk - CAST(sk AS DOUBLE) * sk / n) / (n - 1))
+                     / (CAST(sk AS DOUBLE) / n))
+                * FLOOR(ABS(((skk - CAST(sk AS DOUBLE) * sk / n) / (n - 1))
+                            / (CAST(sk AS DOUBLE) / n)) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS dispersion_index
+    FROM agg
+    ORDER BY seg
+    """,
+)
+def q479(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_c = cust.join(orders, cust.c_custkey == orders.o_custkey).groupBy(
+        F.col("c_mktsegment").alias("seg"), "c_custkey"
+    ).agg(F.count("o_orderkey").cast("long").alias("k"))
+    agg = per_c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+    )
+    mean = F.col("sk").cast("double") / F.col("n")
+    vars = (F.col("skk") - F.col("sk").cast("double") * F.col("sk") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return agg.select(
+        "seg",
+        "n",
+        (quantize(mean, 6) / 1e6).alias("mean_orders"),
+        (quantize(vars / mean, 6) / 1e6).alias("dispersion_index"),
+    ).orderBy("seg")
+
+
+# --- q480: standardized effect sizes (Cohen's d, Hedges' g, Glass's Δ)
+# between two segments' balances — the practical complement to q57's
+# Welch t (significance says "nonzero", effect size says "how big"):
+# pooled-SD d, small-sample-corrected g (Hedges' exact-ish
+# J = 1 − 3/(4df − 1)), control-SD Δ. All from exact sums. ---------------------
+@query(
+    "q480_effect_sizes_segments",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment AS seg, c_acctbal AS x FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    agg AS (
+        SELECT seg, COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sx,
+               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sxx
+        FROM g GROUP BY seg
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+            MAX(CASE WHEN seg = 'BUILDING' THEN sx END) AS sx1,
+            MAX(CASE WHEN seg = 'BUILDING' THEN sxx END) AS sxx1,
+            MAX(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+            MAX(CASE WHEN seg = 'MACHINERY' THEN sx END) AS sx2,
+            MAX(CASE WHEN seg = 'MACHINERY' THEN sxx END) AS sxx2
+        FROM agg
+    ),
+    stat AS (
+        SELECT n1, n2,
+               sx1 / n1 - sx2 / n2 AS diff,
+               SQRT((sxx1 - sx1 * sx1 / n1 + sxx2 - sx2 * sx2 / n2)
+                    / (n1 + n2 - 2)) AS sp,
+               SQRT((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) AS s2
+        FROM wide
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(SIGN(diff / sp) * FLOOR(ABS(diff / sp) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS cohens_d,
+           CAST(SIGN((diff / sp) * (1 - 3.0 / (4 * (n1 + n2 - 2) - 1)))
+                * FLOOR(ABS((diff / sp) * (1 - 3.0 / (4 * (n1 + n2 - 2) - 1)))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS hedges_g,
+           CAST(SIGN(diff / s2) * FLOOR(ABS(diff / s2) * 1000000.0 + 0.5)
+                AS BIGINT) / 1000000.0 AS glass_delta
+    FROM stat
+    """,
+)
+def q480(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    g = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("x"))
+    agg = g.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("x", 2)).cast("double") / 100.0).alias("sx"),
+        F.sum(quantize(F.col("x") * F.col("x"), 0)).cast("double").alias("sxx"),
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("sxx"))).alias("sxx2"),
+    )
+    diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
+    sp = F.sqrt(
+        (
+            F.col("sxx1")
+            - F.col("sx1") * F.col("sx1") / F.col("n1")
+            + F.col("sxx2")
+            - F.col("sx2") * F.col("sx2") / F.col("n2")
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    s2 = F.sqrt(
+        (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2"))
+        / (F.col("n2") - 1)
+    )
+    j_corr = 1 - 3.0 / (4 * (F.col("n1") + F.col("n2") - 2) - 1)
+    return wide.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (quantize(diff / sp, 6) / 1e6).alias("cohens_d"),
+        (quantize((diff / sp) * j_corr, 6) / 1e6).alias("hedges_g"),
+        (quantize(diff / s2, 6) / 1e6).alias("glass_delta"),
+    )

@@ -4171,3 +4171,65 @@ def q473(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q481: lexical richness per source — type-token ratio and
+# Herdan's C = ln V / ln N (the length-robust richness law; corpus-
+# profile tier beside q224's coverage curve and q312's Zipf fit).
+# One token explode + exact distinct/total counts per source. ------------------
+@query(
+    "q481_lexical_richness",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    f AS (SELECT source, w FROM toks WHERE w <> ''),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+        FROM f GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(SIGN(CAST(n_types AS DOUBLE) / n_tokens)
+                * FLOOR(ABS(CAST(n_types AS DOUBLE) / n_tokens)
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS ttr,
+           CAST(SIGN(LN(CAST(n_types AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)))
+                * FLOOR(ABS(LN(CAST(n_types AS DOUBLE))
+                            / LN(CAST(n_tokens AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS herdan_c
+    FROM agg
+    ORDER BY source
+    """,
+)
+def q481(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    f = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    agg = f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        (
+            quantize(F.col("n_types").cast("double") / F.col("n_tokens"), 6)
+            / 1e6
+        ).alias("ttr"),
+        (
+            quantize(
+                F.log(F.col("n_types").cast("double"))
+                / F.log(F.col("n_tokens").cast("double")),
+                6,
+            )
+            / 1e6
+        ).alias("herdan_c"),
+    ).orderBy("source")

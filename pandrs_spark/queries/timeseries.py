@@ -3776,3 +3776,62 @@ def q478(spark, sf_dir):
         (quantize("link", 6) / 1e6).alias("link"),
         (quantize("log_idx", 6) / 1e6).alias("chained_log_index"),
     ).orderBy("mth")
+
+
+# --- q482: month-of-year seasonality F-test — one-way ANOVA of the
+# monthly revenue rollup on its month-of-year factor (12 groups × ~7
+# observations): the formal "is there a seasonal effect" complement to
+# q117's periodogram and q418's strength ratios. Reuses the
+# distinct-value-exact ANOVA operator over the bounded calendar
+# rollup. ------------------------------------------------------------------------
+@query(
+    "q482_month_of_year_anova",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY mth
+    ),
+    g AS (SELECT EXTRACT(month FROM mth) AS moy, rev FROM monthly),
+    per_g AS (
+        SELECT moy, COUNT(rev) AS n_g,
+               CAST(SUM(CAST(SIGN(rev) * FLOOR(ABS(rev) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s_g,
+               CAST(SUM(CAST(SIGN(rev * rev) * FLOOR(ABS(rev * rev) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS ss_g
+        FROM g GROUP BY moy
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k,
+               SUM(s_g) AS s, SUM(ss_g) AS ss,
+               SUM(s_g * s_g / n_g) AS sgg
+        FROM per_g
+    )
+    SELECT n, k,
+           ROUND(((sgg - s * s / n) / (k - 1)) / ((ss - sgg) / (n - k)), 6)
+               AS f_stat
+    FROM tot
+    """,
+)
+def q482(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import anova_oneway
+
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("mth")
+    ).agg(
+        (
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+            / 1e6
+        ).alias("rev")
+    )
+    g = monthly.select(
+        F.month("mth").alias("moy"), F.col("rev")
+    )
+    out = anova_oneway(g, "rev", "moy")
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("f_stat", 6).alias("f_stat"),
+    )
