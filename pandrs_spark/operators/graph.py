@@ -268,6 +268,8 @@ def personalized_pagerank(
     dst: str = "dst",
     restart: float = 0.15,
     iterations: int = 10,
+    check_convergence: bool = False,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart to a single
     seed vertex): rank_{t+1}(v) = restart·1{v=seed} +
@@ -281,6 +283,10 @@ def personalized_pagerank(
     Same scale shape as pagerank: edges deduped, partitioned once on
     src and persisted; each round shuffles only the |V|-row rank
     vector; lineage cut per iteration with localCheckpoint.
+
+    ``check_convergence=True`` certifies the fixed-round answer the same
+    way :func:`pagerank` does: after the last round it raises
+    :class:`ConvergenceError` if max |Δrank| > ``tol``.
     """
     e = tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -305,7 +311,8 @@ def personalized_pagerank(
     ranks = verts.withColumn(
         "rank", F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
     )
-    for _ in range(iterations):
+    prev_ranks = ranks
+    for i in range(iterations):
         contribs = (
             e.join(outdeg, "src")
             .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -334,6 +341,22 @@ def personalized_pagerank(
             ).alias("rank"),
         )
         ranks = ranks.localCheckpoint(eager=True)
+        if check_convergence and i == iterations - 1:
+            delta = (
+                ranks.alias("cur")
+                .join(prev_ranks.alias("p"), "id")
+                .agg(
+                    F.max(F.abs(F.col("cur.rank") - F.col("p.rank"))).alias("d")
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta > tol:
+                raise ConvergenceError(
+                    f"personalized_pagerank: max |Δrank| = {delta:.3e} > "
+                    f"tol={tol} after {iterations} iterations — raise "
+                    "iterations"
+                )
+        prev_ranks = ranks
     return ranks
 
 
@@ -343,11 +366,16 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """Minimum hop count from a start set (path.rs BFS / unweighted
     shortest path). Frontier-based: each round expands the frontier one
     hop and keeps newly discovered vertices only — the frontier (small)
-    moves to the edges (big, partitioned once)."""
+    moves to the edges (big, partitioned once).
+
+    ``check_convergence=True`` raises :class:`ConvergenceError` if the
+    frontier is still non-empty when ``max_iter`` is exhausted (the BFS
+    was truncated before exploring the reachable set)."""
     und = symmetrize(edges, src, dst).repartition("src").persist()
     spark = edges.sparkSession
     visited = tracked_persist(
@@ -356,6 +384,7 @@ def bfs_hops(
         )
     )
     frontier = visited
+    converged = False
     for hop in range(1, max_iter + 1):
         neighbors = (
             und.join(frontier.withColumnRenamed("id", "src").select("src"), "src")
@@ -367,12 +396,18 @@ def bfs_hops(
             .withColumn("hops", F.lit(hop))
         )
         if new_frontier.limit(1).count() == 0:
+            converged = True
             break
         visited = visited.union(new_frontier)
         if hop % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
         frontier = new_frontier
     und.unpersist()
+    if check_convergence and not converged:
+        raise ConvergenceError(
+            f"bfs_hops: frontier still expanding after {max_iter} hops — "
+            "raise max_iter (diameter exceeds the budget)"
+        )
     return visited
 
 
@@ -491,6 +526,7 @@ def label_propagation(
             if changed > 0:
                 und.unpersist()
                 labels.unpersist()
+                updated.unpersist()
                 raise ConvergenceError(
                     f"label_propagation: labels still changing after "
                     f"{iterations} rounds — raise iterations (or the "
@@ -553,6 +589,7 @@ def closeness_centrality(
     dst: str = "dst",
     roots: DataFrame | None = None,
     max_iter: int = 20,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """Closeness centrality (centrality.rs:109):
     closeness(v) = (reached(v) − 1) / Σ_u dist(v, u) over the vertices
@@ -575,6 +612,7 @@ def closeness_centrality(
         )
     )
     frontier = visited
+    converged = False
     for hop in range(1, max_iter + 1):
         neighbors = (
             und.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -586,12 +624,18 @@ def closeness_centrality(
             .withColumn("hops", F.lit(hop))
         )
         if new_frontier.limit(1).count() == 0:
+            converged = True
             break
         visited = visited.union(new_frontier)
         if hop % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
         frontier = new_frontier
     und.unpersist()
+    if check_convergence and not converged:
+        raise ConvergenceError(
+            f"closeness_centrality: multi-source BFS frontier still "
+            f"expanding after {max_iter} hops — raise max_iter"
+        )
     return visited.groupBy(F.col("root").alias("id")).agg(
         (F.count(F.lit(1)) - 1).alias("n_reached"),
         F.when(
@@ -625,11 +669,18 @@ def eigenvector_centrality(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 10,
+    check_convergence: bool = False,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Eigenvector centrality by power iteration (centrality.rs:344):
     x ← A·x / ‖A·x‖₂ on the symmetric closure, fixed iteration count
     for engine-independent results. Edges partition once on the join
     key; each round moves only the |V|-row score vector.
+
+    ``check_convergence=True`` raises :class:`ConvergenceError` if the
+    last two (normalized) iterates differ by more than ``tol`` in max
+    norm — the power method has not settled on the principal
+    eigenvector at this budget.
     """
     und = symmetrize(edges, src, dst).repartition("dst").persist()
     verts = tracked_persist(
@@ -637,6 +688,7 @@ def eigenvector_centrality(
     )
     scores = verts.withColumn("score", F.lit(1.0))
     scores = _l2_normalize(scores, "score")
+    prev_scores = scores
     for i in range(iterations):
         nbr_sum = (
             und.join(scores.withColumnRenamed("id", "dst"), "dst")
@@ -649,6 +701,25 @@ def eigenvector_centrality(
         scores = _l2_normalize(scores, "score")
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             scores = scores.localCheckpoint(eager=True)
+        if check_convergence and i == iterations - 1:
+            delta = (
+                scores.alias("cur")
+                .join(prev_scores.alias("p"), "id")
+                .agg(
+                    F.max(
+                        F.abs(F.col("cur.score") - F.col("p.score"))
+                    ).alias("d")
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta > tol:
+                und.unpersist()
+                raise ConvergenceError(
+                    f"eigenvector_centrality: max |Δscore| = {delta:.3e} "
+                    f"> tol={tol} after {iterations} iterations — raise "
+                    "iterations"
+                )
+        prev_scores = scores
     und.unpersist()
     return scores
 
@@ -660,11 +731,17 @@ def katz_centrality(
     alpha: float = 0.1,
     beta: float = 1.0,
     iterations: int = 10,
+    check_convergence: bool = False,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Katz centrality (centrality.rs:424), fixed-point iteration
     x ← α·Aᵀ·x + β over in-neighbors of the directed graph. α must be
     below 1/λ_max for convergence; fixed iterations keep it
     deterministic. Same one-small-shuffle-per-round shape as PageRank.
+
+    ``check_convergence=True`` raises :class:`ConvergenceError` when the
+    last two iterates differ by more than ``tol`` in max norm (the
+    geometric α-series was truncated short of its fixpoint).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -678,6 +755,7 @@ def katz_centrality(
         .distinct()
     )
     scores = verts.withColumn("score", F.lit(float(beta)))
+    prev_scores = scores
     for i in range(iterations):
         in_sum = (
             e.join(scores.withColumnRenamed("id", "src"), "src")
@@ -693,6 +771,25 @@ def katz_centrality(
         )
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             scores = scores.localCheckpoint(eager=True)
+        if check_convergence and i == iterations - 1:
+            delta = (
+                scores.alias("cur")
+                .join(prev_scores.alias("p"), "id")
+                .agg(
+                    F.max(
+                        F.abs(F.col("cur.score") - F.col("p.score"))
+                    ).alias("d")
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta > tol:
+                e.unpersist()
+                raise ConvergenceError(
+                    f"katz_centrality: max |Δscore| = {delta:.3e} > "
+                    f"tol={tol} after {iterations} iterations — raise "
+                    "iterations or lower alpha"
+                )
+        prev_scores = scores
     e.unpersist()
     return scores
 
@@ -702,12 +799,18 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 10,
+    check_convergence: bool = False,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """HITS hubs & authorities (centrality.rs:501) on the directed
     graph, L2-normalized each half-step:
     auth(v) ← Σ_{u→v} hub(u);  hub(u) ← Σ_{u→v} auth(v).
     Two small shuffles per round (the |V|-row score vectors move; edges
     stay partitioned). Returns (id, authority, hub).
+
+    ``check_convergence=True`` raises :class:`ConvergenceError` when
+    either normalized vector moved more than ``tol`` in max norm over
+    the final round.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -721,6 +824,7 @@ def hits(
     )
     hubs = verts.withColumn("hub", F.lit(1.0))
     auths = verts.withColumn("authority", F.lit(1.0))
+    prev_hubs, prev_auths = hubs, auths
     for i in range(iterations):
         auth_sum = (
             e.join(hubs.withColumnRenamed("id", "src"), "src")
@@ -743,6 +847,29 @@ def hits(
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             auths = auths.localCheckpoint(eager=True)
             hubs = hubs.localCheckpoint(eager=True)
+        if check_convergence and i == iterations - 1:
+            delta = (
+                auths.alias("ca")
+                .join(prev_auths.alias("pa"), "id")
+                .join(hubs.alias("ch"), "id")
+                .join(prev_hubs.alias("ph"), "id")
+                .agg(
+                    F.max(
+                        F.greatest(
+                            F.abs(F.col("ca.authority") - F.col("pa.authority")),
+                            F.abs(F.col("ch.hub") - F.col("ph.hub")),
+                        )
+                    ).alias("d")
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta > tol:
+                e.unpersist()
+                raise ConvergenceError(
+                    f"hits: max |Δscore| = {delta:.3e} > tol={tol} after "
+                    f"{iterations} iterations — raise iterations"
+                )
+        prev_hubs, prev_auths = hubs, auths
     e.unpersist()
     return auths.join(hubs, "id")
 
@@ -754,6 +881,7 @@ def shortest_paths(
     dst: str = "dst",
     cost: str = "cost",
     iterations: int = 10,
+    check_convergence: bool = False,
 ) -> DataFrame:
     """Single-source weighted shortest paths (path.rs Dijkstra parity)
     by synchronous Bellman-Ford relaxation — the distributed-friendly
@@ -765,6 +893,12 @@ def shortest_paths(
     Integer costs keep results bit-identical across engines. Each round
     joins the |V|-row distance vector against the once-partitioned edge
     table. Unreachable vertices return NULL dist.
+
+    ``check_convergence=True`` certifies the fixpoint: relaxation is
+    monotone non-increasing, so two identical consecutive iterates mean
+    no path can improve further; the check raises
+    :class:`ConvergenceError` if the final round still relaxed any
+    vertex.
     """
     e = (
         edges.select(
@@ -786,6 +920,7 @@ def shortest_paths(
             F.lit(None).cast("long")
         ),
     )
+    prev_dist = dist
     for i in range(iterations):
         cand = (
             e.join(
@@ -807,6 +942,23 @@ def shortest_paths(
         )
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             dist = dist.localCheckpoint(eager=True)
+        if check_convergence and i == iterations - 1:
+            dist = dist.localCheckpoint(eager=True)
+            still_relaxing = (
+                dist.alias("cur")
+                .join(prev_dist.alias("p"), "id")
+                .filter(~F.col("cur.dist").eqNullSafe(F.col("p.dist")))
+                .limit(1)
+                .count()
+            )
+            if still_relaxing:
+                e.unpersist()
+                raise ConvergenceError(
+                    f"shortest_paths: distances still relaxing after "
+                    f"{iterations} rounds — raise iterations (longest "
+                    "shortest path exceeds the budget)"
+                )
+        prev_dist = dist
     e.unpersist()
     return dist
 

@@ -153,7 +153,9 @@ def q66(spark, sf_dir):
     """,
 )
 def q67(spark, sf_dir):
-    return connected_components(_strong_edges(spark, sf_dir)).orderBy("id")
+    return connected_components(
+        _strong_edges(spark, sf_dir), check_convergence=True
+    ).orderBy("id")
 
 
 # --- q68: PageRank, 10 fixed iterations (centrality.rs:250) -----------------
@@ -188,12 +190,14 @@ def _pagerank_oracle(iterations: int = 10) -> str:
     """
 
 
-@query("q68_trade_pagerank", oracle=_pagerank_oracle())
+@query("q68_trade_pagerank", oracle=_pagerank_oracle(20))
 def q68(spark, sf_dir):
     # PageRank itself is directional; the oracle ranks the undirected
     # trade graph, so feed it the symmetric closure.
     und = symmetrize(_strong_edges(spark, sf_dir))
-    ranks = pagerank(und, iterations=10)
+    # 20 rounds: certified below max |delta-rank| <= 1e-6 (10 rounds
+    # measured 2.0e-6 at sf0.01 -- just short of the certificate).
+    ranks = pagerank(und, iterations=20, check_convergence=True)
     return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
 
@@ -215,7 +219,7 @@ def q68(spark, sf_dir):
 def q69(spark, sf_dir):
     edges = tracked_persist(_strong_edges(spark, sf_dir))
     seed = edges.agg(F.least(F.min("src"), F.min("dst"))).first()[0]
-    return bfs_hops(edges, [seed]).orderBy("id")
+    return bfs_hops(edges, [seed], check_convergence=True).orderBy("id")
 
 
 # --- q97: per-vertex clustering coefficient on the strong trade graph -------
@@ -291,6 +295,11 @@ def _lpa_oracle(iterations: int = 4) -> str:
 def q106(spark, sf_dir):
     from pandrs_spark.operators.graph import label_propagation
 
+    # Synchronous LPA 2-cycles on this graph (probed at sf0.01: labels
+    # still flip at 4, 8 and 12 rounds -- the classic sync-update
+    # oscillation), so the fixed 4-round truncation convention stays and
+    # check_convergence is intentionally OFF; the oracle unrolls the
+    # same 4 rounds.
     out = label_propagation(_strong_edges(spark, sf_dir), iterations=4)
     return out.orderBy("id")
 
@@ -341,7 +350,9 @@ def q108(spark, sf_dir):
 
     edges = _strong_edges(spark, sf_dir)
     und = symmetrize(edges)
-    comps = connected_components(edges).withColumnRenamed("component", "community")
+    comps = connected_components(
+        edges, check_convergence=True
+    ).withColumnRenamed("component", "community")
     out = modularity(und, comps)
     return out.select(
         "community",
@@ -376,7 +387,9 @@ def q108(spark, sf_dir):
 def q112(spark, sf_dir):
     from pandrs_spark.operators.graph import closeness_centrality
 
-    out = closeness_centrality(_strong_edges(spark, sf_dir))
+    out = closeness_centrality(
+        _strong_edges(spark, sf_dir), check_convergence=True
+    )
     return out.select(
         "id", "n_reached", F.round("closeness", 6).alias("closeness")
     ).orderBy("id")
@@ -408,11 +421,15 @@ def _eigenvector_oracle(iterations: int = 10) -> str:
     """
 
 
-@query("q113_eigenvector_centrality", oracle=_eigenvector_oracle())
+@query("q113_eigenvector_centrality", oracle=_eigenvector_oracle(20))
 def q113(spark, sf_dir):
     from pandrs_spark.operators.graph import eigenvector_centrality
 
-    out = eigenvector_centrality(_strong_edges(spark, sf_dir), iterations=10)
+    # 20 rounds: 10 measured max |delta| = 3.3e-6 at sf0.01, above the
+    # 1e-6 certificate; 20 measures 1.3e-10.
+    out = eigenvector_centrality(
+        _strong_edges(spark, sf_dir), iterations=20, check_convergence=True
+    )
     return out.select("id", F.round("score", 6).alias("score")).orderBy("id")
 
 
@@ -462,7 +479,9 @@ def _hits_oracle(iterations: int = 10) -> str:
 def q114(spark, sf_dir):
     from pandrs_spark.operators.graph import hits
 
-    out = hits(_strong_edges(spark, sf_dir), iterations=10)
+    out = hits(
+        _strong_edges(spark, sf_dir), iterations=10, check_convergence=True
+    )
     return out.select(
         "id",
         F.round("authority", 6).alias("authority"),
@@ -520,16 +539,25 @@ def q115(spark, sf_dir):
         )
     )
     seed = w.agg(F.least(F.min("src"), F.min("dst"))).first()[0]
-    return shortest_paths(w, seed, iterations=10).orderBy("id")
+    return shortest_paths(
+        w, seed, iterations=10, check_convergence=True
+    ).orderBy("id")
 
 
 # --- q116: Katz centrality, 10 fixed-point iterations (centrality.rs:424) ----
 def _katz_oracle(iterations: int = 10, alpha: float = 0.1, beta: float = 1.0) -> str:
-    steps = [f"kz0 AS MATERIALIZED (SELECT id, {beta!r} AS s FROM verts)"]
+    # CAST to DOUBLE: bare decimal literals chain-multiply into DECIMAL
+    # scale overflow in DuckDB past ~12 unrolled rounds.
+    steps = [
+        f"kz0 AS MATERIALIZED "
+        f"(SELECT id, CAST({beta!r} AS DOUBLE) AS s FROM verts)"
+    ]
     for k in range(1, iterations + 1):
         steps.append(
             f"""kz{k} AS MATERIALIZED (
-        SELECT v.id, {alpha!r} * COALESCE(m.t, 0) + {beta!r} AS s
+        SELECT v.id,
+               CAST({alpha!r} AS DOUBLE) * COALESCE(m.t, 0)
+                   + CAST({beta!r} AS DOUBLE) AS s
         FROM verts v LEFT JOIN (
             SELECT e.dst AS id, SUM(p.s) AS t
             FROM kz{k - 1} p JOIN strong e ON e.src = p.id
@@ -549,11 +577,19 @@ def _katz_oracle(iterations: int = 10, alpha: float = 0.1, beta: float = 1.0) ->
     """
 
 
-@query("q116_katz_centrality", oracle=_katz_oracle())
+@query("q116_katz_centrality", oracle=_katz_oracle(30, alpha=0.05))
 def q116(spark, sf_dir):
     from pandrs_spark.operators.graph import katz_centrality
 
-    out = katz_centrality(_strong_edges(spark, sf_dir), iterations=10)
+    # alpha=0.05: the strong trade graph's directed lambda_max ~ 10.6 at
+    # sf0.01, so the old alpha=0.1 sat ABOVE 1/lambda_max and the Katz
+    # series diverged (the fixed-round convention masked it; the r8
+    # convergence certificate caught it). 0.05*10.6 = 0.53 per-round
+    # contraction -> max |delta| ~ 5.6e-9 after 30 rounds, certified.
+    out = katz_centrality(
+        _strong_edges(spark, sf_dir), alpha=0.05, iterations=30,
+        check_convergence=True,
+    )
     return out.select("id", F.round("score", 6).alias("score")).orderBy("id")
 
 
@@ -588,7 +624,9 @@ def q116(spark, sf_dir):
 def q122(spark, sf_dir):
     from pandrs_spark.operators.graph import strongly_connected_components
 
-    out = strongly_connected_components(_strong_edges(spark, sf_dir))
+    out = strongly_connected_components(
+        _strong_edges(spark, sf_dir), check_convergence=True
+    )
     return out.orderBy("id")
 
 
@@ -824,13 +862,17 @@ def _ppr_oracle(iterations: int = 10, restart: float = 0.15) -> str:
     """
 
 
-@query("q333_personalized_pagerank", oracle=_ppr_oracle())
+@query("q333_personalized_pagerank", oracle=_ppr_oracle(20))
 def q333(spark, sf_dir):
     from pandrs_spark.operators.graph import personalized_pagerank
 
     und = symmetrize(_strong_edges(spark, sf_dir))
     seed = und.agg(F.min("src")).first()[0]
-    ranks = personalized_pagerank(und, seed, restart=0.15, iterations=10)
+    # 20 rounds: 10 measured max |delta-rank| = 1.0e-5 at sf0.01; 20
+    # measures 9.0e-10, inside the certificate.
+    ranks = personalized_pagerank(
+        und, seed, restart=0.15, iterations=20, check_convergence=True
+    )
     return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
 
@@ -1181,9 +1223,11 @@ def q467(spark, sf_dir):
         )
 
     before = summarize(
-        connected_components(und), "components_before", "largest_before"
+        connected_components(und, check_convergence=True),
+        "components_before", "largest_before",
     )
     after = summarize(
-        connected_components(und2), "components_after", "largest_after"
+        connected_components(und2, check_convergence=True),
+        "components_after", "largest_after",
     )
     return F.broadcast(before).crossJoin(F.broadcast(after))

@@ -2551,7 +2551,10 @@ def q446(spark, sf_dir):
     scored = (
         test_cnt.crossJoin(F.broadcast(classes))
         .join(F.broadcast(tot), "c")
-        .join(F.broadcast(logp), ["c", "w"], "left")
+        # logp is vocabulary-sized (V x C rows): NOT broadcast-hinted.  On an
+        # open-vocabulary corpus V grows with the data, so the (c, w) equi-join
+        # must be free to shuffle; AQE may still broadcast it when small.
+        .join(logp, ["c", "w"], "left")
         .crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(n_train))
         .select(
