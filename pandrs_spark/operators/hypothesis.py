@@ -450,17 +450,20 @@ def lmdi_contribution(
 
         contribution = (ΔCVR / ln(CVR_B/CVR_A)) · ln(rate_B/rate_A)
 
-    with the CVR_B = CVR_A limit taken as 0 (the log-mean L(a,a) = a
-    convention applied to a zero total change). Contributions across
-    factors sum to ΔCVR exactly by construction. Pure expression —
-    composes into any aggregate; partition invariance follows from the
-    exactness of the inputs it is applied to.
+    with the CVR_B = CVR_A case taken at the log-mean limit
+    L(a, a) = a, i.e. contribution = CVR_A · ln(rate_B/rate_A): when
+    the total is unchanged but factors moved in offsetting directions,
+    each factor still reports its (nonzero) share and the shares cancel
+    exactly. Contributions across factors sum to ΔCVR exactly by
+    construction. Pure expression — composes into any aggregate;
+    partition invariance follows from the exactness of the inputs it is
+    applied to.
     """
     ra = rate_a if not isinstance(rate_a, str) else F.col(rate_a)
     rb = rate_b if not isinstance(rate_b, str) else F.col(rate_b)
     ca = cvr_a if not isinstance(cvr_a, str) else F.col(cvr_a)
     cb = cvr_b if not isinstance(cvr_b, str) else F.col(cvr_b)
-    return F.when(cb == ca, (rb - ra) * 0.0).otherwise(
+    return F.when(cb == ca, ca * F.log(rb / ra)).otherwise(
         (cb - ca) / F.log(cb / ca) * F.log(rb / ra)
     )
 
@@ -615,18 +618,29 @@ def mood_median_test(
         "n_above",
         "n_below",
         e_above.alias("e_above"),
-        (
-            (F.col("n_above") - e_above) * (F.col("n_above") - e_above) / e_above
-            + (F.col("n_below") - e_below) * (F.col("n_below") - e_below) / e_below
+        # Degenerate-table guard (NULL-on-degenerate convention shared
+        # with logrank_test / mcnemar_test): heavy ties can put every
+        # pooled value on one side of the median, making an expected
+        # cell 0; a NULL cell must poison chi2, not drop out of the sum.
+        F.when(
+            (e_above > 0) & (e_below > 0),
+            (F.col("n_above") - e_above) * (F.col("n_above") - e_above)
+            / e_above
+            + (F.col("n_below") - e_below) * (F.col("n_below") - e_below)
+            / e_below,
         ).alias("cell_chi2"),
     )
     from pandrs_spark.functions.deterministic import quantize
 
     # chi2 totals a handful of per-group double cells — summed via the
     # quantized exact-long path so the statistic is partition-order
-    # invariant like every other fold in this module.
+    # invariant like every other fold in this module. Any NULL cell
+    # (degenerate expected count) yields NULL chi2 for the whole table.
     chi2 = cells.agg(
-        (F.sum(quantize("cell_chi2", 9)).cast("double") / 1e9).alias("chi2")
+        F.when(
+            F.count(F.lit(1)) == F.count("cell_chi2"),
+            F.sum(quantize("cell_chi2", 9)).cast("double") / 1e9,
+        ).alias("chi2")
     )
     return cells.crossJoin(F.broadcast(chi2))
 

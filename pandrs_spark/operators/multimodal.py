@@ -100,7 +100,15 @@ def _decode_image_bytes(content: bytes) -> tuple[int, int, list[float]]:
     the distributed plumbing stays fully testable on arbitrary bytes.
     """
     if content[:2] == b"BM":
-        return _decode_bmp_bytes(content)
+        import struct
+
+        try:
+            return _decode_bmp_bytes(content)
+        except struct.error as e:
+            # non-BMP bytes that merely start with 'BM': surface the
+            # same error family as truncated payloads, not a raw
+            # struct.error from header parsing
+            raise ValueError(f"malformed BMP header: {e}") from e
     if content[:8] == b"\x89PNG\r\n\x1a\n" or content[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
             "real image decoding requires PIL/libvips — not shipped in this container"
@@ -228,6 +236,13 @@ def _decode_bmp_bytes(content: bytes) -> tuple[int, int, list[float]]:
     height = abs(height)
     row = width * 3
     stride = row + (4 - row % 4) % 4
+    if width <= 0 or height <= 0:
+        raise ValueError(f"BMP header declares empty image {width}x{height}")
+    if len(content) < off + (height - 1) * stride + row:
+        raise ValueError(
+            f"truncated BMP payload: need {off + (height - 1) * stride + row}"
+            f" bytes for {width}x{height}, got {len(content)}"
+        )
     sb = sg = sr = 0
     for r in range(height):
         base = off + r * stride

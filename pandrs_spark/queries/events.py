@@ -3767,11 +3767,11 @@ def q419(spark, sf_dir):
            CAST(SIGN(rate_b) * FLOOR(ABS(rate_b) * 1000000.0 + 0.5) AS BIGINT)
                / 1000000.0 AS rate_b,
            CAST(SIGN(CASE WHEN cvrb = cvra
-                          THEN (rate_b - rate_a) * 0.0
+                          THEN cvra * LN(rate_b / rate_a)
                           ELSE (cvrb - cvra) / LN(cvrb / cvra)
                                * LN(rate_b / rate_a) END)
                 * FLOOR(ABS(CASE WHEN cvrb = cvra
-                                 THEN (rate_b - rate_a) * 0.0
+                                 THEN cvra * LN(rate_b / rate_a)
                                  ELSE (cvrb - cvra) / LN(cvrb / cvra)
                                       * LN(rate_b / rate_a) END)
                         * 1000000.0 + 0.5) AS BIGINT) / 1000000.0

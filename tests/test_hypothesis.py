@@ -283,3 +283,42 @@ def test_brunner_munzel_matches_pure_python(spark):
     assert (r["n1"], r["n2"]) == (n1, n2)
     assert r["p_hat"] == pytest.approx(p_hat, abs=1e-9)
     assert r["w_stat"] == pytest.approx(w, abs=1e-6)
+
+
+def test_mood_median_degenerate_ties_null_chi2(spark):
+    """Heavy ties putting every value at/below the pooled median make
+    the expected above-cell 0 — chi2 must be NULL (degenerate-table
+    convention shared with logrank/mcnemar), never an understated sum."""
+    from pandrs_spark.operators.hypothesis import mood_median_test
+
+    rows = [("a", 5.0)] * 3 + [("b", 5.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mood_median_test(df, "v", "g").collect()
+    assert all(r["chi2"] is None for r in out)
+
+
+def test_lmdi_limit_branch_offsetting_factors(spark):
+    """When total CVR is unchanged but factors moved in offsetting
+    directions, each factor reports its log-mean-limit share
+    CVR_A * ln(rate_B/rate_A) (NOT zero) and the shares cancel."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.hypothesis import lmdi_contribution
+
+    # rate1: 0.5 -> 0.8, rate2: 0.4 -> 0.25; CVR = rate1*rate2 = 0.2 both
+    rows = [("f1", 0.5, 0.8, 0.2, 0.2), ("f2", 0.4, 0.25, 0.2, 0.2)]
+    df = spark.createDataFrame(
+        rows, "f string, rate_a double, rate_b double, cvra double, cvrb double"
+    )
+    out = {
+        r["f"]: r["c"]
+        for r in df.select(
+            "f",
+            lmdi_contribution("rate_a", "rate_b", "cvra", "cvrb").alias("c"),
+        ).collect()
+    }
+    assert abs(out["f1"] - 0.2 * math.log(0.8 / 0.5)) < 1e-12
+    assert abs(out["f2"] - 0.2 * math.log(0.25 / 0.4)) < 1e-12
+    assert abs(out["f1"] + out["f2"]) < 1e-12  # shares cancel exactly

@@ -175,3 +175,24 @@ def test_decode_audio_features_distributed(spark):
     assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == 4
     assert got[1]["peak"] == 200
     assert got[2]["sample_rate"] == 44100 and got[2]["rms"] == 0.0
+
+
+def test_bmp_decoder_rejects_truncated_payload():
+    """A payload that parses a valid header but is cut short of
+    off + (height-1)*stride + row bytes must raise ValueError, not
+    silently average short scanlines; non-BMP bytes that merely start
+    with 'BM' surface ValueError, never a raw struct.error."""
+    import pytest
+
+    from pandrs_spark.operators.multimodal import (
+        _decode_bmp_bytes,
+        _decode_image_bytes,
+        encode_bmp_rgb24,
+    )
+
+    full = encode_bmp_rgb24(4, 3, bytes([10, 20, 30]) * 12)
+    assert _decode_bmp_bytes(full)[0] == 4
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_bmp_bytes(full[:-5])
+    with pytest.raises(ValueError):
+        _decode_image_bytes(b"BMshort")
