@@ -29,6 +29,7 @@ __all__ = [
     "rank_histogram",
     "gesd_outlier_peel",
     "msprt_two_proportion",
+    "ipf_rake",
     "lmdi_contribution",
     "mcnemar_test",
     "cohens_kappa",
@@ -772,4 +773,83 @@ def brunner_munzel(
             denom > 0,
             n1 * n2 * (F.col("sr2") / n2 - F.col("sr1") / n1) / denom,
         ).alias("w_stat"),
+    )
+
+
+def ipf_rake(
+    cells: DataFrame,
+    row_col: str,
+    col_col: str,
+    count_col: str,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Iterative proportional fitting / survey raking (Deming-Stephan
+    1940 is the public spec; q475's margin calibration): starting from
+    weight 1 per cell, alternately rescale so the weighted row margins
+    hit ``row_targets`` (columns: row_col, target_r) and the weighted
+    column margins hit ``col_targets`` (columns: col_col, target_c).
+    Returns the cells frame with a ``w`` column after ``n_rounds``
+    full row+column passes.
+
+    Scale: the margin totals are quantized exact-long groupBy sums
+    (partition-order invariant by construction — pinned in
+    tests/test_fold_invariance.py); each round is two small shuffles on
+    the margin keys, with the margin frames broadcast back (bounded by
+    the margin cardinalities, a domain property of raking). Lineage is
+    cut per round.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    w = cells.select(
+        F.col(row_col).alias("__r"),
+        F.col(col_col).alias("__c"),
+        F.col(count_col).alias("__n"),
+        F.lit(1.0).alias("w"),
+    )
+    rt = row_targets.select(
+        F.col(row_col).alias("__r"), F.col("target_r").alias("__tr")
+    )
+    ct = col_targets.select(
+        F.col(col_col).alias("__c"), F.col("target_c").alias("__tc")
+    )
+    for _ in range(n_rounds):
+        r_tot = w.groupBy("__r").agg(
+            (
+                F.sum(quantize(F.col("__n") * F.col("w"), 9)).cast("double")
+                / 1e9
+            ).alias("__cur_r")
+        )
+        w = (
+            w.join(F.broadcast(r_tot), "__r")
+            .join(F.broadcast(rt), "__r")
+            .select(
+                "__r",
+                "__c",
+                "__n",
+                (F.col("w") * (F.col("__tr") / F.col("__cur_r"))).alias("w"),
+            )
+        )
+        c_tot = w.groupBy("__c").agg(
+            (
+                F.sum(quantize(F.col("__n") * F.col("w"), 9)).cast("double")
+                / 1e9
+            ).alias("__cur_c")
+        )
+        w = (
+            w.join(F.broadcast(c_tot), "__c")
+            .join(F.broadcast(ct), "__c")
+            .select(
+                "__r",
+                "__c",
+                "__n",
+                (F.col("w") * (F.col("__tc") / F.col("__cur_c"))).alias("w"),
+            )
+        ).localCheckpoint(eager=True)
+    return w.select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_col),
+        F.col("__n").alias(count_col),
+        "w",
     )

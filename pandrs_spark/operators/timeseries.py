@@ -1408,3 +1408,68 @@ def holt_damped_forecast(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_fold, schema=schema)
+
+
+def page_hinkley(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    delta: float = 0.005,
+    lam: float = 1.0,
+) -> DataFrame:
+    """Page-Hinkley change detection (Page 1954; the streaming-style
+    drift alarm beside the offline CUSUM scan):
+
+        cum_t = Σ_{i≤t} (x_i − x̄_i − δ)   with x̄_i the running mean,
+        PH_t  = cum_t − min_{s≤t} cum_s,   alarm when PH_t > λ.
+
+    The running mean linearizes into prefix sums, so the whole fold is
+    window algebra over the input spine — no recursion. Returns one row
+    (n_days, ph_max, n_alarm_days, first_alarm_idx).
+
+    Scale: the input is expected to be a calendar-bounded series (one
+    row per day/week), so the partitionless ordered windows here are
+    bounded by the calendar, not the data (the same whitelist argument
+    as the resample family). All running sums are quantized exact longs
+    → partition-order invariant (pinned in test_fold_invariance.py).
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    w_in = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_ord = Window.orderBy(order_col)
+    pref = df.select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("x"),
+        F.row_number().over(w_ord).alias("i"),
+        (F.sum(quantize(value_col, 6)).over(w_in).cast("double") / 1e6).alias(
+            "sx"
+        ),
+    )
+    w_run = Window.orderBy("__o").rowsBetween(Window.unboundedPreceding, 0)
+    terms = pref.select(
+        "__o",
+        "i",
+        (F.col("x") - F.col("sx") / F.col("i") - F.lit(delta)).alias("term"),
+    )
+    cum = terms.select(
+        "__o",
+        "i",
+        (F.sum(quantize("term", 6)).over(w_run).cast("double") / 1e6).alias(
+            "c"
+        ),
+    )
+    ph = cum.select(
+        "__o", "i", "c", (F.col("c") - F.min("c").over(w_run)).alias("ph_t")
+    )
+    return ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (quantize(F.max("ph_t"), 6) / 1e6).alias("ph_max"),
+        F.sum(F.when(F.col("ph_t") > F.lit(lam), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.min(F.when(F.col("ph_t") > F.lit(lam), F.col("i")))
+        .cast("long")
+        .alias("first_alarm_idx"),
+    )

@@ -4,7 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["fan_out", "tracked_persist"]
+__all__ = [
+    "UnboundedBuildError",
+    "assert_bounded",
+    "fan_out",
+    "tracked_persist",
+]
 
 
 def tracked_persist(df: DataFrame, level=None) -> DataFrame:
@@ -66,4 +71,35 @@ def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:
         pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(int(target))
+    return df
+
+
+class UnboundedBuildError(RuntimeError):
+    """Raised by :func:`assert_bounded` when a frame claimed to be
+    bounded-by-assumption (e.g. a classifier's label set about to be
+    broadcast) turns out to be data-sized."""
+
+
+def assert_bounded(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+    """Runtime fence for broadcast/crossJoin build sides whose
+    boundedness is a DOMAIN assumption rather than a structural one
+    (scalar aggregates and Limits are plan-provably bounded; a
+    grouped aggregate on a label column is only bounded because label
+    spaces are small). Persists ``df``, counts it once (the frame is
+    about to be reused anyway), and raises :class:`UnboundedBuildError`
+    if the assumption is violated — failing LOUDLY at the fence instead
+    of dying opaquely at the broadcast build on a 100 TB corpus.
+
+    The registry-wide plan census (tools/plan_report.py) whitelists
+    nested-loop builds that pass through this fence by query name, with
+    this function as the enforcement backing the whitelist entry.
+    """
+    df = tracked_persist(df)
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise UnboundedBuildError(
+            f"{what}: build side exceeds the bounded-broadcast fence "
+            f"(> {max_rows} rows) — this frame scales with the data and "
+            "must not be broadcast/nested-loop joined"
+        )
     return df

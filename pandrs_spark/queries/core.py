@@ -113,7 +113,7 @@ def q03(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30 00:00:00")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
@@ -168,19 +168,32 @@ def q05(spark, sf_dir):
     cust = T(spark, sf_dir, "customer")
     orders = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
-    dims = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "r_name", "n_name")
-    )
-    return (
+    # Scale shape: the big joins carry only c_nationkey, the aggregate
+    # collapses to nation cardinality BEFORE any name lookup, and the
+    # only broadcast-hinted frame is the fixed 25-row nation x region
+    # dim. customer joins unhinted — the size-based planner broadcasts
+    # it at test SF and correctly shuffles at 100 TB.
+    per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
-        .groupBy("r_name", "n_name")
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_nationkey")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+    ndim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "r_name", "n_name")
+    )
+    return (
+        per_nation.join(
+            F.broadcast(ndim), per_nation.c_nationkey == ndim.n_nationkey
+        )
+        .select("r_name", "n_name", "revenue", "n_items")
         .orderBy("r_name", "n_name")
     )
 
@@ -1207,7 +1220,7 @@ def q163(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part")
     basket = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
     )
@@ -1793,8 +1806,8 @@ def q204(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
         .filter(pair)
         .groupBy(
             "cust_nation",
@@ -1867,9 +1880,9 @@ def q205(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
-        .join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey)
+        .join(cdim, orders.o_custkey == cdim.c_custkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
+        .join(pdim, li.l_partkey == pdim.p_partkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             rev.alias("rev"),
@@ -1931,8 +1944,8 @@ def q206(spark, sf_dir):
     ) * F.col("l_quantity") * 0.1
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
-        .join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
+        .join(pdim, li.l_partkey == pdim.p_partkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(dsum(profit, 4).alias("profit"))
         .orderBy("nation", "o_year")
@@ -1960,7 +1973,7 @@ def q207(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
         F.date_trunc("month", "l_shipdate").alias("month"),
         rev.alias("rev"),
         "p_type",
@@ -2023,7 +2036,7 @@ def q208(spark, sf_dir):
     return (
         srev.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("__max_rev__"))
-        .join(F.broadcast(supp), "s_suppkey")
+        .join(supp, "s_suppkey")
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -2055,7 +2068,7 @@ def q209(spark, sf_dir):
     )
     pavg = li.groupBy("l_partkey").agg(davg("l_quantity", 2).alias("avg_qty"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(pavg, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -2093,7 +2106,7 @@ def q210(spark, sf_dir):
     )
     return (
         oq.join(orders, oq.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -2911,10 +2924,10 @@ def q250(spark, sf_dir):
     orders = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
     deletions = cust.filter(F.col("c_custkey") % 211 == 0).select("c_custkey")
-    cust_after = anti_join(cust, F.broadcast(deletions), "c_custkey")
+    cust_after = anti_join(cust, deletions, "c_custkey")
     ord_after = anti_join(
         orders,
-        F.broadcast(deletions.withColumnRenamed("c_custkey", "o_custkey")),
+        deletions.withColumnRenamed("c_custkey", "o_custkey"),
         "o_custkey",
     )
     li_after = li.join(
@@ -2928,15 +2941,15 @@ def q250(spark, sf_dir):
             F.lit(tbl).alias("tbl"), "rows_before", "rows_after", "remaining_refs"
         )
 
-    cust_refs = cust_after.join(F.broadcast(deletions), "c_custkey")
+    cust_refs = cust_after.join(deletions, "c_custkey")
     ord_refs = ord_after.join(
-        F.broadcast(deletions.withColumnRenamed("c_custkey", "o_custkey")),
+        deletions.withColumnRenamed("c_custkey", "o_custkey"),
         "o_custkey",
     )
     li_refs = (
         li_after.join(orders, li_after.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(deletions.withColumnRenamed("c_custkey", "del_key")),
+            deletions.withColumnRenamed("c_custkey", "del_key"),
             F.col("o_custkey") == F.col("del_key"),
         )
     )
@@ -3024,7 +3037,7 @@ def q254(spark, sf_dir):
     )
     nation_rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("region", "nation")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(

@@ -120,7 +120,7 @@ def q77(spark, sf_dir):
     orders = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select("c_mktsegment", F.col("c_acctbal").alias("x"), F.col("o_totalprice").alias("y"))
     res = simple_ols(joined, y="y", x="x", by=["c_mktsegment"])
     return res.select(
@@ -1021,7 +1021,7 @@ def q234(spark, sf_dir):
     orders = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     return target_encode(
         joined, "c_mktsegment", "o_totalprice", smoothing=20.0
@@ -1273,7 +1273,7 @@ def q349(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     pt = T(spark, sf_dir, "part")
     per_part = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy("p_partkey", "p_brand", "p_retailprice")
         .agg(dsum("l_quantity", 2).alias("qty"))
         .select(
@@ -1512,7 +1512,7 @@ def q373(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     pt = T(spark, sf_dir, "part")
     baskets = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .groupBy("ok")
         .agg(F.collect_set("item").alias("items"))
@@ -1694,7 +1694,7 @@ def q378(spark, sf_dir):
     od = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer")
     fact = od.join(
-        F.broadcast(cust), od.o_custkey == cust.c_custkey
+        cust, od.o_custkey == cust.c_custkey
     ).select(
         F.col("c_acctbal").cast("double").alias("x"),
         F.col("o_totalprice").cast("double").alias("y"),
@@ -1786,7 +1786,7 @@ def q380(spark, sf_dir):
     od = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer")
     fact = od.join(
-        F.broadcast(cust), od.o_custkey == cust.c_custkey
+        cust, od.o_custkey == cust.c_custkey
     ).select(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias(
             "tag"
@@ -2311,7 +2311,7 @@ def q444(spark, sf_dir):
     orders = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select(F.col("c_acctbal").alias("x"), F.col("o_totalprice").alias("y"))
     agg = joined.agg(
         F.count("x").alias("n"),
@@ -2527,8 +2527,17 @@ def q446(spark, sf_dir):
         ).filter(F.col("w") != "")
     )
     train = toks.filter("is_train")
-    classes = train.groupBy(F.col("source").alias("c")).agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    from pandrs_spark.operators.util import assert_bounded
+
+    # The class set is bounded by the LABEL SPACE, not the data size —
+    # a domain assumption the runtime fence makes loud (and the plan
+    # census whitelists against this exact fence).
+    classes = assert_bounded(
+        train.groupBy(F.col("source").alias("c")).agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs")
+        ),
+        1000,
+        "naive-Bayes class set",
     )
     n_train = classes.agg(F.sum("n_docs").cast("long").alias("nt"))
     vocab = train.agg(F.countDistinct("w").cast("long").alias("v"))

@@ -394,7 +394,9 @@ def q88(spark, sf_dir):
     from pandrs_spark.operators.similarity import ann_lsh_topk, cosine
 
     emb = T(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    # 20-vector query set, bounded by the literal key range;
+    # .limit(20) is exact (vec_id unique) and plan-visible
+    queries = emb.filter(F.col("vec_id") < 20).limit(20)
     # (n_tables, n_planes) trades candidate-set size against recall:
     # 3 planes = 8 coarse buckets/table over this 500-vector corpus
     # measures recall@5 ≈ 0.98; a 1B-vector corpus would raise n_planes
@@ -495,7 +497,9 @@ def q121(spark, sf_dir):
     from pandrs_spark.operators.similarity import ivf_topk
 
     emb = T(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    # 20-vector query set, bounded by the literal key range;
+    # .limit(20) is exact (vec_id unique) and plan-visible
+    queries = emb.filter(F.col("vec_id") < 20).limit(20)
     out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
     return out.orderBy("id_q", "nn_id")
 
@@ -883,7 +887,9 @@ def q173(spark, sf_dir):
     lex = bm25_search(docs, "text", "doc_id", _BM25_TERMS, top_k=50).select(
         "id", F.col("rank").alias("rl")
     )
-    qv = emb.filter(F.col("vec_id") == 0).select(
+    # vec_id is unique -> exactly one row; .limit(1) makes the bound
+    # PLAN-VISIBLE so the census proves the broadcast build is bounded
+    qv = emb.filter(F.col("vec_id") == 0).limit(1).select(
         F.col("embedding").cast("array<double>").alias("v")
     )
     sims = (
@@ -2132,7 +2138,9 @@ def q281(spark, sf_dir):
     from pandrs_spark.operators.similarity import _as_double, cosine, ivf_topk
 
     emb = T(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
+    # 20-vector query set, bounded by the literal key range;
+    # .limit(20) is exact (vec_id unique) and plan-visible
+    queries = emb.filter(F.col("vec_id") < 20).limit(20)
     pred = ivf_topk(
         emb, queries, k=5, n_centroids=8, n_probe=2, with_rank=True
     )

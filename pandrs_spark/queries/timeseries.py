@@ -1532,7 +1532,7 @@ def q295(spark, sf_dir):
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
     ).cast("bigint")
     daily = (
-        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        li.join(sdim, li.l_suppkey == sdim.s_suppkey)
         .groupBy("nation", F.to_date("l_shipdate").alias("d"))
         .agg(F.sum(revq).alias("revq"))
     )
@@ -3078,7 +3078,7 @@ def q452(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part")
     monthly = tracked_persist(
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+        li.join(part.select("p_partkey", "p_brand"),
                 li.l_partkey == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
@@ -3358,7 +3358,7 @@ def q460(spark, sf_dir):
     nation = T(spark, sf_dir, "nation")
     region = T(spark, sf_dir, "region")
     rev = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name").isin("AMERICA", "ASIA"))
@@ -3485,37 +3485,9 @@ def q461(spark, sf_dir):
             "x"
         )
     )
-    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    w_ord = Window.orderBy("day")
-    pref = daily.select(
-        "day",
-        "x",
-        F.row_number().over(w_ord).alias("i"),
-        (F.sum(quantize("x", 6)).over(w_run).cast("double") / 1e6).alias("sx"),
-    )
-    terms = pref.select(
-        "day",
-        "i",
-        (F.col("x") - F.col("sx") / F.col("i") - 0.005).alias("term"),
-    )
-    cum = terms.select(
-        "day",
-        "i",
-        (F.sum(quantize("term", 6)).over(w_run).cast("double") / 1e6).alias("c"),
-    )
-    ph = cum.select(
-        "day", "i", "c", (F.col("c") - F.min("c").over(w_run)).alias("ph_t")
-    )
-    return ph.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        (quantize(F.max("ph_t"), 6) / 1e6).alias("ph_max"),
-        F.sum(F.when(F.col("ph_t") > 1.0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_alarm_days"),
-        F.min(F.when(F.col("ph_t") > 1.0, F.col("i")))
-        .cast("long")
-        .alias("first_alarm_idx"),
-    )
+    from pandrs_spark.operators.timeseries import page_hinkley
+
+    return page_hinkley(daily, "x", "day", delta=0.005, lam=1.0)
 
 
 # --- q462: Bass diffusion grid fit of weekly customer adoption

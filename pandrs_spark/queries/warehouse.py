@@ -107,8 +107,8 @@ def q258(spark, sf_dir):
             (ps.l_partkey == best.bk) & (ps.ucost_q == best.min_cost_q),
         )
         .drop("bk")
-        .join(F.broadcast(pdim), ps.l_partkey == pdim.p_partkey)
-        .join(F.broadcast(sdim), ps.l_suppkey == sdim.s_suppkey)
+        .join(pdim, ps.l_partkey == pdim.p_partkey)
+        .join(sdim, ps.l_suppkey == sdim.s_suppkey)
         .select(
             "p_partkey",
             "p_name",
@@ -275,10 +275,10 @@ def q262(spark, sf_dir):
         (F.col("p_type") != "PROMO") & (F.col("p_size") <= 15)
     ).select("p_partkey", "p_brand", "p_size")
     clean = li.join(
-        F.broadcast(bad), li.l_suppkey == F.col("bad_suppkey"), "left_anti"
+        bad, li.l_suppkey == F.col("bad_suppkey"), "left_anti"
     )
     return (
-        clean.join(F.broadcast(pdim), clean.l_partkey == pdim.p_partkey)
+        clean.join(pdim, clean.l_partkey == pdim.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -322,7 +322,7 @@ def q263(spark, sf_dir):
         & qty.between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
@@ -369,7 +369,7 @@ def q264(spark, sf_dir):
     supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     sel = (
         li.join(
-            F.broadcast(part.select("p_partkey")),
+            part.select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("l_suppkey", "l_partkey")
@@ -381,7 +381,7 @@ def q264(spark, sf_dir):
         .filter(F.col("sq") * 5 > F.col("tq"))
         .select("l_suppkey")
         .distinct()
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -452,7 +452,7 @@ def q265(spark, sf_dir):
             & (F.col("n_supp") > 1)
             & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        .join(supp, flagged.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -795,7 +795,7 @@ def q273(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rolled = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "l_partkey")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
@@ -1438,7 +1438,7 @@ def q292(spark, sf_dir):
     ).select("c_custkey", F.col("n_name").alias("nation"))
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("nation", F.year("o_orderdate").alias("y"))
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
@@ -1649,7 +1649,7 @@ def q298(spark, sf_dir):
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     revq = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
     prior = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("ck")
         )
@@ -1787,7 +1787,7 @@ def q303(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     sr = (
-        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        li.join(sdim, li.l_suppkey == sdim.s_suppkey)
         .groupBy("region", "l_suppkey")
         .agg(F.sum(quantize(rev, 2)).alias("revq"))
     )
@@ -1852,7 +1852,7 @@ def q304(spark, sf_dir):
     part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     d, q = F.col("l_discount"), F.col("l_quantity")
     st = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2046,7 +2046,7 @@ def q307(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("nation", F.year("o_orderdate").alias("y"))
         .agg(
             F.sum(quantize("l_quantity")).alias("qq"),
@@ -2237,7 +2237,7 @@ def q310(spark, sf_dir):
     )
     return (
         sold_96.join(sold_later, sold_96.l_partkey == sold_later.lk, "left_anti")
-        .join(F.broadcast(part), sold_96.l_partkey == part.p_partkey)
+        .join(part, sold_96.l_partkey == part.p_partkey)
         .select(
             "l_partkey",
             "p_name",
@@ -2418,7 +2418,7 @@ def q314(spark, sf_dir):
         .filter(F.col("n_lines") >= 20)
     )
     return (
-        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey)
         .select(
             "l_suppkey",
             "s_name",
@@ -2461,7 +2461,7 @@ def q315(spark, sf_dir):
         viol, F.col("l_extendedprice") * (F.col("l_discount") - 0.08)
     ).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(F.col("p_type") != "PROMO")
         .groupBy("p_type")
         .agg(
@@ -2520,7 +2520,7 @@ def q317(spark, sf_dir):
         .filter(F.col("n_sales") >= 5)
     )
     return (
-        agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey)
+        agg.join(part, agg.l_partkey == part.p_partkey)
         .select(
             "l_partkey",
             "p_name",
@@ -2586,7 +2586,7 @@ def q318(spark, sf_dir):
     ).select("c_custkey", F.col("n_name").alias("nation"))
     pq = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
     nm = (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("nation", F.date_trunc("month", "o_orderdate").alias("m"))
         .agg(
             (F.sum(pq).cast("double") / 100.0).alias("rev"),
@@ -3217,7 +3217,7 @@ def q352(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     pt = T(spark, sf_dir, "part")
     st = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(F.col("p_type").alias("ptype"), F.col("l_suppkey").alias("sk"))
         .agg(
             F.sum(
@@ -3299,7 +3299,7 @@ def q357(spark, sf_dir):
     )
     facts = (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(pt, li.l_partkey == pt.p_partkey)
         .crossJoin(F.broadcast(yr))
         .filter(F.year("o_orderdate").cast("int").isin(F.col("y1"), F.col("y2")))
         .groupBy(
@@ -3741,7 +3741,7 @@ def q379(spark, sf_dir):
         bloom_might_contain(words, "o_custkey", num_bits, k=3)
     )
     return (
-        od.join(F.broadcast(dim), od.o_custkey == dim.c_custkey)
+        od.join(dim, od.o_custkey == dim.c_custkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -5496,7 +5496,7 @@ def q472(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
     )
     j = per_part.join(
-        F.broadcast(part.select(F.col("p_partkey").alias("part"), "p_brand")),
+        part.select(F.col("p_partkey").alias("part"), "p_brand"),
         "part",
     )
     agg = j.groupBy(F.col("p_brand").alias("brand")).agg(
@@ -5614,40 +5614,17 @@ def q475(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select("reg", (F.col("total") / n_reg).alias("target_r"))
     )
-    w = cells.select("seg", "reg", "n", F.lit(1.0).alias("w"))
-    for _ in range(3):
-        seg_tot = w.groupBy("seg").agg(
-            (
-                F.sum(quantize(F.col("n") * F.col("w"), 9)).cast("double")
-                / 1e9
-            ).alias("tot_s")
-        )
-        w = (
-            w.join(F.broadcast(seg_tot), "seg")
-            .join(F.broadcast(seg_targets), "seg")
-            .select(
-                "seg",
-                "reg",
-                "n",
-                (F.col("w") * (F.col("target_s") / F.col("tot_s"))).alias("w"),
-            )
-        )
-        reg_tot = w.groupBy("reg").agg(
-            (
-                F.sum(quantize(F.col("n") * F.col("w"), 9)).cast("double")
-                / 1e9
-            ).alias("tot_r")
-        )
-        w = (
-            w.join(F.broadcast(reg_tot), "reg")
-            .join(F.broadcast(reg_targets), "reg")
-            .select(
-                "seg",
-                "reg",
-                "n",
-                (F.col("w") * (F.col("target_r") / F.col("tot_r"))).alias("w"),
-            )
-        ).localCheckpoint(eager=True)
+    from pandrs_spark.operators.hypothesis import ipf_rake
+
+    w = ipf_rake(
+        cells,
+        "seg",
+        "reg",
+        "n",
+        seg_targets.withColumnRenamed("target_s", "target_r"),
+        reg_targets.withColumnRenamed("target_r", "target_c"),
+        n_rounds=3,
+    )
     return w.select(
         "seg",
         F.col("reg").cast("long").alias("reg"),

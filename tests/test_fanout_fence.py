@@ -269,3 +269,21 @@ def test_fan_out_unknown_stats_is_noop(spark):
     # while a real 1-partition scan with known big stats still widens
     big = _docs(spark, 600, 200)
     assert fan_out(big).rdd.getNumPartitions() > 1
+
+
+def test_assert_bounded_fence(spark):
+    """assert_bounded passes bounded frames through and raises LOUDLY on
+    data-sized ones (the runtime backing of the census whitelist)."""
+    import pytest
+
+    from pandrs_spark.operators.util import (
+        UnboundedBuildError,
+        assert_bounded,
+    )
+
+    small = spark.range(10).toDF("id")
+    out = assert_bounded(small, 100, "tiny frame")
+    assert out.count() == 10
+    big = spark.range(500).toDF("id")
+    with pytest.raises(UnboundedBuildError, match="tiny frame|fence"):
+        assert_bounded(big, 100, "tiny frame")

@@ -158,3 +158,126 @@ def test_lmdi_contributions_sum_to_delta_cvr(spark, rates):
         lmdi_contribution("rate_a", "rate_b", "cvra", "cvrb").alias("c")
     ).agg(F.sum("c").alias("total")).first()
     assert out["total"] == pytest.approx(cvrb - cvra, abs=1e-9)
+
+
+# --- Round-8: the round-7 folds (judge task #4) ------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.floats(-3.0, 3.0, allow_nan=False)),
+        min_size=8,
+        max_size=40,
+    ),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_poisson_irls_partition_invariant(spark, rows, pa, pb):
+    from pandrs_spark.operators.ml import poisson_irls_1d
+
+    cols = ["n", "b0", "b1", "mean_y"]
+    outs = []
+    for parts in (pa, pb):
+        df = spark.createDataFrame(rows, "y int, x double").repartition(parts)
+        outs.append(_rows(poisson_irls_1d(df, "y", "x", n_iter=3), cols))
+    assert _same(outs[0], outs[1])
+    assert outs[0][0][0] == len(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 3), st.integers(1, 50)
+        ),
+        min_size=4,
+        max_size=30,
+    ).filter(lambda rs: len({(r, c) for r, c, _ in rs}) == len(rs)),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_ipf_rake_partition_invariant(spark, cells, pa, pb):
+    from pyspark.sql import functions as F
+
+    from pandrs_spark.operators.hypothesis import ipf_rake
+
+    total = float(sum(n for _, _, n in cells))
+    rows_ = sorted({r for r, _, _ in cells})
+    cols_ = sorted({c for _, c, _ in cells})
+    rt = [(r, total / len(rows_)) for r in rows_]
+    ct = [(c, total / len(cols_)) for c in cols_]
+    outs = []
+    for parts in (pa, pb):
+        df = spark.createDataFrame(cells, "r int, c int, n long").repartition(
+            parts
+        )
+        row_t = spark.createDataFrame(rt, "r int, target_r double")
+        col_t = spark.createDataFrame(ct, "c int, target_c double")
+        w = ipf_rake(df, "r", "c", "n", row_t, col_t, n_rounds=3)
+        outs.append(
+            sorted(_rows(w.select("r", "c", "n", "w"), ["r", "c", "n", "w"]))
+        )
+    assert _same(outs[0], outs[1])
+    # after a full pass ending on the column margin, the weighted column
+    # totals hit their targets (IPF invariant) up to double rounding
+    by_c = {}
+    for r, c, n, w in outs[0]:
+        by_c[c] = by_c.get(c, 0.0) + n * w
+    for c, tot_c in by_c.items():
+        assert abs(tot_c - total / len(cols_)) < 1e-3
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.floats(0.5, 50.0, allow_nan=False), min_size=4, max_size=40),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_holt_damped_partition_invariant(spark, xs, pa, pb):
+    from pandrs_spark.operators.timeseries import holt_damped_forecast
+
+    rows = [("s", i, float(v)) for i, v in enumerate(xs)]
+    outs = []
+    for parts in (pa, pb):
+        df = spark.createDataFrame(rows, "k string, t int, x double").repartition(
+            parts
+        )
+        fc = holt_damped_forecast(
+            df, "x", ["t"], ["k"], alpha=0.4, beta=0.3, phi=0.9, horizon=2
+        )
+        outs.append(sorted(_rows(fc, ["t", "holt_damped_fc"])))
+    assert _same(outs[0], outs[1])
+    # the fold replays the Gardner-McKenzie recursion exactly
+    phi, alpha, beta = 0.9, 0.4, 0.3
+    phi_h = phi + phi * phi
+    if len(xs) >= 2:
+        level, trend = xs[0], xs[1] - xs[0]
+        expect = [level + phi_h * trend]
+        for t in range(1, len(xs)):
+            prev = level
+            level = alpha * xs[t] + (1 - alpha) * (level + phi * trend)
+            trend = beta * (level - prev) + (1 - beta) * phi * trend
+            expect.append(level + phi_h * trend)
+        got = [v for _, v in outs[0]]
+        for g, e in zip(got, expect):
+            assert abs(g - e) < 1e-9 * max(1.0, abs(e))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.floats(-5.0, 5.0, allow_nan=False), min_size=3, max_size=40),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_page_hinkley_partition_invariant(spark, xs, pa, pb):
+    from pandrs_spark.operators.timeseries import page_hinkley
+
+    rows = [(i, float(v)) for i, v in enumerate(xs)]
+    cols = ["n_days", "ph_max", "n_alarm_days", "first_alarm_idx"]
+    outs = []
+    for parts in (pa, pb):
+        df = spark.createDataFrame(rows, "d int, x double").repartition(parts)
+        outs.append(_rows(page_hinkley(df, "x", "d", delta=0.01, lam=0.5), cols))
+    assert _same(outs[0], outs[1])
+    assert outs[0][0][0] == len(xs)

@@ -451,3 +451,42 @@ def test_global_row_number_matches_window_and_plan(spark):
     )
     assert nt.filter(F.col("nt") != F.col("nt_w")).count() == 0
     release_persisted()
+
+
+def test_plan_census_classifier_discriminates(spark, sf_dir):
+    """The round-8 census classifier (tools/plan_report.py) must call a
+    scalar-aggregate crossJoin build BENIGN and a data-sized broadcast
+    build SUSPICIOUS — this is the fence that makes the next q446-class
+    broadcast mistake self-catching."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_report import walk_classify
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # benign: scalar aggregate carried via broadcast crossJoin
+    scalar = li.agg(F.avg("l_quantity").alias("m"))
+    benign = li.crossJoin(F.broadcast(scalar)).select(
+        (F.col("l_quantity") - F.col("m")).alias("dev")
+    )
+    c1 = walk_classify(benign._jdf.queryExecution().executedPlan())
+    assert c1["bnlj_benign"] >= 1 and c1["bnlj_suspicious"] == 0, c1
+
+    # suspicious: a data-sized frame (distinct keys of a scaling table)
+    # forced into a nested-loop broadcast build via a non-equi condition
+    keys = li.select("l_orderkey").distinct()
+    suspicious = li.join(
+        F.broadcast(keys.withColumnRenamed("l_orderkey", "k")),
+        F.col("l_orderkey") > F.col("k"),
+    )
+    c2 = walk_classify(suspicious._jdf.queryExecution().executedPlan())
+    assert c2["bnlj_suspicious"] >= 1, c2
+
+    # SinglePartition split: a scalar agg's exchange is benign...
+    c3 = walk_classify(scalar._jdf.queryExecution().executedPlan())
+    assert c3["sp_benign"] >= 1 and c3["sp_suspicious"] == 0, c3
+    # ...while a global data-sized sort to one partition is suspicious
+    glob = li.repartition(1).select("l_orderkey")
+    c4 = walk_classify(glob._jdf.queryExecution().executedPlan())
+    assert c4["sp_suspicious"] >= 1, c4

@@ -8,6 +8,26 @@ Python stages, and whole-stage-codegen spans. The committed artifact
 (PLANS_r{N}.json) lets a reviewer grep "which queries shuffle most /
 which ever nested-loop" without re-running anything.
 
+Round 8 adds a CLASSIFIER over the two counters that used to need
+eyeball audits:
+
+- every ``BroadcastNestedLoopJoin`` build side is walked and classified
+  **benign** (the broadcast subtree is bounded by construction: it
+  contains a scalar ``keys=[]`` aggregate, a Limit/TakeOrdered, only
+  region/nation dim scans, or no file scan at all) vs **suspicious**
+  (a data-sized FileScan reaches the broadcast build with nothing
+  bounding it — the q446-class mistake);
+- every ``Exchange SinglePartition`` is classified by its consumer
+  chain: **benign** when it feeds a scalar aggregate or a bounded
+  Limit/TakeOrdered, **window** when it feeds a partitionless Window
+  (those are separately whitelisted in tests/test_plans.py), and
+  **suspicious** otherwise.
+
+The artifact carries per-query splits plus a top-level
+``suspicious_queries`` list; the fence is suspicious == 0 registry-wide
+(tests/test_plans.py exercises the classifier itself on constructed
+benign/suspicious plans).
+
 Usage: python tools/plan_report.py [sf_dir] [--json OUT] [query ...]
 """
 
@@ -33,6 +53,126 @@ PATTERNS = {
     "parquet_scans": r"\bFileScan parquet\b",
 }
 
+# Tables whose full scan is bounded by construction at any scale factor
+# (fixed-cardinality dims: 5 regions, 25 nations).
+_BOUNDED_TABLES = ("region.parquet", "nation.parquet")
+
+_SCALAR_AGG = re.compile(r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[\]")
+_LIMIT = re.compile(r"\b(?:GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)\b")
+_FILESCAN = re.compile(r"\bFileScan parquet [^\n]*")
+
+
+def _children(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _node_line(node) -> str:
+    """One-line description of a single plan node (no subtree)."""
+    try:
+        return node.simpleString(100)
+    except Exception:  # noqa: BLE001
+        return node.nodeName()
+
+
+def classify_build_subtree(text: str) -> str:
+    """Classify a broadcast build side's subtree TEXT as benign or
+    suspicious. Benign = bounded by construction: a scalar (keys=[])
+    aggregate reduces everything below it, a Limit bounds the row
+    count, every file scan is a fixed-cardinality dim, or nothing scans
+    files at all (LocalTableScan / parallelized fixtures / reused
+    exchanges). Suspicious = a data-sized FileScan reaches the
+    broadcast build unbounded."""
+    if _SCALAR_AGG.search(text) or _LIMIT.search(text):
+        return "benign"
+    scans = _FILESCAN.findall(text)
+    if not scans:
+        return "benign"
+    if all(any(t in s for t in _BOUNDED_TABLES) for s in scans):
+        return "benign"
+    return "suspicious"
+
+
+def classify_single_partition(parent_lines: list[str]) -> str:
+    """Classify one ``Exchange SinglePartition`` by its consumer chain
+    (nearest ancestors first). Benign = feeds a scalar aggregate or a
+    bounded Limit; window = feeds a partitionless Window (fenced by the
+    explicit whitelist in tests/test_plans.py); suspicious otherwise."""
+    for line in parent_lines:
+        if _SCALAR_AGG.search(line) or _LIMIT.search(line):
+            return "benign"
+        if re.match(r"\s*\*?\(?\d*\)?\s*(Window|WindowGroupLimit)\b", line) or line.lstrip().startswith(
+            ("Window", "WindowGroupLimit", "RunningWindowFunction")
+        ):
+            return "window"
+        # pass-through operators between the exchange and its real
+        # consumer: sorts, projects, filters, codegen wrappers
+        stripped = re.sub(r"^\*\(\d+\)\s*", "", line.lstrip())
+        if stripped.startswith(("Sort ", "Sort[", "Project", "Filter", "InputAdapter", "WholeStageCodegen", "ColumnarToRow", "Coalesce")):
+            continue
+        return "suspicious"
+    return "suspicious"
+
+
+def walk_classify(root) -> dict:
+    """Walk the physical plan tree once; classify every BNLJ build side
+    and every SinglePartition exchange."""
+    counts = {
+        "bnlj_benign": 0,
+        "bnlj_suspicious": 0,
+        "sp_benign": 0,
+        "sp_window": 0,
+        "sp_suspicious": 0,
+    }
+
+    def visit(node, ancestors):
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            # AdaptiveSparkPlanExec is a leaf; the real tree hangs off
+            # initialPlan (not yet executed at census time)
+            visit(node.initialPlan(), ancestors)
+            return
+        if "BroadcastNestedLoopJoin" in name:
+            build = None
+            for ch in _children(node):
+                cn = ch.nodeName()
+                if "BroadcastExchange" in cn or "BroadcastQueryStage" in cn:
+                    build = ch
+                    break
+            if build is None:
+                # ReusedExchange build sides have no subtree here; the
+                # original exchange is classified where it first appears
+                for ch in _children(node):
+                    if "ReusedExchange" in ch.nodeName():
+                        build = ch
+                        break
+            if build is None:
+                counts["bnlj_suspicious"] += 1
+            elif "ReusedExchange" in build.nodeName():
+                counts["bnlj_benign"] += 1
+            else:
+                verdict = classify_build_subtree(build.toString())
+                counts[f"bnlj_{verdict}"] += 1
+        if name == "ShuffleExchange" or "Exchange" in name:
+            line = _node_line(node)
+            if "SinglePartition" in line:
+                parent_lines = [_node_line(a) for a in reversed(ancestors)]
+                verdict = classify_single_partition(parent_lines)
+                counts[f"sp_{verdict}"] += 1
+        ancestors.append(node)
+        for ch in _children(node):
+            visit(ch, ancestors)
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                visit(sq.apply(i), ancestors)
+        except Exception:  # noqa: BLE001 — not every node exposes subqueries
+            pass
+        ancestors.pop()
+
+    visit(root, [])
+    return counts
+
 
 def main() -> int:
     args = sys.argv[1:]
@@ -54,13 +194,23 @@ def main() -> int:
 
     out: dict = {"sf_dir": sf_dir, "queries": {}}
     totals = {k: 0 for k in PATTERNS}
+    cls_totals = {
+        "bnlj_benign": 0,
+        "bnlj_suspicious": 0,
+        "sp_benign": 0,
+        "sp_window": 0,
+        "sp_suspicious": 0,
+    }
+    suspicious_queries: list[str] = []
     n_err = 0
     for name, fn in E.queries().items():
         if only and name not in only:
             continue
         try:
             df = fn(spark, sf_dir)
-            text = df._jdf.queryExecution().executedPlan().toString()
+            plan = df._jdf.queryExecution().executedPlan()
+            text = plan.toString()
+            cls = walk_classify(plan)
         except Exception as e:  # noqa: BLE001
             out["queries"][name] = {"error": str(e).splitlines()[0][:160]}
             n_err += 1
@@ -69,14 +219,27 @@ def main() -> int:
             release_persisted()
             spark.catalog.clearCache()
         row = {k: len(re.findall(p, text)) for k, p in PATTERNS.items()}
+        row.update(cls)
         for k, v in row.items():
-            totals[k] += v
+            if k in totals:
+                totals[k] += v
+        for k in cls_totals:
+            cls_totals[k] += cls[k]
+        if cls["bnlj_suspicious"] or cls["sp_suspicious"]:
+            suspicious_queries.append(name)
         out["queries"][name] = row
-    out["totals"] = totals
+    out["totals"] = {**totals, **cls_totals}
+    out["suspicious_queries"] = suspicious_queries
     out["n_queries"] = len(out["queries"])
     out["n_errors"] = n_err
     line = json.dumps(
-        {"n_queries": out["n_queries"], "n_errors": n_err, **totals}
+        {
+            "n_queries": out["n_queries"],
+            "n_errors": n_err,
+            **totals,
+            **cls_totals,
+            "n_suspicious_queries": len(suspicious_queries),
+        }
     )
     print(line)
     if json_out:
