@@ -36,6 +36,7 @@ __all__ = [
     "decode_image_features",
     "decode_audio_features",
     "encode_bmp_rgb24",
+    "encode_png_rgb",
     "encode_wav_pcm16",
     "sample_video_frames",
     "repartition_for_payload",
@@ -92,12 +93,14 @@ def media_stats(df: DataFrame, media_col: str = "media", keep: tuple = ()) -> Da
 
 
 def _decode_image_bytes(content: bytes) -> tuple[int, int, list[float]]:
-    """Dispatching decoder: uncompressed BMP (24-bpp) decodes FOR REAL
-    via the pure-stdlib parser (:func:`_decode_bmp_bytes`); compressed
-    codecs (PNG/JPEG) raise NotImplementedError loudly (they need
-    PIL/libvips, not shipped here); anything else falls through to the
-    deterministic fake (features from sha256 of the byte stream) so
-    the distributed plumbing stays fully testable on arbitrary bytes.
+    """Dispatching decoder: uncompressed BMP (24-bpp) and zlib-deflated
+    PNG (8-bit RGB/RGBA — zlib is stdlib) decode FOR REAL via the
+    pure-stdlib parsers (:func:`_decode_bmp_bytes`,
+    :func:`_decode_png_bytes`); JPEG still raises NotImplementedError
+    loudly (DCT entropy coding genuinely needs libjpeg/PIL); anything
+    else falls through to the deterministic fake (features from sha256
+    of the byte stream) so the distributed plumbing stays fully
+    testable on arbitrary bytes.
     """
     if content[:2] == b"BM":
         import struct
@@ -109,9 +112,11 @@ def _decode_image_bytes(content: bytes) -> tuple[int, int, list[float]]:
             # same error family as truncated payloads, not a raw
             # struct.error from header parsing
             raise ValueError(f"malformed BMP header: {e}") from e
-    if content[:8] == b"\x89PNG\r\n\x1a\n" or content[:3] == b"\xff\xd8\xff":
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_bytes(content)
+    if content[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "real image decoding requires PIL/libvips — not shipped in this container"
+            "real JPEG decoding requires libjpeg/PIL — not shipped in this container"
         )
     h = hashlib.sha256(content).digest()
     width = 1 + h[0] % 64
@@ -179,11 +184,12 @@ def repartition_for_payload(
     return df.repartition(int(parts))
 
 
-# --- Pure-stdlib codecs for UNCOMPRESSED containers (round-7: shrink
-# the codec gap without new libs). BMP (24-bpp BI_RGB) and WAV (PCM16)
-# decode for real through the same mapInPandas plumbing; compressed
-# codecs (PNG/JPEG, MP3/AAC, ...) stay honestly gated behind
-# NotImplementedError. ---------------------------------------------------
+# --- Pure-stdlib codecs (round-7 BMP/WAV; round-8 adds PNG — zlib is
+# stdlib, so "compressed codecs need external libs" only holds for
+# entropy-coded formats). BMP (24-bpp BI_RGB), WAV (PCM16) and PNG
+# (8-bit RGB/RGBA, all five scanline filters) decode for real through
+# the same mapInPandas plumbing; JPEG/MP3/AAC stay honestly gated
+# behind NotImplementedError. --------------------------------------------
 
 
 def encode_bmp_rgb24(width: int, height: int, pixel_bytes: bytes) -> bytes:
@@ -342,3 +348,119 @@ def decode_audio_features(
             )
 
     return df.select(id_col, media_col).mapInPandas(_decode, schema=out_schema)
+
+
+def encode_png_rgb(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Minimal PNG writer: 8-bit RGB (color type 2), filter 0 on every
+    scanline, one zlib-compressed IDAT. ``pixel_bytes`` is
+    ``width*height*3`` RGB bytes in scanline order, top row first.
+    Test/pipeline fixture — the product surface is the decoder."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixel_bytes[r * width * 3 : (r + 1) * width * 3]
+        for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_bytes(content: bytes) -> tuple[int, int, list[float]]:
+    """REAL pure-stdlib PNG decoder (zlib IS stdlib — the round-7
+    'compressed codecs need external libs' gap was only half true):
+    8-bit RGB (color type 2) and RGBA (6), non-interlaced, all five
+    scanline filters (None/Sub/Up/Average/Paeth) reconstructed per the
+    PNG spec. Returns (width, height, per-channel means in file
+    channel order, normalized to [0,1]). Palette/gray/16-bit/Adam7
+    raise NotImplementedError; truncation and CRC-frame damage raise
+    ValueError."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = b""
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + payload + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG supported (depth={bit_depth}, "
+            f"color_type={color_type})"
+        )
+    nch = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected "
+            f"{height * (stride + 1)} for {width}x{height}x{nch}"
+        )
+    sums = [0] * nch
+    prior = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prior[i]
+                c = prior[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        for i in range(stride):
+            sums[i % nch] += line[i]
+        prior = line
+    n = width * height
+    return width, height, [s / n / 255.0 for s in sums]

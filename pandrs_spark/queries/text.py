@@ -1274,6 +1274,99 @@ def q432(spark, sf_dir):
     )
 
 
+def _q483_mean_sql(first_byte: int) -> str:
+    """DuckDB mirror of one PNG channel mean: pixel bytes are md5
+    bytes 1..12 (RGB scanline order), channel c = bytes c, c+3, c+6,
+    c+9 (1-based). Mirrors the decoder's (sum/4)/255 double order."""
+    terms = " + ".join(
+        _sql_hexbyte("hex", first_byte + 3 * k) for k in range(4)
+    )
+    return f"((({terms}) / 4.0) / 255.0)"
+
+
+# --- q483: REAL distributed COMPRESSED-image decode through the
+# driver gate — each document's md5 bytes become a genuine
+# zlib-deflated 2x2 8-bit RGB PNG (fixture encode stage), and the
+# pure-stdlib PNG parser (operators/multimodal.py:_decode_png_bytes:
+# chunk walk -> IHDR -> zlib inflate -> scanline unfilter) runs
+# distributed inside Arrow-batched mapInPandas. The oracle re-derives
+# the channel means from md5 hex arithmetic, exactly the q431 BMP
+# pattern — if the inflate or unfilter is wrong, the means mismatch.
+# This closes the round-7 "compressed codecs stay gated" gap for the
+# deflate family; only entropy-coded formats (JPEG/MP3) remain gated. --------
+@query(
+    "q483_png_decode_pixel_stats",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, md5(text) AS hex FROM documents
+    ),
+    px AS (
+        SELECT doc_id, source,
+               {_q483_mean_sql(1)} AS mean_r,
+               {_q483_mean_sql(2)} AS mean_g,
+               {_q483_mean_sql(3)} AS mean_b
+        FROM h
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) * 2 AS BIGINT) AS sum_width,
+           CAST(COUNT(*) * 2 AS BIGINT) AS sum_height,
+           CAST(SUM({sql_quantize('mean_r', 9)}) AS DOUBLE) / 1e9 AS sum_mean_r,
+           CAST(SUM({sql_quantize('mean_g', 9)}) AS DOUBLE) / 1e9 AS sum_mean_g,
+           CAST(SUM({sql_quantize('mean_b', 9)}) AS DOUBLE) / 1e9 AS sum_mean_b
+    FROM px
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q483(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.multimodal import (
+        attach_media_struct,
+        decode_image_features,
+        encode_png_rgb,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("hex")
+    )
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["hex"].map(
+                lambda h: encode_png_rgb(2, 2, bytes.fromhex(h)[:12])
+            )
+            yield pdf[["doc_id", "source", "content"]]
+
+    enc = docs.mapInPandas(
+        _enc, schema="doc_id long, source string, content binary"
+    )
+    media = attach_media_struct(enc, "content", "image/png")
+    dec = decode_image_features(media, media_col="media", id_col="doc_id")
+    joined = dec.join(enc.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
+            (F.sum(quantize(F.col("features")[0], 9)).cast("double") / 1e9).alias(
+                "sum_mean_r"
+            ),
+            (F.sum(quantize(F.col("features")[1], 9)).cast("double") / 1e9).alias(
+                "sum_mean_g"
+            ),
+            (F.sum(quantize(F.col("features")[2], 9)).cast("double") / 1e9).alias(
+                "sum_mean_b"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # --- q186: corpus-level duplicate 8-gram fraction (C4/Gopher corpus
 # hygiene; one explode + one aggregate, approx_count_distinct is the
 # stated 100 TB swap — operators/text.py corpus_ngram_duplication) -----------

@@ -46,12 +46,21 @@ def test_decode_image_features_deterministic(media_df):
 
 
 def test_decode_rejects_real_images(spark):
+    # JPEG stays honestly gated (DCT entropy coding needs libjpeg);
+    # PNG decodes for real since round 8, so a malformed PNG payload
+    # now surfaces ValueError instead of the old NotImplementedError
     df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xffrest")], "id long, raw binary"
+    )
+    media = attach_media_struct(df, "raw", "image/jpeg")
+    with pytest.raises(Exception, match="NotImplementedError|JPEG"):
+        decode_image_features(media).collect()
+    df2 = spark.createDataFrame(
         [(1, b"\x89PNG\r\n\x1a\nrest")], "id long, raw binary"
     )
-    media = attach_media_struct(df, "raw", "image/png")
-    with pytest.raises(Exception, match="NotImplementedError|real image"):
-        decode_image_features(media).collect()
+    media2 = attach_media_struct(df2, "raw", "image/png")
+    with pytest.raises(Exception, match="ValueError|missing IHDR|truncated"):
+        decode_image_features(media2).collect()
 
 
 def test_sample_video_frames(spark):
@@ -129,9 +138,12 @@ def test_image_dispatch_bmp_vs_png_vs_fake():
     # BMP: real decode
     w, h, feats = _decode_image_bytes(encode_bmp_rgb24(2, 2, bytes(12)))
     assert (w, h) == (2, 2) and feats == [0.0, 0.0, 0.0]
-    # PNG magic: still honestly gated
-    with pytest.raises(NotImplementedError):
+    # PNG decodes for real since round 8; garbage after the magic is a
+    # malformed payload (ValueError), JPEG stays NotImplemented
+    with pytest.raises(ValueError):
         _decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"x" * 16)
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"\xff\xd8\xff" + b"x" * 16)
     # arbitrary bytes: deterministic fake (plumbing-testable)
     w2, h2, f2 = _decode_image_bytes(b"not an image")
     assert 1 <= w2 <= 64 and 1 <= h2 <= 64 and len(f2) == 8
@@ -196,3 +208,106 @@ def test_bmp_decoder_rejects_truncated_payload():
         _decode_bmp_bytes(full[:-5])
     with pytest.raises(ValueError):
         _decode_image_bytes(b"BMshort")
+
+
+def test_png_roundtrip_and_filters():
+    """REAL PNG decode: writer roundtrip (filter 0) plus hand-built
+    payloads exercising Sub/Up/Average/Paeth reconstruction; gates on
+    interlace/palette; ValueError on truncation and corrupt zlib."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from pandrs_spark.operators.multimodal import (
+        _decode_png_bytes,
+        encode_png_rgb,
+    )
+
+    px = bytes(range(48))
+    blob = encode_png_rgb(4, 4, px)
+    w, h, means = _decode_png_bytes(blob)
+    assert (w, h) == (4, 4)
+    for c in range(3):
+        assert abs(means[c] - sum(px[c::3]) / 16 / 255.0) < 1e-12
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    def png_with_filters(width, height, recon_rows, filters):
+        nch, stride = 3, width * 3
+        out, prior = b"", bytes(stride)
+        for r, ft in zip(recon_rows, filters):
+            line = bytearray(stride)
+            for i in range(stride):
+                a = r[i - nch] if i >= nch else 0
+                b = prior[i]
+                c = prior[i - nch] if i >= nch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                line[i] = (r[i] - pred) & 0xFF
+            out += bytes([ft]) + bytes(line)
+            prior = r
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(out))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [bytes((i * 7 + r * 13) % 256 for i in range(12)) for r in range(4)]
+    w, h, m2 = _decode_png_bytes(png_with_filters(4, 4, rows, [1, 2, 3, 4]))
+    for c in range(3):
+        exp = sum(sum(r[c::3]) for r in rows) / 16 / 255.0
+        assert abs(m2[c] - exp) < 1e-12
+
+    with pytest.raises(ValueError):
+        _decode_png_bytes(blob[:-20])
+    # interlaced header must gate, not mis-decode
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_i)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        _decode_png_bytes(bad)
+
+
+def test_decode_image_features_png_distributed(spark):
+    """The mapInPandas image stage decodes real zlib-compressed PNGs
+    partition-parallel."""
+    from pandrs_spark.operators.multimodal import (
+        attach_media_struct,
+        decode_image_features,
+        encode_png_rgb,
+    )
+
+    rows = [
+        (1, encode_png_rgb(2, 2, bytes([255, 0, 0] * 4))),
+        (2, encode_png_rgb(3, 1, bytes([0, 128, 0] * 3))),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary").repartition(2)
+    media = attach_media_struct(df, "content", "image/png")
+    got = {r["id"]: r for r in decode_image_features(media).collect()}
+    assert got[1]["width"] == 2 and abs(got[1]["features"][0] - 1.0) < 1e-12
+    assert got[2]["width"] == 3 and abs(got[2]["features"][1] - 128 / 255.0) < 1e-12
