@@ -3920,1822 +3920,3 @@ def q395(spark, sf_dir):
         (quantize("noisy_n", 6) / 1e6).alias("noisy_n"),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("priority")
-
-
-# --- q403: always-valid A/B inference via mSPRT (mixture sequential
-# probability ratio test, Johari et al. 2017) — the modern "peeking-
-# safe" replacement for the fixed-horizon z-test (q344): the mixture
-# likelihood ratio Λ = sqrt(V/(V+τ²))·exp(θ̂²τ²/(2V(V+τ²))) is a
-# supermartingale under H0, so p = min(1, 1/Λ) stays valid at ANY
-# stopping time. Pure double formula over exact pooled counts (md5
-# arms on custkey; "conversion" = order fulfilled), shared verbatim
-# with the oracle. ------------------------------------------------------------
-@query(
-    "q403_msprt_always_valid",
-    oracle="""
-    WITH arms AS (
-        SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
-                    THEN 1 ELSE 0 END AS arm,
-               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
-        FROM orders
-    ),
-    agg AS (
-        SELECT CAST(SUM(arm) AS BIGINT) AS n1,
-               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
-                   AS c1,
-               CAST(SUM(1 - arm) AS BIGINT) AS n0,
-               CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
-                   AS c0
-        FROM arms
-    ),
-    stat AS (
-        SELECT n1, c1, n0, c0,
-               CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS theta,
-               (CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
-                   * (1 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
-                   * (1.0 / n1 + 1.0 / n0) AS v
-        FROM agg
-    ),
-    lam AS (
-        SELECT n1, c1, n0, c0, theta, v,
-               SQRT(v / (v + 0.0001))
-                   * EXP(theta * theta * 0.0001 / (2.0 * v * (v + 0.0001)))
-                   AS lambda_stat
-        FROM stat
-    )
-    SELECT n1, c1, n0, c0,
-           CAST(SIGN(theta) * FLOOR(ABS(theta) * 1000000.0 + 0.5) AS BIGINT)
-               / 1000000.0 AS theta,
-           CAST(SIGN(lambda_stat) * FLOOR(ABS(lambda_stat) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS lambda_stat,
-           CAST(SIGN(LEAST(1.0, 1.0 / lambda_stat))
-                * FLOOR(ABS(LEAST(1.0, 1.0 / lambda_stat)) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS p_always_valid
-    FROM lam
-    """,
-)
-def q403(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.hypothesis import msprt_two_proportion
-
-    orders = T(spark, sf_dir, "orders")
-    arms = orders.select(
-        F.when(
-            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
-        )
-        .otherwise(0)
-        .alias("arm"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
-    )
-    lam = msprt_two_proportion(arms, "arm", "conv", tau2=0.0001)
-    return lam.select(
-        "n1",
-        "c1",
-        "n0",
-        "c0",
-        (quantize("theta", 6) / 1e6).alias("theta"),
-        (quantize("lambda_stat", 6) / 1e6).alias("lambda_stat"),
-        (
-            quantize(F.least(F.lit(1.0), 1.0 / F.col("lambda_stat")), 6) / 1e6
-        ).alias("p_always_valid"),
-    )
-
-
-# --- q406: Laspeyres / Paasche / Fisher price indices between two
-# years of lineitem trade (index-number economics; aggregation tier).
-# Per part: base-year (1994) and current-year (1997) quantity and
-# mean price; indices over parts traded in BOTH years:
-# L = Σp1q0/Σp0q0, P = Σp1q1/Σp0q1, F = √(LP). All sums quantized
-# exact; prices are extended-price/quantity ratios of exact sums. ------------
-@query(
-    "q406_fisher_price_index",
-    oracle=f"""
-    WITH base AS (
-        SELECT l_partkey,
-               {sql_dsum('l_quantity', 6)} AS q0,
-               {sql_dsum('l_extendedprice')} AS v0
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-          AND l_shipdate < TIMESTAMP '1995-01-01'
-        GROUP BY 1
-    ),
-    cur AS (
-        SELECT l_partkey,
-               {sql_dsum('l_quantity', 6)} AS q1,
-               {sql_dsum('l_extendedprice')} AS v1
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate < TIMESTAMP '1998-01-01'
-        GROUP BY 1
-    ),
-    joined AS (
-        SELECT b.l_partkey,
-               b.q0, b.v0 / b.q0 AS p0,
-               c.q1, c.v1 / c.q1 AS p1
-        FROM base b JOIN cur c ON b.l_partkey = c.l_partkey
-    ),
-    sums AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
-               CAST(SUM({sql_quantize('p1 * q0', 2)}) AS BIGINT) / 100.0
-                   AS s_p1q0,
-               CAST(SUM({sql_quantize('p0 * q0', 2)}) AS BIGINT) / 100.0
-                   AS s_p0q0,
-               CAST(SUM({sql_quantize('p1 * q1', 2)}) AS BIGINT) / 100.0
-                   AS s_p1q1,
-               CAST(SUM({sql_quantize('p0 * q1', 2)}) AS BIGINT) / 100.0
-                   AS s_p0q1
-        FROM joined
-    )
-    SELECT n_parts,
-           {sql_quantize('s_p1q0 / s_p0q0', 6)} / 1000000.0 AS laspeyres,
-           {sql_quantize('s_p1q1 / s_p0q1', 6)} / 1000000.0 AS paasche,
-           {sql_quantize('SQRT((s_p1q0 / s_p0q0) * (s_p1q1 / s_p0q1))', 6)}
-               / 1000000.0 AS fisher
-    FROM sums
-    """,
-)
-def q406(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    li = T(spark, sf_dir, "lineitem")
-
-    def year(y):
-        return li.filter(
-            (F.col("l_shipdate") >= f"{y}-01-01")
-            & (F.col("l_shipdate") < f"{y + 1}-01-01")
-        ).groupBy("l_partkey").agg(
-            dsum("l_quantity", 6).alias("q"),
-            dsum("l_extendedprice").alias("v"),
-        )
-
-    base = year(1994).select(
-        "l_partkey", F.col("q").alias("q0"), (F.col("v") / F.col("q")).alias("p0")
-    )
-    cur = year(1997).select(
-        "l_partkey", F.col("q").alias("q1"), (F.col("v") / F.col("q")).alias("p1")
-    )
-    joined = base.join(cur, "l_partkey")
-    sums = joined.agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        (F.sum(quantize(F.col("p1") * F.col("q0"), 2)).cast("long") / 100.0).alias("s_p1q0"),
-        (F.sum(quantize(F.col("p0") * F.col("q0"), 2)).cast("long") / 100.0).alias("s_p0q0"),
-        (F.sum(quantize(F.col("p1") * F.col("q1"), 2)).cast("long") / 100.0).alias("s_p1q1"),
-        (F.sum(quantize(F.col("p0") * F.col("q1"), 2)).cast("long") / 100.0).alias("s_p0q1"),
-    )
-    lasp = F.col("s_p1q0") / F.col("s_p0q0")
-    paas = F.col("s_p1q1") / F.col("s_p0q1")
-    return sums.select(
-        "n_parts",
-        (quantize(lasp, 6) / 1e6).alias("laspeyres"),
-        (quantize(paas, 6) / 1e6).alias("paasche"),
-        (quantize(F.sqrt(lasp * paas), 6) / 1e6).alias("fisher"),
-    )
-
-
-# --- q407: newsvendor critical-fractile stocking levels — per part,
-# the profit-optimal order quantity is the demand quantile at
-# cu/(cu+co) (underage 3 : overage 1 ⇒ 0.75). EXACT type-1 quantile
-# per part via a cumulative count over the per-part value histogram —
-# windows PARTITIONED BY part, so a billion parts scale horizontally;
-# rank arithmetic is integer-exact (k = ceil(3n/4) = (3n+3) div 4). --------
-@query(
-    "q407_newsvendor_stocking",
-    oracle="""
-    WITH d AS (
-        SELECT l_partkey, CAST(l_quantity AS DOUBLE) AS x
-        FROM lineitem WHERE l_partkey % 199 = 3
-    ),
-    hist AS (
-        SELECT l_partkey, x, COUNT(*) AS c
-        FROM d GROUP BY 1, 2
-    ),
-    cum AS (
-        SELECT l_partkey, x,
-               CAST(SUM(c) OVER (PARTITION BY l_partkey ORDER BY x
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-               CAST(SUM(c) OVER (PARTITION BY l_partkey) AS BIGINT) AS n
-        FROM hist
-    )
-    SELECT l_partkey AS partkey,
-           CAST(MIN(n) AS BIGINT) AS n_obs,
-           MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN x END)
-               AS optimal_order_qty
-    FROM cum
-    GROUP BY l_partkey
-    ORDER BY partkey
-    """,
-)
-def q407(spark, sf_dir):
-    from pyspark.sql import Window
-
-    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 199 == 3)
-    hist = li.groupBy(
-        "l_partkey", F.col("l_quantity").cast("double").alias("x")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    w_cum = (
-        Window.partitionBy("l_partkey")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("l_partkey")
-    cum = hist.select(
-        "l_partkey",
-        "x",
-        F.sum("c").over(w_cum).cast("long").alias("cum"),
-        F.sum("c").over(w_all).cast("long").alias("n"),
-    )
-    return (
-        cum.groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(
-            F.min("n").cast("long").alias("n_obs"),
-            F.min(
-                F.when(
-                    F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("x")
-                )
-            ).alias("optimal_order_qty"),
-        )
-        .orderBy("partkey")
-    )
-
-
-# --- q411: difference-in-differences estimator — the quasi-
-# experimental workhorse: md5-split "treated" customers, pre/post
-# periods around 1996-01-01, outcome = order value. DiD = (T_post −
-# T_pre) − (C_post − C_pre), with the large-sample SE from per-cell
-# variances (Welch form): SE² = Σ s²_cell/n_cell. All four cell
-# moments from quantized exact sums — one grouped aggregate total. ----------
-@query(
-    "q411_difference_in_differences",
-    oracle="""
-    WITH obs AS (
-        SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
-                    THEN 1 ELSE 0 END AS treated,
-               CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
-                    THEN 1 ELSE 0 END AS post,
-               CAST(o_totalprice AS DOUBLE) AS y
-        FROM orders
-    ),
-    cells AS (
-        SELECT treated, post,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 100.0 AS sy,
-               CAST(SUM(CAST(SIGN(y * y) * FLOOR(ABS(y * y) + 0.5) AS BIGINT))
-                    AS DOUBLE) AS syy
-        FROM obs GROUP BY treated, post
-    ),
-    m AS (
-        SELECT treated, post, n, sy / n AS mean,
-               (syy - sy * sy / n) / (n - 1) AS var
-        FROM cells
-    ),
-    wide AS (
-        SELECT
-            MAX(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS t1,
-            MAX(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS t0,
-            MAX(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS c1,
-            MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS c0,
-            MAX(CASE WHEN treated = 1 AND post = 1 THEN var / n END) AS v11,
-            MAX(CASE WHEN treated = 1 AND post = 0 THEN var / n END) AS v10,
-            MAX(CASE WHEN treated = 0 AND post = 1 THEN var / n END) AS v01,
-            MAX(CASE WHEN treated = 0 AND post = 0 THEN var / n END) AS v00,
-            CAST(SUM(n) AS BIGINT) AS n_total
-        FROM m
-    )
-    SELECT n_total,
-           CAST(SIGN((t1 - t0) - (c1 - c0))
-                * FLOOR(ABS((t1 - t0) - (c1 - c0)) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS did,
-           CAST(SIGN(SQRT(v11 + v10 + v01 + v00))
-                * FLOOR(ABS(SQRT(v11 + v10 + v01 + v00)) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS se,
-           CAST(SIGN(((t1 - t0) - (c1 - c0)) / SQRT(v11 + v10 + v01 + v00))
-                * FLOOR(ABS(((t1 - t0) - (c1 - c0))
-                            / SQRT(v11 + v10 + v01 + v00)) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS z
-    FROM wide
-    """,
-)
-def q411(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    orders = T(spark, sf_dir, "orders")
-    obs = orders.select(
-        F.when(
-            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
-        )
-        .otherwise(0)
-        .alias("treated"),
-        F.when(F.col("o_orderdate") >= "1996-01-01", 1).otherwise(0).alias("post"),
-        F.col("o_totalprice").cast("double").alias("y"),
-    )
-    cells = obs.groupBy("treated", "post").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(quantize("y", 2)).cast("double") / 100.0).alias("sy"),
-        F.sum(quantize(F.col("y") * F.col("y"), 0)).cast("double").alias("syy"),
-    )
-    m = cells.withColumn("mean", F.col("sy") / F.col("n")).withColumn(
-        "var",
-        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
-        / (F.col("n") - 1),
-    )
-
-    def cell(t, p, col):
-        return F.max(
-            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
-        )
-
-    wide = m.agg(
-        cell(1, 1, "mean").alias("t1"),
-        cell(1, 0, "mean").alias("t0"),
-        cell(0, 1, "mean").alias("c1"),
-        cell(0, 0, "mean").alias("c0"),
-        F.max(
-            F.when(
-                (F.col("treated") == 1) & (F.col("post") == 1),
-                F.col("var") / F.col("n"),
-            )
-        ).alias("v11"),
-        F.max(
-            F.when(
-                (F.col("treated") == 1) & (F.col("post") == 0),
-                F.col("var") / F.col("n"),
-            )
-        ).alias("v10"),
-        F.max(
-            F.when(
-                (F.col("treated") == 0) & (F.col("post") == 1),
-                F.col("var") / F.col("n"),
-            )
-        ).alias("v01"),
-        F.max(
-            F.when(
-                (F.col("treated") == 0) & (F.col("post") == 0),
-                F.col("var") / F.col("n"),
-            )
-        ).alias("v00"),
-        F.sum("n").cast("long").alias("n_total"),
-    )
-    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
-    se = F.sqrt(F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00"))
-    return wide.select(
-        "n_total",
-        (quantize(did, 6) / 1e6).alias("did"),
-        (quantize(se, 6) / 1e6).alias("se"),
-        (quantize(did / se, 6) / 1e6).alias("z"),
-    )
-
-
-# --- q412: exponentially time-decayed trending score — the "what's
-# hot NOW" ranking: every sale of a part contributes
-# exp(−λ·age_days) with λ = ln2/30 (30-day half-life), so a part's
-# score is its demand convolved with recency. Map-only expression +
-# one groupBy; the decayed contributions are quantized before summing
-# (exp() of exact integer day ages is bit-reproducible across
-# engines). Top 15 by (score, partkey) total order. -------------------------
-@query(
-    "q412_decayed_trending_parts",
-    oracle="""
-    WITH mx AS (SELECT MAX(l_shipdate) AS mxd FROM lineitem),
-    scored AS (
-        SELECT l_partkey,
-               CAST(SIGN(CAST(l_quantity AS DOUBLE)
-                         * EXP(-(LN(2.0) / 30.0)
-                               * DATEDIFF('day', l_shipdate, mx.mxd)))
-                    * FLOOR(ABS(CAST(l_quantity AS DOUBLE)
-                                * EXP(-(LN(2.0) / 30.0)
-                                      * DATEDIFF('day', l_shipdate, mx.mxd)))
-                            * 1e9 + 0.5) AS BIGINT) AS q9
-        FROM lineitem, mx
-    ),
-    agg AS (
-        SELECT l_partkey, COUNT(*) AS n_sales,
-               CAST(SUM(q9) AS BIGINT) AS sq9
-        FROM scored GROUP BY l_partkey
-    )
-    SELECT l_partkey AS partkey, CAST(n_sales AS BIGINT) AS n_sales,
-           CAST(SIGN(CAST(sq9 AS DOUBLE) / 1e9)
-                * FLOOR(ABS(CAST(sq9 AS DOUBLE) / 1e9) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS trend_score
-    FROM agg
-    ORDER BY sq9 DESC, partkey
-    LIMIT 15
-    """,
-)
-def q412(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    li = T(spark, sf_dir, "lineitem")
-    mx = li.agg(F.max("l_shipdate").alias("mxd"))
-    lam = F.log(F.lit(2.0)) / 30.0
-    contrib = F.col("l_quantity").cast("double") * F.exp(
-        -lam * F.datediff("mxd", "l_shipdate")
-    )
-    scored = li.crossJoin(F.broadcast(mx)).select(
-        "l_partkey", quantize(contrib, 9).alias("q9")
-    )
-    agg = scored.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sales"),
-        F.sum("q9").cast("long").alias("sq9"),
-    )
-    return (
-        agg.orderBy(F.desc("sq9"), "l_partkey")
-        .limit(15)
-        .select(
-            F.col("l_partkey").alias("partkey"),
-            "n_sales",
-            (quantize(F.col("sq9").cast("double") / 1e9, 6) / 1e6).alias(
-                "trend_score"
-            ),
-        )
-    )
-
-
-# --- q416: materialized-rollup reuse — the summary-table pattern: ONE
-# persisted (nation, month) revenue rollup answers three coarser
-# grains (per nation, per month, global) by RE-AGGREGATION, never
-# rescanning the fact table. Exact because dsum's quantized longs are
-# associative: re-aggregating partial sums equals aggregating raw rows
-# (the map-side-combine identity, verified here value-for-value — the
-# oracle computes every grain DIRECTLY from orders). At 100 TB the
-# rollup is the only fact-table scan; each grain is then
-# rollup-sized. --------------------------------------------------------------
-@query(
-    "q416_materialized_rollup_reuse",
-    oracle="""
-    WITH direct_nation AS (
-        SELECT 'nation' AS grain, CAST(c.c_nationkey AS VARCHAR) AS key,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(SIGN(o.o_totalprice)
-                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
-                             AS BIGINT)) AS BIGINT) AS revq
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_nationkey
-    ),
-    direct_month AS (
-        SELECT 'month' AS grain,
-               strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS key,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(SIGN(o.o_totalprice)
-                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
-                             AS BIGINT)) AS BIGINT) AS revq
-        FROM orders o
-        GROUP BY 2
-    ),
-    direct_global AS (
-        SELECT 'global' AS grain, 'all' AS key,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(SIGN(o.o_totalprice)
-                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
-                             AS BIGINT)) AS BIGINT) AS revq
-        FROM orders o
-    )
-    SELECT grain, key, n_orders, CAST(revq AS DOUBLE) / 100.0 AS revenue
-    FROM (SELECT * FROM direct_nation UNION ALL
-          SELECT * FROM direct_month UNION ALL
-          SELECT * FROM direct_global)
-    ORDER BY grain, key
-    """,
-)
-def q416(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    orders = T(spark, sf_dir, "orders")
-    cust = T(spark, sf_dir, "customer")
-    # the ONE fact scan: quantized partial sums at (nation, month) grain
-    rollup = tracked_persist(
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("c_nationkey").alias("nation"),
-            F.date_format(
-                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
-            ).alias("month"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(quantize("o_totalprice", 2)).alias("revq"),
-        )
-    )
-
-    def regrain(keys, grain, key_expr):
-        return (
-            rollup.groupBy(*keys)
-            .agg(
-                F.sum("n_orders").cast("long").alias("n_orders"),
-                F.sum("revq").cast("long").alias("revq"),
-            )
-            .select(
-                F.lit(grain).alias("grain"),
-                key_expr.alias("key"),
-                "n_orders",
-                (F.col("revq").cast("double") / 100.0).alias("revenue"),
-            )
-        )
-
-    out = regrain(["nation"], "nation", F.col("nation").cast("string"))
-    out = out.unionByName(regrain(["month"], "month", F.col("month")))
-    out = out.unionByName(regrain([], "global", F.lit("all")))
-    return out.orderBy("grain", "key")
-
-
-# --- q420: stratified average-treatment-effect estimator — completes
-# the causal kit (CUPED q335, DiD q411, mSPRT q403): md5-arm
-# "treatment" on orders, outcomes stratified into five fixed
-# account-balance bands; ATE = Σ_h (n_h/N)·(ȳ_Th − ȳ_Ch) with the
-# stratified SE from within-cell variances. One grouped aggregate over
-# (band, arm) cells — all moments quantized exact. --------------------------
-@query(
-    "q420_stratified_ate",
-    oracle="""
-    WITH obs AS (
-        SELECT CAST(FLOOR((c.c_acctbal + 1000.0) / 2200.0) AS BIGINT) AS band,
-               CASE WHEN substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 1) < '8'
-                    THEN 1 ELSE 0 END AS arm,
-               CAST(o.o_totalprice AS DOUBLE) AS y
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    ),
-    cells AS (
-        SELECT band, arm, COUNT(*) AS n,
-               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 100.0 AS sy,
-               CAST(SUM(CAST(SIGN(y * y) * FLOOR(ABS(y * y) + 0.5) AS BIGINT))
-                    AS DOUBLE) AS syy
-        FROM obs GROUP BY band, arm
-    ),
-    m AS (
-        SELECT band, arm, n, sy / n AS mean,
-               (syy - sy * sy / n) / (n - 1) AS var
-        FROM cells
-    ),
-    strata AS (
-        SELECT band,
-               CAST(SUM(n) AS BIGINT) AS n_h,
-               MAX(CASE WHEN arm = 1 THEN mean END)
-                   - MAX(CASE WHEN arm = 0 THEN mean END) AS diff,
-               MAX(CASE WHEN arm = 1 THEN var / n END)
-                   + MAX(CASE WHEN arm = 0 THEN var / n END) AS v_h
-        FROM m GROUP BY band
-    ),
-    tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n FROM strata),
-    agg AS (
-        SELECT t.n,
-               CAST(SUM(CAST(SIGN((CAST(s.n_h AS DOUBLE) / t.n) * s.diff)
-                             * FLOOR(ABS((CAST(s.n_h AS DOUBLE) / t.n) * s.diff)
-                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
-                   AS ate,
-               CAST(SUM(CAST(SIGN((CAST(s.n_h AS DOUBLE) / t.n)
-                                  * (CAST(s.n_h AS DOUBLE) / t.n) * s.v_h)
-                             * FLOOR(ABS((CAST(s.n_h AS DOUBLE) / t.n)
-                                         * (CAST(s.n_h AS DOUBLE) / t.n) * s.v_h)
-                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
-                   AS var_ate
-        FROM strata s, tot t
-        GROUP BY t.n
-    )
-    SELECT n,
-           CAST(SIGN(ate) * FLOOR(ABS(ate) * 1000000.0 + 0.5) AS BIGINT)
-               / 1000000.0 AS ate,
-           CAST(SIGN(SQRT(var_ate)) * FLOOR(ABS(SQRT(var_ate)) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS se,
-           CAST(SIGN(ate / SQRT(var_ate))
-                * FLOOR(ABS(ate / SQRT(var_ate)) * 1000000.0 + 0.5) AS BIGINT)
-               / 1000000.0 AS z
-    FROM agg
-    """,
-)
-def q420(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    orders = T(spark, sf_dir, "orders")
-    cust = T(spark, sf_dir, "customer")
-    obs = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        F.floor((F.col("c_acctbal") + 1000.0) / 2200.0)
-        .cast("long")
-        .alias("band"),
-        F.when(
-            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
-        )
-        .otherwise(0)
-        .alias("arm"),
-        F.col("o_totalprice").cast("double").alias("y"),
-    )
-    cells = obs.groupBy("band", "arm").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(quantize("y", 2)).cast("double") / 100.0).alias("sy"),
-        F.sum(quantize(F.col("y") * F.col("y"), 0)).cast("double").alias("syy"),
-    )
-    m = cells.withColumn("mean", F.col("sy") / F.col("n")).withColumn(
-        "var",
-        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
-        / (F.col("n") - 1),
-    )
-    strata = m.groupBy("band").agg(
-        F.sum("n").cast("long").alias("n_h"),
-        (
-            F.max(F.when(F.col("arm") == 1, F.col("mean")))
-            - F.max(F.when(F.col("arm") == 0, F.col("mean")))
-        ).alias("diff"),
-        (
-            F.max(F.when(F.col("arm") == 1, F.col("var") / F.col("n")))
-            + F.max(F.when(F.col("arm") == 0, F.col("var") / F.col("n")))
-        ).alias("v_h"),
-    )
-    tot = strata.agg(F.sum("n_h").cast("long").alias("n"))
-    w = F.col("n_h").cast("double") / F.col("n")
-    agg = (
-        strata.crossJoin(F.broadcast(tot))
-        .agg(
-            F.min("n").alias("n"),
-            (F.sum(quantize(w * F.col("diff"), 9)).cast("double") / 1e9).alias(
-                "ate"
-            ),
-            (
-                F.sum(quantize(w * w * F.col("v_h"), 9)).cast("double") / 1e9
-            ).alias("var_ate"),
-        )
-    )
-    return agg.select(
-        "n",
-        (quantize("ate", 6) / 1e6).alias("ate"),
-        (quantize(F.sqrt("var_ate"), 6) / 1e6).alias("se"),
-        (quantize(F.col("ate") / F.sqrt("var_ate"), 6) / 1e6).alias("z"),
-    )
-
-
-# --- q421: Pareto-frontier (skyline) query — parts not dominated on
-# (cheaper retail price, larger size): the multi-objective shortlist
-# primitive. Distributed 2-D sweep: collapse to per-price groups
-# (max size per price), run the NEW global_prefix_max partition-offset
-# primitive over the price order (running max of size over strictly
-# cheaper prices via a 1-group shift), and keep points that top their
-# price group AND beat every cheaper price's best size. NO
-# partitionless window, no pairwise dominance join. --------------------------
-@query(
-    "q421_pareto_frontier_parts",
-    oracle="""
-    WITH sub AS (
-        SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
-               CAST(p_size AS BIGINT) AS sz
-        FROM part WHERE p_partkey % 7 = 3
-    ),
-    grp AS (
-        SELECT price, MAX(sz) AS smax FROM sub GROUP BY price
-    ),
-    pfx AS (
-        SELECT price, smax,
-               MAX(smax) OVER (ORDER BY price
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING) AS before_max
-        FROM grp
-    )
-    SELECT s.p_partkey AS partkey, s.price, s.sz AS size
-    FROM sub s JOIN pfx g ON s.price = g.price
-    WHERE s.sz = g.smax
-      AND (g.before_max IS NULL OR s.sz > g.before_max)
-    ORDER BY s.price, s.p_partkey
-    """,
-)
-def q421(spark, sf_dir):
-    from pandrs_spark.operators.windows import global_prefix_max
-
-    part = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 3)
-    sub = part.select(
-        "p_partkey",
-        F.col("p_retailprice").cast("double").alias("price"),
-        F.col("p_size").cast("long").alias("sz"),
-    )
-    grp = sub.groupBy("price").agg(F.max("sz").alias("smax"))
-    cum = global_prefix_max(grp, [F.col("price")], "smax", "run_max")
-    # the strictly-cheaper max is the PREVIOUS group's running max; grp
-    # is price-distinct (data-sized), so a lag over it would be a
-    # partitionless window — join on the global row number instead
-    # (same sorted pass, plain equi-join).
-    from pandrs_spark.operators.windows import global_row_number
-
-    numbered = global_row_number(
-        cum.select("price", "smax", "run_max"), [F.col("price")], "rn"
-    )
-    prev = numbered.select(
-        (F.col("rn") + 1).alias("rn"), F.col("run_max").alias("before_max")
-    )
-    pfx = numbered.join(prev, "rn", "left")
-    out = (
-        sub.join(pfx.select("price", "smax", "before_max"), "price")
-        .filter(
-            (F.col("sz") == F.col("smax"))
-            & (F.col("before_max").isNull() | (F.col("sz") > F.col("before_max")))
-        )
-        .select(
-            F.col("p_partkey").alias("partkey"),
-            "price",
-            F.col("sz").alias("size"),
-        )
-        .orderBy("price", "partkey")
-    )
-    return out
-
-
-# --- q423: quantile treatment effects — the distributional view the
-# mean-ATE (q420) hides: QTE(p) = Q_T(p) − Q_C(p) at the deciles,
-# exact type-1 quantiles per arm from one cumulative histogram pass
-# (the q391 rank machinery: k = ceil(p·n) in pure integers, the
-# decile set is fixed so the rank lookup is a bounded broadcast
-# join). -----------------------------------------------------------------------
-@query(
-    "q423_quantile_treatment_effects",
-    oracle="""
-    WITH obs AS (
-        SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
-                    THEN 1 ELSE 0 END AS arm,
-               CAST(o_totalprice AS DOUBLE) AS y
-        FROM orders
-    ),
-    hist AS (
-        SELECT arm, y, COUNT(*) AS c FROM obs GROUP BY arm, y
-    ),
-    cum AS (
-        SELECT arm, y,
-               CAST(SUM(c) OVER (PARTITION BY arm ORDER BY y
-                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-               CAST(SUM(c) OVER (PARTITION BY arm) AS BIGINT) AS n
-        FROM hist
-    ),
-    qs AS (
-        SELECT g.i, c.arm, MIN(c.y) AS q
-        FROM generate_series(1, 9) g(i)
-        JOIN cum c ON c.cum >= (g.i * c.n + 9) // 10
-        GROUP BY g.i, c.arm
-    )
-    SELECT i / 10.0 AS level,
-           MIN(CASE WHEN arm = 1 THEN q END) AS q_treat,
-           MIN(CASE WHEN arm = 0 THEN q END) AS q_control,
-           CAST(SIGN(MIN(CASE WHEN arm = 1 THEN q END)
-                     - MIN(CASE WHEN arm = 0 THEN q END))
-                * FLOOR(ABS(MIN(CASE WHEN arm = 1 THEN q END)
-                            - MIN(CASE WHEN arm = 0 THEN q END))
-                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS qte
-    FROM qs GROUP BY i ORDER BY level
-    """,
-)
-def q423(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    orders = T(spark, sf_dir, "orders")
-    obs = orders.select(
-        F.when(
-            F.expr("substr(md5(cast(o_custkey as string)), 1, 1) < '8'"), 1
-        )
-        .otherwise(0)
-        .alias("arm"),
-        F.col("o_totalprice").cast("double").alias("y"),
-    )
-    from pandrs_spark.operators.windows import global_prefix_counts
-
-    # NOT Window.partitionBy(arm).orderBy(y): two arms = two tasks for
-    # the whole table. One distributed sorted pass over (arm, y) with
-    # per-arm count columns — arms are contiguous under that order, so
-    # each row's own-arm running count is exact.
-    hist = obs.groupBy("arm", "y").agg(F.count(F.lit(1)).alias("c"))
-    hist2 = hist.select(
-        "arm",
-        "y",
-        F.when(F.col("arm") == 1, F.col("c")).otherwise(0).alias("ct"),
-        F.when(F.col("arm") == 0, F.col("c")).otherwise(0).alias("cc"),
-    )
-    cumd = global_prefix_counts(
-        hist2, [F.col("arm"), F.col("y")], {"cum_t": "ct", "cum_c": "cc"}
-    )
-    tot = hist.groupBy("arm").agg(F.sum("c").cast("long").alias("n"))
-    cum = cumd.join(F.broadcast(tot), "arm").select(
-        "arm",
-        "y",
-        F.when(F.col("arm") == 1, F.col("cum_t"))
-        .otherwise(F.col("cum_c"))
-        .cast("long")
-        .alias("cum"),
-        "n",
-    )
-    levels = spark.range(1, 10).select(F.col("id").cast("int").alias("i"))
-    qs = (
-        cum.join(F.broadcast(levels), F.col("cum") >= F.expr("(i * n + 9) div 10"))
-        .groupBy("i", "arm")
-        .agg(F.min("y").alias("q"))
-    )
-    qt = F.min(F.when(F.col("arm") == 1, F.col("q")))
-    qc = F.min(F.when(F.col("arm") == 0, F.col("q")))
-    return (
-        qs.groupBy("i")
-        .agg(
-            qt.alias("q_treat"),
-            qc.alias("q_control"),
-            (quantize(qt - qc, 6) / 1e6).alias("qte"),
-        )
-        .select(
-            (F.col("i") / 10.0).alias("level"), "q_treat", "q_control", "qte"
-        )
-        .orderBy("level")
-    )
-
-
-# --- q424: Wilson lower-bound ranking — the cold-start-safe way to
-# rank brands by fulfilled-order rate: the naive rate p̂ overranks
-# tiny-n items; the Wilson score interval's LOWER bound
-# (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), z = 1.96,
-# penalizes uncertainty exactly. Pure grouped aggregate + shared
-# closed-form; top 10 by (wilson_lb, brand) total order. ----------------------
-@query(
-    "q424_wilson_lb_brand_ranking",
-    oracle="""
-    WITH rates AS (
-        SELECT p.p_brand AS brand,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS good
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY p.p_brand
-    ),
-    scored AS (
-        SELECT brand, n, good,
-               CAST(good AS DOUBLE) / n AS p_hat,
-               ((CAST(good AS DOUBLE) / n) + 1.96 * 1.96 / (2.0 * n)
-                - 1.96 * SQRT((CAST(good AS DOUBLE) / n)
-                              * (1.0 - CAST(good AS DOUBLE) / n) / n
-                              + 1.96 * 1.96 / (4.0 * n * n)))
-               / (1.0 + 1.96 * 1.96 / n) AS wilson_lb
-        FROM rates
-    )
-    SELECT brand, n, good,
-           CAST(SIGN(p_hat) * FLOOR(ABS(p_hat) * 1000000.0 + 0.5) AS BIGINT)
-               / 1000000.0 AS p_hat,
-           CAST(SIGN(wilson_lb) * FLOOR(ABS(wilson_lb) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS wilson_lb
-    FROM scored
-    ORDER BY CAST(SIGN(wilson_lb) * FLOOR(ABS(wilson_lb) * 1e9 + 0.5) AS BIGINT)
-             DESC, brand
-    LIMIT 10
-    """,
-)
-def q424(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    li = T(spark, sf_dir, "lineitem")
-    part = T(spark, sf_dir, "part")
-    rates = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
-            .cast("long")
-            .alias("good"),
-        )
-    )
-    p_hat = F.col("good").cast("double") / F.col("n")
-    z2 = 1.96 * 1.96
-    wilson = (
-        p_hat
-        + F.lit(z2) / (2.0 * F.col("n"))
-        - 1.96
-        * F.sqrt(
-            p_hat * (1.0 - p_hat) / F.col("n")
-            + F.lit(z2) / (4.0 * F.col("n") * F.col("n"))
-        )
-    ) / (1.0 + F.lit(z2) / F.col("n"))
-    scored = rates.withColumn("p_hat_raw", p_hat).withColumn(
-        "wilson_raw", wilson
-    )
-    return (
-        scored.orderBy(F.desc(quantize("wilson_raw", 9)), "brand")
-        .limit(10)
-        .select(
-            "brand",
-            "n",
-            "good",
-            (quantize("p_hat_raw", 6) / 1e6).alias("p_hat"),
-            (quantize("wilson_raw", 6) / 1e6).alias("wilson_lb"),
-        )
-    )
-
-
-# --- q425: deterministic Monte-Carlo revenue scenarios — hash-seeded
-# simulation at scale: each 1996 order takes K=100 multiplicative
-# shocks u ∈ [0.9, 1.1) drawn from md5(orderkey, k) (the repo's
-# seeded-randomness idiom, so BOTH engines draw identical scenarios),
-# scenario totals come from quantized exact sums, and the P5/P50/P95
-# of the 100-scenario distribution are exact order statistics over the
-# FIXED scenario axis. Scale shape: the explode is a bounded ×100
-# map-only multiplier (fan_out-style width is inherited from the
-# scan); the shuffle is one groupBy over 100 keys of partial sums.
-# The shape behind revenue-at-risk / capacity planning. -----------------------
-@query(
-    "q425_mc_revenue_scenarios",
-    oracle="""
-    WITH base AS (
-        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS y
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-    ),
-    shocked AS (
-        SELECT g.k,
-               y * (0.9 + 0.2 * (CAST(('0x' || substr(
-                       md5(CAST(o_orderkey AS VARCHAR) || ':' ||
-                           CAST(g.k AS VARCHAR)), 1, 8)) AS BIGINT)
-                    / 4294967296.0)) AS shocked_y
-        FROM base, generate_series(1, 100) g(k)
-    ),
-    scen AS (
-        SELECT k,
-               CAST(SUM(CAST(SIGN(shocked_y) * FLOOR(ABS(shocked_y) * 100.0 + 0.5)
-                             AS BIGINT)) AS BIGINT) AS totq
-        FROM shocked GROUP BY k
-    ),
-    ranked AS (
-        SELECT totq, ROW_NUMBER() OVER (ORDER BY totq) AS rn FROM scen
-    )
-    SELECT CAST(100 AS BIGINT) AS n_scenarios,
-           (SELECT CAST(totq AS DOUBLE) / 100.0 FROM ranked WHERE rn = 5)
-               AS var_p5,
-           (SELECT CAST(totq AS DOUBLE) / 100.0 FROM ranked WHERE rn = 50)
-               AS median_scenario,
-           (SELECT CAST(totq AS DOUBLE) / 100.0 FROM ranked WHERE rn = 95)
-               AS var_p95
-    """,
-)
-def q425(spark, sf_dir):
-    from pandrs_spark.operators.util import fan_out
-
-    orders = T(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01")
-        & (F.col("o_orderdate") < "1997-01-01")
-    )
-    base = orders.select(
-        "o_orderkey", F.col("o_totalprice").cast("double").alias("y")
-    )
-    ks = spark.range(1, 101).select(F.col("id").cast("int").alias("k"))
-    u = (
-        F.expr(
-            "cast(conv(substr(md5(cast(o_orderkey as string) || ':' || "
-            "cast(k as string)), 1, 8), 16, 10) as bigint)"
-        )
-        / F.lit(4294967296.0)
-    )
-    shocked = fan_out(base).crossJoin(F.broadcast(ks)).select(
-        "k",
-        (F.col("y") * (0.9 + 0.2 * u)).alias("shocked_y"),
-    )
-    from pandrs_spark.functions.deterministic import quantize
-
-    scen = shocked.groupBy("k").agg(
-        F.sum(quantize("shocked_y", 2)).cast("long").alias("totq")
-    )
-    # 100 scenarios — a FIXED axis; rank deterministically via a
-    # broadcast self-count (rank = #scenarios below under the (totq, k)
-    # total order) instead of any window
-    a = scen.select(F.col("totq").alias("ta"), F.col("k").alias("ka"))
-    rnk = (
-        scen.crossJoin(F.broadcast(a))
-        .groupBy("totq", "k")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("ta") < F.col("totq"))
-                    | ((F.col("ta") == F.col("totq")) & (F.col("ka") < F.col("k"))),
-                    1,
-                ).otherwise(0)
-            ).alias("below")
-        )
-        .withColumn("rn", F.col("below") + 1)
-    )
-    def at(r):
-        return F.min(F.when(F.col("rn") == r, F.col("totq").cast("double") / 100.0))
-
-    return rnk.agg(
-        F.lit(100).cast("long").alias("n_scenarios"),
-        at(5).alias("var_p5"),
-        at(50).alias("median_scenario"),
-        at(95).alias("var_p95"),
-    )
-
-
-# --- q428: inverse-propensity-weighted ATE (Hájek estimator) — the
-# third causal-adjustment paradigm beside stratification (q420) and
-# DiD (q411): a closed-form linear-probability propensity
-# p̂(x) = β₀ + β₁·acctbal (OLS from quantized exact sums), clipped to
-# [0.05, 0.95], reweights each customer's total spend by 1/p̂ (treated)
-# or 1/(1−p̂) (control). Every weighted sum is quantized before the
-# final ratios, and the whole β → p̂ → weight chain is shared verbatim
-# with the oracle. One fact-table rollup + two scalar aggregates. ------------
-@query(
-    "q428_ipw_ate",
-    oracle="""
-    WITH spend AS (
-        SELECT c.c_custkey AS k, CAST(c.c_acctbal AS DOUBLE) AS x,
-               CASE WHEN substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 1) < '8'
-                    THEN 1.0 ELSE 0.0 END AS tr,
-               COALESCE(CAST(SUM(CAST(SIGN(o.o_totalprice)
-                        * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5) AS BIGINT))
-                        AS DOUBLE) / 100.0, 0.0) AS y
-        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_custkey, c.c_acctbal
-    ),
-    ols AS (
-        SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 100.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 100.0 AS sx,
-               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) + 0.5) AS BIGINT))
-                    AS DOUBLE) AS sxx,
-               CAST(SUM(tr) AS DOUBLE) AS st,
-               CAST(SUM(CAST(SIGN(tr * x) * FLOOR(ABS(tr * x) * 100.0 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 100.0 AS stx
-        FROM spend
-    ),
-    beta AS (
-        SELECT n,
-               (n * stx - sx * st) / (n * sxx - sx * sx) AS b1,
-               (st - (n * stx - sx * st) / (n * sxx - sx * sx) * sx) / n AS b0
-        FROM ols
-    ),
-    wtd AS (
-        SELECT s.k, s.tr, s.y,
-               LEAST(0.95, GREATEST(0.05, b.b0 + b.b1 * s.x)) AS p
-        FROM spend s, beta b
-    ),
-    sums AS (
-        SELECT
-            CAST(SUM(CAST(SIGN(tr * y / p) * FLOOR(ABS(tr * y / p) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS syt,
-            CAST(SUM(CAST(SIGN(tr / p) * FLOOR(ABS(tr / p) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS swt,
-            CAST(SUM(CAST(SIGN((1.0 - tr) * y / (1.0 - p)) * FLOOR(ABS((1.0 - tr) * y / (1.0 - p)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS syc,
-            CAST(SUM(CAST(SIGN((1.0 - tr) / (1.0 - p)) * FLOOR(ABS((1.0 - tr) / (1.0 - p)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS swc,
-            CAST(SUM(CAST(SIGN(tr * y) * FLOOR(ABS(tr * y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS nyt,
-            CAST(SUM(tr) AS DOUBLE) AS nt,
-            CAST(SUM(CAST(SIGN((1.0 - tr) * y) * FLOOR(ABS((1.0 - tr) * y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS nyc,
-            CAST(SUM(1.0 - tr) AS DOUBLE) AS nc
-        FROM wtd
-    )
-    SELECT b.n,
-           CAST(SIGN(b.b1) * FLOOR(ABS(b.b1) * 1e9 + 0.5) AS BIGINT) / 1e9 AS beta1,
-           CAST(SIGN(s.syt / s.swt - s.syc / s.swc)
-                * FLOOR(ABS(s.syt / s.swt - s.syc / s.swc) * 100.0 + 0.5)
-                AS BIGINT) / 100.0 AS ate_ipw,
-           CAST(SIGN(s.nyt / s.nt - s.nyc / s.nc)
-                * FLOOR(ABS(s.nyt / s.nt - s.nyc / s.nc) * 100.0 + 0.5)
-                AS BIGINT) / 100.0 AS naive_diff
-    FROM sums s, beta b
-    """,
-)
-def q428(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    cust = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders")
-    spend = tracked_persist(
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy(
-            F.col("c_custkey").alias("k"),
-            F.col("c_acctbal").cast("double").alias("x"),
-        )
-        .agg(
-            F.coalesce(
-                F.sum(quantize("o_totalprice", 2)).cast("double") / 100.0,
-                F.lit(0.0),
-            ).alias("y")
-        )
-        .withColumn(
-            "tr",
-            F.when(
-                F.expr("substr(md5(cast(k as string)), 1, 1) < '8'"), 1.0
-            ).otherwise(0.0),
-        )
-    )
-    ols = spend.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(quantize("x", 2)).cast("double") / 100.0).alias("sx"),
-        F.sum(quantize(F.col("x") * F.col("x"), 0)).cast("double").alias("sxx"),
-        F.sum("tr").cast("double").alias("st"),
-        (F.sum(quantize(F.col("tr") * F.col("x"), 2)).cast("double") / 100.0).alias(
-            "stx"
-        ),
-    )
-    b1 = (F.col("n") * F.col("stx") - F.col("sx") * F.col("st")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    beta = ols.select(
-        "n",
-        b1.alias("b1"),
-        ((F.col("st") - b1 * F.col("sx")) / F.col("n")).alias("b0"),
-    )
-    wtd = spend.crossJoin(F.broadcast(beta)).withColumn(
-        "p",
-        F.least(
-            F.lit(0.95),
-            F.greatest(F.lit(0.05), F.col("b0") + F.col("b1") * F.col("x")),
-        ),
-    )
-    sums = wtd.agg(
-        (
-            F.sum(quantize(F.col("tr") * F.col("y") / F.col("p"), 2)).cast(
-                "double"
-            )
-            / 100.0
-        ).alias("syt"),
-        (
-            F.sum(quantize(F.col("tr") / F.col("p"), 6)).cast("double") / 1e6
-        ).alias("swt"),
-        (
-            F.sum(
-                quantize(
-                    (1.0 - F.col("tr")) * F.col("y") / (1.0 - F.col("p")), 2
-                )
-            ).cast("double")
-            / 100.0
-        ).alias("syc"),
-        (
-            F.sum(quantize((1.0 - F.col("tr")) / (1.0 - F.col("p")), 6)).cast(
-                "double"
-            )
-            / 1e6
-        ).alias("swc"),
-        (
-            F.sum(quantize(F.col("tr") * F.col("y"), 2)).cast("double") / 100.0
-        ).alias("nyt"),
-        F.sum("tr").cast("double").alias("nt"),
-        (
-            F.sum(quantize((1.0 - F.col("tr")) * F.col("y"), 2)).cast("double")
-            / 100.0
-        ).alias("nyc"),
-        F.sum(1.0 - F.col("tr")).cast("double").alias("nc"),
-    )
-    ate = F.col("syt") / F.col("swt") - F.col("syc") / F.col("swc")
-    naive = F.col("nyt") / F.col("nt") - F.col("nyc") / F.col("nc")
-    return sums.crossJoin(F.broadcast(beta.select("n", "b1"))).select(
-        "n",
-        (quantize("b1", 9) / 1e9).alias("beta1"),
-        (quantize(ate, 2) / 100.0).alias("ate_ipw"),
-        (quantize(naive, 2) / 100.0).alias("naive_diff"),
-    )
-
-
-# --- q430: empirical-Bayes shrinkage of brand fulfilled-rates — the
-# James-Stein companion to q424's Wilson bound: a Beta prior is
-# moment-matched to the observed cross-brand rate distribution
-# (α = m(m(1−m)/v − 1), β = (1−m)(·)), then each brand's rate shrinks to
-# (good + α)/(n + α + β) — small-n brands move toward the corpus mean,
-# big-n brands barely move. Prior moments come from quantized exact
-# sums over the bounded brand rollup; the whole chain is shared
-# verbatim with the oracle. Top 10 by shrunk rate. ---------------------------
-@query(
-    "q430_empirical_bayes_brand_rates",
-    oracle="""
-    WITH rates AS (
-        SELECT p.p_brand AS brand,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS good
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY p.p_brand
-    ),
-    mom AS (
-        SELECT COUNT(*) AS k,
-               CAST(SUM(CAST(SIGN(CAST(good AS DOUBLE) / n)
-                             * FLOOR(ABS(CAST(good AS DOUBLE) / n) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 AS sr,
-               CAST(SUM(CAST(SIGN((CAST(good AS DOUBLE) / n) * (CAST(good AS DOUBLE) / n))
-                             * FLOOR(ABS((CAST(good AS DOUBLE) / n) * (CAST(good AS DOUBLE) / n)) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 AS srr
-        FROM rates
-    ),
-    prior AS (
-        SELECT (sr / k) * ((sr / k) * (1.0 - sr / k)
-                           / ((srr - sr * sr / k) / (k - 1)) - 1.0) AS alpha,
-               (1.0 - sr / k) * ((sr / k) * (1.0 - sr / k)
-                                 / ((srr - sr * sr / k) / (k - 1)) - 1.0) AS beta
-        FROM mom
-    )
-    SELECT r.brand, r.n, r.good,
-           CAST(SIGN(CAST(r.good AS DOUBLE) / r.n)
-                * FLOOR(ABS(CAST(r.good AS DOUBLE) / r.n) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS raw_rate,
-           CAST(SIGN((r.good + p.alpha) / (r.n + p.alpha + p.beta))
-                * FLOOR(ABS((r.good + p.alpha) / (r.n + p.alpha + p.beta))
-                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS eb_rate
-    FROM rates r, prior p
-    ORDER BY CAST(SIGN((r.good + p.alpha) / (r.n + p.alpha + p.beta))
-                  * FLOOR(ABS((r.good + p.alpha) / (r.n + p.alpha + p.beta))
-                          * 1e9 + 0.5) AS BIGINT) DESC, r.brand
-    LIMIT 10
-    """,
-)
-def q430(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    li = T(spark, sf_dir, "lineitem")
-    part = T(spark, sf_dir, "part")
-    rates = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
-            .cast("long")
-            .alias("good"),
-        )
-    )
-    r = F.col("good").cast("double") / F.col("n")
-    mom = rates.agg(
-        F.count(F.lit(1)).alias("k"),
-        (F.sum(quantize(r, 9)).cast("double") / 1e9).alias("sr"),
-        (F.sum(quantize(r * r, 9)).cast("double") / 1e9).alias("srr"),
-    )
-    m = F.col("sr") / F.col("k")
-    v = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("k")) / (
-        F.col("k") - 1
-    )
-    scale = m * (1.0 - m) / v - 1.0
-    prior = mom.select(
-        (m * scale).alias("alpha"), ((1.0 - m) * scale).alias("beta")
-    )
-    eb = (F.col("good") + F.col("alpha")) / (
-        F.col("n") + F.col("alpha") + F.col("beta")
-    )
-    return (
-        rates.crossJoin(F.broadcast(prior))
-        .orderBy(F.desc(quantize(eb, 9)), "brand")
-        .limit(10)
-        .select(
-            "brand",
-            "n",
-            "good",
-            (quantize(r, 6) / 1e6).alias("raw_rate"),
-            (quantize(eb, 6) / 1e6).alias("eb_rate"),
-        )
-    )
-
-
-# --- q464: entropy-weighted TOPSIS supplier ranking — the classic
-# multi-criteria decision matrix (Hwang-Yoon 1981; entropy weights per
-# Shannon): criteria per supplier are revenue (benefit), mean discount
-# (cost) and part breadth (benefit); columns are vector-normalized,
-# entropy-weighted, and each supplier scored by closeness
-# d⁻/(d⁺+d⁻) to the ideal/anti-ideal. Top-10 out. Everything is
-# column-bounded (3 criteria): two aggregates over the supplier
-# rollup + broadcast scalar carries — no pairwise work. -----------------------
-@query(
-    "q464_topsis_supplier_ranking",
-    oracle="""
-    WITH crit AS (
-        SELECT l_suppkey AS supp,
-               CAST(SUM(CAST(SIGN(l_extendedprice)
-                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS rev,
-               CAST(SUM(CAST(SIGN(l_discount) * FLOOR(ABS(l_discount)
-                             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
-                   / COUNT(*) AS disc,
-               CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS breadth
-        FROM lineitem GROUP BY supp
-    ),
-    norms AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               SQRT(CAST(SUM(CAST(SIGN(rev * rev) * FLOOR(ABS(rev * rev) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS nr,
-               SQRT(CAST(SUM(CAST(SIGN(disc * disc) * FLOOR(ABS(disc * disc) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9) AS nd,
-               SQRT(CAST(SUM(CAST(SIGN(breadth * breadth) * FLOOR(ABS(breadth * breadth) + 0.5) AS BIGINT)) AS DOUBLE)) AS nb,
-               CAST(SUM(CAST(SIGN(rev) * FLOOR(ABS(rev) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sr,
-               CAST(SUM(CAST(SIGN(disc) * FLOOR(ABS(disc) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sd,
-               CAST(SUM(CAST(SIGN(breadth) * FLOOR(ABS(breadth) + 0.5) AS BIGINT)) AS DOUBLE) AS sb
-        FROM crit
-    ),
-    ent AS (
-        SELECT
-            -CAST(SUM(CAST(SIGN((rev / n2.sr) * LN(rev / n2.sr)) * FLOOR(ABS((rev / n2.sr) * LN(rev / n2.sr)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / LN(n2.n) AS er,
-            -CAST(SUM(CAST(SIGN((disc / n2.sd) * LN(disc / n2.sd)) * FLOOR(ABS((disc / n2.sd) * LN(disc / n2.sd)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / LN(n2.n) AS ed,
-            -CAST(SUM(CAST(SIGN((breadth / n2.sb) * LN(breadth / n2.sb)) * FLOOR(ABS((breadth / n2.sb) * LN(breadth / n2.sb)) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / LN(n2.n) AS eb
-        FROM crit, norms n2
-        GROUP BY n2.n, n2.sr, n2.sd, n2.sb
-    ),
-    wts AS (
-        SELECT (1 - er) / ((1 - er) + (1 - ed) + (1 - eb)) AS wr,
-               (1 - ed) / ((1 - er) + (1 - ed) + (1 - eb)) AS wd,
-               (1 - eb) / ((1 - er) + (1 - ed) + (1 - eb)) AS wb
-        FROM ent
-    ),
-    v AS (
-        SELECT c.supp,
-               w.wr * (c.rev / n2.nr) AS vr,
-               w.wd * (c.disc / n2.nd) AS vd,
-               w.wb * (c.breadth / n2.nb) AS vb
-        FROM crit c, norms n2, wts w
-    ),
-    ideal AS (
-        SELECT MAX(vr) AS vr_best, MIN(vr) AS vr_worst,
-               MIN(vd) AS vd_best, MAX(vd) AS vd_worst,
-               MAX(vb) AS vb_best, MIN(vb) AS vb_worst
-        FROM v
-    ),
-    scored AS (
-        SELECT v.supp,
-               SQRT(POWER(v.vr - i.vr_best, 2) + POWER(v.vd - i.vd_best, 2)
-                    + POWER(v.vb - i.vb_best, 2)) AS d_plus,
-               SQRT(POWER(v.vr - i.vr_worst, 2) + POWER(v.vd - i.vd_worst, 2)
-                    + POWER(v.vb - i.vb_worst, 2)) AS d_minus
-        FROM v, ideal i
-    )
-    SELECT CAST(supp AS BIGINT) AS supp,
-           CAST(SIGN(d_minus / (d_plus + d_minus))
-                * FLOOR(ABS(d_minus / (d_plus + d_minus)) * 1000000.0 + 0.5)
-                AS BIGINT) / 1000000.0 AS closeness
-    FROM scored
-    ORDER BY CAST(SIGN(d_minus / (d_plus + d_minus))
-                * FLOOR(ABS(d_minus / (d_plus + d_minus)) * 1000000.0 + 0.5)
-                AS BIGINT) DESC, supp
-    LIMIT 10
-    """,
-)
-def q464(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    li = T(spark, sf_dir, "lineitem")
-    crit = tracked_persist(
-        li.groupBy(F.col("l_suppkey").alias("supp")).agg(
-            (
-                F.sum(quantize("l_extendedprice", 2)).cast("double")
-                / 100.0
-                / 1e6
-            ).alias("rev"),
-            (
-                F.sum(quantize("l_discount", 2)).cast("double")
-                / 100.0
-                / F.count(F.lit(1))
-            ).alias("disc"),
-            F.countDistinct("l_partkey").cast("double").alias("breadth"),
-        )
-    )
-    norms = crit.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sqrt(
-            F.sum(quantize(F.col("rev") * F.col("rev"), 6)).cast("double") / 1e6
-        ).alias("nr"),
-        F.sqrt(
-            F.sum(quantize(F.col("disc") * F.col("disc"), 9)).cast("double")
-            / 1e9
-        ).alias("nd"),
-        F.sqrt(
-            F.sum(quantize(F.col("breadth") * F.col("breadth"), 0)).cast(
-                "double"
-            )
-        ).alias("nb"),
-        (F.sum(quantize("rev", 6)).cast("double") / 1e6).alias("sr"),
-        (F.sum(quantize("disc", 9)).cast("double") / 1e9).alias("sd"),
-        F.sum(quantize("breadth", 0)).cast("double").alias("sb"),
-    )
-    j = crit.crossJoin(F.broadcast(norms))
-
-    def ent_term(col, tot):
-        p = F.col(col) / F.col(tot)
-        return p * F.log(p)
-
-    ent = j.groupBy("n", "sr", "sd", "sb").agg(
-        (
-            -(F.sum(quantize(ent_term("rev", "sr"), 9)).cast("double") / 1e9)
-        ).alias("ser"),
-        (
-            -(F.sum(quantize(ent_term("disc", "sd"), 9)).cast("double") / 1e9)
-        ).alias("sed"),
-        (
-            -(F.sum(quantize(ent_term("breadth", "sb"), 9)).cast("double") / 1e9)
-        ).alias("seb"),
-    ).select(
-        (F.col("ser") / F.log(F.col("n").cast("double"))).alias("er"),
-        (F.col("sed") / F.log(F.col("n").cast("double"))).alias("ed"),
-        (F.col("seb") / F.log(F.col("n").cast("double"))).alias("eb"),
-    )
-    wsum = (1 - F.col("er")) + (1 - F.col("ed")) + (1 - F.col("eb"))
-    wts = ent.select(
-        ((1 - F.col("er")) / wsum).alias("wr"),
-        ((1 - F.col("ed")) / wsum).alias("wd"),
-        ((1 - F.col("eb")) / wsum).alias("wb"),
-    )
-    v = tracked_persist(
-        crit.crossJoin(F.broadcast(norms))
-        .crossJoin(F.broadcast(wts))
-        .select(
-            "supp",
-            (F.col("wr") * (F.col("rev") / F.col("nr"))).alias("vr"),
-            (F.col("wd") * (F.col("disc") / F.col("nd"))).alias("vd"),
-            (F.col("wb") * (F.col("breadth") / F.col("nb"))).alias("vb"),
-        )
-    )
-    ideal = v.agg(
-        F.max("vr").alias("vr_best"),
-        F.min("vr").alias("vr_worst"),
-        F.min("vd").alias("vd_best"),
-        F.max("vd").alias("vd_worst"),
-        F.max("vb").alias("vb_best"),
-        F.min("vb").alias("vb_worst"),
-    )
-    s = v.crossJoin(F.broadcast(ideal))
-    d_plus = F.sqrt(
-        (F.col("vr") - F.col("vr_best")) ** 2
-        + (F.col("vd") - F.col("vd_best")) ** 2
-        + (F.col("vb") - F.col("vb_best")) ** 2
-    )
-    d_minus = F.sqrt(
-        (F.col("vr") - F.col("vr_worst")) ** 2
-        + (F.col("vd") - F.col("vd_worst")) ** 2
-        + (F.col("vb") - F.col("vb_worst")) ** 2
-    )
-    closeness = d_minus / (d_plus + d_minus)
-    return (
-        s.select(
-            F.col("supp").cast("long").alias("supp"),
-            (quantize(closeness, 6) / 1e6).alias("closeness"),
-        )
-        .orderBy(F.desc(quantize("closeness", 6)), "supp")
-        .limit(10)
-    )
-
-
-def _q471_abc_sql(alias: str, lo: str, hi: str) -> str:
-    """ABC classes for one period: parts ranked by revenue DESC, class
-    from the running revenue share (A ≤ 0.8, B ≤ 0.95, C rest)."""
-    return f"""
-    rev_{alias} AS (
-        SELECT l_partkey AS part,
-               CAST(SUM(CAST(SIGN(l_extendedprice)
-                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
-                             AS BIGINT)) AS BIGINT) AS revq
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
-        GROUP BY part
-    ),
-    cls_{alias} AS (
-        SELECT part,
-               CASE WHEN CAST(SUM(revq) OVER (ORDER BY revq DESC, part)
-                         AS DOUBLE) / (SELECT SUM(revq) FROM rev_{alias})
-                         <= 0.8 THEN 'A'
-                    WHEN CAST(SUM(revq) OVER (ORDER BY revq DESC, part)
-                         AS DOUBLE) / (SELECT SUM(revq) FROM rev_{alias})
-                         <= 0.95 THEN 'B'
-                    ELSE 'C' END AS cls
-        FROM rev_{alias}
-    )"""
-
-
-# --- q471: ABC class migration matrix — which parts moved between
-# revenue classes from the 1995-1997 window to 1998-2000? Each
-# period's classes come from a revenue-ranked running share (the q216
-# shape; exact scaled-long revenue so rank ties are deterministic);
-# the migration matrix is one join + one count rollup, parts absent
-# from a period labeled '-'. The inventory-management lifecycle view
-# (growing A's, dying C's). ------------------------------------------------------
-@query(
-    "q471_abc_migration_matrix",
-    oracle="WITH "
-    + _q471_abc_sql("a", "1995-01-01", "1998-01-01")
-    + ","
-    + _q471_abc_sql("b", "1998-01-01", "2001-01-01")
-    + """
-    SELECT COALESCE(a.cls, '-') AS class_from,
-           COALESCE(b.cls, '-') AS class_to,
-           CAST(COUNT(*) AS BIGINT) AS n_parts
-    FROM cls_a a FULL OUTER JOIN cls_b b ON b.part = a.part
-    GROUP BY class_from, class_to
-    ORDER BY class_from, class_to
-    """,
-)
-def q471(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-    from pandrs_spark.operators.windows import global_prefix_counts
-
-    li = T(spark, sf_dir, "lineitem")
-
-    def classes(lo, hi):
-        rev = li.filter(
-            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
-        ).groupBy(F.col("l_partkey").alias("part")).agg(
-            F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq")
-        )
-        tot = rev.agg(F.sum("revq").alias("tot"))
-        ranked = global_prefix_counts(
-            rev, [F.desc("revq"), F.asc("part")], {"cum": "revq"}
-        )
-        share = F.col("cum").cast("double") / F.col("tot")
-        return ranked.crossJoin(F.broadcast(tot)).select(
-            "part",
-            F.when(share <= 0.8, "A")
-            .when(share <= 0.95, "B")
-            .otherwise("C")
-            .alias("cls"),
-        )
-
-    a = tracked_persist(classes("1995-01-01", "1998-01-01"))
-    b = tracked_persist(
-        classes("1998-01-01", "2001-01-01").withColumnRenamed("cls", "cls_b")
-    )
-    return (
-        a.join(b, "part", "outer")
-        .groupBy(
-            F.coalesce("cls", F.lit("-")).alias("class_from"),
-            F.coalesce("cls_b", F.lit("-")).alias("class_to"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-        .orderBy("class_from", "class_to")
-    )
-
-
-# --- q472: supplier dependency concentration per brand — single-source
-# risk: for each part, the top supplier's revenue share; per brand the
-# count of single-sourced parts and the mean top-supplier share. Two
-# rollups + one max_by-shaped aggregate, no windows over raw facts. -----------
-@query(
-    "q472_supplier_dependency",
-    oracle="""
-    WITH ps AS (
-        SELECT l.l_partkey AS part, l.l_suppkey AS supp,
-               CAST(SUM(CAST(SIGN(l.l_extendedprice)
-                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
-                             AS BIGINT)) AS BIGINT) AS revq
-        FROM lineitem l GROUP BY part, supp
-    ),
-    per_part AS (
-        SELECT part,
-               CAST(MAX(revq) AS DOUBLE) / SUM(revq) AS top_share,
-               CAST(COUNT(*) AS BIGINT) AS n_suppliers
-        FROM ps GROUP BY part
-    )
-    SELECT p.p_brand AS brand,
-           CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(CASE WHEN pp.n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_single_sourced,
-           CAST(SIGN(CAST(SUM(CAST(SIGN(pp.top_share)
-                    * FLOOR(ABS(pp.top_share) * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 / COUNT(*))
-                * FLOOR(ABS(CAST(SUM(CAST(SIGN(pp.top_share)
-                    * FLOOR(ABS(pp.top_share) * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 / COUNT(*)) * 1000000.0 + 0.5) AS BIGINT)
-               / 1000000.0 AS mean_top_share
-    FROM per_part pp JOIN part p ON p.p_partkey = pp.part
-    GROUP BY brand
-    ORDER BY brand
-    """,
-)
-def q472(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-
-    li = T(spark, sf_dir, "lineitem")
-    part = T(spark, sf_dir, "part")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
-    ).agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"))
-    per_part = ps.groupBy("part").agg(
-        (F.max("revq").cast("double") / F.sum("revq")).alias("top_share"),
-        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-    )
-    j = per_part.join(
-        part.select(F.col("p_partkey").alias("part"), "p_brand"),
-        "part",
-    )
-    agg = j.groupBy(F.col("p_brand").alias("brand")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_single_sourced"),
-        (F.sum(quantize("top_share", 9)).cast("double") / 1e9).alias("ss"),
-    )
-    return agg.select(
-        "brand",
-        "n_parts",
-        "n_single_sourced",
-        (quantize(F.col("ss") / F.col("n_parts"), 6) / 1e6).alias(
-            "mean_top_share"
-        ),
-    ).orderBy("brand")
-
-
-def _q475_round(i: int, prev: str) -> str:
-    """One IPF round: scale to segment margins, then region margins.
-    MATERIALIZED keeps DuckDB's planner linear in rounds."""
-    return f"""
-    r{i}a AS MATERIALIZED (
-        SELECT c.seg, c.reg, c.n,
-               w.w * (t.target / s.tot) AS w
-        FROM {prev} w
-        JOIN cells c ON c.seg = w.seg AND c.reg = w.reg
-        JOIN (SELECT w2.seg, CAST(SUM(CAST(SIGN(c2.n * w2.w)
-                  * FLOOR(ABS(c2.n * w2.w) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-                  / 1e9 AS tot
-              FROM {prev} w2 JOIN cells c2
-                ON c2.seg = w2.seg AND c2.reg = w2.reg
-              GROUP BY w2.seg) s ON s.seg = w.seg
-        JOIN seg_targets t ON t.seg = w.seg
-    ),
-    r{i} AS MATERIALIZED (
-        SELECT a.seg, a.reg,
-               a.w * (t.target / s.tot) AS w
-        FROM r{i}a a
-        JOIN (SELECT a2.reg, CAST(SUM(CAST(SIGN(a2.n * a2.w)
-                  * FLOOR(ABS(a2.n * a2.w) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-                  / 1e9 AS tot
-              FROM r{i}a a2 GROUP BY a2.reg) s ON s.reg = a.reg
-        JOIN reg_targets t ON t.reg = a.reg
-    )"""
-
-
-# --- q475: iterative proportional fitting (IPF / raking) of the
-# (market segment × region) customer table to uniform target margins —
-# the survey-weighting primitive (Deming-Stephan 1940). Three unrolled
-# rounds over the bounded 25-cell table, margin totals as quantized
-# exact sums; the oracle replays the identical trajectory with
-# per-round MATERIALIZED CTEs. One data-scale pass (the cell rollup);
-# everything after is cell-bounded. --------------------------------------------
-@query(
-    "q475_ipf_raking_weights",
-    oracle=f"""
-    WITH cells AS MATERIALIZED (
-        SELECT c.c_mktsegment AS seg, n.n_regionkey AS reg,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
-        GROUP BY seg, reg
-    ),
-    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cells),
-    seg_targets AS (
-        SELECT seg, (SELECT total FROM tot)
-                    / (SELECT COUNT(DISTINCT seg) FROM cells) AS target
-        FROM (SELECT DISTINCT seg FROM cells)
-    ),
-    reg_targets AS (
-        SELECT reg, (SELECT total FROM tot)
-                    / (SELECT COUNT(DISTINCT reg) FROM cells) AS target
-        FROM (SELECT DISTINCT reg FROM cells)
-    ),
-    r0 AS (SELECT seg, reg, 1.0 AS w FROM cells),
-    {_q475_round(1, 'r0')},
-    {_q475_round(2, 'r1')},
-    {_q475_round(3, 'r2')}
-    SELECT c.seg, CAST(c.reg AS BIGINT) AS reg, c.n,
-           CAST(SIGN(r.w) * FLOOR(ABS(r.w) * 1000000.0 + 0.5) AS BIGINT)
-               / 1000000.0 AS weight,
-           CAST(SIGN(c.n * r.w) * FLOOR(ABS(c.n * r.w) * 100.0 + 0.5)
-                AS BIGINT) / 100.0 AS weighted_n
-    FROM cells c JOIN r3 r ON r.seg = c.seg AND r.reg = c.reg
-    ORDER BY c.seg, c.reg
-    """,
-)
-def q475(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    cust = T(spark, sf_dir, "customer")
-    nation = T(spark, sf_dir, "nation")
-    cells = tracked_persist(
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("n_regionkey").alias("reg"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    tot = cells.agg(F.sum("n").cast("double").alias("total"))
-    n_seg = cells.select("seg").distinct().count()
-    n_reg = cells.select("reg").distinct().count()
-    seg_targets = (
-        cells.select("seg")
-        .distinct()
-        .crossJoin(F.broadcast(tot))
-        .select("seg", (F.col("total") / n_seg).alias("target_s"))
-    )
-    reg_targets = (
-        cells.select("reg")
-        .distinct()
-        .crossJoin(F.broadcast(tot))
-        .select("reg", (F.col("total") / n_reg).alias("target_r"))
-    )
-    from pandrs_spark.operators.hypothesis import ipf_rake
-
-    w = ipf_rake(
-        cells,
-        "seg",
-        "reg",
-        "n",
-        seg_targets.withColumnRenamed("target_s", "target_r"),
-        reg_targets.withColumnRenamed("target_r", "target_c"),
-        n_rounds=3,
-    )
-    return w.select(
-        "seg",
-        F.col("reg").cast("long").alias("reg"),
-        "n",
-        (quantize("w", 6) / 1e6).alias("weight"),
-        (quantize(F.col("n") * F.col("w"), 2) / 100.0).alias("weighted_n"),
-    ).orderBy("seg", "reg")
-
-
-def _q477_side_sql(alias: str, cond: str) -> str:
-    """Per-side local OLS of spend on balance from exact sums."""
-    return f"""
-    {alias} AS (
-        SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sx,
-               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
-               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 1.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sxy
-        FROM pts WHERE {cond}
-    )"""
-
-
-# --- q477: sharp regression discontinuity at the zero-balance cutoff —
-# does per-customer spend JUMP as the account balance crosses 0?
-# Local linear fits on each side of the cutoff within a ±2000
-# bandwidth (Imbens-Lemieux form); the RD effect is the difference of
-# the two intercepts AT the cutoff. Two exact-sum aggregates + the
-# closed-form OLS — the causal kit's sixth member (DiD q411,
-# ATE q420/q428, QTE q423, mSPRT q403). -----------------------------------------
-@query(
-    "q477_regression_discontinuity",
-    oracle=f"""
-    WITH pts AS (
-        SELECT c.c_acctbal AS x,
-               CAST(SUM(CAST(SIGN(o.o_totalprice)
-                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e3 AS y
-        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-        WHERE c.c_acctbal >= -2000 AND c.c_acctbal <= 2000
-        GROUP BY c.c_custkey, c.c_acctbal
-    ),
-    {_q477_side_sql('l', 'x < 0').lstrip()},
-    {_q477_side_sql('r', 'x >= 0').lstrip()}
-    SELECT l.n AS n_left, r.n AS n_right,
-           CAST(SIGN((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n)
-                * FLOOR(ABS((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n)
-                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS icept_left,
-           CAST(SIGN((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
-                * FLOOR(ABS((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
-                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS icept_right,
-           CAST(SIGN(((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
-                     - ((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n))
-                * FLOOR(ABS(((r.sy - ((r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx)) * r.sx) / r.n)
-                     - ((l.sy - ((l.n * l.sxy - l.sx * l.sy) / (l.n * l.sxx - l.sx * l.sx)) * l.sx) / l.n))
-                        * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS rd_effect
-    FROM l, r
-    """,
-)
-def q477(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    cust = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders")
-    pts = tracked_persist(
-        cust.filter(
-            (F.col("c_acctbal") >= -2000) & (F.col("c_acctbal") <= 2000)
-        )
-        .join(orders, cust.c_custkey == orders.o_custkey)
-        .groupBy("c_custkey", "c_acctbal")
-        .agg(
-            (
-                F.sum(quantize("o_totalprice", 2)).cast("double")
-                / 100.0
-                / 1e3
-            ).alias("y")
-        )
-        .select(F.col("c_acctbal").alias("x"), "y")
-    )
-
-    def side(cond, pre):
-        agg = pts.filter(cond).agg(
-            F.count(F.lit(1)).alias(f"n_{pre}"),
-            (F.sum(quantize("x", 2)).cast("double") / 100.0).alias(f"sx_{pre}"),
-            (F.sum(quantize("y", 2)).cast("double") / 100.0).alias(f"sy_{pre}"),
-            F.sum(quantize(F.col("x") * F.col("x"), 0))
-            .cast("double")
-            .alias(f"sxx_{pre}"),
-            F.sum(quantize(F.col("x") * F.col("y"), 0))
-            .cast("double")
-            .alias(f"sxy_{pre}"),
-        )
-        return agg
-
-    l = side(F.col("x") < 0, "l")
-    r = side(F.col("x") >= 0, "r")
-
-    def icept(pre):
-        n = F.col(f"n_{pre}")
-        sx = F.col(f"sx_{pre}")
-        sy = F.col(f"sy_{pre}")
-        sxx = F.col(f"sxx_{pre}")
-        sxy = F.col(f"sxy_{pre}")
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        return (sy - slope * sx) / n
-
-    j = F.broadcast(l).crossJoin(F.broadcast(r))
-    return j.select(
-        F.col("n_l").alias("n_left"),
-        F.col("n_r").alias("n_right"),
-        (quantize(icept("l"), 6) / 1e6).alias("icept_left"),
-        (quantize(icept("r"), 6) / 1e6).alias("icept_right"),
-        (quantize(icept("r") - icept("l"), 6) / 1e6).alias("rd_effect"),
-    )
