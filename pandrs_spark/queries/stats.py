@@ -2394,3 +2394,89 @@ def q480(spark, sf_dir):
         (quantize((diff / sp) * j_corr, 6) / 1e6).alias("hedges_g"),
         (quantize(diff / s2, 6) / 1e6).alias("glass_delta"),
     )
+
+
+# --- q487: Jarque-Bera normality test of order totals — skewness and
+# excess kurtosis from exact CENTRAL moments (two passes: exact mean
+# first, then quantized Σ(x−x̄)^{2,3,4} with x scaled to millions so
+# the fourth power stays inside the int64 quantization envelope), then
+# JB = n/6·(S² + K²/4). The moments-based normality complement to the
+# EDF family (KS q57, CvM q458); one partial-aggregated pass per
+# moment set — the 100 TB shape. ------------------------------------------------
+@query(
+    "q487_jarque_bera_order_totals",
+    oracle=f"""
+    WITH x AS (
+        SELECT CAST(o_totalprice AS DOUBLE) / 1e6 AS v FROM orders
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM({sql_quantize('v', 9)}) AS DOUBLE) / 1e9 AS s
+        FROM x
+    ),
+    cm AS (
+        SELECT (SELECT n FROM m) AS n,
+               CAST(SUM({sql_quantize('(v - (SELECT s / n FROM m)) '
+                                      '* (v - (SELECT s / n FROM m))', 9)})
+                    AS DOUBLE) / 1e9 AS m2,
+               CAST(SUM({sql_quantize('(v - (SELECT s / n FROM m)) '
+                                      '* (v - (SELECT s / n FROM m)) '
+                                      '* (v - (SELECT s / n FROM m))', 9)})
+                    AS DOUBLE) / 1e9 AS m3,
+               CAST(SUM({sql_quantize('(v - (SELECT s / n FROM m)) '
+                                      '* (v - (SELECT s / n FROM m)) '
+                                      '* (v - (SELECT s / n FROM m)) '
+                                      '* (v - (SELECT s / n FROM m))', 9)})
+                    AS DOUBLE) / 1e9 AS m4
+        FROM x
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST({sql_quantize(
+               '(m3 / n) / POW(m2 / n, 1.5)', 6)} AS DOUBLE) / 1e6 AS skewness,
+           CAST({sql_quantize(
+               '(m4 / n) / ((m2 / n) * (m2 / n)) - 3', 6)} AS DOUBLE) / 1e6
+               AS excess_kurtosis,
+           CAST({sql_quantize(
+               'n / 6.0 * (((m3 / n) / POW(m2 / n, 1.5)) '
+               '* ((m3 / n) / POW(m2 / n, 1.5)) '
+               '+ ((m4 / n) / ((m2 / n) * (m2 / n)) - 3) '
+               '* ((m4 / n) / ((m2 / n) * (m2 / n)) - 3) / 4.0)', 6)}
+               AS DOUBLE) / 1e6 AS jb_stat
+    FROM cm
+    """,
+)
+def q487(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    x = T(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("double") / 1e6).alias("v")
+    )
+    m = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("v", 9)).cast("double") / 1e9).alias("s"),
+    )
+    dev = F.col("v") - F.col("s") / F.col("n")
+    cm = (
+        x.crossJoin(F.broadcast(m))
+        .agg(
+            F.first("n").alias("n"),
+            (F.sum(quantize(dev * dev, 9)).cast("double") / 1e9).alias("m2"),
+            (F.sum(quantize(dev * dev * dev, 9)).cast("double") / 1e9).alias(
+                "m3"
+            ),
+            (
+                F.sum(quantize(dev * dev * dev * dev, 9)).cast("double") / 1e9
+            ).alias("m4"),
+        )
+    )
+    skew = (F.col("m3") / F.col("n")) / F.pow(F.col("m2") / F.col("n"), 1.5)
+    kurt = (F.col("m4") / F.col("n")) / (
+        (F.col("m2") / F.col("n")) * (F.col("m2") / F.col("n"))
+    ) - 3
+    jb = F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return cm.select(
+        F.col("n").cast("long").alias("n_orders"),
+        (quantize(skew, 6) / 1e6).alias("skewness"),
+        (quantize(kurt, 6) / 1e6).alias("excess_kurtosis"),
+        (quantize(jb, 6) / 1e6).alias("jb_stat"),
+    )

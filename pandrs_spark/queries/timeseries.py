@@ -3807,3 +3807,448 @@ def q482(spark, sf_dir):
         F.col("k").cast("long").alias("k"),
         F.round("f_stat", 6).alias("f_stat"),
     )
+
+
+_MONTHLY_REV_SQL = """
+    monthly AS MATERIALIZED (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY mth
+    )
+"""
+
+
+def _monthly_rev(spark, sf_dir):
+    """Monthly revenue rollup in millions (quantized exact sum) — the
+    shared calendar-bounded series behind the trend/changepoint tier."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        (
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+            / 1e6
+        ).alias("rev")
+    )
+
+
+# --- q484: Pettitt changepoint test on monthly revenue (Pettitt 1979;
+# the rank-based, distribution-free complement to q84's CUSUM and
+# q133's split-mean scan): U_t = 2·Σ_{i≤t} r_i − t(n+1) with r_i the
+# rank of x_i in the full series; K = max|U_t| and the argmax month is
+# the most probable change point. Ranks ride a deterministic total
+# order (rev, mth), so the ENTIRE statistic is exact integer
+# arithmetic — no float drift possible. All windows run over the
+# ~80-month calendar spine (bounded, whitelisted). -----------------------------
+@query(
+    "q484_pettitt_changepoint",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    d AS MATERIALIZED (
+        SELECT mth,
+               ROW_NUMBER() OVER (ORDER BY mth) AS t,
+               ROW_NUMBER() OVER (ORDER BY rev, mth) AS rnk
+        FROM monthly
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    u AS MATERIALIZED (
+        SELECT mth, t,
+               2 * SUM(rnk) OVER (ORDER BY mth)
+                   - t * ((SELECT n FROM nn) + 1) AS u_t
+        FROM d
+    ),
+    k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(MAX(ABS(u_t)) AS BIGINT) AS k_stat
+        FROM u
+    )
+    SELECT k.n_months, k.k_stat,
+           (SELECT MIN(mth) FROM u WHERE ABS(u_t) = k.k_stat)
+               AS change_month
+    FROM k
+    """,
+)
+def q484(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = tracked_persist(_monthly_rev(spark, sf_dir))
+    w_ord = Window.orderBy("mth")
+    w_rank = Window.orderBy("rev", "mth")
+    d = monthly.select(
+        "mth",
+        F.row_number().over(w_ord).alias("t"),
+        F.row_number().over(w_rank).alias("rnk"),
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_run = Window.orderBy("mth").rowsBetween(Window.unboundedPreceding, 0)
+    u = tracked_persist(
+        d.crossJoin(F.broadcast(nn)).select(
+            "mth",
+            (
+                2 * F.sum("rnk").over(w_run) - F.col("t") * (F.col("n") + 1)
+            ).alias("u_t"),
+        )
+    )
+    k = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.max(F.abs("u_t")).cast("long").alias("k_stat"),
+    )
+    loc = (
+        u.crossJoin(F.broadcast(k))
+        .filter(F.abs("u_t") == F.col("k_stat"))
+        .agg(F.min("mth").alias("change_month"))
+    )
+    return k.crossJoin(F.broadcast(loc))
+
+
+# --- q485: Chow structural-break F-test at the series midpoint — do
+# the two halves of the monthly revenue series follow DIFFERENT linear
+# trends? F = ((SSR_p − SSR_1 − SSR_2)/k) / ((SSR_1+SSR_2)/(n−2k)),
+# k = 2 parameters, SSRs from closed-form OLS over exact conditional
+# sums: ONE aggregate produces both segments' sufficient statistics
+# (the q411 DiD shape applied to trend fitting). --------------------------------
+@query(
+    "q485_chow_structural_break",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    d AS MATERIALIZED (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY mth) AS t FROM monthly
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    seg AS MATERIALIZED (
+        SELECT CASE WHEN t <= (SELECT n FROM nn) / 2 THEN 1 ELSE 2 END AS s,
+               CAST(t AS DOUBLE) AS x, rev AS y
+        FROM d
+    ),
+    sums AS MATERIALIZED (
+        SELECT s, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS BIGINT)) AS DOUBLE) AS sxx,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('x * y', 6)}) AS DOUBLE) / 1e6 AS sxy,
+               CAST(SUM({sql_quantize('y * y', 6)}) AS DOUBLE) / 1e6 AS syy
+        FROM seg GROUP BY s
+    ),
+    ssr AS MATERIALIZED (
+        SELECT s, n, sx, sxx, sy, sxy, syy,
+               syy - ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n) * sy
+                   - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sxy AS ssr_s
+        FROM sums
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               SUM(sx) AS sx, SUM(sxx) AS sxx, SUM(sy) AS sy,
+               SUM(sxy) AS sxy, SUM(syy) AS syy
+        FROM sums
+    ),
+    pssr AS (
+        SELECT n,
+               syy - ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n) * sy
+                   - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sxy AS ssr_p
+        FROM pooled
+    )
+    SELECT p.n AS n_months,
+           CAST({sql_quantize('p.ssr_p', 6)} AS DOUBLE) / 1e6 AS ssr_pooled,
+           CAST({sql_quantize('(SELECT CAST(SUM(CAST(SIGN(ssr_s) * FLOOR(ABS(ssr_s) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 FROM ssr)', 6)} AS DOUBLE)
+               / 1e6 AS ssr_segments,
+           CAST({sql_quantize(
+               '((p.ssr_p - (SELECT CAST(SUM(CAST(SIGN(ssr_s) * FLOOR(ABS(ssr_s) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 FROM ssr)) / 2) / '
+               '((SELECT CAST(SUM(CAST(SIGN(ssr_s) * FLOOR(ABS(ssr_s) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 FROM ssr) / (p.n - 4))', 6)} AS DOUBLE)
+               / 1e6 AS chow_f
+    FROM pssr p
+    """,
+)
+def q485(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    d = monthly.select(
+        "rev", F.row_number().over(w_ord).alias("t")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    seg = d.crossJoin(F.broadcast(nn)).select(
+        F.when(F.col("t") <= F.col("n") / 2, 1).otherwise(2).alias("s"),
+        F.col("t").cast("double").alias("x"),
+        F.col("rev").alias("y"),
+    )
+    sums = seg.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("bigint")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("bigint")).cast("double").alias("sxx"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias("sxy"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias("syy"),
+    )
+
+    def ssr_expr():
+        b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        b0 = (F.col("sy") - b1 * F.col("sx")) / F.col("n")
+        return F.col("syy") - b0 * F.col("sy") - b1 * F.col("sxy")
+
+    per_seg = sums.select("n", "sx", "sxx", "sy", "sxy", "syy", ssr_expr().alias("ssr_s"))
+    seg_tot = per_seg.agg(
+        (F.sum(quantize("ssr_s", 9)).cast("double") / 1e9).alias("ssr_seg_raw")
+    )
+    pooled = sums.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    ).select("n", "sx", "sxx", "sy", "sxy", "syy", ssr_expr().alias("ssr_p"))
+    j = pooled.crossJoin(F.broadcast(seg_tot))
+    chow = (
+        (F.col("ssr_p") - F.col("ssr_seg_raw")) / 2
+    ) / (F.col("ssr_seg_raw") / (F.col("n") - 4))
+    return j.select(
+        F.col("n").alias("n_months"),
+        (quantize("ssr_p", 6) / 1e6).alias("ssr_pooled"),
+        (quantize("ssr_seg_raw", 6) / 1e6).alias("ssr_segments"),
+        (quantize(chow, 6) / 1e6).alias("chow_f"),
+    )
+
+
+_OLS_RESID_SQL = f"""
+    d AS MATERIALIZED (
+        SELECT mth, rev AS y,
+               CAST(ROW_NUMBER() OVER (ORDER BY mth) AS DOUBLE) AS x
+        FROM monthly
+    ),
+    fit AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('x * y', 6)}) AS DOUBLE) / 1e6 AS sxy
+        FROM d
+    ),
+    coef AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+        FROM fit
+    ),
+    resid AS MATERIALIZED (
+        SELECT d.mth, d.x, d.y - (c.b0 + c.b1 * d.x) AS e
+        FROM d, coef c
+    )
+"""
+
+
+def _ols_resid(spark, sf_dir):
+    """Residuals of the monthly-revenue-on-time OLS (closed form from
+    exact sums; scalar coefficients carried by broadcast crossJoin) —
+    shared by the DW autocorrelation and BP heteroscedasticity
+    diagnostics."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    d = monthly.select(
+        "mth",
+        F.col("rev").alias("y"),
+        F.row_number().over(w_ord).cast("double").alias("x"),
+    )
+    fit = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "sxy"
+        ),
+    )
+    b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = fit.select(
+        F.col("n"), b1.alias("b1"), ((F.col("sy") - b1 * F.col("sx")) / F.col("n")).alias("b0")
+    )
+    return d.crossJoin(F.broadcast(coef)).select(
+        "mth",
+        "x",
+        (F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))).alias("e"),
+    )
+
+
+# --- q486: Durbin-Watson autocorrelation diagnostic of the monthly
+# trend residuals: DW = Σ(e_t − e_{t−1})² / Σe_t² — the classic "are
+# the OLS errors serially correlated" check that pairs with q48's ACF
+# (which describes) and q415's Ljung-Box (which tests many lags). The
+# lag pairs join on the month index (equi-join, no second window). --------------
+@query(
+    "q486_durbin_watson",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    pairs AS (
+        SELECT a.e AS e1, b.e AS e0
+        FROM resid a JOIN resid b ON b.x = a.x - 1
+    ),
+    num AS (
+        SELECT CAST(SUM({sql_quantize('(e1 - e0) * (e1 - e0)', 9)}) AS DOUBLE)
+                   / 1e9 AS sd
+        FROM pairs
+    ),
+    den AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM({sql_quantize('e * e', 9)}) AS DOUBLE) / 1e9 AS se
+        FROM resid
+    )
+    SELECT den.n_months,
+           CAST({sql_quantize('num.sd / den.se', 6)} AS DOUBLE) / 1e6 AS dw
+    FROM num, den
+    """,
+)
+def q486(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    lag = resid.select(
+        (F.col("x") + 1).alias("x"), F.col("e").alias("e0")
+    )
+    pairs = resid.join(lag, "x")
+    num = pairs.agg(
+        (
+            F.sum(
+                quantize((F.col("e") - F.col("e0")) * (F.col("e") - F.col("e0")), 9)
+            ).cast("double")
+            / 1e9
+        ).alias("sd")
+    )
+    den = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        (F.sum(quantize(F.col("e") * F.col("e"), 9)).cast("double") / 1e9).alias(
+            "se"
+        ),
+    )
+    j = num.crossJoin(F.broadcast(den))
+    return j.select(
+        "n_months",
+        (quantize(F.col("sd") / F.col("se"), 6) / 1e6).alias("dw"),
+    )
+
+
+# --- q488: Grubbs maximum-outlier statistic on monthly revenue:
+# G = max|x − x̄| / s over the ~80-month rollup, plus WHICH month —
+# the single-outlier complement to q339's GESD peel (which iterates)
+# and q132's winsorize (which clips). Scalar mean/sd carry; argmax by
+# deterministic (|dev| DESC, mth ASC) ordering. ---------------------------------
+@query(
+    "q488_grubbs_max_outlier",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6 AS s,
+               CAST(SUM({sql_quantize('rev * rev', 6)}) AS DOUBLE) / 1e6 AS ss
+        FROM monthly
+    ),
+    dev AS MATERIALIZED (
+        SELECT m.mth,
+               ABS(m.rev - t.s / t.n)
+                   / SQRT((t.ss - t.s * t.s / t.n) / (t.n - 1)) AS g
+        FROM monthly m, stats t
+    ),
+    top AS (
+        SELECT mth, g FROM dev ORDER BY g DESC, mth LIMIT 1
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM stats) AS n_months,
+           CAST({sql_quantize('top.g', 6)} AS DOUBLE) / 1e6 AS grubbs_g,
+           top.mth AS outlier_month
+    FROM top
+    """,
+)
+def q488(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    stats = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6).alias("s"),
+        (F.sum(quantize(F.col("rev") * F.col("rev"), 6)).cast("double") / 1e6).alias(
+            "ss"
+        ),
+    )
+    dev = monthly.crossJoin(F.broadcast(stats)).select(
+        "mth",
+        F.col("n"),
+        (
+            F.abs(F.col("rev") - F.col("s") / F.col("n"))
+            / F.sqrt(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+        ).alias("g"),
+    )
+    top = dev.orderBy(F.desc("g"), F.asc("mth")).limit(1)
+    return top.select(
+        F.col("n").cast("long").alias("n_months"),
+        (quantize("g", 6) / 1e6).alias("grubbs_g"),
+        F.col("mth").alias("outlier_month"),
+    )
+
+
+# --- q489: Breusch-Pagan heteroscedasticity test of the monthly trend
+# residuals: regress e² on the time index and report BP = n·R² of the
+# auxiliary fit (Koenker's studentized form divides by the e² variance,
+# which the R² already does). Exact auxiliary sums; one more aggregate
+# over the same resid frame as q486 — together they are the classic
+# post-OLS diagnostic pair (serial correlation + heteroscedasticity). -----------
+@query(
+    "q489_breusch_pagan",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    aux AS (
+        SELECT e * e AS u, x FROM resid
+    ),
+    s2 AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('u', 9)}) AS DOUBLE) / 1e9 AS su,
+               CAST(SUM({sql_quantize('x * u', 9)}) AS DOUBLE) / 1e9 AS sxu,
+               CAST(SUM({sql_quantize('u * u', 9)}) AS DOUBLE) / 1e9 AS suu
+        FROM aux
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST({sql_quantize(
+               'n * (n * sxu - sx * su) * (n * sxu - sx * su) / '
+               '((n * sxx - sx * sx) * (n * suu - su * su))', 6)} AS DOUBLE)
+               / 1e6 AS bp_nr2
+    FROM s2
+    """,
+)
+def q489(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    resid = _ols_resid(spark, sf_dir)
+    aux = resid.select((F.col("e") * F.col("e")).alias("u"), "x")
+    s2 = aux.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        (F.sum(quantize("u", 9)).cast("double") / 1e9).alias("su"),
+        (F.sum(quantize(F.col("x") * F.col("u"), 9)).cast("double") / 1e9).alias(
+            "sxu"
+        ),
+        (F.sum(quantize(F.col("u") * F.col("u"), 9)).cast("double") / 1e9).alias(
+            "suu"
+        ),
+    )
+    r2_num = (F.col("n") * F.col("sxu") - F.col("sx") * F.col("su")) ** 2
+    r2_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    )
+    return s2.select(
+        F.col("n").cast("long").alias("n_months"),
+        (quantize(F.col("n") * r2_num / r2_den, 6) / 1e6).alias("bp_nr2"),
+    )

@@ -403,6 +403,11 @@ _BOUNDED_WINDOW_WHITELIST = {
     # day durations (q334 argument)
     "q478_chained_laspeyres_index",  # chained log-index over the
     # ~80-month calendar spine (q350/q356 argument)
+    "q484_pettitt_changepoint",  # ranks + prefix sums over the
+    # ~80-month calendar spine (q350/q356 argument)
+    "q485_chow_structural_break",  # month index over the calendar spine
+    "q486_durbin_watson",  # month index over the calendar spine
+    "q489_breusch_pagan",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
