@@ -2480,3 +2480,652 @@ def q487(spark, sf_dir):
         (quantize(kurt, 6) / 1e6).alias("excess_kurtosis"),
         (quantize(jb, 6) / 1e6).alias("jb_stat"),
     )
+
+
+# --- q490: two-sample Anderson-Darling A² (Scholz-Stephens k=2,
+# right-continuous/discrete form) of line revenue between return
+# flags R and N — the EDF-family member that weights the TAILS where
+# KS (q57-class) weights the middle and CvM (q458) weights uniformly:
+#
+#   A² = (1/N) Σ_j c_j · Σ_i (N·M_ij − n_i·B_j)² / (n_i·B_j·(N−B_j))
+#
+# over pooled distinct values j with B_j < N (c_j = pooled count at j,
+# M_ij / B_j = per-sample / pooled cumulative counts). Same scale
+# shape as ks_2samp: one distinct-value histogram shuffle + one
+# distributed prefix pass; the statistic is exact-integer sums until
+# the final division. ----------------------------------------------------------
+@query(
+    "q490_anderson_darling_2samp",
+    oracle="""
+    WITH two AS (
+        SELECT CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS v,
+               l_returnflag AS g
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    hist AS MATERIALIZED (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM two GROUP BY v
+    ),
+    cdf AS MATERIALIZED (
+        SELECT c1, c2,
+               SUM(c1) OVER (ORDER BY v) AS m1,
+               SUM(c2) OVER (ORDER BY v) AS m2
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM hist
+    ),
+    terms AS (
+        SELECT c.c1 + c.c2 AS cj, c.m1, c.m2, c.m1 + c.m2 AS bj,
+               t.n1, t.n2, t.n1 + t.n2 AS nn
+        FROM cdf c, tot t
+        WHERE c.m1 + c.m2 < t.n1 + t.n2
+    )
+    SELECT (SELECT n1 FROM tot) AS n1,
+           (SELECT n2 FROM tot) AS n2,
+           CAST(CAST(SIGN(s) * FLOOR(ABS(s) * 1000000.0 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS ad_stat
+    FROM (
+        -- per-term quantization at 1e-9 mirrors the Spark side's exact
+        -- long sum (order-safe on both engines)
+        SELECT CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS s
+        FROM (
+            SELECT CAST(cj AS DOUBLE) / nn * (
+                       CAST((nn * m1 - n1 * bj) * (nn * m1 - n1 * bj)
+                            AS DOUBLE) / (n1 * bj * (nn - bj))
+                       + CAST((nn * m2 - n2 * bj) * (nn * m2 - n2 * bj)
+                              AS DOUBLE) / (n2 * bj * (nn - bj))
+                   ) AS term
+            FROM terms
+        )
+    )
+    """,
+)
+def q490(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    li = T(spark, sf_dir, "lineitem")
+    two = li.filter(F.col("l_returnflag").isin(["R", "N"])).select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double")
+        .alias("v"),
+        F.col("l_returnflag").alias("g"),
+    )
+    hist = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == "R", 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == "N", 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    cdf = global_prefix_counts(
+        hist, [F.asc("v")], {"m1": "c1", "m2": "c2"}
+    ).select("c1", "c2", "m1", "m2")
+    tot = hist.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    j = cdf.crossJoin(F.broadcast(tot))
+    nn = F.col("n1") + F.col("n2")
+    bj = F.col("m1") + F.col("m2")
+    cj = F.col("c1") + F.col("c2")
+    term = (
+        cj.cast("double")
+        / nn
+        * (
+            ((nn * F.col("m1") - F.col("n1") * bj) ** 2).cast("double")
+            / (F.col("n1") * bj * (nn - bj))
+            + ((nn * F.col("m2") - F.col("n2") * bj) ** 2).cast("double")
+            / (F.col("n2") * bj * (nn - bj))
+        )
+    )
+    out = (
+        j.filter(bj < nn)
+        .agg(F.sum(quantize(term, 9)).alias("sq"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "n1",
+        "n2",
+        (quantize(F.col("sq").cast("double") / 1e9, 6) / 1e6).alias("ad_stat"),
+    )
+
+
+# --- q491: Fleiss' kappa inter-rater agreement (Fleiss 1971) across
+# three DETERMINISTIC length-annotators of the documents table (char-,
+# token- and sentence-based tercile rules with fixed literal cutoffs —
+# heuristics that mostly agree but not always, exactly the multi-
+# annotator agreement shape an LLM labeling pipeline audits):
+#   P̄  = mean over items of (Σ_c n_ic² − r) / (r(r−1)),  r = 3 raters
+#   P̄e = Σ_c p_c²,  κ = (P̄ − P̄e)/(1 − P̄e)
+# One map over documents produces the per-item category counts; every
+# sum is exact integer until the final formula. ---------------------------------
+@query(
+    "q491_fleiss_kappa_annotators",
+    oracle="""
+    WITH rated AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN n_chars < 300 THEN 0
+                    WHEN n_chars < 600 THEN 1 ELSE 2 END AS r1,
+               CASE WHEN len(string_split_regex(text, '\\s+')) < 50 THEN 0
+                    WHEN len(string_split_regex(text, '\\s+')) < 100 THEN 1
+                    ELSE 2 END AS r2,
+               CASE WHEN len(regexp_extract_all(text, '\\.')) < 4 THEN 0
+                    WHEN len(regexp_extract_all(text, '\\.')) < 8 THEN 1
+                    ELSE 2 END AS r3
+        FROM documents
+    ),
+    cells AS MATERIALIZED (
+        SELECT doc_id,
+               CAST((CASE WHEN r1 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r2 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST((CASE WHEN r1 = 1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r2 = 1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST((CASE WHEN r1 = 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r2 = 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM rated
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n0 * n0 + n1 * n1 + n2 * n2 - 3) AS BIGINT) AS sp,
+               CAST(SUM(n0) AS BIGINT) AS t0,
+               CAST(SUM(n1) AS BIGINT) AS t1,
+               CAST(SUM(n2) AS BIGINT) AS t2
+        FROM cells
+    )
+    SELECT n AS n_docs,
+           CAST(CAST(SIGN(pbar) * FLOOR(ABS(pbar) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p_bar,
+           CAST(CAST(SIGN(pe) * FLOOR(ABS(pe) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p_e,
+           CAST(CAST(SIGN((pbar - pe) / (1 - pe))
+                     * FLOOR(ABS((pbar - pe) / (1 - pe)) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS kappa
+    FROM (
+        SELECT n,
+               CAST(sp AS DOUBLE) / (n * 6) AS pbar,
+               (CAST(t0 AS DOUBLE) / (3 * n)) * (CAST(t0 AS DOUBLE) / (3 * n))
+               + (CAST(t1 AS DOUBLE) / (3 * n)) * (CAST(t1 AS DOUBLE) / (3 * n))
+               + (CAST(t2 AS DOUBLE) / (3 * n)) * (CAST(t2 AS DOUBLE) / (3 * n))
+                   AS pe
+        FROM sums
+    )
+    """,
+)
+def q491(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    sents = F.regexp_count(F.col("text"), F.lit(r"\."))
+    rated = docs.select(
+        F.when(F.col("n_chars") < 300, 0)
+        .when(F.col("n_chars") < 600, 1)
+        .otherwise(2)
+        .alias("r1"),
+        F.when(toks < 50, 0).when(toks < 100, 1).otherwise(2).alias("r2"),
+        F.when(sents < 4, 0).when(sents < 8, 1).otherwise(2).alias("r3"),
+    )
+    cats = [0, 1, 2]
+    cells = rated.select(
+        *[
+            sum(
+                F.when(F.col(f"r{r}") == c, 1).otherwise(0) for r in (1, 2, 3)
+            )
+            .cast("long")
+            .alias(f"n{c}")
+            for c in cats
+        ]
+    )
+    sums = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("n0") * F.col("n0")
+            + F.col("n1") * F.col("n1")
+            + F.col("n2") * F.col("n2")
+            - 3
+        )
+        .cast("long")
+        .alias("sp"),
+        F.sum("n0").cast("long").alias("t0"),
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    pbar = F.col("sp").cast("double") / (F.col("n") * 6)
+    pe = sum(
+        (F.col(f"t{c}").cast("double") / (3 * F.col("n"))) ** 2 for c in cats
+    )
+    kappa = (pbar - pe) / (1 - pe)
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        (quantize(pbar, 6) / 1e6).alias("p_bar"),
+        (quantize(pe, 6) / 1e6).alias("p_e"),
+        (quantize(kappa, 6) / 1e6).alias("kappa"),
+    )
+
+
+# --- q492: Cronbach's alpha internal-consistency of a four-item
+# document quality "scale" (char length /100, token count, mean word
+# length, punctuation count — items that should co-vary if "document
+# size/density" is one latent construct):
+#   α = k/(k−1) · (1 − Σ_i var_i / var_total)
+# with sample variances from ONE pass of exact quantized sums per item
+# plus the row-sum (the classic psychometrics statistic, here as a
+# data-quality audit over the corpus). -----------------------------------------
+@query(
+    "q492_cronbach_alpha_quality_items",
+    oracle="""
+    WITH items AS MATERIALIZED (
+        SELECT CAST(n_chars AS DOUBLE) / 100.0 AS i1,
+               CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS i2,
+               CAST(n_chars AS DOUBLE)
+                   / len(string_split_regex(text, '\\s+')) AS i3,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS i4
+        FROM documents
+    ),
+    w AS MATERIALIZED (
+        SELECT i1, i2, i3, i4, i1 + i2 + i3 + i4 AS tot FROM items
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(i1) * FLOOR(ABS(i1) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s1,
+               CAST(SUM(CAST(SIGN(i1*i1) * FLOOR(ABS(i1*i1) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS ss1,
+               CAST(SUM(CAST(SIGN(i2) * FLOOR(ABS(i2) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s2,
+               CAST(SUM(CAST(SIGN(i2*i2) * FLOOR(ABS(i2*i2) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS ss2,
+               CAST(SUM(CAST(SIGN(i3) * FLOOR(ABS(i3) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s3,
+               CAST(SUM(CAST(SIGN(i3*i3) * FLOOR(ABS(i3*i3) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS ss3,
+               CAST(SUM(CAST(SIGN(i4) * FLOOR(ABS(i4) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s4,
+               CAST(SUM(CAST(SIGN(i4*i4) * FLOOR(ABS(i4*i4) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS ss4,
+               CAST(SUM(CAST(SIGN(tot) * FLOOR(ABS(tot) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS st,
+               CAST(SUM(CAST(SIGN(tot*tot) * FLOOR(ABS(tot*tot) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS sst
+        FROM w
+    )
+    SELECT n AS n_docs,
+           CAST(CAST(SIGN(a) * FLOOR(ABS(a) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cronbach_alpha
+    FROM (
+        SELECT n,
+               (4.0 / 3.0) * (1 - (
+                   (ss1 - s1 * s1 / n) + (ss2 - s2 * s2 / n)
+                   + (ss3 - s3 * s3 / n) + (ss4 - s4 * s4 / n)
+               ) / (sst - st * st / n)) AS a
+        FROM sums
+    )
+    """,
+)
+def q492(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("double")
+    items = docs.select(
+        (F.col("n_chars").cast("double") / 100.0).alias("i1"),
+        toks.alias("i2"),
+        (F.col("n_chars").cast("double") / toks).alias("i3"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]"))
+        .cast("double")
+        .alias("i4"),
+    )
+    w = items.withColumn(
+        "tot", F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in ("i1", "i2", "i3", "i4", "tot"):
+        tag = "t" if c == "tot" else c[1]
+        aggs.append(
+            (F.sum(quantize(c, 6)).cast("double") / 1e6).alias(f"s{tag}")
+        )
+        aggs.append(
+            (
+                F.sum(quantize(F.col(c) * F.col(c), 4)).cast("double") / 1e4
+            ).alias(f"ss{tag}")
+        )
+    sums = w.agg(*aggs)
+    item_var = sum(
+        F.col(f"ss{i}") - F.col(f"s{i}") * F.col(f"s{i}") / F.col("n")
+        for i in ("1", "2", "3", "4")
+    )
+    tot_var = F.col("sst") - F.col("st") * F.col("st") / F.col("n")
+    alpha = (4.0 / 3.0) * (1 - item_var / tot_var)
+    return sums.select(
+        F.col("n").alias("n_docs"),
+        (quantize(alpha, 6) / 1e6).alias("cronbach_alpha"),
+    )
+
+
+# --- q493: odds ratio & risk ratio with Wald log-scale CIs — the
+# epidemiology 2×2 kit over behavioral exposure: do ABOVE-MEDIAN
+# clickers (exposure) purchase above the median rate (outcome)?
+# (Every sf user both clicks and purchases at least once, so the
+# binary any-click/any-purchase table is degenerate; the median split
+# is the non-degenerate formulation and both engines interpolate the
+# same exact-integer median.)
+#   OR = (a·d)/(b·c),  ln-CI ± 1.96·√(1/a+1/b+1/c+1/d)
+#   RR = [a/(a+b)] / [c/(c+d)],  ln-CI ± 1.96·√(b/(a(a+b)) + d/(c(c+d)))
+# One distinct-user flag pass → four exact cells → closed formulas
+# (completes the 2×2 family: chi-square q59, McNemar q433-class,
+# two-proportion power q344). ---------------------------------------------------
+@query(
+    "q493_odds_risk_ratio_2x2",
+    oracle="""
+    WITH counts AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS buys
+        FROM events GROUP BY user_id
+    ),
+    med AS (
+        SELECT quantile_cont(CAST(clicks AS DOUBLE), 0.5) AS mc,
+               quantile_cont(CAST(buys AS DOUBLE), 0.5) AS mb
+        FROM counts
+    ),
+    per_user AS MATERIALIZED (
+        SELECT CASE WHEN clicks > (SELECT mc FROM med) THEN 1 ELSE 0 END AS e,
+               CASE WHEN buys > (SELECT mb FROM med) THEN 1 ELSE 0 END AS o
+        FROM counts
+    ),
+    cells AS (
+        SELECT CAST(SUM(e * o) AS BIGINT) AS a,
+               CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+               CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+               CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+        FROM per_user
+    )
+    SELECT a, b, c, d,
+           CAST(CAST(SIGN(orr) * FLOOR(ABS(orr) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS odds_ratio,
+           CAST(CAST(SIGN(lo_or) * FLOOR(ABS(lo_or) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS or_ci_lo,
+           CAST(CAST(SIGN(hi_or) * FLOOR(ABS(hi_or) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS or_ci_hi,
+           CAST(CAST(SIGN(rr) * FLOOR(ABS(rr) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS risk_ratio,
+           CAST(CAST(SIGN(lo_rr) * FLOOR(ABS(lo_rr) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS rr_ci_lo,
+           CAST(CAST(SIGN(hi_rr) * FLOOR(ABS(hi_rr) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS rr_ci_hi
+    FROM (
+        SELECT a, b, c, d,
+               CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS orr,
+               EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                   - 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)) AS lo_or,
+               EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                   + 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)) AS hi_or,
+               (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)) AS rr,
+               EXP(LN((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)))
+                   - 1.96 * SQRT(CAST(b AS DOUBLE)/(a*(a+b)) + CAST(d AS DOUBLE)/(c*(c+d)))) AS lo_rr,
+               EXP(LN((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)))
+                   + 1.96 * SQRT(CAST(b AS DOUBLE)/(a*(a+b)) + CAST(d AS DOUBLE)/(c*(c+d)))) AS hi_rr
+        FROM cells
+    )
+    """,
+)
+def q493(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("buys"),
+    )
+    med = counts.agg(
+        F.expr("percentile(CAST(clicks AS DOUBLE), 0.5)").alias("mc"),
+        F.expr("percentile(CAST(buys AS DOUBLE), 0.5)").alias("mb"),
+    )
+    per_user = counts.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("clicks") > F.col("mc"), 1).otherwise(0).alias("e"),
+        F.when(F.col("buys") > F.col("mb"), 1).otherwise(0).alias("o"),
+    )
+    cells = per_user.agg(
+        F.sum(F.col("e") * F.col("o")).cast("long").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("o"))).cast("long").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("o")).cast("long").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("o"))).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    orr = a * d / (b * c)
+    se_or = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    rr = (a / (a + b)) / (c / (c + d))
+    se_rr = F.sqrt(b / (a * (a + b)) + d / (c * (c + d)))
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (quantize(orr, 6) / 1e6).alias("odds_ratio"),
+        (quantize(F.exp(F.log(orr) - 1.96 * se_or), 6) / 1e6).alias("or_ci_lo"),
+        (quantize(F.exp(F.log(orr) + 1.96 * se_or), 6) / 1e6).alias("or_ci_hi"),
+        (quantize(rr, 6) / 1e6).alias("risk_ratio"),
+        (quantize(F.exp(F.log(rr) - 1.96 * se_rr), 6) / 1e6).alias("rr_ci_lo"),
+        (quantize(F.exp(F.log(rr) + 1.96 * se_rr), 6) / 1e6).alias("rr_ci_hi"),
+    )
+
+
+# --- q494: Kendall's W coefficient of concordance — do three "judges"
+# (revenue, total quantity, distinct-order count) agree on how they
+# rank the ~25 part brands?  W = 12·S / (m²(n³−n)) with S the sum of
+# squared deviations of per-brand rank sums from their mean — the
+# multi-ranking agreement statistic that generalizes q417's pairwise
+# Kendall tau. Ranks ride deterministic total orders (metric, brand)
+# over the BOUNDED brand rollup; everything after the rollup is exact
+# integer arithmetic. -----------------------------------------------------------
+@query(
+    "q494_kendalls_w_brand_judges",
+    oracle="""
+    WITH per_brand AS MATERIALIZED (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_q,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand
+    ),
+    ranked AS MATERIALIZED (
+        SELECT brand,
+               ROW_NUMBER() OVER (ORDER BY rev_q, brand) AS r1,
+               ROW_NUMBER() OVER (ORDER BY qty, brand) AS r2,
+               ROW_NUMBER() OVER (ORDER BY n_orders, brand) AS r3
+        FROM per_brand
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS srr,
+               CAST(SUM(r1 + r2 + r3) AS BIGINT) AS sr
+        FROM ranked
+    )
+    SELECT n AS n_brands,
+           CAST(CAST(SIGN(w) * FLOOR(ABS(w) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS kendalls_w
+    FROM (
+        SELECT n,
+               12.0 * (srr - CAST(sr AS DOUBLE) * sr / n)
+                   / (9.0 * (CAST(n AS DOUBLE) * n * n - n)) AS w
+        FROM sums
+    )
+    """,
+)
+def q494(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    per_brand = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(quantize("l_extendedprice", 2)).cast("long").alias("rev_q"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    ranked = per_brand.select(
+        "brand",
+        F.row_number().over(Window.orderBy("rev_q", "brand")).alias("r1"),
+        F.row_number().over(Window.orderBy("qty", "brand")).alias("r2"),
+        F.row_number().over(Window.orderBy("n_orders", "brand")).alias("r3"),
+    )
+    rsum = F.col("r1") + F.col("r2") + F.col("r3")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rsum * rsum).cast("long").alias("srr"),
+        F.sum(rsum).cast("long").alias("sr"),
+    )
+    w = (
+        12.0
+        * (F.col("srr") - F.col("sr").cast("double") * F.col("sr") / F.col("n"))
+        / (9.0 * (F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")))
+    )
+    return sums.select(
+        F.col("n").alias("n_brands"),
+        (quantize(w, 6) / 1e6).alias("kendalls_w"),
+    )
+
+
+# --- q495: Conover squared-ranks test for equality of VARIANCES
+# between two return flags — the rank-based dispersion complement to
+# Levene (q58-class): rank |x − x̄_g| over the pooled sample (midranks
+# for ties), T = Σ_{g1} R², studentized
+#   z = (T − n1·R̄²) / √( n1·n2/(N(N−1)) · (ΣR⁴ − N·(R̄²)²) ).
+# Reuses the distinct-value rank histogram — one groupBy shuffle, a
+# prefix pass, never a data-sized sort. Midranks are exact multiples
+# of 0.5, so R² and R⁴ terms quantize exactly at scale 4. ----------------------
+@query(
+    "q495_conover_squared_ranks",
+    oracle="""
+    WITH grp_means AS MATERIALIZED (
+        SELECT l_returnflag AS g,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS mu
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY g
+    ),
+    dev AS MATERIALIZED (
+        SELECT l.l_returnflag AS g,
+               ABS(CAST(l.l_extendedprice AS DOUBLE) - m.mu) AS v
+        FROM lineitem l JOIN grp_means m ON m.g = l.l_returnflag
+        WHERE l.l_returnflag IN ('R', 'N')
+    ),
+    hist AS MATERIALIZED (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM dev GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM hist
+    ),
+    ranked AS MATERIALIZED (
+        -- ranks normalized by N: z is invariant and u^4 terms stay
+        -- inside the quantization envelope at any scale
+        SELECT c1, c2, c1 + c2 AS cnt,
+               (SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2 - 1) / 2.0)
+                   / (SELECT n1 + n2 FROM tot) AS u
+        FROM hist
+    ),
+    sums AS (
+        SELECT (SELECT n1 FROM tot) AS n1,
+               (SELECT n2 FROM tot) AS n2,
+               CAST(SUM(CAST(SIGN(c1 * u * u)
+                             * FLOOR(ABS(c1 * u * u) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS t1,
+               CAST(SUM(CAST(SIGN(cnt * u * u)
+                             * FLOOR(ABS(cnt * u * u) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sr2,
+               CAST(SUM(CAST(SIGN(cnt * u * u * u * u)
+                             * FLOOR(ABS(cnt * u * u * u * u) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sr4
+        FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(CAST(SIGN(z) * FLOOR(ABS(z) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS conover_z
+    FROM (
+        SELECT n1, n2,
+               (t1 - n1 * sr2 / (n1 + n2))
+               / SQRT(CAST(n1 AS DOUBLE) * n2 / ((n1 + n2) * (n1 + n2 - 1.0))
+                      * (sr4 - (n1 + n2) * (sr2 / (n1 + n2)) * (sr2 / (n1 + n2))))
+                   AS z
+        FROM sums
+    )
+    """,
+)
+def q495(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin(["R", "N"])
+    )
+    grp_means = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        (
+            F.sum(quantize("l_extendedprice", 2)).cast("double")
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    dev = li.join(
+        F.broadcast(grp_means), li.l_returnflag == grp_means.g
+    ).select(
+        "g",
+        F.abs(F.col("l_extendedprice").cast("double") - F.col("mu")).alias("v"),
+    )
+    hist = tracked_persist(
+        dev.groupBy("v").agg(
+            F.sum(F.when(F.col("g") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("g") == "N", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    hist2 = hist.withColumn("cnt", F.col("c1") + F.col("c2"))
+    ranked = global_prefix_counts(hist2, [F.asc("v")], {"cumt": "cnt"})
+    ranked = ranked.crossJoin(F.broadcast(tot)).select(
+        "c1",
+        "c2",
+        "cnt",
+        (
+            (F.col("cumt") - (F.col("cnt") - 1) / 2.0)
+            / (F.col("n1") + F.col("n2"))
+        ).alias("u"),
+    )
+    u2 = F.col("u") * F.col("u")
+    sums = ranked.agg(
+        (F.sum(quantize(F.col("c1") * u2, 9)).cast("double") / 1e9).alias("t1"),
+        (F.sum(quantize(F.col("cnt") * u2, 9)).cast("double") / 1e9).alias(
+            "sr2"
+        ),
+        (F.sum(quantize(F.col("cnt") * u2 * u2, 9)).cast("double") / 1e9).alias(
+            "sr4"
+        ),
+    ).crossJoin(F.broadcast(tot))
+    nn = F.col("n1") + F.col("n2")
+    rbar2 = F.col("sr2") / nn
+    z = (F.col("t1") - F.col("n1") * rbar2) / F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / (nn * (nn - 1.0))
+        * (F.col("sr4") - nn * rbar2 * rbar2)
+    )
+    return sums.select(
+        "n1", "n2", (quantize(z, 6) / 1e6).alias("conover_z")
+    )

@@ -408,6 +408,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q485_chow_structural_break",  # month index over the calendar spine
     "q486_durbin_watson",  # month index over the calendar spine
     "q489_breusch_pagan",  # month index over the calendar spine
+    "q494_kendalls_w_brand_judges",  # three rank orders over the
+    # FIXED ~25-brand rollup (q389 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
