@@ -3920,3 +3920,430 @@ def q395(spark, sf_dir):
         (quantize("noisy_n", 6) / 1e6).alias("noisy_n"),
         F.lit(1.0).alias("epsilon"),
     ).orderBy("priority")
+
+
+# --- q496: Atkinson index (ε = 0.5) and Theil T entropy index of
+# customer revenue inequality — the welfare-economics complements to
+# the Gini/Lorenz family:
+#   A_0.5 = 1 − [ (1/n) Σ √(y/ȳ) ]²,   T = (1/n) Σ (y/ȳ)·ln(y/ȳ)
+# Two passes (exact mean, then quantized transform sums) over the
+# per-customer revenue rollup — the one-aggregate-per-moment 100 TB
+# shape. --------------------------------------------------------------------
+@query(
+    "q496_atkinson_theil_inequality",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM({sql_quantize('y', 9)}) AS DOUBLE) / 1e9 AS s
+        FROM rev
+    ),
+    t AS (
+        SELECT (SELECT n FROM m) AS n,
+               CAST(SUM({sql_quantize('SQRT(y / ((SELECT s / n FROM m)))', 9)})
+                    AS DOUBLE) / 1e9 AS ssqrt,
+               CAST(SUM({sql_quantize(
+                   '(y / ((SELECT s / n FROM m))) '
+                   '* LN(y / ((SELECT s / n FROM m)))', 9)})
+                    AS DOUBLE) / 1e9 AS stheil
+        FROM rev
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST({sql_quantize('1 - (ssqrt / n) * (ssqrt / n)', 6)} AS DOUBLE)
+               / 1e6 AS atkinson_05,
+           CAST({sql_quantize('stheil / n', 6)} AS DOUBLE) / 1e6 AS theil_t
+    FROM t
+    """,
+)
+def q496(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        (
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 100.0) / 1e6
+        ).alias("y")
+    )
+    m = rev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("y", 9)).cast("double") / 1e9).alias("s"),
+    )
+    ybar = F.col("s") / F.col("n")
+    t = rev.crossJoin(F.broadcast(m)).agg(
+        F.first("n").alias("n"),
+        (
+            F.sum(quantize(F.sqrt(F.col("y") / ybar), 9)).cast("double") / 1e9
+        ).alias("ssqrt"),
+        (
+            F.sum(
+                quantize((F.col("y") / ybar) * F.log(F.col("y") / ybar), 9)
+            ).cast("double")
+            / 1e9
+        ).alias("stheil"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (
+            quantize(
+                1 - (F.col("ssqrt") / F.col("n")) * (F.col("ssqrt") / F.col("n")),
+                6,
+            )
+            / 1e6
+        ).alias("atkinson_05"),
+        (quantize(F.col("stheil") / F.col("n"), 6) / 1e6).alias("theil_t"),
+    )
+
+
+# --- q497: Shannon entropy and Simpson diversity of each supplier
+# nation's BRAND MIX — "how concentrated is what each nation ships?"
+#   H = −Σ p ln p,   Simpson = 1 − Σ p²
+# over the bounded nation × brand rollup (25 × 25 cells); the
+# ecology-style diversity complement to q472's single-source HHI. ----------------
+@query(
+    "q497_brand_mix_diversity",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+        SELECT s.s_nationkey AS nation, p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY nation, brand
+    ),
+    tot AS MATERIALIZED (
+        SELECT nation, CAST(SUM(n) AS BIGINT) AS tn FROM cells GROUP BY nation
+    )
+    SELECT c.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(CAST(SIGN(h) * FLOOR(ABS(h) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS shannon_h,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS simpson_d
+    FROM (
+        SELECT c.nation,
+               -CAST(SUM(CAST(SIGN(p * LN(p)) * FLOOR(ABS(p * LN(p)) * 1e9 + 0.5)
+                              AS BIGINT)) AS DOUBLE) / 1e9 AS h,
+               1 - CAST(SUM(CAST(SIGN(p * p) * FLOOR(ABS(p * p) * 1e9 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e9 AS d
+        FROM (
+            SELECT c.nation, CAST(c.n AS DOUBLE) / t.tn AS p
+            FROM cells c JOIN tot t ON t.nation = c.nation
+        ) c
+        GROUP BY c.nation
+    ) s
+    JOIN cells c ON c.nation = s.nation
+    GROUP BY c.nation, h, d
+    ORDER BY c.nation
+    """,
+)
+def q497(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    part = T(spark, sf_dir, "part")
+    cells = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.groupBy("nation").agg(F.sum("n").cast("long").alias("tn"))
+    p = (
+        cells.join(tot, "nation")
+        .select("nation", (F.col("n").cast("double") / F.col("tn")).alias("p"))
+    )
+    ent = p.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        (
+            -F.sum(quantize(F.col("p") * F.log("p"), 9)).cast("double") / 1e9
+        ).alias("shannon_h"),
+        (
+            1 - F.sum(quantize(F.col("p") * F.col("p"), 9)).cast("double") / 1e9
+        ).alias("simpson_d"),
+    )
+    return ent.select(
+        "nation",
+        "n_brands",
+        (quantize("shannon_h", 6) / 1e6).alias("shannon_h"),
+        (quantize("simpson_d", 6) / 1e6).alias("simpson_d"),
+    ).orderBy("nation")
+
+
+# --- q498: unit-price dispersion per brand across suppliers — the
+# procurement audit "are we paying different suppliers very different
+# prices for the same brand?": per-(brand, supplier) mean unit price,
+# then per-brand coefficient of variation and max/min spread. Two
+# grouped aggregates on natural keys; the per-brand supplier set is a
+# rollup, never a pairwise join. -----------------------------------------------
+@query(
+    "q498_brand_price_dispersion",
+    oracle=f"""
+    WITH per_pair AS MATERIALIZED (
+        SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+               CAST(SUM({sql_quantize('l.l_extendedprice / l.l_quantity', 4)})
+                    AS DOUBLE) / 1e4 / COUNT(*) AS price
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, supp
+    ),
+    per_brand AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM({sql_quantize('price', 6)}) AS DOUBLE) / 1e6 AS s,
+               CAST(SUM({sql_quantize('price * price', 2)}) AS DOUBLE) / 1e2 AS ss,
+               MAX(price) AS mx, MIN(price) AS mn
+        FROM per_pair GROUP BY brand
+    )
+    SELECT brand, n_suppliers,
+           CAST({sql_quantize(
+               'SQRT((ss - s * s / n_suppliers) / (n_suppliers - 1)) '
+               '/ (s / n_suppliers)', 6)} AS DOUBLE) / 1e6 AS price_cv,
+           CAST({sql_quantize('mx / mn', 6)} AS DOUBLE) / 1e6 AS spread_ratio
+    FROM per_brand
+    ORDER BY brand
+    """,
+)
+def q498(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    per_pair = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            (
+                F.sum(
+                    quantize(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+                ).cast("double")
+                / 1e4
+                / F.count(F.lit(1))
+            ).alias("price")
+        )
+    )
+    per_brand = per_pair.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        (F.sum(quantize("price", 6)).cast("double") / 1e6).alias("s"),
+        (F.sum(quantize(F.col("price") * F.col("price"), 2)).cast("double") / 1e2).alias("ss"),
+        F.max("price").alias("mx"),
+        F.min("price").alias("mn"),
+    )
+    cv = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_suppliers"))
+        / (F.col("n_suppliers") - 1)
+    ) / (F.col("s") / F.col("n_suppliers"))
+    return per_brand.select(
+        "brand",
+        "n_suppliers",
+        (quantize(cv, 6) / 1e6).alias("price_cv"),
+        (quantize(F.col("mx") / F.col("mn"), 6) / 1e6).alias("spread_ratio"),
+    ).orderBy("brand")
+
+
+# --- q499: Lorenz curve at decile boundaries of customer revenue —
+# "the bottom d×10% of customers hold what share of revenue?" The
+# curve behind the Gini: distributed prefix sums over the per-customer
+# revenue histogram (global_prefix_counts — one groupBy + one offset
+# pass, never a data-sized one-task sort), then each decile boundary
+# picks the first prefix row covering ceil(d·N/10) customers. -------------------
+@query(
+    "q499_lorenz_curve_deciles",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS BIGINT) AS yq
+        FROM orders GROUP BY o_custkey
+    ),
+    pref AS MATERIALIZED (
+        SELECT yq,
+               CAST(SUM(cnt) OVER (ORDER BY yq) AS BIGINT) AS cum_n,
+               CAST(SUM(CAST(yq AS HUGEINT) * cnt) OVER (ORDER BY yq)
+                    AS BIGINT) AS cum_y
+        FROM (
+            SELECT yq, CAST(COUNT(*) AS BIGINT) AS cnt FROM rev GROUP BY yq
+        )
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(yq AS HUGEINT)) AS BIGINT) AS ty
+        FROM rev
+    ),
+    grid AS (SELECT UNNEST(generate_series(1, 10)) AS d)
+    SELECT g.d AS decile,
+           CAST(MIN(p.cum_n) AS BIGINT) AS n_customers,
+           CAST(CAST(SIGN(share) * FLOOR(ABS(share) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS rev_share
+    FROM grid g, tot t,
+         LATERAL (
+             SELECT cum_n, CAST(cum_y AS DOUBLE) / t.ty AS share
+             FROM pref
+             WHERE cum_n >= CAST(CEIL(g.d * t.n / 10.0) AS BIGINT)
+             ORDER BY cum_n LIMIT 1
+         ) p
+    GROUP BY g.d, share
+    ORDER BY decile
+    """,
+)
+def q499(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(quantize("o_totalprice", 2)).cast("long").alias("yq")
+    )
+    hist = rev.groupBy("yq").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hist = hist.withColumn("yc", F.col("yq") * F.col("cnt"))
+    pref = tracked_persist(
+        global_prefix_counts(hist, [F.asc("yq")], {"cum_n": "cnt", "cum_y": "yc"})
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("ty"),
+    )
+    grid = T(spark, sf_dir, "region").sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("d")
+    )
+    # first prefix row covering each decile threshold: min cum_n per d
+    j = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            pref,
+            F.col("cum_n")
+            >= F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
+        )
+    )
+    picked = j.groupBy("d", "n", "ty").agg(
+        F.min("cum_n").cast("long").alias("n_customers"),
+        F.min_by("cum_y", "cum_n").alias("cum_y_at"),
+    )
+    return picked.select(
+        F.col("d").alias("decile"),
+        "n_customers",
+        (
+            quantize(F.col("cum_y_at").cast("double") / F.col("ty"), 6) / 1e6
+        ).alias("rev_share"),
+    ).orderBy("decile")
+
+
+# --- q500: slow-mover / dead-stock aging report — bucket every part by
+# months since its LAST shipment (relative to the corpus max date so
+# the report is reproducible at any SF) and total the retail value
+# locked in each bucket. One rollup on partkey + one broadcast scalar
+# anchor + one bounded-bucket aggregate — the inventory-aging twin of
+# q361's ABC-XYZ matrix. --------------------------------------------------------
+@query(
+    "q500_dead_stock_aging",
+    oracle="""
+    WITH anchor AS (SELECT MAX(l_shipdate) AS mx FROM lineitem),
+    last_sold AS MATERIALIZED (
+        SELECT l_partkey AS pk, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY pk
+    ),
+    aged AS (
+        SELECT p.p_partkey, p.p_retailprice,
+               CASE
+                   WHEN datediff('day', ls.last_ship, a.mx) < 180 THEN '0-6m'
+                   WHEN datediff('day', ls.last_ship, a.mx) < 365 THEN '6-12m'
+                   WHEN datediff('day', ls.last_ship, a.mx) < 730 THEN '12-24m'
+                   ELSE '24m+'
+               END AS bucket
+        FROM part p JOIN last_sold ls ON ls.pk = p.p_partkey, anchor a
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(SIGN(p_retailprice)
+                         * FLOOR(ABS(p_retailprice) * 100.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS locked_value
+    FROM aged
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q500(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    anchor = li.agg(F.max("l_shipdate").alias("mx"))
+    last_sold = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    days = F.datediff(F.col("mx"), F.col("last_ship"))
+    aged = (
+        part.join(last_sold, part.p_partkey == F.col("pk"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "p_retailprice",
+            F.when(days < 180, "0-6m")
+            .when(days < 365, "6-12m")
+            .when(days < 730, "12-24m")
+            .otherwise("24m+")
+            .alias("bucket"),
+        )
+    )
+    return (
+        aged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.sum(quantize("p_retailprice", 2)).cast("double") / 100.0).alias(
+                "locked_value"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- q501: order-to-ship lead-time percentile ladder per priority —
+# p50/p90/p99 of datediff(ship, orderdate) in integer days: exact
+# interpolated percentiles over an INTEGER measure, grouped by the
+# bounded 5-priority set. The SLA-monitoring ladder beside q348's
+# latency percentiles; both engines interpolate (1−g)·a + g·b over
+# identical integers. -----------------------------------------------------------
+@query(
+    "q501_lead_time_percentiles",
+    oracle="""
+    WITH agg AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               quantile_cont(CAST(datediff('day', o.o_orderdate,
+                                           l.l_shipdate) AS DOUBLE),
+                             0.5) AS p50r,
+               quantile_cont(CAST(datediff('day', o.o_orderdate,
+                                           l.l_shipdate) AS DOUBLE),
+                             0.9) AS p90r,
+               quantile_cont(CAST(datediff('day', o.o_orderdate,
+                                           l.l_shipdate) AS DOUBLE),
+                             0.99) AS p99r
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY priority
+    )
+    SELECT priority, n_lines,
+           CAST(CAST(SIGN(p50r) * FLOOR(ABS(p50r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p50,
+           CAST(CAST(SIGN(p90r) * FLOOR(ABS(p90r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p90,
+           CAST(CAST(SIGN(p99r) * FLOOR(ABS(p99r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p99
+    FROM agg
+    ORDER BY priority
+    """,
+)
+def q501(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    lead = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("double").alias("lt"),
+    )
+    out = lead.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.expr("percentile(lt, 0.5)").alias("p50r"),
+        F.expr("percentile(lt, 0.9)").alias("p90r"),
+        F.expr("percentile(lt, 0.99)").alias("p99r"),
+    )
+    return out.select(
+        "priority",
+        "n_lines",
+        (quantize("p50r", 6) / 1e6).alias("p50"),
+        (quantize("p90r", 6) / 1e6).alias("p90"),
+        (quantize("p99r", 6) / 1e6).alias("p99"),
+    ).orderBy("priority")
