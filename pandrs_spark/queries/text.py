@@ -4334,3 +4334,618 @@ def q481(spark, sf_dir):
             / 1e6
         ).alias("herdan_c"),
     ).orderBy("source")
+
+
+# --- q502: Heaps'-law vocabulary-growth fit — V(N) ≈ K·N^β estimated
+# from 10 prefix checkpoints of the corpus in doc_id order: each
+# TRIGRAM type's first-seen doc (min doc_id — the unigram vocab is
+# saturated on this corpus, trigram types are not), cumulative token
+# counts per checkpoint, then a closed-form log-log OLS over the 10
+# (ln tokens, ln vocab) points. The corpus-curation "how fast does
+# vocabulary grow" diagnostic beside q312's Zipf slope. Scale: the
+# first-seen table is one groupBy over the trigram explode; the 10
+# checkpoints are conditional aggregates over ALREADY-AGGREGATED
+# frames (grid × rollup, never grid × raw corpus). ------------------------------
+@query(
+    "q502_heaps_law_fit",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {_WS} AS w FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    first_seen AS MATERIALIZED (
+        SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY g
+    ),
+    dtok AS MATERIALIZED (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS ntok FROM toks
+    ),
+    qs AS (
+        SELECT quantile_cont(CAST(doc_id AS DOUBLE),
+                             [0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9, 1.0]) AS ts
+        FROM dtok
+    ),
+    thr AS MATERIALIZED (
+        SELECT d, ts[d] AS t
+        FROM qs, (SELECT UNNEST(generate_series(1, 10)) AS d)
+    ),
+    pts AS MATERIALIZED (
+        SELECT th.d,
+               LN((SELECT CAST(SUM(ntok) AS DOUBLE) FROM dtok
+                   WHERE doc_id <= th.t)) AS x,
+               LN((SELECT CAST(COUNT(*) AS DOUBLE) FROM first_seen
+                   WHERE fd <= th.t)) AS y
+        FROM thr th
+    ),
+    fit AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM({sql_quantize('x', 9)}) AS DOUBLE) / 1e9 AS sx,
+               CAST(SUM({sql_quantize('x * x', 9)}) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM({sql_quantize('y', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('x * y', 9)}) AS DOUBLE) / 1e9 AS sxy
+        FROM pts
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen) AS vocab_full,
+           (SELECT CAST(SUM(ntok) AS BIGINT) FROM dtok) AS tokens_full,
+           CAST({sql_quantize(
+               '(n * sxy - sx * sy) / (n * sxx - sx * sx)', 6)} AS DOUBLE)
+               / 1e6 AS heaps_beta,
+           CAST({sql_quantize(
+               'EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)',
+               6)} AS DOUBLE) / 1e6 AS heaps_k
+    FROM fit
+    """,
+)
+def q502(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("w")
+    )
+    grams = (
+        toks.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                )
+            ).alias("g"),
+        )
+    )
+    first_seen = tracked_persist(
+        grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    )
+    dtok = tracked_persist(
+        toks.select("doc_id", F.size("w").cast("long").alias("ntok"))
+    )
+    # Spark's percentile needs a FOLDABLE fraction, so the 10 decile
+    # thresholds come from one scalar aggregate with 10 literal
+    # fractions (DuckDB's side groups quantile_cont by the grid).
+    fracs = [(d, d / 10.0) for d in range(1, 11)]
+    thr_rows = dtok.agg(
+        *[
+            F.expr(f"percentile(CAST(doc_id AS DOUBLE), {f!r})").alias(f"t{d}")
+            for d, f in fracs
+        ]
+    )
+    import functools
+
+    thr_long = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            thr_rows.select(F.lit(d).alias("d"), F.col(f"t{d}").alias("t"))
+            for d, _ in fracs
+        ],
+    )
+    pts = (
+        thr_long.crossJoin(
+            F.broadcast(
+                dtok.crossJoin(F.broadcast(thr_rows)).agg(
+                    *[
+                        F.sum(
+                            F.when(F.col("doc_id") <= F.col(f"t{d}"), F.col("ntok"))
+                        ).alias(f"tok{d}")
+                        for d, _ in fracs
+                    ]
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                first_seen.crossJoin(F.broadcast(thr_rows)).agg(
+                    *[
+                        F.sum(
+                            F.when(F.col("fd") <= F.col(f"t{d}"), 1).otherwise(0)
+                        ).alias(f"v{d}")
+                        for d, _ in fracs
+                    ]
+                )
+            )
+        )
+        .select(
+            "d",
+            F.log(
+                functools.reduce(
+                    lambda acc, dd: acc.when(F.col("d") == dd, F.col(f"tok{dd}")),
+                    range(2, 11),
+                    F.when(F.col("d") == 1, F.col("tok1")),
+                ).cast("double")
+            ).alias("x"),
+            F.log(
+                functools.reduce(
+                    lambda acc, dd: acc.when(F.col("d") == dd, F.col(f"v{dd}")),
+                    range(2, 11),
+                    F.when(F.col("d") == 1, F.col("v1")),
+                ).cast("double")
+            ).alias("y"),
+        )
+    )
+    from pandrs_spark.functions.deterministic import quantize as qz
+
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(qz("x", 9)).cast("double") / 1e9).alias("sx"),
+        (F.sum(qz(F.col("x") * F.col("x"), 9)).cast("double") / 1e9).alias("sxx"),
+        (F.sum(qz("y", 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(qz(F.col("x") * F.col("y"), 9)).cast("double") / 1e9).alias("sxy"),
+    )
+    totals = first_seen.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_full")
+    ).crossJoin(dtok.agg(F.sum("ntok").cast("long").alias("tokens_full")))
+    b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    b0 = (F.col("sy") - b1 * F.col("sx")) / F.col("n")
+    return (
+        F.broadcast(totals)
+        .crossJoin(fit)
+        .select(
+            "vocab_full",
+            "tokens_full",
+            (qz(b1, 6) / 1e6).alias("heaps_beta"),
+            (qz(F.exp(b0), 6) / 1e6).alias("heaps_k"),
+        )
+    )
+
+
+# --- q503: character-bigram entropy per source — the "is this text or
+# garbage" signal that catches mojibake, base64 blobs and binary
+# spills that q158's unigram char entropy misses (bigram structure
+# collapses under byte noise long before the unigram histogram moves).
+# Map-side bigram explode → one groupBy over the bounded alphabet²
+# histogram → per-source entropy. -----------------------------------------------
+@query(
+    "q503_char_bigram_entropy",
+    oracle="""
+    WITH bi AS MATERIALIZED (
+        SELECT source, substr(lower(text), i, 2) AS bg
+        FROM documents,
+             UNNEST(generate_series(1, len(text) - 1)) AS t(i)
+        WHERE len(text) >= 2
+    ),
+    hist AS MATERIALIZED (
+        SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bi GROUP BY source, bg
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY source
+    )
+    SELECT h.source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+           CAST(CAST(SIGN(ent) * FLOOR(ABS(ent) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS bigram_entropy
+    FROM (
+        SELECT h.source,
+               -CAST(SUM(CAST(SIGN((CAST(c AS DOUBLE) / n)
+                                   * LN(CAST(c AS DOUBLE) / n))
+                              * FLOOR(ABS((CAST(c AS DOUBLE) / n)
+                                          * LN(CAST(c AS DOUBLE) / n))
+                                      * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS ent
+        FROM hist h JOIN tot t ON t.source = h.source
+        GROUP BY h.source
+    ) e
+    JOIN hist h ON h.source = e.source
+    GROUP BY h.source, ent
+    ORDER BY h.source
+    """,
+)
+def q503(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    bi = docs.filter(F.length("text") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substr(lower(text), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    hist = bi.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        hist.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+            (-F.sum(quantize(p * F.log(p), 9)).cast("double") / 1e9).alias(
+                "ent"
+            ),
+        )
+    )
+    return ent.select(
+        "source",
+        "n_bigram_types",
+        (quantize("ent", 6) / 1e6).alias("bigram_entropy"),
+    ).orderBy("source")
+
+
+# --- q504: context-window packing efficiency across a window-size
+# grid — for each window size w in {256, 512, 1024, 2048}: how many
+# bins does greedy one-doc-per-bin-chain packing need (Σ ceil(tok/w)),
+# what fraction of slots is wasted, and what share of tokens would a
+# TRUNCATE-to-one-window policy drop? The capacity-planning view on
+# top of q191's concrete packer; a bounded 4-row grid × one per-doc
+# token rollup. -----------------------------------------------------------------
+@query(
+    "q504_context_window_packing",
+    oracle="""
+    WITH dtok AS MATERIALIZED (
+        SELECT CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                   AS ntok
+        FROM documents
+    ),
+    grid AS (SELECT UNNEST([256, 512, 1024, 2048]) AS w)
+    SELECT g.w AS window_size,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(CAST(d.ntok AS DOUBLE) / g.w) AS BIGINT))
+                AS BIGINT) AS n_bins,
+           CAST(CAST(SIGN(eff) * FLOOR(ABS(eff) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS packing_efficiency,
+           CAST(CAST(SIGN(trunc_loss) * FLOOR(ABS(trunc_loss) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS truncation_loss
+    FROM grid g
+    JOIN dtok d ON TRUE
+    JOIN LATERAL (
+        SELECT CAST(SUM(ntok) AS DOUBLE)
+                   / (SUM(CAST(CEIL(CAST(ntok AS DOUBLE) / g.w) AS BIGINT))
+                      * g.w) AS eff,
+               CAST(SUM(GREATEST(ntok - g.w, 0)) AS DOUBLE)
+                   / SUM(ntok) AS trunc_loss
+        FROM dtok
+    ) s ON TRUE
+    GROUP BY g.w, eff, trunc_loss
+    ORDER BY window_size
+    """,
+)
+def q504(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    dtok = docs.select(
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("ntok")
+    )
+    grid = spark.createDataFrame(
+        [(256,), (512,), (1024,), (2048,)], "w int"
+    )
+    j = F.broadcast(grid).crossJoin(dtok)
+    bins = F.ceil(F.col("ntok").cast("double") / F.col("w")).cast("long")
+    out = j.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.sum(bins).cast("long").alias("n_bins"),
+        F.sum(F.greatest(F.col("ntok") - F.col("w"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("trunc_tokens"),
+    )
+    return out.select(
+        F.col("w").alias("window_size"),
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        (
+            quantize(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_bins") * F.col("w")),
+                6,
+            )
+            / 1e6
+        ).alias("packing_efficiency"),
+        (
+            quantize(
+                F.col("trunc_tokens").cast("double") / F.col("total_tokens"), 6
+            )
+            / 1e6
+        ).alias("truncation_loss"),
+    ).orderBy("window_size")
+
+
+# --- q505: near-duplicate CLUSTER size distribution — the composite
+# the dedup pipeline actually acts on: MinHash→LSH candidate pairs
+# (q31's operator) become an edge list, connected components (the
+# q67 operator, convergence-certified) collapse transitive duplicate
+# chains into clusters, and the output is the cluster-size histogram
+# plus the dedup yield (docs removed if one representative per cluster
+# is kept). Scale: band-key equi-join for pairs, O(diameter) label
+# rounds for CC — never an all-pairs product; the oracle mirrors CC
+# with a recursive reachability CTE over the same pair list. --------------------
+@query(
+    "q505_near_dup_cluster_sizes",
+    oracle=_SQL_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    und AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    comp AS MATERIALIZED (
+        SELECT v.id, LEAST(v.id, MIN(r.b)) AS component
+        FROM verts v LEFT JOIN reach r ON r.a = v.id
+        GROUP BY v.id
+    ),
+    sizes AS MATERIALIZED (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM comp GROUP BY component
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz - 1) AS BIGINT) AS docs_removed
+    FROM sizes
+    GROUP BY sz
+    ORDER BY cluster_size
+    """,
+)
+def q505(spark, sf_dir):
+    from pandrs_spark.operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=4, band_size=2
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", check_convergence=True
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("sz") - 1).cast("long").alias("docs_removed"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --- q506: PII density & co-occurrence per source — beyond q187's
+# redaction counts: what FRACTION of each source's documents carries an
+# email, a phone-shaped number, or both (co-occurrence is what makes a
+# record identifying), and the email rate per 1k tokens. PII is
+# synthesized deterministically into a hash-selected ~1/3 / ~1/4 of
+# docs (the corpus itself is lorem), so the detector runs against
+# known ground truth; one regexp map + one grouped aggregate. -------------------
+@query(
+    "q506_pii_density_cooccurrence",
+    oracle="""
+    WITH synth AS MATERIALIZED (
+        SELECT source,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                   AS ntok,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact agent' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+        FROM documents
+    ),
+    flags AS MATERIALIZED (
+        SELECT source, ntok,
+               CAST(len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(t,
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+        FROM synth
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_email,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_phone,
+           CAST(SUM(CASE WHEN n_email > 0 AND n_phone > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_both,
+           CAST(CAST(SIGN(r) * FLOOR(ABS(r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS emails_per_1k_tokens
+    FROM flags f
+    JOIN (
+        SELECT source AS s2,
+               CAST(SUM(n_email) AS DOUBLE) * 1000.0 / SUM(ntok) AS r
+        FROM flags GROUP BY s2
+    ) x ON x.s2 = f.source
+    GROUP BY source, r
+    ORDER BY source
+    """,
+)
+def q506(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    synth = docs.select(
+        "source",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("ntok"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact agent"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    flags = synth.select(
+        "source",
+        "ntok",
+        F.regexp_count(
+            "t", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        )
+        .cast("long")
+        .alias("n_email"),
+        F.regexp_count("t", F.lit(r"[0-9]{3}-[0-9]{3}-[0-9]{4}"))
+        .cast("long")
+        .alias("n_phone"),
+    )
+    out = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_email"),
+        F.sum(F.when(F.col("n_phone") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_phone"),
+        F.sum(
+            F.when((F.col("n_email") > 0) & (F.col("n_phone") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_both"),
+        (
+            F.sum("n_email").cast("double") * 1000.0 / F.sum("ntok")
+        ).alias("rate"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "docs_email",
+        "docs_phone",
+        "docs_both",
+        (quantize("rate", 6) / 1e6).alias("emails_per_1k_tokens"),
+    ).orderBy("source")
+
+
+# --- q507: trigram novelty curve per source — for each document, the
+# fraction of its DISTINCT trigrams not seen in any earlier document
+# (first_seen == own doc_id): the marginal-information signal a
+# curation pipeline uses to decide "is this source still adding
+# anything?" One first-seen rollup (groupBy min) + one per-doc distinct
+# count + an equi-join back — no pairwise comparison anywhere. ------------------
+@query(
+    "q507_trigram_novelty",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source, {_WS} AS w FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    first_seen AS MATERIALIZED (
+        SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY g
+    ),
+    per_doc AS MATERIALIZED (
+        SELECT gr.doc_id, gr.source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN fs.fd = gr.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+        GROUP BY gr.doc_id, gr.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_new) AS BIGINT) AS total_new,
+           CAST({sql_quantize(
+               'CAST(SUM(n_new) AS DOUBLE) / SUM(n_grams)', 6)} AS DOUBLE)
+               / 1e6 AS novelty
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q507(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("w")
+    )
+    grams = (
+        toks.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    from pandrs_spark.operators.util import tracked_persist
+
+    grams = tracked_persist(grams)
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_new").cast("long").alias("total_new"),
+            (
+                quantize(
+                    F.sum("n_new").cast("double") / F.sum("n_grams"), 6
+                )
+                / 1e6
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
