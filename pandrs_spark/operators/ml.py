@@ -1709,3 +1709,65 @@ def poisson_irls_1d(
     return F.broadcast(stats).crossJoin(F.broadcast(params)).select(
         "n", "b0", "b1", "mean_y"
     )
+
+
+def logistic_irls_1d(
+    df: DataFrame, y_col: str, x_col: str, n_iter: int = 3
+) -> DataFrame:
+    """Binomial logistic regression with one feature + intercept by
+    ``n_iter`` unrolled IRLS rounds — the binary-outcome twin of
+    :func:`poisson_irls_1d` (McCullagh-Nelder GLM family; the canonical
+    propensity/Platt-scaling fit):
+
+        μ = σ(η),  w = μ(1−μ),  z = η + (y−μ)/w
+
+    then the same closed-form 2×2 weighted normal equations per round.
+    Initialize b0 = logit(ȳ), b1 = 0. All five weighted sums are
+    quantized exact longs (scale 6) → the whole trajectory is
+    partition-order invariant and a SQL oracle can unroll the identical
+    rounds. Returns one row (n, b0, b1, mean_y), unquantized.
+
+    Scale: n_iter linear passes, one map + one aggregate each, scalar
+    parameter carry — the poisson_irls_1d shape exactly.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+
+    d = df.select(
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x_col).cast("double").alias("x"),
+    )
+    init = d.agg(
+        (F.sum("y").cast("long") / F.count(F.lit(1))).alias("ybar")
+    ).select(
+        F.log(F.col("ybar") / (1 - F.col("ybar"))).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    params = init
+    for _ in range(n_iter):
+        j = d.crossJoin(F.broadcast(params))
+        eta = F.col("b0") + F.col("b1") * F.col("x")
+        mu = 1.0 / (1.0 + F.exp(-eta))
+        w = mu * (1.0 - mu)
+        z = eta + (F.col("y") - mu) / w
+        s = j.select(F.col("x"), w.alias("w"), z.alias("z")).agg(
+            (F.sum(quantize("w", 6)).cast("double") / 1e6).alias("sw"),
+            (F.sum(quantize(F.col("w") * F.col("x"), 6)).cast("double") / 1e6).alias("swx"),
+            (F.sum(quantize(F.col("w") * F.col("x") * F.col("x"), 6)).cast("double") / 1e6).alias("swxx"),
+            (F.sum(quantize(F.col("w") * F.col("z"), 6)).cast("double") / 1e6).alias("swz"),
+            (F.sum(quantize(F.col("w") * F.col("x") * F.col("z"), 6)).cast("double") / 1e6).alias("swxz"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        b1 = (F.col("sw") * F.col("swxz") - F.col("swx") * F.col("swz")) / det
+        params = s.select(
+            F.when(
+                det != 0, (F.col("swz") - b1 * F.col("swx")) / F.col("sw")
+            ).alias("b0"),
+            F.when(det != 0, b1).alias("b1"),
+        )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("y").cast("long") / F.count(F.lit(1))).alias("mean_y"),
+    )
+    return F.broadcast(stats).crossJoin(F.broadcast(params)).select(
+        "n", "b0", "b1", "mean_y"
+    )

@@ -3082,3 +3082,709 @@ def q474(spark, sf_dir):
             / 1e6
         ).alias("mean_observed"),
     ).orderBy("decile")
+
+
+def _q508_round(i: int, prev: str) -> str:
+    """One unrolled LOGISTIC IRLS round (the q445 Poisson scaffold with
+    the binomial link): μ = σ(η), w = μ(1−μ), z = η + (y−μ)/w."""
+    q6 = lambda e: (
+        f"CAST(SIGN({e}) * FLOOR(ABS({e}) * 1e6 + 0.5) AS BIGINT)"
+    )
+    eta = "(p.b0 + p.b1 * d.x)"
+    mu = f"(1.0 / (1.0 + EXP(-{eta})))"
+    w = f"({mu} * (1.0 - {mu}))"
+    z = f"({eta} + (d.y - {mu}) / {w})"
+    return f"""
+    s{i} AS MATERIALIZED (
+        SELECT CAST(SUM({q6(w)}) AS DOUBLE) / 1e6 AS sw,
+               CAST(SUM({q6(f"{w} * d.x")}) AS DOUBLE) / 1e6 AS swx,
+               CAST(SUM({q6(f"{w} * d.x * d.x")}) AS DOUBLE) / 1e6 AS swxx,
+               CAST(SUM({q6(f"{w} * {z}")}) AS DOUBLE) / 1e6 AS swz,
+               CAST(SUM({q6(f"{w} * d.x * {z}")}) AS DOUBLE) / 1e6 AS swxz
+        FROM d, {prev} p
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT (swz - ((sw * swxz - swx * swz) / (sw * swxx - swx * swx))
+                * swx) / sw AS b0,
+               (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+        FROM s{i}
+    )"""
+
+
+# --- q508: logistic GLM (binomial IRLS, 3 unrolled rounds) of
+# "customer ever places an URGENT order" on account balance — the
+# binary-outcome twin of q445's Poisson fit and the engine's canonical
+# propensity model (operators/ml.py:logistic_irls_1d). Each round is
+# one linear pass with a broadcast scalar carry; the oracle replays the
+# identical quantized trajectory. ------------------------------------------------
+@query(
+    "q508_logistic_irls_urgency",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(c.c_acctbal AS DOUBLE) / 1000.0 AS x
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    p0 AS (
+        SELECT LN((CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                  / (1 - CAST(SUM(y) AS DOUBLE) / COUNT(*))) AS b0,
+               0.0 AS b1
+        FROM d
+    ),
+    {_q508_round(1, 'p0')},
+    {_q508_round(2, 'p1')},
+    {_q508_round(3, 'p2')}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n,
+           CAST(SIGN(b0) * FLOOR(ABS(b0) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS b0,
+           CAST(SIGN(b1) * FLOOR(ABS(b1) * 1000000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS b1,
+           (SELECT CAST(SIGN(m) * FLOOR(ABS(m) * 1000000.0 + 0.5) AS BIGINT)
+                       / 1000000.0
+            FROM (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS m FROM d))
+               AS mean_y
+    FROM p3
+    """,
+)
+def q508(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.ml import logistic_irls_1d
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", (F.col("c_acctbal").cast("double") / 1000.0).alias("x"))
+    )
+    out = logistic_irls_1d(d, "y", "x", n_iter=3)
+    # mean_y arrives as exact long-ratio; re-derive as double for the
+    # oracle's double mean
+    return out.select(
+        "n",
+        (quantize("b0", 6) / 1e6).alias("b0"),
+        (quantize("b1", 6) / 1e6).alias("b1"),
+        (quantize(F.col("mean_y").cast("double"), 6) / 1e6).alias("mean_y"),
+    )
+
+
+# --- q509: Brier score decomposition (Murphy 1973) of a logistic
+# balance-based forecast of order urgency: over 10 fixed probability
+# bins, REL = Σn_k(p̄_k−ȳ_k)²/N (calibration error), RES = Σn_k(ȳ_k−ȳ)²/N
+# (discrimination), UNC = ȳ(1−ȳ), and Brier = REL − RES + UNC checked
+# exactly. The forecast is the closed deterministic σ(x−5)·balance rule
+# (no fitted state — the decomposition is the thing under test). One
+# map + one bounded 10-bin aggregate. --------------------------------------------
+@query(
+    "q509_brier_decomposition",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               1.0 / (1.0 + EXP(-(CAST(c.c_acctbal AS DOUBLE) / 1000.0 - 5.0)))
+                   AS p
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    binned AS MATERIALIZED (
+        SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS b, y, p FROM d
+    ),
+    per_bin AS MATERIALIZED (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(CAST(SIGN(p) * FLOOR(ABS(p) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sp,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM binned GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(nk) AS BIGINT) AS n,
+               CAST(SUM(sy) AS DOUBLE) / SUM(nk) AS ybar
+        FROM per_bin
+    ),
+    parts AS (
+        SELECT t.n,
+               CAST(SUM(CAST(SIGN(rel_t) * FLOOR(ABS(rel_t) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 / t.n AS rel,
+               CAST(SUM(CAST(SIGN(res_t) * FLOOR(ABS(res_t) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 / t.n AS res,
+               t.ybar * (1 - t.ybar) AS unc
+        FROM (
+            SELECT b, nk, sy,
+                   nk * (sp / nk - CAST(sy AS DOUBLE) / nk)
+                      * (sp / nk - CAST(sy AS DOUBLE) / nk) AS rel_t,
+                   nk * (CAST(sy AS DOUBLE) / nk - (SELECT ybar FROM tot))
+                      * (CAST(sy AS DOUBLE) / nk - (SELECT ybar FROM tot)) AS res_t
+            FROM per_bin
+        ), tot t
+        GROUP BY t.n, t.ybar
+    )
+    SELECT n AS n_customers,
+           CAST(CAST(SIGN(rel) * FLOOR(ABS(rel) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS reliability,
+           CAST(CAST(SIGN(res) * FLOOR(ABS(res) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS resolution,
+           CAST(CAST(SIGN(unc) * FLOOR(ABS(unc) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS uncertainty,
+           CAST(CAST(SIGN(rel - res + unc) * FLOOR(ABS(rel - res + unc) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS brier
+    FROM parts
+    """,
+)
+def q509(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            "y",
+            (
+                1.0
+                / (
+                    1.0
+                    + F.exp(-(F.col("c_acctbal").cast("double") / 1000.0 - 5.0))
+                )
+            ).alias("p"),
+        )
+    )
+    binned = d.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("b"),
+        "y",
+        "p",
+    )
+    per_bin = binned.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        (F.sum(quantize("p", 9)).cast("double") / 1e9).alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = per_bin.agg(
+        F.sum("nk").cast("long").alias("n"),
+        (F.sum("sy").cast("double") / F.sum("nk")).alias("ybar"),
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    pk = F.col("sp") / F.col("nk")
+    yk = F.col("sy").cast("double") / F.col("nk")
+    rel_t = F.col("nk") * (pk - yk) * (pk - yk)
+    res_t = F.col("nk") * (yk - F.col("ybar")) * (yk - F.col("ybar"))
+    parts = j.groupBy("n", "ybar").agg(
+        (F.sum(quantize(rel_t, 9)).cast("double") / 1e9).alias("srel"),
+        (F.sum(quantize(res_t, 9)).cast("double") / 1e9).alias("sres"),
+    )
+    rel = F.col("srel") / F.col("n")
+    res = F.col("sres") / F.col("n")
+    unc = F.col("ybar") * (1 - F.col("ybar"))
+    return parts.select(
+        F.col("n").alias("n_customers"),
+        (quantize(rel, 6) / 1e6).alias("reliability"),
+        (quantize(res, 6) / 1e6).alias("resolution"),
+        (quantize(unc, 6) / 1e6).alias("uncertainty"),
+        (quantize(rel - res + unc, 6) / 1e6).alias("brier"),
+    )
+
+
+# --- q510: confusion matrix + precision/recall/F1 + Matthews
+# correlation for the fixed balance-threshold urgency classifier —
+# the evaluation scaffold every trained model in this registry plugs
+# into (MCC is the imbalance-robust headline the F1 row lacks). One
+# exact four-cell aggregate; the statistics are closed formulas over
+# the cells. ---------------------------------------------------------------------
+@query(
+    "q510_confusion_matrix_mcc",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CASE WHEN c.c_acctbal > 4500 THEN 1 ELSE 0 END AS yhat
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    cells AS (
+        SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+               CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+               CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+               CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+        FROM d
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(CAST(SIGN(pr) * FLOOR(ABS(pr) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS precision_,
+           CAST(CAST(SIGN(rc) * FLOOR(ABS(rc) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS recall_,
+           CAST(CAST(SIGN(f1) * FLOOR(ABS(f1) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS f1,
+           CAST(CAST(SIGN(mcc) * FLOOR(ABS(mcc) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS mcc
+    FROM (
+        SELECT tp, fp, fn, tn,
+               CAST(tp AS DOUBLE) / (tp + fp) AS pr,
+               CAST(tp AS DOUBLE) / (tp + fn) AS rc,
+               2.0 * tp / (2.0 * tp + fp + fn) AS f1,
+               (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                   / SQRT(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                          * (tn + fp) * (tn + fn)) AS mcc
+        FROM cells
+    )
+    """,
+)
+def q510(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            "y",
+            F.when(F.col("c_acctbal") > 4500, 1).otherwise(0).alias("yhat"),
+        )
+    )
+    cells = d.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x).cast("double") for x in ("tp", "fp", "fn", "tn"))
+    pr = tp / (tp + fp)
+    rc = tp / (tp + fn)
+    f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+    mcc = (tp * tn - fp * fn) / F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (quantize(pr, 6) / 1e6).alias("precision_"),
+        (quantize(rc, 6) / 1e6).alias("recall_"),
+        (quantize(f1, 6) / 1e6).alias("f1"),
+        (quantize(mcc, 6) / 1e6).alias("mcc"),
+    )
+
+
+# --- q511: feature-drift scan — two-sample KS distance per feature
+# between the FIRST and SECOND half of order history (split at the
+# exact midpoint date): the monitoring primitive behind q235's PSI,
+# using the exact EDF distance instead of binned divergence. Three
+# features ride the same ks_2samp machinery (distinct-value histogram
+# + distributed prefix), one row per feature. -----------------------------------
+@query(
+    "q511_ks_feature_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) + (MAX(o_orderdate) - MIN(o_orderdate)) / 2
+                   AS mid
+        FROM orders
+    ),
+    base AS MATERIALIZED (
+        SELECT CASE WHEN o.o_orderdate < b.mid THEN 'p1' ELSE 'p2' END AS g,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(l.l_quantity AS DOUBLE) AS quantity,
+               CAST(l.l_discount AS DOUBLE) AS discount
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey, bounds b
+    ),
+    feats AS (
+        SELECT 'discount' AS feature, g, discount AS v FROM base
+        UNION ALL
+        SELECT 'quantity', g, quantity FROM base
+        UNION ALL
+        SELECT 'totalprice', g, totalprice FROM base
+    ),
+    hist AS MATERIALIZED (
+        SELECT feature, v,
+               CAST(SUM(CASE WHEN g = 'p1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = 'p2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM feats GROUP BY feature, v
+    ),
+    cdf AS MATERIALIZED (
+        SELECT feature, c1, c2,
+               SUM(c1) OVER (PARTITION BY feature ORDER BY v) AS m1,
+               SUM(c2) OVER (PARTITION BY feature ORDER BY v) AS m2
+        FROM hist
+    ),
+    tot AS (
+        SELECT feature, CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM hist GROUP BY feature
+    )
+    SELECT mx.feature, t.n1, t.n2,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS ks_d
+    FROM (
+        SELECT c.feature,
+               MAX(ABS(CAST(c.m1 AS DOUBLE) / t.n1
+                       - CAST(c.m2 AS DOUBLE) / t.n2)) AS d
+        FROM cdf c JOIN tot t ON t.feature = c.feature
+        GROUP BY c.feature
+    ) mx
+    JOIN tot t ON t.feature = mx.feature
+    ORDER BY mx.feature
+    """,
+)
+def q511(spark, sf_dir):
+    import functools
+
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    bounds = orders.agg(
+        (
+            F.min("o_orderdate")
+            + F.make_dt_interval(
+                days=F.floor(
+                    F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2
+                )
+            )
+        ).alias("mid")
+    )
+    base = tracked_persist(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("o_orderdate") < F.col("mid"), "p1")
+            .otherwise("p2")
+            .alias("g"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_discount").cast("double").alias("discount"),
+        )
+    )
+    feats = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(F.lit(f).alias("feature"), "g", F.col(f).alias("v"))
+            for f in ("discount", "quantity", "totalprice")
+        ],
+    )
+    hist = feats.groupBy("feature", "v").agg(
+        F.sum(F.when(F.col("g") == "p1", 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == "p2", 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    # per-feature prefix: global_prefix_counts gives a TOTAL order, so
+    # order by (feature, v) and the per-feature cumulative falls out of
+    # subtracting each feature's offset — equivalently run the prefix
+    # per feature via the (feature, v) sort and per-feature groups being
+    # contiguous; the m1/m2 columns then reset per feature by
+    # subtracting the previous feature's closing totals.
+    cdf = global_prefix_counts(
+        hist, [F.asc("feature"), F.asc("v")], {"gm1": "c1", "gm2": "c2"}
+    )
+    offs = cdf.groupBy("feature").agg(
+        (F.max("gm1") - F.sum("c1")).alias("off1"),
+        (F.max("gm2") - F.sum("c2")).alias("off2"),
+    )
+    cdf = cdf.join(F.broadcast(offs), "feature").select(
+        "feature",
+        "c1",
+        "c2",
+        (F.col("gm1") - F.col("off1")).alias("m1"),
+        (F.col("gm2") - F.col("off2")).alias("m2"),
+    )
+    tot = hist.groupBy("feature").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = (
+        cdf.join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("m1").cast("double") / F.col("n1")
+                    - F.col("m2").cast("double") / F.col("n2")
+                )
+            ).alias("d")
+        )
+    )
+    return (
+        d.join(F.broadcast(tot), "feature")
+        .select(
+            "feature", "n1", "n2", (quantize("d", 6) / 1e6).alias("ks_d")
+        )
+        .orderBy("feature")
+    )
+
+
+# --- q512: Platt scaling + expected calibration error — fit the
+# logistic link on a RAW behavioral score (per-user click count) to
+# predict above-median purchasing, then audit the calibrated
+# probabilities with 10-bin ECE. The calibration half of the q508/q341
+# family: same IRLS trajectory (oracle replays it), then one bounded
+# bin aggregate for ECE. ----------------------------------------------------------
+@query(
+    "q512_platt_scaling_ece",
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS buys
+        FROM events GROUP BY user_id
+    ),
+    med AS (
+        SELECT quantile_cont(CAST(buys AS DOUBLE), 0.5) AS mb FROM counts
+    ),
+    d AS MATERIALIZED (
+        SELECT CASE WHEN buys > (SELECT mb FROM med) THEN 1 ELSE 0 END AS y,
+               CAST(clicks AS DOUBLE) / 10.0 AS x
+        FROM counts
+    ),
+    p0 AS (
+        SELECT LN((CAST(SUM(y) AS DOUBLE) / COUNT(*))
+                  / (1 - CAST(SUM(y) AS DOUBLE) / COUNT(*))) AS b0,
+               0.0 AS b1
+        FROM d
+    ),
+    {_q508_round(1, 'p0')},
+    {_q508_round(2, 'p1')},
+    {_q508_round(3, 'p2')},
+    cal AS MATERIALIZED (
+        SELECT d.y,
+               1.0 / (1.0 + EXP(-(p.b0 + p.b1 * d.x))) AS p
+        FROM d, p3 p
+    ),
+    per_bin AS (
+        SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS b,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(CAST(SIGN(p) * FLOOR(ABS(p) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sp,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM cal GROUP BY b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_users,
+           (SELECT CAST(SIGN(b1) * FLOOR(ABS(b1) * 1e6 + 0.5) AS BIGINT)
+                       / 1000000.0 FROM p3) AS platt_b1,
+           CAST(CAST(SIGN(e) * FLOOR(ABS(e) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS ece
+    FROM (
+        SELECT CAST(SUM(CAST(SIGN(nk * ABS(sp / nk - CAST(sy AS DOUBLE) / nk))
+                             * FLOOR(ABS(nk * ABS(sp / nk
+                                         - CAST(sy AS DOUBLE) / nk))
+                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 / (SELECT COUNT(*) FROM d) AS e
+        FROM per_bin
+    )
+    """,
+)
+def q512(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.ml import logistic_irls_1d
+    from pandrs_spark.operators.util import tracked_persist
+
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("buys"),
+    )
+    med = counts.agg(
+        F.expr("percentile(CAST(buys AS DOUBLE), 0.5)").alias("mb")
+    )
+    d = tracked_persist(
+        counts.crossJoin(F.broadcast(med)).select(
+            F.when(F.col("buys") > F.col("mb"), 1).otherwise(0).alias("y"),
+            (F.col("clicks").cast("double") / 10.0).alias("x"),
+        )
+    )
+    fit = logistic_irls_1d(d, "y", "x", n_iter=3).select("b0", "b1")
+    cal = d.crossJoin(F.broadcast(fit)).select(
+        "y",
+        (
+            1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+        ).alias("p"),
+    )
+    per_bin = cal.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        (F.sum(quantize("p", 9)).cast("double") / 1e9).alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    term = F.col("nk") * F.abs(
+        F.col("sp") / F.col("nk") - F.col("sy").cast("double") / F.col("nk")
+    )
+    ece = per_bin.agg(
+        (F.sum(quantize(term, 9)).cast("double") / 1e9).alias("se")
+    )
+    return (
+        F.broadcast(n)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(ece))
+        .select(
+            "n_users",
+            (quantize("b1", 6) / 1e6).alias("platt_b1"),
+            (quantize(F.col("se") / F.col("n_users"), 6) / 1e6).alias("ece"),
+        )
+    )
+
+
+# --- q513: exact ROC-AUC and PR-AUC (average precision) of the
+# balance score against order urgency — the ranking-metric pair the
+# registry lacked (q341 covers calibration; this covers
+# discrimination). AUC from the tie-aware midrank identity
+# (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻); AP as the step-interpolated
+# Σ ΔR·precision over DESCENDING distinct score thresholds. Both ride
+# the distinct-score histogram + distributed prefix — one shuffle,
+# never a data-sized one-task sort. ----------------------------------------------
+@query(
+    "q513_roc_auc_average_precision",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(c.c_acctbal AS DOUBLE) AS s
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    hist AS MATERIALIZED (
+        SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM d GROUP BY s
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(neg) AS BIGINT) AS nn
+        FROM hist
+    ),
+    asc_pref AS MATERIALIZED (
+        SELECT pos, neg,
+               SUM(pos + neg) OVER (ORDER BY s) AS cum,
+               (SUM(pos + neg) OVER (ORDER BY s) - (pos + neg - 1) / 2.0)
+                   AS avg_rank
+        FROM hist
+    ),
+    auc AS (
+        SELECT (CAST(SUM(CAST(SIGN(pos * avg_rank)
+                              * FLOOR(ABS(pos * avg_rank) * 2 + 0.5)
+                              AS BIGINT)) AS DOUBLE) / 2
+                - t.np * (t.np + 1) / 2.0)
+                   / (CAST(t.np AS DOUBLE) * t.nn) AS auc
+        FROM asc_pref, tot t
+        GROUP BY t.np, t.nn
+    ),
+    desc_pref AS MATERIALIZED (
+        SELECT pos,
+               SUM(pos) OVER (ORDER BY s DESC) AS ctp,
+               SUM(pos + neg) OVER (ORDER BY s DESC) AS cn
+        FROM hist
+    ),
+    ap AS (
+        SELECT CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS ap
+        FROM (
+            SELECT (CAST(pos AS DOUBLE) / t.np)
+                       * (CAST(ctp AS DOUBLE) / cn) AS term
+            FROM desc_pref, tot t
+            WHERE pos > 0
+        )
+    )
+    SELECT (SELECT np FROM tot) AS n_pos,
+           (SELECT nn FROM tot) AS n_neg,
+           CAST(CAST(SIGN(auc) * FLOOR(ABS(auc) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS roc_auc,
+           CAST(CAST(SIGN(ap) * FLOOR(ABS(ap) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS avg_precision
+    FROM auc, ap
+    """,
+)
+def q513(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.col("c_acctbal").cast("double").alias("s"))
+    )
+    hist = tracked_persist(
+        d.groupBy("s").agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("neg").cast("long").alias("nn"),
+    )
+    hist2 = hist.withColumn("cnt", F.col("pos") + F.col("neg"))
+    asc_pref = global_prefix_counts(hist2, [F.asc("s")], {"cum": "cnt"})
+    asc_pref = asc_pref.select(
+        "pos",
+        (F.col("cum") - (F.col("cnt") - 1) / 2.0).alias("avg_rank"),
+    )
+    # midranks are exact multiples of 0.5 → ×2 is an exact integer
+    rsum = asc_pref.agg(
+        (
+            F.sum(
+                (F.col("pos") * F.col("avg_rank") * 2).cast("long")
+            ).cast("double")
+            / 2.0
+        ).alias("rpos")
+    )
+    auc_f = rsum.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * F.col("nn"))
+        ).alias("auc")
+    )
+    desc_pref = global_prefix_counts(
+        hist2, [F.desc("s")], {"ctp": "pos", "cn": "cnt"}
+    )
+    term = (F.col("pos").cast("double")) * (
+        F.col("ctp").cast("double") / F.col("cn")
+    )
+    ap_f = (
+        desc_pref.filter(F.col("pos") > 0)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(quantize(term / F.col("np"), 9)).cast("double") / 1e9
+            ).alias("ap")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(auc_f))
+        .crossJoin(F.broadcast(ap_f))
+        .select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            (quantize("auc", 6) / 1e6).alias("roc_auc"),
+            (quantize("ap", 6) / 1e6).alias("avg_precision"),
+        )
+    )
