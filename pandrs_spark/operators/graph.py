@@ -1725,3 +1725,86 @@ def edge_embeddedness(
         "v",
         F.coalesce("embeddedness", F.lit(0)).cast("long").alias("embeddedness"),
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+    iterations: int = 15,
+    check_convergence: bool = False,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Weighted PageRank: rank mass flows proportional to edge weight,
+    rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)·w(u,v)/W_out(u) — the
+    recommendation-grade variant of :func:`pagerank` (centrality.rs:250
+    is the unweighted behavioral spec). Dangling mass is NOT
+    redistributed (it decays, matching the chained-CTE oracle); feed a
+    graph where every vertex has out-weight for the conservative walk.
+
+    Same scale shape as pagerank: weighted edges partitioned once on
+    ``src`` and persisted, each round shuffles only the |V|-row rank
+    vector, lineage cut per iteration. ``check_convergence=True``
+    raises :class:`ConvergenceError` if the final round moved any rank
+    by more than ``tol``.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    verts = tracked_persist(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    outw = tracked_persist(
+        e.groupBy("src").agg(F.sum("w").alias("wout"))
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    prev_ranks = ranks
+    for i in range(iterations):
+        contribs = (
+            e.join(outw, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                "dst",
+                (F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"),
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+        if check_convergence and i == iterations - 1:
+            delta = (
+                ranks.alias("cur")
+                .join(prev_ranks.alias("p"), "id")
+                .agg(
+                    F.max(F.abs(F.col("cur.rank") - F.col("p.rank"))).alias("d")
+                )
+                .first()["d"]
+            )
+            if delta is not None and delta > tol:
+                e.unpersist()
+                raise ConvergenceError(
+                    f"weighted_pagerank: max |Δrank| = {delta:.3e} > "
+                    f"tol={tol} after {iterations} iterations — raise "
+                    "iterations"
+                )
+        prev_ranks = ranks
+    e.unpersist()
+    return ranks

@@ -1231,3 +1231,250 @@ def q467(spark, sf_dir):
         "components_after", "largest_after",
     )
     return F.broadcast(before).crossJoin(F.broadcast(after))
+
+
+# --- q514: WEIGHTED PageRank on the directed trade graph — rank mass
+# flows proportional to edge weight (line counts), the
+# recommendation-grade variant of q68's uniform walk:
+#   rank ← (1−d)/N + d·Σ_u rank(u)·w(u,v)/Σ_out w(u).
+# Same one-small-shuffle-per-round shape; the oracle unrolls the same
+# 15 rounds as chained CTEs; convergence certified in-gate. ---------------------
+def _wpr_oracle(iterations: int = 15) -> str:
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""wp{k} AS MATERIALIZED (
+        SELECT v.id,
+               0.15 / (SELECT n FROM nv) + 0.85 * COALESCE(m.mass, 0) AS rank
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS id,
+                   SUM(p.rank * e.cnt / o.wout) AS mass
+            FROM wp{k - 1} p
+            JOIN trade e ON e.src = p.id
+            JOIN outw o ON o.src = p.id
+            GROUP BY e.dst
+        ) m ON m.id = v.id
+    )"""
+        )
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_TRADE},
+    verts AS MATERIALIZED (
+        SELECT src AS id FROM trade UNION SELECT dst FROM trade
+    ),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    outw AS MATERIALIZED (
+        SELECT src, CAST(SUM(cnt) AS DOUBLE) AS wout FROM trade GROUP BY src
+    ),
+    wp0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts),
+    {chained}
+    SELECT id, ROUND(rank, 6) AS rank FROM wp{iterations} ORDER BY id
+    """
+
+
+@query("q514_weighted_pagerank", oracle=_wpr_oracle())
+def q514(spark, sf_dir):
+    from pandrs_spark.operators.graph import weighted_pagerank
+
+    trade = _trade_edges(spark, sf_dir)
+    ranks = weighted_pagerank(
+        trade, weight="cnt", iterations=15, check_convergence=True
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+# --- q515: average neighbor degree per vertex (undirected strong
+# graph) — the knn(v) curve whose slope against degree is the local
+# view of q358-class assortativity: hubs connecting to hubs vs to
+# leaves. Two joins over the symmetric edge list, both on vertex keys. ----------
+@query(
+    "q515_avg_neighbor_degree",
+    oracle=f"""
+    WITH {_STRONG},
+    deg AS MATERIALIZED (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    )
+    SELECT u.src AS id, d.d AS degree,
+           CAST(CAST(SIGN(knn) * FLOOR(ABS(knn) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS avg_neighbor_degree
+    FROM (
+        SELECT u.src, CAST(SUM(nd.d) AS DOUBLE) / COUNT(*) AS knn
+        FROM und u JOIN deg nd ON nd.id = u.dst
+        GROUP BY u.src
+    ) u
+    JOIN deg d ON d.id = u.src
+    ORDER BY id
+    """,
+)
+def q515(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    und = tracked_persist(symmetrize(_strong_edges(spark, sf_dir)))
+    deg = tracked_persist(
+        und.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+    )
+    knn = (
+        und.join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "nd"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg((F.sum("nd").cast("double") / F.count(F.lit(1))).alias("knn"))
+    )
+    return (
+        knn.join(deg, "id")
+        .select(
+            "id",
+            F.col("d").alias("degree"),
+            (quantize("knn", 6) / 1e6).alias("avg_neighbor_degree"),
+        )
+        .orderBy("id")
+    )
+
+
+# --- q516: eccentricity, diameter and radius of the strong trade
+# graph — per-vertex longest shortest path from the SAME multi-source
+# BFS state as closeness (q112): one frontier expansion for ALL roots
+# at once, ecc(v) = max hop; diameter = max ecc, radius = min ecc over
+# the (single) giant component. ---------------------------------------------------
+@query(
+    "q516_eccentricity_diameter",
+    oracle=f"""
+    WITH RECURSIVE {_STRONG},
+    walk(root, id, hops) AS (
+        SELECT src, src, 0 FROM und
+        UNION
+        SELECT w.root, u.dst, w.hops + 1
+        FROM walk w JOIN und u ON u.src = w.id
+        WHERE w.hops < 20
+    ),
+    dist AS MATERIALIZED (
+        SELECT root, id, MIN(hops) AS h FROM walk GROUP BY root, id
+    ),
+    ecc AS MATERIALIZED (
+        SELECT root AS id, CAST(MAX(h) AS BIGINT) AS ecc FROM dist GROUP BY root
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MAX(ecc) AS BIGINT) AS diameter,
+           CAST(MIN(ecc) AS BIGINT) AS radius,
+           CAST(SUM(CASE WHEN ecc = (SELECT MIN(ecc) FROM ecc) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_center
+    FROM ecc
+    """,
+)
+def q516(spark, sf_dir):
+    from pandrs_spark.operators.graph import closeness_centrality
+
+    # closeness_centrality's visited state is (root, id, hops); rebuild
+    # the per-root max from the same frontier walk by asking for the
+    # raw reach: reuse the operator's BFS via roots=all and recompute
+    # ecc from a second pass over the strong graph.
+    strong = _strong_edges(spark, sf_dir)
+    und = tracked_persist(symmetrize(strong))
+    spark_ = und.sparkSession
+    from pandrs_spark.operators.graph import bfs_hops  # noqa: F401
+
+    # multi-source BFS over all roots at once (the q112 dataflow)
+    verts = und.select(F.col("src").alias("id")).distinct()
+    visited = tracked_persist(
+        verts.select(F.col("id").alias("root"), "id", F.lit(0).alias("hops"))
+    )
+    frontier = visited
+    for hop in range(1, 21):
+        neighbors = (
+            und.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = tracked_persist(
+            neighbors.join(visited, ["root", "id"], "left_anti").withColumn(
+                "hops", F.lit(hop)
+            )
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    ecc = visited.groupBy("root").agg(F.max("hops").cast("long").alias("ecc"))
+    radius = ecc.agg(F.min("ecc").alias("r"))
+    return (
+        ecc.crossJoin(F.broadcast(radius))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.max("ecc").cast("long").alias("diameter"),
+            F.min("ecc").cast("long").alias("radius"),
+            F.sum(F.when(F.col("ecc") == F.col("r"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_center"),
+        )
+    )
+
+
+# --- q519: clustering-vs-degree curve — average local clustering
+# coefficient per degree value on the strong trade graph: the standard
+# "is clustering a hub or leaf phenomenon" profile (falling curve =
+# hierarchical structure). Reuses the q97 per-vertex lcc operator and
+# groups over the bounded degree support. ----------------------------------------
+@query(
+    "q519_clustering_degree_curve",
+    oracle=f"""
+    WITH {_STRONG},
+    canon AS MATERIALIZED (SELECT DISTINCT src, dst FROM und WHERE src < dst),
+    tri AS MATERIALIZED (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM canon ab
+        JOIN canon bc ON bc.src = ab.dst
+        JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    tri_counts AS MATERIALIZED (
+        SELECT id, COUNT(*) AS n_tri FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY id
+    ),
+    deg AS MATERIALIZED (
+        SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src
+    ),
+    lcc AS MATERIALIZED (
+        SELECT d.id, d.deg,
+               CASE WHEN d.deg > 1
+                    THEN 2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1))
+                    ELSE 0.0 END AS lcc
+        FROM deg d LEFT JOIN tri_counts t USING (id)
+    )
+    SELECT CAST(x.deg AS BIGINT) AS degree,
+           CAST(x.nv AS BIGINT) AS n_vertices,
+           CAST(CAST(SIGN(x.m) * FLOOR(ABS(x.m) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mean_lcc
+    FROM (
+        SELECT deg, COUNT(*) AS nv,
+               CAST(SUM(CAST(SIGN(lcc) * FLOOR(ABS(lcc) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS m
+        FROM lcc GROUP BY deg
+    ) x
+    ORDER BY degree
+    """,
+)
+def q519(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.graph import clustering_coefficient
+
+    lcc = clustering_coefficient(_strong_edges(spark, sf_dir))
+    return (
+        lcc.groupBy(F.col("deg").cast("long").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            (
+                quantize(
+                    F.sum(quantize("lcc", 9)).cast("double")
+                    / 1e9
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                / 1e6
+            ).alias("mean_lcc"),
+        )
+        .orderBy("degree")
+    )

@@ -4347,3 +4347,199 @@ def q501(spark, sf_dir):
         (quantize("p90r", 6) / 1e6).alias("p90"),
         (quantize("p99r", 6) / 1e6).alias("p99"),
     ).orderBy("priority")
+
+
+# --- q517: monthly growth accounting of the customer base — the
+# classic NEW / RETAINED / RESURRECTED / CHURNED decomposition over
+# order activity: new = first-ever active month, retained = active
+# this month and last, resurrected = active now but not last month
+# (and not new), churned(m) = active in m−1 but not in m. One distinct
+# (customer, month) rollup + two self-joins on the month-shifted key —
+# no per-customer window over the raw fact table. -------------------------------
+@query(
+    "q517_growth_accounting",
+    oracle="""
+    WITH active AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c,
+               date_trunc('month', o_orderdate) AS m
+        FROM orders
+    ),
+    firsts AS MATERIALIZED (
+        SELECT c, MIN(m) AS fm FROM active GROUP BY c
+    ),
+    labeled AS MATERIALIZED (
+        SELECT a.c, a.m,
+               CASE
+                   WHEN f.fm = a.m THEN 'new'
+                   WHEN p.c IS NOT NULL THEN 'retained'
+                   ELSE 'resurrected'
+               END AS state
+        FROM active a
+        JOIN firsts f ON f.c = a.c
+        LEFT JOIN active p
+          ON p.c = a.c AND p.m = a.m - INTERVAL 1 MONTH
+    ),
+    churn AS MATERIALIZED (
+        SELECT a.m + INTERVAL 1 MONTH AS m, COUNT(*) AS n_churned
+        FROM active a
+        LEFT JOIN active nx
+          ON nx.c = a.c AND nx.m = a.m + INTERVAL 1 MONTH
+        WHERE nx.c IS NULL
+          AND a.m + INTERVAL 1 MONTH <= (SELECT MAX(m) FROM active)
+        GROUP BY a.m
+    )
+    SELECT l.m AS month,
+           CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(MAX(ch.n_churned), 0) AS BIGINT) AS n_churned
+    FROM labeled l LEFT JOIN churn ch ON ch.m = l.m
+    GROUP BY l.m
+    ORDER BY month
+    """,
+)
+def q517(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    active = tracked_persist(
+        orders.select(
+            F.col("o_custkey").alias("c"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        ).distinct()
+    )
+    firsts = active.groupBy("c").agg(F.min("m").alias("fm"))
+    prev = active.select(
+        "c", F.add_months(F.col("m"), 1).cast("timestamp").alias("m")
+    ).withColumnRenamed("c", "pc")
+    labeled = (
+        active.join(firsts, "c")
+        .join(
+            prev,
+            (F.col("c") == F.col("pc")) & (active.m == prev.m),
+            "left",
+        )
+        .select(
+            active.m.alias("m"),
+            F.when(F.col("fm") == active.m, "new")
+            .when(F.col("pc").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    max_m = active.agg(F.max("m").alias("mx"))
+    nxt = active.select(
+        F.col("c").alias("nc"), F.col("m").alias("nm")
+    )
+    churn = (
+        active.join(
+            nxt,
+            (F.col("c") == F.col("nc"))
+            & (F.add_months(F.col("m"), 1).cast("timestamp") == F.col("nm")),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_m))
+        .filter(F.add_months(F.col("m"), 1).cast("timestamp") <= F.col("mx"))
+        .groupBy(F.add_months(F.col("m"), 1).cast("timestamp").alias("m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    out = (
+        labeled.groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .join(churn, "m", "left")
+        .select(
+            F.col("m").alias("month"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
+    return out.orderBy("month")
+
+
+# --- q518: inter-purchase time distribution + memorylessness index
+# per market segment — consecutive-order gaps in days (per-customer
+# LAG over the customer-partitioned order sequence: high-cardinality
+# partition key, proper parallelism), then per segment mean, median
+# and the median/(mean·ln2) ratio that equals 1 for an exponential
+# (memoryless) process — the renewal-theory diagnostic behind
+# "when is a customer overdue?". ------------------------------------------------
+@query(
+    "q518_interpurchase_memorylessness",
+    oracle="""
+    WITH seq AS MATERIALIZED (
+        SELECT o.o_custkey,
+               datediff('day',
+                        LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                                 ORDER BY o.o_orderdate,
+                                                          o.o_orderkey),
+                        o.o_orderdate) AS gap,
+               c.c_mktsegment AS segment
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment, n_gaps,
+           CAST(CAST(SIGN(mean_r) * FLOOR(ABS(mean_r) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS mean_gap,
+           CAST(CAST(SIGN(med_r) * FLOOR(ABS(med_r) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS median_gap,
+           CAST(CAST(SIGN(mli) * FLOOR(ABS(mli) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS memorylessness
+    FROM (
+        SELECT segment,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_r,
+               quantile_cont(CAST(gap AS DOUBLE), 0.5) AS med_r,
+               quantile_cont(CAST(gap AS DOUBLE), 0.5)
+                   / ((CAST(SUM(gap) AS DOUBLE) / COUNT(gap)) * LN(2)) AS mli
+        FROM seq WHERE gap IS NOT NULL
+        GROUP BY segment
+    )
+    ORDER BY segment
+    """,
+)
+def q518(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = seq.groupBy("segment").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        (F.sum("gap").cast("double") / F.count("gap")).alias("mean_r"),
+        F.expr("percentile(CAST(gap AS DOUBLE), 0.5)").alias("med_r"),
+    )
+    import math
+
+    mli = F.col("med_r") / (F.col("mean_r") * math.log(2))
+    return agg.select(
+        "segment",
+        "n_gaps",
+        (quantize("mean_r", 6) / 1e6).alias("mean_gap"),
+        (quantize("med_r", 6) / 1e6).alias("median_gap"),
+        (quantize(mli, 6) / 1e6).alias("memorylessness"),
+    ).orderBy("segment")
