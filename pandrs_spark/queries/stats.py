@@ -3129,3 +3129,236 @@ def q495(spark, sf_dir):
     return sums.select(
         "n1", "n2", (quantize(z, 6) / 1e6).alias("conover_z")
     )
+
+
+# --- q522: chi-square STANDARDIZED residual cells for priority ×
+# market segment — q59's omnibus test says "the table deviates"; this
+# says WHERE: r_ij = (O−E)/√(E(1−p_i)(1−q_j)) per cell, the mosaic-plot
+# numbers an analyst actually reads (|r| > 2 ≈ significant cell). One
+# exact-count aggregate over the bounded 5×5 table. ------------------------------
+@query(
+    "q522_chisq_standardized_residuals",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+        SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS o_cnt
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY priority, segment
+    ),
+    rows_ AS MATERIALIZED (
+        SELECT priority, CAST(SUM(o_cnt) AS BIGINT) AS rn
+        FROM cells GROUP BY priority
+    ),
+    cols_ AS MATERIALIZED (
+        SELECT segment, CAST(SUM(o_cnt) AS BIGINT) AS cn
+        FROM cells GROUP BY segment
+    ),
+    tot AS (SELECT CAST(SUM(o_cnt) AS BIGINT) AS n FROM cells)
+    SELECT c.priority, c.segment, c.o_cnt,
+           CAST(CAST(SIGN(e) * FLOOR(ABS(e) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS expected,
+           CAST(CAST(SIGN(r) * FLOOR(ABS(r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS std_residual
+    FROM (
+        SELECT c.priority, c.segment, c.o_cnt,
+               CAST(r.rn AS DOUBLE) * co.cn / t.n AS e,
+               (c.o_cnt - CAST(r.rn AS DOUBLE) * co.cn / t.n)
+                   / SQRT(CAST(r.rn AS DOUBLE) * co.cn / t.n
+                          * (1 - CAST(r.rn AS DOUBLE) / t.n)
+                          * (1 - CAST(co.cn AS DOUBLE) / t.n)) AS r
+        FROM cells c
+        JOIN rows_ r ON r.priority = c.priority
+        JOIN cols_ co ON co.segment = c.segment, tot t
+    ) c
+    ORDER BY priority, segment
+    """,
+)
+def q522(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o_cnt"))
+    )
+    rows_ = cells.groupBy("priority").agg(
+        F.sum("o_cnt").cast("long").alias("rn")
+    )
+    cols_ = cells.groupBy("segment").agg(
+        F.sum("o_cnt").cast("long").alias("cn")
+    )
+    tot = cells.agg(F.sum("o_cnt").cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows_), "priority")
+        .join(F.broadcast(cols_), "segment")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    r = (F.col("o_cnt") - e) / F.sqrt(
+        e
+        * (1 - F.col("rn").cast("double") / F.col("n"))
+        * (1 - F.col("cn").cast("double") / F.col("n"))
+    )
+    return j.select(
+        "priority",
+        "segment",
+        "o_cnt",
+        (quantize(e, 6) / 1e6).alias("expected"),
+        (quantize(r, 6) / 1e6).alias("std_residual"),
+    ).orderBy("priority", "segment")
+
+
+# --- q523: per-source embedding centroid silhouette — treat each
+# document source as a cluster in embedding space (via the doc_id ↔
+# vec_id alignment): silhouette-lite per source =
+# (nearest-other-centroid distance − mean intra distance) / max(·,·),
+# all against CENTROIDS (the classic O(n·k) simplification that keeps
+# the statistic out of O(n²)). One pass builds the k centroids, one
+# map computes per-vector distances, the k×k centroid matrix is
+# bounded by the source count. ---------------------------------------------------
+@query(
+    "q523_source_centroid_silhouette",
+    oracle="""
+    WITH v AS MATERIALIZED (
+        SELECT d.source, e.vec_id,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    cent2 AS MATERIALIZED (
+        SELECT source, i,
+               CAST(SUM(CAST(SIGN(emb[i]) * FLOOR(ABS(emb[i]) * 1e6 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS ci
+        FROM v, UNNEST(generate_series(1, 64)) AS t(i)
+        GROUP BY source, i
+    ),
+    intra AS MATERIALIZED (
+        SELECT x.source,
+               CAST(COUNT(DISTINCT x.vec_id) AS BIGINT) AS n_vecs,
+               CAST(SUM(CAST(SIGN(dd) * FLOOR(ABS(dd) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sum_d2
+        FROM (
+            SELECT v.source, v.vec_id,
+                   CAST(SUM(CAST(SIGN((v.emb[c.i] - c.ci) * (v.emb[c.i] - c.ci))
+                                 * FLOOR(ABS((v.emb[c.i] - c.ci)
+                                             * (v.emb[c.i] - c.ci)) * 1e9 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e9 AS dd
+            FROM v JOIN cent2 c ON c.source = v.source
+            GROUP BY v.source, v.vec_id
+        ) x
+        GROUP BY x.source
+    ),
+    cdist AS MATERIALIZED (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(SUM(CAST(SIGN((a.ci - b.ci) * (a.ci - b.ci))
+                             * FLOOR(ABS((a.ci - b.ci) * (a.ci - b.ci))
+                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS d2
+        FROM cent2 a JOIN cent2 b ON b.i = a.i AND b.source <> a.source
+        GROUP BY sa, sb
+    ),
+    nearest AS MATERIALIZED (
+        SELECT sa AS source, MIN(d2) AS near_d2 FROM cdist GROUP BY sa
+    )
+    SELECT i.source, i.n_vecs,
+           CAST(CAST(SIGN(a_) * FLOOR(ABS(a_) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mean_intra_d2,
+           CAST(CAST(SIGN(b_) * FLOOR(ABS(b_) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS nearest_centroid_d2,
+           CAST(CAST(SIGN((b_ - a_) / GREATEST(a_, b_))
+                     * FLOOR(ABS((b_ - a_) / GREATEST(a_, b_)) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS silhouette
+    FROM (
+        SELECT i.source, i.n_vecs,
+               i.sum_d2 / i.n_vecs AS a_,
+               n.near_d2 AS b_
+        FROM intra i JOIN nearest n ON n.source = i.source
+    ) i
+    ORDER BY source
+    """,
+)
+def q523(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    emb = T(spark, sf_dir, "embeddings")
+    docs = T(spark, sf_dir, "documents")
+    v = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select(
+            "source",
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE))"
+            ).alias("emb"),
+        )
+    )
+    # long form: one row per (vector, dim)
+    vl = v.select(
+        "source",
+        "vec_id",
+        F.posexplode("emb").alias("i0", "x"),
+    ).select("source", "vec_id", (F.col("i0") + 1).alias("i"), "x")
+    cent = vl.groupBy("source", "i").agg(
+        (
+            F.sum(quantize("x", 6)).cast("double") / 1e6 / F.count(F.lit(1))
+        ).alias("ci")
+    )
+    per_vec = (
+        vl.join(cent, ["source", "i"])
+        .groupBy("source", "vec_id")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        (F.col("x") - F.col("ci")) * (F.col("x") - F.col("ci")),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("dd")
+        )
+    )
+    intra = per_vec.groupBy("source").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+        (F.sum(quantize("dd", 9)).cast("double") / 1e9).alias("sum_d2"),
+    )
+    ca = cent.select(
+        F.col("source").alias("sa"), "i", F.col("ci").alias("cia")
+    )
+    cb = cent.select(
+        F.col("source").alias("sb"), "i", F.col("ci").alias("cib")
+    )
+    cdist = (
+        ca.join(cb, "i")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        (F.col("cia") - F.col("cib"))
+                        * (F.col("cia") - F.col("cib")),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("d2")
+        )
+    )
+    nearest = cdist.groupBy(F.col("sa").alias("source")).agg(
+        F.min("d2").alias("near_d2")
+    )
+    j = intra.join(nearest, "source")
+    a_ = F.col("sum_d2") / F.col("n_vecs")
+    b_ = F.col("near_d2")
+    return j.select(
+        "source",
+        "n_vecs",
+        (quantize(a_, 6) / 1e6).alias("mean_intra_d2"),
+        (quantize(b_, 6) / 1e6).alias("nearest_centroid_d2"),
+        (quantize((b_ - a_) / F.greatest(a_, b_), 6) / 1e6).alias("silhouette"),
+    ).orderBy("source")

@@ -4252,3 +4252,166 @@ def q489(spark, sf_dir):
         F.col("n").cast("long").alias("n_months"),
         (quantize(F.col("n") * r2_num / r2_den, 6) / 1e6).alias("bp_nr2"),
     )
+
+
+# --- q520: Theil's U forecast-quality statistic on monthly revenue —
+# U = RMSE(model) / RMSE(naive) for the drift model vs the naive
+# last-value carry (U < 1: the model earns its keep; U = 1: no better
+# than persistence). Both forecasts are closed-form over the month
+# index, so the whole statistic is exact sums over one lag join — the
+# decision rule that complements q459's MASE ensemble. ---------------------------
+@query(
+    "q520_theils_u_forecast",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    d AS MATERIALIZED (
+        SELECT rev AS y, ROW_NUMBER() OVER (ORDER BY mth) AS t FROM monthly
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    anchors AS (
+        SELECT MAX(CASE WHEN t = 1 THEN y END) AS y1,
+               MAX(CASE WHEN t = (SELECT n FROM nn) THEN y END) AS ylast
+        FROM d
+    ),
+    pairs AS MATERIALIZED (
+        SELECT cur.y AS y, prev.y AS y_prev, cur.t
+        FROM d cur JOIN d prev ON prev.t = cur.t - 1
+    ),
+    errs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+               CAST(SUM({sql_quantize('(y - y_prev) * (y - y_prev)', 9)})
+                    AS DOUBLE) / 1e9 AS sse_naive,
+               CAST(SUM({sql_quantize(
+                   '(y - (y_prev + (a.ylast - a.y1) / ((SELECT n FROM nn) - 1))) '
+                   '* (y - (y_prev + (a.ylast - a.y1) / ((SELECT n FROM nn) - 1)))',
+                   9)}) AS DOUBLE) / 1e9 AS sse_drift
+        FROM pairs, anchors a
+    )
+    SELECT n_steps,
+           CAST({sql_quantize('SQRT(sse_drift / n_steps)', 6)} AS DOUBLE)
+               / 1e6 AS rmse_drift,
+           CAST({sql_quantize('SQRT(sse_naive / n_steps)', 6)} AS DOUBLE)
+               / 1e6 AS rmse_naive,
+           CAST({sql_quantize('SQRT(sse_drift) / SQRT(sse_naive)', 6)}
+                AS DOUBLE) / 1e6 AS theils_u
+    FROM errs
+    """,
+)
+def q520(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    d = tracked_persist(
+        monthly.select(
+            F.col("rev").alias("y"), F.row_number().over(w_ord).alias("t")
+        )
+    )
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    anchors = d.crossJoin(F.broadcast(nn)).agg(
+        F.max(F.when(F.col("t") == 1, F.col("y"))).alias("y1"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("y"))).alias("ylast"),
+        F.first("n").alias("n"),
+    )
+    prev = d.select((F.col("t") + 1).alias("t"), F.col("y").alias("y_prev"))
+    pairs = d.join(prev, "t")
+    drift = F.col("y_prev") + (F.col("ylast") - F.col("y1")) / (F.col("n") - 1)
+    errs = pairs.crossJoin(F.broadcast(anchors)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        (
+            F.sum(
+                quantize((F.col("y") - F.col("y_prev")) ** 2, 9)
+            ).cast("double")
+            / 1e9
+        ).alias("sse_naive"),
+        (
+            F.sum(quantize((F.col("y") - drift) ** 2, 9)).cast("double") / 1e9
+        ).alias("sse_drift"),
+    )
+    return errs.select(
+        "n_steps",
+        (quantize(F.sqrt(F.col("sse_drift") / F.col("n_steps")), 6) / 1e6).alias(
+            "rmse_drift"
+        ),
+        (quantize(F.sqrt(F.col("sse_naive") / F.col("n_steps")), 6) / 1e6).alias(
+            "rmse_naive"
+        ),
+        (
+            quantize(F.sqrt("sse_drift") / F.sqrt("sse_naive"), 6) / 1e6
+        ).alias("theils_u"),
+    )
+
+
+# --- q521: ratio-to-moving-average seasonal factors — the X-11-style
+# classical decomposition step q107 stops short of: centered 12-month
+# MA as the trend, ratio y/MA per month, then the month-of-year MEDIAN
+# ratio normalized so the 12 factors average to 1. Every window rides
+# the ~80-month calendar spine. ---------------------------------------------------
+@query(
+    "q521_seasonal_factors_rma",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    d AS MATERIALIZED (
+        SELECT mth, rev, ROW_NUMBER() OVER (ORDER BY mth) AS t FROM monthly
+    ),
+    ma AS MATERIALIZED (
+        -- centered 12-term MA: average of a 12-window and its 1-shift
+        -- (the classic 2x12 centering)
+        SELECT mth, rev, t,
+               (AVG(rev) OVER (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+                + AVG(rev) OVER (ORDER BY t ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING))
+                   / 2.0 AS trend,
+               COUNT(*) OVER (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS w1,
+               COUNT(*) OVER (ORDER BY t ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS w2
+        FROM d
+    ),
+    ratios AS MATERIALIZED (
+        SELECT EXTRACT(month FROM mth) AS moy, rev / trend AS r
+        FROM ma WHERE w1 = 12 AND w2 = 12
+    ),
+    raw AS MATERIALIZED (
+        SELECT moy, quantile_cont(r, 0.5) AS f FROM ratios GROUP BY moy
+    ),
+    norm AS (SELECT AVG(f) AS fbar FROM raw)
+    SELECT CAST(moy AS BIGINT) AS month_of_year,
+           CAST({sql_quantize('f / (SELECT fbar FROM norm)', 6)} AS DOUBLE)
+               / 1e6 AS seasonal_factor
+    FROM raw
+    ORDER BY month_of_year
+    """,
+)
+def q521(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    d = monthly.select(
+        "mth", "rev", F.row_number().over(w_ord).alias("t")
+    )
+    w1 = Window.orderBy("t").rowsBetween(-6, 5)
+    w2 = Window.orderBy("t").rowsBetween(-5, 6)
+    ma = d.select(
+        "mth",
+        "rev",
+        ((F.avg("rev").over(w1) + F.avg("rev").over(w2)) / 2.0).alias("trend"),
+        F.count(F.lit(1)).over(w1).alias("c1"),
+        F.count(F.lit(1)).over(w2).alias("c2"),
+    )
+    ratios = ma.filter((F.col("c1") == 12) & (F.col("c2") == 12)).select(
+        F.month("mth").alias("moy"), (F.col("rev") / F.col("trend")).alias("r")
+    )
+    raw = ratios.groupBy("moy").agg(
+        F.expr("percentile(r, 0.5)").alias("f")
+    )
+    norm = raw.agg(F.avg("f").alias("fbar"))
+    return (
+        raw.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("moy").cast("long").alias("month_of_year"),
+            (quantize(F.col("f") / F.col("fbar"), 6) / 1e6).alias(
+                "seasonal_factor"
+            ),
+        )
+        .orderBy("month_of_year")
+    )

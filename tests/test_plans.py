@@ -410,6 +410,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q489_breusch_pagan",  # month index over the calendar spine
     "q494_kendalls_w_brand_judges",  # three rank orders over the
     # FIXED ~25-brand rollup (q389 argument)
+    "q520_theils_u_forecast",  # month index over the calendar spine
+    "q521_seasonal_factors_rma",  # centered 12-month MA over the
+    # calendar spine (q80 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
