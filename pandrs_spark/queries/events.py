@@ -4519,3 +4519,77 @@ def q463(spark, sf_dir):
             "median_survival_days",
         )
     )
+
+
+# --- q528: conditional next-event entropy H(next | current) per event
+# type — how PREDICTABLE is what a user does after each action?
+# Transitions come from the per-user LAG sequence (high-cardinality
+# partition key), the entropy from the bounded event-type² transition
+# matrix: the information-theoretic summary on top of q419's raw
+# transition probabilities. ------------------------------------------------------
+@query(
+    "q528_transition_entropy",
+    oracle="""
+    WITH seq AS MATERIALIZED (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    cells AS MATERIALIZED (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    ),
+    tot AS MATERIALIZED (
+        SELECT cur, CAST(SUM(n) AS BIGINT) AS tn FROM cells GROUP BY cur
+    )
+    SELECT c.cur AS event_type, t.tn AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_next_types,
+           CAST(CAST(SIGN(h) * FLOOR(ABS(h) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS next_entropy
+    FROM (
+        SELECT c.cur,
+               -CAST(SUM(CAST(SIGN((CAST(c.n AS DOUBLE) / t.tn)
+                                   * LN(CAST(c.n AS DOUBLE) / t.tn))
+                              * FLOOR(ABS((CAST(c.n AS DOUBLE) / t.tn)
+                                          * LN(CAST(c.n AS DOUBLE) / t.tn))
+                                      * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS h
+        FROM cells c JOIN tot t ON t.cur = c.cur
+        GROUP BY c.cur
+    ) e
+    JOIN cells c ON c.cur = e.cur
+    JOIN tot t ON t.cur = e.cur
+    GROUP BY c.cur, t.tn, h
+    ORDER BY event_type
+    """,
+)
+def q528(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.groupBy("cur").agg(F.sum("n").cast("long").alias("tn"))
+    p = F.col("n").cast("double") / F.col("tn")
+    ent = (
+        cells.join(F.broadcast(tot), "cur")
+        .groupBy("cur", "tn")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_next_types"),
+            (-F.sum(quantize(p * F.log(p), 9)).cast("double") / 1e9).alias("h"),
+        )
+    )
+    return ent.select(
+        F.col("cur").alias("event_type"),
+        F.col("tn").alias("n_transitions"),
+        "n_next_types",
+        (quantize("h", 6) / 1e6).alias("next_entropy"),
+    ).orderBy("event_type")

@@ -1478,3 +1478,70 @@ def q519(spark, sf_dir):
         )
         .orderBy("degree")
     )
+
+
+# --- q529: power-law degree-distribution fit — the Clauset-Shalizi-
+# Newman MLE α̂ = 1 + n / Σ ln(d / (dmin − ½)) over vertices with
+# degree ≥ dmin on the TRADE graph (weighted multi-edges collapsed),
+# plus the tail fraction: the "is this a scale-free network" summary
+# statistic over the bounded degree rollup. --------------------------------------
+@query(
+    "q529_power_law_degree_alpha",
+    oracle=f"""
+    WITH {_TRADE},
+    und AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM trade
+            UNION ALL SELECT dst, src FROM trade
+        ) t WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    tail AS MATERIALIZED (
+        SELECT d FROM deg WHERE d >= 3
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+               CAST(SUM(CAST(SIGN(LN(d / 2.5)) * FLOOR(ABS(LN(d / 2.5))
+                             * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS slnd
+        FROM tail
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           n_tail,
+           CAST(CAST(SIGN(a) * FLOOR(ABS(a) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS alpha_hat
+    FROM (SELECT n_tail, 1.0 + n_tail / slnd AS a FROM fit)
+    """,
+)
+def q529(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    trade = _trade_edges(spark, sf_dir)
+    und = symmetrize(trade)
+    deg = tracked_persist(
+        und.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+    )
+    tail = deg.filter(F.col("d") >= 3)
+    fit = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        (
+            F.sum(quantize(F.log(F.col("d") / 2.5), 9)).cast("double") / 1e9
+        ).alias("slnd"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    return (
+        F.broadcast(nv)
+        .crossJoin(fit)
+        .select(
+            "n_vertices",
+            "n_tail",
+            (
+                quantize(1.0 + F.col("n_tail") / F.col("slnd"), 6) / 1e6
+            ).alias("alpha_hat"),
+        )
+    )

@@ -3362,3 +3362,247 @@ def q523(spark, sf_dir):
         (quantize(b_, 6) / 1e6).alias("nearest_centroid_d2"),
         (quantize((b_ - a_) / F.greatest(a_, b_), 6) / 1e6).alias("silhouette"),
     ).orderBy("source")
+
+
+# --- q525: Benford SECOND-digit conformity audit of order totals —
+# the forensic follow-up to q166/q370's first-digit tests (fabricators
+# who know Benford's first-digit law rarely fake the second):
+# P(d2 = d) = Σ_{k=1..9} log10(1 + 1/(10k + d)), chi-square against
+# the bounded 10-cell histogram. -------------------------------------------------
+@query(
+    "q525_benford_second_digit",
+    oracle="""
+    WITH digits AS MATERIALIZED (
+        SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
+                    2, 1) AS INTEGER) AS d2
+        FROM orders
+        WHERE length(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR)) >= 2
+    ),
+    hist AS MATERIALIZED (
+        SELECT d2, CAST(COUNT(*) AS BIGINT) AS o FROM digits GROUP BY d2
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM hist),
+    expect AS MATERIALIZED (
+        SELECT d,
+               LOG10(1.0 + 1.0/(10.0 + d)) + LOG10(1.0 + 1.0/(20.0 + d))
+             + LOG10(1.0 + 1.0/(30.0 + d)) + LOG10(1.0 + 1.0/(40.0 + d))
+             + LOG10(1.0 + 1.0/(50.0 + d)) + LOG10(1.0 + 1.0/(60.0 + d))
+             + LOG10(1.0 + 1.0/(70.0 + d)) + LOG10(1.0 + 1.0/(80.0 + d))
+             + LOG10(1.0 + 1.0/(90.0 + d)) AS p
+        FROM (SELECT UNNEST(generate_series(0, 9)) AS d)
+    )
+    SELECT CAST(e.d AS BIGINT) AS digit,
+           COALESCE(h.o, 0) AS observed,
+           CAST(CAST(SIGN(t.n * e.p) * FLOOR(ABS(t.n * e.p) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS expected,
+           CAST(CAST(SIGN(chi) * FLOOR(ABS(chi) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cell_chi2
+    FROM expect e
+    LEFT JOIN hist h ON h.d2 = e.d, tot t,
+    LATERAL (
+        SELECT (COALESCE(h.o, 0) - t.n * e.p) * (COALESCE(h.o, 0) - t.n * e.p)
+               / (t.n * e.p) AS chi
+    ) c
+    ORDER BY digit
+    """,
+)
+def q525(spark, sf_dir):
+    import math
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("long").cast("string")
+    digits = orders.filter(F.length(cents) >= 2).select(
+        F.substring(cents, 2, 1).cast("int").alias("d2")
+    )
+    hist = digits.groupBy("d2").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = hist.agg(F.sum("o").cast("long").alias("n"))
+    expect = spark.createDataFrame(
+        [
+            (
+                d,
+                sum(math.log10(1.0 + 1.0 / (10.0 * k + d)) for k in range(1, 10)),
+            )
+            for d in range(10)
+        ],
+        "d int, p double",
+    )
+    j = (
+        F.broadcast(expect)
+        .join(hist, expect.d == hist.d2, "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    obs = F.coalesce("o", F.lit(0))
+    e = F.col("n") * F.col("p")
+    chi = (obs - e) * (obs - e) / e
+    return j.select(
+        F.col("d").cast("long").alias("digit"),
+        obs.cast("long").alias("observed"),
+        (quantize(e, 6) / 1e6).alias("expected"),
+        (quantize(chi, 6) / 1e6).alias("cell_chi2"),
+    ).orderBy("digit")
+
+
+# --- q526: Goodman-Kruskal gamma for ORDINAL association between
+# order priority (1-URGENT…5-LOW) and customer balance quartile —
+# γ = (C − D)/(C + D) over concordant/discordant pairs, computed from
+# the bounded 5×4 contingency table (pair counts are products of cell
+# counts — never a row-pair join): the ordinal complement of q59's
+# nominal chi-square. ------------------------------------------------------------
+@query(
+    "q526_goodman_kruskal_gamma",
+    oracle="""
+    WITH med AS (
+        SELECT quantile_cont(CAST(c_acctbal AS DOUBLE),
+                             [0.25, 0.5, 0.75]) AS qs
+        FROM customer
+    ),
+    cells AS MATERIALIZED (
+        SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER) AS pr,
+               CASE WHEN c.c_acctbal <= (SELECT qs[1] FROM med) THEN 1
+                    WHEN c.c_acctbal <= (SELECT qs[2] FROM med) THEN 2
+                    WHEN c.c_acctbal <= (SELECT qs[3] FROM med) THEN 3
+                    ELSE 4 END AS bq,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY pr, bq
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN b.pr > a.pr AND b.bq > a.bq
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN b.pr > a.pr AND b.bq < a.bq
+                             THEN a.n * b.n ELSE 0 END) AS BIGINT) AS disc
+        FROM cells a JOIN cells b ON TRUE
+    )
+    SELECT conc AS concordant, disc AS discordant,
+           CAST(CAST(SIGN(g) * FLOOR(ABS(g) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS gamma
+    FROM (
+        SELECT conc, disc,
+               CAST(conc - disc AS DOUBLE) / (conc + disc) AS g
+        FROM pairs
+    )
+    """,
+)
+def q526(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    med = cust.agg(
+        F.expr(
+            "percentile(CAST(c_acctbal AS DOUBLE), array(0.25, 0.5, 0.75))"
+        ).alias("qs")
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("pr"),
+            F.when(F.col("c_acctbal") <= F.col("qs")[0], 1)
+            .when(F.col("c_acctbal") <= F.col("qs")[1], 2)
+            .when(F.col("c_acctbal") <= F.col("qs")[2], 3)
+            .otherwise(4)
+            .alias("bq"),
+        )
+        .groupBy("pr", "bq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = cells.select(
+        F.col("pr").alias("pa"), F.col("bq").alias("qa"), F.col("n").alias("na")
+    )
+    b = cells.select(
+        F.col("pr").alias("pb"), F.col("bq").alias("qb"), F.col("n").alias("nb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("pb") > F.col("pa")) & (F.col("qb") > F.col("qa")),
+                F.col("na") * F.col("nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("pb") > F.col("pa")) & (F.col("qb") < F.col("qa")),
+                F.col("na") * F.col("nb"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+    )
+    g = (F.col("concordant") - F.col("discordant")).cast("double") / (
+        F.col("concordant") + F.col("discordant")
+    )
+    return pairs.select(
+        "concordant", "discordant", (quantize(g, 6) / 1e6).alias("gamma")
+    )
+
+
+# --- q527: robust spread ladder per market segment — quartile
+# coefficient of dispersion (Q3−Q1)/(Q3+Q1), midhinge (Q1+Q3)/2 and
+# IQR of per-customer revenue: the outlier-immune spread summary that
+# complements the CV (which one whale customer wrecks). --------------------------
+@query(
+    "q527_quartile_dispersion",
+    oracle="""
+    WITH rev AS MATERIALIZED (
+        SELECT c.c_mktsegment AS segment,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY segment, o.o_custkey
+    ),
+    qs AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               quantile_cont(y, 0.25) AS q1,
+               quantile_cont(y, 0.75) AS q3
+        FROM rev GROUP BY segment
+    )
+    SELECT segment, n_customers,
+           CAST(CAST(SIGN(q3 - q1) * FLOOR(ABS(q3 - q1) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS iqr,
+           CAST(CAST(SIGN((q1 + q3) / 2) * FLOOR(ABS((q1 + q3) / 2) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS midhinge,
+           CAST(CAST(SIGN((q3 - q1) / (q3 + q1))
+                     * FLOOR(ABS((q3 - q1) / (q3 + q1)) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS qcd
+    FROM qs
+    ORDER BY segment
+    """,
+)
+def q527(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 100.0).alias(
+                "y"
+            )
+        )
+    )
+    qs = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr("percentile(y, 0.25)").alias("q1"),
+        F.expr("percentile(y, 0.75)").alias("q3"),
+    )
+    return qs.select(
+        "segment",
+        "n_customers",
+        (quantize(F.col("q3") - F.col("q1"), 6) / 1e6).alias("iqr"),
+        (quantize((F.col("q1") + F.col("q3")) / 2, 6) / 1e6).alias("midhinge"),
+        (
+            quantize(
+                (F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")), 6
+            )
+            / 1e6
+        ).alias("qcd"),
+    ).orderBy("segment")

@@ -4949,3 +4949,73 @@ def q507(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- q524: trigram frequency spectrum + Good-Turing unseen mass — the
+# f1 (hapax) / f2 (dis legomena) fractions of the trigram vocabulary
+# and the Good-Turing estimate P(unseen) = f1/N: the coverage
+# diagnostic that says how much of the language the corpus has NOT
+# seen yet (the estimator-side complement of q502's Heaps growth).
+# One explode → one frequency rollup → one frequency-of-frequency
+# rollup (bounded support). ------------------------------------------------------
+@query(
+    "q524_frequency_spectrum_good_turing",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, {_WS} AS w FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT array_to_string(w[i:i+2], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    freq AS MATERIALIZED (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g
+    ),
+    spectrum AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM freq
+    )
+    SELECT v AS vocab, n AS total_grams, f1 AS hapax, f2 AS dis_legomena,
+           CAST({sql_quantize('CAST(f1 AS DOUBLE) / v', 6)} AS DOUBLE) / 1e6
+               AS hapax_ratio,
+           CAST({sql_quantize('CAST(f1 AS DOUBLE) / n', 6)} AS DOUBLE) / 1e6
+               AS gt_unseen_mass
+    FROM spectrum
+    """,
+)
+def q524(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), r"\s+").alias("w"))
+    grams = toks.filter(F.size("w") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+            )
+        ).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spectrum = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return spectrum.select(
+        F.col("v").alias("vocab"),
+        F.col("n").alias("total_grams"),
+        F.col("f1").alias("hapax"),
+        F.col("f2").alias("dis_legomena"),
+        (quantize(F.col("f1").cast("double") / F.col("v"), 6) / 1e6).alias(
+            "hapax_ratio"
+        ),
+        (quantize(F.col("f1").cast("double") / F.col("n"), 6) / 1e6).alias(
+            "gt_unseen_mass"
+        ),
+    )

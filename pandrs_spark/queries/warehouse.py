@@ -4543,3 +4543,97 @@ def q518(spark, sf_dir):
         (quantize("med_r", 6) / 1e6).alias("median_gap"),
         (quantize(mli, 6) / 1e6).alias("memorylessness"),
     ).orderBy("segment")
+
+
+# --- q530: Poisson goodness-of-fit of order basket sizes — does
+# lines-per-order follow a Poisson(λ̂)? Chi-square over the bounded
+# k = 0..9,10+ support with the MLE λ̂ = mean basket size and exact
+# e^{-λ}λ^k/k! cell probabilities (closed form — no special functions).
+# The "is demand memoryless at the basket level" companion to q518's
+# inter-purchase exponential check. ----------------------------------------------
+@query(
+    "q530_basket_size_poisson_gof",
+    oracle="""
+    WITH baskets AS MATERIALIZED (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    lam AS (
+        SELECT CAST(SUM(k) AS DOUBLE) / COUNT(*) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM baskets
+    ),
+    hist AS MATERIALIZED (
+        SELECT LEAST(k, 10) AS kb, CAST(COUNT(*) AS BIGINT) AS o
+        FROM baskets GROUP BY kb
+    ),
+    grid AS MATERIALIZED (
+        SELECT g.kb,
+               CASE WHEN g.kb < 10 THEN EXP(-m.l) * POW(m.l, g.kb)
+                         / CASE g.kb WHEN 0 THEN 1 WHEN 1 THEN 1
+                                     WHEN 2 THEN 2 WHEN 3 THEN 6
+                                     WHEN 4 THEN 24 WHEN 5 THEN 120
+                                     WHEN 6 THEN 720 WHEN 7 THEN 5040
+                                     WHEN 8 THEN 40320 ELSE 362880 END
+                    ELSE 1 - (EXP(-m.l) * (1 + m.l + POW(m.l,2)/2
+                              + POW(m.l,3)/6 + POW(m.l,4)/24 + POW(m.l,5)/120
+                              + POW(m.l,6)/720 + POW(m.l,7)/5040
+                              + POW(m.l,8)/40320 + POW(m.l,9)/362880))
+               END AS p,
+               m.n
+        FROM (SELECT UNNEST(generate_series(0, 10)) AS kb) g, lam m
+    )
+    SELECT CAST(g.kb AS BIGINT) AS basket_size,
+           COALESCE(h.o, 0) AS observed,
+           CAST(CAST(SIGN(g.n * g.p) * FLOOR(ABS(g.n * g.p) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS expected,
+           CAST(CAST(SIGN(chi) * FLOOR(ABS(chi) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cell_chi2
+    FROM grid g
+    LEFT JOIN hist h ON h.kb = g.kb,
+    LATERAL (
+        SELECT (COALESCE(h.o, 0) - g.n * g.p) * (COALESCE(h.o, 0) - g.n * g.p)
+               / (g.n * g.p) AS chi
+    ) c
+    ORDER BY basket_size
+    """,
+)
+def q530(spark, sf_dir):
+    import math
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    lam = baskets.agg(
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    hist = baskets.groupBy(F.least("k", F.lit(10)).alias("kb")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    grid = spark.createDataFrame(
+        [(kb, float(math.factorial(kb)) if kb < 10 else 0.0) for kb in range(11)],
+        "kb long, fact double",
+    )
+    g = F.broadcast(grid).crossJoin(F.broadcast(lam))
+    pmf = F.exp(-F.col("l")) * F.pow(F.col("l"), F.col("kb")) / F.col("fact")
+    # 10+ tail: 1 − CDF(9)
+    cdf9 = F.exp(-F.col("l")) * sum(
+        F.pow(F.col("l"), i) / float(math.factorial(i)) for i in range(10)
+    )
+    gp = g.select(
+        "kb", "n", F.when(F.col("kb") < 10, pmf).otherwise(1 - cdf9).alias("p")
+    )
+    j = gp.join(hist, "kb", "left")
+    obs = F.coalesce("o", F.lit(0))
+    e = F.col("n") * F.col("p")
+    chi = (obs - e) * (obs - e) / e
+    return j.select(
+        F.col("kb").alias("basket_size"),
+        obs.cast("long").alias("observed"),
+        (quantize(e, 6) / 1e6).alias("expected"),
+        (quantize(chi, 6) / 1e6).alias("cell_chi2"),
+    ).orderBy("basket_size")
