@@ -430,14 +430,21 @@ def msprt_two_proportion(
         )
         * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
     )
+    # Degenerate-variance guard (NULL-on-degenerate convention shared
+    # with logrank/mcnemar/mood): v = 0 when the pooled conversion rate
+    # is exactly 0 or 1 — the mixture likelihood ratio is undefined
+    # there (and ANSI mode would raise on the v division).
     return stat.withColumn(
         "lambda_stat",
-        F.sqrt(F.col("v") / (F.col("v") + tau2))
-        * F.exp(
-            F.col("theta")
-            * F.col("theta")
-            * tau2
-            / (2.0 * F.col("v") * (F.col("v") + tau2))
+        F.when(
+            F.col("v") > 0,
+            F.sqrt(F.col("v") / (F.col("v") + tau2))
+            * F.exp(
+                F.col("theta")
+                * F.col("theta")
+                * tau2
+                / (2.0 * F.col("v") * (F.col("v") + tau2))
+            ),
         ),
     )
 
