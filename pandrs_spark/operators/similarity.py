@@ -96,7 +96,13 @@ def cosine_topk(
     broadcast query vector. Returns (vec_id, sim) with sim rounded to 4
     decimals; ordering ties broken by id for determinism."""
     corpus = fan_out(corpus)
-    q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("__qv")))
+    # .limit(1) makes the single-query-vector CONTRACT plan-visible:
+    # the broadcast build is provably bounded (census-classifiable) and
+    # a caller passing a data-sized frame can't silently explode the
+    # crossJoin
+    q = F.broadcast(
+        query.select(_as_double(F.col(vec_col)).alias("__qv")).limit(1)
+    )
     sim = cosine(_as_double(F.col(vec_col)), F.col("__qv"))
     # Rank on the 6-decimal rounding with an id tie-break: engines may
     # disagree on the last ulp of a float fold, never on round(sim, 6).

@@ -483,15 +483,24 @@ def test_plan_census_classifier_discriminates(spark, sf_dir):
     c1 = walk_classify(benign._jdf.queryExecution().executedPlan())
     assert c1["bnlj_benign"] >= 1 and c1["bnlj_suspicious"] == 0, c1
 
-    # suspicious: a data-sized frame (distinct keys of a scaling table)
-    # forced into a nested-loop broadcast build via a non-equi condition
-    keys = li.select("l_orderkey").distinct()
+    # suspicious: a RAW data-sized frame forced into a nested-loop
+    # broadcast build via a non-equi condition (nothing bounds it)
+    raw = li.select(F.col("l_orderkey").alias("k"), "l_linenumber")
     suspicious = li.join(
-        F.broadcast(keys.withColumnRenamed("l_orderkey", "k")),
-        F.col("l_orderkey") > F.col("k"),
+        F.broadcast(raw), F.col("l_orderkey") > F.col("k")
     )
     c2 = walk_classify(suspicious._jdf.queryExecution().executedPlan())
     assert c2["bnlj_suspicious"] >= 1, c2
+
+    # single-key grouped aggregate build → the keyed_agg DOMAIN-claim
+    # category (neither benign nor suspicious)
+    keys = li.select("l_orderkey").distinct()
+    keyed = li.join(
+        F.broadcast(keys.withColumnRenamed("l_orderkey", "k")),
+        F.col("l_orderkey") > F.col("k"),
+    )
+    c2b = walk_classify(keyed._jdf.queryExecution().executedPlan())
+    assert c2b["bnlj_keyed_agg"] >= 1 and c2b["bnlj_suspicious"] == 0, c2b
 
     # SinglePartition split: a scalar agg's exchange is benign...
     c3 = walk_classify(scalar._jdf.queryExecution().executedPlan())

@@ -57,7 +57,14 @@ PATTERNS = {
 # (fixed-cardinality dims: 5 regions, 25 nations).
 _BOUNDED_TABLES = ("region.parquet", "nation.parquet")
 
-_SCALAR_AGG = re.compile(r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[\]")
+# SortAggregate prints `key=[]` (singular); Hash/ObjectHash print `keys=[]`
+_SCALAR_AGG = re.compile(r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[\]")
+# a single-key aggregate build: bounded by the KEY\'s cardinality — a
+# domain claim (labels, sources, months, scenario grids), reported as
+# its own category rather than benign or suspicious
+_SINGLE_KEY_AGG = re.compile(
+    r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[[^,\]]+\]"
+)
 _LIMIT = re.compile(r"\b(?:GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)\b")
 _FILESCAN = re.compile(r"\bFileScan parquet [^\n]*")
 
@@ -76,31 +83,43 @@ def _node_line(node) -> str:
 
 
 def classify_build_subtree(text: str) -> str:
-    """Classify a broadcast build side's subtree TEXT as benign or
-    suspicious. Benign = bounded by construction: a scalar (keys=[])
-    aggregate reduces everything below it, a Limit bounds the row
-    count, every file scan is a fixed-cardinality dim, or nothing scans
-    files at all (LocalTableScan / parallelized fixtures / reused
-    exchanges). Suspicious = a data-sized FileScan reaches the
-    broadcast build unbounded."""
+    """Classify a broadcast build side's subtree TEXT. benign = bounded
+    by construction: a scalar (keys=[]/key=[]) aggregate reduces
+    everything below it, a Limit bounds the row count, every file scan
+    is a fixed-cardinality dim, or nothing scans files at all
+    (LocalTableScan / cached fixtures / reused exchanges). keyed_agg =
+    the build is a SINGLE-KEY grouped aggregate: bounded by the key's
+    cardinality, which is a DOMAIN claim (labels, sources, calendar
+    months, scenario grids) the query's docstring must carry — reported
+    separately so a reviewer can audit the claims without launching
+    Spark. suspicious = a data-sized FileScan reaches the broadcast
+    build with nothing bounding it (the q446-class mistake)."""
     if _SCALAR_AGG.search(text) or _LIMIT.search(text):
         return "benign"
     scans = _FILESCAN.findall(text)
-    if not scans:
+    if not scans and "InMemoryTableScan" not in text:
         return "benign"
-    if all(any(t in s for t in _BOUNDED_TABLES) for s in scans):
+    if scans and all(any(t in s for t in _BOUNDED_TABLES) for s in scans):
         return "benign"
+    if _SINGLE_KEY_AGG.search(text):
+        return "keyed_agg"
     return "suspicious"
 
 
 def classify_single_partition(parent_lines: list[str]) -> str:
     """Classify one ``Exchange SinglePartition`` by its consumer chain
-    (nearest ancestors first). Benign = feeds a scalar aggregate or a
+    (nearest ancestors first). benign = feeds a scalar aggregate or a
     bounded Limit; window = feeds a partitionless Window (fenced by the
-    explicit whitelist in tests/test_plans.py); suspicious otherwise."""
+    explicit whitelist in tests/test_plans.py); pandas_fold = feeds a
+    FlatMapGroupsInPandas single-series fold (the SES/Holt/ARIMA/
+    skyline per-series recursions over calendar-bounded spines — the
+    grouping key is a constant, so one group is the semantics, not an
+    accident); suspicious otherwise."""
     for line in parent_lines:
         if _SCALAR_AGG.search(line) or _LIMIT.search(line):
             return "benign"
+        if "FlatMapGroupsInPandas" in line or "MapGroups" in line:
+            return "pandas_fold"
         if re.match(r"\s*\*?\(?\d*\)?\s*(Window|WindowGroupLimit)\b", line) or line.lstrip().startswith(
             ("Window", "WindowGroupLimit", "RunningWindowFunction")
         ):
@@ -119,9 +138,11 @@ def walk_classify(root) -> dict:
     and every SinglePartition exchange."""
     counts = {
         "bnlj_benign": 0,
+        "bnlj_keyed_agg": 0,
         "bnlj_suspicious": 0,
         "sp_benign": 0,
         "sp_window": 0,
+        "sp_pandas_fold": 0,
         "sp_suspicious": 0,
     }
 
@@ -196,13 +217,25 @@ def main() -> int:
     totals = {k: 0 for k in PATTERNS}
     cls_totals = {
         "bnlj_benign": 0,
+        "bnlj_keyed_agg": 0,
         "bnlj_suspicious": 0,
         "sp_benign": 0,
         "sp_window": 0,
+        "sp_pandas_fold": 0,
         "sp_suspicious": 0,
     }
     suspicious_queries: list[str] = []
     n_err = 0
+    # Documented exceptions: plans that ARE data-sized by design, with
+    # the justification carried here and in the operator docstring. The
+    # fence is suspicious_queries EXCLUDING these.
+    documented = {
+        "q35_nn_label_purity":
+            "exact 1-NN label-purity CALIBRATION baseline — O(n2) all-"
+            "pairs by documented design (operators/similarity.py "
+            "docstring scopes it to calibration, never the scale path; "
+            "q88/q177 are the bucketed production variants)",
+    }
     for name, fn in E.queries().items():
         if only and name not in only:
             continue
@@ -226,10 +259,12 @@ def main() -> int:
         for k in cls_totals:
             cls_totals[k] += cls[k]
         if cls["bnlj_suspicious"] or cls["sp_suspicious"]:
-            suspicious_queries.append(name)
+            if name not in documented:
+                suspicious_queries.append(name)
         out["queries"][name] = row
     out["totals"] = {**totals, **cls_totals}
     out["suspicious_queries"] = suspicious_queries
+    out["documented_suspicious"] = documented
     out["n_queries"] = len(out["queries"])
     out["n_errors"] = n_err
     line = json.dumps(
