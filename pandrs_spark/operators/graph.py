@@ -1478,7 +1478,12 @@ def dfs_preorder(
 
 
 def kcore(
-    edges: DataFrame, k: int, n_iter: int = 12, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    k: int,
+    n_iter: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+    check_convergence: bool = False,
 ) -> DataFrame:
     """k-core decomposition by synchronous peeling: drop every vertex
     whose degree in the surviving subgraph is < k, repeat ``n_iter``
@@ -1486,7 +1491,9 @@ def kcore(
     same rounds; n_iter >= the peel depth reaches the fixpoint — each
     round either removes a vertex or is already stable). Works on the
     undirected closure. Returns (id, core_degree) for the k-core
-    members.
+    members. ``check_convergence=True`` certifies the fixpoint: it
+    raises :class:`ConvergenceError` if one more round would still
+    peel (budget short of the peel depth).
 
     Each round is one degree aggregate + two broadcast semi-filters on
     the shrinking edge set — the standard distributed peeling shape
@@ -1508,6 +1515,22 @@ def kcore(
             # cut lineage: 3 joins per round compound into an
             # exponentially nested plan without a checkpoint
             cur = cur.localCheckpoint(eager=True)
+    if check_convergence:
+        # peeling reached its fixpoint iff one more round removes
+        # nothing: every surviving vertex already has degree >= k
+        cur = cur.localCheckpoint(eager=True)
+        still_peeling = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d__"))
+            .filter(F.col("__d__") < k)
+            .limit(1)
+            .count()
+        )
+        if still_peeling:
+            raise ConvergenceError(
+                f"kcore: peel still removing vertices after {n_iter} "
+                "rounds — raise n_iter (peel depth exceeds the budget)"
+            )
     return (
         cur.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("core_degree"))

@@ -797,7 +797,7 @@ def q230(spark, sf_dir):
     from pandrs_spark.operators.graph import kcore
 
     edges = _strong_edges(spark, sf_dir)
-    return kcore(edges, k=4, n_iter=8).orderBy("id")
+    return kcore(edges, k=4, n_iter=8, check_convergence=True).orderBy("id")
 
 
 # --- q231: neighborhood Jaccard (link-prediction feature) — wedge

@@ -117,3 +117,26 @@ def test_pagerank_certificate_silent_when_converged(spark):
     }
     for v in (1, 2, 3):
         assert ranks[v] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_kcore_convergence_certificate(spark):
+    """kcore's certificate raises when the peel budget is short of the
+    fixpoint and passes when it reaches it (a path graph peels one
+    endpoint pair per round under k=2... use a long path + k=2)."""
+    import pytest
+
+    from pandrs_spark.operators.graph import ConvergenceError, kcore
+
+    # path 0-1-2-...-9 with k=2: every round peels both endpoints, so
+    # the whole path dissolves after ~5 rounds; 1 round is NOT enough
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    with pytest.raises(ConvergenceError):
+        kcore(edges, k=2, n_iter=1, check_convergence=True).count()
+    # a triangle IS its own 2-core: converged at any budget
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = kcore(tri, k=2, n_iter=2, check_convergence=True).collect()
+    assert len(out) == 3
