@@ -4415,3 +4415,262 @@ def q521(spark, sf_dir):
         )
         .orderBy("month_of_year")
     )
+
+
+# --- q531: Dixon's Q test on the 25 per-nation revenue totals — the
+# small-sample outlier test (gap/range ratio, n ≤ 30 regime) beside
+# q488's Grubbs (which assumes normal-ish bulk): Q = (x(2)−x(1)) /
+# (x(n)−x(1)) for the low end and its mirror for the high end, plus
+# which nation. The 25-row rollup is fixed-cardinality, so the order
+# statistics are a bounded sort. -------------------------------------------------
+@query(
+    "q531_dixon_q_nation_revenue",
+    oracle="""
+    WITH rev AS MATERIALIZED (
+        SELECT s.s_nationkey AS nation,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS y
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY nation
+    ),
+    ranked AS MATERIALIZED (
+        SELECT nation, y,
+               ROW_NUMBER() OVER (ORDER BY y, nation) AS r,
+               COUNT(*) OVER () AS n
+        FROM rev
+    ),
+    pick AS (
+        SELECT MAX(CASE WHEN r = 1 THEN y END) AS x1,
+               MAX(CASE WHEN r = 2 THEN y END) AS x2,
+               MAX(CASE WHEN r = n - 1 THEN y END) AS xn1,
+               MAX(CASE WHEN r = n THEN y END) AS xn,
+               MAX(CASE WHEN r = 1 THEN nation END) AS low_nation,
+               MAX(CASE WHEN r = n THEN nation END) AS high_nation,
+               MAX(n) AS n
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_nations, low_nation, high_nation,
+           CAST(CAST(SIGN(ql) * FLOOR(ABS(ql) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS q_low,
+           CAST(CAST(SIGN(qh) * FLOOR(ABS(qh) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS q_high
+    FROM (
+        SELECT n, low_nation, high_nation,
+               (x2 - x1) / (xn - x1) AS ql,
+               (xn - xn1) / (xn - x1) AS qh
+        FROM pick
+    )
+    """,
+)
+def q531(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            (
+                (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+                / 1e6
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("y", "nation")
+    ranked = rev.select(
+        "nation",
+        "y",
+        F.row_number().over(w).alias("r"),
+    )
+    nn = ranked.agg(F.max("r").alias("n"))
+    pick = ranked.crossJoin(F.broadcast(nn)).agg(
+        F.max(F.when(F.col("r") == 1, F.col("y"))).alias("x1"),
+        F.max(F.when(F.col("r") == 2, F.col("y"))).alias("x2"),
+        F.max(F.when(F.col("r") == F.col("n") - 1, F.col("y"))).alias("xn1"),
+        F.max(F.when(F.col("r") == F.col("n"), F.col("y"))).alias("xn"),
+        F.max(F.when(F.col("r") == 1, F.col("nation"))).alias("low_nation"),
+        F.max(F.when(F.col("r") == F.col("n"), F.col("nation"))).alias(
+            "high_nation"
+        ),
+        F.max("n").alias("n"),
+    )
+    return pick.select(
+        F.col("n").cast("long").alias("n_nations"),
+        "low_nation",
+        "high_nation",
+        (
+            quantize((F.col("x2") - F.col("x1")) / (F.col("xn") - F.col("x1")), 6)
+            / 1e6
+        ).alias("q_low"),
+        (
+            quantize(
+                (F.col("xn") - F.col("xn1")) / (F.col("xn") - F.col("x1")), 6
+            )
+            / 1e6
+        ).alias("q_high"),
+    )
+
+
+# --- q532: SEASONAL Mann-Kendall trend test — q342's MK statistic
+# computed WITHIN each month-of-year and combined (Hirsch-Slack form):
+# S* = Σ_m S_m, Var* = Σ_m n_m(n_m−1)(2n_m+5)/18, z = (S*∓1)/√Var*.
+# Removes the seasonal cycle from the trend question entirely; the
+# pair space is 12 bounded within-month grids (~7×7 each), never the
+# full series². -------------------------------------------------------------------
+@query(
+    "q532_seasonal_mann_kendall",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    d AS MATERIALIZED (
+        SELECT EXTRACT(month FROM mth) AS moy,
+               EXTRACT(year FROM mth) AS yr, rev
+        FROM monthly
+    ),
+    pairs AS (
+        SELECT a.moy,
+               CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_m
+        FROM d a JOIN d b ON b.moy = a.moy AND b.yr > a.yr
+        GROUP BY a.moy
+    ),
+    counts AS (
+        SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_m FROM d GROUP BY moy
+    ),
+    tot AS (
+        SELECT CAST(SUM(p.s_m) AS BIGINT) AS s_star,
+               SUM(CAST(c.n_m * (c.n_m - 1) * (2 * c.n_m + 5) AS DOUBLE))
+                   / 18.0 AS var_star
+        FROM pairs p JOIN counts c ON c.moy = p.moy
+    )
+    SELECT s_star,
+           CAST(CAST(SIGN(var_star) * FLOOR(ABS(var_star) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS var_s,
+           CAST(CAST(SIGN(z) * FLOOR(ABS(z) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS z
+    FROM (
+        SELECT s_star, var_star,
+               (s_star - SIGN(s_star)) / SQRT(var_star) AS z
+        FROM tot
+    )
+    """,
+)
+def q532(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    d = tracked_persist(
+        monthly.select(
+            F.month("mth").alias("moy"),
+            F.year("mth").alias("yr"),
+            "rev",
+        )
+    )
+    a = d.select(
+        F.col("moy"), F.col("yr").alias("ya"), F.col("rev").alias("ra")
+    )
+    b = d.select(
+        F.col("moy"), F.col("yr").alias("yb"), F.col("rev").alias("rb")
+    )
+    pairs = (
+        a.join(b, "moy")
+        .filter(F.col("yb") > F.col("ya"))
+        .groupBy("moy")
+        .agg(
+            F.sum(
+                F.when(F.col("rb") > F.col("ra"), 1)
+                .when(F.col("rb") < F.col("ra"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_m")
+        )
+    )
+    counts = d.groupBy("moy").agg(F.count(F.lit(1)).cast("long").alias("n_m"))
+    tot = (
+        pairs.join(counts, "moy")
+        .agg(
+            F.sum("s_m").cast("long").alias("s_star"),
+            (
+                F.sum(
+                    (
+                        F.col("n_m") * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5)
+                    ).cast("double")
+                )
+                / 18.0
+            ).alias("var_star"),
+        )
+    )
+    z = (F.col("s_star") - F.signum(F.col("s_star").cast("double"))) / F.sqrt(
+        "var_star"
+    )
+    return tot.select(
+        "s_star",
+        (quantize("var_star", 6) / 1e6).alias("var_s"),
+        (quantize(z, 6) / 1e6).alias("z"),
+    )
+
+
+# --- q533: Hodges-Lehmann location estimator of month-over-month
+# revenue GROWTH — the median of all pairwise Walsh averages
+# (x_i + x_j)/2 over the ~79 monthly growth values: the robust "typical
+# monthly change" whose breakdown point beats the mean and whose
+# efficiency beats the median. ~3k Walsh pairs — a bounded calendar²
+# grid. -----------------------------------------------------------------------------
+@query(
+    "q533_hodges_lehmann_growth",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    d AS MATERIALIZED (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY mth) AS t FROM monthly
+    ),
+    growth AS MATERIALIZED (
+        SELECT cur.t, cur.rev - prev.rev AS g
+        FROM d cur JOIN d prev ON prev.t = cur.t - 1
+    ),
+    walsh AS MATERIALIZED (
+        SELECT (a.g + b.g) / 2.0 AS w
+        FROM growth a JOIN growth b ON b.t >= a.t
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM growth) AS n_months,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM walsh) AS n_walsh_pairs,
+           CAST({sql_quantize('quantile_cont(w, 0.5)', 6)} AS DOUBLE) / 1e6
+               AS hodges_lehmann
+    FROM walsh
+    """,
+)
+def q533(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    d = monthly.select(
+        "rev", F.row_number().over(w_ord).alias("t")
+    )
+    prev = d.select((F.col("t") + 1).alias("t"), F.col("rev").alias("prev"))
+    growth = tracked_persist(
+        d.join(prev, "t").select("t", (F.col("rev") - F.col("prev")).alias("g"))
+    )
+    a = growth.select(F.col("t").alias("ta"), F.col("g").alias("ga"))
+    b = growth.select(F.col("t").alias("tb"), F.col("g").alias("gb"))
+    walsh = a.join(b, F.col("tb") >= F.col("ta")).select(
+        ((F.col("ga") + F.col("gb")) / 2.0).alias("w")
+    )
+    ng = growth.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    out = walsh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_walsh_pairs"),
+        F.expr("percentile(w, 0.5)").alias("hl"),
+    )
+    return (
+        F.broadcast(ng)
+        .crossJoin(out)
+        .select(
+            "n_months",
+            "n_walsh_pairs",
+            (quantize("hl", 6) / 1e6).alias("hodges_lehmann"),
+        )
+    )

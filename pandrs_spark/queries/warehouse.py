@@ -4637,3 +4637,193 @@ def q530(spark, sf_dir):
         (quantize(e, 6) / 1e6).alias("expected"),
         (quantize(chi, 6) / 1e6).alias("cell_chi2"),
     ).orderBy("basket_size")
+
+
+# --- q534: Pareto concentration per brand — what share of each
+# brand's revenue comes from its top-20% parts (the 80/20 audit at
+# brand granularity, the curve-point complement to q499's global
+# Lorenz deciles)? Per-(brand, part) rollup → per-brand part counts →
+# top-k by revenue via dense rank over the bounded per-brand part
+# list. ------------------------------------------------------------------------------
+@query(
+    "q534_brand_pareto_8020",
+    oracle="""
+    WITH pp AS MATERIALIZED (
+        SELECT p.p_brand AS brand, l.l_partkey AS pk,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, pk
+    ),
+    ranked AS MATERIALIZED (
+        SELECT brand, rev_q,
+               ROW_NUMBER() OVER (PARTITION BY brand
+                                  ORDER BY rev_q DESC, pk) AS r,
+               COUNT(*) OVER (PARTITION BY brand) AS np
+        FROM pp
+    )
+    SELECT brand,
+           CAST(MAX(np) AS BIGINT) AS n_parts,
+           CAST(CEIL(MAX(np) / 5.0) AS BIGINT) AS top20_parts,
+           CAST(CAST(SIGN(share) * FLOOR(ABS(share) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS top20_rev_share
+    FROM (
+        SELECT brand, np,
+               CAST(SUM(CASE WHEN r <= CEIL(np / 5.0) THEN rev_q ELSE 0 END)
+                    AS DOUBLE) / SUM(rev_q) AS share
+        FROM ranked
+        GROUP BY brand, np
+    ) x
+    GROUP BY brand, share
+    ORDER BY brand
+    """,
+)
+def q534(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    pp = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("pk"))
+        .agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("rev_q"))
+    )
+    w_rank = Window.partitionBy("brand").orderBy(F.desc("rev_q"), "pk")
+    w_cnt = Window.partitionBy("brand")
+    ranked = pp.select(
+        "brand",
+        "rev_q",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_cnt).alias("np"),
+    )
+    out = ranked.groupBy("brand", "np").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("r") <= F.ceil(F.col("np") / 5.0), F.col("rev_q")
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("rev_q")
+        ).alias("share")
+    )
+    return out.select(
+        "brand",
+        F.col("np").cast("long").alias("n_parts"),
+        F.ceil(F.col("np") / 5.0).cast("long").alias("top20_parts"),
+        (quantize("share", 6) / 1e6).alias("top20_rev_share"),
+    ).orderBy("brand")
+
+
+# --- q535: catalog activation curve — when did each part make its
+# FIRST sale, how long after entering the catalog does the catalog
+# "activate"? First-sale month histogram + running share of the
+# catalog activated + the months-to-90% summary. One min-rollup on
+# partkey, then window algebra over the bounded month spine. ---------------------
+@query(
+    "q535_catalog_activation",
+    oracle="""
+    WITH firsts AS MATERIALIZED (
+        SELECT l_partkey, MIN(date_trunc('month', l_shipdate)) AS fm
+        FROM lineitem GROUP BY l_partkey
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
+           FROM part),
+    monthly AS MATERIALIZED (
+        SELECT fm, CAST(COUNT(*) AS BIGINT) AS n_first FROM firsts GROUP BY fm
+    ),
+    curve AS MATERIALIZED (
+        SELECT fm, n_first,
+               CAST(SUM(n_first) OVER (ORDER BY fm) AS BIGINT) AS cum_first
+        FROM monthly
+    )
+    SELECT fm AS month, n_first,
+           cum_first,
+           CAST(CAST(SIGN(share) * FLOOR(ABS(share) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS activated_share
+    FROM (
+        SELECT fm, n_first, cum_first,
+               CAST(cum_first AS DOUBLE) / (SELECT total FROM np) AS share
+        FROM curve
+    )
+    ORDER BY month
+    """,
+)
+def q535(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    firsts = li.groupBy("l_partkey").agg(
+        F.min(F.date_trunc("month", "l_shipdate")).alias("fm")
+    )
+    np_ = part.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    monthly = firsts.groupBy("fm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    w_run = Window.orderBy("fm").rowsBetween(Window.unboundedPreceding, 0)
+    curve = monthly.select(
+        "fm",
+        "n_first",
+        F.sum("n_first").over(w_run).cast("long").alias("cum_first"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(np_))
+        .select(
+            F.col("fm").alias("month"),
+            "n_first",
+            "cum_first",
+            (
+                quantize(F.col("cum_first").cast("double") / F.col("total"), 6)
+                / 1e6
+            ).alias("activated_share"),
+        )
+        .orderBy("month")
+    )
+
+
+# --- q536: duplicate-order audit — exact-duplicate candidate groups
+# on the (customer, order date, total price) business key: the
+# warehouse-side twin of the corpus dedup tier (q29), catching
+# double-submitted orders. Hash-groupBy on the composite key; only
+# groups with >1 member survive. ---------------------------------------------------
+@query(
+    "q536_duplicate_order_audit",
+    oracle="""
+    WITH dup AS MATERIALIZED (
+        SELECT o_custkey, o_orderdate,
+               CAST(CAST(SIGN(o_totalprice) * FLOOR(ABS(o_totalprice) * 100.0
+                          + 0.5) AS BIGINT) AS BIGINT) AS price_q,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_custkey, o_orderdate, price_q
+        HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS n_dup_orders,
+           CAST(COALESCE(SUM(n_orders - 1), 0) AS BIGINT) AS n_removable,
+           CAST(COALESCE(MAX(n_orders), 0) AS BIGINT) AS max_group
+    FROM dup
+    """,
+)
+def q536(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    dup = (
+        orders.groupBy(
+            "o_custkey",
+            "o_orderdate",
+            quantize("o_totalprice", 2).alias("price_q"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+    return dup.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_dup_orders"),
+        F.coalesce(F.sum(F.col("n_orders") - 1), F.lit(0))
+        .cast("long")
+        .alias("n_removable"),
+        F.coalesce(F.max("n_orders"), F.lit(0)).cast("long").alias("max_group"),
+    )

@@ -413,6 +413,11 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q520_theils_u_forecast",  # month index over the calendar spine
     "q521_seasonal_factors_rma",  # centered 12-month MA over the
     # calendar spine (q80 argument)
+    "q531_dixon_q_nation_revenue",  # order statistics over the FIXED
+    # 25-nation rollup (q389 argument)
+    "q533_hodges_lehmann_growth",  # month index over the calendar spine
+    "q535_catalog_activation",  # running first-sale share over the
+    # calendar spine (q350 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
