@@ -281,3 +281,25 @@ def test_page_hinkley_partition_invariant(spark, xs, pa, pb):
         outs.append(_rows(page_hinkley(df, "x", "d", delta=0.01, lam=0.5), cols))
     assert _same(outs[0], outs[1])
     assert outs[0][0][0] == len(xs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.floats(-3.0, 3.0, allow_nan=False)),
+        min_size=8,
+        max_size=40,
+    ).filter(lambda rs: {y for y, _ in rs} == {0, 1}),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_logistic_irls_partition_invariant(spark, rows, pa, pb):
+    from pandrs_spark.operators.ml import logistic_irls_1d
+
+    cols = ["n", "b0", "b1", "mean_y"]
+    outs = []
+    for parts in (pa, pb):
+        df = spark.createDataFrame(rows, "y int, x double").repartition(parts)
+        outs.append(_rows(logistic_irls_1d(df, "y", "x", n_iter=3), cols))
+    assert _same(outs[0], outs[1])
+    assert outs[0][0][0] == len(rows)
