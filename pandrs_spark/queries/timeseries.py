@@ -4657,7 +4657,10 @@ def q533(spark, sf_dir):
     )
     a = growth.select(F.col("t").alias("ta"), F.col("g").alias("ga"))
     b = growth.select(F.col("t").alias("tb"), F.col("g").alias("gb"))
-    walsh = a.join(b, F.col("tb") >= F.col("ta")).select(
+    # broadcast the (calendar-bounded, ~79-row) right side so the
+    # non-equi pair join plans as BroadcastNestedLoopJoin, never a
+    # CartesianProduct
+    walsh = a.join(F.broadcast(b), F.col("tb") >= F.col("ta")).select(
         ((F.col("ga") + F.col("gb")) / 2.0).alias("w")
     )
     ng = growth.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
