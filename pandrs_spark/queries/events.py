@@ -4593,3 +4593,146 @@ def q528(spark, sf_dir):
         "n_next_types",
         (quantize("h", 6) / 1e6).alias("next_entropy"),
     ).orderBy("event_type")
+
+
+# --- q541: circular (directional) statistics of event time-of-day —
+# treat each event's hour as an angle on the 24 h clock and compute the
+# mean direction (peak hour), the mean resultant length R̄ (0 = uniform
+# around the clock, 1 = all at one instant) and circular variance
+# 1−R̄, per event type: the CORRECT way to average times-of-day (the
+# arithmetic mean of 23:00 and 01:00 is noon; the circular mean is
+# midnight). One trig map + one exact quantized sum pair per type. --------------
+@query(
+    "q541_circular_hour_stats",
+    oracle="""
+    WITH ang AS MATERIALIZED (
+        SELECT event_type,
+               (EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts) * 60
+                + EXTRACT(second FROM ts)) * (2 * PI() / 86400.0) AS a
+        FROM events
+    ),
+    sums AS MATERIALIZED (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(COS(a)) * FLOOR(ABS(COS(a)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sc,
+               CAST(SUM(CAST(SIGN(SIN(a)) * FLOOR(ABS(SIN(a)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS ss
+        FROM ang GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(SIGN(rbar) * FLOOR(ABS(rbar) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS resultant_length,
+           CAST(CAST(SIGN(1 - rbar) * FLOOR(ABS(1 - rbar) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS circular_variance,
+           CAST(CAST(SIGN(peak) * FLOOR(ABS(peak) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS peak_hour
+    FROM (
+        SELECT event_type, n,
+               SQRT(sc * sc + ss * ss) / n AS rbar,
+               ((ATAN2(ss, sc) + 2 * PI()) % (2 * PI()))
+                   * (24.0 / (2 * PI())) AS peak
+        FROM sums
+    )
+    ORDER BY event_type
+    """,
+)
+def q541(spark, sf_dir):
+    import math
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    two_pi = 2 * math.pi
+    a = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ) * (two_pi / 86400.0)
+    ang = ev.select("event_type", a.alias("a"))
+    sums = ang.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(F.cos("a"), 9)).cast("double") / 1e9).alias("sc"),
+        (F.sum(quantize(F.sin("a"), 9)).cast("double") / 1e9).alias("ss"),
+    )
+    rbar = F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) / F.col(
+        "n"
+    )
+    peak = (
+        (F.atan2(F.col("ss"), F.col("sc")) + two_pi) % two_pi
+    ) * (24.0 / two_pi)
+    return sums.select(
+        "event_type",
+        "n",
+        (quantize(rbar, 6) / 1e6).alias("resultant_length"),
+        (quantize(1 - rbar, 6) / 1e6).alias("circular_variance"),
+        (quantize(peak, 6) / 1e6).alias("peak_hour"),
+    ).orderBy("event_type")
+
+
+# --- q542: day-of-week uniformity audit of order placement — the
+# operational "is demand flat across the week" check: chi-square
+# against uniform over the bounded 7-cell histogram plus the
+# concentration effect size √(χ²/(n·(k−1))) (Cramér's V against the
+# uniform null). -------------------------------------------------------------------
+@query(
+    "q542_day_of_week_uniformity",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+        SELECT dayofweek(o_orderdate) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY dow
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(*) AS k FROM hist),
+    chi AS (
+        SELECT CAST(SUM(CAST(SIGN(c) * FLOOR(ABS(c) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS chi2
+        FROM (
+            SELECT (h.o - CAST(t.n AS DOUBLE) / t.k)
+                   * (h.o - CAST(t.n AS DOUBLE) / t.k)
+                   / (CAST(t.n AS DOUBLE) / t.k) AS c
+            FROM hist h, tot t
+        )
+    )
+    SELECT (SELECT n FROM tot) AS n_orders,
+           (SELECT CAST(k AS BIGINT) FROM tot) AS k_days,
+           CAST(CAST(SIGN(chi2) * FLOOR(ABS(chi2) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS chi2,
+           CAST(CAST(SIGN(v) * FLOOR(ABS(v) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cramers_v
+    FROM (
+        SELECT chi2,
+               SQRT(chi2 / ((SELECT n FROM tot)
+                            * ((SELECT k FROM tot) - 1))) AS v
+        FROM chi
+    )
+    """,
+)
+def q542(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    hist = orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    tot = hist.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    e = F.col("n").cast("double") / F.col("k")
+    chi = (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    quantize((F.col("o") - e) * (F.col("o") - e) / e, 9)
+                ).cast("double")
+                / 1e9
+            ).alias("chi2")
+        )
+    )
+    j = tot.crossJoin(F.broadcast(chi))
+    v = F.sqrt(F.col("chi2") / (F.col("n") * (F.col("k") - 1)))
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("k_days"),
+        (quantize("chi2", 6) / 1e6).alias("chi2"),
+        (quantize(v, 6) / 1e6).alias("cramers_v"),
+    )

@@ -3606,3 +3606,247 @@ def q527(spark, sf_dir):
             / 1e6
         ).alias("qcd"),
     ).orderBy("segment")
+
+
+# Shared normal-CDF approximation (Abramowitz-Stegun 7.1.26, |err| <
+# 1.5e-7): neither engine ships erf, so BOTH evaluate this exact
+# double-arithmetic tree — bit-identical by construction.
+_AS_ERF_SQL = (
+    "(1.0 - (((((1.061405429 * (1.0/(1.0 + 0.3275911 * ({z}))) - 1.453152027)"
+    " * (1.0/(1.0 + 0.3275911 * ({z}))) + 1.421413741)"
+    " * (1.0/(1.0 + 0.3275911 * ({z}))) - 0.284496736)"
+    " * (1.0/(1.0 + 0.3275911 * ({z}))) + 0.254829592)"
+    " * (1.0/(1.0 + 0.3275911 * ({z}))) * EXP(-(({z}) * ({z})))))"
+)
+
+
+def _norm_cdf_sql(x: str, mu: str, sd: str) -> str:
+    """Φ((x−μ)/σ) via A&S erf with the sign handled by symmetry."""
+    z = f"ABS(({x}) - ({mu})) / (({sd}) * 1.4142135623730951)"
+    erf = _AS_ERF_SQL.format(z=z)
+    return (
+        f"(CASE WHEN ({x}) >= ({mu}) THEN 0.5 * (1.0 + {erf})"
+        f" ELSE 0.5 * (1.0 - {erf}) END)"
+    )
+
+
+def _norm_cdf_col(x, mu, sd):
+    """Spark twin of :func:`_norm_cdf_sql` — the same A&S tree."""
+    z = F.abs(x - mu) / (sd * 1.4142135623730951)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736)
+        * t
+        + 0.254829592
+    ) * t
+    erf = 1.0 - poly * F.exp(-(z * z))
+    return F.when(x >= mu, 0.5 * (1.0 + erf)).otherwise(0.5 * (1.0 - erf))
+
+
+# --- q537: Lilliefors-style KS distance of monthly revenue against
+# the FITTED normal (μ̂, σ̂ from the same data — the composite-null
+# version of a one-sample KS): D = max over the empirical support of
+# max(|F̂(x)−Φ|, |F̂(x⁻)−Φ|), with Φ evaluated through the shared
+# Abramowitz-Stegun erf tree (no engine ships erf; both run the same
+# double arithmetic). EDF from global_prefix_counts — one shuffle. --------------
+@query(
+    "q537_lilliefors_normality",
+    oracle=f"""
+    WITH monthly AS MATERIALIZED (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS y
+        FROM lineitem GROUP BY mth
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS s,
+               CAST(SUM(CAST(SIGN(y*y) * FLOOR(ABS(y*y) * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS ss
+        FROM monthly
+    ),
+    fit AS (
+        SELECT n, s / n AS mu,
+               SQRT((ss - s * s / n) / (n - 1)) AS sd
+        FROM m
+    ),
+    edf AS MATERIALIZED (
+        SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y, mth) AS DOUBLE) AS r
+        FROM monthly
+    ),
+    dist AS (
+        SELECT MAX(GREATEST(
+                   ABS(e.r / f.n - {_norm_cdf_sql('e.y', 'f.mu', 'f.sd')}),
+                   ABS((e.r - 1) / f.n - {_norm_cdf_sql('e.y', 'f.mu', 'f.sd')})
+               )) AS d
+        FROM edf e, fit f
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM fit) AS n_months,
+           CAST({sql_quantize('(SELECT mu FROM fit)', 6)} AS DOUBLE) / 1e6 AS mu_hat,
+           CAST({sql_quantize('(SELECT sd FROM fit)', 6)} AS DOUBLE) / 1e6 AS sd_hat,
+           CAST({sql_quantize('d', 6)} AS DOUBLE) / 1e6 AS lilliefors_d
+    FROM dist
+    """,
+)
+def q537(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        (
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+            / 1e6
+        ).alias("y")
+    )
+    m = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("s"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "ss"
+        ),
+    )
+    fit = m.select(
+        "n",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    from pyspark.sql import Window as W2
+
+    edf = monthly.select(
+        "y", F.row_number().over(W2.orderBy("y", "mth")).cast("double").alias("r")
+    )
+    j = edf.crossJoin(F.broadcast(fit))
+    phi = _norm_cdf_col(F.col("y"), F.col("mu"), F.col("sd"))
+    dist = j.agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("r") / F.col("n") - phi),
+                F.abs((F.col("r") - 1) / F.col("n") - phi),
+            )
+        ).alias("d")
+    )
+    return (
+        fit.crossJoin(F.broadcast(dist))
+        .select(
+            F.col("n").cast("long").alias("n_months"),
+            (quantize("mu", 6) / 1e6).alias("mu_hat"),
+            (quantize("sd", 6) / 1e6).alias("sd_hat"),
+            (quantize("d", 6) / 1e6).alias("lilliefors_d"),
+        )
+    )
+
+
+# --- q540: Welch's heteroscedastic one-way ANOVA of order totals
+# across market segments — the unequal-variance form (q482's classic
+# ANOVA assumes homoscedasticity; q58-class Levene says that's wrong
+# here): W = Σw_i(x̄_i−x̃)²/(k−1) / (1 + 2(k−2)/(k²−1)·Σh_i), with
+# w_i = n_i/s_i², x̃ the w-weighted grand mean, h_i = (1−w_i/Σw)²/(n_i−1).
+# One exact per-segment moment aggregate + closed formula. ----------------------
+@query(
+    "q540_welch_anova_segments",
+    oracle="""
+    WITH per_g AS MATERIALIZED (
+        SELECT c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e3 AS s,
+               CAST(SUM(CAST(SIGN(o.o_totalprice * o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice * o.o_totalprice)
+                                     / 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                   * 1e4 / 1e6 AS ss
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY seg
+    ),
+    wg AS MATERIALIZED (
+        SELECT seg, n,
+               s / n AS m,
+               n / (((ss - s * s / n) / (n - 1))) AS w
+        FROM per_g
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(w) AS sw,
+               SUM(w * m) / SUM(w) AS xt
+        FROM wg
+    ),
+    parts AS (
+        SELECT t.k,
+               SUM(g.w * (g.m - t.xt) * (g.m - t.xt)) / (t.k - 1) AS num,
+               SUM((1 - g.w / t.sw) * (1 - g.w / t.sw) / (g.n - 1)) AS h
+        FROM wg g, tot t
+        GROUP BY t.k, t.sw, t.xt
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(CAST(SIGN(wf) * FLOOR(ABS(wf) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS welch_f
+    FROM (
+        SELECT k,
+               num / (1 + (2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1)) * h)
+                   AS wf
+        FROM parts
+    )
+    """,
+)
+def q540(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    # totalprice in thousands: squares stay inside the int64 envelope
+    # with a 1e-4 downscale quantization on the square term
+    per_g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(quantize("o_totalprice", 2)).cast("double") / 100.0 / 1e3
+            ).alias("s"),
+            (
+                F.sum(
+                    quantize(F.col("o_totalprice") * F.col("o_totalprice"), -4)
+                ).cast("double")
+                * 1e4
+                / 1e6
+            ).alias("ss"),
+        )
+    )
+    wg = per_g.select(
+        "seg",
+        "n",
+        (F.col("s") / F.col("n")).alias("m"),
+        (
+            F.col("n")
+            / ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+        ).alias("w"),
+    )
+    tot = wg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("w").alias("sw"),
+        (F.sum(F.col("w") * F.col("m")) / F.sum("w")).alias("xt"),
+    )
+    j = wg.crossJoin(F.broadcast(tot))
+    parts = j.groupBy("k", "sw", "xt").agg(
+        (
+            F.sum(F.col("w") * (F.col("m") - F.col("xt")) ** 2)
+            / (F.col("k") - 1)
+        ).alias("num"),
+        F.sum(
+            (1 - F.col("w") / F.col("sw")) ** 2 / (F.col("n") - 1)
+        ).alias("h"),
+    )
+    wf = F.col("num") / (
+        1
+        + (2.0 * (F.col("k") - 2) / (F.col("k").cast("double") * F.col("k") - 1))
+        * F.col("h")
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        (quantize(wf, 6) / 1e6).alias("welch_f"),
+    )

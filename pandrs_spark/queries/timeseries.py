@@ -4677,3 +4677,187 @@ def q533(spark, sf_dir):
             (quantize("hl", 6) / 1e6).alias("hodges_lehmann"),
         )
     )
+
+
+# --- q538: Newey-West (HAC) standard error for the monthly-revenue
+# trend slope — the autocorrelation-robust SE that makes the q127-class
+# trend t-statistic honest when residuals are serially correlated
+# (q486's DW says WHETHER; this corrects the inference):
+#   Var_NW(b1) = Σ_l w_l·Σ_t e_t x̃_t e_{t−l} x̃_{t−l} / (Σ x̃²)²,
+#   w_l = 1 − l/(L+1), Bartlett window, L = 4.
+# Lag products join on the month index (bounded equi-joins), all sums
+# quantized. ----------------------------------------------------------------------
+@query(
+    "q538_newey_west_trend_se",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    xbar AS (
+        SELECT SUM(x) / COUNT(*) AS xb, COUNT(*) AS n FROM resid
+    ),
+    u AS MATERIALIZED (
+        SELECT r.x, r.e * (r.x - (SELECT xb FROM xbar)) AS v
+        FROM resid r
+    ),
+    sxx AS (
+        SELECT SUM((x - (SELECT xb FROM xbar))
+                   * (x - (SELECT xb FROM xbar))) AS sxx
+        FROM resid
+    ),
+    lags AS MATERIALIZED (
+        SELECT l, (1.0 - l / 5.0) AS w
+        FROM (SELECT UNNEST(generate_series(0, 4)) AS l)
+    ),
+    gamma AS MATERIALIZED (
+        SELECT g.l, g.w,
+               CAST(SUM(CAST(SIGN(a.v * b.v) * FLOOR(ABS(a.v * b.v) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS s_l
+        FROM lags g
+        JOIN u a ON TRUE
+        JOIN u b ON b.x = a.x - g.l
+        GROUP BY g.l, g.w
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM xbar) AS n_months,
+           CAST({sql_quantize('(SELECT SUM(CASE WHEN l = 0 THEN s_l ELSE 2 * w * s_l END) FROM gamma) / ((SELECT sxx FROM sxx) * (SELECT sxx FROM sxx))', 9)} AS DOUBLE) / 1e9
+               AS nw_var_b1,
+           CAST({sql_quantize('SQRT((SELECT SUM(CASE WHEN l = 0 THEN s_l ELSE 2 * w * s_l END) FROM gamma) / ((SELECT sxx FROM sxx) * (SELECT sxx FROM sxx)))', 6)} AS DOUBLE) / 1e6
+               AS nw_se_b1
+    FROM (SELECT 1)
+    """,
+)
+def q538(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    xbar = resid.agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("xb"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    u = tracked_persist(
+        resid.crossJoin(F.broadcast(xbar)).select(
+            "x", (F.col("e") * (F.col("x") - F.col("xb"))).alias("v")
+        )
+    )
+    sxx = (
+        resid.crossJoin(F.broadcast(xbar))
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))
+            ).alias("sxx")
+        )
+    )
+    lags = spark.createDataFrame(
+        [(l, 1.0 - l / 5.0) for l in range(5)], "l int, w double"
+    )
+    a = u.select(F.col("x").alias("xa"), F.col("v").alias("va"))
+    b = u.select(F.col("x").alias("xb2"), F.col("v").alias("vb"))
+    gamma = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("xb2") == F.col("xa") - F.col("l"))
+        .groupBy("l", "w")
+        .agg(
+            (
+                F.sum(quantize(F.col("va") * F.col("vb"), 9)).cast("double")
+                / 1e9
+            ).alias("s_l")
+        )
+    )
+    nw_sum = gamma.agg(
+        F.sum(
+            F.when(F.col("l") == 0, F.col("s_l")).otherwise(
+                2 * F.col("w") * F.col("s_l")
+            )
+        ).alias("nw")
+    )
+    j = (
+        F.broadcast(xbar.select("n"))
+        .crossJoin(F.broadcast(sxx))
+        .crossJoin(F.broadcast(nw_sum))
+    )
+    var_b1 = F.col("nw") / (F.col("sxx") * F.col("sxx"))
+    return j.select(
+        F.col("n").alias("n_months"),
+        (quantize(var_b1, 9) / 1e9).alias("nw_var_b1"),
+        (quantize(F.sqrt(var_b1), 6) / 1e6).alias("nw_se_b1"),
+    )
+
+
+# --- q539: volume-weighted least squares trend — the monthly revenue
+# trend refit with months weighted by their LINE COUNT (heteroscedastic
+# months with thin volume carry less information; q489's BP test says the
+# variance moves, this is the corrective fit):
+#   b = (Σw x̃ỹ) / (Σw x̃²) with weighted means — closed form over one
+# quantized weighted-sum aggregate, directly comparable to the OLS
+# slope. -----------------------------------------------------------------------------
+@query(
+    "q539_wls_trend_fit",
+    oracle=f"""
+    WITH monthly AS MATERIALIZED (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS y,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY mth
+    ),
+    d AS MATERIALIZED (
+        SELECT y, CAST(w AS DOUBLE) AS w,
+               CAST(ROW_NUMBER() OVER (ORDER BY mth) AS DOUBLE) AS x
+        FROM monthly
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('w', 2)}) AS DOUBLE) / 1e2 AS sw,
+               CAST(SUM({sql_quantize('w * x', 2)}) AS DOUBLE) / 1e2 AS swx,
+               CAST(SUM({sql_quantize('w * x * x', 2)}) AS DOUBLE) / 1e2 AS swxx,
+               CAST(SUM({sql_quantize('w * y', 6)}) AS DOUBLE) / 1e6 AS swy,
+               CAST(SUM({sql_quantize('w * x * y', 6)}) AS DOUBLE) / 1e6 AS swxy
+        FROM d
+    )
+    SELECT n AS n_months,
+           CAST({sql_quantize(
+               '(sw * swxy - swx * swy) / (sw * swxx - swx * swx)', 6)}
+               AS DOUBLE) / 1e6 AS wls_slope,
+           CAST({sql_quantize(
+               '(swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx)'
+               ' / sw', 6)} AS DOUBLE) / 1e6 AS wls_intercept
+    FROM s
+    """,
+)
+def q539(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        (
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+            / 1e6
+        ).alias("y"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    w_ord = Window.orderBy("mth")
+    d = monthly.select(
+        "y",
+        F.col("w").cast("double").alias("w"),
+        F.row_number().over(w_ord).cast("double").alias("x"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("w", 2)).cast("double") / 1e2).alias("sw"),
+        (F.sum(quantize(F.col("w") * F.col("x"), 2)).cast("double") / 1e2).alias("swx"),
+        (F.sum(quantize(F.col("w") * F.col("x") * F.col("x"), 2)).cast("double") / 1e2).alias("swxx"),
+        (F.sum(quantize(F.col("w") * F.col("y"), 6)).cast("double") / 1e6).alias("swy"),
+        (F.sum(quantize(F.col("w") * F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias("swxy"),
+    )
+    b1 = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / (
+        F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    )
+    return s.select(
+        F.col("n").alias("n_months"),
+        (quantize(b1, 6) / 1e6).alias("wls_slope"),
+        (quantize((F.col("swy") - b1 * F.col("swx")) / F.col("sw"), 6) / 1e6).alias(
+            "wls_intercept"
+        ),
+    )

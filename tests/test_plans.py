@@ -418,6 +418,10 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q533_hodges_lehmann_growth",  # month index over the calendar spine
     "q535_catalog_activation",  # running first-sale share over the
     # calendar spine (q350 argument)
+    "q537_lilliefors_normality",  # EDF ranks over the ~80-month
+    # calendar spine (q350 argument)
+    "q538_newey_west_trend_se",  # month index over the calendar spine
+    "q539_wls_trend_fit",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
