@@ -3850,3 +3850,308 @@ def q540(spark, sf_dir):
         F.col("k").alias("k_groups"),
         (quantize(wf, 6) / 1e6).alias("welch_f"),
     )
+
+
+# --- q545: Hill estimator of the upper-tail index of order totals —
+# the canonical "how heavy is the revenue tail" statistic (Hill 1975):
+# with x_(1) ≥ … ≥ x_(k) the top-k order statistics and x_(k+1) the
+# threshold, 1/α̂ = (1/k)·Σ ln(x_(i)/x_(k+1)). Top-(k+1) is a
+# TakeOrdered (no full sort); boundary ties contribute ln(1)=0, so the
+# statistic is tie-invariant by construction and needs no row_number.
+# k is fixed (200), never data-sized. -----------------------------------------
+@query(
+    "q545_hill_tail_index",
+    oracle=f"""
+    WITH top AS MATERIALIZED (
+        SELECT o_totalprice AS x FROM orders
+        ORDER BY o_totalprice DESC LIMIT 201
+    ),
+    th AS (SELECT MIN(x) AS thr FROM top),
+    s AS (
+        SELECT CAST(SUM({sql_quantize('LN(top.x / th.thr)', 9)}) AS DOUBLE)
+                   / 1e9 / 200.0 AS ainv
+        FROM top, th
+    )
+    SELECT CAST(200 AS BIGINT) AS k_tail,
+           CAST({sql_quantize('th.thr', 2)} AS DOUBLE) / 1e2 AS threshold,
+           CAST({sql_quantize('1.0 / s.ainv', 6)} AS DOUBLE) / 1e6
+               AS hill_alpha
+    FROM th, s
+    """,
+)
+def q545(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    top = tracked_persist(
+        orders.select(F.col("o_totalprice").alias("x"))
+        .orderBy(F.col("x").desc())
+        .limit(201)
+    )
+    th = top.agg(F.min("x").alias("thr"))
+    s = (
+        top.crossJoin(F.broadcast(th))
+        .agg(
+            (
+                F.sum(quantize(F.log(F.col("x") / F.col("thr")), 9)).cast("double")
+                / 1e9
+                / 200.0
+            ).alias("ainv"),
+            F.first("thr").alias("thr"),
+        )
+    )
+    return s.select(
+        F.lit(200).cast("long").alias("k_tail"),
+        (quantize("thr", 2) / 1e2).alias("threshold"),
+        (quantize(1.0 / F.col("ainv"), 6) / 1e6).alias("hill_alpha"),
+    )
+
+
+# --- q546: Jensen-Shannon divergence between the returned ('R') and
+# never-returned ('N') quantity distributions — the symmetric,
+# bounded-in-[0, ln 2] alternative to a raw KL for distribution drift
+# (same family as q235's PSI but metric-grade). Bins are the ~50
+# distinct integer quantities (fixed domain, never data-sized); each
+# bin term is quantized to 1e-12 before the integer sum so the 50-term
+# reduction is order-independent. ----------------------------------------------
+@query(
+    "q546_jensen_shannon_quantity",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT l_quantity AS qty,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS cr,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS cn
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY qty
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(cn) AS tn FROM cells),
+    terms AS (
+        SELECT cr / tr AS p, cn / tn AS q,
+               (cr / tr + cn / tn) / 2.0 AS m
+        FROM cells, tot
+    ),
+    js AS (
+        SELECT CAST(SUM({sql_quantize(
+                   "CASE WHEN p > 0 THEN 0.5 * p * LN(p / m) ELSE 0 END"
+                   " + CASE WHEN q > 0 THEN 0.5 * q * LN(q / m) ELSE 0 END",
+                   12)}) AS DOUBLE) / 1e12 AS v,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM terms
+    )
+    SELECT n_bins,
+           CAST({sql_quantize('js.v', 8)} AS DOUBLE) / 1e8 AS js_nats
+    FROM js
+    """,
+)
+def q546(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    cells = (
+        li.where(F.col("l_returnflag").isin("R", "N"))
+        .groupBy(F.col("l_quantity").alias("qty"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("double")
+            .alias("cr"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("double")
+            .alias("cn"),
+        )
+    )
+    tot = cells.agg(F.sum("cr").alias("tr"), F.sum("cn").alias("tn"))
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        (F.col("cr") / F.col("tr")).alias("p"),
+        (F.col("cn") / F.col("tn")).alias("q"),
+        ((F.col("cr") / F.col("tr") + F.col("cn") / F.col("tn")) / 2.0).alias("m"),
+    )
+    term = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / F.col("m"))).otherwise(
+        0.0
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / F.col("m"))).otherwise(0.0)
+    js = terms.agg(
+        (F.sum(quantize(term, 12)).cast("double") / 1e12).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    return js.select("n_bins", (quantize("v", 8) / 1e8).alias("js_nats"))
+
+
+# --- q547: Bartlett's test of equal order-total variances across the
+# five order priorities — the parametric scale-homogeneity gate that
+# pairs with q540's Welch ANOVA (use Welch when Bartlett rejects):
+# T = ((N−k)·ln s_p² − Σ(n_i−1)·ln s_i²) / c with
+# c = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)). Per-group exact moment
+# sums; the 5 per-group log terms are quantized before the final sum. ----------
+@query(
+    "q547_bartlett_priority_variances",
+    oracle=f"""
+    WITH per_g AS MATERIALIZED (
+        SELECT o_orderpriority AS g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS s,
+               CAST(SUM({sql_quantize('o_totalprice * o_totalprice', -4)})
+                    AS DOUBLE) * 1e4 / 1e6 AS ss
+        FROM orders GROUP BY g
+    ),
+    v AS MATERIALIZED (
+        SELECT g, n, (ss - s * s / n) / (n - 1) AS s2 FROM per_g
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM({sql_quantize('(n - 1) * LN(s2)', 9)}) AS DOUBLE)
+                   / 1e9 AS sl,
+               CAST(SUM({sql_quantize('(n - 1) * s2', 6)}) AS DOUBLE)
+                   / 1e6 AS sv,
+               SUM(1.0 / (n - 1)) AS sinv
+        FROM v
+    )
+    SELECT k AS k_groups, nn AS n_total,
+           CAST({sql_quantize(
+               '((nn - k) * LN(sv / (nn - k)) - sl)'
+               ' / (1 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1)))', 6)}
+               AS DOUBLE) / 1e6 AS bartlett_t
+    FROM agg
+    """,
+)
+def q547(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    per_g = orders.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e3).alias("s"),
+        (
+            F.sum(quantize(F.col("o_totalprice") * F.col("o_totalprice"), -4)).cast(
+                "double"
+            )
+            * 1e4
+            / 1e6
+        ).alias("ss"),
+    )
+    v = per_g.select(
+        "g",
+        "n",
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+            "s2"
+        ),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        (F.sum(quantize((F.col("n") - 1) * F.log("s2"), 9)).cast("double") / 1e9).alias(
+            "sl"
+        ),
+        (F.sum(quantize((F.col("n") - 1) * F.col("s2"), 6)).cast("double") / 1e6).alias(
+            "sv"
+        ),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sinv"),
+    )
+    t = ((F.col("nn") - F.col("k")) * F.log(F.col("sv") / (F.col("nn") - F.col("k"))) - F.col("sl")) / (
+        1
+        + (F.col("sinv") - 1.0 / (F.col("nn") - F.col("k")))
+        / (3.0 * (F.col("k") - 1))
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        (quantize(t, 6) / 1e6).alias("bartlett_t"),
+    )
+
+
+# --- q548: Tukey HSD pairwise comparisons of mean order totals across
+# market segments — the post-hoc companion to q482/q540's ANOVA:
+# q_ij = |x̄_i − x̄_j| / sqrt(MSE/2 · (1/n_i + 1/n_j)) with MSE the
+# pooled within-group variance. The pair table is the 5-segment rollup
+# joined with itself (10 rows, fixed by the segment domain) against a
+# broadcast scalar MSE carry. --------------------------------------------------
+@query(
+    "q548_tukey_hsd_segments",
+    oracle=f"""
+    WITH per_g AS MATERIALIZED (
+        SELECT c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('o.o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS s,
+               CAST(SUM({sql_quantize('o.o_totalprice * o.o_totalprice', -4)})
+                    AS DOUBLE) * 1e4 / 1e6 AS ss
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY seg
+    ),
+    v AS MATERIALIZED (
+        SELECT seg, n, s / n AS m,
+               (ss - s * s / n) / (n - 1) AS s2
+        FROM per_g
+    ),
+    mse AS (
+        SELECT CAST(SUM({sql_quantize('(n - 1) * s2', 6)}) AS DOUBLE) / 1e6
+                   / (SUM(n) - COUNT(*)) AS mse
+        FROM v
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+           CAST({sql_quantize('a.m - b.m', 6)} AS DOUBLE) / 1e6 AS mean_diff,
+           CAST({sql_quantize(
+               'ABS(a.m - b.m) / SQRT(mse.mse / 2.0 * (1.0 / a.n + 1.0 / b.n))',
+               6)} AS DOUBLE) / 1e6 AS q_stat
+    FROM v a JOIN v b ON a.seg < b.seg, mse
+    ORDER BY seg_a, seg_b
+    """,
+)
+def q548(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    per_g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e3).alias("s"),
+            (
+                F.sum(
+                    quantize(F.col("o_totalprice") * F.col("o_totalprice"), -4)
+                ).cast("double")
+                * 1e4
+                / 1e6
+            ).alias("ss"),
+        )
+    )
+    v = tracked_persist(
+        per_g.select(
+            "seg",
+            "n",
+            (F.col("s") / F.col("n")).alias("m"),
+            (
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("s2"),
+        )
+    )
+    mse = v.agg(
+        (
+            F.sum(quantize((F.col("n") - 1) * F.col("s2"), 6)).cast("double")
+            / 1e6
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("mse")
+    )
+    a = v.select(
+        F.col("seg").alias("seg_a"), F.col("n").alias("na"), F.col("m").alias("ma")
+    )
+    b = v.select(
+        F.col("seg").alias("seg_b"), F.col("n").alias("nb"), F.col("m").alias("mb")
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b")).crossJoin(F.broadcast(mse))
+    qs = F.abs(F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("mse") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        (quantize(F.col("ma") - F.col("mb"), 6) / 1e6).alias("mean_diff"),
+        (quantize(qs, 6) / 1e6).alias("q_stat"),
+    ).orderBy("seg_a", "seg_b")

@@ -4861,3 +4861,151 @@ def q539(spark, sf_dir):
             "wls_intercept"
         ),
     )
+
+
+# --- q543: Theil-Sen slope of monthly revenue — the median of all
+# pairwise slopes (y_j − y_i)/(t_j − t_i), robust to the outlier
+# months that bias q127's least-squares trend (reference trend surface:
+# src/stats/regression.rs). The pair set is the ~80-month calendar
+# spine squared (~3k rows, bounded by the observation calendar, never
+# data-sized); the month index comes from months_between against the
+# scalar first month (broadcast carry), so no window is needed at all.
+# Intercept = median(y_i − slope·t_i), the classic Theil-Sen companion. --------
+@query(
+    "q543_theil_sen_monthly_slope",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    fst AS (SELECT MIN(mth) AS m0 FROM monthly),
+    d AS MATERIALIZED (
+        SELECT CAST(datediff('month', fst.m0, monthly.mth) AS DOUBLE) AS t,
+               monthly.rev AS y
+        FROM monthly, fst
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.t - a.t) AS s
+        FROM d a JOIN d b ON b.t > a.t
+    ),
+    sen AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes),
+    icpt AS (
+        SELECT quantile_cont(d.y - sen.slope * d.t, 0.5) AS b0
+        FROM d, sen
+        GROUP BY sen.slope
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_months,
+           CAST({sql_quantize('sen.slope', 8)} AS DOUBLE) / 1e8 AS sen_slope,
+           CAST({sql_quantize('icpt.b0', 6)} AS DOUBLE) / 1e6 AS sen_intercept
+    FROM sen, icpt
+    """,
+)
+def q543(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    fst = monthly.agg(F.min("mth").alias("m0"))
+    d = tracked_persist(
+        monthly.crossJoin(F.broadcast(fst)).select(
+            F.months_between("mth", "m0").alias("t"), F.col("rev").alias("y")
+        )
+    )
+    b = d.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    slopes = d.join(b, F.col("t2") > F.col("t")).select(
+        ((F.col("y2") - F.col("y")) / (F.col("t2") - F.col("t"))).alias("s")
+    )
+    sen = slopes.agg(F.expr("percentile(s, 0.5)").alias("slope"))
+    icpt = (
+        d.crossJoin(F.broadcast(sen))
+        .groupBy("slope")
+        .agg(
+            F.expr("percentile(y - slope * t, 0.5)").alias("b0"),
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+        )
+    )
+    return icpt.select(
+        "n_months",
+        (quantize("slope", 8) / 1e8).alias("sen_slope"),
+        (quantize("b0", 6) / 1e6).alias("sen_intercept"),
+    )
+
+
+# --- q544: historical Value-at-Risk and CVaR (expected shortfall) of
+# the daily-revenue log-return series: VaR95 = the 5% quantile of
+# r_t = ln(rev_t / rev_{t−1}); CVaR95 = the mean of the k = ⌊0.05·n⌋
+# WORST returns, selected by rank (not by threshold comparison, so a
+# last-ulp disagreement in ln() between engines cannot flip set
+# membership). Daily series and its return ranks are bounded by the
+# observation calendar (q48 argument); consecutive days pair by an
+# equi-join on the day index (q486 pattern). -----------------------------------
+@query(
+    "q544_var_cvar_daily_returns",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT LN(b.rev / a.rev) AS r, b.x
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(FLOOR(0.05 * COUNT(*)) AS BIGINT) AS k FROM ret),
+    var95 AS (SELECT quantile_cont(r, 0.05) AS v FROM ret),
+    worst AS (
+        SELECT r FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC, x ASC) AS rk
+            FROM ret
+        ) q, n WHERE q.rk <= n.k
+    ),
+    cv AS (
+        SELECT CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9
+                   / (SELECT k FROM n) AS es
+        FROM worst
+    )
+    SELECT n.n AS n_returns, n.k AS k_tail,
+           CAST({sql_quantize('var95.v', 6)} AS DOUBLE) / 1e6 AS var_95,
+           CAST({sql_quantize('cv.es', 6)} AS DOUBLE) / 1e6 AS cvar_95
+    FROM n, var95, cv
+    """,
+)
+def q544(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = tracked_persist(
+        idx.join(nxt, "x").select(
+            F.log(F.col("rev2") / F.col("rev")).alias("r"), (F.col("x") + 1).alias("x")
+        )
+    )
+    n = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(0.05 * F.count(F.lit(1))).cast("long").alias("k"),
+    )
+    var95 = ret.agg(F.expr("percentile(r, 0.05)").alias("v"))
+    w_rk = Window.orderBy(F.col("r").asc(), F.col("x").asc())
+    ranked = ret.select("r", F.row_number().over(w_rk).alias("rk"))
+    worst = ranked.crossJoin(F.broadcast(n)).where(F.col("rk") <= F.col("k"))
+    cv = worst.groupBy("n", "k").agg(
+        (F.sum(quantize("r", 9)).cast("double") / 1e9 / F.first("k")).alias("es")
+    )
+    j = cv.crossJoin(F.broadcast(var95))
+    return j.select(
+        F.col("n").alias("n_returns"),
+        F.col("k").alias("k_tail"),
+        (quantize("v", 6) / 1e6).alias("var_95"),
+        (quantize("es", 6) / 1e6).alias("cvar_95"),
+    )

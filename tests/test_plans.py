@@ -422,6 +422,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     # calendar spine (q350 argument)
     "q538_newey_west_trend_se",  # month index over the calendar spine
     "q539_wls_trend_fit",  # month index over the calendar spine
+    "q544_var_cvar_daily_returns",  # day index + return ranks over the
+    # daily calendar spine (q48 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
