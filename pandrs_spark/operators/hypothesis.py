@@ -37,6 +37,7 @@ __all__ = [
     "mood_median_test",
     "cramer_von_mises_2samp",
     "brunner_munzel",
+    "ansari_bradley_test",
     "mann_whitney_u",
     "ks_2samp",
     "kruskal_wallis",
@@ -859,4 +860,94 @@ def ipf_rake(
         F.col("__c").alias(col_col),
         F.col("__n").alias(count_col),
         "w",
+    )
+
+
+def ansari_bradley_test(
+    df: DataFrame, value_col: str, group_col: str, g1, g2
+) -> DataFrame:
+    """Ansari-Bradley two-sample scale test (nonparametric.rs family;
+    Ansari & Bradley 1960 — public methodology).
+
+    Scores count in from both ends: s(r) = min(r, N+1−r); tied blocks
+    take the block-average score (midrank convention). Computed from
+    the distinct-value histogram: a block occupying ranks lo+1..hi has
+    exact integer score sum S = f(hi) − f(lo) with
+    f(m) = m(m+1)/2 for m ≤ c, else c(c+1) + (m−c)(N+1) − m(m+1)/2,
+    c = ⌊(N+1)/2⌋ — so the whole score fold is BIGINT-exact and the
+    one ordered pass rides ``global_prefix_counts`` (histogram-sized,
+    never data-sized). Scores are normalized by N (z is invariant) so
+    every quantized sum stays inside the int64 envelope at any scale.
+
+    Returns 1 row: (n1, n2, ab_t_norm, z) where ab_t_norm = T₁/N with
+    T₁ the sample-1 score sum, and z uses the exact tie-conditional
+    moments E[T₁] = n1·Σs/N, Var[T₁] = n1·n2·(N·Σs² − (Σs)²)/(N²(N−1)).
+    """
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    two = df.filter(F.col(group_col).isin([g1, g2]))
+    per_v = two.groupBy(F.col(value_col).alias("value")).agg(
+        F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("c2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cdf = global_prefix_counts(per_v, [F.asc("value")], {"cum": "cnt"})
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum("cnt").cast("long").alias("nn"),
+    )
+    j = cdf.crossJoin(F.broadcast(totals))
+
+    def _f(m):
+        # Σ_{r=1..m} min(r, N+1-r) as exact BIGINT arithmetic
+        c = F.floor((F.col("nn") + 1) / 2).cast("long")
+        below = (m * (m + 1) / 2).cast("long")
+        above = (
+            c * (c + 1)
+            + (m - c) * (F.col("nn") + 1)
+            - (m * (m + 1) / 2).cast("long")
+        ).cast("long")
+        return F.when(m <= c, below).otherwise(above)
+
+    hi = F.col("cum").cast("long")
+    lo = (F.col("cum") - F.col("cnt")).cast("long")
+    blocks = j.select(
+        "c1",
+        "cnt",
+        "n1",
+        "n2",
+        "nn",
+        (_f(hi) - _f(lo)).alias("s_sum"),
+    )
+    agg = blocks.groupBy("n1", "n2", "nn").agg(
+        (
+            F.sum(
+                quantize(
+                    F.col("c1") * F.col("s_sum") / (F.col("cnt") * F.col("nn")), 12
+                )
+            ).cast("double")
+            / 1e12
+        ).alias("t1"),
+        (
+            F.sum(
+                quantize(
+                    F.col("s_sum")
+                    * F.col("s_sum")
+                    / (F.col("cnt") * F.col("nn") * F.col("nn")),
+                    12,
+                )
+            ).cast("double")
+            / 1e12
+        ).alias("ss2"),
+        (F.sum("s_sum").cast("double") / F.col("nn") / F.col("nn")).alias("sbar"),
+    )
+    return agg.selectExpr(
+        "n1",
+        "n2",
+        "t1 AS ab_t_norm",
+        "(t1 - n1 * sbar) / "
+        "SQRT(n1 * n2 * (nn * ss2 - sbar * nn * sbar * nn) "
+        "/ (CAST(nn AS DOUBLE) * nn * (nn - 1))) AS z",
     )

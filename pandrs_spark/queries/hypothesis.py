@@ -1606,3 +1606,101 @@ def q476(spark, sf_dir):
         (quantize(tm2, 6) / 1e6).alias("trimmed_mean_2"),
         (quantize(t, 6) / 1e6).alias("t_yuen"),
     )
+
+
+# --- q554: Ansari-Bradley scale test — are BUILDING and MACHINERY
+# order totals equally dispersed around their (assumed common) center?
+# The rank-based complement to q58-class Levene: scores count in from
+# both ends of the pooled ordering, tied blocks take block-average
+# scores, and the entire score fold is BIGINT-exact over the
+# distinct-value histogram (operators/hypothesis.py:ansari_bradley_test;
+# one groupBy shuffle + one histogram-sized ordered pass). ---------------------
+@query(
+    "q554_ansari_bradley_scale",
+    oracle="""
+    WITH two AS MATERIALIZED (
+        SELECT o.o_totalprice AS value, c.c_mktsegment AS grp
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    per_v AS MATERIALIZED (
+        SELECT value,
+               SUM(CASE WHEN grp = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN grp = 'MACHINERY' THEN 1 ELSE 0 END) AS c2,
+               COUNT(*) AS cnt
+        FROM two GROUP BY value
+    ),
+    cdf AS MATERIALIZED (
+        SELECT c1, cnt, SUM(cnt) OVER (ORDER BY value) AS cum FROM per_v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(cnt) AS BIGINT) AS nn
+        FROM per_v
+    ),
+    blocks AS MATERIALIZED (
+        SELECT c1, cnt, n1, n2, nn,
+               (CASE WHEN cum <= CAST(FLOOR((nn + 1) / 2.0) AS BIGINT)
+                     THEN CAST(cum * (cum + 1) / 2 AS BIGINT)
+                     ELSE CAST(FLOOR((nn + 1) / 2.0) AS BIGINT)
+                          * (CAST(FLOOR((nn + 1) / 2.0) AS BIGINT) + 1)
+                          + (cum - CAST(FLOOR((nn + 1) / 2.0) AS BIGINT))
+                            * (nn + 1)
+                          - CAST(cum * (cum + 1) / 2 AS BIGINT) END)
+             - (CASE WHEN cum - cnt <= CAST(FLOOR((nn + 1) / 2.0) AS BIGINT)
+                     THEN CAST((cum - cnt) * (cum - cnt + 1) / 2 AS BIGINT)
+                     ELSE CAST(FLOOR((nn + 1) / 2.0) AS BIGINT)
+                          * (CAST(FLOOR((nn + 1) / 2.0) AS BIGINT) + 1)
+                          + ((cum - cnt) - CAST(FLOOR((nn + 1) / 2.0) AS BIGINT))
+                            * (nn + 1)
+                          - CAST((cum - cnt) * (cum - cnt + 1) / 2 AS BIGINT)
+                END) AS s_sum
+        FROM cdf, tot
+    ),
+    agg AS (
+        SELECT n1, n2, nn,
+               CAST(SUM(CAST(SIGN(c1 * s_sum / (cnt * CAST(nn AS DOUBLE)))
+                             * FLOOR(ABS(c1 * s_sum / (cnt * CAST(nn AS DOUBLE)))
+                                     * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS t1,
+               CAST(SUM(CAST(SIGN(s_sum * CAST(s_sum AS DOUBLE)
+                                  / (cnt * CAST(nn AS DOUBLE) * nn))
+                             * FLOOR(ABS(s_sum * CAST(s_sum AS DOUBLE)
+                                         / (cnt * CAST(nn AS DOUBLE) * nn))
+                                     * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS ss2,
+               CAST(SUM(s_sum) AS DOUBLE) / nn / nn AS sbar
+        FROM blocks
+        GROUP BY n1, n2, nn
+    )
+    SELECT n1, n2,
+           CAST(CAST(SIGN(t1) * FLOOR(ABS(t1) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS ab_t_norm,
+           CAST(CAST(SIGN(z) * FLOOR(ABS(z) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS z_ab
+    FROM (
+        SELECT n1, n2, t1,
+               (t1 - n1 * sbar) /
+               SQRT(n1 * n2 * (nn * ss2 - sbar * nn * sbar * nn)
+                    / (CAST(nn AS DOUBLE) * nn * (nn - 1))) AS z
+        FROM agg
+    )
+    """,
+)
+def q554(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import ansari_bradley_test
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_totalprice").alias("v"), F.col("c_mktsegment").alias("seg")
+    )
+    out = ansari_bradley_test(df, "v", "seg", "BUILDING", "MACHINERY")
+    return out.select(
+        "n1",
+        "n2",
+        (quantize("ab_t_norm", 6) / 1e6).alias("ab_t_norm"),
+        (quantize("z", 6) / 1e6).alias("z_ab"),
+    )

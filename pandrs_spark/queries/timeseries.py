@@ -11,6 +11,7 @@ from pyspark.sql.types import DecimalType
 
 from pandrs_spark.catalog import load_table as T
 from pandrs_spark.functions.deterministic import (
+    CORR_FORMULA,
     davg,
     dsum,
     quantize,
@@ -5008,4 +5009,516 @@ def q544(spark, sf_dir):
         F.col("k").alias("k_tail"),
         (quantize("v", 6) / 1e6).alias("var_95"),
         (quantize("es", 6) / 1e6).alias("cvar_95"),
+    )
+
+
+_MONTHLY_JOINT_SQL = f"""
+    mrev AS MATERIALIZED (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY mth
+    ),
+    mcnt AS MATERIALIZED (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(COUNT(*) AS DOUBLE) / 1e3 AS cnt
+        FROM orders GROUP BY mth
+    ),
+    joint AS MATERIALIZED (
+        SELECT r.mth, r.rev, c.cnt,
+               ROW_NUMBER() OVER (ORDER BY r.mth) AS x
+        FROM mrev r JOIN mcnt c ON c.mth = r.mth
+    )
+"""
+
+
+def _monthly_joint(spark, sf_dir):
+    """Joint (monthly revenue, monthly order count) calendar spine with
+    a month index — the shared bivariate series behind the
+    Granger/CCF/lead-lag tier. Revenue in 1e6 units, counts in 1e3
+    units so every second moment stays inside the 1e-9 quantization
+    envelope."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    mrev = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    mcnt = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mth")).agg(
+        (F.count(F.lit(1)).cast("double") / 1e3).alias("cnt")
+    )
+    joint = mrev.join(mcnt, "mth")
+    w_ord = Window.orderBy("mth")
+    return joint.select(
+        "mth", "rev", "cnt", F.row_number().over(w_ord).alias("x")
+    )
+
+
+# --- q549: Granger causality (lag-1) of monthly order count on
+# monthly revenue: compare RSS of the restricted AR(1) model
+# rev_t ~ rev_{t−1} against the unrestricted rev_t ~ rev_{t−1} +
+# cnt_{t−1}; F = (RSS_r − RSS_u)/(RSS_u/(n−3)). Two-regressor OLS in
+# closed form from centered moment sums (2×2 normal equations), all
+# moments exact quantized sums over the ~80-month spine. ------------------------
+@query(
+    "q549_granger_orders_to_revenue",
+    oracle=f"""
+    WITH {_MONTHLY_JOINT_SQL},
+    pairs AS MATERIALIZED (
+        SELECT b.rev AS y, a.rev AS u, a.cnt AS v
+        FROM joint a JOIN joint b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('u', 6)}) AS DOUBLE) / 1e6 AS su,
+               CAST(SUM({sql_quantize('v', 6)}) AS DOUBLE) / 1e6 AS sv,
+               CAST(SUM({sql_quantize('y * y', 9)}) AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize('u * u', 9)}) AS DOUBLE) / 1e9 AS suu,
+               CAST(SUM({sql_quantize('v * v', 9)}) AS DOUBLE) / 1e9 AS svv,
+               CAST(SUM({sql_quantize('u * y', 9)}) AS DOUBLE) / 1e9 AS suy,
+               CAST(SUM({sql_quantize('v * y', 9)}) AS DOUBLE) / 1e9 AS svy,
+               CAST(SUM({sql_quantize('u * v', 9)}) AS DOUBLE) / 1e9 AS suv
+        FROM pairs
+    ),
+    c AS (
+        SELECT n,
+               syy - sy * sy / n AS cyy,
+               suu - su * su / n AS cuu,
+               svv - sv * sv / n AS cvv,
+               suy - su * sy / n AS cuy,
+               svy - sv * sy / n AS cvy,
+               suv - su * sv / n AS cuv
+        FROM s
+    ),
+    fit AS (
+        SELECT n,
+               cyy - cuy * cuy / cuu AS rss_r,
+               cyy - ((cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv)) * cuy
+                   - ((cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv)) * cvy
+                   AS rss_u,
+               (cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv) AS b_cnt
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST({sql_quantize('b_cnt', 6)} AS DOUBLE) / 1e6 AS beta_cnt,
+           CAST({sql_quantize('(rss_r - rss_u) / (rss_u / (n - 3))', 6)}
+                AS DOUBLE) / 1e6 AS f_granger
+    FROM fit
+    """,
+)
+def q549(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    joint = tracked_persist(_monthly_joint(spark, sf_dir))
+    prev = joint.select(
+        (F.col("x") + 1).alias("x"), F.col("rev").alias("u"), F.col("cnt").alias("v")
+    )
+    pairs = joint.select("x", F.col("rev").alias("y")).join(prev, "x")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize("u", 6)).cast("double") / 1e6).alias("su"),
+        (F.sum(quantize("v", 6)).cast("double") / 1e6).alias("sv"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 9)).cast("double") / 1e9).alias("syy"),
+        (F.sum(quantize(F.col("u") * F.col("u"), 9)).cast("double") / 1e9).alias("suu"),
+        (F.sum(quantize(F.col("v") * F.col("v"), 9)).cast("double") / 1e9).alias("svv"),
+        (F.sum(quantize(F.col("u") * F.col("y"), 9)).cast("double") / 1e9).alias("suy"),
+        (F.sum(quantize(F.col("v") * F.col("y"), 9)).cast("double") / 1e9).alias("svy"),
+        (F.sum(quantize(F.col("u") * F.col("v"), 9)).cast("double") / 1e9).alias("suv"),
+    )
+    c = s.selectExpr(
+        "n",
+        "syy - sy * sy / n AS cyy",
+        "suu - su * su / n AS cuu",
+        "svv - sv * sv / n AS cvv",
+        "suy - su * sy / n AS cuy",
+        "svy - sv * sy / n AS cvy",
+        "suv - su * sv / n AS cuv",
+    )
+    fit = c.selectExpr(
+        "n",
+        "cyy - cuy * cuy / cuu AS rss_r",
+        "cyy - ((cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv)) * cuy"
+        " - ((cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv)) * cvy AS rss_u",
+        "(cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv) AS b_cnt",
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (quantize("b_cnt", 6) / 1e6).alias("beta_cnt"),
+        (
+            quantize(
+                (F.col("rss_r") - F.col("rss_u")) / (F.col("rss_u") / (F.col("n") - 3)),
+                6,
+            )
+            / 1e6
+        ).alias("f_granger"),
+    )
+
+
+# --- q550: cross-correlation function between monthly order count and
+# monthly revenue at lags −3..+3 — the lead-lag screen that motivates
+# q549's Granger F (reference correlation surface: src/stats/mod.rs).
+# The 7-lag fan-out is a fixed literal explode (never data-sized);
+# each lag's Pearson r comes from exact quantized sums via the shared
+# CORR_FORMULA text, parsed identically by both engines. ------------------------
+@query(
+    "q550_cross_correlation_lags",
+    oracle=f"""
+    WITH {_MONTHLY_JOINT_SQL},
+    lagged AS MATERIALIZED (
+        SELECT l.lag, a.cnt AS xv, b.rev AS yv
+        FROM joint a
+        CROSS JOIN (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag) l
+        JOIN joint b ON b.x = a.x + l.lag
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('xv', 6)}) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM({sql_quantize('yv', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('xv * xv', 9)}) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM({sql_quantize('yv * yv', 9)}) AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize('xv * yv', 9)}) AS DOUBLE) / 1e9 AS sxy
+        FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(SIGN(r) * FLOOR(ABS(r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS ccf
+    FROM (
+        SELECT lag, n,
+               {CORR_FORMULA.format(n='n', sx='sx', sy='sy',
+                                    sxx='sxx', syy='syy', sxy='sxy')} AS r
+        FROM s
+    )
+    ORDER BY lag
+    """,
+)
+def q550(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import CORR_FORMULA, quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    joint = tracked_persist(_monthly_joint(spark, sf_dir))
+    lags = F.explode(F.array(*[F.lit(v) for v in range(-3, 4)])).alias("lag")
+    a = joint.select(F.col("x"), F.col("cnt").alias("xv"), lags)
+    b = joint.select((F.col("x")).alias("xb"), F.col("rev").alias("yv"))
+    lagged = a.withColumn("xk", F.col("x") + F.col("lag")).join(
+        b, F.col("xb") == F.col("xk")
+    )
+    s = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("xv", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("yv", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("xv") * F.col("xv"), 9)).cast("double") / 1e9).alias(
+            "sxx"
+        ),
+        (F.sum(quantize(F.col("yv") * F.col("yv"), 9)).cast("double") / 1e9).alias(
+            "syy"
+        ),
+        (F.sum(quantize(F.col("xv") * F.col("yv"), 9)).cast("double") / 1e9).alias(
+            "sxy"
+        ),
+    )
+    r = s.selectExpr(
+        "lag",
+        "n",
+        CORR_FORMULA.format(n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy")
+        + " AS r",
+    )
+    return r.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (quantize("r", 6) / 1e6).alias("ccf"),
+    ).orderBy("lag")
+
+
+# --- q551: Lo-MacKinlay variance-ratio test VR(5) on daily-revenue
+# log returns — the random-walk diagnostic: VR(q) = σ̂²_q/(q·σ̂²_1)
+# with σ̂²_q from overlapping q-period returns (rolling 5-sum over the
+# daily calendar spine, bounded) and the homoscedastic normal score
+# z = (VR−1)/sqrt(2(2q−1)(q−1)/(3qn)). Lo & MacKinlay (1988) — public
+# methodology; all sums exact-quantized. ----------------------------------------
+@query(
+    "q551_variance_ratio_rw_test",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT b.x, LN(b.rev / a.rev) AS r
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS m
+        FROM ret
+    ),
+    rq AS MATERIALIZED (
+        SELECT x, SUM(r) OVER (ORDER BY x
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+               COUNT(*) OVER (ORDER BY x
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w
+        FROM ret
+    ),
+    s1 AS (
+        SELECT CAST(SUM({sql_quantize('(ret.r - mu.m) * (ret.r - mu.m)', 12)})
+                    AS DOUBLE) / 1e12 AS ss1
+        FROM ret, mu
+    ),
+    sq AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(rq.s5 - 5 * mu.m) * (rq.s5 - 5 * mu.m)', 12)})
+                    AS DOUBLE) / 1e12 AS ssq
+        FROM rq, mu WHERE rq.w = 5
+    ),
+    vr AS (
+        SELECT mu.n,
+               (sq.ssq / (5.0 * (mu.n - 5 + 1) * (1 - 5.0 / mu.n)))
+                   / (5.0 * (s1.ss1 / (mu.n - 1))) AS v
+        FROM mu, s1, sq
+    )
+    SELECT CAST(n AS BIGINT) AS n_returns,
+           CAST({sql_quantize('v', 6)} AS DOUBLE) / 1e6 AS vr_5,
+           CAST({sql_quantize(
+               '(v - 1) / SQRT(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n))',
+               6)} AS DOUBLE) / 1e6 AS z_vr
+    FROM vr
+    """,
+)
+def q551(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = tracked_persist(
+        idx.join(nxt, "x").select(
+            (F.col("x") + 1).alias("x"), F.log(F.col("rev2") / F.col("rev")).alias("r")
+        )
+    )
+    mu = ret.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(quantize("r", 9)).cast("double") / 1e9 / F.count(F.lit(1))
+        ).alias("m"),
+    )
+    w5 = Window.orderBy("x").rowsBetween(-4, 0)
+    rq = ret.select(
+        "x", F.sum("r").over(w5).alias("s5"), F.count(F.lit(1)).over(w5).alias("w")
+    )
+    s1 = ret.crossJoin(F.broadcast(mu)).agg(
+        (
+            F.sum(quantize((F.col("r") - F.col("m")) * (F.col("r") - F.col("m")), 12))
+            .cast("double")
+            / 1e12
+        ).alias("ss1")
+    )
+    sq = (
+        rq.where(F.col("w") == 5)
+        .crossJoin(F.broadcast(mu))
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        (F.col("s5") - 5 * F.col("m")) * (F.col("s5") - 5 * F.col("m")),
+                        12,
+                    )
+                )
+                .cast("double")
+                / 1e12
+            ).alias("ssq")
+        )
+    )
+    vr = (
+        mu.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(sq))
+        .selectExpr(
+            "n",
+            "(ssq / (5.0 * (n - 5 + 1) * (1 - 5.0 / n)))"
+            " / (5.0 * (ss1 / (n - 1))) AS v",
+        )
+    )
+    return vr.select(
+        F.col("n").cast("long").alias("n_returns"),
+        (quantize("v", 6) / 1e6).alias("vr_5"),
+        (
+            quantize(
+                (F.col("v") - 1)
+                / F.sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * F.col("n"))),
+                6,
+            )
+            / 1e6
+        ).alias("z_vr"),
+    )
+
+
+# --- q552: Engle's ARCH LM test (lag 1) on the monthly-trend OLS
+# residuals — regress e_t² on e_{t−1}²; LM = n·R² where R² = corr² for
+# the single-regressor case. Completes the residual-diagnostic trio
+# with q486 (serial correlation) and q489 (heteroscedasticity in the
+# mean regressor); pairs join on the month index (q486 pattern). ----------------
+@query(
+    "q552_arch_lm_residuals",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    pairs AS MATERIALIZED (
+        SELECT b.e * b.e AS w, a.e * a.e AS wl
+        FROM resid a JOIN resid b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('w', 9)}) AS DOUBLE) / 1e9 AS sx,
+               CAST(SUM({sql_quantize('wl', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('w * w', 12)}) AS DOUBLE) / 1e12 AS sxx,
+               CAST(SUM({sql_quantize('wl * wl', 12)}) AS DOUBLE) / 1e12 AS syy,
+               CAST(SUM({sql_quantize('w * wl', 12)}) AS DOUBLE) / 1e12 AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(CAST(SIGN(lm) * FLOOR(ABS(lm) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS arch_lm
+    FROM (
+        SELECT n,
+               n * ({CORR_FORMULA.format(n='n', sx='sx', sy='sy',
+                                          sxx='sxx', syy='syy', sxy='sxy')})
+                 * ({CORR_FORMULA.format(n='n', sx='sx', sy='sy',
+                                          sxx='sxx', syy='syy', sxy='sxy')})
+                 AS lm
+        FROM s
+    )
+    """,
+)
+def q552(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import CORR_FORMULA, quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    prev = resid.select(
+        (F.col("x") + 1).alias("x"), (F.col("e") * F.col("e")).alias("wl")
+    )
+    pairs = resid.select("x", (F.col("e") * F.col("e")).alias("w")).join(prev, "x")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("w", 9)).cast("double") / 1e9).alias("sx"),
+        (F.sum(quantize("wl", 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(F.col("w") * F.col("w"), 12)).cast("double") / 1e12).alias(
+            "sxx"
+        ),
+        (F.sum(quantize(F.col("wl") * F.col("wl"), 12)).cast("double") / 1e12).alias(
+            "syy"
+        ),
+        (F.sum(quantize(F.col("w") * F.col("wl"), 12)).cast("double") / 1e12).alias(
+            "sxy"
+        ),
+    )
+    corr = CORR_FORMULA.format(n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy")
+    lm = s.selectExpr("n", f"n * ({corr}) * ({corr}) AS lm")
+    return lm.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (quantize("lm", 6) / 1e6).alias("arch_lm"),
+    )
+
+
+# --- q553: Cox-Stuart trend test on monthly revenue — pair each of
+# the first ⌊n/2⌋ months with its month ⌈n/2⌉ later, count rises vs
+# falls (ties dropped), z = (n⁺ − m/2)/sqrt(m/4). The sign-based,
+# distribution-free cousin of q532's seasonal Mann-Kendall; the pair
+# offset is a scalar carry over the month index, and the whole
+# statistic is integer counting — no float path at all. -------------------------
+@query(
+    "q553_cox_stuart_trend",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) AS m,
+               CAST(COUNT(*) - FLOOR(COUNT(*) / 2.0) AS BIGINT) AS c
+        FROM idx
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END AS pos,
+               CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END AS neg
+        FROM idx a CROSS JOIN nn
+        JOIN idx b ON b.x = a.x + nn.c
+        WHERE a.x <= nn.m
+    ),
+    cnt AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg
+        FROM pairs
+    )
+    SELECT nn.n AS n_months, cnt.n_pos, cnt.n_neg,
+           CAST({sql_quantize(
+               '(cnt.n_pos - (cnt.n_pos + cnt.n_neg) / 2.0)'
+               ' / SQRT((cnt.n_pos + cnt.n_neg) / 4.0)', 6)}
+               AS DOUBLE) / 1e6 AS cs_z
+    FROM nn, cnt
+    """,
+)
+def q553(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    nn = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+        (F.count(F.lit(1)) - (F.count(F.lit(1)) / 2).cast("long"))
+        .cast("long")
+        .alias("c"),
+    )
+    a = (
+        idx.crossJoin(F.broadcast(nn))
+        .where(F.col("x") <= F.col("m"))
+        .select((F.col("x") + F.col("c")).alias("xk"), F.col("rev").alias("ra"), "n")
+    )
+    b = idx.select(F.col("x").alias("xk"), F.col("rev").alias("rb"))
+    pairs = a.join(b, "xk")
+    cnt = pairs.groupBy("n").agg(
+        F.sum(F.when(F.col("rb") > F.col("ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("rb") < F.col("ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    return cnt.select(
+        F.col("n").alias("n_months"),
+        "n_pos",
+        "n_neg",
+        (
+            quantize(
+                (F.col("n_pos") - (F.col("n_pos") + F.col("n_neg")) / 2.0)
+                / F.sqrt((F.col("n_pos") + F.col("n_neg")) / 4.0),
+                6,
+            )
+            / 1e6
+        ).alias("cs_z"),
     )

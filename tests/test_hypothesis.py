@@ -322,3 +322,63 @@ def test_lmdi_limit_branch_offsetting_factors(spark):
     assert abs(out["f1"] - 0.2 * math.log(0.8 / 0.5)) < 1e-12
     assert abs(out["f2"] - 0.2 * math.log(0.25 / 0.4)) < 1e-12
     assert abs(out["f1"] + out["f2"]) < 1e-12  # shares cancel exactly
+
+
+def _ab_brute(xs, ys):
+    """Brute-force Ansari-Bradley with midrank scores, normalized by N."""
+    pooled = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+    n = len(pooled)
+    scores = [min(r, n + 1 - r) for r in range(1, n + 1)]
+    # average scores over tied blocks
+    avg = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        block = sum(scores[i:j]) / (j - i)
+        for k in range(i, j):
+            avg[k] = block
+        i = j
+    t1 = sum(s for (v, g), s in zip(pooled, avg) if g == 0)
+    ssum = sum(avg)
+    ss2 = sum(s * s for s in avg)
+    n1, n2 = len(xs), len(ys)
+    e = n1 * ssum / n
+    var = n1 * n2 * (n * ss2 - ssum * ssum) / (n * n * (n - 1))
+    return t1 / n, (t1 - e) / var**0.5
+
+
+def test_ansari_bradley_no_ties(spark):
+    from pandrs_spark.operators.hypothesis import ansari_bradley_test
+
+    xs = [1.0, 4.0, 9.0, 16.0, 25.0]
+    ys = [7.0, 8.0, 10.0, 11.0, 12.0, 13.0]
+    df = _df(spark, [(v, "a") for v in xs] + [(v, "b") for v in ys])
+    r = ansari_bradley_test(df, "value", "grp", "a", "b").first()
+    t_norm, z = _ab_brute(xs, ys)
+    assert (r["n1"], r["n2"]) == (5, 6)
+    assert r["ab_t_norm"] == pytest.approx(t_norm, abs=1e-9)
+    assert r["z"] == pytest.approx(z, abs=1e-9)
+
+
+def test_ansari_bradley_with_ties(spark):
+    from pandrs_spark.operators.hypothesis import ansari_bradley_test
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0]
+    ys = [2.0, 2.0, 4.0, 5.0, 6.0]
+    df = _df(spark, [(v, "a") for v in xs] + [(v, "b") for v in ys])
+    r = ansari_bradley_test(df, "value", "grp", "a", "b").first()
+    t_norm, z = _ab_brute(xs, ys)
+    assert r["ab_t_norm"] == pytest.approx(t_norm, abs=1e-9)
+    assert r["z"] == pytest.approx(z, abs=1e-9)
+
+
+def test_ansari_bradley_symmetric_null(spark):
+    # identical samples → T1/N = n1 * mean-score/N and z == 0
+    from pandrs_spark.operators.hypothesis import ansari_bradley_test
+
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = _df(spark, [(v, g) for g in ("a", "b") for v in vals])
+    r = ansari_bradley_test(df, "value", "grp", "a", "b").first()
+    assert r["z"] == pytest.approx(0.0, abs=1e-9)

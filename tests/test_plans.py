@@ -424,6 +424,13 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q539_wls_trend_fit",  # month index over the calendar spine
     "q544_var_cvar_daily_returns",  # day index + return ranks over the
     # daily calendar spine (q48 argument)
+    "q549_granger_orders_to_revenue",  # month index over the calendar
+    # spine (q486 argument)
+    "q550_cross_correlation_lags",  # month index over the calendar spine
+    "q551_variance_ratio_rw_test",  # day index + overlapping 5-sums over
+    # the daily calendar spine (q48 argument)
+    "q552_arch_lm_residuals",  # month index over the calendar spine
+    "q553_cox_stuart_trend",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
