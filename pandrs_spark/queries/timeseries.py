@@ -5522,3 +5522,190 @@ def q553(spark, sf_dir):
             / 1e6
         ).alias("cs_z"),
     )
+
+
+_BRAND_CELLS_SQL = f"""
+    cells AS MATERIALIZED (
+        SELECT date_trunc('month', l.l_shipdate) AS mth, p.p_brand AS brand,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e3
+                 / (CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                    / 100.0) AS p,
+               CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                   / 100.0 / 1e3 AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY mth, brand
+    ),
+    base AS MATERIALIZED (
+        SELECT brand, p AS p0, q AS q0 FROM cells
+        WHERE mth = (SELECT MIN(mth) FROM cells)
+    )
+"""
+
+
+def _brand_cells(spark, sf_dir):
+    """(month, brand) unit-value price p (thousands) and quantity q
+    (thousands) cells — the bounded 25-brand basket behind the price-
+    index tier (q478's Laspeyres, q555's Paasche/Fisher, q556's
+    Törnqvist). One fact-table aggregate; everything downstream is
+    brand×month sized."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            (
+                (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0 / 1e3)
+                / (F.sum(quantize("l_quantity", 2)).cast("double") / 100.0)
+            ).alias("p"),
+            (F.sum(quantize("l_quantity", 2)).cast("double") / 100.0 / 1e3).alias("q"),
+        )
+    )
+
+
+# --- q555: Paasche and Fisher-ideal price indexes per month over the
+# 25-brand basket — completing the index-number family around q478's
+# chained Laspeyres: L_t = Σp_t q_0/Σp_0 q_0 (base-weighted),
+# P_t = Σp_t q_t/Σp_0 q_t (current-weighted), F_t = sqrt(L_t·P_t).
+# Cells are brand×month bounded; the base basket joins by brand
+# (broadcast-sized); per-month sums quantize each product term. ----------------
+@query(
+    "q555_paasche_fisher_index",
+    oracle=f"""
+    WITH {_BRAND_CELLS_SQL},
+    m AS (
+        SELECT c.mth,
+               CAST(SUM({sql_quantize('c.p * b.q0', 9)}) AS DOUBLE) / 1e9 AS ptq0,
+               CAST(SUM({sql_quantize('b.p0 * b.q0', 9)}) AS DOUBLE) / 1e9 AS p0q0,
+               CAST(SUM({sql_quantize('c.p * c.q', 9)}) AS DOUBLE) / 1e9 AS ptqt,
+               CAST(SUM({sql_quantize('b.p0 * c.q', 9)}) AS DOUBLE) / 1e9 AS p0qt
+        FROM cells c JOIN base b ON b.brand = c.brand
+        GROUP BY c.mth
+    )
+    SELECT mth,
+           CAST({sql_quantize('ptq0 / p0q0', 6)} AS DOUBLE) / 1e6 AS laspeyres,
+           CAST({sql_quantize('ptqt / p0qt', 6)} AS DOUBLE) / 1e6 AS paasche,
+           CAST({sql_quantize('SQRT((ptq0 / p0q0) * (ptqt / p0qt))', 6)}
+                AS DOUBLE) / 1e6 AS fisher
+    FROM m
+    ORDER BY mth
+    """,
+)
+def q555(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cells = tracked_persist(_brand_cells(spark, sf_dir))
+    m0 = cells.agg(F.min("mth").alias("m0"))
+    base = (
+        cells.crossJoin(F.broadcast(m0))
+        .where(F.col("mth") == F.col("m0"))
+        .select("brand", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    j = cells.join(F.broadcast(base), "brand")
+    m = j.groupBy("mth").agg(
+        (F.sum(quantize(F.col("p") * F.col("q0"), 9)).cast("double") / 1e9).alias(
+            "ptq0"
+        ),
+        (F.sum(quantize(F.col("p0") * F.col("q0"), 9)).cast("double") / 1e9).alias(
+            "p0q0"
+        ),
+        (F.sum(quantize(F.col("p") * F.col("q"), 9)).cast("double") / 1e9).alias(
+            "ptqt"
+        ),
+        (F.sum(quantize(F.col("p0") * F.col("q"), 9)).cast("double") / 1e9).alias(
+            "p0qt"
+        ),
+    )
+    return m.select(
+        "mth",
+        (quantize(F.col("ptq0") / F.col("p0q0"), 6) / 1e6).alias("laspeyres"),
+        (quantize(F.col("ptqt") / F.col("p0qt"), 6) / 1e6).alias("paasche"),
+        (
+            quantize(
+                F.sqrt((F.col("ptq0") / F.col("p0q0")) * (F.col("ptqt") / F.col("p0qt"))),
+                6,
+            )
+            / 1e6
+        ).alias("fisher"),
+    ).orderBy("mth")
+
+
+# --- q556: Törnqvist price index per month — the superlative
+# share-weighted geometric form: ln T_t = Σ_b ½(w_0b + w_tb)·ln(p_tb/p_0b)
+# with w the within-month revenue shares. Pairs with q555: Fisher and
+# Törnqvist should track each other closely (both superlative), a
+# cross-check the oracle enforces value-exactly. --------------------------------
+@query(
+    "q556_tornqvist_index",
+    oracle=f"""
+    WITH {_BRAND_CELLS_SQL},
+    shares AS MATERIALIZED (
+        SELECT mth, brand, p,
+               p * q / SUM(p * q) OVER (PARTITION BY mth) AS w
+        FROM cells
+    ),
+    w0 AS MATERIALIZED (
+        SELECT brand, p AS p0, w AS w0 FROM shares
+        WHERE mth = (SELECT MIN(mth) FROM shares)
+    ),
+    t AS (
+        SELECT s.mth,
+               CAST(SUM({sql_quantize(
+                   '0.5 * (w0.w0 + s.w) * LN(s.p / w0.p0)', 12)})
+                    AS DOUBLE) / 1e12 AS lnt
+        FROM shares s JOIN w0 ON w0.brand = s.brand
+        GROUP BY s.mth
+    )
+    SELECT mth,
+           CAST({sql_quantize('EXP(lnt)', 6)} AS DOUBLE) / 1e6 AS tornqvist
+    FROM t
+    ORDER BY mth
+    """,
+)
+def q556(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cells = _brand_cells(spark, sf_dir)
+    w_m = Window.partitionBy("mth")
+    shares = tracked_persist(
+        cells.select(
+            "mth",
+            "brand",
+            "p",
+            ((F.col("p") * F.col("q")) / F.sum(F.col("p") * F.col("q")).over(w_m)).alias(
+                "w"
+            ),
+        )
+    )
+    m0 = shares.agg(F.min("mth").alias("m0"))
+    w0 = (
+        shares.crossJoin(F.broadcast(m0))
+        .where(F.col("mth") == F.col("m0"))
+        .select("brand", F.col("p").alias("p0"), F.col("w").alias("w0"))
+    )
+    t = (
+        shares.join(F.broadcast(w0), "brand")
+        .groupBy("mth")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        0.5 * (F.col("w0") + F.col("w")) * F.log(F.col("p") / F.col("p0")),
+                        12,
+                    )
+                ).cast("double")
+                / 1e12
+            ).alias("lnt")
+        )
+    )
+    return t.select(
+        "mth", (quantize(F.exp("lnt"), 6) / 1e6).alias("tornqvist")
+    ).orderBy("mth")

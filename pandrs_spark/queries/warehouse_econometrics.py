@@ -1848,3 +1848,413 @@ def q477(spark, sf_dir):
         (quantize(icept("r"), 6) / 1e6).alias("icept_right"),
         (quantize(icept("r") - icept("l"), 6) / 1e6).alias("rd_effect"),
     )
+
+
+# --- q557: Oaxaca-Blinder two-fold decomposition of the BUILDING vs
+# MACHINERY mean-order-value gap with nation as the categorical
+# covariate: gap = Σ_n(sh_An − sh_Bn)·m_Bn  [explained / endowments]
+#                + Σ_n sh_An·(m_An − m_Bn)  [unexplained / returns],
+# computed over the common-support nation cells (bounded 25-nation
+# rollup). The identity gap = explained + unexplained holds exactly by
+# construction and ships as a verifiable output column. -------------------------
+@query(
+    "q557_oaxaca_blinder_gap",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT c.c_nationkey AS nk,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                             THEN {sql_quantize('o.o_totalprice', 2)}
+                             ELSE 0 END) AS DOUBLE) / 1e2 / 1e3 AS sa,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                             THEN {sql_quantize('o.o_totalprice', 2)}
+                             ELSE 0 END) AS DOUBLE) / 1e2 / 1e3 AS sb
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY nk
+        HAVING SUM(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) > 0
+    ),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM cells),
+    parts AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(na / ta - nb / tb) * (sb / nb)', 12)}) AS DOUBLE)
+                   / 1e12 AS explained,
+               CAST(SUM({sql_quantize(
+                   '(na / ta) * (sa / na - sb / nb)', 12)}) AS DOUBLE)
+                   / 1e12 AS unexplained,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells, tot
+    )
+    SELECT n_cells,
+           CAST({sql_quantize('explained + unexplained', 6)} AS DOUBLE)
+               / 1e6 AS gap,
+           CAST({sql_quantize('explained', 6)} AS DOUBLE) / 1e6 AS explained,
+           CAST({sql_quantize('unexplained', 6)} AS DOUBLE) / 1e6
+               AS unexplained
+    FROM parts
+    """,
+)
+def q557(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0))
+            .cast("double")
+            .alias("na"),
+            F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0))
+            .cast("double")
+            .alias("nb"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment") == "BUILDING",
+                        quantize("o_totalprice", 2),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / 1e2
+                / 1e3
+            ).alias("sa"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment") == "MACHINERY",
+                        quantize("o_totalprice", 2),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / 1e2
+                / 1e3
+            ).alias("sb"),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    tot = cells.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    parts = cells.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(
+                quantize(
+                    (F.col("na") / F.col("ta") - F.col("nb") / F.col("tb"))
+                    * (F.col("sb") / F.col("nb")),
+                    12,
+                )
+            ).cast("double")
+            / 1e12
+        ).alias("explained"),
+        (
+            F.sum(
+                quantize(
+                    (F.col("na") / F.col("ta"))
+                    * (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")),
+                    12,
+                )
+            ).cast("double")
+            / 1e12
+        ).alias("unexplained"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return parts.select(
+        "n_cells",
+        (quantize(F.col("explained") + F.col("unexplained"), 6) / 1e6).alias("gap"),
+        (quantize("explained", 6) / 1e6).alias("explained"),
+        (quantize("unexplained", 6) / 1e6).alias("unexplained"),
+    )
+
+
+# --- q558: positive-part James-Stein shrinkage of per-brand mean
+# retail prices toward the grand brand mean — the frequentist cousin
+# of q430's empirical-Bayes rates: θ_i = m̄ + (1 − (k−3)·v̄/S)₊·(m_i − m̄)
+# with S = Σ(m_i − m̄)² and v̄ the average squared standard error.
+# Everything lives on the bounded 25-brand rollup after one exact
+# moment aggregate. --------------------------------------------------------------
+@query(
+    "q558_james_stein_brand_means",
+    oracle=f"""
+    WITH per_b AS MATERIALIZED (
+        SELECT p_brand AS brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('p_retailprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS s,
+               CAST(SUM({sql_quantize('p_retailprice * p_retailprice', -2)})
+                    AS DOUBLE) * 1e2 / 1e6 AS ss
+        FROM part GROUP BY brand
+    ),
+    m AS MATERIALIZED (
+        SELECT brand, n, s / n AS mi,
+               ((ss - s * s / n) / (n - 1)) / n AS vi
+        FROM per_b
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM({sql_quantize('mi', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS mbar,
+               CAST(SUM({sql_quantize('vi', 12)}) AS DOUBLE) / 1e12
+                   / COUNT(*) AS vbar
+        FROM m
+    ),
+    ss AS (
+        SELECT CAST(SUM({sql_quantize('(mi - mbar) * (mi - mbar)', 12)})
+                    AS DOUBLE) / 1e12 AS s2
+        FROM m, g
+    )
+    SELECT m.brand,
+           CAST({sql_quantize('m.mi', 6)} AS DOUBLE) / 1e6 AS raw_mean,
+           CAST({sql_quantize(
+               'g.mbar + GREATEST(0.0, 1 - (g.k - 3) * g.vbar / ss.s2)'
+               ' * (m.mi - g.mbar)', 6)} AS DOUBLE) / 1e6 AS js_mean
+    FROM m, g, ss
+    ORDER BY m.brand
+    """,
+)
+def q558(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    part = T(spark, sf_dir, "part")
+    per_b = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("p_retailprice", 2)).cast("double") / 1e2 / 1e3).alias("s"),
+        (
+            F.sum(quantize(F.col("p_retailprice") * F.col("p_retailprice"), -2)).cast(
+                "double"
+            )
+            * 1e2
+            / 1e6
+        ).alias("ss"),
+    )
+    m = tracked_persist(
+        per_b.select(
+            "brand",
+            "n",
+            (F.col("s") / F.col("n")).alias("mi"),
+            (
+                ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+                / F.col("n")
+            ).alias("vi"),
+        )
+    )
+    g = m.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        (F.sum(quantize("mi", 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "mbar"
+        ),
+        (F.sum(quantize("vi", 12)).cast("double") / 1e12 / F.count(F.lit(1))).alias(
+            "vbar"
+        ),
+    )
+    ss = m.crossJoin(F.broadcast(g)).agg(
+        (
+            F.sum(quantize((F.col("mi") - F.col("mbar")) * (F.col("mi") - F.col("mbar")), 12))
+            .cast("double")
+            / 1e12
+        ).alias("s2")
+    )
+    j = m.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(ss))
+    shrink = F.col("mbar") + F.greatest(
+        F.lit(0.0), 1 - (F.col("k") - 3) * F.col("vbar") / F.col("s2")
+    ) * (F.col("mi") - F.col("mbar"))
+    return j.select(
+        "brand",
+        (quantize("mi", 6) / 1e6).alias("raw_mean"),
+        (quantize(shrink, 6) / 1e6).alias("js_mean"),
+    ).orderBy("brand")
+
+
+def _sql_u01(key_expr: str) -> str:
+    """DuckDB replay of operators/sampling._uniform01: first 6 md5 hex
+    chars of the key string → integer, u = (x + 0.5)/16^6. Positional
+    hex decode (q212/q233 oracle idiom)."""
+    h = f"substr(md5({key_expr}), 1, 6)"
+    terms = " + ".join(
+        f"{16 ** (5 - j)} * (strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+        for j in range(6)
+    )
+    return f"((({terms}) + 0.5) / {float(16 ** 6)})"
+
+
+# --- q559: Horvitz-Thompson total from a deterministic probability-
+# proportional-to-size sample — include order i iff u_i < π_i with
+# π_i = clamp(totalprice/5e5, 0.02, 1) and u_i the md5-uniform of the
+# order key (engine-portable, partition-invariant); T̂ = Σ y_i/π_i over
+# the sample. The estimator the survey tier needs when frames are
+# sampled by value; output carries the true total so the gate verifies
+# both the sample selection AND the reweighting exactly. ------------------------
+@query(
+    "q559_horvitz_thompson_total",
+    oracle=f"""
+    WITH marked AS MATERIALIZED (
+        SELECT o_totalprice AS y,
+               GREATEST(0.02, LEAST(1.0, o_totalprice / 500000.0)) AS pi,
+               {_sql_u01("CAST(o_orderkey AS VARCHAR)")} AS u
+        FROM orders
+    ),
+    samp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM({sql_quantize('y / pi', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS ht_total
+        FROM marked WHERE u < pi
+    ),
+    tru AS (
+        SELECT CAST(SUM({sql_quantize('y', 2)}) AS DOUBLE) / 1e2 / 1e6
+                   AS true_total,
+               CAST(COUNT(*) AS BIGINT) AS n_frame
+        FROM marked
+    )
+    SELECT samp.n_sampled, tru.n_frame,
+           CAST({sql_quantize('samp.ht_total', 4)} AS DOUBLE) / 1e4
+               AS ht_total_m,
+           CAST({sql_quantize('tru.true_total', 4)} AS DOUBLE) / 1e4
+               AS true_total_m,
+           CAST({sql_quantize('samp.ht_total / tru.true_total - 1', 6)}
+                AS DOUBLE) / 1e6 AS rel_err
+    FROM samp, tru
+    """,
+)
+def q559(spark, sf_dir):
+    from pandrs_spark.operators.sampling import _uniform01
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    marked = tracked_persist(
+        orders.select(
+            F.col("o_totalprice").alias("y"),
+            F.greatest(
+                F.lit(0.02), F.least(F.lit(1.0), F.col("o_totalprice") / 500000.0)
+            ).alias("pi"),
+            _uniform01("o_orderkey").alias("u"),
+        )
+    )
+    samp = marked.where(F.col("u") < F.col("pi")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        (F.sum(quantize(F.col("y") / F.col("pi"), 2)).cast("double") / 1e2 / 1e6).alias(
+            "ht_total"
+        ),
+    )
+    tru = marked.agg(
+        (F.sum(quantize("y", 2)).cast("double") / 1e2 / 1e6).alias("true_total"),
+        F.count(F.lit(1)).cast("long").alias("n_frame"),
+    )
+    j = samp.crossJoin(F.broadcast(tru))
+    return j.select(
+        "n_sampled",
+        "n_frame",
+        (quantize("ht_total", 4) / 1e4).alias("ht_total_m"),
+        (quantize("true_total", 4) / 1e4).alias("true_total_m"),
+        (quantize(F.col("ht_total") / F.col("true_total") - 1, 6) / 1e6).alias(
+            "rel_err"
+        ),
+    )
+
+
+# --- q560: post-stratification correction of a deterministic 20%
+# customer subsample — reweight per-nation sample means by the FULL-
+# frame nation shares W_n (the design fix when a sample over/under-
+# represents strata): x̂_ps = Σ_n W_n·x̄_n,samp vs the raw sample mean
+# and the frame truth. Strata are the bounded 25-nation rollup; the
+# md5 coin makes the subsample identical on any engine/partitioning. ------------
+@query(
+    "q560_post_stratified_mean",
+    oracle=f"""
+    WITH marked AS MATERIALIZED (
+        SELECT c_nationkey AS nk, c_acctbal AS y,
+               CASE WHEN {_sql_u01("CAST(c_custkey AS VARCHAR)")} < 0.2
+                    THEN 1 ELSE 0 END AS in_s
+        FROM customer
+    ),
+    strata AS MATERIALIZED (
+        SELECT nk,
+               CAST(COUNT(*) AS DOUBLE) AS n_frame,
+               CAST(SUM(in_s) AS DOUBLE) AS n_samp,
+               CAST(SUM(CASE WHEN in_s = 1
+                             THEN {sql_quantize('y', 2)} ELSE 0 END)
+                    AS DOUBLE) / 1e2 / 1e3 AS s_samp
+        FROM marked GROUP BY nk
+        HAVING SUM(in_s) > 0
+    ),
+    tot AS (
+        SELECT SUM(n_frame) AS nf, SUM(n_samp) AS ns,
+               CAST(SUM({sql_quantize('s_samp', 6)}) AS DOUBLE) / 1e6 AS ssum
+        FROM strata
+    ),
+    ps AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(n_frame / tot.nf) * (s_samp / n_samp)', 12)})
+                    AS DOUBLE) / 1e12 AS psm,
+               CAST(COUNT(*) AS BIGINT) AS n_strata
+        FROM strata, tot
+    ),
+    tru AS (
+        SELECT CAST(SUM({sql_quantize('y', 2)}) AS DOUBLE) / 1e2 / 1e3
+                   / COUNT(*) AS tm
+        FROM marked
+    )
+    SELECT ps.n_strata,
+           CAST(tot.ns AS BIGINT) AS n_sample,
+           CAST({sql_quantize('tot.ssum / tot.ns', 6)} AS DOUBLE) / 1e6
+               AS raw_mean,
+           CAST({sql_quantize('ps.psm', 6)} AS DOUBLE) / 1e6
+               AS post_strat_mean,
+           CAST({sql_quantize('tru.tm', 6)} AS DOUBLE) / 1e6 AS frame_mean
+    FROM ps, tot, tru
+    """,
+)
+def q560(spark, sf_dir):
+    from pandrs_spark.operators.sampling import _uniform01
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    marked = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("y"),
+        F.when(_uniform01("c_custkey") < 0.2, 1).otherwise(0).alias("in_s"),
+    )
+    strata = tracked_persist(
+        marked.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_frame"),
+            F.sum("in_s").cast("double").alias("n_samp"),
+            (
+                F.sum(
+                    F.when(F.col("in_s") == 1, quantize("y", 2)).otherwise(F.lit(0))
+                ).cast("double")
+                / 1e2
+                / 1e3
+            ).alias("s_samp"),
+        )
+        .where(F.col("n_samp") > 0)
+    )
+    tot = strata.agg(
+        F.sum("n_frame").alias("nf"),
+        F.sum("n_samp").alias("ns"),
+        (F.sum(quantize("s_samp", 6)).cast("double") / 1e6).alias("ssum"),
+    )
+    ps = strata.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(
+                quantize(
+                    (F.col("n_frame") / F.col("nf")) * (F.col("s_samp") / F.col("n_samp")),
+                    12,
+                )
+            ).cast("double")
+            / 1e12
+        ).alias("psm"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
+    tru = marked.agg(
+        (
+            F.sum(quantize("y", 2)).cast("double") / 1e2 / 1e3 / F.count(F.lit(1))
+        ).alias("tm")
+    )
+    j = ps.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(tru))
+    return j.select(
+        "n_strata",
+        F.col("ns").cast("long").alias("n_sample"),
+        (quantize(F.col("ssum") / F.col("ns"), 6) / 1e6).alias("raw_mean"),
+        (quantize("psm", 6) / 1e6).alias("post_strat_mean"),
+        (quantize("tm", 6) / 1e6).alias("frame_mean"),
+    )
