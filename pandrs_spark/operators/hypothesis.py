@@ -38,6 +38,7 @@ __all__ = [
     "cramer_von_mises_2samp",
     "brunner_munzel",
     "ansari_bradley_test",
+    "cucconi_test",
     "mann_whitney_u",
     "ks_2samp",
     "kruskal_wallis",
@@ -950,4 +951,80 @@ def ansari_bradley_test(
         "(t1 - n1 * sbar) / "
         "SQRT(n1 * n2 * (nn * ss2 - sbar * nn * sbar * nn) "
         "/ (CAST(nn AS DOUBLE) * nn * (nn - 1))) AS z",
+    )
+
+
+# Cucconi joint location-scale statistic from N-normalized squared-rank
+# sums (sr2 = ΣR²/N², ss2 = Σ(N+1−R)²/N² over sample 2). The 1.0*
+# promotions force double arithmetic before any BIGINT product can
+# overflow; the text is shared verbatim with the DuckDB oracle.
+CUCCONI_U = (
+    "(6.0 * CAST(nn AS DOUBLE) * nn * {s2} "
+    "- CAST(n2 AS DOUBLE) * (nn + 1) * (2 * nn + 1)) / "
+    "SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1) * (2 * nn + 1) "
+    "* (8 * nn + 11) / 5.0)"
+)
+CUCCONI_RHO = (
+    "(2.0 * (CAST(nn AS DOUBLE) * nn - 4) "
+    "/ (CAST(2 * nn + 1 AS DOUBLE) * (8 * nn + 11)) - 1)"
+)
+
+
+def cucconi_test(
+    df: DataFrame, value_col: str, group_col: str, g1, g2
+) -> DataFrame:
+    """Cucconi two-sample joint location-scale test (Cucconi 1968;
+    Marozzi 2009 — public methodology): U standardizes sample-2's
+    squared ranks, V its squared contrary ranks, and
+    C = (U² + V² − 2ρUV)/(2(1−ρ²)) rejects when EITHER location or
+    scale shifts — the rank-based omnibus the AB (scale-only) and MW
+    (location-only) pair can miss.
+
+    Tied blocks take the midrank (block-average rank) before squaring
+    — documented convention, same as rank_histogram. Ranks ride
+    ``global_prefix_counts`` (histogram-sized pass); squared-rank sums
+    are normalized by N² before quantization so every sum stays inside
+    the int64 envelope at any scale. Returns 1 row:
+    (n1, n2, u, v, c).
+    """
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    two = df.filter(F.col(group_col).isin([g1, g2]))
+    per_v = two.groupBy(F.col(value_col).alias("value")).agg(
+        F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("c2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cdf = global_prefix_counts(per_v, [F.asc("value")], {"cum": "cnt"})
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum("cnt").cast("long").alias("nn"),
+    )
+    j = cdf.crossJoin(F.broadcast(totals))
+    r_norm = (F.col("cum") - (F.col("cnt") - 1) / 2.0) / F.col("nn")
+    s_norm = (F.col("nn") + 1.0) / F.col("nn") - r_norm
+    sums = j.groupBy("n1", "n2", "nn").agg(
+        (
+            F.sum(quantize(F.col("c2") * r_norm * r_norm, 12)).cast("double") / 1e12
+        ).alias("sr2"),
+        (
+            F.sum(quantize(F.col("c2") * s_norm * s_norm, 12)).cast("double") / 1e12
+        ).alias("ss2"),
+    )
+    uv = sums.selectExpr(
+        "n1",
+        "n2",
+        "nn",
+        CUCCONI_U.format(s2="sr2") + " AS u",
+        CUCCONI_U.format(s2="ss2") + " AS v",
+    )
+    return uv.selectExpr(
+        "n1",
+        "n2",
+        "u",
+        "v",
+        f"(u * u + v * v - 2 * {CUCCONI_RHO} * u * v) / "
+        f"(2 * (1 - {CUCCONI_RHO} * {CUCCONI_RHO})) AS c",
     )

@@ -1704,3 +1704,107 @@ def q554(spark, sf_dir):
         (quantize("ab_t_norm", 6) / 1e6).alias("ab_t_norm"),
         (quantize("z", 6) / 1e6).alias("z_ab"),
     )
+
+
+# --- q565: Cucconi joint location-scale test — did FURNITURE and
+# HOUSEHOLD order totals shift in EITHER center or spread? The omnibus
+# rank test built from standardized squared ranks (U) and squared
+# contrary ranks (V): C = (U² + V² − 2ρUV)/(2(1−ρ²))
+# (operators/hypothesis.py:cucconi_test; midrank ties, prefix-sum
+# ranks, N²-normalized sums — one groupBy + one histogram pass). ----------------
+@query(
+    "q565_cucconi_location_scale",
+    oracle="""
+    WITH two AS MATERIALIZED (
+        SELECT o.o_totalprice AS value, c.c_mktsegment AS grp
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('FURNITURE', 'HOUSEHOLD')
+    ),
+    per_v AS MATERIALIZED (
+        SELECT value,
+               SUM(CASE WHEN grp = 'FURNITURE' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN grp = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS c2,
+               COUNT(*) AS cnt
+        FROM two GROUP BY value
+    ),
+    cdf AS MATERIALIZED (
+        SELECT c2, cnt, SUM(cnt) OVER (ORDER BY value) AS cum FROM per_v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(cnt) AS BIGINT) AS nn
+        FROM per_v
+    ),
+    sums AS (
+        SELECT n1, n2, nn,
+               CAST(SUM(CAST(SIGN(c2 * ((cum - (cnt - 1) / 2.0) / nn)
+                                      * ((cum - (cnt - 1) / 2.0) / nn))
+                             * FLOOR(ABS(c2 * ((cum - (cnt - 1) / 2.0) / nn)
+                                            * ((cum - (cnt - 1) / 2.0) / nn))
+                                     * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS sr2,
+               CAST(SUM(CAST(SIGN(c2 * ((nn + 1.0) / nn
+                                         - (cum - (cnt - 1) / 2.0) / nn)
+                                      * ((nn + 1.0) / nn
+                                         - (cum - (cnt - 1) / 2.0) / nn))
+                             * FLOOR(ABS(c2 * ((nn + 1.0) / nn
+                                               - (cum - (cnt - 1) / 2.0) / nn)
+                                            * ((nn + 1.0) / nn
+                                               - (cum - (cnt - 1) / 2.0) / nn))
+                                     * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS ss2
+        FROM cdf, tot
+        GROUP BY n1, n2, nn
+    ),
+    uv AS (
+        SELECT n1, n2, nn,
+               (6.0 * CAST(nn AS DOUBLE) * nn * sr2
+                - CAST(n2 AS DOUBLE) * (nn + 1) * (2 * nn + 1)) /
+               SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1) * (2 * nn + 1)
+                    * (8 * nn + 11) / 5.0) AS u,
+               (6.0 * CAST(nn AS DOUBLE) * nn * ss2
+                - CAST(n2 AS DOUBLE) * (nn + 1) * (2 * nn + 1)) /
+               SQRT(CAST(n1 AS DOUBLE) * n2 * (nn + 1) * (2 * nn + 1)
+                    * (8 * nn + 11) / 5.0) AS v
+        FROM sums
+    )
+    SELECT n1, n2,
+           CAST(CAST(SIGN(u) * FLOOR(ABS(u) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS u,
+           CAST(CAST(SIGN(v) * FLOOR(ABS(v) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS v,
+           CAST(CAST(SIGN(cst) * FLOOR(ABS(cst) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cucconi_c
+    FROM (
+        SELECT n1, n2, u, v,
+               (u * u + v * v
+                - 2 * (2.0 * (CAST(nn AS DOUBLE) * nn - 4)
+                       / (CAST(2 * nn + 1 AS DOUBLE) * (8 * nn + 11)) - 1)
+                    * u * v) /
+               (2 * (1 - (2.0 * (CAST(nn AS DOUBLE) * nn - 4)
+                          / (CAST(2 * nn + 1 AS DOUBLE) * (8 * nn + 11)) - 1)
+                       * (2.0 * (CAST(nn AS DOUBLE) * nn - 4)
+                          / (CAST(2 * nn + 1 AS DOUBLE) * (8 * nn + 11)) - 1)))
+                   AS cst
+        FROM uv
+    )
+    """,
+)
+def q565(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.hypothesis import cucconi_test
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_totalprice").alias("val"), F.col("c_mktsegment").alias("seg")
+    )
+    out = cucconi_test(df, "val", "seg", "FURNITURE", "HOUSEHOLD")
+    return out.select(
+        "n1",
+        "n2",
+        (quantize("u", 6) / 1e6).alias("u"),
+        (quantize("v", 6) / 1e6).alias("v"),
+        (quantize("c", 6) / 1e6).alias("cucconi_c"),
+    )

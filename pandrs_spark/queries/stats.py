@@ -4155,3 +4155,63 @@ def q548(spark, sf_dir):
         (quantize(F.col("ma") - F.col("mb"), 6) / 1e6).alias("mean_diff"),
         (quantize(qs, 6) / 1e6).alias("q_stat"),
     ).orderBy("seg_a", "seg_b")
+
+
+# --- q564: Fano factor / overdispersion test of daily order arrivals —
+# F = s²/x̄ over the daily-count series with the index-of-dispersion
+# statistic D = (n−1)·F (χ²_{n−1} under Poisson). Counts are integers,
+# so every moment is an exact BIGINT sum — zero quantization anywhere.
+# The companion to q530's Poisson GOF (bin-shape) and q518's
+# memorylessness (gap-shape): this one tests the arrival-rate mixing. ----------
+@query(
+    "q564_fano_overdispersion",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY d
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(c * c) AS BIGINT) AS scc
+        FROM daily
+    )
+    SELECT n AS n_days,
+           CAST(CAST(SIGN(f) * FLOOR(ABS(f) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS fano,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS dispersion_chi2
+    FROM (
+        SELECT n,
+               ((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                   / (CAST(sc AS DOUBLE) / n) AS f,
+               (n - 1) * (((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+                          / (CAST(sc AS DOUBLE) / n)) AS d
+        FROM s
+    )
+    """,
+)
+def q564(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    out = s.selectExpr(
+        "n",
+        "((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))"
+        " / (CAST(sc AS DOUBLE) / n) AS f",
+        "(n - 1) * (((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))"
+        " / (CAST(sc AS DOUBLE) / n)) AS d",
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        (quantize("f", 6) / 1e6).alias("fano"),
+        (quantize("d", 6) / 1e6).alias("dispersion_chi2"),
+    )

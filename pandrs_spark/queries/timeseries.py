@@ -5709,3 +5709,376 @@ def q556(spark, sf_dir):
     return t.select(
         "mth", (quantize(F.exp("lnt"), 6) / 1e6).alias("tornqvist")
     ).orderBy("mth")
+
+
+# --- q561: sample entropy SampEn(m=2, r=0.2σ) of monthly revenue —
+# the regularity measure (Richman & Moorman 2000, public methodology):
+# B = #template pairs of length 2 within Chebyshev distance r,
+# A = same for length 3, SampEn = −ln(A/B). The pair set is the
+# ~80-month spine squared (bounded); r comes from the exact-moment σ
+# (IEEE sqrt, engine-identical), so match counting is pure integer
+# arithmetic — no float sums at all. --------------------------------------------
+@query(
+    "q561_sample_entropy_monthly",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    trip AS MATERIALIZED (
+        SELECT a.x, a.rev AS v, b.rev AS v1, c.rev AS v2
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+                   JOIN idx c ON c.x = a.x + 2
+    ),
+    rr AS (
+        SELECT 0.2 * SQRT((
+                   CAST(SUM({sql_quantize('rev * rev', 9)}) AS DOUBLE) / 1e9
+                   - CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                     * (CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6)
+                     / COUNT(*)
+               ) / (COUNT(*) - 1)) AS r
+        FROM idx
+    ),
+    cnts AS (
+        SELECT CAST(SUM(CASE WHEN GREATEST(ABS(a.v - b.v), ABS(a.v1 - b.v1))
+                                  < rr.r THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN GREATEST(ABS(a.v - b.v), ABS(a.v1 - b.v1),
+                                           ABS(a.v2 - b.v2))
+                                  < rr.r THEN 1 ELSE 0 END) AS BIGINT) AS a
+        FROM trip a CROSS JOIN rr JOIN trip b ON b.x > a.x
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_months,
+           cnts.a AS n_match_3, cnts.b AS n_match_2,
+           CAST({sql_quantize(
+               '-LN(CAST(cnts.a AS DOUBLE) / cnts.b)', 6)} AS DOUBLE) / 1e6
+               AS sampen
+    FROM cnts
+    """,
+)
+def q561(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    b1 = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("v1"))
+    b2 = idx.select((F.col("x") - 2).alias("x"), F.col("rev").alias("v2"))
+    trip = tracked_persist(
+        idx.select("x", F.col("rev").alias("v")).join(b1, "x").join(b2, "x")
+    )
+    rr = idx.agg(
+        (
+            0.2
+            * F.sqrt(
+                (
+                    F.sum(quantize(F.col("rev") * F.col("rev"), 9)).cast("double")
+                    / 1e9
+                    - (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                    * (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+        ).alias("r"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )
+    b = trip.select(
+        F.col("x").alias("xb"),
+        F.col("v").alias("bv"),
+        F.col("v1").alias("bv1"),
+        F.col("v2").alias("bv2"),
+    )
+    pairs = trip.crossJoin(F.broadcast(rr)).join(b, F.col("xb") > F.col("x"))
+    d2 = F.greatest(F.abs(F.col("v") - F.col("bv")), F.abs(F.col("v1") - F.col("bv1")))
+    d3 = F.greatest(d2, F.abs(F.col("v2") - F.col("bv2")))
+    cnts = pairs.groupBy("n_months").agg(
+        F.sum(F.when(d2 < F.col("r"), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(d3 < F.col("r"), 1).otherwise(0)).cast("long").alias("a"),
+    )
+    return cnts.select(
+        "n_months",
+        F.col("a").alias("n_match_3"),
+        F.col("b").alias("n_match_2"),
+        (
+            quantize(-F.log(F.col("a").cast("double") / F.col("b")), 6) / 1e6
+        ).alias("sampen"),
+    )
+
+
+# --- q562: permutation entropy (order 3) of monthly revenue — the
+# ordinal-pattern complexity measure (Bandt & Pompe 2002, public
+# methodology): each consecutive triple maps to the code
+# 4·[v1>v] + 2·[v2>v] + [v2>v1] (ties collapse downward,
+# deterministically); H = −Σ p ln p over the ≤8 observed codes,
+# normalized by ln 6. Pattern counting is pure integers over the
+# calendar spine. ----------------------------------------------------------------
+@query(
+    "q562_permutation_entropy_monthly",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    codes AS MATERIALIZED (
+        SELECT 4 * (CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN c.rev > a.rev THEN 1 ELSE 0 END)
+             + (CASE WHEN c.rev > b.rev THEN 1 ELSE 0 END) AS code
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+                   JOIN idx c ON c.x = a.x + 2
+    ),
+    dist AS MATERIALIZED (
+        SELECT code, CAST(COUNT(*) AS DOUBLE) AS c FROM codes GROUP BY code
+    ),
+    tot AS (SELECT SUM(c) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM dist)
+    SELECT tot.k AS n_patterns,
+           CAST((SELECT SUM(CAST(c AS BIGINT)) FROM dist) AS BIGINT)
+               AS n_triples,
+           CAST({sql_quantize(
+               '(SELECT CAST(SUM(CAST(SIGN(-(c / t.t) * LN(c / t.t)) '
+               '* FLOOR(ABS(-(c / t.t) * LN(c / t.t)) * 1e12 + 0.5) '
+               'AS BIGINT)) AS DOUBLE) / 1e12 '
+               ' FROM dist, tot t) / LN(6.0)', 6)} AS DOUBLE) / 1e6
+               AS pe_norm
+    FROM tot
+    """,
+)
+def q562(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    b1 = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("v1"))
+    b2 = idx.select((F.col("x") - 2).alias("x"), F.col("rev").alias("v2"))
+    codes = (
+        idx.select("x", F.col("rev").alias("v"))
+        .join(b1, "x")
+        .join(b2, "x")
+        .select(
+            (
+                4 * F.when(F.col("v1") > F.col("v"), 1).otherwise(0)
+                + 2 * F.when(F.col("v2") > F.col("v"), 1).otherwise(0)
+                + F.when(F.col("v2") > F.col("v1"), 1).otherwise(0)
+            ).alias("code")
+        )
+    )
+    dist = codes.groupBy("code").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = dist.agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("c").cast("long").alias("n_triples"),
+    )
+    ent = dist.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(
+                quantize(-(F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t")), 12)
+            ).cast("double")
+            / 1e12
+        ).alias("h"),
+        F.first("k").alias("n_patterns"),
+        F.first("n_triples").alias("n_triples"),
+    )
+    return ent.select(
+        "n_patterns",
+        "n_triples",
+        (quantize(F.col("h") / F.log(F.lit(6.0)), 6) / 1e6).alias("pe_norm"),
+    )
+
+
+# --- q563: Lomb-Scargle periodogram of daily revenue at the weekly /
+# monthly / quarterly candidate periods — the spectral estimator that
+# stays valid when the sampling grid is irregular (ship-date gaps),
+# unlike q117's evenly-spaced periodogram. Fixed 3-frequency grid
+# (never data-sized); per-frequency τ phase from exact trig sums; both
+# engines parse the SAME ω decimal literals so the arithmetic trees
+# agree. Scargle 1982 — public methodology. -------------------------------------
+@query(
+    "q563_lomb_scargle_periods",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    t0 AS (SELECT MIN(d) AS d0,
+                  CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                      / COUNT(*) AS mu
+           FROM daily),
+    pts AS MATERIALIZED (
+        SELECT CAST(datediff('day', t0.d0, daily.d) AS DOUBLE) AS t,
+               daily.rev - t0.mu AS xc
+        FROM daily, t0
+    ),
+    freqs AS (
+        SELECT * FROM (VALUES (7, 0.8975979010256552),
+                              (30, 0.20943951023931953),
+                              (91, 0.06904599238658886)) AS f(period, w)
+    ),
+    ph AS MATERIALIZED (
+        SELECT f.period, f.w,
+               ATAN2(CAST(SUM({sql_quantize('SIN(2 * f.w * p.t)', 12)})
+                          AS DOUBLE) / 1e12,
+                     CAST(SUM({sql_quantize('COS(2 * f.w * p.t)', 12)})
+                          AS DOUBLE) / 1e12) / (2 * f.w) AS tau
+        FROM pts p CROSS JOIN freqs f
+        GROUP BY f.period, f.w
+    ),
+    pw AS (
+        SELECT ph.period,
+               0.5 * (
+                 POWER(CAST(SUM({sql_quantize(
+                     'p.xc * COS(ph.w * (p.t - ph.tau))', 12)})
+                       AS DOUBLE) / 1e12, 2)
+                 / (CAST(SUM({sql_quantize(
+                     'COS(ph.w * (p.t - ph.tau)) * COS(ph.w * (p.t - ph.tau))',
+                     12)}) AS DOUBLE) / 1e12)
+                 +
+                 POWER(CAST(SUM({sql_quantize(
+                     'p.xc * SIN(ph.w * (p.t - ph.tau))', 12)})
+                       AS DOUBLE) / 1e12, 2)
+                 / (CAST(SUM({sql_quantize(
+                     'SIN(ph.w * (p.t - ph.tau)) * SIN(ph.w * (p.t - ph.tau))',
+                     12)}) AS DOUBLE) / 1e12)
+               ) AS power
+        FROM pts p CROSS JOIN ph
+        GROUP BY ph.period
+    )
+    SELECT CAST(period AS BIGINT) AS period_days,
+           CAST({sql_quantize('power', 5)} AS DOUBLE) / 1e5 AS ls_power
+    FROM pw
+    ORDER BY period_days
+    """,
+)
+def q563(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    t0 = daily.agg(
+        F.min("d").alias("d0"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+    )
+    pts = tracked_persist(
+        daily.crossJoin(F.broadcast(t0)).select(
+            F.datediff("d", "d0").cast("double").alias("t"),
+            (F.col("rev") - F.col("mu")).alias("xc"),
+        )
+    )
+    freqs = spark.createDataFrame(
+        [(7, 0.8975979010256552), (30, 0.20943951023931953), (91, 0.06904599238658886)],
+        "period int, w double",
+    )
+    ph = (
+        pts.crossJoin(F.broadcast(freqs))
+        .groupBy("period", "w")
+        .agg(
+            (
+                F.atan2(
+                    F.sum(quantize(F.sin(2 * F.col("w") * F.col("t")), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                    F.sum(quantize(F.cos(2 * F.col("w") * F.col("t")), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                )
+                / (2 * F.col("w"))
+            ).alias("tau")
+        )
+    )
+    cosw = F.cos(F.col("w") * (F.col("t") - F.col("tau")))
+    sinw = F.sin(F.col("w") * (F.col("t") - F.col("tau")))
+    pw = (
+        pts.crossJoin(F.broadcast(ph))
+        .groupBy("period")
+        .agg(
+            (
+                0.5
+                * (
+                    F.pow(
+                        F.sum(quantize(F.col("xc") * cosw, 12)).cast("double") / 1e12,
+                        F.lit(2.0),
+                    )
+                    / (F.sum(quantize(cosw * cosw, 12)).cast("double") / 1e12)
+                    + F.pow(
+                        F.sum(quantize(F.col("xc") * sinw, 12)).cast("double") / 1e12,
+                        F.lit(2.0),
+                    )
+                    / (F.sum(quantize(sinw * sinw, 12)).cast("double") / 1e12)
+                )
+            ).alias("power")
+        )
+    )
+    return pw.select(
+        F.col("period").cast("long").alias("period_days"),
+        (quantize("power", 5) / 1e5).alias("ls_power"),
+    ).orderBy("period_days")
+
+
+# --- q566: forecast tracking signal for the 12-month seasonal-naive
+# forecast — the ops-monitoring statistic that flags biased forecasts:
+# TS = Σe_t / MAD with e_t = actual − forecast and MAD = Σ|e_t|/n. The
+# forecast is the month-spine 12-lag equi-join (q356 pattern); exact
+# quantized error sums; |TS| > 4 is the classic alarm. ---------------------------
+@query(
+    "q566_forecast_tracking_signal",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    err AS MATERIALIZED (
+        SELECT b.rev - a.rev AS e
+        FROM idx a JOIN idx b ON b.x = a.x + 12
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('e', 6)}) AS DOUBLE) / 1e6 AS se,
+               CAST(SUM({sql_quantize('ABS(e)', 6)}) AS DOUBLE) / 1e6 AS sae
+        FROM err
+    )
+    SELECT n AS n_obs,
+           CAST({sql_quantize('sae / n', 6)} AS DOUBLE) / 1e6 AS mad,
+           CAST({sql_quantize('se / (sae / n)', 6)} AS DOUBLE) / 1e6
+               AS tracking_signal
+    FROM s
+    """,
+)
+def q566(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    fc = idx.select((F.col("x") + 12).alias("x"), F.col("rev").alias("f"))
+    err = idx.join(fc, "x").select((F.col("rev") - F.col("f")).alias("e"))
+    s = err.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("e", 6)).cast("double") / 1e6).alias("se"),
+        (F.sum(quantize(F.abs("e"), 6)).cast("double") / 1e6).alias("sae"),
+    )
+    return s.select(
+        F.col("n").alias("n_obs"),
+        (quantize(F.col("sae") / F.col("n"), 6) / 1e6).alias("mad"),
+        (quantize(F.col("se") / (F.col("sae") / F.col("n")), 6) / 1e6).alias(
+            "tracking_signal"
+        ),
+    )

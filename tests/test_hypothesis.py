@@ -382,3 +382,56 @@ def test_ansari_bradley_symmetric_null(spark):
     df = _df(spark, [(v, g) for g in ("a", "b") for v in vals])
     r = ansari_bradley_test(df, "value", "grp", "a", "b").first()
     assert r["z"] == pytest.approx(0.0, abs=1e-9)
+
+
+def _cucconi_brute(xs, ys):
+    """Brute-force Cucconi with midranks (Marozzi 2009 formulas)."""
+    pooled = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+    n = len(pooled)
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = mid
+        i = j
+    n1 = len(xs)
+    n2 = len(ys)
+    sr2 = sum(r * r for (v, g), r in zip(pooled, ranks) if g == 1)
+    ss2 = sum((n + 1 - r) ** 2 for (v, g), r in zip(pooled, ranks) if g == 1)
+    den = (n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0) ** 0.5
+    u = (6 * sr2 - n2 * (n + 1) * (2 * n + 1)) / den
+    v = (6 * ss2 - n2 * (n + 1) * (2 * n + 1)) / den
+    rho = 2.0 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    return u, v, c
+
+
+def test_cucconi_no_ties(spark):
+    from pandrs_spark.operators.hypothesis import cucconi_test
+
+    xs = [1.0, 3.0, 5.0, 7.0, 9.0, 11.0]
+    ys = [2.0, 4.0, 6.0, 8.0, 10.0]
+    df = _df(spark, [(v, "a") for v in xs] + [(v, "b") for v in ys])
+    r = cucconi_test(df, "value", "grp", "a", "b").first()
+    u, v, c = _cucconi_brute(xs, ys)
+    assert (r["n1"], r["n2"]) == (6, 5)
+    assert r["u"] == pytest.approx(u, abs=1e-9)
+    assert r["v"] == pytest.approx(v, abs=1e-9)
+    assert r["c"] == pytest.approx(c, abs=1e-9)
+
+
+def test_cucconi_with_ties(spark):
+    from pandrs_spark.operators.hypothesis import cucconi_test
+
+    xs = [1.0, 2.0, 2.0, 4.0, 6.0]
+    ys = [2.0, 3.0, 4.0, 4.0, 8.0, 8.0]
+    df = _df(spark, [(v, "a") for v in xs] + [(v, "b") for v in ys])
+    r = cucconi_test(df, "value", "grp", "a", "b").first()
+    u, v, c = _cucconi_brute(xs, ys)
+    assert r["u"] == pytest.approx(u, abs=1e-9)
+    assert r["v"] == pytest.approx(v, abs=1e-9)
+    assert r["c"] == pytest.approx(c, abs=1e-9)

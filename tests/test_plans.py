@@ -431,6 +431,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # the daily calendar spine (q48 argument)
     "q552_arch_lm_residuals",  # month index over the calendar spine
     "q553_cox_stuart_trend",  # month index over the calendar spine
+    "q561_sample_entropy_monthly",  # month index over the calendar spine
+    "q562_permutation_entropy_monthly",  # month index over the spine
+    "q566_forecast_tracking_signal",  # 12-month lag over the month spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
