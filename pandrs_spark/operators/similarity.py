@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pandrs_spark.operators.util import fan_out
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate", "dimension_energy"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "knn_topk_edges", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate", "dimension_energy"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -672,4 +672,39 @@ def dimension_energy(
         (F.col("qv") / F.sum("qv").over(w_all)).alias("energy_share"),
         (F.sum("qv").over(w_cum) / F.sum("qv").over(w_all)).alias("cum_share"),
         F.row_number().over(w_rank).alias("var_rank"),
+    )
+
+
+def knn_topk_edges(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed k-NN graph edges (id_a → id_b, rank 1..k by cosine,
+    ties broken by (round(sim, 6) DESC, id_b)). Exact O(n²) baseline
+    with the same contract as :func:`nearest_neighbors` (k=1 special
+    case); for the billion-vector regime swap the self-join for the
+    LSH/IVF bucket join and keep the identical ranking tail. Feeds the
+    reciprocity / hubness diagnostics (mutual-edge rate, in-degree
+    concentration) that flag when an ANN index will misbehave."""
+    from pyspark.sql import Window
+
+    corpus = fan_out(corpus)
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("__sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc(F.round(F.col("__sim"), 6)), "id_b"
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("id_a", "id_b", F.col("__rn").alias("rank"))
     )

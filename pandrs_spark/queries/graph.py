@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pandrs_spark.operators.util import tracked_persist
 
 from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import sql_quantize
 from pandrs_spark.operators.graph import (
     bfs_hops,
     connected_components,
@@ -1544,4 +1545,137 @@ def q529(spark, sf_dir):
                 quantize(1.0 + F.col("n_tail") / F.col("slnd"), 6) / 1e6
             ).alias("alpha_hat"),
         )
+    )
+
+
+# --- q567: Moran's I and Geary's C network autocorrelation of per-
+# nation customer revenue over the (symmetrized, binary) trade graph —
+# "do nations that trade with each other have similar demand?" The
+# classic spatial-statistics pair (Moran 1950, Geary 1954, public
+# methodology) with the trade adjacency standing in for geographic
+# contiguity: I = (n/S0)·Σw_ij z_i z_j / Σz_i²,
+# C = ((n−1)/(2S0))·Σw_ij (x_i−x_j)² / Σz_i². Everything after the one
+# fact aggregate lives on the bounded 25-nation rollup and its ≤600
+# symmetric edges. ---------------------------------------------------------------
+@query(
+    "q567_moran_geary_trade_autocorr",
+    oracle=f"""
+    WITH {_TRADE}
+    , w AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM trade
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM trade
+        ) t
+    ),
+    x AS MATERIALIZED (
+        SELECT c.c_nationkey AS nk,
+               CAST(SUM({sql_quantize('o.o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS xv
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY nk
+    ),
+    mu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM({sql_quantize('xv', 6)}) AS DOUBLE) / 1e6
+                      / COUNT(*) AS m
+           FROM x),
+    zden AS (
+        SELECT CAST(SUM({sql_quantize('(xv - m) * (xv - m)', 9)}) AS DOUBLE)
+                   / 1e9 AS sz2
+        FROM x, mu
+    ),
+    cross_terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+               CAST(SUM({sql_quantize('(a.xv - m) * (b.xv - m)', 9)})
+                    AS DOUBLE) / 1e9 AS szz,
+               CAST(SUM({sql_quantize('(a.xv - b.xv) * (a.xv - b.xv)', 9)})
+                    AS DOUBLE) / 1e9 AS sdd
+        FROM w JOIN x a ON a.nk = w.src
+               JOIN x b ON b.nk = w.dst
+               CROSS JOIN mu
+    )
+    SELECT mu.n AS n_nations, ct.s0 AS n_edges,
+           CAST({sql_quantize(
+               '(CAST(mu.n AS DOUBLE) / ct.s0) * ct.szz / zden.sz2', 6)}
+               AS DOUBLE) / 1e6 AS moran_i,
+           CAST({sql_quantize(
+               '((mu.n - 1.0) / (2.0 * ct.s0)) * ct.sdd / zden.sz2', 6)}
+               AS DOUBLE) / 1e6 AS geary_c,
+           CAST({sql_quantize('-1.0 / (mu.n - 1)', 6)} AS DOUBLE) / 1e6
+               AS expected_i
+    FROM mu, zden, cross_terms ct
+    """,
+)
+def q567(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    trade = _trade_edges(spark, sf_dir).select("src", "dst")
+    w = trade.unionAll(
+        trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    x = tracked_persist(
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e6).alias(
+                "xv"
+            )
+        )
+    )
+    mu = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("xv", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    zden = x.crossJoin(F.broadcast(mu)).agg(
+        (
+            F.sum(quantize((F.col("xv") - F.col("m")) * (F.col("xv") - F.col("m")), 9))
+            .cast("double")
+            / 1e9
+        ).alias("sz2")
+    )
+    a = x.select(F.col("nk").alias("src"), F.col("xv").alias("xa"))
+    b = x.select(F.col("nk").alias("dst"), F.col("xv").alias("xb"))
+    ct = (
+        w.join(F.broadcast(a), "src")
+        .join(F.broadcast(b), "dst")
+        .crossJoin(F.broadcast(mu))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("s0"),
+            (
+                F.sum(
+                    quantize((F.col("xa") - F.col("m")) * (F.col("xb") - F.col("m")), 9)
+                ).cast("double")
+                / 1e9
+            ).alias("szz"),
+            (
+                F.sum(
+                    quantize((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")), 9)
+                ).cast("double")
+                / 1e9
+            ).alias("sdd"),
+        )
+    )
+    j = mu.crossJoin(F.broadcast(zden)).crossJoin(F.broadcast(ct))
+    return j.select(
+        F.col("n").alias("n_nations"),
+        F.col("s0").alias("n_edges"),
+        (
+            quantize(
+                (F.col("n").cast("double") / F.col("s0")) * F.col("szz") / F.col("sz2"),
+                6,
+            )
+            / 1e6
+        ).alias("moran_i"),
+        (
+            quantize(
+                ((F.col("n") - 1.0) / (2.0 * F.col("s0"))) * F.col("sdd") / F.col("sz2"),
+                6,
+            )
+            / 1e6
+        ).alias("geary_c"),
+        (quantize(-1.0 / (F.col("n") - 1), 6) / 1e6).alias("expected_i"),
     )

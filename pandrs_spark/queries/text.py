@@ -5019,3 +5019,331 @@ def q524(spark, sf_dir):
             "gt_unseen_mass"
         ),
     )
+
+
+# --- q568: Dunning log-likelihood-ratio (G²) collocations — the
+# robust counterpart to q375's PMI (which over-rewards rare pairs):
+# for each bigram (a·b), the 2×2 table over the bigram population uses
+# first-position / second-position marginals so cells sum exactly to N,
+# and G² = 2·Σ k·ln(k/E) (Dunning 1993, public methodology). All counts
+# are one groupBy each; the score join hits only the ≥30-occurrence
+# candidate set against broadcast marginals. ------------------------------------
+@query(
+    "q568_dunning_llr_collocations",
+    oracle=r"""
+    WITH ws0 AS (
+        SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents
+    ),
+    bi AS MATERIALIZED (
+        SELECT b.bg, CAST(COUNT(*) AS BIGINT) AS k11
+        FROM ws0, UNNEST(
+            CASE WHEN len(ws) >= 2 THEN
+                list_transform(generate_series(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+1], ' '))
+            ELSE CAST([] AS VARCHAR[]) END
+        ) AS b(bg)
+        GROUP BY b.bg
+    ),
+    m1 AS MATERIALIZED (
+        SELECT split_part(bg, ' ', 1) AS tok, CAST(SUM(k11) AS BIGINT) AS c1
+        FROM bi GROUP BY tok
+    ),
+    m2 AS MATERIALIZED (
+        SELECT split_part(bg, ' ', 2) AS tok, CAST(SUM(k11) AS BIGINT) AS c2
+        FROM bi GROUP BY tok
+    ),
+    nb AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM bi),
+    cells AS (
+        SELECT bi.bg, bi.k11,
+               m1.c1 - bi.k11 AS k12,
+               m2.c2 - bi.k11 AS k21,
+               nb.n - m1.c1 - m2.c2 + bi.k11 AS k22,
+               CAST(m1.c1 AS DOUBLE) AS c1d,
+               CAST(m2.c2 AS DOUBLE) AS c2d,
+               CAST(nb.n AS DOUBLE) AS nd
+        FROM bi
+        JOIN m1 ON m1.tok = split_part(bi.bg, ' ', 1)
+        JOIN m2 ON m2.tok = split_part(bi.bg, ' ', 2)
+        CROSS JOIN nb
+        WHERE bi.k11 >= 30
+    ),
+    scored AS (
+        SELECT bg, k11,
+               2 * ((CASE WHEN k11 > 0 THEN
+                        k11 * LN(k11 / (c1d * c2d / nd)) ELSE 0 END)
+                  + (CASE WHEN k12 > 0 THEN
+                        k12 * LN(k12 / (c1d * (nd - c2d) / nd)) ELSE 0 END)
+                  + (CASE WHEN k21 > 0 THEN
+                        k21 * LN(k21 / ((nd - c1d) * c2d / nd)) ELSE 0 END)
+                  + (CASE WHEN k22 > 0 THEN
+                        k22 * LN(k22 / ((nd - c1d) * (nd - c2d) / nd))
+                     ELSE 0 END)) AS g2
+        FROM cells
+    )
+    SELECT bg AS bigram, k11 AS n_occurrences,
+           CAST(CAST(SIGN(g2) * FLOOR(ABS(g2) * 1e4 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e4 AS g2_llr
+    FROM scored
+    ORDER BY CAST(SIGN(g2) * FLOOR(ABS(g2) * 1e4 + 0.5) AS BIGINT) DESC, bg
+    LIMIT 15
+    """,
+)
+def q568(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import shingles, tokens
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+
+    docs = fan_out(T(spark, sf_dir, "documents").select("text"))
+    toks = docs.select(tokens("text").alias("ws"))
+    bi = tracked_persist(
+        toks.select(F.explode(shingles(F.col("ws"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("k11"))
+    )
+    m1 = bi.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("tok_a")).agg(
+        F.sum("k11").cast("long").alias("c1")
+    )
+    m2 = bi.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("tok_b")).agg(
+        F.sum("k11").cast("long").alias("c2")
+    )
+    nb = bi.agg(F.sum("k11").cast("long").alias("n"))
+    cells = (
+        bi.filter(F.col("k11") >= 30)
+        .withColumn("tok_a", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("tok_b", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(m1), "tok_a")
+        .join(F.broadcast(m2), "tok_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bg",
+            "k11",
+            (F.col("c1") - F.col("k11")).alias("k12"),
+            (F.col("c2") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("c1") - F.col("c2") + F.col("k11")).alias("k22"),
+            F.col("c1").cast("double").alias("c1d"),
+            F.col("c2").cast("double").alias("c2d"),
+            F.col("n").cast("double").alias("nd"),
+        )
+    )
+
+    def _term(k, e):
+        return F.when(k > 0, k * F.log(k / e)).otherwise(F.lit(0.0))
+
+    g2 = 2 * (
+        _term(F.col("k11"), F.col("c1d") * F.col("c2d") / F.col("nd"))
+        + _term(F.col("k12"), F.col("c1d") * (F.col("nd") - F.col("c2d")) / F.col("nd"))
+        + _term(F.col("k21"), (F.col("nd") - F.col("c1d")) * F.col("c2d") / F.col("nd"))
+        + _term(
+            F.col("k22"),
+            (F.col("nd") - F.col("c1d")) * (F.col("nd") - F.col("c2d")) / F.col("nd"),
+        )
+    )
+    scored = cells.select(
+        F.col("bg").alias("bigram"),
+        F.col("k11").alias("n_occurrences"),
+        quantize(g2, 4).alias("g2q"),
+    )
+    return (
+        scored.orderBy(F.col("g2q").desc(), "bigram")
+        .limit(15)
+        .select(
+            "bigram",
+            "n_occurrences",
+            (F.col("g2q") / 1e4).alias("g2_llr"),
+        )
+    )
+
+
+# --- q569: cross-lingual unigram-LM perplexity matrix — train an
+# add-1-smoothed unigram model per language, evaluate every language's
+# token stream under every model: PP(t|s) = exp(−Σ_w c_t(w)·ln p_s(w)
+# / N_t) with p_s(w) = (c_s(w)+1)/(N_s+V) over the shared vocabulary.
+# The "which domain explains which" screen a mixture-weighting pipeline
+# (q196-class) runs before reweighting. Token counts are one groupBy;
+# the 5×5 matrix rides a bounded lang×lang fan-out with a broadcast
+# model join. --------------------------------------------------------------------
+@query(
+    "q569_crosslang_perplexity_matrix",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+        SELECT lang, t.tok
+        FROM (SELECT lang, string_split_regex(lower(text), '\s+') AS ws
+              FROM documents),
+             UNNEST(ws) AS t(tok)
+    ),
+    cnt AS MATERIALIZED (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, tok
+    ),
+    nl AS MATERIALIZED (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY lang
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+    pairs AS (
+        SELECT tgt.lang AS target_lang, m.lang AS model_lang,
+               tgt.tok, tgt.c AS ct,
+               COALESCE(mc.c, 0) AS cs, mn.n AS ns, vocab.v
+        FROM cnt tgt
+        CROSS JOIN (SELECT DISTINCT lang FROM cnt) m
+        JOIN nl mn ON mn.lang = m.lang
+        CROSS JOIN vocab
+        LEFT JOIN cnt mc ON mc.lang = m.lang AND mc.tok = tgt.tok
+    ),
+    h AS (
+        SELECT target_lang, model_lang,
+               CAST(SUM(CAST(SIGN(-ct * LN((cs + 1.0) / (ns + v)))
+                             * FLOOR(ABS(-ct * LN((cs + 1.0) / (ns + v)))
+                                     * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e6 AS nll,
+               CAST(SUM(ct) AS BIGINT) AS nt
+        FROM pairs GROUP BY target_lang, model_lang
+    )
+    SELECT target_lang, model_lang,
+           CAST(CAST(SIGN(pp) * FLOOR(ABS(pp) * 1e4 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e4 AS perplexity
+    FROM (SELECT target_lang, model_lang, EXP(nll / nt) AS pp FROM h)
+    ORDER BY target_lang, model_lang
+    """,
+)
+def q569(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+
+    docs = fan_out(T(spark, sf_dir, "documents").select("lang", "text"))
+    cnt = tracked_persist(
+        docs.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nl = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    vocab = cnt.agg(F.count_distinct("tok").cast("long").alias("v"))
+    langs = cnt.select("lang").distinct().select(F.col("lang").alias("model_lang"))
+    tgt = cnt.select(
+        F.col("lang").alias("target_lang"), "tok", F.col("c").alias("ct")
+    )
+    model = cnt.select(
+        F.col("lang").alias("model_lang"), "tok", F.col("c").alias("cs")
+    )
+    mn = nl.select(F.col("lang").alias("model_lang"), F.col("n").alias("ns"))
+    pairs = (
+        tgt.crossJoin(F.broadcast(langs))
+        .join(model, ["model_lang", "tok"], "left")
+        .join(F.broadcast(mn), "model_lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "target_lang",
+            "model_lang",
+            "ct",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            "ns",
+            "v",
+        )
+    )
+    h = pairs.groupBy("target_lang", "model_lang").agg(
+        (
+            F.sum(
+                quantize(
+                    -F.col("ct") * F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v"))),
+                    6,
+                )
+            ).cast("double")
+            / 1e6
+        ).alias("nll"),
+        F.sum("ct").cast("long").alias("nt"),
+    )
+    return h.select(
+        "target_lang",
+        "model_lang",
+        (quantize(F.exp(F.col("nll") / F.col("nt")), 4) / 1e4).alias("perplexity"),
+    ).orderBy("target_lang", "model_lang")
+
+
+# --- q570: k-NN graph reciprocity and hubness diagnostics over the
+# embedding corpus — the ANN-health screen: low mutual-edge rate and a
+# heavy in-degree tail (hub vectors) predict poor recall for any
+# bucketed index (Radovanović 2010 hubness, public methodology).
+# Directed 5-NN edges from the exact baseline
+# (operators/similarity.py:knn_topk_edges — LSH/IVF swaps in at scale);
+# mutuality is a self-join on the reversed key; in-degree moments are
+# integer-exact. -------------------------------------------------------------------
+@query(
+    "q570_knn_graph_reciprocity",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS MATERIALIZED (
+        SELECT ia, ib FROM (
+            SELECT ia, ib,
+                   ROW_NUMBER() OVER (PARTITION BY ia
+                                      ORDER BY ROUND(sim, 6) DESC, ib) AS rn
+            FROM pairs
+        ) WHERE rn <= 5
+    ),
+    mut AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual
+        FROM knn e JOIN knn r ON r.ia = e.ib AND r.ib = e.ia
+    ),
+    indeg AS MATERIALIZED (
+        SELECT ib, CAST(COUNT(*) AS BIGINT) AS d FROM knn GROUP BY ib
+    ),
+    tot AS (
+        SELECT CAST((SELECT COUNT(*) FROM knn) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(DISTINCT ia) FROM knn) AS BIGINT) AS n_vecs
+    )
+    SELECT tot.n_vecs, tot.n_edges,
+           CAST(CAST(SIGN(mf) * FLOOR(ABS(mf) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mutual_frac,
+           (SELECT MAX(d) FROM indeg) AS indeg_max,
+           CAST(CAST(SIGN(iv) * FLOOR(ABS(iv) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS indeg_var
+    FROM (
+        SELECT tot.n_vecs, tot.n_edges,
+               CAST(mut.n_mutual AS DOUBLE) / tot.n_edges AS mf,
+               (SELECT (SUM(CAST(d AS DOUBLE) * d)
+                        - CAST(SUM(d) AS DOUBLE) * SUM(d) / COUNT(*))
+                       / (COUNT(*) - 1) FROM indeg) AS iv
+        FROM tot, mut
+    ) q, tot
+    """,
+)
+def q570(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.similarity import knn_topk_edges
+    from pandrs_spark.operators.util import tracked_persist
+
+    emb = T(spark, sf_dir, "embeddings")
+    knn = tracked_persist(knn_topk_edges(emb, k=5).select("id_a", "id_b"))
+    rev = knn.select(F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a"))
+    mut = knn.join(rev, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_mutual")
+    )
+    indeg = knn.groupBy("id_b").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ideg = indeg.agg(
+        F.max("d").cast("long").alias("indeg_max"),
+        (
+            (
+                F.sum(F.col("d").cast("double") * F.col("d"))
+                - F.sum("d").cast("double") * F.sum("d") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("iv"),
+    )
+    tot = knn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.count_distinct("id_a").cast("long").alias("n_vecs"),
+    )
+    j = tot.crossJoin(F.broadcast(mut)).crossJoin(F.broadcast(ideg))
+    return j.select(
+        "n_vecs",
+        "n_edges",
+        (
+            quantize(F.col("n_mutual").cast("double") / F.col("n_edges"), 6) / 1e6
+        ).alias("mutual_frac"),
+        "indeg_max",
+        (quantize("iv", 6) / 1e6).alias("indeg_var"),
+    )

@@ -4827,3 +4827,205 @@ def q536(spark, sf_dir):
         .alias("n_removable"),
         F.coalesce(F.max("n_orders"), F.lit(0)).cast("long").alias("max_group"),
     )
+
+
+# --- q571: economic order quantity per brand — EOQ = sqrt(2·D·S/H)
+# with annual demand D from the observed quantity rate, ordering cost
+# S = 100 (fixed policy constant) and holding cost H = 20% of the
+# brand's unit value (Σ extprice / Σ qty). The inventory-policy
+# complement to q-newsvendor: one fact aggregate, bounded 25-brand
+# output, closed-form per row. ---------------------------------------------------
+@query(
+    "q571_eoq_per_brand",
+    oracle=f"""
+    WITH span AS (
+        SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate))
+                    AS DOUBLE) AS n_months
+        FROM lineitem
+    ),
+    per_b AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                   / 1e2 AS qty,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 1e2 AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand
+    )
+    SELECT brand,
+           CAST({sql_quantize('qty * 12.0 / span.n_months', 2)} AS DOUBLE)
+               / 1e2 AS annual_demand,
+           CAST({sql_quantize(
+               'SQRT(2.0 * (qty * 12.0 / span.n_months) * 100.0'
+               ' / (0.2 * (rev / qty)))', 4)} AS DOUBLE) / 1e4 AS eoq
+    FROM per_b, span
+    ORDER BY brand
+    """,
+)
+def q571(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    span = li.agg(
+        F.count_distinct(F.date_trunc("month", "l_shipdate"))
+        .cast("double")
+        .alias("n_months")
+    )
+    per_b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (F.sum(quantize("l_quantity", 2)).cast("double") / 1e2).alias("qty"),
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 1e2).alias("rev"),
+        )
+    )
+    j = per_b.crossJoin(F.broadcast(span))
+    d_annual = F.col("qty") * 12.0 / F.col("n_months")
+    eoq = F.sqrt(2.0 * d_annual * 100.0 / (0.2 * (F.col("rev") / F.col("qty"))))
+    return j.select(
+        "brand",
+        (quantize(d_annual, 2) / 1e2).alias("annual_demand"),
+        (quantize(eoq, 4) / 1e4).alias("eoq"),
+    ).orderBy("brand")
+
+
+# --- q572: ABC-XYZ inventory matrix — every part classed twice:
+# ABC by cumulative revenue share (A ≤80%, B ≤95%, C tail; the q216
+# distributed prefix fold, range-sort + partition-offset cumsum, never
+# a one-task window) and XYZ by monthly-demand variability
+# (CV ≤0.5 X, ≤1.0 Y, else Z; months with no sales count as zeros via
+# the month-span carry). Output: the 9-cell planning matrix with part
+# counts and revenue share per cell. ---------------------------------------------
+@query(
+    "q572_abc_xyz_matrix",
+    oracle=f"""
+    WITH span AS (
+        SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate))
+                    AS DOUBLE) AS nm
+        FROM lineitem
+    ),
+    rev AS MATERIALIZED (
+        SELECT l_partkey, {sql_dsum("l_extendedprice * (1 - l_discount)", 2)}
+                   AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT {sql_dsum("revenue", 2)} AS total FROM rev),
+    run AS (
+        SELECT l_partkey, revenue,
+               SUM(CAST(revenue * 100 + CASE WHEN revenue < 0 THEN -0.5
+                                             ELSE 0.5 END AS BIGINT))
+                   OVER (ORDER BY revenue DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS running
+        FROM rev
+    ),
+    abc AS MATERIALIZED (
+        SELECT l_partkey, revenue,
+               CASE WHEN running / (SELECT total FROM tot) <= 0.80 THEN 'A'
+                    WHEN running / (SELECT total FROM tot) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM run
+    ),
+    mdem AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_active,
+               CAST(SUM({sql_quantize('mq', 2)}) AS DOUBLE) / 1e2 AS s,
+               CAST(SUM({sql_quantize('mq * mq', 2)}) AS DOUBLE) / 1e2 AS ss
+        FROM (
+            SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
+                   CAST(SUM({sql_quantize('l_quantity', 2)}) AS DOUBLE)
+                       / 1e2 AS mq
+            FROM lineitem GROUP BY l_partkey, mth
+        ) GROUP BY l_partkey
+    ),
+    xyz AS MATERIALIZED (
+        SELECT l_partkey,
+               CASE WHEN cv <= 0.5 THEN 'X'
+                    WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        FROM (
+            SELECT l_partkey,
+                   SQRT((ss - s * s / span.nm) / (span.nm - 1))
+                       / (s / span.nm) AS cv
+            FROM mdem, span
+        )
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST({sql_quantize(
+               'SUM(a.revenue) / (SELECT total FROM tot)', 6)} AS DOUBLE)
+               / 1e6 AS revenue_share
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+)
+def q572(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    span = li.agg(
+        F.count_distinct(F.date_trunc("month", "l_shipdate"))
+        .cast("double")
+        .alias("nm")
+    )
+    rev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+    total = rev.agg(dsum("revenue", 2).alias("__total__"))
+    run = global_prefix_sum(
+        rev,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        "revenue",
+        out_col="running",
+        scale=2,
+    )
+    abc = run.join(F.broadcast(total)).select(
+        "l_partkey",
+        "revenue",
+        F.when(F.col("running") / F.col("__total__") <= 0.80, "A")
+        .when(F.col("running") / F.col("__total__") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.col("__total__"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mth")
+    ).agg((F.sum(quantize("l_quantity", 2)).cast("double") / 1e2).alias("mq"))
+    mdem = monthly.groupBy("l_partkey").agg(
+        (F.sum(quantize("mq", 2)).cast("double") / 1e2).alias("s"),
+        (F.sum(quantize(F.col("mq") * F.col("mq"), 2)).cast("double") / 1e2).alias(
+            "ss"
+        ),
+    )
+    cv = (
+        mdem.crossJoin(F.broadcast(span))
+        .select(
+            "l_partkey",
+            (
+                F.sqrt(
+                    (F.col("ss") - F.col("s") * F.col("s") / F.col("nm"))
+                    / (F.col("nm") - 1)
+                )
+                / (F.col("s") / F.col("nm"))
+            ).alias("cv"),
+        )
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    j = abc.join(xyz, "l_partkey")
+    return (
+        j.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (
+                quantize(F.sum("revenue") / F.first("__total__"), 6) / 1e6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
