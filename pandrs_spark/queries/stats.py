@@ -4215,3 +4215,334 @@ def q564(spark, sf_dir):
         (quantize("f", 6) / 1e6).alias("fano"),
         (quantize("d", 6) / 1e6).alias("dispersion_chi2"),
     )
+
+
+# --- q573: Mantel-Haenszel pooled odds ratio + Cochran-Mantel-Haenszel
+# chi-square across nation strata — does the BUILDING-segment ∼
+# high-value-order association survive controlling for nation? The
+# stratified 2×2 pool that q493's single-table odds ratio cannot see:
+# OR_MH = Σ(a_i d_i/n_i)/Σ(b_i c_i/n_i);
+# CMH = (|Σa_i − ΣE_i| − ½)² / ΣV_i with hypergeometric cell moments.
+# Strata are the bounded 25-nation rollup; cells come from one fact
+# aggregate. ----------------------------------------------------------------------
+@query(
+    "q573_mantel_haenszel_strata",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT c.c_nationkey AS nk,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                              AND o.o_totalprice > 150000 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS a,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                              AND o.o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS b,
+               CAST(SUM(CASE WHEN c.c_mktsegment <> 'BUILDING'
+                              AND o.o_totalprice > 150000 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS c,
+               CAST(SUM(CASE WHEN c.c_mktsegment <> 'BUILDING'
+                              AND o.o_totalprice <= 150000 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS d
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY nk
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+               CAST(SUM({sql_quantize('a * d / (a + b + c + d)', 9)})
+                    AS DOUBLE) / 1e9 AS sad,
+               CAST(SUM({sql_quantize('b * c / (a + b + c + d)', 9)})
+                    AS DOUBLE) / 1e9 AS sbc,
+               CAST(SUM(a) AS DOUBLE) AS sa,
+               CAST(SUM({sql_quantize(
+                   '(a + b) * (a + c) / (a + b + c + d)', 9)}) AS DOUBLE)
+                   / 1e9 AS se,
+               CAST(SUM({sql_quantize(
+                   '(a + b) * (c + d) * (a + c) * (b + d)'
+                   ' / ((a + b + c + d) * (a + b + c + d)'
+                   '    * (a + b + c + d - 1))', 9)}) AS DOUBLE) / 1e9 AS sv
+        FROM cells
+    )
+    SELECT k_strata,
+           CAST({sql_quantize('sad / sbc', 6)} AS DOUBLE) / 1e6 AS or_mh,
+           CAST({sql_quantize(
+               '(ABS(sa - se) - 0.5) * (ABS(sa - se) - 0.5) / sv', 6)}
+               AS DOUBLE) / 1e6 AS cmh_chi2
+    FROM terms
+    """,
+)
+def q573(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    hi = F.col("o_totalprice") > 150000
+    bld = F.col("c_mktsegment") == "BUILDING"
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.when(bld & hi, 1).otherwise(0)).cast("double").alias("a"),
+            F.sum(F.when(bld & ~hi, 1).otherwise(0)).cast("double").alias("b"),
+            F.sum(F.when(~bld & hi, 1).otherwise(0)).cast("double").alias("c"),
+            F.sum(F.when(~bld & ~hi, 1).otherwise(0)).cast("double").alias("d"),
+        )
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        (F.sum(quantize(F.col("a") * F.col("d") / n, 9)).cast("double") / 1e9).alias(
+            "sad"
+        ),
+        (F.sum(quantize(F.col("b") * F.col("c") / n, 9)).cast("double") / 1e9).alias(
+            "sbc"
+        ),
+        F.sum("a").cast("double").alias("sa"),
+        (
+            F.sum(quantize((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) / n, 9))
+            .cast("double")
+            / 1e9
+        ).alias("se"),
+        (
+            F.sum(
+                quantize(
+                    (F.col("a") + F.col("b"))
+                    * (F.col("c") + F.col("d"))
+                    * (F.col("a") + F.col("c"))
+                    * (F.col("b") + F.col("d"))
+                    / (n * n * (n - 1)),
+                    9,
+                )
+            ).cast("double")
+            / 1e9
+        ).alias("sv"),
+    )
+    return terms.select(
+        "k_strata",
+        (quantize(F.col("sad") / F.col("sbc"), 6) / 1e6).alias("or_mh"),
+        (
+            quantize(
+                (F.abs(F.col("sa") - F.col("se")) - 0.5)
+                * (F.abs(F.col("sa") - F.col("se")) - 0.5)
+                / F.col("sv"),
+                6,
+            )
+            / 1e6
+        ).alias("cmh_chi2"),
+    )
+
+
+# --- q574: linearly-weighted Cohen's kappa between two ordinal
+# "raters" of the same order — urgency rank (from o_orderpriority) and
+# observed fulfilment speed quintile (from min ship lead time) — the
+# ordinal-agreement upgrade of q434's unweighted kappa: disagreements
+# κ_w = 1 − Σw_ij O_ij / Σw_ij E_ij with w_ij = |i−j|/(k−1). The 5×5
+# cell table comes from one fact aggregate; marginals are bounded. --------------
+@query(
+    "q574_weighted_kappa_urgency_speed",
+    oracle=f"""
+    WITH lead AS MATERIALIZED (
+        SELECT o.o_orderkey,
+               CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS r1,
+               MIN(datediff('day', o.o_orderdate, l.l_shipdate)) AS lt
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, r1
+    ),
+    bucketed AS MATERIALIZED (
+        SELECT r1,
+               CASE WHEN lt <= 18 THEN 1 WHEN lt <= 38 THEN 2
+                    WHEN lt <= 58 THEN 3 WHEN lt <= 78 THEN 4
+                    ELSE 5 END AS r2
+        FROM lead
+    ),
+    cells AS MATERIALIZED (
+        SELECT r1, r2, CAST(COUNT(*) AS DOUBLE) AS o FROM bucketed
+        GROUP BY r1, r2
+    ),
+    m1 AS (SELECT r1, SUM(o) AS p FROM cells GROUP BY r1),
+    m2 AS (SELECT r2, SUM(o) AS q FROM cells GROUP BY r2),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    num AS (
+        SELECT CAST(SUM({sql_quantize('ABS(r1 - r2) / 4.0 * o', 6)})
+                    AS DOUBLE) / 1e6 AS wo
+        FROM cells
+    ),
+    den AS (
+        SELECT CAST(SUM({sql_quantize(
+                   'ABS(m1.r1 - m2.r2) / 4.0 * (m1.p * m2.q / tot.n)', 6)})
+                    AS DOUBLE) / 1e6 AS we
+        FROM m1 CROSS JOIN m2 CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_orders,
+           CAST({sql_quantize('1 - num.wo / den.we', 6)} AS DOUBLE) / 1e6
+               AS weighted_kappa
+    FROM num, den
+    """,
+)
+def q574(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    lead = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("r1"),
+        )
+        .agg(F.min(F.datediff("l_shipdate", "o_orderdate")).alias("lt"))
+    )
+    bucketed = lead.select(
+        "r1",
+        F.when(F.col("lt") <= 18, 1)
+        .when(F.col("lt") <= 38, 2)
+        .when(F.col("lt") <= 58, 3)
+        .when(F.col("lt") <= 78, 4)
+        .otherwise(5)
+        .alias("r2"),
+    )
+    cells = tracked_persist(
+        bucketed.groupBy("r1", "r2").agg(
+            F.count(F.lit(1)).cast("double").alias("o")
+        )
+    )
+    m1 = cells.groupBy("r1").agg(F.sum("o").alias("p"))
+    m2 = cells.groupBy("r2").agg(F.sum("o").alias("q"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    num = cells.agg(
+        (
+            F.sum(quantize(F.abs(F.col("r1") - F.col("r2")) / 4.0 * F.col("o"), 6))
+            .cast("double")
+            / 1e6
+        ).alias("wo")
+    )
+    den = (
+        m1.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        F.abs(F.col("r1") - F.col("r2"))
+                        / 4.0
+                        * (F.col("p") * F.col("q") / F.col("n")),
+                        6,
+                    )
+                ).cast("double")
+                / 1e6
+            ).alias("we")
+        )
+    )
+    j = num.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("n").cast("long").alias("n_orders"),
+        (quantize(1 - F.col("wo") / F.col("we"), 6) / 1e6).alias("weighted_kappa"),
+    )
+
+
+# --- q575: Somers' D (ordinal, asymmetric: speed-quintile as response,
+# urgency rank as predictor) — D_yx = (C − D)/(C + D + T_y) from the
+# bounded 5×5 cell table: concordant/discordant/tied pair counts are
+# exact integer sums over cell pairs (≤625 combinations, never
+# data-sized). Completes the ordinal-association family around q526's
+# gamma (which drops all ties). --------------------------------------------------
+@query(
+    "q575_somers_d_urgency_speed",
+    oracle="""
+    WITH lead AS MATERIALIZED (
+        SELECT o.o_orderkey,
+               CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS r1,
+               MIN(datediff('day', o.o_orderdate, l.l_shipdate)) AS lt
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, r1
+    ),
+    cells AS MATERIALIZED (
+        SELECT r1, CASE WHEN lt <= 18 THEN 1 WHEN lt <= 38 THEN 2
+                        WHEN lt <= 58 THEN 3 WHEN lt <= 78 THEN 4
+                        ELSE 5 END AS r2,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lead GROUP BY r1, r2
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (b.r1 > a.r1 AND b.r2 > a.r2)
+                               OR (b.r1 < a.r1 AND b.r2 < a.r2)
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS cc,
+               CAST(SUM(CASE WHEN (b.r1 > a.r1 AND b.r2 < a.r2)
+                               OR (b.r1 < a.r1 AND b.r2 > a.r2)
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS dd,
+               CAST(SUM(CASE WHEN b.r1 <> a.r1 AND b.r2 = a.r2
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS ty
+        FROM cells a CROSS JOIN cells b
+    )
+    SELECT CAST(cc / 2 AS BIGINT) AS concordant,
+           CAST(dd / 2 AS BIGINT) AS discordant,
+           CAST(ty / 2 AS BIGINT) AS tied_y,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS somers_d
+    FROM (
+        SELECT cc, dd, ty,
+               (CAST(cc AS DOUBLE) - dd) / (cc + dd + ty) AS d
+        FROM pairs
+    )
+    """,
+)
+def q575(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    lead = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("r1"),
+        )
+        .agg(F.min(F.datediff("l_shipdate", "o_orderdate")).alias("lt"))
+    )
+    cells = tracked_persist(
+        lead.select(
+            "r1",
+            F.when(F.col("lt") <= 18, 1)
+            .when(F.col("lt") <= 38, 2)
+            .when(F.col("lt") <= 58, 3)
+            .when(F.col("lt") <= 78, 4)
+            .otherwise(5)
+            .alias("r2"),
+        )
+        .groupBy("r1", "r2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    b = cells.select(
+        F.col("r1").alias("s1"), F.col("r2").alias("s2"), F.col("c").alias("cb")
+    )
+    conc = ((F.col("s1") > F.col("r1")) & (F.col("s2") > F.col("r2"))) | (
+        (F.col("s1") < F.col("r1")) & (F.col("s2") < F.col("r2"))
+    )
+    disc = ((F.col("s1") > F.col("r1")) & (F.col("s2") < F.col("r2"))) | (
+        (F.col("s1") < F.col("r1")) & (F.col("s2") > F.col("r2"))
+    )
+    tie_y = (F.col("s1") != F.col("r1")) & (F.col("s2") == F.col("r2"))
+    pairs = cells.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.when(conc, F.col("c") * F.col("cb")).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+        F.sum(F.when(disc, F.col("c") * F.col("cb")).otherwise(0))
+        .cast("long")
+        .alias("dd"),
+        F.sum(F.when(tie_y, F.col("c") * F.col("cb")).otherwise(0))
+        .cast("long")
+        .alias("ty"),
+    )
+    return pairs.select(
+        (F.col("cc") / 2).cast("long").alias("concordant"),
+        (F.col("dd") / 2).cast("long").alias("discordant"),
+        (F.col("ty") / 2).cast("long").alias("tied_y"),
+        (
+            quantize(
+                (F.col("cc").cast("double") - F.col("dd"))
+                / (F.col("cc") + F.col("dd") + F.col("ty")),
+                6,
+            )
+            / 1e6
+        ).alias("somers_d"),
+    )

@@ -5029,3 +5029,235 @@ def q572(spark, sf_dir):
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+# --- q576: association-rule metrics for brand co-purchase — support,
+# confidence, lift, leverage and conviction for every ordered brand
+# pair appearing in ≥50 shared orders: the full Agrawal-style metric
+# set on top of the q-FP-Growth itemsets (which mines; this scores).
+# Basket→brand dedup first, pair counting second — the pair space is
+# bounded by the 25-brand catalog, never by orders. ------------------------------
+@query(
+    "q576_association_rule_metrics",
+    oracle="""
+    WITH ob AS MATERIALIZED (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n FROM ob
+    ),
+    brand_cnt AS MATERIALIZED (
+        SELECT brand, CAST(COUNT(*) AS DOUBLE) AS c FROM ob GROUP BY brand
+    ),
+    pair_cnt AS MATERIALIZED (
+        SELECT a.brand AS ante, b.brand AS cons,
+               CAST(COUNT(*) AS DOUBLE) AS cab
+        FROM ob a JOIN ob b ON b.ok = a.ok AND b.brand <> a.brand
+        GROUP BY ante, cons
+        HAVING COUNT(*) >= 50
+    )
+    SELECT ante, cons,
+           CAST(cab AS BIGINT) AS n_joint,
+           CAST(CAST(SIGN(sup) * FLOOR(ABS(sup) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS support,
+           CAST(CAST(SIGN(conf) * FLOOR(ABS(conf) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS confidence,
+           CAST(CAST(SIGN(lift) * FLOOR(ABS(lift) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS lift,
+           CAST(CAST(SIGN(lev) * FLOOR(ABS(lev) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS leverage,
+           CAST(CAST(SIGN(conv) * FLOOR(ABS(conv) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS conviction
+    FROM (
+        SELECT pc.ante, pc.cons, pc.cab,
+               pc.cab / n.n AS sup,
+               pc.cab / ca.c AS conf,
+               (pc.cab / ca.c) / (cb.c / n.n) AS lift,
+               pc.cab / n.n - (ca.c / n.n) * (cb.c / n.n) AS lev,
+               (1 - cb.c / n.n) / (1 - pc.cab / ca.c) AS conv
+        FROM pair_cnt pc
+        JOIN brand_cnt ca ON ca.brand = pc.ante
+        JOIN brand_cnt cb ON cb.brand = pc.cons
+        CROSS JOIN n_orders n
+    )
+    ORDER BY ante, cons
+    """,
+)
+def q576(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    ob = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.agg(F.count_distinct("ok").cast("double").alias("n"))
+    brand_cnt = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    b = ob.select(F.col("ok"), F.col("brand").alias("cons"))
+    pair_cnt = (
+        ob.select("ok", F.col("brand").alias("ante"))
+        .join(b, "ok")
+        .where(F.col("cons") != F.col("ante"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("double").alias("cab"))
+        .where(F.col("cab") >= 50)
+    )
+    ca = brand_cnt.select(F.col("brand").alias("ante"), F.col("c").alias("c_a"))
+    cb = brand_cnt.select(F.col("brand").alias("cons"), F.col("c").alias("c_b"))
+    j = (
+        pair_cnt.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cb), "cons")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    sup = F.col("cab") / F.col("n")
+    conf = F.col("cab") / F.col("c_a")
+    lift = (F.col("cab") / F.col("c_a")) / (F.col("c_b") / F.col("n"))
+    lev = F.col("cab") / F.col("n") - (F.col("c_a") / F.col("n")) * (
+        F.col("c_b") / F.col("n")
+    )
+    conv = (1 - F.col("c_b") / F.col("n")) / (1 - F.col("cab") / F.col("c_a"))
+    return j.select(
+        "ante",
+        "cons",
+        F.col("cab").cast("long").alias("n_joint"),
+        (quantize(sup, 6) / 1e6).alias("support"),
+        (quantize(conf, 6) / 1e6).alias("confidence"),
+        (quantize(lift, 6) / 1e6).alias("lift"),
+        (quantize(lev, 6) / 1e6).alias("leverage"),
+        (quantize(conv, 6) / 1e6).alias("conviction"),
+    ).orderBy("ante", "cons")
+
+
+# --- q577: hypergeometric enrichment z-scores — is each market
+# segment over-represented among the top-value orders? With K = global
+# top-decile count, n_s = segment size, k_s = segment hits: under the
+# hypergeometric null E = n_s·K/N, V = n_s·K(N−K)(N−n_s)/(N²(N−1));
+# z = (k_s − E)/√V. The set-enrichment screen (GSEA-style, public
+# methodology) over bounded segment strata; the decile cut rides the
+# exact distributed percentile. ---------------------------------------------------
+@query(
+    "q577_segment_enrichment_z",
+    oracle=f"""
+    WITH cut AS (SELECT quantile_cont(o_totalprice, 0.9) AS c FROM orders),
+    marked AS MATERIALIZED (
+        SELECT cst.c_mktsegment AS seg,
+               CASE WHEN o.o_totalprice > cut.c THEN 1 ELSE 0 END AS hit
+        FROM orders o JOIN customer cst ON cst.c_custkey = o.o_custkey
+        CROSS JOIN cut
+    ),
+    per_s AS MATERIALIZED (
+        SELECT seg, CAST(COUNT(*) AS DOUBLE) AS ns,
+               CAST(SUM(hit) AS DOUBLE) AS ks
+        FROM marked GROUP BY seg
+    ),
+    tot AS (
+        SELECT SUM(ns) AS n, SUM(ks) AS k FROM per_s
+    )
+    SELECT seg,
+           CAST(ks AS BIGINT) AS n_hits,
+           CAST(ns AS BIGINT) AS n_orders,
+           CAST({sql_quantize(
+               '(ks - ns * t.k / t.n)'
+               ' / SQRT(ns * (t.k / t.n) * (1 - t.k / t.n)'
+               '        * (t.n - ns) / (t.n - 1))', 6)} AS DOUBLE) / 1e6
+               AS enrichment_z
+    FROM per_s, tot t
+    ORDER BY seg
+    """,
+)
+def q577(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    cut = orders.agg(F.expr("percentile(o_totalprice, 0.9)").alias("c"))
+    marked = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("o_totalprice") > F.col("c"), 1).otherwise(0).alias("hit"),
+        )
+    )
+    per_s = tracked_persist(
+        marked.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("double").alias("ns"),
+            F.sum("hit").cast("double").alias("ks"),
+        )
+    )
+    tot = per_s.agg(F.sum("ns").alias("n"), F.sum("ks").alias("k"))
+    j = per_s.crossJoin(F.broadcast(tot))
+    z = (F.col("ks") - F.col("ns") * F.col("k") / F.col("n")) / F.sqrt(
+        F.col("ns")
+        * (F.col("k") / F.col("n"))
+        * (1 - F.col("k") / F.col("n"))
+        * (F.col("n") - F.col("ns"))
+        / (F.col("n") - 1)
+    )
+    return j.select(
+        "seg",
+        F.col("ks").cast("long").alias("n_hits"),
+        F.col("ns").cast("long").alias("n_orders"),
+        (quantize(z, 6) / 1e6).alias("enrichment_z"),
+    ).orderBy("seg")
+
+
+# --- q578: Chapman capture-recapture estimate of the active-part
+# population — two independent deterministic md5 "survey waves" over
+# lineitem-active parts (different hash salts), N̂ = (n1+1)(n2+1)/(m+1)
+# − 1 with m the recaptures. The population-size estimator a coverage
+# audit runs when no frame is complete; the gate verifies both waves
+# and the estimate against the true catalog truth it also outputs. --------------
+@query(
+    "q578_capture_recapture_parts",
+    oracle="""
+    WITH active AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS pk FROM lineitem
+    ),
+    waves AS MATERIALIZED (
+        SELECT pk,
+               CASE WHEN substr(md5('w1|' || CAST(pk AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS w1,
+               CASE WHEN substr(md5('w2|' || CAST(pk AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS w2
+        FROM active
+    ),
+    s AS (
+        SELECT CAST(SUM(w1) AS BIGINT) AS n1,
+               CAST(SUM(w2) AS BIGINT) AS n2,
+               CAST(SUM(w1 * w2) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS truth
+        FROM waves
+    )
+    SELECT n1, n2, m, truth,
+           CAST(CAST(SIGN(est) * FLOOR(ABS(est) * 1e4 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e4 AS chapman_estimate
+    FROM (
+        SELECT n1, n2, m, truth,
+               (CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1 AS est
+        FROM s
+    )
+    """,
+)
+def q578(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    active = li.select(F.col("l_partkey").alias("pk")).distinct()
+    coin1 = F.substring(F.md5(F.concat(F.lit("w1|"), F.col("pk").cast("string"))), 1, 1)
+    coin2 = F.substring(F.md5(F.concat(F.lit("w2|"), F.col("pk").cast("string"))), 1, 1)
+    waves = active.select(
+        F.when(coin1 < "8", 1).otherwise(0).alias("w1"),
+        F.when(coin2 < "8", 1).otherwise(0).alias("w2"),
+    )
+    s = waves.agg(
+        F.sum("w1").cast("long").alias("n1"),
+        F.sum("w2").cast("long").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("truth"),
+    )
+    est = (F.col("n1").cast("double") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return s.select(
+        "n1", "n2", "m", "truth", (quantize(est, 4) / 1e4).alias("chapman_estimate")
+    )
