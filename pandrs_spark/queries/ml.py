@@ -3788,3 +3788,221 @@ def q513(spark, sf_dir):
             (quantize("ap", 6) / 1e6).alias("avg_precision"),
         )
     )
+
+
+# --- q579: Youden-J optimal operating point on the acctbal→urgency
+# score (the q513 ROC setup): sweep every distinct score as threshold
+# via one descending prefix pass (TPR = cumpos/P, FPR = cumneg/N) and
+# return the threshold maximizing J = TPR − FPR, ties broken toward
+# the smaller score. The threshold-picking companion to q513 (which
+# integrates the curve; this one picks the point). -------------------------------
+@query(
+    "q579_youden_optimal_threshold",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(c.c_acctbal AS DOUBLE) AS s
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    hist AS MATERIALIZED (
+        SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM d GROUP BY s
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(neg) AS BIGINT) AS nn
+        FROM hist
+    ),
+    sweep AS (
+        SELECT s,
+               SUM(pos) OVER (ORDER BY s DESC) AS ctp,
+               SUM(neg) OVER (ORDER BY s DESC) AS cfp
+        FROM hist
+    )
+    SELECT CAST(t.np AS BIGINT) AS n_pos, CAST(t.nn AS BIGINT) AS n_neg,
+           s AS threshold,
+           CAST(CAST(SIGN(tpr) * FLOOR(ABS(tpr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS tpr,
+           CAST(CAST(SIGN(fpr) * FLOOR(ABS(fpr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS fpr,
+           CAST(CAST(SIGN(j) * FLOOR(ABS(j) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS youden_j
+    FROM (
+        SELECT s,
+               CAST(ctp AS DOUBLE) / t.np AS tpr,
+               CAST(cfp AS DOUBLE) / t.nn AS fpr,
+               CAST(ctp AS DOUBLE) / t.np - CAST(cfp AS DOUBLE) / t.nn AS j
+        FROM sweep, tot t
+    ) q, tot t
+    ORDER BY CAST(SIGN(j) * FLOOR(ABS(j) * 1e9 + 0.5) AS BIGINT) DESC, s ASC
+    LIMIT 1
+    """,
+)
+def q579(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.col("c_acctbal").cast("double").alias("s"))
+    )
+    hist = tracked_persist(
+        d.groupBy("s").agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("neg").cast("long").alias("nn"),
+    )
+    sweep = global_prefix_counts(hist, [F.desc("s")], {"ctp": "pos", "cfp": "neg"})
+    j = sweep.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "np",
+        "nn",
+        (F.col("ctp").cast("double") / F.col("np")).alias("tpr"),
+        (F.col("cfp").cast("double") / F.col("nn")).alias("fpr"),
+        (
+            F.col("ctp").cast("double") / F.col("np")
+            - F.col("cfp").cast("double") / F.col("nn")
+        ).alias("j"),
+    )
+    best = j.orderBy(quantize("j", 9).desc(), F.col("s").asc()).limit(1)
+    return best.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.col("s").alias("threshold"),
+        (quantize("tpr", 6) / 1e6).alias("tpr"),
+        (quantize("fpr", 6) / 1e6).alias("fpr"),
+        (quantize("j", 6) / 1e6).alias("youden_j"),
+    )
+
+
+# --- q580: equalized-odds fairness audit of the q579-style classifier
+# (flag customers with acctbal above the global 75th percentile) across
+# market segments: per-segment TPR/FPR plus the equalized-odds gaps
+# (max−min across segments) — the model-governance check a production
+# scoring pipeline ships next to its ROC. Segment strata are bounded;
+# the threshold rides the exact distributed percentile; gaps are a
+# second bounded aggregate broadcast back onto the rows. -------------------------
+@query(
+    "q580_equalized_odds_audit",
+    oracle="""
+    WITH cut AS (SELECT quantile_cont(c_acctbal, 0.75) AS c FROM customer),
+    d AS MATERIALIZED (
+        SELECT c.c_mktsegment AS seg,
+               CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CASE WHEN c.c_acctbal > cut.c THEN 1 ELSE 0 END AS pred
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        CROSS JOIN cut
+        GROUP BY c.c_custkey, seg, pred
+    ),
+    per_s AS MATERIALIZED (
+        SELECT seg,
+               CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS tp,
+               CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS fn,
+               CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS fp,
+               CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS tn
+        FROM d GROUP BY seg
+    ),
+    rates AS MATERIALIZED (
+        SELECT seg, tp / (tp + fn) AS tpr, fp / (fp + tn) AS fpr,
+               CAST(tp + fn + fp + tn AS BIGINT) AS n_customers
+        FROM per_s
+    ),
+    gaps AS (
+        SELECT MAX(tpr) - MIN(tpr) AS tpr_gap,
+               MAX(fpr) - MIN(fpr) AS fpr_gap
+        FROM rates
+    )
+    SELECT r.seg, r.n_customers,
+           CAST(CAST(SIGN(r.tpr) * FLOOR(ABS(r.tpr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS tpr,
+           CAST(CAST(SIGN(r.fpr) * FLOOR(ABS(r.fpr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS fpr,
+           CAST(CAST(SIGN(g.tpr_gap) * FLOOR(ABS(g.tpr_gap) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS eq_odds_tpr_gap,
+           CAST(CAST(SIGN(g.fpr_gap) * FLOOR(ABS(g.fpr_gap) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS eq_odds_fpr_gap
+    FROM rates r, gaps g
+    ORDER BY r.seg
+    """,
+)
+def q580(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    cut = cust.agg(F.expr("percentile(c_acctbal, 0.75)").alias("c"))
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .crossJoin(F.broadcast(cut))
+        .groupBy(
+            "c_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("c_acctbal") > F.col("c"), 1).otherwise(0).alias("pred"),
+        )
+        .agg(
+            F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    per_s = d.groupBy("seg").agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("tn"),
+    )
+    rates = tracked_persist(
+        per_s.select(
+            "seg",
+            (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("tpr"),
+            (F.col("fp") / (F.col("fp") + F.col("tn"))).alias("fpr"),
+            (F.col("tp") + F.col("fn") + F.col("fp") + F.col("tn"))
+            .cast("long")
+            .alias("n_customers"),
+        )
+    )
+    gaps = rates.agg(
+        (F.max("tpr") - F.min("tpr")).alias("tpr_gap"),
+        (F.max("fpr") - F.min("fpr")).alias("fpr_gap"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(gaps))
+        .select(
+            "seg",
+            "n_customers",
+            (quantize("tpr", 6) / 1e6).alias("tpr"),
+            (quantize("fpr", 6) / 1e6).alias("fpr"),
+            (quantize("tpr_gap", 6) / 1e6).alias("eq_odds_tpr_gap"),
+            (quantize("fpr_gap", 6) / 1e6).alias("eq_odds_fpr_gap"),
+        )
+        .orderBy("seg")
+    )

@@ -5347,3 +5347,234 @@ def q570(spark, sf_dir):
         "indeg_max",
         (quantize("iv", 6) / 1e6).alias("indeg_var"),
     )
+
+
+# --- q581: corpus-level BLEU-2 style n-gram overlap between the
+# even-numbered and odd-numbered sources (candidate vs reference
+# corpora): modified precision p_n = Σ_g min(c_cand(g), c_ref(g)) /
+# Σ_g c_cand(g) for n=1,2, brevity penalty exp(1−r/c) when the
+# candidate is shorter, BLEU = BP·exp(½(ln p1 + ln p2))
+# (Papineni 2002, public methodology). The corpus-similarity gauge a
+# dedup/decontamination pipeline uses to quantify split leakage.
+# N-gram tables are one groupBy each; the clip join hits candidate
+# types against broadcast-free equi-keys. -----------------------------------------
+@query(
+    "q581_corpus_bleu_overlap",
+    oracle=r"""
+    WITH tagged AS MATERIALIZED (
+        SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                    THEN 'cand' ELSE 'ref' END AS side,
+               string_split_regex(lower(text), '\s+') AS ws
+        FROM documents
+    ),
+    uni AS MATERIALIZED (
+        SELECT side, t.tok AS g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tagged, UNNEST(ws) AS t(tok)
+        GROUP BY side, g
+    ),
+    bi AS MATERIALIZED (
+        SELECT side, b.bg AS g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tagged, UNNEST(
+            CASE WHEN len(ws) >= 2 THEN
+                list_transform(generate_series(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+1], ' '))
+            ELSE CAST([] AS VARCHAR[]) END
+        ) AS b(bg)
+        GROUP BY side, g
+    ),
+    p1 AS (
+        SELECT CAST(SUM(CASE WHEN c.c < COALESCE(r.c, 0) THEN c.c
+                             ELSE COALESCE(r.c, 0) END) AS DOUBLE)
+                   / SUM(c.c) AS p,
+               CAST(SUM(c.c) AS BIGINT) AS n_cand
+        FROM (SELECT g, c FROM uni WHERE side = 'cand') c
+        LEFT JOIN (SELECT g, c FROM uni WHERE side = 'ref') r ON r.g = c.g
+    ),
+    p2 AS (
+        SELECT CAST(SUM(CASE WHEN c.c < COALESCE(r.c, 0) THEN c.c
+                             ELSE COALESCE(r.c, 0) END) AS DOUBLE)
+                   / SUM(c.c) AS p
+        FROM (SELECT g, c FROM bi WHERE side = 'cand') c
+        LEFT JOIN (SELECT g, c FROM bi WHERE side = 'ref') r ON r.g = c.g
+    ),
+    lens AS (
+        SELECT CAST(SUM(CASE WHEN side = 'cand' THEN c ELSE 0 END)
+                    AS DOUBLE) AS lc,
+               CAST(SUM(CASE WHEN side = 'ref' THEN c ELSE 0 END)
+                    AS DOUBLE) AS lr
+        FROM uni
+    )
+    SELECT p1.n_cand AS n_cand_tokens,
+           CAST(lens.lr AS BIGINT) AS n_ref_tokens,
+           CAST(CAST(SIGN(p1.p) * FLOOR(ABS(p1.p) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p1,
+           CAST(CAST(SIGN(p2.p) * FLOOR(ABS(p2.p) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p2,
+           CAST(CAST(SIGN(b) * FLOOR(ABS(b) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS bleu2
+    FROM p1, p2, lens,
+         (SELECT (CASE WHEN lens.lc < lens.lr
+                       THEN EXP(1 - lens.lr / lens.lc) ELSE 1 END)
+                 * EXP(0.5 * (LN(p1.p) + LN(p2.p))) AS b
+          FROM p1, p2, lens)
+    """,
+)
+def q581(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import shingles, tokens
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+
+    docs = fan_out(T(spark, sf_dir, "documents").select("source", "text"))
+    tagged = docs.select(
+        F.when(F.substring("source", 4, 10).cast("long") % 2 == 0, "cand")
+        .otherwise("ref")
+        .alias("side"),
+        tokens("text").alias("ws"),
+    )
+    uni = tracked_persist(
+        tagged.select("side", F.explode("ws").alias("g"))
+        .groupBy("side", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bi = tagged.select("side", F.explode(shingles(F.col("ws"), 2)).alias("g")).groupBy(
+        "side", "g"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def _mod_precision(gram):
+        c = gram.where(F.col("side") == "cand").select("g", F.col("c").alias("cc"))
+        r = gram.where(F.col("side") == "ref").select("g", F.col("c").alias("cr"))
+        j = c.join(r, "g", "left")
+        return j.agg(
+            (
+                F.sum(
+                    F.least(F.col("cc"), F.coalesce(F.col("cr"), F.lit(0)))
+                ).cast("double")
+                / F.sum("cc")
+            ).alias("p"),
+            F.sum("cc").cast("long").alias("n_cand"),
+        )
+
+    p1 = _mod_precision(uni)
+    p2 = _mod_precision(bi).select(F.col("p").alias("p_2"))
+    lens = uni.agg(
+        F.sum(F.when(F.col("side") == "cand", F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("lc"),
+        F.sum(F.when(F.col("side") == "ref", F.col("c")).otherwise(0))
+        .cast("double")
+        .alias("lr"),
+    )
+    j = p1.crossJoin(F.broadcast(p2)).crossJoin(F.broadcast(lens))
+    bp = F.when(
+        F.col("lc") < F.col("lr"), F.exp(1 - F.col("lr") / F.col("lc"))
+    ).otherwise(F.lit(1.0))
+    bleu = bp * F.exp(0.5 * (F.log("p") + F.log("p_2")))
+    return j.select(
+        F.col("n_cand").alias("n_cand_tokens"),
+        F.col("lr").cast("long").alias("n_ref_tokens"),
+        (quantize("p", 6) / 1e6).alias("p1"),
+        (quantize("p_2", 6) / 1e6).alias("p2"),
+        (quantize(bleu, 6) / 1e6).alias("bleu2"),
+    )
+
+
+# --- q582: character-level entropy rate per language — the
+# conditional entropy H(next char | current char) = H(bigram) −
+# H(first-char marginal), both from the same bigram histogram (one
+# groupBy; the marginal is a rollup of it). Complements q503 (which
+# measures joint bigram entropy per source): the RATE is what a
+# compression-based quality filter actually thresholds on. ----------------------
+@query(
+    "q582_char_entropy_rate_by_lang",
+    oracle="""
+    WITH bi AS MATERIALIZED (
+        SELECT lang, substr(lower(text), i, 2) AS bg
+        FROM documents,
+             UNNEST(generate_series(1, len(text) - 1)) AS t(i)
+        WHERE len(text) >= 2
+    ),
+    hist AS MATERIALIZED (
+        SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bi GROUP BY lang, bg
+    ),
+    marg AS MATERIALIZED (
+        SELECT lang, substr(bg, 1, 1) AS ch, CAST(SUM(c) AS BIGINT) AS c
+        FROM hist GROUP BY lang, ch
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY lang
+    ),
+    h2 AS (
+        SELECT h.lang,
+               -CAST(SUM(CAST(SIGN((CAST(c AS DOUBLE) / n)
+                                   * LN(CAST(c AS DOUBLE) / n))
+                              * FLOOR(ABS((CAST(c AS DOUBLE) / n)
+                                          * LN(CAST(c AS DOUBLE) / n))
+                                      * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS h
+        FROM hist h JOIN tot t ON t.lang = h.lang
+        GROUP BY h.lang
+    ),
+    h1 AS (
+        SELECT m.lang,
+               -CAST(SUM(CAST(SIGN((CAST(c AS DOUBLE) / n)
+                                   * LN(CAST(c AS DOUBLE) / n))
+                              * FLOOR(ABS((CAST(c AS DOUBLE) / n)
+                                          * LN(CAST(c AS DOUBLE) / n))
+                                      * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS h
+        FROM marg m JOIN tot t ON t.lang = m.lang
+        GROUP BY m.lang
+    )
+    SELECT h2.lang,
+           CAST(CAST(SIGN(h2.h) * FLOOR(ABS(h2.h) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS h_bigram,
+           CAST(CAST(SIGN(h2.h - h1.h) * FLOOR(ABS(h2.h - h1.h) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS entropy_rate
+    FROM h2 JOIN h1 ON h1.lang = h2.lang
+    ORDER BY h2.lang
+    """,
+)
+def q582(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    docs = T(spark, sf_dir, "documents")
+    bi = docs.filter(F.length("text") >= 2).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substr(lower(text), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    hist = tracked_persist(
+        bi.groupBy("lang", "bg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    marg = hist.groupBy("lang", F.substring("bg", 1, 1).alias("ch")).agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    tot = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+
+    def _h(df):
+        return (
+            df.join(F.broadcast(tot), "lang")
+            .groupBy("lang")
+            .agg(
+                (-F.sum(quantize(p * F.log(p), 9)).cast("double") / 1e9).alias("h")
+            )
+        )
+
+    h2 = _h(hist)
+    h1 = _h(marg).select(F.col("lang"), F.col("h").alias("h1"))
+    return (
+        h2.join(h1, "lang")
+        .select(
+            "lang",
+            (quantize("h", 6) / 1e6).alias("h_bigram"),
+            (quantize(F.col("h") - F.col("h1"), 6) / 1e6).alias("entropy_rate"),
+        )
+        .orderBy("lang")
+    )

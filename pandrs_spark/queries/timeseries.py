@@ -6082,3 +6082,168 @@ def q566(spark, sf_dir):
             "tracking_signal"
         ),
     )
+
+
+# --- q583: Gumbel extreme-value fit on monthly maxima of daily
+# revenue (block-maxima method, method-of-moments: β = s√6/π,
+# μ = x̄ − γβ with γ the Euler-Mascheroni constant) plus the 100-month
+# return level μ − β·ln(−ln(1 − 1/100)) — the tail-risk complement to
+# q545's Hill index (which fits the POT tail; this fits block maxima).
+# Monthly maxima are one two-level aggregate; the fit is closed-form
+# from exact moments. -------------------------------------------------------------
+@query(
+    "q583_gumbel_block_maxima",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d, date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d, mth
+    ),
+    mx AS MATERIALIZED (
+        SELECT mth, MAX(rev) AS m FROM daily GROUP BY mth
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('m', 6)}) AS DOUBLE) / 1e6 AS sm,
+               CAST(SUM({sql_quantize('m * m', 9)}) AS DOUBLE) / 1e9 AS smm
+        FROM mx
+    ),
+    fit AS (
+        SELECT n,
+               SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)
+                   / 3.141592653589793 AS beta,
+               sm / n - 0.5772156649015329
+                   * (SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)
+                      / 3.141592653589793) AS mu
+        FROM s
+    )
+    SELECT n AS n_blocks,
+           CAST({sql_quantize('mu', 6)} AS DOUBLE) / 1e6 AS gumbel_mu,
+           CAST({sql_quantize('beta', 6)} AS DOUBLE) / 1e6 AS gumbel_beta,
+           CAST({sql_quantize('mu - beta * LN(-LN(1 - 1.0 / 100))', 6)}
+                AS DOUBLE) / 1e6 AS return_level_100
+    FROM fit
+    """,
+)
+def q583(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").alias("d"),
+        F.date_trunc("month", "l_shipdate").alias("mth"),
+    ).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    mx = daily.groupBy("mth").agg(F.max("rev").alias("m"))
+    s = mx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("m", 6)).cast("double") / 1e6).alias("sm"),
+        (F.sum(quantize(F.col("m") * F.col("m"), 9)).cast("double") / 1e9).alias(
+            "smm"
+        ),
+    )
+    fit = s.selectExpr(
+        "n",
+        "SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)"
+        " / 3.141592653589793 AS beta",
+        "sm / n - 0.5772156649015329"
+        " * (SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)"
+        "    / 3.141592653589793) AS mu",
+    )
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        (quantize("mu", 6) / 1e6).alias("gumbel_mu"),
+        (quantize("beta", 6) / 1e6).alias("gumbel_beta"),
+        (
+            quantize(
+                F.col("mu")
+                - F.col("beta") * F.log(-F.log(F.lit(1 - 1.0 / 100))),
+                6,
+            )
+            / 1e6
+        ).alias("return_level_100"),
+    )
+
+
+# --- q584: Kupiec proportion-of-failures backtest of the q544 VaR —
+# count days whose return breached VaR95 and test x/n against p = 5%
+# with LR_POF = −2·ln[ (1−p)^{n−x} p^x / ((1−x/n)^{n−x} (x/n)^x) ]
+# (Kupiec 1995, public methodology; χ²₁ under H0). The risk-model
+# validation loop: estimate (q544) → monitor (this). Breach counting
+# is integer-exact; the LR is a closed scalar formula. --------------------------
+@query(
+    "q584_kupiec_var_backtest",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT LN(b.rev / a.rev) AS r
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    var95 AS (SELECT quantile_cont(r, 0.05) AS v FROM ret),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ret.r < var95.v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM ret, var95
+    )
+    SELECT n AS n_days, x AS n_breaches,
+           CAST({sql_quantize('CAST(x AS DOUBLE) / n', 6)} AS DOUBLE) / 1e6
+               AS breach_rate,
+           CAST({sql_quantize(
+               '-2 * ((n - x) * LN(1 - 0.05) + x * LN(0.05)'
+               '      - (n - x) * LN(1 - CAST(x AS DOUBLE) / n)'
+               '      - x * LN(CAST(x AS DOUBLE) / n))', 6)} AS DOUBLE)
+               / 1e6 AS kupiec_lr
+    FROM cnt
+    """,
+)
+def q584(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = tracked_persist(
+        idx.join(nxt, "x").select(F.log(F.col("rev2") / F.col("rev")).alias("r"))
+    )
+    var95 = ret.agg(F.expr("percentile(r, 0.05)").alias("v"))
+    cnt = ret.crossJoin(F.broadcast(var95)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("r") < F.col("v"), 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    lr = -2 * (
+        (F.col("n") - F.col("x")) * F.log(F.lit(1 - 0.05))
+        + F.col("x") * F.log(F.lit(0.05))
+        - (F.col("n") - F.col("x"))
+        * F.log(1 - F.col("x").cast("double") / F.col("n"))
+        - F.col("x") * F.log(F.col("x").cast("double") / F.col("n"))
+    )
+    return cnt.select(
+        F.col("n").alias("n_days"),
+        F.col("x").alias("n_breaches"),
+        (quantize(F.col("x").cast("double") / F.col("n"), 6) / 1e6).alias(
+            "breach_rate"
+        ),
+        (quantize(lr, 6) / 1e6).alias("kupiec_lr"),
+    )

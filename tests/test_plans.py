@@ -434,6 +434,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q561_sample_entropy_monthly",  # month index over the calendar spine
     "q562_permutation_entropy_monthly",  # month index over the spine
     "q566_forecast_tracking_signal",  # 12-month lag over the month spine
+    "q584_kupiec_var_backtest",  # day index over the daily calendar
+    # spine (q544 argument)
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
