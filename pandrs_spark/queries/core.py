@@ -2341,7 +2341,7 @@ def q215(spark, sf_dir):
     tot AS (SELECT {sql_dsum("revenue", 2)} AS total FROM prev),
     run AS (
         SELECT l_partkey, revenue,
-               SUM(CAST(revenue * 100 + CASE WHEN revenue < 0 THEN -0.5 ELSE 0.5 END AS BIGINT))
+               SUM(CASE WHEN revenue < 0 THEN CAST(CEIL(revenue * 100 - 0.5) AS BIGINT) ELSE CAST(FLOOR(revenue * 100 + 0.5) AS BIGINT) END)
                    OVER (ORDER BY revenue DESC, l_partkey
                          ROWS UNBOUNDED PRECEDING) / 100.0 AS running
         FROM prev

@@ -4006,3 +4006,135 @@ def q580(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+# --- q591: Hosmer-Lemeshow calibration test with a TEMPORAL split —
+# the per-nation urgent-order rate learned on the first half of the
+# calendar scores the second half; nations group into probability
+# bins (ranked over the FIXED 25-nation rollup, q389 argument) and
+# HL = Σ(O_g − E_g)²/(n_g·π̄_g·(1−π̄_g)) tests whether yesterday's
+# rates still calibrate tomorrow — the honest out-of-time version of
+# the in-sample HL (which is identically zero here). ----------------------------
+@query(
+    "q591_hosmer_lemeshow_oot",
+    oracle="""
+    WITH split AS (
+        SELECT MIN(o_orderdate) AS d0,
+               CAST(FLOOR(datediff('day', MIN(o_orderdate),
+                                   MAX(o_orderdate)) / 2.0) AS BIGINT)
+                   AS mid_days
+        FROM orders
+    ),
+    rates AS MATERIALIZED (
+        SELECT c.c_nationkey AS nk,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS p
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        CROSS JOIN split
+        WHERE datediff('day', split.d0, o.o_orderdate) <= split.mid_days
+        GROUP BY nk
+    ),
+    binned AS MATERIALIZED (
+        SELECT nk, p,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY p, nk) - 1)
+                          * 10 / COUNT(*) OVER ()) AS BIGINT) AS b
+        FROM rates
+    ),
+    eval_orders AS MATERIALIZED (
+        SELECT b.b, b.p,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN binned b ON b.nk = c.c_nationkey
+        CROSS JOIN split
+        WHERE datediff('day', split.d0, o.o_orderdate) > split.mid_days
+    ),
+    per_bin AS (
+        SELECT b, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(y) AS DOUBLE) AS o,
+               CAST(SUM(CAST(SIGN(p) * FLOOR(ABS(p) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS e
+        FROM eval_orders GROUP BY b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS n_eval,
+           CAST(CAST(SIGN(hl) * FLOOR(ABS(hl) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS hl_chi2
+    FROM (
+        SELECT n, CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e9 + 0.5)
+                                AS BIGINT)) OVER () AS DOUBLE) / 1e9 AS hl
+        FROM (
+            SELECT n, (o - e) * (o - e) / (n * (e / n) * (1 - e / n)) AS term
+            FROM per_bin
+        ) t
+    ) z
+    GROUP BY hl
+    """,
+)
+def q591(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    split = orders.agg(
+        F.min("o_orderdate").alias("d0"),
+        F.floor(F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2.0)
+        .cast("long")
+        .alias("mid_days"),
+    )
+    rates = (
+        oc.crossJoin(F.broadcast(split))
+        .where(F.datediff("o_orderdate", "d0") <= F.col("mid_days"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("p")
+        )
+    )
+    w_r = Window.orderBy("p", "nk")
+    binned = rates.select(
+        "nk",
+        "p",
+        F.floor(
+            (F.row_number().over(w_r) - 1)
+            * 10
+            / F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    eval_orders = (
+        oc.crossJoin(F.broadcast(split))
+        .where(F.datediff("o_orderdate", "d0") > F.col("mid_days"))
+        .join(F.broadcast(binned), F.col("c_nationkey") == F.col("nk"))
+        .select(
+            "b",
+            "p",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        )
+    )
+    per_bin = tracked_persist(
+        eval_orders.groupBy("b").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("y").cast("double").alias("o"),
+            (F.sum(quantize("p", 9)).cast("double") / 1e9).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / (
+        F.col("n") * (F.col("e") / F.col("n")) * (1 - F.col("e") / F.col("n"))
+    )
+    out = per_bin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.col("n").cast("long")).cast("long").alias("n_eval"),
+        (F.sum(quantize(term, 9)).cast("double") / 1e9).alias("hl"),
+    )
+    return out.select(
+        "n_bins", "n_eval", (quantize("hl", 6) / 1e6).alias("hl_chi2")
+    )

@@ -4546,3 +4546,200 @@ def q575(spark, sf_dir):
             / 1e6
         ).alias("somers_d"),
     )
+
+
+# --- q586: Friedman average ranks + Nemenyi critical-difference
+# post-hoc across market segments — rank the 5 segments within every
+# month by order revenue (a within-block rank: partitioned window,
+# never a global sort), average the ranks, and flag segment pairs
+# whose |ΔR̄| exceeds CD = q*·√(k(k+1)/(12n)) with q* = 2.728 the
+# k=5, α=0.05 studentized-range constant (Demšar 2006 table, public).
+# The post-hoc companion to the §2.12 Friedman test. ----------------------------
+@query(
+    "q586_friedman_nemenyi_segments",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT date_trunc('month', o.o_orderdate) AS mth,
+               c.c_mktsegment AS seg,
+               CAST(SUM({sql_quantize('o.o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY mth, seg
+    ),
+    ranked AS MATERIALIZED (
+        SELECT mth, seg,
+               ROW_NUMBER() OVER (PARTITION BY mth
+                                  ORDER BY rev DESC, seg ASC) AS rk
+        FROM cells
+    ),
+    avg_r AS MATERIALIZED (
+        SELECT seg, CAST(SUM(rk) AS DOUBLE) / COUNT(*) AS rbar,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY seg
+    ),
+    k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                 MAX(n_blocks) AS n FROM avg_r),
+    cd AS (
+        SELECT 2.728 * SQRT(k.k * (k.k + 1) / (12.0 * k.n)) AS cd FROM k
+    ),
+    sig AS (
+        SELECT CAST(SUM(CASE WHEN ABS(a.rbar - b.rbar) > cd.cd
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sig_pairs
+        FROM avg_r a JOIN avg_r b ON a.seg < b.seg CROSS JOIN cd
+    )
+    SELECT a.seg, a.n_blocks,
+           CAST(CAST(SIGN(a.rbar) * FLOOR(ABS(a.rbar) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS avg_rank,
+           CAST(CAST(SIGN(cd.cd) * FLOOR(ABS(cd.cd) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS nemenyi_cd,
+           sig.n_sig_pairs
+    FROM avg_r a, cd, sig
+    ORDER BY a.seg
+    """,
+)
+def q586(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mth"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e6).alias(
+                "rev"
+            )
+        )
+    )
+    w_m = Window.partitionBy("mth").orderBy(F.col("rev").desc(), F.col("seg").asc())
+    ranked = cells.select("mth", "seg", F.row_number().over(w_m).alias("rk"))
+    avg_r = tracked_persist(
+        ranked.groupBy("seg").agg(
+            (F.sum("rk").cast("double") / F.count(F.lit(1))).alias("rbar"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        )
+    )
+    k = avg_r.agg(
+        F.count(F.lit(1)).cast("double").alias("k"), F.max("n_blocks").alias("n")
+    )
+    cd = k.select(
+        (2.728 * F.sqrt(F.col("k") * (F.col("k") + 1) / (12.0 * F.col("n")))).alias(
+            "cd"
+        )
+    )
+    b = avg_r.select(F.col("seg").alias("seg_b"), F.col("rbar").alias("rbar_b"))
+    sig = (
+        avg_r.join(F.broadcast(b), F.col("seg") < F.col("seg_b"))
+        .crossJoin(F.broadcast(cd))
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("rbar") - F.col("rbar_b")) > F.col("cd"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sig_pairs")
+        )
+    )
+    j = avg_r.crossJoin(F.broadcast(cd)).crossJoin(F.broadcast(sig))
+    return j.select(
+        "seg",
+        "n_blocks",
+        (quantize("rbar", 6) / 1e6).alias("avg_rank"),
+        (quantize("cd", 6) / 1e6).alias("nemenyi_cd"),
+        "n_sig_pairs",
+    ).orderBy("seg")
+
+
+# --- q589: intraclass correlation ICC(1,1) of part retail prices
+# within brands — one-way random-effects ANOVA moments with the
+# unbalanced-design group size k₀ = (N − Σn_i²/N)/(k−1):
+# ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW). "How much of price variance is
+# brand identity" — the reliability view that complements q492's
+# Cronbach (items) and q547's Bartlett (variances). -----------------------------
+@query(
+    "q589_icc_brand_prices",
+    oracle=f"""
+    WITH per_b AS MATERIALIZED (
+        SELECT p_brand AS brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('p_retailprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS s,
+               CAST(SUM({sql_quantize('p_retailprice * p_retailprice', -2)})
+                    AS DOUBLE) * 1e2 / 1e6 AS ss
+        FROM part GROUP BY brand
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(n) AS nn,
+               CAST(SUM({sql_quantize('s', 6)}) AS DOUBLE) / 1e6 AS st,
+               CAST(SUM({sql_quantize('ss', 6)}) AS DOUBLE) / 1e6 AS sst,
+               CAST(SUM({sql_quantize('s * s / n', 9)}) AS DOUBLE) / 1e9
+                   AS sgg,
+               SUM(n * n) AS snn
+        FROM per_b
+    ),
+    ms AS (
+        SELECT k, nn,
+               (sgg - st * st / nn) / (k - 1) AS msb,
+               (sst - sgg) / (nn - k) AS msw,
+               (nn - snn / nn) / (k - 1) AS k0
+        FROM agg
+    )
+    SELECT CAST(k AS BIGINT) AS k_brands,
+           CAST(nn AS BIGINT) AS n_parts,
+           CAST({sql_quantize(
+               '(msb - msw) / (msb + (k0 - 1) * msw)', 6)} AS DOUBLE) / 1e6
+               AS icc_1_1
+    FROM ms
+    """,
+)
+def q589(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    part = T(spark, sf_dir, "part")
+    per_b = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("p_retailprice", 2)).cast("double") / 1e2 / 1e3).alias("s"),
+        (
+            F.sum(quantize(F.col("p_retailprice") * F.col("p_retailprice"), -2)).cast(
+                "double"
+            )
+            * 1e2
+            / 1e6
+        ).alias("ss"),
+    )
+    agg = per_b.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("nn"),
+        (F.sum(quantize("s", 6)).cast("double") / 1e6).alias("st"),
+        (F.sum(quantize("ss", 6)).cast("double") / 1e6).alias("sst"),
+        (
+            F.sum(quantize(F.col("s") * F.col("s") / F.col("n"), 9)).cast("double")
+            / 1e9
+        ).alias("sgg"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    ms = agg.selectExpr(
+        "k",
+        "nn",
+        "(sgg - st * st / nn) / (k - 1) AS msb",
+        "(sst - sgg) / (nn - k) AS msw",
+        "(nn - snn / nn) / (k - 1) AS k0",
+    )
+    return ms.select(
+        F.col("k").cast("long").alias("k_brands"),
+        F.col("nn").cast("long").alias("n_parts"),
+        (
+            quantize(
+                (F.col("msb") - F.col("msw"))
+                / (F.col("msb") + (F.col("k0") - 1) * F.col("msw")),
+                6,
+            )
+            / 1e6
+        ).alias("icc_1_1"),
+    )

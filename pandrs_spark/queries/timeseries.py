@@ -5791,7 +5791,11 @@ def q561(spark, sf_dir):
         F.col("v1").alias("bv1"),
         F.col("v2").alias("bv2"),
     )
-    pairs = trip.crossJoin(F.broadcast(rr)).join(b, F.col("xb") > F.col("x"))
+    # broadcast the bounded (~80-row) template side: non-equi pair joins
+    # otherwise compile to CartesianProduct (the q533 lesson)
+    pairs = trip.crossJoin(F.broadcast(rr)).join(
+        F.broadcast(b), F.col("xb") > F.col("x")
+    )
     d2 = F.greatest(F.abs(F.col("v") - F.col("bv")), F.abs(F.col("v1") - F.col("bv1")))
     d3 = F.greatest(d2, F.abs(F.col("v2") - F.col("bv2")))
     cnts = pairs.groupBy("n_months").agg(
@@ -6246,4 +6250,336 @@ def q584(spark, sf_dir):
             "breach_rate"
         ),
         (quantize(lr, 6) / 1e6).alias("kupiec_lr"),
+    )
+
+
+# --- q585: CUSUM-of-squares variance-stability test on the monthly
+# trend residuals (Brown-Durbin-Evans 1975, public methodology):
+# S_t = Σ_{i≤t} e_i² / Σe_i², D = max|S_t − t/n| — flags variance
+# regime changes that q84's mean-CUSUM cannot see. Prefix sums ride
+# the bounded month spine; the argmax month ships with the statistic. -----------
+@query(
+    "q585_cusum_squares_variance",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('e * e', 9)}) AS DOUBLE) / 1e9 AS se
+        FROM resid
+    ),
+    walk AS (
+        SELECT mth, x,
+               SUM(CAST(SIGN(e * e) * FLOOR(ABS(e * e) * 1e9 + 0.5)
+                        AS BIGINT))
+                   OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) / 1e9 AS cse
+        FROM resid
+    ),
+    dev AS (
+        SELECT mth, ABS(cse / tot.se - CAST(x AS DOUBLE) / tot.n) AS dabs
+        FROM walk, tot
+    )
+    SELECT (SELECT n FROM tot) AS n_months,
+           mth AS argmax_month,
+           CAST(CAST(SIGN(dabs) * FLOOR(ABS(dabs) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cusum_sq_d
+    FROM dev
+    ORDER BY CAST(SIGN(dabs) * FLOOR(ABS(dabs) * 1e9 + 0.5) AS BIGINT) DESC,
+             mth ASC
+    LIMIT 1
+    """,
+)
+def q585(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    tot = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(F.col("e") * F.col("e"), 9)).cast("double") / 1e9).alias(
+            "se"
+        ),
+    )
+    w_ord = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    walk = resid.select(
+        "mth",
+        "x",
+        (
+            F.sum(quantize(F.col("e") * F.col("e"), 9)).over(w_ord).cast("double")
+            / 1e9
+        ).alias("cse"),
+    )
+    dev = walk.crossJoin(F.broadcast(tot)).select(
+        "mth",
+        "n",
+        F.abs(
+            F.col("cse") / F.col("se") - F.col("x").cast("double") / F.col("n")
+        ).alias("dabs"),
+    )
+    best = dev.orderBy(quantize("dabs", 9).desc(), F.col("mth").asc()).limit(1)
+    return best.select(
+        F.col("n").alias("n_months"),
+        F.col("mth").alias("argmax_month"),
+        (quantize("dabs", 6) / 1e6).alias("cusum_sq_d"),
+    )
+
+
+# --- q587: geometric-Brownian-motion parameter estimates from daily
+# log returns — σ̂ (annualized, 252 trading days), the log-drift
+# μ̂_log·252, and the GBM percentage drift μ̂_log·252 + σ̂²/2 (Itô
+# correction): the "what volatility does this revenue stream carry"
+# summary a scenario engine (q-Monte-Carlo tier) is parameterized by.
+# Exact moment sums over the calendar-bounded return series. --------------------
+@query(
+    "q587_gbm_parameter_mle",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT LN(b.rev / a.rev) AS r
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9 AS sr,
+               CAST(SUM({sql_quantize('r * r', 12)}) AS DOUBLE) / 1e12 AS srr
+        FROM ret
+    )
+    SELECT n AS n_returns,
+           CAST({sql_quantize('(sr / n) * 252', 6)} AS DOUBLE) / 1e6
+               AS log_drift_annual,
+           CAST({sql_quantize(
+               'SQRT((srr - sr * sr / n) / (n - 1)) * SQRT(252.0)', 6)}
+               AS DOUBLE) / 1e6 AS sigma_annual,
+           CAST({sql_quantize(
+               '(sr / n) * 252'
+               ' + ((srr - sr * sr / n) / (n - 1)) * 252.0 / 2', 6)}
+               AS DOUBLE) / 1e6 AS gbm_drift_annual
+    FROM s
+    """,
+)
+def q587(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = idx.join(nxt, "x").select(F.log(F.col("rev2") / F.col("rev")).alias("r"))
+    s = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("sr"),
+        (F.sum(quantize(F.col("r") * F.col("r"), 12)).cast("double") / 1e12).alias(
+            "srr"
+        ),
+    )
+    return s.selectExpr(
+        "n AS n_returns",
+        "(sr / n) * 252 AS ld",
+        "SQRT((srr - sr * sr / n) / (n - 1)) * SQRT(252.0) AS sa",
+        "(sr / n) * 252 + ((srr - sr * sr / n) / (n - 1)) * 252.0 / 2 AS gd",
+    ).select(
+        "n_returns",
+        (quantize("ld", 6) / 1e6).alias("log_drift_annual"),
+        (quantize("sa", 6) / 1e6).alias("sigma_annual"),
+        (quantize("gd", 6) / 1e6).alias("gbm_drift_annual"),
+    )
+
+
+# --- q588: first-order partial correlation of monthly order count and
+# monthly revenue CONTROLLING for the average unit price:
+# r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "is the
+# count↔revenue link just price mix?" All three Pearson terms come
+# from one exact moment aggregate over the joint month spine; the
+# shared CORR_FORMULA text keeps the arithmetic trees identical. ----------------
+@query(
+    "q588_partial_correlation_price",
+    oracle=f"""
+    WITH {_MONTHLY_JOINT_SQL},
+    withz AS MATERIALIZED (
+        SELECT j.cnt AS xv, j.rev AS yv,
+               j.rev / q.qty AS zv
+        FROM joint j JOIN (
+            SELECT date_trunc('month', l_shipdate) AS mth,
+                   CAST(SUM({sql_quantize('l_quantity', 2)}) AS DOUBLE)
+                       / 1e2 / 1e3 AS qty
+            FROM lineitem GROUP BY mth
+        ) q ON q.mth = j.mth
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('xv', 6)}) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM({sql_quantize('yv', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('zv', 6)}) AS DOUBLE) / 1e6 AS sz,
+               CAST(SUM({sql_quantize('xv * xv', 9)}) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM({sql_quantize('yv * yv', 9)}) AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize('zv * zv', 9)}) AS DOUBLE) / 1e9 AS szz,
+               CAST(SUM({sql_quantize('xv * yv', 9)}) AS DOUBLE) / 1e9 AS sxy,
+               CAST(SUM({sql_quantize('xv * zv', 9)}) AS DOUBLE) / 1e9 AS sxz,
+               CAST(SUM({sql_quantize('yv * zv', 9)}) AS DOUBLE) / 1e9 AS syz
+        FROM withz
+    ),
+    r AS (
+        SELECT n,
+               {CORR_FORMULA.format(n='n', sx='sx', sy='sy', sxx='sxx',
+                                    syy='syy', sxy='sxy')} AS rxy,
+               {CORR_FORMULA.format(n='n', sx='sx', sy='sz', sxx='sxx',
+                                    syy='szz', sxy='sxz')} AS rxz,
+               {CORR_FORMULA.format(n='n', sx='sy', sy='sz', sxx='syy',
+                                    syy='szz', sxy='syz')} AS ryz
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST({sql_quantize('rxy', 6)} AS DOUBLE) / 1e6 AS r_xy,
+           CAST({sql_quantize(
+               '(rxy - rxz * ryz) / SQRT((1 - rxz * rxz) * (1 - ryz * ryz))',
+               6)} AS DOUBLE) / 1e6 AS r_xy_given_z
+    FROM r
+    """,
+)
+def q588(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    joint = _monthly_joint(spark, sf_dir)
+    q = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        (F.sum(quantize("l_quantity", 2)).cast("double") / 1e2 / 1e3).alias("qty")
+    )
+    withz = joint.join(q, "mth").select(
+        F.col("cnt").alias("xv"),
+        F.col("rev").alias("yv"),
+        (F.col("rev") / F.col("qty")).alias("zv"),
+    )
+    s = withz.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("xv", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("yv", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize("zv", 6)).cast("double") / 1e6).alias("sz"),
+        (F.sum(quantize(F.col("xv") * F.col("xv"), 9)).cast("double") / 1e9).alias("sxx"),
+        (F.sum(quantize(F.col("yv") * F.col("yv"), 9)).cast("double") / 1e9).alias("syy"),
+        (F.sum(quantize(F.col("zv") * F.col("zv"), 9)).cast("double") / 1e9).alias("szz"),
+        (F.sum(quantize(F.col("xv") * F.col("yv"), 9)).cast("double") / 1e9).alias("sxy"),
+        (F.sum(quantize(F.col("xv") * F.col("zv"), 9)).cast("double") / 1e9).alias("sxz"),
+        (F.sum(quantize(F.col("yv") * F.col("zv"), 9)).cast("double") / 1e9).alias("syz"),
+    )
+    from pandrs_spark.functions.deterministic import CORR_FORMULA as CF
+
+    r = s.selectExpr(
+        "n",
+        CF.format(n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy") + " AS rxy",
+        CF.format(n="n", sx="sx", sy="sz", sxx="sxx", syy="szz", sxy="sxz") + " AS rxz",
+        CF.format(n="n", sx="sy", sy="sz", sxx="syy", syy="szz", sxy="syz") + " AS ryz",
+    )
+    return r.selectExpr(
+        "CAST(n AS BIGINT) AS n_months",
+        "rxy",
+        "(rxy - rxz * ryz) / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)) AS rp",
+    ).select(
+        "n_months",
+        (quantize("rxy", 6) / 1e6).alias("r_xy"),
+        (quantize("rp", 6) / 1e6).alias("r_xy_given_z"),
+    )
+
+
+# --- q592: (non-seasonal) Mann-Kendall trend test on monthly revenue:
+# S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance
+# V = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 and the continuity-corrected
+# z — the distribution-free significance layer on top of q543's
+# Theil-Sen slope (estimate) and q553's Cox-Stuart (sign pairs at one
+# fixed offset; MK uses ALL pairs). Pairs are the bounded month spine
+# squared; S is pure integer arithmetic. -----------------------------------------
+@query(
+    "q592_mann_kendall_trend",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM idx a JOIN idx b ON b.x > a.x
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tt
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM idx GROUP BY rev)
+        WHERE t > 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    v AS (
+        SELECT (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - ties.tt) / 18.0
+                   AS var
+        FROM nn, ties
+    )
+    SELECT nn.n AS n_months, s.s AS mk_s,
+           CAST({sql_quantize(
+               'CASE WHEN s.s > 0 THEN (s.s - 1) / SQRT(v.var)'
+               '     WHEN s.s < 0 THEN (s.s + 1) / SQRT(v.var)'
+               '     ELSE 0.0 END', 6)} AS DOUBLE) / 1e6 AS mk_z
+    FROM nn, s, v
+    """,
+)
+def q592(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    b = idx.select(F.col("x").alias("xb"), F.col("rev").alias("rb"))
+    s = idx.join(F.broadcast(b), F.col("xb") > F.col("x")).agg(
+        F.sum(
+            F.when(F.col("rb") > F.col("rev"), 1)
+            .when(F.col("rb") < F.col("rev"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    ties = (
+        idx.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    nn = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = nn.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    var = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tt")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").alias("n_months"),
+        F.col("s").alias("mk_s"),
+        (quantize(z, 6) / 1e6).alias("mk_z"),
     )

@@ -4911,8 +4911,9 @@ def q571(spark, sf_dir):
     tot AS (SELECT {sql_dsum("revenue", 2)} AS total FROM rev),
     run AS (
         SELECT l_partkey, revenue,
-               SUM(CAST(revenue * 100 + CASE WHEN revenue < 0 THEN -0.5
-                                             ELSE 0.5 END AS BIGINT))
+               SUM(CASE WHEN revenue < 0
+                        THEN CAST(CEIL(revenue * 100 - 0.5) AS BIGINT)
+                        ELSE CAST(FLOOR(revenue * 100 + 0.5) AS BIGINT) END)
                    OVER (ORDER BY revenue DESC, l_partkey
                          ROWS UNBOUNDED PRECEDING) / 100.0 AS running
         FROM rev
@@ -5260,4 +5261,463 @@ def q578(spark, sf_dir):
     est = (F.col("n1").cast("double") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
     return s.select(
         "n1", "n2", "m", "truth", (quantize(est, 4) / 1e4).alias("chapman_estimate")
+    )
+
+
+# --- q590: Lorenz asymmetry coefficient of customer lifetime spend —
+# S = F(μ) + L(μ) in the discrete convention (share of customers below
+# the mean plus their share of total spend): S < 1 means inequality is
+# driven by many small customers, S > 1 by a few giants — the
+# DIRECTION diagnostic q499's Lorenz deciles and the Gini level both
+# miss (Damgaard & Weiner 2000, public methodology). Two exact
+# aggregates; the below-mean split is one broadcast-scalar comparison. -----------
+@query(
+    "q590_lorenz_asymmetry_spend",
+    oracle=f"""
+    WITH spend AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6 AS lt,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS m
+        FROM spend
+    ),
+    below AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6 AS lb
+        FROM spend, mu WHERE x < mu.m
+    )
+    SELECT mu.n AS n_customers, below.nb AS n_below_mean,
+           CAST({sql_quantize(
+               'CAST(below.nb AS DOUBLE) / mu.n', 6)} AS DOUBLE) / 1e6
+               AS f_mu,
+           CAST({sql_quantize('below.lb / mu.lt', 6)} AS DOUBLE) / 1e6
+               AS l_mu,
+           CAST({sql_quantize(
+               'CAST(below.nb AS DOUBLE) / mu.n + below.lb / mu.lt', 6)}
+               AS DOUBLE) / 1e6 AS lorenz_asymmetry
+    FROM mu, below
+    """,
+)
+def q590(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    spend = tracked_persist(
+        orders.groupBy("o_custkey").agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e3).alias(
+                "x"
+            )
+        )
+    )
+    mu = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("lt"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    below = spend.crossJoin(F.broadcast(mu)).where(F.col("x") < F.col("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("lb"),
+    )
+    j = mu.crossJoin(F.broadcast(below))
+    return j.select(
+        F.col("n").alias("n_customers"),
+        F.col("nb").alias("n_below_mean"),
+        (quantize(F.col("nb").cast("double") / F.col("n"), 6) / 1e6).alias("f_mu"),
+        (quantize(F.col("lb") / F.col("lt"), 6) / 1e6).alias("l_mu"),
+        (
+            quantize(
+                F.col("nb").cast("double") / F.col("n") + F.col("lb") / F.col("lt"),
+                6,
+            )
+            / 1e6
+        ).alias("lorenz_asymmetry"),
+    )
+
+
+# --- q593: greedy fractional-knapsack promotion budget — rank parts
+# by profit density (margin per unit of inventory cost), take whole
+# parts until the 10M cost budget, fractionally include the marginal
+# part: the classic LP-relaxation optimum (exact for fractional
+# knapsack). Ranking + running cost ride the q216 distributed prefix
+# fold — no one-task window. Output: parts funded, budget used, total
+# margin captured, and the marginal density (the shadow price). -----------------
+@query(
+    "q593_knapsack_promo_budget",
+    oracle=f"""
+    WITH per_p AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(SUM({sql_quantize(
+                   'l_extendedprice * (1 - l_discount) * 0.1', 2)})
+                    AS DOUBLE) / 1e2 AS margin,
+               CAST(SUM({sql_quantize('l_extendedprice * 0.5', 2)})
+                    AS DOUBLE) / 1e2 AS cost
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS MATERIALIZED (
+        SELECT l_partkey, margin, cost, margin / cost AS density,
+               -- FLOOR(x + 0.5), not CAST(x + 0.5): Spark's double→long
+               -- cast truncates, DuckDB's rounds — mirror the Spark fold
+               SUM(CAST(FLOOR(cost * 100 + 0.5) AS BIGINT))
+                   OVER (ORDER BY margin / cost DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS run_cost
+        FROM per_p
+    ),
+    funded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+               CAST(SUM({sql_quantize('margin', 2)}) AS DOUBLE) / 1e2
+                   AS full_margin,
+               MAX(run_cost) AS used
+        FROM ranked WHERE run_cost <= 10000000.0
+    ),
+    marginal AS (
+        SELECT density, margin, cost, run_cost FROM ranked
+        WHERE run_cost > 10000000.0
+        ORDER BY run_cost ASC LIMIT 1
+    )
+    SELECT funded.n_full AS n_parts_funded,
+           CAST({sql_quantize('funded.used', 2)} AS DOUBLE) / 1e2 / 1e6
+               AS budget_used_m,
+           CAST({sql_quantize(
+               'funded.full_margin + marginal.margin'
+               ' * (10000000.0 - funded.used) / marginal.cost', 2)}
+               AS DOUBLE) / 1e2 / 1e6 AS total_margin_m,
+           CAST({sql_quantize('marginal.density', 6)} AS DOUBLE) / 1e6
+               AS shadow_density
+    FROM funded, marginal
+    """,
+)
+def q593(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    per_p = li.groupBy("l_partkey").agg(
+        (
+            F.sum(
+                quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 0.1, 2)
+            ).cast("double")
+            / 1e2
+        ).alias("margin"),
+        (
+            F.sum(quantize(F.col("l_extendedprice") * 0.5, 2)).cast("double") / 1e2
+        ).alias("cost"),
+    )
+    per_p = per_p.withColumn("density", F.col("margin") / F.col("cost"))
+    ranked = tracked_persist(
+        global_prefix_sum(
+            per_p,
+            [F.desc("density"), F.asc("l_partkey")],
+            "cost",
+            out_col="run_cost",
+            scale=2,
+        )
+    )
+    funded = ranked.where(F.col("run_cost") <= 10000000.0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        (F.sum(quantize("margin", 2)).cast("double") / 1e2).alias("full_margin"),
+        F.max("run_cost").alias("used"),
+    )
+    marginal = (
+        ranked.where(F.col("run_cost") > 10000000.0)
+        .orderBy(F.col("run_cost").asc())
+        .limit(1)
+        .select("density", "margin", "cost")
+    )
+    j = funded.crossJoin(F.broadcast(marginal))
+    total = F.col("full_margin") + F.col("margin") * (
+        10000000.0 - F.col("used")
+    ) / F.col("cost")
+    return j.select(
+        F.col("n_full").alias("n_parts_funded"),
+        (quantize("used", 2) / 1e2 / 1e6).alias("budget_used_m"),
+        (quantize(total, 2) / 1e2 / 1e6).alias("total_margin_m"),
+        (quantize("density", 6) / 1e6).alias("shadow_density"),
+    )
+
+
+# --- q594: Kendall tau-b stability of the brand league table — how
+# consistent are the revenue ranking and the unit-volume ranking of
+# the 25 brands? Exact concordant/discordant counting over the bounded
+# brand-pair grid with the tau-b tie normalization:
+# τ_b = (C − D)/√((n0 − t_x)(n0 − t_y)). The "does price mix reorder
+# the league" check next to q494's Kendall-W (many judges; this is
+# two). -----------------------------------------------------------------------------
+@query(
+    "q594_kendall_taub_brand_league",
+    oracle=f"""
+    WITH per_b AS MATERIALIZED (
+        SELECT p.p_brand AS brand,
+               CAST(SUM({sql_quantize(
+                   'l.l_extendedprice * (1 - l.l_discount)', 2)})
+                    AS DOUBLE) / 1e2 AS rev,
+               CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                   / 1e2 AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (b.rev > a.rev AND b.qty > a.qty)
+                               OR (b.rev < a.rev AND b.qty < a.qty)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+               CAST(SUM(CASE WHEN (b.rev > a.rev AND b.qty < a.qty)
+                               OR (b.rev < a.rev AND b.qty > a.qty)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+               CAST(SUM(CASE WHEN b.rev = a.rev AND b.qty <> a.qty
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN b.qty = a.qty AND b.rev <> a.rev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM per_b a JOIN per_b b ON a.brand < b.brand
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_b) AS n_brands,
+           cc AS concordant, dd AS discordant,
+           CAST({sql_quantize(
+               '(CAST(cc AS DOUBLE) - dd)'
+               ' / SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty))', 6)}
+               AS DOUBLE) / 1e6 AS kendall_tau_b
+    FROM pairs
+    """,
+)
+def q594(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    per_b = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (
+                F.sum(
+                    quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+                ).cast("double")
+                / 1e2
+            ).alias("rev"),
+            (F.sum(quantize("l_quantity", 2)).cast("double") / 1e2).alias("qty"),
+        )
+    )
+    b = per_b.select(
+        F.col("brand").alias("brand_b"),
+        F.col("rev").alias("rev_b"),
+        F.col("qty").alias("qty_b"),
+    )
+    conc = ((F.col("rev_b") > F.col("rev")) & (F.col("qty_b") > F.col("qty"))) | (
+        (F.col("rev_b") < F.col("rev")) & (F.col("qty_b") < F.col("qty"))
+    )
+    disc = ((F.col("rev_b") > F.col("rev")) & (F.col("qty_b") < F.col("qty"))) | (
+        (F.col("rev_b") < F.col("rev")) & (F.col("qty_b") > F.col("qty"))
+    )
+    tx = (F.col("rev_b") == F.col("rev")) & (F.col("qty_b") != F.col("qty"))
+    ty = (F.col("qty_b") == F.col("qty")) & (F.col("rev_b") != F.col("rev"))
+    pairs = per_b.join(F.broadcast(b), F.col("brand") < F.col("brand_b")).agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("cc"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("dd"),
+        F.sum(F.when(tx, 1).otherwise(0)).cast("long").alias("tx"),
+        F.sum(F.when(ty, 1).otherwise(0)).cast("long").alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    nb = per_b.agg(F.count(F.lit(1)).cast("long").alias("n_brands"))
+    j = nb.crossJoin(F.broadcast(pairs))
+    tau = (F.col("cc").cast("double") - F.col("dd")) / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double") * (F.col("n0") - F.col("ty"))
+    )
+    return j.select(
+        "n_brands",
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        (quantize(tau, 6) / 1e6).alias("kendall_tau_b"),
+    )
+
+
+# --- q595: market beta of each brand's monthly revenue against the
+# total-market series — β_b = Cov(r_b, r_m)/Var(r_m) over the month
+# spine, the factor-exposure view of the catalog ("which brands
+# amplify demand cycles, which dampen them"). Brand×month cells from
+# one fact aggregate; the market series is their rollup; covariances
+# are exact quantized sums over bounded cells. -----------------------------------
+@query(
+    "q595_brand_market_beta",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS rb
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, mth
+    ),
+    mkt AS MATERIALIZED (
+        SELECT mth, CAST(SUM({sql_quantize('rb', 6)}) AS DOUBLE) / 1e6 AS rm
+        FROM cells GROUP BY mth
+    ),
+    s AS (
+        SELECT c.brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('c.rb', 6)}) AS DOUBLE) / 1e6 AS sb,
+               CAST(SUM({sql_quantize('m.rm', 6)}) AS DOUBLE) / 1e6 AS sm,
+               CAST(SUM({sql_quantize('c.rb * m.rm', 9)}) AS DOUBLE) / 1e9
+                   AS sbm,
+               CAST(SUM({sql_quantize('m.rm * m.rm', 9)}) AS DOUBLE) / 1e9
+                   AS smm
+        FROM cells c JOIN mkt m ON m.mth = c.mth
+        GROUP BY c.brand
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_months,
+           CAST({sql_quantize(
+               '(sbm - sb * sm / n) / (smm - sm * sm / n)', 6)} AS DOUBLE)
+               / 1e6 AS market_beta
+    FROM s
+    ORDER BY brand
+    """,
+)
+def q595(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    cells = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+        )
+        .agg(
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 1e2 / 1e6).alias(
+                "rb"
+            )
+        )
+    )
+    mkt = cells.groupBy("mth").agg(
+        (F.sum(quantize("rb", 6)).cast("double") / 1e6).alias("rm")
+    )
+    s = (
+        cells.join(F.broadcast(mkt), "mth")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (F.sum(quantize("rb", 6)).cast("double") / 1e6).alias("sb"),
+            (F.sum(quantize("rm", 6)).cast("double") / 1e6).alias("sm"),
+            (F.sum(quantize(F.col("rb") * F.col("rm"), 9)).cast("double") / 1e9).alias(
+                "sbm"
+            ),
+            (F.sum(quantize(F.col("rm") * F.col("rm"), 9)).cast("double") / 1e9).alias(
+                "smm"
+            ),
+        )
+    )
+    beta = (F.col("sbm") - F.col("sb") * F.col("sm") / F.col("n")) / (
+        F.col("smm") - F.col("sm") * F.col("sm") / F.col("n")
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_months"),
+        (quantize(beta, 6) / 1e6).alias("market_beta"),
+    ).orderBy("brand")
+
+
+# --- q596: monthly brand-concentration (HHI) trend — compute the
+# Herfindahl index of brand revenue shares per month, then the OLS
+# slope of HHI on the month index: "is the catalog concentrating or
+# diversifying?" The dynamic extension of q497's static diversity
+# snapshot. Shares are per-month bounded cells; the trend is the
+# closed-form fit over the calendar spine. ----------------------------------------
+@query(
+    "q596_hhi_concentration_trend",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS rb
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, mth
+    ),
+    tot AS MATERIALIZED (
+        SELECT mth, CAST(SUM({sql_quantize('rb', 6)}) AS DOUBLE) / 1e6 AS rm
+        FROM cells GROUP BY mth
+    ),
+    hhi AS MATERIALIZED (
+        SELECT c.mth,
+               CAST(SUM({sql_quantize(
+                   '(c.rb / t.rm) * (c.rb / t.rm)', 12)}) AS DOUBLE) / 1e12
+                   AS h
+        FROM cells c JOIN tot t ON t.mth = c.mth
+        GROUP BY c.mth
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, h FROM hhi
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(CAST(x AS DOUBLE)) AS sx,
+               SUM(CAST(x AS DOUBLE) * x) AS sxx,
+               CAST(SUM({sql_quantize('h', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('x * h', 9)}) AS DOUBLE) / 1e9 AS sxy
+        FROM idx
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST({sql_quantize('sy / n', 6)} AS DOUBLE) / 1e6 AS mean_hhi,
+           CAST({sql_quantize(
+               '(n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e4', 6)}
+               AS DOUBLE) / 1e6 AS hhi_slope_x1e4
+    FROM fit
+    """,
+)
+def q596(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    cells = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+        )
+        .agg(
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 1e2 / 1e6).alias(
+                "rb"
+            )
+        )
+    )
+    tot = cells.groupBy("mth").agg(
+        (F.sum(quantize("rb", 6)).cast("double") / 1e6).alias("rm")
+    )
+    hhi = (
+        cells.join(F.broadcast(tot), "mth")
+        .groupBy("mth")
+        .agg(
+            (
+                F.sum(
+                    quantize((F.col("rb") / F.col("rm")) * (F.col("rb") / F.col("rm")), 12)
+                ).cast("double")
+                / 1e12
+            ).alias("h")
+        )
+    )
+    w_ord = Window.orderBy("mth")
+    idx = hhi.select(F.row_number().over(w_ord).alias("x"), "h")
+    fit = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        (F.sum(quantize("h", 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("h"), 9)).cast("double") / 1e9).alias(
+            "sxy"
+        ),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_months"),
+        (quantize(F.col("sy") / F.col("n"), 6) / 1e6).alias("mean_hhi"),
+        (quantize(slope * 1e4, 6) / 1e6).alias("hhi_slope_x1e4"),
     )

@@ -436,6 +436,12 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q566_forecast_tracking_signal",  # 12-month lag over the month spine
     "q584_kupiec_var_backtest",  # day index over the daily calendar
     # spine (q544 argument)
+    "q585_cusum_squares_variance",  # prefix sums over the month spine
+    "q587_gbm_parameter_mle",  # day index over the daily calendar spine
+    "q591_hosmer_lemeshow_oot",  # probability-bin ranks over the FIXED
+    # 25-nation rollup (q389 argument)
+    "q592_mann_kendall_trend",  # month index over the calendar spine
+    "q596_hhi_concentration_trend",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
