@@ -4736,3 +4736,71 @@ def q542(spark, sf_dir):
         (quantize("chi2", 6) / 1e6).alias("chi2"),
         (quantize(v, 6) / 1e6).alias("cramers_v"),
     )
+
+
+# --- q600: the inspection paradox, quantified — per-user event
+# interarrival gaps vs their LENGTH-BIASED mean E[g²]/E[g] (what a
+# random-instant observer experiences): paradox ratio = 1 + CV². The
+# queueing-theory sanity check for any "average wait" dashboard
+# number. Gaps ride the per-user partitioned window (never global);
+# moments are exact quantized sums. ----------------------------------------------
+@query(
+    "q600_inspection_paradox_gaps",
+    oracle="""
+    WITH gaps AS MATERIALIZED (
+        SELECT CAST(date_diff('second', lag(ts) OVER w, ts) AS DOUBLE)
+                   / 3600.0 AS g
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY lag(ts) OVER w IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(g) * FLOOR(ABS(g) * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS sg,
+               CAST(SUM(CAST(SIGN(g * g) * FLOOR(ABS(g * g) * 1e6 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e6 AS sgg
+        FROM gaps
+    )
+    SELECT n AS n_gaps,
+           CAST(CAST(SIGN(m) * FLOOR(ABS(m) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mean_gap_h,
+           CAST(CAST(SIGN(lb) * FLOOR(ABS(lb) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS length_biased_mean_h,
+           CAST(CAST(SIGN(lb / m) * FLOOR(ABS(lb / m) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS paradox_ratio
+    FROM (SELECT n, sg / n AS m, (sgg / n) / (sg / n) AS lb FROM s)
+    """,
+)
+def q600(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts").over(w_u))
+        .where(F.col("prev").isNotNull())
+        .select(
+            (
+                (F.unix_timestamp("ts") - F.unix_timestamp("prev")).cast("double")
+                / 3600.0
+            ).alias("g")
+        )
+    )
+    s = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("g", 6)).cast("double") / 1e6).alias("sg"),
+        (F.sum(quantize(F.col("g") * F.col("g"), 6)).cast("double") / 1e6).alias(
+            "sgg"
+        ),
+    )
+    out = s.selectExpr(
+        "n AS n_gaps", "sg / n AS m", "(sgg / n) / (sg / n) AS lb"
+    )
+    return out.select(
+        "n_gaps",
+        (quantize("m", 6) / 1e6).alias("mean_gap_h"),
+        (quantize("lb", 6) / 1e6).alias("length_biased_mean_h"),
+        (quantize(F.col("lb") / F.col("m"), 6) / 1e6).alias("paradox_ratio"),
+    )

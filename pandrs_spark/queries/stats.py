@@ -4743,3 +4743,86 @@ def q589(spark, sf_dir):
             / 1e6
         ).alias("icc_1_1"),
     )
+
+
+# --- q597: two-sample Poisson rate test — did the urgent-order
+# arrival RATE change between the first and second halves of the
+# calendar? λ̂_i = x_i/T_i with exposure in days;
+# z = (λ̂₁ − λ̂₂)/√(λ̂₁/T₁ + λ̂₂/T₂) (normal approximation to the
+# E-test, public methodology). Counting + exposures are exact
+# integers; one scalar formula at the end. ---------------------------------------
+@query(
+    "q597_poisson_rate_two_period",
+    oracle="""
+    WITH span AS (
+        SELECT MIN(o_orderdate) AS d0,
+               CAST(FLOOR(datediff('day', MIN(o_orderdate),
+                                   MAX(o_orderdate)) / 2.0) AS BIGINT)
+                   AS mid_days,
+               CAST(datediff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    AS BIGINT) AS total_days
+        FROM orders
+    ),
+    cnt AS (
+        SELECT CAST(SUM(CASE WHEN datediff('day', span.d0, o.o_orderdate)
+                                  <= span.mid_days
+                              AND o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN datediff('day', span.d0, o.o_orderdate)
+                                  > span.mid_days
+                              AND o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+               MAX(span.mid_days) + 1 AS t1,
+               MAX(span.total_days) - MAX(span.mid_days) AS t2
+        FROM orders o CROSS JOIN span
+    )
+    SELECT x1 AS n_urgent_p1, x2 AS n_urgent_p2,
+           CAST(t1 AS BIGINT) AS days_p1, CAST(t2 AS BIGINT) AS days_p2,
+           CAST(CAST(SIGN(z) * FLOOR(ABS(z) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS rate_z
+    FROM (
+        SELECT x1, x2, t1, t2,
+               (CAST(x1 AS DOUBLE) / t1 - CAST(x2 AS DOUBLE) / t2)
+               / SQRT(CAST(x1 AS DOUBLE) / t1 / t1
+                      + CAST(x2 AS DOUBLE) / t2 / t2) AS z
+        FROM cnt
+    )
+    """,
+)
+def q597(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    span = orders.agg(
+        F.min("o_orderdate").alias("d0"),
+        F.floor(F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2.0)
+        .cast("long")
+        .alias("mid_days"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("total_days"),
+    )
+    j = orders.crossJoin(F.broadcast(span))
+    dd = F.datediff("o_orderdate", "d0")
+    urg = F.col("o_orderpriority") == "1-URGENT"
+    cnt = j.agg(
+        F.sum(F.when((dd <= F.col("mid_days")) & urg, 1).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when((dd > F.col("mid_days")) & urg, 1).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+        (F.max("mid_days") + 1).alias("t1"),
+        (F.max("total_days") - F.max("mid_days")).alias("t2"),
+    )
+    z = (F.col("x1").cast("double") / F.col("t1") - F.col("x2").cast("double") / F.col("t2")) / F.sqrt(
+        F.col("x1").cast("double") / F.col("t1") / F.col("t1")
+        + F.col("x2").cast("double") / F.col("t2") / F.col("t2")
+    )
+    return cnt.select(
+        F.col("x1").alias("n_urgent_p1"),
+        F.col("x2").alias("n_urgent_p2"),
+        F.col("t1").cast("long").alias("days_p1"),
+        F.col("t2").cast("long").alias("days_p2"),
+        (quantize(z, 6) / 1e6).alias("rate_z"),
+    )

@@ -5578,3 +5578,142 @@ def q582(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- q601: Burrows' Delta stylometric distance between languages —
+# the authorship-attribution classic (Burrows 2002, public
+# methodology): take the 30 globally most frequent tokens, z-score
+# each language's relative frequencies across the 5 languages, and
+# Delta = mean |z₁ − z₂| per language pair. The forensic complement to
+# q569's perplexity matrix (model-based) — this one is
+# frequency-geometry only. Everything after the token count lives on
+# the bounded 30-word × 5-language grid. ------------------------------------------
+@query(
+    "q601_burrows_delta_langs",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+        SELECT lang, t.tok
+        FROM (SELECT lang, string_split_regex(lower(text), '\s+') AS ws
+              FROM documents),
+             UNNEST(ws) AS t(tok)
+    ),
+    top_w AS MATERIALIZED (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ORDER BY c DESC, tok ASC LIMIT 30
+        )
+    ),
+    nl AS MATERIALIZED (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM toks GROUP BY lang
+    ),
+    rel AS MATERIALIZED (
+        SELECT l.lang, w.tok,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) / l.n AS f
+        FROM nl l CROSS JOIN top_w w
+        LEFT JOIN (
+            SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM toks GROUP BY lang, tok
+        ) c ON c.lang = l.lang AND c.tok = w.tok
+    ),
+    wstats AS MATERIALIZED (
+        SELECT tok,
+               CAST(SUM(CAST(SIGN(f) * FLOOR(ABS(f) * 1e12 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e12 / COUNT(*) AS mu,
+               SQRT((CAST(SUM(CAST(SIGN(f * f)
+                                   * FLOOR(ABS(f * f) * 1e15 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1e15
+                     - CAST(SUM(CAST(SIGN(f) * FLOOR(ABS(f) * 1e12 + 0.5)
+                                     AS BIGINT)) AS DOUBLE) / 1e12
+                       * (CAST(SUM(CAST(SIGN(f) * FLOOR(ABS(f) * 1e12 + 0.5)
+                                        AS BIGINT)) AS DOUBLE) / 1e12)
+                       / COUNT(*))
+                    / (COUNT(*) - 1)) AS sd
+        FROM rel GROUP BY tok
+    ),
+    zs AS MATERIALIZED (
+        SELECT r.lang, r.tok, (r.f - w.mu) / w.sd AS z
+        FROM rel r JOIN wstats w ON w.tok = r.tok
+        WHERE w.sd > 0
+    )
+    SELECT lang_a, lang_b,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS burrows_delta
+    FROM (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(SUM(CAST(SIGN(ABS(a.z - b.z))
+                             * FLOOR(ABS(ABS(a.z - b.z)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS d
+        FROM zs a JOIN zs b ON b.tok = a.tok AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    ORDER BY lang_a, lang_b
+    """,
+)
+def q601(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+
+    docs = fan_out(T(spark, sf_dir, "documents").select("lang", "text"))
+    toks = tracked_persist(
+        docs.select("lang", F.explode(tokens("text")).alias("tok"))
+    )
+    top_w = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(30)
+        .select("tok")
+    )
+    nl = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cnt = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    rel = (
+        nl.crossJoin(F.broadcast(top_w))
+        .join(cnt, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            (F.coalesce(F.col("c"), F.lit(0.0)) / F.col("n")).alias("f"),
+        )
+    )
+    rel = tracked_persist(rel)
+    wstats = rel.groupBy("tok").agg(
+        (F.sum(quantize("f", 12)).cast("double") / 1e12 / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+        F.sqrt(
+            (
+                F.sum(quantize(F.col("f") * F.col("f"), 15)).cast("double") / 1e15
+                - (F.sum(quantize("f", 12)).cast("double") / 1e12)
+                * (F.sum(quantize("f", 12)).cast("double") / 1e12)
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    zs = (
+        rel.join(F.broadcast(wstats), "tok")
+        .where(F.col("sd") > 0)
+        .select("lang", "tok", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z"))
+    )
+    b = zs.select(
+        F.col("lang").alias("lang_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("z").alias("zb"),
+    )
+    pairs = zs.join(
+        F.broadcast(b),
+        (F.col("tok") == F.col("tok_b")) & (F.col("lang") < F.col("lang_b")),
+    )
+    out = pairs.groupBy(F.col("lang").alias("lang_a"), "lang_b").agg(
+        (
+            F.sum(quantize(F.abs(F.col("z") - F.col("zb")), 9)).cast("double")
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("d")
+    )
+    return out.select(
+        "lang_a", "lang_b", (quantize("d", 6) / 1e6).alias("burrows_delta")
+    ).orderBy("lang_a", "lang_b")

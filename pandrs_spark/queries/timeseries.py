@@ -6583,3 +6583,343 @@ def q592(spark, sf_dir):
         F.col("s").alias("mk_s"),
         (quantize(z, 6) / 1e6).alias("mk_z"),
     )
+
+
+# --- q598: Shewhart X̄/R control chart on weekly subgroups of daily
+# revenue — classic SPC with n=7 subgroup constants A2=0.419,
+# D3=0.076, D4=1.924 (published factors): center lines from the
+# grand mean / mean range, limit-violation counts for both charts.
+# Complete 7-day weeks only (count fence); subgroup stats are one
+# aggregate, violations a bounded second pass. -----------------------------------
+@query(
+    "q598_shewhart_xbar_r_chart",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d, date_trunc('week', l_shipdate) AS wk,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d, wk
+    ),
+    sub AS MATERIALIZED (
+        SELECT wk,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS xbar,
+               MAX(rev) - MIN(rev) AS r
+        FROM daily GROUP BY wk
+        HAVING COUNT(*) = 7
+    ),
+    lines AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               CAST(SUM({sql_quantize('xbar', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS xbb,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS rbar
+        FROM sub
+    )
+    SELECT l.n_weeks,
+           CAST({sql_quantize('l.xbb', 6)} AS DOUBLE) / 1e6 AS xbar_center,
+           CAST({sql_quantize('l.rbar', 6)} AS DOUBLE) / 1e6 AS r_center,
+           CAST(SUM(CASE WHEN s.xbar > l.xbb + 0.419 * l.rbar
+                           OR s.xbar < l.xbb - 0.419 * l.rbar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS xbar_violations,
+           CAST(SUM(CASE WHEN s.r > 1.924 * l.rbar
+                           OR s.r < 0.076 * l.rbar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS r_violations
+    FROM sub s, lines l
+    GROUP BY l.n_weeks, l.xbb, l.rbar
+    """,
+)
+def q598(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").alias("d"),
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+    ).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    sub = tracked_persist(
+        daily.groupBy("wk")
+        .agg(
+            (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+                "xbar"
+            ),
+            (F.max("rev") - F.min("rev")).alias("r"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .where(F.col("nd") == 7)
+    )
+    lines = sub.agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        (F.sum(quantize("xbar", 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "xbb"
+        ),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "rbar"
+        ),
+    )
+    j = sub.crossJoin(F.broadcast(lines))
+    out = j.groupBy("n_weeks", "xbb", "rbar").agg(
+        F.sum(
+            F.when(
+                (F.col("xbar") > F.col("xbb") + 0.419 * F.col("rbar"))
+                | (F.col("xbar") < F.col("xbb") - 0.419 * F.col("rbar")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("xbar_violations"),
+        F.sum(
+            F.when(
+                (F.col("r") > 1.924 * F.col("rbar"))
+                | (F.col("r") < 0.076 * F.col("rbar")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_violations"),
+    )
+    return out.select(
+        "n_weeks",
+        (quantize("xbb", 6) / 1e6).alias("xbar_center"),
+        (quantize("rbar", 6) / 1e6).alias("r_center"),
+        "xbar_violations",
+        "r_violations",
+    )
+
+
+# --- q599: EWMA control chart (λ=0.2, L=3) on monthly revenue — the
+# small-shift detector: z_t = λΣ(1−λ)^{t−i}x_i + (1−λ)^t·x̄₀ computed
+# NON-recursively as a bounded weighted pair-join over the month spine
+# (the (1−λ)^k weights come from exact integer powers, identical on
+# both engines), with time-varying limits
+# x̄ ± L·σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t})). Counts violations. --------------------------
+@query(
+    "q599_ewma_control_chart",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS mu,
+               SQRT((CAST(SUM({sql_quantize('rev * rev', 9)}) AS DOUBLE)
+                     / 1e9
+                     - CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                       * (CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE)
+                          / 1e6) / COUNT(*))
+                    / (COUNT(*) - 1)) AS sd
+        FROM idx
+    ),
+    z AS MATERIALIZED (
+        SELECT b.x,
+               CAST(SUM({sql_quantize(
+                   '0.2 * POWER(0.8, b.x - a.x) * a.rev', 9)}) AS DOUBLE)
+                   / 1e9
+                 + POWER(0.8, b.x) * base.mu AS zt
+        FROM idx a JOIN idx b ON a.x <= b.x
+        CROSS JOIN base
+        GROUP BY b.x, base.mu
+    ),
+    lim AS (
+        SELECT z.x, z.zt,
+               base.mu + 3 * base.sd
+                   * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * z.x))) AS ucl,
+               base.mu - 3 * base.sd
+                   * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * z.x))) AS lcl
+        FROM z, base
+    )
+    SELECT (SELECT n FROM base) AS n_months,
+           CAST(SUM(CASE WHEN zt > ucl OR zt < lcl THEN 1 ELSE 0 END)
+                AS BIGINT) AS ewma_violations,
+           CAST(CAST(SIGN(MAX(zt)) * FLOOR(ABS(MAX(zt)) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS max_ewma
+    FROM lim
+    """,
+)
+def q599(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    base = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+        F.sqrt(
+            (
+                F.sum(quantize(F.col("rev") * F.col("rev"), 9)).cast("double") / 1e9
+                - (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                * (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    b = idx.select(F.col("x").alias("xb"))
+    z = (
+        idx.join(F.broadcast(b), F.col("x") <= F.col("xb"))
+        .crossJoin(F.broadcast(base))
+        .groupBy("xb", "mu")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        0.2 * F.pow(F.lit(0.8), F.col("xb") - F.col("x")) * F.col("rev"),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("wsum")
+        )
+        .select(
+            "xb",
+            (F.col("wsum") + F.pow(F.lit(0.8), F.col("xb")) * F.col("mu")).alias(
+                "zt"
+            ),
+        )
+    )
+    lim = z.crossJoin(F.broadcast(base)).select(
+        "zt",
+        "n",
+        (
+            F.col("mu")
+            + 3
+            * F.col("sd")
+            * F.sqrt(0.2 / 1.8 * (1 - F.pow(F.lit(0.8), 2 * F.col("xb"))))
+        ).alias("ucl"),
+        (
+            F.col("mu")
+            - 3
+            * F.col("sd")
+            * F.sqrt(0.2 / 1.8 * (1 - F.pow(F.lit(0.8), 2 * F.col("xb"))))
+        ).alias("lcl"),
+    )
+    out = lim.groupBy("n").agg(
+        F.sum(
+            F.when((F.col("zt") > F.col("ucl")) | (F.col("zt") < F.col("lcl")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("ewma_violations"),
+        F.max("zt").alias("mz"),
+    )
+    return out.select(
+        F.col("n").alias("n_months"),
+        "ewma_violations",
+        (quantize("mz", 6) / 1e6).alias("max_ewma"),
+    )
+
+
+# --- q602: integrated autocorrelation time of monthly revenue —
+# τ_int = 1 + 2Σ_{l=1..10} ρ̂_l and the effective sample size
+# n_eff = n/τ_int: "how many independent observations does this
+# series really contain" (the MCMC-diagnostics view of q48's ACF).
+# Lag pairs are equi-joins on the month index; each ρ̂_l uses the
+# standard biased estimator over the full-series mean and variance. -------------
+@query(
+    "q602_integrated_autocorr_time",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS m
+        FROM idx
+    ),
+    c0 AS (
+        SELECT CAST(SUM({sql_quantize('(rev - m) * (rev - m)', 9)})
+                    AS DOUBLE) / 1e9 AS c
+        FROM idx, mu
+    ),
+    lags AS (
+        SELECT l.lag,
+               CAST(SUM({sql_quantize(
+                   '(a.rev - mu.m) * (b.rev - mu.m)', 9)}) AS DOUBLE) / 1e9
+                   AS cl
+        FROM idx a
+        CROSS JOIN (SELECT UNNEST(generate_series(1, 10)) AS lag) l
+        JOIN idx b ON b.x = a.x + l.lag
+        CROSS JOIN mu
+        GROUP BY l.lag
+    ),
+    tau AS (
+        SELECT 1 + 2 * CAST(SUM({sql_quantize('cl / c0.c', 9)}) AS DOUBLE)
+                   / 1e9 AS t
+        FROM lags, c0
+    )
+    SELECT mu.n AS n_months,
+           CAST({sql_quantize('tau.t', 6)} AS DOUBLE) / 1e6 AS tau_int,
+           CAST({sql_quantize('mu.n / tau.t', 6)} AS DOUBLE) / 1e6
+               AS effective_n
+    FROM mu, tau
+    """,
+)
+def q602(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    mu = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    c0 = idx.crossJoin(F.broadcast(mu)).agg(
+        (
+            F.sum(quantize((F.col("rev") - F.col("m")) * (F.col("rev") - F.col("m")), 9))
+            .cast("double")
+            / 1e9
+        ).alias("c")
+    )
+    lagged = idx.select(
+        F.col("x"),
+        F.col("rev"),
+        F.explode(F.array(*[F.lit(v) for v in range(1, 11)])).alias("lag"),
+    )
+    b = idx.select(F.col("x").alias("xb"), F.col("rev").alias("rb"))
+    lags = (
+        lagged.withColumn("xk", F.col("x") + F.col("lag"))
+        .join(b, F.col("xb") == F.col("xk"))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("lag")
+        .agg(
+            (
+                F.sum(
+                    quantize((F.col("rev") - F.col("m")) * (F.col("rb") - F.col("m")), 9)
+                ).cast("double")
+                / 1e9
+            ).alias("cl")
+        )
+    )
+    tau = lags.crossJoin(F.broadcast(c0)).agg(
+        (
+            1
+            + 2 * F.sum(quantize(F.col("cl") / F.col("c"), 9)).cast("double") / 1e9
+        ).alias("t")
+    )
+    j = mu.crossJoin(F.broadcast(tau))
+    return j.select(
+        F.col("n").alias("n_months"),
+        (quantize("t", 6) / 1e6).alias("tau_int"),
+        (quantize(F.col("n") / F.col("t"), 6) / 1e6).alias("effective_n"),
+    )

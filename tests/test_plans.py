@@ -442,6 +442,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     # 25-nation rollup (q389 argument)
     "q592_mann_kendall_trend",  # month index over the calendar spine
     "q596_hhi_concentration_trend",  # month index over the calendar spine
+    "q598_shewhart_xbar_r_chart",  # weekly subgroup spine (calendar)
+    "q599_ewma_control_chart",  # month index over the calendar spine
+    "q602_integrated_autocorr_time",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
