@@ -4804,3 +4804,143 @@ def q600(spark, sf_dir):
         (quantize("lb", 6) / 1e6).alias("length_biased_mean_h"),
         (quantize(F.col("lb") / F.col("m"), 6) / 1e6).alias("paradox_ratio"),
     )
+
+
+# --- q605: event-transition lift matrix — for every consecutive
+# event-type pair (a→b) within a user stream: observed transition
+# share P(b|a) against the marginal P(b), lift = P(b|a)/P(b). The
+# pointwise version of q528's transition entropy (which summarizes;
+# this localizes). Transitions ride the per-user partitioned window;
+# the matrix is the bounded type×type grid. --------------------------------------
+@query(
+    "q605_event_transition_lift",
+    oracle="""
+    WITH trans AS MATERIALIZED (
+        SELECT lag(event_type) OVER w AS a, event_type AS b
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY lag(event_type) OVER w IS NOT NULL
+    ),
+    cells AS MATERIALIZED (
+        SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS c FROM trans GROUP BY a, b
+    ),
+    ma AS (SELECT a, SUM(c) AS ca FROM cells GROUP BY a),
+    mb AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+    tot AS (SELECT SUM(c) AS n FROM cells)
+    SELECT cells.a AS from_type, cells.b AS to_type,
+           CAST(cells.c AS BIGINT) AS n_trans,
+           CAST(CAST(SIGN(lift) * FLOOR(ABS(lift) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS lift
+    FROM cells
+    JOIN ma ON ma.a = cells.a
+    JOIN mb ON mb.b = cells.b
+    CROSS JOIN tot,
+    LATERAL (SELECT (cells.c / ma.ca) / (mb.cb / tot.n) AS lift)
+    ORDER BY from_type, to_type
+    """,
+)
+def q605(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("a", F.lag("event_type").over(w_u))
+        .where(F.col("a").isNotNull())
+        .select("a", F.col("event_type").alias("b"))
+    )
+    cells = tracked_persist(
+        trans.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("c") / F.col("ca")) / (F.col("cb") / F.col("n"))
+    return j.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.col("c").cast("long").alias("n_trans"),
+        (quantize(lift, 6) / 1e6).alias("lift"),
+    ).orderBy("from_type", "to_type")
+
+
+# --- q606: Bowker symmetry test of the transition matrix — the
+# multi-category McNemar generalization: χ² = Σ_{i<j}
+# (n_ij − n_ji)²/(n_ij + n_ji), df = #off-diagonal pairs with traffic.
+# "Is the event flow reversible, or does it have an arrow of time?"
+# Pure integer cell arithmetic over the bounded type grid. -----------------------
+@query(
+    "q606_bowker_symmetry_transitions",
+    oracle="""
+    WITH trans AS MATERIALIZED (
+        SELECT lag(event_type) OVER w AS a, event_type AS b
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY lag(event_type) OVER w IS NOT NULL
+    ),
+    cells AS MATERIALIZED (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM trans
+        WHERE a <> b GROUP BY a, b
+    ),
+    pairs AS (
+        SELECT x.c AS nij, COALESCE(y.c, 0) AS nji
+        FROM cells x LEFT JOIN cells y ON y.a = x.b AND y.b = x.a
+        WHERE x.a < x.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(SIGN(chi2) * FLOOR(ABS(chi2) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS bowker_chi2
+    FROM (
+        SELECT CAST(SUM(CAST(SIGN(t) * FLOOR(ABS(t) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS chi2
+        FROM (
+            SELECT CAST((nij - nji) * (nij - nji) AS DOUBLE) / (nij + nji)
+                       AS t
+            FROM pairs WHERE nij + nji > 0
+        )
+    ), pairs
+    GROUP BY chi2
+    """,
+)
+def q606(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("a", F.lag("event_type").over(w_u))
+        .where(F.col("a").isNotNull() & (F.col("a") != F.col("event_type")))
+        .select("a", F.col("event_type").alias("b"))
+    )
+    cells = tracked_persist(
+        trans.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rev = cells.select(
+        F.col("a").alias("b"), F.col("b").alias("a"), F.col("c").alias("crev")
+    )
+    pairs = (
+        cells.join(F.broadcast(rev), ["a", "b"], "left")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            F.col("c").alias("nij"), F.coalesce(F.col("crev"), F.lit(0)).alias("nji")
+        )
+    )
+    t = ((F.col("nij") - F.col("nji")) * (F.col("nij") - F.col("nji"))).cast(
+        "double"
+    ) / (F.col("nij") + F.col("nji"))
+    out = pairs.where(F.col("nij") + F.col("nji") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.sum(quantize(t, 9)).cast("double") / 1e9).alias("chi2"),
+    )
+    return out.select(
+        "n_pairs", (quantize("chi2", 6) / 1e6).alias("bowker_chi2")
+    )

@@ -1679,3 +1679,222 @@ def q567(spark, sf_dir):
         ).alias("geary_c"),
         (quantize(-1.0 / (F.col("n") - 1), 6) / 1e6).alias("expected_i"),
     )
+
+
+# --- q607: gravity model of bilateral trade — the econometrics
+# workhorse ln(w_ij) = β₀ + β₁·ln(m_i) + β₂·ln(m_j) fit by closed-form
+# two-regressor OLS (q549's normal-equation stages) over the bounded
+# nation-pair trade cells, with masses = each nation's total outbound /
+# inbound line counts. Output: coefficients and R². ------------------------------
+@query(
+    "q607_gravity_model_trade",
+    oracle=f"""
+    WITH {_TRADE}
+    , mo AS MATERIALIZED (
+        SELECT src, CAST(SUM(cnt) AS DOUBLE) AS m FROM trade GROUP BY src
+    ),
+    mi AS MATERIALIZED (
+        SELECT dst, CAST(SUM(cnt) AS DOUBLE) AS m FROM trade GROUP BY dst
+    ),
+    d AS MATERIALIZED (
+        SELECT LN(CAST(t.cnt AS DOUBLE)) AS y,
+               LN(mo.m) AS u, LN(mi.m) AS v
+        FROM trade t JOIN mo ON mo.src = t.src JOIN mi ON mi.dst = t.dst
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('y', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('u', 9)}) AS DOUBLE) / 1e9 AS su,
+               CAST(SUM({sql_quantize('v', 9)}) AS DOUBLE) / 1e9 AS sv,
+               CAST(SUM({sql_quantize('y * y', 9)}) AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize('u * u', 9)}) AS DOUBLE) / 1e9 AS suu,
+               CAST(SUM({sql_quantize('v * v', 9)}) AS DOUBLE) / 1e9 AS svv,
+               CAST(SUM({sql_quantize('u * y', 9)}) AS DOUBLE) / 1e9 AS suy,
+               CAST(SUM({sql_quantize('v * y', 9)}) AS DOUBLE) / 1e9 AS svy,
+               CAST(SUM({sql_quantize('u * v', 9)}) AS DOUBLE) / 1e9 AS suv
+        FROM d
+    ),
+    c AS (
+        SELECT n, sy, su, sv,
+               syy - sy * sy / n AS cyy,
+               suu - su * su / n AS cuu,
+               svv - sv * sv / n AS cvv,
+               suy - su * sy / n AS cuy,
+               svy - sv * sy / n AS cvy,
+               suv - su * sv / n AS cuv
+        FROM s
+    ),
+    fit AS (
+        SELECT n, sy, su, sv, cyy,
+               (cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv) AS b1,
+               (cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv) AS b2,
+               cyy - ((cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv)) * cuy
+                   - ((cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv)) * cvy
+                   AS rss
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST({sql_quantize('(sy - b1 * su - b2 * sv) / n', 6)} AS DOUBLE)
+               / 1e6 AS beta0,
+           CAST({sql_quantize('b1', 6)} AS DOUBLE) / 1e6 AS beta_out_mass,
+           CAST({sql_quantize('b2', 6)} AS DOUBLE) / 1e6 AS beta_in_mass,
+           CAST({sql_quantize('1 - rss / cyy', 6)} AS DOUBLE) / 1e6 AS r2
+    FROM fit
+    """,
+)
+def q607(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    trade = tracked_persist(_trade_edges(spark, sf_dir))
+    mo = trade.groupBy("src").agg(F.sum("cnt").cast("double").alias("mo"))
+    mi = trade.groupBy("dst").agg(F.sum("cnt").cast("double").alias("mi"))
+    d = (
+        trade.join(F.broadcast(mo), "src")
+        .join(F.broadcast(mi), "dst")
+        .select(
+            F.log(F.col("cnt").cast("double")).alias("y"),
+            F.log("mo").alias("u"),
+            F.log("mi").alias("v"),
+        )
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("y", 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize("u", 9)).cast("double") / 1e9).alias("su"),
+        (F.sum(quantize("v", 9)).cast("double") / 1e9).alias("sv"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 9)).cast("double") / 1e9).alias("syy"),
+        (F.sum(quantize(F.col("u") * F.col("u"), 9)).cast("double") / 1e9).alias("suu"),
+        (F.sum(quantize(F.col("v") * F.col("v"), 9)).cast("double") / 1e9).alias("svv"),
+        (F.sum(quantize(F.col("u") * F.col("y"), 9)).cast("double") / 1e9).alias("suy"),
+        (F.sum(quantize(F.col("v") * F.col("y"), 9)).cast("double") / 1e9).alias("svy"),
+        (F.sum(quantize(F.col("u") * F.col("v"), 9)).cast("double") / 1e9).alias("suv"),
+    )
+    c = s.selectExpr(
+        "n", "sy", "su", "sv",
+        "syy - sy * sy / n AS cyy",
+        "suu - su * su / n AS cuu",
+        "svv - sv * sv / n AS cvv",
+        "suy - su * sy / n AS cuy",
+        "svy - sv * sy / n AS cvy",
+        "suv - su * sv / n AS cuv",
+    )
+    fit = c.selectExpr(
+        "n", "sy", "su", "sv", "cyy",
+        "(cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv) AS b1",
+        "(cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv) AS b2",
+        "cyy - ((cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv)) * cuy"
+        " - ((cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv)) * cvy AS rss",
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        (
+            quantize((F.col("sy") - F.col("b1") * F.col("su") - F.col("b2") * F.col("sv")) / F.col("n"), 6)
+            / 1e6
+        ).alias("beta0"),
+        (quantize("b1", 6) / 1e6).alias("beta_out_mass"),
+        (quantize("b2", 6) / 1e6).alias("beta_in_mass"),
+        (quantize(1 - F.col("rss") / F.col("cyy"), 6) / 1e6).alias("r2"),
+    )
+
+
+# --- q608: Burt's structural-holes constraint per nation — over the
+# symmetrized, weight-normalized trade graph: c_i = Σ_j (p_ij +
+# Σ_q p_iq·p_qj)² where p_ij are i's normalized tie weights. Low
+# constraint = the nation brokers between otherwise-disconnected
+# partners (Burt 1992, public methodology). Two bounded joins on the
+# 25-node adjacency — matrix algebra as DataFrames. ------------------------------
+@query(
+    "q608_burt_constraint_nations",
+    oracle=f"""
+    WITH {_TRADE}
+    , sym AS MATERIALIZED (
+        SELECT src AS i, dst AS j, CAST(SUM(cnt) AS DOUBLE) AS w
+        FROM (
+            SELECT src, dst, cnt FROM trade
+            UNION ALL
+            SELECT dst AS src, src AS dst, cnt FROM trade
+        ) t GROUP BY i, j
+    ),
+    deg AS MATERIALIZED (
+        SELECT i, SUM(w) AS wi FROM sym GROUP BY i
+    ),
+    p AS MATERIALIZED (
+        SELECT sym.i, sym.j, sym.w / deg.wi AS p
+        FROM sym JOIN deg ON deg.i = sym.i
+    ),
+    two_hop AS MATERIALIZED (
+        SELECT a.i, b.j,
+               CAST(SUM({sql_quantize('a.p * b.p', 12)}) AS DOUBLE) / 1e12
+                   AS pq
+        FROM p a JOIN p b ON b.i = a.j
+        WHERE a.i <> b.j
+        GROUP BY a.i, b.j
+    ),
+    terms AS (
+        SELECT p.i,
+               (p.p + COALESCE(t.pq, 0)) * (p.p + COALESCE(t.pq, 0)) AS c_ij
+        FROM p LEFT JOIN two_hop t ON t.i = p.i AND t.j = p.j
+    )
+    SELECT i AS nation,
+           CAST(CAST(SIGN(c) * FLOOR(ABS(c) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS burt_constraint
+    FROM (
+        SELECT i, CAST(SUM(CAST(SIGN(c_ij) * FLOOR(ABS(c_ij) * 1e9 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e9 AS c
+        FROM terms GROUP BY i
+    )
+    ORDER BY nation
+    """,
+)
+def q608(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    trade = _trade_edges(spark, sf_dir)
+    sym = (
+        trade.select("src", "dst", "cnt")
+        .unionAll(
+            trade.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
+            )
+        )
+        .groupBy(F.col("src").alias("i"), F.col("dst").alias("j"))
+        .agg(F.sum("cnt").cast("double").alias("w"))
+    )
+    deg = sym.groupBy("i").agg(F.sum("w").alias("wi"))
+    p = tracked_persist(
+        sym.join(F.broadcast(deg), "i").select(
+            "i", "j", (F.col("w") / F.col("wi")).alias("p")
+        )
+    )
+    b = p.select(
+        F.col("i").alias("j"), F.col("j").alias("j2"), F.col("p").alias("pb")
+    )
+    two_hop = (
+        p.join(F.broadcast(b), "j")
+        .where(F.col("i") != F.col("j2"))
+        .groupBy(F.col("i").alias("ii"), F.col("j2").alias("jj"))
+        .agg(
+            (F.sum(quantize(F.col("p") * F.col("pb"), 12)).cast("double") / 1e12).alias(
+                "pq"
+            )
+        )
+    )
+    terms = p.join(
+        F.broadcast(two_hop),
+        (F.col("i") == F.col("ii")) & (F.col("j") == F.col("jj")),
+        "left",
+    ).select(
+        F.col("i").alias("node"),
+        (
+            (F.col("p") + F.coalesce(F.col("pq"), F.lit(0.0)))
+            * (F.col("p") + F.coalesce(F.col("pq"), F.lit(0.0)))
+        ).alias("c_ij"),
+    )
+    out = terms.groupBy("node").agg(
+        (F.sum(quantize("c_ij", 9)).cast("double") / 1e9).alias("c")
+    )
+    return out.select(
+        F.col("node").alias("nation"),
+        (quantize("c", 6) / 1e6).alias("burt_constraint"),
+    ).orderBy("nation")

@@ -5717,3 +5717,164 @@ def q601(spark, sf_dir):
     return out.select(
         "lang_a", "lang_b", (quantize("d", 6) / 1e6).alias("burrows_delta")
     ).orderBy("lang_a", "lang_b")
+
+
+# --- q603: TwoNN intrinsic-dimension estimate of the embedding
+# manifold (Facco 2017, public methodology; cosine-distance variant,
+# documented): with r1, r2 each point's two nearest-neighbor distances
+# and μ = r2/r1, d̂ = n/Σln μ — "how many dimensions do these vectors
+# REALLY occupy", the index-tuning companion to q570's hubness and
+# q388's spectrum. Exact O(n²) baseline with the same ranking tail as
+# knn_topk_edges; swap in the LSH bucket join at the billion-vector
+# scale. ---------------------------------------------------------------------------
+@query(
+    "q603_twonn_intrinsic_dimension",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))
+                   AS dist
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS MATERIALIZED (
+        SELECT ia, dist, rn FROM (
+            SELECT ia, dist,
+                   ROW_NUMBER() OVER (PARTITION BY ia
+                                      ORDER BY ROUND(dist, 6) ASC, ib ASC)
+                       AS rn
+            FROM pairs
+        ) WHERE rn <= 2
+    ),
+    mu AS MATERIALIZED (
+        SELECT r1.ia, r2.dist / r1.dist AS mu
+        FROM (SELECT ia, dist FROM knn WHERE rn = 1) r1
+        JOIN (SELECT ia, dist FROM knn WHERE rn = 2) r2 ON r2.ia = r1.ia
+        WHERE r1.dist > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(LN(mu)) * FLOOR(ABS(LN(mu)) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS slm
+        FROM mu
+    )
+    SELECT n AS n_points,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS intrinsic_dim
+    FROM (SELECT n, n / slm AS d FROM s)
+    """,
+)
+def q603(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.similarity import _as_double, cosine
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+    from pyspark.sql import Window
+
+    emb = fan_out(T(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("ia"), _as_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), _as_double(F.col("embedding")).alias("vb"))
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia", "ib", (1 - cosine(F.col("va"), F.col("vb"))).alias("dist")
+    )
+    w = Window.partitionBy("ia").orderBy(
+        F.asc(F.round(F.col("dist"), 6)), F.asc("ib")
+    )
+    knn = tracked_persist(
+        pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    )
+    r1 = knn.where(F.col("rn") == 1).select("ia", F.col("dist").alias("d1"))
+    r2 = knn.where(F.col("rn") == 2).select("ia", F.col("dist").alias("d2"))
+    mu = (
+        r1.join(r2, "ia")
+        .where(F.col("d1") > 0)
+        .select((F.col("d2") / F.col("d1")).alias("mu"))
+    )
+    s = mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(F.log("mu"), 9)).cast("double") / 1e9).alias("slm"),
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        (quantize(F.col("n") / F.col("slm"), 6) / 1e6).alias("intrinsic_dim"),
+    )
+
+
+# --- q604: embedding L2-norm drift audit — per-label norm mean / CV
+# plus the max-min spread of label means (ppm): un-normalized vectors with
+# label-dependent norms silently bias cosine-vs-dot retrieval, so a
+# production embedding pipeline gates on exactly this. Norms are one
+# map-side HOF fold; moments per label are bounded. ------------------------------
+@query(
+    "q604_embedding_norm_audit",
+    oracle=f"""
+    WITH norms AS MATERIALIZED (
+        SELECT label,
+               SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nm
+        FROM embeddings
+    ),
+    per_l AS MATERIALIZED (
+        SELECT label,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('nm', 9)}) AS DOUBLE) / 1e9 AS s,
+               CAST(SUM({sql_quantize('nm * nm', 9)}) AS DOUBLE) / 1e9 AS ss
+        FROM norms GROUP BY label
+    ),
+    spread AS (
+        SELECT (MAX(s / n) - MIN(s / n)) * 1e6 AS ppm FROM per_l
+    )
+    SELECT p.label,
+           CAST(p.n AS BIGINT) AS n_vecs,
+           CAST({sql_quantize('p.s / p.n', 9)} AS DOUBLE) / 1e9 AS mean_norm,
+           CAST({sql_quantize(
+               'SQRT(GREATEST(0.0, (p.ss - p.s * p.s / p.n) / (p.n - 1)))'
+               ' / (p.s / p.n)', 9)} AS DOUBLE) / 1e9 AS cv_norm,
+           CAST({sql_quantize('sp.ppm', 6)} AS DOUBLE) / 1e6
+               AS norm_spread_ppm
+    FROM per_l p, spread sp
+    ORDER BY p.label
+    """,
+)
+def q604(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.similarity import _as_double, l2_norm
+    from pandrs_spark.operators.util import tracked_persist
+
+    emb = T(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", l2_norm(_as_double(F.col("embedding"))).alias("nm")
+    )
+    per_l = tracked_persist(
+        norms.groupBy("label").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (F.sum(quantize("nm", 9)).cast("double") / 1e9).alias("s"),
+            (F.sum(quantize(F.col("nm") * F.col("nm"), 9)).cast("double") / 1e9).alias(
+                "ss"
+            ),
+        )
+    )
+    spread = per_l.agg(
+        ((F.max(F.col("s") / F.col("n")) - F.min(F.col("s") / F.col("n"))) * 1e6)
+        .alias("ppm")
+    )
+    j = per_l.crossJoin(F.broadcast(spread))
+    return j.select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        (quantize(F.col("s") / F.col("n"), 9) / 1e9).alias("mean_norm"),
+        (
+            quantize(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                        / (F.col("n") - 1),
+                    )
+                )
+                / (F.col("s") / F.col("n")),
+                9,
+            )
+            / 1e9
+        ).alias("cv_norm"),
+        (quantize("ppm", 6) / 1e6).alias("norm_spread_ppm"),
+    ).orderBy("label")
