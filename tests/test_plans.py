@@ -438,6 +438,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     # spine (q544 argument)
     "q585_cusum_squares_variance",  # prefix sums over the month spine
     "q587_gbm_parameter_mle",  # day index over the daily calendar spine
+    "q588_partial_correlation_price",  # month index over the calendar
+    # spine (q549 argument)
     "q591_hosmer_lemeshow_oot",  # probability-bin ranks over the FIXED
     # 25-nation rollup (q389 argument)
     "q592_mann_kendall_trend",  # month index over the calendar spine
