@@ -303,3 +303,61 @@ def test_logistic_irls_partition_invariant(spark, rows, pa, pb):
         outs.append(_rows(logistic_irls_1d(df, "y", "x", n_iter=3), cols))
     assert _same(outs[0], outs[1])
     assert outs[0][0][0] == len(rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=8,
+        max_size=40,
+    ).filter(
+        lambda rows: len({g for _, g in rows}) == 2
+        and min(sum(1 for _, g in rows if g == s) for s in ("a", "b")) >= 3
+    ),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_ansari_bradley_partition_invariant(spark, rows, pa, pb):
+    from pandrs_spark.operators.hypothesis import ansari_bradley_test
+
+    cols = ["n1", "n2", "ab_t_norm", "z"]
+    outs = []
+    for parts in (pa, pb):
+        df = spark.createDataFrame(rows, "value double, grp string").repartition(
+            parts
+        )
+        outs.append(_rows(ansari_bradley_test(df, "value", "grp", "a", "b"), cols))
+    assert _same(outs[0], outs[1])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=8,
+        max_size=40,
+    ).filter(
+        lambda rows: len({g for _, g in rows}) == 2
+        and min(sum(1 for _, g in rows if g == s) for s in ("a", "b")) >= 3
+    ),
+    st.integers(1, 7),
+    st.integers(1, 7),
+)
+def test_cucconi_partition_invariant(spark, rows, pa, pb):
+    from pandrs_spark.operators.hypothesis import cucconi_test
+
+    cols = ["n1", "n2", "u", "v", "c"]
+    outs = []
+    for parts in (pa, pb):
+        df = spark.createDataFrame(rows, "value double, grp string").repartition(
+            parts
+        )
+        outs.append(_rows(cucconi_test(df, "value", "grp", "a", "b"), cols))
+    assert _same(outs[0], outs[1])
