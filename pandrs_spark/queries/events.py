@@ -4944,3 +4944,66 @@ def q606(spark, sf_dir):
     return out.select(
         "n_pairs", (quantize("chi2", 6) / 1e6).alias("bowker_chi2")
     )
+
+
+# --- q614: sample-ratio-mismatch guardrail on the md5 experiment
+# split — the first thing a trustworthy A/B platform checks before
+# reading ANY metric: χ²₁ = Σ(n_arm − n/2)²/(n/2) for the q286-class
+# deterministic 50/50 user split, with the observed ratio. Pure
+# integer counting; the md5 coin is engine-portable by construction. -------------
+@query(
+    "q614_srm_guardrail",
+    oracle="""
+    WITH arms AS MATERIALIZED (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS t
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS nt
+        FROM arms
+    )
+    SELECT n AS n_users, nt AS n_treatment,
+           CAST(CAST(SIGN(ratio) * FLOOR(ABS(ratio) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS treatment_share,
+           CAST(CAST(SIGN(chi2) * FLOOR(ABS(chi2) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS srm_chi2
+    FROM (
+        SELECT n, nt,
+               CAST(nt AS DOUBLE) / n AS ratio,
+               (nt - n / 2.0) * (nt - n / 2.0) / (n / 2.0)
+                 + ((n - nt) - n / 2.0) * ((n - nt) - n / 2.0) / (n / 2.0)
+                   AS chi2
+        FROM s
+    )
+    """,
+)
+def q614(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("t")
+    )
+    s = arms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("nt"),
+    )
+    chi2 = (F.col("nt") - F.col("n") / 2.0) * (F.col("nt") - F.col("n") / 2.0) / (
+        F.col("n") / 2.0
+    ) + ((F.col("n") - F.col("nt")) - F.col("n") / 2.0) * (
+        (F.col("n") - F.col("nt")) - F.col("n") / 2.0
+    ) / (F.col("n") / 2.0)
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_treatment"),
+        (quantize(F.col("nt").cast("double") / F.col("n"), 6) / 1e6).alias(
+            "treatment_share"
+        ),
+        (quantize(chi2, 6) / 1e6).alias("srm_chi2"),
+    )

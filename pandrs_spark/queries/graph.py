@@ -1898,3 +1898,83 @@ def q608(spark, sf_dir):
         F.col("node").alias("nation"),
         (quantize("c", 6) / 1e6).alias("burt_constraint"),
     ).orderBy("nation")
+
+
+# --- q613: categorical (region) assortativity of the trade graph —
+# Newman's attribute mixing coefficient r = (Σe_rr − Σa_r·b_r)/
+# (1 − Σa_r·b_r) over the region×region edge-weight mixing matrix:
+# do nations trade mostly within their own region? The categorical
+# companion to the §2.14 degree assortativity. The mixing matrix is
+# region²-bounded (≤25 cells); edge weights aggregate once. ----------------------
+@query(
+    "q613_region_assortativity",
+    oracle=f"""
+    WITH {_TRADE}
+    , mix AS MATERIALIZED (
+        SELECT ns.n_regionkey AS rs, nd.n_regionkey AS rd,
+               CAST(SUM(t.cnt) AS DOUBLE) AS w
+        FROM trade t
+        JOIN nation ns ON ns.n_nationkey = t.src
+        JOIN nation nd ON nd.n_nationkey = t.dst
+        GROUP BY rs, rd
+    ),
+    tot AS (SELECT SUM(w) AS ww FROM mix),
+    e AS MATERIALIZED (
+        SELECT rs, rd, mix.w / tot.ww AS e FROM mix, tot
+    ),
+    tr AS (
+        SELECT CAST(SUM(CAST(SIGN(e) * FLOOR(ABS(e) * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS tr
+        FROM e WHERE rs = rd
+    ),
+    ma AS (SELECT rs, SUM(e) AS a FROM e GROUP BY rs),
+    mb AS (SELECT rd, SUM(e) AS b FROM e GROUP BY rd),
+    sab AS (
+        SELECT CAST(SUM(CAST(SIGN(ma.a * mb.b)
+                             * FLOOR(ABS(ma.a * mb.b) * 1e12 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e12 AS sab
+        FROM ma JOIN mb ON mb.rd = ma.rs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS n_regions,
+           CAST(CAST(SIGN(r) * FLOOR(ABS(r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS assortativity_r
+    FROM (SELECT (tr.tr - sab.sab) / (1 - sab.sab) AS r FROM tr, sab)
+    """,
+)
+def q613(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    trade = _trade_edges(spark, sf_dir)
+    nat = T(spark, sf_dir, "nation")
+    ns = nat.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rs"))
+    nd = nat.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rd"))
+    mix = (
+        trade.join(F.broadcast(ns), "src")
+        .join(F.broadcast(nd), "dst")
+        .groupBy("rs", "rd")
+        .agg(F.sum("cnt").cast("double").alias("w"))
+    )
+    tot = mix.agg(F.sum("w").alias("ww"))
+    e = tracked_persist(
+        mix.crossJoin(F.broadcast(tot)).select(
+            "rs", "rd", (F.col("w") / F.col("ww")).alias("e")
+        )
+    )
+    tr = e.where(F.col("rs") == F.col("rd")).agg(
+        (F.sum(quantize("e", 12)).cast("double") / 1e12).alias("tr")
+    )
+    ma = e.groupBy("rs").agg(F.sum("e").alias("a"))
+    mb = e.groupBy(F.col("rd").alias("rs")).agg(F.sum("e").alias("b"))
+    sab = ma.join(F.broadcast(mb), "rs").agg(
+        (F.sum(quantize(F.col("a") * F.col("b"), 12)).cast("double") / 1e12).alias(
+            "sab"
+        )
+    )
+    nr = ma.agg(F.count(F.lit(1)).cast("long").alias("n_regions"))
+    j = nr.crossJoin(F.broadcast(tr)).crossJoin(F.broadcast(sab))
+    return j.select(
+        "n_regions",
+        (
+            quantize((F.col("tr") - F.col("sab")) / (1 - F.col("sab")), 6) / 1e6
+        ).alias("assortativity_r"),
+    )

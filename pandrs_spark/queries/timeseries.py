@@ -6923,3 +6923,68 @@ def q602(spark, sf_dir):
         (quantize("t", 6) / 1e6).alias("tau_int"),
         (quantize(F.col("n") / F.col("t"), 6) / 1e6).alias("effective_n"),
     )
+
+
+# --- q609: p-chart on the weekly urgent-order share — attribute SPC:
+# limits p̄ ± 3·√(p̄(1−p̄)/n_w) vary with each week's sample size
+# (the textbook varying-limit form); counts weeks out of control.
+# Completes the control-chart family: X̄/R (q598, variables), EWMA
+# (q599, small shifts), p (this, attributes). ------------------------------------
+@query(
+    "q609_p_chart_urgent_share",
+    oracle="""
+    WITH wk AS MATERIALIZED (
+        SELECT date_trunc('week', o_orderdate) AS w,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS x
+        FROM orders GROUP BY w
+    ),
+    pbar AS (
+        SELECT SUM(x) / SUM(n) AS p, CAST(COUNT(*) AS BIGINT) AS n_weeks
+        FROM wk
+    )
+    SELECT pbar.n_weeks,
+           CAST(CAST(SIGN(pbar.p) * FLOOR(ABS(pbar.p) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS p_center,
+           CAST(SUM(CASE WHEN wk.x / wk.n >
+                              pbar.p + 3 * SQRT(pbar.p * (1 - pbar.p) / wk.n)
+                           OR wk.x / wk.n <
+                              pbar.p - 3 * SQRT(pbar.p * (1 - pbar.p) / wk.n)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM wk, pbar
+    GROUP BY pbar.n_weeks, pbar.p
+    """,
+)
+def q609(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    wk = orders.groupBy(F.date_trunc("week", "o_orderdate").alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    pbar = wk.agg(
+        (F.sum("x") / F.sum("n")).alias("p"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+    )
+    j = wk.crossJoin(F.broadcast(pbar))
+    lim = 3 * F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n"))
+    out = j.groupBy("n_weeks", "p").agg(
+        F.sum(
+            F.when(
+                (F.col("x") / F.col("n") > F.col("p") + lim)
+                | (F.col("x") / F.col("n") < F.col("p") - lim),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("violations")
+    )
+    return out.select(
+        "n_weeks",
+        (quantize("p", 6) / 1e6).alias("p_center"),
+        "violations",
+    )

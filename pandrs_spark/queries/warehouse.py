@@ -5721,3 +5721,207 @@ def q596(spark, sf_dir):
         (quantize(F.col("sy") / F.col("n"), 6) / 1e6).alias("mean_hhi"),
         (quantize(slope * 1e4, 6) / 1e6).alias("hhi_slope_x1e4"),
     )
+
+
+# --- q611: GSEA-style running-sum enrichment of a brand set in the
+# part revenue ranking — walk parts from best- to worst-selling, step
+# up (weighted by revenue share) at set members, down at non-members;
+# ES = the maximum absolute deviation and its rank position
+# (Subramanian 2005, public methodology). "Is Brand#12's catalog
+# concentrated at the top of the league table?" — the running sum is
+# the q216 distributed prefix fold, never a one-task window. ---------------------
+@query(
+    "q611_gsea_brand_enrichment",
+    oracle=f"""
+    WITH per_p AS MATERIALIZED (
+        SELECT l.l_partkey,
+               CASE WHEN p.p_brand = 'Brand#12' THEN 1 ELSE 0 END AS hit,
+               CAST(SUM({sql_quantize(
+                   'l.l_extendedprice * (1 - l.l_discount)', 2)})
+                    AS DOUBLE) / 1e2 AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l.l_partkey, hit
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN hit = 1
+                             THEN CAST(FLOOR(rev * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE) / 1e2 AS hit_rev,
+               CAST(SUM(1 - hit) AS DOUBLE) AS n_miss,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM per_p
+    ),
+    walk AS MATERIALIZED (
+        SELECT hit, rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS pos,
+               SUM(CASE WHEN hit = 1
+                        THEN CAST(FLOOR(rev * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+                   OVER (ORDER BY rev DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) / 1e2 AS cum_hit,
+               SUM(1 - hit)
+                   OVER (ORDER BY rev DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) AS cum_miss
+        FROM per_p
+    ),
+    dev AS (
+        SELECT pos,
+               cum_hit / tot.hit_rev - cum_miss / tot.n_miss AS d
+        FROM walk, tot
+    )
+    SELECT (SELECT n_parts FROM tot) AS n_parts,
+           CAST(pos AS BIGINT) AS es_position,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS enrichment_score
+    FROM dev
+    ORDER BY CAST(SIGN(ABS(d)) * FLOOR(ABS(d) * 1e9 + 0.5) AS BIGINT) DESC,
+             pos ASC
+    LIMIT 1
+    """,
+)
+def q611(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    per_p = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "l_partkey",
+            F.when(F.col("p_brand") == "Brand#12", 1).otherwise(0).alias("hit"),
+        )
+        .agg(
+            (
+                F.sum(
+                    quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+                ).cast("double")
+                / 1e2
+            ).alias("rev"),
+        )
+    )
+    per_p = tracked_persist(
+        per_p.withColumn(
+            "hit_q",
+            F.when(
+                F.col("hit") == 1,
+                F.floor(F.col("rev") * 100 + 0.5).cast("long"),
+            ).otherwise(F.lit(0)),
+        ).withColumn("miss", 1 - F.col("hit"))
+    )
+    tot = per_p.agg(
+        (F.sum("hit_q").cast("double") / 1e2).alias("hit_rev"),
+        F.sum("miss").cast("double").alias("n_miss"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    per_p = per_p.withColumn("one", F.lit(1))
+    walk = global_prefix_counts(
+        per_p,
+        [F.desc("rev"), F.asc("l_partkey")],
+        {"cum_hitq": "hit_q", "cum_miss": "miss", "pos": "one"},
+    )
+    dev = walk.crossJoin(F.broadcast(tot)).select(
+        F.col("pos").cast("long").alias("pos"),
+        "n_parts",
+        (
+            F.col("cum_hitq").cast("double") / 1e2 / F.col("hit_rev")
+            - F.col("cum_miss") / F.col("n_miss")
+        ).alias("d"),
+    )
+    best = dev.orderBy(quantize(F.abs("d"), 9).desc(), F.col("pos").asc()).limit(1)
+    return best.select(
+        "n_parts",
+        F.col("pos").alias("es_position"),
+        (quantize("d", 6) / 1e6).alias("enrichment_score"),
+    )
+
+
+# --- q612: Dirichlet-multinomial overdispersion of the monthly brand
+# mix — Pearson X² of the month×brand contingency against the pooled
+# shares, with the design effect X²/df (df = (M−1)(B−1)): deff ≈ 1
+# means brand mix is a stable multinomial; deff ≫ 1 means the mix
+# itself drifts month to month (the Dirichlet-multinomial signature).
+# Bounded month×brand cells after one fact aggregate. ----------------------------
+@query(
+    "q612_brand_mix_overdispersion",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT date_trunc('month', l.l_shipdate) AS mth, p.p_brand AS brand,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY mth, brand
+    ),
+    nm AS MATERIALIZED (
+        SELECT mth, SUM(x) AS n FROM cells GROUP BY mth
+    ),
+    pb AS MATERIALIZED (
+        SELECT brand, SUM(x) AS xb FROM cells GROUP BY brand
+    ),
+    tot AS (
+        SELECT SUM(xb) AS nn,
+               CAST(COUNT(*) AS DOUBLE) AS b,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM nm) AS m
+        FROM pb
+    ),
+    chi AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(c.x - nm.n * pb.xb / tot.nn)'
+                   ' * (c.x - nm.n * pb.xb / tot.nn)'
+                   ' / (nm.n * pb.xb / tot.nn)', 9)}) AS DOUBLE) / 1e9 AS x2
+        FROM cells c
+        JOIN nm ON nm.mth = c.mth
+        JOIN pb ON pb.brand = c.brand
+        CROSS JOIN tot
+    )
+    SELECT CAST(tot.m AS BIGINT) AS n_months,
+           CAST(tot.b AS BIGINT) AS n_brands,
+           CAST({sql_quantize('chi.x2', 6)} AS DOUBLE) / 1e6 AS pearson_x2,
+           CAST({sql_quantize(
+               'chi.x2 / ((tot.m - 1) * (tot.b - 1))', 6)} AS DOUBLE) / 1e6
+               AS design_effect
+    FROM tot, chi
+    """,
+)
+def q612(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    cells = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    nm = cells.groupBy("mth").agg(F.sum("x").alias("n"))
+    pb = cells.groupBy("brand").agg(F.sum("x").alias("xb"))
+    tot = pb.agg(
+        F.sum("xb").alias("nn"), F.count(F.lit(1)).cast("double").alias("b")
+    ).crossJoin(
+        F.broadcast(nm.agg(F.count(F.lit(1)).cast("double").alias("m")))
+    )
+    e = F.col("n") * F.col("xb") / F.col("nn")
+    chi = (
+        cells.join(F.broadcast(nm), "mth")
+        .join(F.broadcast(pb), "brand")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(quantize((F.col("x") - e) * (F.col("x") - e) / e, 9)).cast(
+                    "double"
+                )
+                / 1e9
+            ).alias("x2"),
+            F.first("m").alias("m"),
+            F.first("b").alias("b"),
+        )
+    )
+    return chi.select(
+        F.col("m").cast("long").alias("n_months"),
+        F.col("b").cast("long").alias("n_brands"),
+        (quantize("x2", 6) / 1e6).alias("pearson_x2"),
+        (
+            quantize(F.col("x2") / ((F.col("m") - 1) * (F.col("b") - 1)), 6) / 1e6
+        ).alias("design_effect"),
+    )

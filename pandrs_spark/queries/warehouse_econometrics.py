@@ -2258,3 +2258,120 @@ def q560(spark, sf_dir):
         (quantize("psm", 6) / 1e6).alias("post_strat_mean"),
         (quantize("tm", 6) / 1e6).alias("frame_mean"),
     )
+
+
+# --- q610: VIKOR compromise ranking of suppliers — the
+# closest-to-ideal multi-criteria method that complements q464's
+# TOPSIS: per supplier-nation, criteria (total line revenue ↑, avg
+# discount given ↓, distinct parts carried ↑) normalize to the
+# best/worst range; S = Σw·d (group utility), R = max w·d (individual
+# regret), Q = v·(S−S*)/(S⁻−S*) + (1−v)·(R−R*)/(R⁻−R*) with v = 0.5
+# (Opricovic & Tzeng 2004, public methodology). Bounded 25-nation
+# decision matrix after one fact aggregate. --------------------------------------
+@query(
+    "q610_vikor_supplier_ranking",
+    oracle=f"""
+    WITH m AS MATERIALIZED (
+        SELECT s.s_nationkey AS nk,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS rev,
+               CAST(SUM({sql_quantize('l.l_discount', 4)}) AS DOUBLE) / 1e4
+                   / COUNT(*) AS disc,
+               CAST(COUNT(DISTINCT l.l_partkey) AS DOUBLE) AS parts
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY nk
+    ),
+    rng AS (
+        SELECT MAX(rev) AS rev_b, MIN(rev) AS rev_w,
+               MIN(disc) AS disc_b, MAX(disc) AS disc_w,
+               MAX(parts) AS parts_b, MIN(parts) AS parts_w
+        FROM m
+    ),
+    sr AS MATERIALIZED (
+        SELECT m.nk,
+               (1.0 / 3) * (rng.rev_b - m.rev) / (rng.rev_b - rng.rev_w)
+                 + (1.0 / 3) * (m.disc - rng.disc_b)
+                   / (rng.disc_w - rng.disc_b)
+                 + (1.0 / 3) * (rng.parts_b - m.parts)
+                   / (rng.parts_b - rng.parts_w) AS s,
+               GREATEST(
+                   (1.0 / 3) * (rng.rev_b - m.rev) / (rng.rev_b - rng.rev_w),
+                   (1.0 / 3) * (m.disc - rng.disc_b)
+                       / (rng.disc_w - rng.disc_b),
+                   (1.0 / 3) * (rng.parts_b - m.parts)
+                       / (rng.parts_b - rng.parts_w)) AS r
+        FROM m, rng
+    ),
+    srr AS (
+        SELECT MIN(s) AS s_b, MAX(s) AS s_w, MIN(r) AS r_b, MAX(r) AS r_w
+        FROM sr
+    )
+    SELECT sr.nk AS nation,
+           CAST(CAST(SIGN(sr.s) * FLOOR(ABS(sr.s) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS vikor_s,
+           CAST(CAST(SIGN(sr.r) * FLOOR(ABS(sr.r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS vikor_r,
+           CAST(CAST(SIGN(q) * FLOOR(ABS(q) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS vikor_q
+    FROM sr, srr,
+    LATERAL (SELECT 0.5 * (sr.s - srr.s_b) / (srr.s_w - srr.s_b)
+                  + 0.5 * (sr.r - srr.r_b) / (srr.r_w - srr.r_b) AS q)
+    ORDER BY nation
+    """,
+)
+def q610(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    m = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 1e2 / 1e6).alias(
+                "rev"
+            ),
+            (
+                F.sum(quantize("l_discount", 4)).cast("double") / 1e4 / F.count(F.lit(1))
+            ).alias("disc"),
+            F.count_distinct("l_partkey").cast("double").alias("parts"),
+        )
+    )
+    rng = m.agg(
+        F.max("rev").alias("rev_b"),
+        F.min("rev").alias("rev_w"),
+        F.min("disc").alias("disc_b"),
+        F.max("disc").alias("disc_w"),
+        F.max("parts").alias("parts_b"),
+        F.min("parts").alias("parts_w"),
+    )
+    d1 = (1.0 / 3) * (F.col("rev_b") - F.col("rev")) / (F.col("rev_b") - F.col("rev_w"))
+    d2 = (1.0 / 3) * (F.col("disc") - F.col("disc_b")) / (
+        F.col("disc_w") - F.col("disc_b")
+    )
+    d3 = (1.0 / 3) * (F.col("parts_b") - F.col("parts")) / (
+        F.col("parts_b") - F.col("parts_w")
+    )
+    sr = tracked_persist(
+        m.crossJoin(F.broadcast(rng)).select(
+            "nk",
+            (d1 + d2 + d3).alias("s"),
+            F.greatest(d1, d2, d3).alias("r"),
+        )
+    )
+    srr = sr.agg(
+        F.min("s").alias("s_b"),
+        F.max("s").alias("s_w"),
+        F.min("r").alias("r_b"),
+        F.max("r").alias("r_w"),
+    )
+    j = sr.crossJoin(F.broadcast(srr))
+    q_col = 0.5 * (F.col("s") - F.col("s_b")) / (F.col("s_w") - F.col("s_b")) + 0.5 * (
+        F.col("r") - F.col("r_b")
+    ) / (F.col("r_w") - F.col("r_b"))
+    return j.select(
+        F.col("nk").alias("nation"),
+        (quantize("s", 6) / 1e6).alias("vikor_s"),
+        (quantize("r", 6) / 1e6).alias("vikor_r"),
+        (quantize(q_col, 6) / 1e6).alias("vikor_q"),
+    ).orderBy("nation")
