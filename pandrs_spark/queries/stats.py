@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pandrs_spark.catalog import load_table as T, register_views
-from pandrs_spark.functions.deterministic import dsum, sql_dsum, sql_quantize
+from pandrs_spark.functions.deterministic import CORR_FORMULA, dsum, sql_dsum, sql_quantize
 from pandrs_spark.queries import query
 
 
@@ -4825,4 +4825,191 @@ def q597(spark, sf_dir):
         F.col("t1").cast("long").alias("days_p1"),
         F.col("t2").cast("long").alias("days_p2"),
         (quantize(z, 6) / 1e6).alias("rate_z"),
+    )
+
+
+# --- q618: delta-method confidence interval for revenue-per-order by
+# segment — the ratio-of-means estimator r = x̄/ȳ (customer revenue
+# over customer order count) with Var(r) ≈ (σ_x² − 2rσ_xy + r²σ_y²)
+# / (n·ȳ²): the metric-engineering standard for per-unit KPIs where
+# the naive per-row ratio is biased. Per-segment exact moment sums;
+# 95% normal CI. ------------------------------------------------------------------
+@query(
+    "q618_delta_method_ratio_ci",
+    oracle=f"""
+    WITH per_c AS MATERIALIZED (
+        SELECT c.c_mktsegment AS seg, o.o_custkey,
+               CAST(SUM({sql_quantize('o.o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS x,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY seg, o.o_custkey
+    ),
+    s AS (
+        SELECT seg,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM({sql_quantize('y', 2)}) AS DOUBLE) / 1e2 AS sy,
+               CAST(SUM({sql_quantize('x * x', 6)}) AS DOUBLE) / 1e6 AS sxx,
+               CAST(SUM({sql_quantize('y * y', 2)}) AS DOUBLE) / 1e2 AS syy,
+               CAST(SUM({sql_quantize('x * y', 6)}) AS DOUBLE) / 1e6 AS sxy
+        FROM per_c GROUP BY seg
+    ),
+    d AS (
+        SELECT seg, n,
+               (sx / n) / (sy / n) AS r,
+               ((sxx - sx * sx / n) / (n - 1)
+                - 2 * ((sx / n) / (sy / n))
+                    * ((sxy - sx * sy / n) / (n - 1))
+                + ((sx / n) / (sy / n)) * ((sx / n) / (sy / n))
+                    * ((syy - sy * sy / n) / (n - 1)))
+               / (n * (sy / n) * (sy / n)) AS v
+        FROM s
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_customers,
+           CAST({sql_quantize('r', 6)} AS DOUBLE) / 1e6 AS rev_per_order_k,
+           CAST({sql_quantize('SQRT(v)', 6)} AS DOUBLE) / 1e6 AS se_delta,
+           CAST({sql_quantize('r - 1.96 * SQRT(v)', 6)} AS DOUBLE) / 1e6
+               AS ci_low,
+           CAST({sql_quantize('r + 1.96 * SQRT(v)', 6)} AS DOUBLE) / 1e6
+               AS ci_high
+    FROM d
+    ORDER BY seg
+    """,
+)
+def q618(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    per_c = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e3).alias(
+                "x"
+            ),
+            F.count(F.lit(1)).cast("double").alias("y"),
+        )
+    )
+    s = per_c.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("y", 2)).cast("double") / 1e2).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 6)).cast("double") / 1e6).alias(
+            "sxx"
+        ),
+        (F.sum(quantize(F.col("y") * F.col("y"), 2)).cast("double") / 1e2).alias(
+            "syy"
+        ),
+        (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "sxy"
+        ),
+    )
+    r = (F.col("sx") / F.col("n")) / (F.col("sy") / F.col("n"))
+    v = (
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+        - 2 * r * ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1))
+        + r * r * ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1))
+    ) / (F.col("n") * (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")))
+    return s.select(
+        "seg",
+        F.col("n").cast("long").alias("n_customers"),
+        (quantize(r, 6) / 1e6).alias("rev_per_order_k"),
+        (quantize(F.sqrt(v), 6) / 1e6).alias("se_delta"),
+        (quantize(r - 1.96 * F.sqrt(v), 6) / 1e6).alias("ci_low"),
+        (quantize(r + 1.96 * F.sqrt(v), 6) / 1e6).alias("ci_high"),
+    ).orderBy("seg")
+
+
+# --- q619: winsorized Pearson correlation of customer balance vs
+# lifetime spend — clamp both variables at their exact 5th/95th
+# percentiles first, then correlate: the robust-correlation
+# complement to the §2.12 Spearman (rank) and q-corr (raw). Clamping
+# uses the exact distributed percentile; sums re-quantize after the
+# clamp so both engines fold identically. ----------------------------------------
+@query(
+    "q619_winsorized_correlation",
+    oracle=f"""
+    WITH per_c AS MATERIALIZED (
+        SELECT c.c_acctbal AS bal,
+               CAST(SUM({sql_quantize('o.o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS sp
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    cuts AS (
+        SELECT quantile_cont(bal, 0.05) AS bl, quantile_cont(bal, 0.95) AS bh,
+               quantile_cont(sp, 0.05) AS sl, quantile_cont(sp, 0.95) AS sh
+        FROM per_c
+    ),
+    w AS MATERIALIZED (
+        SELECT GREATEST(cuts.bl, LEAST(cuts.bh, bal)) / 1e3 AS x,
+               GREATEST(cuts.sl, LEAST(cuts.sh, sp)) AS y
+        FROM per_c, cuts
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('x * x', 6)}) AS DOUBLE) / 1e6 AS sxx,
+               CAST(SUM({sql_quantize('y * y', 6)}) AS DOUBLE) / 1e6 AS syy,
+               CAST(SUM({sql_quantize('x * y', 6)}) AS DOUBLE) / 1e6 AS sxy
+        FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST({sql_quantize(
+               CORR_FORMULA.format(n='n', sx='sx', sy='sy', sxx='sxx',
+                                   syy='syy', sxy='sxy'), 6)} AS DOUBLE)
+               / 1e6 AS winsorized_corr
+    FROM s
+    """,
+)
+def q619(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import CORR_FORMULA as CF
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_c = tracked_persist(
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", F.col("c_acctbal").alias("bal"))
+        .agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e3).alias(
+                "sp"
+            )
+        )
+    )
+    cuts = per_c.agg(
+        F.expr("percentile(bal, 0.05)").alias("bl"),
+        F.expr("percentile(bal, 0.95)").alias("bh"),
+        F.expr("percentile(sp, 0.05)").alias("sl"),
+        F.expr("percentile(sp, 0.95)").alias("sh"),
+    )
+    w = per_c.crossJoin(F.broadcast(cuts)).select(
+        (F.greatest("bl", F.least("bh", F.col("bal"))) / 1e3).alias("x"),
+        F.greatest("sl", F.least("sh", F.col("sp"))).alias("y"),
+    )
+    s = w.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 6)).cast("double") / 1e6).alias(
+            "sxx"
+        ),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "syy"
+        ),
+        (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "sxy"
+        ),
+    )
+    out = s.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        CF.format(n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy")
+        + " AS r",
+    )
+    return out.select(
+        "n_customers", (quantize("r", 6) / 1e6).alias("winsorized_corr")
     )

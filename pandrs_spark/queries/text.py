@@ -5878,3 +5878,97 @@ def q604(spark, sf_dir):
         ).alias("cv_norm"),
         (quantize("ppm", 6) / 1e6).alias("norm_spread_ppm"),
     ).orderBy("label")
+
+
+# --- q617: log-logistic fit + KS distance for document lengths — fit
+# by moment matching on ln(n_chars) (μ = mean, s = σ√3/π, so the
+# logistic CDF 1/(1+exp(−(ln x − μ)/s)) is expressible identically on
+# both engines — no erf needed), then the exact KS distance between
+# the length ECDF (distributed prefix counts) and the fitted CDF. The
+# "is length heavy-tailed beyond lognormal-ish" screen a corpus
+# profiler runs before setting truncation budgets. -------------------------------
+@query(
+    "q617_doc_length_loglogistic_ks",
+    oracle=f"""
+    WITH lens AS MATERIALIZED (
+        SELECT CAST(n_chars AS DOUBLE) AS x, LN(CAST(n_chars AS DOUBLE)) AS lx
+        FROM documents WHERE n_chars > 0
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('lx', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS mu,
+               SQRT((CAST(SUM({sql_quantize('lx * lx', 9)}) AS DOUBLE) / 1e9
+                     - CAST(SUM({sql_quantize('lx', 9)}) AS DOUBLE) / 1e9
+                       * (CAST(SUM({sql_quantize('lx', 9)}) AS DOUBLE) / 1e9)
+                       / COUNT(*)) / (COUNT(*) - 1))
+                   * 0.5513288954217921 AS s
+        FROM lens
+    ),
+    hist AS MATERIALIZED (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM lens GROUP BY x
+    ),
+    cdf AS MATERIALIZED (
+        SELECT x, SUM(c) OVER (ORDER BY x) AS cum FROM hist
+    ),
+    dev AS (
+        SELECT MAX(ABS(CAST(cum AS DOUBLE) / fit.n
+                       - 1.0 / (1.0 + EXP(-(LN(x) - fit.mu) / fit.s))))
+                   AS d
+        FROM cdf, fit
+    )
+    SELECT fit.n AS n_docs,
+           CAST({sql_quantize('fit.mu', 6)} AS DOUBLE) / 1e6 AS mu_log,
+           CAST({sql_quantize('fit.s', 6)} AS DOUBLE) / 1e6 AS s_logistic,
+           CAST({sql_quantize('dev.d', 6)} AS DOUBLE) / 1e6 AS ks_distance
+    FROM fit, dev
+    """,
+)
+def q617(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    docs = T(spark, sf_dir, "documents")
+    lens = tracked_persist(
+        docs.where(F.col("n_chars") > 0).select(
+            F.col("n_chars").cast("double").alias("x"),
+            F.log(F.col("n_chars").cast("double")).alias("lx"),
+        )
+    )
+    # sqrt(3)/pi = 0.5513288954217921 — shared decimal literal
+    fit = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("lx", 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+        (
+            F.sqrt(
+                (
+                    F.sum(quantize(F.col("lx") * F.col("lx"), 9)).cast("double") / 1e9
+                    - (F.sum(quantize("lx", 9)).cast("double") / 1e9)
+                    * (F.sum(quantize("lx", 9)).cast("double") / 1e9)
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+            * 0.5513288954217921
+        ).alias("s"),
+    )
+    hist = lens.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    cdf = global_prefix_counts(hist, [F.asc("x")], {"cum": "c"})
+    dev = cdf.crossJoin(F.broadcast(fit)).agg(
+        F.max(
+            F.abs(
+                F.col("cum").cast("double") / F.col("n")
+                - 1.0 / (1.0 + F.exp(-(F.log("x") - F.col("mu")) / F.col("s")))
+            )
+        ).alias("d")
+    )
+    j = fit.crossJoin(F.broadcast(dev))
+    return j.select(
+        F.col("n").alias("n_docs"),
+        (quantize("mu", 6) / 1e6).alias("mu_log"),
+        (quantize("s", 6) / 1e6).alias("s_logistic"),
+        (quantize("d", 6) / 1e6).alias("ks_distance"),
+    )

@@ -6988,3 +6988,118 @@ def q609(spark, sf_dir):
         (quantize("p", 6) / 1e6).alias("p_center"),
         "violations",
     )
+
+
+# --- q620: spectral entropy of monthly revenue — DFT power at the
+# first 12 harmonics, normalized to a distribution, H/ln(12): near 1
+# means white-noise-like (unforecastable), near 0 means one dominant
+# cycle. The "forecastability" scalar that gates whether the seasonal
+# models (q80/q107/q521) are even worth fitting. Fixed harmonic grid;
+# trig terms share the 2π literal so both engines build identical
+# arguments. -----------------------------------------------------------------------
+@query(
+    "q620_spectral_entropy_monthly",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) - 1 AS t, rev FROM monthly
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS m
+        FROM idx
+    ),
+    harm AS (SELECT UNNEST(generate_series(1, 12)) AS k),
+    pw AS MATERIALIZED (
+        SELECT h.k,
+               POWER(CAST(SUM({sql_quantize(
+                   '(i.rev - mu.m)'
+                   ' * COS(6.283185307179586 * h.k * i.t / mu.n)', 12)})
+                     AS DOUBLE) / 1e12, 2)
+             + POWER(CAST(SUM({sql_quantize(
+                   '(i.rev - mu.m)'
+                   ' * SIN(6.283185307179586 * h.k * i.t / mu.n)', 12)})
+                     AS DOUBLE) / 1e12, 2) AS p
+        FROM idx i CROSS JOIN harm h CROSS JOIN mu
+        GROUP BY h.k
+    ),
+    tot AS (SELECT SUM(p) AS sp FROM pw),
+    ent AS (
+        SELECT CAST(SUM(CAST(SIGN(-(p / tot.sp) * LN(p / tot.sp))
+                             * FLOOR(ABS(-(p / tot.sp) * LN(p / tot.sp))
+                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS h
+        FROM pw, tot WHERE p > 0
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM mu) AS n_months,
+           CAST({sql_quantize('ent.h / LN(12.0)', 6)} AS DOUBLE) / 1e6
+               AS spectral_entropy
+    FROM ent
+    """,
+)
+def q620(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select((F.row_number().over(w_ord) - 1).alias("t"), "rev")
+    )
+    mu = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    harm = spark.createDataFrame([(k,) for k in range(1, 13)], "k int")
+    arg = 6.283185307179586 * F.col("k") * F.col("t") / F.col("n")
+    pw = (
+        idx.crossJoin(F.broadcast(harm))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("k")
+        .agg(
+            (
+                F.pow(
+                    F.sum(quantize((F.col("rev") - F.col("m")) * F.cos(arg), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                    F.lit(2.0),
+                )
+                + F.pow(
+                    F.sum(quantize((F.col("rev") - F.col("m")) * F.sin(arg), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                    F.lit(2.0),
+                )
+            ).alias("p")
+        )
+    )
+    pw = tracked_persist(pw)
+    tot = pw.agg(F.sum("p").alias("sp"))
+    ent = (
+        pw.crossJoin(F.broadcast(tot))
+        .where(F.col("p") > 0)
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        -(F.col("p") / F.col("sp")) * F.log(F.col("p") / F.col("sp")),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("h")
+        )
+    )
+    n_m = idx.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    j = n_m.crossJoin(F.broadcast(ent))
+    return j.select(
+        "n_months",
+        (quantize(F.col("h") / F.log(F.lit(12.0)), 6) / 1e6).alias(
+            "spectral_entropy"
+        ),
+    )

@@ -5925,3 +5925,174 @@ def q612(spark, sf_dir):
             quantize(F.col("x2") / ((F.col("m") - 1) * (F.col("b") - 1)), 6) / 1e6
         ).alias("design_effect"),
     )
+
+
+# --- q615: first-passage time to 100k lifetime spend — for every
+# customer, days from first order until cumulative spend first crosses
+# the threshold (per-customer running sum, PARTITIONED window), then
+# exact percentiles of the crossing time and the share who never
+# cross: the milestone-analysis staple ("how long to whale status").
+# Percentiles ride Spark's exact percentile == quantile_cont. ---------------------
+@query(
+    "q615_first_passage_100k",
+    oracle="""
+    WITH runs AS MATERIALIZED (
+        SELECT o_custkey,
+               MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS first_d,
+               o_orderdate,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS cum
+        FROM orders
+    ),
+    crossing AS MATERIALIZED (
+        SELECT o_custkey,
+               MIN(CAST(datediff('day', first_d, o_orderdate) AS DOUBLE))
+                   AS days_to_cross
+        FROM runs WHERE cum >= 100000.0
+        GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders
+    )
+    SELECT base.n_customers,
+           CAST((SELECT COUNT(*) FROM crossing) AS BIGINT) AS n_crossed,
+           CAST(CAST(SIGN(sh) * FLOOR(ABS(sh) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS crossed_share,
+           CAST(CAST(SIGN(p50) * FLOOR(ABS(p50) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p50_days,
+           CAST(CAST(SIGN(p90) * FLOOR(ABS(p90) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p90_days
+    FROM base,
+         (SELECT CAST((SELECT COUNT(*) FROM crossing) AS DOUBLE)
+                     / (SELECT n_customers FROM base) AS sh,
+                 (SELECT quantile_cont(days_to_cross, 0.5) FROM crossing)
+                     AS p50,
+                 (SELECT quantile_cont(days_to_cross, 0.9) FROM crossing)
+                     AS p90)
+    """,
+)
+def q615(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    w_c = Window.partitionBy("o_custkey")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = orders.select(
+        "o_custkey",
+        F.min("o_orderdate").over(w_c).alias("first_d"),
+        "o_orderdate",
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).over(w_run)
+            / 100.0
+        ).alias("cum"),
+    )
+    crossing = tracked_persist(
+        runs.where(F.col("cum") >= 100000.0)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("o_orderdate", "first_d").cast("double")).alias(
+                "days_to_cross"
+            )
+        )
+    )
+    base = orders.agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers")
+    )
+    stats = crossing.agg(
+        F.count(F.lit(1)).cast("long").alias("n_crossed"),
+        F.expr("percentile(days_to_cross, 0.5)").alias("p50"),
+        F.expr("percentile(days_to_cross, 0.9)").alias("p90"),
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    return j.select(
+        "n_customers",
+        "n_crossed",
+        (
+            quantize(F.col("n_crossed").cast("double") / F.col("n_customers"), 6)
+            / 1e6
+        ).alias("crossed_share"),
+        (quantize("p50", 6) / 1e6).alias("p50_days"),
+        (quantize("p90", 6) / 1e6).alias("p90_days"),
+    )
+
+
+# --- q616: empirical renewal function of repeat ordering — average
+# cumulative orders per customer by account age (30/90/180/365/730
+# days), each age computed over the customers actually OBSERVABLE
+# that long (first order at least `age` days before the calendar
+# end): the repeat-purchase curve a CLV model calibrates against.
+# Fixed age grid fan-out; per-age counting is one conditional
+# aggregate. ----------------------------------------------------------------------
+@query(
+    "q616_renewal_function_orders",
+    oracle="""
+    WITH lastd AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+    firsts AS MATERIALIZED (
+        SELECT o_custkey, MIN(o_orderdate) AS f FROM orders GROUP BY o_custkey
+    ),
+    ages AS (SELECT UNNEST([30, 90, 180, 365, 730]) AS age),
+    obs AS MATERIALIZED (
+        SELECT f.o_custkey, f.f, a.age
+        FROM firsts f CROSS JOIN ages a CROSS JOIN lastd
+        WHERE datediff('day', f.f, lastd.dmax) >= a.age
+    ),
+    cum AS (
+        SELECT obs.age,
+               CAST(COUNT(DISTINCT obs.o_custkey) AS BIGINT) AS n_cust,
+               CAST(SUM(CASE WHEN datediff('day', obs.f, o.o_orderdate)
+                                  BETWEEN 1 AND obs.age
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        FROM obs JOIN orders o ON o.o_custkey = obs.o_custkey
+        GROUP BY obs.age
+    )
+    SELECT CAST(age AS BIGINT) AS age_days, n_cust,
+           CAST(CAST(SIGN(m) * FLOOR(ABS(m) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mean_repeat_orders
+    FROM (SELECT age, n_cust, CAST(n_repeat AS DOUBLE) / n_cust AS m FROM cum)
+    ORDER BY age_days
+    """,
+)
+def q616(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    lastd = orders.agg(F.max("o_orderdate").alias("dmax"))
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("f"))
+    ages = spark.createDataFrame([(30,), (90,), (180,), (365,), (730,)], "age int")
+    obs = tracked_persist(
+        firsts.crossJoin(F.broadcast(ages))
+        .crossJoin(F.broadcast(lastd))
+        .where(F.datediff("dmax", "f") >= F.col("age"))
+        .select("o_custkey", "f", "age")
+    )
+    cum = (
+        obs.join(orders, "o_custkey")
+        .groupBy("age")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_cust"),
+            F.sum(
+                F.when(
+                    F.datediff("o_orderdate", "f").between(1, F.col("age")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repeat"),
+        )
+    )
+    return cum.select(
+        F.col("age").cast("long").alias("age_days"),
+        "n_cust",
+        (
+            quantize(F.col("n_repeat").cast("double") / F.col("n_cust"), 6) / 1e6
+        ).alias("mean_repeat_orders"),
+    ).orderBy("age_days")
