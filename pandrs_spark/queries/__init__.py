@@ -38,3 +38,4 @@ def load_all() -> None:
     from pandrs_spark.queries import ml  # noqa: F401
     from pandrs_spark.queries import warehouse  # noqa: F401
     from pandrs_spark.queries import warehouse_econometrics  # noqa: F401
+    from pandrs_spark.queries import timeseries_risk  # noqa: F401

@@ -1,0 +1,2271 @@
+"""Time-series tier II: risk, SPC and advanced-diagnostics queries
+split out of queries/timeseries.py at the round-8 file-hygiene
+boundary (q543 onward): Theil-Sen / Mann-Kendall robust trend,
+VaR / CVaR / Kupiec / GBM financial risk, Lomb-Scargle and spectral
+entropy, sample/permutation entropy complexity, Shewhart / EWMA
+control charts, price-index family (Paasche/Fisher/Törnqvist),
+Granger / CCF / partial-correlation lead-lag, CUSUM-of-squares and
+tracking-signal monitoring.
+
+Shared calendar-spine helpers (_monthly_rev, _ols_resid, the joint
+and brand-cell rollups) stay importable from queries.timeseries;
+same reference-parity and 100 TB scale notes apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pandrs_spark.catalog import load_table as T
+from pandrs_spark.functions.deterministic import (
+    CORR_FORMULA,
+    sql_quantize,
+)
+from pandrs_spark.queries import query
+from pandrs_spark.queries.timeseries import (
+    _MONTHLY_REV_SQL,
+    _OLS_RESID_SQL,
+    _monthly_rev,
+    _ols_resid,
+)
+
+# --- q543: Theil-Sen slope of monthly revenue — the median of all
+# pairwise slopes (y_j − y_i)/(t_j − t_i), robust to the outlier
+# months that bias q127's least-squares trend (reference trend surface:
+# src/stats/regression.rs). The pair set is the ~80-month calendar
+# spine squared (~3k rows, bounded by the observation calendar, never
+# data-sized); the month index comes from months_between against the
+# scalar first month (broadcast carry), so no window is needed at all.
+# Intercept = median(y_i − slope·t_i), the classic Theil-Sen companion. --------
+@query(
+    "q543_theil_sen_monthly_slope",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    fst AS (SELECT MIN(mth) AS m0 FROM monthly),
+    d AS MATERIALIZED (
+        SELECT CAST(datediff('month', fst.m0, monthly.mth) AS DOUBLE) AS t,
+               monthly.rev AS y
+        FROM monthly, fst
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.t - a.t) AS s
+        FROM d a JOIN d b ON b.t > a.t
+    ),
+    sen AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes),
+    icpt AS (
+        SELECT quantile_cont(d.y - sen.slope * d.t, 0.5) AS b0
+        FROM d, sen
+        GROUP BY sen.slope
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_months,
+           CAST({sql_quantize('sen.slope', 8)} AS DOUBLE) / 1e8 AS sen_slope,
+           CAST({sql_quantize('icpt.b0', 6)} AS DOUBLE) / 1e6 AS sen_intercept
+    FROM sen, icpt
+    """,
+)
+def q543(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    fst = monthly.agg(F.min("mth").alias("m0"))
+    d = tracked_persist(
+        monthly.crossJoin(F.broadcast(fst)).select(
+            F.months_between("mth", "m0").alias("t"), F.col("rev").alias("y")
+        )
+    )
+    b = d.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    slopes = d.join(b, F.col("t2") > F.col("t")).select(
+        ((F.col("y2") - F.col("y")) / (F.col("t2") - F.col("t"))).alias("s")
+    )
+    sen = slopes.agg(F.expr("percentile(s, 0.5)").alias("slope"))
+    icpt = (
+        d.crossJoin(F.broadcast(sen))
+        .groupBy("slope")
+        .agg(
+            F.expr("percentile(y - slope * t, 0.5)").alias("b0"),
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+        )
+    )
+    return icpt.select(
+        "n_months",
+        (quantize("slope", 8) / 1e8).alias("sen_slope"),
+        (quantize("b0", 6) / 1e6).alias("sen_intercept"),
+    )
+
+
+# --- q544: historical Value-at-Risk and CVaR (expected shortfall) of
+# the daily-revenue log-return series: VaR95 = the 5% quantile of
+# r_t = ln(rev_t / rev_{t−1}); CVaR95 = the mean of the k = ⌊0.05·n⌋
+# WORST returns, selected by rank (not by threshold comparison, so a
+# last-ulp disagreement in ln() between engines cannot flip set
+# membership). Daily series and its return ranks are bounded by the
+# observation calendar (q48 argument); consecutive days pair by an
+# equi-join on the day index (q486 pattern). -----------------------------------
+@query(
+    "q544_var_cvar_daily_returns",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT LN(b.rev / a.rev) AS r, b.x
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(FLOOR(0.05 * COUNT(*)) AS BIGINT) AS k FROM ret),
+    var95 AS (SELECT quantile_cont(r, 0.05) AS v FROM ret),
+    worst AS (
+        SELECT r FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC, x ASC) AS rk
+            FROM ret
+        ) q, n WHERE q.rk <= n.k
+    ),
+    cv AS (
+        SELECT CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9
+                   / (SELECT k FROM n) AS es
+        FROM worst
+    )
+    SELECT n.n AS n_returns, n.k AS k_tail,
+           CAST({sql_quantize('var95.v', 6)} AS DOUBLE) / 1e6 AS var_95,
+           CAST({sql_quantize('cv.es', 6)} AS DOUBLE) / 1e6 AS cvar_95
+    FROM n, var95, cv
+    """,
+)
+def q544(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = tracked_persist(
+        idx.join(nxt, "x").select(
+            F.log(F.col("rev2") / F.col("rev")).alias("r"), (F.col("x") + 1).alias("x")
+        )
+    )
+    n = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(0.05 * F.count(F.lit(1))).cast("long").alias("k"),
+    )
+    var95 = ret.agg(F.expr("percentile(r, 0.05)").alias("v"))
+    w_rk = Window.orderBy(F.col("r").asc(), F.col("x").asc())
+    ranked = ret.select("r", F.row_number().over(w_rk).alias("rk"))
+    worst = ranked.crossJoin(F.broadcast(n)).where(F.col("rk") <= F.col("k"))
+    cv = worst.groupBy("n", "k").agg(
+        (F.sum(quantize("r", 9)).cast("double") / 1e9 / F.first("k")).alias("es")
+    )
+    j = cv.crossJoin(F.broadcast(var95))
+    return j.select(
+        F.col("n").alias("n_returns"),
+        F.col("k").alias("k_tail"),
+        (quantize("v", 6) / 1e6).alias("var_95"),
+        (quantize("es", 6) / 1e6).alias("cvar_95"),
+    )
+
+
+_MONTHLY_JOINT_SQL = f"""
+    mrev AS MATERIALIZED (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY mth
+    ),
+    mcnt AS MATERIALIZED (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               CAST(COUNT(*) AS DOUBLE) / 1e3 AS cnt
+        FROM orders GROUP BY mth
+    ),
+    joint AS MATERIALIZED (
+        SELECT r.mth, r.rev, c.cnt,
+               ROW_NUMBER() OVER (ORDER BY r.mth) AS x
+        FROM mrev r JOIN mcnt c ON c.mth = r.mth
+    )
+"""
+
+
+def _monthly_joint(spark, sf_dir):
+    """Joint (monthly revenue, monthly order count) calendar spine with
+    a month index — the shared bivariate series behind the
+    Granger/CCF/lead-lag tier. Revenue in 1e6 units, counts in 1e3
+    units so every second moment stays inside the 1e-9 quantization
+    envelope."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    mrev = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    mcnt = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mth")).agg(
+        (F.count(F.lit(1)).cast("double") / 1e3).alias("cnt")
+    )
+    joint = mrev.join(mcnt, "mth")
+    w_ord = Window.orderBy("mth")
+    return joint.select(
+        "mth", "rev", "cnt", F.row_number().over(w_ord).alias("x")
+    )
+
+
+# --- q549: Granger causality (lag-1) of monthly order count on
+# monthly revenue: compare RSS of the restricted AR(1) model
+# rev_t ~ rev_{t−1} against the unrestricted rev_t ~ rev_{t−1} +
+# cnt_{t−1}; F = (RSS_r − RSS_u)/(RSS_u/(n−3)). Two-regressor OLS in
+# closed form from centered moment sums (2×2 normal equations), all
+# moments exact quantized sums over the ~80-month spine. ------------------------
+@query(
+    "q549_granger_orders_to_revenue",
+    oracle=f"""
+    WITH {_MONTHLY_JOINT_SQL},
+    pairs AS MATERIALIZED (
+        SELECT b.rev AS y, a.rev AS u, a.cnt AS v
+        FROM joint a JOIN joint b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('u', 6)}) AS DOUBLE) / 1e6 AS su,
+               CAST(SUM({sql_quantize('v', 6)}) AS DOUBLE) / 1e6 AS sv,
+               CAST(SUM({sql_quantize('y * y', 9)}) AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize('u * u', 9)}) AS DOUBLE) / 1e9 AS suu,
+               CAST(SUM({sql_quantize('v * v', 9)}) AS DOUBLE) / 1e9 AS svv,
+               CAST(SUM({sql_quantize('u * y', 9)}) AS DOUBLE) / 1e9 AS suy,
+               CAST(SUM({sql_quantize('v * y', 9)}) AS DOUBLE) / 1e9 AS svy,
+               CAST(SUM({sql_quantize('u * v', 9)}) AS DOUBLE) / 1e9 AS suv
+        FROM pairs
+    ),
+    c AS (
+        SELECT n,
+               syy - sy * sy / n AS cyy,
+               suu - su * su / n AS cuu,
+               svv - sv * sv / n AS cvv,
+               suy - su * sy / n AS cuy,
+               svy - sv * sy / n AS cvy,
+               suv - su * sv / n AS cuv
+        FROM s
+    ),
+    fit AS (
+        SELECT n,
+               cyy - cuy * cuy / cuu AS rss_r,
+               cyy - ((cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv)) * cuy
+                   - ((cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv)) * cvy
+                   AS rss_u,
+               (cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv) AS b_cnt
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST({sql_quantize('b_cnt', 6)} AS DOUBLE) / 1e6 AS beta_cnt,
+           CAST({sql_quantize('(rss_r - rss_u) / (rss_u / (n - 3))', 6)}
+                AS DOUBLE) / 1e6 AS f_granger
+    FROM fit
+    """,
+)
+def q549(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    joint = tracked_persist(_monthly_joint(spark, sf_dir))
+    prev = joint.select(
+        (F.col("x") + 1).alias("x"), F.col("rev").alias("u"), F.col("cnt").alias("v")
+    )
+    pairs = joint.select("x", F.col("rev").alias("y")).join(prev, "x")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize("u", 6)).cast("double") / 1e6).alias("su"),
+        (F.sum(quantize("v", 6)).cast("double") / 1e6).alias("sv"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 9)).cast("double") / 1e9).alias("syy"),
+        (F.sum(quantize(F.col("u") * F.col("u"), 9)).cast("double") / 1e9).alias("suu"),
+        (F.sum(quantize(F.col("v") * F.col("v"), 9)).cast("double") / 1e9).alias("svv"),
+        (F.sum(quantize(F.col("u") * F.col("y"), 9)).cast("double") / 1e9).alias("suy"),
+        (F.sum(quantize(F.col("v") * F.col("y"), 9)).cast("double") / 1e9).alias("svy"),
+        (F.sum(quantize(F.col("u") * F.col("v"), 9)).cast("double") / 1e9).alias("suv"),
+    )
+    c = s.selectExpr(
+        "n",
+        "syy - sy * sy / n AS cyy",
+        "suu - su * su / n AS cuu",
+        "svv - sv * sv / n AS cvv",
+        "suy - su * sy / n AS cuy",
+        "svy - sv * sy / n AS cvy",
+        "suv - su * sv / n AS cuv",
+    )
+    fit = c.selectExpr(
+        "n",
+        "cyy - cuy * cuy / cuu AS rss_r",
+        "cyy - ((cvv * cuy - cuv * cvy) / (cuu * cvv - cuv * cuv)) * cuy"
+        " - ((cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv)) * cvy AS rss_u",
+        "(cuu * cvy - cuv * cuy) / (cuu * cvv - cuv * cuv) AS b_cnt",
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (quantize("b_cnt", 6) / 1e6).alias("beta_cnt"),
+        (
+            quantize(
+                (F.col("rss_r") - F.col("rss_u")) / (F.col("rss_u") / (F.col("n") - 3)),
+                6,
+            )
+            / 1e6
+        ).alias("f_granger"),
+    )
+
+
+# --- q550: cross-correlation function between monthly order count and
+# monthly revenue at lags −3..+3 — the lead-lag screen that motivates
+# q549's Granger F (reference correlation surface: src/stats/mod.rs).
+# The 7-lag fan-out is a fixed literal explode (never data-sized);
+# each lag's Pearson r comes from exact quantized sums via the shared
+# CORR_FORMULA text, parsed identically by both engines. ------------------------
+@query(
+    "q550_cross_correlation_lags",
+    oracle=f"""
+    WITH {_MONTHLY_JOINT_SQL},
+    lagged AS MATERIALIZED (
+        SELECT l.lag, a.cnt AS xv, b.rev AS yv
+        FROM joint a
+        CROSS JOIN (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag) l
+        JOIN joint b ON b.x = a.x + l.lag
+    ),
+    s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('xv', 6)}) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM({sql_quantize('yv', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('xv * xv', 9)}) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM({sql_quantize('yv * yv', 9)}) AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize('xv * yv', 9)}) AS DOUBLE) / 1e9 AS sxy
+        FROM lagged GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(SIGN(r) * FLOOR(ABS(r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS ccf
+    FROM (
+        SELECT lag, n,
+               {CORR_FORMULA.format(n='n', sx='sx', sy='sy',
+                                    sxx='sxx', syy='syy', sxy='sxy')} AS r
+        FROM s
+    )
+    ORDER BY lag
+    """,
+)
+def q550(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import CORR_FORMULA, quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    joint = tracked_persist(_monthly_joint(spark, sf_dir))
+    lags = F.explode(F.array(*[F.lit(v) for v in range(-3, 4)])).alias("lag")
+    a = joint.select(F.col("x"), F.col("cnt").alias("xv"), lags)
+    b = joint.select((F.col("x")).alias("xb"), F.col("rev").alias("yv"))
+    lagged = a.withColumn("xk", F.col("x") + F.col("lag")).join(
+        b, F.col("xb") == F.col("xk")
+    )
+    s = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("xv", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("yv", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("xv") * F.col("xv"), 9)).cast("double") / 1e9).alias(
+            "sxx"
+        ),
+        (F.sum(quantize(F.col("yv") * F.col("yv"), 9)).cast("double") / 1e9).alias(
+            "syy"
+        ),
+        (F.sum(quantize(F.col("xv") * F.col("yv"), 9)).cast("double") / 1e9).alias(
+            "sxy"
+        ),
+    )
+    r = s.selectExpr(
+        "lag",
+        "n",
+        CORR_FORMULA.format(n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy")
+        + " AS r",
+    )
+    return r.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        (quantize("r", 6) / 1e6).alias("ccf"),
+    ).orderBy("lag")
+
+
+# --- q551: Lo-MacKinlay variance-ratio test VR(5) on daily-revenue
+# log returns — the random-walk diagnostic: VR(q) = σ̂²_q/(q·σ̂²_1)
+# with σ̂²_q from overlapping q-period returns (rolling 5-sum over the
+# daily calendar spine, bounded) and the homoscedastic normal score
+# z = (VR−1)/sqrt(2(2q−1)(q−1)/(3qn)). Lo & MacKinlay (1988) — public
+# methodology; all sums exact-quantized. ----------------------------------------
+@query(
+    "q551_variance_ratio_rw_test",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT b.x, LN(b.rev / a.rev) AS r
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS m
+        FROM ret
+    ),
+    rq AS MATERIALIZED (
+        SELECT x, SUM(r) OVER (ORDER BY x
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+               COUNT(*) OVER (ORDER BY x
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w
+        FROM ret
+    ),
+    s1 AS (
+        SELECT CAST(SUM({sql_quantize('(ret.r - mu.m) * (ret.r - mu.m)', 12)})
+                    AS DOUBLE) / 1e12 AS ss1
+        FROM ret, mu
+    ),
+    sq AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(rq.s5 - 5 * mu.m) * (rq.s5 - 5 * mu.m)', 12)})
+                    AS DOUBLE) / 1e12 AS ssq
+        FROM rq, mu WHERE rq.w = 5
+    ),
+    vr AS (
+        SELECT mu.n,
+               (sq.ssq / (5.0 * (mu.n - 5 + 1) * (1 - 5.0 / mu.n)))
+                   / (5.0 * (s1.ss1 / (mu.n - 1))) AS v
+        FROM mu, s1, sq
+    )
+    SELECT CAST(n AS BIGINT) AS n_returns,
+           CAST({sql_quantize('v', 6)} AS DOUBLE) / 1e6 AS vr_5,
+           CAST({sql_quantize(
+               '(v - 1) / SQRT(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * n))',
+               6)} AS DOUBLE) / 1e6 AS z_vr
+    FROM vr
+    """,
+)
+def q551(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = tracked_persist(
+        idx.join(nxt, "x").select(
+            (F.col("x") + 1).alias("x"), F.log(F.col("rev2") / F.col("rev")).alias("r")
+        )
+    )
+    mu = ret.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(quantize("r", 9)).cast("double") / 1e9 / F.count(F.lit(1))
+        ).alias("m"),
+    )
+    w5 = Window.orderBy("x").rowsBetween(-4, 0)
+    rq = ret.select(
+        "x", F.sum("r").over(w5).alias("s5"), F.count(F.lit(1)).over(w5).alias("w")
+    )
+    s1 = ret.crossJoin(F.broadcast(mu)).agg(
+        (
+            F.sum(quantize((F.col("r") - F.col("m")) * (F.col("r") - F.col("m")), 12))
+            .cast("double")
+            / 1e12
+        ).alias("ss1")
+    )
+    sq = (
+        rq.where(F.col("w") == 5)
+        .crossJoin(F.broadcast(mu))
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        (F.col("s5") - 5 * F.col("m")) * (F.col("s5") - 5 * F.col("m")),
+                        12,
+                    )
+                )
+                .cast("double")
+                / 1e12
+            ).alias("ssq")
+        )
+    )
+    vr = (
+        mu.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(sq))
+        .selectExpr(
+            "n",
+            "(ssq / (5.0 * (n - 5 + 1) * (1 - 5.0 / n)))"
+            " / (5.0 * (ss1 / (n - 1))) AS v",
+        )
+    )
+    return vr.select(
+        F.col("n").cast("long").alias("n_returns"),
+        (quantize("v", 6) / 1e6).alias("vr_5"),
+        (
+            quantize(
+                (F.col("v") - 1)
+                / F.sqrt(2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * F.col("n"))),
+                6,
+            )
+            / 1e6
+        ).alias("z_vr"),
+    )
+
+
+# --- q552: Engle's ARCH LM test (lag 1) on the monthly-trend OLS
+# residuals — regress e_t² on e_{t−1}²; LM = n·R² where R² = corr² for
+# the single-regressor case. Completes the residual-diagnostic trio
+# with q486 (serial correlation) and q489 (heteroscedasticity in the
+# mean regressor); pairs join on the month index (q486 pattern). ----------------
+@query(
+    "q552_arch_lm_residuals",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    pairs AS MATERIALIZED (
+        SELECT b.e * b.e AS w, a.e * a.e AS wl
+        FROM resid a JOIN resid b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('w', 9)}) AS DOUBLE) / 1e9 AS sx,
+               CAST(SUM({sql_quantize('wl', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('w * w', 12)}) AS DOUBLE) / 1e12 AS sxx,
+               CAST(SUM({sql_quantize('wl * wl', 12)}) AS DOUBLE) / 1e12 AS syy,
+               CAST(SUM({sql_quantize('w * wl', 12)}) AS DOUBLE) / 1e12 AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(CAST(SIGN(lm) * FLOOR(ABS(lm) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS arch_lm
+    FROM (
+        SELECT n,
+               n * ({CORR_FORMULA.format(n='n', sx='sx', sy='sy',
+                                          sxx='sxx', syy='syy', sxy='sxy')})
+                 * ({CORR_FORMULA.format(n='n', sx='sx', sy='sy',
+                                          sxx='sxx', syy='syy', sxy='sxy')})
+                 AS lm
+        FROM s
+    )
+    """,
+)
+def q552(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import CORR_FORMULA, quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    prev = resid.select(
+        (F.col("x") + 1).alias("x"), (F.col("e") * F.col("e")).alias("wl")
+    )
+    pairs = resid.select("x", (F.col("e") * F.col("e")).alias("w")).join(prev, "x")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("w", 9)).cast("double") / 1e9).alias("sx"),
+        (F.sum(quantize("wl", 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(F.col("w") * F.col("w"), 12)).cast("double") / 1e12).alias(
+            "sxx"
+        ),
+        (F.sum(quantize(F.col("wl") * F.col("wl"), 12)).cast("double") / 1e12).alias(
+            "syy"
+        ),
+        (F.sum(quantize(F.col("w") * F.col("wl"), 12)).cast("double") / 1e12).alias(
+            "sxy"
+        ),
+    )
+    corr = CORR_FORMULA.format(n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy")
+    lm = s.selectExpr("n", f"n * ({corr}) * ({corr}) AS lm")
+    return lm.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (quantize("lm", 6) / 1e6).alias("arch_lm"),
+    )
+
+
+# --- q553: Cox-Stuart trend test on monthly revenue — pair each of
+# the first ⌊n/2⌋ months with its month ⌈n/2⌉ later, count rises vs
+# falls (ties dropped), z = (n⁺ − m/2)/sqrt(m/4). The sign-based,
+# distribution-free cousin of q532's seasonal Mann-Kendall; the pair
+# offset is a scalar carry over the month index, and the whole
+# statistic is integer counting — no float path at all. -------------------------
+@query(
+    "q553_cox_stuart_trend",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) AS m,
+               CAST(COUNT(*) - FLOOR(COUNT(*) / 2.0) AS BIGINT) AS c
+        FROM idx
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END AS pos,
+               CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END AS neg
+        FROM idx a CROSS JOIN nn
+        JOIN idx b ON b.x = a.x + nn.c
+        WHERE a.x <= nn.m
+    ),
+    cnt AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg
+        FROM pairs
+    )
+    SELECT nn.n AS n_months, cnt.n_pos, cnt.n_neg,
+           CAST({sql_quantize(
+               '(cnt.n_pos - (cnt.n_pos + cnt.n_neg) / 2.0)'
+               ' / SQRT((cnt.n_pos + cnt.n_neg) / 4.0)', 6)}
+               AS DOUBLE) / 1e6 AS cs_z
+    FROM nn, cnt
+    """,
+)
+def q553(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    nn = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+        (F.count(F.lit(1)) - (F.count(F.lit(1)) / 2).cast("long"))
+        .cast("long")
+        .alias("c"),
+    )
+    a = (
+        idx.crossJoin(F.broadcast(nn))
+        .where(F.col("x") <= F.col("m"))
+        .select((F.col("x") + F.col("c")).alias("xk"), F.col("rev").alias("ra"), "n")
+    )
+    b = idx.select(F.col("x").alias("xk"), F.col("rev").alias("rb"))
+    pairs = a.join(b, "xk")
+    cnt = pairs.groupBy("n").agg(
+        F.sum(F.when(F.col("rb") > F.col("ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("rb") < F.col("ra"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    return cnt.select(
+        F.col("n").alias("n_months"),
+        "n_pos",
+        "n_neg",
+        (
+            quantize(
+                (F.col("n_pos") - (F.col("n_pos") + F.col("n_neg")) / 2.0)
+                / F.sqrt((F.col("n_pos") + F.col("n_neg")) / 4.0),
+                6,
+            )
+            / 1e6
+        ).alias("cs_z"),
+    )
+
+
+_BRAND_CELLS_SQL = f"""
+    cells AS MATERIALIZED (
+        SELECT date_trunc('month', l.l_shipdate) AS mth, p.p_brand AS brand,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e3
+                 / (CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                    / 100.0) AS p,
+               CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                   / 100.0 / 1e3 AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY mth, brand
+    ),
+    base AS MATERIALIZED (
+        SELECT brand, p AS p0, q AS q0 FROM cells
+        WHERE mth = (SELECT MIN(mth) FROM cells)
+    )
+"""
+
+
+def _brand_cells(spark, sf_dir):
+    """(month, brand) unit-value price p (thousands) and quantity q
+    (thousands) cells — the bounded 25-brand basket behind the price-
+    index tier (q478's Laspeyres, q555's Paasche/Fisher, q556's
+    Törnqvist). One fact-table aggregate; everything downstream is
+    brand×month sized."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            (
+                (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0 / 1e3)
+                / (F.sum(quantize("l_quantity", 2)).cast("double") / 100.0)
+            ).alias("p"),
+            (F.sum(quantize("l_quantity", 2)).cast("double") / 100.0 / 1e3).alias("q"),
+        )
+    )
+
+
+# --- q555: Paasche and Fisher-ideal price indexes per month over the
+# 25-brand basket — completing the index-number family around q478's
+# chained Laspeyres: L_t = Σp_t q_0/Σp_0 q_0 (base-weighted),
+# P_t = Σp_t q_t/Σp_0 q_t (current-weighted), F_t = sqrt(L_t·P_t).
+# Cells are brand×month bounded; the base basket joins by brand
+# (broadcast-sized); per-month sums quantize each product term. ----------------
+@query(
+    "q555_paasche_fisher_index",
+    oracle=f"""
+    WITH {_BRAND_CELLS_SQL},
+    m AS (
+        SELECT c.mth,
+               CAST(SUM({sql_quantize('c.p * b.q0', 9)}) AS DOUBLE) / 1e9 AS ptq0,
+               CAST(SUM({sql_quantize('b.p0 * b.q0', 9)}) AS DOUBLE) / 1e9 AS p0q0,
+               CAST(SUM({sql_quantize('c.p * c.q', 9)}) AS DOUBLE) / 1e9 AS ptqt,
+               CAST(SUM({sql_quantize('b.p0 * c.q', 9)}) AS DOUBLE) / 1e9 AS p0qt
+        FROM cells c JOIN base b ON b.brand = c.brand
+        GROUP BY c.mth
+    )
+    SELECT mth,
+           CAST({sql_quantize('ptq0 / p0q0', 6)} AS DOUBLE) / 1e6 AS laspeyres,
+           CAST({sql_quantize('ptqt / p0qt', 6)} AS DOUBLE) / 1e6 AS paasche,
+           CAST({sql_quantize('SQRT((ptq0 / p0q0) * (ptqt / p0qt))', 6)}
+                AS DOUBLE) / 1e6 AS fisher
+    FROM m
+    ORDER BY mth
+    """,
+)
+def q555(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cells = tracked_persist(_brand_cells(spark, sf_dir))
+    m0 = cells.agg(F.min("mth").alias("m0"))
+    base = (
+        cells.crossJoin(F.broadcast(m0))
+        .where(F.col("mth") == F.col("m0"))
+        .select("brand", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    j = cells.join(F.broadcast(base), "brand")
+    m = j.groupBy("mth").agg(
+        (F.sum(quantize(F.col("p") * F.col("q0"), 9)).cast("double") / 1e9).alias(
+            "ptq0"
+        ),
+        (F.sum(quantize(F.col("p0") * F.col("q0"), 9)).cast("double") / 1e9).alias(
+            "p0q0"
+        ),
+        (F.sum(quantize(F.col("p") * F.col("q"), 9)).cast("double") / 1e9).alias(
+            "ptqt"
+        ),
+        (F.sum(quantize(F.col("p0") * F.col("q"), 9)).cast("double") / 1e9).alias(
+            "p0qt"
+        ),
+    )
+    return m.select(
+        "mth",
+        (quantize(F.col("ptq0") / F.col("p0q0"), 6) / 1e6).alias("laspeyres"),
+        (quantize(F.col("ptqt") / F.col("p0qt"), 6) / 1e6).alias("paasche"),
+        (
+            quantize(
+                F.sqrt((F.col("ptq0") / F.col("p0q0")) * (F.col("ptqt") / F.col("p0qt"))),
+                6,
+            )
+            / 1e6
+        ).alias("fisher"),
+    ).orderBy("mth")
+
+
+# --- q556: Törnqvist price index per month — the superlative
+# share-weighted geometric form: ln T_t = Σ_b ½(w_0b + w_tb)·ln(p_tb/p_0b)
+# with w the within-month revenue shares. Pairs with q555: Fisher and
+# Törnqvist should track each other closely (both superlative), a
+# cross-check the oracle enforces value-exactly. --------------------------------
+@query(
+    "q556_tornqvist_index",
+    oracle=f"""
+    WITH {_BRAND_CELLS_SQL},
+    shares AS MATERIALIZED (
+        SELECT mth, brand, p,
+               p * q / SUM(p * q) OVER (PARTITION BY mth) AS w
+        FROM cells
+    ),
+    w0 AS MATERIALIZED (
+        SELECT brand, p AS p0, w AS w0 FROM shares
+        WHERE mth = (SELECT MIN(mth) FROM shares)
+    ),
+    t AS (
+        SELECT s.mth,
+               CAST(SUM({sql_quantize(
+                   '0.5 * (w0.w0 + s.w) * LN(s.p / w0.p0)', 12)})
+                    AS DOUBLE) / 1e12 AS lnt
+        FROM shares s JOIN w0 ON w0.brand = s.brand
+        GROUP BY s.mth
+    )
+    SELECT mth,
+           CAST({sql_quantize('EXP(lnt)', 6)} AS DOUBLE) / 1e6 AS tornqvist
+    FROM t
+    ORDER BY mth
+    """,
+)
+def q556(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cells = _brand_cells(spark, sf_dir)
+    w_m = Window.partitionBy("mth")
+    shares = tracked_persist(
+        cells.select(
+            "mth",
+            "brand",
+            "p",
+            ((F.col("p") * F.col("q")) / F.sum(F.col("p") * F.col("q")).over(w_m)).alias(
+                "w"
+            ),
+        )
+    )
+    m0 = shares.agg(F.min("mth").alias("m0"))
+    w0 = (
+        shares.crossJoin(F.broadcast(m0))
+        .where(F.col("mth") == F.col("m0"))
+        .select("brand", F.col("p").alias("p0"), F.col("w").alias("w0"))
+    )
+    t = (
+        shares.join(F.broadcast(w0), "brand")
+        .groupBy("mth")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        0.5 * (F.col("w0") + F.col("w")) * F.log(F.col("p") / F.col("p0")),
+                        12,
+                    )
+                ).cast("double")
+                / 1e12
+            ).alias("lnt")
+        )
+    )
+    return t.select(
+        "mth", (quantize(F.exp("lnt"), 6) / 1e6).alias("tornqvist")
+    ).orderBy("mth")
+
+
+# --- q561: sample entropy SampEn(m=2, r=0.2σ) of monthly revenue —
+# the regularity measure (Richman & Moorman 2000, public methodology):
+# B = #template pairs of length 2 within Chebyshev distance r,
+# A = same for length 3, SampEn = −ln(A/B). The pair set is the
+# ~80-month spine squared (bounded); r comes from the exact-moment σ
+# (IEEE sqrt, engine-identical), so match counting is pure integer
+# arithmetic — no float sums at all. --------------------------------------------
+@query(
+    "q561_sample_entropy_monthly",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    trip AS MATERIALIZED (
+        SELECT a.x, a.rev AS v, b.rev AS v1, c.rev AS v2
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+                   JOIN idx c ON c.x = a.x + 2
+    ),
+    rr AS (
+        SELECT 0.2 * SQRT((
+                   CAST(SUM({sql_quantize('rev * rev', 9)}) AS DOUBLE) / 1e9
+                   - CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                     * (CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6)
+                     / COUNT(*)
+               ) / (COUNT(*) - 1)) AS r
+        FROM idx
+    ),
+    cnts AS (
+        SELECT CAST(SUM(CASE WHEN GREATEST(ABS(a.v - b.v), ABS(a.v1 - b.v1))
+                                  < rr.r THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN GREATEST(ABS(a.v - b.v), ABS(a.v1 - b.v1),
+                                           ABS(a.v2 - b.v2))
+                                  < rr.r THEN 1 ELSE 0 END) AS BIGINT) AS a
+        FROM trip a CROSS JOIN rr JOIN trip b ON b.x > a.x
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM idx) AS n_months,
+           cnts.a AS n_match_3, cnts.b AS n_match_2,
+           CAST({sql_quantize(
+               '-LN(CAST(cnts.a AS DOUBLE) / cnts.b)', 6)} AS DOUBLE) / 1e6
+               AS sampen
+    FROM cnts
+    """,
+)
+def q561(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    b1 = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("v1"))
+    b2 = idx.select((F.col("x") - 2).alias("x"), F.col("rev").alias("v2"))
+    trip = tracked_persist(
+        idx.select("x", F.col("rev").alias("v")).join(b1, "x").join(b2, "x")
+    )
+    rr = idx.agg(
+        (
+            0.2
+            * F.sqrt(
+                (
+                    F.sum(quantize(F.col("rev") * F.col("rev"), 9)).cast("double")
+                    / 1e9
+                    - (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                    * (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+        ).alias("r"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )
+    b = trip.select(
+        F.col("x").alias("xb"),
+        F.col("v").alias("bv"),
+        F.col("v1").alias("bv1"),
+        F.col("v2").alias("bv2"),
+    )
+    # broadcast the bounded (~80-row) template side: non-equi pair joins
+    # otherwise compile to CartesianProduct (the q533 lesson)
+    pairs = trip.crossJoin(F.broadcast(rr)).join(
+        F.broadcast(b), F.col("xb") > F.col("x")
+    )
+    d2 = F.greatest(F.abs(F.col("v") - F.col("bv")), F.abs(F.col("v1") - F.col("bv1")))
+    d3 = F.greatest(d2, F.abs(F.col("v2") - F.col("bv2")))
+    cnts = pairs.groupBy("n_months").agg(
+        F.sum(F.when(d2 < F.col("r"), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(d3 < F.col("r"), 1).otherwise(0)).cast("long").alias("a"),
+    )
+    return cnts.select(
+        "n_months",
+        F.col("a").alias("n_match_3"),
+        F.col("b").alias("n_match_2"),
+        (
+            quantize(-F.log(F.col("a").cast("double") / F.col("b")), 6) / 1e6
+        ).alias("sampen"),
+    )
+
+
+# --- q562: permutation entropy (order 3) of monthly revenue — the
+# ordinal-pattern complexity measure (Bandt & Pompe 2002, public
+# methodology): each consecutive triple maps to the code
+# 4·[v1>v] + 2·[v2>v] + [v2>v1] (ties collapse downward,
+# deterministically); H = −Σ p ln p over the ≤8 observed codes,
+# normalized by ln 6. Pattern counting is pure integers over the
+# calendar spine. ----------------------------------------------------------------
+@query(
+    "q562_permutation_entropy_monthly",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    codes AS MATERIALIZED (
+        SELECT 4 * (CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN c.rev > a.rev THEN 1 ELSE 0 END)
+             + (CASE WHEN c.rev > b.rev THEN 1 ELSE 0 END) AS code
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+                   JOIN idx c ON c.x = a.x + 2
+    ),
+    dist AS MATERIALIZED (
+        SELECT code, CAST(COUNT(*) AS DOUBLE) AS c FROM codes GROUP BY code
+    ),
+    tot AS (SELECT SUM(c) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM dist)
+    SELECT tot.k AS n_patterns,
+           CAST((SELECT SUM(CAST(c AS BIGINT)) FROM dist) AS BIGINT)
+               AS n_triples,
+           CAST({sql_quantize(
+               '(SELECT CAST(SUM(CAST(SIGN(-(c / t.t) * LN(c / t.t)) '
+               '* FLOOR(ABS(-(c / t.t) * LN(c / t.t)) * 1e12 + 0.5) '
+               'AS BIGINT)) AS DOUBLE) / 1e12 '
+               ' FROM dist, tot t) / LN(6.0)', 6)} AS DOUBLE) / 1e6
+               AS pe_norm
+    FROM tot
+    """,
+)
+def q562(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    b1 = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("v1"))
+    b2 = idx.select((F.col("x") - 2).alias("x"), F.col("rev").alias("v2"))
+    codes = (
+        idx.select("x", F.col("rev").alias("v"))
+        .join(b1, "x")
+        .join(b2, "x")
+        .select(
+            (
+                4 * F.when(F.col("v1") > F.col("v"), 1).otherwise(0)
+                + 2 * F.when(F.col("v2") > F.col("v"), 1).otherwise(0)
+                + F.when(F.col("v2") > F.col("v1"), 1).otherwise(0)
+            ).alias("code")
+        )
+    )
+    dist = codes.groupBy("code").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = dist.agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("c").cast("long").alias("n_triples"),
+    )
+    ent = dist.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(
+                quantize(-(F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t")), 12)
+            ).cast("double")
+            / 1e12
+        ).alias("h"),
+        F.first("k").alias("n_patterns"),
+        F.first("n_triples").alias("n_triples"),
+    )
+    return ent.select(
+        "n_patterns",
+        "n_triples",
+        (quantize(F.col("h") / F.log(F.lit(6.0)), 6) / 1e6).alias("pe_norm"),
+    )
+
+
+# --- q563: Lomb-Scargle periodogram of daily revenue at the weekly /
+# monthly / quarterly candidate periods — the spectral estimator that
+# stays valid when the sampling grid is irregular (ship-date gaps),
+# unlike q117's evenly-spaced periodogram. Fixed 3-frequency grid
+# (never data-sized); per-frequency τ phase from exact trig sums; both
+# engines parse the SAME ω decimal literals so the arithmetic trees
+# agree. Scargle 1982 — public methodology. -------------------------------------
+@query(
+    "q563_lomb_scargle_periods",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    t0 AS (SELECT MIN(d) AS d0,
+                  CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                      / COUNT(*) AS mu
+           FROM daily),
+    pts AS MATERIALIZED (
+        SELECT CAST(datediff('day', t0.d0, daily.d) AS DOUBLE) AS t,
+               daily.rev - t0.mu AS xc
+        FROM daily, t0
+    ),
+    freqs AS (
+        SELECT * FROM (VALUES (7, 0.8975979010256552),
+                              (30, 0.20943951023931953),
+                              (91, 0.06904599238658886)) AS f(period, w)
+    ),
+    ph AS MATERIALIZED (
+        SELECT f.period, f.w,
+               ATAN2(CAST(SUM({sql_quantize('SIN(2 * f.w * p.t)', 12)})
+                          AS DOUBLE) / 1e12,
+                     CAST(SUM({sql_quantize('COS(2 * f.w * p.t)', 12)})
+                          AS DOUBLE) / 1e12) / (2 * f.w) AS tau
+        FROM pts p CROSS JOIN freqs f
+        GROUP BY f.period, f.w
+    ),
+    pw AS (
+        SELECT ph.period,
+               0.5 * (
+                 POWER(CAST(SUM({sql_quantize(
+                     'p.xc * COS(ph.w * (p.t - ph.tau))', 12)})
+                       AS DOUBLE) / 1e12, 2)
+                 / (CAST(SUM({sql_quantize(
+                     'COS(ph.w * (p.t - ph.tau)) * COS(ph.w * (p.t - ph.tau))',
+                     12)}) AS DOUBLE) / 1e12)
+                 +
+                 POWER(CAST(SUM({sql_quantize(
+                     'p.xc * SIN(ph.w * (p.t - ph.tau))', 12)})
+                       AS DOUBLE) / 1e12, 2)
+                 / (CAST(SUM({sql_quantize(
+                     'SIN(ph.w * (p.t - ph.tau)) * SIN(ph.w * (p.t - ph.tau))',
+                     12)}) AS DOUBLE) / 1e12)
+               ) AS power
+        FROM pts p CROSS JOIN ph
+        GROUP BY ph.period
+    )
+    SELECT CAST(period AS BIGINT) AS period_days,
+           CAST({sql_quantize('power', 5)} AS DOUBLE) / 1e5 AS ls_power
+    FROM pw
+    ORDER BY period_days
+    """,
+)
+def q563(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    t0 = daily.agg(
+        F.min("d").alias("d0"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+    )
+    pts = tracked_persist(
+        daily.crossJoin(F.broadcast(t0)).select(
+            F.datediff("d", "d0").cast("double").alias("t"),
+            (F.col("rev") - F.col("mu")).alias("xc"),
+        )
+    )
+    freqs = spark.createDataFrame(
+        [(7, 0.8975979010256552), (30, 0.20943951023931953), (91, 0.06904599238658886)],
+        "period int, w double",
+    )
+    ph = (
+        pts.crossJoin(F.broadcast(freqs))
+        .groupBy("period", "w")
+        .agg(
+            (
+                F.atan2(
+                    F.sum(quantize(F.sin(2 * F.col("w") * F.col("t")), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                    F.sum(quantize(F.cos(2 * F.col("w") * F.col("t")), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                )
+                / (2 * F.col("w"))
+            ).alias("tau")
+        )
+    )
+    cosw = F.cos(F.col("w") * (F.col("t") - F.col("tau")))
+    sinw = F.sin(F.col("w") * (F.col("t") - F.col("tau")))
+    pw = (
+        pts.crossJoin(F.broadcast(ph))
+        .groupBy("period")
+        .agg(
+            (
+                0.5
+                * (
+                    F.pow(
+                        F.sum(quantize(F.col("xc") * cosw, 12)).cast("double") / 1e12,
+                        F.lit(2.0),
+                    )
+                    / (F.sum(quantize(cosw * cosw, 12)).cast("double") / 1e12)
+                    + F.pow(
+                        F.sum(quantize(F.col("xc") * sinw, 12)).cast("double") / 1e12,
+                        F.lit(2.0),
+                    )
+                    / (F.sum(quantize(sinw * sinw, 12)).cast("double") / 1e12)
+                )
+            ).alias("power")
+        )
+    )
+    return pw.select(
+        F.col("period").cast("long").alias("period_days"),
+        (quantize("power", 5) / 1e5).alias("ls_power"),
+    ).orderBy("period_days")
+
+
+# --- q566: forecast tracking signal for the 12-month seasonal-naive
+# forecast — the ops-monitoring statistic that flags biased forecasts:
+# TS = Σe_t / MAD with e_t = actual − forecast and MAD = Σ|e_t|/n. The
+# forecast is the month-spine 12-lag equi-join (q356 pattern); exact
+# quantized error sums; |TS| > 4 is the classic alarm. ---------------------------
+@query(
+    "q566_forecast_tracking_signal",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    err AS MATERIALIZED (
+        SELECT b.rev - a.rev AS e
+        FROM idx a JOIN idx b ON b.x = a.x + 12
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('e', 6)}) AS DOUBLE) / 1e6 AS se,
+               CAST(SUM({sql_quantize('ABS(e)', 6)}) AS DOUBLE) / 1e6 AS sae
+        FROM err
+    )
+    SELECT n AS n_obs,
+           CAST({sql_quantize('sae / n', 6)} AS DOUBLE) / 1e6 AS mad,
+           CAST({sql_quantize('se / (sae / n)', 6)} AS DOUBLE) / 1e6
+               AS tracking_signal
+    FROM s
+    """,
+)
+def q566(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    fc = idx.select((F.col("x") + 12).alias("x"), F.col("rev").alias("f"))
+    err = idx.join(fc, "x").select((F.col("rev") - F.col("f")).alias("e"))
+    s = err.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("e", 6)).cast("double") / 1e6).alias("se"),
+        (F.sum(quantize(F.abs("e"), 6)).cast("double") / 1e6).alias("sae"),
+    )
+    return s.select(
+        F.col("n").alias("n_obs"),
+        (quantize(F.col("sae") / F.col("n"), 6) / 1e6).alias("mad"),
+        (quantize(F.col("se") / (F.col("sae") / F.col("n")), 6) / 1e6).alias(
+            "tracking_signal"
+        ),
+    )
+
+
+# --- q583: Gumbel extreme-value fit on monthly maxima of daily
+# revenue (block-maxima method, method-of-moments: β = s√6/π,
+# μ = x̄ − γβ with γ the Euler-Mascheroni constant) plus the 100-month
+# return level μ − β·ln(−ln(1 − 1/100)) — the tail-risk complement to
+# q545's Hill index (which fits the POT tail; this fits block maxima).
+# Monthly maxima are one two-level aggregate; the fit is closed-form
+# from exact moments. -------------------------------------------------------------
+@query(
+    "q583_gumbel_block_maxima",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d, date_trunc('month', l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d, mth
+    ),
+    mx AS MATERIALIZED (
+        SELECT mth, MAX(rev) AS m FROM daily GROUP BY mth
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('m', 6)}) AS DOUBLE) / 1e6 AS sm,
+               CAST(SUM({sql_quantize('m * m', 9)}) AS DOUBLE) / 1e9 AS smm
+        FROM mx
+    ),
+    fit AS (
+        SELECT n,
+               SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)
+                   / 3.141592653589793 AS beta,
+               sm / n - 0.5772156649015329
+                   * (SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)
+                      / 3.141592653589793) AS mu
+        FROM s
+    )
+    SELECT n AS n_blocks,
+           CAST({sql_quantize('mu', 6)} AS DOUBLE) / 1e6 AS gumbel_mu,
+           CAST({sql_quantize('beta', 6)} AS DOUBLE) / 1e6 AS gumbel_beta,
+           CAST({sql_quantize('mu - beta * LN(-LN(1 - 1.0 / 100))', 6)}
+                AS DOUBLE) / 1e6 AS return_level_100
+    FROM fit
+    """,
+)
+def q583(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").alias("d"),
+        F.date_trunc("month", "l_shipdate").alias("mth"),
+    ).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    mx = daily.groupBy("mth").agg(F.max("rev").alias("m"))
+    s = mx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("m", 6)).cast("double") / 1e6).alias("sm"),
+        (F.sum(quantize(F.col("m") * F.col("m"), 9)).cast("double") / 1e9).alias(
+            "smm"
+        ),
+    )
+    fit = s.selectExpr(
+        "n",
+        "SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)"
+        " / 3.141592653589793 AS beta",
+        "sm / n - 0.5772156649015329"
+        " * (SQRT((smm - sm * sm / n) / (n - 1)) * SQRT(6.0)"
+        "    / 3.141592653589793) AS mu",
+    )
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        (quantize("mu", 6) / 1e6).alias("gumbel_mu"),
+        (quantize("beta", 6) / 1e6).alias("gumbel_beta"),
+        (
+            quantize(
+                F.col("mu")
+                - F.col("beta") * F.log(-F.log(F.lit(1 - 1.0 / 100))),
+                6,
+            )
+            / 1e6
+        ).alias("return_level_100"),
+    )
+
+
+# --- q584: Kupiec proportion-of-failures backtest of the q544 VaR —
+# count days whose return breached VaR95 and test x/n against p = 5%
+# with LR_POF = −2·ln[ (1−p)^{n−x} p^x / ((1−x/n)^{n−x} (x/n)^x) ]
+# (Kupiec 1995, public methodology; χ²₁ under H0). The risk-model
+# validation loop: estimate (q544) → monitor (this). Breach counting
+# is integer-exact; the LR is a closed scalar formula. --------------------------
+@query(
+    "q584_kupiec_var_backtest",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT LN(b.rev / a.rev) AS r
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    var95 AS (SELECT quantile_cont(r, 0.05) AS v FROM ret),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ret.r < var95.v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM ret, var95
+    )
+    SELECT n AS n_days, x AS n_breaches,
+           CAST({sql_quantize('CAST(x AS DOUBLE) / n', 6)} AS DOUBLE) / 1e6
+               AS breach_rate,
+           CAST({sql_quantize(
+               '-2 * ((n - x) * LN(1 - 0.05) + x * LN(0.05)'
+               '      - (n - x) * LN(1 - CAST(x AS DOUBLE) / n)'
+               '      - x * LN(CAST(x AS DOUBLE) / n))', 6)} AS DOUBLE)
+               / 1e6 AS kupiec_lr
+    FROM cnt
+    """,
+)
+def q584(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = tracked_persist(
+        idx.join(nxt, "x").select(F.log(F.col("rev2") / F.col("rev")).alias("r"))
+    )
+    var95 = ret.agg(F.expr("percentile(r, 0.05)").alias("v"))
+    cnt = ret.crossJoin(F.broadcast(var95)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("r") < F.col("v"), 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    lr = -2 * (
+        (F.col("n") - F.col("x")) * F.log(F.lit(1 - 0.05))
+        + F.col("x") * F.log(F.lit(0.05))
+        - (F.col("n") - F.col("x"))
+        * F.log(1 - F.col("x").cast("double") / F.col("n"))
+        - F.col("x") * F.log(F.col("x").cast("double") / F.col("n"))
+    )
+    return cnt.select(
+        F.col("n").alias("n_days"),
+        F.col("x").alias("n_breaches"),
+        (quantize(F.col("x").cast("double") / F.col("n"), 6) / 1e6).alias(
+            "breach_rate"
+        ),
+        (quantize(lr, 6) / 1e6).alias("kupiec_lr"),
+    )
+
+
+# --- q585: CUSUM-of-squares variance-stability test on the monthly
+# trend residuals (Brown-Durbin-Evans 1975, public methodology):
+# S_t = Σ_{i≤t} e_i² / Σe_i², D = max|S_t − t/n| — flags variance
+# regime changes that q84's mean-CUSUM cannot see. Prefix sums ride
+# the bounded month spine; the argmax month ships with the statistic. -----------
+@query(
+    "q585_cusum_squares_variance",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('e * e', 9)}) AS DOUBLE) / 1e9 AS se
+        FROM resid
+    ),
+    walk AS (
+        SELECT mth, x,
+               SUM(CAST(SIGN(e * e) * FLOOR(ABS(e * e) * 1e9 + 0.5)
+                        AS BIGINT))
+                   OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) / 1e9 AS cse
+        FROM resid
+    ),
+    dev AS (
+        SELECT mth, ABS(cse / tot.se - CAST(x AS DOUBLE) / tot.n) AS dabs
+        FROM walk, tot
+    )
+    SELECT (SELECT n FROM tot) AS n_months,
+           mth AS argmax_month,
+           CAST(CAST(SIGN(dabs) * FLOOR(ABS(dabs) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cusum_sq_d
+    FROM dev
+    ORDER BY CAST(SIGN(dabs) * FLOOR(ABS(dabs) * 1e9 + 0.5) AS BIGINT) DESC,
+             mth ASC
+    LIMIT 1
+    """,
+)
+def q585(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    tot = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(F.col("e") * F.col("e"), 9)).cast("double") / 1e9).alias(
+            "se"
+        ),
+    )
+    w_ord = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    walk = resid.select(
+        "mth",
+        "x",
+        (
+            F.sum(quantize(F.col("e") * F.col("e"), 9)).over(w_ord).cast("double")
+            / 1e9
+        ).alias("cse"),
+    )
+    dev = walk.crossJoin(F.broadcast(tot)).select(
+        "mth",
+        "n",
+        F.abs(
+            F.col("cse") / F.col("se") - F.col("x").cast("double") / F.col("n")
+        ).alias("dabs"),
+    )
+    best = dev.orderBy(quantize("dabs", 9).desc(), F.col("mth").asc()).limit(1)
+    return best.select(
+        F.col("n").alias("n_months"),
+        F.col("mth").alias("argmax_month"),
+        (quantize("dabs", 6) / 1e6).alias("cusum_sq_d"),
+    )
+
+
+# --- q587: geometric-Brownian-motion parameter estimates from daily
+# log returns — σ̂ (annualized, 252 trading days), the log-drift
+# μ̂_log·252, and the GBM percentage drift μ̂_log·252 + σ̂²/2 (Itô
+# correction): the "what volatility does this revenue stream carry"
+# summary a scenario engine (q-Monte-Carlo tier) is parameterized by.
+# Exact moment sums over the calendar-bounded return series. --------------------
+@query(
+    "q587_gbm_parameter_mle",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS x, rev FROM daily
+    ),
+    ret AS MATERIALIZED (
+        SELECT LN(b.rev / a.rev) AS r
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9 AS sr,
+               CAST(SUM({sql_quantize('r * r', 12)}) AS DOUBLE) / 1e12 AS srr
+        FROM ret
+    )
+    SELECT n AS n_returns,
+           CAST({sql_quantize('(sr / n) * 252', 6)} AS DOUBLE) / 1e6
+               AS log_drift_annual,
+           CAST({sql_quantize(
+               'SQRT((srr - sr * sr / n) / (n - 1)) * SQRT(252.0)', 6)}
+               AS DOUBLE) / 1e6 AS sigma_annual,
+           CAST({sql_quantize(
+               '(sr / n) * 252'
+               ' + ((srr - sr * sr / n) / (n - 1)) * 252.0 / 2', 6)}
+               AS DOUBLE) / 1e6 AS gbm_drift_annual
+    FROM s
+    """,
+)
+def q587(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    w_ord = Window.orderBy("d")
+    idx = daily.select(F.row_number().over(w_ord).alias("x"), "rev")
+    nxt = idx.select((F.col("x") - 1).alias("x"), F.col("rev").alias("rev2"))
+    ret = idx.join(nxt, "x").select(F.log(F.col("rev2") / F.col("rev")).alias("r"))
+    s = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("sr"),
+        (F.sum(quantize(F.col("r") * F.col("r"), 12)).cast("double") / 1e12).alias(
+            "srr"
+        ),
+    )
+    return s.selectExpr(
+        "n AS n_returns",
+        "(sr / n) * 252 AS ld",
+        "SQRT((srr - sr * sr / n) / (n - 1)) * SQRT(252.0) AS sa",
+        "(sr / n) * 252 + ((srr - sr * sr / n) / (n - 1)) * 252.0 / 2 AS gd",
+    ).select(
+        "n_returns",
+        (quantize("ld", 6) / 1e6).alias("log_drift_annual"),
+        (quantize("sa", 6) / 1e6).alias("sigma_annual"),
+        (quantize("gd", 6) / 1e6).alias("gbm_drift_annual"),
+    )
+
+
+# --- q588: first-order partial correlation of monthly order count and
+# monthly revenue CONTROLLING for the average unit price:
+# r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "is the
+# count↔revenue link just price mix?" All three Pearson terms come
+# from one exact moment aggregate over the joint month spine; the
+# shared CORR_FORMULA text keeps the arithmetic trees identical. ----------------
+@query(
+    "q588_partial_correlation_price",
+    oracle=f"""
+    WITH {_MONTHLY_JOINT_SQL},
+    withz AS MATERIALIZED (
+        SELECT j.cnt AS xv, j.rev AS yv,
+               j.rev / q.qty AS zv
+        FROM joint j JOIN (
+            SELECT date_trunc('month', l_shipdate) AS mth,
+                   CAST(SUM({sql_quantize('l_quantity', 2)}) AS DOUBLE)
+                       / 1e2 / 1e3 AS qty
+            FROM lineitem GROUP BY mth
+        ) q ON q.mth = j.mth
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('xv', 6)}) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM({sql_quantize('yv', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('zv', 6)}) AS DOUBLE) / 1e6 AS sz,
+               CAST(SUM({sql_quantize('xv * xv', 9)}) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM({sql_quantize('yv * yv', 9)}) AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize('zv * zv', 9)}) AS DOUBLE) / 1e9 AS szz,
+               CAST(SUM({sql_quantize('xv * yv', 9)}) AS DOUBLE) / 1e9 AS sxy,
+               CAST(SUM({sql_quantize('xv * zv', 9)}) AS DOUBLE) / 1e9 AS sxz,
+               CAST(SUM({sql_quantize('yv * zv', 9)}) AS DOUBLE) / 1e9 AS syz
+        FROM withz
+    ),
+    r AS (
+        SELECT n,
+               {CORR_FORMULA.format(n='n', sx='sx', sy='sy', sxx='sxx',
+                                    syy='syy', sxy='sxy')} AS rxy,
+               {CORR_FORMULA.format(n='n', sx='sx', sy='sz', sxx='sxx',
+                                    syy='szz', sxy='sxz')} AS rxz,
+               {CORR_FORMULA.format(n='n', sx='sy', sy='sz', sxx='syy',
+                                    syy='szz', sxy='syz')} AS ryz
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST({sql_quantize('rxy', 6)} AS DOUBLE) / 1e6 AS r_xy,
+           CAST({sql_quantize(
+               '(rxy - rxz * ryz) / SQRT((1 - rxz * rxz) * (1 - ryz * ryz))',
+               6)} AS DOUBLE) / 1e6 AS r_xy_given_z
+    FROM r
+    """,
+)
+def q588(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    joint = _monthly_joint(spark, sf_dir)
+    q = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        (F.sum(quantize("l_quantity", 2)).cast("double") / 1e2 / 1e3).alias("qty")
+    )
+    withz = joint.join(q, "mth").select(
+        F.col("cnt").alias("xv"),
+        F.col("rev").alias("yv"),
+        (F.col("rev") / F.col("qty")).alias("zv"),
+    )
+    s = withz.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("xv", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("yv", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize("zv", 6)).cast("double") / 1e6).alias("sz"),
+        (F.sum(quantize(F.col("xv") * F.col("xv"), 9)).cast("double") / 1e9).alias("sxx"),
+        (F.sum(quantize(F.col("yv") * F.col("yv"), 9)).cast("double") / 1e9).alias("syy"),
+        (F.sum(quantize(F.col("zv") * F.col("zv"), 9)).cast("double") / 1e9).alias("szz"),
+        (F.sum(quantize(F.col("xv") * F.col("yv"), 9)).cast("double") / 1e9).alias("sxy"),
+        (F.sum(quantize(F.col("xv") * F.col("zv"), 9)).cast("double") / 1e9).alias("sxz"),
+        (F.sum(quantize(F.col("yv") * F.col("zv"), 9)).cast("double") / 1e9).alias("syz"),
+    )
+    from pandrs_spark.functions.deterministic import CORR_FORMULA as CF
+
+    r = s.selectExpr(
+        "n",
+        CF.format(n="n", sx="sx", sy="sy", sxx="sxx", syy="syy", sxy="sxy") + " AS rxy",
+        CF.format(n="n", sx="sx", sy="sz", sxx="sxx", syy="szz", sxy="sxz") + " AS rxz",
+        CF.format(n="n", sx="sy", sy="sz", sxx="syy", syy="szz", sxy="syz") + " AS ryz",
+    )
+    return r.selectExpr(
+        "CAST(n AS BIGINT) AS n_months",
+        "rxy",
+        "(rxy - rxz * ryz) / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)) AS rp",
+    ).select(
+        "n_months",
+        (quantize("rxy", 6) / 1e6).alias("r_xy"),
+        (quantize("rp", 6) / 1e6).alias("r_xy_given_z"),
+    )
+
+
+# --- q592: (non-seasonal) Mann-Kendall trend test on monthly revenue:
+# S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected variance
+# V = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 and the continuity-corrected
+# z — the distribution-free significance layer on top of q543's
+# Theil-Sen slope (estimate) and q553's Cox-Stuart (sign pairs at one
+# fixed offset; MK uses ALL pairs). Pairs are the bounded month spine
+# squared; S is pure integer arithmetic. -----------------------------------------
+@query(
+    "q592_mann_kendall_trend",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM idx a JOIN idx b ON b.x > a.x
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tt
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM idx GROUP BY rev)
+        WHERE t > 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    v AS (
+        SELECT (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - ties.tt) / 18.0
+                   AS var
+        FROM nn, ties
+    )
+    SELECT nn.n AS n_months, s.s AS mk_s,
+           CAST({sql_quantize(
+               'CASE WHEN s.s > 0 THEN (s.s - 1) / SQRT(v.var)'
+               '     WHEN s.s < 0 THEN (s.s + 1) / SQRT(v.var)'
+               '     ELSE 0.0 END', 6)} AS DOUBLE) / 1e6 AS mk_z
+    FROM nn, s, v
+    """,
+)
+def q592(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    b = idx.select(F.col("x").alias("xb"), F.col("rev").alias("rb"))
+    s = idx.join(F.broadcast(b), F.col("xb") > F.col("x")).agg(
+        F.sum(
+            F.when(F.col("rb") > F.col("rev"), 1)
+            .when(F.col("rb") < F.col("rev"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    ties = (
+        idx.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    nn = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = nn.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    var = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tt")
+    ) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").alias("n_months"),
+        F.col("s").alias("mk_s"),
+        (quantize(z, 6) / 1e6).alias("mk_z"),
+    )
+
+
+# --- q598: Shewhart X̄/R control chart on weekly subgroups of daily
+# revenue — classic SPC with n=7 subgroup constants A2=0.419,
+# D3=0.076, D4=1.924 (published factors): center lines from the
+# grand mean / mean range, limit-violation counts for both charts.
+# Complete 7-day weeks only (count fence); subgroup stats are one
+# aggregate, violations a bounded second pass. -----------------------------------
+@query(
+    "q598_shewhart_xbar_r_chart",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT l_shipdate AS d, date_trunc('week', l_shipdate) AS wk,
+               CAST(SUM({sql_quantize('l_extendedprice', 2)}) AS DOUBLE)
+                   / 100.0 / 1e6 AS rev
+        FROM lineitem GROUP BY d, wk
+    ),
+    sub AS MATERIALIZED (
+        SELECT wk,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS xbar,
+               MAX(rev) - MIN(rev) AS r
+        FROM daily GROUP BY wk
+        HAVING COUNT(*) = 7
+    ),
+    lines AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               CAST(SUM({sql_quantize('xbar', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS xbb,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS rbar
+        FROM sub
+    )
+    SELECT l.n_weeks,
+           CAST({sql_quantize('l.xbb', 6)} AS DOUBLE) / 1e6 AS xbar_center,
+           CAST({sql_quantize('l.rbar', 6)} AS DOUBLE) / 1e6 AS r_center,
+           CAST(SUM(CASE WHEN s.xbar > l.xbb + 0.419 * l.rbar
+                           OR s.xbar < l.xbb - 0.419 * l.rbar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS xbar_violations,
+           CAST(SUM(CASE WHEN s.r > 1.924 * l.rbar
+                           OR s.r < 0.076 * l.rbar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS r_violations
+    FROM sub s, lines l
+    GROUP BY l.n_weeks, l.xbb, l.rbar
+    """,
+)
+def q598(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").alias("d"),
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+    ).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0) / 1e6).alias(
+            "rev"
+        )
+    )
+    sub = tracked_persist(
+        daily.groupBy("wk")
+        .agg(
+            (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+                "xbar"
+            ),
+            (F.max("rev") - F.min("rev")).alias("r"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .where(F.col("nd") == 7)
+    )
+    lines = sub.agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        (F.sum(quantize("xbar", 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "xbb"
+        ),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "rbar"
+        ),
+    )
+    j = sub.crossJoin(F.broadcast(lines))
+    out = j.groupBy("n_weeks", "xbb", "rbar").agg(
+        F.sum(
+            F.when(
+                (F.col("xbar") > F.col("xbb") + 0.419 * F.col("rbar"))
+                | (F.col("xbar") < F.col("xbb") - 0.419 * F.col("rbar")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("xbar_violations"),
+        F.sum(
+            F.when(
+                (F.col("r") > 1.924 * F.col("rbar"))
+                | (F.col("r") < 0.076 * F.col("rbar")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_violations"),
+    )
+    return out.select(
+        "n_weeks",
+        (quantize("xbb", 6) / 1e6).alias("xbar_center"),
+        (quantize("rbar", 6) / 1e6).alias("r_center"),
+        "xbar_violations",
+        "r_violations",
+    )
+
+
+# --- q599: EWMA control chart (λ=0.2, L=3) on monthly revenue — the
+# small-shift detector: z_t = λΣ(1−λ)^{t−i}x_i + (1−λ)^t·x̄₀ computed
+# NON-recursively as a bounded weighted pair-join over the month spine
+# (the (1−λ)^k weights come from exact integer powers, identical on
+# both engines), with time-varying limits
+# x̄ ± L·σ̂·√(λ/(2−λ)·(1−(1−λ)^{2t})). Counts violations. --------------------------
+@query(
+    "q599_ewma_control_chart",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS mu,
+               SQRT((CAST(SUM({sql_quantize('rev * rev', 9)}) AS DOUBLE)
+                     / 1e9
+                     - CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                       * (CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE)
+                          / 1e6) / COUNT(*))
+                    / (COUNT(*) - 1)) AS sd
+        FROM idx
+    ),
+    z AS MATERIALIZED (
+        SELECT b.x,
+               CAST(SUM({sql_quantize(
+                   '0.2 * POWER(0.8, b.x - a.x) * a.rev', 9)}) AS DOUBLE)
+                   / 1e9
+                 + POWER(0.8, b.x) * base.mu AS zt
+        FROM idx a JOIN idx b ON a.x <= b.x
+        CROSS JOIN base
+        GROUP BY b.x, base.mu
+    ),
+    lim AS (
+        SELECT z.x, z.zt,
+               base.mu + 3 * base.sd
+                   * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * z.x))) AS ucl,
+               base.mu - 3 * base.sd
+                   * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * z.x))) AS lcl
+        FROM z, base
+    )
+    SELECT (SELECT n FROM base) AS n_months,
+           CAST(SUM(CASE WHEN zt > ucl OR zt < lcl THEN 1 ELSE 0 END)
+                AS BIGINT) AS ewma_violations,
+           CAST(CAST(SIGN(MAX(zt)) * FLOOR(ABS(MAX(zt)) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS max_ewma
+    FROM lim
+    """,
+)
+def q599(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    base = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+        F.sqrt(
+            (
+                F.sum(quantize(F.col("rev") * F.col("rev"), 9)).cast("double") / 1e9
+                - (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                * (F.sum(quantize("rev", 6)).cast("double") / 1e6)
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sd"),
+    )
+    b = idx.select(F.col("x").alias("xb"))
+    z = (
+        idx.join(F.broadcast(b), F.col("x") <= F.col("xb"))
+        .crossJoin(F.broadcast(base))
+        .groupBy("xb", "mu")
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        0.2 * F.pow(F.lit(0.8), F.col("xb") - F.col("x")) * F.col("rev"),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("wsum")
+        )
+        .select(
+            "xb",
+            (F.col("wsum") + F.pow(F.lit(0.8), F.col("xb")) * F.col("mu")).alias(
+                "zt"
+            ),
+        )
+    )
+    lim = z.crossJoin(F.broadcast(base)).select(
+        "zt",
+        "n",
+        (
+            F.col("mu")
+            + 3
+            * F.col("sd")
+            * F.sqrt(0.2 / 1.8 * (1 - F.pow(F.lit(0.8), 2 * F.col("xb"))))
+        ).alias("ucl"),
+        (
+            F.col("mu")
+            - 3
+            * F.col("sd")
+            * F.sqrt(0.2 / 1.8 * (1 - F.pow(F.lit(0.8), 2 * F.col("xb"))))
+        ).alias("lcl"),
+    )
+    out = lim.groupBy("n").agg(
+        F.sum(
+            F.when((F.col("zt") > F.col("ucl")) | (F.col("zt") < F.col("lcl")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("ewma_violations"),
+        F.max("zt").alias("mz"),
+    )
+    return out.select(
+        F.col("n").alias("n_months"),
+        "ewma_violations",
+        (quantize("mz", 6) / 1e6).alias("max_ewma"),
+    )
+
+
+# --- q602: integrated autocorrelation time of monthly revenue —
+# τ_int = 1 + 2Σ_{l=1..10} ρ̂_l and the effective sample size
+# n_eff = n/τ_int: "how many independent observations does this
+# series really contain" (the MCMC-diagnostics view of q48's ACF).
+# Lag pairs are equi-joins on the month index; each ρ̂_l uses the
+# standard biased estimator over the full-series mean and variance. -------------
+@query(
+    "q602_integrated_autocorr_time",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS m
+        FROM idx
+    ),
+    c0 AS (
+        SELECT CAST(SUM({sql_quantize('(rev - m) * (rev - m)', 9)})
+                    AS DOUBLE) / 1e9 AS c
+        FROM idx, mu
+    ),
+    lags AS (
+        SELECT l.lag,
+               CAST(SUM({sql_quantize(
+                   '(a.rev - mu.m) * (b.rev - mu.m)', 9)}) AS DOUBLE) / 1e9
+                   AS cl
+        FROM idx a
+        CROSS JOIN (SELECT UNNEST(generate_series(1, 10)) AS lag) l
+        JOIN idx b ON b.x = a.x + l.lag
+        CROSS JOIN mu
+        GROUP BY l.lag
+    ),
+    tau AS (
+        SELECT 1 + 2 * CAST(SUM({sql_quantize('cl / c0.c', 9)}) AS DOUBLE)
+                   / 1e9 AS t
+        FROM lags, c0
+    )
+    SELECT mu.n AS n_months,
+           CAST({sql_quantize('tau.t', 6)} AS DOUBLE) / 1e6 AS tau_int,
+           CAST({sql_quantize('mu.n / tau.t', 6)} AS DOUBLE) / 1e6
+               AS effective_n
+    FROM mu, tau
+    """,
+)
+def q602(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    mu = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    c0 = idx.crossJoin(F.broadcast(mu)).agg(
+        (
+            F.sum(quantize((F.col("rev") - F.col("m")) * (F.col("rev") - F.col("m")), 9))
+            .cast("double")
+            / 1e9
+        ).alias("c")
+    )
+    lagged = idx.select(
+        F.col("x"),
+        F.col("rev"),
+        F.explode(F.array(*[F.lit(v) for v in range(1, 11)])).alias("lag"),
+    )
+    b = idx.select(F.col("x").alias("xb"), F.col("rev").alias("rb"))
+    lags = (
+        lagged.withColumn("xk", F.col("x") + F.col("lag"))
+        .join(b, F.col("xb") == F.col("xk"))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("lag")
+        .agg(
+            (
+                F.sum(
+                    quantize((F.col("rev") - F.col("m")) * (F.col("rb") - F.col("m")), 9)
+                ).cast("double")
+                / 1e9
+            ).alias("cl")
+        )
+    )
+    tau = lags.crossJoin(F.broadcast(c0)).agg(
+        (
+            1
+            + 2 * F.sum(quantize(F.col("cl") / F.col("c"), 9)).cast("double") / 1e9
+        ).alias("t")
+    )
+    j = mu.crossJoin(F.broadcast(tau))
+    return j.select(
+        F.col("n").alias("n_months"),
+        (quantize("t", 6) / 1e6).alias("tau_int"),
+        (quantize(F.col("n") / F.col("t"), 6) / 1e6).alias("effective_n"),
+    )
+
+
+# --- q609: p-chart on the weekly urgent-order share — attribute SPC:
+# limits p̄ ± 3·√(p̄(1−p̄)/n_w) vary with each week's sample size
+# (the textbook varying-limit form); counts weeks out of control.
+# Completes the control-chart family: X̄/R (q598, variables), EWMA
+# (q599, small shifts), p (this, attributes). ------------------------------------
+@query(
+    "q609_p_chart_urgent_share",
+    oracle="""
+    WITH wk AS MATERIALIZED (
+        SELECT date_trunc('week', o_orderdate) AS w,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS x
+        FROM orders GROUP BY w
+    ),
+    pbar AS (
+        SELECT SUM(x) / SUM(n) AS p, CAST(COUNT(*) AS BIGINT) AS n_weeks
+        FROM wk
+    )
+    SELECT pbar.n_weeks,
+           CAST(CAST(SIGN(pbar.p) * FLOOR(ABS(pbar.p) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS p_center,
+           CAST(SUM(CASE WHEN wk.x / wk.n >
+                              pbar.p + 3 * SQRT(pbar.p * (1 - pbar.p) / wk.n)
+                           OR wk.x / wk.n <
+                              pbar.p - 3 * SQRT(pbar.p * (1 - pbar.p) / wk.n)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM wk, pbar
+    GROUP BY pbar.n_weeks, pbar.p
+    """,
+)
+def q609(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    wk = orders.groupBy(F.date_trunc("week", "o_orderdate").alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    pbar = wk.agg(
+        (F.sum("x") / F.sum("n")).alias("p"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+    )
+    j = wk.crossJoin(F.broadcast(pbar))
+    lim = 3 * F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n"))
+    out = j.groupBy("n_weeks", "p").agg(
+        F.sum(
+            F.when(
+                (F.col("x") / F.col("n") > F.col("p") + lim)
+                | (F.col("x") / F.col("n") < F.col("p") - lim),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("violations")
+    )
+    return out.select(
+        "n_weeks",
+        (quantize("p", 6) / 1e6).alias("p_center"),
+        "violations",
+    )
+
+
+# --- q620: spectral entropy of monthly revenue — DFT power at the
+# first 12 harmonics, normalized to a distribution, H/ln(12): near 1
+# means white-noise-like (unforecastable), near 0 means one dominant
+# cycle. The "forecastability" scalar that gates whether the seasonal
+# models (q80/q107/q521) are even worth fitting. Fixed harmonic grid;
+# trig terms share the 2π literal so both engines build identical
+# arguments. -----------------------------------------------------------------------
+@query(
+    "q620_spectral_entropy_monthly",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) - 1 AS t, rev FROM monthly
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS m
+        FROM idx
+    ),
+    harm AS (SELECT UNNEST(generate_series(1, 12)) AS k),
+    pw AS MATERIALIZED (
+        SELECT h.k,
+               POWER(CAST(SUM({sql_quantize(
+                   '(i.rev - mu.m)'
+                   ' * COS(6.283185307179586 * h.k * i.t / mu.n)', 12)})
+                     AS DOUBLE) / 1e12, 2)
+             + POWER(CAST(SUM({sql_quantize(
+                   '(i.rev - mu.m)'
+                   ' * SIN(6.283185307179586 * h.k * i.t / mu.n)', 12)})
+                     AS DOUBLE) / 1e12, 2) AS p
+        FROM idx i CROSS JOIN harm h CROSS JOIN mu
+        GROUP BY h.k
+    ),
+    tot AS (SELECT SUM(p) AS sp FROM pw),
+    ent AS (
+        SELECT CAST(SUM(CAST(SIGN(-(p / tot.sp) * LN(p / tot.sp))
+                             * FLOOR(ABS(-(p / tot.sp) * LN(p / tot.sp))
+                                     * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e9 AS h
+        FROM pw, tot WHERE p > 0
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM mu) AS n_months,
+           CAST({sql_quantize('ent.h / LN(12.0)', 6)} AS DOUBLE) / 1e6
+               AS spectral_entropy
+    FROM ent
+    """,
+)
+def q620(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select((F.row_number().over(w_ord) - 1).alias("t"), "rev")
+    )
+    mu = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    harm = spark.createDataFrame([(k,) for k in range(1, 13)], "k int")
+    arg = 6.283185307179586 * F.col("k") * F.col("t") / F.col("n")
+    pw = (
+        idx.crossJoin(F.broadcast(harm))
+        .crossJoin(F.broadcast(mu))
+        .groupBy("k")
+        .agg(
+            (
+                F.pow(
+                    F.sum(quantize((F.col("rev") - F.col("m")) * F.cos(arg), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                    F.lit(2.0),
+                )
+                + F.pow(
+                    F.sum(quantize((F.col("rev") - F.col("m")) * F.sin(arg), 12)).cast(
+                        "double"
+                    )
+                    / 1e12,
+                    F.lit(2.0),
+                )
+            ).alias("p")
+        )
+    )
+    pw = tracked_persist(pw)
+    tot = pw.agg(F.sum("p").alias("sp"))
+    ent = (
+        pw.crossJoin(F.broadcast(tot))
+        .where(F.col("p") > 0)
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        -(F.col("p") / F.col("sp")) * F.log(F.col("p") / F.col("sp")),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+            ).alias("h")
+        )
+    )
+    n_m = idx.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    j = n_m.crossJoin(F.broadcast(ent))
+    return j.select(
+        "n_months",
+        (quantize(F.col("h") / F.log(F.lit(12.0)), 6) / 1e6).alias(
+            "spectral_entropy"
+        ),
+    )

@@ -2375,3 +2375,1272 @@ def q610(spark, sf_dir):
         (quantize("r", 6) / 1e6).alias("vikor_r"),
         (quantize(q_col, 6) / 1e6).alias("vikor_q"),
     ).orderBy("nation")
+
+
+# --- q571: economic order quantity per brand — EOQ = sqrt(2·D·S/H)
+# with annual demand D from the observed quantity rate, ordering cost
+# S = 100 (fixed policy constant) and holding cost H = 20% of the
+# brand's unit value (Σ extprice / Σ qty). The inventory-policy
+# complement to q-newsvendor: one fact aggregate, bounded 25-brand
+# output, closed-form per row. ---------------------------------------------------
+@query(
+    "q571_eoq_per_brand",
+    oracle=f"""
+    WITH span AS (
+        SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate))
+                    AS DOUBLE) AS n_months
+        FROM lineitem
+    ),
+    per_b AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                   / 1e2 AS qty,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 1e2 AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand
+    )
+    SELECT brand,
+           CAST({sql_quantize('qty * 12.0 / span.n_months', 2)} AS DOUBLE)
+               / 1e2 AS annual_demand,
+           CAST({sql_quantize(
+               'SQRT(2.0 * (qty * 12.0 / span.n_months) * 100.0'
+               ' / (0.2 * (rev / qty)))', 4)} AS DOUBLE) / 1e4 AS eoq
+    FROM per_b, span
+    ORDER BY brand
+    """,
+)
+def q571(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    span = li.agg(
+        F.count_distinct(F.date_trunc("month", "l_shipdate"))
+        .cast("double")
+        .alias("n_months")
+    )
+    per_b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (F.sum(quantize("l_quantity", 2)).cast("double") / 1e2).alias("qty"),
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 1e2).alias("rev"),
+        )
+    )
+    j = per_b.crossJoin(F.broadcast(span))
+    d_annual = F.col("qty") * 12.0 / F.col("n_months")
+    eoq = F.sqrt(2.0 * d_annual * 100.0 / (0.2 * (F.col("rev") / F.col("qty"))))
+    return j.select(
+        "brand",
+        (quantize(d_annual, 2) / 1e2).alias("annual_demand"),
+        (quantize(eoq, 4) / 1e4).alias("eoq"),
+    ).orderBy("brand")
+
+
+# --- q572: ABC-XYZ inventory matrix — every part classed twice:
+# ABC by cumulative revenue share (A ≤80%, B ≤95%, C tail; the q216
+# distributed prefix fold, range-sort + partition-offset cumsum, never
+# a one-task window) and XYZ by monthly-demand variability
+# (CV ≤0.5 X, ≤1.0 Y, else Z; months with no sales count as zeros via
+# the month-span carry). Output: the 9-cell planning matrix with part
+# counts and revenue share per cell. ---------------------------------------------
+@query(
+    "q572_abc_xyz_matrix",
+    oracle=f"""
+    WITH span AS (
+        SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate))
+                    AS DOUBLE) AS nm
+        FROM lineitem
+    ),
+    rev AS MATERIALIZED (
+        SELECT l_partkey, {sql_dsum("l_extendedprice * (1 - l_discount)", 2)}
+                   AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT {sql_dsum("revenue", 2)} AS total FROM rev),
+    run AS (
+        SELECT l_partkey, revenue,
+               SUM(CASE WHEN revenue < 0
+                        THEN CAST(CEIL(revenue * 100 - 0.5) AS BIGINT)
+                        ELSE CAST(FLOOR(revenue * 100 + 0.5) AS BIGINT) END)
+                   OVER (ORDER BY revenue DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS running
+        FROM rev
+    ),
+    abc AS MATERIALIZED (
+        SELECT l_partkey, revenue,
+               CASE WHEN running / (SELECT total FROM tot) <= 0.80 THEN 'A'
+                    WHEN running / (SELECT total FROM tot) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM run
+    ),
+    mdem AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_active,
+               CAST(SUM({sql_quantize('mq', 2)}) AS DOUBLE) / 1e2 AS s,
+               CAST(SUM({sql_quantize('mq * mq', 2)}) AS DOUBLE) / 1e2 AS ss
+        FROM (
+            SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
+                   CAST(SUM({sql_quantize('l_quantity', 2)}) AS DOUBLE)
+                       / 1e2 AS mq
+            FROM lineitem GROUP BY l_partkey, mth
+        ) GROUP BY l_partkey
+    ),
+    xyz AS MATERIALIZED (
+        SELECT l_partkey,
+               CASE WHEN cv <= 0.5 THEN 'X'
+                    WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        FROM (
+            SELECT l_partkey,
+                   SQRT((ss - s * s / span.nm) / (span.nm - 1))
+                       / (s / span.nm) AS cv
+            FROM mdem, span
+        )
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST({sql_quantize(
+               'SUM(a.revenue) / (SELECT total FROM tot)', 6)} AS DOUBLE)
+               / 1e6 AS revenue_share
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+)
+def q572(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    span = li.agg(
+        F.count_distinct(F.date_trunc("month", "l_shipdate"))
+        .cast("double")
+        .alias("nm")
+    )
+    rev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+    total = rev.agg(dsum("revenue", 2).alias("__total__"))
+    run = global_prefix_sum(
+        rev,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        "revenue",
+        out_col="running",
+        scale=2,
+    )
+    abc = run.join(F.broadcast(total)).select(
+        "l_partkey",
+        "revenue",
+        F.when(F.col("running") / F.col("__total__") <= 0.80, "A")
+        .when(F.col("running") / F.col("__total__") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.col("__total__"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mth")
+    ).agg((F.sum(quantize("l_quantity", 2)).cast("double") / 1e2).alias("mq"))
+    mdem = monthly.groupBy("l_partkey").agg(
+        (F.sum(quantize("mq", 2)).cast("double") / 1e2).alias("s"),
+        (F.sum(quantize(F.col("mq") * F.col("mq"), 2)).cast("double") / 1e2).alias(
+            "ss"
+        ),
+    )
+    cv = (
+        mdem.crossJoin(F.broadcast(span))
+        .select(
+            "l_partkey",
+            (
+                F.sqrt(
+                    (F.col("ss") - F.col("s") * F.col("s") / F.col("nm"))
+                    / (F.col("nm") - 1)
+                )
+                / (F.col("s") / F.col("nm"))
+            ).alias("cv"),
+        )
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    j = abc.join(xyz, "l_partkey")
+    return (
+        j.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (
+                quantize(F.sum("revenue") / F.first("__total__"), 6) / 1e6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+# --- q576: association-rule metrics for brand co-purchase — support,
+# confidence, lift, leverage and conviction for every ordered brand
+# pair appearing in ≥50 shared orders: the full Agrawal-style metric
+# set on top of the q-FP-Growth itemsets (which mines; this scores).
+# Basket→brand dedup first, pair counting second — the pair space is
+# bounded by the 25-brand catalog, never by orders. ------------------------------
+@query(
+    "q576_association_rule_metrics",
+    oracle="""
+    WITH ob AS MATERIALIZED (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n FROM ob
+    ),
+    brand_cnt AS MATERIALIZED (
+        SELECT brand, CAST(COUNT(*) AS DOUBLE) AS c FROM ob GROUP BY brand
+    ),
+    pair_cnt AS MATERIALIZED (
+        SELECT a.brand AS ante, b.brand AS cons,
+               CAST(COUNT(*) AS DOUBLE) AS cab
+        FROM ob a JOIN ob b ON b.ok = a.ok AND b.brand <> a.brand
+        GROUP BY ante, cons
+        HAVING COUNT(*) >= 50
+    )
+    SELECT ante, cons,
+           CAST(cab AS BIGINT) AS n_joint,
+           CAST(CAST(SIGN(sup) * FLOOR(ABS(sup) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS support,
+           CAST(CAST(SIGN(conf) * FLOOR(ABS(conf) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS confidence,
+           CAST(CAST(SIGN(lift) * FLOOR(ABS(lift) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS lift,
+           CAST(CAST(SIGN(lev) * FLOOR(ABS(lev) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS leverage,
+           CAST(CAST(SIGN(conv) * FLOOR(ABS(conv) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS conviction
+    FROM (
+        SELECT pc.ante, pc.cons, pc.cab,
+               pc.cab / n.n AS sup,
+               pc.cab / ca.c AS conf,
+               (pc.cab / ca.c) / (cb.c / n.n) AS lift,
+               pc.cab / n.n - (ca.c / n.n) * (cb.c / n.n) AS lev,
+               (1 - cb.c / n.n) / (1 - pc.cab / ca.c) AS conv
+        FROM pair_cnt pc
+        JOIN brand_cnt ca ON ca.brand = pc.ante
+        JOIN brand_cnt cb ON cb.brand = pc.cons
+        CROSS JOIN n_orders n
+    )
+    ORDER BY ante, cons
+    """,
+)
+def q576(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    ob = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.agg(F.count_distinct("ok").cast("double").alias("n"))
+    brand_cnt = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    b = ob.select(F.col("ok"), F.col("brand").alias("cons"))
+    pair_cnt = (
+        ob.select("ok", F.col("brand").alias("ante"))
+        .join(b, "ok")
+        .where(F.col("cons") != F.col("ante"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("double").alias("cab"))
+        .where(F.col("cab") >= 50)
+    )
+    ca = brand_cnt.select(F.col("brand").alias("ante"), F.col("c").alias("c_a"))
+    cb = brand_cnt.select(F.col("brand").alias("cons"), F.col("c").alias("c_b"))
+    j = (
+        pair_cnt.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cb), "cons")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    sup = F.col("cab") / F.col("n")
+    conf = F.col("cab") / F.col("c_a")
+    lift = (F.col("cab") / F.col("c_a")) / (F.col("c_b") / F.col("n"))
+    lev = F.col("cab") / F.col("n") - (F.col("c_a") / F.col("n")) * (
+        F.col("c_b") / F.col("n")
+    )
+    conv = (1 - F.col("c_b") / F.col("n")) / (1 - F.col("cab") / F.col("c_a"))
+    return j.select(
+        "ante",
+        "cons",
+        F.col("cab").cast("long").alias("n_joint"),
+        (quantize(sup, 6) / 1e6).alias("support"),
+        (quantize(conf, 6) / 1e6).alias("confidence"),
+        (quantize(lift, 6) / 1e6).alias("lift"),
+        (quantize(lev, 6) / 1e6).alias("leverage"),
+        (quantize(conv, 6) / 1e6).alias("conviction"),
+    ).orderBy("ante", "cons")
+
+
+# --- q577: hypergeometric enrichment z-scores — is each market
+# segment over-represented among the top-value orders? With K = global
+# top-decile count, n_s = segment size, k_s = segment hits: under the
+# hypergeometric null E = n_s·K/N, V = n_s·K(N−K)(N−n_s)/(N²(N−1));
+# z = (k_s − E)/√V. The set-enrichment screen (GSEA-style, public
+# methodology) over bounded segment strata; the decile cut rides the
+# exact distributed percentile. ---------------------------------------------------
+@query(
+    "q577_segment_enrichment_z",
+    oracle=f"""
+    WITH cut AS (SELECT quantile_cont(o_totalprice, 0.9) AS c FROM orders),
+    marked AS MATERIALIZED (
+        SELECT cst.c_mktsegment AS seg,
+               CASE WHEN o.o_totalprice > cut.c THEN 1 ELSE 0 END AS hit
+        FROM orders o JOIN customer cst ON cst.c_custkey = o.o_custkey
+        CROSS JOIN cut
+    ),
+    per_s AS MATERIALIZED (
+        SELECT seg, CAST(COUNT(*) AS DOUBLE) AS ns,
+               CAST(SUM(hit) AS DOUBLE) AS ks
+        FROM marked GROUP BY seg
+    ),
+    tot AS (
+        SELECT SUM(ns) AS n, SUM(ks) AS k FROM per_s
+    )
+    SELECT seg,
+           CAST(ks AS BIGINT) AS n_hits,
+           CAST(ns AS BIGINT) AS n_orders,
+           CAST({sql_quantize(
+               '(ks - ns * t.k / t.n)'
+               ' / SQRT(ns * (t.k / t.n) * (1 - t.k / t.n)'
+               '        * (t.n - ns) / (t.n - 1))', 6)} AS DOUBLE) / 1e6
+               AS enrichment_z
+    FROM per_s, tot t
+    ORDER BY seg
+    """,
+)
+def q577(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    cut = orders.agg(F.expr("percentile(o_totalprice, 0.9)").alias("c"))
+    marked = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("o_totalprice") > F.col("c"), 1).otherwise(0).alias("hit"),
+        )
+    )
+    per_s = tracked_persist(
+        marked.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("double").alias("ns"),
+            F.sum("hit").cast("double").alias("ks"),
+        )
+    )
+    tot = per_s.agg(F.sum("ns").alias("n"), F.sum("ks").alias("k"))
+    j = per_s.crossJoin(F.broadcast(tot))
+    z = (F.col("ks") - F.col("ns") * F.col("k") / F.col("n")) / F.sqrt(
+        F.col("ns")
+        * (F.col("k") / F.col("n"))
+        * (1 - F.col("k") / F.col("n"))
+        * (F.col("n") - F.col("ns"))
+        / (F.col("n") - 1)
+    )
+    return j.select(
+        "seg",
+        F.col("ks").cast("long").alias("n_hits"),
+        F.col("ns").cast("long").alias("n_orders"),
+        (quantize(z, 6) / 1e6).alias("enrichment_z"),
+    ).orderBy("seg")
+
+
+# --- q578: Chapman capture-recapture estimate of the active-part
+# population — two independent deterministic md5 "survey waves" over
+# lineitem-active parts (different hash salts), N̂ = (n1+1)(n2+1)/(m+1)
+# − 1 with m the recaptures. The population-size estimator a coverage
+# audit runs when no frame is complete; the gate verifies both waves
+# and the estimate against the true catalog truth it also outputs. --------------
+@query(
+    "q578_capture_recapture_parts",
+    oracle="""
+    WITH active AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS pk FROM lineitem
+    ),
+    waves AS MATERIALIZED (
+        SELECT pk,
+               CASE WHEN substr(md5('w1|' || CAST(pk AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS w1,
+               CASE WHEN substr(md5('w2|' || CAST(pk AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS w2
+        FROM active
+    ),
+    s AS (
+        SELECT CAST(SUM(w1) AS BIGINT) AS n1,
+               CAST(SUM(w2) AS BIGINT) AS n2,
+               CAST(SUM(w1 * w2) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS truth
+        FROM waves
+    )
+    SELECT n1, n2, m, truth,
+           CAST(CAST(SIGN(est) * FLOOR(ABS(est) * 1e4 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e4 AS chapman_estimate
+    FROM (
+        SELECT n1, n2, m, truth,
+               (CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1 AS est
+        FROM s
+    )
+    """,
+)
+def q578(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    active = li.select(F.col("l_partkey").alias("pk")).distinct()
+    coin1 = F.substring(F.md5(F.concat(F.lit("w1|"), F.col("pk").cast("string"))), 1, 1)
+    coin2 = F.substring(F.md5(F.concat(F.lit("w2|"), F.col("pk").cast("string"))), 1, 1)
+    waves = active.select(
+        F.when(coin1 < "8", 1).otherwise(0).alias("w1"),
+        F.when(coin2 < "8", 1).otherwise(0).alias("w2"),
+    )
+    s = waves.agg(
+        F.sum("w1").cast("long").alias("n1"),
+        F.sum("w2").cast("long").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("truth"),
+    )
+    est = (F.col("n1").cast("double") + 1) * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return s.select(
+        "n1", "n2", "m", "truth", (quantize(est, 4) / 1e4).alias("chapman_estimate")
+    )
+
+
+# --- q590: Lorenz asymmetry coefficient of customer lifetime spend —
+# S = F(μ) + L(μ) in the discrete convention (share of customers below
+# the mean plus their share of total spend): S < 1 means inequality is
+# driven by many small customers, S > 1 by a few giants — the
+# DIRECTION diagnostic q499's Lorenz deciles and the Gini level both
+# miss (Damgaard & Weiner 2000, public methodology). Two exact
+# aggregates; the below-mean split is one broadcast-scalar comparison. -----------
+@query(
+    "q590_lorenz_asymmetry_spend",
+    oracle=f"""
+    WITH spend AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e3 AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6 AS lt,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6
+                   / COUNT(*) AS m
+        FROM spend
+    ),
+    below AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM({sql_quantize('x', 6)}) AS DOUBLE) / 1e6 AS lb
+        FROM spend, mu WHERE x < mu.m
+    )
+    SELECT mu.n AS n_customers, below.nb AS n_below_mean,
+           CAST({sql_quantize(
+               'CAST(below.nb AS DOUBLE) / mu.n', 6)} AS DOUBLE) / 1e6
+               AS f_mu,
+           CAST({sql_quantize('below.lb / mu.lt', 6)} AS DOUBLE) / 1e6
+               AS l_mu,
+           CAST({sql_quantize(
+               'CAST(below.nb AS DOUBLE) / mu.n + below.lb / mu.lt', 6)}
+               AS DOUBLE) / 1e6 AS lorenz_asymmetry
+    FROM mu, below
+    """,
+)
+def q590(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    spend = tracked_persist(
+        orders.groupBy("o_custkey").agg(
+            (F.sum(quantize("o_totalprice", 2)).cast("double") / 1e2 / 1e3).alias(
+                "x"
+            )
+        )
+    )
+    mu = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("lt"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "m"
+        ),
+    )
+    below = spend.crossJoin(F.broadcast(mu)).where(F.col("x") < F.col("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        (F.sum(quantize("x", 6)).cast("double") / 1e6).alias("lb"),
+    )
+    j = mu.crossJoin(F.broadcast(below))
+    return j.select(
+        F.col("n").alias("n_customers"),
+        F.col("nb").alias("n_below_mean"),
+        (quantize(F.col("nb").cast("double") / F.col("n"), 6) / 1e6).alias("f_mu"),
+        (quantize(F.col("lb") / F.col("lt"), 6) / 1e6).alias("l_mu"),
+        (
+            quantize(
+                F.col("nb").cast("double") / F.col("n") + F.col("lb") / F.col("lt"),
+                6,
+            )
+            / 1e6
+        ).alias("lorenz_asymmetry"),
+    )
+
+
+# --- q593: greedy fractional-knapsack promotion budget — rank parts
+# by profit density (margin per unit of inventory cost), take whole
+# parts until the 10M cost budget, fractionally include the marginal
+# part: the classic LP-relaxation optimum (exact for fractional
+# knapsack). Ranking + running cost ride the q216 distributed prefix
+# fold — no one-task window. Output: parts funded, budget used, total
+# margin captured, and the marginal density (the shadow price). -----------------
+@query(
+    "q593_knapsack_promo_budget",
+    oracle=f"""
+    WITH per_p AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(SUM({sql_quantize(
+                   'l_extendedprice * (1 - l_discount) * 0.1', 2)})
+                    AS DOUBLE) / 1e2 AS margin,
+               CAST(SUM({sql_quantize('l_extendedprice * 0.5', 2)})
+                    AS DOUBLE) / 1e2 AS cost
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS MATERIALIZED (
+        SELECT l_partkey, margin, cost, margin / cost AS density,
+               -- FLOOR(x + 0.5), not CAST(x + 0.5): Spark's double→long
+               -- cast truncates, DuckDB's rounds — mirror the Spark fold
+               SUM(CAST(FLOOR(cost * 100 + 0.5) AS BIGINT))
+                   OVER (ORDER BY margin / cost DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS run_cost
+        FROM per_p
+    ),
+    funded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+               CAST(SUM({sql_quantize('margin', 2)}) AS DOUBLE) / 1e2
+                   AS full_margin,
+               MAX(run_cost) AS used
+        FROM ranked WHERE run_cost <= 10000000.0
+    ),
+    marginal AS (
+        SELECT density, margin, cost, run_cost FROM ranked
+        WHERE run_cost > 10000000.0
+        ORDER BY run_cost ASC LIMIT 1
+    )
+    SELECT funded.n_full AS n_parts_funded,
+           CAST({sql_quantize('funded.used', 2)} AS DOUBLE) / 1e2 / 1e6
+               AS budget_used_m,
+           CAST({sql_quantize(
+               'funded.full_margin + marginal.margin'
+               ' * (10000000.0 - funded.used) / marginal.cost', 2)}
+               AS DOUBLE) / 1e2 / 1e6 AS total_margin_m,
+           CAST({sql_quantize('marginal.density', 6)} AS DOUBLE) / 1e6
+               AS shadow_density
+    FROM funded, marginal
+    """,
+)
+def q593(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    per_p = li.groupBy("l_partkey").agg(
+        (
+            F.sum(
+                quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 0.1, 2)
+            ).cast("double")
+            / 1e2
+        ).alias("margin"),
+        (
+            F.sum(quantize(F.col("l_extendedprice") * 0.5, 2)).cast("double") / 1e2
+        ).alias("cost"),
+    )
+    per_p = per_p.withColumn("density", F.col("margin") / F.col("cost"))
+    ranked = tracked_persist(
+        global_prefix_sum(
+            per_p,
+            [F.desc("density"), F.asc("l_partkey")],
+            "cost",
+            out_col="run_cost",
+            scale=2,
+        )
+    )
+    funded = ranked.where(F.col("run_cost") <= 10000000.0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        (F.sum(quantize("margin", 2)).cast("double") / 1e2).alias("full_margin"),
+        F.max("run_cost").alias("used"),
+    )
+    marginal = (
+        ranked.where(F.col("run_cost") > 10000000.0)
+        .orderBy(F.col("run_cost").asc())
+        .limit(1)
+        .select("density", "margin", "cost")
+    )
+    j = funded.crossJoin(F.broadcast(marginal))
+    total = F.col("full_margin") + F.col("margin") * (
+        10000000.0 - F.col("used")
+    ) / F.col("cost")
+    return j.select(
+        F.col("n_full").alias("n_parts_funded"),
+        (quantize("used", 2) / 1e2 / 1e6).alias("budget_used_m"),
+        (quantize(total, 2) / 1e2 / 1e6).alias("total_margin_m"),
+        (quantize("density", 6) / 1e6).alias("shadow_density"),
+    )
+
+
+# --- q594: Kendall tau-b stability of the brand league table — how
+# consistent are the revenue ranking and the unit-volume ranking of
+# the 25 brands? Exact concordant/discordant counting over the bounded
+# brand-pair grid with the tau-b tie normalization:
+# τ_b = (C − D)/√((n0 − t_x)(n0 − t_y)). The "does price mix reorder
+# the league" check next to q494's Kendall-W (many judges; this is
+# two). -----------------------------------------------------------------------------
+@query(
+    "q594_kendall_taub_brand_league",
+    oracle=f"""
+    WITH per_b AS MATERIALIZED (
+        SELECT p.p_brand AS brand,
+               CAST(SUM({sql_quantize(
+                   'l.l_extendedprice * (1 - l.l_discount)', 2)})
+                    AS DOUBLE) / 1e2 AS rev,
+               CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE)
+                   / 1e2 AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (b.rev > a.rev AND b.qty > a.qty)
+                               OR (b.rev < a.rev AND b.qty < a.qty)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+               CAST(SUM(CASE WHEN (b.rev > a.rev AND b.qty < a.qty)
+                               OR (b.rev < a.rev AND b.qty > a.qty)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+               CAST(SUM(CASE WHEN b.rev = a.rev AND b.qty <> a.qty
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN b.qty = a.qty AND b.rev <> a.rev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM per_b a JOIN per_b b ON a.brand < b.brand
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_b) AS n_brands,
+           cc AS concordant, dd AS discordant,
+           CAST({sql_quantize(
+               '(CAST(cc AS DOUBLE) - dd)'
+               ' / SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty))', 6)}
+               AS DOUBLE) / 1e6 AS kendall_tau_b
+    FROM pairs
+    """,
+)
+def q594(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    per_b = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (
+                F.sum(
+                    quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+                ).cast("double")
+                / 1e2
+            ).alias("rev"),
+            (F.sum(quantize("l_quantity", 2)).cast("double") / 1e2).alias("qty"),
+        )
+    )
+    b = per_b.select(
+        F.col("brand").alias("brand_b"),
+        F.col("rev").alias("rev_b"),
+        F.col("qty").alias("qty_b"),
+    )
+    conc = ((F.col("rev_b") > F.col("rev")) & (F.col("qty_b") > F.col("qty"))) | (
+        (F.col("rev_b") < F.col("rev")) & (F.col("qty_b") < F.col("qty"))
+    )
+    disc = ((F.col("rev_b") > F.col("rev")) & (F.col("qty_b") < F.col("qty"))) | (
+        (F.col("rev_b") < F.col("rev")) & (F.col("qty_b") > F.col("qty"))
+    )
+    tx = (F.col("rev_b") == F.col("rev")) & (F.col("qty_b") != F.col("qty"))
+    ty = (F.col("qty_b") == F.col("qty")) & (F.col("rev_b") != F.col("rev"))
+    pairs = per_b.join(F.broadcast(b), F.col("brand") < F.col("brand_b")).agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("cc"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("dd"),
+        F.sum(F.when(tx, 1).otherwise(0)).cast("long").alias("tx"),
+        F.sum(F.when(ty, 1).otherwise(0)).cast("long").alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    nb = per_b.agg(F.count(F.lit(1)).cast("long").alias("n_brands"))
+    j = nb.crossJoin(F.broadcast(pairs))
+    tau = (F.col("cc").cast("double") - F.col("dd")) / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double") * (F.col("n0") - F.col("ty"))
+    )
+    return j.select(
+        "n_brands",
+        F.col("cc").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        (quantize(tau, 6) / 1e6).alias("kendall_tau_b"),
+    )
+
+
+# --- q595: market beta of each brand's monthly revenue against the
+# total-market series — β_b = Cov(r_b, r_m)/Var(r_m) over the month
+# spine, the factor-exposure view of the catalog ("which brands
+# amplify demand cycles, which dampen them"). Brand×month cells from
+# one fact aggregate; the market series is their rollup; covariances
+# are exact quantized sums over bounded cells. -----------------------------------
+@query(
+    "q595_brand_market_beta",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS rb
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, mth
+    ),
+    mkt AS MATERIALIZED (
+        SELECT mth, CAST(SUM({sql_quantize('rb', 6)}) AS DOUBLE) / 1e6 AS rm
+        FROM cells GROUP BY mth
+    ),
+    s AS (
+        SELECT c.brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('c.rb', 6)}) AS DOUBLE) / 1e6 AS sb,
+               CAST(SUM({sql_quantize('m.rm', 6)}) AS DOUBLE) / 1e6 AS sm,
+               CAST(SUM({sql_quantize('c.rb * m.rm', 9)}) AS DOUBLE) / 1e9
+                   AS sbm,
+               CAST(SUM({sql_quantize('m.rm * m.rm', 9)}) AS DOUBLE) / 1e9
+                   AS smm
+        FROM cells c JOIN mkt m ON m.mth = c.mth
+        GROUP BY c.brand
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_months,
+           CAST({sql_quantize(
+               '(sbm - sb * sm / n) / (smm - sm * sm / n)', 6)} AS DOUBLE)
+               / 1e6 AS market_beta
+    FROM s
+    ORDER BY brand
+    """,
+)
+def q595(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    cells = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+        )
+        .agg(
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 1e2 / 1e6).alias(
+                "rb"
+            )
+        )
+    )
+    mkt = cells.groupBy("mth").agg(
+        (F.sum(quantize("rb", 6)).cast("double") / 1e6).alias("rm")
+    )
+    s = (
+        cells.join(F.broadcast(mkt), "mth")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (F.sum(quantize("rb", 6)).cast("double") / 1e6).alias("sb"),
+            (F.sum(quantize("rm", 6)).cast("double") / 1e6).alias("sm"),
+            (F.sum(quantize(F.col("rb") * F.col("rm"), 9)).cast("double") / 1e9).alias(
+                "sbm"
+            ),
+            (F.sum(quantize(F.col("rm") * F.col("rm"), 9)).cast("double") / 1e9).alias(
+                "smm"
+            ),
+        )
+    )
+    beta = (F.col("sbm") - F.col("sb") * F.col("sm") / F.col("n")) / (
+        F.col("smm") - F.col("sm") * F.col("sm") / F.col("n")
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_months"),
+        (quantize(beta, 6) / 1e6).alias("market_beta"),
+    ).orderBy("brand")
+
+
+# --- q596: monthly brand-concentration (HHI) trend — compute the
+# Herfindahl index of brand revenue shares per month, then the OLS
+# slope of HHI on the month index: "is the catalog concentrating or
+# diversifying?" The dynamic extension of q497's static diversity
+# snapshot. Shares are per-month bounded cells; the trend is the
+# closed-form fit over the calendar spine. ----------------------------------------
+@query(
+    "q596_hhi_concentration_trend",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS mth,
+               CAST(SUM({sql_quantize('l.l_extendedprice', 2)}) AS DOUBLE)
+                   / 1e2 / 1e6 AS rb
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand, mth
+    ),
+    tot AS MATERIALIZED (
+        SELECT mth, CAST(SUM({sql_quantize('rb', 6)}) AS DOUBLE) / 1e6 AS rm
+        FROM cells GROUP BY mth
+    ),
+    hhi AS MATERIALIZED (
+        SELECT c.mth,
+               CAST(SUM({sql_quantize(
+                   '(c.rb / t.rm) * (c.rb / t.rm)', 12)}) AS DOUBLE) / 1e12
+                   AS h
+        FROM cells c JOIN tot t ON t.mth = c.mth
+        GROUP BY c.mth
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, h FROM hhi
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(CAST(x AS DOUBLE)) AS sx,
+               SUM(CAST(x AS DOUBLE) * x) AS sxx,
+               CAST(SUM({sql_quantize('h', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('x * h', 9)}) AS DOUBLE) / 1e9 AS sxy
+        FROM idx
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST({sql_quantize('sy / n', 6)} AS DOUBLE) / 1e6 AS mean_hhi,
+           CAST({sql_quantize(
+               '(n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e4', 6)}
+               AS DOUBLE) / 1e6 AS hhi_slope_x1e4
+    FROM fit
+    """,
+)
+def q596(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    cells = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+        )
+        .agg(
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 1e2 / 1e6).alias(
+                "rb"
+            )
+        )
+    )
+    tot = cells.groupBy("mth").agg(
+        (F.sum(quantize("rb", 6)).cast("double") / 1e6).alias("rm")
+    )
+    hhi = (
+        cells.join(F.broadcast(tot), "mth")
+        .groupBy("mth")
+        .agg(
+            (
+                F.sum(
+                    quantize((F.col("rb") / F.col("rm")) * (F.col("rb") / F.col("rm")), 12)
+                ).cast("double")
+                / 1e12
+            ).alias("h")
+        )
+    )
+    w_ord = Window.orderBy("mth")
+    idx = hhi.select(F.row_number().over(w_ord).alias("x"), "h")
+    fit = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        (F.sum(quantize("h", 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("h"), 9)).cast("double") / 1e9).alias(
+            "sxy"
+        ),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_months"),
+        (quantize(F.col("sy") / F.col("n"), 6) / 1e6).alias("mean_hhi"),
+        (quantize(slope * 1e4, 6) / 1e6).alias("hhi_slope_x1e4"),
+    )
+
+
+# --- q611: GSEA-style running-sum enrichment of a brand set in the
+# part revenue ranking — walk parts from best- to worst-selling, step
+# up (weighted by revenue share) at set members, down at non-members;
+# ES = the maximum absolute deviation and its rank position
+# (Subramanian 2005, public methodology). "Is Brand#12's catalog
+# concentrated at the top of the league table?" — the running sum is
+# the q216 distributed prefix fold, never a one-task window. ---------------------
+@query(
+    "q611_gsea_brand_enrichment",
+    oracle=f"""
+    WITH per_p AS MATERIALIZED (
+        SELECT l.l_partkey,
+               CASE WHEN p.p_brand = 'Brand#12' THEN 1 ELSE 0 END AS hit,
+               CAST(SUM({sql_quantize(
+                   'l.l_extendedprice * (1 - l.l_discount)', 2)})
+                    AS DOUBLE) / 1e2 AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l.l_partkey, hit
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN hit = 1
+                             THEN CAST(FLOOR(rev * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE) / 1e2 AS hit_rev,
+               CAST(SUM(1 - hit) AS DOUBLE) AS n_miss,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM per_p
+    ),
+    walk AS MATERIALIZED (
+        SELECT hit, rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS pos,
+               SUM(CASE WHEN hit = 1
+                        THEN CAST(FLOOR(rev * 100 + 0.5) AS BIGINT)
+                        ELSE 0 END)
+                   OVER (ORDER BY rev DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) / 1e2 AS cum_hit,
+               SUM(1 - hit)
+                   OVER (ORDER BY rev DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) AS cum_miss
+        FROM per_p
+    ),
+    dev AS (
+        SELECT pos,
+               cum_hit / tot.hit_rev - cum_miss / tot.n_miss AS d
+        FROM walk, tot
+    )
+    SELECT (SELECT n_parts FROM tot) AS n_parts,
+           CAST(pos AS BIGINT) AS es_position,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS enrichment_score
+    FROM dev
+    ORDER BY CAST(SIGN(ABS(d)) * FLOOR(ABS(d) * 1e9 + 0.5) AS BIGINT) DESC,
+             pos ASC
+    LIMIT 1
+    """,
+)
+def q611(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    per_p = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "l_partkey",
+            F.when(F.col("p_brand") == "Brand#12", 1).otherwise(0).alias("hit"),
+        )
+        .agg(
+            (
+                F.sum(
+                    quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+                ).cast("double")
+                / 1e2
+            ).alias("rev"),
+        )
+    )
+    per_p = tracked_persist(
+        per_p.withColumn(
+            "hit_q",
+            F.when(
+                F.col("hit") == 1,
+                F.floor(F.col("rev") * 100 + 0.5).cast("long"),
+            ).otherwise(F.lit(0)),
+        ).withColumn("miss", 1 - F.col("hit"))
+    )
+    tot = per_p.agg(
+        (F.sum("hit_q").cast("double") / 1e2).alias("hit_rev"),
+        F.sum("miss").cast("double").alias("n_miss"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    per_p = per_p.withColumn("one", F.lit(1))
+    walk = global_prefix_counts(
+        per_p,
+        [F.desc("rev"), F.asc("l_partkey")],
+        {"cum_hitq": "hit_q", "cum_miss": "miss", "pos": "one"},
+    )
+    dev = walk.crossJoin(F.broadcast(tot)).select(
+        F.col("pos").cast("long").alias("pos"),
+        "n_parts",
+        (
+            F.col("cum_hitq").cast("double") / 1e2 / F.col("hit_rev")
+            - F.col("cum_miss") / F.col("n_miss")
+        ).alias("d"),
+    )
+    best = dev.orderBy(quantize(F.abs("d"), 9).desc(), F.col("pos").asc()).limit(1)
+    return best.select(
+        "n_parts",
+        F.col("pos").alias("es_position"),
+        (quantize("d", 6) / 1e6).alias("enrichment_score"),
+    )
+
+
+# --- q612: Dirichlet-multinomial overdispersion of the monthly brand
+# mix — Pearson X² of the month×brand contingency against the pooled
+# shares, with the design effect X²/df (df = (M−1)(B−1)): deff ≈ 1
+# means brand mix is a stable multinomial; deff ≫ 1 means the mix
+# itself drifts month to month (the Dirichlet-multinomial signature).
+# Bounded month×brand cells after one fact aggregate. ----------------------------
+@query(
+    "q612_brand_mix_overdispersion",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT date_trunc('month', l.l_shipdate) AS mth, p.p_brand AS brand,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY mth, brand
+    ),
+    nm AS MATERIALIZED (
+        SELECT mth, SUM(x) AS n FROM cells GROUP BY mth
+    ),
+    pb AS MATERIALIZED (
+        SELECT brand, SUM(x) AS xb FROM cells GROUP BY brand
+    ),
+    tot AS (
+        SELECT SUM(xb) AS nn,
+               CAST(COUNT(*) AS DOUBLE) AS b,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM nm) AS m
+        FROM pb
+    ),
+    chi AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(c.x - nm.n * pb.xb / tot.nn)'
+                   ' * (c.x - nm.n * pb.xb / tot.nn)'
+                   ' / (nm.n * pb.xb / tot.nn)', 9)}) AS DOUBLE) / 1e9 AS x2
+        FROM cells c
+        JOIN nm ON nm.mth = c.mth
+        JOIN pb ON pb.brand = c.brand
+        CROSS JOIN tot
+    )
+    SELECT CAST(tot.m AS BIGINT) AS n_months,
+           CAST(tot.b AS BIGINT) AS n_brands,
+           CAST({sql_quantize('chi.x2', 6)} AS DOUBLE) / 1e6 AS pearson_x2,
+           CAST({sql_quantize(
+               'chi.x2 / ((tot.m - 1) * (tot.b - 1))', 6)} AS DOUBLE) / 1e6
+               AS design_effect
+    FROM tot, chi
+    """,
+)
+def q612(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    cells = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("mth"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    nm = cells.groupBy("mth").agg(F.sum("x").alias("n"))
+    pb = cells.groupBy("brand").agg(F.sum("x").alias("xb"))
+    tot = pb.agg(
+        F.sum("xb").alias("nn"), F.count(F.lit(1)).cast("double").alias("b")
+    ).crossJoin(
+        F.broadcast(nm.agg(F.count(F.lit(1)).cast("double").alias("m")))
+    )
+    e = F.col("n") * F.col("xb") / F.col("nn")
+    chi = (
+        cells.join(F.broadcast(nm), "mth")
+        .join(F.broadcast(pb), "brand")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(quantize((F.col("x") - e) * (F.col("x") - e) / e, 9)).cast(
+                    "double"
+                )
+                / 1e9
+            ).alias("x2"),
+            F.first("m").alias("m"),
+            F.first("b").alias("b"),
+        )
+    )
+    return chi.select(
+        F.col("m").cast("long").alias("n_months"),
+        F.col("b").cast("long").alias("n_brands"),
+        (quantize("x2", 6) / 1e6).alias("pearson_x2"),
+        (
+            quantize(F.col("x2") / ((F.col("m") - 1) * (F.col("b") - 1)), 6) / 1e6
+        ).alias("design_effect"),
+    )
+
+
+# --- q615: first-passage time to 100k lifetime spend — for every
+# customer, days from first order until cumulative spend first crosses
+# the threshold (per-customer running sum, PARTITIONED window), then
+# exact percentiles of the crossing time and the share who never
+# cross: the milestone-analysis staple ("how long to whale status").
+# Percentiles ride Spark's exact percentile == quantile_cont. ---------------------
+@query(
+    "q615_first_passage_100k",
+    oracle="""
+    WITH runs AS MATERIALIZED (
+        SELECT o_custkey,
+               MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS first_d,
+               o_orderdate,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS cum
+        FROM orders
+    ),
+    crossing AS MATERIALIZED (
+        SELECT o_custkey,
+               MIN(CAST(datediff('day', first_d, o_orderdate) AS DOUBLE))
+                   AS days_to_cross
+        FROM runs WHERE cum >= 100000.0
+        GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders
+    )
+    SELECT base.n_customers,
+           CAST((SELECT COUNT(*) FROM crossing) AS BIGINT) AS n_crossed,
+           CAST(CAST(SIGN(sh) * FLOOR(ABS(sh) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS crossed_share,
+           CAST(CAST(SIGN(p50) * FLOOR(ABS(p50) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p50_days,
+           CAST(CAST(SIGN(p90) * FLOOR(ABS(p90) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS p90_days
+    FROM base,
+         (SELECT CAST((SELECT COUNT(*) FROM crossing) AS DOUBLE)
+                     / (SELECT n_customers FROM base) AS sh,
+                 (SELECT quantile_cont(days_to_cross, 0.5) FROM crossing)
+                     AS p50,
+                 (SELECT quantile_cont(days_to_cross, 0.9) FROM crossing)
+                     AS p90)
+    """,
+)
+def q615(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    w_c = Window.partitionBy("o_custkey")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = orders.select(
+        "o_custkey",
+        F.min("o_orderdate").over(w_c).alias("first_d"),
+        "o_orderdate",
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).over(w_run)
+            / 100.0
+        ).alias("cum"),
+    )
+    crossing = tracked_persist(
+        runs.where(F.col("cum") >= 100000.0)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("o_orderdate", "first_d").cast("double")).alias(
+                "days_to_cross"
+            )
+        )
+    )
+    base = orders.agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers")
+    )
+    stats = crossing.agg(
+        F.count(F.lit(1)).cast("long").alias("n_crossed"),
+        F.expr("percentile(days_to_cross, 0.5)").alias("p50"),
+        F.expr("percentile(days_to_cross, 0.9)").alias("p90"),
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    return j.select(
+        "n_customers",
+        "n_crossed",
+        (
+            quantize(F.col("n_crossed").cast("double") / F.col("n_customers"), 6)
+            / 1e6
+        ).alias("crossed_share"),
+        (quantize("p50", 6) / 1e6).alias("p50_days"),
+        (quantize("p90", 6) / 1e6).alias("p90_days"),
+    )
+
+
+# --- q616: empirical renewal function of repeat ordering — average
+# cumulative orders per customer by account age (30/90/180/365/730
+# days), each age computed over the customers actually OBSERVABLE
+# that long (first order at least `age` days before the calendar
+# end): the repeat-purchase curve a CLV model calibrates against.
+# Fixed age grid fan-out; per-age counting is one conditional
+# aggregate. ----------------------------------------------------------------------
+@query(
+    "q616_renewal_function_orders",
+    oracle="""
+    WITH lastd AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+    firsts AS MATERIALIZED (
+        SELECT o_custkey, MIN(o_orderdate) AS f FROM orders GROUP BY o_custkey
+    ),
+    ages AS (SELECT UNNEST([30, 90, 180, 365, 730]) AS age),
+    obs AS MATERIALIZED (
+        SELECT f.o_custkey, f.f, a.age
+        FROM firsts f CROSS JOIN ages a CROSS JOIN lastd
+        WHERE datediff('day', f.f, lastd.dmax) >= a.age
+    ),
+    cum AS (
+        SELECT obs.age,
+               CAST(COUNT(DISTINCT obs.o_custkey) AS BIGINT) AS n_cust,
+               CAST(SUM(CASE WHEN datediff('day', obs.f, o.o_orderdate)
+                                  BETWEEN 1 AND obs.age
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        FROM obs JOIN orders o ON o.o_custkey = obs.o_custkey
+        GROUP BY obs.age
+    )
+    SELECT CAST(age AS BIGINT) AS age_days, n_cust,
+           CAST(CAST(SIGN(m) * FLOOR(ABS(m) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mean_repeat_orders
+    FROM (SELECT age, n_cust, CAST(n_repeat AS DOUBLE) / n_cust AS m FROM cum)
+    ORDER BY age_days
+    """,
+)
+def q616(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    lastd = orders.agg(F.max("o_orderdate").alias("dmax"))
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("f"))
+    ages = spark.createDataFrame([(30,), (90,), (180,), (365,), (730,)], "age int")
+    obs = tracked_persist(
+        firsts.crossJoin(F.broadcast(ages))
+        .crossJoin(F.broadcast(lastd))
+        .where(F.datediff("dmax", "f") >= F.col("age"))
+        .select("o_custkey", "f", "age")
+    )
+    cum = (
+        obs.join(orders, "o_custkey")
+        .groupBy("age")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_cust"),
+            F.sum(
+                F.when(
+                    F.datediff("o_orderdate", "f").between(1, F.col("age")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repeat"),
+        )
+    )
+    return cum.select(
+        F.col("age").cast("long").alias("age_days"),
+        "n_cust",
+        (
+            quantize(F.col("n_repeat").cast("double") / F.col("n_cust"), 6) / 1e6
+        ).alias("mean_repeat_orders"),
+    ).orderBy("age_days")
