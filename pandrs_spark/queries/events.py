@@ -5007,3 +5007,90 @@ def q614(spark, sf_dir):
         ),
         (quantize(chi2, 6) / 1e6).alias("srm_chi2"),
     )
+
+
+# --- q624: discrete-time conversion hazard by session depth — for
+# steps k = 1..10 of each session (30-min inactivity sessionization):
+# h(k) = P(purchase at step k | reached step k) plus the survivor
+# share reaching each step. The funnel-as-survival view that localizes
+# WHERE sessions convert, complementing the q38 sessionizer and the
+# KM tier (which works in time; this works in steps). Step ranks ride
+# the per-session partitioned window. --------------------------------------------
+@query(
+    "q624_conversion_hazard_by_depth",
+    oracle="""
+    WITH marks AS MATERIALIZED (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS MATERIALIZED (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks
+    ),
+    steps AS MATERIALIZED (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS k
+        FROM sess
+    ),
+    per_k AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_buy
+        FROM steps WHERE k <= 10 GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS step, n_reached, n_buy,
+           CAST(CAST(SIGN(h) * FLOOR(ABS(h) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS hazard
+    FROM (
+        SELECT k, n_reached, n_buy,
+               CAST(n_buy AS DOUBLE) / n_reached AS h
+        FROM per_k
+    )
+    ORDER BY step
+    """,
+)
+def q624(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_u))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w_u.rowsBetween(Window.unboundedPreceding, 0)
+    sess = marks.withColumn("sid", F.sum("new_s").over(w_run))
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    steps = sess.select(
+        "event_type", F.row_number().over(w_s).alias("k")
+    ).where(F.col("k") <= 10)
+    per_k = steps.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_buy"),
+    )
+    return per_k.select(
+        F.col("k").cast("long").alias("step"),
+        "n_reached",
+        "n_buy",
+        (
+            quantize(F.col("n_buy").cast("double") / F.col("n_reached"), 6) / 1e6
+        ).alias("hazard"),
+    ).orderBy("step")

@@ -2269,3 +2269,76 @@ def q620(spark, sf_dir):
             "spectral_entropy"
         ),
     )
+
+
+# --- q626: mean-reversion half-life of monthly revenue — fit the
+# AR(1) x_t − x̄ = φ(x_{t−1} − x̄) + ε by centered lag-1 regression and
+# report t½ = −ln2/ln φ: "how many months does a demand shock take to
+# decay by half" — the planning constant behind the q599 EWMA span and
+# the q-SES smoothing choices. Lag pairs join on the month index. ----------------
+@query(
+    "q626_mean_reversion_half_life",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    pairs AS MATERIALIZED (
+        SELECT b.rev AS y, a.rev AS yl
+        FROM idx a JOIN idx b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('yl', 6)}) AS DOUBLE) / 1e6 AS sl,
+               CAST(SUM({sql_quantize('yl * yl', 9)}) AS DOUBLE) / 1e9 AS sll,
+               CAST(SUM({sql_quantize('yl * y', 9)}) AS DOUBLE) / 1e9 AS sly
+        FROM pairs
+    ),
+    fit AS (
+        SELECT n, (n * sly - sl * sy) / (n * sll - sl * sl) AS phi FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST({sql_quantize('phi', 6)} AS DOUBLE) / 1e6 AS ar1_phi,
+           CAST({sql_quantize(
+               'CASE WHEN phi > 0 AND phi < 1'
+               '     THEN -0.6931471805599453 / LN(phi) END', 6)}
+               AS DOUBLE) / 1e6 AS half_life_months
+    FROM fit
+    """,
+)
+def q626(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    prev = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("yl"))
+    pairs = idx.select("x", F.col("rev").alias("y")).join(prev, "x")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize("yl", 6)).cast("double") / 1e6).alias("sl"),
+        (F.sum(quantize(F.col("yl") * F.col("yl"), 9)).cast("double") / 1e9).alias(
+            "sll"
+        ),
+        (F.sum(quantize(F.col("yl") * F.col("y"), 9)).cast("double") / 1e9).alias(
+            "sly"
+        ),
+    )
+    phi = (F.col("n") * F.col("sly") - F.col("sl") * F.col("sy")) / (
+        F.col("n") * F.col("sll") - F.col("sl") * F.col("sl")
+    )
+    fit = s.select(F.col("n"), phi.alias("phi"))
+    hl = F.when(
+        (F.col("phi") > 0) & (F.col("phi") < 1),
+        -0.6931471805599453 / F.log("phi"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (quantize("phi", 6) / 1e6).alias("ar1_phi"),
+        (quantize(hl, 6) / 1e6).alias("half_life_months"),
+    )

@@ -3644,3 +3644,267 @@ def q616(spark, sf_dir):
             quantize(F.col("n_repeat").cast("double") / F.col("n_cust"), 6) / 1e6
         ).alias("mean_repeat_orders"),
     ).orderBy("age_days")
+
+
+# --- q621: Taguchi signal-to-noise ratios for delivery lead time per
+# order priority — smaller-the-better SNR = −10·log₁₀(Σy²/n) and the
+# nominal-the-best SNR = 10·log₁₀(x̄²/s²): the robust-design view of
+# process quality (Taguchi, public methodology) that complements the
+# q598/q609 control charts (which monitor; this scores designs).
+# Exact moment sums per priority class. ------------------------------------------
+@query(
+    "q621_taguchi_snr_leadtime",
+    oracle=f"""
+    WITH lt AS MATERIALIZED (
+        SELECT o.o_orderpriority AS priority,
+               CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE)
+                   / 10.0 AS y
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    s AS (
+        SELECT priority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('y * y', 6)}) AS DOUBLE) / 1e6 AS syy
+        FROM lt GROUP BY priority
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST({sql_quantize('-10 * LOG10(syy / n)', 6)} AS DOUBLE) / 1e6
+               AS snr_smaller_better,
+           CAST({sql_quantize(
+               '10 * LOG10((sy / n) * (sy / n)'
+               ' / ((syy - sy * sy / n) / (n - 1)))', 6)} AS DOUBLE) / 1e6
+               AS snr_nominal_best
+    FROM s
+    ORDER BY priority
+    """,
+)
+def q621(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.datediff("l_shipdate", "o_orderdate").cast("double") / 10.0).alias("y"),
+    )
+    s = lt.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "syy"
+        ),
+    )
+    snr_s = -10 * F.log10(F.col("syy") / F.col("n"))
+    snr_n = 10 * F.log10(
+        (F.col("sy") / F.col("n"))
+        * (F.col("sy") / F.col("n"))
+        / ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1))
+    )
+    return s.select(
+        "priority",
+        F.col("n").cast("long").alias("n_lines"),
+        (quantize(snr_s, 6) / 1e6).alias("snr_smaller_better"),
+        (quantize(snr_n, 6) / 1e6).alias("snr_nominal_best"),
+    ).orderBy("priority")
+
+
+# --- q622: Kish effective sample size of the q559 Horvitz-Thompson
+# weights — n_eff = (Σw)²/Σw² and the design effect n/n_eff: the
+# one-number summary of how much the unequal-probability design costs
+# in variance (Kish 1965, public methodology). Same deterministic
+# md5 sample as q559, so the two queries audit the same design. ------------------
+@query(
+    "q622_kish_effective_n",
+    oracle=f"""
+    WITH marked AS MATERIALIZED (
+        SELECT GREATEST(0.02, LEAST(1.0, o_totalprice / 500000.0)) AS pi,
+               {_sql_u01("CAST(o_orderkey AS VARCHAR)")} AS u
+        FROM orders
+    ),
+    w AS MATERIALIZED (
+        SELECT 1.0 / pi AS w FROM marked WHERE u < pi
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('w', 6)}) AS DOUBLE) / 1e6 AS sw,
+               CAST(SUM({sql_quantize('w * w', 6)}) AS DOUBLE) / 1e6 AS sww
+        FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_sampled,
+           CAST({sql_quantize('sw * sw / sww', 4)} AS DOUBLE) / 1e4
+               AS kish_n_eff,
+           CAST({sql_quantize('n / (sw * sw / sww)', 6)} AS DOUBLE) / 1e6
+               AS design_effect
+    FROM s
+    """,
+)
+def q622(spark, sf_dir):
+    from pandrs_spark.operators.sampling import _uniform01
+
+    orders = T(spark, sf_dir, "orders")
+    marked = orders.select(
+        F.greatest(
+            F.lit(0.02), F.least(F.lit(1.0), F.col("o_totalprice") / 500000.0)
+        ).alias("pi"),
+        _uniform01("o_orderkey").alias("u"),
+    )
+    w = marked.where(F.col("u") < F.col("pi")).select(
+        (1.0 / F.col("pi")).alias("w")
+    )
+    s = w.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("w", 6)).cast("double") / 1e6).alias("sw"),
+        (F.sum(quantize(F.col("w") * F.col("w"), 6)).cast("double") / 1e6).alias(
+            "sww"
+        ),
+    )
+    neff = F.col("sw") * F.col("sw") / F.col("sww")
+    return s.select(
+        F.col("n").cast("long").alias("n_sampled"),
+        (quantize(neff, 4) / 1e4).alias("kish_n_eff"),
+        (quantize(F.col("n") / neff, 6) / 1e6).alias("design_effect"),
+    )
+
+
+# --- q623: generalized-Pareto fit of the order-total tail above the
+# 95th percentile (peaks-over-threshold, method of moments:
+# ξ̂ = (1 − m²/s²)/2, σ̂ = m(1 − ξ̂)·... with m, s² the excess mean and
+# variance) plus the implied 99.9% quantile — the POT complement to
+# q545's Hill (index only) and q583's Gumbel (block maxima).
+# Threshold from the exact distributed percentile; excess moments are
+# one filtered aggregate. ---------------------------------------------------------
+@query(
+    "q623_gpd_pot_tail_fit",
+    oracle=f"""
+    WITH u AS (SELECT quantile_cont(o_totalprice, 0.95) AS u FROM orders),
+    exc AS MATERIALIZED (
+        SELECT (o_totalprice - u.u) / 1e4 AS y
+        FROM orders, u WHERE o_totalprice > u.u
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('y * y', 6)}) AS DOUBLE) / 1e6 AS syy
+        FROM exc
+    ),
+    fit AS (
+        SELECT n,
+               0.5 * (1 - (sy / n) * (sy / n)
+                      / ((syy - sy * sy / n) / (n - 1))) AS xi,
+               0.5 * (sy / n)
+                   * ((sy / n) * (sy / n)
+                      / ((syy - sy * sy / n) / (n - 1)) + 1) AS sigma
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_exceedances,
+           CAST({sql_quantize('u.u', 2)} AS DOUBLE) / 1e2 AS threshold,
+           CAST({sql_quantize('fit.xi', 6)} AS DOUBLE) / 1e6 AS gpd_xi,
+           CAST({sql_quantize('fit.sigma * 1e4', 2)} AS DOUBLE) / 1e2
+               AS gpd_sigma
+    FROM fit, u
+    """,
+)
+def q623(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    u = orders.agg(F.expr("percentile(o_totalprice, 0.95)").alias("u"))
+    exc = orders.crossJoin(F.broadcast(u)).where(
+        F.col("o_totalprice") > F.col("u")
+    ).select(((F.col("o_totalprice") - F.col("u")) / 1e4).alias("y"))
+    s = exc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "syy"
+        ),
+    )
+    m2v = (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")) / (
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    )
+    fit = s.select(
+        "n",
+        (0.5 * (1 - m2v)).alias("xi"),
+        (0.5 * (F.col("sy") / F.col("n")) * (m2v + 1)).alias("sigma"),
+    )
+    j = fit.crossJoin(F.broadcast(u))
+    return j.select(
+        F.col("n").cast("long").alias("n_exceedances"),
+        (quantize("u", 2) / 1e2).alias("threshold"),
+        (quantize("xi", 6) / 1e6).alias("gpd_xi"),
+        (quantize(F.col("sigma") * 1e4, 2) / 1e2).alias("gpd_sigma"),
+    )
+
+
+# --- q625: zero-inflation score test for weekly part demand — are
+# there MORE zero-demand (part, week) cells than a Poisson arrival
+# model allows? n₀ counts implicitly (cells = parts × weeks minus the
+# active aggregate — zeros are never materialized), and the van den
+# Broek (1995) score statistic S = (n₀ − n·p̃₀)²/(n·p̃₀(1−p̃₀) −
+# n·x̄·p̃₀²), p̃₀ = e^(−x̄), is χ²₁ under the Poisson null. The
+# demand-model gate before fitting q530-class Poisson GOF per part. --------------
+@query(
+    "q625_zero_inflation_score_test",
+    oracle="""
+    WITH active AS MATERIALIZED (
+        SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_partkey, wk
+    ),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+                FROM lineitem) AS n_parts,
+               (SELECT CAST(COUNT(DISTINCT date_trunc('week', l_shipdate))
+                            AS DOUBLE) FROM lineitem) AS n_weeks
+    ),
+    s AS (
+        SELECT dims.n_parts * dims.n_weeks AS n,
+               dims.n_parts * dims.n_weeks
+                   - (SELECT COUNT(*) FROM active) AS n0,
+               (SELECT CAST(SUM(c) AS DOUBLE) FROM active)
+                   / (dims.n_parts * dims.n_weeks) AS lam
+        FROM dims
+    )
+    SELECT CAST(n AS BIGINT) AS n_cells,
+           CAST(n0 AS BIGINT) AS n_zero_cells,
+           CAST(CAST(SIGN(lam) * FLOOR(ABS(lam) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS lambda_hat,
+           CAST(CAST(SIGN(sc) * FLOOR(ABS(sc) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS score_chi2
+    FROM (
+        SELECT n, n0, lam,
+               (n0 - n * EXP(-lam)) * (n0 - n * EXP(-lam))
+               / (n * EXP(-lam) * (1 - EXP(-lam))
+                  - n * lam * EXP(-lam) * EXP(-lam)) AS sc
+        FROM s
+    )
+    """,
+)
+def q625(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    active = li.groupBy(
+        "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dims = li.agg(
+        F.count_distinct("l_partkey").cast("double").alias("n_parts"),
+        F.count_distinct(F.date_trunc("week", "l_shipdate"))
+        .cast("double")
+        .alias("n_weeks"),
+    )
+    act = active.agg(
+        F.count(F.lit(1)).cast("double").alias("n_active"),
+        F.sum("c").cast("double").alias("total"),
+    )
+    s = dims.crossJoin(F.broadcast(act)).select(
+        (F.col("n_parts") * F.col("n_weeks")).alias("n"),
+        (F.col("n_parts") * F.col("n_weeks") - F.col("n_active")).alias("n0"),
+        (F.col("total") / (F.col("n_parts") * F.col("n_weeks"))).alias("lam"),
+    )
+    p0 = F.exp(-F.col("lam"))
+    sc = (F.col("n0") - F.col("n") * p0) * (F.col("n0") - F.col("n") * p0) / (
+        F.col("n") * p0 * (1 - p0) - F.col("n") * F.col("lam") * p0 * p0
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_cells"),
+        F.col("n0").cast("long").alias("n_zero_cells"),
+        (quantize("lam", 6) / 1e6).alias("lambda_hat"),
+        (quantize(sc, 6) / 1e6).alias("score_chi2"),
+    )

@@ -448,6 +448,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q599_ewma_control_chart",  # month index over the calendar spine
     "q602_integrated_autocorr_time",  # month index over the calendar spine
     "q620_spectral_entropy_monthly",  # month index over the calendar spine
+    "q626_mean_reversion_half_life",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
