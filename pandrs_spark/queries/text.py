@@ -5972,3 +5972,83 @@ def q617(spark, sf_dir):
         (quantize("s", 6) / 1e6).alias("s_logistic"),
         (quantize("d", 6) / 1e6).alias("ks_distance"),
     )
+
+
+# --- q629: vocabulary coverage curve — what fraction of all token
+# occurrences do the top-k vocabulary entries cover, for
+# k ∈ {100, 500, 1000, 5000}? The tokenizer-budget economics of
+# Zipf's law (q312/q502/q524 fit the law; this prices it): coverage
+# ranks ride the q216 distributed prefix fold over the frequency-
+# sorted vocabulary, then one bounded threshold probe per k. ---------------------
+@query(
+    "q629_vocab_coverage_curve",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+        SELECT t.tok
+        FROM (SELECT string_split_regex(lower(text), '\s+') AS ws
+              FROM documents),
+             UNNEST(ws) AS t(tok)
+    ),
+    vocab AS MATERIALIZED (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    ranked AS MATERIALIZED (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r,
+               SUM(c) OVER (ORDER BY c DESC, tok ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vocab
+    ),
+    ks AS (SELECT UNNEST([100, 500, 1000, 5000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS top_k,
+           (SELECT v FROM tot) AS vocab_size,
+           CAST(CAST(SIGN(cov) * FLOOR(ABS(cov) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS coverage
+    FROM ks,
+    LATERAL (
+        SELECT COALESCE(MAX(CAST(cum AS DOUBLE)), 0) / (SELECT n FROM tot)
+                   AS cov
+        FROM ranked WHERE r <= ks.k
+    )
+    ORDER BY top_k
+    """,
+)
+def q629(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.text import tokens
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    docs = fan_out(T(spark, sf_dir, "documents").select("text"))
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vocab = vocab.withColumn("one", F.lit(1))
+    ranked = tracked_persist(
+        global_prefix_counts(
+            vocab, [F.desc("c"), F.asc("tok")], {"cum": "c", "r": "one"}
+        )
+    )
+    tot = ranked.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ks = spark.createDataFrame([(100,), (500,), (1000,), (5000,)], "k int")
+    cov = (
+        ranked.crossJoin(F.broadcast(ks))
+        .where(F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("cum").cast("double").alias("mx"))
+    )
+    j = ks.join(F.broadcast(cov), "k", "left").crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("k").cast("long").alias("top_k"),
+        F.col("v").alias("vocab_size"),
+        (
+            quantize(F.coalesce(F.col("mx"), F.lit(0.0)) / F.col("n"), 6) / 1e6
+        ).alias("coverage"),
+    ).orderBy("top_k")

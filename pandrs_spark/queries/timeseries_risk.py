@@ -2342,3 +2342,222 @@ def q626(spark, sf_dir):
         (quantize("phi", 6) / 1e6).alias("ar1_phi"),
         (quantize(hl, 6) / 1e6).alias("half_life_months"),
     )
+
+
+# --- q628: Cook's distance influence diagnostics for the monthly
+# trend OLS — D_i = e_i²·h_ii / (p·s²·(1−h_ii)²) with leverage
+# h_ii = 1/n + (x_i−x̄)²/S_xx: WHICH months single-handedly bend the
+# trend line. Completes the q484-q489 regression-diagnostics family
+# (they test aggregate properties; this localizes). Top-5 by
+# (quantized D DESC, month ASC) — bounded output. ---------------------------------
+@query(
+    "q628_cooks_distance_months",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    xm AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) / COUNT(*) AS xbar,
+               SUM(x * x) - SUM(x) * SUM(x) / COUNT(*) AS sxx,
+               CAST(SUM({sql_quantize('e * e', 9)}) AS DOUBLE) / 1e9
+                   / (COUNT(*) - 2) AS s2
+        FROM resid
+    ),
+    dd AS (
+        SELECT r.mth,
+               (r.e * r.e)
+                 * (1.0 / xm.n + (r.x - xm.xbar) * (r.x - xm.xbar) / xm.sxx)
+                 / (2 * xm.s2
+                    * (1 - (1.0 / xm.n
+                            + (r.x - xm.xbar) * (r.x - xm.xbar) / xm.sxx))
+                    * (1 - (1.0 / xm.n
+                            + (r.x - xm.xbar) * (r.x - xm.xbar) / xm.sxx)))
+                   AS d
+        FROM resid r, xm
+    )
+    SELECT mth,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cooks_d
+    FROM dd
+    ORDER BY CAST(SIGN(d) * FLOOR(ABS(d) * 1e9 + 0.5) AS BIGINT) DESC,
+             mth ASC
+    LIMIT 5
+    """,
+)
+def q628(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    xm = resid.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("x") / F.count(F.lit(1))).alias("xbar"),
+        (
+            F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+        ).alias("sxx"),
+        (
+            F.sum(quantize(F.col("e") * F.col("e"), 9)).cast("double")
+            / 1e9
+            / (F.count(F.lit(1)) - 2)
+        ).alias("s2"),
+    )
+    j = resid.crossJoin(F.broadcast(xm))
+    h = 1.0 / F.col("n") + (F.col("x") - F.col("xbar")) * (
+        F.col("x") - F.col("xbar")
+    ) / F.col("sxx")
+    d = (F.col("e") * F.col("e")) * h / (2 * F.col("s2") * (1 - h) * (1 - h))
+    dd = j.select("mth", d.alias("d"))
+    return (
+        dd.orderBy(quantize("d", 9).desc(), F.col("mth").asc())
+        .limit(5)
+        .select("mth", (quantize("d", 6) / 1e6).alias("cooks_d"))
+    )
+
+
+# --- q631: pinball (quantile) loss of the seasonal-naive forecast at
+# τ = 0.5 and 0.9 — the proper scoring rule for quantile forecasts:
+# L_τ = mean[(y−f)·τ if y≥f else (f−y)(1−τ)]. What a quantile-
+# forecasting service publishes next to q566's bias tracking signal.
+# Forecast pairs ride the 12-month spine lag join. -------------------------------
+@query(
+    "q631_pinball_loss_seasonal_naive",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    pairs AS MATERIALIZED (
+        SELECT b.rev AS y, a.rev AS f
+        FROM idx a JOIN idx b ON b.x = a.x + 12
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize(
+                   'CASE WHEN y >= f THEN (y - f) * 0.5'
+                   ' ELSE (f - y) * 0.5 END', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS l50,
+               CAST(SUM({sql_quantize(
+                   'CASE WHEN y >= f THEN (y - f) * 0.9'
+                   ' ELSE (f - y) * 0.1 END', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS l90
+        FROM pairs
+    )
+    SELECT n AS n_obs,
+           CAST({sql_quantize('l50', 6)} AS DOUBLE) / 1e6 AS pinball_50,
+           CAST({sql_quantize('l90', 6)} AS DOUBLE) / 1e6 AS pinball_90
+    FROM s
+    """,
+)
+def q631(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    fc = idx.select((F.col("x") + 12).alias("x"), F.col("rev").alias("f"))
+    pairs = idx.select("x", F.col("rev").alias("y")).join(fc, "x")
+    l50 = F.when(
+        F.col("y") >= F.col("f"), (F.col("y") - F.col("f")) * 0.5
+    ).otherwise((F.col("f") - F.col("y")) * 0.5)
+    l90 = F.when(
+        F.col("y") >= F.col("f"), (F.col("y") - F.col("f")) * 0.9
+    ).otherwise((F.col("f") - F.col("y")) * 0.1)
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(l50, 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "l50"
+        ),
+        (F.sum(quantize(l90, 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "l90"
+        ),
+    )
+    return s.select(
+        F.col("n").alias("n_obs"),
+        (quantize("l50", 6) / 1e6).alias("pinball_50"),
+        (quantize("l90", 6) / 1e6).alias("pinball_90"),
+    )
+
+
+# --- q632: CRPS of a 3-member forecast ensemble (naive-1, seasonal-
+# naive-12, 3-month drift) for monthly revenue — the empirical
+# continuous ranked probability score CRPS = mean_t[ Σ|f_i − y|/m −
+# ΣΣ|f_i − f_j|/(2m²) ] (Gneiting & Raftery 2007, public methodology):
+# the PROPER score that rewards both calibration and sharpness, next
+# to q459's point-forecast MASE. Members assemble by spine lag joins;
+# the m=3 inner sums are fixed-size expressions. ----------------------------------
+@query(
+    "q632_crps_forecast_ensemble",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    rows_ AS MATERIALIZED (
+        SELECT cur.rev AS y,
+               l1.rev AS f1,
+               l12.rev AS f2,
+               l1.rev + (l1.rev - l4.rev) / 3.0 AS f3
+        FROM idx cur
+        JOIN idx l1 ON l1.x = cur.x - 1
+        JOIN idx l4 ON l4.x = cur.x - 4
+        JOIN idx l12 ON l12.x = cur.x - 12
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize(
+                   '(ABS(f1 - y) + ABS(f2 - y) + ABS(f3 - y)) / 3.0'
+                   ' - (ABS(f1 - f2) + ABS(f1 - f3) + ABS(f2 - f3)) / 9.0',
+                   9)}) AS DOUBLE) / 1e9 / COUNT(*) AS crps
+        FROM rows_
+    )
+    SELECT n AS n_obs,
+           CAST({sql_quantize('crps', 6)} AS DOUBLE) / 1e6 AS crps
+    FROM s
+    """,
+)
+def q632(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    idx = tracked_persist(
+        monthly.select(F.row_number().over(w_ord).alias("x"), "rev")
+    )
+    l1 = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("f1"))
+    l4 = idx.select((F.col("x") + 4).alias("x"), F.col("rev").alias("r4"))
+    l12 = idx.select((F.col("x") + 12).alias("x"), F.col("rev").alias("f2"))
+    rows_ = (
+        idx.select("x", F.col("rev").alias("y"))
+        .join(l1, "x")
+        .join(l4, "x")
+        .join(l12, "x")
+        .select(
+            "y",
+            "f1",
+            "f2",
+            (F.col("f1") + (F.col("f1") - F.col("r4")) / 3.0).alias("f3"),
+        )
+    )
+    term = (
+        F.abs(F.col("f1") - F.col("y"))
+        + F.abs(F.col("f2") - F.col("y"))
+        + F.abs(F.col("f3") - F.col("y"))
+    ) / 3.0 - (
+        F.abs(F.col("f1") - F.col("f2"))
+        + F.abs(F.col("f1") - F.col("f3"))
+        + F.abs(F.col("f2") - F.col("f3"))
+    ) / 9.0
+    s = rows_.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(term, 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "crps"
+        ),
+    )
+    return s.select(
+        F.col("n").alias("n_obs"), (quantize("crps", 6) / 1e6).alias("crps")
+    )

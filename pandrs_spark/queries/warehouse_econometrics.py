@@ -3908,3 +3908,216 @@ def q625(spark, sf_dir):
         (quantize("lam", 6) / 1e6).alias("lambda_hat"),
         (quantize(sc, 6) / 1e6).alias("score_chi2"),
     )
+
+
+# --- q627: Simpson's-paradox audit of the discount→quantity relation —
+# pooled OLS slope across all lineitems vs the within-brand slopes:
+# reports the pooled slope, the count of brands whose slope has the
+# OPPOSITE sign, and the weighted mean within-brand slope. When
+# sign(pooled) ≠ sign(within), aggregation reverses the story — the
+# classic confounding trap a self-serve BI layer should flag.
+# Per-brand moment sums; everything downstream is 25-brand bounded. --------------
+@query(
+    "q627_simpson_paradox_audit",
+    oracle=f"""
+    WITH per_b AS MATERIALIZED (
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM({sql_quantize('l.l_discount', 4)}) AS DOUBLE) / 1e4
+                   AS sx,
+               CAST(SUM({sql_quantize('l.l_quantity', 2)}) AS DOUBLE) / 1e2
+                   AS sy,
+               CAST(SUM({sql_quantize('l.l_discount * l.l_discount', 6)})
+                    AS DOUBLE) / 1e6 AS sxx,
+               CAST(SUM({sql_quantize('l.l_discount * l.l_quantity', 4)})
+                    AS DOUBLE) / 1e4 AS sxy
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY brand
+    ),
+    pooled AS (
+        SELECT (SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy))
+               / (SUM(n) * SUM(sxx) - SUM(sx) * SUM(sx)) AS b_pool
+        FROM per_b
+    ),
+    within AS MATERIALIZED (
+        SELECT brand, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b_w
+        FROM per_b
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+               CAST(SUM(CASE WHEN SIGN(w.b_w) <> SIGN(p.b_pool)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+               CAST(SUM({sql_quantize('w.n * w.b_w', 6)}) AS DOUBLE) / 1e6
+                   / SUM(w.n) AS b_within
+        FROM within w, pooled p
+    )
+    SELECT agg.n_brands, agg.n_reversed,
+           CAST({sql_quantize('pooled.b_pool', 6)} AS DOUBLE) / 1e6
+               AS pooled_slope,
+           CAST({sql_quantize('agg.b_within', 6)} AS DOUBLE) / 1e6
+               AS within_brand_slope
+    FROM agg, pooled
+    """,
+)
+def q627(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    per_b = tracked_persist(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (F.sum(quantize("l_discount", 4)).cast("double") / 1e4).alias("sx"),
+            (F.sum(quantize("l_quantity", 2)).cast("double") / 1e2).alias("sy"),
+            (
+                F.sum(quantize(F.col("l_discount") * F.col("l_discount"), 6)).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sxx"),
+            (
+                F.sum(quantize(F.col("l_discount") * F.col("l_quantity"), 4)).cast(
+                    "double"
+                )
+                / 1e4
+            ).alias("sxy"),
+        )
+    )
+    pooled = per_b.agg(
+        (
+            (F.sum("n") * F.sum("sxy") - F.sum("sx") * F.sum("sy"))
+            / (F.sum("n") * F.sum("sxx") - F.sum("sx") * F.sum("sx"))
+        ).alias("b_pool")
+    )
+    within = per_b.select(
+        "brand",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("b_w"),
+    )
+    agg = within.crossJoin(F.broadcast(pooled)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum(
+            F.when(F.signum("b_w") != F.signum("b_pool"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reversed"),
+        (
+            F.sum(quantize(F.col("n") * F.col("b_w"), 6)).cast("double")
+            / 1e6
+            / F.sum("n")
+        ).alias("b_within"),
+    )
+    j = agg.crossJoin(F.broadcast(pooled))
+    return j.select(
+        "n_brands",
+        "n_reversed",
+        (quantize("b_pool", 6) / 1e6).alias("pooled_slope"),
+        (quantize("b_within", 6) / 1e6).alias("within_brand_slope"),
+    )
+
+
+# --- q630: doubly-robust ATE of BUILDING-segment membership on order
+# value with nation as the confounder — combines the outcome model
+# (nation-cell means m₁, m₀) with inverse-propensity weighting
+# (nation-level e(x)): ATE_DR = mean[m₁−m₀ + t(y−m₁)/e − (1−t)(y−m₀)/(1−e)].
+# Consistent if EITHER model is right — the completion of the causal
+# kit's IPW-ATE and stratified-ATE members. Nation cells are bounded;
+# the correction pass is one broadcast join over the fact rows. ------------------
+@query(
+    "q630_doubly_robust_ate",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT c.c_nationkey AS nk,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               o.o_totalprice / 1e3 AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS MATERIALIZED (
+        SELECT nk,
+               CAST(SUM(t) AS DOUBLE) AS nt,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN t = 1 THEN {sql_quantize('y', 6)}
+                             ELSE 0 END) AS DOUBLE) / 1e6 AS sy1,
+               CAST(SUM(CASE WHEN t = 0 THEN {sql_quantize('y', 6)}
+                             ELSE 0 END) AS DOUBLE) / 1e6 AS sy0
+        FROM d GROUP BY nk
+        HAVING SUM(t) > 0 AND SUM(t) < COUNT(*)
+    ),
+    scored AS (
+        SELECT d.t, d.y,
+               c.sy1 / c.nt AS m1,
+               c.sy0 / (c.n - c.nt) AS m0,
+               c.nt / c.n AS e
+        FROM d JOIN cells c ON c.nk = d.nk
+    ),
+    ate AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM({sql_quantize(
+                   'm1 - m0 + t * (y - m1) / e'
+                   ' - (1 - t) * (y - m0) / (1 - e)', 9)}) AS DOUBLE) / 1e9
+                   / COUNT(*) AS dr
+        FROM scored
+    )
+    SELECT n_obs,
+           CAST({sql_quantize('dr', 6)} AS DOUBLE) / 1e6 AS ate_dr_k
+    FROM ate
+    """,
+)
+def q630(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    d = tracked_persist(
+        orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+            F.col("c_nationkey").alias("nk"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
+            (F.col("o_totalprice") / 1e3).alias("y"),
+        )
+    )
+    cells = (
+        d.groupBy("nk")
+        .agg(
+            F.sum("t").cast("double").alias("nt"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (
+                F.sum(F.when(F.col("t") == 1, quantize("y", 6)).otherwise(0)).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sy1"),
+            (
+                F.sum(F.when(F.col("t") == 0, quantize("y", 6)).otherwise(0)).cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("sy0"),
+        )
+        .where((F.col("nt") > 0) & (F.col("nt") < F.col("n")))
+    )
+    scored = d.join(F.broadcast(cells), "nk").select(
+        "t",
+        "y",
+        (F.col("sy1") / F.col("nt")).alias("m1"),
+        (F.col("sy0") / (F.col("n") - F.col("nt"))).alias("m0"),
+        (F.col("nt") / F.col("n")).alias("e"),
+    )
+    term = (
+        F.col("m1")
+        - F.col("m0")
+        + F.col("t") * (F.col("y") - F.col("m1")) / F.col("e")
+        - (1 - F.col("t")) * (F.col("y") - F.col("m0")) / (1 - F.col("e"))
+    )
+    ate = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (F.sum(quantize(term, 9)).cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "dr"
+        ),
+    )
+    return ate.select("n_obs", (quantize("dr", 6) / 1e6).alias("ate_dr_k"))

@@ -449,6 +449,9 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q602_integrated_autocorr_time",  # month index over the calendar spine
     "q620_spectral_entropy_monthly",  # month index over the calendar spine
     "q626_mean_reversion_half_life",  # month index over the calendar spine
+    "q628_cooks_distance_months",  # month index over the calendar spine
+    "q631_pinball_loss_seasonal_naive",  # 12-month lag over the month spine
+    "q632_crps_forecast_ensemble",  # lag joins over the month spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
