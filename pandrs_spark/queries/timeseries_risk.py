@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pandrs_spark.catalog import load_table as T
 from pandrs_spark.functions.deterministic import (
     CORR_FORMULA,
+    sql_dsum,
     sql_quantize,
 )
 from pandrs_spark.queries import query
@@ -2560,4 +2561,613 @@ def q632(spark, sf_dir):
     )
     return s.select(
         F.col("n").alias("n_obs"), (quantize("crps", 6) / 1e6).alias("crps")
+    )
+
+
+# ===== Wave q633-q638: financial-microstructure & risk-ratio tier ======
+# Public methodology throughout: Roll (1984) effective spread,
+# Parkinson (1980) / Garman-Klass (1980) range volatility, Amihud
+# (2002) illiquidity, Sharpe/Sortino/Calmar performance ratios,
+# Martin's ulcer index (1987), Cornish-Fisher (1938) modified VaR.
+# Reference risk surface: src/stats/risk.rs (VaR/drawdown tier); these
+# extend it with the microstructure estimators the reference computes
+# in src/finance/mod.rs. All series are calendar-bounded rollups
+# (~80 months / ~2.4k days), so every self-join and window here is
+# spine-sized, never data-sized — the 100 TB shape is the single
+# groupBy shuffle that builds the spine.
+
+# Shared monthly simple-return fragment: rev series -> (x, rev, r).
+_MRET_SQL = f"""
+    {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    ret AS MATERIALIZED (
+        SELECT cur.x AS x, cur.rev AS rev, cur.rev / prv.rev - 1 AS r
+        FROM idx cur JOIN idx prv ON prv.x = cur.x - 1
+    )
+"""
+
+
+def _monthly_ret(spark, sf_dir):
+    """(x, rev, r) monthly simple returns via a spine lag-join (the
+    q632 pattern); bit-identical to :data:`_MRET_SQL`."""
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    idx = tracked_persist(
+        monthly.select(
+            F.row_number().over(Window.orderBy("mth")).alias("x"), "rev"
+        )
+    )
+    prv = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("prev"))
+    return idx.join(prv, "x").select(
+        "x", "rev", (F.col("rev") / F.col("prev") - 1).alias("r")
+    )
+
+
+# --- q633: Roll (1984) implied effective spread from the serial
+# covariance of monthly unit-value changes: under the bid-ask bounce
+# model cov(Δp_t, Δp_{t-1}) = −s²/4, so s = 2·√(−cov); a positive
+# covariance means the estimator is undefined (the documented Roll
+# failure mode) and we emit NULL rather than a clamped 0. Unit value
+# = exact Σprice / Σqty per month; Δp pairs ride two spine lag-joins;
+# the covariance is exact quantized sufficient statistics. ---------------------
+@query(
+    "q633_roll_effective_spread",
+    oracle=f"""
+    WITH uv AS MATERIALIZED (
+        SELECT date_trunc('month', l_shipdate) AS mth,
+               {sql_dsum('l_extendedprice')}
+                   / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p
+        FROM lineitem GROUP BY mth
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, p FROM uv
+    ),
+    dp AS MATERIALIZED (
+        SELECT cur.x AS x, cur.p - prv.p AS d
+        FROM idx cur JOIN idx prv ON prv.x = cur.x - 1
+    ),
+    pairs AS (
+        SELECT a.d AS dx, b.d AS dy
+        FROM dp a JOIN dp b ON b.x = a.x + 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('dx', 6)}) AS DOUBLE) / 1e6 AS sx,
+               CAST(SUM({sql_quantize('dy', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('dx * dy', 6)}) AS DOUBLE) / 1e6 AS sxy
+        FROM pairs
+    ),
+    c AS (
+        SELECT n, (sxy - sx * sy / n) / (n - 1) AS cov FROM s
+    ),
+    mp AS (SELECT CAST(SUM({sql_quantize('p', 6)}) AS DOUBLE) / 1e6
+                  / COUNT(*) AS pbar FROM uv)
+    SELECT c.n AS n_pairs,
+           CAST({sql_quantize('c.cov', 6)} AS DOUBLE) / 1e6 AS serial_cov,
+           CASE WHEN c.cov < 0 THEN
+               CAST({sql_quantize('2.0 * SQRT(-c.cov)', 6)} AS DOUBLE) / 1e6
+           END AS roll_spread,
+           CASE WHEN c.cov < 0 THEN
+               CAST({sql_quantize('200.0 * SQRT(-c.cov) / mp.pbar', 6)}
+                    AS DOUBLE) / 1e6
+           END AS roll_spread_pct
+    FROM c, mp
+    """,
+)
+def q633(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    uv = li.groupBy(F.date_trunc("month", "l_shipdate").alias("mth")).agg(
+        (
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+            / F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+        ).alias("p")
+    )
+    idx = tracked_persist(
+        uv.select(F.row_number().over(Window.orderBy("mth")).alias("x"), "p")
+    )
+    prv = idx.select((F.col("x") + 1).alias("x"), F.col("p").alias("pp"))
+    dp = tracked_persist(
+        idx.join(prv, "x").select("x", (F.col("p") - F.col("pp")).alias("d"))
+    )
+    nxt = dp.select((F.col("x") + 1).alias("x"), F.col("d").alias("dy"))
+    pairs = dp.select("x", F.col("d").alias("dx")).join(nxt, "x")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("dx", 6)).cast("double") / 1e6).alias("sx"),
+        (F.sum(quantize("dy", 6)).cast("double") / 1e6).alias("sy"),
+        (
+            F.sum(quantize(F.col("dx") * F.col("dy"), 6)).cast("double") / 1e6
+        ).alias("sxy"),
+    )
+    c = s.select(
+        "n",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("cov"),
+    )
+    mp = uv.agg(
+        (F.sum(quantize("p", 6)).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "pbar"
+        )
+    )
+    out = c.crossJoin(F.broadcast(mp))
+    return out.select(
+        F.col("n").alias("n_pairs"),
+        (quantize("cov", 6) / 1e6).alias("serial_cov"),
+        F.when(
+            F.col("cov") < 0,
+            quantize(2.0 * F.sqrt(-F.col("cov")), 6) / 1e6,
+        ).alias("roll_spread"),
+        F.when(
+            F.col("cov") < 0,
+            quantize(200.0 * F.sqrt(-F.col("cov")) / F.col("pbar"), 6) / 1e6,
+        ).alias("roll_spread_pct"),
+    )
+
+
+# --- q634: Parkinson (1980) and Garman-Klass (1980) range-based
+# volatility from monthly OHLC bars of the daily-revenue series:
+# σ²_P = mean[ln(H/L)²]/(4·ln2), σ²_GK = mean[½·ln(H/L)² −
+# (2ln2−1)·ln(C/O)²] — the classic estimators that extract ~5-7×
+# more information per bar than close-to-close variance. Open/close
+# via min_by/max_by on the day key (exactly-one-row deterministic),
+# high/low plain min/max; per-bar terms quantized then exactly
+# averaged. -----------------------------------------------------------------------
+@query(
+    "q634_parkinson_garman_klass",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               {sql_dsum('l_extendedprice')} AS rev
+        FROM lineitem GROUP BY day
+    ),
+    bars AS MATERIALIZED (
+        SELECT date_trunc('month', day) AS mth,
+               arg_min(rev, day) AS o,
+               MAX(rev) AS h,
+               MIN(rev) AS l,
+               arg_max(rev, day) AS c
+        FROM daily GROUP BY mth
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('LN(h / l) * LN(h / l)', 9)})
+                    AS DOUBLE) / 1e9 AS shl,
+               CAST(SUM({sql_quantize(
+                   '0.5 * LN(h / l) * LN(h / l)'
+                   ' - (2.0 * LN(2.0) - 1.0) * LN(c / o) * LN(c / o)', 9)})
+                    AS DOUBLE) / 1e9 AS sgk
+        FROM bars
+    )
+    SELECT n AS n_months,
+           CAST({sql_quantize('SQRT(shl / n / (4.0 * LN(2.0)))', 6)}
+                AS DOUBLE) / 1e6 AS parkinson_vol,
+           CAST({sql_quantize('SQRT(sgk / n)', 6)} AS DOUBLE) / 1e6
+               AS garman_klass_vol
+    FROM t
+    """,
+)
+def q634(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        ((F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)).alias(
+            "rev"
+        )
+    )
+    bars = daily.groupBy(F.date_trunc("month", "day").alias("mth")).agg(
+        F.min_by("rev", "day").alias("o"),
+        F.max("rev").alias("h"),
+        F.min("rev").alias("l"),
+        F.max_by("rev", "day").alias("c"),
+    )
+    hl = F.log(F.col("h") / F.col("l"))
+    co = F.log(F.col("c") / F.col("o"))
+    ln2 = float(2.0)
+    t = bars.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(hl * hl, 9)).cast("double") / 1e9).alias("shl"),
+        (
+            F.sum(
+                quantize(
+                    0.5 * hl * hl - (2.0 * F.log(F.lit(ln2)) - 1.0) * co * co,
+                    9,
+                )
+            ).cast("double")
+            / 1e9
+        ).alias("sgk"),
+    )
+    return t.select(
+        F.col("n").alias("n_months"),
+        (
+            quantize(
+                F.sqrt(F.col("shl") / F.col("n") / (4.0 * F.log(F.lit(ln2)))),
+                6,
+            )
+            / 1e6
+        ).alias("parkinson_vol"),
+        (quantize(F.sqrt(F.col("sgk") / F.col("n")), 6) / 1e6).alias(
+            "garman_klass_vol"
+        ),
+    )
+
+
+# --- q635: Amihud (2002) illiquidity by month — mean over the
+# month's consecutive-day pairs of |daily return| / daily volume,
+# scaled ×1e6 (the standard reporting unit). The day spine is the
+# only global ordering (row_number over ~2.4k calendar days,
+# whitelisted); everything else is one groupBy. -----------------------------------
+@query(
+    "q635_amihud_illiquidity",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT date_trunc('day', l_shipdate) AS day,
+               {sql_dsum('l_extendedprice')} / 1e6 AS rev,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS vol
+        FROM lineitem GROUP BY day
+    ),
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS x, day, rev, vol
+        FROM daily
+    ),
+    r AS (
+        SELECT date_trunc('month', cur.day) AS mth,
+               ABS(cur.rev / prv.rev - 1) / cur.vol * 1e6 AS illiq
+        FROM idx cur JOIN idx prv ON prv.x = cur.x - 1
+    )
+    SELECT mth,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST({sql_quantize(
+               'CAST(SUM(' + sql_quantize('illiq', 9)
+               + ') AS DOUBLE) / 1e9 / COUNT(*)', 6)} AS DOUBLE) / 1e6
+               AS amihud
+    FROM r GROUP BY mth
+    """,
+)
+def q635(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        (
+            (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+            / 1e6
+        ).alias("rev"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("double").alias("vol"),
+    )
+    idx = tracked_persist(
+        daily.select(
+            F.row_number().over(Window.orderBy("day")).alias("x"),
+            "day",
+            "rev",
+            "vol",
+        )
+    )
+    prv = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("prev"))
+    r = idx.join(prv, "x").select(
+        F.date_trunc("month", "day").alias("mth"),
+        (
+            F.abs(F.col("rev") / F.col("prev") - 1) / F.col("vol") * 1e6
+        ).alias("illiq"),
+    )
+    g = r.groupBy("mth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum(quantize("illiq", 9)).cast("double") / 1e9 / F.count(F.lit(1))
+        ).alias("m"),
+    )
+    return g.select(
+        "mth", "n_days", (quantize("m", 6) / 1e6).alias("amihud")
+    )
+
+
+# --- q636: Sharpe / Sortino / Calmar performance ratios of the
+# monthly revenue-growth series (rf = 0): Sharpe = √12·μ/σ, Sortino =
+# √12·μ/√(Σmin(r,0)²/n) (full-n downside deviation), Calmar = 12·μ /
+# max-drawdown of the underlying level series. μ/σ from exact
+# quantized sufficient sums; the drawdown running-max rides the month
+# spine. -----------------------------------------------------------------------
+@query(
+    "q636_sharpe_sortino_calmar",
+    oracle=f"""
+    WITH {_MRET_SQL},
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9 AS s1,
+               CAST(SUM({sql_quantize('r * r', 9)}) AS DOUBLE) / 1e9 AS s2,
+               CAST(SUM({sql_quantize(
+                   'CASE WHEN r < 0 THEN r * r ELSE 0.0 END', 9)})
+                    AS DOUBLE) / 1e9 AS sdn
+        FROM ret
+    ),
+    dd AS (
+        SELECT MAX(d) AS maxdd FROM (
+            SELECT 1.0 - rev / MAX(rev) OVER
+                   (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS d
+            FROM idx
+        )
+    )
+    SELECT s.n AS n_rets,
+           CAST({sql_quantize(
+               'SQRT(12.0) * (s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1))',
+               6)} AS DOUBLE) / 1e6 AS sharpe_ann,
+           CASE WHEN sdn > 0 THEN CAST({sql_quantize(
+               'SQRT(12.0) * (s1 / n) / SQRT(sdn / n)', 6)} AS DOUBLE) / 1e6
+           END AS sortino_ann,
+           CASE WHEN dd.maxdd > 0 THEN CAST({sql_quantize(
+               '12.0 * (s1 / n) / dd.maxdd', 6)} AS DOUBLE) / 1e6
+           END AS calmar,
+           CAST({sql_quantize('dd.maxdd', 6)} AS DOUBLE) / 1e6
+               AS max_drawdown
+    FROM s, dd
+    """,
+)
+def q636(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    idx = tracked_persist(
+        monthly.select(
+            F.row_number().over(Window.orderBy("mth")).alias("x"), "rev"
+        )
+    )
+    prv = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("prev"))
+    ret = idx.join(prv, "x").select(
+        (F.col("rev") / F.col("prev") - 1).alias("r")
+    )
+    s = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("s1"),
+        (F.sum(quantize(F.col("r") * F.col("r"), 9)).cast("double") / 1e9).alias(
+            "s2"
+        ),
+        (
+            F.sum(
+                quantize(
+                    F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(
+                        0.0
+                    ),
+                    9,
+                )
+            ).cast("double")
+            / 1e9
+        ).alias("sdn"),
+    )
+    runmax = F.max("rev").over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = idx.select((1.0 - F.col("rev") / runmax).alias("d")).agg(
+        F.max("d").alias("maxdd")
+    )
+    out = s.crossJoin(F.broadcast(dd))
+    mu = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    sq12 = F.sqrt(F.lit(12.0))
+    return out.select(
+        F.col("n").alias("n_rets"),
+        (quantize(sq12 * mu / sd, 6) / 1e6).alias("sharpe_ann"),
+        F.when(
+            F.col("sdn") > 0,
+            quantize(sq12 * mu / F.sqrt(F.col("sdn") / F.col("n")), 6) / 1e6,
+        ).alias("sortino_ann"),
+        F.when(
+            F.col("maxdd") > 0, quantize(12.0 * mu / F.col("maxdd"), 6) / 1e6
+        ).alias("calmar"),
+        (quantize("maxdd", 6) / 1e6).alias("max_drawdown"),
+    )
+
+
+# --- q637: Martin's ulcer index (1987) of the monthly revenue level —
+# UI = √(mean D_t²) with D_t = 100·(rev_t/runmax_t − 1) ≤ 0, pain
+# index = mean|D_t|, Martin (pain) ratio = annualized mean growth (%)
+# / UI: the drawdown-DEPTH-weighted risk complement to q636's Calmar
+# (which sees only the single worst trough). ----------------------------------
+@query(
+    "q637_ulcer_index_pain_ratio",
+    oracle=f"""
+    WITH {_MRET_SQL},
+    d AS MATERIALIZED (
+        SELECT 100.0 * (rev / MAX(rev) OVER
+                   (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - 1.0) AS dd
+        FROM idx
+    ),
+    u AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('dd * dd', 9)}) AS DOUBLE) / 1e9 AS sq,
+               CAST(SUM({sql_quantize('-dd', 9)}) AS DOUBLE) / 1e9 AS sa
+        FROM d
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9 AS s1
+        FROM ret
+    )
+    SELECT u.n AS n_months,
+           CAST({sql_quantize('SQRT(sq / n)', 6)} AS DOUBLE) / 1e6
+               AS ulcer_index,
+           CAST({sql_quantize('sa / n', 6)} AS DOUBLE) / 1e6 AS pain_index,
+           CASE WHEN sq > 0 THEN CAST({sql_quantize(
+               '100.0 * 12.0 * (s1 / nr) / SQRT(sq / n)', 6)}
+               AS DOUBLE) / 1e6
+           END AS martin_ratio
+    FROM u, g
+    """,
+)
+def q637(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    idx = tracked_persist(
+        monthly.select(
+            F.row_number().over(Window.orderBy("mth")).alias("x"), "rev"
+        )
+    )
+    runmax = F.max("rev").over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = idx.select((100.0 * (F.col("rev") / runmax - 1.0)).alias("dd"))
+    u = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(F.col("dd") * F.col("dd"), 9)).cast("double") / 1e9).alias(
+            "sq"
+        ),
+        (F.sum(quantize(-F.col("dd"), 9)).cast("double") / 1e9).alias("sa"),
+    )
+    prv = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("prev"))
+    ret = idx.join(prv, "x").select(
+        (F.col("rev") / F.col("prev") - 1).alias("r")
+    )
+    g = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("nr"),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("s1"),
+    )
+    out = u.crossJoin(F.broadcast(g))
+    ui = F.sqrt(F.col("sq") / F.col("n"))
+    return out.select(
+        F.col("n").alias("n_months"),
+        (quantize(ui, 6) / 1e6).alias("ulcer_index"),
+        (quantize(F.col("sa") / F.col("n"), 6) / 1e6).alias("pain_index"),
+        F.when(
+            F.col("sq") > 0,
+            quantize(100.0 * 12.0 * (F.col("s1") / F.col("nr")) / ui, 6) / 1e6,
+        ).alias("martin_ratio"),
+    )
+
+
+# --- q638: Cornish-Fisher (1938) modified 95% VaR of monthly returns
+# — the quantile expansion that corrects the Gaussian z by the
+# sample's own skew S and excess kurtosis K:
+#   z_cf = z + (z²−1)S/6 + (z³−3z)K/24 − (2z³−5z)S²/36,  z = −1.645
+# mVaR = −(μ + z_cf·σ). Central moments via the q487 two-pass exact
+# pattern (mean first, quantized Σ(r−μ)^{2,3,4} second); reported next
+# to the plain-normal VaR so the fat-tail correction is visible. --------------
+@query(
+    "q638_cornish_fisher_var",
+    oracle=f"""
+    WITH {_MRET_SQL},
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9 AS s1
+        FROM ret
+    ),
+    cm AS (
+        SELECT (SELECT n FROM m) AS n,
+               CAST(SUM({sql_quantize(
+                   '(r - (SELECT s1 / n FROM m))'
+                   ' * (r - (SELECT s1 / n FROM m))', 12)})
+                    AS DOUBLE) / 1e12 AS m2,
+               CAST(SUM({sql_quantize(
+                   '(r - (SELECT s1 / n FROM m))'
+                   ' * (r - (SELECT s1 / n FROM m))'
+                   ' * (r - (SELECT s1 / n FROM m))', 12)})
+                    AS DOUBLE) / 1e12 AS m3,
+               CAST(SUM({sql_quantize(
+                   '(r - (SELECT s1 / n FROM m))'
+                   ' * (r - (SELECT s1 / n FROM m))'
+                   ' * (r - (SELECT s1 / n FROM m))'
+                   ' * (r - (SELECT s1 / n FROM m))', 12)})
+                    AS DOUBLE) / 1e12 AS m4,
+               (SELECT s1 / n FROM m) AS mu
+        FROM ret
+    ),
+    k AS (
+        SELECT n, mu,
+               SQRT(m2 / n) AS sig,
+               (m3 / n) / POW(m2 / n, 1.5) AS s,
+               (m4 / n) / ((m2 / n) * (m2 / n)) - 3.0 AS ek
+        FROM cm
+    )
+    SELECT n AS n_rets,
+           CAST({sql_quantize('s', 6)} AS DOUBLE) / 1e6 AS skewness,
+           CAST({sql_quantize('ek', 6)} AS DOUBLE) / 1e6 AS excess_kurtosis,
+           CAST({sql_quantize('-(mu - 1.6448536269514722 * sig)', 6)}
+                AS DOUBLE) / 1e6 AS var95_normal,
+           CAST({sql_quantize(
+               '-(mu + (-1.6448536269514722e0'
+               ' + ((-1.6448536269514722e0) * (-1.6448536269514722e0) - 1.0)'
+               ' * s / 6.0'
+               ' + ((-1.6448536269514722e0) * (-1.6448536269514722e0)'
+               ' * (-1.6448536269514722e0) - 3.0 * (-1.6448536269514722e0))'
+               ' * ek / 24.0'
+               ' - (2.0 * (-1.6448536269514722e0) * (-1.6448536269514722e0)'
+               ' * (-1.6448536269514722e0) - 5.0 * (-1.6448536269514722e0))'
+               ' * s * s / 36.0) * sig)', 6)} AS DOUBLE) / 1e6
+               AS var95_cornish_fisher
+    FROM k
+    """,
+)
+def q638(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    ret = tracked_persist(_monthly_ret(spark, sf_dir).select("r"))
+    m = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("s1"),
+    )
+    dev = F.col("r") - F.col("s1") / F.col("n")
+    cm = (
+        ret.crossJoin(F.broadcast(m))
+        .agg(
+            F.first("n").alias("n"),
+            (F.sum(quantize(dev * dev, 12)).cast("double") / 1e12).alias("m2"),
+            (F.sum(quantize(dev * dev * dev, 12)).cast("double") / 1e12).alias(
+                "m3"
+            ),
+            (
+                F.sum(quantize(dev * dev * dev * dev, 12)).cast("double")
+                / 1e12
+            ).alias("m4"),
+            (F.first("s1") / F.first("n")).alias("mu"),
+        )
+    )
+    z = -1.6448536269514722
+    k = cm.select(
+        "n",
+        "mu",
+        F.sqrt(F.col("m2") / F.col("n")).alias("sig"),
+        ((F.col("m3") / F.col("n")) / F.pow(F.col("m2") / F.col("n"), 1.5)).alias(
+            "s"
+        ),
+        (
+            (F.col("m4") / F.col("n"))
+            / ((F.col("m2") / F.col("n")) * (F.col("m2") / F.col("n")))
+            - 3.0
+        ).alias("ek"),
+    )
+    zcf = (
+        F.lit(z)
+        + (F.lit(z) * F.lit(z) - 1.0) * F.col("s") / 6.0
+        + (F.lit(z) * F.lit(z) * F.lit(z) - 3.0 * F.lit(z)) * F.col("ek") / 24.0
+        - (2.0 * F.lit(z) * F.lit(z) * F.lit(z) - 5.0 * F.lit(z))
+        * F.col("s")
+        * F.col("s")
+        / 36.0
+    )
+    return k.select(
+        F.col("n").alias("n_rets"),
+        (quantize("s", 6) / 1e6).alias("skewness"),
+        (quantize("ek", 6) / 1e6).alias("excess_kurtosis"),
+        (quantize(-(F.col("mu") + F.lit(z) * F.col("sig")), 6) / 1e6).alias(
+            "var95_normal"
+        ),
+        (quantize(-(F.col("mu") + zcf * F.col("sig")), 6) / 1e6).alias(
+            "var95_cornish_fisher"
+        ),
     )

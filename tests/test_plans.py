@@ -452,6 +452,11 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q628_cooks_distance_months",  # month index over the calendar spine
     "q631_pinball_loss_seasonal_naive",  # 12-month lag over the month spine
     "q632_crps_forecast_ensemble",  # lag joins over the month spine
+    "q633_roll_effective_spread",  # month index over the calendar spine
+    "q635_amihud_illiquidity",  # day index over the calendar spine
+    "q636_sharpe_sortino_calmar",  # month spine index + running max
+    "q637_ulcer_index_pain_ratio",  # month spine index + running max
+    "q638_cornish_fisher_var",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
