@@ -4121,3 +4121,585 @@ def q630(spark, sf_dir):
         ),
     )
     return ate.select("n_obs", (quantize("dr", 6) / 1e6).alias("ate_dr_k"))
+
+
+# ===== Wave q639-q644: trade-econometrics & regional-concentration ====
+# Public methodology: Balassa (1965) revealed comparative advantage,
+# Grubel-Lloyd (1971) intra-industry trade, Finger-Kreinin (1979)
+# export similarity, Duncan & Duncan (1955) dissimilarity, Hoover
+# (1936) concentration, Krugman (1991) specialization, Palma (2011)
+# inequality ratio. "Exports" = lineitem revenue attributed to the
+# supplier's nation, "imports" = to the ordering customer's nation;
+# product classes are the first word of p_type (6 bounded values).
+# Every query is one fact rollup on natural keys + bounded dim-grid
+# joins (≤ 25 nations × 6 classes) — the 100 TB shape is the single
+# partial-aggregated shuffle that builds the flow table; everything
+# after is broadcast-sized.
+
+_TRADE_FLOW_SQL = """
+    flow AS MATERIALIZED (
+        SELECT n.n_name AS nat,
+               split_part(p.p_type, ' ', 1) AS cls,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY nat, cls
+    )
+"""
+
+
+def _trade_flow(spark, sf_dir):
+    """(nat, cls, revq) supplier-nation × product-class exact revenue
+    rollup — the shared export-flow table behind q639/q641/q643."""
+    li = T(spark, sf_dir, "lineitem")
+    sup = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    part = T(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nat"),
+            F.substring_index("p_type", " ", 1).alias("cls"),
+        )
+        .agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"))
+    )
+
+
+# --- q639: Balassa (1965) revealed comparative advantage matrix —
+# RCA_{n,c} = (X_{nc}/X_n)/(X_c/X): a nation "reveals" advantage in a
+# product class when its export share there exceeds the world share
+# (RCA > 1). The flow table is the only data-sized aggregate; nation /
+# class / world totals are bounded re-aggregates joined back broadcast. --------
+@query(
+    "q639_balassa_rca_matrix",
+    oracle=f"""
+    WITH {_TRADE_FLOW_SQL},
+    nt AS (SELECT nat, CAST(SUM(revq) AS BIGINT) AS nq FROM flow GROUP BY nat),
+    ct AS (SELECT cls, CAST(SUM(revq) AS BIGINT) AS cq FROM flow GROUP BY cls),
+    tt AS (SELECT CAST(SUM(revq) AS BIGINT) AS tq FROM flow)
+    SELECT f.nat, f.cls,
+           CAST(f.revq AS DOUBLE) / 100.0 AS export_rev,
+           CAST({sql_quantize(
+               '(CAST(f.revq AS DOUBLE) / nt.nq)'
+               ' / (CAST(ct.cq AS DOUBLE) / tt.tq)', 6)} AS DOUBLE) / 1e6
+               AS rca
+    FROM flow f
+    JOIN nt ON nt.nat = f.nat
+    JOIN ct ON ct.cls = f.cls
+    CROSS JOIN tt
+    """,
+)
+def q639(spark, sf_dir):
+    flow = _trade_flow(spark, sf_dir)
+    from pandrs_spark.operators.util import tracked_persist
+
+    flow = tracked_persist(flow)
+    nt = flow.groupBy("nat").agg(F.sum("revq").cast("long").alias("nq"))
+    ct = flow.groupBy("cls").agg(F.sum("revq").cast("long").alias("cq"))
+    tt = flow.agg(F.sum("revq").cast("long").alias("tq"))
+    rca = (
+        (F.col("revq").cast("double") / F.col("nq"))
+        / (F.col("cq").cast("double") / F.col("tq"))
+    )
+    return (
+        flow.join(F.broadcast(nt), "nat")
+        .join(F.broadcast(ct), "cls")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "nat",
+            "cls",
+            (F.col("revq").cast("double") / 100.0).alias("export_rev"),
+            (quantize(rca, 6) / 1e6).alias("rca"),
+        )
+    )
+
+
+# --- q640: Grubel-Lloyd (1971) intra-industry trade index per nation
+# pair — GL = 1 − |X_ab − X_ba|/(X_ab + X_ba) over bilateral flows
+# (exporter = supplier nation, importer = customer nation): 1 means
+# perfectly balanced two-way trade, 0 one-way. Pairs are unordered
+# (LEAST/GREATEST on the bounded nation names); GL is NULL when the
+# pair trades in one direction only. --------------------------------------------
+@query(
+    "q640_grubel_lloyd_pairs",
+    oracle="""
+    WITH bil AS MATERIALIZED (
+        SELECT ns.n_name AS exp, nc.n_name AS imp,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name
+        GROUP BY exp, imp
+    ),
+    pairs AS (
+        SELECT LEAST(exp, imp) AS nat_a, GREATEST(exp, imp) AS nat_b,
+               CAST(SUM(CASE WHEN exp < imp THEN revq ELSE 0 END)
+                    AS BIGINT) AS xab,
+               CAST(SUM(CASE WHEN exp > imp THEN revq ELSE 0 END)
+                    AS BIGINT) AS xba
+        FROM bil GROUP BY nat_a, nat_b
+    )
+    SELECT nat_a, nat_b,
+           CAST(xab AS DOUBLE) / 100.0 AS trade_ab,
+           CAST(xba AS DOUBLE) / 100.0 AS trade_ba,
+           CASE WHEN xab > 0 AND xba > 0 THEN
+               CAST(CAST(SIGN(gl) * FLOOR(ABS(gl) * 1e6 + 0.5) AS BIGINT)
+                    AS DOUBLE) / 1e6
+           END AS gl_index
+    FROM (
+        SELECT *,
+               1.0 - CAST(ABS(xab - xba) AS DOUBLE) / (xab + xba) AS gl
+        FROM pairs
+    )
+    """,
+)
+def q640(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    sup = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    ns = nat.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("exp")
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("imp")
+    )
+    bil = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(ns), sup.s_nationkey == F.col("snk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("cnk"))
+        .where(F.col("exp") != F.col("imp"))
+        .groupBy("exp", "imp")
+        .agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"))
+    )
+    pairs = bil.groupBy(
+        F.least("exp", "imp").alias("nat_a"),
+        F.greatest("exp", "imp").alias("nat_b"),
+    ).agg(
+        F.sum(F.when(F.col("exp") < F.col("imp"), F.col("revq")).otherwise(0))
+        .cast("long")
+        .alias("xab"),
+        F.sum(F.when(F.col("exp") > F.col("imp"), F.col("revq")).otherwise(0))
+        .cast("long")
+        .alias("xba"),
+    )
+    gl = 1.0 - F.abs(F.col("xab") - F.col("xba")).cast("double") / (
+        F.col("xab") + F.col("xba")
+    )
+    return pairs.select(
+        "nat_a",
+        "nat_b",
+        (F.col("xab").cast("double") / 100.0).alias("trade_ab"),
+        (F.col("xba").cast("double") / 100.0).alias("trade_ba"),
+        F.when(
+            (F.col("xab") > 0) & (F.col("xba") > 0), quantize(gl, 6) / 1e6
+        ).alias("gl_index"),
+    )
+
+
+# --- q641: Finger-Kreinin (1979) export-similarity index between
+# every pair of supplier REGIONS — FK(a,b) = Σ_c min(s_ac, s_bc) over
+# product-class revenue shares: 1 means identical export baskets.
+# Classes missing from either side contribute min(s, 0) = 0, so the
+# inner join on class is exact, not an approximation. ---------------------------
+@query(
+    "q641_finger_kreinin_similarity",
+    oracle="""
+    WITH rflow AS MATERIALIZED (
+        SELECT r.r_name AS reg, split_part(p.p_type, ' ', 1) AS cls,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY reg, cls
+    ),
+    tot AS (
+        SELECT reg, CAST(SUM(revq) AS BIGINT) AS tq FROM rflow GROUP BY reg
+    ),
+    sh AS (
+        SELECT f.reg, f.cls, CAST(f.revq AS DOUBLE) / t.tq AS s
+        FROM rflow f JOIN tot t ON t.reg = f.reg
+    )
+    SELECT a.reg AS region_a, b.reg AS region_b,
+           CAST(SUM(CAST(SIGN(LEAST(a.s, b.s))
+                         * FLOOR(ABS(LEAST(a.s, b.s)) * 1e9 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e9 AS fk_index
+    FROM sh a JOIN sh b ON a.cls = b.cls AND a.reg < b.reg
+    GROUP BY region_a, region_b
+    """,
+)
+def q641(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    sup = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    part = T(spark, sf_dir, "part")
+    rflow = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("reg"),
+            F.substring_index("p_type", " ", 1).alias("cls"),
+        )
+        .agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"))
+    )
+    from pandrs_spark.operators.util import tracked_persist
+
+    rflow = tracked_persist(rflow)
+    tot = rflow.groupBy("reg").agg(F.sum("revq").cast("long").alias("tq"))
+    sh = rflow.join(F.broadcast(tot), "reg").select(
+        "reg", "cls", (F.col("revq").cast("double") / F.col("tq")).alias("s")
+    )
+    b = sh.select(
+        F.col("reg").alias("regb"), F.col("cls").alias("cls"),
+        F.col("s").alias("sb"),
+    )
+    pairs = sh.join(b, "cls").where(F.col("reg") < F.col("regb"))
+    return pairs.groupBy(
+        F.col("reg").alias("region_a"), F.col("regb").alias("region_b")
+    ).agg(
+        (
+            F.sum(quantize(F.least(F.col("s"), F.col("sb")), 9)).cast("double")
+            / 1e9
+        ).alias("fk_index")
+    )
+
+
+# --- q642: Duncan & Duncan (1955) dissimilarity of BUILDING vs
+# MACHINERY customers across nations (D = ½·Σ_n|A_n/A − B_n/B| — the
+# share of either segment that would have to relocate for identical
+# geographic distributions) + Hoover (1936) concentration of revenue
+# vs customer headcount (H = ½·Σ_n|pop_share − rev_share|). Both ride
+# one 25-row per-nation rollup; counts are exact integers. ----------------------
+@query(
+    "q642_duncan_hoover_indices",
+    oracle="""
+    WITH seg AS MATERIALIZED (
+        SELECT n.n_name AS nat,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+               CAST(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+               CAST(COUNT(*) AS BIGINT) AS pop_n
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY nat
+    ),
+    rev AS MATERIALIZED (
+        SELECT n.n_name AS nat,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rq
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY nat
+    ),
+    j AS (
+        SELECT seg.nat, a_n, b_n, pop_n, COALESCE(rev.rq, 0) AS rq
+        FROM seg LEFT JOIN rev ON rev.nat = seg.nat
+    ),
+    t AS (
+        SELECT CAST(SUM(a_n) AS BIGINT) AS ta,
+               CAST(SUM(b_n) AS BIGINT) AS tb,
+               CAST(SUM(pop_n) AS BIGINT) AS tp,
+               CAST(SUM(rq) AS BIGINT) AS tr,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM j
+    )
+    SELECT t.n_nations,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS duncan_index,
+           CAST(CAST(SIGN(h) * FLOOR(ABS(h) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS hoover_index
+    FROM t, (
+        SELECT
+            0.5 * CAST(SUM(CAST(SIGN(dd) * FLOOR(ABS(dd) * 1e9 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e9 AS d,
+            0.5 * CAST(SUM(CAST(SIGN(hh) * FLOOR(ABS(hh) * 1e9 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e9 AS h
+        FROM (
+            SELECT
+                ABS(CAST(a_n AS DOUBLE) / t2.ta
+                    - CAST(b_n AS DOUBLE) / t2.tb) AS dd,
+                ABS(CAST(pop_n AS DOUBLE) / t2.tp
+                    - CAST(rq AS DOUBLE) / t2.tr) AS hh
+            FROM j, t t2
+        )
+    )
+    """,
+)
+def q642(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    orders = T(spark, sf_dir, "orders")
+    seg = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nat"))
+        .agg(
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0))
+            .cast("long")
+            .alias("a_n"),
+            F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0))
+            .cast("long")
+            .alias("b_n"),
+            F.count(F.lit(1)).cast("long").alias("pop_n"),
+        )
+    )
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nat"))
+        .agg(F.sum(quantize("o_totalprice", 2)).cast("long").alias("rq"))
+    )
+    j = tracked_persist(
+        seg.join(rev, "nat", "left").na.fill({"rq": 0})
+    )
+    t = j.agg(
+        F.sum("a_n").cast("long").alias("ta"),
+        F.sum("b_n").cast("long").alias("tb"),
+        F.sum("pop_n").cast("long").alias("tp"),
+        F.sum("rq").cast("long").alias("tr"),
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+    )
+    terms = j.crossJoin(F.broadcast(t)).select(
+        F.abs(
+            F.col("a_n").cast("double") / F.col("ta")
+            - F.col("b_n").cast("double") / F.col("tb")
+        ).alias("dd"),
+        F.abs(
+            F.col("pop_n").cast("double") / F.col("tp")
+            - F.col("rq").cast("double") / F.col("tr")
+        ).alias("hh"),
+        "n_nations",
+    )
+    s = terms.groupBy("n_nations").agg(
+        (0.5 * F.sum(quantize("dd", 9)).cast("double") / 1e9).alias("d"),
+        (0.5 * F.sum(quantize("hh", 9)).cast("double") / 1e9).alias("h"),
+    )
+    return s.select(
+        "n_nations",
+        (quantize("d", 6) / 1e6).alias("duncan_index"),
+        (quantize("h", 6) / 1e6).alias("hoover_index"),
+    )
+
+
+# --- q643: Krugman (1991) specialization index per supplier nation —
+# K_n = Σ_c |s_nc − s_c^{(−n)}| comparing each nation's product-class
+# mix against the REST-OF-WORLD mix (not the world mix that contains
+# it, which dilutes small nations): 0 = identical structure, 2 = fully
+# disjoint. The complete 25×6 nation×class grid is materialized via a
+# bounded cross join so zero-flow cells contribute their full share
+# difference. -------------------------------------------------------------------
+@query(
+    "q643_krugman_specialization",
+    oracle=f"""
+    WITH {_TRADE_FLOW_SQL},
+    nats AS (SELECT DISTINCT nat FROM flow),
+    clss AS (SELECT DISTINCT cls FROM flow),
+    grid AS (
+        SELECT n.nat, c.cls, COALESCE(f.revq, 0) AS revq
+        FROM nats n CROSS JOIN clss c
+        LEFT JOIN flow f ON f.nat = n.nat AND f.cls = c.cls
+    ),
+    nt AS (SELECT nat, CAST(SUM(revq) AS BIGINT) AS nq FROM grid GROUP BY nat),
+    ct AS (SELECT cls, CAST(SUM(revq) AS BIGINT) AS cq FROM grid GROUP BY cls),
+    tt AS (SELECT CAST(SUM(revq) AS BIGINT) AS tq FROM grid)
+    SELECT g.nat AS nation,
+           CAST(SUM({sql_quantize(
+               'ABS(CAST(g.revq AS DOUBLE) / nt.nq'
+               ' - CAST(ct.cq - g.revq AS DOUBLE) / (tt.tq - nt.nq))', 9)})
+                AS DOUBLE) / 1e9 AS krugman_index
+    FROM grid g
+    JOIN nt ON nt.nat = g.nat
+    JOIN ct ON ct.cls = g.cls
+    CROSS JOIN tt
+    GROUP BY nation
+    """,
+)
+def q643(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    flow = tracked_persist(_trade_flow(spark, sf_dir))
+    nats = flow.select("nat").distinct()
+    clss = flow.select("cls").distinct()
+    grid = (
+        nats.crossJoin(F.broadcast(clss))
+        .join(flow, ["nat", "cls"], "left")
+        .na.fill({"revq": 0})
+    )
+    grid = tracked_persist(grid)
+    nt = grid.groupBy("nat").agg(F.sum("revq").cast("long").alias("nq"))
+    ct = grid.groupBy("cls").agg(F.sum("revq").cast("long").alias("cq"))
+    tt = grid.agg(F.sum("revq").cast("long").alias("tq"))
+    term = F.abs(
+        F.col("revq").cast("double") / F.col("nq")
+        - (F.col("cq") - F.col("revq")).cast("double")
+        / (F.col("tq") - F.col("nq"))
+    )
+    return (
+        grid.join(F.broadcast(nt), "nat")
+        .join(F.broadcast(ct), "cls")
+        .crossJoin(F.broadcast(tt))
+        .groupBy(F.col("nat").alias("nation"))
+        .agg(
+            (F.sum(quantize(term, 9)).cast("double") / 1e9).alias(
+                "krugman_index"
+            )
+        )
+    )
+
+
+# --- q644: Palma (2011) ratio + 20:20 ratio of customer spending —
+# top-10% revenue share over bottom-40% share (and top-20 over
+# bottom-20), read off the same distributed Lorenz prefix as q499
+# (global_prefix_counts over the per-customer spend histogram — one
+# groupBy + one offset pass, never a one-task data sort). Boundary
+# d·N/10 picks the first covering prefix row, exactly as q499. ------------------
+@query(
+    "q644_palma_quintile_ratios",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS BIGINT) AS yq
+        FROM orders GROUP BY o_custkey
+    ),
+    pref AS MATERIALIZED (
+        SELECT yq,
+               CAST(SUM(cnt) OVER (ORDER BY yq) AS BIGINT) AS cum_n,
+               CAST(SUM(CAST(yq AS HUGEINT) * cnt) OVER (ORDER BY yq)
+                    AS BIGINT) AS cum_y
+        FROM (
+            SELECT yq, CAST(COUNT(*) AS BIGINT) AS cnt FROM rev GROUP BY yq
+        )
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(yq AS HUGEINT)) AS BIGINT) AS ty
+        FROM rev
+    ),
+    grid AS (SELECT UNNEST([2, 4, 8, 9]) AS d),
+    picked AS (
+        SELECT g.d, p.share
+        FROM grid g, tot t,
+             LATERAL (
+                 SELECT CAST(cum_y AS DOUBLE) / t.ty AS share
+                 FROM pref
+                 WHERE cum_n >= CAST(CEIL(g.d * t.n / 10.0) AS BIGINT)
+                 ORDER BY cum_n LIMIT 1
+             ) p
+    ),
+    w AS (
+        SELECT (SELECT n FROM tot) AS n_customers,
+               MAX(CASE WHEN d = 4 THEN share END) AS b40,
+               MAX(CASE WHEN d = 9 THEN share END) AS s90,
+               MAX(CASE WHEN d = 2 THEN share END) AS b20,
+               MAX(CASE WHEN d = 8 THEN share END) AS s80
+        FROM picked
+    )
+    SELECT n_customers,
+           CAST({sql_quantize('b40', 6)} AS DOUBLE) / 1e6 AS bottom40_share,
+           CAST({sql_quantize('1.0 - s90', 6)} AS DOUBLE) / 1e6
+               AS top10_share,
+           CAST({sql_quantize('(1.0 - s90) / b40', 6)} AS DOUBLE) / 1e6
+               AS palma_ratio,
+           CAST({sql_quantize('(1.0 - s80) / b20', 6)} AS DOUBLE) / 1e6
+               AS ratio_20_20
+    FROM w
+    """,
+)
+def q644(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(quantize("o_totalprice", 2)).cast("long").alias("yq")
+    )
+    hist = rev.groupBy("yq").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hist = hist.withColumn("yc", F.col("yq") * F.col("cnt"))
+    pref = tracked_persist(
+        global_prefix_counts(
+            hist, [F.asc("yq")], {"cum_n": "cnt", "cum_y": "yc"}
+        )
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("ty"),
+    )
+    grid = orders.sparkSession.createDataFrame(
+        [(2,), (4,), (8,), (9,)], "d int"
+    )
+    j = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            pref,
+            F.col("cum_n")
+            >= F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
+        )
+    )
+    picked = j.groupBy("d", "n", "ty").agg(
+        F.min_by("cum_y", "cum_n").alias("cum_y_at")
+    )
+    w = picked.groupBy("n").agg(
+        F.max(
+            F.when(
+                F.col("d") == 4, F.col("cum_y_at").cast("double") / F.col("ty")
+            )
+        ).alias("b40"),
+        F.max(
+            F.when(
+                F.col("d") == 9, F.col("cum_y_at").cast("double") / F.col("ty")
+            )
+        ).alias("s90"),
+        F.max(
+            F.when(
+                F.col("d") == 2, F.col("cum_y_at").cast("double") / F.col("ty")
+            )
+        ).alias("b20"),
+        F.max(
+            F.when(
+                F.col("d") == 8, F.col("cum_y_at").cast("double") / F.col("ty")
+            )
+        ).alias("s80"),
+    )
+    return w.select(
+        F.col("n").alias("n_customers"),
+        (quantize("b40", 6) / 1e6).alias("bottom40_share"),
+        (quantize(1.0 - F.col("s90"), 6) / 1e6).alias("top10_share"),
+        (quantize((1.0 - F.col("s90")) / F.col("b40"), 6) / 1e6).alias(
+            "palma_ratio"
+        ),
+        (quantize((1.0 - F.col("s80")) / F.col("b20"), 6) / 1e6).alias(
+            "ratio_20_20"
+        ),
+    )
