@@ -3171,3 +3171,619 @@ def q638(spark, sf_dir):
             "var95_cornish_fisher"
         ),
     )
+
+
+# ===== Wave q651-q656: post-OLS diagnostics tier II ====================
+# Completes the q486/q488 Durbin-Watson / Breusch-Pagan pair with the
+# rest of the classic regression-diagnostics toolbox, all on the
+# monthly-revenue-on-time fit: PRESS/LOOCV (Allen 1974), leverage +
+# internally studentized residuals, Glejser (1969) + Harvey-Godfrey
+# (1976/1978) heteroscedasticity, Goldfeld-Quandt (1965), Ramsey RESET
+# (1969) and Breusch-Godfrey (1978/1979). Multi-regressor F/LM tests
+# reduce to SEQUENCES OF 1-D CLOSED-FORM REGRESSIONS via
+# Frisch-Waugh-Lovell partialling, so every statistic is exact
+# quantized sums + a shared double-formula tree — no matrix solver,
+# no driver math, and the only data-sized work remains the monthly
+# rollup shuffle.
+
+# --- q651: PRESS statistic + LOOCV RMSE of the monthly trend fit —
+# PRESS = Σ(e_i/(1−h_i))² with the simple-regression hat diagonal
+# h_i = 1/n + (x_i−x̄)²/Sxx: the exact leave-one-out error WITHOUT
+# n refits (Allen 1974). Reported with R²_prediction = 1 − PRESS/SST,
+# the honest out-of-sample complement of q127's in-sample R². ------------------
+@query(
+    "q651_press_loocv",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    st AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('y * y', 6)}) AS DOUBLE) / 1e6 AS syy
+        FROM d
+    ),
+    terms AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(r.e / (1.0 - (1.0 / st.n'
+                   ' + (r.x - st.sx / st.n) * (r.x - st.sx / st.n)'
+                   ' / (st.sxx - st.sx * st.sx / st.n))))'
+                   ' * (r.e / (1.0 - (1.0 / st.n'
+                   ' + (r.x - st.sx / st.n) * (r.x - st.sx / st.n)'
+                   ' / (st.sxx - st.sx * st.sx / st.n))))', 9)})
+                    AS DOUBLE) / 1e9 AS press
+        FROM resid r, st
+    )
+    SELECT CAST(st.n AS BIGINT) AS n_months,
+           CAST({sql_quantize('terms.press', 6)} AS DOUBLE) / 1e6 AS press,
+           CAST({sql_quantize('SQRT(terms.press / st.n)', 6)}
+                AS DOUBLE) / 1e6 AS loocv_rmse,
+           CAST({sql_quantize(
+               '1.0 - terms.press / (st.syy - st.sy * st.sy / st.n)', 6)}
+               AS DOUBLE) / 1e6 AS r2_prediction
+    FROM st, terms
+    """,
+)
+def q651(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    d = monthly.select(
+        F.col("rev").alias("y"),
+        F.row_number().over(Window.orderBy("mth")).cast("double").alias("x"),
+    )
+    st = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6).alias(
+            "syy"
+        ),
+    )
+    resid = _ols_resid(spark, sf_dir)
+    h = F.lit(1.0) / F.col("n") + (
+        (F.col("x") - F.col("sx") / F.col("n"))
+        * (F.col("x") - F.col("sx") / F.col("n"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    )
+    t = F.col("e") / (1.0 - h)
+    terms = resid.crossJoin(F.broadcast(st)).agg(
+        (F.sum(quantize(t * t, 9)).cast("double") / 1e9).alias("press"),
+        F.first("n").alias("n"),
+        F.first("sy").alias("sy"),
+        F.first("syy").alias("syy"),
+    )
+    return terms.select(
+        F.col("n").cast("long").alias("n_months"),
+        (quantize("press", 6) / 1e6).alias("press"),
+        (quantize(F.sqrt(F.col("press") / F.col("n")), 6) / 1e6).alias(
+            "loocv_rmse"
+        ),
+        (
+            quantize(
+                1.0
+                - F.col("press")
+                / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+                6,
+            )
+            / 1e6
+        ).alias("r2_prediction"),
+    )
+
+
+# --- q652: leverage + internally studentized residuals — r_i =
+# e_i/(s·√(1−h_i)) with s² = RSS/(n−2): the properly-scaled outlier
+# diagnostic that q628's Cook's distance composes (D_i =
+# r_i²·h_i/((1−h_i)·p)). Top-5 months by |r| (ties by month), the
+# months a modeler would actually inspect. ---------------------------------------
+@query(
+    "q652_studentized_residuals",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    st AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+        FROM d
+    ),
+    rss AS (
+        SELECT CAST(SUM({sql_quantize('e * e', 9)}) AS DOUBLE) / 1e9 AS sse
+        FROM resid
+    ),
+    scored AS (
+        SELECT r.mth,
+               1.0 / st.n + (r.x - st.sx / st.n) * (r.x - st.sx / st.n)
+                   / (st.sxx - st.sx * st.sx / st.n) AS h,
+               r.e / (SQRT(rss.sse / (st.n - 2))
+                      * SQRT(1.0 - (1.0 / st.n
+                          + (r.x - st.sx / st.n) * (r.x - st.sx / st.n)
+                          / (st.sxx - st.sx * st.sx / st.n)))) AS r
+        FROM resid r, st, rss
+    )
+    SELECT mth,
+           CAST({sql_quantize('h', 6)} AS DOUBLE) / 1e6 AS leverage,
+           CAST({sql_quantize('r', 6)} AS DOUBLE) / 1e6 AS studentized
+    FROM scored
+    ORDER BY ABS(r) DESC, mth
+    LIMIT 5
+    """,
+)
+def q652(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    d = monthly.select(
+        F.row_number().over(Window.orderBy("mth")).cast("double").alias("x")
+    )
+    st = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    resid = _ols_resid(spark, sf_dir)
+    rss = resid.agg(
+        (
+            F.sum(quantize(F.col("e") * F.col("e"), 9)).cast("double") / 1e9
+        ).alias("sse")
+    )
+    scored = resid.crossJoin(F.broadcast(st)).crossJoin(F.broadcast(rss))
+    h = F.lit(1.0) / F.col("n") + (
+        (F.col("x") - F.col("sx") / F.col("n"))
+        * (F.col("x") - F.col("sx") / F.col("n"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    )
+    r = F.col("e") / (
+        F.sqrt(F.col("sse") / (F.col("n") - 2)) * F.sqrt(1.0 - h)
+    )
+    out = scored.select(
+        "mth", h.alias("h"), r.alias("r")
+    )
+    return (
+        out.orderBy(F.abs(F.col("r")).desc(), F.asc("mth"))
+        .limit(5)
+        .select(
+            "mth",
+            (quantize("h", 6) / 1e6).alias("leverage"),
+            (quantize("r", 6) / 1e6).alias("studentized"),
+        )
+    )
+
+
+# --- q653: Glejser (1969) + Harvey-Godfrey heteroscedasticity tests —
+# the |e|-on-x and ln(e²)-on-x auxiliary slopes with their t
+# statistics, flanking q488's Breusch-Pagan (e²-on-x): Glejser is
+# robust to outlier residuals, Harvey-Godfrey tests multiplicative
+# variance. Each is a closed-form 1-D regression over the residual
+# frame (ln(e²) rows with e = 0 are excluded by contract — ln is
+# undefined there; the count reports how many were kept). -----------------------
+@query(
+    "q653_glejser_harvey_godfrey",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    g AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('ABS(e)', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('x * ABS(e)', 9)}) AS DOUBLE) / 1e9
+                   AS sxy,
+               CAST(SUM({sql_quantize('ABS(e) * ABS(e)', 9)}) AS DOUBLE)
+                   / 1e9 AS syy
+        FROM resid
+    ),
+    hg AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('LN(e * e)', 9)}) AS DOUBLE) / 1e9
+                   AS sy,
+               CAST(SUM({sql_quantize('x * LN(e * e)', 9)}) AS DOUBLE) / 1e9
+                   AS sxy,
+               CAST(SUM({sql_quantize('LN(e * e) * LN(e * e)', 9)})
+                    AS DOUBLE) / 1e9 AS syy
+        FROM resid WHERE e <> 0
+    ),
+    f AS (
+        SELECT CAST(g.n AS BIGINT) AS n_glejser,
+               (g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx)
+                   AS b_g,
+               (g.syy - g.sy * g.sy / g.n
+                - ((g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx))
+                  * (g.sxy - g.sx * g.sy / g.n)) / (g.n - 2)
+                   / (g.sxx - g.sx * g.sx / g.n) AS v_g,
+               CAST(hg.n AS BIGINT) AS n_harvey,
+               (hg.n * hg.sxy - hg.sx * hg.sy)
+                   / (hg.n * hg.sxx - hg.sx * hg.sx) AS b_h,
+               (hg.syy - hg.sy * hg.sy / hg.n
+                - ((hg.n * hg.sxy - hg.sx * hg.sy)
+                   / (hg.n * hg.sxx - hg.sx * hg.sx))
+                  * (hg.sxy - hg.sx * hg.sy / hg.n)) / (hg.n - 2)
+                   / (hg.sxx - hg.sx * hg.sx / hg.n) AS v_h
+        FROM g, hg
+    )
+    SELECT n_glejser, n_harvey,
+           CAST({sql_quantize('b_g', 8)} AS DOUBLE) / 1e8 AS glejser_slope,
+           CAST({sql_quantize('b_g / SQRT(v_g)', 6)} AS DOUBLE) / 1e6
+               AS glejser_t,
+           CAST({sql_quantize('b_h', 8)} AS DOUBLE) / 1e8
+               AS harvey_godfrey_slope,
+           CAST({sql_quantize('b_h / SQRT(v_h)', 6)} AS DOUBLE) / 1e6
+               AS harvey_godfrey_t
+    FROM f
+    """,
+)
+def q653(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    resid = _ols_resid(spark, sf_dir)
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(resid)
+
+    def aux(frame, ycol):
+        return frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            (F.sum(quantize(ycol, 9)).cast("double") / 1e9).alias("sy"),
+            (F.sum(quantize(F.col("x") * ycol, 9)).cast("double") / 1e9).alias(
+                "sxy"
+            ),
+            (F.sum(quantize(ycol * ycol, 9)).cast("double") / 1e9).alias(
+                "syy"
+            ),
+        )
+
+    def slope_var(pfx):
+        n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+        sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        v = (
+            (syy - sy * sy / n - b * (sxy - sx * sy / n))
+            / (n - 2)
+            / (sxx - sx * sx / n)
+        )
+        return b, v
+
+    g = aux(resid, F.abs(F.col("e")))
+    bg, vg = slope_var("g")
+    g = g.select(
+        F.col("n").cast("long").alias("n_glejser"),
+        bg.alias("b_g"),
+        vg.alias("v_g"),
+    )
+    hgf = aux(
+        resid.where(F.col("e") != 0), F.log(F.col("e") * F.col("e"))
+    )
+    bh, vh = slope_var("h")
+    hgf = hgf.select(
+        F.col("n").cast("long").alias("n_harvey"),
+        bh.alias("b_h"),
+        vh.alias("v_h"),
+    )
+    out = g.crossJoin(F.broadcast(hgf))
+    return out.select(
+        "n_glejser",
+        "n_harvey",
+        (quantize("b_g", 8) / 1e8).alias("glejser_slope"),
+        (quantize(F.col("b_g") / F.sqrt(F.col("v_g")), 6) / 1e6).alias(
+            "glejser_t"
+        ),
+        (quantize("b_h", 8) / 1e8).alias("harvey_godfrey_slope"),
+        (quantize(F.col("b_h") / F.sqrt(F.col("v_h")), 6) / 1e6).alias(
+            "harvey_godfrey_t"
+        ),
+    )
+
+
+# --- q654: Goldfeld-Quandt (1965) heteroscedasticity test — fit the
+# trend separately on the FIRST and LAST thirds of the spine (middle
+# third dropped, the classic d = n/3 screen) and compare residual
+# variances: F = (RSS₂/df₂)/(RSS₁/df₁). Segment RSS in closed
+# centered-sums form: RSS = Syy − Sxy²/Sxx; one conditional-sum pass
+# after a broadcast count. --------------------------------------------------------
+@query(
+    "q654_goldfeld_quandt",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    d AS MATERIALIZED (
+        SELECT rev AS y,
+               CAST(ROW_NUMBER() OVER (ORDER BY mth) AS DOUBLE) AS x
+        FROM monthly
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    seg AS (
+        SELECT CASE WHEN x <= FLOOR(nn.n / 3.0) THEN 1
+                    WHEN x > nn.n - FLOOR(nn.n / 3.0) THEN 2 END AS s,
+               x, y
+        FROM d, nn
+    ),
+    st AS (
+        SELECT s, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('y', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('x * y', 6)}) AS DOUBLE) / 1e6 AS sxy,
+               CAST(SUM({sql_quantize('y * y', 6)}) AS DOUBLE) / 1e6 AS syy
+        FROM seg WHERE s IS NOT NULL GROUP BY s
+    ),
+    rss AS (
+        SELECT s, n,
+               (syy - sy * sy / n)
+               - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / (sxx - sx * sx / n) AS r
+        FROM st
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN s = 1 THEN n END) AS n1,
+               MAX(CASE WHEN s = 2 THEN n END) AS n2,
+               MAX(CASE WHEN s = 1 THEN r END) AS r1,
+               MAX(CASE WHEN s = 2 THEN r END) AS r2
+        FROM rss
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_first, CAST(n2 AS BIGINT) AS n_last,
+           CAST({sql_quantize('r1 / (n1 - 2)', 6)} AS DOUBLE) / 1e6
+               AS mse_first,
+           CAST({sql_quantize('r2 / (n2 - 2)', 6)} AS DOUBLE) / 1e6
+               AS mse_last,
+           CAST({sql_quantize('(r2 / (n2 - 2)) / (r1 / (n1 - 2))', 6)}
+                AS DOUBLE) / 1e6 AS gq_f_stat
+    FROM w
+    """,
+)
+def q654(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    d = monthly.select(
+        F.col("rev").alias("y"),
+        F.row_number().over(Window.orderBy("mth")).cast("double").alias("x"),
+    )
+    from pandrs_spark.operators.util import tracked_persist
+
+    d = tracked_persist(d)
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    seg = d.crossJoin(F.broadcast(nn)).select(
+        F.when(F.col("x") <= F.floor(F.col("n") / 3.0), 1)
+        .when(F.col("x") > F.col("n") - F.floor(F.col("n") / 3.0), 2)
+        .alias("s"),
+        "x",
+        "y",
+    )
+    st = (
+        seg.where(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            (F.sum(quantize("y", 6)).cast("double") / 1e6).alias("sy"),
+            (F.sum(quantize(F.col("x") * F.col("y"), 6)).cast("double") / 1e6)
+            .alias("sxy"),
+            (F.sum(quantize(F.col("y") * F.col("y"), 6)).cast("double") / 1e6)
+            .alias("syy"),
+        )
+    )
+    r = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) - (
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    ) * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    rss = st.select("s", "n", r.alias("r"))
+    w = rss.agg(
+        F.max(F.when(F.col("s") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("s") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("s") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("s") == 2, F.col("r"))).alias("r2"),
+    )
+    mse1 = F.col("r1") / (F.col("n1") - 2)
+    mse2 = F.col("r2") / (F.col("n2") - 2)
+    return w.select(
+        F.col("n1").cast("long").alias("n_first"),
+        F.col("n2").cast("long").alias("n_last"),
+        (quantize(mse1, 6) / 1e6).alias("mse_first"),
+        (quantize(mse2, 6) / 1e6).alias("mse_last"),
+        (quantize(mse2 / mse1, 6) / 1e6).alias("gq_f_stat"),
+    )
+
+
+# --- q655: Ramsey RESET (1969) functional-form test, quadratic term —
+# does adding ŷ² (⇔ x², since ŷ is affine in x) improve the trend
+# fit? Computed EXACTLY via Frisch-Waugh-Lovell: partial x² out of
+# {1, x} on the spine (integer sums), then the added-variable gain is
+# (Σe·z*)²/Σz*² and F = gain/((RSS₁−gain)/(n−3)) — three 1-D closed
+# forms, no 3×3 solve. ------------------------------------------------------------
+@query(
+    "q655_ramsey_reset",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    zfit AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+               SUM(x * x) AS sz, SUM(x * x * x) AS sxz
+        FROM d
+    ),
+    zc AS (
+        SELECT n,
+               (n * sxz - sx * sz) / (n * sxx - sx * sx) AS a1,
+               (sz - (n * sxz - sx * sz) / (n * sxx - sx * sx) * sx) / n
+                   AS a0
+        FROM zfit
+    ),
+    fwl AS (
+        SELECT CAST(SUM({sql_quantize('r.e * r.e', 9)}) AS DOUBLE) / 1e9
+                   AS rss1,
+               CAST(SUM({sql_quantize(
+                   'r.e * (r.x * r.x - (zc.a0 + zc.a1 * r.x))', 6)})
+                    AS DOUBLE) / 1e6 AS sez,
+               CAST(SUM({sql_quantize(
+                   '(r.x * r.x - (zc.a0 + zc.a1 * r.x))'
+                   ' * (r.x * r.x - (zc.a0 + zc.a1 * r.x))', 6)})
+                    AS DOUBLE) / 1e6 AS szz,
+               CAST(MAX(zc.n) AS BIGINT) AS n
+        FROM resid r, zc
+    )
+    SELECT n AS n_months,
+           CAST({sql_quantize('sez / szz', 9)} AS DOUBLE) / 1e9
+               AS quad_coef,
+           CAST({sql_quantize(
+               '(sez * sez / szz)'
+               ' / ((rss1 - sez * sez / szz) / (n - 3))', 6)}
+               AS DOUBLE) / 1e6 AS reset_f_stat
+    FROM fwl
+    """,
+)
+def q655(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    d = monthly.select(
+        F.row_number().over(Window.orderBy("mth")).cast("double").alias("x")
+    )
+    zfit = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("x")).alias("sz"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("sxz"),
+    )
+    a1 = (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    zc = zfit.select(
+        "n",
+        a1.alias("a1"),
+        ((F.col("sz") - a1 * F.col("sx")) / F.col("n")).alias("a0"),
+    )
+    resid = _ols_resid(spark, sf_dir)
+    zstar = F.col("x") * F.col("x") - (
+        F.col("a0") + F.col("a1") * F.col("x")
+    )
+    fwl = resid.crossJoin(F.broadcast(zc)).agg(
+        (
+            F.sum(quantize(F.col("e") * F.col("e"), 9)).cast("double") / 1e9
+        ).alias("rss1"),
+        (F.sum(quantize(F.col("e") * zstar, 6)).cast("double") / 1e6).alias(
+            "sez"
+        ),
+        (F.sum(quantize(zstar * zstar, 6)).cast("double") / 1e6).alias("szz"),
+        F.max("n").cast("long").alias("n"),
+    )
+    gain = F.col("sez") * F.col("sez") / F.col("szz")
+    return fwl.select(
+        F.col("n").alias("n_months"),
+        (quantize(F.col("sez") / F.col("szz"), 9) / 1e9).alias("quad_coef"),
+        (
+            quantize(gain / ((F.col("rss1") - gain) / (F.col("n") - 3)), 6)
+            / 1e6
+        ).alias("reset_f_stat"),
+    )
+
+
+# --- q656: Breusch-Godfrey (1978) LM test for AR(1) residual
+# autocorrelation — regress e_t on {1, x_t, e_{t−1}} over t ≥ 2 and
+# LM = (n−1)·R², again via FWL on the subsample: r₁ = e⊥{1,x},
+# w* = e_{t−1}⊥{1,x}, R² = (Σr₁w*)²/(Σw*²·SST). The regression-based
+# generalization of q486's Durbin-Watson that stays valid with lagged
+# regressors. ---------------------------------------------------------------------
+@query(
+    "q656_breusch_godfrey_lm",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    {_OLS_RESID_SQL},
+    pairs AS MATERIALIZED (
+        SELECT a.x AS x, a.e AS u, b.e AS w
+        FROM resid a JOIN resid b ON b.x = a.x - 1
+    ),
+    st AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('u', 9)}) AS DOUBLE) / 1e9 AS su,
+               CAST(SUM({sql_quantize('x * u', 9)}) AS DOUBLE) / 1e9 AS sxu,
+               CAST(SUM({sql_quantize('w', 9)}) AS DOUBLE) / 1e9 AS sw,
+               CAST(SUM({sql_quantize('x * w', 9)}) AS DOUBLE) / 1e9 AS sxw
+        FROM pairs
+    ),
+    cf AS (
+        SELECT n,
+               (n * sxu - sx * su) / (n * sxx - sx * sx) AS bu,
+               (su - (n * sxu - sx * su) / (n * sxx - sx * sx) * sx) / n
+                   AS au,
+               (n * sxw - sx * sw) / (n * sxx - sx * sx) AS bw,
+               (sw - (n * sxw - sx * sw) / (n * sxx - sx * sx) * sx) / n
+                   AS aw
+        FROM st
+    ),
+    fwl AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(p.u - (cf.au + cf.bu * p.x))'
+                   ' * (p.u - (cf.au + cf.bu * p.x))', 9)})
+                    AS DOUBLE) / 1e9 AS s11,
+               CAST(SUM({sql_quantize(
+                   '(p.u - (cf.au + cf.bu * p.x))'
+                   ' * (p.w - (cf.aw + cf.bw * p.x))', 9)})
+                    AS DOUBLE) / 1e9 AS s1w,
+               CAST(SUM({sql_quantize(
+                   '(p.w - (cf.aw + cf.bw * p.x))'
+                   ' * (p.w - (cf.aw + cf.bw * p.x))', 9)})
+                    AS DOUBLE) / 1e9 AS sww,
+               CAST(MAX(cf.n) AS BIGINT) AS n
+        FROM pairs p, cf
+    )
+    SELECT n AS n_pairs,
+           CAST({sql_quantize('s1w / sww', 6)} AS DOUBLE) / 1e6 AS rho_hat,
+           CAST({sql_quantize(
+               'n * (s1w * s1w) / (sww * s11)', 6)} AS DOUBLE) / 1e6
+               AS bg_lm_stat
+    FROM fwl
+    """,
+)
+def q656(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    resid = tracked_persist(_ols_resid(spark, sf_dir))
+    b = resid.select((F.col("x") + 1).alias("x"), F.col("e").alias("w"))
+    pairs = tracked_persist(
+        resid.select("x", F.col("e").alias("u")).join(b, "x")
+    )
+    st = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        (F.sum(quantize("u", 9)).cast("double") / 1e9).alias("su"),
+        (F.sum(quantize(F.col("x") * F.col("u"), 9)).cast("double") / 1e9).alias(
+            "sxu"
+        ),
+        (F.sum(quantize("w", 9)).cast("double") / 1e9).alias("sw"),
+        (F.sum(quantize(F.col("x") * F.col("w"), 9)).cast("double") / 1e9).alias(
+            "sxw"
+        ),
+    )
+    bu = (F.col("n") * F.col("sxu") - F.col("sx") * F.col("su")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    bw = (F.col("n") * F.col("sxw") - F.col("sx") * F.col("sw")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    cf = st.select(
+        "n",
+        bu.alias("bu"),
+        ((F.col("su") - bu * F.col("sx")) / F.col("n")).alias("au"),
+        bw.alias("bw"),
+        ((F.col("sw") - bw * F.col("sx")) / F.col("n")).alias("aw"),
+    )
+    r1 = F.col("u") - (F.col("au") + F.col("bu") * F.col("x"))
+    ws = F.col("w") - (F.col("aw") + F.col("bw") * F.col("x"))
+    fwl = pairs.crossJoin(F.broadcast(cf)).agg(
+        (F.sum(quantize(r1 * r1, 9)).cast("double") / 1e9).alias("s11"),
+        (F.sum(quantize(r1 * ws, 9)).cast("double") / 1e9).alias("s1w"),
+        (F.sum(quantize(ws * ws, 9)).cast("double") / 1e9).alias("sww"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return fwl.select(
+        F.col("n").alias("n_pairs"),
+        (quantize(F.col("s1w") / F.col("sww"), 6) / 1e6).alias("rho_hat"),
+        (
+            quantize(
+                F.col("n")
+                * (F.col("s1w") * F.col("s1w"))
+                / (F.col("sww") * F.col("s11")),
+                6,
+            )
+            / 1e6
+        ).alias("bg_lm_stat"),
+    )

@@ -457,6 +457,12 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q636_sharpe_sortino_calmar",  # month spine index + running max
     "q637_ulcer_index_pain_ratio",  # month spine index + running max
     "q638_cornish_fisher_var",  # month index over the calendar spine
+    "q651_press_loocv",  # month index over the calendar spine
+    "q652_studentized_residuals",  # month index over the calendar spine
+    "q653_glejser_harvey_godfrey",  # month index over the calendar spine
+    "q654_goldfeld_quandt",  # month index over the calendar spine
+    "q655_ramsey_reset",  # month index over the calendar spine
+    "q656_breusch_godfrey_lm",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
