@@ -1808,3 +1808,597 @@ def q565(spark, sf_dir):
         (quantize("v", 6) / 1e6).alias("v"),
         (quantize("c", 6) / 1e6).alias("cucconi_c"),
     )
+
+
+# ===== Wave q657-q662: nonparametric & categorical tests tier II ======
+# Public methodology: Cliff (1993) delta / Vargha-Delaney (2000) A,
+# Siegel-Tukey (1960), Page (1963) trend test, Stuart (1955) -
+# Maxwell (1970) marginal homogeneity, Cochran (1950) Q,
+# Krippendorff (1970) alpha. Every statistic reduces to exact integer
+# pair/rank counts (distinct-value histograms + distributed prefix
+# sums, or bounded contingency grids) — no data-sized sort except the
+# one range-sorted global_row_number that Siegel-Tukey's definition
+# genuinely requires.
+
+# --- q657: Cliff's delta + Vargha-Delaney A between URGENT and LOW
+# order totals — the ordinal effect sizes behind Mann-Whitney:
+# δ = (#(x>y) − #(x<y))/(n1·n2), A = (#(x>y) + ½·#(x=y))/(n1·n2).
+# All pair counts come EXACTLY (integer arithmetic, no quantization
+# anywhere until the final ratio) from one distinct-value histogram +
+# one prefix pass: #(x>y) = Σ_v c1(v)·cum2(v⁻). ---------------------------------
+@query(
+    "q657_cliffs_delta_vargha_delaney",
+    oracle="""
+    WITH two AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM two GROUP BY v
+    ),
+    cdf AS (
+        SELECT c1, c2,
+               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+        FROM per_v
+    ),
+    s AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (cum2 - c2)) AS BIGINT) AS gt,
+               CAST(SUM(c1 * c2) AS BIGINT) AS eq
+        FROM cdf
+    )
+    SELECT n1, n2, gt AS gt_pairs, eq AS eq_pairs,
+           CAST(CAST(SIGN(d) * FLOOR(ABS(d) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cliffs_delta,
+           CAST(CAST(SIGN(a) * FLOOR(ABS(a) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS vd_a
+    FROM (
+        SELECT n1, n2, gt, eq,
+               (CAST(gt AS DOUBLE)
+                - (CAST(n1 AS DOUBLE) * n2 - gt - eq))
+                   / (CAST(n1 AS DOUBLE) * n2) AS d,
+               (CAST(gt AS DOUBLE) + 0.5 * eq)
+                   / (CAST(n1 AS DOUBLE) * n2) AS a
+        FROM s
+    )
+    """,
+)
+def q657(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    orders = T(spark, sf_dir, "orders")
+    two = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("g"),
+    )
+    per_v = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    cdf = global_prefix_counts(per_v, [F.asc("v")], {"cum2": "c2"})
+    s = cdf.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * (F.col("cum2") - F.col("c2")))
+        .cast("long")
+        .alias("gt"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("eq"),
+    )
+    n1n2 = F.col("n1").cast("double") * F.col("n2")
+    lt = n1n2 - F.col("gt") - F.col("eq")
+    d = (F.col("gt").cast("double") - lt) / n1n2
+    a = (F.col("gt").cast("double") + 0.5 * F.col("eq")) / n1n2
+    return s.select(
+        "n1",
+        "n2",
+        F.col("gt").alias("gt_pairs"),
+        F.col("eq").alias("eq_pairs"),
+        (quantize(d, 6) / 1e6).alias("cliffs_delta"),
+        (quantize(a, 6) / 1e6).alias("vd_a"),
+    )
+
+
+# --- q658: Siegel-Tukey (1960) scale test of account balances,
+# AUTOMOBILE vs HOUSEHOLD customers — rank the POOLED sample from
+# alternating extremes (1 to the min; 2,3 to the two maxes; 4,5 to the
+# next two mins; …) so a dispersion difference becomes a location
+# difference of ranks, then Wilcoxon: z = (W₁−μ)/σ. The alternating
+# rank is a CLOSED FORM of the global ascending position i (ties
+# broken by custkey, documented): low side r = 2i−1 (i odd) / 2i
+# (even); high side j = n+1−i: r = 2j (j odd) / 2j−1 (even). One
+# distributed global_row_number is the only data-sized ordering. ----------------
+@query(
+    "q658_siegel_tukey_scale",
+    oracle="""
+    WITH two AS (
+        SELECT c_acctbal AS v, c_custkey AS k,
+               CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 2 END AS g
+        FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+    ),
+    pos AS (
+        SELECT g, CAST(ROW_NUMBER() OVER (ORDER BY v, k) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM two
+    ),
+    ranked AS (
+        SELECT g, n,
+               CASE WHEN i <= (n + 1) / 2 THEN
+                   CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END
+               ELSE
+                   CASE WHEN (n + 1 - i) % 2 = 1 THEN 2 * (n + 1 - i)
+                        ELSE 2 * (n + 1 - i) - 1 END
+               END AS r
+        FROM pos
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g = 1 THEN r ELSE 0 END) AS BIGINT) AS w1
+        FROM ranked
+    )
+    SELECT n1, n2, w1 AS rank_sum_1,
+           CAST(CAST(SIGN(z) * FLOOR(ABS(z) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS st_z
+    FROM (
+        SELECT n1, n2, w1,
+               (w1 - n1 * (CAST(n1 AS DOUBLE) + n2 + 1) / 2.0)
+               / SQRT(CAST(n1 AS DOUBLE) * n2
+                      * (CAST(n1 AS DOUBLE) + n2 + 1) / 12.0) AS z
+        FROM s
+    )
+    """,
+)
+def q658(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_row_number
+
+    cust = T(spark, sf_dir, "customer")
+    two = cust.where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")
+    ).select(
+        F.col("c_acctbal").alias("v"),
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(2)
+        .alias("g"),
+    )
+    pos = global_row_number(two, [F.asc("v"), F.asc("k")], "i")
+    nn = pos.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pos = pos.crossJoin(F.broadcast(nn))
+    i, n = F.col("i"), F.col("n")
+    j = n + 1 - i
+    r = F.when(
+        i <= (n + 1) / 2,
+        F.when(i % 2 == 1, 2 * i - 1).otherwise(2 * i),
+    ).otherwise(F.when(j % 2 == 1, 2 * j).otherwise(2 * j - 1))
+    ranked = pos.select("g", r.alias("r"))
+    s = ranked.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("w1"),
+    )
+    n1d = F.col("n1").cast("double")
+    z = (F.col("w1") - F.col("n1") * (n1d + F.col("n2") + 1) / 2.0) / F.sqrt(
+        n1d * F.col("n2") * (n1d + F.col("n2") + 1) / 12.0
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.col("w1").alias("rank_sum_1"),
+        (quantize(z, 6) / 1e6).alias("st_z"),
+    )
+
+
+# --- q659: Page (1963) trend test for ordered alternatives — is there
+# a monotone QUARTER effect on revenue across year blocks? Rank the
+# four quarters within each complete year (ties by quarter index,
+# documented), L = Σ_years Σ_q q·r_yq, z against μ = b·k(k+1)²/4,
+# σ² = b·k²(k+1)(k²−1)/144. The ordered-treatment sharpening of the
+# Friedman test (q*-family); blocks and treatments are both
+# calendar-bounded. ---------------------------------------------------------------
+@query(
+    "q659_page_trend_test",
+    oracle="""
+    WITH qrev AS MATERIALIZED (
+        SELECT EXTRACT(year FROM l_shipdate) AS yr,
+               EXTRACT(quarter FROM l_shipdate) AS q,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM lineitem GROUP BY yr, q
+    ),
+    full_years AS (
+        SELECT yr FROM qrev GROUP BY yr HAVING COUNT(*) = 4
+    ),
+    ranked AS (
+        SELECT q.yr, q.q,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.yr
+                                       ORDER BY q.revq, q.q) AS BIGINT) AS r
+        FROM qrev q JOIN full_years f ON f.yr = q.yr
+    ),
+    s AS (
+        SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS b,
+               CAST(SUM(q * r) AS BIGINT) AS l
+        FROM ranked
+    )
+    SELECT b AS n_years, l AS page_l,
+           CAST(CAST(SIGN(z) * FLOOR(ABS(z) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS page_z
+    FROM (
+        SELECT b, l,
+               (l - b * 4.0 * 25.0 / 4.0)
+               / SQRT(b * 16.0 * 5.0 * 15.0 / 144.0) AS z
+        FROM s
+    )
+    """,
+)
+def q659(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    qrev = li.groupBy(
+        F.year("l_shipdate").alias("yr"),
+        F.quarter("l_shipdate").alias("q"),
+    ).agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"))
+    full_years = qrev.groupBy("yr").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 4
+    )
+    ranked = qrev.join(F.broadcast(full_years.select("yr")), "yr").select(
+        "yr",
+        "q",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy("revq", "q"))
+        .cast("long")
+        .alias("r"),
+    )
+    s = ranked.agg(
+        F.countDistinct("yr").cast("long").alias("b"),
+        F.sum(F.col("q") * F.col("r")).cast("long").alias("l"),
+    )
+    z = (F.col("l") - F.col("b") * 4.0 * 25.0 / 4.0) / F.sqrt(
+        F.col("b") * 16.0 * 5.0 * 15.0 / 144.0
+    )
+    return s.select(
+        F.col("b").alias("n_years"),
+        F.col("l").alias("page_l"),
+        (quantize(z, 6) / 1e6).alias("page_z"),
+    )
+
+
+# --- q660: Stuart-Maxwell marginal-homogeneity test — did the
+# low/mid/high spend-tier DISTRIBUTION of repeat customers shift
+# between 1995 and 1996 (beyond individual churn)? 3×3 paired table
+# over fixed tier cutoffs (300k/550k, the sf-stable terciles); χ² =
+# (d₁²s₂₂ + d₂²s₁₁ − 2d₁d₂s₁₂)/(s₁₁s₂₂ − s₁₂²) with d_i = n_i· − n_·i,
+# s_ii = n_i· + n_·i − 2n_ii, s₁₂ = −(n₁₂+n₂₁) — the closed 2×2
+# inverse, NULL on a singular covariance (degenerate table),
+# McNemar's k×k generalization (q433's binary case). ---------------------------
+@query(
+    "q660_stuart_maxwell_tiers",
+    oracle="""
+    WITH spend AS MATERIALIZED (
+        SELECT o_custkey,
+               EXTRACT(year FROM o_orderdate) AS yr,
+               CAST(SUM(CAST(SIGN(o_totalprice)
+                             * FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS spq
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+        GROUP BY o_custkey, yr
+    ),
+    tiers AS (
+        SELECT o_custkey, yr,
+               CASE WHEN spq < 30000000 THEN 1
+                    WHEN spq < 55000000 THEN 2 ELSE 3 END AS tier
+        FROM spend
+    ),
+    paired AS (
+        SELECT a.tier AS ta, b.tier AS tb
+        FROM tiers a JOIN tiers b
+          ON a.o_custkey = b.o_custkey AND a.yr = 1995 AND b.yr = 1996
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN ta = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+               CAST(SUM(CASE WHEN tb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN tb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN ta = 1 AND tb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(SUM(CASE WHEN ta = 2 AND tb = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n22,
+               CAST(SUM(CASE WHEN ta = 1 AND tb = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n12,
+               CAST(SUM(CASE WHEN ta = 2 AND tb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n21
+        FROM paired
+    )
+    SELECT n AS n_paired,
+           r1 - c1 AS d1, r2 - c2 AS d2,
+           CASE WHEN (r1 + c1 - 2 * n11) * (r2 + c2 - 2 * n22)
+                     - (n12 + n21) * (n12 + n21) > 0 THEN
+               CAST(CAST(SIGN(chi2) * FLOOR(ABS(chi2) * 1e6 + 0.5)
+                         AS BIGINT) AS DOUBLE) / 1e6
+           END AS sm_chi2
+    FROM (
+        SELECT *,
+               (CAST(r1 - c1 AS DOUBLE) * (r1 - c1) * (r2 + c2 - 2 * n22)
+                + CAST(r2 - c2 AS DOUBLE) * (r2 - c2) * (r1 + c1 - 2 * n11)
+                - 2.0 * (r1 - c1) * (r2 - c2) * (n12 + n21))
+               / (CAST(r1 + c1 - 2 * n11 AS DOUBLE) * (r2 + c2 - 2 * n22)
+                  - CAST(n12 + n21 AS DOUBLE) * (n12 + n21)) AS chi2
+        FROM cells
+    )
+    """,
+)
+def q660(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    spend = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(quantize("o_totalprice", 2)).cast("long").alias("spq"))
+    )
+    tiers = spend.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("spq") < 30000000, 1)
+        .when(F.col("spq") < 55000000, 2)
+        .otherwise(3)
+        .alias("tier"),
+    )
+    a = tiers.where(F.col("yr") == 1995).select(
+        "o_custkey", F.col("tier").alias("ta")
+    )
+    b = tiers.where(F.col("yr") == 1996).select(
+        "o_custkey", F.col("tier").alias("tb")
+    )
+    paired = a.join(b, "o_custkey")
+    c = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ta") == 1, 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("ta") == 2, 1).otherwise(0)).cast("long").alias("r2"),
+        F.sum(F.when(F.col("tb") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("tb") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+        F.sum(F.when((F.col("ta") == 1) & (F.col("tb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("ta") == 2) & (F.col("tb") == 2), 1).otherwise(0))
+        .cast("long")
+        .alias("n22"),
+        F.sum(F.when((F.col("ta") == 1) & (F.col("tb") == 2), 1).otherwise(0))
+        .cast("long")
+        .alias("n12"),
+        F.sum(F.when((F.col("ta") == 2) & (F.col("tb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n21"),
+    )
+    d1 = F.col("r1") - F.col("c1")
+    d2 = F.col("r2") - F.col("c2")
+    s11 = F.col("r1") + F.col("c1") - 2 * F.col("n11")
+    s22 = F.col("r2") + F.col("c2") - 2 * F.col("n22")
+    s12 = F.col("n12") + F.col("n21")
+    det = s11.cast("double") * s22 - s12.cast("double") * s12
+    chi2 = (
+        d1.cast("double") * d1 * s22
+        + d2.cast("double") * d2 * s11
+        - 2.0 * d1 * d2 * s12
+    ) / det
+    return c.select(
+        F.col("n").alias("n_paired"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        F.when(det > 0, quantize(chi2, 6) / 1e6).alias("sm_chi2"),
+    )
+
+
+# --- q661: Cochran (1950) Q test — is customer ACTIVITY (ordered at
+# least once) homogeneous across 1995/1996/1997, within the panel of
+# customers active in any of the three? Q = k(k−1)·(ΣC_j² − T²/k) /
+# (kT − ΣR_i²): the k-treatment generalization of McNemar (q433),
+# Friedman's binary twin. Exact integer sums over the 0/1 panel built
+# by one year-pivot rollup. --------------------------------------------------------
+@query(
+    "q661_cochran_q_activity",
+    oracle="""
+    WITH panel AS MATERIALIZED (
+        SELECT o_custkey,
+               MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                   THEN 1 ELSE 0 END) AS y1,
+               MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                   THEN 1 ELSE 0 END) AS y2,
+               MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                   THEN 1 ELSE 0 END) AS y3
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996, 1997)
+        GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y1) AS BIGINT) AS c1,
+               CAST(SUM(y2) AS BIGINT) AS c2,
+               CAST(SUM(y3) AS BIGINT) AS c3,
+               CAST(SUM(y1 + y2 + y3) AS BIGINT) AS t,
+               CAST(SUM((y1 + y2 + y3) * (y1 + y2 + y3)) AS BIGINT) AS sr2
+        FROM panel
+    )
+    SELECT n AS n_customers, c1 AS active_1995, c2 AS active_1996,
+           c3 AS active_1997,
+           CASE WHEN 3 * t - sr2 > 0 THEN
+               CAST(CAST(SIGN(q) * FLOOR(ABS(q) * 1e6 + 0.5) AS BIGINT)
+                    AS DOUBLE) / 1e6
+           END AS cochran_q
+    FROM (
+        SELECT *,
+               3.0 * 2.0 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+                            + CAST(c3 AS DOUBLE) * c3
+                            - CAST(t AS DOUBLE) * t / 3.0)
+               / (3.0 * t - sr2) AS q
+        FROM s
+    )
+    """,
+)
+def q661(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    panel = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.year("o_orderdate") == 1995, 1).otherwise(0)
+            ).alias("y1"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1996, 1).otherwise(0)
+            ).alias("y2"),
+            F.max(
+                F.when(F.year("o_orderdate") == 1997, 1).otherwise(0)
+            ).alias("y3"),
+        )
+    )
+    rsum = F.col("y1") + F.col("y2") + F.col("y3")
+    s = panel.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y1").cast("long").alias("c1"),
+        F.sum("y2").cast("long").alias("c2"),
+        F.sum("y3").cast("long").alias("c3"),
+        F.sum(rsum).cast("long").alias("t"),
+        F.sum(rsum * rsum).cast("long").alias("sr2"),
+    )
+    qstat = (
+        3.0
+        * 2.0
+        * (
+            F.col("c1").cast("double") * F.col("c1")
+            + F.col("c2").cast("double") * F.col("c2")
+            + F.col("c3").cast("double") * F.col("c3")
+            - F.col("t").cast("double") * F.col("t") / 3.0
+        )
+        / (3.0 * F.col("t") - F.col("sr2"))
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("c1").alias("active_1995"),
+        F.col("c2").alias("active_1996"),
+        F.col("c3").alias("active_1997"),
+        F.when(
+            3 * F.col("t") - F.col("sr2") > 0, quantize(qstat, 6) / 1e6
+        ).alias("cochran_q"),
+    )
+
+
+# --- q662: Krippendorff (1970) alpha, nominal level — inter-"rater"
+# reliability of return flags WITHIN orders (each lineitem "rates" its
+# order R/A/N): α = 1 − D_o/D_e with the observed disagreement from
+# per-unit coincidence pairs Σ_u n_uc·n_uk/(m_u−1) and the expected
+# one from pooled marginals. Units with m_u = 1 drop by definition.
+# One per-(order, flag) rollup → one per-order pivot → exact-sum
+# formula; the 3×3 coincidence grid is carried as its 3 distinct
+# off-diagonal sums. -------------------------------------------------------------
+@query(
+    "q662_krippendorff_alpha_flags",
+    oracle="""
+    WITH counts AS MATERIALIZED (
+        SELECT l_orderkey,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nr,
+               CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    multi AS (SELECT * FROM counts WHERE m >= 2),
+    s AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(nr) AS BIGINT) AS tr,
+               CAST(SUM(na) AS BIGINT) AS ta,
+               CAST(SUM(nn) AS BIGINT) AS tn,
+               CAST(SUM(CAST(SIGN(o) * FLOOR(ABS(o) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS dis
+        FROM (
+            SELECT m, nr, na, nn,
+                   2.0 * (CAST(nr AS DOUBLE) * na + CAST(nr AS DOUBLE) * nn
+                          + CAST(na AS DOUBLE) * nn) / (m - 1) AS o
+            FROM multi
+        )
+    )
+    SELECT CAST((SELECT COUNT(*) FROM multi) AS BIGINT) AS n_units,
+           n AS n_ratings,
+           CAST(CAST(SIGN(a) * FLOOR(ABS(a) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS kripp_alpha
+    FROM (
+        SELECT n,
+               1.0 - (dis / n)
+               / ((2.0 * (CAST(tr AS DOUBLE) * ta + CAST(tr AS DOUBLE) * tn
+                          + CAST(ta AS DOUBLE) * tn))
+                  / (CAST(n AS DOUBLE) * (n - 1))) AS a
+        FROM s
+    )
+    """,
+)
+def q662(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("nr"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    multi = counts.where(F.col("m") >= 2)
+    o = (
+        2.0
+        * (
+            F.col("nr").cast("double") * F.col("na")
+            + F.col("nr").cast("double") * F.col("nn")
+            + F.col("na").cast("double") * F.col("nn")
+        )
+        / (F.col("m") - 1)
+    )
+    s = multi.agg(
+        F.count(F.lit(1)).cast("long").alias("units"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("nr").cast("long").alias("tr"),
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nn").cast("long").alias("tn"),
+        (F.sum(quantize(o, 9)).cast("double") / 1e9).alias("dis"),
+    )
+    de = (
+        2.0
+        * (
+            F.col("tr").cast("double") * F.col("ta")
+            + F.col("tr").cast("double") * F.col("tn")
+            + F.col("ta").cast("double") * F.col("tn")
+        )
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    alpha = 1.0 - (F.col("dis") / F.col("n")) / de
+    return s.select(
+        F.col("units").alias("n_units"),
+        F.col("n").alias("n_ratings"),
+        (quantize(alpha, 6) / 1e6).alias("kripp_alpha"),
+    )
