@@ -3787,3 +3787,681 @@ def q656(spark, sf_dir):
             / 1e6
         ).alias("bg_lm_stat"),
     )
+
+
+# ===== Wave q663-q668: time-series analysis tier II ===================
+# Public methodology: Lo-MacKinlay (1988) variance ratio, the Theta
+# method (Assimakopoulos & Nikolopoulos 2000; Hyndman & Billah 2003
+# SES-with-drift equivalence), detrended fluctuation analysis (Peng et
+# al. 1994), the Kalman (1960) local-level filter (Harvey 1989 form),
+# Cowles-Jones (1937) continuation ratio, and one-way random-effects
+# variance components / ICC (Fisher 1925). Recursions fold over the
+# BOUNDED month spine exactly like q82's Holt (list_reduce in DuckDB,
+# the JVM-side `aggregate` higher-order function in Spark — identical
+# update arithmetic, no Python in the loop); everything else is exact
+# quantized sums.
+
+# --- q663: Lo-MacKinlay (1988) variance-ratio test, q = 4 — is the
+# monthly log-revenue series a random walk? VR = Var(r₄)/(4·Var(r₁))
+# over OVERLAPPING 4-month log returns; homoscedastic asymptotic
+# z = (VR−1)/√(2(2q−1)(q−1)/(3q·n)). Both variances are mean-adjusted
+# two-pass exact sums; the 4-month return is one spine lag-join, not
+# a window. -----------------------------------------------------------------------
+@query(
+    "q663_variance_ratio_test",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    r1 AS MATERIALIZED (
+        SELECT LN(cur.rev / prv.rev) AS r
+        FROM idx cur JOIN idx prv ON prv.x = cur.x - 1
+    ),
+    r4 AS MATERIALIZED (
+        SELECT LN(cur.rev / prv.rev) AS r
+        FROM idx cur JOIN idx prv ON prv.x = cur.x - 4
+    ),
+    m1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('r', 9)}) AS DOUBLE) / 1e9 AS s1
+        FROM r1
+    ),
+    v1 AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(r - (SELECT s1 / n FROM m1))'
+                   ' * (r - (SELECT s1 / n FROM m1))', 12)})
+                    AS DOUBLE) / 1e12 AS ss
+        FROM r1
+    ),
+    v4 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM({sql_quantize(
+                   '(r - 4.0 * (SELECT s1 / n FROM m1))'
+                   ' * (r - 4.0 * (SELECT s1 / n FROM m1))', 12)})
+                    AS DOUBLE) / 1e12 AS ss
+        FROM r4
+    )
+    SELECT m1.n AS n_rets,
+           CAST({sql_quantize('vr', 6)} AS DOUBLE) / 1e6 AS vr4,
+           CAST({sql_quantize(
+               '(vr - 1.0) / SQRT(2.0 * (2.0 * 4.0 - 1.0) * (4.0 - 1.0)'
+               ' / (3.0 * 4.0 * m1.n))', 6)} AS DOUBLE) / 1e6 AS vr_z
+    FROM m1, (
+        SELECT (v4.ss / (v4.m - 1)) / (4.0 * (v1.ss / ((SELECT n FROM m1) - 1)))
+               AS vr
+        FROM v1, v4
+    )
+    """,
+)
+def q663(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    idx = tracked_persist(
+        monthly.select(
+            F.row_number().over(Window.orderBy("mth")).alias("x"), "rev"
+        )
+    )
+
+    def lagret(k):
+        prv = idx.select(
+            (F.col("x") + k).alias("x"), F.col("rev").alias("prev")
+        )
+        return idx.join(prv, "x").select(
+            F.log(F.col("rev") / F.col("prev")).alias("r")
+        )
+
+    r1 = tracked_persist(lagret(1))
+    r4 = lagret(4)
+    m1 = r1.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("r", 9)).cast("double") / 1e9).alias("s1"),
+    )
+    mu = F.col("s1") / F.col("n")
+    v1 = r1.crossJoin(F.broadcast(m1)).agg(
+        (
+            F.sum(quantize((F.col("r") - mu) * (F.col("r") - mu), 12)).cast(
+                "double"
+            )
+            / 1e12
+        ).alias("ss"),
+        F.first("n").alias("n"),
+        F.first("s1").alias("s1"),
+    )
+    v4 = r4.crossJoin(F.broadcast(m1)).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (
+            F.sum(
+                quantize(
+                    (F.col("r") - 4.0 * mu) * (F.col("r") - 4.0 * mu), 12
+                )
+            ).cast("double")
+            / 1e12
+        ).alias("ss4"),
+    )
+    w = v1.crossJoin(F.broadcast(v4))
+    vr = (F.col("ss4") / (F.col("m") - 1)) / (
+        4.0 * (F.col("ss") / (F.col("n") - 1))
+    )
+    z = (vr - 1.0) / F.sqrt(
+        2.0 * (2.0 * 4.0 - 1.0) * (4.0 - 1.0) / (3.0 * 4.0 * F.col("n"))
+    )
+    return w.select(
+        F.col("n").alias("n_rets"),
+        (quantize(vr, 6) / 1e6).alias("vr4"),
+        (quantize(z, 6) / 1e6).alias("vr_z"),
+    )
+
+
+# --- q664: Theta-method forecast (θ = 2) with a 12-month holdout MASE
+# — via the Hyndman & Billah (2003) equivalence: Theta(2) ≡ SES (here
+# α = 0.3, fixed and documented) plus half the linear-trend slope as
+# drift: ŷ_{T+h} = SES_T + h·b̂/2. The SES level folds over the
+# bounded train spine (list_reduce / JVM `aggregate` — identical
+# recursions); MASE scales holdout MAE by the in-sample naive-1 MAE
+# (Hyndman & Koehler 2006). --------------------------------------------------------
+@query(
+    "q664_theta_method_mase",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+    ses AS (
+        SELECT list_reduce(list(rev ORDER BY x),
+                           (a, v) -> 0.3 * v + 0.7 * a) AS lvl
+        FROM idx, nn WHERE x <= nn.n - 12
+    ),
+    tr AS (
+        SELECT COUNT(*) AS t, SUM(x) AS sx, SUM(x * x) AS sxx,
+               CAST(SUM({sql_quantize('rev', 6)}) AS DOUBLE) / 1e6 AS sy,
+               CAST(SUM({sql_quantize('x * rev', 6)}) AS DOUBLE) / 1e6 AS sxy
+        FROM idx, nn WHERE x <= nn.n - 12
+    ),
+    drift AS (
+        SELECT t, (t * sxy - sx * sy) / (t * sxx - sx * sx) AS b FROM tr
+    ),
+    naive AS (
+        SELECT CAST(SUM({sql_quantize('ABS(cur.rev - prv.rev)', 9)})
+                    AS DOUBLE) / 1e9 / COUNT(*) AS mae
+        FROM idx cur JOIN idx prv ON prv.x = cur.x - 1, nn
+        WHERE cur.x <= nn.n - 12
+    ),
+    fc AS (
+        SELECT CAST(SUM({sql_quantize(
+                   'ABS(idx.rev - (ses.lvl'
+                   ' + (idx.x - (nn.n - 12)) * drift.b / 2.0))', 9)})
+                    AS DOUBLE) / 1e9 / COUNT(*) AS mae
+        FROM idx, nn, ses, drift WHERE idx.x > nn.n - 12
+    )
+    SELECT drift.t AS n_train,
+           CAST({sql_quantize('ses.lvl', 6)} AS DOUBLE) / 1e6 AS ses_level,
+           CAST({sql_quantize('drift.b / 2.0', 8)} AS DOUBLE) / 1e8
+               AS theta_drift,
+           CAST({sql_quantize('fc.mae', 6)} AS DOUBLE) / 1e6
+               AS holdout_mae,
+           CAST({sql_quantize('fc.mae / naive.mae', 6)} AS DOUBLE) / 1e6
+               AS mase
+    FROM drift, ses, naive, fc
+    """,
+)
+def q664(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    idx = tracked_persist(
+        monthly.select(
+            F.row_number().over(Window.orderBy("mth")).alias("x"), "rev"
+        )
+    )
+    nn = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    train = idx.crossJoin(F.broadcast(nn)).where(
+        F.col("x") <= F.col("n") - 12
+    )
+    ses = train.agg(
+        F.expr(
+            "aggregate(slice(array_sort(collect_list(struct(x, rev))),"
+            " 2, 100000), array_sort(collect_list(struct(x, rev)))[0].rev,"
+            " (a, s) -> 0.3 * s.rev + 0.7 * a)"
+        ).alias("lvl")
+    )
+    tr = train.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        (F.sum(quantize("rev", 6)).cast("double") / 1e6).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("rev"), 6)).cast("double") / 1e6)
+        .alias("sxy"),
+    )
+    b = (F.col("t") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("t") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    drift = tr.select(F.col("t"), b.alias("b"))
+    prv = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("prev"))
+    naive = (
+        idx.join(prv, "x")
+        .crossJoin(F.broadcast(nn))
+        .where(F.col("x") <= F.col("n") - 12)
+        .agg(
+            (
+                F.sum(quantize(F.abs(F.col("rev") - F.col("prev")), 9)).cast(
+                    "double"
+                )
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("naive_mae")
+        )
+    )
+    hold = (
+        idx.crossJoin(F.broadcast(nn))
+        .where(F.col("x") > F.col("n") - 12)
+        .crossJoin(F.broadcast(ses))
+        .crossJoin(F.broadcast(drift))
+        .agg(
+            (
+                F.sum(
+                    quantize(
+                        F.abs(
+                            F.col("rev")
+                            - (
+                                F.col("lvl")
+                                + (F.col("x") - (F.col("n") - 12))
+                                * F.col("b")
+                                / 2.0
+                            )
+                        ),
+                        9,
+                    )
+                ).cast("double")
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("mae"),
+            F.first("t").alias("t"),
+            F.first("lvl").alias("lvl"),
+            F.first("b").alias("b"),
+        )
+    )
+    out = hold.crossJoin(F.broadcast(naive))
+    return out.select(
+        F.col("t").cast("long").alias("n_train"),
+        (quantize("lvl", 6) / 1e6).alias("ses_level"),
+        (quantize(F.col("b") / 2.0, 8) / 1e8).alias("theta_drift"),
+        (quantize("mae", 6) / 1e6).alias("holdout_mae"),
+        (quantize(F.col("mae") / F.col("naive_mae"), 6) / 1e6).alias("mase"),
+    )
+
+
+# --- q665: detrended fluctuation analysis (Peng et al. 1994) of
+# monthly log returns — integrate the mean-centered series into a
+# profile, split into non-overlapping windows of s ∈ {4, 8, 16},
+# linearly detrend EACH window (closed centered-sums RSS), F(s) =
+# √(mean residual variance), and the scaling exponent α = the
+# 3-point log-log slope: α ≈ 0.5 random walk, > 0.5 persistent —
+# the detrending-robust complement of q450's Hurst R/S. -------------------------
+@query(
+    "q665_dfa_scaling_exponent",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY mth) AS x, rev FROM monthly
+    ),
+    lr AS MATERIALIZED (
+        SELECT cur.x - 1 AS t, LN(cur.rev / prv.rev) AS r
+        FROM idx cur JOIN idx prv ON prv.x = cur.x - 1
+    ),
+    mu AS (
+        SELECT CAST(SUM({sql_quantize('r', 12)}) AS DOUBLE) / 1e12
+               / COUNT(*) AS m
+        FROM lr
+    ),
+    prof AS MATERIALIZED (
+        SELECT t,
+               CAST(SUM({sql_quantize('r - mu.m', 12)})
+                    OVER (ORDER BY t) AS DOUBLE) / 1e12 AS y
+        FROM lr, mu
+    ),
+    scales AS (SELECT UNNEST([4, 8, 16]) AS s),
+    seg AS (
+        SELECT sc.s, CAST(FLOOR((p.t - 1) / sc.s) AS BIGINT) AS k,
+               p.t - FLOOR((p.t - 1) / sc.s) * sc.s AS u, p.y
+        FROM prof p CROSS JOIN scales sc
+    ),
+    fits AS (
+        SELECT s, k, COUNT(*) AS n, SUM(u) AS su, SUM(u * u) AS suu,
+               CAST(SUM({sql_quantize('y', 12)}) AS DOUBLE) / 1e12 AS sy,
+               CAST(SUM({sql_quantize('u * y', 12)}) AS DOUBLE) / 1e12
+                   AS suy,
+               CAST(SUM({sql_quantize('y * y', 12)}) AS DOUBLE) / 1e12
+                   AS syy
+        FROM seg GROUP BY s, k HAVING COUNT(*) = s
+    ),
+    fs AS (
+        SELECT s,
+               CAST(COUNT(*) AS BIGINT) AS n_seg,
+               SQRT(CAST(SUM({sql_quantize(
+                   '((syy - sy * sy / n)'
+                   ' - (suy - su * sy / n) * (suy - su * sy / n)'
+                   '   / (suu - su * su / n)) / n', 12)})
+                    AS DOUBLE) / 1e12 / COUNT(*)) AS f
+        FROM fits GROUP BY s
+    ),
+    ll AS (
+        SELECT COUNT(*) AS k, SUM(LN(CAST(s AS DOUBLE))) AS sx,
+               SUM(LN(CAST(s AS DOUBLE)) * LN(CAST(s AS DOUBLE))) AS sxx,
+               CAST(SUM({sql_quantize('LN(f)', 9)}) AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize('LN(CAST(s AS DOUBLE)) * LN(f)', 9)})
+                    AS DOUBLE) / 1e9 AS sxy
+        FROM fs
+    )
+    SELECT (SELECT CAST(SUM(n_seg) AS BIGINT) FROM fs) AS n_segments,
+           CAST({sql_quantize(
+               '(k * sxy - sx * sy) / (k * sxx - sx * sx)', 6)}
+               AS DOUBLE) / 1e6 AS dfa_alpha
+    FROM ll
+    """,
+)
+def q665(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    monthly = _monthly_rev(spark, sf_dir)
+    idx = tracked_persist(
+        monthly.select(
+            F.row_number().over(Window.orderBy("mth")).alias("x"), "rev"
+        )
+    )
+    prv = idx.select((F.col("x") + 1).alias("x"), F.col("rev").alias("prev"))
+    lr = tracked_persist(
+        idx.join(prv, "x").select(
+            (F.col("x") - 1).alias("t"),
+            F.log(F.col("rev") / F.col("prev")).alias("r"),
+        )
+    )
+    mu = lr.agg(
+        (
+            F.sum(quantize("r", 12)).cast("double") / 1e12 / F.count(F.lit(1))
+        ).alias("m")
+    )
+    prof = tracked_persist(
+        lr.crossJoin(F.broadcast(mu)).select(
+            "t",
+            (
+                F.sum(quantize(F.col("r") - F.col("m"), 12))
+                .over(
+                    Window.orderBy("t").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                )
+                .cast("double")
+                / 1e12
+            ).alias("y"),
+        )
+    )
+    scales = monthly.sparkSession.createDataFrame(
+        [(4,), (8,), (16,)], "s int"
+    )
+    seg = prof.crossJoin(F.broadcast(scales)).select(
+        "s",
+        F.floor((F.col("t") - 1) / F.col("s")).cast("long").alias("k"),
+        (F.col("t") - F.floor((F.col("t") - 1) / F.col("s")) * F.col("s"))
+        .alias("u"),
+        "y",
+    )
+    fits = (
+        seg.groupBy("s", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum(F.col("u") * F.col("u")).alias("suu"),
+            (F.sum(quantize("y", 12)).cast("double") / 1e12).alias("sy"),
+            (F.sum(quantize(F.col("u") * F.col("y"), 12)).cast("double") / 1e12)
+            .alias("suy"),
+            (F.sum(quantize(F.col("y") * F.col("y"), 12)).cast("double") / 1e12)
+            .alias("syy"),
+        )
+        .where(F.col("n") == F.col("s"))
+    )
+    rss_n = (
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        - (F.col("suy") - F.col("su") * F.col("sy") / F.col("n"))
+        * (F.col("suy") - F.col("su") * F.col("sy") / F.col("n"))
+        / (F.col("suu") - F.col("su") * F.col("su") / F.col("n"))
+    ) / F.col("n")
+    fs = fits.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sqrt(
+            F.sum(quantize(rss_n, 12)).cast("double")
+            / 1e12
+            / F.count(F.lit(1))
+        ).alias("f"),
+    )
+    ls = F.log(F.col("s").cast("double"))
+    ll = fs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(ls).alias("sx"),
+        F.sum(ls * ls).alias("sxx"),
+        (F.sum(quantize(F.log("f"), 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(ls * F.log("f"), 9)).cast("double") / 1e9).alias(
+            "sxy"
+        ),
+        F.sum("n_seg").cast("long").alias("n_segments"),
+    )
+    alpha = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return ll.select(
+        "n_segments", (quantize(alpha, 6) / 1e6).alias("dfa_alpha")
+    )
+
+
+# --- q666: Kalman local-level filter (Harvey 1989) over monthly
+# revenue — state [level, P, standardized-SSE] folds through the
+# update equations K = (P+Q)/(P+Q+R), l ← l + K·(y−l),
+# P ← (1−K)(P+Q) with documented constants Q=10, R=50, P₀=100 (units:
+# rev in millions). The recursion runs as DuckDB list_reduce and
+# Spark's JVM-side `aggregate` HOF over the bounded spine — the same
+# engine-parity device as q82's Holt fold; reports the final filtered
+# level, its variance and the mean standardized innovation² (≈1 when
+# the noise model fits). -----------------------------------------------------------
+@query(
+    "q666_kalman_local_level",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    arr AS (
+        SELECT list(rev ORDER BY mth) AS v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM monthly
+    ),
+    fold AS (
+        SELECT n,
+               list_reduce(
+                   list_prepend([v[1], 100.0, 0.0],
+                                list_transform(v[2:], x -> [x, 0.0, 0.0])),
+                   (a, x) -> [
+                       a[1] + ((a[2] + 10.0) / (a[2] + 10.0 + 50.0))
+                           * (x[1] - a[1]),
+                       (1.0 - (a[2] + 10.0) / (a[2] + 10.0 + 50.0))
+                           * (a[2] + 10.0),
+                       a[3] + (x[1] - a[1]) * (x[1] - a[1])
+                           / (a[2] + 10.0 + 50.0)
+                   ]) AS s
+        FROM arr
+    )
+    SELECT n AS n_months,
+           CAST({sql_quantize('s[1]', 6)} AS DOUBLE) / 1e6 AS kalman_level,
+           CAST({sql_quantize('s[2]', 6)} AS DOUBLE) / 1e6 AS kalman_p,
+           CAST({sql_quantize('s[3] / (n - 1)', 6)} AS DOUBLE) / 1e6
+               AS mean_std_innov2
+    FROM fold
+    """,
+)
+def q666(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    arr = monthly.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(mth, rev))),"
+            " s -> s.rev)"
+        ).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    fold = arr.select(
+        "n",
+        F.expr(
+            "aggregate(slice(v, 2, 1000000),"
+            " array(v[0], CAST(100.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),"
+            " (a, x) -> array("
+            "   a[0] + ((a[1] + 10.0) / (a[1] + 10.0 + 50.0)) * (x - a[0]),"
+            "   (1.0 - (a[1] + 10.0) / (a[1] + 10.0 + 50.0))"
+            "       * (a[1] + 10.0),"
+            "   a[2] + (x - a[0]) * (x - a[0]) / (a[1] + 10.0 + 50.0)))"
+        ).alias("s"),
+    )
+    return fold.select(
+        F.col("n").alias("n_months"),
+        (quantize(F.col("s")[0], 6) / 1e6).alias("kalman_level"),
+        (quantize(F.col("s")[1], 6) / 1e6).alias("kalman_p"),
+        (quantize(F.col("s")[2] / (F.col("n") - 1), 6) / 1e6).alias(
+            "mean_std_innov2"
+        ),
+    )
+
+
+# --- q667: Cowles-Jones (1937) continuation/reversal ratio of monthly
+# return signs — CJ = #continuations / #reversals over adjacent
+# sign pairs, with the binomial z-test against the p = ½ random-walk
+# null: the oldest (and still-used) momentum diagnostic, the sign-
+# level complement of q663's variance ratio. Exact integer counts
+# from two spine lag-joins. --------------------------------------------------------
+@query(
+    "q667_cowles_jones_ratio",
+    oracle=f"""
+    WITH {_MRET_SQL},
+    sgn AS MATERIALIZED (
+        SELECT x, CASE WHEN r > 0 THEN 1 WHEN r < 0 THEN -1 ELSE 0 END AS s
+        FROM ret WHERE r <> 0
+    ),
+    seq AS MATERIALIZED (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY x) AS i FROM sgn
+    ),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2
+        FROM seq a JOIN seq b ON b.i = a.i + 1
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cont,
+               CAST(SUM(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rev
+        FROM pairs
+    )
+    SELECT cont AS continuations, rev AS reversals,
+           CASE WHEN rev > 0 THEN
+               CAST({sql_quantize('CAST(cont AS DOUBLE) / rev', 6)}
+                    AS DOUBLE) / 1e6
+           END AS cj_ratio,
+           CAST({sql_quantize(
+               '(cont - (cont + rev) / 2.0)'
+               ' / SQRT((cont + rev) / 4.0)', 6)} AS DOUBLE) / 1e6 AS cj_z
+    FROM c
+    """,
+)
+def q667(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    ret = _monthly_ret(spark, sf_dir)
+    sgn = ret.where(F.col("r") != 0).select(
+        "x",
+        F.when(F.col("r") > 0, 1).when(F.col("r") < 0, -1).otherwise(0)
+        .alias("s"),
+    )
+    seq = tracked_persist(
+        sgn.select(
+            "s", F.row_number().over(Window.orderBy("x")).alias("i")
+        )
+    )
+    nxt = seq.select((F.col("i") + 1).alias("i"), F.col("s").alias("s2"))
+    pairs = seq.join(nxt, "i")
+    c = pairs.agg(
+        F.sum(F.when(F.col("s") == F.col("s2"), 1).otherwise(0))
+        .cast("long")
+        .alias("cont"),
+        F.sum(F.when(F.col("s") != F.col("s2"), 1).otherwise(0))
+        .cast("long")
+        .alias("rev"),
+    )
+    tot = F.col("cont") + F.col("rev")
+    z = (F.col("cont") - tot / 2.0) / F.sqrt(tot / 4.0)
+    return c.select(
+        F.col("cont").alias("continuations"),
+        F.col("rev").alias("reversals"),
+        F.when(
+            F.col("rev") > 0,
+            quantize(F.col("cont").cast("double") / F.col("rev"), 6) / 1e6,
+        ).alias("cj_ratio"),
+        (quantize(z, 6) / 1e6).alias("cj_z"),
+    )
+
+
+# --- q668: one-way random-effects variance components + ICC(1,1) of
+# unit prices within parts — MSB/MSW from the classic ANOVA identity
+# (SSB = ΣT_i²/n_i − G²/N), k̄ = (N − Σn_i²/N)/(p−1) for unbalanced
+# groups, σ²_between = (MSB−MSW)/k̄, ICC = σ²_b/(σ²_b + MSW): how much
+# of price variation is the PART vs the transaction — the
+# measurement-system (gauge-style) repeatability question asked of
+# catalog data. One per-part rollup; every sum is quantized-exact. ---------------
+@query(
+    "q668_variance_components_icc",
+    oracle=f"""
+    WITH obs AS (
+        SELECT l_partkey AS g,
+               CAST(l_extendedprice AS DOUBLE)
+                   / CAST(l_quantity AS DOUBLE) AS y
+        FROM lineitem
+    ),
+    per_g AS MATERIALIZED (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM({sql_quantize('y', 4)}) AS BIGINT) AS syq,
+               CAST(SUM({sql_quantize('y * y', 4)}) AS BIGINT) AS syyq
+        FROM obs GROUP BY g
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS p,
+               CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(CAST(n_i AS HUGEINT) * n_i) AS BIGINT) AS sn2,
+               CAST(SUM(syq) AS BIGINT) AS gq,
+               CAST(SUM(syyq) AS BIGINT) AS syy_all,
+               CAST(SUM({sql_quantize(
+                   '(CAST(syq AS DOUBLE) / 1e4) * (CAST(syq AS DOUBLE) / 1e4)'
+                   ' / n_i', 6)}) AS DOUBLE) / 1e6 AS st2
+        FROM per_g
+    ),
+    ms AS (
+        SELECT p, n,
+               (st2 - (CAST(gq AS DOUBLE) / 1e4) * (CAST(gq AS DOUBLE) / 1e4)
+                      / n) / (p - 1) AS msb,
+               (CAST(syy_all AS DOUBLE) / 1e4 - st2) / (n - p) AS msw,
+               (n - CAST(sn2 AS DOUBLE) / n) / (p - 1.0) AS kbar
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs, CAST(p AS BIGINT) AS n_parts,
+           CAST({sql_quantize('msb', 4)} AS DOUBLE) / 1e4 AS ms_between,
+           CAST({sql_quantize('msw', 4)} AS DOUBLE) / 1e4 AS ms_within,
+           CAST({sql_quantize(
+               '((msb - msw) / kbar) / ((msb - msw) / kbar + msw)', 6)}
+               AS DOUBLE) / 1e6 AS icc1
+    FROM ms
+    """,
+)
+def q668(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_partkey").alias("g"),
+        (
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("y"),
+    )
+    per_g = obs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(quantize("y", 4)).cast("long").alias("syq"),
+        F.sum(quantize(F.col("y") * F.col("y"), 4)).cast("long").alias("syyq"),
+    )
+    ti = F.col("syq").cast("double") / 1e4
+    s = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("p"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("sn2"),
+        F.sum("syq").cast("long").alias("gq"),
+        F.sum("syyq").cast("long").alias("syy_all"),
+        (
+            F.sum(quantize(ti * ti / F.col("n_i"), 6)).cast("double") / 1e6
+        ).alias("st2"),
+    )
+    g_d = F.col("gq").cast("double") / 1e4
+    msb = (F.col("st2") - g_d * g_d / F.col("n")) / (F.col("p") - 1)
+    msw = (F.col("syy_all").cast("double") / 1e4 - F.col("st2")) / (
+        F.col("n") - F.col("p")
+    )
+    kbar = (F.col("n") - F.col("sn2").cast("double") / F.col("n")) / (
+        F.col("p") - 1.0
+    )
+    ms = s.select(
+        F.col("n"), F.col("p"), msb.alias("msb"), msw.alias("msw"),
+        kbar.alias("kbar"),
+    )
+    sb = (F.col("msb") - F.col("msw")) / F.col("kbar")
+    return ms.select(
+        F.col("n").alias("n_obs"),
+        F.col("p").alias("n_parts"),
+        (quantize("msb", 4) / 1e4).alias("ms_between"),
+        (quantize("msw", 4) / 1e4).alias("ms_within"),
+        (quantize(sb / (sb + F.col("msw")), 6) / 1e6).alias("icc1"),
+    )

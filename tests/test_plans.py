@@ -463,6 +463,10 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q654_goldfeld_quandt",  # month index over the calendar spine
     "q655_ramsey_reset",  # month index over the calendar spine
     "q656_breusch_godfrey_lm",  # month index over the calendar spine
+    "q663_variance_ratio_test",  # month index over the calendar spine
+    "q664_theta_method_mase",  # month index over the calendar spine
+    "q665_dfa_scaling_exponent",  # month spine index + profile prefix sum
+    "q667_cowles_jones_ratio",  # month index over the calendar spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
