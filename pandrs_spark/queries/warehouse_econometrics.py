@@ -4703,3 +4703,600 @@ def q644(spark, sf_dir):
             "ratio_20_20"
         ),
     )
+
+
+# ===== Wave q675-q680: capability, index-number & drift tier ==========
+# Public methodology: Cp/Cpk process capability (Juran 1974), Bennet
+# (1920) additive price-quantity decomposition, the Carli (1764) /
+# Dutot (1738) / Jevons (1863) elementary price indices, Suits (1977)
+# progressivity index, Lotka (1926) productivity law, and the
+# Hellinger / total-variation / Jeffreys divergence drift battery.
+# Shapes: exact-moment rollups, bounded brand/part grids, one Lorenz
+# prefix, one frequency-of-frequency log-log fit — all single-shuffle.
+
+# --- q675: Cp/Cpk process capability of order fulfillment lead time
+# (ship − order date) against documented spec limits LSL = 0,
+# USL = 120 days: Cp = (USL−LSL)/6σ is the entitlement, Cpk =
+# min(USL−μ, μ−LSL)/3σ the centered reality — the SPC summary layered
+# on q621's Taguchi loss. Exact two-pass moments over one join. -----------------
+@query(
+    "q675_process_capability_leadtime",
+    oracle=f"""
+    WITH lt AS MATERIALIZED (
+        SELECT CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE)
+                   AS d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('d', 2)}) AS DOUBLE) / 1e2 AS s1,
+               CAST(SUM({sql_quantize('d * d', 2)}) AS DOUBLE) / 1e2 AS s2
+        FROM lt
+    ),
+    k AS (
+        SELECT n, s1 / n AS mu,
+               SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sig
+        FROM s
+    )
+    SELECT n AS n_lines,
+           CAST({sql_quantize('mu', 6)} AS DOUBLE) / 1e6 AS mean_leadtime,
+           CAST({sql_quantize('sig', 6)} AS DOUBLE) / 1e6 AS sd_leadtime,
+           CAST({sql_quantize('120.0 / (6.0 * sig)', 6)} AS DOUBLE) / 1e6
+               AS cp,
+           CAST({sql_quantize(
+               'LEAST(120.0 - mu, mu - 0.0) / (3.0 * sig)', 6)}
+               AS DOUBLE) / 1e6 AS cpk
+    FROM k
+    """,
+)
+def q675(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").cast("double").alias("d")
+    )
+    s = lt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("d", 2)).cast("double") / 1e2).alias("s1"),
+        (F.sum(quantize(F.col("d") * F.col("d"), 2)).cast("double") / 1e2).alias(
+            "s2"
+        ),
+    )
+    mu = F.col("s1") / F.col("n")
+    sig = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    k = s.select("n", mu.alias("mu"), sig.alias("sig"))
+    return k.select(
+        F.col("n").alias("n_lines"),
+        (quantize("mu", 6) / 1e6).alias("mean_leadtime"),
+        (quantize("sig", 6) / 1e6).alias("sd_leadtime"),
+        (quantize(120.0 / (6.0 * F.col("sig")), 6) / 1e6).alias("cp"),
+        (
+            quantize(
+                F.least(120.0 - F.col("mu"), F.col("mu") - 0.0)
+                / (3.0 * F.col("sig")),
+                6,
+            )
+            / 1e6
+        ).alias("cpk"),
+    )
+
+
+# --- q676: Bennet (1920) additive price-quantity decomposition of
+# per-brand revenue change 1995 → 1996 — Δv_b = ½(p⁰+p¹)(q¹−q⁰) +
+# ½(q⁰+q¹)(p¹−p⁰): the arithmetically-EXACT additive split (terms sum
+# to Δv by construction, verified in the output) that complements
+# q427's multiplicative LMDI waterfall. Unit values from exact sums;
+# 25-brand bounded grid. -----------------------------------------------------------
+@query(
+    "q676_bennet_decomposition",
+    oracle="""
+    WITH cell AS MATERIALIZED (
+        SELECT p.p_brand AS brand,
+               EXTRACT(year FROM l.l_shipdate) AS yr,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice)
+                             * FLOOR(ABS(l.l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate) IN (1995, 1996)
+        GROUP BY brand, yr
+    ),
+    wide AS (
+        SELECT brand,
+               MAX(CASE WHEN yr = 1995 THEN CAST(revq AS DOUBLE) / 100.0 END)
+                   AS v0,
+               MAX(CASE WHEN yr = 1996 THEN CAST(revq AS DOUBLE) / 100.0 END)
+                   AS v1,
+               MAX(CASE WHEN yr = 1995 THEN CAST(qty AS DOUBLE) END) AS q0,
+               MAX(CASE WHEN yr = 1996 THEN CAST(qty AS DOUBLE) END) AS q1
+        FROM cell GROUP BY brand
+        HAVING COUNT(*) = 2
+    )
+    SELECT brand,
+           CAST(CAST(SIGN(dv) * FLOOR(ABS(dv) * 1e2 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e2 AS delta_value,
+           CAST(CAST(SIGN(qe) * FLOOR(ABS(qe) * 1e2 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e2 AS quantity_effect,
+           CAST(CAST(SIGN(pe) * FLOOR(ABS(pe) * 1e2 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e2 AS price_effect
+    FROM (
+        SELECT brand, v1 - v0 AS dv,
+               0.5 * (v0 / q0 + v1 / q1) * (q1 - q0) AS qe,
+               0.5 * (q0 + q1) * (v1 / q1 - v0 / q0) AS pe
+        FROM wide
+    )
+    """,
+)
+def q676(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    cell = (
+        li.where(F.year("l_shipdate").isin(1995, 1996))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("qty"),
+        )
+    )
+    wide = (
+        cell.groupBy("brand")
+        .agg(
+            F.max(
+                F.when(F.col("yr") == 1995, F.col("revq").cast("double") / 100.0)
+            ).alias("v0"),
+            F.max(
+                F.when(F.col("yr") == 1996, F.col("revq").cast("double") / 100.0)
+            ).alias("v1"),
+            F.max(
+                F.when(F.col("yr") == 1995, F.col("qty").cast("double"))
+            ).alias("q0"),
+            F.max(
+                F.when(F.col("yr") == 1996, F.col("qty").cast("double"))
+            ).alias("q1"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") == 2)
+    )
+    dv = F.col("v1") - F.col("v0")
+    qe = (
+        0.5
+        * (F.col("v0") / F.col("q0") + F.col("v1") / F.col("q1"))
+        * (F.col("q1") - F.col("q0"))
+    )
+    pe = (
+        0.5
+        * (F.col("q0") + F.col("q1"))
+        * (F.col("v1") / F.col("q1") - F.col("v0") / F.col("q0"))
+    )
+    return wide.select(
+        "brand",
+        (quantize(dv, 2) / 1e2).alias("delta_value"),
+        (quantize(qe, 2) / 1e2).alias("quantity_effect"),
+        (quantize(pe, 2) / 1e2).alias("price_effect"),
+    )
+
+
+# --- q677: elementary price-index spread — Carli (arithmetic mean of
+# part-level price relatives), Dutot (ratio of mean prices) and Jevons
+# (geometric mean of relatives) between 1995 and 1996, over parts
+# traded in BOTH years: the low-level index-number formula choice that
+# drives "index bias" debates (Carli ≥ Jevons by AM-GM, reported as
+# the bias gap). Part unit values from exact sums; one part-keyed
+# rollup per year. ------------------------------------------------------------------
+@query(
+    "q677_elementary_price_indices",
+    oracle=f"""
+    WITH uv AS MATERIALIZED (
+        SELECT l_partkey AS pk, EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0
+                   / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS p
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) IN (1995, 1996)
+        GROUP BY pk, yr
+    ),
+    wide AS MATERIALIZED (
+        SELECT pk,
+               MAX(CASE WHEN yr = 1995 THEN p END) AS p0,
+               MAX(CASE WHEN yr = 1996 THEN p END) AS p1
+        FROM uv GROUP BY pk HAVING COUNT(*) = 2
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({sql_quantize('p1 / p0', 9)}) AS DOUBLE) / 1e9
+                   AS srel,
+               CAST(SUM({sql_quantize('LN(p1 / p0)', 9)}) AS DOUBLE) / 1e9
+                   AS slog,
+               CAST(SUM({sql_quantize('p0', 4)}) AS DOUBLE) / 1e4 AS sp0,
+               CAST(SUM({sql_quantize('p1', 4)}) AS DOUBLE) / 1e4 AS sp1
+        FROM wide
+    )
+    SELECT n AS n_parts,
+           CAST({sql_quantize('srel / n', 6)} AS DOUBLE) / 1e6 AS carli,
+           CAST({sql_quantize('sp1 / sp0', 6)} AS DOUBLE) / 1e6 AS dutot,
+           CAST({sql_quantize('EXP(slog / n)', 6)} AS DOUBLE) / 1e6
+               AS jevons,
+           CAST({sql_quantize('srel / n - EXP(slog / n)', 6)}
+                AS DOUBLE) / 1e6 AS carli_jevons_gap
+    FROM s
+    """,
+)
+def q677(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    uv = (
+        li.where(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            (
+                (F.sum(quantize("l_extendedprice", 2)).cast("double") / 100.0)
+                / F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            ).alias("p")
+        )
+    )
+    wide = (
+        uv.groupBy("pk")
+        .agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("p"))).alias("p0"),
+            F.max(F.when(F.col("yr") == 1996, F.col("p"))).alias("p1"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") == 2)
+    )
+    rel = F.col("p1") / F.col("p0")
+    s = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize(rel, 9)).cast("double") / 1e9).alias("srel"),
+        (F.sum(quantize(F.log(rel), 9)).cast("double") / 1e9).alias("slog"),
+        (F.sum(quantize("p0", 4)).cast("double") / 1e4).alias("sp0"),
+        (F.sum(quantize("p1", 4)).cast("double") / 1e4).alias("sp1"),
+    )
+    return s.select(
+        F.col("n").alias("n_parts"),
+        (quantize(F.col("srel") / F.col("n"), 6) / 1e6).alias("carli"),
+        (quantize(F.col("sp1") / F.col("sp0"), 6) / 1e6).alias("dutot"),
+        (quantize(F.exp(F.col("slog") / F.col("n")), 6) / 1e6).alias(
+            "jevons"
+        ),
+        (
+            quantize(
+                F.col("srel") / F.col("n") - F.exp(F.col("slog") / F.col("n")),
+                6,
+            )
+            / 1e6
+        ).alias("carli_jevons_gap"),
+    )
+
+
+# --- q678: Suits (1977) index of discount progressivity — do bigger
+# orders capture disproportionately more discount value? S = 1 − 2·A
+# with A the area under the concentration curve of discount value
+# against cumulative revenue share (orders ascending by totalprice):
+# S > 0 = progressive (discounts concentrate on big orders), < 0 =
+# regressive. The curve is the q499-style distributed Lorenz prefix;
+# the trapezoid integral pairs consecutive histogram rows by prefix
+# rank (equi-join, no window re-sort). -------------------------------------------
+@query(
+    "q678_suits_discount_progressivity",
+    oracle="""
+    WITH per_o AS MATERIALIZED (
+        SELECT o.o_totalprice AS v,
+               CAST(SUM(CAST(SIGN(l.l_extendedprice * l.l_discount)
+                             * FLOOR(ABS(l.l_extendedprice * l.l_discount)
+                                     * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS dq
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    hist AS MATERIALIZED (
+        SELECT v,
+               CAST(SUM(CAST(SIGN(v) * FLOOR(ABS(v) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS yq,
+               CAST(SUM(dq) AS BIGINT) AS dq
+        FROM per_o GROUP BY v
+    ),
+    pref AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY v) AS r,
+               CAST(SUM(yq) OVER (ORDER BY v) AS BIGINT) AS cy,
+               CAST(SUM(dq) OVER (ORDER BY v) AS BIGINT) AS cd
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(SUM(yq) AS BIGINT) AS ty, CAST(SUM(dq) AS BIGINT) AS td
+        FROM hist
+    ),
+    seg AS (
+        SELECT (CAST(a.cy AS DOUBLE) / t.ty
+                - CAST(COALESCE(b.cy, 0) AS DOUBLE) / t.ty)
+               * (CAST(a.cd AS DOUBLE) / t.td
+                  + CAST(COALESCE(b.cd, 0) AS DOUBLE) / t.td) AS tr
+        FROM pref a
+        LEFT JOIN pref b ON b.r = a.r - 1
+        CROSS JOIN tot t
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_o) AS n_orders,
+           CAST(CAST(SIGN(s) * FLOOR(ABS(s) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS suits_index
+    FROM (
+        SELECT 1.0 - CAST(SUM(CAST(SIGN(tr) * FLOOR(ABS(tr) * 1e9 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1e9 AS s
+        FROM seg
+    )
+    """,
+)
+def q678(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    per_o = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(
+                quantize(F.col("l_extendedprice") * F.col("l_discount"), 2)
+            )
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    n_orders = per_o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    hist = per_o.groupBy("v").agg(
+        F.sum(quantize("v", 2)).cast("long").alias("yq"),
+        F.sum("dq").cast("long").alias("dq"),
+    )
+    pref = tracked_persist(
+        global_prefix_counts(
+            hist.withColumn("one", F.lit(1).cast("long")),
+            [F.asc("v")],
+            {"r": "one", "cy": "yq", "cd": "dq"},
+        )
+    )
+    tot = hist.agg(
+        F.sum("yq").cast("long").alias("ty"),
+        F.sum("dq").cast("long").alias("td"),
+    )
+    b = pref.select(
+        (F.col("r") + 1).alias("r"),
+        F.col("cy").alias("pcy"),
+        F.col("cd").alias("pcd"),
+    )
+    seg = (
+        pref.join(b, "r", "left")
+        .na.fill({"pcy": 0, "pcd": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (
+                    F.col("cy").cast("double") / F.col("ty")
+                    - F.col("pcy").cast("double") / F.col("ty")
+                )
+                * (
+                    F.col("cd").cast("double") / F.col("td")
+                    + F.col("pcd").cast("double") / F.col("td")
+                )
+            ).alias("tr")
+        )
+    )
+    s = seg.agg(
+        (1.0 - F.sum(quantize("tr", 9)).cast("double") / 1e9).alias("s")
+    )
+    return s.crossJoin(F.broadcast(n_orders)).select(
+        "n_orders", (quantize("s", 6) / 1e6).alias("suits_index")
+    )
+
+
+# --- q679: Lotka (1926) productivity law fit on customer order counts
+# — does the number of customers with k orders fall as C/k^α? Log-log
+# OLS over the frequency-of-frequency spectrum (bounded support) with
+# R²: the author-productivity twin of the q518-class degree power law,
+# applied to purchase behavior. ---------------------------------------------------
+@query(
+    "q679_lotka_law_fit",
+    oracle=f"""
+    WITH percust AS MATERIALIZED (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+        FROM orders GROUP BY o_custkey
+    ),
+    spec AS MATERIALIZED (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS f FROM percust GROUP BY k
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM({sql_quantize('LN(CAST(k AS DOUBLE))', 9)})
+                    AS DOUBLE) / 1e9 AS sx,
+               CAST(SUM({sql_quantize(
+                   'LN(CAST(k AS DOUBLE)) * LN(CAST(k AS DOUBLE))', 9)})
+                    AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM({sql_quantize('LN(CAST(f AS DOUBLE))', 9)})
+                    AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM({sql_quantize(
+                   'LN(CAST(f AS DOUBLE)) * LN(CAST(f AS DOUBLE))', 9)})
+                    AS DOUBLE) / 1e9 AS syy,
+               CAST(SUM({sql_quantize(
+                   'LN(CAST(k AS DOUBLE)) * LN(CAST(f AS DOUBLE))', 9)})
+                    AS DOUBLE) / 1e9 AS sxy
+        FROM spec
+    )
+    SELECT m AS n_support_points,
+           CAST({sql_quantize(
+               '-(m * sxy - sx * sy) / (m * sxx - sx * sx)', 6)}
+               AS DOUBLE) / 1e6 AS lotka_alpha,
+           CAST({sql_quantize(
+               '(m * sxy - sx * sy) * (m * sxy - sx * sy)'
+               ' / ((m * sxx - sx * sx) * (m * syy - sy * sy))', 6)}
+               AS DOUBLE) / 1e6 AS r2
+    FROM s
+    """,
+)
+def q679(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    percust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    spec = percust.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    lx = F.log(F.col("k").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    s = spec.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (F.sum(quantize(lx, 9)).cast("double") / 1e9).alias("sx"),
+        (F.sum(quantize(lx * lx, 9)).cast("double") / 1e9).alias("sxx"),
+        (F.sum(quantize(ly, 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(ly * ly, 9)).cast("double") / 1e9).alias("syy"),
+        (F.sum(quantize(lx * ly, 9)).cast("double") / 1e9).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    r2 = num * num / (
+        den * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("m").alias("n_support_points"),
+        (quantize(-num / den, 6) / 1e6).alias("lotka_alpha"),
+        (quantize(r2, 6) / 1e6).alias("r2"),
+    )
+
+
+# --- q680: distribution-drift battery on the bounded quantity support
+# (1..50) between the first and second half of the corpus — Hellinger
+# distance, total variation and the symmetric Jeffreys divergence in
+# one pass: the bin-free complements of q235's PSI (which needs a
+# binning choice) and the q-family KS (which needs a prefix pass).
+# Jeffreys is NULL if any cell is empty on either side (log blows up;
+# documented degenerate contract). ------------------------------------------------
+@query(
+    "q680_drift_battery_quantity",
+    oracle="""
+    WITH anchor AS (
+        SELECT CAST(MIN(l_shipdate) AS DATE) AS lo,
+               CAST(MAX(l_shipdate) AS DATE) AS hi
+        FROM lineitem
+    ),
+    halves AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CASE WHEN datediff('day', a.lo, l.l_shipdate)
+                         * 2 <= datediff('day', a.lo, a.hi)
+                    THEN 1 ELSE 2 END AS h
+        FROM lineitem l, anchor a
+    ),
+    cells AS MATERIALIZED (
+        SELECT q,
+               CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM halves GROUP BY q
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(MIN(LEAST(c1, c2)) AS BIGINT) AS mincell
+        FROM cells
+    ),
+    terms AS (
+        SELECT CAST(SUM(CAST(SIGN(hh) * FLOOR(ABS(hh) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sh,
+               CAST(SUM(CAST(SIGN(tv) * FLOOR(ABS(tv) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS stv,
+               CAST(SUM(CASE WHEN c1 > 0 AND c2 > 0 THEN
+                   CAST(SIGN(jf) * FLOOR(ABS(jf) * 1e9 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE) / 1e9 AS sj
+        FROM (
+            SELECT c1, c2,
+                   SQRT(CAST(c1 AS DOUBLE) / t.n1)
+                       * SQRT(CAST(c2 AS DOUBLE) / t.n2) AS hh,
+                   ABS(CAST(c1 AS DOUBLE) / t.n1
+                       - CAST(c2 AS DOUBLE) / t.n2) AS tv,
+                   CASE WHEN c1 > 0 AND c2 > 0 THEN
+                       (CAST(c1 AS DOUBLE) / t.n1 - CAST(c2 AS DOUBLE) / t.n2)
+                       * LN((CAST(c1 AS DOUBLE) / t.n1)
+                            / (CAST(c2 AS DOUBLE) / t.n2))
+                   END AS jf
+            FROM cells, tot t
+        )
+    )
+    SELECT t.n1 AS n_first_half, t.n2 AS n_second_half,
+           CAST(CAST(SIGN(hel) * FLOOR(ABS(hel) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS hellinger,
+           CAST(CAST(SIGN(0.5 * terms.stv) * FLOOR(ABS(0.5 * terms.stv)
+                     * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
+               AS total_variation,
+           CASE WHEN t.mincell > 0 THEN
+               CAST(CAST(SIGN(terms.sj) * FLOOR(ABS(terms.sj) * 1e6 + 0.5)
+                         AS BIGINT) AS DOUBLE) / 1e6
+           END AS jeffreys
+    FROM terms, tot t,
+         (SELECT SQRT(GREATEST(1.0 - terms.sh, 0.0)) AS hel FROM terms)
+    """,
+)
+def q680(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    anchor = li.agg(
+        F.min("l_shipdate").cast("date").alias("lo"),
+        F.max("l_shipdate").cast("date").alias("hi"),
+    )
+    halves = li.crossJoin(F.broadcast(anchor)).select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.when(
+            F.datediff("l_shipdate", "lo") * 2 <= F.datediff("hi", "lo"), 1
+        )
+        .otherwise(2)
+        .alias("h"),
+    )
+    cells = tracked_persist(
+        halves.groupBy("q").agg(
+            F.sum(F.when(F.col("h") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("h") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.min(F.least("c1", "c2")).cast("long").alias("mincell"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    hh = F.sqrt(p1) * F.sqrt(p2)
+    tv = F.abs(p1 - p2)
+    jf = F.when(
+        (F.col("c1") > 0) & (F.col("c2") > 0), (p1 - p2) * F.log(p1 / p2)
+    )
+    terms = j.groupBy("n1", "n2", "mincell").agg(
+        (F.sum(quantize(hh, 9)).cast("double") / 1e9).alias("sh"),
+        (F.sum(quantize(tv, 9)).cast("double") / 1e9).alias("stv"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("c1") > 0) & (F.col("c2") > 0), quantize(jf, 9)
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).cast("double")
+            / 1e9
+        ).alias("sj"),
+    )
+    hel = F.sqrt(F.greatest(1.0 - F.col("sh"), F.lit(0.0)))
+    return terms.select(
+        F.col("n1").alias("n_first_half"),
+        F.col("n2").alias("n_second_half"),
+        (quantize(hel, 6) / 1e6).alias("hellinger"),
+        (quantize(0.5 * F.col("stv"), 6) / 1e6).alias("total_variation"),
+        F.when(F.col("mincell") > 0, quantize("sj", 6) / 1e6).alias(
+            "jeffreys"
+        ),
+    )
