@@ -4825,3 +4825,727 @@ def q674(spark, sf_dir):
     return out.select(
         "n_labels", (quantize("db", 6) / 1e6).alias("db_index")
     )
+
+
+# ===== Wave q681-q686: model-evaluation & agreement tier II ===========
+# Public methodology: cumulative gains/lift charts, Spearman (1904)
+# footrule + Kendall (1938) distance, Cohen (1968) quadratic-weighted
+# kappa, rank-biased overlap (Webber et al. 2010), group-level
+# calibration slope (Cox 1958 recalibration, decile form), Gwet (2008)
+# AC1. Scores reuse the q579 design (y = customer ever placed an
+# URGENT order, s = account balance); every statistic reduces to
+# distinct-value histograms + distributed prefix sums or bounded
+# k×k / depth×rank grids.
+
+# --- q681: cumulative gains + lift at decile boundaries of the score
+# ranking — "calling the top d×10% of customers by score captures what
+# share of responders, at what lift over random?": the campaign-
+# planning readout next to q579's single optimal point. Same q499-
+# style prefix machinery, score DESCENDING. --------------------------------------
+@query(
+    "q681_gains_lift_deciles",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(c.c_acctbal AS DOUBLE) AS s
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    hist AS MATERIALIZED (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM d GROUP BY s
+    ),
+    pref AS MATERIALIZED (
+        SELECT CAST(SUM(cnt) OVER (ORDER BY s DESC) AS BIGINT) AS cum_n,
+               CAST(SUM(pos) OVER (ORDER BY s DESC) AS BIGINT) AS cum_p
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np
+        FROM hist
+    ),
+    grid AS (SELECT UNNEST(generate_series(1, 10)) AS dec)
+    SELECT g.dec AS decile,
+           CAST(MIN(p.cum_n) AS BIGINT) AS n_targeted,
+           CAST(CAST(SIGN(gains) * FLOOR(ABS(gains) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cum_gains,
+           CAST(CAST(SIGN(lift) * FLOOR(ABS(lift) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS cum_lift
+    FROM grid g, tot t,
+         LATERAL (
+             SELECT cum_n,
+                    CAST(cum_p AS DOUBLE) / t.np AS gains,
+                    (CAST(cum_p AS DOUBLE) / cum_n) / (CAST(t.np AS DOUBLE)
+                                                       / t.n) AS lift
+             FROM pref
+             WHERE cum_n >= CAST(CEIL(g.dec * t.n / 10.0) AS BIGINT)
+             ORDER BY cum_n LIMIT 1
+         ) p
+    GROUP BY g.dec, gains, lift
+    """,
+)
+def q681(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.col("c_acctbal").cast("double").alias("s"))
+    )
+    hist = d.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    pref = tracked_persist(
+        global_prefix_counts(
+            hist, [F.desc("s")], {"cum_n": "cnt", "cum_p": "pos"}
+        )
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    grid = cust.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("dec")
+    )
+    j = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            pref,
+            F.col("cum_n")
+            >= F.ceil(F.col("dec") * F.col("n") / 10.0).cast("long"),
+        )
+    )
+    picked = j.groupBy("dec", "n", "np").agg(
+        F.min("cum_n").cast("long").alias("n_targeted"),
+        F.min_by("cum_p", "cum_n").alias("cum_p_at"),
+    )
+    gains = F.col("cum_p_at").cast("double") / F.col("np")
+    lift = (F.col("cum_p_at").cast("double") / F.col("n_targeted")) / (
+        F.col("np").cast("double") / F.col("n")
+    )
+    return picked.select(
+        F.col("dec").alias("decile"),
+        "n_targeted",
+        (quantize(gains, 6) / 1e6).alias("cum_gains"),
+        (quantize(lift, 6) / 1e6).alias("cum_lift"),
+    )
+
+
+# --- q682: rank-stability of the nation revenue league table, 1995 →
+# 1996 — Spearman footrule distance Σ|r₉₅ − r₉₆| and the Kendall
+# (bubble-sort) distance #discordant pairs, with their normalized
+# forms: the permutation-distance complements of the correlation-style
+# tau-b (q418-class). Ranks ride a 25-row bounded frame; pairs a
+# 300-row bounded self-join. --------------------------------------------------------
+@query(
+    "q682_rank_distance_nations",
+    oracle="""
+    WITH rev AS MATERIALIZED (
+        SELECT n.n_name AS nat, EXTRACT(year FROM o.o_orderdate) AS yr,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rq
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+        GROUP BY nat, yr
+    ),
+    ranked AS MATERIALIZED (
+        SELECT nat, yr,
+               CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                                       ORDER BY rq DESC, nat) AS BIGINT) AS r
+        FROM rev
+    ),
+    wide AS MATERIALIZED (
+        SELECT nat,
+               MAX(CASE WHEN yr = 1995 THEN r END) AS r1,
+               MAX(CASE WHEN yr = 1996 THEN r END) AS r2
+        FROM ranked GROUP BY nat
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ABS(r1 - r2)) AS BIGINT) AS footrule
+        FROM wide
+    ),
+    k AS (
+        SELECT CAST(SUM(CASE WHEN (a.r1 - b.r1) * (a.r2 - b.r2) < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        FROM wide a JOIN wide b ON a.nat < b.nat
+    )
+    SELECT f.n AS n_nations, f.footrule, k.disc AS kendall_distance,
+           CAST(CAST(SIGN(nf) * FLOOR(ABS(nf) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS footrule_norm,
+           CAST(CAST(SIGN(nk) * FLOOR(ABS(nk) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS kendall_norm
+    FROM f, k,
+         (SELECT CAST(f.footrule AS DOUBLE)
+                     / (f.n * f.n / 2.0) AS nf,
+                 CAST(k.disc AS DOUBLE) / (f.n * (f.n - 1) / 2.0) AS nk
+          FROM f, k)
+    """,
+)
+def q682(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    rev = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nat"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(F.sum(quantize("o_totalprice", 2)).cast("long").alias("rq"))
+    )
+    ranked = rev.select(
+        "nat",
+        "yr",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy(F.desc("rq"), F.asc("nat")))
+        .cast("long")
+        .alias("r"),
+    )
+    wide = tracked_persist(
+        ranked.groupBy("nat").agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r2"),
+        )
+    )
+    f = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).cast("long").alias("footrule"),
+    )
+    b = wide.select(
+        F.col("nat").alias("natb"),
+        F.col("r1").alias("b1"),
+        F.col("r2").alias("b2"),
+    )
+    k = (
+        wide.join(b, F.col("nat") < F.col("natb"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r1") - F.col("b1")) * (F.col("r2") - F.col("b2"))
+                    < 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("disc")
+        )
+    )
+    j = f.crossJoin(F.broadcast(k))
+    nf = F.col("footrule").cast("double") / (
+        F.col("n") * F.col("n") / 2.0
+    )
+    nk = F.col("disc").cast("double") / (F.col("n") * (F.col("n") - 1) / 2.0)
+    return j.select(
+        F.col("n").alias("n_nations"),
+        "footrule",
+        F.col("disc").alias("kendall_distance"),
+        (quantize(nf, 6) / 1e6).alias("footrule_norm"),
+        (quantize(nk, 6) / 1e6).alias("kendall_norm"),
+    )
+
+
+# --- q683: quadratic-weighted kappa (Cohen 1968) between 1995 and
+# 1996 spend tiers of repeat customers — κ_w = 1 − Σw·o / Σw·e with
+# w_ij = (i−j)²/(k−1)²: ORDINAL agreement that penalizes a two-tier
+# jump 4× a one-tier slip, where q660's Stuart-Maxwell asks only
+# whether the margins moved. Same fixed 300k/550k cutoffs; 3×3
+# integer table, marginal products exact. ----------------------------------------
+@query(
+    "q683_weighted_kappa_tiers",
+    oracle="""
+    WITH spend AS MATERIALIZED (
+        SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+               CAST(SUM(CAST(SIGN(o_totalprice)
+                             * FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS spq
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+        GROUP BY o_custkey, yr
+    ),
+    tiers AS (
+        SELECT o_custkey, yr,
+               CASE WHEN spq < 30000000 THEN 1
+                    WHEN spq < 55000000 THEN 2 ELSE 3 END AS tier
+        FROM spend
+    ),
+    paired AS MATERIALIZED (
+        SELECT a.tier AS i, b.tier AS j
+        FROM tiers a JOIN tiers b
+          ON a.o_custkey = b.o_custkey AND a.yr = 1995 AND b.yr = 1996
+    ),
+    cell AS MATERIALIZED (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS o FROM paired GROUP BY i, j
+    ),
+    marg AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell
+    ),
+    ri AS (SELECT i, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY i),
+    cj AS (SELECT j, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY j),
+    grid AS (
+        SELECT ri.i, cj.j, ri.r, cj.c, COALESCE(cell.o, 0) AS o
+        FROM ri CROSS JOIN cj
+        LEFT JOIN cell ON cell.i = ri.i AND cell.j = cj.j
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST((g.i - g.j) * (g.i - g.j) AS BIGINT) * g.o)
+                    AS BIGINT) AS wo,
+               CAST(SUM(CAST(SIGN(we) * FLOOR(ABS(we) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS we
+        FROM (
+            SELECT g.i, g.j, g.o,
+                   CAST((g.i - g.j) * (g.i - g.j) AS DOUBLE)
+                       * g.r * g.c / m.n AS we
+            FROM grid g, marg m
+        ) g
+    )
+    SELECT (SELECT n FROM marg) AS n_paired,
+           CAST(CAST(SIGN(kw) * FLOOR(ABS(kw) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS weighted_kappa
+    FROM (SELECT 1.0 - CAST(wo AS DOUBLE) / we AS kw FROM s)
+    """,
+)
+def q683(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    spend = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(quantize("o_totalprice", 2)).cast("long").alias("spq"))
+    )
+    tiers = spend.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("spq") < 30000000, 1)
+        .when(F.col("spq") < 55000000, 2)
+        .otherwise(3)
+        .alias("tier"),
+    )
+    a = tiers.where(F.col("yr") == 1995).select(
+        "o_custkey", F.col("tier").alias("i")
+    )
+    b = tiers.where(F.col("yr") == 1996).select(
+        "o_custkey", F.col("tier").alias("j")
+    )
+    cell = tracked_persist(
+        a.join(b, "o_custkey")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    marg = cell.agg(F.sum("o").cast("long").alias("n"))
+    ri = cell.groupBy("i").agg(F.sum("o").cast("long").alias("r"))
+    cj = cell.groupBy("j").agg(F.sum("o").cast("long").alias("c"))
+    grid = (
+        ri.crossJoin(F.broadcast(cj))
+        .join(cell, ["i", "j"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(marg))
+    )
+    w = (F.col("i") - F.col("j")) * (F.col("i") - F.col("j"))
+    we = w.cast("double") * F.col("r") * F.col("c") / F.col("n")
+    s = grid.groupBy("n").agg(
+        F.sum(w.cast("long") * F.col("o")).cast("long").alias("wo"),
+        (F.sum(quantize(we, 9)).cast("double") / 1e9).alias("we"),
+    )
+    return s.select(
+        F.col("n").alias("n_paired"),
+        (
+            quantize(1.0 - F.col("wo").cast("double") / F.col("we"), 6) / 1e6
+        ).alias("weighted_kappa"),
+    )
+
+
+# --- q684: rank-biased overlap (Webber, Moffat & Zobel 2010) between
+# the 1995 and 1996 nation revenue top-10 lists — truncated
+# RBO@10(p=0.9) = (1−p)·Σ_{d≤10} p^{d−1}·|A_:d ∩ B_:d|/d, the
+# top-weighted list-similarity that footrule/Kendall (q682) are blind
+# to (they weight all ranks equally). The depth sweep is a bounded
+# 10×25 grid join. -----------------------------------------------------------------
+@query(
+    "q684_rank_biased_overlap",
+    oracle="""
+    WITH rev AS MATERIALIZED (
+        SELECT n.n_name AS nat, EXTRACT(year FROM o.o_orderdate) AS yr,
+               CAST(SUM(CAST(SIGN(o.o_totalprice)
+                             * FLOOR(ABS(o.o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rq
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN (1995, 1996)
+        GROUP BY nat, yr
+    ),
+    ranked AS MATERIALIZED (
+        SELECT nat, yr,
+               CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                                       ORDER BY rq DESC, nat) AS BIGINT) AS r
+        FROM rev
+    ),
+    wide AS MATERIALIZED (
+        SELECT nat,
+               MAX(CASE WHEN yr = 1995 THEN r END) AS r1,
+               MAX(CASE WHEN yr = 1996 THEN r END) AS r2
+        FROM ranked GROUP BY nat
+    ),
+    depths AS (SELECT UNNEST(generate_series(1, 10)) AS d),
+    xd AS (
+        SELECT d.d,
+               CAST(SUM(CASE WHEN w.r1 <= d.d AND w.r2 <= d.d
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM depths d CROSS JOIN wide w
+        GROUP BY d.d
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(SIGN(t) * FLOOR(ABS(t) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS acc,
+               CAST(MAX(CASE WHEN d = 10 THEN x END) AS BIGINT) AS x10
+        FROM (
+            SELECT d, x,
+                   POW(0.9, d - 1) * (CAST(x AS DOUBLE) / d) AS t
+            FROM xd
+        )
+    )
+    SELECT x10 AS overlap_at_10,
+           CAST(CAST(SIGN(rbo) * FLOOR(ABS(rbo) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS rbo_p09
+    FROM (SELECT x10, 0.1 * acc AS rbo FROM s)
+    """,
+)
+def q684(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    rev = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nat"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(F.sum(quantize("o_totalprice", 2)).cast("long").alias("rq"))
+    )
+    ranked = rev.select(
+        "nat",
+        "yr",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy(F.desc("rq"), F.asc("nat")))
+        .cast("long")
+        .alias("r"),
+    )
+    wide = tracked_persist(
+        ranked.groupBy("nat").agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r2"),
+        )
+    )
+    depths = orders.sparkSession.range(1, 11).select(
+        F.col("id").cast("long").alias("d")
+    )
+    xd = (
+        F.broadcast(depths)
+        .crossJoin(wide)
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r1") <= F.col("d")) & (F.col("r2") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    t = F.pow(F.lit(0.9), F.col("d") - 1) * (
+        F.col("x").cast("double") / F.col("d")
+    )
+    s = xd.agg(
+        (F.sum(quantize(t, 9)).cast("double") / 1e9).alias("acc"),
+        F.max(F.when(F.col("d") == 10, F.col("x"))).cast("long").alias("x10"),
+    )
+    return s.select(
+        F.col("x10").alias("overlap_at_10"),
+        (quantize(0.1 * F.col("acc"), 6) / 1e6).alias("rbo_p09"),
+    )
+
+
+# --- q685: group-level calibration slope + intercept — fit observed
+# decile response rates against predicted probabilities (the synthetic
+# logistic score p = σ((s−μ)/σ_s) over account balance, documented) by
+# n-weighted least squares: slope ≈ 1 & intercept ≈ 0 = calibrated,
+# slope < 1 = overconfident (Cox 1958 recalibration read at decile
+# granularity, the line behind q591's Hosmer-Lemeshow cells). ------------------
+@query(
+    "q685_calibration_slope_deciles",
+    oracle="""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(MAX(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(c.c_acctbal AS DOUBLE) AS s
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(s) * FLOOR(ABS(s) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e2 AS s1,
+               CAST(SUM(CAST(SIGN(s * s) * FLOOR(ABS(s * s) + 0.5)
+                             AS BIGINT)) AS DOUBLE) AS s2
+        FROM d
+    ),
+    z AS MATERIALIZED (
+        SELECT y,
+               1.0 / (1.0 + EXP(-((s - m.s1 / m.n)
+                   / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))))) AS p
+        FROM d, m
+    ),
+    bins AS MATERIALIZED (
+        SELECT CAST(FLOOR(p * 10.0) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(y) AS BIGINT) AS yb,
+               CAST(SUM(CAST(SIGN(p) * FLOOR(ABS(p) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sp
+        FROM z GROUP BY b
+    ),
+    wls AS (
+        SELECT CAST(SUM(nb) AS BIGINT) AS w,
+               CAST(SUM(CAST(SIGN(sp) * FLOOR(ABS(sp) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS swx,
+               CAST(SUM(yb) AS BIGINT) AS swy,
+               CAST(SUM(CAST(SIGN(sp * sp / nb)
+                             * FLOOR(ABS(sp * sp / nb) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS swxx,
+               CAST(SUM(CAST(SIGN(sp * yb / nb)
+                             * FLOOR(ABS(sp * yb / nb) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS swxy
+        FROM bins
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bins) AS n_bins,
+           CAST(CAST(SIGN(sl) * FLOOR(ABS(sl) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS calib_slope,
+           CAST(CAST(SIGN(ic) * FLOOR(ABS(ic) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS calib_intercept
+    FROM (
+        SELECT (w * swxy - swx * swy) / (w * swxx - swx * swx) AS sl,
+               (swy - (w * swxy - swx * swy) / (w * swxx - swx * swx) * swx)
+                   / w AS ic
+        FROM wls
+    )
+    """,
+)
+def q685(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    d = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select("y", F.col("c_acctbal").cast("double").alias("s"))
+    )
+    d = tracked_persist(d)
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("s", 2)).cast("double") / 1e2).alias("s1"),
+        F.sum(quantize(F.col("s") * F.col("s"), 0)).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    z = d.crossJoin(F.broadcast(m)).select(
+        "y",
+        (1.0 / (1.0 + F.exp(-((F.col("s") - mu) / sd)))).alias("p"),
+    )
+    bins = z.groupBy(F.floor(F.col("p") * 10.0).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("yb"),
+        (F.sum(quantize("p", 9)).cast("double") / 1e9).alias("sp"),
+    )
+    wls = bins.agg(
+        F.sum("nb").cast("long").alias("w"),
+        (F.sum(quantize("sp", 9)).cast("double") / 1e9).alias("swx"),
+        F.sum("yb").cast("long").alias("swy"),
+        (
+            F.sum(quantize(F.col("sp") * F.col("sp") / F.col("nb"), 9)).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("swxx"),
+        (
+            F.sum(quantize(F.col("sp") * F.col("yb") / F.col("nb"), 9)).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("swxy"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    sl = (F.col("w") * F.col("swxy") - F.col("swx") * F.col("swy")) / (
+        F.col("w") * F.col("swxx") - F.col("swx") * F.col("swx")
+    )
+    ic = (F.col("swy") - sl * F.col("swx")) / F.col("w")
+    return wls.select(
+        "n_bins",
+        (quantize(sl, 6) / 1e6).alias("calib_slope"),
+        (quantize(ic, 6) / 1e6).alias("calib_intercept"),
+    )
+
+
+# --- q686: Gwet (2008) AC1 agreement on the q662 design (lineitems
+# "rate" their order R/A/N) — AC1 replaces kappa-style expected
+# agreement with (1/(k−1))·Σ_c π_c(1−π_c), immunizing the coefficient
+# against the prevalence paradox that deflates kappa/alpha on skewed
+# category distributions. Observed pairwise agreement from exact
+# per-unit combination counts; one rollup, no pair explosion. --------------------
+@query(
+    "q686_gwet_ac1_flags",
+    oracle="""
+    WITH counts AS MATERIALIZED (
+        SELECT l_orderkey,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nr,
+               CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    multi AS MATERIALIZED (SELECT * FROM counts WHERE m >= 2),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS units,
+               CAST(SUM(CAST(SIGN(pa) * FLOOR(ABS(pa) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS spa,
+               CAST(SUM(CAST(SIGN(CAST(nr AS DOUBLE) / m)
+                             * FLOOR(ABS(CAST(nr AS DOUBLE) / m)
+                                     * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS pr,
+               CAST(SUM(CAST(SIGN(CAST(na AS DOUBLE) / m)
+                             * FLOOR(ABS(CAST(na AS DOUBLE) / m)
+                                     * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS pa_,
+               CAST(SUM(CAST(SIGN(CAST(nn AS DOUBLE) / m)
+                             * FLOOR(ABS(CAST(nn AS DOUBLE) / m)
+                                     * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS pn
+        FROM (
+            SELECT m, nr, na, nn,
+                   (CAST(nr * (nr - 1) + na * (na - 1) + nn * (nn - 1)
+                         AS DOUBLE)) / (CAST(m AS DOUBLE) * (m - 1)) AS pa
+            FROM multi
+        )
+    )
+    SELECT units AS n_units,
+           CAST(CAST(SIGN(po) * FLOOR(ABS(po) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS percent_agreement,
+           CAST(CAST(SIGN(ac1) * FLOOR(ABS(ac1) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS gwet_ac1
+    FROM (
+        SELECT units, spa / units AS po,
+               (spa / units
+                - (((pr / units) * (1.0 - pr / units)
+                    + (pa_ / units) * (1.0 - pa_ / units)
+                    + (pn / units) * (1.0 - pn / units)) / 2.0))
+               / (1.0
+                  - (((pr / units) * (1.0 - pr / units)
+                      + (pa_ / units) * (1.0 - pa_ / units)
+                      + (pn / units) * (1.0 - pn / units)) / 2.0)) AS ac1
+        FROM s
+    )
+    """,
+)
+def q686(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("nr"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    multi = counts.where(F.col("m") >= 2)
+    pa = (
+        F.col("nr") * (F.col("nr") - 1)
+        + F.col("na") * (F.col("na") - 1)
+        + F.col("nn") * (F.col("nn") - 1)
+    ).cast("double") / (F.col("m").cast("double") * (F.col("m") - 1))
+    s = multi.agg(
+        F.count(F.lit(1)).cast("long").alias("units"),
+        (F.sum(quantize(pa, 9)).cast("double") / 1e9).alias("spa"),
+        (
+            F.sum(quantize(F.col("nr").cast("double") / F.col("m"), 9)).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("pr"),
+        (
+            F.sum(quantize(F.col("na").cast("double") / F.col("m"), 9)).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("pa_"),
+        (
+            F.sum(quantize(F.col("nn").cast("double") / F.col("m"), 9)).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("pn"),
+    )
+    po = F.col("spa") / F.col("units")
+    pe = (
+        (F.col("pr") / F.col("units")) * (1.0 - F.col("pr") / F.col("units"))
+        + (F.col("pa_") / F.col("units"))
+        * (1.0 - F.col("pa_") / F.col("units"))
+        + (F.col("pn") / F.col("units")) * (1.0 - F.col("pn") / F.col("units"))
+    ) / 2.0
+    ac1 = (po - pe) / (1.0 - pe)
+    return s.select(
+        F.col("units").alias("n_units"),
+        (quantize(po, 6) / 1e6).alias("percent_agreement"),
+        (quantize(ac1, 6) / 1e6).alias("gwet_ac1"),
+    )
