@@ -5013,3 +5013,102 @@ def q619(spark, sf_dir):
     return out.select(
         "n_customers", (quantize("r", 6) / 1e6).alias("winsorized_corr")
     )
+
+
+# --- q688: Goodman-Kruskal lambda (1954) — the proportional-
+# reduction-in-error association between nation and market segment:
+# λ(seg|nation) = (Σ_n max_s f_ns − max_s f_s)/(N − max_s f_s), its
+# reverse, and the symmetric average: "how much better do you guess a
+# customer's segment once you know their nation?" — the PRE complement
+# of the chi-square family (q58) and GK gamma (q-family). All counts
+# exact integers over the bounded 25×5 grid. -------------------------------------
+@query(
+    "q688_goodman_kruskal_lambda",
+    oracle="""
+    WITH cell AS MATERIALIZED (
+        SELECT c.c_nationkey AS n, c.c_mktsegment AS s,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM customer c GROUP BY n, s
+    ),
+    rowmax AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS srm FROM (
+            SELECT n, MAX(f) AS mx FROM cell GROUP BY n
+        )
+    ),
+    colmax AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS scm FROM (
+            SELECT s, MAX(f) AS mx FROM cell GROUP BY s
+        )
+    ),
+    marg AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS total,
+               CAST(MAX(fs) AS BIGINT) AS maxs,
+               CAST(MAX(fn) AS BIGINT) AS maxn
+        FROM (
+            SELECT SUM(f) OVER (PARTITION BY s) AS fs,
+                   SUM(f) OVER (PARTITION BY n) AS fn, f
+            FROM cell
+        )
+    )
+    SELECT marg.total AS n_customers,
+           CAST(CAST(SIGN(l1) * FLOOR(ABS(l1) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS lambda_seg_given_nation,
+           CAST(CAST(SIGN(l2) * FLOOR(ABS(l2) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS lambda_nation_given_seg,
+           CAST(CAST(SIGN((l1 + l2) / 2.0)
+                     * FLOOR(ABS((l1 + l2) / 2.0) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS lambda_symmetric
+    FROM (
+        SELECT marg.total,
+               CAST(rowmax.srm - marg.maxs AS DOUBLE)
+                   / (marg.total - marg.maxs) AS l1,
+               CAST(colmax.scm - marg.maxn AS DOUBLE)
+                   / (marg.total - marg.maxn) AS l2
+        FROM rowmax, colmax, marg
+    ), marg
+    """,
+)
+def q688(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    cust = T(spark, sf_dir, "customer")
+    cell = tracked_persist(
+        cust.groupBy(
+            F.col("c_nationkey").alias("n"), F.col("c_mktsegment").alias("s")
+        ).agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    rowmax = (
+        cell.groupBy("n")
+        .agg(F.max("f").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("srm"))
+    )
+    colmax = (
+        cell.groupBy("s")
+        .agg(F.max("f").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("scm"))
+    )
+    rown = cell.groupBy("n").agg(F.sum("f").alias("fn"))
+    cols = cell.groupBy("s").agg(F.sum("f").alias("fs"))
+    marg = (
+        cell.agg(F.sum("f").cast("long").alias("total"))
+        .crossJoin(
+            F.broadcast(cols.agg(F.max("fs").cast("long").alias("maxs")))
+        )
+        .crossJoin(
+            F.broadcast(rown.agg(F.max("fn").cast("long").alias("maxn")))
+        )
+    )
+    j = marg.crossJoin(F.broadcast(rowmax)).crossJoin(F.broadcast(colmax))
+    l1 = (F.col("srm") - F.col("maxs")).cast("double") / (
+        F.col("total") - F.col("maxs")
+    )
+    l2 = (F.col("scm") - F.col("maxn")).cast("double") / (
+        F.col("total") - F.col("maxn")
+    )
+    return j.select(
+        F.col("total").alias("n_customers"),
+        (quantize(l1, 6) / 1e6).alias("lambda_seg_given_nation"),
+        (quantize(l2, 6) / 1e6).alias("lambda_nation_given_seg"),
+        (quantize((l1 + l2) / 2.0, 6) / 1e6).alias("lambda_symmetric"),
+    )

@@ -487,3 +487,117 @@ def q650(spark, sf_dir):
             (quantize("ld", 6) / 1e6).alias("logdice"),
         )
     )
+
+
+# --- q687: Burrows' Delta (2002) stylometric distance between
+# sources — z-score the relative frequencies of the top-15 corpus
+# words across sources, Delta(a,b) = mean_w |z_wa − z_wb|: the
+# standard authorship-attribution distance, here reading "source" as
+# the author. One token rollup feeds a bounded 15-word × source grid
+# (zero cells included — absence is stylometric signal); all variance
+# arithmetic on the bounded grid. -------------------------------------------------
+@query(
+    "q687_burrows_delta_sources",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT source, unnest({_WS}) AS w FROM documents
+    ),
+    cell AS MATERIALIZED (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS v
+        FROM toks GROUP BY source, w
+    ),
+    sizes AS (
+        SELECT source, CAST(SUM(v) AS BIGINT) AS sz FROM cell GROUP BY source
+    ),
+    wf AS (SELECT w, CAST(SUM(v) AS BIGINT) AS f FROM cell GROUP BY w),
+    top15 AS (SELECT w FROM wf ORDER BY f DESC, w LIMIT 15),
+    grid AS MATERIALIZED (
+        SELECT t.w, s.source,
+               CAST(COALESCE(c.v, 0) AS DOUBLE) / s.sz AS fr
+        FROM top15 t
+        CROSS JOIN sizes s
+        LEFT JOIN cell c ON c.w = t.w AND c.source = s.source
+    ),
+    mo AS MATERIALIZED (
+        SELECT w, COUNT(*) AS k,
+               CAST(SUM({sql_quantize('fr', 12)}) AS DOUBLE) / 1e12 AS s1,
+               CAST(SUM({sql_quantize('fr * fr', 12)}) AS DOUBLE) / 1e12
+                   AS s2
+        FROM grid GROUP BY w
+    ),
+    z AS MATERIALIZED (
+        SELECT g.source, g.w,
+               (g.fr - mo.s1 / mo.k)
+                   / SQRT((mo.s2 - mo.s1 * mo.s1 / mo.k) / (mo.k - 1)) AS z
+        FROM grid g JOIN mo ON mo.w = g.w
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({sql_quantize(
+               'CAST(SUM(' + sql_quantize('ABS(a.z - b.z)', 9)
+               + ') AS DOUBLE) / 1e9 / COUNT(*)', 6)} AS DOUBLE) / 1e6
+               AS burrows_delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def q687(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    cell = tracked_persist(
+        toks.groupBy("source", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("v")
+        )
+    )
+    sizes = cell.groupBy("source").agg(F.sum("v").cast("long").alias("sz"))
+    wf = cell.groupBy("w").agg(F.sum("v").cast("long").alias("f"))
+    top15 = wf.orderBy(F.desc("f"), F.asc("w")).limit(15).select("w")
+    grid = tracked_persist(
+        F.broadcast(top15)
+        .crossJoin(F.broadcast(sizes))
+        .join(cell, ["w", "source"], "left")
+        .na.fill({"v": 0})
+        .select(
+            "w",
+            "source",
+            (F.col("v").cast("double") / F.col("sz")).alias("fr"),
+        )
+    )
+    mo = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(quantize("fr", 12)).cast("double") / 1e12).alias("s1"),
+        (F.sum(quantize(F.col("fr") * F.col("fr"), 12)).cast("double") / 1e12)
+        .alias("s2"),
+    )
+    z = grid.join(F.broadcast(mo), "w").select(
+        "source",
+        "w",
+        (
+            (F.col("fr") - F.col("s1") / F.col("k"))
+            / F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k"))
+                / (F.col("k") - 1)
+            )
+        ).alias("z"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "w", F.col("z").alias("zb")
+    )
+    pairs = z.join(b, "w").where(F.col("source") < F.col("source_b"))
+    g = pairs.groupBy(
+        F.col("source").alias("source_a"), "source_b"
+    ).agg(
+        (
+            F.sum(quantize(F.abs(F.col("z") - F.col("zb")), 9)).cast("double")
+            / 1e9
+            / F.count(F.lit(1))
+        ).alias("d")
+    )
+    return g.select(
+        "source_a",
+        "source_b",
+        (quantize("d", 6) / 1e6).alias("burrows_delta"),
+    )

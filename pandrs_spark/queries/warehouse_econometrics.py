@@ -5300,3 +5300,454 @@ def q680(spark, sf_dir):
             "jeffreys"
         ),
     )
+
+
+# --- q689: Kitagawa (1955) decomposition of a rate difference — the
+# AMERICA − ASIA gap in urgent-order share splits EXACTLY into a
+# composition effect (segment-mix differences at averaged rates) and a
+# rate effect (within-segment rate differences at averaged weights):
+# gap = Σ_s r̄_s(w₁−w₂) + Σ_s w̄_s(r₁−r₂). The demography twin of the
+# regression-based Oaxaca-Blinder (q557); bounded segment grid over
+# exact counts. --------------------------------------------------------------------
+@query(
+    "q689_kitagawa_rate_decomposition",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT r.r_name AS reg, c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS u
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = nt.n_regionkey
+        WHERE r.r_name IN ('AMERICA', 'ASIA')
+        GROUP BY reg, seg
+    ),
+    tot AS (
+        SELECT reg, CAST(SUM(n) AS BIGINT) AS tn FROM base GROUP BY reg
+    ),
+    wide AS MATERIALIZED (
+        SELECT b.seg,
+               MAX(CASE WHEN b.reg = 'AMERICA'
+                   THEN CAST(b.n AS DOUBLE) / t.tn END) AS w1,
+               MAX(CASE WHEN b.reg = 'ASIA'
+                   THEN CAST(b.n AS DOUBLE) / t.tn END) AS w2,
+               MAX(CASE WHEN b.reg = 'AMERICA'
+                   THEN CAST(b.u AS DOUBLE) / b.n END) AS r1,
+               MAX(CASE WHEN b.reg = 'ASIA'
+                   THEN CAST(b.u AS DOUBLE) / b.n END) AS r2
+        FROM base b JOIN tot t ON t.reg = b.reg
+        GROUP BY b.seg
+        HAVING COUNT(*) = 2
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CAST(SIGN(ce) * FLOOR(ABS(ce) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS comp,
+               CAST(SUM(CAST(SIGN(re) * FLOOR(ABS(re) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS rate
+        FROM (
+            SELECT ((r1 + r2) / 2.0) * (w1 - w2) AS ce,
+                   ((w1 + w2) / 2.0) * (r1 - r2) AS re
+            FROM wide
+        )
+    )
+    SELECT n_segments,
+           CAST(CAST(SIGN(comp + rate) * FLOOR(ABS(comp + rate) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS total_gap,
+           CAST(CAST(SIGN(comp) * FLOOR(ABS(comp) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS composition_effect,
+           CAST(CAST(SIGN(rate) * FLOOR(ABS(rate) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS rate_effect
+    FROM s
+    """,
+)
+def q689(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .where(F.col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy(
+            F.col("r_name").alias("reg"), F.col("c_mktsegment").alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    from pandrs_spark.operators.util import tracked_persist
+
+    base = tracked_persist(base)
+    tot = base.groupBy("reg").agg(F.sum("n").cast("long").alias("tn"))
+    wb = base.join(F.broadcast(tot), "reg")
+    wide = (
+        wb.groupBy("seg")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("reg") == "AMERICA",
+                    F.col("n").cast("double") / F.col("tn"),
+                )
+            ).alias("w1"),
+            F.max(
+                F.when(
+                    F.col("reg") == "ASIA",
+                    F.col("n").cast("double") / F.col("tn"),
+                )
+            ).alias("w2"),
+            F.max(
+                F.when(
+                    F.col("reg") == "AMERICA",
+                    F.col("u").cast("double") / F.col("n"),
+                )
+            ).alias("r1"),
+            F.max(
+                F.when(
+                    F.col("reg") == "ASIA",
+                    F.col("u").cast("double") / F.col("n"),
+                )
+            ).alias("r2"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") == 2)
+    )
+    ce = ((F.col("r1") + F.col("r2")) / 2.0) * (F.col("w1") - F.col("w2"))
+    re = ((F.col("w1") + F.col("w2")) / 2.0) * (F.col("r1") - F.col("r2"))
+    s = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        (F.sum(quantize(ce, 9)).cast("double") / 1e9).alias("comp"),
+        (F.sum(quantize(re, 9)).cast("double") / 1e9).alias("rate"),
+    )
+    return s.select(
+        "n_segments",
+        (quantize(F.col("comp") + F.col("rate"), 6) / 1e6).alias("total_gap"),
+        (quantize("comp", 6) / 1e6).alias("composition_effect"),
+        (quantize("rate", 6) / 1e6).alias("rate_effect"),
+    )
+
+
+# --- q690: direct + indirect standardization of urgent-order rates by
+# nation — DSR_n applies each nation's segment rates to the GLOBAL
+# segment mix; SMR_n = observed/expected applies global segment rates
+# to the nation's own mix (the epidemiology pair; indirect is the
+# stable choice for small strata). Missing nation×segment strata
+# contribute zero by the standard convention. Bounded 25×5 grids over
+# one exact rollup. ----------------------------------------------------------------
+@query(
+    "q690_rate_standardization",
+    oracle="""
+    WITH cell AS MATERIALIZED (
+        SELECT nt.n_name AS nat, c.c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS u
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+        GROUP BY nat, seg
+    ),
+    std AS (
+        SELECT seg, CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(u) AS BIGINT) AS su
+        FROM cell GROUP BY seg
+    ),
+    stot AS (SELECT CAST(SUM(sn) AS BIGINT) AS tn FROM std),
+    pern AS (
+        SELECT c.nat,
+               CAST(SUM(c.n) AS BIGINT) AS n_obs,
+               CAST(SUM(c.u) AS BIGINT) AS u_obs,
+               CAST(SUM(CAST(SIGN(dsr_t) * FLOOR(ABS(dsr_t) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS dsr,
+               CAST(SUM(CAST(SIGN(exp_t) * FLOOR(ABS(exp_t) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS expected
+        FROM (
+            SELECT c.nat, c.n, c.u,
+                   (CAST(c.u AS DOUBLE) / c.n)
+                       * (CAST(s.sn AS DOUBLE) / t.tn) AS dsr_t,
+                   CAST(c.n AS DOUBLE)
+                       * (CAST(s.su AS DOUBLE) / s.sn) AS exp_t
+            FROM cell c JOIN std s ON s.seg = c.seg CROSS JOIN stot t
+        ) c
+        GROUP BY c.nat
+    )
+    SELECT nat AS nation, n_obs,
+           CAST(CAST(SIGN(cr) * FLOOR(ABS(cr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS crude_rate,
+           CAST(CAST(SIGN(dsr) * FLOOR(ABS(dsr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS direct_std_rate,
+           CAST(CAST(SIGN(smr) * FLOOR(ABS(smr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS smr
+    FROM (
+        SELECT nat, n_obs, dsr,
+               CAST(u_obs AS DOUBLE) / n_obs AS cr,
+               CAST(u_obs AS DOUBLE) / expected AS smr
+        FROM pern
+    )
+    """,
+)
+def q690(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    cell = tracked_persist(
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nat"), F.col("c_mktsegment").alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    std = cell.groupBy("seg").agg(
+        F.sum("n").cast("long").alias("sn"),
+        F.sum("u").cast("long").alias("su"),
+    )
+    stot = std.agg(F.sum("sn").cast("long").alias("tn"))
+    j = cell.join(F.broadcast(std), "seg").crossJoin(F.broadcast(stot))
+    dsr_t = (F.col("u").cast("double") / F.col("n")) * (
+        F.col("sn").cast("double") / F.col("tn")
+    )
+    exp_t = F.col("n").cast("double") * (
+        F.col("su").cast("double") / F.col("sn")
+    )
+    pern = j.groupBy("nat").agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        F.sum("u").cast("long").alias("u_obs"),
+        (F.sum(quantize(dsr_t, 9)).cast("double") / 1e9).alias("dsr"),
+        (F.sum(quantize(exp_t, 9)).cast("double") / 1e9).alias("expected"),
+    )
+    return pern.select(
+        F.col("nat").alias("nation"),
+        "n_obs",
+        (
+            quantize(F.col("u_obs").cast("double") / F.col("n_obs"), 6) / 1e6
+        ).alias("crude_rate"),
+        (quantize("dsr", 6) / 1e6).alias("direct_std_rate"),
+        (
+            quantize(F.col("u_obs").cast("double") / F.col("expected"), 6)
+            / 1e6
+        ).alias("smr"),
+    )
+
+
+# --- q691: Chapman (1951) capture-recapture estimate of the "true"
+# customer population — treat 1995 and 1996 activity as two capture
+# occasions: N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with the Seber variance; the
+# coverage-diagnostic lens ("how many customers does the catalog ever
+# see?") that data-quality audits borrow from ecology. Three exact
+# distinct counts; the known registry size calibrates the estimator. ------------
+@query(
+    "q691_capture_recapture",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1995
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) = 1996
+    ),
+    s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM a JOIN b USING (o_custkey)) AS m,
+               (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                FROM orders) AS ever
+    )
+    SELECT n1 AS captured_1995, n2 AS captured_1996, m AS recaptured,
+           ever AS observed_ever,
+           CAST(CAST(SIGN(nh) * FLOOR(ABS(nh) * 1e2 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e2 AS chapman_n_hat,
+           CAST(CAST(SIGN(se) * FLOOR(ABS(se) * 1e2 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e2 AS chapman_se
+    FROM (
+        SELECT n1, n2, m, ever,
+               (CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0 AS nh,
+               SQRT((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) * (n2 - m))
+                    / ((CAST(m + 1 AS DOUBLE) * (m + 1)) * (m + 2))) AS se
+        FROM s
+    )
+    """,
+)
+def q691(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    a = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    b = (
+        orders.where(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    n1 = a.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = b.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = a.join(b, "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    ever = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("ever")
+    )
+    s = (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(ever))
+    )
+    nh = ((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)) / (
+        F.col("m") + 1
+    ) - 1.0
+    se = F.sqrt(
+        (
+            (F.col("n1") + 1).cast("double")
+            * (F.col("n2") + 1)
+            * (F.col("n1") - F.col("m"))
+            * (F.col("n2") - F.col("m"))
+        )
+        / (
+            ((F.col("m") + 1).cast("double") * (F.col("m") + 1))
+            * (F.col("m") + 2)
+        )
+    )
+    return s.select(
+        F.col("n1").alias("captured_1995"),
+        F.col("n2").alias("captured_1996"),
+        F.col("m").alias("recaptured"),
+        F.col("ever").alias("observed_ever"),
+        (quantize(nh, 2) / 1e2).alias("chapman_n_hat"),
+        (quantize(se, 2) / 1e2).alias("chapman_se"),
+    )
+
+
+# --- q692: Shorrocks (1978) mobility index of the spend-tier
+# transition matrix — M = (k − tr(P))/(k − 1) over the row-normalized
+# 1995→1996 tier transitions (q660's pairing): 0 = frozen hierarchy,
+# 1 = origin-independent mixing (and > 1 possible under exchange
+# mobility). Reported with the diagonal immobility share and the
+# determinant-free trace pieces, all from exact cell counts. --------------------
+@query(
+    "q692_shorrocks_mobility",
+    oracle="""
+    WITH spend AS MATERIALIZED (
+        SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+               CAST(SUM(CAST(SIGN(o_totalprice)
+                             * FLOOR(ABS(o_totalprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS spq
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+        GROUP BY o_custkey, yr
+    ),
+    tiers AS (
+        SELECT o_custkey, yr,
+               CASE WHEN spq < 30000000 THEN 1
+                    WHEN spq < 55000000 THEN 2 ELSE 3 END AS tier
+        FROM spend
+    ),
+    paired AS MATERIALIZED (
+        SELECT a.tier AS i, b.tier AS j
+        FROM tiers a JOIN tiers b
+          ON a.o_custkey = b.o_custkey AND a.yr = 1995 AND b.yr = 1996
+    ),
+    cell AS MATERIALIZED (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c FROM paired GROUP BY i, j
+    ),
+    rows_ AS (SELECT i, CAST(SUM(c) AS BIGINT) AS r FROM cell GROUP BY i),
+    s AS (
+        SELECT CAST(SUM(cell.c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN cell.i = cell.j THEN
+                   CAST(SIGN(pd) * FLOOR(ABS(pd) * 1e9 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE) / 1e9 AS trace,
+               CAST(SUM(CASE WHEN cell.i = cell.j THEN cell.c ELSE 0 END)
+                    AS BIGINT) AS diag
+        FROM (
+            SELECT cell.i, cell.j, cell.c,
+                   CAST(cell.c AS DOUBLE) / rows_.r AS pd
+            FROM cell JOIN rows_ ON rows_.i = cell.i
+        ) cell
+    )
+    SELECT n AS n_paired, diag AS n_immobile,
+           CAST(CAST(SIGN(trace) * FLOOR(ABS(trace) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS trace_p,
+           CAST(CAST(SIGN((3.0 - trace) / 2.0)
+                     * FLOOR(ABS((3.0 - trace) / 2.0) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS shorrocks_m,
+           CAST(CAST(SIGN(CAST(diag AS DOUBLE) / n)
+                     * FLOOR(ABS(CAST(diag AS DOUBLE) / n) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS immobility_share
+    FROM s
+    """,
+)
+def q692(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    spend = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(quantize("o_totalprice", 2)).cast("long").alias("spq"))
+    )
+    tiers = spend.select(
+        "o_custkey",
+        "yr",
+        F.when(F.col("spq") < 30000000, 1)
+        .when(F.col("spq") < 55000000, 2)
+        .otherwise(3)
+        .alias("tier"),
+    )
+    a = tiers.where(F.col("yr") == 1995).select(
+        "o_custkey", F.col("tier").alias("i")
+    )
+    b = tiers.where(F.col("yr") == 1996).select(
+        "o_custkey", F.col("tier").alias("j")
+    )
+    cell = tracked_persist(
+        a.join(b, "o_custkey")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rows_ = cell.groupBy("i").agg(F.sum("c").cast("long").alias("r"))
+    j = cell.join(F.broadcast(rows_), "i")
+    pd_ = F.col("c").cast("double") / F.col("r")
+    s = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        (
+            F.sum(
+                F.when(F.col("i") == F.col("j"), quantize(pd_, 9)).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).cast("double")
+            / 1e9
+        ).alias("trace"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    return s.select(
+        F.col("n").alias("n_paired"),
+        F.col("diag").alias("n_immobile"),
+        (quantize("trace", 6) / 1e6).alias("trace_p"),
+        (quantize((3.0 - F.col("trace")) / 2.0, 6) / 1e6).alias(
+            "shorrocks_m"
+        ),
+        (
+            quantize(F.col("diag").cast("double") / F.col("n"), 6) / 1e6
+        ).alias("immobility_share"),
+    )
