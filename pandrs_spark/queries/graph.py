@@ -1978,3 +1978,725 @@ def q613(spark, sf_dir):
             quantize((F.col("tr") - F.col("sab")) / (1 - F.col("sab")), 6) / 1e6
         ).alias("assortativity_r"),
     )
+
+
+# ===== Wave q693-q698: graph-topology tier III =========================
+# Public methodology: Wiener (1947) index / Latora-Marchiori (2001)
+# global efficiency, Borgatti-Everett (2000) core-periphery, Watts-
+# Strogatz (1998) small-world sigma, Burt (1992) structural-hole
+# constraint, Molloy-Reed (1995) robustness criterion, Broder et al.
+# (2000) bow-tie decomposition. All on the bounded 25-node nation
+# trade graph: distances come from the q516 multi-source BFS dataflow
+# (every root expands in ONE distributed frontier per hop — at 100 TB
+# the frontier join is the partitioned shuffle, never a per-root
+# loop); the quadratic/cubic pieces live on ≤25²/25³ bounded grids.
+
+# --- q693: Wiener index, characteristic path length and global
+# efficiency of the strong trade graph — W = Σ_{i<j} d_ij, L = mean
+# d_ij, E_glob = mean 1/d_ij: the distance-tier summary on top of
+# q516's eccentricity readout (same BFS state, different reductions). ------------
+@query(
+    "q693_wiener_efficiency",
+    oracle=f"""
+    WITH RECURSIVE {_STRONG},
+    walk(root, id, hops) AS (
+        SELECT src, src, 0 FROM und
+        UNION
+        SELECT w.root, u.dst, w.hops + 1
+        FROM walk w JOIN und u ON u.src = w.id
+        WHERE w.hops < 20
+    ),
+    dist AS MATERIALIZED (
+        SELECT root, id, CAST(MIN(hops) AS BIGINT) AS h
+        FROM walk GROUP BY root, id
+        HAVING root <> id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(h) AS BIGINT) AS sd,
+               CAST(SUM(CAST(SIGN(1.0 / h) * FLOOR(ABS(1.0 / h) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sinv
+        FROM dist
+    )
+    SELECT CAST(np // 2 AS BIGINT) AS n_pairs,
+           CAST(sd // 2 AS BIGINT) AS wiener_index,
+           CAST(CAST(SIGN(l) * FLOOR(ABS(l) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS char_path_length,
+           CAST(CAST(SIGN(e) * FLOOR(ABS(e) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS global_efficiency
+    FROM (
+        SELECT np, sd,
+               CAST(sd AS DOUBLE) / np AS l,
+               sinv / np AS e
+        FROM s
+    )
+    """,
+)
+def q693(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.graph import symmetrize
+
+    strong = _strong_edges(spark, sf_dir)
+    und = tracked_persist(symmetrize(strong))
+    verts = und.select(F.col("src").alias("id")).distinct()
+    visited = tracked_persist(
+        verts.select(F.col("id").alias("root"), "id", F.lit(0).alias("hops"))
+    )
+    frontier = visited
+    for hop in range(1, 21):
+        neighbors = (
+            und.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = tracked_persist(
+            neighbors.join(visited, ["root", "id"], "left_anti").withColumn(
+                "hops", F.lit(hop)
+            )
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    dist = visited.where(F.col("root") != F.col("id")).select(
+        F.col("hops").cast("long").alias("h")
+    )
+    s = dist.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("h").cast("long").alias("sd"),
+        (F.sum(quantize(1.0 / F.col("h"), 9)).cast("double") / 1e9).alias(
+            "sinv"
+        ),
+    )
+    return s.select(
+        (F.col("np") / 2).cast("long").alias("n_pairs"),
+        (F.col("sd") / 2).cast("long").alias("wiener_index"),
+        (quantize(F.col("sd").cast("double") / F.col("np"), 6) / 1e6).alias(
+            "char_path_length"
+        ),
+        (quantize(F.col("sinv") / F.col("np"), 6) / 1e6).alias(
+            "global_efficiency"
+        ),
+    )
+
+
+# --- q694: Borgatti-Everett (2000) core-periphery fit — sweep the
+# degree-ranked core size k, correlate the observed adjacency (over
+# all unordered vertex pairs, non-edges included) with the ideal
+# pattern "1 unless both endpoints are periphery", and report the
+# best-fitting k and its Pearson r. The sweep is a bounded 24 × 300
+# grid; correlation from exact integer sums via the shared formula. -------------
+@query(
+    "q694_core_periphery_fit",
+    oracle=f"""
+    WITH {_STRONG},
+    verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+    deg AS MATERIALIZED (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    ranked AS MATERIALIZED (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY d DESC, id) AS BIGINT)
+                   AS rk
+        FROM deg
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib,
+               ra.rk AS rka, rb.rk AS rkb,
+               CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END AS adj
+        FROM verts a
+        JOIN verts b ON a.id < b.id
+        JOIN ranked ra ON ra.id = a.id
+        JOIN ranked rb ON rb.id = b.id
+        LEFT JOIN und e ON e.src = a.id AND e.dst = b.id
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM verts),
+    sweep AS (
+        SELECT k.k,
+               COUNT(*) AS n,
+               CAST(SUM(p.adj) AS BIGINT) AS sx,
+               CAST(SUM(p.adj) AS BIGINT) AS sxx,
+               CAST(SUM(CASE WHEN p.rka <= k.k OR p.rkb <= k.k
+                        THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+               CAST(SUM(CASE WHEN p.rka <= k.k OR p.rkb <= k.k
+                        THEN 1 ELSE 0 END) AS BIGINT) AS syy,
+               CAST(SUM(CASE WHEN (p.rka <= k.k OR p.rkb <= k.k)
+                                  AND p.adj = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS sxy
+        FROM pairs p
+        CROSS JOIN (SELECT UNNEST(generate_series(1,
+                        (SELECT CAST(nv AS INTEGER) - 1 FROM nn))) AS k) k
+        GROUP BY k.k
+    ),
+    scored AS (
+        SELECT k, n,
+               (n * sxy - sx * sy)
+               / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                   AS r
+        FROM sweep
+        WHERE n * sxx > sx * sx AND n * syy > sy * sy
+    )
+    SELECT CAST(k AS BIGINT) AS core_size,
+           CAST(CAST(SIGN(r) * FLOOR(ABS(r) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS fit_r
+    FROM scored
+    ORDER BY CAST(SIGN(r) * FLOOR(ABS(r) * 1e9 + 0.5) AS BIGINT) DESC, k
+    LIMIT 1
+    """,
+)
+def q694(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.graph import symmetrize
+    from pyspark.sql import Window
+
+    strong = _strong_edges(spark, sf_dir)
+    und = tracked_persist(symmetrize(strong))
+    verts = und.select(F.col("src").alias("id")).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ranked = deg.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("d"), F.asc("id")))
+        .cast("long")
+        .alias("rk"),
+    )
+    a = verts.select(F.col("id").alias("ia"))
+    b = verts.select(F.col("id").alias("ib"))
+    ra = ranked.select(F.col("id").alias("ia"), F.col("rk").alias("rka"))
+    rb = ranked.select(F.col("id").alias("ib"), F.col("rk").alias("rkb"))
+    e = und.select(
+        F.col("src").alias("ia"), F.col("dst").alias("ib"),
+        F.lit(1).alias("adj"),
+    )
+    pairs = tracked_persist(
+        a.join(b, F.col("ia") < F.col("ib"))
+        .join(F.broadcast(ra), "ia")
+        .join(F.broadcast(rb), "ib")
+        .join(e, ["ia", "ib"], "left")
+        .na.fill({"adj": 0})
+    )
+    nn = verts.agg(F.count(F.lit(1)).cast("int").alias("nv"))
+    nv = nn.first()["nv"]
+    grid = und.sparkSession.range(1, nv).select(
+        F.col("id").cast("long").alias("k")
+    )
+    core = F.when(
+        (F.col("rka") <= F.col("k")) | (F.col("rkb") <= F.col("k")), 1
+    ).otherwise(0)
+    sweep = (
+        F.broadcast(grid)
+        .crossJoin(pairs)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("adj").cast("long").alias("sx"),
+            F.sum("adj").cast("long").alias("sxx"),
+            F.sum(core).cast("long").alias("sy"),
+            F.sum(core).cast("long").alias("syy"),
+            F.sum(core * F.col("adj")).cast("long").alias("sxy"),
+        )
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    scored = sweep.where(
+        (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select("k", r.alias("r"))
+    return (
+        scored.orderBy(quantize("r", 9).desc(), F.asc("k"))
+        .limit(1)
+        .select(
+            F.col("k").alias("core_size"),
+            (quantize("r", 6) / 1e6).alias("fit_r"),
+        )
+    )
+
+
+# --- q695: Watts-Strogatz small-world sigma — σ = (C/C_rand)/(L/L_rand)
+# with the Erdős-Rényi nulls C_rand = 2m/(n(n−1)), L_rand =
+# ln(n)/ln(k̄): σ ≫ 1 means clustered-yet-short, the small-world
+# signature. C = mean local clustering (the q97 triangle dataflow),
+# L from the q693 BFS distances — both already scale-shaped. -------------------
+@query(
+    "q695_small_world_sigma",
+    oracle=f"""
+    WITH RECURSIVE {_STRONG},
+    deg AS MATERIALIZED (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    tri AS MATERIALIZED (
+        SELECT a.src AS id, CAST(COUNT(*) AS BIGINT) AS t
+        FROM und a JOIN und b ON b.src = a.dst
+                   JOIN und c ON c.src = b.dst AND c.dst = a.src
+        GROUP BY a.src
+    ),
+    lcc AS (
+        SELECT d.id,
+               CASE WHEN d.d >= 2 THEN
+                   CAST(COALESCE(tri.t, 0) AS DOUBLE) / (d.d * (d.d - 1))
+               ELSE 0.0 END AS c
+        FROM deg d LEFT JOIN tri ON tri.id = d.id
+    ),
+    cc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(c) * FLOOR(ABS(c) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sc
+        FROM lcc
+    ),
+    m AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM und),
+    walk(root, id, hops) AS (
+        SELECT src, src, 0 FROM und
+        UNION
+        SELECT w.root, u.dst, w.hops + 1
+        FROM walk w JOIN und u ON u.src = w.id
+        WHERE w.hops < 20
+    ),
+    dist AS MATERIALIZED (
+        SELECT root, id, CAST(MIN(hops) AS BIGINT) AS h
+        FROM walk GROUP BY root, id HAVING root <> id
+    ),
+    lbar AS (
+        SELECT CAST(SUM(h) AS DOUBLE) / COUNT(*) AS l FROM dist
+    )
+    SELECT cc.n AS n_vertices, m.m AS n_edges,
+           CAST(CAST(SIGN(cobs) * FLOOR(ABS(cobs) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS clustering_obs,
+           CAST(CAST(SIGN(lbar.l) * FLOOR(ABS(lbar.l) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS path_length_obs,
+           CAST(CAST(SIGN(sigma) * FLOOR(ABS(sigma) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS small_world_sigma
+    FROM cc, m, lbar,
+         (SELECT (cc.sc / cc.n)
+                     / (2.0 * m.m / (CAST(cc.n AS DOUBLE) * (cc.n - 1)))
+                 / (lbar.l
+                    / (LN(CAST(cc.n AS DOUBLE))
+                       / LN(2.0 * m.m / CAST(cc.n AS DOUBLE)))) AS sigma,
+                 cc.sc / cc.n AS cobs
+          FROM cc, m, lbar)
+    """,
+)
+def q695(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.graph import symmetrize
+
+    strong = _strong_edges(spark, sf_dir)
+    und = tracked_persist(symmetrize(strong))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    b = und.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+    tri = (
+        und.join(b, und.dst == b.mid)
+        .join(
+            und.select(
+                F.col("src").alias("dst2"), F.col("dst").alias("back")
+            ),
+            "dst2",
+        )
+        .where(F.col("back") == F.col("src"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    lcc = deg.join(tri, "id", "left").select(
+        F.when(
+            F.col("d") >= 2,
+            F.coalesce(F.col("t"), F.lit(0)).cast("double")
+            / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("c")
+    )
+    cc = lcc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("c", 9)).cast("double") / 1e9).alias("sc"),
+    )
+    m = und.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    verts = und.select(F.col("src").alias("id")).distinct()
+    visited = tracked_persist(
+        verts.select(F.col("id").alias("root"), "id", F.lit(0).alias("hops"))
+    )
+    frontier = visited
+    for hop in range(1, 21):
+        neighbors = (
+            und.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = tracked_persist(
+            neighbors.join(visited, ["root", "id"], "left_anti").withColumn(
+                "hops", F.lit(hop)
+            )
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    lbar = (
+        visited.where(F.col("root") != F.col("id"))
+        .agg(
+            (
+                F.sum(F.col("hops").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("l")
+        )
+    )
+    j = cc.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(lbar))
+    cobs = F.col("sc") / F.col("n")
+    crand = 2.0 * F.col("m") / (F.col("n").cast("double") * (F.col("n") - 1))
+    lrand = F.log(F.col("n").cast("double")) / F.log(
+        2.0 * F.col("m") / F.col("n").cast("double")
+    )
+    sigma = (cobs / crand) / (F.col("l") / lrand)
+    return j.select(
+        F.col("n").alias("n_vertices"),
+        F.col("m").alias("n_edges"),
+        (quantize(cobs, 6) / 1e6).alias("clustering_obs"),
+        (quantize("l", 6) / 1e6).alias("path_length_obs"),
+        (quantize(sigma, 6) / 1e6).alias("small_world_sigma"),
+    )
+
+
+# --- q696: Burt (1992) structural-hole constraint on the weighted
+# trade graph — C_i = Σ_j (p_ij + Σ_q p_iq·p_qj)², p = row-normalized
+# symmetrized trade weights: LOW constraint marks the broker nations
+# whose partners don't trade with each other. The two-hop term is the
+# 25³-bounded p⋈p self-join. Reports the 5 least-constrained
+# (best-brokering) nations. --------------------------------------------------------
+@query(
+    "q696_burt_constraint_brokers",
+    oracle=f"""
+    WITH {_TRADE},
+    und AS MATERIALIZED (
+        SELECT src, dst, CAST(SUM(cnt) AS BIGINT) AS w
+        FROM (
+            SELECT src, dst, cnt FROM trade
+            UNION ALL
+            SELECT dst AS src, src AS dst, cnt FROM trade
+        ) t
+        WHERE src <> dst
+        GROUP BY src, dst
+    ),
+    rowsum AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM und GROUP BY src
+    ),
+    p AS MATERIALIZED (
+        SELECT u.src AS i, u.dst AS j,
+               CAST(u.w AS DOUBLE) / r.tw AS p
+        FROM und u JOIN rowsum r ON r.src = u.src
+    ),
+    twohop AS MATERIALIZED (
+        SELECT a.i, b.j,
+               CAST(SUM(CAST(SIGN(a.p * b.p)
+                             * FLOOR(ABS(a.p * b.p) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS pq
+        FROM p a JOIN p b ON b.i = a.j
+        WHERE a.i <> b.j
+        GROUP BY a.i, b.j
+    ),
+    terms AS (
+        SELECT d.i, d.j,
+               (COALESCE(p.p, 0.0) + COALESCE(t.pq, 0.0))
+               * (COALESCE(p.p, 0.0) + COALESCE(t.pq, 0.0)) AS c
+        FROM (SELECT DISTINCT i, j FROM (
+                  SELECT i, j FROM p UNION ALL SELECT i, j FROM twohop)) d
+        LEFT JOIN p ON p.i = d.i AND p.j = d.j
+        LEFT JOIN twohop t ON t.i = d.i AND t.j = d.j
+    ),
+    cons AS (
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(SIGN(c) * FLOOR(ABS(c) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS ci
+        FROM terms JOIN nation n ON n.n_nationkey = terms.i
+        GROUP BY nation
+    )
+    SELECT nation,
+           CAST(CAST(SIGN(ci) * FLOOR(ABS(ci) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS constraint_c
+    FROM cons
+    ORDER BY CAST(SIGN(ci) * FLOOR(ABS(ci) * 1e9 + 0.5) AS BIGINT) ASC,
+             nation
+    LIMIT 5
+    """,
+)
+def q696(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    trade = _trade_edges(spark, sf_dir)
+    nat = T(spark, sf_dir, "nation")
+    rev = trade.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "cnt"
+    )
+    und = (
+        trade.unionAll(rev)
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").cast("long").alias("w"))
+    )
+    und = tracked_persist(und)
+    rowsum = und.groupBy("src").agg(F.sum("w").cast("long").alias("tw"))
+    p = tracked_persist(
+        und.join(rowsum, "src").select(
+            F.col("src").alias("i"),
+            F.col("dst").alias("j"),
+            (F.col("w").cast("double") / F.col("tw")).alias("p"),
+        )
+    )
+    pb = p.select(
+        F.col("i").alias("j0"), F.col("j").alias("j"), F.col("p").alias("pb")
+    )
+    twohop = (
+        p.select(F.col("i"), F.col("j").alias("j0"), F.col("p").alias("pa"))
+        .join(pb, "j0")
+        .where(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum(quantize(F.col("pa") * F.col("pb"), 9)).cast("double")
+                / 1e9
+            ).alias("pq")
+        )
+    )
+    d = (
+        p.select("i", "j")
+        .unionAll(twohop.select("i", "j"))
+        .distinct()
+    )
+    terms = (
+        d.join(p, ["i", "j"], "left")
+        .join(twohop, ["i", "j"], "left")
+        .select(
+            "i",
+            (
+                (F.coalesce(F.col("p"), F.lit(0.0))
+                 + F.coalesce(F.col("pq"), F.lit(0.0)))
+                * (F.coalesce(F.col("p"), F.lit(0.0))
+                   + F.coalesce(F.col("pq"), F.lit(0.0)))
+            ).alias("c"),
+        )
+    )
+    cons = (
+        terms.join(
+            F.broadcast(nat), terms.i == nat.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(quantize("c", 9)).cast("double") / 1e9).alias("ci")
+        )
+    )
+    return (
+        cons.orderBy(quantize("ci", 9).asc(), F.asc("nation"))
+        .limit(5)
+        .select(
+            "nation", (quantize("ci", 6) / 1e6).alias("constraint_c")
+        )
+    )
+
+
+# --- q697: Molloy-Reed (1995) robustness criterion — κ = ⟨k²⟩/⟨k⟩ of
+# the strong trade graph: a giant component survives random failure
+# while κ > 2, and the percolation threshold is f_c = 1 − 1/(κ−1)
+# (Cohen et al. 2000): the closed-form companion to q467's empirical
+# attack simulation. Exact degree-moment sums. -----------------------------------
+@query(
+    "q697_molloy_reed_percolation",
+    oracle=f"""
+    WITH {_STRONG},
+    deg AS (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS s1,
+               CAST(SUM(d * d) AS BIGINT) AS s2
+        FROM deg
+    )
+    SELECT n AS n_vertices, CAST(s1 // 2 AS BIGINT) AS n_edges,
+           CAST(CAST(SIGN(kap) * FLOOR(ABS(kap) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS kappa,
+           CAST(CAST(SIGN(fc) * FLOOR(ABS(fc) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS percolation_threshold,
+           CASE WHEN kap > 2 THEN 1 ELSE 0 END AS has_giant_component
+    FROM (
+        SELECT n, s1,
+               CAST(s2 AS DOUBLE) / s1 AS kap,
+               1.0 - 1.0 / (CAST(s2 AS DOUBLE) / s1 - 1.0) AS fc
+        FROM s
+    )
+    """,
+)
+def q697(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.graph import symmetrize
+
+    strong = _strong_edges(spark, sf_dir)
+    und = symmetrize(strong)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    s = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+    )
+    kap = F.col("s2").cast("double") / F.col("s1")
+    return s.select(
+        F.col("n").alias("n_vertices"),
+        (F.col("s1") / 2).cast("long").alias("n_edges"),
+        (quantize(kap, 6) / 1e6).alias("kappa"),
+        (quantize(1.0 - 1.0 / (kap - 1.0), 6) / 1e6).alias(
+            "percolation_threshold"
+        ),
+        F.when(kap > 2, 1).otherwise(0).cast("int").alias(
+            "has_giant_component"
+        ),
+    )
+
+
+# --- q698: Broder et al. (2000) bow-tie decomposition of the DIRECTED
+# strong trade graph — the largest strongly-connected CORE, the IN set
+# (reaches the core), the OUT set (reached from the core) and the
+# remainder: the web-graph macro-structure applied to trade flow
+# directionality. Mutual-reachability pairs come from one directed
+# multi-source BFS (the q516 dataflow on directed edges); all set
+# algebra is bounded joins. --------------------------------------------------------
+@query(
+    "q698_bowtie_decomposition",
+    oracle=f"""
+    WITH RECURSIVE {_STRONG},
+    verts AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM strong UNION ALL SELECT dst FROM strong)
+    ),
+    walk(root, id) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT w.root, e.dst
+        FROM walk w JOIN strong e ON e.src = w.id
+    ),
+    reach AS MATERIALIZED (SELECT DISTINCT root, id FROM walk),
+    mutual AS MATERIALIZED (
+        SELECT a.root AS u, a.id AS v
+        FROM reach a JOIN reach b ON b.root = a.id AND b.id = a.root
+    ),
+    sccsize AS MATERIALIZED (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS sz FROM mutual GROUP BY u
+    ),
+    core AS MATERIALIZED (
+        SELECT m.v AS id
+        FROM mutual m
+        WHERE m.u = (
+            SELECT u FROM sccsize ORDER BY sz DESC, u LIMIT 1
+        )
+    ),
+    inset AS (
+        SELECT DISTINCT r.root AS id
+        FROM reach r JOIN core c ON c.id = r.id
+        WHERE r.root NOT IN (SELECT id FROM core)
+    ),
+    outset AS (
+        SELECT DISTINCT r.id
+        FROM reach r JOIN core c ON c.id = r.root
+        WHERE r.id NOT IN (SELECT id FROM core)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM core) AS core_size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM inset) AS in_size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM outset) AS out_size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM verts)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM core)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM inset)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM outset)
+               AS tendril_size
+    """,
+)
+def q698(spark, sf_dir):
+    strong = tracked_persist(_strong_edges(spark, sf_dir))
+    verts = tracked_persist(
+        strong.select(F.col("src").alias("id"))
+        .unionAll(strong.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    visited = tracked_persist(
+        verts.select(F.col("id").alias("root"), "id")
+    )
+    frontier = visited
+    for _ in range(1, 26):
+        neighbors = (
+            strong.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_frontier = tracked_persist(
+            neighbors.join(visited, ["root", "id"], "left_anti")
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        visited = visited.union(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    reach = visited
+    back = reach.select(
+        F.col("root").alias("id"), F.col("id").alias("root")
+    )
+    mutual = tracked_persist(
+        reach.join(back, ["root", "id"]).select(
+            F.col("root").alias("u"), F.col("id").alias("v")
+        )
+    )
+    sccsize = mutual.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    top = sccsize.orderBy(F.desc("sz"), F.asc("u")).limit(1).select("u")
+    core = tracked_persist(
+        mutual.join(F.broadcast(top), "u").select(F.col("v").alias("id"))
+        .distinct()
+    )
+    from pandrs_spark.operators.joins import anti_join as _aj
+
+    inset = (
+        reach.join(core.withColumnRenamed("id", "cid"),
+                   reach.id == F.col("cid"))
+        .select(F.col("root").alias("id"))
+        .distinct()
+        .join(core, "id", "left_anti")
+    )
+    outset = (
+        reach.join(core.withColumnRenamed("id", "cid"),
+                   reach.root == F.col("cid"))
+        .select("id")
+        .distinct()
+        .join(core, "id", "left_anti")
+    )
+    nv = verts.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    cs = core.agg(F.count(F.lit(1)).cast("long").alias("core_size"))
+    ins = inset.agg(F.count(F.lit(1)).cast("long").alias("in_size"))
+    outs = outset.agg(F.count(F.lit(1)).cast("long").alias("out_size"))
+    j = (
+        nv.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(ins))
+        .crossJoin(F.broadcast(outs))
+    )
+    return j.select(
+        "n_vertices",
+        "core_size",
+        "in_size",
+        "out_size",
+        (
+            F.col("n_vertices")
+            - F.col("core_size")
+            - F.col("in_size")
+            - F.col("out_size")
+        ).alias("tendril_size"),
+    )
