@@ -2402,3 +2402,464 @@ def q662(spark, sf_dir):
         F.col("n").alias("n_ratings"),
         (quantize(alpha, 6) / 1e6).alias("kripp_alpha"),
     )
+
+
+# --- q699: two-sample energy distance (Székely & Rizzo 2004) between
+# FURNITURE and AUTOMOBILE account balances — in 1-D the energy
+# distance reduces EXACTLY to D² = 2·∫(F−G)² dx, so one distinct-value
+# histogram + one prefix pass + one rank-adjacent join (for the Δx
+# segment widths) computes it with no pairwise |X−Y| explosion; the
+# test statistic is T = n₁n₂/(n₁+n₂)·D². -----------------------------------------
+@query(
+    "q699_energy_distance_segments",
+    oracle="""
+    WITH two AS (
+        SELECT c_acctbal AS v,
+               CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 2 END AS g
+        FROM customer
+        WHERE c_mktsegment IN ('FURNITURE', 'AUTOMOBILE')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM two GROUP BY v
+    ),
+    pref AS MATERIALIZED (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r,
+               CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+        FROM per_v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM per_v
+    ),
+    seg AS (
+        SELECT (CAST(a.cum1 AS DOUBLE) / t.n1
+                - CAST(a.cum2 AS DOUBLE) / t.n2)
+               * (CAST(a.cum1 AS DOUBLE) / t.n1
+                  - CAST(a.cum2 AS DOUBLE) / t.n2)
+               * (b.v - a.v) AS term
+        FROM pref a JOIN pref b ON b.r = a.r + 1 CROSS JOIN tot t
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e6 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e6 AS integ
+        FROM seg
+    )
+    SELECT t.n1, t.n2,
+           CAST(CAST(SIGN(d2) * FLOOR(ABS(d2) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS energy_d2,
+           CAST(CAST(SIGN(st) * FLOOR(ABS(st) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS energy_stat
+    FROM tot t, s,
+         (SELECT 2.0 * s.integ AS d2,
+                 (CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2))
+                     * 2.0 * s.integ AS st
+          FROM s, tot t)
+    """,
+)
+def q699(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    cust = T(spark, sf_dir, "customer")
+    two = cust.where(
+        F.col("c_mktsegment").isin("FURNITURE", "AUTOMOBILE")
+    ).select(
+        F.col("c_acctbal").alias("v"),
+        F.when(F.col("c_mktsegment") == "FURNITURE", 1)
+        .otherwise(2)
+        .alias("g"),
+    )
+    per_v = two.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    ).withColumn("one", F.lit(1).cast("long"))
+    pref = tracked_persist(
+        global_prefix_counts(
+            per_v, [F.asc("v")], {"r": "one", "cum1": "c1", "cum2": "c2"}
+        )
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    nxt = pref.select((F.col("r") - 1).alias("r"), F.col("v").alias("vn"))
+    seg = (
+        pref.join(nxt, "r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+                * (
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+                * (F.col("vn") - F.col("v"))
+            ).alias("term")
+        )
+    )
+    s = seg.agg(
+        (F.sum(quantize("term", 6)).cast("double") / 1e6).alias("integ")
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    d2 = 2.0 * F.col("integ")
+    st = (
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    ) * d2
+    return j.select(
+        "n1",
+        "n2",
+        (quantize(d2, 6) / 1e6).alias("energy_d2"),
+        (quantize(st, 6) / 1e6).alias("energy_stat"),
+    )
+
+
+# --- q700: Quade (1979) test on the year × quarter revenue layout —
+# the block-weighted Friedman variant: blocks (years) are weighted by
+# the RANK of their within-block range, so high-signal years count
+# more; F = (b−1)·B/(A−B) with S_bq = Q_b·(r_bq − (k+1)/2). Sharpens
+# q659's Page test when block scales differ. All frames are the
+# bounded 7×4 calendar grid. -------------------------------------------------------
+@query(
+    "q700_quade_test_quarters",
+    oracle="""
+    WITH qrev AS MATERIALIZED (
+        SELECT EXTRACT(year FROM l_shipdate) AS yr,
+               EXTRACT(quarter FROM l_shipdate) AS q,
+               CAST(SUM(CAST(SIGN(l_extendedprice)
+                             * FLOOR(ABS(l_extendedprice) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revq
+        FROM lineitem GROUP BY yr, q
+    ),
+    full_years AS (
+        SELECT yr FROM qrev GROUP BY yr HAVING COUNT(*) = 4
+    ),
+    ranked AS MATERIALIZED (
+        SELECT q.yr, q.q,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.yr
+                                       ORDER BY q.revq, q.q) AS BIGINT) AS r
+        FROM qrev q JOIN full_years f ON f.yr = q.yr
+    ),
+    ranges AS MATERIALIZED (
+        SELECT q.yr, MAX(q.revq) - MIN(q.revq) AS rng
+        FROM qrev q JOIN full_years f ON f.yr = q.yr
+        GROUP BY q.yr
+    ),
+    qb AS MATERIALIZED (
+        SELECT yr, CAST(ROW_NUMBER() OVER (ORDER BY rng, yr) AS BIGINT) AS qw
+        FROM ranges
+    ),
+    sbq AS MATERIALIZED (
+        SELECT r.yr, r.q,
+               CAST(qb.qw AS DOUBLE) * (r.r - 2.5) AS s
+        FROM ranked r JOIN qb ON qb.yr = r.yr
+    ),
+    agg_ AS (
+        SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS b,
+               CAST(SUM(CAST(SIGN(s * s) * FLOOR(ABS(s * s) * 1e2 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e2 AS a
+        FROM sbq
+    ),
+    persq AS (
+        SELECT q, CAST(SUM(CAST(SIGN(s) * FLOOR(ABS(s) * 1e2 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e2 AS sq
+        FROM sbq GROUP BY q
+    ),
+    bsum AS (
+        SELECT CAST(SUM(CAST(SIGN(sq * sq) * FLOOR(ABS(sq * sq) * 1e2 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e2 AS bb
+        FROM persq
+    )
+    SELECT agg_.b AS n_years,
+           CAST(CAST(SIGN(bn) * FLOOR(ABS(bn) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS quade_b,
+           CASE WHEN agg_.a > bn THEN
+               CAST(CAST(SIGN((agg_.b - 1) * bn / (agg_.a - bn))
+                         * FLOOR(ABS((agg_.b - 1) * bn / (agg_.a - bn))
+                                 * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6
+           END AS quade_f
+    FROM agg_, (SELECT bb / (SELECT b FROM agg_) AS bn FROM bsum)
+    """,
+)
+def q700(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    qrev = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.quarter("l_shipdate").alias("q")
+    ).agg(F.sum(quantize("l_extendedprice", 2)).cast("long").alias("revq"))
+    full_years = (
+        qrev.groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") == 4)
+        .select("yr")
+    )
+    qf = tracked_persist(qrev.join(F.broadcast(full_years), "yr"))
+    ranked = qf.select(
+        "yr",
+        "q",
+        F.row_number()
+        .over(Window.partitionBy("yr").orderBy("revq", "q"))
+        .cast("long")
+        .alias("r"),
+    )
+    ranges = qf.groupBy("yr").agg(
+        (F.max("revq") - F.min("revq")).alias("rng")
+    )
+    qb = ranges.select(
+        "yr",
+        F.row_number()
+        .over(Window.orderBy("rng", "yr"))
+        .cast("long")
+        .alias("qw"),
+    )
+    sbq = tracked_persist(
+        ranked.join(F.broadcast(qb), "yr").select(
+            "yr",
+            "q",
+            (F.col("qw").cast("double") * (F.col("r") - 2.5)).alias("s"),
+        )
+    )
+    agg_ = sbq.agg(
+        F.countDistinct("yr").cast("long").alias("b"),
+        (
+            F.sum(quantize(F.col("s") * F.col("s"), 2)).cast("double") / 1e2
+        ).alias("a"),
+    )
+    persq = sbq.groupBy("q").agg(
+        (F.sum(quantize("s", 2)).cast("double") / 1e2).alias("sq")
+    )
+    bsum = persq.agg(
+        (
+            F.sum(quantize(F.col("sq") * F.col("sq"), 2)).cast("double") / 1e2
+        ).alias("bb")
+    )
+    j = agg_.crossJoin(F.broadcast(bsum))
+    bn = F.col("bb") / F.col("b")
+    fstat = (F.col("b") - 1) * bn / (F.col("a") - bn)
+    return j.select(
+        F.col("b").alias("n_years"),
+        (quantize(bn, 6) / 1e6).alias("quade_b"),
+        F.when(F.col("a") > bn, quantize(fstat, 6) / 1e6).alias("quade_f"),
+    )
+
+
+# --- q701: D'Agostino-Pearson K² omnibus normality test of account
+# balances — the scipy.stats.normaltest twin: skewness via the
+# D'Agostino (1970) Z₁ transformation, kurtosis via Anscombe-Glynn
+# (1983) Z₂, K² = Z₁² + Z₂² ~ χ²(2). The entire transformation tree is
+# closed-form double arithmetic SHARED VERBATIM between engines on top
+# of the q487-style exact central moments. ----------------------------------------
+@query(
+    "q701_dagostino_k2",
+    oracle="""
+    WITH x AS (SELECT CAST(c_acctbal AS DOUBLE) / 1e4 AS v FROM customer),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(v) * FLOOR(ABS(v) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS s1
+        FROM x
+    ),
+    cm AS (
+        SELECT (SELECT n FROM m) AS n,
+               CAST(SUM(CAST(SIGN((v - (SELECT s1 / n FROM m))
+                                  * (v - (SELECT s1 / n FROM m)))
+                             * FLOOR(ABS((v - (SELECT s1 / n FROM m))
+                                         * (v - (SELECT s1 / n FROM m)))
+                                     * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS m2,
+               CAST(SUM(CAST(SIGN((v - (SELECT s1 / n FROM m))
+                                  * (v - (SELECT s1 / n FROM m))
+                                  * (v - (SELECT s1 / n FROM m)))
+                             * FLOOR(ABS((v - (SELECT s1 / n FROM m))
+                                         * (v - (SELECT s1 / n FROM m))
+                                         * (v - (SELECT s1 / n FROM m)))
+                                     * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS m3,
+               CAST(SUM(CAST(SIGN((v - (SELECT s1 / n FROM m))
+                                  * (v - (SELECT s1 / n FROM m))
+                                  * (v - (SELECT s1 / n FROM m))
+                                  * (v - (SELECT s1 / n FROM m)))
+                             * FLOOR(ABS((v - (SELECT s1 / n FROM m))
+                                         * (v - (SELECT s1 / n FROM m))
+                                         * (v - (SELECT s1 / n FROM m))
+                                         * (v - (SELECT s1 / n FROM m)))
+                                     * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS m4
+        FROM x
+    ),
+    g AS (
+        SELECT n,
+               (m3 / n) / POW(m2 / n, 1.5) AS g1,
+               (m4 / n) / ((m2 / n) * (m2 / n)) AS b2
+        FROM cm
+    ),
+    z1 AS (
+        SELECT n, g1, b2,
+               g1 * SQRT((CAST(n AS DOUBLE) + 1) * (n + 3)
+                         / (6.0 * (n - 2))) AS y,
+               3.0 * (CAST(n AS DOUBLE) * n + 27 * n - 70) * (n + 1) * (n + 3)
+                   / ((CAST(n AS DOUBLE) - 2) * (n + 5) * (n + 7) * (n + 9))
+                   AS beta2
+        FROM g
+    ),
+    z1b AS (
+        SELECT n, g1, b2, y,
+               SQRT(2.0 * (beta2 - 1)) - 1.0 AS w2
+        FROM z1
+    ),
+    z1c AS (
+        SELECT n, g1, b2,
+               (1.0 / SQRT(LN(SQRT(w2))))
+               * LN(y / SQRT(2.0 / (w2 - 1))
+                    + SQRT((y / SQRT(2.0 / (w2 - 1)))
+                           * (y / SQRT(2.0 / (w2 - 1))) + 1.0)) AS zg1
+        FROM z1b
+    ),
+    z2a AS (
+        SELECT n, g1, b2, zg1,
+               3.0 * (CAST(n AS DOUBLE) - 1) / (n + 1) AS eb2,
+               24.0 * n * (CAST(n AS DOUBLE) - 2) * (n - 3)
+                   / ((CAST(n AS DOUBLE) + 1) * (n + 1) * (n + 3) * (n + 5))
+                   AS vb2,
+               (6.0 * (CAST(n AS DOUBLE) * n - 5 * n + 2) / ((n + 7) * (n + 9)))
+                   * SQRT(6.0 * (CAST(n AS DOUBLE) + 3) * (n + 5)
+                          / (CAST(n AS DOUBLE) * (n - 2) * (n - 3))) AS sb1
+        FROM z1c
+    ),
+    z2b AS (
+        SELECT n, g1, b2, zg1,
+               (b2 - eb2) / SQRT(vb2) AS xx,
+               6.0 + (8.0 / sb1) * (2.0 / sb1
+                   + SQRT(1.0 + 4.0 / (sb1 * sb1))) AS aa
+        FROM z2a
+    ),
+    z2c AS (
+        SELECT n, g1, b2, zg1,
+               ((1.0 - 2.0 / (9.0 * aa))
+                - POW((1.0 - 2.0 / aa)
+                      / (1.0 + xx * SQRT(2.0 / (aa - 4.0))), 1.0 / 3.0))
+               / SQRT(2.0 / (9.0 * aa)) AS zb2
+        FROM z2b
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(CAST(SIGN(zg1) * FLOOR(ABS(zg1) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS z_skew,
+           CAST(CAST(SIGN(zb2) * FLOOR(ABS(zb2) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS z_kurt,
+           CAST(CAST(SIGN(zg1 * zg1 + zb2 * zb2)
+                     * FLOOR(ABS(zg1 * zg1 + zb2 * zb2) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS k2_stat
+    FROM z2c
+    """,
+)
+def q701(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    x = cust.select((F.col("c_acctbal").cast("double") / 1e4).alias("v"))
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("v", 9)).cast("double") / 1e9).alias("s1"),
+    )
+    dev = F.col("v") - F.col("s1") / F.col("n")
+    cm = x.crossJoin(F.broadcast(m)).agg(
+        F.first("n").alias("n"),
+        (F.sum(quantize(dev * dev, 9)).cast("double") / 1e9).alias("m2"),
+        (F.sum(quantize(dev * dev * dev, 9)).cast("double") / 1e9).alias("m3"),
+        (
+            F.sum(quantize(dev * dev * dev * dev, 9)).cast("double") / 1e9
+        ).alias("m4"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    g1 = (F.col("m3") / n) / F.pow(F.col("m2") / n, 1.5)
+    b2 = (F.col("m4") / n) / ((F.col("m2") / n) * (F.col("m2") / n))
+    g = cm.select(n.alias("n"), g1.alias("g1"), b2.alias("b2"))
+    nd = F.col("n").cast("double")
+    y = F.col("g1") * F.sqrt(
+        (nd + 1) * (F.col("n") + 3) / (6.0 * (F.col("n") - 2))
+    )
+    beta2 = (
+        3.0
+        * (nd * F.col("n") + 27 * F.col("n") - 70)
+        * (F.col("n") + 1)
+        * (F.col("n") + 3)
+        / (
+            (nd - 2)
+            * (F.col("n") + 5)
+            * (F.col("n") + 7)
+            * (F.col("n") + 9)
+        )
+    )
+    z1 = g.select("n", "g1", "b2", y.alias("y"), beta2.alias("beta2"))
+    z1b = z1.select(
+        "n", "g1", "b2", "y",
+        (F.sqrt(2.0 * (F.col("beta2") - 1)) - 1.0).alias("w2"),
+    )
+    ya = F.col("y") / F.sqrt(2.0 / (F.col("w2") - 1))
+    zg1 = (1.0 / F.sqrt(F.log(F.sqrt(F.col("w2"))))) * F.log(
+        ya + F.sqrt(ya * ya + 1.0)
+    )
+    z1c = z1b.select("n", "g1", "b2", zg1.alias("zg1"))
+    nd = F.col("n").cast("double")
+    eb2 = 3.0 * (nd - 1) / (F.col("n") + 1)
+    vb2 = (
+        24.0
+        * F.col("n")
+        * (nd - 2)
+        * (F.col("n") - 3)
+        / (
+            (nd + 1)
+            * (F.col("n") + 1)
+            * (F.col("n") + 3)
+            * (F.col("n") + 5)
+        )
+    )
+    sb1 = (
+        6.0
+        * (nd * F.col("n") - 5 * F.col("n") + 2)
+        / ((F.col("n") + 7) * (F.col("n") + 9))
+    ) * F.sqrt(
+        6.0
+        * (nd + 3)
+        * (F.col("n") + 5)
+        / (nd * (F.col("n") - 2) * (F.col("n") - 3))
+    )
+    z2a = z1c.select(
+        "n", "g1", "b2", "zg1",
+        eb2.alias("eb2"), vb2.alias("vb2"), sb1.alias("sb1"),
+    )
+    xx = (F.col("b2") - F.col("eb2")) / F.sqrt(F.col("vb2"))
+    aa = 6.0 + (8.0 / F.col("sb1")) * (
+        2.0 / F.col("sb1")
+        + F.sqrt(1.0 + 4.0 / (F.col("sb1") * F.col("sb1")))
+    )
+    z2b = z2a.select("n", "g1", "b2", "zg1", xx.alias("xx"), aa.alias("aa"))
+    zb2 = (
+        (1.0 - 2.0 / (9.0 * F.col("aa")))
+        - F.pow(
+            (1.0 - 2.0 / F.col("aa"))
+            / (1.0 + F.col("xx") * F.sqrt(2.0 / (F.col("aa") - 4.0))),
+            1.0 / 3.0,
+        )
+    ) / F.sqrt(2.0 / (9.0 * F.col("aa")))
+    z2c = z2b.select("n", "zg1", zb2.alias("zb2"))
+    return z2c.select(
+        F.col("n").alias("n_customers"),
+        (quantize("zg1", 6) / 1e6).alias("z_skew"),
+        (quantize("zb2", 6) / 1e6).alias("z_kurt"),
+        (
+            quantize(
+                F.col("zg1") * F.col("zg1") + F.col("zb2") * F.col("zb2"), 6
+            )
+            / 1e6
+        ).alias("k2_stat"),
+    )

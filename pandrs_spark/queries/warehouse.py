@@ -4827,3 +4827,283 @@ def q536(spark, sf_dir):
         .alias("n_removable"),
         F.coalesce(F.max("n_orders"), F.lit(0)).cast("long").alias("max_group"),
     )
+
+
+# --- q702: quantile-based shape statistics of customer spend —
+# Bowley (1920) skewness (Q₁+Q₃−2·Q₂)/(Q₃−Q₁) and Moors (1988)
+# kurtosis ((E₇−E₅)+(E₃−E₁))/(Q₃−Q₁) from EXACT distributed octiles
+# (the q499 prefix machinery, boundaries ⌈i·N/8⌉): the outlier-immune
+# complements of the moment-based q487/q701 shape tests. ------------------------
+@query(
+    "q702_bowley_moors_shape",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS BIGINT) AS yq
+        FROM orders GROUP BY o_custkey
+    ),
+    pref AS MATERIALIZED (
+        SELECT yq,
+               CAST(SUM(cnt) OVER (ORDER BY yq) AS BIGINT) AS cum_n
+        FROM (
+            SELECT yq, CAST(COUNT(*) AS BIGINT) AS cnt FROM rev GROUP BY yq
+        )
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rev),
+    grid AS (SELECT UNNEST(generate_series(1, 7)) AS i),
+    oct_ AS MATERIALIZED (
+        SELECT g.i, p.v
+        FROM grid g, tot t,
+             LATERAL (
+                 SELECT CAST(yq AS DOUBLE) / 100.0 AS v
+                 FROM pref
+                 WHERE cum_n >= CAST(CEIL(g.i * t.n / 8.0) AS BIGINT)
+                 ORDER BY cum_n LIMIT 1
+             ) p
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN i = 1 THEN v END) AS e1,
+               MAX(CASE WHEN i = 2 THEN v END) AS q1,
+               MAX(CASE WHEN i = 3 THEN v END) AS e3,
+               MAX(CASE WHEN i = 4 THEN v END) AS q2,
+               MAX(CASE WHEN i = 5 THEN v END) AS e5,
+               MAX(CASE WHEN i = 6 THEN v END) AS q3,
+               MAX(CASE WHEN i = 7 THEN v END) AS e7
+        FROM oct_
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           CAST({sql_quantize('(q1 + q3 - 2.0 * q2) / (q3 - q1)', 6)}
+                AS DOUBLE) / 1e6 AS bowley_skew,
+           CAST({sql_quantize('((e7 - e5) + (e3 - e1)) / (q3 - q1)', 6)}
+                AS DOUBLE) / 1e6 AS moors_kurtosis
+    FROM w
+    """,
+)
+def q702(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(quantize("o_totalprice", 2)).cast("long").alias("yq")
+    )
+    hist = rev.groupBy("yq").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pref = tracked_persist(
+        global_prefix_counts(hist, [F.asc("yq")], {"cum_n": "cnt"})
+    )
+    tot = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = orders.sparkSession.range(1, 8).select(
+        F.col("id").cast("int").alias("i")
+    )
+    j = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            pref,
+            F.col("cum_n")
+            >= F.ceil(F.col("i") * F.col("n") / 8.0).cast("long"),
+        )
+    )
+    oct_ = j.groupBy("i", "n").agg(
+        (F.min_by("yq", "cum_n").cast("double") / 100.0).alias("v")
+    )
+    w = oct_.groupBy("n").agg(
+        F.max(F.when(F.col("i") == 1, F.col("v"))).alias("e1"),
+        F.max(F.when(F.col("i") == 2, F.col("v"))).alias("q1"),
+        F.max(F.when(F.col("i") == 3, F.col("v"))).alias("e3"),
+        F.max(F.when(F.col("i") == 4, F.col("v"))).alias("q2"),
+        F.max(F.when(F.col("i") == 5, F.col("v"))).alias("e5"),
+        F.max(F.when(F.col("i") == 6, F.col("v"))).alias("q3"),
+        F.max(F.when(F.col("i") == 7, F.col("v"))).alias("e7"),
+    )
+    bowley = (F.col("q1") + F.col("q3") - 2.0 * F.col("q2")) / (
+        F.col("q3") - F.col("q1")
+    )
+    moors = ((F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1"))) / (
+        F.col("q3") - F.col("q1")
+    )
+    return w.select(
+        F.col("n").alias("n_customers"),
+        (quantize(bowley, 6) / 1e6).alias("bowley_skew"),
+        (quantize(moors, 6) / 1e6).alias("moors_kurtosis"),
+    )
+
+
+# --- q703: Theil T inequality DECOMPOSED between and within regions —
+# T = T_between + Σ_g s_g·T_g exactly (the additive decomposability
+# that makes Theil the inequality index of choice for drill-downs):
+# which share of spend inequality is regional structure vs within-
+# region dispersion? Per-customer terms quantized; group shares exact. ----------
+@query(
+    "q703_theil_decomposition_regions",
+    oracle=f"""
+    WITH spend AS MATERIALIZED (
+        SELECT r.r_name AS reg,
+               CAST(SUM({sql_quantize('o.o_totalprice', 2)}) AS BIGINT) AS yq
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY o.o_custkey, reg
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yq) AS BIGINT) AS ty
+        FROM spend
+    ),
+    tt AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(CAST(yq AS DOUBLE) / t.ty)'
+                   ' * LN((CAST(yq AS DOUBLE) / t.ty) * t.n)', 9)})
+                    AS DOUBLE) / 1e9 AS t_total
+        FROM spend, tot t
+    ),
+    grp AS MATERIALIZED (
+        SELECT reg, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(yq) AS BIGINT) AS yg
+        FROM spend GROUP BY reg
+    ),
+    tb AS (
+        SELECT CAST(SUM({sql_quantize(
+                   '(CAST(g.yg AS DOUBLE) / t.ty)'
+                   ' * LN((CAST(g.yg AS DOUBLE) / t.ty)'
+                   '      / (CAST(g.ng AS DOUBLE) / t.n))', 9)})
+                    AS DOUBLE) / 1e9 AS t_between
+        FROM grp g, tot t
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           CAST({sql_quantize('tt.t_total', 6)} AS DOUBLE) / 1e6
+               AS theil_total,
+           CAST({sql_quantize('tb.t_between', 6)} AS DOUBLE) / 1e6
+               AS theil_between,
+           CAST({sql_quantize('tt.t_total - tb.t_between', 6)}
+                AS DOUBLE) / 1e6 AS theil_within,
+           CAST({sql_quantize('tb.t_between / tt.t_total', 6)}
+                AS DOUBLE) / 1e6 AS between_share
+    FROM tt, tb
+    """,
+)
+def q703(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    spend = tracked_persist(
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("o_custkey", F.col("r_name").alias("reg"))
+        .agg(F.sum(quantize("o_totalprice", 2)).cast("long").alias("yq"))
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("ty"),
+    )
+    share = F.col("yq").cast("double") / F.col("ty")
+    tt = spend.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(quantize(share * F.log(share * F.col("n")), 9)).cast(
+                "double"
+            )
+            / 1e9
+        ).alias("t_total")
+    )
+    grp = spend.groupBy("reg").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("yq").cast("long").alias("yg"),
+    )
+    gs = F.col("yg").cast("double") / F.col("ty")
+    ns = F.col("ng").cast("double") / F.col("n")
+    tb = grp.crossJoin(F.broadcast(tot)).agg(
+        (F.sum(quantize(gs * F.log(gs / ns), 9)).cast("double") / 1e9).alias(
+            "t_between"
+        )
+    )
+    j = tt.crossJoin(F.broadcast(tb)).crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("n").alias("n_customers"),
+        (quantize("t_total", 6) / 1e6).alias("theil_total"),
+        (quantize("t_between", 6) / 1e6).alias("theil_between"),
+        (quantize(F.col("t_total") - F.col("t_between"), 6) / 1e6).alias(
+            "theil_within"
+        ),
+        (quantize(F.col("t_between") / F.col("t_total"), 6) / 1e6).alias(
+            "between_share"
+        ),
+    )
+
+
+# --- q704: Lorenz asymmetry coefficient (Damgaard & Weiner 1998) of
+# customer spend — S = F(μ) + L(μ): S = 1 means the Lorenz curve is
+# symmetric; S < 1 says inequality is driven by many SMALL customers,
+# S > 1 by a few GIANT ones — the "which tail causes the Gini"
+# diagnostic on top of q236/q499 (discrete convention: strict y < μ,
+# documented). One broadcast mean + one conditional aggregate. -----------------
+@query(
+    "q704_lorenz_asymmetry",
+    oracle=f"""
+    WITH rev AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(SUM({sql_quantize('o_totalprice', 2)}) AS BIGINT) AS yq
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yq) AS BIGINT) AS ty
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN CAST(yq AS DOUBLE)
+                                  < CAST(t.ty AS DOUBLE) / t.n
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN CAST(yq AS DOUBLE)
+                                  < CAST(t.ty AS DOUBLE) / t.n
+                        THEN yq ELSE 0 END) AS BIGINT) AS y_below
+        FROM rev, tot t
+    )
+    SELECT t.n AS n_customers, s.n_below,
+           CAST({sql_quantize(
+               'CAST(s.n_below AS DOUBLE) / t.n', 6)} AS DOUBLE) / 1e6
+               AS f_at_mean,
+           CAST({sql_quantize(
+               'CAST(s.y_below AS DOUBLE) / t.ty', 6)} AS DOUBLE) / 1e6
+               AS l_at_mean,
+           CAST({sql_quantize(
+               'CAST(s.n_below AS DOUBLE) / t.n'
+               ' + CAST(s.y_below AS DOUBLE) / t.ty', 6)} AS DOUBLE) / 1e6
+               AS lorenz_asymmetry
+    FROM s, tot t
+    """,
+)
+def q704(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(quantize("o_totalprice", 2)).cast("long").alias("yq")
+    )
+    from pandrs_spark.operators.util import tracked_persist
+
+    rev = tracked_persist(rev)
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yq").cast("long").alias("ty"),
+    )
+    mu = F.col("ty").cast("double") / F.col("n")
+    s = rev.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.when(F.col("yq").cast("double") < mu, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+        F.sum(F.when(F.col("yq").cast("double") < mu, F.col("yq")).otherwise(0))
+        .cast("long")
+        .alias("y_below"),
+        F.first("n").alias("n"),
+        F.first("ty").alias("ty"),
+    )
+    fmean = F.col("n_below").cast("double") / F.col("n")
+    lmean = F.col("y_below").cast("double") / F.col("ty")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        "n_below",
+        (quantize(fmean, 6) / 1e6).alias("f_at_mean"),
+        (quantize(lmean, 6) / 1e6).alias("l_at_mean"),
+        (quantize(fmean + lmean, 6) / 1e6).alias("lorenz_asymmetry"),
+    )
