@@ -5094,3 +5094,271 @@ def q624(spark, sf_dir):
             quantize(F.col("n_buy").cast("double") / F.col("n_reached"), 6) / 1e6
         ).alias("hazard"),
     ).orderBy("step")
+
+
+# ===== Wave q705-q710 (events tier): reliability & burstiness ========
+
+# --- q705: Weibull probability-plot fit of inter-event gaps — on
+# Weibull paper ln(−ln(1−F(g))) is LINEAR in ln g with slope = shape k
+# (k < 1 = bursty/clustered arrivals, k = 1 = Poisson, k > 1 =
+# regular) and scale λ = exp(−b₀/k): the reliability-engineering
+# complement of q319's exponential PPCC. ECDF from the distinct-gap
+# histogram + one distributed prefix; the top point (F = 1) drops by
+# definition. ----------------------------------------------------------------------
+@query(
+    "q705_weibull_gap_fit",
+    oracle="""
+    WITH gaps AS MATERIALIZED (
+        SELECT CAST(date_diff('second', lag(ts) OVER w, ts) AS DOUBLE)
+                   / 3600.0 AS g
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY lag(ts) OVER w IS NOT NULL
+          AND date_diff('second', lag(ts) OVER w, ts) > 0
+    ),
+    hist AS MATERIALIZED (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY g
+    ),
+    pref AS MATERIALIZED (
+        SELECT g, CAST(SUM(c) OVER (ORDER BY g) AS BIGINT) AS cum
+        FROM hist
+    ),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    pts AS (
+        SELECT LN(g) AS x,
+               LN(-LN(1.0 - CAST(cum AS DOUBLE) / nn.n)) AS y
+        FROM pref, nn WHERE cum < nn.n
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sx,
+               CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sxx,
+               CAST(SUM(CAST(SIGN(y) * FLOOR(ABS(y) * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS sy,
+               CAST(SUM(CAST(SIGN(x * y) * FLOOR(ABS(x * y) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 AS sxy
+        FROM pts
+    )
+    SELECT (SELECT n FROM nn) AS n_gaps, m AS n_plot_points,
+           CAST(CAST(SIGN(k) * FLOOR(ABS(k) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS weibull_shape,
+           CAST(CAST(SIGN(lam) * FLOOR(ABS(lam) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS weibull_scale_h
+    FROM (
+        SELECT m,
+               (m * sxy - sx * sy) / (m * sxx - sx * sx) AS k,
+               EXP(-((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+                     / m)
+                   / ((m * sxy - sx * sy) / (m * sxx - sx * sx))) AS lam
+        FROM s
+    )
+    """,
+)
+def q705(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+    from pandrs_spark.operators.windows import global_prefix_counts
+
+    ev = T(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts").over(w_u))
+        .where(
+            F.col("prev").isNotNull()
+            & (F.unix_timestamp("ts") > F.unix_timestamp("prev"))
+        )
+        .select(
+            (
+                (F.unix_timestamp("ts") - F.unix_timestamp("prev")).cast(
+                    "double"
+                )
+                / 3600.0
+            ).alias("g")
+        )
+    )
+    hist = gaps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pref = tracked_persist(
+        global_prefix_counts(hist, [F.asc("g")], {"cum": "c"})
+    )
+    nn = hist.agg(F.sum("c").cast("long").alias("n"))
+    pts = (
+        pref.crossJoin(F.broadcast(nn))
+        .where(F.col("cum") < F.col("n"))
+        .select(
+            F.log("g").alias("x"),
+            F.log(
+                -F.log(1.0 - F.col("cum").cast("double") / F.col("n"))
+            ).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (F.sum(quantize("x", 9)).cast("double") / 1e9).alias("sx"),
+        (F.sum(quantize(F.col("x") * F.col("x"), 9)).cast("double") / 1e9).alias(
+            "sxx"
+        ),
+        (F.sum(quantize("y", 9)).cast("double") / 1e9).alias("sy"),
+        (F.sum(quantize(F.col("x") * F.col("y"), 9)).cast("double") / 1e9).alias(
+            "sxy"
+        ),
+    )
+    k = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    lam = F.exp(-((F.col("sy") - k * F.col("sx")) / F.col("m")) / k)
+    out = s.crossJoin(F.broadcast(nn))
+    return out.select(
+        F.col("n").alias("n_gaps"),
+        F.col("m").alias("n_plot_points"),
+        (quantize(k, 6) / 1e6).alias("weibull_shape"),
+        (quantize(lam, 6) / 1e6).alias("weibull_scale_h"),
+    )
+
+
+# --- q706: Allan variance of the event-arrival rate at τ ∈ {1, 2, 4}
+# hours — AVAR(τ) = E[(c_{i+1} − c_i)²]/2 over adjacent τ-bins
+# (Allan 1966): flat-in-τ·AVAR = white/Poisson arrivals, growing =
+# drifting load. Bins anchor to the corpus MIN(ts) (no wall-clock /
+# timezone exposure); counts are exact integers, adjacency one
+# bin+1 equi-join per τ. -----------------------------------------------------------
+@query(
+    "q706_allan_variance_rate",
+    oracle="""
+    WITH anchor AS (SELECT MIN(ts) AS t0 FROM events),
+    secs AS MATERIALIZED (
+        SELECT CAST(date_diff('second', a.t0, e.ts) AS BIGINT) AS s
+        FROM events e, anchor a
+    ),
+    taus AS (SELECT UNNEST([1, 2, 4]) AS tau),
+    bins AS MATERIALIZED (
+        SELECT t.tau, s.s // (3600 * t.tau) AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM secs s CROSS JOIN taus t
+        GROUP BY t.tau, b
+    ),
+    pairs AS (
+        SELECT a.tau, a.c AS c1, b.c AS c2
+        FROM bins a JOIN bins b ON b.tau = a.tau AND b.b = a.b + 1
+    )
+    SELECT tau AS tau_hours,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(CAST(SIGN(av) * FLOOR(ABS(av) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS allan_var
+    FROM (
+        SELECT tau,
+               CAST(SUM(CAST((c2 - c1) * (c2 - c1) AS BIGINT)) AS DOUBLE)
+                   / (2.0 * COUNT(*)) AS av,
+               COUNT(*) AS cnt
+        FROM pairs GROUP BY tau
+    )
+    """,
+)
+def q706(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    ev = T(spark, sf_dir, "events")
+    anchor = ev.agg(F.min("ts").alias("t0"))
+    secs = ev.crossJoin(F.broadcast(anchor)).select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("t0"))
+        .cast("long")
+        .alias("s")
+    )
+    taus = ev.sparkSession.createDataFrame([(1,), (2,), (4,)], "tau int")
+    bins = (
+        secs.crossJoin(F.broadcast(taus))
+        .groupBy(
+            "tau",
+            (F.col("s") - F.pmod(F.col("s"), 3600 * F.col("tau")))
+            .alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("b", (F.col("b") / (3600 * F.col("tau"))).cast("long"))
+    )
+    nxt = bins.select(
+        "tau", (F.col("b") - 1).alias("b"), F.col("c").alias("c2")
+    )
+    pairs = bins.join(nxt, ["tau", "b"])
+    g = pairs.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.sum(
+                ((F.col("c2") - F.col("c")) * (F.col("c2") - F.col("c"))).cast(
+                    "long"
+                )
+            ).cast("double")
+            / (2.0 * F.count(F.lit(1)))
+        ).alias("av"),
+    )
+    return g.select(
+        F.col("tau").alias("tau_hours"),
+        "n_pairs",
+        (quantize("av", 6) / 1e6).alias("allan_var"),
+    )
+
+
+# --- q708: bursty-train size distribution (Karsai et al. 2012) — with
+# a Δ = 1 h gap threshold, consecutive same-user events chain into
+# "trains"; heavy-tailed train sizes are the signature of correlated
+# bursts that inter-event-time statistics alone (q439's burstiness B)
+# cannot see. Sessionize per user (lag flag + running sum), roll train
+# sizes, then one bounded frequency histogram. ------------------------------------
+@query(
+    "q708_bursty_train_sizes",
+    oracle="""
+    WITH flagged AS MATERIALIZED (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                    THEN 1 ELSE 0 END AS brk,
+               ts, event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trains AS MATERIALIZED (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS tid
+        FROM flagged
+    ),
+    sizes AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS e
+        FROM trains GROUP BY user_id, tid
+    )
+    SELECT e AS train_size, CAST(COUNT(*) AS BIGINT) AS n_trains
+    FROM sizes GROUP BY e
+    """,
+)
+def q708(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_u))
+                > 3600
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    trains = flagged.select(
+        "user_id",
+        F.sum("brk")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("tid"),
+    )
+    sizes = trains.groupBy("user_id", "tid").agg(
+        F.count(F.lit(1)).cast("long").alias("e")
+    )
+    return sizes.groupBy(F.col("e").alias("train_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trains")
+    )

@@ -5117,3 +5117,99 @@ def q688(spark, sf_dir):
         (quantize(l2, 6) / 1e6).alias("lambda_nation_given_seg"),
         (quantize((l1 + l2) / 2.0, 6) / 1e6).alias("lambda_symmetric"),
     )
+
+
+# --- q707: zero-inflation & negative-binomial dispersion diagnostics
+# of per-customer 1995 order counts — over the FULL customer registry
+# (non-orderers count as structural zeros): variance-to-mean ratio,
+# the Poisson-expected zero share e^{−λ̂} vs observed, the Puig-Valero
+# zero-inflation index 1 + ln(p̂₀)/λ̂, and the method-of-moments NB
+# size r̂ = μ²/(s²−μ) (NULL when the data are UNDER-dispersed and NB
+# is inadmissible). ----------------------------------------------------------------
+@query(
+    "q707_zero_inflation_nb",
+    oracle="""
+    WITH k AS MATERIALIZED (
+        SELECT c.c_custkey,
+               CAST(COALESCE(o.k, 0) AS BIGINT) AS k
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS k FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1995
+            GROUP BY o_custkey
+        ) o ON o.o_custkey = c.c_custkey
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS s1,
+               CAST(SUM(k * k) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+        FROM k
+    )
+    SELECT n AS n_customers, z AS n_zeros,
+           CAST(CAST(SIGN(mu) * FLOOR(ABS(mu) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mean_orders,
+           CAST(CAST(SIGN(vmr) * FLOOR(ABS(vmr) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS var_mean_ratio,
+           CAST(CAST(SIGN(EXP(-mu)) * FLOOR(ABS(EXP(-mu)) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS poisson_zero_share,
+           CASE WHEN z > 0 THEN
+               CAST(CAST(SIGN(zi) * FLOOR(ABS(zi) * 1e6 + 0.5) AS BIGINT)
+                    AS DOUBLE) / 1e6
+           END AS zero_inflation_index,
+           CASE WHEN v > mu THEN
+               CAST(CAST(SIGN(mu * mu / (v - mu))
+                         * FLOOR(ABS(mu * mu / (v - mu)) * 1e6 + 0.5)
+                         AS BIGINT) AS DOUBLE) / 1e6
+           END AS nb_size_mom
+    FROM (
+        SELECT n, z,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+                   AS v,
+               ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                   / (CAST(s1 AS DOUBLE) / n) AS vmr,
+               1.0 + LN(CAST(z AS DOUBLE) / n) / (CAST(s1 AS DOUBLE) / n)
+                   AS zi
+        FROM s
+    )
+    """,
+)
+def q707(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    ok = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    k = cust.join(
+        ok, cust.c_custkey == ok.o_custkey, "left"
+    ).select(F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"))
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("s2"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).cast("long").alias("z"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    v = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    zi = 1.0 + F.log(F.col("z").cast("double") / F.col("n")) / mu
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("z").alias("n_zeros"),
+        (quantize(mu, 6) / 1e6).alias("mean_orders"),
+        (quantize(v / mu, 6) / 1e6).alias("var_mean_ratio"),
+        (quantize(F.exp(-mu), 6) / 1e6).alias("poisson_zero_share"),
+        F.when(F.col("z") > 0, quantize(zi, 6) / 1e6).alias(
+            "zero_inflation_index"
+        ),
+        F.when(v > mu, quantize(mu * mu / (v - mu), 6) / 1e6).alias(
+            "nb_size_mom"
+        ),
+    )

@@ -5107,3 +5107,168 @@ def q704(spark, sf_dir):
         (quantize(lmean, 6) / 1e6).alias("l_at_mean"),
         (quantize(fmean + lmean, 6) / 1e6).alias("lorenz_asymmetry"),
     )
+
+
+# --- q709: Ehrenberg brand-performance measures per market segment —
+# penetration (share of the segment's registry that bought at all in
+# 1995), purchase frequency among buyers, and repeat rate (≥2 orders):
+# the NBD-Dirichlet descriptive trio ("double jeopardy": small brands
+# lose twice) read off exact counts; one registry left join + one
+# bounded segment rollup. ----------------------------------------------------------
+@query(
+    "q709_ehrenberg_brand_measures",
+    oracle="""
+    WITH k AS MATERIALIZED (
+        SELECT c.c_mktsegment AS seg,
+               CAST(COALESCE(o.k, 0) AS BIGINT) AS k
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS k FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1995
+            GROUP BY o_custkey
+        ) o ON o.o_custkey = c.c_custkey
+    ),
+    s AS (
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN k >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS buyers,
+               CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS repeaters,
+               CAST(SUM(k) AS BIGINT) AS orders_
+        FROM k GROUP BY seg
+    )
+    SELECT seg AS segment, n AS n_customers, buyers,
+           CAST(CAST(SIGN(pen) * FLOOR(ABS(pen) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS penetration,
+           CASE WHEN buyers > 0 THEN
+               CAST(CAST(SIGN(freq) * FLOOR(ABS(freq) * 1e6 + 0.5)
+                         AS BIGINT) AS DOUBLE) / 1e6
+           END AS purchase_frequency,
+           CASE WHEN buyers > 0 THEN
+               CAST(CAST(SIGN(rep) * FLOOR(ABS(rep) * 1e6 + 0.5) AS BIGINT)
+                    AS DOUBLE) / 1e6
+           END AS repeat_rate
+    FROM (
+        SELECT seg, n, buyers,
+               CAST(buyers AS DOUBLE) / n AS pen,
+               CAST(orders_ AS DOUBLE) / buyers AS freq,
+               CAST(repeaters AS DOUBLE) / buyers AS rep
+        FROM s
+    )
+    """,
+)
+def q709(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    ok = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    k = cust.join(ok, cust.c_custkey == ok.o_custkey, "left").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
+    )
+    s = k.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("k") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("buyers"),
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("repeaters"),
+        F.sum("k").cast("long").alias("orders_"),
+    )
+    pen = F.col("buyers").cast("double") / F.col("n")
+    freq = F.col("orders_").cast("double") / F.col("buyers")
+    rep = F.col("repeaters").cast("double") / F.col("buyers")
+    return s.select(
+        F.col("seg").alias("segment"),
+        F.col("n").alias("n_customers"),
+        "buyers",
+        (quantize(pen, 6) / 1e6).alias("penetration"),
+        F.when(F.col("buyers") > 0, quantize(freq, 6) / 1e6).alias(
+            "purchase_frequency"
+        ),
+        F.when(F.col("buyers") > 0, quantize(rep, 6) / 1e6).alias(
+            "repeat_rate"
+        ),
+    )
+
+
+# --- q710: assortment-overlap Jaccard matrix between supplier regions
+# — |parts sold by both| / |parts sold by either| for every region
+# pair: the catalog-similarity readout that pairs with q641's
+# Finger-Kreinin (which weights by revenue share where Jaccard counts
+# SKUs). One distinct (region, part) rollup; the pair join fans out
+# ≤ 5 regions per part. ------------------------------------------------------------
+@query(
+    "q710_assortment_jaccard_regions",
+    oracle="""
+    WITH rp AS MATERIALIZED (
+        SELECT DISTINCT r.r_name AS reg, l.l_partkey AS pk
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    sizes AS (
+        SELECT reg, CAST(COUNT(*) AS BIGINT) AS sz FROM rp GROUP BY reg
+    ),
+    inter AS (
+        SELECT a.reg AS reg_a, b.reg AS reg_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM rp a JOIN rp b ON a.pk = b.pk AND a.reg < b.reg
+        GROUP BY reg_a, reg_b
+    )
+    SELECT i.reg_a, i.reg_b, i.i AS n_common_parts,
+           CAST(CAST(SIGN(j) * FLOOR(ABS(j) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS jaccard
+    FROM (
+        SELECT i.reg_a, i.reg_b, i.i,
+               CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.reg = i.reg_a
+        JOIN sizes sb ON sb.reg = i.reg_b
+    ) i
+    """,
+)
+def q710(spark, sf_dir):
+    from pandrs_spark.operators.util import tracked_persist
+
+    li = T(spark, sf_dir, "lineitem")
+    sup = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    rp = tracked_persist(
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("r_name").alias("reg"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    sizes = rp.groupBy("reg").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    b = rp.select(F.col("reg").alias("reg_b"), "pk")
+    inter = (
+        rp.join(b, "pk")
+        .where(F.col("reg") < F.col("reg_b"))
+        .groupBy(F.col("reg").alias("reg_a"), "reg_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    sa = sizes.select(F.col("reg").alias("reg_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("reg").alias("reg_b"), F.col("sz").alias("sb"))
+    j = inter.join(F.broadcast(sa), "reg_a").join(F.broadcast(sb), "reg_b")
+    return j.select(
+        "reg_a",
+        "reg_b",
+        F.col("i").alias("n_common_parts"),
+        (
+            quantize(
+                F.col("i").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("i")),
+                6,
+            )
+            / 1e6
+        ).alias("jaccard"),
+    )
