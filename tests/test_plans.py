@@ -467,6 +467,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q664_theta_method_mase",  # month index over the calendar spine
     "q665_dfa_scaling_exponent",  # month spine index + profile prefix sum
     "q667_cowles_jones_ratio",  # month index over the calendar spine
+    "q694_core_periphery_fit",  # degree rank over the 25-nation graph
+    "q700_quade_test_quarters",  # block-range rank over the year spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
