@@ -682,6 +682,8 @@ def local_outlier_factor(
     x_col: str,
     y_col: str,
     k: int = 5,
+    method: str = "grid",
+    eps: float = 0.25,
 ) -> DataFrame:
     """Local Outlier Factor over 2-D points (src/ml LOF re-export,
     src/lib.rs:219-244 — no MLlib builtin; SURVEY §2.13 composition
@@ -693,11 +695,25 @@ def local_outlier_factor(
     - lrd(a) = k / Σ_b reach-dist(a,b),
     - LOF(a) = mean_b lrd(b)/lrd(a) = sum_reach(a)/k · Σ_b 1/sum_reach(b).
 
-    The kNN baseline is a self-join Catalyst executes as a
-    broadcast-nested-loop; at the 1B-point regime swap in the eps-grid
-    candidate join (see ``dbscan_2d``) with an expanding-radius bound —
-    downstream ranking and the LOF algebra are unchanged. Both reach
-    sums are quantized (``dsum``) so the score is bit-identical across
+    ``method`` picks the kNN candidate plan (round 9 — previously
+    exact-only, a data-sized BroadcastNestedLoopJoin):
+
+    - ``"grid"`` (default): candidates come from the eps-grid bucket
+      join (``_eps_pairs``, the dbscan_2d shape) — an equi-join on cell
+      keys whose volume is bounded by local density, never n². This is
+      EXACT, not approximate, whenever every point has ≥ k neighbors
+      within ``eps``: the k nearest are then all inside the 3×3 cell
+      probe. That precondition is enforced in-plan: any point whose
+      grid candidate set is short of k raises
+      ``LOF_GRID_EPS_TOO_SMALL`` (JVM raise_error) instead of returning
+      a silently-wrong score — fail loudly, exactly like the
+      assert_bounded broadcast fences. At higher density eps shrinks
+      (kth-NN distance falls as 1/sqrt(n·density)), keeping candidate
+      volume per task flat as the corpus grows.
+    - ``"exact"``: the O(n²) self-join calibration baseline.
+
+    Downstream ranking and the LOF algebra are shared. Both reach sums
+    are quantized (``dsum``) so the score is bit-identical across
     partitionings and engines. Returns (id, lof) with lof rounded to 4.
     """
     pts = points.select(
@@ -705,13 +721,31 @@ def local_outlier_factor(
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    a = pts.select(F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"))
-    b = pts.select(F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"))
     d = F.sqrt(
         (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
         + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
     )
-    pairs = a.join(b, F.col("a_id") != F.col("b_id")).select("a_id", "b_id", d.alias("d"))
+    if method == "grid":
+        coords = pts.select(
+            F.col("id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+        )
+        pairs = (
+            _eps_pairs(pts, eps)
+            .filter(F.col("a_id") != F.col("b_id"))
+            .join(pts.select(F.col("id").alias("a_id"),
+                             F.col("x").alias("ax"),
+                             F.col("y").alias("ay")), "a_id")
+            .join(coords, "b_id")
+            .select("a_id", "b_id", d.alias("d"))
+        )
+    elif method == "exact":
+        a = pts.select(F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+        b = pts.select(F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"))
+        pairs = a.join(b, F.col("a_id") != F.col("b_id")).select("a_id", "b_id", d.alias("d"))
+    else:
+        raise ValueError(f"local_outlier_factor: unknown method {method!r}")
     w = Window.partitionBy("a_id").orderBy(F.round(F.col("d"), 6), "b_id")
     knn = tracked_persist(
         pairs.withColumn("rn", F.row_number().over(w)).filter(
@@ -719,9 +753,34 @@ def local_outlier_factor(
         )
     )
     kdist = knn.filter(F.col("rn") == k).select(F.col("a_id").alias("id"), F.col("d").alias("kd"))
-    reach = knn.join(kdist, knn["b_id"] == kdist["id"]).select(
-        "a_id", "b_id", F.greatest("kd", "d").alias("r")
-    )
+    if method == "grid":
+        # Exactness certificate, enforced where Catalyst cannot prune it
+        # away: (a) a neighbor b that never found ITS k-th neighbor
+        # inside the probe would silently shrink reach sums — the left
+        # join keeps the row and the projection of `r` forces the
+        # raise; (b) a point with < k candidates of its own would drop
+        # out of the output entirely — the final left join + guarded
+        # `lof` projection raises instead.
+        _fence = F.raise_error(
+            F.lit(
+                "LOF_GRID_EPS_TOO_SMALL: a point has fewer than "
+                f"k={k} neighbors within eps={eps}; raise eps (or fall "
+                "back to method='exact') — grid kNN is only exact past "
+                "this fence"
+            )
+        )
+        reach = knn.join(kdist, knn["b_id"] == kdist["id"], "left").select(
+            "a_id",
+            "b_id",
+            F.greatest(
+                F.when(F.col("kd").isNotNull(), F.col("kd")).otherwise(_fence),
+                F.col("d"),
+            ).alias("r"),
+        )
+    else:
+        reach = knn.join(kdist, knn["b_id"] == kdist["id"]).select(
+            "a_id", "b_id", F.greatest("kd", "d").alias("r")
+        )
     sr = reach.groupBy("a_id").agg(dsum("r", 6).alias("sum_reach"))
     srb = sr.select(F.col("a_id").alias("b_id"), F.col("sum_reach").alias("sr_b"))
     inv = (
@@ -729,13 +788,25 @@ def local_outlier_factor(
         .groupBy("a_id")
         .agg(dsum(F.lit(1.0) / F.col("sr_b"), 9).alias("sum_inv"))
     )
-    return (
+    out = (
         sr.join(inv, "a_id")
         .select(
             F.col("a_id").alias(id_col),
             F.round(F.col("sum_reach") / k * F.col("sum_inv"), 4).alias("lof"),
         )
     )
+    if method == "grid":
+        out = (
+            pts.select(F.col("id").alias(id_col))
+            .join(out, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("lof").isNotNull(), F.col("lof"))
+                .otherwise(_fence)
+                .alias("lof"),
+            )
+        )
+    return out
 
 
 def single_linkage_clusters(

@@ -680,16 +680,52 @@ def knn_topk_edges(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "ivf",
+    n_centroids: int = 8,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Directed k-NN graph edges (id_a → id_b, rank 1..k by cosine,
-    ties broken by (round(sim, 6) DESC, id_b)). Exact O(n²) baseline
-    with the same contract as :func:`nearest_neighbors` (k=1 special
-    case); for the billion-vector regime swap the self-join for the
-    LSH/IVF bucket join and keep the identical ranking tail. Feeds the
-    reciprocity / hubness diagnostics (mutual-edge rate, in-degree
-    concentration) that flag when an ANN index will misbehave."""
+    ties broken by (round(sim, 6) DESC, id_b)). Feeds the reciprocity /
+    hubness diagnostics (mutual-edge rate, in-degree concentration)
+    that flag when an ANN index will misbehave.
+
+    ``method`` picks the candidate-generation plan (round 9 — this used
+    to be exact-only, the last data-sized all-pairs family in the
+    registry):
+
+    - ``"ivf"`` (default, the scale path): candidates come from
+      :func:`ivf_topk`'s inverted-file bucket equi-join — the only
+      cross join touches the ``n_centroids``-row coarse quantizer, so
+      no data-sized broadcast build exists in the plan. Fully
+      deterministic (lowest-id centroids, round(sim,6)/id tie-breaks),
+      so a SQL oracle can mirror the candidate set bit-for-bit; recall
+      vs the exact graph is certified in-gate by
+      q711_ivf_knn_recall_certificate (the q88 pattern). At 1B vectors
+      n_centroids grows ~sqrt(n) to keep each inverted list task-sized.
+    - ``"exact"``: the O(n²) self-join calibration baseline with the
+      same ranking tail — kept for recall certificates and small-n
+      calibration only, never the scale path.
+    """
     from pyspark.sql import Window
 
+    if method == "ivf":
+        edges = ivf_topk(
+            corpus,
+            corpus,
+            k=k,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            with_rank=True,
+        )
+        return edges.select(
+            F.col("id_q").alias("id_a"),
+            F.col("nn_id").alias("id_b"),
+            F.col("rank"),
+        )
+    if method != "exact":
+        raise ValueError(f"knn_topk_edges: unknown method {method!r}")
     corpus = fan_out(corpus)
     a = corpus.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")

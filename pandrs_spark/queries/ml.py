@@ -464,8 +464,13 @@ def q141(spark, sf_dir):
 
 # --- q142: Local Outlier Factor over the first two embedding
 # coordinates (LOF re-export, src/lib.rs:219-244 — no MLlib builtin;
-# exact kNN self-join + quantized reach-sums keep it fully
-# SQL-mirrorable, unlike the sign-indeterminate PCA projection) --------------
+# quantized reach-sums keep it fully SQL-mirrorable, unlike the
+# sign-indeterminate PCA projection). Round 9: the kNN runs on the
+# eps-grid bucket join (method="grid", exact past the in-plan
+# LOF_GRID_EPS_TOO_SMALL fence — every point's k-th neighbor must lie
+# within eps=0.25, measured max 5-NN distance ≤ 0.194 at every SF), so
+# the oracle's exact all-pairs SQL still matches value-for-value while
+# the Spark plan carries no data-sized nested-loop join. ---------------------
 _LOF_SQL_DSUM_R = (
     "(CAST(SUM(CAST(SIGN(r) * FLOOR(ABS(r) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
     " / 1000000.0)"
@@ -522,7 +527,7 @@ def q142(spark, sf_dir):
         F.col("embedding")[0].cast("double").alias("x"),
         F.col("embedding")[1].cast("double").alias("y"),
     )
-    out = local_outlier_factor(pts, "vec_id", "x", "y", k=5)
+    out = local_outlier_factor(pts, "vec_id", "x", "y", k=5, method="grid", eps=0.25)
     return out.orderBy(F.col("lof").desc(), "vec_id").limit(15)
 
 
@@ -4249,23 +4254,55 @@ def q669(spark, sf_dir):
 # zero-in-degree antihubs, plus hub (d ≥ 2k) and antihub (d = 0)
 # counts: high skew means a few "hub" vectors appear in everyone's
 # neighbor list and ANN recall will be uneven. In-degree moments are
-# exact integers; k-NN is the documented exact baseline shared with
-# q570 (LSH/IVF swaps in at the billion-vector regime). --------------------------
+# exact integers. Round 9: the k-NN graph comes from the IVF bucketed
+# path (knn_topk_edges method="ivf") — the oracle mirrors the
+# deterministic inverted-file candidate generation (lowest-id
+# centroids, round(sim,6)/id tie-breaks) CTE-for-CTE, and
+# q711_ivf_knn_recall_certificate pins recall vs the exact graph. --------------
 @query(
     "q670_knn_hubness_skew",
     oracle="""
-    WITH pairs AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) AS sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    assign AS MATERIALIZED (
+        SELECT id_c, cid FROM (
+            SELECT e.vec_id AS id_c, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS MATERIALIZED (
+        SELECT id_q, cid FROM (
+            SELECT e.vec_id AS id_q, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT p.id_q, a.id_c
+        FROM probe p JOIN assign a USING (cid)
+        WHERE p.id_q <> a.id_c
     ),
     knn AS MATERIALIZED (
-        SELECT ia, ib FROM (
-            SELECT ia, ib,
-                   ROW_NUMBER() OVER (PARTITION BY ia
-                                      ORDER BY ROUND(sim, 6) DESC, ib) AS rn
-            FROM pairs
+        SELECT id_q AS ia, id_c AS ib FROM (
+            SELECT cand.id_q, cand.id_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.id_q
+                       ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6)
+                                DESC, cand.id_c) AS rn
+            FROM cand
+            JOIN emb eq ON eq.vec_id = cand.id_q
+            JOIN emb ec ON ec.vec_id = cand.id_c
         ) WHERE rn <= 5
     ),
     deg AS MATERIALIZED (
@@ -4308,7 +4345,9 @@ def q670(spark, sf_dir):
     from pandrs_spark.operators.util import tracked_persist
 
     emb = T(spark, sf_dir, "embeddings")
-    knn = tracked_persist(knn_topk_edges(emb, k=5).select("id_a", "id_b"))
+    knn = tracked_persist(
+        knn_topk_edges(emb, k=5, method="ivf").select("id_a", "id_b")
+    )
     indeg = knn.groupBy("id_b").agg(F.count(F.lit(1)).alias("d"))
     deg = (
         emb.select("vec_id")
@@ -5549,4 +5588,135 @@ def q686(spark, sf_dir):
         F.col("units").alias("n_units"),
         (quantize(po, 6) / 1e6).alias("percent_agreement"),
         (quantize(ac1, 6) / 1e6).alias("gwet_ac1"),
+    )
+
+
+# --- q711: IVF kNN-graph recall certificate — the in-gate proof that
+# the bucketed path behind q142/q570/q670 is calibrated, the q88
+# pattern upgraded from a boolean to a VALUE both engines compute
+# independently: recall@5 of the IVF kNN edges (knn_topk_edges
+# method="ivf", lowest-id centroids, n_probe=2 of 8 cells) against the
+# exact 5-NN answer for a 20-query sample. The exact side is the
+# sample × corpus broadcast join — linear in the corpus, never n².
+# On this synthetic corpus the embeddings are near-isotropic random
+# vectors, so recall ≈ the scanned candidate fraction (n_probe /
+# n_centroids); real corpora with cluster structure concentrate true
+# neighbors inside the probed cells and recall rises sharply at the
+# same probe fraction — exactly the effect q670's hubness skew gauges. ---------
+@query(
+    "q711_ivf_knn_recall_certificate",
+    oracle="""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    assign AS MATERIALIZED (
+        SELECT id_c, cid FROM (
+            SELECT e.vec_id AS id_c, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS MATERIALIZED (
+        SELECT id_q, cid FROM (
+            SELECT e.vec_id AS id_q, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+            WHERE e.vec_id < 20
+        ) WHERE rn <= 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT p.id_q, a.id_c
+        FROM probe p JOIN assign a USING (cid)
+        WHERE p.id_q <> a.id_c
+    ),
+    ivfknn AS MATERIALIZED (
+        SELECT id_q, id_c FROM (
+            SELECT cand.id_q, cand.id_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.id_q
+                       ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6)
+                                DESC, cand.id_c) AS rn
+            FROM cand
+            JOIN emb eq ON eq.vec_id = cand.id_q
+            JOIN emb ec ON ec.vec_id = cand.id_c
+        ) WHERE rn <= 5
+    ),
+    exact AS MATERIALIZED (
+        SELECT id_q, id_c FROM (
+            SELECT a.vec_id AS id_q, b.vec_id AS id_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6)
+                                DESC, b.vec_id) AS rn
+            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20
+        ) WHERE rn <= 5
+    ),
+    per_q AS (
+        SELECT e.id_q,
+               CAST(COUNT(i.id_c) AS DOUBLE) / COUNT(*) AS r
+        FROM exact e
+        LEFT JOIN ivfknn i ON i.id_q = e.id_q AND i.id_c = e.id_c
+        GROUP BY e.id_q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(CAST(SIGN(AVG(r)) * FLOOR(ABS(AVG(r)) * 1e4 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e4 AS recall5
+    FROM per_q
+    """,
+)
+def q711(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.similarity import cosine, knn_topk_edges
+
+    emb = T(spark, sf_dir, "embeddings")
+    # bucketed side: the SAME graph q570/q670 consume, restricted to
+    # the sample (id_a is the window partition key, so Catalyst pushes
+    # the filter through the rank into the probe side — candidate
+    # volume is 20 × the probed lists, not the full graph)
+    ivf = (
+        knn_topk_edges(emb, k=5, method="ivf")
+        .filter(F.col("id_a") < 20)
+        .select("id_a", "id_b")
+    )
+    # exact side: 20-row broadcast sample × corpus — linear scan
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("vq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vc"),
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc(F.round("sim", 6)), "id_b"
+    )
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vq"), F.col("vc")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("id_a", "id_b")
+    )
+    hits = exact.join(
+        ivf.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    per_q = hits.groupBy("id_a").agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("r")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (quantize(F.avg("r"), 4) / 1e4).alias("recall5"),
     )

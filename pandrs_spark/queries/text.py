@@ -5263,25 +5263,57 @@ def q569(spark, sf_dir):
 # embedding corpus — the ANN-health screen: low mutual-edge rate and a
 # heavy in-degree tail (hub vectors) predict poor recall for any
 # bucketed index (Radovanović 2010 hubness, public methodology).
-# Directed 5-NN edges from the exact baseline
-# (operators/similarity.py:knn_topk_edges — LSH/IVF swaps in at scale);
+# Directed 5-NN edges from the IVF bucketed path (round 9:
+# operators/similarity.py knn_topk_edges method="ivf" — the only cross
+# join in the plan touches the 8-row coarse quantizer; the oracle
+# mirrors the deterministic candidate generation CTE-for-CTE and
+# q711_ivf_knn_recall_certificate pins recall vs the exact graph);
 # mutuality is a self-join on the reversed key; in-degree moments are
 # integer-exact. -------------------------------------------------------------------
 @query(
     "q570_knn_graph_reciprocity",
     oracle="""
-    WITH pairs AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) AS sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    assign AS MATERIALIZED (
+        SELECT id_c, cid FROM (
+            SELECT e.vec_id AS id_c, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS MATERIALIZED (
+        SELECT id_q, cid FROM (
+            SELECT e.vec_id AS id_q, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT p.id_q, a.id_c
+        FROM probe p JOIN assign a USING (cid)
+        WHERE p.id_q <> a.id_c
     ),
     knn AS MATERIALIZED (
-        SELECT ia, ib FROM (
-            SELECT ia, ib,
-                   ROW_NUMBER() OVER (PARTITION BY ia
-                                      ORDER BY ROUND(sim, 6) DESC, ib) AS rn
-            FROM pairs
+        SELECT id_q AS ia, id_c AS ib FROM (
+            SELECT cand.id_q, cand.id_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.id_q
+                       ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6)
+                                DESC, cand.id_c) AS rn
+            FROM cand
+            JOIN emb eq ON eq.vec_id = cand.id_q
+            JOIN emb ec ON ec.vec_id = cand.id_c
         ) WHERE rn <= 5
     ),
     mut AS (
@@ -5317,7 +5349,9 @@ def q570(spark, sf_dir):
     from pandrs_spark.operators.util import tracked_persist
 
     emb = T(spark, sf_dir, "embeddings")
-    knn = tracked_persist(knn_topk_edges(emb, k=5).select("id_a", "id_b"))
+    knn = tracked_persist(
+        knn_topk_edges(emb, k=5, method="ivf").select("id_a", "id_b")
+    )
     rev = knn.select(F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a"))
     mut = knn.join(rev, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_mutual")

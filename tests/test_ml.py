@@ -227,7 +227,7 @@ def test_lof_flags_outlier(spark):
     df = spark.createDataFrame(
         grid + [(99, 5.0, 5.0)], "id bigint, x double, y double"
     )
-    out = {r["id"]: r["lof"] for r in local_outlier_factor(df, "id", "x", "y", k=3).collect()}
+    out = {r["id"]: r["lof"] for r in local_outlier_factor(df, "id", "x", "y", k=3, eps=8.0).collect()}
     # grid points sit in uniform density: LOF ~ 1
     assert all(out[i] < 1.5 for i in range(9))
     # the isolated point's density is tiny vs its (grid) neighbors'
@@ -480,3 +480,34 @@ def test_poisson_irls_partition_invariant(spark):
         r = poisson_irls_1d(df, "y", "x", n_iter=3).first()
         outs.append((r["n"], r["b0"], r["b1"], r["mean_y"]))
     assert outs[0] == outs[1]
+
+
+def test_lof_grid_matches_exact(spark):
+    # grid candidate generation is EXACT past the eps fence: same
+    # scores as the all-pairs baseline on a geometry where every
+    # point's 3rd neighbor is well inside eps
+    from pandrs_spark.operators.ml import local_outlier_factor
+
+    pts = [(i, 0.2 * (i % 5), 0.2 * (i // 5)) for i in range(25)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    g = {r["id"]: r["lof"] for r in local_outlier_factor(
+        df, "id", "x", "y", k=3, method="grid", eps=0.75).collect()}
+    e = {r["id"]: r["lof"] for r in local_outlier_factor(
+        df, "id", "x", "y", k=3, method="exact").collect()}
+    assert g == e
+
+
+def test_lof_grid_eps_fence_raises(spark):
+    # a point whose k-th neighbor lies beyond eps must fail LOUDLY
+    # (LOF_GRID_EPS_TOO_SMALL), never return a silently-wrong score
+    import pytest
+    from pandrs_spark.operators.ml import local_outlier_factor
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.1, 0.0), (3, 0.2, 0.0), (4, 0.1, 0.1),
+         (99, 50.0, 50.0)],
+        "id bigint, x double, y double",
+    )
+    with pytest.raises(Exception, match="LOF_GRID_EPS_TOO_SMALL"):
+        local_outlier_factor(df, "id", "x", "y", k=3,
+                             method="grid", eps=1.0).collect()
