@@ -271,7 +271,7 @@ def jackknife_ratio(
     independent); the g leave-one-out replicates are then
     total-minus-group arithmetic on that g-row frame — no second scan,
     no per-replicate pass, so the cost is one aggregation regardless
-    of g. Reference: resampling surface of src/stats/sampling.rs
+    of g. Reference: resampling surface of src/stats/sampling/mod.rs
     (bootstrap :118) — the jackknife is its deterministic sibling.
     """
     from pandrs_spark.functions.deterministic import quantize

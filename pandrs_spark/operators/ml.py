@@ -1521,7 +1521,7 @@ def huber_ols(df: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
     double formula shared verbatim with the oracle SQL via the
     HUBER_* fragments. Returns one row:
     n, b0/a0/s0 (OLS + scale), b1/a1 (Huber), n_down (rows with w<1).
-    Reference: robust-regression surface of src/stats/regression.rs
+    Reference: robust-regression surface of src/stats/regression/mod.rs
     (behavioral spec only).
     """
     fact = df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))

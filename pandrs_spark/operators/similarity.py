@@ -327,7 +327,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate detection — the semantic member
     of the dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard
     live in operators/dedup.py; reference dedup surface
-    src/dataframe/functions.rs drop_duplicates + the LLM-pipeline
+    src/dataframe/apply.rs drop_duplicates + the LLM-pipeline
     north star in BASELINE.json).
 
     Shape is LSH-bucket-join, NOT all-pairs, in three stages:
@@ -631,9 +631,9 @@ def dimension_energy(
 ) -> DataFrame:
     """Per-dimension variance ("energy") profile of an embedding
     column — the certificate behind Matryoshka-style truncation and
-    PCA-free dimensionality budgeting (behavioral spec: the reference's
-    embedding stats tier, src/ml/feature/mod.rs; truncation analysis
-    per Kusupati et al. 2022, public). One output row per dimension:
+    PCA-free dimensionality budgeting (the reference's nearest surface
+    is dimension reduction, src/ml/dimension/mod.rs; truncation
+    analysis per Kusupati et al. 2022, public). One output row per dimension:
 
     - ``var_pop`` — population variance from quantized exact long sums
       (partition-order invariant);

@@ -219,8 +219,8 @@ def bloom_build(
     filter size (8 KB at the default 2^16 bits), NOT by data size —
     the same scalar-class carry as a broadcast threshold. Size
     ``num_bits`` ≈ 10–15 bits/key for ~1% FP at the classic k=3–5.
-    Reference: membership-sketch surface of src/sketches/mod.rs
-    (behavioral spec only).
+    The reference ships no sketch module — this is scale surface
+    built beyond it (Bloom 1970, public methodology).
     """
     assert num_bits % 64 == 0
     m = F.lit(num_bits).cast("long")

@@ -560,8 +560,9 @@ def top_ngram_fraction(col: Column | str, k: int = 2) -> Column:
     measured 17× slower at sf0.01 — so the run-length formulation is
     the production path. At corpus scale the whole rule costs one
     map-side scan and composes with column pruning, like the rest of
-    the quality-rule pack. Reference: quality-filter surface of
-    src/text/mod.rs (behavioral spec only).
+    the quality-rule pack. No text module exists in the reference —
+    this is LLM-pipeline surface built beyond it (C4/Gopher rule
+    methodology, public).
     """
     sh = F.array_sort(shingles(tokens(col), k))
     top = F.aggregate(
@@ -712,9 +713,9 @@ def bigram_lm_score(
     transitions and are omitted (the caller unions them back with a
     default score if needed).
 
-    Returns (id_col, n_bigrams, neg_logprob). Reference parity: the
-    quality-scoring surface of src/text/quality.rs is unigram-only;
-    this extends it along the published CCNet direction.
+    Returns (id_col, n_bigrams, neg_logprob). The reference has no
+    text-quality module; this follows the published CCNet
+    bigram-LM direction (Wenzek et al. 2020, public).
     """
     from pandrs_spark.functions.deterministic import dsum
 

@@ -2559,7 +2559,7 @@ def q347(spark, sf_dir):
 # rows, so the join output is 30× the user-day table, never rows² —
 # then one distinct-count per spine day. Stickiness = DAU/MAU as an
 # exact integer ratio. Reference: activity rollups of
-# src/temporal/resample.rs.
+# src/temporal/resample/mod.rs.
 @query(
     "q351_dau_mau_stickiness",
     oracle="""
@@ -2750,7 +2750,7 @@ def q364(spark, sf_dir):
 # partitioned BY COHORT (scale-safe — never a global window); weekly
 # cell revenue is an exact quantized sum, so the running total is
 # order-independent. Reference: cohort-value rollups of
-# src/temporal/resample.rs.
+# src/temporal/resample/mod.rs.
 @query(
     "q365_cohort_ltv_curve",
     oracle="""

@@ -883,7 +883,8 @@ def q333(spark, sf_dir):
 # over the edges; the edge-endpoint join is two broadcast hash joins on
 # the vertex key; the correlation folds exact integer sums through the
 # shared CORR formula — no adjacency matrix, no all-pairs. Reference:
-# src/graph/metrics.rs (assortativity surface).
+# beyond the reference graph surface (src/graph/ covers centrality/
+# components/traversal only); Newman 2002 assortativity (public).
 def _q353_oracle() -> str:
     from pandrs_spark.functions.deterministic import CORR_FORMULA
 
@@ -949,7 +950,8 @@ def q353(spark, sf_dir):
 # edge list on the swapped key (equi-join on both endpoints, no
 # all-pairs), weighted overlap via LEAST(cnt, cnt_rev) per Squartini
 # et al.'s weighted reciprocity. Integer counts only. Reference:
-# src/graph/metrics.rs (reciprocity surface).
+# beyond the reference graph surface (src/graph/ covers centrality/
+# components/traversal only); Squartini 2013 reciprocity (public).
 @query(
     "q358_trade_reciprocity",
     oracle=f"""

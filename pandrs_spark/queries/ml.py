@@ -1244,7 +1244,7 @@ def q343(spark, sf_dir):
 # sufficient statistics — same shared-formula design as q77 but at
 # fine scale because ln values are O(10). Two shuffles (per-part agg,
 # per-brand agg); the part dimension joins broadcast. Reference:
-# elasticity/regression surface of src/stats/regression.rs.
+# elasticity/regression surface of src/stats/regression/mod.rs.
 def _q349_oracle() -> str:
     from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize
 
@@ -1636,7 +1636,7 @@ def q377(spark, sf_dir):
 # (operators/ml.huber_ols) shares every double formula verbatim with
 # this oracle via the HUBER_* fragments, so the gate verifies the
 # whole reweighting arithmetic value-for-value, not just shape.
-# Reference: robust-regression surface of src/stats/regression.rs.
+# Reference: robust-regression surface of src/stats/regression/mod.rs.
 def _q378_oracle() -> str:
     from pandrs_spark.functions.deterministic import sql_dsum
     from pandrs_spark.operators.ml import (
@@ -1728,7 +1728,7 @@ def q378(spark, sf_dir):
 # then audited on the held-out test split with pure integer
 # comparisons. At 100 TB: two aggregations, one bounded histogram
 # prefix-sum, one map-side coverage scan. Reference: interval surface
-# of src/stats/regression.rs + src/ml/mod.rs (behavioral spec only).
+# of src/stats/regression/mod.rs + src/ml/mod.rs (behavioral spec only).
 def _q380_oracle() -> str:
     from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize
 

@@ -1245,7 +1245,7 @@ def q293(spark, sf_dir):
 # with the oracle (z-quantiles inlined as literals), so the whole
 # readout sits inside the hash gate. One per-user aggregate + one
 # 2-row rollup. Reference: proportion-test surface of
-# src/stats/inference.rs.
+# src/stats/inference/mod.rs.
 _RT = "(CAST(xt AS DOUBLE) / nt)"
 _RC = "(CAST(xc AS DOUBLE) / nc)"
 _PZ = f"({_RT} - {_RC})"
@@ -1339,7 +1339,7 @@ def q344(spark, sf_dir):
 # jackknife_ratio) — no per-replicate rescan at any scale. Scaled-
 # BIGINT group sums make every replicate exact; the replicate moments
 # fold through dsum. Reference: resampling surface of
-# src/stats/sampling.rs (bootstrap :118).
+# src/stats/mod.rs (bootstrap :328).
 def _q371_oracle() -> str:
     from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize
 

@@ -3115,8 +3115,8 @@ def q332(spark, sf_dir):
 # Counts are integers; Jaccard is an integer ratio; (jaccard, pa, pb)
 # is a total order so the top-50 cut is deterministic. At 100 TB the
 # blocking key bounds candidate growth exactly like LSH banding in
-# q31. Reference: record-linkage surface of src/dataframe/join.rs +
-# text similarity of src/text/mod.rs.
+# q31. Reference: record-linkage surface of src/dataframe/join.rs;
+# the reference has no text-similarity module (Jaccard, public).
 @query(
     "q345_part_name_er_pairs",
     oracle="""
@@ -3198,7 +3198,8 @@ def q345(spark, sf_dir):
 # zero shuffle before the per-source rollup, so the rule costs one
 # map-side scan at corpus scale. Fractions are integer ratios (exact
 # in IEEE double on both engines); means use quantized sums.
-# Reference: quality-filter surface of src/text/mod.rs.
+# The reference has no text module; C4/Gopher rule methodology
+# (Raffel 2020 / Rae 2021, public).
 def _q368_oracle() -> str:
     from pandrs_spark.functions.deterministic import sql_davg
 
@@ -3408,8 +3409,8 @@ def q369(spark, sf_dir):
 # fixed operand order, so the top-20 cut never depends on cross-libm
 # ln behavior. min-count floor (≥ 30) is the standard sparse-PMI
 # guard. At 100 TB both aggregations partial-combine map-side; the
-# unigram join is a broadcast (vocabulary-bounded). Reference:
-# collocation surface of src/text/mod.rs (behavioral spec only).
+# unigram join is a broadcast (vocabulary-bounded). The reference
+# has no collocation module; PMI per Church & Hanks 1990 (public).
 @query(
     "q375_pmi_collocations",
     oracle=r"""

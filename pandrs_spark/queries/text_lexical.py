@@ -6,8 +6,8 @@ readability formulas (ARI, Coleman-Liau 1975, Björnsson's LIX/RIX
 1968), Gries (2008) DP dispersion, Hill (1973) diversity numbers and
 Rychlý (2008) logDice collocations — all public methodology.
 
-Reference text-analysis surface: src/text/stats.rs (token/vocabulary
-rollups) — WHAT is computed; the HOW here is pure DataFrame algebra:
+The reference ships no text-analysis module — these queries are
+LLM-pipeline surface built beyond it from the cited public papers; the HOW here is pure DataFrame algebra:
 one explode → one frequency groupBy per query, frequency-of-frequency
 spectra with bounded support, broadcast marginals for collocation
 scoring. Nothing driver-side, nothing pairwise-unbounded — at 100 TB

@@ -1693,7 +1693,7 @@ def q342(spark, sf_dir):
 # monthly series (grouped first — the window never sees raw rows);
 # absolute-percentage errors fold into MAPE/MdAPE through exact
 # quantized revenue. The baseline every fancier forecaster (q81–q135)
-# must beat. Reference: src/temporal/forecast.rs baseline surface.
+# must beat. Reference: src/time_series/forecasting.rs baseline surface.
 @query(
     "q356_seasonal_naive_backtest",
     oracle=f"""
@@ -1848,7 +1848,7 @@ def q366(spark, sf_dir):
 # at any data scale — same argument as q350's month spine) instead of
 # an unparallelizable sequential fold. Each λ^lag·r term is quantized
 # before the sum so the per-month reduction is an exact integer add on
-# both engines. Reference: src/timeseries/smoothing.rs (SES :34 is the
+# both engines. Reference: src/time_series/forecasting.rs (SES :436 is the
 # same recursion shape, fitted; adstock is the fixed-λ transform).
 def _q376_oracle() -> str:
     from pandrs_spark.functions.deterministic import sql_dsum, sql_quantize

@@ -34,7 +34,7 @@ from pandrs_spark.queries.timeseries import (
 # --- q543: Theil-Sen slope of monthly revenue — the median of all
 # pairwise slopes (y_j − y_i)/(t_j − t_i), robust to the outlier
 # months that bias q127's least-squares trend (reference trend surface:
-# src/stats/regression.rs). The pair set is the ~80-month calendar
+# src/stats/regression/mod.rs). The pair set is the ~80-month calendar
 # spine squared (~3k rows, bounded by the observation calendar, never
 # data-sized); the month index comes from months_between against the
 # scalar first month (broadcast carry), so no window is needed at all.
@@ -2569,9 +2569,9 @@ def q632(spark, sf_dir):
 # Parkinson (1980) / Garman-Klass (1980) range volatility, Amihud
 # (2002) illiquidity, Sharpe/Sortino/Calmar performance ratios,
 # Martin's ulcer index (1987), Cornish-Fisher (1938) modified VaR.
-# Reference risk surface: src/stats/risk.rs (VaR/drawdown tier); these
-# extend it with the microstructure estimators the reference computes
-# in src/finance/mod.rs. All series are calendar-bounded rollups
+# The reference has no dedicated risk/finance module (its closest
+# surface is src/time_series/stats.rs); these estimators are built
+# beyond it from the cited public papers. All series are calendar-bounded rollups
 # (~80 months / ~2.4k days), so every self-join and window here is
 # spine-sized, never data-sized — the 100 TB shape is the single
 # groupBy shuffle that builds the spine.

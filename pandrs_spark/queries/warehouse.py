@@ -2972,7 +2972,7 @@ def q338(spark, sf_dir):
 # monthly rollup of order counts + quantized revenue per cohort flag.
 # Two shuffles (per-customer min, per-month agg); the first-month table
 # joins back on the customer key. Reference: cohort rollups of
-# src/temporal/resample.rs.
+# src/temporal/resample/mod.rs.
 @query(
     "q340_new_vs_returning_monthly",
     oracle=f"""
@@ -3021,7 +3021,7 @@ def q340(spark, sf_dir):
 # Reliability diagram cells are integer counts + quantized score sums;
 # ECE is the count-weighted |observed − mean score| folded from the
 # same exact cell table both engines compute. Map-only binning, one
-# shuffle. Reference: model-evaluation metrics of src/ml/metrics.rs.
+# shuffle. Reference: model-evaluation metrics of src/ml/metrics/mod.rs.
 @query(
     "q341_calibration_ece",
     oracle=f"""
@@ -3360,8 +3360,8 @@ def q357(spark, sf_dir):
 # (custkey, price-band), an equi-key that bounds candidates to true
 # collision groups (never all-pairs-per-customer); the date predicate
 # prunes inside the block. Keyed by the earlier-later order pair for a
-# deterministic row set. Reference: data-quality audit surface of
-# src/dataframe/validation.rs.
+# deterministic row set. Reference: the duplicate-handling surface
+# of src/dataframe/apply.rs (drop_duplicates), extended to an audit.
 @query(
     "q359_duplicate_order_audit",
     oracle=f"""
@@ -3433,8 +3433,8 @@ def q359(spark, sf_dir):
 # 3-sigma binomial control limits around the pooled rate
 # (p̄ ± 3·sqrt(p̄(1−p̄)/n_w)) — limits are per-week because n varies.
 # Everything from integer counts through a shared formula string.
-# Complements the EWMA chart (q297). Reference: SPC surface of
-# src/stats/quality.rs.
+# Complements the EWMA chart (q297). The reference has no SPC
+# module; Shewhart p-chart methodology (Montgomery, public).
 @query(
     "q360_late_shipment_p_chart",
     oracle="""
@@ -3701,8 +3701,8 @@ def q370(spark, sf_dir):
 # result is bit-identical to the plain join — which is exactly what
 # the oracle checks. Catalyst's own InjectRuntimeFilter does this
 # automatically only for shuffle-heavy plans; the operator gives the
-# user the knob. Reference: membership-sketch surface of
-# src/sketches/mod.rs + join pruning in src/dataframe/join.rs.
+# user the knob. Reference: join surface of src/dataframe/join.rs;
+# the Bloom sketch itself is beyond-reference scale surface.
 @query(
     "q379_bloom_prefiltered_join",
     oracle=f"""
@@ -3758,8 +3758,8 @@ def q379(spark, sf_dir):
 # equivalence classes fall below k=5 and how many customers those
 # classes expose, plus worst-case class size and l-diversity. One
 # groupBy on the QI tuple + one scalar rollup — partial-combined at
-# any scale. Reference: governance/quality surface of
-# src/dataframe/quality.rs (behavioral spec only).
+# any scale. The reference has no governance module; k-anonymity /
+# l-diversity per Sweeney 2002 / Machanavajjhala 2007 (public).
 @query(
     "q381_k_anonymity_audit",
     oracle="""
