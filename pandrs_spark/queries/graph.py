@@ -1996,7 +1996,12 @@ def q613(spark, sf_dir):
 # --- q693: Wiener index, characteristic path length and global
 # efficiency of the strong trade graph — W = Σ_{i<j} d_ij, L = mean
 # d_ij, E_glob = mean 1/d_ij: the distance-tier summary on top of
-# q516's eccentricity readout (same BFS state, different reductions). ------------
+# q516's eccentricity readout (same BFS state, different reductions).
+# EAGER actions at plan-build time, by design: the BFS frontier loop
+# runs one limit(1).count() job per hop (early-exit certificate — the
+# iteration count is a data property, not a plan property) plus eager
+# localCheckpoints to truncate the growing lineage; bounded by the
+# ≤25-nation vertex set and the 20-hop cap. ------------------------------------
 @query(
     "q693_wiener_efficiency",
     oracle=f"""
@@ -2173,18 +2178,26 @@ def q694(spark, sf_dir):
         F.col("src").alias("ia"), F.col("dst").alias("ib"),
         F.lit(1).alias("adj"),
     )
-    # limit(25) is a no-op (25 nations) for census boundedness
+    # count fence: the 25-nation domain claim is ENFORCED — raises
+    # UnboundedBuildError if the vertex set ever scales with data
+    from pandrs_spark.operators.util import assert_bounded
+
     pairs = tracked_persist(
-        a.join(F.broadcast(b.limit(25)), F.col("ia") < F.col("ib"))
+        a.join(F.broadcast(assert_bounded(b, 25, "q694 nation vertices")), F.col("ia") < F.col("ib"))
         .join(F.broadcast(ra), "ia")
         .join(F.broadcast(rb), "ib")
         .join(e, ["ia", "ib"], "left")
         .na.fill({"adj": 0})
     )
-    nn = verts.agg(F.count(F.lit(1)).cast("int").alias("nv"))
-    nv = nn.first()["nv"]
-    grid = und.sparkSession.range(1, nv).select(
-        F.col("id").cast("long").alias("k")
+    # k-sweep grid 1..nv-1 built LAZILY from the ranked degrees
+    # themselves (ranks are exactly 1..nv): no driver-side first() at
+    # plan-build time — the builder stays lazy per the q693 note
+    mx = ranked.agg(F.max("rk").alias("mx"))
+    grid = (
+        ranked.select(F.col("rk").alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("k") < F.col("mx"))
+        .select("k")
     )
     core = F.when(
         (F.col("rka") <= F.col("k")) | (F.col("rkb") <= F.col("k")), 1

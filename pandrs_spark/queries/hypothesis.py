@@ -2525,7 +2525,13 @@ def q699(spark, sf_dir):
 # the RANK of their within-block range, so high-signal years count
 # more; F = (b−1)·B/(A−B) with S_bq = Q_b·(r_bq − (k+1)/2). Sharpens
 # q659's Page test when block scales differ. All frames are the
-# bounded 7×4 calendar grid. -------------------------------------------------------
+# bounded 7×4 calendar grid. TIE CONVENTION (deviates from Quade 1979
+# mid-ranks, same as q658): within-block and block-range ranks use
+# row_number with a deterministic (value, quarter/year) tie-break
+# rather than average ranks — impl and oracle share the convention, so
+# the gate pins it; quarterly revenue sums are continuous enough that
+# exact ties have measure ~0, and a mid-rank variant would only shift
+# the F statistic, not the ranking semantics. ----------------------------------
 @query(
     "q700_quade_test_quarters",
     oracle="""

@@ -4145,10 +4145,15 @@ def q548(spark, sf_dir):
     b = v.select(
         F.col("seg").alias("seg_b"), F.col("n").alias("nb"), F.col("m").alias("mb")
     )
-    # limit(5) is a no-op (5 segments) that makes the bounded build
-    # side structurally visible to the plan census
+    # count fence: the 5-segment domain claim is ENFORCED, not assumed —
+    # assert_bounded raises UnboundedBuildError if mktsegment ever grows
+    # past 5 values instead of silently truncating the pair grid
+    # (census sees the keyed_agg build; the fence backs the claim)
+    from pandrs_spark.operators.util import assert_bounded
+
     pairs = a.join(
-        F.broadcast(b.limit(5)), F.col("seg_a") < F.col("seg_b")
+        F.broadcast(assert_bounded(b, 5, "q548 segment grid")),
+        F.col("seg_a") < F.col("seg_b"),
     ).crossJoin(F.broadcast(mse))
     qs = F.abs(F.col("ma") - F.col("mb")) / F.sqrt(
         F.col("mse") / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
@@ -4526,8 +4531,12 @@ def q575(spark, sf_dir):
         (F.col("s1") < F.col("r1")) & (F.col("s2") > F.col("r2"))
     )
     tie_y = (F.col("s1") != F.col("r1")) & (F.col("s2") == F.col("r2"))
-    # limit(25) is a no-op (5x5 rating grid) for census boundedness
-    pairs = cells.crossJoin(F.broadcast(b.limit(25))).agg(
+    # count fence: the 5x5 rating grid is ENFORCED — assert_bounded
+    # raises if the rating domain ever exceeds 25 cells instead of
+    # silently dropping concordant/discordant mass
+    from pandrs_spark.operators.util import assert_bounded
+
+    pairs = cells.crossJoin(F.broadcast(assert_bounded(b, 25, "q575 rating grid"))).agg(
         F.sum(F.when(conc, F.col("c") * F.col("cb")).otherwise(0))
         .cast("long")
         .alias("cc"),
