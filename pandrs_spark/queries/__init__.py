@@ -40,3 +40,4 @@ def load_all() -> None:
     from pandrs_spark.queries import warehouse_econometrics  # noqa: F401
     from pandrs_spark.queries import timeseries_risk  # noqa: F401
     from pandrs_spark.queries import text_lexical  # noqa: F401
+    from pandrs_spark.queries import text_retrieval  # noqa: F401

@@ -5720,3 +5720,173 @@ def q711(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         (quantize(F.avg("r"), 4) / 1e4).alias("recall5"),
     )
+
+
+# --- q715: single-feature information gain screen (ID3 stump tier,
+# Quinlan 1986, public) — for six bounded categorical/binned lineitem
+# features, the mutual information with the returned-item label
+# (l_returnflag = 'R'), plus the gain ratio that penalizes
+# high-cardinality features. The 100 TB shape: ONE map-side explode of
+# 6 (feature, value) entries per row -> ONE partial-combined groupBy
+# (feature, value, label) -> per-feature entropy algebra over integer
+# counts on a <=6 x ~15 x 2 grid. The feature-selection pass a
+# tree/boosting pipeline runs before any model fits. -------------------------
+@query(
+    "q715_stump_information_gains",
+    oracle="""
+    WITH f AS MATERIALIZED (
+        SELECT fname, fval, CASE WHEN l_returnflag = 'R'
+                                 THEN 1 ELSE 0 END AS y
+        FROM lineitem, UNNEST([
+            {'n': 'linestatus', 'v': l_linestatus},
+            {'n': 'qty_bin',    'v': CAST(CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS VARCHAR)},
+            {'n': 'disc_pct',   'v': CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR)},
+            {'n': 'tax_pct',    'v': CAST(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR)},
+            {'n': 'ship_month', 'v': CAST(EXTRACT(month FROM l_shipdate) AS VARCHAR)},
+            {'n': 'ship_year',  'v': CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR)}
+        ]) AS t(e),
+        LATERAL (SELECT e['n'] AS fname, e['v'] AS fval) AS x
+    ),
+    cnt AS MATERIALIZED (
+        SELECT fname, fval, y, CAST(COUNT(*) AS BIGINT) AS c
+        FROM f GROUP BY fname, fval, y
+    ),
+    hv AS (
+        SELECT cnt.fname, cnt.fval, MAX(t.nv) AS nv,
+               CASE WHEN COUNT(*) = 1 THEN 0.0
+                    ELSE -SUM((c * 1.0 / t.nv) * LN(c * 1.0 / t.nv)) END AS h
+        FROM cnt
+        JOIN (SELECT fname AS fn2, fval AS fv2, SUM(c) AS nv
+              FROM cnt GROUP BY fname, fval) t
+          ON t.fn2 = cnt.fname AND t.fv2 = cnt.fval
+        GROUP BY cnt.fname, cnt.fval
+    ),
+    lab AS (
+        SELECT fname, y, SUM(c) AS cy FROM cnt GROUP BY fname, y
+    ),
+    hl AS (
+        SELECT lab.fname,
+               -SUM((cy * 1.0 / t.n) * LN(cy * 1.0 / t.n)) AS h_label,
+               MAX(t.n) AS n
+        FROM lab
+        JOIN (SELECT fname AS fn2, SUM(cy) AS n FROM lab GROUP BY fname) t
+          ON t.fn2 = lab.fname
+        GROUP BY lab.fname
+    ),
+    ig AS (
+        SELECT hv.fname,
+               CAST(MAX(hl.n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               MAX(hl.h_label)
+                 - SUM((hv.nv * 1.0 / hl.n) * hv.h) AS gain,
+               CASE WHEN -SUM((hv.nv * 1.0 / hl.n)
+                              * LN(hv.nv * 1.0 / hl.n)) > 0
+                    THEN (MAX(hl.h_label)
+                          - SUM((hv.nv * 1.0 / hl.n) * hv.h))
+                         / (-SUM((hv.nv * 1.0 / hl.n)
+                                 * LN(hv.nv * 1.0 / hl.n)))
+                    ELSE 0.0 END AS gain_ratio
+        FROM hv JOIN hl ON hl.fname = hv.fname
+        GROUP BY hv.fname
+    )
+    SELECT fname AS feature, n, n_values,
+           CAST(CAST(SIGN(gain) * FLOOR(ABS(gain) * 1e6 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS info_gain,
+           CAST(CAST(SIGN(gain_ratio) * FLOOR(ABS(gain_ratio) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS gain_ratio
+    FROM ig
+    ORDER BY feature
+    """,
+)
+def q715(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    feats = F.array(
+        F.struct(F.lit("linestatus").alias("n"), F.col("l_linestatus").alias("v")),
+        F.struct(
+            F.lit("qty_bin").alias("n"),
+            F.floor((F.col("l_quantity") - 1) / 10).cast("long").cast("string").alias("v"),
+        ),
+        F.struct(
+            F.lit("disc_pct").alias("n"),
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("long").cast("string").alias("v"),
+        ),
+        F.struct(
+            F.lit("tax_pct").alias("n"),
+            F.floor(F.col("l_tax") * 100 + 0.5).cast("long").cast("string").alias("v"),
+        ),
+        F.struct(
+            F.lit("ship_month").alias("n"),
+            F.month("l_shipdate").cast("string").alias("v"),
+        ),
+        F.struct(
+            F.lit("ship_year").alias("n"),
+            F.year("l_shipdate").cast("string").alias("v"),
+        ),
+    )
+    f = li.select(y.alias("y"), F.explode(feats).alias("e")).select(
+        F.col("e.n").alias("fname"), F.col("e.v").alias("fval"), "y"
+    )
+    cnt = f.groupBy("fname", "fval", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vtot = cnt.groupBy("fname", "fval").agg(F.sum("c").cast("long").alias("nv"))
+    hv = (
+        cnt.join(vtot, ["fname", "fval"])
+        .groupBy("fname", "fval")
+        .agg(
+            F.max("nv").alias("nv"),
+            F.when(F.count(F.lit(1)) == 1, F.lit(0.0))
+            .otherwise(
+                -F.sum(
+                    (F.col("c") * 1.0 / F.col("nv"))
+                    * F.log(F.col("c") * 1.0 / F.col("nv"))
+                )
+            )
+            .alias("h"),
+        )
+    )
+    lab = cnt.groupBy("fname", "y").agg(F.sum("c").cast("long").alias("cy"))
+    ntot = lab.groupBy("fname").agg(F.sum("cy").cast("long").alias("n"))
+    hl = (
+        lab.join(ntot, "fname")
+        .groupBy("fname")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                -F.sum(
+                    (F.col("cy") * 1.0 / F.col("n"))
+                    * F.log(F.col("cy") * 1.0 / F.col("n"))
+                )
+            ).alias("h_label"),
+        )
+    )
+    ig = (
+        hv.join(hl, "fname")
+        .groupBy("fname")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            (
+                F.max("h_label")
+                - F.sum((F.col("nv") * 1.0 / F.col("n")) * F.col("h"))
+            ).alias("gain"),
+            (
+                -F.sum(
+                    (F.col("nv") * 1.0 / F.col("n"))
+                    * F.log(F.col("nv") * 1.0 / F.col("n"))
+                )
+            ).alias("h_feat"),
+        )
+    )
+    return ig.select(
+        F.col("fname").alias("feature"),
+        "n",
+        "n_values",
+        (quantize("gain", 6) / 1e6).alias("info_gain"),
+        F.when(F.col("h_feat") > 0, quantize(F.col("gain") / F.col("h_feat"), 6) / 1e6)
+        .otherwise(F.lit(0.0))
+        .alias("gain_ratio"),
+    ).orderBy("feature")

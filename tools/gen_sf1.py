@@ -8,7 +8,18 @@ region/nation stay fixed (as in TPC-H, their size is scale-invariant),
 so nationkey/regionkey references are NOT shifted. String ids
 (documents/embeddings) are prefixed per copy.
 
-Usage: python tools/gen_sf1.py [src_dir] [dst_dir] [factor]
+Usage: python tools/gen_sf1.py [src_dir] [dst_dir] [factor] [--unique-docs]
+
+``--unique-docs`` (round 9): salt each copy's document text (one
+appended per-copy/per-row token) and rotate each copy's embedding
+vectors by ``i`` positions. Without it, every copy is a byte-identical
+duplicate of sf0.1's corpus, so the dedup/ANN family's sf1 scaling rows
+measure a 100%-duplicate pathology (quadratic dup-pair blowup inside
+LSH buckets) rather than row growth; with it, copies are unique and the
+same rows measure pure scale. Rotation preserves norms and the value
+distribution exactly while decorrelating copies, so ANN bucket
+occupancy stays realistic. Both regimes are worth a README column.
+
 Defaults: /root/testdata/sf0.1 -> <repo>/.sfbench/sf1, factor 10.
 """
 
@@ -48,7 +59,31 @@ SCALED_TABLES = (
 )
 
 
-def main(src: str, dst: str, factor: int) -> None:
+def _salt_documents(tt: pa.Table, i: int) -> pa.Table:
+    """Append a deterministic per-copy/per-row token to ``text`` so
+    copy i is not an exact (or near-) duplicate of copy 0."""
+    idx = tt.column_names.index("text")
+    salt = pc.binary_join_element_wise(
+        pc.cast(tt["text"], pa.string()),
+        pa.array([f" u{i}x"] * tt.num_rows),
+        pc.cast(tt["doc_id"], pa.string()),
+        "",
+    )
+    return tt.set_column(idx, pa.field("text", pa.string()), salt)
+
+
+def _rotate_embeddings(tt: pa.Table, i: int) -> pa.Table:
+    """Rotate each embedding vector left by ``i`` positions: unique per
+    copy, identical norms/value distribution (list layout preserved)."""
+    idx = tt.column_names.index("embedding")
+    col = tt["embedding"].combine_chunks()
+    vecs = col.to_pylist()
+    rot = [v[i % len(v):] + v[: i % len(v)] if v else v for v in vecs]
+    arr = pa.array(rot, type=col.type)
+    return tt.set_column(idx, tt.schema.field("embedding"), arr)
+
+
+def main(src: str, dst: str, factor: int, unique_docs: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     tables = {
         t: pq.read_table(os.path.join(src, f"{t}.parquet"))
@@ -87,6 +122,11 @@ def main(src: str, dst: str, factor: int) -> None:
                     pa.array([f"c{i}_"] * tt.num_rows), pc.cast(tt[col], pa.string()), ""
                 )
                 tt = tt.set_column(idx, pa.field(col, pa.string()), pref)
+            if unique_docs and i > 0:
+                if t == "documents":
+                    tt = _salt_documents(tt, i)
+                elif t == "embeddings":
+                    tt = _rotate_embeddings(tt, i)
             copies.append(tt)
         out = pa.concat_tables(copies, promote_options="default")
         pq.write_table(out, os.path.join(dst, f"{t}.parquet"))
@@ -94,11 +134,15 @@ def main(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:] if a != "--unique-docs"]
+    unique = "--unique-docs" in sys.argv[1:]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
     dst = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(REPO, ".sfbench", "sf1")
+        argv[1]
+        if len(argv) > 1
+        else os.path.join(
+            REPO, ".sfbench", "sf1u" if unique else "sf1"
+        )
     )
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    main(src, dst, factor)
+    factor = int(argv[2]) if len(argv) > 2 else 10
+    main(src, dst, factor, unique_docs=unique)
