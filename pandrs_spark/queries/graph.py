@@ -2716,3 +2716,101 @@ def q698(spark, sf_dir):
             - F.col("out_size")
         ).alias("tendril_size"),
     )
+
+
+# --- q719: supplier in-degree distribution — Clauset-Shalizi-Newman
+# (2009, public) power-law MLE alpha = 1 + n/Σ ln(d/(dmin-0.5)) over
+# suppliers with degree >= dmin=2 (dmin fixed by design, not KS-swept),
+# plus the degree-histogram entropy and moments. Degree = distinct
+# customers reached per supplier through lineitem x orders — a
+# DATA-SIZED distribution (unlike the 25-nation trade graph), so the
+# shape matters at 100 TB: one distinct-pair groupBy, one per-supplier
+# count, one histogram groupBy(d), scalar rollups — no global window,
+# no driver-side collect. -------------------------------------------------------
+@query(
+    "q719_degree_powerlaw_mle",
+    oracle=f"""
+    WITH pair AS MATERIALIZED (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS MATERIALIZED (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM pair GROUP BY s
+    ),
+    hist AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM hist),
+    tail AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nt,
+               SUM(c * LN(d / 1.5)) AS slog
+        FROM hist WHERE d >= 2
+    ),
+    ent AS (
+        SELECT -SUM((c * 1.0 / (SELECT nn FROM n))
+                    * LN(c * 1.0 / (SELECT nn FROM n))) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_degrees
+        FROM hist
+    )
+    SELECT (SELECT nn FROM n) AS n_suppliers,
+           (SELECT nt FROM tail) AS n_tail,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+           CAST({sql_quantize('(SELECT AVG(CAST(d AS DOUBLE)) FROM deg)', 6)}
+                AS DOUBLE) / 1e6 AS mean_degree,
+           CAST({sql_quantize(
+               '1.0 + (SELECT nt FROM tail) / (SELECT slog FROM tail)', 6)}
+                AS DOUBLE) / 1e6 AS alpha_mle,
+           (SELECT n_distinct_degrees FROM ent) AS n_distinct_degrees,
+           CAST({sql_quantize('(SELECT h FROM ent)', 6)} AS DOUBLE)
+               / 1e6 AS degree_entropy
+    """,
+)
+def q719(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    pair = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = pair.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hist = tracked_persist(
+        deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = hist.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(F.col("c") * F.col("d")).cast("long").alias("sd"),
+        F.max("d").cast("long").alias("maxd"),
+        F.count(F.lit(1)).cast("long").alias("ndd"),
+    )
+    tail = hist.filter(F.col("d") >= 2).agg(
+        F.sum("c").cast("long").alias("nt"),
+        F.sum(F.col("c") * F.log(F.col("d") / 1.5)).alias("slog"),
+    )
+    ent = (
+        hist.crossJoin(F.broadcast(n.select("nn")))
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") * 1.0 / F.col("nn"))
+                    * F.log(F.col("c") * 1.0 / F.col("nn"))
+                )
+            ).alias("h")
+        )
+    )
+    j = n.crossJoin(F.broadcast(tail)).crossJoin(F.broadcast(ent))
+    return j.select(
+        F.col("nn").alias("n_suppliers"),
+        F.col("nt").alias("n_tail"),
+        F.col("maxd").alias("max_degree"),
+        (quantize(F.col("sd").cast("double") / F.col("nn"), 6) / 1e6).alias(
+            "mean_degree"
+        ),
+        (quantize(1.0 + F.col("nt") / F.col("slog"), 6) / 1e6).alias("alpha_mle"),
+        F.col("ndd").alias("n_distinct_degrees"),
+        (quantize("h", 6) / 1e6).alias("degree_entropy"),
+    )

@@ -601,3 +601,101 @@ def q687(spark, sf_dir):
         "source_b",
         (quantize("d", 6) / 1e6).alias("burrows_delta"),
     )
+
+
+# --- q718: RAKE keyword scores (Rose et al. 2010, public) — candidate
+# phrases are maximal stopword-free token runs; every phrase word
+# accumulates freq(w) and degree(w) = sum of host-phrase lengths, and
+# ranks by the RAKE ratio degree/freq (favors words living in long
+# multi-word phrases). Top-20 words, ties broken lexically. The
+# reference has no keyword-extraction module; this is LLM-pipeline
+# surface (corpus labeling / topic seeding). Shape: one posexplode,
+# one per-doc prefix sum for phrase ids (PARTITIONED by doc — never a
+# global window), one (doc, phrase) rollup, one word rollup,
+# TakeOrdered(20). -------------------------------------------------------------
+def _q718_oracle() -> str:
+    from pandrs_spark.operators.text import STOPWORDS
+
+    stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stoplist = ", ".join(f"'{w}'" for w in stop)
+    return f"""
+    WITH tok0 AS (
+        SELECT doc_id, {_WS} AS ws FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS p, ws[i] AS w,
+               CASE WHEN ws[i] IN ({stoplist}) THEN 1 ELSE 0 END AS st
+        FROM tok0, UNNEST(generate_series(1, len(ws))) AS t(i)
+    ),
+    ph AS (
+        SELECT doc_id, p, w, st,
+               SUM(st) OVER (PARTITION BY doc_id ORDER BY p) AS pid
+        FROM tok
+    ),
+    words AS (
+        SELECT doc_id, pid, w FROM ph WHERE st = 0 AND w <> ''
+    ),
+    plen AS (
+        SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+        FROM words GROUP BY doc_id, pid
+    ),
+    sc AS (
+        SELECT w.w,
+               CAST(SUM(plen.plen) AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM words w JOIN plen ON plen.doc_id = w.doc_id
+                              AND plen.pid = w.pid
+        GROUP BY w.w
+    )
+    SELECT w AS word, degree, freq,
+           CAST({sql_quantize('CAST(degree AS DOUBLE) / freq', 6)} AS DOUBLE)
+               / 1e6 AS rake_score
+    FROM sc
+    ORDER BY rake_score DESC, word
+    LIMIT 20
+    """
+
+
+@query("q718_rake_keyword_scores", oracle=_q718_oracle())
+def q718(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.text import STOPWORDS, tokens
+    from pandrs_spark.operators.util import fan_out
+
+    stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    docs = T(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "w")
+    )
+    st = F.col("w").isin(stop).cast("int")
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    ph = tok.select("doc_id", "p", "w", st.alias("st")).withColumn(
+        "pid", F.sum("st").over(w_doc)
+    )
+    words = ph.filter((F.col("st") == 0) & (F.col("w") != "")).select(
+        "doc_id", "pid", "w"
+    )
+    plen = words.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    sc = (
+        words.join(plen, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(
+            F.sum("plen").cast("long").alias("degree"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+        )
+    )
+    return (
+        sc.select(
+            F.col("w").alias("word"),
+            "degree",
+            "freq",
+            (quantize(F.col("degree").cast("double") / F.col("freq"), 6) / 1e6).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("rake_score"), "word")
+        .limit(20)
+    )

@@ -4465,3 +4465,143 @@ def q668(spark, sf_dir):
         (quantize("msw", 4) / 1e4).alias("ms_within"),
         (quantize(sb / (sb + F.col("msw")), 6) / 1e6).alias("icc1"),
     )
+
+
+# --- q716: empirical tail-dependence coefficients of the (monthly
+# revenue, monthly order count) joint series — copula-tier risk
+# diagnostics (Joe 1997; Frahm-Junker-Schmidt 2005 empirical
+# estimator, public): lambda_U(q) = P(Fx(X)>q, Fy(Y)>q)/(1-q) and the
+# lower mirror at q = 0.75, from rank-transformed margins (row_number
+# over the ~80-month spine, ties broken by month — deterministic on
+# both engines). Linear correlation misses exactly this: whether the
+# two series crash/spike TOGETHER. Bounded spine, two rank windows,
+# one scalar rollup. ----------------------------------------------------------
+@query(
+    "q716_tail_dependence_rev_orders",
+    oracle=f"""
+    WITH {_MONTHLY_JOINT_SQL},
+    rk AS (
+        SELECT x,
+               ROW_NUMBER() OVER (ORDER BY rev, mth) AS rr,
+               ROW_NUMBER() OVER (ORDER BY cnt, mth) AS rc,
+               CAST((SELECT COUNT(*) FROM joint) AS BIGINT) AS n
+        FROM joint
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_months,
+           0.75 AS q,
+           CAST({sql_quantize(
+               'SUM(CASE WHEN rr > 0.75 * n AND rc > 0.75 * n '
+               'THEN 1 ELSE 0 END) / (MAX(n) * 0.25)', 6)} AS DOUBLE)
+               / 1e6 AS lambda_upper,
+           CAST({sql_quantize(
+               'SUM(CASE WHEN rr <= 0.25 * n AND rc <= 0.25 * n '
+               'THEN 1 ELSE 0 END) / (MAX(n) * 0.25)', 6)} AS DOUBLE)
+               / 1e6 AS lambda_lower
+    FROM rk
+    """,
+)
+def q716(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    joint = _monthly_joint(spark, sf_dir)
+    w_r = Window.orderBy("rev", "mth")
+    w_c = Window.orderBy("cnt", "mth")
+    w_all = Window.partitionBy()
+    rk = joint.select(
+        F.row_number().over(w_r).alias("rr"),
+        F.row_number().over(w_c).alias("rc"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    up = F.sum(
+        F.when((F.col("rr") > 0.75 * F.col("n")) & (F.col("rc") > 0.75 * F.col("n")), 1).otherwise(0)
+    )
+    lo = F.sum(
+        F.when((F.col("rr") <= 0.25 * F.col("n")) & (F.col("rc") <= 0.25 * F.col("n")), 1).otherwise(0)
+    )
+    return rk.agg(
+        F.max("n").cast("long").alias("n_months"),
+        F.lit(0.75).alias("q"),
+        (quantize(up / (F.max("n") * 0.25), 6) / 1e6).alias("lambda_upper"),
+        (quantize(lo / (F.max("n") * 0.25), 6) / 1e6).alias("lambda_lower"),
+    )
+
+
+# --- q717: records trend test on monthly revenue — the
+# distribution-free trend screen from records theory (Glick 1978;
+# Foster-Stuart 1954, public): under exchangeability the k-th
+# observation is an upper record with probability 1/k, so the record
+# count R_n has mean H_n (harmonic number) and variance H_n - H_n^(2);
+# an excess of upper records (deficit of lower) flags monotone trend
+# without ANY distributional assumption — the robust cousin of
+# Mann-Kendall (q544-class). Records come from a prefix-max window
+# over the ~80-month spine; H_n sums fold over the spine's own month
+# index (no driver-side series). ------------------------------------------------
+@query(
+    "q717_records_trend_test",
+    oracle=f"""
+    WITH {_MONTHLY_REV_SQL},
+    idx AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY mth) AS x,
+               MAX(rev) OVER (ORDER BY mth
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prevmax,
+               MIN(rev) OVER (ORDER BY mth
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prevmin
+        FROM monthly
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN prevmax IS NULL OR rev > prevmax
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_up,
+               CAST(SUM(CASE WHEN prevmin IS NULL OR rev < prevmin
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_lo,
+               SUM(1.0 / x) AS h1,
+               SUM(1.0 / (x * CAST(x AS DOUBLE))) AS h2
+        FROM idx
+    )
+    SELECT n AS n_months, r_up AS n_upper_records, r_lo AS n_lower_records,
+           CAST({sql_quantize('h1', 6)} AS DOUBLE) / 1e6 AS expected_records,
+           CAST({sql_quantize('(r_up - h1) / SQRT(h1 - h2)', 6)} AS DOUBLE)
+               / 1e6 AS z_upper,
+           CAST({sql_quantize('(r_lo - h1) / SQRT(h1 - h2)', 6)} AS DOUBLE)
+               / 1e6 AS z_lower
+    FROM s
+    """,
+)
+def q717(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    monthly = _monthly_rev(spark, sf_dir)
+    w_ord = Window.orderBy("mth")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    idx = monthly.select(
+        "rev",
+        F.row_number().over(w_ord).alias("x"),
+        F.max("rev").over(w_prev).alias("prevmax"),
+        F.min("rev").over(w_prev).alias("prevmin"),
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("prevmax").isNull() | (F.col("rev") > F.col("prevmax")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_up"),
+        F.sum(
+            F.when(F.col("prevmin").isNull() | (F.col("rev") < F.col("prevmin")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("r_lo"),
+        F.sum(1.0 / F.col("x")).alias("h1"),
+        F.sum(1.0 / (F.col("x") * F.col("x").cast("double"))).alias("h2"),
+    )
+    sd = F.sqrt(F.col("h1") - F.col("h2"))
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.col("r_up").alias("n_upper_records"),
+        F.col("r_lo").alias("n_lower_records"),
+        (quantize("h1", 6) / 1e6).alias("expected_records"),
+        (quantize((F.col("r_up") - F.col("h1")) / sd, 6) / 1e6).alias("z_upper"),
+        (quantize((F.col("r_lo") - F.col("h1")) / sd, 6) / 1e6).alias("z_lower"),
+    )

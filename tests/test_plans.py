@@ -469,6 +469,8 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q667_cowles_jones_ratio",  # month index over the calendar spine
     "q694_core_periphery_fit",  # degree rank over the 25-nation graph
     "q700_quade_test_quarters",  # block-range rank over the year spine
+    "q716_tail_dependence_rev_orders",  # rank margins over the month spine
+    "q717_records_trend_test",  # prefix-max records over the month spine
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
