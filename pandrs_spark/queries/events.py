@@ -5362,3 +5362,75 @@ def q708(spark, sf_dir):
     return sizes.groupBy(F.col("e").alias("train_size")).agg(
         F.count(F.lit(1)).cast("long").alias("n_trains")
     )
+
+
+# --- q721: mean residual life curve of inter-event gaps — the
+# reliability-engineering readout MRL(t) = E[G − t | G > t] on a
+# bounded 8-point minute grid (Guess & Proschan 1988, public): rising
+# MRL = heavy-tailed gaps (the longer you've waited, the longer you
+# WILL wait — Pareto-ish user lulls), falling = wear-out. Complements
+# the Kaplan-Meier/Nelson-Aalen tier (q334/q450/q463) with the
+# conditional-expectation view. Shape: one lag window per user,
+# then the bounded grid crossJoins the gap set ONCE (8 × n_gaps rows,
+# partial-combined scalar rollup per grid point) — never gap × gap. ------------
+@query(
+    "q721_mean_residual_life",
+    oracle="""
+    WITH gaps AS MATERIALIZED (
+        SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)))
+               / 60000000.0 AS g
+        FROM events
+    ),
+    grid AS (SELECT UNNEST([0, 2, 5, 10, 20, 40, 80, 160]) AS t),
+    s AS (
+        SELECT grid.t,
+               CAST(COUNT(*) FILTER (WHERE g > grid.t) AS BIGINT)
+                   AS n_at_risk,
+               SUM(CAST(FLOOR((g - grid.t) * 1000000.0 + 0.5) AS BIGINT))
+                   FILTER (WHERE g > grid.t) AS srq
+        FROM gaps JOIN grid ON TRUE
+        WHERE g IS NOT NULL
+        GROUP BY grid.t
+    )
+    SELECT t AS t_minutes, n_at_risk,
+           CAST(CAST(FLOOR(CAST(srq AS DOUBLE) / n_at_risk + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e6 AS mrl_minutes
+    FROM s
+    WHERE n_at_risk > 0
+    ORDER BY t_minutes
+    """,
+)
+def q721(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 60000000.0
+        ).alias("g")
+    ).filter(F.col("g").isNotNull())
+    grid = spark.createDataFrame(
+        [(0,), (2,), (5,), (10,), (20,), (40,), (80,), (160,)], "t int"
+    )
+    s = (
+        gaps.crossJoin(F.broadcast(grid))
+        .filter(F.col("g") > F.col("t"))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_risk"),
+            F.sum(
+                F.floor((F.col("g") - F.col("t")) * 1e6 + 0.5).cast("long")
+            ).alias("srq"),
+        )
+    )
+    return s.select(
+        F.col("t").alias("t_minutes"),
+        "n_at_risk",
+        (
+            F.floor(F.col("srq").cast("double") / F.col("n_at_risk") + 0.5).cast(
+                "long"
+            )
+            / 1e6
+        ).alias("mrl_minutes"),
+    ).orderBy("t_minutes")

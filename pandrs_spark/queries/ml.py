@@ -5890,3 +5890,174 @@ def q715(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("gain_ratio"),
     ).orderBy("feature")
+
+
+# --- q720: IVF probe-sweep recall curve — q711's certificate swept
+# over n_probe ∈ {1,2,4,8} of 8 cells IN ONE PLAN: the bounded 4-value
+# probe grid joins the rank-filtered probe lists (pr.rn <= p), so the
+# whole curve costs one pipeline, not four reruns. The recall/cost
+# tradeoff table an ANN operator publishes before anyone trusts its
+# buckets: recall ≈ scanned fraction on this isotropic synthetic
+# corpus, and the curve pins exactly that. ------------------------------------
+@query(
+    "q720_ivf_probe_sweep_recall",
+    oracle="""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    assign AS MATERIALIZED (
+        SELECT id_c, cid FROM (
+            SELECT e.vec_id AS id_c, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS MATERIALIZED (
+        SELECT id_q, cid, rn FROM (
+            SELECT e.vec_id AS id_q, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+            WHERE e.vec_id < 20
+        ) WHERE rn <= 8
+    ),
+    grid AS (SELECT UNNEST([1, 2, 4, 8]) AS p),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT g.p, pr.id_q, a.id_c
+        FROM grid g
+        JOIN probe pr ON pr.rn <= g.p
+        JOIN assign a ON a.cid = pr.cid
+        WHERE pr.id_q <> a.id_c
+    ),
+    ivfknn AS MATERIALIZED (
+        SELECT p, id_q, id_c FROM (
+            SELECT cand.p, cand.id_q, cand.id_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.p, cand.id_q
+                       ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6)
+                                DESC, cand.id_c) AS rn
+            FROM cand
+            JOIN emb eq ON eq.vec_id = cand.id_q
+            JOIN emb ec ON ec.vec_id = cand.id_c
+        ) WHERE rn <= 5
+    ),
+    exact AS MATERIALIZED (
+        SELECT id_q, id_c FROM (
+            SELECT a.vec_id AS id_q, b.vec_id AS id_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6)
+                                DESC, b.vec_id) AS rn
+            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20
+        ) WHERE rn <= 5
+    ),
+    per_q AS (
+        SELECT g.p, e.id_q, CAST(COUNT(i.id_c) AS DOUBLE) / COUNT(*) AS r
+        FROM grid g
+        JOIN exact e ON TRUE
+        LEFT JOIN ivfknn i ON i.p = g.p AND i.id_q = e.id_q
+                          AND i.id_c = e.id_c
+        GROUP BY g.p, e.id_q
+    )
+    SELECT p AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(CAST(FLOOR(AVG(r) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE)
+               / 1e4 AS recall5
+    FROM per_q
+    GROUP BY p
+    ORDER BY n_probe
+    """,
+)
+def q720(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.similarity import _as_double, cosine, fan_out
+
+    emb = T(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), _as_double(F.col("embedding")).alias("cv"))
+    )
+    c = fan_out(emb).select(
+        F.col("vec_id").alias("id_c"), _as_double(F.col("embedding")).alias("vc")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("id_q"), _as_double(F.col("embedding")).alias("vq")
+    )
+    w_assign = Window.partitionBy("id_c").orderBy(
+        F.desc(F.round("__sim", 6)), "cid"
+    )
+    assign = (
+        c.crossJoin(cent)
+        .select("id_c", "cid", cosine(F.col("vc"), F.col("cv")).alias("__sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id_c", "cid")
+    )
+    w_probe = Window.partitionBy("id_q").orderBy(
+        F.desc(F.round("__sim", 6)), "cid"
+    )
+    probe = (
+        q.crossJoin(cent)
+        .select("id_q", "cid", cosine(F.col("vq"), F.col("cv")).alias("__sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 8)
+        .select("id_q", "cid", "rn")
+    )
+    grid = spark.createDataFrame([(1,), (2,), (4,), (8,)], "p int")
+    cand = (
+        probe.crossJoin(F.broadcast(grid))
+        .filter(F.col("rn") <= F.col("p"))
+        .join(assign, "cid")
+        .filter(F.col("id_q") != F.col("id_c"))
+        .select("p", "id_q", "id_c")
+        .distinct()
+    )
+    scored = (
+        cand.join(q, "id_q")
+        .join(c, "id_c")
+        .select("p", "id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("__sim"))
+    )
+    w_top = Window.partitionBy("p", "id_q").orderBy(
+        F.desc(F.round("__sim", 6)), "id_c"
+    )
+    ivf = (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("p", "id_q", "id_c")
+    )
+    w_ex = Window.partitionBy("id_q").orderBy(F.desc(F.round("sim", 6)), "id_c")
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("id_q") != F.col("id_c"))
+        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 5)
+        .select("id_q", "id_c")
+    )
+    hits = (
+        exact.crossJoin(F.broadcast(grid))
+        .join(ivf.withColumn("hit", F.lit(1)), ["p", "id_q", "id_c"], "left")
+    )
+    per_q = hits.groupBy("p", "id_q").agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("r")
+    )
+    return (
+        per_q.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            (F.floor(F.avg("r") * 1e4 + 0.5).cast("long") / 1e4).alias("recall5"),
+        )
+        .select(F.col("p").alias("n_probe"), "n_queries", "recall5")
+        .orderBy("n_probe")
+    )
