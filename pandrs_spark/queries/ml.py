@@ -6061,3 +6061,134 @@ def q720(spark, sf_dir):
         .select(F.col("p").alias("n_probe"), "n_queries", "recall5")
         .orderBy("n_probe")
     )
+
+
+# --- q722: linear-time MMD² between label-0 and label-1 embeddings —
+# Gretton et al. (2012) §6 streaming estimator: pair consecutive
+# rank-ordered samples within each group and average
+# h_i = k(x2i−1,x2i) + k(y2i−1,y2i) − k(x2i−1,y2i) − k(x2i,y2i−1)
+# (RBF kernel, 2σ² = 4). THE two-sample test shaped for 100 TB: the
+# quadratic U-statistic needs all pairs, the linear estimator needs
+# only rank-adjacent ones — every join here is an equi-join on the
+# pair index, squared distances fold through per-dimension scaled
+# BIGINTs so both engines agree bit-for-bit before exp(). -------------------
+@query(
+    "q722_linear_mmd_two_sample",
+    oracle="""
+    WITH g AS MATERIALIZED (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS r
+        FROM embeddings WHERE label IN (0, 1)
+    ),
+    m AS (
+        SELECT CAST(MIN(c) AS BIGINT) AS m FROM (
+            SELECT label, COUNT(*) AS c FROM g GROUP BY label
+        )
+    ),
+    px AS (
+        SELECT CAST((a.r + 1) // 2 AS BIGINT) AS i, a.v AS x1, b.v AS x2
+        FROM g a JOIN g b ON b.label = 0 AND b.r = a.r + 1
+        WHERE a.label = 0 AND a.r % 2 = 1 AND b.r <= (SELECT m FROM m)
+    ),
+    py AS (
+        SELECT CAST((a.r + 1) // 2 AS BIGINT) AS i, a.v AS y1, b.v AS y2
+        FROM g a JOIN g b ON b.label = 1 AND b.r = a.r + 1
+        WHERE a.label = 1 AND a.r % 2 = 1 AND b.r <= (SELECT m FROM m)
+    ),
+    h AS (
+        SELECT px.i,
+               EXP(-(list_sum(list_transform(generate_series(1, len(x1)),
+                    k -> CAST(FLOOR((x1[k] - x2[k]) * (x1[k] - x2[k])
+                                    * 1000000.0 + 0.5) AS BIGINT)))
+                    / 1e6) / 4.0)
+             + EXP(-(list_sum(list_transform(generate_series(1, len(y1)),
+                    k -> CAST(FLOOR((y1[k] - y2[k]) * (y1[k] - y2[k])
+                                    * 1000000.0 + 0.5) AS BIGINT)))
+                    / 1e6) / 4.0)
+             - EXP(-(list_sum(list_transform(generate_series(1, len(x1)),
+                    k -> CAST(FLOOR((x1[k] - y2[k]) * (x1[k] - y2[k])
+                                    * 1000000.0 + 0.5) AS BIGINT)))
+                    / 1e6) / 4.0)
+             - EXP(-(list_sum(list_transform(generate_series(1, len(x2)),
+                    k -> CAST(FLOOR((x2[k] - y1[k]) * (x2[k] - y1[k])
+                                    * 1000000.0 + 0.5) AS BIGINT)))
+                    / 1e6) / 4.0) AS hv
+        FROM px JOIN py ON py.i = px.i
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(SIGN(mn) * FLOOR(ABS(mn) * 1e9 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e9 AS mmd2_linear
+    FROM (
+        SELECT COUNT(*) AS cnt,
+               CAST(SUM(CAST(SIGN(hv) * FLOOR(ABS(hv) * 1e9 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS mn
+        FROM h
+    ), h
+    GROUP BY mn
+    """,
+)
+def q722(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    w_r = Window.partitionBy("label").orderBy("vec_id")
+    g = emb.select(
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.row_number().over(w_r).alias("r"),
+    )
+    m = g.groupBy("label").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").cast("long").alias("m")
+    )
+
+    def _pairs(lbl, n1, n2):
+        a = g.filter((F.col("label") == lbl) & (F.col("r") % 2 == 1)).select(
+            F.floor((F.col("r") + 1) / 2).cast("long").alias("i"),
+            F.col("v").alias(n1),
+            F.col("r").alias("ra"),
+        )
+        b = g.filter(F.col("label") == lbl).select(
+            F.col("r").alias("rb"), F.col("v").alias(n2)
+        )
+        return (
+            a.join(b, F.col("rb") == F.col("ra") + 1)
+            .crossJoin(F.broadcast(m))
+            .filter(F.col("rb") <= F.col("m"))
+            .select("i", n1, n2)
+        )
+
+    px = _pairs(0, "x1", "x2")
+    py = _pairs(1, "y1", "y2")
+
+    def _k(a, b):
+        d2q = F.aggregate(
+            F.zip_with(
+                F.col(a),
+                F.col(b),
+                lambda x, y: F.floor((x - y) * (x - y) * 1e6 + 0.5).cast(
+                    "long"
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.exp(-(d2q / 1e6) / 4.0)
+
+    h = px.join(py, "i").select(
+        (
+            _k("x1", "x2") + _k("y1", "y2") - _k("x1", "y2") - _k("x2", "y1")
+        ).alias("hv")
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            quantize(
+                (F.sum(quantize("hv", 9)).cast("double") / 1e9)
+                / F.count(F.lit(1)),
+                9,
+            )
+            / 1e9
+        ).alias("mmd2_linear"),
+    )
