@@ -5079,9 +5079,12 @@ def q682(spark, sf_dir):
         F.col("r1").alias("b1"),
         F.col("r2").alias("b2"),
     )
-    # limit(25) is a no-op (25 nations) for census boundedness
+    # count fence: the 25-nation domain claim is ENFORCED — raises
+    # UnboundedBuildError if the vertex set ever scales with data
+    from pandrs_spark.operators.util import assert_bounded
+
     k = (
-        wide.join(F.broadcast(b.limit(25)), F.col("nat") < F.col("natb"))
+        wide.join(F.broadcast(assert_bounded(b, 25, "q682 nation ranks")), F.col("nat") < F.col("natb"))
         .agg(
             F.sum(
                 F.when(
