@@ -5694,7 +5694,9 @@ def q711(spark, sf_dir):
         .select("id_a", "id_b")
     )
     # exact side: 20-row broadcast sample × corpus — linear scan
-    q = emb.filter(F.col("vec_id") < 20).select(
+    # (.limit(20) is exact — vec_id unique — and makes the bounded
+    # broadcast build plan-visible, the q88 convention)
+    q = emb.filter(F.col("vec_id") < 20).limit(20).select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").cast("array<double>").alias("vq"),
     )
@@ -5994,7 +5996,9 @@ def q720(spark, sf_dir):
     c = fan_out(emb).select(
         F.col("vec_id").alias("id_c"), _as_double(F.col("embedding")).alias("vc")
     )
-    q = emb.filter(F.col("vec_id") < 20).select(
+    # .limit(20) is exact (vec_id unique) and makes the bounded
+    # broadcast build plan-visible, the q88 convention
+    q = emb.filter(F.col("vec_id") < 20).limit(20).select(
         F.col("vec_id").alias("id_q"), _as_double(F.col("embedding")).alias("vq")
     )
     w_assign = Window.partitionBy("id_c").orderBy(
