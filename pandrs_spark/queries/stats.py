@@ -5222,3 +5222,81 @@ def q707(spark, sf_dir):
             "nb_size_mom"
         ),
     )
+
+
+# --- q723: Kuiper V test for day-of-week uniformity of order dates —
+# the CIRCULAR Kolmogorov-Smirnov (Kuiper 1960, public): V = D+ + D−
+# is invariant to where the week "starts", which plain KS is not, so
+# it is the right uniformity test for cyclic supports (day-of-week,
+# hour-of-day, month-of-year). Discrete 7-point support: the whole
+# test folds to one groupBy(dow) + 7-row ECDF algebra; the standard
+# V* = V·(sqrt(n) + 0.155 + 0.24/sqrt(n)) normalization is reported
+# for the asymptotic band. Map-side combine, bounded rollup — flat at
+# any SF. -----------------------------------------------------------------------
+@query(
+    "q723_kuiper_dow_uniformity",
+    oracle=f"""
+    WITH c AS (
+        SELECT dayofweek(o_orderdate) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY dow
+    ),
+    e AS (
+        SELECT dow, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY dow) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+               ROW_NUMBER() OVER (ORDER BY dow) AS k
+        FROM c
+    ),
+    d AS (
+        SELECT MAX(cum * 1.0 / n - k / 7.0) AS dplus,
+               MAX(k / 7.0 - (cum - cnt) * 1.0 / n) AS dminus,
+               MAX(n) AS n
+        FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST({sql_quantize('dplus', 6)} AS DOUBLE) / 1e6 AS d_plus,
+           CAST({sql_quantize('dminus', 6)} AS DOUBLE) / 1e6 AS d_minus,
+           CAST({sql_quantize('dplus + dminus', 6)} AS DOUBLE) / 1e6
+               AS v_stat,
+           CAST({sql_quantize(
+               '(dplus + dminus) * (SQRT(n) + 0.155 + 0.24 / SQRT(n))', 6)}
+               AS DOUBLE) / 1e6 AS v_star
+    FROM d
+    """,
+)
+def q723(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    c = orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = Window.orderBy("dow").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    e = c.select(
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+        F.row_number().over(Window.orderBy("dow")).alias("k"),
+    )
+    d = e.agg(
+        F.max(F.col("cum") * 1.0 / F.col("n") - F.col("k") / 7.0).alias("dplus"),
+        F.max(
+            F.col("k") / 7.0 - (F.col("cum") - F.col("cnt")) * 1.0 / F.col("n")
+        ).alias("dminus"),
+        F.max("n").cast("long").alias("n"),
+    )
+    v = F.col("dplus") + F.col("dminus")
+    return d.select(
+        F.col("n").alias("n_orders"),
+        (quantize("dplus", 6) / 1e6).alias("d_plus"),
+        (quantize("dminus", 6) / 1e6).alias("d_minus"),
+        (quantize(v, 6) / 1e6).alias("v_stat"),
+        (
+            quantize(v * (F.sqrt(F.col("n")) + 0.155 + 0.24 / F.sqrt(F.col("n"))), 6)
+            / 1e6
+        ).alias("v_star"),
+    )

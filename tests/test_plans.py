@@ -471,6 +471,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q700_quade_test_quarters",  # block-range rank over the year spine
     "q716_tail_dependence_rev_orders",  # rank margins over the month spine
     "q717_records_trend_test",  # prefix-max records over the month spine
+    "q723_kuiper_dow_uniformity",  # ECDF over the 7-day-of-week rollup
 }
 # (The rank-statistics ECDF family — q71/q72/q73/q95/q111 — was also
 # migrated off partitionless windows onto global_prefix_counts in
