@@ -16,7 +16,6 @@ from pandrs_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprint,
 )
-from pandrs_spark.operators.similarity import cosine_topk, nearest_neighbors
 from pandrs_spark.operators.text import (
     STOPWORDS,
     quality_score,
