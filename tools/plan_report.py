@@ -28,6 +28,22 @@ The artifact carries per-query splits plus a top-level
 (tests/test_plans.py exercises the classifier itself on constructed
 benign/suspicious plans).
 
+Round 9 closes the r8 verdict's cache blind spot and makes coverage
+self-proving:
+
+- the walker now traverses EVERY boundary the printer handles
+  inconsistently — cached relations
+  (InMemoryTableScan.relation().cachedPlan()), executed AQE plans
+  (executedPlan → the FINAL plan), materialized query stages
+  (Shuffle/Broadcast/ResultQueryStage .plan()) and codegen wrappers
+  (InputAdapter/WholeStageCodegen around build sides);
+- the text counters run on Initial-section-stripped text (an executed
+  cache prints Final + Initial, which would double-count);
+- a reconciliation fence (exit 1 + ``census_mismatches``) requires
+  every DISTINCT BNLJ / SinglePartition line in the text to have a
+  walker-classified signature — the census can no longer silently
+  under-cover what the plan shows.
+
 Usage: python tools/plan_report.py [sf_dir] [--json OUT] [query ...]
 """
 
