@@ -6199,3 +6199,142 @@ def q722(spark, sf_dir):
             / 1e9
         ).alias("mmd2_linear"),
     )
+
+
+# --- q724: covariate-balance audit for the urgent-order "treatment" —
+# the standardized-mean-difference table (Love-plot input; Austin 2009,
+# public) every DiD/IPW readout (the causal kit tier) should be gated on:
+# per covariate, SMD = (mean_t − mean_c)/sqrt((var_t + var_c)/2) and
+# the variance ratio, |SMD| > 0.1 flagging imbalance. Order-grain
+# covariates (totalprice, line count, total quantity, customer
+# balance) via ONE aggregate-then-join chain; the 4-entry covariate
+# map explodes map-side and a (covariate, treated) groupBy carries
+# quantized exact sums — bounded 4 x 2 grid, flat at any SF. ------------------
+@query(
+    "q724_covariate_balance_smd",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT o.o_orderkey,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS y,
+               o.o_totalprice AS totalprice,
+               CAST(l.n_lines AS DOUBLE) AS n_lines,
+               l.qty AS qty,
+               c.c_acctbal AS acctbal
+        FROM orders o
+        JOIN (SELECT l_orderkey, COUNT(*) AS n_lines,
+                     SUM(l_quantity) AS qty
+              FROM lineitem GROUP BY l_orderkey) l
+          ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    f AS MATERIALIZED (
+        SELECT t.e['n'] AS cov, t.e['v'] AS v, y
+        FROM base, UNNEST([
+            {'n': 'acctbal',    'v': acctbal},
+            {'n': 'n_lines',    'v': n_lines},
+            {'n': 'qty',        'v': qty},
+            {'n': 'totalprice', 'v': totalprice}
+        ]) AS t(e)
+    ),
+    m AS MATERIALIZED (
+        SELECT cov, y,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(SIGN(v) * FLOOR(ABS(v) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS s,
+               CAST(SUM(CAST(SIGN(v * v) * FLOOR(ABS(v * v) + 0.5)
+                             AS BIGINT)) AS DOUBLE) AS ss
+        FROM f GROUP BY cov, y
+    ),
+    w AS (
+        SELECT cov,
+               MAX(CASE WHEN y = 1 THEN n END) AS nt,
+               MAX(CASE WHEN y = 0 THEN n END) AS nc,
+               MAX(CASE WHEN y = 1 THEN s END) AS st,
+               MAX(CASE WHEN y = 0 THEN s END) AS sc,
+               MAX(CASE WHEN y = 1 THEN ss END) AS sst,
+               MAX(CASE WHEN y = 0 THEN ss END) AS ssc
+        FROM m GROUP BY cov
+    ),
+    v AS (
+        SELECT cov, nt, nc,
+               st / nt AS mt, sc / nc AS mc,
+               (sst - st * st / nt) / (nt - 1) AS vt,
+               (ssc - sc * sc / nc) / (nc - 1) AS vc
+        FROM w
+    )
+    SELECT cov AS covariate, nt AS n_treated, nc AS n_control,
+           CAST(CAST(SIGN(mt) * FLOOR(ABS(mt) * 1e4 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e4 AS mean_treated,
+           CAST(CAST(SIGN(mc) * FLOOR(ABS(mc) * 1e4 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1e4 AS mean_control,
+           CAST(CAST(SIGN((mt - mc) / SQRT((vt + vc) / 2.0))
+                     * FLOOR(ABS((mt - mc) / SQRT((vt + vc) / 2.0)) * 1e6
+                             + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS smd,
+           CAST(CAST(SIGN(vt / vc) * FLOOR(ABS(vt / vc) * 1e6 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1e6 AS var_ratio,
+           ABS((mt - mc) / SQRT((vt + vc) / 2.0)) > 0.1 AS imbalanced
+    FROM v
+    ORDER BY covariate
+    """,
+)
+def q724(spark, sf_dir):
+    from pandrs_spark.functions.deterministic import quantize
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    cust = T(spark, sf_dir, "customer")
+    lagg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    base = (
+        orders.join(lagg, orders.o_orderkey == lagg.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.col("c_acctbal").alias("acctbal"),
+            "n_lines",
+            "qty",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    feats = F.array(
+        F.struct(F.lit("acctbal").alias("n"), F.col("acctbal").alias("v")),
+        F.struct(F.lit("n_lines").alias("n"), F.col("n_lines").alias("v")),
+        F.struct(F.lit("qty").alias("n"), F.col("qty").alias("v")),
+        F.struct(F.lit("totalprice").alias("n"), F.col("totalprice").alias("v")),
+    )
+    f = base.select("y", F.explode(feats).alias("e")).select(
+        F.col("e.n").alias("cov"), F.col("e.v").alias("v"), "y"
+    )
+    m = f.groupBy("cov", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(quantize("v", 2)).cast("double") / 100.0).alias("s"),
+        F.sum(quantize(F.col("v") * F.col("v"), 0)).cast("double").alias("ss"),
+    )
+    w = m.groupBy("cov").agg(
+        F.max(F.when(F.col("y") == 1, F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("y") == 0, F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("y") == 1, F.col("s"))).alias("st"),
+        F.max(F.when(F.col("y") == 0, F.col("s"))).alias("sc"),
+        F.max(F.when(F.col("y") == 1, F.col("ss"))).alias("sst"),
+        F.max(F.when(F.col("y") == 0, F.col("ss"))).alias("ssc"),
+    )
+    mt = F.col("st") / F.col("nt")
+    mc = F.col("sc") / F.col("nc")
+    vt = (F.col("sst") - F.col("st") * F.col("st") / F.col("nt")) / (F.col("nt") - 1)
+    vc = (F.col("ssc") - F.col("sc") * F.col("sc") / F.col("nc")) / (F.col("nc") - 1)
+    smd = (mt - mc) / F.sqrt((vt + vc) / 2.0)
+    return w.select(
+        F.col("cov").alias("covariate"),
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        (quantize(mt, 4) / 1e4).alias("mean_treated"),
+        (quantize(mc, 4) / 1e4).alias("mean_control"),
+        (quantize(smd, 6) / 1e6).alias("smd"),
+        (quantize(vt / vc, 6) / 1e6).alias("var_ratio"),
+        (F.abs(smd) > 0.1).alias("imbalanced"),
+    ).orderBy("covariate")
