@@ -568,3 +568,66 @@ def test_plan_census_classifier_discriminates(spark, sf_dir):
     glob = li.repartition(1).select("l_orderkey")
     c4 = walk_classify(glob._jdf.queryExecution().executedPlan())
     assert c4["sp_suspicious"] >= 1, c4
+
+
+def test_strip_initial_sections_and_sig_norm():
+    """Round-9 census text tooling: executed-cache Final/Initial
+    dual-printing is stripped (branch-bar-aware depth), and line
+    signatures normalize scaffold/codegen/plan_id noise."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_report import _norm_sig, strip_initial_sections
+
+    text = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=true",
+        "+- == Final Plan ==",
+        "   *(2) BroadcastNestedLoopJoin BuildRight, Cross",
+        "   :- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=4]",
+        "+- == Initial Plan ==",
+        "   BroadcastNestedLoopJoin BuildRight, Cross",
+        "   :- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]",
+        "   :  +- == Initial Plan ==",
+        "   :     Exchange SinglePartition, nested, [plan_id=2]",
+        "Project [x]",
+    ])
+    s = strip_initial_sections(text)
+    assert s.count("BroadcastNestedLoopJoin") == 1
+    assert s.count("Exchange SinglePartition") == 1
+    assert "Project [x]" in s  # sibling after the section survives
+    # deeper ':'-scaffolded Initial marker must not end the outer skip
+    assert "nested" not in s
+    a = _norm_sig("   :  +- *(7) BroadcastNestedLoopJoin BuildRight, Cross, [plan_id=12]")
+    b = _norm_sig("BroadcastNestedLoopJoin BuildRight, Cross")
+    assert a == b
+
+
+def test_knn_topk_edges_method_dispatch(spark):
+    """knn_topk_edges: the IVF path returns the same contract as the
+    exact baseline (id_a, id_b, rank), never self-pairs, respects k;
+    exact ranking agrees with the brute-force 1-NN operator."""
+    import pytest
+    from pandrs_spark.operators.similarity import (
+        knn_topk_edges,
+        nearest_neighbors,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = knn_topk_edges(df, k=3, method="exact").collect()
+    assert {r["rank"] for r in exact} == {1, 2, 3}
+    assert all(r["id_a"] != r["id_b"] for r in exact)
+    nn1 = {r["vec_id"]: r["nn_id"] for r in nearest_neighbors(df).collect()}
+    top1 = {r["id_a"]: r["id_b"] for r in exact if r["rank"] == 1}
+    assert top1 == nn1
+    ivf = knn_topk_edges(df, k=3, method="ivf",
+                         n_centroids=4, n_probe=2).collect()
+    assert ivf and all(r["id_a"] != r["id_b"] for r in ivf)
+    assert all(1 <= r["rank"] <= 3 for r in ivf)
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["id_a"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    with pytest.raises(ValueError, match="unknown method"):
+        knn_topk_edges(df, k=3, method="bogus")
