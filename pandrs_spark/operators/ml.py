@@ -682,8 +682,8 @@ def local_outlier_factor(
     x_col: str,
     y_col: str,
     k: int = 5,
-    method: str = "grid",
-    eps: float = 0.25,
+    method: str = "exact",
+    eps: float | None = None,
 ) -> DataFrame:
     """Local Outlier Factor over 2-D points (src/ml LOF re-export,
     src/lib.rs:219-244 — no MLlib builtin; SURVEY §2.13 composition
@@ -698,7 +698,12 @@ def local_outlier_factor(
     ``method`` picks the kNN candidate plan (round 9 — previously
     exact-only, a data-sized BroadcastNestedLoopJoin):
 
-    - ``"grid"`` (default): candidates come from the eps-grid bucket
+    - ``"exact"`` (default): the O(n²) self-join baseline — always
+      correct on any coordinate scale, the safe library default.
+    - ``"grid"`` (the scale path — ``eps`` is REQUIRED, no default:
+      eps is a property of the caller's coordinate scale, and a baked
+      constant would silently mis-tune on other corpora): candidates
+      come from the eps-grid bucket
       join (``_eps_pairs``, the dbscan_2d shape) — an equi-join on cell
       keys whose volume is bounded by local density, never n². This is
       EXACT, not approximate, whenever every point has ≥ k neighbors
@@ -709,13 +714,22 @@ def local_outlier_factor(
       a silently-wrong score — fail loudly, exactly like the
       assert_bounded broadcast fences. At higher density eps shrinks
       (kth-NN distance falls as 1/sqrt(n·density)), keeping candidate
-      volume per task flat as the corpus grows.
-    - ``"exact"``: the O(n²) self-join calibration baseline.
+      volume per task flat as the corpus grows. The fence covers BOTH
+      sides of the reach-distance algebra: a neighbor b missing its
+      k-distance (b-side) AND a point whose OWN candidate set is short
+      of k (a-side — its k-distance row is absent, so its reach sum
+      would otherwise silently span < k neighbors).
 
     Downstream ranking and the LOF algebra are shared. Both reach sums
     are quantized (``dsum``) so the score is bit-identical across
     partitionings and engines. Returns (id, lof) with lof rounded to 4.
     """
+    if method == "grid" and eps is None:
+        raise ValueError(
+            "local_outlier_factor: method='grid' requires an explicit "
+            "eps — it is a property of the caller's coordinate scale "
+            "(pick it >= the expected max k-NN distance)"
+        )
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("double").alias("x"),
@@ -782,6 +796,21 @@ def local_outlier_factor(
             "a_id", "b_id", F.greatest("kd", "d").alias("r")
         )
     sr = reach.groupBy("a_id").agg(dsum("r", 6).alias("sum_reach"))
+    if method == "grid":
+        # a-side fence: a point with 1..k-1 in-eps candidates that is
+        # in nobody's top-k list reaches here with a reach sum spanning
+        # fewer than k neighbors — its own k-distance row (kdist) is
+        # the witness that its candidate set hit k. Left-join it and
+        # raise when absent, instead of emitting sum(<k reaches)/k.
+        _own_kd = kdist.select(
+            F.col("id").alias("a_id"), F.col("kd").alias("__own_kd")
+        )
+        sr = sr.join(_own_kd, "a_id", "left").select(
+            "a_id",
+            F.when(F.col("__own_kd").isNotNull(), F.col("sum_reach"))
+            .otherwise(_fence)
+            .alias("sum_reach"),
+        )
     srb = sr.select(F.col("a_id").alias("b_id"), F.col("sum_reach").alias("sr_b"))
     inv = (
         knn.join(srb, "b_id")

@@ -680,7 +680,8 @@ def knn_topk_edges(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "ivf",
+    *,
+    method: str,
     n_centroids: int = 8,
     n_probe: int = 2,
 ) -> DataFrame:
@@ -691,9 +692,12 @@ def knn_topk_edges(
 
     ``method`` picks the candidate-generation plan (round 9 — this used
     to be exact-only, the last data-sized all-pairs family in the
-    registry):
+    registry). It is keyword-REQUIRED with no default: the two plans
+    differ in SEMANTICS (exact vs approximate edges), not just speed,
+    so a caller must opt into the approximation explicitly rather than
+    inherit it silently.
 
-    - ``"ivf"`` (default, the scale path): candidates come from
+    - ``"ivf"`` (the scale path): candidates come from
       :func:`ivf_topk`'s inverted-file bucket equi-join — the only
       cross join touches the ``n_centroids``-row coarse quantizer, so
       no data-sized broadcast build exists in the plan. Fully

@@ -227,7 +227,7 @@ def test_lof_flags_outlier(spark):
     df = spark.createDataFrame(
         grid + [(99, 5.0, 5.0)], "id bigint, x double, y double"
     )
-    out = {r["id"]: r["lof"] for r in local_outlier_factor(df, "id", "x", "y", k=3, eps=8.0).collect()}
+    out = {r["id"]: r["lof"] for r in local_outlier_factor(df, "id", "x", "y", k=3, method="grid", eps=8.0).collect()}
     # grid points sit in uniform density: LOF ~ 1
     assert all(out[i] < 1.5 for i in range(9))
     # the isolated point's density is tiny vs its (grid) neighbors'
@@ -511,3 +511,52 @@ def test_lof_grid_eps_fence_raises(spark):
     with pytest.raises(Exception, match="LOF_GRID_EPS_TOO_SMALL"):
         local_outlier_factor(df, "id", "x", "y", k=3,
                              method="grid", eps=1.0).collect()
+
+
+def test_lof_grid_aside_fence_partial_candidates(spark):
+    # round-10 fence hardening: a point with 1..k-1 in-eps candidates
+    # that appears in NOBODY's top-k list used to slip past both the
+    # b-side kd fence (it is no one's neighbor) and the final
+    # missing-row fence (it has knn rows, so it reaches the output) —
+    # emitting sum(<k reaches)/k, a silently wrong score. The a-side
+    # own-k-distance fence must raise instead. Geometry: a tight line
+    # cluster x=0.00..0.09 (spacing 0.01) plus a point at x=0.32 with
+    # eps=0.25 — the stray sees 3 cluster points (x>=0.07) but at
+    # distance >=0.23 it is in no cluster point's top-5.
+    import pytest
+    from pandrs_spark.operators.ml import local_outlier_factor
+
+    rows = [(i, 0.01 * i, 0.0) for i in range(10)] + [(99, 0.32, 0.0)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y double")
+    with pytest.raises(Exception, match="LOF_GRID_EPS_TOO_SMALL"):
+        local_outlier_factor(df, "id", "x", "y", k=5,
+                             method="grid", eps=0.25).collect()
+
+
+def test_lof_grid_requires_explicit_eps(spark):
+    # eps is a property of the caller's coordinate scale — a baked
+    # default would silently mis-tune on other corpora, so method
+    # ='grid' with no eps is a ValueError (and the library default is
+    # the always-correct exact path)
+    import pytest
+    from pandrs_spark.operators.ml import local_outlier_factor
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 0.0)], "id bigint, x double, y double"
+    )
+    with pytest.raises(ValueError, match="requires an explicit eps"):
+        local_outlier_factor(df, "id", "x", "y", k=1, method="grid")
+
+
+def test_knn_topk_edges_requires_explicit_method(spark):
+    # exact vs ivf differ in SEMANTICS (exact vs approximate edges);
+    # the caller must opt into the approximation explicitly
+    import pytest
+    from pandrs_spark.operators.similarity import knn_topk_edges
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(TypeError):
+        knn_topk_edges(df, k=1)

@@ -73,7 +73,7 @@ def _case_dbscan(spark):
 def _case_lof(spark):
     from pandrs_spark.operators.ml import local_outlier_factor
 
-    return local_outlier_factor(_points(spark), "id", "x", "y", k=3, eps=10.0)
+    return local_outlier_factor(_points(spark), "id", "x", "y", k=3, method="grid", eps=10.0)
 
 
 def _case_mwu(spark):

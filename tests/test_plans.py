@@ -561,6 +561,23 @@ def test_plan_census_classifier_discriminates(spark, sf_dir):
     c2b = walk_classify(keyed._jdf.queryExecution().executedPlan())
     assert c2b["bnlj_keyed_agg"] >= 1 and c2b["bnlj_suspicious"] == 0, c2b
 
+    # multi-key grouped aggregate build → its OWN bucket (round 10,
+    # ADVICE r9): a (orderkey, linenumber) tuple can be data-scaled, so
+    # it must not blend into the single-key domain-claim category —
+    # plan_report counts it suspicious unless the query is on the
+    # assert_bounded-backed KEYED_AGG_MULTI_WHITELIST
+    keys2 = li.select("l_orderkey", "l_linenumber").distinct()
+    keyed2 = li.join(
+        F.broadcast(
+            keys2.withColumnRenamed("l_orderkey", "k").withColumnRenamed(
+                "l_linenumber", "k2"
+            )
+        ),
+        F.col("l_orderkey") > F.col("k"),
+    )
+    c2c = walk_classify(keyed2._jdf.queryExecution().executedPlan())
+    assert c2c["bnlj_keyed_agg_multi"] >= 1 and c2c["bnlj_keyed_agg"] == 0, c2c
+
     # SinglePartition split: a scalar agg's exchange is benign...
     c3 = walk_classify(scalar._jdf.queryExecution().executedPlan())
     assert c3["sp_benign"] >= 1 and c3["sp_suspicious"] == 0, c3

@@ -77,13 +77,55 @@ _BOUNDED_TABLES = ("region.parquet", "nation.parquet")
 _SCALAR_AGG = re.compile(r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[\]")
 # a keyed aggregate build: bounded by the KEY TUPLE's cardinality — a
 # domain claim (labels, sources, months, rating grids), reported as
-# its own category rather than benign or suspicious. Round 9 widened
-# this from single-key to any-key: a (r1, r2) rating-grid aggregate is
-# the same class of claim as a label aggregate, and the fence-backed
-# builds (assert_bounded) in q548/q575/q682/q694 land here.
-_SINGLE_KEY_AGG = re.compile(
-    r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[[^\]]+\]"
+# its own category rather than benign or suspicious. Round 10 (ADVICE
+# r9): single-key and multi-key keyed aggregates are SEPARATE buckets.
+# A single-key agg (label, source, month) is a narrow domain claim; a
+# multi-column key (e.g. groupBy(custkey, month)) can be data-scaled,
+# so it is only accepted for queries on the assert_bounded-backed
+# whitelist below — anywhere else it counts as suspicious.
+_KEYED_AGG = re.compile(
+    r"\b(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[([^\n]*)"
 )
+
+# Queries whose multi-key keyed-agg broadcast builds carry an in-plan
+# assert_bounded row-count fence (the grid/vertex builds the round-9
+# widening was for). A multi-key keyed_agg build in any OTHER query is
+# classified suspicious so the fence list stays auditable.
+KEYED_AGG_MULTI_WHITELIST = {
+    "q548_tukey_hsd_segments",
+    "q575_somers_d_urgency_speed",
+    "q682_rank_distance_nations",
+    "q694_core_periphery_fit",
+}
+
+
+def _keyed_agg_arity(subtree_text: str) -> int:
+    """Max top-level comma arity across every keyed-aggregate line in a
+    build subtree: 1 = all single-key, >=2 = some multi-key. Bracket
+    depth is tracked so commas inside expressions (round(x, 6)) do not
+    count; simpleString truncation at 100 chars can cut the key list
+    short, which only UNDER-counts — and an under-counted multi-key agg
+    whose visible head is a single key is still a keyed-cardinality
+    domain claim, the category this feeds."""
+    worst = 0
+    for m in _KEYED_AGG.finditer(subtree_text):
+        body = m.group(1)
+        if body.lstrip().startswith("]"):
+            continue  # keys=[] — a scalar aggregate, not keyed
+        depth, arity = 0, 1
+        for ch in body:
+            if ch in "([":
+                depth += 1
+            elif ch == ")":
+                depth = max(0, depth - 1)
+            elif ch == "]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                arity += 1
+        worst = max(worst, arity)
+    return worst
 _LIMIT = re.compile(r"\b(?:GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)\b")
 _FILESCAN = re.compile(r"\bFileScan parquet [^\n]*")
 
@@ -143,8 +185,13 @@ def classify_build_subtree(text: str) -> str:
     cardinality, which is a DOMAIN claim (labels, sources, calendar
     months, scenario grids) the query's docstring must carry — reported
     separately so a reviewer can audit the claims without launching
-    Spark. suspicious = a data-sized FileScan reaches the broadcast
-    build with nothing bounding it (the q446-class mistake)."""
+    Spark. keyed_agg_multi = a MULTI-column grouped aggregate, a wider
+    claim (a multi-key tuple can be data-scaled, e.g. (custkey,
+    month)) — only accepted for queries on KEYED_AGG_MULTI_WHITELIST,
+    whose builds carry in-plan assert_bounded fences; elsewhere the
+    caller counts it suspicious. suspicious = a data-sized FileScan
+    reaches the broadcast build with nothing bounding it (the
+    q446-class mistake)."""
     if _SCALAR_AGG.search(text) or _LIMIT.search(text):
         return "benign"
     scans = _FILESCAN.findall(text)
@@ -152,8 +199,11 @@ def classify_build_subtree(text: str) -> str:
         return "benign"
     if scans and all(any(t in s for t in _BOUNDED_TABLES) for s in scans):
         return "benign"
-    if _SINGLE_KEY_AGG.search(text):
+    arity = _keyed_agg_arity(text)
+    if arity == 1:
         return "keyed_agg"
+    if arity >= 2:
+        return "keyed_agg_multi"
     return "suspicious"
 
 
@@ -240,6 +290,7 @@ def walk_classify(root) -> dict:
     counts = {
         "bnlj_benign": 0,
         "bnlj_keyed_agg": 0,
+        "bnlj_keyed_agg_multi": 0,
         "bnlj_suspicious": 0,
         "sp_benign": 0,
         "sp_window": 0,
@@ -370,6 +421,7 @@ def main() -> int:
     cls_totals = {
         "bnlj_benign": 0,
         "bnlj_keyed_agg": 0,
+        "bnlj_keyed_agg_multi": 0,
         "bnlj_suspicious": 0,
         "sp_benign": 0,
         "sp_window": 0,
@@ -378,6 +430,7 @@ def main() -> int:
     }
     suspicious_queries: list[str] = []
     census_mismatches: list[dict] = []
+    count_divergences: list[dict] = []
     n_err = 0
     # Documented exceptions: plans that ARE data-sized by design, with
     # the justification carried here and in the operator docstring. The
@@ -410,7 +463,16 @@ def main() -> int:
                 totals[k] += v
         for k in cls_totals:
             cls_totals[k] += cls[k]
-        if cls["bnlj_suspicious"] or cls["sp_suspicious"]:
+        # multi-key keyed-agg builds are only accepted where an
+        # assert_bounded fence backs the cardinality claim (ADVICE r9:
+        # the any-key widening must not silently broaden the pass
+        # bucket beyond the fence-backed queries)
+        multi_ok = name in KEYED_AGG_MULTI_WHITELIST
+        if (
+            cls["bnlj_suspicious"]
+            or cls["sp_suspicious"]
+            or (cls["bnlj_keyed_agg_multi"] and not multi_ok)
+        ):
             if name not in documented:
                 suspicious_queries.append(name)
         # Reconciliation fence (round 9): every DISTINCT BNLJ /
@@ -435,11 +497,55 @@ def main() -> int:
             census_mismatches.append(
                 {"query": name, "uncovered_signatures": uncovered[:8]}
             )
+        # Count-divergence ledger (round 10, VERDICT r9 #5): the fence
+        # above proves every printed signature was adjudicated, but raw
+        # text counts can still diverge from classified counts (the
+        # printer renders cached subtrees a different number of times
+        # than the object graph contains them). Surface every gap with
+        # its one-line cause so PLANS_r*.json self-explains — and the
+        # specific masking risk (text > classified while a counter
+        # bucket is zero, i.e. a reprint COULD hide a same-signature
+        # unclassified node) is marked for review explicitly.
+        n_bnlj_cls = sum(v for k, v in cls.items() if k.startswith("bnlj_"))
+        n_sp_cls = sum(v for k, v in cls.items() if k.startswith("sp_"))
+        for op, n_text, n_cls in (
+            ("bnlj", row["broadcast_nested_loop_joins"], n_bnlj_cls),
+            ("sp", row["single_partition_exchanges"], n_sp_cls),
+        ):
+            if n_text == n_cls:
+                continue
+            cause = (
+                "cached-subtree reprint: treeString renders a persisted/"
+                "AQE-executed subtree a different number of times than "
+                "the object graph contains it; every distinct signature "
+                "is walker-adjudicated (census fence above)"
+                if ("InMemoryTableScan" in text or "== Final Plan ==" in text)
+                else "unknown — no cache/AQE reprint marker in plan text"
+            )
+            count_divergences.append(
+                {
+                    "query": name,
+                    "op": op,
+                    "text_count": n_text,
+                    "classified_count": n_cls,
+                    "masking_review": bool(
+                        n_text > n_cls
+                        and any(
+                            v == 0
+                            for k, v in cls.items()
+                            if k.startswith(op + "_")
+                        )
+                    ),
+                    "cause": cause,
+                }
+            )
         row.update(cls)
         out["queries"][name] = row
     out["totals"] = {**totals, **cls_totals}
     out["suspicious_queries"] = suspicious_queries
     out["census_mismatches"] = census_mismatches
+    out["count_divergences"] = count_divergences
+    out["keyed_agg_multi_whitelist"] = sorted(KEYED_AGG_MULTI_WHITELIST)
     out["documented_suspicious"] = documented
     out["n_queries"] = len(out["queries"])
     out["n_errors"] = n_err
@@ -451,6 +557,7 @@ def main() -> int:
             **cls_totals,
             "n_suspicious_queries": len(suspicious_queries),
             "n_census_mismatches": len(census_mismatches),
+            "n_count_divergences": len(count_divergences),
         }
     )
     print(line)
