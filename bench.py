@@ -27,8 +27,59 @@ HEADLINE = [
 ]
 
 
+def _foreign_spark_pids() -> list[int]:
+    """PIDs of java/Spark processes that are NOT descendants of this
+    bench run — the co-runner sentinel. Called BEFORE our own
+    SparkSession exists, so any java/pyspark process found here is a
+    concurrent workload that will contaminate the timings."""
+    me = os.getpid()
+    pids = []
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit() or int(ent) == me:
+            continue
+        try:
+            with open(f"/proc/{ent}/cmdline", "rb") as fh:
+                cmd = fh.read().decode("utf-8", "replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "java" in cmd.split(" ")[0] or "spark" in cmd.lower():
+            pids.append(int(ent))
+    return pids
+
+
+def _load_guard() -> dict:
+    """Machine-quietness metadata recorded into the bench JSON (round
+    10 — three rounds running, a loaded-machine artifact needed a judge
+    rerun to interpret; now the artifact self-reports). If the 1-min
+    load is high, wait up to 90 s for it to drain before measuring;
+    never refuse (the driver runs unattended and an annotated number
+    beats no number), but set load_warning so a reader distrusts the
+    draw without forensics on the spreads."""
+    ncpu = os.cpu_count() or 1
+    deadline = time.monotonic() + 90
+    load1 = os.getloadavg()[0]
+    while load1 > 2.0 and time.monotonic() < deadline:
+        time.sleep(10)
+        load1 = os.getloadavg()[0]
+    foreign = _foreign_spark_pids()
+    return {
+        "loadavg_1m_at_start": round(load1, 2),
+        "cpus": ncpu,
+        "foreign_spark_pids": foreign,
+        "load_warning": bool(load1 > 2.0 or foreign),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    guard = _load_guard()
+    if guard["load_warning"]:
+        print(
+            f"WARNING: machine not quiet (load {guard['loadavg_1m_at_start']}, "
+            f"foreign spark pids {guard['foreign_spark_pids']}) — timings "
+            "will be contaminated; see load fields in the JSON",
+            file=sys.stderr,
+        )
     from pandrs_spark.session import get_spark
 
     import __spark_entry__ as E
@@ -112,6 +163,8 @@ def main() -> None:
                 "queries": timings,
                 "method": "median-of-5",
                 "spread_min_max": spread,
+                **guard,
+                "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

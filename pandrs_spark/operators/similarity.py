@@ -120,19 +120,28 @@ def nearest_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact 1-NN for every vector (self excluded) via blocked
-    self-join. O(n²) compute but expressed as a crossJoin the optimizer
-    executes as broadcast-nested-loop when one side is small; for the
-    1B-vector regime, swap the crossJoin for an LSH/IVF bucket join with
-    the same downstream ranking."""
+    """Exact 1-NN (self excluded) against the full corpus.
+
+    With ``queries=None`` this is the all-pairs self-join — O(n²), the
+    small-n calibration baseline only. Pass ``queries`` (a BOUNDED
+    sample of the same schema — make it plan-provably bounded with a
+    ``.limit``, the q88/q711 convention) and the join becomes
+    broadcast-sample × corpus: linear in the corpus, exact for every
+    sampled query, which is the shape that survives 100 TB. For the
+    full-corpus 1B-vector regime, swap to the LSH/IVF bucket join
+    (:func:`ivf_topk`) with the same downstream ranking."""
     from pyspark.sql import Window
 
     extra = [label_col] if label_col else []
     corpus = fan_out(corpus)
-    a = corpus.select(
+    src = corpus if queries is None else queries
+    a = src.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"), *extra
     )
+    if queries is not None:
+        a = F.broadcast(a)
     b = corpus.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
     )
@@ -317,8 +326,8 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
-    n_tables: int = 32,
-    n_planes: int = 3,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -347,6 +356,34 @@ def embedding_near_dup_pairs(
        2^planes, so planes must grow ~log2(n_distinct) to keep
        per-bucket occupancy (and the n²/2^planes candidate volume)
        bounded, with ``n_tables`` buying recall back.
+
+       **Self-scaling config (round 10)**: when ``n_planes`` /
+       ``n_tables`` are None (the default) they are DERIVED from a
+       first-pass distinct-vector count — deterministic, so the output
+       is stable across partitionings and re-runs at any SF:
+
+       - ``n_planes = max(3, ceil(log2(n_distinct / 64)))`` — target
+         per-table bucket occupancy ~64, so candidate volume per table
+         is ~64·n instead of the n²/8 a pinned depth-3 costs (the
+         round-9 sf1u measurement: 240 s at 20k unique vectors with
+         planes=3, 44.8 s at planes=10).
+       - ``n_tables = max(32, tables holding recall 0.9999 at
+         sim >= max(threshold, 0.9))`` — the OR-construction bound
+         ceil(ln(1e-4) / ln(1 - p_anchor^planes)). Anchoring the
+         recall contract at the true near-duplicate regime (0.9+)
+         rather than a low exploratory threshold is what keeps tables
+         ~O(10) as depth grows; in the borderline band
+         [threshold, 0.9) recall decays as 1-(1-p^planes)^tables —
+         callers needing certified borderline recall at scale pass
+         explicit knobs (total work then grows as n^(1+rho),
+         rho = ln(1/p_thresh)/ln 2, the classic LSH exponent).
+
+       At small corpora the derivation reproduces the calibration
+       config exactly — n_distinct <= 512 gives (planes=3, tables=32),
+       where collision probability at sim=0.40 is 0.9999, so the
+       sf0.01 exact-oracle hash gate is byte-identical. The extra
+       ``count()`` runs on the already-persisted distinct-vector frame
+       (one map + one shuffle-less agg — negligible next to hashing).
     3. **Exact verify.** One cosine per distinct candidate pair,
        against ``threshold`` on the 4-decimal rounding (engine-
        reproducible accept/reject).
@@ -354,9 +391,10 @@ def embedding_near_dup_pairs(
     Returns (id_a, id_b, sim) with id_a < id_b, including the
     within-cluster pairs of exact duplicates (cosine 1).
     """
+    import math
+
     from pandrs_spark.operators.util import tracked_persist
 
-    banks = _hyperplanes(n_tables, n_planes, dim, seed)
     corpus = fan_out(corpus)
     keyed = tracked_persist(
         corpus.select(
@@ -366,6 +404,19 @@ def embedding_near_dup_pairs(
     reps = tracked_persist(
         keyed.groupBy("__fp__").agg(F.first("v").alias("v"))
     )
+    if n_planes is None or n_tables is None:
+        n_distinct = max(1, reps.count())
+        if n_planes is None:
+            n_planes = max(3, math.ceil(math.log2(max(1.0, n_distinct / 64))))
+        if n_tables is None:
+            anchor = min(1.0, max(threshold, 0.9))
+            p_anchor = 1.0 - math.acos(anchor) / math.pi
+            miss = 1.0 - p_anchor**n_planes
+            t_req = (
+                math.ceil(math.log(1e-4) / math.log(miss)) if miss > 0 else 1
+            )
+            n_tables = max(32, t_req)
+    banks = _hyperplanes(n_tables, n_planes, dim, seed)
     rb = reps.select(
         "__fp__",
         F.posexplode(

@@ -434,14 +434,10 @@ def main() -> int:
     n_err = 0
     # Documented exceptions: plans that ARE data-sized by design, with
     # the justification carried here and in the operator docstring. The
-    # fence is suspicious_queries EXCLUDING these.
-    documented = {
-        "q35_nn_label_purity":
-            "exact 1-NN label-purity CALIBRATION baseline — O(n2) all-"
-            "pairs by documented design (operators/similarity.py "
-            "docstring scopes it to calibration, never the scale path; "
-            "q88/q177 are the bucketed production variants)",
-    }
+    # fence is suspicious_queries EXCLUDING these. Round 10: EMPTY —
+    # q35, the last all-pairs plan, is now a bounded-sample × corpus
+    # broadcast join (lowest-200-id sample, plan-visible .limit).
+    documented: dict[str, str] = {}
     for name, fn in E.queries().items():
         if only and name not in only:
             continue
