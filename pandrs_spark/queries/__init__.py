@@ -36,6 +36,7 @@ def load_all() -> None:
     from pandrs_spark.queries import graph  # noqa: F401
     from pandrs_spark.queries import hypothesis  # noqa: F401
     from pandrs_spark.queries import ml  # noqa: F401
+    from pandrs_spark.queries import ml_embedding  # noqa: F401
     from pandrs_spark.queries import warehouse  # noqa: F401
     from pandrs_spark.queries import warehouse_econometrics  # noqa: F401
     from pandrs_spark.queries import timeseries_risk  # noqa: F401

@@ -4144,738 +4144,6 @@ def q591(spark, sf_dir):
         "n_bins", "n_eval", (quantize("hl", 6) / 1e6).alias("hl_chi2")
     )
 
-
-# ===== Wave q669-q674: embedding-geometry diagnostics =================
-# Public methodology: Ethayarajh (2019) anisotropy / cone effect,
-# Radovanović et al. (2010) hubness, the participation ratio
-# (Gao et al. 2019 effective dimensionality), Calinski-Harabasz (1974)
-# and Davies-Bouldin (1979) cluster-validity indices, and a
-# deterministic null-cosine calibration baseline. Everything reduces to
-# per-dimension quantized sums after ONE posexplode (d = 64 bounded),
-# bounded label²/dim² grids, or the documented exact k-NN baseline —
-# the shapes that survive a billion-vector corpus (the only explicit
-# O(n²) is knn_topk_edges, whose docstring carries the LSH/IVF swap).
-
-# --- q669: anisotropy (cone effect) of the embedding space — the mean
-# pairwise cosine E[cos(u_i,u_j)], computed EXACTLY from the unit-sum
-# identity Σ_{i≠j}⟨u_i,u_j⟩ = ‖Σu‖² − n (no pair join at any scale):
-# isotropic spaces give ≈0, real contextual-embedding spaces are
-# heavily coned (Ethayarajh 2019). Also reports the mean-vector norm
-# ‖ū‖, the direct cone-axis magnitude. ------------------------------------------
-@query(
-    "q669_embedding_anisotropy",
-    oracle="""
-    WITH pos AS MATERIALIZED (
-        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
-    ),
-    nrm AS (
-        SELECT vec_id,
-               SQRT(CAST(SUM(CAST(SIGN(x * x) * FLOOR(ABS(x * x) * 1e9 + 0.5)
-                                  AS BIGINT)) AS DOUBLE) / 1e9) AS nr
-        FROM pos GROUP BY vec_id
-    ),
-    s AS (
-        SELECT p.dim,
-               CAST(SUM(CAST(SIGN(p.x / n.nr)
-                             * FLOOR(ABS(p.x / n.nr) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 AS sd
-        FROM pos p JOIN nrm n ON n.vec_id = p.vec_id
-        GROUP BY p.dim
-    ),
-    agg AS (
-        SELECT CAST(SUM(CAST(SIGN(sd * sd) * FLOOR(ABS(sd * sd) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 AS ssq
-        FROM s
-    ),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
-    SELECT nn.n AS n_vectors,
-           CAST(CAST(SIGN(mc) * FLOOR(ABS(mc) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS mean_pairwise_cos,
-           CAST(CAST(SIGN(mn) * FLOOR(ABS(mn) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS mean_vector_norm
-    FROM (
-        SELECT nn.n,
-               (agg.ssq - nn.n) / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS mc,
-               SQRT(agg.ssq) / nn.n AS mn
-        FROM agg, nn
-    ), nn
-    """,
-)
-def q669(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    emb = T(spark, sf_dir, "embeddings")
-    pos = tracked_persist(
-        emb.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim", "x"
-            ),
-        )
-    )
-    nrm = pos.groupBy("vec_id").agg(
-        F.sqrt(
-            F.sum(quantize(F.col("x") * F.col("x"), 9)).cast("double") / 1e9
-        ).alias("nr")
-    )
-    s = (
-        pos.join(nrm, "vec_id")
-        .groupBy("dim")
-        .agg(
-            (
-                F.sum(quantize(F.col("x") / F.col("nr"), 9)).cast("double")
-                / 1e9
-            ).alias("sd")
-        )
-    )
-    agg = s.agg(
-        (
-            F.sum(quantize(F.col("sd") * F.col("sd"), 9)).cast("double") / 1e9
-        ).alias("ssq")
-    )
-    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    j = agg.crossJoin(F.broadcast(nn))
-    mc = (F.col("ssq") - F.col("n")) / (
-        F.col("n").cast("double") * (F.col("n") - 1)
-    )
-    return j.select(
-        F.col("n").alias("n_vectors"),
-        (quantize(mc, 6) / 1e6).alias("mean_pairwise_cos"),
-        (quantize(F.sqrt(F.col("ssq")) / F.col("n"), 6) / 1e6).alias(
-            "mean_vector_norm"
-        ),
-    )
-
-
-# --- q670: hubness of the k-NN graph (Radovanović 2010) — the
-# skewness of the k-occurrence (in-degree) distribution INCLUDING
-# zero-in-degree antihubs, plus hub (d ≥ 2k) and antihub (d = 0)
-# counts: high skew means a few "hub" vectors appear in everyone's
-# neighbor list and ANN recall will be uneven. In-degree moments are
-# exact integers. Round 9: the k-NN graph comes from the IVF bucketed
-# path (knn_topk_edges method="ivf") — the oracle mirrors the
-# deterministic inverted-file candidate generation (lowest-id
-# centroids, round(sim,6)/id tie-breaks) CTE-for-CTE, and
-# q711_ivf_knn_recall_certificate pins recall vs the exact graph. --------------
-@query(
-    "q670_knn_hubness_skew",
-    oracle="""
-    WITH emb AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    cent AS MATERIALIZED (
-        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
-    ),
-    assign AS MATERIALIZED (
-        SELECT id_c, cid FROM (
-            SELECT e.vec_id AS id_c, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
-                                DESC, c.cid) AS rn
-            FROM emb e CROSS JOIN cent c
-        ) WHERE rn = 1
-    ),
-    probe AS MATERIALIZED (
-        SELECT id_q, cid FROM (
-            SELECT e.vec_id AS id_q, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
-                                DESC, c.cid) AS rn
-            FROM emb e CROSS JOIN cent c
-        ) WHERE rn <= 2
-    ),
-    cand AS MATERIALIZED (
-        SELECT DISTINCT p.id_q, a.id_c
-        FROM probe p JOIN assign a USING (cid)
-        WHERE p.id_q <> a.id_c
-    ),
-    knn AS MATERIALIZED (
-        SELECT id_q AS ia, id_c AS ib FROM (
-            SELECT cand.id_q, cand.id_c,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY cand.id_q
-                       ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6)
-                                DESC, cand.id_c) AS rn
-            FROM cand
-            JOIN emb eq ON eq.vec_id = cand.id_q
-            JOIN emb ec ON ec.vec_id = cand.id_c
-        ) WHERE rn <= 5
-    ),
-    deg AS MATERIALIZED (
-        SELECT e.vec_id, CAST(COALESCE(d.d, 0) AS BIGINT) AS d
-        FROM embeddings e
-        LEFT JOIN (SELECT ib, COUNT(*) AS d FROM knn GROUP BY ib) d
-          ON d.ib = e.vec_id
-    ),
-    s AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(d) AS BIGINT) AS s1,
-               CAST(SUM(d * d) AS BIGINT) AS s2,
-               CAST(SUM(d * d * d) AS BIGINT) AS s3,
-               CAST(SUM(CASE WHEN d >= 10 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS hubs,
-               CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS antihubs
-        FROM deg
-    )
-    SELECT n AS n_vectors, hubs, antihubs,
-           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_k_occurrence,
-           CAST(CAST(SIGN(sk) * FLOOR(ABS(sk) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS hubness_skew
-    FROM (
-        SELECT n, hubs, antihubs,
-               (CAST(s3 AS DOUBLE) / n
-                - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
-                + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-                  * (CAST(s1 AS DOUBLE) / n))
-               / POW(CAST(s2 AS DOUBLE) / n
-                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                     1.5) AS sk
-        FROM s
-    )
-    """,
-)
-def q670(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.similarity import knn_topk_edges
-    from pandrs_spark.operators.util import tracked_persist
-
-    emb = T(spark, sf_dir, "embeddings")
-    knn = tracked_persist(
-        knn_topk_edges(emb, k=5, method="ivf").select("id_a", "id_b")
-    )
-    indeg = knn.groupBy("id_b").agg(F.count(F.lit(1)).alias("d"))
-    deg = (
-        emb.select("vec_id")
-        .join(indeg, emb.vec_id == indeg.id_b, "left")
-        .select(F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("d"))
-    )
-    s = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("d").cast("long").alias("s1"),
-        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
-        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("long").alias("s3"),
-        F.sum(F.when(F.col("d") >= 10, 1).otherwise(0))
-        .cast("long")
-        .alias("hubs"),
-        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("antihubs"),
-        F.max("d").cast("long").alias("max_k_occurrence"),
-    )
-    m1 = F.col("s1").cast("double") / F.col("n")
-    m2c = F.col("s2").cast("double") / F.col("n") - m1 * m1
-    m3c = (
-        F.col("s3").cast("double") / F.col("n")
-        - 3.0 * m1 * (F.col("s2").cast("double") / F.col("n"))
-        + 2.0 * m1 * m1 * m1
-    )
-    return s.select(
-        F.col("n").alias("n_vectors"),
-        "hubs",
-        "antihubs",
-        "max_k_occurrence",
-        (quantize(m3c / F.pow(m2c, 1.5), 6) / 1e6).alias("hubness_skew"),
-    )
-
-
-# --- q671: participation ratio PR = tr(C)²/tr(C²) of the embedding
-# covariance — the eigen-free effective dimensionality (PR = d when
-# all directions carry equal variance, → 1 when one direction
-# dominates). tr(C²) = Σ_ij C_ij² needs the full covariance GRID, but
-# the grid is dim² = 64² bounded — built by one within-row dim×dim
-# self-join and a (i,j)-keyed partial-aggregated shuffle, never a
-# vector-pair join. ----------------------------------------------------------------
-@query(
-    "q671_participation_ratio",
-    oracle="""
-    WITH pos AS MATERIALIZED (
-        SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
-    ),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-    mu AS MATERIALIZED (
-        SELECT dim,
-               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 / COUNT(*) AS m
-        FROM pos GROUP BY dim
-    ),
-    cells AS MATERIALIZED (
-        SELECT a.dim AS i, b.dim AS j,
-               CAST(SUM(CAST(SIGN(a.x * b.x)
-                             * FLOOR(ABS(a.x * b.x) * 1e6 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e6 AS sxy
-        FROM pos a JOIN pos b ON a.vec_id = b.vec_id
-        GROUP BY i, j
-    ),
-    cov AS MATERIALIZED (
-        SELECT c.i, c.j, c.sxy / nn.n - ma.m * mb.m AS cv
-        FROM cells c
-        JOIN mu ma ON ma.dim = c.i
-        JOIN mu mb ON mb.dim = c.j
-        CROSS JOIN nn
-    ),
-    s AS (
-        SELECT CAST(SUM(CASE WHEN i = j THEN
-                   CAST(SIGN(cv) * FLOOR(ABS(cv) * 1e9 + 0.5) AS BIGINT)
-                   ELSE 0 END) AS DOUBLE) / 1e9 AS tr,
-               CAST(SUM(CAST(SIGN(cv * cv) * FLOOR(ABS(cv * cv) * 1e12 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e12 AS fro2
-        FROM cov
-    )
-    SELECT (SELECT n FROM nn) AS n_vectors,
-           CAST(CAST(SIGN(tr) * FLOOR(ABS(tr) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS total_variance,
-           CAST(CAST(SIGN(pr) * FLOOR(ABS(pr) * 1e4 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e4 AS participation_ratio,
-           CAST(CAST(SIGN(pr / 64.0) * FLOOR(ABS(pr / 64.0) * 1e6 + 0.5)
-                     AS BIGINT) AS DOUBLE) / 1e6 AS effective_dim_frac
-    FROM (SELECT tr, tr * tr / fro2 AS pr FROM s)
-    """,
-)
-def q671(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    emb = T(spark, sf_dir, "embeddings")
-    pos = tracked_persist(
-        emb.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim", "x"
-            ),
-        )
-    )
-    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    mu = pos.groupBy("dim").agg(
-        (
-            F.sum(quantize("x", 9)).cast("double") / 1e9 / F.count(F.lit(1))
-        ).alias("m")
-    )
-    b = pos.select(
-        F.col("vec_id"), F.col("dim").alias("j"), F.col("x").alias("xb")
-    )
-    cells = (
-        pos.join(b, "vec_id")
-        .groupBy(F.col("dim").alias("i"), "j")
-        .agg(
-            (
-                F.sum(quantize(F.col("x") * F.col("xb"), 6)).cast("double")
-                / 1e6
-            ).alias("sxy")
-        )
-    )
-    ma = mu.select(F.col("dim").alias("i"), F.col("m").alias("mi"))
-    mb = mu.select(F.col("dim").alias("j"), F.col("m").alias("mj"))
-    cov = (
-        cells.join(F.broadcast(ma), "i")
-        .join(F.broadcast(mb), "j")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "i",
-            "j",
-            (F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj")).alias(
-                "cv"
-            ),
-            "n",
-        )
-    )
-    s = cov.groupBy("n").agg(
-        (
-            F.sum(
-                F.when(F.col("i") == F.col("j"), quantize("cv", 9)).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).cast("double")
-            / 1e9
-        ).alias("tr"),
-        (
-            F.sum(quantize(F.col("cv") * F.col("cv"), 12)).cast("double")
-            / 1e12
-        ).alias("fro2"),
-    )
-    pr = F.col("tr") * F.col("tr") / F.col("fro2")
-    return s.select(
-        F.col("n").alias("n_vectors"),
-        (quantize("tr", 6) / 1e6).alias("total_variance"),
-        (quantize(pr, 4) / 1e4).alias("participation_ratio"),
-        (quantize(pr / 64.0, 6) / 1e6).alias("effective_dim_frac"),
-    )
-
-
-# --- q672: Calinski-Harabasz index of the LABEL clustering — CH =
-# (B/(k−1))/(W/(n−k)) with between-scatter B = Σ_l n_l·‖c_l − c‖² and
-# within-scatter W = Σ‖x − c_{l(x)}‖²: the variance-ratio cluster
-# validity that complements the silhouette (q-family). Centroids from
-# one posexplode rollup; W is one quantized per-term sum; B lives on
-# the bounded label×dim grid. -----------------------------------------------------
-@query(
-    "q672_calinski_harabasz_labels",
-    oracle="""
-    WITH pos AS MATERIALIZED (
-        SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
-    ),
-    cent AS MATERIALIZED (
-        SELECT label, dim,
-               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 / COUNT(*) AS m,
-               CAST(COUNT(*) AS BIGINT) AS n_l
-        FROM pos GROUP BY label, dim
-    ),
-    gcent AS MATERIALIZED (
-        SELECT dim,
-               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 / COUNT(*) AS g
-        FROM pos GROUP BY dim
-    ),
-    w AS (
-        SELECT CAST(SUM(CAST(SIGN((p.x - c.m) * (p.x - c.m))
-                             * FLOOR(ABS((p.x - c.m) * (p.x - c.m))
-                                     * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 AS wss
-        FROM pos p JOIN cent c ON c.label = p.label AND c.dim = p.dim
-    ),
-    b AS (
-        SELECT CAST(SUM(CAST(SIGN(c.n_l * (c.m - g.g) * (c.m - g.g))
-                             * FLOOR(ABS(c.n_l * (c.m - g.g) * (c.m - g.g))
-                                     * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 AS bss
-        FROM cent c JOIN gcent g ON g.dim = c.dim
-    ),
-    kn AS (
-        SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS k,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM embeddings
-    )
-    SELECT kn.n AS n_vectors, kn.k AS n_labels,
-           CAST(CAST(SIGN(b.bss) * FLOOR(ABS(b.bss) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS between_ss,
-           CAST(CAST(SIGN(w.wss) * FLOOR(ABS(w.wss) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS within_ss,
-           CAST(CAST(SIGN(ch) * FLOOR(ABS(ch) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS ch_index
-    FROM w, b, kn,
-         (SELECT (b.bss / (kn.k - 1)) / (w.wss / (kn.n - kn.k)) AS ch
-          FROM w, b, kn)
-    """,
-)
-def q672(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    emb = T(spark, sf_dir, "embeddings")
-    pos = tracked_persist(
-        emb.select(
-            "vec_id",
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim", "x"
-            ),
-        )
-    )
-    cent = tracked_persist(
-        pos.groupBy("label", "dim").agg(
-            (
-                F.sum(quantize("x", 9)).cast("double") / 1e9
-                / F.count(F.lit(1))
-            ).alias("m"),
-            F.count(F.lit(1)).cast("long").alias("n_l"),
-        )
-    )
-    glob = pos.groupBy("dim").agg(
-        (
-            F.sum(quantize("x", 9)).cast("double") / 1e9 / F.count(F.lit(1))
-        ).alias("g")
-    )
-    w = pos.join(cent, ["label", "dim"]).agg(
-        (
-            F.sum(
-                quantize((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")), 9)
-            ).cast("double")
-            / 1e9
-        ).alias("wss")
-    )
-    b = cent.join(F.broadcast(glob), "dim").agg(
-        (
-            F.sum(
-                quantize(
-                    F.col("n_l")
-                    * (F.col("m") - F.col("g"))
-                    * (F.col("m") - F.col("g")),
-                    9,
-                )
-            ).cast("double")
-            / 1e9
-        ).alias("bss")
-    )
-    kn = emb.agg(
-        F.countDistinct("label").cast("long").alias("k"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    j = w.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(kn))
-    ch = (F.col("bss") / (F.col("k") - 1)) / (
-        F.col("wss") / (F.col("n") - F.col("k"))
-    )
-    return j.select(
-        F.col("n").alias("n_vectors"),
-        F.col("k").alias("n_labels"),
-        (quantize("bss", 6) / 1e6).alias("between_ss"),
-        (quantize("wss", 6) / 1e6).alias("within_ss"),
-        (quantize(ch, 6) / 1e6).alias("ch_index"),
-    )
-
-
-# --- q673: null-cosine calibration baseline — mean/std/max of cosine
-# between DETERMINISTICALLY paired unrelated vectors (adjacent in
-# md5(vec_id) order, the engine-reproducible stand-in for a random
-# matching): the null distribution every near-dup / semantic-dedup
-# threshold (q177/q194-class) should clear. One global_row_number +
-# one shifted equi-join — no pair explosion. --------------------------------------
-@query(
-    "q673_null_cosine_baseline",
-    oracle="""
-    WITH ord_ AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                                  vec_id) AS r
-        FROM embeddings
-    ),
-    pairs AS MATERIALIZED (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-               list_cosine_similarity(a.v, b.v) AS c
-        FROM ord_ a JOIN ord_ b ON b.r = a.r + 1 AND a.r % 2 = 1
-    ),
-    s AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(SIGN(c) * FLOOR(ABS(c) * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 AS s1,
-               CAST(SUM(CAST(SIGN(c * c) * FLOOR(ABS(c * c) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 AS s2,
-               MAX(ROUND(c, 6)) AS mx
-        FROM pairs
-    )
-    SELECT n AS n_pairs,
-           CAST(CAST(SIGN(s1 / n) * FLOOR(ABS(s1 / n) * 1e6 + 0.5)
-                     AS BIGINT) AS DOUBLE) / 1e6 AS null_cos_mean,
-           CAST(CAST(SIGN(sd) * FLOOR(ABS(sd) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS null_cos_std,
-           CAST(CAST(SIGN(mx) * FLOOR(ABS(mx) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS null_cos_max
-    FROM (
-        SELECT n, s1, mx,
-               SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd
-        FROM s
-    )
-    """,
-)
-def q673(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-    from pandrs_spark.operators.windows import global_row_number
-
-    emb = T(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.md5(F.col("vec_id").cast("string")).alias("h"),
-    )
-    ordd = tracked_persist(
-        global_row_number(base, [F.asc("h"), F.asc("vec_id")], "r").select(
-            "vec_id", "v", "r"
-        )
-    )
-    a = ordd.where(F.col("r") % 2 == 1).select(
-        F.col("r"), F.col("v").alias("va")
-    )
-    b = ordd.select((F.col("r") - 1).alias("r"), F.col("v").alias("vb"))
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
-    )
-    na = F.sqrt(
-        F.expr("aggregate(va, 0.0D, (a, x) -> a + x * x)")
-    )
-    nb = F.sqrt(
-        F.expr("aggregate(vb, 0.0D, (a, x) -> a + x * x)")
-    )
-    pairs = a.join(b, "r").select((dot / (na * nb)).alias("c"))
-    s = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        (F.sum(quantize("c", 9)).cast("double") / 1e9).alias("s1"),
-        (F.sum(quantize(F.col("c") * F.col("c"), 9)).cast("double") / 1e9).alias(
-            "s2"
-        ),
-        F.max(F.round("c", 6)).alias("mx"),
-    )
-    sd = F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-        / (F.col("n") - 1)
-    )
-    return s.select(
-        F.col("n").alias("n_pairs"),
-        (quantize(F.col("s1") / F.col("n"), 6) / 1e6).alias("null_cos_mean"),
-        (quantize(sd, 6) / 1e6).alias("null_cos_std"),
-        (quantize("mx", 6) / 1e6).alias("null_cos_max"),
-    )
-
-
-# --- q674: Davies-Bouldin index of the label clustering — DB =
-# (1/k)·Σ_l max_{m≠l} (S_l + S_m)/‖c_l − c_m‖ with S_l the mean
-# point-to-centroid distance: the "worst-confusable-neighbor" validity
-# score, lower = better separated (Davies & Bouldin 1979). Scatters
-# are one quantized rollup; the pairwise part lives entirely on the
-# bounded label² grid. -------------------------------------------------------------
-@query(
-    "q674_davies_bouldin_labels",
-    oracle="""
-    WITH pos AS MATERIALIZED (
-        SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
-    ),
-    cent AS MATERIALIZED (
-        SELECT label, dim,
-               CAST(SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e9 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1e9 / COUNT(*) AS m
-        FROM pos GROUP BY label, dim
-    ),
-    dist AS MATERIALIZED (
-        SELECT p.vec_id, p.label,
-               SQRT(CAST(SUM(CAST(SIGN((p.x - c.m) * (p.x - c.m))
-                                  * FLOOR(ABS((p.x - c.m) * (p.x - c.m))
-                                          * 1e9 + 0.5) AS BIGINT))
-                         AS DOUBLE) / 1e9) AS dd
-        FROM pos p JOIN cent c ON c.label = p.label AND c.dim = p.dim
-        GROUP BY p.vec_id, p.label
-    ),
-    scat AS MATERIALIZED (
-        SELECT label,
-               CAST(SUM(CAST(SIGN(dd) * FLOOR(ABS(dd) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS s
-        FROM dist GROUP BY label
-    ),
-    cd AS MATERIALIZED (
-        SELECT a.label AS la, b.label AS lb,
-               SQRT(CAST(SUM(CAST(SIGN((a.m - b.m) * (a.m - b.m))
-                                  * FLOOR(ABS((a.m - b.m) * (a.m - b.m))
-                                          * 1e9 + 0.5) AS BIGINT))
-                         AS DOUBLE) / 1e9) AS md
-        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
-        GROUP BY la, lb
-    ),
-    r AS (
-        SELECT cd.la AS label, MAX((sa.s + sb.s) / cd.md) AS rmax
-        FROM cd JOIN scat sa ON sa.label = cd.la
-                JOIN scat sb ON sb.label = cd.lb
-        GROUP BY cd.la
-    )
-    SELECT n_labels,
-           CAST(CAST(SIGN(db) * FLOOR(ABS(db) * 1e6 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e6 AS db_index
-    FROM (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
-               CAST(SUM(CAST(SIGN(rmax) * FLOOR(ABS(rmax) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS db
-        FROM r
-    )
-    """,
-)
-def q674(spark, sf_dir):
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.util import tracked_persist
-
-    emb = T(spark, sf_dir, "embeddings")
-    pos = tracked_persist(
-        emb.select(
-            "vec_id",
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim", "x"
-            ),
-        )
-    )
-    cent = tracked_persist(
-        pos.groupBy("label", "dim").agg(
-            (
-                F.sum(quantize("x", 9)).cast("double") / 1e9
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-    )
-    dist = (
-        pos.join(cent, ["label", "dim"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sqrt(
-                F.sum(
-                    quantize(
-                        (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")),
-                        9,
-                    )
-                ).cast("double")
-                / 1e9
-            ).alias("dd")
-        )
-    )
-    scat = dist.groupBy("label").agg(
-        (
-            F.sum(quantize("dd", 9)).cast("double") / 1e9 / F.count(F.lit(1))
-        ).alias("s")
-    )
-    cb = cent.select(
-        F.col("label").alias("lb"), F.col("dim"), F.col("m").alias("mb")
-    )
-    cd = (
-        cent.join(cb, "dim")
-        .where(F.col("label") != F.col("lb"))
-        .groupBy(F.col("label").alias("la"), "lb")
-        .agg(
-            F.sqrt(
-                F.sum(
-                    quantize(
-                        (F.col("m") - F.col("mb")) * (F.col("m") - F.col("mb")),
-                        9,
-                    )
-                ).cast("double")
-                / 1e9
-            ).alias("md")
-        )
-    )
-    sa = scat.select(F.col("label").alias("la"), F.col("s").alias("sa"))
-    sb = scat.select(F.col("label").alias("lb"), F.col("s").alias("sb"))
-    r = (
-        cd.join(F.broadcast(sa), "la")
-        .join(F.broadcast(sb), "lb")
-        .groupBy("la")
-        .agg(
-            F.max((F.col("sa") + F.col("sb")) / F.col("md")).alias("rmax")
-        )
-    )
-    out = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n_labels"),
-        (
-            F.sum(quantize("rmax", 9)).cast("double") / 1e9
-            / F.count(F.lit(1))
-        ).alias("db"),
-    )
-    return out.select(
-        "n_labels", (quantize("db", 6) / 1e6).alias("db_index")
-    )
-
-
-# ===== Wave q681-q686: model-evaluation & agreement tier II ===========
-# Public methodology: cumulative gains/lift charts, Spearman (1904)
-# footrule + Kendall (1938) distance, Cohen (1968) quadratic-weighted
-# kappa, rank-biased overlap (Webber et al. 2010), group-level
-# calibration slope (Cox 1958 recalibration, decile form), Gwet (2008)
-# AC1. Scores reuse the q579 design (y = customer ever placed an
-# URGENT order, s = account balance); every statistic reduces to
-# distinct-value histograms + distributed prefix sums or bounded
-# k×k / depth×rank grids.
-
 # --- q681: cumulative gains + lift at decile boundaries of the score
 # ranking — "calling the top d×10% of customers by score captures what
 # share of responders, at what lift over random?": the campaign-
@@ -5594,139 +4862,6 @@ def q686(spark, sf_dir):
     )
 
 
-# --- q711: IVF kNN-graph recall certificate — the in-gate proof that
-# the bucketed path behind q142/q570/q670 is calibrated, the q88
-# pattern upgraded from a boolean to a VALUE both engines compute
-# independently: recall@5 of the IVF kNN edges (knn_topk_edges
-# method="ivf", lowest-id centroids, n_probe=2 of 8 cells) against the
-# exact 5-NN answer for a 20-query sample. The exact side is the
-# sample × corpus broadcast join — linear in the corpus, never n².
-# On this synthetic corpus the embeddings are near-isotropic random
-# vectors, so recall ≈ the scanned candidate fraction (n_probe /
-# n_centroids); real corpora with cluster structure concentrate true
-# neighbors inside the probed cells and recall rises sharply at the
-# same probe fraction — exactly the effect q670's hubness skew gauges. ---------
-@query(
-    "q711_ivf_knn_recall_certificate",
-    oracle="""
-    WITH emb AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    cent AS MATERIALIZED (
-        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
-    ),
-    assign AS MATERIALIZED (
-        SELECT id_c, cid FROM (
-            SELECT e.vec_id AS id_c, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
-                                DESC, c.cid) AS rn
-            FROM emb e CROSS JOIN cent c
-        ) WHERE rn = 1
-    ),
-    probe AS MATERIALIZED (
-        SELECT id_q, cid FROM (
-            SELECT e.vec_id AS id_q, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
-                                DESC, c.cid) AS rn
-            FROM emb e CROSS JOIN cent c
-            WHERE e.vec_id < 20
-        ) WHERE rn <= 2
-    ),
-    cand AS MATERIALIZED (
-        SELECT DISTINCT p.id_q, a.id_c
-        FROM probe p JOIN assign a USING (cid)
-        WHERE p.id_q <> a.id_c
-    ),
-    ivfknn AS MATERIALIZED (
-        SELECT id_q, id_c FROM (
-            SELECT cand.id_q, cand.id_c,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY cand.id_q
-                       ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6)
-                                DESC, cand.id_c) AS rn
-            FROM cand
-            JOIN emb eq ON eq.vec_id = cand.id_q
-            JOIN emb ec ON ec.vec_id = cand.id_c
-        ) WHERE rn <= 5
-    ),
-    exact AS MATERIALIZED (
-        SELECT id_q, id_c FROM (
-            SELECT a.vec_id AS id_q, b.vec_id AS id_c,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY a.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6)
-                                DESC, b.vec_id) AS rn
-            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
-            WHERE a.vec_id < 20
-        ) WHERE rn <= 5
-    ),
-    per_q AS (
-        SELECT e.id_q,
-               CAST(COUNT(i.id_c) AS DOUBLE) / COUNT(*) AS r
-        FROM exact e
-        LEFT JOIN ivfknn i ON i.id_q = e.id_q AND i.id_c = e.id_c
-        GROUP BY e.id_q
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           CAST(CAST(SIGN(AVG(r)) * FLOOR(ABS(AVG(r)) * 1e4 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e4 AS recall5
-    FROM per_q
-    """,
-)
-def q711(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.operators.similarity import cosine, knn_topk_edges
-
-    emb = T(spark, sf_dir, "embeddings")
-    # bucketed side: the SAME graph q570/q670 consume, restricted to
-    # the sample (id_a is the window partition key, so Catalyst pushes
-    # the filter through the rank into the probe side — candidate
-    # volume is 20 × the probed lists, not the full graph)
-    ivf = (
-        knn_topk_edges(emb, k=5, method="ivf")
-        .filter(F.col("id_a") < 20)
-        .select("id_a", "id_b")
-    )
-    # exact side: 20-row broadcast sample × corpus — linear scan
-    # (.limit(20) is exact — vec_id unique — and makes the bounded
-    # broadcast build plan-visible, the q88 convention)
-    q = emb.filter(F.col("vec_id") < 20).limit(20).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("vq"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vc"),
-    )
-    w = Window.partitionBy("id_a").orderBy(
-        F.desc(F.round("sim", 6)), "id_b"
-    )
-    exact = (
-        F.broadcast(q)
-        .join(c, F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vq"), F.col("vc")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("id_a", "id_b")
-    )
-    hits = exact.join(
-        ivf.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
-    )
-    per_q = hits.groupBy("id_a").agg(
-        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("r")
-    )
-    return per_q.agg(
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        (quantize(F.avg("r"), 4) / 1e4).alias("recall5"),
-    )
-
-
 # --- q715: single-feature information gain screen (ID3 stump tier,
 # Quinlan 1986, public) — for six bounded categorical/binned lineitem
 # features, the mutual information with the returned-item label
@@ -5895,310 +5030,6 @@ def q715(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("gain_ratio"),
     ).orderBy("feature")
-
-
-# --- q720: IVF probe-sweep recall curve — q711's certificate swept
-# over n_probe ∈ {1,2,4,8} of 8 cells IN ONE PLAN: the bounded 4-value
-# probe grid joins the rank-filtered probe lists (pr.rn <= p), so the
-# whole curve costs one pipeline, not four reruns. The recall/cost
-# tradeoff table an ANN operator publishes before anyone trusts its
-# buckets: recall ≈ scanned fraction on this isotropic synthetic
-# corpus, and the curve pins exactly that. ------------------------------------
-@query(
-    "q720_ivf_probe_sweep_recall",
-    oracle="""
-    WITH emb AS MATERIALIZED (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    cent AS MATERIALIZED (
-        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
-    ),
-    assign AS MATERIALIZED (
-        SELECT id_c, cid FROM (
-            SELECT e.vec_id AS id_c, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
-                                DESC, c.cid) AS rn
-            FROM emb e CROSS JOIN cent c
-        ) WHERE rn = 1
-    ),
-    probe AS MATERIALIZED (
-        SELECT id_q, cid, rn FROM (
-            SELECT e.vec_id AS id_q, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6)
-                                DESC, c.cid) AS rn
-            FROM emb e CROSS JOIN cent c
-            WHERE e.vec_id < 20
-        ) WHERE rn <= 8
-    ),
-    grid AS (SELECT UNNEST([1, 2, 4, 8]) AS p),
-    cand AS MATERIALIZED (
-        SELECT DISTINCT g.p, pr.id_q, a.id_c
-        FROM grid g
-        JOIN probe pr ON pr.rn <= g.p
-        JOIN assign a ON a.cid = pr.cid
-        WHERE pr.id_q <> a.id_c
-    ),
-    ivfknn AS MATERIALIZED (
-        SELECT p, id_q, id_c FROM (
-            SELECT cand.p, cand.id_q, cand.id_c,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY cand.p, cand.id_q
-                       ORDER BY ROUND(list_cosine_similarity(eq.v, ec.v), 6)
-                                DESC, cand.id_c) AS rn
-            FROM cand
-            JOIN emb eq ON eq.vec_id = cand.id_q
-            JOIN emb ec ON ec.vec_id = cand.id_c
-        ) WHERE rn <= 5
-    ),
-    exact AS MATERIALIZED (
-        SELECT id_q, id_c FROM (
-            SELECT a.vec_id AS id_q, b.vec_id AS id_c,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY a.vec_id
-                       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6)
-                                DESC, b.vec_id) AS rn
-            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
-            WHERE a.vec_id < 20
-        ) WHERE rn <= 5
-    ),
-    per_q AS (
-        SELECT g.p, e.id_q, CAST(COUNT(i.id_c) AS DOUBLE) / COUNT(*) AS r
-        FROM grid g
-        JOIN exact e ON TRUE
-        LEFT JOIN ivfknn i ON i.p = g.p AND i.id_q = e.id_q
-                          AND i.id_c = e.id_c
-        GROUP BY g.p, e.id_q
-    )
-    SELECT p AS n_probe,
-           CAST(COUNT(*) AS BIGINT) AS n_queries,
-           CAST(CAST(FLOOR(AVG(r) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE)
-               / 1e4 AS recall5
-    FROM per_q
-    GROUP BY p
-    ORDER BY n_probe
-    """,
-)
-def q720(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from pandrs_spark.operators.similarity import _as_double, cosine, fan_out
-
-    emb = T(spark, sf_dir, "embeddings")
-    cent = F.broadcast(
-        emb.orderBy("vec_id")
-        .limit(8)
-        .select(F.col("vec_id").alias("cid"), _as_double(F.col("embedding")).alias("cv"))
-    )
-    c = fan_out(emb).select(
-        F.col("vec_id").alias("id_c"), _as_double(F.col("embedding")).alias("vc")
-    )
-    # .limit(20) is exact (vec_id unique) and makes the bounded
-    # broadcast build plan-visible, the q88 convention
-    q = emb.filter(F.col("vec_id") < 20).limit(20).select(
-        F.col("vec_id").alias("id_q"), _as_double(F.col("embedding")).alias("vq")
-    )
-    w_assign = Window.partitionBy("id_c").orderBy(
-        F.desc(F.round("__sim", 6)), "cid"
-    )
-    assign = (
-        c.crossJoin(cent)
-        .select("id_c", "cid", cosine(F.col("vc"), F.col("cv")).alias("__sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id_c", "cid")
-    )
-    w_probe = Window.partitionBy("id_q").orderBy(
-        F.desc(F.round("__sim", 6)), "cid"
-    )
-    probe = (
-        q.crossJoin(cent)
-        .select("id_q", "cid", cosine(F.col("vq"), F.col("cv")).alias("__sim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= 8)
-        .select("id_q", "cid", "rn")
-    )
-    grid = spark.createDataFrame([(1,), (2,), (4,), (8,)], "p int")
-    cand = (
-        probe.crossJoin(F.broadcast(grid))
-        .filter(F.col("rn") <= F.col("p"))
-        .join(assign, "cid")
-        .filter(F.col("id_q") != F.col("id_c"))
-        .select("p", "id_q", "id_c")
-        .distinct()
-    )
-    scored = (
-        cand.join(q, "id_q")
-        .join(c, "id_c")
-        .select("p", "id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("__sim"))
-    )
-    w_top = Window.partitionBy("p", "id_q").orderBy(
-        F.desc(F.round("__sim", 6)), "id_c"
-    )
-    ivf = (
-        scored.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= 5)
-        .select("p", "id_q", "id_c")
-    )
-    w_ex = Window.partitionBy("id_q").orderBy(F.desc(F.round("sim", 6)), "id_c")
-    exact = (
-        F.broadcast(q)
-        .join(c, F.col("id_q") != F.col("id_c"))
-        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_ex))
-        .filter(F.col("rn") <= 5)
-        .select("id_q", "id_c")
-    )
-    hits = (
-        exact.crossJoin(F.broadcast(grid))
-        .join(ivf.withColumn("hit", F.lit(1)), ["p", "id_q", "id_c"], "left")
-    )
-    per_q = hits.groupBy("p", "id_q").agg(
-        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("r")
-    )
-    return (
-        per_q.groupBy("p")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            (F.floor(F.avg("r") * 1e4 + 0.5).cast("long") / 1e4).alias("recall5"),
-        )
-        .select(F.col("p").alias("n_probe"), "n_queries", "recall5")
-        .orderBy("n_probe")
-    )
-
-
-# --- q722: linear-time MMD² between label-0 and label-1 embeddings —
-# Gretton et al. (2012) §6 streaming estimator: pair consecutive
-# rank-ordered samples within each group and average
-# h_i = k(x2i−1,x2i) + k(y2i−1,y2i) − k(x2i−1,y2i) − k(x2i,y2i−1)
-# (RBF kernel, 2σ² = 4). THE two-sample test shaped for 100 TB: the
-# quadratic U-statistic needs all pairs, the linear estimator needs
-# only rank-adjacent ones — every join here is an equi-join on the
-# pair index, squared distances fold through per-dimension scaled
-# BIGINTs so both engines agree bit-for-bit before exp(). -------------------
-@query(
-    "q722_linear_mmd_two_sample",
-    oracle="""
-    WITH g AS MATERIALIZED (
-        SELECT label, CAST(embedding AS DOUBLE[]) AS v,
-               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS r
-        FROM embeddings WHERE label IN (0, 1)
-    ),
-    m AS (
-        SELECT CAST(MIN(c) AS BIGINT) AS m FROM (
-            SELECT label, COUNT(*) AS c FROM g GROUP BY label
-        )
-    ),
-    px AS (
-        SELECT CAST((a.r + 1) // 2 AS BIGINT) AS i, a.v AS x1, b.v AS x2
-        FROM g a JOIN g b ON b.label = 0 AND b.r = a.r + 1
-        WHERE a.label = 0 AND a.r % 2 = 1 AND b.r <= (SELECT m FROM m)
-    ),
-    py AS (
-        SELECT CAST((a.r + 1) // 2 AS BIGINT) AS i, a.v AS y1, b.v AS y2
-        FROM g a JOIN g b ON b.label = 1 AND b.r = a.r + 1
-        WHERE a.label = 1 AND a.r % 2 = 1 AND b.r <= (SELECT m FROM m)
-    ),
-    h AS (
-        SELECT px.i,
-               EXP(-(list_sum(list_transform(generate_series(1, len(x1)),
-                    k -> CAST(FLOOR((x1[k] - x2[k]) * (x1[k] - x2[k])
-                                    * 1000000.0 + 0.5) AS BIGINT)))
-                    / 1e6) / 4.0)
-             + EXP(-(list_sum(list_transform(generate_series(1, len(y1)),
-                    k -> CAST(FLOOR((y1[k] - y2[k]) * (y1[k] - y2[k])
-                                    * 1000000.0 + 0.5) AS BIGINT)))
-                    / 1e6) / 4.0)
-             - EXP(-(list_sum(list_transform(generate_series(1, len(x1)),
-                    k -> CAST(FLOOR((x1[k] - y2[k]) * (x1[k] - y2[k])
-                                    * 1000000.0 + 0.5) AS BIGINT)))
-                    / 1e6) / 4.0)
-             - EXP(-(list_sum(list_transform(generate_series(1, len(x2)),
-                    k -> CAST(FLOOR((x2[k] - y1[k]) * (x2[k] - y1[k])
-                                    * 1000000.0 + 0.5) AS BIGINT)))
-                    / 1e6) / 4.0) AS hv
-        FROM px JOIN py ON py.i = px.i
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(CAST(SIGN(mn) * FLOOR(ABS(mn) * 1e9 + 0.5) AS BIGINT)
-                AS DOUBLE) / 1e9 AS mmd2_linear
-    FROM (
-        SELECT COUNT(*) AS cnt,
-               CAST(SUM(CAST(SIGN(hv) * FLOOR(ABS(hv) * 1e9 + 0.5)
-                             AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS mn
-        FROM h
-    ), h
-    GROUP BY mn
-    """,
-)
-def q722(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from pandrs_spark.functions.deterministic import quantize
-
-    emb = T(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
-    w_r = Window.partitionBy("label").orderBy("vec_id")
-    g = emb.select(
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.row_number().over(w_r).alias("r"),
-    )
-    m = g.groupBy("label").agg(F.count(F.lit(1)).alias("c")).agg(
-        F.min("c").cast("long").alias("m")
-    )
-
-    def _pairs(lbl, n1, n2):
-        a = g.filter((F.col("label") == lbl) & (F.col("r") % 2 == 1)).select(
-            F.floor((F.col("r") + 1) / 2).cast("long").alias("i"),
-            F.col("v").alias(n1),
-            F.col("r").alias("ra"),
-        )
-        b = g.filter(F.col("label") == lbl).select(
-            F.col("r").alias("rb"), F.col("v").alias(n2)
-        )
-        return (
-            a.join(b, F.col("rb") == F.col("ra") + 1)
-            .crossJoin(F.broadcast(m))
-            .filter(F.col("rb") <= F.col("m"))
-            .select("i", n1, n2)
-        )
-
-    px = _pairs(0, "x1", "x2")
-    py = _pairs(1, "y1", "y2")
-
-    def _k(a, b):
-        d2q = F.aggregate(
-            F.zip_with(
-                F.col(a),
-                F.col(b),
-                lambda x, y: F.floor((x - y) * (x - y) * 1e6 + 0.5).cast(
-                    "long"
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.exp(-(d2q / 1e6) / 4.0)
-
-    h = px.join(py, "i").select(
-        (
-            _k("x1", "x2") + _k("y1", "y2") - _k("x1", "y2") - _k("x2", "y1")
-        ).alias("hv")
-    )
-    return h.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        (
-            quantize(
-                (F.sum(quantize("hv", 9)).cast("double") / 1e9)
-                / F.count(F.lit(1)),
-                9,
-            )
-            / 1e9
-        ).alias("mmd2_linear"),
-    )
 
 
 # --- q724: covariate-balance audit for the urgent-order "treatment" —
