@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pandrs_spark.operators.util import fan_out
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "knn_topk_edges", "ivf_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate", "dimension_energy"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "knn_topk_edges", "ivf_topk", "ivfadc_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate", "dimension_energy"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -318,6 +318,183 @@ def ivf_topk(
         F.col("rank") <= k
     )
     cols = ["id_q", F.col("id_c").alias("nn_id"), F.round("__sim", 4).alias("sim")]
+    if with_rank:
+        cols.insert(1, "rank")
+    return ranked.select(*cols)
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 8,
+    k_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_rank: bool = False,
+) -> DataFrame:
+    """IVFADC — inverted file + asymmetric distance computation over
+    PRODUCT-QUANTIZED RESIDUALS, Jégou/Douze/Schmid 2011's actual
+    search path (public; the reference's nearest surface is the ANN
+    re-exports at src/lib.rs:219-244). The third, fully-composed scale
+    path beside LSH (ann_lsh_topk) and plain IVF (ivf_topk); q712/q713
+    built the codebook and ADC scorer as query-local patterns — this
+    is the first-class operator.
+
+    1. **Coarse quantizer**: ``n_centroids`` lowest-id corpus vectors
+       (deterministic, SQL-mirrorable — production plugs in seeded
+       KMeans centers without changing the dataflow). Every vector is
+       assigned to its nearest cell by QUANTIZED squared L2 (scaled-
+       BIGINT per-dimension sums, so assignment is bit-identical
+       across engines/partitionings).
+    2. **Residual PQ codebook**: residuals r = v − centroid are split
+       into ``n_sub`` subvectors; per subspace the codebook is the
+       residual subvectors of the ``k_sub`` lowest NON-centroid ids
+       (centroid residuals are ~0 — useless codewords — hence the
+       offset; deterministic: ORDER BY id LIMIT k_sub OFFSET
+       n_centroids). Every vector encodes to n_sub one-byte-class
+       codes by per-subspace argmin (tie → lowest code id).
+    3. **ADC search**: a query probes its ``n_probe`` nearest cells;
+       PER PROBED CELL it computes its own residual and a
+       (n_sub × k_sub) lookup table of quantized subvector→codeword
+       distances; every db vector in the probed cells is scored by
+       summing n_sub table lookups over its CODES — one equi-join on
+       (cell, subspace, code) against the n×n_sub code table, a linear
+       scan of codes, never raw floats.
+
+    Distances are squared L2 (the classic IVFADC metric — rankings
+    match cosine on unit-normalized embeddings); ties break on
+    (distance asc, id asc). Returns (id_q, nn_id[, rank]).
+
+    Scale: code table is n×n_sub rows of integers; the scoring
+    equi-join's key space is n_centroids·n_sub·k_sub, so with the
+    n_centroids ≈ √n growth rule both the per-cell list length AND the
+    join parallelism scale with the corpus (AQE skew-join splits any
+    hot cell). No data-sized broadcast: the only broadcast frames are
+    the n_centroids-row quantizer and the (k_sub·dim)-entry codebook.
+    Recall vs the exact ranking is certified in-gate by
+    q725_ivfadc_recall_certificate (the q711/q713 pattern).
+    """
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    if dim % n_sub:
+        raise ValueError("ivfadc_topk: dim must be a multiple of n_sub")
+    sub_dim = dim // n_sub
+
+    def _pos(df, idc):
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.posexplode(_as_double(F.col(vec_col))).alias("p", "x"),
+        )
+
+    cent = corpus.orderBy(id_col).limit(n_centroids)
+    cpos = F.broadcast(
+        cent.select(
+            F.col(id_col).alias("cid"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("p", "cx"),
+        )
+    )
+    pos = tracked_persist(_pos(fan_out(corpus), "id_c"))
+    dq2 = quantize((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 6)
+    adist = (
+        pos.join(cpos, "p")
+        .groupBy("id_c", "cid")
+        .agg(F.sum(dq2).cast("long").alias("d2"))
+    )
+    w_assign = Window.partitionBy("id_c").orderBy("d2", "cid")
+    assign = tracked_persist(
+        adist.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id_c", F.col("cid").alias("cell"))
+    )
+    # residuals, in subspace coordinates
+    rpos = (
+        pos.join(assign, "id_c")
+        .join(cpos.withColumnRenamed("cid", "cell"), ["cell", "p"])
+        .select(
+            "id_c",
+            "cell",
+            F.floor(F.col("p") / F.lit(sub_dim)).cast("int").alias("s"),
+            (F.col("p") % F.lit(sub_dim)).alias("j"),
+            (F.col("x") - F.col("cx")).alias("xr"),
+        )
+    )
+    # codebook: residual subvectors of the k_sub lowest non-centroid ids
+    w_id = Window.orderBy(id_col)
+    train_ids = (
+        corpus.select(id_col)
+        .orderBy(id_col)
+        .limit(n_centroids + k_sub)
+        .withColumn("__rn", F.row_number().over(w_id))
+        .filter(F.col("__rn") > n_centroids)
+        .select(
+            F.col(id_col).alias("id_c"),
+            (F.col("__rn") - n_centroids).alias("code"),
+        )
+    )
+    cb = F.broadcast(
+        rpos.join(train_ids, "id_c").select(
+            "s", "j", "code", F.col("xr").alias("cbx")
+        )
+    )
+    cq2 = quantize(
+        (F.col("xr") - F.col("cbx")) * (F.col("xr") - F.col("cbx")), 6
+    )
+    cdist = (
+        rpos.join(cb, ["s", "j"])
+        .groupBy("id_c", "cell", "s", "code")
+        .agg(F.sum(cq2).cast("long").alias("cd"))
+    )
+    w_code = Window.partitionBy("id_c", "s").orderBy("cd", "code")
+    codes = (
+        cdist.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("id_c", "cell", "s", "code")
+    )
+    # query side: probe lists + per-(query, probed-cell) LUT
+    qpos = tracked_persist(_pos(queries, "id_q"))
+    qdist = (
+        qpos.join(cpos, "p")
+        .groupBy("id_q", "cid")
+        .agg(F.sum(dq2).cast("long").alias("d2"))
+    )
+    w_probe = Window.partitionBy("id_q").orderBy("d2", "cid")
+    probe = (
+        qdist.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("id_q", F.col("cid").alias("cell"))
+    )
+    qres = (
+        qpos.join(probe, "id_q")
+        .join(cpos.withColumnRenamed("cid", "cell"), ["cell", "p"])
+        .select(
+            "id_q",
+            "cell",
+            F.floor(F.col("p") / F.lit(sub_dim)).cast("int").alias("s"),
+            (F.col("p") % F.lit(sub_dim)).alias("j"),
+            (F.col("x") - F.col("cx")).alias("xr"),
+        )
+    )
+    lut = (
+        qres.join(cb, ["s", "j"])
+        .groupBy("id_q", "cell", "s", "code")
+        .agg(F.sum(cq2).cast("long").alias("dq"))
+    )
+    adc = (
+        codes.join(lut, ["cell", "s", "code"])
+        .filter(F.col("id_c") != F.col("id_q"))
+        .groupBy("id_q", "id_c")
+        .agg(F.sum("dq").cast("long").alias("dist"))
+    )
+    w_top = Window.partitionBy("id_q").orderBy("dist", "id_c")
+    ranked = adc.withColumn("rank", F.row_number().over(w_top)).filter(
+        F.col("rank") <= k
+    )
+    cols = ["id_q", F.col("id_c").alias("nn_id")]
     if with_rank:
         cols.insert(1, "rank")
     return ranked.select(*cols)
@@ -735,6 +912,9 @@ def knn_topk_edges(
     method: str,
     n_centroids: int = 8,
     n_probe: int = 2,
+    n_sub: int = 8,
+    k_sub: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Directed k-NN graph edges (id_a → id_b, rank 1..k by cosine,
     ties broken by (round(sim, 6) DESC, id_b)). Feeds the reciprocity /
@@ -757,6 +937,11 @@ def knn_topk_edges(
       vs the exact graph is certified in-gate by
       q711_ivf_knn_recall_certificate (the q88 pattern). At 1B vectors
       n_centroids grows ~sqrt(n) to keep each inverted list task-sized.
+    - ``"ivfadc"``: coarse cells + product-quantized residual codes +
+      asymmetric-distance scan (:func:`ivfadc_topk`) — the compressed-
+      domain scale path (codes, not raw floats, are scanned). Ranks by
+      approximate squared L2; recall certified in-gate by
+      q725_ivfadc_recall_certificate.
     - ``"exact"``: the O(n²) self-join calibration baseline with the
       same ranking tail — kept for recall certificates and small-n
       calibration only, never the scale path.
@@ -770,6 +955,29 @@ def knn_topk_edges(
             k=k,
             n_centroids=n_centroids,
             n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            with_rank=True,
+        )
+        return edges.select(
+            F.col("id_q").alias("id_a"),
+            F.col("nn_id").alias("id_b"),
+            F.col("rank"),
+        )
+    if method == "ivfadc":
+        # the compressed-domain scale path: coarse cells + PQ residual
+        # codes + ADC scan (ranks by approximate squared L2 — matches
+        # the cosine ranking on unit-normalized embeddings); recall
+        # certified in-gate by q725_ivfadc_recall_certificate
+        edges = ivfadc_topk(
+            corpus,
+            corpus,
+            k=k,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            n_sub=n_sub,
+            k_sub=k_sub,
+            dim=dim,
             id_col=id_col,
             vec_col=vec_col,
             with_rank=True,

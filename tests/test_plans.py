@@ -646,5 +646,16 @@ def test_knn_topk_edges_method_dispatch(spark):
     for r in ivf:
         per_q.setdefault(r["id_a"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    # ivfadc (round 10): same contract through the compressed-domain
+    # path — coarse cells + PQ residual codes + ADC scan
+    adc = knn_topk_edges(df, k=3, method="ivfadc",
+                         n_centroids=4, n_probe=2, n_sub=4, k_sub=4,
+                         dim=8).collect()
+    assert adc and all(r["id_a"] != r["id_b"] for r in adc)
+    assert all(1 <= r["rank"] <= 3 for r in adc)
+    per_q = {}
+    for r in adc:
+        per_q.setdefault(r["id_a"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     with pytest.raises(ValueError, match="unknown method"):
         knn_topk_edges(df, k=3, method="bogus")
