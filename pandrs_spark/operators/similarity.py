@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pandrs_spark.operators.util import fan_out
 
-__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "knn_topk_edges", "ivf_topk", "ivfadc_topk", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate", "dimension_energy"]
+__all__ = ["dot", "l2_norm", "cosine", "cosine_topk", "nearest_neighbors", "knn_topk_edges", "ivf_topk", "ivfadc_topk", "derive_lsh_config", "quantize_embeddings_int8", "semantic_dedup", "mmr_rerank", "embedding_decontaminate", "dimension_energy"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -323,6 +323,40 @@ def ivf_topk(
     return ranked.select(*cols)
 
 
+def derive_lsh_config(
+    n_distinct: int, threshold: float, recall_target: float = 0.9999
+) -> tuple[int, int]:
+    """The deterministic (n_planes, n_tables) derivation behind
+    :func:`embedding_near_dup_pairs`'s self-scaling defaults (round
+    10) — a pure function of the distinct-vector count and threshold so
+    a SQL oracle can recompute the exact values per SF
+    (q726_lsh_depth_derivation pins this formula in the hash gate):
+
+    - ``n_planes = max(3, ceil(log2(n_distinct / 64)))`` — buckets per
+      table 2^planes track n/64, holding per-table bucket occupancy
+      (and with it the candidate volume per task) ~flat as n grows;
+    - ``n_tables = max(32, ceil(ln(1 - recall_target) /
+      ln(1 - p_anchor^planes)))`` with ``p_anchor = 1 -
+      acos(max(threshold, 0.9))/π`` — the OR-construction table count
+      holding ``recall_target`` at the true near-dup regime
+      (sim ≥ 0.9), which keeps tables O(10) as depth grows instead of
+      the n^ρ blow-up that certifying a low exploratory threshold
+      would cost.
+    """
+    import math
+
+    n_planes = max(3, math.ceil(math.log2(max(1.0, n_distinct / 64))))
+    anchor = min(1.0, max(threshold, 0.9))
+    p_anchor = 1.0 - math.acos(anchor) / math.pi
+    miss = 1.0 - p_anchor**n_planes
+    t_req = (
+        math.ceil(math.log(1.0 - recall_target) / math.log(miss))
+        if 0.0 < miss < 1.0
+        else 1
+    )
+    return n_planes, max(32, t_req)
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -582,17 +616,11 @@ def embedding_near_dup_pairs(
         keyed.groupBy("__fp__").agg(F.first("v").alias("v"))
     )
     if n_planes is None or n_tables is None:
-        n_distinct = max(1, reps.count())
-        if n_planes is None:
-            n_planes = max(3, math.ceil(math.log2(max(1.0, n_distinct / 64))))
-        if n_tables is None:
-            anchor = min(1.0, max(threshold, 0.9))
-            p_anchor = 1.0 - math.acos(anchor) / math.pi
-            miss = 1.0 - p_anchor**n_planes
-            t_req = (
-                math.ceil(math.log(1e-4) / math.log(miss)) if miss > 0 else 1
-            )
-            n_tables = max(32, t_req)
+        d_planes, d_tables = derive_lsh_config(
+            max(1, reps.count()), threshold
+        )
+        n_planes = d_planes if n_planes is None else n_planes
+        n_tables = d_tables if n_tables is None else n_tables
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
     rb = reps.select(
         "__fp__",

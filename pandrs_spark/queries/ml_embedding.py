@@ -1388,3 +1388,377 @@ def q725(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         (F.floor(F.avg("r") * 1e4 + 0.5).cast("long") / 1e4).alias("recall5"),
     )
+
+
+# --- q726: LSH depth-derivation certificate — the round-10 self-
+# scaling config (operators/similarity.py derive_lsh_config, the
+# defaults behind embedding_near_dup_pairs/q177) recomputed
+# INDEPENDENTLY by both engines from the corpus: n_distinct ->
+# n_planes = max(3, ceil(log2(n/64))) -> n_tables = max(32,
+# OR-construction bound holding recall 0.9999 at the sim>=0.9 anchor).
+# Any drift between the Python derivation, the Spark-SQL expression,
+# and the DuckDB expression hash-mismatches — so the exact knob values
+# the dedup family runs with at every SF sit inside the oracle gate
+# (500 -> 3/32 byte-identical with the pre-round-10 calibration
+# config; 20k -> 9/33; 1M -> 14/76). One countDistinct aggregate:
+# map-side partial, any corpus size. ------------------------------------------
+@query(
+    "q726_lsh_depth_derivation",
+    oracle="""
+    WITH n AS (
+        SELECT CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct
+        FROM embeddings
+    ),
+    pl AS (
+        SELECT n_distinct,
+               GREATEST(3, CAST(CEIL(LOG2(GREATEST(n_distinct / 64.0, 1.0)))
+                                AS BIGINT)) AS n_planes
+        FROM n
+    )
+    SELECT n_distinct, n_planes,
+           GREATEST(32, CAST(CEIL(
+               LN(0.0001)
+               / LN(1.0 - POW(1.0 - ACOS(0.9) / PI(), n_planes))
+           ) AS BIGINT)) AS n_tables
+    FROM pl
+    """,
+)
+def q726(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.agg(F.countDistinct("embedding").cast("long").alias("n_distinct"))
+    pl = n.select(
+        "n_distinct",
+        F.greatest(
+            F.lit(3).cast("long"),
+            F.ceil(
+                F.log2(
+                    F.greatest(F.col("n_distinct") / F.lit(64.0), F.lit(1.0))
+                )
+            ).cast("long"),
+        ).alias("n_planes"),
+    )
+    return pl.select(
+        "n_distinct",
+        "n_planes",
+        F.greatest(
+            F.lit(32).cast("long"),
+            F.ceil(
+                F.log(F.lit(0.0001))
+                / F.log(
+                    F.lit(1.0)
+                    - F.pow(
+                        F.expr("1.0 - ACOS(0.9) / PI()"), F.col("n_planes")
+                    )
+                )
+            ).cast("long"),
+        ).alias("n_tables"),
+    )
+
+
+# --- q727: IVFADC probe-sweep recall curve — q725's certificate swept
+# over n_probe ∈ {1,2,4,8} of 8 cells IN ONE PLAN (the q720 treatment
+# applied to the compressed-domain path): probe ranks are computed once
+# to depth 8, the per-(query, cell) ADC lookup tables are built once,
+# and the bounded 4-value probe grid joins the rank-filtered lists —
+# the whole recall/cost curve costs one pipeline, not four reruns. At
+# p = 8 every cell is probed, so the last row isolates the PURE PQ
+# ranking loss (IVF loss = 0): the curve separates "missed the cell"
+# from "codebook too coarse", the two failure modes an IVFADC deploy
+# tunes independently (n_probe vs k_sub). -------------------------------------
+@query(
+    "q727_ivfadc_probe_sweep",
+    oracle="""
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pos AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS p, v[i] AS x
+        FROM emb, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    cpos AS MATERIALIZED (
+        SELECT cid, i - 1 AS p, cv[i] AS cx
+        FROM cent, UNNEST(generate_series(1, len(cv))) AS t(i)
+    ),
+    adist AS MATERIALIZED (
+        SELECT pos.vec_id, cpos.cid,
+               SUM(CAST(FLOOR((pos.x - cpos.cx) * (pos.x - cpos.cx)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS d2
+        FROM pos JOIN cpos USING (p)
+        GROUP BY pos.vec_id, cpos.cid
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM adist
+        ) WHERE rn = 1
+    ),
+    train AS MATERIALIZED (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS code
+        FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 32 OFFSET 8)
+    ),
+    rpos AS MATERIALIZED (
+        SELECT pos.vec_id, a.cell,
+               CAST(pos.p // 8 AS INT) AS s, pos.p % 8 AS j,
+               pos.x - cp.cx AS xr
+        FROM pos
+        JOIN assign a ON a.vec_id = pos.vec_id
+        JOIN cpos cp ON cp.cid = a.cell AND cp.p = pos.p
+    ),
+    cb AS MATERIALIZED (
+        SELECT r.s, r.j, t.code, r.xr AS cbx
+        FROM rpos r JOIN train t ON t.vec_id = r.vec_id
+    ),
+    cdist AS MATERIALIZED (
+        SELECT r.vec_id, r.cell, r.s, cb.code,
+               SUM(CAST(FLOOR((r.xr - cb.cbx) * (r.xr - cb.cbx)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS cd
+        FROM rpos r JOIN cb ON cb.s = r.s AND cb.j = r.j
+        GROUP BY r.vec_id, r.cell, r.s, cb.code
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, cell, s, code FROM (
+            SELECT vec_id, cell, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY cd, code) AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    ),
+    prq AS MATERIALIZED (
+        SELECT vec_id AS qid, cid AS cell, rn AS prn FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM adist WHERE vec_id < 10
+        ) WHERE rn <= 8
+    ),
+    qres AS MATERIALIZED (
+        SELECT pos.vec_id AS qid, pr.cell, pr.prn,
+               CAST(pos.p // 8 AS INT) AS s, pos.p % 8 AS j,
+               pos.x - cp.cx AS xr
+        FROM pos
+        JOIN prq pr ON pr.qid = pos.vec_id
+        JOIN cpos cp ON cp.cid = pr.cell AND cp.p = pos.p
+    ),
+    lut AS MATERIALIZED (
+        SELECT q.qid, q.cell, q.prn, q.s, cb.code,
+               SUM(CAST(FLOOR((q.xr - cb.cbx) * (q.xr - cb.cbx)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS dq
+        FROM qres q JOIN cb ON cb.s = q.s AND cb.j = q.j
+        GROUP BY q.qid, q.cell, q.prn, q.s, cb.code
+    ),
+    grid AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS g(np)),
+    adc AS MATERIALIZED (
+        SELECT g.np, l.qid, c.vec_id AS bid, SUM(l.dq) AS dist
+        FROM codes c
+        JOIN lut l ON l.cell = c.cell AND l.s = c.s AND l.code = c.code
+        JOIN grid g ON l.prn <= g.np
+        WHERE c.vec_id <> l.qid
+        GROUP BY g.np, l.qid, c.vec_id
+    ),
+    adc5 AS MATERIALIZED (
+        SELECT np, qid, bid FROM (
+            SELECT np, qid, bid,
+                   ROW_NUMBER() OVER (PARTITION BY np, qid
+                                      ORDER BY dist, bid) AS rn
+            FROM adc
+        ) WHERE rn <= 5
+    ),
+    ex AS MATERIALIZED (
+        SELECT qp.vec_id AS qid, bp.vec_id AS bid,
+               SUM(CAST(FLOOR((qp.x - bp.x) * (qp.x - bp.x) * 1000000.0
+                              + 0.5) AS BIGINT)) AS d2
+        FROM pos qp JOIN pos bp ON bp.p = qp.p
+        WHERE qp.vec_id < 10 AND bp.vec_id <> qp.vec_id
+        GROUP BY qp.vec_id, bp.vec_id
+    ),
+    ex5 AS MATERIALIZED (
+        SELECT qid, bid FROM (
+            SELECT qid, bid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY d2, bid) AS rn
+            FROM ex
+        ) WHERE rn <= 5
+    ),
+    per_q AS (
+        SELECT g.np, e.qid, CAST(COUNT(a.bid) AS DOUBLE) / COUNT(*) AS r
+        FROM grid g
+        CROSS JOIN ex5 e
+        LEFT JOIN adc5 a ON a.np = g.np AND a.qid = e.qid AND a.bid = e.bid
+        GROUP BY g.np, e.qid
+    )
+    SELECT CAST(np AS BIGINT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(CAST(FLOOR(AVG(r) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE)
+               / 1e4 AS recall5
+    FROM per_q
+    GROUP BY np
+    ORDER BY n_probe
+    """,
+)
+def q727(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+
+    emb = T(spark, sf_dir, "embeddings")
+    pos = tracked_persist(
+        fan_out(emb).select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "p", "x"
+            ),
+        )
+    )
+    cpos = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "p", "cx"
+            ),
+        )
+    )
+    dq2 = quantize((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 6)
+    adist = tracked_persist(
+        pos.join(cpos, "p")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(dq2).cast("long").alias("d2"))
+    )
+    w_a = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        adist.withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    train = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(40)
+        .withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
+        .filter(F.col("__rn") > 8)
+        .select("vec_id", (F.col("__rn") - 8).alias("code"))
+    )
+    rpos = (
+        pos.join(assign, "vec_id")
+        .join(cpos.withColumnRenamed("cid", "cell"), ["cell", "p"])
+        .select(
+            "vec_id",
+            "cell",
+            F.floor(F.col("p") / F.lit(8)).cast("int").alias("s"),
+            (F.col("p") % F.lit(8)).alias("j"),
+            (F.col("x") - F.col("cx")).alias("xr"),
+        )
+    )
+    cb = F.broadcast(
+        rpos.join(train, "vec_id").select(
+            "s", "j", "code", F.col("xr").alias("cbx")
+        )
+    )
+    cq2 = quantize(
+        (F.col("xr") - F.col("cbx")) * (F.col("xr") - F.col("cbx")), 6
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy("cd", "code")
+    codes = (
+        rpos.join(cb, ["s", "j"])
+        .groupBy("vec_id", "cell", "s", "code")
+        .agg(F.sum(cq2).cast("long").alias("cd"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("bid"), "cell", "s", "code")
+    )
+    prq = (
+        adist.filter(F.col("vec_id") < 10)
+        .withColumn("prn", F.row_number().over(w_a))
+        .filter(F.col("prn") <= 8)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "prn")
+    )
+    qres = (
+        pos.filter(F.col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "qid")
+        .join(prq, "qid")
+        .join(cpos.withColumnRenamed("cid", "cell"), ["cell", "p"])
+        .select(
+            "qid",
+            "cell",
+            "prn",
+            F.floor(F.col("p") / F.lit(8)).cast("int").alias("s"),
+            (F.col("p") % F.lit(8)).alias("j"),
+            (F.col("x") - F.col("cx")).alias("xr"),
+        )
+    )
+    lut = (
+        qres.join(cb, ["s", "j"])
+        .groupBy("qid", "cell", "prn", "s", "code")
+        .agg(F.sum(cq2).cast("long").alias("dq"))
+    )
+    grid = F.broadcast(
+        spark.createDataFrame([(1,), (2,), (4,), (8,)], "np int")
+    )
+    adc = (
+        codes.join(lut, ["cell", "s", "code"])
+        .filter(F.col("bid") != F.col("qid"))
+        .join(grid, F.col("prn") <= F.col("np"))
+        .groupBy("np", "qid", "bid")
+        .agg(F.sum("dq").cast("long").alias("dist"))
+    )
+    w_adc = Window.partitionBy("np", "qid").orderBy("dist", "bid")
+    adc5 = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 5)
+        .select("np", "qid", "bid")
+    )
+    qpos = pos.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "p", F.col("x").alias("qx")
+    )
+    ex = (
+        pos.join(F.broadcast(qpos), "p")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("bid"))
+        .agg(
+            F.sum(
+                quantize(
+                    (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x")),
+                    6,
+                )
+            )
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    w_ex = Window.partitionBy("qid").orderBy("d2", "bid")
+    ex5 = (
+        ex.withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "bid")
+    )
+    hits = (
+        grid.crossJoin(ex5)
+        .join(
+            adc5.withColumn("hit", F.lit(1)),
+            ["np", "qid", "bid"],
+            "left",
+        )
+    )
+    per_q = hits.groupBy("np", "qid").agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias("r")
+    )
+    return (
+        per_q.groupBy("np")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            (F.floor(F.avg("r") * 1e4 + 0.5).cast("long") / 1e4).alias(
+                "recall5"
+            ),
+        )
+        .select(
+            F.col("np").cast("long").alias("n_probe"), "n_queries", "recall5"
+        )
+        .orderBy("n_probe")
+    )

@@ -181,3 +181,42 @@ def test_embedding_decontaminate_flags_near_dups(spark):
     assert not out[2]["contaminated"] and abs(out[2]["max_sim"]) < 1e-6
     assert not out[3]["contaminated"]
     assert abs(out[3]["max_sim"] - 0.707107) < 1e-5
+
+
+def test_derive_lsh_config_known_points():
+    # the round-10 self-scaling derivation (q726 pins the same formula
+    # cross-engine; this pins the Python helper): n<=512 reproduces the
+    # pre-round-10 calibration config (3, 32) exactly, larger corpora
+    # deepen buckets while the table bound holds recall 0.9999 at the
+    # sim>=0.9 anchor
+    from pandrs_spark.operators.similarity import derive_lsh_config
+
+    assert derive_lsh_config(1, 0.4) == (3, 32)
+    assert derive_lsh_config(500, 0.4) == (3, 32)
+    assert derive_lsh_config(512, 0.4) == (3, 32)
+    assert derive_lsh_config(2000, 0.4) == (5, 32)
+    assert derive_lsh_config(20000, 0.4) == (9, 33)
+    assert derive_lsh_config(1_000_000, 0.4) == (14, 76)
+    # a high explicit threshold anchors at itself, not 0.9
+    p3, t3 = derive_lsh_config(500, 0.95)
+    assert p3 == 3 and t3 == 32
+
+
+def test_near_dup_derived_equals_explicit_calibration(spark):
+    # at n<=512 the derived config IS (3, 32): outputs byte-identical
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    derived = sorted(
+        map(tuple, embedding_near_dup_pairs(emb, threshold=0.4).collect())
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs(
+                emb, threshold=0.4, n_tables=32, n_planes=3
+            ).collect(),
+        )
+    )
+    assert derived == explicit and len(derived) > 0
