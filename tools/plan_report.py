@@ -90,7 +90,11 @@ _KEYED_AGG = re.compile(
 # Queries whose multi-key keyed-agg broadcast builds carry an in-plan
 # assert_bounded row-count fence (the grid/vertex builds the round-9
 # widening was for). A multi-key keyed_agg build in any OTHER query is
-# classified suspicious so the fence list stays auditable.
+# classified suspicious so the fence list stays auditable. Round-10
+# census: q575 is the only query whose TOPMOST build aggregate is
+# multi-key (its 5x5 urgency x speed-tier grid, assert_bounded-fenced);
+# the other three are kept in case plan changes resurface their grids
+# as build tops.
 KEYED_AGG_MULTI_WHITELIST = {
     "q548_tukey_hsd_segments",
     "q575_somers_d_urgency_speed",
@@ -100,14 +104,18 @@ KEYED_AGG_MULTI_WHITELIST = {
 
 
 def _keyed_agg_arity(subtree_text: str) -> int:
-    """Max top-level comma arity across every keyed-aggregate line in a
-    build subtree: 1 = all single-key, >=2 = some multi-key. Bracket
-    depth is tracked so commas inside expressions (round(x, 6)) do not
-    count; simpleString truncation at 100 chars can cut the key list
-    short, which only UNDER-counts — and an under-counted multi-key agg
-    whose visible head is a single key is still a keyed-cardinality
-    domain claim, the category this feeds."""
-    worst = 0
+    """Top-level comma arity of the TOPMOST keyed-aggregate line in a
+    build subtree (``subtree_text`` is pre-order, so the first match is
+    the highest reduction): 1 = single-key, >=2 = multi-key, 0 = none.
+    The topmost line is the right one to judge because the BROADCAST
+    cardinality is set by the build's final reduction — keyed aggs
+    below it (pre-aggregations, Spark's count-distinct expansion,
+    which injects (key, distinct-col) partials under every single-key
+    final) execute as ordinary shuffles and never reach the broadcast.
+    Counting ANY line would flag every count(distinct) build as
+    multi-key (round-10 audit: 10 of 12 such flags were expansion/
+    intermediate artifacts). Bracket depth is tracked so commas inside
+    expressions (round(x, 6)) do not count."""
     for m in _KEYED_AGG.finditer(subtree_text):
         body = m.group(1)
         if body.lstrip().startswith("]"):
@@ -124,8 +132,8 @@ def _keyed_agg_arity(subtree_text: str) -> int:
                 depth -= 1
             elif ch == "," and depth == 0:
                 arity += 1
-        worst = max(worst, arity)
-    return worst
+        return arity
+    return 0
 _LIMIT = re.compile(r"\b(?:GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)\b")
 _FILESCAN = re.compile(r"\bFileScan parquet [^\n]*")
 
