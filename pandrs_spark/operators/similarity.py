@@ -602,8 +602,6 @@ def embedding_near_dup_pairs(
     Returns (id_a, id_b, sim) with id_a < id_b, including the
     within-cluster pairs of exact duplicates (cosine 1).
     """
-    import math
-
     from pandrs_spark.operators.util import tracked_persist
 
     corpus = fan_out(corpus)
