@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "export_shards",
     "dsir_importance_weights",
     "temperature_mixture_shares",
     "hash_bucket",
@@ -287,4 +288,42 @@ def dsir_importance_weights(
             F.count(F.lit(1)).alias("n_tokens"),
             dsum(lr, scale).alias("log_weight"),
         )
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shard assignment + within-shard order — the write
+    path of a training-data exporter (beyond-reference LLM-pipeline
+    surface; the reference's nearest op is sampled export,
+    src/stats/mod.rs:310). Every row gets:
+
+    - ``fp``    — md5 of the row key (the export fingerprint);
+    - ``shard`` — first-6-hex-chars of fp mod ``n_shards``: a CONTENT
+      hash, so the assignment is identical on any engine, partitioning
+      or cluster size (``rand``/``spark_partition_id`` are neither),
+      and a SQL oracle can replay it;
+    - ``pos``   — row_number within the shard ordered by (fp, id): the
+      deterministic within-shard order that makes exports resumable
+      and byte-identical across reruns.
+
+    Physical shape: ONE hash shuffle on ``shard`` into ``n_shards``
+    write tasks + a per-shard sort — exactly what
+    ``df.repartition(n, shard).sortWithinPartitions(...)`` hands to a
+    parquet/tfrecord writer at 100 TB. Per-shard volume is n/n_shards
+    by md5 uniformity, so shard skew is bounded without salting.
+    """
+    fp = F.md5(F.col(id_col).cast("string"))
+    hx = F.conv(F.substring(fp, 1, 6), 16, 10).cast("long")
+    out = (
+        df.withColumn("fp", fp)
+        .withColumn("shard", (hx % F.lit(n_shards)).cast("int"))
+    )
+    w = Window.partitionBy("shard").orderBy("fp", id_col)
+    out = out.withColumn("pos", F.row_number().over(w))
+    return out.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "pos"
     )

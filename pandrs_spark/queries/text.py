@@ -4551,3 +4551,54 @@ def q714(spark, sf_dir):
         (quantize(F.avg(err), 6) / 1e6).alias("bias"),
         (quantize(F.max(F.abs(err)), 6) / 1e6).alias("max_abs_err"),
     )
+
+
+# --- q728: shard-export manifest — the integrity readout a
+# training-data exporter publishes next to its shards (round 10;
+# operators/sampling.py export_shards: content-hash shard assignment +
+# within-shard (fp, id) order, the deterministic write path). Per
+# shard: doc count, char volume, an order-independent checksum (sum of
+# the 6-hex fingerprint prefixes — partition-invariant, so reruns and
+# engines agree), and the first/last fingerprints in export order
+# (min/max fp = the pos-order endpoints, since pos orders by fp). A
+# resumable 100 TB export diffs this manifest against the previous
+# run's to prove byte-identity per shard before shipping. One hash
+# shuffle + one groupBy(shard) — 8 output rows at any corpus size. ------------
+@query(
+    "q728_shard_export_manifest",
+    oracle=f"""
+    WITH h AS (
+        SELECT md5(CAST(doc_id AS VARCHAR)) AS fp,
+               {_sql_hex_int("substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)", 6)}
+                   AS hx,
+               LENGTH(text) AS nc
+        FROM documents
+    )
+    SELECT CAST(hx % 8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(hx) AS BIGINT) AS checksum,
+           MIN(fp) AS first_fp,
+           MAX(fp) AS last_fp
+    FROM h
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q728(spark, sf_dir):
+    from pandrs_spark.operators.sampling import export_shards
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = export_shards(docs, n_shards=8, id_col="doc_id")
+    hx = F.conv(F.substring("fp", 1, 6), 16, 10).cast("long")
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(hx).cast("long").alias("checksum"),
+            F.min("fp").alias("first_fp"),
+            F.max("fp").alias("last_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -121,3 +121,27 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert out[200]["log_weight"] > out[201]["log_weight"] + 0.5
     # exemplar docs score like their raw twins (same text, same buckets)
     assert abs(out[0]["log_weight"] - out[200]["log_weight"]) < 1e-9
+
+
+def test_export_shards_deterministic_and_dense(spark):
+    # round 10: content-hash shard assignment must be invariant to
+    # input partitioning, and pos must be dense 1..n within each shard
+    # in (fp, id) order — the resumable-export contract
+    from pandrs_spark.operators.sampling import export_shards
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = export_shards(df, n_shards=8, id_col="doc_id").collect()
+    b = export_shards(df.repartition(13), n_shards=8, id_col="doc_id").collect()
+    ka = {r["doc_id"]: (r["shard"], r["pos"], r["fp"]) for r in a}
+    kb = {r["doc_id"]: (r["shard"], r["pos"], r["fp"]) for r in b}
+    assert ka == kb
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["fp"]))
+    assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
+    for sh, entries in by_shard.items():
+        entries.sort()
+        assert [p for p, _ in entries] == list(range(1, len(entries) + 1))
+        fps = [f for _, f in entries]
+        assert fps == sorted(fps)  # pos order IS fp order
