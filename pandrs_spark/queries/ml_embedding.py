@@ -1464,7 +1464,12 @@ def q726(spark, sf_dir):
 # p = 8 every cell is probed, so the last row isolates the PURE PQ
 # ranking loss (IVF loss = 0): the curve separates "missed the cell"
 # from "codebook too coarse", the two failure modes an IVFADC deploy
-# tunes independently (n_probe vs k_sub). -------------------------------------
+# tunes independently (n_probe vs k_sub). Measured at sf0.01:
+# 0.30/0.30/0.32/0.30 — FLAT, i.e. on this isotropic synthetic corpus
+# recall is codebook-bound (raise k_sub), not cell-miss-bound (n_probe
+# buys nothing); a clustered real corpus shows the opposite signature,
+# rising steeply with n_probe. Exactly the readout that decides which
+# knob to spend memory on. ----------------------------------------------------
 @query(
     "q727_ivfadc_probe_sweep",
     oracle="""
