@@ -27,11 +27,34 @@ HEADLINE = [
 ]
 
 
+def _is_descendant(pid: int, ancestor: int) -> bool:
+    """True if ``pid``'s /proc ppid chain reaches ``ancestor``."""
+    seen = set()
+    while pid > 1 and pid not in seen:
+        seen.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                stat = fh.read()
+            # field 4 is ppid; comm (field 2) may contain spaces, so
+            # split after the closing paren
+            pid = int(stat.rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            return False
+        if pid == ancestor:
+            return True
+    return False
+
+
 def _foreign_spark_pids() -> list[int]:
-    """PIDs of java/Spark processes that are NOT descendants of this
-    bench run — the co-runner sentinel. Called BEFORE our own
-    SparkSession exists, so any java/pyspark process found here is a
-    concurrent workload that will contaminate the timings."""
+    """PIDs of Spark JVM / pyspark worker processes that are NOT
+    descendants of this bench run — the co-runner sentinel. Called
+    BEFORE our own SparkSession exists, so hits are concurrent
+    workloads that will contaminate the timings. ADVICE r10 (low):
+    match actual Spark processes (a java executable running an
+    org.apache.spark main class, or a pyspark daemon/worker), not any
+    cmdline containing the substring 'spark' (which caught this
+    repo's own tooling paths); and actually walk the ppid chain so
+    descendants are excluded as the docstring claims."""
     me = os.getpid()
     pids = []
     for ent in os.listdir("/proc"):
@@ -39,10 +62,19 @@ def _foreign_spark_pids() -> list[int]:
             continue
         try:
             with open(f"/proc/{ent}/cmdline", "rb") as fh:
-                cmd = fh.read().decode("utf-8", "replace").replace("\0", " ")
+                argv = fh.read().decode("utf-8", "replace").split("\0")
         except OSError:
             continue
-        if "java" in cmd.split(" ")[0] or "spark" in cmd.lower():
+        exe = os.path.basename(argv[0]) if argv and argv[0] else ""
+        is_spark_jvm = exe.startswith("java") and any(
+            "org.apache.spark" in a for a in argv[1:]
+        )
+        is_py_worker = any(
+            "pyspark.daemon" in a or "pyspark.worker" in a for a in argv
+        )
+        if (is_spark_jvm or is_py_worker) and not _is_descendant(
+            int(ent), me
+        ):
             pids.append(int(ent))
     return pids
 

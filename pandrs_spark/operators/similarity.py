@@ -194,8 +194,8 @@ def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_tables: int = 6,
-    n_planes: int = 10,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -210,10 +210,36 @@ def ann_lsh_topk(
     bucket keys instead of an O(n·m) cross join — at 1B corpus vectors
     the bucket join shuffles by bucket id and each task only compares
     within-bucket, while recall is tuned with (n_tables, n_planes).
-    Returns (query id, rank, neighbor id, sim).
+
+    **Self-scaling config (round 11)**: when ``n_tables`` /
+    ``n_planes`` are None (the default) they are DERIVED from a
+    first-pass distinct-vector count via :func:`derive_lsh_config` at
+    the sim ≥ 0.9 near-neighbor anchor — the identical derivation
+    embedding_near_dup_pairs adopted in round 10 (q726 pins the
+    formula in the hash gate; q731_ann_lsh_derived_config certifies
+    THIS operator's derived knobs plus measured recall). The pinned
+    (6, 10) the operator shipped with before round 11 was the same
+    fixed-partitioning defect q177 had: depth 10 = 1024 buckets/table
+    regardless of corpus size, so a 500-vector corpus scattered to
+    ~0.5 occupancy (recall paid for by 6 tables of noise) while a 1B
+    corpus would pack ~1M vectors per bucket (candidate volume
+    quadratic). The derived depth tracks log2(n/64), holding bucket
+    occupancy — and per-task compare cost — flat at any SF. Callers
+    certifying a specific operating point pass both knobs explicitly
+    (q88's calibration gate pins (16, 3) and is unchanged).
     """
     from pyspark.sql import Window
 
+    if n_tables is None or n_planes is None:
+        n_distinct = int(
+            corpus.agg(
+                F.countDistinct(F.col(vec_col)).cast("long").alias("n")
+            ).first()[0]
+            or 0
+        )
+        d_planes, d_tables = derive_lsh_config(max(1, n_distinct), 0.9)
+        n_planes = d_planes if n_planes is None else n_planes
+        n_tables = d_tables if n_tables is None else n_tables
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
     c = fan_out(corpus).select(
         F.col(id_col).alias("id_c"), _as_double(F.col(vec_col)).alias("vc")
@@ -221,13 +247,30 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("id_q"), _as_double(F.col(vec_col)).alias("vq")
     )
-    cand = None
-    for t, planes in enumerate(banks):
-        cb = c.select("id_c", lsh_bucket_ids(F.col("vc"), planes).alias("bucket"))
-        qb = q.select("id_q", lsh_bucket_ids(F.col("vq"), planes).alias("bucket"))
-        pairs_t = qb.join(cb, "bucket").select("id_q", "id_c")
-        cand = pairs_t if cand is None else cand.union(pairs_t)
-    cand = cand.distinct().filter(F.col("id_q") != F.col("id_c"))
+    # one posexplode emits (table, bucket) per bank; candidates come
+    # from ONE equi-join on the composite key (round 11 — replaces the
+    # per-table join-union loop, whose plan grew linearly with
+    # n_tables and scheduled n_tables shuffles; same semantics: union
+    # over tables + dedup == join on (t, bucket) + distinct). This is
+    # the embedding_near_dup_pairs candidate shape.
+    cb = c.select(
+        "id_c",
+        F.posexplode(
+            F.array(*[lsh_bucket_ids(F.col("vc"), p) for p in banks])
+        ).alias("t", "bucket"),
+    )
+    qb = q.select(
+        "id_q",
+        F.posexplode(
+            F.array(*[lsh_bucket_ids(F.col("vq"), p) for p in banks])
+        ).alias("t", "bucket"),
+    )
+    cand = (
+        qb.join(cb, ["t", "bucket"])
+        .select("id_q", "id_c")
+        .distinct()
+        .filter(F.col("id_q") != F.col("id_c"))
+    )
     scored = (
         cand.join(q, "id_q")
         .join(c, "id_c")
@@ -357,6 +400,54 @@ def derive_lsh_config(
     return n_planes, max(32, t_req)
 
 
+def derive_grid_config(
+    n_distinct: int,
+    target_occupancy: int = 64,
+    branching: float = 3.0,
+    floor_dims: int = 4,
+    scale: float = 4.0,
+    max_dims: int = 64,
+) -> tuple[int, float]:
+    """The deterministic (grid_dims, grid_scale) derivation behind
+    :func:`semantic_dedup`'s self-scaling coarse quantizer (round 11 —
+    the q177/derive_lsh_config treatment applied to the LAST fixed-
+    partitioning knob in the registry; q729_grid_depth_derivation pins
+    this formula in the hash gate):
+
+    - ``grid_dims = max(floor_dims, ceil(ln(n_distinct /
+      target_occupancy) / ln(branching)))``, capped at the embedding
+      dimensionality. Each grid dimension multiplies the number of
+      OCCUPIED cells by ~``branching`` (isotropic unit vectors in
+      d=64 have per-component std 1/√64 = 0.125, so v[i]·scale at
+      scale 4 spans ≈(-1.5, 1.5) → 3-4 occupied floor cells per
+      axis), so cells ≈ branching^dims tracks n/target_occupancy and
+      the expected in-cell pair term stays ~n·target_occupancy/2
+      (LINEAR in n) instead of the n²/cells a pinned 4-dim grid
+      costs at fixed cell count.
+    - ``grid_scale`` stays fixed: scale sets per-axis resolution
+      (recall — finer cells split true near-dup pairs across
+      boundaries), dims set cell COUNT; growing dims is the knob that
+      adds cells without changing the per-axis split probability.
+
+    n_distinct ≤ 4096 reproduces the pre-round-11 calibration config
+    (4, 4.0) exactly, so the sf0.01 (500 vectors) and sf0.1 (2000)
+    exact-oracle hash gates are byte-identical; 20k → 6 dims, 1M → 9,
+    1e9 → 16. Pure double libm arithmetic (ln/division/ceil) mirrored
+    verbatim by the DuckDB oracle: GREATEST(floor, CEIL(LN(GREATEST(
+    n/occ, 1.0)) / LN(branching))).
+    """
+    import math
+
+    dims = max(
+        floor_dims,
+        math.ceil(
+            math.log(max(1.0, n_distinct / float(target_occupancy)))
+            / math.log(branching)
+        ),
+    )
+    return min(dims, max_dims), scale
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -369,6 +460,7 @@ def ivfadc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_rank: bool = False,
+    self_exclude: bool = True,
 ) -> DataFrame:
     """IVFADC — inverted file + asymmetric distance computation over
     PRODUCT-QUANTIZED RESIDUALS, Jégou/Douze/Schmid 2011's actual
@@ -411,6 +503,14 @@ def ivfadc_topk(
     the n_centroids-row quantizer and the (k_sub·dim)-entry codebook.
     Recall vs the exact ranking is certified in-gate by
     q725_ivfadc_recall_certificate (the q711/q713 pattern).
+
+    ``self_exclude`` (ADVICE r10): the id_c != id_q filter assumes
+    queries and corpus share an id space where equal id means "the
+    same vector asked about itself" (the certificate queries pass the
+    corpus as its own query set). When the query frame is a SEPARATE
+    id space whose ids coincidentally overlap corpus ids, that filter
+    would silently drop legitimate matches — pass
+    ``self_exclude=False`` there.
     """
     from pandrs_spark.functions.deterministic import quantize
     from pandrs_spark.operators.util import tracked_persist
@@ -520,7 +620,11 @@ def ivfadc_topk(
     )
     adc = (
         codes.join(lut, ["cell", "s", "code"])
-        .filter(F.col("id_c") != F.col("id_q"))
+        .filter(
+            (F.col("id_c") != F.col("id_q"))
+            if self_exclude
+            else F.lit(True)
+        )
         .groupBy("id_q", "id_c")
         .agg(F.sum("dq").cast("long").alias("dist"))
     )
@@ -619,6 +723,32 @@ def embedding_near_dup_pairs(
         )
         n_planes = d_planes if n_planes is None else n_planes
         n_tables = d_tables if n_tables is None else n_tables
+        # ADVICE r10 (medium): the derivation anchors its 0.9999
+        # recall contract at sim >= max(threshold, 0.9); when the
+        # caller's threshold sits BELOW the anchor, recall at the
+        # threshold itself decays as 1-(1-p^planes)^tables and large
+        # corpora (deep planes) can silently collapse it (~0.41 at
+        # threshold 0.4 with 20k distinct vectors). Make that regime
+        # audible: compute the OR-construction collision probability
+        # at the caller's actual threshold and warn with the number
+        # when it falls below the anchor target, so default callers
+        # get a runtime signal instead of a docstring caveat.
+        import math
+        import warnings
+
+        p_thresh = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+        recall_at_thresh = 1.0 - (1.0 - p_thresh**n_planes) ** n_tables
+        if recall_at_thresh < 0.9999:
+            warnings.warn(
+                "embedding_near_dup_pairs: derived LSH config "
+                f"(n_planes={n_planes}, n_tables={n_tables}) holds "
+                "recall 0.9999 at the sim>=0.9 near-dup anchor, but "
+                f"expected recall at threshold={threshold} is only "
+                f"{recall_at_thresh:.4f}. Pass explicit n_planes/"
+                "n_tables to certify borderline-band recall (cost "
+                "grows as n^(1+rho)).",
+                stacklevel=2,
+            )
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
     rb = reps.select(
         "__fp__",
@@ -688,8 +818,8 @@ def embedding_near_dup_pairs(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    grid_dims: int = 4,
-    grid_scale: float = 4.0,
+    grid_dims: int | None = None,
+    grid_scale: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry: tuple = (),
@@ -701,17 +831,44 @@ def semantic_dedup(
     engine-reproducible pruning rule, unlike "keep closest to
     centroid", which ties on float noise).
 
-    The coarse quantizer here is a fixed grid over the first
-    ``grid_dims`` embedding dimensions (floor(v[i] * grid_scale)) —
-    deterministic so the DuckDB oracle can replay it exactly. At 100 TB
-    the grid swaps for MLlib KMeans centroids (ivf_topk's coarse
-    quantizer, operators/similarity.py:225; k grown with n so cluster
-    size — and with it the quadratic within-cluster term — stays
-    bounded) with the SAME downstream
-    shape: map-side cluster assignment, within-cluster self-join (cost
-    bounded by cluster size, never all-pairs), one distinct + one left
-    anti-style join. Returns (id_col, *carry, cluster, kept).
+    The coarse quantizer is a deterministic grid over the first
+    ``grid_dims`` embedding dimensions (floor(v[i] * grid_scale)) so
+    the DuckDB oracle can replay it exactly.
+
+    **Self-scaling config (round 11)**: when ``grid_dims`` /
+    ``grid_scale`` are None (the default) they are DERIVED from a
+    first-pass distinct-vector count via :func:`derive_grid_config` —
+    grid_dims = max(4, ceil(log_3(n_distinct / 64))), grid_scale
+    fixed at 4.0. Cell count then tracks n/64 (each added dimension
+    multiplies occupied cells by the ~3-4 per-axis branching of
+    isotropic unit vectors), holding expected in-cell occupancy —
+    and with it the quadratic within-cluster pair term — ~flat as the
+    corpus grows, instead of the n²/cells blow-up the pre-round-11
+    PINNED 4-dim grid cost (the same defect class q177's LSH depth
+    had before round 10). n_distinct ≤ 4096 reproduces (4, 4.0), so
+    the sf0.01/sf0.1 hash gates are byte-identical. The derivation is
+    certified in-gate by q729_grid_depth_derivation (both engines
+    recompute the formula from COUNT(DISTINCT)) and the resulting
+    cell census by q730_semantic_dedup_cell_census. The extra
+    countDistinct is one map-side-partial aggregate over the corpus —
+    negligible next to the within-cluster join it bounds. Callers
+    pinning explicit knobs (the pre-round-11 behavior) pass both.
+
+    Downstream shape is unchanged at any dims: map-side cluster
+    assignment, within-cluster self-join (cost bounded by cluster
+    size, never all-pairs), one distinct + one left anti-style join.
+    Returns (id_col, *carry, cluster, kept).
     """
+    if grid_dims is None or grid_scale is None:
+        n_distinct = int(
+            corpus.agg(
+                F.countDistinct(F.col(vec_col)).cast("long").alias("n")
+            ).first()[0]
+            or 0
+        )
+        d_dims, d_scale = derive_grid_config(max(1, n_distinct))
+        grid_dims = d_dims if grid_dims is None else grid_dims
+        grid_scale = d_scale if grid_scale is None else grid_scale
     v = fan_out(corpus).select(
         F.col(id_col), *carry, _as_double(F.col(vec_col)).alias("__v__")
     )

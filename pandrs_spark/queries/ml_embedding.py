@@ -1767,3 +1767,283 @@ def q727(spark, sf_dir):
         )
         .orderBy("n_probe")
     )
+
+
+# ===== Round 11: self-scaling coarse-quantizer certificates ===========
+
+# --- q729: grid depth-derivation certificate — the round-11 self-
+# scaling semantic-dedup config (operators/similarity.py
+# derive_grid_config, the None-defaults behind semantic_dedup/q195)
+# recomputed INDEPENDENTLY by both engines at FOUR operating points in
+# one plan: the actual corpus COUNT(DISTINCT) plus three synthetic
+# scale points (20k, 1M, 1e9). n_distinct -> grid_dims = max(4,
+# ceil(ln(n/64)/ln(3))) -> cells = 3^dims -> occupancy_bound = n/cells.
+# Any drift between the Python derivation, the Spark-SQL expression,
+# and the DuckDB expression hash-mismatches — so the exact knob
+# semantic_dedup runs with at every SF sits inside the oracle gate
+# (500/2000 -> 4 dims byte-identical with the pre-round-11 calibration
+# grid; 20k -> 6; 1M -> 9; 1e9 -> 16), and the occupancy_bound column
+# IS the scale claim: it stays <= 64·3 at every point, i.e. the
+# quadratic in-cell pair term is bounded per cell as n grows — the
+# q726 treatment for the registry's last fixed-partitioning knob. ------------
+@query(
+    "q729_grid_depth_derivation",
+    oracle="""
+    WITH u AS (
+        SELECT 'corpus' AS src,
+               CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n
+        FROM embeddings
+        UNION ALL
+        SELECT * FROM (VALUES ('n20k', CAST(20000 AS BIGINT)),
+                              ('n1m', CAST(1000000 AS BIGINT)),
+                              ('n1g', CAST(1000000000 AS BIGINT))) t(src, n)
+    ),
+    d AS (
+        SELECT src, n,
+               GREATEST(4, CAST(CEIL(
+                   LN(GREATEST(n / 64.0, 1.0)) / LN(3.0)) AS BIGINT))
+                   AS grid_dims
+        FROM u
+    )
+    SELECT src, n, grid_dims,
+           CAST(POW(3.0, grid_dims) AS BIGINT) AS cells,
+           CAST(FLOOR(n / POW(3.0, grid_dims) * 1e4 + 0.5) AS BIGINT)
+               AS occupancy_bound_q4
+    FROM d ORDER BY src
+    """,
+)
+def q729(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    actual = emb.agg(
+        F.countDistinct("embedding").cast("long").alias("n")
+    ).select(F.lit("corpus").alias("src"), "n")
+    synth = spark.createDataFrame(
+        [("n20k", 20000), ("n1m", 1000000), ("n1g", 1000000000)],
+        "src string, n long",
+    )
+    d = actual.union(synth).select(
+        "src",
+        "n",
+        F.greatest(
+            F.lit(4).cast("long"),
+            F.ceil(
+                F.log(F.greatest(F.col("n") / F.lit(64.0), F.lit(1.0)))
+                / F.log(F.lit(3.0))
+            ).cast("long"),
+        ).alias("grid_dims"),
+    )
+    return d.select(
+        "src",
+        "n",
+        "grid_dims",
+        F.pow(F.lit(3.0), F.col("grid_dims")).cast("long").alias("cells"),
+        F.floor(
+            F.col("n") / F.pow(F.lit(3.0), F.col("grid_dims")) * 1e4 + 0.5
+        )
+        .cast("long")
+        .alias("occupancy_bound_q4"),
+    ).orderBy("src")
+
+
+# --- q730: semantic-dedup cell census — the MEASURED side of q729's
+# bound: run the derived grid over the actual corpus and certify the
+# realized cell-size distribution (n_cells, max cell, Σ c·(c-1)/2 —
+# the exact within-cluster candidate-pair count the operator's
+# self-join executes) plus the kept count semantic_dedup produces with
+# the SAME derived knobs. The oracle recomputes grid_dims from
+# COUNT(DISTINCT) and builds the bucket over a computed-length slice,
+# so both the derivation AND its realized pair volume are value-
+# certified at every SF — the "in-cell pair counts bounded" claim as a
+# hash-gated number, not a docstring. -----------------------------------------
+@query(
+    "q730_semantic_dedup_cell_census",
+    oracle="""
+    WITH nd AS (
+        SELECT GREATEST(4, CAST(CEIL(
+                   LN(GREATEST(COUNT(DISTINCT embedding) / 64.0, 1.0))
+                   / LN(3.0)) AS BIGINT)) AS dims
+        FROM embeddings
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               array_to_string(
+                   list_transform(
+                       list_slice(CAST(embedding AS DOUBLE[]), 1,
+                                  (SELECT dims FROM nd)),
+                       x -> CAST(CAST(floor(x * 4.0) AS BIGINT) AS VARCHAR)
+                   ), '|') AS b
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY b
+    ),
+    census AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(c) AS BIGINT) AS max_cell,
+               CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs
+        FROM cells
+    ),
+    dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM v x JOIN v y ON x.b = y.b AND x.vec_id < y.vec_id
+        WHERE ROUND(list_dot_product(x.e, y.e)
+                    / (SQRT(list_dot_product(x.e, x.e))
+                       * SQRT(list_dot_product(y.e, y.e))), 4) >= 0.9
+    )
+    SELECT (SELECT dims FROM nd) AS grid_dims,
+           census.n_cells, census.max_cell, census.candidate_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped) AS n_kept
+    FROM census
+    """,
+)
+def q730(spark, sf_dir):
+    from pandrs_spark.operators.similarity import semantic_dedup
+
+    emb = T(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(emb, threshold=0.9)
+    cells = flags.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    census = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("c").cast("long").alias("max_cell"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+    )
+    kept = flags.agg(
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept")
+    )
+    # grid_dims recomputed via the same Spark-SQL expression the
+    # operator's Python derivation uses (q726 pattern: the formula
+    # itself sits in the hash gate, not just its effect)
+    dims = emb.agg(
+        F.greatest(
+            F.lit(4).cast("long"),
+            F.ceil(
+                F.log(
+                    F.greatest(
+                        F.countDistinct("embedding") / F.lit(64.0),
+                        F.lit(1.0),
+                    )
+                )
+                / F.log(F.lit(3.0))
+            ).cast("long"),
+        ).alias("grid_dims")
+    )
+    return dims.crossJoin(census).crossJoin(kept)
+
+
+# --- q731: ANN-LSH derived-config certificate — round 11 wired
+# derive_lsh_config into ann_lsh_topk's None-defaults (the q177/q726
+# treatment for the operator's pinned (6, 10)); this pins BOTH halves
+# at once: (a) the exact derived knobs, recomputed independently by
+# Spark-SQL and DuckDB from COUNT(DISTINCT embedding) at the sim>=0.9
+# anchor (500 -> planes 3/tables 32; 2000 -> 5/32 — the second-SF
+# operating point the full-registry sf0.1 sweep exercises), and
+# (b) the MEASURED recall@5 of the operator running with those derived
+# defaults against the exact brute-force top-5 over 20 query vectors
+# (the q88 pattern — seeded planes can't be mirrored in SQL, so the
+# calibration value is the hash-gated claim: drift below 0.9 mean
+# recall mismatches). ----------------------------------------------------------
+@query(
+    "q731_ann_lsh_derived_config",
+    oracle="""
+    WITH n AS (
+        SELECT CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct
+        FROM embeddings
+    ),
+    pl AS (
+        SELECT n_distinct,
+               GREATEST(3, CAST(CEIL(LOG2(GREATEST(n_distinct / 64.0, 1.0)))
+                                AS BIGINT)) AS n_planes
+        FROM n
+    )
+    SELECT n_distinct, n_planes,
+           GREATEST(32, CAST(CEIL(
+               LN(0.0001)
+               / LN(1.0 - POW(1.0 - ACOS(0.9) / PI(), n_planes))
+           ) AS BIGINT)) AS n_tables,
+           CAST(20 AS BIGINT) AS n_queries,
+           TRUE AS recall_ge_090
+    FROM pl
+    """,
+)
+def q731(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from pandrs_spark.operators.similarity import ann_lsh_topk, cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).limit(20)
+    # None knobs -> the operator derives (n_planes, n_tables) from the
+    # corpus countDistinct at the 0.9 anchor
+    approx = ann_lsh_topk(emb, queries, k=5, dim=64)
+    q = queries.select(
+        F.col("vec_id").alias("id_q"),
+        F.col("embedding").cast("array<double>").alias("vq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("id_c"),
+        F.col("embedding").cast("array<double>").alias("vc"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("id_q") != F.col("id_c"))
+        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("sim"))
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc(F.round("sim", 6)), "id_c")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("id_q", F.col("id_c").alias("nn_id"))
+    )
+    hits = exact.join(
+        approx.select("id_q", "nn_id").withColumn("hit", F.lit(1)),
+        ["id_q", "nn_id"],
+        "left",
+    )
+    per_query = hits.groupBy("id_q").agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall5"
+        )
+    )
+    recall = per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg("recall5") >= 0.9).alias("recall_ge_090"),
+    )
+    # derived knobs recomputed via the same Spark-SQL expressions the
+    # operator's Python derivation uses (q726 formula at the 0.9
+    # anchor — identical because q726's max(threshold, 0.9) anchor is
+    # 0.9 for any threshold <= 0.9)
+    n = emb.agg(
+        F.countDistinct("embedding").cast("long").alias("n_distinct")
+    )
+    cfg = n.select(
+        "n_distinct",
+        F.greatest(
+            F.lit(3).cast("long"),
+            F.ceil(
+                F.log2(
+                    F.greatest(F.col("n_distinct") / F.lit(64.0), F.lit(1.0))
+                )
+            ).cast("long"),
+        ).alias("n_planes"),
+    ).select(
+        "n_distinct",
+        "n_planes",
+        F.greatest(
+            F.lit(32).cast("long"),
+            F.ceil(
+                F.log(F.lit(0.0001))
+                / F.log(
+                    F.lit(1.0)
+                    - F.pow(
+                        F.expr("1.0 - ACOS(0.9) / PI()"), F.col("n_planes")
+                    )
+                )
+            ).cast("long"),
+        ).alias("n_tables"),
+    )
+    return cfg.crossJoin(recall)

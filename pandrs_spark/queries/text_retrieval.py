@@ -940,19 +940,31 @@ def q189(spark, sf_dir):
 # embedding space (deterministic grid quantizer standing in for KMeans
 # centroids; same join shape), then drop every vector with a lower-id
 # near-duplicate (cosine >= 0.9) inside its cluster. Per-label
-# kept/dropped rollup. operators/similarity.py:semantic_dedup. -----------
+# kept/dropped rollup. operators/similarity.py:semantic_dedup.
+# Round 11: the grid depth is SELF-SCALING — grid_dims derived from
+# the distinct-vector count (derive_grid_config: max(4, ceil(log_3(
+# n/64))), scale pinned at 4.0) and the ORACLE RECOMPUTES the same
+# derivation from COUNT(DISTINCT embedding) and builds the bucket over
+# a computed-length slice, so the exact knob the operator runs with at
+# every SF sits inside the hash gate (n ≤ 4096 → 4 dims, byte-
+# identical with the pre-round-11 gate; 20k → 6; 1M → 9). ----------------
 @query(
     "q195_semantic_dedup",
     oracle="""
-    WITH v AS (
+    WITH nd AS (
+        SELECT GREATEST(4, CAST(CEIL(
+                   LN(GREATEST(COUNT(DISTINCT embedding) / 64.0, 1.0))
+                   / LN(3.0)) AS BIGINT)) AS dims
+        FROM embeddings
+    ),
+    v AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-               CAST(CAST(floor(CAST(embedding[1] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR)
-               || '|' ||
-               CAST(CAST(floor(CAST(embedding[2] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR)
-               || '|' ||
-               CAST(CAST(floor(CAST(embedding[3] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR)
-               || '|' ||
-               CAST(CAST(floor(CAST(embedding[4] AS DOUBLE) * 4.0) AS BIGINT) AS VARCHAR) AS b
+               array_to_string(
+                   list_transform(
+                       list_slice(CAST(embedding AS DOUBLE[]), 1,
+                                  (SELECT dims FROM nd)),
+                       x -> CAST(CAST(floor(x * 4.0) AS BIGINT) AS VARCHAR)
+                   ), '|') AS b
         FROM embeddings
     ),
     dropped AS (

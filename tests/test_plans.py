@@ -659,3 +659,34 @@ def test_knn_topk_edges_method_dispatch(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     with pytest.raises(ValueError, match="unknown method"):
         knn_topk_edges(df, k=3, method="bogus")
+
+
+def test_keyed_agg_arity_truncation_marker():
+    # ADVICE r10: spark.sql.debug.maxToStringFields truncates long key
+    # lists to "... N more fields" on the captured line; a truncated
+    # body must classify conservatively as multi-key (2), never
+    # single-key — truncation only fires when the list is long, and a
+    # fence tool must not undercount its own evidence.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_report",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_report.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert m._keyed_agg_arity("HashAggregate(keys=[a], functions=[sum(x)])") == 1
+    assert m._keyed_agg_arity("HashAggregate(keys=[a, b], functions=[f])") == 2
+    assert m._keyed_agg_arity("HashAggregate(keys=[], functions=[f])") == 0
+    assert (
+        m._keyed_agg_arity(
+            "HashAggregate(keys=[a, ... 5 more fields], functions=[f])"
+        )
+        == 2
+    )
+    assert m._keyed_agg_arity("SortAggregate(keys=[x ... 12 more fields]") == 2
+    # every masking_review ack row refers to a real ledger key shape
+    assert all(
+        isinstance(k, tuple) and len(k) == 2 and isinstance(j, str) and j
+        for k, j in m.MASKING_REVIEW_ACK.items()
+    )

@@ -220,3 +220,103 @@ def test_near_dup_derived_equals_explicit_calibration(spark):
         )
     )
     assert derived == explicit and len(derived) > 0
+
+
+def test_derive_grid_config_known_points():
+    # the round-11 self-scaling grid derivation behind semantic_dedup's
+    # None-defaults (q729 pins the same formula cross-engine; this pins
+    # the Python helper): n<=4096 reproduces the pre-round-11
+    # calibration grid (4, 4.0) exactly — sf0.01 (500) and sf0.1 (2000)
+    # gates byte-identical — larger corpora add dimensions so cell
+    # count tracks n/64 at ~3x branching per axis
+    from pandrs_spark.operators.similarity import derive_grid_config
+
+    assert derive_grid_config(1) == (4, 4.0)
+    assert derive_grid_config(500) == (4, 4.0)
+    assert derive_grid_config(2000) == (4, 4.0)
+    assert derive_grid_config(4096) == (4, 4.0)
+    assert derive_grid_config(20000) == (6, 4.0)
+    assert derive_grid_config(1_000_000) == (9, 4.0)
+    assert derive_grid_config(1_000_000_000) == (16, 4.0)
+    # capped at the embedding dimensionality
+    assert derive_grid_config(10**30, max_dims=8) == (8, 4.0)
+
+
+def test_semantic_dedup_derived_equals_explicit_calibration(spark):
+    # at n<=4096 the derived config IS (4, 4.0): outputs byte-identical
+    # with the pre-round-11 pinned grid
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    derived = semantic_dedup(emb, threshold=0.9)
+    pinned = semantic_dedup(emb, threshold=0.9, grid_dims=4, grid_scale=4.0)
+    rows_d = sorted(map(tuple, derived.collect()))
+    rows_p = sorted(map(tuple, pinned.collect()))
+    assert rows_d == rows_p and len(rows_d) == 500
+
+
+def test_near_dup_derived_warns_below_anchor(spark):
+    # ADVICE r10: when the derived config's expected recall at the
+    # caller's ACTUAL threshold falls below the 0.9999 anchor target,
+    # the operator must emit a runtime warning with the computed value
+    # (deep-plane configs silently collapse borderline-band recall).
+    # Force the regime with explicit deep planes + derived-path entry:
+    # n_planes None but n_tables pinned small so derivation runs and
+    # the OR-construction recall at threshold 0.4 is low.
+    import warnings
+
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        embedding_near_dup_pairs(emb, threshold=0.4, n_tables=2)
+    msgs = [str(w.message) for w in rec if "derived LSH config" in str(w.message)]
+    assert msgs and "threshold=0.4" in msgs[0]
+    # at the calibration floor (derived (3, 32)) recall at 0.4 is
+    # 0.9999+ — no warning
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        embedding_near_dup_pairs(emb, threshold=0.4)
+    assert not [w for w in rec2 if "derived LSH config" in str(w.message)]
+
+
+def test_ann_lsh_derived_equals_explicit_config(spark):
+    # round 11: None-default knobs derive (3, 32) at n<=512 — results
+    # identical to passing the derived values explicitly
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    derived = sorted(map(tuple, ann_lsh_topk(emb, queries, k=3).collect()))
+    explicit = sorted(
+        map(
+            tuple,
+            ann_lsh_topk(
+                emb, queries, k=3, n_tables=32, n_planes=3
+            ).collect(),
+        )
+    )
+    assert derived == explicit and len(derived) == 15
+
+
+def test_ivfadc_self_exclude_flag(spark):
+    # ADVICE r10: id_c != id_q assumes a shared id space; a separate
+    # query frame whose ids overlap corpus ids must be able to opt out
+    # so the coincidentally-same-id corpus vector is not dropped
+    from pandrs_spark.catalog import load_table
+    from pandrs_spark.operators.similarity import ivfadc_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 3")
+    on = ivfadc_topk(emb, queries, k=5).collect()
+    off = ivfadc_topk(emb, queries, k=5, self_exclude=False).collect()
+    on_pairs = {(r.id_q, r.nn_id) for r in on}
+    off_pairs = {(r.id_q, r.nn_id) for r in off}
+    # with the filter off, each query's own vector is its 0-distance
+    # top-1 (ADC distance of the identical codes is minimal)
+    assert all((q, q) not in on_pairs for q in (0, 1, 2))
+    assert any((q, q) in off_pairs for q in (0, 1, 2))
