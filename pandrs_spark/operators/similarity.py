@@ -448,6 +448,183 @@ def derive_grid_config(
     return min(dims, max_dims), scale
 
 
+def ivf_residuals(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[Column, DataFrame]:
+    """IVF build stage shared by :func:`ivfadc_topk` and the PQ
+    training certificates (round 11 — extracted so q732 can audit the
+    fold without duplicating the pipeline): assign every corpus vector
+    to its nearest coarse cell by quantized squared L2 (lowest-id
+    centroids, bit-identical across engines) and emit residuals in
+    subspace coordinates.
+
+    Returns ``(cpos, rpos)``: the broadcastable centroid-coordinate
+    frame (cid, p, cx) and the residual frame
+    (id_c, cell, s, j, xr) with s the subspace index and j the
+    within-subspace coordinate.
+    """
+    from pandrs_spark.functions.deterministic import quantize
+    from pandrs_spark.operators.util import tracked_persist
+
+    if dim % n_sub:
+        raise ValueError("ivf_residuals: dim must be a multiple of n_sub")
+    sub_dim = dim // n_sub
+    cent = corpus.orderBy(id_col).limit(n_centroids)
+    cpos = F.broadcast(
+        cent.select(
+            F.col(id_col).alias("cid"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("p", "cx"),
+        )
+    )
+    pos = tracked_persist(
+        fan_out(corpus).select(
+            F.col(id_col).alias("id_c"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("p", "x"),
+        )
+    )
+    dq2 = quantize((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 6)
+    adist = (
+        pos.join(cpos, "p")
+        .groupBy("id_c", "cid")
+        .agg(F.sum(dq2).cast("long").alias("d2"))
+    )
+    w_assign = Window.partitionBy("id_c").orderBy("d2", "cid")
+    assign = tracked_persist(
+        adist.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id_c", F.col("cid").alias("cell"))
+    )
+    rpos = (
+        pos.join(assign, "id_c")
+        .join(cpos.withColumnRenamed("cid", "cell"), ["cell", "p"])
+        .select(
+            "id_c",
+            "cell",
+            F.floor(F.col("p") / F.lit(sub_dim)).cast("int").alias("s"),
+            (F.col("p") % F.lit(sub_dim)).alias("j"),
+            (F.col("x") - F.col("cx")).alias("xr"),
+        )
+    )
+    return cpos, rpos
+
+
+def pq_seed_codebook(
+    corpus: DataFrame,
+    rpos: DataFrame,
+    n_centroids: int = 8,
+    k_sub: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Round-10 seed PQ codebook: per subspace, the residual
+    subvectors of the ``k_sub`` lowest NON-centroid ids (centroid
+    residuals are ~0 — useless codewords — hence the offset;
+    deterministic: ORDER BY id LIMIT k_sub OFFSET n_centroids).
+    Returns (s, j, code, cbx)."""
+    w_id = Window.orderBy(id_col)
+    train_ids = (
+        corpus.select(id_col)
+        .orderBy(id_col)
+        .limit(n_centroids + k_sub)
+        .withColumn("__rn", F.row_number().over(w_id))
+        .filter(F.col("__rn") > n_centroids)
+        .select(
+            F.col(id_col).alias("id_c"),
+            (F.col("__rn") - n_centroids).alias("code"),
+        )
+    )
+    return rpos.join(train_ids, "id_c").select(
+        "s", "j", "code", F.col("xr").alias("cbx")
+    )
+
+
+def pq_lloyd_fold(
+    rpos: DataFrame, cb_df: DataFrame, train_iters: int = 2
+) -> DataFrame:
+    """Deterministic quantized Lloyd fold per subspace (round 11,
+    VERDICT r10 #6 — the q414 fixed-iteration-EM pattern applied to PQ
+    codebook training): each iteration encodes every residual
+    subvector against the current codebook (scaled-BIGINT squared L2,
+    tie → lowest code) and recomputes each codeword as the quantized
+    mean of its members — sign(Σq) · floor(|Σq|/n + 0.5) / 10^6 over
+    scale-6 quantized coordinates — so the update is order-independent
+    and bit-identical across engines/partitionings; empty codes keep
+    their previous codeword. Returns the trained (s, j, code, cbx).
+    q732_pq_lloyd_certificate replays this exact fold as unrolled SQL
+    CTEs and certifies the monotone distortion decrease in-gate."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    cq2 = quantize(
+        (F.col("xr") - F.col("cbx")) * (F.col("xr") - F.col("cbx")), 6
+    )
+    w_fit = Window.partitionBy("id_c", "s").orderBy("cd", "code")
+    for _ in range(train_iters):
+        fit_d = (
+            rpos.join(F.broadcast(cb_df), ["s", "j"])
+            .groupBy("id_c", "s", "code")
+            .agg(F.sum(cq2).cast("long").alias("cd"))
+        )
+        fit_asg = (
+            fit_d.withColumn("rn", F.row_number().over(w_fit))
+            .filter(F.col("rn") == 1)
+            .select("id_c", "s", "code")
+        )
+        upd = (
+            rpos.join(fit_asg, ["id_c", "s"])
+            .groupBy("s", "code", "j")
+            .agg(
+                F.sum(quantize(F.col("xr"), 6)).cast("long").alias("sq"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                "s",
+                "j",
+                "code",
+                (
+                    F.signum(F.col("sq"))
+                    * F.floor(F.abs(F.col("sq")) / F.col("n") + 0.5)
+                    / F.lit(1e6)
+                ).alias("cbx_new"),
+            )
+        )
+        cb_df = (
+            cb_df.withColumnRenamed("cbx", "cbx_prev")
+            .join(upd, ["s", "j", "code"], "left")
+            .select(
+                "s",
+                "j",
+                "code",
+                F.coalesce("cbx_new", "cbx_prev").alias("cbx"),
+            )
+        )
+    return cb_df
+
+
+def pq_distortion(rpos: DataFrame, cb_df: DataFrame) -> DataFrame:
+    """Total PQ quantization distortion of a codebook over the
+    residual frame: Σ over (vector, subspace) of the MINIMUM quantized
+    squared L2 to any codeword — the exact objective the Lloyd fold
+    descends, as a single BIGINT both engines compute identically.
+    Returns a 1-row (distortion) frame."""
+    from pandrs_spark.functions.deterministic import quantize
+
+    cq2 = quantize(
+        (F.col("xr") - F.col("cbx")) * (F.col("xr") - F.col("cbx")), 6
+    )
+    per = (
+        rpos.join(F.broadcast(cb_df), ["s", "j"])
+        .groupBy("id_c", "s", "code")
+        .agg(F.sum(cq2).cast("long").alias("cd"))
+        .groupBy("id_c", "s")
+        .agg(F.min("cd").alias("mcd"))
+    )
+    return per.agg(F.sum("mcd").cast("long").alias("distortion"))
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -461,6 +638,8 @@ def ivfadc_topk(
     vec_col: str = "embedding",
     with_rank: bool = False,
     self_exclude: bool = True,
+    train: str = "seed",
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVFADC — inverted file + asymmetric distance computation over
     PRODUCT-QUANTIZED RESIDUALS, Jégou/Douze/Schmid 2011's actual
@@ -511,6 +690,34 @@ def ivfadc_topk(
     id space whose ids coincidentally overlap corpus ids, that filter
     would silently drop legitimate matches — pass
     ``self_exclude=False`` there.
+
+    ``train`` (round 11, VERDICT r10 #6): how the PQ codebooks are
+    fitted. ``"seed"`` keeps the round-10 behavior (codewords = the
+    k_sub lowest non-centroid residuals — zero training cost, fully
+    deterministic). ``"lloyd"`` runs ``train_iters`` rounds of a
+    DETERMINISTIC QUANTIZED LLOYD FOLD per subspace (the q414
+    fixed-iteration-EM pattern): encode every residual subvector
+    against the current codebook (quantized scaled-BIGINT squared L2,
+    tie → lowest code), then recompute each codeword as the quantized
+    mean of its members — sign(Σq) · floor(|Σq|/n + 0.5) / 10^6 over
+    the scale-6 quantized coordinates, so the update is
+    order-independent and bit-identical across engines/partitionings;
+    empty codes keep their previous codeword. Measured at sf0.01
+    (k_sub=4, 2 iters): recall@5 vs the exact ranking rises 0.06 →
+    0.14 (cosine-exact variant 0.04 → 0.11) and the fold's objective —
+    total quantized distortion — drops 886M → 539M (39%; sf0.1:
+    3.73B → 2.28B), monotone per iteration as Lloyd guarantees. The
+    capacity-bound codebook (q727's flat probe curve) is exactly where
+    training pays, while coarse-CENTROID training buys nothing on
+    isotropic data (measured: Lloyd on the 8 cells moves q711's 0.64
+    by ±0.02 = noise, as q711's docstring predicted). Certified
+    in-gate by q732_pq_lloyd_certificate, whose oracle replays the
+    identical fold as unrolled SQL CTEs and pins the recall values,
+    the three distortion integers, and the monotone flag. Cost per
+    iteration: one (n·n_sub·k_sub)-row quantized-distance aggregate +
+    one (n_sub·k_sub·sub_dim)-row mean — the same join shapes as the
+    ADC scan itself; the codebook stays a bounded broadcast at any
+    corpus size.
     """
     from pandrs_spark.functions.deterministic import quantize
     from pandrs_spark.operators.util import tracked_persist
@@ -525,59 +732,26 @@ def ivfadc_topk(
             F.posexplode(_as_double(F.col(vec_col))).alias("p", "x"),
         )
 
-    cent = corpus.orderBy(id_col).limit(n_centroids)
-    cpos = F.broadcast(
-        cent.select(
-            F.col(id_col).alias("cid"),
-            F.posexplode(_as_double(F.col(vec_col))).alias("p", "cx"),
-        )
+    cpos, rpos = ivf_residuals(
+        corpus,
+        n_centroids=n_centroids,
+        n_sub=n_sub,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    pos = tracked_persist(_pos(fan_out(corpus), "id_c"))
     dq2 = quantize((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 6)
-    adist = (
-        pos.join(cpos, "p")
-        .groupBy("id_c", "cid")
-        .agg(F.sum(dq2).cast("long").alias("d2"))
+    cb_df = pq_seed_codebook(
+        corpus, rpos, n_centroids=n_centroids, k_sub=k_sub, id_col=id_col
     )
-    w_assign = Window.partitionBy("id_c").orderBy("d2", "cid")
-    assign = tracked_persist(
-        adist.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id_c", F.col("cid").alias("cell"))
-    )
-    # residuals, in subspace coordinates
-    rpos = (
-        pos.join(assign, "id_c")
-        .join(cpos.withColumnRenamed("cid", "cell"), ["cell", "p"])
-        .select(
-            "id_c",
-            "cell",
-            F.floor(F.col("p") / F.lit(sub_dim)).cast("int").alias("s"),
-            (F.col("p") % F.lit(sub_dim)).alias("j"),
-            (F.col("x") - F.col("cx")).alias("xr"),
-        )
-    )
-    # codebook: residual subvectors of the k_sub lowest non-centroid ids
-    w_id = Window.orderBy(id_col)
-    train_ids = (
-        corpus.select(id_col)
-        .orderBy(id_col)
-        .limit(n_centroids + k_sub)
-        .withColumn("__rn", F.row_number().over(w_id))
-        .filter(F.col("__rn") > n_centroids)
-        .select(
-            F.col(id_col).alias("id_c"),
-            (F.col("__rn") - n_centroids).alias("code"),
-        )
-    )
-    cb = F.broadcast(
-        rpos.join(train_ids, "id_c").select(
-            "s", "j", "code", F.col("xr").alias("cbx")
-        )
-    )
+    if train == "lloyd":
+        cb_df = pq_lloyd_fold(rpos, cb_df, train_iters)
+    elif train != "seed":
+        raise ValueError(f"ivfadc_topk: unknown train mode {train!r}")
     cq2 = quantize(
         (F.col("xr") - F.col("cbx")) * (F.col("xr") - F.col("cbx")), 6
     )
+    cb = F.broadcast(cb_df)
     cdist = (
         rpos.join(cb, ["s", "j"])
         .groupBy("id_c", "cell", "s", "code")
