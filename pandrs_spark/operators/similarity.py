@@ -367,7 +367,10 @@ def ivf_topk(
 
 
 def derive_lsh_config(
-    n_distinct: int, threshold: float, recall_target: float = 0.9999
+    n_distinct: int,
+    threshold: float,
+    recall_target: float = 0.9999,
+    anchor: float | None = None,
 ) -> tuple[int, int]:
     """The deterministic (n_planes, n_tables) derivation behind
     :func:`embedding_near_dup_pairs`'s self-scaling defaults (round
@@ -385,11 +388,23 @@ def derive_lsh_config(
       (sim ≥ 0.9), which keeps tables O(10) as depth grows instead of
       the n^ρ blow-up that certifying a low exploratory threshold
       would cost.
+
+    ``anchor`` (round 11): callers that DO need certified recall at a
+    low threshold pass it explicitly (e.g. ``anchor=threshold``) and
+    consciously pay the table growth — q177 certifies its exploratory
+    0.4 threshold against an exact all-pairs oracle this way
+    (anchor 0.4, recall_target 1-1e-6 → 48 tables at 500 distinct,
+    132 at 2000). None keeps the default max(threshold, 0.9) near-dup
+    anchor.
     """
     import math
 
     n_planes = max(3, math.ceil(math.log2(max(1.0, n_distinct / 64))))
-    anchor = min(1.0, max(threshold, 0.9))
+    anchor = (
+        min(1.0, max(threshold, 0.9))
+        if anchor is None
+        else min(1.0, max(-1.0, anchor))
+    )
     p_anchor = 1.0 - math.acos(anchor) / math.pi
     miss = 1.0 - p_anchor**n_planes
     t_req = (
@@ -821,6 +836,8 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_anchor: float | None = None,
+    recall_target: float = 0.9999,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection — the semantic member
     of the dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard
@@ -892,8 +909,15 @@ def embedding_near_dup_pairs(
         keyed.groupBy("__fp__").agg(F.first("v").alias("v"))
     )
     if n_planes is None or n_tables is None:
+        # recall_anchor / recall_target (round 11): callers certifying
+        # recall at a LOW threshold (q177's exact all-pairs oracle)
+        # pass anchor=threshold and a tight target, consciously paying
+        # the table growth; the default anchors at max(threshold, 0.9)
         d_planes, d_tables = derive_lsh_config(
-            max(1, reps.count()), threshold
+            max(1, reps.count()),
+            threshold,
+            recall_target=recall_target,
+            anchor=recall_anchor,
         )
         n_planes = d_planes if n_planes is None else n_planes
         n_tables = d_tables if n_tables is None else n_tables
@@ -912,15 +936,15 @@ def embedding_near_dup_pairs(
 
         p_thresh = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
         recall_at_thresh = 1.0 - (1.0 - p_thresh**n_planes) ** n_tables
-        if recall_at_thresh < 0.9999:
+        if recall_at_thresh < recall_target:
             warnings.warn(
                 "embedding_near_dup_pairs: derived LSH config "
                 f"(n_planes={n_planes}, n_tables={n_tables}) holds "
-                "recall 0.9999 at the sim>=0.9 near-dup anchor, but "
+                f"recall {recall_target} at the anchor regime, but "
                 f"expected recall at threshold={threshold} is only "
-                f"{recall_at_thresh:.4f}. Pass explicit n_planes/"
-                "n_tables to certify borderline-band recall (cost "
-                "grows as n^(1+rho)).",
+                f"{recall_at_thresh:.4f}. Pass recall_anchor="
+                "threshold (or explicit n_planes/n_tables) to certify "
+                "borderline-band recall (cost grows as n^(1+rho)).",
                 stacklevel=2,
             )
     banks = _hyperplanes(n_tables, n_planes, dim, seed)

@@ -304,15 +304,30 @@ def ses_fitted(
 ) -> DataFrame:
     """Simple exponential smoothing fitted values
     (src/time_series/forecasting.rs:437): s_t = α·x_t + (1−α)·s_{t−1},
-    s_1 = x_1 — exactly pandas ``ewm(alpha, adjust=False).mean()``.
-    Recursive ⇒ applyInPandas per series (groups scale horizontally)."""
+    s_1 = x_1 — the same fitted values as pandas ``ewm(alpha,
+    adjust=False).mean()``. Recursive ⇒ applyInPandas per series
+    (groups scale horizontally).
+
+    Round 11: the recursion is an EXPLICIT float fold —
+    ``s = alpha*x + (1.0 - alpha)*s`` — rather than pandas ewm, so the
+    DuckDB oracle's ``list_reduce`` lambda with the identical
+    expression tree reproduces every intermediate bit (pandas ewm's
+    internal weighted-average formulation drifted ~1e-6 from the
+    closed-form oracle at sf0.1 revenue magnitudes ~5e8, where double
+    ulps at the 6-decimal rounding edge are visible)."""
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} double"
     order_cols = list(order_by)
 
     def _ses(pdf):
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        vals = pdf[value_col].to_numpy(dtype=float)
+        out = []
+        s = None
+        for x in vals:
+            s = float(x) if s is None else alpha * float(x) + (1.0 - alpha) * s
+            out.append(s)
+        pdf[out_col] = out
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_ses, schema=schema)
@@ -788,8 +803,12 @@ def ts_feature_matrix(
     for k in lags:
         out = out.withColumn(f"lag_{k}", F.lag(v, k).over(w))
     prev = F.lag(v, 1).over(w)
+    # pct-change is NULL when the previous value is 0 (ANSI Spark
+    # raises DIVIDE_BY_ZERO otherwise — first hit at sf0.1, where a
+    # purchase stream contains a 0 value; NULL matches SQL division
+    # semantics, so the DuckDB oracle mirrors for free)
     out = out.withColumn("diff_1", v - prev).withColumn(
-        "pct_change_1", (v - prev) / prev
+        "pct_change_1", F.when(prev != 0, (v - prev) / prev)
     )
     n = F.count(value_col).over(wr)
     s = dsum_over(value_col, wr, 4)

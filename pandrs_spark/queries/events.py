@@ -2715,14 +2715,21 @@ def q364(spark, sf_dir):
             F.when((F.col("v") == 1) | (F.col("p") == 1), 1).otherwise(0)
         ).cast("long").alias("n_union"),
     )
+    # rsd=0.01 (2^14-register HLL, still a bounded sketch): the
+    # default 0.05 sketch landed OUTSIDE the 5%-of-exact certificate
+    # band at sf0.1 (~7k distinct viewers) — a one-sigma-sized band
+    # around a one-sigma sketch flips by luck of the hash draw. A 1%
+    # sketch keeps the 5% claim with 5-sigma margin at every SF.
     sketch = ev.agg(
         F.approx_count_distinct(
-            F.when(F.col("event_type") == "view", F.col("user_id"))
+            F.when(F.col("event_type") == "view", F.col("user_id")),
+            rsd=0.01,
         ).alias("hll_viewers"),
         F.approx_count_distinct(
             F.when(
                 F.col("event_type").isin("view", "purchase"), F.col("user_id")
-            )
+            ),
+            rsd=0.01,
         ).alias("hll_union"),
     )
     return exact.crossJoin(F.broadcast(sketch)).select(

@@ -115,17 +115,23 @@ _PAIR_CORR = (
 _PAIR_COV = "(sxy - sx * sy / n) / (n - 1)"
 
 
-def _pair_sql(x: str, y: str, label: str) -> str:
+def _pair_sql(x: str, y: str, label: str, fx: float, fy: float) -> str:
+    # columns normalize by fixed per-column divisors BEFORE the
+    # quantized sums (price is 1e5-magnitude, so raw x*y at scale 4
+    # overflowed int64 at sf0.1 — round 11's first full second-SF
+    # gate); corr is invariant under the rescale, cov multiplies back
+    # by fx*fy after the shared formula
+    xs, ys = f"({x} / {fx!r})", f"({y} / {fy!r})"
     return f"""
     SELECT '{label}' AS pair,
            ROUND({_PAIR_CORR}, 6) AS corr,
-           ROUND({_PAIR_COV}, 6) AS cov
+           ROUND(({_PAIR_COV}) * {fx!r} * {fy!r}, 6) AS cov
     FROM (
         SELECT COUNT(*) AS n,
-               {sql_dsum(x, 4)} AS sx, {sql_dsum(y, 4)} AS sy,
-               {sql_dsum(f'{x} * {x}', 4)} AS sxx,
-               {sql_dsum(f'{y} * {y}', 4)} AS syy,
-               {sql_dsum(f'{x} * {y}', 4)} AS sxy
+               {sql_dsum(xs, 6)} AS sx, {sql_dsum(ys, 6)} AS sy,
+               {sql_dsum(f'{xs} * {xs}', 6)} AS sxx,
+               {sql_dsum(f'{ys} * {ys}', 6)} AS syy,
+               {sql_dsum(f'{xs} * {ys}', 6)} AS sxy
         FROM lineitem
     ) t
     """
@@ -135,9 +141,11 @@ def _pair_sql(x: str, y: str, label: str) -> str:
     "q58_corr_cov_matrix",
     oracle=" UNION ALL ".join(
         [
-            _pair_sql("l_quantity", "l_extendedprice", "qty_price"),
-            _pair_sql("l_quantity", "l_discount", "qty_disc"),
-            _pair_sql("l_extendedprice", "l_discount", "price_disc"),
+            _pair_sql("l_quantity", "l_extendedprice", "qty_price", 1.0, 1e4),
+            _pair_sql("l_quantity", "l_discount", "qty_disc", 1.0, 1.0),
+            _pair_sql(
+                "l_extendedprice", "l_discount", "price_disc", 1e4, 1.0
+            ),
         ]
     )
     + " ORDER BY pair",
@@ -145,26 +153,35 @@ def _pair_sql(x: str, y: str, label: str) -> str:
 def q58(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
 
-    def pair(x, y, label):
-        cx, cy = F.col(x), F.col(y)
+    def pair(x, y, label, fx, fy):
+        # per-column normalization before the quantized sums (price is
+        # 1e5-magnitude: raw x*y at scale 4 overflowed int64 at sf0.1
+        # — round 11's first full second-SF gate). corr is invariant
+        # under the rescale; cov multiplies back by fx*fy after the
+        # shared formula, so the output units are unchanged.
+        cx, cy = F.col(x) / F.lit(fx), F.col(y) / F.lit(fy)
         st = li.agg(
             F.count(F.lit(1)).alias("n"),
-            dsum(cx, 4).alias("sx"),
-            dsum(cy, 4).alias("sy"),
-            dsum(cx * cx, 4).alias("sxx"),
-            dsum(cy * cy, 4).alias("syy"),
-            dsum(cx * cy, 4).alias("sxy"),
+            dsum(cx, 6).alias("sx"),
+            dsum(cy, 6).alias("sy"),
+            dsum(cx * cx, 6).alias("sxx"),
+            dsum(cy * cy, 6).alias("syy"),
+            dsum(cx * cy, 6).alias("sxy"),
         )
         return st.select(
             F.lit(label).alias("pair"),
             F.round(F.expr(_PAIR_CORR), 6).alias("corr"),
-            F.round(F.expr(_PAIR_COV), 6).alias("cov"),
+            F.round(F.expr(f"({_PAIR_COV}) * {fx!r} * {fy!r}"), 6).alias(
+                "cov"
+            ),
         )
 
     return (
-        pair("l_quantity", "l_extendedprice", "qty_price")
-        .unionByName(pair("l_quantity", "l_discount", "qty_disc"))
-        .unionByName(pair("l_extendedprice", "l_discount", "price_disc"))
+        pair("l_quantity", "l_extendedprice", "qty_price", 1.0, 1e4)
+        .unionByName(pair("l_quantity", "l_discount", "qty_disc", 1.0, 1.0))
+        .unionByName(
+            pair("l_extendedprice", "l_discount", "price_disc", 1e4, 1.0)
+        )
         .orderBy("pair")
     )
 

@@ -458,7 +458,19 @@ def q177(spark, sf_dir):
     from pandrs_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = T(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.40).orderBy("id_a", "id_b")
+    # The oracle is the EXACT all-pairs answer, so this caller needs
+    # certified recall at its exploratory 0.40 threshold — anchor the
+    # derivation AT the threshold with a 1-1e-6 target (round 11; the
+    # default 0.9-anchored config measured 895/920 pairs at sf0.1,
+    # the documented borderline-band decay the runtime warning flags).
+    # Derived: (3, 48) at 500 distinct, (5, 132) at 2000 — the
+    # conscious n^(1+rho) cost of certifying a low threshold.
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=0.40,
+        recall_anchor=0.40,
+        recall_target=1 - 1e-6,
+    ).orderBy("id_a", "id_b")
 
 
 def _sql_hexbyte(hex_expr: str, pos: int) -> str:

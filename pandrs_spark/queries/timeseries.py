@@ -143,7 +143,8 @@ _CORR = (
     oracle=_DAILY
     + f"""
     , daily_i AS (
-        SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+        SELECT day, rev / 1e6 AS rev,
+               ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
     ),
     pairs AS (
         SELECT k.lag_k, a.rev AS x, b.rev AS y
@@ -154,11 +155,11 @@ _CORR = (
     stats AS (
         SELECT lag_k,
                COUNT(y) AS n,
-               {sql_dsum('CASE WHEN y IS NOT NULL THEN x END', 2)} AS sx,
-               {sql_dsum('y', 2)} AS sy,
-               {sql_dsum('CASE WHEN y IS NOT NULL THEN x * x END', 2)} AS sxx,
-               {sql_dsum('y * y', 2)} AS syy,
-               {sql_dsum('x * y', 2)} AS sxy
+               {sql_dsum('CASE WHEN y IS NOT NULL THEN x END', 6)} AS sx,
+               {sql_dsum('y', 6)} AS sy,
+               {sql_dsum('CASE WHEN y IS NOT NULL THEN x * x END', 6)} AS sxx,
+               {sql_dsum('y * y', 6)} AS syy,
+               {sql_dsum('x * y', 6)} AS sxy
         FROM pairs
         GROUP BY lag_k
     )
@@ -175,7 +176,13 @@ def q48(spark, sf_dir):
     lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag_k"))
     # lag by a *column* amount isn't supported by F.lag; join on a
     # shifted row index instead (scales identically, one sort).
-    daily_i = daily.withColumn("i", F.row_number().over(Window.orderBy("day")))
+    # ACF is scale-invariant, so the series normalizes to millions
+    # BEFORE the quantized sums: daily revenue is ~2.5e7 at sf0.1, so
+    # x*y at scale 2 overflowed int64 (round 11, first full sf0.1
+    # gate); in 1e6 units the scale-6 sums hold to ~1e6 days at sf1+.
+    daily_i = daily.withColumn(
+        "rev", F.col("rev") / F.lit(1e6)
+    ).withColumn("i", F.row_number().over(Window.orderBy("day")))
     a = daily_i.select(F.col("i"), F.col("rev").alias("x"))
     b = daily_i.select(F.col("i").alias("i_b"), F.col("rev").alias("y"))
     pairs = (
@@ -184,11 +191,11 @@ def q48(spark, sf_dir):
     )
     stats = pairs.groupBy("lag_k").agg(
         F.count("y").alias("n"),
-        dsum(F.when(F.col("y").isNotNull(), F.col("x")), 2).alias("sx"),
-        dsum("y", 2).alias("sy"),
-        dsum(F.when(F.col("y").isNotNull(), F.col("x") * F.col("x")), 2).alias("sxx"),
-        dsum(F.col("y") * F.col("y"), 2).alias("syy"),
-        dsum(F.col("x") * F.col("y"), 2).alias("sxy"),
+        dsum(F.when(F.col("y").isNotNull(), F.col("x")), 6).alias("sx"),
+        dsum("y", 6).alias("sy"),
+        dsum(F.when(F.col("y").isNotNull(), F.col("x") * F.col("x")), 6).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
     )
     return stats.select(
         "lag_k", F.round(F.expr(_CORR), 6).alias("acf")
@@ -346,24 +353,29 @@ def q80(spark, sf_dir):
 
 # --- q81: simple exponential smoothing fitted values (§2.11,
 # src/time_series/forecasting.rs:437) ----------------------------------------
-# SES recursion s_t = a*x_t + (1-a)*s_{t-1}, s_1 = x_1 has the closed
-# form s_t = (1-a)^(t-1)*x_1 + a*sum_{i=2..t}(1-a)^(t-i)*x_i, which the
-# oracle evaluates as a bounded self-join over the monthly aggregate.
+# Round 11: the oracle folds the RECURSION itself (list_reduce with
+# the identical a*x + (1-a)*s expression tree the operator's explicit
+# float loop evaluates — the q82 Holt technique), replacing the
+# closed-form weighted sum: mathematically equal, but its different
+# summation order drifted ~1e-6 at sf0.1 revenue magnitudes (~5e8),
+# right at the 6-decimal rounding edge. Bit-equal trees don't drift
+# at any SF.
 @query(
     "q81_ses_monthly_revenue",
     oracle=_MONTHLY
     + """
-    , idx AS (
+    , ser AS (
         SELECT month, revenue,
-               ROW_NUMBER() OVER (ORDER BY month) AS i
+               list(revenue) OVER (ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prefix
         FROM monthly
     )
-    SELECT a.month, a.revenue,
-           ROUND(SUM(CASE WHEN b.i = 1 THEN POWER(0.8, a.i - 1) * b.revenue
-                          ELSE 0.2 * POWER(0.8, a.i - b.i) * b.revenue END), 6) AS ses
-    FROM idx a JOIN idx b ON b.i <= a.i
-    GROUP BY a.month, a.revenue
-    ORDER BY a.month
+    SELECT month, revenue,
+           ROUND(list_reduce(prefix,
+               (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                           + (1 - CAST(0.2 AS DOUBLE)) * acc), 6) AS ses
+    FROM ser ORDER BY month
     """,
 )
 def q81(spark, sf_dir):
@@ -2623,14 +2635,18 @@ def q409(spark, sf_dir):
                revenue FROM monthly
     ),
     dev AS (
-        SELECT i, revenue - m.xbar AS d FROM idx, mstats m
+        -- deviations in 1e6 units: monthly-revenue devs are ~1e8 at
+        -- sf0.1, so d*d at scale 2 overflowed int64 (round 11 second-
+        -- SF gate); the LB statistic is a ratio of quadratics, so the
+        -- rescale cancels exactly
+        SELECT i, (revenue - m.xbar) / 1e6 AS d FROM idx, mstats m
     ),
     denom AS (
-        SELECT {sql_dsum('d * d', 2)} AS s0 FROM dev
+        SELECT {sql_dsum('d * d', 6)} AS s0 FROM dev
     ),
     nums AS (
         SELECT k.lag_k,
-               {sql_dsum('a.d * b.d', 2)} AS sk
+               {sql_dsum('a.d * b.d', 6)} AS sk
         FROM dev a
         CROSS JOIN (SELECT UNNEST(generate_series(1, 12)) AS lag_k) k
         JOIN dev b ON a.i - k.lag_k = b.i
@@ -2666,17 +2682,22 @@ def q415(spark, sf_dir):
     )
     dev = tracked_persist(
         idx.crossJoin(F.broadcast(mstats)).select(
-            "i", (F.col("revenue") - F.col("xbar")).alias("d"), "n"
+            "i",
+            # 1e6-unit deviations: see oracle comment (LB is a ratio
+            # of quadratics, rescale cancels; scale-2 raw devs
+            # overflowed int64 at sf0.1)
+            ((F.col("revenue") - F.col("xbar")) / F.lit(1e6)).alias("d"),
+            "n",
         )
     )
-    denom = dev.agg(dsum(F.col("d") * F.col("d"), 2).alias("s0"))
+    denom = dev.agg(dsum(F.col("d") * F.col("d"), 6).alias("s0"))
     lags = spark.range(1, 13).select(F.col("id").cast("int").alias("lag_k"))
     b = dev.select(F.col("i").alias("i_b"), F.col("d").alias("d_b"))
     nums = (
         dev.crossJoin(F.broadcast(lags))
         .join(b, F.col("i") - F.col("lag_k") == F.col("i_b"))
         .groupBy("lag_k")
-        .agg(dsum(F.col("d") * F.col("d_b"), 2).alias("sk"))
+        .agg(dsum(F.col("d") * F.col("d_b"), 6).alias("sk"))
     )
     term = (
         (F.col("sk") / F.col("s0"))
@@ -4210,7 +4231,11 @@ def q488(spark, sf_dir):
     WITH {_MONTHLY_REV_SQL},
     {_OLS_RESID_SQL},
     aux AS (
-        SELECT e * e AS u, x FROM resid
+        -- u in (e/100)^2 units: raw e^2 is ~1e5 at sf0.1 (monthly-rev
+        -- millions), so u*u at scale 9 overflowed int64 on a single
+        -- row (round 11 second-SF gate); BP's nR^2 is invariant under
+        -- any linear rescale of u, so the statistic is unchanged
+        SELECT (e / 100.0) * (e / 100.0) AS u, x FROM resid
     ),
     s2 AS (
         SELECT COUNT(*) AS n,
@@ -4232,7 +4257,11 @@ def q489(spark, sf_dir):
     from pandrs_spark.functions.deterministic import quantize
 
     resid = _ols_resid(spark, sf_dir)
-    aux = resid.select((F.col("e") * F.col("e")).alias("u"), "x")
+    # (e/100)^2 units — see oracle comment: nR^2 is invariant under a
+    # linear rescale of u; raw e^2*e^2 at scale 9 overflowed at sf0.1
+    aux = resid.select(
+        ((F.col("e") / 100.0) * (F.col("e") / 100.0)).alias("u"), "x"
+    )
     s2 = aux.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -548,9 +548,22 @@ def q551(spark, sf_dir):
     oracle=f"""
     WITH {_MONTHLY_REV_SQL},
     {_OLS_RESID_SQL},
-    pairs AS MATERIALIZED (
+    rawp AS MATERIALIZED (
         SELECT b.e * b.e AS w, a.e * a.e AS wl
         FROM resid a JOIN resid b ON b.x = a.x + 1
+    ),
+    mw AS (
+        -- data-derived normalizer: mean squared residual, from the
+        -- same quantized sum both engines fold. corr (and so the LM
+        -- statistic n*corr^2) is invariant under the rescale, and the
+        -- normalized w is O(1) at EVERY SF — raw w*w at scale 12
+        -- overflowed int64 at sf0.1 (round 11 second-SF gate)
+        SELECT CAST(SUM({sql_quantize('w', 6)}) AS DOUBLE) / 1e6
+               / COUNT(*) AS m
+        FROM rawp
+    ),
+    pairs AS MATERIALIZED (
+        SELECT w / mw.m AS w, wl / mw.m AS wl FROM rawp, mw
     ),
     s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -583,7 +596,23 @@ def q552(spark, sf_dir):
     prev = resid.select(
         (F.col("x") + 1).alias("x"), (F.col("e") * F.col("e")).alias("wl")
     )
-    pairs = resid.select("x", (F.col("e") * F.col("e")).alias("w")).join(prev, "x")
+    rawp = tracked_persist(
+        resid.select("x", (F.col("e") * F.col("e")).alias("w")).join(
+            prev, "x"
+        )
+    )
+    # normalize by the mean squared residual (quantized-sum mean, so
+    # both engines divide by the identical double) — corr/LM invariant,
+    # and w stays O(1) at every SF (see oracle comment)
+    mw = rawp.agg(
+        (
+            F.sum(quantize("w", 6)).cast("double") / 1e6 / F.count(F.lit(1))
+        ).alias("m")
+    )
+    pairs = rawp.crossJoin(F.broadcast(mw)).select(
+        (F.col("w") / F.col("m")).alias("w"),
+        (F.col("wl") / F.col("m")).alias("wl"),
+    )
     s = pairs.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         (F.sum(quantize("w", 9)).cast("double") / 1e9).alias("sx"),
@@ -4379,9 +4408,13 @@ def q667(spark, sf_dir):
     "q668_variance_components_icc",
     oracle=f"""
     WITH obs AS (
+        -- y in 100-unit terms: raw unit-price sums-of-squares pushed
+        -- the per-group quadratic terms past int64 at sf0.1 (round 11
+        -- second-SF gate); icc1 is a variance RATIO (invariant), and
+        -- the two mean squares multiply back by 100^2 at output
         SELECT l_partkey AS g,
                CAST(l_extendedprice AS DOUBLE)
-                   / CAST(l_quantity AS DOUBLE) AS y
+                   / CAST(l_quantity AS DOUBLE) / 100.0 AS y
         FROM lineitem
     ),
     per_g AS MATERIALIZED (
@@ -4410,8 +4443,10 @@ def q667(spark, sf_dir):
         FROM s
     )
     SELECT CAST(n AS BIGINT) AS n_obs, CAST(p AS BIGINT) AS n_parts,
-           CAST({sql_quantize('msb', 4)} AS DOUBLE) / 1e4 AS ms_between,
-           CAST({sql_quantize('msw', 4)} AS DOUBLE) / 1e4 AS ms_within,
+           CAST({sql_quantize('msb * 10000.0', 4)} AS DOUBLE) / 1e4
+               AS ms_between,
+           CAST({sql_quantize('msw * 10000.0', 4)} AS DOUBLE) / 1e4
+               AS ms_within,
            CAST({sql_quantize(
                '((msb - msw) / kbar) / ((msb - msw) / kbar + msw)', 6)}
                AS DOUBLE) / 1e6 AS icc1
@@ -4424,9 +4459,12 @@ def q668(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     obs = li.select(
         F.col("l_partkey").alias("g"),
+        # 100-unit y: see oracle comment (icc invariant; mean squares
+        # unscale by 1e4 at output; raw quadratics overflowed at sf0.1)
         (
             F.col("l_extendedprice").cast("double")
             / F.col("l_quantity").cast("double")
+            / F.lit(100.0)
         ).alias("y"),
     )
     per_g = obs.groupBy("g").agg(
@@ -4461,8 +4499,8 @@ def q668(spark, sf_dir):
     return ms.select(
         F.col("n").alias("n_obs"),
         F.col("p").alias("n_parts"),
-        (quantize("msb", 4) / 1e4).alias("ms_between"),
-        (quantize("msw", 4) / 1e4).alias("ms_within"),
+        (quantize(F.col("msb") * 10000.0, 4) / 1e4).alias("ms_between"),
+        (quantize(F.col("msw") * 10000.0, 4) / 1e4).alias("ms_within"),
         (quantize(sb / (sb + F.col("msw")), 6) / 1e6).alias("icc1"),
     )
 
