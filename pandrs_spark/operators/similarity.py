@@ -190,6 +190,46 @@ def lsh_bucket_ids(
     return out
 
 
+def lsh_bucket_array(vec_col: str, banks: list[list[list[float]]]) -> Column:
+    """All per-table bucket ids of a vector at once: ``array<int>`` with
+    element t = :func:`lsh_bucket_ids`(vec, banks[t]) — identical
+    arithmetic (same zip_with/aggregate left-fold dot, same ``>= 0``
+    sign test, same ``1 << i`` bit packing), built as ONE parsed
+    expression instead of n_tables × n_planes Python-side trees.
+
+    Why (round 11, measured): constructing the per-plane expressions
+    through the PySpark column API costs one py4j round-trip per
+    operator node — at q177's derived depth (132 tables × 5 planes ×
+    64 dims) that was **73 s of driver-side plan BUILD time** before
+    any task ran (q88: 19 s). One ``F.expr`` string parse builds the
+    same logical tree in milliseconds, and the nested plane-coefficient
+    literal constant-folds into a single array literal, so the
+    optimizer walks a tree of a few nodes instead of ~40k per
+    reference. Wire format: plane coefficients are rounded to 6
+    decimals (``_hyperplanes``), so ``repr`` round-trips exactly and
+    the parsed double literals are bit-identical to the old
+    ``F.lit(float(x))`` path.
+    """
+    lit = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in p) + ")" for p in table
+            )
+            + ")"
+            for table in banks
+        )
+        + ")"
+    )
+    return F.expr(
+        f"transform({lit}, tb -> aggregate(sequence(0, size(tb) - 1), 0, "
+        f"(acc, i) -> acc + IF(aggregate(zip_with({vec_col}, tb[i], "
+        f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (a2, x2) -> a2 + x2) "
+        f">= CAST(0.0 AS DOUBLE), shiftleft(1, i), 0)))"
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,29 +281,32 @@ def ann_lsh_topk(
         n_planes = d_planes if n_planes is None else n_planes
         n_tables = d_tables if n_tables is None else n_tables
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
+    # Norms are computed once per vector here and reused per candidate
+    # pair below (sim = dot / (nq * nc) — the identical arithmetic
+    # cosine() produces, relocated so the two l2 folds run |corpus| +
+    # |queries| times instead of once per candidate pair; guide §1.2
+    # "per-task work" after the candidate shape is right).
     c = fan_out(corpus).select(
         F.col(id_col).alias("id_c"), _as_double(F.col(vec_col)).alias("vc")
-    )
+    ).withColumn("nc", l2_norm(F.col("vc")))
     q = queries.select(
         F.col(id_col).alias("id_q"), _as_double(F.col(vec_col)).alias("vq")
-    )
+    ).withColumn("nq", l2_norm(F.col("vq")))
     # one posexplode emits (table, bucket) per bank; candidates come
     # from ONE equi-join on the composite key (round 11 — replaces the
     # per-table join-union loop, whose plan grew linearly with
     # n_tables and scheduled n_tables shuffles; same semantics: union
     # over tables + dedup == join on (t, bucket) + distinct). This is
-    # the embedding_near_dup_pairs candidate shape.
+    # the embedding_near_dup_pairs candidate shape. lsh_bucket_array
+    # builds all n_tables bucket ids as one parsed expression (the
+    # py4j-per-node build cost was the q88/q177 wall-time floor).
     cb = c.select(
         "id_c",
-        F.posexplode(
-            F.array(*[lsh_bucket_ids(F.col("vc"), p) for p in banks])
-        ).alias("t", "bucket"),
+        F.posexplode(lsh_bucket_array("vc", banks)).alias("t", "bucket"),
     )
     qb = q.select(
         "id_q",
-        F.posexplode(
-            F.array(*[lsh_bucket_ids(F.col("vq"), p) for p in banks])
-        ).alias("t", "bucket"),
+        F.posexplode(lsh_bucket_array("vq", banks)).alias("t", "bucket"),
     )
     cand = (
         qb.join(cb, ["t", "bucket"])
@@ -274,7 +317,13 @@ def ann_lsh_topk(
     scored = (
         cand.join(q, "id_q")
         .join(c, "id_c")
-        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("__sim"))
+        .select(
+            "id_q",
+            "id_c",
+            (dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))).alias(
+                "__sim"
+            ),
+        )
     )
     w = Window.partitionBy("id_q").orderBy(F.desc(F.round("__sim", 6)), "id_c")
     return (
@@ -948,11 +997,18 @@ def embedding_near_dup_pairs(
                 stacklevel=2,
             )
     banks = _hyperplanes(n_tables, n_planes, dim, seed)
-    rb = reps.select(
-        "__fp__",
-        F.posexplode(
-            F.array(*[lsh_bucket_ids(F.col("v"), p) for p in banks])
-        ).alias("t", "bucket"),
+    # The bucket projection (n_tables × n_planes interpreted HOF dots
+    # per row) is the most expensive per-row map work in the operator;
+    # persist it so the self-join's two sides (and a broadcast build,
+    # when the planner picks one) read the computed buckets instead of
+    # re-evaluating the projection per reference (round 11, measured at
+    # sf0.1/(5,132): the two candidate stages burned 1,593 s of
+    # executor CPU, dominated by re-evaluated bucket/cosine folds).
+    rb = tracked_persist(
+        reps.select(
+            "__fp__",
+            F.posexplode(lsh_bucket_array("v", banks)).alias("t", "bucket"),
+        )
     )
     cand = (
         rb.alias("a")
@@ -963,8 +1019,17 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    va = reps.select(F.col("__fp__").alias("fa"), F.col("v").alias("va"))
-    vb = reps.select(F.col("__fp__").alias("fb"), F.col("v").alias("vb"))
+    # Per-vector norms computed once on the (persisted) distinct-vector
+    # frame; the per-pair verify is then a single dot fold —
+    # dot/(na*nb) is the identical arithmetic cosine() expands to,
+    # relocated from once-per-pair to once-per-vector.
+    nv = l2_norm(F.col("v"))
+    va = reps.select(
+        F.col("__fp__").alias("fa"), F.col("v").alias("va"), nv.alias("na")
+    )
+    vb = reps.select(
+        F.col("__fp__").alias("fb"), F.col("v").alias("vb"), nv.alias("nb")
+    )
     verified = (
         cand.join(va, "fa")
         .join(vb, "fb")
@@ -974,7 +1039,10 @@ def embedding_near_dup_pairs(
             # threshold applies to the 4-decimal rounding so the
             # accept/reject decision is engine-reproducible at the
             # boundary (same policy as the oracle SQL)
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
