@@ -128,19 +128,40 @@ def lsh_candidate_pairs(
     """Candidate near-duplicate pairs: docs sharing at least one LSH band
     (band = md5 of ``band_size`` consecutive minhashes). Returns distinct
     (id_a, id_b) with id_a < id_b."""
+    from pandrs_spark.operators.util import tracked_persist
+
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    bands = None
-    for b in range(num_hashes // band_size):
-        cols = [f"mh{b * band_size + j}" for j in range(band_size)]
-        band = sigs.select(
+    # One posexplode pass emits every (band_no, band_key) row — the
+    # prior per-band select + union recomputed the whole shingle +
+    # minhash pipeline once per band, and the self-join then doubled
+    # it again (round 11, measured at sf0.1: the minhash map stage
+    # burned ~57 s of executor CPU per extra evaluation). Persisting
+    # the band table means the signatures are computed exactly once;
+    # at 100 TB this is the standard materialized fingerprint table,
+    # (id, band_no, band_key) rows only — never the documents.
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + j}")
+                        for j in range(band_size)
+                    ],
+                )
+            )
+            for b in range(num_hashes // band_size)
+        ]
+    )
+    bands = tracked_persist(
+        sigs.select(
             F.col(id_col),
-            F.lit(b).alias("band_no"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            F.posexplode(band_keys).alias("band_no", "band_key"),
         )
-        bands = band if bands is None else bands.unionByName(band)
+    )
     left = bands.alias("l")
     right = bands.alias("r")
-    return (
+    return tracked_persist(
         left.join(
             right,
             (F.col("l.band_no") == F.col("r.band_no"))
@@ -166,10 +187,17 @@ def ngram_jaccard_pairs(
     """Exact word-k-gram Jaccard similarity for the given candidate
     pairs (columns id_a < id_b). Explode → join is one shuffle on the
     shingle key; only candidate docs are exploded."""
+    from pandrs_spark.operators.util import tracked_persist
+
     doc_ids = pairs.select(F.col("id_a").alias("did")).unionByName(
         pairs.select(F.col("id_b").alias("did"))
     ).distinct()
-    sh = (
+    # The exploded shingle table feeds three consumers (sizes, both
+    # join sides of the intersection count); persist it so the
+    # tokenize + shingle + explode map work runs once instead of three
+    # times (round 11). (id, shingle) rows only — the lightweight
+    # proxy, never the documents.
+    sh = tracked_persist(
         df.join(doc_ids, df[id_col] == doc_ids.did, "left_semi")
         .select(
             F.col(id_col),

@@ -86,10 +86,31 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Undirected closure: both directions, self-loops dropped, distinct."""
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+    """Undirected closure: both directions, self-loops dropped, distinct.
+
+    One explode pass instead of union-of-two-selects (round 11): the
+    union form evaluated the ``edges`` subtree twice — for callers that
+    pass a computed edge list (q143's all-pairs distance filter burned
+    ~13 s of executor CPU per evaluation at sf0.1), the input is now
+    scanned exactly once. Identical output rows.
+    """
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("src"), F.col(dst).alias("dst")
+                ),
+                F.struct(
+                    F.col(dst).alias("src"), F.col(src).alias("dst")
+                ),
+            )
+        ).alias("e")
+    )
+    return (
+        both.select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -136,15 +157,17 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # Truncate lineage every round: the convergence check already
-        # materializes, and re-planning the join history each round
-        # costs more than the (tiny) label snapshot it saves.
-        updated = updated.localCheckpoint(eager=True)
+        # Truncate lineage every round; lazy checkpoint (round 11) —
+        # the convergence count below shuffles every partition of
+        # `updated`, so it materializes the checkpoint inside the same
+        # job instead of paying a dedicated eager-checkpoint action per
+        # round (2 driver actions/round -> 1). The count is exact (no
+        # limit) precisely so that every partition is computed.
+        updated = updated.localCheckpoint(eager=False)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
             .filter("u.component < l.component")
-            .limit(1)
             .count()
         )
         labels.unpersist()
@@ -208,12 +231,17 @@ def pagerank(
         .count()
         > 0
     )
+    # The edges ⋈ outdeg join is loop-invariant — materialize it once
+    # instead of re-joining every iteration (round 11: at 20 iterations
+    # this removes 20 joins' worth of stages and driver re-planning;
+    # the division stays rank/outdeg inside the loop, so the float
+    # arithmetic is unchanged).
+    ew = tracked_persist(e.join(outdeg, "src"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_ranks = ranks
     for i in range(iterations):
         contribs = (
-            e.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("contrib").alias("in_mass"))
@@ -235,10 +263,13 @@ def pagerank(
                 * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n))
             ).alias("rank"),
         )
-        # 3 joins stack per round — truncate lineage every iteration or
-        # Catalyst re-analyzes a plan that doubles each round (the
-        # |V|-row rank vector is tiny; the checkpoint is cheap)
-        ranks = ranks.localCheckpoint(eager=True)
+        # Lineage grows linearly (ranks is referenced once per round),
+        # so truncation every 2 rounds bounds plan depth while halving
+        # the materialization jobs vs per-round checkpoints (round 11;
+        # the final round always truncates so the returned frame is
+        # compact). The |V|-row rank vector is tiny at any scale.
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
         if check_convergence and i == iterations - 1:
             delta = (
                 ranks.alias("cur")
@@ -308,14 +339,17 @@ def personalized_pagerank(
         > 0
     )
     is_seed = F.col("id") == F.lit(seed)
+    # loop-invariant edges ⋈ outdeg hoisted out of the loop (round 11,
+    # same change as pagerank — the division stays inside, float
+    # arithmetic unchanged)
+    ew = tracked_persist(e.join(outdeg, "src"))
     ranks = verts.withColumn(
         "rank", F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
     )
     prev_ranks = ranks
     for i in range(iterations):
         contribs = (
-            e.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("contrib").alias("in_mass"))
@@ -340,7 +374,10 @@ def personalized_pagerank(
                 + F.lit(1.0 - restart) * F.coalesce("in_mass", F.lit(0.0))
             ).alias("rank"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # linear lineage growth — truncate every 2 rounds (round 11,
+        # same cadence change as pagerank)
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
         if check_convergence and i == iterations - 1:
             delta = (
                 ranks.alias("cur")
@@ -650,13 +687,17 @@ def _l2_normalize(scores: DataFrame, col: str) -> DataFrame:
     """Divide ``col`` by its L2 norm via a broadcast scalar join (keeps
     the whole round inside one plan — no driver round-trip).
 
-    The input is eagerly checkpointed first: the norm subplan references
+    The input is checkpointed first: the norm subplan references
     ``scores`` a second time, so without materialization each iteration
     would DOUBLE the lineage (2^k plan growth over k rounds) — the
     classic iterative-Spark blowup. The score vector is |V| rows, so the
-    checkpoint is cheap at any scale.
+    checkpoint is cheap at any scale. Lazy (eager=False, round 11): the
+    checkpoint materializes inside the next action that touches the
+    scores (the norm broadcast build) instead of paying a dedicated
+    driver job per normalize — one job per iteration saved, identical
+    values and identical lineage truncation.
     """
-    scores = scores.localCheckpoint(eager=True)
+    scores = scores.localCheckpoint(eager=False)
     norm = scores.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm__"))
     return scores.crossJoin(F.broadcast(norm)).select(
         *[c for c in scores.columns if c != col],

@@ -568,13 +568,17 @@ def mlp_classifier_metrics(
     )
 
 
-def _eps_pairs(pts: DataFrame, eps: float) -> DataFrame:
+def _eps_pairs(
+    pts: DataFrame, eps: float, with_coords: bool = False
+) -> DataFrame:
     """All point pairs within Euclidean ``eps``, via the classic grid
     trick: bucket into eps-sized cells, self-join on the 3×3 neighbor
     cells, exact distance filter. Candidate count is bounded by local
     density, never n² — the scalable shape for any fixed-radius
     neighborhood operator. Input (id, x, y); output (a_id, b_id)
-    including the self-pair."""
+    including the self-pair; ``with_coords=True`` additionally carries
+    (ax, ay, bx, by) so distance-consuming callers (LOF) skip two
+    re-joins against the point table (round 11)."""
     cell = pts.select(
         "id", "x", "y",
         F.floor(F.col("x") / eps).alias("cx"),
@@ -601,7 +605,11 @@ def _eps_pairs(pts: DataFrame, eps: float) -> DataFrame:
             (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
             <= eps * eps
         )
-        .select("a_id", "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            *(["ax", "ay", "bx", "by"] if with_coords else []),
+        )
     )
 
 
@@ -740,18 +748,14 @@ def local_outlier_factor(
         + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
     )
     if method == "grid":
-        coords = pts.select(
-            F.col("id").alias("b_id"),
-            F.col("x").alias("bx"),
-            F.col("y").alias("by"),
-        )
+        # with_coords carries both endpoints' coordinates out of the
+        # grid join, so the distance projects directly — the previous
+        # shape re-joined the point table twice just to recover (x, y)
+        # (round 11; two joins and a re-evaluation of the point subtree
+        # removed, identical distance arithmetic).
         pairs = (
-            _eps_pairs(pts, eps)
+            _eps_pairs(pts, eps, with_coords=True)
             .filter(F.col("a_id") != F.col("b_id"))
-            .join(pts.select(F.col("id").alias("a_id"),
-                             F.col("x").alias("ax"),
-                             F.col("y").alias("ay")), "a_id")
-            .join(coords, "b_id")
             .select("a_id", "b_id", d.alias("d"))
         )
     elif method == "exact":

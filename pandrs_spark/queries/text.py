@@ -4520,7 +4520,13 @@ def q714(spark, sf_dir):
     pairs = lsh_candidate_pairs(
         docs, "text", "doc_id", num_hashes=4, band_size=2
     )
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    # the 16-hash signature table feeds both sides of the pair join;
+    # persist so the shingle + 16×md5 map pass runs once (round 11)
+    from pandrs_spark.operators.util import tracked_persist
+
+    sigs = tracked_persist(
+        minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    )
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{s}").alias(f"a{s}") for s in range(16)],

@@ -646,6 +646,7 @@ def stateful_drawdown(
     ACROSS micro-batches follows arrival order, the documented
     streaming semantics of any order-dependent fold.
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -657,9 +658,21 @@ def stateful_drawdown(
             peak, dd = float("-inf"), 0.0
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, order_col])
-            for v in pdf[value_col].astype(float):
-                peak = max(peak, v)
-                dd = max(dd, peak - v)
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            if len(vals):
+                # vectorized fold, bit-identical to the row loop: the
+                # loop's peak at step i is max(peak₀, max(v₀..vᵢ)) — a
+                # cumulative max seeded with the carried state — and
+                # dd = max(dd₀, maxᵢ(peakᵢ - vᵢ)). max and subtraction
+                # are exact IEEE ops (no accumulation error), so
+                # numpy's accumulate reproduces the Python loop value
+                # for value. ~10⁴ rows/group-batch at Python speed was
+                # the q238 wall (round 11).
+                run_peak = np.maximum.accumulate(
+                    np.concatenate(([peak], vals))
+                )[1:]
+                dd = max(dd, float(np.max(run_peak - vals)))
+                peak = float(run_peak[-1])
         state.update((float(peak), float(dd)))
         yield pd.DataFrame(
             {key_col: [key[0]], "peak": [peak], "max_drawdown": [dd]}
