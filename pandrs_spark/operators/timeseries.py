@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from pandrs_spark.operators.util import fan_out_groups
+
 __all__ = [
     "nelson_aalen",
     "resample",
@@ -330,7 +332,7 @@ def ses_fitted(
         pdf[out_col] = out
         return pdf
 
-    return df.groupBy(*partition_by).applyInPandas(_ses, schema=schema)
+    return fan_out_groups(df, *partition_by).groupBy(*partition_by).applyInPandas(_ses, schema=schema)
 
 
 def holt_forecast(
@@ -366,7 +368,7 @@ def holt_forecast(
         pdf[out_col] = fc
         return pdf
 
-    return df.groupBy(*partition_by).applyInPandas(_holt, schema=schema)
+    return fan_out_groups(df, *partition_by).groupBy(*partition_by).applyInPandas(_holt, schema=schema)
 
 
 def holt_winters_forecast(
@@ -432,7 +434,7 @@ def holt_winters_forecast(
         pdf[out_col] = fc
         return pdf
 
-    return df.groupBy(*partition_by).applyInPandas(_hw, schema=schema)
+    return fan_out_groups(df, *partition_by).groupBy(*partition_by).applyInPandas(_hw, schema=schema)
 
 
 def arima_forecast(
@@ -529,7 +531,7 @@ def arima_forecast(
         out["next_fc"] = fc
         return out
 
-    return df.groupBy(*partition_by).applyInPandas(_arima, schema=schema)
+    return fan_out_groups(df, *partition_by).groupBy(*partition_by).applyInPandas(_arima, schema=schema)
 
 
 def periodogram(
@@ -919,7 +921,14 @@ def bocpd_changepoints(
             }
         )
 
-    return df.groupBy(series_col).applyInPandas(_bocpd, schema=out_schema)
+    from pandrs_spark.operators.util import fan_out_groups
+
+    # CPU-dense grouped recursion: pre-partition by the series key with
+    # an explicit count so AQE's byte-sized coalescing can't collapse
+    # all series onto one task (round 11, measured 7 s single-task)
+    return fan_out_groups(df, series_col).groupBy(series_col).applyInPandas(
+        _bocpd, schema=out_schema
+    )
 
 
 def kaplan_meier(
@@ -1057,7 +1066,7 @@ def croston_forecast(
         )
         return pd.DataFrame(row)
 
-    return df.groupBy(*part_cols).applyInPandas(_croston, schema=schema)
+    return fan_out_groups(df, *part_cols).groupBy(*part_cols).applyInPandas(_croston, schema=schema)
 
 
 def sbc_demand_classification(
@@ -1176,7 +1185,7 @@ def tsb_forecast(
         )
         return pd.DataFrame(row)
 
-    return df.groupBy(*part_cols).applyInPandas(_tsb, schema=schema)
+    return fan_out_groups(df, *part_cols).groupBy(*part_cols).applyInPandas(_tsb, schema=schema)
 
 
 def logrank_test(
@@ -1327,7 +1336,7 @@ def reorder_policy_sim(
         )
         return pd.DataFrame(row)
 
-    return df.groupBy(*part_cols).applyInPandas(_sim, schema=schema)
+    return fan_out_groups(df, *part_cols).groupBy(*part_cols).applyInPandas(_sim, schema=schema)
 
 
 def nelson_aalen(
@@ -1426,7 +1435,7 @@ def holt_damped_forecast(
         pdf[out_col] = fc
         return pdf
 
-    return df.groupBy(*partition_by).applyInPandas(_fold, schema=schema)
+    return fan_out_groups(df, *partition_by).groupBy(*partition_by).applyInPandas(_fold, schema=schema)
 
 
 def page_hinkley(

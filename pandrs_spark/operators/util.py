@@ -3,11 +3,13 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "UnboundedBuildError",
     "assert_bounded",
     "fan_out",
+    "fan_out_groups",
     "tracked_persist",
 ]
 
@@ -72,6 +74,29 @@ def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(int(target))
     return df
+
+
+def fan_out_groups(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Explicitly hash-partition ``df`` by the group key ahead of a
+    CPU-dense ``groupBy(...).applyInPandas`` (round 11).
+
+    AQE sizes post-shuffle partitions by BYTES; a grouped Python
+    recursion (BOCPD, ARIMA folds) carries kilobytes but burns seconds
+    per group, so the advisory-size coalescing collapses thousands of
+    groups onto one task (measured: q155's 7 s single-task stage while
+    31 cores idled). An explicit repartition with an explicit partition
+    count is exempt from AQE coalescing, and because it already
+    produces the HashPartitioning the grouped-map operator needs, NO
+    extra exchange is added — the plan has the same single shuffle,
+    just with a CPU-sized partition count. ``defaultParallelism``
+    scales with the cluster, so the knob is scale-adaptive, not a
+    local constant.
+    """
+    if not key_cols:
+        # a keyless grouped-map is one global group — nothing to spread
+        return df
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *[F.col(c) for c in key_cols])
 
 
 class UnboundedBuildError(RuntimeError):

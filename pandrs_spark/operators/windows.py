@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from pandrs_spark.operators.util import fan_out_groups
+
 __all__ = [
     "ordered_window",
     "global_prefix_sum",
@@ -258,7 +260,7 @@ def ewm_mean(
         ).mean()
         return pdf
 
-    return df.groupBy(*partition_by).applyInPandas(_ewm, schema=out_schema)
+    return fan_out_groups(df, *partition_by).groupBy(*partition_by).applyInPandas(_ewm, schema=out_schema)
 
 
 def ewm_stat(
@@ -296,7 +298,7 @@ def ewm_stat(
             pdf[out_col] = e.var(bias=bias)
         return pdf
 
-    return df.groupBy(*partition_by).applyInPandas(_ewm, schema=schema)
+    return fan_out_groups(df, *partition_by).groupBy(*partition_by).applyInPandas(_ewm, schema=schema)
 
 
 def global_prefix_sum(

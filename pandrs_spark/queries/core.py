@@ -2288,9 +2288,15 @@ def q214(spark, sf_dir):
     """,
 )
 def q215(spark, sf_dir):
+    from pandrs_spark.operators.util import fan_out
+
     cust = T(spark, sf_dir, "customer")
     clean = cust.select("c_custkey", "c_name")
-    dirty = cust.select(
+    # the blocked join fans each dirty row out to ~|block| levenshtein
+    # comparisons — widen the 1-partition scan on the probe side so the
+    # O(|block|²·len²) compare work spreads across cores (round 11,
+    # measured: 6.8 s single-task stage)
+    dirty = fan_out(cust, bytes_per_task=16 * 1024).select(
         F.col("c_custkey").alias("dirty_key"),
         F.when(
             F.col("c_custkey") % 3 == 0,

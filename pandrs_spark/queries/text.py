@@ -376,8 +376,14 @@ def q138(spark, sf_dir):
 )
 def q158(spark, sf_dir):
     from pandrs_spark.operators.text import char_entropy
+    from pandrs_spark.operators.util import fan_out
 
-    docs = T(spark, sf_dir, "documents")
+    # char_entropy folds over every (distinct char × char) of the text —
+    # work amplification ~50× past the scan bytes, so the byte-sized
+    # scan split (1 partition for this table) starves the machine
+    # (round 11, measured: 14 s single-task stage). Widen to
+    # char-work-sized tasks; fan_out still no-ops on already-wide scans.
+    docs = fan_out(T(spark, sf_dir, "documents"), bytes_per_task=16 * 1024)
     ent = char_entropy("text")
     return docs.select(
         "doc_id",
@@ -418,8 +424,11 @@ def q158(spark, sf_dir):
 def q159(spark, sf_dir):
     from pandrs_spark.functions.deterministic import davg
     from pandrs_spark.operators.text import gopher_quality_flags
+    from pandrs_spark.operators.util import fan_out
 
-    docs = T(spark, sf_dir, "documents")
+    # shingle + regex HOFs amplify per-row work far past scan bytes —
+    # widen the 1-partition scan (round 11: 8.5 s single-task stage)
+    docs = fan_out(T(spark, sf_dir, "documents"), bytes_per_task=16 * 1024)
     g = docs.select(
         "lang", "source", gopher_quality_flags("text").alias("q")
     ).select(
@@ -1905,8 +1914,11 @@ def _q368_oracle() -> str:
 def q368(spark, sf_dir):
     from pandrs_spark.functions.deterministic import davg
     from pandrs_spark.operators.text import top_ngram_fraction
+    from pandrs_spark.operators.util import fan_out
 
-    docs = T(spark, sf_dir, "documents")
+    # the sorted-shingle run-length fold is O(n log n) per row — widen
+    # the 1-partition scan (round 11: 19.6 s single-task stage)
+    docs = fan_out(T(spark, sf_dir, "documents"), bytes_per_task=16 * 1024)
     fr = docs.select(
         "source",
         top_ngram_fraction("text", 2).alias("t2"),
