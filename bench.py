@@ -129,6 +129,13 @@ def main() -> None:
     # timed run measures steady-state execution.
     from pandrs_spark.catalog import enable_cache
 
+    # Cache profile (round 11, A/B-measured): columnar-cache
+    # compression costs ~10% per scan on the hot aggregate path
+    # (q01 shape: 215 ms -> 194 ms median) and buys nothing here —
+    # the cached tables are MBs against a 128 GiB heap. Memory-tight
+    # clusters keep the default; this is the in-memory-bench profile,
+    # set before the cache is built so it shapes the cached batches.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     enable_cache(warm=True, spark=spark, sf_dir=sf_dir)
 
     # Interactive small-query profile (A/B-measured, round 4): AQE's

@@ -1541,7 +1541,8 @@ def kcore(
     (vertex-centric k-core, e.g. Quick et al.); no driver-side graph.
     Reference scope: graph algorithms tier (src/graph/).
     """
-    cur = symmetrize(edges, src, dst)
+    cur = symmetrize(edges, src, dst).localCheckpoint(eager=False)
+    n_edges = cur.count()
     for i in range(n_iter):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__d__"))
         keep = deg.filter(F.col("__d__") >= k).select("src")
@@ -1552,10 +1553,21 @@ def kcore(
             )
             .select("src", "dst")
         )
-        if (i + 1) % 4 == 0:
-            # cut lineage: 3 joins per round compound into an
-            # exponentially nested plan without a checkpoint
-            cur = cur.localCheckpoint(eager=True)
+        # Each round references `cur` three times (degree agg + both
+        # broadcast builds), so un-truncated lineage RE-EXECUTES prior
+        # rounds with ~3^r fan-out — the old every-4 cadence paid up to
+        # dozens of subtree replays per window (round 11, measured:
+        # 49 jobs / 13 s of driver re-planning at sf0.1). Truncate
+        # every round; the count doubles as the materializing action
+        # AND the fixpoint detector: peeling is monotone, so a round
+        # that removes no edge is the fixpoint and every remaining
+        # round is the identity — results are bit-identical to running
+        # the full budget.
+        cur = cur.localCheckpoint(eager=False)
+        new_edges = cur.count()
+        if new_edges == n_edges:
+            break
+        n_edges = new_edges
     if check_convergence:
         # peeling reached its fixpoint iff one more round removes
         # nothing: every surviving vertex already has degree >= k
@@ -1832,12 +1844,14 @@ def weighted_pagerank(
     outw = tracked_persist(
         e.groupBy("src").agg(F.sum("w").alias("wout"))
     )
+    # loop-invariant edges ⋈ out-weight hoisted (round 11, same change
+    # as pagerank — the rank·w/wout arithmetic stays inside the loop)
+    ew = tracked_persist(e.join(outw, "src"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_ranks = ranks
     for i in range(iterations):
         contribs = (
-            e.join(outw, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            ew.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 "dst",
                 (F.col("rank") * F.col("w") / F.col("wout")).alias("contrib"),
@@ -1852,7 +1866,9 @@ def weighted_pagerank(
                 + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
             ).alias("rank"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # linear lineage growth — truncate every 2 rounds (round 11)
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
         if check_convergence and i == iterations - 1:
             delta = (
                 ranks.alias("cur")

@@ -1171,11 +1171,16 @@ def one_class_svm_flags(
     m = nu * n
 
     def dist_sq(c):
-        arr = F.array(*[F.lit(float(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(F.col("x"), arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        # One parsed expression instead of d F.lit py4j round-trips —
+        # this is rebuilt twice per epoch, so the column-API build cost
+        # (~70 py4j calls each) dominated the tiny per-epoch jobs
+        # (round 11). repr() round-trips doubles exactly and Spark's
+        # double-literal parse is correctly rounded, so the parsed
+        # centre is bit-identical to F.lit(float(v)).
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+        return F.expr(
+            f"aggregate(zip_with(x, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
 
     # init: c = global mean

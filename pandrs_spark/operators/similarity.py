@@ -665,6 +665,14 @@ def pq_lloyd_fold(
                 F.coalesce("cbx_new", "cbx_prev").alias("cbx"),
             )
         )
+        # The next iteration (and any distortion audit) references the
+        # codebook in several subplans; persist the (n_sub × k_sub ×
+        # sub_dim)-row frame so each round's broadcast builds read the
+        # computed codebook instead of replaying the whole training
+        # chain (round 11 — q732 scheduled 206 jobs re-deriving it).
+        from pandrs_spark.operators.util import tracked_persist
+
+        cb_df = tracked_persist(cb_df)
     return cb_df
 
 

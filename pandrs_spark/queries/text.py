@@ -1232,7 +1232,14 @@ _Q282_TERM = (
     """,
 )
 def q282(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
+    from pandrs_spark.operators.util import fan_out, tracked_persist
+
+    # char-trigram explode amplifies per-row work ~text-length× past
+    # scan bytes — widen the 1-partition scan; and the (source, gram)
+    # count table feeds THREE aggregation branches, so persist it
+    # instead of re-running the explode per branch (round 11, measured:
+    # four parallel 5.1 s single-task evaluations of the same explode)
+    docs = fan_out(T(spark, sf_dir, "documents"), bytes_per_task=16 * 1024)
     tri = docs.select(
         "source",
         F.explode(
@@ -1244,7 +1251,9 @@ def q282(spark, sf_dir):
             )
         ).alias("g"),
     )
-    csg = tri.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c_sg"))
+    csg = tracked_persist(
+        tri.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c_sg"))
+    )
     ns = csg.groupBy("source").agg(F.sum("c_sg").alias("ns"))
     cg = csg.groupBy("g").agg(F.sum("c_sg").alias("cg"))
     ng = cg.agg(F.sum("cg").alias("ng"))
