@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from pandrs_spark.operators.util import tracked_persist
+from pandrs_spark.operators.util import right_size_keyed, tracked_persist
 
 __all__ = [
     "ConvergenceError",
@@ -133,14 +133,19 @@ def connected_components(
     convention (return the last iterate) that the fixed-round oracles
     mirror.
     """
-    und = symmetrize(edges, src, dst).persist()
+    und0 = tracked_persist(symmetrize(edges, src, dst))
     converged = False
     labels = (
-        und.select(F.col("src").alias("id"))
+        und0.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .persist()
     )
+    # materialize, then right-size the edge table every round re-scans
+    labels.count()
+    und = right_size_keyed(und0, "src")
+    if und is not und0:
+        und = tracked_persist(und)
     for i in range(max_iter):
         # neighbor labels: for each dst, min label of its srcs
         neighbor = (
@@ -175,7 +180,6 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    und.unpersist()
     if check_convergence and not converged:
         raise ConvergenceError(
             f"connected_components: labels still changing after "
@@ -207,11 +211,10 @@ def pagerank(
     :class:`ConvergenceError` if max |Δrank| > ``tol`` (one extra
     |V|-row join + aggregate, only when the flag is set).
     """
-    e = (
+    e = tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition("src")
-        .persist()
     )
     verts = tracked_persist(
         e.select(F.col("src").alias("id"))
@@ -219,6 +222,13 @@ def pagerank(
         .distinct()
     )
     n = verts.count()
+    # e and verts are materialized now, so cache stats are exact:
+    # right-size the loop-invariant tables that every round re-scans
+    # (provably-small graphs stop paying shuffle.partitions-wide cache
+    # scans per round on a default session; big graphs unchanged).
+    rs = right_size_keyed(verts, "id")
+    if rs is not verts:
+        verts = tracked_persist(rs)
     outdeg = tracked_persist(
         e.groupBy("src").agg(F.count("*").alias("outdeg"))
     )
@@ -236,7 +246,7 @@ def pagerank(
     # this removes 20 joins' worth of stages and driver re-planning;
     # the division stays rank/outdeg inside the loop, so the float
     # arithmetic is unchanged).
-    ew = tracked_persist(e.join(outdeg, "src"))
+    ew = tracked_persist(right_size_keyed(e.join(outdeg, "src"), "src"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_ranks = ranks
     for i in range(iterations):
@@ -264,12 +274,14 @@ def pagerank(
             ).alias("rank"),
         )
         # Lineage grows linearly (ranks is referenced once per round),
-        # so truncation every 2 rounds bounds plan depth while halving
-        # the materialization jobs vs per-round checkpoints (round 11;
-        # the final round always truncates so the returned frame is
-        # compact). The |V|-row rank vector is tiny at any scale.
-        if i % 2 == 1 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # so per-round LAZY truncation keeps every catalyst plan one
+        # round deep while deferring execution: the chain of pending
+        # checkpoint RDDs forms a DAG that the first downstream action
+        # computes in one submission instead of one eager
+        # (AQE-multiplied) job per window — q68 at sf0.1: 109 scheduled
+        # jobs -> single-digit, wall 24 s -> (see OPTIMIZATION_r11.md).
+        # The |V|-row rank vector is tiny at any scale.
+        ranks = ranks.localCheckpoint(eager=False)
         if check_convergence and i == iterations - 1:
             delta = (
                 ranks.alias("cur")
@@ -282,13 +294,11 @@ def pagerank(
                 .first()["d"]
             )
             if delta is not None and delta > tol:
-                e.unpersist()
                 raise ConvergenceError(
                     f"pagerank: max |Δrank| = {delta:.3e} > tol={tol} "
                     f"after {iterations} iterations — raise iterations"
                 )
         prev_ranks = ranks
-    e.unpersist()
     return ranks
 
 
@@ -329,6 +339,12 @@ def personalized_pagerank(
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # materialize so cache stats are exact, then right-size the tables
+    # the loop re-scans every round (no-op above one task per core)
+    verts.count()
+    rs = right_size_keyed(verts, "id")
+    if rs is not verts:
+        verts = tracked_persist(rs)
     outdeg = tracked_persist(
         e.groupBy("src").agg(F.count("*").alias("outdeg"))
     )
@@ -342,7 +358,7 @@ def personalized_pagerank(
     # loop-invariant edges ⋈ outdeg hoisted out of the loop (round 11,
     # same change as pagerank — the division stays inside, float
     # arithmetic unchanged)
-    ew = tracked_persist(e.join(outdeg, "src"))
+    ew = tracked_persist(right_size_keyed(e.join(outdeg, "src"), "src"))
     ranks = verts.withColumn(
         "rank", F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
     )
@@ -374,10 +390,9 @@ def personalized_pagerank(
                 + F.lit(1.0 - restart) * F.coalesce("in_mass", F.lit(0.0))
             ).alias("rank"),
         )
-        # linear lineage growth — truncate every 2 rounds (round 11,
-        # same cadence change as pagerank)
-        if i % 2 == 1 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # per-round LAZY truncation: one-round-deep plans, single
+        # deferred materialization (round 11, same change as pagerank)
+        ranks = ranks.localCheckpoint(eager=False)
         if check_convergence and i == iterations - 1:
             delta = (
                 ranks.alias("cur")
@@ -413,13 +428,18 @@ def bfs_hops(
     ``check_convergence=True`` raises :class:`ConvergenceError` if the
     frontier is still non-empty when ``max_iter`` is exhausted (the BFS
     was truncated before exploring the reachable set)."""
-    und = symmetrize(edges, src, dst).repartition("src").persist()
+    und0 = tracked_persist(symmetrize(edges, src, dst).repartition("src"))
     spark = edges.sparkSession
     visited = tracked_persist(
         spark.createDataFrame(
             [(int(i), 0) for i in start_ids], "id bigint, hops int"
         )
     )
+    # materialize, then right-size the edge table every hop re-scans
+    und0.count()
+    und = right_size_keyed(und0, "src")
+    if und is not und0:
+        und = tracked_persist(und)
     frontier = visited
     converged = False
     for hop in range(1, max_iter + 1):
@@ -439,7 +459,6 @@ def bfs_hops(
         if hop % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
         frontier = new_frontier
-    und.unpersist()
     if check_convergence and not converged:
         raise ConvergenceError(
             f"bfs_hops: frontier still expanding after {max_iter} hops — "
@@ -530,12 +549,17 @@ def label_propagation(
     bipartite structures — the check surfaces that too; the check costs
     one extra join + count, only when the flag is set).
     """
-    und = symmetrize(edges, src, dst).persist()
+    und0 = tracked_persist(symmetrize(edges, src, dst))
     labels = tracked_persist(
-        und.select(F.col("src").alias("id"))
+        und0.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    # materialize, then right-size the edge table every round re-scans
+    labels.count()
+    und = right_size_keyed(und0, "dst")
+    if und is not und0:
+        und = tracked_persist(und)
     top1 = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
     for i in range(iterations):
         nbr = (
@@ -561,7 +585,6 @@ def label_propagation(
                 .count()
             )
             if changed > 0:
-                und.unpersist()
                 labels.unpersist()
                 updated.unpersist()
                 raise ConvergenceError(
@@ -571,7 +594,6 @@ def label_propagation(
                 )
         labels.unpersist()
         labels = updated
-    und.unpersist()
     return labels
 
 
@@ -640,14 +662,19 @@ def closeness_centrality(
     pivot closeness over a sample of sources — the standard
     approximation — while the per-round dataflow stays identical.
     """
-    und = symmetrize(edges, src, dst).repartition("src").persist()
-    verts = und.select(F.col("src").alias("id")).distinct()
+    und0 = tracked_persist(symmetrize(edges, src, dst).repartition("src"))
+    verts = und0.select(F.col("src").alias("id")).distinct()
     start = (roots if roots is not None else verts).select("id")
     visited = tracked_persist(
         start.select(
             F.col("id").alias("root"), F.col("id"), F.lit(0).alias("hops")
         )
     )
+    # materialize, then right-size the edge table every hop re-scans
+    und0.count()
+    und = right_size_keyed(und0, "src")
+    if und is not und0:
+        und = tracked_persist(und)
     frontier = visited
     converged = False
     for hop in range(1, max_iter + 1):
@@ -667,7 +694,6 @@ def closeness_centrality(
         if hop % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
         frontier = new_frontier
-    und.unpersist()
     if check_convergence and not converged:
         raise ConvergenceError(
             f"closeness_centrality: multi-source BFS frontier still "
@@ -723,10 +749,18 @@ def eigenvector_centrality(
     norm — the power method has not settled on the principal
     eigenvector at this budget.
     """
-    und = symmetrize(edges, src, dst).repartition("dst").persist()
+    und0 = tracked_persist(symmetrize(edges, src, dst).repartition("dst"))
     verts = tracked_persist(
-        und.select(F.col("src").alias("id")).distinct()
+        und0.select(F.col("src").alias("id")).distinct()
     )
+    # materialize, then right-size the per-round tables (round 11)
+    verts.count()
+    und = right_size_keyed(und0, "dst")
+    if und is not und0:
+        und = tracked_persist(und)
+    rs = right_size_keyed(verts, "id")
+    if rs is not verts:
+        verts = tracked_persist(rs)
     scores = verts.withColumn("score", F.lit(1.0))
     scores = _l2_normalize(scores, "score")
     prev_scores = scores
@@ -740,8 +774,6 @@ def eigenvector_centrality(
             "id", F.coalesce("score", F.lit(0.0)).alias("score")
         )
         scores = _l2_normalize(scores, "score")
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            scores = scores.localCheckpoint(eager=True)
         if check_convergence and i == iterations - 1:
             delta = (
                 scores.alias("cur")
@@ -754,14 +786,12 @@ def eigenvector_centrality(
                 .first()["d"]
             )
             if delta is not None and delta > tol:
-                und.unpersist()
                 raise ConvergenceError(
                     f"eigenvector_centrality: max |Δscore| = {delta:.3e} "
                     f"> tol={tol} after {iterations} iterations — raise "
                     "iterations"
                 )
         prev_scores = scores
-    und.unpersist()
     return scores
 
 
@@ -784,17 +814,24 @@ def katz_centrality(
     last two iterates differ by more than ``tol`` in max norm (the
     geometric α-series was truncated short of its fixpoint).
     """
-    e = (
+    e0 = tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition("src")
-        .persist()
     )
     verts = tracked_persist(
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e0.select(F.col("src").alias("id"))
+        .union(e0.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # materialize, then right-size the per-round tables (round 11)
+    verts.count()
+    e = right_size_keyed(e0, "src")
+    if e is not e0:
+        e = tracked_persist(e)
+    rs = right_size_keyed(verts, "id")
+    if rs is not verts:
+        verts = tracked_persist(rs)
     scores = verts.withColumn("score", F.lit(float(beta)))
     prev_scores = scores
     for i in range(iterations):
@@ -810,8 +847,8 @@ def katz_centrality(
                 + F.lit(float(beta))
             ).alias("score"),
         )
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            scores = scores.localCheckpoint(eager=True)
+        # per-round LAZY truncation (round 11, same change as pagerank)
+        scores = scores.localCheckpoint(eager=False)
         if check_convergence and i == iterations - 1:
             delta = (
                 scores.alias("cur")
@@ -824,14 +861,12 @@ def katz_centrality(
                 .first()["d"]
             )
             if delta is not None and delta > tol:
-                e.unpersist()
                 raise ConvergenceError(
                     f"katz_centrality: max |Δscore| = {delta:.3e} > "
                     f"tol={tol} after {iterations} iterations — raise "
                     "iterations or lower alpha"
                 )
         prev_scores = scores
-    e.unpersist()
     return scores
 
 
@@ -853,16 +888,23 @@ def hits(
     either normalized vector moved more than ``tol`` in max norm over
     the final round.
     """
-    e = (
+    e0 = tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .persist()
     )
     verts = tracked_persist(
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e0.select(F.col("src").alias("id"))
+        .union(e0.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # materialize, then right-size the per-round tables (round 11)
+    verts.count()
+    e = right_size_keyed(e0, "src")
+    if e is not e0:
+        e = tracked_persist(e)
+    rs = right_size_keyed(verts, "id")
+    if rs is not verts:
+        verts = tracked_persist(rs)
     hubs = verts.withColumn("hub", F.lit(1.0))
     auths = verts.withColumn("authority", F.lit(1.0))
     prev_hubs, prev_auths = hubs, auths
@@ -885,9 +927,8 @@ def hits(
             "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
         )
         hubs = _l2_normalize(hubs, "hub")
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            auths = auths.localCheckpoint(eager=True)
-            hubs = hubs.localCheckpoint(eager=True)
+        # _l2_normalize already lazily truncates both vectors every
+        # half-step — a dedicated eager checkpoint would only add jobs
         if check_convergence and i == iterations - 1:
             delta = (
                 auths.alias("ca")
@@ -905,13 +946,11 @@ def hits(
                 .first()["d"]
             )
             if delta is not None and delta > tol:
-                e.unpersist()
                 raise ConvergenceError(
                     f"hits: max |Δscore| = {delta:.3e} > tol={tol} after "
                     f"{iterations} iterations — raise iterations"
                 )
         prev_hubs, prev_auths = hubs, auths
-    e.unpersist()
     return auths.join(hubs, "id")
 
 
@@ -941,20 +980,27 @@ def shortest_paths(
     :class:`ConvergenceError` if the final round still relaxed any
     vertex.
     """
-    e = (
+    e0 = tracked_persist(
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(cost).cast("long").alias("cost"),
         )
         .repartition("src")
-        .persist()
     )
     verts = tracked_persist(
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e0.select(F.col("src").alias("id"))
+        .union(e0.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # materialize, then right-size the per-round tables (round 11)
+    verts.count()
+    e = right_size_keyed(e0, "src")
+    if e is not e0:
+        e = tracked_persist(e)
+    rs = right_size_keyed(verts, "id")
+    if rs is not verts:
+        verts = tracked_persist(rs)
     dist = verts.withColumn(
         "dist",
         F.when(F.col("id") == F.lit(source), F.lit(0).cast("long")).otherwise(
@@ -1025,13 +1071,11 @@ def shortest_paths(
             .count()
         )
         if still_relaxing:
-            e.unpersist()
             raise ConvergenceError(
                 f"shortest_paths: distances still relaxing after "
                 f"{iterations} rounds — raise iterations (longest "
                 "shortest path exceeds the budget)"
             )
-    e.unpersist()
     return dist
 
 
@@ -1857,14 +1901,13 @@ def weighted_pagerank(
     raises :class:`ConvergenceError` if the final round moved any rank
     by more than ``tol``.
     """
-    e = (
+    e = tracked_persist(
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).cast("double").alias("w"),
         )
         .repartition("src")
-        .persist()
     )
     verts = tracked_persist(
         e.select(F.col("src").alias("id"))
@@ -1872,12 +1915,16 @@ def weighted_pagerank(
         .distinct()
     )
     n = verts.count()
+    # materialized now — right-size the per-round tables (round 11)
+    rs = right_size_keyed(verts, "id")
+    if rs is not verts:
+        verts = tracked_persist(rs)
     outw = tracked_persist(
         e.groupBy("src").agg(F.sum("w").alias("wout"))
     )
     # loop-invariant edges ⋈ out-weight hoisted (round 11, same change
     # as pagerank — the rank·w/wout arithmetic stays inside the loop)
-    ew = tracked_persist(e.join(outw, "src"))
+    ew = tracked_persist(right_size_keyed(e.join(outw, "src"), "src"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_ranks = ranks
     for i in range(iterations):
@@ -1897,9 +1944,8 @@ def weighted_pagerank(
                 + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
             ).alias("rank"),
         )
-        # linear lineage growth — truncate every 2 rounds (round 11)
-        if i % 2 == 1 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # per-round LAZY truncation (round 11, same change as pagerank)
+        ranks = ranks.localCheckpoint(eager=False)
         if check_convergence and i == iterations - 1:
             delta = (
                 ranks.alias("cur")
@@ -1910,12 +1956,10 @@ def weighted_pagerank(
                 .first()["d"]
             )
             if delta is not None and delta > tol:
-                e.unpersist()
                 raise ConvergenceError(
                     f"weighted_pagerank: max |Δrank| = {delta:.3e} > "
                     f"tol={tol} after {iterations} iterations — raise "
                     "iterations"
                 )
         prev_ranks = ranks
-    e.unpersist()
     return ranks

@@ -10,6 +10,7 @@ __all__ = [
     "assert_bounded",
     "fan_out",
     "fan_out_groups",
+    "right_size_keyed",
     "tracked_persist",
 ]
 
@@ -74,6 +75,44 @@ def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(int(target))
     return df
+
+
+def right_size_keyed(
+    df: DataFrame, *key_cols: str, bytes_per_task: int = 1 << 22
+) -> DataFrame:
+    """Hash-repartition a provably SMALL frame to a size-derived
+    partition count before it is persisted as an iterative loop's
+    invariant table.
+
+    Iterative operators scan their persisted edge/vertex tables once
+    per round. The cache freezes whatever partitioning the build had —
+    ``repartition(key)`` inherits ``spark.sql.shuffle.partitions`` (200
+    on a default session) and AQE does NOT re-coalesce cached plans
+    (``canChangeCachedPlanOutputPartitioning`` is false) — so a 25-row
+    nation graph pays 200 near-empty tasks per cache scan, every round
+    (measured round 11: a 20-round PageRank over 25 vertices spent
+    2/3 of its wall in those scans on a default session).
+
+    Call AFTER the source of ``df`` is materialized so optimizer stats
+    are exact (``InMemoryRelation`` carries real bytes). The explicit
+    count is only applied when the whole frame is provably smaller
+    than one task per core — anything bigger, or with unknown stats,
+    returns ``df`` unchanged and keeps the shuffle-partition/AQE
+    sizing, so production-scale tables are never squeezed.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats unavailable: keep as-is
+        return df
+    if size >= (1 << 62):
+        return df
+    target = size // bytes_per_task + 1
+    if target >= sc.defaultParallelism:
+        return df
+    return df.repartition(int(target), *[F.col(c) for c in key_cols])
 
 
 def fan_out_groups(df: DataFrame, *key_cols: str) -> DataFrame:
