@@ -9,6 +9,8 @@ the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -684,6 +686,7 @@ def _events_static_and_stream(spark, sf_dir):
 )
 def q180(spark, sf_dir):
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         stream_to_memory,
         tumbling,
         windowed_agg,
@@ -698,10 +701,11 @@ def q180(spark, sf_dir):
         watermark=("ts", "2 hours"),
     )
     sink = "q180_stream_sink"
-    q = stream_to_memory(agg, sink, output_mode="complete")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q180 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(agg, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q180 streaming query did not finish in 300s")
     return (
         spark.table(sink)
         .select(
@@ -731,6 +735,7 @@ def q180(spark, sf_dir):
 )
 def q181(spark, sf_dir):
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         dedup_within_watermark,
         stream_to_memory,
     )
@@ -755,10 +760,11 @@ def q181(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users")
     )
     sink = "q181_stream_sink"
-    q = stream_to_memory(counts, sink, output_mode="complete")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q181 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(counts, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q181 streaming query did not finish in 300s")
     return (
         spark.table(sink)
         .select("event_type", F.col("n_users").cast("long").alias("n_users"))
@@ -866,6 +872,7 @@ def q193(spark, sf_dir):
 )
 def q203(spark, sf_dir):
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         stream_stream_interval_join,
         stream_to_memory,
     )
@@ -892,10 +899,11 @@ def q203(spark, sf_dir):
         watermark_delay=f"{delay_days} days",
     )
     sink = "q203_stream_sink"
-    q = stream_to_memory(joined, sink, output_mode="append")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q203 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(joined, sink, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q203 streaming query did not finish in 300s")
     return (
         spark.table(sink)
         .groupBy(F.date_trunc("hour", "view_ts").alias("hour_start"))
@@ -926,6 +934,7 @@ def q203(spark, sf_dir):
 )
 def q228(spark, sf_dir):
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         sliding,
         stream_to_memory,
         windowed_agg,
@@ -940,10 +949,11 @@ def q228(spark, sf_dir):
         watermark=("ts", "4 hours"),
     )
     sink = "q228_stream_sink"
-    q = stream_to_memory(agg, sink, output_mode="complete")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q228 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(agg, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q228 streaming query did not finish in 300s")
     return (
         spark.table(sink)
         .select(
@@ -991,6 +1001,7 @@ def q228(spark, sf_dir):
 )
 def q229(spark, sf_dir):
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         session,
         stream_to_memory,
         windowed_agg,
@@ -1005,10 +1016,11 @@ def q229(spark, sf_dir):
         watermark=("ts", "2 hours"),
     )
     sink = "q229_stream_sink"
-    q = stream_to_memory(agg, sink, output_mode="complete")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q229 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(agg, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q229 streaming query did not finish in 300s")
     return (
         spark.table(sink)
         .groupBy("user_id")
@@ -1043,6 +1055,7 @@ def q229(spark, sf_dir):
 )
 def q238(spark, sf_dir):
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         stateful_drawdown,
         stream_to_memory,
     )
@@ -1056,10 +1069,11 @@ def q238(spark, sf_dir):
         order_col="event_id",
     )
     sink = "q238_stream_sink"
-    q = stream_to_memory(dd, sink, output_mode="update")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q238 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(dd, sink, output_mode="update")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q238 streaming query did not finish in 300s")
     return (
         spark.table(sink)
         .groupBy("user_id")
@@ -1915,20 +1929,24 @@ def q294(spark, sf_dir):
 )
 def q299(spark, sf_dir):
     from pandrs_spark.functions.deterministic import quantize
-    from pandrs_spark.streaming.windows import incremental_aggregate_sink
+    from pandrs_spark.streaming.windows import (
+        incremental_aggregate_sink,
+        scoped_state_partitions,
+    )
 
     _static, sdf = _events_static_and_stream(spark, sf_dir)
     enriched = sdf.select("event_type", quantize("value", 4).alias("vq"))
-    q = incremental_aggregate_sink(
-        enriched,
-        keys=["event_type"],
-        count_col="n",
-        sum_cols=["vq"],
-        table="q299_inc_agg",
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q299 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = incremental_aggregate_sink(
+            enriched,
+            keys=["event_type"],
+            count_col="n",
+            sum_cols=["vq"],
+            table="q299_inc_agg",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q299 streaming query did not finish in 300s")
     return (
         spark.table("global_temp.q299_inc_agg")
         .select(
@@ -2881,7 +2899,10 @@ def _cms_sql_bucket(key_expr: str, width: int) -> str:
 )
 def q367(spark, sf_dir):
     from pandrs_spark.operators.sketches import _cms_bucket
-    from pandrs_spark.streaming.windows import incremental_aggregate_sink
+    from pandrs_spark.streaming.windows import (
+        incremental_aggregate_sink,
+        scoped_state_partitions,
+    )
 
     _static, sdf = _events_static_and_stream(spark, sf_dir)
     depth, width = 4, 256
@@ -2893,16 +2914,17 @@ def q367(spark, sf_dir):
         )
         .select("__i__", _cms_bucket(width, fast_hash=False))
     )
-    q = incremental_aggregate_sink(
-        hashed,
-        keys=["__i__", "__b__"],
-        count_col="__c__",
-        sum_cols=[],
-        table="q367_cms_grid",
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q367 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = incremental_aggregate_sink(
+            hashed,
+            keys=["__i__", "__b__"],
+            count_col="__c__",
+            sum_cols=[],
+            table="q367_cms_grid",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q367 streaming query did not finish in 300s")
     grid = spark.table("global_temp.q367_cms_grid")
     ev = T(spark, sf_dir, "events")
     keys = ev.groupBy(F.col("event_type").cast("string").alias("__k__")).agg(
@@ -2961,6 +2983,7 @@ def _q372_oracle() -> str:
 def q372(spark, sf_dir):
     from pandrs_spark.functions.deterministic import dsum
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         stream_to_memory,
         tumbling,
         windowed_agg,
@@ -2986,10 +3009,11 @@ def q372(spark, sf_dir):
         watermark=("ts", "2 days"),
     )
     sink = "q372_stream_sink"
-    q = stream_to_memory(agg, sink, output_mode="complete")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q372 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(agg, sink, output_mode="complete")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q372 streaming query did not finish in 300s")
     return (
         spark.table(sink)
         .select(
@@ -3050,6 +3074,7 @@ def q372(spark, sf_dir):
 def q393(spark, sf_dir):
     from pandrs_spark.functions.deterministic import quantize
     from pandrs_spark.streaming.windows import (
+        scoped_state_partitions,
         stateful_ewma_anomaly,
         stream_to_memory,
     )
@@ -3066,10 +3091,11 @@ def q393(spark, sf_dir):
         warmup=5,
     )
     sink = "q393_stream_sink"
-    q = stream_to_memory(det, sink, output_mode="update")
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q393 streaming query did not finish in 300s")
+    with scoped_state_partitions(spark, os.path.join(sf_dir, "events.parquet")):
+        q = stream_to_memory(det, sink, output_mode="update")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q393 streaming query did not finish in 300s")
     final = spark.table(sink).groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.expr("max_by(ewma, n_events)").alias("__ewma__"),

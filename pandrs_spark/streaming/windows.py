@@ -15,12 +15,15 @@ aggregation has a batch twin that the DuckDB oracle can verify.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "scoped_state_partitions",
     "stream_stream_interval_join",
     "incremental_aggregate_sink",
     "stateful_drawdown",
@@ -230,6 +233,48 @@ def parse_kafka_json(
     if watermark is not None:
         out = out.withWatermark("kafka_timestamp", watermark)
     return out
+
+
+@contextmanager
+def scoped_state_partitions(spark, source_path: str, bytes_per_partition: int = 32 << 20):
+    """Size ``spark.sql.shuffle.partitions`` to the stream's SOURCE
+    bytes for the duration of an availableNow micro-batch run, then
+    restore the session conf.
+
+    Stateful streaming operators freeze the shuffle-partition count
+    into the state layout at query start, AQE never applies to
+    streaming plans, and every micro-batch pays a per-partition
+    state-store open/commit — so the session default (200 on a plain
+    driver session) spends seconds per batch on empty state files when
+    the source is megabytes (measured round 11, q203 at sf0.1: 7.6 s →
+    2.3 s with identical output). One partition per 32 MB of source,
+    clamped to [2, defaultParallelism]: production-sized sources
+    saturate the cluster default again, so this never shrinks a real
+    deployment's state parallelism.
+
+    The streaming query must START and RUN inside the scope (plan +
+    every batch read the conf captured at query start).
+    """
+    sc = spark.sparkContext
+    try:
+        if os.path.isdir(source_path):
+            size = sum(
+                os.path.getsize(os.path.join(source_path, f))
+                for f in os.listdir(source_path)
+            )
+        else:
+            size = os.path.getsize(source_path)
+        target = max(2, min(sc.defaultParallelism, int(size // bytes_per_partition) + 1))
+    except OSError:
+        target = None
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if target is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        if target is not None and old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
