@@ -153,12 +153,35 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
+        relaxed = (
             labels.join(neighbor, "id", "left")
             .select(
                 "id",
                 F.least(
                     "component", F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # Path halving (round 11): every label value is itself a vertex
+        # id in the SAME component (initially own id; the edge step
+        # only adopts component-mates' labels; this step only adopts
+        # the label OF a component-mate), so jumping each vertex to its
+        # label's label is monotone non-increasing toward the same
+        # min-id fixpoint while roughly halving the label-path length —
+        # O(diameter) rounds become O(log diameter). A near-critical
+        # eps-chain (q143, threshold 0.015) needed ~50 edge-only rounds
+        # at sf0.1. The lazy checkpoint before the self-join keeps the
+        # relaxed subtree from evaluating twice.
+        relaxed = relaxed.localCheckpoint(eager=False)
+        hop = relaxed.select(
+            F.col("id").alias("__t"), F.col("component").alias("__tc")
+        )
+        updated = (
+            relaxed.join(hop, relaxed["component"] == hop["__t"], "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("__tc", F.col("component"))
                 ).alias("component"),
             )
         )
