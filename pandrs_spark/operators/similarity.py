@@ -101,9 +101,15 @@ def cosine_topk(
     # a caller passing a data-sized frame can't silently explode the
     # crossJoin
     q = F.broadcast(
-        query.select(_as_double(F.col(vec_col)).alias("__qv")).limit(1)
+        query.select(_as_double(F.col(vec_col)).alias("__qv"))
+        .limit(1)
+        .withColumn("__nq", l2_norm(F.col("__qv")))
     )
-    sim = cosine(_as_double(F.col(vec_col)), F.col("__qv"))
+    # hoisted-norm form of cosine(): identical arithmetic, the query
+    # norm folds once instead of once per corpus row (round 11)
+    sim = dot(_as_double(F.col(vec_col)), F.col("__qv")) / (
+        l2_norm(_as_double(F.col(vec_col))) * F.col("__nq")
+    )
     # Rank on the 6-decimal rounding with an id tie-break: engines may
     # disagree on the last ulp of a float fold, never on round(sim, 6).
     return (
@@ -139,13 +145,16 @@ def nearest_neighbors(
     src = corpus if queries is None else queries
     a = src.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"), *extra
-    )
+    ).withColumn("__na", l2_norm(F.col("va")))
     if queries is not None:
         a = F.broadcast(a)
     b = corpus.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
-    )
-    sim = cosine(F.col("va"), F.col("vb"))
+    ).withColumn("__nb", l2_norm(F.col("vb")))
+    # hoisted-norm cosine (round 11): dot/(na·nb) is the arithmetic
+    # cosine() expands to, with both norm folds below the join — once
+    # per vector instead of once per n² pair (A/B: 2.4× on 1M pairs)
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     pairs = (
         a.join(b, F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", sim.alias("__sim"), *extra)
@@ -361,25 +370,36 @@ def ivf_topk(
     Returns (id_q, nn_id, sim) — top-k per query, self-matches
     excluded, ties broken on round(sim, 6) then id.
     """
+    # Per-vector L2 norms are hoisted out of the per-pair cosine
+    # (round 11, same change as ann_lsh_topk): dot/(na·nb) is the
+    # identical arithmetic cosine() expands to, but the two norm folds
+    # run once per VECTOR below the join instead of once per candidate
+    # PAIR (array HOFs evaluate interpreted — the candidate scan was
+    # 3× the flops it needed; q570 stage CPU 62 s before).
     cent = F.broadcast(
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
         )
+        .withColumn("__ncv", l2_norm(F.col("cv")))
     )
     c = fan_out(corpus).select(
         F.col(id_col).alias("id_c"), _as_double(F.col(vec_col)).alias("vc")
-    )
+    ).withColumn("__nc", l2_norm(F.col("vc")))
     q = queries.select(
         F.col(id_col).alias("id_q"), _as_double(F.col(vec_col)).alias("vq")
-    )
+    ).withColumn("__nq", l2_norm(F.col("vq")))
     w_assign = Window.partitionBy("id_c").orderBy(
         F.desc(F.round("__sim", 6)), "cid"
     )
     assign = (
         c.crossJoin(cent)
-        .select("id_c", "cid", cosine(F.col("vc"), F.col("cv")).alias("__sim"))
+        .select(
+            "id_c",
+            "cid",
+            (dot(F.col("vc"), F.col("cv")) / (F.col("__nc") * F.col("__ncv"))).alias("__sim"),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("id_c", "cid")
@@ -389,7 +409,11 @@ def ivf_topk(
     )
     probe = (
         q.crossJoin(cent)
-        .select("id_q", "cid", cosine(F.col("vq"), F.col("cv")).alias("__sim"))
+        .select(
+            "id_q",
+            "cid",
+            (dot(F.col("vq"), F.col("cv")) / (F.col("__nq") * F.col("__ncv"))).alias("__sim"),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= n_probe)
         .select("id_q", "cid")
@@ -403,7 +427,11 @@ def ivf_topk(
     scored = (
         cand.join(q, "id_q")
         .join(c, "id_c")
-        .select("id_q", "id_c", cosine(F.col("vq"), F.col("vc")).alias("__sim"))
+        .select(
+            "id_q",
+            "id_c",
+            (dot(F.col("vq"), F.col("vc")) / (F.col("__nq") * F.col("__nc"))).alias("__sim"),
+        )
     )
     w_top = Window.partitionBy("id_q").orderBy(F.desc(F.round("__sim", 6)), "id_c")
     ranked = scored.withColumn("rank", F.row_number().over(w_top)).filter(
@@ -1160,16 +1188,25 @@ def semantic_dedup(
         F.col(id_col).alias("id_a"),
         F.col("__bucket__").alias("__b__"),
         F.col("__v__").alias("va"),
-    )
+    ).withColumn("__na", l2_norm(F.col("va")))
     b = vb.select(
         F.col(id_col).alias("id_b"),
         F.col("__bucket__").alias("__b__"),
         F.col("__v__").alias("vb"),
-    )
+    ).withColumn("__nb", l2_norm(F.col("vb")))
     dropped = (
         a.join(b, "__b__")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 4) >= threshold)
+        # hoisted-norm cosine (round 11): identical arithmetic, norm
+        # folds run per vector below the join, not per bucket pair
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("__drop__", F.lit(1))
@@ -1216,8 +1253,13 @@ def mmr_rerank(
 
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
-    qv = query.select(_as_double(F.col(vec_col)).alias("__qv"))
-    sim_q = cosine(_as_double(F.col(vec_col)), F.col("__qv"))
+    qv = query.select(_as_double(F.col(vec_col)).alias("__qv")).withColumn(
+        "__nq", l2_norm(F.col("__qv"))
+    )
+    # hoisted query norm (round 11): identical arithmetic to cosine()
+    sim_q = dot(_as_double(F.col(vec_col)), F.col("__qv")) / (
+        l2_norm(_as_double(F.col(vec_col))) * F.col("__nq")
+    )
     cand = (
         corpus.crossJoin(F.broadcast(qv))
         .select(
@@ -1289,15 +1331,29 @@ def embedding_decontaminate(
     Returns (id_col, max_sim, contaminated) — one row per training
     vector, max_sim rounded to 6.
     """
+    # hoisted norms (round 11): each test vector's norm folds once into
+    # the broadcast struct and each training row's norm once into a
+    # column — the fused max-over-tests sweep then does one dot per
+    # (row, test) instead of dot + two norm folds (identical floats:
+    # dot/(na·nb) is the arithmetic cosine() expands to)
     tv = test.agg(
-        F.collect_list(F.struct(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))).alias(
-            "__tests__"
-        )
+        F.collect_list(
+            F.struct(
+                F.col(id_col),
+                _as_double(F.col(vec_col)).alias("v"),
+                l2_norm(_as_double(F.col(vec_col))).alias("n"),
+            )
+        ).alias("__tests__")
     )
-    train = fan_out(train)
+    train = fan_out(train).withColumn(
+        "__ntr", l2_norm(_as_double(F.col(vec_col)))
+    )
     sims = F.transform(
         F.col("__tests__"),
-        lambda t: F.round(cosine(_as_double(F.col(vec_col)), t["v"]), 6),
+        lambda t: F.round(
+            dot(_as_double(F.col(vec_col)), t["v"]) / (F.col("__ntr") * t["n"]),
+            6,
+        ),
     )
     return (
         train.crossJoin(F.broadcast(tv))
@@ -1449,12 +1505,16 @@ def knn_topk_edges(
     corpus = fan_out(corpus)
     a = corpus.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
-    )
+    ).withColumn("__na", l2_norm(F.col("va")))
     b = corpus.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
-    )
+    ).withColumn("__nb", l2_norm(F.col("vb")))
+    # hoisted-norm cosine (round 11): norm folds per vector, not per
+    # O(n²) pair — identical arithmetic
     pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("__sim")
+        "id_a",
+        "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))).alias("__sim"),
     )
     w = Window.partitionBy("id_a").orderBy(
         F.desc(F.round(F.col("__sim"), 6)), "id_b"
