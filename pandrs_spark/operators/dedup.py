@@ -110,9 +110,13 @@ def minhash_signature_cols(text: Column, num_hashes: int = 4, k: int = 3) -> lis
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, k: int = 3
 ) -> DataFrame:
-    # per-row minhash over shingles is compute-dense map work —
-    # widen under-partitioned scans first (operators/util.fan_out)
-    return fan_out(df).select(
+    # per-row minhash over shingles is compute-dense map work — widen
+    # under-partitioned scans first. Char-work-sized split (the q368
+    # convention): each row costs ~num_hashes md5 evaluations PER
+    # SHINGLE, so the default byte-sized split starves the stage
+    # (round 11, q714 at sf0.1: the 16-hash signature pass ran 50 s of
+    # task time on 4 tasks while 28 cores idled).
+    return fan_out(df, bytes_per_task=16 * 1024).select(
         F.col(id_col), *minhash_signature_cols(F.col(text_col), num_hashes, k)
     )
 
@@ -197,8 +201,13 @@ def ngram_jaccard_pairs(
     # tokenize + shingle + explode map work runs once instead of three
     # times (round 11). (id, shingle) rows only — the lightweight
     # proxy, never the documents.
+    # char-work-sized widening before the tokenize + shingle + explode
+    # map pass (round 11, same starved-stage fix as minhash_signatures)
     sh = tracked_persist(
-        df.join(doc_ids, df[id_col] == doc_ids.did, "left_semi")
+        fan_out(
+            df.join(doc_ids, df[id_col] == doc_ids.did, "left_semi"),
+            bytes_per_task=16 * 1024,
+        )
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("sh"),
