@@ -474,13 +474,24 @@ def winnow_overlap_pairs(
 
     Returns (doc_a, doc_b, n_shared, containment), doc_a < doc_b.
     """
-    fps = winnow_fingerprints(docs, text_col, id_col, k, window).select(
-        F.col(id_col).alias("id"), "fp"
-    ).distinct()
+    from pandrs_spark.operators.util import tracked_persist
+
+    # the winnow pipeline (widened scan + posexplode + per-doc window)
+    # is the expensive pass; persist its distinct output so the three
+    # consumers below (document-frequency counts, the kept filter, the
+    # pair self-join's two sides) read computed fingerprints instead of
+    # re-evaluating the whole subtree per reference (round 11)
+    fps = tracked_persist(
+        winnow_fingerprints(docs, text_col, id_col, k, window)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+    )
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df__"))
-    kept = fps.join(
-        F.broadcast(df_counts.filter(F.col("__df__") <= max_df)), "fp"
-    ).select("id", "fp")
+    kept = tracked_persist(
+        fps.join(
+            F.broadcast(df_counts.filter(F.col("__df__") <= max_df)), "fp"
+        ).select("id", "fp")
+    )
     per_doc = kept.groupBy("id").agg(F.count(F.lit(1)).alias("__n__"))
     pairs = (
         kept.alias("a")

@@ -962,7 +962,7 @@ def q197(spark, sf_dir):
 )
 def q224(spark, sf_dir):
     from pandrs_spark.operators.text import tokens
-    from pandrs_spark.operators.windows import global_prefix_sum
+    from pandrs_spark.operators.windows import global_prefix_counts
 
     docs = T(spark, sf_dir, "documents")
     freq = (
@@ -970,17 +970,20 @@ def q224(spark, sf_dir):
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    total = freq.agg(F.sum("c").alias("__n__"))
-    run = global_prefix_sum(
-        freq, [F.desc("c"), F.asc("t")], F.col("c").cast("double"), "cum", scale=0
+    # BOTH running columns (cumulative occurrences and the 1-based
+    # rank) in ONE range sort + ONE offset collect: the previous shape
+    # paid two full global_prefix_sum passes over the same order
+    # (round 11). Counts are integers, so the exact BIGINT prefix sums
+    # need no quantization; coverage = round(cum/n, 6) divides
+    # bigint/bigint to the identical double.
+    ranked = global_prefix_counts(
+        freq.withColumn("__one__", F.lit(1)),
+        [F.desc("c"), F.asc("t")],
+        {"cum": "c", "rank": "__one__"},
     )
-    from pyspark.sql import Window as W
-
-    # rank within the already-sorted partitions: reuse the same
-    # partition-offset trick via the cum of a constant-1 column
-    ranked = global_prefix_sum(
-        run, [F.desc("c"), F.asc("t")], F.lit(1.0), "rank", scale=0
-    )
+    # total token occurrences: aggregate the persisted sorted frame
+    # instead of re-running the tokenize+explode+groupBy pass
+    total = ranked.agg(F.sum("c").alias("__n__"))
     sizes = spark.createDataFrame([(10,), (100,), (1000,)], "vocab_size long")
     return (
         ranked.join(F.broadcast(sizes), F.col("rank") <= F.col("vocab_size"))
