@@ -20,7 +20,7 @@ Two tiers, chosen by what determinism allows:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
-from pandrs_spark.operators.util import tracked_persist
+from pandrs_spark.operators.util import fan_out, right_size_keyed, tracked_persist
 from pyspark.sql import functions as F
 
 from pandrs_spark.functions.deterministic import dsum
@@ -603,7 +603,13 @@ def _eps_pairs(
         F.floor(F.col("y") / eps).alias("cy"),
     )
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    probe = cell.select(
+    # pair-work-sized widening of the PROBE side (round 11): each probe
+    # row explodes ×9 and joins against whole cell buckets, so per-byte
+    # work amplifies far past the byte-sized scan split — measured at
+    # sf0.1 (q142): the whole candidate generation ran 3.3 s on ONE
+    # task while 31 cores idled. The broadcast build side stays on the
+    # unwidened frame.
+    probe = fan_out(cell, bytes_per_task=4 * 1024).select(
         F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
         F.explode(
             F.array(*[
@@ -788,6 +794,18 @@ def local_outlier_factor(
             F.col("rn") <= k
         )
     )
+    # the kNN table is scanned ~5× downstream (k-distance, reach join,
+    # inverse-lrd join, both fences); the cache freezes the window
+    # exchange's partition count (200 on a default session, AQE never
+    # re-coalesces cached plans), so every scan paid a stage of
+    # near-empty tasks. Materialize once for exact stats, then
+    # right-size — provably-small tables collapse to a few partitions,
+    # data-sized ones are left to shuffle-partition/AQE sizing
+    # (round 11).
+    knn.count()
+    _rs = right_size_keyed(knn, "a_id")
+    if _rs is not knn:
+        knn = tracked_persist(_rs)
     kdist = knn.filter(F.col("rn") == k).select(F.col("a_id").alias("id"), F.col("d").alias("kd"))
     if method == "grid":
         # Exactness certificate, enforced where Catalyst cannot prune it
