@@ -3382,28 +3382,37 @@ def q402(spark, sf_dir):
 )
 def q405(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
-    firstp = ev.groupBy("user_id").agg(
+    # ONE aggregation pass over events (round 11): "user touched
+    # channel c before the first purchase" ⟺ "MIN(ts of c-events) <
+    # tp" (strict < both ways; tp NULL means any c-event counts), so
+    # five conditional MINs per user replace the previous
+    # agg → join-back → distinct → agg chain — one shuffle with
+    # map-side partial aggregation instead of the events table
+    # shuffled twice plus a distinct. Identical mask/conv values.
+    per_user = ev.groupBy("user_id").agg(
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("tp")
+        ).alias("tp"),
+        *[
+            F.min(
+                F.when(F.col("event_type") == etype, F.col("ts"))
+            ).alias(f"t{cbit}")
+            for etype, cbit in (
+                ("click", 1), ("error", 2), ("signup", 4), ("view", 8)
+            )
+        ],
     )
-    bit = (
-        F.when(F.col("event_type") == "click", 1)
-        .when(F.col("event_type") == "error", 2)
-        .when(F.col("event_type") == "signup", 4)
-        .when(F.col("event_type") == "view", 8)
-    )
-    touched = (
-        ev.filter(F.col("event_type") != "purchase")
-        .join(firstp, "user_id")
-        .filter(F.col("tp").isNull() | (F.col("ts") < F.col("tp")))
-        .select("user_id", bit.alias("bit"))
-        .distinct()
-        .groupBy("user_id")
-        .agg(F.sum("bit").cast("long").alias("mask"))
-    )
-    users = firstp.join(touched, "user_id", "left").select(
-        F.coalesce(F.col("mask"), F.lit(0)).alias("mask"),
+    mask = None
+    for cbit in (1, 2, 4, 8):
+        tcol = F.col(f"t{cbit}")
+        term = F.when(
+            tcol.isNotNull()
+            & (F.col("tp").isNull() | (tcol < F.col("tp"))),
+            cbit,
+        ).otherwise(0)
+        mask = term if mask is None else mask + term
+    users = per_user.select(
+        mask.cast("long").alias("mask"),
         F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("conv"),
     )
     bymask = users.groupBy("mask").agg(F.sum("conv").cast("long").alias("conv_n"))
