@@ -139,9 +139,12 @@ def decode_image_features(
 
         for pdf in batches:
             ids, ws, hs, fs = [], [], [], []
-            for _, row in pdf.iterrows():
-                w, h, feats = _decode_image_bytes(bytes(row[media_col]["content"]))
-                ids.append(row[id_col])
+            # plain column zip: iterrows() builds a Series per row,
+            # which dominated the per-row cost next to the actual
+            # decode (round 11)
+            for rid, m in zip(pdf[id_col].values, pdf[media_col].values):
+                w, h, feats = _decode_image_bytes(bytes(m["content"]))
+                ids.append(rid)
                 ws.append(w)
                 hs.append(h)
                 fs.append(feats)
@@ -149,6 +152,13 @@ def decode_image_features(
                 {id_col: ids, "width": ws, "height": hs, "features": fs}
             )
 
+    # Deliberately NOT widened with fan_out (round 11, measured): at
+    # sf0.1 the warm decode is ~0.5 s on one task, and repartitioning
+    # ships the PAYLOAD bytes through a shuffle plus one Python-worker
+    # spin-up per added task — A/B 0.51 s (as-is) vs 0.74 s (128 KB/
+    # task) vs 1.30 s (16 KB/task). Callers with decode-bound corpora
+    # stuck in few scan partitions should apply
+    # repartition_for_payload, which sizes by payload bytes.
     return df.select(id_col, media_col).mapInPandas(_decode, schema=out_schema)
 
 
@@ -326,11 +336,13 @@ def decode_audio_features(
 
         for pdf in batches:
             ids, rates, chs, frs, rmss, peaks = [], [], [], [], [], []
-            for _, row in pdf.iterrows():
+            # plain column zip instead of iterrows() — see
+            # decode_image_features (round 11)
+            for rid, m in zip(pdf[id_col].values, pdf[media_col].values):
                 rate, nch, nfr, rms, peak = _decode_wav_bytes(
-                    bytes(row[media_col]["content"])
+                    bytes(m["content"])
                 )
-                ids.append(row[id_col])
+                ids.append(rid)
                 rates.append(rate)
                 chs.append(nch)
                 frs.append(nfr)
@@ -347,6 +359,8 @@ def decode_audio_features(
                 }
             )
 
+    # NOT widened — same measured negative result as
+    # decode_image_features (round 11)
     return df.select(id_col, media_col).mapInPandas(_decode, schema=out_schema)
 
 
