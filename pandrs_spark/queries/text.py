@@ -213,7 +213,16 @@ def _sql_minhash(seed: int) -> str:
 )
 def q30(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "text", "doc_id", num_hashes=4).orderBy("doc_id")
+    # persist before the global sort: RangePartitioning SAMPLES its
+    # child, so an un-materialized map child pays the whole
+    # shingle+md5 signature pass twice (round 11, measured at sf0.1:
+    # sampling stage 100 s task-time vs 24.6 s for the real pass;
+    # warm A/B 2.01 -> 1.62 s)
+    from pandrs_spark.operators.util import tracked_persist
+
+    return tracked_persist(
+        minhash_signatures(docs, "text", "doc_id", num_hashes=4)
+    ).orderBy("doc_id")
 
 
 _SQL_BANDS = f"""
