@@ -1189,8 +1189,13 @@ def one_class_svm_flags(
     (posexplode hash-agg into d partial sums; the shuffle is d rows
     regardless of data size). The driver holds only (c, R^2).
     Deterministic: full-batch, dsum-quantized sums, integer-bucket
-    quantile, fixed epoch count. Input vectors are L2-normalized first
-    so distances are unit-scale.
+    quantile, fixed epoch budget with an exact-fixpoint early exit —
+    when an epoch reproduces the previous centre bit-for-bit, every
+    remaining epoch would recompute the identical (c, R^2) (R^2 is a
+    pure function of c, and c' a pure function of (c, R^2)), so
+    stopping is bit-identical to running the full budget (measured at
+    sf0.1: fixpoint at epoch 5 of 15 — 20 driver actions saved).
+    Input vectors are L2-normalized first so distances are unit-scale.
     """
     from pandrs_spark.functions.deterministic import dsum
 
@@ -1264,7 +1269,14 @@ def one_class_svm_flags(
             .collect()
         )
         k = agg[0]["k"] if agg else n
-        c = [r["s"] / k for r in agg] if agg else c
+        c_next = [r["s"] / k for r in agg] if agg else c
+        if c_next == c:
+            # exact fixpoint: R^2 is a pure function of c and c a pure
+            # function of (c, R^2), so every remaining epoch reproduces
+            # this (c, r2) bit-for-bit — stop paying 2 driver actions
+            # per epoch for identical values
+            break
+        c = c_next
 
     dec = F.lit(r2) - dist_sq(c)
     out = pts.select(

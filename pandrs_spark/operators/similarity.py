@@ -231,11 +231,55 @@ def lsh_bucket_array(vec_col: str, banks: list[list[list[float]]]) -> Column:
         )
         + ")"
     )
-    return F.expr(
-        f"transform({lit}, tb -> aggregate(sequence(0, size(tb) - 1), 0, "
-        f"(acc, i) -> acc + IF(aggregate(zip_with({vec_col}, tb[i], "
+    return F.expr(_bucket_array_expr(vec_col, lit))
+
+
+def _bucket_array_expr(vec_ref: str, banks_ref: str) -> str:
+    """The shared all-tables bucket expression over two SQL references
+    (a vector column and an array<array<array<double>>> of banks) —
+    the single source of the fold arithmetic for both the inline-literal
+    (:func:`lsh_bucket_array`) and broadcast-banks
+    (:func:`lsh_bucket_explode`) forms."""
+    return (
+        f"transform({banks_ref}, tb -> aggregate(sequence(0, size(tb) - 1), 0, "
+        f"(acc, i) -> acc + IF(aggregate(zip_with({vec_ref}, tb[i], "
         f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (a2, x2) -> a2 + x2) "
         f">= CAST(0.0 AS DOUBLE), shiftleft(1, i), 0)))"
+    )
+
+
+def lsh_bucket_explode(
+    df: DataFrame,
+    vec_col: str,
+    banks: list[list[list[float]]],
+    *keep: str,
+) -> DataFrame:
+    """``(keep..., t, bucket)`` — one row per (vector, table), bucket =
+    :func:`lsh_bucket_ids`(vec, banks[t]). Same rows as
+    ``df.select(*keep, posexplode(lsh_bucket_array(vec_col, banks)))``
+    with the plane banks attached as a ONE-ROW broadcast frame instead
+    of an inline literal.
+
+    Why (round 11, measured): the inline form constant-folds the banks
+    into a single array literal, but Catalyst ANALYSIS still walks the
+    n_tables × n_planes × dim literal tree on every plan that embeds
+    the expression — at q177's derived depth (132×5×64 ≈ 42k nodes)
+    that was ~3.4 s of driver time per reference, on top of ~0.4 s of
+    parse. Shipping the banks as DATA (one Arrow-built row,
+    broadcast-joined) keeps the expression tree a few nodes; the fold
+    arithmetic (:func:`_bucket_array_expr`) and therefore every bucket
+    id is bit-identical — Arrow transfers the exact IEEE754 doubles the
+    repr-literal parse produces. Per-row cost is unchanged: array HOFs
+    evaluate interpreted either way, reading the banks from a constant
+    or from the broadcast row's array object.
+    """
+    spark = df.sparkSession
+    banks_df = spark.createDataFrame(
+        [(banks,)], "__banks__ array<array<array<double>>>"
+    )
+    bucket_arr = F.expr(_bucket_array_expr(vec_col, "__banks__"))
+    return df.crossJoin(F.broadcast(banks_df)).select(
+        *keep, F.posexplode(bucket_arr).alias("t", "bucket")
     )
 
 
@@ -306,17 +350,13 @@ def ann_lsh_topk(
     # per-table join-union loop, whose plan grew linearly with
     # n_tables and scheduled n_tables shuffles; same semantics: union
     # over tables + dedup == join on (t, bucket) + distinct). This is
-    # the embedding_near_dup_pairs candidate shape. lsh_bucket_array
-    # builds all n_tables bucket ids as one parsed expression (the
-    # py4j-per-node build cost was the q88/q177 wall-time floor).
-    cb = c.select(
-        "id_c",
-        F.posexplode(lsh_bucket_array("vc", banks)).alias("t", "bucket"),
-    )
-    qb = q.select(
-        "id_q",
-        F.posexplode(lsh_bucket_array("vq", banks)).alias("t", "bucket"),
-    )
+    # the embedding_near_dup_pairs candidate shape. lsh_bucket_explode
+    # computes all n_tables bucket ids in one pass with the banks
+    # attached as a one-row broadcast (the py4j-per-node build cost,
+    # then the giant-literal analysis cost, was the q88/q177 wall-time
+    # floor).
+    cb = lsh_bucket_explode(c, "vc", banks, "id_c")
+    qb = lsh_bucket_explode(q, "vq", banks, "id_q")
     cand = (
         qb.join(cb, ["t", "bucket"])
         .select("id_q", "id_c")
@@ -1040,12 +1080,7 @@ def embedding_near_dup_pairs(
     # re-evaluating the projection per reference (round 11, measured at
     # sf0.1/(5,132): the two candidate stages burned 1,593 s of
     # executor CPU, dominated by re-evaluated bucket/cosine folds).
-    rb = tracked_persist(
-        reps.select(
-            "__fp__",
-            F.posexplode(lsh_bucket_array("v", banks)).alias("t", "bucket"),
-        )
-    )
+    rb = tracked_persist(lsh_bucket_explode(reps, "v", banks, "__fp__"))
     cand = (
         rb.alias("a")
         .join(rb.alias("b"), ["t", "bucket"])
