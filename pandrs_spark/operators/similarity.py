@@ -880,6 +880,18 @@ def ivfadc_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+    # The residual frame fans into the seed codebook, every Lloyd
+    # iteration (2 joins each) and the encode pass — up to ~6
+    # references per call on the trained path. Persist it here (n·dim
+    # narrow rows; spills at scale) so consumers scan computed
+    # residuals instead of replaying the pos ⋈ assign ⋈ centroid
+    # pipeline per reference (round 11, guide §2.4/§5; measured at
+    # sf0.1: q727 5.66 → 4.66 s, q570 2.51 → 1.96 s). Left
+    # UNpersisted inside ivf_residuals itself: q732's certificate
+    # chain builds three residual frames and the extra cache fills
+    # measured SLOWER there (12.2 → 13.9 s) — the recompute is a
+    # fused scan of the already-cached pos table.
+    rpos = tracked_persist(rpos)
     dq2 = quantize((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 6)
     cb_df = pq_seed_codebook(
         corpus, rpos, n_centroids=n_centroids, k_sub=k_sub, id_col=id_col
