@@ -402,8 +402,13 @@ def random_forest_metrics(
     # idle through every pass — widen to compute-sized partitions
     # (fan_out no-ops at production scan widths). A/B at sf0.1:
     # 22.4 s -> 14.5 s warm, accuracy identical at 4 dp.
-    feat = fan_out(
-        VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    # Persisted: the frame is evaluated twice (fit's RDD conversion and
+    # the scoring transform) — without the cache the scan + assembler
+    # pipeline runs both times.
+    feat = tracked_persist(
+        fan_out(
+            VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+        )
     )
     model = RandomForestClassifier(
         featuresCol="__features__",
@@ -446,7 +451,13 @@ def gbt_regression_metrics(
     from pyspark.ml.regression import GBTRegressor
 
     cols = list(feature_cols)
-    feat = VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    # Persisted for the same two-consumer reason as random_forest_metrics
+    # (fit conversion + scoring transform). NOT widened: boosting
+    # re-shuffles the frame per sequential stage, where widening
+    # measured worse (round-11 negative result).
+    feat = tracked_persist(
+        VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    )
     model = GBTRegressor(
         featuresCol="__features__",
         labelCol=label_col,
@@ -560,8 +571,14 @@ def mlp_classifier_metrics(
     # uses 3 of 32 cores. Widening to compute-sized partitions is a
     # no-op at production scan widths. A/B at sf0.1: fit 19.5 s ->
     # 11.3 s warm, accuracy identical to 6 dp.
-    feat = fan_out(
-        VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+    # Persist the assembled frame: MLlib re-evaluates the DataFrame
+    # pipeline for its own RDD conversion AND the final scoring pass
+    # re-reads it — without the cache the scan + VectorAssembler UDF
+    # run three times (n_classes agg, fit conversion, transform).
+    feat = tracked_persist(
+        fan_out(
+            VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
+        )
     )
     n_classes = feat.agg(
         (F.max(F.col(label_col).cast("long")) + 1).alias("k")
@@ -932,6 +949,10 @@ def decision_tree_metrics(
     from pyspark.ml.feature import VectorAssembler
 
     cols = list(feature_cols)
+    # NOT persisted (round-11 negative result): the tree learner caches
+    # its own BaggedPoint RDD internally, so the only re-evaluation is
+    # the single cheap scoring scan — the cache fill measured as a wash
+    # (3.34 s -> 3.5-3.7 s at sf0.1).
     feat = VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
     model = DecisionTreeClassifier(
         featuresCol="__features__", labelCol=label_col, maxDepth=max_depth, seed=seed
