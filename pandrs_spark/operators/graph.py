@@ -171,7 +171,11 @@ def connected_components(
         # O(diameter) rounds become O(log diameter). A near-critical
         # eps-chain (q143, threshold 0.015) needed ~50 edge-only rounds
         # at sf0.1. The lazy checkpoint before the self-join keeps the
-        # relaxed subtree from evaluating twice.
+        # relaxed subtree from evaluating twice. (Round-11 negative
+        # result, instrumented at sf0.1: a SECOND jump per round
+        # converged no faster — changed-counts nearly identical — and
+        # the extra pending lazy checkpoint chained per round blew the
+        # per-round wall up 4×/round past round ~9; reverted.)
         relaxed = relaxed.localCheckpoint(eager=False)
         hop = relaxed.select(
             F.col("id").alias("__t"), F.col("component").alias("__tc")

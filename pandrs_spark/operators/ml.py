@@ -681,10 +681,16 @@ def dbscan_2d(
     """
     from pandrs_spark.operators.graph import connected_components
 
-    pts = points.select(
-        F.col(id_col).alias("id"),
-        F.col(x_col).cast("double").alias("x"),
-        F.col(y_col).cast("double").alias("y"),
+    # pts is consumed three times (candidate probe side, candidate
+    # build side, the final id join) and its upstream can be expensive
+    # (q141 feeds a PCA transform) — persist so the projection runs
+    # once (round 11; released per query by the cache fence).
+    pts = tracked_persist(
+        points.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
     )
     pairs = tracked_persist(_eps_pairs(pts, eps))
     counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nbr"))
@@ -915,10 +921,13 @@ def single_linkage_clusters(
     """
     from pandrs_spark.operators.graph import connected_components
 
-    pts = points.select(
-        F.col(id_col).alias("id"),
-        F.col(x_col).cast("double").alias("x"),
-        F.col(y_col).cast("double").alias("y"),
+    # same three-consumer shape as dbscan_2d: probe, build, final join
+    pts = tracked_persist(
+        points.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
     )
     edges = (
         _eps_pairs(pts, threshold)
