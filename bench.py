@@ -129,13 +129,12 @@ def main() -> None:
     # timed run measures steady-state execution.
     from pandrs_spark.catalog import enable_cache
 
-    # Cache profile (round 11, A/B-measured): columnar-cache
-    # compression costs ~10% per scan on the hot aggregate path
-    # (q01 shape: 215 ms -> 194 ms median) and buys nothing here —
-    # the cached tables are MBs against a 128 GiB heap. Memory-tight
-    # clusters keep the default; this is the in-memory-bench profile,
-    # set before the cache is built so it shapes the cached batches.
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    # Round 12: the round-11 `inMemoryColumnarStorage.compressed=false`
+    # knob is REVERTED (VERDICT r11 item 1). It A/B'd +10% on a warm
+    # shared session but read −62% on the driver's cold 32-core run
+    # (q01 0.169→0.273 s, disjoint spreads): uncompressed cached
+    # batches plausibly go memory-bandwidth-bound at 32 ways. The
+    # default (compressed) stands.
     enable_cache(warm=True, spark=spark, sf_dir=sf_dir)
 
     # Interactive small-query profile (A/B-measured, round 4): AQE's
@@ -192,6 +191,27 @@ def main() -> None:
     # collected partition offsets.
     release_persisted()
 
+    # Cold companion metric (round 12, VERDICT r11 item 6). The numbers
+    # above are a warm-cache profile — in-memory tables, pre-built
+    # plans — chosen in round 4 to be apples-to-apples with the
+    # reference's criterion benches over already-loaded frames; `value`
+    # remains the gate number compared across rounds. To make the
+    # artifact self-describing vs BASELINE, also time ONE uncached pass
+    # per query computing straight from parquet (cache disabled and
+    # cleared, fresh plans): cold scans on a warm JVM. Same session
+    # profile otherwise, so the two numbers differ only by the cache.
+    from pandrs_spark.catalog import disable_cache
+
+    disable_cache()
+    spark.catalog.clearCache()
+    cold: dict[str, float] = {}
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        release_persisted()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -202,7 +222,14 @@ def main() -> None:
                 "queries": timings,
                 "method": "median-of-5",
                 "spread_min_max": spread,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
+                "cold_method": "single-pass-uncached-parquet",
                 **guard,
+                # `cpus` above is os.cpu_count(); this is the core count
+                # the session actually runs with (honors
+                # $SPARK_GRAFT_CPUS), so scaling runs self-describe.
+                "cpus_effective": spark.sparkContext.defaultParallelism,
                 "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [
     "TABLES",
+    "disable_cache",
+    "enable_cache",
     "load_table",
     "load_tables",
     "register_views",
@@ -74,6 +76,19 @@ def enable_cache(warm: bool = False, spark: SparkSession | None = None, sf_dir: 
                 df = df.repartition(parts)
             _CACHE[key] = df.cache()
             _CACHE[key].count()
+
+
+def disable_cache() -> None:
+    """Drop the in-memory table cache and return to direct parquet
+    scans (bench.py's cold companion pass; tests)."""
+    global _CACHE_ENABLED
+    _CACHE_ENABLED = False
+    for df in _CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

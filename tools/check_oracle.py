@@ -114,8 +114,16 @@ def main() -> int:
             continue
         t0 = time.time()
         leaked = False
+        spark_sec = None
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            # Spark-side wall (compute + toPandas), recorded separately
+            # from `sec` (which additionally pays the DuckDB oracle +
+            # canonicalization) so sweep rankings aren't confounded by
+            # oracle-side cost (VERDICT r11 item 3 — e.g. q143's DuckDB
+            # twin is an all-pairs recursive CTE that dwarfs its Spark
+            # wall).
+            spark_sec = round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             results[name] = {"pass": False, "err": f"spark: {e}"[:200]}
@@ -141,7 +149,12 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-            results[name] = {"pass": None, "rows_only": True, "rows": len(sdf)}
+            results[name] = {
+                "pass": None,
+                "rows_only": True,
+                "rows": len(sdf),
+                "spark_sec": spark_sec,
+            }
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -178,6 +191,7 @@ def main() -> int:
                 "pass": True,
                 "rows": len(cs),
                 "sec": round(time.time() - t0, 2),
+                "spark_sec": spark_sec,
             }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(qs)} queries total")
