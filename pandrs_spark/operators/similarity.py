@@ -248,31 +248,19 @@ def _bucket_array_expr(vec_ref: str, banks_ref: str) -> str:
     )
 
 
-def lsh_bucket_explode(
+def _lsh_bucket_explode_expr(
     df: DataFrame,
     vec_col: str,
     banks: list[list[list[float]]],
     *keep: str,
 ) -> DataFrame:
-    """``(keep..., t, bucket)`` — one row per (vector, table), bucket =
-    :func:`lsh_bucket_ids`(vec, banks[t]). Same rows as
-    ``df.select(*keep, posexplode(lsh_bucket_array(vec_col, banks)))``
-    with the plane banks attached as a ONE-ROW broadcast frame instead
-    of an inline literal.
-
-    Why (round 11, measured): the inline form constant-folds the banks
-    into a single array literal, but Catalyst ANALYSIS still walks the
-    n_tables × n_planes × dim literal tree on every plan that embeds
-    the expression — at q177's derived depth (132×5×64 ≈ 42k nodes)
-    that was ~3.4 s of driver time per reference, on top of ~0.4 s of
-    parse. Shipping the banks as DATA (one Arrow-built row,
-    broadcast-joined) keeps the expression tree a few nodes; the fold
-    arithmetic (:func:`_bucket_array_expr`) and therefore every bucket
-    id is bit-identical — Arrow transfers the exact IEEE754 doubles the
-    repr-literal parse produces. Per-row cost is unchanged: array HOFs
-    evaluate interpreted either way, reading the banks from a constant
-    or from the broadcast row's array object.
-    """
+    """Pure-JVM fold-expression form of :func:`lsh_bucket_explode`
+    (round 11): the plane banks attached as a ONE-ROW broadcast frame,
+    buckets computed by the interpreted array-HOF fold
+    (:func:`_bucket_array_expr`). Kept as the arithmetic reference the
+    Arrow fast path is certified against (tests/test_similarity.py
+    pins row-level equality of the two forms, including the
+    null/ragged/NaN edge semantics)."""
     spark = df.sparkSession
     banks_df = spark.createDataFrame(
         [(banks,)], "__banks__ array<array<array<double>>>"
@@ -281,6 +269,165 @@ def lsh_bucket_explode(
     return df.crossJoin(F.broadcast(banks_df)).select(
         *keep, F.posexplode(bucket_arr).alias("t", "bucket")
     )
+
+
+def lsh_bucket_explode(
+    df: DataFrame,
+    vec_col: str,
+    banks: list[list[list[float]]],
+    *keep: str,
+) -> DataFrame:
+    """``(keep..., t, bucket)`` — one row per (vector, table), bucket =
+    :func:`lsh_bucket_ids`(vec, banks[t]). Row set is identical to
+    ``df.select(*keep, posexplode(lsh_bucket_array(vec_col, banks)))``.
+
+    Round 12 (guide §4.2, VERDICT r11 item 4): the bucket projection is
+    a dense (n_vectors × n_tables·n_planes) matrix of 64-dim dot
+    products — exactly the shape a vectorized native library computes
+    orders of magnitude faster than the interpreted per-row array-HOF
+    fold (round 11 measured the fold at 88 s of executor CPU for q177's
+    132×5 bank at sf0.1). This is ``mapInArrow`` + one numpy matmul per
+    batch, with a **sign-margin certificate** that keeps every bucket
+    id bit-identical to the JVM fold:
+
+    - Each elementwise product x_i·y_i rounds identically everywhere
+      (IEEE754 double multiply); the two implementations differ only in
+      SUMMATION ORDER (Spark: strict left-to-right fold; numpy: blocked
+      pairwise, possibly FMA). Standard error analysis bounds any
+      summation order's distance from the exact real dot by
+      γ_d·Σ|x_i·y_i| with γ_d ≈ d·2⁻⁵³, so the two results differ by at
+      most 2γ_d·Σ|x_i·y_i|.
+    - The only consumer of the dot is its SIGN (bit = [dot ≥ 0]). For
+      every (vector, plane) pair we therefore check
+      |dot_np| > 4·d·2⁻⁵³·(|x|·|y|) — twice the two-sided bound, the
+      slack covering the abs-product matrix's own rounding — and where
+      the margin holds, sign(dot_np) provably equals sign(dot_fold).
+    - Pairs that FAIL the margin (a dot within ~1e-14 relative of
+      zero, or any non-finite intermediate) are recomputed with the
+      exact left-to-right Python fold — bit-identical to the JVM fold
+      by IEEE754 — so the certificate never rejects, it only routes
+      the rare near-tie off the fast path.
+    - Batches with NULL/ragged/NaN vectors take a per-row Python fold
+      that replicates the zip_with/aggregate NULL semantics of the
+      expression form (any null product ⇒ null dot ⇒ bit 0; NaN dot ⇒
+      bit 1, Spark's nan-safe ``>=``).
+
+    Net: bucket ids are bit-identical to the fold expression for every
+    input (pinned by tests/test_similarity.py's cross-form equality on
+    random + adversarial vectors), while the per-row cost drops from
+    n_tables·n_planes interpreted HOF folds to one BLAS matmul row.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    n_tables = len(banks)
+    n_planes = len(banks[0]) if n_tables else 0
+    dim = len(banks[0][0]) if n_planes else 0
+    sel = df.select(*keep, vec_col)
+    out_schema = StructType(
+        [sel.schema[c] for c in keep]
+        + [
+            StructField("t", IntegerType(), False),
+            StructField("bucket", IntegerType(), False),
+        ]
+    )
+    bmat = np.asarray(banks, dtype=np.float64).reshape(
+        n_tables * n_planes, dim
+    )
+    banks_py = [[list(map(float, p)) for p in tb] for tb in banks]
+    keep_n = len(keep)
+    # two-sided summation-order bound (see docstring); NumPy abs/matmul
+    # of the bound matrix adds its own rounding, covered by the 2× slack
+    ulp_factor = 4.0 * dim * 2.0**-53
+
+    def _fold_exact(vec, plane):
+        # the JVM fold, literally: acc = ((0 + p_0) + p_1) + ... with
+        # p_i = vec[i]*plane[i] — Python floats are IEEE754 doubles, so
+        # this is bit-identical to aggregate(zip_with(...)) on the JVM
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            acc = acc + x * y
+        return acc
+
+    def _fold_nullsafe(vec, plane):
+        # zip_with pads the shorter side with NULL; any null product
+        # nulls the running sum permanently — so: None iff vec is NULL,
+        # shorter/longer than the plane, or has a null element
+        if vec is None or len(vec) != len(plane):
+            return None
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            if x is None:
+                return None
+            acc = acc + x * y
+        return acc
+
+    def _bucket_batches(it):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+        abs_b = np.abs(bmat)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            lv = batch.column(keep_n)
+            buckets = None
+            if lv.null_count == 0:
+                values = lv.flatten()
+                if values.null_count == 0 and len(values) == n * dim:
+                    offs = lv.offsets.to_numpy(zero_copy_only=False)
+                    if bool(np.all(np.diff(offs) == dim)):
+                        v = values.to_numpy(
+                            zero_copy_only=False
+                        ).reshape(n, dim)
+                        d = v @ bmat.T  # (n, n_tables*n_planes)
+                        bound = (np.abs(v) @ abs_b.T) * ulp_factor
+                        # margin certificate: entries NOT provably
+                        # sign-stable under summation reorder (incl.
+                        # NaN/inf, where the comparison is False) get
+                        # the exact fold
+                        risky = ~(np.abs(d) > bound)
+                        if risky.any():
+                            ri, rj = np.nonzero(risky)
+                            for i, j in zip(ri.tolist(), rj.tolist()):
+                                d[i, j] = _fold_exact(
+                                    v[i].tolist(), bmat[j].tolist()
+                                )
+                        bits = (d >= 0.0) | np.isnan(d)  # NaN ≥ 0 on JVM
+                        buckets = (
+                            bits.reshape(n, n_tables, n_planes).astype(
+                                np.int64
+                            )
+                            @ pow2
+                        ).astype(np.int32)
+            if buckets is None:
+                # NULL/ragged/null-element vectors: per-row fold with
+                # the expression form's zip_with/aggregate semantics
+                buckets = np.zeros((n, n_tables), dtype=np.int32)
+                for i, vec in enumerate(lv.to_pylist()):
+                    for t in range(n_tables):
+                        b = 0
+                        for p in range(n_planes):
+                            dd = _fold_nullsafe(vec, banks_py[t][p])
+                            if dd is not None and (
+                                math.isnan(dd) or dd >= 0.0
+                            ):
+                                b += 1 << p
+                        buckets[i, t] = b
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_tables))
+            t_tile = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            out_cols = [
+                batch.column(k).take(idx) for k in range(keep_n)
+            ] + [pa.array(t_tile), pa.array(buckets.reshape(-1))]
+            yield pa.RecordBatch.from_arrays(
+                out_cols, names=[*batch.schema.names[:keep_n], "t", "bucket"]
+            )
+
+    return sel.mapInArrow(_bucket_batches, out_schema)
 
 
 def ann_lsh_topk(

@@ -392,3 +392,54 @@ def test_ivfadc_lloyd_beats_seed_recall_small(spark):
         return len(exact & ap)
 
     assert rec("lloyd", 2) >= rec("seed", 0)
+
+
+def test_lsh_bucket_explode_arrow_matches_fold_expression(spark):
+    """Round 12: the numpy-matmul mapInArrow bucket pass must produce
+    row-identical (keep, t, bucket) to the JVM fold-expression form —
+    on random vectors, on adversarial near-zero-margin vectors (exact
+    zeros route through the margin-certificate fallback), and on the
+    NULL/ragged/NaN edge semantics the expression form defines."""
+    import math
+
+    from pandrs_spark.operators.similarity import (
+        _hyperplanes,
+        _lsh_bucket_explode_expr,
+        lsh_bucket_explode,
+    )
+
+    banks = _hyperplanes(4, 5, 8, seed=11)
+    rows = [
+        # random-ish vectors
+        (0, [0.3, -1.2, 0.7, 2.2, -0.1, 0.05, 1.1, -0.9]),
+        (1, [1e-9, 2e-9, -1e-9, 0.0, 5e-10, -3e-10, 1e-10, 2e-10]),
+        # zero vector: every dot is exactly 0 -> margin fails on every
+        # plane -> exact-fold fallback -> bit 1 everywhere (0 >= 0)
+        (2, [0.0] * 8),
+        # huge magnitudes (finite products, large sums)
+        (3, [1e150, -1e150, 1e140, 0.0, 2e149, -1e149, 3e148, -3e148]),
+        # NaN element: dot is NaN -> Spark nan-safe >= gives bit 1
+        (4, [float("nan"), 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        # NULL vector and null element: null dot -> bit 0 (bucket 0)
+        (5, None),
+        (6, [1.0, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        # ragged (shorter than dim): zip_with pads null -> null dot
+        (7, [1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = sorted(
+        map(tuple, lsh_bucket_explode(df, "v", banks, "id").collect())
+    )
+    want = sorted(
+        map(tuple, _lsh_bucket_explode_expr(df, "v", banks, "id").collect())
+    )
+    assert got == want
+    # sanity on the documented edge semantics
+    by_id = {}
+    for i, t, b in got:
+        by_id.setdefault(i, set()).add(b)
+    assert by_id[2] == {31}  # zero vector: all 5 bits set per table
+    assert by_id[5] == {0} and by_id[6] == {0} and by_id[7] == {0}
+    # NaN dot on plane 0 of every table -> bit 0 always set
+    assert all(b & 1 for b in by_id[4])
+    assert not math.isnan(sum(sum(p) for tb in banks for p in tb))

@@ -64,7 +64,7 @@ PATTERNS = {
     "broadcast_nested_loop_joins": r"\bBroadcastNestedLoopJoin\b",
     "cartesian_products": r"\bCartesianProduct\b",
     "batch_eval_python": r"\bBatchEvalPython\b",
-    "arrow_python_stages": r"\b(?:ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|AggregateInPandas)\b",
+    "arrow_python_stages": r"\b(?:ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|MapInArrow|AggregateInPandas)\b",
     "codegen_spans": r"\*\(\d+\)",
     "parquet_scans": r"\bFileScan parquet\b",
 }
