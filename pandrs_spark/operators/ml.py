@@ -454,7 +454,13 @@ def gbt_regression_metrics(
     # Persisted for the same two-consumer reason as random_forest_metrics
     # (fit conversion + scoring transform). NOT widened: boosting
     # re-shuffles the frame per sequential stage, where widening
-    # measured worse (round-11 negative result).
+    # measured worse (round-11 negative result). A/B (ADVICE r11:
+    # record the numbers like RF/MLP/decision-tree): q130 warm
+    # median-of-3 noop wall at sf0.1 12.0 s -> 10.5 s with the persist —
+    # smaller than RF/MLP's win because GBTRegressor internally
+    # persists its converted instance RDD across boosting iterations,
+    # leaving only the scoring re-scan to save; kept because the win is
+    # real and the frame is released per query by the cache fence.
     feat = tracked_persist(
         VectorAssembler(inputCols=cols, outputCol="__features__").transform(df)
     )

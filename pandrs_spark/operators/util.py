@@ -117,7 +117,14 @@ def right_size_keyed(
     # single-partition mistake. Two near-empty tasks cost the same as
     # one at this size, and the plan stays honestly multi-partition.
     target = max(2, size // bytes_per_task + 1)
-    if target >= sc.defaultParallelism:
+    # ADVICE r11 (low): on sessions with defaultParallelism <= 2 the
+    # plain `target >= defaultParallelism` guard disabled right-sizing
+    # entirely — a provably-TINY loop table (target at the 2-partition
+    # floor) kept the 200-partition shuffle default, the exact
+    # per-round-scan pathology this function exists to fix. Floor-sized
+    # frames therefore always collapse to 2; anything larger keeps the
+    # one-task-per-core proof requirement (and AQE sizing) as before.
+    if target >= max(sc.defaultParallelism, 3):
         return df
     return df.repartition(int(target), *[F.col(c) for c in key_cols])
 

@@ -287,3 +287,28 @@ def test_assert_bounded_fence(spark):
     big = spark.range(500).toDF("id")
     with pytest.raises(UnboundedBuildError, match="tiny frame|fence"):
         assert_bounded(big, 100, "tiny frame")
+
+
+def test_right_size_keyed_floor_and_noop(spark):
+    """right_size_keyed collapses a provably-TINY materialized frame to
+    the 2-partition floor (ADVICE r11: the floor case must right-size
+    even when defaultParallelism itself is 2), keeps a frame with
+    unknown stats untouched, and never squeezes a frame whose
+    size-derived target reaches one-task-per-core."""
+    from pandrs_spark.operators.util import right_size_keyed
+
+    tiny = spark.range(50).selectExpr("id AS k", "id * 2 AS v").repartition(40, "k")
+    tiny = tiny.persist()
+    tiny.count()  # materialize: InMemoryRelation stats are exact
+    try:
+        out = right_size_keyed(tiny, "k")
+        assert out is not tiny
+        assert out.rdd.getNumPartitions() == 2
+        # unknown stats (RDD-backed plan): no-op
+        unk = spark.createDataFrame(spark.sparkContext.parallelize([(1, 2)]), "k int, v int")
+        assert right_size_keyed(unk, "k") is unk
+        # frame whose size-derived target reaches one-task-per-core
+        # (forced via bytes_per_task=1): no-op, keeps AQE sizing
+        assert right_size_keyed(tiny, "k", bytes_per_task=1) is tiny
+    finally:
+        tiny.unpersist()
