@@ -74,25 +74,78 @@ def registry_plan_texts(spark):
     """Build every registered query ONCE and cache its simple-mode
     physical plan text — shared by all registry-wide hygiene sweeps
     (cartesian products, partitionless windows, row-at-a-time UDFs) so
-    the suite pays the 321-plan build cost a single time."""
+    the suite pays the full-registry plan-build cost a single time.
+
+    Round 12 (suite runtime, guide §2.6 "overlap independent jobs"):
+    the sequential sweep was the suite's single most expensive item
+    (576 s — many queries run real driver actions while building:
+    derivation counts, iterative-loop rounds, MLlib fits). Most builds
+    are independent, so they run through a small thread pool; queries
+    that MUTATE shared session state build sequentially afterwards —
+    the streaming set (scoped_state_partitions sets/restores
+    spark.sql.shuffle.partitions session-wide) and everything that
+    writes catalog tables or shared warehouse/tmp paths. Pool failures
+    retry once in the sequential calm (preserving the old retry
+    semantics for transient warehouse collisions)."""
     import __spark_entry__ as entry
 
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    qs = entry.queries()
+    sequential = {
+        # conf-mutating streaming sinks (scoped_state_partitions)
+        "q180_streaming_tumbling_counts",
+        "q181_streaming_dedup_counts",
+        "q203_stream_stream_conversions",
+        "q228_streaming_sliding_counts",
+        "q229_streaming_user_sessions",
+        "q238_streaming_user_drawdown",
+        "q299_streaming_incremental_rollup",
+        "q367_streaming_cms_maintenance",
+        "q372_streaming_static_enrichment",
+        "q393_streaming_ewma_anomalies",
+        # catalog-table / shared-path writers
+        "q168_upsert_latest_orders",
+        "q174_io_roundtrip_agg",
+        "q198_scd2_priority_history",
+        "q200_zorder_buckets",
+        "q243_bucketed_join_revenue",
+        "q354_orc_roundtrip_agg",
+        "q383_small_file_compaction",
+        "q394_snapshot_time_travel",
+        "q728_shard_export_manifest",
+        "q170_event_transitions",
+    }
     texts: dict[str, str] = {}
     errors: dict[str, str] = {}
-    for name, fn in entry.queries().items():
+
+    def _build(name):
+        return plans.plan_text(qs[name](spark, "/root/testdata/sf0.001"), "simple")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pooled = [n for n in qs if n not in sequential]
+    retry: list[str] = []
+
+    def _pooled_build(name):
         try:
-            df = fn(spark, "/root/testdata/sf0.001")
-        except Exception:  # noqa: BLE001 — plan-only sweep
-            # one retry: stateful queries (bucketed-table writes,
-            # streaming sinks) can transiently collide with a
-            # concurrent session sharing the warehouse dir
+            return name, _build(name), None
+        except Exception as e:  # noqa: BLE001 — plan-only sweep
+            return name, None, str(e)
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        for name, text, err in pool.map(_pooled_build, pooled):
+            if err is None:
+                texts[name] = text
+            else:
+                retry.append(name)
+    for name in retry + [n for n in qs if n in sequential]:
+        try:
+            texts[name] = _build(name)
+        except Exception:  # noqa: BLE001
             try:
-                df = fn(spark, "/root/testdata/sf0.001")
+                texts[name] = _build(name)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"build error {e}"
-                continue
-        texts[name] = plans.plan_text(df, "simple")
     assert not errors, errors
     return texts
 
