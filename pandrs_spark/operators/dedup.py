@@ -202,12 +202,16 @@ def ngram_jaccard_pairs(
     # times (round 11). (id, shingle) rows only — the lightweight
     # proxy, never the documents.
     # char-work-sized widening before the tokenize + shingle + explode
-    # map pass (round 11, same starved-stage fix as minhash_signatures)
+    # map pass (round 11, same starved-stage fix as minhash_signatures).
+    # Round 12: fan_out moved to the PROBE side BEFORE the semi-join —
+    # widening after the join made fan_out's partition probe execute
+    # the whole candidate-pair subtree under AQE (a 92 s-CPU pass in
+    # q714's build); widened-scan ⋈ broadcast(doc_ids) keeps the
+    # explode work on the widened partitions, and at scale a sort-merge
+    # plan re-shuffles anyway, so nothing is lost.
+    wide = fan_out(df, bytes_per_task=16 * 1024)
     sh = tracked_persist(
-        fan_out(
-            df.join(doc_ids, df[id_col] == doc_ids.did, "left_semi"),
-            bytes_per_task=16 * 1024,
-        )
+        wide.join(doc_ids, wide[id_col] == doc_ids.did, "left_semi")
         .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias("sh"),

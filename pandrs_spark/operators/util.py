@@ -33,6 +33,57 @@ def tracked_persist(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+# Logical operators that cannot change a plan's partition count on
+# their own: a plan built ONLY of these above its leaves keeps the
+# leaf scan/cache partitioning, so df.rdd.getNumPartitions() resolves
+# WITHOUT materializing any AQE query stage. Anything else (Join,
+# Aggregate, Window, Sort, ...) makes the width shuffle-governed — and,
+# decisive for cost, asking .rdd for it under AQE EXECUTES the whole
+# subtree as stage-materialization jobs (round 12, measured: q714's
+# candidate-pair semi-join input ran a 92 s-CPU bands pass inside
+# fan_out's .rdd probe, before the query's real action).
+_NARROW_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Generate",
+        "SubqueryAlias",
+        "Sample",
+        "Union",
+        "LogicalRelation",
+        "Relation",
+        "InMemoryRelation",
+        "LogicalRDD",
+        "LocalRelation",
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "HiveTableRelation",
+    }
+)
+
+
+def _width_is_leaf_governed(df: DataFrame) -> bool:
+    """True when the optimized logical plan contains only narrow
+    operators over its leaves (InMemoryRelation counts as a leaf), so
+    the partition count is the leaf's and ``df.rdd`` is free. Unknown
+    node names conservatively return False."""
+    try:
+        def walk(p) -> bool:
+            if p.nodeName() not in _NARROW_NODES:
+                return False
+            if p.nodeName() == "InMemoryRelation":
+                return True  # cached leaf: its own plan is materialized
+            it = p.children().iterator()
+            while it.hasNext():
+                if not walk(it.next()):
+                    return False
+            return True
+
+        return walk(df._jdf.queryExecution().optimizedPlan())
+    except Exception:  # noqa: BLE001 — plan introspection unavailable
+        return False
+
+
 def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:
     """Widen under-partitioned inputs before compute-heavy map work.
 
@@ -72,6 +123,19 @@ def fan_out(df: DataFrame, bytes_per_task: int = 128 * 1024) -> DataFrame:
         target = max(1, min(target, size // bytes_per_task))
     except Exception:  # noqa: BLE001 — stats unavailable: widen fully
         pass
+    if target <= 1:
+        return df
+    # Round 12: only consult the actual partition count when the plan's
+    # width is leaf-governed (narrow chain over scans/caches), where
+    # .rdd is free. For shuffle-shaped inputs (joins/aggregates/...),
+    # .rdd under AQE EXECUTES the subtree (q714: a 92 s-CPU pass ran
+    # inside this probe); their width is set by shuffle.partitions/AQE
+    # coalescing at runtime, which is the cluster-scaled sizing this
+    # helper must not fight — leave them unchanged. Operators that need
+    # a widened map pass after a broadcast join hoist fan_out to the
+    # probe side BEFORE the join (ngram_jaccard_pairs).
+    if not _width_is_leaf_governed(df):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(int(target))
     return df
